@@ -1,0 +1,689 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chunk.Chunking
+import graft.embed.HashingEmbedder
+import graft.functions.{MdContent, TextF, VectorF}
+import graft.ops.{Dedup, Similarity}
+import graft.rag.RagPipeline
+import graft.sqlgen.{Dialect, Exprs}
+
+/** One entry per implemented operator from SURVEY.md §2 (+ the north-star
+  * training-data ops). Each query has a Spark implementation built from the
+  * library's public API and, where SQL-expressible, a DuckDB oracle that is
+  * engineered to hash-match EXACTLY:
+  *
+  *   - money arithmetic via DECIMAL(18,2) (exact, order-independent sums);
+  *   - vector math as sequential double folds (same IEEE op order in both
+  *     engines — see [[graft.sqlgen.Dialect]]);
+  *   - every emitted integer is BIGINT on both sides;
+  *   - every result deterministically ordered with full tie-breaks.
+  */
+object QueryCatalog {
+
+  final case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects by default; read nanos as raw longs (epoch nanoseconds). */
+  private def tEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+  }
+
+  private val D = Dialect.duckdb
+
+  // -0.0 vs +0.0 normalization: both engines can legitimately produce
+  // negative zero from rounding; +0.0 forces the canonical bit pattern so
+  // the driver's value hashing can't diverge on equal values.
+  private def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c, 6) + lit(0.0)
+  private def duckR6(x: String): String =
+    s"(round($x, 6) + CAST(0.0 AS DOUBLE))"
+
+  // ---- shared DuckDB fragments --------------------------------------------
+
+  /** documents -> (doc_id, chunk_idx BIGINT, chunk_id, chunk_text); fixed
+    * char windows 200/150 — mirrors Chunking.explodeCharWindows. */
+  private val duckChunks: String =
+    """(SELECT doc_id,
+          CAST(i AS BIGINT) AS chunk_idx,
+          concat(CAST(doc_id AS VARCHAR), '_', CAST(i AS VARCHAR)) AS chunk_id,
+          substr(text, CAST(i AS INT) * 150 + 1, 200) AS chunk_text
+        FROM (SELECT doc_id, text,
+                unnest(range(0, greatest(CAST(ceil((length(text) - 200) / CAST(150 AS DOUBLE)) AS INT) + 1, 1))) AS i
+              FROM documents))"""
+
+  /** Wrap a relation (must expose `chunk_text`) with the hashing-embedder
+    * pipeline -> adds column `emb` (ARRAY<DOUBLE>, L2-normalized). Mirrors
+    * HashingEmbedder.withEmbedding stage by stage. */
+  private def duckEmbed(fromSql: String, textCol: String, dim: Int): String = {
+    val toks = D.splitWs(textCol)
+    val codes = Exprs.embedCodes(D, "__toks", dim)
+    val raw = Exprs.embedRawVec(D, "__codes", dim)
+    val nrm = D.norm("__raw")
+    val emb = Exprs.l2Normalize(D, "__raw", "__nrm")
+    s"""(SELECT * EXCLUDE (__toks, __codes, __raw, __nrm), $emb AS emb FROM
+          (SELECT *, $nrm AS __nrm FROM
+            (SELECT *, $raw AS __raw FROM
+              (SELECT *, $codes AS __codes FROM
+                (SELECT *, $toks AS __toks FROM $fromSql)))))"""
+  }
+
+  /** DuckDB embeddings table cast to DOUBLE[] (exact float widening). */
+  private val duckEmbTable: String =
+    "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+  // =========================================================================
+  // Relational surface (SURVEY §2.11 shapes over the TPC-H-ish tables)
+  // =========================================================================
+
+  private def relational: Seq[Q] = Seq(
+    Q("q1_agg",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum("l_quantity").as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount")).cast("decimal(18,2)")).cast("double").as("sum_disc"),
+            count(lit(1)).as("cnt"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    Q("q3_join_agg",
+      (s, dir) => {
+        val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy("o_orderkey")
+          .agg(
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount")).cast("decimal(18,2)")).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(desc("revenue"), col("o_orderkey"))
+          .limit(20)
+      },
+      Some("""
+        SELECT o_orderkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 20""")),
+
+    // J1: anti-join (reference ignore-list partition, document_processor.py:869-880)
+    Q("q_j1_anti",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val r = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("o_orderkey"))
+        o.join(r, Seq("o_orderkey"), "left_anti")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .orderBy("o_orderkey")
+          .limit(100)
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        ORDER BY o_orderkey
+        LIMIT 100""")),
+
+    // F6: EXISTS over a tokenized list column (okp.py:28-52 shape)
+    Q("q_f6_exists",
+      (s, dir) => {
+        val kw = Seq("spark", "shuffle", "merge")
+        t(s, dir, "documents")
+          .where(exists(TextF.tokens(col("text")), w => w.isInCollection(kw)))
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE len(list_filter(string_split_regex(trim(text), '\s+'),
+                              w -> list_contains(['spark', 'shuffle', 'merge'], w))) > 0
+        ORDER BY doc_id""")),
+
+    // F5: policy filter — reachable OR ignored, one disjunctive predicate
+    // (document_processor.py:867-896)
+    Q("q_f5_policy",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .where(col("lang") === "en" || col("source").isin("src0", "src1"))
+          .groupBy("source").agg(count(lit(1)).as("n"))
+          .orderBy("source"),
+      Some("""
+        SELECT source, count(*) AS n
+        FROM documents
+        WHERE lang = 'en' OR source IN ('src0', 'src1')
+        GROUP BY source
+        ORDER BY source""")),
+
+    // A1 + J2: group chunks per doc and join back (document_processor.py:521-541)
+    Q("q_a1_group_collect",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val g = li.groupBy(col("l_orderkey").as("o_orderkey"))
+          .agg(concat_ws(",", sort_array(collect_list(col("l_linenumber")))).as("lines"),
+            count(lit(1)).as("n_items"))
+        o.join(g, Seq("o_orderkey"))
+          .select("o_orderkey", "o_orderstatus", "lines", "n_items")
+          .orderBy("o_orderkey")
+          .limit(1000)
+      },
+      Some("""
+        WITH g AS (SELECT l_orderkey,
+                          array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+                          count(*) AS n_items
+                   FROM lineitem GROUP BY l_orderkey)
+        SELECT o_orderkey, o_orderstatus, lines, n_items
+        FROM orders JOIN g ON g.l_orderkey = o_orderkey
+        ORDER BY o_orderkey
+        LIMIT 1000""")),
+
+    // O2: top-k (TakeOrderedAndProject — the scalable exact top-k)
+    Q("q_o2_topk",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+          .limit(20),
+      Some("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20""")),
+
+    Q("q_window_topn",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(desc("value"), col("event_id"))
+        tEvents(s, dir)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .where(col("rn") <= 3)
+          .select("event_type", "event_id", "value", "rn")
+          .orderBy("event_type", "rn")
+      },
+      Some("""
+        SELECT event_type, event_id, value, rn
+        FROM (SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+              FROM events)
+        WHERE rn <= 3
+        ORDER BY event_type, rn""")),
+
+    // A4/F8: group-level max-score threshold
+    Q("q_having_max",
+      (s, dir) =>
+        tEvents(s, dir)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("cnt"), max(col("value")).as("mx"))
+          .where(col("mx") >= 450.0)
+          .orderBy("user_id"),
+      Some("""
+        SELECT user_id, count(*) AS cnt, max(value) AS mx
+        FROM events
+        GROUP BY user_id
+        HAVING max(value) >= CAST(450.0 AS DOUBLE)
+        ORDER BY user_id""")),
+
+    // S7-shape: typed metadata extraction from a semi-structured column
+    Q("q_json_extract",
+      (s, dir) =>
+        tEvents(s, dir)
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .orderBy("event_id")
+          .limit(1000),
+      Some("""
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+        ORDER BY event_id
+        LIMIT 1000""")),
+
+    // Streaming-shaped tumbling-window aggregation (batch form; the same
+    // plan runs under Structured Streaming with a watermark)
+    Q("q_events_window",
+      (s, dir) =>
+        tEvents(s, dir)
+          .groupBy(col("event_type"),
+            (expr("ts div 3600000000000L") * 3600).cast("long").as("hour_epoch"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .orderBy("event_type", "hour_epoch"),
+      Some("""
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY event_type, hour_epoch
+        ORDER BY event_type, hour_epoch"""))
+  )
+
+  // =========================================================================
+  // Text analysis / dedup (north-star training-data ops)
+  // =========================================================================
+
+  private def textOps: Seq[Q] = {
+    val duckToks = s"(SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents)"
+    val duckShingles =
+      s"(SELECT doc_id, ${Exprs.wordShingles(D, "toks", 3)} AS sh FROM $duckToks)"
+
+    Seq(
+      // F1: whitespace predicate (document_processor.py:131-137)
+      Q("q_f1_whitespace",
+        (s, dir) =>
+          t(s, dir, "documents")
+            .where(col("text").rlike("\\s"))
+            .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+            .orderBy("lang"),
+        Some("""
+          SELECT lang, count(*) AS n
+          FROM documents
+          WHERE regexp_matches(text, '\s')
+          GROUP BY lang
+          ORDER BY lang""")),
+
+      // F2: markdown-content validity (stateful UDF; rows-only check — the
+      // 19-case reference contract is enforced in MdContentSpec)
+      Q("q_f2_md_valid",
+        (s, dir) =>
+          t(s, dir, "documents")
+            .where(MdContent.mdHasContent(col("text")))
+            .select(col("doc_id"))
+            .orderBy("doc_id"),
+        None),
+
+      // T9: title fallback — first line stripped of leading #/whitespace
+      // (metadata_processor.py:52-54)
+      Q("q_title_fallback",
+        (s, dir) =>
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              substring(regexp_replace(element_at(split(col("text"), "\n"), 1),
+                "^[#\\s]+", ""), 1, 30).as("title"))
+            .orderBy("doc_id"),
+        Some("""
+          SELECT doc_id,
+                 substr(regexp_replace(string_split(text, chr(10))[1], '^[#\s]+', ''), 1, 30) AS title
+          FROM documents
+          ORDER BY doc_id""")),
+
+      Q("q_token_stats",
+        (s, dir) => {
+          val toks = TextF.tokens(col("text"))
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              size(toks).cast("long").as("n_tokens"),
+              size(array_distinct(toks)).cast("long").as("n_uniq"))
+            .orderBy("doc_id")
+        },
+        Some("""
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_uniq
+          FROM documents
+          ORDER BY doc_id""")),
+
+      Q("q_quality_score",
+        (s, dir) =>
+          t(s, dir, "documents")
+            .select(col("doc_id"), r6(TextF.qualityScore(col("text"))).as("quality"))
+            .orderBy("doc_id"),
+        Some {
+          val toks = D.splitWs("text")
+          val stopArr = D.strArray(TextF.StopEn)
+          s"""
+          SELECT doc_id,
+                 round(
+                   least(CAST(len($toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+                   + (CAST(len(list_filter($toks, t__ -> list_contains($stopArr, t__))) AS DOUBLE) / len($toks)) * CAST(0.3 AS DOUBLE)
+                   + (CAST(1.0 AS DOUBLE) - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * CAST(0.3 AS DOUBLE)
+                 , 6) + CAST(0.0 AS DOUBLE) AS quality
+          FROM documents
+          ORDER BY doc_id"""
+        }),
+
+      Q("q_langid",
+        (s, dir) =>
+          t(s, dir, "documents")
+            .select(col("doc_id"), TextF.langId(TextF.tokens(col("text"))).as("pred_lang"))
+            .orderBy("doc_id"),
+        Some {
+          def hits(stop: Seq[String]) =
+            s"len(list_filter(toks, t__ -> list_contains(${D.strArray(stop)}, t__)))"
+          s"""
+          SELECT doc_id,
+                 CASE WHEN en__ >= de__ AND en__ >= es__ AND en__ >= fr__ THEN 'en'
+                      WHEN de__ >= es__ AND de__ >= fr__ THEN 'de'
+                      WHEN es__ >= fr__ THEN 'es'
+                      ELSE 'fr' END AS pred_lang
+          FROM (SELECT doc_id,
+                       ${hits(TextF.StopEn)} AS en__, ${hits(TextF.StopDe)} AS de__,
+                       ${hits(TextF.StopEs)} AS es__, ${hits(TextF.StopFr)} AS fr__
+                FROM $duckToks)
+          ORDER BY doc_id"""
+        }),
+
+      Q("q_dedup_exact",
+        (s, dir) =>
+          Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
+            .orderBy("content_hash"),
+        Some("""
+          SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+          FROM documents
+          GROUP BY md5(text)
+          ORDER BY content_hash""")),
+
+      Q("q_minhash_sig",
+        (s, dir) =>
+          Dedup.minhashSignatures(t(s, dir, "documents"), "text", "doc_id", 3, 8)
+            .select(col("doc_id"), array_join(col("sig"), "|").as("sig"))
+            .orderBy("doc_id"),
+        Some(s"""
+          SELECT doc_id, ${D.arrayJoin(Exprs.minhashSig(D, "sh", 8), "|")} AS sig
+          FROM $duckShingles
+          ORDER BY doc_id""")),
+
+      Q("q_minhash_pairs",
+        (s, dir) => {
+          val docs = t(s, dir, "documents")
+          val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", 3, 8)
+          val cand = Dedup.lshCandidatePairs(sigs, "doc_id", 2)
+          Dedup.jaccardVerify(docs, cand, "text", "doc_id", 3, 0.2)
+            .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
+            .orderBy("id_a", "id_b")
+        },
+        Some(s"""
+          WITH sigs AS (
+            SELECT doc_id, ${Exprs.minhashSig(D, "sh", 8)} AS sig FROM $duckShingles),
+          banded AS (
+            SELECT doc_id, CAST(b.b AS BIGINT) AS band,
+                   md5(array_to_string(sig[(CAST(b.b AS INT) * 2 + 1):(CAST(b.b AS INT) * 2 + 2)], '|')) AS band_key
+            FROM sigs, range(0, 4) AS b(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+            FROM banded a JOIN banded c
+              ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+          sets AS (SELECT doc_id, list_distinct(sh) AS shs FROM $duckShingles)
+          SELECT id_a, id_b,
+                 round(CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                       / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))), 6) + CAST(0.0 AS DOUBLE) AS jaccard
+          FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
+          WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= CAST(0.2 AS DOUBLE)
+          ORDER BY id_a, id_b""")),
+
+      Q("q_simhash",
+        (s, dir) =>
+          Dedup.simhash(t(s, dir, "documents"), "text", "doc_id")
+            .orderBy("doc_id"),
+        Some(s"""
+          SELECT doc_id, ${Exprs.simhashBits(D, "toks")} AS simhash
+          FROM $duckToks
+          ORDER BY doc_id""")),
+
+      Q("q_fingerprint",
+        (s, dir) =>
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              TextF.fingerprint(
+                TextF.wordShingles(TextF.tokens(col("text")), 3)).as("fp"))
+            .orderBy("doc_id"),
+        Some(s"""
+          SELECT doc_id, ${D.arrayMin(D.transform("sh", "s__", "md5(s__)"))} AS fp
+          FROM $duckShingles
+          ORDER BY doc_id"""))
+    )
+  }
+
+  // =========================================================================
+  // Vector similarity (reference Q1/O2/F8/T8 + ANN scale path)
+  // =========================================================================
+
+  private def vectorOps: Seq[Q] = {
+    val duckDot = D.dot("v", "qv")
+    val duckCos = D.cosine("v", "qv")
+
+    def duckQueryVec =
+      s"(SELECT v AS qv FROM $duckEmbTable WHERE vec_id = 0)"
+
+    Seq(
+      Q("q_knn_cosine",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          val q = emb.where(col("vec_id") === 0)
+            .select(VectorF.toDoubleArray(col("embedding")).as("qv"))
+          Similarity.bruteForceTopK(
+            emb.where(col("vec_id") =!= 0), q, "vec_id", "embedding", 10)
+            .select(col("vec_id"), r6(col("score")).as("score"))
+        },
+        Some(s"""
+          SELECT vec_id, (round(score, 6) + CAST(0.0 AS DOUBLE)) AS score
+          FROM (SELECT vec_id, $duckCos AS score
+                FROM $duckEmbTable, $duckQueryVec
+                WHERE vec_id <> 0
+                ORDER BY score DESC, vec_id
+                LIMIT 10)
+          ORDER BY score DESC, vec_id""")),
+
+      Q("q_knn_threshold",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          val q = emb.where(col("vec_id") === 0)
+            .select(VectorF.toDoubleArray(col("embedding")).as("qv"))
+          val topk = Similarity.bruteForceTopK(
+            emb.where(col("vec_id") =!= 0), q, "vec_id", "embedding", 10)
+          Similarity.withScoreThreshold(topk, 0.2)
+            .select(col("vec_id"), r6(col("score")).as("score"))
+        },
+        Some(s"""
+          WITH topk AS (
+            SELECT vec_id, $duckCos AS score
+            FROM $duckEmbTable, $duckQueryVec
+            WHERE vec_id <> 0
+            ORDER BY score DESC, vec_id
+            LIMIT 10)
+          SELECT vec_id, (round(score, 6) + CAST(0.0 AS DOUBLE)) AS score
+          FROM topk
+          WHERE (SELECT max(score) FROM topk) >= CAST(0.2 AS DOUBLE)
+          ORDER BY score DESC, vec_id""")),
+
+      Q("q_distance_pairs",
+        (s, dir) =>
+          Similarity.pairwiseDistances(
+            t(s, dir, "embeddings").where(col("vec_id") < 20), "vec_id", "embedding")
+            .select(col("id_a"), col("id_b"),
+              r6(col("cos_sim")).as("cos_sim"),
+              r6(col("euc_dist")).as("euc_dist"),
+              r6(col("combined")).as("combined"))
+            .orderBy("id_a", "id_b"),
+        Some {
+          val cos = D.cosine("a.v", "b.v")
+          val euc = D.euclidean("a.v", "b.v")
+          s"""
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 (round($cos, 6) + CAST(0.0 AS DOUBLE)) AS cos_sim,
+                 (round($euc, 6) + CAST(0.0 AS DOUBLE)) AS euc_dist,
+                 (round(($cos + $euc) / CAST(2.0 AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS combined
+          FROM $duckEmbTable a, $duckEmbTable b
+          WHERE a.vec_id < 20 AND b.vec_id < 20 AND a.vec_id < b.vec_id
+          ORDER BY id_a, id_b"""
+        }),
+
+      Q("q_ann_ivf",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          val cents = emb.where(col("vec_id") < 8)
+            .select(col("vec_id").cast("int").as("cid"),
+              VectorF.toDoubleArray(col("embedding")).as("cv"))
+          val q = emb.where(col("vec_id") === 0)
+            .select(VectorF.toDoubleArray(col("embedding")).as("qv"))
+          Similarity.ivfTopK(emb, cents, q, "vec_id", "embedding", 10, 2)
+            .select(col("vec_id"), r6(col("score")).as("score"))
+        },
+        Some {
+          val dotNN = D.dot("e.vn", "c.cvn")
+          s"""
+          WITH cents AS (
+            SELECT CAST(vec_id AS INT) AS cid,
+                   ${Exprs.l2Normalize(D, "v", D.norm("v"))} AS cvn
+            FROM $duckEmbTable WHERE vec_id < 8),
+          normed AS (
+            SELECT vec_id, v, ${Exprs.l2Normalize(D, "v", D.norm("v"))} AS vn
+            FROM $duckEmbTable),
+          assigned AS (
+            SELECT e.vec_id, e.v,
+                   (SELECT c.cid FROM cents c ORDER BY $dotNN DESC, c.cid LIMIT 1) AS cluster_id
+            FROM normed e),
+          probe AS (
+            SELECT c.cid AS cluster_id
+            FROM cents c, (SELECT vn AS qvn FROM normed WHERE vec_id = 0)
+            ORDER BY ${D.dot("c.cvn", "qvn")} DESC, c.cid
+            LIMIT 2)
+          SELECT vec_id, (round(score, 6) + CAST(0.0 AS DOUBLE)) AS score
+          FROM (SELECT a.vec_id, $duckCos AS score
+                FROM (SELECT assigned.* FROM assigned JOIN probe USING (cluster_id)) a(vec_id, v, cluster_id),
+                     $duckQueryVec
+                ORDER BY score DESC, vec_id
+                LIMIT 10)
+          ORDER BY score DESC, vec_id"""
+        })
+    )
+  }
+
+  // =========================================================================
+  // RAG pipeline composites (reference §3.1 / §3.2 end-to-end)
+  // =========================================================================
+
+  private def ragOps: Seq[Q] = {
+    val dim = 64
+    val duckIndexed = duckEmbed(
+      s"(SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})", "chunk_text", dim)
+    val weights = "list_transform(range(1, 65), j__ -> CAST(j__ AS DOUBLE))"
+    val queryText = "spark sql shuffle partition join"
+
+    Seq(
+      Q("q_chunk_fixed",
+        (s, dir) =>
+          Chunking.explodeCharWindows(t(s, dir, "documents"), "text", 200, 150)
+            .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+              md5(col("chunk_text")).as("h"),
+              length(col("chunk_text")).cast("long").as("len"))
+            .orderBy("doc_id", "chunk_idx"),
+        Some(s"""
+          SELECT doc_id, chunk_idx, md5(chunk_text) AS h,
+                 CAST(length(chunk_text) AS BIGINT) AS len
+          FROM $duckChunks
+          ORDER BY doc_id, chunk_idx""")),
+
+      Q("q_rag_index",
+        (s, dir) =>
+          RagPipeline.buildIndex(t(s, dir, "documents"))
+            .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+              col("chunk_id"), col("n_tokens").cast("long").as("n_tokens"),
+              r6(element_at(col("embedding"), 1)).as("e1"),
+              r6(element_at(col("embedding"), 2)).as("e2"),
+              r6(VectorF.dot(col("embedding"),
+                expr("transform(sequence(1, 64), j__ -> CAST(j__ AS DOUBLE))"))).as("checksum"))
+            .orderBy("doc_id", "chunk_idx"),
+        Some(s"""
+          SELECT doc_id, chunk_idx, chunk_id,
+                 CAST(len(${D.splitWs("chunk_text")}) AS BIGINT) AS n_tokens,
+                 (round(emb[1], 6) + CAST(0.0 AS DOUBLE)) AS e1,
+                 (round(emb[2], 6) + CAST(0.0 AS DOUBLE)) AS e2,
+                 (round(${D.dot("emb", weights)}, 6) + CAST(0.0 AS DOUBLE)) AS checksum
+          FROM $duckIndexed
+          ORDER BY doc_id, chunk_idx""")),
+
+      Q("q_rag_query",
+        (s, dir) => {
+          val index = RagPipeline.buildIndex(t(s, dir, "documents"))
+          RagPipeline.query(s, index, queryText, 5, 0.05)
+            .select(col("chunk_id"), r6(col("score")).as("score"))
+        },
+        Some {
+          val duckQ = duckEmbed(s"(SELECT '$queryText' AS chunk_text)", "chunk_text", dim)
+          s"""
+          WITH topk AS (
+            SELECT chunk_id, ${D.dot("i.emb", "q.qemb")} AS score
+            FROM $duckIndexed i, (SELECT emb AS qemb FROM $duckQ) q
+            ORDER BY score DESC, chunk_id
+            LIMIT 5)
+          SELECT chunk_id, (round(score, 6) + CAST(0.0 AS DOUBLE)) AS score
+          FROM topk
+          WHERE (SELECT max(score) FROM topk) >= CAST(0.05 AS DOUBLE)
+          ORDER BY score DESC, chunk_id"""
+        }),
+
+      // Q2: point lookup over the chunk table
+      Q("q_point_lookup",
+        (s, dir) =>
+          RagPipeline.pointLookup(
+            RagPipeline.buildIndex(t(s, dir, "documents")), "42_0")
+            .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+              md5(col("chunk_text")).as("h"), col("n_tokens").cast("long").as("n_tokens")),
+        Some(s"""
+          SELECT doc_id, chunk_idx, md5(chunk_text) AS h,
+                 CAST(len(${D.splitWs("chunk_text")}) AS BIGINT) AS n_tokens
+          FROM $duckChunks
+          WHERE chunk_id = '42_0' AND ${D.rlikeWs("chunk_text")}""")),
+
+      // A1+J2: doc-anchor minting + broadcast write-back
+      Q("q_doc_anchor",
+        (s, dir) => {
+          val chunks = Chunking.explodeCharWindows(t(s, dir, "documents"), "text", 200, 150)
+            .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"))
+          RagPipeline.docAnchorWriteBack(chunks)
+            .select(col("doc_id"), col("chunk_idx"), col("anchor_id"),
+              col("n_chunks").cast("long").as("n_chunks"))
+            .orderBy("doc_id", "chunk_idx")
+        },
+        Some(s"""
+          WITH chunks AS (SELECT doc_id, chunk_idx FROM $duckChunks),
+          anchors AS (SELECT doc_id, count(*) AS n_chunks,
+                             md5(concat('anchor:', CAST(doc_id AS VARCHAR))) AS anchor_id
+                      FROM chunks GROUP BY doc_id)
+          SELECT c.doc_id, c.chunk_idx, a.anchor_id, a.n_chunks
+          FROM chunks c JOIN anchors a ON a.doc_id = c.doc_id
+          ORDER BY c.doc_id, c.chunk_idx"""))
+    )
+  }
+
+  def all: Seq[Q] = relational ++ textOps ++ vectorOps ++ ragOps
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o.trim.replaceAll("\\s+", " "))).toMap
+}

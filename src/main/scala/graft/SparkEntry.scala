@@ -1,13 +1,27 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` exposes one entry per implemented operator from SURVEY.md §2
+  * (plus the north-star training-data ops); `oracleSql` carries the DuckDB
+  * equivalent for the driver's t2 hash-match gate. Implementations live in
+  * [[QueryCatalog]] and are built from the library's public operator API
+  * (graft.rag / graft.ops / graft.chunk / graft.embed / graft.functions).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the reference's end-to-end index-build dataflow
+    * (docs -> chunk -> filter -> embed -> chunk table; SURVEY §3.1) on
+    * sf=0.001. Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    rag.RagPipeline.buildIndex(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueryCatalog.queries
+
+  def oracleSql: Map[String, String] =
+    QueryCatalog.oracleSql
 }

@@ -1,0 +1,72 @@
+package graft.chunk
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Chunking operators (reference C1-C4).
+  *
+  * The reference chunks documents with llama-index's `SentenceSplitter`
+  * (token budget 380, overlap 0 — `scripts/generate_embeddings.py:24-25`,
+  * `document_processor.py:112-129`) or `MarkdownNodeParser` for
+  * markdown-compatible doc types. Spark-first re-expression: chunking is a
+  * 1->N generator. Both chunkers below are pure Catalyst expressions
+  * (sequence + explode), so they stay inside whole-stage codegen, never
+  * shuffle, and scale linearly — exactly what a 100 TB corpus needs.
+  */
+object Chunking {
+
+  /** Fixed char-window chunk explode: windows of `size` chars advancing by
+    * `step` (= size - overlap). Emits (chunk_idx, chunk_text) per row.
+    * Deterministic and oracle-checkable (same arithmetic in DuckDB). */
+  def explodeCharWindows(df: DataFrame, textCol: String, size: Int, step: Int): DataFrame = {
+    require(step > 0 && size >= step, s"need 0 < step <= size, got size=$size step=$step")
+    val n = greatest(
+      (ceil((length(col(textCol)) - lit(size)) / lit(step.toDouble))).cast("int") + lit(1),
+      lit(1))
+    df.withColumn("chunk_idx", explode(sequence(lit(0), n - 1)))
+      .withColumn("chunk_text", col(textCol).substr(col("chunk_idx") * step + 1, lit(size)))
+  }
+
+  /** Token-budget chunker (C1 semantics: N tokens per chunk with overlap),
+    * as a whitespace-token window join. `budget` tokens per chunk, `overlap`
+    * tokens carried over (reference defaults 380/0). */
+  def explodeTokenWindows(df: DataFrame, textCol: String, budget: Int, overlap: Int): DataFrame = {
+    require(budget > 0 && overlap >= 0 && overlap < budget)
+    val stepT = budget - overlap
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = greatest(
+      (ceil((size(toks) - lit(budget)) / lit(stepT.toDouble))).cast("int") + lit(1),
+      lit(1))
+    df.withColumn("__toks", toks)
+      .withColumn("chunk_idx", explode(sequence(lit(0), n - 1)))
+      .withColumn("chunk_text",
+        array_join(slice(col("__toks"), col("chunk_idx") * stepT + 1, lit(budget)), " "))
+      .drop("__toks")
+  }
+
+  /** Markdown heading splitter (C2): split text at ATX heading boundaries,
+    * keeping each heading with its section body (reference
+    * `document_processor.py:115-116` — MarkdownNodeParser for
+    * markdown-compatible types). Linear: tag each heading start with a
+    * sentinel, split on it, posexplode. */
+  def explodeMarkdownSections(df: DataFrame, textCol: String): DataFrame = {
+    val sentinel = "\u0001"
+    val tagged = regexp_replace(col(textCol), "(?m)^(#{1,6} )", sentinel + "$1")
+    df.withColumn("__sections",
+        filter(split(tagged, sentinel), s => trim(s) =!= ""))
+      .select(col("*"), posexplode(col("__sections")).as(Seq("chunk_idx", "chunk_text")))
+      .drop("__sections")
+  }
+
+  /** Pure-Scala token-window chunker for the typed Dataset API + tests. */
+  def chunkTokens(text: String, budget: Int, overlap: Int): Seq[String] = {
+    require(budget > 0 && overlap >= 0 && overlap < budget)
+    val toks = text.trim.split("\\s+").toSeq
+    val step = budget - overlap
+    if (toks.length <= budget) Seq(toks.mkString(" "))
+    else {
+      val n = ((toks.length - budget + step - 1) / step) + 1
+      (0 until n).map(i => toks.slice(i * step, i * step + budget).mkString(" "))
+    }
+  }
+}

@@ -1,0 +1,56 @@
+package graft.embed
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sqlgen.{Dialect, Exprs}
+
+/** Embedding stage (reference T4/T5).
+  *
+  * The reference embeds chunks with sentence-transformers
+  * (`document_processor.py:273-277`; model all-mpnet-base-v2, dim 768,
+  * L2-normalized per `embeddings_model/modules.json`). Its own unit suite
+  * swaps the model for a fixed deterministic fake (`tests/conftest.py:17-28`)
+  * — parity of surface, not weights.
+  *
+  * Spark-first design: an [[Embedder]] trait with two implementations:
+  *   - [[HashingEmbedder]]: deterministic feature-hashing embedder expressed
+  *     as pure Catalyst SQL (codegen'd, oracle-checkable in DuckDB). The
+  *     default in this zero-egress build.
+  *   - a production ONNX/model-server embedder would implement the same
+  *     trait with `mapPartitions` + per-partition model init + batched
+  *     inference (the canonical Spark inference pattern, and the single
+  *     biggest scalability win over the reference's sequential per-chunk
+  *     loop at `document_processor.py:548-554`).
+  */
+trait Embedder extends Serializable {
+  def dimension: Int
+  /** Add column `outCol: array<double>` (L2-normalized) embedding `textCol`. */
+  def withEmbedding(df: DataFrame, textCol: String, outCol: String): DataFrame
+}
+
+/** Deterministic signed feature-hashing embedder: token -> md5 -> bucket +
+  * sign; counts accumulated per bucket; L2-normalized. Entirely
+  * whole-stage-codegen SQL — no UDF, no shuffle, linear scan. */
+final case class HashingEmbedder(dimension: Int = 64) extends Embedder {
+  private val dl = Dialect.spark
+
+  def withEmbedding(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val toksC = s"__emb_toks_$outCol"
+    val codesC = s"__emb_codes_$outCol"
+    val rawC = s"__emb_raw_$outCol"
+    val nrmC = s"__emb_nrm_$outCol"
+    df.withColumn(toksC, expr(dl.splitWs(s"`$textCol`")))
+      .withColumn(codesC, expr(Exprs.embedCodes(dl, toksC, dimension)))
+      .withColumn(rawC, expr(Exprs.embedRawVec(dl, codesC, dimension)))
+      .withColumn(nrmC, expr(dl.norm(rawC)))
+      .withColumn(outCol, expr(Exprs.l2Normalize(dl, rawC, nrmC)))
+      .drop(toksC, codesC, rawC, nrmC)
+  }
+
+  /** Embed a literal query string on the driver (for broadcast into Q1). */
+  def embedQueryDF(spark: org.apache.spark.sql.SparkSession, text: String): DataFrame = {
+    val one = spark.sql(s"SELECT ${dl.str(text)} AS __qtext")
+    withEmbedding(one, "__qtext", "qv").select(col("qv"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.udf
+
+/** Markdown-content validity predicates (reference F1/F2/F3).
+  *
+  * Re-implements the line-machine semantics of
+  * `document_processor.py:131-208` (`_got_whitespace`, `_got_content`,
+  * `_valid_text_node`): a chunk is content-bearing iff, scanning lines and
+  * skipping blank lines, ATX `#` headers, Setext `===`/`---` underlines,
+  * horizontal rules, and empty fenced code blocks, some real content line
+  * remains. The 19 table-driven fixtures at
+  * `tests/test_document_processor_llama_index.py:118-155` define the
+  * contract and are ported verbatim into MdContentSpec.
+  *
+  * The predicate is inherently stateful per row (fenced-block toggling,
+  * lookahead for setext underlines), so it is a Scala function wrapped in a
+  * UDF rather than a SQL expression; it sits on the already-chunked (small)
+  * side of the pipeline, never against raw 100 TB input.
+  */
+object MdContent {
+
+  def gotWhitespace(text: String): Boolean = text.exists(_.isWhitespace)
+
+  private def isEqDash(line: String): Boolean = {
+    val t = line.trim
+    t.nonEmpty && t.forall(c => c == '=' || c == '-')
+  }
+
+  def gotContent(text: String): Boolean = {
+    val lines = text.split("\n", -1).map(_.stripSuffix("\r"))
+    var inFenced = false
+    var i = 0
+    var found = false
+    var done = false
+    while (i < lines.length && !done) {
+      val raw = lines(i)
+      val line = raw.trim
+      if (line.isEmpty) {
+        i += 1
+      } else if (raw.startsWith("    ")) {
+        // Indented code block with content
+        found = true; done = true
+      } else if (line.startsWith("```")) {
+        inFenced = !inFenced
+        i += 1
+      } else if (inFenced) {
+        // Non-empty body inside a fenced block
+        found = true; done = true
+      } else if (line.startsWith("#")) {
+        i += 1 // ATX header
+      } else if (isEqDash(line)) {
+        i += 1 // horizontal rule / stray setext underline
+      } else if (i + 1 < lines.length && isEqDash(lines(i + 1))) {
+        i += 2 // this line is a setext header
+      } else {
+        found = true; done = true
+      }
+    }
+    found
+  }
+
+  /** `_valid_text_node` — markdown-compatible doc types additionally require
+    * content; every doc type requires whitespace. */
+  def validTextNode(text: String, markdownCompatible: Boolean): Boolean =
+    (!markdownCompatible || gotContent(text)) && gotWhitespace(text)
+
+  private val gotContentUdf = udf(gotContent _)
+  private val validNodeUdf = udf(validTextNode _)
+
+  def mdHasContent(text: Column): Column = gotContentUdf(text)
+  def validNode(text: Column, markdownCompatible: Column): Column =
+    validNodeUdf(text, markdownCompatible)
+
+  /** Register SQL-callable forms. */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("md_has_content", gotContent _)
+    spark.udf.register("md_valid_node", validTextNode _)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.sqlgen.{Dialect, Exprs}
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, shingling, fingerprints.
+  * All are pure Catalyst expressions (codegen'd, no UDFs) so they push
+  * through whole-stage codegen at 100 TB scale.
+  */
+object TextF {
+  private val dl = Dialect.spark
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles (at least one, even for short docs). */
+  def wordShingles(toks: Column, n: Int): Column = {
+    val count = greatest(size(toks) - lit(n - 1), lit(1))
+    transform(sequence(lit(1), count), i => array_join(slice(toks, i, lit(n)), " "))
+  }
+
+  /** MinHash signature: k lexicographic-min md5 values over shingles. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      ki => array_min(transform(shingles, s => md5(concat(ki.cast("string"), lit(":"), s)))))
+
+  /** 64-bit SimHash as a '0'/'1' bit-string over a named token-array column
+    * (cross-engine portable; see Exprs.simhashBits). */
+  def simhashBitsExpr(toksColName: String): Column =
+    expr(Exprs.simhashBits(dl, toksColName))
+
+  /** Document fingerprint: lexicographic-min md5 over shingles (rolling-hash
+    * analog of winnowing, cross-engine reproducible). */
+  def fingerprint(shingles: Column): Column =
+    array_min(transform(shingles, s => md5(s)))
+
+  /** Ratio of tokens found in `stop`. Double division of exact ints. */
+  def stopwordRatio(toks: Column, stop: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(stop))).cast("double") / size(toks)
+
+  /** Ratio of non-alphanumeric, non-space chars. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double") /
+      greatest(length(text), lit(1))
+
+  val StopEn = Seq("the", "and", "of", "to", "in", "is", "a")
+  val StopDe = Seq("der", "die", "das", "und", "ist", "ein")
+  val StopEs = Seq("el", "la", "de", "que", "y", "un")
+  val StopFr = Seq("le", "les", "et", "des", "une", "du")
+
+  def stopHits(toks: Column, stop: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(stop)))
+
+  /** Heuristic language ID by stopword-hit argmax (deterministic ties:
+    * en > de > es > fr). */
+  def langId(toks: Column): Column = {
+    val en = stopHits(toks, StopEn); val de = stopHits(toks, StopDe)
+    val es = stopHits(toks, StopEs); val fr = stopHits(toks, StopFr)
+    when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** Composite quality score in [0,1]: length saturation + stopword
+    * presence + punctuation penalty. Deterministic double arithmetic. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val lenScore = least(size(toks).cast("double") / lit(100.0), lit(1.0))
+    val stopScore = stopwordRatio(toks, StopEn)
+    val punct = punctRatio(text)
+    lenScore * lit(0.4) + stopScore * lit(0.3) + (lit(1.0) - punct) * lit(0.3)
+  }
+}

@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` / `array<double>` columns, expressed with
+  * Spark's codegen'd higher-order functions (no UDFs in the hot path).
+  *
+  * All reductions are sequential left folds in DOUBLE so results are
+  * deterministic and reproducible across engines — this is what lets the
+  * DuckDB oracle hash-match exactly.
+  *
+  * Mirrors the reference's similarity surface: exact inner-product / cosine
+  * search (`document_processor.py:239` — faiss IndexFlatIP over L2-normalized
+  * embeddings) and the distance score of `scripts/distance.py:17-38`.
+  */
+object VectorF {
+
+  /** Exact widening cast array<float> -> array<double>. */
+  def toDoubleArray(a: Column): Column = a.cast("array<double>")
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  def euclidean(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x))
+
+  /** L2-normalize with zero-vector guard. */
+  def l2Normalize(a: Column): Column = {
+    val n = norm2(a)
+    when(n === lit(0.0), a).otherwise(transform(a, x => x / n))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextF
+
+/** Deduplication operators for training-data pipelines (north-star surface
+  * beyond the reference: exact, MinHash-LSH, SimHash, n-gram Jaccard).
+  *
+  * Scale design notes (100 TB):
+  *   - exact dedup groups on md5(text) — one shuffle on a 32-char key, not
+  *     the full text; partial aggregation (map-side combine) applies.
+  *   - MinHash-LSH: per-doc signatures are a narrow linear scan; candidate
+  *     generation explodes per-band keys and self-joins on (band, key) —
+  *     the join keys are tiny and highly selective, so AQE can pick
+  *     broadcast/skew strategies. Never an all-pairs product.
+  *   - verification (true Jaccard) runs only on LSH candidates.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash; keeper = min id. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Drop exact duplicates, keeping the min-id row per content hash. */
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = exactGroups(df, textCol, idCol)
+      .select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Per-doc MinHash signatures over word n-gram shingles.
+    * Output: idCol, sig (array<string> of k minhashes). */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int = 3, k: Int = 8): DataFrame = {
+    val toks = TextF.tokens(col(textCol))
+    df.select(col(idCol),
+      TextF.minhashSignature(TextF.wordShingles(toks, shingleN), k).as("sig"))
+  }
+
+  /** LSH banding over minhash signatures -> candidate near-dup pairs.
+    * bands of `rowsPerBand` signature entries; pairs sharing >= 1 band key.
+    * Output: id_a < id_b (distinct pairs). */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String, rowsPerBand: Int = 2): DataFrame = {
+    val banded = sigs.select(
+      col(idCol),
+      posexplode(expr(
+        s"transform(sequence(0, size(sig) div $rowsPerBand - 1), b -> md5(array_join(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), '|')))"))
+        .as(Seq("band", "band_key")))
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_key"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** True n-gram Jaccard similarity for given candidate pairs. */
+  def jaccardVerify(df: DataFrame, pairs: DataFrame, textCol: String, idCol: String,
+                    shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sets = df.select(col(idCol),
+      array_distinct(TextF.wordShingles(TextF.tokens(col(textCol)), shingleN)).as("sh"))
+    pairs
+      .join(sets.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash 64-bit fingerprint per doc (bit-string column `simhash`). */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("__toks", TextF.tokens(col(textCol)))
+      .select(col(idCol), TextF.simhashBitsExpr("__toks").as("simhash"))
+
+  /** Embedding-cosine near-duplicate pairs within LSH-ish buckets: bucket by
+    * the sign pattern of the first `signBits` dims (a random-hyperplane LSH
+    * analog), then verify cosine within buckets only. */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                            signBits: Int = 8, threshold: Double = 0.95): DataFrame = {
+    import graft.functions.VectorF
+    val v = VectorF.toDoubleArray(col(vecCol))
+    val bucketed = emb.select(col(idCol), v.as("v"),
+      expr(s"array_join(transform(slice(CAST(`$vecCol` AS ARRAY<DOUBLE>), 1, $signBits), x -> CASE WHEN x >= CAST(0.0 AS DOUBLE) THEN '1' ELSE '0' END), '')")
+        .as("bucket"))
+    val a = bucketed.select(col(idCol).as("id_a"), col("v").as("v_a"), col("bucket"))
+    val b = bucketed.select(col(idCol).as("id_b"), col("v").as("v_b"), col("bucket"))
+    a.join(b, "bucket").where(col("id_a") < col("id_b"))
+      .withColumn("cos", VectorF.cosine(col("v_a"), col("v_b")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

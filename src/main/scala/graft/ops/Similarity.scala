@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorF
+
+/** Similarity search over embedding columns (reference Q1/O2 + north-star
+  * ANN surface).
+  *
+  * Scale design (100 TB):
+  *   - brute-force top-k broadcasts the query vector and scans — Catalyst
+  *     plans `TakeOrderedAndProject` (per-partition top-k + driver merge),
+  *     which is the correct distributed form of exact kNN: no shuffle of
+  *     the data, only k rows per partition move.
+  *   - the IVF variant prunes by centroid assignment: vectors are stored
+  *     with a `cluster_id` column (a partition/bucket key at scale), the
+  *     query probes only the nearest `nprobe` clusters — at 1000 executors
+  *     this becomes partition pruning instead of a full scan.
+  */
+object Similarity {
+
+  /** Exact cosine top-k against a single query row (DataFrame with col
+    * `qv`: array<double>). Query side is broadcast — never a shuffle. */
+  def bruteForceTopK(emb: DataFrame, queryDF: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val v = VectorF.toDoubleArray(col(vecCol))
+    emb.crossJoin(broadcast(queryDF))
+      .withColumn("score", VectorF.cosine(v, col("qv")))
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** Reference F8/A4 semantics: reject the WHOLE result set when the top
+    * score is below the threshold (`scripts/query_rag.py:81-94`). */
+  def withScoreThreshold(topk: DataFrame, threshold: Double): DataFrame = {
+    val mx = topk.agg(max(col("score")).as("__mx"))
+    topk.crossJoin(broadcast(mx)).where(col("__mx") >= threshold).drop("__mx")
+  }
+
+  /** IVF-style ANN: assign every vector to its nearest centroid, then scan
+    * only the `nprobe` centroids nearest to the query. Centroids are a
+    * small broadcast table (cid, cv: array<double>). */
+  def ivfTopK(emb: DataFrame, centroids: DataFrame, queryDF: DataFrame,
+              idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val v = VectorF.toDoubleArray(col(vecCol))
+    // Normalize both sides once so cosine == dot; assignment is then a
+    // single sequential-fold dot per centroid inside one narrow projection
+    // (no shuffle — at scale this is a map-only stage).
+    val normed = emb.withColumn("__vn", VectorF.l2Normalize(v))
+    val centsN = centroids.select(col("cid"),
+      VectorF.l2Normalize(VectorF.toDoubleArray(col("cv"))).as("cvn"))
+    val assigned = normed
+      .crossJoin(broadcast(centsN.groupBy().agg(
+        collect_list(struct(col("cid"), col("cvn"))).as("cents"))))
+      .withColumn("cluster_id", expr(
+        """
+        aggregate(cents, named_struct('cid', CAST(-1 AS INT), 's', CAST(-2.0 AS DOUBLE)),
+          (acc, c) -> CASE
+            WHEN aggregate(zip_with(__vn, c.cvn, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, x) -> s + x) > acc.s
+            THEN named_struct('cid', c.cid,
+                              's', aggregate(zip_with(__vn, c.cvn, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, x) -> s + x))
+            ELSE acc END).cid
+        """))
+      .drop("cents", "__vn")
+    // query-side: nearest nprobe centroids
+    val probe = centroids.crossJoin(broadcast(queryDF))
+      .withColumn("qs", VectorF.cosine(col("cv"), col("qv")))
+      .orderBy(desc("qs"), col("cid")).limit(nprobe)
+      .select(col("cid").as("cluster_id"))
+    assigned.join(broadcast(probe), "cluster_id")
+      .crossJoin(broadcast(queryDF))
+      .withColumn("score", VectorF.cosine(v, col("qv")))
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** Pairwise distance table (reference T8, `scripts/distance.py:17-38`):
+    * cosine + euclidean + combined score for all pairs of a (small) set. */
+  def pairwiseDistances(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), VectorF.toDoubleArray(col(vecCol)).as("v_a"))
+    val b = emb.select(col(idCol).as("id_b"), VectorF.toDoubleArray(col(vecCol)).as("v_b"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", VectorF.cosine(col("v_a"), col("v_b")))
+      .withColumn("euc_dist", VectorF.euclidean(col("v_a"), col("v_b")))
+      .withColumn("combined", (col("cos_sim") + col("euc_dist")) / 2.0)
+      .select(col("id_a"), col("id_b"), col("cos_sim"), col("euc_dist"), col("combined"))
+  }
+}

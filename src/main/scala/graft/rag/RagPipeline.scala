@@ -1,0 +1,73 @@
+package graft.rag
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chunk.Chunking
+import graft.embed.{Embedder, HashingEmbedder}
+import graft.functions.{MdContent, VectorF}
+import graft.ops.Similarity
+
+/** The reference's primary dataflow re-expressed as one lazy Spark DAG
+  * (SURVEY §3.1): docs -> metadata -> chunk -> filter -> embed -> chunk
+  * table -> top-k query.
+  *
+  * Reference lifecycle: `DocumentProcessor.process/save`
+  * (`document_processor.py:828-901`) and the query path
+  * (`scripts/query_rag.py:21-126`). Everything here is a narrow pipeline —
+  * zero shuffles end-to-end for index build (the reference's only shuffle
+  * shape, the llamastack doc-anchor group-by A1/J2, is in
+  * [[docAnchorWriteBack]]).
+  */
+object RagPipeline {
+
+  final case class Config(
+      chunkSize: Int = 200,
+      chunkStep: Int = 150,
+      embedDim: Int = 64,
+      markdownCompatible: Boolean = false)
+
+  /** documents(doc_id, text, ...) -> chunk table
+    * (doc_id, chunk_idx, chunk_id, chunk_text, n_tokens, embedding).
+    * Narrow ops only: explode + filters + embedding — no shuffle. */
+  def buildIndex(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val chunked = Chunking.explodeCharWindows(docs, "text", cfg.chunkSize, cfg.chunkStep)
+      .withColumn("chunk_id",
+        concat(col("doc_id").cast("string"), lit("_"), col("chunk_idx").cast("string")))
+    // F1 whitespace predicate (reference `_got_whitespace`); F2 only for
+    // markdown-compatible doc types (reference `_valid_text_node`).
+    val filtered =
+      if (cfg.markdownCompatible)
+        chunked.where(col("chunk_text").rlike("\\s") && MdContent.mdHasContent(col("chunk_text")))
+      else chunked.where(col("chunk_text").rlike("\\s"))
+    val embedder = HashingEmbedder(cfg.embedDim)
+    embedder.withEmbedding(filtered, "chunk_text", "embedding")
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_id"),
+        col("chunk_text"), size(split(trim(col("chunk_text")), "\\s+")).as("n_tokens"),
+        col("embedding"))
+  }
+
+  /** Query path (Q1 + O2 + F8): embed query text, cosine top-k over the
+    * chunk table, all-or-nothing score threshold. */
+  def query(spark: SparkSession, index: DataFrame, queryText: String,
+            k: Int, threshold: Double, cfg: Config = Config()): DataFrame = {
+    val embedder = HashingEmbedder(cfg.embedDim)
+    val q = embedder.embedQueryDF(spark, queryText)
+    val topk = Similarity.bruteForceTopK(index, q, "chunk_id", "embedding", k)
+    Similarity.withScoreThreshold(topk, threshold)
+  }
+
+  /** Q2 point lookup by chunk id over the persisted chunk table. */
+  def pointLookup(index: DataFrame, chunkId: String): DataFrame =
+    index.where(col("chunk_id") === chunkId)
+
+  /** A1 + J2 (llamastack sink shape): mint one anchor id per source doc,
+    * broadcast-join it back onto every chunk of that doc
+    * (`document_processor.py:521-541`). Docs-side is small -> broadcast. */
+  def docAnchorWriteBack(chunks: DataFrame): DataFrame = {
+    val anchors = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"))
+      .withColumn("anchor_id", md5(concat(lit("anchor:"), col("doc_id").cast("string"))))
+    chunks.join(broadcast(anchors), "doc_id")
+  }
+}

@@ -1,0 +1,105 @@
+package graft.sqlgen
+
+/** Dual-dialect SQL expression fragments.
+  *
+  * The driver's correctness gate (t2) runs every declared query in Spark AND
+  * in DuckDB (the oracle) and hash-compares results. Spark SQL and DuckDB
+  * share higher-order-function semantics but differ in function names and a
+  * few details (1-based list indexing, literal typing). Generating both sides
+  * from one builder keeps the two engines *bit-identical*:
+  *
+  *   - all floating-point reductions are sequential left folds in DOUBLE
+  *     (Spark `aggregate`, DuckDB `list_reduce`) — same IEEE op order, so the
+  *     same bits, no tolerance needed;
+  *   - exact-decimal money arithmetic goes through DECIMAL(18,2) casts;
+  *   - hashing is md5 (identical lowercase hex output in both engines).
+  *
+  * Reference behavior being modeled: lightspeed-core/rag-content (see
+  * SURVEY.md); e.g. the hashing embedder mirrors the surface of the
+  * embedding stage at `document_processor.py:273-277` with a deterministic
+  * model, as the reference's own tests do (`tests/conftest.py:17-28`).
+  */
+final case class Dialect(duck: Boolean) {
+  // ---- literals ------------------------------------------------------------
+  /** Double literal: Spark/DuckDB parse bare `0.5` as DECIMAL; force DOUBLE. */
+  def d(x: Double): String = s"CAST($x AS DOUBLE)"
+  def str(s: String): String = "'" + s.replace("'", "''") + "'"
+  def strArray(items: Seq[String]): String =
+    if (duck) items.map(str).mkString("[", ", ", "]")
+    else items.map(str).mkString("array(", ", ", ")")
+
+  // ---- collection ops ------------------------------------------------------
+  def size(a: String): String = if (duck) s"len($a)" else s"size($a)"
+  def filter(a: String, v: String, p: String): String =
+    if (duck) s"list_filter($a, $v -> $p)" else s"filter($a, $v -> $p)"
+  def transform(a: String, v: String, f: String): String =
+    if (duck) s"list_transform($a, $v -> $f)" else s"transform($a, $v -> $f)"
+  def exists(a: String, v: String, p: String): String =
+    if (duck) s"len(list_filter($a, $v -> $p)) > 0" else s"exists($a, $v -> $p)"
+  /** [0, n) */
+  def seq0(n: String): String =
+    if (duck) s"range(0, $n)" else s"sequence(0, ($n) - 1)"
+  /** [1, n] */
+  def seq1(n: String): String =
+    if (duck) s"range(1, ($n) + 1)" else s"sequence(1, $n)"
+  def arrayMin(a: String): String = if (duck) s"list_min($a)" else s"array_min($a)"
+  def arrayDistinct(a: String): String =
+    if (duck) s"list_distinct($a)" else s"array_distinct($a)"
+  def arrayJoin(a: String, sep: String): String =
+    if (duck) s"array_to_string($a, '$sep')" else s"array_join($a, '$sep')"
+  def arraySort(a: String): String = if (duck) s"list_sort($a)" else s"sort_array($a)"
+  /** 1-based element access in both dialects. */
+  def at(a: String, i1: String): String =
+    if (duck) s"($a)[$i1]" else s"element_at($a, $i1)"
+  def contains(arr: String, x: String): String =
+    if (duck) s"list_contains($arr, $x)" else s"array_contains($arr, $x)"
+
+  // ---- strings -------------------------------------------------------------
+  def instr(s: String, sub: String): String =
+    if (duck) s"strpos($s, $sub)" else s"instr($s, $sub)"
+  /** Whitespace tokenizer — identical on both engines. */
+  def splitWs(s: String): String =
+    if (duck) s"string_split_regex(trim($s), '\\s+')"
+    else s"split(trim($s), '\\\\s+')"
+  def rlikeWs(s: String): String =
+    if (duck) s"regexp_matches($s, '\\s')" else s"($s rlike '\\\\s')"
+  def regexReplaceAll(s: String, pat: String, rep: String): String =
+    if (duck) s"regexp_replace($s, '$pat', '$rep', 'g')"
+    else s"regexp_replace($s, '$pat', '$rep')"
+  def castStr(x: String): String =
+    if (duck) s"CAST($x AS VARCHAR)" else s"CAST($x AS STRING)"
+
+  // ---- numeric -------------------------------------------------------------
+  def castDoubleArray(a: String): String =
+    if (duck) s"CAST($a AS DOUBLE[])" else s"CAST($a AS ARRAY<DOUBLE>)"
+  /** Exact-decimal cast for 2-decimal money doubles. */
+  def dec2(x: String): String = s"CAST($x AS DECIMAL(18,2))"
+  def intDiv(a: String, b: String): String =
+    if (duck) s"(($a) // ($b))" else s"(($a) div ($b))"
+
+  // ---- vector math (sequential double folds — bit-identical) --------------
+  /** Dot product of two ARRAY<DOUBLE> columns as a sequential left fold. */
+  def dot(a: String, b: String): String =
+    if (duck)
+      s"list_reduce(list_transform(list_zip($a, $b), p__ -> p__[1] * p__[2]), (s__, x__) -> s__ + x__)"
+    else
+      s"aggregate(zip_with($a, $b, (x__, y__) -> x__ * y__), ${d(0.0)}, (s__, x__) -> s__ + x__)"
+  def norm(a: String): String = s"sqrt(${dot(a, a)})"
+  def cosine(a: String, b: String): String =
+    s"(${dot(a, b)} / (${norm(a)} * ${norm(b)}))"
+  def euclidean(a: String, b: String): String =
+    if (duck)
+      s"sqrt(list_reduce(list_transform(list_zip($a, $b), p__ -> (p__[1] - p__[2]) * (p__[1] - p__[2])), (s__, x__) -> s__ + x__))"
+    else
+      s"sqrt(aggregate(zip_with($a, $b, (x__, y__) -> (x__ - y__) * (x__ - y__)), ${d(0.0)}, (s__, x__) -> s__ + x__))"
+
+  // ---- hashing -------------------------------------------------------------
+  /** Value 0..15 of the `i`-th (1-based) hex char of md5(x). */
+  def md5HexDigit(x: String, i: Int): String =
+    s"(${instr("'0123456789abcdef'", s"substr(md5($x), $i, 1)")} - 1)"
+}
+
+object Dialect {
+  val spark: Dialect = Dialect(duck = false)
+  val duckdb: Dialect = Dialect(duck = true)
+}

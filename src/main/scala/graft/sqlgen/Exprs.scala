@@ -1,0 +1,98 @@
+package graft.sqlgen
+
+/** Cross-dialect expression generators for the engine's text / vector
+  * operators. Each generator emits an expression string valid in the given
+  * dialect; the Spark side is used via `expr(...)` inside DataFrame plans
+  * (fully Catalyst-optimized + codegen'd), the DuckDB side is shipped as the
+  * oracle SQL for the driver's t2 correctness gate.
+  */
+object Exprs {
+
+  /** Per-token signed hash-bucket codes for the hashing embedder.
+    *
+    * code = bucket + 64*signBit, bucket = (16*h1 + h2) mod dim, sign from h3,
+    * where h1..h3 are the first md5 hex digits of the token. Deterministic
+    * replacement for the reference's sentence-transformers stage
+    * (`document_processor.py:273-277`); the reference's own unit tests use a
+    * fixed fake embedding the same way (`tests/conftest.py:17-28`).
+    */
+  def embedCodes(dl: Dialect, toksExpr: String, dim: Int): String = {
+    val h1 = dl.md5HexDigit("t__", 1)
+    val h2 = dl.md5HexDigit("t__", 2)
+    val h3 = dl.md5HexDigit("t__", 3)
+    dl.transform(
+      toksExpr,
+      "t__",
+      s"(((16 * $h1) + $h2) % $dim) + (CASE WHEN $h3 >= 8 THEN $dim ELSE 0 END)")
+  }
+
+  /** Raw (unnormalized) signed-count vector from a codes column. */
+  def embedRawVec(dl: Dialect, codesCol: String, dim: Int): String =
+    dl.transform(
+      dl.seq0(dim.toString),
+      "i__",
+      s"CAST(${dl.size(dl.filter(codesCol, "c__", "c__ = i__"))} - ${dl.size(dl.filter(codesCol, "c__", s"c__ = i__ + $dim"))} AS DOUBLE)")
+
+  /** L2-normalize with zero-vector guard; input/output ARRAY<DOUBLE>. */
+  def l2Normalize(dl: Dialect, vCol: String, normCol: String): String =
+    s"CASE WHEN $normCol = ${dl.d(0.0)} THEN $vCol ELSE ${dl.transform(vCol, "x__", s"x__ / $normCol")} END"
+
+  /** Number of fixed char-window chunks: 1 + ceil(max(0, len-size)/step). */
+  def chunkCount(dl: Dialect, textExpr: String, size: Int, step: Int): String =
+    s"greatest(CAST(ceil((length($textExpr) - $size) / ${dl.d(step.toDouble)}) AS INT) + 1, 1)"
+
+  /** Chunk text at 0-based window index `idxExpr`. */
+  def chunkAt(dl: Dialect, textExpr: String, idxExpr: String, size: Int, step: Int): String =
+    s"substr($textExpr, CAST($idxExpr AS INT) * $step + 1, $size)"
+
+  /** Word n-gram shingles over a whitespace-token array. At least one
+    * shingle is produced even for docs with < n tokens. */
+  def wordShingles(dl: Dialect, toksCol: String, n: Int): String = {
+    val count = s"greatest(${dl.size(toksCol)} - ${n - 1}, 1)"
+    val slice =
+      if (dl.duck) s"array_to_string(($toksCol)[i__:i__ + ${n - 1}], ' ')"
+      else s"array_join(slice($toksCol, i__, $n), ' ')"
+    dl.transform(dl.seq1(count), "i__", slice)
+  }
+
+  /** MinHash signature: k independent lexicographic-min md5 values over the
+    * shingle set. Emitted as an array of hex strings. */
+  def minhashSig(dl: Dialect, shinglesCol: String, k: Int): String =
+    dl.transform(
+      dl.seq0(k.toString),
+      "k__",
+      dl.arrayMin(
+        dl.transform(shinglesCol, "s__", s"md5(concat(${dl.castStr("k__")}, ':', s__))")))
+
+  /** SimHash bit-string (64 chars of '0'/'1') from a token array: for each
+    * bit, sum +1/-1 over tokens by that bit of md5(token), emit '1' iff > 0. */
+  def simhashBits(dl: Dialect, toksCol: String): String = {
+    // Per-token 16-hex-digit value array computed once; bit b of token t is
+    // (digit[b/4] >> (3 - b%4)) & 1, done with integer div to stay portable.
+    val digits = dl.transform(
+      dl.seq1("16"),
+      "j__",
+      s"(${dl.instr("'0123456789abcdef'", "substr(md5(t__), CAST(j__ AS INT), 1)")} - 1)")
+    val digitOfB = dl.at("dg__", s"CAST(${dl.intDiv("b__", "4")} AS INT) + 1")
+    val shift = s"CAST(pow(${dl.d(2.0)}, 3 - (b__ % 4)) AS INT)"
+    val bit = s"(${dl.intDiv(digitOfB, shift)} % 2)"
+    val inner =
+      if (dl.duck)
+        s"list_reduce(list_transform(dgs__, dg__ -> CASE WHEN $bit = 1 THEN 1 ELSE -1 END), (s__, x__) -> s__ + x__)"
+      else
+        s"aggregate(dgs__, 0, (s__, dg__) -> s__ + (CASE WHEN $bit = 1 THEN 1 ELSE -1 END))"
+    // dgs__ = array of per-token digit arrays (md5 computed once per token)
+    val dgsExpr = dl.transform(toksCol, "t__", digits)
+    val perBit = dl.transform(
+      dl.seq0("64"),
+      "b__",
+      s"CASE WHEN ($inner) > 0 THEN '1' ELSE '0' END")
+    // Bind dgs__ via a nested transform-over-singleton to avoid recomputing
+    // the md5 digits for each of the 64 bits:
+    //   transform(array(dgsExpr), dgs__ -> perBit)[1]
+    val wrapped =
+      if (dl.duck) s"(list_transform([$dgsExpr], dgs__ -> $perBit))[1]"
+      else s"element_at(transform(array($dgsExpr), dgs__ -> $perBit), 1)"
+    dl.arrayJoin(wrapped, "")
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.chunk.Chunking
+
+/** C1 invariants (the reference leaves chunk boundaries untested — SURVEY §5;
+  * we pin them): coverage (every token appears), budget (≤ N tokens per
+  * chunk), stride (chunk i starts at token i*step). Property-style over a
+  * deterministic seeded corpus. */
+class ChunkingSpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(42)
+  private def randText(): String = {
+    val n = rnd.nextInt(150)
+    Seq.fill(n)(Seq.fill(1 + rnd.nextInt(8))(('a' + rnd.nextInt(26)).toChar).mkString).mkString(" ")
+  }
+
+  test("token chunker: coverage, budget, stride over 300 random cases") {
+    for (_ <- 1 to 300) {
+      val text = randText()
+      if (text.trim.nonEmpty) {
+        val budget = 2 + rnd.nextInt(39)
+        val overlap = if (rnd.nextBoolean()) budget / 2 else 0
+        val step = budget - overlap
+        val chunks = Chunking.chunkTokens(text, budget, overlap)
+        val toks = text.trim.split("\\s+").toSeq
+
+        assert(chunks.forall(_.split("\\s+").length <= budget), "budget exceeded")
+        if (overlap == 0) {
+          val reassembled = chunks.flatMap(_.split("\\s+").toSeq)
+          assert(reassembled == toks, "zero-overlap coverage broken")
+        }
+        assert(chunks.head.split("\\s+").head == toks.head, "first token lost")
+        assert(chunks.last.split("\\s+").last == toks.last, "last token lost")
+        chunks.zipWithIndex.foreach { case (c, i) =>
+          assert(c.split("\\s+").head == toks(i * step), s"chunk $i stride broken")
+        }
+      }
+    }
+  }
+
+  test("token chunker: explicit small cases") {
+    assert(Chunking.chunkTokens("a b c", 10, 0) == Seq("a b c"))
+    assert(Chunking.chunkTokens("a b c d", 2, 0) == Seq("a b", "c d"))
+    assert(Chunking.chunkTokens("a b c d e", 2, 1) == Seq("a b", "b c", "c d", "d e"))
+    assert(Chunking.chunkTokens("a b c d e", 3, 0) == Seq("a b c", "d e"))
+  }
+
+  test("char-window arithmetic matches the SQL form") {
+    // n = 1 + ceil(max(0, len-size)/step); windows at i*step, width size
+    def nChunks(len: Int, size: Int, step: Int): Int =
+      math.max(math.ceil((len - size).toDouble / step).toInt + 1, 1)
+    assert(nChunks(0, 200, 150) == 1)
+    assert(nChunks(200, 200, 150) == 1)
+    assert(nChunks(201, 200, 150) == 2)
+    assert(nChunks(350, 200, 150) == 2)
+    assert(nChunks(351, 200, 150) == 3)
+  }
+}

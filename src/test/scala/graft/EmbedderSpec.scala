@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.embed.HashingEmbedder
+import graft.functions.VectorF
+
+/** Embedder surface invariants, mirroring what the reference's mocked
+  * embedding tests pin (`tests/conftest.py:17-28`): fixed dimension,
+  * L2 normalization, determinism; plus retrieval sanity (self-similarity
+  * is maximal). */
+class EmbedderSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "spark shuffle join window aggregate"),
+    (1L, "spark shuffle join window aggregate"),
+    (2L, "completely different words entirely here"),
+    (3L, "the quick brown fox jumps over the lazy dog")
+  ).toDF("doc_id", "text")
+
+  test("embedding has requested dimension and unit L2 norm") {
+    val e = HashingEmbedder(64)
+    val out = e.withEmbedding(docs, "text", "emb")
+      .select(size($"emb").as("d"), VectorF.norm2($"emb").as("n"))
+      .collect()
+    assert(out.forall(_.getInt(0) == 64))
+    assert(out.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-12))
+  }
+
+  test("embedding is deterministic and content-keyed") {
+    val e = HashingEmbedder(64)
+    val out = e.withEmbedding(docs, "text", "emb")
+      .select($"doc_id", $"emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(0L) == out(1L), "same text must embed identically")
+    assert(out(0L) != out(2L), "different text should differ")
+  }
+
+  test("cosine self-similarity is 1, and identical docs retrieve first") {
+    val e = HashingEmbedder(64)
+    val emb = e.withEmbedding(docs, "text", "emb")
+    val q = e.embedQueryDF(spark, "spark shuffle join window aggregate")
+    val scored = emb.crossJoin(broadcast(q))
+      .withColumn("score", VectorF.cosine($"emb", $"qv"))
+      .orderBy(desc("score"), $"doc_id")
+      .select($"doc_id", $"score").collect()
+    assert(scored.head.getLong(0) == 0L)
+    assert(math.abs(scored.head.getDouble(1) - 1.0) < 1e-12)
+    assert(scored(1).getLong(0) == 1L)
+  }
+
+  test("vector ops: known values") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val r = df.select(
+      VectorF.dot($"a", $"b").as("dot"),
+      VectorF.euclidean($"a", $"b").as("euc")).head()
+    assert(r.getDouble(0) == 32.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(27.0)) < 1e-12)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.MdContent
+
+/** F2 contract: the 19 table-driven fixtures from the reference suite
+  * (`tests/test_document_processor_llama_index.py:118-155`) ported verbatim,
+  * plus the whitespace predicate cases (`:61-71`). */
+class MdContentSpec extends AnyFunSuite {
+
+  private val contentBearing = Seq(
+    "# Header\nSome content",
+    "# Header1\n# Header2\nAlso here",
+    "No headers, just content",
+    "# H\n# H2\n\tThis is non-header",
+    "   # H\n Header\n ======\n\tThis is non-header",
+    "  ## H\nHeader\n ------\n```\n# git commit\n```",
+    " # H\n    # git commit\n",
+    " Content\n\n")
+
+  private val headerOrEmptyOnly = Seq(
+    "# Only header",
+    "# Another header\n## Subheader",
+    "# Header with space \n",
+    "## \n#",
+    "#Header1\n#Header2\n#Header3",
+    "#    ",
+    "   # Header with leading space",
+    "   \n\t  \n",
+    "   \n```\n\n```\n",
+    "   \n      \n    \n",
+    "  # Header\nAnother header\n====\n\n====")
+
+  for ((text, i) <- contentBearing.zipWithIndex)
+    test(s"got_content positive case $i") {
+      assert(MdContent.gotContent(text), s"expected content in ${text.take(40)}")
+    }
+
+  for ((text, i) <- headerOrEmptyOnly.zipWithIndex)
+    test(s"got_content negative case $i") {
+      assert(!MdContent.gotContent(text), s"expected NO content in ${text.take(40)}")
+    }
+
+  test("got_whitespace") {
+    assert(!MdContent.gotWhitespace("NoWhitespace"))
+    assert(MdContent.gotWhitespace("Got whitespace"))
+    assert(MdContent.gotWhitespace("tab\there"))
+  }
+
+  test("valid_text_node composes F1 and F2 per doc type") {
+    // markdown-compatible: needs content AND whitespace
+    assert(!MdContent.validTextNode("# Only header", markdownCompatible = true))
+    assert(MdContent.validTextNode("# H\nSome content", markdownCompatible = true))
+    // plain text: only whitespace required
+    assert(MdContent.validTextNode("# Only header", markdownCompatible = false))
+    assert(!MdContent.validTextNode("NoWhitespace", markdownCompatible = false))
+  }
+}

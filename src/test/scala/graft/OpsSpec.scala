@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity}
+import graft.rag.RagPipeline
+
+/** Operator-level behavior tests for dedup / similarity / RAG pipeline. */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 0
+    (2L, "alpha beta gamma delta epsilon zeta eta iota"), // near dup of 0
+    (3L, "totally unrelated content about something else entirely")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min-id per content group") {
+    val kept = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 2L, 3L))
+  }
+
+  test("minhash LSH surfaces the near-dup pair and jaccard verifies it") {
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", 3, 8)
+    assert(sigs.count() == 4)
+    val cand = Dedup.lshCandidatePairs(sigs, "doc_id", 2)
+    val pairs = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dup must be an LSH candidate")
+    val verified = Dedup.jaccardVerify(docs, cand, "text", "doc_id", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val j01 = verified.find(p => p._1 == 0L && p._2 == 1L)
+    assert(j01.exists(_._3 == 1.0), "exact dup jaccard must be 1.0")
+  }
+
+  test("simhash: identical docs get identical fingerprints, near dups are close") {
+    val sh = Dedup.simhash(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sh(0L) == sh(1L))
+    def hamming(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    assert(hamming(sh(0L), sh(2L)) < hamming(sh(0L), sh(3L)),
+      "near dup should be closer in hamming space than unrelated doc")
+    assert(sh(0L).length == 64 && sh(0L).forall(c => c == '0' || c == '1'))
+  }
+
+  test("rag pipeline: index + query end-to-end retrieves the right chunk") {
+    val index = RagPipeline.buildIndex(docs)
+    assert(index.count() == 4) // short docs -> one chunk each
+    val res = RagPipeline.query(spark, index,
+      "alpha beta gamma delta epsilon zeta eta theta", 2, 0.1)
+      .collect()
+    assert(res.nonEmpty)
+    assert(res.head.getString(0).startsWith("0_") || res.head.getString(0).startsWith("1_"))
+  }
+
+  test("score threshold is all-or-nothing (reference F8/A4 semantics)") {
+    val index = RagPipeline.buildIndex(docs)
+    val none = RagPipeline.query(spark, index, "zzz qqq xxx", 2, 0.999)
+    assert(none.count() == 0, "below-threshold result set must be empty")
+  }
+
+  test("doc anchor write-back joins anchor onto every chunk") {
+    val chunks = graft.chunk.Chunking.explodeCharWindows(docs, "text", 20, 15)
+    val out = RagPipeline.docAnchorWriteBack(
+      chunks.select($"doc_id", $"chunk_idx"))
+    assert(out.where($"anchor_id".isNull).count() == 0)
+    val perDoc = out.groupBy("doc_id").agg(countDistinct("anchor_id").as("n"))
+      .agg(max("n")).head().getLong(0)
+    assert(perDoc == 1L, "exactly one anchor per doc")
+  }
+}

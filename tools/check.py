@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's t2 correctness gate.
+
+Usage: python3 tools/check.py [outDir] [sfDir]
+Reads each <outDir>/<name> parquet (Spark result) and runs
+<outDir>/oracle_sql.json's SQL in DuckDB over <sfDir>'s tables, then
+compares row counts, column names, and values (exact, after sorting
+columns by name and rows by all columns).
+"""
+import json, sys, math
+import duckdb
+
+outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_verify"
+sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+con = duckdb.connect()
+for t in TABLES:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails, passes, skips = [], [], []
+for name, sql in sorted(oracle.items()):
+    try:
+        spark_df = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchall()
+        spark_cols = [d[0] for d in con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet' LIMIT 0").description]
+    except Exception as e:
+        fails.append((name, f"spark result unreadable: {e}"))
+        continue
+    try:
+        res = con.sql(sql)
+        duck_cols = [d[0] for d in res.description]
+        duck_df = res.fetchall()
+    except Exception as e:
+        fails.append((name, f"oracle SQL error: {e}"))
+        continue
+    if sorted(spark_cols) != sorted(duck_cols):
+        fails.append((name, f"cols differ: spark={spark_cols} duck={duck_cols}"))
+        continue
+    if len(spark_df) != len(duck_df):
+        fails.append((name, f"rowcount differ: spark={len(spark_df)} duck={len(duck_df)}"))
+        continue
+    # canonicalize: dict by sorted col name, rows sorted
+    sidx = [spark_cols.index(c) for c in sorted(spark_cols)]
+    didx = [duck_cols.index(c) for c in sorted(duck_cols)]
+    def canon(rows, idx):
+        return sorted([tuple((x + 0.0) if isinstance(x, float) else x for x in (r[i] for i in idx)) for r in rows], key=lambda r: tuple(str(x) for x in r))
+    s_rows, d_rows = canon(spark_df, sidx), canon(duck_df, didx)
+    bad = None
+    for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+        for j, (x, y) in enumerate(zip(a, b)):
+            eq = (x == y)
+            if isinstance(x, float) and isinstance(y, float):
+                eq = (x == y) or (math.isnan(x) and math.isnan(y))
+            if not eq:
+                bad = (i, sorted(spark_cols)[j], x, y)
+                break
+        if bad:
+            break
+    if bad:
+        fails.append((name, f"value mismatch row {bad[0]} col {bad[1]}: spark={bad[2]!r} duck={bad[3]!r}"))
+    else:
+        passes.append((name, len(s_rows)))
+
+for name, n in passes:
+    print(f"PASS {name} ({n} rows)")
+for name, why in fails:
+    print(f"FAIL {name}: {why}")
+print(f"\n{len(passes)} pass / {len(fails)} fail")
+sys.exit(1 if fails else 0)
