@@ -407,7 +407,7 @@ object QueryCatalog {
       Q("q_minhash_sig",
         (s, dir) =>
           Dedup.minhashSignatures(t(s, dir, "documents"), "text", "doc_id", 3, 8)
-            .select(col("doc_id"), array_join(col("sig"), "|").as("sig"))
+            .select(col("doc_id"), array_join(col("sig").cast("array<string>"), "|").as("sig"))
             .orderBy("doc_id"),
         Some(s"""
           SELECT doc_id, ${D.arrayJoin(Exprs.minhashSig(D, "sh", 8), "|")} AS sig
@@ -454,10 +454,7 @@ object QueryCatalog {
 
       Q("q_fingerprint",
         (s, dir) =>
-          t(s, dir, "documents")
-            .select(col("doc_id"),
-              TextF.fingerprint(
-                TextF.wordShingles(TextF.tokens(col("text")), 3)).as("fp"))
+          Dedup.fingerprints(t(s, dir, "documents"), "text", "doc_id", 3)
             .orderBy("doc_id"),
         Some(s"""
           SELECT doc_id, ${D.arrayMin(D.transform("sh", "s__", "md5(s__)"))} AS fp

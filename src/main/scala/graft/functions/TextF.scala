@@ -24,10 +24,10 @@ object TextF {
     transform(sequence(lit(1), count), i => array_join(slice(toks, i, lit(n)), " "))
   }
 
-  /** MinHash signature: k lexicographic-min md5 values over shingles. */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      ki => array_min(transform(shingles, s => md5(concat(ki.cast("string"), lit(":"), s)))))
+  /** MinHash signature (array<bigint>): md5-seeded 24-bit shingle hashes +
+    * k affine transforms; md5 computed once per shingle (let-bound). */
+  def minhashSignature(shinglesExprSql: String, k: Int): Column =
+    expr(Exprs.minhashSig(dl, shinglesExprSql, k))
 
   /** 64-bit SimHash as a '0'/'1' bit-string over a named token-array column
     * (cross-engine portable; see Exprs.simhashBits). */

@@ -1,0 +1,105 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** Pure-Scala text-hashing kernels used by the mapPartitions fast paths of
+  * [[graft.ops.Dedup]]. Semantics are EXACTLY the cross-engine SQL contract
+  * of [[graft.sqlgen.Exprs]] (same tokenizer, same md5-derived integers),
+  * so results stay hash-identical to the DuckDB oracle while running ~10-50x
+  * faster than interpreted higher-order-function expressions (Spark HOFs are
+  * CodegenFallback — they box every element).
+  *
+  * Everything here is stateless per call except the thread-local digest.
+  */
+object TextHashing {
+
+  private val hexDigits = "0123456789abcdef"
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  def md5Hex(s: String): String = {
+    val bytes = md.get().digest(s.getBytes(StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < bytes.length) {
+      sb.append(hexDigits.charAt((bytes(i) >> 4) & 0xf))
+      sb.append(hexDigits.charAt(bytes(i) & 0xf))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Whitespace tokens of trimmed text — same as split(trim(x), '\s+'). */
+  def tokens(text: String): Array[String] = text.trim.split("\\s+", -1)
+
+  /** Word n-gram shingles; at least one even for short docs
+    * (mirrors Exprs.wordShingles). */
+  def wordShingles(toks: Array[String], n: Int): Array[String] = {
+    val count = math.max(toks.length - (n - 1), 1)
+    Array.tabulate(count)(i => toks.slice(i, i + n).mkString(" "))
+  }
+
+  /** 24-bit integer from the first 6 hex digits of md5 (mirrors the hexFold
+    * in Exprs.minhashSig). */
+  def hash24(s: String): Long = {
+    val h = md5Hex(s)
+    var acc = 0L
+    var j = 0
+    while (j < 6) { acc = acc * 16 + hexDigits.indexOf(h.charAt(j)); j += 1 }
+    acc
+  }
+
+  /** MinHash signature: k affine transforms over the 24-bit shingle hashes
+    * (mirrors Exprs.minhashSig — identical constants and modulus). */
+  def minhash(shingles: Array[String], k: Int): Array[Long] = {
+    val hs = shingles.map(hash24)
+    Array.tabulate(k) { ki =>
+      val a = 1103515245L + ki * 12345L
+      val b = 1013904223L + ki * 54321L
+      var m = Long.MaxValue
+      var i = 0
+      while (i < hs.length) {
+        val v = (hs(i) * a + b) % 2147483647L
+        if (v < m) m = v
+        i += 1
+      }
+      m
+    }
+  }
+
+  /** 64-bit SimHash bit-string (mirrors Exprs.simhashBits: per token the 16
+    * md5 hex digits give 64 bits; each bit votes +1/-1; '1' iff sum > 0). */
+  def simhashBits(toks: Array[String]): String = {
+    val sums = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val h = md5Hex(toks(t))
+      var b = 0
+      while (b < 64) {
+        val digit = hexDigits.indexOf(h.charAt(b / 4))
+        val bit = (digit >> (3 - (b % 4))) & 1
+        sums(b) += (if (bit == 1) 1 else -1)
+        b += 1
+      }
+      t += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var b = 0
+    while (b < 64) { sb.append(if (sums(b) > 0) '1' else '0'); b += 1 }
+    sb.toString
+  }
+
+  /** Document fingerprint: lexicographic-min md5 hex over shingles. */
+  def fingerprint(shingles: Array[String]): String = {
+    var m: String = null
+    var i = 0
+    while (i < shingles.length) {
+      val h = md5Hex(shingles(i))
+      if (m == null || h.compareTo(m) < 0) m = h
+      i += 1
+    }
+    m
+  }
+}

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextF
+import graft.functions.{TextF, TextHashing}
 
 /** Deduplication operators for training-data pipelines (north-star surface
   * beyond the reference: exact, MinHash-LSH, SimHash, n-gram Jaccard).
@@ -31,13 +31,62 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  import org.apache.spark.sql.{Encoder, Encoders}
+  private val idTextEnc: Encoder[(Long, String)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+
+  /** (id, text) typed view for the mapPartitions hashing kernels. */
+  private def idText(df: DataFrame, textCol: String, idCol: String) =
+    df.select(col(idCol).cast("long"), col(textCol).cast("string")).as(idTextEnc)
+
   /** Per-doc MinHash signatures over word n-gram shingles.
-    * Output: idCol, sig (array<string> of k minhashes). */
+    * Output: idCol, sig (array<bigint> of k minhashes). mapPartitions over
+    * primitive arrays (one md5 per shingle) — a narrow, shuffle-free scan;
+    * semantics mirror Exprs.minhashSig exactly (oracle-checkable). */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3, k: Int = 8): DataFrame = {
-    val toks = TextF.tokens(col(textCol))
-    df.select(col(idCol),
-      TextF.minhashSignature(TextF.wordShingles(toks, shingleN), k).as("sig"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    idText(df, textCol, idCol)
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          id -> TextHashing.minhash(
+            TextHashing.wordShingles(TextHashing.tokens(text), shingleN), k)
+        }
+      }
+      .toDF(idCol, "sig")
+  }
+
+  /** Per-doc SimHash / fingerprint / distinct-shingle-set fast paths. */
+  def simhashFast(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    idText(df, textCol, idCol)
+      .mapPartitions(_.map { case (id, text) =>
+        id -> TextHashing.simhashBits(TextHashing.tokens(text)) })
+      .toDF(idCol, "simhash")
+  }
+
+  def fingerprints(df: DataFrame, textCol: String, idCol: String,
+                   shingleN: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    idText(df, textCol, idCol)
+      .mapPartitions(_.map { case (id, text) =>
+        id -> TextHashing.fingerprint(
+          TextHashing.wordShingles(TextHashing.tokens(text), shingleN)) })
+      .toDF(idCol, "fp")
+  }
+
+  /** Distinct word-shingle sets (for Jaccard verification). */
+  def shingleSets(df: DataFrame, textCol: String, idCol: String,
+                  shingleN: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    idText(df, textCol, idCol)
+      .mapPartitions(_.map { case (id, text) =>
+        id -> TextHashing.wordShingles(TextHashing.tokens(text), shingleN).distinct })
+      .toDF(idCol, "sh")
   }
 
   /** LSH banding over minhash signatures -> candidate near-dup pairs.
@@ -47,7 +96,7 @@ object Dedup {
     val banded = sigs.select(
       col(idCol),
       posexplode(expr(
-        s"transform(sequence(0, size(sig) div $rowsPerBand - 1), b -> md5(array_join(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), '|')))"))
+        s"transform(sequence(0, size(sig) div $rowsPerBand - 1), b -> md5(array_join(CAST(slice(sig, b * $rowsPerBand + 1, $rowsPerBand) AS ARRAY<STRING>), '|')))"))
         .as(Seq("band", "band_key")))
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_key"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_key"))
@@ -59,8 +108,7 @@ object Dedup {
   /** True n-gram Jaccard similarity for given candidate pairs. */
   def jaccardVerify(df: DataFrame, pairs: DataFrame, textCol: String, idCol: String,
                     shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sets = df.select(col(idCol),
-      array_distinct(TextF.wordShingles(TextF.tokens(col(textCol)), shingleN)).as("sh"))
+    val sets = shingleSets(df, textCol, idCol, shingleN)
     pairs
       .join(sets.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -73,8 +121,7 @@ object Dedup {
 
   /** SimHash 64-bit fingerprint per doc (bit-string column `simhash`). */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.withColumn("__toks", TextF.tokens(col(textCol)))
-      .select(col(idCol), TextF.simhashBitsExpr("__toks").as("simhash"))
+    simhashFast(df, textCol, idCol)
 
   /** Embedding-cosine near-duplicate pairs within LSH-ish buckets: bucket by
     * the sign pattern of the first `signBits` dims (a random-hyperplane LSH

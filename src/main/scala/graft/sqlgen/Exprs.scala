@@ -55,14 +55,34 @@ object Exprs {
     dl.transform(dl.seq1(count), "i__", slice)
   }
 
-  /** MinHash signature: k independent lexicographic-min md5 values over the
-    * shingle set. Emitted as an array of hex strings. */
-  def minhashSig(dl: Dialect, shinglesCol: String, k: Int): String =
-    dl.transform(
-      dl.seq0(k.toString),
-      "k__",
-      dl.arrayMin(
-        dl.transform(shinglesCol, "s__", s"md5(concat(${dl.castStr("k__")}, ':', s__))")))
+  /** Let-binding idiom: evaluate `valueExpr` once, bind it to `v`, use it in
+    * `body`. HOF lambda variables are evaluated once per binding, so this
+    * defeats re-evaluation of expensive subtrees inside nested lambdas (an
+    * aliased projection would be inlined back by CollapseProject). */
+  def let(dl: Dialect, v: String, valueExpr: String, body: String): String =
+    if (dl.duck) s"(list_transform([$valueExpr], $v -> $body))[1]"
+    else s"element_at(transform(array($valueExpr), $v -> $body), 1)"
+
+  /** MinHash signature (array of k BIGINTs): one md5 per shingle folded to a
+    * 24-bit integer, then k affine transforms h -> (a_k*h + b_k) mod p.
+    * All arithmetic stays < 2^55, exact in both engines. The md5 is
+    * let-bound so it is computed exactly once per shingle regardless of k. */
+  def minhashSig(dl: Dialect, shinglesExpr: String, k: Int): String = {
+    // 24-bit hash: fold the first 6 hex digits of the (let-bound) md5
+    val digit = s"(${dl.instr("'0123456789abcdef'", "substr(m__, CAST(j__ AS INT), 1)")} - 1)"
+    val hexFold =
+      if (dl.duck)
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), ${dl.transform(dl.seq1("6"), "j__", s"CAST($digit AS BIGINT)")}), (acc__, d__) -> acc__ * 16 + d__)"
+      else
+        s"aggregate(${dl.seq1("6")}, CAST(0 AS BIGINT), (acc__, j__) -> acc__ * 16 + $digit)"
+    val shingleHash = let(dl, "m__", "md5(s__)", hexFold)
+    val hs = dl.transform(shinglesExpr, "s__", shingleHash)
+    val affine =
+      s"(h__ * (1103515245 + k__ * 12345) + (1013904223 + k__ * 54321)) % 2147483647"
+    val body = dl.transform(dl.seq0(k.toString), "k__",
+      dl.arrayMin(dl.transform("hs__", "h__", affine)))
+    let(dl, "hs__", hs, body)
+  }
 
   /** SimHash bit-string (64 chars of '0'/'1') from a token array: for each
     * bit, sum +1/-1 over tokens by that bit of md5(token), emit '1' iff > 0. */
