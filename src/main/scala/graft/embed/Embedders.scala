@@ -35,7 +35,20 @@ trait Embedder extends Serializable {
 final case class HashingEmbedder(dimension: Int = 64) extends Embedder {
   private val dl = Dialect.spark
 
+  /** Fast path: identical arithmetic (md5 hex digits -> signed bucket
+    * counts -> ascending-order norm fold -> per-element divide) in primitive
+    * Scala, so results stay bit-identical to the SQL path and the DuckDB
+    * oracle while avoiding interpreted HOF overhead. */
   def withEmbedding(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val dim = dimension
+    val embedUdf = org.apache.spark.sql.functions.udf(
+      (text: String) => if (text == null) null else HashingEmbedder.embedText(text, dim))
+    df.withColumn(outCol, embedUdf(col(textCol)))
+  }
+
+  /** Reference SQL-expression path (documents the cross-engine contract;
+    * the DuckDB oracle mirrors these stages 1:1). */
+  def withEmbeddingSql(df: DataFrame, textCol: String, outCol: String): DataFrame = {
     val toksC = s"__emb_toks_$outCol"
     val codesC = s"__emb_codes_$outCol"
     val rawC = s"__emb_raw_$outCol"
@@ -50,7 +63,44 @@ final case class HashingEmbedder(dimension: Int = 64) extends Embedder {
 
   /** Embed a literal query string on the driver (for broadcast into Q1). */
   def embedQueryDF(spark: org.apache.spark.sql.SparkSession, text: String): DataFrame = {
-    val one = spark.sql(s"SELECT ${dl.str(text)} AS __qtext")
-    withEmbedding(one, "__qtext", "qv").select(col("qv"))
+    import spark.implicits._
+    Seq(HashingEmbedder.embedText(text, dimension)).toDF("qv")
+  }
+}
+
+object HashingEmbedder {
+  import graft.functions.TextHashing
+
+  /** The embedding kernel: mirrors Exprs.embedCodes/embedRawVec/l2Normalize
+    * exactly (same md5 hex digits, same signed counts, same sequential
+    * norm fold, same per-element division). */
+  def embedText(text: String, dim: Int): Array[Double] = {
+    val toks = TextHashing.tokens(text)
+    val counts = new Array[Long](dim)
+    var t = 0
+    while (t < toks.length) {
+      val h = TextHashing.md5Hex(toks(t))
+      val hexDigits = "0123456789abcdef"
+      val h1 = hexDigits.indexOf(h.charAt(0))
+      val h2 = hexDigits.indexOf(h.charAt(1))
+      val h3 = hexDigits.indexOf(h.charAt(2))
+      val bucket = (16 * h1 + h2) % dim
+      counts(bucket) += (if (h3 >= 8) -1L else 1L)
+      t += 1
+    }
+    val raw = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { raw(i) = counts(i).toDouble; i += 1 }
+    var acc = 0.0
+    i = 0
+    while (i < dim) { acc += raw(i) * raw(i); i += 1 }
+    val nrm = math.sqrt(acc)
+    if (nrm == 0.0) raw
+    else {
+      val out = new Array[Double](dim)
+      i = 0
+      while (i < dim) { out(i) = raw(i) / nrm; i += 1 }
+      out
+    }
   }
 }

@@ -19,20 +19,42 @@ object VectorF {
   /** Exact widening cast array<float> -> array<double>. */
   def toDoubleArray(a: Column): Column = a.cast("array<double>")
 
-  /** Sequential-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+  /** Dot product — native codegen expression (sequential double fold,
+    * bit-identical to `aggregate(zip_with(...))` and the DuckDB oracle). */
+  def dot(a: Column, b: Column): Column = VectorNative.dotNative(a, b)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+  def cosine(a: Column, b: Column): Column = VectorNative.cosineNative(a, b)
 
-  def euclidean(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x))
+  def euclidean(a: Column, b: Column): Column = VectorNative.euclideanNative(a, b)
 
-  /** L2-normalize with zero-vector guard. */
-  def l2Normalize(a: Column): Column = {
-    val n = norm2(a)
-    when(n === lit(0.0), a).otherwise(transform(a, x => x / n))
+  /** L2-normalize with zero-vector guard. Both the input array and its norm
+    * are let-bound via single-element transform so they are evaluated once,
+    * not once per element. */
+  def l2Normalize(a: Column): Column =
+    element_at(transform(array(a), v =>
+      element_at(transform(array(sqrt(dot(v, v))), nn =>
+        when(nn === lit(0.0), v).otherwise(transform(v, x => x / nn))), 1)), 1)
+}
+
+/** Column wrappers for the native codegen expressions. */
+object VectorNative {
+  import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+
+  /** Register SQL-callable forms (dot_d, cosine_sim, euclidean_d) so
+    * expr(...)-built plans can use the native codegen expressions too. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("dot_d", es => DotProduct(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimilarity(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("euclidean_d", es => EuclideanDistance(es(0), es(1)), "scala_udf")
   }
+
+  def dotNative(a: Column, b: Column): Column =
+    toCol(DotProduct(toExpr(a), toExpr(b)))
+  def cosineNative(a: Column, b: Column): Column =
+    toCol(CosineSimilarity(toExpr(a), toExpr(b)))
+  def euclideanNative(a: Column, b: Column): Column =
+    toCol(EuclideanDistance(toExpr(a), toExpr(b)))
 }

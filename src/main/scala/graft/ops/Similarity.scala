@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorF
+import graft.functions.{VectorF, VectorNative}
 
 /** Similarity search over embedding columns (reference Q1/O2 + north-star
   * ANN surface).
@@ -51,16 +51,16 @@ object Similarity {
     val normed = emb.withColumn("__vn", VectorF.l2Normalize(v))
     val centsN = centroids.select(col("cid"),
       VectorF.l2Normalize(VectorF.toDoubleArray(col("cv"))).as("cvn"))
+    VectorNative.register(emb.sparkSession)
     val assigned = normed
       .crossJoin(broadcast(centsN.groupBy().agg(
-        collect_list(struct(col("cid"), col("cvn"))).as("cents"))))
+        sort_array(collect_list(struct(col("cid"), col("cvn")))).as("cents"))))
       .withColumn("cluster_id", expr(
         """
         aggregate(cents, named_struct('cid', CAST(-1 AS INT), 's', CAST(-2.0 AS DOUBLE)),
           (acc, c) -> CASE
-            WHEN aggregate(zip_with(__vn, c.cvn, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, x) -> s + x) > acc.s
-            THEN named_struct('cid', c.cid,
-                              's', aggregate(zip_with(__vn, c.cvn, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, x) -> s + x))
+            WHEN dot_d(__vn, c.cvn) > acc.s
+            THEN named_struct('cid', c.cid, 's', dot_d(__vn, c.cvn))
             ELSE acc END).cid
         """))
       .drop("cents", "__vn")

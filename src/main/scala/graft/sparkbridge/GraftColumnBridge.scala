@@ -1,0 +1,11 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the private[sql] classic Column<->Expression converters so the
+  * library can expose custom Catalyst expressions (graft.functions.*) as
+  * user-facing Columns on Spark 4's split Column API. */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
