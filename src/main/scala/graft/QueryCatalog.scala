@@ -676,7 +676,79 @@ object QueryCatalog {
     )
   }
 
-  def all: Seq[Q] = relational ++ textOps ++ vectorOps ++ ragOps
+  // =========================================================================
+  // Metadata / source operators over synthesized fixtures (S7/T1/T9, S6/F6/F7,
+  // S3). The fixture text is constructed from documents columns, so the
+  // expected output is known in closed form — a strong analytic oracle.
+  // =========================================================================
+
+  private def metaOps: Seq[Q] = Seq(
+    // S7 + T9 + T1: frontmatter title/url with fallback + hermetic probe
+    Q("q_s7_frontmatter",
+      (s, dir) => {
+        val withFm = t(s, dir, "documents")
+          .withColumn("path", concat(lit("/corpus/doc_"), col("doc_id"), lit(".md")))
+          .withColumn("text",
+            when(col("doc_id") % 2 === 0,
+              concat(lit("---\ntitle: T"), col("doc_id"),
+                lit("\nurl: https://ex.com/d/"), col("doc_id"),
+                lit("\n---\n# H\n"), col("text")))
+            .otherwise(concat(lit("# FB"), col("doc_id"), lit("\n"), col("text"))))
+        graft.meta.MetadataStage.enrich(withFm)
+          .select(col("doc_id"), col("title"), col("docs_url"), col("url_reachable"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'T' || CAST(doc_id AS VARCHAR)
+                    ELSE 'FB' || CAST(doc_id AS VARCHAR) END AS title,
+               CASE WHEN doc_id % 2 = 0 THEN 'https://ex.com/d/' || CAST(doc_id AS VARCHAR)
+                    ELSE 'doc_' || CAST(doc_id AS VARCHAR) || '.md' END AS docs_url,
+               true AS url_reachable
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // S6 + F6 + F7: OKP TOML parse + project substring filter
+    Q("q_okp_filter",
+      (s, dir) => {
+        val okp = t(s, dir, "documents")
+          .withColumn("text",
+            concat(lit("+++\ntitle = \"Doc "), col("doc_id"),
+              lit("\"\n[extra]\nreference_url = \"https://okp/"), col("doc_id"),
+              lit("\"\nportal_product_names = [\"Spark Engine\", \""), col("source"),
+              lit("\"]\n+++\n"), col("text")))
+        graft.meta.OkpSource.projectFiles(okp, Seq("src1"))
+          .select(col("doc_id"), col("okp_title"), col("okp_reference_url"),
+            size(col("okp_product_names")).cast("long").as("n_products"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               'Doc ' || CAST(doc_id AS VARCHAR) AS okp_title,
+               'https://okp/' || CAST(doc_id AS VARCHAR) AS okp_reference_url,
+               CAST(2 AS BIGINT) AS n_products
+        FROM documents
+        WHERE contains(lower(source), 'src1')
+        ORDER BY doc_id""")),
+
+    // S3 + T6: HTML -> text conversion (rows-only; unit-tested in
+    // SourcesSpec — regex-chain parity in DuckDB SQL is not worth the
+    // dialect risk)
+    Q("q_html_to_text",
+      (s, dir) => {
+        val html = t(s, dir, "documents")
+          .withColumn("html", concat(
+            lit("<html><body><h1>Title "), col("doc_id"),
+            lit("</h1><p>"), col("text"), lit(" &amp; more</p></body></html>")))
+        html.select(col("doc_id"),
+            graft.sources.DirectoryCorpus.htmlToText(col("html")).as("text"))
+          .where(col("text").startsWith("# Title"))
+          .orderBy("doc_id")
+      },
+      None)
+  )
+
+  def all: Seq[Q] = relational ++ textOps ++ vectorOps ++ ragOps ++ metaOps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

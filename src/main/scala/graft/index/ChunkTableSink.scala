@@ -1,0 +1,85 @@
+package graft.index
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** K1/K2: the persisted index is a parquet chunk+vector table plus a run
+  * manifest — the Spark-native form of the reference's faiss persist dir
+  * (`document_processor.py:271-300`). The columnar table IS the index:
+  * point lookups prune row groups on chunk_id, top-k scans are
+  * TakeOrderedAndProject, and at 100 TB the table partitions/buckets by
+  * doc_id or cluster_id.
+  */
+object ChunkTableSink {
+
+  final case class Manifest(
+      executionTimeSec: Double,
+      embeddingModel: String,
+      indexId: String,
+      vectorDb: String,
+      embeddingDimension: Int,
+      chunkSize: Int,
+      chunkOverlap: Int,
+      totalEmbeddedFiles: Long)
+
+  /** Write the chunk table (zstd parquet, ordered for deterministic output
+    * and row-group locality on doc_id — reference O1 determinism,
+    * `image_builder.py:93-96`) and the metadata.json manifest (K2 fields,
+    * `document_processor.py:288-300`). */
+  def write(index: DataFrame, outDir: String, manifest: Manifest): Unit = {
+    val t0 = System.nanoTime()
+    val totalFiles = index.agg(countDistinct(col("doc_id"))).head().getLong(0)
+    index.orderBy("doc_id", "chunk_idx")
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(s"$outDir/chunks")
+    val execSec = manifest.executionTimeSec match {
+      case t if t > 0 => t
+      case _ => (System.nanoTime() - t0) / 1e9
+    }
+    val json =
+      s"""{
+         |  "execution-time": $execSec,
+         |  "llm": "None",
+         |  "embedding-model": "${manifest.embeddingModel}",
+         |  "index-id": "${manifest.indexId}",
+         |  "vector-db": "${manifest.vectorDb}",
+         |  "embedding-dimension": ${manifest.embeddingDimension},
+         |  "chunk": ${manifest.chunkSize},
+         |  "overlap": ${manifest.chunkOverlap},
+         |  "total-embedded-files": $totalFiles
+         |}""".stripMargin
+    Files.createDirectories(Paths.get(outDir))
+    Files.writeString(Paths.get(s"$outDir/metadata.json"), json)
+  }
+
+  /** S8/Q5: load a persisted index; store-type detection by marker files
+    * (`scripts/query_rag.py:306-316` analog — ours detects the parquet
+    * chunk table + manifest). */
+  def load(spark: SparkSession, dir: String): DataFrame = {
+    require(Files.exists(Paths.get(s"$dir/chunks")), s"no chunk table under $dir")
+    spark.read.parquet(s"$dir/chunks")
+  }
+
+  def detectStoreType(dir: String): String =
+    if (Files.exists(Paths.get(s"$dir/chunks"))) "parquet-chunk-table"
+    else if (sys.env.contains("POSTGRES_DATABASE")) "pgvector"
+    else "unknown"
+}
+
+/** Q4: result envelope + exit-code semantics
+  * (`scripts/query_rag.py:96-126`). */
+object ResultFormat {
+
+  /** JSON envelope {query, top_k, threshold, nodes:[{id, score, text}]}. */
+  def envelope(results: DataFrame, query: String, topK: Int, threshold: Double): String = {
+    val nodes = results.toJSON.collect().mkString(",")
+    val q = query.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"query":"$q","top_k":$topK,"threshold":$threshold,"nodes":[$nodes]}"""
+  }
+
+  /** Exit-code semantics: 1 on empty/below-threshold results, 0 otherwise. */
+  def exitCode(results: DataFrame): Int = if (results.isEmpty) 1 else 0
+}

