@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, DotProduct, EuclideanDistance}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * codegen expressions as SQL functions so ANY session (including
+  * spark-submit / thrift users) can call them from SQL:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *   SELECT cosine_sim(a, b), dot_d(a, b), euclidean_d(a, b)
+  *
+  * (The library path [[graft.functions.VectorNative.register]] does the
+  * same for an already-built session.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_d"),
+      info("dot_d", "dot_d(a, b) - sequential-fold dot product of two ARRAY<DOUBLE>"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two ARRAY<DOUBLE>"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("euclidean_d"),
+      info("euclidean_d", "euclidean_d(a, b) - euclidean distance of two ARRAY<DOUBLE>"),
+      (es: Seq[Expression]) => EuclideanDistance(es(0), es(1))))
+  }
+}

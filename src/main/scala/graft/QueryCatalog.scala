@@ -748,7 +748,114 @@ object QueryCatalog {
       None)
   )
 
-  def all: Seq[Q] = relational ++ textOps ++ vectorOps ++ ragOps ++ metaOps
+  // =========================================================================
+  // Chunker variants, search modes, embedding near-dup
+  // =========================================================================
+
+  private def extraOps: Seq[Q] = {
+    val dim = 64
+    val duckIndexed = duckEmbed(
+      s"(SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})", "chunk_text", dim)
+    val queryText = "spark sql shuffle partition join"
+    val kwTerms = Seq("spark", "join", "stream")
+    val duckKw =
+      s"(CAST(len(list_filter(['spark', 'join', 'stream'], t__ -> list_contains(string_split_regex(trim(chunk_text), '\\s+'), t__))) AS DOUBLE) / 3)"
+
+    Seq(
+      // C1 proper: token-budget chunker with overlap (reference defaults
+      // 380/0; here 40/10 so multi-chunk docs exist at test scale)
+      Q("q_chunk_tokens",
+        (s, dir) =>
+          Chunking.explodeTokenWindows(t(s, dir, "documents"), "text", 40, 10)
+            .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+              md5(col("chunk_text")).as("h"),
+              size(split(col("chunk_text"), " ")).cast("long").as("n_tokens"))
+            .orderBy("doc_id", "chunk_idx"),
+        Some("""
+          WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+          c AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                   array_to_string(tk[(CAST(i AS INT) * 30 + 1):(CAST(i AS INT) * 30 + 40)], ' ') AS chunk_text
+            FROM (SELECT doc_id, tk,
+                    unnest(range(0, greatest(CAST(ceil((len(tk) - 40) / CAST(30 AS DOUBLE)) AS INT) + 1, 1))) AS i
+                  FROM toks))
+          SELECT doc_id, chunk_idx, md5(chunk_text) AS h,
+                 CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tokens
+          FROM c
+          ORDER BY doc_id, chunk_idx""")),
+
+      // Q3 mode=keyword
+      Q("q_keyword_search",
+        (s, dir) => {
+          val index = RagPipeline.buildIndex(t(s, dir, "documents"))
+          Similarity.keywordTopK(index, "chunk_text", "chunk_id", kwTerms, 10)
+            .select(col("chunk_id"), r6(col("score")).as("score"))
+        },
+        Some(s"""
+          SELECT chunk_id, (round(score, 6) + CAST(0.0 AS DOUBLE)) AS score
+          FROM (SELECT chunk_id, $duckKw AS score
+                FROM (SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})
+                ORDER BY score DESC, chunk_id
+                LIMIT 10)
+          ORDER BY score DESC, chunk_id""")),
+
+      // Q3 mode=hybrid (0.5 * cosine + 0.5 * keyword)
+      Q("q_hybrid_search",
+        (s, dir) => {
+          val index = RagPipeline.buildIndex(t(s, dir, "documents"))
+          val q = HashingEmbedder(dim).embedQueryDF(s, queryText)
+          Similarity.hybridTopK(index, q, "chunk_text", "chunk_id", "embedding",
+              kwTerms, 10, 0.5)
+            .select(col("chunk_id"), r6(col("score")).as("score"))
+        },
+        Some {
+          val duckQ = duckEmbed(s"(SELECT '$queryText' AS chunk_text)", "chunk_text", dim)
+          s"""
+          SELECT chunk_id, (round(score, 6) + CAST(0.0 AS DOUBLE)) AS score
+          FROM (SELECT chunk_id,
+                       (${D.dot("i.emb", "q.qemb")} * CAST(0.5 AS DOUBLE)) + ($duckKw * (CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE))) AS score
+                FROM $duckIndexed i, (SELECT emb AS qemb FROM $duckQ) q
+                ORDER BY score DESC, chunk_id
+                LIMIT 10)
+          ORDER BY score DESC, chunk_id"""
+        }),
+
+      // Embedding-cosine near-dup within sign-pattern LSH buckets
+      Q("q_embed_neardup",
+        (s, dir) =>
+          Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 8, 0.3)
+            .select(col("id_a"), col("id_b"), r6(col("cos")).as("cos"))
+            .orderBy("id_a", "id_b"),
+        Some {
+          val cos = D.cosine("a.v", "b.v")
+          s"""
+          WITH bk AS (
+            SELECT vec_id, v,
+                   array_to_string(list_transform(v[1:8],
+                     x__ -> CASE WHEN x__ >= CAST(0.0 AS DOUBLE) THEN '1' ELSE '0' END), '') AS bucket
+            FROM $duckEmbTable)
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 (round($cos, 6) + CAST(0.0 AS DOUBLE)) AS cos
+          FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE $cos >= CAST(0.3 AS DOUBLE)
+          ORDER BY id_a, id_b"""
+        }),
+
+      // Exact-dedup keep count (dropExactDuplicates end to end)
+      Q("q_dedup_drop",
+        (s, dir) =>
+          Dedup.dropExactDuplicates(t(s, dir, "documents"), "text", "doc_id")
+            .agg(count(lit(1)).as("n_kept"),
+              sum(col("doc_id")).as("id_sum")),
+        Some("""
+          SELECT count(*) AS n_kept, sum(keep_id) AS id_sum
+          FROM (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text))"""))
+    )
+  }
+
+  def all: Seq[Q] =
+    relational ++ textOps ++ vectorOps ++ ragOps ++ metaOps ++ extraOps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{VectorF, VectorNative}
@@ -72,6 +72,37 @@ object Similarity {
     assigned.join(broadcast(probe), "cluster_id")
       .crossJoin(broadcast(queryDF))
       .withColumn("score", VectorF.cosine(v, col("qv")))
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** Q3 `mode=keyword`: term-overlap scoring — fraction of query terms
+    * present in the chunk's token set (reference exposes the mode switch at
+    * `scripts/query_rag.py:188-192` but only exercises `vector`; this is
+    * the engine's keyword path). */
+  def keywordScore(textCol: Column, terms: Seq[String]): Column = {
+    val termArr = array(terms.map(lit): _*)
+    size(filter(termArr, t => array_contains(split(trim(textCol), "\\s+"), t)))
+      .cast("double") / terms.length
+  }
+
+  def keywordTopK(chunks: DataFrame, textCol: String, idCol: String,
+                  terms: Seq[String], k: Int): DataFrame =
+    chunks.withColumn("score", keywordScore(col(textCol), terms))
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+
+  /** Q3 `mode=hybrid`: weighted sum of cosine and keyword scores. */
+  def hybridTopK(chunks: DataFrame, queryDF: DataFrame, textCol: String,
+                 idCol: String, vecCol: String, terms: Seq[String],
+                 k: Int, vectorWeight: Double = 0.5): DataFrame = {
+    val v = VectorF.toDoubleArray(col(vecCol))
+    chunks.crossJoin(broadcast(queryDF))
+      .withColumn("score",
+        VectorF.cosine(v, col("qv")) * vectorWeight +
+          keywordScore(col(textCol), terms) * (1.0 - vectorWeight))
       .select(col(idCol), col("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)

@@ -1,0 +1,27 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorNative
+
+class SqlFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+
+  test("native expressions callable from SQL after registration") {
+    VectorNative.register(spark)
+    val r = spark.sql(
+      """SELECT dot_d(a, b) AS d, cosine_sim(a, a) AS c, euclidean_d(a, b) AS e
+        |FROM (SELECT array(1.0D, 2.0D, 3.0D) AS a, array(4.0D, 5.0D, 6.0D) AS b)
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 32.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-15)
+    assert(math.abs(r.getDouble(2) - math.sqrt(27.0)) < 1e-15)
+  }
+
+  test("GraftExtensions injects the same functions at session build time") {
+    // apply() must register without throwing; functional coverage of the
+    // injected builders is the SQL test above (same expression classes).
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+  }
+}
