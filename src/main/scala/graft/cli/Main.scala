@@ -1,0 +1,98 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.index.{ChunkTableSink, ConfigEmitters, ResultFormat}
+import graft.meta.MetadataStage
+import graft.rag.RagPipeline
+import graft.sources.DirectoryCorpus
+
+/** CLI entry points mirroring the reference's lifecycle (SURVEY §3):
+  *
+  *   generate <docsDir> <outDir>   — §3.1 index build
+  *       (scan -> metadata -> chunk -> filter -> embed -> chunk table +
+  *        manifest + stack YAMLs)
+  *   query <indexDir> <text> [k] [threshold]   — §3.2 retrieval
+  *       (embed query -> cosine top-k -> threshold -> JSON envelope;
+  *        exit 1 on empty/below-threshold, like query_rag.py)
+  *   convert <docsDir>   — §3.3 format conversion (HTML -> text dump)
+  *
+  * Run: sbt "runMain graft.cli.Main generate /path/docs /tmp/index"
+  */
+object Main {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "generate" :: docsDir :: outDir :: _ =>
+      val spark = session()
+      val t0 = System.nanoTime()
+      val corpus = DirectoryCorpus.readCorpus(spark, docsDir)
+        .withColumnRenamed("path", "doc_path")
+        .withColumn("doc_id",
+          org.apache.spark.sql.functions.abs(
+            org.apache.spark.sql.functions.xxhash64(
+              org.apache.spark.sql.functions.col("doc_path"))))
+      val enriched = MetadataStage.enrich(corpus, pathCol = "doc_path")
+      val kept = MetadataStage.applyPolicy(enriched, MetadataStage.Warn)
+        .withColumn("text", MetadataStage.stripFrontmatter(
+          org.apache.spark.sql.functions.col("text")))
+      val cfg = RagPipeline.Config(markdownCompatible = true)
+      val index = RagPipeline.buildIndex(kept, cfg)
+      ChunkTableSink.write(index, outDir, ChunkTableSink.Manifest(
+        executionTimeSec = (System.nanoTime() - t0) / 1e9,
+        embeddingModel = s"hashing-${cfg.embedDim}",
+        indexId = java.util.UUID.nameUUIDFromBytes(outDir.getBytes).toString,
+        vectorDb = "parquet-chunk-table",
+        embeddingDimension = cfg.embedDim,
+        chunkSize = cfg.chunkSize,
+        chunkOverlap = cfg.chunkSize - cfg.chunkStep,
+        totalEmbeddedFiles = 0))
+      ConfigEmitters.write(outDir, ConfigEmitters.StackConfig(
+        indexId = java.util.UUID.nameUUIDFromBytes(outDir.getBytes).toString,
+        indexDir = outDir,
+        embeddingModel = s"hashing-${cfg.embedDim}",
+        embeddingDimension = cfg.embedDim,
+        storeType = ChunkTableSink.detectStoreType(outDir)))
+      println(s"indexed ${index.count()} chunks -> $outDir")
+      spark.stop()
+
+    case "query" :: indexDir :: text :: rest =>
+      val k = rest.headOption.map(_.toInt).getOrElse(1)
+      val threshold = rest.drop(1).headOption.map(_.toDouble).getOrElse(0.0)
+      val spark = session()
+      val index = ChunkTableSink.load(spark, indexDir)
+      val res = RagPipeline.query(spark, index, text, k, threshold)
+      println(ResultFormat.envelope(res, text, k, threshold))
+      val code = ResultFormat.exitCode(res)
+      spark.stop()
+      if (code != 0) sys.exit(code)
+
+    case "convert" :: docsDir :: _ =>
+      val spark = session()
+      DirectoryCorpus.readCorpus(spark, docsDir)
+        .select("path", "text")
+        .collect()
+        .foreach { r => println(s"=== ${r.getString(0)}\n${r.getString(1)}") }
+      spark.stop()
+
+    case other =>
+      System.err.println(
+        s"""unknown args: ${other.mkString(" ")}
+           |usage:
+           |  generate <docsDir> <outDir>
+           |  query <indexDir> <text> [k] [threshold]
+           |  convert <docsDir>""".stripMargin)
+      sys.exit(2)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.index
+
+import java.nio.file.{Files, Paths}
+
+/** K6: YAML config emitters (reference `document_processor.py:386-423,
+  * 703-737`; templates `config_templates.py:20-196`) — driver-side
+  * templating describing the produced index so a serving stack can mount
+  * it. Pure string rendering; no Spark involvement by design.
+  */
+object ConfigEmitters {
+
+  final case class StackConfig(
+      indexId: String,
+      indexDir: String,
+      embeddingModel: String,
+      embeddingDimension: Int,
+      storeType: String) // parquet-chunk-table | pgvector
+
+  /** llama-stack.yaml equivalent: provider + storage + registered model. */
+  def renderStackYaml(c: StackConfig): String =
+    s"""version: '2'
+       |providers:
+       |  vector_io:
+       |    - provider_id: ${c.storeType}
+       |      provider_type: inline::${c.storeType}
+       |      config:
+       |        index_dir: ${c.indexDir}
+       |models:
+       |  - model_id: ${c.embeddingModel}
+       |    model_type: embedding
+       |    metadata:
+       |      embedding_dimension: ${c.embeddingDimension}
+       |vector_stores:
+       |  - vector_store_id: ${c.indexId}
+       |    provider_id: ${c.storeType}
+       |""".stripMargin
+
+  /** lightspeed-stack.yaml equivalent: BYOK block referencing the index. */
+  def renderByokYaml(c: StackConfig): String =
+    s"""byok_rag:
+       |  - rag_type: byok
+       |    rag_id: ${c.indexId}
+       |    embeddings_model: ${c.embeddingModel}
+       |    embeddings_dimension: ${c.embeddingDimension}
+       |    vector_db_type: ${c.storeType}
+       |    db_path: ${c.indexDir}
+       |""".stripMargin
+
+  def write(outDir: String, c: StackConfig): Unit = {
+    Files.createDirectories(Paths.get(outDir))
+    Files.writeString(Paths.get(s"$outDir/llama-stack.yaml"), renderStackYaml(c))
+    Files.writeString(Paths.get(s"$outDir/lightspeed-stack.yaml"), renderByokYaml(c))
+  }
+}
+
+/** K3: JDBC vector sink (reference PGVectorStore.from_params,
+  * `document_processor.py:242-256` — POSTGRES_* env config). The write is a
+  * plain Spark JDBC sink; the embedding column ships as a float8[] text
+  * literal the pgvector extension accepts. NOT exercisable in this
+  * container (no postgres) — wiring kept minimal and config-compatible. */
+object JdbcVectorSink {
+
+  final case class PgConfig(host: String, port: Int, database: String,
+                            user: String, password: String, table: String)
+
+  def fromEnv(table: String = "rag_chunks"): Option[PgConfig] =
+    sys.env.get("POSTGRES_DATABASE").map { db =>
+      PgConfig(
+        sys.env.getOrElse("POSTGRES_HOST", "localhost"),
+        sys.env.getOrElse("POSTGRES_PORT", "5432").toInt,
+        db,
+        sys.env.getOrElse("POSTGRES_USER", "postgres"),
+        sys.env.getOrElse("POSTGRES_PASSWORD", ""),
+        table)
+    }
+
+  def write(index: org.apache.spark.sql.DataFrame, cfg: PgConfig): Unit = {
+    import org.apache.spark.sql.functions._
+    // pgvector accepts '[x,y,...]' literals; cast the array accordingly.
+    val withVec = index.withColumn("embedding_vec",
+      concat(lit("["), array_join(col("embedding").cast("array<string>"), ","), lit("]")))
+    withVec.drop("embedding")
+      .write.mode("append")
+      .format("jdbc")
+      .option("url", s"jdbc:postgresql://${cfg.host}:${cfg.port}/${cfg.database}")
+      .option("dbtable", cfg.table)
+      .option("user", cfg.user)
+      .option("password", cfg.password)
+      .save()
+  }
+}

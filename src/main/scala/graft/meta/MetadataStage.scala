@@ -38,6 +38,12 @@ object MetadataStage {
 
   def frontmatter(text: Column): Column = frontmatterUdf(text)
 
+  /** Remove the frontmatter block from the document body (the reference
+    * treats frontmatter as metadata, not content — it never reaches the
+    * chunker). */
+  def stripFrontmatter(text: Column): Column =
+    regexp_replace(text, "(?s)^---\n.*?\n---\n?", "")
+
   /** T9: title fallback — first line stripped of leading '#'/whitespace
     * (`metadata_processor.py:52-54`). */
   def titleFallback(text: Column): Column =

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.chunk.Chunking
+import graft.index.ConfigEmitters
+
+class ConfigAndC2Spec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  test("C2: markdown heading splitter keeps each heading with its body") {
+    val md = "# One\nalpha text\n## Two\nbeta text\nmore beta\n# Three\ngamma"
+    val df = Seq((1L, md)).toDF("doc_id", "text")
+    val sections = Chunking.explodeMarkdownSections(df, "text")
+      .select("chunk_idx", "chunk_text").as[(Int, String)].collect().sortBy(_._1)
+    assert(sections.length == 3)
+    assert(sections(0)._2.startsWith("# One") && sections(0)._2.contains("alpha"))
+    assert(sections(1)._2.startsWith("## Two") && sections(1)._2.contains("more beta"))
+    assert(sections(2)._2.startsWith("# Three") && sections(2)._2.contains("gamma"))
+  }
+
+  test("C2: text before first heading survives as its own section") {
+    val md = "preamble line\n# H\nbody"
+    val out = Chunking.explodeMarkdownSections(Seq((1L, md)).toDF("doc_id", "text"), "text")
+      .select("chunk_text").as[String].collect()
+    assert(out.length == 2)
+    assert(out.exists(_.startsWith("preamble")))
+  }
+
+  test("K6: stack YAML emitters render index descriptors") {
+    val c = ConfigEmitters.StackConfig("idx-1", "/tmp/idx", "hashing-64", 64, "parquet-chunk-table")
+    val stack = ConfigEmitters.renderStackYaml(c)
+    assert(stack.contains("provider_id: parquet-chunk-table"))
+    assert(stack.contains("embedding_dimension: 64"))
+    assert(stack.contains("vector_store_id: idx-1"))
+    val byok = ConfigEmitters.renderByokYaml(c)
+    assert(byok.contains("rag_id: idx-1") && byok.contains("db_path: /tmp/idx"))
+  }
+}

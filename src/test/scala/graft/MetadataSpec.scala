@@ -39,6 +39,15 @@ class MetadataSpec extends AnyFunSuite {
     assert(MetadataStage.applyPolicy(probed, MetadataStage.Warn).count() == 3)
   }
 
+  test("frontmatter is stripped from the chunkable body") {
+    val out = Seq(fmDoc).toDF("text")
+      .select(MetadataStage.stripFrontmatter($"text")).head().getString(0)
+    assert(out.startsWith("# Zyranex Model T7"), s"got: ${out.take(40)}")
+    val plain = Seq(plainDoc).toDF("text")
+      .select(MetadataStage.stripFrontmatter($"text")).head().getString(0)
+    assert(plain == plainDoc, "no frontmatter -> unchanged")
+  }
+
   private val okpDoc =
     "+++\ntitle = \"Example Title\"\n[extra]\nreference_url = \"https://example.com\"\nportal_product_names = [\"Red Hat OpenStack Platform\", \"Project Bar\"]\n+++\n\nBody text..."
 
