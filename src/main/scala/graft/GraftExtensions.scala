@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
+import graft.chunk.ChunkTextGenerator
 import graft.functions.{CosineSimilarity, DotProduct, EuclideanDistance}
 
 /** SparkSessionExtensions entry point: registers the engine's native
@@ -34,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("euclidean_d"),
       info("euclidean_d", "euclidean_d(a, b) - euclidean distance of two ARRAY<DOUBLE>"),
       (es: Seq[Expression]) => EuclideanDistance(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("chunk_text"),
+      info("chunk_text", "chunk_text(text, budget, overlap) - explode text into token-window chunks"),
+      (es: Seq[Expression]) => ChunkTextGenerator(es(0), es(1), es(2))))
   }
 }

@@ -854,8 +854,63 @@ object QueryCatalog {
     )
   }
 
+  private def scaleOps: Seq[Q] = Seq(
+    // Skew-mitigating two-phase salted aggregation: bit-identical to the
+    // one-phase GROUP BY because decimal sums are order-independent —
+    // which is exactly why the plain SQL is a valid oracle.
+    Q("q_skew_salted_agg",
+      (s, dir) => {
+        import graft.ops.Skew
+        val li = t(s, dir, "lineitem")
+        Skew.saltedAggregate(li,
+          keyCols = Seq("l_returnflag"),
+          buckets = 16,
+          identityCols = Seq("l_orderkey", "l_linenumber"),
+          partialAggs = Map(
+            "sum_disc" -> (
+              sum(col("l_extendedprice").cast("decimal(18,2)") *
+                (lit(1) - col("l_discount")).cast("decimal(18,2)")),
+              (c: String) => sum(col(c))),
+            "cnt" -> (count(lit(1)), (c: String) => sum(col(c)))))
+          .select(col("l_returnflag"),
+            col("sum_disc").cast("double").as("sum_disc"),
+            col("cnt").cast("long").as("cnt"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // The chunk_text Catalyst Generator, driven from SQL; must agree with
+    // the token-window oracle arithmetic (same as q_chunk_tokens 40/10).
+    Q("q_chunk_generator",
+      (s, dir) => {
+        graft.functions.VectorNative.register(s)
+        t(s, dir, "documents").createOrReplaceTempView("__docs_gen")
+        s.sql("""
+          SELECT doc_id, CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
+                 md5(c.chunk_text) AS h
+          FROM __docs_gen
+          LATERAL VIEW chunk_text(text, 40, 10) c AS chunk_idx, chunk_text
+          ORDER BY doc_id, chunk_idx""")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents)
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+               md5(array_to_string(tk[(CAST(i AS INT) * 30 + 1):(CAST(i AS INT) * 30 + 40)], ' ')) AS h
+        FROM (SELECT doc_id, tk,
+                unnest(range(0, greatest(CAST(ceil((len(tk) - 40) / CAST(30 AS DOUBLE)) AS INT) + 1, 1))) AS i
+              FROM toks)
+        ORDER BY doc_id, chunk_idx"""))
+  )
+
   def all: Seq[Q] =
-    relational ++ textOps ++ vectorOps ++ ragOps ++ metaOps ++ extraOps
+    relational ++ textOps ++ vectorOps ++ ragOps ++ metaOps ++ extraOps ++ scaleOps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

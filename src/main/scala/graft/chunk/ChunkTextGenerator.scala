@@ -1,0 +1,50 @@
+package graft.chunk
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{CollectionGenerator, Expression, Generator}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `chunk_text(text, budget, overlap)` — the custom Catalyst Generator
+  * SURVEY §4.3 calls for: 1 row -> N (chunk_idx, chunk_text) rows under a
+  * token budget with overlap (reference C1 semantics,
+  * `SentenceSplitter(chunk_size, chunk_overlap)` at
+  * `document_processor.py:112-129`; defaults 380/0 at
+  * `scripts/generate_embeddings.py:24-25`).
+  *
+  * `split()`+`explode` can't honor token windows with overlap in one
+  * expression; a Generator owns the 1->N contract directly and exposes it
+  * to SQL: `SELECT chunk_text(text, 380, 0) FROM docs` (register via
+  * [[graft.GraftExtensions]]). Generators are evaluated outside
+  * whole-stage codegen by design (GenerateExec), so CodegenFallback costs
+  * nothing here.
+  */
+case class ChunkTextGenerator(text: Expression, budget: Expression, overlap: Expression)
+    extends Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(text, budget, overlap)
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("chunk_idx", IntegerType, nullable = false),
+    StructField("chunk_text", StringType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = text.eval(input)
+    if (t == null) Nil
+    else {
+      val b = budget.eval(input).asInstanceOf[Int]
+      val o = overlap.eval(input).asInstanceOf[Int]
+      require(b > 0 && o >= 0 && o < b, s"need 0 <= overlap < budget, got $b/$o")
+      val chunks = Chunking.chunkTokens(t.toString, b, o)
+      chunks.iterator.zipWithIndex.map { case (c, i) =>
+        InternalRow(i, UTF8String.fromString(c))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(text = newChildren(0), budget = newChildren(1), overlap = newChildren(2))
+}

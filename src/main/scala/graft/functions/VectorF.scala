@@ -49,6 +49,8 @@ object VectorNative {
     reg.createOrReplaceTempFunction("dot_d", es => DotProduct(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimilarity(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("euclidean_d", es => EuclideanDistance(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("chunk_text",
+      es => graft.chunk.ChunkTextGenerator(es(0), es(1), es(2)), "scala_udf")
   }
 
   def dotNative(a: Column, b: Column): Column =

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation operators for 100 TB scale.
+  *
+  * A hot grouping key (one language dominating a corpus, one customer
+  * dominating orders) concentrates a shuffle partition on one task. Two
+  * standard remedies, both expressed as plain Catalyst plans so AQE can
+  * still re-optimize around them:
+  *
+  *   - salted two-phase aggregation: partial-aggregate by (key, salt) —
+  *     spreading the hot key over N tasks — then final-aggregate by key.
+  *     Works for any commutative re-aggregable function (sum/count/min/
+  *     max); with DECIMAL sums the result is bit-identical to the
+  *     one-phase plan, which is how the oracle checks it.
+  *   - salted broadcast-side replication for joins: replicate the small
+  *     side N times with salt ids, salt the large side randomly — every
+  *     task gets 1/N of the hot key's rows.
+  */
+object Skew {
+
+  /** Deterministic salt in [0, buckets) from arbitrary row-identity
+    * columns (deterministic so retries/speculation stay consistent —
+    * rand() would break exactly-once semantics of re-executed tasks). */
+  def salt(buckets: Int, identityCols: Column*): Column =
+    pmod(xxhash64(identityCols: _*), lit(buckets.toLong)).cast("int")
+
+  /** Two-phase salted aggregation: sums/counts named in `partialAggs` are
+    * computed per (key, salt) then re-aggregated per key.
+    *
+    * partialAggs maps output column name -> (partial aggregation over the
+    * input, final re-aggregation over the partial column). */
+  def saltedAggregate(df: DataFrame, keyCols: Seq[String], buckets: Int,
+                      identityCols: Seq[String],
+                      partialAggs: Map[String, (Column, String => Column)]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      salt(buckets, identityCols.map(col): _*))
+    val partial = salted
+      .groupBy((keyCols :+ "__salt").map(col): _*)
+      .agg(partialAggs.head._2._1.as(partialAggs.head._1),
+        partialAggs.tail.map { case (n, (c, _)) => c.as(n) }.toSeq: _*)
+    partial
+      .groupBy(keyCols.map(col): _*)
+      .agg(partialAggs.head._2._2(partialAggs.head._1).as(partialAggs.head._1),
+        partialAggs.tail.map { case (n, (_, f)) => f(n).as(n) }.toSeq: _*)
+  }
+
+  /** Salted join: replicate the (small) right side over all salt ids and
+    * join on (key, salt) so one hot key spreads across `buckets` tasks. */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 buckets: Int, largeIdentityCols: Seq[String]): DataFrame = {
+    val saltedLarge = large.withColumn("__salt",
+      salt(buckets, largeIdentityCols.map(col): _*))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedLarge.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+}

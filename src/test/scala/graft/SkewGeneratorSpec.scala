@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorNative
+import graft.ops.Skew
+
+class SkewGeneratorSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  test("salted aggregation equals plain group-by for re-aggregable functions") {
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 7}", i.toLong))
+      .toDF("key", "v")
+    val plain = df.groupBy("key").agg(sum($"v").as("s"), count(lit(1)).as("c"))
+      .orderBy("key").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val salted = Skew.saltedAggregate(df, Seq("key"), 8, Seq("v"),
+        Map("s" -> (sum($"v"), (c: String) => sum(col(c))),
+            "c" -> (count(lit(1)), (c: String) => sum(col(c)))))
+      .select($"key", $"s".cast("long"), $"c".cast("long"))
+      .orderBy("key").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("salted join equals plain join") {
+    val large = (1 to 500).map(i => (i % 3, i.toLong)).toDF("k", "v")
+    val small = Seq((0, "a"), (1, "b"), (2, "c")).toDF("k", "name")
+    val plain = large.join(small, "k").groupBy("name").count()
+      .orderBy("name").collect().map(r => (r.getString(0), r.getLong(1)))
+    val salted = Skew.saltedJoin(large, small, "k", 8, Seq("v")).groupBy("name").count()
+      .orderBy("name").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("chunk_text generator from SQL matches the typed chunker") {
+    VectorNative.register(spark)
+    Seq((1L, "a b c d e f g")).toDF("doc_id", "text").createOrReplaceTempView("__gen_t")
+    val rows = spark.sql(
+      "SELECT c.chunk_idx, c.chunk_text FROM __gen_t LATERAL VIEW chunk_text(text, 3, 1) c AS chunk_idx, chunk_text")
+      .as[(Int, String)].collect().sortBy(_._1)
+    val expected = graft.chunk.Chunking.chunkTokens("a b c d e f g", 3, 1)
+    assert(rows.map(_._2).toSeq == expected)
+    assert(rows.map(_._1).toSeq == expected.indices)
+  }
+
+  test("chunk_text generator handles null text and rejects bad params") {
+    VectorNative.register(spark)
+    Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text").createOrReplaceTempView("__gen_n")
+    val n = spark.sql(
+      "SELECT c.chunk_text FROM __gen_n LATERAL VIEW chunk_text(text, 3, 1) c AS chunk_idx, chunk_text").count()
+    assert(n == 0, "null text emits no rows")
+    val err = intercept[Exception] {
+      spark.sql("SELECT c.chunk_text FROM __gen_t LATERAL VIEW chunk_text(text, 3, 5) c AS chunk_idx, chunk_text").collect()
+    }
+    assert(err.getMessage != null)
+  }
+}
