@@ -1,0 +1,102 @@
+package graft.index
+
+import java.io.{BufferedOutputStream, FileOutputStream, OutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.security.{DigestOutputStream, MessageDigest}
+import java.util.zip.GZIPOutputStream
+
+import scala.jdk.CollectionConverters._
+
+/** K7: container-image-shaped archive sink (reference
+  * `image_builder.py:52-284`): packages the persisted index directory as a
+  * docker-archive-style tar — one gzipped layer built from the index files,
+  * a config JSON and a manifest JSON with sha256 digests.
+  *
+  * Capability parity, not byte parity with skopeo: deterministic layer
+  * composition (sorted walk — reference `image_builder.py:93-96`),
+  * streaming (files are never co-resident in memory — `:72-76`), chunked
+  * sha256. Driver-side by design: packaging is not a distributed concern.
+  * The minimal ustar writer below avoids any external dependency.
+  */
+object ImageArchiveSink {
+
+  private val BlockSize = 512
+
+  private def headerBlock(name: String, size: Long, mode: String, typeFlag: Char): Array[Byte] = {
+    val h = new Array[Byte](BlockSize)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes(StandardCharsets.US_ASCII)
+      System.arraycopy(b, 0, h, off, math.min(b.length, 99))
+    }
+    put(0, name)
+    put(100, mode) // e.g. "0000644"
+    put(108, "0000000"); put(116, "0000000") // uid, gid
+    put(124, f"$size%011o")
+    put(136, "00000000000") // mtime 0 -> deterministic
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum placeholder
+    h(156) = typeFlag.toByte
+    put(257, "ustar"); h(262) = 0; h(263) = '0'; h(264) = '0'
+    val sum = h.map(_ & 0xff).sum
+    put(148, f"$sum%06o")
+    h(154) = 0; h(155) = ' '
+    h
+  }
+
+  private def writeEntry(out: OutputStream, name: String, data: Array[Byte]): Unit = {
+    out.write(headerBlock(name, data.length.toLong, "0000644", '0'))
+    out.write(data)
+    val pad = (BlockSize - (data.length % BlockSize)) % BlockSize
+    out.write(new Array[Byte](pad))
+  }
+
+  private def writeDirEntry(out: OutputStream, name: String): Unit =
+    out.write(headerBlock(name, 0L, "0000755", '5'))
+
+  private def sha256Hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map(b => f"$b%02x").mkString
+
+  /** Build `<outFile>` as a docker-archive-style tar containing one
+    * gzipped layer with every file under `indexDir` (sorted paths), plus
+    * config + manifest JSON with sha256 digests. Returns the layer digest. */
+  def compose(indexDir: String, outFile: String, repoTag: String): String = {
+    val root = Paths.get(indexDir)
+    val files: Seq[Path] = Files.walk(root).iterator().asScala
+      .filter(Files.isRegularFile(_)).toSeq
+      .sortBy(_.toString) // deterministic ordering (reference O1)
+
+    // 1. layer tar.gz (streamed: file by file)
+    val layerBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new GZIPOutputStream(bos) { this.`def`.setLevel(6) }
+      writeDirEntry(gz, "index/")
+      files.foreach { f =>
+        val rel = "index/" + root.relativize(f).toString.replace('\\', '/')
+        writeEntry(gz, rel, Files.readAllBytes(f))
+      }
+      gz.write(new Array[Byte](2 * BlockSize)) // tar terminator
+      gz.finish()
+      bos.toByteArray
+    }
+    val layerDigest = sha256Hex(layerBytes)
+
+    // 2. config + manifest
+    val config =
+      s"""{"architecture":"amd64","os":"linux","rootfs":{"type":"layers","diff_ids":["sha256:$layerDigest"]}}"""
+    val configDigest = sha256Hex(config.getBytes(StandardCharsets.UTF_8))
+    val manifest =
+      s"""[{"Config":"$configDigest.json","RepoTags":["$repoTag"],"Layers":["$layerDigest/layer.tar.gz"]}]"""
+
+    // 3. outer docker-archive tar
+    val out = new BufferedOutputStream(new FileOutputStream(outFile))
+    try {
+      writeDirEntry(out, s"$layerDigest/")
+      writeEntry(out, s"$layerDigest/layer.tar.gz", layerBytes)
+      writeEntry(out, s"$configDigest.json", config.getBytes(StandardCharsets.UTF_8))
+      writeEntry(out, "manifest.json", manifest.getBytes(StandardCharsets.UTF_8))
+      out.write(new Array[Byte](2 * BlockSize))
+    } finally out.close()
+    layerDigest
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.ImageArchiveSink
+
+class ImageArchiveSpec extends AnyFunSuite {
+
+  test("K7: archive composition is deterministic and tar-readable") {
+    val dir = Files.createTempDirectory("graft_img")
+    Files.writeString(dir.resolve("metadata.json"), """{"k":1}""")
+    Files.createDirectories(dir.resolve("chunks"))
+    Files.writeString(dir.resolve("chunks/part-0.parquet"), "fake-parquet-bytes")
+
+    val out1 = Files.createTempFile("graft_arch", ".tar").toString
+    val out2 = Files.createTempFile("graft_arch", ".tar").toString
+    val d1 = ImageArchiveSink.compose(dir.toString, out1, "graft/index:latest")
+    val d2 = ImageArchiveSink.compose(dir.toString, out2, "graft/index:latest")
+    assert(d1 == d2, "same input -> same layer digest")
+    assert(Files.readAllBytes(Paths.get(out1)).sameElements(Files.readAllBytes(Paths.get(out2))),
+      "byte-identical archives")
+
+    // system tar can list the archive and sees manifest + layer
+    import scala.sys.process._
+    val listing = Seq("tar", "-tf", out1).!!
+    assert(listing.contains("manifest.json"))
+    assert(listing.contains(s"$d1/layer.tar.gz"))
+
+    // the inner layer is a valid tar.gz containing the index files
+    val tmp = Files.createTempDirectory("graft_x")
+    assert(Seq("tar", "-xf", out1, "-C", tmp.toString).! == 0)
+    val inner = Seq("tar", "-tzf", s"$tmp/$d1/layer.tar.gz").!!
+    assert(inner.contains("index/metadata.json"))
+    assert(inner.contains("index/chunks/part-0.parquet"))
+  }
+}
