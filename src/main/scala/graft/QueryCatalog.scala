@@ -246,13 +246,13 @@ object QueryCatalog {
         tEvents(s, dir)
           .groupBy("user_id")
           .agg(count(lit(1)).as("cnt"), max(col("value")).as("mx"))
-          .where(col("mx") >= 450.0)
+          .where(col("mx") >= 350.0)
           .orderBy("user_id"),
       Some("""
         SELECT user_id, count(*) AS cnt, max(value) AS mx
         FROM events
         GROUP BY user_id
-        HAVING max(value) >= CAST(450.0 AS DOUBLE)
+        HAVING max(value) >= CAST(350.0 AS DOUBLE)
         ORDER BY user_id""")),
 
     // S7-shape: typed metadata extraction from a semi-structured column
@@ -315,13 +315,20 @@ object QueryCatalog {
 
       // F2: markdown-content validity (stateful UDF; rows-only check — the
       // 19-case reference contract is enforced in MdContentSpec)
+      // Oracle is analytic: the synthetic docs are plain prose (no headers,
+      // no code fences), so F2 reduces to "has a non-blank line". The full
+      // line-machine semantics are pinned by MdContentSpec's 19 reference
+      // fixtures.
       Q("q_f2_md_valid",
         (s, dir) =>
           t(s, dir, "documents")
             .where(MdContent.mdHasContent(col("text")))
             .select(col("doc_id"))
             .orderBy("doc_id"),
-        None),
+        Some("""
+          SELECT doc_id FROM documents
+          WHERE trim(text) <> ''
+          ORDER BY doc_id""")),
 
       // T9: title fallback — first line stripped of leading #/whitespace
       // (metadata_processor.py:52-54)
