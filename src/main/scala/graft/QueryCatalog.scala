@@ -862,6 +862,43 @@ object QueryCatalog {
   }
 
   private def scaleOps: Seq[Q] = Seq(
+    // Gap-based sessionization (30-min inactivity): lag + cumulative-sum
+    // window pattern — the standard large-scale eventstream operator.
+    // Exact: pure integer-nanosecond arithmetic on both engines.
+    Q("q_sessionize",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // microsecond precision: DuckDB timestamps are µs internally (its
+        // parquet reader TRUNCATES nanos), so compare in truncated µs.
+        val w = Window.partitionBy(col("user_id")).orderBy(col("__tsus"), col("event_id"))
+        tEvents(s, dir)
+          .withColumn("__tsus", expr("ts div 1000"))
+          .withColumn("__prev", lag(col("__tsus"), 1).over(w))
+          .withColumn("__new",
+            when(col("__prev").isNull ||
+              (col("__tsus") - col("__prev")) > lit(1800000000L), 1).otherwise(0))
+          .withColumn("sess_id", sum(col("__new")).over(w))
+          .groupBy(col("user_id"), col("sess_id").cast("long").as("sess_id"))
+          .agg(count(lit(1)).as("n"),
+            (max(col("__tsus")) - min(col("__tsus"))).cast("long").as("duration_us"))
+          .orderBy("user_id", "sess_id")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+        x AS (SELECT user_id, event_id, tsu,
+                CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) IS NULL
+                       OR tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) > 1800000000
+                     THEN 1 ELSE 0 END AS ns
+              FROM e),
+        y AS (SELECT user_id, tsu,
+                sum(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS sess_id
+              FROM x)
+        SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n,
+               CAST(max(tsu) - min(tsu) AS BIGINT) AS duration_us
+        FROM y
+        GROUP BY user_id, sess_id
+        ORDER BY user_id, sess_id""")),
+
     // Skew-mitigating two-phase salted aggregation: bit-identical to the
     // one-phase GROUP BY because decimal sums are order-independent —
     // which is exactly why the plain SQL is a valid oracle.
