@@ -738,9 +738,13 @@ object QueryCatalog {
         WHERE contains(lower(source), 'src1')
         ORDER BY doc_id""")),
 
-    // S3 + T6: HTML -> text conversion (rows-only; unit-tested in
-    // SourcesSpec — regex-chain parity in DuckDB SQL is not worth the
-    // dialect risk)
+    // S3 + T6: HTML -> text conversion. The fixture HTML is constructed
+    // from documents columns (verified free of [<>&] and odd whitespace),
+    // so the converter's output is known in closed form: the h1 becomes a
+    // '# ' heading line, the <p> body is the original text with runs of
+    // [ \t] collapsed and newlines tightened — an analytic oracle, same
+    // style as q_s7_frontmatter. Full tag/entity semantics are pinned by
+    // SourcesSpec.
     Q("q_html_to_text",
       (s, dir) => {
         val html = t(s, dir, "documents")
@@ -752,7 +756,13 @@ object QueryCatalog {
           .where(col("text").startsWith("# Title"))
           .orderBy("doc_id")
       },
-      None)
+      Some("""
+        SELECT doc_id,
+               '# Title ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+               trim(regexp_replace(regexp_replace(text || ' & more', '[ \t]+', ' ', 'g'),
+                                   '\s*\n\s*', chr(10), 'g')) AS text
+        FROM documents
+        ORDER BY doc_id"""))
   )
 
   // =========================================================================
@@ -792,11 +802,13 @@ object QueryCatalog {
           FROM c
           ORDER BY doc_id, chunk_idx""")),
 
-      // Q3 mode=keyword
+      // Q3 mode=keyword — runs on the chunk table only: no embedding pass
+      // (the embedder is opaque to Catalyst's column pruning, so skipping
+      // it must happen at the operator level).
       Q("q_keyword_search",
         (s, dir) => {
-          val index = RagPipeline.buildIndex(t(s, dir, "documents"))
-          Similarity.keywordTopK(index, "chunk_text", "chunk_id", kwTerms, 10)
+          val chunks = RagPipeline.buildChunks(t(s, dir, "documents"))
+          Similarity.keywordTopK(chunks, "chunk_text", "chunk_id", kwTerms, 10)
             .select(col("chunk_id"), r6(col("score")).as("score"))
         },
         Some(s"""
@@ -854,9 +866,12 @@ object QueryCatalog {
         (s, dir) =>
           Dedup.dropExactDuplicates(t(s, dir, "documents"), "text", "doc_id")
             .agg(count(lit(1)).as("n_kept"),
-              sum(col("doc_id")).as("id_sum")),
+              // BIGINT on both sides: DuckDB's sum(BIGINT) widens to
+              // HUGEINT, which the driver's value hasher formats
+              // differently — pin the emitted type explicitly.
+              sum(col("doc_id")).cast("long").as("id_sum")),
         Some("""
-          SELECT count(*) AS n_kept, sum(keep_id) AS id_sum
+          SELECT count(*) AS n_kept, CAST(sum(keep_id) AS BIGINT) AS id_sum
           FROM (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text))"""))
     )
   }

@@ -27,10 +27,12 @@ object RagPipeline {
       embedDim: Int = 64,
       markdownCompatible: Boolean = false)
 
-  /** documents(doc_id, text, ...) -> chunk table
-    * (doc_id, chunk_idx, chunk_id, chunk_text, n_tokens, embedding).
-    * Narrow ops only: explode + filters + embedding — no shuffle. */
-  def buildIndex(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+  /** documents(doc_id, text, ...) -> filtered chunk table WITHOUT the
+    * embedding column (doc_id, chunk_idx, chunk_id, chunk_text, n_tokens).
+    * The keyword query path needs only this half — computing embeddings
+    * there would burn a full inference pass that column pruning can't
+    * remove (the embedder is a UDF stage, opaque to Catalyst). */
+  def buildChunks(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val chunked = Chunking.explodeCharWindows(docs, "text", cfg.chunkSize, cfg.chunkStep)
       .withColumn("chunk_id",
         concat(col("doc_id").cast("string"), lit("_"), col("chunk_idx").cast("string")))
@@ -40,11 +42,18 @@ object RagPipeline {
       if (cfg.markdownCompatible)
         chunked.where(col("chunk_text").rlike("\\s") && MdContent.mdHasContent(col("chunk_text")))
       else chunked.where(col("chunk_text").rlike("\\s"))
+    filtered.select(col("doc_id"), col("chunk_idx"), col("chunk_id"),
+      col("chunk_text"), size(split(trim(col("chunk_text")), "\\s+")).as("n_tokens"))
+  }
+
+  /** documents(doc_id, text, ...) -> chunk table
+    * (doc_id, chunk_idx, chunk_id, chunk_text, n_tokens, embedding).
+    * Narrow ops only: explode + filters + embedding — no shuffle. */
+  def buildIndex(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val embedder = HashingEmbedder(cfg.embedDim)
-    embedder.withEmbedding(filtered, "chunk_text", "embedding")
+    embedder.withEmbedding(buildChunks(docs, cfg), "chunk_text", "embedding")
       .select(col("doc_id"), col("chunk_idx"), col("chunk_id"),
-        col("chunk_text"), size(split(trim(col("chunk_text")), "\\s+")).as("n_tokens"),
-        col("embedding"))
+        col("chunk_text"), col("n_tokens"), col("embedding"))
   }
 
   /** Query path (Q1 + O2 + F8): embed query text, cosine top-k over the
