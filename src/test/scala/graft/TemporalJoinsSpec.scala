@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Similarity, TemporalJoins}
+
+/** As-of join, range join, and BM25 semantics on hand-built fixtures. */
+class TemporalJoinsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private lazy val left = Seq(
+    (1L, 100L, 5L), (1L, 100L, 25L), (1L, 100L, 60L),
+    (2L, 200L, 10L) // key with no right rows at all
+  ).toDF("eid", "k", "t")
+  // eid column below distinguishes rows; right payload is `pv`
+  private lazy val right = Seq(
+    (100L, 10L, 1.0), (100L, 25L, 2.0), (100L, 50L, 3.0)
+  ).toDF("k", "rt", "pv")
+
+  test("asof backward: latest right at-or-before, inclusive, null when none") {
+    val out = TemporalJoins.asofBackward(left, right, "k", "t", "rt", Seq("pv"))
+      .select($"eid", $"t", $"pv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    assert(out == Set(
+      (1L, 5L, None),          // before first right row
+      (1L, 25L, Some(2.0)),    // equal time matches (inclusive)
+      (1L, 60L, Some(3.0)),    // most recent preceding
+      (2L, 10L, None)))        // key absent from right
+  }
+
+  test("range join matches brute-force within tolerance, inclusive bounds") {
+    val l = Seq((1L, 0L), (1L, 100L), (1L, 205L), (2L, 50L))
+      .toDF("k", "lt")
+    val r = Seq((1L, 95L, 10L), (1L, 210L, 11L), (2L, 300L, 12L))
+      .toDF("k", "rt", "rid")
+    val got = TemporalJoins.timeRangeJoin(l, r, "k", "lt", "rt", Seq("rid"), 100L)
+      .select($"lt", $"rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // brute force: |lt-rt| <= 100 same key
+    val expect = (for {
+      (lk, lt) <- Seq((1L, 0L), (1L, 100L), (1L, 205L), (2L, 50L))
+      (rk, rt, rid) <- Seq((1L, 95L, 10L), (1L, 210L, 11L), (2L, 300L, 12L))
+      if lk == rk && math.abs(lt - rt) <= 100L
+    } yield (lt, rid)).toSet
+    assert(got == expect)
+    assert(got.contains((0L, 10L)), "95 is within inclusive tolerance 100 of 0")
+  }
+
+  test("bm25: tf saturates within a term, rarer term has higher idf weight") {
+    val chunks = Seq(
+      ("c0", "spark spark spark runs fast"),   // rare term, tf=3
+      ("c1", "unrelated words entirely here now"),
+      ("c2", "common common common common common"), // common term, tf=5
+      ("c3", "spark here too common more"),    // both terms, tf=1 each
+      ("c4", "common appears here common too") // common term, tf=2
+    ).toDF("chunk_id", "chunk_text")
+    // df(spark)=2, df(common)=3 over 5 chunks
+    val top = Similarity.bm25TopK(chunks, "chunk_text", "chunk_id",
+      Seq("spark", "common"), 5).collect().map(r => r.getString(0) -> r.getDouble(1))
+    val scores = top.toMap
+    assert(scores("c1") == 0.0, "term-free chunk scores zero")
+    assert(scores("c0") > scores("c4"),
+      "tf=3 of the rarer term must outweigh tf=2 of the commoner term")
+    assert(scores("c2") > scores("c4"), "same term, higher tf wins")
+    assert(scores("c3") > scores("c1"), "any term hit beats none")
+    // saturation: going 1 -> 3 occurrences gains less than 3x
+    assert(scores("c0") < 3.0 * scores("c3"))
+  }
+}
