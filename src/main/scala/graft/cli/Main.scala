@@ -9,17 +9,45 @@ import graft.sources.DirectoryCorpus
 
 /** CLI entry points mirroring the reference's lifecycle (SURVEY §3):
   *
-  *   generate <docsDir> <outDir>   — §3.1 index build
+  *   generate <docsDir> <outDir> [flags]   — §3.1 index build
   *       (scan -> metadata -> chunk -> filter -> embed -> chunk table +
   *        manifest + stack YAMLs)
-  *   query <indexDir> <text> [k] [threshold]   — §3.2 retrieval
+  *       flags (reference `scripts/generate_embeddings.py:24-29` parity):
+  *         -c/--chunk-size N      chunk window (default 380 tokens there;
+  *                                chars here — the unit our chunker pins)
+  *         -v/--chunk-overlap N   overlap (default 0)
+  *         -m/--model-name NAME   embedder identity (manifest only)
+  *         -d/--embed-dim N       embedding dimension
+  *   query <indexDir> <text> [flags]   — §3.2 retrieval
   *       (embed query -> cosine top-k -> threshold -> JSON envelope;
   *        exit 1 on empty/below-threshold, like query_rag.py)
+  *       flags (reference `scripts/query_rag.py:269-277` parity):
+  *         -k/--top-k N           (default 1, like the reference)
+  *         -t/--threshold X       score threshold (default 0.0 = disabled)
+  *         -n/--node ID           point lookup by chunk id (Q2)
   *   convert <docsDir>   — §3.3 format conversion (HTML -> text dump)
   *
-  * Run: sbt "runMain graft.cli.Main generate /path/docs /tmp/index"
+  * Run: sbt "runMain graft.cli.Main generate /path/docs /tmp/index -c 380 -v 0"
   */
 object Main {
+
+  /** Tiny flag parser: flags may appear in any order after the positional
+    * args; unknown flags fail loudly (argparse-style). */
+  private def parseFlags(rest: List[String]): Map[String, String] = {
+    def loop(args: List[String], acc: Map[String, String]): Map[String, String] =
+      args match {
+        case Nil => acc
+        case flag :: value :: tail if flag.startsWith("-") =>
+          val key = flag.dropWhile(_ == '-')
+          loop(tail, acc + (key -> value))
+        case bad :: _ =>
+          System.err.println(s"unparseable flag tail: $bad"); sys.exit(2)
+      }
+    loop(rest, Map.empty)
+  }
+
+  private def flag(fs: Map[String, String], keys: Seq[String]): Option[String] =
+    keys.flatMap(fs.get).headOption
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -34,7 +62,13 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = args.toList match {
-    case "generate" :: docsDir :: outDir :: _ =>
+    case "generate" :: docsDir :: outDir :: rest =>
+      val fs = parseFlags(rest)
+      val chunkSize = flag(fs, Seq("c", "chunk-size")).map(_.toInt).getOrElse(380)
+      val overlap = flag(fs, Seq("v", "chunk-overlap")).map(_.toInt).getOrElse(0)
+      val embedDim = flag(fs, Seq("d", "embed-dim")).map(_.toInt).getOrElse(64)
+      val modelName = flag(fs, Seq("m", "model-name")).getOrElse(s"hashing-$embedDim")
+      require(overlap < chunkSize, "--chunk-overlap must be < --chunk-size")
       val spark = session()
       val t0 = System.nanoTime()
       val corpus = DirectoryCorpus.readCorpus(spark, docsDir)
@@ -47,11 +81,13 @@ object Main {
       val kept = MetadataStage.applyPolicy(enriched, MetadataStage.Warn)
         .withColumn("text", MetadataStage.stripFrontmatter(
           org.apache.spark.sql.functions.col("text")))
-      val cfg = RagPipeline.Config(markdownCompatible = true)
+      val cfg = RagPipeline.Config(
+        chunkSize = chunkSize, chunkStep = chunkSize - overlap,
+        embedDim = embedDim, markdownCompatible = true)
       val index = RagPipeline.buildIndex(kept, cfg)
       ChunkTableSink.write(index, outDir, ChunkTableSink.Manifest(
         executionTimeSec = (System.nanoTime() - t0) / 1e9,
-        embeddingModel = s"hashing-${cfg.embedDim}",
+        embeddingModel = modelName,
         indexId = java.util.UUID.nameUUIDFromBytes(outDir.getBytes).toString,
         vectorDb = "parquet-chunk-table",
         embeddingDimension = cfg.embedDim,
@@ -61,18 +97,30 @@ object Main {
       ConfigEmitters.write(outDir, ConfigEmitters.StackConfig(
         indexId = java.util.UUID.nameUUIDFromBytes(outDir.getBytes).toString,
         indexDir = outDir,
-        embeddingModel = s"hashing-${cfg.embedDim}",
+        embeddingModel = modelName,
         embeddingDimension = cfg.embedDim,
         storeType = ChunkTableSink.detectStoreType(outDir)))
       println(s"indexed ${index.count()} chunks -> $outDir")
       spark.stop()
 
     case "query" :: indexDir :: text :: rest =>
-      val k = rest.headOption.map(_.toInt).getOrElse(1)
-      val threshold = rest.drop(1).headOption.map(_.toDouble).getOrElse(0.0)
+      // positional [k] [threshold] kept for backward compat; flags win.
+      val (pos, flagTail) = rest.span(!_.startsWith("-"))
+      val fs = parseFlags(flagTail)
+      val k = flag(fs, Seq("k", "top-k"))
+        .orElse(pos.headOption).map(_.toInt).getOrElse(1)
+      val threshold = flag(fs, Seq("t", "threshold"))
+        .orElse(pos.drop(1).headOption).map(_.toDouble).getOrElse(0.0)
       val spark = session()
       val index = ChunkTableSink.load(spark, indexDir)
-      val res = RagPipeline.query(spark, index, text, k, threshold)
+      val res = flag(fs, Seq("n", "node")) match {
+        case Some(chunkId) => // Q2 point lookup (query_rag.py --node)
+          RagPipeline.pointLookup(index, chunkId)
+            .withColumn("score", org.apache.spark.sql.functions.lit(1.0))
+            .select("chunk_id", "score")
+        case None =>
+          RagPipeline.query(spark, index, text, k, threshold)
+      }
       println(ResultFormat.envelope(res, text, k, threshold))
       val code = ResultFormat.exitCode(res)
       spark.stop()

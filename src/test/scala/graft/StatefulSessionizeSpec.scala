@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StatefulSessionize
+import graft.streaming.StatefulSessionize.{SEvent, Session}
+
+/** One sessionizer, two modes: batch result must equal the window-lag-cumsum
+  * pattern (the q_sessionize oracle shape); streaming must carry state
+  * across micro-batches and close sessions via the event-time timeout. */
+class StatefulSessionizeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private val GapUs = 600L * 1000000L // 10 min
+
+  // Base offset keeps event times away from epoch 0 — a ts equal to the
+  // initial watermark (0) is dropped as late by the streaming state op.
+  private val Base = 1000000L
+  private def ev(user: Long, sec: Long, id: Long) =
+    SEvent(user, new Timestamp((Base + sec) * 1000L), id)
+
+  test("batch mode equals the window-lag-cumsum sessionization") {
+    // 3 users, interleaved, deterministic pseudo-random gaps
+    val events = (0 until 300).map { i =>
+      val user = i % 3L
+      val t = (i / 3) * 97L + (i * i % 131) * 7L // uneven spacing, some > gap
+      ev(user, t, i.toLong)
+    }
+    val ds = spark.createDataset(events)
+    val got = StatefulSessionize.sessionize(ds, GapUs)
+      .collect().map(s => (s.user_id, s.start_us, s.end_us, s.n)).toSet
+
+    // reference implementation: lag + cumulative-sum windows
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"tsu", $"event_id")
+    val expect = ds.toDF()
+      .withColumn("tsu", expr("CAST(ts AS BIGINT) * 1000000"))
+      .withColumn("prev", lag($"tsu", 1).over(w))
+      .withColumn("new", when($"prev".isNull || $"tsu" - $"prev" > GapUs, 1).otherwise(0))
+      .withColumn("sess", sum($"new").over(w))
+      .groupBy($"user_id", $"sess")
+      .agg(min($"tsu").as("s"), max($"tsu").as("e"), count(lit(1)).as("n"))
+      .select($"user_id", $"s", $"e", $"n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty && got.exists(_._4 > 1), "multi-event sessions exist")
+  }
+
+  test("streaming: state survives micro-batches; timeout closes idle sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SEvent]
+    val sessions = StatefulSessionize.sessionize(
+      input.toDS().withWatermark("ts", "1 second"), GapUs)
+    val q = sessions.writeStream
+      .format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      // batch 1: two events 60s apart -> one open session (no output yet)
+      input.addData(ev(1L, 0L, 0L), ev(1L, 60L, 1L))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0)
+
+      // batch 2: event past the gap -> closes session [0,60], opens new
+      input.addData(ev(1L, 2000L, 2L))
+      q.processAllAvailable()
+      val afterClose = spark.table("sess_out").as[Session].collect()
+      assert(afterClose.map(s =>
+          (s.user_id, s.start_us / 1000000L - Base, s.end_us / 1000000L - Base, s.n)).toSet ==
+        Set((1L, 0L, 60L, 2L)))
+
+      // batch 3+4: another user far in the future advances the watermark
+      // past 2000s + gap; the event-time timeout then emits user 1's
+      // still-open session on the following trigger.
+      input.addData(ev(2L, 50000L, 3L))
+      q.processAllAvailable()
+      input.addData(ev(2L, 50001L, 4L))
+      q.processAllAvailable()
+      val afterTimeout = spark.table("sess_out").as[Session].collect()
+      assert(afterTimeout.map(s => (s.user_id, s.start_us / 1000000L - Base, s.n)).toSet
+        .contains((1L, 2000L, 1L)), s"timeout must flush the idle open session: ${afterTimeout.toSeq}")
+    } finally q.stop()
+  }
+}
