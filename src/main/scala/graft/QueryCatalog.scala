@@ -1047,10 +1047,13 @@ object QueryCatalog {
         ORDER BY score DESC, chunk_id"""
       }),
 
-    // SimHash near-dup pairs: 4x16-bit banding + exact hamming verify.
+    // SimHash near-dup pairs: 2x32-bit banding (the width that survives
+    // correlated simhashes at scale — see Dedup.simhashNearDupPairs) +
+    // exact hamming verify via bit_count(xor). The oracle runs the same
+    // algorithm on the bit strings directly.
     Q("q_simhash_pairs",
       (s, dir) =>
-        Dedup.simhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id", 24)
+        Dedup.simhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id", 16)
           .orderBy("id_a", "id_b"),
       Some {
         val duckToks = s"(SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents)"
@@ -1059,8 +1062,8 @@ object QueryCatalog {
           SELECT doc_id, ${Exprs.simhashBits(D, "toks")} AS simhash FROM $duckToks),
         banded AS (
           SELECT doc_id, CAST(b.b AS BIGINT) AS band,
-                 substr(simhash, CAST(b.b AS INT) * 16 + 1, 16) AS band_key
-          FROM sims, range(0, 4) AS b(b)),
+                 substr(simhash, CAST(b.b AS INT) * 32 + 1, 32) AS band_key
+          FROM sims, range(0, 2) AS b(b)),
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
           FROM banded a JOIN banded c
@@ -1072,7 +1075,7 @@ object QueryCatalog {
           FROM cand JOIN sims sa ON sa.doc_id = id_a JOIN sims sb ON sb.doc_id = id_b)
         SELECT id_a, id_b, hamming
         FROM verified
-        WHERE hamming <= 24
+        WHERE hamming <= 16
         ORDER BY id_a, id_b"""
       })
   )
