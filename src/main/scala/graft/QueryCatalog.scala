@@ -1080,6 +1080,96 @@ object QueryCatalog {
       })
   )
 
+  // =========================================================================
+  // Training-data pipeline breadth: funnel analytics, binary (multimodal)
+  // column plumbing, embedding quantization
+  // =========================================================================
+
+  private def pipelineOps: Seq[Q] = Seq(
+    // Conversion funnel: first signup -> first subsequent purchase per user.
+    Q("q_funnel",
+      (s, dir) => {
+        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
+        val signup = ev.where(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("tsu")).as("signup_ts"))
+        val purch = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("tsu"))
+        signup.join(purch, Seq("user_id"), "left")
+          .groupBy(col("user_id"), col("signup_ts"))
+          .agg(min(when(col("tsu") >= col("signup_ts"), col("tsu"))).as("conv_ts"))
+          .select(col("user_id"),
+            col("signup_ts").cast("long").as("signup_ts"),
+            col("conv_ts").cast("long").as("conv_ts"),
+            col("conv_ts").isNotNull.as("converted"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH s AS (SELECT user_id, min(epoch_us(ts)) AS signup_ts
+                   FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        p AS (SELECT user_id, epoch_us(ts) AS tsu
+              FROM events WHERE event_type = 'purchase')
+        SELECT s.user_id,
+               CAST(s.signup_ts AS BIGINT) AS signup_ts,
+               CAST(min(CASE WHEN p.tsu >= s.signup_ts THEN p.tsu END) AS BIGINT) AS conv_ts,
+               (min(CASE WHEN p.tsu >= s.signup_ts THEN p.tsu END) IS NOT NULL) AS converted
+        FROM s LEFT JOIN p ON p.user_id = s.user_id
+        GROUP BY s.user_id, s.signup_ts
+        ORDER BY s.user_id""")),
+
+    // Binary-column plumbing (multimodal surface): byte length, content
+    // hash, magic bytes — the metadata pass any image/audio pipeline runs
+    // before decode. Bytes synthesized from text so the oracle is exact.
+    Q("q_binary_meta",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+          .select(col("doc_id"),
+            length(col("bin")).cast("long").as("n_bytes"),
+            md5(col("bin")).as("content_md5"),
+            hex(substring(col("bin"), 1, 4)).as("magic"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_md5,
+               hex(encode(substring(text, 1, 4))) AS magic
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // Symmetric int8 embedding quantization (index compression): scale +
+    // integer-code checksums; floor(x+0.5) instead of round() because
+    // half-rounding modes differ across engines.
+    Q("q_quantize",
+      (s, dir) => {
+        val v = VectorF.toDoubleArray(col("embedding"))
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), v.as("v"))
+          .withColumn("scale", VectorF.int8Scale(col("v")))
+          .where(col("scale").isNotNull && !col("scale").isin(Double.PositiveInfinity))
+          .withColumn("qv", VectorF.quantizeInt8(col("v"), col("scale")))
+          .select(col("vec_id"), r6(col("scale")).as("scale"),
+            aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
+            array_max(col("qv")).as("q_max"),
+            array_min(col("qv")).as("q_min"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (SELECT vec_id, v,
+                     CAST(127.0 AS DOUBLE) / list_max(list_transform(v, x -> abs(x))) AS scale
+              FROM e),
+        q AS (SELECT vec_id, scale,
+                     list_transform(v, x -> CAST(floor(x * scale + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS qv
+              FROM s
+              WHERE scale IS NOT NULL AND scale <> CAST('inf' AS DOUBLE))
+        SELECT vec_id, (round(scale, 6) + CAST(0.0 AS DOUBLE)) AS scale,
+               CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+               CAST(list_max(qv) AS BIGINT) AS q_max,
+               CAST(list_min(qv) AS BIGINT) AS q_min
+        FROM q
+        ORDER BY vec_id"""))
+  )
+
   private def scaleOps: Seq[Q] = Seq(
     // Gap-based sessionization (30-min inactivity): lag + cumulative-sum
     // window pattern — the standard large-scale eventstream operator.
@@ -1174,7 +1264,7 @@ object QueryCatalog {
 
   def all: Seq[Q] =
     relational ++ textOps ++ vectorOps ++ ragOps ++ metaOps ++ extraOps ++
-      temporalOps ++ scaleOps
+      temporalOps ++ pipelineOps ++ scaleOps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

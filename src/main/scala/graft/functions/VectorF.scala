@@ -36,6 +36,18 @@ object VectorF {
     element_at(transform(array(a), v =>
       element_at(transform(array(sqrt(dot(v, v))), nn =>
         when(nn === lit(0.0), v).otherwise(transform(v, x => x / nn))), 1)), 1)
+
+  /** Symmetric int8 quantization scale: 127 / max|v|. At 100 TB the
+    * quantized index is 8x smaller than float64 and 4x smaller than
+    * float32 — the standard memory/recall trade in vector stores. */
+  def int8Scale(a: Column): Column =
+    lit(127.0) / array_max(transform(a, x => abs(x)))
+
+  /** Quantized codes: floor(x*scale + 0.5) — written as an explicit floor
+    * rather than round() because half-value rounding modes differ across
+    * engines; this form is deterministic everywhere. */
+  def quantizeInt8(a: Column, scale: Column): Column =
+    transform(a, x => floor(x * scale + lit(0.5)).cast("long"))
 }
 
 /** Column wrappers for the native codegen expressions. */
