@@ -37,13 +37,14 @@ final case class HashingEmbedder(dimension: Int = 64) extends Embedder {
 
   /** Fast path: identical arithmetic (md5 hex digits -> signed bucket
     * counts -> ascending-order norm fold -> per-element divide) in primitive
-    * Scala, so results stay bit-identical to the SQL path and the DuckDB
-    * oracle while avoiding interpreted HOF overhead. */
+    * Scala behind a native codegen expression — the embedding projection
+    * stays inside WholeStageCodegen instead of crossing a UDF
+    * serialization boundary per row. Bit-identical to the SQL path and the
+    * DuckDB oracle. */
   def withEmbedding(df: DataFrame, textCol: String, outCol: String): DataFrame = {
-    val dim = dimension
-    val embedUdf = org.apache.spark.sql.functions.udf(
-      (text: String) => if (text == null) null else HashingEmbedder.embedText(text, dim))
-    df.withColumn(outCol, embedUdf(col(textCol)))
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    df.withColumn(outCol,
+      toCol(graft.functions.EmbedText(toExpr(col(textCol)), dimension)))
   }
 
   /** Reference SQL-expression path (documents the cross-engine contract;

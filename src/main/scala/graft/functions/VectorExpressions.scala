@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expressions for the vector hot path (SURVEY §4.3: a fused
   * primitive loop is ~10x faster than `aggregate`+`zip_with`, which are
@@ -96,6 +96,31 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Hashing-embedder stage as a native expression: keeps the embedding
+  * projection inside whole-stage codegen (a Scala UDF would force a
+  * deserialize/serialize boundary per row). The kernel is the shared
+  * static method, so semantics stay bit-identical to the SQL contract and
+  * the DuckDB oracle. `dim` is an operator parameter, not a child. */
+case class EmbedText(child: Expression, dim: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(t: Any): Any =
+    ArrayData.toArrayData(
+      graft.embed.HashingEmbedder.embedText(t.toString, dim))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  graft.embed.HashingEmbedder.embedText($c.toString(), $dim));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** sqrt(sum (a_i - b_i)^2), sequential fold. */

@@ -63,6 +63,9 @@ object VectorNative {
     reg.createOrReplaceTempFunction("euclidean_d", es => EuclideanDistance(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("chunk_text",
       es => graft.chunk.ChunkTextGenerator(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("embed_text",
+      es => EmbedText(es(0),
+        es(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
   }
 
   def dotNative(a: Column, b: Column): Column =

@@ -77,6 +77,55 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist the embedding table PARTITIONED BY ivf cluster id — the
+    * at-rest layout that turns IVF probing into Hive-style partition
+    * pruning: a query with nprobe=p reads p directories and never touches
+    * the rest of the corpus. At 100 TB this is the difference between an
+    * ANN query scanning terabytes and scanning gigabytes; the pruning is
+    * visible in the scan node's PartitionFilters. */
+  def ivfWriteClustered(emb: DataFrame, centroids: DataFrame,
+                        idCol: String, vecCol: String, outDir: String): Unit = {
+    val v = VectorF.toDoubleArray(col(vecCol))
+    val centsN = centroids.select(col("cid"),
+      VectorF.l2Normalize(VectorF.toDoubleArray(col("cv"))).as("cvn"))
+    VectorNative.register(emb.sparkSession)
+    emb.withColumn("__vn", VectorF.l2Normalize(v))
+      .crossJoin(broadcast(centsN.groupBy().agg(
+        sort_array(collect_list(struct(col("cid"), col("cvn")))).as("cents"))))
+      .withColumn("cluster_id", expr(
+        """
+        aggregate(cents, named_struct('cid', CAST(-1 AS INT), 's', CAST(-2.0 AS DOUBLE)),
+          (acc, c) -> CASE
+            WHEN dot_d(__vn, c.cvn) > acc.s
+            THEN named_struct('cid', c.cid, 's', dot_d(__vn, c.cvn))
+            ELSE acc END).cid
+        """))
+      .drop("cents", "__vn")
+      .write.mode("overwrite")
+      .partitionBy("cluster_id")
+      .parquet(outDir)
+  }
+
+  /** Query the clustered layout: nearest `nprobe` centroid ids are computed
+    * driver-side from the (tiny) centroid table, then pushed into the scan
+    * as a partition filter — only those directories are read. */
+  def ivfTopKClustered(spark: SparkSession, dir: String, centroids: DataFrame,
+                       queryDF: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nprobe: Int): DataFrame = {
+    val probeIds = centroids.crossJoin(broadcast(queryDF))
+      .withColumn("qs", VectorF.cosine(VectorF.toDoubleArray(col("cv")), col("qv")))
+      .orderBy(desc("qs"), col("cid")).limit(nprobe)
+      .select("cid").collect().map(_.getInt(0)).toSeq
+    val v = VectorF.toDoubleArray(col(vecCol))
+    spark.read.parquet(dir)
+      .where(col("cluster_id").isin(probeIds: _*))
+      .crossJoin(broadcast(queryDF))
+      .withColumn("score", VectorF.cosine(v, col("qv")))
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** Q3 `mode=keyword`: term-overlap scoring — fraction of query terms
     * present in the chunk's token set (reference exposes the mode switch at
     * `scripts/query_rag.py:188-192` but only exercises `vector`; this is

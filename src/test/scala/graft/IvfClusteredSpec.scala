@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** IVF clustered-at-rest layout: results must match brute force when all
+  * clusters are probed, and the scan must actually prune partitions when
+  * nprobe is small (the 100 TB design claim, verified on the plan). */
+class IvfClusteredSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private val dim = 8
+  private lazy val emb = {
+    // deterministic vectors spread across 4 obvious clusters
+    val rows = (0 until 64).map { i =>
+      val c = i % 4
+      val v = Array.tabulate(dim)(j =>
+        (if (j == c * 2) 1.0 else 0.05) + (i.toDouble / 1000.0) * (j + 1))
+      (i.toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+  private lazy val cents = (0 until 4).map { c =>
+    (c, Array.tabulate(dim)(j => if (j == c * 2) 1.0 else 0.05))
+  }.toDF("cid", "cv")
+  private lazy val query = Seq(
+    Array.tabulate(dim)(j => if (j == 0) 1.0 else 0.04)).toDF("qv")
+
+  private val outDir = "/tmp/graft_ivf_clustered"
+
+  test("clustered layout: full-probe results equal brute force; pruning visible in plan") {
+    Similarity.ivfWriteClustered(emb, cents, "vec_id", "embedding", outDir)
+
+    // all partitions probed -> identical to exact scan
+    val full = Similarity.ivfTopKClustered(spark, outDir, cents, query,
+      "vec_id", "embedding", 10, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Similarity.bruteForceTopK(emb, query, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == brute)
+
+    // nprobe=1 -> partition filter in the scan, subset of rows read
+    val pruned = Similarity.ivfTopKClustered(spark, outDir, cents, query,
+      "vec_id", "embedding", 10, 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"),
+      s"expected cluster_id partition filter in scan:\n$plan")
+    val prunedIds = pruned.collect().map(_.getLong(0)).toSet
+    assert(prunedIds.nonEmpty && prunedIds.forall(_ % 4 == 0),
+      s"nprobe=1 must only see cluster 0's vectors: $prunedIds")
+  }
+}
