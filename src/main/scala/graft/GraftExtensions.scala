@@ -39,5 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("chunk_text"),
       info("chunk_text", "chunk_text(text, budget, overlap) - explode text into token-window chunks"),
       (es: Seq[Expression]) => ChunkTextGenerator(es(0), es(1), es(2))))
+    ext.injectFunction((
+      FunctionIdentifier("embed_text"),
+      info("embed_text", "embed_text(text, dim) - deterministic hashing embedding, L2-normalized ARRAY<DOUBLE>"),
+      (es: Seq[Expression]) => graft.functions.EmbedText(es(0),
+        es(1).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.TextHashing
+
+/** Online deduplication over a document stream — the streaming form of
+  * [[graft.ops.Dedup]]. Batch dedup can only compare within the data it
+  * sees; these operators carry the seen-set across micro-batches in the
+  * state store, catching duplicates that arrive hours apart.
+  *
+  * Scale design:
+  *   - exact dedup state is one 8-byte keeper id per DISTINCT content
+  *     hash (keyed by the hash, so the shuffle key is the 32-char digest,
+  *     never the text). That per-key floor is inherent to exact streaming
+  *     dedup; bound it in deployment with a state TTL if the stream is
+  *     unbounded-vocabulary.
+  *   - LSH candidate state is capped per band bucket (`maxPerBucket`):
+  *     hot buckets degrade to sampling instead of quadratic state growth —
+  *     same trade measured for batch banding in Dedup.simhashNearDupPairs.
+  */
+object StreamingDedup {
+
+  final case class DocIn(doc_id: Long, text: String)
+  final case class DupPair(keep_id: Long, dup_id: Long)
+  final case class CandPair(id_a: Long, id_b: Long)
+
+  /** Exact cross-batch dedup: emits (keeper, duplicate) for every arrival
+    * whose content hash was already seen (keeper = first seen, min id
+    * within a batch). Runs on static Datasets too (single invocation). */
+  def exactDupStream(docs: Dataset[DocIn]): Dataset[DupPair] = {
+    implicit val outEnc = Encoders.product[DupPair]
+    implicit val keyEnc = Encoders.STRING
+    implicit val stEnc = Encoders.scalaLong
+    implicit val kvEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    docs.map(d => (TextHashing.md5Hex(d.text), d.doc_id))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, DupPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val ids = rows.map(_._2).toArray.sorted
+          if (ids.isEmpty) Iterator.empty
+          else {
+            val keeper = state.getOption.getOrElse(ids.head)
+            if (!state.exists) state.update(keeper)
+            ids.iterator.filter(_ != keeper).map(DupPair(keeper, _))
+          }
+      }
+  }
+
+  /** Streaming MinHash-LSH candidate generation: signatures are banded
+    * (same banding as Dedup.lshCandidatePairs); each band bucket keeps the
+    * ids seen so far and every new arrival emits candidate pairs against
+    * them. Downstream verification (true Jaccard) stays a batch join. */
+  def lshCandidateStream(docs: Dataset[DocIn], shingleN: Int = 3, k: Int = 8,
+                         rowsPerBand: Int = 2, maxPerBucket: Int = 32)
+      : Dataset[CandPair] = {
+    implicit val outEnc = Encoders.product[CandPair]
+    implicit val keyEnc = Encoders.STRING
+    implicit val stEnc = Encoders.kryo[Vector[Long]]
+    implicit val kvEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    val banded = docs.flatMap { d =>
+      val sig = TextHashing.minhash(
+        TextHashing.wordShingles(TextHashing.tokens(d.text), shingleN), k)
+      sig.grouped(rowsPerBand).zipWithIndex.map { case (band, bi) =>
+        (s"$bi:${TextHashing.md5Hex(band.mkString("|"))}", d.doc_id)
+      }
+    }
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState[Vector[Long], CandPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Long)], state: GroupState[Vector[Long]]) =>
+          val incoming = rows.map(_._2).toArray.sorted.distinct
+          val seen = state.getOption.getOrElse(Vector.empty)
+          val out = Vector.newBuilder[CandPair]
+          var stored = seen
+          incoming.foreach { id =>
+            if (!stored.contains(id)) {
+              stored.foreach { prev =>
+                out += (if (prev < id) CandPair(prev, id) else CandPair(id, prev))
+              }
+              if (stored.length < maxPerBucket) stored = stored :+ id
+            }
+          }
+          if (stored != seen) state.update(stored)
+          out.result().iterator
+      }
+  }
+}

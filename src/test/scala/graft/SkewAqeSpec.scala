@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** AQE skew-join handling: with one hot key dominating the build of a
+  * sort-merge join, adaptive execution must split the skewed partition
+  * (visible as skew=true in the final plan). This is the runtime half of
+  * the skew story — graft.ops.Skew is the explicit-salting half for cases
+  * where the planner can't see the skew (e.g. pre-aggregation). */
+class SkewAqeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  test("adaptive execution splits the skewed join partition") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+
+      // 200k rows on one hot key, a sprinkle on 9 others
+      val left = spark.range(200000).select(
+        when($"id" % 20 === 0, $"id" % 10).otherwise(lit(0L)).as("k"),
+        $"id".as("payload"))
+      val right = spark.range(10).select($"id".as("k"), ($"id" * 100).as("rv"))
+      val joined = left.join(right, "k")
+      // collect() executes THIS DataFrame's queryExecution (count() would
+      // plan a separate agg tree and leave this one unexecuted/non-final)
+      assert(joined.collect().length == 200000)
+
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the skewed join (skew=true):\n$plan")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+    }
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StreamingDedup
+import graft.streaming.StreamingDedup.{CandPair, DocIn, DupPair}
+
+/** Cross-micro-batch dedup: the property batch dedup cannot have. */
+class StreamingDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  test("exact dedup catches duplicates arriving in LATER micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[DocIn]
+    val q = StreamingDedup.exactDupStream(in.toDS())
+      .writeStream.format("memory").queryName("dups_out").outputMode("append").start()
+    try {
+      in.addData(DocIn(1L, "alpha beta gamma"), DocIn(2L, "different text"))
+      q.processAllAvailable()
+      assert(spark.table("dups_out").count() == 0)
+
+      // same content as doc 1, two batches later + an in-batch dup of doc 2
+      in.addData(DocIn(9L, "alpha beta gamma"),
+                 DocIn(7L, "different text"), DocIn(8L, "different text"))
+      q.processAllAvailable()
+      val dups = spark.table("dups_out").as[DupPair].collect().toSet
+      assert(dups == Set(DupPair(1L, 9L), DupPair(2L, 7L), DupPair(2L, 8L)))
+    } finally q.stop()
+  }
+
+  test("lsh candidates surface near-dups across batches, capped state") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[DocIn]
+    val q = StreamingDedup.lshCandidateStream(in.toDS())
+      .writeStream.format("memory").queryName("cand_out").outputMode("append").start()
+    try {
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      in.addData(DocIn(1L, base), DocIn(2L, "totally unrelated content here now"))
+      q.processAllAvailable()
+
+      // near-identical doc arrives in a later batch
+      in.addData(DocIn(5L, base + " lambda"))
+      q.processAllAvailable()
+      val cands = spark.table("cand_out").as[CandPair].collect().toSet
+      assert(cands.contains(CandPair(1L, 5L)),
+        s"cross-batch near-dup must be an LSH candidate: $cands")
+      assert(!cands.exists(c => c.id_a == 2L || c.id_b == 2L),
+        s"unrelated doc must not pair: $cands")
+    } finally q.stop()
+  }
+}
