@@ -39,20 +39,16 @@ object Similarity {
     topk.crossJoin(broadcast(mx)).where(col("__mx") >= threshold).drop("__mx")
   }
 
-  /** IVF-style ANN: assign every vector to its nearest centroid, then scan
-    * only the `nprobe` centroids nearest to the query. Centroids are a
-    * small broadcast table (cid, cv: array<double>). */
-  def ivfTopK(emb: DataFrame, centroids: DataFrame, queryDF: DataFrame,
-              idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+  /** Nearest-centroid assignment: normalize both sides once (cosine ==
+    * dot), broadcast the centroid list, argmax inside one narrow
+    * projection — a map-only stage at any scale. Adds `cluster_id`. */
+  def assignClusters(emb: DataFrame, centroids: DataFrame, vecCol: String): DataFrame = {
     val v = VectorF.toDoubleArray(col(vecCol))
-    // Normalize both sides once so cosine == dot; assignment is then a
-    // single sequential-fold dot per centroid inside one narrow projection
-    // (no shuffle — at scale this is a map-only stage).
     val normed = emb.withColumn("__vn", VectorF.l2Normalize(v))
     val centsN = centroids.select(col("cid"),
       VectorF.l2Normalize(VectorF.toDoubleArray(col("cv"))).as("cvn"))
     VectorNative.register(emb.sparkSession)
-    val assigned = normed
+    normed
       .crossJoin(broadcast(centsN.groupBy().agg(
         sort_array(collect_list(struct(col("cid"), col("cvn")))).as("cents"))))
       .withColumn("cluster_id", expr(
@@ -64,6 +60,45 @@ object Similarity {
             ELSE acc END).cid
         """))
       .drop("cents", "__vn")
+  }
+
+  /** Deterministic Lloyd's k-means over the embedding column, for IVF
+    * centroid training. Init = the k lowest-id vectors; each iteration is
+    * one map-only assignment pass + one (cid, dim-position) aggregation;
+    * the k centroids collect to the driver between iterations (k is small
+    * by construction — this is the same driver-sync shape Spark ML's
+    * KMeans uses). Ties in argmax break to the lowest cid, so the result
+    * is reproducible run-to-run. */
+  def trainCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = VectorF.toDoubleArray(col(vecCol))
+    var cents = emb.orderBy(col(idCol)).limit(k)
+      .select(col(idCol), v.as("cv"))
+      .withColumn("cid",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col(idCol))) - 1).cast("int"))
+      .select("cid", "cv")
+    for (_ <- 1 to iters) {
+      val updated = assignClusters(emb.select(v.as("__v")), cents, "__v")
+        .select(col("cluster_id").as("cid"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cid").agg(
+          expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cv"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      cents = updated.toSeq.toDF("cid", "cv")
+    }
+    cents
+  }
+
+  /** IVF-style ANN: assign every vector to its nearest centroid, then scan
+    * only the `nprobe` centroids nearest to the query. Centroids are a
+    * small broadcast table (cid, cv: array<double>). */
+  def ivfTopK(emb: DataFrame, centroids: DataFrame, queryDF: DataFrame,
+              idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val v = VectorF.toDoubleArray(col(vecCol))
+    val assigned = assignClusters(emb, centroids, vecCol)
     // query-side: nearest nprobe centroids
     val probe = centroids.crossJoin(broadcast(queryDF))
       .withColumn("qs", VectorF.cosine(col("cv"), col("qv")))
@@ -84,27 +119,11 @@ object Similarity {
     * ANN query scanning terabytes and scanning gigabytes; the pruning is
     * visible in the scan node's PartitionFilters. */
   def ivfWriteClustered(emb: DataFrame, centroids: DataFrame,
-                        idCol: String, vecCol: String, outDir: String): Unit = {
-    val v = VectorF.toDoubleArray(col(vecCol))
-    val centsN = centroids.select(col("cid"),
-      VectorF.l2Normalize(VectorF.toDoubleArray(col("cv"))).as("cvn"))
-    VectorNative.register(emb.sparkSession)
-    emb.withColumn("__vn", VectorF.l2Normalize(v))
-      .crossJoin(broadcast(centsN.groupBy().agg(
-        sort_array(collect_list(struct(col("cid"), col("cvn")))).as("cents"))))
-      .withColumn("cluster_id", expr(
-        """
-        aggregate(cents, named_struct('cid', CAST(-1 AS INT), 's', CAST(-2.0 AS DOUBLE)),
-          (acc, c) -> CASE
-            WHEN dot_d(__vn, c.cvn) > acc.s
-            THEN named_struct('cid', c.cid, 's', dot_d(__vn, c.cvn))
-            ELSE acc END).cid
-        """))
-      .drop("cents", "__vn")
+                        idCol: String, vecCol: String, outDir: String): Unit =
+    assignClusters(emb, centroids, vecCol)
       .write.mode("overwrite")
       .partitionBy("cluster_id")
       .parquet(outDir)
-  }
 
   /** Query the clustered layout: nearest `nprobe` centroid ids are computed
     * driver-side from the (tiny) centroid table, then pushed into the scan

@@ -52,4 +52,23 @@ class IvfClusteredSpec extends AnyFunSuite {
     assert(prunedIds.nonEmpty && prunedIds.forall(_ % 4 == 0),
       s"nprobe=1 must only see cluster 0's vectors: $prunedIds")
   }
+
+  test("trained k-means centroids recover the generating clusters") {
+    val trained = Similarity.trainCentroids(emb, "vec_id", "embedding", 4, 5)
+    assert(trained.count() == 4)
+    // every generated group must land in exactly one trained cluster
+    val groups = Similarity.assignClusters(
+        emb.withColumn("grp", col("vec_id") % 4), trained, "embedding")
+      .groupBy("grp").agg(countDistinct("cluster_id").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups.size == 4 && groups.values.forall(_ == 1L),
+      s"each generating cluster maps to one trained centroid: $groups")
+    // and trained-centroid IVF with full probing is still exact
+    Similarity.ivfWriteClustered(emb, trained, "vec_id", "embedding", outDir + "_t")
+    val got = Similarity.ivfTopKClustered(spark, outDir + "_t", trained, query,
+      "vec_id", "embedding", 10, 4).collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.bruteForceTopK(emb, query, "vec_id", "embedding", 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == brute)
+  }
 }
