@@ -755,7 +755,7 @@ object QueryCatalog {
             lit("<html><body><h1>Title "), col("doc_id"),
             lit("</h1><p>"), col("text"), lit(" &amp; more</p></body></html>")))
         html.select(col("doc_id"),
-            graft.sources.DirectoryCorpus.htmlToText(col("html")).as("text"))
+            graft.sources.DirectoryCorpus.htmlToTextFast(col("html")).as("text"))
           .where(col("text").startsWith("# Title"))
           .orderBy("doc_id")
       },

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.{DirectoryCorpus, HtmlKernel}
+
+/** The kernel and the Column chain must be indistinguishable — checked on
+  * seeded-random HTML covering tags, entities, nesting, and whitespace
+  * (property style, same convention as ChunkingSpec). */
+class HtmlKernelSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(1234)
+  private val atoms = Array(
+    "alpha", "beta", "&amp;", "&lt;x&gt;", "a  b", "\tq", "&#8594;",
+    "line\nbreak", "&nbsp;", "50%", "$5", "&quot;q&quot;", "&#169;")
+
+  private def words(): String =
+    Seq.fill(rnd.nextInt(6))(atoms(rnd.nextInt(atoms.length))).mkString(" ")
+
+  private def fragment(): String = {
+    val w = words()
+    rnd.nextInt(8) match {
+      case 0 => val h = 1 + rnd.nextInt(6); s"<h$h class='x'>$w</h$h>"
+      case 1 => s"<p>$w</p>"
+      case 2 => s"<div id=a>$w</div>"
+      case 3 => s"<ul><li>$w</li><li>$w</li></ul>"
+      case 4 => s"<script>var x = '$w';</script>"
+      case 5 => s"<!-- $w -->"
+      case 6 => s"<table><tr><td>$w</td></tr></table>"
+      case _ => w
+    }
+  }
+
+  private def htmlDoc(): String =
+    s"<html><body>${Seq.fill(1 + rnd.nextInt(6))(fragment()).mkString}</body></html>"
+
+  test("kernel == column chain on 400 generated HTML docs") {
+    val docs = Seq.fill(400)(htmlDoc())
+    val both = docs.toDF("html").select(
+        DirectoryCorpus.htmlToText(col("html")).as("chain"),
+        DirectoryCorpus.htmlToTextFast(col("html")).as("kernel"))
+      .collect()
+    both.zip(docs).foreach { case (r, src) =>
+      assert(r.getString(0) == r.getString(1),
+        s"divergence on: $src\nchain=${r.getString(0)}\nkernel=${r.getString(1)}")
+    }
+  }
+
+  test("kernel handles the reference shapes directly") {
+    assert(HtmlKernel.toText("<h1>Tt</h1><p>a &amp; b</p>") == "# Tt\na & b")
+    // Spark trim strips spaces only, so the <p> boundary newline survives —
+    // identical to the Column chain (the property test pins this too).
+    assert(HtmlKernel.toText("<script>drop()</script><p>kept</p>") == "\nkept")
+    assert(HtmlKernel.toText("") == "")
+    assert(HtmlKernel.toText("plain text") == "plain text")
+  }
+}
