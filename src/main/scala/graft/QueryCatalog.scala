@@ -1007,6 +1007,76 @@ object QueryCatalog {
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus""")),
 
+    // Pivot (wide event-type counts per user). Spark's pivot relational
+    // operator vs the oracle's conditional aggregation — same table.
+    Q("q_pivot",
+      (s, dir) => {
+        val types = Seq("click", "view", "purchase", "signup", "error")
+        val p = tEvents(s, dir)
+          .groupBy("user_id")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        p.select(col("user_id") +:
+            types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+          .orderBy("user_id")
+      },
+      Some("""
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+               sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id""")),
+
+    // INTERSECT / EXCEPT set operators (Catalyst rewrites to semi/anti
+    // joins — the scalable form; the oracle uses the SQL operators).
+    Q("q_setops",
+      (s, dir) => {
+        val ev = tEvents(s, dir)
+        def ids(t: String) = ev.where(col("event_type") === t).select("user_id")
+        val heavyError = ev.where(col("event_type") === "error")
+          .groupBy("user_id").agg(count(lit(1)).as("n"))
+          .where(col("n") >= 16).select("user_id")
+        ids("click").intersect(ids("purchase")).except(heavyError)
+          .orderBy("user_id")
+      },
+      Some("""
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'error'
+        GROUP BY user_id HAVING count(*) >= 16
+        ORDER BY user_id""")),
+
+    // ntile + cume_dist ranking (unique-rank tie-breaks keep both engines
+    // deterministic; decimal totals keep the sums exact).
+    Q("q_ntile",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val totals = tEvents(s, dir)
+          .groupBy("user_id")
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+        val w = Window.orderBy(desc("total"), col("user_id"))
+        totals
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("cd", r6(cume_dist().over(w)))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH totals AS (
+          SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM events GROUP BY user_id)
+        SELECT user_id, total,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               (round(cume_dist() OVER w, 6) + CAST(0.0 AS DOUBLE)) AS cd
+        FROM totals
+        WINDOW w AS (ORDER BY total DESC, user_id)
+        ORDER BY user_id""")),
+
     // BM25 full-text ranking (TF-IDF upgrade of the keyword mode): global
     // stats from one aggregation pass, broadcast back over the scan.
     Q("q_bm25_search",
