@@ -55,6 +55,17 @@ object ChunkTableSink {
     Files.writeString(Paths.get(s"$outDir/metadata.json"), json)
   }
 
+  /** Bucketed managed-table form of the chunk table: pay the doc_id
+    * partitioning once at write time; every later chunk<->doc join on
+    * doc_id is then shuffle-free (BucketedJoinSpec proves no Exchange).
+    * The at-scale default for a corpus that gets joined repeatedly. */
+  def writeBucketed(index: DataFrame, tableName: String, buckets: Int): Unit =
+    index.write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .bucketBy(buckets, "doc_id")
+      .sortBy("doc_id", "chunk_idx")
+      .saveAsTable(tableName)
+
   /** S8/Q5: load a persisted index; store-type detection by marker files
     * (`scripts/query_rag.py:306-316` analog — ours detects the parquet
     * chunk table + manifest). */

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Bucketing = the co-located-join story: two tables bucketed on the join
+  * key join WITHOUT a shuffle (no Exchange in the plan). At 100 TB this is
+  * what makes repeated chunk<->doc joins affordable — pay the partitioning
+  * once at write time, never again per query. */
+class BucketedJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  test("joins on the bucket key have no Exchange; unbucketed joins do") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = (0L until 1000L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+      val chunks = (0L until 5000L).map(i => (i % 1000L, i, s"chunk $i"))
+        .toDF("doc_id", "chunk_id", "chunk_text")
+
+      docs.write.mode("overwrite").bucketBy(8, "doc_id")
+        .sortBy("doc_id").saveAsTable("b_docs")
+      chunks.write.mode("overwrite").bucketBy(8, "doc_id")
+        .sortBy("doc_id").saveAsTable("b_chunks")
+
+      val joined = spark.table("b_chunks").join(spark.table("b_docs"), "doc_id")
+      assert(joined.count() == 5000)
+      val bucketedPlan = joined.queryExecution.executedPlan.toString
+      assert(!bucketedPlan.contains("Exchange"),
+        s"bucketed join must be shuffle-free:\n$bucketedPlan")
+
+      val plain = chunks.join(docs, "doc_id")
+      assert(plain.count() == 5000)
+      assert(plain.queryExecution.executedPlan.toString.contains("Exchange"),
+        "sanity: the unbucketed join DOES shuffle under the same config")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_docs")
+      spark.sql("DROP TABLE IF EXISTS b_chunks")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}

@@ -11,6 +11,9 @@ object SparkSessionFixture {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf: keep managed-table writes (BucketedJoinSpec) out of
+      // the repo working tree
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
