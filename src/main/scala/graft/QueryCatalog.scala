@@ -864,7 +864,89 @@ object QueryCatalog {
           ORDER BY id_a, id_b"""
         }),
 
-      // Exact-dedup keep count (dropExactDuplicates end to end)
+      // Random-hyperplane LSH ANN (the no-training scale path next to IVF):
+    // sign-pattern bucket + hamming-1 probes, cosine within candidates.
+    Q("q_ann_lsh",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.where(col("vec_id") === 0)
+          .select(VectorF.toDoubleArray(col("embedding")).as("qv"))
+        Similarity.lshTopK(emb.where(col("vec_id") =!= 0), q,
+            "vec_id", "embedding", 10, 6)
+          .select(col("vec_id"), r6(col("score")).as("score"))
+      },
+      Some {
+        val cos = D.cosine("e.v", "q.qv")
+        s"""
+        WITH b AS (
+          SELECT vec_id, v,
+                 array_to_string(list_transform(v[1:6],
+                   x -> CASE WHEN x >= CAST(0.0 AS DOUBLE) THEN '1' ELSE '0' END), '') AS bucket
+          FROM $duckEmbTable),
+        qb AS (SELECT bucket AS qbucket, v AS qv FROM b WHERE vec_id = 0),
+        probes AS (
+          SELECT qbucket AS p FROM qb
+          UNION ALL
+          SELECT substr(qbucket, 1, CAST(i AS INT) - 1)
+                 || (CASE WHEN substr(qbucket, CAST(i AS INT), 1) = '1' THEN '0' ELSE '1' END)
+                 || substr(qbucket, CAST(i AS INT) + 1)
+          FROM qb, range(1, 7) AS r(i))
+        SELECT vec_id, (round(score, 6) + CAST(0.0 AS DOUBLE)) AS score
+        FROM (SELECT e.vec_id, $cos AS score
+              FROM b e, qb q
+              WHERE e.vec_id <> 0 AND e.bucket IN (SELECT p FROM probes)
+              ORDER BY score DESC, vec_id
+              LIMIT 10)
+        ORDER BY score DESC, vec_id"""
+      }),
+
+    // Corpus bigram frequency (training-data analysis staple): explode
+    // n-grams, count, top-20 — partial aggregation keeps the shuffle to
+    // one (term, count) pair per map partition per term.
+    Q("q_ngram_freq",
+      (s, dir) =>
+        t(s, dir, "documents")
+          // let-bind the token array (tokenize ONCE — an inline split would
+          // be re-evaluated per element inside the lambda); guard 1-token
+          // docs (Spark's sequence(1, 0) is DESCENDING, not empty).
+          .select(explode(expr(
+            """element_at(transform(array(split(trim(text), '\\s+')), tk ->
+                 CASE WHEN size(tk) < 2 THEN CAST(array() AS ARRAY<STRING>)
+                      ELSE transform(sequence(1, size(tk) - 1),
+                             i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))
+                 END), 1)"""))
+            .as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("bigram"))
+          .limit(20),
+      Some("""
+        WITH toks AS (
+          SELECT string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        grams AS (
+          SELECT tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] AS bigram
+          FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM toks))
+        SELECT bigram, count(*) AS n
+        FROM grams
+        GROUP BY bigram
+        ORDER BY n DESC, bigram
+        LIMIT 20""")),
+
+    // Text normalization (lowercase, strip punctuation, collapse
+    // whitespace) — the canonical cleaning pass before dedup/tokenize.
+    Q("q_normalize_text",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+              "[^a-z0-9\\s]", ""), "\\s+", " "))).as("norm_hash"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_hash
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // Exact-dedup keep count (dropExactDuplicates end to end)
       Q("q_dedup_drop",
         (s, dir) =>
           Dedup.dropExactDuplicates(t(s, dir, "documents"), "text", "doc_id")

@@ -145,6 +145,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Random-hyperplane LSH ANN: bucket every vector by the sign pattern of
+    * its first `signBits` dimensions (each dimension is a fixed hyperplane
+    * — deterministic, no RNG state to ship); the query scans only buckets
+    * within hamming distance 1 of its own pattern. Complements IVF: no
+    * training step, bucket count fixed at 2^signBits, and the candidate
+    * filter is a pure partition-prunable predicate on a string column. */
+  def lshTopK(emb: DataFrame, queryDF: DataFrame, idCol: String,
+              vecCol: String, k: Int, signBits: Int): DataFrame = {
+    def bucketExpr(arr: String) =
+      s"""array_join(transform(slice(CAST(`$arr` AS ARRAY<DOUBLE>), 1, $signBits),
+            x -> CASE WHEN x >= CAST(0.0 AS DOUBLE) THEN '1' ELSE '0' END), '')"""
+    val bucketed = emb.withColumn("__bucket", expr(bucketExpr(vecCol)))
+    // query bucket + all hamming-1 flips, computed on the driver
+    val q = queryDF.withColumn("__qb", expr(bucketExpr("qv")))
+    val qb = q.select("__qb").head().getString(0)
+    val probes = qb +: (0 until signBits).map { i =>
+      qb.updated(i, if (qb(i) == '1') '0' else '1')
+    }
+    val v = VectorF.toDoubleArray(col(vecCol))
+    bucketed.where(col("__bucket").isin(probes: _*))
+      .crossJoin(broadcast(queryDF))
+      .withColumn("score", VectorF.cosine(v, col("qv")))
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** Q3 `mode=keyword`: term-overlap scoring — fraction of query terms
     * present in the chunk's token set (reference exposes the mode switch at
     * `scripts/query_rag.py:188-192` but only exercises `vector`; this is
