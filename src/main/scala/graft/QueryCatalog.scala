@@ -138,6 +138,49 @@ object QueryCatalog {
         ORDER BY revenue DESC, o_orderkey
         LIMIT 20""")),
 
+    // TPC-H Q5 shape: star join over two dimension chains. Dimensions
+    // (region->nation->customer / supplier) broadcast; the only shuffle is
+    // the lineitem->orders join + final aggregation — the plan shape that
+    // must survive a 100x fact-table scale-up.
+    Q("q5_star_join",
+      (s, dir) => {
+        val r = t(s, dir, "region").where(col("r_name") === "ASIA")
+        val n = t(s, dir, "nation")
+        val c = t(s, dir, "customer")
+        val sup = t(s, dir, "supplier")
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        val nr = n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val cnr = c.join(broadcast(nr), c("c_nationkey") === nr("n_nationkey"))
+          .select(col("c_custkey"), col("n_nationkey").as("c_nkey"), col("n_name"))
+        val snr = sup.join(broadcast(nr), sup("s_nationkey") === nr("n_nationkey"))
+          .select(col("s_suppkey"), col("s_nationkey"))
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(cnr), o("o_custkey") === cnr("c_custkey"))
+          .join(broadcast(snr), li("l_suppkey") === snr("s_suppkey") &&
+            col("c_nkey") === col("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount")).cast("decimal(18,2)")).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(desc("revenue"), col("n_name"))
+      },
+      Some("""
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name""")),
+
     // J1: anti-join (reference ignore-list partition, document_processor.py:869-880)
     Q("q_j1_anti",
       (s, dir) => {
@@ -1286,6 +1329,35 @@ object QueryCatalog {
                md5(text) AS content_md5,
                hex(encode(substring(text, 1, 4))) AS magic
         FROM documents
+        ORDER BY doc_id""")),
+
+    // Multimodal frame sampling: treat bytes as fixed 16-byte frames,
+    // sample every 4th — the decode-free plumbing (schema, stride, batch
+    // shape) of a video pipeline, exact-checkable over hex strings.
+    Q("q_frame_sample",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("hexstr", hex(encode(col("text"), "UTF-8")))
+          .withColumn("total", expr("CAST(length(hexstr) div 32 AS BIGINT)"))
+          .where(col("total") >= 1)
+          .withColumn("frames", expr(
+            "transform(sequence(0L, total - 1, 4L), k -> substr(hexstr, CAST(k * 32 + 1 AS INT), 32))"))
+          .select(col("doc_id"), col("total"),
+            size(col("frames")).cast("long").as("n_sampled"),
+            md5(concat_ws("", col("frames"))).as("sample_md5"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH h AS (SELECT doc_id, hex(encode(text)) AS hexstr FROM documents),
+        t AS (SELECT doc_id, hexstr,
+                     CAST(length(hexstr) // 32 AS BIGINT) AS total
+              FROM h),
+        f AS (SELECT doc_id, total,
+                     list_transform(range(0, total, 4),
+                       k -> substr(hexstr, CAST(k * 32 + 1 AS INT), 32)) AS frames
+              FROM t WHERE total >= 1)
+        SELECT doc_id, total, CAST(len(frames) AS BIGINT) AS n_sampled,
+               md5(array_to_string(frames, '')) AS sample_md5
+        FROM f
         ORDER BY doc_id""")),
 
     // Symmetric int8 embedding quantization (index compression): scale +

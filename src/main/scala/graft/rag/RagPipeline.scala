@@ -46,6 +46,34 @@ object RagPipeline {
       col("chunk_text"), size(split(trim(col("chunk_text")), "\\s+")).as("n_tokens"))
   }
 
+  /** [[buildChunks]] plus run metrics (reference A2/A3: embedded-file
+    * counter and skipped-node tally, `document_processor.py:210-219,
+    * 895-901`): returns the filtered chunk table and an
+    * [[org.apache.spark.sql.Observation]] that, after the first action,
+    * yields n_docs / n_chunks / n_invalid — collected ON the stream as it
+    * executes, no second pass over the data. */
+  def buildChunksObserved(docs: DataFrame, cfg: Config = Config())
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val chunked = Chunking.explodeCharWindows(docs, "text", cfg.chunkSize, cfg.chunkStep)
+      .withColumn("chunk_id",
+        concat(col("doc_id").cast("string"), lit("_"), col("chunk_idx").cast("string")))
+    val valid =
+      if (cfg.markdownCompatible)
+        col("chunk_text").rlike("\\s") && MdContent.mdHasContent(col("chunk_text"))
+      else col("chunk_text").rlike("\\s")
+    val obs = org.apache.spark.sql.Observation()
+    val observed = chunked.observe(obs,
+      // DISTINCT is not allowed in observed metrics; every doc emits
+      // exactly one chunk_idx=0 row, so this count is exact.
+      sum(when(col("chunk_idx") === 0, 1L).otherwise(0L)).as("n_docs"),
+      count(lit(1)).as("n_chunks"),
+      sum(when(valid, 0L).otherwise(1L)).as("n_invalid"))
+    val filtered = observed.where(valid)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_id"),
+        col("chunk_text"), size(split(trim(col("chunk_text")), "\\s+")).as("n_tokens"))
+    (filtered, obs)
+  }
+
   /** documents(doc_id, text, ...) -> chunk table
     * (doc_id, chunk_idx, chunk_id, chunk_text, n_tokens, embedding).
     * Narrow ops only: explode + filters + embedding — no shuffle. */

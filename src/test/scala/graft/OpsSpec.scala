@@ -62,6 +62,16 @@ class OpsSpec extends AnyFunSuite {
     assert(none.count() == 0, "below-threshold result set must be empty")
   }
 
+  test("observed pipeline metrics: docs / chunks / invalid tallied in-stream") {
+    val withBlank = docs.union(Seq((9L, "nowhitespace")).toDF("doc_id", "text"))
+    val (chunks, obs) = RagPipeline.buildChunksObserved(withBlank)
+    val kept = chunks.count()
+    val m = obs.get
+    assert(m("n_docs") == 5L)
+    assert(m("n_invalid") == 1L, s"the whitespace-free doc must be tallied: $m")
+    assert(m("n_chunks").asInstanceOf[Long] - m("n_invalid").asInstanceOf[Long] == kept)
+  }
+
   test("doc anchor write-back joins anchor onto every chunk") {
     val chunks = graft.chunk.Chunking.explodeCharWindows(docs, "text", 20, 15)
     val out = RagPipeline.docAnchorWriteBack(
