@@ -496,6 +496,34 @@ object QueryCatalog {
                 / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= CAST(0.2 AS DOUBLE)
           ORDER BY id_a, id_b""")),
 
+      // End-to-end near-dup REMOVAL (minhash -> LSH -> verify -> anti-join)
+      Q("q_dedup_near_drop",
+        (s, dir) =>
+          Dedup.dropNearDuplicates(t(s, dir, "documents"), "text", "doc_id",
+              3, 8, 2, 0.2)
+            .agg(count(lit(1)).as("n_kept"),
+              sum(col("doc_id")).cast("long").as("id_sum")),
+        Some(s"""
+          WITH sigs AS (
+            SELECT doc_id, ${Exprs.minhashSig(D, "sh", 8)} AS sig FROM $duckShingles),
+          banded AS (
+            SELECT doc_id, CAST(b.b AS BIGINT) AS band,
+                   md5(array_to_string(sig[(CAST(b.b AS INT) * 2 + 1):(CAST(b.b AS INT) * 2 + 2)], '|')) AS band_key
+            FROM sigs, range(0, 4) AS b(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+            FROM banded a JOIN banded c
+              ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+          sets AS (SELECT doc_id, list_distinct(sh) AS shs FROM $duckShingles),
+          dup AS (
+            SELECT DISTINCT id_b
+            FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
+            WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                  / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= CAST(0.2 AS DOUBLE))
+          SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+          FROM documents
+          WHERE doc_id NOT IN (SELECT id_b FROM dup)""")),
+
       Q("q_simhash",
         (s, dir) =>
           Dedup.simhash(t(s, dir, "documents"), "text", "doc_id")

@@ -123,6 +123,21 @@ object Dedup {
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
     simhashFast(df, textCol, idCol)
 
+  /** End-to-end near-dup removal: MinHash -> LSH candidates -> Jaccard
+    * verify -> drop every doc that appears as the HIGHER id of a verified
+    * pair (lowest id in each near-dup group survives; transitive chains
+    * collapse to their minimum via the id_a < id_b ordering of pairs).
+    * One LSH self-join + one anti-join — never an all-pairs product. */
+  def dropNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+                         shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 2,
+                         threshold: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(df, textCol, idCol, shingleN, k)
+    val cand = lshCandidatePairs(sigs, idCol, rowsPerBand)
+    val dupIds = jaccardVerify(df, cand, textCol, idCol, shingleN, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-duplicate pairs: band the 64-bit fingerprint into 2
     * 32-bit blocks (pigeonhole: any pair within hamming distance 1 shares
     * a block verbatim; wider thresholds recall band-sharing pairs — the
