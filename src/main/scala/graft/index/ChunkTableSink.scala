@@ -66,6 +66,32 @@ object ChunkTableSink {
       .sortBy("doc_id", "chunk_idx")
       .saveAsTable(tableName)
 
+  /** Small-file compaction: every long-running ingest (streaming
+    * foreachBatch appends, per-batch micro-writes) accretes files far
+    * below the row-group sweet spot, and at corpus scale the file-listing
+    * + footer overhead dominates scans. Rewrites the table into
+    * ceil(bytes / target)-many files via coalesce (no shuffle), then
+    * atomically swaps directories. Returns the new file count. */
+  def compact(spark: SparkSession, dir: String, targetFileMB: Int = 128): Int = {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(dir)
+    val bytes = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(Files.size).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / (targetFileMB.toLong << 20)).toInt)
+    val tmp = Paths.get(dir + "__compact_tmp")
+    spark.read.parquet(dir).coalesce(n)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(tmp.toString)
+    def rmTree(p: java.nio.file.Path): Unit =
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(Files.delete)
+    rmTree(root)
+    Files.move(tmp, root)
+    n
+  }
+
   /** S8/Q5: load a persisted index; store-type detection by marker files
     * (`scripts/query_rag.py:306-316` analog — ours detects the parquet
     * chunk table + manifest). */

@@ -145,6 +145,28 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[ivfTopKClustered]] without the driver-side probe collect: the probe
+    * set stays a DataFrame joined on the partition column, and Spark's
+    * dynamic partition pruning turns the broadcast side into a runtime
+    * partition filter on the scan. Same pruning, fully lazy — composable
+    * inside larger plans where an eager collect would break pipelining. */
+  def ivfTopKClusteredDPP(spark: SparkSession, dir: String, centroids: DataFrame,
+                          queryDF: DataFrame, idCol: String, vecCol: String,
+                          k: Int, nprobe: Int): DataFrame = {
+    val probe = centroids.crossJoin(broadcast(queryDF))
+      .withColumn("qs", VectorF.cosine(VectorF.toDoubleArray(col("cv")), col("qv")))
+      .orderBy(desc("qs"), col("cid")).limit(nprobe)
+      .select(col("cid").as("cluster_id"))
+    val v = VectorF.toDoubleArray(col(vecCol))
+    spark.read.parquet(dir)
+      .join(broadcast(probe), "cluster_id")
+      .crossJoin(broadcast(queryDF))
+      .withColumn("score", VectorF.cosine(v, col("qv")))
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** Random-hyperplane LSH ANN: bucket every vector by the sign pattern of
     * its first `signBits` dimensions (each dimension is a fixed hyperplane
     * — deterministic, no RNG state to ship); the query scans only buckets

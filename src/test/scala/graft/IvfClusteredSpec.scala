@@ -53,6 +53,19 @@ class IvfClusteredSpec extends AnyFunSuite {
       s"nprobe=1 must only see cluster 0's vectors: $prunedIds")
   }
 
+  test("DPP variant: probe join prunes partitions at runtime, same results") {
+    Similarity.ivfWriteClustered(emb, cents, "vec_id", "embedding", outDir)
+    val dpp = Similarity.ivfTopKClusteredDPP(spark, outDir, cents, query,
+      "vec_id", "embedding", 10, 4)
+    val got = dpp.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Similarity.bruteForceTopK(emb, query, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == brute)
+    val plan = dpp.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(cluster_id"),
+      s"expected a runtime partition filter on cluster_id:\n$plan")
+  }
+
   test("trained k-means centroids recover the generating clusters") {
     val trained = Similarity.trainCentroids(emb, "vec_id", "embedding", 4, 5)
     assert(trained.count() == 4)

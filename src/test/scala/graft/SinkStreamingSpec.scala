@@ -36,6 +36,20 @@ class SinkStreamingSpec extends AnyFunSuite {
     assert(RagPipeline.pointLookup(loaded, "0_0").count() == 1)
   }
 
+  test("compaction merges small files without losing rows") {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft_compact_test"
+    val df = spark.range(2000).select($"id", md5($"id".cast("string")).as("h"))
+    df.repartition(32).write.mode("overwrite").parquet(dir)
+    def files() = new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(files() == 32)
+    val before = spark.read.parquet(dir).orderBy("id").collect()
+    val n = graft.index.ChunkTableSink.compact(spark, dir, targetFileMB = 128)
+    assert(n == 1 && files() == 1, "2000 tiny rows fit one target file")
+    val after = spark.read.parquet(dir).orderBy("id").collect()
+    assert(after.sameElements(before))
+  }
+
   test("Q4: result envelope and exit codes") {
     val index = RagPipeline.buildIndex(docs)
     val res = RagPipeline.query(spark, index, "alpha beta gamma", 2, 0.0)
