@@ -1514,9 +1514,362 @@ object QueryCatalog {
         ORDER BY doc_id, chunk_idx"""))
   )
 
+  // =========================================================================
+  // Round-2 widening: relational completeness + training-pipeline operators
+  // =========================================================================
+
+  /** Relational shapes the reference never needed but a complete engine must
+    * plan well: multi-dimensional rollups, correlated subqueries, outer
+    * joins, frame-based windows. Each lands on a single-shuffle Catalyst
+    * plan (Expand for cube/grouping-sets, semi-join for EXISTS). */
+  private def relationalPlus: Seq[Q] = Seq(
+    // CUBE: all grouping combinations in ONE pass — Catalyst's Expand emits
+    // 4 grouping projections before a single hash aggregate, vs 4 scans if
+    // composed manually. The plan shape that matters at 100 TB.
+    Q("q_cube",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
+            count(lit(1)).as("cnt"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    Q("q_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "documents").createOrReplaceTempView("__docs_gs")
+        s.sql("""
+          SELECT source, lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+          FROM __docs_gs
+          GROUP BY GROUPING SETS ((source, lang), (source), ())
+          ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""")
+      },
+      Some("""
+        SELECT source, lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents
+        GROUP BY GROUPING SETS ((source, lang), (source), ())
+        ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""")),
+
+    // Correlated EXISTS (TPC-H Q4 shape) — planned as a left-semi join, so
+    // the probe side streams and never duplicates rows.
+    Q("q_exists_corr",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val big = t(s, dir, "lineitem").where(col("l_quantity") > 45)
+          .select(col("l_orderkey").as("o_orderkey"))
+        o.join(big, Seq("o_orderkey"), "left_semi")
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // Scalar-aggregate subquery (TPC-H Q17 shape). The avg comparison is
+    // rewritten to exact integer/decimal arithmetic (qty < sum/(5*cnt)
+    // <=> 5*qty*cnt < sum) so both engines decide each row identically —
+    // no floating-point avg on the comparison path.
+    Q("q_scalar_subq",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val perPart = li.groupBy("l_partkey").agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          count(lit(1)).as("cnt_qty"))
+        li.join(perPart, Seq("l_partkey"))
+          .where(col("l_quantity").cast("decimal(18,2)") * lit(5) * col("cnt_qty") <
+            col("sum_qty"))
+          .agg(
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("total_price"),
+            count(lit(1)).as("n"))
+      },
+      Some("""
+        WITH a AS (SELECT l_partkey,
+                          sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                          count(*) AS cnt_qty
+                   FROM lineitem GROUP BY l_partkey)
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+               count(*) AS n
+        FROM lineitem JOIN a USING (l_partkey)
+        WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt_qty < sum_qty""")),
+
+    Q("q_full_outer",
+      (s, dir) => {
+        val c = t(s, dir, "customer").where(col("c_custkey") <= 100)
+          .select("c_custkey", "c_mktsegment")
+        val oa = t(s, dir, "orders").where(col("o_custkey").between(50, 150))
+          .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+        c.join(oa, c("c_custkey") === oa("o_custkey"), "full_outer")
+          .select(coalesce(c("c_custkey"), oa("o_custkey")).as("custkey"),
+            col("c_mktsegment"), col("n_orders"))
+          .orderBy("custkey")
+      },
+      Some("""
+        SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_mktsegment, n_orders
+        FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 100) c
+        FULL JOIN (SELECT o_custkey, count(*) AS n_orders
+                   FROM orders WHERE o_custkey BETWEEN 50 AND 150
+                   GROUP BY o_custkey) o
+          ON c_custkey = o_custkey
+        ORDER BY custkey""")),
+
+    // argmax via struct-max: one hash aggregate, no window sort. The struct
+    // compares (value, event_id) lexicographically in both engines, so ties
+    // on value break deterministically on event_id.
+    Q("q_argmax",
+      (s, dir) => {
+        val b = max(struct(col("value"), col("event_id")))
+        tEvents(s, dir)
+          .groupBy("event_type")
+          .agg(b.getField("event_id").as("best_id"),
+            b.getField("value").as("best_v"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type,
+               (max(struct_pack(v := value, id := event_id))).id AS best_id,
+               (max(struct_pack(v := value, id := event_id))).v AS best_v,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // Fixed-width histogram binning: floor(x / w) — the same IEEE divide in
+    // both engines, so bucket boundaries agree bit-for-bit.
+    Q("q_histogram",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(floor(col("o_totalprice") / lit(30000.0)).cast("long").as("bucket"),
+            col("o_totalprice"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), min("o_totalprice").as("lo"),
+            max("o_totalprice").as("hi"))
+          .orderBy("bucket"),
+      Some("""
+        SELECT CAST(floor(o_totalprice / CAST(30000.0 AS DOUBLE)) AS BIGINT) AS bucket,
+               count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        FROM orders
+        GROUP BY bucket
+        ORDER BY bucket""")),
+
+    Q("q_distinct_count",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(countDistinct("l_partkey").as("n_parts"),
+            countDistinct("l_suppkey").as("n_supps"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // Value-range window frame (trailing 1 hour per user) — RANGE BETWEEN
+    // over epoch-nanos, peers included identically in both engines.
+    Q("q_range_frame",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts")
+          .rangeBetween(-3600000000000L, 0)
+        tEvents(s, dir)
+          .withColumn("trail_1h", count(lit(1)).over(w).cast("long"))
+          .select("event_id", "user_id", "trail_1h")
+          .orderBy("event_id")
+          .limit(2000)
+      },
+      Some("""
+        SELECT event_id, user_id,
+               CAST(count(*) OVER (PARTITION BY user_id
+                 ORDER BY CAST(epoch_ns(ts) AS BIGINT)
+                 RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_1h
+        FROM events
+        ORDER BY event_id
+        LIMIT 2000"""))
+  )
+
+  /** Training-data pipeline operators beyond the dedup/similarity set:
+    * deterministic corpus splits, sequence packing, benchmark
+    * decontamination, repetition quality, edit-distance near-dup, TF-IDF. */
+  private def trainingPlus: Seq[Q] = {
+    val duckToks =
+      s"(SELECT doc_id, source, lang, n_chars, ${D.splitWs("text")} AS toks FROM documents)"
+
+    Seq(
+      // Deterministic train/val/test split by content-stable hash — the
+      // standard way to split a 100 TB corpus reproducibly without a
+      // shuffle or a random() that breaks retries/speculation.
+      Q("q_hash_split",
+        (s, dir) => {
+          val dlS = Dialect.spark
+          val bucket = expr(dlS.md5HexDigit(dlS.castStr("doc_id"), 1))
+          t(s, dir, "documents")
+            .withColumn("split",
+              when(bucket < 12, "train").when(bucket < 14, "val").otherwise("test"))
+            .groupBy("split")
+            .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("chars"))
+            .orderBy("split")
+        },
+        Some(s"""
+          SELECT CASE WHEN d__ < 12 THEN 'train' WHEN d__ < 14 THEN 'val'
+                      ELSE 'test' END AS split,
+                 count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+          FROM (SELECT n_chars, ${D.md5HexDigit(D.castStr("doc_id"), 1)} AS d__
+                FROM documents)
+          GROUP BY split
+          ORDER BY split""")),
+
+      // Sequence packing: fill 256-token training bins by cumulative token
+      // count. Packs WITHIN each source partition (parallel at scale; a
+      // single global packing order would serialize the corpus).
+      Q("q_seq_pack",
+        (s, dir) => {
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy("source").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          t(s, dir, "documents")
+            .select(col("source"), col("doc_id"),
+              TextF.tokenCount(col("text")).cast("long").as("n_tok"))
+            .withColumn("cum", sum("n_tok").over(w))
+            .withColumn("bin", expr("CAST((cum - n_tok) div 256 AS BIGINT)"))
+            .groupBy("source", "bin")
+            .agg(count(lit(1)).as("n_docs"), sum("n_tok").cast("long").as("tok_sum"))
+            .orderBy("source", "bin")
+        },
+        Some(s"""
+          WITH tk AS (SELECT source, doc_id,
+                             CAST(${D.size(D.splitWs("text"))} AS BIGINT) AS n_tok
+                      FROM documents),
+          c AS (SELECT source, doc_id, n_tok,
+                       sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM tk)
+          SELECT source, CAST((cum - n_tok) // 256 AS BIGINT) AS bin,
+                 count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_sum
+          FROM c
+          GROUP BY source, bin
+          ORDER BY source, bin""")),
+
+      // Benchmark decontamination: corpus docs sharing any 4-gram with the
+      // benchmark set (source='src0'). Distinct shingles per doc BEFORE the
+      // explode keeps the join input minimal; the benchmark side broadcasts.
+      Q("q_contamination",
+        (s, dir) =>
+          Dedup.contaminationCounts(t(s, dir, "documents"),
+              "text", "doc_id", "source", "src0", 4)
+            .orderBy(desc("n_shared"), col("doc_id")),
+        Some(s"""
+          WITH sh AS (SELECT doc_id, source,
+                             unnest(list_distinct(${Exprs.wordShingles(D, "toks", 4)})) AS s
+                      FROM $duckToks),
+          bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
+          SELECT doc_id, count(*) AS n_shared
+          FROM sh JOIN bench USING (s)
+          WHERE source <> 'src0'
+          GROUP BY doc_id
+          ORDER BY n_shared DESC, doc_id""")),
+
+      // Repetition ratio (training-quality signal): 1 - distinct/total
+      // 3-grams. Pure per-row expression — no shuffle at all.
+      Q("q_repetition",
+        (s, dir) =>
+          Dedup.repetitionStats(t(s, dir, "documents"), "text", "doc_id", 3)
+            .withColumn("repetition",
+              r6(lit(1.0) - col("n_uniq").cast("double") / col("n_grams")))
+            .orderBy("doc_id"),
+        Some {
+          val sh = Exprs.wordShingles(D, "toks", 3)
+          s"""
+          SELECT doc_id,
+                 CAST(${D.size(sh)} AS BIGINT) AS n_grams,
+                 CAST(${D.size(D.arrayDistinct(sh))} AS BIGINT) AS n_uniq,
+                 ${duckR6(s"${D.d(1.0)} - CAST(${D.size(D.arrayDistinct(sh))} AS DOUBLE) / ${D.size(sh)}")} AS repetition
+          FROM $duckToks
+          ORDER BY doc_id"""
+        }),
+
+      // Edit-distance near-dup pairs over a bounded candidate set — the
+      // verify kernel of fuzzy dedup (candidate generation is LSH's job;
+      // see q_minhash_pairs).
+      Q("q_lev_pairs",
+        (s, dir) => {
+          val p = t(s, dir, "documents").where(col("doc_id") < 30)
+            .select(col("doc_id"), substring(col("text"), 1, 40).as("p"))
+          val a = p.toDF("id_a", "pa")
+          val b = p.toDF("id_b", "pb")
+          a.crossJoin(b).where(col("id_a") < col("id_b"))
+            .select(col("id_a"), col("id_b"),
+              levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
+            .where(col("dist") <= 25)
+            .orderBy("id_a", "id_b")
+        },
+        Some("""
+          WITH p AS (SELECT doc_id, substr(text, 1, 40) AS pp
+                     FROM documents WHERE doc_id < 30)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(levenshtein(a.pp, b.pp) AS BIGINT) AS dist
+          FROM p a JOIN p b ON a.doc_id < b.doc_id
+          WHERE levenshtein(a.pp, b.pp) <= 25
+          ORDER BY id_a, id_b""")),
+
+      // TF-IDF top term per document. Linear idf (N/df) keeps the score a
+      // deterministic IEEE expression over exact integers — no ln() whose
+      // last-ulp could differ between engines. Struct-max avoids a window
+      // sort: one aggregate, ties broken on the term string.
+      Q("q_tfidf",
+        (s, dir) => {
+          val docs = t(s, dir, "documents")
+          val toks = docs.select(col("doc_id"),
+            explode(TextF.tokens(col("text"))).as("term"))
+          val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          val dfreq = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+          val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+          val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(nDocs))
+            .withColumn("score",
+              col("tf").cast("double") * col("n_docs").cast("double") /
+                col("df").cast("double"))
+          val best = max(struct(col("score"), col("term")))
+          scored.groupBy("doc_id")
+            .agg(best.getField("term").as("term"),
+              r6(best.getField("score")).as("score"))
+            .orderBy("doc_id")
+        },
+        Some("""
+          WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+                        FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+          dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          scored AS (SELECT doc_id, term,
+                            CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+                     FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+          SELECT doc_id,
+                 (max(struct_pack(s := score, t := term))).t AS term,
+                 (round((max(struct_pack(s := score, t := term))).s, 6) + CAST(0.0 AS DOUBLE)) AS score
+          FROM scored
+          GROUP BY doc_id
+          ORDER BY doc_id"""))
+    )
+  }
+
   def all: Seq[Q] =
     relational ++ textOps ++ vectorOps ++ ragOps ++ metaOps ++ extraOps ++
-      temporalOps ++ pipelineOps ++ scaleOps
+      temporalOps ++ pipelineOps ++ scaleOps ++ relationalPlus ++ trainingPlus
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -89,6 +89,46 @@ object Dedup {
       .toDF(idCol, "sh")
   }
 
+  /** Per-doc repetition stats (training-quality signal): total vs distinct
+    * n-gram counts in ONE kernel pass — no intermediate shingle arrays in
+    * the plan, no shuffle. Output: idCol, n_grams, n_uniq. */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String,
+                      shingleN: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    idText(df, textCol, idCol)
+      .mapPartitions(_.map { case (id, text) =>
+        val sh = TextHashing.wordShingles(TextHashing.tokens(text), shingleN)
+        (id, sh.length.toLong, sh.distinct.length.toLong)
+      })
+      .toDF(idCol, "n_grams", "n_uniq")
+  }
+
+  /** Benchmark decontamination: for each doc NOT in the benchmark group,
+    * count distinct n-grams shared with the benchmark set
+    * (`groupCol == benchValue`). The benchmark shingle set is distinct-ed
+    * and broadcast — the corpus side stays a narrow scan + broadcast join,
+    * which is what survives a 100 TB corpus vs a tiny benchmark. */
+  def contaminationCounts(df: DataFrame, textCol: String, idCol: String,
+                          groupCol: String, benchValue: String,
+                          shingleN: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = df
+      .select(col(idCol).cast("long"), col(groupCol).cast("string"),
+        col(textCol).cast("string"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, g, text) =>
+        (id, g, TextHashing.wordShingles(TextHashing.tokens(text), shingleN).distinct)
+      })
+      .toDF(idCol, groupCol, "sh")
+    val exploded = sh.select(col(idCol), col(groupCol), explode(col("sh")).as("s"))
+    val bench = exploded.where(col(groupCol) === benchValue).select("s").distinct()
+    exploded.where(col(groupCol) =!= benchValue)
+      .join(broadcast(bench), Seq("s"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+  }
+
   /** LSH banding over minhash signatures -> candidate near-dup pairs.
     * bands of `rowsPerBand` signature entries; pairs sharing >= 1 band key.
     * Output: id_a < id_b (distinct pairs). */
