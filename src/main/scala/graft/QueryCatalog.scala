@@ -1140,14 +1140,13 @@ object QueryCatalog {
 
     // Exact interpolated percentiles (sort-based `percentile`, not the
     // approximate sketch — the oracle-matchable form).
+    // Exact quantiles via the distributed sort-rank operator (interpolation
+    // identical to percentile()/quantile_cont, but no per-group value
+    // buffering — survives billion-row groups; see ops.Percentiles).
     Q("q_percentile",
       (s, dir) =>
-        t(s, dir, "orders")
-          .groupBy("o_orderstatus")
-          .agg(
-            expr("percentile(o_totalprice, 0.5D)").as("p50_raw"),
-            expr("percentile(o_totalprice, 0.9D)").as("p90_raw"),
-            count(lit(1)).as("cnt"))
+        graft.ops.Percentiles.quantiles(t(s, dir, "orders"), "o_totalprice",
+            Seq("o_orderstatus"), Seq("p50_raw" -> 0.5, "p90_raw" -> 0.9))
           .select(col("o_orderstatus"),
             r6(col("p50_raw")).as("p50"), r6(col("p90_raw")).as("p90"), col("cnt"))
           .orderBy("o_orderstatus"),

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact interpolated quantiles (quantile_cont semantics) via a distributed
+  * sort-rank pick, instead of Spark's `percentile()` aggregate.
+  *
+  * `percentile()` is a TypedImperativeAggregate that buffers EVERY value of
+  * a group in executor memory — fine for small groups, an OOM for the
+  * billion-row groups a 100 TB table produces. Here the heavy lifting is a
+  * per-group sort (window row_number), which Spark runs as a spillable
+  * external sort; a cheap hash aggregate then picks the two bracketing rows
+  * per quantile and interpolates exactly like `percentile`/quantile_cont:
+  * lo * (1-frac) + hi * frac, with pos = (n-1) * q — the convex-combination
+  * form Spark's own Percentile uses, so results agree bit-for-bit.
+  */
+object Percentiles {
+
+  /** One row per group: groupCols*, one column per (name, q) in `qs`,
+    * plus `cnt` (group size). `valCol` must be numeric (cast to double). */
+  def quantiles(df: DataFrame, valCol: String, groupCols: Seq[String],
+                qs: Seq[(String, Double)]): DataFrame = {
+    val gcols = groupCols.map(col)
+    val w = Window.partitionBy(gcols: _*).orderBy(col(valCol))
+    val wg = Window.partitionBy(gcols: _*)
+    val ranked = df
+      .select((gcols :+ col(valCol).cast("double").as(valCol)): _*)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wg))
+    def pos(q: Double): Column = (col("__n") - 1).cast("double") * lit(q)
+    val aggs: Seq[Column] = qs.flatMap { case (name, q) =>
+      val lo = floor(pos(q)).cast("long") + 1
+      val hi = ceil(pos(q)).cast("long") + 1
+      val frac = pos(q) - floor(pos(q))
+      Seq(
+        max(when(col("__rn") === lo, col(valCol))).as(s"__${name}_lo"),
+        max(when(col("__rn") === hi, col(valCol))).as(s"__${name}_hi"),
+        max(when(col("__rn") === lo, frac)).as(s"__${name}_f"))
+    } :+ max(col("__n")).as("cnt")
+    val agged = ranked.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
+    qs.foldLeft(agged) { case (d, (name, _)) =>
+      d.withColumn(name,
+          col(s"__${name}_lo") * (lit(1.0) - col(s"__${name}_f")) +
+            col(s"__${name}_hi") * col(s"__${name}_f"))
+        .drop(s"__${name}_lo", s"__${name}_hi", s"__${name}_f")
+    }
+  }
+}

@@ -1,0 +1,33 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream interval join (extension beyond the reference's batch-only
+  * surface; SURVEY §2.9 notes streaming is an extension point).
+  *
+  * Both sides are watermarked so Spark can BOUND the join state: a buffered
+  * left row only waits `tolerance` past the watermark for its right match,
+  * after which its state is evicted. Without the time-range condition the
+  * state store would grow without bound — the difference between a demo and
+  * something that survives an unbounded 100 TB/day stream.
+  *
+  * The same plan runs in batch (watermark is a no-op there), so one code
+  * path serves both, like the rest of the streaming surface.
+  */
+object StreamJoins {
+
+  /** `left` joined to `right` on `key` where `right.tsCol` falls within
+    * [left.tsCol, left.tsCol + tolerance]. Output carries both sides under
+    * aliases `l` and `r` — callers select/rename the columns they need. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   tsCol: String, tolerance: String = "10 minutes",
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$tsCol") >= col(s"l.$tsCol") &&
+        col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $tolerance"))
+  }
+}

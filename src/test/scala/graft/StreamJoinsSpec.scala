@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamJoins
+
+case class ClickIn(ts: Timestamp, user: Long, page: String)
+case class BuyIn(ts: Timestamp, user: Long, amount: Double)
+
+/** Stream-stream interval join: bounded state via watermark + time range. */
+class StreamJoinsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private def t(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+
+  test("click joins purchase within tolerance; outside-window pair drops") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[ClickIn]
+    val buys = MemoryStream[BuyIn]
+    val joined = StreamJoins.intervalJoin(
+        clicks.toDF(), buys.toDF(), "user", "ts", tolerance = "10 minutes")
+      .select(col("l.user").as("user"), col("l.page").as("page"),
+        col("r.amount").as("amount"))
+    val q = joined.writeStream.format("memory").queryName("sj_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(ClickIn(t(0), 1L, "home"), ClickIn(t(0), 2L, "search"))
+      // user 1 buys 5 min after click (inside window); user 2 buys 30 min
+      // after click (outside); user 3 buys with no click at all
+      buys.addData(BuyIn(t(5), 1L, 9.99), BuyIn(t(30), 2L, 5.0),
+        BuyIn(t(5), 3L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sj_out").as[(Long, String, Double)].collect().toSet
+      assert(rows == Set((1L, "home", 9.99)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("the same join works cross-batch: purchase arrives in a later batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[ClickIn]
+    val buys = MemoryStream[BuyIn]
+    val joined = StreamJoins.intervalJoin(
+        clicks.toDF(), buys.toDF(), "user", "ts", tolerance = "10 minutes")
+      .select(col("l.user").as("user"), col("r.amount").as("amount"))
+    val q = joined.writeStream.format("memory").queryName("sj_out2")
+      .outputMode("append").start()
+    try {
+      clicks.addData(ClickIn(t(0), 7L, "home"))
+      q.processAllAvailable()
+      assert(spark.table("sj_out2").count() == 0)
+      buys.addData(BuyIn(t(8), 7L, 42.0))
+      q.processAllAvailable()
+      val rows = spark.table("sj_out2").as[(Long, Double)].collect().toSet
+      assert(rows == Set((7L, 42.0)), s"got $rows")
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Percentiles}
+
+/** Round-2 training-pipeline kernels + the sort-rank quantile operator. */
+class TrainingOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  test("repetitionStats: counts total vs distinct n-grams in one pass") {
+    val docs = Seq(
+      (1L, "a b a b a b"),       // 3-grams: [a b a, b a b, a b a, b a b] -> 4 total, 2 uniq
+      (2L, "x y z w"),           // 2 total, 2 uniq
+      (3L, "t t t t t")          // 3 total, 1 uniq
+    ).toDF("doc_id", "text")
+    val got = Dedup.repetitionStats(docs, "text", "doc_id", 3)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L, 2L), (2L, 2L, 2L), (3L, 3L, 1L)))
+  }
+
+  test("contaminationCounts: finds planted shared 4-grams, skips benchmark docs") {
+    val docs = Seq(
+      (1L, "bench", "secret benchmark answer phrase plus tail"),
+      (2L, "corpus", "prefix words secret benchmark answer phrase here"), // contains the 4-gram
+      (3L, "corpus", "completely unrelated text with no overlap at all")
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.contaminationCounts(docs, "text", "doc_id", "source", "bench", 4)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(2L), s"only doc 2 is contaminated: $got")
+    assert(got.head._2 >= 1L)
+    // benchmark doc itself never appears in the output
+    assert(!got.exists(_._1 == 1L))
+  }
+
+  test("Percentiles.quantiles matches Spark's percentile() bit-for-bit") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val expected = orders.groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5D)").as("p50"),
+        expr("percentile(o_totalprice, 0.9D)").as("p90"),
+        count(lit(1)).as("cnt"))
+      .orderBy("o_orderstatus")
+      .as[(String, Double, Double, Long)].collect().toSeq
+    val got = Percentiles.quantiles(orders, "o_totalprice",
+        Seq("o_orderstatus"), Seq("p50" -> 0.5, "p90" -> 0.9))
+      .select(col("o_orderstatus"), col("p50"), col("p90"), col("cnt"))
+      .orderBy("o_orderstatus")
+      .as[(String, Double, Double, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("Percentiles.quantiles: singleton and two-row groups interpolate correctly") {
+    val df = Seq(("a", 10.0), ("b", 1.0), ("b", 3.0)).toDF("g", "v")
+    val got = Percentiles.quantiles(df, "v", Seq("g"), Seq("p50" -> 0.5))
+      .orderBy("g").select("g", "p50", "cnt")
+      .as[(String, Double, Long)].collect().toSeq
+    assert(got == Seq(("a", 10.0, 1L), ("b", 2.0, 2L)))
+  }
+}
