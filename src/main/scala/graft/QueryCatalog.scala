@@ -1862,7 +1862,61 @@ object QueryCatalog {
                  (round((max(struct_pack(s := score, t := term))).s, 6) + CAST(0.0 AS DOUBLE)) AS score
           FROM scored
           GROUP BY doc_id
-          ORDER BY doc_id"""))
+          ORDER BY doc_id""")),
+
+      // Product-quantization ANN (m=4 subspaces x 16 dims, k=8 centroids,
+      // deterministic first-k init): encode all vectors to 4 codes, then
+      // ADC top-10 by squared L2 — the whole compress->search path
+      // hash-matched against plain SQL. See ops.ProductQuantization.
+      Q("q_pq_ann",
+        (s, dir) => {
+          import graft.ops.ProductQuantization
+          val emb = t(s, dir, "embeddings")
+          val books = ProductQuantization.trainCodebooks(
+            emb, "vec_id", "embedding", 4, 8, 64, 0)
+          val codes = ProductQuantization.encode(
+            emb.where(col("vec_id") =!= 0), books, "vec_id", "embedding", 4, 64)
+          val q = emb.where(col("vec_id") === 0)
+            .select(VectorF.toDoubleArray(col("embedding")).as("qv"))
+          ProductQuantization.adcTopK(codes, books, q, "vec_id", 4, 64, 10)
+            .select(col("vec_id"), r6(col("dist")).as("dist"))
+        },
+        Some(s"""
+          WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          books AS (
+            SELECT CAST(s.s AS INT) AS sub, CAST(e.vec_id AS INT) AS cid,
+                   e.v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS cv
+            FROM (SELECT * FROM emb WHERE vec_id < 8) e, range(0, 4) s(s)),
+          subs AS (
+            SELECT vec_id, CAST(s.s AS INT) AS sub,
+                   v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS sv
+            FROM emb, range(0, 4) s(s)
+            WHERE vec_id <> 0),
+          codes AS (
+            SELECT vec_id, sub,
+                   (min(struct_pack(d := ${D.l2sq("sv", "cv")}, c := cid))).c AS code
+            FROM subs JOIN books USING (sub)
+            GROUP BY vec_id, sub),
+          codearr AS (SELECT vec_id, list(code ORDER BY sub) AS codes
+                      FROM codes GROUP BY vec_id),
+          qsubs AS (
+            SELECT CAST(s.s AS INT) AS sub,
+                   v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS qsv
+            FROM emb, range(0, 4) s(s) WHERE vec_id = 0),
+          dt AS (SELECT b.sub, b.cid, ${D.l2sq("b.cv", "q.qsv")} AS d
+                 FROM books b JOIN qsubs q USING (sub)),
+          dt1 AS (SELECT sub, list(d ORDER BY cid) AS ds FROM dt GROUP BY sub),
+          dtarr AS (SELECT list(ds ORDER BY sub) AS tables FROM dt1),
+          scored AS (
+            SELECT c.vec_id,
+                   list_reduce(list_transform(range(0, 4),
+                     i -> tables[CAST(i AS INT) + 1][codes[CAST(i AS INT) + 1] + 1]),
+                     (s__, x__) -> s__ + x__) AS dist
+            FROM codearr c, dtarr)
+          SELECT vec_id, ${duckR6("dist")} AS dist
+          FROM scored
+          ORDER BY dist, vec_id
+          LIMIT 10"""))
     )
   }
 

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorF
+import graft.sqlgen.Dialect
+
+/** Product quantization (PQ) for embeddings at rest + ADC search.
+  *
+  * A dim-D float vector compresses to m small codes: split the vector into
+  * m contiguous subvectors, learn k centroids per subspace, store the
+  * argmin centroid id per subspace (m bytes for k <= 256 — a 32x shrink of
+  * a 64-dim double vector). Search uses asymmetric distance computation
+  * (ADC): per query, an m x k lookup table of squared-L2 subspace
+  * distances; a candidate's distance is the sequential sum of m table
+  * entries — the scan never touches the original vectors. At 100 TB this
+  * is the difference between scanning 100 TB of floats and ~3 TB of codes
+  * with a broadcast lookup table.
+  *
+  * Reference context: the reference's OGX-faiss path is exact L2
+  * (`document_processor.py:304`); PQ is the standard faiss scale path for
+  * the same metric, re-expressed as DataFrame ops.
+  *
+  * Determinism contract: codebook init takes the first k vectors (by id)
+  * as centroids — plain-SQL-reproducible, so the whole PQ path
+  * (init -> encode -> ADC top-k) hash-matches a DuckDB oracle. Lloyd
+  * refinement iterations (`iters > 0`) sharpen codebooks for real use and
+  * stay deterministic (avg is order-independent only per-coordinate — the
+  * refined path is pinned by spec, not by the SQL oracle).
+  */
+object ProductQuantization {
+  private val dl = Dialect.spark
+
+  private def l2sq(a: String, b: String) = expr(dl.l2sq(a, b))
+
+  /** Explode to m rows per input: (sub, subv) contiguous slices. */
+  private def withSubs(df: DataFrame, vecCol: String, m: Int, dim: Int): DataFrame = {
+    val sd = dim / m
+    df.withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("subv", slice(col(vecCol), col("sub") * lit(sd) + lit(1), lit(sd)))
+  }
+
+  /** Codebooks (sub, cid, cv). Init = slices of the first k vectors by
+    * idCol; `iters` Lloyd refinements per subspace (codebook is m*k rows —
+    * tiny — so the per-iteration sync collects like Spark ML's KMeans). */
+  def trainCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                     m: Int, k: Int, dim: Int, iters: Int = 0): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = VectorF.toDoubleArray(col(vecCol))
+    val init = emb.orderBy(col(idCol)).limit(k)
+      .select(col(idCol), v.as("__v"))
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col(idCol))) - 1).cast("int"))
+    var books = withSubs(init, "__v", m, dim)
+      .select(col("sub"), col("cid"), col("subv").as("cv"))
+    for (_ <- 1 to iters) {
+      val subs = withSubs(emb.select(col(idCol), v.as("__v")), "__v", m, dim)
+      val assigned = subs.join(broadcast(books), "sub")
+        .withColumn("d", l2sq("subv", "cv"))
+        .groupBy(col(idCol), col("sub"))
+        .agg(min(struct(col("d"), col("cid"))).getField("cid").as("cid"),
+          first(col("subv")).as("subv"))
+      val updated = assigned
+        .select(col("sub"), col("cid"), posexplode(col("subv")).as(Seq("pos", "x")))
+        .groupBy("sub", "cid", "pos").agg(avg(col("x")).as("mu"))
+        .groupBy("sub", "cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mu))), s -> s.mu)").as("cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray.toSeq))
+      books = updated.toSeq.toDF("sub", "cid", "cv")
+    }
+    books
+  }
+
+  /** Codes per vector: argmin-squared-L2 centroid per subspace (ties break
+    * to the lower cid). Output: (idCol, codes array<int> of length m). */
+  def encode(emb: DataFrame, books: DataFrame, idCol: String, vecCol: String,
+             m: Int, dim: Int): DataFrame = {
+    val v = VectorF.toDoubleArray(col(vecCol))
+    withSubs(emb.select(col(idCol), v.as("__v")), "__v", m, dim)
+      .join(broadcast(books), "sub")
+      .withColumn("d", l2sq("subv", "cv"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("d"), col("cid"))).getField("cid").as("code"))
+      .groupBy(col(idCol))
+      .agg(expr("transform(array_sort(collect_list(struct(sub, code))), s -> s.code)").as("codes"))
+  }
+
+  /** ADC top-k nearest (squared L2) to the single-row queryDF(qv). The
+    * m x k distance table folds sequentially per candidate — bit-stable. */
+  def adcTopK(codes: DataFrame, books: DataFrame, queryDF: DataFrame,
+              idCol: String, m: Int, dim: Int, k: Int): DataFrame = {
+    val qsubs = withSubs(
+        queryDF.select(VectorF.toDoubleArray(col("qv")).as("__v")), "__v", m, dim)
+      .select(col("sub"), col("subv").as("qsv"))
+    val tables = books.join(broadcast(qsubs), "sub")
+      .withColumn("d", l2sq("cv", "qsv"))
+      .groupBy("sub")
+      .agg(expr("transform(array_sort(collect_list(struct(cid, d))), s -> s.d)").as("ds"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub, ds))), s -> s.ds)").as("tables"))
+    codes.crossJoin(broadcast(tables))
+      .withColumn("dist", expr(
+        s"""aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE),
+            (s, i) -> s + element_at(element_at(tables, i + 1),
+                                     element_at(codes, i + 1) + 1))"""))
+      .select(col(idCol), col("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+
+  /** Mean quantization error (avg of per-subspace argmin distances) — the
+    * quantity Lloyd iterations must not increase. */
+  def meanDistortion(emb: DataFrame, books: DataFrame, idCol: String,
+                     vecCol: String, m: Int, dim: Int): Double = {
+    val v = VectorF.toDoubleArray(col(vecCol))
+    withSubs(emb.select(col(idCol), v.as("__v")), "__v", m, dim)
+      .join(broadcast(books), "sub")
+      .withColumn("d", l2sq("subv", "cv"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(col("d")).as("md"))
+      .agg(avg(col("md")))
+      .head().getDouble(0)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Approximate sketch operators — the constant-memory answers to questions
+  * whose exact forms need a shuffle of all distinct values. None of these
+  * can hash-match a DuckDB oracle (different sketch internals by
+  * construction), so their contracts are tolerance-bounded specs.
+  *
+  *   - HLL++ distinct counts: fixed ~1.5 KB of state per group at any
+  *     cardinality, vs count(DISTINCT) materializing every key.
+  *   - approx quantiles (Greenwald-Khanna): bounded state per group, vs
+  *     percentile()'s full value buffer.
+  *   - Bloom pre-join pruning: ship an ~MB filter instead of shuffling the
+  *     large side's non-matching rows — the manual form of the runtime
+  *     filters AQE injects, usable where AQE can't see the opportunity.
+  */
+object Sketches {
+
+  /** HyperLogLog++ distinct count per group. rsd = relative standard
+    * deviation (0.05 => ±5% typical error). */
+  def approxDistinct(df: DataFrame, valCol: String, groupCols: Seq[String],
+                     rsd: Double = 0.05): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(approx_count_distinct(col(valCol), rsd).as("approx_distinct"))
+
+  /** Approximate quantiles per group (percentile_approx; higher accuracy =
+    * more state, tighter bounds). */
+  def approxQuantiles(df: DataFrame, valCol: String, groupCols: Seq[String],
+                      probs: Seq[(String, Double)],
+                      accuracy: Int = 10000): DataFrame = {
+    val aggs = probs.map { case (name, p) =>
+      expr(s"percentile_approx($valCol, ${p}D, $accuracy)").as(name)
+    }
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Prune `large` to rows whose `largeKey` MIGHT appear in `small`'s
+    * `smallKey`, via a Bloom filter built on the small side (one action).
+    * Guarantees no false negatives: the result is a superset of the exact
+    * semi-join, shrunk by ~(1-fpp) of the non-matching rows — so a
+    * subsequent exact join shuffles a fraction of the data. */
+  def bloomPrefilter(large: DataFrame, largeKey: String,
+                     small: DataFrame, smallKey: String,
+                     expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    val mightContain = udf((x: Long) => bf.mightContainLong(x))
+    large.where(mightContain(col(largeKey).cast("long")))
+  }
+}

@@ -87,6 +87,12 @@ final case class Dialect(duck: Boolean) {
   def norm(a: String): String = s"sqrt(${dot(a, a)})"
   def cosine(a: String, b: String): String =
     s"(${dot(a, b)} / (${norm(a)} * ${norm(b)}))"
+  /** Squared L2 distance (no sqrt) — additive across PQ subspaces. */
+  def l2sq(a: String, b: String): String =
+    if (duck)
+      s"list_reduce(list_transform(list_zip($a, $b), p__ -> (p__[1] - p__[2]) * (p__[1] - p__[2])), (s__, x__) -> s__ + x__)"
+    else
+      s"aggregate(zip_with($a, $b, (x__, y__) -> (x__ - y__) * (x__ - y__)), ${d(0.0)}, (s__, x__) -> s__ + x__)"
   def euclidean(a: String, b: String): String =
     if (duck)
       s"sqrt(list_reduce(list_transform(list_zip($a, $b), p__ -> (p__[1] - p__[2]) * (p__[1] - p__[2])), (s__, x__) -> s__ + x__))"

@@ -22,12 +22,23 @@ object StreamJoins {
     * aliases `l` and `r` — callers select/rename the columns they need. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    tsCol: String, tolerance: String = "10 minutes",
-                   watermark: String = "1 hour"): DataFrame = {
+                   watermark: String = "1 hour",
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(tsCol, watermark).alias("l")
     val r = right.withWatermark(tsCol, watermark).alias("r")
     l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
         col(s"r.$tsCol") >= col(s"l.$tsCol") &&
-        col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $tolerance"))
+        col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $tolerance"),
+      joinType)
   }
+
+  /** Left-outer variant: unmatched left rows are emitted null-padded once
+    * the watermark passes their join window — so "click with no purchase
+    * within 10 minutes" is itself a streaming result, not a batch
+    * afterthought. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, key: String,
+                            tsCol: String, tolerance: String = "10 minutes",
+                            watermark: String = "1 hour"): DataFrame =
+    intervalJoin(left, right, key, tsCol, tolerance, watermark, "left_outer")
 }

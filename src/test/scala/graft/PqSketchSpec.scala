@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{ProductQuantization => PQ, Sketches}
+
+/** Product quantization + approximate-sketch operator contracts. */
+class PqSketchSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("PQ: codebook shape, code range, and code-array length") {
+    val books = PQ.trainCodebooks(emb, "vec_id", "embedding", 4, 8, 64, 0)
+    assert(books.count() == 4L * 8)
+    val codes = PQ.encode(emb, books, "vec_id", "embedding", 4, 64)
+    val bad = codes.where(size(col("codes")) =!= 4 ||
+      exists(col("codes"), c => c < 0 || c >= 8)).count()
+    assert(bad == 0)
+    assert(codes.count() == emb.count())
+  }
+
+  test("PQ: one Lloyd iteration does not increase mean quantization error") {
+    val b0 = PQ.trainCodebooks(emb, "vec_id", "embedding", 4, 8, 64, 0)
+    val b1 = PQ.trainCodebooks(emb, "vec_id", "embedding", 4, 8, 64, 1)
+    val d0 = PQ.meanDistortion(emb, b0, "vec_id", "embedding", 4, 64)
+    val d1 = PQ.meanDistortion(emb, b1, "vec_id", "embedding", 4, 64)
+    assert(d1 <= d0 + 1e-12, s"Lloyd iteration worsened distortion: $d0 -> $d1")
+  }
+
+  test("PQ: ADC top-k is deterministic and sorted ascending") {
+    val books = PQ.trainCodebooks(emb, "vec_id", "embedding", 4, 8, 64, 1)
+    val codes = PQ.encode(emb.where(col("vec_id") =!= 0), books, "vec_id", "embedding", 4, 64)
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qv"))
+    def run() = PQ.adcTopK(codes, books, q, "vec_id", 4, 64, 10)
+      .as[(Long, Double)].collect().toSeq
+    val a = run(); val b = run()
+    assert(a == b, "ADC top-k must be reproducible")
+    assert(a.size == 10)
+    assert(a.map(_._2) == a.map(_._2).sorted)
+    assert(a.forall(_._2 >= 0.0))
+  }
+
+  test("sketches: HLL distinct within 15% of exact; approx p50 near exact") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val approx = Sketches.approxDistinct(li, "l_partkey", Seq("l_returnflag"))
+      .as[(String, Long)].collect().toMap
+    val exact = li.groupBy("l_returnflag").agg(countDistinct("l_partkey"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex < 0.15, s"$k: approx $ap vs exact $ex")
+    }
+    val ap50 = Sketches.approxQuantiles(li, "l_extendedprice",
+        Seq("l_returnflag"), Seq("p50" -> 0.5))
+      .as[(String, Double)].collect().toMap
+    val ex50 = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5D)"))
+      .as[(String, Double)].collect().toMap
+    ex50.foreach { case (k, ex) =>
+      assert(math.abs(ap50(k) - ex) / ex < 0.02, s"$k: p50 ${ap50(k)} vs $ex")
+    }
+  }
+
+  test("sketches: bloom prefilter is a superset of the exact semi-join and prunes") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val small = orders.where(col("o_custkey") < 20).select(col("o_custkey"))
+    val exact = orders.join(small.distinct(), Seq("o_custkey"), "left_semi")
+      .select("o_orderkey").as[Long].collect().toSet
+    val pruned = Sketches.bloomPrefilter(orders, "o_custkey", small, "o_custkey",
+      expectedItems = 100, fpp = 0.01)
+    val prunedKeys = pruned.select("o_orderkey").as[Long].collect().toSet
+    assert(exact.subsetOf(prunedKeys), "bloom must never drop a true match")
+    val total = orders.count()
+    assert(prunedKeys.size < total, "bloom should prune most non-matching rows")
+    // exact join after pruning gives exactly the exact-join result
+    val after = pruned.join(small.distinct(), Seq("o_custkey"), "left_semi")
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(after == exact)
+  }
+}

@@ -59,4 +59,29 @@ class StreamJoinsSpec extends AnyFunSuite {
       assert(rows == Set((7L, 42.0)), s"got $rows")
     } finally q.stop()
   }
+
+  test("left outer: unmatched click emits null-padded once watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[ClickIn]
+    val buys = MemoryStream[BuyIn]
+    val joined = StreamJoins.intervalJoinLeftOuter(
+        clicks.toDF(), buys.toDF(), "user", "ts",
+        tolerance = "10 minutes", watermark = "1 minute")
+      .select(col("l.user").as("user"), col("r.amount").as("amount"))
+    val q = joined.writeStream.format("memory").queryName("sj_out3")
+      .outputMode("append").start()
+    try {
+      clicks.addData(ClickIn(t(0), 1L, "home"))
+      q.processAllAvailable()
+      // advance event time far past the join window on BOTH streams so the
+      // watermark (min across inputs) passes t(0) + tolerance
+      clicks.addData(ClickIn(Timestamp.valueOf("2026-01-01 12:00:00"), 99L, "x"))
+      buys.addData(BuyIn(Timestamp.valueOf("2026-01-01 12:00:00"), 98L, 1.0))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.table("sj_out3").as[(Long, Option[Double])].collect().toSet
+      assert(rows.contains((1L, None)),
+        s"expired unmatched click must surface null-padded: $rows")
+    } finally q.stop()
+  }
 }
