@@ -31,6 +31,18 @@ object QueryCatalog {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Kernel-input scan: like [[t]] but rebalanced across the cluster.
+    * The driver's testdata parquet ships as ONE row group per file, so a
+    * scan is a single task no matter how many cores exist. For CPU-heavy
+    * per-row kernels (shingling, minhash, chunking, embedding, ...) the
+    * exchange moves the corpus once — cheap relative to kernel cost at any
+    * scale — and the kernel then runs with full parallelism. At production
+    * scale inputs arrive as many splittable row groups and this is a
+    * guard against coarse upstream partitioning ahead of expensive
+    * per-row compute. */
+  private def tk(s: SparkSession, dir: String, name: String): DataFrame =
+    t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+
   /** The events table carries TIMESTAMP(NANOS) which Spark's parquet reader
     * rejects by default; read nanos as raw longs (epoch nanoseconds). */
   private def tEvents(s: SparkSession, dir: String): DataFrame = {
@@ -499,7 +511,7 @@ object QueryCatalog {
       // End-to-end near-dup REMOVAL (minhash -> LSH -> verify -> anti-join)
       Q("q_dedup_near_drop",
         (s, dir) =>
-          Dedup.dropNearDuplicates(t(s, dir, "documents"), "text", "doc_id",
+          Dedup.dropNearDuplicates(tk(s, dir, "documents"), "text", "doc_id",
               3, 8, 2, 0.2)
             .agg(count(lit(1)).as("n_kept"),
               sum(col("doc_id")).cast("long").as("id_sum")),
@@ -686,7 +698,7 @@ object QueryCatalog {
 
       Q("q_rag_index",
         (s, dir) =>
-          RagPipeline.buildIndex(t(s, dir, "documents"))
+          RagPipeline.buildIndex(tk(s, dir, "documents"))
             .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
               col("chunk_id"), col("n_tokens").cast("long").as("n_tokens"),
               r6(element_at(col("embedding"), 1)).as("e1"),
@@ -705,7 +717,7 @@ object QueryCatalog {
 
       Q("q_rag_query",
         (s, dir) => {
-          val index = RagPipeline.buildIndex(t(s, dir, "documents"))
+          val index = RagPipeline.buildIndex(tk(s, dir, "documents"))
           RagPipeline.query(s, index, queryText, 5, 0.05)
             .select(col("chunk_id"), r6(col("score")).as("score"))
         },
@@ -821,7 +833,7 @@ object QueryCatalog {
     // SourcesSpec.
     Q("q_html_to_text",
       (s, dir) => {
-        val html = t(s, dir, "documents")
+        val html = tk(s, dir, "documents")
           .withColumn("html", concat(
             lit("<html><body><h1>Title "), col("doc_id"),
             lit("</h1><p>"), col("text"), lit(" &amp; more</p></body></html>")))
@@ -896,7 +908,7 @@ object QueryCatalog {
       // Q3 mode=hybrid (0.5 * cosine + 0.5 * keyword)
       Q("q_hybrid_search",
         (s, dir) => {
-          val index = RagPipeline.buildIndex(t(s, dir, "documents"))
+          val index = RagPipeline.buildIndex(tk(s, dir, "documents"))
           val q = HashingEmbedder(dim).embedQueryDF(s, queryText)
           Similarity.hybridTopK(index, q, "chunk_text", "chunk_id", "embedding",
               kwTerms, 10, 0.5)
@@ -1119,11 +1131,19 @@ object QueryCatalog {
     // partial aggregation still applies per grouping set).
     Q("q_rollup",
       (s, dir) =>
+        // Pre-aggregate to the finest grouping before ROLLUP: decimal sums
+        // are exact and associative, so rolling up the |groups|-row base
+        // aggregate is bit-identical to rolling up the raw rows while
+        // shrinking the Expand + shuffle input by |rows|/|groups| — the
+        // plan that survives a 100x scale-up.
         t(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("s"),
+            count(lit(1)).as("c"))
           .rollup("l_returnflag", "l_linestatus")
           .agg(
-            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
-            count(lit(1)).as("cnt"))
+            sum(col("s")).cast("double").as("sum_base"),
+            sum(col("c")).as("cnt"))
           .select(
             coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
             coalesce(col("l_linestatus"), lit("ALL")).as("status"),
@@ -1233,7 +1253,7 @@ object QueryCatalog {
     // stats from one aggregation pass, broadcast back over the scan.
     Q("q_bm25_search",
       (s, dir) => {
-        val chunks = RagPipeline.buildChunks(t(s, dir, "documents"))
+        val chunks = RagPipeline.buildChunks(tk(s, dir, "documents"))
         Similarity.bm25TopK(chunks, "chunk_text", "chunk_id",
             Seq("spark", "join", "stream"), 10)
           .select(col("chunk_id"), r6(col("score")).as("score"))
@@ -1275,7 +1295,7 @@ object QueryCatalog {
     // algorithm on the bit strings directly.
     Q("q_simhash_pairs",
       (s, dir) =>
-        Dedup.simhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id", 16)
+        Dedup.simhashNearDupPairs(tk(s, dir, "documents"), "text", "doc_id", 16)
           .orderBy("id_a", "id_b"),
       Some {
         val duckToks = s"(SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents)"
@@ -1527,11 +1547,16 @@ object QueryCatalog {
     // composed manually. The plan shape that matters at 100 TB.
     Q("q_cube",
       (s, dir) =>
+        // Same pre-aggregation as q_rollup: CUBE over the tiny base
+        // aggregate instead of Expand x4 over every raw row.
         t(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("s"),
+            count(lit(1)).as("c"))
           .cube("l_returnflag", "l_linestatus")
           .agg(
-            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
-            count(lit(1)).as("cnt"))
+            sum(col("s")).cast("double").as("sum_base"),
+            sum(col("c")).as("cnt"))
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
       Some("""
         SELECT l_returnflag, l_linestatus,
