@@ -536,6 +536,48 @@ object QueryCatalog {
           FROM documents
           WHERE doc_id NOT IN (SELECT id_b FROM dup)""")),
 
+      // Transitive near-dup CLUSTERING: connected components over the
+      // verified minhash near-dup graph. Spark side = iterative min-label
+      // propagation (joins over the edge list, O(|E|) per round); oracle =
+      // recursive-CTE reachability with min-label aggregation. Every doc
+      // is labeled (singletons label themselves).
+      Q("q_cc_clusters",
+        (s, dir) =>
+          Dedup.nearDupClusters(tk(s, dir, "documents"), "text", "doc_id",
+              3, 8, 2, 0.2)
+            .select(col("doc_id").cast("long").as("doc_id"),
+              col("cluster_id").cast("long").as("cluster_id"))
+            .orderBy("doc_id"),
+        Some(s"""
+          WITH RECURSIVE
+          sigs AS (
+            SELECT doc_id, ${Exprs.minhashSig(D, "sh", 8)} AS sig FROM $duckShingles),
+          banded AS (
+            SELECT doc_id, CAST(b.b AS BIGINT) AS band,
+                   md5(array_to_string(sig[(CAST(b.b AS INT) * 2 + 1):(CAST(b.b AS INT) * 2 + 2)], '|')) AS band_key
+            FROM sigs, range(0, 4) AS b(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+            FROM banded a JOIN banded c
+              ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+          sets AS (SELECT doc_id, list_distinct(sh) AS shs FROM $duckShingles),
+          edges AS (
+            SELECT id_a, id_b
+            FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
+            WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                  / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= CAST(0.2 AS DOUBLE)),
+          und AS (
+            SELECT id_a AS src, id_b AS dst FROM edges
+            UNION ALL
+            SELECT id_b, id_a FROM edges),
+          reach(id, l) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT u.src, r.l FROM reach r JOIN und u ON u.dst = r.id)
+          SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY id
+          ORDER BY doc_id""")),
+
       Q("q_simhash",
         (s, dir) =>
           Dedup.simhash(t(s, dir, "documents"), "text", "doc_id")

@@ -212,6 +212,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: every node's label converges to the minimum
+    * node id reachable from it. Each round is one equi-join + one
+    * aggregate over the edge list — O(|E|) work per round, never a
+    * driver-side graph — and rounds are bounded by the component
+    * diameter. Near-dup graphs are LSH cliques plus short chains, so 2-4
+    * rounds in practice; the driver checks convergence with a count per
+    * round and each round's result is persisted so lineage stays flat.
+    *
+    * nodes: single `id` column; edges: `id_a`/`id_b`.
+    * Output: (id, cluster_id) with cluster_id = min id of the component. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIters: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val und = edges
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(edges.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes
+      .select(col("id").cast("long").as("id"), col("id").cast("long").as("label"))
+    var prev: DataFrame = null
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val nbrMin = und.join(labels, und("dst") === labels("id"))
+        .groupBy("src").agg(min("label").as("nbr_label"))
+        .withColumnRenamed("src", "id")
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (col("nbr_label") < col("label")).as("chg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.where(col("chg") === true).count()
+      if (prev != null) prev.unpersist(false)
+      prev = next
+      labels = next.select("id", "label")
+      iters += 1
+    }
+    und.unpersist(false)
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Near-duplicate CLUSTERS: MinHash -> LSH candidates -> Jaccard verify
+    * -> connected components. Unlike [[dropNearDuplicates]] (pairwise
+    * id_a < id_b collapse), this assigns every document its transitive
+    * dup-cluster id (min doc id of the component) — the canonical-
+    * representative form a training pipeline dedups and audits with. */
+  def nearDupClusters(df: DataFrame, textCol: String, idCol: String,
+                      shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 2,
+                      threshold: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(df, textCol, idCol, shingleN, k)
+    val cand = lshCandidatePairs(sigs, idCol, rowsPerBand)
+    val edges = jaccardVerify(df, cand, textCol, idCol, shingleN, threshold)
+      .select("id_a", "id_b")
+    connectedComponents(df.select(col(idCol).cast("long").as("id")), edges)
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Embedding-cosine near-duplicate pairs within LSH-ish buckets: bucket by
     * the sign pattern of the first `signBits` dims (a random-hyperplane LSH
     * analog), then verify cosine within buckets only. */

@@ -72,6 +72,30 @@ class OpsSpec extends AnyFunSuite {
     assert(m("n_chunks").asInstanceOf[Long] - m("n_invalid").asInstanceOf[Long] == kept)
   }
 
+  test("connected components: chain, clique, and singletons collapse to min label") {
+    // components: chain 1-2-3-4 (diameter 3, needs >1 round), clique 10-11-12,
+    // pair 20-21, singletons 30 and 31
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 30L, 31L).toDF("id")
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 31L))
+  }
+
+  test("near-dup clusters label transitive groups by min doc id") {
+    val labels = Dedup.nearDupClusters(docs, "text", "doc_id", 3, 8, 2, 0.2)
+      .as[(Long, Long)].collect().toMap
+    // 0,1 exact dups and 2 a near dup -> one cluster rooted at 0; 3 alone
+    assert(labels(0L) == 0L && labels(1L) == 0L && labels(2L) == 0L)
+    assert(labels(3L) == 3L)
+  }
+
   test("doc anchor write-back joins anchor onto every chunk") {
     val chunks = graft.chunk.Chunking.explodeCharWindows(docs, "text", 20, 15)
     val out = RagPipeline.docAnchorWriteBack(
