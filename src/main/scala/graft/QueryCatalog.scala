@@ -60,6 +60,28 @@ object QueryCatalog {
   private def duckR6(x: String): String =
     s"(round($x, 6) + CAST(0.0 AS DOUBLE))"
 
+  /** Shared Spark-SQL/DuckDB formula text deriving statistics from exact
+    * decimal moment sums (n, sq, sqq, sqqq, sp, spp, sqp). The SAME text
+    * evaluates on both sides, so every +,*,/,sqrt is the same sequence of
+    * correctly-rounded IEEE ops — bit-identical results. */
+  private val statFormulas: Seq[String] = {
+    val nd = "CAST(n AS DOUBLE)"
+    val sq = "CAST(sq AS DOUBLE)"; val sqq = "CAST(sqq AS DOUBLE)"
+    val sqqq = "CAST(sqqq AS DOUBLE)"
+    val sp = "CAST(sp AS DOUBLE)"; val spp = "CAST(spp AS DOUBLE)"
+    val sqp = "CAST(sqp AS DOUBLE)"
+    def r6s(x: String, as: String) = s"(round($x, 6) + CAST(0.0 AS DOUBLE)) AS $as"
+    val meanQ = s"($sq / $nd)"
+    val stdP = s"sqrt((($spp - ($sp * $sp) / $nd) / ($nd - CAST(1.0 AS DOUBLE))))"
+    val corr = s"(($nd * $sqp - $sq * $sp) / (sqrt($nd * $sqq - $sq * $sq) * sqrt($nd * $spp - $sp * $sp)))"
+    val m2 = s"($sqq / $nd - $meanQ * $meanQ)"
+    val m3 = s"($sqqq / $nd - CAST(3.0 AS DOUBLE) * $meanQ * ($sqq / $nd) + CAST(2.0 AS DOUBLE) * $meanQ * $meanQ * $meanQ)"
+    val skew = s"($m3 / ($m2 * sqrt($m2)))"
+    Seq(r6s(meanQ, "mean_qty"), r6s(stdP, "std_price"),
+      r6s(corr, "corr_qty_price"), r6s(skew, "skew_qty"),
+      "CAST(n AS BIGINT) AS n")
+  }
+
   // ---- shared DuckDB fragments --------------------------------------------
 
   /** documents -> (doc_id, chunk_idx BIGINT, chunk_id, chunk_text); fixed
@@ -192,6 +214,131 @@ object QueryCatalog {
         WHERE r_name = 'ASIA'
         GROUP BY n_name
         ORDER BY revenue DESC, n_name""")),
+
+    // TPC-H Q13 shape: customer order-count distribution through a
+    // left-outer join with a join-side filter (customers with zero
+    // surviving orders count as c_count = 0).
+    Q("q13_custdist",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").where(col("o_orderpriority") =!= "1-URGENT")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(c("c_custkey")).agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      },
+      Some("""
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""")),
+
+    // TPC-H Q16 shape: distinct-supplier counts per part attribute set
+    // (partsupp stands in as part JOIN lineitem in this schema).
+    Q("q16_supplier_cnt",
+      (s, dir) =>
+        t(s, dir, "part")
+          .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
+          .where(col("p_brand") =!= "Brand#1" && col("p_size").isin(1, 5, 9, 13))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+          .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size")),
+      Some("""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    // TPC-H Q18 shape: large-volume orders (HAVING over a grouped join key,
+    // then enrich through two joins).
+    Q("q18_big_orders",
+      (s, dir) => {
+        val big = t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+          .where(col("sum_qty") > 180)
+        t(s, dir, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
+            col("sum_qty").cast("double").as("sum_qty"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT c_name, o_orderkey, o_totalprice, CAST(sum_qty AS DOUBLE) AS sum_qty
+        FROM (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 180) b
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_orderkey""")),
+
+    // TPC-H Q21 shape: EXISTS + NOT EXISTS with inequality correlation
+    // (the only 'R'-flag supplier in multi-supplier orders), planned as a
+    // left-semi + left-anti join pair.
+    Q("q21_waiting",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val l1 = li.where(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("o1"), col("l_suppkey").as("s1"))
+        val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+        val l3 = li.where(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+        l1.join(l2, col("o1") === col("o2") && col("s1") =!= col("s2"), "left_semi")
+          .join(l3, col("o1") === col("o3") && col("s1") =!= col("s3"), "left_anti")
+          .join(t(s, dir, "supplier"), col("s1") === col("s_suppkey"))
+          .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+          .orderBy(desc("numwait"), col("s_name"))
+      },
+      Some("""
+        SELECT s_name, count(*) AS numwait
+        FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name""")),
+
+    // TPC-H Q22 shape: global scalar aggregate comparison (rewritten to
+    // exact decimal cross-multiplication) + anti-join on orders.
+    Q("q22_idle_balance",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val pos = c.where(col("c_acctbal") > 0.0)
+          .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("s"),
+            count(lit(1)).as("n"))
+        c.crossJoin(broadcast(pos))
+          .where(col("c_acctbal").cast("decimal(18,2)") * col("n") > col("s"))
+          .join(t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
+          .orderBy("c_nationkey")
+      },
+      Some("""
+        WITH stats AS (
+          SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s, count(*) AS n
+          FROM customer WHERE c_acctbal > CAST(0.0 AS DOUBLE))
+        SELECT c_nationkey, count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer, stats
+        WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey""")),
 
     // J1: anti-join (reference ignore-list partition, document_processor.py:869-880)
     Q("q_j1_anti",
@@ -671,6 +818,52 @@ object QueryCatalog {
           WHERE a.vec_id < 20 AND b.vec_id < 20 AND a.vec_id < b.vec_id
           ORDER BY id_a, id_b"""
         }),
+
+      // Distributed k-NN JOIN: exact top-k for every query row, with
+      // map-side per-partition per-query heap pruning before the shuffle.
+      Q("q_knn_join",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          Similarity.knnJoin(emb.where(col("vec_id") >= 5),
+              emb.where(col("vec_id") < 5),
+              "vec_id", "embedding", "vec_id", "embedding", 5)
+            .select(col("query_id"), col("vec_id"), col("rank"),
+              r6(col("score")).as("score"))
+            .orderBy("query_id", "rank")
+        },
+        Some(s"""
+          WITH q AS (SELECT vec_id AS query_id, v AS qv FROM $duckEmbTable WHERE vec_id < 5),
+          c AS (SELECT vec_id, v FROM $duckEmbTable WHERE vec_id >= 5),
+          scored AS (SELECT query_id, c.vec_id AS vec_id,
+                            ${D.cosine("c.v", "q.qv")} AS score
+                     FROM c, q),
+          ranked AS (SELECT query_id, vec_id, score,
+                            row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+                     FROM scored)
+          SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
+                 ${duckR6("score")} AS score
+          FROM ranked WHERE rank <= 5
+          ORDER BY query_id, rank""")),
+
+      // Radius search: all (query, vector) pairs above a cosine threshold —
+      // broadcast queries, map-only filtered scan.
+      Q("q_radius_search",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          Similarity.radiusSearch(emb.where(col("vec_id") >= 5),
+              emb.where(col("vec_id") < 5),
+              "vec_id", "embedding", "vec_id", "embedding", 0.2)
+            .select(col("query_id"), col("vec_id"), r6(col("score")).as("score"))
+            .orderBy("query_id", "vec_id")
+        },
+        Some(s"""
+          WITH q AS (SELECT vec_id AS query_id, v AS qv FROM $duckEmbTable WHERE vec_id < 5),
+          c AS (SELECT vec_id, v FROM $duckEmbTable WHERE vec_id >= 5)
+          SELECT query_id, c.vec_id AS vec_id,
+                 ${duckR6(D.cosine("c.v", "q.qv"))} AS score
+          FROM c, q
+          WHERE ${D.cosine("c.v", "q.qv")} >= CAST(0.2 AS DOUBLE)
+          ORDER BY query_id, vec_id""")),
 
       Q("q_ann_ivf",
         (s, dir) => {
@@ -1608,6 +1801,37 @@ object QueryCatalog {
         GROUP BY CUBE (l_returnflag, l_linestatus)
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
+    // Statistical aggregates (corr / stddev / skewness) computed from
+    // EXACT decimal moments: the 2-decimal inputs make every power sum
+    // exact in DECIMAL, and both engines then derive the statistics from
+    // those sums with the IDENTICAL double formula — so results are
+    // bit-identical despite each engine's native one-pass co-moment
+    // aggregates using different accumulation orders. Map-side partial
+    // aggregation applies to the decimal sums like any sum — one shuffle.
+    Q("q_stats_moments",
+      (s, dir) => {
+        val q = col("l_quantity").cast("decimal(9,2)")
+        val p = col("l_extendedprice").cast("decimal(18,2)")
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(q).as("sq"), sum(q * q).as("sqq"), sum(q * q * q).as("sqqq"),
+            sum(p).as("sp"), sum(p * p).as("spp"), sum(q * p).as("sqp"))
+          .selectExpr("l_returnflag" +: statFormulas: _*)
+          .orderBy("l_returnflag")
+      },
+      Some(s"""
+        SELECT l_returnflag, ${statFormulas.mkString(", ")}
+        FROM (SELECT l_returnflag, count(*) AS n,
+                     sum(CAST(l_quantity AS DECIMAL(9,2))) AS sq,
+                     sum(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS sqq,
+                     sum(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS sqqq,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp,
+                     sum(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp
+              FROM lineitem GROUP BY l_returnflag)
+        ORDER BY l_returnflag""")),
+
     Q("q_grouping_sets",
       (s, dir) => {
         t(s, dir, "documents").createOrReplaceTempView("__docs_gs")
@@ -1799,6 +2023,48 @@ object QueryCatalog {
                 FROM documents)
           GROUP BY split
           ORDER BY split""")),
+
+      // Deterministic sampling family (ops.Sampling): every decision is
+      // md5(doc_id)-derived — reproducible across runs, retries, and
+      // speculation, and replayable bit-for-bit by the oracle engine.
+      Q("q_sample_rate",
+        (s, dir) =>
+          graft.ops.Sampling.hashSample(t(s, dir, "documents"), "doc_id", 0.25)
+            .select("doc_id")
+            .orderBy("doc_id"),
+        Some(s"""
+          SELECT doc_id FROM documents
+          WHERE ${D.md5Uniform(D.castStr("doc_id"))} < ${D.d(0.25)}
+          ORDER BY doc_id""")),
+
+      Q("q_sample_stratified",
+        (s, dir) =>
+          graft.ops.Sampling.stratifiedExact(
+              t(s, dir, "documents"), Seq("source", "lang"), "doc_id", 10)
+            .select("doc_id", "source", "lang")
+            .orderBy("doc_id"),
+        Some(s"""
+          SELECT doc_id, source, lang
+          FROM (SELECT doc_id, source, lang,
+                       row_number() OVER (PARTITION BY source, lang
+                                          ORDER BY ${D.md5Uniform(D.castStr("doc_id"))}, doc_id) AS rn
+                FROM documents)
+          WHERE rn <= 10
+          ORDER BY doc_id""")),
+
+      Q("q_sample_weighted",
+        (s, dir) =>
+          graft.ops.Sampling.weightedSample(
+              t(s, dir, "documents"), "doc_id", "n_chars", 50)
+            .select(col("doc_id"), col("priority"))
+            .orderBy(desc("priority"), col("doc_id")),
+        Some(s"""
+          SELECT doc_id,
+                 (round(pow(${D.md5Uniform(D.castStr("doc_id"))},
+                            ${D.d(1.0)} / CAST(n_chars AS DOUBLE)), 6) + ${D.d(0.0)}) AS priority
+          FROM documents
+          ORDER BY priority DESC, doc_id
+          LIMIT 50""")),
 
       // Sequence packing: fill 256-token training bins by cumulative token
       // count. Packs WITHIN each source partition (parallel at scale; a

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sqlgen.Dialect
+
+/** Deterministic sampling operators for training-data pipelines.
+  *
+  * Every sampling decision derives from the md5 hash of the row id — no
+  * RNG state — so samples are reproducible across runs, task retries, and
+  * speculative execution, and any engine can replay the exact sample
+  * (the DuckDB oracle does).
+  *
+  * Scale design (100 TB):
+  *   - [[hashSample]] is a map-only filter: no shuffle, no driver state,
+  *     embarrassingly parallel at any scale.
+  *   - [[stratifiedExact]] shuffles once on the strata key to rank within
+  *     each stratum. Quota truncation happens after the shuffle, so a hot
+  *     stratum concentrates on one partition — for giant strata prefer
+  *     hashSample with a per-stratum rate, or pre-thin with hashSample
+  *     before ranking (rate chosen so the expected survivors per stratum
+  *     still exceed the quota).
+  *   - [[weightedSample]] is the A-Res priority scheme (Efraimidis &
+  *     Spirakis 2006): priority u^(1/w); the global top-n plans as
+  *     TakeOrderedAndProject — per-partition top-n, only n rows per
+  *     partition move to the driver merge.
+  */
+object Sampling {
+  private val S = Dialect.spark
+
+  /** md5-derived uniform in [0,1) for a row id column. */
+  private def uniform(idCol: String): Column =
+    expr(S.md5Uniform(S.castStr(idCol)))
+
+  /** Deterministic rate sample: keep rows whose id-hash uniform < rate. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
+    df.where(uniform(idCol) < rate)
+
+  /** Exact per-stratum quotas: rank rows inside each stratum by their id
+    * hash (deterministic, data-independent order) and keep the first
+    * `quota` of each stratum. */
+  def stratifiedExact(df: DataFrame, strata: Seq[String], idCol: String,
+                      quota: Int): DataFrame = {
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(uniform(idCol), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= quota)
+      .drop("__rn")
+  }
+
+  /** Per-key quota capping (domain caps in corpus curation): identical
+    * mechanism to stratified sampling, capping intent. */
+  def capPerKey(df: DataFrame, keys: Seq[String], idCol: String,
+                cap: Int): DataFrame =
+    stratifiedExact(df, keys, idCol, cap)
+
+  /** Deterministic weighted sample without replacement: global top-n by
+    * A-Res priority u^(1/w) (higher weight => priority closer to 1).
+    * The priority is rounded to 6 decimals with an id tie-break so the
+    * ordering never depends on sub-ulp libm pow differences. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     n: Int): DataFrame = {
+    val pr = round(pow(uniform(idCol), lit(1.0) / col(weightCol).cast("double")), 6) + lit(0.0)
+    df.withColumn("priority", pr)
+      .orderBy(desc("priority"), col(idCol))
+      .limit(n)
+  }
+}

@@ -261,6 +261,64 @@ object Similarity {
       .limit(k)
   }
 
+  /** Distributed k-NN JOIN: exact cosine top-k neighbors for EVERY query
+    * row, not just one. The query set is broadcast (small side by
+    * contract — for huge query sets pre-bucket both sides with IVF
+    * instead); scores come from the codegen CosineSimilarity expression in
+    * one narrow pass. The scalable part is the map-side combine: each scan
+    * partition keeps only a k-bounded heap PER QUERY before the shuffle,
+    * so the exchange moves at most partitions x |Q| x k (query, id, score)
+    * triples instead of |corpus| x |Q| rows — the difference between a
+    * k-NN join that survives a 100 TB corpus and one that shuffles the
+    * whole cross product. Final per-query rank is a window over the pruned
+    * candidate set (exact; ties broken on neighbor id). */
+  def knnJoin(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              qIdCol: String, qVecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(qIdCol).cast("long").as("query_id"),
+      VectorF.toDoubleArray(col(qVecCol)).as("__qv"))
+    val scored = emb
+      .select(col(idCol).cast("long").as("__id"), VectorF.toDoubleArray(col(vecCol)).as("__v"))
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("__id"),
+        VectorF.cosine(col("__v"), col("__qv")).as("score"))
+      .as[(Long, Long, Double)]
+    // worst candidate = lowest score, then highest id; heap max = worst
+    val worstFirst: Ordering[(Double, Long)] = Ordering.by(t => (-t._1, t._2))
+    val pruned = scored.mapPartitions { it =>
+      val heaps = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.PriorityQueue[(Double, Long)]]
+      it.foreach { case (qid, id, s) =>
+        val h = heaps.getOrElseUpdate(qid,
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+        if (h.size < k) h.enqueue((s, id))
+        else if (worstFirst.lt((s, id), h.head)) { h.dequeue(); h.enqueue((s, id)) }
+      }
+      heaps.iterator.flatMap { case (qid, h) => h.iterator.map(t => (qid, t._2, t._1)) }
+    }.toDF("query_id", idCol, "score")
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), col(idCol))
+    pruned.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("rank"), col("score"))
+  }
+
+  /** Radius search: every (query, vector) pair with cosine >= threshold.
+    * Broadcast query side + one narrow filtered scan — a map-only stage at
+    * any corpus size (output is the only thing that grows). */
+  def radiusSearch(emb: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, qIdCol: String, qVecCol: String,
+                   threshold: Double): DataFrame = {
+    val q = queries.select(col(qIdCol).cast("long").as("query_id"),
+      VectorF.toDoubleArray(col(qVecCol)).as("__qv"))
+    emb.select(col(idCol).cast("long").as(idCol), VectorF.toDoubleArray(col(vecCol)).as("__v"))
+      .crossJoin(broadcast(q))
+      .withColumn("score", VectorF.cosine(col("__v"), col("__qv")))
+      .where(col("score") >= threshold)
+      .select(col("query_id"), col(idCol), col("score"))
+  }
+
   /** Pairwise distance table (reference T8, `scripts/distance.py:17-38`):
     * cosine + euclidean + combined score for all pairs of a (small) set. */
   def pairwiseDistances(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {

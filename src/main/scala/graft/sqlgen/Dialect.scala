@@ -103,6 +103,15 @@ final case class Dialect(duck: Boolean) {
   /** Value 0..15 of the `i`-th (1-based) hex char of md5(x). */
   def md5HexDigit(x: String, i: Int): String =
     s"(${instr("'0123456789abcdef'", s"substr(md5($x), $i, 1)")} - 1)"
+
+  /** Deterministic uniform in [0,1): the first `k` hex digits of md5(x)
+    * folded into an integer, divided by 16^k. Small-integer arithmetic +
+    * one exact IEEE division — bit-identical across engines. */
+  def md5Uniform(x: String, k: Int = 6): String = {
+    val intExpr = (1 to k).map(i => md5HexDigit(x, i))
+      .reduceLeft((acc, dig) => s"(($acc) * 16 + $dig)")
+    s"(CAST($intExpr AS DOUBLE) / ${d(math.pow(16.0, k))})"
+  }
 }
 
 object Dialect {

@@ -96,6 +96,28 @@ class OpsSpec extends AnyFunSuite {
     assert(labels(3L) == 3L)
   }
 
+  test("knn join with heap pruning equals per-query brute force") {
+    val vecs = (0L to 30L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 31.0 + d).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding").repartition(3)
+    val got = Similarity.knnJoin(
+      df.where($"vec_id" >= 3), df.where($"vec_id" < 3),
+      "vec_id", "embedding", "vec_id", "embedding", 4)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(got.size == 12)
+    for (q <- 0L until 3L) {
+      val qv = vecs(q.toInt)._2.map(_.toDouble)
+      val expected = vecs.filter(_._1 >= 3).map { case (id, v) =>
+        val vd = v.map(_.toDouble)
+        var ab = 0.0; var aa = 0.0; var bb = 0.0
+        for (i <- 0 until 8) { ab += vd(i) * qv(i); aa += vd(i) * vd(i); bb += qv(i) * qv(i) }
+        (id, ab / (math.sqrt(aa) * math.sqrt(bb)))
+      }.sortBy(t => (-t._2, t._1)).take(4)
+        .zipWithIndex.map { case ((id, _), r) => (q, id, (r + 1).toLong) }.toSet
+      assert(expected.subsetOf(got), s"query $q")
+    }
+  }
+
   test("doc anchor write-back joins anchor onto every chunk") {
     val chunks = graft.chunk.Chunking.explodeCharWindows(docs, "text", 20, 15)
     val out = RagPipeline.docAnchorWriteBack(
