@@ -1264,6 +1264,63 @@ object QueryCatalog {
         FROM documents
         ORDER BY doc_id""")),
 
+    // PII redaction scrub pass: both engines CONSTRUCT identical
+    // PII-bearing text (emails + SSN-shaped ids derived from doc_id),
+    // Spark redacts with TextF.redactPii (chained codegen
+    // regexp_replace), the oracle with RE2 'g'-flag replaces — the
+    // patterns are written lookaround-free so Java regex and RE2 agree.
+    Q("q_pii_redact",
+      (s, dir) => {
+        val pii = concat(
+          lit("Contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or u"), col("doc_id").cast("string"),
+          lit("@alt.org ssn "),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" | "), substring(col("text"), 1, 40))
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextF.redactPii(pii).as("redacted"),
+            TextF.emailCount(pii).as("n_emails"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(pii, '${TextF.EmailRe}', '<EMAIL>', 'g'),
+                              '${TextF.SsnRe}', '<ID>', 'g') AS redacted,
+               CAST(len(regexp_extract_all(pii, '${TextF.EmailRe}')) AS BIGINT) AS n_emails
+        FROM (SELECT doc_id,
+                     concat('Contact user', CAST(doc_id AS VARCHAR), '@mail.example.com or u',
+                            CAST(doc_id AS VARCHAR), '@alt.org ssn ',
+                            lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-',
+                            lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'), '-',
+                            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                            ' | ', substr(text, 1, 40)) AS pii
+              FROM documents)
+        ORDER BY doc_id""")),
+
+    // URL extraction (regexp_extract_all on both engines).
+    Q("q_extract_urls",
+      (s, dir) => {
+        val urlText = concat(lit("see https://ex.com/p/"), col("doc_id").cast("string"),
+          lit("?ref=a and http://t.co/"), (col("doc_id") % 97).cast("string"), lit(" end"))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            array_join(TextF.extractUrls(urlText), ",").as("urls"),
+            size(TextF.extractUrls(urlText)).cast("long").as("n_urls"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        SELECT doc_id,
+               array_to_string(regexp_extract_all(s, '${TextF.UrlRe}'), ',') AS urls,
+               CAST(len(regexp_extract_all(s, '${TextF.UrlRe}')) AS BIGINT) AS n_urls
+        FROM (SELECT doc_id,
+                     concat('see https://ex.com/p/', CAST(doc_id AS VARCHAR),
+                            '?ref=a and http://t.co/', CAST(doc_id % 97 AS VARCHAR),
+                            ' end') AS s
+              FROM documents)
+        ORDER BY doc_id""")),
+
     // Exact-dedup keep count (dropExactDuplicates end to end)
       Q("q_dedup_drop",
         (s, dir) =>
@@ -1610,6 +1667,41 @@ object QueryCatalog {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS content_md5,
                hex(encode(substring(text, 1, 4))) AS magic
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // REAL image-header parsing: the Spark side CONSTRUCTS valid
+    // PNG/GIF/JPEG container headers byte-for-byte (dims derived from
+    // doc_id), then the BinaryColumns kernel PARSES them back — magic
+    // sniffing, endianness, and the JFIF segment walk are all exercised.
+    // The oracle computes the expected dims arithmetically, so any parse
+    // error hash-mismatches.
+    Q("q_image_meta",
+      (s, dir) => {
+        val withBytes = t(s, dir, "documents")
+          .withColumn("w", (col("doc_id") % 500 + 16).cast("int"))
+          .withColumn("h", (col("doc_id") % 300 + 16).cast("int"))
+          .withColumn("img", unhex(expr("""CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN concat('89504E470D0A1A0A0000000D49484452',
+                               lpad(hex(w), 8, '0'), lpad(hex(h), 8, '0'))
+            WHEN 1 THEN concat('474946383961',
+                               lpad(hex(w % 256), 2, '0'), lpad(hex(w div 256), 2, '0'),
+                               lpad(hex(h % 256), 2, '0'), lpad(hex(h div 256), 2, '0'))
+            ELSE concat('FFD8FFE000044A46FFC0001108',
+                        lpad(hex(h), 4, '0'), lpad(hex(w), 4, '0'))
+            END""")))
+        graft.multimodal.BinaryColumns.withImageMeta(withBytes, "img")
+          .select(col("doc_id"), col("img_format"),
+            col("img_width").cast("long").as("img_width"),
+            col("img_height").cast("long").as("img_height"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT)
+                 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS img_format,
+               CAST(doc_id % 500 + 16 AS BIGINT) AS img_width,
+               CAST(doc_id % 300 + 16 AS BIGINT) AS img_height
         FROM documents
         ORDER BY doc_id""")),
 
@@ -2201,6 +2293,30 @@ object QueryCatalog {
       // deterministic first-k init): encode all vectors to 4 codes, then
       // ADC top-10 by squared L2 — the whole compress->search path
       // hash-matched against plain SQL. See ops.ProductQuantization.
+      // OPQ-rotated PQ end to end (rows-only: the Jacobi eigensolver is
+      // not SQL-expressible; the math contract is pinned in PqSketchSpec —
+      // orthogonality, isometry, distortion non-inferiority).
+      Q("q_opq_ann",
+        (s, dir) => {
+          import graft.ops.{OpqRotation, ProductQuantization}
+          val emb = t(s, dir, "embeddings")
+          // train rotation + codebooks on a deterministic sample (standard
+          // PQ practice — training is O(sample), encode covers everything)
+          val sample = emb.where(col("vec_id") % 4 === 0)
+          val r = OpqRotation.learnRotation(sample, "embedding", 64, 4)
+          val rot = OpqRotation.rotate(emb, "embedding", "rv", r)
+          val books = ProductQuantization.trainCodebooks(
+            OpqRotation.rotate(sample, "embedding", "rv", r), "vec_id", "rv",
+            4, 8, 64, 0)
+          val codes = ProductQuantization.encode(
+            rot.where(col("vec_id") =!= 0), books, "vec_id", "rv", 4, 64)
+          val q = rot.where(col("vec_id") === 0)
+            .select(col("rv").as("qv"))
+          ProductQuantization.adcTopK(codes, books, q, "vec_id", 4, 64, 10)
+            .select(col("vec_id"), r6(col("dist")).as("dist"))
+        },
+        None),
+
       Q("q_pq_ann",
         (s, dir) => {
           import graft.ops.ProductQuantization

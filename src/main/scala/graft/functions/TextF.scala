@@ -76,4 +76,24 @@ object TextF {
     val punct = punctRatio(text)
     lenScore * lit(0.4) + stopScore * lit(0.3) + (lit(1.0) - punct) * lit(0.3)
   }
+
+  // ---- PII / entity extraction (RE2-compatible patterns: no lookaround,
+  // so the same pattern text runs under Java regex and DuckDB's RE2) ----
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val UrlRe = "https?://[^\\s]+"
+
+  /** Redact emails and SSN-shaped ids — the pre-training PII scrub pass.
+    * Chained regexp_replace stays inside whole-stage codegen. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), SsnRe, "<ID>")
+
+  /** All URLs in the text as an array (regexp_extract_all, group 0). */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlRe), lit(0))
+
+  /** Count of email-shaped spans (redaction audit metric). */
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long")
 }

@@ -70,6 +70,56 @@ object BinaryColumns {
       .toDF("media_id", "features")
   }
 
+  /** REAL image-container header parsing (no codec required): sniff the
+    * magic bytes and decode the container's dimension fields —
+    *   - PNG: signature + IHDR, width/height big-endian at offsets 16/20
+    *   - GIF: GIF87a/89a, width/height little-endian at offsets 6/8
+    *   - JPEG: walk the JFIF segment chain from FFD8 to the first SOF
+    *     frame header (FFC0-FFCF except DHT/JPG/DAC), height/width
+    *     big-endian inside the frame segment
+    * Unknown or truncated payloads yield ("unknown", -1, -1). This is the
+    * metadata-extraction stage a multimodal pipeline runs BEFORE any
+    * decode: a scalar kernel, narrow scan, no shuffle. */
+  def parseImageHeader(b: Array[Byte]): (String, Int, Int) = {
+    @inline def u(i: Int): Int = b(i) & 0xFF
+    if (b == null || b.length < 2) ("unknown", -1, -1)
+    else if (b.length >= 24 && u(0) == 0x89 && u(1) == 'P' && u(2) == 'N' && u(3) == 'G') {
+      val w = (u(16) << 24) | (u(17) << 16) | (u(18) << 8) | u(19)
+      val h = (u(20) << 24) | (u(21) << 16) | (u(22) << 8) | u(23)
+      ("png", w, h)
+    } else if (b.length >= 10 && u(0) == 'G' && u(1) == 'I' && u(2) == 'F') {
+      ("gif", u(6) | (u(7) << 8), u(8) | (u(9) << 8))
+    } else if (u(0) == 0xFF && u(1) == 0xD8) {
+      var i = 2
+      var out = ("jpeg", -1, -1)
+      var done = false
+      while (!done && i + 4 <= b.length) {
+        if (u(i) != 0xFF) done = true
+        else {
+          val m = u(i + 1)
+          val len = (u(i + 2) << 8) | u(i + 3)
+          val isSof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+          if (isSof && i + 9 <= b.length) {
+            out = ("jpeg", (u(i + 7) << 8) | u(i + 8), (u(i + 5) << 8) | u(i + 6))
+            done = true
+          } else i += 2 + len
+        }
+      }
+      out
+    } else ("unknown", -1, -1)
+  }
+
+  private val imageMetaUdf =
+    udf((b: Array[Byte]) => parseImageHeader(b))
+
+  /** Adds img_format / img_width / img_height parsed from a binary column. */
+  def withImageMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("__im", imageMetaUdf(col(binCol)))
+      .withColumn("img_format", col("__im._1"))
+      .withColumn("img_width", col("__im._2"))
+      .withColumn("img_height", col("__im._3"))
+      .drop("__im")
+
   /** Frame-sampling shape for video: emit every `stride`-th chunk offset of
     * the binary payload as a "frame" row (1->N generator; the real codec
     * would decode actual frames). */

@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorF
+
+/** OPQ-style rotation before product quantization (Ge et al., CVPR'13
+  * non-parametric initialization): rotate vectors into the PCA basis and
+  * allocate principal dimensions to PQ subspaces so each subspace carries
+  * a balanced share of the variance — the main accuracy lever PQ has when
+  * embedding dimensions are correlated.
+  *
+  * All linear algebra is self-contained (no external solver):
+  *   - covariance accumulates in ONE distributed pass via treeAggregate of
+  *     per-partition outer-product sums (d x d doubles per partition — the
+  *     raw vectors never shuffle; at 100 TB this is a map-side-combined
+  *     scan like any sum),
+  *   - eigendecomposition runs on the driver with a cyclic Jacobi sweep
+  *     over the d x d covariance (d is embedding dim, tiny),
+  *   - the rotation matrix broadcasts back and applies as a per-row
+  *     matrix-vector kernel inside mapPartitions (narrow, no shuffle).
+  */
+object OpqRotation {
+
+  /** (n, mean, covariance) of an array<double|float> vector column in one
+    * distributed pass. */
+  def covariance(emb: DataFrame, vecCol: String, dim: Int): (Long, Array[Double], Array[Array[Double]]) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = emb.select(VectorF.toDoubleArray(col(vecCol))).as[Seq[Double]].rdd
+    // accumulator: count, sum(d), upper-triangular sum of outer products
+    val zero = (0L, new Array[Double](dim), Array.ofDim[Double](dim, dim))
+    val (n, s, ss) = rows.treeAggregate(zero)(
+      seqOp = { case ((c, sum, outer), v) =>
+        var i = 0
+        while (i < dim) {
+          val xi = v(i)
+          sum(i) += xi
+          var j = i
+          while (j < dim) { outer(i)(j) += xi * v(j); j += 1 }
+          i += 1
+        }
+        (c + 1, sum, outer)
+      },
+      combOp = { case ((c1, s1, o1), (c2, s2, o2)) =>
+        var i = 0
+        while (i < dim) {
+          s1(i) += s2(i)
+          var j = i
+          while (j < dim) { o1(i)(j) += o2(i)(j); j += 1 }
+          i += 1
+        }
+        (c1 + c2, s1, o1)
+      })
+    val mean = s.map(_ / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = ss(i)(j) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1
+      }
+      i += 1
+    }
+    (n, mean, cov)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvectors as COLUMNS), sorted by eigenvalue
+    * descending. Deterministic: fixed sweep order, fixed iteration cap. */
+  def jacobiEigen(a0: Array[Array[Double]], maxSweeps: Int = 50,
+                  tol: Double = 1e-12): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiagNorm(a)
+    while (sweep < maxSweeps && off > tol) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > tol) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiagNorm(a)
+      sweep += 1
+    }
+    val eig = Array.tabulate(d)(i => a(i)(i))
+    val order = eig.indices.sortBy(i => -eig(i)).toArray
+    val values = order.map(eig)
+    val vectors = Array.tabulate(d, d)((i, j) => v(i)(order(j)))
+    (values, vectors)
+  }
+
+  private def offDiagNorm(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) { s += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  /** OPQ eigenvalue allocation: order the PCA axes so that the m
+    * contiguous PQ subspaces carry balanced variance — greedily assign
+    * each principal axis (eigenvalue descending) to the open subspace
+    * with the smallest log-variance product. Returns the row-permuted
+    * rotation R (d x d, orthogonal): y = R x puts allocated axes in
+    * subspace-contiguous order. */
+  def allocatedRotation(eigValues: Array[Double], eigVectors: Array[Array[Double]],
+                        m: Int): Array[Array[Double]] = {
+    val d = eigValues.length
+    val per = d / m
+    val logProd = new Array[Double](m)
+    val buckets = Array.fill(m)(List.empty[Int])
+    for (axis <- 0 until d) { // eigenvalues already sorted descending
+      val open = (0 until m).filter(b => buckets(b).length < per)
+      val b = open.minBy(logProd)
+      buckets(b) = axis :: buckets(b)
+      logProd(b) += math.log(math.max(eigValues(axis), 1e-300))
+    }
+    val axisOrder = buckets.flatMap(_.reverse)
+    // R rows = principal axes in allocated order (Vᵀ permuted)
+    Array.tabulate(d, d)((r, c) => eigVectors(c)(axisOrder(r)))
+  }
+
+  /** Learn the full OPQ rotation for m subspaces from the data. */
+  def learnRotation(emb: DataFrame, vecCol: String, dim: Int, m: Int): Array[Array[Double]] = {
+    val (_, _, cov) = covariance(emb, vecCol, dim)
+    val (ev, evec) = jacobiEigen(cov)
+    allocatedRotation(ev, evec, m)
+  }
+
+  /** Apply a rotation as a per-row mat-vec kernel: adds `rotCol`
+    * (array<double>) = R x. Broadcast R; narrow map — no shuffle. */
+  def rotate(emb: DataFrame, vecCol: String, rotCol: String,
+             r: Array[Array[Double]]): DataFrame = {
+    val spark = emb.sparkSession
+    val br = spark.sparkContext.broadcast(r)
+    val rotUdf = udf((v: Seq[Double]) => {
+      val m = br.value
+      val d = m.length
+      val out = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var s = 0.0
+        var j = 0
+        val row = m(i)
+        while (j < d) { s += row(j) * v(j); j += 1 }
+        out(i) = s
+        i += 1
+      }
+      out
+    })
+    emb.withColumn(rotCol, rotUdf(VectorF.toDoubleArray(col(vecCol))))
+  }
+}

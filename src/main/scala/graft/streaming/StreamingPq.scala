@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.ProductQuantization
+
+/** Streaming product-quantization encode: codebooks train OFFLINE on a
+  * batch sample (they must stay frozen for stored codes to remain
+  * comparable), then every arriving vector encodes per micro-batch with
+  * the same deterministic argmin kernel — a vector gets the identical
+  * code whether it arrived in the original batch or on the stream, so
+  * ADC search works over the union of both.
+  *
+  * Scale: the codebook is m x k rows (tiny, broadcast per batch); encode
+  * is a narrow map per micro-batch — state-free, so the stream needs no
+  * state store at all. */
+object StreamingPq {
+
+  /** Stream vector rows (idCol + vecCol per `schema`) from parquet files
+    * in `inputDir`, append (id, codes, batch_id) to `outDir`. */
+  def encodeStream(spark: SparkSession, inputDir: String, schema: StructType,
+                   books: DataFrame, idCol: String, vecCol: String,
+                   m: Int, dim: Int, outDir: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "16")
+      .parquet(inputDir)
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          ProductQuantization.encode(batch, books, idCol, vecCol, m, dim)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+        }
+      }
+  }
+}

@@ -65,6 +65,73 @@ class PqSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("OPQ: Jacobi eigensolver recovers a known spectrum; rotation is orthogonal") {
+    import graft.ops.OpqRotation
+    // symmetric matrix with known eigenvalues {6, 3, 1} (diag in rotated basis)
+    val a = Array(
+      Array(4.0, 1.0, 1.0),
+      Array(1.0, 4.0, 0.0),
+      Array(1.0, 0.0, 2.0))
+    val (ev, evec) = OpqRotation.jacobiEigen(a)
+    assert(ev.length == 3 && ev.sorted.reverse.sameElements(ev), "descending order")
+    // A v = lambda v for each eigenpair
+    for (j <- 0 until 3) {
+      val v = Array.tabulate(3)(i => evec(i)(j))
+      val av = Array.tabulate(3)(i => (0 until 3).map(k => a(i)(k) * v(k)).sum)
+      for (i <- 0 until 3)
+        assert(math.abs(av(i) - ev(j) * v(i)) < 1e-9, s"eigenpair $j")
+    }
+    // trace preserved
+    assert(math.abs(ev.sum - 10.0) < 1e-9)
+  }
+
+  test("OPQ: learned rotation is orthogonal, preserves distances, and balances variance") {
+    import graft.ops.OpqRotation
+    val dim = 64
+    val r = OpqRotation.learnRotation(emb, "embedding", dim, 4)
+    // R Rᵀ = I
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val dot = (0 until dim).map(k => r(i)(k) * r(j)(k)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-8, s"RRᵀ($i,$j)")
+    }
+    // rotation preserves pairwise squared L2 (isometry) on a sample pair
+    val two = emb.orderBy("vec_id").limit(2)
+      .select(col("embedding").cast("array<double>")).as[Seq[Double]].collect()
+    val rot = OpqRotation.rotate(
+      emb.orderBy("vec_id").limit(2), "embedding", "rv", r)
+      .orderBy("vec_id").select(col("rv")).as[Seq[Double]].collect()
+    def d2(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).map { case (a, b) => (a - b) * (a - b) }.sum
+    assert(math.abs(d2(two(0), two(1)) - d2(rot(0), rot(1))) < 1e-6)
+    // OPQ rotation must not increase PQ distortion vs the unrotated basis
+    val rotated = OpqRotation.rotate(emb, "embedding", "rv", r)
+    val booksPlain = PQ.trainCodebooks(emb, "vec_id", "embedding", 4, 8, dim, 1)
+    val booksRot = PQ.trainCodebooks(rotated, "vec_id", "rv", 4, 8, dim, 1)
+    val dPlain = PQ.meanDistortion(emb, booksPlain, "vec_id", "embedding", 4, dim)
+    val dRot = PQ.meanDistortion(rotated, booksRot, "vec_id", "rv", 4, dim)
+    assert(dRot <= dPlain * 1.05,
+      s"OPQ rotation should not hurt quantization: $dPlain -> $dRot")
+  }
+
+  test("streaming PQ encode matches batch encode code-for-code") {
+    import graft.streaming.StreamingPq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spq").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    emb.write.parquet(in)
+    val books = PQ.trainCodebooks(emb, "vec_id", "embedding", 4, 8, 64, 0)
+    val writer = StreamingPq.encodeStream(spark, in, emb.schema, books,
+      "vec_id", "embedding", 4, 64, out)
+    graft.streaming.StreamingIngest.runOnce(writer, ckpt)
+    val streamed = spark.read.parquet(out)
+      .select(col("vec_id"), col("codes").cast("array<int>"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val batch = PQ.encode(emb, books, "vec_id", "embedding", 4, 64)
+      .select(col("vec_id"), col("codes").cast("array<int>"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(streamed == batch, "stream-arrived vectors must get identical codes")
+  }
+
   test("sketches: bloom prefilter is a superset of the exact semi-join and prunes") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val small = orders.where(col("o_custkey") < 20).select(col("o_custkey"))

@@ -89,4 +89,28 @@ class SinkStreamingSpec extends AnyFunSuite {
     val fb = frames.select(length($"frame_bytes")).as[Int].collect()
     assert(fb.forall(_ == 256))
   }
+
+  test("image header parser: png/gif/jpeg dims, segment walk, truncation") {
+    def hexBytes(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // PNG 800x600
+    assert(BinaryColumns.parseImageHeader(hexBytes(
+      "89504E470D0A1A0A0000000D49484452" + "00000320" + "00000258")) ==
+      ("png", 800, 600))
+    // GIF 320x200 little-endian
+    assert(BinaryColumns.parseImageHeader(hexBytes(
+      "474946383961" + "4001" + "C800")) == ("gif", 320, 200))
+    // JPEG with two APP segments before SOF0: 640w x 480h
+    assert(BinaryColumns.parseImageHeader(hexBytes(
+      "FFD8" + "FFE000104A46494600010100000100010000" + "FFE100045858" +
+        "FFC0001108" + "01E0" + "0280")) == ("jpeg", 640, 480))
+    // DHT (C4) must be skipped, not treated as SOF
+    assert(BinaryColumns.parseImageHeader(hexBytes(
+      "FFD8" + "FFC4000400FF" + "FFC0001108" + "0010" + "0020")) ==
+      ("jpeg", 32, 16))
+    // truncated / unknown
+    assert(BinaryColumns.parseImageHeader(hexBytes("89504E47")) == ("unknown", -1, -1))
+    assert(BinaryColumns.parseImageHeader(hexBytes("DEADBEEF")) == ("unknown", -1, -1))
+    assert(BinaryColumns.parseImageHeader(hexBytes("FFD8FF")) == ("jpeg", -1, -1))
+  }
 }
