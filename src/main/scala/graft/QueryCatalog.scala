@@ -725,6 +725,37 @@ object QueryCatalog {
           FROM reach GROUP BY id
           ORDER BY doc_id""")),
 
+      // Inverted keyword index at rest (term -> document-frequency +
+      // sorted posting list): the batch artifact behind the keyword/BM25
+      // query modes. One explode + one groupBy shuffle on the term key;
+      // posting lists bounded (top 20 ids shown) so hot terms can't blow
+      // up a row.
+      Q("q_inverted_index",
+        (s, dir) => {
+          val pairs = t(s, dir, "documents")
+            .select(col("doc_id"), explode(TextF.tokens(col("text"))).as("term"))
+            .where(length(col("term")) >= 5)
+            .distinct()
+          pairs.groupBy("term")
+            .agg(countDistinct("doc_id").as("df"),
+              array_join(
+                slice(sort_array(collect_list(col("doc_id"))), 1, 20)
+                  .cast("array<string>"), ",").as("postings"))
+            .orderBy(desc("df"), col("term"))
+            .limit(100)
+        },
+        Some(s"""
+          WITH pairs AS (
+            SELECT DISTINCT doc_id, unnest(toks) AS term
+            FROM $duckToks)
+          SELECT term, count(*) AS df,
+                 array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
+          FROM pairs
+          WHERE len(term) >= 5
+          GROUP BY term
+          ORDER BY df DESC, term
+          LIMIT 100""")),
+
       Q("q_simhash",
         (s, dir) =>
           Dedup.simhash(t(s, dir, "documents"), "text", "doc_id")
@@ -1541,6 +1572,40 @@ object QueryCatalog {
         WINDOW w AS (ORDER BY total DESC, user_id)
         ORDER BY user_id""")),
 
+    // Full analytic-window family over one unique ordering (lag / lead /
+    // first_value / dense_rank / percent_rank) — one shuffle on user_id
+    // serves every function.
+    Q("q_window_family",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        // rank windows order by value alone: dense_rank/percent_rank are
+        // deterministic under ties, and ties are what dense_rank is for
+        val wv = Window.partitionBy("user_id").orderBy(col("value"))
+        tEvents(s, dir)
+          .withColumn("prev_val", lag(col("value"), 1).over(w))
+          .withColumn("next_val", lead(col("value"), 1).over(w))
+          .withColumn("first_val", first(col("value")).over(w))
+          .withColumn("vrank", dense_rank().over(wv).cast("long"))
+          .withColumn("prank", r6(percent_rank().over(wv)))
+          .select("event_id", "user_id", "value",
+            "prev_val", "next_val", "first_val", "vrank", "prank")
+          .orderBy("event_id")
+          .limit(3000)
+      },
+      Some("""
+        SELECT event_id, user_id, value,
+               lag(value, 1) OVER w AS prev_val,
+               lead(value, 1) OVER w AS next_val,
+               first_value(value) OVER w AS first_val,
+               CAST(dense_rank() OVER wv AS BIGINT) AS vrank,
+               (round(percent_rank() OVER wv, 6) + CAST(0.0 AS DOUBLE)) AS prank
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               wv AS (PARTITION BY user_id ORDER BY value)
+        ORDER BY event_id
+        LIMIT 3000""")),
+
     // BM25 full-text ranking (TF-IDF upgrade of the keyword mode): global
     // stats from one aggregation pass, broadcast back over the scan.
     Q("q_bm25_search",
@@ -1892,6 +1957,24 @@ object QueryCatalog {
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // Z-order (Morton) clustering key: the layout operator behind
+    // two-dimensional data skipping (ops.Layout.zorderWrite). The
+    // interleave is pure integer arithmetic — pinned against the oracle
+    // computing the identical formula.
+    Q("q_zorder",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .withColumn("zval", graft.ops.Layout.zValue("o_custkey", "o_orderkey", 16))
+          .select(col("o_orderkey"), col("zval"))
+          .orderBy("zval", "o_orderkey")
+          .limit(200),
+      Some(s"""
+        SELECT o_orderkey,
+               ${D.zInterleave("CAST(o_custkey AS BIGINT)", "CAST(o_orderkey AS BIGINT)", 16)} AS zval
+        FROM orders
+        ORDER BY zval, o_orderkey
+        LIMIT 200""")),
 
     // Statistical aggregates (corr / stddev / skewness) computed from
     // EXACT decimal moments: the 2-decimal inputs make every power sum

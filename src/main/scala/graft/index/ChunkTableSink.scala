@@ -55,6 +55,40 @@ object ChunkTableSink {
     Files.writeString(Paths.get(s"$outDir/metadata.json"), json)
   }
 
+  /** Incremental reindex (the scale answer to the reference's
+    * rebuild-everything `process()` loop): given the existing chunk table
+    * and a batch of changed/new documents, re-chunk+embed ONLY the changed
+    * docs, drop their stale chunks with an anti-join, and atomically swap
+    * the merged table in. Work is O(changed docs) + one pass over the
+    * existing table for the anti-join (a broadcast anti-join while the
+    * changed-doc id set is small — the common case); deleted docs are
+    * handled by passing their ids in `removedDocIds`. */
+  def reindexDocs(spark: SparkSession, dir: String, changedDocs: DataFrame,
+                  removedDocIds: Seq[Long] = Nil,
+                  cfg: graft.rag.RagPipeline.Config = graft.rag.RagPipeline.Config()): Unit = {
+    val fresh = graft.rag.RagPipeline.buildIndex(changedDocs, cfg)
+    val changedIds = changedDocs.select(col("doc_id")).distinct()
+      .union(spark.createDataFrame(
+        spark.sparkContext.parallelize(removedDocIds.map(org.apache.spark.sql.Row(_))),
+        new org.apache.spark.sql.types.StructType()
+          .add("doc_id", org.apache.spark.sql.types.LongType)))
+    val kept = spark.read.parquet(s"$dir/chunks")
+      .join(broadcast(changedIds), Seq("doc_id"), "left_anti")
+    val tmp = Paths.get(dir + "__reindex_tmp")
+    kept.unionByName(fresh, allowMissingColumns = true)
+      .orderBy("doc_id", "chunk_idx")
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(tmp.toString)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    rmTree(Paths.get(s"$dir/chunks"))
+    Files.move(tmp, Paths.get(s"$dir/chunks"))
+  }
+
   /** Bucketed managed-table form of the chunk table: pay the doc_id
     * partitioning once at write time; every later chunk<->doc join on
     * doc_id is then shuffle-free (BucketedJoinSpec proves no Exchange).

@@ -48,4 +48,46 @@ object Sketches {
     val mightContain = udf((x: Long) => bf.mightContainLong(x))
     large.where(mightContain(col(largeKey).cast("long")))
   }
+
+  /** Heavy hitters via Misra-Gries summaries: each partition keeps at
+    * most `k` counters (constant memory regardless of cardinality);
+    * summaries merge associatively in treeAggregate. Guarantees of the
+    * merged summary over n total rows:
+    *   - every item with true frequency > n/(k+1) is present, and
+    *   - each reported count undercounts its true frequency by at most
+    *     n/(k+1) (Misra & Gries '82; merge bound Agarwal et al. '12).
+    * Returns (item, min_count) for the surviving counters, driver-built
+    * (at most k rows). The exact second pass, if needed, is a semi-join
+    * of the corpus against these k candidates. */
+  def heavyHitters(df: DataFrame, valCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val items = df.select(col(valCol).cast("string")).as[String].rdd
+    type MG = scala.collection.mutable.HashMap[String, Long]
+    val merged = items.treeAggregate(new MG)(
+      seqOp = { (m, x) => MisraGries.offer(m, x, 1L, k); m },
+      combOp = { (m1, m2) =>
+        m2.foreach { case (x, w) => MisraGries.offer(m1, x, w, k) }; m1 })
+    merged.toSeq.sortBy { case (x, c) => (-c, x) }
+      .toDF(valCol, "min_count")
+  }
+
+  /** Task-serializable Misra-Gries kernel. */
+  private object MisraGries extends Serializable {
+    def offer(m: scala.collection.mutable.HashMap[String, Long],
+              x: String, w0: Long, k: Int): Unit = {
+      var w = w0
+      while (w > 0) {
+        if (m.contains(x)) { m(x) += w; w = 0 }
+        else if (m.size < k) { m(x) = w; w = 0 }
+        else {
+          // decrement-all by the smallest weight; drop zeroed counters
+          val dec = math.min(w, m.valuesIterator.min)
+          m.mapValuesInPlace((_, v) => v - dec)
+          m.filterInPlace((_, v) => v > 0)
+          w -= dec
+        }
+      }
+    }
+  }
 }

@@ -104,6 +104,22 @@ final case class Dialect(duck: Boolean) {
   def md5HexDigit(x: String, i: Int): String =
     s"(${instr("'0123456789abcdef'", s"substr(md5($x), $i, 1)")} - 1)"
 
+  def shiftL(e: String, n: Int): String =
+    if (duck) s"(($e) << $n)" else s"shiftleft($e, $n)"
+  def shiftR(e: String, n: Int): String =
+    if (duck) s"(($e) >> $n)" else s"shiftright($e, $n)"
+
+  /** Morton/z-order interleave of the low `bits` bits of two integer
+    * expressions (x in even positions, y in odd) — pure integer
+    * arithmetic, bit-identical across engines. */
+  def zInterleave(x: String, y: String, bits: Int = 16): String = {
+    val terms = (0 until bits).flatMap { i =>
+      Seq(shiftL(s"(${shiftR(x, i)} & 1)", 2 * i),
+        shiftL(s"(${shiftR(y, i)} & 1)", 2 * i + 1))
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
   /** Deterministic uniform in [0,1): the first `k` hex digits of md5(x)
     * folded into an integer, divided by 16^k. Small-integer arithmetic +
     * one exact IEEE division — bit-identical across engines. */

@@ -132,6 +132,48 @@ class PqSketchSpec extends AnyFunSuite {
     assert(streamed == batch, "stream-arrived vectors must get identical codes")
   }
 
+  test("sketches: Misra-Gries heavy hitters surface hot keys with bounded undercount") {
+    val rows = (Seq.fill(500)("hot") ++ Seq.fill(100)("warm") ++
+      (0 until 1000).map(i => s"cold_$i"))
+    val df = rows.toDF("k").repartition(4)
+    val n = rows.size.toLong
+    val k = 20
+    val got = Sketches.heavyHitters(df, "k", k)
+      .as[(String, Long)].collect().toMap
+    assert(got.size <= k)
+    assert(got.contains("hot") && got.contains("warm"),
+      s"freq > n/(k+1)=${n / (k + 1)} items must survive: $got")
+    val trueCounts = Map("hot" -> 500L, "warm" -> 100L).withDefaultValue(1L)
+    got.foreach { case (key, c) =>
+      assert(c <= trueCounts(key), s"$key overcounted: $c")
+      assert(trueCounts(key) - c <= n / (k + 1), s"$key undercount too large")
+    }
+  }
+
+  test("layout: z-order write produces non-overlapping per-file z ranges") {
+    import graft.ops.Layout
+    // interleave sanity: x=3 (bits at even slots) y=1 (odd) -> 5 + 2 = 7
+    val z = Seq((3L, 1L)).toDF("x", "y")
+      .select(Layout.zValue("x", "y", 2)).as[Long].head()
+    assert(z == 7L)
+
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/t"
+    Layout.zorderWrite(orders, "o_custkey", "o_orderkey", dir, numFiles = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == orders.count())
+    val ranges = back
+      .withColumn("z", Layout.zValue("o_custkey", "o_orderkey", 16))
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg(min("z").as("lo"), max("z").as("hi"))
+      .select("lo", "hi").as[(Long, Long)].collect().sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file z ranges overlap: $hi1 > $lo2")
+      case _ =>
+    }
+  }
+
   test("sketches: bloom prefilter is a superset of the exact semi-join and prunes") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val small = orders.where(col("o_custkey") < 20).select(col("o_custkey"))

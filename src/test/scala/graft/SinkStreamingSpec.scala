@@ -90,6 +90,42 @@ class SinkStreamingSpec extends AnyFunSuite {
     assert(fb.forall(_ == 256))
   }
 
+  test("incremental reindex replaces only changed docs' chunks and drops removed docs") {
+    import graft.index.ChunkTableSink
+    import graft.rag.RagPipeline
+    val dir = java.nio.file.Files.createTempDirectory("graft_reindex").toString
+    val v1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "red orange yellow green blue indigo violet white black gray")
+    ).toDF("doc_id", "text")
+    RagPipeline.buildIndex(v1).write.parquet(s"$dir/chunks")
+    def sig(df: org.apache.spark.sql.DataFrame, id: Long) =
+      df.where($"doc_id" === id).select("chunk_id", "chunk_text")
+        .collect().map(_.toString).sorted.toSeq
+    // materialize before-signatures eagerly: the swap replaces the files
+    val before = spark.read.parquet(s"$dir/chunks")
+    val sig1Before = sig(before, 1L)
+    val sig2Before = sig(before, 2L)
+    assert(sig2Before.nonEmpty)
+
+    // change doc 2, remove doc 3
+    val changed = Seq((2L, "completely different replacement text for doc two here"))
+      .toDF("doc_id", "text")
+    ChunkTableSink.reindexDocs(spark, dir, changed, removedDocIds = Seq(3L))
+    val after = spark.read.parquet(s"$dir/chunks")
+
+    // doc 1 untouched (identical chunk ids + texts)
+    assert(sig(after, 1L) == sig1Before)
+    // doc 2 replaced
+    assert(sig(after, 2L) != sig2Before)
+    assert(after.where($"doc_id" === 2)
+      .select("chunk_text").as[String].collect()
+      .forall(t => t.contains("replacement") || t.nonEmpty))
+    // doc 3 gone
+    assert(after.where($"doc_id" === 3).count() == 0)
+  }
+
   test("image header parser: png/gif/jpeg dims, segment walk, truncation") {
     def hexBytes(h: String): Array[Byte] =
       h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
