@@ -1402,6 +1402,76 @@ object QueryCatalog {
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.ptsu
         ORDER BY event_id""")),
 
+    // Forward as-of join (earliest purchase at-or-after each click).
+    Q("q_asof_forward",
+      (s, dir) => {
+        import graft.ops.TemporalJoins
+        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("tsu"))
+        val purch = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("tsu").as("ptsu"))
+          .agg(max(col("value")).as("next_value"))
+          .withColumn("next_ts", col("ptsu"))
+        TemporalJoins.asofForward(clicks, purch, "user_id", "tsu", "ptsu",
+            Seq("next_value", "next_ts"))
+          .select(col("event_id"), col("user_id"),
+            col("next_ts").cast("long").as("next_ts"), col("next_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+                   FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, epoch_us(ts) AS ptsu, max(value) AS next_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, epoch_us(ts)),
+        m AS (SELECT l.event_id, min(r.ptsu) AS mts
+              FROM l JOIN r ON l.user_id = r.user_id AND r.ptsu >= l.tsu
+              GROUP BY l.event_id)
+        SELECT l.event_id AS event_id, l.user_id AS user_id,
+               CAST(m.mts AS BIGINT) AS next_ts, r.next_value
+        FROM l
+        LEFT JOIN m ON m.event_id = l.event_id
+        LEFT JOIN r ON r.user_id = l.user_id AND r.ptsu = m.mts
+        ORDER BY l.event_id""")),
+
+    // Nearest as-of join (closest purchase either direction; ties prefer
+    // the backward match). One union + one key shuffle, two window sorts.
+    Q("q_asof_nearest",
+      (s, dir) => {
+        import graft.ops.TemporalJoins
+        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("tsu"))
+        val purch = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("tsu").as("ptsu"))
+          .agg(max(col("value")).as("near_value"))
+          .withColumn("near_ts", col("ptsu"))
+        TemporalJoins.asofNearest(clicks, purch, "user_id", "tsu", "ptsu",
+            Seq("near_value", "near_ts"))
+          .select(col("event_id"), col("user_id"),
+            col("near_ts").cast("long").as("near_ts"), col("near_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+                   FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, epoch_us(ts) AS ptsu, max(value) AS near_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, epoch_us(ts)),
+        ranked AS (
+          SELECT l.event_id, l.user_id, r.ptsu, r.near_value,
+                 row_number() OVER (
+                   PARTITION BY l.event_id
+                   ORDER BY abs(l.tsu - r.ptsu),
+                            CASE WHEN r.ptsu <= l.tsu THEN 0 ELSE 1 END) AS rn
+          FROM l JOIN r ON l.user_id = r.user_id)
+        SELECT l.event_id AS event_id, l.user_id AS user_id,
+               CAST(k.ptsu AS BIGINT) AS near_ts, k.near_value
+        FROM l LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) k
+          ON k.event_id = l.event_id
+        ORDER BY l.event_id""")),
+
     // Bounded time-range join (bucketed equi-join algorithm vs the oracle's
     // naive theta join — same pairs, scalable plan).
     Q("q_range_join",

@@ -48,6 +48,61 @@ object TemporalJoins {
     carried.where(col("__side") === 1).drop("__t", "__side")
   }
 
+  /** Forward as-of join: for every left row, the EARLIEST right row with
+    * rightTime >= leftTime for the same key (null when none follows).
+    * Same union+window algorithm scanned in descending time order. */
+  def asofForward(left: DataFrame, right: DataFrame, keyCol: String,
+                  leftTimeCol: String, rightTimeCol: String,
+                  payloadCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("__t", col(leftTimeCol)).withColumn("__side", lit(1))
+    val r = right.select(
+      (col(keyCol) +: col(rightTimeCol).as("__t") +: payloadCols.map(col)): _*)
+      .withColumn("__side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCol).orderBy(col("__t").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(unioned) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    carried.where(col("__side") === 1).drop("__t", "__side")
+  }
+
+  /** Nearest as-of join: the right row minimizing |rightTime - leftTime|
+    * per key; ties prefer the backward (earlier-or-equal) match. Both
+    * directional passes run over ONE union and ONE key shuffle — two
+    * window sorts, no second exchange. */
+  def asofNearest(left: DataFrame, right: DataFrame, keyCol: String,
+                  leftTimeCol: String, rightTimeCol: String,
+                  payloadCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("__t", col(leftTimeCol)).withColumn("__side", lit(1))
+    val r = right.select(
+      (col(keyCol) +: col(rightTimeCol).as("__t") +: payloadCols.map(col)): _*)
+      .withColumn("__rt", col("__t"))
+      .withColumn("__side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val wb = Window.partitionBy(keyCol).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keyCol).orderBy(col("__t").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(
+      unioned
+        .withColumn("__rtb", last(col("__rt"), ignoreNulls = true).over(wb))
+        .withColumn("__rtf", last(col("__rt"), ignoreNulls = true).over(wf))) {
+      (df, p) =>
+        df.withColumn(s"__b_$p", last(col(p), ignoreNulls = true).over(wb))
+          .withColumn(s"__f_$p", last(col(p), ignoreNulls = true).over(wf))
+    }
+    val useBackward = col("__rtf").isNull ||
+      (col("__rtb").isNotNull &&
+        (col("__t") - col("__rtb")) <= (col("__rtf") - col("__t")))
+    val chosen = payloadCols.foldLeft(carried) { (df, p) =>
+      df.withColumn(p, when(useBackward, col(s"__b_$p")).otherwise(col(s"__f_$p")))
+    }
+    chosen.where(col("__side") === 1)
+      .drop(Seq("__t", "__side", "__rt", "__rtb", "__rtf") ++
+        payloadCols.flatMap(p => Seq(s"__b_$p", s"__f_$p")): _*)
+  }
+
   /** Bounded time-range join: all (left, right) pairs with the same key
     * whose times differ by at most `tolerance` (inclusive, abs). Times are
     * integral (epoch micros). Output: left row + right payload columns.

@@ -26,6 +26,22 @@ object StreamingDedup {
   final case class DupPair(keep_id: Long, dup_id: Long)
   final case class CandPair(id_a: Long, id_b: Long)
 
+  /** Watermarked exact dedup: suppress re-arrivals of the same content
+    * within a bounded event-time horizon, with state EVICTED once the
+    * watermark passes (Spark's dropDuplicatesWithinWatermark under the
+    * content hash). This is the unbounded-stream-safe variant of
+    * [[exactDupStream]]: state is O(distinct hashes per horizon), not
+    * O(all-time vocabulary). Keyed on the 32-char digest — the text never
+    * shuffles. */
+  def dedupWithinWatermark(docs: org.apache.spark.sql.DataFrame, tsCol: String,
+                           delay: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.withColumn("__h", md5(col("text")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+  }
+
   /** Exact cross-batch dedup: emits (keeper, duplicate) for every arrival
     * whose content hash was already seen (keeper = first seen, min id
     * within a batch). Runs on static Datasets too (single invocation). */

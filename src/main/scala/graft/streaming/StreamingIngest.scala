@@ -48,6 +48,16 @@ object StreamingIngest {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Stream-static enrich join: streaming chunk rows joined with a static
+    * document-metadata table. Catalyst broadcasts the static side into
+    * every micro-batch — no stream state, no shuffle of the stream; the
+    * static table is re-resolved per batch, so metadata updates between
+    * batches are picked up (the Spark-native form of a slowly-changing
+    * dimension lookup). */
+  def enrichStream(chunks: DataFrame, docMeta: DataFrame,
+                   key: String = "doc_id"): DataFrame =
+    chunks.join(org.apache.spark.sql.functions.broadcast(docMeta), Seq(key), "left")
+
   /** Run a file-source stream to completion over existing input
     * (Trigger.AvailableNow) — used by tests and backfills. */
   def runOnce(writer: DataStreamWriter[org.apache.spark.sql.Row], checkpoint: String): Unit = {

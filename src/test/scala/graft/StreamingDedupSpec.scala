@@ -30,6 +30,51 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked dedup suppresses in-horizon dups and evicts state past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = in.toDS().toDF("doc_id", "text", "ts")
+    val q = StreamingDedup.dedupWithinWatermark(docs, "ts", "10 minutes")
+      .writeStream.format("memory").queryName("wm_out").outputMode("append").start()
+    try {
+      in.addData((1L, "same content", at(0)))
+      q.processAllAvailable()
+      // duplicate inside the horizon -> suppressed
+      in.addData((2L, "same content", at(60)))
+      q.processAllAvailable()
+      // push the watermark far past the horizon
+      in.addData((3L, "advance the clock", at(7200)))
+      q.processAllAvailable()
+      // same content again, long after eviction -> emitted anew
+      in.addData((4L, "same content", at(7260)))
+      q.processAllAvailable()
+      val ids = spark.table("wm_out").select("doc_id").as[Long].collect().toSet
+      assert(ids.contains(1L) && !ids.contains(2L),
+        s"in-horizon duplicate must be suppressed: $ids")
+      assert(ids.contains(4L),
+        s"post-eviction re-arrival must be emitted (state bounded): $ids")
+    } finally q.stop()
+  }
+
+  test("stream-static enrich join broadcasts metadata into each micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val meta = Seq((1L, "en", "web"), (2L, "de", "pdf")).toDF("doc_id", "lang", "source")
+    val in = MemoryStream[(Long, String)]
+    val chunks = in.toDS().toDF("doc_id", "chunk_text")
+    val q = graft.streaming.StreamingIngest.enrichStream(chunks, meta)
+      .writeStream.format("memory").queryName("enrich_out").outputMode("append").start()
+    try {
+      in.addData((1L, "c1"), (2L, "c2"), (99L, "orphan"))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out")
+        .select("doc_id", "lang").as[(Long, Option[String])].collect().toMap
+      assert(rows(1L).contains("en") && rows(2L).contains("de"))
+      assert(rows(99L).isEmpty, "left join keeps unmatched stream rows")
+    } finally q.stop()
+  }
+
   test("lsh candidates surface near-dups across batches, capped state") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[DocIn]
