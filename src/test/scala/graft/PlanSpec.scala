@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+import graft.rag.RagPipeline
+
+/** Physical-plan contracts: the properties that make the engine viable at
+  * 100 TB are visible in the plan, so pin them — a regression that turns a
+  * pruned scan into a full scan or a broadcast join into a sort-merge
+  * passes every value-level test while destroying scale behavior. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  private lazy val chunkDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_planspec").toString + "/chunks"
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (3L, "red orange yellow green blue indigo violet white black")
+    ).toDF("doc_id", "text")
+    RagPipeline.buildIndex(docs).write.parquet(dir)
+    dir
+  }
+
+  test("point lookup pushes the chunk_id filter into the parquet scan") {
+    val plan = formatted(
+      spark.read.parquet(chunkDir).where($"chunk_id" === "1_0"))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(chunk_id,1_0)"),
+      s"filter must reach the scan:\n$plan")
+  }
+
+  test("projection prunes the read schema to the selected columns") {
+    val plan = formatted(
+      spark.read.parquet(chunkDir).select("chunk_id", "doc_id"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("chunk_id") && readSchema.contains("doc_id"))
+    assert(!readSchema.contains("embedding") && !readSchema.contains("chunk_text"),
+      s"unused columns must not be read: $readSchema")
+  }
+
+  test("brute-force top-k plans as TakeOrderedAndProject (per-partition top-k, no sort shuffle)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where($"vec_id" === 0)
+      .select($"embedding".cast("array<double>").as("qv"))
+    val plan = formatted(
+      Similarity.bruteForceTopK(emb.where($"vec_id" =!= 0), q, "vec_id", "embedding", 5))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query vector must broadcast:\n$plan")
+  }
+
+  test("cosine scoring stays inside whole-stage codegen") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // scan + project only (no exchange): AQE does not wrap it, so the
+    // codegen explain shows whether CosineSimilarity's doGenCode fuses
+    val scored = emb.select(graft.functions.VectorF.cosine(
+      $"embedding".cast("array<double>"),
+      $"embedding".cast("array<double>")).as("s"))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { scored.explain("codegen") }
+    val plan = out.toString
+    assert(plan.contains("WholeStageCodegen") && plan.contains("Generated code"),
+      s"cosine projection must compile into a codegen stage:\n${plan.take(2000)}")
+  }
+
+  test("knn join broadcasts the query side (no shuffle of the corpus for scoring)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = formatted(Similarity.knnJoin(
+      emb.where($"vec_id" >= 3), emb.where($"vec_id" < 3),
+      "vec_id", "embedding", "vec_id", "embedding", 4))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for scoring:\n$plan")
+  }
+}
