@@ -340,6 +340,128 @@ object QueryCatalog {
         GROUP BY c_nationkey
         ORDER BY c_nationkey""")),
 
+    // TPC-H Q7 shape: bidirectional nation-pair trade volume by ship year
+    // (disjunctive pair predicate after two broadcast dimension chains).
+    Q("q7_volume",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val n = t(s, dir, "nation")
+        val sn = t(s, dir, "supplier")
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val cn = t(s, dir, "customer")
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+          .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount")).cast("decimal(18,2)"))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(sum(vol) AS DOUBLE) AS revenue, count(*) AS n
+        FROM (SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                     CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS vol
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ns ON s_nationkey = ns.n_nationkey
+              JOIN nation nc ON c_nationkey = nc.n_nationkey
+              WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+                 OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year""")),
+
+    // TPC-H Q12 shape: priority counts by line status in a ship-year band
+    // (CASE aggregation after an equi-join).
+    Q("q12_priority",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .where(expr("l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'") &&
+            expr("l_shipdate < TIMESTAMP '1997-01-01 00:00:00'"))
+          .groupBy("l_linestatus")
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).cast("long").as("high_count"),
+            sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).cast("long").as("low_count"))
+          .orderBy("l_linestatus"),
+      Some("""
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus""")),
+
+    // TPC-H Q14 shape: promo revenue share — exact decimal sums, ratio
+    // derived with identical double formula text on both sides.
+    Q("q14_promo",
+      (s, dir) => {
+        val rev = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(18,2)")
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+          .where(expr("l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'") &&
+            expr("l_shipdate < TIMESTAMP '1997-04-01 00:00:00'"))
+          .agg(sum(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(0).cast("decimal(18,2)"))).as("promo"),
+            sum(rev).as("total"))
+          .selectExpr(
+            "(round(CAST(promo AS DOUBLE) * CAST(100.0 AS DOUBLE) / CAST(total AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS promo_pct",
+            "CAST(promo AS DOUBLE) AS promo_rev")
+      },
+      Some("""
+        SELECT (round(CAST(promo AS DOUBLE) * CAST(100.0 AS DOUBLE) / CAST(total AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS promo_pct,
+               CAST(promo AS DOUBLE) AS promo_rev
+        FROM (SELECT
+                sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS total
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1997-04-01')""")),
+
+    // TPC-H Q19 shape: OR-of-ANDs join predicate (brand x size x quantity
+    // bands) — the disjunction Catalyst must keep out of the join key but
+    // push below the aggregate.
+    Q("q19_bands",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+          .where(
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+              col("l_quantity").between(1, 20)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(5, 20) &&
+              col("l_quantity").between(10, 30)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(10, 40) &&
+              col("l_quantity").between(20, 50)))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount")).cast("decimal(18,2)"))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n")),
+      Some("""
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 50)""")),
+
     // J1: anti-join (reference ignore-list partition, document_processor.py:869-880)
     Q("q_j1_anti",
       (s, dir) => {
