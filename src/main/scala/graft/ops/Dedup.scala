@@ -231,28 +231,68 @@ object Dedup {
       .union(edges.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes
-      .select(col("id").cast("long").as("id"), col("id").cast("long").as("label"))
-    var prev: DataFrame = null
-    var changed = 1L
-    var iters = 0
-    while (changed > 0 && iters < maxIters) {
-      val nbrMin = und.join(labels, und("dst") === labels("id"))
-        .groupBy("src").agg(min("label").as("nbr_label"))
-        .withColumnRenamed("src", "id")
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          (col("nbr_label") < col("label")).as("chg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.where(col("chg") === true).count()
-      if (prev != null) prev.unpersist(false)
-      prev = next
-      labels = next.select("id", "label")
-      iters += 1
-    }
+    // A dedup graph is almost all singletons: only edge endpoints need
+    // label propagation; everyone else labels themselves in the final
+    // join. When the non-singleton subgraph fits on the driver (the
+    // overwhelmingly common case — verified near-dup edges are a sliver
+    // of the corpus), a driver-side union-find replaces the iterative
+    // joins entirely: one collect instead of O(diameter) shuffle rounds.
+    // Past the threshold the distributed min-label loop takes over.
+    val spark = nodes.sparkSession
+    val edgeCount = und.count()
+    val labels: DataFrame =
+      if (edgeCount <= 1000000L) {
+        import spark.implicits._
+        val es = und.as[(Long, Long)].collect()
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        es.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val minOf = scala.collection.mutable.LongMap.empty[Long]
+        val nodesInEdges = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+        nodesInEdges.foreach { v =>
+          val r = find(v)
+          minOf(r) = math.min(minOf.getOrElse(r, Long.MaxValue), v)
+        }
+        nodesInEdges.map(v => (v, minOf(find(v)))).toSeq.toDF("id", "label")
+      } else {
+        var lbl = und.select(col("src").as("id")).distinct()
+          .select(col("id"), col("id").as("label"))
+        var prev: DataFrame = null
+        var changed = 1L
+        var iters = 0
+        while (changed > 0 && iters < maxIters) {
+          val nbrMin = und.join(lbl, und("dst") === lbl("id"))
+            .groupBy("src").agg(min("label").as("nbr_label"))
+            .withColumnRenamed("src", "id")
+          val next = lbl.join(nbrMin, Seq("id"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+              (col("nbr_label") < col("label")).as("chg"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          changed = next.where(col("chg") === true).count()
+          if (prev != null) prev.unpersist(false)
+          prev = next
+          lbl = next.select("id", "label")
+          iters += 1
+        }
+        lbl
+      }
+    val labeled = labels.withColumnRenamed("label", "__l")
+    val rhs = if (edgeCount <= 1000000L) broadcast(labeled) else labeled
+    val out = nodes.select(col("id").cast("long").as("id"))
+      .join(rhs, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__l"), col("id")).as("cluster_id"))
     und.unpersist(false)
-    labels.select(col("id"), col("label").as("cluster_id"))
+    out
   }
 
   /** Near-duplicate CLUSTERS: MinHash -> LSH candidates -> Jaccard verify
