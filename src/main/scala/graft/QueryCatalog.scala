@@ -40,8 +40,16 @@ object QueryCatalog {
     * scale inputs arrive as many splittable row groups and this is a
     * guard against coarse upstream partitioning ahead of expensive
     * per-row compute. */
-  private def tk(s: SparkSession, dir: String, name: String): DataFrame =
-    t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+  private def tk(s: SparkSession, dir: String, name: String): DataFrame = {
+    // hash-partition on the table's id column: unlike round-robin
+    // repartition (which local-sorts every row for determinism), a hash
+    // exchange is deterministic by value and skips the sort.
+    val key = Map("documents" -> "doc_id", "embeddings" -> "vec_id")
+      .getOrElse(name, null)
+    val df = t(s, dir, name)
+    if (key == null) df.repartition(s.sparkContext.defaultParallelism)
+    else df.repartition(s.sparkContext.defaultParallelism, col(key))
+  }
 
   /** The events table carries TIMESTAMP(NANOS) which Spark's parquet reader
     * rejects by default; read nanos as raw longs (epoch nanoseconds). */
@@ -2149,6 +2157,30 @@ object QueryCatalog {
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // Array higher-order functions (sequence/transform/filter/aggregate
+    // vs generate_series/list_transform/list_filter/list_sum) — integer
+    // arithmetic, exact on both engines.
+    Q("q_array_hof",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .where(col("o_orderkey") <= 500)
+          .select(col("o_orderkey"),
+            expr("sequence(1L, CAST(o_orderkey % 7 AS BIGINT) + 1L)").as("arr"))
+          .select(col("o_orderkey"),
+            expr("aggregate(arr, 0L, (s, x) -> s + x)").as("arr_sum"),
+            expr("CAST(size(filter(arr, x -> x % 2 = 0)) AS BIGINT)").as("n_even"),
+            expr("aggregate(transform(arr, x -> x * x), 0L, (s, x) -> s + x)").as("sum_sq"))
+          .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey,
+               CAST(list_sum(arr) AS BIGINT) AS arr_sum,
+               CAST(len(list_filter(arr, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+               CAST(list_sum(list_transform(arr, x -> x * x)) AS BIGINT) AS sum_sq
+        FROM (SELECT o_orderkey,
+                     generate_series(1, CAST(o_orderkey % 7 AS BIGINT) + 1) AS arr
+              FROM orders WHERE o_orderkey <= 500)
+        ORDER BY o_orderkey""")),
 
     // Z-order (Morton) clustering key: the layout operator behind
     // two-dimensional data skipping (ops.Layout.zorderWrite). The
