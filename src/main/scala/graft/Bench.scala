@@ -33,9 +33,12 @@ object Bench {
       }
     }
 
-    // Best-of-2 per query: a single local[32] pass is noisy (page cache,
-    // JIT recompiles, GC); min-of-runs is the standard way to measure the
-    // plan rather than the interference.
+    // Min-of-3 per query with GC isolation: a single local[32] pass is
+    // noisy (page cache, JIT recompiles, GC debt from the PREVIOUS query
+    // landing mid-measurement — the r3 q_pq_ann 7x phantom). A System.gc()
+    // + short settle before each query charges collection work to the
+    // query that allocated it, and min-of-runs measures the plan rather
+    // than the interference.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -46,8 +49,11 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      val a = once()
-      val dt = if (a < 0) a else { val b = once(); if (b < 0) a else math.min(a, b) }
+      System.gc()
+      Thread.sleep(50)
+      val runs = Iterator.continually(once()).take(3).toSeq
+      val ok = runs.filter(_ >= 0)
+      val dt = if (ok.isEmpty) -1.0 else ok.min
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

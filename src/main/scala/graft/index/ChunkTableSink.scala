@@ -85,8 +85,22 @@ object ChunkTableSink {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .iterator().asScala.foreach(Files.delete)
     }
-    rmTree(Paths.get(s"$dir/chunks"))
-    Files.move(tmp, Paths.get(s"$dir/chunks"))
+    // Crash-safe swap: rename the live table aside FIRST (atomic), move the
+    // new table in (atomic), then delete the old copy. At no point between
+    // the two renames is the data unrecoverable — a crash leaves either the
+    // old `chunks` or both `chunks__old` and the tmp dir, never nothing;
+    // the delete is last so a failure there still leaves a valid table.
+    val live = Paths.get(s"$dir/chunks")
+    val old = Paths.get(s"$dir/chunks__old")
+    if (Files.exists(old)) rmTree(old) // leftover from a prior crash
+    Files.move(live, old, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(tmp, live, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: Throwable =>
+        Files.move(old, live, java.nio.file.StandardCopyOption.ATOMIC_MOVE) // roll back
+        throw e
+    }
+    rmTree(old)
   }
 
   /** Bucketed managed-table form of the chunk table: pay the doc_id

@@ -173,19 +173,22 @@ object OpqRotation {
     val spark = emb.sparkSession
     val br = spark.sparkContext.broadcast(r)
     val rotUdf = udf((v: Seq[Double]) => {
-      val m = br.value
-      val d = m.length
-      val out = new Array[Double](d)
-      var i = 0
-      while (i < d) {
-        var s = 0.0
-        var j = 0
-        val row = m(i)
-        while (j < d) { s += row(j) * v(j); j += 1 }
-        out(i) = s
-        i += 1
+      if (v == null) null // null embedding -> null rotation, not a stage-killing NPE
+      else {
+        val m = br.value
+        val d = m.length
+        val out = new Array[Double](d)
+        var i = 0
+        while (i < d) {
+          var s = 0.0
+          var j = 0
+          val row = m(i)
+          while (j < d) { s += row(j) * v(j); j += 1 }
+          out(i) = s
+          i += 1
+        }
+        out
       }
-      out
     })
     emb.withColumn(rotCol, rotUdf(VectorF.toDoubleArray(col(vecCol))))
   }

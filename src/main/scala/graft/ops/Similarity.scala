@@ -320,11 +320,30 @@ object Similarity {
   }
 
   /** Pairwise distance table (reference T8, `scripts/distance.py:17-38`):
-    * cosine + euclidean + combined score for all pairs of a (small) set. */
-  def pairwiseDistances(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    * cosine + euclidean + combined score. The reference is a CLI over a
+    * handful of sentences, and the all-pairs product is quadratic — so the
+    * all-pairs path is GUARDED: it refuses inputs above `maxRows` instead
+    * of silently launching an O(n^2) crossJoin on a corpus table. For large
+    * sets, pass `candidates` (e.g. LSH candidate pairs from
+    * [[graft.ops.Dedup.lshCandidatePairs]]) and only those pairs are
+    * scored — the repo-wide "LSH, never all-pairs" rule. */
+  def pairwiseDistances(emb: DataFrame, idCol: String, vecCol: String,
+                        candidates: Option[DataFrame] = None,
+                        maxRows: Long = 10000L): DataFrame = {
     val a = emb.select(col(idCol).as("id_a"), VectorF.toDoubleArray(col(vecCol)).as("v_a"))
     val b = emb.select(col(idCol).as("id_b"), VectorF.toDoubleArray(col(vecCol)).as("v_b"))
-    a.crossJoin(b).where(col("id_a") < col("id_b"))
+    val pairs = candidates match {
+      case Some(cand) =>
+        cand.select(col("id_a"), col("id_b"))
+          .join(a, "id_a").join(b, "id_b")
+      case None =>
+        val n = emb.count()
+        require(n <= maxRows,
+          s"pairwiseDistances without candidate pairs is all-pairs O(n^2); " +
+            s"got n=$n > maxRows=$maxRows — pass LSH candidates instead")
+        a.crossJoin(b).where(col("id_a") < col("id_b"))
+    }
+    pairs
       .withColumn("cos_sim", VectorF.cosine(col("v_a"), col("v_b")))
       .withColumn("euc_dist", VectorF.euclidean(col("v_a"), col("v_b")))
       .withColumn("combined", (col("cos_sim") + col("euc_dist")) / 2.0)

@@ -88,6 +88,29 @@ class OpsSpec extends AnyFunSuite {
       30L -> 30L, 31L -> 31L))
   }
 
+  test("connected components distributed branch: pointer jumping converges on a long chain") {
+    // Chain 0-1-2-...-59: diameter 59 > default maxIters 25, so plain
+    // one-hop min-label propagation could NOT converge in 25 rounds —
+    // pointer jumping must (log2(60) ~ 6 doubling rounds).
+    val n = 60
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, edges, maxIters = 25, driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == n && got.values.forall(_ == 0L),
+      s"all chain nodes must label 0, got ${got.filter(_._2 != 0L)}")
+  }
+
+  test("connected components distributed branch: throws instead of returning unconverged labels") {
+    val nodes = (0L until 40L).toDF("id")
+    val edges = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, edges, maxIters = 2, driverThreshold = 0L)
+        .collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("near-dup clusters label transitive groups by min doc id") {
     val labels = Dedup.nearDupClusters(docs, "text", "doc_id", 3, 8, 2, 0.2)
       .as[(Long, Long)].collect().toMap
