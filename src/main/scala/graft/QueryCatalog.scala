@@ -1244,6 +1244,38 @@ object QueryCatalog {
                trim(regexp_replace(regexp_replace(text || ' & more', '[ \t]+', ' ', 'g'),
                                    '\s*\n\s*', chr(10), 'g')) AS text
         FROM documents
+        ORDER BY doc_id""")),
+
+    // S4: REAL PDF text extraction (pure-JVM xref/object walk + Inflater +
+    // Tj/TJ interpreter — sources/PdfCodec.scala). Each document is
+    // rendered to an actual Flate-compressed PDF in the kernel and
+    // extracted back; the oracle is the identity on the sanitized text
+    // (printable ASCII + newlines — the page codec round-trips it
+    // exactly), so a hash match proves extraction, not a stub. The
+    // distributed shape is mapPartitions (one extractor per partition,
+    // narrow, no shuffle) — the same plan that runs a real PDF corpus.
+    Q("q_pdf_extract",
+      (s, dir) => {
+        import s.implicits._
+        val docs = tk(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"),
+            regexp_replace(col("text"), "[^ -~\\n]", "?").as("clean"))
+          .as[(Long, String)]
+        docs.mapPartitions { it =>
+            val ex = new graft.sources.PdfTextExtractor
+            it.map { case (id, text) =>
+              val pdfText =
+                if (text == null) null
+                else ex.extract(graft.sources.PdfWrite.singlePage(text))
+              (id, pdfText)
+            }
+          }
+          .toDF("doc_id", "pdf_text")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, regexp_replace(text, '[^ -~\n]', '?', 'g') AS pdf_text
+        FROM documents
         ORDER BY doc_id"""))
   )
 

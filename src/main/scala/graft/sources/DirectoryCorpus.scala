@@ -87,18 +87,19 @@ object DirectoryCorpus {
   }
 }
 
-/** S4: PDF text extraction. The container has no PDF parser on the
-  * classpath, so the extraction kernel is pluggable; the Spark-side
-  * operator (partitioning, dispatch, warn threshold) is real and tested.
-  * Reference: `pdf/pdf_reader.py:83-149`, empty-output warn threshold 50
-  * chars (`pdf_reader.py:67`). */
+/** S4: PDF text extraction kernel contract. The default implementation is
+  * [[PdfTextExtractor]] (PdfCodec.scala) — a REAL pure-JVM extractor:
+  * object-graph walk, FlateDecode via `java.util.zip.Inflater`, and a
+  * content-stream text-operator interpreter. Reference:
+  * `pdf/pdf_reader.py:83-149`, empty-output warn threshold 50 chars
+  * (`pdf_reader.py:67`). */
 trait PdfExtractor extends Serializable {
   def extract(bytes: Array[Byte]): String
 }
 
-/** Deterministic stand-in extractor (the real slot would wrap pdfbox/tika):
-  * extracts printable ASCII runs from the byte stream — enough to exercise
-  * the operator contract end-to-end. */
+/** Legacy deterministic stand-in (printable ASCII runs) — superseded by
+  * [[PdfTextExtractor]] as the default; kept for operator-contract tests
+  * that want extraction divorced from PDF structure. */
 final class PrintableAsciiExtractor extends PdfExtractor {
   def extract(bytes: Array[Byte]): String = {
     val sb = new StringBuilder
@@ -124,7 +125,8 @@ object PdfSource {
     * process, `document_processor.py:82-83`). Adds `text` and
     * `extraction_warning` (true when output < threshold: scanned-PDF
     * signature, warn-not-fail). */
-  def extractText(files: DataFrame, extractor: PdfExtractor): DataFrame = {
+  def extractText(files: DataFrame,
+                  extractor: PdfExtractor = new PdfTextExtractor): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
     val rows = files.select(col("path"), col("content"))

@@ -1,0 +1,532 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import java.util.zip.{Deflater, Inflater}
+
+/** S4 — REAL pure-JVM PDF text extraction (no external PDF library).
+  *
+  * The reference runs a docling PDF pipeline (`pdf/pdf_reader.py:83-149`,
+  * OCR off, TableFormer ACCURATE) and treats <50 extracted chars as the
+  * scanned-PDF signature (`pdf_reader.py:67`). This implements the
+  * text-layer part of that capability directly on the PDF file format:
+  * parse the indirect-object graph, follow Catalog -> Pages -> Page ->
+  * Contents, FlateDecode the content streams with `java.util.zip.Inflater`,
+  * and evaluate the text-showing operators (`Tj`, `TJ`, `'`, `"`) with
+  * line-break semantics for `Td`/`TD`/`T*`. A scanned/image-only PDF has no
+  * text operators and extracts to "", which trips the existing
+  * `PdfSource.EmptyOutputThreshold` warn — same contract as the reference.
+  *
+  * Scale shape is unchanged: the extractor runs inside
+  * `PdfSource.extractText`'s mapPartitions (one instance per partition, one
+  * call per file, no shuffle); this file only replaces the kernel.
+  */
+object PdfParse {
+
+  sealed trait PVal
+  final case class PNum(v: Double) extends PVal
+  final case class PName(v: String) extends PVal
+  final case class PStr(bytes: Array[Byte]) extends PVal
+  final case class PArr(items: Vector[PVal]) extends PVal
+  final case class PDict(m: Map[String, PVal]) extends PVal
+  final case class PRef(num: Int, gen: Int) extends PVal
+  final case class PBool(v: Boolean) extends PVal
+  case object PNull extends PVal
+
+  final case class PObj(num: Int, value: PVal, stream: Option[Array[Byte]])
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 0.toChar
+  private def isDelim(c: Char): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '{' || c == '}' || c == '/' || c == '%'
+
+  /** Cursor-based recursive-descent parser over the Latin-1 view of the file
+    * (Latin-1 round-trips bytes 1:1, so stream payloads stay exact). */
+  final class Cursor(val s: String, var i: Int) {
+    def done: Boolean = i >= s.length
+    def ch: Char = s.charAt(i)
+    def skipWs(): Unit = {
+      var go = true
+      while (go && !done) {
+        if (isWs(ch)) i += 1
+        else if (ch == '%') { while (!done && ch != '\n' && ch != '\r') i += 1 }
+        else go = false
+      }
+    }
+    def startsWith(t: String): Boolean = s.startsWith(t, i)
+  }
+
+  def parseValue(c: Cursor): PVal = {
+    c.skipWs()
+    if (c.done) return PNull
+    c.ch match {
+      case '<' if c.startsWith("<<") => parseDict(c)
+      case '<' => parseHexString(c)
+      case '(' => parseLiteralString(c)
+      case '[' =>
+        c.i += 1
+        val b = Vector.newBuilder[PVal]
+        c.skipWs()
+        while (!c.done && c.ch != ']') { b += parseValue(c); c.skipWs() }
+        if (!c.done) c.i += 1
+        PArr(b.result())
+      case '/' => parseName(c)
+      case 't' if c.startsWith("true") => c.i += 4; PBool(true)
+      case 'f' if c.startsWith("false") => c.i += 5; PBool(false)
+      case 'n' if c.startsWith("null") => c.i += 4; PNull
+      case ch if ch == '+' || ch == '-' || ch == '.' || (ch >= '0' && ch <= '9') =>
+        parseNumberOrRef(c)
+      case _ => c.i += 1; PNull // unknown token char: skip, stay robust
+    }
+  }
+
+  def parseName(c: Cursor): PName = {
+    c.i += 1 // '/'
+    val sb = new StringBuilder
+    while (!c.done && !isWs(c.ch) && !isDelim(c.ch)) {
+      if (c.ch == '#' && c.i + 2 < c.s.length) {
+        val hex = c.s.substring(c.i + 1, c.i + 3)
+        try { sb.append(Integer.parseInt(hex, 16).toChar); c.i += 3 }
+        catch { case _: NumberFormatException => sb.append(c.ch); c.i += 1 }
+      } else { sb.append(c.ch); c.i += 1 }
+    }
+    PName(sb.toString)
+  }
+
+  private def parseNumberOrRef(c: Cursor): PVal = {
+    val start = c.i
+    if (c.ch == '+' || c.ch == '-') c.i += 1
+    while (!c.done && ((c.ch >= '0' && c.ch <= '9') || c.ch == '.')) c.i += 1
+    val tok = c.s.substring(start, c.i)
+    val n = try tok.toDouble catch { case _: NumberFormatException => 0.0 }
+    // lookahead for "G R" making this an indirect reference
+    if (n >= 0 && n == math.floor(n) && !tok.contains('.')) {
+      val save = c.i
+      c.skipWs()
+      val gs = c.i
+      while (!c.done && c.ch >= '0' && c.ch <= '9') c.i += 1
+      if (c.i > gs) {
+        val gen = c.s.substring(gs, c.i).toInt
+        c.skipWs()
+        if (!c.done && c.ch == 'R' &&
+            (c.i + 1 >= c.s.length || isWs(c.s.charAt(c.i + 1)) || isDelim(c.s.charAt(c.i + 1)))) {
+          c.i += 1
+          return PRef(n.toInt, gen)
+        }
+      }
+      c.i = save
+    }
+    PNum(n)
+  }
+
+  def parseLiteralString(c: Cursor): PStr = {
+    c.i += 1 // '('
+    val out = new ByteArrayOutputStream()
+    var depth = 1
+    while (!c.done && depth > 0) {
+      val ch = c.ch
+      if (ch == '\\' && c.i + 1 < c.s.length) {
+        val e = c.s.charAt(c.i + 1)
+        e match {
+          case 'n' => out.write('\n'); c.i += 2
+          case 'r' => out.write('\r'); c.i += 2
+          case 't' => out.write('\t'); c.i += 2
+          case 'b' => out.write('\b'); c.i += 2
+          case 'f' => out.write('\f'); c.i += 2
+          case '(' => out.write('('); c.i += 2
+          case ')' => out.write(')'); c.i += 2
+          case '\\' => out.write('\\'); c.i += 2
+          case '\r' => // line continuation (swallow \r\n or \r)
+            c.i += 2; if (!c.done && c.ch == '\n') c.i += 1
+          case '\n' => c.i += 2
+          case d if d >= '0' && d <= '7' =>
+            var v = 0; var k = 0; c.i += 1
+            while (k < 3 && !c.done && c.ch >= '0' && c.ch <= '7') {
+              v = v * 8 + (c.ch - '0'); c.i += 1; k += 1
+            }
+            out.write(v & 0xff)
+          case other => out.write(other.toInt); c.i += 2
+        }
+      } else if (ch == '(') { depth += 1; out.write('('); c.i += 1 }
+      else if (ch == ')') {
+        depth -= 1; if (depth > 0) out.write(')'); c.i += 1
+      } else if (ch == '\r') { // raw EOL inside string normalizes to \n
+        out.write('\n'); c.i += 1; if (!c.done && c.ch == '\n') c.i += 1
+      } else { out.write(ch.toInt); c.i += 1 }
+    }
+    PStr(out.toByteArray)
+  }
+
+  def parseHexString(c: Cursor): PStr = {
+    c.i += 1 // '<'
+    val out = new ByteArrayOutputStream()
+    var hi = -1
+    while (!c.done && c.ch != '>') {
+      val ch = c.ch
+      val d = Character.digit(ch, 16)
+      if (d >= 0) {
+        if (hi < 0) hi = d else { out.write(hi * 16 + d); hi = -1 }
+      }
+      c.i += 1
+    }
+    if (hi >= 0) out.write(hi * 16) // odd digit count: pad 0 per spec
+    if (!c.done) c.i += 1
+    PStr(out.toByteArray)
+  }
+
+  def parseDict(c: Cursor): PDict = {
+    c.i += 2 // '<<'
+    val m = Map.newBuilder[String, PVal]
+    c.skipWs()
+    while (!c.done && !c.startsWith(">>")) {
+      if (c.ch == '/') {
+        val k = parseName(c).v
+        val v = parseValue(c)
+        m += k -> v
+      } else c.i += 1
+      c.skipWs()
+    }
+    if (!c.done) c.i += 2
+    PDict(m.result())
+  }
+
+  /** All indirect objects in the file, keyed by object number. Scans for
+    * `N G obj` headers rather than trusting the xref table — robust to
+    * incremental updates and mildly damaged files (later definitions win,
+    * matching how readers honor the newest incremental section). The scan
+    * is SEQUENTIAL: after parsing an object (including its stream payload)
+    * the search resumes past it, so binary stream bytes that happen to
+    * look like an object header can never shadow a real object. */
+  def objects(bytes: Array[Byte]): Map[Int, PObj] = {
+    val s = new String(bytes, ISO_8859_1)
+    val out = scala.collection.mutable.Map.empty[Int, PObj]
+    val header = java.util.regex.Pattern.compile("(?<![0-9])(\\d+)\\s+(\\d+)\\s+obj\\b")
+    val m = header.matcher(s)
+    var searchFrom = 0
+    while (searchFrom < s.length && m.find(searchFrom)) {
+      val num = m.group(1).toInt
+      val c = new Cursor(s, m.end())
+      val v = parseValue(c)
+      c.skipWs()
+      val stream: Option[Array[Byte]] =
+        if (c.startsWith("stream")) {
+          c.i += "stream".length
+          if (!c.done && c.ch == '\r') c.i += 1
+          if (!c.done && c.ch == '\n') c.i += 1
+          val start = c.i
+          val len = v match {
+            case PDict(d) => d.get("Length") match {
+              case Some(PNum(n)) => n.toInt
+              case Some(PRef(ln, _)) =>
+                // indirect /Length: resolve from an already-parsed object or
+                // by parsing the referenced object header directly
+                resolveLengthRef(s, ln).getOrElse(-1)
+              case _ => -1
+            }
+            case _ => -1
+          }
+          val end =
+            if (len >= 0 && start + len <= s.length &&
+                s.indexOf("endstream", start + len) - (start + len) <= 2 &&
+                s.indexOf("endstream", start + len) >= 0) start + len
+            else { val e = s.indexOf("endstream", start); if (e < 0) s.length else trimEol(s, start, e) }
+          c.i = math.max(c.i, s.indexOf("endstream", end) match {
+            case -1 => end
+            case e => e + "endstream".length
+          })
+          Some(s.substring(start, end).getBytes(ISO_8859_1))
+        } else None
+      out(num) = PObj(num, v, stream)
+      searchFrom = c.i
+    }
+    out.toMap
+  }
+
+  private def trimEol(s: String, start: Int, end: Int): Int = {
+    var e = end
+    if (e > start && s.charAt(e - 1) == '\n') e -= 1
+    if (e > start && s.charAt(e - 1) == '\r') e -= 1
+    e
+  }
+
+  private def resolveLengthRef(s: String, num: Int): Option[Int] = {
+    val p = java.util.regex.Pattern.compile("(?<![0-9])" + num + "\\s+\\d+\\s+obj\\b")
+    val m = p.matcher(s)
+    if (!m.find()) None
+    else {
+      val c = new Cursor(s, m.end())
+      parseValue(c) match {
+        case PNum(n) => Some(n.toInt)
+        case _ => None
+      }
+    }
+  }
+
+  def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new ByteArrayOutputStream(math.max(64, data.length * 4))
+    val buf = new Array[Byte](8192)
+    try {
+      var n = inf.inflate(buf)
+      while (n > 0 || (!inf.finished() && !inf.needsInput() && !inf.needsDictionary())) {
+        out.write(buf, 0, n)
+        n = inf.inflate(buf)
+      }
+    } catch { case _: java.util.zip.DataFormatException => () } // keep what decoded
+    finally inf.end()
+    out.toByteArray
+  }
+
+  def resolve(v: PVal, objs: Map[Int, PObj]): PVal = v match {
+    case PRef(n, _) => objs.get(n).map(_.value).getOrElse(PNull)
+    case other => other
+  }
+
+  /** Decode a stream object's payload honoring /Filter (FlateDecode or
+    * none; unsupported filters yield None so callers skip e.g. images). */
+  def decodedStream(o: PObj, objs: Map[Int, PObj]): Option[Array[Byte]] =
+    o.stream.flatMap { raw =>
+      val filters: Vector[String] = o.value match {
+        case PDict(d) => resolve(d.getOrElse("Filter", PNull), objs) match {
+          case PName(f) => Vector(f)
+          case PArr(items) => items.collect { case PName(f) => f }
+          case _ => Vector.empty
+        }
+        case _ => Vector.empty
+      }
+      if (filters.isEmpty) Some(raw)
+      else if (filters.forall(_ == "FlateDecode"))
+        Some(filters.foldLeft(raw)((b, _) => inflate(b)))
+      else None
+    }
+}
+
+/** Content-stream text interpreter: evaluates the text-showing operators of
+  * one or more page content streams into plain text. */
+object PdfContentText {
+  import PdfParse._
+
+  private def decodeString(b: Array[Byte]): String =
+    if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
+      new String(b, 2, b.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
+    else new String(b, ISO_8859_1)
+
+  /** TJ kerning gap (thousandths of text-space units) below which a space is
+    * synthesized — the common word-gap heuristic. */
+  val TjSpaceGap: Double = -180.0
+
+  def extract(content: Array[Byte]): String = {
+    val c = new Cursor(new String(content, ISO_8859_1), 0)
+    val out = new StringBuilder
+    val operands = scala.collection.mutable.ArrayBuffer.empty[PVal]
+    var sawTextOp = false
+
+    def showString(v: PVal): Unit = v match {
+      case PStr(b) => out.append(decodeString(b)); sawTextOp = true
+      case _ => ()
+    }
+    def lineBreak(): Unit = if (sawTextOp) out.append('\n')
+
+    while (!c.done) {
+      c.skipWs()
+      if (!c.done) {
+        val ch = c.ch
+        if (ch == '(' || ch == '<' || ch == '[' || ch == '/' ||
+            ch == '+' || ch == '-' || ch == '.' || (ch >= '0' && ch <= '9')) {
+          operands += parseValue(c)
+        } else {
+          val start = c.i
+          while (!c.done && !isOpEnd(c.ch)) c.i += 1
+          val op = c.s.substring(start, if (c.i > start) c.i else { c.i += 1; c.i })
+          op match {
+            case "BT" => sawTextOp = false
+            case "Td" | "TD" | "T*" => lineBreak()
+            case "Tj" => operands.lastOption.foreach(showString)
+            case "'" => lineBreak(); operands.lastOption.foreach(showString)
+            case "\"" => lineBreak(); operands.lastOption.foreach(showString)
+            case "TJ" =>
+              operands.lastOption.foreach {
+                case PArr(items) => items.foreach {
+                  case s: PStr => showString(s)
+                  case PNum(n) => if (n < TjSpaceGap) out.append(' ')
+                  case _ => ()
+                }
+                case _ => ()
+              }
+            case _ => () // Tf/Tm/TL/graphics ops: no text effect here
+          }
+          operands.clear()
+        }
+      }
+    }
+    out.toString
+  }
+
+  private def isOpEnd(ch: Char): Boolean =
+    ch == ' ' || ch == '\t' || ch == '\r' || ch == '\n' || ch == '\f' ||
+      ch == 0.toChar || ch == '(' || ch == '<' || ch == '[' || ch == '/' ||
+      ch == ']' || ch == '>' || ch == ')'
+}
+
+/** The real S4 kernel: full-file extraction via the page tree (Catalog ->
+  * Pages -> Page -> Contents), falling back to "any stream containing BT"
+  * when the trailer/catalog is unresolvable. Pages join with '\n'. */
+final class PdfTextExtractor extends PdfExtractor {
+  import PdfParse._
+
+  def extract(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.length < 8) return ""
+    val objs =
+      try objects(bytes)
+      catch { case _: Exception => return "" }
+
+    def contentsOf(page: PDict): Vector[Array[Byte]] =
+      resolve(page.m.getOrElse("Contents", PNull), objs) match {
+        case PArr(items) =>
+          items.flatMap {
+            case PRef(n, _) => objs.get(n).flatMap(decodedStream(_, objs))
+            case _ => None
+          }.toVector
+        case _ =>
+          page.m.get("Contents") match {
+            case Some(PRef(n, _)) => objs.get(n).flatMap(decodedStream(_, objs)).toVector
+            case _ => Vector.empty
+          }
+      }
+
+    // Walk the page tree in Kids order (document order).
+    def walkPages(v: PVal, depth: Int): Vector[PDict] =
+      if (depth > 64) Vector.empty
+      else resolve(v, objs) match {
+        case d @ PDict(m) => m.get("Type") match {
+          case Some(PName("Page")) => Vector(d)
+          case Some(PName("Pages")) =>
+            resolve(m.getOrElse("Kids", PNull), objs) match {
+              case PArr(kids) => kids.flatMap(walkPages(_, depth + 1)).toVector
+              case _ => Vector.empty
+            }
+          case _ => Vector.empty
+        }
+        case _ => Vector.empty
+      }
+
+    val catalogPages: Vector[PDict] = objs.values
+      .collectFirst {
+        case PObj(_, d @ PDict(m), _) if m.get("Type").contains(PName("Catalog")) =>
+          walkPages(m.getOrElse("Pages", PNull), 0)
+      }
+      .getOrElse(Vector.empty)
+
+    val pageTexts: Vector[String] =
+      if (catalogPages.nonEmpty)
+        catalogPages.map(p => contentsOf(p).map(PdfContentText.extract).mkString)
+      else
+        // damaged/catalog-less file: any decodable stream with a BT block
+        objs.values.toVector.sortBy(_.num).flatMap { o =>
+          decodedStream(o, objs).filter { b =>
+            new String(b, ISO_8859_1).contains("BT")
+          }.map(PdfContentText.extract)
+        }
+
+    pageTexts.filter(_.nonEmpty).mkString("\n")
+  }
+}
+
+/** Minimal deterministic PDF WRITER (classic xref, Flate-compressed content
+  * streams, Helvetica). Exists so the extractor can be proven on REAL PDF
+  * bytes with zero external dependencies: fixtures in PdfSpec and the
+  * text -> PDF -> text round-trip of catalog query `q_pdf_extract` both
+  * come from here. Output is a spec-conformant PDF 1.4 file. */
+object PdfWrite {
+
+  private def escapeLine(line: String): String = {
+    val sb = new StringBuilder
+    line.foreach {
+      case '\\' => sb.append("\\\\")
+      case '(' => sb.append("\\(")
+      case ')' => sb.append("\\)")
+      case c if c < ' ' => sb.append(f"\\${c.toInt}%03o")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def contentStream(pageText: String): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("BT\n/F1 11 Tf\n14 TL\n72 720 Td\n")
+    val lines = pageText.split("\n", -1)
+    var first = true
+    lines.foreach { line =>
+      if (!first) sb.append("0 -14 Td\n")
+      sb.append('(').append(escapeLine(line)).append(") Tj\n")
+      first = false
+    }
+    sb.append("ET\n")
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    d.setInput(data); d.finish()
+    val out = new ByteArrayOutputStream(math.max(64, data.length / 2))
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) { val n = d.deflate(buf); out.write(buf, 0, n) }
+    d.end()
+    out.toByteArray
+  }
+
+  /** A complete PDF file with one page per element of `pages`. */
+  def document(pages: Seq[String], compress: Boolean = true): Array[Byte] = {
+    val pageList = if (pages.isEmpty) Seq("") else pages
+    val n = pageList.length
+    // object numbering: 1 catalog, 2 pages, 3 font, then per page i:
+    // 4+2i page, 5+2i content
+    val objCount = 3 + 2 * n
+    val bodies = new Array[String](objCount + 1)
+    bodies(1) = "<< /Type /Catalog /Pages 2 0 R >>"
+    val kids = (0 until n).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
+    bodies(2) = s"<< /Type /Pages /Kids [ $kids ] /Count $n >>"
+    bodies(3) = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.4\n%âãÏÓ\n")
+    val offsets = new Array[Long](objCount + 1)
+
+    def writeObj(num: Int, body: String, stream: Option[Array[Byte]]): Unit = {
+      offsets(num) = out.size().toLong
+      w(s"$num 0 obj\n$body\n")
+      stream.foreach { b =>
+        w("stream\n"); out.write(b, 0, b.length); w("\nendstream\n")
+      }
+      w("endobj\n")
+    }
+
+    writeObj(1, bodies(1), None)
+    writeObj(2, bodies(2), None)
+    writeObj(3, bodies(3), None)
+    pageList.zipWithIndex.foreach { case (text, i) =>
+      val pageNum = 4 + 2 * i
+      val contNum = 5 + 2 * i
+      writeObj(pageNum,
+        s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+          s"/Resources << /Font << /F1 3 0 R >> >> /Contents $contNum 0 R >>",
+        None)
+      val raw = contentStream(text)
+      val payload = if (compress) deflate(raw) else raw
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      writeObj(contNum, s"<< /Length ${payload.length}$filter >>", Some(payload))
+    }
+
+    val xrefOff = out.size().toLong
+    w(s"xref\n0 ${objCount + 1}\n")
+    w("0000000000 65535 f \n")
+    (1 to objCount).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${objCount + 1} /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  def singlePage(text: String): Array[Byte] = document(Seq(text))
+}

@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.{PdfParse, PdfContentText, PdfSource, PdfTextExtractor, PdfWrite}
+
+/** S4 contract for the REAL pure-JVM PDF codec (PdfCodec.scala).
+  * Mirrors the reference's integration contract
+  * (`tests/pdf/test_integration.py:41-73`): a directory containing a PDF
+  * must produce indexed chunks holding the PDF's text, asserted via the
+  * reference's own FIXTURE_MARKERS ("Raleigh", "BYOK",
+  * `tests/pdf/conftest.py:24`); plus the scanned-PDF empty-output warn at
+  * 50 chars (`pdf_reader.py:67`). */
+class PdfSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private val ex = new PdfTextExtractor
+
+  test("round-trip: multi-page PDF with escapes, parens, backslashes") {
+    val pages = Seq(
+      "Line one\nLine (two) with parens\nback\\slash and *stars*",
+      "Second page\n\nwith a blank line\ntrailing")
+    val pdf = PdfWrite.document(pages)
+    assert(new String(pdf.take(8), "ISO-8859-1").startsWith("%PDF-1.4"))
+    val got = ex.extract(pdf)
+    assert(got == pages.mkString("\n"), s"got:\n$got")
+  }
+
+  test("round-trip: uncompressed streams, empty lines, empty page") {
+    val pages = Seq("\nleading newline", "", "x")
+    val pdf = PdfWrite.document(pages, compress = false)
+    // empty page extracts to "" and is dropped from the page join
+    assert(ex.extract(pdf) == "\nleading newline\nx")
+  }
+
+  test("reference markers flow through extractText into rag chunks") {
+    // the reference fixture covers a BYOK guide mentioning Raleigh; ours
+    // embeds the same markers in generated (real, Flate-compressed) PDFs
+    val dir = Files.createTempDirectory("graft_pdf")
+    Files.write(dir.resolve("fixture.pdf"), PdfWrite.document(Seq(
+      "BYOK deployment guide\nThe Raleigh office maintains the index.",
+      "Second page: BYOK indexes are rebuilt nightly.")))
+    Files.write(dir.resolve("scanned.pdf"),
+      PdfWrite.document(Seq(""))) // text-layer-free: the scanned signature
+    val files = graft.sources.DirectoryCorpus.scanBinary(spark, dir.toString, Seq("pdf"))
+    val out = PdfSource.extractText(files) // default = PdfTextExtractor
+      .collect().map(r => r.getString(0).split('/').last -> (r.getString(1), r.getBoolean(2)))
+      .toMap
+    val (text, warned) = out("fixture.pdf")
+    for (marker <- Seq("Raleigh", "BYOK"))
+      assert(text.contains(marker), s"expected '$marker' in extracted text: $text")
+    assert(!warned)
+    assert(out("scanned.pdf")._2, "empty text layer must trip the 50-char warn")
+
+    // chunks built from the extraction still hold the markers
+    // (document -> chunk flow, document_processor-style)
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = graft.rag.RagPipeline.buildChunks(docs)
+    val joined = chunks.agg(concat_ws("\n", collect_list(col("chunk_text"))))
+      .head().getString(0)
+    for (marker <- Seq("Raleigh", "BYOK"))
+      assert(joined.contains(marker), s"expected '$marker' in chunk text")
+  }
+
+  test("content interpreter: TJ arrays, hex strings, quote operators, kerning gap") {
+    val content =
+      """BT
+        |/F1 10 Tf
+        |72 700 Td
+        |[(Hel) -20 (lo) -500 (world)] TJ
+        |T*
+        |<48657821> Tj
+        |(next via quote) '
+        |ET""".stripMargin.getBytes("ISO-8859-1")
+    val got = PdfContentText.extract(content)
+    // -20 is kerning (no space); -500 is a word gap (space); T* breaks line
+    assert(got == "Hello world\nHex!\nnext via quote", s"got: $got")
+  }
+
+  test("parser: indirect /Length, literal-string escapes, nested parens") {
+    val content = "BT (a\\)b\\\\c \\100 (nested) ok) Tj ET"
+    val pdf =
+      s"""%PDF-1.4
+         |1 0 obj
+         |<< /Type /Catalog /Pages 2 0 R >>
+         |endobj
+         |2 0 obj
+         |<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>
+         |endobj
+         |3 0 obj
+         |<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>
+         |endobj
+         |4 0 obj
+         |<< /Length 5 0 R >>
+         |stream
+         |$content
+         |endstream
+         |endobj
+         |5 0 obj
+         |${content.length}
+         |endobj
+         |trailer
+         |<< /Size 6 /Root 1 0 R >>
+         |""".stripMargin.getBytes("ISO-8859-1")
+    assert(ex.extract(pdf) == "a)b\\c @ (nested) ok")
+  }
+
+  test("catalog-less damaged file falls back to BT-stream scan") {
+    val full = PdfWrite.document(Seq("salvaged text"), compress = false)
+    val s = new String(full, "ISO-8859-1").replace("/Type /Catalog", "/Typo /X")
+    assert(ex.extract(s.getBytes("ISO-8859-1")) == "salvaged text")
+  }
+
+  test("non-PDF and truncated bytes extract to empty, not an exception") {
+    assert(ex.extract(Array[Byte]()) == "")
+    assert(ex.extract("not a pdf at all".getBytes) == "")
+    val pdf = PdfWrite.singlePage("hello truncated world")
+    // truncating mid-stream must not throw
+    ex.extract(pdf.take(pdf.length / 2))
+  }
+}
