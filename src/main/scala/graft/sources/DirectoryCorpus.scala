@@ -144,13 +144,23 @@ object PdfSource {
 
 /** S5: external-process converter (reference AsciidoctorConverter,
   * `asciidoctor_converter.py:149-189` — shells out to `asciidoctor` with a
-  * Ruby text-converter plugin). Spark form: RDD.pipe / ProcessBuilder per
-  * partition. The command is configurable; tests exercise the operator with
-  * a POSIX stand-in since asciidoctor isn't in this container. */
+  * Ruby text-converter plugin). Spark form: ONE long-lived process per
+  * partition (the `rdd.pipe` process model), streaming NUL-framed rows
+  * through stdin/stdout — at a million-file corpus this is ~ms of exec
+  * overhead per PARTITION instead of per document (the per-row
+  * ProcessBuilder it replaces was a fork bomb at scale: exec cost and
+  * PID-table pressure per doc on every executor).
+  *
+  * Framing contract: the command must be a byte-stream filter that
+  * preserves NUL bytes (tr, sed -z, perl -0, any well-behaved
+  * text converter); each input row is written as `bytes NUL` and each NUL
+  * on stdout closes one output row. A stdin writer thread feeds the
+  * process while the task thread consumes stdout — the same
+  * deadlock-avoidance structure as Spark's own PipedRDD. */
 object PipeConverter {
 
-  /** Pipe each row's `text` through `command` (stdin -> stdout), one
-    * process per partition. Rows are NUL-delimited to survive newlines. */
+  /** Pipe each row's `text` through `command` (stdin -> stdout): one
+    * process per partition, rows NUL-delimited to survive newlines. */
   def convert(df: DataFrame, textCol: String, command: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -158,23 +168,52 @@ object PipeConverter {
       .mapPartitions { it =>
         if (it.isEmpty) Iterator.empty
         else {
-          val pb = new ProcessBuilder(command: _*)
-          pb.redirectErrorStream(false)
-          it.map { text =>
-            // one short-lived process per row keeps the contract simple and
-            // matches the reference (one asciidoctor invocation per file);
-            // converter startup is amortized at the partition level only if
-            // the external tool supports batch mode.
-            val p = pb.start()
-            val out = new java.io.ByteArrayOutputStream()
-            val writer = p.getOutputStream
-            writer.write(text.getBytes("UTF-8")); writer.close()
-            val in = p.getInputStream
-            val buf = new Array[Byte](8192)
-            var n = in.read(buf)
-            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-            p.waitFor()
-            out.toString("UTF-8")
+          val p = new ProcessBuilder(command: _*)
+            .redirectError(ProcessBuilder.Redirect.INHERIT)
+            .start()
+          val stdin = p.getOutputStream
+          val feeder = new Thread(() => {
+            try {
+              it.foreach { text =>
+                stdin.write((if (text == null) "" else text).getBytes("UTF-8"))
+                stdin.write(0)
+              }
+              stdin.flush()
+            } catch { case _: java.io.IOException => () } // broken pipe: exit check below reports it
+            finally { try stdin.close() catch { case _: java.io.IOException => () } }
+          }, "graft-pipe-stdin")
+          feeder.setDaemon(true)
+          feeder.start()
+
+          val stdout = new java.io.BufferedInputStream(p.getInputStream, 65536)
+          new Iterator[String] {
+            private val frame = new java.io.ByteArrayOutputStream(8192)
+            private var nextRow: String = null
+            private var eof = false
+
+            private def advance(): Unit = {
+              while (nextRow == null && !eof) {
+                val b = stdout.read()
+                if (b < 0) {
+                  eof = true
+                  if (frame.size() > 0) { nextRow = frame.toString("UTF-8"); frame.reset() }
+                  feeder.join()
+                  val code = p.waitFor()
+                  if (code != 0)
+                    throw new IllegalStateException(
+                      s"pipe command ${command.mkString(" ")} exited with $code")
+                } else if (b == 0) {
+                  nextRow = frame.toString("UTF-8"); frame.reset()
+                } else frame.write(b)
+              }
+            }
+
+            def hasNext: Boolean = { advance(); nextRow != null }
+            def next(): String = {
+              advance()
+              if (nextRow == null) throw new NoSuchElementException
+              val r = nextRow; nextRow = null; r
+            }
           }
         }
       }

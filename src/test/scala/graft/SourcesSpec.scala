@@ -49,10 +49,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(out("scanned.pdf")._1.length < PdfSource.EmptyOutputThreshold)
   }
 
-  test("S5: external-process pipe converter") {
-    val df = Seq("hello world", "spark engine").toDF("text")
+  test("S5: external-process pipe converter preserves rows with embedded newlines") {
+    val df = Seq("hello world", "spark engine", "multi\nline\ndoc", "").toDF("text")
+      .repartition(2)
     val out = PipeConverter.convert(df, "text", Seq("tr", "a-z", "A-Z"))
-      .as[String].collect().map(_.trim).toSet
-    assert(out == Set("HELLO WORLD", "SPARK ENGINE"))
+      .as[String].collect().toSet
+    assert(out == Set("HELLO WORLD", "SPARK ENGINE", "MULTI\nLINE\nDOC", ""))
+  }
+
+  test("S5: one process per PARTITION, not per row (PID-counted)") {
+    val pidLog = Files.createTempFile("graft_pids", ".log")
+    val script = Files.createTempFile("graft_pipe", ".sh")
+    Files.writeString(script,
+      s"#!/bin/sh\necho $$$$ >> $pidLog\nexec tr a-z A-Z\n")
+    script.toFile.setExecutable(true)
+    val rows = (1 to 40).map(i => s"doc number $i")
+    val df = rows.toDF("text").repartition(4)
+    val out = PipeConverter.convert(df, "text", Seq(script.toString))
+      .as[String].collect().toSet
+    assert(out == rows.map(_.toUpperCase).toSet, "conversion must be row-exact")
+    val pids = Files.readAllLines(pidLog)
+    assert(pids.size <= 4 && pids.size >= 1,
+      s"expected <=1 process spawn per partition (4 partitions), saw ${pids.size} PIDs")
   }
 }
