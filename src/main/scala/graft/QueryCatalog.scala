@@ -1734,6 +1734,23 @@ object QueryCatalog {
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus""")),
 
+    // Exact GLOBAL quantiles via range-partitioned distributed rank
+    // selection (every task participates; no single-task group sort —
+    // the billion-row-group/global-case scale path; see
+    // Percentiles.quantilesGlobal).
+    Q("q_percentile_global",
+      (s, dir) =>
+        graft.ops.Percentiles.quantilesGlobal(t(s, dir, "orders"), "o_totalprice",
+            Seq("p50_raw" -> 0.5, "p90_raw" -> 0.9, "p99_raw" -> 0.99))
+          .select(r6(col("p50_raw")).as("p50"), r6(col("p90_raw")).as("p90"),
+            r6(col("p99_raw")).as("p99"), col("cnt")),
+      Some("""
+        SELECT (round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 6) + CAST(0.0 AS DOUBLE)) AS p50,
+               (round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9), 6) + CAST(0.0 AS DOUBLE)) AS p90,
+               (round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99), 6) + CAST(0.0 AS DOUBLE)) AS p99,
+               count(*) AS cnt
+        FROM orders""")),
+
     // Pivot (wide event-type counts per user). Spark's pivot relational
     // operator vs the oracle's conditional aggregation — same table.
     Q("q_pivot",

@@ -18,6 +18,104 @@ import org.apache.spark.sql.functions._
   */
 object Percentiles {
 
+  /** Scale-safe EXACT quantiles for the global / giant-group case, via
+    * range-partitioned distributed rank selection. The window-sort form
+    * below serializes each group onto one task — spillable but serial, a
+    * scale-killer when a group is billions of rows (or when there is no
+    * group at all). Here every task participates:
+    *
+    *   1. range-repartition + sort-within-partitions on the value (a
+    *      global sort where each of N partitions holds a contiguous value
+    *      range — Spark's TakeOrderedAndProject-free total ordering);
+    *   2. count rows per partition (tiny driver collect: N longs);
+    *   3. convert each quantile's global rank (pos = (n-1)*q, the same
+    *      convex-combination form `percentile()` uses) into
+    *      (partition, local rank) via the cumulative counts;
+    *   4. one more pass over the cached sorted data picks the bracketing
+    *      values at their local ranks — each partition scans only itself.
+    *
+    * Interpolation is lo*(1-frac) + hi*frac, bit-identical to
+    * percentile()/quantile_cont (TrainingOpsSpec pins parity). Cost: one
+    * range shuffle of the value column + two cheap passes; no task ever
+    * buffers more than its partition, at any group size. */
+  def quantilesGlobal(df: DataFrame, valCol: String,
+                      qs: Seq[(String, Double)],
+                      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val nPart =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val sorted = df
+      .select(col(valCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .repartitionByRange(nPart, col("v"))
+      .sortWithinPartitions("v")
+      .as[Double]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts: Array[Long] = {
+      val byPart = sorted.rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          var n = 0L; while (it.hasNext) { it.next(); n += 1 }
+          Iterator((i, n))
+        }
+        .collect().toMap
+      Array.tabulate(nPart)(i => byPart.getOrElse(i, 0L))
+    }
+    val total = counts.sum
+    val cum = counts.scanLeft(0L)(_ + _) // cum(i) = rows before partition i
+    // global 1-based ranks to fetch, with interpolation weights
+    case class Want(name: String, lo: Long, hi: Long, frac: Double)
+    val wants = qs.map { case (name, q) =>
+      val pos = (total - 1).toDouble * q
+      Want(name, math.floor(pos).toLong + 1, math.ceil(pos).toLong + 1,
+        pos - math.floor(pos))
+    }
+    val ranks: Seq[Long] = wants.flatMap(w => Seq(w.lo, w.hi)).distinct.sorted
+    // rank -> (partition, local 1-based index)
+    def locate(rank: Long): (Int, Long) = {
+      var p = 0
+      while (p < nPart - 1 && cum(p + 1) < rank) p += 1
+      (p, rank - cum(p))
+    }
+    val perPart: Map[Int, Seq[(Long, Long)]] = // partition -> (localIdx, rank)
+      ranks.map { r => val (p, li) = locate(r); (p, (li, r)) }
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sortBy(_._1) }
+    val perPartB = spark.sparkContext.broadcast(perPart)
+    val picked: Map[Long, Double] = sorted.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        val local = perPartB.value.getOrElse(i, Nil)
+        if (local.isEmpty) Iterator.empty
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+          var idx = 0L
+          val targets = local.iterator.buffered
+          while (it.hasNext && targets.hasNext) {
+            val v = it.next(); idx += 1
+            while (targets.hasNext && targets.head._1 == idx) {
+              out += ((targets.next()._2, v))
+            }
+          }
+          out.iterator
+        }
+      }
+      .collect().toMap
+    sorted.unpersist(false)
+    val row = org.apache.spark.sql.Row.fromSeq(
+      wants.map(w =>
+        if (total == 0) null
+        else picked(w.lo) * (1.0 - w.frac) + picked(w.hi) * w.frac) :+ total)
+    val schema = org.apache.spark.sql.types.StructType(
+      qs.map { case (name, _) =>
+        org.apache.spark.sql.types.StructField(name,
+          org.apache.spark.sql.types.DoubleType) } :+
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType))
+    spark.createDataFrame(
+      java.util.Collections.singletonList(row), schema)
+  }
+
   /** One row per group: groupCols*, one column per (name, q) in `qs`,
     * plus `cnt` (group size). `valCol` must be numeric (cast to double). */
   def quantiles(df: DataFrame, valCol: String, groupCols: Seq[String],

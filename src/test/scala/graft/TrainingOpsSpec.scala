@@ -58,4 +58,25 @@ class TrainingOpsSpec extends AnyFunSuite {
       .as[(String, Double, Long)].collect().toSeq
     assert(got == Seq(("a", 10.0, 1L), ("b", 2.0, 2L)))
   }
+
+  test("Percentiles.quantilesGlobal: distributed rank pick matches percentile() bit-for-bit") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val expected = orders
+      .agg(expr("percentile(o_totalprice, 0.5D)").as("p50"),
+        expr("percentile(o_totalprice, 0.99D)").as("p99"),
+        count(lit(1)).as("cnt"))
+      .as[(Double, Double, Long)].head()
+    val got = Percentiles.quantilesGlobal(orders, "o_totalprice",
+        Seq("p50" -> 0.5, "p99" -> 0.99), numPartitions = 7)
+      .as[(Double, Double, Long)].head()
+    assert(got == expected)
+  }
+
+  test("Percentiles.quantilesGlobal: edge ranks, tiny input, many empty partitions") {
+    val df = Seq(5.0, 1.0, 3.0).toDF("v")
+    val got = Percentiles.quantilesGlobal(df, "v",
+        Seq("min" -> 0.0, "p50" -> 0.5, "max" -> 1.0), numPartitions = 16)
+      .as[(Double, Double, Double, Long)].head()
+    assert(got == ((1.0, 3.0, 5.0, 3L)))
+  }
 }
