@@ -17,11 +17,11 @@ import graft.sqlgen.{Dialect, Exprs}
   *   - [[HashingEmbedder]]: deterministic feature-hashing embedder expressed
   *     as pure Catalyst SQL (codegen'd, oracle-checkable in DuckDB). The
   *     default in this zero-egress build.
-  *   - a production ONNX/model-server embedder would implement the same
-  *     trait with `mapPartitions` + per-partition model init + batched
-  *     inference (the canonical Spark inference pattern, and the single
-  *     biggest scalability win over the reference's sequential per-chunk
-  *     loop at `document_processor.py:548-554`).
+  *   - [[BatchedEmbedder]]: the production pattern — `mapPartitions` +
+  *     per-partition model init + batched inference behind the
+  *     [[InferenceModel]] contract (an ONNX/model-server implementation
+  *     plugs in as an InferenceModel; [[HashingInferenceModel]] is the
+  *     deterministic stand-in).
   */
 trait Embedder extends Serializable {
   def dimension: Int
@@ -66,6 +66,70 @@ final case class HashingEmbedder(dimension: Int = 64) extends Embedder {
   def embedQueryDF(spark: org.apache.spark.sql.SparkSession, text: String): DataFrame = {
     import spark.implicits._
     Seq(HashingEmbedder.embedText(text, dimension)).toDF("qv")
+  }
+}
+
+/** A batched-inference model: the production embedder contract
+  * (sentence-transformers / ONNX runtime slot). `init()` is the HEAVY part
+  * — load weights, allocate native buffers — and runs ONCE PER PARTITION;
+  * `embedBatch` is one forward pass over up to `batchSize` texts. */
+trait InferenceModel extends Serializable {
+  def dimension: Int
+  def init(): InferenceSession
+}
+
+trait InferenceSession {
+  def embedBatch(texts: Seq[String]): Seq[Array[Double]]
+  def close(): Unit = ()
+}
+
+/** T4 production-pattern embedder: `mapPartitions` + per-partition model
+  * init + batched forward passes — the canonical Spark inference shape,
+  * and the single biggest scalability win over the reference's sequential
+  * per-chunk loop (`document_processor.py:548-554`): on a 1000-executor
+  * cluster this is (corpus / batchSize) forward passes spread over every
+  * core with model init amortized per partition, instead of one Python
+  * loop. The session is closed via a task-completion listener so native
+  * resources never leak across tasks, including on failure/speculation. */
+final case class BatchedEmbedder(model: InferenceModel, batchSize: Int = 32)
+    extends Embedder {
+  require(batchSize > 0, "batchSize must be positive")
+  def dimension: Int = model.dimension
+
+  def withEmbedding(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import org.apache.spark.sql.{Encoders, Row}
+    val schema = df.schema.add(outCol, ArrayType(DoubleType))
+    val enc = Encoders.row(schema)
+    val idx = df.schema.fieldIndex(textCol)
+    val m = model
+    val bs = batchSize
+    df.mapPartitions { it =>
+      val session = m.init()
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => session.close())
+      it.grouped(bs).flatMap { batch =>
+        val texts = batch.map { r =>
+          val t = r.get(idx); if (t == null) "" else t.toString
+        }
+        val vecs = session.embedBatch(texts)
+        require(vecs.length == batch.length,
+          s"model returned ${vecs.length} vectors for a batch of ${batch.length}")
+        batch.lazyZip(vecs).map { (r, v) => Row.fromSeq(r.toSeq :+ v.toSeq) }
+      }
+    }(enc)
+  }
+}
+
+/** Deterministic stand-in model: the hashing kernel behind the
+  * [[InferenceModel]] contract — exercises per-partition init and batch
+  * framing with output identical to [[HashingEmbedder]] (EmbedderSpec pins
+  * the parity), mirroring the reference's own fixed-fake-model test
+  * practice (`tests/conftest.py:17-28`). */
+final case class HashingInferenceModel(dimension: Int = 64) extends InferenceModel {
+  def init(): InferenceSession = new InferenceSession {
+    def embedBatch(texts: Seq[String]): Seq[Array[Double]] =
+      texts.map(t => HashingEmbedder.embedText(if (t == null) "" else t, dimension))
   }
 }
 

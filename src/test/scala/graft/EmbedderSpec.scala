@@ -60,4 +60,52 @@ class EmbedderSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 32.0)
     assert(math.abs(r.getDouble(1) - math.sqrt(27.0)) < 1e-12)
   }
+
+  test("BatchedEmbedder: one model init per partition, batch-framed, parity with hashing path") {
+    import graft.embed.BatchedEmbedder
+    CountingModel.reset()
+    val many = (0L until 50L).map(i => (i, s"document number $i with words"))
+      .toDF("doc_id", "text").repartition(4, $"doc_id")
+    val out = BatchedEmbedder(CountingModel(64), batchSize = 8)
+      .withEmbedding(many, "text", "emb")
+      .select($"doc_id", $"emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out.size == 50)
+    assert(CountingModel.inits.get() == 4,
+      s"expected exactly one init per partition (4), got ${CountingModel.inits.get()}")
+    val sizes = CountingModel.batchSizes()
+    assert(sizes.sum == 50 && sizes.forall(_ <= 8),
+      s"batches must cover all rows at <= batchSize each: $sizes")
+    // each partition: all-but-last batches full (proper framing, not row-at-a-time)
+    assert(sizes.count(_ < 8) <= 4, s"at most one ragged tail batch per partition: $sizes")
+    // output identical to the codegen hashing embedder
+    val expected = HashingEmbedder(64).withEmbedding(many, "text", "emb")
+      .select($"doc_id", $"emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out == expected, "stand-in model must reproduce HashingEmbedder output")
+  }
+}
+
+/** Test instrumentation for BatchedEmbedder: counts init calls and batch
+  * sizes via JVM-static state (valid under local-mode single-JVM tests). */
+final case class CountingModel(dimension: Int) extends graft.embed.InferenceModel {
+  def init(): graft.embed.InferenceSession = {
+    CountingModel.inits.incrementAndGet()
+    new graft.embed.InferenceSession {
+      def embedBatch(texts: Seq[String]): Seq[Array[Double]] = {
+        CountingModel.batches.add(texts.length)
+        texts.map(t => graft.embed.HashingEmbedder.embedText(t, dimension))
+      }
+    }
+  }
+}
+
+object CountingModel {
+  val inits = new java.util.concurrent.atomic.AtomicInteger(0)
+  val batches = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+  def reset(): Unit = { inits.set(0); batches.clear() }
+  def batchSizes(): Seq[Int] = {
+    import scala.jdk.CollectionConverters._
+    batches.asScala.toSeq
+  }
 }
