@@ -69,4 +69,51 @@ class MetadataSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect()
     assert(relatedBar.isEmpty)
   }
+
+  test("T1: real HTTP probe against an in-process server (200/404/redirect/timeout/retry)") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val flakyHits = new java.util.concurrent.atomic.AtomicInteger(0)
+    def respond(ex: HttpExchange, code: Int, body: String = "ok"): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+    server.createContext("/ok", (ex: HttpExchange) => respond(ex, 200))
+    server.createContext("/missing", (ex: HttpExchange) => respond(ex, 404))
+    server.createContext("/moved", (ex: HttpExchange) => {
+      ex.getResponseHeaders.add("Location", s"http://127.0.0.1:${server.getAddress.getPort}/ok")
+      ex.sendResponseHeaders(302, -1); ex.close()
+    })
+    server.createContext("/slow", (ex: HttpExchange) => {
+      Thread.sleep(3000); respond(ex, 200)
+    })
+    server.createContext("/flaky", (ex: HttpExchange) => {
+      // 503 twice, then 200: the reference's 3-attempt retry must succeed
+      if (flakyHits.incrementAndGet() < 3) respond(ex, 503) else respond(ex, 200)
+    })
+    val serverPool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    server.setExecutor(serverPool)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val docs = Seq(
+        (1L, s"$base/ok"), (2L, s"$base/missing"), (3L, s"$base/moved"),
+        (4L, s"$base/slow"), (5L, s"$base/flaky"),
+        (6L, "http://127.0.0.1:1/conn-refused"), (7L, "not a url")
+      ).toDF("doc_id", "url").repartition(2)
+      val probe = graft.meta.UrlProbe.http(timeoutMs = 500, retries = 3, maxConcurrency = 4)
+      val got = probe.withReachability(docs, "url")
+        .select("doc_id", "url_reachable").as[(Long, Boolean)].collect().toMap
+      assert(got(1L), "200 is reachable")
+      assert(!got(2L), "404 is unreachable")
+      assert(got(3L), "redirect to 200 is reachable (requests.get follows)")
+      assert(!got(4L), "timeout exceeded -> unreachable")
+      assert(got(5L), "503,503,200 succeeds on the third attempt")
+      assert(flakyHits.get() == 3, s"flaky must be retried exactly 3 times, got ${flakyHits.get()}")
+      assert(!got(6L), "connection refused -> unreachable")
+      assert(!got(7L), "malformed URL -> unreachable")
+    } finally { server.stop(0); serverPool.shutdownNow() }
+  }
 }
