@@ -2645,13 +2645,36 @@ object QueryCatalog {
           GROUP BY doc_id
           ORDER BY doc_id""")),
 
+      // OPQ rotation dump: the learned (Jacobi-eigensolver) rotation applied
+      // to every vector — NOT SQL-expressible, so rows-only here; its math
+      // contract (orthogonality, isometry, distortion non-inferiority) is
+      // pinned by PqSketchSpec. The dump is the TABLE INPUT that lets
+      // q_opq_ann's PQ+ADC stage be oracled: DuckDB reads these exact
+      // doubles back via read_parquet, and the downstream stage is the
+      // same SQL shape q_pq_ann already hash-matches.
+      Q("q_opq_rotated",
+        (s, dir) => {
+          import graft.ops.OpqRotation
+          val emb = t(s, dir, "embeddings")
+          val sample = emb.where(col("vec_id") % 4 === 0)
+          val r = OpqRotation.learnRotation(sample, "embedding", 64, 4)
+          OpqRotation.rotate(emb, "embedding", "rv", r)
+            .select(col("vec_id"), col("rv"))
+            .orderBy("vec_id")
+        },
+        None),
+
       // Product-quantization ANN (m=4 subspaces x 16 dims, k=8 centroids,
       // deterministic first-k init): encode all vectors to 4 codes, then
       // ADC top-10 by squared L2 — the whole compress->search path
       // hash-matched against plain SQL. See ops.ProductQuantization.
-      // OPQ-rotated PQ end to end (rows-only: the Jacobi eigensolver is
-      // not SQL-expressible; the math contract is pinned in PqSketchSpec —
-      // orthogonality, isometry, distortion non-inferiority).
+      // OPQ-rotated PQ end to end. The rotation itself is recomputed
+      // in-memory (deterministic: same data, same partitioning, same
+      // treeAggregate combine order) and its dump feeds the oracle:
+      // __GRAFT_OUT__ is substituted with the Verify outDir, so DuckDB
+      // runs the q_pq_ann-shaped SQL over the SAME rotated vectors —
+      // codebooks are the first 8 SAMPLE vectors (vec_id % 4 = 0, so
+      // vec_id < 32, cid = vec_id / 4).
       Q("q_opq_ann",
         (s, dir) => {
           import graft.ops.{OpqRotation, ProductQuantization}
@@ -2671,7 +2694,43 @@ object QueryCatalog {
           ProductQuantization.adcTopK(codes, books, q, "vec_id", 4, 64, 10)
             .select(col("vec_id"), r6(col("dist")).as("dist"))
         },
-        None),
+        Some(s"""
+          WITH emb AS (SELECT vec_id, CAST(rv AS DOUBLE[]) AS v
+                       FROM read_parquet('__GRAFT_OUT__/q_opq_rotated/*.parquet')),
+          books AS (
+            SELECT CAST(s.s AS INT) AS sub, CAST(e.vec_id // 4 AS INT) AS cid,
+                   e.v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS cv
+            FROM (SELECT * FROM emb WHERE vec_id % 4 = 0 AND vec_id < 32) e, range(0, 4) s(s)),
+          subs AS (
+            SELECT vec_id, CAST(s.s AS INT) AS sub,
+                   v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS sv
+            FROM emb, range(0, 4) s(s)
+            WHERE vec_id <> 0),
+          codes AS (
+            SELECT vec_id, sub,
+                   (min(struct_pack(d := ${D.l2sq("sv", "cv")}, c := cid))).c AS code
+            FROM subs JOIN books USING (sub)
+            GROUP BY vec_id, sub),
+          codearr AS (SELECT vec_id, list(code ORDER BY sub) AS codes
+                      FROM codes GROUP BY vec_id),
+          qsubs AS (
+            SELECT CAST(s.s AS INT) AS sub,
+                   v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS qsv
+            FROM emb, range(0, 4) s(s) WHERE vec_id = 0),
+          dt AS (SELECT b.sub, b.cid, ${D.l2sq("b.cv", "q.qsv")} AS d
+                 FROM books b JOIN qsubs q USING (sub)),
+          dt1 AS (SELECT sub, list(d ORDER BY cid) AS ds FROM dt GROUP BY sub),
+          dtarr AS (SELECT list(ds ORDER BY sub) AS tables FROM dt1),
+          scored AS (
+            SELECT c.vec_id,
+                   list_reduce(list_transform(range(0, 4),
+                     i -> tables[CAST(i AS INT) + 1][codes[CAST(i AS INT) + 1] + 1]),
+                     (s__, x__) -> s__ + x__) AS dist
+            FROM codearr c, dtarr)
+          SELECT vec_id, ${duckR6("dist")} AS dist
+          FROM scored
+          ORDER BY dist, vec_id
+          LIMIT 10""")),
 
       Q("q_pq_ann",
         (s, dir) => {

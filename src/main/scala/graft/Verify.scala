@@ -39,9 +39,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // __GRAFT_OUT__ lets an oracle read another query's dumped result as a
+    // table input (e.g. q_opq_ann reads q_opq_rotated's vectors): all dumps
+    // complete before the driver's DuckDB phase, so the path is always
+    // materialized by the time the SQL runs.
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_OUT__", outDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
