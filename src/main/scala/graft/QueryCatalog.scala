@@ -1131,6 +1131,41 @@ object QueryCatalog {
           ORDER BY score DESC, chunk_id"""
         }),
 
+      // K1/K2/S8 round trip: WRITE the chunk table through the real sink
+      // (ordered zstd parquet + metadata.json manifest), RELOAD it, and
+      // hash the reloaded content + the manifest's total-embedded-files
+      // against the same SQL that q_rag_index matches — promotes the
+      // sink/load/manifest trio from spec-only to oracle-verified.
+      Q("q_sink_roundtrip",
+        (s, dir) => {
+          import graft.index.ChunkTableSink
+          val index = RagPipeline.buildIndex(tk(s, dir, "documents"))
+          val out = sys.props("java.io.tmpdir") + "/graft_sink_roundtrip"
+          ChunkTableSink.write(index, out, ChunkTableSink.Manifest(
+            0.0, "hashing-64", "graft-roundtrip", "parquet-chunk-table", 64,
+            RagPipeline.Config().chunkSize, RagPipeline.Config().chunkStep, 0L))
+          val manifest = java.nio.file.Files.readString(
+            java.nio.file.Paths.get(s"$out/metadata.json"))
+          val nFiles = "\"total-embedded-files\":\\s*(\\d+)".r
+            .findFirstMatchIn(manifest).map(_.group(1).toLong).getOrElse(-1L)
+          ChunkTableSink.load(s, out)
+            .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+              col("chunk_id"), col("n_tokens").cast("long").as("n_tokens"),
+              r6(element_at(col("embedding"), 1)).as("e1"),
+              r6(VectorF.dot(col("embedding"),
+                expr("transform(sequence(1, 64), j__ -> CAST(j__ AS DOUBLE))"))).as("checksum"),
+              lit(nFiles).as("n_files"))
+            .orderBy("doc_id", "chunk_idx")
+        },
+        Some(s"""
+          SELECT doc_id, chunk_idx, chunk_id,
+                 CAST(len(${D.splitWs("chunk_text")}) AS BIGINT) AS n_tokens,
+                 (round(emb[1], 6) + CAST(0.0 AS DOUBLE)) AS e1,
+                 (round(${D.dot("emb", weights)}, 6) + CAST(0.0 AS DOUBLE)) AS checksum,
+                 (SELECT count(DISTINCT doc_id) FROM $duckIndexed) AS n_files
+          FROM $duckIndexed
+          ORDER BY doc_id, chunk_idx""")),
+
       // Q2: point lookup over the chunk table
       Q("q_point_lookup",
         (s, dir) =>

@@ -74,15 +74,57 @@ object JdbcVectorSink {
         table)
     }
 
+  /** DDL for the chunk table — mirrors the shape PGVectorStore provisions
+    * (`document_processor.py:242-256`): chunk identity, parent doc, text,
+    * and a pgvector `vector(dim)` embedding column with an IVFFlat cosine
+    * index (the pgvector scale path for top-k). Golden-tested in
+    * ConfigAndC2Spec since no postgres exists in this container. */
+  def createTableDdl(cfg: PgConfig, dim: Int): String =
+    s"""CREATE EXTENSION IF NOT EXISTS vector;
+       |CREATE TABLE IF NOT EXISTS ${cfg.table} (
+       |  chunk_id TEXT PRIMARY KEY,
+       |  doc_id BIGINT NOT NULL,
+       |  chunk_idx INT NOT NULL,
+       |  chunk_text TEXT NOT NULL,
+       |  n_tokens BIGINT,
+       |  embedding vector($dim) NOT NULL
+       |);
+       |CREATE INDEX IF NOT EXISTS ${cfg.table}_embedding_idx
+       |  ON ${cfg.table} USING ivfflat (embedding vector_cosine_ops);""".stripMargin
+
+  /** Parameterized INSERT with the `?::vector` cast pgvector requires for
+    * text-literal vectors (upsert on chunk_id for idempotent re-index —
+    * task retry/speculation safe). */
+  def insertSql(cfg: PgConfig): String =
+    s"INSERT INTO ${cfg.table} " +
+      "(chunk_id, doc_id, chunk_idx, chunk_text, n_tokens, embedding) " +
+      "VALUES (?, ?, ?, ?, ?, ?::vector) " +
+      "ON CONFLICT (chunk_id) DO UPDATE SET " +
+      "doc_id = EXCLUDED.doc_id, chunk_idx = EXCLUDED.chunk_idx, " +
+      "chunk_text = EXCLUDED.chunk_text, n_tokens = EXCLUDED.n_tokens, " +
+      "embedding = EXCLUDED.embedding"
+
+  /** The pgvector text wire format: '[x,y,...]' with plain decimal
+    * rendering (what `'...'::vector` parses). */
+  def vectorLiteral(v: Seq[Double]): String =
+    v.mkString("[", ",", "]")
+
+  /** JDBC URL from config — the same POSTGRES_* env contract as the
+    * reference's from_params. */
+  def jdbcUrl(cfg: PgConfig): String =
+    s"jdbc:postgresql://${cfg.host}:${cfg.port}/${cfg.database}"
+
   def write(index: org.apache.spark.sql.DataFrame, cfg: PgConfig): Unit = {
     import org.apache.spark.sql.functions._
     // pgvector accepts '[x,y,...]' literals; cast the array accordingly.
+    // (array_join over array<string> renders doubles like vectorLiteral —
+    // parity pinned in ConfigAndC2Spec.)
     val withVec = index.withColumn("embedding_vec",
       concat(lit("["), array_join(col("embedding").cast("array<string>"), ","), lit("]")))
     withVec.drop("embedding")
       .write.mode("append")
       .format("jdbc")
-      .option("url", s"jdbc:postgresql://${cfg.host}:${cfg.port}/${cfg.database}")
+      .option("url", jdbcUrl(cfg))
       .option("dbtable", cfg.table)
       .option("user", cfg.user)
       .option("password", cfg.password)

@@ -38,4 +38,44 @@ class ConfigAndC2Spec extends AnyFunSuite {
     val byok = ConfigEmitters.renderByokYaml(c)
     assert(byok.contains("rag_id: idx-1") && byok.contains("db_path: /tmp/idx"))
   }
+
+  test("K3: pgvector DDL / INSERT / vector-literal wire format (golden)") {
+    import graft.index.JdbcVectorSink
+    val cfg = JdbcVectorSink.PgConfig("db.example", 5433, "ragdb", "u", "p", "rag_chunks")
+    assert(JdbcVectorSink.jdbcUrl(cfg) == "jdbc:postgresql://db.example:5433/ragdb")
+    val ddl = JdbcVectorSink.createTableDdl(cfg, 64)
+    assert(ddl ==
+      """CREATE EXTENSION IF NOT EXISTS vector;
+        |CREATE TABLE IF NOT EXISTS rag_chunks (
+        |  chunk_id TEXT PRIMARY KEY,
+        |  doc_id BIGINT NOT NULL,
+        |  chunk_idx INT NOT NULL,
+        |  chunk_text TEXT NOT NULL,
+        |  n_tokens BIGINT,
+        |  embedding vector(64) NOT NULL
+        |);
+        |CREATE INDEX IF NOT EXISTS rag_chunks_embedding_idx
+        |  ON rag_chunks USING ivfflat (embedding vector_cosine_ops);""".stripMargin)
+    assert(JdbcVectorSink.insertSql(cfg) ==
+      "INSERT INTO rag_chunks (chunk_id, doc_id, chunk_idx, chunk_text, n_tokens, embedding) " +
+        "VALUES (?, ?, ?, ?, ?, ?::vector) ON CONFLICT (chunk_id) DO UPDATE SET " +
+        "doc_id = EXCLUDED.doc_id, chunk_idx = EXCLUDED.chunk_idx, " +
+        "chunk_text = EXCLUDED.chunk_text, n_tokens = EXCLUDED.n_tokens, " +
+        "embedding = EXCLUDED.embedding")
+    assert(JdbcVectorSink.vectorLiteral(Seq(0.5, -1.25, 3.0)) == "[0.5,-1.25,3.0]")
+    // the Spark-side column expression used by write() renders the same
+    // wire format as vectorLiteral
+    val rendered = Seq(Seq(0.5, -1.25, 3.0)).toDF("embedding")
+      .select(concat(lit("["),
+        array_join($"embedding".cast("array<string>"), ","), lit("]")))
+      .head().getString(0)
+    assert(rendered == JdbcVectorSink.vectorLiteral(Seq(0.5, -1.25, 3.0)),
+      s"Spark render $rendered must match wire format")
+  }
+
+  test("ENV contract: POSTGRES_* env mapping is honored when present") {
+    // no postgres in this container: fromEnv without POSTGRES_DATABASE is None
+    assert(graft.index.JdbcVectorSink.fromEnv().isEmpty ==
+      !sys.env.contains("POSTGRES_DATABASE"))
+  }
 }

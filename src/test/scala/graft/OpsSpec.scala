@@ -88,6 +88,20 @@ class OpsSpec extends AnyFunSuite {
       30L -> 30L, 31L -> 31L))
   }
 
+  test("pairwiseDistances: candidate-pair path scores only given pairs; all-pairs guarded") {
+    val vecs = (0L to 5L).map(i => (i, Array.tabulate(4)(d => (i + d).toDouble)))
+    val df = vecs.toDF("id", "v")
+    val cand = Seq((0L, 1L), (2L, 5L)).toDF("id_a", "id_b")
+    val got = Similarity.pairwiseDistances(df, "id", "v", candidates = Some(cand))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L), (2L, 5L)), "only candidate pairs may be scored")
+    // all-pairs on a set above the bound must refuse, not crossJoin
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pairwiseDistances(df, "id", "v", maxRows = 3L)
+    }
+    assert(e.getMessage.contains("all-pairs"))
+  }
+
   test("connected components distributed branch: pointer jumping converges on a long chain") {
     // Chain 0-1-2-...-59: diameter 59 > default maxIters 25, so plain
     // one-hop min-label propagation could NOT converge in 25 rounds —
