@@ -1311,6 +1311,41 @@ object QueryCatalog {
       Some("""
         SELECT doc_id, regexp_replace(text, '[^ -~\n]', '?', 'g') AS pdf_text
         FROM documents
+        ORDER BY doc_id""")),
+
+    // T7/S5: in-engine AsciiDoc -> text rendering (sources/AsciiDocText —
+    // the Ruby plugin's node semantics without the external process). Each
+    // document is wrapped in a known AsciiDoc skeleton (title + doc
+    // attribute, section, paragraph with {attr} substitution, ulist,
+    // verbatim source listing, inline admonition) whose rendering is in
+    // closed form — the oracle rebuilds it by concatenation, so the hash
+    // match pins title/section/list/listing/admonition shapes, attribute
+    // substitution, and the no-subs-in-listing contract.
+    Q("q_asciidoc_text",
+      (s, dir) => {
+        val adoc = concat(
+          lit("= Doc "), col("doc_id"),
+          lit("\n:env: prod\n\n== Overview\n\nIntro {env} says:\n"),
+          col("text"),
+          lit("\n\n* alpha\n* beta {env}\n\n[source,scala]\n----\nval x = {env}\n----\n\nNOTE: check {env}"))
+        tk(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.sources.AsciiDocText.renderColumn(adoc).as("converted"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               '# Doc ' || CAST(doc_id AS VARCHAR) ||
+               chr(10) || chr(10) || '# Overview' ||
+               chr(10) || chr(10) || 'Intro prod says:' ||
+               chr(10) || regexp_replace(text, '\s+$', '') ||
+               chr(10) || chr(10) || '* alpha' || chr(10) || '* beta prod' ||
+               chr(10) || chr(10) || chr(10) || '```scala' ||
+               chr(10) || 'val x = {env}' || chr(10) || '```' ||
+               chr(10) || chr(10) || chr(10) || chr(10) || '[NOTE]' ||
+               chr(10) || '----' || chr(10) || 'check prod' || chr(10) || '----'
+               AS converted
+        FROM documents
         ORDER BY doc_id"""))
   )
 

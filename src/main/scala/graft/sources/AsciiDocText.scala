@@ -1,0 +1,221 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** T7/S5 — in-engine AsciiDoc -> plain-text renderer.
+  *
+  * The reference delegates AsciiDoc conversion to an external `asciidoctor`
+  * process loading a ~150-LoC Ruby AST->text plugin
+  * (`asciidoc/ruby_asciidoc/asciidoc_text_converter.rb`) plus a YAML
+  * attributes file turned into `-a k=v` flags
+  * (`asciidoctor_converter.py:132-147`). This object owns those semantics
+  * ENGINE-SIDE: a native renderer covering the plugin's node types —
+  * doc title, leveled sections, paragraphs, ulist/olist/dlist, fenced
+  * listings with language, literal blocks, quotes, admonitions (inline and
+  * block form), images, the entity-decode table — plus document `:name:`
+  * attributes and CLI attribute overrides with `{name}` substitution
+  * (not substituted inside listings, matching asciidoctor's verbatim
+  * subs). [[PipeConverter]] remains the route to the real external tool;
+  * this is the dependency-free fallback with the same output contract,
+  * runnable as a narrow codegen-adjacent kernel on any executor.
+  *
+  * Rendering mirrors the Ruby converter block by block:
+  * `# `-prefixed titles at `'#' * level`, `* ` ulist items, `1. ` olist
+  * items, `term:: desc` dlists, "\n```lang\n...\n```\n" listings,
+  * "\n[TYPE]\n----\n...\n----" admonitions (the converter's decode()
+  * rstrip), `![alt]` images, blocks joined with blank lines.
+  */
+object AsciiDocText {
+
+  /** The Ruby plugin's decode table (entity -> text), applied in its gsub
+    * order; `&amp;` last, then the trailing rstrip. */
+  def decode(s: String): String = {
+    if (s == null) return null
+    var r = s
+    val table = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&#43;" -> "+", "&#160;" -> " ",
+      "&#174;" -> "(R)", "&#8201;" -> " ", "&#8211;" -> "-", "&#8212;" -> "-",
+      "&#8216;" -> "'", "&#8217;" -> "'", "&#8220;" -> "\"", "&#8221;" -> "\"\"",
+      "&#8592;" -> "<-", "&#8594;" -> "->", "&#8656;" -> "->", "&#8658;" -> "<-",
+      "&amp;" -> "&")
+    table.foreach { case (from, to) => r = r.replace(from, to) }
+    r.replaceAll("\\s+$", "")
+  }
+
+  /** Mirror of `_get_attribute_list`: a YAML mapping file becomes the
+    * attribute set passed as `-a k=v` (here: the CLI attribute map, which
+    * overrides same-named document attributes, as asciidoctor's -a does). */
+  def attributesFromYaml(yaml: String): Map[String, String] = {
+    if (yaml == null || yaml.trim.isEmpty) return Map.empty
+    try {
+      val m = new org.yaml.snakeyaml.Yaml()
+        .load[java.util.Map[String, Object]](yaml)
+      if (m == null) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        m.asScala.map { case (k, v) => k -> (if (v == null) "" else v.toString) }.toMap
+      }
+    } catch { case _: Exception => Map.empty }
+  }
+
+  private val AttrLine = "^:([A-Za-z0-9_][A-Za-z0-9_-]*):\\s*(.*)$".r
+  private val Heading = "^(={2,6})\\s+(.*)$".r
+  private val SourceStyle = "^\\[source(?:\\s*,\\s*([^\\]]+))?\\]\\s*$".r
+  private val AdmonitionStyle = "^\\[(NOTE|TIP|IMPORTANT|WARNING|CAUTION)\\]\\s*$".r
+  private val QuoteStyle = "^\\[quote[^\\]]*\\]\\s*$".r
+  private val VerseStyle = "^\\[verse[^\\]]*\\]\\s*$".r
+  private val InlineAdmonition = "^(NOTE|TIP|IMPORTANT|WARNING|CAUTION):\\s+(.*)$".r
+  private val Image = "^image::([^\\[]*)\\[([^\\]]*)\\]\\s*$".r
+  private val UItem = "^\\s*[*-]+\\s+(.*)$".r
+  private val OItem = "^\\s*\\.+\\s+(.*)$".r
+  private val DItem = "^(\\S.*?)::(?:\\s+(.*))?$".r
+
+  def render(adoc: String, cliAttrs: Map[String, String] = Map.empty): String = {
+    if (adoc == null) return null
+    val lines = adoc.split("\n", -1)
+    val n = lines.length
+    val docAttrs = scala.collection.mutable.Map.empty[String, String]
+    def attr(k: String): Option[String] = cliAttrs.get(k).orElse(docAttrs.get(k))
+    def sub(s: String): String = {
+      // {name} substitution for known attributes only (unknown refs pass
+      // through, as asciidoctor leaves unresolved references intact)
+      var r = s
+      var changed = true
+      while (changed) {
+        changed = false
+        val m = java.util.regex.Pattern.compile("\\{([A-Za-z0-9_][A-Za-z0-9_-]*)\\}").matcher(r)
+        val sb = new java.lang.StringBuilder
+        var last = 0
+        while (m.find()) {
+          attr(m.group(1)) match {
+            case Some(v) =>
+              sb.append(r, last, m.start()).append(v); last = m.end(); changed = true
+            case None => ()
+          }
+        }
+        if (changed) { sb.append(r, last, r.length); r = sb.toString }
+      }
+      r
+    }
+
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    // document header: title + attribute entries
+    while (i < n && lines(i).trim.isEmpty) i += 1
+    if (i < n && lines(i).startsWith("= ")) {
+      val title = lines(i).substring(2)
+      i += 1
+      var reading = true
+      while (i < n && reading) lines(i) match {
+        case AttrLine(k, v) => docAttrs(k) = v.trim; i += 1
+        case l if l.trim.isEmpty => reading = false
+        case _ => reading = false
+      }
+      blocks += ("# " + decode(sub(title)))
+    }
+
+    var pendingLang: Option[String] = None
+    var pendingAdmonition: Option[String] = None
+    var pendingQuote = false
+    var pendingVerse = false
+
+    def collectDelimited(delim: String): Seq[String] = {
+      i += 1 // opening delimiter
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (i < n && lines(i).trim != delim) { buf += lines(i); i += 1 }
+      if (i < n) i += 1 // closing delimiter
+      buf.toSeq
+    }
+
+    while (i < n) {
+      val line = lines(i)
+      line match {
+        case l if l.trim.isEmpty => i += 1
+        case AttrLine(k, v) => docAttrs(k) = v.trim; i += 1
+        case Heading(eqs, title) =>
+          blocks += ("#" * (eqs.length - 1) + " " + decode(sub(title)))
+          i += 1
+        case SourceStyle(lang) => pendingLang = Option(lang).map(_.trim); i += 1
+        case AdmonitionStyle(kind) => pendingAdmonition = Some(kind); i += 1
+        case QuoteStyle() => pendingQuote = true; i += 1
+        case VerseStyle() => pendingVerse = true; i += 1
+        case l if l.trim == "----" =>
+          val content = collectDelimited("----").mkString("\n") // verbatim: no {attr} subs
+          pendingAdmonition match {
+            case Some(kind) =>
+              blocks += decode(s"\n[$kind]\n----\n${sub(content)}\n----\n")
+              pendingAdmonition = None
+            case None =>
+              blocks += ("\n```" + pendingLang.map(decode).getOrElse("") +
+                s"\n${decode(content)}\n```\n")
+              pendingLang = None
+          }
+        case l if l.trim == "...." =>
+          blocks += decode(collectDelimited("....").mkString("\n"))
+        case l if l.trim == "====" =>
+          val content = sub(collectDelimited("====").mkString("\n"))
+          pendingAdmonition match {
+            case Some(kind) =>
+              blocks += decode(s"\n[$kind]\n----\n$content\n----\n")
+              pendingAdmonition = None
+            case None => blocks += decode(content)
+          }
+        case InlineAdmonition(kind, text) =>
+          blocks += decode(s"\n[$kind]\n----\n${sub(text)}\n----\n")
+          i += 1
+        case Image(_, alt) => blocks += s"![${sub(alt)}]"; i += 1
+        case UItem(_) =>
+          val items = scala.collection.mutable.ArrayBuffer.empty[String]
+          var go = true
+          while (i < n && go) lines(i) match {
+            case UItem(item) => items += ("* " + decode(sub(item))); i += 1
+            case _ => go = false
+          }
+          blocks += items.mkString("\n")
+        case OItem(_) =>
+          val items = scala.collection.mutable.ArrayBuffer.empty[String]
+          var go = true
+          while (i < n && go) lines(i) match {
+            case OItem(item) =>
+              items += (s"${items.length + 1}. " + decode(sub(item))); i += 1
+            case _ => go = false
+          }
+          blocks += items.mkString("\n")
+        case DItem(_, _) =>
+          val items = scala.collection.mutable.ArrayBuffer.empty[String]
+          var go = true
+          while (i < n && go) lines(i) match {
+            case DItem(term, desc) =>
+              items += (decode(sub(term)) + ":: " +
+                Option(desc).map(d => decode(sub(d))).getOrElse(""))
+              i += 1
+            case _ => go = false
+          }
+          blocks += items.mkString("\n")
+        case _ =>
+          // paragraph: consecutive non-blank, non-structural lines
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          var go = true
+          while (i < n && go) {
+            val l = lines(i)
+            if (l.trim.isEmpty) go = false
+            else { buf += l; i += 1 }
+          }
+          val content = decode(sub(buf.mkString("\n")))
+          if (pendingVerse) { blocks += s"```\n$content\n```"; pendingVerse = false }
+          else if (pendingQuote) { blocks += s"> $content"; pendingQuote = false }
+          else blocks += content
+      }
+    }
+    blocks.mkString("\n\n").replaceAll("\\s+$", "")
+  }
+
+  /** Column form for DataFrame pipelines (one regex machine per row —
+    * narrow, no shuffle; cliAttrs captured once per plan). */
+  def renderColumn(c: Column, cliAttrs: Map[String, String] = Map.empty): Column = {
+    val attrs = cliAttrs
+    val f = udf((s: String) => render(s, attrs))
+    f(c)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.AsciiDocText
+
+/** T7/S5: the in-engine AsciiDoc -> text renderer, mirroring the reference
+  * Ruby plugin's node semantics (`asciidoc_text_converter.rb`) and the
+  * attributes-file contract (`asciidoctor_converter.py:132-147`). */
+class AsciiDocSpec extends AnyFunSuite {
+
+  test("full document: all node types render with the Ruby plugin's shapes") {
+    val adoc =
+      """= Product {name} Guide
+        |:name: Zyranex
+        |:ver: 7
+        |
+        |== Install {name}
+        |
+        |First paragraph about {name}
+        |spanning two lines.
+        |
+        |* item one
+        |* item two {ver}
+        |
+        |. first
+        |. second
+        |
+        |term one:: a description
+        |term two:: another
+        |
+        |[source,scala]
+        |----
+        |val v = "{ver}"
+        |----
+        |
+        |NOTE: upgrade to {ver} first
+        |
+        |[WARNING]
+        |====
+        |Hot surface {name}
+        |====
+        |
+        |image::diagram.png[arch diagram]
+        |
+        |[quote]
+        |Some wise words
+        |
+        |Trailing paragraph &amp; entity &#8594; done.
+        |""".stripMargin
+    val got = AsciiDocText.render(adoc, Map("ver" -> "9")) // CLI -a beats doc attr
+    val expected = Seq(
+      "# Product Zyranex Guide",
+      "# Install Zyranex",
+      "First paragraph about Zyranex\nspanning two lines.",
+      "* item one\n* item two 9",
+      "1. first\n2. second",
+      "term one:: a description\nterm two:: another",
+      "\n```scala\nval v = \"{ver}\"\n```\n", // verbatim: no {attr} subs in listings
+      "\n[NOTE]\n----\nupgrade to 9 first\n----",
+      "\n[WARNING]\n----\nHot surface Zyranex\n----",
+      "![arch diagram]",
+      "> Some wise words",
+      "Trailing paragraph & entity -> done."
+    ).mkString("\n\n").replaceAll("\\s+$", "")
+    assert(got == expected, s"got:\n$got")
+  }
+
+  test("section levels map to '#' * level; unresolved attrs pass through") {
+    val got = AsciiDocText.render("== One\n\ncontent {nope}\n\n=== Two\n\nmore\n")
+    assert(got == "# One\n\ncontent {nope}\n\n## Two\n\nmore")
+  }
+
+  test("literal block and verse") {
+    val got = AsciiDocText.render("....\nkeep   spacing\n....\n\n[verse]\nroses are red\n")
+    assert(got == "keep   spacing\n\n```\nroses are red\n```")
+  }
+
+  test("attributesFromYaml mirrors the -a list contract") {
+    assert(AsciiDocText.attributesFromYaml("name: Zyranex\nver: 9\nflag:\n") ==
+      Map("name" -> "Zyranex", "ver" -> "9", "flag" -> ""))
+    assert(AsciiDocText.attributesFromYaml("") == Map.empty)
+    assert(AsciiDocText.attributesFromYaml(null) == Map.empty)
+  }
+
+  test("decode table matches the Ruby gsub chain") {
+    assert(AsciiDocText.decode("a &lt;b&gt; &#8594; c &amp;d  ") == "a <b> -> c &d")
+    assert(AsciiDocText.decode("x&#174;y&#8212;z") == "x(R)y-z")
+  }
+}
