@@ -2508,7 +2508,197 @@ object QueryCatalog {
                  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_1h
         FROM events
         ORDER BY event_id
-        LIMIT 2000"""))
+        LIMIT 2000""")),
+
+    // TPC-H Q6 shape: the forecast-revenue-delta scan — a pure
+    // filter+aggregate with NO join, the canonical full-pushdown plan
+    // (predicates reach the parquet scan, one partial+final agg, no
+    // exchange of anything but 1 row per partition).
+    Q("q6_forecast",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .where(expr("l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'") &&
+            expr("l_shipdate < TIMESTAMP '1998-01-01 00:00:00'") &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+              col("l_discount").cast("decimal(18,2)")).as("rev"),
+            count(lit(1)).as("n"))
+          .select(col("rev").cast("double").as("revenue"), col("n")),
+      Some("""
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")),
+
+    // TPC-H Q8 shape: national market share inside one region by year —
+    // a 6-table broadcast-dimension chain over the fact scan (customer ->
+    // nation -> region filter one side, supplier -> nation the other),
+    // exact-decimal share ratio. All dimensions broadcast; the fact table
+    // shuffles ONCE for the year aggregate.
+    Q("q8_market_share",
+      (s, dir) => {
+        val vol = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(18,2)")
+        val custNation = t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .where(col("r_name") === "ASIA")
+          .select(col("n_nationkey").as("cn_key"))
+        val suppNation = t(s, dir, "nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+          .where(expr("o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'") &&
+            expr("o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(
+            sum(when(col("supp_nation") === "NATION_7", vol)
+              .otherwise(lit(0).cast("decimal(18,2)"))).as("nation_vol"),
+            sum(vol).as("total_vol"))
+          .select(col("o_year"),
+            expr("(round(CAST(nation_vol AS DOUBLE) / CAST(total_vol AS DOUBLE), 6) + CAST(0.0 AS DOUBLE))").as("mkt_share"),
+            col("total_vol").cast("double").as("total_vol"))
+          .orderBy("o_year")
+      },
+      Some("""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               (round(CAST(sum(CASE WHEN sn.n_name = 'NATION_7'
+                   THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE)) AS mkt_share,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_vol
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+        ORDER BY o_year""")),
+
+    // TPC-H Q10 shape: returned-item revenue ranking — fact->fact join
+    // (orders x lineitem) filtered by quarter and return flag, customer +
+    // nation broadcast in, top 20 by exact-decimal revenue.
+    Q("q10_returned",
+      (s, dir) => {
+        val rev = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(18,2)")
+        t(s, dir, "lineitem")
+          .where(col("l_returnflag") === "R")
+          .join(t(s, dir, "orders")
+              .where(expr("o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'") &&
+                expr("o_orderdate < TIMESTAMP '1997-07-01 00:00:00'")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(sum(rev).as("revenue"), count(lit(1)).as("n_items"))
+          .select(col("c_custkey"), col("c_name"), col("n_name"),
+            col("revenue").cast("double").as("revenue"), col("n_items"))
+          .orderBy(desc("revenue"), col("c_custkey"))
+          .limit(20)
+      },
+      Some("""
+        SELECT c_custkey, c_name, n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-07-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20""")),
+
+    // TPC-H Q15 shape: top supplier by quarterly revenue — the
+    // "view + scalar max" pattern: one aggregate pass builds per-supplier
+    // revenue, a broadcast scalar max selects the winner(s) exactly
+    // (decimal compare, no double ties).
+    Q("q15_top_supplier",
+      (s, dir) => {
+        val rev = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(18,2)")
+        val revenue = t(s, dir, "lineitem")
+          .where(expr("l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'") &&
+            expr("l_shipdate < TIMESTAMP '1997-04-01 00:00:00'"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(rev).as("total_rev"))
+        val maxRev = revenue.agg(max(col("total_rev")).as("mx"))
+        revenue.join(broadcast(maxRev), col("total_rev") === col("mx"))
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("total_rev").cast("double").as("total_rev"))
+          .orderBy("s_suppkey")
+      },
+      Some("""
+        WITH revenue AS (
+          SELECT l_suppkey,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     CAST(1 - l_discount AS DECIMAL(18,2))) AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+        FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+        ORDER BY s_suppkey""")),
+
+    // REAL audio-container header parsing (multimodal, codec-free): the
+    // Spark side CONSTRUCTS valid RIFF/WAVE headers byte-for-byte (params
+    // derived from doc_id), the BinaryColumns kernel PARSES them back —
+    // magic sniff, little-endian chunk walk, fmt fields, and the
+    // data-size -> duration arithmetic. The oracle recomputes everything
+    // arithmetically, so any parse error hash-mismatches.
+    Q("q_audio_meta",
+      (s, dir) => {
+        def le(e: String, nBytes: Int): String =
+          (0 until nBytes).map(i =>
+            s"lpad(hex((($e) div ${1L << (8 * i)}) % 256), 2, '0')")
+            .mkString("concat(", ", ", ")")
+        val withBytes = t(s, dir, "documents")
+          .withColumn("ch", (col("doc_id") % 2 + 1).cast("long"))
+          .withColumn("sr", (lit(8000) + (col("doc_id") % 8) * 1000).cast("long"))
+          .withColumn("db", ((col("doc_id") % 1000 + 1) * 100).cast("long"))
+          .withColumn("br", (col("sr") * col("ch") * 2).cast("long"))
+          .withColumn("wav", unhex(expr(
+            s"""concat('52494646', ${le("36 + db", 4)}, '57415645',
+                '666D7420', '10000000', '0100', ${le("ch", 2)}, ${le("sr", 4)},
+                ${le("br", 4)}, ${le("ch * 2", 2)}, '1000',
+                '64617461', ${le("db", 4)})""")))
+        graft.multimodal.BinaryColumns.withAudioMeta(withBytes, "wav")
+          .select(col("doc_id"), col("audio_format"),
+            col("audio_channels").cast("long").as("channels"),
+            col("audio_sample_rate").cast("long").as("sample_rate"),
+            col("audio_bits").cast("long").as("bits"),
+            col("audio_duration_ms").as("duration_ms"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, 'wav' AS audio_format,
+               CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+               CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
+               CAST(16 AS BIGINT) AS bits,
+               CAST(((doc_id % 1000 + 1) * 100) * 1000 //
+                    ((8000 + (doc_id % 8) * 1000) * (doc_id % 2 + 1) * 2) AS BIGINT) AS duration_ms
+        FROM documents
+        ORDER BY doc_id"""))
   )
 
   /** Training-data pipeline operators beyond the dedup/similarity set:

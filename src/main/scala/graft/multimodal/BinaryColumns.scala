@@ -120,6 +120,60 @@ object BinaryColumns {
       .withColumn("img_height", col("__im._3"))
       .drop("__im")
 
+  /** REAL audio-container header parsing (no codec required) — the audio
+    * analog of [[parseImageHeader]]: RIFF/WAVE container, little-endian
+    * `fmt ` chunk walk for (format tag, channels, sample rate,
+    * bits/sample), then the `data` chunk size to derive duration:
+    * duration_ms = data_bytes * 1000 / byte_rate. Unknown/truncated
+    * payloads yield ("unknown", -1, -1, -1, -1). Scalar kernel, narrow
+    * scan, no shuffle — the triage stage before any decode fan-out. */
+  def parseWavHeader(b: Array[Byte]): (String, Int, Int, Int, Long) = {
+    @inline def u(i: Int): Int = b(i) & 0xFF
+    @inline def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
+    @inline def le32(i: Int): Long =
+      (u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3).toLong << 24)) & 0xFFFFFFFFL
+    val bad = ("unknown", -1, -1, -1, -1L)
+    if (b == null || b.length < 12) return bad
+    if (!(u(0) == 'R' && u(1) == 'I' && u(2) == 'F' && u(3) == 'F' &&
+        u(8) == 'W' && u(9) == 'A' && u(10) == 'V' && u(11) == 'E')) return bad
+    var i = 12
+    var channels = -1; var sampleRate = -1; var bits = -1
+    var byteRate = 0L; var dataBytes = -1L
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(i + 4)
+      if (id == "fmt " && i + 24 <= b.length) {
+        channels = le16(i + 10)
+        sampleRate = le32(i + 12).toInt
+        byteRate = le32(i + 16)
+        bits = le16(i + 22)
+      } else if (id == "data") {
+        dataBytes = size
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (channels < 0) bad
+    else {
+      val durationMs =
+        if (dataBytes >= 0 && byteRate > 0) dataBytes * 1000L / byteRate else -1L
+      ("wav", channels, sampleRate, bits, durationMs)
+    }
+  }
+
+  private val wavMetaUdf = udf((b: Array[Byte]) => parseWavHeader(b))
+
+  /** Adds audio_format / audio_channels / audio_sample_rate / audio_bits /
+    * audio_duration_ms parsed from a binary column. */
+  def withAudioMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("__am", wavMetaUdf(col(binCol)))
+      .withColumn("audio_format", col("__am._1"))
+      .withColumn("audio_channels", col("__am._2"))
+      .withColumn("audio_sample_rate", col("__am._3"))
+      .withColumn("audio_bits", col("__am._4"))
+      .withColumn("audio_duration_ms", col("__am._5"))
+      .drop("__am")
+
   /** Frame-sampling shape for video: emit every `stride`-th chunk offset of
     * the binary payload as a "frame" row (1->N generator; the real codec
     * would decode actual frames). */

@@ -149,4 +149,25 @@ class SinkStreamingSpec extends AnyFunSuite {
     assert(BinaryColumns.parseImageHeader(hexBytes("DEADBEEF")) == ("unknown", -1, -1))
     assert(BinaryColumns.parseImageHeader(hexBytes("FFD8FF")) == ("jpeg", -1, -1))
   }
+
+  test("wav header parser: fmt chunk walk, duration arithmetic, padding, truncation") {
+    def hexBytes(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // canonical 16-bit stereo 44100 Hz, 176400 B/s, 1 s of data (176400 B)
+    val fmt = "666D7420" + "10000000" + "0100" + "0200" + "44AC0000" + "10B10200" + "0400" + "1000"
+    val data = "64617461" + "10B10200"
+    val wav = "52494646" + "24B10200" + "57415645" + fmt + data
+    assert(BinaryColumns.parseWavHeader(hexBytes(wav)) == ("wav", 2, 44100, 16, 1000L))
+    // an odd-sized LIST chunk before fmt must be skipped with its pad byte
+    val list = "4C495354" + "03000000" + "414243" + "00"
+    val wav2 = "52494646" + "24B10200" + "57415645" + list + fmt + data
+    assert(BinaryColumns.parseWavHeader(hexBytes(wav2)) == ("wav", 2, 44100, 16, 1000L))
+    // fmt but no data chunk: header parses, duration unknown
+    assert(BinaryColumns.parseWavHeader(hexBytes(
+      "52494646" + "24000000" + "57415645" + fmt)) == ("wav", 2, 44100, 16, -1L))
+    // truncated / non-RIFF
+    assert(BinaryColumns.parseWavHeader(hexBytes("52494646")) == ("unknown", -1, -1, -1, -1L))
+    assert(BinaryColumns.parseWavHeader(hexBytes("DEADBEEFDEADBEEFDEADBEEF")) ==
+      ("unknown", -1, -1, -1, -1L))
+  }
 }
