@@ -51,6 +51,18 @@ object QueryCatalog {
     else df.repartition(s.sparkContext.defaultParallelism, col(key))
   }
 
+  /** OPQ rotation memo: q_opq_rotated and q_opq_ann need the SAME learned
+    * rotation (the dump feeds the ANN oracle), and learning it — one-pass
+    * covariance + driver Jacobi — is deterministic for a given input dir,
+    * so compute it once per (dir) and share. */
+  private val opqRotationCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private def opqRotation(s: SparkSession, dir: String): Array[Array[Double]] =
+    opqRotationCache.computeIfAbsent(dir, _ => {
+      val sample = t(s, dir, "embeddings").where(col("vec_id") % 4 === 0)
+      graft.ops.OpqRotation.learnRotation(sample, "embedding", 64, 4)
+    })
+
   /** The events table carries TIMESTAMP(NANOS) which Spark's parquet reader
     * rejects by default; read nanos as raw longs (epoch nanoseconds). */
   private def tEvents(s: SparkSession, dir: String): DataFrame = {
@@ -2916,9 +2928,7 @@ object QueryCatalog {
         (s, dir) => {
           import graft.ops.OpqRotation
           val emb = t(s, dir, "embeddings")
-          val sample = emb.where(col("vec_id") % 4 === 0)
-          val r = OpqRotation.learnRotation(sample, "embedding", 64, 4)
-          OpqRotation.rotate(emb, "embedding", "rv", r)
+          OpqRotation.rotate(emb, "embedding", "rv", opqRotation(s, dir))
             .select(col("vec_id"), col("rv"))
             .orderBy("vec_id")
         },
@@ -2942,7 +2952,7 @@ object QueryCatalog {
           // train rotation + codebooks on a deterministic sample (standard
           // PQ practice — training is O(sample), encode covers everything)
           val sample = emb.where(col("vec_id") % 4 === 0)
-          val r = OpqRotation.learnRotation(sample, "embedding", 64, 4)
+          val r = opqRotation(s, dir)
           val rot = OpqRotation.rotate(emb, "embedding", "rv", r)
           val books = ProductQuantization.trainCodebooks(
             OpqRotation.rotate(sample, "embedding", "rv", r), "vec_id", "rv",
