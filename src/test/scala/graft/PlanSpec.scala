@@ -82,4 +82,29 @@ class PlanSpec extends AnyFunSuite {
       s"query side must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for scoring:\n$plan")
   }
+
+  test("TPC-H shapes: dimension chains broadcast, date filters reach the scan, Q6 is join-free") {
+    val dir = "/root/testdata/sf0.001"
+    // Q10: all three dimension joins broadcast, no sort-merge; both the
+    // return-flag and the order-date predicates are pushed to parquet
+    val q10 = formatted(SparkEntry.queries("q10_returned")(spark, dir))
+    assert(!q10.contains("SortMergeJoin"), s"q10 must broadcast its dimensions:\n$q10")
+    assert(q10.contains("EqualTo(l_returnflag,R)"),
+      s"return-flag filter must reach the lineitem scan:\n$q10")
+    assert(q10.contains("GreaterThanOrEqual(o_orderdate,"),
+      s"date filter must reach the orders scan:\n$q10")
+    // Q8: six-table chain, still no sort-merge join at this scale
+    val q8 = formatted(SparkEntry.queries("q8_market_share")(spark, dir))
+    assert(!q8.contains("SortMergeJoin"), s"q8 dimension chain must broadcast:\n$q8")
+    // Q15: lineitem scan pruned to the 4 needed columns, ship-date pushed
+    val q15 = formatted(SparkEntry.queries("q15_top_supplier")(spark, dir))
+    assert(q15.contains("GreaterThanOrEqual(l_shipdate,"), s"q15 date pushdown:\n$q15")
+    val rs = q15.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!rs.contains("l_returnflag") && !rs.contains("l_tax"),
+      s"q15 must prune unused lineitem columns: $rs")
+    // Q6: pure scan+agg — no join operator of any kind
+    val q6 = formatted(SparkEntry.queries("q6_forecast")(spark, dir))
+    assert(!q6.contains("Join"), s"q6 must be join-free:\n$q6")
+    assert(q6.contains("GreaterThanOrEqual(l_shipdate,"), s"q6 date pushdown:\n$q6")
+  }
 }
