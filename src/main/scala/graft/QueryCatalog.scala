@@ -2721,6 +2721,56 @@ object QueryCatalog {
       s"(SELECT doc_id, source, lang, n_chars, ${D.splitWs("text")} AS toks FROM documents)"
 
     Seq(
+      // Gopher-style document quality rules (Rae et al. 2021 §A1.1 — the
+      // standard public filter battery a pretraining pipeline applies
+      // before dedup): word-count bounds, mean word length band,
+      // alphabetic-word fraction, stopword presence. One narrow pass of
+      // array HOFs — no shuffle, codegen-friendly, and the keep decision
+      // is computed from the SAME rounded values in both engines so
+      // boundary cases can't flip across an ulp.
+      Q("q_gopher_rules",
+        (s, dir) =>
+          t(s, dir, "documents")
+            .withColumn("toks", TextF.tokens(col("text")))
+            .withColumn("n_words", size(col("toks")).cast("long"))
+            .withColumn("wlen", expr("aggregate(toks, 0L, (a, t) -> a + length(t))"))
+            .withColumn("mean_wlen",
+              r6(col("wlen").cast("double") / col("n_words").cast("double")))
+            .withColumn("alpha_words", expr(
+              "CAST(size(filter(toks, t -> t rlike '[a-zA-Z]')) AS BIGINT)"))
+            .withColumn("alpha_frac",
+              r6(col("alpha_words").cast("double") / col("n_words").cast("double")))
+            .withColumn("stop_hits", expr(
+              "CAST(size(filter(toks, t -> array_contains(" +
+                "array('the','a','of','to','and','in','is','for'), t))) AS BIGINT)"))
+            .withColumn("keep",
+              col("n_words") >= 10 && col("n_words") <= 100000 &&
+                col("mean_wlen") >= 2.0 && col("mean_wlen") <= 10.0 &&
+                col("alpha_frac") > 0.8 && col("stop_hits") >= 1)
+            .select(col("doc_id"), col("n_words"), col("mean_wlen"),
+              col("alpha_frac"), col("stop_hits"), col("keep"))
+            .orderBy("doc_id"),
+        Some(s"""
+          WITH t AS (
+            SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_words,
+                   list_reduce(list_transform(toks, t2 -> CAST(length(t2) AS BIGINT)),
+                               (a, b) -> a + b) AS wlen,
+                   CAST(len(list_filter(toks, t2 -> regexp_matches(t2, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+                   CAST(len(list_filter(toks, t2 -> list_contains(
+                     ['the','a','of','to','and','in','is','for'], t2))) AS BIGINT) AS stop_hits
+            FROM $duckToks),
+          r AS (
+            SELECT doc_id, n_words,
+                   (round(CAST(wlen AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS mean_wlen,
+                   (round(CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS alpha_frac,
+                   stop_hits
+            FROM t)
+          SELECT doc_id, n_words, mean_wlen, alpha_frac, stop_hits,
+                 (n_words >= 10 AND n_words <= 100000 AND
+                  mean_wlen >= CAST(2.0 AS DOUBLE) AND mean_wlen <= CAST(10.0 AS DOUBLE) AND
+                  alpha_frac > CAST(0.8 AS DOUBLE) AND stop_hits >= 1) AS keep
+          FROM r
+          ORDER BY doc_id""")),
       // Deterministic train/val/test split by content-stable hash — the
       // standard way to split a 100 TB corpus reproducibly without a
       // shuffle or a random() that breaks retries/speculation.
