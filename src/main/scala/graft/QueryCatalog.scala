@@ -3052,6 +3052,79 @@ object QueryCatalog {
           ORDER BY dist, vec_id
           LIMIT 10""")),
 
+      // IVF-PQ composite (faiss-IVFPQ as DataFrame ops): 4 coarse cells by
+      // squared L2, PQ codebooks on residuals, query probes 2 cells and
+      // folds per-cell ADC tables. The whole coarse-assign -> residual ->
+      // encode -> probe -> ADC path hash-matches plain SQL; the exactness
+      // degeneration (all residuals as codewords + probe-all == exact L2)
+      // is pinned in PqSketchSpec.
+      Q("q_ivfpq_ann",
+        (s, dir) => {
+          import graft.ops.ProductQuantization
+          ProductQuantization.ivfPqTopK(
+            t(s, dir, "embeddings"), "vec_id", "embedding",
+            4, 2, 4, 8, 64, 10)
+            .select(col("vec_id"), col("cl").cast("long").as("cl"),
+              r6(col("dist")).as("dist"))
+        },
+        Some(s"""
+          WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          coarse AS (SELECT CAST(vec_id AS INT) AS ccid, v AS ccv FROM emb WHERE vec_id < 4),
+          assigned AS (
+            SELECT e.vec_id,
+                   (min(struct_pack(d := ${D.l2sq("e.v", "c.ccv")}, c := c.ccid))).c AS cl
+            FROM emb e, coarse c
+            GROUP BY e.vec_id),
+          resid AS (
+            SELECT a.vec_id, a.cl,
+                   list_transform(range(1, 65),
+                     i -> e.v[CAST(i AS INT)] - c.ccv[CAST(i AS INT)]) AS rv
+            FROM assigned a
+            JOIN emb e ON a.vec_id = e.vec_id
+            JOIN coarse c ON a.cl = c.ccid),
+          books AS (
+            SELECT CAST(s.s AS INT) AS sub, CAST(r.vec_id AS INT) AS cid,
+                   r.rv[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS cv
+            FROM (SELECT * FROM resid WHERE vec_id < 8) r, range(0, 4) s(s)),
+          subs AS (
+            SELECT vec_id, cl, CAST(s.s AS INT) AS sub,
+                   rv[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS sv
+            FROM resid, range(0, 4) s(s)
+            WHERE vec_id <> 0),
+          codes AS (
+            SELECT vec_id, cl, sub,
+                   (min(struct_pack(d := ${D.l2sq("sv", "cv")}, c := cid))).c AS code
+            FROM subs JOIN books USING (sub)
+            GROUP BY vec_id, cl, sub),
+          codearr AS (SELECT vec_id, cl, list(code ORDER BY sub) AS codes
+                      FROM codes GROUP BY vec_id, cl),
+          qv AS (SELECT v AS qvec FROM emb WHERE vec_id = 0),
+          probed AS (
+            SELECT ccid AS cl,
+                   list_transform(range(1, 65),
+                     i -> q.qvec[CAST(i AS INT)] - ccv[CAST(i AS INT)]) AS qres
+            FROM coarse, qv q
+            ORDER BY ${D.l2sq("q.qvec", "ccv")}, ccid
+            LIMIT 2),
+          qsubs AS (
+            SELECT cl, CAST(s.s AS INT) AS sub,
+                   qres[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS qsv
+            FROM probed, range(0, 4) s(s)),
+          dt AS (SELECT q.cl, b.sub, b.cid, ${D.l2sq("b.cv", "q.qsv")} AS d
+                 FROM books b JOIN qsubs q USING (sub)),
+          dt1 AS (SELECT cl, sub, list(d ORDER BY cid) AS ds FROM dt GROUP BY cl, sub),
+          dtarr AS (SELECT cl, list(ds ORDER BY sub) AS tables FROM dt1 GROUP BY cl),
+          scored AS (
+            SELECT c.vec_id, c.cl,
+                   list_reduce(list_transform(range(0, 4),
+                     i -> tables[CAST(i AS INT) + 1][codes[CAST(i AS INT) + 1] + 1]),
+                     (s__, x__) -> s__ + x__) AS dist
+            FROM codearr c JOIN dtarr t ON c.cl = t.cl)
+          SELECT vec_id, CAST(cl AS BIGINT) AS cl, ${duckR6("dist")} AS dist
+          FROM scored
+          ORDER BY dist, vec_id
+          LIMIT 10""")),
+
       Q("q_pq_ann",
         (s, dir) => {
           import graft.ops.ProductQuantization

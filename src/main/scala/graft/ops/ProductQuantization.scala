@@ -111,6 +111,74 @@ object ProductQuantization {
       .limit(k)
   }
 
+  /** IVF-PQ composite ANN — the faiss-IVFPQ scale path as DataFrame ops:
+    * a coarse quantizer (kc centroids, squared-L2 assignment) partitions
+    * the corpus; PQ codebooks are trained on RESIDUALS (v - centroid) and
+    * every vector stores (cluster, m codes); a query probes only the
+    * `nprobe` nearest coarse cells and runs ADC against a PER-CLUSTER
+    * distance table built from the query's residual in that cell.
+    *
+    * At 100 TB: the corpus at rest is (int cluster + m byte codes) per
+    * vector; a query reads nprobe/kc of the code table (pair with the
+    * clustered-at-rest layout of [[Similarity.ivfWriteClustered]] for
+    * partition pruning) and never touches a raw vector. Determinism
+    * mirrors [[trainCodebooks]]: first-kc / first-kSub inits, lowest-id
+    * tie-breaks — the whole path is plain-SQL-reproducible and
+    * q_ivfpq_ann hash-matches a DuckDB oracle. Exactness contract pinned
+    * in PqSketchSpec: with every residual its own codeword and all cells
+    * probed, IVF-PQ degenerates to EXACT L2 search. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                kc: Int, nprobe: Int, m: Int, kSub: Int, dim: Int,
+                k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val v = VectorF.toDoubleArray(col(vecCol))
+    val base = emb.select(col(idCol), v.as("__v"))
+    val coarse = base.orderBy(col(idCol)).limit(kc)
+      .select(col(idCol), col("__v"))
+      .withColumn("ccid",
+        (row_number().over(Window.orderBy(col(idCol))) - 1).cast("int"))
+      .select(col("ccid"), col("__v").as("ccv"))
+    // nearest-centroid assignment, keeping the centroid vector for the
+    // residual (struct-min on (distance, ccid) — lowest-cid tie-break)
+    val assigned = base.crossJoin(broadcast(coarse))
+      .withColumn("d", l2sq("__v", "ccv"))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("d"), col("ccid"), col("ccv"))).as("best"),
+        first(col("__v")).as("__v"))
+      .select(col(idCol), col("__v"),
+        col("best.ccid").as("cl"),
+        expr("zip_with(__v, best.ccv, (a, b) -> a - b)").as("resid"))
+    val books = trainCodebooks(
+      assigned.select(col(idCol), col("resid")), idCol, "resid", m, kSub, dim, 0)
+    val codes = encode(
+        assigned.where(col(idCol) =!= 0), books, idCol, "resid", m, dim)
+      .join(assigned.select(col(idCol), col("cl")), Seq(idCol))
+    // query side: probe the nprobe nearest coarse cells; per-cell residual
+    val qv = base.where(col(idCol) === 0).select(col("__v").as("qv"))
+    val probed = coarse.crossJoin(broadcast(qv))
+      .withColumn("qd", l2sq("qv", "ccv"))
+      .orderBy(col("qd"), col("ccid"))
+      .limit(nprobe)
+      .select(col("ccid").as("cl"),
+        expr("zip_with(qv, ccv, (a, b) -> a - b)").as("qres"))
+    val qsubs = withSubs(probed, "qres", m, dim)
+      .select(col("cl"), col("sub"), col("subv").as("qsv"))
+    val tables = books.join(broadcast(qsubs), "sub")
+      .withColumn("d", l2sq("cv", "qsv"))
+      .groupBy("cl", "sub")
+      .agg(expr("transform(array_sort(collect_list(struct(cid, d))), s -> s.d)").as("ds"))
+      .groupBy("cl")
+      .agg(expr("transform(array_sort(collect_list(struct(sub, ds))), s -> s.ds)").as("tables"))
+    codes.join(broadcast(tables), "cl")
+      .withColumn("dist", expr(
+        s"""aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE),
+            (s, i) -> s + element_at(element_at(tables, i + 1),
+                                     element_at(codes, i + 1) + 1))"""))
+      .select(col(idCol), col("cl"), col("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+
   /** Mean quantization error (avg of per-subspace argmin distances) — the
     * quantity Lloyd iterations must not increase. */
   def meanDistortion(emb: DataFrame, books: DataFrame, idCol: String,

@@ -44,6 +44,51 @@ class PqSketchSpec extends AnyFunSuite {
     assert(a.forall(_._2 >= 0.0))
   }
 
+  test("IVF-PQ: with all residuals as codewords and probe-all, equals EXACT L2 top-k") {
+    // Degeneration contract: when kSub >= |corpus| every residual is its
+    // own codeword (distance-0 argmin, lowest-cid tie), so ADC distance
+    // collapses to ||(q - c) - (x - c)||^2 = the TRUE squared L2 distance;
+    // with nprobe = kc no cell is skipped. The composite pipeline must
+    // therefore reproduce brute-force exactly — any slip in assignment,
+    // residuals, encoding, or per-cell tables breaks this.
+    val small = emb.where($"vec_id" < 40)
+    val got = PQ.ivfPqTopK(small, "vec_id", "embedding", 4, 4, 4, 40, 64, 10)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val qv = small.where($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toArray
+    val expected = small.where($"vec_id" =!= 0)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) =>
+        var s = 0.0
+        var i = 0
+        while (i < 64) { val d = v(i) - qv(i); s += d * d; i += 1 }
+        (id, s)
+      }
+      .sortBy { case (id, d) => (d, id) }.take(10).toSeq
+    assert(got.map(_._1) == expected.map(_._1),
+      s"IVF-PQ degeneration must be exact:\ngot $got\nexp $expected")
+    got.zip(expected).foreach { case ((_, gd), (_, ed)) =>
+      assert(math.abs(gd - ed) < 1e-9, s"distances must match: $gd vs $ed")
+    }
+  }
+
+  test("IVF-PQ: probing fewer cells returns a subset ranking consistent with probe-all") {
+    val small = emb.where($"vec_id" < 60)
+    val all = PQ.ivfPqTopK(small, "vec_id", "embedding", 4, 4, 4, 8, 64, 30)
+      .select("vec_id", "cl", "dist").as[(Long, Int, Double)].collect()
+    val two = PQ.ivfPqTopK(small, "vec_id", "embedding", 4, 2, 4, 8, 64, 30)
+      .select("vec_id", "cl", "dist").as[(Long, Int, Double)].collect()
+    val probeAllByid = all.map(r => r._1 -> r._3).toMap
+    // every candidate surfaced by the 2-cell probe carries the same ADC
+    // distance it has under probe-all (tables are per-cell, independent)
+    two.foreach { case (id, _, d) =>
+      assert(probeAllByid.get(id).forall(pd => math.abs(pd - d) < 1e-12))
+    }
+    val probedCells = two.map(_._2).distinct.sorted
+    assert(probedCells.length <= 2, s"only 2 cells may contribute: $probedCells")
+  }
+
   test("sketches: HLL distinct within 15% of exact; approx p50 near exact") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val approx = Sketches.approxDistinct(li, "l_partkey", Seq("l_returnflag"))
