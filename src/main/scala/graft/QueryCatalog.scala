@@ -1436,6 +1436,48 @@ object QueryCatalog {
           ORDER BY score DESC, chunk_id"""
         }),
 
+      // Reciprocal-rank fusion (the score-scale-free hybrid): vector and
+      // keyword top-50 lists fused by sum of 1/(60 + rank), full outer —
+      // rank arithmetic is exact in both engines (no score normalization,
+      // full (score, id) tie-breaks), so the fusion hash-matches.
+      Q("q_rrf_fusion",
+        (s, dir) => {
+          val index = RagPipeline.buildIndex(tk(s, dir, "documents"))
+          val q = HashingEmbedder(dim).embedQueryDF(s, queryText)
+          Similarity.rrfTopK(index, q, "chunk_text", "chunk_id", "embedding",
+              kwTerms, 10, 50, 60.0)
+            .select(col("chunk_id"), r6(col("score")).as("score"))
+        },
+        Some {
+          val duckQ = duckEmbed(s"(SELECT '$queryText' AS chunk_text)", "chunk_text", dim)
+          s"""
+          WITH vt AS (
+            SELECT chunk_id, ${D.cosine("i.emb", "q.qemb")} AS vs
+            FROM $duckIndexed i, (SELECT emb AS qemb FROM $duckQ) q
+            ORDER BY vs DESC, chunk_id
+            LIMIT 50),
+          vr AS (SELECT chunk_id,
+                        CAST(row_number() OVER (ORDER BY vs DESC, chunk_id) AS BIGINT) AS vrank
+                 FROM vt),
+          kt AS (
+            SELECT chunk_id, $duckKw AS ks
+            FROM $duckIndexed
+            ORDER BY ks DESC, chunk_id
+            LIMIT 50),
+          kr AS (SELECT chunk_id,
+                        CAST(row_number() OVER (ORDER BY ks DESC, chunk_id) AS BIGINT) AS krank
+                 FROM kt),
+          fused AS (
+            SELECT coalesce(vr.chunk_id, kr.chunk_id) AS chunk_id,
+                   coalesce(CAST(1.0 AS DOUBLE) / (CAST(vrank AS DOUBLE) + CAST(60.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)) +
+                   coalesce(CAST(1.0 AS DOUBLE) / (CAST(krank AS DOUBLE) + CAST(60.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS score
+            FROM vr FULL OUTER JOIN kr ON vr.chunk_id = kr.chunk_id)
+          SELECT chunk_id, (round(score, 6) + CAST(0.0 AS DOUBLE)) AS score
+          FROM fused
+          ORDER BY score DESC, chunk_id
+          LIMIT 10"""
+        }),
+
       // Embedding-cosine near-dup within sign-pattern LSH buckets
       Q("q_embed_neardup",
         (s, dir) =>

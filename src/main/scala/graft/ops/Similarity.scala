@@ -261,6 +261,43 @@ object Similarity {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion of the vector and keyword rankings — the
+    * standard score-scale-free hybrid: each modality produces its top-n
+    * candidate list independently (TakeOrderedAndProject each — tiny), a
+    * full outer join fuses them, and score = sum over lists of
+    * 1/(c + rank), with a missing entry contributing 0. Unlike the
+    * weighted-sum [[hybridTopK]], RRF needs no score normalization across
+    * modalities, which is why retrieval stacks default to it. The corpus
+    * is scanned once per modality (both map-only + top-n); the fusion
+    * join touches 2n rows regardless of corpus size. */
+  def rrfTopK(chunks: DataFrame, queryDF: DataFrame, textCol: String,
+              idCol: String, vecCol: String, terms: Seq[String],
+              k: Int, n: Int = 50, c: Double = 60.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = VectorF.toDoubleArray(col(vecCol))
+    val vTop = chunks.crossJoin(broadcast(queryDF))
+      .withColumn("vs", VectorF.cosine(v, col("qv")))
+      .select(col(idCol), col("vs"))
+      .orderBy(desc("vs"), col(idCol)).limit(n)
+      .withColumn("vrank",
+        row_number().over(Window.orderBy(desc("vs"), col(idCol))).cast("long"))
+      .select(col(idCol), col("vrank"))
+    val kTop = chunks
+      .withColumn("ks", keywordScore(col(textCol), terms))
+      .select(col(idCol), col("ks"))
+      .orderBy(desc("ks"), col(idCol)).limit(n)
+      .withColumn("krank",
+        row_number().over(Window.orderBy(desc("ks"), col(idCol))).cast("long"))
+      .select(col(idCol), col("krank"))
+    vTop.join(kTop, Seq(idCol), "full_outer")
+      .withColumn("score",
+        coalesce(lit(1.0) / (col("vrank").cast("double") + lit(c)), lit(0.0)) +
+          coalesce(lit(1.0) / (col("krank").cast("double") + lit(c)), lit(0.0)))
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** Distributed k-NN JOIN: exact cosine top-k neighbors for EVERY query
     * row, not just one. The query set is broadcast (small side by
     * contract — for huge query sets pre-bucket both sides with IVF
