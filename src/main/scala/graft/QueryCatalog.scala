@@ -2813,6 +2813,29 @@ object QueryCatalog {
                   alpha_frac > CAST(0.8 AS DOUBLE) AND stop_hits >= 1) AS keep
           FROM r
           ORDER BY doc_id""")),
+      // BPE-style pretokenization (GPT-2 pattern, RE2-compatible subset):
+      // token-budget accounting with the unit a BPE tokenizer merges
+      // within. The md5 over the joined token stream pins the EXACT
+      // tokenization, not just the count — Java regex and RE2 must agree
+      // match-for-match.
+      Q("q_bpe_tokens",
+        (s, dir) =>
+          t(s, dir, "documents")
+            .withColumn("bt", TextF.bpeTokens(col("text")))
+            .select(col("doc_id"),
+              size(col("bt")).cast("long").as("n_bpe"),
+              md5(array_join(col("bt"), "\u0001")).as("toks_md5"))
+            .orderBy("doc_id"),
+        Some(s"""
+          SELECT doc_id,
+                 CAST(len(bt) AS BIGINT) AS n_bpe,
+                 md5(array_to_string(bt, chr(1))) AS toks_md5
+          FROM (SELECT doc_id,
+                       regexp_extract_all(text,
+                         '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+') AS bt
+                FROM documents)
+          ORDER BY doc_id""")),
+
       // Deterministic train/val/test split by content-stable hash — the
       // standard way to split a 100 TB corpus reproducibly without a
       // shuffle or a random() that breaks retries/speculation.

@@ -40,6 +40,18 @@ object TextF {
     array_min(transform(shingles, s => md5(s)))
 
   /** Ratio of tokens found in `stop`. Double division of exact ints. */
+  /** BPE-style pretokenization (the GPT-2 pretokenizer pattern, simplified
+    * to the RE2-compatible subset — no lookahead — so the SAME pattern runs
+    * in Spark's Java regex and the DuckDB oracle's RE2): contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+    * whitespace runs. This is the unit a BPE tokenizer merges within; its
+    * count is the standard cheap proxy for token budget accounting. */
+  val BpePretokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePretokenPattern), lit(0))
+
   def stopwordRatio(toks: Column, stop: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(stop))).cast("double") / size(toks)
 
