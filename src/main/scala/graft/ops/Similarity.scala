@@ -298,6 +298,48 @@ object Similarity {
       .limit(k)
   }
 
+  /** Maximal-marginal-relevance rerank of a top-n candidate set:
+    * greedily picks argmax of lambda*relevance - (1-lambda)*max-cosine-to-
+    * already-selected (ties to the lower id). MMR is inherently
+    * sequential (each pick depends on all previous), so it runs on the
+    * DRIVER over the collected candidate window — which is the correct
+    * scale design, not a compromise: reranking operates on the top-n of a
+    * distributed retrieval stage (n <= maxCandidates, enforced), never on
+    * the corpus. Output: (idCol, mmr_rank, mmr_score). */
+  def mmrRerank(candidates: DataFrame, idCol: String, vecCol: String,
+                scoreCol: String, lambda: Double, k: Int,
+                maxCandidates: Int = 1000): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val rows = candidates
+      .select(col(idCol).cast("long"), col(scoreCol).cast("double"),
+        VectorF.toDoubleArray(col(vecCol)))
+      .as[(Long, Double, Seq[Double])].collect()
+    require(rows.length <= maxCandidates,
+      s"MMR reranks a top-n window, not a corpus: got ${rows.length} candidates " +
+        s"> maxCandidates=$maxCandidates — retrieve top-n first")
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecById = rows.map(r => r._1 -> r._3).toMap
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      rows.sortBy(r => (-r._2, r._1)).map(r => r._1 -> r): _*)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
+    while (selected.length < k && remaining.nonEmpty) {
+      val best = remaining.values.map { case (id, rel, v) =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => cos(v, vecById(s._1))).max
+        (id, lambda * rel - (1.0 - lambda) * maxSim)
+      }.minBy { case (id, sc) => (-sc, id) }
+      selected += ((best._1, selected.length + 1, best._2))
+      remaining.remove(best._1)
+    }
+    selected.toSeq.toDF(idCol, "mmr_rank", "mmr_score")
+  }
+
   /** Distributed k-NN JOIN: exact cosine top-k neighbors for EVERY query
     * row, not just one. The query set is broadcast (small side by
     * contract — for huge query sets pre-bucket both sides with IVF

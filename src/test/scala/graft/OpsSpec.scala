@@ -102,6 +102,27 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("all-pairs"))
   }
 
+  test("MMR rerank diversifies: near-duplicate of the top pick is demoted below a distinct doc") {
+    // a and a2 are near-identical high-relevance vectors; b is distinct
+    // with medium relevance. Plain relevance order = (a, a2, b); MMR with
+    // lambda=0.5 must pick b second because a2's similarity penalty to the
+    // already-selected a (~1.0) swamps its relevance edge.
+    val cands = Seq(
+      (1L, 0.99, Array(1.0, 0.0, 0.0, 0.0)),        // a
+      (2L, 0.98, Array(0.999, 0.01, 0.0, 0.0)),     // a2 (near-dup of a)
+      (3L, 0.50, Array(0.0, 1.0, 0.0, 0.0))         // b (distinct)
+    ).toDF("id", "rel", "v")
+    val got = Similarity.mmrRerank(cands, "id", "v", "rel", 0.5, 3)
+      .orderBy("mmr_rank").select("id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 3L, 2L), s"expected diversity order (a, b, a2), got $got")
+    // guard: oversize candidate sets refuse driver-side greedy
+    val big = (0L until 20L).map(i => (i, 1.0, Array(1.0, 0.0, 0.0, 0.0))).toDF("id", "rel", "v")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(big, "id", "v", "rel", 0.5, 5, maxCandidates = 10)
+    }
+    assert(e.getMessage.contains("top-n window"))
+  }
+
   test("connected components distributed branch: pointer jumping converges on a long chain") {
     // Chain 0-1-2-...-59: diameter 59 > default maxIters 25, so plain
     // one-hop min-label propagation could NOT converge in 25 rounds —
