@@ -89,6 +89,34 @@ object Dedup {
       .toDF(idCol, "sh")
   }
 
+  /** Per-doc compression ratio (deflated bytes / raw bytes) — the cheap
+    * redundancy signal real pretraining pipelines pair with repetition
+    * stats: boilerplate and generated spam compress far below prose. One
+    * Deflater per partition, reset per row — narrow kernel, no shuffle,
+    * no allocation churn. Output: idCol, raw_bytes, deflate_bytes,
+    * compression_ratio. (No SQL oracle: DuckDB has no deflate — the
+    * monotonicity/bounds contract is pinned in TrainingOpsSpec.) */
+  def compressionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    idText(df, textCol, idCol)
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+        val buf = new Array[Byte](65536)
+        it.map { case (id, text) =>
+          val raw = (if (text == null) "" else text).getBytes("UTF-8")
+          d.reset()
+          d.setInput(raw)
+          d.finish()
+          var out = 0L
+          while (!d.finished()) out += d.deflate(buf)
+          val ratio = if (raw.length == 0) 1.0 else out.toDouble / raw.length
+          (id, raw.length.toLong, out, ratio)
+        }
+      }
+      .toDF(idCol, "raw_bytes", "deflate_bytes", "compression_ratio")
+  }
+
   /** Per-doc repetition stats (training-quality signal): total vs distinct
     * n-gram counts in ONE kernel pass — no intermediate shingle arrays in
     * the plan, no shuffle. Output: idCol, n_grams, n_uniq. */

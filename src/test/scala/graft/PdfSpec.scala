@@ -122,4 +122,27 @@ class PdfSpec extends AnyFunSuite {
     // truncating mid-stream must not throw
     ex.extract(pdf.take(pdf.length / 2))
   }
+
+  test("fuzz: byte-mutated PDFs never throw (deterministic mutation sweep)") {
+    // corruption robustness is a contract for a corpus-scale reader: a
+    // damaged file must degrade to partial/empty text, never kill a task.
+    val base = PdfWrite.document(Seq("alpha bravo charlie\ndelta echo", "page two here"))
+    var mutated = 0
+    for (seed <- 0 until 200) {
+      val b = base.clone()
+      // 3 deterministic LCG-derived mutations per trial
+      var x = seed * 2654435761L + 1
+      for (_ <- 0 until 3) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        val pos = math.abs(x % b.length).toInt
+        b(pos) = (x >>> 32).toByte
+      }
+      ex.extract(b) // must not throw
+      mutated += 1
+    }
+    assert(mutated == 200)
+    // truncation sweep at every 37th byte
+    var t = 1
+    while (t < base.length) { ex.extract(base.take(t)); t += 37 }
+  }
 }

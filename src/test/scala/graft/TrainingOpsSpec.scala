@@ -59,6 +59,28 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got == Seq(("a", 10.0, 1L), ("b", 2.0, 2L)))
   }
 
+  test("compressionStats: repetitive text compresses below random-ish prose; bounds hold") {
+    val docs = Seq(
+      (1L, "spam " * 500),                                        // highly repetitive
+      (2L, (0 until 500).map(i => s"w${i * 7919 % 9973}").mkString(" ")), // high-entropy
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = Dedup.compressionStats(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._4 < got(2L)._4,
+      s"repetitive must compress better: ${got(1L)._4} vs ${got(2L)._4}")
+    assert(got(1L)._4 < 0.05, s"'spam'x500 should crush: ${got(1L)._4}")
+    got.values.foreach { case (_, raw, defl, ratio) =>
+      assert(defl >= 0 && ratio >= 0.0)
+      if (raw > 0) assert(math.abs(ratio - defl.toDouble / raw) < 1e-12)
+    }
+    assert(got(3L)._4 == 1.0, "empty doc ratio defined as 1.0")
+    // determinism: same input, same bytes
+    val again = Dedup.compressionStats(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(again == got.view.mapValues(_._3).toMap)
+  }
+
   test("Percentiles.quantilesGlobal: distributed rank pick matches percentile() bit-for-bit") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val expected = orders
