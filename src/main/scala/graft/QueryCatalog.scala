@@ -1398,6 +1398,53 @@ object QueryCatalog {
           FROM c
           ORDER BY doc_id, chunk_idx""")),
 
+      // C1 sentence-aware variant (reference SentenceSplitter boundary
+      // semantic): whole sentences pack into a 25-token budget, never
+      // splitting a sentence. The synthetic docs carry no punctuation, so
+      // the query plants a '.' after every 7th token first (index lambdas
+      // in both engines: Spark 0-based, DuckDB 1-based — aligned below),
+      // then chunker output hash-matches the window-cumsum oracle.
+      Q("q_chunk_sentences",
+        (s, dir) => {
+          val docs = t(s, dir, "documents")
+            .withColumn("text", expr(
+              "array_join(transform(split(trim(text), '\\\\s+'), " +
+                "(t, i) -> CASE WHEN i % 7 = 6 THEN concat(t, '.') ELSE t END), ' ')"))
+          Chunking.explodeSentenceWindows(docs, "text", 25)
+            .select(col("doc_id"), col("chunk_idx"),
+              md5(col("chunk_text")).as("h"),
+              col("n_tokens"))
+            .orderBy("doc_id", "chunk_idx")
+        },
+        Some("""
+          WITH dotted AS (
+            SELECT doc_id,
+                   array_to_string(list_transform(string_split_regex(trim(text), '\s+'),
+                     (t, i) -> CASE WHEN i % 7 = 0 THEN t || '.' ELSE t END), ' ') AS text
+            FROM documents),
+          s0 AS (SELECT doc_id,
+                        regexp_extract_all(text, '[^.!?]*[.!?]+\s*|[^.!?]+$') AS sents
+                 FROM dotted),
+          s1 AS (SELECT doc_id, CAST(i AS BIGINT) AS sidx,
+                        trim(sents[CAST(i AS INT)]) AS sent
+                 FROM (SELECT doc_id, sents,
+                         unnest(range(1, len(sents) + 1)) AS i
+                       FROM s0)),
+          s2 AS (SELECT doc_id, sidx, sent,
+                        CAST(len(string_split_regex(sent, '\s+')) AS BIGINT) AS stoks
+                 FROM s1 WHERE length(sent) > 0),
+          s3 AS (SELECT doc_id, sidx, sent, stoks,
+                        sum(stoks) OVER (PARTITION BY doc_id ORDER BY sidx) AS cum
+                 FROM s2)
+          SELECT doc_id, CAST((cum0 - stoks0) // 25 AS BIGINT) AS chunk_idx,
+                 md5(string_agg(sent, ' ' ORDER BY sidx)) AS h,
+                 CAST(sum(stoks) AS BIGINT) AS n_tokens
+          FROM (SELECT doc_id, sidx, sent, stoks,
+                       CAST(cum AS BIGINT) AS cum0, stoks AS stoks0
+                FROM s3)
+          GROUP BY doc_id, chunk_idx
+          ORDER BY doc_id, chunk_idx""")),
+
       // Q3 mode=keyword — runs on the chunk table only: no embedding pass
       // (the embedder is opaque to Catalyst's column pruning, so skipping
       // it must happen at the operator level).

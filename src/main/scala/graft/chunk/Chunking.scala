@@ -58,6 +58,36 @@ object Chunking {
       .drop("__sections")
   }
 
+  /** Sentence-window chunker — the reference SentenceSplitter's boundary
+    * semantic (whole sentences pack into a token budget; a sentence never
+    * splits across chunks). Sentences come from an RE2-compatible
+    * extraction (terminator-inclusive runs — no lookbehind, so the same
+    * pattern drives the DuckDB oracle); a sentence belongs to chunk
+    * floor(tokens-before-it / budget). One narrow projection + one window
+    * cumsum + one group-by per doc — the shuffle key is doc_id only.
+    * Output: doc_id, chunk_idx, chunk_text, n_tokens. */
+  def explodeSentenceWindows(df: DataFrame, textCol: String, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0)
+    val sentPattern = "[^.!?]*[.!?]+\\s*|[^.!?]+$"
+    val sents = df
+      .withColumn("__sents",
+        regexp_extract_all(col(textCol), lit(sentPattern), lit(0)))
+      .select(col("doc_id"), posexplode(col("__sents")).as(Seq("sidx", "sent")))
+      .withColumn("sent", trim(col("sent")))
+      .where(length(col("sent")) > 0)
+      .withColumn("stoks", size(split(col("sent"), "\\s+")).cast("long"))
+    val w = Window.partitionBy("doc_id").orderBy("sidx")
+    sents
+      .withColumn("cum", sum(col("stoks")).over(w))
+      .withColumn("chunk_idx", expr(s"CAST((cum - stoks) div $budget AS BIGINT)"))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(sidx, sent))), s -> s.sent), ' ')")
+          .as("chunk_text"),
+        sum(col("stoks")).as("n_tokens"))
+  }
+
   /** Pure-Scala token-window chunker for the typed Dataset API + tests. */
   def chunkTokens(text: String, budget: Int, overlap: Int): Seq[String] = {
     require(budget > 0 && overlap >= 0 && overlap < budget)

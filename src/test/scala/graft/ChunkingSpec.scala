@@ -57,4 +57,28 @@ class ChunkingSpec extends AnyFunSuite {
     assert(nChunks(350, 200, 150) == 2)
     assert(nChunks(351, 200, 150) == 3)
   }
+
+  test("sentence-window chunker never splits a sentence; budget bounds the START of each sentence") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    val text = "one two three. four five six seven eight! nine ten? " +
+      "eleven twelve thirteen fourteen. fifteen"
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = Chunking.explodeSentenceWindows(df, "text", 6)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_text", "n_tokens")
+      .as[(Long, String, Long)].collect().toSeq
+    // every chunk is whole sentences; reassembling loses nothing
+    val reassembled = got.map(_._2).mkString(" ")
+    assert(reassembled == text, s"lossless repack: $reassembled")
+    // chunk 0: "one two three." (3 toks, next sentence starts at cum 3 < 6
+    // so it joins too: 5-tok sentence starts at 3 -> chunk 0)
+    assert(got.head._2.startsWith("one two three. four"), got.head._2)
+    // a sentence starting at cum >= budget opens a new chunk
+    assert(got.forall { case (idx, _, _) => idx >= 0 })
+    val startsOk = got.scanLeft(0L)((acc, c) => acc + c._3).zip(got).forall {
+      case (startTok, (idx, _, _)) => startTok / 6 == idx
+    }
+    assert(startsOk, s"chunk_idx must be floor(start-tokens / budget): $got")
+  }
 }
