@@ -2883,6 +2883,53 @@ object QueryCatalog {
                 FROM documents)
           ORDER BY doc_id""")),
 
+      // Exact substring-span dedup (Lee et al. 2022): every repeated
+      // 8-token span is cut from all but its lowest-(doc,pos) occurrence.
+      // ~1000 duplicated spans exist in the synthetic corpus at this span
+      // length, so the cleaned output is a real transformation; md5 over
+      // the cleaned text pins the exact cut-and-repack.
+      Q("q_substr_dedup",
+        (s, dir) =>
+          Dedup.exactSubstringDedup(t(s, dir, "documents"), "text", "doc_id", 8)
+            .select(col("doc_id"), col("n_total"), col("n_removed"),
+              md5(col("cleaned")).as("cleaned_md5"))
+            .orderBy("doc_id"),
+        Some(s"""
+          WITH base AS (
+            SELECT doc_id, ${D.splitWs("text")} AS tk FROM documents),
+          spans AS (
+            SELECT doc_id, CAST(i AS INT) - 1 AS pos,
+                   md5(array_to_string(tk[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS h
+            FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 8 + 2)) AS i
+                  FROM base WHERE len(tk) >= 8)),
+          dup AS (
+            SELECT h, (min(struct_pack(d := doc_id, p := pos))).d AS cd,
+                   (min(struct_pack(d := doc_id, p := pos))).p AS cp
+            FROM spans GROUP BY h HAVING count(*) > 1),
+          occ AS (
+            SELECT s.doc_id, s.pos
+            FROM spans s JOIN dup USING (h)
+            WHERE NOT (s.doc_id = dup.cd AND s.pos = dup.cp)),
+          covered AS (
+            SELECT DISTINCT doc_id, CAST(pos + x AS BIGINT) AS tix
+            FROM occ, unnest(range(0, 8)) t(x)),
+          toks AS (
+            SELECT doc_id, CAST(i AS BIGINT) - 1 AS tix, tk[CAST(i AS INT)] AS tok
+            FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM base)),
+          kept AS (
+            SELECT t.doc_id,
+                   string_agg(t.tok, ' ' ORDER BY t.tix) AS cleaned,
+                   count(*) AS n_kept
+            FROM toks t
+            WHERE NOT EXISTS (SELECT 1 FROM covered c
+                              WHERE c.doc_id = t.doc_id AND c.tix = t.tix)
+            GROUP BY t.doc_id)
+          SELECT b.doc_id, CAST(len(b.tk) AS BIGINT) AS n_total,
+                 CAST(len(b.tk) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+                 md5(coalesce(k.cleaned, '')) AS cleaned_md5
+          FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
+          ORDER BY b.doc_id""")),
+
       // Deterministic train/val/test split by content-stable hash — the
       // standard way to split a 100 TB corpus reproducibly without a
       // shuffle or a random() that breaks retries/speculation.

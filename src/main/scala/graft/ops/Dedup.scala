@@ -157,6 +157,53 @@ object Dedup {
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Exact substring-span deduplication (the Lee et al. 2022 "deduplicating
+    * training data" operator): every L-token span that occurs more than
+    * once ANYWHERE in the corpus is removed from all but its canonical
+    * occurrence (lowest (doc_id, position)); overlapping duplicate spans
+    * merge naturally because removal is by covered token position.
+    *
+    * Scale shape: one narrow pass emits (position, span-hash) per token —
+    * a hash per position, not an L-times blowup; the groupBy key is the
+    * 32-char hash (map-side combinable); only DUPLICATED occurrences
+    * explode their L covered positions; the rebuild is one anti-join on
+    * (doc, position) + one per-doc aggregation. No all-pairs anything.
+    *
+    * Output: idCol, n_total (tokens), n_removed, cleaned (text with
+    * duplicated spans cut; "" when everything was removed). */
+  def exactSubstringDedup(df: DataFrame, textCol: String, idCol: String,
+                          spanLen: Int): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as(idCol),
+        split(trim(col(textCol)), "\\s+").as("tk"))
+    val spans = base.select(col(idCol), explode(expr(
+        s"""CASE WHEN size(tk) >= $spanLen
+            THEN transform(sequence(0, size(tk) - $spanLen),
+                   p -> struct(p AS pos,
+                               md5(array_join(slice(tk, p + 1, $spanLen), ' ')) AS h))
+            ELSE array() END""")).as("sp"))
+      .select(col(idCol), col("sp.pos").as("pos"), col("sp.h").as("h"))
+    val dupHashes = spans.groupBy("h")
+      .agg(min(struct(col(idCol), col("pos"))).as("canon"), count(lit(1)).as("c"))
+      .where(col("c") > 1)
+      .select(col("h"), col("canon"))
+    val dupOccs = spans.join(dupHashes, "h")
+      .where(!(col(idCol) === col(s"canon.$idCol") && col("pos") === col("canon.pos")))
+    val covered = dupOccs
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + spanLen - 1)).as("tix"))
+      .distinct()
+    val tokens = base.select(col(idCol), posexplode(col("tk")).as(Seq("tix", "tok")))
+    val kept = tokens.join(covered, Seq(idCol, "tix"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(tix, tok))), s -> s.tok), ' ')")
+          .as("cleaned"),
+        count(lit(1)).as("n_kept"))
+    base.select(col(idCol), size(col("tk")).cast("long").as("n_total"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_total"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** LSH banding over minhash signatures -> candidate near-dup pairs.
     * bands of `rowsPerBand` signature entries; pairs sharing >= 1 band key.
     * Output: id_a < id_b (distinct pairs). */

@@ -59,6 +59,27 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got == Seq(("a", 10.0, 1L), ("b", 2.0, 2L)))
   }
 
+  test("exactSubstringDedup: canonical occurrence survives, repeats are cut, overlaps merge") {
+    val shared = "alpha bravo charlie delta" // the repeated 4-token span
+    val docs = Seq(
+      (1L, s"$shared echo foxtrot golf hotel"),          // canonical (lowest doc)
+      (2L, s"india juliet $shared kilo lima"),           // repeat -> span cut
+      (3L, s"mike november oscar papa quebec romeo"),    // untouched
+      (4L, s"$shared $shared sierra tango")              // two overlapping repeats, both cut
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringDedup(docs, "text", "doc_id", 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._4 == s"$shared echo foxtrot golf hotel", "canonical doc unchanged")
+    assert(byId(1L)._3 == 0)
+    assert(byId(2L)._4 == "india juliet kilo lima", s"repeat span cut: ${byId(2L)._4}")
+    assert(byId(2L)._3 == 4)
+    assert(byId(3L)._3 == 0, "doc with no repeated span untouched")
+    assert(byId(4L)._4 == "sierra tango", s"both repeats cut: ${byId(4L)._4}")
+    assert(byId(4L)._3 == 8)
+  }
+
   test("compressionStats: repetitive text compresses below random-ish prose; bounds hold") {
     val docs = Seq(
       (1L, "spam " * 500),                                        // highly repetitive
