@@ -175,11 +175,14 @@ object Dedup {
                           spanLen: Int): DataFrame = {
     val base = df.select(col(idCol).cast("long").as(idCol),
         split(trim(col(textCol)), "\\s+").as("tk"))
+    // span key = xxhash64 over the token slice: an 8-byte codegen'd key
+    // (no hex-string build, no join allocation); any collision-free hash
+    // yields the same duplicate sets, so the oracle's md5 grouping is
+    // equivalent.
     val spans = base.select(col(idCol), explode(expr(
         s"""CASE WHEN size(tk) >= $spanLen
             THEN transform(sequence(0, size(tk) - $spanLen),
-                   p -> struct(p AS pos,
-                               md5(array_join(slice(tk, p + 1, $spanLen), ' ')) AS h))
+                   p -> struct(p AS pos, xxhash64(slice(tk, p + 1, $spanLen)) AS h))
             ELSE array() END""")).as("sp"))
       .select(col(idCol), col("sp.pos").as("pos"), col("sp.h").as("h"))
     val dupHashes = spans.groupBy("h")
@@ -188,20 +191,22 @@ object Dedup {
       .select(col("h"), col("canon"))
     val dupOccs = spans.join(dupHashes, "h")
       .where(!(col(idCol) === col(s"canon.$idCol") && col("pos") === col("canon.pos")))
-    val covered = dupOccs
+    // Covered positions aggregate to ONE small array per affected doc;
+    // the cut is then an index-aware filter HOF over the token array —
+    // no token-level explode, no (doc, position) anti-join shuffle: the
+    // only moved rows are duplicate occurrences (a sliver of the corpus).
+    val coveredPerDoc = dupOccs
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + spanLen - 1)).as("tix"))
-      .distinct()
-    val tokens = base.select(col(idCol), posexplode(col("tk")).as(Seq("tix", "tok")))
-    val kept = tokens.join(covered, Seq(idCol, "tix"), "left_anti")
       .groupBy(col(idCol))
-      .agg(expr("array_join(transform(array_sort(collect_list(struct(tix, tok))), s -> s.tok), ' ')")
-          .as("cleaned"),
-        count(lit(1)).as("n_kept"))
-    base.select(col(idCol), size(col("tk")).cast("long").as("n_total"))
-      .join(kept, Seq(idCol), "left")
-      .select(col(idCol), col("n_total"),
-        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .agg(collect_set(col("tix")).as("cov"))
+    base.join(coveredPerDoc, Seq(idCol), "left")
+      .withColumn("kept", expr(
+        "CASE WHEN cov IS NULL THEN tk " +
+          "ELSE filter(tk, (t, i) -> NOT array_contains(cov, i)) END"))
+      .select(col(idCol),
+        size(col("tk")).cast("long").as("n_total"),
+        (size(col("tk")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("cleaned"))
   }
 
   /** LSH banding over minhash signatures -> candidate near-dup pairs.
