@@ -116,6 +116,31 @@ object Percentiles {
       java.util.Collections.singletonList(row), schema)
   }
 
+  /** Grouped exact quantiles for the FEW-GIANT-GROUPS regime: routes each
+    * group through [[quantilesGlobal]]'s distributed rank pick, so no task
+    * ever sorts a whole group (the window form below serializes each group
+    * onto one task — right for MANY SMALL groups, wrong when a group is
+    * billions of rows). The group list is collected and must be small
+    * (`maxGroups`, default 64) — each group costs one range shuffle of its
+    * own rows, so work is |groups| bounded passes with every task
+    * participating in each. Pick by shape: many small groups -> window
+    * [[quantiles]]; few giant groups -> this. */
+  def quantilesByGroup(df: DataFrame, valCol: String, groupCol: String,
+                       qs: Seq[(String, Double)],
+                       maxGroups: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val groups = df.select(col(groupCol)).distinct().collect().map(_.get(0))
+    require(groups.length <= maxGroups,
+      s"quantilesByGroup is the few-giant-groups path: got ${groups.length} groups " +
+        s"> maxGroups=$maxGroups — use quantiles() (window form) for many small groups")
+    val perGroup = groups.sortBy(String.valueOf(_)).map { g =>
+      quantilesGlobal(df.where(col(groupCol) <=> lit(g)), valCol, qs)
+        .withColumn(groupCol, lit(g))
+    }
+    perGroup.reduce(_.unionByName(_))
+      .select(col(groupCol) +: (qs.map { case (n, _) => col(n) } :+ col("cnt")): _*)
+  }
+
   /** One row per group: groupCols*, one column per (name, q) in `qs`,
     * plus `cnt` (group size). `valCol` must be numeric (cast to double). */
   def quantiles(df: DataFrame, valCol: String, groupCols: Seq[String],

@@ -115,6 +115,25 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("Percentiles.quantilesByGroup: giant-group router matches the window form bit-for-bit") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val expected = Percentiles.quantiles(orders, "o_totalprice",
+        Seq("o_orderstatus"), Seq("p50" -> 0.5, "p90" -> 0.9))
+      .select("o_orderstatus", "p50", "p90", "cnt")
+      .orderBy("o_orderstatus")
+      .as[(String, Double, Double, Long)].collect().toSeq
+    val got = Percentiles.quantilesByGroup(orders, "o_totalprice", "o_orderstatus",
+        Seq("p50" -> 0.5, "p90" -> 0.9))
+      .orderBy("o_orderstatus")
+      .as[(String, Double, Double, Long)].collect().toSeq
+    assert(got == expected)
+    val e = intercept[IllegalArgumentException] {
+      Percentiles.quantilesByGroup(orders, "o_totalprice", "o_orderkey",
+        Seq("p50" -> 0.5), maxGroups = 10)
+    }
+    assert(e.getMessage.contains("few-giant-groups"))
+  }
+
   test("Percentiles.quantilesGlobal: edge ranks, tiny input, many empty partitions") {
     val df = Seq(5.0, 1.0, 3.0).toDF("v")
     val got = Percentiles.quantilesGlobal(df, "v",
