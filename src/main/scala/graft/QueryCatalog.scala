@@ -1905,6 +1905,39 @@ object QueryCatalog {
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus""")),
 
+    // Winsorized robust statistics: clip at the (round-6) p05/p95 exact
+    // quantiles from the distributed rank picker, then exact-decimal mean
+    // over the clipped values — two passes, every task participating in
+    // both. Thresholds are rounded identically in both engines BEFORE
+    // clipping so boundary rows can't flip on an interpolation ulp.
+    Q("q_winsorize",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val qrow = graft.ops.Percentiles.quantilesGlobal(
+          o, "o_totalprice", Seq("p05" -> 0.05, "p95" -> 0.95)).head()
+        val lo = BigDecimal(qrow.getDouble(0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val hi = BigDecimal(qrow.getDouble(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        o.select(least(greatest(col("o_totalprice").cast("double"), lit(lo)), lit(hi))
+            .cast("decimal(18,2)").as("w"))
+          .agg(sum(col("w")).as("wsum"), count(lit(1)).as("n"))
+          .select(col("wsum").cast("double").as("winsorized_sum"),
+            expr("(round(CAST(wsum AS DOUBLE) / CAST(n AS DOUBLE), 6) + CAST(0.0 AS DOUBLE))")
+              .as("winsorized_mean"),
+            col("n"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.05), 6) AS lo,
+                 round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95), 6) AS hi
+          FROM orders),
+        w AS (
+          SELECT CAST(least(greatest(CAST(o_totalprice AS DOUBLE), q.lo), q.hi) AS DECIMAL(18,2)) AS w
+          FROM orders, q)
+        SELECT CAST(sum(w) AS DOUBLE) AS winsorized_sum,
+               (round(CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS winsorized_mean,
+               count(*) AS n
+        FROM w""")),
+
     // Exact GLOBAL quantiles via range-partitioned distributed rank
     // selection (every task participates; no single-task group sort —
     // the billion-row-group/global-case scale path; see
