@@ -72,6 +72,26 @@ object Sketches {
       .toDF(valCol, "min_count")
   }
 
+  /** Count-Min Sketch point-frequency estimates (Cormode & Muthukrishnan
+    * '05) via Spark's own mergeable CMS implementation: one pass builds a
+    * (depth x width) counter grid per partition, grids merge
+    * associatively, and each queried item's estimate satisfies
+    *   true <= estimate <= true + eps * N   (w.p. >= 1 - confidence).
+    * Constant memory regardless of cardinality — the streaming-friendly
+    * answer when exact groupBy counts of a hot-key column would shuffle
+    * the world. Returns (item, estimate) for the queried items,
+    * driver-built (|queries| rows). */
+  def cmsFrequencies(df: DataFrame, valCol: String, queries: Seq[String],
+                     eps: Double = 0.001, confidence: Double = 0.99,
+                     seed: Int = 42): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cms = df.stat.countMinSketch(
+      col(valCol).cast("string"), eps, confidence, seed)
+    queries.map(q => (q, cms.estimateCount(q)))
+      .toDF(valCol, "estimate")
+  }
+
   /** Task-serializable Misra-Gries kernel. */
   private object MisraGries extends Serializable {
     def offer(m: scala.collection.mutable.HashMap[String, Long],

@@ -79,10 +79,16 @@ object AsciiDocText {
     def attr(k: String): Option[String] = cliAttrs.get(k).orElse(docAttrs.get(k))
     def sub(s: String): String = {
       // {name} substitution for known attributes only (unknown refs pass
-      // through, as asciidoctor leaves unresolved references intact)
+      // through, as asciidoctor leaves unresolved references intact).
+      // Expansion depth is CAPPED: circular definitions (:a: {b} / :b: {a},
+      // or :x: {x}) would otherwise rewrite forever — after the cap the
+      // remaining references stay as text, which is the lenient
+      // unresolved-reference behavior, not an error.
       var r = s
       var changed = true
-      while (changed) {
+      var depth = 0
+      while (changed && depth < 10) {
+        depth += 1
         changed = false
         val m = java.util.regex.Pattern.compile("\\{([A-Za-z0-9_][A-Za-z0-9_-]*)\\}").matcher(r)
         val sb = new java.lang.StringBuilder

@@ -219,6 +219,28 @@ class PqSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("sketches: count-min estimates are overestimates within eps * N of truth") {
+    val rows = (0 until 3000).map { i =>
+      if (i % 3 == 0) "hot" else if (i % 3 == 1) s"warm${i % 30}" else s"cold$i"
+    }
+    val df = rows.toDF("k").repartition(4)
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val queries = Seq("hot", "warm1", "cold2", "never-seen")
+    val got = Sketches.cmsFrequencies(df, "k", queries, eps = 0.01, confidence = 0.99)
+      .as[(String, Long)].collect().toMap
+    val n = rows.size
+    queries.foreach { q =>
+      val t = truth.getOrElse(q, 0L)
+      assert(got(q) >= t, s"CMS never underestimates: $q got ${got(q)} < $t")
+      assert(got(q) <= t + math.ceil(0.01 * n).toLong + 1,
+        s"CMS bound: $q got ${got(q)} vs true $t (n=$n)")
+    }
+    // determinism (fixed seed): repeated builds agree
+    val again = Sketches.cmsFrequencies(df, "k", queries, eps = 0.01, confidence = 0.99)
+      .as[(String, Long)].collect().toMap
+    assert(again == got)
+  }
+
   test("sketches: bloom prefilter is a superset of the exact semi-join and prunes") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val small = orders.where(col("o_custkey") < 20).select(col("o_custkey"))
