@@ -172,11 +172,13 @@ object PipeConverter {
             .redirectError(ProcessBuilder.Redirect.INHERIT)
             .start()
           val stdin = p.getOutputStream
+          val fed = new java.util.concurrent.atomic.AtomicLong(0L)
           val feeder = new Thread(() => {
             try {
               it.foreach { text =>
                 stdin.write((if (text == null) "" else text).getBytes("UTF-8"))
                 stdin.write(0)
+                fed.incrementAndGet()
               }
               stdin.flush()
             } catch { case _: java.io.IOException => () } // broken pipe: exit check below reports it
@@ -190,20 +192,31 @@ object PipeConverter {
             private val frame = new java.io.ByteArrayOutputStream(8192)
             private var nextRow: String = null
             private var eof = false
+            private var emitted = 0L
 
             private def advance(): Unit = {
               while (nextRow == null && !eof) {
                 val b = stdout.read()
                 if (b < 0) {
                   eof = true
-                  if (frame.size() > 0) { nextRow = frame.toString("UTF-8"); frame.reset() }
+                  if (frame.size() > 0) { nextRow = frame.toString("UTF-8"); frame.reset(); emitted += 1 }
                   feeder.join()
                   val code = p.waitFor()
                   if (code != 0)
                     throw new IllegalStateException(
                       s"pipe command ${command.mkString(" ")} exited with $code")
+                  // 1:1 frame contract: a converter that drops or merges NUL
+                  // frames silently mis-aligns rows with documents — fail
+                  // loudly instead (the trailing-frame emit above tolerates
+                  // a converter that omits only the final NUL).
+                  val in = fed.get()
+                  if (emitted != in)
+                    throw new IllegalStateException(
+                      s"pipe command ${command.mkString(" ")} returned $emitted " +
+                        s"frames for $in input rows — converter must preserve " +
+                        s"NUL framing 1:1")
                 } else if (b == 0) {
-                  nextRow = frame.toString("UTF-8"); frame.reset()
+                  nextRow = frame.toString("UTF-8"); frame.reset(); emitted += 1
                 } else frame.write(b)
               }
             }

@@ -57,6 +57,15 @@ class SourcesSpec extends AnyFunSuite {
     assert(out == Set("HELLO WORLD", "SPARK ENGINE", "MULTI\nLINE\nDOC", ""))
   }
 
+  test("S5: a converter that destroys NUL framing fails loudly, not silently misaligned") {
+    val df = Seq("aaa", "bbb", "ccc").toDF("text").repartition(1)
+    val e = intercept[org.apache.spark.SparkException] {
+      PipeConverter.convert(df, "text", Seq("tr", "-d", "\\000")).collect()
+    }
+    assert(e.getCause.getMessage.contains("NUL framing"),
+      s"frame-count mismatch must fail the task: ${e.getCause.getMessage}")
+  }
+
   test("S5: one process per PARTITION, not per row (PID-counted)") {
     val pidLog = Files.createTempFile("graft_pids", ".log")
     val script = Files.createTempFile("graft_pipe", ".sh")
