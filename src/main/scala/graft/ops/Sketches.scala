@@ -62,14 +62,22 @@ object Sketches {
   def heavyHitters(df: DataFrame, valCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    heavyHittersSummary(df, valCol, k).toSeq.sortBy { case (x, c) => (-c, x) }
+      .toDF(valCol, "min_count")
+  }
+
+  /** The merged Misra-Gries summary itself (<= k counters) — exposed so
+    * streaming can keep merging it across micro-batches. */
+  def heavyHittersSummary(df: DataFrame, valCol: String,
+                          k: Int): scala.collection.mutable.HashMap[String, Long] = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val items = df.select(col(valCol).cast("string")).as[String].rdd
     type MG = scala.collection.mutable.HashMap[String, Long]
-    val merged = items.treeAggregate(new MG)(
+    items.treeAggregate(new MG)(
       seqOp = { (m, x) => MisraGries.offer(m, x, 1L, k); m },
       combOp = { (m1, m2) =>
         m2.foreach { case (x, w) => MisraGries.offer(m1, x, w, k) }; m1 })
-    merged.toSeq.sortBy { case (x, c) => (-c, x) }
-      .toDF(valCol, "min_count")
   }
 
   /** Count-Min Sketch point-frequency estimates (Cormode & Muthukrishnan
@@ -93,7 +101,7 @@ object Sketches {
   }
 
   /** Task-serializable Misra-Gries kernel. */
-  private object MisraGries extends Serializable {
+  private[graft] object MisraGries extends Serializable {
     def offer(m: scala.collection.mutable.HashMap[String, Long],
               x: String, w0: Long, k: Int): Unit = {
       var w = w0

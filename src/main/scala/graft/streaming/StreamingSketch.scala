@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.Row
+
+import graft.ops.Sketches
+
+/** Cross-batch mergeable sketches over a stream — the streaming form of
+  * [[graft.ops.Sketches]]. Each micro-batch computes its DISTRIBUTED
+  * summary (treeAggregate inside the batch — the cluster does the heavy
+  * counting), and the tiny batch summary merges associatively into a
+  * query-scoped holder on the driver. Total state is O(k) counters for
+  * ANY stream length or key cardinality; the Misra-Gries guarantees
+  * survive merging (Agarwal et al. '12), so over the whole stream every
+  * item with true frequency > n/(k+1) is present and counts undercount by
+  * at most n/(k+1).
+  *
+  * This is the right shape when the answer is a small summary: carrying
+  * it in the state store would pay a shuffle per batch for state that
+  * fits in a single map. The holder lives with the StreamingQuery; a
+  * restart rebuilds from the source's replay (or persist `current` with
+  * your checkpoint cadence for exactly-once summaries).
+  */
+object StreamingSketch {
+
+  /** Query-scoped Misra-Gries holder. Thread-safe: foreachBatch invokes
+    * sequentially per query, but `current` may be read concurrently. */
+  final class HeavyHittersHolder(k: Int) extends Serializable {
+    private val state = scala.collection.mutable.HashMap.empty[String, Long]
+    private[streaming] def merge(batchSummary: scala.collection.Map[String, Long]): Unit =
+      state.synchronized {
+        batchSummary.foreach { case (x, w) => Sketches.MisraGries.offer(state, x, w, k) }
+      }
+    /** Current (item, min_count) summary, hottest first, <= k rows. */
+    def current: Seq[(String, Long)] =
+      state.synchronized { state.toSeq.sortBy { case (x, c) => (-c, x) } }
+    def stateSize: Int = state.synchronized(state.size)
+  }
+
+  /** Attach the cross-batch heavy-hitter sink to a streaming DataFrame:
+    * returns the started query and the holder to read summaries from. */
+  def heavyHittersStream(stream: DataFrame, valCol: String, k: Int,
+                         queryName: String): (StreamingQuery, HeavyHittersHolder) = {
+    val holder = new HeavyHittersHolder(k)
+    val q = withHeavyHitters(stream, valCol, k, holder)
+      .queryName(queryName)
+      .start()
+    (q, holder)
+  }
+
+  /** The writer form (callers pick trigger/checkpoint options before
+    * start()). Each batch runs one distributed Misra-Gries pass. */
+  def withHeavyHitters(stream: DataFrame, valCol: String, k: Int,
+                       holder: HeavyHittersHolder): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) holder.merge(Sketches.heavyHittersSummary(batch, valCol, k))
+    }
+}

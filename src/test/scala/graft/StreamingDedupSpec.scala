@@ -58,6 +58,27 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: hot keys survive cross-batch merge with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val (q, holder) = graft.streaming.StreamingSketch.heavyHittersStream(
+      in.toDF().toDF("k"), "k", k = 8, queryName = "hh_out")
+    try {
+      // batch 1: 60x hot + 40 distinct cold; batch 2: 40x hot + other noise
+      in.addData(Seq.fill(60)("hot") ++ (0 until 40).map(i => s"cold$i"): _*)
+      q.processAllAvailable()
+      in.addData(Seq.fill(40)("hot") ++ (0 until 30).map(i => s"noise$i"): _*)
+      q.processAllAvailable()
+      val n = 60 + 40 + 40 + 30
+      val cur = holder.current.toMap
+      assert(holder.stateSize <= 8, s"state bounded by k: ${holder.stateSize}")
+      // true freq 100 > n/(k+1) = 170/9 -> must be present, undercount <= n/(k+1)
+      assert(cur.contains("hot"), s"hot key must survive: $cur")
+      assert(cur("hot") >= 100L - (n / 9) - 1 && cur("hot") <= 100L,
+        s"undercount bound: ${cur("hot")}")
+    } finally q.stop()
+  }
+
   test("stream-static enrich join broadcasts metadata into each micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val meta = Seq((1L, "en", "web"), (2L, "de", "pdf")).toDF("doc_id", "lang", "source")
