@@ -3163,15 +3163,20 @@ object QueryCatalog {
       // to every vector — NOT SQL-expressible, so rows-only here; its math
       // contract (orthogonality, isometry, distortion non-inferiority) is
       // pinned by PqSketchSpec. The dump is the TABLE INPUT that lets
-      // q_opq_ann's PQ+ADC stage be oracled: DuckDB reads these exact
-      // doubles back via read_parquet, and the downstream stage is the
-      // same SQL shape q_pq_ann already hash-matches.
+      // q_opq_ann's PQ+ADC stage be oracled. The vector is dumped as a
+      // comma-joined STRING, not array<double>: the driver's rows-only
+      // check sorts every dumped column in pandas, and an ndarray column
+      // is unhashable there (r4 crash); the string round-trips bit-exactly
+      // (Java Double.toString emits the shortest uniquely-round-tripping
+      // decimal, DuckDB's CAST back to DOUBLE is correctly rounded), so
+      // the oracle reconstructs the SAME doubles via string_split.
       Q("q_opq_rotated",
         (s, dir) => {
           import graft.ops.OpqRotation
           val emb = t(s, dir, "embeddings")
           OpqRotation.rotate(emb, "embedding", "rv", opqRotation(s, dir))
-            .select(col("vec_id"), col("rv"))
+            .select(col("vec_id"),
+              concat_ws(",", transform(col("rv"), _.cast("string"))).as("rv"))
             .orderBy("vec_id")
         },
         None),
@@ -3207,7 +3212,9 @@ object QueryCatalog {
             .select(col("vec_id"), r6(col("dist")).as("dist"))
         },
         Some(s"""
-          WITH emb AS (SELECT vec_id, CAST(rv AS DOUBLE[]) AS v
+          WITH emb AS (SELECT vec_id,
+                              list_transform(string_split(rv, ','),
+                                             x -> CAST(x AS DOUBLE)) AS v
                        FROM read_parquet('__GRAFT_OUT__/q_opq_rotated/*.parquet')),
           books AS (
             SELECT CAST(s.s AS INT) AS sub, CAST(e.vec_id // 4 AS INT) AS cid,

@@ -139,7 +139,8 @@ object BinaryColumns {
     var i = 12
     var channels = -1; var sampleRate = -1; var bits = -1
     var byteRate = 0L; var dataBytes = -1L
-    while (i + 8 <= b.length) {
+    var ok = true
+    while (ok && i + 8 <= b.length) {
       val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = le32(i + 4)
       if (id == "fmt " && i + 24 <= b.length) {
@@ -150,8 +151,13 @@ object BinaryColumns {
       } else if (id == "data") {
         dataBytes = size
       }
-      // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + size.toInt + (size.toInt & 1)
+      // chunks are word-aligned: odd sizes carry a pad byte. The size field
+      // is attacker-controlled: compute the next offset in Long space and
+      // stop on anything that fails to advance or overruns the buffer —
+      // a hostile size (e.g. 0xFFFFFFF8) must degrade to a partial parse,
+      // never spin the loop or index out of bounds.
+      val next = i.toLong + 8L + size + (size & 1L)
+      if (next <= i || next > b.length) ok = false else i = next.toInt
     }
     if (channels < 0) bad
     else {

@@ -102,6 +102,12 @@ object Dedup {
     idText(df, textCol, idCol)
       .mapPartitions { it =>
         val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+        // Deflater holds native zlib buffers until end() — on long-lived
+        // executors running many tasks, leaking them accumulates off-heap
+        // memory, so release at task completion (same pattern as
+        // BatchedEmbedder's session close).
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => d.end()))
         val buf = new Array[Byte](65536)
         it.map { case (id, text) =>
           val raw = (if (text == null) "" else text).getBytes("UTF-8")
@@ -175,21 +181,30 @@ object Dedup {
                           spanLen: Int): DataFrame = {
     val base = df.select(col(idCol).cast("long").as(idCol),
         split(trim(col(textCol)), "\\s+").as("tk"))
-    // span key = xxhash64 over the token slice: an 8-byte codegen'd key
-    // (no hex-string build, no join allocation); any collision-free hash
-    // yields the same duplicate sets, so the oracle's md5 grouping is
-    // equivalent.
+    // span key = TWO independently-seeded xxhash64 values over the token
+    // slice (the leading literal changes the effective seed — a TRAILING
+    // literal would only post-mix the first hash and collide with it): a
+    // 16-byte codegen'd key, no hex-string build. A single 64-bit key is
+    // not enough at the corpus scale this targets — with billions of span
+    // positions, 64-bit birthday collisions (~50% at ~5e9 spans) would mark
+    // unique spans as duplicates and silently delete legitimate text. At
+    // 128 bits the residual collision probability is ~n^2/2^129 (~1e-20 at
+    // 5e9 spans) — documented, not assumed away; the oracle's md5 (also
+    // 128-bit) grouping is equivalent at the same residual.
     val spans = base.select(col(idCol), explode(expr(
         s"""CASE WHEN size(tk) >= $spanLen
             THEN transform(sequence(0, size(tk) - $spanLen),
-                   p -> struct(p AS pos, xxhash64(slice(tk, p + 1, $spanLen)) AS h))
+                   p -> struct(p AS pos,
+                               xxhash64(slice(tk, p + 1, $spanLen)) AS h1,
+                               xxhash64(7L, slice(tk, p + 1, $spanLen)) AS h2))
             ELSE array() END""")).as("sp"))
-      .select(col(idCol), col("sp.pos").as("pos"), col("sp.h").as("h"))
-    val dupHashes = spans.groupBy("h")
+      .select(col(idCol), col("sp.pos").as("pos"),
+        col("sp.h1").as("h1"), col("sp.h2").as("h2"))
+    val dupHashes = spans.groupBy("h1", "h2")
       .agg(min(struct(col(idCol), col("pos"))).as("canon"), count(lit(1)).as("c"))
       .where(col("c") > 1)
-      .select(col("h"), col("canon"))
-    val dupOccs = spans.join(dupHashes, "h")
+      .select(col("h1"), col("h2"), col("canon"))
+    val dupOccs = spans.join(dupHashes, Seq("h1", "h2"))
       .where(!(col(idCol) === col(s"canon.$idCol") && col("pos") === col("canon.pos")))
     // Covered positions aggregate to ONE small array per affected doc;
     // the cut is then an index-aware filter HOF over the token array —

@@ -13,8 +13,14 @@ import org.apache.spark.sql.functions._
   * per-group sort (window row_number), which Spark runs as a spillable
   * external sort; a cheap hash aggregate then picks the two bracketing rows
   * per quantile and interpolates exactly like `percentile`/quantile_cont:
-  * lo * (1-frac) + hi * frac, with pos = (n-1) * q — the convex-combination
-  * form Spark's own Percentile uses, so results agree bit-for-bit.
+  * lo * (1-frac) + hi * frac, with pos = (n-1) * q. The convex-combination
+  * form is NOT interchangeable with the algebraically-equal
+  * lo + (hi-lo)*frac — they differ by an ulp on ~15% of inputs — and the
+  * convex form is the one BOTH engines evaluate: Spark's Percentile
+  * (parity pinned bit-for-bit in TrainingOpsSpec) and DuckDB's
+  * quantile_cont (verified empirically with bound parameters; DuckDB's
+  * SQL-literal parse of q perturbs it ~1e-11, invisible at the oracle's
+  * round-6).
   */
 object Percentiles {
 
@@ -34,8 +40,10 @@ object Percentiles {
     *   4. one more pass over the cached sorted data picks the bracketing
     *      values at their local ranks — each partition scans only itself.
     *
-    * Interpolation is lo*(1-frac) + hi*frac, bit-identical to
-    * percentile()/quantile_cont (TrainingOpsSpec pins parity). Cost: one
+    * Interpolation is lo*(1-frac) + hi*frac — the exact expression form
+    * percentile() evaluates (see object doc: the algebraic rearrangement
+    * differs by an ulp), so parity is bit-exact, not merely ulp-close
+    * (TrainingOpsSpec pins it). Cost: one
     * range shuffle of the value column + two cheap passes; no task ever
     * buffers more than its partition, at any group size. */
   def quantilesGlobal(df: DataFrame, valCol: String,

@@ -25,12 +25,21 @@ import graft.ops.Sketches
 object StreamingSketch {
 
   /** Query-scoped Misra-Gries holder. Thread-safe: foreachBatch invokes
-    * sequentially per query, but `current` may be read concurrently. */
+    * sequentially per query, but `current` may be read concurrently.
+    * Merges are keyed by batchId and idempotent: on checkpoint recovery
+    * structured streaming can RE-DELIVER an already-processed batch, and
+    * double-counting it would break the n/(k+1) undercount bound — so a
+    * merge whose batchId is <= the last merged one is skipped. */
   final class HeavyHittersHolder(k: Int) extends Serializable {
     private val state = scala.collection.mutable.HashMap.empty[String, Long]
-    private[streaming] def merge(batchSummary: scala.collection.Map[String, Long]): Unit =
+    private var lastBatchId = -1L
+    private[graft] def merge(batchId: Long,
+                                 batchSummary: scala.collection.Map[String, Long]): Unit =
       state.synchronized {
-        batchSummary.foreach { case (x, w) => Sketches.MisraGries.offer(state, x, w, k) }
+        if (batchId > lastBatchId) {
+          lastBatchId = batchId
+          batchSummary.foreach { case (x, w) => Sketches.MisraGries.offer(state, x, w, k) }
+        }
       }
     /** Current (item, min_count) summary, hottest first, <= k rows. */
     def current: Seq[(String, Long)] =
@@ -53,7 +62,7 @@ object StreamingSketch {
     * start()). Each batch runs one distributed Misra-Gries pass. */
   def withHeavyHitters(stream: DataFrame, valCol: String, k: Int,
                        holder: HeavyHittersHolder): DataStreamWriter[Row] =
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      if (!batch.isEmpty) holder.merge(Sketches.heavyHittersSummary(batch, valCol, k))
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) holder.merge(batchId, Sketches.heavyHittersSummary(batch, valCol, k))
     }
 }

@@ -169,5 +169,24 @@ class SinkStreamingSpec extends AnyFunSuite {
     assert(BinaryColumns.parseWavHeader(hexBytes("52494646")) == ("unknown", -1, -1, -1, -1L))
     assert(BinaryColumns.parseWavHeader(hexBytes("DEADBEEFDEADBEEFDEADBEEF")) ==
       ("unknown", -1, -1, -1, -1L))
+    // HOSTILE chunk sizes after a valid RIFF/WAVE magic: a size with the
+    // high bit set (F8FFFFFF -> -8 as Int) used to stall the chunk walk
+    // (offset never advanced) or drive the index negative; the walk must
+    // terminate and degrade to the partial parse, never hang or throw.
+    assert(BinaryColumns.parseWavHeader(hexBytes(
+      "52494646" + "24B10200" + "57415645" + "4C495354" + "F8FFFFFF" + "0000")) ==
+      ("unknown", -1, -1, -1, -1L))
+    // hostile size AFTER a good fmt chunk: keep what was parsed
+    assert(BinaryColumns.parseWavHeader(hexBytes(
+      "52494646" + "24B10200" + "57415645" + fmt + "4C495354" + "FFFFFFFF")) ==
+      ("wav", 2, 44100, 16, -1L))
+    // size that overruns the buffer by less than Int overflow: stop clean
+    assert(BinaryColumns.parseWavHeader(hexBytes(
+      "52494646" + "24B10200" + "57415645" + "4C495354" + "00000080" + "0000")) ==
+      ("unknown", -1, -1, -1, -1L))
+    // zero-size unknown chunks still advance (8 bytes each), no spin
+    assert(BinaryColumns.parseWavHeader(hexBytes(
+      "52494646" + "24B10200" + "57415645" + "4C495354" + "00000000" + fmt + data)) ==
+      ("wav", 2, 44100, 16, 1000L))
   }
 }

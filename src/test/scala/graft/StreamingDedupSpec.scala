@@ -76,6 +76,15 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(cur.contains("hot"), s"hot key must survive: $cur")
       assert(cur("hot") >= 100L - (n / 9) - 1 && cur("hot") <= 100L,
         s"undercount bound: ${cur("hot")}")
+      // checkpoint-recovery redelivery: re-merging an already-seen batchId
+      // must be a no-op (double-counting would break the n/(k+1) bound)
+      val before = holder.current
+      holder.merge(0L, Map("hot" -> 1000000L))
+      assert(holder.current == before,
+        "re-delivered batchId must not be merged twice")
+      holder.merge(2L, Map("hot" -> 5L))
+      assert(holder.current.toMap.apply("hot") == cur("hot") + 5L,
+        "a NEW batchId still merges after a skipped redelivery")
     } finally q.stop()
   }
 
