@@ -2923,7 +2923,7 @@ object QueryCatalog {
       // the cleaned text pins the exact cut-and-repack.
       Q("q_substr_dedup",
         (s, dir) =>
-          Dedup.exactSubstringDedup(t(s, dir, "documents"), "text", "doc_id", 8)
+          Dedup.exactSubstringDedup(tk(s, dir, "documents"), "text", "doc_id", 8)
             .select(col("doc_id"), col("n_total"), col("n_removed"),
               md5(col("cleaned")).as("cleaned_md5"))
             .orderBy("doc_id"),

@@ -91,6 +91,75 @@ object TextHashing {
     sb.toString
   }
 
+  /** Rolling polynomial span hashing for exact substring dedup: ALL
+    * length-L token spans of a doc hashed in O(n) total, not O(n*L) —
+    * the Rabin–Karp recurrence H(i+1) = (H(i) - t(i)*b^(L-1)) * b +
+    * t(i+L) over per-token hashes, in the Mersenne field p = 2^61-1
+    * (mulmod via Math.multiplyHigh + a 61-bit fold, no BigInt). Two calls
+    * with different (base, seed) give two independent 61-bit keys: a
+    * cross-span collision needs BOTH polynomials to collide — ~L/p per
+    * hash for inputs not adversarially aimed at the fixed bases, squared
+    * when combined. Duplicate-span detection is hash-agnostic (any
+    * collision-free keying yields the same duplicate sets), so swapping
+    * this in for sliced xxhash64 changes nothing downstream. */
+  object SpanHash {
+    val P: Long = (1L << 61) - 1
+
+    /** (a*b) mod 2^61-1 for a,b in [0, 2^61): split the 128-bit product at
+      * bit 61 and fold — x mod (2^61-1) = (x & P) + (x >> 61), repeated. */
+    @inline def mulmod(a: Long, b: Long): Long = {
+      val hi = Math.multiplyHigh(a, b)
+      val lo = a * b
+      var r = (lo & P) + ((lo >>> 61) | (hi << 3))
+      while (r >= P) r -= P
+      r
+    }
+
+    @inline private def addmod(a: Long, b: Long): Long = {
+      val r = a + b // both < 2^61, no overflow
+      if (r >= P) r - P else r
+    }
+
+    /** FNV-1a over UTF-16 chars, folded to [0, 2^61). Distinct seeds give
+      * independent per-token hash streams, so the two polynomial hashes
+      * don't share token collisions either. */
+    @inline def tokenHash(s: String, seed: Long): Long = {
+      var h = seed
+      var i = 0
+      while (i < s.length) {
+        h ^= s.charAt(i)
+        h *= 0x100000001b3L
+        i += 1
+      }
+      h & P
+    }
+
+    /** Hashes of every length-L span of `tk` (requires tk.length >= L):
+      * out(p) covers tokens [p, p+L). One pass, O(n). */
+    def spanHashes(tk: Array[String], l: Int, base: Long, seed: Long): Array[Long] = {
+      val n = tk.length
+      val tv = new Array[Long](n)
+      var i = 0
+      while (i < n) { tv(i) = tokenHash(tk(i), seed); i += 1 }
+      var bl = 1L // base^(L-1)
+      i = 1
+      while (i < l) { bl = mulmod(bl, base); i += 1 }
+      val out = new Array[Long](n - l + 1)
+      var h = 0L
+      i = 0
+      while (i < l) { h = addmod(mulmod(h, base), tv(i)); i += 1 }
+      out(0) = h
+      var p = 1
+      while (p <= n - l) {
+        val dropped = mulmod(tv(p - 1), bl)
+        h = addmod(mulmod(addmod(h, P - dropped), base), tv(p + l - 1))
+        out(p) = h
+        p += 1
+      }
+      out
+    }
+  }
+
   /** Document fingerprint: lexicographic-min md5 hex over shingles. */
   def fingerprint(shingles: Array[String]): String = {
     var m: String = null

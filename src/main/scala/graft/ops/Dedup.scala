@@ -181,25 +181,33 @@ object Dedup {
                           spanLen: Int): DataFrame = {
     val base = df.select(col(idCol).cast("long").as(idCol),
         split(trim(col(textCol)), "\\s+").as("tk"))
-    // span key = TWO independently-seeded xxhash64 values over the token
-    // slice (the leading literal changes the effective seed — a TRAILING
-    // literal would only post-mix the first hash and collide with it): a
-    // 16-byte codegen'd key, no hex-string build. A single 64-bit key is
-    // not enough at the corpus scale this targets — with billions of span
-    // positions, 64-bit birthday collisions (~50% at ~5e9 spans) would mark
-    // unique spans as duplicates and silently delete legitimate text. At
-    // 128 bits the residual collision probability is ~n^2/2^129 (~1e-20 at
-    // 5e9 spans) — documented, not assumed away; the oracle's md5 (also
-    // 128-bit) grouping is equivalent at the same residual.
-    val spans = base.select(col(idCol), explode(expr(
-        s"""CASE WHEN size(tk) >= $spanLen
-            THEN transform(sequence(0, size(tk) - $spanLen),
-                   p -> struct(p AS pos,
-                               xxhash64(slice(tk, p + 1, $spanLen)) AS h1,
-                               xxhash64(7L, slice(tk, p + 1, $spanLen)) AS h2))
-            ELSE array() END""")).as("sp"))
-      .select(col(idCol), col("sp.pos").as("pos"),
-        col("sp.h1").as("h1"), col("sp.h2").as("h2"))
+    // span key = TWO independent rolling polynomial hashes over per-token
+    // hashes ([[TextHashing.SpanHash]]): O(n) per doc instead of the
+    // O(n*L) of hashing each token slice, and 122 bits of key. A single
+    // 64-bit key is not enough at the corpus scale this targets — with
+    // billions of span positions, birthday collisions (~50% at ~5e9
+    // spans) would mark unique spans as duplicates and silently delete
+    // legitimate text; at ~122 bits the residual is ~1e-18 at 5e9 spans —
+    // documented, not assumed away. The oracle's md5 grouping is
+    // equivalent: duplicate sets are hash-agnostic under no-collision.
+    // The kernel's tokenizer (trim.split("\\s+", -1)) matches `base`'s
+    // split(trim(..)) exactly, so span positions line up with the cut.
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.TextHashing.SpanHash
+    val spans = df
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val tk = graft.functions.TextHashing.tokens(if (text == null) "" else text)
+        if (tk.length < spanLen) Iterator.empty
+        else {
+          val h1 = SpanHash.spanHashes(tk, spanLen, 0x1fffff7fffffff3L, 0xcbf29ce484222325L)
+          val h2 = SpanHash.spanHashes(tk, spanLen, 0x0abcdef123456789L, 0x9e3779b97f4a7c15L)
+          Iterator.range(0, h1.length).map(p => (id, p, h1(p), h2(p)))
+        }
+      })
+      .toDF(idCol, "pos", "h1", "h2")
     val dupHashes = spans.groupBy("h1", "h2")
       .agg(min(struct(col(idCol), col("pos"))).as("canon"), count(lit(1)).as("c"))
       .where(col("c") > 1)

@@ -59,6 +59,35 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got == Seq(("a", 10.0, 1L), ("b", 2.0, 2L)))
   }
 
+  test("SpanHash: rolling recurrence equals direct polynomial evaluation per span") {
+    import graft.functions.TextHashing.SpanHash
+    val rnd = new scala.util.Random(42)
+    // include repeated tokens so some spans genuinely collide BY VALUE
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    for (trial <- 1 to 20) {
+      val n = 1 + rnd.nextInt(40)
+      val tk = Array.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      val l = 1 + rnd.nextInt(math.min(n, 9))
+      val base = 0x1fffff7fffffff3L
+      val seed = 0xcbf29ce484222325L
+      val rolled = SpanHash.spanHashes(tk, l, base, seed)
+      assert(rolled.length == n - l + 1)
+      // naive Horner per span — the O(n*L) definition the rolling form replaces
+      val naive = Array.tabulate(n - l + 1) { p =>
+        var h = 0L
+        for (j <- p until p + l)
+          h = (SpanHash.mulmod(h, base) + SpanHash.tokenHash(tk(j), seed)) % SpanHash.P
+        h
+      }
+      assert(rolled.toSeq == naive.toSeq, s"trial $trial n=$n l=$l")
+      // identical spans must produce identical hashes (dedup soundness)
+      val byContent = rolled.indices.groupBy(p => tk.slice(p, p + l).toSeq)
+      byContent.values.foreach { ps =>
+        assert(ps.map(rolled).distinct.size == 1, "equal spans must hash equal")
+      }
+    }
+  }
+
   test("exactSubstringDedup: canonical occurrence survives, repeats are cut, overlaps merge") {
     val shared = "alpha bravo charlie delta" // the repeated 4-token span
     val docs = Seq(
