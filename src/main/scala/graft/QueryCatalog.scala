@@ -1075,6 +1075,82 @@ object QueryCatalog {
                 ORDER BY score DESC, vec_id
                 LIMIT 10)
           ORDER BY score DESC, vec_id"""
+        }),
+
+      // Binary-quantization ANN: sign-bit codes (two 32-bit words for the
+      // 64-dim vectors), Hamming-distance prefilter to 50 candidates,
+      // exact-cosine rerank to top 10. The oracle mirrors the exact
+      // two-stage algorithm (same MSB-first pack fold, same tie-breaks),
+      // so this is hash-exact, not recall-approximate.
+      Q("q_bq_ann",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          val q = emb.where(col("vec_id") === 0)
+            .select(VectorF.toDoubleArray(col("embedding")).as("qv"))
+          Similarity.binaryQuantTopK(
+            emb.where(col("vec_id") =!= 0), q, "vec_id", "embedding",
+            64, 10, 50)
+            .select(col("vec_id"), col("hamming"), r6(col("score")).as("score"))
+        },
+        Some {
+          def pack(arr: String) =
+            s"""list_transform(range(0, 2), w__ ->
+                  list_reduce(list_transform(range(0, 32), j__ ->
+                      CASE WHEN ($arr)[w__ * 32 + j__ + 1] > ${D.d(0.0)}
+                           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+                    (s__, x__) -> s__ * 2 + x__))"""
+          s"""
+          WITH q AS (SELECT v AS qv, ${pack("v")} AS qcode
+                     FROM $duckEmbTable WHERE vec_id = 0),
+          coded AS (SELECT vec_id, v, ${pack("v")} AS code
+                    FROM $duckEmbTable WHERE vec_id <> 0),
+          cand AS (
+            SELECT vec_id, v, qv,
+                   CAST(list_reduce(list_transform(list_zip(code, qcode),
+                          p__ -> bit_count(xor(p__[1], p__[2]))),
+                        (s__, x__) -> s__ + x__) AS BIGINT) AS hamming
+            FROM coded, q
+            ORDER BY hamming, vec_id
+            LIMIT 50)
+          SELECT vec_id, hamming,
+                 (round($duckCos, 6) + ${D.d(0.0)}) AS score
+          FROM cand
+          ORDER BY score DESC, vec_id
+          LIMIT 10"""
+        }),
+
+      // Matryoshka truncated-dimension ANN: cosine over the first 16 dims
+      // prefilters to 50 candidates (a quarter of the vector bytes read),
+      // full 64-dim cosine reranks to top 10. Hash-exact like q_bq_ann:
+      // the oracle runs the same prefix-then-rerank algorithm.
+      Q("q_mrl_ann",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          val q = emb.where(col("vec_id") === 0)
+            .select(VectorF.toDoubleArray(col("embedding")).as("qv"))
+          Similarity.truncatedRerankTopK(
+            emb.where(col("vec_id") =!= 0), q, "vec_id", "embedding",
+            16, 10, 50)
+            .select(col("vec_id"),
+              r6(col("pre_score")).as("pre_score"),
+              r6(col("score")).as("score"))
+        },
+        Some {
+          val preCos = D.cosine("((v)[1:16])", "((qv)[1:16])")
+          s"""
+          WITH q AS (SELECT v AS qv FROM $duckEmbTable WHERE vec_id = 0),
+          cand AS (
+            SELECT vec_id, v, qv, $preCos AS pre
+            FROM $duckEmbTable, q
+            WHERE vec_id <> 0
+            ORDER BY pre DESC, vec_id
+            LIMIT 50)
+          SELECT vec_id,
+                 (round(pre, 6) + ${D.d(0.0)}) AS pre_score,
+                 (round($duckCos, 6) + ${D.d(0.0)}) AS score
+          FROM cand
+          ORDER BY score DESC, vec_id
+          LIMIT 10"""
         })
     )
   }
@@ -3372,7 +3448,143 @@ object QueryCatalog {
           SELECT vec_id, ${duckR6("dist")} AS dist
           FROM scored
           ORDER BY dist, vec_id
-          LIMIT 10"""))
+          LIMIT 10""")),
+
+      // KMV distinct-count sketch over l_partkey (k=256): the estimate is
+      // md5-deterministic, so unlike HLL the ORACLE runs the identical
+      // sketch and the hash must match exactly — est, number of retained
+      // hashes, the exact distinct count, and the relative error.
+      Q("q_kmv_distinct",
+        (s, dir) => {
+          import graft.ops.Sketches
+          val li = t(s, dir, "lineitem")
+          val kmv = Sketches.kmvDistinct(li, "l_partkey", 256)
+          val exact = li.agg(countDistinct(col("l_partkey")).as("exact"))
+          kmv.crossJoin(exact)
+            .select(
+              r6(col("est")).as("est"),
+              col("n_hashes").cast("long").as("n_hashes"),
+              col("exact").cast("long").as("exact"),
+              r6(abs(col("est") - col("exact").cast("double")) /
+                col("exact").cast("double")).as("rel_err"))
+        },
+        Some(s"""
+          WITH u AS (SELECT DISTINCT ${D.md5Uniform(D.castStr("l_partkey"))} AS u
+                     FROM lineitem WHERE l_partkey IS NOT NULL),
+          kk AS (SELECT u FROM u ORDER BY u LIMIT 256),
+          s AS (SELECT CAST(count(*) AS BIGINT) AS n_hashes, max(u) AS uk FROM kk),
+          e AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact FROM lineitem),
+          est0 AS (SELECT CASE WHEN n_hashes < 256 THEN CAST(n_hashes AS DOUBLE)
+                               ELSE ${D.d(255.0)} / uk END AS est,
+                          n_hashes, exact
+                   FROM s, e)
+          SELECT ${duckR6("est")} AS est, n_hashes, exact,
+                 ${duckR6("abs(est - CAST(exact AS DOUBLE)) / CAST(exact AS DOUBLE)")} AS rel_err
+          FROM est0""")),
+
+      // Intra-document repeated-sentence removal (C4-style line dedup).
+      // Fixture: dot every 7th token into sentence boundaries, then
+      // re-append the first two sentences so every doc HAS duplicates;
+      // the operator keeps first occurrences in order. Narrow, no shuffle.
+      Q("q_sent_dedup",
+        (s, dir) => {
+          val dotted = expr(
+            """transform(split(trim(text), '\\s+'),
+                 (t, i) -> CASE WHEN i % 7 = 6 THEN concat(t, '.') ELSE t END)""")
+          val docs = t(s, dir, "documents")
+            .withColumn("__dt", dotted)
+            .withColumn("text2",
+              concat(array_join(col("__dt"), " "), lit(" "),
+                array_join(slice(col("__dt"), 1, 14), " ")))
+          Dedup.dedupSentencesWithin(docs, "text2", "doc_id")
+            .select(col("doc_id"), col("n_sent"), col("n_kept"),
+              md5(col("cleaned")).as("cleaned_md5"))
+            .orderBy("doc_id")
+        },
+        Some("""
+          WITH dt AS (
+            SELECT doc_id,
+                   list_transform(string_split_regex(trim(text), '\s+'),
+                     (t, i) -> CASE WHEN i % 7 = 0 THEN t || '.' ELSE t END) AS dt
+            FROM documents),
+          tx AS (SELECT doc_id,
+                        array_to_string(dt, ' ') || ' ' ||
+                          array_to_string(dt[1:14], ' ') AS text2
+                 FROM dt),
+          sents AS (SELECT doc_id, string_split(text2, '. ') AS s FROM tx),
+          kept AS (SELECT doc_id, s,
+                          list_filter(s, (x, i) -> list_position(s, x) = i) AS k
+                   FROM sents)
+          SELECT doc_id,
+                 CAST(len(s) AS BIGINT) AS n_sent,
+                 CAST(len(k) AS BIGINT) AS n_kept,
+                 md5(array_to_string(k, '. ')) AS cleaned_md5
+          FROM kept
+          ORDER BY doc_id""")),
+
+      // Per-domain corpus cap (RefinedWeb-style: no domain may contribute
+      // more than N documents). Domain parsed from a synthesized URL
+      // (37 domains over the corpus), cap 3 via the deterministic
+      // hash-ranked quota in Sampling.capPerKey.
+      Q("q_domain_cap",
+        (s, dir) => {
+          import graft.ops.Sampling
+          val docs = t(s, dir, "documents")
+            .withColumn("url",
+              concat(lit("https://d"), (col("doc_id") % 37).cast("string"),
+                lit(".example.com/p/"), col("doc_id").cast("string")))
+            .withColumn("domain", TextF.domainOf(col("url")))
+          Sampling.capPerKey(docs, Seq("domain"), "doc_id", 3)
+            .select(col("doc_id"), col("domain"))
+            .orderBy("doc_id")
+        },
+        Some(s"""
+          WITH d AS (
+            SELECT doc_id,
+                   regexp_extract('https://d' || CAST(doc_id % 37 AS VARCHAR) ||
+                                  '.example.com/p/' || CAST(doc_id AS VARCHAR),
+                                  '${TextF.DomainRe}', 1) AS domain
+            FROM documents),
+          r AS (SELECT doc_id, domain,
+                       row_number() OVER (
+                         PARTITION BY domain
+                         ORDER BY ${D.md5Uniform(D.castStr("doc_id"))}, doc_id) AS rn
+                FROM d)
+          SELECT doc_id, domain
+          FROM r WHERE rn <= 3
+          ORDER BY doc_id""")),
+
+      // Corpus-trained unigram LM surprisal per document (the cheap
+      // stand-in for CCNet/RedPajama perplexity filtering). Per-token
+      // surprisals round to 6 decimals BEFORE the position-ordered fold,
+      // so a last-ulp ln() difference between engines cannot accumulate.
+      Q("q_unigram_lm",
+        (s, dir) => {
+          import graft.ops.LanguageModel
+          LanguageModel.unigramSurprisal(t(s, dir, "documents"), "text", "doc_id")
+            .select(col("doc_id"), col("n_tokens"),
+              r6(col("avg_surprisal")).as("avg_surprisal"))
+            .orderBy("doc_id")
+        },
+        Some(s"""
+          WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                   unnest(range(1, len(string_split_regex(trim(text), '\\s+')) + 1)) AS pos
+            FROM documents),
+          vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+          scored AS (
+            SELECT doc_id, pos,
+                   round(-ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS lp
+            FROM toks JOIN vocab USING (tok) CROSS JOIN tot),
+          agg AS (SELECT doc_id, list(lp ORDER BY pos) AS lps,
+                         CAST(count(*) AS BIGINT) AS n_tokens
+                  FROM scored GROUP BY doc_id)
+          SELECT doc_id, n_tokens,
+                 ${duckR6("list_reduce(lps, (a__, x__) -> a__ + x__) / CAST(n_tokens AS DOUBLE)")} AS avg_surprisal
+          FROM agg
+          ORDER BY doc_id"""))
     )
   }
 

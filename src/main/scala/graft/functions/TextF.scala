@@ -108,4 +108,9 @@ object TextF {
   /** Count of email-shaped spans (redaction audit metric). */
   def emailCount(text: Column): Column =
     size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long")
+
+  /** Registrable-host part of a URL (scheme stripped, first path slash
+    * on): the grouping key for per-domain corpus caps. RE2-compatible. */
+  val DomainRe = "https?://([^/\\s]+)"
+  def domainOf(url: Column): Column = regexp_extract(url, DomainRe, 1)
 }

@@ -232,6 +232,28 @@ object Dedup {
         array_join(col("kept"), " ").as("cleaned"))
   }
 
+  /** Intra-document repeated-sentence removal (the C4/RefinedWeb "dedup
+    * lines within a page" rule, at sentence granularity): split on a
+    * literal delimiter, keep only the FIRST occurrence of each sentence
+    * (order preserved), rejoin. Entirely per-row — a narrow projection
+    * with no shuffle, no state: the 100 TB cost is one codegen'd pass.
+    * first-occurrence filter: sentence i survives iff the array's first
+    * index of that sentence is i (array_position is 1-based; Spark lambda
+    * indexes are 0-based, hence the +1).
+    * Output: idCol, n_sent, n_kept, cleaned. */
+  def dedupSentencesWithin(df: DataFrame, textCol: String, idCol: String,
+                           delim: String = ". "): DataFrame = {
+    val esc = java.util.regex.Pattern.quote(delim)
+    df.select(col(idCol),
+        split(col(textCol), esc).as("__sents"))
+      .withColumn("__kept", expr(
+        "filter(__sents, (s, i) -> array_position(__sents, s) = i + 1)"))
+      .select(col(idCol),
+        size(col("__sents")).cast("long").as("n_sent"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), delim).as("cleaned"))
+  }
+
   /** LSH banding over minhash signatures -> candidate near-dup pairs.
     * bands of `rowsPerBand` signature entries; pairs sharing >= 1 band key.
     * Output: id_a < id_b (distinct pairs). */

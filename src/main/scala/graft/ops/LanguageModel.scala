@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained unigram language model scoring — the cheap statistical
+  * stand-in for the perplexity filters real pretraining pipelines run
+  * (CCNet / RedPajama score documents with a KenLM n-gram model and drop
+  * the high-perplexity tail; a unigram model is the same shape minus the
+  * context, and needs nothing but one aggregation over the corpus).
+  *
+  * Two passes, both distributed:
+  *   1. token counts (one map-side-combinable groupBy — the "training");
+  *   2. score: tokens join the count table (Spark broadcasts it while the
+  *      vocab fits, and a vocab is tiny next to its corpus), then each
+  *      document folds its own token surprisals in POSITION ORDER — the
+  *      per-doc list is assembled with array_sort(collect_list(struct)),
+  *      so the floating sum has one fixed association and the DuckDB
+  *      oracle (list(x ORDER BY pos) + list_reduce) reproduces it bit for
+  *      bit. Each surprisal is rounded to 6 decimals BEFORE the fold so a
+  *      last-ulp ln() difference between engines cannot accumulate.
+  *
+  * Surprisal is -ln p(token); avg_surprisal is the per-doc mean (nats per
+  * token). Low = templated/repetitive, high = rare-token soup; both tails
+  * are what quality filters cut.
+  */
+object LanguageModel {
+
+  /** Output: idCol, n_tokens (long), avg_surprisal (double, unrounded —
+    * callers round at emission). */
+  def unigramSurprisal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).cast("long").as("n_total"))
+    val scored = toks
+      .join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("lp",
+        round(-log(col("cnt").cast("double") / col("n_total").cast("double")), 6))
+    scored.groupBy(idCol)
+      .agg(
+        expr("""aggregate(transform(array_sort(collect_list(struct(pos, lp))),
+                            s -> s.lp),
+                          CAST(0.0 AS DOUBLE), (a, x) -> a + x)""").as("__sum"),
+        count(lit(1)).as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__sum") / col("n_tokens").cast("double")).as("avg_surprisal"))
+  }
+}

@@ -194,6 +194,70 @@ object Similarity {
       .limit(k)
   }
 
+  /** Binary-quantization ANN: pack each vector's sign bits into
+    * `dims/32` longs (32 bits per word — a 64-bit MSB-first fold would
+    * overflow signed BIGINT on the last doubling, which DuckDB rejects),
+    * prefilter to the `candidates` nearest codes by Hamming distance
+    * (bit_count over XORed words — ~4 bytes per 32 dims, a 32x memory
+    * reduction over float32), then rerank the survivors by exact cosine.
+    * At 100 TB the codes live as their own skinny column/table and the
+    * Hamming scan touches ONLY it — here the vector rides along in the
+    * top-C projection (C rows of payload through TakeOrderedAndProject)
+    * so the rerank needs no second scan of the corpus. Ties break on id
+    * at both stages, so the candidate SET is deterministic and the
+    * DuckDB oracle can mirror the exact two-stage algorithm. */
+  def binaryQuantTopK(emb: DataFrame, queryDF: DataFrame, idCol: String,
+                      vecCol: String, dims: Int, k: Int, candidates: Int): DataFrame = {
+    require(dims % 32 == 0, s"dims must pack into 32-bit words, got $dims")
+    val words = dims / 32
+    def packExpr(arr: String): String =
+      s"""transform(sequence(0, ${words - 1}), w ->
+            aggregate(sequence(0, 31), 0L,
+              (acc, j) -> acc * 2L +
+                IF(element_at($arr, w * 32 + j + 1) > CAST(0.0 AS DOUBLE), 1L, 0L)))"""
+    val v = VectorF.toDoubleArray(col(vecCol))
+    emb
+      .select(col(idCol), v.as("__v"))
+      .withColumn("__code", expr(packExpr("__v")))
+      .crossJoin(broadcast(
+        queryDF.select(col("qv"), expr(packExpr("qv")).as("__qcode"))))
+      .withColumn("hamming", expr(
+        """CAST(aggregate(zip_with(__code, __qcode, (x__, y__) -> bit_count(x__ ^ y__)),
+                          0, (s__, x__) -> s__ + x__) AS BIGINT)"""))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(candidates)
+      .withColumn("score", VectorF.cosine(col("__v"), col("qv")))
+      .select(col(idCol), col("hamming"), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** Matryoshka-style truncated-dimension prefilter: score candidates on
+    * the first `prefixDims` dimensions only (MRL-trained embeddings carry
+    * most signal in the prefix; even untrained ones make a usable coarse
+    * filter), keep the top `candidates`, rerank those by full-dimension
+    * cosine. The prefilter reads prefixDims/dims of the vector bytes — on
+    * a column store that is a genuinely smaller scan, and the rerank
+    * touches only C rows. Same deterministic two-stage contract as
+    * [[binaryQuantTopK]]: ties break on id, so the oracle mirrors it. */
+  def truncatedRerankTopK(emb: DataFrame, queryDF: DataFrame, idCol: String,
+                          vecCol: String, prefixDims: Int, k: Int,
+                          candidates: Int): DataFrame = {
+    val v = VectorF.toDoubleArray(col(vecCol))
+    emb
+      .select(col(idCol), v.as("__v"))
+      .crossJoin(broadcast(queryDF))
+      .withColumn("pre_score",
+        VectorF.cosine(slice(col("__v"), 1, prefixDims),
+          slice(col("qv"), 1, prefixDims)))
+      .orderBy(desc("pre_score"), col(idCol))
+      .limit(candidates)
+      .withColumn("score", VectorF.cosine(col("__v"), col("qv")))
+      .select(col(idCol), col("pre_score"), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** Q3 `mode=keyword`: term-overlap scoring — fraction of query terms
     * present in the chunk's token set (reference exposes the mode switch at
     * `scripts/query_rag.py:188-192` but only exercises `vector`; this is

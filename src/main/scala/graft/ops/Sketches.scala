@@ -36,6 +36,45 @@ object Sketches {
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** K-minimum-values distinct-count sketch (Bar-Yossef et al. '02) — the
+    * md5-deterministic counterpart of HLL that a cross-engine oracle CAN
+    * hash-match: u(x) = md5Uniform(x) maps each value to a deterministic
+    * uniform in [0,1), and the k-th smallest DISTINCT u estimates
+    * D ~ (k-1)/u_(k); with fewer than k distinct hashes the count is
+    * exact (the sparse regime). Scale shape: each partition keeps only
+    * its k smallest distinct u in a bounded tree (mapPartitions kernel,
+    * O(k) memory, O(log k) per row after warmup) — the shuffle carries
+    * at most k doubles per partition, never the distinct values, and the
+    * final k-selection + estimate run over <= k*P tiny rows. Compare
+    * [[approxDistinct]]: HLL state is smaller still, but its internals
+    * can't be mirrored in SQL, so KMV is the oracle-able sketch.
+    * Output one row: est (double), n_hashes (= min(k, distinct u)). */
+  def kmvDistinct(df: DataFrame, valCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val S = graft.sqlgen.Dialect.spark
+    val partial = df
+      .select(expr(S.md5Uniform(S.castStr(valCol))).as("u"))
+      .where(col("u").isNotNull)
+      .as[Double]
+      .mapPartitions { it =>
+        val set = new java.util.TreeSet[java.lang.Double]()
+        it.foreach { u =>
+          if (set.size < k) set.add(u)
+          else if (u < set.last) { if (set.add(u)) set.pollLast() }
+        }
+        import scala.jdk.CollectionConverters._
+        set.iterator().asScala.map(_.doubleValue())
+      }
+      .toDF("u")
+    partial.distinct().orderBy("u").limit(k)
+      .agg(count(lit(1)).as("n_hashes"), max(col("u")).as("__uk"))
+      .select(
+        when(col("n_hashes") < k, col("n_hashes").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("__uk")).as("est"),
+        col("n_hashes"))
+  }
+
   /** Prune `large` to rows whose `largeKey` MIGHT appear in `small`'s
     * `smallKey`, via a Bloom filter built on the small side (one action).
     * Guarantees no false negatives: the result is a superset of the exact

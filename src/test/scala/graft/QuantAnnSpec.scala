@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Sketches, Similarity, LanguageModel}
+
+/** Round-5 operators: binary-quantization / truncated-prefix ANN, the KMV
+  * distinct sketch, intra-doc sentence dedup, unigram LM surprisal. */
+class QuantAnnSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private def axisVectors(n: Int, d: Int): org.apache.spark.sql.DataFrame =
+    // vector i points mostly along axis (i % d) with a small spread
+    (0 until n).map { i =>
+      (i.toLong, Array.tabulate(d)(j =>
+        (if (j == i % d) 1.0 else 0.01 * ((i + j) % 5 - 2)).toFloat))
+    }.toDF("vec_id", "embedding")
+
+  test("binaryQuantTopK: self is nearest, hamming to self is 0, k bounded") {
+    val emb = axisVectors(120, 64)
+    val q = emb.where(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>").as("qv"))
+    val got = Similarity.binaryQuantTopK(emb, q, "vec_id", "embedding", 64, 10, 40)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.size == 10)
+    val top = got.head
+    assert(top._1 == 7L, s"query vector must retrieve itself first: $top")
+    assert(top._2 == 0L, "hamming of identical sign patterns is 0")
+    assert(top._3 > 0.999, "self-cosine ~ 1")
+    // scores are sorted descending with id tie-break
+    assert(got.map(_._3).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("truncatedRerankTopK: full-cosine rerank of prefix candidates, exact when C = N") {
+    val emb = axisVectors(60, 64)
+    val q = emb.where(col("vec_id") === 3)
+      .select(col("embedding").cast("array<double>").as("qv"))
+    // candidates = whole set -> must equal exact brute-force top-k
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("vec_id").as[Long].collect().toSeq
+    val got = Similarity.truncatedRerankTopK(emb, q, "vec_id", "embedding", 16, 5, 60)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == exact, s"C=N degenerates to exact: $got vs $exact")
+    assert(got.head == 3L)
+  }
+
+  test("kmvDistinct: exact below k (sparse regime), bounded error above") {
+    // 40 distinct values, k = 64 -> sparse regime, estimate IS the count
+    val small = (1 to 1000).map(i => i % 40).toDF("v")
+    val sparse = Sketches.kmvDistinct(small, "v", 64)
+      .as[(Double, Long)].collect().head
+    assert(sparse == ((40.0, 40L)), s"sparse regime is exact: $sparse")
+    // 5000 distinct, k = 256 -> relative error should be ~1/sqrt(k) (use 4x slack)
+    val big = (1 to 20000).map(i => i % 5000).toDF("v")
+    val (est, nh) = Sketches.kmvDistinct(big, "v", 256)
+      .as[(Double, Long)].collect().head
+    assert(nh == 256L)
+    assert(math.abs(est - 5000.0) / 5000.0 < 4.0 / math.sqrt(256.0),
+      s"KMV error bound: est=$est")
+  }
+
+  test("kmvDistinct: deterministic across partitionings") {
+    val a = Sketches.kmvDistinct((1 to 9999).toDF("v").repartition(1), "v", 128)
+      .as[(Double, Long)].collect().head
+    val b = Sketches.kmvDistinct((1 to 9999).toDF("v").repartition(17), "v", 128)
+      .as[(Double, Long)].collect().head
+    assert(a == b, "estimate must not depend on partitioning")
+  }
+
+  test("dedupSentencesWithin: first occurrence survives in order, counts reported") {
+    val df = Seq(
+      (1L, "a b. c d. a b. e f"),   // "a b" repeats
+      (2L, "x y. x y. x y"),        // collapses to one
+      (3L, "p q. r s")              // untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSentencesWithin(df, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got(0) == ((1L, 4L, 3L, "a b. c d. e f")))
+    assert(got(1) == ((2L, 3L, 1L, "x y")))
+    assert(got(2) == ((3L, 2L, 2L, "p q. r s")))
+  }
+
+  test("unigramSurprisal: uniform vocab gives ln(V) per token everywhere") {
+    // 4 docs over a 4-token vocab, every token equally frequent
+    val df = Seq(
+      (1L, "a b c d"), (2L, "b c d a"), (3L, "c d a b"), (4L, "d a b c")
+    ).toDF("doc_id", "text")
+    val got = LanguageModel.unigramSurprisal(df, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    val expected = BigDecimal(math.log(4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (_, n, s) =>
+      assert(n == 4L)
+      assert(math.abs(s - expected) < 1e-9, s"uniform corpus surprisal: $s vs $expected")
+    }
+  }
+}
