@@ -3584,7 +3584,88 @@ object QueryCatalog {
           SELECT doc_id, n_tokens,
                  ${duckR6("list_reduce(lps, (a__, x__) -> a__ + x__) / CAST(n_tokens AS DOUBLE)")} AS avg_surprisal
           FROM agg
-          ORDER BY doc_id"""))
+          ORDER BY doc_id""")),
+
+      // Interpolated-bigram surprisal (one Markov order above
+      // q_unigram_lm; lambda = 0.75 and 0.25 are exact in binary, so the
+      // interpolation constants cannot skew between engines). First token
+      // of each doc scores by unigram alone.
+      Q("q_bigram_lm",
+        (s, dir) => {
+          import graft.ops.LanguageModel
+          LanguageModel.bigramSurprisal(t(s, dir, "documents"), "text", "doc_id")
+            .select(col("doc_id"), col("n_tokens"),
+              r6(col("avg_surprisal")).as("avg_surprisal"))
+            .orderBy("doc_id")
+        },
+        Some(s"""
+          WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                   unnest(range(1, len(string_split_regex(trim(text), '\\s+')) + 1)) AS pos
+            FROM documents),
+          prevs AS (
+            SELECT doc_id, pos, tok,
+                   lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM toks),
+          uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM toks GROUP BY tok),
+          tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM uni),
+          bi AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS cb
+                 FROM prevs WHERE prev IS NOT NULL GROUP BY prev, tok),
+          scored AS (
+            SELECT p.doc_id, p.pos,
+                   round(-ln(CASE WHEN p.prev IS NULL
+                                  THEN CAST(u.cu AS DOUBLE) / CAST(n_total AS DOUBLE)
+                                  ELSE ${D.d(0.75)} * (CAST(b.cb AS DOUBLE) / CAST(up.cprev AS DOUBLE)) +
+                                       ${D.d(0.25)} * (CAST(u.cu AS DOUBLE) / CAST(n_total AS DOUBLE))
+                             END), 6) AS lp
+            FROM prevs p
+            JOIN uni u USING (tok)
+            LEFT JOIN (SELECT tok AS prev, cu AS cprev FROM uni) up USING (prev)
+            LEFT JOIN bi b ON b.prev = p.prev AND b.tok = p.tok
+            CROSS JOIN tot),
+          agg AS (SELECT doc_id, list(lp ORDER BY pos) AS lps,
+                         CAST(count(*) AS BIGINT) AS n_tokens
+                  FROM scored GROUP BY doc_id)
+          SELECT doc_id, n_tokens,
+                 ${duckR6("list_reduce(lps, (a__, x__) -> a__ + x__) / CAST(n_tokens AS DOUBLE)")} AS avg_surprisal
+          FROM agg
+          ORDER BY doc_id""")),
+
+      // Deterministic mixture up/down-sampling ("epochs per source"):
+      // language weights 2.5/1.5/1.0/0.75/0.25 — ALL exact in binary —
+      // replicate floor(w) + md5-bernoulli(frac(w)) times. zh at 0.25
+      // mostly drops; en at 2.5 doubles-or-triples.
+      Q("q_mixture_upsample",
+        (s, dir) => {
+          import graft.ops.Sampling
+          val docs = t(s, dir, "documents")
+            .withColumn("wt",
+              when(col("lang") === "en", 2.5)
+                .when(col("lang") === "de", 1.5)
+                .when(col("lang") === "fr", 1.0)
+                .when(col("lang") === "es", 0.75)
+                .otherwise(0.25))
+          Sampling.upsampleByWeight(docs, "doc_id", "wt")
+            .select(col("doc_id"), col("lang"), col("copy").cast("long").as("copy"))
+            .orderBy("doc_id", "copy")
+        },
+        Some(s"""
+          WITH w AS (
+            SELECT doc_id, lang,
+                   CASE lang WHEN 'en' THEN ${D.d(2.5)} WHEN 'de' THEN ${D.d(1.5)}
+                             WHEN 'fr' THEN ${D.d(1.0)} WHEN 'es' THEN ${D.d(0.75)}
+                             ELSE ${D.d(0.25)} END AS wt
+            FROM documents),
+          n AS (
+            SELECT doc_id, lang,
+                   CAST(floor(wt) +
+                        CASE WHEN ${D.md5Uniform(D.castStr("doc_id"))} < wt - floor(wt)
+                             THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+            FROM w)
+          SELECT doc_id, lang, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy
+          FROM n
+          ORDER BY doc_id, copy"""))
     )
   }
 

@@ -47,4 +47,48 @@ object LanguageModel {
       .select(col(idCol), col("n_tokens"),
         (col("__sum") / col("n_tokens").cast("double")).as("avg_surprisal"))
   }
+
+  /** Interpolated-bigram surprisal — one Markov order up from
+    * [[unigramSurprisal]] and the closest JVM-only stand-in for the KenLM
+    * scores CCNet-style filters use:
+    *
+    *   p(w_i | w_{i-1}) = L * c(w_{i-1} w_i)/c(w_{i-1}) + (1-L) * c(w_i)/N
+    *
+    * with the document's first token scored by unigram alone. `lambda`
+    * defaults to 0.75 because 0.75 and 0.25 are EXACT in binary — the
+    * oracle writes the same literals, so there is no 1-lambda rounding
+    * skew between engines. Counts are two map-side-combinable groupBys
+    * (observed bigrams are bounded by corpus tokens, not vocab^2); the
+    * per-doc fold is position-ordered with per-token round-6, same
+    * determinism contract as the unigram form. */
+  def bigramSurprisal(df: DataFrame, textCol: String, idCol: String,
+                      lambda: Double = 0.75): DataFrame = {
+    require(lambda == 0.75 || lambda + (1.0 - lambda) == 1.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    val toks = df.select(col(idCol),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+    val prevs = toks.withColumn("prev", lag("tok", 1).over(w))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum(col("cu")).cast("long").as("n_total"))
+    val bi = prevs.where(col("prev").isNotNull)
+      .groupBy("prev", "tok").agg(count(lit(1)).as("cb"))
+    val puni = col("cu").cast("double") / col("n_total").cast("double")
+    val pbi = lit(lambda) * (col("cb").cast("double") / col("cprev").cast("double")) +
+      lit(1.0 - lambda) * puni
+    val scored = prevs
+      .join(uni, "tok")
+      .join(uni.select(col("tok").as("prev"), col("cu").as("cprev")), Seq("prev"), "left")
+      .join(bi, Seq("prev", "tok"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("lp", round(-log(when(col("prev").isNull, puni).otherwise(pbi)), 6))
+    scored.groupBy(idCol)
+      .agg(
+        expr("""aggregate(transform(array_sort(collect_list(struct(pos, lp))),
+                            s -> s.lp),
+                          CAST(0.0 AS DOUBLE), (a, x) -> a + x)""").as("__sum"),
+        count(lit(1)).as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__sum") / col("n_tokens").cast("double")).as("avg_surprisal"))
+  }
 }

@@ -56,6 +56,26 @@ object Sampling {
                 cap: Int): DataFrame =
     stratifiedExact(df, keys, idCol, cap)
 
+  /** Deterministic fractional up/down-sampling for data-mixture weighting
+    * (the "epochs per source" knob of pretraining mixes — e.g. weight
+    * Wikipedia 2.5, CommonCrawl 0.8): each row is replicated
+    * floor(w) times plus one more iff its id-hash uniform falls below
+    * frac(w), so expected multiplicity is exactly w, the realized count
+    * is w's integer bracket, and the outcome is a pure function of the
+    * id (retry/speculation-safe, no RNG state). w < 1 downsamples (rows
+    * can emit zero copies). Narrow generator stage — no shuffle; the
+    * guard matters because Spark's sequence(1, 0) DESCENDS rather than
+    * being empty. Adds `copy` (1-based replica index). */
+  def upsampleByWeight(df: DataFrame, idCol: String, weightCol: String): DataFrame =
+    df.withColumn("__w", col(weightCol).cast("double"))
+      .withColumn("__n",
+        (floor(col("__w")) +
+          when(uniform(idCol) < col("__w") - floor(col("__w")), 1.0)
+            .otherwise(0.0)).cast("int"))
+      .withColumn("copy",
+        explode(expr("CASE WHEN __n >= 1 THEN sequence(1, __n) ELSE array() END")))
+      .drop("__w", "__n")
+
   /** Deterministic weighted sample without replacement: global top-n by
     * A-Res priority u^(1/w) (higher weight => priority closer to 1).
     * The priority is rounded to 6 decimals with an id tie-break so the

@@ -52,28 +52,39 @@ object Sketches {
   def kmvDistinct(df: DataFrame, valCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val S = graft.sqlgen.Dialect.spark
-    val partial = df
-      .select(expr(S.md5Uniform(S.castStr(valCol))).as("u"))
-      .where(col("u").isNotNull)
-      .as[Double]
-      .mapPartitions { it =>
-        val set = new java.util.TreeSet[java.lang.Double]()
-        it.foreach { u =>
-          if (set.size < k) set.add(u)
-          else if (u < set.last) { if (set.add(u)) set.pollLast() }
-        }
-        import scala.jdk.CollectionConverters._
-        set.iterator().asScala.map(_.doubleValue())
-      }
-      .toDF("u")
-    partial.distinct().orderBy("u").limit(k)
-      .agg(count(lit(1)).as("n_hashes"), max(col("u")).as("__uk"))
-      .select(
-        when(col("n_hashes") < k, col("n_hashes").cast("double"))
-          .otherwise(lit((k - 1).toDouble) / col("__uk")).as("est"),
-        col("n_hashes"))
+    val s = kmvSummary(df, valCol, k)
+    Seq((kmvEstimate(s, k), s.size.toLong)).toDF("est", "n_hashes")
   }
+
+  /** One distributed pass of the KMV sketch: the k smallest DISTINCT
+    * md5-uniforms of `valCol`, as a sorted set (<= k doubles). The
+    * per-partition seqOp keeps a bounded tree — constant memory, and
+    * treeAggregate merges are associative AND idempotent for repeated
+    * values (set union), which is what makes the summary safely
+    * mergeable across micro-batches (streaming.StreamingSketch). */
+  def kmvSummary(df: DataFrame, valCol: String,
+                 k: Int): scala.collection.immutable.SortedSet[Double] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val S = graft.sqlgen.Dialect.spark
+    val us = df.select(expr(S.md5Uniform(S.castStr(valCol))).as("u"))
+      .where(col("u").isNotNull).as[Double].rdd
+    def offer(set: java.util.TreeSet[java.lang.Double], u: Double): Unit =
+      if (set.size < k) set.add(u)
+      else if (u < set.last) { if (set.add(u)) set.pollLast() }
+    val merged = us.treeAggregate(new java.util.TreeSet[java.lang.Double])(
+      seqOp = { (s, u) => offer(s, u); s },
+      combOp = { (a, b) =>
+        val it = b.iterator(); while (it.hasNext) offer(a, it.next()); a })
+    import scala.jdk.CollectionConverters._
+    scala.collection.immutable.SortedSet.from(merged.asScala.map(_.doubleValue()))
+  }
+
+  /** KMV estimate from a summary produced by [[kmvSummary]] (or a merge
+    * of several): exact when fewer than k hashes were ever seen. */
+  def kmvEstimate(summary: scala.collection.SortedSet[Double], k: Int): Double =
+    if (summary.size < k) summary.size.toDouble
+    else (k - 1).toDouble / summary.last
 
   /** Prune `large` to rows whose `largeKey` MIGHT appear in `small`'s
     * `smallKey`, via a Bloom filter built on the small side (one action).

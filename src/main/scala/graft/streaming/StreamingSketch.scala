@@ -65,4 +65,46 @@ object StreamingSketch {
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) holder.merge(batchId, Sketches.heavyHittersSummary(batch, valCol, k))
     }
+
+  /** Query-scoped KMV distinct-count holder: per-batch distributed k-min
+    * summaries ([[Sketches.kmvSummary]]) union into a bounded tree. The
+    * merge is a SET union capped at k, so it is idempotent for repeated
+    * hash values — and batchId-gated like [[HeavyHittersHolder]], so
+    * checkpoint redelivery cannot re-merge a batch (here redundant for
+    * correctness, since re-unioning the same set is a no-op, but it keeps
+    * the bookkeeping contract uniform). State is O(k) doubles for any
+    * stream length or key cardinality; `estimate` is exact until k
+    * distinct hashes have been seen. */
+  final class KmvHolder(k: Int) extends Serializable {
+    private val set = new java.util.TreeSet[java.lang.Double]()
+    private var lastBatchId = -1L
+    private[graft] def merge(batchId: Long,
+                             summary: Iterable[Double]): Unit =
+      set.synchronized {
+        if (batchId > lastBatchId) {
+          lastBatchId = batchId
+          summary.foreach { u =>
+            if (set.size < k) set.add(u)
+            else if (u < set.last) { if (set.add(u)) set.pollLast() }
+          }
+        }
+      }
+    def estimate: Double = set.synchronized {
+      if (set.size < k) set.size.toDouble
+      else (k - 1).toDouble / set.last
+    }
+    def stateSize: Int = set.synchronized(set.size)
+  }
+
+  /** Attach a cross-batch distinct-count sink: each micro-batch computes
+    * its distributed k-min summary (the cluster hashes and prunes; at
+    * most k doubles reach the driver per batch) and unions it in. */
+  def distinctCountStream(stream: DataFrame, valCol: String, k: Int,
+                          queryName: String): (StreamingQuery, KmvHolder) = {
+    val holder = new KmvHolder(k)
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) holder.merge(batchId, Sketches.kmvSummary(batch, valCol, k))
+    }.queryName(queryName).start()
+    (q, holder)
+  }
 }

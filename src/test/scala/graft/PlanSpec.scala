@@ -48,6 +48,23 @@ class PlanSpec extends AnyFunSuite {
       s"unused columns must not be read: $readSchema")
   }
 
+  test("binary-quant and truncated-prefix ANN: both stages TakeOrderedAndProject, query broadcast, no shuffle exchange") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where($"vec_id" === 0)
+      .select($"embedding".cast("array<double>").as("qv"))
+    for (df <- Seq(
+        Similarity.binaryQuantTopK(emb.where($"vec_id" =!= 0), q, "vec_id", "embedding", 64, 5, 20),
+        Similarity.truncatedRerankTopK(emb.where($"vec_id" =!= 0), q, "vec_id", "embedding", 16, 5, 20))) {
+      val plan = formatted(df)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"staged top-k must not global-sort:\n$plan")
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+        s"query side must broadcast:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning") && !plan.contains("Exchange rangepartitioning"),
+        s"two-stage rerank must stay shuffle-free:\n$plan")
+    }
+  }
+
   test("brute-force top-k plans as TakeOrderedAndProject (per-partition top-k, no sort shuffle)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.where($"vec_id" === 0)

@@ -82,6 +82,47 @@ class QuantAnnSpec extends AnyFunSuite {
     assert(got(2) == ((3L, 2L, 2L, "p q. r s")))
   }
 
+  test("bigramSurprisal: deterministic text scores lower than unigram, first token matches unigram") {
+    // "a b a b ..." — bigrams are perfectly predictive (p(b|a)=1), so the
+    // interpolated bigram surprisal must be strictly below unigram's
+    val df = Seq(
+      (1L, "a b a b a b a b"), (2L, "b a b a b a b a")
+    ).toDF("doc_id", "text")
+    val uni = graft.ops.LanguageModel.unigramSurprisal(df, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    val big = graft.ops.LanguageModel.bigramSurprisal(df, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(big.map(_._2).toSeq == uni.map(_._2).toSeq, "token counts agree")
+    big.zip(uni).foreach { case ((_, _, b), (_, _, u)) =>
+      assert(b < u, s"perfectly-predictive bigrams must lower surprisal: $b vs $u")
+    }
+    // closed form: unigram p=1/2 -> first-token lp=ln 2. Corpus bigrams:
+    // ab=7, ba=7 over c(a)=c(b)=8, so every non-first token has
+    // p = 0.75*(7/8) + 0.25*(1/2) = 0.78125 (exact in binary).
+    val perTok = (math.round(math.log(2.0) * 1e6) / 1e6 +
+      7.0 * (math.round(-math.log(0.78125) * 1e6) / 1e6)) / 8.0
+    assert(math.abs(big.head._3 - perTok) < 1e-9, s"${big.head._3} vs $perTok")
+  }
+
+  test("upsampleByWeight: integer weights exact, fractional in expectation, deterministic") {
+    val df = (1 to 1000).map(i => (i.toLong, if (i <= 500) 2.0 else 0.5))
+      .toDF("doc_id", "wt")
+    val out = graft.ops.Sampling.upsampleByWeight(df, "doc_id", "wt")
+    val byId = out.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    // integer weight 2.0 -> exactly 2 copies, frac(2.0)=0 never adds
+    (1 to 500).foreach(i => assert(byId(i.toLong) == 2L, s"doc $i"))
+    // weight 0.5 -> 0 or 1 copies, roughly half survive
+    val kept = (501 to 1000).count(i => byId.contains(i.toLong))
+    assert(kept > 200 && kept < 300, s"~250 of 500 at w=0.5, got $kept")
+    // copy index is 1-based and dense
+    val copies = out.where(col("doc_id") === 1L).select("copy").as[Int].collect().sorted
+    assert(copies.toSeq == Seq(1, 2))
+    // pure function of the id: a second run is identical
+    val again = graft.ops.Sampling.upsampleByWeight(df, "doc_id", "wt")
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(again == byId)
+  }
+
   test("unigramSurprisal: uniform vocab gives ln(V) per token everywhere") {
     // 4 docs over a 4-token vocab, every token equally frequent
     val df = Seq(

@@ -88,6 +88,32 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming KMV distinct: cross-batch union, bounded state, exact in sparse regime") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Long]
+    val (q, holder) = graft.streaming.StreamingSketch.distinctCountStream(
+      in.toDF().toDF("v"), "v", k = 64, queryName = "kmv_out")
+    try {
+      // 40 distinct across two overlapping batches -> sparse regime, exact
+      in.addData(1L to 30L: _*)
+      q.processAllAvailable()
+      in.addData(20L to 40L: _*) // overlap 20..30 must not double-count
+      q.processAllAvailable()
+      assert(holder.estimate == 40.0, s"sparse regime exact: ${holder.estimate}")
+      assert(holder.stateSize == 40)
+      // push past k: state stays bounded, estimate lands near truth
+      in.addData(1L to 2000L: _*)
+      q.processAllAvailable()
+      assert(holder.stateSize == 64, "state bounded by k")
+      assert(math.abs(holder.estimate - 2000.0) / 2000.0 < 4.0 / math.sqrt(64.0),
+        s"KMV bound: ${holder.estimate}")
+      // redelivered batchId is a no-op
+      val before = holder.estimate
+      holder.merge(0L, Seq(1e-12))
+      assert(holder.estimate == before, "redelivery must not merge")
+    } finally q.stop()
+  }
+
   test("stream-static enrich join broadcasts metadata into each micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val meta = Seq((1L, "en", "web"), (2L, "de", "pdf")).toDF("doc_id", "lang", "source")
