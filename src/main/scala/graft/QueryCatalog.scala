@@ -63,6 +63,14 @@ object QueryCatalog {
       graft.ops.OpqRotation.learnRotation(sample, "embedding", 64, 4)
     })
 
+  /** PCA model memo, same contract as [[opqRotation]]: q_pca_project and
+    * q_pca_ann share one (mean, top-16 eigenvectors) fit per dir. */
+  private val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Array[Double]])]()
+  private def pcaModel(s: SparkSession, dir: String): (Array[Double], Array[Array[Double]]) =
+    pcaCache.computeIfAbsent(dir, _ =>
+      graft.ops.Pca.fit(t(s, dir, "embeddings"), "embedding", 64, 16))
+
   /** The events table carries TIMESTAMP(NANOS) which Spark's parquet reader
     * rejects by default; read nanos as raw longs (epoch nanoseconds). */
   private def tEvents(s: SparkSession, dir: String): DataFrame = {
@@ -3665,7 +3673,82 @@ object QueryCatalog {
             FROM w)
           SELECT doc_id, lang, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy
           FROM n
-          ORDER BY doc_id, copy"""))
+          ORDER BY doc_id, copy""")),
+
+      // PCA 64->16 projection dump — the q_opq_rotated pattern: the
+      // eigensolve is not SQL-expressible (rows-only; math contract in
+      // QuantAnnSpec), the vectors dump as bit-exact round-tripping
+      // strings, and the dump is the table input that lets q_pca_ann be
+      // oracled over the SAME projected doubles.
+      Q("q_pca_project",
+        (s, dir) => {
+          import graft.ops.Pca
+          val (mean, p) = pcaModel(s, dir)
+          Pca.project(t(s, dir, "embeddings"), "embedding", "pv", mean, p)
+            .select(col("vec_id"),
+              concat_ws(",", transform(col("pv"), _.cast("string"))).as("pv"))
+            .orderBy("vec_id")
+        },
+        None),
+
+      // ANN in PCA space: exact cosine top-10 over the 16-dim projections
+      // (4x smaller scan than the raw 64-dim index). DuckDB reruns the
+      // same search over the dumped projections.
+      Q("q_pca_ann",
+        (s, dir) => {
+          import graft.ops.Pca
+          val (mean, p) = pcaModel(s, dir)
+          val proj = Pca.project(t(s, dir, "embeddings"), "embedding", "pv", mean, p)
+          val q = proj.where(col("vec_id") === 0).select(col("pv").as("qv"))
+          Similarity.bruteForceTopK(
+            proj.where(col("vec_id") =!= 0).select(col("vec_id"), col("pv")),
+            q, "vec_id", "pv", 10)
+            .select(col("vec_id"), r6(col("score")).as("score"))
+        },
+        Some(s"""
+          WITH emb AS (SELECT vec_id,
+                              list_transform(string_split(pv, ','),
+                                             x -> CAST(x AS DOUBLE)) AS v
+                       FROM read_parquet('__GRAFT_OUT__/q_pca_project/*.parquet')),
+          q AS (SELECT v AS qv FROM emb WHERE vec_id = 0)
+          SELECT vec_id, (round(score, 6) + ${D.d(0.0)}) AS score
+          FROM (SELECT vec_id, ${D.cosine("v", "qv")} AS score
+                FROM emb, q
+                WHERE vec_id <> 0
+                ORDER BY score DESC, vec_id
+                LIMIT 10)
+          ORDER BY score DESC, vec_id""")),
+
+      // Greedy token-budget fill per language: best-quality-first
+      // (n_chars DESC as the quality key) until each language holds at
+      // least 2k whitespace tokens (binding for every language at every
+      // SF, so the filter genuinely selects). Pure integer window math.
+      Q("q_token_budget",
+        (s, dir) => {
+          import graft.ops.Sampling
+          val docs = t(s, dir, "documents")
+            .withColumn("n_tokens",
+              size(split(trim(col("text")), "\\s+")).cast("long"))
+          Sampling.tokenBudgetSelect(docs, "lang", "n_tokens", "n_chars",
+              "doc_id", 2000L)
+            .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+            .orderBy("doc_id")
+        },
+        Some(s"""
+          WITH d AS (
+            SELECT doc_id, lang, n_chars,
+                   CAST(len(${D.splitWs("text")}) AS BIGINT) AS n_tokens
+            FROM documents),
+          c AS (
+            SELECT doc_id, lang, n_tokens,
+                   sum(n_tokens) OVER (
+                     PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM d)
+          SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+          FROM c
+          WHERE cum - n_tokens < 2000
+          ORDER BY doc_id"""))
     )
   }
 

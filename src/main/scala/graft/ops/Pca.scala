@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PCA dimensionality reduction for embedding columns, built from the same
+  * distributed pieces as OPQ (one-pass covariance treeAggregate + driver
+  * Jacobi on the d x d matrix — d is the embedding width, so the driver
+  * work is O(d^3) regardless of corpus size): project each vector onto the
+  * top-m principal components, y = P (x - mean). The 100 TB shape is the
+  * OPQ one: raw vectors never shuffle; the d x m projection broadcasts and
+  * the projection pass is narrow. A 64->16 cut is a 4x index-size and
+  * ANN-scan reduction that keeps the directions of maximal variance —
+  * the classical retrieval trade (and what OPQ's eigen-allocation already
+  * computes internally; this exposes it as a standalone operator).
+  */
+object Pca {
+
+  /** Learn (mean, P) where P (m x d) holds the top-m eigenvectors of the
+    * covariance as rows, eigenvalue-descending. Deterministic for a fixed
+    * input partitioning (fixed-order treeAggregate + fixed-sweep Jacobi,
+    * the q_opq_* precedent). */
+  def fit(emb: DataFrame, vecCol: String, dim: Int,
+          m: Int): (Array[Double], Array[Array[Double]]) = {
+    val (_, mean, cov) = OpqRotation.covariance(emb, vecCol, dim)
+    val (_, vecs) = OpqRotation.jacobiEigen(cov) // eigenvectors as COLUMNS
+    val p = Array.tabulate(m)(k => Array.tabulate(dim)(i => vecs(i)(k)))
+    (mean, p)
+  }
+
+  /** y = P (x - mean) as a broadcast mat-vec over the vector column —
+    * narrow projection, null-safe like OpqRotation.rotate. */
+  def project(emb: DataFrame, vecCol: String, outCol: String,
+              mean: Array[Double], p: Array[Array[Double]]): DataFrame = {
+    val spark = emb.sparkSession
+    val bm = spark.sparkContext.broadcast(mean)
+    val bp = spark.sparkContext.broadcast(p)
+    val proj = udf((v: Seq[Double]) => {
+      if (v == null) null
+      else {
+        val mu = bm.value; val mat = bp.value
+        val m = mat.length; val d = mu.length
+        val out = new Array[Double](m)
+        var k = 0
+        while (k < m) {
+          var s = 0.0
+          var i = 0
+          val row = mat(k)
+          while (i < d) { s += row(i) * (v(i) - mu(i)); i += 1 }
+          out(k) = s
+          k += 1
+        }
+        out
+      }
+    })
+    emb.withColumn(outCol,
+      proj(graft.functions.VectorF.toDoubleArray(col(vecCol))))
+  }
+}

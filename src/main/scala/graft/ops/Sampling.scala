@@ -56,6 +56,26 @@ object Sampling {
                 cap: Int): DataFrame =
     stratifiedExact(df, keys, idCol, cap)
 
+  /** Greedy token-budget corpus fill: within each group, take documents
+    * in (orderCol DESC, id) order — best-quality first — while the
+    * cumulative token count has not yet reached `budget`; the document
+    * that crosses the line is still taken (budgets are floors for "at
+    * least N tokens" corpus specs, and the rule keeps the kept-set a
+    * deterministic prefix). One window cumulative sum over integers —
+    * exact, no float drift — with the usual many-small-groups window
+    * shape (a single pathological group serializes; for that regime
+    * pre-aggregate per shard first). Adds `cum_tokens`. */
+  def tokenBudgetSelect(df: DataFrame, groupCol: String, tokenCol: String,
+                        orderCol: String, idCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(orderCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
+      .where(col("__cum") - col(tokenCol).cast("long") < budget)
+      .withColumn("cum_tokens", col("__cum").cast("long"))
+      .drop("__cum")
+  }
+
   /** Deterministic fractional up/down-sampling for data-mixture weighting
     * (the "epochs per source" knob of pretraining mixes — e.g. weight
     * Wikipedia 2.5, CommonCrawl 0.8): each row is replicated

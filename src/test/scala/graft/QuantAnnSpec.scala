@@ -123,6 +123,44 @@ class QuantAnnSpec extends AnyFunSuite {
     assert(again == byId)
   }
 
+  test("Pca.fit/project: orthonormal rows, variance-ordered, centered projections") {
+    import graft.ops.Pca
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (mean, p) = Pca.fit(emb, "embedding", 64, 16)
+    assert(p.length == 16 && p.head.length == 64)
+    // rows of P are orthonormal (they are eigenvectors of a symmetric matrix)
+    for (i <- p.indices; j <- i until p.length) {
+      val d = p(i).zip(p(j)).map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-8, s"P[$i].P[$j] = $d")
+    }
+    val proj = Pca.project(emb, "embedding", "pv", mean, p)
+      .select("pv").as[Seq[Double]].collect()
+    // projections are centered (component means ~ 0)...
+    val n = proj.length
+    val compMean = (0 until 16).map(k => proj.map(_(k)).sum / n)
+    compMean.foreach(m => assert(math.abs(m) < 1e-8, s"centered: $m"))
+    // ...and component variances are non-increasing (eigenvalue order)
+    val compVar = (0 until 16).map(k => proj.map(v => v(k) * v(k)).sum / n)
+    compVar.sliding(2).foreach { case Seq(a, b) =>
+      assert(a >= b - 1e-9, s"variance must be eigen-ordered: $compVar")
+    }
+  }
+
+  test("tokenBudgetSelect: greedy quality prefix, crossing doc kept, budget respected") {
+    import graft.ops.Sampling
+    val df = Seq(
+      // (id, grp, tokens, quality)
+      (1L, "g", 50L, 9.0), (2L, "g", 40L, 8.0), (3L, "g", 30L, 7.0),
+      (4L, "g", 20L, 6.0), (5L, "h", 100L, 5.0), (6L, "h", 1L, 4.0)
+    ).toDF("id", "grp", "toks", "q")
+    val got = Sampling.tokenBudgetSelect(df, "grp", "toks", "q", "id", 100L)
+      .select("id", "cum_tokens").orderBy("id").as[(Long, Long)].collect().toSeq
+    // g: 50 (cum 50) + 40 (cum 90) + 30 (cum 120, starts at 90 < 100 -> kept),
+    //    then 20 starts at 120 >= 100 -> cut. h: 100 kept, 1 starts at 100 -> cut.
+    assert(got == Seq((1L, 50L), (2L, 90L), (3L, 120L), (5L, 100L)), got.toString)
+  }
+
   test("unigramSurprisal: uniform vocab gives ln(V) per token everywhere") {
     // 4 docs over a 4-token vocab, every token equally frequent
     val df = Seq(
