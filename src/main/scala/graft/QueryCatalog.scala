@@ -3933,10 +3933,55 @@ object QueryCatalog {
         ORDER BY s_suppkey"""))
   )
 
+  // ===========================================================================
+  // Round-5 corpus-curation ops: semantic dedup (SemDeDup), DSIR importance
+  // reweighting, one-pass column profiling, in-engine trained quality
+  // classifier — the named modern-pipeline components still missing after r4.
+  // ===========================================================================
+
+  private def curationOps: Seq[Q] = Seq(
+    // SemDeDup (Abbas et al. 2023): nearest-centroid assignment (same
+    // deterministic fixed-centroid scheme q_ann_ivf oracles), then cosine
+    // near-dup pruning WITHIN clusters — never corpus^2. Output = kept rows.
+    Q("q_semantic_dedup",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cents = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("cid"),
+            VectorF.toDoubleArray(col("embedding")).as("cv"))
+        graft.ops.Dedup.semanticDedup(emb, cents, "vec_id", "embedding", 0.3)
+          .orderBy("vec_id")
+      },
+      Some {
+        val dotNN = D.dot("e.vn", "c.cvn")
+        s"""
+        WITH cents AS (
+          SELECT CAST(vec_id AS INT) AS cid,
+                 ${Exprs.l2Normalize(D, "v", D.norm("v"))} AS cvn
+          FROM $duckEmbTable WHERE vec_id < 8),
+        normed AS (
+          SELECT vec_id, v, ${Exprs.l2Normalize(D, "v", D.norm("v"))} AS vn
+          FROM $duckEmbTable),
+        assigned AS (
+          SELECT e.vec_id, e.v,
+                 (SELECT c.cid FROM cents c ORDER BY $dotNN DESC, c.cid LIMIT 1) AS cluster_id
+          FROM normed e),
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM assigned a JOIN assigned b
+            ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+          WHERE ${D.cosine("a.v", "b.v")} >= ${D.d(0.3)})
+        SELECT vec_id, cluster_id
+        FROM assigned
+        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        ORDER BY vec_id"""
+      })
+  )
+
   def all: Seq[Q] =
     relational ++ textOps ++ vectorOps ++ ragOps ++ metaOps ++ extraOps ++
       temporalOps ++ pipelineOps ++ scaleOps ++ relationalPlus ++ trainingPlus ++
-      relationalFull
+      relationalFull ++ curationOps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -501,4 +501,36 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every embedding to its nearest centroid,
+    * then prune cosine near-duplicates WITHIN each cluster only — the
+    * cluster bound is what makes semantic dedup tractable: candidate
+    * verification is O(sum over clusters of |c|^2), never corpus^2, and
+    * each cluster's pairs hash to one shuffle partition. At 100 TB the
+    * centroid count scales with the corpus (n/k ~ constant cluster size),
+    * centroids stay a broadcast table, and the only wide exchange is the
+    * self-join keyed on cluster_id.
+    *
+    * Keep rule (deterministic): a vector is dropped iff a LOWER-id vector
+    * in the same cluster has cosine >= threshold — the greedy
+    * first-occurrence rule every dedup op in this repo uses (exact dedup
+    * keeps min id, C4 sentence dedup keeps first occurrence). Returns the
+    * KEPT rows as (idCol, cluster_id). */
+  def semanticDedup(emb: DataFrame, centroids: DataFrame, idCol: String,
+                    vecCol: String, threshold: Double): DataFrame = {
+    import graft.functions.VectorF
+    val assigned = Similarity.assignClusters(emb, centroids, vecCol)
+      .select(col(idCol), VectorF.toDoubleArray(col(vecCol)).as("__v"),
+        col("cluster_id"))
+    val dropped = assigned
+      .select(col(idCol).as("__id_a"), col("__v").as("__v_a"), col("cluster_id"))
+      .join(assigned.select(col(idCol).as("__id_b"), col("__v").as("__v_b"),
+        col("cluster_id")), "cluster_id")
+      .where(col("__id_a") < col("__id_b") &&
+        VectorF.cosine(col("__v_a"), col("__v_b")) >= threshold)
+      .select(col("__id_b").as(idCol)).distinct()
+    assigned.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cluster_id"))
+  }
 }

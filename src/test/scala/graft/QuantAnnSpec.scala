@@ -175,4 +175,38 @@ class QuantAnnSpec extends AnyFunSuite {
       assert(math.abs(s - expected) < 1e-9, s"uniform corpus surprisal: $s vs $expected")
     }
   }
+
+  test("semanticDedup: prunes within clusters only, keeps lowest id") {
+    // two well-separated clusters along axes 0 and 1; ids 0/1 are the
+    // centroids. 10/11/12 are near-identical copies in cluster 0; 20/21
+    // near-identical in cluster 1; 30 is cluster-0-assigned but dissimilar
+    // enough (cos < tau) to survive.
+    def v(main: Int, eps: Double, at: Int): Array[Float] =
+      Array.tabulate(8)(j => (if (j == main) 1.0 else if (j == at) eps else 0.0).toFloat)
+    val emb = Seq(
+      0L -> v(0, 0.0, 1), 1L -> v(1, 0.0, 0),
+      10L -> v(0, 0.01, 2), 11L -> v(0, 0.02, 2), 12L -> v(0, 0.015, 3),
+      20L -> v(1, 0.01, 2), 21L -> v(1, 0.02, 3),
+      30L -> Array.tabulate(8)(j => (if (j == 0) 1.0 else if (j == 4) 0.9 else 0.0).toFloat)
+    ).toDF("vec_id", "embedding")
+    val cents = emb.where(col("vec_id") < 2)
+      .select(col("vec_id").cast("int").as("cid"),
+        col("embedding").cast("array<double>").as("cv"))
+    val kept = Dedup.semanticDedup(emb, cents, "vec_id", "embedding", 0.99)
+      .orderBy("vec_id").as[(Long, Int)].collect().toSeq
+    // 10 survives as the lowest near-dup id in cluster 0 (0 itself is ~1.0
+    // cosine to 10, so 10 is dropped only if 0 is that similar — it is:
+    // cos(0, 10) > 0.99). So kept in cluster 0: 0 (lowest), 30 (dissimilar).
+    val keptIds = kept.map(_._1)
+    assert(keptIds.contains(0L) && keptIds.contains(1L), s"centroid-ish lowest ids survive: $keptIds")
+    assert(!keptIds.contains(11L) && !keptIds.contains(12L), s"higher-id near-dups dropped: $keptIds")
+    assert(!keptIds.contains(21L), s"cluster-1 higher near-dup dropped: $keptIds")
+    assert(keptIds.contains(30L), s"dissimilar same-cluster vector survives: $keptIds")
+    // cross-cluster near-identicals are NOT compared: 10 (if kept) and 20
+    // have high cosine to their own cluster only — the semantic-dedup
+    // contract is that pruning never crosses cluster boundaries, pinned by
+    // 20's survival iff nothing lower in ITS cluster is similar (1 is).
+    assert(kept.forall { case (id, cid) => cid == (if (Seq(1L, 20L, 21L).contains(id)) 1 else 0) },
+      s"cluster assignment: $kept")
+  }
 }
