@@ -3975,7 +3975,56 @@ object QueryCatalog {
         FROM assigned
         WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
         ORDER BY vec_id"""
-      })
+      }),
+
+    // One-pass column profiler over the documents table: typed min/max
+    // rendered to string, exact distincts, null tally — the audit report
+    // shape. Profiled columns are BIGINT/VARCHAR so the string rendering
+    // is engine-identical (doubles would not be).
+    Q("q_profile",
+      (s, dir) =>
+        graft.ops.Profile.profile(t(s, dir, "documents"),
+            Seq("doc_id", "lang", "n_chars", "source"))
+          .orderBy("column"),
+      Some {
+        def one(c: String) = s"""
+          SELECT '$c' AS "column", count(*) AS n_rows,
+                 CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                 count(DISTINCT $c) AS n_distinct,
+                 CAST(min($c) AS VARCHAR) AS min_repr,
+                 CAST(max($c) AS VARCHAR) AS max_repr,
+                 (round(avg(length(CAST($c AS VARCHAR))), 6) + CAST(0.0 AS DOUBLE)) AS avg_repr_len
+          FROM documents"""
+        Seq("doc_id", "lang", "n_chars", "source").map(one)
+          .mkString("", " UNION ALL ", """ ORDER BY "column"""")
+      }),
+
+    // DSIR importance reweighting: target = English docs; every doc scored
+    // by the hashed-unigram log-likelihood ratio target-vs-raw. Bounded
+    // bucket table broadcasts; per-bucket round-6 + decimal per-doc sums
+    // make the weights partitioning-independent and oracle-exact.
+    Q("q_dsir_weights",
+      (s, dir) =>
+        graft.ops.Dsir.importanceWeights(t(s, dir, "documents"),
+            "doc_id", "text", col("lang") === "en")
+          .select(col("doc_id"), col("weight"), col("n_tokens"))
+          .orderBy("doc_id"),
+      Some(s"""
+        SELECT id AS doc_id, weight, n_tokens FROM (
+          ${graft.ops.Dsir.oracleSql(D, "documents", "doc_id", "text", "lang = 'en'")}
+        ) ORDER BY doc_id""")),
+
+    // In-engine trained quality classifier: 3 unrolled GD iterations of
+    // logistic regression (label = lang='en'), weights as a 1-row relation
+    // threaded through the plan — training itself is hash-verified because
+    // any weight divergence flips every score.
+    Q("q_quality_classifier",
+      (s, dir) =>
+        graft.ops.QualityClassifier.trainAndScore(
+            t(s, dir, "documents"), "doc_id", "text", "n_chars >= 250")
+          .orderBy("doc_id"),
+      Some(graft.ops.QualityClassifier.oracleSql(
+        D, "documents", "doc_id", "text", "n_chars >= 250")))
   )
 
   def all: Seq[Q] =

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sqlgen.Dialect
+
+/** DSIR-style data selection with importance resampling (Xie et al. 2023,
+  * arXiv:2302.03169): score every raw document by the log-likelihood ratio
+  * of its hashed n-gram features under a target-corpus unigram model vs the
+  * raw-corpus model. Documents whose feature mix resembles the target get
+  * positive weights; resampling by these weights selects a raw subset that
+  * matches the target distribution.
+  *
+  * Determinism/oracle contract: feature buckets come from md5 hex digits
+  * (identical in Spark and DuckDB); each bucket's log-ratio is rounded to
+  * 6 decimals BEFORE the per-doc sum, and the sum runs in DECIMAL(28,6) —
+  * order-independent, so partitioning can never change a weight (the same
+  * ln()-ulp containment trick as [[LanguageModel.unigramSurprisal]]).
+  *
+  * Scale design (100 TB): token explode is narrow (token strings never
+  * carry doc text); both count tables are bounded by the bucket space
+  * (16^hexDigits rows), so the ratio table is a broadcast; the only
+  * corpus-sized shuffle is the per-doc weight aggregation, keyed on the
+  * id. Add-1 smoothing keeps unseen buckets finite.
+  */
+object Dsir {
+
+  private val S = Dialect.spark
+
+  /** Bucket expression: fold of the first `hexDigits` md5 hex chars of the
+    * token — 16^hexDigits buckets, engine-identical. */
+  private[graft] def bucketSql(dl: Dialect, tok: String, hexDigits: Int): String =
+    (1 to hexDigits).map(i => dl.md5HexDigit(tok, i))
+      .reduceLeft((acc, dig) => s"(($acc) * 16 + $dig)")
+
+  /** Adds `weight` (double, round-6-summed log-likelihood ratio) and
+    * `n_tokens` per document. `isTarget` marks the rows whose feature
+    * distribution defines the target; they are also part of the raw
+    * corpus, as in the paper (raw = everything selectable). */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column, hexDigits: Int = 2): DataFrame = {
+    val buckets = math.pow(16.0, hexDigits).toLong
+    val toks = docs
+      .select(col(idCol), isTarget.as("__t"),
+        explode(expr(S.splitWs(s"`$textCol`"))).as("__tok"))
+      .withColumn("__b", expr(bucketSql(S, "__tok", hexDigits)).cast("long"))
+      .select(col(idCol), col("__t"), col("__b"))
+    // bounded-size count tables: one row per OBSERVED bucket
+    val raw = toks.groupBy("__b").agg(count(lit(1)).as("rc"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("tc"))
+    val totals = raw.agg(sum(col("rc")).as("Tr"), sum(col("tc")).as("Tt"))
+    // shared formula text: ln((tc+1)/(Tt+B)) - ln((rc+1)/(Tr+B)), round-6
+    val lam = raw.crossJoin(broadcast(totals)).select(col("__b"),
+      (round(expr(s"ln(CAST(tc + 1 AS DOUBLE) / CAST(Tt + $buckets AS DOUBLE))") -
+             expr(s"ln(CAST(rc + 1 AS DOUBLE) / CAST(Tr + $buckets AS DOUBLE))"), 6)
+        + lit(0.0)).as("__lam"))
+    toks.join(broadcast(lam), "__b")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__lam").cast("decimal(28,6)")).cast("double").as("weight"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  /** The matching DuckDB oracle fragment for [[importanceWeights]] over a
+    * relation exposing (id, text, is_target) — kept next to the Spark
+    * implementation so the two formula texts cannot drift. */
+  def oracleSql(dl: Dialect, fromSql: String, idCol: String, textCol: String,
+                targetPred: String, hexDigits: Int = 2): String = {
+    val buckets = math.pow(16.0, hexDigits).toLong
+    s"""
+    WITH tok0 AS (
+      SELECT $idCol AS id, ($targetPred) AS t,
+             unnest(${dl.splitWs(textCol)}) AS tok
+      FROM $fromSql),
+    toks AS (
+      SELECT id, t, ${bucketSql(dl, "tok", hexDigits)} AS b FROM tok0),
+    raw AS (
+      SELECT b, count(*) AS rc,
+             CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS tc
+      FROM toks GROUP BY b),
+    tot AS (SELECT CAST(sum(rc) AS BIGINT) AS Tr, CAST(sum(tc) AS BIGINT) AS Tt FROM raw),
+    lam AS (
+      SELECT b,
+             (round(ln(CAST(tc + 1 AS DOUBLE) / CAST(Tt + $buckets AS DOUBLE)) -
+                    ln(CAST(rc + 1 AS DOUBLE) / CAST(Tr + $buckets AS DOUBLE)), 6)
+              + CAST(0.0 AS DOUBLE)) AS lam
+      FROM raw, tot)
+    SELECT id, CAST(sum(CAST(lam AS DECIMAL(28,6))) AS DOUBLE) AS weight,
+           count(*) AS n_tokens
+    FROM toks JOIN lam USING (b)
+    GROUP BY id"""
+  }
+}

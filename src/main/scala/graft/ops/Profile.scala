@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-pass corpus/column profiler — the data-quality report a pipeline
+  * runs before and after every curation stage (reference: the ad-hoc
+  * counts its scripts print; north-star: the table-level audit step of a
+  * training-data run).
+  *
+  * Output: one row per profiled column —
+  * (column, n_rows, n_nulls, n_distinct, min_repr, max_repr, avg_repr_len)
+  * where min/max are computed in the column's native type (so numeric
+  * columns get numeric bounds, not lexicographic) and then rendered to
+  * string for the uniform long-format schema.
+  *
+  * Scale design (100 TB): every metric is one aggregation pass with
+  * map-side partial combine; nothing collects to the driver. Exact
+  * `count(DISTINCT)` over c columns plans as an Expand (c× the input in
+  * the exchange, but each expanded row is a single narrow column) — for
+  * very wide audits at full scale set `exactDistinct = false` to use HLL
+  * (`approx_count_distinct`), which shrinks the shuffle to one sketch per
+  * partition per column. The unpivot to long format happens on the single
+  * aggregated row — free. */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String],
+              exactDistinct: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile of zero columns")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}__nulls"),
+        (if (exactDistinct) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"__${c}__distinct"),
+        min(col(c)).cast("string").as(s"__${c}__min"),
+        max(col(c)).cast("string").as(s"__${c}__max"),
+        avg(length(col(c).cast("string"))).as(s"__${c}__len"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single aggregate row: array of per-column structs -> explode
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col("__n").as("n_rows"),
+        col(s"__${c}__nulls").as("n_nulls"),
+        col(s"__${c}__distinct").as("n_distinct"),
+        col(s"__${c}__min").as("min_repr"),
+        col(s"__${c}__max").as("max_repr"),
+        // round-6 so the double is canonical across engines
+        (round(col(s"__${c}__len"), 6) + lit(0.0)).as("avg_repr_len"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+}

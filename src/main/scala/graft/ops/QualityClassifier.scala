@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{broadcast, col}
+
+import graft.sqlgen.Dialect
+
+/** In-engine trained quality classifier: batch-gradient-descent logistic
+  * regression over cheap engineered text features (the fasttext-style
+  * quality filter real pretraining pipelines train to separate
+  * reference-quality text from crawl noise — here the supervision label is
+  * any SQL predicate over the doc row).
+  *
+  * Training runs INSIDE the engine with no driver-side numeric state:
+  * feature standardization is one scalar-stats pass broadcast back, and
+  * the weight vector is a 1-row DataFrame threaded through `iters`
+  * unrolled (gradient-aggregate -> weight-update) stages — a
+  * fixed-iteration training run is a single Catalyst plan. At 100 TB each
+  * iteration is one all-task pass over the cached feature table plus a
+  * scalar aggregate; nothing corpus-sized ever moves. Standardization is
+  * what lets a plain lr=1 GD converge instead of oscillating on
+  * wildly-scaled raw features.
+  *
+  * Determinism/oracle contract (the same containment used by
+  * [[LanguageModel]] and [[Dsir]]): raw features, standardized features
+  * and the sigmoid are each rounded to 6 decimals (so a 1-ulp `exp`/`ln`
+  * divergence between engines cannot propagate); per-row gradient
+  * contributions are rounded and summed in DECIMAL(28,6) — gradients are
+  * order-independent, so partitioning cannot change the learned weights;
+  * weight updates re-round to 6 decimals. Every formula below is built
+  * from ONE dialect-parameterized text, and [[oracleSql]] assembles the
+  * identical text for DuckDB — the two engines run the same arithmetic
+  * sequence, so the trained scores hash-match exactly.
+  */
+object QualityClassifier {
+
+  private def r6(dl: Dialect, x: String): String =
+    s"(round($x, 6) + ${dl.d(0.0)})"
+
+  /** Raw feature select-list over (idCol, textCol): round-6 doubles.
+    *   xr1 = ln(1 + word count)   — length prior
+    *   xr2 = alphabetic fraction  — symbol/boilerplate signal
+    *   xr3 = chars per word       — tokenization-health signal */
+  private def rawFeatureExprs(dl: Dialect, textCol: String,
+                              targetPred: String): Seq[String] = {
+    val t = textCol
+    val nw = dl.size(dl.splitWs(t))
+    val alpha = s"length(${dl.regexReplaceAll(t, "[^A-Za-z]", "")})"
+    Seq(
+      r6(dl, s"ln(CAST(1 + $nw AS DOUBLE))") + " AS xr1",
+      r6(dl, s"(CAST($alpha AS DOUBLE) / CAST(greatest(length($t), 1) AS DOUBLE))") + " AS xr2",
+      r6(dl, s"(CAST(length($t) AS DOUBLE) / CAST(greatest($nw, 1) AS DOUBLE))") + " AS xr3",
+      s"(CASE WHEN $targetPred THEN ${dl.d(1.0)} ELSE ${dl.d(0.0)} END) AS y")
+  }
+
+  /** Scalar standardization stats: exact decimal power sums per feature. */
+  private def statExprs(dl: Dialect): Seq[String] =
+    (1 to 3).flatMap { j =>
+      Seq(s"sum(CAST(xr$j AS DECIMAL(28,6))) AS s$j",
+        s"sum(CAST(round(xr$j * xr$j, 6) AS DECIMAL(28,6))) AS ss$j")
+    } :+ "count(*) AS sn"
+
+  /** Standardized feature: (x - mean) / std, round-6; constant features
+    * (std = 0) collapse to 0 rather than dividing by zero. */
+  private def stdExprs(dl: Dialect): Seq[String] =
+    (1 to 3).map { j =>
+      val n = "CAST(sn AS DOUBLE)"
+      val m = s"(CAST(s$j AS DOUBLE) / $n)"
+      val v = s"(CAST(ss$j AS DOUBLE) / $n - $m * $m)"
+      val sd = s"sqrt($v)"
+      r6(dl, s"(CASE WHEN $sd = ${dl.d(0.0)} THEN ${dl.d(0.0)} " +
+        s"ELSE (xr$j - $m) / $sd END)") + s" AS x$j"
+    }
+
+  /** round-6 sigmoid of the left-assoc dot product w·(1,x1,x2,x3). */
+  private def pExpr(dl: Dialect): String = {
+    val z = "(((w0 * " + dl.d(1.0) + " + w1 * x1) + w2 * x2) + w3 * x3)"
+    r6(dl, s"(${dl.d(1.0)} / (${dl.d(1.0)} + exp(-$z)))")
+  }
+
+  /** Per-row gradient contribution for feature j (x0 is the bias 1). */
+  private def gExpr(dl: Dialect, xj: String): String =
+    s"CAST(round((__p - y) * $xj, 6) AS DECIMAL(28,6))"
+
+  private def updateExpr(dl: Dialect, j: Int, lr: Double): String =
+    r6(dl, s"(w$j - ${dl.d(lr)} * (CAST(g$j AS DOUBLE) / CAST(n AS DOUBLE)))") + s" AS w$j"
+
+  private val S = Dialect.spark
+
+  /** Train on `docs` with label `targetPredSql` (a boolean SQL predicate
+    * over the doc row), return per-doc (idCol, score, label). */
+  def trainAndScore(docs: DataFrame, idCol: String, textCol: String,
+                    targetPredSql: String, lr: Double = 1.0,
+                    iters: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    val raw = docs.selectExpr(
+      s"`$idCol`" +: rawFeatureExprs(S, s"`$textCol`", targetPredSql): _*)
+    val stats = raw.selectExpr("xr1", "xr2", "xr3")
+      .groupBy().agg(org.apache.spark.sql.functions.expr(statExprs(S).head),
+        statExprs(S).tail.map(org.apache.spark.sql.functions.expr): _*)
+    val feat = raw.crossJoin(broadcast(stats))
+      .selectExpr(Seq(s"`$idCol`", "y") ++ stdExprs(S): _*).cache()
+    var w = spark.range(1).selectExpr(
+      (0 to 3).map(j => s"${S.d(0.0)} AS w$j"): _*)
+    for (_ <- 1 to iters) {
+      val scored = feat.crossJoin(broadcast(w))
+        .selectExpr(s"${pExpr(S)} AS __p", "y", "x1", "x2", "x3")
+      val g = scored.selectExpr(
+        s"${gExpr(S, S.d(1.0))} AS __g0", s"${gExpr(S, "x1")} AS __g1",
+        s"${gExpr(S, "x2")} AS __g2", s"${gExpr(S, "x3")} AS __g3")
+        .groupBy().agg(
+          org.apache.spark.sql.functions.sum(col("__g0")).as("g0"),
+          org.apache.spark.sql.functions.sum(col("__g1")).as("g1"),
+          org.apache.spark.sql.functions.sum(col("__g2")).as("g2"),
+          org.apache.spark.sql.functions.sum(col("__g3")).as("g3"),
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      w = w.crossJoin(broadcast(g))
+        .selectExpr((0 to 3).map(j => updateExpr(S, j, lr)): _*)
+    }
+    feat.crossJoin(broadcast(w))
+      .selectExpr(s"`$idCol`", s"${pExpr(S)} AS score", "y AS label")
+  }
+
+  /** The identical computation as one DuckDB query (unrolled CTE per
+    * iteration) — assembled from the same formula fragments as
+    * [[trainAndScore]], so the texts cannot drift. */
+  def oracleSql(dl: Dialect, fromSql: String, idCol: String, textCol: String,
+                targetPred: String, lr: Double = 1.0, iters: Int = 5): String = {
+    val raw = s"raw AS (SELECT $idCol AS id, " +
+      rawFeatureExprs(dl, textCol, targetPred).mkString(", ") + s" FROM $fromSql)"
+    val stats = s"stats AS (SELECT ${statExprs(dl).mkString(", ")} FROM raw)"
+    val feat = s"feat AS (SELECT id, y, ${stdExprs(dl).mkString(", ")} FROM raw, stats)"
+    val w0 = s"w_0 AS (SELECT " +
+      (0 to 3).map(j => s"${dl.d(0.0)} AS w$j").mkString(", ") + ")"
+    val steps = (1 to iters).flatMap { i =>
+      Seq(
+        s"""g_$i AS (
+           SELECT sum(${gExpr(dl, dl.d(1.0))}) AS g0, sum(${gExpr(dl, "x1")}) AS g1,
+                  sum(${gExpr(dl, "x2")}) AS g2, sum(${gExpr(dl, "x3")}) AS g3,
+                  count(*) AS n
+           FROM (SELECT ${pExpr(dl)} AS __p, y, x1, x2, x3 FROM feat, w_${i - 1}))""",
+        s"w_$i AS (SELECT " +
+          (0 to 3).map(j => updateExpr(dl, j, lr)).mkString(", ") +
+          s" FROM w_${i - 1}, g_$i)")
+    }
+    (Seq(raw, stats, feat, w0) ++ steps).mkString("WITH ", ", ", "") +
+      s" SELECT id AS $idCol, ${pExpr(dl)} AS score, y AS label" +
+      s" FROM feat, w_$iters ORDER BY $idCol"
+  }
+}

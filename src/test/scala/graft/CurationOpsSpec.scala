@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dsir, Profile, QualityClassifier}
+
+/** Round-5 curation operators: column profiler, DSIR importance weights,
+  * trained quality classifier. (SemDeDup is pinned in QuantAnnSpec next to
+  * the other embedding ops.) */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  test("profile: typed bounds, null and distinct tallies") {
+    val df = Seq[(java.lang.Long, String)](
+      (2L, "aa"), (10L, null), (10L, "b"), (null, "aa")
+    ).toDF("k", "s")
+    val got = Profile.profile(df, Seq("k", "s")).orderBy("column")
+      .as[(String, Long, Long, Long, String, String, Double)].collect().toSeq
+    val k = got.head
+    // min/max computed in the NATIVE type: 2 < 10 numerically even though
+    // "10" < "2" lexicographically — the profiler must report 2..10.
+    assert(k == (("k", 4L, 1L, 2L, "2", "10", 1.6666670)),
+      s"numeric profile row: $k")
+    val s = got(1)
+    assert(s._1 == "s" && s._3 == 1L && s._4 == 2L && s._5 == "aa" && s._6 == "b")
+  }
+
+  test("profile: approx-distinct scale path stays sane") {
+    val df = (1 to 1000).map(i => (i.toLong, s"v${i % 100}")).toDF("k", "s")
+    val got = Profile.profile(df, Seq("k", "s"), exactDistinct = false)
+      .orderBy("column").as[(String, Long, Long, Long, String, String, Double)]
+      .collect().toSeq
+    assert(math.abs(got.head._4 - 1000L) < 100, s"HLL ~1000: ${got.head._4}")
+    assert(math.abs(got(1)._4 - 100L) < 15, s"HLL ~100: ${got(1)._4}")
+  }
+
+  test("dsir: target-vocab docs outrank non-target, partitioning-invariant") {
+    val docs = (
+      (1 to 20).map(i => (i.toLong, "alpha beta gamma delta", true)) ++
+      (21 to 40).map(i => (i.toLong, "omega psi chi phi", false)) ++
+      Seq((41L, "alpha beta gamma delta", false),   // looks like target
+          (42L, "omega psi chi phi", false))        // looks like raw noise
+    ).toDF("id", "text", "tgt")
+    val w = Dsir.importanceWeights(docs, "id", "text", col("tgt"))
+      .as[(Long, Double, Long)].collect().map(t => t._1 -> t._2).toMap
+    assert(w(41L) > w(42L),
+      s"target-looking doc must outweigh noise-looking doc: $w")
+    val w2 = Dsir.importanceWeights(docs.repartition(7), "id", "text", col("tgt"))
+      .as[(Long, Double, Long)].collect().map(t => t._1 -> t._2).toMap
+    assert(w == w2, "decimal-summed weights are partitioning-invariant")
+  }
+
+  test("quality classifier: separable labels separate, deterministic") {
+    // "good": prose-like, alphabetic, moderate word length; "bad": symbol soup
+    val docs = (
+      (1 to 25).map(i => (i.toLong, s"the quick brown fox number $i jumps over the lazy dog")) ++
+      (26 to 50).map(i => (i.toLong, s"@@## $$%% ^^&& ((${i})) ____ ++== ~~~~ |||| ;;;;"))
+    ).toDF("doc_id", "text")
+    val scored = QualityClassifier
+      .trainAndScore(docs, "doc_id", "text", "doc_id <= 25", lr = 0.5, iters = 3)
+      .as[(Long, Double, Double)].collect().toSeq
+    val (pos, neg) = scored.partition(_._3 == 1.0)
+    val posMean = pos.map(_._2).sum / pos.size
+    val negMean = neg.map(_._2).sum / neg.size
+    assert(posMean > negMean + 0.05,
+      s"trained scores must separate the classes: pos=$posMean neg=$negMean")
+    // determinism under partitioning: decimal gradient sums -> same weights
+    val again = QualityClassifier
+      .trainAndScore(docs.repartition(11), "doc_id", "text", "doc_id <= 25", lr = 0.5, iters = 3)
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(scored.sortBy(_._1) == again.sortBy(_._1), "bit-identical across partitioning")
+  }
+}
