@@ -4024,7 +4024,37 @@ object QueryCatalog {
             t(s, dir, "documents"), "doc_id", "text", "n_chars >= 250")
           .orderBy("doc_id"),
       Some(graft.ops.QualityClassifier.oracleSql(
-        D, "documents", "doc_id", "text", "n_chars >= 250")))
+        D, "documents", "doc_id", "text", "n_chars >= 250"))),
+
+    // PageRank centrality over the embedding near-dup graph (both edge
+    // directions of the sign-bucket pairs) — canonical-doc selection by
+    // centrality. 5 unrolled iterations, round-9 decimal-summed
+    // contributions: partitioning-independent, oracle-exact.
+    Q("q_pagerank",
+      (s, dir) => {
+        import graft.ops.{Dedup, Graph}
+        val emb = t(s, dir, "embeddings")
+        val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 8, 0.3)
+          .select(col("id_a"), col("id_b"))
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        Graph.pageRank(emb.select(col("vec_id").as("id")), edges, 5, 0.85)
+          .select(col("id").as("vec_id"), col("rank"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val bk = s"""(SELECT vec_id, v,
+               array_to_string(list_transform(v[1:8],
+                 x__ -> CASE WHEN x__ >= CAST(0.0 AS DOUBLE) THEN '1' ELSE '0' END), '') AS bucket
+             FROM $duckEmbTable)"""
+        val edges = s"""(SELECT a.vec_id AS src, b.vec_id AS dst
+             FROM $bk a JOIN $bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+             WHERE ${D.cosine("a.v", "b.v")} >= ${D.d(0.3)})"""
+        s"""SELECT id AS vec_id, rank FROM (
+          ${graft.ops.Graph.pageRankOracleSql(
+            "(SELECT vec_id AS id FROM embeddings)", edges, 5, 0.85)}
+        ) ORDER BY vec_id"""
+      })
   )
 
   def all: Seq[Q] =

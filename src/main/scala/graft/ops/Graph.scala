@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over edge DataFrames — the companion to
+  * [[Dedup.connectedComponents]]: where CC partitions the near-duplicate
+  * graph into clusters, PageRank ranks WITHIN the graph, e.g. to pick the
+  * canonical representative of a duplicate cluster by centrality instead
+  * of by lowest id (the doc most documents point at, not the one that
+  * happened to be crawled first).
+  *
+  * Scale design (100 TB): classic edge-relation PageRank — each iteration
+  * is one join of the edge table with the O(nodes) rank table (shuffle on
+  * src), one aggregation of contributions (shuffle on dst), one left join
+  * back to nodes. Ranks/degrees are narrow (id, double); the edge table
+  * never carries payloads. Fixed iteration count -> a single linear plan;
+  * each iteration's rank table is persisted to cut lineage.
+  *
+  * Determinism/oracle contract: per-edge contributions are rounded to 9
+  * decimals and summed in DECIMAL(28,9) (order-independent — partitioning
+  * cannot change a rank), and each new rank re-rounds to 9 decimals, so
+  * fixed-point drift across engines is impossible. Dangling nodes (no
+  * out-edges) drop their mass, as in the unnormalized original
+  * formulation — deterministic on both engines.
+  */
+object Graph {
+
+  private def r9(c: org.apache.spark.sql.Column) = round(c, 9) + lit(0.0)
+
+  /** PageRank over directed `edges` (cols src, dst) on the node set
+    * `nodes` (col id). Returns (id, rank). */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 5,
+               damping: Double = 0.85): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val n = nodes.agg(count(lit(1)).as("__n"))
+    // r_0 = 1/N for every node
+    var ranks = nodes.crossJoin(broadcast(n))
+      .select(col("id"), r9(lit(1.0) / col("__n").cast("double")).as("rank"))
+      .persist()
+    for (_ <- 1 to iters) {
+      val contribs = edges.join(deg, "src")
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"),
+          r9(col("rank") / col("__deg").cast("double"))
+            .cast("decimal(28,9)").as("__c"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
+      val next = nodes.crossJoin(broadcast(n))
+        .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"), r9(
+          lit(1.0 - damping) / col("__n").cast("double") +
+            lit(damping) * coalesce(col("__s").cast("double"), lit(0.0)))
+          .as("rank"))
+        .persist()
+      next.count() // materialize before unpersisting the parent
+      ranks.unpersist()
+      ranks = next
+    }
+    ranks
+  }
+
+  /** The matching oracle fragment: unrolled PageRank over a node relation
+    * `nodesSql` (col id) and edge relation `edgesSql` (cols src, dst) —
+    * identical arithmetic text to [[pageRank]]. */
+  def pageRankOracleSql(nodesSql: String, edgesSql: String, iters: Int = 5,
+                        damping: Double = 0.85): String = {
+    def r9s(x: String) = s"(round($x, 9) + CAST(0.0 AS DOUBLE))"
+    val base = Seq(
+      s"nodes AS (SELECT id FROM $nodesSql)",
+      s"edges AS (SELECT src, dst FROM $edgesSql)",
+      "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
+      "nn AS (SELECT count(*) AS n FROM nodes)",
+      s"r_0 AS (SELECT id, ${r9s("CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE)")} AS rank FROM nodes, nn)")
+    val steps = (1 to iters).map { i =>
+      s"""r_$i AS (
+         SELECT nodes.id, ${r9s(
+        s"CAST(${1.0 - damping} AS DOUBLE) / CAST(n AS DOUBLE) + " +
+          s"CAST($damping AS DOUBLE) * CAST(coalesce(s, CAST(0.0 AS DECIMAL(28,9))) AS DOUBLE)")} AS rank
+         FROM nodes CROSS JOIN nn
+         LEFT JOIN (
+           SELECT e.dst AS id,
+                  sum(CAST(${r9s("r.rank / CAST(deg.d AS DOUBLE)")} AS DECIMAL(28,9))) AS s
+           FROM edges e JOIN deg ON e.src = deg.src JOIN r_${i - 1} r ON e.src = r.id
+           GROUP BY e.dst) c ON nodes.id = c.id)"""
+    }
+    (base ++ steps).mkString("WITH ", ", ", s" SELECT id, rank FROM r_$iters")
+  }
+}

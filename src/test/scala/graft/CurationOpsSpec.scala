@@ -72,4 +72,22 @@ class CurationOpsSpec extends AnyFunSuite {
       .as[(Long, Double, Double)].collect().toSeq
     assert(scored.sortBy(_._1) == again.sortBy(_._1), "bit-identical across partitioning")
   }
+
+  test("pageRank: hub outranks spokes, dangling node keeps base rank, invariant") {
+    import graft.ops.Graph
+    // star: 2..6 all point at 1; 1 points back at 2; 9 is isolated
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("id")
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (6L, 1L), (1L, 2L))
+      .toDF("src", "dst")
+    val r = Graph.pageRank(nodes, edges, iters = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(r(1L) > r(2L) && r(2L) > r(3L),
+      s"hub > reciprocated spoke > plain spoke: $r")
+    assert(r(3L) == r(4L) && r(4L) == r(5L), s"symmetric spokes tie: $r")
+    // isolated node: no in-edges -> teleport mass only
+    assert(math.abs(r(9L) - (0.15 / 7)) < 1e-6, s"isolated node base rank: $r")
+    val r2 = Graph.pageRank(nodes.repartition(5), edges.repartition(3), iters = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(r == r2, "round-9 decimal sums: partitioning-invariant")
+  }
 }
