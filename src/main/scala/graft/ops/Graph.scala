@@ -30,33 +30,47 @@ object Graph {
 
   /** PageRank over directed `edges` (cols src, dst) on the node set
     * `nodes` (col id). Returns (id, rank). */
-  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 5,
-               damping: Double = 0.85): DataFrame = {
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+  def pageRank(nodes: DataFrame, edges0: DataFrame, iters: Int = 5,
+               damping: Double = 0.85, lineageCutEvery: Int = 10): DataFrame = {
+    // edges may be an expensive derivation (e.g. an LSH near-dup
+    // self-join) — without a persist every iteration would recompute it.
+    val edges = edges0.select(col("src"), col("dst")).persist()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg")).persist()
     val n = nodes.agg(count(lit(1)).as("__n"))
-    // r_0 = 1/N for every node
+    // r_0 = 1/N for every node. Iterations chain LAZILY into one linear
+    // plan (ranks feeds exactly one join per step, so the plan grows
+    // linearly, unlike CC's 3^rounds blowup) — one Spark job for the whole
+    // fixed-iteration run instead of a materialization barrier per step.
+    // Long runs still cut lineage every `lineageCutEvery` steps to keep
+    // optimizer time bounded.
     var ranks = nodes.crossJoin(broadcast(n))
       .select(col("id"), r9(lit(1.0) / col("__n").cast("double")).as("rank"))
-      .persist()
-    for (_ <- 1 to iters) {
+    var pinned: Option[DataFrame] = None
+    for (i <- 1 to iters) {
       val contribs = edges.join(deg, "src")
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst"),
           r9(col("rank") / col("__deg").cast("double"))
             .cast("decimal(28,9)").as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
-      val next = nodes.crossJoin(broadcast(n))
+      ranks = nodes.crossJoin(broadcast(n))
         .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"), r9(
           lit(1.0 - damping) / col("__n").cast("double") +
             lit(damping) * coalesce(col("__s").cast("double"), lit(0.0)))
           .as("rank"))
-        .persist()
-      next.count() // materialize before unpersisting the parent
-      ranks.unpersist()
-      ranks = next
+      if (i % lineageCutEvery == 0 && i < iters) {
+        ranks.persist().count()
+        pinned.foreach(_.unpersist())
+        pinned = Some(ranks)
+      }
     }
-    ranks
+    // materialize the result so the caches below can be dropped without
+    // forcing a later action to re-derive the edge relation
+    val result = ranks.persist()
+    result.count()
+    edges.unpersist(); deg.unpersist(); pinned.foreach(_.unpersist())
+    result
   }
 
   /** The matching oracle fragment: unrolled PageRank over a node relation
