@@ -4054,7 +4054,38 @@ object QueryCatalog {
           ${graft.ops.Graph.pageRankOracleSql(
             "(SELECT vec_id AS id FROM embeddings)", edges, 5, 0.85)}
         ) ORDER BY vec_id"""
-      })
+      }),
+
+    // Shingle-novelty: fraction of a doc's distinct 3-gram shingles that
+    // appear in no other doc — the diversity dual of contamination.
+    Q("q_shingle_novelty",
+      (s, dir) =>
+        graft.ops.Dedup.shingleNovelty(tk(s, dir, "documents"), "text", "doc_id")
+          .orderBy("doc_id"),
+      Some {
+        val duckToks = s"(SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents)"
+        val duckShingles =
+          s"(SELECT doc_id, ${Exprs.wordShingles(D, "toks", 3)} AS sh FROM $duckToks)"
+        s"""
+        WITH ex AS (
+          SELECT doc_id, unnest(${D.arrayDistinct("sh")}) AS s FROM $duckShingles),
+        dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s)
+        SELECT doc_id, count(*) AS n_shingles,
+               (round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+                      CAST(count(*) AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS novel_frac
+        FROM ex JOIN dfreq USING (s)
+        GROUP BY doc_id
+        ORDER BY doc_id"""
+      }),
+
+    // Deterministic per-epoch shuffle order: epoch-salted md5 sort key.
+    Q("q_epoch_shuffle",
+      (s, dir) =>
+        graft.ops.Sampling.epochShuffle(t(s, dir, "documents"), "doc_id", 7)
+          .select(col("shuffle_key"), col("doc_id")),
+      Some("""
+        SELECT md5(concat('7', ':', CAST(doc_id AS VARCHAR))) AS shuffle_key, doc_id
+        FROM documents ORDER BY shuffle_key"""))
   )
 
   def all: Seq[Q] =

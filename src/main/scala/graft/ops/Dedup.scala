@@ -89,6 +89,29 @@ object Dedup {
       .toDF(idCol, "sh")
   }
 
+  /** Shingle-novelty score: the fraction of a doc's DISTINCT word
+    * n-gram shingles that occur in no other document — the diversity
+    * signal dual to [[contaminationCounts]]'s overlap: high novelty marks
+    * content the corpus has nowhere else (worth keeping even at modest
+    * quality), near-zero novelty marks template/boilerplate text.
+    *
+    * Scale: the shingle document-frequency table is the only wide state
+    * (narrow string keys, map-side combined); the join back is keyed on
+    * the shingle, the final agg on the doc id — no all-pairs anywhere.
+    * Docs shorter than n tokens contribute their whole token sequence as
+    * a single shingle (wordShingles' contract on both engines). */
+  def shingleNovelty(df: DataFrame, textCol: String, idCol: String,
+                     shingleN: Int = 3): DataFrame = {
+    val ex = shingleSets(df, textCol, idCol)
+      .select(col(idCol), explode(col("sh")).as("__sh"))
+    val dfreq = ex.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+    ex.join(dfreq, "__sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        (round(sum(when(col("__df") === 1, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6) + lit(0.0)).as("novel_frac"))
+  }
+
   /** Per-doc compression ratio (deflated bytes / raw bytes) — the cheap
     * redundancy signal real pretraining pipelines pair with repetition
     * stats: boilerplate and generated spam compress far below prose. One

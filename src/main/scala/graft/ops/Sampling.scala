@@ -107,4 +107,17 @@ object Sampling {
       .orderBy(desc("priority"), col(idCol))
       .limit(n)
   }
+
+  /** Deterministic per-epoch shuffle: global sort by an epoch-salted md5
+    * of the id — the "reshuffle the corpus each epoch, reproducibly"
+    * primitive of a training-data loader. Different epochs give
+    * independent-looking permutations; the same epoch always gives the
+    * same one (resumable mid-epoch, retry/speculation-safe, no driver
+    * RNG state). At scale the sort is a range exchange every task
+    * participates in, and the written file order IS the epoch's read
+    * order. */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int): DataFrame =
+    df.withColumn("shuffle_key",
+        md5(concat(lit(epoch.toString), lit(":"), col(idCol).cast("string"))))
+      .orderBy("shuffle_key")
 }

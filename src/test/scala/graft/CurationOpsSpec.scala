@@ -90,4 +90,31 @@ class CurationOpsSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toMap
     assert(r == r2, "round-9 decimal sums: partitioning-invariant")
   }
+
+  test("shingleNovelty: unique content scores 1, duplicated content 0") {
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup of 1 -> no novel shingles
+      (3L, "one two three four five"),        // fully unique
+      (4L, "tiny")   // < 3 tokens -> one whole-text shingle, unique here
+    ).toDF("doc_id", "text")
+    val got = Dedup.shingleNovelty(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got(1L) == ((3L, 0.0)) && got(2L) == ((3L, 0.0)), s"dup pair: $got")
+    assert(got(3L) == ((3L, 1.0)), s"unique doc: $got")
+    assert(got(4L) == ((1L, 1.0)), s"short doc: one whole-text shingle: $got")
+  }
+
+  test("epochShuffle: same epoch reproducible, different epochs differ") {
+    import graft.ops.Sampling
+    val docs = (1 to 200).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
+    def order(epoch: Int): Seq[Long] =
+      Sampling.epochShuffle(docs, "doc_id", epoch)
+        .select("doc_id").as[Long].collect().toSeq
+    val e1 = order(1)
+    assert(e1 == order(1), "same epoch -> identical permutation")
+    assert(e1 != order(2), "different epoch -> different permutation")
+    assert(e1.sorted == (1L to 200L), "a permutation, nothing lost")
+  }
 }
