@@ -4085,7 +4085,46 @@ object QueryCatalog {
           .select(col("shuffle_key"), col("doc_id")),
       Some("""
         SELECT md5(concat('7', ':', CAST(doc_id AS VARCHAR))) AS shuffle_key, doc_id
-        FROM documents ORDER BY shuffle_key"""))
+        FROM documents ORDER BY shuffle_key""")),
+
+    // Document embedding = per-dim mean of chunk embeddings (mean-pool).
+    // posexplode -> (id, dim) decimal-summed aggregation -> reassembly; no
+    // vector transits a shuffle whole. Scalar projections + a dot-product
+    // checksum pin every dimension of the pooled vector. Outputs are NOT
+    // round-6'd: each mean is an exact-decimal sum over a SMALL count, so
+    // its decimal expansion lands exactly on .xxxxxx5 halfway points where
+    // the engines' round() semantics disagree — while the unrounded
+    // doubles (decimal->double cast, one division, shared-text fold) are
+    // bit-identical on both engines.
+    Q("q_doc_embedding",
+      (s, dir) => {
+        val idx = RagPipeline.buildIndex(tk(s, dir, "documents"))
+        val SP = Dialect.spark
+        graft.embed.EmbeddingPooling.meanPool(idx, "doc_id", "embedding")
+          .withColumn("__w", expr("transform(sequence(1, 64), j__ -> CAST(j__ AS DOUBLE))"))
+          .select(col("doc_id"),
+            element_at(col("doc_embedding"), 1).as("e1"),
+            element_at(col("doc_embedding"), 2).as("e2"),
+            expr(SP.dot("doc_embedding", "__w")).as("checksum"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val duckIndexed2 = duckEmbed(
+          s"(SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})", "chunk_text", 64)
+        val weights = "list_transform(range(1, 65), j__ -> CAST(j__ AS DOUBLE))"
+        s"""
+        WITH idx AS (SELECT doc_id, emb FROM $duckIndexed2),
+        ex AS (SELECT doc_id, CAST(r.p AS INT) AS p, emb[CAST(r.p AS INT)] AS x
+               FROM idx, range(1, 65) r(p)),
+        m AS (SELECT doc_id, p,
+                (CAST(sum(CAST((round(x, 6) + CAST(0.0 AS DOUBLE)) AS DECIMAL(28,6))) AS DOUBLE) /
+                 CAST(count(*) AS DOUBLE)) AS mx
+              FROM ex GROUP BY doc_id, p),
+        mv AS (SELECT doc_id, list(mx ORDER BY p) AS dv FROM m GROUP BY doc_id)
+        SELECT doc_id, dv[1] AS e1, dv[2] AS e2,
+               ${D.dot("dv", weights)} AS checksum
+        FROM mv ORDER BY doc_id"""
+      })
   )
 
   def all: Seq[Q] =

@@ -169,3 +169,35 @@ object HashingEmbedder {
     }
   }
 }
+
+/** Pooling over embedding columns — the chunk-to-document aggregation
+  * step: a document's embedding is the per-dimension mean of its chunks'
+  * embeddings (the standard mean-pool a retrieval pipeline applies when
+  * the index keys documents rather than chunks).
+  *
+  * Scale design: posexplode to (id, dim, value) rows — 64x the row count
+  * but each row is 3 narrow columns, and the (id, dim) aggregation gets
+  * full map-side combine; re-assembly collects exactly `dim` values per
+  * id. No vector ever transits a shuffle whole.
+  *
+  * Determinism: components round to 6 decimals and sum in DECIMAL(28,6)
+  * — partitioning-invariant and oracle-exact. The mean itself is NOT
+  * re-rounded: an exact-decimal sum divided by an exact count is already
+  * the same correctly-rounded double on every engine, whereas rounding it
+  * WOULD diverge — a 6-decimal sum over 2 chunks lands exactly on
+  * .xxxxxx5 halfway points, where decimal-string HALF_UP (Spark) and
+  * binary-scaled rounding (DuckDB) disagree systematically. */
+object EmbeddingPooling {
+  def meanPool(chunks: DataFrame, idCol: String, vecCol: String,
+               outCol: String = "doc_embedding"): DataFrame =
+    chunks
+      .select(col(idCol), posexplode(col(vecCol).cast("array<double>")).as(Seq("__p", "__x")))
+      .groupBy(col(idCol), col("__p"))
+      .agg(
+        sum((round(col("__x"), 6) + lit(0.0)).cast("decimal(28,6)")).as("__s"),
+        count(lit(1)).as("__n"))
+      .withColumn("__m", col("__s").cast("double") / col("__n").cast("double"))
+      .groupBy(col(idCol))
+      .agg(expr("transform(array_sort(collect_list(struct(__p, __m))), s__ -> s__.__m)")
+        .as(outCol))
+}

@@ -106,6 +106,21 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(4L) == ((1L, 1.0)), s"short doc: one whole-text shingle: $got")
   }
 
+  test("meanPool: per-dim chunk mean, partitioning-invariant") {
+    import graft.embed.EmbeddingPooling
+    val chunks = Seq(
+      (1L, Array(1.0, 2.0, 3.0)), (1L, Array(3.0, 2.0, 1.0)),
+      (2L, Array(0.5, 0.5, 0.5))
+    ).toDF("doc_id", "embedding")
+    val got = EmbeddingPooling.meanPool(chunks, "doc_id", "embedding")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got(1L) == Seq(2.0, 2.0, 2.0), s"mean of the two chunks: $got")
+    assert(got(2L) == Seq(0.5, 0.5, 0.5), s"singleton doc unchanged: $got")
+    val again = EmbeddingPooling.meanPool(chunks.repartition(5), "doc_id", "embedding")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got == again, "decimal sums: partitioning-invariant")
+  }
+
   test("epochShuffle: same epoch reproducible, different epochs differ") {
     import graft.ops.Sampling
     val docs = (1 to 200).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
