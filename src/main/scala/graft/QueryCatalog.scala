@@ -4124,7 +4124,69 @@ object QueryCatalog {
         SELECT doc_id, dv[1] AS e1, dv[2] AS e2,
                ${D.dot("dv", weights)} AS checksum
         FROM mv ORDER BY doc_id"""
-      })
+      }),
+
+    // BPE tokenizer training, stage 1 (oracle-checked): adjacent-character
+    // pair counts over the word-frequency table — the aggregation every
+    // merge iteration re-runs. Top 20 with full deterministic tie-breaks.
+    Q("q_bpe_pair_counts",
+      (s, dir) => {
+        val words = graft.ops.BpeTrainer.wordFrequencies(tk(s, dir, "documents"), "text")
+        words.where(length(col("word")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(word) - 1), " +
+              "i__ -> struct(substring(word, i__, 1) AS l, substring(word, i__ + 1, 1) AS r))")).as("p"),
+            col("cnt"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).cast("long").as("n"))
+          .orderBy(desc("n"), col("l"), col("r"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH words AS (
+          SELECT word, count(*) AS cnt FROM (
+            SELECT unnest(${D.splitWs("text")}) AS word FROM documents)
+          WHERE length(word) > 0 GROUP BY word),
+        pairs0 AS (
+          SELECT word, cnt, unnest(range(1, length(word))) AS i
+          FROM words WHERE length(word) >= 2),
+        pairs AS (
+          SELECT substr(word, CAST(i AS INT), 1) AS l,
+                 substr(word, CAST(i AS INT) + 1, 1) AS r, cnt
+          FROM pairs0)
+        SELECT l, r, CAST(sum(cnt) AS BIGINT) AS n
+        FROM pairs GROUP BY l, r
+        ORDER BY n DESC, l, r LIMIT 20""")),
+
+    // BPE training, full loop (rows-only: the greedy run-collapse inside
+    // an iteration is not SQL-expressible; parity with an independent
+    // naive reference is pinned in CurationOpsSpec). 12 learned merges.
+    Q("q_bpe_vocab",
+      (s, dir) => {
+        import s.implicits._
+        val words = graft.ops.BpeTrainer.wordFrequencies(tk(s, dir, "documents"), "text")
+        graft.ops.BpeTrainer.train(words, 12)
+          .toDF("rank", "left", "right", "pair_count")
+          .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
+            col("pair_count"))
+          .orderBy("rank")
+      },
+      None),
+
+    // BPE encode of the corpus with the learned merges (rows-only; the
+    // lossless-segmentation contract is in CurationOpsSpec). Pieces join
+    // with a unit separator so the dump stays scalar-typed.
+    Q("q_bpe_segment",
+      (s, dir) => {
+        val docs = tk(s, dir, "documents")
+        val merges = graft.ops.BpeTrainer.train(
+          graft.ops.BpeTrainer.wordFrequencies(docs, "text"), 12)
+        graft.ops.BpeTrainer.segment(docs, "text", "doc_id", merges)
+          .select(col("doc_id"), col("n_pieces"),
+            concat_ws("\u001f", col("pieces")).as("pieces"))
+          .orderBy("doc_id")
+      },
+      None)
   )
 
   def all: Seq[Q] =

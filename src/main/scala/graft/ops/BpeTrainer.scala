@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE vocabulary induction (Sennrich et al. 2016, the
+  * byte-pair-encoding subword tokenizer every modern LM tokenizer
+  * descends from) — the missing "train the tokenizer" stage next to
+  * [[graft.functions.TextF.bpeTokens]]'s pretokenizer.
+  *
+  * Scale design (100 TB): the corpus is touched ONCE, to build the
+  * word-frequency table (one narrow groupBy, map-side combined) — the
+  * standard reduction: BPE statistics only depend on (distinct word,
+  * count). All `merges` iterations then run over the vocabulary table,
+  * whose size is corpus-independent (a few million rows at any corpus
+  * scale). Each iteration: one pair-count aggregation over the vocab
+  * (explode adjacent symbol pairs weighted by word count), a driver-side
+  * argmax of ONE row (the same driver-sync shape as
+  * [[Similarity.trainCentroids]]), and a broadcast greedy merge kernel.
+  * Vocab state persists per iteration; lineage is cut each round.
+  *
+  * Determinism: argmax ties break on (count DESC, left ASC, right ASC);
+  * the merge kernel is exact left-to-right greedy. Partitioning cannot
+  * affect pair counts (integer sums) or the kernel (per-row). The
+  * pair-count kernel is oracle-checked by `q_bpe_pairs`; the full loop is
+  * not SQL-expressible (greedy run-collapse inside an iteration), so the
+  * merge-table contract is pinned by parity with an independent
+  * single-threaded reference in CurationOpsSpec.
+  */
+object BpeTrainer {
+
+  /** Left-to-right greedy collapse of adjacent (l, r) into l+r. */
+  private[graft] def applyMerge(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Word-frequency table: (word, cnt) — the one corpus-sized pass. */
+  def wordFrequencies(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Train `merges` BPE merges. Returns (rank, left, right, pair_count),
+    * rank 0 = first merge learned. */
+  def train(words: DataFrame, merges: Int): Seq[(Int, String, String, Long)] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    var vocab = words.select(col("word"), col("cnt").cast("long").as("cnt"))
+      .as[(String, Long)]
+      .map { case (w, c) => (w.toCharArray.map(_.toString), c) }
+      .toDF("syms", "cnt").persist()
+    vocab.count()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (rank <- 0 until merges) {
+      // Spark's sequence(1, n) runs DESCENDING for n < 1, so 1-symbol
+      // words must be filtered out rather than relying on an empty range
+      val top = vocab
+        .where(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i__ -> struct(element_at(syms, i__) AS l, element_at(syms, i__ + 1) AS r))")).as("p"),
+          col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(desc("n"), col("l"), col("r"))
+        .limit(1).collect()
+      top.headOption match {
+        case Some(Row(l: String, r: String, n: Long)) if n >= 2 =>
+          learned += ((rank, l, r, n))
+          val next = vocab.as[(Array[String], Long)]
+            .map { case (syms, c) => (applyMerge(syms, l, r), c) }
+            .toDF("syms", "cnt").persist()
+          next.count()
+          vocab.unpersist()
+          vocab = next
+        case _ => // no pair occurs twice — vocabulary saturated
+          vocab.unpersist()
+          return learned.toSeq
+      }
+    }
+    vocab.unpersist()
+    learned.toSeq
+  }
+
+  /** Encode a token with a learned merge list: repeatedly apply the
+    * LOWEST-rank merge present (true BPE encode order, not left-to-right
+    * over ranks). */
+  private[graft] def encodeToken(word: String,
+                                 rankOf: Map[(String, String), Int]): Array[String] = {
+    var syms = word.toCharArray.map(_.toString)
+    var done = false
+    while (!done && syms.length > 1) {
+      var best = Int.MaxValue
+      var at = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val rk = rankOf.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (rk < best) { best = rk; at = i }
+        i += 1
+      }
+      if (at < 0) done = true
+      else syms = applyMerge(syms, syms(at), syms(at + 1))
+    }
+    syms
+  }
+
+  /** Segment every doc's tokens with the learned merges — a narrow
+    * per-row kernel (the merge table broadcasts via closure). Output:
+    * idCol, pieces (array<string>), n_pieces. */
+  def segment(df: DataFrame, textCol: String, idCol: String,
+              merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rankOf = merges.map(m => (m._2, m._3) -> m._1).toMap
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = Option(text).getOrElse("").trim
+          .split("\\s+").filter(_.nonEmpty)
+        val pieces = toks.flatMap(t => encodeToken(t, rankOf))
+        (id, pieces, pieces.length.toLong)
+      }
+      .toDF(idCol, "pieces", "n_pieces")
+  }
+}

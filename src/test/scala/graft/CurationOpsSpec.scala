@@ -121,6 +121,54 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got == again, "decimal sums: partitioning-invariant")
   }
 
+  test("BPE training: parity with an independent naive reference") {
+    import graft.ops.BpeTrainer
+    // independent single-threaded BPE with the same contract: argmax by
+    // (count desc, left asc, right asc), stop when no pair repeats
+    def naive(words: Map[String, Long], merges: Int): Seq[(Int, String, String, Long)] = {
+      var vocab = words.map { case (w, c) => (w.toCharArray.map(_.toString).toSeq, c) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (rank <- 0 until merges) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, c) =>
+          syms.sliding(2).filter(_.size == 2).foreach(p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + c)
+        }
+        if (counts.nonEmpty) {
+          val ((l, r), n) = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+          if (n >= 2) {
+            out += ((rank, l, r, n))
+            vocab = vocab.map { case (syms, c) =>
+              (BpeTrainer.applyMerge(syms.toArray, l, r).toSeq, c) }
+          } else return out.toSeq
+        } else return out.toSeq
+      }
+      out.toSeq
+    }
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++ Seq("aaaa", "aaaa", "banana")
+    val docs = corpus.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val words = BpeTrainer.wordFrequencies(docs, "text")
+    val got = BpeTrainer.train(words, 10)
+    val want = naive(corpus.groupBy(identity).map { case (w, g) => w -> g.size.toLong }, 10)
+    assert(got == want, s"distributed vs naive:\n  got  $got\n  want $want")
+    // the aaaa x2 rows exercise the greedy run-collapse: (a,a) count is
+    // 3 pairs/word x 2 words + banana's 0 = 6 before any merge
+    assert(want.exists { case (_, l, r, _) => l == "a" && r == "a" },
+      "self-pair merge learned from the aaaa run")
+  }
+
+  test("BPE segment: lossless, fewer pieces than chars, honors merges") {
+    import graft.ops.BpeTrainer
+    val docs = Seq((1L, "seven seas of rhye"), (2L, "sevens"), (3L, "")).toDF("doc_id", "text")
+    val merges = BpeTrainer.train(BpeTrainer.wordFrequencies(docs, "text"), 6)
+    val segs = BpeTrainer.segment(docs, "text", "doc_id", merges)
+      .as[(Long, Seq[String], Long)].collect().map(t => t._1 -> t._2).toMap
+    assert(segs(1L).mkString == "sevenseasofrhye", s"lossless concat: ${segs(1L)}")
+    assert(segs(1L).size < "sevenseasofrhye".length, "merges reduce piece count")
+    assert(segs(3L).isEmpty, "empty doc -> no pieces")
+  }
+
   test("epochShuffle: same epoch reproducible, different epochs differ") {
     import graft.ops.Sampling
     val docs = (1 to 200).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
