@@ -4126,6 +4126,47 @@ object QueryCatalog {
         FROM mv ORDER BY doc_id"""
       }),
 
+    // Margin-based bitext mining (LASER-style): side A = vec_id < 250,
+    // side B = the rest; best margin-scored B per A above 1.05. The
+    // oracle brute-forces both kNN directions; k=4 keeps the
+    // neighborhood-mean division an exact binary scaling.
+    Q("q_bitext_mine",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.mineBitext(emb.where(col("vec_id") < 250),
+            emb.where(col("vec_id") >= 250), "vec_id", "embedding", 4, 1.05)
+          .orderBy("id_a")
+      },
+      Some {
+        val cosAB = D.cosine("a.v", "b.v")
+        s"""
+        WITH a AS (SELECT vec_id, v FROM $duckEmbTable WHERE vec_id < 250),
+        b AS (SELECT vec_id, v FROM $duckEmbTable WHERE vec_id >= 250),
+        cos AS (SELECT a.vec_id AS ia, b.vec_id AS ib, $cosAB AS s FROM a, b),
+        fwd AS (SELECT ia, ib, s,
+                       row_number() OVER (PARTITION BY ia ORDER BY s DESC, ib) AS rn
+                FROM cos),
+        bwd AS (SELECT ia, ib, s,
+                       row_number() OVER (PARTITION BY ib ORDER BY s DESC, ia) AS rn
+                FROM cos),
+        aavg AS (SELECT ia, CAST(sum(CAST((round(s, 6) + CAST(0.0 AS DOUBLE)) AS DECIMAL(28,6))) AS DOUBLE) / 4 AS avg_a
+                 FROM fwd WHERE rn <= 4 GROUP BY ia),
+        bavg AS (SELECT ib, CAST(sum(CAST((round(s, 6) + CAST(0.0 AS DOUBLE)) AS DECIMAL(28,6))) AS DOUBLE) / 4 AS avg_b
+                 FROM bwd WHERE rn <= 4 GROUP BY ib),
+        margins AS (
+          SELECT ia, ib,
+                 (round((round(s, 6) + CAST(0.0 AS DOUBLE)) / ((avg_a + avg_b) / 2), 6)
+                  + CAST(0.0 AS DOUBLE)) AS margin
+          FROM fwd JOIN aavg USING (ia) JOIN bavg USING (ib)
+          WHERE rn <= 4),
+        best AS (
+          SELECT ia AS id_a,
+                 (max(struct_pack(m := margin, nib := -ib))).nib AS nib,
+                 (max(struct_pack(m := margin, nib := -ib))).m AS margin
+          FROM margins WHERE margin >= CAST(1.05 AS DOUBLE) GROUP BY ia)
+        SELECT id_a, -nib AS id_b, margin FROM best ORDER BY id_a"""
+      }),
+
     // BPE tokenizer training, stage 1 (oracle-checked): adjacent-character
     // pair counts over the word-frequency table — the aggregation every
     // merge iteration re-runs. Top 20 with full deterministic tie-breaks.
@@ -4172,6 +4213,44 @@ object QueryCatalog {
           .orderBy("rank")
       },
       None),
+
+    // Incremental near-dup screening: incoming batch (doc_id >= 400)
+    // probed against the existing corpus (doc_id < 400) — band collisions
+    // only across the two sides, verified Jaccard above 0.2.
+    Q("q_incremental_neardup",
+      (s, dir) => {
+        val docs = tk(s, dir, "documents")
+        graft.ops.Dedup.incrementalNearDups(
+            docs.where(col("doc_id") < 400), docs.where(col("doc_id") >= 400),
+            "text", "doc_id", 3, 8, 2, 0.2)
+          .select(col("id_new"), col("id_old"), r6(col("jaccard")).as("jaccard"))
+          .orderBy("id_new", "id_old")
+      },
+      Some {
+        val duckToks = s"(SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents)"
+        val duckShingles =
+          s"(SELECT doc_id, ${Exprs.wordShingles(D, "toks", 3)} AS sh FROM $duckToks)"
+        s"""
+        WITH sigs AS (
+          SELECT doc_id, ${Exprs.minhashSig(D, "sh", 8)} AS sig FROM $duckShingles),
+        banded AS (
+          SELECT doc_id, CAST(b.b AS BIGINT) AS band,
+                 md5(array_to_string(sig[(CAST(b.b AS INT) * 2 + 1):(CAST(b.b AS INT) * 2 + 2)], '|')) AS band_key
+          FROM sigs, range(0, 4) AS b(b)),
+        cand AS (
+          SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+          FROM banded n JOIN banded o
+            ON n.band = o.band AND n.band_key = o.band_key
+          WHERE n.doc_id >= 400 AND o.doc_id < 400),
+        sets AS (SELECT doc_id, list_distinct(sh) AS shs FROM $duckShingles)
+        SELECT id_new, id_old,
+               round(CAST(len(list_intersect(sn.shs, so.shs)) AS DOUBLE)
+                     / (len(sn.shs) + len(so.shs) - len(list_intersect(sn.shs, so.shs))), 6) + CAST(0.0 AS DOUBLE) AS jaccard
+        FROM cand JOIN sets sn ON sn.doc_id = id_new JOIN sets so ON so.doc_id = id_old
+        WHERE CAST(len(list_intersect(sn.shs, so.shs)) AS DOUBLE)
+              / (len(sn.shs) + len(so.shs) - len(list_intersect(sn.shs, so.shs))) >= CAST(0.2 AS DOUBLE)
+        ORDER BY id_new, id_old"""
+      }),
 
     // BPE encode of the corpus with the learned merges (rows-only; the
     // lossless-segmentation contract is in CurationOpsSpec). Pieces join

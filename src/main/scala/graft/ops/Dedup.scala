@@ -525,6 +525,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Incremental near-dup screening: which INCOMING docs near-duplicate
+    * the EXISTING corpus — the daily-crawl-vs-index shape every production
+    * dedup runs after the initial backfill. The existing side's banded
+    * signature index is the at-rest artifact (computed once, reused every
+    * batch; at scale, written bucketed on (band, band_key)); the incoming
+    * batch — typically orders of magnitude smaller — bands itself and
+    * probes it. Only (incoming x existing) band collisions are verified,
+    * so per-batch cost is O(batch + collisions), never O(corpus), and
+    * nothing ever compares existing docs to each other again.
+    * Output: (id_new, id_old, jaccard) above the threshold. */
+  def incrementalNearDups(existing: DataFrame, incoming: DataFrame,
+                          textCol: String, idCol: String, shingleN: Int = 3,
+                          k: Int = 8, rowsPerBand: Int = 2,
+                          threshold: Double = 0.5): DataFrame = {
+    def banded(df: DataFrame, as: String) =
+      minhashSignatures(df, textCol, idCol, shingleN, k).select(
+        col(idCol).as(as),
+        posexplode(expr(
+          s"transform(sequence(0, size(sig) div $rowsPerBand - 1), b -> md5(array_join(CAST(slice(sig, b * $rowsPerBand + 1, $rowsPerBand) AS ARRAY<STRING>), '|')))"))
+          .as(Seq("band", "band_key")))
+    val cand = banded(incoming, "id_new")
+      .join(banded(existing, "id_old"), Seq("band", "band_key"))
+      .select("id_new", "id_old").distinct()
+    val setsNew = shingleSets(incoming, textCol, idCol, shingleN)
+      .select(col(idCol).as("id_new"), col("sh").as("sh_n"))
+    val setsOld = shingleSets(existing, textCol, idCol, shingleN)
+      .select(col(idCol).as("id_old"), col("sh").as("sh_o"))
+    cand.join(setsNew, "id_new").join(setsOld, "id_old")
+      .withColumn("inter", size(array_intersect(col("sh_n"), col("sh_o"))))
+      .withColumn("uni", size(col("sh_n")) + size(col("sh_o")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_old"), col("jaccard"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): assign every embedding to its nearest centroid,
     * then prune cosine near-duplicates WITHIN each cluster only — the

@@ -447,6 +447,47 @@ object Similarity {
       .select(col("query_id"), col(idCol), col("rank"), col("score"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, the LASER
+    * parallel-corpus miner): for every doc on side A, score its nearest
+    * side-B neighbors by the MARGIN — cosine relative to the mean of both
+    * endpoints' k-NN cosines — and keep the best B per A above a
+    * threshold. The margin cancels hubness: a B doc that is "close to
+    * everything" has a high own-neighborhood mean, so raw-cosine hubs stop
+    * winning every pair.
+    *
+    * Scale: both directions run through [[knnJoin]] (map-side k-bounded
+    * heaps — only k rows per query survive to the shuffle); neighborhood
+    * means are O(sides); the margin join is keyed on ids. At 100 TB swap
+    * the brute-force knnJoin for the ANN variants; the margin algebra is
+    * unchanged.
+    *
+    * Determinism/oracle: scores round to 6 and sum in DECIMAL(28,6); k
+    * MUST be a power of two so the mean's division is an exact binary
+    * scaling (no rounding step for engines to disagree on); argmax ties
+    * break to the lowest B id. */
+  def mineBitext(embA: DataFrame, embB: DataFrame, idCol: String,
+                 vecCol: String, k: Int = 4, tau: Double = 1.05): DataFrame = {
+    require((k & (k - 1)) == 0, "k must be a power of two (exact mean division)")
+    def topkAvg(fwd: DataFrame, key: String): DataFrame =
+      fwd.groupBy(col(key))
+        .agg((sum((round(col("score"), 6) + lit(0.0)).cast("decimal(28,6)"))
+          .cast("double") / k).as(s"avg_$key"))
+    val fwd = knnJoin(embB, embA, idCol, vecCol, idCol, vecCol, k)
+      .select(col("query_id").as("id_a"), col(idCol).cast("long").as("id_b"), col("score"))
+    val bwd = knnJoin(embA, embB, idCol, vecCol, idCol, vecCol, k)
+      .select(col("query_id").as("id_b"), col("score"))
+    val margins = fwd
+      .join(topkAvg(fwd, "id_a"), "id_a")
+      .join(topkAvg(bwd, "id_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (round((round(col("score"), 6) + lit(0.0)) /
+          ((col("avg_id_a") + col("avg_id_b")) / 2), 6) + lit(0.0)).as("margin"))
+      .where(col("margin") >= tau)
+    margins.groupBy(col("id_a"))
+      .agg(max(struct(col("margin"), (-col("id_b")).as("nib"))).as("best"))
+      .select(col("id_a"), (-col("best.nib")).as("id_b"), col("best.margin").as("margin"))
+  }
+
   /** Radius search: every (query, vector) pair with cosine >= threshold.
     * Broadcast query side + one narrow filtered scan — a map-only stage at
     * any corpus size (output is the only thing that grows). */

@@ -169,6 +169,45 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(segs(3L).isEmpty, "empty doc -> no pieces")
   }
 
+  test("incrementalNearDups: incoming probes existing only") {
+    import graft.ops.Dedup
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different content about spark partitions here")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 1
+      (11L, "unrelated fresh crawl text with novel words entirely"),
+      (12L, "unrelated fresh crawl text with novel words entirely")  // dup of 11 — must NOT pair
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDups(existing, incoming, "text", "doc_id",
+        3, 8, 2, 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(t => (t._1, t._2)) == Seq((10L, 1L)),
+      s"only incoming-vs-existing pairs, and only real dups: $got")
+    assert(got.head._3 == 1.0, s"identical text -> jaccard 1: $got")
+  }
+
+  test("mineBitext: true pair mined, sub-margin pairs dropped") {
+    import graft.ops.Similarity
+    def v(xs: Double*): Array[Float] = xs.toArray.map(_.toFloat)
+    // A0/B0 and A1/B1 are near-identical twins; B2..B5 are noise that is
+    // uniformly mid-distance from everything (so margins stay near 1)
+    val a = Seq(
+      100L -> v(1, 0, 0, 0.1), 101L -> v(0, 1, 0, 0.1)
+    ).toDF("vec_id", "embedding")
+    val b = Seq(
+      200L -> v(1, 0.02, 0, 0.1), 201L -> v(0.02, 1, 0, 0.1),
+      202L -> v(0.5, 0.5, 0.5, 0.5), 203L -> v(0.5, 0.5, -0.5, 0.5),
+      204L -> v(-0.5, 0.5, 0.5, 0.5), 205L -> v(0.5, -0.5, 0.5, 0.5)
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mineBitext(a, b, "vec_id", "embedding", 4, 1.05)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((100L, 200L), (101L, 201L)),
+      s"each A mines its twin: ${got.toSeq}")
+    assert(got.forall(_._3 > 1.05), s"margins above threshold: ${got.toSeq}")
+  }
+
   test("epochShuffle: same epoch reproducible, different epochs differ") {
     import graft.ops.Sampling
     val docs = (1 to 200).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
