@@ -124,4 +124,52 @@ class PlanSpec extends AnyFunSuite {
     assert(!q6.contains("Join"), s"q6 must be join-free:\n$q6")
     assert(q6.contains("GreaterThanOrEqual(l_shipdate,"), s"q6 date pushdown:\n$q6")
   }
+
+  test("TPC-H Q2/Q9: argmin is a hash aggregate (no window sort), name filter pushed") {
+    val dir = "/root/testdata/sf0.001"
+    // Q2's cheapest-supplier-per-part must plan as a struct-min aggregate,
+    // never a per-group row_number sort — the difference between a hash
+    // exchange and a full sort of the part-supplier relation at 100 TB.
+    val q2 = formatted(SparkEntry.queries("q2_min_cost")(spark, dir))
+    assert(!q2.contains("Window"), s"q2 argmin must not use a window sort:\n$q2")
+    val q9 = formatted(SparkEntry.queries("q9_profit")(spark, dir))
+    assert(!q9.contains("SortMergeJoin"), s"q9 dimensions must broadcast:\n$q9")
+    assert(q9.contains("StringContains(p_name,widget)"),
+      s"q9 part-name filter must reach the parquet scan:\n$q9")
+  }
+
+  test("DSIR: bounded ratio table broadcasts back over the corpus") {
+    val docs = Seq((1L, "a b c", true), (2L, "c d e", false)).toDF("id", "text", "t")
+    val plan = formatted(graft.ops.Dsir.importanceWeights(docs, "id", "text", $"t"))
+    assert(plan.contains("BroadcastExchange"),
+      s"lambda table (bounded by bucket count) must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus-side token stream must never sort-merge:\n$plan")
+  }
+
+  test("quality classifier: weights stay 1-row broadcasts, features aggregate map-side") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "@@ ## $$")).toDF("doc_id", "text")
+    val plan = formatted(graft.ops.QualityClassifier
+      .trainAndScore(docs, "doc_id", "text", "doc_id = 1", iters = 2))
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      s"weight vector must flow as a broadcast, never a shuffle:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"no corpus-sized join anywhere in training:\n$plan")
+  }
+
+  test("semantic dedup: no cartesian product — candidates bounded by cluster key") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = emb.where($"vec_id" < 4)
+      .select($"vec_id".cast("int").as("cid"), $"embedding".cast("array<double>").as("cv"))
+    val plan = formatted(graft.ops.Dedup.semanticDedup(emb, cents, "vec_id", "embedding", 0.3))
+    assert(!plan.contains("CartesianProduct"),
+      s"pair verification must stay keyed on cluster_id:\n$plan")
+  }
+
+  test("mean-pool: per-dim sums combine map-side before the exchange") {
+    val chunks = Seq((1L, Array(1.0, 2.0)), (1L, Array(3.0, 4.0))).toDF("doc_id", "embedding")
+    val plan = formatted(graft.embed.EmbeddingPooling.meanPool(chunks, "doc_id", "embedding"))
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      s"the (id, dim) aggregation must have a partial (map-side) phase:\n$plan")
+  }
 }
