@@ -87,11 +87,11 @@ object QualityClassifier {
 
   private val S = Dialect.spark
 
-  /** Train on `docs` with label `targetPredSql` (a boolean SQL predicate
-    * over the doc row), return per-doc (idCol, score, label). */
-  def trainAndScore(docs: DataFrame, idCol: String, textCol: String,
-                    targetPredSql: String, lr: Double = 1.0,
-                    iters: Int = 5): DataFrame = {
+  /** Shared fit: returns the cached standardized feature table, the
+    * 1-row trained weights, and the 1-row standardization stats. */
+  private def fit(docs: DataFrame, idCol: String, textCol: String,
+                  targetPredSql: String, lr: Double,
+                  iters: Int): (DataFrame, DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     val raw = docs.selectExpr(
       s"`$idCol`" +: rawFeatureExprs(S, s"`$textCol`", targetPredSql): _*)
@@ -117,8 +117,68 @@ object QualityClassifier {
       w = w.crossJoin(broadcast(g))
         .selectExpr((0 to 3).map(j => updateExpr(S, j, lr)): _*)
     }
+    (feat, w, stats)
+  }
+
+  /** Train on `docs` with label `targetPredSql` (a boolean SQL predicate
+    * over the doc row), return per-doc (idCol, score, label). */
+  def trainAndScore(docs: DataFrame, idCol: String, textCol: String,
+                    targetPredSql: String, lr: Double = 1.0,
+                    iters: Int = 5): DataFrame = {
+    val (feat, w, _) = fit(docs, idCol, textCol, targetPredSql, lr, iters)
     feat.crossJoin(broadcast(w))
       .selectExpr(s"`$idCol`", s"${pExpr(S)} AS score", "y AS label")
+  }
+
+  /** A frozen model: trained weights plus the training-corpus
+    * standardization constants — everything needed to score NEW rows
+    * (batch or stream) identically to the training run. */
+  final case class TrainedModel(w: Seq[Double], mean: Seq[Double], std: Seq[Double])
+
+  /** Train and collect the frozen model (the 1-row weight/stat relations
+    * reduce to 10 doubles — the driver sync is the model hand-off, not a
+    * data collect). Mean/std derive from the exact decimal sums with the
+    * same double arithmetic `stdExprs` evaluates. */
+  def trainModel(docs: DataFrame, idCol: String, textCol: String,
+                 targetPredSql: String, lr: Double = 1.0,
+                 iters: Int = 5): TrainedModel = {
+    val (_, w, stats) = fit(docs, idCol, textCol, targetPredSql, lr, iters)
+    val wr = w.collect().head
+    val sr = stats.collect().head
+    val n = sr.getAs[Long]("sn").toDouble
+    val (means, stds) = (1 to 3).map { j =>
+      val s = sr.getAs[java.math.BigDecimal](s"s$j").doubleValue()
+      val ss = sr.getAs[java.math.BigDecimal](s"ss$j").doubleValue()
+      val m = s / n
+      (m, math.sqrt(ss / n - m * m))
+    }.unzip
+    TrainedModel((0 to 3).map(j => wr.getAs[Double](s"w$j")), means, stds)
+  }
+
+  /** Exact double literal: Double.toString is the shortest uniquely
+    * round-tripping decimal, so the parsed literal is the same double. */
+  private def dlit(x: Double): String = s"CAST($x AS DOUBLE)"
+
+  /** Score arbitrary rows (batch OR streaming — the expression is narrow
+    * and stateless) with a frozen model. Identical arithmetic to the
+    * training-time scoring pass: same feature text, standardization with
+    * the model's constants, round-6 sigmoid. */
+  def scoreWithModel(df: DataFrame, idCol: String, textCol: String,
+                     model: TrainedModel): DataFrame = {
+    val raw = df.selectExpr(
+      s"`$idCol`" +: rawFeatureExprs(S, s"`$textCol`", "FALSE"): _*)
+    val xs = (1 to 3).map { j =>
+      val sd = model.std(j - 1)
+      val e =
+        if (sd == 0.0) S.d(0.0)
+        else s"((xr$j - ${dlit(model.mean(j - 1))}) / ${dlit(sd)})"
+      r6(S, e) + s" AS x$j"
+    }
+    val z = s"(((${dlit(model.w.head)} * ${S.d(1.0)} + ${dlit(model.w(1))} * x1) + " +
+      s"${dlit(model.w(2))} * x2) + ${dlit(model.w(3))} * x3)"
+    raw.selectExpr(Seq(s"`$idCol`") ++ xs: _*)
+      .selectExpr(s"`$idCol`",
+        r6(S, s"(${S.d(1.0)} / (${S.d(1.0)} + exp(-$z)))") + " AS score")
   }
 
   /** The identical computation as one DuckDB query (unrolled CTE per

@@ -1,0 +1,24 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ops.QualityClassifier
+
+/** Batch-train / stream-score bridge: a quality model trained offline
+  * ([[QualityClassifier.trainModel]] — GD over the historical corpus) is
+  * frozen into 10 doubles and applied to live ingest as a stateless,
+  * map-only projection — no state store, no watermark, any output mode.
+  * This is how a production filter actually deploys: training wants the
+  * whole corpus and iterations; serving wants a narrow per-row kernel.
+  *
+  * Because [[QualityClassifier.scoreWithModel]] evaluates the identical
+  * arithmetic the training pass evaluated, a row scores the SAME whether
+  * it arrives in the training batch or on the stream — pinned by
+  * StreamingDedupSpec. */
+object StreamingScore {
+
+  /** Add `score` to a streaming DataFrame with a frozen model. */
+  def scoreStream(stream: DataFrame, idCol: String, textCol: String,
+                  model: QualityClassifier.TrainedModel): DataFrame =
+    QualityClassifier.scoreWithModel(stream, idCol, textCol, model)
+}

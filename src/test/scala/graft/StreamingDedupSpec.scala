@@ -151,4 +151,39 @@ class StreamingDedupSpec extends AnyFunSuite {
         s"unrelated doc must not pair: $cands")
     } finally q.stop()
   }
+
+  test("frozen quality model scores stream rows identically to the training batch") {
+    import graft.ops.QualityClassifier
+    import graft.streaming.StreamingScore
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (
+      (1 to 20).map(i => (i.toLong, s"the quick brown fox number $i jumps high")) ++
+      (21 to 40).map(i => (i.toLong, s"## @@ (($i)) %% ~~ || ;; ^^"))
+    ).toDF("doc_id", "text")
+    val model = QualityClassifier.trainModel(docs, "doc_id", "text", "doc_id <= 20")
+    val batchScores = QualityClassifier.scoreWithModel(docs, "doc_id", "text", model)
+      .as[(Long, Double)].collect().toMap
+    // training-time scores (trainAndScore) must equal frozen-model scores
+    val trainScores = QualityClassifier
+      .trainAndScore(docs, "doc_id", "text", "doc_id <= 20")
+      .as[(Long, Double, Double)].collect().map(t => t._1 -> t._2).toMap
+    assert(batchScores == trainScores,
+      "frozen-literal arithmetic must replay the training pass bit-for-bit")
+
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingScore.scoreStream(in.toDS().toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .writeStream.format("memory").queryName("score_out").outputMode("append").start()
+    try {
+      in.addData((1L, "the quick brown fox number 1 jumps high"),
+        (99L, "## @@ ((99)) %% ~~ || ;; ^^"))
+      q.processAllAvailable()
+      in.addData((3L, "the quick brown fox number 3 jumps high")) // later batch
+      q.processAllAvailable()
+      val streamed = spark.table("score_out").as[(Long, Double)].collect().toMap
+      assert(streamed(1L) == batchScores(1L) && streamed(3L) == batchScores(3L),
+        s"stream score == batch score for identical rows: $streamed")
+      assert(streamed(1L) > streamed(99L), "model separates on the stream too")
+    } finally q.stop()
+  }
 }
