@@ -22,12 +22,27 @@ import org.apache.spark.sql.functions._
   * Determinism: argmax ties break on (count DESC, left ASC, right ASC);
   * the merge kernel is exact left-to-right greedy. Partitioning cannot
   * affect pair counts (integer sums) or the kernel (per-row). The
-  * pair-count kernel is oracle-checked by `q_bpe_pairs`; the full loop is
+  * pair-count kernel is oracle-checked by `q_bpe_pair_counts`; the full loop is
   * not SQL-expressible (greedy run-collapse inside an iteration), so the
   * merge-table contract is pinned by parity with an independent
   * single-threaded reference in CurationOpsSpec.
   */
 object BpeTrainer {
+
+  /** Initial symbols are Unicode CODE POINTS, not Java chars: splitting a
+    * surrogate pair (any astral-plane character — emoji, rare CJK) into
+    * lone surrogates produces invalid strings that Spark's UTF-8 row
+    * serialization replaces with U+FFFD, corrupting the corpus. */
+  private[graft] def codePoints(w: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
 
   /** Left-to-right greedy collapse of adjacent (l, r) into l+r. */
   private[graft] def applyMerge(syms: Array[String], l: String, r: String): Array[String] = {
@@ -54,7 +69,7 @@ object BpeTrainer {
     import spark.implicits._
     var vocab = words.select(col("word"), col("cnt").cast("long").as("cnt"))
       .as[(String, Long)]
-      .map { case (w, c) => (w.toCharArray.map(_.toString), c) }
+      .map { case (w, c) => (codePoints(w), c) }
       .toDF("syms", "cnt").persist()
     vocab.count()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -94,7 +109,7 @@ object BpeTrainer {
     * over ranks). */
   private[graft] def encodeToken(word: String,
                                  rankOf: Map[(String, String), Int]): Array[String] = {
-    var syms = word.toCharArray.map(_.toString)
+    var syms = codePoints(word)
     var done = false
     while (!done && syms.length > 1) {
       var best = Int.MaxValue

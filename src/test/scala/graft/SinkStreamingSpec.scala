@@ -189,4 +189,27 @@ class SinkStreamingSpec extends AnyFunSuite {
       "52494646" + "24B10200" + "57415645" + "4C495354" + "00000000" + fmt + data)) ==
       ("wav", 2, 44100, 16, 1000L))
   }
+
+  test("pcm energy windows: silence 0, constant amplitude exact, hostile bytes empty") {
+    import spark.implicits._
+    // build a real PCM WAV: mono, 16-bit, 8000 Hz; 64 samples silence,
+    // then 64 samples at +1000, then a final PARTIAL window of 10 at -2000
+    def le16(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int): Array[Byte] =
+      Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xFF).toByte)
+    val samples = Array.fill(64)(0) ++ Array.fill(64)(1000) ++ Array.fill(10)(-2000)
+    val pcm = samples.flatMap(le16)
+    val wav = "RIFF".getBytes ++ le32(36 + pcm.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(pcm.length) ++ pcm
+    val df = Seq((1L, wav), (2L, Array[Byte](1, 2, 3, 4))).toDF("id", "content")
+    val got = BinaryColumns.pcmEnergyWindows(df, "content", "id", 64)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) == Seq((1L, 0L, 64L), (1L, 1L, 64L), (1L, 2L, 10L)),
+      s"three windows from doc 1 only, partial tail kept: $got")
+    assert(got(0)._4 == 0.0, "silence window has zero RMS")
+    assert(got(1)._4 == 1000.0, s"constant-amplitude RMS is the amplitude: ${got(1)._4}")
+    assert(got(2)._4 == 2000.0, s"negative constant amplitude: ${got(2)._4}")
+  }
 }
