@@ -2919,6 +2919,46 @@ object QueryCatalog {
         ORDER BY doc_id"""))
   )
 
+  /** PCM energy windows over REAL synthesized payloads: each doc gets 96
+    * deterministic 16-bit samples (v = (doc_id*131 + s*17) % 2001 - 1000)
+    * serialized into an actual RIFF/WAVE byte string; the kernel decodes
+    * the two's-complement bytes back and computes per-32-sample RMS. The
+    * oracle recomputes the RMS from the sample FORMULA — so the byte
+    * round-trip (LE serialization, chunk walk, sign extension) is what's
+    * being verified. Integer samples keep every sum exact: no rounding
+    * anywhere, outputs are bit-identical raw doubles. */
+  private def pcmOps: Seq[Q] = Seq(
+    Q("q_pcm_energy",
+      (s, dir) => {
+        def le(e: String, nBytes: Int): String =
+          (0 until nBytes).map(i =>
+            s"lpad(hex((($e) div ${1L << (8 * i)}) % 256), 2, '0')")
+            .mkString("concat(", ", ", ")")
+        val u = "(((doc_id * 131 + s__ * 17) % 2001 - 1000) + 65536) % 65536"
+        val pcmHex = s"array_join(transform(sequence(0, 95), " +
+          s"s__ -> concat(lpad(hex(($u) % 256), 2, '0'), " +
+          s"lpad(hex(($u) div 256), 2, '0'))), '')"
+        val withBytes = t(s, dir, "documents")
+          .withColumn("wav", unhex(expr(
+            s"""concat('52494646', ${le("36 + 192", 4)}, '57415645',
+                '666D7420', '10000000', '0100', '0100', ${le("8000", 4)},
+                ${le("16000", 4)}, '0200', '1000',
+                '64617461', ${le("192", 4)}, $pcmHex)""")))
+        graft.multimodal.BinaryColumns.pcmEnergyWindows(withBytes, "wav", "doc_id", 32)
+          .orderBy("doc_id", "window_no")
+      },
+      Some("""
+        WITH s AS (SELECT doc_id, unnest(range(0, 96)) AS s FROM documents),
+        v AS (SELECT doc_id, s // 32 AS window_no,
+                     CAST((doc_id * 131 + s * 17) % 2001 - 1000 AS DOUBLE) AS v
+              FROM s)
+        SELECT doc_id, CAST(window_no AS BIGINT) AS window_no,
+               count(*) AS n_samples,
+               sqrt(sum(v * v) / CAST(32 AS DOUBLE)) AS rms
+        FROM v GROUP BY doc_id, window_no
+        ORDER BY doc_id, window_no"""))
+  )
+
   /** Training-data pipeline operators beyond the dedup/similarity set:
     * deterministic corpus splits, sequence packing, benchmark
     * decontamination, repetition quality, edit-distance near-dup, TF-IDF. */
@@ -4271,7 +4311,7 @@ object QueryCatalog {
   def all: Seq[Q] =
     relational ++ textOps ++ vectorOps ++ ragOps ++ metaOps ++ extraOps ++
       temporalOps ++ pipelineOps ++ scaleOps ++ relationalPlus ++ trainingPlus ++
-      relationalFull ++ curationOps
+      relationalFull ++ curationOps ++ pcmOps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
