@@ -63,6 +63,16 @@ object QueryCatalog {
       graft.ops.OpqRotation.learnRotation(sample, "embedding", 64, 4)
     })
 
+  /** BPE merge-table memo, same contract as [[opqRotation]]: q_bpe_vocab
+    * and q_bpe_segment share one training run per dir (training is
+    * deterministic for a given input). */
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long)]]()
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
+    bpeCache.computeIfAbsent(dir, _ =>
+      graft.ops.BpeTrainer.train(
+        graft.ops.BpeTrainer.wordFrequencies(tk(s, dir, "documents"), "text"), 12))
+
   /** PCA model memo, same contract as [[opqRotation]]: q_pca_project and
     * q_pca_ann share one (mean, top-16 eigenvectors) fit per dir. */
   private val pcaCache =
@@ -4245,8 +4255,7 @@ object QueryCatalog {
     Q("q_bpe_vocab",
       (s, dir) => {
         import s.implicits._
-        val words = graft.ops.BpeTrainer.wordFrequencies(tk(s, dir, "documents"), "text")
-        graft.ops.BpeTrainer.train(words, 12)
+        bpeMerges(s, dir)
           .toDF("rank", "left", "right", "pair_count")
           .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
             col("pair_count"))
@@ -4298,9 +4307,7 @@ object QueryCatalog {
     Q("q_bpe_segment",
       (s, dir) => {
         val docs = tk(s, dir, "documents")
-        val merges = graft.ops.BpeTrainer.train(
-          graft.ops.BpeTrainer.wordFrequencies(docs, "text"), 12)
-        graft.ops.BpeTrainer.segment(docs, "text", "doc_id", merges)
+        graft.ops.BpeTrainer.segment(docs, "text", "doc_id", bpeMerges(s, dir))
           .select(col("doc_id"), col("n_pieces"),
             concat_ws("\u001f", col("pieces")).as("pieces"))
           .orderBy("doc_id")

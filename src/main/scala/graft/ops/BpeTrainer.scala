@@ -63,11 +63,22 @@ object BpeTrainer {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
   /** Train `merges` BPE merges. Returns (rank, left, right, pair_count),
-    * rank 0 = first merge learned. */
-  def train(words: DataFrame, merges: Int): Seq[(Int, String, String, Long)] = {
+    * rank 0 = first merge learned.
+    *
+    * Hybrid execution (the [[Dedup.connectedComponents]] pattern): the
+    * vocabulary table is corpus-size-independent, so when it fits under
+    * `driverThreshold` rows the merge loop runs driver-side over the
+    * collected (word, cnt) pairs — one Spark job total instead of two per
+    * merge, with identical semantics (same kernel, same tie-breaks).
+    * Above the threshold the loop stays fully distributed. */
+  def train(words: DataFrame, merges: Int,
+            driverThreshold: Long = 200000): Seq[(Int, String, String, Long)] = {
     val spark = words.sparkSession
     import spark.implicits._
-    var vocab = words.select(col("word"), col("cnt").cast("long").as("cnt"))
+    val freq = words.select(col("word"), col("cnt").cast("long").as("cnt"))
+    if (driverThreshold > 0 && freq.limit(driverThreshold.toInt + 1).count() <= driverThreshold)
+      return trainLocal(freq.as[(String, Long)].collect(), merges)
+    var vocab = freq
       .as[(String, Long)]
       .map { case (w, c) => (codePoints(w), c) }
       .toDF("syms", "cnt").persist()
@@ -101,6 +112,38 @@ object BpeTrainer {
       }
     }
     vocab.unpersist()
+    learned.toSeq
+  }
+
+  /** Driver-side merge loop — bit-identical contract to the distributed
+    * path (CurationOpsSpec pins the parity). */
+  private def trainLocal(freq: Array[(String, Long)],
+                         merges: Int): Seq[(Int, String, String, Long)] = {
+    var vocab = freq.map { case (w, c) => (codePoints(w), c) }
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var saturated = false
+    while (rank < merges && !saturated) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) saturated = true
+      else {
+        val ((l, r), n) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+        if (n < 2) saturated = true
+        else {
+          learned += ((rank, l, r, n))
+          vocab = vocab.map { case (syms, c) => (applyMerge(syms, l, r), c) }
+          rank += 1
+        }
+      }
+    }
     learned.toSeq
   }
 

@@ -142,9 +142,10 @@ object QualityClassifier {
   def trainModel(docs: DataFrame, idCol: String, textCol: String,
                  targetPredSql: String, lr: Double = 1.0,
                  iters: Int = 5): TrainedModel = {
-    val (_, w, stats) = fit(docs, idCol, textCol, targetPredSql, lr, iters)
+    val (feat, w, stats) = fit(docs, idCol, textCol, targetPredSql, lr, iters)
     val wr = w.collect().head
     val sr = stats.collect().head
+    feat.unpersist() // model is collected — the feature cache has no further reader
     val n = sr.getAs[Long]("sn").toDouble
     val (means, stds) = (1 to 3).map { j =>
       val s = sr.getAs[java.math.BigDecimal](s"s$j").doubleValue()

@@ -149,9 +149,13 @@ class CurationOpsSpec extends AnyFunSuite {
       Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++ Seq("aaaa", "aaaa", "banana")
     val docs = corpus.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
     val words = BpeTrainer.wordFrequencies(docs, "text")
+    // driverThreshold = 0 forces the fully-distributed loop; the default
+    // takes the driver-side hybrid — both must match the reference
+    val gotDistributed = BpeTrainer.train(words, 10, driverThreshold = 0)
     val got = BpeTrainer.train(words, 10)
     val want = naive(corpus.groupBy(identity).map { case (w, g) => w -> g.size.toLong }, 10)
-    assert(got == want, s"distributed vs naive:\n  got  $got\n  want $want")
+    assert(gotDistributed == want, s"distributed vs naive:\n  got  $gotDistributed\n  want $want")
+    assert(got == want, s"driver hybrid vs naive:\n  got  $got\n  want $want")
     // the aaaa x2 rows exercise the greedy run-collapse: (a,a) count is
     // 3 pairs/word x 2 words + banana's 0 = 6 before any merge
     assert(want.exists { case (_, l, r, _) => l == "a" && r == "a" },
