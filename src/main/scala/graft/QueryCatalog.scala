@@ -4176,6 +4176,37 @@ object QueryCatalog {
         FROM mv ORDER BY doc_id"""
       }),
 
+    // kNN label propagation: every 5th vector "loses" its label and gets
+    // one back by majority vote of its 5 nearest labeled neighbors.
+    Q("q_knn_classify",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnClassify(emb.where(col("vec_id") % 5 =!= 0),
+            emb.where(col("vec_id") % 5 === 0), "vec_id", "embedding", "label", 5)
+          .orderBy("vec_id")
+      },
+      Some {
+        val cosQL = D.cosine("q.v", "l.v")
+        s"""
+        WITH lab AS (SELECT vec_id, v, label FROM
+                       (SELECT e.vec_id, e.v, CAST(raw.label AS BIGINT) AS label
+                        FROM $duckEmbTable e JOIN embeddings raw USING (vec_id))
+                     WHERE vec_id % 5 <> 0),
+        unl AS (SELECT vec_id, v FROM $duckEmbTable WHERE vec_id % 5 = 0),
+        nn AS (
+          SELECT q.vec_id AS qid, l.label,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY $cosQL DESC, l.vec_id) AS rn
+          FROM unl q, lab l),
+        votes AS (SELECT qid, label, count(*) AS votes
+                  FROM nn WHERE rn <= 5 GROUP BY qid, label)
+        SELECT qid AS vec_id,
+               -((max(struct_pack(v := votes, nl := -label))).nl) AS predicted_label,
+               (max(struct_pack(v := votes, nl := -label))).v AS votes
+        FROM votes GROUP BY qid
+        ORDER BY vec_id"""
+      }),
+
     // Margin-based bitext mining (LASER-style): side A = vec_id < 250,
     // side B = the rest; best margin-scored B per A above 1.05. The
     // oracle brute-forces both kNN directions; k=4 keeps the

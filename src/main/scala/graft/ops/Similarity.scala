@@ -447,6 +447,32 @@ object Similarity {
       .select(col("query_id"), col(idCol), col("rank"), col("score"))
   }
 
+  /** kNN label propagation: predict a label for every unlabeled vector by
+    * majority vote of its k nearest LABELED neighbors — the standard
+    * semi-supervised labeling pass a curation pipeline runs to spread a
+    * small hand-labeled seed set (topic, quality tier, language family)
+    * over the whole corpus. Votes tie-break to the smallest label, and
+    * neighbor ties to the smallest id, so predictions are deterministic.
+    *
+    * Scale: one [[knnJoin]] (labeled corpus scanned once, map-side
+    * k-bounded heaps — only k rows per query reach the shuffle) + an
+    * O(queries x k) vote aggregate. Swap in an ANN variant for the
+    * neighbor search at full scale; the vote algebra is unchanged. */
+  def knnClassify(labeled: DataFrame, unlabeled: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val nn = knnJoin(labeled, unlabeled, idCol, vecCol, idCol, vecCol, k)
+    val labels = labeled.select(col(idCol).cast("long").as(idCol),
+      col(labelCol).cast("long").as("__lbl"))
+    nn.join(labels, idCol)
+      .groupBy(col("query_id"), col("__lbl"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("votes"), (-col("__lbl")).as("nl"))).as("best"))
+      .select(col("query_id").as(idCol),
+        (-col("best.nl")).as("predicted_label"),
+        col("best.votes").as("votes"))
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk 2019, the LASER
     * parallel-corpus miner): for every doc on side A, score its nearest
     * side-B neighbors by the MARGIN — cosine relative to the mean of both

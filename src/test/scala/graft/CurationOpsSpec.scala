@@ -237,6 +237,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.forall(_._3 > 1.05), s"margins above threshold: ${got.toSeq}")
   }
 
+  test("knnClassify: planted cluster labels are recovered by majority vote") {
+    import graft.ops.Similarity
+    def v(axis: Int, eps: Double): Array[Float] =
+      Array.tabulate(8)(j => (if (j == axis) 1.0 else eps).toFloat)
+    // two tight clusters along axes 0 and 3, labels 7 and 2; queries 100/101
+    // sit inside one cluster each
+    val labeled = (
+      (1 to 10).map(i => (i.toLong, v(0, 0.01 * (i % 3)), 7)) ++
+      (11 to 20).map(i => (i.toLong, v(3, 0.01 * (i % 3)), 2))
+    ).toDF("vec_id", "embedding", "label")
+    val unlabeled = Seq(
+      (100L, v(0, 0.005)), (101L, v(3, 0.02))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.knnClassify(labeled, unlabeled, "vec_id", "embedding", "label", 5)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(100L) == ((7L, 5L)), s"cluster-0 query gets label 7 unanimously: $got")
+    assert(got(101L) == ((2L, 5L)), s"cluster-3 query gets label 2 unanimously: $got")
+  }
+
   test("epochShuffle: same epoch reproducible, different epochs differ") {
     import graft.ops.Sampling
     val docs = (1 to 200).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
