@@ -4176,6 +4176,17 @@ object QueryCatalog {
         FROM mv ORDER BY doc_id"""
       }),
 
+    // End-to-end quality filter: gopher bounds + repetition + exact-dup
+    // composed into keep/drop with an auditable reason list, one scan.
+    Q("q_quality_filter",
+      (s, dir) =>
+        graft.ops.Curation.qualityFilter(t(s, dir, "documents"), "text", "doc_id")
+          .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id, keep, reasons FROM (
+          ${graft.ops.Curation.oracleSql(D, "documents", "doc_id", "text")}
+        ) ORDER BY doc_id""")),
+
     // kNN label propagation: every 5th vector "loses" its label and gets
     // one back by majority vote of its 5 nearest labeled neighbors.
     Q("q_knn_classify",

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sqlgen.{Dialect, Exprs}
+
+/** End-to-end corpus quality filter: the composed keep/drop decision a
+  * curation run actually executes, with per-doc REASONS — every signal
+  * already exists as a standalone operator (gopher-style bounds,
+  * repetition, exact dedup); this op is the production composition: one
+  * declarative plan in which Catalyst fuses all narrow signal kernels
+  * into a single corpus scan, plus one md5-key aggregation for the
+  * duplicate rule. Rejecting with reasons (not just a boolean) is what
+  * makes a filter auditable — the reason histogram is the first thing a
+  * data team reads after a run.
+  *
+  * Every rule is ONE dialect-parameterized formula text, shared verbatim
+  * with the DuckDB oracle via [[oracleSql]]. */
+object Curation {
+
+  /** (rule name, violation predicate over columns text/__wc/__sh). */
+  private def rules(dl: Dialect): Seq[(String, String)] = {
+    val wc = "CAST(__wc AS DOUBLE)"
+    val mwl = s"(CAST(length(__t) AS DOUBLE) / $wc)"
+    val uniq = s"(CAST(${dl.size(dl.arrayDistinct("__sh"))} AS DOUBLE) / CAST(${dl.size("__sh")} AS DOUBLE))"
+    Seq(
+      ("too_short", "__wc < 25"),
+      ("too_long", "__wc > 10000"),
+      ("word_shape", s"($mwl < ${dl.d(2.0)} OR $mwl > ${dl.d(12.0)})"),
+      ("repetitive", s"$uniq < ${dl.d(0.95)}"))
+  }
+
+  /** The shared reason-list text: sorted names of violated rules plus an
+    * externally-supplied duplicate predicate. */
+  private def reasonsExpr(dl: Dialect, dupPred: String): String = {
+    val cases = rules(dl).map { case (name, pred) =>
+      s"CASE WHEN $pred THEN ${dl.str(name)} END"
+    } :+ s"CASE WHEN $dupPred THEN ${dl.str("duplicate")} END"
+    val arr =
+      if (dl.duck) cases.mkString("[", ", ", "]")
+      else cases.mkString("array(", ", ", ")")
+    // DuckDB's array_to_string returns NULL (not '') for an empty list —
+    // coalesce so "no violations" reads identically on both engines
+    s"COALESCE(${dl.arrayJoin(dl.arraySort(dl.filter(arr, "x__", "x__ IS NOT NULL")), ",")}, '')"
+  }
+
+  private val S = Dialect.spark
+
+  /** Returns (idCol, keep, reasons) for every doc. */
+  def qualityFilter(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = docs.selectExpr(s"`$idCol`", s"`$textCol` AS __t", s"md5(`$textCol`) AS __h")
+      .selectExpr("*", s"${S.splitWs("__t")} AS __toks")
+      .selectExpr("*", s"${S.size("__toks")} AS __wc",
+        s"${Exprs.wordShingles(S, "__toks", 3)} AS __sh")
+    val keepers = base.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__keep_id"))
+    val flagged = base.join(keepers, "__h")
+      .withColumn("__isdup", col(idCol) =!= col("__keep_id"))
+    flagged
+      .selectExpr(s"`$idCol`", s"${reasonsExpr(S, "__isdup")} AS reasons")
+      .selectExpr(s"`$idCol`", "reasons = '' AS keep", "reasons")
+  }
+
+  /** Identical computation for DuckDB (duplicate rule via a window min —
+    * same keeper semantics as the aggregation join). */
+  def oracleSql(dl: Dialect, fromSql: String, idCol: String, textCol: String): String =
+    s"""
+    WITH base AS (
+      SELECT $idCol, $textCol AS __t, ${dl.splitWs(textCol)} AS __toks,
+             min($idCol) OVER (PARTITION BY md5($textCol)) AS __keep_id
+      FROM $fromSql),
+    feat AS (
+      SELECT $idCol, __t, ${dl.size("__toks")} AS __wc,
+             ${Exprs.wordShingles(dl, "__toks", 3)} AS __sh,
+             ($idCol <> __keep_id) AS __isdup
+      FROM base),
+    r AS (SELECT $idCol, ${reasonsExpr(dl, "__isdup")} AS reasons FROM feat)
+    SELECT $idCol, reasons = '' AS keep, reasons FROM r"""
+}

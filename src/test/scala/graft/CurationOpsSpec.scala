@@ -256,6 +256,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(101L) == ((2L, 5L)), s"cluster-3 query gets label 2 unanimously: $got")
   }
 
+  test("qualityFilter: each rule fires with its reason; duplicates keep min id") {
+    import graft.ops.Curation
+    val good = Seq.tabulate(30)(i => s"prose$i").mkString(" ") // varied shingles
+    val docs = Seq(
+      (1L, good),
+      (2L, "short doc"),                                      // too_short
+      (3L, ("spark " * 40).trim),                             // repetitive (1 distinct shingle), 40 words
+      (4L, (("a " * 30).trim)),                               // word_shape (mwl < 2) + repetitive
+      (5L, good),                                             // duplicate of 1
+      (6L, (Seq.tabulate(30)(i => s"w$i").mkString(" ")))     // clean
+    ).toDF("doc_id", "text")
+    val got = Curation.qualityFilter(docs, "text", "doc_id")
+      .as[(Long, Boolean, String)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(2L) == ((false, "too_short")), s"$got")
+    assert(got(3L) == ((false, "repetitive")), s"$got")
+    assert(got(4L) == ((false, "repetitive,word_shape")), s"multi-reason sorted: $got")
+    assert(got(5L) == ((false, "duplicate")), s"dup keeps min id: $got")
+    assert(got(1L) == ((true, "")) && got(6L) == ((true, "")), s"$got")
+  }
+
   test("epochShuffle: same epoch reproducible, different epochs differ") {
     import graft.ops.Sampling
     val docs = (1 to 200).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
