@@ -4176,6 +4176,43 @@ object QueryCatalog {
         FROM mv ORDER BY doc_id"""
       }),
 
+    // C2 markdown heading splitter, oracled: markdown is synthesized
+    // in-engine (an H1, a body slice, an H2, a tail slice), then split at
+    // ATX heading boundaries keeping each heading with its section.
+    Q("q_md_sections",
+      (s, dir) => {
+        val mdExpr = "concat('# ', substring(text, 1, 24), chr(10), " +
+          "substring(text, 25, 120), chr(10), " +
+          "'## sub ', CAST(doc_id AS STRING), chr(10), substring(text, 145, 80))"
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), expr(mdExpr).as("md"))
+        graft.chunk.Chunking.explodeMarkdownSections(docs, "md")
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            col("chunk_text"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""
+        WITH md AS (
+          SELECT doc_id,
+                 concat('# ', substring(text, 1, 24), chr(10),
+                        substring(text, 25, 120), chr(10),
+                        '## sub ', CAST(doc_id AS VARCHAR), chr(10),
+                        substring(text, 145, 80)) AS m
+          FROM documents),
+        tagged AS (
+          SELECT doc_id,
+                 regexp_replace(m, '(?m)^(#{1,6} )', chr(1) || '\1', 'g') AS tm
+          FROM md),
+        secs AS (
+          SELECT doc_id,
+                 list_filter(string_split(tm, chr(1)), s__ -> trim(s__) <> '') AS ss
+          FROM tagged),
+        idx AS (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i FROM secs)
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+               ss[CAST(i AS INT)] AS chunk_text
+        FROM idx
+        ORDER BY doc_id, chunk_idx""")),
+
     // End-to-end quality filter: gopher bounds + repetition + exact-dup
     // composed into keep/drop with an auditable reason list, one scan.
     Q("q_quality_filter",
