@@ -4176,6 +4176,31 @@ object QueryCatalog {
         FROM mv ORDER BY doc_id"""
       }),
 
+    // Multi-pattern keyword tagging: the engine runs an Aho-Corasick
+    // automaton (one pass, dictionary-size-independent); the oracle
+    // brute-forces contains() per term — small dictionaries make the
+    // equivalence checkable while the engine keeps the scalable kernel.
+    Q("q_keyword_tags",
+      (s, dir) => {
+        val dict = Seq("spark", "join", "batch", "window", "merge",
+          "customer", "vector", "stream", "zzz-absent")
+        graft.functions.KeywordTagger.tagDocuments(
+            tk(s, dir, "documents"), "text", "doc_id", dict)
+          .orderBy("doc_id")
+      },
+      Some {
+        val dictSql = D.strArray(Seq("spark", "join", "batch", "window", "merge",
+          "customer", "vector", "stream", "zzz-absent"))
+        s"""
+        SELECT doc_id,
+               array_to_string(list_sort(list_filter($dictSql,
+                 t__ -> strpos(text, t__) > 0)), ',') AS tags,
+               CAST(len(list_filter($dictSql,
+                 t__ -> strpos(text, t__) > 0)) AS BIGINT) AS n_tags
+        FROM documents
+        ORDER BY doc_id"""
+      }),
+
     // C2 markdown heading splitter, oracled: markdown is synthesized
     // in-engine (an H1, a body slice, an H2, a tail slice), then split at
     // ATX heading boundaries keeping each heading with its section.

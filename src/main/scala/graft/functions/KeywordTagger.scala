@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-pattern keyword tagging via an Aho-Corasick automaton — the
+  * FlashText/blocklist primitive of corpus curation: tag every document
+  * with which dictionary terms it contains (safety blocklists, topic
+  * lexicons, PII keyword nets) in ONE pass over the text, independent of
+  * dictionary size. A contains()-per-term scan is O(terms x chars) and
+  * dies at a 10^5-term blocklist; the automaton is O(chars + matches).
+  *
+  * Scale: the automaton builds once on the driver (O(dictionary) memory,
+  * goto/fail/output arrays) and ships to executors in the task closure —
+  * a broadcast-sized model, the same deployment shape as
+  * [[graft.ops.QualityClassifier.TrainedModel]]. The scan is a narrow
+  * mapPartitions kernel; no shuffle.
+  *
+  * Semantics: case-sensitive substring matching (no word boundaries);
+  * every dictionary term occurring anywhere in the text is reported once,
+  * sorted — which is exactly `contains()` per term, so the DuckDB oracle
+  * can brute-force small dictionaries while the engine runs the automaton
+  * (q_keyword_tags pins the equivalence on real data). */
+object KeywordTagger {
+
+  /** Immutable automaton: flat arrays, safe to serialize into closures. */
+  final class Automaton private[KeywordTagger] (
+      val next: Array[Array[Int]], // next(state) = sparse map char -> state (sorted keys)
+      val chars: Array[Array[Char]],
+      val fail: Array[Int],
+      val out: Array[List[Int]], // term indices recognized at this state
+      val terms: Array[String]) extends Serializable {
+
+    private def step(state: Int, c: Char): Int = {
+      var s = state
+      while (true) {
+        val i = java.util.Arrays.binarySearch(chars(s), c)
+        if (i >= 0) return next(s)(i)
+        if (s == 0) return 0
+        s = fail(s)
+      }
+      0
+    }
+
+    /** Distinct matched terms, sorted. */
+    def matchesIn(text: String): Array[String] = {
+      if (text == null || text.isEmpty) return Array.empty
+      val hits = scala.collection.mutable.SortedSet.empty[Int]
+      var s = 0
+      var i = 0
+      while (i < text.length) {
+        s = step(s, text.charAt(i))
+        out(s).foreach(hits += _)
+        i += 1
+      }
+      hits.iterator.map(terms).toArray
+    }
+  }
+
+  /** Classic goto/fail/output construction (Aho & Corasick 1975). */
+  def build(dictionary: Seq[String]): Automaton = {
+    val terms = dictionary.filter(t => t != null && t.nonEmpty).distinct.sorted.toArray
+    val goto = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.TreeMap.empty[Char, Int])
+    val outB = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+    terms.zipWithIndex.foreach { case (t, ti) =>
+      var s = 0
+      t.foreach { c =>
+        s = goto(s).getOrElseUpdate(c, {
+          goto += scala.collection.mutable.TreeMap.empty[Char, Int]
+          outB += Nil
+          goto.size - 1
+        })
+      }
+      outB(s) = ti :: outB(s)
+    }
+    val n = goto.size
+    val fail = new Array[Int](n)
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    goto(0).values.foreach { s => fail(s) = 0; queue += s }
+    while (queue.nonEmpty) {
+      val r = queue.dequeue()
+      goto(r).foreach { case (c, s) =>
+        queue += s
+        var f = fail(r)
+        while (f != 0 && !goto(f).contains(c)) f = fail(f)
+        fail(s) = if (s != goto(f).getOrElse(c, 0)) goto(f).getOrElse(c, 0) else 0
+        outB(s) = outB(s) ::: outB(fail(s))
+      }
+    }
+    new Automaton(
+      goto.map(_.values.toArray).toArray,
+      goto.map(_.keys.toArray).toArray,
+      fail, outB.toArray, terms)
+  }
+
+  /** Adds `tags` (comma-joined sorted matched terms) and `n_tags`. */
+  def tagDocuments(df: DataFrame, textCol: String, idCol: String,
+                   dictionary: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ac = build(dictionary)
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val m = ac.matchesIn(text)
+          (id, m.mkString(","), m.length.toLong)
+        }
+      }
+      .toDF(idCol, "tags", "n_tags")
+  }
+}

@@ -276,6 +276,32 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(1L) == ((true, "")) && got(6L) == ((true, "")), s"$got")
   }
 
+  test("keyword tagger: Aho-Corasick matches == naive contains (incl. overlaps)") {
+    import graft.functions.KeywordTagger
+    // the canonical AC example: overlapping/suffix patterns
+    val dict = Seq("he", "she", "his", "hers", "ushers")
+    val ac = KeywordTagger.build(dict)
+    assert(ac.matchesIn("ushers").toSeq == Seq("he", "hers", "she", "ushers"),
+      "suffix outputs via fail links")
+    assert(ac.matchesIn("his house").toSeq == Seq("his"))
+    assert(ac.matchesIn("").isEmpty && ac.matchesIn(null).isEmpty)
+    // fuzz parity with naive contains over random text
+    val rng = new scala.util.Random(42)
+    val fuzzDict = Seq("ab", "ba", "aba", "bab", "aa", "abc")
+    val fac = KeywordTagger.build(fuzzDict)
+    (1 to 200).foreach { _ =>
+      val t = (0 until rng.nextInt(30)).map(_ => "ab" (rng.nextInt(2))).mkString
+      val want = fuzzDict.filter(t.contains).sorted
+      assert(fac.matchesIn(t).toSeq == want, s"text '$t'")
+    }
+    // DataFrame surface
+    val docs = Seq((1L, "she sells seashells"), (2L, "nada found"))
+      .toDF("doc_id", "text")
+    val got = KeywordTagger.tagDocuments(docs, "text", "doc_id", dict)
+      .as[(Long, String, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(1L) == (("he,she", 2L)) && got(2L) == (("", 0L)), s"$got")
+  }
+
   test("epochShuffle: same epoch reproducible, different epochs differ") {
     import graft.ops.Sampling
     val docs = (1 to 200).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
