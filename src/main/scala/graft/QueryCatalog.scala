@@ -2969,6 +2969,175 @@ object QueryCatalog {
         ORDER BY doc_id, window_no"""))
   )
 
+  /** Deterministic PNG synthesis for the decoded-pixel oracles: paints the
+    * `key`-seeded pixel formula (row-major, x = p % w, y = p / w)
+    *   r = (key*7 + x*13 + y*31) % 256   [perturbed: r - r%16 + 8 where
+    *                                      (x*7 + y*11) % 13 == 0]
+    *   g = (key*11 + x*3 + y*17) % 256
+    *   b = (key*5 + x*23 + y*29) % 256
+    * and losslessly PNG-encodes it. The ORACLE recomputes every feature
+    * from this formula in SQL, so the whole ImageIO encode→decode byte
+    * round-trip is what gets verified (the q_pcm_energy pattern). */
+  private val synthPngUdf = udf((key: Long, w: Int, h: Int, perturb: Boolean) => {
+    val rgb = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r0 = ((key * 7 + x * 13 + y * 31) % 256).toInt
+        val r = if (perturb && (x * 7 + y * 11) % 13 == 0) r0 - r0 % 16 + 8 else r0
+        val g = ((key * 11 + x * 3 + y * 17) % 256).toInt
+        val b = ((key * 5 + x * 23 + y * 29) % 256).toInt
+        rgb(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    graft.multimodal.ImageCodec.encodePng(w, h, rgb)
+  })
+
+  /** Assemble one 32-bit half of a perceptual hash from (i, bit) rows —
+    * shared by both image-pixel oracles; halves keep every value in
+    * non-negative BIGINT range on both engines. */
+  private def duckHashHalf(lo: Boolean, as: String): String =
+    if (lo)
+      s"CAST(sum(CASE WHEN i < 32 THEN bit * (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS $as"
+    else
+      s"CAST(sum(CASE WHEN i >= 32 THEN bit * (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS $as"
+
+  /** REAL decoded-pixel image features (ImageIO decode in-engine; oracle
+    * recomputes from the pixel formula — any decode/luma/blocking error
+    * hash-mismatches) + pixel-level image near-dup over the banded
+    * perceptual-hash join. */
+  private def imagePixelOps: Seq[Q] = Seq(
+    // Decode verification: per-doc synthesized PNG (dims vary 16-20 x
+    // 16-22 so the floor block mapping hits UNEVEN blocks), decoded by
+    // ImageCodec; exact integer channel sums + aHash/dHash halves.
+    Q("q_image_pixels",
+      (s, dir) => {
+        val withImg = t(s, dir, "documents")
+          .withColumn("img", synthPngUdf(col("doc_id"),
+            (col("doc_id") % 5 + 16).cast("int"),
+            (col("doc_id") % 7 + 16).cast("int"), lit(false)))
+        graft.multimodal.ImageCodec.withImagePixelStats(withImg, "img")
+          .select(col("doc_id"),
+            col("img_w").cast("long").as("img_w"),
+            col("img_h").cast("long").as("img_h"),
+            col("sum_r"), col("sum_g"), col("sum_b"),
+            expr("ahash & 4294967295").as("ahash_lo"),
+            expr("shiftright(ahash, 32) & 4294967295").as("ahash_hi"),
+            expr("dhash & 4294967295").as("dhash_lo"),
+            expr("shiftright(dhash, 32) & 4294967295").as("dhash_hi"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH px AS (
+          SELECT doc_id,
+                 CAST(doc_id % 5 + 16 AS BIGINT) AS w,
+                 CAST(doc_id % 7 + 16 AS BIGINT) AS h,
+                 unnest(range(0, (doc_id % 5 + 16) * (doc_id % 7 + 16))) AS p
+          FROM documents),
+        g AS (
+          SELECT doc_id, w, h,
+                 (doc_id * 7 + (p % w) * 13 + (p // w) * 31) % 256 AS r,
+                 (doc_id * 11 + (p % w) * 3 + (p // w) * 17) % 256 AS g,
+                 (doc_id * 5 + (p % w) * 23 + (p // w) * 29) % 256 AS b,
+                 ((p % w) * 8) // w AS bx, ((p // w) * 8) // h AS by,
+                 ((p % w) * 9) // w AS cx
+          FROM px),
+        g2 AS (SELECT *, 299 * r + 587 * g + 114 * b AS gray FROM g),
+        tot AS (
+          SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+                 CAST(sum(r) AS BIGINT) AS sum_r,
+                 CAST(sum(g) AS BIGINT) AS sum_g,
+                 CAST(sum(b) AS BIGINT) AS sum_b,
+                 CAST(sum(gray) AS BIGINT) AS total, count(*) AS n
+          FROM g2 GROUP BY doc_id),
+        ab AS (SELECT doc_id, by, bx, CAST(sum(gray) AS BIGINT) AS s2,
+                      count(*) AS c2
+               FROM g2 GROUP BY doc_id, by, bx),
+        abit AS (SELECT ab.doc_id, ab.by * 8 + ab.bx AS i,
+                        CASE WHEN ab.s2 * tot.n >= tot.total * ab.c2
+                             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+                 FROM ab JOIN tot USING (doc_id)),
+        ah AS (SELECT doc_id, ${duckHashHalf(lo = true, "ahash_lo")},
+                      ${duckHashHalf(lo = false, "ahash_hi")}
+               FROM abit GROUP BY doc_id),
+        db AS (SELECT doc_id, by, cx, CAST(sum(gray) AS BIGINT) AS s2,
+                      count(*) AS c2
+               FROM g2 GROUP BY doc_id, by, cx),
+        dbit AS (SELECT l.doc_id, l.by * 8 + l.cx AS i,
+                        CASE WHEN r2.s2 * l.c2 > l.s2 * r2.c2
+                             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+                 FROM db l JOIN db r2 ON l.doc_id = r2.doc_id
+                                     AND l.by = r2.by AND r2.cx = l.cx + 1
+                 WHERE l.cx < 8),
+        dh AS (SELECT doc_id, ${duckHashHalf(lo = true, "dhash_lo")},
+                      ${duckHashHalf(lo = false, "dhash_hi")}
+               FROM dbit GROUP BY doc_id)
+        SELECT doc_id, w AS img_w, h AS img_h, sum_r, sum_g, sum_b,
+               ahash_lo, ahash_hi, dhash_lo, dhash_hi
+        FROM tot JOIN ah USING (doc_id) JOIN dh USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // Pixel-level image near-dup: docs 100-199 are perturbed copies of
+    // 0-99 (small quantized nudge on ~1/13 of red pixels), everything
+    // else independent; the engine decodes, aHashes, and band-joins
+    // (8x8-bit LSH — full recall at hamming <= 6 by pigeonhole), and the
+    // oracle recomputes aHash from the formula and brute-forces all
+    // pairs, which is equivalent BY THE SAME pigeonhole bound — so the
+    // banded plan's recall itself is under test.
+    Q("q_image_neardup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("img", synthPngUdf(
+            expr("CASE WHEN doc_id >= 100 AND doc_id < 200 THEN doc_id - 100 ELSE doc_id END"),
+            lit(16), lit(16),
+            expr("doc_id >= 100 AND doc_id < 200")))
+        graft.multimodal.ImageCodec.imageNearDupPairs(docs, "doc_id", "img", 6)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id >= 100 AND doc_id < 200
+                      THEN doc_id - 100 ELSE doc_id END AS key,
+                 (doc_id >= 100 AND doc_id < 200) AS pert
+          FROM documents),
+        px AS (SELECT doc_id, key, pert, unnest(range(0, 256)) AS p FROM d),
+        c AS (
+          SELECT doc_id, pert, p % 16 AS x, p // 16 AS y,
+                 (key * 7 + (p % 16) * 13 + (p // 16) * 31) % 256 AS r0,
+                 (key * 11 + (p % 16) * 3 + (p // 16) * 17) % 256 AS g,
+                 (key * 5 + (p % 16) * 23 + (p // 16) * 29) % 256 AS b
+          FROM px),
+        g2 AS (
+          SELECT doc_id,
+                 (x * 8) // 16 AS bx, (y * 8) // 16 AS by,
+                 299 * (CASE WHEN pert AND (x * 7 + y * 11) % 13 = 0
+                             THEN r0 - (r0 % 16) + 8 ELSE r0 END)
+                 + 587 * g + 114 * b AS gray
+          FROM c),
+        tot AS (SELECT doc_id, CAST(sum(gray) AS BIGINT) AS total, count(*) AS n
+                FROM g2 GROUP BY doc_id),
+        ab AS (SELECT doc_id, by, bx, CAST(sum(gray) AS BIGINT) AS s2,
+                      count(*) AS c2
+               FROM g2 GROUP BY doc_id, by, bx),
+        abit AS (SELECT ab.doc_id, ab.by * 8 + ab.bx AS i,
+                        CASE WHEN ab.s2 * tot.n >= tot.total * ab.c2
+                             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+                 FROM ab JOIN tot USING (doc_id)),
+        ah AS (SELECT doc_id,
+                      CAST(sum(CASE WHEN i < 32 THEN bit * (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS lo,
+                      CAST(sum(CASE WHEN i >= 32 THEN bit * (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS hi
+               FROM abit GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+        FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6
+        ORDER BY id_a, id_b"""))
+  )
+
   /** Training-data pipeline operators beyond the dedup/similarity set:
     * deterministic corpus splits, sequence packing, benchmark
     * decontamination, repetition quality, edit-distance near-dup, TF-IDF. */
@@ -4282,8 +4451,9 @@ object QueryCatalog {
 
     // Margin-based bitext mining (LASER-style): side A = vec_id < 250,
     // side B = the rest; best margin-scored B per A above 1.05. The
-    // oracle brute-forces both kNN directions; k=4 keeps the
-    // neighborhood-mean division an exact binary scaling.
+    // oracle brute-forces both kNN directions; the neighborhood mean
+    // divides by the actual neighbor count and re-rounds to 6 (the
+    // repo-wide cross-engine containment), mirroring mineBitext.
     Q("q_bitext_mine",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -4303,13 +4473,17 @@ object QueryCatalog {
         bwd AS (SELECT ia, ib, s,
                        row_number() OVER (PARTITION BY ib ORDER BY s DESC, ia) AS rn
                 FROM cos),
-        aavg AS (SELECT ia, CAST(sum(CAST((round(s, 6) + CAST(0.0 AS DOUBLE)) AS DECIMAL(28,6))) AS DOUBLE) / 4 AS avg_a
+        aavg AS (SELECT ia, sum(CAST((round(s, 6) + CAST(0.0 AS DOUBLE)) AS DECIMAL(28,6))) AS sum_a,
+                        count(*) AS n_a
                  FROM fwd WHERE rn <= 4 GROUP BY ia),
-        bavg AS (SELECT ib, CAST(sum(CAST((round(s, 6) + CAST(0.0 AS DOUBLE)) AS DECIMAL(28,6))) AS DOUBLE) / 4 AS avg_b
+        bavg AS (SELECT ib, sum(CAST((round(s, 6) + CAST(0.0 AS DOUBLE)) AS DECIMAL(28,6))) AS sum_b,
+                        count(*) AS n_b
                  FROM bwd WHERE rn <= 4 GROUP BY ib),
         margins AS (
           SELECT ia, ib,
-                 (round((round(s, 6) + CAST(0.0 AS DOUBLE)) / ((avg_a + avg_b) / 2), 6)
+                 (round((round(s, 6) + CAST(0.0 AS DOUBLE))
+                        * CAST(2 * n_a * n_b AS DOUBLE)
+                        / CAST(sum_a * n_b + sum_b * n_a AS DOUBLE), 6)
                   + CAST(0.0 AS DOUBLE)) AS margin
           FROM fwd JOIN aavg USING (ia) JOIN bavg USING (ib)
           WHERE rn <= 4),
@@ -4422,7 +4596,7 @@ object QueryCatalog {
   def all: Seq[Q] =
     relational ++ textOps ++ vectorOps ++ ragOps ++ metaOps ++ extraOps ++
       temporalOps ++ pipelineOps ++ scaleOps ++ relationalPlus ++ trainingPlus ++
-      relationalFull ++ curationOps ++ pcmOps
+      relationalFull ++ curationOps ++ pcmOps ++ imagePixelOps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

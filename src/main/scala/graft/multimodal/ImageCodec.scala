@@ -1,0 +1,203 @@
+package graft.multimodal
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** REAL decoded-pixel image features via JDK ImageIO — `javax.imageio`
+  * ships in every JDK, so PNG/JPEG/GIF/BMP decode needs zero external
+  * dependencies. This retires the byte-histogram stand-in
+  * ([[BinaryColumns.ByteStatsDecoder]]) for images: pixels are actually
+  * decoded, and the features below are defined in EXACT integer
+  * arithmetic so an independent oracle can recompute them from a pixel
+  * formula (the synthesize → encode → decode → arithmetic-check pattern
+  * `q_pcm_energy` established for WAV).
+  *
+  * Features per image:
+  *   - width / height (decoded, not container-header) and per-channel
+  *     integer sums — exact, order-independent;
+  *   - perceptual aHash (64-bit): fixed-point luma `gray = 299r+587g+114b`
+  *     per pixel; pixel (x,y) maps to block `(x*8/w, y*8/h)` (floor — well
+  *     defined for ANY dims, no resampling filter to disagree on); bit
+  *     `by*8+bx` set iff the block's mean luma >= the global mean, compared
+  *     by integer cross-multiply `S_b * N >= total * n_b` (no division, no
+  *     floating point, bit-exact on every engine);
+  *   - perceptual dHash (64-bit): 8 row-bands x 9 column-bands of luma;
+  *     bit `ry*8+cx` set iff column `cx+1`'s mean > column `cx`'s mean
+  *     within the row band — same cross-multiply exactness.
+  *
+  * Scale shape: decode is a narrow per-row kernel (one ImageIO call per
+  * payload, no shuffle); everything that leaves the kernel is a handful of
+  * longs — image bytes never transit an exchange. Near-dup pairing moves
+  * only (id, 64-bit hash) through an 8-band LSH join: by pigeonhole, two
+  * hashes within hamming distance 7 must agree exactly on at least one of
+  * the 8 disjoint bytes, so the band join has FULL recall for
+  * `maxHamming <= 7` while never comparing all pairs.
+  *
+  * The multimodal surface is beyond the reference's scope (training-data
+  * north star); the triage-then-decode staging parallels the reference's
+  * PDF reader guard (`src/lightspeed_rag_content/pdf/pdf_reader.py:83-149`).
+  */
+object ImageCodec {
+
+  /** Exact-integer decoded-image feature record; see object docs. */
+  final case class ImageStats(width: Int, height: Int, sumR: Long,
+                              sumG: Long, sumB: Long, aHash: Long, dHash: Long)
+
+  /** a*b >= c*d without overflow: long fast path, BigInt above the bound
+    * where `lumaSum * pixelCount` can exceed 2^63 (luma <= 255000/pixel,
+    * so 255000*n^2 overflows past n ≈ 6 MP). */
+  @inline private def geMul(a: Long, b: Long, c: Long, d: Long, big: Boolean): Boolean =
+    if (!big) a * b >= c * d else BigInt(a) * BigInt(b) >= BigInt(c) * BigInt(d)
+
+  @inline private def gtMul(a: Long, b: Long, c: Long, d: Long, big: Boolean): Boolean =
+    if (!big) a * b > c * d else BigInt(a) * BigInt(b) > BigInt(c) * BigInt(d)
+
+  /** Decode any ImageIO-supported payload (PNG/JPEG/GIF/BMP) and compute
+    * the exact-integer stats; null for undecodable/empty payloads —
+    * the caller keeps or routes nulls, the kernel never throws. */
+  def decodeStats(bytes: Array[Byte]): ImageStats = {
+    if (bytes == null || bytes.isEmpty) return null
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0) return null
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var total = 0L
+    val aSum = new Array[Long](64); val aCnt = new Array[Long](64)
+    val dSum = new Array[Long](72); val dCnt = new Array[Long](72)
+    var y = 0
+    while (y < h) {
+      val by = (y.toLong * 8 / h).toInt
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xFF
+        val g = (rgb >> 8) & 0xFF
+        val b = rgb & 0xFF
+        sumR += r; sumG += g; sumB += b
+        val gray = 299L * r + 587L * g + 114L * b
+        total += gray
+        val bx = (x.toLong * 8 / w).toInt
+        aSum(by * 8 + bx) += gray; aCnt(by * 8 + bx) += 1
+        val cx = (x.toLong * 9 / w).toInt
+        dSum(by * 9 + cx) += gray; dCnt(by * 9 + cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    // sums bound by 255000*n, so cross-multiply fits a long below ~6 MP
+    val big = n > 6000000L
+    var aHash = 0L; var dHash = 0L
+    var i = 0
+    while (i < 64) {
+      val by = i / 8; val bx = i % 8
+      // empty blocks (w or h < 8) stay 0 — 0*n >= total*0 would
+      // spuriously set them, and a group-by oracle never sees them
+      if (aCnt(i) > 0 && geMul(aSum(i), n, total, aCnt(i), big)) aHash |= (1L << i)
+      val l = by * 9 + bx
+      if (gtMul(dSum(l + 1), dCnt(l), dSum(l), dCnt(l + 1), big)) dHash |= (1L << i)
+      i += 1
+    }
+    ImageStats(w, h, sumR, sumG, sumB, aHash, dHash)
+  }
+
+  /** Lossless PNG encode of a row-major ARGB-int pixel array — the fixture
+    * half of the byte round-trip (synthesize known pixels → encode here →
+    * [[decodeStats]] in-engine → arithmetic check against the formula). */
+  def encodePng(width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {
+    require(rgb.length == width * height, "pixel array must be width*height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, width, height, rgb, 0, width)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private val statsUdf = udf((b: Array[Byte]) => Option(decodeStats(b)))
+
+  /** Adds decoded-pixel columns img_w / img_h / sum_r / sum_g / sum_b /
+    * ahash / dhash (all null when the payload doesn't decode). Narrow
+    * per-row kernel — no shuffle, no driver state. */
+  def withImagePixelStats(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("__ist", statsUdf(col(binCol)))
+      .withColumn("img_w", col("__ist.width"))
+      .withColumn("img_h", col("__ist.height"))
+      .withColumn("sum_r", col("__ist.sumR"))
+      .withColumn("sum_g", col("__ist.sumG"))
+      .withColumn("sum_b", col("__ist.sumB"))
+      .withColumn("ahash", col("__ist.aHash"))
+      .withColumn("dhash", col("__ist.dHash"))
+      .drop("__ist")
+
+  /** Pixel-level image near-duplicate pairs: decode → 64-bit aHash →
+    * 8-byte-band LSH self-join → exact hamming verify. Returns
+    * (id_a, id_b, hamming) with id_a < id_b and hamming <= maxHamming.
+    *
+    * Full recall for maxHamming <= 7 (pigeonhole over 8 disjoint bands);
+    * the shuffle carries only (id, hash, band) rows — 8 small rows per
+    * image regardless of image size, so the join survives any corpus the
+    * decode pass survives. Band buckets are value-keyed, so genuinely
+    * near-identical populations (e.g. single-color thumbnails) salt
+    * naturally across 8 band positions; a pathological all-identical
+    * corpus degrades to the true duplicate-pair output, which is itself
+    * quadratic — that is output size, not plan waste. */
+  def imageNearDupPairs(df: DataFrame, idCol: String, binCol: String,
+                        maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming ($maxHamming) must be in [0, 7]: 8-band LSH only " +
+        "guarantees recall below the band count (pigeonhole)")
+    val hashed = withImagePixelStats(df, binCol)
+      .where(col("ahash").isNotNull)
+      .select(col(idCol).cast("long").as("id"), col("ahash"))
+    val banded = hashed.select(col("id"), col("ahash"),
+      posexplode(expr(
+        "transform(sequence(0, 7), b__ -> (ahash >> (b__ * 8)) & 255)"))
+        .as(Seq("band", "bv")))
+    val a = banded.select(col("band"), col("bv"),
+      col("id").as("id_a"), col("ahash").as("__ha"))
+    val b = banded.select(col("band"), col("bv"),
+      col("id").as("id_b"), col("ahash").as("__hb"))
+    a.join(b, Seq("band", "bv"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__ha"), col("__hb"))
+      .distinct()
+      .withColumn("hamming",
+        expr("CAST(bit_count(__ha ^ __hb) AS BIGINT)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** REAL [[BinaryColumns.MediaDecoder]] for images, replacing the
+    * byte-stats stub in the batched feature-extraction path: features are
+    * [w, h, meanR, meanG, meanB, meanLuma/1000, popcount(aHash),
+    * popcount(dHash)]; undecodable payloads yield the zero vector. */
+  final class ImageIoDecoder extends BinaryColumns.MediaDecoder {
+    val featureDim: Int = 8
+    def decodeBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+      batch.map { bytes =>
+        val f = new Array[Float](featureDim)
+        val st = decodeStats(bytes)
+        if (st != null) {
+          val n = st.width.toLong * st.height
+          f(0) = st.width.toFloat
+          f(1) = st.height.toFloat
+          f(2) = st.sumR.toFloat / n
+          f(3) = st.sumG.toFloat / n
+          f(4) = st.sumB.toFloat / n
+          f(5) = (299f * f(2) + 587f * f(3) + 114f * f(4)) / 1000f
+          f(6) = java.lang.Long.bitCount(st.aHash).toFloat
+          f(7) = java.lang.Long.bitCount(st.dHash).toFloat
+        }
+        f
+      }
+  }
+}

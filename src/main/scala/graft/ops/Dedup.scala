@@ -539,6 +539,9 @@ object Dedup {
                           textCol: String, idCol: String, shingleN: Int = 3,
                           k: Int = 8, rowsPerBand: Int = 2,
                           threshold: Double = 0.5): DataFrame = {
+    require(rowsPerBand > 0 && k % rowsPerBand == 0,
+      s"k ($k) must be a positive multiple of rowsPerBand ($rowsPerBand): " +
+        "a trailing partial band would be silently dropped, reducing recall")
     def banded(df: DataFrame, as: String) =
       minhashSignatures(df, textCol, idCol, shingleN, k).select(
         col(idCol).as(as),
@@ -570,11 +573,19 @@ object Dedup {
     * centroids stay a broadcast table, and the only wide exchange is the
     * self-join keyed on cluster_id.
     *
-    * Keep rule (deterministic): a vector is dropped iff a LOWER-id vector
-    * in the same cluster has cosine >= threshold — the greedy
-    * first-occurrence rule every dedup op in this repo uses (exact dedup
-    * keeps min id, C4 sentence dedup keeps first occurrence). Returns the
-    * KEPT rows as (idCol, cluster_id). */
+    * Keep rule (deterministic): a vector is dropped iff ANY lower-id
+    * vector in the same cluster — kept or itself dropped — has cosine >=
+    * threshold. Note this is stricter than greedy keep-first-occurrence:
+    * drops chain through already-dropped vectors (ids 1-2 similar, 2-3
+    * similar, 1-3 not: 3 is dropped here, where greedy-keep-first would
+    * keep it after dropping 2). The any-lower-id rule is chosen because it
+    * is a single declarative self-join — greedy keep-first is inherently
+    * sequential within a similarity component (it needs the keep/drop
+    * status of every earlier vector), which would cost an iterative
+    * fixpoint; SemDeDup itself (§3) keeps one arbitrary representative
+    * per intra-cluster duplicate group, and min-id-reachable is a
+    * deterministic refinement of that. Returns the KEPT rows as
+    * (idCol, cluster_id). */
   def semanticDedup(emb: DataFrame, centroids: DataFrame, idCol: String,
                     vecCol: String, threshold: Double): DataFrame = {
     import graft.functions.VectorF

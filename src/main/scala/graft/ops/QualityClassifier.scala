@@ -61,12 +61,15 @@ object QualityClassifier {
     } :+ "count(*) AS sn"
 
   /** Standardized feature: (x - mean) / std, round-6; constant features
-    * (std = 0) collapse to 0 rather than dividing by zero. */
+    * (std = 0) collapse to 0 rather than dividing by zero. The variance is
+    * clamped at 0 before sqrt: round-6 rounding of xr*xr can push
+    * ss/n - m*m a hair negative for a (near-)constant feature, and an
+    * unclamped sqrt would yield NaN that the `sd = 0` guard misses. */
   private def stdExprs(dl: Dialect): Seq[String] =
     (1 to 3).map { j =>
       val n = "CAST(sn AS DOUBLE)"
       val m = s"(CAST(s$j AS DOUBLE) / $n)"
-      val v = s"(CAST(ss$j AS DOUBLE) / $n - $m * $m)"
+      val v = s"greatest(CAST(ss$j AS DOUBLE) / $n - $m * $m, ${dl.d(0.0)})"
       val sd = s"sqrt($v)"
       r6(dl, s"(CASE WHEN $sd = ${dl.d(0.0)} THEN ${dl.d(0.0)} " +
         s"ELSE (xr$j - $m) / $sd END)") + s" AS x$j"
@@ -151,7 +154,7 @@ object QualityClassifier {
       val s = sr.getAs[java.math.BigDecimal](s"s$j").doubleValue()
       val ss = sr.getAs[java.math.BigDecimal](s"ss$j").doubleValue()
       val m = s / n
-      (m, math.sqrt(ss / n - m * m))
+      (m, math.sqrt(math.max(ss / n - m * m, 0.0))) // clamp: see stdExprs
     }.unzip
     TrainedModel((0 to 3).map(j => wr.getAs[Double](s"w$j")), means, stds)
   }

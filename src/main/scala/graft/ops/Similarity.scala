@@ -460,6 +460,15 @@ object Similarity {
     * neighbor search at full scale; the vote algebra is unchanged. */
   def knnClassify(labeled: DataFrame, unlabeled: DataFrame, idCol: String,
                   vecCol: String, labelCol: String, k: Int): DataFrame = {
+    // Fail fast on non-numeric labels: a silent cast("long") would turn
+    // string labels ('topic-a') into NULL, and the null vote group could
+    // win the argmax, returning garbage predictions. Encode categorical
+    // labels to a dense integer id before calling (e.g. via a dim join).
+    val lblType = labeled.schema(labelCol).dataType
+    require(lblType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"knnClassify: label column `$labelCol` must be numeric (got " +
+        s"${lblType.simpleString}); encode categorical labels to integer " +
+        "ids first — a silent cast would vote on NULL")
     val nn = knnJoin(labeled, unlabeled, idCol, vecCol, idCol, vecCol, k)
     val labels = labeled.select(col(idCol).cast("long").as(idCol),
       col(labelCol).cast("long").as("__lbl"))
@@ -487,27 +496,37 @@ object Similarity {
     * the brute-force knnJoin for the ANN variants; the margin algebra is
     * unchanged.
     *
-    * Determinism/oracle: scores round to 6 and sum in DECIMAL(28,6); k
-    * MUST be a power of two so the mean's division is an exact binary
-    * scaling (no rounding step for engines to disagree on); argmax ties
-    * break to the lowest B id. */
+    * Determinism/oracle: scores round to 6 and sum in DECIMAL(28,6); the
+    * neighborhood mean uses the ACTUAL neighbor count (knnJoin can return
+    * < k rows when a side is smaller than k — dividing by a fixed k there
+    * would deflate the mean and inflate margins, deviating from the
+    * Artetxe & Schwenk definition). To keep the arithmetic bit-exact
+    * across engines the margin is computed WITHOUT intermediate division:
+    *   score / ((S_a/n_a + S_b/n_b) / 2)
+    *     = score * 2*n_a*n_b / (S_a*n_b + S_b*n_a)
+    * — decimal sums times integer counts stay exact, so the single final
+    * IEEE division + round-6 is the only inexact step (rounding an exact
+    * .25/.5-at-1e-6 quotient, by contrast, hits half-way ties where the
+    * engines' rounding diverges). Argmax ties break to the lowest B id. */
   def mineBitext(embA: DataFrame, embB: DataFrame, idCol: String,
                  vecCol: String, k: Int = 4, tau: Double = 1.05): DataFrame = {
-    require((k & (k - 1)) == 0, "k must be a power of two (exact mean division)")
-    def topkAvg(fwd: DataFrame, key: String): DataFrame =
+    require(k > 0, "k must be positive")
+    def topkStats(fwd: DataFrame, key: String): DataFrame =
       fwd.groupBy(col(key))
-        .agg((sum((round(col("score"), 6) + lit(0.0)).cast("decimal(28,6)"))
-          .cast("double") / k).as(s"avg_$key"))
+        .agg(sum((round(col("score"), 6) + lit(0.0)).cast("decimal(28,6)"))
+          .as(s"sum_$key"), count(lit(1)).as(s"n_$key"))
     val fwd = knnJoin(embB, embA, idCol, vecCol, idCol, vecCol, k)
       .select(col("query_id").as("id_a"), col(idCol).cast("long").as("id_b"), col("score"))
     val bwd = knnJoin(embA, embB, idCol, vecCol, idCol, vecCol, k)
       .select(col("query_id").as("id_b"), col("score"))
     val margins = fwd
-      .join(topkAvg(fwd, "id_a"), "id_a")
-      .join(topkAvg(bwd, "id_b"), "id_b")
+      .join(topkStats(fwd, "id_a"), "id_a")
+      .join(topkStats(bwd, "id_b"), "id_b")
       .select(col("id_a"), col("id_b"),
-        (round((round(col("score"), 6) + lit(0.0)) /
-          ((col("avg_id_a") + col("avg_id_b")) / 2), 6) + lit(0.0)).as("margin"))
+        (round((round(col("score"), 6) + lit(0.0)) *
+          expr("CAST(2 * n_id_a * n_id_b AS DOUBLE)") /
+          expr("CAST(sum_id_a * n_id_b + sum_id_b * n_id_a AS DOUBLE)"), 6)
+          + lit(0.0)).as("margin"))
       .where(col("margin") >= tau)
     margins.groupBy(col("id_a"))
       .agg(max(struct(col("margin"), (-col("id_b")).as("nib"))).as("best"))

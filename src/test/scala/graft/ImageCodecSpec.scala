@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.ImageCodec
+
+/** Pins the REAL ImageIO decode path: exact-integer stats round-trip
+  * through a lossless PNG encode, hand-computed perceptual hashes on
+  * structured images, lossy-format and hostile-input behavior, and the
+  * banded near-dup join's recall. */
+class ImageCodecSpec extends AnyFunSuite {
+
+  private def solid(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] =
+    ImageCodec.encodePng(w, h, Array.fill(w * h)((r << 16) | (g << 8) | b))
+
+  test("constant image: sums exact, aHash all-ones, dHash zero") {
+    val st = ImageCodec.decodeStats(solid(16, 16, 10, 20, 30))
+    assert(st.width == 16 && st.height == 16)
+    assert(st.sumR == 256L * 10 && st.sumG == 256L * 20 && st.sumB == 256L * 30)
+    // every block mean == global mean, >= sets every bit
+    assert(st.aHash == -1L)
+    // no column-band mean strictly exceeds its left neighbor
+    assert(st.dHash == 0L)
+  }
+
+  test("half-split images: hand-computed aHash/dHash bit patterns") {
+    // left half black, right half white
+    val lr = ImageCodec.encodePng(16, 16,
+      Array.tabulate(256)(p => if (p % 16 < 8) 0x000000 else 0xFFFFFF))
+    val stLr = ImageCodec.decodeStats(lr)
+    // blocks bx>=4 are white (above mean): every hash byte 0xF0
+    assert(stLr.aHash == 0xF0F0F0F0F0F0F0F0L)
+    // 9-col bands: cols 0..3 black (x<8), col 4.. white; only the c=3 -> 4
+    // transition is a strict increase, in every row band
+    assert(stLr.dHash == 0x0808080808080808L)
+    // top half white, bottom half black
+    val tb = ImageCodec.encodePng(16, 16,
+      Array.tabulate(256)(p => if (p / 16 < 8) 0xFFFFFF else 0x000000))
+    val stTb = ImageCodec.decodeStats(tb)
+    assert(stTb.aHash == 0x00000000FFFFFFFFL)
+    assert(stTb.dHash == 0L)
+    // the two orthogonal gradients are far apart in hamming space
+    assert(java.lang.Long.bitCount(stLr.aHash ^ stTb.aHash) == 32)
+  }
+
+  test("PNG round-trip matches an independent pixel-array reference") {
+    val w = 19; val h = 13 // non-multiple-of-8 dims: uneven blocks
+    val rgb = Array.tabulate(w * h) { p =>
+      val x = p % w; val y = p / w
+      (((x * 37 + y * 11) % 256) << 16) | (((x * 5 + y * 73) % 256) << 8) |
+        ((x * 91 + y * 3) % 256)
+    }
+    val st = ImageCodec.decodeStats(ImageCodec.encodePng(w, h, rgb))
+    assert(st.width == w && st.height == h)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    rgb.foreach { v => sr += (v >> 16) & 0xFF; sg += (v >> 8) & 0xFF; sb += v & 0xFF }
+    assert(st.sumR == sr && st.sumG == sg && st.sumB == sb)
+  }
+
+  test("small images leave empty-block aHash bits unset") {
+    // 4x4: only bx in {0,2,4,6} x by in {0,2,4,6} blocks are populated
+    val st = ImageCodec.decodeStats(solid(4, 4, 50, 50, 50))
+    val populated = (for (y <- 0 until 4; x <- 0 until 4)
+      yield (y * 8 / 4) * 8 + (x * 8 / 4)).toSet
+    (0 until 64).foreach { i =>
+      assert(((st.aHash >> i) & 1L) == (if (populated(i)) 1L else 0L))
+    }
+  }
+
+  test("JPEG and GIF decode through the same kernel; garbage yields null") {
+    val img = new java.awt.image.BufferedImage(
+      24, 18, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 18).foreach(y => (0 until 24).foreach(x =>
+      img.setRGB(x, y, ((x * 10) << 16) | ((y * 14) << 8) | 128)))
+    for (fmt <- Seq("jpg", "gif", "bmp")) {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      val st = ImageCodec.decodeStats(out.toByteArray)
+      assert(st != null && st.width == 24 && st.height == 18, fmt)
+    }
+    assert(ImageCodec.decodeStats(Array[Byte](1, 2, 3, 4)) == null)
+    assert(ImageCodec.decodeStats(Array.empty[Byte]) == null)
+    assert(ImageCodec.decodeStats(null) == null)
+  }
+
+  test("ImageIoDecoder emits real decoded features; stub retired for images") {
+    val dec = new ImageCodec.ImageIoDecoder
+    val Seq(f, z) = dec.decodeBatch(Seq(solid(16, 8, 100, 150, 200), null))
+    assert(f(0) == 16f && f(1) == 8f)
+    assert(f(2) == 100f && f(3) == 150f && f(4) == 200f)
+    assert(z.forall(_ == 0f))
+  }
+
+  test("imageNearDupPairs: banded join finds perturbed copy, not the far image") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    val base = Array.tabulate(256)(p => if (p % 16 < 8) 0x000000 else 0xFFFFFF)
+    val tweak = base.clone(); tweak(17) = 0x0A0A0A; tweak(230) = 0xF0F0F0
+    val far = Array.tabulate(256)(p => if (p / 16 < 8) 0xFFFFFF else 0x000000)
+    val df = Seq(
+      (1L, ImageCodec.encodePng(16, 16, base)),
+      (2L, ImageCodec.encodePng(16, 16, tweak)),
+      (3L, ImageCodec.encodePng(16, 16, far))).toDF("media_id", "img")
+    val pairs = ImageCodec.imageNearDupPairs(df, "media_id", "img", 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 2L)))
+    assert(pairs.forall(_._3 <= 6))
+    // hamming bound validation
+    intercept[IllegalArgumentException] {
+      ImageCodec.imageNearDupPairs(df, "media_id", "img", 8)
+    }
+  }
+}
