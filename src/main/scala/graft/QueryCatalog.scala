@@ -66,12 +66,24 @@ object QueryCatalog {
   /** BPE merge-table memo, same contract as [[opqRotation]]: q_bpe_vocab
     * and q_bpe_segment share one training run per dir (training is
     * deterministic for a given input). */
+  private val bpeMergeCount = 12
   private val bpeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long)]]()
   private def bpeMerges(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
     bpeCache.computeIfAbsent(dir, _ =>
       graft.ops.BpeTrainer.train(
-        graft.ops.BpeTrainer.wordFrequencies(tk(s, dir, "documents"), "text"), 12))
+        graft.ops.BpeTrainer.wordFrequencies(tk(s, dir, "documents"), "text"),
+        bpeMergeCount))
+
+  /** One column pair per learned merge, hoisted from the q_bpe_vocab dump
+    * for the SQL merge-replay oracles: p$k = the wrapped adjacent-pair
+    * pattern chr(30)l chr(31)chr(30)r chr(31); q$k = its merged
+    * replacement chr(30)lr chr(31). */
+  private val bpePatCols: String =
+    (0 until bpeMergeCount).map(k =>
+      s"""max(CASE WHEN "rank" = $k THEN chr(30) || "left" || chr(31) || chr(30) || "right" || chr(31) END) AS p$k,
+          max(CASE WHEN "rank" = $k THEN chr(30) || "left" || "right" || chr(31) END) AS q$k""")
+      .mkString(", ")
 
   /** PCA model memo, same contract as [[opqRotation]]: q_pca_project and
     * q_pca_ann share one (mean, top-16 eigenvectors) fit per dir. */
@@ -4527,9 +4539,15 @@ object QueryCatalog {
         FROM pairs GROUP BY l, r
         ORDER BY n DESC, l, r LIMIT 20""")),
 
-    // BPE training, full loop (rows-only: the greedy run-collapse inside
-    // an iteration is not SQL-expressible; parity with an independent
-    // naive reference is pinned in CurationOpsSpec). 12 learned merges.
+    // BPE training, full loop — ORACLED by replaying the merge loop in
+    // SQL (the __GRAFT_OUT__ pattern): each word's symbol sequence is a
+    // string of chr(30)||sym||chr(31)-wrapped symbols, which makes
+    // DuckDB's left-to-right non-overlapping replace() EXACTLY the greedy
+    // adjacent-pair collapse (both match ends anchored, adjacent matches
+    // share no characters). Stage k recomputes the pair-count argmax of
+    // the state built with the DUMPED merges 0..k-1, so the first rank at
+    // which the dump deviates from true BPE hash-mismatches (inductive,
+    // not circular). 12 learned merges.
     Q("q_bpe_vocab",
       (s, dir) => {
         import s.implicits._
@@ -4539,7 +4557,36 @@ object QueryCatalog {
             col("pair_count"))
           .orderBy("rank")
       },
-      None),
+      Some {
+        val seg = "string_split(substr(syms, 2, length(syms) - 2), chr(31) || chr(30))"
+        val stages = (0 until bpeMergeCount).map { k =>
+          val adv =
+            if (k == 0) ""
+            else s"s$k AS (SELECT replace(syms, p${k - 1}, q${k - 1}) AS syms, cnt FROM s${k - 1}, pats), "
+          adv +
+            s"""a$k AS (
+               SELECT l, r, CAST(sum(cnt) AS BIGINT) AS n
+               FROM (SELECT ss[CAST(i AS INT)] AS l, ss[CAST(i AS INT) + 1] AS r, cnt
+                     FROM (SELECT ss, cnt, unnest(range(1, len(ss))) AS i
+                           FROM (SELECT $seg AS ss, cnt FROM s$k)))
+               GROUP BY l, r),
+             m$k AS (SELECT CAST($k AS BIGINT) AS "rank", l AS "left", r AS "right",
+                            n AS pair_count
+                     FROM a$k ORDER BY n DESC, l, r LIMIT 1)"""
+        }.mkString(", ")
+        s"""
+        WITH dump AS (SELECT * FROM read_parquet('__GRAFT_OUT__/q_bpe_vocab/*.parquet')),
+        pats AS (SELECT $bpePatCols FROM dump),
+        wf AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+               FROM (SELECT unnest(${D.splitWs("text")}) AS w FROM documents)
+               WHERE length(w) > 0 GROUP BY w),
+        s0 AS (SELECT array_to_string(list_transform(string_split(word, ''),
+                        c__ -> chr(30) || c__ || chr(31)), '') AS syms, cnt
+               FROM wf),
+        $stages
+        ${(0 until bpeMergeCount).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")}
+        ORDER BY "rank""""
+      }),
 
     // Incremental near-dup screening: incoming batch (doc_id >= 400)
     // probed against the existing corpus (doc_id < 400) — band collisions
@@ -4579,8 +4626,14 @@ object QueryCatalog {
         ORDER BY id_new, id_old"""
       }),
 
-    // BPE encode of the corpus with the learned merges (rows-only; the
-    // lossless-segmentation contract is in CurationOpsSpec). Pieces join
+    // BPE encode of the corpus with the learned merges, ORACLED by
+    // replaying the encode in SQL over the dumped merge table: applying
+    // merges in RANK order (one anchored replace per rank, per token) is
+    // provably equivalent to encodeToken's lowest-rank-present loop —
+    // a merge's sides always predate it in rank, so collapsing rank k can
+    // only create pairs of rank > k, and within one rank a single
+    // left-to-right replace IS the greedy collapse (a merge can never
+    // recreate its own pair: l+r equals neither l nor r). Pieces join
     // with a unit separator so the dump stays scalar-typed.
     Q("q_bpe_segment",
       (s, dir) => {
@@ -4590,7 +4643,29 @@ object QueryCatalog {
             concat_ws("\u001f", col("pieces")).as("pieces"))
           .orderBy("doc_id")
       },
-      None)
+      Some {
+        val stages = (1 to bpeMergeCount).map { k =>
+          s"w$k AS (SELECT doc_id, list_transform(ws, w__ -> replace(w__, p${k - 1}, q${k - 1})) AS ws FROM w${k - 1}, pats)"
+        }.mkString(", ")
+        s"""
+        WITH dump AS (SELECT * FROM read_parquet('__GRAFT_OUT__/q_bpe_vocab/*.parquet')),
+        pats AS (SELECT $bpePatCols FROM dump),
+        w0 AS (SELECT doc_id,
+                 list_transform(
+                   list_filter(${D.splitWs("coalesce(text, '')")}, t__ -> length(t__) > 0),
+                   t__ -> array_to_string(list_transform(string_split(t__, ''),
+                            c__ -> chr(30) || c__ || chr(31)), '')) AS ws
+               FROM documents),
+        $stages,
+        out AS (SELECT doc_id,
+                  flatten(list_transform(ws,
+                    w__ -> string_split(substr(w__, 2, length(w__) - 2),
+                                        chr(31) || chr(30)))) AS pieces
+                FROM w$bpeMergeCount)
+        SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_pieces,
+               array_to_string(pieces, chr(31)) AS pieces
+        FROM out ORDER BY doc_id"""
+      })
   )
 
   def all: Seq[Q] =
