@@ -4374,11 +4374,44 @@ object QueryCatalog {
           "customer", "vector", "stream", "zzz-absent"))
         s"""
         SELECT doc_id,
-               array_to_string(list_sort(list_filter($dictSql,
-                 t__ -> strpos(text, t__) > 0)), ',') AS tags,
+               coalesce(array_to_string(list_sort(list_filter($dictSql,
+                 t__ -> strpos(text, t__) > 0)), ','), '') AS tags,
                CAST(len(list_filter($dictSql,
                  t__ -> strpos(text, t__) > 0)) AS BIGINT) AS n_tags
         FROM documents
+        ORDER BY doc_id"""
+      }),
+
+    // Keyword tagger, case-insensitive + word-boundary modes (how real
+    // blocklists run): mixed-case dictionary, tags reported as lowercase
+    // canonical terms, and a hit only counts flanked by non-word chars.
+    // For all-word-char terms that is exactly membership in the
+    // \\W+-token split, which is what the oracle brute-forces — so the
+    // automaton's per-char lowercasing AND end-of-match boundary check
+    // are both under oracle test.
+    Q("q_keyword_tags_ci",
+      (s, dir) => {
+        val dict = Seq("The", "DATA", "Stream", "Window", "ERROR",
+          "Batch", "Customer", "zzz-Absent")
+        graft.functions.KeywordTagger.tagDocuments(
+            tk(s, dir, "documents"), "text", "doc_id", dict,
+            caseInsensitive = true, wordBoundary = true)
+          .orderBy("doc_id")
+      },
+      Some {
+        val dictLc = D.strArray(Seq("the", "data", "stream", "window",
+          "error", "batch", "customer", "zzz-absent"))
+        s"""
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split_regex(lower(coalesce(text, '')), '[^0-9a-z_]+') AS tk
+          FROM documents)
+        SELECT doc_id,
+               coalesce(array_to_string(list_sort(list_filter($dictLc,
+                 t__ -> list_contains(tk, t__))), ','), '') AS tags,
+               CAST(len(list_filter($dictLc,
+                 t__ -> list_contains(tk, t__))) AS BIGINT) AS n_tags
+        FROM toks
         ORDER BY doc_id"""
       }),
 
@@ -4663,7 +4696,7 @@ object QueryCatalog {
                                         chr(31) || chr(30)))) AS pieces
                 FROM w$bpeMergeCount)
         SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_pieces,
-               array_to_string(pieces, chr(31)) AS pieces
+               coalesce(array_to_string(pieces, chr(31)), '') AS pieces
         FROM out ORDER BY doc_id"""
       })
   )

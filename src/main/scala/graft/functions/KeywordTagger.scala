@@ -16,12 +16,32 @@ import org.apache.spark.sql.functions._
   * [[graft.ops.QualityClassifier.TrainedModel]]. The scan is a narrow
   * mapPartitions kernel; no shuffle.
   *
-  * Semantics: case-sensitive substring matching (no word boundaries);
-  * every dictionary term occurring anywhere in the text is reported once,
-  * sorted — which is exactly `contains()` per term, so the DuckDB oracle
-  * can brute-force small dictionaries while the engine runs the automaton
-  * (q_keyword_tags pins the equivalence on real data). */
+  * Semantics: default is case-sensitive substring matching (exactly
+  * `contains()` per term, so the DuckDB oracle can brute-force small
+  * dictionaries while the engine runs the automaton — q_keyword_tags pins
+  * the equivalence on real data). Two real-blocklist modes compose:
+  *   - `caseInsensitive`: terms and text are lowercased PER CHAR
+  *     (Character.toLowerCase — length-preserving, so match positions
+  *     stay aligned; String.toLowerCase can grow, e.g. dotted-I);
+  *     reported tags are the lowercased canonical terms;
+  *   - `wordBoundary`: a hit counts only when the characters flanking the
+  *     match span are non-word or text edges, with the ASCII \\w class
+  *     [A-Za-z0-9_] (= RE2/Java default, so oracles agree). For
+  *     all-word-char terms this equals matching a whole \\W+-delimited
+  *     token (q_keyword_tags_ci pins that equivalence). */
 object KeywordTagger {
+
+  @inline private def isWord(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+
+  /** Length-preserving per-char lowercase (see object docs). */
+  private def lcChars(s: String): String = {
+    val a = new Array[Char](s.length)
+    var i = 0
+    while (i < s.length) { a(i) = Character.toLowerCase(s.charAt(i)); i += 1 }
+    new String(a)
+  }
 
   /** Immutable automaton: flat arrays, safe to serialize into closures. */
   final class Automaton private[KeywordTagger] (
@@ -29,7 +49,9 @@ object KeywordTagger {
       val chars: Array[Array[Char]],
       val fail: Array[Int],
       val out: Array[List[Int]], // term indices recognized at this state
-      val terms: Array[String]) extends Serializable {
+      val terms: Array[String],
+      val caseInsensitive: Boolean,
+      val wordBoundary: Boolean) extends Serializable {
 
     private def step(state: Int, c: Char): Int = {
       var s = state
@@ -49,8 +71,19 @@ object KeywordTagger {
       var s = 0
       var i = 0
       while (i < text.length) {
-        s = step(s, text.charAt(i))
-        out(s).foreach(hits += _)
+        val c0 = text.charAt(i)
+        s = step(s, if (caseInsensitive) Character.toLowerCase(c0) else c0)
+        if (out(s).nonEmpty) {
+          if (!wordBoundary) out(s).foreach(hits += _)
+          else out(s).foreach { t =>
+            // match of terms(t) ends at i inclusive; boundary-check the
+            // ORIGINAL text (case mapping is length-preserving)
+            val start = i - terms(t).length + 1
+            if ((start == 0 || !isWord(text.charAt(start - 1))) &&
+                (i == text.length - 1 || !isWord(text.charAt(i + 1))))
+              hits += t
+          }
+        }
         i += 1
       }
       hits.iterator.map(terms).toArray
@@ -58,8 +91,11 @@ object KeywordTagger {
   }
 
   /** Classic goto/fail/output construction (Aho & Corasick 1975). */
-  def build(dictionary: Seq[String]): Automaton = {
-    val terms = dictionary.filter(t => t != null && t.nonEmpty).distinct.sorted.toArray
+  def build(dictionary: Seq[String], caseInsensitive: Boolean = false,
+            wordBoundary: Boolean = false): Automaton = {
+    val terms = dictionary.filter(t => t != null && t.nonEmpty)
+      .map(t => if (caseInsensitive) lcChars(t) else t)
+      .distinct.sorted.toArray
     val goto = scala.collection.mutable.ArrayBuffer(
       scala.collection.mutable.TreeMap.empty[Char, Int])
     val outB = scala.collection.mutable.ArrayBuffer(List.empty[Int])
@@ -91,15 +127,16 @@ object KeywordTagger {
     new Automaton(
       goto.map(_.values.toArray).toArray,
       goto.map(_.keys.toArray).toArray,
-      fail, outB.toArray, terms)
+      fail, outB.toArray, terms, caseInsensitive, wordBoundary)
   }
 
   /** Adds `tags` (comma-joined sorted matched terms) and `n_tags`. */
   def tagDocuments(df: DataFrame, textCol: String, idCol: String,
-                   dictionary: Seq[String]): DataFrame = {
+                   dictionary: Seq[String], caseInsensitive: Boolean = false,
+                   wordBoundary: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val ac = build(dictionary)
+    val ac = build(dictionary, caseInsensitive, wordBoundary)
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>

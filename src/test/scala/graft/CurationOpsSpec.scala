@@ -302,6 +302,39 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(1L) == (("he,she", 2L)) && got(2L) == (("", 0L)), s"$got")
   }
 
+  test("keyword tagger: case-insensitive and word-boundary modes") {
+    import graft.functions.KeywordTagger
+    // CI: mixed-case dictionary and text; tags are lowercase canonical
+    val ci = KeywordTagger.build(Seq("ERROR", "Warning"), caseInsensitive = true)
+    assert(ci.matchesIn("An eRrOr and a WARNING").toSeq == Seq("error", "warning"))
+    assert(ci.matchesIn("no hits").isEmpty)
+    // boundary: substring hits inside words are rejected
+    val wb = KeywordTagger.build(Seq("he", "she", "cat"), wordBoundary = true)
+    assert(wb.matchesIn("she said").toSeq == Seq("she"), "'he' inside 'she' rejected")
+    assert(wb.matchesIn("he she").toSeq == Seq("he", "she"))
+    assert(wb.matchesIn("cathode concatenate").isEmpty)
+    assert(wb.matchesIn("a cat!").toSeq == Seq("cat"), "punctuation is a boundary")
+    assert(wb.matchesIn("cat_x").isEmpty, "underscore is a word char")
+    // composed CI+boundary fuzz parity vs a naive token-membership
+    // reference (valid because every fuzz term is all-word-chars)
+    val rng = new scala.util.Random(7)
+    val fuzzDict = Seq("AB", "ba", "Aba", "BAB", "aa", "a")
+    val fz = KeywordTagger.build(fuzzDict, caseInsensitive = true, wordBoundary = true)
+    (1 to 200).foreach { _ =>
+      val t = (0 until rng.nextInt(40))
+        .map(_ => "aAbB _.," (rng.nextInt(8))).mkString
+      val toks = t.toLowerCase.split("[^0-9a-z_]+").filter(_.nonEmpty)
+      // NOTE tokens split on non-word; '_' stays inside tokens
+      val tokSet = t.toLowerCase.split("[^0-9a-z_]+").toSet
+      val want = fuzzDict.map(_.toLowerCase).distinct.filter { term =>
+        // boundary match of an all-word-char term == some maximal token
+        // CONTAINS it with word chars on neither side == token equality
+        tokSet.contains(term)
+      }.sorted
+      assert(fz.matchesIn(t).toSeq == want, s"text '$t' toks ${toks.toSeq}")
+    }
+  }
+
   test("epochShuffle: same epoch reproducible, different epochs differ") {
     import graft.ops.Sampling
     val docs = (1 to 200).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
