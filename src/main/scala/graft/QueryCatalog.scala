@@ -3150,6 +3150,118 @@ object QueryCatalog {
         ORDER BY id_a, id_b"""))
   )
 
+  /** Streaming/batch equivalence oracles: the streaming operators RUN AS
+    * REAL STREAMS (MemoryStream micro-batches through the state store,
+    * deterministically split in sorted order) inside the catalog entry,
+    * and the DuckDB oracle recomputes the BATCH semantics — so
+    * cross-micro-batch state handling itself is under the hash gate, not
+    * just spec-pinned. The driver-side collect feeds the MemoryStream
+    * fixture (the only way to replay a table as micro-batches); the
+    * operators under test shuffle only keys/state, never the fixture. */
+  private def streamingEqOps: Seq[Q] = Seq(
+    // Exact cross-batch dedup == batch min-id-keeper dedup. Batches are
+    // doc_id-ascending, so first-seen keeper == global min id per hash.
+    // The corpus has no exact dup texts, so every doc_id % 7 == 0 doc
+    // RE-ARRIVES as id+1000 — landing in a LATER micro-batch than its
+    // original, which is precisely the state-store path under test.
+    Q("q_stream_dedup_eq",
+      (s, dir) => {
+        import s.implicits._
+        import graft.streaming.StreamingDedup
+        import graft.streaming.StreamingDedup.{DocIn, DupPair}
+        implicit val sqlCtx = s.sqlContext
+        val base = t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"),
+            coalesce(col("text"), lit("")).as("text"))
+        val docs = base
+          .unionAll(base.where(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 1000).as("doc_id"), col("text")))
+          .as[DocIn].collect().sortBy(_.doc_id)
+        val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocIn]
+        val name = s"q_stream_dedup_eq_${System.nanoTime()}"
+        val q = StreamingDedup.exactDupStream(in.toDS())
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try {
+          docs.grouped(math.max(1, (docs.length + 3) / 4)).foreach { b =>
+            in.addData(b.toSeq); q.processAllAvailable()
+          }
+        } finally q.stop()
+        val pairs = s.table(name).as[DupPair].collect().toSeq
+        pairs.toDF("keep_id", "dup_id").orderBy("keep_id", "dup_id")
+      },
+      Some("""
+        WITH src AS (
+          SELECT doc_id, coalesce(text, '') AS t FROM documents
+          UNION ALL
+          SELECT doc_id + 1000, coalesce(text, '') FROM documents
+          WHERE doc_id % 7 = 0),
+        h AS (SELECT doc_id, md5(t) AS h FROM src),
+        k AS (SELECT h, min(doc_id) AS keep_id FROM h GROUP BY h)
+        SELECT k.keep_id, d.doc_id AS dup_id
+        FROM h d JOIN k USING (h)
+        WHERE d.doc_id <> k.keep_id
+        ORDER BY keep_id, dup_id""")),
+
+    // Stateful streaming sessionize == the batch window-lag-cumsum
+    // sessionize (same oracle SQL as q_sessionize). Micro-batches split
+    // at sorted event-time boundaries (so the 0-delay watermark never
+    // drops a row); a far-future sentinel user advances the watermark
+    // through two final batches, flushing every open session via the
+    // EventTimeTimeout path — the timeout emit itself is hash-checked.
+    Q("q_stream_session_eq",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        import graft.streaming.StatefulSessionize
+        import graft.streaming.StatefulSessionize.{SEvent, Session}
+        implicit val sqlCtx = s.sqlContext
+        def tsOf(us: Long) = java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
+        val evs = tEvents(s, dir)
+          .select(col("user_id").cast("long"), expr("ts div 1000").as("tsus"),
+            col("event_id").cast("long"))
+          .as[(Long, Long, Long)].collect()
+          .sortBy { case (_, tsus, eid) => (tsus, eid) }
+          .map { case (u, tsus, eid) => SEvent(u, tsOf(tsus), eid) }
+        val sentinelUs = evs.map(e => e.ts.getTime).max * 1000L + 86400000000L
+        val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
+        val name = s"q_stream_session_eq_${System.nanoTime()}"
+        val q = StatefulSessionize.sessionize(
+            in.toDS().withWatermark("ts", "0 seconds"), 1800000000L)
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try {
+          evs.grouped(math.max(1, (evs.length + 3) / 4)).foreach { b =>
+            in.addData(b.toSeq); q.processAllAvailable()
+          }
+          // two sentinel batches: the first carries the far-future event
+          // time, the second processes timeouts against that watermark
+          in.addData(SEvent(-1L, tsOf(sentinelUs), 0L)); q.processAllAvailable()
+          in.addData(SEvent(-1L, tsOf(sentinelUs + 1000000L), 1L)); q.processAllAvailable()
+        } finally q.stop()
+        val sess = s.table(name).as[Session].collect().toSeq.filter(_.user_id >= 0)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+        sess.toDF()
+          .withColumn("sess_id", row_number().over(w).cast("long"))
+          .select(col("user_id"), col("sess_id"), col("n"), col("duration_us"))
+          .orderBy("user_id", "sess_id")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+        x AS (SELECT user_id, event_id, tsu,
+                CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) IS NULL
+                       OR tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) > 1800000000
+                     THEN 1 ELSE 0 END AS ns
+              FROM e),
+        y AS (SELECT user_id, tsu,
+                sum(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS sess_id
+              FROM x)
+        SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n,
+               CAST(max(tsu) - min(tsu) AS BIGINT) AS duration_us
+        FROM y
+        GROUP BY user_id, sess_id
+        ORDER BY user_id, sess_id"""))
+  )
+
   /** Training-data pipeline operators beyond the dedup/similarity set:
     * deterministic corpus splits, sequence packing, benchmark
     * decontamination, repetition quality, edit-distance near-dup, TF-IDF. */
@@ -4704,7 +4816,7 @@ object QueryCatalog {
   def all: Seq[Q] =
     relational ++ textOps ++ vectorOps ++ ragOps ++ metaOps ++ extraOps ++
       temporalOps ++ pipelineOps ++ scaleOps ++ relationalPlus ++ trainingPlus ++
-      relationalFull ++ curationOps ++ pcmOps ++ imagePixelOps
+      relationalFull ++ curationOps ++ pcmOps ++ imagePixelOps ++ streamingEqOps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
