@@ -149,6 +149,44 @@ object Percentiles {
       .select(col(groupCol) +: (qs.map { case (n, _) => col(n) } :+ col("cnt")): _*)
   }
 
+  /** Probe-and-route decision for [[quantilesAuto]]: "window" or "giant".
+    * One cheap two-stage aggregation (shuffles only group keys + counts)
+    * decides the regime: the giant path is chosen only when the group
+    * list is small enough to iterate (<= maxGroups) AND at least one
+    * group is big enough that serializing it onto a single window task
+    * is the bottleneck/OOM risk (> giantGroupRows). Everything else —
+    * many groups, or uniformly small ones — belongs to the window form
+    * (one shuffle total, spillable per-group sorts). */
+  private[graft] def chooseRoute(df: DataFrame, groupCol: String,
+                                 maxGroups: Int,
+                                 giantGroupRows: Long): String = {
+    val r = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("__ndv"), max(col("__c")).as("__maxc"))
+      .collect().head
+    val ndv = r.getAs[Long]("__ndv")
+    val maxc = if (r.isNullAt(1)) 0L else r.getAs[Long]("__maxc")
+    if (ndv <= maxGroups && maxc > giantGroupRows) "giant" else "window"
+  }
+
+  /** Auto-routed grouped exact quantiles — the one entry point that
+    * removes the pick-the-wrong-shape footgun: probes the group-count /
+    * max-group-size regime ([[chooseRoute]]) and dispatches to the window
+    * form (many small groups) or the per-group distributed rank pick
+    * (few giant groups). Both paths interpolate with the identical
+    * convex-combination expression, so the choice NEVER changes the
+    * answer (TrainingOpsSpec pins bit-equality across routes) — only the
+    * plan shape. Output: (groupCol, <quantile names>..., cnt). */
+  def quantilesAuto(df: DataFrame, valCol: String, groupCol: String,
+                    qs: Seq[(String, Double)], maxGroups: Int = 64,
+                    giantGroupRows: Long = 2000000L): DataFrame = {
+    val routed = chooseRoute(df, groupCol, maxGroups, giantGroupRows) match {
+      case "giant" => quantilesByGroup(df, valCol, groupCol, qs, maxGroups)
+      case _ => quantiles(df, valCol, Seq(groupCol), qs)
+    }
+    routed.select(col(groupCol) +:
+      (qs.map { case (n, _) => col(n) } :+ col("cnt")): _*)
+  }
+
   /** One row per group: groupCols*, one column per (name, q) in `qs`,
     * plus `cnt` (group size). `valCol` must be numeric (cast to double). */
   def quantiles(df: DataFrame, valCol: String, groupCols: Seq[String],

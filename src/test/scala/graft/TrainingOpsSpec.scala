@@ -170,4 +170,25 @@ class TrainingOpsSpec extends AnyFunSuite {
       .as[(Double, Double, Double, Long)].head()
     assert(got == ((1.0, 3.0, 5.0, 3L)))
   }
+
+  test("Percentiles.quantilesAuto: probes the regime, both routes bit-match") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    // 3 groups of ~hundreds of rows each
+    assert(Percentiles.chooseRoute(orders, "o_orderstatus", 64, 2000000L)
+      == "window", "small groups -> window")
+    assert(Percentiles.chooseRoute(orders, "o_orderstatus", 64, 100L)
+      == "giant", "few groups over the size threshold -> giant")
+    assert(Percentiles.chooseRoute(orders, "o_orderkey", 64, 0L)
+      == "window", "too many groups can never take the giant path")
+    val qs = Seq("p50" -> 0.5, "p90" -> 0.9)
+    def run(giantRows: Long) =
+      Percentiles.quantilesAuto(orders, "o_totalprice", "o_orderstatus", qs,
+          giantGroupRows = giantRows)
+        .orderBy("o_orderstatus")
+        .as[(String, Double, Double, Long)].collect().toSeq
+    val viaWindow = run(2000000L) // routes window
+    val viaGiant = run(100L)      // routes giant
+    assert(viaWindow == viaGiant, "route choice must never change the answer")
+    assert(viaWindow.map(_._1) == Seq("F", "O", "P"))
+  }
 }
