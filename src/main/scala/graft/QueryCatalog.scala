@@ -3600,11 +3600,14 @@ object QueryCatalog {
       Q("q_opq_rotated",
         (s, dir) => {
           import graft.ops.OpqRotation
-          val emb = t(s, dir, "embeddings")
+          // sort BEFORE the rotate projection: range partitioning samples
+          // its input, so an orderBy placed after the mat-vec UDF would
+          // execute the rotation twice; a narrow projection preserves the
+          // sort order of its input
+          val emb = t(s, dir, "embeddings").orderBy("vec_id")
           OpqRotation.rotate(emb, "embedding", "rv", opqRotation(s, dir))
             .select(col("vec_id"),
               concat_ws(",", transform(col("rv"), _.cast("string"))).as("rv"))
-            .orderBy("vec_id")
         },
         None),
 
@@ -4027,10 +4030,12 @@ object QueryCatalog {
         (s, dir) => {
           import graft.ops.Pca
           val (mean, p) = pcaModel(s, dir)
-          Pca.project(t(s, dir, "embeddings"), "embedding", "pv", mean, p)
+          // orderBy before the projection (see q_opq_rotated: range
+          // sampling would run the mat-vec twice if the sort came after)
+          Pca.project(t(s, dir, "embeddings").orderBy("vec_id"),
+              "embedding", "pv", mean, p)
             .select(col("vec_id"),
               concat_ws(",", transform(col("pv"), _.cast("string"))).as("pv"))
-            .orderBy("vec_id")
         },
         None),
 

@@ -175,6 +175,12 @@ object OpqRotation {
     val rotUdf = udf((v: Seq[Double]) => {
       if (v == null) null // null embedding -> null rotation, not a stage-killing NPE
       else {
+        // unbox ONCE: Seq.apply on Spark's wrapped array boxes per access,
+        // turning the O(d^2) mat-vec into O(d^2) allocations
+        val a: Array[Double] = (v: Any) match {
+          case w: scala.collection.mutable.ArraySeq.ofDouble => w.array
+          case _ => v.toArray
+        }
         val m = br.value
         val d = m.length
         val out = new Array[Double](d)
@@ -183,7 +189,7 @@ object OpqRotation {
           var s = 0.0
           var j = 0
           val row = m(i)
-          while (j < d) { s += row(j) * v(j); j += 1 }
+          while (j < d) { s += row(j) * a(j); j += 1 }
           out(i) = s
           i += 1
         }

@@ -38,6 +38,11 @@ object Pca {
     val proj = udf((v: Seq[Double]) => {
       if (v == null) null
       else {
+        // unbox once (see OpqRotation.rotate): Seq.apply boxes per access
+        val a: Array[Double] = (v: Any) match {
+          case w: scala.collection.mutable.ArraySeq.ofDouble => w.array
+          case _ => v.toArray
+        }
         val mu = bm.value; val mat = bp.value
         val m = mat.length; val d = mu.length
         val out = new Array[Double](m)
@@ -46,7 +51,7 @@ object Pca {
           var s = 0.0
           var i = 0
           val row = mat(k)
-          while (i < d) { s += row(i) * (v(i) - mu(i)); i += 1 }
+          while (i < d) { s += row(i) * (a(i) - mu(i)); i += 1 }
           out(k) = s
           k += 1
         }
