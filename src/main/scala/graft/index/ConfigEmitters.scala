@@ -114,14 +114,17 @@ object JdbcVectorSink {
   def jdbcUrl(cfg: PgConfig): String =
     s"jdbc:postgresql://${cfg.host}:${cfg.port}/${cfg.database}"
 
-  def write(index: org.apache.spark.sql.DataFrame, cfg: PgConfig): Unit = {
+  /** The shared sink transform: embedding array -> the pgvector text wire
+    * literal (parity with [[vectorLiteral]] pinned in ConfigAndC2Spec). */
+  def withVectorLiteral(index: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    // pgvector accepts '[x,y,...]' literals; cast the array accordingly.
-    // (array_join over array<string> renders doubles like vectorLiteral —
-    // parity pinned in ConfigAndC2Spec.)
-    val withVec = index.withColumn("embedding_vec",
-      concat(lit("["), array_join(col("embedding").cast("array<string>"), ","), lit("]")))
-    withVec.drop("embedding")
+    index.withColumn("embedding_vec",
+        concat(lit("["), array_join(col("embedding").cast("array<string>"), ","), lit("]")))
+      .drop("embedding")
+  }
+
+  def write(index: org.apache.spark.sql.DataFrame, cfg: PgConfig): Unit =
+    withVectorLiteral(index)
       .write.mode("append")
       .format("jdbc")
       .option("url", jdbcUrl(cfg))
@@ -129,5 +132,21 @@ object JdbcVectorSink {
       .option("user", cfg.user)
       .option("password", cfg.password)
       .save()
+
+  /** The same sink through ANY JDBC driver/url — identical row shape and
+    * wire literal, minus the pgvector-specific `::vector` cast (engines
+    * without the extension store the literal in a plain text column).
+    * This is the path JdbcSinkSpec executes END-TO-END against embedded
+    * Derby (the one JDBC engine present in-container), so the Spark JDBC
+    * prepare/batch/execute machinery is genuinely exercised rather than
+    * golden-tested; the pg-specific DDL/upsert text stays golden. */
+  def writeGeneric(index: org.apache.spark.sql.DataFrame, url: String,
+                   table: String, driver: String = ""): Unit = {
+    val w = withVectorLiteral(index)
+      .write.mode("append")
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+    (if (driver.nonEmpty) w.option("driver", driver) else w).save()
   }
 }

@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.JdbcVectorSink
+
+/** K3 executed against a REAL JDBC engine: embedded Derby (in-JVM, ships
+  * with Spark's jars) runs the generic sink end-to-end — Spark's JDBC
+  * writer batches real INSERTs over real PreparedStatements, and the rows
+  * round-trip back through spark.read.jdbc. The pgvector-specific pieces
+  * (vector(dim) DDL, `?::vector` upsert, the wire literal) remain
+  * golden-tested in ConfigAndC2Spec; what Derby proves is the live
+  * prepare/execute path those texts feed. */
+class JdbcSinkSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+  private val driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+  private def chunkIndex = Seq(
+    ("d0#0", 0L, 0, "alpha chunk", 3L, Seq(0.25, -1.5, 3.0)),
+    ("d0#1", 0L, 1, "beta chunk", 2L, Seq(1.0, 2.0, -0.125)),
+    ("d1#0", 1L, 0, "gamma chunk", 5L, Seq(-0.5, 0.0, 4.25)))
+    .toDF("chunk_id", "doc_id", "chunk_idx", "chunk_text", "n_tokens", "embedding")
+
+  test("generic JDBC sink writes through embedded Derby and rows round-trip") {
+    JdbcVectorSink.writeGeneric(chunkIndex, url, "rag_chunks_rt")
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "rag_chunks_rt").load()
+      .select("chunk_id", "doc_id", "chunk_idx", "chunk_text", "n_tokens", "embedding_vec")
+      .as[(String, Long, Int, String, Long, String)]
+      .collect().sortBy(_._1)
+    assert(back.length == 3)
+    assert(back.map(_._1).toSeq == Seq("d0#0", "d0#1", "d1#0"))
+    // the stored literal is exactly the pgvector wire format
+    assert(back.head._6 == JdbcVectorSink.vectorLiteral(Seq(0.25, -1.5, 3.0)))
+    assert(back(1)._6 == "[1.0,2.0,-0.125]")
+    // append is append: a second write doubles the rows (the pg upsert
+    // variant dedups on chunk_id; Derby has no ON CONFLICT)
+    JdbcVectorSink.writeGeneric(chunkIndex, url, "rag_chunks_rt")
+    val n = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "rag_chunks_rt").load().count()
+    assert(n == 6)
+  }
+
+  test("parameterized INSERT executes over a real PreparedStatement") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().executeUpdate(
+        """CREATE TABLE rag_chunks_ps (
+          |  chunk_id VARCHAR(64) PRIMARY KEY,
+          |  doc_id BIGINT NOT NULL,
+          |  chunk_idx INT NOT NULL,
+          |  chunk_text VARCHAR(512) NOT NULL,
+          |  n_tokens BIGINT,
+          |  embedding VARCHAR(1024) NOT NULL)""".stripMargin)
+      // Derby-portable core of insertSql (everything up to the pg-only
+      // ::vector cast + ON CONFLICT clause)
+      val ps = conn.prepareStatement(
+        "INSERT INTO rag_chunks_ps " +
+          "(chunk_id, doc_id, chunk_idx, chunk_text, n_tokens, embedding) " +
+          "VALUES (?, ?, ?, ?, ?, ?)")
+      chunkIndex.collect().foreach { r =>
+        ps.setString(1, r.getString(0))
+        ps.setLong(2, r.getLong(1))
+        ps.setInt(3, r.getInt(2))
+        ps.setString(4, r.getString(3))
+        ps.setLong(5, r.getLong(4))
+        ps.setString(6, JdbcVectorSink.vectorLiteral(r.getSeq[Double](5)))
+        ps.addBatch()
+      }
+      assert(ps.executeBatch().toSeq == Seq(1, 1, 1))
+      val rs = conn.createStatement().executeQuery(
+        "SELECT chunk_id, embedding FROM rag_chunks_ps ORDER BY chunk_id")
+      val rows = Iterator.continually(rs)
+        .takeWhile(_.next()).map(r => (r.getString(1), r.getString(2))).toSeq
+      assert(rows == Seq(
+        ("d0#0", "[0.25,-1.5,3.0]"),
+        ("d0#1", "[1.0,2.0,-0.125]"),
+        ("d1#0", "[-0.5,0.0,4.25]")))
+      // primary-key enforcement: the pg path relies on chunk_id conflicts
+      // being detectable — Derby proves the constraint fires
+      intercept[java.sql.SQLException] {
+        conn.createStatement().executeUpdate(
+          "INSERT INTO rag_chunks_ps (chunk_id, doc_id, chunk_idx, chunk_text, n_tokens, embedding) " +
+            "VALUES ('d0#0', 9, 9, 'dup', 0, '[]')")
+      }
+    } finally conn.close()
+  }
+
+  test("pgvector contract texts unchanged by the generic path (golden)") {
+    val cfg = JdbcVectorSink.PgConfig("h", 5432, "db", "u", "p", "rag_chunks")
+    assert(JdbcVectorSink.insertSql(cfg).contains("?::vector"))
+    assert(JdbcVectorSink.insertSql(cfg).contains("ON CONFLICT (chunk_id)"))
+    assert(JdbcVectorSink.createTableDdl(cfg, 3).contains("vector(3)"))
+    assert(JdbcVectorSink.jdbcUrl(cfg) == "jdbc:postgresql://h:5432/db")
+  }
+}
