@@ -3008,6 +3008,24 @@ object QueryCatalog {
     graft.multimodal.ImageCodec.encodePng(w, h, rgb)
   })
 
+  /** Deterministic animated-GIF synthesis for the multi-frame oracle:
+    * 3 + doc_id%3 frames of 16x12, each split into left/right halves
+    * painted with RGB-cube-corner colors (lc = (doc_id+k)%8,
+    * rc = (doc_id*3+k*5)%8; corner bits -> 0/255 channels) — the only
+    * palette-proof color set, so the GIF round-trip is bit-exact. */
+  private val synthGifUdf = udf((docId: Long) => {
+    def corner(c: Long): Int =
+      ((255L * (c & 1)).toInt << 16) | ((255L * ((c >> 1) & 1)).toInt << 8) |
+        (255L * ((c >> 2) & 1)).toInt
+    val n = (3 + docId % 3).toInt
+    val frames = (0 until n).map { k =>
+      val lc = (docId + k) % 8
+      val rc = (docId * 3 + k * 5) % 8
+      Array.tabulate(16 * 12)(p => corner(if (p % 16 < 8) lc else rc))
+    }
+    graft.multimodal.ImageCodec.encodeAnimatedGif(16, 12, frames)
+  })
+
   /** Assemble one 32-bit half of a perceptual hash from (i, bit) rows —
     * shared by both image-pixel oracles; halves keep every value in
     * non-negative BIGINT range on both engines. */
@@ -3091,6 +3109,86 @@ object QueryCatalog {
                ahash_lo, ahash_hi, dhash_lo, dhash_hi
         FROM tot JOIN ah USING (doc_id) JOIN dh USING (doc_id)
         ORDER BY doc_id""")),
+
+    // Decode -> box-resize -> re-encode -> decode: the thumbnailing stage
+    // with EXACT integer semantics (factor-2 block floor-means, trailing
+    // row/col dropped on the odd dims) — the oracle recomputes every
+    // output pixel from the input formula, so both PNG round-trips and
+    // the block arithmetic are verified.
+    Q("q_image_resize",
+      (s, dir) => {
+        val withImg = t(s, dir, "documents")
+          .withColumn("img", synthPngUdf(col("doc_id"),
+            (col("doc_id") % 5 + 16).cast("int"),
+            (col("doc_id") % 7 + 16).cast("int"), lit(false)))
+        val rs = graft.multimodal.ImageCodec.withResized(withImg, "img", 2)
+        graft.multimodal.ImageCodec.withImagePixelStats(rs, "resized")
+          .select(col("doc_id"),
+            col("img_w").cast("long").as("img_w"),
+            col("img_h").cast("long").as("img_h"),
+            col("sum_r"), col("sum_g"), col("sum_b"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH px AS (
+          SELECT doc_id,
+                 CAST(doc_id % 5 + 16 AS BIGINT) AS w,
+                 CAST(doc_id % 7 + 16 AS BIGINT) AS h,
+                 unnest(range(0, (doc_id % 5 + 16) * (doc_id % 7 + 16))) AS p
+          FROM documents),
+        c AS (
+          SELECT doc_id, w, h, p % w AS x, p // w AS y,
+                 (doc_id * 7 + (p % w) * 13 + (p // w) * 31) % 256 AS r,
+                 (doc_id * 11 + (p % w) * 3 + (p // w) * 17) % 256 AS g,
+                 (doc_id * 5 + (p % w) * 23 + (p // w) * 29) % 256 AS b
+          FROM px),
+        blk AS (
+          SELECT doc_id, x // 2 AS ox, y // 2 AS oy,
+                 CAST(sum(r) AS BIGINT) AS sr, CAST(sum(g) AS BIGINT) AS sg,
+                 CAST(sum(b) AS BIGINT) AS sb
+          FROM c
+          WHERE x < (w // 2) * 2 AND y < (h // 2) * 2
+          GROUP BY doc_id, x // 2, y // 2),
+        o AS (
+          SELECT doc_id, CAST(sum(sr // 4) AS BIGINT) AS sum_r,
+                 CAST(sum(sg // 4) AS BIGINT) AS sum_g,
+                 CAST(sum(sb // 4) AS BIGINT) AS sum_b
+          FROM blk GROUP BY doc_id)
+        SELECT doc_id,
+               CAST((doc_id % 5 + 16) // 2 AS BIGINT) AS img_w,
+               CAST((doc_id % 7 + 16) // 2 AS BIGINT) AS img_h,
+               sum_r, sum_g, sum_b
+        FROM o ORDER BY doc_id""")),
+
+    // REAL multi-frame decode: per-doc animated GIF (3-5 frames of
+    // RGB-cube-corner half-split patterns — colors that survive palette
+    // quantization exactly), every 2nd frame sampled and channel-summed;
+    // the oracle recomputes each sampled frame's sums from the corner
+    // formula. Retires the "frame sampling is byte-slicing" caveat with
+    // an actual multi-frame container decode.
+    Q("q_gif_frames",
+      (s, dir) => {
+        val withGif = t(s, dir, "documents")
+          .withColumn("gif", synthGifUdf(col("doc_id")))
+        graft.multimodal.ImageCodec.gifFrameStats(withGif, "gif", "doc_id", 2)
+          .select(col("doc_id"), col("frame_no"),
+            col("frame_w").cast("long").as("frame_w"),
+            col("frame_h").cast("long").as("frame_h"),
+            col("sum_r"), col("sum_g"), col("sum_b"))
+          .orderBy("doc_id", "frame_no")
+      },
+      Some("""
+        WITH f AS (SELECT doc_id, unnest(range(0, 3 + doc_id % 3, 2)) AS k
+                   FROM documents),
+        c AS (SELECT doc_id, k, (doc_id + k) % 8 AS lc,
+                     (doc_id * 3 + k * 5) % 8 AS rc
+              FROM f)
+        SELECT doc_id, CAST(k AS BIGINT) AS frame_no,
+               CAST(16 AS BIGINT) AS frame_w, CAST(12 AS BIGINT) AS frame_h,
+               CAST(96 * 255 * ((lc % 2) + (rc % 2)) AS BIGINT) AS sum_r,
+               CAST(96 * 255 * (((lc // 2) % 2) + ((rc // 2) % 2)) AS BIGINT) AS sum_g,
+               CAST(96 * 255 * (((lc // 4) % 2) + ((rc // 4) % 2)) AS BIGINT) AS sum_b
+        FROM c ORDER BY doc_id, frame_no""")),
 
     // Pixel-level image near-dup: docs 100-199 are perturbed copies of
     // 0-99 (small quantized nudge on ~1/13 of red pixels), everything

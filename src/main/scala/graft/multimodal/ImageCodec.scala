@@ -176,6 +176,130 @@ object ImageCodec {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Exact integer box-downsample by an integer factor: output pixel
+    * (x,y) = channel-wise floor(mean) of the f x f input block — defined
+    * entirely in integer arithmetic (sum / f^2 floor division) so an
+    * oracle can recompute every output pixel from an input pixel formula.
+    * Trailing rows/cols that don't fill a block are dropped (floor(w/f)):
+    * the deterministic choice, matching how SQL replays it. Returns the
+    * resized image re-encoded as lossless PNG, null when the payload
+    * doesn't decode or is smaller than one block. */
+  def resizeBox(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, "factor must be >= 1")
+    if (bytes == null || bytes.isEmpty) return null
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return null
+    val ow = img.getWidth / factor
+    val oh = img.getHeight / factor
+    if (ow <= 0 || oh <= 0) return null
+    val out = new Array[Int](ow * oh)
+    val f2 = factor * factor
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        var sr = 0; var sg = 0; var sb = 0
+        var dy = 0
+        while (dy < factor) {
+          var dx = 0
+          while (dx < factor) {
+            val rgb = img.getRGB(x * factor + dx, y * factor + dy)
+            sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+            dx += 1
+          }
+          dy += 1
+        }
+        out(y * ow + x) = ((sr / f2) << 16) | ((sg / f2) << 8) | (sb / f2)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(ow, oh, out)
+  }
+
+  private def resizeUdfFor(factor: Int) =
+    udf((b: Array[Byte]) => Option(resizeBox(b, factor)))
+
+  /** Adds `resized` (PNG bytes of the box-downsampled image; null when
+    * undecodable). Narrow per-row kernel — the decode→resize→re-encode
+    * stage of a thumbnailing/multi-resolution pipeline. */
+  def withResized(df: DataFrame, binCol: String, factor: Int): DataFrame =
+    df.withColumn("resized", resizeUdfFor(factor)(col(binCol)))
+
+  /** REAL multi-frame decode for animated GIFs — the frame-sampling stage
+    * of a video-ish pipeline over the one multi-frame container the JDK
+    * decodes natively. Emits (idCol, frame_no, frame_w, frame_h, sum_r,
+    * sum_g, sum_b) for every `stride`-th frame. Frames are composed
+    * as full replacement frames (no disposal blending) — the synthesized
+    * fixtures encode full frames, and real pipelines normalize first.
+    * Narrow flatMap generator; bytes never shuffle. */
+  def gifFrameStats(df: DataFrame, binCol: String, idCol: String,
+                    stride: Int = 1): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        if (b == null || b.isEmpty) Iterator.empty
+        else {
+          val in = ImageIO.createImageInputStream(new ByteArrayInputStream(b))
+          val readers = ImageIO.getImageReaders(in)
+          if (!readers.hasNext) { in.close(); Iterator.empty }
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(in, false, true)
+              val n = reader.getNumImages(true)
+              (0 until n by stride).iterator.map { i =>
+                val fr = reader.read(i)
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var y = 0
+                while (y < fr.getHeight) {
+                  var x = 0
+                  while (x < fr.getWidth) {
+                    val rgb = fr.getRGB(x, y)
+                    sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+                    x += 1
+                  }
+                  y += 1
+                }
+                (id, i.toLong, fr.getWidth, fr.getHeight, sr, sg, sb)
+              }.toVector.iterator
+            } catch { case _: Exception => Iterator.empty }
+            finally { reader.dispose(); in.close() }
+          }
+        }
+      }
+      .toDF(idCol, "frame_no", "frame_w", "frame_h", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** Encode frames (each a row-major RGB array) as an animated GIF via
+    * the JDK's gif writer — the fixture half of the multi-frame
+    * round-trip. GIF is palette-quantized, so fixtures must use colors
+    * that survive quantization exactly (e.g. few distinct colors). */
+  def encodeAnimatedGif(width: Int, height: Int,
+                        frames: Seq[Array[Int]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        require(f.length == width * height, "frame must be width*height")
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        img.setRGB(0, 0, width, height, f, 0, width)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
   /** REAL [[BinaryColumns.MediaDecoder]] for images, replacing the
     * byte-stats stub in the batched feature-extraction path: features are
     * [w, h, meanR, meanG, meanB, meanLuma/1000, popcount(aHash),

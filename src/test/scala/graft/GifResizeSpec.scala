@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.ImageCodec
+
+/** Box-resize exactness and animated-GIF multi-frame decode. */
+class GifResizeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  test("resizeBox: exact integer block means, trailing row/col dropped") {
+    // 5x3 image, factor 2 -> 2x1 output; right col + bottom row dropped
+    val px = Array.tabulate(15) { p =>
+      val x = p % 5; val y = p / 5
+      ((x * 40 + y * 7) << 16) | ((x * 11) << 8) | (y * 90)
+    }
+    val resized = ImageCodec.resizeBox(ImageCodec.encodePng(5, 3, px), 2)
+    val st = ImageCodec.decodeStats(resized)
+    assert(st.width == 2 && st.height == 1)
+    // block (0,0): x in {0,1}, y in {0,1}; block (1,0): x in {2,3}
+    def ch(x: Int, y: Int, f: Int => Int): Int = f(px(y * 5 + x))
+    def blockMean(xs: Seq[Int], ys: Seq[Int], f: Int => Int): Int =
+      (for (y <- ys; x <- xs) yield ch(x, y, f)).sum / 4
+    val r = (v: Int) => (v >> 16) & 0xFF
+    val g = (v: Int) => (v >> 8) & 0xFF
+    val b = (v: Int) => v & 0xFF
+    assert(st.sumR == blockMean(Seq(0, 1), Seq(0, 1), r) + blockMean(Seq(2, 3), Seq(0, 1), r))
+    assert(st.sumG == blockMean(Seq(0, 1), Seq(0, 1), g) + blockMean(Seq(2, 3), Seq(0, 1), g))
+    assert(st.sumB == blockMean(Seq(0, 1), Seq(0, 1), b) + blockMean(Seq(2, 3), Seq(0, 1), b))
+    // factor 1 is identity (same decoded stats)
+    val id1 = ImageCodec.decodeStats(ImageCodec.resizeBox(ImageCodec.encodePng(5, 3, px), 1))
+    val id0 = ImageCodec.decodeStats(ImageCodec.encodePng(5, 3, px))
+    assert(id1 == id0)
+    assert(ImageCodec.resizeBox(Array[Byte](9, 9), 2) == null)
+    assert(ImageCodec.resizeBox(ImageCodec.encodePng(1, 1, Array(0)), 2) == null,
+      "smaller than one block")
+  }
+
+  test("animated GIF: RGB-cube-corner frames round-trip exactly") {
+    def corner(c: Int): Int =
+      (255 * (c & 1) << 16) | (255 * ((c >> 1) & 1) << 8) | (255 * ((c >> 2) & 1))
+    // 3 frames, 16x12, left/right halves in cube-corner colors
+    val frames = (0 until 3).map { k =>
+      Array.tabulate(16 * 12) { p =>
+        val x = p % 16
+        corner(if (x < 8) (k + 1) % 8 else (k * 3 + 5) % 8)
+      }
+    }
+    val gif = ImageCodec.encodeAnimatedGif(16, 12, frames)
+    val df = Seq((7L, gif)).toDF("media_id", "gif")
+    val all = ImageCodec.gifFrameStats(df, "gif", "media_id")
+      .orderBy("frame_no")
+      .as[(Long, Long, Int, Int, Long, Long, Long)].collect()
+    assert(all.length == 3)
+    all.zipWithIndex.foreach { case ((id, fno, w, h, sr, sg, sb), k) =>
+      assert(id == 7L && fno == k && w == 16 && h == 12)
+      val lc = (k + 1) % 8; val rc = (k * 3 + 5) % 8
+      val half = 8 * 12
+      assert(sr == 255L * half * ((lc & 1) + (rc & 1)), s"frame $k red")
+      assert(sg == 255L * half * (((lc >> 1) & 1) + ((rc >> 1) & 1)), s"frame $k green")
+      assert(sb == 255L * half * (((lc >> 2) & 1) + ((rc >> 2) & 1)), s"frame $k blue")
+    }
+    // stride sampling
+    val strided = ImageCodec.gifFrameStats(df, "gif", "media_id", stride = 2)
+      .select("frame_no").as[Long].collect().sorted
+    assert(strided.toSeq == Seq(0L, 2L))
+    // garbage in, nothing out
+    assert(ImageCodec.gifFrameStats(
+      Seq((1L, Array[Byte](1, 2, 3))).toDF("media_id", "gif"), "gif", "media_id")
+      .count() == 0)
+  }
+}
