@@ -172,4 +172,30 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
       s"the (id, dim) aggregation must have a partial (map-side) phase:\n$plan")
   }
+
+  test("image near-dup: band-keyed join, no cartesian, image bytes never reach the exchange") {
+    val px = Array.tabulate(64)(i => i * 0x010101)
+    val df = Seq(
+      (1L, graft.multimodal.ImageCodec.encodePng(8, 8, px)),
+      (2L, graft.multimodal.ImageCodec.encodePng(8, 8, px)))
+      .toDF("media_id", "img")
+    val plan = formatted(graft.multimodal.ImageCodec.imageNearDupPairs(df, "media_id", "img"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"candidates must come from the band join:\n$plan")
+    // the exchange feeding the self-join must carry only id/hash/band
+    // columns — decoded payloads and raw bytes stay inside the map stage
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!plan.contains("img#") || !exchanges.contains("img#"),
+      s"image bytes must not transit a shuffle:\n$exchanges")
+  }
+
+  test("quantilesAuto probe is a two-phase aggregate, not a distinct collect") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("v", "g")
+    // chooseRoute's probe: group-count + max-group-size in one aggregation
+    val probe = df.groupBy($"g").agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("__ndv"), max($"__c").as("__maxc"))
+    val plan = formatted(probe)
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"probe must map-side combine:\n$plan")
+  }
 }
