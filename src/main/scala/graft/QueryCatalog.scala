@@ -4597,6 +4597,44 @@ object QueryCatalog {
         ORDER BY doc_id"""
       }),
 
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): per-language
+    // head/middle/tail terciles of LM surprisal — the canonical
+    // keep-the-LM-plausible-part partitioning of a crawl. Deterministic
+    // ntile over (round-6 surprisal, doc_id); the oracle recomputes the
+    // identical surprisal (same formula text family as q_unigram_lm) and
+    // the identical window.
+    Q("q_ccnet_buckets",
+      (s, dir) => {
+        graft.ops.Curation.ccnetBuckets(
+            t(s, dir, "documents"), "text", "doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(text), '\\s+')) AS tok
+          FROM documents),
+        vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+        scored AS (
+          SELECT doc_id,
+                 round(-ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS lp
+          FROM toks JOIN vocab USING (tok) CROSS JOIN tot),
+        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                       ${duckR6("sum(lp) / CAST(count(*) AS DOUBLE)")} AS avg_surprisal
+                FROM scored GROUP BY doc_id),
+        l AS (SELECT d.doc_id, d.lang, a.n_tokens, a.avg_surprisal
+              FROM agg a JOIN documents d USING (doc_id)),
+        b AS (SELECT doc_id, lang, n_tokens, avg_surprisal,
+                     ntile(3) OVER (PARTITION BY lang
+                                    ORDER BY avg_surprisal, doc_id) AS b3
+              FROM l)
+        SELECT doc_id, lang, n_tokens, avg_surprisal,
+               CASE b3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                       ELSE 'tail' END AS bucket,
+               (b3 <> 3) AS keep
+        FROM b ORDER BY doc_id""")),
+
     // Keyword tagger, case-insensitive + word-boundary modes (how real
     // blocklists run): mixed-case dictionary, tags reported as lowercase
     // canonical terms, and a hit only counts flanked by non-word chars.

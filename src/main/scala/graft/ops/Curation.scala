@@ -47,6 +47,37 @@ object Curation {
 
   private val S = Dialect.spark
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, §4.3 of the
+    * CCNet paper): rank every document WITHIN ITS LANGUAGE by language-model
+    * surprisal (the in-engine [[LanguageModel.unigramSurprisal]] standing
+    * in for CCNet's KenLM perplexity) and split into head/middle/tail
+    * terciles — head+middle is the standard pretraining keep set, tail is
+    * the LM-implausible crawl noise. Deterministic: the ntile orders by
+    * ROUND-6 surprisal with an id tie-break, so equal scores can't land
+    * in different buckets across engines or partitionings.
+    *
+    * Scale: surprisal is two map-side-combined aggregations plus a
+    * broadcast vocab join (see LanguageModel); the bucketing adds one
+    * per-language window over (id, score) rows only — no text moves.
+    * Output: (idCol, langCol, n_tokens, avg_surprisal r6, bucket, keep). */
+  def ccnetBuckets(docs: DataFrame, textCol: String, idCol: String,
+                   langCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sup = LanguageModel.unigramSurprisal(docs, textCol, idCol)
+      .withColumn("avg_surprisal", round(col("avg_surprisal"), 6) + lit(0.0))
+    val withLang = sup.join(docs.select(col(idCol), col(langCol)), idCol)
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("avg_surprisal"), col(idCol))
+    withLang
+      .withColumn("__b3", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("__b3") === 1, "head")
+          .when(col("__b3") === 2, "middle").otherwise("tail"))
+      .withColumn("keep", col("__b3") =!= 3)
+      .select(col(idCol), col(langCol), col("n_tokens"),
+        col("avg_surprisal"), col("bucket"), col("keep"))
+  }
+
   /** Returns (idCol, keep, reasons) for every doc. */
   def qualityFilter(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val base = docs.selectExpr(s"`$idCol`", s"`$textCol` AS __t", s"md5(`$textCol`) AS __h")

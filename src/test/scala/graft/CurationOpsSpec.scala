@@ -346,4 +346,37 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(e1 != order(2), "different epoch -> different permutation")
     assert(e1.sorted == (1L to 200L), "a permutation, nothing lost")
   }
+
+  test("ccnetBuckets: common-word docs rank head, rare-word docs tail, per language") {
+    import graft.ops.Curation
+    // 6 docs per lang: 2 built from very common tokens, 2 mixed, 2 from
+    // tokens unique to that doc (max surprisal)
+    val common = Seq.fill(20)("the").mkString(" ")
+    def rare(tag: String) = (1 to 20).map(i => s"zq${tag}_$i").mkString(" ")
+    val docs = (for {
+      (lang, off) <- Seq(("en", 0L), ("de", 10L))
+      rows = Seq(
+        (off + 1, common, lang), (off + 2, common + " a", lang),
+        (off + 3, s"$common one two three", lang), (off + 4, s"$common four five six", lang),
+        (off + 5, rare(s"${lang}5"), lang), (off + 6, rare(s"${lang}6"), lang))
+      r <- rows
+    } yield r).toDF("doc_id", "text", "lang")
+    val got = Curation.ccnetBuckets(docs, "text", "doc_id", "lang")
+      .select("doc_id", "lang", "bucket", "keep")
+      .as[(Long, String, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    for (off <- Seq(0L, 10L)) {
+      assert(got(off + 1)._2 == "head" && got(off + 2)._2 == "head",
+        s"common-token docs must be head: $got")
+      assert(got(off + 5)._2 == "tail" && got(off + 6)._2 == "tail",
+        s"unique-token docs must be tail: $got")
+      assert(!got(off + 5)._3 && got(off + 1)._3, "keep = not tail")
+    }
+    // terciles are per-language: each lang has exactly 2/2/2
+    val byLang = got.values.groupBy(_._1)
+    byLang.values.foreach { xs =>
+      assert(xs.groupBy(_._2).view.mapValues(_.size).toMap ==
+        Map("head" -> 2, "middle" -> 2, "tail" -> 2))
+    }
+  }
 }
