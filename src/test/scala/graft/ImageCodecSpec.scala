@@ -92,6 +92,23 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(z.forall(_ == 0f))
   }
 
+  test("hostile-byte fuzz: decode kernels return null/empty, never throw") {
+    val rng = new scala.util.Random(1234)
+    (1 to 300).foreach { _ =>
+      val n = rng.nextInt(200)
+      val b = new Array[Byte](n); rng.nextBytes(b)
+      // also exercise payloads that START like real containers
+      val prefixed = rng.nextInt(4) match {
+        case 0 => Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++ b
+        case 1 => Array[Byte](0xFF.toByte, 0xD8.toByte) ++ b
+        case 2 => "GIF89a".getBytes ++ b
+        case _ => b
+      }
+      assert(ImageCodec.decodeStats(prefixed) == null)
+      assert(ImageCodec.resizeBox(prefixed, 2) == null)
+    }
+  }
+
   test("imageNearDupPairs: banded join finds perturbed copy, not the far image") {
     val spark = SparkSessionFixture.spark
     import spark.implicits._
