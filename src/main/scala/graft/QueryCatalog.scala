@@ -897,6 +897,60 @@ object QueryCatalog {
           FROM reach GROUP BY id
           ORDER BY doc_id""")),
 
+      // Dedup-aware train/val/test split: split decided by the near-dup
+      // CLUSTER id (md5 digit on cluster_id), so near-duplicate docs can
+      // never straddle train and test — the leakage guard the doc-keyed
+      // q_hash_split cannot provide. Oracle replays clustering (recursive
+      // reachability) + the identical md5 split rule.
+      Q("q_leakage_split",
+        (s, dir) => {
+          val docs = tk(s, dir, "documents")
+          val clusters = Dedup.nearDupClusters(docs, "text", "doc_id", 3, 8, 2, 0.2)
+            .select(col("doc_id").cast("long").as("doc_id"),
+              col("cluster_id").cast("long").as("cluster_id"))
+          graft.ops.Sampling.leakageSafeSplit(
+              docs.select(col("doc_id").cast("long").as("doc_id")),
+              clusters, "doc_id")
+            .select(col("doc_id"), col("cluster_id"), col("split"))
+            .orderBy("doc_id")
+        },
+        Some(s"""
+          WITH RECURSIVE
+          sigs AS (
+            SELECT doc_id, ${Exprs.minhashSig(D, "sh", 8)} AS sig FROM $duckShingles),
+          banded AS (
+            SELECT doc_id, CAST(b.b AS BIGINT) AS band,
+                   md5(array_to_string(sig[(CAST(b.b AS INT) * 2 + 1):(CAST(b.b AS INT) * 2 + 2)], '|')) AS band_key
+            FROM sigs, range(0, 4) AS b(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+            FROM banded a JOIN banded c
+              ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+          sets AS (SELECT doc_id, list_distinct(sh) AS shs FROM $duckShingles),
+          edges AS (
+            SELECT id_a, id_b
+            FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
+            WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                  / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= CAST(0.2 AS DOUBLE)),
+          und AS (
+            SELECT id_a AS src, id_b AS dst FROM edges
+            UNION ALL
+            SELECT id_b, id_a FROM edges),
+          reach(id, l) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT u.src, r.l FROM reach r JOIN und u ON u.dst = r.id),
+          cl AS (
+            SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY id)
+          SELECT doc_id, cluster_id,
+                 CASE WHEN d__ < 12 THEN 'train' WHEN d__ < 14 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (SELECT doc_id, cluster_id,
+                       ${D.md5HexDigit(D.castStr("cluster_id"), 1)} AS d__
+                FROM cl)
+          ORDER BY doc_id""")),
+
       // Inverted keyword index at rest (term -> document-frequency +
       // sorted posting list): the batch artifact behind the keyword/BM25
       // query modes. One explode + one groupBy shuffle on the term key;

@@ -120,4 +120,24 @@ object Sampling {
     df.withColumn("shuffle_key",
         md5(concat(lit(epoch.toString), lit(":"), col(idCol).cast("string"))))
       .orderBy("shuffle_key")
+
+  /** Dedup-aware train/val/test split: the split is decided by the
+    * near-dup CLUSTER id, not the document id — two near-duplicate
+    * documents always land in the same split, closing the eval-leakage
+    * hole of doc-keyed splitting (a test doc whose near-dup twin sits in
+    * train is contamination the doc-level q_hash_split cannot prevent).
+    * `clusters` = (idCol, cluster_id) from [[Dedup.nearDupClusters]] (or
+    * any cluster assignment covering every doc; singletons are their own
+    * cluster). The decision is the same md5-first-hex-digit convention as
+    * hash_split (train <12 /16, val <14 /16, test rest) keyed on
+    * cluster_id — deterministic, retry/speculation-safe, oracle-
+    * replayable. One equi-join on the id; no other data movement. */
+  def leakageSafeSplit(docs: DataFrame, clusters: DataFrame,
+                       idCol: String): DataFrame = {
+    val dl = Dialect.spark
+    val bucket = expr(dl.md5HexDigit(dl.castStr("cluster_id"), 1))
+    docs.join(clusters, idCol)
+      .withColumn("split",
+        when(bucket < 12, "train").when(bucket < 14, "val").otherwise("test"))
+  }
 }

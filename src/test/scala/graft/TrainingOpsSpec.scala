@@ -171,6 +171,30 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got == ((1.0, 3.0, 5.0, 3L)))
   }
 
+  test("leakageSafeSplit: near-dup cluster members never straddle splits") {
+    import graft.ops.Sampling
+    val docs = (1L to 300L).toDF("doc_id")
+    // 100 clusters of 3 (docs 3k+1..3k+3 share cluster 3k+1)
+    val clusters = (1L to 300L).map(i => (i, ((i - 1) / 3) * 3 + 1))
+      .toDF("doc_id", "cluster_id")
+    val got = Sampling.leakageSafeSplit(docs, clusters, "doc_id")
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect()
+    assert(got.length == 300)
+    val perCluster = got.groupBy(_._2).values
+    perCluster.foreach { xs =>
+      assert(xs.map(_._3).distinct.length == 1,
+        s"cluster must be split-atomic: ${xs.toSeq}")
+    }
+    val bySplit = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"), s"$bySplit")
+    assert(bySplit("train") > bySplit("test"), s"train majority expected: $bySplit")
+    // deterministic across reruns
+    val again = Sampling.leakageSafeSplit(docs, clusters, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got.map(r => r._1 -> r._3).toMap == again)
+  }
+
   test("Percentiles.quantilesAuto: probes the regime, both routes bit-match") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     // 3 groups of ~hundreds of rows each
