@@ -4028,6 +4028,57 @@ object QueryCatalog {
           FROM kept
           ORDER BY doc_id""")),
 
+      // CROSS-document sentence dedup (C4/Dolma corpus-level rule): every
+      // doc gets a shared preamble sentence + its own dotted sentences +
+      // a repeat of its own head slice; the preamble survives only in the
+      // lowest doc, repeats are cut everywhere, survivors re-join in
+      // order. Canonicality = min (doc, pos) per sentence, decided on
+      // hashes; the oracle replays it by grouping on the sentence value.
+      Q("q_crossdoc_sent_dedup",
+        (s, dir) => {
+          val dotted = expr(
+            """transform(split(trim(text), '\\s+'),
+                 (t, i) -> CASE WHEN i % 7 = 6 THEN concat(t, '.') ELSE t END)""")
+          val docs = t(s, dir, "documents")
+            .withColumn("__dt", dotted)
+            .withColumn("text2",
+              concat(lit("the shared corpus preamble. "),
+                array_join(col("__dt"), " "), lit(" "),
+                array_join(slice(col("__dt"), 1, 14), " ")))
+          Dedup.dedupSentencesAcross(docs, "text2", "doc_id")
+            .select(col("doc_id"), col("n_kept"),
+              md5(col("cleaned")).as("cleaned_md5"))
+            .orderBy("doc_id")
+        },
+        Some("""
+          WITH dt AS (
+            SELECT doc_id,
+                   list_transform(string_split_regex(trim(text), '\s+'),
+                     (t, i) -> CASE WHEN i % 7 = 0 THEN t || '.' ELSE t END) AS dt
+            FROM documents),
+          tx AS (SELECT doc_id,
+                        'the shared corpus preamble. ' ||
+                          array_to_string(dt, ' ') || ' ' ||
+                          array_to_string(dt[1:14], ' ') AS text2
+                 FROM dt),
+          sl AS (SELECT doc_id, string_split(text2, '. ') AS sl FROM tx),
+          sents AS (SELECT doc_id, unnest(sl) AS s,
+                           unnest(range(0, len(sl))) AS pos
+                    FROM sl),
+          canon AS (SELECT s, min(struct_pack(d := doc_id, p := pos)) AS f
+                    FROM sents GROUP BY s),
+          kept AS (SELECT se.doc_id, se.pos, se.s
+                   FROM sents se JOIN canon c USING (s)
+                   WHERE se.doc_id = (c.f).d AND se.pos = (c.f).p),
+          agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                         array_to_string(list(s ORDER BY pos), '. ') AS cleaned
+                  FROM kept GROUP BY doc_id)
+          SELECT d.doc_id,
+                 coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept,
+                 md5(coalesce(cleaned, '')) AS cleaned_md5
+          FROM documents d LEFT JOIN agg USING (doc_id)
+          ORDER BY doc_id""")),
+
       // Per-domain corpus cap (RefinedWeb-style: no domain may contribute
       // more than N documents). Domain parsed from a synthesized URL
       // (37 domains over the corpus), cap 3 via the deterministic

@@ -277,6 +277,43 @@ object Dedup {
         array_join(col("__kept"), delim).as("cleaned"))
   }
 
+  /** CROSS-document sentence dedup — the corpus-level C4/Dolma variant of
+    * [[dedupSentencesWithin]]: a sentence survives only at its canonical
+    * first occurrence corpus-wide (canonical = lowest (doc id, position));
+    * every other repetition, in any document, is cut, and each document's
+    * survivors re-join in original order. This is the boilerplate-killer
+    * pass (nav bars, license headers, SEO footers repeated across a
+    * crawl) that within-doc dedup cannot touch.
+    *
+    * Scale: one explode to (id, pos, md5(sentence)); the canonical table
+    * is a min-struct aggregation PER DISTINCT HASH (map-side combined;
+    * state bounded by distinct sentences, the same floor exact dedup
+    * has); one equi-join back keyed on the 32-char hash. Sentence text
+    * transits exactly one exchange (the rebuild groupBy) — canonicality
+    * is decided entirely on hashes. Docs whose every sentence is cut
+    * remain in the output with n_kept = 0. */
+  def dedupSentencesAcross(df: DataFrame, textCol: String, idCol: String,
+                           delim: String = ". "): DataFrame = {
+    val esc = java.util.regex.Pattern.quote(delim)
+    val sents = df
+      .select(col(idCol).cast("long").as("__id"),
+        posexplode(split(col(textCol), esc)).as(Seq("__pos", "__s")))
+      .withColumn("__h", md5(col("__s")))
+    val canon = sents.groupBy(col("__h"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
+    val kept = sents.join(canon, "__h")
+      .where(col("__id") === col("__first.__id") &&
+        col("__pos") === col("__first.__pos"))
+    val rebuilt = kept.groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__pos"), col("__s")))).as("__ks"))
+    df.select(col(idCol).cast("long").as("__id"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(expr("CAST(size(__ks) AS BIGINT)"), lit(0L)).as("n_kept"),
+        coalesce(expr(s"array_join(transform(__ks, x -> x.__s), '$delim')"),
+          lit("")).as("cleaned"))
+  }
+
   /** LSH banding over minhash signatures -> candidate near-dup pairs.
     * bands of `rowsPerBand` signature entries; pairs sharing >= 1 band key.
     * Output: id_a < id_b (distinct pairs). */

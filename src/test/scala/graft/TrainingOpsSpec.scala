@@ -171,6 +171,21 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got == ((1.0, 3.0, 5.0, 3L)))
   }
 
+  test("dedupSentencesAcross: canonical first occurrence kept corpus-wide") {
+    val docs = Seq(
+      (1L, "shared header. unique one"),
+      (2L, "shared header. unique two"),
+      (3L, "shared header"), // every sentence cut
+      (4L, "unique one. own tail")) // cross-doc repeat of doc 1's sentence
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupSentencesAcross(docs, "text", "doc_id")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((2L, "shared header. unique one")), s"$got")
+    assert(got(2L) == ((1L, "unique two")), s"header cut in doc 2: $got")
+    assert(got(3L) == ((0L, "")), s"fully-cut doc stays with n_kept 0: $got")
+    assert(got(4L) == ((1L, "own tail")), s"cross-doc repeat cut: $got")
+  }
+
   test("leakageSafeSplit: near-dup cluster members never straddle splits") {
     import graft.ops.Sampling
     val docs = (1L to 300L).toDF("doc_id")
