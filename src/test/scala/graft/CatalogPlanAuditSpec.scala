@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Repo-wide plan audit: EVERY catalog query's physical plan is built at
+  * sf0.001 and swept for CartesianProduct — the one operator that is
+  * never right at 100 TB. (BroadcastNestedLoopJoin is deliberately NOT
+  * banned: a crossJoin against a broadcast 1-row stats/weights relation
+  * plans as BNL and is bounded.) A regression that turns a keyed join
+  * into a cartesian anywhere in 160+ queries fails here by name. */
+class CatalogPlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("no catalog query plans a CartesianProduct at any point") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = formatted(fn(spark, dir))
+        if (plan.contains("CartesianProduct")) offenders += name
+      } catch {
+        case e: Throwable => errors += s"$name: ${e.getMessage}"
+      }
+    }
+    assert(errors.isEmpty, s"plans must build at sf0.001:\n${errors.mkString("\n")}")
+    assert(offenders.isEmpty,
+      s"cartesian products found in: ${offenders.mkString(", ")}")
+  }
+}
