@@ -85,6 +85,16 @@ object QueryCatalog {
           max(CASE WHEN "rank" = $k THEN chr(30) || "left" || "right" || chr(31) END) AS q$k""")
       .mkString(", ")
 
+  /** Frozen classifier-model memo, same contract as [[opqRotation]]:
+    * q_stream_score_eq needs the trained model and training is
+    * deterministic per dir. */
+  private val clsModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.QualityClassifier.TrainedModel]()
+  private def clsModel(s: SparkSession, dir: String): graft.ops.QualityClassifier.TrainedModel =
+    clsModelCache.computeIfAbsent(dir, _ =>
+      graft.ops.QualityClassifier.trainModel(
+        t(s, dir, "documents"), "doc_id", "text", "n_chars >= 250"))
+
   /** PCA model memo, same contract as [[opqRotation]]: q_pca_project and
     * q_pca_ann share one (mean, top-16 eigenvectors) fit per dir. */
   private val pcaCache =
@@ -3411,7 +3421,91 @@ object QueryCatalog {
                CAST(max(tsu) - min(tsu) AS BIGINT) AS duration_us
         FROM y
         GROUP BY user_id, sess_id
-        ORDER BY user_id, sess_id"""))
+        ORDER BY user_id, sess_id""")),
+
+    // Frozen-model stream scoring == the training run's batch scores: the
+    // model (10 doubles) trains once per dir, then REAL micro-batches
+    // score through StreamingScore, and the oracle is the SAME unrolled
+    // GD-training SQL that q_quality_classifier hash-matches — so the
+    // batch-train -> stream-serve bridge is under the hash gate end to
+    // end (any drift in frozen standardization constants or the scoring
+    // formula flips scores).
+    Q("q_stream_score_eq",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx = s.sqlContext
+        val model = clsModel(s, dir)
+        val rows = t(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)].collect().sortBy(_._1)
+        val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+        val name = s"q_stream_score_eq_${System.nanoTime()}"
+        val q = graft.streaming.StreamingScore.scoreStream(
+            in.toDS().toDF("doc_id", "text"), "doc_id", "text", model)
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try {
+          rows.grouped(math.max(1, (rows.length + 3) / 4)).foreach { b =>
+            in.addData(b.toSeq); q.processAllAvailable()
+          }
+        } finally q.stop()
+        val scored = s.table(name)
+          .select(col("doc_id"), col("score"))
+          .as[(Long, Double)].collect().toSeq
+        scored.toDF("doc_id", "score").orderBy("doc_id")
+      },
+      Some {
+        val inner = graft.ops.QualityClassifier.oracleSql(
+          D, "documents", "doc_id", "text", "n_chars >= 250")
+        s"SELECT doc_id, score FROM ($inner) __t ORDER BY doc_id"
+      }),
+
+    // Streaming LSH candidate generation == batch banding: REAL
+    // micro-batches probe/extend the per-bucket state store (cap raised
+    // past every sf0.01 bucket so the sampling degradation cannot kick
+    // in), and the oracle recomputes the banded collision pairs from
+    // scratch. Cross-batch candidate emission — the property batch
+    // banding cannot test — is exactly what the ascending-id batches
+    // exercise.
+    Q("q_stream_lsh_eq",
+      (s, dir) => {
+        import s.implicits._
+        import graft.streaming.StreamingDedup
+        import graft.streaming.StreamingDedup.{CandPair, DocIn}
+        implicit val sqlCtx = s.sqlContext
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"),
+            coalesce(col("text"), lit("")).as("text"))
+          .as[DocIn].collect().sortBy(_.doc_id)
+        val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocIn]
+        val name = s"q_stream_lsh_eq_${System.nanoTime()}"
+        val q = StreamingDedup.lshCandidateStream(in.toDS(), 3, 8, 2,
+            maxPerBucket = 1000000)
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try {
+          docs.grouped(math.max(1, (docs.length + 3) / 4)).foreach { b =>
+            in.addData(b.toSeq); q.processAllAvailable()
+          }
+        } finally q.stop()
+        val pairs = s.table(name).as[CandPair].collect().toSeq
+        pairs.toDF("id_a", "id_b").distinct().orderBy("id_a", "id_b")
+      },
+      Some {
+        val duckToks =
+          s"(SELECT doc_id, ${D.splitWs("coalesce(text, '')")} AS toks FROM documents)"
+        val duckShingles =
+          s"(SELECT doc_id, ${Exprs.wordShingles(D, "toks", 3)} AS sh FROM $duckToks)"
+        s"""
+        WITH sigs AS (
+          SELECT doc_id, ${Exprs.minhashSig(D, "sh", 8)} AS sig FROM $duckShingles),
+        banded AS (
+          SELECT doc_id, CAST(b.b AS BIGINT) AS band,
+                 md5(array_to_string(sig[(CAST(b.b AS INT) * 2 + 1):(CAST(b.b AS INT) * 2 + 2)], '|')) AS band_key
+          FROM sigs, range(0, 4) AS b(b))
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM banded a JOIN banded c
+          ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id
+        ORDER BY id_a, id_b"""
+      })
   )
 
   /** Training-data pipeline operators beyond the dedup/similarity set:
