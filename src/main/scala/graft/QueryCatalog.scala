@@ -3354,7 +3354,11 @@ object QueryCatalog {
         import s.implicits._
         import graft.streaming.StreamingDedup
         import graft.streaming.StreamingDedup.{DocIn, DupPair}
-        implicit val sqlCtx = s.sqlContext
+        // child session: streaming-query state (memory-sink views, query
+        // manager, execution listeners) stays scoped to this invocation
+        // instead of accumulating on the shared bench session
+        val ss = s.newSession()
+        implicit val sqlCtx = ss.sqlContext
         val base = t(s, dir, "documents")
           .select(col("doc_id").cast("long").as("doc_id"),
             coalesce(col("text"), lit("")).as("text"))
@@ -3370,8 +3374,14 @@ object QueryCatalog {
           docs.grouped(math.max(1, (docs.length + 3) / 4)).foreach { b =>
             in.addData(b.toSeq); q.processAllAvailable()
           }
-        } finally q.stop()
-        val pairs = s.table(name).as[DupPair].collect().toSeq
+        } finally {
+          q.stop()
+          // unload HDFS-backed state providers eagerly: loaded providers
+          // (and their in-memory version maps) otherwise persist past the
+          // query and pile up across a 160-query bench run
+          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        }
+        val pairs = ss.table(name).as[DupPair].collect().toSeq
         pairs.toDF("keep_id", "dup_id").orderBy("keep_id", "dup_id")
       },
       Some("""
@@ -3399,7 +3409,11 @@ object QueryCatalog {
         import org.apache.spark.sql.expressions.Window
         import graft.streaming.StatefulSessionize
         import graft.streaming.StatefulSessionize.{SEvent, Session}
-        implicit val sqlCtx = s.sqlContext
+        // child session: streaming-query state (memory-sink views, query
+        // manager, execution listeners) stays scoped to this invocation
+        // instead of accumulating on the shared bench session
+        val ss = s.newSession()
+        implicit val sqlCtx = ss.sqlContext
         def tsOf(us: Long) = java.sql.Timestamp.from(
           java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
         val evs = tEvents(s, dir)
@@ -3422,8 +3436,14 @@ object QueryCatalog {
           // time, the second processes timeouts against that watermark
           in.addData(SEvent(-1L, tsOf(sentinelUs), 0L)); q.processAllAvailable()
           in.addData(SEvent(-1L, tsOf(sentinelUs + 1000000L), 1L)); q.processAllAvailable()
-        } finally q.stop()
-        val sess = s.table(name).as[Session].collect().toSeq.filter(_.user_id >= 0)
+        } finally {
+          q.stop()
+          // unload HDFS-backed state providers eagerly: loaded providers
+          // (and their in-memory version maps) otherwise persist past the
+          // query and pile up across a 160-query bench run
+          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        }
+        val sess = ss.table(name).as[Session].collect().toSeq.filter(_.user_id >= 0)
         val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
         sess.toDF()
           .withColumn("sess_id", row_number().over(w).cast("long"))
@@ -3456,7 +3476,11 @@ object QueryCatalog {
     Q("q_stream_score_eq",
       (s, dir) => {
         import s.implicits._
-        implicit val sqlCtx = s.sqlContext
+        // child session: streaming-query state (memory-sink views, query
+        // manager, execution listeners) stays scoped to this invocation
+        // instead of accumulating on the shared bench session
+        val ss = s.newSession()
+        implicit val sqlCtx = ss.sqlContext
         val model = clsModel(s, dir)
         val rows = t(s, dir, "documents")
           .select(col("doc_id").cast("long"), col("text"))
@@ -3470,8 +3494,14 @@ object QueryCatalog {
           rows.grouped(math.max(1, (rows.length + 3) / 4)).foreach { b =>
             in.addData(b.toSeq); q.processAllAvailable()
           }
-        } finally q.stop()
-        val scored = s.table(name)
+        } finally {
+          q.stop()
+          // unload HDFS-backed state providers eagerly: loaded providers
+          // (and their in-memory version maps) otherwise persist past the
+          // query and pile up across a 160-query bench run
+          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        }
+        val scored = ss.table(name)
           .select(col("doc_id"), col("score"))
           .as[(Long, Double)].collect().toSeq
         scored.toDF("doc_id", "score").orderBy("doc_id")
@@ -3494,7 +3524,11 @@ object QueryCatalog {
         import s.implicits._
         import graft.streaming.StreamingDedup
         import graft.streaming.StreamingDedup.{CandPair, DocIn}
-        implicit val sqlCtx = s.sqlContext
+        // child session: streaming-query state (memory-sink views, query
+        // manager, execution listeners) stays scoped to this invocation
+        // instead of accumulating on the shared bench session
+        val ss = s.newSession()
+        implicit val sqlCtx = ss.sqlContext
         val docs = t(s, dir, "documents")
           .select(col("doc_id").cast("long").as("doc_id"),
             coalesce(col("text"), lit("")).as("text"))
@@ -3508,8 +3542,14 @@ object QueryCatalog {
           docs.grouped(math.max(1, (docs.length + 3) / 4)).foreach { b =>
             in.addData(b.toSeq); q.processAllAvailable()
           }
-        } finally q.stop()
-        val pairs = s.table(name).as[CandPair].collect().toSeq
+        } finally {
+          q.stop()
+          // unload HDFS-backed state providers eagerly: loaded providers
+          // (and their in-memory version maps) otherwise persist past the
+          // query and pile up across a 160-query bench run
+          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        }
+        val pairs = ss.table(name).as[CandPair].collect().toSeq
         pairs.toDF("id_a", "id_b").distinct().orderBy("id_a", "id_b")
       },
       Some {
