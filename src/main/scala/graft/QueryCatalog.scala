@@ -80,9 +80,13 @@ object QueryCatalog {
     * pattern chr(30)l chr(31)chr(30)r chr(31); q$k = its merged
     * replacement chr(30)lr chr(31). */
   private val bpePatCols: String =
+    // coalesce to chr(29) (never present in wrapped symbols): if the
+    // trainer saturates before bpeMergeCount merges the dump has fewer
+    // rows, and the missing ranks must replay as NO-OPS (replace with a
+    // non-matching pattern) instead of NULLing the whole state
     (0 until bpeMergeCount).map(k =>
-      s"""max(CASE WHEN "rank" = $k THEN chr(30) || "left" || chr(31) || chr(30) || "right" || chr(31) END) AS p$k,
-          max(CASE WHEN "rank" = $k THEN chr(30) || "left" || "right" || chr(31) END) AS q$k""")
+      s"""coalesce(max(CASE WHEN "rank" = $k THEN chr(30) || "left" || chr(31) || chr(30) || "right" || chr(31) END), chr(29)) AS p$k,
+          coalesce(max(CASE WHEN "rank" = $k THEN chr(30) || "left" || "right" || chr(31) END), chr(29)) AS q$k""")
       .mkString(", ")
 
   /** Frozen classifier-model memo, same contract as [[opqRotation]]:
@@ -3098,8 +3102,14 @@ object QueryCatalog {
     * fixture encode. Columns: doc_id, img_var (formula PNG, dims
     * 16-20 x 16-22), img_nd (16x16; ids 100-199 are perturbed copies of
     * 0-99), gif (3-5 frame animated GIF). */
+  private val synthMediaVersion = 1 // bump on ANY pixel/GIF formula change
   private def synthMedia(s: SparkSession, dir: String): DataFrame = {
-    val key = Integer.toHexString(dir.hashCode)
+    // cache key = md5(full path + format version): hashCode collisions
+    // across dirs can't serve wrong fixtures, and a formula change can't
+    // silently keep serving stale /tmp caches to the correctness oracles
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val key = md.digest(s"$dir|$synthMediaVersion".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
     val out = s"${sys.props("java.io.tmpdir")}/graft_synth_media_$key"
     val marker = new java.io.File(s"$out/_DONE")
     if (!marker.isFile) {
@@ -3332,7 +3342,147 @@ object QueryCatalog {
                CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
         FROM ah a JOIN ah b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // Dual-hash near-dup (r7): candidates = aHash bands UNION dHash bands,
+    // pair kept when EITHER hamming <= 6 — the production union real image
+    // pipelines run (dHash catches gradient dups a brightness shift hides
+    // from aHash). The oracle recomputes BOTH hashes from the pixel
+    // formula and brute-forces all pairs, which by the pigeonhole bound
+    // equals the banded plan's output — recall of the union join is under
+    // the hash gate.
+    Q("q_image_neardup_d",
+      (s, dir) => {
+        val docs = synthMedia(s, dir).select(col("doc_id"), col("img_nd").as("img"))
+        graft.multimodal.ImageCodec.imageNearDupPairsDual(docs, "doc_id", "img", 6)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id >= 100 AND doc_id < 200
+                      THEN doc_id - 100 ELSE doc_id END AS key,
+                 (doc_id >= 100 AND doc_id < 200) AS pert
+          FROM documents),
+        px AS (SELECT doc_id, key, pert, unnest(range(0, 256)) AS p FROM d),
+        c AS (
+          SELECT doc_id, pert, p % 16 AS x, p // 16 AS y,
+                 (key * 7 + (p % 16) * 13 + (p // 16) * 31) % 256 AS r0,
+                 (key * 11 + (p % 16) * 3 + (p // 16) * 17) % 256 AS g,
+                 (key * 5 + (p % 16) * 23 + (p // 16) * 29) % 256 AS b
+          FROM px),
+        g2 AS (
+          SELECT doc_id, x, y,
+                 299 * (CASE WHEN pert AND (x * 7 + y * 11) % 13 = 0
+                             THEN r0 - (r0 % 16) + 8 ELSE r0 END)
+                 + 587 * g + 114 * b AS gray
+          FROM c),
+        tot AS (SELECT doc_id, CAST(sum(gray) AS BIGINT) AS total, count(*) AS n
+                FROM g2 GROUP BY doc_id),
+        ab AS (SELECT doc_id, (y * 8) // 16 AS by, (x * 8) // 16 AS bx,
+                      CAST(sum(gray) AS BIGINT) AS s2, count(*) AS c2
+               FROM g2 GROUP BY doc_id, (y * 8) // 16, (x * 8) // 16),
+        abit AS (SELECT ab.doc_id, ab.by * 8 + ab.bx AS i,
+                        CASE WHEN ab.s2 * tot.n >= tot.total * ab.c2
+                             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+                 FROM ab JOIN tot USING (doc_id)),
+        ah AS (SELECT doc_id, ${duckHashHalf(lo = true, "alo")},
+                      ${duckHashHalf(lo = false, "ahi")}
+               FROM abit GROUP BY doc_id),
+        db AS (SELECT doc_id, (y * 8) // 16 AS by, (x * 9) // 16 AS cx,
+                      CAST(sum(gray) AS BIGINT) AS s2, count(*) AS c2
+               FROM g2 GROUP BY doc_id, (y * 8) // 16, (x * 9) // 16),
+        dbit AS (SELECT l.doc_id, l.by * 8 + l.cx AS i,
+                        CASE WHEN r2.s2 * l.c2 > l.s2 * r2.c2
+                             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+                 FROM db l JOIN db r2 ON l.doc_id = r2.doc_id
+                                     AND l.by = r2.by AND r2.cx = l.cx + 1
+                 WHERE l.cx < 8),
+        dh AS (SELECT doc_id, ${duckHashHalf(lo = true, "dlo")},
+                      ${duckHashHalf(lo = false, "dhi")}
+               FROM dbit GROUP BY doc_id),
+        hx AS (SELECT ah.doc_id, alo, ahi, dlo, dhi
+               FROM ah JOIN dh USING (doc_id))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.alo, b.alo)) + bit_count(xor(a.ahi, b.ahi)) AS BIGINT) AS hamming_a,
+               CAST(bit_count(xor(a.dlo, b.dlo)) + bit_count(xor(a.dhi, b.dhi)) AS BIGINT) AS hamming_d
+        FROM hx a JOIN hx b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.alo, b.alo)) + bit_count(xor(a.ahi, b.ahi)) <= 6
+           OR bit_count(xor(a.dlo, b.dlo)) + bit_count(xor(a.dhi, b.dhi)) <= 6
+        ORDER BY id_a, id_b""")),
+
+    // Resize-invariance gate (r7): the factor-2 box thumbnail's aHash must
+    // sit within a small hamming distance of the original's — the property
+    // that makes perceptual-hash dedup robust to stored-at-multiple-
+    // resolutions corpora. The engine computes both hashes from REAL
+    // decode->resize->re-encode->decode; the oracle recomputes BOTH from
+    // the pixel formula (original blocks, and exact 2x2 floor-mean resized
+    // blocks), so the emitted per-doc hamming is pinned end to end.
+    Q("q_image_invariance",
+      (s, dir) => {
+        import graft.multimodal.ImageCodec
+        val withImg = synthMedia(s, dir).select(col("doc_id"), col("img_var").as("img"))
+        val orig = ImageCodec.withImagePixelStats(withImg, "img")
+          .select(col("doc_id"), col("ahash").as("__h1"), col("img"))
+        val both = ImageCodec.withImagePixelStats(
+            ImageCodec.withResized(orig, "img", 2), "resized")
+          .select(col("doc_id"), col("__h1"), col("ahash").as("__h2"))
+        both.select(col("doc_id"),
+            expr("CAST(bit_count(__h1 ^ __h2) AS BIGINT)").as("hamming"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH px AS (
+          SELECT doc_id,
+                 CAST(doc_id % 5 + 16 AS BIGINT) AS w,
+                 CAST(doc_id % 7 + 16 AS BIGINT) AS h,
+                 unnest(range(0, (doc_id % 5 + 16) * (doc_id % 7 + 16))) AS p
+          FROM documents),
+        c AS (
+          SELECT doc_id, w, h, p % w AS x, p // w AS y,
+                 (doc_id * 7 + (p % w) * 13 + (p // w) * 31) % 256 AS r,
+                 (doc_id * 11 + (p % w) * 3 + (p // w) * 17) % 256 AS g,
+                 (doc_id * 5 + (p % w) * 23 + (p // w) * 29) % 256 AS b
+          FROM px),
+        g1 AS (SELECT doc_id, w, h, x, y, 299 * r + 587 * g + 114 * b AS gray FROM c),
+        tot AS (SELECT doc_id, CAST(sum(gray) AS BIGINT) AS total, count(*) AS n
+                FROM g1 GROUP BY doc_id),
+        ab AS (SELECT doc_id, (y * 8) // h AS by, (x * 8) // w AS bx,
+                      CAST(sum(gray) AS BIGINT) AS s2, count(*) AS c2
+               FROM g1 GROUP BY doc_id, (y * 8) // h, (x * 8) // w),
+        abit AS (SELECT ab.doc_id, ab.by * 8 + ab.bx AS i,
+                        CASE WHEN ab.s2 * tot.n >= tot.total * ab.c2
+                             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+                 FROM ab JOIN tot USING (doc_id)),
+        ah1 AS (SELECT doc_id, ${duckHashHalf(lo = true, "lo1")},
+                       ${duckHashHalf(lo = false, "hi1")}
+                FROM abit GROUP BY doc_id),
+        blk AS (
+          SELECT doc_id, w // 2 AS w2, h // 2 AS h2, x // 2 AS ox, y // 2 AS oy,
+                 CAST(sum(r) AS BIGINT) AS sr, CAST(sum(g) AS BIGINT) AS sg,
+                 CAST(sum(b) AS BIGINT) AS sb
+          FROM c
+          WHERE x < (w // 2) * 2 AND y < (h // 2) * 2
+          GROUP BY doc_id, w // 2, h // 2, x // 2, y // 2),
+        rg AS (SELECT doc_id, w2, h2, ox, oy,
+                      299 * (sr // 4) + 587 * (sg // 4) + 114 * (sb // 4) AS gray
+               FROM blk),
+        tot2 AS (SELECT doc_id, CAST(sum(gray) AS BIGINT) AS total, count(*) AS n
+                 FROM rg GROUP BY doc_id),
+        ab2 AS (SELECT doc_id, (oy * 8) // h2 AS by, (ox * 8) // w2 AS bx,
+                       CAST(sum(gray) AS BIGINT) AS s2, count(*) AS c2
+                FROM rg GROUP BY doc_id, (oy * 8) // h2, (ox * 8) // w2),
+        abit2 AS (SELECT ab2.doc_id, ab2.by * 8 + ab2.bx AS i,
+                         CASE WHEN ab2.s2 * tot2.n >= tot2.total * ab2.c2
+                              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+                  FROM ab2 JOIN tot2 USING (doc_id)),
+        ah2 AS (SELECT doc_id, ${duckHashHalf(lo = true, "lo2")},
+                       ${duckHashHalf(lo = false, "hi2")}
+                FROM abit2 GROUP BY doc_id)
+        SELECT doc_id,
+               CAST(bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)) AS BIGINT) AS hamming
+        FROM ah1 JOIN ah2 USING (doc_id)
+        ORDER BY doc_id"""))
   )
 
   /** Streaming/batch equivalence oracles: the streaming operators RUN AS
@@ -3906,19 +4056,68 @@ object QueryCatalog {
       // (Java Double.toString emits the shortest uniquely-round-tripping
       // decimal, DuckDB's CAST back to DOUBLE is correctly rounded), so
       // the oracle reconstructs the SAME doubles via string_split.
+      // ORACLED (r7, property gate — the dump-then-verify pattern that
+      // closed BPE): the eigensolve itself is not SQL-expressible, so the
+      // oracle pins the properties that make a rotation CORRECT instead —
+      //   - ortho_resid: driver-side max |R^T R - I| over the learned R,
+      //     emitted as a measured column; the oracle emits the SPEC
+      //     constant 0.0, so any non-orthonormal R hash-mismatches;
+      //   - iso_resid: per-row |  ||Rx||^2 - ||x||^2 |, measured in-engine
+      //     with the shared sequential-fold formula vs oracle constant
+      //     0.0 — isometry of the APPLIED kernel, vector by vector;
+      //   - l2_in: ||x||^2 recomputed BY THE ORACLE from the embeddings
+      //     TABLE (non-circular source join) — the dump rows must
+      //     correspond 1:1 with the source vectors.
+      // rv itself round-trips through the dump (it feeds q_opq_ann's
+      // independent replay oracle, which is where its values are tested).
       Q("q_opq_rotated",
         (s, dir) => {
           import graft.ops.OpqRotation
+          val r = opqRotation(s, dir)
+          val d = r.length
+          var ortho = 0.0
+          var i = 0
+          while (i < d) {
+            var j = 0
+            while (j < d) {
+              var s2 = 0.0
+              var k = 0
+              while (k < d) { s2 += r(k)(i) * r(k)(j); k += 1 }
+              val diff = math.abs(s2 - (if (i == j) 1.0 else 0.0))
+              if (diff > ortho) ortho = diff
+              j += 1
+            }
+            i += 1
+          }
+          val dls = Dialect.spark
           // sort BEFORE the rotate projection: range partitioning samples
           // its input, so an orderBy placed after the mat-vec UDF would
           // execute the rotation twice; a narrow projection preserves the
           // sort order of its input
           val emb = t(s, dir, "embeddings").orderBy("vec_id")
-          OpqRotation.rotate(emb, "embedding", "rv", opqRotation(s, dir))
+          OpqRotation.rotate(emb, "embedding", "rv", r)
+            .withColumn("__xd", VectorF.toDoubleArray(col("embedding")))
             .select(col("vec_id"),
-              concat_ws(",", transform(col("rv"), _.cast("string"))).as("rv"))
+              concat_ws(",", transform(col("rv"), _.cast("string"))).as("rv"),
+              r6(abs(expr(dls.dot("rv", "rv")) - expr(dls.dot("__xd", "__xd"))))
+                .as("iso_resid"),
+              r6(expr(dls.dot("__xd", "__xd"))).as("l2_in"),
+              r6(lit(ortho)).as("ortho_resid"))
         },
-        None),
+        Some(s"""
+          WITH dump AS (
+            SELECT vec_id,
+                   rv,
+                   list_transform(string_split(rv, ','),
+                                  x -> CAST(x AS DOUBLE)) AS rvv
+            FROM read_parquet('__GRAFT_OUT__/q_opq_rotated/*.parquet')),
+          src AS (SELECT vec_id, ${D.castDoubleArray("embedding")} AS v
+                  FROM embeddings)
+          SELECT d.vec_id, d.rv,
+                 ${duckR6("0.0")} AS iso_resid,
+                 ${duckR6(D.dot("s.v", "s.v"))} AS l2_in,
+                 ${duckR6("0.0")} AS ortho_resid
+          FROM dump d JOIN src s ON d.vec_id = s.vec_id""")),
 
       // Product-quantization ANN (m=4 subspaces x 16 dims, k=8 centroids,
       // deterministic first-k init): encode all vectors to 4 codes, then
@@ -4386,18 +4585,104 @@ object QueryCatalog {
       // QuantAnnSpec), the vectors dump as bit-exact round-tripping
       // strings, and the dump is the table input that lets q_pca_ann be
       // oracled over the SAME projected doubles.
+      // ORACLED (r7, property gate — same pattern as q_opq_rotated):
+      //   - ortho_resid: driver-side max |P P^T - I_m| (P's rows must be
+      //     orthonormal) vs oracle constant 0.0;
+      //   - recon_resid: per-row Pythagoras identity for an orthonormal
+      //     projector — || mean + P^T pv - x ||^2 must equal
+      //     ||x - mean||^2 - ||pv||^2; the residual between the ACTUAL
+      //     reconstruction error and the identity is measured in-engine
+      //     (vs oracle 0.0), which fails for any non-orthonormal P or any
+      //     pv that is not the true projection of x;
+      //   - var_order_viol: driver-side per-component population variance
+      //     of the projections (one tiny 16-row aggregate) — components
+      //     must come out eigenvalue-DESCENDING; the max increasing
+      //     violation is emitted vs oracle 0.0;
+      //   - cen2: ||x - mean||^2 with mean recomputed by the ORACLE from
+      //     the embeddings TABLE (avg per coordinate is order-independent
+      //     only at rounded precision, so the oracle recomputes the whole
+      //     quantity from source at r6) — pins the dump 1:1 to source
+      //     vectors AND the mean vector itself.
       Q("q_pca_project",
         (s, dir) => {
           import graft.ops.Pca
           val (mean, p) = pcaModel(s, dir)
+          val m = p.length
+          val dim = mean.length
+          var ortho = 0.0
+          var i = 0
+          while (i < m) {
+            var j = 0
+            while (j < m) {
+              var s2 = 0.0
+              var k = 0
+              while (k < dim) { s2 += p(i)(k) * p(j)(k); k += 1 }
+              val diff = math.abs(s2 - (if (i == j) 1.0 else 0.0))
+              if (diff > ortho) ortho = diff
+              j += 1
+            }
+            i += 1
+          }
           // orderBy before the projection (see q_opq_rotated: range
           // sampling would run the mat-vec twice if the sort came after)
-          Pca.project(t(s, dir, "embeddings").orderBy("vec_id"),
-              "embedding", "pv", mean, p)
+          val proj = Pca.project(t(s, dir, "embeddings").orderBy("vec_id"),
+            "embedding", "pv", mean, p)
+          // variance ordering: one 16-row aggregate over the projections
+          val vars = Pca.project(t(s, dir, "embeddings"), "embedding", "pv", mean, p)
+            .select(posexplode(col("pv")).as(Seq("k", "x")))
+            .groupBy("k").agg(avg(col("x") * col("x")).as("exx"), avg(col("x")).as("ex"))
+            .collect().map(r => (r.getInt(0), r.getDouble(1) - r.getDouble(2) * r.getDouble(2)))
+            .sortBy(_._1).map(_._2)
+          val varViol = vars.sliding(2).collect { case Array(a, b) => b - a }
+            .foldLeft(0.0)(math.max)
+          val bm = s.sparkContext.broadcast(mean)
+          val bp = s.sparkContext.broadcast(p)
+          val recon = udf((xs: Seq[Double], pvs: Seq[Double]) => {
+            val x = xs.toArray; val pv = pvs.toArray
+            val mu = bm.value; val mat = bp.value
+            var err2 = 0.0; var cen2 = 0.0; var proj2 = 0.0
+            var i2 = 0
+            while (i2 < mu.length) {
+              var xhat = mu(i2)
+              var k2 = 0
+              while (k2 < mat.length) { xhat += mat(k2)(i2) * pv(k2); k2 += 1 }
+              val e = xhat - x(i2); err2 += e * e
+              val c = x(i2) - mu(i2); cen2 += c * c
+              i2 += 1
+            }
+            var k3 = 0
+            while (k3 < pv.length) { proj2 += pv(k3) * pv(k3); k3 += 1 }
+            Array(math.abs(err2 - (cen2 - proj2)), cen2)
+          })
+          proj
+            .withColumn("__pr", recon(VectorF.toDoubleArray(col("embedding")), col("pv")))
             .select(col("vec_id"),
-              concat_ws(",", transform(col("pv"), _.cast("string"))).as("pv"))
+              concat_ws(",", transform(col("pv"), _.cast("string"))).as("pv"),
+              r6(element_at(col("__pr"), 1)).as("recon_resid"),
+              r6(element_at(col("__pr"), 2)).as("cen2"),
+              r6(lit(ortho)).as("ortho_resid"),
+              r6(lit(math.max(varViol, 0.0))).as("var_order_viol"))
         },
-        None),
+        Some(s"""
+          WITH dump AS (
+            SELECT vec_id, pv
+            FROM read_parquet('__GRAFT_OUT__/q_pca_project/*.parquet')),
+          src AS (SELECT vec_id, ${D.castDoubleArray("embedding")} AS v
+                  FROM embeddings),
+          mu AS (
+            SELECT list(m ORDER BY k) AS mean
+            FROM (SELECT k, avg(v[CAST(k AS INT)]) AS m
+                  FROM src, range(1, 65) t(k) GROUP BY k)),
+          cen AS (
+            SELECT s.vec_id,
+                   ${D.l2sq("s.v", "mu.mean")} AS cen2
+            FROM src s, mu)
+          SELECT d.vec_id, d.pv,
+                 ${duckR6("0.0")} AS recon_resid,
+                 ${duckR6("c.cen2")} AS cen2,
+                 ${duckR6("0.0")} AS ortho_resid,
+                 ${duckR6("0.0")} AS var_order_viol
+          FROM dump d JOIN cen c ON d.vec_id = c.vec_id""")),
 
       // ANN in PCA space: exact cosine top-10 over the 16-dim projections
       // (4x smaller scan than the raw 64-dim index). DuckDB reruns the
@@ -5120,7 +5405,7 @@ object QueryCatalog {
                GROUP BY l, r),
              m$k AS (SELECT CAST($k AS BIGINT) AS "rank", l AS "left", r AS "right",
                             n AS pair_count
-                     FROM a$k ORDER BY n DESC, l, r LIMIT 1)"""
+                     FROM a$k WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1)"""
         }.mkString(", ")
         s"""
         WITH dump AS (SELECT * FROM read_parquet('__GRAFT_OUT__/q_bpe_vocab/*.parquet')),

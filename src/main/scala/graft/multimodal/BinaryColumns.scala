@@ -54,8 +54,41 @@ object BinaryColumns {
       }
   }
 
+  /** Magic-byte triage decoder — the DEFAULT for [[withFeatures]]: payloads
+    * that sniff as an ImageIO-decodable container (PNG/JPEG/GIF/BMP) route
+    * to the REAL pixel decoder ([[ImageCodec.ImageIoDecoder]]); everything
+    * else (true video/audio codecs are impossible in a zero-egress JVM)
+    * falls back to the labeled byte-stats stand-in. Routing is per-payload
+    * inside one batch, so mixed-modality batches decode correctly; both
+    * sub-decoders share featureDim 8 so the output schema is uniform. */
+  final class TriageDecoder extends MediaDecoder {
+    private val img = new ImageCodec.ImageIoDecoder
+    private val other = new ByteStatsDecoder(img.featureDim)
+    val featureDim: Int = img.featureDim
+    private def isImage(b: Array[Byte]): Boolean =
+      b != null && b.length >= 3 &&
+        (((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b.length > 3 && b(3) == 'G') || // PNG
+          ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) || // JPEG
+          (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') || // GIF
+          (b(0) == 'B' && b(1) == 'M')) // BMP
+    def decodeBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+      batch.map { b =>
+        if (isImage(b)) img.decodeBatch(Seq(b)).head
+        else other.decodeBatch(Seq(b)).head
+      }
+  }
+
   /** Batched per-partition feature extraction: groups rows into batches of
-    * `batchSize` (the mapInPandas batch shape), one decoder per partition. */
+    * `batchSize` (the mapInPandas batch shape), one decoder per partition.
+    * The default decoder is the magic-byte [[TriageDecoder]], so images go
+    * through REAL pixel decode out of the box; pass a specific decoder to
+    * override. */
+  def withFeatures(df: DataFrame, batchSize: Int): DataFrame =
+    withFeatures(df, new TriageDecoder, batchSize)
+
+  def withFeatures(df: DataFrame): DataFrame =
+    withFeatures(df, new TriageDecoder, 64)
+
   def withFeatures(df: DataFrame, decoder: MediaDecoder, batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

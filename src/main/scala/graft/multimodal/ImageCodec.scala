@@ -176,6 +176,48 @@ object ImageCodec {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Dual-hash near-duplicate pairs — the production variant real image
+    * pipelines run: candidates are the UNION of aHash band collisions and
+    * dHash band collisions (aHash catches global-luma-structure dups,
+    * dHash catches gradient-structure dups that defeat aHash, e.g. a
+    * uniform brightness shift), verified exactly on BOTH hashes; a pair
+    * survives when EITHER hamming distance is within `maxHamming`.
+    *
+    * Recall: by the same 8-band pigeonhole as [[imageNearDupPairs]], any
+    * pair within `maxHamming <= 7` on aHash OR on dHash collides in at
+    * least one band of that hash — the union has full recall for the
+    * either-hash predicate. The shuffle carries (id, 2 hashes, band) rows
+    * only; bytes never reach an exchange. Output: (id_a, id_b, hamming_a,
+    * hamming_d) with id_a < id_b. */
+  def imageNearDupPairsDual(df: DataFrame, idCol: String, binCol: String,
+                            maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming ($maxHamming) must be in [0, 7]: 8-band LSH only " +
+        "guarantees recall below the band count (pigeonhole)")
+    val hashed = withImagePixelStats(df, binCol)
+      .where(col("ahash").isNotNull)
+      .select(col(idCol).cast("long").as("id"), col("ahash"), col("dhash"))
+    // 16 band rows per image: bands 0-7 = aHash bytes, 8-15 = dHash bytes
+    val banded = hashed.select(col("id"), col("ahash"), col("dhash"),
+      posexplode(expr(
+        "concat(transform(sequence(0, 7), b__ -> (ahash >> (b__ * 8)) & 255)," +
+          " transform(sequence(0, 7), b__ -> (dhash >> (b__ * 8)) & 255))"))
+        .as(Seq("band", "bv")))
+    val a = banded.select(col("band"), col("bv"),
+      col("id").as("id_a"), col("ahash").as("__aa"), col("dhash").as("__da"))
+    val b = banded.select(col("band"), col("bv"),
+      col("id").as("id_b"), col("ahash").as("__ab"), col("dhash").as("__db"))
+    a.join(b, Seq("band", "bv"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        col("__aa"), col("__ab"), col("__da"), col("__db"))
+      .distinct()
+      .withColumn("hamming_a", expr("CAST(bit_count(__aa ^ __ab) AS BIGINT)"))
+      .withColumn("hamming_d", expr("CAST(bit_count(__da ^ __db) AS BIGINT)"))
+      .where(col("hamming_a") <= maxHamming || col("hamming_d") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming_a"), col("hamming_d"))
+  }
+
   /** Exact integer box-downsample by an integer factor: output pixel
     * (x,y) = channel-wise floor(mean) of the f x f input block — defined
     * entirely in integer arithmetic (sum / f^2 floor division) so an

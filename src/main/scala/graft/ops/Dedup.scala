@@ -310,7 +310,11 @@ object Dedup {
       .join(rebuilt, Seq("__id"), "left")
       .select(col("__id").as(idCol),
         coalesce(expr("CAST(size(__ks) AS BIGINT)"), lit(0L)).as("n_kept"),
-        coalesce(expr(s"array_join(transform(__ks, x -> x.__s), '$delim')"),
+        // typed array_join (delimiter as a bound literal, not SQL-text
+        // interpolation): a delimiter containing quotes/backslashes must
+        // not break the expression — the regex side is Pattern.quote'd,
+        // and this keeps the SQL side equally delimiter-safe
+        coalesce(array_join(expr("transform(__ks, x -> x.__s)"), delim),
           lit("")).as("cleaned"))
   }
 

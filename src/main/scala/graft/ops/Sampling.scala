@@ -135,8 +135,14 @@ object Sampling {
   def leakageSafeSplit(docs: DataFrame, clusters: DataFrame,
                        idCol: String): DataFrame = {
     val dl = Dialect.spark
-    val bucket = expr(dl.md5HexDigit(dl.castStr("cluster_id"), 1))
-    docs.join(clusters, idCol)
+    // LEFT join + id fallback: an incomplete clusters input must not
+    // silently shrink the corpus (the old inner join dropped any doc
+    // missing a cluster assignment). A doc with no cluster is its own
+    // singleton — bucketing on coalesce(cluster_id, id) gives it the
+    // exact split doc-keyed hash_split would.
+    val bucket = expr(dl.md5HexDigit(
+      dl.castStr(s"coalesce(cluster_id, $idCol)"), 1))
+    docs.join(clusters, Seq(idCol), "left")
       .withColumn("split",
         when(bucket < 12, "train").when(bucket < 14, "val").otherwise("test"))
   }

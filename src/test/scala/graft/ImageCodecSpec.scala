@@ -92,6 +92,27 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(z.forall(_ == 0f))
   }
 
+  test("default withFeatures triages by magic bytes: real pixels for images, " +
+    "byte-stats only for non-images") {
+    import graft.multimodal.BinaryColumns
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    val png = solid(16, 8, 100, 150, 200)
+    val wav = Array[Byte]('R', 'I', 'F', 'F', 0, 0, 0, 0, 'W', 'A', 'V', 'E', 9, 9)
+    val media = Seq((1L, png), (2L, wav), (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "content")
+    val got = BinaryColumns.withFeatures(media)
+      .as[(Long, Array[Float])].collect().toMap
+    // image row == the ImageIoDecoder / q_image_pixels feature formula
+    val expectImg = new ImageCodec.ImageIoDecoder().decodeBatch(Seq(png)).head
+    assert(got(1L).toSeq == expectImg.toSeq)
+    assert(got(1L)(0) == 16f && got(1L)(2) == 100f) // real decoded, not byte stats
+    // non-image row == the labeled byte-stats stand-in (same dim)
+    val expectWav = new BinaryColumns.ByteStatsDecoder(8).decodeBatch(Seq(wav)).head
+    assert(got(2L).toSeq == expectWav.toSeq)
+    assert(got(3L).forall(_ == 0f))
+  }
+
   test("hostile-byte fuzz: decode kernels return null/empty, never throw") {
     val rng = new scala.util.Random(1234)
     (1 to 300).foreach { _ =>
@@ -107,6 +128,45 @@ class ImageCodecSpec extends AnyFunSuite {
       assert(ImageCodec.decodeStats(prefixed) == null)
       assert(ImageCodec.resizeBox(prefixed, 2) == null)
     }
+  }
+
+  test("aHash is resize-invariant on structured images (factor-2 box)") {
+    // block means survive 2x box-downsampling almost exactly, so the
+    // 8x8-block hash must stay within a small hamming radius — the
+    // property that makes q_image_invariance's per-doc distances small
+    for (seed <- 1 to 5) {
+      val w = 16 + seed; val h = 22 - seed
+      val rgb = Array.tabulate(w * h) { p =>
+        val x = p % w; val y = p / w
+        (((seed * 7 + x * 13 + y * 31) % 256) << 16) |
+          (((seed * 11 + x * 3 + y * 17) % 256) << 8) |
+          ((seed * 5 + x * 23 + y * 29) % 256)
+      }
+      val png = ImageCodec.encodePng(w, h, rgb)
+      val h1 = ImageCodec.decodeStats(png).aHash
+      val h2 = ImageCodec.decodeStats(ImageCodec.resizeBox(png, 2)).aHash
+      val ham = java.lang.Long.bitCount(h1 ^ h2)
+      assert(ham <= 12, s"resize moved aHash too far (seed=$seed, ham=$ham)")
+    }
+  }
+
+  test("imageNearDupPairsDual: dHash band rescues a pair aHash banding misses") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    val base = Array.tabulate(256)(p => if (p % 16 < 8) 0x000000 else 0xFFFFFF)
+    val tweak = base.clone(); tweak(17) = 0x0A0A0A; tweak(230) = 0xF0F0F0
+    val far = Array.tabulate(256)(p => if (p / 16 < 8) 0xFFFFFF else 0x000000)
+    val df = Seq(
+      (1L, ImageCodec.encodePng(16, 16, base)),
+      (2L, ImageCodec.encodePng(16, 16, tweak)),
+      (3L, ImageCodec.encodePng(16, 16, far))).toDF("media_id", "img")
+    val pairs = ImageCodec.imageNearDupPairsDual(df, "media_id", "img", 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // near pair present with BOTH hammings small; far pair absent on aHash
+    // (32 bits apart) — but 1<->3 share dHash structure? dHash of lr is
+    // 0x08.. and tb is 0, hamming_d = 8 > 6, so only (1,2) survives
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.forall(p => p._3 <= 6 || p._4 <= 6))
   }
 
   test("imageNearDupPairs: banded join finds perturbed copy, not the far image") {

@@ -47,6 +47,40 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(n == 6)
   }
 
+  test("MERGE upsert through Derby: second write idempotent, updates in place") {
+    // first write: inserts all 3
+    JdbcVectorSink.writeGenericUpsert(chunkIndex, url, "rag_chunks_ups")
+    def readAll() = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "rag_chunks_ups").load()
+      .select("chunk_id", "chunk_text", "embedding_vec")
+      .as[(String, String, String)].collect().sortBy(_._1)
+    assert(readAll().length == 3)
+    // second identical write: the ON-CONFLICT semantics — 3 rows, not 6
+    JdbcVectorSink.writeGenericUpsert(chunkIndex, url, "rag_chunks_ups")
+    assert(readAll().length == 3, "upsert must be idempotent")
+    // changed payload for an existing key + one new key: update + insert
+    val v2 = Seq(
+      ("d0#0", 0L, 0, "alpha chunk v2", 4L, Seq(9.0, 9.0, 9.0)),
+      ("d2#0", 2L, 0, "delta chunk", 1L, Seq(0.5, 0.5, 0.5)))
+      .toDF("chunk_id", "doc_id", "chunk_idx", "chunk_text", "n_tokens", "embedding")
+    JdbcVectorSink.writeGenericUpsert(v2, url, "rag_chunks_ups")
+    val rows = readAll()
+    assert(rows.length == 4)
+    assert(rows.find(_._1 == "d0#0").get._2 == "alpha chunk v2")
+    assert(rows.find(_._1 == "d0#0").get._3 == "[9.0,9.0,9.0]")
+    assert(rows.find(_._1 == "d0#1").get._2 == "beta chunk") // untouched
+    assert(rows.map(_._1).contains("d2#0"))
+    // staging table is cleaned up
+    val tables = {
+      val conn = DriverManager.getConnection(url)
+      try {
+        val rs = conn.getMetaData.getTables(null, null, "%", null)
+        Iterator.continually(rs).takeWhile(_.next()).map(_.getString(3)).toList
+      } finally conn.close()
+    }
+    assert(!tables.exists(_.equalsIgnoreCase("rag_chunks_ups_stage")))
+  }
+
   test("parameterized INSERT executes over a real PreparedStatement") {
     val conn = DriverManager.getConnection(url)
     try {

@@ -208,6 +208,15 @@ class TrainingOpsSpec extends AnyFunSuite {
     val again = Sampling.leakageSafeSplit(docs, clusters, "doc_id")
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(got.map(r => r._1 -> r._3).toMap == again)
+    // incomplete clusters input must NOT silently drop docs: uncovered
+    // docs fall back to singleton (id-keyed) bucketing — the exact split
+    // doc-keyed hash_split would give them
+    val partial = clusters.where($"doc_id" <= 150)
+    val padded = Sampling.leakageSafeSplit(docs, partial, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect()
+    assert(padded.length == 300, "left join keeps uncovered docs")
+    val fullSplit = got.map(r => r._1 -> r._3).toMap
+    assert(padded.filter(_._1 <= 150).forall { case (id, s) => fullSplit(id) == s })
   }
 
   test("Percentiles.quantilesAuto: probes the regime, both routes bit-match") {
