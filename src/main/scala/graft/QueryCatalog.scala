@@ -3485,6 +3485,29 @@ object QueryCatalog {
         ORDER BY doc_id"""))
   )
 
+  /** File-source stream fixture: split `df` into 4 deterministic
+    * single-file parquet chunks by `idCol` quartile (contiguous-id ceil
+    * split — the same rule the oracles replay) under `runDir/in`, so a
+    * `maxFilesPerTrigger=1` stream replays them as 4 REAL micro-batches.
+    * Returns the input dir. */
+  private def writeStreamChunks(df: DataFrame, idCol: String,
+                                runDir: String): java.io.File = {
+    val inDir = new java.io.File(s"$runDir/in"); inDir.mkdirs()
+    val n = df.count()
+    val per = ((n + 3) / 4).max(1L)
+    (0 until 4).foreach { k =>
+      val chunk = df.where(
+        col(idCol) >= lit(k * per) && col(idCol) < lit((k + 1) * per))
+      val tmp = s"$runDir/chunk_$k"
+      chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(inDir, s"b$k.parquet").toPath)
+    }
+    inDir
+  }
+
   /** Streaming/batch equivalence oracles: the streaming operators RUN AS
     * REAL STREAMS (MemoryStream micro-batches through the state store,
     * deterministically split in sorted order) inside the catalog entry,
@@ -3718,6 +3741,227 @@ object QueryCatalog {
         FROM banded a JOIN banded c
           ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id
         ORDER BY id_a, id_b"""
+      }),
+
+    // Streaming PQ encode == batch PQ codes: codebooks train offline
+    // (frozen — stored codes must stay comparable), then vectors arrive
+    // as a REAL file-source stream in 4 single-file micro-batches
+    // (maxFilesPerTrigger=1) and encode per batch through
+    // StreamingPq.encodeStream's foreachBatch path. Every vector must get
+    // the IDENTICAL code whether it arrived in batch 0 or batch 3 — the
+    // oracle recomputes all codes from the embeddings table with the
+    // q_pq_ann argmin SQL, and n_batches pins that four separate
+    // triggers actually ran.
+    Q("q_stream_pq_eq",
+      (s, dir) => {
+        import graft.ops.ProductQuantization
+        val emb = t(s, dir, "embeddings")
+        val books = ProductQuantization.trainCodebooks(
+          emb, "vec_id", "embedding", 4, 8, 64, 0)
+        val run = s"${sys.props("java.io.tmpdir")}/graft_pq_stream_${System.nanoTime()}"
+        val outDir = s"$run/out"
+        val src = emb.select(col("vec_id").cast("long").as("vec_id"),
+          VectorF.toDoubleArray(col("embedding")).as("embedding"))
+        val inDir = writeStreamChunks(src, "vec_id", run)
+        val ss = s.newSession()
+        val q = graft.streaming.StreamingPq.encodeStream(
+            ss, inDir.getAbsolutePath, src.schema, books, "vec_id", "embedding",
+            4, 64, outDir, filesPerTrigger = 1)
+          .start()
+        try { q.processAllAvailable() }
+        finally {
+          q.stop()
+          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        }
+        val enc = s.read.parquet(outDir)
+        val nb = enc.agg(countDistinct(col("batch_id"))).head().getLong(0)
+        enc.select(col("vec_id"),
+            concat_ws(",", transform(col("codes"), _.cast("string"))).as("codes"),
+            lit(nb).cast("long").as("n_batches"))
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        books AS (
+          SELECT CAST(s.s AS INT) AS sub, CAST(e.vec_id AS INT) AS cid,
+                 e.v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS cv
+          FROM (SELECT * FROM emb WHERE vec_id < 8) e, range(0, 4) s(s)),
+        subs AS (
+          SELECT vec_id, CAST(s.s AS INT) AS sub,
+                 v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS sv
+          FROM emb, range(0, 4) s(s)),
+        codes AS (
+          SELECT vec_id, sub,
+                 (min(struct_pack(d := ${D.l2sq("sv", "cv")}, c := cid))).c AS code
+          FROM subs JOIN books USING (sub)
+          GROUP BY vec_id, sub)
+        SELECT vec_id,
+               array_to_string(list(code ORDER BY sub), ',') AS codes,
+               CAST(4 AS BIGINT) AS n_batches
+        FROM codes GROUP BY vec_id
+        ORDER BY vec_id""")),
+
+    // Cross-batch KMV sketch merge == the one-pass batch sketch: REAL
+    // micro-batches each compute a distributed k-min summary and union
+    // into the query-scoped holder; because the KMV summary is an
+    // order-insensitive bounded set union, the merged stream state must
+    // equal the batch sketch EXACTLY — est, retained-hash count, exact
+    // distinct and relative error all hash-match q_kmv_distinct's oracle.
+    Q("q_stream_kmv_eq",
+      (s, dir) => {
+        import s.implicits._
+        val ss = s.newSession()
+        implicit val sqlCtx = ss.sqlContext
+        val li = t(s, dir, "lineitem")
+        val vals = li.select(col("l_partkey").cast("long")).as[Long]
+          .collect().sorted
+        val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+        val (q, holder) = graft.streaming.StreamingSketch.distinctCountStream(
+          in.toDS().toDF("l_partkey"), "l_partkey", 256,
+          s"q_stream_kmv_eq_${System.nanoTime()}")
+        try {
+          vals.grouped(math.max(1, (vals.length + 3) / 4)).foreach { b =>
+            in.addData(b.toSeq); q.processAllAvailable()
+          }
+        } finally {
+          q.stop()
+          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        }
+        val est = holder.estimate
+        val nHashes = holder.stateSize.toLong
+        val exact = li.agg(countDistinct(col("l_partkey"))).head().getLong(0)
+        Seq((est, nHashes, exact)).toDF("est0", "n_hashes", "exact")
+          .select(r6(col("est0")).as("est"), col("n_hashes"), col("exact"),
+            r6(abs(col("est0") - col("exact").cast("double")) /
+              col("exact").cast("double")).as("rel_err"))
+      },
+      Some(s"""
+        WITH u AS (SELECT DISTINCT ${D.md5Uniform(D.castStr("l_partkey"))} AS u
+                   FROM lineitem WHERE l_partkey IS NOT NULL),
+        kk AS (SELECT u FROM u ORDER BY u LIMIT 256),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS n_hashes, max(u) AS uk FROM kk),
+        e AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact FROM lineitem),
+        est0 AS (SELECT CASE WHEN n_hashes < 256 THEN CAST(n_hashes AS DOUBLE)
+                             ELSE ${D.d(255.0)} / uk END AS est,
+                        n_hashes, exact
+                 FROM s, e)
+        SELECT ${duckR6("est")} AS est, n_hashes, exact,
+               ${duckR6("abs(est - CAST(exact AS DOUBLE)) / CAST(exact AS DOUBLE)")} AS rel_err
+        FROM est0""")),
+
+    // Stream-stream interval join == the batch join semantics: clicks
+    // (even event_ids) and purchases (odd) replay as two synchronized
+    // MemoryStreams split at global event-time boundaries; the
+    // watermarked state-store join must emit EXACTLY the pairs the plain
+    // batch SQL join produces — including pairs whose two sides arrive
+    // in DIFFERENT micro-batches (the buffered-state path the batch plan
+    // never exercises).
+    Q("q_stream_interval_eq",
+      (s, dir) => {
+        import s.implicits._
+        val ss = s.newSession()
+        implicit val sqlCtx = ss.sqlContext
+        def tsOf(us: Long) = java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
+        val evs = tEvents(s, dir)
+          .select(col("user_id").cast("long"), expr("ts div 1000").as("tsus"),
+            col("event_id").cast("long"))
+          .as[(Long, Long, Long)].collect()
+          .sortBy { case (_, tsus, eid) => (tsus, eid) }
+        val inL = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, java.sql.Timestamp, Long)]
+        val inR = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, java.sql.Timestamp, Long)]
+        val joined = graft.streaming.StreamJoins.intervalJoin(
+            inL.toDS().toDF("user_id", "ts", "event_id"),
+            inR.toDS().toDF("user_id", "ts", "event_id"),
+            "user_id", "ts", tolerance = "10 minutes", watermark = "1 hour")
+          .select(col("l.user_id").as("user_id"),
+            col("l.event_id").as("left_id"),
+            col("r.event_id").as("right_id"),
+            (unix_micros(col("r.ts")) - unix_micros(col("l.ts"))).as("gap_us"))
+        val name = s"q_stream_interval_eq_${System.nanoTime()}"
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          evs.grouped(math.max(1, (evs.length + 3) / 4)).foreach { b =>
+            val rows = b.map { case (u, tsus, eid) => (u, tsOf(tsus), eid) }
+            val (lRows, rRows) = rows.partition(_._3 % 2 == 0)
+            if (lRows.nonEmpty) inL.addData(lRows.toSeq)
+            if (rRows.nonEmpty) inR.addData(rRows.toSeq)
+            q.processAllAvailable()
+          }
+        } finally {
+          q.stop()
+          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        }
+        ss.table(name)
+          .select(col("user_id"), col("left_id"), col("right_id"),
+            col("gap_us").cast("long").as("gap_us"))
+          .orderBy("user_id", "left_id", "right_id")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+        l AS (SELECT * FROM e WHERE event_id % 2 = 0),
+        r AS (SELECT * FROM e WHERE event_id % 2 = 1)
+        SELECT CAST(l.user_id AS BIGINT) AS user_id,
+               CAST(l.event_id AS BIGINT) AS left_id,
+               CAST(r.event_id AS BIGINT) AS right_id,
+               CAST(r.tsu - l.tsu AS BIGINT) AS gap_us
+        FROM l JOIN r ON l.user_id = r.user_id
+                     AND r.tsu >= l.tsu AND r.tsu <= l.tsu + 600000000
+        ORDER BY user_id, left_id, right_id""")),
+
+    // Incremental index build == the batch build: documents stream in as
+    // 4 single-file micro-batches through StreamingIngest.indexStream
+    // (the foreachBatch path reusing the EXACT batch operators), the
+    // appended chunk tables union, and the result must hash-match the
+    // SAME chunk->filter->embed oracle as q_rag_index — so the
+    // incremental-ingest claim ("process() per batch, one save()" in the
+    // reference) is oracle-gated, not spec-only. n_batches pins that 4
+    // separate triggers appended.
+    Q("q_stream_ingest_eq",
+      (s, dir) => {
+        val run = s"${sys.props("java.io.tmpdir")}/graft_ingest_stream_${System.nanoTime()}"
+        val outDir = s"$run/out"
+        val src = t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        val inDir = writeStreamChunks(src, "doc_id", run)
+        val ss = s.newSession()
+        val q = graft.streaming.StreamingIngest.indexStream(
+            ss, inDir.getAbsolutePath, src.schema, outDir,
+            filesPerTrigger = 1)
+          .start()
+        try { q.processAllAvailable() }
+        finally {
+          q.stop()
+          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        }
+        val idx = s.read.parquet(outDir)
+        val nb = idx.agg(countDistinct(col("batch_id"))).head().getLong(0)
+        idx.select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            col("chunk_id"), col("n_tokens").cast("long").as("n_tokens"),
+            r6(element_at(col("embedding"), 1)).as("e1"),
+            r6(element_at(col("embedding"), 2)).as("e2"),
+            r6(VectorF.dot(col("embedding"),
+              expr("transform(sequence(1, 64), j__ -> CAST(j__ AS DOUBLE))"))).as("checksum"),
+            lit(nb).cast("long").as("n_batches"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some {
+        val duckIndexed = duckEmbed(
+          s"(SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})",
+          "chunk_text", 64)
+        val weights = "list_transform(range(1, 65), j__ -> CAST(j__ AS DOUBLE))"
+        s"""
+        SELECT doc_id, chunk_idx, chunk_id,
+               CAST(len(${D.splitWs("chunk_text")}) AS BIGINT) AS n_tokens,
+               (round(emb[1], 6) + CAST(0.0 AS DOUBLE)) AS e1,
+               (round(emb[2], 6) + CAST(0.0 AS DOUBLE)) AS e2,
+               (round(${D.dot("emb", weights)}, 6) + CAST(0.0 AS DOUBLE)) AS checksum,
+               CAST(4 AS BIGINT) AS n_batches
+        FROM $duckIndexed
+        ORDER BY doc_id, chunk_idx"""
       })
   )
 

@@ -22,11 +22,12 @@ object StreamingIngest {
     * path for batch and streaming (the Spark-native answer to the
     * reference's process()-append loop). */
   def indexStream(spark: SparkSession, inputDir: String, schema: StructType,
-                  outDir: String, cfg: RagPipeline.Config = RagPipeline.Config())
+                  outDir: String, cfg: RagPipeline.Config = RagPipeline.Config(),
+                  filesPerTrigger: Int = 16)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     val stream = spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", "16")
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
       .parquet(inputDir)
     stream.writeStream
       .outputMode(OutputMode.Append)

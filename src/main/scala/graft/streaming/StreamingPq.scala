@@ -23,11 +23,12 @@ object StreamingPq {
     * in `inputDir`, append (id, codes, batch_id) to `outDir`. */
   def encodeStream(spark: SparkSession, inputDir: String, schema: StructType,
                    books: DataFrame, idCol: String, vecCol: String,
-                   m: Int, dim: Int, outDir: String)
+                   m: Int, dim: Int, outDir: String,
+                   filesPerTrigger: Int = 16)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     val stream = spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", "16")
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
       .parquet(inputDir)
     stream.writeStream
       .outputMode(OutputMode.Append)

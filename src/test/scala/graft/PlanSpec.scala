@@ -189,6 +189,21 @@ class PlanSpec extends AnyFunSuite {
       s"image bytes must not transit a shuffle:\n$exchanges")
   }
 
+  test("dual-hash image near-dup keeps the same exchange discipline") {
+    val px = Array.tabulate(64)(i => i * 0x010101)
+    val df = Seq(
+      (1L, graft.multimodal.ImageCodec.encodePng(8, 8, px)),
+      (2L, graft.multimodal.ImageCodec.encodePng(8, 8, px)))
+      .toDF("media_id", "img")
+    val plan = formatted(
+      graft.multimodal.ImageCodec.imageNearDupPairsDual(df, "media_id", "img"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"candidates must come from the 16-band join:\n$plan")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!plan.contains("img#") || !exchanges.contains("img#"),
+      s"image bytes must not transit a shuffle:\n$exchanges")
+  }
+
   test("quantilesAuto probe is a two-phase aggregate, not a distinct collect") {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("v", "g")
     // chooseRoute's probe: group-count + max-group-size in one aggregation

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 bench showed a 1.2-1.4x drift on cheap queries
+  * (q_quality_score, q_quantize, q_profile, ...) after the streaming
+  * equivalence gates joined the catalog. The gates isolate themselves via
+  * child sessions + eager StateStore.stop(); this spec pins that the
+  * isolation actually returns the SHARED session to baseline:
+  *
+  *   - no streaming queries stay active on the shared session,
+  *   - the state-store maintenance machinery is fully stopped,
+  *   - no memory-sink temp views leak into the shared catalog,
+  *   - a cheap probe query's runtime stays at its pre-gate level
+  *     (generous 1.6x + 80ms envelope: CI boxes are noisy, and the
+  *     bench-level check is BENCH_FULL.json — this guards against the
+  *     pathological-regression mode, session state piling up).
+  */
+class StreamIsolationSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def runQ(name: String): Unit =
+    QueryCatalog.queries(name)(spark, dir)
+      .write.mode("overwrite").format("noop").save()
+
+  private def probeTime(): Double = {
+    val runs = (1 to 5).map { _ =>
+      System.gc()
+      val t0 = System.nanoTime()
+      runQ("q_quality_score")
+      (System.nanoTime() - t0) / 1e9
+    }
+    runs.min
+  }
+
+  test("streaming gates leave the shared session at baseline") {
+    runQ("q_quality_score") // warm codegen
+    val before = probeTime()
+    // the state-store-using gates plus a foreachBatch holder gate
+    Seq("q_stream_dedup_eq", "q_stream_kmv_eq", "q_stream_score_eq")
+      .foreach(runQ)
+    import org.apache.spark.sql.execution.streaming.state.StateStore
+    assert(spark.streams.active.isEmpty,
+      "no streaming query may outlive its catalog entry")
+    assert(!StateStore.isMaintenanceRunning,
+      "state-store maintenance must be stopped after the gates")
+    val leaked = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("q_stream_"))
+    assert(leaked.isEmpty, s"memory-sink views leaked into shared catalog: ${leaked.toSeq}")
+    val after = probeTime()
+    assert(after <= before * 1.6 + 0.08,
+      s"cheap query drifted after stream gates: before=$before after=$after")
+  }
+}
