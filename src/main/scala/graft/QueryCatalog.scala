@@ -3485,6 +3485,21 @@ object QueryCatalog {
         ORDER BY doc_id"""))
   )
 
+  /** Child session for the streaming equivalence gates, with shuffle
+    * parallelism sized for the state store, not the data: a stream-stream
+    * join keeps 4 state-store instances per shuffle partition and every
+    * micro-batch commits a delta file per store, so at 32 partitions the
+    * gates pay ~hundreds of store lifecycles for KB-sized state. 8
+    * partitions keeps the same cross-batch semantics under test at 1/4 the
+    * harness cost; correctness is unaffected (results are sorted+hashed).
+    * At production scale the conf is the caller's: these operators inherit
+    * whatever parallelism the real session sets. */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss
+  }
+
   /** File-source stream fixture: split `df` into 4 deterministic
     * single-file parquet chunks by `idCol` quartile (contiguous-id ceil
     * split — the same rule the oracles replay) under `runDir/in`, so a
@@ -3530,7 +3545,7 @@ object QueryCatalog {
         // child session: streaming-query state (memory-sink views, query
         // manager, execution listeners) stays scoped to this invocation
         // instead of accumulating on the shared bench session
-        val ss = s.newSession()
+        val ss = streamSession(s)
         implicit val sqlCtx = ss.sqlContext
         val base = t(s, dir, "documents")
           .select(col("doc_id").cast("long").as("doc_id"),
@@ -3585,7 +3600,7 @@ object QueryCatalog {
         // child session: streaming-query state (memory-sink views, query
         // manager, execution listeners) stays scoped to this invocation
         // instead of accumulating on the shared bench session
-        val ss = s.newSession()
+        val ss = streamSession(s)
         implicit val sqlCtx = ss.sqlContext
         def tsOf(us: Long) = java.sql.Timestamp.from(
           java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
@@ -3652,7 +3667,7 @@ object QueryCatalog {
         // child session: streaming-query state (memory-sink views, query
         // manager, execution listeners) stays scoped to this invocation
         // instead of accumulating on the shared bench session
-        val ss = s.newSession()
+        val ss = streamSession(s)
         implicit val sqlCtx = ss.sqlContext
         val model = clsModel(s, dir)
         val rows = t(s, dir, "documents")
@@ -3700,7 +3715,7 @@ object QueryCatalog {
         // child session: streaming-query state (memory-sink views, query
         // manager, execution listeners) stays scoped to this invocation
         // instead of accumulating on the shared bench session
-        val ss = s.newSession()
+        val ss = streamSession(s)
         implicit val sqlCtx = ss.sqlContext
         val docs = t(s, dir, "documents")
           .select(col("doc_id").cast("long").as("doc_id"),
@@ -3763,7 +3778,7 @@ object QueryCatalog {
         val src = emb.select(col("vec_id").cast("long").as("vec_id"),
           VectorF.toDoubleArray(col("embedding")).as("embedding"))
         val inDir = writeStreamChunks(src, "vec_id", run)
-        val ss = s.newSession()
+        val ss = streamSession(s)
         val q = graft.streaming.StreamingPq.encodeStream(
             ss, inDir.getAbsolutePath, src.schema, books, "vec_id", "embedding",
             4, 64, outDir, filesPerTrigger = 1)
@@ -3810,7 +3825,7 @@ object QueryCatalog {
     Q("q_stream_kmv_eq",
       (s, dir) => {
         import s.implicits._
-        val ss = s.newSession()
+        val ss = streamSession(s)
         implicit val sqlCtx = ss.sqlContext
         val li = t(s, dir, "lineitem")
         val vals = li.select(col("l_partkey").cast("long")).as[Long]
@@ -3859,7 +3874,7 @@ object QueryCatalog {
     Q("q_stream_interval_eq",
       (s, dir) => {
         import s.implicits._
-        val ss = s.newSession()
+        val ss = streamSession(s)
         implicit val sqlCtx = ss.sqlContext
         def tsOf(us: Long) = java.sql.Timestamp.from(
           java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
@@ -3927,7 +3942,7 @@ object QueryCatalog {
         val src = t(s, dir, "documents")
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         val inDir = writeStreamChunks(src, "doc_id", run)
-        val ss = s.newSession()
+        val ss = streamSession(s)
         val q = graft.streaming.StreamingIngest.indexStream(
             ss, inDir.getAbsolutePath, src.schema, outDir,
             filesPerTrigger = 1)
@@ -5000,6 +5015,75 @@ object QueryCatalog {
   // ===========================================================================
 
   private def relationalFull: Seq[Q] = Seq(
+    // TPC-H Q4 shape: order-priority checking — orders in a quarter with
+    // at least one LATE lineitem (shipped > 30 days after the order date;
+    // the synthetic lineitem has no commit/receipt dates, so late-ship is
+    // the available lateness predicate). The plan is the canonical Q4
+    // shape: EXISTS -> left-semi hash join on the order key (one shuffle
+    // each side, no duplication of multi-lineitem orders), then a tiny
+    // group-by on priority. Completes the TPC-H sweep alongside q17.
+    Q("q4_order_priority",
+      (s, dir) => {
+        val o = t(s, dir, "orders").where(
+          expr("o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'") &&
+            expr("o_orderdate < TIMESTAMP '1996-07-01 00:00:00'"))
+        val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+        o.join(l,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > expr("o_orderdate + INTERVAL 30 DAYS"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // TPC-H Q17 shape: small-quantity-order revenue — the correlated
+    // per-part average subquery, planned Spark-native: brand dimension
+    // broadcasts into the fact scan, the per-partkey average is ONE
+    // map-side-combined aggregation, and the self-join back is
+    // partkey-to-partkey (both sides already hash-partitioned on the
+    // key, so AQE reuses the exchange rather than reshuffling). Avg is
+    // exact here (integral quantities sum exactly in doubles), so the
+    // 0.2*avg threshold is the same double in both engines.
+    Q("q17_small_qty",
+      (s, dir) => {
+        val pk = t(s, dir, "part").where(col("p_brand") === "Brand#3")
+          .select(col("p_partkey"))
+        val f = t(s, dir, "lineitem")
+          .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        val avgq = f.groupBy("l_partkey").agg(avg(col("l_quantity")).as("avg_qty"))
+        f.join(avgq, "l_partkey")
+          .where(col("l_quantity") < expr("CAST(0.2 AS DOUBLE)") * col("avg_qty"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("s"),
+            count(lit(1)).as("n"))
+          .selectExpr(
+            "(round(CAST(s AS DOUBLE) / CAST(7.0 AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS avg_yearly",
+            "CAST(n AS BIGINT) AS n")
+      },
+      Some("""
+        WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3'),
+        f AS (SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN pk ON l_partkey = p_partkey),
+        a AS (SELECT l_partkey, avg(l_quantity) AS avg_qty FROM f GROUP BY l_partkey),
+        sel AS (SELECT l_extendedprice
+                FROM f JOIN a USING (l_partkey)
+                WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_qty)
+        SELECT (round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                      / CAST(7.0 AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n
+        FROM sel""")),
+
     // TPC-H Q2 shape: cheapest supplier per part (correlated MIN subquery ->
     // argmin). Spark plans the argmin as one struct-min aggregation — no
     // window sort, no self-join; part dimension broadcasts.
