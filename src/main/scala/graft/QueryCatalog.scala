@@ -5829,10 +5829,131 @@ object QueryCatalog {
       })
   )
 
+  // =========================================================================
+  // WARC / WET crawl-archive ingest (sources/WarcCodec.scala)
+  // =========================================================================
+
+  /** Synthesized Common-Crawl-shaped fixture: 8 `.warc.gz` archive files
+    * (docs assigned by doc_id % 8), each a concatenation of per-record
+    * gzip members — a `warcinfo` header record, then per doc a WET
+    * `conversion` record whose payload IS documents.text (UTF-8) and a
+    * crawl `response` record wrapping an HTTP response (status varies by
+    * doc_id % 10, HTML body built from text by a closed-form formula the
+    * oracles replay). Built driver-side ONCE per dir and cached (the
+    * corpus is KB-scale at fixture SFs; the operator under test is the
+    * distributed archive scan, not the fixture write). Cache key =
+    * md5(path + version) — collisions can't serve wrong fixtures and
+    * format changes can't serve stale ones. */
+  private val synthWarcVersion = 1 // bump on ANY record/HTML formula change
+  private def synthWarc(s: SparkSession, dir: String): String = {
+    import graft.sources.WarcCodec._
+    import java.nio.charset.StandardCharsets.UTF_8
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val key = md.digest(s"$dir|$synthWarcVersion".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val out = s"${sys.props("java.io.tmpdir")}/graft_synth_warc_$key"
+    val marker = new java.io.File(s"$out/_DONE")
+    if (!marker.isFile) {
+      new java.io.File(out).mkdirs()
+      val rows = t(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1)
+      rows.groupBy(_._1 % 8).foreach { case (fk, docs) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(gzipMember(writeRecord(WarcRecord("warcinfo", "",
+          s"<urn:graft:info:$fk>", "application/warc-fields", 0L,
+          "software: graft\r\n".getBytes(UTF_8)))))
+        docs.foreach { case (id, text) =>
+          bos.write(gzipMember(writeRecord(WarcRecord("conversion",
+            s"https://crawl.example/doc/$id", s"<urn:graft:wet:$id>",
+            "text/plain", 0L, text.getBytes(UTF_8)))))
+          val status = if (id % 10 == 7) "404 Not Found" else "200 OK"
+          val html = s"<html><head><title>doc $id</title></head><body><p>$text</p></body></html>"
+          val http = s"HTTP/1.1 $status\r\nContent-Type: text/html; charset=utf-8\r\nX-Doc: $id\r\n\r\n$html"
+          bos.write(gzipMember(writeRecord(WarcRecord("response",
+            s"https://crawl.example/page/$id", s"<urn:graft:res:$id>",
+            "application/http; msgtype=response", 0L, http.getBytes(UTF_8)))))
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, f"part-$fk%d.warc.gz"), bos.toByteArray)
+      }
+      java.nio.file.Files.writeString(marker.toPath, "ok")
+    }
+    out
+  }
+
+  private def warcOps: Seq[Q] = Seq(
+    // WET conversion-record scan: gzip-member decode + Content-Length
+    // framing + header parse, hash-gated against the source table — URI,
+    // record Content-Type, byte-exact Content-Length, and the payload
+    // round-tripped BOTH as md5 and as decoded text (any framing slip,
+    // member-boundary bug, or charset mangling mismatches). The plan is
+    // one binaryFile task per archive + a narrow flatMap — the 100 TB
+    // crawl model (~1 GB segments, one task each, zero shuffle before
+    // the final fixture-scale sort).
+    Q("q_warc_wet",
+      (s, dir) => {
+        val recs = graft.sources.WarcSource.records(s, synthWarc(s, dir))
+        recs.where(col("warc_type") === "conversion")
+          .select(
+            regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            col("target_uri"), col("content_type"), col("content_length"),
+            md5(col("payload")).as("payload_md5"),
+            col("payload").cast("string").as("text"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+               'text/plain' AS content_type,
+               CAST(strlen(text) AS BIGINT) AS content_length,
+               md5(text) AS payload_md5,
+               text
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // Crawl response-record scan: the HTTP sub-parse on top of the WARC
+    // framing — status line (varying by formula), header lookup, and the
+    // header/body split, with the body verified byte-exactly (md5 + byte
+    // length) against the closed-form HTML the fixture embeds. warcinfo
+    // records prove type filtering; 404s prove non-2xx payloads survive.
+    Q("q_warc_response",
+      (s, dir) => {
+        val recs = graft.sources.WarcSource.records(s, synthWarc(s, dir))
+        graft.sources.WarcSource.httpResponses(recs)
+          .select(
+            regexp_extract(col("target_uri"), "page/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            col("http_status").cast("long").as("http_status"),
+            col("http_content_type"),
+            length(col("body")).cast("long").as("body_len"),
+            md5(col("body")).as("body_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+                 '</title></head><body><p>' || text ||
+                 '</p></body></html>' AS html
+          FROM documents)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(CASE WHEN doc_id % 10 = 7 THEN 404 ELSE 200 END AS BIGINT) AS http_status,
+               'text/html; charset=utf-8' AS http_content_type,
+               CAST(strlen(html) AS BIGINT) AS body_len,
+               md5(html) AS body_md5
+        FROM h
+        ORDER BY doc_id"""))
+  )
+
   def all: Seq[Q] =
     relational ++ textOps ++ vectorOps ++ ragOps ++ metaOps ++ extraOps ++
       temporalOps ++ pipelineOps ++ scaleOps ++ relationalPlus ++ trainingPlus ++
-      relationalFull ++ curationOps ++ pcmOps ++ imagePixelOps ++ streamingEqOps
+      relationalFull ++ curationOps ++ pcmOps ++ imagePixelOps ++ streamingEqOps ++
+      warcOps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

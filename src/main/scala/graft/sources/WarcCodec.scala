@@ -1,0 +1,241 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC 1.0 / WET reader — the Common Crawl ingest path a 100 TB
+  * training-data pipeline starts from.
+  *
+  * The reference ingests already-converted document trees
+  * (`document_processor.py`, directory scans); web-scale corpora instead
+  * arrive as WARC archives: a sequence of records, each a CRLF-terminated
+  * header block (`WARC/1.0`, `Name: value` lines) followed by exactly
+  * `Content-Length` payload bytes. Crawl "response" records wrap a raw
+  * HTTP response; WET "conversion" records carry extracted plain text.
+  * Archives are per-record gzip members concatenated into one `.warc.gz`
+  * stream (ISO 28500 annex; `GZIPInputStream` decodes concatenated
+  * members natively).
+  *
+  * Parsing is Content-Length framed — payload bytes are NEVER scanned for
+  * boundaries, so binary payloads containing `WARC/1.0` text cannot split
+  * a record. Malformed input degrades to a prefix: a record with a
+  * missing/invalid Content-Length or a truncated payload is dropped and
+  * parsing stops (crawl archives are append-ordered, so a corrupt tail is
+  * the common failure).
+  *
+  * Scale model: one task per archive file via Spark's `binaryFile` source
+  * — the standard way crawl segments (~1 GB each) are processed; a 100 TB
+  * crawl is ~100k files = ~100k tasks, no shuffle anywhere in the scan.
+  * Records flow out of `flatMap` as narrow rows; downstream projections
+  * (text extract, language ID, dedup keys) stay in the same stage, so
+  * payload bytes never transit an exchange.
+  */
+object WarcCodec {
+
+  /** One parsed WARC record. `targetUri`/`contentType`/`recordId` are ""
+    * when the header is absent (never null — keeps the row encoder and
+    * SQL comparisons total). */
+  final case class WarcRecord(
+      warcType: String,
+      targetUri: String,
+      recordId: String,
+      contentType: String,
+      contentLength: Long,
+      payload: Array[Byte])
+
+  /** A parsed HTTP response payload from a `response` record. */
+  final case class HttpResponse(
+      status: Int,
+      headers: Map[String, String],
+      body: Array[Byte])
+
+  def isGzip(b: Array[Byte]): Boolean =
+    b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+
+  /** Decompress a (possibly multi-member) gzip stream to one byte array.
+    * `GZIPInputStream` transparently continues into subsequent members,
+    * which is exactly the `.warc.gz` layout. A corrupt/truncated stream
+    * yields the bytes decoded so far instead of throwing — one hostile
+    * archive must not kill a 100k-file scan; the framing layer then keeps
+    * the record prefix that survived. */
+  def gunzipAll(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(math.max(64, b.length * 3))
+    try {
+      val in = new GZIPInputStream(new ByteArrayInputStream(b), 64 * 1024)
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+    } catch { case _: java.io.IOException => () }
+    out.toByteArray
+  }
+
+  /** Gzip one record as its own member (per-record compression is what
+    * makes archive records independently seekable). Java's gzip header is
+    * deterministic (MTIME=0), so fixtures are byte-stable. */
+  def gzipMember(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(b.length / 2 + 32)
+    val gz = new GZIPOutputStream(out)
+    gz.write(b); gz.finish(); gz.close()
+    out.toByteArray
+  }
+
+  // --- framing ---------------------------------------------------------
+
+  /** Read one header line starting at `i`: returns (line-without-EOL,
+    * index-after-EOL). Tolerates bare LF (some WET writers emit it). */
+  private def readLine(b: Array[Byte], i: Int): (String, Int) = {
+    var j = i
+    while (j < b.length && b(j) != '\n') j += 1
+    val end = if (j > i && b(j - 1) == '\r') j - 1 else j
+    (new String(b, i, end - i, UTF_8), math.min(j + 1, b.length))
+  }
+
+  /** Parse all records in `bytes` (gunzipping first if gzip magic).
+    * Stops at the first structural error and returns the valid prefix. */
+  def parseWarc(bytes: Array[Byte]): Vector[WarcRecord] = {
+    val b = if (isGzip(bytes)) gunzipAll(bytes) else bytes
+    val out = Vector.newBuilder[WarcRecord]
+    var i = 0
+    var ok = true
+    while (ok && i < b.length) {
+      // skip inter-record CRLF padding
+      while (i < b.length && (b(i) == '\r' || b(i) == '\n')) i += 1
+      if (i >= b.length) ok = false
+      else {
+        val (version, afterV) = readLine(b, i)
+        if (!version.startsWith("WARC/")) ok = false
+        else {
+          // header block until blank line
+          var j = afterV
+          var warcType, uri, rid, ctype = ""
+          var clen = -1L
+          var headerOk = true
+          var blank = false
+          while (headerOk && !blank && j < b.length) {
+            val (line, nj) = readLine(b, j)
+            j = nj
+            if (line.isEmpty) blank = true
+            else {
+              val k = line.indexOf(':')
+              if (k <= 0) headerOk = false
+              else {
+                val name = line.substring(0, k).trim.toLowerCase
+                val value = line.substring(k + 1).trim
+                name match {
+                  case "warc-type" => warcType = value
+                  case "warc-target-uri" => uri = value
+                  case "warc-record-id" => rid = value
+                  case "content-type" => ctype = value
+                  case "content-length" =>
+                    clen = try value.toLong catch { case _: NumberFormatException => -1L }
+                  case _ => ()
+                }
+              }
+            }
+          }
+          if (!headerOk || !blank || clen < 0 || j + clen > b.length) ok = false
+          else {
+            val payload = java.util.Arrays.copyOfRange(b, j, j + clen.toInt)
+            out += WarcRecord(warcType, uri, rid, ctype, clen, payload)
+            i = j + clen.toInt
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Serialize one record (used by fixtures/tests and the archive
+    * writer); header order is fixed so output is byte-deterministic. */
+  def writeRecord(r: WarcRecord): Array[Byte] = {
+    val h = new StringBuilder
+    h ++= "WARC/1.0\r\n"
+    h ++= s"WARC-Type: ${r.warcType}\r\n"
+    if (r.targetUri.nonEmpty) h ++= s"WARC-Target-URI: ${r.targetUri}\r\n"
+    if (r.recordId.nonEmpty) h ++= s"WARC-Record-ID: ${r.recordId}\r\n"
+    if (r.contentType.nonEmpty) h ++= s"Content-Type: ${r.contentType}\r\n"
+    h ++= s"Content-Length: ${r.payload.length}\r\n\r\n"
+    val hb = h.toString.getBytes(UTF_8)
+    val out = new ByteArrayOutputStream(hb.length + r.payload.length + 4)
+    out.write(hb); out.write(r.payload)
+    out.write('\r'); out.write('\n'); out.write('\r'); out.write('\n')
+    out.toByteArray
+  }
+
+  // --- HTTP response payloads -----------------------------------------
+
+  /** Parse the HTTP response inside a `response` record's payload. None
+    * when the payload is not an HTTP response (robots records, garbage). */
+  def parseHttp(payload: Array[Byte]): Option[HttpResponse] = {
+    val (statusLine, afterS) = readLine(payload, 0)
+    val parts = statusLine.split(" ", 3)
+    if (parts.length < 2 || !parts(0).startsWith("HTTP/")) None
+    else {
+      val status = try parts(1).toInt catch { case _: NumberFormatException => return None }
+      var j = afterS
+      val hdrs = Map.newBuilder[String, String]
+      var blank = false
+      var ok = true
+      while (ok && !blank && j < payload.length) {
+        val (line, nj) = readLine(payload, j)
+        j = nj
+        if (line.isEmpty) blank = true
+        else {
+          val k = line.indexOf(':')
+          if (k <= 0) ok = false
+          else hdrs += (line.substring(0, k).trim.toLowerCase ->
+            line.substring(k + 1).trim)
+        }
+      }
+      if (!ok) None
+      else Some(HttpResponse(status, hdrs.result(),
+        java.util.Arrays.copyOfRange(payload, j, payload.length)))
+    }
+  }
+}
+
+/** Spark-side WARC archive scan. */
+object WarcSource {
+  import WarcCodec._
+
+  /** One row per WARC record across every `.warc`/`.warc.gz` under `dir`.
+    * Columns: path, warc_type, target_uri, record_id, content_type,
+    * content_length, payload (binary). One task per file — crawl archives
+    * are written as independently-processable ~1 GB segments, so file
+    * granularity IS the right parallelism unit; no shuffle. */
+  def records(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        parseWarc(bytes).map(r => (path, r.warcType, r.targetUri, r.recordId,
+          r.contentType, r.contentLength, r.payload))
+      }
+      .toDF("path", "warc_type", "target_uri", "record_id", "content_type",
+        "content_length", "payload")
+  }
+
+  /** Project `response` records to parsed HTTP columns: http_status,
+    * http_content_type, body (binary). Narrow (same-stage) on top of
+    * [[records]] — bodies never transit an exchange. */
+  def httpResponses(records: DataFrame): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.where(col("warc_type") === "response")
+      .select(col("target_uri"), col("payload"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (uri, payload) =>
+        parseHttp(payload).map(h =>
+          (uri, h.status, h.headers.getOrElse("content-type", ""), h.body))
+      }
+      .toDF("target_uri", "http_status", "http_content_type", "body")
+  }
+}

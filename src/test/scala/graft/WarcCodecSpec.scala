@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{WarcCodec, WarcSource}
+import graft.sources.WarcCodec.{HttpResponse, WarcRecord}
+
+/** Pins the WARC/WET ingest path: Content-Length framing (payloads are
+  * never boundary-scanned), multi-member gzip decode, HTTP response
+  * sub-parse, prefix-robust handling of hostile/truncated input, and the
+  * distributed binaryFile scan. */
+class WarcCodecSpec extends AnyFunSuite {
+
+  private def rec(t: String, uri: String, payload: Array[Byte]) =
+    WarcRecord(t, uri, s"<urn:test:${t.hashCode}>", "text/plain", 0L, payload)
+
+  test("round trip: write -> parse preserves every field and payload byte") {
+    val payload = "hello wét wörld".getBytes(UTF_8)
+    val r = WarcRecord("conversion", "https://x/doc/1", "<urn:1>",
+      "text/plain", 0L, payload)
+    val parsed = WarcCodec.parseWarc(WarcCodec.writeRecord(r))
+    assert(parsed.length == 1)
+    val p = parsed.head
+    assert(p.warcType == "conversion" && p.targetUri == "https://x/doc/1")
+    assert(p.recordId == "<urn:1>" && p.contentType == "text/plain")
+    assert(p.contentLength == payload.length)
+    assert(p.payload.sameElements(payload))
+  }
+
+  test("payload containing WARC/1.0 text cannot split a record") {
+    val evil = "WARC/1.0\r\nWARC-Type: fake\r\n\r\n".getBytes(UTF_8)
+    val bytes = WarcCodec.writeRecord(rec("response", "https://x/a", evil)) ++
+      WarcCodec.writeRecord(rec("conversion", "https://x/b", "ok".getBytes(UTF_8)))
+    val parsed = WarcCodec.parseWarc(bytes)
+    assert(parsed.map(_.warcType) == Vector("response", "conversion"))
+    assert(parsed.head.payload.sameElements(evil))
+  }
+
+  test("multi-member gzip: one member per record, concatenated") {
+    val recs = (0 until 5).map(i =>
+      rec("conversion", s"https://x/doc/$i", s"payload $i".getBytes(UTF_8)))
+    val gz = recs.flatMap(r => WarcCodec.gzipMember(WarcCodec.writeRecord(r))).toArray
+    assert(WarcCodec.isGzip(gz))
+    val parsed = WarcCodec.parseWarc(gz)
+    assert(parsed.map(r => new String(r.payload, UTF_8)) ==
+      (0 until 5).map(i => s"payload $i").toVector)
+  }
+
+  test("truncated tail record is dropped; prefix survives") {
+    val a = WarcCodec.writeRecord(rec("conversion", "https://x/a", "aaaa".getBytes(UTF_8)))
+    val b = WarcCodec.writeRecord(rec("conversion", "https://x/b", "bbbb".getBytes(UTF_8)))
+    val cut = a ++ b.dropRight(7) // cut into b's payload
+    val parsed = WarcCodec.parseWarc(cut)
+    assert(parsed.length == 1 && parsed.head.targetUri == "https://x/a")
+  }
+
+  test("hostile inputs parse to empty, never throw") {
+    assert(WarcCodec.parseWarc(Array.emptyByteArray).isEmpty)
+    assert(WarcCodec.parseWarc("not a warc at all".getBytes(UTF_8)).isEmpty)
+    assert(WarcCodec.parseWarc("WARC/1.0\r\nNo-Length: x\r\n\r\n".getBytes(UTF_8)).isEmpty)
+    assert(WarcCodec.parseWarc(
+      "WARC/1.0\r\nContent-Length: banana\r\n\r\n".getBytes(UTF_8)).isEmpty)
+    // gzip magic with truncated/garbage body: prefix semantics, no throw
+    assert(WarcCodec.parseWarc(Array[Byte](0x1f, 0x8b.toByte)).isEmpty)
+    val good = WarcCodec.gzipMember(WarcCodec.writeRecord(
+      rec("conversion", "https://x/ok", "ok".getBytes(UTF_8))))
+    assert(WarcCodec.parseWarc(good ++ Array[Byte](0x1f, 0x8b.toByte, 77))
+      .map(_.targetUri) == Vector("https://x/ok"))
+  }
+
+  test("bare-LF header lines are tolerated") {
+    val bytes = ("WARC/1.0\nWARC-Type: conversion\nWARC-Target-URI: https://x/lf\n" +
+      "Content-Length: 2\n\nhi\n\n").getBytes(UTF_8)
+    val parsed = WarcCodec.parseWarc(bytes)
+    assert(parsed.length == 1 && parsed.head.targetUri == "https://x/lf")
+    assert(new String(parsed.head.payload, UTF_8) == "hi")
+  }
+
+  test("http response parse: status, case-insensitive headers, exact body") {
+    val body = "<html>ok &amp; fine</html>"
+    val http = s"HTTP/1.1 404 Not Found\r\nCONTENT-TYPE: text/html\r\nX-A: b\r\n\r\n$body"
+    val Some(HttpResponse(status, headers, b)) =
+      WarcCodec.parseHttp(http.getBytes(UTF_8))
+    assert(status == 404)
+    assert(headers("content-type") == "text/html" && headers("x-a") == "b")
+    assert(new String(b, UTF_8) == body)
+    assert(WarcCodec.parseHttp("garbage".getBytes(UTF_8)).isEmpty)
+    assert(WarcCodec.parseHttp("HTTP/1.1 abc\r\n\r\n".getBytes(UTF_8)).isEmpty)
+  }
+
+  test("distributed scan: binaryFile task per archive, md5 parity with DuckDB") {
+    val spark = SparkSessionFixture.spark
+    val dir = java.nio.file.Files.createTempDirectory("warc_spec").toFile
+    try {
+      // 2 archives x 3 records; one warcinfo to prove type filtering
+      (0 until 2).foreach { f =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(WarcCodec.gzipMember(WarcCodec.writeRecord(
+          rec("warcinfo", "", "info\r\n".getBytes(UTF_8)))))
+        (0 until 3).foreach { i =>
+          val id = f * 3 + i
+          bos.write(WarcCodec.gzipMember(WarcCodec.writeRecord(
+            rec("conversion", s"https://x/doc/$id", s"téxt $id".getBytes(UTF_8)))))
+        }
+        java.nio.file.Files.write(
+          new java.io.File(dir, s"seg-$f.warc.gz").toPath, bos.toByteArray)
+      }
+      val recs = WarcSource.records(spark, dir.getAbsolutePath)
+      val rows = recs.where(col("warc_type") === "conversion")
+        .select(col("target_uri"), col("payload").cast("string").as("text"),
+          md5(col("payload")).as("h"))
+        .orderBy("target_uri").collect()
+      assert(rows.length == 6)
+      assert(rows.map(_.getString(1)).toSeq ==
+        (0 until 6).map(i => s"téxt $i").sortBy(i => s"https://x/doc/$i"))
+      // Spark md5(binary of UTF-8) must equal DuckDB md5(VARCHAR): pin the
+      // known digest for a non-ASCII string (computed with python hashlib)
+      val one = spark.sql("SELECT md5(CAST('héllo' AS BINARY)) AS h").head.getString(0)
+      assert(one == "be50e8478cf24ff3595bc7307fb91b50")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+}
