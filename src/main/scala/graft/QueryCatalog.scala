@@ -5260,6 +5260,26 @@ object QueryCatalog {
   // classifier — the named modern-pipeline components still missing after r4.
   // ===========================================================================
 
+  /** Synthetic 7-line web page for the C4 filter, built from each doc's
+    * words by ONE dialect-shared formula (same text both engines). Slice
+    * offsets stay within the corpus's 10-word minimum so every slice is
+    * non-empty in both dialects. */
+  private def c4PageExpr(dl: Dialect): String = {
+    val ws = dl.splitWs("text")
+    def sl(st: Int, n: Int) = dl.arrayJoinE(dl.slice1(ws, st, n), "' '")
+    val l1 = s"${sl(1, 8)} || ' intro page.'"
+    val l2 = dl.str("home about contact")
+    val l3 = s"CASE WHEN doc_id % 7 = 3 THEN ${dl.str("please enable javascript to continue.")}" +
+      s" ELSE ${sl(3, 4)} || ' really works!' END"
+    val l4 = s"CASE WHEN doc_id % 11 = 5 THEN ${dl.str("lorem ipsum dolor sit amet.")}" +
+      s" ELSE ${sl(5, 4)} || ' is that fine?' END"
+    val l5 = s"CASE WHEN doc_id % 13 = 6 THEN ${dl.str("""var cfg = { "a": 1 };""")}" +
+      s" ELSE ${sl(7, 3)} || ' the end.' END"
+    val l6 = dl.str("copyright 2026 example corp.")
+    val l7 = s"${sl(9, 2)} || '.'"
+    Seq(l1, l2, l3, l4, l5, l6, l7).mkString("(", " || chr(10) || ", ")")
+  }
+
   private def curationOps: Seq[Q] = Seq(
     // SemDeDup (Abbas et al. 2023): nearest-centroid assignment (same
     // deterministic fixed-centroid scheme q_ann_ivf oracles), then cosine
@@ -5589,6 +5609,29 @@ object QueryCatalog {
       Some(s"""
         SELECT doc_id, keep, reasons FROM (
           ${graft.ops.Curation.oracleSql(D, "documents", "doc_id", "text")}
+        ) ORDER BY doc_id""")),
+
+    // C4 line-level cleaning (Raffel et al. 2020 §2.2; ops/Curation.c4Clean).
+    // The corpus text is single-line prose, so each doc is first framed as
+    // a 7-line synthetic web page by a closed-form dialect-shared formula:
+    // boilerplate nav (no terminal punct), a javascript line on doc_id%7=3,
+    // "lorem ipsum" on %11=5, a curly-brace config line on %13=6, a
+    // 2-word punct-terminated footer (exercises the >=3-words rule alone),
+    // the rest prose slices with terminal punctuation. Every C4 rule fires
+    // both ways across the corpus, and the cleaned text itself is part of
+    // the hash — line filtering, sentence counting, and page rules are all
+    // pinned. Narrow plan: one scan, codegen'd higher-order functions, no
+    // shuffle before the fixture-scale sort.
+    Q("q_c4_filters",
+      (s, dir) => {
+        val page = c4PageExpr(Dialect.spark)
+        val docs = tk(s, dir, "documents")
+          .selectExpr("doc_id", s"$page AS page")
+        graft.ops.Curation.c4Clean(docs, "page", "doc_id").orderBy("doc_id")
+      },
+      Some(s"""
+        SELECT * FROM (
+          ${graft.ops.Curation.c4OracleSql(D, "documents", "doc_id", c4PageExpr(D))}
         ) ORDER BY doc_id""")),
 
     // kNN label propagation: every 5th vector "loses" its label and gets
@@ -5946,6 +5989,45 @@ object QueryCatalog {
                CAST(strlen(html) AS BIGINT) AS body_len,
                md5(html) AS body_md5
         FROM h
+        ORDER BY doc_id"""))
+  ,
+
+    // End-to-end crawl ingest — the composition a 100 TB pipeline runs as
+    // ONE job: archive scan -> HTTP parse -> status gate (404s drop out,
+    // ~10% of the fixture) -> HTML-to-text kernel -> token stats ->
+    // quality bound. Everything stays in the scan stage (binaryFile task
+    // per segment, narrow flatMaps, codegen'd HTML kernel) until the
+    // fixture-scale final sort; the oracle replays the whole composition
+    // from the documents table in closed form, so the hash pins every
+    // stage boundary (status routing, tag stripping, whitespace collapse,
+    // tokenization) at once.
+    Q("q_crawl_pipeline",
+      (s, dir) => {
+        val recs = graft.sources.WarcSource.records(s, synthWarc(s, dir))
+        val ok = graft.sources.WarcSource.httpResponses(recs)
+          .where(col("http_status") === 200)
+        ok.select(
+            regexp_extract(col("target_uri"), "page/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            graft.sources.DirectoryCorpus.htmlToTextFast(
+              col("body").cast("string")).as("text"))
+          .withColumn("n_tokens",
+            size(split(trim(col("text")), "\\s+")).cast("long"))
+          .withColumn("keep", col("n_tokens") >= 25)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH src AS (
+          SELECT doc_id,
+                 'doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+                 trim(regexp_replace(regexp_replace(text, '[ \t]+', ' ', 'g'),
+                                     '\s*\n\s*', chr(10), 'g')) AS text
+          FROM documents
+          WHERE doc_id % 10 <> 7)
+        SELECT doc_id, text,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               (len(string_split_regex(trim(text), '\s+')) >= 25) AS keep
+        FROM src
         ORDER BY doc_id"""))
   )
 

@@ -78,6 +78,79 @@ object Curation {
         col("avg_surprisal"), col("bucket"), col("keep"))
   }
 
+  // --- C4 line-level cleaning (Raffel et al. 2020, §2.2) -------------------
+
+  /** C4's keep-line predicate over lambda variable `ln__`: the line ends
+    * in a terminal punctuation mark (period / ! / ? / closing quote), has
+    * at least 3 words, and does not mention javascript. One shared
+    * formula text per dialect — the oracle replays it verbatim. */
+  private def c4LineKeep(dl: Dialect): String = {
+    val wc = dl.size(dl.splitWs("ln__"))
+    s"""(${dl.rlike("ln__", "[.!?\"]$")} AND $wc >= 3 AND ${dl.instr("lower(ln__)", dl.str("javascript"))} = 0)"""
+  }
+
+  /** C4's page-level keep over `page__` (the ORIGINAL page — the paper
+    * drops on page content, not the cleaned text) and `n_sentences` (of
+    * the cleaned text): at least 5 sentences, no "lorem ipsum", no curly
+    * brace. The dirty-word list is a caller concern (pass the page
+    * through a keyword tagger first); kept out of the core rule. */
+  private def c4PageKeep(dl: Dialect): String =
+    s"(n_sentences >= 5 AND ${dl.instr("lower(page__)", dl.str("lorem ipsum"))} = 0" +
+      s" AND ${dl.instr("page__", dl.str("{"))} = 0)"
+
+  /** C4 cleaning (Raffel et al. 2020, §2.2 "we only retained lines that
+    * ended in a terminal punctuation mark ... contained at least 3 words
+    * ... removed any line with the word Javascript ... discarded any page
+    * with fewer than 5 sentences, with 'lorem ipsum', or a curly
+    * bracket"): line-filter each page, rebuild the cleaned text, and
+    * decide the page. Sentences are counted as terminal-punct occurrences
+    * in the CLEANED text (each retained line contributes its sentence
+    * ends; dropped boilerplate can't inflate the count).
+    *
+    * Scale: entirely narrow — split/filter/join are per-row higher-order
+    * functions fused into the page scan by codegen; no shuffle, no UDF.
+    * Output: (idCol, n_lines, n_kept, n_sentences, keep, clean_text). */
+  def c4Clean(docs: DataFrame, pageCol: String, idCol: String): DataFrame = {
+    val nSent =
+      s"CAST(length(clean_text) - length(${S.regexReplaceAll("clean_text", "[.!?]", "")}) AS BIGINT)"
+    docs.selectExpr(s"`$idCol`", s"`$pageCol` AS page__")
+      .selectExpr("*", s"${S.splitLines("page__")} AS lines__")
+      .selectExpr("*", s"${S.filter("lines__", "ln__", c4LineKeep(S))} AS kept__")
+      .selectExpr(s"`$idCol`", "page__",
+        s"CAST(${S.size("lines__")} AS BIGINT) AS n_lines",
+        s"CAST(${S.size("kept__")} AS BIGINT) AS n_kept",
+        // DuckDB's array_to_string of an empty list is NULL, Spark's '' —
+        // coalesce in BOTH dialects so all-boilerplate pages agree
+        s"COALESCE(${S.arrayJoinE("kept__", "chr(10)")}, '') AS clean_text")
+      .selectExpr(s"`$idCol`", "page__", "n_lines", "n_kept", "clean_text",
+        s"$nSent AS n_sentences")
+      .selectExpr(s"`$idCol`", "n_lines", "n_kept", "n_sentences",
+        s"${c4PageKeep(S)} AS keep", "clean_text")
+  }
+
+  /** Identical computation for the DuckDB oracle; `pageExpr` is the
+    * page-construction formula in duck dialect. */
+  def c4OracleSql(dl: Dialect, fromSql: String, idCol: String,
+                  pageExpr: String): String =
+    s"""
+    WITH p AS (SELECT $idCol, $pageExpr AS page__ FROM $fromSql),
+    l AS (SELECT $idCol, page__, ${dl.splitLines("page__")} AS lines__ FROM p),
+    f AS (SELECT $idCol, page__, lines__,
+                 ${dl.filter("lines__", "ln__", c4LineKeep(dl))} AS kept__
+          FROM l),
+    c AS (SELECT $idCol, page__,
+                 CAST(${dl.size("lines__")} AS BIGINT) AS n_lines,
+                 CAST(${dl.size("kept__")} AS BIGINT) AS n_kept,
+                 COALESCE(${dl.arrayJoinE("kept__", "chr(10)")}, '') AS clean_text
+          FROM f),
+    sc AS (SELECT *, CAST(length(clean_text) -
+                          length(${dl.regexReplaceAll("clean_text", "[.!?]", "")})
+                     AS BIGINT) AS n_sentences
+           FROM c)
+    SELECT $idCol, n_lines, n_kept, n_sentences,
+           ${c4PageKeep(dl)} AS keep, clean_text
+    FROM sc"""
+
   /** Returns (idCol, keep, reasons) for every doc. */
   def qualityFilter(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val base = docs.selectExpr(s"`$idCol`", s"`$textCol` AS __t", s"md5(`$textCol`) AS __h")

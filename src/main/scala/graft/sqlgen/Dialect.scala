@@ -66,6 +66,22 @@ final case class Dialect(duck: Boolean) {
   def regexReplaceAll(s: String, pat: String, rep: String): String =
     if (duck) s"regexp_replace($s, '$pat', '$rep', 'g')"
     else s"regexp_replace($s, '$pat', '$rep')"
+  /** Partial-match regex test (pattern must not need Spark's double
+    * backslashes — keep patterns escape-free or pre-escape per dialect). */
+  def rlike(s: String, pat: String): String =
+    if (duck) s"regexp_matches($s, '$pat')" else s"($s rlike '$pat')"
+  /** Split on literal newlines (Spark's split is regex; a chr(10) pattern
+    * is the same literal in both engines — avoids '\n' literal-escape
+    * divergence: Spark processes the escape, DuckDB does not). */
+  def splitLines(s: String): String =
+    if (duck) s"string_split($s, chr(10))" else s"split($s, chr(10))"
+  /** array_join with an expression (non-literal) separator. */
+  def arrayJoinE(a: String, sepExpr: String): String =
+    if (duck) s"array_to_string($a, $sepExpr)" else s"array_join($a, $sepExpr)"
+  /** 1-based, length-bounded slice — clamped identically on both engines. */
+  def slice1(a: String, start1: Int, len: Int): String =
+    if (duck) s"list_slice($a, $start1, ${start1 + len - 1})"
+    else s"slice($a, $start1, $len)"
   def castStr(x: String): String =
     if (duck) s"CAST($x AS VARCHAR)" else s"CAST($x AS STRING)"
 

@@ -276,6 +276,38 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(1L) == ((true, "")) && got(6L) == ((true, "")), s"$got")
   }
 
+  test("c4Clean: each rule fires alone; clean text, counts, and page keep") {
+    import graft.ops.Curation
+    val nl = "\n"
+    val goodLine = "this sentence has plenty of words."
+    val pages = Seq(
+      // 0: five clean sentences -> kept intact
+      (0L, Seq.fill(5)(goodLine).mkString(nl)),
+      // 1: no-terminal-punct line dropped; still 5 sentences -> keep
+      (1L, (Seq.fill(5)(goodLine) :+ "home about contact").mkString(nl)),
+      // 2: javascript line dropped -> only 4 sentences left -> page drop
+      (2L, (Seq.fill(4)(goodLine) :+ "please enable Javascript now ok.").mkString(nl)),
+      // 3: two-word punct line dropped by the >=3-words rule
+      (3L, (Seq.fill(5)(goodLine) :+ "two words.").mkString(nl)),
+      // 4: lorem ipsum -> page drop even though every line is kept
+      (4L, (Seq.fill(4)(goodLine) :+ "lorem ipsum dolor sit amet.").mkString(nl)),
+      // 5: curly brace -> page drop
+      (5L, (Seq.fill(5)(goodLine) :+ "config { x }").mkString(nl)),
+      // 6: question/exclamation/quote terminators all count
+      (6L, Seq("is this kept?", "yes it is!", "a \"quoted line ends here.\"",
+        goodLine, goodLine).mkString(nl)))
+      .toDF("doc_id", "page")
+    val got = Curation.c4Clean(pages, "page", "doc_id").orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Boolean, String)].collect()
+    assert(got(0) == ((0L, 5L, 5L, 5L, true, Seq.fill(5)(goodLine).mkString(nl))))
+    assert(got(1)._5 && got(1)._3 == 5L && got(1)._2 == 6L)
+    assert(!got(2)._5 && got(2)._3 == 4L && !got(2)._6.contains("Javascript"))
+    assert(got(3)._3 == 5L && !got(3)._6.contains("two words"))
+    assert(!got(4)._5 && got(4)._3 == 5L) // lines kept, page dropped
+    assert(!got(5)._5 && got(5)._3 == 5L)
+    assert(got(6)._5 && got(6)._3 == 5L && got(6)._4 == 5L)
+  }
+
   test("keyword tagger: Aho-Corasick matches == naive contains (incl. overlaps)") {
     import graft.functions.KeywordTagger
     // the canonical AC example: overlapping/suffix patterns
