@@ -6028,8 +6028,50 @@ object QueryCatalog {
                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
                (len(string_split_regex(trim(text), '\s+')) >= 25) AS keep
         FROM src
+        ORDER BY doc_id""")),
+
+    // URL canonicalization (ops/UrlOps) — the crawl-frontier/dedup key
+    // maker. Each doc gets a formula-built MESSY url (mixed-case scheme
+    // and host, default and non-default ports, slash runs, trailing
+    // slash, utm_ tracking params, unsorted query, fragment); the
+    // canonical form collapses doc_id residue classes so n_dupes > 1
+    // groups emerge — the URL-keyed dedup story, with the whole rule set
+    // (incl. scheme-conditional port stripping: http:443 KEPT, https:443
+    // stripped) under the hash. Narrow except the one canonical-keyed
+    // window — exactly the shuffle a URL-keyed dedup pays at scale.
+    Q("q_url_canonical",
+      (s, dir) => {
+        val urls = tk(s, dir, "documents")
+          .selectExpr("doc_id", s"${messyUrlExpr(Dialect.spark)} AS url")
+        graft.ops.UrlOps.canonicalize(urls, "url")
+          .selectExpr("doc_id", "url", "canonical",
+            "CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT) AS n_dupes")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH u AS (SELECT doc_id, ${messyUrlExpr(D)} AS url FROM documents),
+        c AS (SELECT doc_id, url,
+                     ${graft.ops.UrlOps.canonicalExpr(D, "url")} AS canonical
+              FROM u)
+        SELECT doc_id, url, canonical,
+               CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT) AS n_dupes
+        FROM c
         ORDER BY doc_id"""))
   )
+
+  /** Deterministically messy URL for [[graft.ops.UrlOps]] — one
+    * dialect-shared formula; every canonicalization rule is exercised
+    * both ways across the doc_id residue classes. */
+  private def messyUrlExpr(dl: Dialect): String = {
+    def n(m: Int) = dl.castStr(s"doc_id % $m")
+    s"(CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'HtTp' END" +
+      s" || '://WWW.Example' || ${n(5)} || '.COM'" +
+      s" || CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END" +
+      s" || '/Pages//item/' || ${n(20)}" +
+      s" || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END" +
+      s" || '?utm_source=feed&b=' || ${n(6)} || '&a=1'" +
+      s" || CASE WHEN doc_id % 9 = 0 THEN '#frag' ELSE '' END)"
+  }
 
   def all: Seq[Q] =
     relational ++ textOps ++ vectorOps ++ ragOps ++ metaOps ++ extraOps ++

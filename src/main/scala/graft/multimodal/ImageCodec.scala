@@ -138,18 +138,41 @@ object ImageCodec {
       .withColumn("dhash", col("__ist.dHash"))
       .drop("__ist")
 
-  /** Pixel-level image near-duplicate pairs: decode → 64-bit aHash →
-    * 8-byte-band LSH self-join → exact hamming verify. Returns
-    * (id_a, id_b, hamming) with id_a < id_b and hamming <= maxHamming.
+  /** Band-key array for one 64-bit hash column: AND-amplified when the
+    * hamming budget allows it.
     *
-    * Full recall for maxHamming <= 7 (pigeonhole over 8 disjoint bands);
-    * the shuffle carries only (id, hash, band) rows — 8 small rows per
-    * image regardless of image size, so the join survives any corpus the
-    * decode pass survives. Band buckets are value-keyed, so genuinely
-    * near-identical populations (e.g. single-color thumbnails) salt
-    * naturally across 8 band positions; a pathological all-identical
-    * corpus degrades to the true duplicate-pair output, which is itself
-    * quadratic — that is output size, not plan waste. */
+    * maxHamming <= 6: all C(8,2)=28 ordered byte-band PAIRS as 16-bit
+    * composite keys. Exact recall by pigeonhole — <= 6 corrupted bits
+    * touch <= 6 of the 8 bands, so >= 2 bands are clean and their
+    * composite key matches. The win is collision density: candidate
+    * pairs on non-duplicate data are ~28/2^16 per pair vs 8/2^8 for
+    * single bands — ~36x fewer — which is what keeps the self-join
+    * near-linear when the corpus scales 10x (single-byte bands saturate:
+    * n^2/256 bucket collisions regardless of how unlike the images are).
+    *
+    * maxHamming = 7: single-byte bands (7 errors can leave only ONE
+    * clean band, so pair keys would lose recall). */
+  private def bandKeysExpr(hash: String, maxHamming: Int): String =
+    if (maxHamming <= 6)
+      s"flatten(transform(sequence(0, 6), i__ -> transform(sequence(i__ + 1, 7)," +
+        s" j__ -> ((($hash >> (i__ * 8)) & 255) << 8) | (($hash >> (j__ * 8)) & 255))))"
+    else
+      s"transform(sequence(0, 7), b__ -> ($hash >> (b__ * 8)) & 255)"
+
+  /** Pixel-level image near-duplicate pairs: decode → 64-bit aHash →
+    * banded LSH self-join ([[bandKeysExpr]]: 28 two-band composite keys
+    * for maxHamming <= 6, single byte-bands for 7) → exact hamming
+    * verify. Returns (id_a, id_b, hamming) with id_a < id_b and
+    * hamming <= maxHamming.
+    *
+    * Full recall for maxHamming <= 7 (pigeonhole); the shuffle carries
+    * only (id, hash, band) rows — <= 28 small rows per image regardless
+    * of image size, so the join survives any corpus the decode pass
+    * survives. Band buckets are value-keyed, so genuinely near-identical
+    * populations (e.g. single-color thumbnails) salt naturally across
+    * band positions; a pathological all-identical corpus degrades to the
+    * true duplicate-pair output, which is itself quadratic — that is
+    * output size, not plan waste. */
   def imageNearDupPairs(df: DataFrame, idCol: String, binCol: String,
                         maxHamming: Int = 6): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
@@ -159,8 +182,7 @@ object ImageCodec {
       .where(col("ahash").isNotNull)
       .select(col(idCol).cast("long").as("id"), col("ahash"))
     val banded = hashed.select(col("id"), col("ahash"),
-      posexplode(expr(
-        "transform(sequence(0, 7), b__ -> (ahash >> (b__ * 8)) & 255)"))
+      posexplode(expr(bandKeysExpr("ahash", maxHamming)))
         .as(Seq("band", "bv")))
     val a = banded.select(col("band"), col("bv"),
       col("id").as("id_a"), col("ahash").as("__ha"))
@@ -183,9 +205,10 @@ object ImageCodec {
     * uniform brightness shift), verified exactly on BOTH hashes; a pair
     * survives when EITHER hamming distance is within `maxHamming`.
     *
-    * Recall: by the same 8-band pigeonhole as [[imageNearDupPairs]], any
-    * pair within `maxHamming <= 7` on aHash OR on dHash collides in at
-    * least one band of that hash — the union has full recall for the
+    * Recall: by the same per-hash pigeonhole as [[imageNearDupPairs]]
+    * (two-band composite keys for maxHamming <= 6, single bands for 7),
+    * any pair within `maxHamming` on aHash OR on dHash collides in at
+    * least one band key of that hash — the union has full recall for the
     * either-hash predicate. The shuffle carries (id, 2 hashes, band) rows
     * only; bytes never reach an exchange. Output: (id_a, id_b, hamming_a,
     * hamming_d) with id_a < id_b. */
@@ -197,11 +220,12 @@ object ImageCodec {
     val hashed = withImagePixelStats(df, binCol)
       .where(col("ahash").isNotNull)
       .select(col(idCol).cast("long").as("id"), col("ahash"), col("dhash"))
-    // 16 band rows per image: bands 0-7 = aHash bytes, 8-15 = dHash bytes
+    // band rows per image: first half aHash keys, second half dHash keys
+    // (posexplode positions keep the two hash families' keys disjoint)
     val banded = hashed.select(col("id"), col("ahash"), col("dhash"),
       posexplode(expr(
-        "concat(transform(sequence(0, 7), b__ -> (ahash >> (b__ * 8)) & 255)," +
-          " transform(sequence(0, 7), b__ -> (dhash >> (b__ * 8)) & 255))"))
+        s"concat(${bandKeysExpr("ahash", maxHamming)}," +
+          s" ${bandKeysExpr("dhash", maxHamming)})"))
         .as(Seq("band", "bv")))
     val a = banded.select(col("band"), col("bv"),
       col("id").as("id_a"), col("ahash").as("__aa"), col("dhash").as("__da"))

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+import graft.sqlgen.Dialect
+
+/** URL canonicalization — the key-maker for crawl-side dedup: the same
+  * page arrives under `HTTP://WWW.Site.COM:80/a//b/?utm_source=x&b=2&a=1`
+  * and `http://www.site.com/a/b?a=1&b=2`, and a URL-keyed dedup or
+  * frontier must see one key. Rules (the common canonical subset):
+  * scheme and host lowercased; default port for the scheme stripped
+  * (other ports kept); path slash-runs collapsed and the trailing slash
+  * dropped (root stays `/`; path case preserved — paths are
+  * case-sensitive); fragment dropped; tracking parameters (`utm_*`,
+  * `fbclid`, `gclid`) removed; remaining query params sorted. Dot-segment
+  * resolution (`/../`) is intentionally out of scope (needs iteration; a
+  * crawler resolves those at fetch time).
+  *
+  * One dialect-shared formula — the DuckDB oracle replays it verbatim —
+  * and a single codegen'd narrow scan on the Spark side: regex extracts
+  * plus array higher-order functions, no UDF, no shuffle. Patterns use
+  * character classes (`[?]`, `[.]`) instead of backslash escapes so the
+  * same pattern text is valid in both engines' string literals. */
+object UrlOps {
+
+  private val S = Dialect.spark
+
+  /** Canonical-URL formula over an expression `u` (dialect-shared). */
+  def canonicalExpr(dl: Dialect, u: String): String = {
+    val scheme = s"lower(regexp_extract($u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    val hostport = s"lower(regexp_extract($u, '^[^:]+://([^/?#]*)', 1))"
+    // strip the scheme's default port only
+    val host = s"""CASE WHEN $scheme = 'http' THEN regexp_replace($hostport, ':80$$', '')
+                        WHEN $scheme = 'https' THEN regexp_replace($hostport, ':443$$', '')
+                        ELSE $hostport END"""
+    val rawPath = s"regexp_extract($u, '^[^:]+://[^/?#]*([^?#]*)', 1)"
+    val collapsed = dl.regexReplaceAll(rawPath, "/+", "/")
+    val path = s"CASE WHEN regexp_replace($collapsed, '/$$', '') = '' THEN '/' " +
+      s"ELSE regexp_replace($collapsed, '/$$', '') END"
+    val rawQ = s"regexp_extract($u, '[?]([^#]*)', 1)"
+    val splitQ = if (dl.duck) s"string_split($rawQ, '&')" else s"split($rawQ, '&')"
+    val kept = dl.filter(splitQ, "p__",
+      "NOT (p__ LIKE 'utm_%' OR p__ LIKE 'fbclid=%' OR p__ LIKE 'gclid=%' OR p__ = '')")
+    val q = s"COALESCE(${dl.arrayJoin(dl.arraySort(kept), "&")}, '')"
+    s"($scheme || '://' || $host || $path || " +
+      s"CASE WHEN $q = '' THEN '' ELSE '?' || $q END)"
+  }
+
+  /** Adds `canonical` next to `urlCol`. Narrow; codegen-fused into the
+    * scan. */
+  def canonicalize(df: DataFrame, urlCol: String): DataFrame =
+    df.selectExpr("*", s"${canonicalExpr(S, s"`$urlCol`")} AS canonical")
+}

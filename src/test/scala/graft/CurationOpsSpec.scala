@@ -308,6 +308,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(6)._5 && got(6)._3 == 5L && got(6)._4 == 5L)
   }
 
+  test("urlCanonical: ports, case, slashes, params, fragments — edge shapes") {
+    import graft.ops.UrlOps
+    val got = UrlOps.canonicalize(Seq(
+        "HTTP://EXAMPLE.com:80",                       // no path -> '/'
+        "https://A.B:443/x//y/?utm_source=1",          // only tracking params
+        "http://h/p?z=2&a=1#frag",                     // sort + fragment
+        "https://h:80/p",                              // non-default port kept
+        "http://h//").toDF("url"), "url")
+      .orderBy("url").collect().map(_.getString(1)).toSeq
+    // sorted by the MESSY url ('H' < 'h'; "http:" < "https")
+    assert(got == Seq(
+      "http://example.com/",   // HTTP://EXAMPLE.com:80
+      "http://h/",             // http://h//
+      "http://h/p?a=1&z=2",    // http://h/p?z=2&a=1#frag
+      "https://a.b/x/y",       // https://A.B:443/x//y/?utm_source=1
+      "https://h:80/p"))       // https://h:80/p
+  }
+
   test("keyword tagger: Aho-Corasick matches == naive contains (incl. overlaps)") {
     import graft.functions.KeywordTagger
     // the canonical AC example: overlapping/suffix patterns

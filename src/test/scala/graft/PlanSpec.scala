@@ -204,6 +204,42 @@ class PlanSpec extends AnyFunSuite {
       s"image bytes must not transit a shuffle:\n$exchanges")
   }
 
+  test("warc scan: payload bytes stay out of every exchange; parse is one narrow stage") {
+    // build a 2-file archive and inspect the crawl-pipeline-shaped plan:
+    // records -> http parse -> html-to-text -> stats. The only exchange
+    // allowed is the final sort's range partitioning, and neither the
+    // warc payload nor the http body column may appear in any exchange.
+    val dir = java.nio.file.Files.createTempDirectory("warc_plan").toFile
+    (0 until 2).foreach { f =>
+      val bos = new java.io.ByteArrayOutputStream()
+      (0 until 3).foreach { i =>
+        val id = f * 3 + i
+        val html = s"<html><body><p>words for doc $id here</p></body></html>"
+        val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$html"
+        bos.write(graft.sources.WarcCodec.gzipMember(graft.sources.WarcCodec.writeRecord(
+          graft.sources.WarcCodec.WarcRecord("response", s"https://x/page/$id",
+            s"<urn:$id>", "application/http; msgtype=response", 0L,
+            http.getBytes(java.nio.charset.StandardCharsets.UTF_8)))))
+      }
+      java.nio.file.Files.write(
+        new java.io.File(dir, s"seg-$f.warc.gz").toPath, bos.toByteArray)
+    }
+    val recs = graft.sources.WarcSource.records(spark, dir.getAbsolutePath)
+    val out = graft.sources.WarcSource.httpResponses(recs)
+      .where(col("http_status") === 200)
+      .select(col("target_uri"),
+        graft.sources.DirectoryCorpus.htmlToTextFast(col("body").cast("string")).as("text"))
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .orderBy("target_uri")
+    val plan = formatted(out)
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("payload#") && !exchanges.contains("body#"),
+      s"warc/http payload bytes must not transit a shuffle:\n$exchanges")
+    assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      s"crawl parse must be narrow up to the final sort:\n$plan")
+    dir.listFiles().foreach(_.delete()); dir.delete()
+  }
+
   test("quantilesAuto probe is a two-phase aggregate, not a distinct collect") {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("v", "g")
     // chooseRoute's probe: group-count + max-group-size in one aggregation
