@@ -241,14 +241,21 @@ object ScaleRehearsal {
   }
 
   /** Non-aliasing image fixture for the near-dup scale rehearsal: one
-    * 16x16 PNG per documents row whose pixels mix the FULL doc_id (a
-    * Knuth-hash fold, period >> any corpus — unlike the oracle fixture's
-    * mod-256 formula), with a planted near-duplicate for every doc_id
-    * ending in ...01 (its neighbor's image with a small quantized nudge
-    * on ~1/13 of red pixels). True pair count is ~n/100 — linear — so
-    * timing the banded join measures the plan, not fixture aliasing.
+    * 16x16 PNG per documents row with PER-PIXEL avalanche mixing of
+    * (doc_id, pixel index), plus a planted near-duplicate for every
+    * doc_id ending in ...01 (its neighbor's image with a small quantized
+    * nudge on ~1/13 of red pixels).
+    *
+    * v2: the v1 formula mixed the key only into per-channel OFFSETS of a
+    * fixed (x, y) ramp — aHash is driven by block-vs-global-mean
+    * STRUCTURE, which the shared ramp made near-identical across keys
+    * (measured: 24.7k distinct hashes over 50k images, ~1B band-bucket
+    * candidate pairs at 10x — quadratic by fixture, not by plan). With
+    * full per-pixel mixing every aHash bit is an independent coin flip,
+    * band values are uniform, and candidates grow linearly-ish — the
+    * rehearsal then times the JOIN PLAN, which is its job.
     * Cached per (dir, version) in /tmp like the catalog media fixture. */
-  private val ImgFixtureVersion = 1
+  private val ImgFixtureVersion = 2
   private def imageScaleFixture(spark: SparkSession, dir: String): DataFrame = {
     val out = s"${sys.props("java.io.tmpdir")}/graft_img_scale_${dirKey(dir, ImgFixtureVersion)}"
     val marker = new java.io.File(s"$out/_DONE")
@@ -256,13 +263,18 @@ object ScaleRehearsal {
       val synth = F.udf { (docId: Long) =>
         val pert = docId % 100 == 1
         val key = if (pert) docId - 1 else docId
+        def mix(z0: Long): Long = {
+          var z = z0 + 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^ (z >>> 31)
+        }
         val px = Array.tabulate(256) { p =>
           val x = p % 16; val y = p / 16
-          // full-width key mixing: distinct keys -> decorrelated images
-          val kh = key * 2654435761L
-          val r0 = (((kh >>> 24) + x * 13 + y * 31) % 256).toInt
-          val g = (((kh >>> 16) + x * 3 + y * 17) % 256).toInt
-          val b = (((kh >>> 8) + x * 23 + y * 29) % 256).toInt
+          val h = mix(key * 4096L + p)
+          val r0 = ((h >>> 16) & 255).toInt
+          val g = ((h >>> 24) & 255).toInt
+          val b = ((h >>> 32) & 255).toInt
           val r = if (pert && (x * 7 + y * 11) % 13 == 0) r0 - (r0 % 16) + 8 else r0
           (r << 16) | (g << 8) | b
         }

@@ -5869,8 +5869,71 @@ object QueryCatalog {
         SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_pieces,
                coalesce(array_to_string(pieces, chr(31)), '') AS pieces
         FROM out ORDER BY doc_id"""
-      })
-  )
+      }),
+
+    // WordPiece-style MaxMatch vocabulary (ops/MaxMatch): all length-1
+    // pieces (coverage) + substrings of codepoint-length 2-4 with >= 100
+    // overlapping occurrences. One map-side-combined piece aggregation —
+    // piece cardinality is alphabet-bounded, not corpus-bounded.
+    Q("q_maxmatch_vocab",
+      (s, dir) =>
+        graft.ops.MaxMatch.vocab(tk(s, dir, "documents"), "text", "doc_id")
+          .orderBy("piece"),
+      Some(s"""
+        WITH pos AS (
+          SELECT doc_id, text, unnest(range(0, length(text))) AS p
+          FROM documents),
+        subs AS (
+          SELECT substr(text, CAST(p + 1 AS INT), CAST(l AS INT)) AS piece
+          FROM pos, (SELECT unnest(range(1, 5)) AS l) ls
+          WHERE p + l <= length(text)),
+        counts AS (SELECT piece, CAST(count(*) AS BIGINT) AS cnt
+                   FROM subs GROUP BY piece)
+        SELECT piece, cnt FROM counts
+        WHERE cnt >= 100 OR length(piece) = 1
+        ORDER BY piece""")),
+
+    // MaxMatch segmentation (the WordPiece/BERT inference step, greedy
+    // longest-match-first). The oracle exploits that longest-match is
+    // POSITION-LOCAL: it rebuilds the per-position match table in SQL
+    // (candidate join + argmax on length) and takes the chain as
+    // recursive-CTE reachability over follow(p) = p + len(best(p)) —
+    // exact replay of the greedy walk, no sequential loop. The Spark
+    // side broadcasts the vocab (the model) and segments in one narrow
+    // kernel pass; text never transits an exchange.
+    Q("q_maxmatch_segment",
+      (s, dir) => {
+        val docs = tk(s, dir, "documents")
+        val v = graft.ops.MaxMatch.vocab(docs, "text", "doc_id")
+        graft.ops.MaxMatch.segment(docs, "text", "doc_id", v)
+          .orderBy("doc_id", "p")
+      },
+      Some(s"""
+        WITH pos AS (
+          SELECT doc_id, text, unnest(range(0, length(text))) AS p
+          FROM documents),
+        subs AS (
+          SELECT doc_id, p, l,
+                 substr(text, CAST(p + 1 AS INT), CAST(l AS INT)) AS piece
+          FROM pos, (SELECT unnest(range(1, 5)) AS l) ls
+          WHERE p + l <= length(text)),
+        counts AS (SELECT piece, count(*) AS cnt FROM subs GROUP BY piece),
+        vocab AS (SELECT piece FROM counts
+                  WHERE cnt >= 100 OR length(piece) = 1),
+        cand AS (SELECT s.doc_id, s.p, s.l, s.piece
+                 FROM subs s JOIN vocab v USING (piece)),
+        best AS (SELECT doc_id, p, max_by(piece, l) AS piece, max(l) AS l
+                 FROM cand GROUP BY doc_id, p),
+        reach AS (
+          WITH RECURSIVE r(doc_id, p) AS (
+            SELECT doc_id, CAST(0 AS BIGINT) FROM documents
+            UNION
+            SELECT b.doc_id, r.p + b.l
+            FROM r JOIN best b ON b.doc_id = r.doc_id AND b.p = r.p)
+          SELECT * FROM r)
+        SELECT b.doc_id, b.p, b.piece, CAST(b.l AS BIGINT) AS piece_len
+        FROM best b JOIN reach r ON b.doc_id = r.doc_id AND b.p = r.p
+        ORDER BY b.doc_id, b.p""")))
 
   // =========================================================================
   // WARC / WET crawl-archive ingest (sources/WarcCodec.scala)

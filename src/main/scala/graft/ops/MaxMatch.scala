@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** WordPiece-style MaxMatch tokenization: greedy longest-match
+  * segmentation against a substring vocabulary — the inference step of
+  * WordPiece/BERT-family tokenizers (Devlin et al. 2019; the greedy
+  * longest-match-first algorithm), completing the tokenizer family next
+  * to BPE train/encode/segment and the unigram-LM surprisal ops.
+  *
+  * Key property exploited by the correctness oracle: with
+  * longest-match-first, the piece chosen at a position depends ONLY on
+  * the text and vocab at that position — not on the chain — so the
+  * segmentation is `follow(p) = p + len(longestMatch(p))` reachability
+  * over a position-local match table, which SQL can replay exactly
+  * (candidate join + argmax + recursive-CTE closure).
+  *
+  * Scale shape: vocabulary counting is one map-side-combined piece
+  * aggregation (piece cardinality is bounded by alphabet^maxLen, not by
+  * corpus size); the vocabulary is the MODEL — collected once and
+  * broadcast, like a BPE merge table — and segmentation is a narrow
+  * per-doc kernel. The corpus text never transits an exchange.
+  *
+  * All indexing is by Unicode codepoint (matching SQL `substr`
+  * semantics), not UTF-16 unit, so parity holds beyond ASCII. */
+object MaxMatch {
+
+  private def codepoints(s: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
+  /** Substring vocabulary over `textCol`: every distinct length-1 piece
+    * (guaranteeing total coverage) plus every piece of codepoint-length
+    * 2..maxLen occurring at least `minCount` times (all overlapping
+    * occurrences counted). Output: (piece, cnt). */
+  def vocab(docs: DataFrame, textCol: String, idCol: String,
+            maxLen: Int = 4, minCount: Long = 100): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(textCol)).as[String]
+      .flatMap { t =>
+        val cps = codepoints(if (t == null) "" else t)
+        for {
+          p <- cps.indices.iterator
+          l <- 1 to math.min(maxLen, cps.length - p)
+        } yield cps.slice(p, p + l).mkString
+      }
+      .toDF("piece")
+      .groupBy("piece").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount || length(col("piece")) === 1)
+  }
+
+  /** Greedy longest-match segmentation of every doc against `vocabDf`
+    * (collected + broadcast — it is the model). Emits one row per chosen
+    * piece: (idCol, p, piece, piece_len), p = 0-based codepoint offset.
+    * Positions with no vocab match cannot occur when every single
+    * character is in the vocabulary (as [[vocab]] guarantees); a missing
+    * character would end that doc's chain early — surfaced by the
+    * oracle's coverage, not hidden. */
+  def segment(docs: DataFrame, textCol: String, idCol: String,
+              vocabDf: DataFrame, maxLen: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pieces = vocabDf.select("piece").as[String].collect().toSet
+    val bc = spark.sparkContext.broadcast(pieces)
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val v = bc.value
+        val cps = codepoints(if (t == null) "" else t)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long)]
+        var p = 0
+        var stuck = false
+        while (p < cps.length && !stuck) {
+          var l = math.min(maxLen, cps.length - p)
+          var hit: String = null
+          while (l >= 1 && hit == null) {
+            val cand = cps.slice(p, p + l).mkString
+            if (v.contains(cand)) hit = cand else l -= 1
+          }
+          if (hit == null) stuck = true
+          else { out += ((id, p.toLong, hit, l.toLong)); p += l }
+        }
+        out
+      }
+      .toDF(idCol, "p", "piece", "piece_len")
+  }
+}

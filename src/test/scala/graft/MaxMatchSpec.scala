@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.MaxMatch
+
+/** WordPiece-style MaxMatch tokenizer: edge cases the ASCII oracle corpus
+  * cannot exercise — greediness, totality, codepoint indexing beyond the
+  * BMP, and the stuck-chain contract. */
+class MaxMatchSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private def seg(docs: Seq[(Long, String)], vocab: Seq[String],
+                  maxLen: Int = 4): Seq[(Long, Long, String, Long)] = {
+    val d = docs.toDF("doc_id", "text")
+    val v = vocab.map(p => (p, 1L)).toDF("piece", "cnt")
+    MaxMatch.segment(d, "text", "doc_id", v, maxLen)
+      .orderBy("doc_id", "p").as[(Long, Long, String, Long)].collect().toSeq
+  }
+
+  test("greedy longest-match-first wins over a better-later split") {
+    // classic: vocab {a, ab, abc, d, cd}; "abcd" -> [abc, d], never [ab, cd]
+    val got = seg(Seq((1L, "abcd")), Seq("a", "ab", "abc", "d", "c", "cd"))
+    assert(got == Seq((1L, 0L, "abc", 3L), (1L, 3L, "d", 1L)))
+  }
+
+  test("segmentation is total: pieces concatenate back to the text") {
+    val docs = Seq((1L, "banana band ban"), (2L, ""), (3L, "aaaaaaaaa"))
+    val chars = docs.flatMap(_._2.toSeq).distinct.map(_.toString)
+    val got = seg(docs, chars ++ Seq("ban", "ana", "an", "aaaa", "aaa"))
+    for ((id, text) <- docs) {
+      val joined = got.filter(_._1 == id).sortBy(_._2).map(_._3).mkString
+      assert(joined == text, s"doc $id")
+      // offsets chain: each piece starts where the previous ended
+      val offs = got.filter(_._1 == id).sortBy(_._2)
+      offs.foldLeft(0L) { case (exp, (_, p, _, l)) =>
+        assert(p == exp); p + l
+      }
+    }
+  }
+
+  test("codepoint indexing: astral chars count as one position") {
+    // U+1F600 is a surrogate PAIR in UTF-16; positions must advance by
+    // codepoint so downstream offsets match SQL substr semantics.
+    val smile = new String(Character.toChars(0x1F600))
+    val text = s"a$smile$smile b"
+    val got = seg(Seq((1L, text)),
+      Seq("a", smile, " ", "b", s"$smile$smile"))
+    assert(got == Seq((1L, 0L, "a", 1L), (1L, 1L, s"$smile$smile", 2L),
+      (1L, 3L, " ", 1L), (1L, 4L, "b", 1L)))
+  }
+
+  test("a position with no vocab match ends the chain (documented contract)") {
+    val got = seg(Seq((1L, "axb")), Seq("a", "b")) // 'x' uncovered
+    assert(got == Seq((1L, 0L, "a", 1L)))
+  }
+
+  test("vocab: length-1 coverage always kept, len>=2 gated by minCount") {
+    val docs = Seq((1L, "ababab"), (2L, "abq")).toDF("doc_id", "text")
+    val v = MaxMatch.vocab(docs, "text", "doc_id", maxLen = 3, minCount = 4)
+      .as[(String, Long)].collect().toMap
+    assert(v.keySet.filter(_.length == 1) == Set("a", "b", "q"))
+    // "ab" occurs 3x in doc1 (overlapping starts 0,2,4) + 1x in doc2 = 4
+    assert(v("ab") == 4L)
+    // "ba" occurs only 2x -> below minCount, dropped
+    assert(!v.contains("ba"))
+  }
+}
