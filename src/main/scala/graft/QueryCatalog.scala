@@ -1699,6 +1699,70 @@ object QueryCatalog {
           LIMIT 10"""
         }),
 
+      // MMR diversity rerank (Carbonell & Goldstein 1998) of a top-40
+      // retrieval window: greedy argmax of lambda*rel - (1-lambda)*
+      // max-cos-to-selected. Greedy is sequential, so the oracle replays
+      // it NON-recursively against the dump (the q_bpe_vocab pattern):
+      // at every step t, "selected" is the dump's rank < t prefix, and
+      // the oracle recomputes the full-precision argmax over the
+      // remaining candidates from the raw embeddings — the first wrong
+      // pick in the dump would diverge and break the hash, so the whole
+      // greedy sequence is verified inductively (scores recomputed, not
+      // copied; rounding only at emission).
+      Q("q_mmr_rerank",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          val q = emb.where(col("vec_id") === 0)
+            .select(VectorF.toDoubleArray(col("embedding")).as("qv"))
+          val cands = Similarity.bruteForceTopK(
+              emb.where(col("vec_id") =!= 0), q, "vec_id", "embedding", 40)
+            .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+          Similarity.mmrRerank(cands, "vec_id", "embedding", "score", 0.7, 12)
+            .select(col("vec_id"), col("mmr_rank"),
+              r6(col("mmr_score")).as("mmr_score"))
+            .orderBy("mmr_rank")
+        },
+        Some(s"""
+          WITH cand AS (
+            SELECT vec_id, v, score FROM (
+              SELECT vec_id, v, ${D.cosine("v", "qv")} AS score
+              FROM $duckEmbTable,
+                   (SELECT v AS qv FROM $duckEmbTable WHERE vec_id = 0)
+              WHERE vec_id <> 0
+              ORDER BY score DESC, vec_id
+              LIMIT 40)),
+          dump AS (
+            SELECT * FROM read_parquet('__GRAFT_OUT__/q_mmr_rerank/*.parquet')),
+          pairs AS (
+            SELECT a.vec_id AS ia, b.vec_id AS ib,
+                   ${D.cosine("a.v", "b.v")} AS sim
+            FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+          steps AS (SELECT unnest(range(1, 13)) AS t),
+          maxsim AS (
+            SELECT st.t, p.ia AS vec_id, max(p.sim) AS ms
+            FROM steps st
+            JOIN dump d ON d.mmr_rank < st.t
+            JOIN pairs p ON p.ib = d.vec_id
+            GROUP BY st.t, p.ia),
+          scored AS (
+            SELECT st.t, c.vec_id,
+                   CAST(0.7 AS DOUBLE) * c.score
+                   - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+                     * coalesce(m.ms, CAST(0.0 AS DOUBLE)) AS mscore
+            FROM steps st CROSS JOIN cand c
+            LEFT JOIN maxsim m ON m.t = st.t AND m.vec_id = c.vec_id
+            WHERE NOT EXISTS (SELECT 1 FROM dump d2
+                              WHERE d2.vec_id = c.vec_id AND d2.mmr_rank < st.t)),
+          picked AS (
+            SELECT t, vec_id, mscore,
+                   row_number() OVER (PARTITION BY t
+                                      ORDER BY mscore DESC, vec_id) AS rn
+            FROM scored)
+          SELECT vec_id, CAST(t AS INT) AS mmr_rank,
+                 (round(mscore, 6) + CAST(0.0 AS DOUBLE)) AS mmr_score
+          FROM picked WHERE rn = 1
+          ORDER BY mmr_rank""")),
+
       // Embedding-cosine near-dup within sign-pattern LSH buckets
       Q("q_embed_neardup",
         (s, dir) =>
@@ -5634,6 +5698,54 @@ object QueryCatalog {
           ${graft.ops.Curation.c4OracleSql(D, "documents", "doc_id", c4PageExpr(D))}
         ) ORDER BY doc_id""")),
 
+    // Shannon entropy (char + word, nats) — the compression-proxy
+    // quality signal (ops/Curation.entropyStats). Per-frequency
+    // contributions round to 6 decimals BEFORE a symbol-ordered
+    // sequential fold (q_unigram_lm idiom), so engine ln() ulps cannot
+    // accumulate; DuckDB's init-less list_reduce gets an explicit 0.0
+    // prepended to replay Spark's aggregate(init) op sequence exactly.
+    Q("q_entropy",
+      (s, dir) =>
+        graft.ops.Curation.entropyStats(tk(s, dir, "documents"), "text", "doc_id")
+          .select(col("doc_id"), col("n_chars"), r6(col("char_entropy")).as("char_entropy"),
+            col("n_words"), r6(col("word_entropy")).as("word_entropy"))
+          .orderBy("doc_id"),
+      Some {
+        def fold(src: String, unit: String, n: String, e: String) = s"""
+          (WITH cnts AS (
+            SELECT doc_id, u, count(*) AS cnt FROM $src GROUP BY doc_id, u),
+          agg AS (
+            SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+                   list(cnt ORDER BY u) AS cs
+            FROM cnts GROUP BY doc_id)
+          SELECT doc_id, n AS $n,
+                 list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(cs, c__ -> round(
+                       -(CAST(c__ AS DOUBLE) / CAST(n AS DOUBLE))
+                         * ln(CAST(c__ AS DOUBLE) / CAST(n AS DOUBLE)), 6))),
+                   (a__, x__) -> a__ + x__) AS $e
+          FROM agg)"""
+        val chars = fold(
+          """(SELECT doc_id, substr(text, CAST(p AS INT), 1) AS u
+              FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS p
+                    FROM documents WHERE length(text) > 0))""",
+          "u", "n_chars", "char_entropy")
+        val words = fold(
+          """(SELECT doc_id, u FROM
+               (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS u
+                FROM documents)
+             WHERE length(u) > 0)""",
+          "u", "n_words", "word_entropy")
+        s"""
+        SELECT c.doc_id, c.n_chars,
+               (round(c.char_entropy, 6) + CAST(0.0 AS DOUBLE)) AS char_entropy,
+               w.n_words,
+               (round(w.word_entropy, 6) + CAST(0.0 AS DOUBLE)) AS word_entropy
+        FROM $chars c JOIN $words w ON c.doc_id = w.doc_id
+        ORDER BY c.doc_id"""
+      }),
+
     // kNN label propagation: every 5th vector "loses" its label and gets
     // one back by majority vote of its 5 nearest labeled neighbors.
     Q("q_knn_classify",
@@ -6119,8 +6231,205 @@ object QueryCatalog {
         SELECT doc_id, url, canonical,
                CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT) AS n_dupes
         FROM c
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // robots.txt parsing (ops/Robots, RFC 9309): the robots BODY is
+    // synthesized per host from a residue formula (case-varied field
+    // names, inline comments, unknown directives, consecutive User-agent
+    // lines sharing a group, empty rule values); Spark PARSES the text
+    // with the real line machine while the oracle regenerates the
+    // expected rule set directly from the same formula — any parser
+    // defect (group attribution, comment stripping, case folding, empty
+    // rules) breaks the hash. Parse is a narrow per-host kernel; rule
+    // cardinality is per-host-bounded, never corpus-bounded.
+    Q("q_robots_parse",
+      (s, dir) => {
+        val robots = synthRobots(tk(s, dir, "documents"))
+        graft.ops.Robots.parseRules(robots, "host", "txt")
+          .orderBy("host", "agent", "pattern", "allow")
+      },
+      Some(s"""
+        ${robotsRulesSql}
+        SELECT host, agent, allow, pattern, patlen FROM rules
+        ORDER BY host, agent, pattern, allow""")),
+
+    // Crawl-frontier politeness gate: parse + group selection (a host's
+    // agent-specific group REPLACES '*', so graftbot hosts allow the
+    // '*'-disallowed /private paths) + longest-pattern-wins matching with
+    // Allow beating Disallow at equal length, '$' end anchors and '*'
+    // wildcards both ways. The frontier path formula spans every residue
+    // class; the oracle replays matching with a generic pattern->LIKE
+    // rewrite over the formula-derived rules. Plan: rules broadcast,
+    // frontier host-equi-join with residual LIKE, winner window
+    // partitioned on the URL id only — the 100 TB side never shuffles
+    // except that per-URL window.
+    Q("q_robots_filter",
+      (s, dir) => {
+        val docs = tk(s, dir, "documents")
+        val rules = graft.ops.Robots.parseRules(synthRobots(docs), "host", "txt")
+        val urls = docs.selectExpr("doc_id",
+          s"'h' || ${Dialect.spark.castStr("doc_id % 41")} AS host",
+          s"${robotsPathExpr(Dialect.spark)} AS path")
+        graft.ops.Robots.filterFrontier(urls, rules, "GraftBot",
+            "doc_id", "host", "path")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        ${robotsRulesSql}
+        , eff AS (
+          SELECT r.host, r.allow, r.pattern, r.patlen,
+                 CASE WHEN r.pattern LIKE '%$$'
+                      THEN replace(substr(r.pattern, 1, length(r.pattern) - 1), '*', '%')
+                      ELSE replace(r.pattern, '*', '%') || '%' END AS like_pat
+          FROM rules r
+          JOIN (SELECT host,
+                       max(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END) AS hasg
+                FROM rules GROUP BY host) s ON s.host = r.host
+          WHERE (r.agent = 'graftbot' AND s.hasg = 1)
+             OR (r.agent = '*' AND s.hasg = 0)),
+        urls AS (
+          SELECT doc_id, 'h' || ${D.castStr("doc_id % 41")} AS host,
+                 ${robotsPathExpr(D)} AS path
+          FROM documents),
+        m AS (
+          SELECT u.doc_id, r.allow, r.pattern,
+                 row_number() OVER (PARTITION BY u.doc_id
+                   ORDER BY r.patlen DESC, r.allow DESC, r.pattern) AS rn
+          FROM urls u JOIN eff r ON r.host = u.host AND u.path LIKE r.like_pat)
+        SELECT u.doc_id, u.host, u.path,
+               coalesce(m.allow, true) AS allowed, m.pattern AS rule
+        FROM urls u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rn = 1
+        ORDER BY u.doc_id""")),
+
+    // S1/S2/S3/F9 under ONE hash gate: a real on-disk nested directory
+    // (one file per doc, residue-driven extensions) is recursively
+    // scanned, extension-dispatched (html/htm through the HTML kernel,
+    // txt/md passthrough, log DROPPED by required-exts), and the whole
+    // corpus is hash-matched against a closed-form replay from the
+    // documents table — upgrading the directory-source family from
+    // spec-pinned to oracle-gated. The html branch reuses the
+    // q_crawl_pipeline-proven collapse replay. Plan: binaryFile tasks
+    // per file batch, narrow projections, no shuffle before the
+    // fixture-scale final sort.
+    Q("q_dir_corpus",
+      (s, dir) => {
+        val corpus = graft.sources.DirectoryCorpus.readCorpus(s, synthDocsDir(s, dir))
+        corpus.select(
+            regexp_extract(col("path"), "d(\\d+)\\.[a-z]+$", 1)
+              .cast("long").as("doc_id"),
+            col("ext"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH src AS (
+          SELECT doc_id,
+                 CASE doc_id % 5 WHEN 0 THEN 'txt' WHEN 1 THEN 'md'
+                                 WHEN 2 THEN 'html' ELSE 'htm' END AS ext,
+                 CASE WHEN doc_id % 5 IN (2, 4)
+                      THEN 'doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+                           trim(regexp_replace(regexp_replace(text, '[ \t]+', ' ', 'g'),
+                                               '\s*\n\s*', chr(10), 'g'))
+                      ELSE 'doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text END AS text
+          FROM documents WHERE doc_id % 5 <> 3)
+        SELECT doc_id, ext, text FROM src ORDER BY doc_id"""))
   )
+
+  /** Synthesized on-disk corpus directory for [[q_dir_corpus]] — one file
+    * per document in nested subdirs, extension by residue (txt / md /
+    * html / log / htm; `log` exercises the required-exts DROP). Cached
+    * per (sfDir, version) in /tmp like the media fixture. */
+  private val synthDirVersion = 1
+  private def synthDocsDir(s: SparkSession, dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val key = md.digest(s"$dir|$synthDirVersion".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val out = s"${sys.props("java.io.tmpdir")}/graft_synth_dir_$key"
+    val marker = new java.io.File(s"$out/_DONE")
+    if (!marker.isFile) {
+      new java.io.File(out).mkdirs()
+      t(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+        .collect().foreach { r =>
+          val id = r.getLong(0); val text = r.getString(1)
+          val ext = (id % 5) match {
+            case 0 => "txt"; case 1 => "md"; case 2 => "html"
+            case 3 => "log"; case _ => "htm"
+          }
+          val body =
+            if (ext == "html" || ext == "htm")
+              s"<html><head><title>doc $id</title></head><body><p>$text</p></body></html>"
+            else s"doc $id\n$text"
+          val sub = java.nio.file.Paths.get(out, s"sub${id % 3}")
+          java.nio.file.Files.createDirectories(sub)
+          java.nio.file.Files.writeString(sub.resolve(s"d$id.$ext"), body)
+        }
+      java.nio.file.Files.writeString(marker.toPath, "ok")
+    }
+    out
+  }
+
+  /** Synthesized robots.txt per host (h = doc_id % 41) — residue-driven
+    * structure shared with [[robotsRulesSql]]'s closed-form replay. */
+  private def synthRobots(docs: DataFrame): DataFrame = {
+    val txt = udf { (h: Long) =>
+      val a = h % 7; val b = h % 5
+      val sb = new StringBuilder
+      sb ++= s"# robots for host $h\n"
+      sb ++= (if (h % 2 == 0) "User-agent: *\n" else "USER-AGENT: *\n")
+      sb ++= s"Disallow: /private$a/\n"
+      sb ++= s"Allow: /private$a/pub/   # keep the published subtree\n"
+      sb ++= "Crawl-delay: 2\n"
+      if (h % 3 == 0) {
+        sb ++= "User-agent: GraftBot\n"
+        if (b == 2) sb ++= "user-agent: OtherBot\n"
+        sb ++= s"Disallow: /bot$b/*\n"
+        sb ++= s"Allow: /bot$b/ok$$\n"
+      }
+      if (h % 4 == 1) sb ++= "Disallow:\n"
+      sb.toString
+    }
+    docs.select((col("doc_id") % 41).as("h")).distinct()
+      .select(concat(lit("h"), col("h").cast("string")).as("host"),
+        txt(col("h")).as("txt"))
+  }
+
+  /** Expected rule set of [[synthRobots]], regenerated in DuckDB. */
+  private val robotsRulesSql: String = s"""
+    WITH hosts AS (SELECT DISTINCT doc_id % 41 AS h FROM documents),
+    rules AS (
+      SELECT 'h' || CAST(h AS VARCHAR) AS host, agent, allow, pattern,
+             CAST(length(pattern) AS INT) AS patlen
+      FROM (
+        SELECT h, '*' AS agent, false AS allow,
+               '/private' || CAST(h % 7 AS VARCHAR) || '/' AS pattern
+        FROM hosts
+        UNION ALL
+        SELECT h, '*', true,
+               '/private' || CAST(h % 7 AS VARCHAR) || '/pub/'
+        FROM hosts
+        UNION ALL
+        SELECT h, a.agent, false,
+               '/bot' || CAST(h % 5 AS VARCHAR) || '/*'
+        FROM hosts, (VALUES ('graftbot'), ('otherbot')) AS a(agent)
+        WHERE h % 3 = 0 AND (a.agent = 'graftbot' OR h % 5 = 2)
+        UNION ALL
+        SELECT h, a.agent, true,
+               '/bot' || CAST(h % 5 AS VARCHAR) || '/ok$$'
+        FROM hosts, (VALUES ('graftbot'), ('otherbot')) AS a(agent)
+        WHERE h % 3 = 0 AND (a.agent = 'graftbot' OR h % 5 = 2)))"""
+
+  /** Frontier path formula — spans prefix match, longer-Allow override,
+    * '*' wildcard, '$' anchor hit AND miss, and no-rule fallthrough. */
+  private def robotsPathExpr(dl: Dialect): String = {
+    val a = dl.castStr("(doc_id % 41) % 7")
+    val b = dl.castStr("(doc_id % 41) % 5")
+    s"(CASE doc_id % 6" +
+      s" WHEN 0 THEN '/private' || $a || '/x.html'" +
+      s" WHEN 1 THEN '/private' || $a || '/pub/y.html'" +
+      s" WHEN 2 THEN '/bot' || $b || '/deep/z'" +
+      s" WHEN 3 THEN '/bot' || $b || '/ok'" +
+      s" WHEN 4 THEN '/bot' || $b || '/okno'" +
+      s" ELSE '/open/w' END)"
+  }
 
   /** Deterministically messy URL for [[graft.ops.UrlOps]] — one
     * dialect-shared formula; every canonicalization rule is exercised

@@ -181,4 +181,40 @@ object Curation {
       FROM base),
     r AS (SELECT $idCol, ${reasonsExpr(dl, "__isdup")} AS reasons FROM feat)
     SELECT $idCol, reasons = '' AS keep, reasons FROM r"""
+
+  /** Character- and word-level Shannon entropy (NATS) per document — the
+    * compression-proxy quality signal (low char entropy = repeated runs /
+    * boilerplate, low word entropy = template pages; the cheap stand-in
+    * for the zlib-ratio filters of Gopher-class pipelines, computable
+    * identically in SQL). Cross-engine exactness: each frequency's
+    * contribution -(c/n)ln(c/n) is rounded to 6 decimals BEFORE a
+    * symbol-ordered sequential fold (the q_unigram_lm idiom), so last-ulp
+    * ln() differences can neither accumulate nor reorder. Plan: one
+    * explode + two map-side-combined doc-keyed aggregations per
+    * granularity; nothing corpus-global. */
+  def entropyStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    def entropy(units: DataFrame, nName: String, eName: String): DataFrame =
+      units.groupBy(col(idCol), col("u")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col(idCol))
+        .agg(sum("cnt").cast("long").as(nName),
+          expr("transform(sort_array(collect_list(struct(u, cnt))), s__ -> s__.cnt)")
+            .as("__cs"))
+        .select(col(idCol), col(nName),
+          expr(s"""aggregate(
+            transform(__cs, c__ -> round(
+              -(CAST(c__ AS DOUBLE) / CAST($nName AS DOUBLE))
+                * ln(CAST(c__ AS DOUBLE) / CAST($nName AS DOUBLE)), 6)),
+            CAST(0.0 AS DOUBLE), (a__, x__) -> a__ + x__)""").as(eName))
+    val chars = docs
+      .where(length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol),
+        explode(expr(s"sequence(1, length($textCol))")).as("p"))
+      .select(col(idCol), expr(s"substr($textCol, p, 1)").as("u"))
+    val words = docs
+      .select(col(idCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("u"))
+      .where(length(col("u")) > 0)
+    entropy(chars, "n_chars", "char_entropy")
+      .join(entropy(words, "n_words", "word_entropy"), idCol)
+  }
 }

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** robots.txt parsing and crawl-frontier filtering (RFC 9309, plus the
+  * widely-implemented `*` wildcard / `$` end-anchor extensions) — the
+  * politeness gate every crawl ingest runs before fetching, sitting next
+  * to [[UrlOps]]' canonicalizer and the WARC reader in the crawl family.
+  *
+  * Semantics implemented (documented precisely because the oracle replays
+  * them): a group is one-or-more consecutive `User-agent` lines followed
+  * by rules; a rule belongs to every agent of its group; multiple groups
+  * for the same agent union; blank lines and unknown directives (e.g.
+  * `Crawl-delay`) do NOT terminate a group; `#` starts a comment; field
+  * names are case-insensitive; empty rule values are ignored. A frontier
+  * URL is governed by the target agent's rules when the host has any,
+  * else by the `*` group; among matching rules the LONGEST pattern wins
+  * (octet length of the raw pattern), `Allow` beating `Disallow` at equal
+  * length; no matching rule means allowed.
+  *
+  * Scale shape: rulesets are per-host and tiny — the parse is a narrow
+  * per-host kernel and the frontier join BROADCASTS the rules, an
+  * equi-join on host with a residual LIKE predicate; the frontier (the
+  * 100 TB side) never shuffles, and the winner-per-URL window partitions
+  * on the URL id only. */
+object Robots {
+
+  /** Parse `(hostCol, txtCol)` robots.txt bodies into one row per
+    * (host, agent, rule): (host, agent, allow, pattern, patlen).
+    * Agents are lowercased; patterns kept verbatim. */
+  def parseRules(df: DataFrame, hostCol: String, txtCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(hostCol).cast("string"), col(txtCol).cast("string"))
+      .as[(String, String)]
+      .flatMap { case (host, txt) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Boolean, String, Int)]
+        var agents = List.empty[String]
+        var groupClosed = false // a non-UA directive was seen since the UA lines
+        for (raw <- Option(txt).getOrElse("").split("\n", -1)) {
+          val line = raw.takeWhile(_ != '#').trim
+          if (line.nonEmpty) line.indexOf(':') match {
+            case -1 => groupClosed = true // malformed line: group member, ignored
+            case ci =>
+              val field = line.substring(0, ci).trim.toLowerCase
+              val value = line.substring(ci + 1).trim
+              field match {
+                case "user-agent" =>
+                  agents = if (groupClosed) List(value.toLowerCase)
+                           else agents :+ value.toLowerCase
+                  groupClosed = false
+                case "allow" | "disallow" =>
+                  groupClosed = true
+                  if (value.nonEmpty && agents.nonEmpty)
+                    for (a <- agents)
+                      out += ((host, a, field == "allow", value, value.length))
+                case _ => groupClosed = true // crawl-delay, sitemap, ...
+              }
+          }
+        }
+        out
+      }
+      .toDF(hostCol, "agent", "allow", "pattern", "patlen")
+  }
+
+  /** Robots pattern -> SQL LIKE pattern (escape `\`): `%`/`_`/`\` in the
+    * pattern are escaped, `*` becomes `%`, a terminal `$` anchors the end
+    * (no trailing `%`), otherwise the pattern is a prefix match. */
+  def likePattern(p: String): String = {
+    val (body, anchored) =
+      if (p.endsWith("$")) (p.dropRight(1), true) else (p, false)
+    val esc = body.flatMap {
+      case '%' => "\\%"
+      case '_' => "\\_"
+      case '\\' => "\\\\"
+      case '*' => "%"
+      case c => c.toString
+    }
+    if (anchored) esc else esc + "%"
+  }
+
+  private val likePatternUdf = udf(likePattern _)
+
+  /** Filter a URL frontier `(idCol, hostCol, pathCol)` against parsed
+    * rules for `agent`. Output: one row per input URL with `allowed` and
+    * the winning `rule` pattern (null when no rule matched). */
+  def filterFrontier(urls: DataFrame, rules: DataFrame, agent: String,
+                     idCol: String, hostCol: String, pathCol: String): DataFrame = {
+    val a = agent.toLowerCase
+    // Per host: the target agent's rules when any exist, else the '*' group.
+    val hasAgent = rules.groupBy(col(hostCol))
+      .agg(max(when(col("agent") === a, 1).otherwise(0)).as("has_agent"))
+    val eff = rules.join(hasAgent, hostCol)
+      .where((col("agent") === a && col("has_agent") === 1) ||
+             (col("agent") === "*" && col("has_agent") === 0))
+      .withColumn("like_pat", likePatternUdf(col("pattern")))
+      .select(col(hostCol).as("r_host"), col("allow"), col("pattern"),
+        col("patlen"), col("like_pat"))
+    val matched = urls
+      .join(broadcast(eff),
+        col(hostCol) === col("r_host") &&
+          expr(s"$pathCol LIKE like_pat ESCAPE '\\\\'"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+          .orderBy(col("patlen").desc, col("allow").desc, col("pattern"))))
+      .where(col("rn") === 1)
+      .select(col(idCol).as("m_id"), col("allow"), col("pattern").as("rule"))
+    urls.select(col(idCol), col(hostCol), col(pathCol))
+      .join(matched, col(idCol) === col("m_id"), "left")
+      .select(col(idCol), col(hostCol), col(pathCol),
+        coalesce(col("allow"), lit(true)).as("allowed"), col("rule"))
+  }
+}
