@@ -138,7 +138,11 @@ object Bench {
         val imgFn = (d: String) => ScaleRehearsal.imageNearDupRehearsal(spark, d)
         val imgBase = timed(imgFn, sfDir, "x_image_neardup_10x")
         val img10 = timed(imgFn, dir10, "x_image_neardup_10x")
-        val all10 = t10 :+ ("x_image_neardup_10x", img10, imgBase)
+        val img256Fn = (d: String) => ScaleRehearsal.imageNearDup256Rehearsal(spark, d)
+        val img256Base = timed(img256Fn, sfDir, "x_image_neardup256_10x")
+        val img256 = timed(img256Fn, dir10, "x_image_neardup256_10x")
+        val all10 = t10 :+ ("x_image_neardup_10x", img10, imgBase) :+
+          ("x_image_neardup256_10x", img256, img256Base)
         val qs10 = jmap(all10.map { case (k, v, _) => k -> jnum(v) })
         val ratios = jmap(all10.map { case (k, v, b) =>
           val r = if (v >= 0 && b > 0) v / b else -1.0
@@ -295,5 +299,15 @@ object ScaleRehearsal {
   def imageNearDupRehearsal(spark: SparkSession, dir: String): Unit =
     graft.multimodal.ImageCodec
       .imageNearDupPairs(imageScaleFixture(spark, dir), "doc_id", "img", 6)
+      .write.mode("overwrite").format("noop").save()
+
+  /** 256-bit-hash variant — the scale path. On the avalanche fixture the
+    * 64-bit scheme's candidates grow as n^2*28/2^16 (its recorded ~16x
+    * at 10x is that term, inherent to 16-bit band keys on uniform
+    * hashes); the 32-bit block-pair keys here cut collisions by 2^16, so
+    * this rehearsal should track the linear decode+hash cost. */
+  def imageNearDup256Rehearsal(spark: SparkSession, dir: String): Unit =
+    graft.multimodal.ImageCodec
+      .imageNearDupPairs256(imageScaleFixture(spark, dir), "doc_id", "img", 14)
       .write.mode("overwrite").format("noop").save()
 }

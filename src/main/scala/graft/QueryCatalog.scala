@@ -3475,6 +3475,62 @@ object QueryCatalog {
            OR bit_count(xor(a.dlo, b.dlo)) + bit_count(xor(a.dhi, b.dhi)) <= 6
         ORDER BY id_a, id_b""")),
 
+    // 256-bit aHash near-dup — the SCALE-PATH fingerprint. The 64-bit
+    // hash's pair bands collide at n^2*28/2^16 on unrelated data (the 10x
+    // rehearsal's measured saturation); with 4x the bits, 32-bit
+    // block-pair keys drop the collision term by 2^16 (exact recall <=
+    // hamming 14 by pigeonhole over the 16 two-byte blocks). On the
+    // 16x16 fixture every block is one pixel, so the oracle recomputes
+    // each of the 256 bits directly (gray*256 vs total), packs 8 32-bit
+    // words, and brute-forces all pairs — banding recall under the hash.
+    Q("q_image_neardup256",
+      (s, dir) => {
+        val docs = synthMedia(s, dir).select(col("doc_id"), col("img_nd").as("img"))
+        graft.multimodal.ImageCodec.imageNearDupPairs256(docs, "doc_id", "img", 14)
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val words = (0 until 8).map(k =>
+          s"CAST(sum(CASE WHEN i // 32 = $k THEN bit * (CAST(1 AS BIGINT) << CAST(i % 32 AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS w$k")
+          .mkString(", ")
+        // bit_count is TINYINT in DuckDB — the 8-word sum can reach 256,
+        // so every term must widen BEFORE the addition
+        val ham = (0 until 8).map(k => s"CAST(bit_count(xor(a.w$k, b.w$k)) AS BIGINT)")
+          .mkString(" + ")
+        s"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id >= 100 AND doc_id < 200
+                      THEN doc_id - 100 ELSE doc_id END AS key,
+                 (doc_id >= 100 AND doc_id < 200) AS pert
+          FROM documents),
+        px AS (SELECT doc_id, key, pert, unnest(range(0, 256)) AS p FROM d),
+        c AS (
+          SELECT doc_id, pert, p, p % 16 AS x, p // 16 AS y,
+                 (key * 7 + (p % 16) * 13 + (p // 16) * 31) % 256 AS r0,
+                 (key * 11 + (p % 16) * 3 + (p // 16) * 17) % 256 AS g,
+                 (key * 5 + (p % 16) * 23 + (p // 16) * 29) % 256 AS b
+          FROM px),
+        g2 AS (
+          SELECT doc_id, y * 16 + x AS i,
+                 299 * (CASE WHEN pert AND (x * 7 + y * 11) % 13 = 0
+                             THEN r0 - (r0 % 16) + 8 ELSE r0 END)
+                 + 587 * g + 114 * b AS gray
+          FROM c),
+        tot AS (SELECT doc_id, CAST(sum(gray) AS BIGINT) AS total
+                FROM g2 GROUP BY doc_id),
+        abit AS (SELECT g2.doc_id, g2.i,
+                        CASE WHEN g2.gray * 256 >= tot.total
+                             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+                 FROM g2 JOIN tot USING (doc_id)),
+        ah AS (SELECT doc_id, $words FROM abit GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST($ham AS BIGINT) AS hamming
+        FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+        WHERE $ham <= 14
+        ORDER BY id_a, id_b"""
+      }),
+
     // Resize-invariance gate (r7): the factor-2 box thumbnail's aHash must
     // sit within a small hamming distance of the original's — the property
     // that makes perceptual-hash dedup robust to stored-at-multiple-

@@ -198,6 +198,108 @@ object ImageCodec {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** 256-bit aHash (16x16 block grid, same exact-integer mean compare as
+    * the 64-bit hash) as 4 little-endian long words — bit i of the hash
+    * is bit (i % 64) of word (i / 64). The SCALE-PATH fingerprint: with
+    * 4x the bits, near-dup banding can use 32-bit composite keys
+    * ([[imageNearDupPairs256]]) whose random-collision term is n^2/2^32
+    * per band instead of the 64-bit hash's n^2/2^16 — the difference
+    * between a self-join that saturates at ~500k images and one that is
+    * still collision-free at billions. Null for undecodable payloads. */
+  def decodeAHash256(bytes: Array[Byte]): Array[Long] = {
+    if (bytes == null || bytes.isEmpty) return null
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0) return null
+    val aSum = new Array[Long](256); val aCnt = new Array[Long](256)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val by = (y.toLong * 16 / h).toInt
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val gray = 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+          114L * (rgb & 0xFF)
+        total += gray
+        val bx = (x.toLong * 16 / w).toInt
+        aSum(by * 16 + bx) += gray; aCnt(by * 16 + bx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val big = n > 6000000L
+    val words = new Array[Long](4)
+    var i = 0
+    while (i < 256) {
+      if (aCnt(i) > 0 && geMul(aSum(i), n, total, aCnt(i), big))
+        words(i / 64) |= (1L << (i % 64))
+      i += 1
+    }
+    words
+  }
+
+  private val aHash256Udf = udf((b: Array[Byte]) => Option(decodeAHash256(b)))
+
+  /** Adds `ahash256` (array<long>[4], null when undecodable). Narrow. */
+  def withImageAHash256(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("ahash256", aHash256Udf(col(binCol)))
+
+  /** The 16 two-byte blocks of a 256-bit hash held as array<long>[4]:
+    * block j = bits [j*16, j*16+16). */
+  private def blk256(arr: String, j: String): String =
+    s"((element_at($arr, CAST(($j div 4) + 1 AS INT)) >> (($j % 4) * 16)) & 65535)"
+
+  /** All C(16,2)=120 ordered block-pair 32-bit composite keys. Exact
+    * recall by pigeonhole for hamming <= 14: <= 14 corrupted bits touch
+    * <= 14 of the 16 blocks, leaving >= 2 clean — their composite key
+    * matches. Collision term on unrelated data: 120/2^32 per pair —
+    * 2^16 sparser than the 64-bit hash's pair bands. */
+  private def bandKeys256Expr(arr: String): String =
+    s"flatten(transform(sequence(0, 14), i__ -> transform(sequence(i__ + 1, 15)," +
+      s" j__ -> (${blk256(arr, "i__")} << 16) | ${blk256(arr, "j__")})))"
+
+  private def hamming256Expr(a: String, b: String): String =
+    s"CAST(bit_count(element_at($a, 1) ^ element_at($b, 1))" +
+      s" + bit_count(element_at($a, 2) ^ element_at($b, 2))" +
+      s" + bit_count(element_at($a, 3) ^ element_at($b, 3))" +
+      s" + bit_count(element_at($a, 4) ^ element_at($b, 4)) AS BIGINT)"
+
+  /** Near-duplicate pairs over the 256-bit aHash — the 100 TB-scale
+    * variant of [[imageNearDupPairs]]. Same plan shape (decode narrow,
+    * band rows of (id, 4 words, band, key) only, exact verify after the
+    * equi-join) but 32-bit band keys: the random-collision candidate
+    * count is n^2 * 120 / 2^32 — at a billion images ~28k spurious
+    * candidates per band vs the 64-bit scheme's 4e14 total. Exact recall
+    * for maxHamming <= 14 by pigeonhole. Output (id_a, id_b, hamming). */
+  def imageNearDupPairs256(df: DataFrame, idCol: String, binCol: String,
+                           maxHamming: Int = 14): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 14,
+      s"maxHamming ($maxHamming) must be in [0, 14]: 16-block pair bands " +
+        "guarantee recall only when >= 2 blocks stay clean (pigeonhole)")
+    val hashed = withImageAHash256(df, binCol)
+      .where(col("ahash256").isNotNull)
+      .select(col(idCol).cast("long").as("id"), col("ahash256"))
+    val banded = hashed.select(col("id"), col("ahash256"),
+      posexplode(expr(bandKeys256Expr("ahash256"))).as(Seq("band", "bv")))
+    val a = banded.select(col("band"), col("bv"),
+      col("id").as("id_a"), col("ahash256").as("__ha"))
+    val b = banded.select(col("band"), col("bv"),
+      col("id").as("id_b"), col("ahash256").as("__hb"))
+    a.join(b, Seq("band", "bv"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__ha"), col("__hb"))
+      .distinct()
+      .withColumn("hamming", expr(hamming256Expr("__ha", "__hb")))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Dual-hash near-duplicate pairs — the production variant real image
     * pipelines run: candidates are the UNION of aHash band collisions and
     * dHash band collisions (aHash catches global-luma-structure dups,

@@ -188,4 +188,46 @@ class ImageCodecSpec extends AnyFunSuite {
       ImageCodec.imageNearDupPairs(df, "media_id", "img", 8)
     }
   }
+
+  test("decodeAHash256: per-pixel bits on 16x16, matches direct recompute") {
+    // 16x16 image -> every 16x16-grid block is exactly one pixel
+    val rgb = Array.tabulate(256) { p =>
+      val x = p % 16; val y = p / 16
+      (((x * 37 + y * 11) % 256) << 16) | (((x * 5 + y * 73) % 256) << 8) |
+        ((x * 91 + y * 3) % 256)
+    }
+    val words = ImageCodec.decodeAHash256(ImageCodec.encodePng(16, 16, rgb))
+    assert(words.length == 4)
+    val grays = rgb.map(v =>
+      299L * ((v >> 16) & 0xFF) + 587L * ((v >> 8) & 0xFF) + 114L * (v & 0xFF))
+    val total = grays.sum
+    (0 until 256).foreach { i =>
+      val expected = if (grays(i) * 256 >= total) 1L else 0L
+      assert(((words(i / 64) >>> (i % 64)) & 1L) == expected, s"bit $i")
+    }
+    // garbage and null stay null (never throw)
+    assert(ImageCodec.decodeAHash256(Array[Byte](1, 2, 3)) == null)
+    assert(ImageCodec.decodeAHash256(null) == null)
+  }
+
+  test("imageNearDupPairs256: finds a <=14-bit tweak, rejects the far image") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    val base = Array.tabulate(256)(p => if (p % 16 < 8) 0x000000 else 0xFFFFFF)
+    // flip a handful of pixels across the mean: a few bits of the 256
+    val tweak = base.clone()
+    Seq(0, 17, 34, 51, 68).foreach(i => tweak(i) = 0xFFFFFF)
+    val far = Array.tabulate(256)(p => if (p / 16 < 8) 0xFFFFFF else 0x000000)
+    val df = Seq(
+      (1L, ImageCodec.encodePng(16, 16, base)),
+      (2L, ImageCodec.encodePng(16, 16, tweak)),
+      (3L, ImageCodec.encodePng(16, 16, far))).toDF("media_id", "img")
+    val pairs = ImageCodec.imageNearDupPairs256(df, "media_id", "img", 14)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 2L)), s"got $pairs")
+    assert(pairs.forall(_._3 <= 14))
+    intercept[IllegalArgumentException] {
+      ImageCodec.imageNearDupPairs256(df, "media_id", "img", 15)
+    }
+  }
 }
