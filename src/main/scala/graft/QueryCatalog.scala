@@ -3166,7 +3166,10 @@ object QueryCatalog {
     * fixture encode. Columns: doc_id, img_var (formula PNG, dims
     * 16-20 x 16-22), img_nd (16x16; ids 100-199 are perturbed copies of
     * 0-99), gif (3-5 frame animated GIF). */
-  private val synthMediaVersion = 1 // bump on ANY pixel/GIF formula change
+  private val synthMediaVersion = 2 // bump on ANY pixel/GIF formula change
+  // (v2: same formulas, cache written as 32 files — 8 row groups capped
+  // every decode-heavy image query at 8 of the 32 cores, the same
+  // starvation the sf10x replica fix addressed)
   private def synthMedia(s: SparkSession, dir: String): DataFrame = {
     // cache key = md5(full path + format version): hashCode collisions
     // across dirs can't serve wrong fixtures, and a formula change can't
@@ -3186,7 +3189,7 @@ object QueryCatalog {
           lit(16), lit(16),
           expr("doc_id >= 100 AND doc_id < 200")))
         .withColumn("gif", synthGifUdf(col("doc_id")))
-        .repartition(8)
+        .repartition(32)
         .write.mode("overwrite").parquet(out)
       java.nio.file.Files.writeString(marker.toPath, "ok")
     }
