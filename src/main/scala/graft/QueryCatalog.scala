@@ -773,7 +773,7 @@ object QueryCatalog {
 
       Q("q_langid",
         (s, dir) =>
-          t(s, dir, "documents")
+          tk(s, dir, "documents")
             .select(col("doc_id"), TextF.langId(TextF.tokens(col("text"))).as("pred_lang"))
             .orderBy("doc_id"),
         Some {
@@ -4888,7 +4888,7 @@ object QueryCatalog {
       Q("q_bigram_lm",
         (s, dir) => {
           import graft.ops.LanguageModel
-          LanguageModel.bigramSurprisal(t(s, dir, "documents"), "text", "doc_id")
+          LanguageModel.bigramSurprisal(tk(s, dir, "documents"), "text", "doc_id")
             .select(col("doc_id"), col("n_tokens"),
               r6(col("avg_surprisal")).as("avg_surprisal"))
             .orderBy("doc_id")
@@ -5727,7 +5727,9 @@ object QueryCatalog {
     // composed into keep/drop with an auditable reason list, one scan.
     Q("q_quality_filter",
       (s, dir) =>
-        graft.ops.Curation.qualityFilter(t(s, dir, "documents"), "text", "doc_id")
+        // tk: the shingle + per-rule reason kernel is the cost — one
+        // upfront hash exchange buys full-width execution (1.7 -> .5 s)
+        graft.ops.Curation.qualityFilter(tk(s, dir, "documents"), "text", "doc_id")
           .orderBy("doc_id"),
       Some(s"""
         SELECT doc_id, keep, reasons FROM (
