@@ -6163,7 +6163,100 @@ object QueryCatalog {
     out
   }
 
+  /** Synthesized CDX index shards ([[graft.sources.CdxIndex]]): one
+    * .cdx.gz per doc_id%8, one capture line per doc (+ a second, later
+    * capture for doc_id%4=0 — the latest-wins dedup case) plus two
+    * planted malformed lines per shard (no-spaces, broken json) that the
+    * reader must drop. All fields are residue/md5 formulas the oracle
+    * replays. */
+  private val synthCdxVersion = 1
+  private def synthCdx(s: SparkSession, dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val key = md.digest(s"$dir|$synthCdxVersion".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val out = s"${sys.props("java.io.tmpdir")}/graft_synth_cdx_$key"
+    val marker = new java.io.File(s"$out/_DONE")
+    if (!marker.isFile) {
+      new java.io.File(out).mkdirs()
+      def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val rows = t(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      rows.groupBy(_._1 % 8).foreach { case (fk, docs) =>
+        val sb = new StringBuilder
+        sb ++= "not-a-cdx-line\n"
+        sb ++= "x)/bad 20240101000000 {malformed\n"
+        docs.sortBy(_._1).foreach { case (id, text) =>
+          val surt = s"org,example${id % 5})/page/$id"
+          val url = s"https://example${id % 5}.org/page/$id"
+          val mime = if (id % 3 == 0) "text/plain" else "text/html"
+          val status = if (id % 10 == 7) 404 else 200
+          def line(ts: Long, digest: String, off: Long) =
+            s"""$surt $ts {"url": "$url", "mime": "$mime", "status": "$status", "digest": "$digest", "length": "${text.length}", "offset": "$off", "filename": "part-$fk.warc.gz"}""" + "\n"
+          sb ++= line(20240101000000L + id, md5hex(text), id * 1000)
+          if (id % 4 == 0)
+            sb ++= line(20240101000000L + id + 777, md5hex(text + "v2"), id * 1000 + 7)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(sb.toString.getBytes("UTF-8")); gz.close()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, f"cdx-$fk%d.gz"), bos.toByteArray)
+      }
+      java.nio.file.Files.writeString(marker.toPath, "ok")
+    }
+    out
+  }
+
+  /** Dialect-shared capture-field formulas of [[synthCdx]]: one row per
+    * capture (c=0 always, c=1 for doc_id%4=0). */
+  private val cdxCapsSql: String = """
+    SELECT 'org,example' || CAST(doc_id % 5 AS VARCHAR) || ')/page/' ||
+             CAST(doc_id AS VARCHAR) AS surt,
+           CAST(20240101000000 + doc_id +
+                CASE WHEN c = 1 THEN 777 ELSE 0 END AS BIGINT) AS ts,
+           'https://example' || CAST(doc_id % 5 AS VARCHAR) || '.org/page/' ||
+             CAST(doc_id AS VARCHAR) AS url,
+           CASE WHEN doc_id % 3 = 0 THEN 'text/plain' ELSE 'text/html' END AS mime,
+           CAST(CASE WHEN doc_id % 10 = 7 THEN 404 ELSE 200 END AS BIGINT) AS status,
+           md5(CASE WHEN c = 1 THEN text || 'v2' ELSE text END) AS digest,
+           CAST(length(text) AS BIGINT) AS "length",
+           CAST(doc_id * 1000 + CASE WHEN c = 1 THEN 7 ELSE 0 END AS BIGINT) AS "offset",
+           'part-' || CAST(doc_id % 8 AS VARCHAR) || '.warc.gz' AS filename
+    FROM documents, (VALUES (0), (1)) AS v(c)
+    WHERE c = 0 OR doc_id % 4 = 0"""
+
   private def warcOps: Seq[Q] = Seq(
+    // CDX(J) capture-index scan: REAL gzip index shards (one task each,
+    // spark.read.text is gzip-transparent) through the codegen split +
+    // from_json parse; two planted malformed lines per shard must drop.
+    // Every field (surt, timestamp, json payload incl. md5 digest and
+    // byte offsets) hash-matched against the residue-formula replay.
+    Q("q_cdx_parse",
+      (s, dir) =>
+        graft.sources.CdxIndex.read(s, synthCdx(s, dir))
+          .orderBy("surt", "ts"),
+      Some(s"""
+        SELECT * FROM ($cdxCapsSql)
+        ORDER BY surt, ts""")),
+
+    // Latest-capture-per-URL selection — the standard crawl dedup a
+    // pipeline runs on the index BEFORE touching any archive bytes: one
+    // surt-keyed window (max ts, digest tie-break). For doc_id%4=0 the
+    // planted second capture (ts+777, different digest) must win.
+    Q("q_cdx_latest",
+      (s, dir) =>
+        graft.sources.CdxIndex.latestCaptures(
+            graft.sources.CdxIndex.read(s, synthCdx(s, dir)))
+          .orderBy("surt"),
+      Some(s"""
+        SELECT * EXCLUDE (rn) FROM (
+          SELECT *, row_number() OVER (PARTITION BY surt
+                      ORDER BY ts DESC, digest DESC) AS rn
+          FROM ($cdxCapsSql))
+        WHERE rn = 1
+        ORDER BY surt""")),
     // WET conversion-record scan: gzip-member decode + Content-Length
     // framing + header parse, hash-gated against the source table — URI,
     // record Content-Type, byte-exact Content-Length, and the payload

@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CDX(J) capture-index reader — the per-URL index shipped alongside WARC
+  * archives (Common Crawl's cdx-*.gz, pywb's cdxj): one line per capture,
+  * `SURT timestamp {json}` with the json carrying url/mime/status/digest/
+  * length/offset/filename. At crawl scale the index is how a pipeline
+  * selects records to fetch (by prefix, by recency, by status) WITHOUT
+  * touching the archives; offsets then drive ranged reads into the
+  * per-record-gzip WARC members ([[WarcCodec]]).
+  *
+  * Plan shape: `spark.read.text` is gzip-transparent and splits by file —
+  * one task per index shard; the parse is a codegen split + from_json
+  * projection, no UDF, no shuffle. Latest-capture selection is one
+  * surt-keyed window — the only exchange, and exactly the dedup a crawl
+  * selection pays at any scale. */
+object CdxIndex {
+
+  /** Schema of the json payload (numeric fields arrive as json strings in
+    * real CDX files; parsed as strings here and cast after). */
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("url", StringType), StructField("mime", StringType),
+    StructField("status", StringType), StructField("digest", StringType),
+    StructField("length", StringType), StructField("offset", StringType),
+    StructField("filename", StringType)))
+
+  /** Read + parse every capture line under `dir` (plain or .gz shards).
+    * Output: (surt, ts, url, mime, status, digest, length, offset,
+    * filename) with numeric fields cast. Malformed lines (no two spaces
+    * or unparseable json) are dropped — mirrored by the oracle fixture
+    * carrying a planted garbage line per shard. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.textFile(dir).toDF("value")
+      .select(split(col("value"), " ", 3).as("p"))
+      .where(size(col("p")) === 3)
+      .select(col("p").getItem(0).as("surt"),
+        col("p").getItem(1).cast("long").as("ts"),
+        from_json(col("p").getItem(2), payloadSchema).as("j"))
+      .where(col("ts").isNotNull && col("j").isNotNull &&
+        col("j.url").isNotNull)
+      .select(col("surt"), col("ts"), col("j.url").as("url"),
+        col("j.mime").as("mime"),
+        col("j.status").cast("long").as("status"),
+        col("j.digest").as("digest"),
+        col("j.length").cast("long").as("length"),
+        col("j.offset").cast("long").as("offset"),
+        col("j.filename").as("filename"))
+
+  /** Latest capture per SURT (the standard crawl-selection dedup): max
+    * timestamp, digest as the deterministic tie-break. One surt-keyed
+    * window; nothing else moves. */
+  def latestCaptures(cdx: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("surt"))
+      .orderBy(col("ts").desc, col("digest").desc)
+    cdx.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+}
