@@ -110,7 +110,7 @@ object Bench {
         val heavy = Seq("q_pagerank", "q_quality_classifier", "q_substr_dedup",
           "q_sink_roundtrip", "q_opq_ann", "q_pcm_energy", "q_sessionize",
           "q_minhash_pairs", "q_simhash_pairs", "q_embed_neardup",
-          "q_tfidf", "q1_agg")
+          "q_tfidf", "q1_agg", "q_entropy", "q_robots_filter")
         def timed(fn: String => Unit, dir: String, name: String): Double = {
           def once(): Double = {
             val t0 = System.nanoTime()

@@ -249,4 +249,39 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
       s"probe must map-side combine:\n$plan")
   }
+
+  test("256-bit image near-dup keeps the band-join exchange discipline") {
+    val px = Array.tabulate(64)(i => i * 0x010101)
+    val df = Seq(
+      (1L, graft.multimodal.ImageCodec.encodePng(8, 8, px)),
+      (2L, graft.multimodal.ImageCodec.encodePng(8, 8, px)))
+      .toDF("media_id", "img")
+    val plan = formatted(
+      graft.multimodal.ImageCodec.imageNearDupPairs256(df, "media_id", "img"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"candidates must come from the 120-band join:\n$plan")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!plan.contains("img#") || !exchanges.contains("img#"),
+      s"image bytes must not transit a shuffle:\n$exchanges")
+  }
+
+  test("robots frontier filter: rules broadcast; the frontier side never hash-shuffles") {
+    val robots = Seq(("h1", "User-agent: *\nDisallow: /x/\nAllow: /x/ok/"))
+      .toDF("host", "txt")
+    val rules = graft.ops.Robots.parseRules(robots, "host", "txt")
+    val urls = Seq((1L, "h1", "/x/a"), (2L, "h1", "/x/ok/b"), (3L, "h1", "/y"))
+      .toDF("doc_id", "host", "path")
+    val plan = formatted(
+      graft.ops.Robots.filterFrontier(urls, rules, "bot", "doc_id", "host", "path"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"rules must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"host equi-join must anchor the match:\n$plan")
+    // the only shuffles allowed are the per-URL winner window's id
+    // partitioning (and nothing keyed on the rules side)
+    val exchanges = plan.linesIterator
+      .filter(l => l.trim.startsWith("Exchange")).toSeq
+    assert(exchanges.forall(l => l.contains("doc_id") || l.contains("m_id")),
+      s"frontier may shuffle only on the URL id for the winner window:\n${exchanges.mkString("\n")}")
+  }
 }
