@@ -1352,6 +1352,46 @@ object QueryCatalog {
           FROM $duckIndexed
           ORDER BY doc_id, chunk_idx""")),
 
+      // K3 under the hash gate: the chunk table round-trips through a
+      // REAL SQL engine — staged bulk-load + engine-side MERGE upsert
+      // into embedded in-memory Derby, WRITTEN TWICE (the idempotent
+      // re-index path), read back over JDBC, the pgvector wire literal
+      // parsed back to doubles (Java's shortest-round-trip float strings
+      // reparse bit-exactly) — and the result must hash-match the SAME
+      // from-scratch oracle as q_rag_index. Any defect in DDL, literal
+      // formatting, MERGE key semantics, or double-write dedup changes
+      // rows or values and breaks the gate.
+      Q("q_jdbc_roundtrip",
+        (s, dir) => {
+          import graft.index.JdbcVectorSink
+          val index = RagPipeline.buildIndex(tk(s, dir, "documents"))
+          val url = s"jdbc:derby:memory:graftrt${System.nanoTime()};create=true"
+          val drv = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+          JdbcVectorSink.writeGenericUpsert(index, url, "chunks", driver = drv)
+          JdbcVectorSink.writeGenericUpsert(index, url, "chunks", driver = drv)
+          s.read.format("jdbc").option("url", url)
+            .option("dbtable", "chunks").option("driver", drv).load()
+            .withColumn("emb", expr(
+              "transform(split(substring(embedding_vec, 2, length(embedding_vec) - 2), ','), x__ -> CAST(x__ AS DOUBLE))"))
+            .select(col("doc_id").cast("long").as("doc_id"),
+              col("chunk_idx").cast("long").as("chunk_idx"),
+              col("chunk_id"),
+              col("n_tokens").cast("long").as("n_tokens"),
+              r6(element_at(col("emb"), 1)).as("e1"),
+              r6(element_at(col("emb"), 2)).as("e2"),
+              r6(VectorF.dot(col("emb"),
+                expr("transform(sequence(1, 64), j__ -> CAST(j__ AS DOUBLE))"))).as("checksum"))
+            .orderBy("doc_id", "chunk_idx")
+        },
+        Some(s"""
+          SELECT doc_id, chunk_idx, chunk_id,
+                 CAST(len(${D.splitWs("chunk_text")}) AS BIGINT) AS n_tokens,
+                 (round(emb[1], 6) + CAST(0.0 AS DOUBLE)) AS e1,
+                 (round(emb[2], 6) + CAST(0.0 AS DOUBLE)) AS e2,
+                 (round(${D.dot("emb", weights)}, 6) + CAST(0.0 AS DOUBLE)) AS checksum
+          FROM $duckIndexed
+          ORDER BY doc_id, chunk_idx""")),
+
       // Q2: point lookup over the chunk table
       Q("q_point_lookup",
         (s, dir) =>

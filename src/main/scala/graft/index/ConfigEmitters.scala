@@ -175,8 +175,19 @@ object JdbcVectorSink {
                          driver: String = ""): Unit = {
     val staged = withVectorLiteral(index)
     val staging = s"${table}_stage"
-    val w = staged.write.mode("overwrite").format("jdbc")
+    // A production keyed sink declares its key as an indexable type —
+    // Spark's Derby dialect maps StringType to CLOB, which is neither
+    // comparable nor indexable, so the MERGE would degenerate to a
+    // nested-loop of per-row CASTs (O(n^2): measured minutes at 15k
+    // rows). Force the key column to VARCHAR at staging-create time and
+    // give the target a unique index — the same shape as the reference
+    // table's chunk_id PRIMARY KEY.
+    val keyIsString = staged.schema(keyCol).dataType ==
+      org.apache.spark.sql.types.StringType
+    val w0 = staged.write.mode("overwrite").format("jdbc")
       .option("url", url).option("dbtable", staging)
+    val w = if (keyIsString)
+      w0.option("createTableColumnTypes", s"$keyCol VARCHAR(256)") else w0
     (if (driver.nonEmpty) w.option("driver", driver) else w).save()
     // Spark's JDBC writer creates QUOTED, case-preserved column names;
     // quote them in the merge text so unquoted-identifier folding (Derby
@@ -190,19 +201,15 @@ object JdbcVectorSink {
         val rs = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
         try rs.next() finally rs.close()
       }
-      if (!exists)
+      if (!exists) {
         st.executeUpdate(s"CREATE TABLE $table AS SELECT * FROM $staging WITH NO DATA")
+        st.executeUpdate(
+          s"CREATE UNIQUE INDEX ${table}_key_idx ON $table (${q(keyCol)})")
+      }
       val setList = cols.filterNot(_ == keyCol)
         .map(c => s"t.${q(c)} = s.${q(c)}").mkString(", ")
-      // string keys land as CLOB through Spark's Derby dialect, and CLOBs
-      // are not comparable — force the join key through VARCHAR
-      def key(side: String) =
-        if (staged.schema(keyCol).dataType ==
-            org.apache.spark.sql.types.StringType)
-          s"CAST($side.${q(keyCol)} AS VARCHAR(512))"
-        else s"$side.${q(keyCol)}"
       st.executeUpdate(
-        s"""MERGE INTO $table t USING $staging s ON ${key("t")} = ${key("s")}
+        s"""MERGE INTO $table t USING $staging s ON t.${q(keyCol)} = s.${q(keyCol)}
            |WHEN MATCHED THEN UPDATE SET $setList
            |WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})
            |VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})""".stripMargin)
