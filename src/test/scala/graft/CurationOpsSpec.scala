@@ -429,4 +429,35 @@ class CurationOpsSpec extends AnyFunSuite {
         Map("head" -> 2, "middle" -> 2, "tail" -> 2))
     }
   }
+
+  test("robots parser: CRLF endings, spaced colons, rules before any group, null body") {
+    import graft.ops.Robots
+    // real-world robots.txt ships CRLF; field names vary case and may
+    // carry space before the colon; leading rules without a group are
+    // dropped; a null body parses to nothing
+    val txt = "Disallow: /orphan/\r\n" + // no group yet -> ignored
+      "User-Agent : *\r\n" +
+      "DISALLOW: /a/\r\n" +
+      "allow : /a/b/\r\n" +
+      "Sitemap: https://x/s.xml\r\n" + // unknown directive
+      "User-agent: BotOne\r\nUser-agent: bottwo\r\n" +
+      "Disallow: /c\r\n"
+    val df = Seq(("h", txt), ("empty", null.asInstanceOf[String]))
+      .toDF("host", "txt")
+    val got = Robots.parseRules(df, "host", "txt")
+      .as[(String, String, Boolean, String, Int)].collect().toSet
+    assert(got == Set(
+      ("h", "*", false, "/a/", 3),
+      ("h", "*", true, "/a/b/", 5),
+      ("h", "botone", false, "/c", 2),
+      ("h", "bottwo", false, "/c", 2)))
+  }
+
+  test("robots likePattern: wildcard, end anchor, LIKE metachar escaping") {
+    import graft.ops.Robots
+    assert(Robots.likePattern("/a/") == "/a/%")
+    assert(Robots.likePattern("/a/*.pdf") == "/a/%.pdf%")
+    assert(Robots.likePattern("/a/end$") == "/a/end")
+    assert(Robots.likePattern("/100%_off") == "/100\\%\\_off%")
+  }
 }
