@@ -262,14 +262,20 @@ object ImageCodec {
   private def blk256(arr: String, j: String): String =
     s"((element_at($arr, CAST(($j div 4) + 1 AS INT)) >> (($j % 4) * 16)) & 65535)"
 
-  /** All C(16,2)=120 ordered block-pair 32-bit composite keys. Exact
-    * recall by pigeonhole for hamming <= 14: <= 14 corrupted bits touch
-    * <= 14 of the 16 blocks, leaving >= 2 clean — their composite key
-    * matches. Collision term on unrelated data: 120/2^32 per pair —
-    * 2^16 sparser than the 64-bit hash's pair bands. */
+  /** All C(16,2)=120 ordered block-pair 32-bit composite keys, PACKED
+    * with the pair identity into one long (bits 32..39 = pair index,
+    * bits 0..31 = the two block values): band rows then carry just
+    * (id, key) — 16 bytes — instead of (id, 4-word hash, band, value).
+    * At 10x rehearsal scale that's the difference between a ~1 GB and a
+    * ~3.6 GB candidate shuffle; the hashes rejoin only for the LINEAR
+    * candidate set. Exact recall by pigeonhole for hamming <= 14: <= 14
+    * corrupted bits touch <= 14 of the 16 blocks, leaving >= 2 clean —
+    * their composite key matches. Collision term on unrelated data:
+    * 120/2^32 per pair — 2^16 sparser than the 64-bit hash's bands. */
   private def bandKeys256Expr(arr: String): String =
     s"flatten(transform(sequence(0, 14), i__ -> transform(sequence(i__ + 1, 15)," +
-      s" j__ -> (${blk256(arr, "i__")} << 16) | ${blk256(arr, "j__")})))"
+      s" j__ -> (CAST(i__ * 16 + j__ AS BIGINT) << 32)" +
+      s" | (${blk256(arr, "i__")} << 16) | ${blk256(arr, "j__")})))"
 
   private def hamming256Expr(a: String, b: String): String =
     s"CAST(bit_count(element_at($a, 1) ^ element_at($b, 1))" +
@@ -292,16 +298,16 @@ object ImageCodec {
     val hashed = withImageAHash256(df, binCol)
       .where(col("ahash256").isNotNull)
       .select(col(idCol).cast("long").as("id"), col("ahash256"))
-    val banded = hashed.select(col("id"), col("ahash256"),
-      posexplode(expr(bandKeys256Expr("ahash256"))).as(Seq("band", "bv")))
-    val a = banded.select(col("band"), col("bv"),
-      col("id").as("id_a"), col("ahash256").as("__ha"))
-    val b = banded.select(col("band"), col("bv"),
-      col("id").as("id_b"), col("ahash256").as("__hb"))
-    a.join(b, Seq("band", "bv"))
+    val keys = hashed.select(col("id"),
+      explode(expr(bandKeys256Expr("ahash256"))).as("bk"))
+    val cand = keys.select(col("bk"), col("id").as("id_a"))
+      .join(keys.select(col("bk"), col("id").as("id_b")), Seq("bk"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__ha"), col("__hb"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    cand
+      .join(hashed.select(col("id").as("id_a"), col("ahash256").as("__ha")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("ahash256").as("__hb")), Seq("id_b"))
       .withColumn("hamming", expr(hamming256Expr("__ha", "__hb")))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
