@@ -6495,6 +6495,28 @@ object QueryCatalog {
         FROM urls u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rn = 1
         ORDER BY u.doc_id""")),
 
+    // Sitemap XML scan — the crawl-DISCOVERY feed (robots points at
+    // sitemaps, their <loc>s seed the frontier the robots gate filters).
+    // Pure codegen regexp kernel: <url> block split + field extracts +
+    // entity unescape (the escaped &amp; in every query string MUST
+    // decode). Absent <lastmod> tags (doc_id%6=0) yield ''. Oracle
+    // replays every field from the residue formulas.
+    Q("q_sitemap_urls",
+      (s, dir) => {
+        val maps = synthSitemaps(tk(s, dir, "documents"))
+        graft.sources.Sitemap.urls(maps, "xml")
+          .select(col("loc"), col("lastmod"), col("priority"))
+          .orderBy("loc")
+      },
+      Some("""
+        SELECT 'https://h' || CAST(doc_id % 41 AS VARCHAR) || '.example/page/' ||
+                 CAST(doc_id AS VARCHAR) || '?a=1&b=' || CAST(doc_id % 7 AS VARCHAR) AS loc,
+               CASE WHEN doc_id % 6 = 0 THEN ''
+                    ELSE '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') END AS lastmod,
+               '0.' || CAST(doc_id % 10 AS VARCHAR) AS priority
+        FROM documents
+        ORDER BY loc""")),
+
     // S1/S2/S3/F9 under ONE hash gate: a real on-disk nested directory
     // (one file per doc, residue-driven extensions) is recursively
     // scanned, extension-dispatched (html/htm through the HTML kernel,
@@ -6559,6 +6581,31 @@ object QueryCatalog {
       java.nio.file.Files.writeString(marker.toPath, "ok")
     }
     out
+  }
+
+  /** Synthesized per-host sitemap XML (h = doc_id % 41): one <url> entry
+    * per doc — escaped ampersand in the query string, lastmod omitted for
+    * doc_id%6=0, priority as a digit string — built from the same residue
+    * formulas the oracle replays. */
+  private def synthSitemaps(docs: DataFrame): DataFrame = {
+    val xml = udf { (h: Long, ids: Seq[Long]) =>
+      val sb = new StringBuilder
+      sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
+      sb ++= "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"
+      ids.foreach { d =>
+        sb ++= "  <url>\n"
+        sb ++= s"    <loc>https://h$h.example/page/$d?a=1&amp;b=${d % 7}</loc>\n"
+        if (d % 6 != 0)
+          sb ++= f"    <lastmod>2024-01-${d % 28 + 1}%02d</lastmod>\n"
+        sb ++= s"    <priority>0.${d % 10}</priority>\n"
+        sb ++= "  </url>\n"
+      }
+      sb ++= "</urlset>\n"
+      sb.toString
+    }
+    docs.select((col("doc_id") % 41).as("h"), col("doc_id"))
+      .groupBy("h").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(col("h"), xml(col("h"), col("ids")).as("xml"))
   }
 
   /** Synthesized robots.txt per host (h = doc_id % 41) — residue-driven

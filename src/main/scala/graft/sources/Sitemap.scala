@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** sitemaps.org XML parsing — the crawl-DISCOVERY side of the politeness
+  * stack ([[graft.ops.Robots]] points at sitemaps; their `<loc>` entries
+  * seed the frontier the robots gate then filters; CDX indexes what got
+  * fetched). Sitemaps are a rigidly-regular XML dialect, so the parse is
+  * a pure codegen regexp kernel (`regexp_extract_all` block split +
+  * per-field extracts + entity unescape) — no XML library, no UDF, no
+  * shuffle; one task per sitemap batch however large the corpus. */
+object Sitemap {
+
+  /** XML entity unescape for `<loc>` URLs (ampersands in query strings
+    * are escaped in valid sitemaps). `&amp;` decodes LAST so a literal
+    * `&amp;lt;` round-trips to `&lt;` and not `<`. */
+  def xmlUnescape(c: Column): Column = {
+    val pre = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'")
+      .foldLeft(c) { case (acc, (e, v)) =>
+        regexp_replace(acc, java.util.regex.Pattern.quote(e),
+          java.util.regex.Matcher.quoteReplacement(v))
+      }
+    regexp_replace(pre, java.util.regex.Pattern.quote("&amp;"),
+      java.util.regex.Matcher.quoteReplacement("&"))
+  }
+
+  /** Explode every `<url>` entry of the `xmlCol` sitemap body into
+    * (loc, lastmod, priority) rows, other columns carried through.
+    * Absent optional tags yield ''. */
+  def urls(df: DataFrame, xmlCol: String): DataFrame =
+    df.withColumn("__u", explode(expr(
+        s"regexp_extract_all($xmlCol, '(?s)<url>(.*?)</url>', 1)")))
+      .withColumn("loc",
+        xmlUnescape(regexp_extract(col("__u"), "(?s)<loc>(.*?)</loc>", 1)))
+      .withColumn("lastmod",
+        regexp_extract(col("__u"), "(?s)<lastmod>(.*?)</lastmod>", 1))
+      .withColumn("priority",
+        regexp_extract(col("__u"), "(?s)<priority>(.*?)</priority>", 1))
+      .drop("__u", xmlCol)
+
+  /** Child references of a `<sitemapindex>` body (sitemap-of-sitemaps):
+    * one (loc) row per `<sitemap>` entry. Index fan-out is driver-driven
+    * (fetch children, re-parse) — the index file is tiny by spec
+    * (<= 50k entries), the CONTENT fan-out is the distributed part. */
+  def childSitemaps(df: DataFrame, xmlCol: String): DataFrame =
+    df.withColumn("__s", explode(expr(
+        s"regexp_extract_all($xmlCol, '(?s)<sitemap>(.*?)</sitemap>', 1)")))
+      .withColumn("loc",
+        xmlUnescape(regexp_extract(col("__s"), "(?s)<loc>(.*?)</loc>", 1)))
+      .drop("__s", xmlCol)
+}

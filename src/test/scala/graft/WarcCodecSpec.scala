@@ -124,4 +124,23 @@ class WarcCodecSpec extends AnyFunSuite {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
   }
+
+  test("sitemap index fan-out and entity-decode ordering") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    val idx = """<?xml version="1.0"?><sitemapindex>
+      <sitemap><loc>https://x/a.xml?p=1&amp;q=2</loc></sitemap>
+      <sitemap><loc>https://x/b.xml</loc></sitemap>
+      </sitemapindex>"""
+    val kids = graft.sources.Sitemap.childSitemaps(
+        Seq(("h", idx)).toDF("host", "xml"), "xml")
+      .select("loc").as[String].collect().toSet
+    assert(kids == Set("https://x/a.xml?p=1&q=2", "https://x/b.xml"))
+    // &amp; decodes LAST: a literal "&amp;lt;" must yield "&lt;", not "<"
+    val tricky = "<urlset><url><loc>https://x/?v=&amp;lt;tag&amp;gt;</loc></url></urlset>"
+    val locs = graft.sources.Sitemap.urls(
+        Seq(("h", tricky)).toDF("host", "xml"), "xml")
+      .select("loc").as[String].collect().toSeq
+    assert(locs == Seq("https://x/?v=&lt;tag&gt;"))
+  }
 }
