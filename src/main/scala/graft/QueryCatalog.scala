@@ -5847,6 +5847,89 @@ object QueryCatalog {
         ORDER BY c.doc_id"""
       }),
 
+    // CAPSTONE composition — the one-job shape a 100 TB curation run
+    // actually executes, with EVERY stage boundary under a single hash:
+    // messy frontier URL -> canonicalize -> URL-keyed exact dedup (min
+    // doc wins) -> quality gates (word count + char-entropy floor) ->
+    // deterministic md5 sample -> greedy token-budget fill. Library ops
+    // compose declaratively (UrlOps, Curation.entropyStats,
+    // Sampling.hashSample/tokenBudgetSelect); the only wide stages are
+    // the canonical-key window, the doc-keyed entropy aggs, and the
+    // budget window — each inherent to its stage's semantics. The
+    // entropy floor compares UNROUNDED folds that are bit-identical
+    // across engines by the r6-before-ordered-fold construction.
+    Q("q_training_pipeline",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = tk(s, dir, "documents")
+        val canon = graft.ops.UrlOps.canonicalize(
+          docs.selectExpr("doc_id", "text",
+            s"${messyUrlExpr(Dialect.spark)} AS url"), "url")
+        val dd = canon.withColumn("__keep",
+            min(col("doc_id")).over(Window.partitionBy(col("canonical"))))
+          .where(col("doc_id") === col("__keep")).drop("__keep")
+        val ent = graft.ops.Curation.entropyStats(docs, "text", "doc_id")
+          .select(col("doc_id").as("__eid"), col("char_entropy"), col("n_words"))
+        val gated = dd.join(ent, col("doc_id") === col("__eid"))
+          .where(col("n_words") >= 25L && col("char_entropy") >= 2.82)
+        val sampled = graft.ops.Sampling.hashSample(gated, "doc_id", 0.8)
+          .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+          .withColumn("__grp", lit("all"))
+          .withColumn("__ord",
+            expr(Dialect.spark.md5Uniform(Dialect.spark.castStr("doc_id"))))
+        graft.ops.Sampling.tokenBudgetSelect(
+            sampled, "__grp", "n_tokens", "__ord", "doc_id", 8000L)
+          .select(col("doc_id"), col("canonical"), col("n_tokens"),
+            col("cum_tokens"))
+          .orderBy("cum_tokens", "doc_id")
+      },
+      Some(s"""
+        WITH u AS (SELECT doc_id, text, ${messyUrlExpr(D)} AS url FROM documents),
+        c AS (SELECT doc_id, text,
+                     ${graft.ops.UrlOps.canonicalExpr(D, "url")} AS canonical
+              FROM u),
+        dd AS (SELECT doc_id, text, canonical FROM (
+                 SELECT *, min(doc_id) OVER (PARTITION BY canonical) AS k FROM c)
+               WHERE doc_id = k),
+        cnts AS (
+          SELECT doc_id, u2, count(*) AS cnt
+          FROM (SELECT doc_id, substr(text, CAST(p AS INT), 1) AS u2
+                FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS p
+                      FROM documents WHERE length(text) > 0))
+          GROUP BY doc_id, u2),
+        eagg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+                        list(cnt ORDER BY u2) AS cs
+                 FROM cnts GROUP BY doc_id),
+        ent AS (
+          SELECT doc_id,
+                 list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(cs, c__ -> round(
+                       -(CAST(c__ AS DOUBLE) / CAST(n AS DOUBLE))
+                         * ln(CAST(c__ AS DOUBLE) / CAST(n AS DOUBLE)), 6))),
+                   (a__, x__) -> a__ + x__) AS char_entropy
+          FROM eagg),
+        wrds AS (SELECT doc_id,
+                        CAST(len(${D.splitWs("text")}) AS BIGINT) AS n_words
+                 FROM documents),
+        g AS (SELECT dd.doc_id, dd.canonical, dd.text
+              FROM dd JOIN ent ON ent.doc_id = dd.doc_id
+                      JOIN wrds ON wrds.doc_id = dd.doc_id
+              WHERE wrds.n_words >= 25 AND ent.char_entropy >= ${D.d(2.82)}),
+        smp AS (SELECT doc_id, canonical, text,
+                       CAST(len(${D.splitWs("text")}) AS BIGINT) AS n_tokens,
+                       ${D.md5Uniform(D.castStr("doc_id"))} AS ord
+                FROM g
+                WHERE ${D.md5Uniform(D.castStr("doc_id"))} < ${D.d(0.8)}),
+        cum AS (SELECT doc_id, canonical, n_tokens,
+                       sum(n_tokens) OVER (ORDER BY ord DESC, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                FROM smp)
+        SELECT doc_id, canonical, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM cum
+        WHERE cum_tokens - n_tokens < 8000
+        ORDER BY cum_tokens, doc_id""")),
+
     // kNN label propagation: every 5th vector "loses" its label and gets
     // one back by majority vote of its 5 nearest labeled neighbors.
     Q("q_knn_classify",
