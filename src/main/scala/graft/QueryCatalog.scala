@@ -1369,7 +1369,7 @@ object QueryCatalog {
           val drv = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
           JdbcVectorSink.writeGenericUpsert(index, url, "chunks", driver = drv)
           JdbcVectorSink.writeGenericUpsert(index, url, "chunks", driver = drv)
-          s.read.format("jdbc").option("url", url)
+          val back = s.read.format("jdbc").option("url", url)
             .option("dbtable", "chunks").option("driver", drv).load()
             .withColumn("emb", expr(
               "transform(split(substring(embedding_vec, 2, length(embedding_vec) - 2), ','), x__ -> CAST(x__ AS DOUBLE))"))
@@ -1382,6 +1382,18 @@ object QueryCatalog {
               r6(VectorF.dot(col("emb"),
                 expr("transform(sequence(1, 64), j__ -> CAST(j__ AS DOUBLE))"))).as("checksum"))
             .orderBy("doc_id", "chunk_idx")
+          // materialize the (table-sized, test-scale) read-back eagerly so
+          // the in-memory Derby db can be DROPPED — a lazy JDBC scan would
+          // pin every per-invocation database in the JVM heap for the rest
+          // of a bench run (measured as GC pressure on later queries)
+          val rows = back.collect().toSeq
+          val schema = back.schema
+          try java.sql.DriverManager.getConnection(
+            url.replace(";create=true", ";drop=true"))
+          catch { case _: java.sql.SQLException => () } // 08006 = dropped OK
+          s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](
+              scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
         },
         Some(s"""
           SELECT doc_id, chunk_idx, chunk_id,
