@@ -63,6 +63,21 @@ object QueryCatalog {
       graft.ops.OpqRotation.learnRotation(sample, "embedding", 64, 4)
     })
 
+  /** Refined-OPQ memo, same contract as [[opqRotation]]: q_opq_refined and
+    * q_opq_refined_ann share one alternating-minimization run per dir
+    * (deterministic: first-k init, fixed partitioning, fixed tie-breaks).
+    * Seeds from the eigenvalue-allocation rotation ([[opqRotation]]) and
+    * runs 4 Lloyd+Procrustes alternations — returns (R, per-iteration
+    * mean distortion). */
+  private val opqRefinedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Array[Double]], Array[Double])]()
+  private def opqRefined(s: SparkSession, dir: String): (Array[Array[Double]], Array[Double]) =
+    opqRefinedCache.computeIfAbsent(dir, _ => {
+      val sample = t(s, dir, "embeddings").where(col("vec_id") % 4 === 0)
+      graft.ops.OpqRotation.refineRotation(
+        sample, "vec_id", "embedding", 64, 4, 8, 4, opqRotation(s, dir))
+    })
+
   /** BPE merge-table memo, same contract as [[opqRotation]]: q_bpe_vocab
     * and q_bpe_segment share one training run per dir (training is
     * deterministic for a given input). */
@@ -4623,6 +4638,137 @@ object QueryCatalog {
           ORDER BY dist, vec_id
           LIMIT 10""")),
 
+      // FULL iterative OPQ (Ge et al. CVPR'13 non-parametric solution —
+      // closes the "init-only OPQ" gap): 4 alternations of (one Lloyd
+      // codebook step on the rotated data) and (orthogonal-Procrustes
+      // rotation update from the SVD of N = sum yhat x^T). Property gate,
+      // q_opq_rotated pattern:
+      //   - mono_viol: max over iterations of max(0, obj_t - obj_{t-1}),
+      //     measured in-driver — alternating exact minimizers make the
+      //     distortion sequence non-increasing, so the oracle pins the
+      //     SPEC constant 0.0 (a refinement bug that ever increases the
+      //     objective hash-mismatches);
+      //   - ortho_resid / iso_resid: the refined R must still be exactly
+      //     orthonormal (Procrustes returns U V^T) — max |R^T R - I| and
+      //     per-row | ||Rx||^2 - ||x||^2 | vs oracle constant 0.0;
+      //   - l2_in: ||x||^2 recomputed by the oracle from the embeddings
+      //     TABLE (non-circular 1:1 source join).
+      // rv round-trips through the dump and feeds q_opq_refined_ann's
+      // independent full-PQ replay, where its values are tested.
+      Q("q_opq_refined",
+        (s, dir) => {
+          import graft.ops.OpqRotation
+          val (r, objs) = opqRefined(s, dir)
+          val d = r.length
+          var ortho = 0.0
+          var i = 0
+          while (i < d) {
+            var j = 0
+            while (j < d) {
+              var s2 = 0.0
+              var k = 0
+              while (k < d) { s2 += r(k)(i) * r(k)(j); k += 1 }
+              val diff = math.abs(s2 - (if (i == j) 1.0 else 0.0))
+              if (diff > ortho) ortho = diff
+              j += 1
+            }
+            i += 1
+          }
+          var viol = 0.0
+          var t2 = 1
+          while (t2 < objs.length) {
+            val v = objs(t2) - objs(t2 - 1)
+            if (v > viol) viol = v
+            t2 += 1
+          }
+          val dls = Dialect.spark
+          val emb = t(s, dir, "embeddings").orderBy("vec_id")
+          OpqRotation.rotate(emb, "embedding", "rv", r)
+            .withColumn("__xd", VectorF.toDoubleArray(col("embedding")))
+            .select(col("vec_id"),
+              concat_ws(",", transform(col("rv"), _.cast("string"))).as("rv"),
+              r6(abs(expr(dls.dot("rv", "rv")) - expr(dls.dot("__xd", "__xd"))))
+                .as("iso_resid"),
+              r6(expr(dls.dot("__xd", "__xd"))).as("l2_in"),
+              r6(lit(ortho)).as("ortho_resid"),
+              r6(lit(viol)).as("mono_viol"))
+        },
+        Some(s"""
+          WITH dump AS (
+            SELECT vec_id, rv
+            FROM read_parquet('__GRAFT_OUT__/q_opq_refined/*.parquet')),
+          src AS (SELECT vec_id, ${D.castDoubleArray("embedding")} AS v
+                  FROM embeddings)
+          SELECT d.vec_id, d.rv,
+                 ${duckR6("0.0")} AS iso_resid,
+                 ${duckR6(D.dot("s.v", "s.v"))} AS l2_in,
+                 ${duckR6("0.0")} AS ortho_resid,
+                 ${duckR6("0.0")} AS mono_viol
+          FROM dump d JOIN src s ON d.vec_id = s.vec_id""")),
+
+      // PQ + ADC over the REFINED rotation, end to end — q_opq_ann's
+      // independent replay oracle re-run against q_opq_refined's dump:
+      // codebooks are first-8-sample slices of the refined-rotated
+      // vectors, codes the argmin assignment, distances the sequential
+      // ADC fold. Tests the refined rv VALUES (the property gate above
+      // pins only residuals) through the whole compress->search path.
+      Q("q_opq_refined_ann",
+        (s, dir) => {
+          import graft.ops.{OpqRotation, ProductQuantization}
+          val emb = t(s, dir, "embeddings")
+          val sample = emb.where(col("vec_id") % 4 === 0)
+          val (r, _) = opqRefined(s, dir)
+          val rot = OpqRotation.rotate(emb, "embedding", "rv", r)
+          val books = ProductQuantization.trainCodebooks(
+            OpqRotation.rotate(sample, "embedding", "rv", r), "vec_id", "rv",
+            4, 8, 64, 0)
+          val codes = ProductQuantization.encode(
+            rot.where(col("vec_id") =!= 0), books, "vec_id", "rv", 4, 64)
+          val q = rot.where(col("vec_id") === 0)
+            .select(col("rv").as("qv"))
+          ProductQuantization.adcTopK(codes, books, q, "vec_id", 4, 64, 10)
+            .select(col("vec_id"), r6(col("dist")).as("dist"))
+        },
+        Some(s"""
+          WITH emb AS (SELECT vec_id,
+                              list_transform(string_split(rv, ','),
+                                             x -> CAST(x AS DOUBLE)) AS v
+                       FROM read_parquet('__GRAFT_OUT__/q_opq_refined/*.parquet')),
+          books AS (
+            SELECT CAST(s.s AS INT) AS sub, CAST(e.vec_id // 4 AS INT) AS cid,
+                   e.v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS cv
+            FROM (SELECT * FROM emb WHERE vec_id % 4 = 0 AND vec_id < 32) e, range(0, 4) s(s)),
+          subs AS (
+            SELECT vec_id, CAST(s.s AS INT) AS sub,
+                   v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS sv
+            FROM emb, range(0, 4) s(s)
+            WHERE vec_id <> 0),
+          codes AS (
+            SELECT vec_id, sub,
+                   (min(struct_pack(d := ${D.l2sq("sv", "cv")}, c := cid))).c AS code
+            FROM subs JOIN books USING (sub)
+            GROUP BY vec_id, sub),
+          codearr AS (SELECT vec_id, list(code ORDER BY sub) AS codes
+                      FROM codes GROUP BY vec_id),
+          qsubs AS (
+            SELECT CAST(s.s AS INT) AS sub,
+                   v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS qsv
+            FROM emb, range(0, 4) s(s) WHERE vec_id = 0),
+          dt AS (SELECT b.sub, b.cid, ${D.l2sq("b.cv", "q.qsv")} AS d
+                 FROM books b JOIN qsubs q USING (sub)),
+          dt1 AS (SELECT sub, list(d ORDER BY cid) AS ds FROM dt GROUP BY sub),
+          dtarr AS (SELECT list(ds ORDER BY sub) AS tables FROM dt1),
+          scored AS (
+            SELECT c.vec_id,
+                   list_reduce(list_transform(range(0, 4),
+                     i -> tables[CAST(i AS INT) + 1][codes[CAST(i AS INT) + 1] + 1]),
+                     (s__, x__) -> s__ + x__) AS dist
+            FROM codearr c, dtarr)
+          SELECT vec_id, ${duckR6("dist")} AS dist
+          FROM scored
+          ORDER BY dist, vec_id
+          LIMIT 10""")),
+
       // IVF-PQ composite (faiss-IVFPQ as DataFrame ops): 4 coarse cells by
       // squared L2, PQ codebooks on residuals, query probes 2 cells and
       // folds per-cell ADC tables. The whole coarse-assign -> residual ->
@@ -4970,6 +5116,65 @@ object QueryCatalog {
             JOIN uni u USING (tok)
             LEFT JOIN (SELECT tok AS prev, cu AS cprev FROM uni) up USING (prev)
             LEFT JOIN bi b ON b.prev = p.prev AND b.tok = p.tok
+            CROSS JOIN tot),
+          agg AS (SELECT doc_id, list(lp ORDER BY pos) AS lps,
+                         CAST(count(*) AS BIGINT) AS n_tokens
+                  FROM scored GROUP BY doc_id)
+          SELECT doc_id, n_tokens,
+                 ${duckR6("list_reduce(lps, (a__, x__) -> a__ + x__) / CAST(n_tokens AS DOUBLE)")} AS avg_surprisal
+          FROM agg
+          ORDER BY doc_id""")),
+
+      // Interpolated-trigram surprisal (the top of the n-gram family —
+      // KenLM-class filters run order 3-5): lambda3/2/1 = 0.5/0.25/0.25,
+      // all exact in binary. First token scores by unigram, second by the
+      // bigram interpolation, the rest by the full trigram mix. The
+      // trigram denominator c(u v) counts pair occurrences corpus-wide
+      // (doc-final pairs included — the standard no-sentinel MLE).
+      Q("q_trigram_lm",
+        (s, dir) => {
+          import graft.ops.LanguageModel
+          LanguageModel.trigramSurprisal(tk(s, dir, "documents"), "text", "doc_id")
+            .select(col("doc_id"), col("n_tokens"),
+              r6(col("avg_surprisal")).as("avg_surprisal"))
+            .orderBy("doc_id")
+        },
+        Some(s"""
+          WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                   unnest(range(1, len(string_split_regex(trim(text), '\\s+')) + 1)) AS pos
+            FROM documents),
+          ctx AS (
+            SELECT doc_id, pos, tok,
+                   lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+                   lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS prev2
+            FROM toks),
+          uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM toks GROUP BY tok),
+          tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM uni),
+          bi AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS cb
+                 FROM ctx WHERE prev IS NOT NULL GROUP BY prev, tok),
+          tri AS (SELECT prev2, prev, tok, CAST(count(*) AS BIGINT) AS ct
+                  FROM ctx WHERE prev2 IS NOT NULL GROUP BY prev2, prev, tok),
+          scored AS (
+            SELECT c.doc_id, c.pos,
+                   round(-ln(CASE
+                     WHEN c.prev IS NULL
+                     THEN CAST(u.cu AS DOUBLE) / CAST(n_total AS DOUBLE)
+                     WHEN c.prev2 IS NULL
+                     THEN ${D.d(0.75)} * (CAST(b.cb AS DOUBLE) / CAST(up.cprev AS DOUBLE)) +
+                          ${D.d(0.25)} * (CAST(u.cu AS DOUBLE) / CAST(n_total AS DOUBLE))
+                     ELSE ${D.d(0.5)} * (CAST(t.ct AS DOUBLE) / CAST(bc.cctx AS DOUBLE)) +
+                          ${D.d(0.25)} * (CAST(b.cb AS DOUBLE) / CAST(up.cprev AS DOUBLE)) +
+                          ${D.d(0.25)} * (CAST(u.cu AS DOUBLE) / CAST(n_total AS DOUBLE))
+                   END), 6) AS lp
+            FROM ctx c
+            JOIN uni u USING (tok)
+            LEFT JOIN (SELECT tok AS prev, cu AS cprev FROM uni) up USING (prev)
+            LEFT JOIN bi b ON b.prev = c.prev AND b.tok = c.tok
+            LEFT JOIN tri t ON t.prev2 = c.prev2 AND t.prev = c.prev AND t.tok = c.tok
+            LEFT JOIN (SELECT prev AS prev2, tok AS prev, cb AS cctx FROM bi) bc
+                   ON bc.prev2 = c.prev2 AND bc.prev = c.prev
             CROSS JOIN tot),
           agg AS (SELECT doc_id, list(lp ORDER BY pos) AS lps,
                          CAST(count(*) AS BIGINT) AS n_tokens
@@ -5455,7 +5660,81 @@ object QueryCatalog {
     Seq(l1, l2, l3, l4, l5, l6, l7).mkString("(", " || chr(10) || ", ")")
   }
 
+  /** Synthetic HTML page for the jusText gate, one dialect-shared formula:
+    * a link-heavy nav (link density ~0.9 → bad), two 20-word content
+    * paragraphs (good), a "Read more" stub whose nearest classified
+    * neighbors are good (context → good), a copyright footer at link
+    * density 0.5 (bad), and — on doc_id % 3 = 0 — a trailing "Contact us"
+    * stub whose nearest classified neighbor is the bad footer (context →
+    * bad). Both context-resolution branches fire on every sf. */
+  private def justextPageExpr(dl: Dialect): String = {
+    val ws = dl.splitWs("text")
+    // COALESCE: DuckDB's array_to_string of an EMPTY list is NULL, Spark's
+    // array_join is '' — short docs must build the same '<p></p>' block
+    def para(st: Int, n: Int) =
+      s"'<p>' || COALESCE(${dl.arrayJoinE(dl.slice1(ws, st, n), "' '")}, '') || '</p>'"
+    val nav = dl.str("""<div><a href="/">Home</a> <a href="/s">Section</a></div>""")
+    val footer = dl.str("""<div>Copyright <a href="/tos">Terms of Service</a> 2024.</div>""")
+    val stub = dl.str("<p>Read more</p>")
+    val tail = s"CASE WHEN doc_id % 3 = 0 THEN ${dl.str("<p>Contact us</p>")} END"
+    s"concat_ws(chr(10), $nav, ${para(1, 20)}, $stub, ${para(21, 20)}, $footer, $tail)"
+  }
+
   private def curationOps: Seq[Q] = Seq(
+    // jusText-style boilerplate classification (Pomikálek 2011,
+    // simplified): block segmentation -> link/stopword densities ->
+    // preliminary class -> context resolution of short/ambiguous blocks
+    // against nearest classified neighbors (four windows over label rows
+    // only). The fixture page exercises both context branches; the oracle
+    // replays segmentation, densities, classification, AND the window
+    // pass verbatim from the shared formula text.
+    Q("q_justext_blocks",
+      (s, dir) => {
+        import graft.ops.Curation
+        val docs = t(s, dir, "documents")
+          .selectExpr("doc_id", s"${justextPageExpr(Dialect.spark)} AS page")
+        Curation.justextBlocks(docs, "page", "doc_id")
+          .select(col("doc_id"), col("block_no"), col("prelim"), col("cls"),
+            col("wc"), r6(col("link_density")).as("link_density"), col("btext"))
+          .orderBy("doc_id", "block_no")
+      },
+      Some(s"""
+        WITH out AS (${graft.ops.Curation.justextOracleSql(D, "documents", "doc_id", justextPageExpr(D))})
+        SELECT doc_id, block_no, prelim, cls, wc,
+               ${duckR6("link_density")} AS link_density, btext
+        FROM out
+        ORDER BY doc_id, block_no""")),
+
+    // The extraction a crawl pipeline actually ships: main text = the
+    // context-resolved good blocks, reassembled in block order. One
+    // doc-keyed aggregation above the block pass.
+    Q("q_justext_clean",
+      (s, dir) => {
+        import graft.ops.Curation
+        val docs = t(s, dir, "documents")
+          .selectExpr("doc_id", s"${justextPageExpr(Dialect.spark)} AS page")
+        Curation.justextBlocks(docs, "page", "doc_id")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_blocks"),
+            count(when(col("cls") === "good", 1)).as("n_good"),
+            expr("""COALESCE(array_join(transform(
+                      array_sort(collect_list(CASE WHEN cls = 'good'
+                        THEN struct(block_no, btext) END)),
+                      s__ -> s__.btext), chr(10)), '')""").as("main_text"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH out AS (${graft.ops.Curation.justextOracleSql(D, "documents", "doc_id", justextPageExpr(D))})
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(count(CASE WHEN cls = 'good' THEN 1 END) AS BIGINT) AS n_good,
+               COALESCE(array_to_string(
+                 list(btext ORDER BY block_no) FILTER (WHERE cls = 'good'),
+                 chr(10)), '') AS main_text
+        FROM out
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
     // SemDeDup (Abbas et al. 2023): nearest-centroid assignment (same
     // deterministic fixed-centroid scheme q_ann_ivf oracles), then cosine
     // near-dup pruning WITHIN clusters — never corpus^2. Output = kept rows.

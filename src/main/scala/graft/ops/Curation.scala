@@ -151,6 +151,139 @@ object Curation {
            ${c4PageKeep(dl)} AS keep, clean_text
     FROM sc"""
 
+  // --- jusText-style boilerplate extraction (Pomikálek 2011, simplified) ---
+
+  /** Tags that open a new block-level segment. Segmentation inserts a
+    * newline before each opener with LITERAL `replace` (identical in both
+    * engines — no regex-backreference dialect divergence) and splits on
+    * lines; real pipelines feed whole crawl pages, the fixture feeds
+    * formula-built pages, and both sides replay the same text. */
+  private val blockOpenTags = Seq("<p>", "<div>", "<h1>", "<h2>", "<h3>", "<li>")
+
+  private def segmentsExpr(dl: Dialect, page: String): String = {
+    val withNl = blockOpenTags.foldLeft(page)((e, t) =>
+      s"replace($e, '$t', chr(10) || '$t')")
+    dl.filter(dl.splitLines(withNl), "b__", "trim(b__) <> ''")
+  }
+
+  /** Small English stopword list for the stopword-density signal (jusText
+    * is language-parameterized; density merely biases toward `good`). */
+  private val stopwords = Seq("the", "a", "an", "of", "to", "in", "and",
+    "is", "for", "on", "that", "with", "as", "it", "at", "by")
+
+  /** Per-block features: plain text (tags stripped, over lambda var
+    * `blk__`), anchor-text chars, word count, link density, stopword
+    * density — one shared formula text per dialect. */
+  private def justextClassify(dl: Dialect): (String, String, String, String, String) = {
+    val btext = s"trim(${dl.regexReplaceAll("blk__", "<[^>]*>", "")})"
+    // COALESCE: DuckDB's array_to_string of an EMPTY list (no links in
+    // the block) is NULL, Spark's array_join is ''
+    val ltext = s"COALESCE(${dl.arrayJoin(
+      s"regexp_extract_all(blk__, '<a[^>]*>([^<]*)</a>', 1)", "")}, '')"
+    val wc = s"(CASE WHEN btext__ = '' THEN 0 ELSE ${dl.size(dl.splitWs("btext__"))} END)"
+    val ld = s"(CAST(length(ltext__) AS DOUBLE) / CAST(greatest(length(btext__), 1) AS DOUBLE))"
+    val sd = s"(CASE WHEN wc__ = 0 THEN ${dl.d(0.0)} ELSE " +
+      s"CAST(${dl.size(dl.filter(dl.splitWs("btext__"), "t__", s"${dl.contains(dl.strArray(stopwords), "lower(t__)")}"))} AS DOUBLE)" +
+      s" / CAST(wc__ AS DOUBLE) END)"
+    (btext, ltext, wc, ld, sd)
+  }
+
+  /** The preliminary block class from the densities — jusText-lite
+    * thresholds: link-heavy is boilerplate outright; tiny blocks defer to
+    * context; long or stopword-dense prose is content. */
+  private def prelimExpr(dl: Dialect): String =
+    s"""CASE WHEN ld__ > ${dl.d(0.4)} THEN 'bad'
+             WHEN wc__ < 8 THEN 'short'
+             WHEN sd__ >= ${dl.d(0.3)} OR wc__ >= 20 THEN 'good'
+             ELSE 'near_good' END"""
+
+  /** Context resolution (the jusText pass that makes the classifier
+    * BLOCK-contextual, not per-block): `short` / `near_good` blocks take
+    * the class of the nearest preliminarily-classified good/bad
+    * neighbor — ties keep (<=). Four windows over (doc, block_no) rows
+    * only; block text never re-shuffles. */
+  private def contextSelects(idCol: String): Seq[String] = Seq(
+    s"""max(CASE WHEN prelim = 'good' THEN block_no END) OVER
+        (PARTITION BY $idCol ORDER BY block_no
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pg__""",
+    s"""min(CASE WHEN prelim = 'good' THEN block_no END) OVER
+        (PARTITION BY $idCol ORDER BY block_no
+         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ng__""",
+    s"""max(CASE WHEN prelim = 'bad' THEN block_no END) OVER
+        (PARTITION BY $idCol ORDER BY block_no
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb__""",
+    s"""min(CASE WHEN prelim = 'bad' THEN block_no END) OVER
+        (PARTITION BY $idCol ORDER BY block_no
+         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nb__""")
+
+  private val finalClsExpr: String =
+    s"""CASE WHEN prelim IN ('short', 'near_good') THEN
+             CASE WHEN least(coalesce(block_no - pg__, 9999), coalesce(ng__ - block_no, 9999))
+                       <= least(coalesce(block_no - pb__, 9999), coalesce(nb__ - block_no, 9999))
+                  THEN 'good' ELSE 'bad' END
+           ELSE prelim END"""
+
+  /** jusText-style boilerplate classification of a page column: segment
+    * into block-level chunks, score link/stopword densities, classify,
+    * then context-resolve short/ambiguous blocks against their nearest
+    * classified neighbors. Output: (idCol, block_no, prelim, cls, wc,
+    * link_density, btext) — one row per block.
+    *
+    * Scale shape: segmentation + densities are narrow codegen'd
+    * higher-order functions fused into the page scan (no UDF); the only
+    * wide stage is one (id, block_no)-keyed window pass over rows that
+    * carry class labels and counts. Page bytes transit exactly one
+    * exchange (into the window) — at crawl scale pre-partition by id to
+    * make it zero. */
+  def justextBlocks(docs: DataFrame, pageCol: String, idCol: String): DataFrame = {
+    val (btext, ltext, wc, ld, sd) = justextClassify(S)
+    docs.selectExpr(s"`$idCol`", s"`$pageCol` AS page__")
+      .selectExpr(s"`$idCol`", s"${segmentsExpr(S, "page__")} AS blocks__")
+      .selectExpr(s"`$idCol`", "posexplode(blocks__) AS (block_no, blk__)")
+      .selectExpr(s"`$idCol`", "block_no", "blk__", s"$btext AS btext__")
+      .selectExpr(s"`$idCol`", "block_no", s"$ltext AS ltext__", "btext__")
+      .selectExpr(s"`$idCol`", "block_no", "btext__", "ltext__", s"$wc AS wc__")
+      .selectExpr(s"`$idCol`", "block_no", "btext__", "wc__",
+        s"$ld AS ld__")
+      .selectExpr(s"`$idCol`", "block_no", "btext__", "wc__", "ld__", s"$sd AS sd__")
+      .selectExpr(s"`$idCol`", "block_no", "btext__", "wc__", "ld__", "sd__",
+        s"${prelimExpr(S)} AS prelim")
+      .selectExpr(Seq(s"`$idCol`", "block_no", "btext__", "wc__", "ld__", "prelim") ++
+        contextSelects(s"`$idCol`"): _*)
+      .selectExpr(s"`$idCol`", "CAST(block_no AS BIGINT) AS block_no", "prelim",
+        s"$finalClsExpr AS cls", "CAST(wc__ AS BIGINT) AS wc",
+        "ld__ AS link_density", "btext__ AS btext")
+  }
+
+  /** Identical computation for the DuckDB oracle; `pageExpr` is the page
+    * formula in duck dialect. Emits the same 7 columns. */
+  def justextOracleSql(dl: Dialect, fromSql: String, idCol: String,
+                       pageExpr: String): String = {
+    val (btext, ltext, wc, ld, sd) = justextClassify(dl)
+    s"""
+    WITH p AS (SELECT $idCol, $pageExpr AS page__ FROM $fromSql),
+    seg AS (SELECT $idCol, ${segmentsExpr(dl, "page__")} AS blocks__ FROM p),
+    b AS (SELECT $idCol,
+                 unnest(range(0, len(blocks__))) AS block_no,
+                 unnest(blocks__) AS blk__
+          FROM seg),
+    f0 AS (SELECT $idCol, block_no, blk__, $btext AS btext__ FROM b),
+    f1 AS (SELECT $idCol, block_no, btext__, $ltext AS ltext__ FROM f0),
+    f2 AS (SELECT $idCol, block_no, btext__, ltext__, $wc AS wc__ FROM f1),
+    f3 AS (SELECT $idCol, block_no, btext__, wc__, $ld AS ld__ FROM f2),
+    f4 AS (SELECT $idCol, block_no, btext__, wc__, ld__, $sd AS sd__ FROM f3),
+    pre AS (SELECT $idCol, block_no, btext__, wc__, ld__,
+                   ${prelimExpr(dl)} AS prelim
+            FROM f4),
+    ctx AS (SELECT $idCol, block_no, btext__, wc__, ld__, prelim,
+                   ${contextSelects(idCol).mkString(", ")}
+            FROM pre)
+    SELECT $idCol, CAST(block_no AS BIGINT) AS block_no, prelim,
+           $finalClsExpr AS cls, CAST(wc__ AS BIGINT) AS wc,
+           ld__ AS link_density, btext__ AS btext
+    FROM ctx"""
+  }
+
   /** Returns (idCol, keep, reasons) for every doc. */
   def qualityFilter(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val base = docs.selectExpr(s"`$idCol`", s"`$textCol` AS __t", s"md5(`$textCol`) AS __h")

@@ -48,6 +48,66 @@ object LanguageModel {
         (col("__sum") / col("n_tokens").cast("double")).as("avg_surprisal"))
   }
 
+  /** Interpolated-trigram surprisal — the top of the in-engine n-gram
+    * family (unigram → bigram → trigram; KenLM-class filters typically
+    * run order 3-5):
+    *
+    *   p(w | u, v) = L3 * c(u v w)/c(u v) + L2 * c(v w)/c(v) + L1 * c(w)/N
+    *
+    * with (L3, L2, L1) = (0.5, 0.25, 0.25) — ALL exact in binary, so the
+    * interpolation constants cannot skew between engines. A document's
+    * first token scores by unigram alone; its second by the bigram
+    * interpolation (0.75/0.25, the [[bigramSurprisal]] constants).
+    * Observed trigram counts are bounded by corpus tokens (not vocab³);
+    * all three count tables are map-side-combinable groupBys that
+    * broadcast back while a vocabulary is tiny next to its corpus. The
+    * per-doc fold is position-ordered with per-token round-6 — the same
+    * cross-engine determinism contract as the unigram form. */
+  def trigramSurprisal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    val toks = df.select(col(idCol),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+    val ctx = toks
+      .withColumn("prev", lag("tok", 1).over(w))
+      .withColumn("prev2", lag("tok", 2).over(w))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum(col("cu")).cast("long").as("n_total"))
+    val bi = ctx.where(col("prev").isNotNull)
+      .groupBy("prev", "tok").agg(count(lit(1)).as("cb"))
+    val tri = ctx.where(col("prev2").isNotNull)
+      .groupBy("prev2", "prev", "tok").agg(count(lit(1)).as("ct"))
+    // bigram-context count c(u v) = occurrences of the pair ANYWHERE (the
+    // denominator of the trigram term); identical to `bi` re-keyed
+    val biCtx = bi.select(col("prev").as("prev2"), col("tok").as("prev"),
+      col("cb").as("cctx"))
+    val puni = col("cu").cast("double") / col("n_total").cast("double")
+    val pbi2 = lit(0.75) * (col("cb").cast("double") / col("cprev").cast("double")) +
+      lit(0.25) * puni
+    val ptri = lit(0.5) * (col("ct").cast("double") / col("cctx").cast("double")) +
+      lit(0.25) * (col("cb").cast("double") / col("cprev").cast("double")) +
+      lit(0.25) * puni
+    val scored = ctx
+      .join(uni, "tok")
+      .join(uni.select(col("tok").as("prev"), col("cu").as("cprev")), Seq("prev"), "left")
+      .join(bi, Seq("prev", "tok"), "left")
+      .join(tri, Seq("prev2", "prev", "tok"), "left")
+      .join(biCtx, Seq("prev2", "prev"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("lp", round(-log(
+        when(col("prev").isNull, puni)
+          .when(col("prev2").isNull, pbi2)
+          .otherwise(ptri)), 6))
+    scored.groupBy(idCol)
+      .agg(
+        expr("""aggregate(transform(array_sort(collect_list(struct(pos, lp))),
+                            s -> s.lp),
+                          CAST(0.0 AS DOUBLE), (a, x) -> a + x)""").as("__sum"),
+        count(lit(1)).as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__sum") / col("n_tokens").cast("double")).as("avg_surprisal"))
+  }
+
   /** Interpolated-bigram surprisal — one Markov order up from
     * [[unigramSurprisal]] and the closest JVM-only stand-in for the KenLM
     * scores CCNet-style filters use:

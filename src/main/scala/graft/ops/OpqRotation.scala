@@ -166,6 +166,265 @@ object OpqRotation {
     allocatedRotation(ev, evec, m)
   }
 
+  /** Orthogonal-Procrustes factor of a (generally non-symmetric) d x d
+    * matrix N: the orthogonal R = U Vᵀ maximizing tr(Rᵀ N), built from
+    * N's SVD without an external solver — NᵀN = V Σ² Vᵀ comes from
+    * [[jacobiEigen]], U's columns are N vᵢ / σᵢ, and near-null singular
+    * directions are completed deterministically by Gram-Schmidt against
+    * the standard basis (fixed index order, so the result is reproducible
+    * bit-for-bit for a given N). */
+  def procrustesFactor(n: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = n.length
+    // NᵀN (symmetric)
+    val ntn = Array.ofDim[Double](d, d)
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        var s = 0.0
+        var k = 0
+        while (k < d) { s += n(k)(i) * n(k)(j); k += 1 }
+        ntn(i)(j) = s; ntn(j)(i) = s
+        j += 1
+      }
+      i += 1
+    }
+    val (s2, v) = jacobiEigen(ntn) // s2 desc, v columns orthonormal
+    val sigma = s2.map(x => math.sqrt(math.max(x, 0.0)))
+    val sMax = math.max(sigma.headOption.getOrElse(0.0), 1e-300)
+    // N is typically RANK-DEFICIENT here (PQ reconstructions span at most
+    // m*k directions), so near-null sigmas are numerical noise (~sqrt(eps)
+    // relative): N v / sigma would produce wildly non-orthogonal columns.
+    // Build U columns only for solidly non-null sigmas, then run modified
+    // Gram-Schmidt over ALL columns (re-orthonormalizing the computed
+    // ones, completing null ones from the standard basis) so U — and
+    // therefore R = U Vᵀ — is orthonormal to machine precision. Any
+    // orthonormal completion of the null space leaves tr(Rᵀ N) maximal:
+    // those directions contribute sigma ~ 0 regardless.
+    val u = Array.ofDim[Double](d, d)
+    var c = 0
+    while (c < d) {
+      val computed = sigma(c) > 1e-6 * sMax
+      val cand = new Array[Double](d)
+      if (computed) {
+        var r = 0
+        while (r < d) {
+          var s = 0.0
+          var k = 0
+          while (k < d) { s += n(r)(k) * v(k)(c); k += 1 }
+          cand(r) = s / sigma(c)
+          r += 1
+        }
+      }
+      // MGS against the columns built so far; degenerate candidates (null
+      // sigma, or a computed column that collapsed into the span) fall
+      // back to the first standard-basis vector with a solid residual —
+      // fixed index order keeps the completion deterministic.
+      var done = false
+      var basis = if (computed) -1 else 0 // -1 = try `cand` itself first
+      while (!done) {
+        if (basis >= d) throw new IllegalStateException("orthonormal completion failed")
+        val w = new Array[Double](d)
+        if (basis < 0) System.arraycopy(cand, 0, w, 0, d) else w(basis) = 1.0
+        var cc = 0
+        while (cc < c) {
+          var dot = 0.0
+          var k = 0
+          while (k < d) { dot += w(k) * u(k)(cc); k += 1 }
+          k = 0
+          while (k < d) { w(k) -= dot * u(k)(cc); k += 1 }
+          cc += 1
+        }
+        var nrm = 0.0
+        var k = 0
+        while (k < d) { nrm += w(k) * w(k); k += 1 }
+        // the best basis residual against d-1 orthonormal columns can be
+        // as small as 1/d in norm^2 — accept any solidly-nonzero residual
+        // (MGS makes it orthogonal regardless of its size)
+        if (nrm > 1e-6) {
+          val inv = 1.0 / math.sqrt(nrm)
+          k = 0
+          while (k < d) { u(k)(c) = w(k) * inv; k += 1 }
+          done = true
+        } else basis += 1
+      }
+      c += 1
+    }
+    // R = U Vᵀ
+    Array.tabulate(d, d)((r0, c0) => {
+      var s = 0.0
+      var k = 0
+      while (k < d) { s += u(r0)(k) * v(c0)(k); k += 1 }
+      s
+    })
+  }
+
+  /** Full iterative OPQ refinement (Ge et al., CVPR'13 — the
+    * non-parametric solution the eigenvalue-allocation init seeds):
+    * starting from rotation `r0`, alternate
+    *   (a) one Lloyd step of the m per-subspace codebooks over the
+    *       ROTATED data (nearest-centroid assignment, then centroid
+    *       means; empty centroids keep their previous value), and
+    *   (b) the orthogonal-Procrustes update of R: with reconstructions
+    *       ŷ frozen, the orthogonal R minimizing Σ‖Rx − ŷ‖² is
+    *       U Vᵀ from the SVD of N = Σ ŷ xᵀ ([[procrustesFactor]]).
+    * Both steps are exact minimizers of the shared objective given the
+    * other block, so the recorded per-iteration distortion sequence is
+    * monotonically non-increasing — the property the catalog oracle pins
+    * (q_opq_refined), alongside orthonormality and per-row isometry of
+    * the final R.
+    *
+    * Distributed shape per iteration: two treeAggregate passes over the
+    * vectors (rotate + assign fused into the pass — raw vectors never
+    * shuffle, nothing but d×d / m·k·(d/m) driver state syncs, exactly
+    * Spark ML KMeans' model-sync pattern). Deterministic for a given
+    * input: first-k-by-id codebook init, fixed partitioning, fixed
+    * tie-breaks (lowest centroid id).
+    *
+    * Returns (refined R, per-iteration mean distortion — one entry per
+    * iteration, measured AFTER that iteration's Lloyd step with the
+    * rotation that produced the assignments). */
+  def refineRotation(emb: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, m: Int, k: Int, iters: Int,
+                     r0: Array[Array[Double]]): (Array[Array[Double]], Array[Double]) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sd = dim / m
+    val xs = emb.select(VectorF.toDoubleArray(col(vecCol)))
+      .as[Seq[Double]].rdd.map(_.toArray)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRows = xs.count()
+    // deterministic codebook init: subspace slices of the first k vectors
+    // (by id) rotated with r0 — the same contract as
+    // ProductQuantization.trainCodebooks
+    val initVecs = emb.orderBy(col(idCol)).limit(k)
+      .select(VectorF.toDoubleArray(col(vecCol))).as[Seq[Double]]
+      .collect().map(_.toArray)
+    var r = r0
+    var books = Array.tabulate(m, k, sd) { (sub, cid, j) =>
+      if (cid < initVecs.length) {
+        val y = matVec(r0, initVecs(cid))
+        y(sub * sd + j)
+      } else 0.0
+    }
+    val objs = new Array[Double](iters)
+    var it = 0
+    while (it < iters) {
+      val brR = spark.sparkContext.broadcast(r)
+      val brBooks = spark.sparkContext.broadcast(books)
+      // pass 1 — Lloyd step: assign each rotated subvector to its nearest
+      // centroid and accumulate per-centroid sums/counts
+      val zero1 = (Array.ofDim[Double](m, k, sd), Array.ofDim[Long](m, k))
+      val (sums, counts) = xs.treeAggregate(zero1)(
+        seqOp = { case ((sm, ct), x) =>
+          val y = matVec(brR.value, x)
+          var sub = 0
+          while (sub < m) {
+            val cid = nearestCentroid(brBooks.value(sub), y, sub * sd, sd)
+            var j = 0
+            while (j < sd) { sm(sub)(cid)(j) += y(sub * sd + j); j += 1 }
+            ct(sub)(cid) += 1
+            sub += 1
+          }
+          (sm, ct)
+        },
+        combOp = { case ((s1, c1), (s2, c2)) =>
+          var sub = 0
+          while (sub < m) {
+            var cid = 0
+            while (cid < k) {
+              var j = 0
+              while (j < sd) { s1(sub)(cid)(j) += s2(sub)(cid)(j); j += 1 }
+              c1(sub)(cid) += c2(sub)(cid)
+              cid += 1
+            }
+            sub += 1
+          }
+          (s1, c1)
+        })
+      books = Array.tabulate(m, k, sd) { (sub, cid, j) =>
+        if (counts(sub)(cid) > 0) sums(sub)(cid)(j) / counts(sub)(cid)
+        else books(sub)(cid)(j) // empty centroid keeps its previous value
+      }
+      val brBooks2 = spark.sparkContext.broadcast(books)
+      // pass 2 — re-assign with the UPDATED books (also non-increasing),
+      // accumulating N = Σ ŷ xᵀ for the Procrustes step and the objective
+      val zero2 = (Array.ofDim[Double](dim, dim), 0.0)
+      val (nMat, objSum) = xs.treeAggregate(zero2)(
+        seqOp = { case ((nm, ob), x) =>
+          val y = matVec(brR.value, x)
+          val yhat = new Array[Double](dim)
+          var err = 0.0
+          var sub = 0
+          while (sub < m) {
+            val cid = nearestCentroid(brBooks2.value(sub), y, sub * sd, sd)
+            val cv = brBooks2.value(sub)(cid)
+            var j = 0
+            while (j < sd) {
+              yhat(sub * sd + j) = cv(j)
+              val dlt = y(sub * sd + j) - cv(j)
+              err += dlt * dlt
+              j += 1
+            }
+            sub += 1
+          }
+          var i = 0
+          while (i < dim) {
+            var j = 0
+            while (j < dim) { nm(i)(j) += yhat(i) * x(j); j += 1 }
+            i += 1
+          }
+          (nm, ob + err)
+        },
+        combOp = { case ((n1, o1), (n2, o2)) =>
+          var i = 0
+          while (i < dim) {
+            var j = 0
+            while (j < dim) { n1(i)(j) += n2(i)(j); j += 1 }
+            i += 1
+          }
+          (n1, o1 + o2)
+        })
+      objs(it) = objSum / nRows
+      r = procrustesFactor(nMat)
+      brR.destroy(); brBooks.destroy(); brBooks2.destroy()
+      it += 1
+    }
+    xs.unpersist(blocking = false)
+    (r, objs)
+  }
+
+  private def matVec(r: Array[Array[Double]], x: Array[Double]): Array[Double] = {
+    val d = r.length
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      var s = 0.0
+      var j = 0
+      val row = r(i)
+      while (j < d) { s += row(j) * x(j); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    out
+  }
+
+  private def nearestCentroid(book: Array[Array[Double]], y: Array[Double],
+                              off: Int, sd: Int): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var cid = 0
+    while (cid < book.length) {
+      val cv = book(cid)
+      var dsum = 0.0
+      var j = 0
+      while (j < sd) { val dl = y(off + j) - cv(j); dsum += dl * dl; j += 1 }
+      if (dsum < bestD) { bestD = dsum; best = cid } // strict < : lowest-cid tie-break
+      cid += 1
+    }
+    best
+  }
+
   /** Apply a rotation as a per-row mat-vec kernel: adds `rotCol`
     * (array<double>) = R x. Broadcast R; narrow map — no shuffle. */
   def rotate(emb: DataFrame, vecCol: String, rotCol: String,

@@ -308,6 +308,39 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(6)._5 && got(6)._3 == 5L && got(6)._4 == 5L)
   }
 
+  test("justextBlocks: densities classify, context resolves shorts by nearest neighbor") {
+    import graft.ops.Curation
+    val prose = (1 to 25).map(i => s"word$i").mkString(" ") // 25 words, no stopwords
+    val page =
+      """<div><a href="/">Home</a> <a href="/s">Sec</a></div>""" + "\n" +
+        s"<p>$prose</p>" + "\n" +
+        "<p>Read more</p>" + "\n" +
+        s"<p>$prose again and again more text</p>" + "\n" +
+        """<div>Copyright <a href="/tos">Terms of Service</a> 2024.</div>""" + "\n" +
+        "<p>Contact us</p>"
+    val df = Seq((1L, page)).toDF("doc_id", "page")
+    val got = Curation.justextBlocks(df, "page", "doc_id")
+      .orderBy("block_no")
+      .select("block_no", "prelim", "cls", "wc")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got.size == 6)
+    val byNo = got.map(r => r._1 -> r).toMap
+    assert(byNo(0)._2 == "bad" && byNo(0)._3 == "bad", s"nav: ${byNo(0)}") // link-heavy
+    assert(byNo(1)._2 == "good" && byNo(1)._3 == "good") // long prose
+    // "Read more": short, good neighbors on both sides at distance 1 -> good
+    assert(byNo(2)._2 == "short" && byNo(2)._3 == "good", s"stub: ${byNo(2)}")
+    assert(byNo(3)._2 == "good")
+    assert(byNo(4)._2 == "bad", s"footer: ${byNo(4)}") // link density 0.5
+    // "Contact us": short, nearest bad (footer, d=1) beats nearest good (d=2) -> bad
+    assert(byNo(5)._2 == "short" && byNo(5)._3 == "bad", s"tail stub: ${byNo(5)}")
+    // stopword-dense but sub-20-word prose is still content
+    val stopDense = Seq((2L, "<p>the cat is on the mat and it is a fine day for all of us</p>"))
+      .toDF("doc_id", "page")
+    val sd = Curation.justextBlocks(stopDense, "page", "doc_id")
+      .select("prelim").as[String].head()
+    assert(sd == "good", s"stopword-dense prose should be good, got $sd")
+  }
+
   test("urlCanonical: ports, case, slashes, params, fragments — edge shapes") {
     import graft.ops.UrlOps
     val got = UrlOps.canonicalize(Seq(

@@ -159,6 +159,57 @@ class PqSketchSpec extends AnyFunSuite {
       s"OPQ rotation should not hurt quantization: $dPlain -> $dRot")
   }
 
+  test("OPQ: iterative refinement monotonically decreases distortion, " +
+      "stays orthogonal, and improves on the allocation init") {
+    import graft.ops.OpqRotation
+    val dim = 64
+    val r0 = OpqRotation.learnRotation(emb, "embedding", dim, 4)
+    val (r, objs) = OpqRotation.refineRotation(
+      emb, "vec_id", "embedding", dim, 4, 8, 4, r0)
+    // per-iteration objective is non-increasing (alternating exact minimizers)
+    objs.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9, s"objective increased: ${objs.mkString(", ")}")
+    }
+    // refined R is still exactly orthonormal (Procrustes returns U V^T)
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val dot = (0 until dim).map(k => r(k)(i) * r(k)(j)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-8, s"RtR($i,$j) = $dot")
+    }
+    // end-to-end: PQ distortion under the refined rotation must not be
+    // worse than under the eigenvalue-allocation init (same first-k-init
+    // codebook protocol on both sides)
+    val rotInit = OpqRotation.rotate(emb, "embedding", "rv", r0)
+    val rotRef = OpqRotation.rotate(emb, "embedding", "rv", r)
+    val bInit = PQ.trainCodebooks(rotInit, "vec_id", "rv", 4, 8, dim, 1)
+    val bRef = PQ.trainCodebooks(rotRef, "vec_id", "rv", 4, 8, dim, 1)
+    val dInit = PQ.meanDistortion(rotInit, bInit, "vec_id", "rv", 4, dim)
+    val dRef = PQ.meanDistortion(rotRef, bRef, "vec_id", "rv", 4, dim)
+    assert(dRef <= dInit * 1.05,
+      s"refinement should not hurt quantization: $dInit -> $dRef")
+    // deterministic: a second run reproduces R bit-for-bit
+    val (r2, objs2) = OpqRotation.refineRotation(
+      emb, "vec_id", "embedding", dim, 4, 8, 4, r0)
+    assert(objs.sameElements(objs2))
+    for (i <- 0 until dim; j <- 0 until dim)
+      assert(r(i)(j) == r2(i)(j), s"nondeterministic R($i,$j)")
+  }
+
+  test("OPQ: Procrustes factor of an orthogonal matrix is that matrix") {
+    import graft.ops.OpqRotation
+    // any rotation seeded from a known orthogonal matrix: N = 5.0 * Q has
+    // SVD U=Q, V=I (up to sign), so the factor must recover Q exactly
+    val theta = 0.7
+    val q = Array(
+      Array(math.cos(theta), -math.sin(theta), 0.0),
+      Array(math.sin(theta), math.cos(theta), 0.0),
+      Array(0.0, 0.0, 1.0))
+    val n = q.map(_.map(_ * 5.0))
+    val r = OpqRotation.procrustesFactor(n)
+    for (i <- 0 until 3; j <- 0 until 3)
+      assert(math.abs(r(i)(j) - q(i)(j)) < 1e-9, s"($i,$j): ${r(i)(j)} vs ${q(i)(j)}")
+  }
+
   test("streaming PQ encode matches batch encode code-for-code") {
     import graft.streaming.StreamingPq
     val tmp = java.nio.file.Files.createTempDirectory("graft_spq").toString

@@ -104,6 +104,36 @@ class QuantAnnSpec extends AnyFunSuite {
     assert(math.abs(big.head._3 - perTok) < 1e-9, s"${big.head._3} vs $perTok")
   }
 
+  test("trigramSurprisal: order-3 context beats bigram on period-3 text; closed form") {
+    // "a a b a a b a a b" — after a lone 'a' the next token is ambiguous
+    // (a or b), but after the PAIR (a,a) it is always 'b' and after (b,a)
+    // always 'a': exactly the signal an order-3 model captures and an
+    // order-2 model cannot. Two identical docs exercise corpus pooling.
+    val df = Seq(
+      (1L, "a a b a a b a a b"), (2L, "a a b a a b a a b")
+    ).toDF("doc_id", "text")
+    val big = graft.ops.LanguageModel.bigramSurprisal(df, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    val tri = graft.ops.LanguageModel.trigramSurprisal(df, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(tri.map(_._2).toSeq == big.map(_._2).toSeq, "token counts agree")
+    tri.zip(big).foreach { case ((_, _, t), (_, _, b)) =>
+      assert(t < b, s"order-3 context must lower surprisal here: $t vs $b")
+    }
+    // closed form (pooled counts: c(a)=12, c(b)=6, N=18; pairs aa=6, ab=6,
+    // ba=4; triples aab=6, aba=4, baa=4), replaying the engine's exact
+    // per-token round-6-then-fold:
+    def r6d(x: Double) = math.round(x * 1e6) / 1e6
+    val puniA = 12.0 / 18.0
+    val lp1 = r6d(-math.log(puniA))
+    val lp2 = r6d(-math.log(0.75 * (6.0 / 12.0) + 0.25 * puniA))
+    val lpAAb = r6d(-math.log(0.5 * (6.0 / 6.0) + 0.25 * (6.0 / 12.0) + 0.25 * (6.0 / 18.0)))
+    val lpABa = r6d(-math.log(0.5 * (4.0 / 6.0) + 0.25 * (4.0 / 6.0) + 0.25 * puniA))
+    val lpBAa = r6d(-math.log(0.5 * (4.0 / 4.0) + 0.25 * (6.0 / 12.0) + 0.25 * puniA))
+    val perTok = (lp1 + lp2 + 3.0 * lpAAb + 2.0 * lpABa + 2.0 * lpBAa) / 9.0
+    assert(math.abs(tri.head._3 - perTok) < 1e-9, s"${tri.head._3} vs $perTok")
+  }
+
   test("upsampleByWeight: integer weights exact, fractional in expectation, deterministic") {
     val df = (1 to 1000).map(i => (i.toLong, if (i <= 500) 2.0 else 0.5))
       .toDF("doc_id", "wt")
