@@ -3177,7 +3177,150 @@ object QueryCatalog {
                count(*) AS n_samples,
                sqrt(sum(v * v) / CAST(32 AS DOUBLE)) AS rms
         FROM v GROUP BY doc_id, window_no
-        ORDER BY doc_id, window_no"""))
+        ORDER BY doc_id, window_no""")),
+
+    // Haar-wavelet audio fingerprints over REAL PCM byte round-trips: the
+    // sample payload is keyed by doc_id % 50 (a CONTENT class) while the
+    // container's sample-rate fields vary by doc_id — so byte hashes
+    // differ within a class but decoded-sample fingerprints agree. Exact
+    // integer arithmetic end to end: the oracle recomputes every Haar
+    // difference, band energy, and sign bit from the sample FORMULA, so
+    // the LE serialization, chunk walk, sign extension, and wavelet
+    // kernel are all under the hash.
+    Q("q_audio_fingerprint",
+      (s, dir) => {
+        def le(e: String, nBytes: Int): String =
+          (0 until nBytes).map(i =>
+            s"lpad(hex((($e) div ${1L << (8 * i)}) % 256), 2, '0')")
+            .mkString("concat(", ", ", ")")
+        val u = "((((doc_id % 50) * 131 + s__ * 17) % 2001 - 1000) + 65536) % 65536"
+        val pcmHex = s"array_join(transform(sequence(0, 95), " +
+          s"s__ -> concat(lpad(hex(($u) % 256), 2, '0'), " +
+          s"lpad(hex(($u) div 256), 2, '0'))), '')"
+        val withBytes = t(s, dir, "documents")
+          .withColumn("sr", (lit(8000) + (col("doc_id") % 8) * 1000).cast("long"))
+          .withColumn("wav", unhex(expr(
+            s"""concat('52494646', ${le("36 + 192", 4)}, '57415645',
+                '666D7420', '10000000', '0100', '0100', ${le("sr", 4)},
+                ${le("sr * 2", 4)}, '0200', '1000',
+                '64617461', ${le("192", 4)}, $pcmHex)""")))
+        graft.multimodal.BinaryColumns.pcmHaarFingerprints(withBytes, "wav", "doc_id")
+          .orderBy("doc_id", "window_no")
+      },
+      Some("""
+        WITH g AS (SELECT doc_id, doc_id % 50 AS cls FROM documents),
+        win AS (SELECT doc_id, cls, unnest(range(0, 3)) AS w FROM g),
+        d1 AS (SELECT doc_id, w, i,
+                      (CAST((cls * 131 + (32*w + 2*i) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 2*i + 1) * 17) % 2001 - 1000 AS BIGINT)) AS d
+               FROM win, range(0, 16) r(i)),
+        d2 AS (SELECT doc_id, w, i,
+                      (CAST((cls * 131 + (32*w + 4*i) * 17) % 2001 - 1000 AS BIGINT)
+                     + CAST((cls * 131 + (32*w + 4*i + 1) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 4*i + 2) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 4*i + 3) * 17) % 2001 - 1000 AS BIGINT)) AS d
+               FROM win, range(0, 8) r(i)),
+        d3 AS (SELECT doc_id, w, i,
+                      (CAST((cls * 131 + (32*w + 8*i) * 17) % 2001 - 1000 AS BIGINT)
+                     + CAST((cls * 131 + (32*w + 8*i + 1) * 17) % 2001 - 1000 AS BIGINT)
+                     + CAST((cls * 131 + (32*w + 8*i + 2) * 17) % 2001 - 1000 AS BIGINT)
+                     + CAST((cls * 131 + (32*w + 8*i + 3) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 8*i + 4) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 8*i + 5) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 8*i + 6) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 8*i + 7) * 17) % 2001 - 1000 AS BIGINT)) AS d
+               FROM win, range(0, 4) r(i)),
+        l1 AS (SELECT doc_id, w, CAST(sum(d*d) AS BIGINT) AS e1,
+                      CAST(sum(CASE WHEN d > 0 THEN 1 << CAST(i AS INT) ELSE 0 END) AS BIGINT) AS f1
+               FROM d1 GROUP BY doc_id, w),
+        l2 AS (SELECT doc_id, w, CAST(sum(d*d) AS BIGINT) AS e2,
+                      CAST(sum(CASE WHEN d > 0 THEN 1 << CAST(16 + i AS INT) ELSE 0 END) AS BIGINT) AS f2
+               FROM d2 GROUP BY doc_id, w),
+        l3 AS (SELECT doc_id, w, CAST(sum(d*d) AS BIGINT) AS e3,
+                      CAST(sum(CASE WHEN d > 0 THEN 1 << CAST(24 + i AS INT) ELSE 0 END) AS BIGINT) AS f3
+               FROM d3 GROUP BY doc_id, w)
+        SELECT doc_id, CAST(w AS BIGINT) AS window_no, e1, e2, e3,
+               (f1 + f2 + f3) AS fp
+        FROM l1 JOIN l2 USING (doc_id, w) JOIN l3 USING (doc_id, w)
+        ORDER BY doc_id, window_no""")),
+
+    // Audio CONTENT dedup on the fingerprint-sequence hash: docs sharing
+    // a sample class collide on md5(fp sequence) even though their
+    // container bytes differ (sample-rate fields vary by doc_id) — the
+    // dedup a byte hash (q_binary_meta's content_hash) cannot do.
+    // Canonical = lowest doc_id per content hash, one window over
+    // (doc_id, hash) rows.
+    Q("q_audio_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        def le(e: String, nBytes: Int): String =
+          (0 until nBytes).map(i =>
+            s"lpad(hex((($e) div ${1L << (8 * i)}) % 256), 2, '0')")
+            .mkString("concat(", ", ", ")")
+        val u = "((((doc_id % 50) * 131 + s__ * 17) % 2001 - 1000) + 65536) % 65536"
+        val pcmHex = s"array_join(transform(sequence(0, 95), " +
+          s"s__ -> concat(lpad(hex(($u) % 256), 2, '0'), " +
+          s"lpad(hex(($u) div 256), 2, '0'))), '')"
+        val withBytes = t(s, dir, "documents")
+          .withColumn("sr", (lit(8000) + (col("doc_id") % 8) * 1000).cast("long"))
+          .withColumn("wav", unhex(expr(
+            s"""concat('52494646', ${le("36 + 192", 4)}, '57415645',
+                '666D7420', '10000000', '0100', '0100', ${le("sr", 4)},
+                ${le("sr * 2", 4)}, '0200', '1000',
+                '64617461', ${le("192", 4)}, $pcmHex)""")))
+        graft.multimodal.BinaryColumns.pcmHaarFingerprints(withBytes, "wav", "doc_id")
+          .groupBy(col("doc_id"))
+          .agg(expr("""md5(array_join(transform(
+                 array_sort(collect_list(struct(window_no, fp))),
+                 s__ -> CAST(s__.fp AS STRING)), ','))""").as("content_fp"))
+          .withColumn("canonical_id",
+            min(col("doc_id")).over(Window.partitionBy(col("content_fp"))))
+          .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+          .select(col("doc_id"), col("content_fp"), col("canonical_id"), col("is_dup"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH g AS (SELECT doc_id, doc_id % 50 AS cls FROM documents),
+        win AS (SELECT doc_id, cls, unnest(range(0, 3)) AS w FROM g),
+        d1 AS (SELECT doc_id, w, i,
+                      (CAST((cls * 131 + (32*w + 2*i) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 2*i + 1) * 17) % 2001 - 1000 AS BIGINT)) AS d
+               FROM win, range(0, 16) r(i)),
+        d2 AS (SELECT doc_id, w, i,
+                      (CAST((cls * 131 + (32*w + 4*i) * 17) % 2001 - 1000 AS BIGINT)
+                     + CAST((cls * 131 + (32*w + 4*i + 1) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 4*i + 2) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 4*i + 3) * 17) % 2001 - 1000 AS BIGINT)) AS d
+               FROM win, range(0, 8) r(i)),
+        d3 AS (SELECT doc_id, w, i,
+                      (CAST((cls * 131 + (32*w + 8*i) * 17) % 2001 - 1000 AS BIGINT)
+                     + CAST((cls * 131 + (32*w + 8*i + 1) * 17) % 2001 - 1000 AS BIGINT)
+                     + CAST((cls * 131 + (32*w + 8*i + 2) * 17) % 2001 - 1000 AS BIGINT)
+                     + CAST((cls * 131 + (32*w + 8*i + 3) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 8*i + 4) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 8*i + 5) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 8*i + 6) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 8*i + 7) * 17) % 2001 - 1000 AS BIGINT)) AS d
+               FROM win, range(0, 4) r(i)),
+        l1 AS (SELECT doc_id, w,
+                      CAST(sum(CASE WHEN d > 0 THEN 1 << CAST(i AS INT) ELSE 0 END) AS BIGINT) AS f1
+               FROM d1 GROUP BY doc_id, w),
+        l2 AS (SELECT doc_id, w,
+                      CAST(sum(CASE WHEN d > 0 THEN 1 << CAST(16 + i AS INT) ELSE 0 END) AS BIGINT) AS f2
+               FROM d2 GROUP BY doc_id, w),
+        l3 AS (SELECT doc_id, w,
+                      CAST(sum(CASE WHEN d > 0 THEN 1 << CAST(24 + i AS INT) ELSE 0 END) AS BIGINT) AS f3
+               FROM d3 GROUP BY doc_id, w),
+        fpw AS (SELECT doc_id, w, (f1 + f2 + f3) AS fp
+                FROM l1 JOIN l2 USING (doc_id, w) JOIN l3 USING (doc_id, w)),
+        doc AS (SELECT doc_id,
+                       md5(array_to_string(list(CAST(fp AS VARCHAR) ORDER BY w), ',')) AS content_fp
+                FROM fpw GROUP BY doc_id)
+        SELECT doc_id, content_fp,
+               CAST(min(doc_id) OVER (PARTITION BY content_fp) AS BIGINT) AS canonical_id,
+               doc_id <> min(doc_id) OVER (PARTITION BY content_fp) AS is_dup
+        FROM doc
+        ORDER BY doc_id"""))
   )
 
   /** Deterministic PNG synthesis for the decoded-pixel oracles: paints the

@@ -284,6 +284,81 @@ object BinaryColumns {
       .toDF(idCol, "window_no", "n_samples", "rms")
   }
 
+  /** Haar-wavelet audio fingerprint over 16-bit PCM WAV payloads — the
+    * audio analog of the image aHash family, inspired by the
+    * Philips-robust-hash / Chromaprint shape but defined over EXACT
+    * integer arithmetic so every bit is engine-reproducible:
+    *
+    * per 32-sample window,
+    *   - level-1 Haar differences d1(i) = s(2i) − s(2i+1)   (16 values)
+    *   - level-2 over pair sums   d2(i) = a1(2i) − a1(2i+1) (8 values)
+    *   - level-3 over quad sums   d3(i) = a2(2i) − a2(2i+1) (4 values)
+    *   - band energies e1/e2/e3 = Σ d², exact BIGINTs (16-bit samples
+    *     keep every sum far inside Long), and
+    *   - a 28-bit fingerprint: bit i = [d1(i) > 0], bit 16+i = [d2(i) > 0],
+    *     bit 24+i = [d3(i) > 0] — the sign skeleton of the spectrum,
+    *     robust to container metadata (sample-rate fields, chunk layout)
+    *     because it reads DECODED samples, not bytes. Trailing partial
+    *     windows are dropped (no stable spectrum on a stub).
+    *
+    * A fingerprint-sequence hash therefore identifies audio CONTENT where
+    * a byte hash identifies files: re-containerized duplicates collide
+    * here and differ there. Narrow flatMap generator — one pass per
+    * payload, no shuffle, rows carry no audio bytes.
+    *
+    * Output: (idCol, window_no, e1, e2, e3, fp). */
+  def pcmHaarFingerprints(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val W = 32
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        val d = findPcmData(b)
+        if (d == null) Iterator.empty
+        else {
+          val (off, len, _, _) = d
+          val nSamples = len / 2
+          (0 until nSamples / W).iterator.map { w =>
+            val s = new Array[Long](W)
+            var i = 0
+            while (i < W) {
+              val lo = b(off + 2 * (w * W + i)) & 0xFF
+              val hi = b(off + 2 * (w * W + i) + 1).toInt // sign-extends
+              s(i) = ((hi << 8) | lo).toShort.toLong
+              i += 1
+            }
+            val d1 = Array.tabulate(16)(i => s(2 * i) - s(2 * i + 1))
+            val a1 = Array.tabulate(16)(i => s(2 * i) + s(2 * i + 1))
+            val d2 = Array.tabulate(8)(i => a1(2 * i) - a1(2 * i + 1))
+            val a2 = Array.tabulate(8)(i => a1(2 * i) + a1(2 * i + 1))
+            val d3 = Array.tabulate(4)(i => a2(2 * i) - a2(2 * i + 1))
+            var e1 = 0L; var e2 = 0L; var e3 = 0L; var fp = 0L
+            var k = 0
+            while (k < 16) {
+              e1 += d1(k) * d1(k)
+              if (d1(k) > 0) fp |= 1L << k
+              k += 1
+            }
+            k = 0
+            while (k < 8) {
+              e2 += d2(k) * d2(k)
+              if (d2(k) > 0) fp |= 1L << (16 + k)
+              k += 1
+            }
+            k = 0
+            while (k < 4) {
+              e3 += d3(k) * d3(k)
+              if (d3(k) > 0) fp |= 1L << (24 + k)
+              k += 1
+            }
+            (id, w.toLong, e1, e2, e3, fp)
+          }
+        }
+      }
+      .toDF(idCol, "window_no", "e1", "e2", "e3", "fp")
+  }
+
   /** Frame-sampling shape for video: emit every `stride`-th chunk offset of
     * the binary payload as a "frame" row (1->N generator; the real codec
     * would decode actual frames). */

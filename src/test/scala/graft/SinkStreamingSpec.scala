@@ -212,4 +212,42 @@ class SinkStreamingSpec extends AnyFunSuite {
     assert(got(1)._4 == 1000.0, s"constant-amplitude RMS is the amplitude: ${got(1)._4}")
     assert(got(2)._4 == 2000.0, s"negative constant amplitude: ${got(2)._4}")
   }
+
+  test("pcm Haar fingerprints: closed forms, container-invariance, partial window dropped") {
+    import spark.implicits._
+    def le16(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int): Array[Byte] =
+      Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xFF).toByte)
+    def wav(samples: Array[Int], sr: Int): Array[Byte] = {
+      val pcm = samples.flatMap(le16)
+      "RIFF".getBytes ++ le32(36 + pcm.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(sr) ++
+        le32(sr * 2) ++ le16(2) ++ le16(16) ++
+        "data".getBytes ++ le32(pcm.length) ++ pcm
+    }
+    // alternating +-A: every level-1 diff is 2A (bit set), every pair sum
+    // is 0 so levels 2-3 are all zero -> fp = 0x0000FFFF, e1 = 16*(2A)^2
+    val alt = Array.tabulate(32)(i => if (i % 2 == 0) 500 else -500)
+    // constant signal: all diffs zero -> fp 0, energies 0
+    val const = Array.fill(32)(700)
+    // 40 samples = one full window + dropped partial tail
+    val partial = Array.tabulate(40)(i => i * 3 - 50)
+    val df = Seq(
+      (1L, wav(alt, 8000)),
+      (2L, wav(alt, 44100)), // same samples, different container fields
+      (3L, wav(const, 8000)),
+      (4L, wav(partial, 8000)),
+      (5L, Array[Byte](9, 9, 9))).toDF("id", "content")
+    val got = BinaryColumns.pcmHaarFingerprints(df, "content", "id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L), "one window each; hostile bytes none")
+    val alt1 = got(0)
+    assert(alt1._6 == 0xFFFFL, f"alternating signal sets exactly the 16 level-1 bits: ${alt1._6}%x")
+    assert(alt1._3 == 16L * 1000 * 1000 && alt1._4 == 0L && alt1._5 == 0L)
+    assert(got(1).copy(_1 = 1L) == alt1, "same samples, different sample rate: same fingerprint")
+    assert(wav(alt, 8000).toSeq != wav(alt, 44100).toSeq, "...though the bytes differ")
+    assert(got(2)._6 == 0L && got(2)._3 == 0L, "constant signal: no sign bits, no band energy")
+    assert(got(3)._2 == 0L, "40 samples yield exactly one window (partial tail dropped)")
+  }
 }
