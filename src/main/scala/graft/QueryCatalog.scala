@@ -7012,6 +7012,46 @@ object QueryCatalog {
         FROM urls u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rn = 1
         ORDER BY u.doc_id""")),
 
+    // Politeness scheduler — the stage AFTER the robots gate: parse
+    // Crawl-delay with the same group machine (agent-specific beats '*',
+    // h%11==7 hosts declare none -> default), then per-host rank windows
+    // assign fetch slots (rank-1)*delay and 60s batch waves. The oracle
+    // regenerates delays from the residue formula and replays the window
+    // — group selection, delay parsing, and slot arithmetic all under
+    // the hash. Delays broadcast; the frontier shuffles once into the
+    // host window.
+    Q("q_frontier_schedule",
+      (s, dir) => {
+        val docs = tk(s, dir, "documents")
+        val delays = graft.ops.Robots.parseCrawlDelays(
+          synthRobots(docs), "host", "txt")
+        val urls = docs.selectExpr("doc_id",
+          s"'h' || ${Dialect.spark.castStr("doc_id % 41")} AS host")
+        graft.ops.Robots.scheduleFrontier(urls, delays, "GraftBot",
+            "doc_id", "host", 5000L, 60000L)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH urls AS (
+          SELECT doc_id, doc_id % 41 AS h,
+                 'h' || ${D.castStr("doc_id % 41")} AS host
+          FROM documents),
+        d AS (
+          SELECT doc_id, host,
+                 CAST(CASE WHEN h % 3 = 0 THEN (h % 4 + 1) * 1000
+                           WHEN h % 11 <> 7 THEN (2 + h % 3) * 1000
+                           ELSE 5000 END AS BIGINT) AS delay_ms
+          FROM urls),
+        r AS (
+          SELECT doc_id, host, delay_ms,
+                 CAST((row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1)
+                      * delay_ms AS BIGINT) AS fetch_slot_ms
+          FROM d)
+        SELECT doc_id, host, delay_ms, fetch_slot_ms,
+               CAST(fetch_slot_ms // 60000 AS BIGINT) AS batch_no
+        FROM r
+        ORDER BY doc_id""")),
+
     // Sitemap XML scan — the crawl-DISCOVERY feed (robots points at
     // sitemaps, their <loc>s seed the frontier the robots gate filters).
     // Pure codegen regexp kernel: <url> block split + field extracts +
@@ -7135,12 +7175,17 @@ object QueryCatalog {
       sb ++= (if (h % 2 == 0) "User-agent: *\n" else "USER-AGENT: *\n")
       sb ++= s"Disallow: /private$a/\n"
       sb ++= s"Allow: /private$a/pub/   # keep the published subtree\n"
-      sb ++= "Crawl-delay: 2\n"
+      // residue-varying delay; h%11==7 hosts declare NONE (default path).
+      // crawl-delay lines don't change RULE attribution (any non-UA
+      // directive just closes the group), so the parse/filter oracles
+      // are unaffected by this variation.
+      if (h % 11 != 7) sb ++= s"Crawl-delay: ${2 + h % 3}\n"
       if (h % 3 == 0) {
         sb ++= "User-agent: GraftBot\n"
         if (b == 2) sb ++= "user-agent: OtherBot\n"
         sb ++= s"Disallow: /bot$b/*\n"
         sb ++= s"Allow: /bot$b/ok$$\n"
+        sb ++= s"Crawl-delay: ${h % 4 + 1}\n" // agent-specific delay
       }
       if (h % 4 == 1) sb ++= "Disallow:\n"
       sb.toString

@@ -64,6 +64,86 @@ object Robots {
       .toDF(hostCol, "agent", "allow", "pattern", "patlen")
   }
 
+  /** Parse `Crawl-delay` directives (the de-facto politeness extension;
+    * RFC 9309 leaves it unspecified but every major engine honors it) —
+    * same group-attribution machine as [[parseRules]]: a delay belongs to
+    * every agent of its group, unknown directives don't split groups,
+    * non-integer values are ignored. Output: (host, agent, delay_ms). */
+  def parseCrawlDelays(df: DataFrame, hostCol: String, txtCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(hostCol).cast("string"), col(txtCol).cast("string"))
+      .as[(String, String)]
+      .flatMap { case (host, txt) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var agents = List.empty[String]
+        var groupClosed = false
+        for (raw <- Option(txt).getOrElse("").split("\n", -1)) {
+          val line = raw.takeWhile(_ != '#').trim
+          if (line.nonEmpty) line.indexOf(':') match {
+            case -1 => groupClosed = true
+            case ci =>
+              val field = line.substring(0, ci).trim.toLowerCase
+              val value = line.substring(ci + 1).trim
+              field match {
+                case "user-agent" =>
+                  agents = if (groupClosed) List(value.toLowerCase)
+                           else agents :+ value.toLowerCase
+                  groupClosed = false
+                case "crawl-delay" =>
+                  groupClosed = true
+                  value.toLongOption.foreach { secs =>
+                    if (agents.nonEmpty)
+                      for (a <- agents) out += ((host, a, secs * 1000L))
+                  }
+                case _ => groupClosed = true
+              }
+          }
+        }
+        out
+      }
+      .toDF(hostCol, "agent", "delay_ms")
+  }
+
+  /** Politeness scheduler over an (allowed) frontier: per host, URLs are
+    * ranked deterministically by `idCol` and assigned fetch slots
+    * `(rank - 1) * delay_ms` plus the `batchMs`-wide wave each slot lands
+    * in — the assignment a distributed fetcher needs to respect
+    * per-host crawl delays while saturating everything else. Delay
+    * selection mirrors [[filterFrontier]]'s group rule (the target
+    * agent's delay when the host declares one, else `*`, else
+    * `defaultDelayMs`; multiple declarations keep the LARGEST — the
+    * polite reading).
+    *
+    * Scale shape: delays are per-host-bounded and broadcast; the only
+    * wide stage is one host-keyed window over (id, host) rows. A
+    * million-URL host getting million-slot spreads is the politeness
+    * SEMANTICS, not plan skew — the batch_no column is what lets a
+    * fetcher partition that long tail across waves.
+    *
+    * Output: (idCol, hostCol, delay_ms, fetch_slot_ms, batch_no). */
+  def scheduleFrontier(urls: DataFrame, delays: DataFrame, agent: String,
+                       idCol: String, hostCol: String,
+                       defaultDelayMs: Long, batchMs: Long): DataFrame = {
+    val a = agent.toLowerCase
+    val hasAgent = delays.groupBy(col(hostCol))
+      .agg(max(when(col("agent") === a, 1).otherwise(0)).as("has_agent"))
+    val eff = delays.join(hasAgent, hostCol)
+      .where((col("agent") === a && col("has_agent") === 1) ||
+             (col("agent") === "*" && col("has_agent") === 0))
+      .groupBy(col(hostCol)).agg(max(col("delay_ms")).as("d_ms"))
+      .select(col(hostCol).as("d_host"), col("d_ms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(hostCol)).orderBy(col(idCol))
+    urls.join(broadcast(eff), col(hostCol) === col("d_host"), "left")
+      .withColumn("delay_ms", coalesce(col("d_ms"), lit(defaultDelayMs)))
+      .withColumn("fetch_slot_ms",
+        (row_number().over(w) - 1).cast("long") * col("delay_ms"))
+      .withColumn("batch_no", expr(s"fetch_slot_ms div $batchMs"))
+      .select(col(idCol), col(hostCol), col("delay_ms"),
+        col("fetch_slot_ms"), col("batch_no"))
+  }
+
   /** Robots pattern -> SQL LIKE pattern (escape `\`): `%`/`_`/`\` in the
     * pattern are escaped, `*` becomes `%`, a terminal `$` anchors the end
     * (no trailing `%`), otherwise the pattern is a prefix match. */

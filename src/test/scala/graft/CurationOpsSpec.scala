@@ -493,4 +493,34 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(Robots.likePattern("/a/end$") == "/a/end")
     assert(Robots.likePattern("/100%_off") == "/100\\%\\_off%")
   }
+
+  test("crawl delays + frontier scheduler: agent selection, max-of-dups, default, slots") {
+    import graft.ops.Robots
+    val txt =
+      "User-agent: *\nCrawl-delay: 2\n" +
+        "User-agent: GraftBot\nDisallow: /x\nCrawl-delay: 10\nCrawl-delay: 4\n" +
+        "User-agent: other\nCrawl-delay: 1.5\n" // non-integer -> ignored
+    val robots = Seq(("a", txt), ("b", "User-agent: *\nCrawl-delay: 3\n"))
+      .toDF("host", "txt")
+    val delays = Robots.parseCrawlDelays(robots, "host", "txt")
+    val parsed = delays.as[(String, String, Long)].collect().toSet
+    assert(parsed == Set(("a", "*", 2000L), ("a", "graftbot", 10000L),
+      ("a", "graftbot", 4000L), ("b", "*", 3000L)))
+    // frontier: host a has an agent-specific delay (max of dups = 10s);
+    // host b falls to '*' (3s); host c is undeclared (default 5s)
+    val urls = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"),
+      (4L, "b"), (5L, "b"),
+      (6L, "c")).toDF("url_id", "host")
+    val got = Robots.scheduleFrontier(urls, delays, "GraftBot",
+        "url_id", "host", 5000L, 15000L)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "a", 10000L, 0L, 0L),
+      (2L, "a", 10000L, 10000L, 0L),
+      (3L, "a", 10000L, 20000L, 1L),
+      (4L, "b", 3000L, 0L, 0L),
+      (5L, "b", 3000L, 3000L, 0L),
+      (6L, "c", 5000L, 0L, 0L)), got.toString)
+  }
 }
