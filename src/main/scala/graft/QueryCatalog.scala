@@ -3137,6 +3137,50 @@ object QueryCatalog {
                CAST(((doc_id % 1000 + 1) * 100) * 1000 //
                     ((8000 + (doc_id % 8) * 1000) * (doc_id % 2 + 1) * 2) AS BIGINT) AS duration_ms
         FROM documents
+        ORDER BY doc_id""")),
+
+    // REAL video-container parsing (multimodal triage, codec-free): the
+    // Spark side CONSTRUCTS spec-shaped ISO-BMFF (MP4) bytes — ftyp,
+    // moov nesting a full-size mvhd (timescale/duration) and trak/tkhd
+    // (16.16-fixed width/height at payload offsets 76/80) — and the
+    // BinaryColumns kernel walks the big-endian box tree back. The
+    // oracle recomputes every field arithmetically from the residue
+    // formulas, so the box walk, nesting recursion, fixed-point shift,
+    // and duration arithmetic are all under the hash.
+    Q("q_video_meta",
+      (s, dir) => {
+        def be(e: String): String = s"lpad(hex($e), 8, '0')"
+        def zeros(n: Int): String = "'" + "00" * n + "'"
+        val withBytes = t(s, dir, "documents")
+          .withColumn("ts", (lit(600) + (col("doc_id") % 5) * 120).cast("long"))
+          .withColumn("dur", ((col("doc_id") % 1000 + 1) * 250).cast("long"))
+          .withColumn("w", (lit(160) + (col("doc_id") % 8) * 16).cast("long"))
+          .withColumn("h", (lit(120) + (col("doc_id") % 6) * 24).cast("long"))
+          .withColumn("mp4", unhex(expr(
+            s"""concat(
+                '00000010', '66747970', '69736F6D', '00000000',
+                '000000D8', '6D6F6F76',
+                '0000006C', '6D766864', '00000000', '00000000', '00000000',
+                ${be("ts")}, ${be("dur")}, ${zeros(80)},
+                '00000064', '7472616B',
+                '0000005C', '746B6864', ${zeros(76)},
+                ${be("w * 65536")}, ${be("h * 65536")})""")))
+        graft.multimodal.BinaryColumns.withVideoMeta(withBytes, "mp4")
+          .select(col("doc_id"), col("video_format"),
+            col("video_timescale").cast("long").as("timescale"),
+            col("video_duration_ms").as("duration_ms"),
+            col("video_width").cast("long").as("width"),
+            col("video_height").cast("long").as("height"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, 'mp4' AS video_format,
+               CAST(600 + (doc_id % 5) * 120 AS BIGINT) AS timescale,
+               CAST(((doc_id % 1000 + 1) * 250) * 1000 //
+                    (600 + (doc_id % 5) * 120) AS BIGINT) AS duration_ms,
+               CAST(160 + (doc_id % 8) * 16 AS BIGINT) AS width,
+               CAST(120 + (doc_id % 6) * 24 AS BIGINT) AS height
+        FROM documents
         ORDER BY doc_id"""))
   )
 

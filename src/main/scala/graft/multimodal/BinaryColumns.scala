@@ -284,6 +284,83 @@ object BinaryColumns {
       .toDF(idCol, "window_no", "n_samples", "rms")
   }
 
+  /** REAL video-container header parsing (codec-free) — the video analog
+    * of [[parseWavHeader]]: ISO BMFF (MP4) box walk. Boxes are
+    * [size:4 BE][type:4][payload]; `moov` nests `mvhd` (movie header:
+    * timescale + duration after the 4-byte version/flags and 8 bytes of
+    * times) and `trak`/`tkhd` (track header: 16.16-fixed width/height at
+    * payload offsets 76/80). size==1 pulls a 64-bit largesize, size==0
+    * runs to end-of-enclosing-box. Size fields are attacker-controlled:
+    * offsets advance in Long space and anything that fails to advance or
+    * overruns degrades to a partial parse — never a spin or an
+    * out-of-bounds read. True frame DECODE stays impossible in a
+    * zero-egress JVM (H.264 etc.); the container metadata walk is the
+    * real triage stage a pipeline runs before routing to decode workers.
+    *
+    * Returns (format, timescale, duration_ms, width, height);
+    * ("unknown", -1, -1, -1, -1) for non-BMFF payloads. */
+  def parseMp4Header(b: Array[Byte]): (String, Long, Long, Int, Int) = {
+    @inline def u(i: Int): Long = b(i) & 0xFFL
+    @inline def be32(i: Int): Long = (u(i) << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)
+    @inline def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    @inline def typ(i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    val bad = ("unknown", -1L, -1L, -1, -1)
+    if (b == null || b.length < 12) return bad
+    if (typ(4) != "ftyp") return bad
+    var timescale = -1L; var duration = -1L
+    var width = -1; var height = -1
+    def walk(from: Long, until: Long, depth: Int): Unit = {
+      if (depth > 8) return // malformed self-nesting cannot recurse forever
+      var i = from
+      var ok = true
+      while (ok && i + 8 <= until) {
+        val ii = i.toInt
+        val size0 = be32(ii)
+        val t = typ(ii + 4)
+        val (payload, size) =
+          if (size0 == 1L && i + 16 <= until) (i + 16, be64(ii + 8))
+          else if (size0 == 0L) (i + 8, until - i)
+          else (i + 8, size0)
+        val end = i + size
+        if (size < 8 || end > until || end <= i) ok = false
+        else {
+          t match {
+            case "moov" | "trak" => walk(payload, end, depth + 1)
+            case "mvhd" if payload + 24 <= end =>
+              val p = payload.toInt
+              // version(1)+flags(3), creation(4), modification(4)
+              timescale = be32(p + 12)
+              duration = be32(p + 16)
+            case "tkhd" if payload + 84 <= end =>
+              val p = payload.toInt
+              width = (be32(p + 76) >> 16).toInt // 16.16 fixed point
+              height = (be32(p + 80) >> 16).toInt
+            case _ => ()
+          }
+          i = end
+        }
+      }
+    }
+    walk(0L, b.length.toLong, 0)
+    val durationMs =
+      if (duration >= 0 && timescale > 0) duration * 1000L / timescale else -1L
+    ("mp4", timescale, durationMs, width, height)
+  }
+
+  private val mp4MetaUdf = udf((b: Array[Byte]) => parseMp4Header(b))
+
+  /** Adds video_format / video_timescale / video_duration_ms /
+    * video_width / video_height parsed from a binary column. */
+  def withVideoMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("__vm", mp4MetaUdf(col(binCol)))
+      .withColumn("video_format", col("__vm._1"))
+      .withColumn("video_timescale", col("__vm._2"))
+      .withColumn("video_duration_ms", col("__vm._3"))
+      .withColumn("video_width", col("__vm._4"))
+      .withColumn("video_height", col("__vm._5"))
+      .drop("__vm")
+
   /** Haar-wavelet audio fingerprint over 16-bit PCM WAV payloads — the
     * audio analog of the image aHash family, inspired by the
     * Philips-robust-hash / Chromaprint shape but defined over EXACT

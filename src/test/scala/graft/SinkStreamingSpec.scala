@@ -213,6 +213,39 @@ class SinkStreamingSpec extends AnyFunSuite {
     assert(got(2)._4 == 2000.0, s"negative constant amplitude: ${got(2)._4}")
   }
 
+  test("mp4 box walk: real boxes parse, hostile sizes and nesting degrade clean") {
+    def be32(v: Long): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ typ.getBytes ++ payload
+    val mvhd = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++ be32(2500) ++ Array.fill[Byte](80)(0))
+    val tkhd = box("tkhd",
+      Array.fill[Byte](76)(0) ++ be32(320L << 16) ++ be32(240L << 16))
+    val good = box("ftyp", "isom".getBytes ++ be32(0)) ++
+      box("moov", mvhd ++ box("trak", tkhd))
+    assert(BinaryColumns.parseMp4Header(good) == ("mp4", 1000L, 2500L, 320, 240))
+    // non-BMFF payloads
+    assert(BinaryColumns.parseMp4Header("RIFF1234WAVE".getBytes)._1 == "unknown")
+    assert(BinaryColumns.parseMp4Header(Array[Byte](1, 2, 3))._1 == "unknown")
+    // hostile size fields after a valid ftyp: a box size that overruns,
+    // fails to advance, or has the high bit set must stop the walk clean
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0))
+    for (bad <- Seq(be32(0xFFFFFFF8L), be32(3L), be32(1L))) {
+      val got = BinaryColumns.parseMp4Header(ftyp ++ bad ++ "moov".getBytes)
+      assert(got == ("mp4", -1L, -1L, -1, -1), s"degraded parse: $got")
+    }
+    // size==0 (to-end) on the moov still finds nested headers
+    val moovToEnd = be32(0) ++ "moov".getBytes ++ mvhd
+    assert(BinaryColumns.parseMp4Header(ftyp ++ moovToEnd)._3 == 2500L)
+    // 64-bit largesize path
+    val large = be32(1) ++ "moov".getBytes ++ be32(0) ++ be32(16L + mvhd.length) ++ mvhd
+    assert(BinaryColumns.parseMp4Header(ftyp ++ large)._2 == 1000L)
+    // truncated mvhd (payload shorter than the timescale offset): skipped
+    val shortMvhd = box("moov", box("mvhd", be32(0) ++ be32(0)))
+    assert(BinaryColumns.parseMp4Header(ftyp ++ shortMvhd) == ("mp4", -1L, -1L, -1, -1))
+  }
+
   test("pcm Haar fingerprints: closed forms, container-invariance, partial window dropped") {
     import spark.implicits._
     def le16(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
