@@ -104,6 +104,17 @@ object QueryCatalog {
           coalesce(max(CASE WHEN "rank" = $k THEN chr(30) || "left" || "right" || chr(31) END), chr(29)) AS q$k""")
       .mkString(", ")
 
+  /** Unigram-tokenizer model memo, same contract as [[opqRotation]]:
+    * q_sp_vocab / q_sp_segment / q_sp_dp share one hard-EM training run
+    * per dir (deterministic: substring-count seed, Viterbi counts,
+    * add-one smoothing). */
+  private val spModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.UnigramTokenizer.Model]()
+  private def spModel(s: SparkSession, dir: String): graft.ops.UnigramTokenizer.Model =
+    spModelCache.computeIfAbsent(dir, _ =>
+      graft.ops.UnigramTokenizer.train(
+        tk(s, dir, "documents"), "text", "doc_id", maxLen = 4, minCount = 100, iters = 2))
+
   /** Frozen classifier-model memo, same contract as [[opqRotation]]:
     * q_stream_score_eq needs the trained model and training is
     * deterministic per dir. */
@@ -6707,7 +6718,124 @@ object QueryCatalog {
           SELECT * FROM r)
         SELECT b.doc_id, b.p, b.piece, CAST(b.l AS BIGINT) AS piece_len
         FROM best b JOIN reach r ON b.doc_id = r.doc_id AND b.p = r.p
-        ORDER BY b.doc_id, b.p""")))
+        ORDER BY b.doc_id, b.p""")),
+
+    // SentencePiece-style unigram-LM tokenizer (ops/UnigramTokenizer,
+    // Kudo 2018 hard-EM): the trained model dump. The oracle pins
+    //   - sp self-consistency: every surprisal recomputed from the
+    //     dumped counts (add-one over Σ(cnt+1)) — the -ln math and
+    //     smoothing are under the hash;
+    //   - coverage as a measured-vs-spec-constant residual: the engine
+    //     ANTI-JOINS the corpus's distinct codepoints against the
+    //     model's single-char pieces and emits the count; the oracle
+    //     recomputes the same anti-join from the SOURCE table against
+    //     the dump and both must be the 0 a covering model guarantees.
+    // Model values themselves are tested where they bite: the
+    // q_sp_dp/q_sp_segment replays below consume this dump.
+    Q("q_sp_vocab",
+      (s, dir) => {
+        val model = spModel(s, dir)
+        val vocabDf = graft.ops.UnigramTokenizer.modelDf(s, model)
+        val singles = vocabDf.where(col("piece_len") === 1).select("piece")
+        val missing = tk(s, dir, "documents")
+          .select(explode(expr(
+            "transform(sequence(1, length(text)), i__ -> substr(text, i__, 1))"))
+            .as("piece"))
+          .distinct()
+          .join(singles, Seq("piece"), "left_anti")
+          .agg(count(lit(1)).as("missing_chars"))
+        vocabDf.crossJoin(broadcast(missing)).orderBy("piece")
+      },
+      Some(s"""
+        WITH dump AS (SELECT piece, piece_len, cnt, sp
+                      FROM read_parquet('__GRAFT_OUT__/q_sp_vocab/*.parquet')),
+        tot AS (SELECT CAST(sum(cnt + 1) AS BIGINT) AS t FROM dump),
+        chars AS (
+          SELECT DISTINCT substr(text, CAST(p AS INT), 1) AS c
+          FROM (SELECT text, unnest(range(1, length(text) + 1)) AS p
+                FROM documents)),
+        miss AS (SELECT CAST(count(*) AS BIGINT) AS missing_chars
+                 FROM chars
+                 WHERE c NOT IN (SELECT piece FROM dump WHERE piece_len = 1))
+        SELECT piece, piece_len, cnt,
+               ${duckR6("-ln(CAST(cnt + 1 AS DOUBLE) / CAST(t AS DOUBLE))")} AS sp,
+               missing_chars
+        FROM dump CROSS JOIN tot CROSS JOIN miss
+        ORDER BY piece""")),
+
+    // Unigram-tokenizer Viterbi segmentation, all docs. The oracle
+    // derives every emitted piece from the SOURCE text at the dumped
+    // offsets (substr anchor — a wrong piece or offset mismatches), and
+    // computes the structural gates the engine claims as constants:
+    // contiguity (each piece starts where the previous ended, first at
+    // 0), completeness (the last piece reaches the text's end), and
+    // vocab membership of every piece.
+    Q("q_sp_segment",
+      (s, dir) => {
+        val model = spModel(s, dir)
+        graft.ops.UnigramTokenizer.segment(
+            tk(s, dir, "documents"), "text", "doc_id", model)
+          .select(col("doc_id"), col("p"), col("piece"), col("piece_len"),
+            lit(true).as("contig"), lit(true).as("complete"),
+            lit(true).as("in_vocab"))
+          .orderBy("doc_id", "p")
+      },
+      Some(s"""
+        WITH seg AS (SELECT doc_id, p, piece_len
+                     FROM read_parquet('__GRAFT_OUT__/q_sp_segment/*.parquet')),
+        v AS (SELECT piece FROM read_parquet('__GRAFT_OUT__/q_sp_vocab/*.parquet'))
+        SELECT s.doc_id, s.p,
+               substr(d.text, CAST(s.p + 1 AS INT), CAST(s.piece_len AS INT)) AS piece,
+               s.piece_len,
+               (s.p = coalesce(lag(s.p + s.piece_len)
+                  OVER (PARTITION BY s.doc_id ORDER BY s.p), 0)) AS contig,
+               (max(s.p + s.piece_len) OVER (PARTITION BY s.doc_id)
+                  = length(d.text)) AS complete,
+               (substr(d.text, CAST(s.p + 1 AS INT), CAST(s.piece_len AS INT))
+                  IN (SELECT piece FROM v)) AS in_vocab
+        FROM seg s JOIN documents d USING (doc_id)
+        ORDER BY s.doc_id, s.p""")),
+
+    // The Viterbi OPTIMALITY gate (the q_bpe_vocab inductive pattern one
+    // level up): the engine dumps its full ROUND-6 DP table for a doc
+    // subset, and the oracle re-derives every row from EARLIER dumped
+    // rows — best(p) must equal round6(min over piece lengths of
+    // best(p-l) + sp(substr(text, p-l+1, l))) with pieces and surprisals
+    // from the model dump and the text from the SOURCE table. Each
+    // candidate is one IEEE add of two round-6 doubles (the engine
+    // stores the DP rounded at every step precisely so this replay is
+    // bit-exact); a single wrong DP cell breaks its own row AND every
+    // later row it feeds. Row-count equality catches unreachable
+    // positions.
+    Q("q_sp_dp",
+      (s, dir) => {
+        val model = spModel(s, dir)
+        graft.ops.UnigramTokenizer.dpTable(
+            tk(s, dir, "documents").where(col("doc_id") % 20 === 0),
+            "text", "doc_id", model)
+          .select(col("doc_id"), col("p"), col("best"))
+          .orderBy("doc_id", "p")
+      },
+      Some(s"""
+        WITH dp AS (SELECT doc_id, p, best
+                    FROM read_parquet('__GRAFT_OUT__/q_sp_dp/*.parquet')),
+        v AS (SELECT piece, sp
+              FROM read_parquet('__GRAFT_OUT__/q_sp_vocab/*.parquet')),
+        src AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        cand AS (
+          SELECT d.doc_id, d.p,
+                 (CASE WHEN d.p - l.l = 0 THEN ${D.d(0.0)} ELSE prev.best END
+                  + v.sp) AS c
+          FROM dp d
+          JOIN src t ON t.doc_id = d.doc_id
+          CROSS JOIN (SELECT unnest(range(1, 5)) AS l) l
+          LEFT JOIN dp prev ON prev.doc_id = d.doc_id AND prev.p = d.p - l.l
+          JOIN v ON v.piece = substr(t.text, CAST(d.p - l.l + 1 AS INT), CAST(l.l AS INT))
+          WHERE d.p - l.l >= 0 AND (d.p - l.l = 0 OR prev.p IS NOT NULL))
+        SELECT doc_id, p, ${duckR6("min(c)")} AS best
+        FROM cand
+        GROUP BY doc_id, p
+        ORDER BY doc_id, p""")))
 
   // =========================================================================
   // WARC / WET crawl-archive ingest (sources/WarcCodec.scala)

@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SentencePiece-style unigram-LM tokenizer (Kudo 2018, hard-EM
+  * simplification) — completes the tokenizer family: BPE
+  * train/encode/segment (merge-based), MaxMatch (greedy WordPiece
+  * inference), and now the probabilistic segmenter that picks the
+  * GLOBALLY best piece sequence per document instead of a greedy chain.
+  *
+  * Training: seed the piece inventory from substring counts
+  * ([[MaxMatch.vocab]] — full length-1 coverage plus frequent 2..maxLen
+  * pieces), then iterate hard EM: (E) Viterbi-segment the corpus under
+  * the current piece surprisals, (M) re-estimate surprisals from the
+  * chosen-piece counts with add-one smoothing over the surviving
+  * inventory (single-character pieces always survive, so coverage never
+  * breaks). Hard EM (Viterbi counts instead of lattice
+  * forward-backward) is the standard practical simplification; each
+  * step is deterministic, so the whole model is a pure function of the
+  * corpus.
+  *
+  * Determinism contract (what makes the Viterbi DP SQL-replayable, the
+  * q_bpe_vocab dump-then-verify pattern one level up):
+  *   - piece surprisal sp = round6(-ln((cnt+1)/T)), T = Σ(cnt+1);
+  *   - the DP table stores ROUND-6 values at every position:
+  *     best(p) = round6(min over len of best(p-len) + sp(piece)) — each
+  *     candidate is one IEEE add of two already-rounded doubles, so the
+  *     oracle recomputing candidates from the DUMPED best table gets
+  *     bit-identical doubles, takes the same min, rounds the same way;
+  *   - ties prefer the LONGER piece (unique — equal-length candidates
+  *     at one position are the same string);
+  *   - all indexing is by Unicode codepoint (SQL substr semantics).
+  *
+  * Scale shape: seeding is one map-side-combined aggregation (piece
+  * space is alphabet-bounded); each EM pass is a narrow per-doc Viterbi
+  * kernel under a BROADCAST model plus one piece-count aggregation —
+  * the corpus text never transits an exchange; the model (bounded by
+  * the seed inventory, ~100k pieces at web scale) syncs through the
+  * driver per iteration exactly like Spark ML KMeans centroids. */
+object UnigramTokenizer {
+
+  /** piece -> (last-E-step count, round-6 surprisal). maxLen bounds the
+    * DP lookback. */
+  final case class Model(pieces: Map[String, (Long, Double)], maxLen: Int) {
+    def sp(piece: String): Option[Double] = pieces.get(piece).map(_._2)
+  }
+
+  private def r6d(x: Double): Double = math.round(x * 1e6) / 1e6
+
+  private def codepoints(s: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
+  /** Round-6 Viterbi over one doc: returns (best, backLen) where
+    * best(p) is the rounded minimal surprisal of tiling cps[0,p) and
+    * backLen(p) the length of the piece chosen to end there (ties ->
+    * longest). best(0) = 0. Positions with no covering piece keep
+    * backLen 0 (cannot happen with length-1 coverage). */
+  private def viterbi(cps: Array[String], m: Map[String, (Long, Double)],
+                      maxLen: Int): (Array[Double], Array[Int]) = {
+    val n = cps.length
+    val best = new Array[Double](n + 1)
+    val back = new Array[Int](n + 1)
+    var p = 1
+    while (p <= n) {
+      var bestScore = Double.PositiveInfinity
+      var bestLen = 0
+      var l = 1
+      val lMax = math.min(maxLen, p)
+      while (l <= lMax) {
+        if (best(p - l) != Double.PositiveInfinity) { // reachable prefix (always, with char coverage)
+          val piece = if (l == 1) cps(p - 1) else cps.slice(p - l, p).mkString
+          m.get(piece) match {
+            case Some((_, sp)) =>
+              val cand = best(p - l) + sp
+              if (cand <= bestScore) { bestScore = cand; bestLen = l }
+            case None => ()
+          }
+        }
+        l += 1
+      }
+      best(p) = if (bestLen == 0) Double.PositiveInfinity else r6d(bestScore)
+      back(p) = bestLen
+      p += 1
+    }
+    (best, back)
+  }
+
+  private def segmentsOf(cps: Array[String], m: Map[String, (Long, Double)],
+                         maxLen: Int): List[(Int, String)] = {
+    val (_, back) = viterbi(cps, m, maxLen)
+    var p = cps.length
+    var out = List.empty[(Int, String)]
+    while (p > 0 && back(p) > 0) {
+      val l = back(p)
+      out = (p - l, cps.slice(p - l, p).mkString) :: out
+      p -= l
+    }
+    out
+  }
+
+  /** Model from (piece, cnt) rows with add-one smoothing. */
+  private def toModel(counts: Seq[(String, Long)], maxLen: Int): Model = {
+    val total = counts.map(_._2 + 1L).sum
+    Model(counts.map { case (piece, c) =>
+      piece -> ((c, r6d(-math.log((c + 1L).toDouble / total.toDouble))))
+    }.toMap, maxLen)
+  }
+
+  /** Train the model: substring-count seed, then `iters` hard-EM rounds.
+    * Deterministic for a given corpus. */
+  def train(docs: DataFrame, textCol: String, idCol: String,
+            maxLen: Int = 4, minCount: Long = 100, iters: Int = 2): Model = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val seedCounts = MaxMatch.vocab(docs, textCol, idCol, maxLen, minCount)
+      .as[(String, Long)].collect().toSeq
+    var model = toModel(seedCounts, maxLen)
+    val singles = seedCounts.collect { case (p, _) if codepoints(p).length == 1 => p }
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(model)
+      val counts = docs.select(col(textCol)).as[String]
+        .flatMap(t => segmentsOf(codepoints(if (t == null) "" else t),
+          bc.value.pieces, bc.value.maxLen).map(_._2))
+        .groupBy("value").count()
+        .as[(String, Long)].collect().toMap
+      // survivors: every chosen piece, plus all single chars (coverage)
+      val next = (counts.keySet ++ singles).toSeq.sorted
+        .map(p => p -> counts.getOrElse(p, 0L))
+      model = toModel(next, maxLen)
+      bc.destroy()
+    }
+    model
+  }
+
+  /** Final Viterbi segmentation under a trained model: one row per
+    * chosen piece — (idCol, p, piece, piece_len), p = 0-based codepoint
+    * offset. Narrow kernel, broadcast model. */
+  def segment(docs: DataFrame, textCol: String, idCol: String,
+              model: Model): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        segmentsOf(codepoints(if (t == null) "" else t),
+            bc.value.pieces, bc.value.maxLen)
+          .map { case (p, piece) =>
+            (id, p.toLong, piece, codepoints(piece).length.toLong)
+          }
+      }
+      .toDF(idCol, "p", "piece", "piece_len")
+  }
+
+  /** The full rounded DP table — (idCol, p, best) for p in 1..len — the
+    * artifact the correctness oracle replays inductively (each row must
+    * equal the rounded min over candidates built from EARLIER rows). */
+  def dpTable(docs: DataFrame, textCol: String, idCol: String,
+              model: Model): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val cps = codepoints(if (t == null) "" else t)
+        val (best, _) = viterbi(cps, bc.value.pieces, bc.value.maxLen)
+        (1 to cps.length).iterator.map(p => (id, p.toLong, best(p)))
+      }
+      .toDF(idCol, "p", "best")
+  }
+
+  /** Model rows for dumping: (piece, piece_len, cnt, sp). */
+  def modelDf(spark: org.apache.spark.sql.SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    model.pieces.toSeq.sortBy(_._1)
+      .map { case (p, (c, sp)) => (p, codepoints(p).length.toLong, c, sp) }
+      .toDF("piece", "piece_len", "cnt", "sp")
+  }
+}

@@ -463,6 +463,60 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("unigram tokenizer: tiling, optimality vs exhaustive search, determinism") {
+    import graft.ops.UnigramTokenizer
+    val docs = Seq(
+      (1L, "abab ababab"), (2L, "aabb baba"), (3L, "abba abab abab"),
+      (4L, ""), (5L, "ab")
+    ).toDF("doc_id", "text")
+    val model = UnigramTokenizer.train(docs, "text", "doc_id",
+      maxLen = 3, minCount = 2, iters = 2)
+    // every single character is covered
+    val chars = Seq("a", "b", " ")
+    chars.foreach(c => assert(model.pieces.contains(c), s"coverage: '$c'"))
+    val seg = UnigramTokenizer.segment(docs, "text", "doc_id", model)
+      .as[(Long, Long, String, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    // lossless tiling per doc
+    for ((id, txt) <- Seq(1L -> "abab ababab", 2L -> "aabb baba", 5L -> "ab")) {
+      val mine = seg.filter(_._1 == id)
+      assert(mine.map(_._3).mkString == txt, s"doc $id tiles")
+      mine.foldLeft(0L) { case (at, (_, p, _, l)) =>
+        assert(p == at, s"doc $id contiguous at $p"); p + l
+      }
+    }
+    assert(!seg.exists(_._1 == 4L), "empty doc yields no pieces")
+    // optimality: the chosen tiling's surprisal equals the exhaustive
+    // minimum over ALL tilings (tiny strings - enumerable)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    def allTilings(s: String): Seq[Seq[String]] =
+      if (s.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(3, s.length)).flatMap { l =>
+        val (h, t) = s.splitAt(l)
+        if (model.pieces.contains(h)) allTilings(t).map(h +: _) else Seq.empty
+      }
+    for ((id, txt) <- Seq(2L -> "aabb baba", 5L -> "ab")) {
+      val mineScore = seg.filter(_._1 == id).map(_._3)
+        .foldLeft(0.0)((acc, p) => r6(acc + model.pieces(p)._2))
+      val bestScore = allTilings(txt)
+        .map(_.foldLeft(0.0)((acc, p) => r6(acc + model.pieces(p)._2))).min
+      assert(math.abs(mineScore - bestScore) < 1e-9,
+        s"doc $id viterbi $mineScore vs exhaustive $bestScore")
+    }
+    // DP table end cell equals the segmentation's folded score
+    val dp = UnigramTokenizer.dpTable(docs, "text", "doc_id", model)
+      .as[(Long, Long, Double)].collect().toSeq
+    for ((id, txt) <- Seq(1L -> "abab ababab", 2L -> "aabb baba")) {
+      val endBest = dp.filter(r => r._1 == id && r._2 == txt.length).head._3
+      val folded = seg.filter(_._1 == id).map(_._3)
+        .foldLeft(0.0)((acc, p) => r6(acc + model.pieces(p)._2))
+      assert(math.abs(endBest - folded) < 1e-9, s"doc $id dp $endBest vs $folded")
+    }
+    // deterministic retrain
+    val model2 = UnigramTokenizer.train(docs, "text", "doc_id",
+      maxLen = 3, minCount = 2, iters = 2)
+    assert(model.pieces == model2.pieces)
+  }
+
   test("robots parser: CRLF endings, spaced colons, rules before any group, null body") {
     import graft.ops.Robots
     // real-world robots.txt ships CRLF; field names vary case and may
