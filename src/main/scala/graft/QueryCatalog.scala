@@ -5933,6 +5933,66 @@ object QueryCatalog {
         GROUP BY doc_id
         ORDER BY doc_id""")),
 
+    // Sorted-neighborhood blocking (Hernández & Stolfo 1995): the classic
+    // entity-resolution candidate generator — sort by a blocking key,
+    // pair everything within a 4-row sliding window. Scale path: a
+    // distributed global rank (range repartition + zipWithIndex; the
+    // rank is the total-order position whatever the sampled partition
+    // boundaries) + a band join on rank buckets — no global window
+    // operator, nothing quadratic. The oracle replays the total order
+    // with row_number and a rank-difference self-join.
+    Q("q_snm_pairs",
+      (s, dir) => {
+        val docs = tk(s, dir, "documents")
+          .withColumn("k", expr("substr(lower(text), 1, 12)"))
+        graft.ops.Dedup.sortedNeighborhoodPairs(docs, "doc_id", "k", 4)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH r AS (SELECT doc_id, substr(lower(text), 1, 12) AS k,
+                          row_number() OVER (ORDER BY substr(lower(text), 1, 12), doc_id) - 1 AS rnk
+                   FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.k AS key_a, b.k AS key_b,
+               CAST(b.rnk - a.rnk AS BIGINT) AS rank_dist
+        FROM r a JOIN r b ON b.rnk - a.rnk >= 1 AND b.rnk - a.rnk <= 3
+        ORDER BY id_a, id_b""")),
+
+    // Unicode NFC normalization (UAX #15 canonical composition) — the
+    // pass that keeps "e"+COMBINING-ACUTE and precomposed "é" from
+    // leaking past hash dedup as distinct bytes. The fixture appends a
+    // decomposed suffix (doc_id%3=0), its precomposed twin (=1), or a
+    // plain tail (=2); the ENGINE normalizes with JDK java.text.Normalizer
+    // while the ORACLE normalizes with DuckDB's utf8proc nfc_normalize —
+    // two independent implementations of the same standard must agree
+    // codepoint-for-codepoint for the md5s to match. Narrow kernel; the
+    // one UDF in TextF (no Catalyst NFC exists), no shuffle.
+    Q("q_nfc_normalize",
+      (s, dir) => {
+        val raw = tk(s, dir, "documents")
+          .withColumn("r", concat(col("text"),
+            when(col("doc_id") % 3 === 0, lit(" cafe\u0301")) // decomposed e + combining acute
+              .when(col("doc_id") % 3 === 1, lit(" caf\u00e9")) // precomposed
+              .otherwise(lit(" cafx"))))
+        raw.select(col("doc_id"),
+            length(col("r")).cast("long").as("n_raw"),
+            length(TextF.nfcNormalize(col("r"))).cast("long").as("n_norm"),
+            md5(TextF.nfcNormalize(col("r"))).as("h_norm"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH raw AS (
+          SELECT doc_id,
+                 text || CASE doc_id % 3
+                           WHEN 0 THEN ' caf' || 'e' || chr(769)
+                           WHEN 1 THEN ' caf' || chr(233)
+                           ELSE ' cafx' END AS r
+          FROM documents)
+        SELECT doc_id, CAST(length(r) AS BIGINT) AS n_raw,
+               CAST(length(nfc_normalize(r)) AS BIGINT) AS n_norm,
+               md5(nfc_normalize(r)) AS h_norm
+        FROM raw
+        ORDER BY doc_id""")),
+
     // SemDeDup (Abbas et al. 2023): nearest-centroid assignment (same
     // deterministic fixed-centroid scheme q_ann_ivf oracles), then cosine
     // near-dup pruning WITHIN clusters — never corpus^2. Output = kept rows.
@@ -6738,8 +6798,11 @@ object QueryCatalog {
         val vocabDf = graft.ops.UnigramTokenizer.modelDf(s, model)
         val singles = vocabDf.where(col("piece_len") === 1).select("piece")
         val missing = tk(s, dir, "documents")
+          // per-doc array_distinct BEFORE the explode: ~50 distinct chars
+          // per doc instead of every position — the corpus-wide distinct
+          // then dedups thousands, not tens of millions, of rows
           .select(explode(expr(
-            "transform(sequence(1, length(text)), i__ -> substr(text, i__, 1))"))
+            "array_distinct(transform(sequence(1, length(text)), i__ -> substr(text, i__, 1)))"))
             .as("piece"))
           .distinct()
           .join(singles, Seq("piece"), "left_anti")

@@ -113,4 +113,21 @@ object TextF {
     * on): the grouping key for per-domain corpus caps. RE2-compatible. */
   val DomainRe = "https?://([^/\\s]+)"
   def domainOf(url: Column): Column = regexp_extract(url, DomainRe, 1)
+
+  private val nfcUdf = udf { (s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+  }
+
+  /** Unicode NFC normalization (canonical composition) — the
+    * normalization pass every dedup/tokenize stage should run first:
+    * "e" + COMBINING ACUTE and the precomposed "é" are different byte
+    * sequences but the SAME text, so un-normalized corpora leak
+    * duplicates past hash dedup and split token statistics. JDK
+    * `java.text.Normalizer` implements UAX #15; the oracle's
+    * `nfc_normalize` (utf8proc) implements the same standard, so the
+    * two agree codepoint-for-codepoint — that cross-implementation
+    * agreement is exactly what q_nfc_normalize hash-gates. The one
+    * non-codegen UDF in this file, kept narrow (no shuffle). */
+  def nfcNormalize(text: Column): Column = nfcUdf(text)
 }

@@ -463,6 +463,42 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sortedNeighborhoodPairs: exact window pairs across partition boundaries") {
+    import graft.ops.Dedup
+    // 40 rows, keys shuffled relative to ids — sorted order is by key;
+    // with local[32] parallelism nearly every row sits on a partition
+    // boundary, so cross-boundary windows are genuinely exercised
+    val rows = (0 until 40).map(i => (i.toLong, f"k${(i * 17) % 40}%03d"))
+    val df = rows.toDF("id", "k")
+    val got = Dedup.sortedNeighborhoodPairs(df, "id", "k", 3)
+      .select("id_a", "id_b", "rank_dist")
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force: rank = position in (key, id) sort; pair every
+    // rank-distance 1..2
+    val ranked = rows.sortBy { case (id, k) => (k, id) }.map(_._1)
+    val want = (for {
+      i <- ranked.indices; d <- 1 to 2 if i + d < ranked.length
+    } yield (ranked(i), ranked(i + d), d.toLong)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // window=2 -> adjacent-only
+    val adj = Dedup.sortedNeighborhoodPairs(df, "id", "k", 2)
+      .as[(Long, Long, String, String, Long)].collect()
+    assert(adj.length == 39 && adj.forall(_._5 == 1L))
+  }
+
+  test("nfcNormalize: decomposed and precomposed agree; passthrough; null-safe") {
+    import graft.functions.TextF
+    val df = Seq(
+      (1L, "cafe\u0301"), (2L, "caf\u00e9"), (3L, "plain"), (4L, null) // decomposed vs precomposed
+    ).toDF("id", "t")
+    val got = df.select(col("id"), TextF.nfcNormalize(col("t")).as("n"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(1L) == got(2L), "NFC composes the combining sequence")
+    assert(got(1L).get == "caf\u00e9")
+    assert(got(3L).contains("plain"))
+    assert(got(4L).isEmpty)
+  }
+
   test("unigram tokenizer: tiling, optimality vs exhaustive search, determinism") {
     import graft.ops.UnigramTokenizer
     val docs = Seq(

@@ -284,4 +284,48 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.forall(l => l.contains("doc_id") || l.contains("m_id")),
       s"frontier may shuffle only on the URL id for the winner window:\n${exchanges.mkString("\n")}")
   }
+
+  /** The hashpartitioning argument of every shuffle Exchange in a
+    * `formatted` plan (nodes print as "(9) Exchange" with the keys on a
+    * following "Arguments:" line). */
+  private def hashExchangeArgs(plan: String): Seq[String] = {
+    val lines = plan.linesIterator.toSeq
+    lines.zipWithIndex.collect {
+      case (l, i) if l.trim.matches("""\(\d+\) Exchange""") =>
+        lines.drop(i + 1).find(_.trim.startsWith("Arguments:")).getOrElse("")
+    }.filter(_.contains("hashpartitioning("))
+  }
+
+  test("politeness scheduler: delays broadcast; frontier shuffles only into the host window") {
+    val robots = Seq(("h1", "User-agent: *\nCrawl-delay: 2\n")).toDF("host", "txt")
+    val delays = graft.ops.Robots.parseCrawlDelays(robots, "host", "txt")
+    val urls = Seq((1L, "h1"), (2L, "h1"), (3L, "h2")).toDF("url_id", "host")
+    val plan = formatted(graft.ops.Robots.scheduleFrontier(
+      urls, delays, "bot", "url_id", "host", 5000L, 60000L))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"per-host delays must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    // the frontier's only hash exchange feeds the per-host rank window
+    val exchanges = hashExchangeArgs(plan)
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("host")),
+      s"frontier may shuffle only on host for the rank window:\n$plan")
+  }
+
+  test("justext: the context windows shuffle label rows keyed on the doc id only") {
+    val docs = Seq((1L, "<p>alpha beta gamma delta epsilon zeta eta theta</p>\n<p>x</p>"))
+      .toDF("doc_id", "page")
+    val plan = formatted(graft.ops.Curation.justextBlocks(docs, "page", "doc_id"))
+    assert(!plan.contains("CartesianProduct"))
+    val exchanges = hashExchangeArgs(plan)
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("doc_id")),
+      s"context resolution partitions on the doc id:\n$plan")
+  }
+
+  test("sorted-neighborhood pairs: bucket equi-join, never a cartesian") {
+    val df = (0 until 20).map(i => (i.toLong, f"k$i%03d")).toDF("id", "k")
+    val plan = formatted(graft.ops.Dedup.sortedNeighborhoodPairs(df, "id", "k", 3))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"rank-band join must be an equi-join on the bucket key:\n$plan")
+  }
 }
