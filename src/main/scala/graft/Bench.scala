@@ -110,7 +110,12 @@ object Bench {
         val heavy = Seq("q_pagerank", "q_quality_classifier", "q_substr_dedup",
           "q_sink_roundtrip", "q_opq_ann", "q_pcm_energy", "q_sessionize",
           "q_minhash_pairs", "q_simhash_pairs", "q_embed_neardup",
-          "q_tfidf", "q1_agg", "q_entropy", "q_robots_filter")
+          "q_tfidf", "q1_agg", "q_entropy", "q_robots_filter",
+          // round-8 scale witnesses: Viterbi segmentation kernel, justext
+          // window pass, trigram joins, audio byte kernel, and the
+          // distributed-global-rank band join
+          "q_sp_segment", "q_justext_blocks", "q_trigram_lm",
+          "q_audio_fingerprint", "q_snm_pairs")
         def timed(fn: String => Unit, dir: String, name: String): Double = {
           def once(): Double = {
             val t0 = System.nanoTime()
@@ -120,8 +125,15 @@ object Bench {
               -1.0
             }
           }
-          // warm min-of-2: first touch pays replica page-cache faults
-          val runs = Seq(once(), once()).filter(_ >= 0)
+          // Same GC isolation as the base loop — without it, collection
+          // debt from the replica/fixture builds (GBs of shuffle) lands
+          // inside whichever sf1 query runs next and survives even a
+          // min-of-2 (r8: q_entropy read 12.4x in-bench vs 3.1x measured
+          // standalone). Warm min-of-3: first touch pays replica
+          // page-cache faults.
+          System.gc()
+          Thread.sleep(50)
+          val runs = Seq(once(), once(), once()).filter(_ >= 0)
           if (runs.isEmpty) -1.0 else runs.min
         }
         val t10 = heavy.map { name =>
@@ -185,7 +197,7 @@ object ScaleRehearsal {
 
   /** Bump when the replica construction changes — stale /tmp replicas
     * from an older formula must not serve a newer bench. */
-  private val ReplicaVersion = 2
+  private val ReplicaVersion = 3
 
   private def dirKey(sfDir: String, copies: Int): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -211,13 +223,22 @@ object ScaleRehearsal {
         // copies must NOT be near-duplicates of each other, or every LSH
         // band bucket holds all 10 replicas and candidate-pair output
         // grows quadratically BY CONSTRUCTION (true output, not plan
-        // waste — but it measures the fixture, not scaling). Suffixing
-        // every token per copy makes cross-copy shingle sets disjoint
-        // while preserving each copy's internal structure.
+        // waste — but it measures the fixture, not scaling). v3: a
+        // per-copy rotation of the LETTER alphabet (translate — ~82% of
+        // corpus chars are ASCII letters at every lang) makes cross-copy
+        // shingle/substring/minhash features disjoint while preserving
+        // each copy's internal structure AND its exact character count —
+        // the v2 per-token "_k" suffix inflated chars ~30%, which read
+        // as super-linear ratios on char-linear kernels (the r8
+        // q_sp_segment "12.4x" was 10x data times 1.3x chars).
+        val lowerAz = "abcdefghijklmnopqrstuvwxyz"
+        def rot(s: String, n: Int) = s.drop(n) + s.take(n)
         val t1 =
           if (variedText && k > 0)
             shifted.withColumn("text",
-              F.regexp_replace(F.col("text"), "(\\S+)", "$1_" + k))
+              F.translate(F.col("text"),
+                lowerAz + lowerAz.toUpperCase,
+                rot(lowerAz, k) + rot(lowerAz.toUpperCase, k)))
           else shifted
         // embeddings: per-copy deterministic sign flip (sign(i) = -1 iff
         // popcount(i & k) is odd — a diagonal orthogonal transform).

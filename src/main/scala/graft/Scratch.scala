@@ -16,13 +16,22 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the bench's non-catalog rehearsal bodies are timeable too
+    val rehearsals: Map[String, (SparkSession, String) => Unit] = Map(
+      "x_image_neardup_10x" -> ((s, d) => ScaleRehearsal.imageNearDupRehearsal(s, d)),
+      "x_image_neardup256_10x" -> ((s, d) => ScaleRehearsal.imageNearDup256Rehearsal(s, d)))
     names.foreach { n =>
-      val fn = SparkEntry.queries(n)
-      if (sys.env.contains("SCRATCH_EXPLAIN"))
-        fn(spark, sfDir).explain("formatted")
+      val run: () => Unit = rehearsals.get(n) match {
+        case Some(r) => () => r(spark, sfDir)
+        case None =>
+          val fn = SparkEntry.queries(n)
+          if (sys.env.contains("SCRATCH_EXPLAIN"))
+            fn(spark, sfDir).explain("formatted")
+          () => fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      }
       (1 to 3).foreach { i =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        run()
         println(f"[scratch] $n run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
     }
