@@ -5382,6 +5382,63 @@ object QueryCatalog {
           FROM agg
           ORDER BY doc_id""")),
 
+      // Interpolated Kneser-Ney bigram surprisal — the KenLM-class
+      // smoother: observed bigrams discounted by D=0.75 (exact in
+      // binary), freed mass backed off to CONTINUATION probability
+      // (distinct-left-context counts, not frequency). Four count
+      // tables, all corpus-token-bounded; same position-ordered
+      // round-6 fold contract.
+      Q("q_kneser_ney",
+        (s, dir) => {
+          import graft.ops.LanguageModel
+          LanguageModel.kneserNeyBigram(tk(s, dir, "documents"), "text", "doc_id")
+            .select(col("doc_id"), col("n_tokens"),
+              r6(col("avg_surprisal")).as("avg_surprisal"))
+            .orderBy("doc_id")
+        },
+        Some(s"""
+          WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                   unnest(range(1, len(string_split_regex(trim(text), '\\s+')) + 1)) AS pos
+            FROM documents),
+          prevs AS (
+            SELECT doc_id, pos, tok,
+                   lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM toks),
+          uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM toks GROUP BY tok),
+          tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM uni),
+          bi AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS cb
+                 FROM prevs WHERE prev IS NOT NULL GROUP BY prev, tok),
+          nf AS (SELECT prev, CAST(count(DISTINCT tok) AS BIGINT) AS nf
+                 FROM bi GROUP BY prev),
+          nl AS (SELECT tok, CAST(count(DISTINCT prev) AS BIGINT) AS nl
+                 FROM bi GROUP BY tok),
+          nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM bi),
+          scored AS (
+            SELECT p.doc_id, p.pos,
+                   round(-ln(CASE WHEN p.prev IS NULL
+                                  THEN CAST(u.cu AS DOUBLE) / CAST(n_total AS DOUBLE)
+                                  ELSE (CAST(b.cb AS DOUBLE) - ${D.d(0.75)}) / CAST(up.cprev AS DOUBLE) +
+                                       ${D.d(0.75)} * (CAST(f.nf AS DOUBLE) / CAST(up.cprev AS DOUBLE)) *
+                                       (CAST(l.nl AS DOUBLE) / CAST(nt AS DOUBLE))
+                             END), 6) AS lp
+            FROM prevs p
+            JOIN uni u USING (tok)
+            LEFT JOIN (SELECT tok AS prev, cu AS cprev FROM uni) up USING (prev)
+            LEFT JOIN bi b ON b.prev = p.prev AND b.tok = p.tok
+            LEFT JOIN nf f ON f.prev = p.prev
+            LEFT JOIN nl l ON l.tok = p.tok
+            CROSS JOIN nt
+            CROSS JOIN tot),
+          agg AS (SELECT doc_id, list(lp ORDER BY pos) AS lps,
+                         CAST(count(*) AS BIGINT) AS n_tokens
+                  FROM scored GROUP BY doc_id)
+          SELECT doc_id, n_tokens,
+                 ${duckR6("list_reduce(lps, (a__, x__) -> a__ + x__) / CAST(n_tokens AS DOUBLE)")} AS avg_surprisal
+          FROM agg
+          ORDER BY doc_id""")),
+
       // Deterministic mixture up/down-sampling ("epochs per source"):
       // language weights 2.5/1.5/1.0/0.75/0.25 — ALL exact in binary —
       // replicate floor(w) + md5-bernoulli(frac(w)) times. zh at 0.25
@@ -7286,6 +7343,94 @@ object QueryCatalog {
                CAST(fetch_slot_ms // 60000 AS BIGINT) AS batch_no
         FROM r
         ORDER BY doc_id""")),
+
+    // Politeness-stack capstone: messy frontier URL -> canonicalize
+    // (uppercase host, default :443, utm noise, fragment) -> host/path
+    // split -> robots gate (group selection + longest-match) ->
+    // crawl-delay schedule for the ALLOWED rows, composed as ONE
+    // declarative job. The oracle replays every stage: the shared
+    // canonical formula, the rules CTE, the winner window, the delay
+    // formula, and the per-host rank window — a defect at any stage
+    // boundary (wrong host case, unstripped port, wrong group, wrong
+    // slot) breaks the hash. Disallowed rows keep null schedule
+    // columns.
+    Q("q_frontier_pipeline",
+      (s, dir) => {
+        val dls = Dialect.spark
+        val docs = tk(s, dir, "documents")
+        val messy = s"'https://H' || ${dls.castStr("doc_id % 41")} || ':443' || " +
+          s"${robotsPathExpr(dls)} || '?utm_source=x&b=' || ${dls.castStr("doc_id % 7")} || '#frag'"
+        val urls = graft.ops.UrlOps.canonicalize(
+            docs.selectExpr("doc_id", s"$messy AS url"), "url")
+          .selectExpr("doc_id",
+            "regexp_extract(canonical, '^[^:]+://([^/?#]*)', 1) AS host",
+            "regexp_extract(canonical, '^[^:]+://[^/?#]*([^?#]*)', 1) AS path")
+        val robots = synthRobots(docs)
+        val rules = graft.ops.Robots.parseRules(robots, "host", "txt")
+        val filtered = graft.ops.Robots.filterFrontier(
+          urls, rules, "GraftBot", "doc_id", "host", "path")
+        val delays = graft.ops.Robots.parseCrawlDelays(robots, "host", "txt")
+        val sched = graft.ops.Robots.scheduleFrontier(
+          filtered.where(col("allowed")).select("doc_id", "host"),
+          delays, "GraftBot", "doc_id", "host", 5000L, 60000L)
+        filtered.join(
+            sched.select(col("doc_id"), col("delay_ms"),
+              col("fetch_slot_ms"), col("batch_no")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("host"), col("path"), col("allowed"),
+            col("rule"), col("delay_ms"), col("fetch_slot_ms"), col("batch_no"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        ${robotsRulesSql}
+        , eff AS (
+          SELECT r.host, r.allow, r.pattern, r.patlen,
+                 CASE WHEN r.pattern LIKE '%$$'
+                      THEN replace(substr(r.pattern, 1, length(r.pattern) - 1), '*', '%')
+                      ELSE replace(r.pattern, '*', '%') || '%' END AS like_pat
+          FROM rules r
+          JOIN (SELECT host,
+                       max(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END) AS hasg
+                FROM rules GROUP BY host) s ON s.host = r.host
+          WHERE (r.agent = 'graftbot' AND s.hasg = 1)
+             OR (r.agent = '*' AND s.hasg = 0)),
+        messy AS (
+          SELECT doc_id,
+                 'https://H' || ${D.castStr("doc_id % 41")} || ':443' ||
+                 ${robotsPathExpr(D)} || '?utm_source=x&b=' || ${D.castStr("doc_id % 7")} || '#frag' AS url
+          FROM documents),
+        canon AS (SELECT doc_id, ${graft.ops.UrlOps.canonicalExpr(D, "url")} AS canonical
+                  FROM messy),
+        urls AS (
+          SELECT doc_id, canonical,
+                 regexp_extract(canonical, '^[^:]+://([^/?#]*)', 1) AS host,
+                 regexp_extract(canonical, '^[^:]+://[^/?#]*([^?#]*)', 1) AS path
+          FROM canon),
+        m AS (
+          SELECT u.doc_id, r.allow, r.pattern,
+                 row_number() OVER (PARTITION BY u.doc_id
+                   ORDER BY r.patlen DESC, r.allow DESC, r.pattern) AS rn
+          FROM urls u JOIN eff r ON r.host = u.host AND u.path LIKE r.like_pat),
+        f AS (
+          SELECT u.doc_id, u.host, u.path,
+                 coalesce(m.allow, true) AS allowed, m.pattern AS rule
+          FROM urls u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rn = 1),
+        dly AS (
+          SELECT f.doc_id, f.host,
+                 CAST(CASE WHEN (doc_id % 41) % 3 = 0 THEN ((doc_id % 41) % 4 + 1) * 1000
+                           WHEN (doc_id % 41) % 11 <> 7 THEN (2 + (doc_id % 41) % 3) * 1000
+                           ELSE 5000 END AS BIGINT) AS delay_ms
+          FROM f WHERE f.allowed),
+        sched AS (
+          SELECT doc_id, host, delay_ms,
+                 CAST((row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1)
+                      * delay_ms AS BIGINT) AS fetch_slot_ms
+          FROM dly)
+        SELECT f.doc_id, f.host, f.path, f.allowed, f.rule,
+               s.delay_ms, s.fetch_slot_ms,
+               CAST(s.fetch_slot_ms // 60000 AS BIGINT) AS batch_no
+        FROM f LEFT JOIN sched s ON s.doc_id = f.doc_id
+        ORDER BY f.doc_id""")),
 
     // Sitemap XML scan — the crawl-DISCOVERY feed (robots points at
     // sitemaps, their <loc>s seed the frontier the robots gate filters).

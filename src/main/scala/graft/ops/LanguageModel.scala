@@ -108,6 +108,58 @@ object LanguageModel {
         (col("__sum") / col("n_tokens").cast("double")).as("avg_surprisal"))
   }
 
+  /** Interpolated Kneser-Ney bigram surprisal (Kneser & Ney 1995; the
+    * smoothing KenLM actually ships, one order down) — the statistically
+    * principled alternative to the fixed-lambda mixes: observed bigram
+    * counts are DISCOUNTED by D = 0.75 (exact in binary) and the freed
+    * mass backs off to the CONTINUATION probability — how many distinct
+    * contexts a word follows, not how often it occurs ("Francisco" is
+    * frequent but only ever follows "San", so its continuation
+    * probability is tiny):
+    *
+    *   p(w|v) = (c(vw) − D)/c(v) + D · N1+(v·)/c(v) · N1+(·w)/N1+(··)
+    *
+    * (every scored bigram is observed at its own position, so
+    * c(vw) ≥ 1 and the max(·,0) clamp never binds in-corpus). First
+    * tokens score by unigram MLE. All four count tables are
+    * map-side-combinable aggregations bounded by corpus tokens; the
+    * per-doc fold keeps the position-ordered round-6 contract. */
+  def kneserNeyBigram(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    val toks = df.select(col(idCol),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+    val prevs = toks.withColumn("prev", lag("tok", 1).over(w))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum(col("cu")).cast("long").as("n_total"))
+    val bi = prevs.where(col("prev").isNotNull)
+      .groupBy("prev", "tok").agg(count(lit(1)).as("cb"))
+    val nFollow = bi.groupBy("prev").agg(countDistinct("tok").as("nf"))
+    val nLeft = bi.groupBy("tok").agg(countDistinct("prev").as("nl"))
+    val nTypes = bi.agg(count(lit(1)).cast("long").as("nt"))
+    val puni = col("cu").cast("double") / col("n_total").cast("double")
+    val pkn = (col("cb").cast("double") - lit(0.75)) / col("cprev").cast("double") +
+      lit(0.75) * (col("nf").cast("double") / col("cprev").cast("double")) *
+        (col("nl").cast("double") / col("nt").cast("double"))
+    val scored = prevs
+      .join(uni, "tok")
+      .join(uni.select(col("tok").as("prev"), col("cu").as("cprev")), Seq("prev"), "left")
+      .join(bi, Seq("prev", "tok"), "left")
+      .join(nFollow, Seq("prev"), "left")
+      .join(nLeft, Seq("tok"), "left")
+      .crossJoin(broadcast(nTypes))
+      .crossJoin(broadcast(total))
+      .withColumn("lp", round(-log(when(col("prev").isNull, puni).otherwise(pkn)), 6))
+    scored.groupBy(idCol)
+      .agg(
+        expr("""aggregate(transform(array_sort(collect_list(struct(pos, lp))),
+                            s -> s.lp),
+                          CAST(0.0 AS DOUBLE), (a, x) -> a + x)""").as("__sum"),
+        count(lit(1)).as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__sum") / col("n_tokens").cast("double")).as("avg_surprisal"))
+  }
+
   /** Interpolated-bigram surprisal — one Markov order up from
     * [[unigramSurprisal]] and the closest JVM-only stand-in for the KenLM
     * scores CCNet-style filters use:

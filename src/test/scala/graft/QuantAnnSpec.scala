@@ -134,6 +134,30 @@ class QuantAnnSpec extends AnyFunSuite {
     assert(math.abs(tri.head._3 - perTok) < 1e-9, s"${tri.head._3} vs $perTok")
   }
 
+  test("kneserNeyBigram: discount + continuation backoff, closed form") {
+    // pooled counts: uni(san 2, francisco 2, the 2, city 1, town 1) N=8;
+    // bigrams (san,francisco)x2 (francisco,san) (the,city) (city,the)
+    // (the,town) -> 5 types; nFollow(san)=1, (the)=2, (francisco)=1,
+    // (city)=1; nLeft all 1.
+    val df = Seq(
+      (1L, "san francisco san francisco"), (2L, "the city the town")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.LanguageModel.kneserNeyBigram(df, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    def r6d(x: Double) = math.round(x * 1e6) / 1e6
+    // doc1: unigram ln(8/2); p(francisco|san) = (2-.75)/2 + .75*(1/2)*(1/5)
+    // = 0.7; p(san|francisco) = (1-.75)/2 + .75*(1/2)*(1/5) = 0.2
+    val d1 = (r6d(-math.log(2.0 / 8.0)) + r6d(-math.log(0.7)) +
+      r6d(-math.log(0.2)) + r6d(-math.log(0.7))) / 4.0
+    assert(math.abs(got(0)._3 - d1) < 1e-9, s"${got(0)._3} vs $d1")
+    // doc2: unigram ln(8/2); p(city|the) = (1-.75)/2 + .75*(2/2)*(1/5)
+    // = 0.275; p(the|city) = (1-.75)/1 + .75*(1/1)*(1/5) = 0.4;
+    // p(town|the) = 0.275
+    val d2 = (r6d(-math.log(2.0 / 8.0)) + r6d(-math.log(0.275)) +
+      r6d(-math.log(0.4)) + r6d(-math.log(0.275))) / 4.0
+    assert(math.abs(got(1)._3 - d2) < 1e-9, s"${got(1)._3} vs $d2")
+  }
+
   test("upsampleByWeight: integer weights exact, fractional in expectation, deterministic") {
     val df = (1 to 1000).map(i => (i.toLong, if (i <= 500) 2.0 else 0.5))
       .toDF("doc_id", "wt")
