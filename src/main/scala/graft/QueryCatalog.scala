@@ -6050,6 +6050,70 @@ object QueryCatalog {
         FROM raw
         ORDER BY doc_id""")),
 
+    // Corpus snapshot diff — the triage an incremental pipeline runs
+    // before reprocessing: old vs new snapshot full-outer-joined on the
+    // doc key, each row classed added / removed / changed / unchanged by
+    // content hash. Fixture derives both snapshots from the documents
+    // table by residue (doc_id%11 dropped from new, %13 added only to
+    // new, %7 text-modified); the oracle replays the class rules. One
+    // id-keyed join; text never moves (hashes compare).
+    Q("q_snapshot_diff",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val old = docs.where(col("doc_id") % 13 =!= 0)
+          .select(col("doc_id"), md5(col("text")).as("h_old"))
+        val nw = docs.where(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))).as("h_new"))
+        old.join(nw, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("h_old").isNull, "added")
+              .when(col("h_new").isNull, "removed")
+              .when(col("h_old") =!= col("h_new"), "changed")
+              .otherwise("unchanged").as("status"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0 THEN 'added'
+                    WHEN doc_id % 11 = 0 THEN 'removed'
+                    WHEN doc_id % 7 = 0 THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM documents
+        WHERE NOT (doc_id % 13 = 0 AND doc_id % 11 = 0)
+        ORDER BY doc_id""")),
+
+    // One-row corpus report — the dataset-card summary a curation run
+    // ships: doc/token/char totals, language distribution, exact-dup
+    // rate, short-doc rate. Entirely map-side-combinable aggregation
+    // plus one md5-keyed distinct; emitted as a single wide row.
+    Q("q_corpus_report",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("__toks", size(split(trim(col("text")), "\\s+")))
+        docs.agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("__toks")).cast("long").as("n_tokens"),
+            sum(length(col("text"))).cast("long").as("n_chars"),
+            countDistinct(md5(col("text"))).as("n_distinct"),
+            count(when(col("__toks") < 25, 1)).as("n_short"),
+            countDistinct(col("lang")).as("n_langs"),
+            count(when(col("lang") === "en", 1)).as("n_en"))
+          .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+            (col("n_docs") - col("n_distinct")).as("n_exact_dups"),
+            col("n_short"), col("n_langs"), col("n_en"))
+      },
+      Some(s"""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(${D.splitWs("text")})) AS BIGINT) AS n_tokens,
+               CAST(sum(length(text)) AS BIGINT) AS n_chars,
+               CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+               CAST(count(CASE WHEN len(${D.splitWs("text")}) < 25 THEN 1 END) AS BIGINT) AS n_short,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_en
+        FROM documents""")),
+
     // SemDeDup (Abbas et al. 2023): nearest-centroid assignment (same
     // deterministic fixed-centroid scheme q_ann_ivf oracles), then cosine
     // near-dup pruning WITHIN clusters — never corpus^2. Output = kept rows.
