@@ -6050,6 +6050,41 @@ object QueryCatalog {
         FROM raw
         ORDER BY doc_id""")),
 
+    // EXACT set-similarity join via prefix filtering (PPJoin family,
+    // Xiao et al. 2008) — the deterministic counterpart to MinHash
+    // banding: pairs at Jaccard >= 4/5 are GUARANTEED found
+    // (pigeonhole on the rarest-first global token order). The oracle
+    // BRUTE-FORCES every pair of the subset, so the prefix filter's
+    // recall — not just its output values — is under the hash (the
+    // q_image_neardup pattern for text). Rational threshold: the
+    // verify comparison is exact-integer cross-multiplication.
+    Q("q_ppjoin",
+      (s, dir) => {
+        // doc_id % 10: the fixture vocabulary is tiny and shared (every
+        // "rarest" token still has df in the hundreds), so prefix buckets
+        // are far denser than on a Zipfian real corpus — the subset keeps
+        // the brute-force oracle and the bench budget honest
+        val docs = tk(s, dir, "documents").where(col("doc_id") % 10 === 0)
+        graft.ops.Dedup.prefixJaccardJoin(docs, "text", "doc_id", 4, 5)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        t0 AS (SELECT doc_id,
+                      unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+               FROM d),
+        t AS (SELECT doc_id, tok FROM t0 WHERE tok <> ''),
+        sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY doc_id),
+        i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(count(*) AS BIGINT) AS inter
+              FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY id_a, id_b)
+        SELECT id_a, id_b, inter,
+               CAST(sa.n + sb.n - inter AS BIGINT) AS uni
+        FROM i JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        WHERE inter * 5 >= (sa.n + sb.n - inter) * 4
+        ORDER BY id_a, id_b""")),
+
     // Corpus snapshot diff — the triage an incremental pipeline runs
     // before reprocessing: old vs new snapshot full-outer-joined on the
     // doc key, each row classed added / removed / changed / unchanged by

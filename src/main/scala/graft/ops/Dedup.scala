@@ -675,6 +675,56 @@ object Dedup {
         (col("__rank_b") - col("__rank_a")).as("rank_dist"))
   }
 
+  /** EXACT token-set similarity join via prefix filtering (the PPJoin
+    * family, Xiao et al. 2008) — the deterministic counterpart to
+    * MinHash banding: no probabilistic recall, every pair with Jaccard
+    * >= `num/den` is guaranteed found. Pigeonhole principle: order every
+    * doc's distinct tokens globally by (document frequency asc, token)
+    * — rarest first — and keep only the PREFIX of length
+    * n − ceil(t·n) + 1; two sets meeting the threshold MUST share a
+    * prefix token, so the candidate join runs on rare tokens only.
+    * Verification is exact-integer: |A∩B| via one token-keyed join,
+    * den·c >= num·(|A|+|B|−c) cross-multiplied (no float Jaccard).
+    *
+    * The threshold is a RATIONAL num/den so the comparison is exact on
+    * both engines. Scale shape: df table is vocab-bounded and broadcast
+    * back; prefixes shrink buckets precisely where the corpus is dense
+    * (common tokens never anchor candidates); the verify join moves
+    * (id, token) pairs for candidate docs only.
+    *
+    * Output: (id_a, id_b, inter, uni) for pairs meeting the threshold. */
+  def prefixJaccardJoin(df: DataFrame, textCol: String, idCol: String,
+                        num: Int, den: Int): DataFrame = {
+    require(num > 0 && den >= num, s"threshold $num/$den must be in (0,1]")
+    val toks = df.select(col(idCol),
+        explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("tok"))
+      .where(col("tok") =!= "")
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sorted = toks.join(dfreq, "tok")
+      .groupBy(col(idCol))
+      .agg(expr("transform(array_sort(collect_list(struct(df, tok))), s__ -> s__.tok)")
+        .as("arr"), count(lit(1)).as("n"))
+    // prefix length n - ceil(t*n) + 1 with ceil(num*n/den) in integers
+    val pref = sorted
+      .withColumn("p", expr(s"CAST(n - (($num * n + ${den - 1}) div $den) + 1 AS INT)"))
+      .select(col(idCol), explode(expr("slice(arr, 1, p)")).as("tok"))
+    val cand = pref.select(col(idCol).as("id_a"), col("tok"))
+      .join(pref.select(col(idCol).as("id_b"), col("tok")), "tok")
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val inter = cand
+      .join(toks.select(col(idCol).as("id_a"), col("tok")), "id_a")
+      .join(toks.select(col(idCol).as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val sizes = sorted.select(col(idCol), col("n"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .where(col("inter") * den >= col("uni") * num)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+  }
+
   def semanticDedup(emb: DataFrame, centroids: DataFrame, idCol: String,
                     vecCol: String, threshold: Double): DataFrame = {
     import graft.functions.VectorF

@@ -463,6 +463,31 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("prefixJaccardJoin: equals brute force exactly (recall guarantee)") {
+    import graft.ops.Dedup
+    // overlapping token sets around the 2/3 threshold, plus exact dups
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e g"),      // J = 5/7
+      (3L, "a b c d e f"),                            // dup of 1 -> J = 1
+      (4L, "x y z"), (5L, "x y q"),                   // J = 2/4
+      (6L, "m n"), (7L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardJoin(docs, "text", "doc_id", 2, 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // brute force over all pairs
+    val sets = Map(1L -> "a b c d e f", 2L -> "a b c d e g", 3L -> "a b c d e f",
+      4L -> "x y z", 5L -> "x y q", 6L -> "m n", 7L -> "p q r s t u v w")
+      .map { case (k, v) => k -> v.split(" ").toSet }
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      i = (sets(a) & sets(b)).size; u = (sets(a) | sets(b)).size
+      if i * 3 >= u * 2
+    } yield (a, b, i.toLong, u.toLong)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(want.contains((1L, 2L, 5L, 7L)) && want.contains((1L, 3L, 6L, 6L)),
+      "fixture sanity: the threshold pair and the exact dup are present")
+  }
+
   test("sortedNeighborhoodPairs: exact window pairs across partition boundaries") {
     import graft.ops.Dedup
     // 40 rows, keys shuffled relative to ids — sorted order is by key;
