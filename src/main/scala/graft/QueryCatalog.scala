@@ -133,11 +133,20 @@ object QueryCatalog {
     pcaCache.computeIfAbsent(dir, _ =>
       graft.ops.Pca.fit(t(s, dir, "embeddings"), "embedding", 64, 16))
 
-  /** The events table carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects by default; read nanos as raw longs (epoch nanoseconds). */
+  /** Events scan with a schema-drift shim: the synthetic `ts` column has
+    * shipped both as parquet timestamp[ns] (read as Long nanos under the
+    * legacy nanosAsLong conf) and as timestamp[us] (read as
+    * TIMESTAMP_NTZ). Every consumer — and every DuckDB oracle via
+    * `epoch_us(ts)` — treats ts as an epoch count, so normalize any
+    * timestamp read back to Long NANOSECONDS (session tz is UTC, making
+    * the NTZ→LTZ cast the identity on the wall clock). */
   private def tEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
   }
 
   private val D = Dialect.duckdb
