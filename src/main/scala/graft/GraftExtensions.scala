@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator integration: plans graft.plans.AsOfJoinPlan into the
+    // sort-merge AsOfJoinExec (library path: TemporalJoins.asofBackwardNative
+    // attaches the same strategy through experimental.extraStrategies)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("dot_d"),
       info("dot_d", "dot_d(a, b) - sequential-fold dot product of two ARRAY<DOUBLE>"),

@@ -2060,6 +2060,38 @@ object QueryCatalog {
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.ptsu
         ORDER BY event_id""")),
 
+    // The SAME as-of semantics through the custom Catalyst operator
+    // (graft.plans.AsOfJoinExec: logical node + planner strategy + sort-
+    // merge physical plan) — a THIRD independent algorithm hash-matched
+    // against DuckDB's native ASOF JOIN. One clustered exchange + one sort
+    // per side, O(1) state per task.
+    Q("q_asof_native",
+      (s, dir) => {
+        import graft.ops.TemporalJoins
+        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("tsu"))
+        val purch = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("tsu").as("ptsu"))
+          .agg(max(col("value")).as("asof_value"))
+          .withColumn("asof_ts", col("ptsu"))
+        TemporalJoins.asofBackwardNative(clicks, purch, "user_id", "tsu", "ptsu",
+            Seq("asof_value", "asof_ts"))
+          .select(col("event_id"), col("user_id"),
+            col("asof_ts").cast("long").as("asof_ts"), col("asof_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+                   FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, epoch_us(ts) AS ptsu, max(value) AS asof_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, epoch_us(ts))
+        SELECT l.event_id, l.user_id,
+               CAST(r.ptsu AS BIGINT) AS asof_ts, r.asof_value
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.ptsu
+        ORDER BY event_id""")),
+
     // Forward as-of join (earliest purchase at-or-after each click).
     Q("q_asof_forward",
       (s, dir) => {

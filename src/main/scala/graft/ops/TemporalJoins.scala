@@ -48,6 +48,42 @@ object TemporalJoins {
     carried.where(col("__side") === 1).drop("__t", "__side")
   }
 
+  /** Backward as-of join as a FIRST-CLASS physical operator
+    * ([[graft.plans.AsOfJoinExec]]): same semantics as [[asofBackward]],
+    * but planned as a custom Catalyst node — one clustered exchange and
+    * one sort per side, then an O(|L|+|R|) forward merge per partition
+    * holding a single buffered payload (no union materialization, no
+    * window carry state). Times must be LongType epoch counts. The
+    * planner strategy is attached to the session idempotently. */
+  def asofBackwardNative(left: DataFrame, right: DataFrame, keyCol: String,
+                         leftTimeCol: String, rightTimeCol: String,
+                         payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.GraftPlanBridge
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    require(left.schema(leftTimeCol).dataType ==
+        org.apache.spark.sql.types.LongType &&
+      right.schema(rightTimeCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      "as-of time columns must be LongType epoch counts")
+    val spark = left.sparkSession
+    GraftPlanBridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+    // Re-alias every right column: a self-join (both sides derived from
+    // one scan) would otherwise share expression ids across children.
+    val rProj = right.select(
+      (col(keyCol).as("__asof_k") +: col(rightTimeCol).as("__asof_t") +:
+        payloadCols.map(p => col(p).as(p))): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rProj.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    GraftPlanBridge.ofRows(spark, graft.plans.AsOfJoinPlan(
+      lPlan, rPlan,
+      attr(lPlan, keyCol), attr(rPlan, "__asof_k"),
+      attr(lPlan, leftTimeCol), attr(rPlan, "__asof_t"),
+      payloadCols.map(attr(rPlan, _))))
+  }
+
   /** Forward as-of join: for every left row, the EARLIEST right row with
     * rightTime >= leftTime for the same key (null when none follows).
     * Same union+window algorithm scanned in descending time order. */

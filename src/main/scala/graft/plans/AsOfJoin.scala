@@ -1,0 +1,162 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder,
+  UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.types.LongType
+
+/** Whole-operator Catalyst integration for the backward as-of join
+  * (SURVEY §4.3 preference order (c): custom LogicalPlan + SparkStrategy +
+  * SparkPlan, registered via [[graft.GraftExtensions]] or attached to a
+  * live session through `spark.experimental.extraStrategies`).
+  *
+  * Semantics are identical to [[graft.ops.TemporalJoins.asofBackward]]
+  * (DuckDB `ASOF LEFT JOIN ... ON l.k = r.k AND l.t >= r.t`): every left
+  * row picks up the payload of the LATEST right row with
+  * `rightTime <= leftTime` for the same key, null when none precedes.
+  * Right rows must be unique per (key, time); rows with a null time never
+  * match (a null left time yields a null payload).
+  *
+  * Why a physical operator instead of the union+window rewrite:
+  *   - ONE co-partitioned exchange per side on the join key and one sort
+  *     per side — exactly a sort-merge join's movement — then a single
+  *     O(|L|+|M|) forward merge per partition holding ONE buffered right
+  *     payload, instead of materializing the unioned relation and running
+  *     a window `last(ignoreNulls)` carry over every payload column.
+  *   - The merge never rewinds: unlike sort-merge equi-join there is no
+  *     buffered-match group to replay, so memory per task is O(1) and
+  *     nothing can spill, at any scale.
+  *   - EnsureRequirements plans the exchanges/sorts, so AQE still
+  *     coalesces/splits partitions and reuses exchange subtrees.
+  *
+  * The time columns must be LongType (epoch counts — the engine-wide
+  * convention for `events.ts`); the key may be any orderable type.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTime: Attribute, rightTime: Attribute,
+    payload: Seq[Attribute]) extends BinaryNode {
+
+  require(leftTime.dataType == LongType && rightTime.dataType == LongType,
+    "as-of time columns must be LongType epoch counts")
+
+  override def output: Seq[Attribute] =
+    left.output ++ payload.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] into [[AsOfJoinExec]]. Stateless — safe to add
+  * to any number of sessions. */
+object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, pay) =>
+      AsOfJoinExec(lk, rk, lt, rt, pay, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sort-merge backward as-of join: children are hash-clustered on the key
+  * and sorted by (key, time); each partition pair merges in one forward
+  * pass with a single buffered right payload (the latest one at or before
+  * the current left row's time for the current key). */
+case class AsOfJoinExec(
+    leftKey: Attribute, rightKey: Attribute,
+    leftTime: Attribute, rightTime: Attribute,
+    payload: Seq[Attribute],
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  private val payloadOut = payload.map(_.withNullability(true))
+
+  override def output: Seq[Attribute] = left.output ++ payloadOut
+
+  override lazy val metrics: Map[String, SQLMetric] =
+    Map("numOutputRows" ->
+      SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val lOut = left.output
+    val rOut = right.output
+    val keyType = leftKey.dataType
+    val out = output
+    val nPayload = payload.size
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(Seq(leftKey), lOut)
+      val rKeyProj = UnsafeProjection.create(Seq(rightKey), rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(leftTime), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rightTime), rOut)
+      val rPayProj = UnsafeProjection.create(payload, rOut)
+      // bind against the NULLABLE payload attrs: binding against the right
+      // child's non-nullable originals would elide the null checks and read
+      // zeros out of the all-null unmatched row
+      val outProj = UnsafeProjection.create(out, lOut ++ payloadOut)
+      val keyOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .createNaturalAscendingOrdering(Seq(keyType))
+      val joined = new JoinedRow
+      val nullPay = new GenericInternalRow(nPayload)
+
+      var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+      // latest buffered right payload + its key (copies — projections reuse)
+      var bufPay: UnsafeRow = null
+      var bufKey: UnsafeRow = null
+
+      lIter.map { l =>
+        val lk = lKeyProj(l)
+        val lt = lTimeProj(l)
+        val lNull = lt.isNullAt(0)
+        val ltv = if (lNull) Long.MinValue else lt.getLong(0)
+        var advance = true
+        while (advance && rHead != null) {
+          val rk = rKeyProj(rHead)
+          val c = keyOrd.compare(rk, lk)
+          if (c < 0) {
+            // right key fully behind an ascending left cursor — never queried again
+            rHead = if (rIter.hasNext) rIter.next() else null
+          } else if (c == 0) {
+            val rt = rTimeProj(rHead)
+            if (!lNull && !rt.isNullAt(0) && rt.getLong(0) <= ltv) {
+              bufPay = rPayProj(rHead).copy()
+              bufKey = rk.copy()
+              rHead = if (rIter.hasNext) rIter.next() else null
+            } else if (rt.isNullAt(0)) {
+              // null times sort first and never match
+              rHead = if (rIter.hasNext) rIter.next() else null
+            } else advance = false
+          } else advance = false
+        }
+        val pay =
+          if (bufKey != null && keyOrd.compare(bufKey, lk) == 0) bufPay
+          else nullPay
+        numOutputRows += 1
+        outProj(joined(l, pay))
+      }
+    }
+  }
+}

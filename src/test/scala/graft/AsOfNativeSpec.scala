@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TemporalJoins
+
+/** The native sort-merge as-of operator (graft.plans.AsOfJoinExec) must
+  * bit-match the union+window implementation on hostile inputs, and its
+  * physical plan must be the two-exchange two-sort shape with no window
+  * exchange and no cartesian anything. */
+class AsOfNativeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  // deterministic mixed fixture: keys with no right rows, right-only keys,
+  // equal timestamps (inclusive semantics), multiple payload updates,
+  // duplicate left times, negative times
+  private def fixtures = {
+    val left = Seq(
+      (1L, 10L, "l0"), (1L, 20L, "l1"), (1L, 20L, "l2"), (1L, 35L, "l3"),
+      (2L, 5L, "l4"),                       // key with no right rows at all
+      (3L, -5L, "l5"), (3L, 100L, "l6"),    // negative time, far future
+      (5L, 7L, "l7")                        // right rows exist only AFTER
+    ).toDF("k", "t", "ltag")
+    val right = Seq(
+      (1L, 10L, 1.0), (1L, 15L, 2.0), (1L, 30L, 3.0),
+      (3L, -10L, 4.0), (3L, 0L, 5.0),
+      (4L, 1L, 6.0),                        // right-only key
+      (5L, 8L, 7.0)
+    ).toDF("k", "rt", "v")
+    (left, right)
+  }
+
+  test("native as-of matches the window implementation on edge cases") {
+    val (left, right) = fixtures
+    val nat = TemporalJoins.asofBackwardNative(
+        left, right, "k", "t", "rt", Seq("v"))
+      .orderBy("k", "t", "ltag").collect().toSeq
+    val win = TemporalJoins.asofBackward(
+        left, right.withColumnRenamed("rt", "prt"), "k", "t", "prt", Seq("v"))
+      .select("k", "t", "ltag", "v")
+      .orderBy("k", "t", "ltag").collect().toSeq
+    assert(nat.map(_.toSeq) == win.map(_.toSeq))
+    // spot-check semantics directly
+    val byTag = nat.map(r => r.getString(2) -> (if (r.isNullAt(3)) null
+      else java.lang.Double.valueOf(r.getDouble(3)))).toMap
+    assert(byTag("l0") == 1.0)   // equal timestamp is inclusive
+    assert(byTag("l1") == 2.0 && byTag("l2") == 2.0)
+    assert(byTag("l3") == 3.0)
+    assert(byTag("l4") == null)  // no right rows for key
+    assert(byTag("l5") == 4.0)   // negative times ordered correctly
+    assert(byTag("l6") == 5.0)
+    assert(byTag("l7") == null)  // right row strictly later
+  }
+
+  test("native as-of matches window impl on a randomized corpus") {
+    val rnd = new scala.util.Random(42)
+    val left = (1 to 2000).map(i =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong * 1000L, i.toLong))
+      .toDF("k", "t", "id")
+    val right = (1 to 800).map { i =>
+      (rnd.nextInt(50).toLong, rnd.nextInt(1000).toLong * 1000L + (i % 7), i.toDouble)
+    }.distinct.toDF("k", "rt", "v")
+      // contract: unique per (key, time)
+      .groupBy("k", "rt").agg(max("v").as("v"))
+    val nat = TemporalJoins.asofBackwardNative(left, right, "k", "t", "rt", Seq("v"))
+      .orderBy("k", "t", "id").collect().toSeq
+    val win = TemporalJoins.asofBackward(
+        left, right.withColumnRenamed("rt", "prt"), "k", "t", "prt", Seq("v"))
+      .select("k", "t", "id", "v")
+      .orderBy("k", "t", "id").collect().toSeq
+    assert(nat.size == 2000 && nat.map(_.toSeq) == win.map(_.toSeq))
+  }
+
+  test("plan shape: AsOfJoinExec with one exchange + one sort per side") {
+    val (left, right) = fixtures
+    val df = TemporalJoins.asofBackwardNative(left, right, "k", "t", "rt", Seq("v"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("Window"), "native path must not plan a Window")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, s"expected 2 key exchanges, got $exchanges:\n$plan")
+    val sorts = plan.linesIterator.count(_.trim.matches(".*\\bSort \\[.*"))
+    assert(sorts == 2, s"expected 2 sorts, got $sorts:\n$plan")
+  }
+}
