@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // sort-merge AsOfJoinExec (library path: TemporalJoins.asofBackwardNative
     // attaches the same strategy through experimental.extraStrategies)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // operator-batch rule: filters written above an as-of join sink through
+    // the custom node (and on to the scans) instead of running post-merge
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPushdown)
     ext.injectFunction((
       FunctionIdentifier("dot_d"),
       info("dot_d", "dot_d(a, b) - sequential-fold dot product of two ARRAY<DOUBLE>"),

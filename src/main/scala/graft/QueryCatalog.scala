@@ -2125,6 +2125,41 @@ object QueryCatalog {
         LEFT JOIN r ON r.user_id = l.user_id AND r.ptsu = m.mts
         ORDER BY l.event_id""")),
 
+    // Forward as-of through the native operator: forward is backward on
+    // NEGATED times, so AsOfJoinExec serves both directions. Same oracle
+    // as q_asof_forward (min-over-future + two equi-joins in DuckDB).
+    Q("q_asof_forward_native",
+      (s, dir) => {
+        import graft.ops.TemporalJoins
+        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("tsu"))
+        val purch = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("tsu").as("ptsu"))
+          .agg(max(col("value")).as("next_value"))
+          .withColumn("next_ts", col("ptsu"))
+        TemporalJoins.asofForwardNative(clicks, purch, "user_id", "tsu", "ptsu",
+            Seq("next_value", "next_ts"))
+          .select(col("event_id"), col("user_id"),
+            col("next_ts").cast("long").as("next_ts"), col("next_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+                   FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, epoch_us(ts) AS ptsu, max(value) AS next_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, epoch_us(ts)),
+        m AS (SELECT l.event_id, min(r.ptsu) AS mts
+              FROM l JOIN r ON l.user_id = r.user_id AND r.ptsu >= l.tsu
+              GROUP BY l.event_id)
+        SELECT l.event_id AS event_id, l.user_id AS user_id,
+               CAST(m.mts AS BIGINT) AS next_ts, r.next_value
+        FROM l
+        LEFT JOIN m ON m.event_id = l.event_id
+        LEFT JOIN r ON r.user_id = l.user_id AND r.ptsu = m.mts
+        ORDER BY l.event_id""")),
+
     // Nearest as-of join (closest purchase either direction; ties prefer
     // the backward match). One union + one key shuffle, two window sorts.
     Q("q_asof_nearest",

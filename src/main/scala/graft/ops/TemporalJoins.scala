@@ -67,6 +67,7 @@ object TemporalJoins {
       "as-of time columns must be LongType epoch counts")
     val spark = left.sparkSession
     GraftPlanBridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+    GraftPlanBridge.addOptimization(spark, graft.plans.AsOfJoinPushdown)
     // Re-alias every right column: a self-join (both sides derived from
     // one scan) would otherwise share expression ids across children.
     val rProj = right.select(
@@ -82,6 +83,18 @@ object TemporalJoins {
       attr(lPlan, keyCol), attr(rPlan, "__asof_k"),
       attr(lPlan, leftTimeCol), attr(rPlan, "__asof_t"),
       payloadCols.map(attr(rPlan, _))))
+  }
+
+  /** Forward as-of through the native operator: forward(t) is exactly
+    * backward on NEGATED times (latest -rt <= -lt  <=>  earliest rt >= lt,
+    * ties preserved), so the same AsOfJoinExec serves both directions. */
+  def asofForwardNative(left: DataFrame, right: DataFrame, keyCol: String,
+                        leftTimeCol: String, rightTimeCol: String,
+                        payloadCols: Seq[String]): DataFrame = {
+    val lNeg = left.withColumn("__asof_neg", -col(leftTimeCol))
+    val rNeg = right.withColumn("__asof_neg", -col(rightTimeCol))
+    asofBackwardNative(lNeg, rNeg, keyCol, "__asof_neg", "__asof_neg",
+      payloadCols).drop("__asof_neg")
   }
 
   /** Forward as-of join: for every left row, the EARLIEST right row with

@@ -56,6 +56,49 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+/** Predicate pushdown through [[AsOfJoinPlan]]: Catalyst's own
+  * PushDownPredicates stops at unknown nodes, so without this rule every
+  * filter written above an as-of join runs AFTER both exchanges and the
+  * merge. Deterministic conjuncts referencing only left-side columns move
+  * below the node (pre-shuffle row pruning); conjuncts on exactly the join
+  * key additionally prune the RIGHT side (a right row whose key is filtered
+  * out can never match a surviving left row). Payload/time-mixed conjuncts
+  * stay above — pushing them would change which right row matches.
+  *
+  * Registered via GraftExtensions `injectOptimizerRule` (runs inside the
+  * operator-optimization batch, so pushed filters keep sinking to the scans
+  * to fixed point) or attached to a live session through
+  * `experimental.extraOptimizations` (runs post-batch: filters stop directly
+  * above the children — still ahead of the exchanges, which is the win). */
+object AsOfJoinPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, Expression}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case x => Seq(x)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case Filter(cond, aj: AsOfJoinPlan) =>
+      val (pushable, keep) = conjuncts(cond).partition(c =>
+        c.deterministic && c.references.subsetOf(aj.left.outputSet))
+      if (pushable.isEmpty) Filter(cond, aj)
+      else {
+        val keyOnly = pushable.filter(_.references == AttributeSet(Seq(aj.leftKey)))
+        val rightPreds = keyOnly.map(_.transform {
+          case a: Attribute if a.semanticEquals(aj.leftKey) => aj.rightKey
+        })
+        val newLeft = Filter(pushable.reduce(And), aj.left)
+        val newRight = rightPreds.reduceOption(And)
+          .map(Filter(_, aj.right)).getOrElse(aj.right)
+        val pushed = aj.copy(left = newLeft, right = newRight)
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Plans [[AsOfJoinPlan]] into [[AsOfJoinExec]]. Stateless — safe to add
   * to any number of sessions. */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {

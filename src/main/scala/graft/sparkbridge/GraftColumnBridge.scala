@@ -25,4 +25,12 @@ object GraftPlanBridge {
     if (!cs.experimental.extraStrategies.contains(s))
       cs.experimental.extraStrategies = s +: cs.experimental.extraStrategies
   }
+
+  def addOptimization(
+      spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(r))
+      cs.experimental.extraOptimizations = r +: cs.experimental.extraOptimizations
+  }
 }

@@ -73,6 +73,52 @@ class AsOfNativeSpec extends AnyFunSuite {
     assert(nat.size == 2000 && nat.map(_.toSeq) == win.map(_.toSeq))
   }
 
+  test("forward native (negated-time reduction) matches window forward impl") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 1500).map(i =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(800).toLong * 1000L, i.toLong))
+      .toDF("k", "t", "id")
+    val right = (1 to 600).map(i =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(800).toLong * 1000L + (i % 5), i.toDouble))
+      .toDF("k", "rt", "v")
+      .groupBy("k", "rt").agg(max("v").as("v"))
+    val nat = TemporalJoins.asofForwardNative(left, right, "k", "t", "rt", Seq("v"))
+      .select("k", "t", "id", "v")
+      .orderBy("k", "t", "id").collect().toSeq
+    val win = TemporalJoins.asofForward(
+        left, right.withColumnRenamed("rt", "prt"), "k", "t", "prt", Seq("v"))
+      .select("k", "t", "id", "v")
+      .orderBy("k", "t", "id").collect().toSeq
+    assert(nat.size == 1500 && nat.map(_.toSeq) == win.map(_.toSeq))
+  }
+
+  test("pushdown rule: left-only and key filters sink below the as-of node") {
+    val (left, right) = fixtures
+    val df = TemporalJoins.asofBackwardNative(left, right, "k", "t", "rt", Seq("v"))
+      .where(col("k") === 1L && col("ltag") =!= "zz" && col("v") > 0.0)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // the key predicate must appear BELOW the AsOfJoin on both sides and
+    // only the payload predicate may remain above it
+    val lines = optimized.linesIterator.toSeq
+    val ajIdx = lines.indexWhere(_.contains("AsOfJoin"))
+    assert(ajIdx >= 0, optimized)
+    val above = lines.take(ajIdx).mkString("\n")
+    val below = lines.drop(ajIdx + 1).mkString("\n")
+    assert(!above.contains("ltag"), s"left-only filter not pushed:\n$optimized")
+    assert(below.count(_ == '1') >= 2 || below.contains("__asof_k"),
+      s"key filter should prune both sides:\n$optimized")
+    val filtersBelow = lines.drop(ajIdx + 1).count(_.contains("- Filter"))
+    assert(filtersBelow >= 2, s"expected filters on both children:\n$optimized")
+    // results unchanged by the pushdown
+    val expect = TemporalJoins.asofBackward(
+        left.where(col("k") === 1L && col("ltag") =!= "zz"),
+        right.withColumnRenamed("rt", "prt"), "k", "t", "prt", Seq("v"))
+      .where(col("v") > 0.0).select("k", "t", "ltag", "v")
+      .orderBy("t", "ltag").collect().toSeq
+    val got = df.select("k", "t", "ltag", "v").orderBy("t", "ltag").collect().toSeq
+    assert(got.map(_.toSeq) == expect.map(_.toSeq))
+  }
+
   test("plan shape: AsOfJoinExec with one exchange + one sort per side") {
     val (left, right) = fixtures
     val df = TemporalJoins.asofBackwardNative(left, right, "k", "t", "rt", Seq("v"))
