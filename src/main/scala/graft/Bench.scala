@@ -115,7 +115,11 @@ object Bench {
           // window pass, trigram joins, audio byte kernel, and the
           // distributed-global-rank band join
           "q_sp_segment", "q_justext_blocks", "q_trigram_lm",
-          "q_audio_fingerprint", "q_snm_pairs")
+          "q_audio_fingerprint", "q_snm_pairs",
+          // round-9: the custom as-of physical operator (merge state O(1),
+          // should scale as pure sort-shuffle) and the two-pass dense-id
+          // assignment (the anti-SinglePartition witness)
+          "q_asof_native", "q_dense_ids")
         def timed(fn: String => Unit, dir: String, name: String): Double = {
           def once(): Double = {
             val t0 = System.nanoTime()

@@ -2845,6 +2845,22 @@ object QueryCatalog {
         ORDER BY zval, o_orderkey
         LIMIT 200""")),
 
+    // Stable dense sequential ids WITHOUT row_number's Exchange
+    // SinglePartition: range-partition + in-partition sort + two-pass
+    // zipWithIndex (count pass, offset-stamp pass). The oracle replays it
+    // as the window it replaces — same assignment, opposite plan shape.
+    Q("q_dense_ids",
+      (s, dir) =>
+        graft.ops.Layout.denseIds(
+            t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id")),
+            "doc_id")
+          .orderBy("doc_id"),
+      Some("""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq_id
+        FROM documents
+        ORDER BY doc_id""")),
+
     // Statistical aggregates (corr / stddev / skewness) computed from
     // EXACT decimal moments: the 2-decimal inputs make every power sum
     // exact in DECIMAL, and both engines then derive the statistics from

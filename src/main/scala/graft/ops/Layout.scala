@@ -23,6 +23,34 @@ object Layout {
   def zValue(xCol: String, yCol: String, bits: Int = 16): Column =
     expr(S.zInterleave(s"CAST($xCol AS BIGINT)", s"CAST($yCol AS BIGINT)", bits))
 
+  /** Stable dense sequential ids (0-based) in `orderCol` order WITHOUT the
+    * single-partition collapse: `row_number() OVER (ORDER BY k)` plans
+    * `Exchange SinglePartition` — one task sorts the entire corpus, the
+    * canonical 100 TB trap for "assign training-example ids". This is the
+    * distributed equivalent: range-partition on the order key (parallel
+    * TeraSort layout), sort within partitions, then RDD `zipWithIndex` —
+    * one counting pass + one offset-stamping pass, every partition
+    * parallel, O(partitions) driver state.
+    *
+    * `orderCol` must be unique (ties would make any engine's assignment
+    * nondeterministic). The order key may be any sortable type. */
+  def denseIds(df: DataFrame, orderCol: String, outCol: String = "seq_id",
+               numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, col(orderCol))
+      .sortWithinPartitions(orderCol)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(outCol,
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Write `df` z-order-clustered on (xCol, yCol): range-partition by the
     * z-value (keeps files balanced AND z-contiguous), sort within
     * partitions, drop the helper column. */

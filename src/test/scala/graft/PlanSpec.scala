@@ -328,4 +328,24 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"rank-band join must be an equi-join on the bucket key:\n$plan")
   }
+
+  test("denseIds never plans Exchange SinglePartition (row_number does)") {
+    val df = (0 until 100).map(i => (i.toLong * 7 % 101, s"d$i")).toDF("k", "v")
+    val dense = graft.ops.Layout.denseIds(df, "k", numPartitions = 8)
+    // the zipWithIndex result keeps the range-partitioned parallelism
+    // (the SQL plan shows only Scan ExistingRDD — the layout lives in the
+    // RDD lineage, so pin the partition count, the behavioral truth)
+    assert(dense.rdd.getNumPartitions == 8,
+      s"dense ids must stay parallel, got ${dense.rdd.getNumPartitions}")
+    // the op it replaces DOES collapse — the trap is real
+    val windowed = df.withColumn("seq_id",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy("k")))
+    assert(windowed.queryExecution.executedPlan.toString.contains("SinglePartition"))
+    assert(windowed.rdd.getNumPartitions == 1)
+    // same assignment
+    val got = dense.select("k", "seq_id").orderBy("k").collect().map(_.toSeq)
+    val want = windowed.select(col("k"), (col("seq_id") - 1).cast("long").as("seq_id"))
+      .orderBy("k").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
 }
