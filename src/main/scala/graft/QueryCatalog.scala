@@ -4407,6 +4407,68 @@ object QueryCatalog {
                      AND r.tsu >= l.tsu AND r.tsu <= l.tsu + 600000000
         ORDER BY user_id, left_id, right_id""")),
 
+    // Streaming as-of enrichment == the batch as-of join: clicks and
+    // (pre-aggregated) purchases replay as ONE globally time-ordered
+    // tagged stream in 4 micro-batches; flatMapGroupsWithState keeps ONE
+    // (time, payload) pair per user in the state store. Cross-batch
+    // carry — a click matching a purchase from an earlier batch — is
+    // exactly what the split exercises. Oracle = DuckDB's native ASOF
+    // LEFT JOIN, the same oracle the batch window and custom-operator
+    // paths hash-match, so all THREE as-of algorithms (window,
+    // sort-merge exec, stateful stream) are pinned to one truth.
+    Q("q_stream_asof_eq",
+      (s, dir) => {
+        import s.implicits._
+        import graft.streaming.StreamingAsOf
+        import graft.streaming.StreamingAsOf.AsOfEvent
+        val ss = streamSession(s)
+        implicit val sqlCtx = ss.sqlContext
+        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id").cast("long"), col("tsu").cast("long"),
+            col("event_id").cast("long"))
+          .as[(Long, Long, Long)].collect()
+          .map { case (u, t, id) => AsOfEvent(u, t, 1, id, 0.0) }
+        val purch = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("tsu"))
+          .agg(max(col("value")).as("v"))
+          .select(col("user_id").cast("long"), col("tsu").cast("long"), col("v"))
+          .as[(Long, Long, Double)].collect()
+          .map { case (u, t, v) => AsOfEvent(u, t, 0, -1L, v) }
+        // right-before-left at equal times = the inclusive-tie rule; a
+        // globally time-ordered feed keeps batch boundaries semantics-free
+        val all = (clicks ++ purch).sortBy(e => (e.t, e.side, e.id))
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[AsOfEvent]
+        val name = s"q_stream_asof_eq_${System.nanoTime()}"
+        val q = StreamingAsOf.enrich(in.toDS())
+          .toDF().writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          all.grouped(math.max(1, (all.length + 3) / 4)).foreach { b =>
+            in.addData(b.toSeq); q.processAllAvailable()
+          }
+        } finally {
+          q.stop()
+          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        }
+        ss.table(name)
+          .select(col("id").as("event_id"), col("key").as("user_id"),
+            col("asof_t").cast("long").as("asof_ts"),
+            col("asof_v").as("asof_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+                   FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, epoch_us(ts) AS ptsu, max(value) AS asof_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, epoch_us(ts))
+        SELECT l.event_id, l.user_id,
+               CAST(r.ptsu AS BIGINT) AS asof_ts, r.asof_value
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.ptsu
+        ORDER BY event_id""")),
+
     // Incremental index build == the batch build: documents stream in as
     // 4 single-file micro-batches through StreamingIngest.indexStream
     // (the foreachBatch path reusing the EXACT batch operators), the
@@ -5564,6 +5626,37 @@ object QueryCatalog {
             FROM w)
           SELECT doc_id, lang, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy
           FROM n
+          ORDER BY doc_id, copy""")),
+
+      // mC4/XLM-R alpha-temperature language rebalancing at alpha = 0.5:
+      // factor_l = sqrt(n_max / n_l) (sqrt is IEEE correctly-rounded, so
+      // both engines agree bit-for-bit; pow would not). One tiny (lang)
+      // aggregation broadcasts; replication is the same narrow
+      // deterministic generator as q_mixture_upsample.
+      Q("q_temperature_mix",
+        (s, dir) => {
+          import graft.ops.Sampling
+          Sampling.temperatureResample(t(s, dir, "documents"), "doc_id", "lang", 0.5)
+            .select(col("doc_id"), col("lang"),
+              col("factor"), col("copy").cast("long").as("copy"))
+            .orderBy("doc_id", "copy")
+        },
+        Some(s"""
+          WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                     FROM documents GROUP BY lang),
+          m AS (SELECT max(n) AS mx FROM c),
+          f AS (SELECT lang, sqrt(CAST(mx AS DOUBLE) / CAST(n AS DOUBLE)) AS factor
+                FROM c, m),
+          w AS (SELECT d.doc_id, d.lang, f.factor
+                FROM documents d JOIN f ON d.lang = f.lang),
+          n2 AS (SELECT doc_id, lang, factor,
+                       CAST(floor(factor) +
+                            CASE WHEN ${D.md5Uniform(D.castStr("doc_id"))} < factor - floor(factor)
+                                 THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+                 FROM w)
+          SELECT doc_id, lang, factor,
+                 CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy
+          FROM n2
           ORDER BY doc_id, copy""")),
 
       // PCA 64->16 projection dump — the q_opq_rotated pattern: the

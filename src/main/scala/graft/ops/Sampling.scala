@@ -96,6 +96,39 @@ object Sampling {
         explode(expr("CASE WHEN __n >= 1 THEN sequence(1, __n) ELSE array() END")))
       .drop("__w", "__n")
 
+  /** mC4/XLM-R temperature (alpha) language rebalancing: target share
+    * q_l ∝ p_l^alpha flattens the language distribution (alpha < 1 boosts
+    * low-resource languages). Replication factor per language is
+    * f_l = (n_max / n_l)^(1-alpha) — the q_l/p_l ratio normalized so the
+    * LARGEST language keeps factor exactly 1 (pure upsampling, nothing
+    * discarded). The language histogram is tiny, so the factor table
+    * broadcasts; replication itself is [[upsampleByWeight]]'s narrow
+    * generator — ONE aggregation shuffle over (lang) total.
+    *
+    * alpha = 0.5 computes the factor as `sqrt`, which IEEE 754 requires
+    * to be correctly rounded — bit-identical across engines. Other alphas
+    * go through `pow`, whose last ulp is implementation-defined; prefer
+    * 0.5 where cross-engine hash equality matters. */
+  def temperatureFactors(df: DataFrame, langCol: String,
+                         alpha: Double): DataFrame = {
+    val counts = df.groupBy(col(langCol)).agg(count(lit(1)).as("__n"))
+    val ratio = col("__maxn").cast("double") / col("__n").cast("double")
+    counts
+      .crossJoin(broadcast(counts.agg(max(col("__n")).as("__maxn"))))
+      .select(col(langCol),
+        (if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha))
+          .as("factor"))
+  }
+
+  /** Apply [[temperatureFactors]]: replicate each doc by its language's
+    * factor (floor + deterministic fractional acceptance on the id hash).
+    * Adds `factor` and `copy` (1-based replica index). */
+  def temperatureResample(df: DataFrame, idCol: String, langCol: String,
+                          alpha: Double): DataFrame =
+    upsampleByWeight(
+      df.join(broadcast(temperatureFactors(df, langCol, alpha)), langCol),
+      idCol, "factor")
+
   /** Deterministic weighted sample without replacement: global top-n by
     * A-Res priority u^(1/w) (higher weight => priority closer to 1).
     * The priority is rounded to 6 decimals with an id tie-break so the

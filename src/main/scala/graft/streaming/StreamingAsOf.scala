@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Backward as-of enrichment as a stateful stream — the streaming dual of
+  * [[graft.ops.TemporalJoins.asofBackward]] / [[graft.plans.AsOfJoinExec]]:
+  * left rows pick up the LATEST right payload with rightTime <= leftTime
+  * for their key.
+  *
+  * Both sides arrive as ONE tagged stream keyed on the join key; the state
+  * store holds exactly one (time, payload) pair per key — the latest right
+  * row seen — so state is O(keys) regardless of stream length. Within a
+  * micro-batch the group's rows are processed in (time, side) order with
+  * right-before-left at equal times (the batch operator's inclusive-tie
+  * rule). Results equal the batch as-of whenever the feed is globally
+  * time-ordered across batches (the equivalence gate's replay contract; a
+  * deployment with cross-batch disorder would buffer the right side to a
+  * watermark horizon first).
+  */
+object StreamingAsOf {
+
+  /** side 0 = right (payload carrier), side 1 = left (probe). */
+  case class AsOfEvent(key: Long, t: Long, side: Int, id: Long, v: Double)
+
+  case class AsOfOut(key: Long, t: Long, id: Long,
+                     asof_t: Option[Long], asof_v: Option[Double])
+
+  def enrich(events: Dataset[AsOfEvent]): Dataset[AsOfOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Double), AsOfOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[AsOfEvent], state: GroupState[(Long, Double)]) =>
+          val rows = it.toArray.sortBy(e => (e.t, e.side))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfOut]
+          var st = state.getOption
+          rows.foreach { e =>
+            if (e.side == 0) {
+              if (st.isEmpty || e.t >= st.get._1) st = Some((e.t, e.v))
+            } else {
+              out += AsOfOut(key, e.t, e.id, st.map(_._1), st.map(_._2))
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+}
