@@ -2125,6 +2125,40 @@ object QueryCatalog {
         LEFT JOIN r ON r.user_id = l.user_id AND r.ptsu = m.mts
         ORDER BY l.event_id""")),
 
+    // Tolerance-bounded as-of (pandas merge_asof(tolerance=...)): the
+    // native operator carries the matched time; matches staler than 10
+    // minutes null out post-join. Oracle = ASOF JOIN + the same CASE.
+    Q("q_asof_tolerance",
+      (s, dir) => {
+        import graft.ops.TemporalJoins
+        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("tsu"))
+        val purch = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("tsu").as("ptsu"))
+          .agg(max(col("value")).as("asof_value"))
+          .withColumn("asof_ts", col("ptsu"))
+        TemporalJoins.asofBackwardTolerance(clicks, purch, "user_id",
+            "tsu", "ptsu", Seq("asof_value", "asof_ts"), "asof_ts",
+            tolerance = 600000000L)
+          .select(col("event_id"), col("user_id"),
+            col("asof_ts").cast("long").as("asof_ts"), col("asof_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+                   FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, epoch_us(ts) AS ptsu, max(value) AS asof_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, epoch_us(ts))
+        SELECT l.event_id, l.user_id,
+               CASE WHEN r.ptsu IS NOT NULL AND l.tsu - r.ptsu <= 600000000
+                    THEN CAST(r.ptsu AS BIGINT) END AS asof_ts,
+               CASE WHEN r.ptsu IS NOT NULL AND l.tsu - r.ptsu <= 600000000
+                    THEN r.asof_value END AS asof_value
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.ptsu
+        ORDER BY event_id""")),
+
     // Forward as-of through the native operator: forward is backward on
     // NEGATED times, so AsOfJoinExec serves both directions. Same oracle
     // as q_asof_forward (min-over-future + two equi-joins in DuckDB).

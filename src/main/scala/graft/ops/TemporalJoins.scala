@@ -85,6 +85,27 @@ object TemporalJoins {
       payloadCols.map(attr(rPlan, _))))
   }
 
+  /** Backward as-of with a staleness bound (pandas `merge_asof
+    * (tolerance=...)` / kdb `wj` semantics): a match older than
+    * `tolerance` time units is treated as no match. Composed over the
+    * native operator — the matched right TIME must be in `payloadCols`
+    * (named `matchedTimeCol`) so the bound is a post-operator null-out,
+    * no second algorithm to trust. */
+  def asofBackwardTolerance(left: DataFrame, right: DataFrame, keyCol: String,
+                            leftTimeCol: String, rightTimeCol: String,
+                            payloadCols: Seq[String], matchedTimeCol: String,
+                            tolerance: Long): DataFrame = {
+    require(payloadCols.contains(matchedTimeCol),
+      s"$matchedTimeCol must be one of the carried payload columns")
+    val joined = asofBackwardNative(
+      left, right, keyCol, leftTimeCol, rightTimeCol, payloadCols)
+    val stale = col(matchedTimeCol).isNull ||
+      (col(leftTimeCol) - col(matchedTimeCol)) > tolerance
+    payloadCols.foldLeft(joined) { (df, p) =>
+      df.withColumn(p, when(stale, lit(null)).otherwise(col(p)))
+    }
+  }
+
   /** Forward as-of through the native operator: forward(t) is exactly
     * backward on NEGATED times (latest -rt <= -lt  <=>  earliest rt >= lt,
     * ties preserved), so the same AsOfJoinExec serves both directions. */

@@ -73,6 +73,36 @@ class AsOfNativeSpec extends AnyFunSuite {
     assert(nat.size == 2000 && nat.map(_.toSeq) == win.map(_.toSeq))
   }
 
+  test("null keys group together — same semantics as the window impl") {
+    val left = Seq((Option(1L), 10L, "a"), (Option.empty[Long], 10L, "b"))
+      .toDF("k", "t", "ltag")
+    val right = Seq((Option(1L), 5L, 1.0), (Option.empty[Long], 5L, 2.0))
+      .toDF("k", "rt", "v")
+    val nat = TemporalJoins.asofBackwardNative(left, right, "k", "t", "rt", Seq("v"))
+      .select("ltag", "v").orderBy("ltag").collect().map(_.toSeq).toSeq
+    val win = TemporalJoins.asofBackward(
+        left, right.withColumnRenamed("rt", "prt"), "k", "t", "prt", Seq("v"))
+      .select("ltag", "v").orderBy("ltag").collect().map(_.toSeq).toSeq
+    // both implementations treat null as a key value (window partitionBy
+    // semantics), NOT SQL join-key semantics — pinned so neither drifts
+    assert(nat == win && nat == Seq(Seq("a", 1.0), Seq("b", 2.0)))
+  }
+
+  test("tolerance variant nulls out stale matches only") {
+    val left = Seq((1L, 100L, "fresh"), (1L, 500L, "stale"), (2L, 10L, "none"))
+      .toDF("k", "t", "ltag")
+    val right = Seq((1L, 90L, 7.0)).toDF("k", "rt", "v")
+      .withColumn("mt", col("rt"))
+    val got = TemporalJoins.asofBackwardTolerance(
+        left, right, "k", "t", "rt", Seq("v", "mt"), "mt", tolerance = 50L)
+      .select("ltag", "v", "mt").orderBy("ltag").collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSeq
+    assert(got == Seq(("fresh", 7.0, 90L), ("none", null, null),
+      ("stale", null, null)))
+  }
+
   test("forward native (negated-time reduction) matches window forward impl") {
     val rnd = new scala.util.Random(7)
     val left = (1 to 1500).map(i =>
