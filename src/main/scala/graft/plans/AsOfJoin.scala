@@ -73,7 +73,7 @@ case class AsOfJoinPlan(
 object AsOfJoinPushdown
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, Expression}
-  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => conjuncts(a) ++ conjuncts(b)
@@ -96,6 +96,21 @@ object AsOfJoinPushdown
         val pushed = aj.copy(left = newLeft, right = newRight)
         keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
       }
+
+    // Column pruning through the node (ColumnPruning also stops at unknown
+    // operators): a Project above the join needing only a subset of left
+    // columns narrows the left child to that subset + key + time, so
+    // unused columns never ride the exchange/sort.
+    case p @ Project(projList, aj: AsOfJoinPlan)
+        if {
+          val needed = AttributeSet(projList.flatMap(_.references))
+          aj.left.output.exists(a => !needed.contains(a) &&
+            !a.semanticEquals(aj.leftKey) && !a.semanticEquals(aj.leftTime))
+        } =>
+      val needed = AttributeSet(projList.flatMap(_.references))
+      val kept = aj.left.output.filter(a => needed.contains(a) ||
+        a.semanticEquals(aj.leftKey) || a.semanticEquals(aj.leftTime))
+      p.copy(child = aj.copy(left = Project(kept, aj.left)))
   }
 }
 

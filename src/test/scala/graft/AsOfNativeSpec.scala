@@ -149,6 +149,21 @@ class AsOfNativeSpec extends AnyFunSuite {
     assert(got.map(_.toSeq) == expect.map(_.toSeq))
   }
 
+  test("column pruning: unused left columns never ride the exchange") {
+    val left = Seq((1L, 10L, "keepme", "wide_payload_column_dropme"))
+      .toDF("k", "t", "keep", "dropme")
+    val right = Seq((1L, 5L, 1.0)).toDF("k", "rt", "v")
+    val df = TemporalJoins.asofBackwardNative(left, right, "k", "t", "rt", Seq("v"))
+      .select("k", "t", "keep", "v")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val lines = optimized.linesIterator.toSeq
+    val ajIdx = lines.indexWhere(_.contains("AsOfJoin"))
+    assert(ajIdx >= 0, optimized)
+    assert(!lines.drop(ajIdx).exists(_.contains("dropme")),
+      s"unused left column must be pruned below the node:\n$optimized")
+    assert(df.collect().map(_.toSeq).toSeq == Seq(Seq(1L, 10L, "keepme", 1.0)))
+  }
+
   test("plan shape: AsOfJoinExec with one exchange + one sort per side") {
     val (left, right) = fixtures
     val df = TemporalJoins.asofBackwardNative(left, right, "k", "t", "rt", Seq("v"))
