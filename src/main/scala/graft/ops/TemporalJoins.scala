@@ -57,6 +57,15 @@ object TemporalJoins {
     * planner strategy is attached to the session idempotently. */
   def asofBackwardNative(left: DataFrame, right: DataFrame, keyCol: String,
                          leftTimeCol: String, rightTimeCol: String,
+                         payloadCols: Seq[String]): DataFrame =
+    asofBackwardNative(left, right, Seq(keyCol), leftTimeCol, rightTimeCol,
+      payloadCols)
+
+  /** Composite-key variant: keys compare lexicographically in the given
+    * order (e.g. Seq("symbol", "venue")). */
+  def asofBackwardNative(left: DataFrame, right: DataFrame,
+                         keyCols: Seq[String],
+                         leftTimeCol: String, rightTimeCol: String,
                          payloadCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.GraftPlanBridge
     import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -70,9 +79,11 @@ object TemporalJoins {
     GraftPlanBridge.addOptimization(spark, graft.plans.AsOfJoinPushdown)
     // Re-alias every right column: a self-join (both sides derived from
     // one scan) would otherwise share expression ids across children.
+    val rKeyNames = keyCols.indices.map(i => s"__asof_k$i")
     val rProj = right.select(
-      (col(keyCol).as("__asof_k") +: col(rightTimeCol).as("__asof_t") +:
-        payloadCols.map(p => col(p).as(p))): _*)
+      (keyCols.zip(rKeyNames).map { case (k, n) => col(k).as(n) } ++
+        (col(rightTimeCol).as("__asof_t") +:
+          payloadCols.map(p => col(p).as(p)))): _*)
     val lPlan = left.queryExecution.analyzed
     val rPlan = rProj.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String) =
@@ -80,7 +91,7 @@ object TemporalJoins {
         throw new IllegalArgumentException(s"column $n not found"))
     GraftPlanBridge.ofRows(spark, graft.plans.AsOfJoinPlan(
       lPlan, rPlan,
-      attr(lPlan, keyCol), attr(rPlan, "__asof_k"),
+      keyCols.map(attr(lPlan, _)), rKeyNames.map(attr(rPlan, _)),
       attr(lPlan, leftTimeCol), attr(rPlan, "__asof_t"),
       payloadCols.map(attr(rPlan, _))))
   }

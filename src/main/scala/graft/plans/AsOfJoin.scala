@@ -41,12 +41,15 @@ import org.apache.spark.sql.types.LongType
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
-    leftKey: Attribute, rightKey: Attribute,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
     payload: Seq[Attribute]) extends BinaryNode {
 
   require(leftTime.dataType == LongType && rightTime.dataType == LongType,
     "as-of time columns must be LongType epoch counts")
+  require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length &&
+    leftKeys.zip(rightKeys).forall { case (a, b) => a.dataType == b.dataType },
+    "as-of join keys must align in arity and type")
 
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
@@ -86,9 +89,12 @@ object AsOfJoinPushdown
         c.deterministic && c.references.subsetOf(aj.left.outputSet))
       if (pushable.isEmpty) Filter(cond, aj)
       else {
-        val keyOnly = pushable.filter(_.references == AttributeSet(Seq(aj.leftKey)))
+        val lKeySet = AttributeSet(aj.leftKeys)
+        val keyOnly = pushable.filter(c =>
+          c.references.nonEmpty && c.references.subsetOf(lKeySet))
         val rightPreds = keyOnly.map(_.transform {
-          case a: Attribute if a.semanticEquals(aj.leftKey) => aj.rightKey
+          case a: Attribute if aj.leftKeys.exists(a.semanticEquals) =>
+            aj.rightKeys(aj.leftKeys.indexWhere(a.semanticEquals))
         })
         val newLeft = Filter(pushable.reduce(And), aj.left)
         val newRight = rightPreds.reduceOption(And)
@@ -105,11 +111,12 @@ object AsOfJoinPushdown
         if {
           val needed = AttributeSet(projList.flatMap(_.references))
           aj.left.output.exists(a => !needed.contains(a) &&
-            !a.semanticEquals(aj.leftKey) && !a.semanticEquals(aj.leftTime))
+            !aj.leftKeys.exists(a.semanticEquals) &&
+            !a.semanticEquals(aj.leftTime))
         } =>
       val needed = AttributeSet(projList.flatMap(_.references))
       val kept = aj.left.output.filter(a => needed.contains(a) ||
-        a.semanticEquals(aj.leftKey) || a.semanticEquals(aj.leftTime))
+        aj.leftKeys.exists(a.semanticEquals) || a.semanticEquals(aj.leftTime))
       p.copy(child = aj.copy(left = Project(kept, aj.left)))
   }
 }
@@ -129,7 +136,7 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   * pass with a single buffered right payload (the latest one at or before
   * the current left row's time for the current key). */
 case class AsOfJoinExec(
-    leftKey: Attribute, rightKey: Attribute,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
     payload: Seq[Attribute],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
@@ -143,11 +150,11 @@ case class AsOfJoinExec(
       SQLMetrics.createMetric(sparkContext, "number of output rows"))
 
   override def requiredChildDistribution: Seq[Distribution] =
-    Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+    Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -161,13 +168,13 @@ case class AsOfJoinExec(
     val numOutputRows = longMetric("numOutputRows")
     val lOut = left.output
     val rOut = right.output
-    val keyType = leftKey.dataType
+    val keyTypes = leftKeys.map(_.dataType)
     val out = output
     val nPayload = payload.size
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKeyProj = UnsafeProjection.create(Seq(leftKey), lOut)
-      val rKeyProj = UnsafeProjection.create(Seq(rightKey), rOut)
+      val lKeyProj = UnsafeProjection.create(leftKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rightKeys, rOut)
       val lTimeProj = UnsafeProjection.create(Seq(leftTime), lOut)
       val rTimeProj = UnsafeProjection.create(Seq(rightTime), rOut)
       val rPayProj = UnsafeProjection.create(payload, rOut)
@@ -176,7 +183,7 @@ case class AsOfJoinExec(
       // zeros out of the all-null unmatched row
       val outProj = UnsafeProjection.create(out, lOut ++ payloadOut)
       val keyOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
-        .createNaturalAscendingOrdering(Seq(keyType))
+        .createNaturalAscendingOrdering(keyTypes)
       val joined = new JoinedRow
       val nullPay = new GenericInternalRow(nPayload)
 

@@ -149,6 +149,31 @@ class AsOfNativeSpec extends AnyFunSuite {
     assert(got.map(_.toSeq) == expect.map(_.toSeq))
   }
 
+  test("composite keys: (k1, k2) as-of matches the window impl") {
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 1200).map(i =>
+      (rnd.nextInt(8).toLong, s"v${rnd.nextInt(4)}",
+        rnd.nextInt(500).toLong * 1000L, i.toLong))
+      .toDF("k1", "k2", "t", "id")
+    val right = (1 to 500).map(i =>
+      (rnd.nextInt(8).toLong, s"v${rnd.nextInt(5)}",
+        rnd.nextInt(500).toLong * 1000L + (i % 3), i.toDouble))
+      .toDF("k1", "k2", "rt", "v")
+      .groupBy("k1", "k2", "rt").agg(max("v").as("v"))
+    val nat = TemporalJoins.asofBackwardNative(
+        left, right, Seq("k1", "k2"), "t", "rt", Seq("v"))
+      .select("k1", "k2", "t", "id", "v")
+      .orderBy("k1", "k2", "t", "id").collect().toSeq
+    // window impl takes ONE key column — concatenate for the reference run
+    val winL = left.withColumn("kk", concat_ws("|", col("k1"), col("k2")))
+    val winR = right.withColumn("kk", concat_ws("|", col("k1"), col("k2")))
+      .withColumnRenamed("rt", "prt").drop("k1", "k2")
+    val win = TemporalJoins.asofBackward(winL, winR, "kk", "t", "prt", Seq("v"))
+      .select("k1", "k2", "t", "id", "v")
+      .orderBy("k1", "k2", "t", "id").collect().toSeq
+    assert(nat.size == 1200 && nat.map(_.toSeq) == win.map(_.toSeq))
+  }
+
   test("column pruning: unused left columns never ride the exchange") {
     val left = Seq((1L, 10L, "keepme", "wide_payload_column_dropme"))
       .toDF("k", "t", "keep", "dropme")
