@@ -1047,7 +1047,26 @@ object QueryCatalog {
         Some(s"""
           SELECT doc_id, ${D.arrayMin(D.transform("sh", "s__", "md5(s__)"))} AS fp
           FROM $duckShingles
-          ORDER BY doc_id"""))
+          ORDER BY doc_id""")),
+
+      // Winnowing (MOSS): rightmost-min of each w-window of k-gram hashes.
+      // Both sides are generated from ONE Dialect formula, so the oracle
+      // replays the exact selection rule (ties, clamped windows, short
+      // docs) rather than an independent reimplementation.
+      Q("q_winnowing",
+        (s, dir) =>
+          Dedup.winnowingFingerprints(
+              t(s, dir, "documents"), "text", "doc_id", k = 8, w = 4)
+            .orderBy("doc_id", "pos"),
+        Some(s"""
+          WITH b AS (SELECT doc_id, ${Dedup.winnowHashesExpr(D, "text", 8)} AS hs
+                     FROM documents WHERE length(text) >= 8),
+          sel AS (SELECT doc_id, hs,
+                         unnest(${D.arrayDistinct(Dedup.winnowSelExpr(D, "hs", 4))}) AS p
+                  FROM b)
+          SELECT doc_id, CAST(p AS BIGINT) AS pos, ${D.at("hs", "p")} AS fp
+          FROM sel
+          ORDER BY doc_id, pos"""))
     )
   }
 

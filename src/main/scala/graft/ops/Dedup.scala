@@ -78,6 +78,48 @@ object Dedup {
       .toDF(idCol, "fp")
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): hash every character k-gram, then in each window of `w`
+    * consecutive gram hashes select the RIGHTMOST minimal one. Guarantees
+    * any shared substring of length >= k + w - 1 yields at least one
+    * shared (position-independent) fingerprint, while storing ~2/(w+1) of
+    * the grams — the span-level dual of MinHash's whole-document
+    * resemblance, built for quote/boilerplate/plagiarism detection.
+    *
+    * Scale: pure per-row array HOFs (no shuffle, no state); docs shorter
+    * than k emit nothing. The formula is generated from
+    * [[graft.sqlgen.Dialect]] so the DuckDB oracle replays it verbatim.
+    * Output: (idCol, pos, fp) distinct selected grams, pos 1-based. */
+  def winnowingFingerprints(df: DataFrame, textCol: String, idCol: String,
+                            k: Int = 8, w: Int = 4): DataFrame = {
+    val S = graft.sqlgen.Dialect.spark
+    df.where(s"length($textCol) >= $k")
+      .selectExpr(idCol, winnowHashesExpr(S, textCol, k) + " AS __hs")
+      .selectExpr(idCol, "__hs",
+        s"explode(${S.arrayDistinct(winnowSelExpr(S, "__hs", w))}) AS p")
+      .selectExpr(idCol, "CAST(p AS BIGINT) AS pos",
+        s"${S.at("__hs", "CAST(p AS INT)")} AS fp")
+  }
+
+  /** md5 hashes of every character k-gram of `textCol` (1-based). */
+  def winnowHashesExpr(dl: graft.sqlgen.Dialect, textCol: String,
+                       k: Int): String =
+    dl.transform(dl.seq1(s"(length($textCol) - $k + 1)"), "p__",
+      s"md5(substr($textCol, p__, $k))")
+
+  /** Selected 1-based positions over a gram-hash array column: for each
+    * of the greatest(G - w + 1, 1) windows, the rightmost argmin
+    * (slices clamp at the end identically in both engines, which also
+    * covers the G < w single-window case). */
+  def winnowSelExpr(dl: graft.sqlgen.Dialect, hsCol: String, w: Int): String = {
+    val sl = dl.sliceE(hsCol, "j__", w)
+    val rpos = s"(${dl.size(sl)} - ${dl.arrayPosition(dl.arrayReverse(sl),
+      dl.arrayMin(sl))} + 1)"
+    dl.transform(
+      dl.seq1(s"greatest(${dl.size(hsCol)} - $w + 1, 1)"), "j__",
+      s"j__ + $rpos - 1")
+  }
+
   /** Distinct word-shingle sets (for Jaccard verification). */
   def shingleSets(df: DataFrame, textCol: String, idCol: String,
                   shingleN: Int = 3): DataFrame = {

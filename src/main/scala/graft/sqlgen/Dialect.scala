@@ -82,6 +82,15 @@ final case class Dialect(duck: Boolean) {
   def slice1(a: String, start1: Int, len: Int): String =
     if (duck) s"list_slice($a, $start1, ${start1 + len - 1})"
     else s"slice($a, $start1, $len)"
+  /** slice with an EXPRESSION start (1-based) and constant length. */
+  def sliceE(a: String, start1: String, len: Int): String =
+    if (duck) s"list_slice($a, $start1, ($start1) + ${len - 1})"
+    else s"slice($a, $start1, $len)"
+  def arrayReverse(a: String): String =
+    if (duck) s"list_reverse($a)" else s"reverse($a)"
+  /** 1-based position of x in a (0 when absent) — same in both engines. */
+  def arrayPosition(a: String, x: String): String =
+    if (duck) s"list_position($a, $x)" else s"array_position($a, $x)"
   def castStr(x: String): String =
     if (duck) s"CAST($x AS VARCHAR)" else s"CAST($x AS STRING)"
 

@@ -176,6 +176,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing guarantee: shared substring >= k+w-1 chars shares a fingerprint") {
+    import graft.ops.Dedup
+    val shared = "the quick brown fox jumps over it"  // 33 chars >= 8+4-1
+    val docs3 = Seq(
+      (1L, s"AAAA prefix $shared AAAA suffix text"),
+      (2L, s"completely different lead-in ${shared} zz"),
+      (3L, "nothing in common with the others at all, period!!")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowingFingerprints(docs3, "text", "doc_id", k = 8, w = 4)
+      .select($"doc_id", $"fp").collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getString(1)).toSet }
+    assert((fp(1L) & fp(2L)).nonEmpty,
+      "docs sharing a long substring must share a fingerprint")
+    assert((fp(1L) & fp(3L)).isEmpty && (fp(2L) & fp(3L)).isEmpty,
+      "disjoint content shares nothing (md5 collisions aside)")
+    // density: winnowing keeps roughly 2/(w+1) of grams, far below all
+    val n1 = fp(1L).size
+    assert(n1 > 0 && n1 < docs3.where($"doc_id" === 1L).head().getString(1).length)
+  }
+
   test("doc anchor write-back joins anchor onto every chunk") {
     val chunks = graft.chunk.Chunking.explodeCharWindows(docs, "text", 20, 15)
     val out = RagPipeline.docAnchorWriteBack(
