@@ -1066,7 +1066,31 @@ object QueryCatalog {
                   FROM b)
           SELECT doc_id, CAST(p AS BIGINT) AS pos, ${D.at("hs", "p")} AS fp
           FROM sel
-          ORDER BY doc_id, pos"""))
+          ORDER BY doc_id, pos""")),
+
+      // Span-level near-dup pairs over the winnowed fingerprints: DF-capped
+      // buckets (stop-fingerprint drop) then one fp-keyed equi-join —
+      // bounded buckets by construction, like every band join here.
+      Q("q_winnow_pairs",
+        (s, dir) =>
+          Dedup.winnowingPairs(t(s, dir, "documents"), "text", "doc_id",
+              k = 8, w = 4, maxDf = 10, minShared = 3)
+            .orderBy("id_a", "id_b"),
+        Some(s"""
+          WITH b AS (SELECT doc_id, ${Dedup.winnowHashesExpr(D, "text", 8)} AS hs
+                     FROM documents WHERE length(text) >= 8),
+          sel AS (SELECT doc_id, hs,
+                         unnest(${D.arrayDistinct(Dedup.winnowSelExpr(D, "hs", 4))}) AS p
+                  FROM b),
+          fp AS (SELECT DISTINCT doc_id, ${D.at("hs", "p")} AS fp FROM sel),
+          keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 10),
+          pr AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep USING (fp))
+          SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM pr a JOIN pr b2 ON a.fp = b2.fp AND a.doc_id < b2.doc_id
+          GROUP BY a.doc_id, b2.doc_id
+          HAVING count(*) >= 3
+          ORDER BY id_a, id_b"""))
     )
   }
 

@@ -120,6 +120,28 @@ object Dedup {
       s"j__ + $rpos - 1")
   }
 
+  /** Span-level near-dup candidate pairs from winnowing fingerprints:
+    * docs sharing >= `minShared` selected grams after dropping
+    * stop-fingerprints (document frequency > `maxDf` — boilerplate grams
+    * that would otherwise make a bucket quadratic, the same bounded-
+    * bucket discipline as the LSH band joins). One equi-join keyed on the
+    * fingerprint; output (id_a < id_b, n_shared). */
+  def winnowingPairs(df: DataFrame, textCol: String, idCol: String,
+                     k: Int = 8, w: Int = 4,
+                     maxDf: Int = 10, minShared: Int = 3): DataFrame = {
+    val fps = winnowingFingerprints(df, textCol, idCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf).select("fp")
+    val pruned = fps.join(keep, "fp")
+    val a = pruned.select(col("fp"), col(idCol).as("id_a"))
+    val b = pruned.select(col("fp"), col(idCol).as("id_b"))
+    a.join(b, "fp").where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Distinct word-shingle sets (for Jaccard verification). */
   def shingleSets(df: DataFrame, textCol: String, idCol: String,
                   shingleN: Int = 3): DataFrame = {
