@@ -382,6 +382,23 @@ object Dedup {
           lit("")).as("cleaned"))
   }
 
+  /** Plan LSH banding for a target Jaccard threshold: among divisors
+    * r of the signature length k (bands b = k/r), the S-curve's
+    * balance point — the similarity where a pair collides in >= 1 band
+    * with probability 1/2 — is t*(b, r) = (1 - 2^(-1/b))^(1/r); pick
+    * the (b, r) whose t* is closest to the requested threshold. Returns
+    * (bands, rowsPerBand, tStar). Driver-side arithmetic: run once,
+    * feed `rowsPerBand` into [[lshCandidatePairs]]. */
+  def lshPlan(k: Int, threshold: Double): (Int, Int, Double) = {
+    require(k > 0 && threshold > 0 && threshold < 1)
+    val candidates = (1 to k).filter(k % _ == 0).map { r =>
+      val b = k / r
+      val tStar = math.pow(1.0 - math.pow(2.0, -1.0 / b), 1.0 / r)
+      (b, r, tStar)
+    }
+    candidates.minBy { case (_, _, t) => math.abs(t - threshold) }
+  }
+
   /** LSH banding over minhash signatures -> candidate near-dup pairs.
     * bands of `rowsPerBand` signature entries; pairs sharing >= 1 band key.
     * Output: id_a < id_b (distinct pairs). */

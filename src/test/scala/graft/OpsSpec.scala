@@ -176,6 +176,22 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("lshPlan picks band shapes whose S-curve midpoint tracks the threshold") {
+    import graft.ops.Dedup.lshPlan
+    // monotone: higher thresholds demand more rows per band (sharper curve)
+    val (_, rLow, tLow) = lshPlan(128, 0.5)
+    val (_, rHigh, tHigh) = lshPlan(128, 0.9)
+    assert(rLow < rHigh && tLow < tHigh)
+    // the balance point is within a sane distance of the request
+    for (t <- Seq(0.3, 0.5, 0.7, 0.8, 0.9)) {
+      val (b, r, tStar) = lshPlan(128, t)
+      assert(b * r == 128 && math.abs(tStar - t) < 0.12, s"t=$t got ($b,$r,$tStar)")
+    }
+    // the repo default (k=8, r=2 -> b=4) balances near 0.38 — sanity-pin
+    val (_, _, tDefault) = lshPlan(8, 0.4)
+    assert(math.abs(tDefault - 0.4) < 0.1)
+  }
+
   test("winnowing guarantee: shared substring >= k+w-1 chars shares a fingerprint") {
     import graft.ops.Dedup
     val shared = "the quick brown fox jumps over it"  // 33 chars >= 8+4-1
