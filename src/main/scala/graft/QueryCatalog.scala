@@ -2297,6 +2297,31 @@ object QueryCatalog {
         GROUP BY l.user_id
         ORDER BY l.user_id""")),
 
+    // The SAME band-join semantics through the custom sliding-buffer
+    // operator (graft.plans.RangeJoinExec): no bin explosion, exact
+    // movement, O(window) task memory. Hash-matched against the identical
+    // theta-join oracle as q_range_join — two algorithms, one truth.
+    Q("q_range_native",
+      (s, dir) => {
+        import graft.ops.TemporalJoins
+        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("tsu").as("ctsu"))
+        val errors = ev.where(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("err_id"), col("tsu").as("etsu"))
+        TemporalJoins.timeRangeJoinNative(clicks, errors, Seq("user_id"),
+            "ctsu", "etsu", Seq("err_id"), 3600000000L)
+          .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH l AS (SELECT user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'error')
+        SELECT l.user_id AS user_id, count(*) AS n_pairs
+        FROM l JOIN r ON l.user_id = r.user_id AND abs(l.tsu - r.tsu) <= 3600000000
+        GROUP BY l.user_id
+        ORDER BY l.user_id""")),
+
     // Rolling window frame (ROWS BETWEEN): decimal sums keep the frame
     // arithmetic exact on both engines.
     Q("q_rolling_avg",

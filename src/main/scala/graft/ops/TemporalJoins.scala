@@ -184,6 +184,43 @@ object TemporalJoins {
         payloadCols.flatMap(p => Seq(s"__b_$p", s"__f_$p")): _*)
   }
 
+  /** Bounded time-range join through the custom operator
+    * ([[graft.plans.RangeJoinExec]]): exact movement — one clustered
+    * exchange + one (keys, time) sort per side, sliding-buffer merge —
+    * instead of the bin-explode rewrite's 3x left inflation. Inner join;
+    * times must be LongType. */
+  def timeRangeJoinNative(left: DataFrame, right: DataFrame,
+                          keyCols: Seq[String],
+                          leftTimeCol: String, rightTimeCol: String,
+                          payloadCols: Seq[String],
+                          tolerance: Long): DataFrame = {
+    import org.apache.spark.sql.GraftPlanBridge
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    require(left.schema(leftTimeCol).dataType ==
+        org.apache.spark.sql.types.LongType &&
+      right.schema(rightTimeCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      "range-join time columns must be LongType epoch counts")
+    val spark = left.sparkSession
+    GraftPlanBridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+    GraftPlanBridge.addOptimization(spark, graft.plans.AsOfJoinPushdown)
+    val rKeyNames = keyCols.indices.map(i => s"__rj_k$i")
+    val rProj = right.select(
+      (keyCols.zip(rKeyNames).map { case (k, n) => col(k).as(n) } ++
+        (col(rightTimeCol).as("__rj_t") +:
+          payloadCols.map(p => col(p).as(p)))): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rProj.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    GraftPlanBridge.ofRows(spark, graft.plans.RangeJoinPlan(
+      lPlan, rPlan,
+      keyCols.map(attr(lPlan, _)), rKeyNames.map(attr(rPlan, _)),
+      attr(lPlan, leftTimeCol), attr(rPlan, "__rj_t"),
+      payloadCols.map(attr(rPlan, _)), tolerance))
+  }
+
   /** Bounded time-range join: all (left, right) pairs with the same key
     * whose times differ by at most `tolerance` (inclusive, abs). Times are
     * integral (epoch micros). Output: left row + right payload columns.

@@ -121,12 +121,41 @@ object AsOfJoinPushdown
   }
 }
 
-/** Plans [[AsOfJoinPlan]] into [[AsOfJoinExec]]. Stateless — safe to add
-  * to any number of sessions. */
+/** Inner interval join as a custom operator: all (left, right) pairs with
+  * equal keys whose LongType times differ by at most `tolerance`
+  * (inclusive, absolute). Replaces the bin-explode rewrite
+  * ([[graft.ops.TemporalJoins.timeRangeJoin]]: left exploded to 3
+  * adjacent tolerance bins + equi-join + post-filter) with exact
+  * movement: one clustered exchange and one (keys, time) sort per side,
+  * then a sliding-buffer merge per partition — the buffer holds only the
+  * right rows inside the current left row's +/- tolerance window, so task
+  * memory is O(window occupancy), not O(partition). */
+case class RangeJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTime: Attribute, rightTime: Attribute,
+    payload: Seq[Attribute], tolerance: Long) extends BinaryNode {
+
+  require(leftTime.dataType == LongType && rightTime.dataType == LongType,
+    "range-join time columns must be LongType epoch counts")
+  require(tolerance >= 0, "tolerance must be non-negative")
+
+  // inner join: nothing is null-padded
+  override def output: Seq[Attribute] = left.output ++ payload
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): RangeJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans the graft temporal-join nodes into their execs. Stateless — safe
+  * to add to any number of sessions. */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt, pay) =>
       AsOfJoinExec(lk, rk, lt, rt, pay, planLater(l), planLater(r)) :: Nil
+    case RangeJoinPlan(l, r, lk, rk, lt, rt, pay, tol) =>
+      RangeJoinExec(lk, rk, lt, rt, pay, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -221,6 +250,113 @@ case class AsOfJoinExec(
           else nullPay
         numOutputRows += 1
         outProj(joined(l, pay))
+      }
+    }
+  }
+}
+
+/** Sliding-buffer merge interval join (inner): children hash-clustered on
+  * the keys and sorted by (keys, time). Per left row the buffer is topped
+  * up from the right iterator to time <= lt + tol, stale rows
+  * (rt < lt - tol, or a different key) are evicted from the front, and
+  * every remaining buffered row pairs with the left row. Rows with null
+  * times never match. */
+case class RangeJoinExec(
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTime: Attribute, rightTime: Attribute,
+    payload: Seq[Attribute], tolerance: Long,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ payload
+
+  override lazy val metrics: Map[String, SQLMetric] =
+    Map("numOutputRows" ->
+      SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): RangeJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val lOut = left.output
+    val rOut = right.output
+    val keyTypes = leftKeys.map(_.dataType)
+    val out = output
+    val tol = tolerance
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(leftKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rightKeys, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(leftTime), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rightTime), rOut)
+      val rPayProj = UnsafeProjection.create(payload, rOut)
+      val outProj = UnsafeProjection.create(out, lOut ++ payload)
+      val keyOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .createNaturalAscendingOrdering(keyTypes)
+      val joined = new JoinedRow
+
+      // buffered right rows: (time, payload copy) — all of bufKey's key
+      val buf = new java.util.ArrayDeque[(Long, UnsafeRow)]()
+      var bufKey: UnsafeRow = null
+      var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+
+      def advanceRight(): Unit =
+        rHead = if (rIter.hasNext) rIter.next() else null
+
+      lIter.flatMap { l =>
+        val lk = lKeyProj(l)
+        val lt = lTimeProj(l)
+        if (lt.isNullAt(0)) Iterator.empty
+        else {
+          val ltv = lt.getLong(0)
+          // buffer belongs to a previous key -> drop it
+          if (bufKey != null && keyOrd.compare(bufKey, lk) != 0) {
+            buf.clear(); bufKey = null
+          }
+          // pull right rows: discard keys behind, buffer this key's rows
+          // up to the window's right edge
+          var pulling = true
+          while (pulling && rHead != null) {
+            val rk = rKeyProj(rHead)
+            val c = keyOrd.compare(rk, lk)
+            if (c < 0) advanceRight()
+            else if (c == 0) {
+              val rt = rTimeProj(rHead)
+              if (rt.isNullAt(0)) advanceRight() // null times never match
+              else if (rt.getLong(0) <= ltv + tol) {
+                buf.addLast((rt.getLong(0), rPayProj(rHead).copy()))
+                if (bufKey == null) bufKey = rk.copy()
+                advanceRight()
+              } else pulling = false
+            } else pulling = false
+          }
+          // evict rows the window has passed
+          while (!buf.isEmpty && buf.peekFirst()._1 < ltv - tol) {
+            buf.pollFirst()
+          }
+          if (buf.isEmpty) Iterator.empty
+          else {
+            val lCopy = l.copy()
+            val it = buf.iterator()
+            new Iterator[InternalRow] {
+              override def hasNext: Boolean = it.hasNext
+              override def next(): InternalRow = {
+                numOutputRows += 1
+                outProj(joined(lCopy, it.next()._2))
+              }
+            }
+          }
+        }
       }
     }
   }

@@ -189,6 +189,45 @@ class AsOfNativeSpec extends AnyFunSuite {
     assert(df.collect().map(_.toSeq).toSeq == Seq(Seq(1L, 10L, "keepme", 1.0)))
   }
 
+  test("native range join matches the bin-explode implementation") {
+    val rnd = new scala.util.Random(23)
+    val left = (1 to 1500).map(i =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(2000).toLong * 100L, i.toLong))
+      .toDF("k", "t", "id")
+    val right = (1 to 900).map(i =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(2000).toLong * 100L + (i % 11), i.toLong))
+      .toDF("k", "rt", "rid")
+    val tol = 5000L
+    val nat = TemporalJoins.timeRangeJoinNative(
+        left, right, Seq("k"), "t", "rt", Seq("rid", "rt"), tol)
+      .select("k", "id", "rid")
+      .orderBy("k", "id", "rid").collect().toSeq
+    val bin = TemporalJoins.timeRangeJoin(left, right, "k", "t", "rt",
+        Seq("rid"), tol)
+      .select("k", "id", "rid")
+      .orderBy("k", "id", "rid").collect().toSeq
+    assert(nat.nonEmpty && nat.map(_.toSeq) == bin.map(_.toSeq))
+    // edge: inclusive bounds both directions, empty-window left rows
+    val l2 = Seq((1L, 100L, 1L), (1L, 300L, 2L), (2L, 50L, 3L)).toDF("k", "t", "id")
+    val r2 = Seq((1L, 90L, 10L), (1L, 110L, 11L), (1L, 301L, 12L), (3L, 50L, 13L))
+      .toDF("k", "rt", "rid")
+    val got = TemporalJoins.timeRangeJoinNative(
+        l2, r2, Seq("k"), "t", "rt", Seq("rid"), 10L)
+      .select("id", "rid").orderBy("id", "rid").collect().map(_.toSeq).toSeq
+    assert(got == Seq(Seq(1L, 10L), Seq(1L, 11L), Seq(2L, 12L)))
+  }
+
+  test("native range join plan: two exchanges, two sorts, no explode") {
+    val left = Seq((1L, 10L, 1L)).toDF("k", "t", "id")
+    val right = Seq((1L, 5L, 2L)).toDF("k", "rt", "rid")
+    val df = TemporalJoins.timeRangeJoinNative(
+      left, right, Seq("k"), "t", "rt", Seq("rid"), 100L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("RangeJoin"), plan)
+    assert(!plan.contains("Generate"), s"no explode stage:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2, plan)
+  }
+
   test("plan shape: AsOfJoinExec with one exchange + one sort per side") {
     val (left, right) = fixtures
     val df = TemporalJoins.asofBackwardNative(left, right, "k", "t", "rt", Seq("v"))
