@@ -1055,8 +1055,10 @@ object QueryCatalog {
       // docs) rather than an independent reimplementation.
       Q("q_winnowing",
         (s, dir) =>
+          // tk: the md5-per-gram kernel is the cost — rebalance the
+          // 1-row-group scan across cores before it runs
           Dedup.winnowingFingerprints(
-              t(s, dir, "documents"), "text", "doc_id", k = 8, w = 4)
+              tk(s, dir, "documents"), "text", "doc_id", k = 8, w = 4)
             .orderBy("doc_id", "pos"),
         Some(s"""
           WITH b AS (SELECT doc_id, ${Dedup.winnowHashesExpr(D, "text", 8)} AS hs
@@ -1073,7 +1075,7 @@ object QueryCatalog {
       // bounded buckets by construction, like every band join here.
       Q("q_winnow_pairs",
         (s, dir) =>
-          Dedup.winnowingPairs(t(s, dir, "documents"), "text", "doc_id",
+          Dedup.winnowingPairs(tk(s, dir, "documents"), "text", "doc_id",
               k = 8, w = 4, maxDf = 10, minShared = 3)
             .orderBy("id_a", "id_b"),
         Some(s"""

@@ -131,12 +131,21 @@ object Dedup {
                      maxDf: Int = 10, minShared: Int = 3): DataFrame = {
     val fps = winnowingFingerprints(df, textCol, idCol, k, w)
       .select(col(idCol), col("fp")).distinct()
-    val keep = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
-      .where(col("__df") <= maxDf).select("fp")
-    val pruned = fps.join(keep, "fp")
-    val a = pruned.select(col("fp"), col(idCol).as("id_a"))
-    val b = pruned.select(col("fp"), col(idCol).as("id_b"))
-    a.join(b, "fp").where(col("id_a") < col("id_b"))
+    // ONE kernel pass and ONE shuffle: bucket ids per fingerprint, drop
+    // stop-fingerprint buckets (> maxDf), and explode the <= C(maxDf, 2)
+    // in-bucket pairs — a self-join on fp would re-evaluate the winnowing
+    // kernel once per join side (no exchange reuse across the aliased
+    // branches). least/greatest normalizes the collect_list order.
+    val buckets = fps.groupBy("fp")
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .where(size(col("__ids")).between(2, maxDf))
+    buckets
+      .select(explode(expr(
+        """flatten(transform(__ids, (a, i) ->
+          |  transform(slice(__ids, i + 2, size(__ids)), b ->
+          |    struct(least(a, b) AS id_a, greatest(a, b) AS id_b))))"""
+          .stripMargin)).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).cast("long").as("n_shared"))
       .where(col("n_shared") >= minShared)
