@@ -189,6 +189,22 @@ class AsOfNativeSpec extends AnyFunSuite {
     assert(df.collect().map(_.toSeq).toSeq == Seq(Seq(1L, 10L, "keepme", 1.0)))
   }
 
+  test("empty sides: no right rows -> all-null payloads; no left rows -> empty") {
+    val left = Seq((1L, 10L, "a")).toDF("k", "t", "ltag")
+    val emptyR = Seq.empty[(Long, Long, Double)].toDF("k", "rt", "v")
+    val gotAsOf = TemporalJoins.asofBackwardNative(
+      left, emptyR, "k", "t", "rt", Seq("v")).collect()
+    assert(gotAsOf.length == 1 && gotAsOf(0).isNullAt(3))
+    val emptyL = Seq.empty[(Long, Long, String)].toDF("k", "t", "ltag")
+    val right = Seq((1L, 5L, 1.0)).toDF("k", "rt", "v")
+    assert(TemporalJoins.asofBackwardNative(
+      emptyL, right, "k", "t", "rt", Seq("v")).count() == 0)
+    assert(TemporalJoins.timeRangeJoinNative(
+      left, emptyR, Seq("k"), "t", "rt", Seq("v"), 100L).count() == 0)
+    assert(TemporalJoins.timeRangeJoinNative(
+      emptyL, right, Seq("k"), "t", "rt", Seq("v"), 100L).count() == 0)
+  }
+
   test("native range join matches the bin-explode implementation") {
     val rnd = new scala.util.Random(23)
     val left = (1 to 1500).map(i =>
