@@ -2276,6 +2276,44 @@ object QueryCatalog {
           ON k.event_id = l.event_id
         ORDER BY l.event_id""")),
 
+    // Nearest via the chained native operators (backward + forward merge;
+    // left side shuffles ONCE across both). Same row_number oracle as
+    // q_asof_nearest.
+    Q("q_asof_nearest_native",
+      (s, dir) => {
+        import graft.ops.TemporalJoins
+        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("tsu"))
+        val purch = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("tsu").as("ptsu"))
+          .agg(max(col("value")).as("near_value"))
+          .withColumn("near_ts", col("ptsu"))
+        TemporalJoins.asofNearestNative(clicks, purch, "user_id", "tsu", "ptsu",
+            Seq("near_value", "near_ts"))
+          .select(col("event_id"), col("user_id"),
+            col("near_ts").cast("long").as("near_ts"), col("near_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+                   FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, epoch_us(ts) AS ptsu, max(value) AS near_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, epoch_us(ts)),
+        ranked AS (
+          SELECT l.event_id, l.user_id, r.ptsu, r.near_value,
+                 row_number() OVER (
+                   PARTITION BY l.event_id
+                   ORDER BY abs(l.tsu - r.ptsu),
+                            CASE WHEN r.ptsu <= l.tsu THEN 0 ELSE 1 END) AS rn
+          FROM l JOIN r ON l.user_id = r.user_id)
+        SELECT l.event_id AS event_id, l.user_id AS user_id,
+               CAST(k.ptsu AS BIGINT) AS near_ts, k.near_value
+        FROM l LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) k
+          ON k.event_id = l.event_id
+        ORDER BY l.event_id""")),
+
     // Bounded time-range join (bucketed equi-join algorithm vs the oracle's
     // naive theta join — same pairs, scalable plan).
     Q("q_range_join",

@@ -148,6 +148,37 @@ object TemporalJoins {
     carried.where(col("__side") === 1).drop("__t", "__side")
   }
 
+  /** Nearest as-of through the native operator: one backward and one
+    * forward merge chained — because [[graft.plans.AsOfJoinExec]] reports
+    * the left child's partitioning, the second merge re-uses the first's
+    * key layout (no extra LEFT exchange; only the two right sides
+    * shuffle — the forward pass does re-sort within partitions for its
+    * reversed time order). Ties at equal distance prefer the backward
+    * match, like [[asofNearest]]. */
+  def asofNearestNative(left: DataFrame, right: DataFrame, keyCol: String,
+                        leftTimeCol: String, rightTimeCol: String,
+                        payloadCols: Seq[String]): DataFrame = {
+    val rB = right.select(
+      (col(keyCol) +: col(rightTimeCol) +: col(rightTimeCol).as("__asof_bt") +:
+        payloadCols.map(p => col(p).as(s"__b_$p"))): _*)
+    val rF = right.select(
+      (col(keyCol) +: col(rightTimeCol) +: col(rightTimeCol).as("__asof_ft") +:
+        payloadCols.map(p => col(p).as(s"__f_$p"))): _*)
+    val stepB = asofBackwardNative(left, rB, keyCol, leftTimeCol, rightTimeCol,
+      "__asof_bt" +: payloadCols.map(p => s"__b_$p"))
+    val both = asofForwardNative(stepB, rF, keyCol, leftTimeCol, rightTimeCol,
+      "__asof_ft" +: payloadCols.map(p => s"__f_$p"))
+    val useB = col("__asof_ft").isNull ||
+      (col("__asof_bt").isNotNull &&
+        (col(leftTimeCol) - col("__asof_bt")) <= (col("__asof_ft") - col(leftTimeCol)))
+    val chosen = payloadCols.foldLeft(both) { (df, p) =>
+      df.withColumn(p, when(useB, col(s"__b_$p")).otherwise(col(s"__f_$p")))
+    }
+    chosen.drop(
+      (Seq("__asof_bt", "__asof_ft") ++
+        payloadCols.flatMap(p => Seq(s"__b_$p", s"__f_$p"))): _*)
+  }
+
   /** Nearest as-of join: the right row minimizing |rightTime - leftTime|
     * per key; ties prefer the backward (earlier-or-equal) match. Both
     * directional passes run over ONE union and ONE key shuffle — two

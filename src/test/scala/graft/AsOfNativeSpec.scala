@@ -189,6 +189,31 @@ class AsOfNativeSpec extends AnyFunSuite {
     assert(df.collect().map(_.toSeq).toSeq == Seq(Seq(1L, 10L, "keepme", 1.0)))
   }
 
+  test("nearest native (backward+forward chain) matches window nearest; left shuffles once") {
+    val rnd = new scala.util.Random(31)
+    val left = (1 to 1200).map(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(600).toLong * 1000L, i.toLong))
+      .toDF("k", "t", "id")
+    // unique (k, rt) BY CONSTRUCTION — an agg here would add its own
+    // exchanges and muddy the left-shuffles-once assertion below
+    val right = (1 to 500).map(i =>
+      (rnd.nextInt(25).toLong, i.toLong * 997L % 600000L, i.toDouble))
+      .toDF("k", "rt", "v")
+    val nat = TemporalJoins.asofNearestNative(left, right, "k", "t", "rt", Seq("v"))
+      .select("k", "t", "id", "v")
+      .orderBy("k", "t", "id").collect().toSeq
+    val win = TemporalJoins.asofNearest(
+        left, right.withColumnRenamed("rt", "prt"), "k", "t", "prt", Seq("v"))
+      .select("k", "t", "id", "v")
+      .orderBy("k", "t", "id").collect().toSeq
+    assert(nat.size == 1200 && nat.map(_.toSeq) == win.map(_.toSeq))
+    val plan = TemporalJoins.asofNearestNative(left, right, "k", "t", "rt", Seq("v"))
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 3,
+      s"left must shuffle once across both merges (1 left + 2 right), got $exchanges:\n$plan")
+  }
+
   test("empty sides: no right rows -> all-null payloads; no left rows -> empty") {
     val left = Seq((1L, 10L, "a")).toDF("k", "t", "ltag")
     val emptyR = Seq.empty[(Long, Long, Double)].toDF("k", "rt", "v")
