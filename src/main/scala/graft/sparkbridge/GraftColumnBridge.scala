@@ -33,4 +33,16 @@ object GraftPlanBridge {
     if (!cs.experimental.extraOptimizations.contains(r))
       cs.experimental.extraOptimizations = r +: cs.experimental.extraOptimizations
   }
+
+  /** Introspect what a SparkSessionExtensions instance would inject into a
+    * session — lets tests prove the extension class wires the planner
+    * strategy and optimizer rule without tearing down the shared session. */
+  def builtStrategies(ext: SparkSessionExtensions,
+                      spark: SparkSession): Seq[SparkStrategy] =
+    ext.buildPlannerStrategies(spark.asInstanceOf[classic.SparkSession])
+
+  def builtOptimizerRules(
+      ext: SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]] =
+    ext.buildOptimizerRules(spark.asInstanceOf[classic.SparkSession])
 }

@@ -18,10 +18,15 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - math.sqrt(27.0)) < 1e-15)
   }
 
-  test("GraftExtensions injects the same functions at session build time") {
-    // apply() must register without throwing; functional coverage of the
-    // injected builders is the SQL test above (same expression classes).
+  test("GraftExtensions wires functions, planner strategy, and optimizer rule") {
+    import org.apache.spark.sql.GraftPlanBridge
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
+    val strategies = GraftPlanBridge.builtStrategies(ext, spark)
+    assert(strategies.contains(graft.plans.AsOfJoinStrategy),
+      s"planner strategy must be injected, got $strategies")
+    val rules = GraftPlanBridge.builtOptimizerRules(ext, spark)
+    assert(rules.contains(graft.plans.AsOfJoinPushdown),
+      s"optimizer rule must be injected, got $rules")
   }
 }
