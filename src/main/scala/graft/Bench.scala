@@ -119,7 +119,10 @@ object Bench {
           // round-9: the custom as-of physical operator (merge state O(1),
           // should scale as pure sort-shuffle) and the two-pass dense-id
           // assignment (the anti-SinglePartition witness)
-          "q_asof_native", "q_dense_ids", "q_range_native")
+          "q_asof_native", "q_dense_ids", "q_range_native",
+          // char-linear gram kernel + DF-capped bucket pairs — the round-9
+          // winnowing scale witnesses
+          "q_winnowing", "q_winnow_pairs")
         def timed(fn: String => Unit, dir: String, name: String): Double = {
           def once(): Double = {
             val t0 = System.nanoTime()
