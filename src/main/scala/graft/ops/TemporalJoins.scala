@@ -122,10 +122,17 @@ object TemporalJoins {
     * ties preserved), so the same AsOfJoinExec serves both directions. */
   def asofForwardNative(left: DataFrame, right: DataFrame, keyCol: String,
                         leftTimeCol: String, rightTimeCol: String,
+                        payloadCols: Seq[String]): DataFrame =
+    asofForwardNative(left, right, Seq(keyCol), leftTimeCol, rightTimeCol,
+      payloadCols)
+
+  def asofForwardNative(left: DataFrame, right: DataFrame,
+                        keyCols: Seq[String],
+                        leftTimeCol: String, rightTimeCol: String,
                         payloadCols: Seq[String]): DataFrame = {
     val lNeg = left.withColumn("__asof_neg", -col(leftTimeCol))
     val rNeg = right.withColumn("__asof_neg", -col(rightTimeCol))
-    asofBackwardNative(lNeg, rNeg, keyCol, "__asof_neg", "__asof_neg",
+    asofBackwardNative(lNeg, rNeg, keyCols, "__asof_neg", "__asof_neg",
       payloadCols).drop("__asof_neg")
   }
 
