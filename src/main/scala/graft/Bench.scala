@@ -122,7 +122,10 @@ object Bench {
           "q_asof_native", "q_dense_ids", "q_range_native",
           // char-linear gram kernel + DF-capped bucket pairs — the round-9
           // winnowing scale witnesses
-          "q_winnowing", "q_winnow_pairs")
+          "q_winnowing", "q_winnow_pairs",
+          // round-10: near-dup clustering + quality argmax (banded
+          // self-join -> pointer-jump CC -> one max-of-struct agg)
+          "q_cluster_best")
         def timed(fn: String => Unit, dir: String, name: String): Double = {
           def once(): Double = {
             val t0 = System.nanoTime()

@@ -1000,6 +1000,77 @@ object QueryCatalog {
                 FROM cl)
           ORDER BY doc_id""")),
 
+      // Quality-aware canonical selection: keep the BEST-quality doc of
+      // every near-dup cluster (not an arbitrary member) — the curation
+      // variant of dedup. Selection = ONE max-of-struct aggregation
+      // ((quality, -id) lexicographic, ties to lowest id): map-side
+      // combined, no rank window, no corpus sort. Oracle replays
+      // clustering (recursive reachability), the quality formula at 6dp,
+      // and the same argmax tie-break via a rank window.
+      Q("q_cluster_best",
+        (s, dir) => {
+          val docs = tk(s, dir, "documents")
+          val clusters = Dedup.nearDupClusters(docs, "text", "doc_id", 3, 8, 2, 0.2)
+            .select(col("doc_id").cast("long").as("doc_id"),
+              col("cluster_id").cast("long").as("cluster_id"))
+          val scored = docs.select(col("doc_id").cast("long").as("doc_id"),
+            r6(TextF.qualityScore(col("text"))).as("quality"))
+          graft.ops.Curation.keepBestPerCluster(scored, clusters, "doc_id", "quality")
+            .select(col("cluster_id"), col("best_doc_id"),
+              col("best_score").as("best_quality"), col("n_members"))
+            .orderBy("cluster_id")
+        },
+        Some {
+          val toks = D.splitWs("text")
+          val stopArr = D.strArray(TextF.StopEn)
+          s"""
+          WITH RECURSIVE
+          sigs AS (
+            SELECT doc_id, ${Exprs.minhashSig(D, "sh", 8)} AS sig FROM $duckShingles),
+          banded AS (
+            SELECT doc_id, CAST(b.b AS BIGINT) AS band,
+                   md5(array_to_string(sig[(CAST(b.b AS INT) * 2 + 1):(CAST(b.b AS INT) * 2 + 2)], '|')) AS band_key
+            FROM sigs, range(0, 4) AS b(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+            FROM banded a JOIN banded c
+              ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+          sets AS (SELECT doc_id, list_distinct(sh) AS shs FROM $duckShingles),
+          edges AS (
+            SELECT id_a, id_b
+            FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
+            WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                  / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= CAST(0.2 AS DOUBLE)),
+          und AS (
+            SELECT id_a AS src, id_b AS dst FROM edges
+            UNION ALL
+            SELECT id_b, id_a FROM edges),
+          reach(id, l) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT u.src, r.l FROM reach r JOIN und u ON u.dst = r.id),
+          cl AS (
+            SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY id),
+          q AS (
+            SELECT doc_id,
+                   round(
+                     least(CAST(len($toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+                     + (CAST(len(list_filter($toks, t__ -> list_contains($stopArr, t__))) AS DOUBLE) / len($toks)) * CAST(0.3 AS DOUBLE)
+                     + (CAST(1.0 AS DOUBLE) - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * CAST(0.3 AS DOUBLE)
+                   , 6) + CAST(0.0 AS DOUBLE) AS quality
+            FROM documents)
+          SELECT cluster_id, doc_id AS best_doc_id, quality AS best_quality,
+                 n_members
+          FROM (SELECT cl.cluster_id, cl.doc_id, q.quality,
+                       row_number() OVER (PARTITION BY cl.cluster_id
+                         ORDER BY q.quality DESC, cl.doc_id) AS rn,
+                       count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+                FROM cl JOIN q USING (doc_id))
+          WHERE rn = 1
+          ORDER BY cluster_id"""
+        }),
+
       // Inverted keyword index at rest (term -> document-frequency +
       // sorted posting list): the batch artifact behind the keyword/BM25
       // query modes. One explode + one groupBy shuffle on the term key;
@@ -1253,6 +1324,128 @@ object QueryCatalog {
                 ORDER BY score DESC, vec_id
                 LIMIT 10)
           ORDER BY score DESC, vec_id"""
+        }),
+
+      // ANN index-quality evaluation: recall@10 of the IVF index (fixed
+      // first-8 centroids, nprobe=2) against exact brute force, over the
+      // vec_id % 50 query sample. Ground truth and IVF answer both
+      // replayed in SQL (same centroid-assign/probe/rank tie-breaks as
+      // the q_ann_ivf oracle), so the recall NUMBERS are hash-gated —
+      // this is the nprobe-tuning/monitoring pass a production vector
+      // store runs after every index build. Plan: corpus scanned twice
+      // (brute via map-side k-bounded heaps, IVF via centroid-pruned
+      // candidates), queries and centroids broadcast, never corpus^2.
+      Q("q_ann_recall",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          val cents = emb.where(col("vec_id") < 8)
+            .select(col("vec_id").cast("int").as("cid"),
+              VectorF.toDoubleArray(col("embedding")).as("cv"))
+          val qs = emb.where(col("vec_id") % 50 === 0)
+          Similarity.ivfRecallEval(emb, cents, qs, "vec_id", "embedding",
+              "vec_id", "embedding", 10, 2)
+            .select(col("query_id"), col("n_hits"), r6(col("recall")).as("recall"))
+            .orderBy("query_id")
+        },
+        Some(s"""
+          WITH normed AS (
+            SELECT vec_id, v, ${Exprs.l2Normalize(D, "v", D.norm("v"))} AS vn
+            FROM $duckEmbTable),
+          cents AS (
+            SELECT CAST(vec_id AS INT) AS cid, v AS cv, vn AS cvn
+            FROM normed WHERE vec_id < 8),
+          qs AS (
+            SELECT vec_id AS query_id, v AS qv
+            FROM $duckEmbTable WHERE vec_id % 50 = 0),
+          assigned AS (
+            SELECT e.vec_id, e.v,
+                   (SELECT c.cid FROM cents c
+                    ORDER BY ${D.dot("e.vn", "c.cvn")} DESC, c.cid LIMIT 1) AS cluster_id
+            FROM normed e),
+          brute AS (
+            SELECT query_id, vec_id FROM (
+              SELECT q.query_id, e.vec_id,
+                     row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY ${D.cosine("e.v", "q.qv")} DESC, e.vec_id) AS rn
+              FROM $duckEmbTable e, qs q) WHERE rn <= 10),
+          probe AS (
+            SELECT query_id, cluster_id FROM (
+              SELECT q.query_id, c.cid AS cluster_id,
+                     row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY ${D.cosine("c.cv", "q.qv")} DESC, c.cid) AS rn
+              FROM cents c, qs q) WHERE rn <= 2),
+          ivf AS (
+            SELECT query_id, vec_id FROM (
+              SELECT p.query_id, a.vec_id,
+                     row_number() OVER (PARTITION BY p.query_id
+                       ORDER BY ${D.cosine("a.v", "q.qv")} DESC, a.vec_id) AS rn
+              FROM assigned a
+              JOIN probe p USING (cluster_id)
+              JOIN qs q ON q.query_id = p.query_id) WHERE rn <= 10),
+          hits AS (
+            SELECT i.query_id, count(*) AS n_hits
+            FROM ivf i JOIN brute b
+              ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+            GROUP BY i.query_id)
+          SELECT q.query_id,
+                 CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                 (round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(10.0 AS DOUBLE), 6)
+                  + CAST(0.0 AS DOUBLE)) AS recall
+          FROM qs q LEFT JOIN hits h ON h.query_id = q.query_id
+          ORDER BY q.query_id""")),
+
+      // k-means|| scalable init (Bahmani et al. 2012): 2 oversampling
+      // rounds (l=4) + candidate weighting + top-k selection, all
+      // replayed in SQL — D² as round-9 folds, Σ D² in DECIMAL(28,9)
+      // (order-independent), sampling via the shared md5-uniform of
+      // (round ':' id), so candidate set, weights, AND the final k are
+      // hash-gated. The corpus is scanned once per round + once for
+      // weights; candidates broadcast; nothing corpus-sized shuffles.
+      Q("q_kmeans_scalable",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          Similarity.kmeansParallelInit(emb, "vec_id", "embedding", 4, 4, 2)
+            .select(col("cid"), col("weight"), col("selected"))
+            .orderBy("cid")
+        },
+        Some {
+          def minD2(cents: String) =
+            s"""(SELECT b2.id, (round(min(${D.l2sq("b2.v", "c.cv")}), 9)
+                 + CAST(0.0 AS DOUBLE)) AS d2
+                 FROM base b2 CROSS JOIN $cents c GROUP BY b2.id)"""
+          def thr(a: String, sTab: String) =
+            s"(CAST(4 AS DOUBLE) * CAST($a.d2 AS DOUBLE) / CAST($sTab.s AS DOUBLE))"
+          s"""
+          WITH base AS (SELECT vec_id AS id, v FROM $duckEmbTable),
+          c0 AS (SELECT id AS cid, v AS cv FROM base
+                 WHERE id = (SELECT min(id) FROM base)),
+          d1 AS ${minD2("c0")},
+          s1 AS (SELECT sum(CAST(d2 AS DECIMAL(28,9))) AS s FROM d1),
+          sel1 AS (SELECT d.id FROM d1 d, s1
+                   WHERE ${D.md5Uniform("concat('1:', CAST(d.id AS VARCHAR))")}
+                         < ${thr("d", "s1")}),
+          cents1 AS (SELECT cid, cv FROM c0
+                     UNION ALL
+                     SELECT b.id, b.v FROM base b JOIN sel1 USING (id)),
+          d2t AS ${minD2("cents1")},
+          s2 AS (SELECT sum(CAST(d2 AS DECIMAL(28,9))) AS s FROM d2t),
+          sel2 AS (SELECT d.id FROM d2t d, s2
+                   WHERE ${D.md5Uniform("concat('2:', CAST(d.id AS VARCHAR))")}
+                         < ${thr("d", "s2")}),
+          cents2 AS (SELECT cid, cv FROM cents1
+                     UNION ALL
+                     SELECT b.id, b.v FROM base b JOIN sel2 USING (id)),
+          near AS (SELECT b.id AS vid,
+                          (SELECT c.cid FROM cents2 c
+                           ORDER BY ${D.l2sq("b.v", "c.cv")} ASC, c.cid ASC
+                           LIMIT 1) AS cid
+                   FROM base b),
+          wt AS (SELECT cid, count(*) AS weight FROM near GROUP BY cid)
+          SELECT cid, weight,
+                 (row_number() OVER (ORDER BY weight DESC, cid) <= 4) AS selected
+          FROM (SELECT c.cid, CAST(coalesce(w.weight, 0) AS BIGINT) AS weight
+                FROM cents2 c LEFT JOIN wt w ON w.cid = c.cid)
+          ORDER BY cid"""
         }),
 
       // Binary-quantization ANN: sign-bit codes (two 32-bit words for the
@@ -1598,6 +1791,53 @@ object QueryCatalog {
                                    '\s*\n\s*', chr(10), 'g')) AS text
         FROM documents
         ORDER BY doc_id""")),
+
+    // Hyperlink extraction + host-level outlink graph: the link side of
+    // the crawl pipeline (anchor text labels the TARGET page; the host
+    // graph drives frontier scheduling and host priors). The fixture HTML
+    // carries 3 links per page — two absolute (regex must pair each href
+    // with ITS anchor through surrounding attributes/text) and one
+    // relative (must be dropped by the host filter). The oracle replays
+    // the link set analytically from doc_id, so the hash gates the
+    // whole extract->parse-host->aggregate chain. Plan: codegen'd
+    // regexp_extract_all fused into the scan; ONE host-keyed aggregation
+    // (map-side combined, |hosts| << |pages|) — nothing else moves.
+    Q("q_links_graph",
+      (s, dir) => {
+        val pages = tk(s, dir, "documents")
+          .withColumn("html", concat(
+            lit("<html><body><h1>T</h1><p>intro</p><a class=\"r\" href=\"https://h"),
+            col("doc_id") % 7,
+            lit(".example.com/p/"), col("doc_id"),
+            lit("?s=1\">Doc "), col("doc_id"),
+            lit("</a> mid <a href=\"http://h"), (col("doc_id") + 1) % 7,
+            lit(".example.com/q/"), col("doc_id") % 40,
+            lit("\">Ref "), col("doc_id") % 9,
+            lit("</a> tail <a href=\"/rel/"), col("doc_id"),
+            lit("\">rel</a></body></html>")))
+        graft.sources.HtmlLinks.hostGraph(pages, "doc_id", "html")
+          .orderBy("host")
+      },
+      Some("""
+        WITH l AS (
+          SELECT doc_id, j,
+                 CASE j WHEN 0 THEN 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                        ELSE 'h' || CAST((doc_id + 1) % 7 AS VARCHAR) || '.example.com' END AS host,
+                 CASE j WHEN 0 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/'
+                                    || CAST(doc_id AS VARCHAR) || '?s=1'
+                        ELSE 'http://h' || CAST((doc_id + 1) % 7 AS VARCHAR) || '.example.com/q/'
+                                    || CAST(doc_id % 40 AS VARCHAR) END AS href,
+                 CASE j WHEN 0 THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+                        ELSE 'Ref ' || CAST(doc_id % 9 AS VARCHAR) END AS anchor
+          FROM documents, range(0, 2) AS r(j))
+        SELECT host,
+               count(*) AS n_links,
+               count(DISTINCT doc_id) AS n_src_docs,
+               count(DISTINCT href) AS n_urls,
+               min(anchor) AS sample_anchor
+        FROM l
+        GROUP BY host
+        ORDER BY host""")),
 
     // S4: REAL PDF text extraction (pure-JVM xref/object walk + Inflater +
     // Tj/TJ interpreter — sources/PdfCodec.scala). Each document is

@@ -350,4 +350,41 @@ object Curation {
     entropy(chars, "n_chars", "char_entropy")
       .join(entropy(words, "n_words", "word_entropy"), idCol)
   }
+
+  /** Quality-aware canonical selection: keep the BEST-scoring document of
+    * every near-dup cluster instead of an arbitrary one. SemDeDup-style
+    * dedup (`Dedup.semanticDedup`, `q_semantic_dedup`) keeps the
+    * lowest-id member — fine for dedup rate, but a curation run wants
+    * the highest-quality representative (reference pipelines keep the
+    * longest / highest-scoring duplicate; cf. lightspeed-core's
+    * keep-first-seen in `document_processor.py`). `clusters` =
+    * (idCol, cluster_id) from [[Dedup.nearDupClusters]]; docs missing a
+    * cluster assignment are their own singleton (left join + coalesce —
+    * an incomplete clustering must not shrink the corpus).
+    *
+    * Selection is a single max-of-struct aggregation — (score, -id)
+    * compared lexicographically, so ties break to the LOWEST id —
+    * rather than a rank window: one shuffle on cluster_id with map-side
+    * partial max, no per-partition sort, no row_number materialization.
+    * At 100 TB that is the difference between a combine-reduced agg and
+    * a full sort of the corpus. Callers should pass a score already
+    * rounded to fixed decimals if cross-engine replay matters (doubles
+    * compare exactly; sub-ulp score differences would flip ties).
+    *
+    * Output: (cluster_id, best_<idCol>, best_score, n_members). */
+  def keepBestPerCluster(docs: DataFrame, clusters: DataFrame,
+                         idCol: String, scoreCol: String): DataFrame = {
+    val member = docs.select(col(idCol), col(scoreCol).cast("double").as("__score"))
+      .join(clusters.select(col(idCol), col("cluster_id")), Seq(idCol), "left")
+      .select(coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+        col(idCol), col("__score"))
+    member.groupBy("cluster_id")
+      .agg(
+        max(struct(col("__score").as("s"), (-col(idCol)).as("ni"))).as("__best"),
+        count(lit(1)).cast("long").as("n_members"))
+      .select(col("cluster_id"),
+        (-col("__best.ni")).as(s"best_$idCol"),
+        col("__best.s").as("best_score"),
+        col("n_members"))
+  }
 }

@@ -92,6 +92,81 @@ object Similarity {
     cents
   }
 
+  /** k-means|| initialization (Bahmani et al., VLDB 2012): the scale path
+    * for IVF/PQ centroid seeding. Classic k-means++ needs k sequential
+    * passes over the corpus (one per center) — unusable when k is
+    * thousands and the corpus is 100 TB. k-means|| oversamples ~l
+    * candidates per round for only `rounds` passes (each pass = one
+    * broadcast of the current candidate set + one scalar aggregate +
+    * one filtered scan), then weights the candidates by how many corpus
+    * vectors they attract; the final k are chosen from the tiny weighted
+    * candidate set. Driver state per round = the candidate list (the
+    * Spark-ML KMeans sync pattern); the corpus is never shuffled.
+    *
+    * Determinism/oracle contract: sampling randomness is the md5-uniform
+    * of (round ':' id) — reproducible, partitioning-invariant, and
+    * replayable in SQL; per-vector D² is a sequential fold rounded to 9
+    * decimals; the normalizer Σ D² is summed in DECIMAL(28,9) (exact,
+    * order-independent) so the selection threshold is bit-identical on
+    * any engine. A vector already chosen has D² = 0, so re-selection is
+    * impossible by construction. Ties everywhere break to the lowest id.
+    *
+    * Returns the candidate table (cid, cv, weight, selected): `weight` =
+    * |vectors nearest to this candidate|, `selected` = top-k by
+    * (weight DESC, cid ASC) — feed the selected rows to [[trainCentroids]]
+    * -style Lloyd refinement as the init. */
+  def kmeansParallelInit(emb: DataFrame, idCol: String, vecCol: String,
+                         k: Int, l: Int, rounds: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dl = graft.sqlgen.Dialect.spark
+    val base = emb.select(col(idCol).cast("long").as("__id"),
+      VectorF.toDoubleArray(col(vecCol)).as("__v"))
+    val seed = base.orderBy("__id").limit(1)
+      .as[(Long, Seq[Double])].collect()
+    var cands: Seq[(Long, Seq[Double])] = seed.toSeq
+    // D² to the CURRENT candidate set: min-fold over the cid-sorted
+    // candidate list (min is order-independent; sorting pins the fold),
+    // rounded to 9 decimals (+0.0) so Σ D² in DECIMAL(28,9) is exact.
+    for (t <- 1 to rounds) {
+      val csDf = cands.toDF("cid", "cv")
+      val withD = base.crossJoin(broadcast(csDf.groupBy().agg(
+          sort_array(collect_list(struct(col("cid"), col("cv")))).as("__cs"))))
+        .withColumn("__d2",
+          round(expr(s"""aggregate(__cs, CAST('Infinity' AS DOUBLE),
+              (a__, c__) -> least(a__, ${dl.l2sq("__v", "c__.cv")}))"""), 9) + lit(0.0))
+      val s = withD.agg(sum(col("__d2").cast("decimal(28,9)")).as("s"))
+        .collect()(0).getDecimal(0)
+      val thr = s"(CAST($l AS DOUBLE) * CAST(__d2 AS DOUBLE)" +
+        s" / CAST(CAST('${s.toPlainString}' AS DECIMAL(28,9)) AS DOUBLE))"
+      val u = dl.md5Uniform(s"concat('$t:', CAST(__id AS STRING))")
+      val picked = withD.where(expr(s"$u < $thr"))
+        .select(col("__id"), col("__v"))
+        .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+      cands = cands ++ picked
+    }
+    // weight pass: nearest candidate per corpus vector (strict <, so the
+    // cid-sorted fold keeps the LOWEST cid on ties), one count aggregate.
+    val candDf = cands.toDF("cid", "cv")
+    val assigned = base.crossJoin(broadcast(candDf.groupBy().agg(
+        sort_array(collect_list(struct(col("cid"), col("cv")))).as("__cs"))))
+      .withColumn("__near", expr(s"""aggregate(__cs,
+          named_struct('cid', CAST(-1 AS BIGINT), 'd', CAST('Infinity' AS DOUBLE)),
+          (a__, c__) -> CASE
+            WHEN ${dl.l2sq("__v", "c__.cv")} < a__.d
+            THEN named_struct('cid', c__.cid, 'd', ${dl.l2sq("__v", "c__.cv")})
+            ELSE a__ END).cid"""))
+      .groupBy(col("__near").as("cid"))
+      .agg(count(lit(1)).cast("long").as("weight"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("weight"), col("cid"))
+    candDf.join(assigned, Seq("cid"), "left")
+      .select(col("cid"), col("cv"), coalesce(col("weight"), lit(0L)).as("weight"))
+      // rank window over the CANDIDATE table only (|cands| ~ 1 + l*rounds
+      // — tiny; the single-partition window never sees corpus rows)
+      .withColumn("selected", (row_number().over(w) <= k))
+  }
+
   /** IVF-style ANN: assign every vector to its nearest centroid, then scan
     * only the `nprobe` centroids nearest to the query. Centroids are a
     * small broadcast table (cid, cv: array<double>). */
@@ -110,6 +185,57 @@ object Similarity {
       .select(col(idCol), col("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
+  }
+
+  /** ANN index-quality evaluation: recall@k of the IVF index against the
+    * exact brute-force answer, per query — the monitoring pass a
+    * production vector store runs after (re)building an index, and the
+    * tuning loop for nprobe. For every query vector: ground truth =
+    * exact cosine top-k over the whole corpus ([[knnJoin]] — map-side
+    * k-bounded heaps, only k rows per query reach the shuffle); IVF
+    * answer = top-k restricted to the query's `nprobe` nearest
+    * centroids; recall = |ivf ∩ brute| / k.
+    *
+    * Scale: centroids and the query sample are broadcast (both small by
+    * construction — recall eval runs on a query SAMPLE, not the corpus);
+    * the corpus is scanned twice (once per answer set), never joined to
+    * itself; the per-query top-k windows run on centroid-pruned
+    * candidate sets. Output: (query_id, n_hits, recall) per query.
+    * Deterministic: all score ties break to the lowest id, so recall is
+    * reproducible run-to-run and engine-to-engine. */
+  def ivfRecallEval(emb: DataFrame, centroids: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, qIdCol: String,
+                    qVecCol: String, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(qIdCol).cast("long").as("query_id"),
+      VectorF.toDoubleArray(col(qVecCol)).as("__qv"))
+    val brute = knnJoin(emb, queries, idCol, vecCol, qIdCol, qVecCol, k)
+      .select(col("query_id"), col(idCol))
+    val probeW = Window.partitionBy("query_id").orderBy(desc("__qs"), col("cid"))
+    val probe = centroids.crossJoin(broadcast(q))
+      .withColumn("__qs",
+        VectorF.cosine(VectorF.toDoubleArray(col("cv")), col("__qv")))
+      .withColumn("__pr", row_number().over(probeW))
+      .where(col("__pr") <= nprobe)
+      .select(col("query_id"), col("cid").as("cluster_id"))
+    val candW = Window.partitionBy("query_id")
+      .orderBy(desc("__score"), col(idCol))
+    val ivf = assignClusters(emb, centroids, vecCol)
+      .join(broadcast(probe), "cluster_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("__score",
+        VectorF.cosine(VectorF.toDoubleArray(col(vecCol)), col("__qv")))
+      .withColumn("__rn", row_number().over(candW))
+      .where(col("__rn") <= k)
+      .select(col("query_id"), col(idCol))
+    val hits = ivf.join(brute, Seq("query_id", idCol))
+      .groupBy("query_id").agg(count(lit(1)).cast("long").as("n_hits"))
+    q.select(col("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall"))
   }
 
   /** Persist the embedding table PARTITIONED BY ivf cluster id — the

@@ -73,6 +73,64 @@ object HtmlKernel {
   }
 }
 
+/** Hyperlink extraction from raw HTML — the link-graph side of a crawl
+  * pipeline (the text side is [[HtmlKernel]]): `<a href>` targets plus
+  * their anchor text, and host-level aggregation of the outlink graph.
+  * Anchor text is a first-class training signal (it labels the TARGET
+  * page) and the host graph drives frontier scheduling and host-level
+  * quality priors.
+  *
+  * Everything is declarative `regexp_extract_all` / `regexp_extract` —
+  * codegen'd, narrow, fused into the scan stage; the only shuffle in
+  * [[hostGraph]] is the final host-keyed aggregation (map-side combined,
+  * cardinality = distinct hosts, tiny relative to pages at any scale). */
+object HtmlLinks {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions._
+
+  /** One pattern, two group extractions — the two arrays are position-
+    * aligned by construction (same pattern text), so `arrays_zip` pairs
+    * each href with its own anchor. Attributes around href are matched
+    * quote-aware (`(?:[^>"]|"[^"]*")*`) so a literal `>` inside a quoted
+    * attribute value (`title="x > y"`) cannot truncate the tag. Anchor
+    * group is `[^<]*`: nested-tag anchors are out of contract (run
+    * [[HtmlKernel.toText]] first for rich anchors). */
+  val HrefAnchorRe =
+    "(?is)<a\\s(?:[^>\"]|\"[^\"]*\")*?href=\"([^\"]*)\"(?:[^>\"]|\"[^\"]*\")*>([^<]*)</a>"
+
+  /** array<struct<href,anchor>> of every link in the page. */
+  def links(html: Column): Column = {
+    val re = lit(HrefAnchorRe)
+    arrays_zip(
+      regexp_extract_all(html, re, lit(1)).as("href"),
+      regexp_extract_all(html, re, lit(2)).as("anchor"))
+  }
+
+  /** Host of an absolute URL ('' for relative links — filter as needed). */
+  def host(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+
+  /** (idCol, href, anchor, host) — one row per extracted link. */
+  def explodeLinks(pages: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    pages.select(col(idCol), explode(links(col(htmlCol))).as("__l"))
+      .select(col(idCol), col("__l.href").as("href"),
+        col("__l.anchor").as("anchor"))
+      .withColumn("host", host(col("href")))
+
+  /** Host-level outlink aggregation: how many links point at each host,
+    * from how many distinct source pages, at how many distinct target
+    * URLs, and a deterministic sample anchor (min — the signal a
+    * host-prior model consumes). */
+  def hostGraph(pages: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    explodeLinks(pages, idCol, htmlCol)
+      .where(length(col("host")) > 0)
+      .groupBy("host")
+      .agg(count(lit(1)).cast("long").as("n_links"),
+        countDistinct(col(idCol)).cast("long").as("n_src_docs"),
+        countDistinct(col("href")).cast("long").as("n_urls"),
+        min(col("anchor")).as("sample_anchor"))
+}
+
 /** Catalyst expression wrapper: one conversion in, one out, codegen'd. */
 case class HtmlToText(child: Expression) extends UnaryExpression {
 

@@ -84,4 +84,29 @@ class IvfClusteredSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(got == brute)
   }
+
+  test("kmeansParallelInit: deterministic, partitioning-invariant, covers clusters") {
+    def run(parts: Int) =
+      Similarity.kmeansParallelInit(emb.repartition(parts), "vec_id", "embedding",
+          k = 4, l = 4, rounds = 2)
+        .orderBy("cid")
+        .select(col("cid"), col("weight"), col("selected"))
+        .as[(Long, Long, Boolean)].collect().toSeq
+    val a = run(1)
+    val b = run(7)
+    // md5 sampling + round-9 D² + decimal Σ: the candidate set, weights,
+    // and selection must be IDENTICAL under any partitioning
+    assert(a == b, s"partitioning changed the result:\n$a\n$b")
+    // exactly k selected (candidate pool is always >= k here)
+    assert(a.count(_._3) == 4, a.toString)
+    // weights partition the corpus: every vector assigned to exactly one
+    assert(a.map(_._2).sum == 64L, a.toString)
+    // the seed (lowest id) is always a candidate
+    assert(a.head._1 == 0L, a.toString)
+    // selected centers must touch at least 3 of the 4 generating clusters
+    // (oversampling l=4 x 2 rounds on well-separated clusters cannot
+    // collapse onto one) — the qualitative k-means|| spread guarantee
+    val selClusters = a.filter(_._3).map(_._1 % 4).distinct
+    assert(selClusters.size >= 3, s"selected centers collapsed: $a")
+  }
 }
