@@ -1071,6 +1071,40 @@ object QueryCatalog {
           ORDER BY cluster_id"""
         }),
 
+      // Domain-level quality gate: per-source mean quality (DECIMAL-
+      // summed, order-independent), low-quality fraction, and the
+      // wholesale keep/block verdict — domain filtering runs BEFORE
+      // doc filters in a web curation stack. One map-side-combined
+      // aggregation on the domain key.
+      Q("q_domain_quality",
+        (s, dir) =>
+          graft.ops.Curation.domainQuality(
+              t(s, dir, "documents"), "text", "source", 0.53, 0.45)
+            .orderBy("source"),
+        Some {
+          val toks = D.splitWs("text")
+          val stopArr = D.strArray(TextF.StopEn)
+          s"""
+          WITH q AS (
+            SELECT source,
+                   round(
+                     least(CAST(len($toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+                     + (CAST(len(list_filter($toks, t__ -> list_contains($stopArr, t__))) AS DOUBLE) / len($toks)) * CAST(0.3 AS DOUBLE)
+                     + (CAST(1.0 AS DOUBLE) - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * CAST(0.3 AS DOUBLE)
+                   , 6) + CAST(0.0 AS DOUBLE) AS ql
+            FROM documents)
+          SELECT source, n_docs, mean_quality, low_frac,
+                 (mean_quality < CAST(0.53 AS DOUBLE) OR low_frac > CAST(0.45 AS DOUBLE)) AS blocked
+          FROM (SELECT source,
+                       count(*) AS n_docs,
+                       (round(CAST(sum(CAST(ql AS DECIMAL(18,6))) AS DOUBLE)
+                              / CAST(count(*) AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS mean_quality,
+                       (round(CAST(sum(CASE WHEN ql < CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END) AS DOUBLE)
+                              / CAST(count(*) AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS low_frac
+                FROM q GROUP BY source)
+          ORDER BY source"""
+        }),
+
       // Inverted keyword index at rest (term -> document-frequency +
       // sorted posting list): the batch artifact behind the keyword/BM25
       // query modes. One explode + one groupBy shuffle on the term key;
@@ -1838,6 +1872,94 @@ object QueryCatalog {
         FROM l
         GROUP BY host
         ORDER BY host""")),
+
+    // Anchor-text label propagation: anchors aggregated onto the TARGET
+    // page — the classic web supervision signal (anchor text describes
+    // the target, not the source). Target ids parsed from the href path;
+    // one target-keyed aggregation with sorted-distinct label sets so
+    // the result is partitioning-invariant. The /q/ links alias many
+    // sources onto one target (doc_id % 40), so real multi-source label
+    // fusion is exercised, not 1:1 copying.
+    Q("q_anchor_label",
+      (s, dir) => {
+        val pages = tk(s, dir, "documents")
+          .withColumn("html", concat(
+            lit("<html><body><h1>T</h1><p>intro</p><a class=\"r\" href=\"https://h"),
+            col("doc_id") % 7,
+            lit(".example.com/p/"), col("doc_id"),
+            lit("?s=1\">Doc "), col("doc_id"),
+            lit("</a> mid <a href=\"http://h"), (col("doc_id") + 1) % 7,
+            lit(".example.com/q/"), col("doc_id") % 40,
+            lit("\">Ref "), col("doc_id") % 9,
+            lit("</a> tail <a href=\"/rel/"), col("doc_id"),
+            lit("\">rel</a></body></html>")))
+        graft.sources.HtmlLinks.explodeLinks(pages, "doc_id", "html")
+          .where(col("href").rlike("/q/\\d+$"))
+          .select(regexp_extract(col("href"), "/q/(\\d+)$", 1)
+            .cast("long").as("target"), col("anchor"))
+          .groupBy("target")
+          .agg(count(lit(1)).cast("long").as("n_inlinks"),
+            countDistinct(col("anchor")).cast("long").as("n_labels"),
+            array_join(sort_array(collect_set(col("anchor"))), "|").as("labels"))
+          .orderBy("target")
+      },
+      Some("""
+        WITH l AS (
+          SELECT doc_id % 40 AS target, 'Ref ' || CAST(doc_id % 9 AS VARCHAR) AS anchor
+          FROM documents)
+        SELECT target,
+               count(*) AS n_inlinks,
+               count(DISTINCT anchor) AS n_labels,
+               array_to_string(list_sort(list_distinct(list(anchor))), '|') AS labels
+        FROM l
+        GROUP BY target
+        ORDER BY target""")),
+
+    // Host-authority composition: link extraction -> host edge list ->
+    // PageRank — the crawl-side "host prior" signal (authority feeds
+    // frontier priority and quality weighting). Edges come out of the
+    // SAME HtmlLinks regex path as q_links_graph (self-loops included —
+    // the first link targets the page's own host); the oracle replays
+    // the analytic edge set through the shared unrolled-PageRank SQL, so
+    // extraction AND the 5-iteration rank fixed point are under one
+    // hash. Plan: narrow regex scan -> tiny host-keyed edge relation ->
+    // the audited linear-lineage PageRank (7 nodes; rank joins touch
+    // only the edge table).
+    Q("q_host_rank",
+      (s, dir) => {
+        import graft.ops.Graph
+        val pages = tk(s, dir, "documents")
+          .withColumn("html", concat(
+            lit("<html><body><h1>T</h1><p>intro</p><a class=\"r\" href=\"https://h"),
+            col("doc_id") % 7,
+            lit(".example.com/p/"), col("doc_id"),
+            lit("?s=1\">Doc "), col("doc_id"),
+            lit("</a> mid <a href=\"http://h"), (col("doc_id") + 1) % 7,
+            lit(".example.com/q/"), col("doc_id") % 40,
+            lit("\">Ref "), col("doc_id") % 9,
+            lit("</a> tail <a href=\"/rel/"), col("doc_id"),
+            lit("\">rel</a></body></html>")))
+        val links = graft.sources.HtmlLinks.explodeLinks(pages, "doc_id", "html")
+          .where(length(col("host")) > 0)
+        val edges = links.select(
+          concat(lit("h"), col("doc_id") % 7, lit(".example.com")).as("src"),
+          col("host").as("dst"))
+        val nodes = edges.select(col("src").as("id")).distinct()
+        Graph.pageRank(nodes, edges, 5, 0.85)
+          .select(col("id").as("host"), col("rank"))
+          .orderBy("host")
+      },
+      Some {
+        val duckEdges = """(SELECT
+             'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS src,
+             CASE j WHEN 0 THEN 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                    ELSE 'h' || CAST((doc_id + 1) % 7 AS VARCHAR) || '.example.com' END AS dst
+           FROM documents, range(0, 2) AS r(j))"""
+        val duckNodes = s"(SELECT DISTINCT src AS id FROM $duckEdges e__)"
+        s"""SELECT id AS host, rank FROM (
+          ${graft.ops.Graph.pageRankOracleSql(duckNodes, duckEdges, 5, 0.85)}
+        ) ORDER BY host"""
+      }),
 
     // S4: REAL PDF text extraction (pure-JVM xref/object walk + Inflater +
     // Tj/TJ interpreter — sources/PdfCodec.scala). Each document is

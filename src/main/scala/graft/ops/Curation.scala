@@ -351,6 +351,35 @@ object Curation {
       .join(entropy(words, "n_words", "word_entropy"), idCol)
   }
 
+  /** Domain-level quality report + blocklist decision: per-domain doc
+    * count, mean quality, fraction of low-quality docs, and the
+    * keep/block verdict — the domain-granularity filter a web-corpus
+    * curation run applies BEFORE doc-level filtering (a host that is
+    * mostly spam is dropped wholesale; per-doc filters then clean the
+    * rest). One domain-keyed aggregation, map-side combined; the mean
+    * is derived from a DECIMAL(18,6) sum of round-6 scores, so it is
+    * order-independent — partitioning can never flip a block decision.
+    *
+    * `blocked` = mean_quality < minMean OR low_frac > maxLowFrac, where
+    * low_frac is the fraction of docs scoring below `lowBar`. */
+  def domainQuality(docs: DataFrame, textCol: String, domainCol: String,
+                    minMean: Double, maxLowFrac: Double,
+                    lowBar: Double = 0.5): DataFrame = {
+    val q = round(graft.functions.TextF.qualityScore(col(textCol)), 6) + lit(0.0)
+    docs.select(col(domainCol), q.as("__q"))
+      .groupBy(domainCol)
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("__q").cast("decimal(18,6)")).as("__sq"),
+        sum(when(col("__q") < lit(lowBar), 1L).otherwise(0L)).cast("long").as("__nlow"))
+      .select(col(domainCol), col("n_docs"),
+        (round(col("__sq").cast("double") / col("n_docs").cast("double"), 6)
+          + lit(0.0)).as("mean_quality"),
+        (round(col("__nlow").cast("double") / col("n_docs").cast("double"), 6)
+          + lit(0.0)).as("low_frac"))
+      .withColumn("blocked",
+        col("mean_quality") < lit(minMean) || col("low_frac") > lit(maxLowFrac))
+  }
+
   /** Quality-aware canonical selection: keep the BEST-scoring document of
     * every near-dup cluster instead of an arbitrary one. SemDeDup-style
     * dedup (`Dedup.semanticDedup`, `q_semantic_dedup`) keeps the
@@ -364,10 +393,12 @@ object Curation {
     *
     * Selection is a single max-of-struct aggregation — (score, -id)
     * compared lexicographically, so ties break to the LOWEST id —
-    * rather than a rank window: one shuffle on cluster_id with map-side
-    * partial max, no per-partition sort, no row_number materialization.
-    * At 100 TB that is the difference between a combine-reduced agg and
-    * a full sort of the corpus. Callers should pass a score already
+    * rather than a rank window: one shuffle on cluster_id with a
+    * map-side partial max (struct max plans as SortAggregate, so each
+    * map task locally sorts its slice by cluster key, then emits ONE
+    * row per cluster into the exchange — |clusters| rows move, never
+    * the corpus, and nothing materializes a row_number). Callers
+    * should pass a score already
     * rounded to fixed decimals if cross-engine replay matters (doubles
     * compare exactly; sub-ulp score differences would flip ties).
     *

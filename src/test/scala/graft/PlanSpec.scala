@@ -348,4 +348,39 @@ class PlanSpec extends AnyFunSuite {
       .orderBy("k").collect().map(_.toSeq)
     assert(got.toSeq == want.toSeq)
   }
+
+  test("keepBestPerCluster is a hash aggregate — no Window over the corpus") {
+    val docs = (0 until 200).map(i => (i.toLong, (i % 17).toDouble / 17.0))
+      .toDF("doc_id", "quality")
+    val clusters = (0 until 200).map(i => (i.toLong, (i % 23).toLong))
+      .toDF("doc_id", "cluster_id")
+    val plan = formatted(
+      graft.ops.Curation.keepBestPerCluster(docs, clusters, "doc_id", "quality"))
+    assert(!plan.contains("Window"),
+      s"canonical selection must be an aggregate, not a rank window:\n$plan")
+    // struct-typed max plans as SortAggregate (structs aren't hash-
+    // aggregable); the scale property is the PARTIAL aggregate before the
+    // exchange — each map task emits one (best, count) row per cluster,
+    // so the shuffle moves |clusters| rows, not the corpus
+    assert(plan.contains("partial_max") || plan.contains("partial, ") ||
+      "SortAggregate".r.findAllIn(plan).size >= 2,
+      s"expected a map-side partial aggregate before the exchange:\n$plan")
+  }
+
+  test("ivfRecallEval: centroids/probe/query sides broadcast; corpus never self-joins") {
+    val emb = (0 until 64).map(i =>
+        (i.toLong, Array.tabulate(4)(j => if (j == i % 3) 1.0 else 0.01 * i)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0, Array(1.0, 0.0, 0.0, 0.0)), (1, Array(0.0, 1.0, 0.0, 0.0)))
+      .toDF("cid", "cv")
+    val qs = emb.where(col("vec_id") < 2)
+    val plan = formatted(graft.ops.Similarity.ivfRecallEval(
+      emb, cents, qs, "vec_id", "embedding", "vec_id", "embedding", 5, 1))
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    // every join of the corpus against queries/probe/centroids broadcasts
+    // the small side — SortMergeJoin would mean a corpus-sized shuffle
+    // against a sample-sized relation
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"small sides must broadcast:\n$plan")
+  }
 }
