@@ -6774,6 +6774,35 @@ object QueryCatalog {
         WHERE inter * 5 >= (sa.n + sb.n - inter) * 4
         ORDER BY id_a, id_b""")),
 
+    // EXACT containment join (asymmetric PPJoin): |A∩B|/|A| >= 19/20 —
+    // the quote / boilerplate-inclusion / superseded-version detector
+    // Jaccard misses when sizes differ. Prefix filter on the CONTAINED
+    // side only (pigeonhole: a container must share one of A's rarest
+    // n/20+1 tokens); exact-integer cross-multiplied verify. Oracle =
+    // brute-force all ordered pairs on the same subset, so the prefix
+    // pruning's EXACT recall is itself under the hash.
+    Q("q_containment_join",
+      (s, dir) => {
+        val docs = tk(s, dir, "documents").where(col("doc_id") % 10 === 0)
+        graft.ops.Dedup.containmentJoin(docs, "text", "doc_id", 19, 20)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        t0 AS (SELECT doc_id,
+                      unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+               FROM d),
+        t AS (SELECT doc_id, tok FROM t0 WHERE tok <> ''),
+        sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY doc_id),
+        i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(count(*) AS BIGINT) AS inter
+              FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+              GROUP BY id_a, id_b)
+        SELECT id_a, id_b, inter, CAST(sa.n AS BIGINT) AS na
+        FROM i JOIN sz sa ON sa.doc_id = id_a
+        WHERE inter * 20 >= sa.n * 19
+        ORDER BY id_a, id_b""")),
+
     // Corpus snapshot diff — the triage an incremental pipeline runs
     // before reprocessing: old vs new snapshot full-outer-joined on the
     // doc key, each row classed added / removed / changed / unchanged by

@@ -815,6 +815,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
   }
 
+  /** EXACT token-set CONTAINMENT join — the asymmetric sibling of
+    * [[prefixJaccardJoin]]: find (a, b) with |A∩B| / |A| >= num/den,
+    * i.e. doc a's token set is (nearly) contained in doc b's. Jaccard
+    * misses these when sizes differ (a 50-token abstract inside a
+    * 5000-token paper has Jaccard ~0.01 but containment ~1.0) — this is
+    * the quote / boilerplate-inclusion / superseded-version detector.
+    *
+    * Pigeonhole on the CONTAINED side only: order A's distinct tokens by
+    * (global df asc, token) and keep the prefix of length
+    * n_A − ceil(t·n_A) + 1. If B shares no prefix token of A, B misses
+    * at least that many of A's tokens, so |A∩B| <= ceil(t·n_A) − 1 <
+    * t·n_A — every qualifying ordered pair MUST collide on a rare
+    * prefix token of A; recall is exact, not probabilistic. The b side
+    * joins with its full (id, token) relation (containment admits no
+    * prefix bound on the container), so candidates anchor only on A's
+    * rarest tokens. Verification is exact-integer cross-multiplication
+    * (den·|A∩B| >= num·n_A) — no float thresholds.
+    *
+    * Output: ordered pairs (id_a, id_b, inter, na); both directions of a
+    * mutual containment appear. */
+  def containmentJoin(df: DataFrame, textCol: String, idCol: String,
+                      num: Int, den: Int): DataFrame = {
+    require(num > 0 && den >= num, s"threshold $num/$den must be in (0,1]")
+    val toks = df.select(col(idCol),
+        explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("tok"))
+      .where(col("tok") =!= "")
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sorted = toks.join(dfreq, "tok")
+      .groupBy(col(idCol))
+      .agg(expr("transform(array_sort(collect_list(struct(df, tok))), s__ -> s__.tok)")
+        .as("arr"), count(lit(1)).as("n"))
+    val pref = sorted
+      .withColumn("p", expr(s"CAST(n - (($num * n + ${den - 1}) div $den) + 1 AS INT)"))
+      .select(col(idCol), explode(expr("slice(arr, 1, p)")).as("tok"))
+    val cand = pref.select(col(idCol).as("id_a"), col("tok"))
+      .join(toks.select(col(idCol).as("id_b"), col("tok")), "tok")
+      .where(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val inter = cand
+      .join(toks.select(col(idCol).as("id_a"), col("tok")), "id_a")
+      .join(toks.select(col(idCol).as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sorted.select(col(idCol).as("id_a"), col("n").as("na")), "id_a")
+      .where(col("inter") * den >= col("na") * num)
+      .select(col("id_a"), col("id_b"), col("inter"), col("na"))
+  }
+
   def semanticDedup(emb: DataFrame, centroids: DataFrame, idCol: String,
                     vecCol: String, threshold: Double): DataFrame = {
     import graft.functions.VectorF

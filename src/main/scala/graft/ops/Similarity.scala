@@ -124,6 +124,7 @@ object Similarity {
       VectorF.toDoubleArray(col(vecCol)).as("__v"))
     val seed = base.orderBy("__id").limit(1)
       .as[(Long, Seq[Double])].collect()
+    require(seed.nonEmpty, "kmeansParallelInit: empty input corpus")
     var cands: Seq[(Long, Seq[Double])] = seed.toSeq
     // D² to the CURRENT candidate set: min-fold over the cid-sorted
     // candidate list (min is order-independent; sorting pins the fold),

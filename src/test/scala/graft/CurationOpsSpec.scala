@@ -488,6 +488,32 @@ class CurationOpsSpec extends AnyFunSuite {
       "fixture sanity: the threshold pair and the exact dup are present")
   }
 
+  test("containmentJoin: equals brute force; finds the subset Jaccard misses") {
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "a b c"),                            // contained in 2 (c=1)
+      (2L, "a b c d e f g h i j k l"),          // container
+      (3L, "a b x"),                            // 2/3 in 2 — below 3/4
+      (4L, "d e f"),                            // contained in 2
+      (5L, "q r s")                             // disjoint
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(docs, "text", "doc_id", 3, 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val sets = Map(1L -> "a b c", 2L -> "a b c d e f g h i j k l",
+      3L -> "a b x", 4L -> "d e f", 5L -> "q r s")
+      .map { case (k, v) => k -> v.split(" ").toSet }
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      i = (sets(a) & sets(b)).size
+      if i * 4 >= sets(a).size * 3
+    } yield (a, b, i.toLong, sets(a).size.toLong)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // the asymmetry checks: 1⊂2 and 4⊂2 found, never the reverse; and
+    // the (1,2) pair has Jaccard 3/12 = 0.25 — the case Jaccard misses
+    assert(got.contains((1L, 2L, 3L, 3L)) && got.contains((4L, 2L, 3L, 3L)))
+    assert(!got.exists(p => p._1 == 2L))
+  }
+
   test("sortedNeighborhoodPairs: exact window pairs across partition boundaries") {
     import graft.ops.Dedup
     // 40 rows, keys shuffled relative to ids — sorted order is by key;
