@@ -117,6 +117,20 @@ object HtmlLinks {
         col("__l.anchor").as("anchor"))
       .withColumn("host", host(col("href")))
 
+  /** Like [[explodeLinks]] but PRESERVING every input column (source
+    * URL/host/metadata travel with each link row — what an edge-list
+    * builder actually needs); adds href/anchor/host. The html column is
+    * dropped: after explosion it would be duplicated per link, and a
+    * page body riding along an exchange is exactly the 100 TB mistake
+    * the narrow select avoids. */
+  def withLinks(pages: DataFrame, htmlCol: String): DataFrame =
+    pages.withColumn("__l", explode(links(col(htmlCol))))
+      .drop(htmlCol)
+      .withColumn("href", col("__l.href"))
+      .withColumn("anchor", col("__l.anchor"))
+      .withColumn("host", host(col("href")))
+      .drop("__l")
+
   /** Host-level outlink aggregation: how many links point at each host,
     * from how many distinct source pages, at how many distinct target
     * URLs, and a deterministic sample anchor (min — the signal a

@@ -488,6 +488,38 @@ class CurationOpsSpec extends AnyFunSuite {
       "fixture sanity: the threshold pair and the exact dup are present")
   }
 
+  test("HtmlLinks: generative round-trip — 200 pages of hostile attribute soup") {
+    import graft.sources.HtmlLinks
+    // deterministic LCG so the fixture is reproducible run-to-run
+    var state = 12345L
+    def rnd(n: Int): Int = { state = state * 6364136223846793005L + 1442695040888963407L; ((state >>> 33) % n).toInt }
+    val attrs = Seq("", " class=\"x\"", " title=\"a > b\"", " data-k=\"v > w\" rel=\"nofollow\"", " id=\"z\"")
+    val pages = (0 until 200).map { i =>
+      val nLinks = rnd(4)
+      val links = (0 until nLinks).map { j =>
+        val href = s"https://h${rnd(9)}.ex/p/$i/$j"
+        val pre = attrs(rnd(attrs.size)); val post = attrs(rnd(attrs.size))
+        (href, s"anchor $i $j", s"<a$pre href=\"$href\"$post>anchor $i $j</a>")
+      }
+      val html = "<html><p>pad > text</p>" +
+        links.map(_._3).mkString(" <b>mid</b> ") + "</html>"
+      (i.toLong, html, links.map(l => (l._1, l._2)))
+    }
+    val df = pages.map(p => (p._1, p._2)).toDF("doc_id", "html")
+    val got = HtmlLinks.explodeLinks(df, "doc_id", "html")
+      .select("doc_id", "href", "anchor")
+      .as[(Long, String, String)].collect().toSeq.sorted
+    val want = pages.flatMap(p => p._3.map(l => (p._1, l._1, l._2))).sorted
+    assert(got == want,
+      s"extraction diverged: missing=${(want.toSet -- got.toSet).take(3)} extra=${(got.toSet -- want.toSet).take(3)}")
+    // withLinks preserves the source columns and drops the page body
+    val withSrc = HtmlLinks.withLinks(
+      df.withColumn("src_host", concat(lit("s"), col("doc_id") % 3)), "html")
+    assert(withSrc.columns.toSeq ==
+      Seq("doc_id", "src_host", "href", "anchor", "host"), withSrc.columns.toSeq)
+    assert(withSrc.count() == want.size)
+  }
+
   test("containmentJoin: equals brute force; finds the subset Jaccard misses") {
     import graft.ops.Dedup
     val docs = Seq(
