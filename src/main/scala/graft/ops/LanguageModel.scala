@@ -123,7 +123,15 @@ object LanguageModel {
     * c(vw) ≥ 1 and the max(·,0) clamp never binds in-corpus). First
     * tokens score by unigram MLE. All four count tables are
     * map-side-combinable aggregations bounded by corpus tokens; the
-    * per-doc fold keeps the position-ordered round-6 contract. */
+    * per-doc fold keeps the position-ordered round-6 contract.
+    *
+    * Join shape (round-10 rework): every smoothing factor is folded
+    * into the PAIR-BOUNDED bigram table first (bi ⋈ nf ⋈ nl ⋈ cprev —
+    * all joins between count tables, never against the corpus), so the
+    * corpus-sized token relation is joined exactly TWICE (once on
+    * (prev, tok) for the pair score, once on tok for the first-token
+    * unigram) instead of five times — at 100 TB that is three fewer
+    * full-corpus shuffles for bit-identical output. */
   def kneserNeyBigram(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("pos")
@@ -141,15 +149,23 @@ object LanguageModel {
     val pkn = (col("cb").cast("double") - lit(0.75)) / col("cprev").cast("double") +
       lit(0.75) * (col("nf").cast("double") / col("cprev").cast("double")) *
         (col("nl").cast("double") / col("nt").cast("double"))
-    val scored = prevs
-      .join(uni, "tok")
-      .join(uni.select(col("tok").as("prev"), col("cu").as("cprev")), Seq("prev"), "left")
-      .join(bi, Seq("prev", "tok"), "left")
-      .join(nFollow, Seq("prev"), "left")
-      .join(nLeft, Seq("tok"), "left")
+    // pair-bounded score table: identical arithmetic on identical inputs,
+    // assembled without touching the corpus relation
+    val pairScores = bi
+      .join(nFollow, "prev")
+      .join(nLeft, "tok")
+      .join(uni.select(col("tok").as("prev"), col("cu").as("cprev")), "prev")
       .crossJoin(broadcast(nTypes))
-      .crossJoin(broadcast(total))
-      .withColumn("lp", round(-log(when(col("prev").isNull, puni).otherwise(pkn)), 6))
+      .withColumn("lp_pair", round(-log(pkn), 6))
+      .select("prev", "tok", "lp_pair")
+    val uniScores = uni.crossJoin(broadcast(total))
+      .withColumn("lp_uni", round(-log(puni), 6))
+      .select("tok", "lp_uni")
+    val scored = prevs
+      .join(pairScores, Seq("prev", "tok"), "left")
+      .join(uniScores, "tok")
+      .withColumn("lp",
+        when(col("prev").isNull, col("lp_uni")).otherwise(col("lp_pair")))
     scored.groupBy(idCol)
       .agg(
         expr("""aggregate(transform(array_sort(collect_list(struct(pos, lp))),
