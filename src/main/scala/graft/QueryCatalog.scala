@@ -4684,6 +4684,68 @@ object QueryCatalog {
         s"SELECT doc_id, score FROM ($inner) __t ORDER BY doc_id"
       }),
 
+    // Streaming domain-quality monitoring == the batch gate: the SAME
+    // Curation.domainQuality code runs as a complete-mode streaming
+    // aggregation (per-domain running (n, Σq-DECIMAL, n_low) in the
+    // state store — bounded by |domains|), fed 4 REAL micro-batches;
+    // the verdict table after the last batch hash-matches the SAME
+    // oracle as batch q_domain_quality. One code path, two execution
+    // modes — cross-batch accumulation is exact because the quality sum
+    // is DECIMAL(18,6).
+    Q("q_stream_domain_eq",
+      (s, dir) => {
+        import s.implicits._
+        val ss = streamSession(s)
+        implicit val sqlCtx = ss.sqlContext
+        val rows = t(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text"), col("source"))
+          .as[(Long, String, String)].collect().sortBy(_._1)
+        val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+        val name = s"q_stream_domain_eq_${System.nanoTime()}"
+        val q = graft.streaming.StreamingCuration.domainQualityStream(
+            in.toDS().toDF("doc_id", "text", "source"),
+            "text", "source", 0.53, 0.45)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").start()
+        try {
+          rows.grouped(math.max(1, (rows.length + 3) / 4)).foreach { b =>
+            in.addData(b.toSeq); q.processAllAvailable()
+          }
+        } finally {
+          q.stop()
+          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        }
+        ss.table(name)
+          .select(col("source"), col("n_docs"), col("mean_quality"),
+            col("low_frac"), col("blocked"))
+          .as[(String, Long, Double, Double, Boolean)].collect().toSeq
+          .toDF("source", "n_docs", "mean_quality", "low_frac", "blocked")
+          .orderBy("source")
+      },
+      Some {
+        val toks = D.splitWs("text")
+        val stopArr = D.strArray(TextF.StopEn)
+        s"""
+        WITH q AS (
+          SELECT source,
+                 round(
+                   least(CAST(len($toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+                   + (CAST(len(list_filter($toks, t__ -> list_contains($stopArr, t__))) AS DOUBLE) / len($toks)) * CAST(0.3 AS DOUBLE)
+                   + (CAST(1.0 AS DOUBLE) - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * CAST(0.3 AS DOUBLE)
+                 , 6) + CAST(0.0 AS DOUBLE) AS ql
+          FROM documents)
+        SELECT source, n_docs, mean_quality, low_frac,
+               (mean_quality < CAST(0.53 AS DOUBLE) OR low_frac > CAST(0.45 AS DOUBLE)) AS blocked
+        FROM (SELECT source,
+                     count(*) AS n_docs,
+                     (round(CAST(sum(CAST(ql AS DECIMAL(18,6))) AS DOUBLE)
+                            / CAST(count(*) AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS mean_quality,
+                     (round(CAST(sum(CASE WHEN ql < CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END) AS DOUBLE)
+                            / CAST(count(*) AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS low_frac
+              FROM q GROUP BY source)
+        ORDER BY source"""
+      }),
+
     // Streaming LSH candidate generation == batch banding: REAL
     // micro-batches probe/extend the per-bucket state store (cap raised
     // past every sf0.01 bucket so the sampling degradation cannot kick

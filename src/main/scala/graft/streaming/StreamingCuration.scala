@@ -1,0 +1,25 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+/** Streaming corpus-health monitoring: the batch curation aggregates run
+  * UNCHANGED as streaming aggregations — one code path, two execution
+  * modes, which is the strongest batch/stream equivalence statement the
+  * library can make (there is no second implementation to drift).
+  *
+  * [[domainQualityStream]] keeps a running (count, Σ quality, low-count)
+  * per domain in the state store — state is bounded by |domains|, not by
+  * corpus size — and emits the refreshed keep/block verdict table after
+  * every micro-batch (complete output mode). The DECIMAL(18,6) quality
+  * sum makes the cross-batch accumulation exact: the verdict after N
+  * batches is bit-identical to the one-shot batch aggregate over the
+  * same rows, which `q_stream_domain_eq` pins against the same DuckDB
+  * oracle as the batch `q_domain_quality`. */
+object StreamingCuration {
+
+  def domainQualityStream(stream: DataFrame, textCol: String,
+                          domainCol: String, minMean: Double,
+                          maxLowFrac: Double, lowBar: Double = 0.5): DataFrame =
+    graft.ops.Curation.domainQuality(
+      stream, textCol, domainCol, minMean, maxLowFrac, lowBar)
+}
