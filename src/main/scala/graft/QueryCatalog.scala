@@ -2875,6 +2875,30 @@ object QueryCatalog {
         GROUP BY user_id
         ORDER BY user_id""")),
 
+    // UNPIVOT (melt): wide metric columns -> long (metric, value) rows —
+    // the inverse of q_pivot and the shape feature stores and plotting
+    // exports consume. stack() is a narrow generator (no shuffle, stays
+    // in the scan stage); the oracle replays as UNION ALL.
+    Q("q_unpivot",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .where(col("l_orderkey") % 997 === 0)
+          .selectExpr("l_orderkey", "l_linenumber",
+            """stack(3,
+               'discount', CAST(l_discount AS DOUBLE),
+               'price', CAST(l_extendedprice AS DOUBLE),
+               'quantity', CAST(l_quantity AS DOUBLE)) AS (metric, val)""")
+          .orderBy("l_orderkey", "l_linenumber", "metric"),
+      Some("""
+        WITH src AS (SELECT * FROM lineitem WHERE l_orderkey % 997 = 0)
+        SELECT l_orderkey, l_linenumber, metric, val FROM (
+          SELECT l_orderkey, l_linenumber, 'discount' AS metric, CAST(l_discount AS DOUBLE) AS val FROM src
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'price', CAST(l_extendedprice AS DOUBLE) FROM src
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'quantity', CAST(l_quantity AS DOUBLE) FROM src)
+        ORDER BY l_orderkey, l_linenumber, metric""")),
+
     // INTERSECT / EXCEPT set operators (Catalyst rewrites to semi/anti
     // joins — the scalable form; the oracle uses the SQL operators).
     Q("q_setops",
