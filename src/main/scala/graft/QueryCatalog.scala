@@ -8531,11 +8531,266 @@ object QueryCatalog {
       s" || CASE WHEN doc_id % 9 = 0 THEN '#frag' ELSE '' END)"
   }
 
+  // =========================================================================
+  // Governance + training-mix operators (round 7): Luhn card scan, secret
+  // entropy scan, hard-negative mining, DoReMi-lite domain mixture,
+  // curriculum shards, tokenizer fertility.
+  // =========================================================================
+
+  private def governanceOps: Seq[Q] = {
+    import graft.ops.{Curation, Governance, Sampling}
+
+    /** Dialect-shared PII fixture: two card-shaped digit runs per doc
+      * (≈10% Luhn-valid each — checksum validity is data-dependent, so
+      * both the keep and the cut paths are exercised). */
+    def cardBody(dl: Dialect): String = {
+      val d16 = s"lpad(${dl.castStr("(doc_id * 273452891) % 10000000000000000")}, 16, '0')"
+      val d15 = s"lpad(${dl.castStr("doc_id % 100000000000000")}, 14, '0')"
+      s"concat('pay ', $d16, ' or card 4', $d15, ' ref A', ${dl.castStr("doc_id")})"
+    }
+
+    /** Dialect-shared secret fixture: one AWS-shaped key (20 chars — below
+      * the generic-candidate length floor), one 28-char hex token (high
+      * entropy) and one 28-char 'ab' run (entropy exactly 1.0). */
+    def secretBody(dl: Dialect): String =
+      s"concat('key AKIA', upper(substr(md5(concat('k', ${dl.castStr("doc_id")})), 1, 16))," +
+        s" ' tok ', substr(concat(md5(concat('s', ${dl.castStr("doc_id")}))," +
+        s" md5(concat('t', ${dl.castStr("doc_id")}))), 1, 28)," +
+        s" ' pad ', repeat('ab', 14), ' end')"
+
+    /** The q_quality_score formula as dialect-shared text (same op order
+      * both engines — reused here as the curriculum order key). */
+    def qualitySql(dl: Dialect): String = {
+      val toks = dl.splitWs("text")
+      val stopArr = dl.strArray(TextF.StopEn)
+      val punct =
+        if (dl.duck) "CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)"
+        else "CAST(length(regexp_replace(text, '[a-zA-Z0-9\\\\s]', '')) AS DOUBLE)"
+      s"least(CAST(${dl.size(toks)} AS DOUBLE) / ${dl.d(100.0)}, ${dl.d(1.0)}) * ${dl.d(0.4)}" +
+        s" + (CAST(${dl.size(dl.filter(toks, "t__", dl.contains(stopArr, "t__")))} AS DOUBLE) / ${dl.size(toks)}) * ${dl.d(0.3)}" +
+        s" + (${dl.d(1.0)} - $punct / greatest(length(text), 1)) * ${dl.d(0.3)}"
+    }
+
+    val S = Dialect.spark
+
+    Seq(
+      // Payment-card scan: regex candidates + Luhn checksum validation
+      // (ops.Governance) — the checksum kills ~90% of regex-shaped false
+      // positives, and BOTH engines compute it from the same generated
+      // integer-arithmetic text (Exprs.luhnOk).
+      Q("q_pii_cards",
+        (s, dir) =>
+          Governance.cardScan(
+            t(s, dir, "documents")
+              .select(col("doc_id"), expr(cardBody(S)).as("body")),
+            "body", "doc_id")
+            .orderBy("doc_id"),
+        Some(s"""
+          WITH b AS (SELECT doc_id, ${cardBody(D)} AS body FROM documents),
+          c AS (SELECT doc_id,
+                       regexp_extract_all(body, '\\b[0-9]{13,19}\\b') AS cands
+                FROM b),
+          v AS (SELECT doc_id, cands,
+                       ${D.filter("cands", "cx__", Exprs.luhnOk(D, "cx__"))} AS valid
+                FROM c)
+          SELECT doc_id,
+                 CAST(len(cands) AS BIGINT) AS n_cands,
+                 CAST(len(valid) AS BIGINT) AS n_valid,
+                 coalesce(array_to_string(valid, ','), '') AS valid_cards
+          FROM v
+          ORDER BY doc_id""")),
+
+      // Secret/credential scan: provider-prefix count + Shannon entropy
+      // over long base64-ish candidates (ops.Governance). Entropy is a
+      // sorted-distinct sequential fold rounded to 6 decimals before the
+      // threshold compare, so engine log2 ulps cannot flip a flag.
+      Q("q_secret_scan",
+        (s, dir) =>
+          Governance.secretScan(
+            t(s, dir, "documents")
+              .select(col("doc_id"), expr(secretBody(S)).as("body")),
+            "body", "doc_id")
+            .orderBy("doc_id"),
+        Some {
+          val ents = D.transform("cands", "tx__",
+            s"(round(${Exprs.charEntropy(D, "tx__")}, 6) + ${D.d(0.0)})")
+          s"""
+          WITH b AS (SELECT doc_id, ${secretBody(D)} AS body FROM documents),
+          c AS (SELECT doc_id, body,
+                       regexp_extract_all(body, '${Governance.SecretTokenRe}') AS cands
+                FROM b),
+          e AS (SELECT doc_id, body, cands, $ents AS ents FROM c)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(body, '${Governance.AwsKeyRe}')) AS BIGINT) AS n_aws,
+                 CAST(len(cands) AS BIGINT) AS n_cands,
+                 CAST(len(${D.filter("ents", "e__", s"e__ >= ${D.d(3.3)}")}) AS BIGINT) AS n_high,
+                 coalesce(list_max(ents), ${D.d(0.0)}) AS max_entropy,
+                 coalesce(list_min(ents), ${D.d(0.0)}) AS min_entropy
+          FROM e
+          ORDER BY doc_id"""
+        }),
+
+      // Hard-negative mining (ops.Similarity.hardNegatives): top-5 most
+      // similar DIFFERENT-label vectors per query — label filter fused
+      // BEFORE top-k selection (post-filtering a kNN result would lose
+      // the hardest negatives), map-side k-bounded heaps before the
+      // shuffle exactly like q_knn_join.
+      Q("q_hard_negatives",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          Similarity.hardNegatives(emb, emb.where(col("vec_id") % 100 === 0),
+              "vec_id", "embedding", "label", 5)
+            .select(col("query_id"), col("vec_id"), col("rank"),
+              r6(col("score")).as("score"))
+            .orderBy("query_id", "rank")
+        },
+        Some(s"""
+          WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+          q AS (SELECT vec_id AS query_id, label AS qlbl, v AS qv
+                FROM e WHERE vec_id % 100 = 0),
+          scored AS (SELECT q.query_id, e.vec_id, ${D.cosine("e.v", "q.qv")} AS score
+                     FROM e, q WHERE e.label <> q.qlbl),
+          ranked AS (SELECT query_id, vec_id, score,
+                            row_number() OVER (PARTITION BY query_id
+                                               ORDER BY score DESC, vec_id) AS rank
+                     FROM scored)
+          SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
+                 ${duckR6("score")} AS score
+          FROM ranked WHERE rank <= 5
+          ORDER BY query_id, rank""")),
+
+      // DoReMi-lite domain mixture (ops.Curation.domainMixtureWeights):
+      // per-source sampling weights proportional to excess unigram-LM
+      // loss over the easiest source. Loss mass sums as DECIMAL(18,6)
+      // (exact, order-independent — the q1_agg money discipline), so the
+      // group aggregate is reproducible under any partition interleave.
+      Q("q_domain_mixture",
+        (s, dir) => {
+          import graft.ops.LanguageModel
+          val loss = LanguageModel
+            .unigramSurprisal(t(s, dir, "documents"), "text", "doc_id")
+          val withDomain = loss.join(
+            t(s, dir, "documents").select(col("doc_id"), col("source")), "doc_id")
+          Curation.domainMixtureWeights(withDomain, "source", "avg_surprisal")
+            .orderBy("source")
+        },
+        Some(s"""
+          WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                   unnest(range(1, len(string_split_regex(trim(text), '\\s+')) + 1)) AS pos
+            FROM documents),
+          vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+          scored AS (
+            SELECT doc_id, pos,
+                   round(-ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS lp
+            FROM toks JOIN vocab USING (tok) CROSS JOIN tot),
+          agg AS (SELECT doc_id, list(lp ORDER BY pos) AS lps,
+                         CAST(count(*) AS BIGINT) AS n_tokens
+                  FROM scored GROUP BY doc_id),
+          docloss AS (
+            SELECT a.doc_id, d.source,
+                   list_reduce(a.lps, (x__, y__) -> x__ + y__) / CAST(a.n_tokens AS DOUBLE) AS loss
+            FROM agg a JOIN documents d USING (doc_id)),
+          dom AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CAST(round(loss, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS mean_loss
+            FROM docloss GROUP BY source),
+          ex AS (
+            SELECT source, n_docs, mean_loss,
+                   greatest(round(mean_loss - (SELECT min(mean_loss) FROM dom), 6),
+                            ${D.d(0.0)}) AS excess
+            FROM dom),
+          tot2 AS (SELECT CAST(sum(CAST(excess AS DECIMAL(18,6))) AS DOUBLE) AS te,
+                          CAST(count(*) AS BIGINT) AS nd
+                   FROM ex)
+          SELECT source, n_docs,
+                 ${duckR6("mean_loss")} AS mean_loss,
+                 (round(CASE WHEN te = ${D.d(0.0)} THEN ${D.d(1.0)} / CAST(nd AS DOUBLE)
+                             ELSE excess / te END, 6) + ${D.d(0.0)}) AS weight
+          FROM ex CROSS JOIN tot2
+          ORDER BY source""")),
+
+      // Curriculum shards (ops.Sampling.curriculumShards): global
+      // quality-rank round-robin into 8 shards; the rank comes from the
+      // range-partitioned denseIds two-pass, NEVER a row_number window's
+      // Exchange SinglePartition. Verified per-shard: count + exact
+      // DECIMAL sum of the rounded scores.
+      Q("q_curriculum_shards",
+        (s, dir) => {
+          val scored = t(s, dir, "documents")
+            .select(col("doc_id"), TextF.qualityScore(col("text")).as("q"))
+          Sampling.curriculumShards(scored, "doc_id", "q", 8)
+            .groupBy("shard")
+            .agg(count(lit(1)).cast("long").as("n_docs"),
+              sum(col("score6").cast("decimal(18,6)")).cast("double").as("sum_q"))
+            .select(col("shard"), col("n_docs"), r6(col("sum_q")).as("sum_q"))
+            .orderBy("shard")
+        },
+        Some(s"""
+          WITH q AS (SELECT doc_id, (round(${qualitySql(D)}, 6) + ${D.d(0.0)}) AS qs
+                     FROM documents),
+          r AS (SELECT doc_id, qs,
+                       row_number() OVER (ORDER BY qs DESC, doc_id) - 1 AS seq
+                FROM q)
+          SELECT CAST(seq % 8 AS BIGINT) AS shard,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 ${duckR6("CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE)")} AS sum_q
+          FROM r
+          GROUP BY seq % 8
+          ORDER BY shard""")),
+
+      // Tokenizer fertility per language: BPE-pretokens per word and
+      // bytes per pretoken, grouped on the corpus `lang` column — the
+      // standard multilingual tokenizer-budget audit (a high
+      // bytes-per-token language is under-served by the tokenizer).
+      // Integer sums are exact; one final division per group.
+      Q("q_tok_fertility",
+        (s, dir) =>
+          t(s, dir, "documents")
+            .select(col("lang"),
+              size(TextF.tokens(col("text"))).cast("long").as("nw"),
+              size(TextF.bpeTokens(col("text"))).cast("long").as("nb"),
+              col("n_chars"))
+            .groupBy("lang")
+            .agg(count(lit(1)).cast("long").as("n_docs"),
+              sum(col("nw")).cast("long").as("n_words"),
+              sum(col("nb")).cast("long").as("n_bpe"),
+              sum(col("n_chars")).cast("long").as("n_bytes"))
+            .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe"),
+              r6(col("n_bpe").cast("double") / col("n_words").cast("double"))
+                .as("fertility"),
+              r6(col("n_bytes").cast("double") / col("n_bpe").cast("double"))
+                .as("bytes_per_token"))
+            .orderBy("lang"),
+        Some(s"""
+          WITH d AS (
+            SELECT lang,
+                   len(${D.splitWs("text")}) AS nw,
+                   len(regexp_extract_all(text,
+                     '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+')) AS nb,
+                   n_chars
+            FROM documents)
+          SELECT lang,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(nw) AS BIGINT) AS n_words,
+                 CAST(sum(nb) AS BIGINT) AS n_bpe,
+                 ${duckR6("CAST(sum(nb) AS DOUBLE) / CAST(sum(nw) AS DOUBLE)")} AS fertility,
+                 ${duckR6("CAST(sum(n_chars) AS DOUBLE) / CAST(sum(nb) AS DOUBLE)")} AS bytes_per_token
+          FROM d
+          GROUP BY lang
+          ORDER BY lang"""))
+    )
+  }
+
   def all: Seq[Q] =
     relational ++ textOps ++ vectorOps ++ ragOps ++ metaOps ++ extraOps ++
       temporalOps ++ pipelineOps ++ scaleOps ++ relationalPlus ++ trainingPlus ++
       relationalFull ++ curationOps ++ pcmOps ++ imagePixelOps ++ streamingEqOps ++
-      warcOps
+      warcOps ++ governanceOps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

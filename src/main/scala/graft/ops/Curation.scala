@@ -418,4 +418,49 @@ object Curation {
         col("__best.s").as("best_score"),
         col("n_members"))
   }
+
+  /** DoReMi-lite domain mixture reweighting: per-domain sampling weights
+    * proportional to EXCESS loss over the easiest domain — the public
+    * DoReMi insight (Xie et al. 2023) reduced to its excess-loss core
+    * (linear, not exponentiated: no cross-engine exp() in the algebra).
+    * Domains whose documents the current model finds hardest get
+    * upweighted; a domain at the baseline gets weight 0 (uniform
+    * fallback when every domain sits at the baseline).
+    *
+    * Cross-engine determinism: per-doc losses round to 6 decimals and
+    * sum as DECIMAL(18,6) — exact and ORDER-INDEPENDENT, so the group
+    * aggregate is reproducible no matter how partitions interleave (the
+    * q1_agg money discipline applied to loss mass). Every later step is
+    * arithmetic on a handful of per-domain scalars.
+    *
+    * Scale: one map-side-combinable groupBy on the domain key (domains
+    * number in the dozens, docs in the billions — the shuffle moves one
+    * row per domain per task), then two 1-row broadcast joins for the
+    * baseline and the normalizer. Nothing corpus-sized moves twice.
+    *
+    * Input: per-doc rows with a domain column and an (unrounded) loss
+    * column. Output: domain, n_docs, mean_loss, weight (rounded 6). */
+  def domainMixtureWeights(docLoss: DataFrame, domainCol: String,
+                           lossCol: String): DataFrame = {
+    val l6 = round(col(lossCol), 6).cast("decimal(18,6)")
+    val dom = docLoss.groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"), sum(l6).as("__sl"))
+      .withColumn("mean_loss",
+        col("__sl").cast("double") / col("n_docs").cast("double"))
+    val base = dom.agg(min(col("mean_loss")).as("__baseline"))
+    val ex = dom.crossJoin(broadcast(base))
+      .withColumn("excess",
+        greatest(round(col("mean_loss") - col("__baseline"), 6), lit(0.0)))
+    val tot = ex.agg(
+      sum(col("excess").cast("decimal(18,6)")).cast("double").as("__te"),
+      count(lit(1)).cast("long").as("__nd"))
+    ex.crossJoin(broadcast(tot))
+      .withColumn("weight",
+        round(when(col("__te") === 0.0,
+            lit(1.0) / col("__nd").cast("double"))
+          .otherwise(col("excess") / col("__te")), 6) + lit(0.0))
+      .select(col(domainCol), col("n_docs"),
+        (round(col("mean_loss"), 6) + lit(0.0)).as("mean_loss"),
+        col("weight"))
+  }
 }

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sqlgen.{Dialect, Exprs}
+
+/** Data-governance scans a pretraining pipeline runs before releasing a
+  * corpus: payment-card detection (Luhn-validated, not just regex-shaped)
+  * and secret/credential detection (provider-prefix patterns + Shannon
+  * entropy over candidate tokens).
+  *
+  * Reference scope: lightspeed-core/rag-content has no PII/secret pass —
+  * this is north-star training-pipeline surface (the BigCode/StarCoder
+  * PII pipeline and detect-secrets are the public prior art: regex
+  * candidates, checksum validation to kill false positives, entropy
+  * thresholds for opaque credentials).
+  *
+  * Scale: every operator here is a per-row codegen'd expression chain —
+  * no shuffle, no UDF, no state. At 100 TB the scan is embarrassingly
+  * parallel and fuses into whatever projection feeds it; only the
+  * (tiny) per-doc audit counts ever reach an exchange.
+  */
+object Governance {
+  private val S = Dialect.spark
+
+  /** Candidate card runs: 13-19 digit spans on word boundaries (ASCII \b
+    * — same semantics under Java regex and RE2, so the oracle agrees). */
+  val CardRe = "\\b[0-9]{13,19}\\b"
+
+  /** AWS-style access-key id: fixed provider prefix + 16 uppercase
+    * alphanumerics (the detect-secrets keyword pattern family). */
+  val AwsKeyRe = "AKIA[0-9A-Z]{16}"
+
+  /** Generic opaque-credential candidate: a long unbroken base64-ish run.
+    * Length >= 24 keeps ordinary words out; entropy separates keys from
+    * repetitive filler that happens to be long. */
+  val SecretTokenRe = "[A-Za-z0-9+/=]{24,}"
+
+  /** Luhn checksum validity of a digit-string column (pure integer
+    * Catalyst expression — see [[Exprs.luhnOk]]). */
+  def luhnValid(digitsColName: String): Column =
+    expr(Exprs.luhnOk(S, digitsColName))
+
+  /** Shannon entropy in bits/char of a string column (deterministic
+    * sorted-distinct fold — see [[Exprs.charEntropy]]). */
+  def charEntropy(colName: String): Column =
+    expr(Exprs.charEntropy(S, colName))
+
+  /** Card scan: per document, candidate digit runs and the Luhn-valid
+    * subset. Output: idCol, n_cands, n_valid (long), valid_cards
+    * (comma-joined, candidate order). A random 13-19 digit run passes
+    * Luhn with probability 1/10 — the checksum cuts ~90% of regex false
+    * positives, which at corpus scale is the difference between a
+    * reviewable audit table and noise. */
+  def cardScan(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("__cands",
+        regexp_extract_all(col(textCol), lit(CardRe), lit(0)))
+      .withColumn("__valid",
+        expr(S.filter("__cands", "cx__", Exprs.luhnOk(S, "cx__"))))
+      .select(col(idCol),
+        size(col("__cands")).cast("long").as("n_cands"),
+        size(col("__valid")).cast("long").as("n_valid"),
+        array_join(col("__valid"), ",").as("valid_cards"))
+
+  /** Secret scan: per document, provider-prefixed key count plus entropy
+    * statistics over generic long-token candidates. `minEntropy` is
+    * compared on the 6-decimal-rounded value so an engine's last-ulp
+    * log2 difference cannot flip the flag. Output: idCol, n_aws,
+    * n_cands, n_high (long), max_entropy, min_entropy (double, rounded,
+    * 0.0 when no candidates). */
+  def secretScan(df: DataFrame, textCol: String, idCol: String,
+                 minEntropy: Double = 3.3): DataFrame = {
+    val ent = S.transform("__cands", "tx__",
+      s"(round(${Exprs.charEntropy(S, "tx__")}, 6) + ${S.d(0.0)})")
+    df.withColumn("__cands",
+        regexp_extract_all(col(textCol), lit(SecretTokenRe), lit(0)))
+      .withColumn("__ents", expr(ent))
+      .select(col(idCol),
+        size(regexp_extract_all(col(textCol), lit(AwsKeyRe), lit(0)))
+          .cast("long").as("n_aws"),
+        size(col("__cands")).cast("long").as("n_cands"),
+        size(expr(S.filter("__ents", "e__", s"e__ >= ${S.d(minEntropy)}")))
+          .cast("long").as("n_high"),
+        coalesce(array_max(col("__ents")), lit(0.0)).as("max_entropy"),
+        coalesce(array_min(col("__ents")), lit(0.0)).as("min_entropy"))
+  }
+}

@@ -179,4 +179,30 @@ object Sampling {
       .withColumn("split",
         when(bucket < 12, "train").when(bucket < 14, "val").otherwise("test"))
   }
+
+  /** Curriculum shard assignment: order the corpus by a quality score
+    * (best first, id tie-break) and deal documents round-robin into
+    * `nShards` shards — every shard then spans the full quality range
+    * with the same distribution (stratified-by-rank), which is what a
+    * curriculum or multi-epoch trainer wants from its shard files.
+    *
+    * The global rank comes from [[graft.ops.Layout.denseIds]] — the
+    * two-pass range-partitioned assignment — NOT a `row_number()` window,
+    * whose `Exchange SinglePartition` would funnel 100 TB through one
+    * task. The order key packs (1e6 - round(score*1e6), id) into one
+    * BIGINT so the range partitioner sees a single scalar: score desc,
+    * id asc, unique by construction (ids unique, id < 1e12).
+    *
+    * Output: one row per doc — idCol, score6 (rounded score), shard. */
+  def curriculumShards(df: DataFrame, idCol: String, scoreCol: String,
+                       nShards: Int): DataFrame = {
+    val q6i = round(round(col(scoreCol), 6) * lit(1000000.0), 0).cast("long")
+    val key = (lit(1000000L) - q6i) * lit(1000000000000L) + col(idCol).cast("long")
+    val keyed = df.select(col(idCol),
+      (round(col(scoreCol), 6) + lit(0.0)).as("score6"),
+      key.as("__ck"))
+    Layout.denseIds(keyed, "__ck", "__seq")
+      .withColumn("shard", (col("__seq") % nShards).cast("long"))
+      .select(col(idCol), col("score6"), col("shard"))
+  }
 }

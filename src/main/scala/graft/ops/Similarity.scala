@@ -544,9 +544,6 @@ object Similarity {
     * candidate set (exact; ties broken on neighbor id). */
   def knnJoin(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               qIdCol: String, qVecCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = emb.sparkSession
-    import spark.implicits._
     val q = queries.select(col(qIdCol).cast("long").as("query_id"),
       VectorF.toDoubleArray(col(qVecCol)).as("__qv"))
     val scored = emb
@@ -554,10 +551,19 @@ object Similarity {
       .crossJoin(broadcast(q))
       .select(col("query_id"), col("__id"),
         VectorF.cosine(col("__v"), col("__qv")).as("score"))
-      .as[(Long, Long, Double)]
+    heapTopKPerQuery(scored, idCol, k)
+  }
+
+  /** Map-side k-bounded heap per query over (query_id, __id, score) rows,
+    * then an exact window rank over the pruned candidates — the shared
+    * shuffle-thin tail of [[knnJoin]] and [[hardNegatives]]. */
+  private def heapTopKPerQuery(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = scored.sparkSession
+    import spark.implicits._
     // worst candidate = lowest score, then highest id; heap max = worst
     val worstFirst: Ordering[(Double, Long)] = Ordering.by(t => (-t._1, t._2))
-    val pruned = scored.mapPartitions { it =>
+    val pruned = scored.as[(Long, Long, Double)].mapPartitions { it =>
       val heaps = scala.collection.mutable.LongMap
         .empty[scala.collection.mutable.PriorityQueue[(Double, Long)]]
       it.foreach { case (qid, id, s) =>
@@ -572,6 +578,35 @@ object Similarity {
     pruned.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col(idCol), col("rank"), col("score"))
+  }
+
+  /** Hard-negative mining for contrastive/embedding training: for every
+    * query vector, the k corpus vectors MOST similar to it that carry a
+    * DIFFERENT label — similar enough to be informative, wrong enough to
+    * be negatives (the "hard" band that random negative sampling misses).
+    * The label predicate is applied BEFORE top-k selection, so negatives
+    * pushed out by excluded same-label neighbors are still found —
+    * filtering a plain kNN result after the fact would lose exactly the
+    * hardest ones.
+    *
+    * Scale: identical shape to [[knnJoin]] — queries broadcast, one
+    * narrow scored pass with the label filter fused into it, map-side
+    * k-bounded heaps so the exchange moves at most partitions x |Q| x k
+    * rows. Output: query_id, idCol, rank, score. */
+  def hardNegatives(emb: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      VectorF.toDoubleArray(col(vecCol)).as("__qv"),
+      col(labelCol).cast("long").as("__qlbl"))
+    val scored = emb
+      .select(col(idCol).cast("long").as("__id"),
+        VectorF.toDoubleArray(col(vecCol)).as("__v"),
+        col(labelCol).cast("long").as("__lbl"))
+      .crossJoin(broadcast(q))
+      .where(col("__lbl") =!= col("__qlbl"))
+      .select(col("query_id"), col("__id"),
+        VectorF.cosine(col("__v"), col("__qv")).as("score"))
+    heapTopKPerQuery(scored, idCol, k)
   }
 
   /** kNN label propagation: predict a label for every unlabeled vector by

@@ -84,6 +84,57 @@ object Exprs {
     let(dl, "hs__", hs, body)
   }
 
+  /** Exact BIGINT sum over an integer array (sequential left fold —
+    * overflow-free for our bounded inputs, identical on both engines). */
+  def sumLong(dl: Dialect, arrExpr: String): String =
+    if (dl.duck)
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), $arrExpr), (acc__, el__) -> acc__ + CAST(el__ AS BIGINT))"
+    else
+      s"aggregate($arrExpr, CAST(0 AS BIGINT), (acc__, el__) -> acc__ + CAST(el__ AS BIGINT))"
+
+  /** Sequential DOUBLE sum over a double array (same IEEE op order on both
+    * engines — bit-identical, the [[Dialect.dot]] discipline). */
+  def sumDouble(dl: Dialect, arrExpr: String): String =
+    if (dl.duck)
+      s"list_reduce(list_prepend(${dl.d(0.0)}, $arrExpr), (acc__, el__) -> acc__ + el__)"
+    else
+      s"aggregate($arrExpr, ${dl.d(0.0)}, (acc__, el__) -> acc__ + el__)"
+
+  /** Luhn checksum validity of a digit-string expression (mod-10 with
+    * every second digit from the right doubled, 9-subtracted past 9).
+    * Pure small-integer arithmetic — the payment-card validity test a
+    * PII scrubber runs on candidate digit runs to cut false positives
+    * (a random 16-digit run passes Luhn only 10% of the time).
+    * Reference scope: lightspeed-core/rag-content has no PII pass; this
+    * is north-star pipeline surface (cf. BigCode/StarCoder PII pipeline). */
+  def luhnOk(dl: Dialect, sExpr: String): String = {
+    // contribution of 1-based position i in a string of length L:
+    //   d = digit(i); doubled iff (L - i) is odd
+    val d = s"CAST(substr(s__, CAST(i__ AS INT), 1) AS INT)"
+    val contrib =
+      s"""CASE WHEN (length(s__) - i__) % 2 = 1
+            THEN (CASE WHEN 2 * $d > 9 THEN 2 * $d - 9 ELSE 2 * $d END)
+            ELSE $d END"""
+    val total = sumLong(dl, dl.transform(dl.seq1("length(s__)"), "i__", contrib))
+    let(dl, "s__", sExpr, s"(($total) % 10 = 0)")
+  }
+
+  /** Shannon entropy (bits/char) of a string expression: distinct chars
+    * SORTED for a deterministic fold order, per-char count via
+    * length-of-replace (no per-char grouping), sequential double fold.
+    * The secret-scanner signal: API keys/tokens sit near log2(charset)
+    * while natural-language words sit far below it. */
+  def charEntropy(dl: Dialect, sExpr: String): String = {
+    val chars = dl.transform(dl.seq1("length(s__)"), "i__",
+      "substr(s__, CAST(i__ AS INT), 1)")
+    val distinct = dl.arraySort(dl.arrayDistinct(chars))
+    val cnt = "CAST(length(s__) - length(replace(s__, c__, '')) AS DOUBLE)"
+    val p = s"($cnt / CAST(length(s__) AS DOUBLE))"
+    val term = s"(0 - ($p * log2($p)))"
+    val total = sumDouble(dl, dl.transform(distinct, "c__", term))
+    let(dl, "s__", sExpr, total)
+  }
+
   /** SimHash bit-string (64 chars of '0'/'1') from a token array: for each
     * bit, sum +1/-1 over tokens by that bit of md5(token), emit '1' iff > 0. */
   def simhashBits(dl: Dialect, toksCol: String): String = {
