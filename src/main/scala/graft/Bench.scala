@@ -125,7 +125,13 @@ object Bench {
           "q_winnowing", "q_winnow_pairs",
           // round-10: near-dup clustering + quality argmax (banded
           // self-join -> pointer-jump CC -> one max-of-struct agg)
-          "q_cluster_best")
+          "q_cluster_best",
+          // round-7 additions: SQ8 shortlist+rerank (two broadcast-heap
+          // passes), hard-negative mining (label-filtered heap), domain
+          // mixture (corpus unigram join + decimal mass aggregate), and
+          // curriculum shards (the denseIds two-pass at 10x)
+          "q_sq8_ann", "q_hard_negatives", "q_domain_mixture",
+          "q_curriculum_shards")
         def timed(fn: String => Unit, dir: String, name: String): Double = {
           def once(): Double = {
             val t0 = System.nanoTime()

@@ -8743,6 +8743,55 @@ object QueryCatalog {
           GROUP BY seq % 8
           ORDER BY shard""")),
 
+      // SQ8 two-stage ANN (ops.Similarity.sq8Ann): int8 scalar-quantized
+      // shortlist scored by the native codegen IntDotProduct (EXACT
+      // integer accumulator — no float discipline needed), exact float
+      // re-rank over the k*4 survivors. The 8x-smaller code index is the
+      // memory/recall trade a 100 TB vector store actually ships.
+      Q("q_sq8_ann",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          Similarity.sq8Ann(emb, emb.where(col("vec_id") < 5),
+              "vec_id", "embedding", "vec_id", "embedding", 5)
+            .select(col("query_id"), col("vec_id"), col("rank"),
+              r6(col("score")).as("score"))
+            .orderBy("query_id", "rank")
+        },
+        Some {
+          val intDot = Exprs.sumLong(D,
+            "list_transform(list_zip(c2.qv, q.qq), p__ -> p__[1] * p__[2])")
+          s"""
+          WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          c AS (SELECT vec_id, v,
+                       ${D.d(127.0)} / list_max(list_transform(v, x__ -> abs(x__))) AS sc
+                FROM e),
+          cq AS (SELECT vec_id, v, sc,
+                        list_transform(v, x__ -> CAST(floor(x__ * sc + ${D.d(0.5)}) AS BIGINT)) AS qv
+                 FROM c WHERE sc IS NOT NULL AND sc <> CAST('inf' AS DOUBLE)),
+          q AS (SELECT vec_id AS query_id, v AS qraw, sc AS qsc, qv AS qq
+                FROM cq WHERE vec_id < 5),
+          approx AS (SELECT q.query_id, c2.vec_id,
+                            CAST($intDot AS DOUBLE) / (c2.sc * q.qsc) AS ascore
+                     FROM cq c2, q),
+          short AS (SELECT query_id, vec_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY ascore DESC, vec_id) AS srn
+                    FROM approx),
+          rr AS (SELECT s.query_id, s.vec_id, ${D.dot("e2.v", "q2.qraw")} AS exact
+                 FROM short s
+                 JOIN e e2 ON s.vec_id = e2.vec_id
+                 JOIN q q2 ON s.query_id = q2.query_id
+                 WHERE s.srn <= 20),
+          ranked AS (SELECT query_id, vec_id, exact,
+                            row_number() OVER (PARTITION BY query_id
+                                               ORDER BY exact DESC, vec_id) AS rank
+                     FROM rr)
+          SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
+                 ${duckR6("exact")} AS score
+          FROM ranked WHERE rank <= 5
+          ORDER BY query_id, rank"""
+        }),
+
       // Tokenizer fertility per language: BPE-pretokens per word and
       // bytes per pretoken, grouped on the corpus `lang` column — the
       // standard multilingual tokenizer-budget audit (a high

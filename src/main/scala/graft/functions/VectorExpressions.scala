@@ -123,6 +123,46 @@ case class EmbedText(child: Expression, dim: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Exact integer dot product of two ARRAY<BIGINT> columns (int8 code
+  * arrays from the scalar quantizer) — the SQ8 ADC kernel. All values are
+  * small integers (|code| <= 127), so the accumulator is exact and
+  * order-independent: no floating-point discipline needed, the oracle
+  * matches bit-for-bit by construction. */
+case class IntDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** sqrt(sum (a_i - b_i)^2), sequential fold. */
 case class EuclideanDistance(left: Expression, right: Expression)
     extends BinaryExpression {

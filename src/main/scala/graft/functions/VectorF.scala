@@ -48,6 +48,10 @@ object VectorF {
     * engines; this form is deterministic everywhere. */
   def quantizeInt8(a: Column, scale: Column): Column =
     transform(a, x => floor(x * scale + lit(0.5)).cast("long"))
+
+  /** Exact BIGINT dot of two int8-code arrays (native codegen kernel —
+    * the SQ8 asymmetric-distance primitive). */
+  def dotLong(a: Column, b: Column): Column = VectorNative.intDotNative(a, b)
 }
 
 /** Column wrappers for the native codegen expressions. */
@@ -61,6 +65,7 @@ object VectorNative {
     reg.createOrReplaceTempFunction("dot_d", es => DotProduct(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimilarity(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("euclidean_d", es => EuclideanDistance(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_l", es => IntDotProduct(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("chunk_text",
       es => graft.chunk.ChunkTextGenerator(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("embed_text",
@@ -70,6 +75,8 @@ object VectorNative {
 
   def dotNative(a: Column, b: Column): Column =
     toCol(DotProduct(toExpr(a), toExpr(b)))
+  def intDotNative(a: Column, b: Column): Column =
+    toCol(IntDotProduct(toExpr(a), toExpr(b)))
   def cosineNative(a: Column, b: Column): Column =
     toCol(CosineSimilarity(toExpr(a), toExpr(b)))
   def euclideanNative(a: Column, b: Column): Column =

@@ -609,6 +609,54 @@ object Similarity {
     heapTopKPerQuery(scored, idCol, k)
   }
 
+  /** SQ8 two-stage ANN: int8 scalar-quantized shortlist, exact re-rank —
+    * the production memory/recall trade (faiss `SQ8` + refine). Stage 1
+    * scores every corpus vector against each query with the EXACT integer
+    * dot of their int8 codes (native codegen [[graft.functions.VectorExpressions]]
+    * IntDotProduct — |code| <= 127, so the accumulator is exact and the
+    * recovered score `intdot / (scale_c * scale_q)` is one deterministic
+    * division); stage 2 re-ranks only the `k * shortlist` survivors with
+    * the exact float dot.
+    *
+    * Scale: the quantized index is 8x smaller than float64 — at 100 TB
+    * the codes fit where raw vectors would not; stage 1 is the same
+    * broadcast + map-side-heap shape as [[knnJoin]] (k*shortlist rows per
+    * query reach the shuffle), and stage 2 touches raw vectors for ONLY
+    * the shortlist (an equi-join on the id, corpus scanned once more but
+    * projected to the k*shortlist matches). Zero-vectors (undefined
+    * scale) are excluded on both sides of the oracle contract. */
+  def sq8Ann(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             qIdCol: String, qVecCol: String, k: Int, shortlist: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def quantized(df: DataFrame, id: String, vec: String, p: String) =
+      df.select(col(id).cast("long").as(s"${p}id"),
+          VectorF.toDoubleArray(col(vec)).as(s"${p}v"))
+        .withColumn(s"${p}scale", VectorF.int8Scale(col(s"${p}v")))
+        .where(col(s"${p}scale").isNotNull &&
+          !col(s"${p}scale").isin(Double.PositiveInfinity))
+        .withColumn(s"${p}q", VectorF.quantizeInt8(col(s"${p}v"), col(s"${p}scale")))
+    val c = quantized(emb, idCol, vecCol, "__c")
+      .select(col("__cid"), col("__cscale"), col("__cq"))
+    val q = quantized(queries, qIdCol, qVecCol, "__q")
+      .select(col("__qid").as("query_id"), col("__qscale"), col("__qq"))
+    val approx = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("__cid").as("__id"),
+        (VectorF.dotLong(col("__cq"), col("__qq")).cast("double") /
+          (col("__cscale") * col("__qscale"))).as("score"))
+    val short = heapTopKPerQuery(approx, idCol, k * shortlist)
+      .select(col("query_id"), col(idCol))
+    val rawC = emb.select(col(idCol).cast("long").as(idCol),
+      VectorF.toDoubleArray(col(vecCol)).as("__cv"))
+    val rawQ = queries.select(col(qIdCol).cast("long").as("query_id"),
+      VectorF.toDoubleArray(col(qVecCol)).as("__qv"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), col(idCol))
+    short.join(rawC, idCol).join(broadcast(rawQ), "query_id")
+      .withColumn("score", VectorF.dot(col("__cv"), col("__qv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("rank"), col("score"))
+  }
+
   /** kNN label propagation: predict a label for every unlabeled vector by
     * majority vote of its k nearest LABELED neighbors — the standard
     * semi-supervised labeling pass a curation pipeline runs to spread a

@@ -263,4 +263,30 @@ class QuantAnnSpec extends AnyFunSuite {
     assert(kept.forall { case (id, cid) => cid == (if (Seq(1L, 20L, 21L).contains(id)) 1 else 0) },
       s"cluster assignment: $kept")
   }
+
+  test("sq8Ann: exact re-rank recovers the true top-k on spread vectors") {
+    val emb = axisVectors(120, 64)
+    val queries = emb.where(col("vec_id") < 2)
+    val got = Similarity.sq8Ann(emb, queries, "vec_id", "embedding",
+        "vec_id", "embedding", 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 10)
+    // self is the exact top hit for each query after the re-rank
+    assert(got.filter(_._3 == 1L).map(t => (t._1, t._2)).toSeq ==
+      Seq((0L, 0L), (1L, 1L)))
+    // the exact stage must agree with a driver-side brute-force float
+    // DOT top-5 (sq8Ann ranks by inner product, not cosine): the spread
+    // vectors quantize faithfully enough that the 4x shortlist contains
+    // the true top-5 -> identical (query, id) sequences
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val brute = Seq(0L, 1L).flatMap { qid =>
+      vecs.toSeq.map { case (id, v) =>
+        (qid, id, v.zip(vecs(qid)).map { case (a, b) => a * b }.sum)
+      }.sortBy { case (_, id, s) => (-s, id) }.take(5)
+    }.map(t => (t._1, t._2))
+    assert(got.map(t => (t._1, t._2)).toSeq == brute)
+  }
 }
