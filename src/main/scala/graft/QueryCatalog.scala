@@ -8743,6 +8743,88 @@ object QueryCatalog {
           GROUP BY seq % 8
           ORDER BY shard""")),
 
+      // HITS hubs/authorities over a deterministic directed doc graph
+      // (every doc links into the low-id "authority core" via two
+      // modular edges) — the companion centrality to q_pagerank for
+      // link-graph curation. 3 unrolled iterations, round-9 decimal
+      // contribution sums, max-normalized half-steps: oracle-exact.
+      Q("q_hits",
+        (s, dir) => {
+          import graft.ops.Graph
+          val docs = t(s, dir, "documents").select(col("doc_id").as("id"))
+          val e1 = docs.select(col("id").as("src"),
+            ((col("id") * col("id") + 1) % 97).as("dst"))
+          val e2 = docs.select(col("id").as("src"),
+            ((col("id") * 31 + 7) % 97).as("dst"))
+          val edges = e1.union(e2).where(col("src") =!= col("dst"))
+          Graph.hits(docs, edges, 3)
+            .select(col("id").as("doc_id"), col("auth"), col("hub"))
+            .orderBy("doc_id")
+        },
+        Some {
+          val edges = """(SELECT src, dst FROM (
+               SELECT doc_id AS src, (doc_id * doc_id + 1) % 97 AS dst FROM documents
+               UNION ALL
+               SELECT doc_id AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents)
+             WHERE src <> dst)"""
+          s"""SELECT id AS doc_id, auth, hub FROM (
+            ${graft.ops.Graph.hitsOracleSql(
+              "(SELECT doc_id AS id FROM documents)", edges, 3)}
+          ) ORDER BY doc_id"""
+        }),
+
+      // Contrastive training-pair generation — the embedding-training
+      // capstone: anchors = first chunk of every 10th doc, positive = the
+      // doc's second chunk (adjacent-window positive), negative = the
+      // single most-similar chunk from a DIFFERENT doc (hardNegatives
+      // with label = doc_id, k = 1). Chunk/embed replayed by the same
+      // oracle CTEs as q_rag_index; the numeric chunk id packs
+      // (doc_id, chunk_idx) so the heap tie-break replays as a
+      // two-column ORDER BY.
+      Q("q_contrastive_pairs",
+        (s, dir) => {
+          val chunks = RagPipeline.buildIndex(tk(s, dir, "documents"))
+            .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+              col("chunk_id"), col("embedding"))
+            .withColumn("cid", col("doc_id") * lit(100000L) + col("chunk_idx"))
+          val anchors = chunks
+            .where(col("chunk_idx") === 0 && col("doc_id") % 10 === 0)
+          val neg = Similarity.hardNegatives(
+              chunks.select(col("cid"), col("embedding"), col("doc_id")),
+              anchors.select(col("cid"), col("embedding"), col("doc_id")),
+              "cid", "embedding", "doc_id", 1)
+            .withColumn("doc_id", expr("query_id div 100000"))
+            .join(chunks.select(col("cid"), col("chunk_id").as("neg_chunk_id")), "cid")
+          val pos = chunks.where(col("chunk_idx") === 1)
+            .select(col("doc_id"), col("chunk_id").as("pos_chunk_id"))
+          neg.join(pos, "doc_id")
+            .select(col("doc_id"), col("pos_chunk_id"), col("neg_chunk_id"),
+              r6(col("score")).as("neg_score"))
+            .orderBy("doc_id")
+        },
+        Some {
+          val duckIndexed = duckEmbed(
+            s"(SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})",
+            "chunk_text", 64)
+          s"""
+          WITH ch AS (SELECT doc_id, chunk_idx, chunk_id, emb FROM $duckIndexed),
+          a AS (SELECT doc_id, emb AS aemb FROM ch
+                WHERE chunk_idx = 0 AND doc_id % 10 = 0),
+          p AS (SELECT doc_id, chunk_id AS pos_chunk_id FROM ch WHERE chunk_idx = 1),
+          scored AS (SELECT a.doc_id, c.chunk_id, c.doc_id AS ndoc, c.chunk_idx,
+                            ${D.cosine("c.emb", "a.aemb")} AS score
+                     FROM ch c, a WHERE c.doc_id <> a.doc_id),
+          best AS (SELECT doc_id, chunk_id AS neg_chunk_id, score,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY score DESC, ndoc, chunk_idx) AS rn
+                   FROM scored)
+          SELECT b.doc_id, p.pos_chunk_id, b.neg_chunk_id,
+                 ${duckR6("b.score")} AS neg_score
+          FROM best b JOIN p ON b.doc_id = p.doc_id
+          WHERE b.rn = 1
+          ORDER BY b.doc_id"""
+        }),
+
       // SQ8 two-stage ANN (ops.Similarity.sq8Ann): int8 scalar-quantized
       // shortlist scored by the native codegen IntDotProduct (EXACT
       // integer accumulator — no float discipline needed), exact float

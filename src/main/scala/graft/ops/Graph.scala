@@ -73,6 +73,80 @@ object Graph {
     result
   }
 
+  /** HITS hubs/authorities (Kleinberg 1999) over directed `edges` (cols
+    * src, dst) on node set `nodes` (col id): auth(v) = Σ hub of in-edges,
+    * hub(u) = Σ auth of out-edges, each half-step max-normalized. The
+    * companion centrality to [[pageRank]] for link-graph curation — a
+    * page both pointed at by good hubs (auth) and pointing at good
+    * authorities (hub) — e.g. seed-list selection for a focused crawl.
+    *
+    * Same scale shape as pageRank: per iteration two edge⋈score joins
+    * (shuffle on src then dst) + two narrow aggregations; scores are
+    * O(nodes) wide, the edge table never carries payloads. Same oracle
+    * contract: contributions round to 9 decimals and sum in
+    * DECIMAL(28,9) (order-independent), each normalized score re-rounds
+    * to 9 — fixed-point drift across engines impossible. Normalization
+    * is by the MAX raw sum (deterministic; sum-normalization would
+    * divide by a corpus-ordered float sum). Returns (id, auth, hub). */
+  def hits(nodes: DataFrame, edges0: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = edges0.select(col("src"), col("dst")).persist()
+    var hub = nodes.select(col("id"), (lit(1.0) + lit(0.0)).as("hub"))
+    var auth = nodes.select(col("id"), (lit(1.0) + lit(0.0)).as("auth"))
+    for (_ <- 1 to iters) {
+      val araw = edges.join(hub.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"),
+          r9(col("hub")).cast("decimal(28,9)").as("__c"))
+        .groupBy("id").agg(sum(col("__c")).as("__s"))
+      val amax = araw.agg(max(col("__s")).as("__m"))
+      auth = nodes.join(araw, Seq("id"), "left").crossJoin(broadcast(amax))
+        .select(col("id"),
+          r9(coalesce(col("__s").cast("double"), lit(0.0)) /
+            col("__m").cast("double")).as("auth"))
+      val hraw = edges.join(auth.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"),
+          r9(col("auth")).cast("decimal(28,9)").as("__c"))
+        .groupBy("id").agg(sum(col("__c")).as("__s"))
+      val hmax = hraw.agg(max(col("__s")).as("__m"))
+      hub = nodes.join(hraw, Seq("id"), "left").crossJoin(broadcast(hmax))
+        .select(col("id"),
+          r9(coalesce(col("__s").cast("double"), lit(0.0)) /
+            col("__m").cast("double")).as("hub"))
+    }
+    val result = auth.join(hub, "id").persist()
+    result.count()
+    edges.unpersist()
+    result
+  }
+
+  /** Unrolled-HITS oracle fragment, identical arithmetic text to
+    * [[hits]]. */
+  def hitsOracleSql(nodesSql: String, edgesSql: String, iters: Int = 3): String = {
+    def r9s(x: String) = s"(round($x, 9) + CAST(0.0 AS DOUBLE))"
+    def norm(raw: String, maxRel: String, out: String) =
+      s"""(SELECT nodes.id, ${r9s(
+        s"coalesce(CAST(s AS DOUBLE), CAST(0.0 AS DOUBLE)) / CAST(m AS DOUBLE)")} AS $out
+          FROM nodes CROSS JOIN $maxRel LEFT JOIN $raw ON nodes.id = $raw.id)"""
+    val base = Seq(
+      s"nodes AS (SELECT id FROM $nodesSql)",
+      s"edges AS (SELECT src, dst FROM $edgesSql)",
+      "h_0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM nodes)")
+    val steps = (1 to iters).flatMap { i =>
+      Seq(
+        s"""ar_$i AS (SELECT e.dst AS id,
+              sum(CAST(${r9s("h.hub")} AS DECIMAL(28,9))) AS s
+            FROM edges e JOIN h_${i - 1} h ON e.src = h.id GROUP BY e.dst)""",
+        s"am_$i AS (SELECT max(s) AS m FROM ar_$i)",
+        s"a_$i AS ${norm(s"ar_$i", s"am_$i", "auth")}",
+        s"""hr_$i AS (SELECT e.src AS id,
+              sum(CAST(${r9s("a.auth")} AS DECIMAL(28,9))) AS s
+            FROM edges e JOIN a_$i a ON e.dst = a.id GROUP BY e.src)""",
+        s"hm_$i AS (SELECT max(s) AS m FROM hr_$i)",
+        s"h_$i AS ${norm(s"hr_$i", s"hm_$i", "hub")}")
+    }
+    (base ++ steps).mkString("WITH ", ", ",
+      s" SELECT a_$iters.id, auth, hub FROM a_$iters JOIN h_$iters ON a_$iters.id = h_$iters.id")
+  }
+
   /** The matching oracle fragment: unrolled PageRank over a node relation
     * `nodesSql` (col id) and edge relation `edgesSql` (cols src, dst) —
     * identical arithmetic text to [[pageRank]]. */

@@ -91,6 +91,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(r == r2, "round-9 decimal sums: partitioning-invariant")
   }
 
+  test("hits: star authority saturates, spokes are pure hubs, invariant") {
+    import graft.ops.Graph
+    // 2..5 all point at 1; 1 points at 2; 9 isolated
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (1L, 2L))
+      .toDF("src", "dst")
+    val r = Graph.hits(nodes, edges, iters = 3)
+      .as[(Long, Double, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(1L)._1 == 1.0, s"node 1 is the max authority: $r")
+    assert(r(1L)._2 > 0.0 && r(1L)._2 < 1.0,
+      s"node 1 also hubs (points at 2) but below the pure hubs: $r")
+    assert(r(3L)._2 == 1.0 && r(3L)._1 == 0.0,
+      s"plain spokes are pure max hubs with zero authority: $r")
+    assert(r(2L)._1 > 0.0 && r(2L)._1 < 1.0,
+      s"node 2 has some authority (1 points at it): $r")
+    assert(r(9L) == (0.0, 0.0), s"isolated node scores zero both ways: $r")
+    val r2 = Graph.hits(nodes.repartition(5), edges.repartition(3), iters = 3)
+      .as[(Long, Double, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r == r2, "round-9 decimal sums: partitioning-invariant")
+  }
+
   test("shingleNovelty: unique content scores 1, duplicated content 0") {
     import graft.ops.Dedup
     val docs = Seq(
