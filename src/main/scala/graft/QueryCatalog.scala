@@ -8743,6 +8743,92 @@ object QueryCatalog {
           GROUP BY seq % 8
           ORDER BY shard""")),
 
+      // Pairwise n-gram overlap P/R/F1 (the ROUGE-1 shape): distinct
+      // unigram intersection between deterministic doc pairs — the
+      // eval-side overlap metric (summary-vs-source, dedup explain).
+      // Spark array_intersect and DuckDB list_intersect both return the
+      // DISTINCT common elements, so the counts agree exactly; the three
+      // divisions are single deterministic IEEE ops.
+      Q("q_ngram_f1",
+        (s, dir) => {
+          val docs = t(s, dir, "documents")
+            .select(col("doc_id"), array_distinct(TextF.tokens(col("text"))).as("tk"))
+          val a = docs.where(col("doc_id") % 7 === 0)
+            .select(col("doc_id").as("doc_a"), col("tk").as("ta"))
+          val b = docs.select((col("doc_id") - 1).as("doc_a"),
+            col("doc_id").as("doc_b"), col("tk").as("tb"))
+          a.join(b, "doc_a")
+            .withColumn("ninter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+            .withColumn("p", col("ninter").cast("double") / size(col("ta")))
+            .withColumn("r", col("ninter").cast("double") / size(col("tb")))
+            .select(col("doc_a"), col("doc_b"), col("ninter"),
+              r6(col("p")).as("p"), r6(col("r")).as("r"),
+              r6(when(col("p") + col("r") === 0.0, lit(0.0))
+                .otherwise(lit(2.0) * col("p") * col("r") / (col("p") + col("r"))))
+                .as("f1"))
+            .orderBy("doc_a")
+        },
+        Some(s"""
+          WITH d AS (SELECT doc_id, list_distinct(${D.splitWs("text")}) AS tk
+                     FROM documents),
+          a AS (SELECT doc_id AS doc_a, tk AS ta FROM d WHERE doc_id % 7 = 0),
+          b AS (SELECT doc_id - 1 AS doc_a, doc_id AS doc_b, tk AS tb FROM d),
+          j AS (SELECT doc_a, doc_b,
+                       CAST(len(list_intersect(ta, tb)) AS BIGINT) AS ninter,
+                       CAST(len(list_intersect(ta, tb)) AS DOUBLE) / len(ta) AS p,
+                       CAST(len(list_intersect(ta, tb)) AS DOUBLE) / len(tb) AS r
+                FROM a JOIN b USING (doc_a))
+          SELECT doc_a, doc_b, ninter,
+                 ${duckR6("p")} AS p, ${duckR6("r")} AS r,
+                 ${duckR6(s"CASE WHEN p + r = ${D.d(0.0)} THEN ${D.d(0.0)} " +
+                   s"ELSE ${D.d(2.0)} * p * r / (p + r) END")} AS f1
+          FROM j
+          ORDER BY doc_a""")),
+
+      // Streaming governance parity: the SAME Governance.cardScan code
+      // runs unchanged as a stateless append-mode streaming projection
+      // over 4 REAL micro-batches and hash-matches the batch q_pii_cards
+      // oracle — map-only operators carry to streams with zero state.
+      Q("q_stream_pii_eq",
+        (s, dir) => {
+          import s.implicits._
+          val ss = streamSession(s)
+          implicit val sqlCtx = ss.sqlContext
+          val rows = t(s, dir, "documents")
+            .select(col("doc_id").cast("long"), expr(cardBody(S)).as("body"))
+            .as[(Long, String)].collect().sortBy(_._1)
+          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+          val name = s"q_stream_pii_eq_${System.nanoTime()}"
+          val q = Governance.cardScan(in.toDS().toDF("doc_id", "body"), "body", "doc_id")
+            .writeStream.format("memory").queryName(name).outputMode("append").start()
+          try {
+            rows.grouped(math.max(1, (rows.length + 3) / 4)).foreach { b =>
+              in.addData(b.toSeq); q.processAllAvailable()
+            }
+          } finally {
+            q.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
+          val got = ss.table(name)
+            .select(col("doc_id"), col("n_cands"), col("n_valid"), col("valid_cards"))
+            .as[(Long, Long, Long, String)].collect().toSeq
+          got.toDF("doc_id", "n_cands", "n_valid", "valid_cards").orderBy("doc_id")
+        },
+        Some(s"""
+          WITH b AS (SELECT doc_id, ${cardBody(D)} AS body FROM documents),
+          c AS (SELECT doc_id,
+                       regexp_extract_all(body, '\\b[0-9]{13,19}\\b') AS cands
+                FROM b),
+          v AS (SELECT doc_id, cands,
+                       ${D.filter("cands", "cx__", Exprs.luhnOk(D, "cx__"))} AS valid
+                FROM c)
+          SELECT doc_id,
+                 CAST(len(cands) AS BIGINT) AS n_cands,
+                 CAST(len(valid) AS BIGINT) AS n_valid,
+                 coalesce(array_to_string(valid, ','), '') AS valid_cards
+          FROM v
+          ORDER BY doc_id""")),
+
       // HITS hubs/authorities over a deterministic directed doc graph
       // (every doc links into the low-id "authority core" via two
       // modular edges) — the companion centrality to q_pagerank for
