@@ -88,33 +88,49 @@ object Graph {
     * to 9 — fixed-point drift across engines impossible. Normalization
     * is by the MAX raw sum (deterministic; sum-normalization would
     * divide by a corpus-ordered float sum). Returns (id, auth, hub). */
-  def hits(nodes: DataFrame, edges0: DataFrame, iters: Int = 3): DataFrame = {
+  def hits(nodes0: DataFrame, edges0: DataFrame, iters: Int = 3): DataFrame = {
     val edges = edges0.select(col("src"), col("dst")).persist()
+    // the node list is re-read in every normalize join (2 per iteration);
+    // pin it once — O(nodes) narrow, and upstream scans are often
+    // single-row-group files whose repeated 1-task scans would serialize
+    val nodes = nodes0.select(col("id")).persist()
     var hub = nodes.select(col("id"), (lit(1.0) + lit(0.0)).as("hub"))
     var auth = nodes.select(col("id"), (lit(1.0) + lit(0.0)).as("auth"))
+    // Each half-step's contribution table is PERSISTED (it is read twice:
+    // once for its max, once in the normalize join), and the max comes
+    // back as a driver-side 1-VALUE scalar from a tree-reduced aggregate
+    // — not an in-plan scalar subquery, whose broadcast would re-optimize
+    // and re-derive the whole prior-iteration lineage at every half-step
+    // (the 2^iters planning blowup). One double per half-step crosses the
+    // driver; corpus-sized data never does. The decimal max converts to
+    // double by the same correctly-rounded conversion CAST(x AS DOUBLE)
+    // performs in-engine, so the oracle text is unchanged.
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def contrib(scoreTbl: DataFrame, joinKey: String, outKey: String,
+                scoreCol: String): DataFrame = {
+      val raw = edges.join(scoreTbl.withColumnRenamed("id", joinKey), joinKey)
+        .select(col(outKey).as("id"),
+          r9(col(scoreCol)).cast("decimal(28,9)").as("__c"))
+        .groupBy("id").agg(sum(col("__c")).as("__s"))
+        .persist()
+      pinned += raw
+      raw
+    }
+    def normalized(raw: DataFrame, outCol: String): DataFrame = {
+      val m = raw.agg(max(col("__s"))).head.getDecimal(0).doubleValue()
+      nodes.join(raw, Seq("id"), "left")
+        .select(col("id"),
+          r9(coalesce(col("__s").cast("double"), lit(0.0)) / lit(m))
+            .as(outCol))
+    }
     for (_ <- 1 to iters) {
-      val araw = edges.join(hub.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"),
-          r9(col("hub")).cast("decimal(28,9)").as("__c"))
-        .groupBy("id").agg(sum(col("__c")).as("__s"))
-      val amax = araw.agg(max(col("__s")).as("__m"))
-      auth = nodes.join(araw, Seq("id"), "left").crossJoin(broadcast(amax))
-        .select(col("id"),
-          r9(coalesce(col("__s").cast("double"), lit(0.0)) /
-            col("__m").cast("double")).as("auth"))
-      val hraw = edges.join(auth.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"),
-          r9(col("auth")).cast("decimal(28,9)").as("__c"))
-        .groupBy("id").agg(sum(col("__c")).as("__s"))
-      val hmax = hraw.agg(max(col("__s")).as("__m"))
-      hub = nodes.join(hraw, Seq("id"), "left").crossJoin(broadcast(hmax))
-        .select(col("id"),
-          r9(coalesce(col("__s").cast("double"), lit(0.0)) /
-            col("__m").cast("double")).as("hub"))
+      auth = normalized(contrib(hub, "src", "dst", "hub"), "auth")
+      hub = normalized(contrib(auth, "dst", "src", "auth"), "hub")
     }
     val result = auth.join(hub, "id").persist()
     result.count()
-    edges.unpersist()
+    edges.unpersist(); nodes.unpersist()
+    pinned.foreach(_.unpersist())
     result
   }
 
