@@ -8743,6 +8743,54 @@ object QueryCatalog {
           GROUP BY seq % 8
           ORDER BY shard""")),
 
+      // JSONL corpus roundtrip: the de-facto training-data interchange
+      // format (C4/Pile/RedPajama/Dolma ship as JSONL). The corpus is
+      // written as JSONL shards and read back with an explicit schema
+      // (no inference pass); md5 over the roundtripped text hash-gates
+      // content integrity THROUGH the format's escaping contract.
+      Q("q_jsonl_roundtrip",
+        (s, dir) => {
+          import graft.sources.JsonlCorpus
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val key = md.digest(dir.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(12)
+          val out = sys.props("java.io.tmpdir") + s"/graft_jsonl_$key"
+          val docs = t(s, dir, "documents")
+          JsonlCorpus.write(docs, out)
+          JsonlCorpus.read(s, out, docs.schema)
+            .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+              md5(col("text")).as("text_md5"))
+            .orderBy("doc_id")
+        },
+        Some("""
+          SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+          FROM documents
+          ORDER BY doc_id""")),
+
+      // Hive-style lang-partitioned corpus layout: write partitionBy(lang)
+      // parquet, read back with a partition predicate — the scan prunes
+      // at the DIRECTORY level (PartitionFilters, pinned in PlanSpec), so
+      // a one-language job over a 100 TB multilingual corpus never lists,
+      // opens, or reads the other languages' files.
+      Q("q_partitioned_scan",
+        (s, dir) => {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val key = md.digest(dir.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(12)
+          val out = sys.props("java.io.tmpdir") + s"/graft_langpart_$key"
+          t(s, dir, "documents").write.mode("overwrite")
+            .partitionBy("lang").parquet(out)
+          s.read.parquet(out).where(col("lang") === "en")
+            .agg(count(lit(1)).cast("long").as("n_en"),
+              sum(col("n_chars")).cast("long").as("chars_en"),
+              sum(col("doc_id")).cast("long").as("id_sum"))
+        },
+        Some("""
+          SELECT CAST(count(*) AS BIGINT) AS n_en,
+                 CAST(sum(n_chars) AS BIGINT) AS chars_en,
+                 CAST(sum(doc_id) AS BIGINT) AS id_sum
+          FROM documents WHERE lang = 'en'""")),
+
       // Pairwise n-gram overlap P/R/F1 (the ROUGE-1 shape): distinct
       // unigram intersection between deterministic doc pairs — the
       // eval-side overlap metric (summary-vs-source, dedup explain).
@@ -8869,10 +8917,15 @@ object QueryCatalog {
       // two-column ORDER BY.
       Q("q_contrastive_pairs",
         (s, dir) => {
+          // the chunk index feeds THREE subtrees (corpus, anchors,
+          // positives) — persist it so the chunk+embed pipeline runs
+          // once, not three times; the cache manager dedups by plan, so
+          // repeated invocations share one ~O(chunks x dim) entry
           val chunks = RagPipeline.buildIndex(tk(s, dir, "documents"))
             .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
               col("chunk_id"), col("embedding"))
             .withColumn("cid", col("doc_id") * lit(100000L) + col("chunk_idx"))
+            .persist()
           val anchors = chunks
             .where(col("chunk_idx") === 0 && col("doc_id") % 10 === 0)
           val neg = Similarity.hardNegatives(

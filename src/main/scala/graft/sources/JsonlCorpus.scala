@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** JSONL (one JSON object per line) corpus sink/source — the de-facto
+  * interchange format of public training-data pipelines (C4, The Pile,
+  * RedPajama, Dolma all ship as JSONL): every record self-describes, any
+  * line-oriented tool can stream it, and UNCOMPRESSED (or block-zstd)
+  * files stay line-splittable so a 100 TB corpus scans with full task
+  * parallelism. Spark's json reader/writer handles the escaping contract
+  * (quotes, backslashes, control chars, non-BMP unicode) — the roundtrip
+  * query hash-gates content integrity THROUGH the format.
+  *
+  * Scale notes: always pass an explicit read schema — schema inference
+  * is a full extra pass over 100 TB; and prefer no compression or a
+  * splittable codec for large shards (single-stream gzip makes each
+  * shard one task).
+  *
+  * Reference scope: lightspeed-core/rag-content exchanges documents as
+  * in-memory objects; JSONL is the engine-level equivalent surface for
+  * corpus interchange (north-star addition).
+  */
+object JsonlCorpus {
+
+  /** Write `df` as JSONL shards under `outDir` (overwrite). */
+  def write(df: DataFrame, outDir: String): Unit =
+    df.write.mode("overwrite").json(outDir)
+
+  /** Read a JSONL corpus with an explicit schema (no inference pass). */
+  def read(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(dir)
+}

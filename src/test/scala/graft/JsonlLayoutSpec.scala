@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.JsonlCorpus
+
+/** JSONL sink/source escaping contract + partition-pruned corpus layout. */
+class JsonlLayoutSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  test("jsonl roundtrip survives quotes, backslashes, newlines, unicode") {
+    val hostile = Seq(
+      (0L, "plain ascii"),
+      (1L, "quote \" backslash \\ slash / tab\tdone"),
+      (2L, "newline\ninside and return\rhere"),
+      (3L, "unicode é中😀 end"),   // é, 中, emoji (surrogate pair)
+      (4L, ""),                                        // empty string
+      (5L, "control  chars")
+    ).toDF("id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft_jsonl_spec").toString
+    JsonlCorpus.write(hostile, out)
+    val back = JsonlCorpus.read(spark, out, hostile.schema)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(back == hostile.orderBy("id").as[(Long, String)].collect().toSeq)
+  }
+
+  test("partitionBy(lang) read prunes at the partition level") {
+    val docs = Seq(
+      (0L, "en", 10L), (1L, "de", 20L), (2L, "en", 30L), (3L, "fr", 40L)
+    ).toDF("doc_id", "lang", "n_chars")
+    val out = java.nio.file.Files.createTempDirectory("graft_part_spec").toString
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    val scan = spark.read.parquet(out).where(col("lang") === "en")
+    // the physical scan must carry the predicate as a PartitionFilter
+    // (directory pruning), not a post-scan Filter over all partitions
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("(lang"),
+      s"lang predicate must prune partitions, plan was:\n$plan")
+    assert(scan.select(sum("n_chars")).as[Long].head() == 40L)
+    // only the en directory's files are selected
+    val files = scan.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.toSeq }.flatten
+    assert(files.nonEmpty)
+  }
+}
