@@ -8714,6 +8714,88 @@ object QueryCatalog {
           FROM ex CROSS JOIN tot2
           ORDER BY source""")),
 
+      // Mixture weights -> ACTUAL corpus: per-domain token budgets
+      // (weight x 20k global budget) drive the greedy quality-prefix
+      // fill — the composition that closes the DoReMi loop (weights are
+      // used, not just reported). The baseline domain (weight 0, budget
+      // 0) selects nothing and is absent from the output on both
+      // engines. Weights broadcast; the fill is the per-group window
+      // cumsum of q_token_budget with a joined budget column.
+      Q("q_mixture_budget",
+        (s, dir) => {
+          import graft.ops.LanguageModel
+          val docs = t(s, dir, "documents")
+          val loss = LanguageModel.unigramSurprisal(docs, "text", "doc_id")
+            .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          val weights = Curation.domainMixtureWeights(loss, "source", "avg_surprisal")
+            .select(col("source"),
+              round(col("weight") * lit(20000.0), 0).cast("long").as("budget"))
+          val d = docs.select(col("doc_id"), col("source"), col("n_chars"),
+              size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+            .join(broadcast(weights), "source")
+          Sampling.tokenBudgetSelectBy(d, "source", "n_tokens", "n_chars",
+              "doc_id", "budget")
+            .groupBy("source")
+            .agg(count(lit(1)).cast("long").as("n_sel"),
+              sum(col("n_tokens")).cast("long").as("tokens_sel"),
+              max(col("budget")).as("budget"))
+            .orderBy("source")
+        },
+        Some(s"""
+          WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                   unnest(range(1, len(string_split_regex(trim(text), '\\s+')) + 1)) AS pos
+            FROM documents),
+          vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+          scored AS (
+            SELECT doc_id, pos,
+                   round(-ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS lp
+            FROM toks JOIN vocab USING (tok) CROSS JOIN tot),
+          agg AS (SELECT doc_id, list(lp ORDER BY pos) AS lps,
+                         CAST(count(*) AS BIGINT) AS n_tokens
+                  FROM scored GROUP BY doc_id),
+          docloss AS (
+            SELECT a.doc_id, d.source,
+                   list_reduce(a.lps, (x__, y__) -> x__ + y__) / CAST(a.n_tokens AS DOUBLE) AS loss
+            FROM agg a JOIN documents d USING (doc_id)),
+          dom AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CAST(round(loss, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS mean_loss
+            FROM docloss GROUP BY source),
+          ex AS (
+            SELECT source, greatest(round(mean_loss - (SELECT min(mean_loss) FROM dom), 6),
+                            ${D.d(0.0)}) AS excess
+            FROM dom),
+          tot2 AS (SELECT CAST(sum(CAST(excess AS DECIMAL(18,6))) AS DOUBLE) AS te,
+                          CAST(count(*) AS BIGINT) AS nd
+                   FROM ex),
+          wts AS (
+            SELECT source,
+                   CAST(round((round(CASE WHEN te = ${D.d(0.0)} THEN ${D.d(1.0)} / CAST(nd AS DOUBLE)
+                               ELSE excess / te END, 6) + ${D.d(0.0)}) * ${D.d(20000.0)}, 0) AS BIGINT) AS budget
+            FROM ex CROSS JOIN tot2),
+          d2 AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(len(${D.splitWs("text")}) AS BIGINT) AS n_tokens
+            FROM documents),
+          c AS (
+            SELECT d2.doc_id, d2.source, d2.n_tokens, w.budget,
+                   sum(d2.n_tokens) OVER (
+                     PARTITION BY d2.source ORDER BY d2.n_chars DESC, d2.doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM d2 JOIN wts w ON d2.source = w.source)
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_sel,
+                 CAST(sum(n_tokens) AS BIGINT) AS tokens_sel,
+                 CAST(max(budget) AS BIGINT) AS budget
+          FROM c
+          WHERE cum - n_tokens < budget
+          GROUP BY source
+          ORDER BY source""")),
+
       // Curriculum shards (ops.Sampling.curriculumShards): global
       // quality-rank round-robin into 8 shards; the rank comes from the
       // range-partitioned denseIds two-pass, NEVER a row_number window's

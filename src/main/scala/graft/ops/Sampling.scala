@@ -180,6 +180,22 @@ object Sampling {
         when(bucket < 12, "train").when(bucket < 14, "val").otherwise("test"))
   }
 
+  /** [[tokenBudgetSelect]] with a PER-GROUP budget column instead of one
+    * global constant — the shape a mixture-weighted corpus build needs
+    * (each domain gets its own token floor from the mixture solver). A
+    * zero-budget group selects nothing (cum - n >= 0 always). */
+  def tokenBudgetSelectBy(df: DataFrame, groupCol: String, tokenCol: String,
+                          orderCol: String, idCol: String,
+                          budgetCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(orderCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
+      .where(col("__cum") - col(tokenCol).cast("long") < col(budgetCol))
+      .withColumn("cum_tokens", col("__cum").cast("long"))
+      .drop("__cum")
+  }
+
   /** Curriculum shard assignment: order the corpus by a quality score
     * (best first, id tie-break) and deal documents round-robin into
     * `nShards` shards — every shard then spans the full quality range

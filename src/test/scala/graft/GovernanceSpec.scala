@@ -103,6 +103,19 @@ class GovernanceSpec extends AnyFunSuite {
     assert(w.forall(_ == 0.25))
   }
 
+  test("tokenBudgetSelectBy: per-group budgets, zero-budget group empty") {
+    val docs = Seq(
+      ("a", 1L, 100L, 50L), ("a", 2L, 90L, 50L), ("a", 3L, 80L, 50L),
+      ("b", 4L, 100L, 50L), ("b", 5L, 90L, 50L)
+    ).toDF("grp", "id", "ord", "n_tok")
+    val budgets = Seq(("a", 80L), ("b", 0L)).toDF("grp", "budget")
+    val sel = graft.ops.Sampling.tokenBudgetSelectBy(
+        docs.join(budgets, "grp"), "grp", "n_tok", "ord", "id", "budget")
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    // a: 50 < 80 (take), 100-50 < 80 (take, crosses), 150-50 >= 80 (stop)
+    assert(sel == Set(("a", 1L), ("a", 2L)))
+  }
+
   test("curriculumShards: round-robin by quality rank, balanced shards") {
     val df = (0L until 20L).map(i => (i, (i % 10).toDouble / 10.0))
       .toDF("doc_id", "q")
