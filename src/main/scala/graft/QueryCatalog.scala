@@ -9046,6 +9046,83 @@ object QueryCatalog {
           ORDER BY b.doc_id"""
         }),
 
+      // Per-dimension embedding health stats — the production monitor for
+      // collapsed/dead dimensions and scale drift in an embedding
+      // pipeline: mean, std, and zero fraction per dimension. Values and
+      // squares round (6/9 decimals) then sum as DECIMALs — exact,
+      // order-independent; one narrow (dim, x) explode, map-side
+      // combined into 64 rows.
+      Q("q_embed_stats",
+        (s, dir) =>
+          t(s, dir, "embeddings")
+            .select(explode(sequence(lit(1), lit(64))).as("dim"),
+              VectorF.toDoubleArray(col("embedding")).as("v"))
+            .select(col("dim").cast("long").as("dim"),
+              element_at(col("v"), col("dim").cast("int")).as("x"))
+            .groupBy("dim")
+            .agg(count(lit(1)).cast("long").as("n"),
+              sum(round(col("x"), 6).cast("decimal(18,6)")).as("sx"),
+              sum(round(col("x") * col("x"), 9).cast("decimal(28,9)")).as("sxx"),
+              sum(when(col("x") === 0.0, 1L).otherwise(0L)).cast("long").as("nz"))
+            .select(col("dim"),
+              r6(col("sx").cast("double") / col("n").cast("double")).as("mean"),
+              r6(sqrt(greatest(
+                col("sxx").cast("double") / col("n").cast("double") -
+                  (col("sx").cast("double") / col("n").cast("double")) *
+                  (col("sx").cast("double") / col("n").cast("double")),
+                lit(0.0)))).as("std"),
+              r6(col("nz").cast("double") / col("n").cast("double")).as("zero_frac"))
+            .orderBy("dim"),
+        Some(s"""
+          WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          x AS (SELECT CAST(dim AS BIGINT) AS dim, v[CAST(dim AS INT)] AS x
+                FROM e, unnest(range(1, 65)) AS t(dim)),
+          a AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                       sum(CAST(round(x, 6) AS DECIMAL(18,6))) AS sx,
+                       sum(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS sxx,
+                       CAST(sum(CASE WHEN x = ${D.d(0.0)} THEN 1 ELSE 0 END) AS BIGINT) AS nz
+                FROM x GROUP BY dim)
+          SELECT dim,
+                 ${duckR6("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)")} AS mean,
+                 ${duckR6("sqrt(greatest(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), CAST(0.0 AS DOUBLE)))")} AS std,
+                 ${duckR6("CAST(nz AS DOUBLE) / CAST(n AS DOUBLE)")} AS zero_frac
+          FROM a
+          ORDER BY dim""")),
+
+      // Johnson-Lindenstrauss sign projection 64 -> 16 (Exprs.jlProject):
+      // OBLIVIOUS dim reduction — no training, no model state, one
+      // streaming pass; the sign matrix is a deterministic integer LCG
+      // of (i, j) evaluated identically in both engines, and the
+      // 1/sqrt(64) = 0.125 scale is exact binary. Emitted: first two
+      // output components + input/output norms (distance preservation is
+      // the JL contract; the norm pair lets any consumer audit it).
+      Q("q_jl_project",
+        (s, dir) => {
+          val S = Dialect.spark
+          t(s, dir, "embeddings")
+            .select(col("vec_id"), VectorF.toDoubleArray(col("embedding")).as("v"))
+            .withColumn("p", expr(Exprs.jlProject(S, "v", 64, 16)))
+            .select(col("vec_id"),
+              r6(element_at(col("p"), 1)).as("p1"),
+              r6(element_at(col("p"), 2)).as("p2"),
+              r6(expr(S.norm("p"))).as("norm_out"),
+              r6(expr(S.norm("v"))).as("norm_in"))
+            .orderBy("vec_id")
+        },
+        Some {
+          val proj = Exprs.jlProject(D, "v", 64, 16)
+          s"""
+          WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          p AS (SELECT vec_id, v, $proj AS p FROM e)
+          SELECT vec_id,
+                 ${duckR6("p[1]")} AS p1,
+                 ${duckR6("p[2]")} AS p2,
+                 ${duckR6(D.norm("p"))} AS norm_out,
+                 ${duckR6(D.norm("v"))} AS norm_in
+          FROM p
+          ORDER BY vec_id"""
+        }),
+
       // SQ8 two-stage ANN (ops.Similarity.sq8Ann): int8 scalar-quantized
       // shortlist scored by the native codegen IntDotProduct (EXACT
       // integer accumulator — no float discipline needed), exact float

@@ -135,6 +135,26 @@ object Exprs {
     let(dl, "s__", sExpr, total)
   }
 
+  /** Johnson-Lindenstrauss sign projection of an ARRAY<DOUBLE> column:
+    * out[j] = (1/sqrt(inDim)) * Σ_i v[i] * s(i,j), with s(i,j) ∈ {+1,-1}
+    * from a deterministic integer LCG of (i, j) — an OBLIVIOUS (training
+    * free) dimensionality reduction: unlike PCA/OPQ nothing is learned,
+    * so it applies in one streaming pass over 100 TB with zero model
+    * state and preserves pairwise distances within the JL bound. The
+    * scale 1/sqrt(inDim) must be exact: callers should use a
+    * power-of-4 inDim (1/sqrt(64) = 0.125 is exact binary). Inner sum is
+    * the sequential fold contract; sign arithmetic is small-integer. */
+  def jlProject(dl: Dialect, vCol: String, inDim: Int, outDim: Int): String = {
+    require(math.sqrt(inDim) == math.floor(math.sqrt(inDim)),
+      "inDim must be a perfect square so 1/sqrt is representable")
+    val scale = 1.0 / math.sqrt(inDim)
+    val h = "((CAST(i__ AS BIGINT) * 1103515245 + CAST(j__ AS BIGINT) * 12345) % 97)"
+    val term =
+      s"${dl.at(vCol, "CAST(i__ AS INT)")} * (CASE WHEN $h % 2 = 0 THEN ${dl.d(1.0)} ELSE ${dl.d(-1.0)} END)"
+    val inner = sumDouble(dl, dl.transform(dl.seq1(inDim.toString), "i__", term))
+    dl.transform(dl.seq1(outDim.toString), "j__", s"${dl.d(scale)} * ($inner)")
+  }
+
   /** SimHash bit-string (64 chars of '0'/'1') from a token array: for each
     * bit, sum +1/-1 over tokens by that bit of md5(token), emit '1' iff > 0. */
   def simhashBits(dl: Dialect, toksCol: String): String = {
