@@ -9046,6 +9046,42 @@ object QueryCatalog {
           ORDER BY b.doc_id"""
         }),
 
+      // Term-distribution drift (ops.Profile.termDrift): add-1-smoothed
+      // unigram KL contributions between the even- and odd-id corpus
+      // halves — the batch-admission drift monitor of a continuously
+      // ingesting pipeline. Vocabulary-sized join; totals broadcast.
+      Q("q_term_drift",
+        (s, dir) => {
+          val docs = t(s, dir, "documents")
+          graft.ops.Profile.termDrift(
+            docs.where(col("doc_id") % 2 === 0),
+            docs.where(col("doc_id") % 2 === 1), "text", 20)
+        },
+        Some(s"""
+          WITH ta AS (SELECT unnest(${D.splitWs("text")}) AS tok
+                      FROM documents WHERE doc_id % 2 = 0),
+          tb AS (SELECT unnest(${D.splitWs("text")}) AS tok
+                 FROM documents WHERE doc_id % 2 = 1),
+          ca AS (SELECT tok, CAST(count(*) AS BIGINT) AS ca FROM ta GROUP BY tok),
+          cb AS (SELECT tok, CAST(count(*) AS BIGINT) AS cb FROM tb GROUP BY tok),
+          j AS (SELECT coalesce(ca.tok, cb.tok) AS tok,
+                       coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+                FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+          tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                         CAST(sum(cb) AS BIGINT) AS nb,
+                         CAST(count(*) AS BIGINT) AS v
+                  FROM j),
+          k AS (SELECT tok, ca, cb,
+                       (round((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)) *
+                              ln((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)) /
+                                 (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))), 6)
+                        + ${D.d(0.0)}) AS contrib
+                FROM j CROSS JOIN tot)
+          SELECT tok, ca, cb, contrib
+          FROM k
+          ORDER BY contrib DESC, tok
+          LIMIT 20""")),
+
       // Per-dimension embedding health stats — the production monitor for
       // collapsed/dead dimensions and scale drift in an embedding
       // pipeline: mean, std, and zero fraction per dimension. Values and

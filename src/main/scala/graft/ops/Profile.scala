@@ -51,4 +51,39 @@ object Profile {
     }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /** Term-distribution drift between two corpus slices (train vs a new
+    * crawl batch, yesterday vs today): add-1-smoothed unigram
+    * distributions P (slice A) and Q (slice B) over the JOINT vocabulary,
+    * per-term KL contribution p·ln(p/q), top `topK` drifted terms.
+    * The drift monitor a continuously-ingesting pipeline runs before
+    * admitting a batch — a topic burst, spam flood, or language shift
+    * shows up as a handful of high-contribution terms.
+    *
+    * Scale: two map-side-combined term counts, one full-outer equi-join
+    * on the term (vocabulary-sized, tiny next to the corpus), totals as
+    * two 1-row broadcasts. Contributions round to 6 decimals at emission
+    * (the q_unigram_lm ln() discipline); ordering ties break on the
+    * term. Output: tok, ca, cb, contrib — top-K by contribution. */
+  def termDrift(a: DataFrame, b: DataFrame, textCol: String,
+                topK: Int = 20): DataFrame = {
+    def counts(df: DataFrame, out: String) =
+      df.select(explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as(out))
+    val joined = counts(a, "ca").join(counts(b, "cb"), Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = joined.agg(
+      sum(col("ca")).cast("long").as("na"),
+      sum(col("cb")).cast("long").as("nb"),
+      count(lit(1)).cast("long").as("v"))
+    val p = (col("ca") + lit(1L)).cast("double") / (col("na") + col("v")).cast("double")
+    val q = (col("cb") + lit(1L)).cast("double") / (col("nb") + col("v")).cast("double")
+    joined.crossJoin(broadcast(tot))
+      .withColumn("contrib", round(p * log(p / q), 6) + lit(0.0))
+      .select(col("tok"), col("ca"), col("cb"), col("contrib"))
+      .orderBy(desc("contrib"), col("tok"))
+      .limit(topK)
+  }
 }
