@@ -8873,6 +8873,53 @@ object QueryCatalog {
                  CAST(sum(doc_id) AS BIGINT) AS id_sum
           FROM documents WHERE lang = 'en'""")),
 
+      // CSV roundtrip with full quoting: text containing commas, quotes
+      // and newlines survives write->read (RFC 4180 quote/escape,
+      // multiLine read for embedded newlines). CSV is the interchange
+      // format metadata tables actually arrive in; the md5 gate proves
+      // the quoting contract end to end. (Note multiLine CSV files are
+      // not line-splittable — fine for metadata tables, wrong for a
+      // 100 TB corpus body, which is what JSONL/parquet are for.)
+      Q("q_csv_roundtrip",
+        (s, dir) => {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val key = md.digest(dir.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(12)
+          val out = sys.props("java.io.tmpdir") + s"/graft_csv_$key"
+          val docs = t(s, dir, "documents")
+          docs.write.mode("overwrite").option("header", "true")
+            .option("quoteAll", "true").option("escape", "\"").csv(out)
+          s.read.schema(docs.schema).option("header", "true")
+            .option("multiLine", "true").option("escape", "\"").csv(out)
+            .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+              md5(col("text")).as("text_md5"))
+            .orderBy("doc_id")
+        },
+        Some("""
+          SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+          FROM documents
+          ORDER BY doc_id""")),
+
+      // ORC roundtrip: the second columnar container Spark ships
+      // natively — same integrity gate as parquet/JSONL/CSV.
+      Q("q_orc_roundtrip",
+        (s, dir) => {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val key = md.digest(dir.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(12)
+          val out = sys.props("java.io.tmpdir") + s"/graft_orc_$key"
+          val docs = t(s, dir, "documents")
+          docs.write.mode("overwrite").orc(out)
+          s.read.orc(out)
+            .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+              md5(col("text")).as("text_md5"))
+            .orderBy("doc_id")
+        },
+        Some("""
+          SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+          FROM documents
+          ORDER BY doc_id""")),
+
       // Pairwise n-gram overlap P/R/F1 (the ROUGE-1 shape): distinct
       // unigram intersection between deterministic doc pairs — the
       // eval-side overlap metric (summary-vs-source, dedup explain).
