@@ -8873,6 +8873,39 @@ object QueryCatalog {
                  CAST(sum(doc_id) AS BIGINT) AS id_sum
           FROM documents WHERE lang = 'en'""")),
 
+      // Diacritic folding (TextF.stripAccents): NFD + combining-mark
+      // removal vs DuckDB strip_accents (utf8proc) — two independent
+      // Unicode implementations under one hash. Fixture text carries
+      // accents from all five classes (acute, umlaut, tilde, ring,
+      // grave); UTF-8 Scala string literals Spark-side, chr() oracle-side
+      // (Spark SQL's chr is mod-256 — the verify-skill gotcha).
+      Q("q_strip_accents",
+        (s, dir) => {
+          val accented = when(col("doc_id") % 5 === 0, lit("café au lait"))
+            .when(col("doc_id") % 5 === 1, lit("über alles"))
+            .when(col("doc_id") % 5 === 2, lit("niño pequeño"))
+            .when(col("doc_id") % 5 === 3, lit("Ångström unit"))
+            .otherwise(lit("déjà vu"))
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              TextF.stripAccents(concat(accented, lit(" #"),
+                col("doc_id").cast("string"))).as("folded"))
+            .orderBy("doc_id")
+        },
+        Some("""
+          WITH f AS (SELECT doc_id,
+                 CASE doc_id % 5
+                   WHEN 0 THEN 'caf' || chr(233) || ' au lait'
+                   WHEN 1 THEN chr(252) || 'ber alles'
+                   WHEN 2 THEN 'ni' || chr(241) || 'o peque' || chr(241) || 'o'
+                   WHEN 3 THEN chr(197) || 'ngstr' || chr(246) || 'm unit'
+                   ELSE 'd' || chr(233) || 'j' || chr(224) || ' vu'
+                 END || ' #' || CAST(doc_id AS VARCHAR) AS s
+               FROM documents)
+          SELECT doc_id, strip_accents(s) AS folded
+          FROM f
+          ORDER BY doc_id""")),
+
       // CSV roundtrip with full quoting: text containing commas, quotes
       // and newlines survives write->read (RFC 4180 quote/escape,
       // multiLine read for embedded newlines). CSV is the interchange

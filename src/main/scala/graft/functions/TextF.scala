@@ -119,6 +119,21 @@ object TextF {
     else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
   }
 
+  private val stripAccentsUdf = udf { (s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+      .replaceAll("\\p{Mn}+", "")
+  }
+
+  /** Diacritic folding: NFD decomposition, then strip combining marks —
+    * the accent-insensitive normalization dedup/match stages run on
+    * Latin-script corpora ("café" == "cafe"). Implements the same
+    * transform as utf8proc's strip_accents (the DuckDB oracle), which is
+    * exactly NFD + Mn-removal — the cross-implementation agreement is
+    * what q_strip_accents hash-gates. Narrow per-row UDF (no shuffle),
+    * same scope discipline as [[nfcNormalize]]. */
+  def stripAccents(text: Column): Column = stripAccentsUdf(text)
+
   /** Unicode NFC normalization (canonical composition) — the
     * normalization pass every dedup/tokenize stage should run first:
     * "e" + COMBINING ACUTE and the precomposed "é" are different byte
