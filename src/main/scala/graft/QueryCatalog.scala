@@ -8873,6 +8873,123 @@ object QueryCatalog {
                  CAST(sum(doc_id) AS BIGINT) AS id_sum
           FROM documents WHERE lang = 'en'""")),
 
+      // Search-quality NDCG@10: graded relevance (how many query terms a
+      // chunk contains) scores the BM25 ranking against the ideal
+      // ordering — the IR eval that closes the search loop (recall@k
+      // covers ANN, calibration covers the classifier, NDCG covers
+      // ranking). Per-rank gains round to 9 decimals and sum as
+      // DECIMAL(28,9); log2 of power-of-two ranks is exact.
+      Q("q_search_ndcg",
+        (s, dir) => {
+          import org.apache.spark.sql.expressions.Window
+          val terms = Seq("spark", "join", "stream")
+          val chunks = RagPipeline.buildChunks(tk(s, dir, "documents"))
+          val rel = chunks
+            .withColumn("__toks", split(trim(col("chunk_text")), "\\s+"))
+            .select(col("chunk_id"),
+              terms.map(tm => when(array_contains(col("__toks"), tm), 1L)
+                .otherwise(0L)).reduce(_ + _).as("rel"))
+          def gain(relC: org.apache.spark.sql.Column,
+                   rankC: org.apache.spark.sql.Column) =
+            round((pow(lit(2.0), relC.cast("double")) - lit(1.0)) /
+              log2(rankC.cast("double") + lit(1.0)), 9)
+              .cast("decimal(28,9)")
+          val ranked = Similarity.bm25TopK(chunks, "chunk_text", "chunk_id", terms, 10)
+            .withColumn("rank", row_number()
+              .over(Window.orderBy(desc("score"), col("chunk_id"))).cast("long"))
+            .join(rel, "chunk_id")
+          val dcg = ranked.agg(
+            sum(gain(col("rel"), col("rank"))).cast("double").as("dcg"))
+          val ideal = rel.orderBy(desc("rel"), col("chunk_id")).limit(10)
+            .withColumn("rank", row_number()
+              .over(Window.orderBy(desc("rel"), col("chunk_id"))).cast("long"))
+          val idcg = ideal.agg(
+            sum(gain(col("rel"), col("rank"))).cast("double").as("idcg"))
+          dcg.crossJoin(idcg)
+            .select(r6(col("dcg")).as("dcg"), r6(col("idcg")).as("idcg"),
+              r6(when(col("idcg") === 0.0, lit(0.0))
+                .otherwise(col("dcg") / col("idcg"))).as("ndcg"))
+        },
+        Some {
+          val terms = Seq("spark", "join", "stream")
+          val tfs = terms.zipWithIndex.map { case (tm, i) =>
+            s"CAST(len(list_filter(toks, x -> x = '$tm')) AS DOUBLE) AS tf_$i"
+          }.mkString(", ")
+          val dfs = terms.zipWithIndex.map { case (tm, i) =>
+            s"sum(CASE WHEN list_contains(toks, '$tm') THEN 1 ELSE 0 END) AS df_$i"
+          }.mkString(", ")
+          val scoreSum = terms.indices.map { i =>
+            s"""(ln(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - CAST(df_$i AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df_$i AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                * (tf_$i * CAST(2.2 AS DOUBLE))
+                / (tf_$i + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)))"""
+          }.mkString(" + ")
+          val relExpr = terms.map(tm =>
+            s"CASE WHEN list_contains(toks, '$tm') THEN 1 ELSE 0 END")
+            .mkString("(", " + ", ")")
+          val g = "CAST(round((pow(CAST(2.0 AS DOUBLE), CAST(rel AS DOUBLE)) - CAST(1.0 AS DOUBLE)) / log2(CAST(rank AS DOUBLE) + CAST(1.0 AS DOUBLE)), 9) AS DECIMAL(28,9))"
+          s"""
+          WITH ch AS (
+            SELECT chunk_id, ${D.splitWs("chunk_text")} AS toks
+            FROM (SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})),
+          st AS (SELECT count(*) AS n, sum(len(toks)) AS sumdl, $dfs FROM ch),
+          scored AS (
+            SELECT chunk_id, $tfs, CAST(len(toks) AS DOUBLE) AS dl,
+                   CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl,
+                   n, df_0, df_1, df_2
+            FROM ch, st),
+          top AS (
+            SELECT chunk_id, score,
+                   row_number() OVER (ORDER BY score DESC, chunk_id) AS rank
+            FROM (SELECT chunk_id, $scoreSum AS score
+                  FROM scored ORDER BY score DESC, chunk_id LIMIT 10)),
+          rel AS (SELECT chunk_id, $relExpr AS rel FROM ch),
+          dcg AS (SELECT CAST(sum($g) AS DOUBLE) AS dcg
+                  FROM top JOIN rel USING (chunk_id)),
+          ideal AS (
+            SELECT rel, row_number() OVER (ORDER BY rel DESC, chunk_id) AS rank
+            FROM (SELECT chunk_id, rel FROM rel ORDER BY rel DESC, chunk_id LIMIT 10)),
+          idcg AS (SELECT CAST(sum($g) AS DOUBLE) AS idcg FROM ideal)
+          SELECT ${duckR6("dcg")} AS dcg, ${duckR6("idcg")} AS idcg,
+                 ${duckR6(s"CASE WHEN idcg = ${D.d(0.0)} THEN ${D.d(0.0)} ELSE dcg / idcg END")} AS ndcg
+          FROM dcg CROSS JOIN idcg"""
+        }),
+
+      // Classifier calibration curve: bucket the trained quality
+      // classifier's predictions into 5 score bins and compare mean
+      // prediction vs observed positive fraction per bin — the
+      // reliability diagram a data team reads before trusting a filter
+      // threshold. Reuses the full unrolled-GD oracle; bin means are
+      // exact DECIMAL sums of round-6 scores.
+      Q("q_classifier_calibration",
+        (s, dir) => {
+          val scored = graft.ops.QualityClassifier.trainAndScore(
+            t(s, dir, "documents"), "doc_id", "text", "n_chars >= 250")
+          scored.withColumn("s6", round(col("score"), 6) + lit(0.0))
+            .withColumn("bin",
+              least(floor(col("s6") * lit(5.0)).cast("long"), lit(4L)))
+            .groupBy("bin")
+            .agg(count(lit(1)).cast("long").as("n"),
+              sum(col("s6").cast("decimal(18,6)")).cast("double").as("sp"),
+              sum(col("label").cast("long")).cast("long").as("np"))
+            .select(col("bin"), col("n"),
+              r6(col("sp") / col("n").cast("double")).as("avg_pred"),
+              r6(col("np").cast("double") / col("n").cast("double")).as("frac_pos"))
+            .orderBy("bin")
+        },
+        Some {
+          val inner = graft.ops.QualityClassifier.oracleSql(
+            D, "documents", "doc_id", "text", "n_chars >= 250")
+          s"""
+          WITH base AS ($inner),
+          b AS (SELECT least(CAST(floor((round(score, 6) + ${D.d(0.0)}) * ${D.d(5.0)}) AS BIGINT), 4) AS bin,
+                       (round(score, 6) + ${D.d(0.0)}) AS s6, label
+                FROM base)
+          SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                 ${duckR6("CAST(sum(CAST(s6 AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS avg_pred,
+                 ${duckR6("CAST(sum(label) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS frac_pos
+          FROM b GROUP BY bin ORDER BY bin"""
+        }),
+
       // Diacritic folding (TextF.stripAccents): NFD + combining-mark
       // removal vs DuckDB strip_accents (utf8proc) — two independent
       // Unicode implementations under one hash. Fixture text carries
