@@ -8873,6 +8873,112 @@ object QueryCatalog {
                  CAST(sum(doc_id) AS BIGINT) AS id_sum
           FROM documents WHERE lang = 'en'""")),
 
+      // Sketch-accuracy eval: MinHash-estimated Jaccard (fraction of
+      // agreeing signature positions, k = 16) vs EXACT 3-shingle Jaccard
+      // on deterministic doc pairs — the error audit that tells a
+      // pipeline whether its LSH banding parameters can be trusted
+      // (recall@k audits ANN, this audits the dedup sketch). k = 16 is a
+      // power of two, so the estimate matches/16 is exact binary.
+      Q("q_sketch_error",
+        (s, dir) => {
+          val S = Dialect.spark
+          val docs = t(s, dir, "documents")
+            .withColumn("toks", split(trim(col("text")), "\\s+"))
+            .withColumn("shd",
+              array_distinct(expr(Exprs.wordShingles(S, "toks", 3))))
+            .withColumn("sig", TextF.minhashSignature("shd", 16))
+            .select(col("doc_id"), col("shd"), col("sig"))
+          val a = docs.where(col("doc_id") % 7 === 0)
+            .select(col("doc_id").as("doc_a"), col("shd").as("sa"), col("sig").as("ga"))
+          val b = docs.select((col("doc_id") - 1).as("doc_a"),
+            col("doc_id").as("doc_b"), col("shd").as("sb"), col("sig").as("gb"))
+          a.join(b, "doc_a")
+            .withColumn("matches",
+              expr("size(filter(zip_with(ga, gb, (x__, y__) -> x__ = y__), v__ -> v__))")
+                .cast("long"))
+            .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+            .withColumn("uni",
+              (size(col("sa")) + size(col("sb")) - col("inter")).cast("double"))
+            .withColumn("est", col("matches").cast("double") / lit(16.0))
+            .withColumn("tru", col("inter").cast("double") / col("uni"))
+            .select(col("doc_a"), col("doc_b"), col("matches"),
+              r6(col("est")).as("est_jaccard"),
+              r6(col("tru")).as("true_jaccard"),
+              r6(abs(col("est") - col("tru"))).as("abs_err"))
+            .orderBy("doc_a")
+        },
+        Some {
+          val sh = Exprs.wordShingles(D, "toks", 3)
+          val sig = Exprs.minhashSig(D, "shd", 16)
+          s"""
+          WITH d AS (SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents),
+          s2 AS (SELECT doc_id, list_distinct($sh) AS shd FROM d),
+          g AS (SELECT doc_id, shd, $sig AS sig FROM s2),
+          a AS (SELECT doc_id AS doc_a, shd AS sa, sig AS ga FROM g WHERE doc_id % 7 = 0),
+          b AS (SELECT doc_id - 1 AS doc_a, doc_id AS doc_b, shd AS sb, sig AS gb FROM g),
+          j AS (SELECT doc_a, doc_b,
+                       CAST(len(list_filter(list_zip(ga, gb), p__ -> p__[1] = p__[2])) AS BIGINT) AS matches,
+                       CAST(len(list_intersect(sa, sb)) AS BIGINT) AS inter,
+                       CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE) AS uni
+                FROM a JOIN b USING (doc_a)),
+          k2 AS (SELECT doc_a, doc_b, matches,
+                        CAST(matches AS DOUBLE) / ${D.d(16.0)} AS est,
+                        CAST(inter AS DOUBLE) / uni AS tru
+                 FROM j)
+          SELECT doc_a, doc_b, matches,
+                 ${duckR6("est")} AS est_jaccard,
+                 ${duckR6("tru")} AS true_jaccard,
+                 ${duckR6("abs(est - tru)")} AS abs_err
+          FROM k2
+          ORDER BY doc_a"""
+        }),
+
+      // Event-rate anomaly detection: hourly event counts z-scored
+      // against the corpus of hours — the ingest-monitoring alarm for a
+      // streaming pipeline (a stalled producer or a flood shows up as
+      // |z| >= 2 hours). Every statistic derives from exact integer
+      // sums, so both engines agree to the bit before any rounding.
+      Q("q_rate_anomaly",
+        (s, dir) => {
+          val e = tEvents(s, dir)
+            .withColumn("h", expr("(ts div 1000) div 3600000000"))
+          val hc = e.groupBy("h").agg(count(lit(1)).as("c"))
+          val st = hc.agg(count(lit(1)).cast("long").as("nh"),
+            sum(col("c")).cast("long").as("sc"),
+            sum(col("c") * col("c")).cast("long").as("scc"))
+          hc.crossJoin(broadcast(st))
+            .withColumn("mean", col("sc").cast("double") / col("nh").cast("double"))
+            .withColumn("std", sqrt(greatest(
+              col("scc").cast("double") / col("nh").cast("double") -
+                col("mean") * col("mean"), lit(0.0))))
+            .withColumn("z", when(col("std") === 0.0, lit(0.0))
+              .otherwise((col("c").cast("double") - col("mean")) / col("std")))
+            .where(abs(col("z")) >= 2.0)
+            .select(col("h").cast("long").as("hour"),
+              col("c").cast("long").as("n_events"), r6(col("z")).as("z"))
+            .orderBy("hour")
+        },
+        Some("""
+          WITH e AS (SELECT (epoch_us(ts) // 3600000000) AS h FROM events),
+          hc AS (SELECT h, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY h),
+          st AS (SELECT CAST(count(*) AS BIGINT) AS nh,
+                        CAST(sum(c) AS BIGINT) AS sc,
+                        CAST(sum(c * c) AS BIGINT) AS scc
+                 FROM hc),
+          zz AS (SELECT h, c,
+                        CAST(sc AS DOUBLE) / CAST(nh AS DOUBLE) AS mean,
+                        sqrt(greatest(CAST(scc AS DOUBLE) / CAST(nh AS DOUBLE) -
+                          (CAST(sc AS DOUBLE) / CAST(nh AS DOUBLE)) * (CAST(sc AS DOUBLE) / CAST(nh AS DOUBLE)),
+                          CAST(0.0 AS DOUBLE))) AS std
+                 FROM hc CROSS JOIN st)
+          SELECT CAST(h AS BIGINT) AS hour, c AS n_events,
+                 (round(CASE WHEN std = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+                             ELSE (CAST(c AS DOUBLE) - mean) / std END, 6) + CAST(0.0 AS DOUBLE)) AS z
+          FROM zz
+          WHERE abs(CASE WHEN std = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+                         ELSE (CAST(c AS DOUBLE) - mean) / std END) >= CAST(2.0 AS DOUBLE)
+          ORDER BY hour""")),
+
       // Search-quality NDCG@10: graded relevance (how many query terms a
       // chunk contains) scores the BM25 ranking against the ideal
       // ordering — the IR eval that closes the search loop (recall@k
