@@ -383,4 +383,32 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"small sides must broadcast:\n$plan")
   }
+
+  test("hardNegatives: queries broadcast, only (query,id,score) rows reach the exchange") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = formatted(Similarity.hardNegatives(
+      emb, emb.where($"vec_id" % 50 === 0), "vec_id", "embedding", "label", 3))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for scoring:\n$plan")
+    // the post-heap exchange carries the pruned triples, never vectors:
+    // no exchange argument mentions the embedding column
+    val exchanges = hashExchangeArgs(plan)
+    assert(exchanges.nonEmpty, s"expected the rank exchange:\n$plan")
+    assert(exchanges.forall(!_.contains("embedding")),
+      s"vectors must not transit the exchange:\n$exchanges")
+  }
+
+  test("sq8Ann: raw vectors never transit an exchange; shortlist joins broadcast") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = formatted(Similarity.sq8Ann(
+      emb, emb.where($"vec_id" < 3), "vec_id", "embedding",
+      "vec_id", "embedding", 3))
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"shortlist re-rank joins must broadcast, not shuffle the corpus:\n$plan")
+    val exchanges = hashExchangeArgs(plan)
+    assert(exchanges.forall(e => !e.contains("__cv") && !e.contains("__qv")),
+      s"raw vectors must not transit an exchange:\n$exchanges")
+  }
 }
