@@ -131,7 +131,9 @@ object Bench {
           // mixture (corpus unigram join + decimal mass aggregate), and
           // curriculum shards (the denseIds two-pass at 10x)
           "q_sq8_ann", "q_hard_negatives", "q_domain_mixture",
-          "q_curriculum_shards")
+          "q_curriculum_shards",
+          // iterative-graph, chunk-capstone and vocabulary-join witnesses
+          "q_hits", "q_contrastive_pairs", "q_term_drift")
         def timed(fn: String => Unit, dir: String, name: String): Double = {
           def once(): Double = {
             val t0 = System.nanoTime()

@@ -8600,6 +8600,33 @@ object QueryCatalog {
           FROM v
           ORDER BY doc_id""")),
 
+      // PII audit contexts: the +-10-char snippet around the first
+      // Luhn-valid card per affected doc, card redacted — the
+      // human-review table behind q_pii_cards' counts.
+      Q("q_pii_context",
+        (s, dir) =>
+          Governance.cardContexts(
+            t(s, dir, "documents")
+              .select(col("doc_id"), expr(cardBody(S)).as("body")),
+            "body", "doc_id")
+            .orderBy("doc_id"),
+        Some(s"""
+          WITH b AS (SELECT doc_id, ${cardBody(D)} AS body FROM documents),
+          c AS (SELECT doc_id, body,
+                       regexp_extract_all(body, '\\b[0-9]{13,19}\\b') AS cands
+                FROM b),
+          v AS (SELECT doc_id, body,
+                       ${D.filter("cands", "cx__", Exprs.luhnOk(D, "cx__"))} AS valid
+                FROM c),
+          f AS (SELECT doc_id, body, valid[1] AS card,
+                       strpos(body, valid[1]) AS pos
+                FROM v WHERE len(valid) > 0)
+          SELECT doc_id,
+                 replace(substr(body, greatest(pos - 10, 1), length(card) + 20),
+                         card, '<CARD>') AS snippet
+          FROM f
+          ORDER BY doc_id""")),
+
       // Secret/credential scan: provider-prefix count + Shannon entropy
       // over long base64-ish candidates (ops.Governance). Entropy is a
       // sorted-distinct sequential fold rounded to 6 decimals before the

@@ -63,6 +63,26 @@ object Governance {
         size(col("__valid")).cast("long").as("n_valid"),
         array_join(col("__valid"), ",").as("valid_cards"))
 
+  /** Audit-context extraction: for every document with at least one
+    * Luhn-valid card, the +-`window`-char snippet around the FIRST valid
+    * card with the card itself redacted — what a human reviewer of a PII
+    * audit table actually reads (the match alone cannot distinguish an
+    * invoice from a test vector; its surroundings can). Pure string
+    * expressions, per-row, no shuffle. Output: idCol, snippet. */
+  def cardContexts(df: DataFrame, textCol: String, idCol: String,
+                   window: Int = 10): DataFrame =
+    df.withColumn("__cands",
+        regexp_extract_all(col(textCol), lit(CardRe), lit(0)))
+      .withColumn("__valid",
+        expr(S.filter("__cands", "cx__", Exprs.luhnOk(S, "cx__"))))
+      .where(size(col("__valid")) > 0)
+      .withColumn("__card", element_at(col("__valid"), 1))
+      .withColumn("__pos", expr(s"instr($textCol, __card)"))
+      .withColumn("snippet", expr(
+        s"replace(substr($textCol, greatest(__pos - $window, 1), " +
+          s"length(__card) + ${2 * window}), __card, '<CARD>')"))
+      .select(col(idCol), col("snippet"))
+
   /** Secret scan: per document, provider-prefixed key count plus entropy
     * statistics over generic long-token candidates. `minEntropy` is
     * compared on the 6-decimal-rounded value so an engine's last-ulp
