@@ -9289,6 +9289,62 @@ object QueryCatalog {
           FROM v
           ORDER BY doc_id""")),
 
+      // Watermarked tumbling-window equivalence: eventsWindowed (1-hour
+      // event-time windows + 1-hour watermark, APPEND mode — only
+      // finalized windows emit) over 4 real micro-batches fed in
+      // event-time order, plus two sentinel batches that push the
+      // watermark past the last real window. The emitted set must
+      // hash-match the BATCH hourly aggregate (q_events_window's SQL):
+      // watermark bookkeeping, window finalization, and cross-batch
+      // state are all under the gate. Value sums are DECIMAL(18,2) so
+      // stream/batch accumulation order cannot diverge.
+      Q("q_stream_window_eq",
+        (s, dir) => {
+          import s.implicits._
+          val ss = streamSession(s)
+          implicit val sqlCtx = ss.sqlContext
+          val rows = tEvents(s, dir)
+            .select(expr("ts div 1000").as("tsu"), col("event_type"), col("value"))
+            .as[(Long, String, Double)].collect().sortBy(_._1)
+          val maxTsu = rows.map(_._1).max
+          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double)]
+          val name = s"q_stream_window_eq_${System.nanoTime()}"
+          val stream = in.toDS().toDF("tsu", "event_type", "value")
+            .withColumn("ts", expr("timestamp_micros(tsu)"))
+            .withColumn("value", col("value").cast("decimal(18,2)"))
+          val q = graft.streaming.StreamingIngest.eventsWindowed(stream, "1 hour")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+          try {
+            rows.grouped(math.max(1, (rows.length + 3) / 4)).foreach { b =>
+              in.addData(b.toSeq); q.processAllAvailable()
+            }
+            in.addData((maxTsu + 3L * 3600000000L, "__sentinel__", 0.0))
+            q.processAllAvailable()
+            in.addData((maxTsu + 4L * 3600000000L, "__sentinel__", 0.0))
+            q.processAllAvailable()
+          } finally {
+            q.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
+          val got = ss.table(name)
+            .select(col("event_type"),
+              expr("unix_micros(window.start) div 1000000").cast("long").as("hour_epoch"),
+              col("n").cast("long").as("n"),
+              col("sum_value").cast("double").as("sum_value"))
+            .as[(String, Long, Long, Double)].collect().toSeq
+          got.toDF("event_type", "hour_epoch", "n", "sum_value")
+            .orderBy("event_type", "hour_epoch")
+        },
+        Some("""
+          SELECT event_type,
+                 CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                 count(*) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          FROM events
+          GROUP BY event_type, hour_epoch
+          ORDER BY event_type, hour_epoch""")),
+
       // HITS hubs/authorities over a deterministic directed doc graph
       // (every doc links into the low-id "authority core" via two
       // modular edges) — the companion centrality to q_pagerank for
