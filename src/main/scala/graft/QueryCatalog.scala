@@ -9545,6 +9545,84 @@ object QueryCatalog {
           ORDER BY vec_id"""
         }),
 
+      // Quantization-error audit with percentile clipping: per dimension,
+      // int8 MSE under the raw symmetric scale (127/max|x| — one outlier
+      // wastes the whole code range) vs the p01/p99-clipped scale — the
+      // standard pre-quantization calibration a vector store runs before
+      // committing to int8. Exact order-statistic clip bounds (window
+      // rank over the per-dim sort), per-element errors round to 12
+      // decimals and sum as DECIMAL(38,12) — exact, order-independent.
+      Q("q_sq8_clip",
+        (s, dir) => {
+          import org.apache.spark.sql.expressions.Window
+          val xs = t(s, dir, "embeddings")
+            .select(explode(sequence(lit(1), lit(64))).as("dim"),
+              VectorF.toDoubleArray(col("embedding")).as("v"))
+            .select(col("dim").cast("long").as("dim"),
+              element_at(col("v"), col("dim").cast("int")).as("x"))
+          val w = Window.partitionBy("dim").orderBy(col("x"))
+          val ranked = xs.withColumn("rn", row_number().over(w))
+          val nPer = ranked.groupBy("dim").agg(count(lit(1)).as("n"))
+          val bounds = ranked.join(nPer, "dim")
+            .groupBy("dim")
+            .agg(
+              max(when(col("rn") === greatest(ceil(col("n") * 0.01), lit(1)).cast("int"),
+                col("x"))).as("lo"),
+              max(when(col("rn") === ceil(col("n") * 0.99).cast("int"),
+                col("x"))).as("hi"),
+              max(abs(col("x"))).as("xm"))
+          val errs = xs.join(bounds, "dim")
+            .withColumn("sr", lit(127.0) / col("xm"))
+            .withColumn("qr", floor(col("x") * col("sr") + lit(0.5)))
+            .withColumn("er",
+              round((col("x") - col("qr") / col("sr")) * (col("x") - col("qr") / col("sr")), 12))
+            .withColumn("xc", least(greatest(col("x"), col("lo")), col("hi")))
+            .withColumn("sc", lit(127.0) / greatest(abs(col("lo")), abs(col("hi"))))
+            .withColumn("qc", floor(col("xc") * col("sc") + lit(0.5)))
+            .withColumn("ec",
+              round((col("x") - col("qc") / col("sc")) * (col("x") - col("qc") / col("sc")), 12))
+          errs.groupBy("dim")
+            .agg(count(lit(1)).as("n"),
+              sum(col("er").cast("decimal(38,12)")).cast("double").as("ser"),
+              sum(col("ec").cast("decimal(38,12)")).cast("double").as("sec"))
+            .select(col("dim"),
+              (round(col("ser") / col("n").cast("double") * lit(1000000.0), 6) + lit(0.0))
+                .as("mse_raw_ppm"),
+              (round(col("sec") / col("n").cast("double") * lit(1000000.0), 6) + lit(0.0))
+                .as("mse_clip_ppm"))
+            .orderBy("dim")
+        },
+        Some("""
+          WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          xs AS (SELECT CAST(dim AS BIGINT) AS dim, v[CAST(dim AS INT)] AS x
+                 FROM e, unnest(range(1, 65)) AS t(dim)),
+          rk AS (SELECT dim, x,
+                        row_number() OVER (PARTITION BY dim ORDER BY x) AS rn,
+                        count(*) OVER (PARTITION BY dim) AS n
+                 FROM xs),
+          bounds AS (SELECT dim,
+                            max(CASE WHEN rn = CAST(greatest(ceil(n * 0.01), 1) AS INT) THEN x END) AS lo,
+                            max(CASE WHEN rn = CAST(ceil(n * 0.99) AS INT) THEN x END) AS hi,
+                            max(abs(x)) AS xm
+                     FROM rk GROUP BY dim),
+          er AS (SELECT xs.dim, xs.x, b.lo, b.hi,
+                        CAST(127.0 AS DOUBLE) / b.xm AS sr,
+                        CAST(127.0 AS DOUBLE) / greatest(abs(b.lo), abs(b.hi)) AS sc,
+                        least(greatest(xs.x, b.lo), b.hi) AS xc
+                 FROM xs JOIN bounds b ON xs.dim = b.dim),
+          er2 AS (SELECT dim,
+                         round((x - floor(x * sr + CAST(0.5 AS DOUBLE)) / sr) *
+                               (x - floor(x * sr + CAST(0.5 AS DOUBLE)) / sr), 12) AS e_raw,
+                         round((x - floor(xc * sc + CAST(0.5 AS DOUBLE)) / sc) *
+                               (x - floor(xc * sc + CAST(0.5 AS DOUBLE)) / sc), 12) AS e_clip
+                  FROM er)
+          SELECT dim,
+                 (round(CAST(sum(CAST(e_raw AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) * CAST(1000000.0 AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS mse_raw_ppm,
+                 (round(CAST(sum(CAST(e_clip AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) * CAST(1000000.0 AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS mse_clip_ppm
+          FROM er2
+          GROUP BY dim
+          ORDER BY dim""")),
+
       // SQ8 two-stage ANN (ops.Similarity.sq8Ann): int8 scalar-quantized
       // shortlist scored by the native codegen IntDotProduct (EXACT
       // integer accumulator — no float discipline needed), exact float
