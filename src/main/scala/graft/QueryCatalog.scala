@@ -9289,6 +9289,119 @@ object QueryCatalog {
           FROM v
           ORDER BY doc_id""")),
 
+      // Stream-static enrich equivalence: a streaming fact feed joined
+      // with a STATIC dimension table (StreamingIngest.enrichStream —
+      // the broadcast re-resolved per micro-batch, the Spark-native
+      // slowly-changing-dimension lookup) over 4 real micro-batches
+      // hash-matches the batch join.
+      Q("q_stream_enrich_eq",
+        (s, dir) => {
+          import s.implicits._
+          val ss = streamSession(s)
+          implicit val sqlCtx = ss.sqlContext
+          val rows = t(s, dir, "documents")
+            .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+            .as[(Long, Long)].collect().sortBy(_._1)
+          val meta = t(ss, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("source"))
+          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+          val name = s"q_stream_enrich_eq_${System.nanoTime()}"
+          val q = graft.streaming.StreamingIngest.enrichStream(
+              in.toDS().toDF("doc_id", "n_chars"), meta)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+          try {
+            rows.grouped(math.max(1, (rows.length + 3) / 4)).foreach { b =>
+              in.addData(b.toSeq); q.processAllAvailable()
+            }
+          } finally {
+            q.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
+          val got = ss.table(name)
+            .select(col("doc_id"), col("n_chars"), col("lang"), col("source"))
+            .as[(Long, Long, String, String)].collect().toSeq
+          got.toDF("doc_id", "n_chars", "lang", "source").orderBy("doc_id")
+        },
+        Some("""
+          SELECT doc_id, n_chars, lang, source
+          FROM documents
+          ORDER BY doc_id""")),
+
+      // Streaming JDBC upsert sink — exactly-once BY KEY through real
+      // retries: the chunk index streams in 4 micro-batches through
+      // foreachBatch -> Derby MERGE (writeGenericUpsert), with every
+      // batch RE-SENDING the tail of the previous one (the at-least-once
+      // delivery a restarted stream actually produces). The final table
+      // hash-matches the batch q_rag_index oracle — duplicate deliveries
+      // are absorbed by the keyed MERGE, which is the exactly-once
+      // argument a production keyed sink rests on.
+      Q("q_stream_jdbc_eq",
+        (s, dir) => {
+          import s.implicits._
+          import graft.index.JdbcVectorSink
+          val ss = streamSession(s)
+          implicit val sqlCtx = ss.sqlContext
+          val index = RagPipeline.buildIndex(tk(s, dir, "documents"))
+            .select(col("doc_id").cast("long"), col("chunk_idx").cast("long"),
+              col("chunk_id"), col("n_tokens").cast("long"),
+              VectorF.toDoubleArray(col("embedding")).as("embedding"))
+            .as[(Long, Long, String, Long, Seq[Double])]
+            .collect().sortBy(r => (r._1, r._2)).toSeq
+          val url = s"jdbc:derby:memory:graftst${System.nanoTime()};create=true"
+          val drv = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String, Long, Seq[Double])]
+          val q = in.toDS()
+            .toDF("doc_id", "chunk_idx", "chunk_id", "n_tokens", "embedding")
+            .writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              JdbcVectorSink.writeGenericUpsert(batch, url, "chunks", driver = drv)
+            }
+            .outputMode("append").start()
+          try {
+            val g = index.grouped(math.max(1, (index.length + 3) / 4)).toSeq
+            g.zipWithIndex.foreach { case (b, i) =>
+              // re-deliver the previous batch's last 5 rows: simulated
+              // retry overlap the MERGE must absorb
+              val redelivered = if (i == 0) b else g(i - 1).takeRight(5) ++ b
+              in.addData(redelivered); q.processAllAvailable()
+            }
+          } finally q.stop()
+          val back = s.read.format("jdbc").option("url", url)
+            .option("dbtable", "chunks").option("driver", drv).load()
+            .withColumn("emb", expr(
+              "transform(split(substring(embedding_vec, 2, length(embedding_vec) - 2), ','), x__ -> CAST(x__ AS DOUBLE))"))
+            .select(col("doc_id").cast("long").as("doc_id"),
+              col("chunk_idx").cast("long").as("chunk_idx"),
+              col("chunk_id"),
+              col("n_tokens").cast("long").as("n_tokens"),
+              r6(element_at(col("emb"), 1)).as("e1"),
+              r6(VectorF.dot(col("emb"),
+                expr("transform(sequence(1, 64), j__ -> CAST(j__ AS DOUBLE))"))).as("checksum"))
+            .orderBy("doc_id", "chunk_idx")
+          val rows = back.collect().toSeq
+          val schema = back.schema
+          try java.sql.DriverManager.getConnection(
+            url.replace(";create=true", ";drop=true"))
+          catch { case _: java.sql.SQLException => () }
+          s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](
+              scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+        },
+        Some {
+          val duckIndexed = duckEmbed(
+            s"(SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})",
+            "chunk_text", 64)
+          val weights = "list_transform(range(1, 65), j__ -> CAST(j__ AS DOUBLE))"
+          s"""
+          SELECT doc_id, chunk_idx, chunk_id,
+                 CAST(len(${D.splitWs("chunk_text")}) AS BIGINT) AS n_tokens,
+                 (round(emb[1], 6) + CAST(0.0 AS DOUBLE)) AS e1,
+                 (round(${D.dot("emb", weights)}, 6) + CAST(0.0 AS DOUBLE)) AS checksum
+          FROM $duckIndexed
+          ORDER BY doc_id, chunk_idx"""
+        }),
+
       // Watermarked tumbling-window equivalence: eventsWindowed (1-hour
       // event-time windows + 1-hour watermark, APPEND mode — only
       // finalized windows emit) over 4 real micro-batches fed in
@@ -9394,8 +9507,15 @@ object QueryCatalog {
               col("chunk_id"), col("embedding"))
             .withColumn("cid", col("doc_id") * lit(100000L) + col("chunk_idx"))
             .persist()
+          // BOUNDED anchor set (doc_id < 1000): the broadcast-heap shape
+          // is |anchors| x |corpus| — with anchors growing alongside the
+          // corpus it turns quadratic (measured 18x at 10x data). A
+          // bounded query set keeps it linear; mining negatives for
+          // EVERY doc at 100 TB goes through the LSH/IVF bucket joins
+          // (Dedup/Similarity), not this brute pass.
           val anchors = chunks
-            .where(col("chunk_idx") === 0 && col("doc_id") % 10 === 0)
+            .where(col("chunk_idx") === 0 && col("doc_id") % 10 === 0 &&
+              col("doc_id") < 1000)
           val neg = Similarity.hardNegatives(
               chunks.select(col("cid"), col("embedding"), col("doc_id")),
               anchors.select(col("cid"), col("embedding"), col("doc_id")),
@@ -9416,7 +9536,7 @@ object QueryCatalog {
           s"""
           WITH ch AS (SELECT doc_id, chunk_idx, chunk_id, emb FROM $duckIndexed),
           a AS (SELECT doc_id, emb AS aemb FROM ch
-                WHERE chunk_idx = 0 AND doc_id % 10 = 0),
+                WHERE chunk_idx = 0 AND doc_id % 10 = 0 AND doc_id < 1000),
           p AS (SELECT doc_id, chunk_id AS pos_chunk_id FROM ch WHERE chunk_idx = 1),
           scored AS (SELECT a.doc_id, c.chunk_id, c.doc_id AS ndoc, c.chunk_idx,
                             ${D.cosine("c.emb", "a.aemb")} AS score
