@@ -9006,6 +9006,131 @@ object QueryCatalog {
                          ELSE (CAST(c AS DOUBLE) - mean) / std END) >= CAST(2.0 AS DOUBLE)
           ORDER BY hour""")),
 
+      // Rank-biased overlap (Webber et al. 2010) between the BM25 and
+      // keyword rankers at depth 10, p = 0.9 — the ranker-agreement
+      // metric an IR team reads before swapping scorers. Each common id
+      // contributes the TAIL sum of RBO coefficients from its first
+      // depth of co-presence (max of its two ranks); tail sums are
+      // Scala-computed literals shared verbatim by both engines and
+      // accumulate as DECIMAL(28,12).
+      Q("q_rbo_rankers",
+        (s, dir) => {
+          import org.apache.spark.sql.expressions.Window
+          val terms = Seq("spark", "join", "stream")
+          val p = 0.9; val depth = 10
+          // tail(k) = sum_{d=k..D} (1-p) p^(d-1) / d, as a fixed literal
+          def tail(k: Int): String = {
+            val v = (k to depth).map(d => (1 - p) * math.pow(p, d - 1) / d).sum
+            java.math.BigDecimal.valueOf(v)
+              .setScale(12, java.math.RoundingMode.HALF_UP).toPlainString
+          }
+          val caseSql = (1 to depth)
+            .map(k => s"WHEN $k THEN CAST(${tail(k)} AS DOUBLE)")
+            .mkString("CASE greatest(ra, rb) ", " ", " ELSE CAST(0.0 AS DOUBLE) END")
+          val chunks = RagPipeline.buildChunks(tk(s, dir, "documents"))
+          def ranked(df: DataFrame, out: String) = df
+            .withColumn(out, row_number()
+              .over(Window.orderBy(desc("score"), col("chunk_id"))).cast("long"))
+            .select(col("chunk_id"), col(out))
+          val bm = ranked(Similarity.bm25TopK(
+            chunks, "chunk_text", "chunk_id", terms, depth), "ra")
+          val kw = ranked(Similarity.keywordTopK(
+            chunks, "chunk_text", "chunk_id", terms, depth), "rb")
+          bm.join(kw, "chunk_id")
+            .withColumn("__c", expr(caseSql).cast("decimal(28,12)"))
+            .agg(count(lit(1)).cast("long").as("n_common"),
+              sum(col("__c")).cast("double").as("rbo"))
+            .select(col("n_common"), r6(col("rbo")).as("rbo"))
+        },
+        Some {
+          val terms = Seq("spark", "join", "stream")
+          val p = 0.9; val depth = 10
+          def tail(k: Int): String = {
+            val v = (k to depth).map(d => (1 - p) * math.pow(p, d - 1) / d).sum
+            java.math.BigDecimal.valueOf(v)
+              .setScale(12, java.math.RoundingMode.HALF_UP).toPlainString
+          }
+          val caseSql = (1 to depth)
+            .map(k => s"WHEN $k THEN CAST(${tail(k)} AS DOUBLE)")
+            .mkString("CASE greatest(ra, rb) ", " ", " ELSE CAST(0.0 AS DOUBLE) END")
+          val tfs = terms.zipWithIndex.map { case (tm, i) =>
+            s"CAST(len(list_filter(toks, x -> x = '$tm')) AS DOUBLE) AS tf_$i"
+          }.mkString(", ")
+          val dfs = terms.zipWithIndex.map { case (tm, i) =>
+            s"sum(CASE WHEN list_contains(toks, '$tm') THEN 1 ELSE 0 END) AS df_$i"
+          }.mkString(", ")
+          val scoreSum = terms.indices.map { i =>
+            s"""(ln(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - CAST(df_$i AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df_$i AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                * (tf_$i * CAST(2.2 AS DOUBLE))
+                / (tf_$i + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)))"""
+          }.mkString(" + ")
+          val kwScore =
+            s"(CAST(len(list_filter(${D.strArray(terms)}, t__ -> list_contains(toks, t__))) AS DOUBLE) / ${terms.size})"
+          s"""
+          WITH ch AS (
+            SELECT chunk_id, ${D.splitWs("chunk_text")} AS toks
+            FROM (SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})),
+          st AS (SELECT count(*) AS n, sum(len(toks)) AS sumdl, $dfs FROM ch),
+          scored AS (
+            SELECT chunk_id, $tfs, CAST(len(toks) AS DOUBLE) AS dl,
+                   CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl,
+                   n, df_0, df_1, df_2
+            FROM ch, st),
+          bm AS (SELECT chunk_id,
+                        row_number() OVER (ORDER BY score DESC, chunk_id) AS ra
+                 FROM (SELECT chunk_id, $scoreSum AS score
+                       FROM scored ORDER BY score DESC, chunk_id LIMIT $depth)),
+          kw AS (SELECT chunk_id,
+                        row_number() OVER (ORDER BY score DESC, chunk_id) AS rb
+                 FROM (SELECT chunk_id, $kwScore AS score
+                       FROM ch ORDER BY score DESC, chunk_id LIMIT $depth))
+          SELECT CAST(count(*) AS BIGINT) AS n_common,
+                 ${duckR6(s"CAST(sum(CAST(($caseSql) AS DECIMAL(28,12))) AS DOUBLE)")} AS rbo
+          FROM bm JOIN kw USING (chunk_id)"""
+        }),
+
+      // Late-interaction retrieval (ops.Similarity.maxSimSearch): the
+      // ColBERT MaxSim paradigm — docs are BAGS of chunk vectors, each
+      // query token matches its best chunk independently, per-doc score
+      // = Σ round-6 maxes accumulated as DECIMAL(18,6). The third
+      // retrieval paradigm beside single-vector ANN and BM25.
+      Q("q_maxsim_search",
+        (s, dir) => {
+          val chunks = RagPipeline.buildIndex(tk(s, dir, "documents"))
+            .select(col("doc_id"), col("embedding"))
+          val terms = Seq("spark", "join", "stream")
+          val qv = graft.embed.HashingEmbedder(64).withEmbedding(
+            s.createDataFrame(
+              s.sparkContext.parallelize(terms.map(org.apache.spark.sql.Row(_))),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("qt",
+                  org.apache.spark.sql.types.StringType)))), "qt", "embedding")
+          Similarity.maxSimSearch(chunks, qv, "doc_id", "embedding",
+              "qt", "embedding", 10)
+            .select(col("doc_id"), r6(col("score")).as("score"))
+        },
+        Some {
+          val duckIndexed = duckEmbed(
+            s"(SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})",
+            "chunk_text", 64)
+          val duckQ = duckEmbed(
+            "(SELECT unnest(['spark', 'join', 'stream']) AS chunk_text)",
+            "chunk_text", 64)
+          s"""
+          WITH d AS (SELECT doc_id, emb FROM $duckIndexed),
+          q AS (SELECT chunk_text AS qt, emb AS qv FROM $duckQ),
+          m AS (SELECT d.doc_id, q.qt,
+                       max(${D.cosine("d.emb", "q.qv")}) AS mx
+                FROM d, q GROUP BY d.doc_id, q.qt),
+          sc AS (SELECT doc_id,
+                        CAST(sum(CAST((round(mx, 6) + ${D.d(0.0)}) AS DECIMAL(18,6))) AS DOUBLE) AS score
+                 FROM m GROUP BY doc_id)
+          SELECT doc_id, ${duckR6("score")} AS score
+          FROM sc
+          ORDER BY score DESC, doc_id
+          LIMIT 10"""
+        }),
+
       // Search-quality NDCG@10: graded relevance (how many query terms a
       // chunk contains) scores the BM25 ranking against the ideal
       // ordering — the IR eval that closes the search loop (recall@k

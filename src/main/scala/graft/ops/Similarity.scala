@@ -657,6 +657,40 @@ object Similarity {
       .select(col("query_id"), col(idCol), col("rank"), col("score"))
   }
 
+  /** Late-interaction (MaxSim / ColBERT-style) retrieval: a document is a
+    * BAG of chunk vectors and score(Q, d) = Σ_t max_{c ∈ d} cos(q_t, c) —
+    * each query token finds its best-matching chunk independently, which
+    * is what lets multi-aspect queries beat single-vector retrieval.
+    *
+    * Determinism: the per-(doc, token) max is over raw doubles (max is
+    * order-independent); the per-doc SUM over tokens rounds each max to
+    * 6 decimals first and accumulates as DECIMAL(18,6) — exact, so the
+    * ranking replays bit-for-bit in the oracle.
+    *
+    * Scale: query token vectors broadcast; one narrow scored pass over
+    * the chunk table, then two map-side-combinable aggregations keyed on
+    * (doc, token) and doc — chunk vectors never shuffle; only
+    * (doc, token, max) rows (|docs| x |Q| of them) reach an exchange.
+    * Output: docCol, score (double), top k by (score desc, doc). */
+  def maxSimSearch(chunks: DataFrame, queryVecs: DataFrame, docCol: String,
+                   vecCol: String, qIdCol: String, qVecCol: String,
+                   k: Int): DataFrame = {
+    val q = queryVecs.select(col(qIdCol).as("__qt"),
+      VectorF.toDoubleArray(col(qVecCol)).as("__qv"))
+    chunks.select(col(docCol), VectorF.toDoubleArray(col(vecCol)).as("__v"))
+      .crossJoin(broadcast(q))
+      .select(col(docCol), col("__qt"),
+        VectorF.cosine(col("__v"), col("__qv")).as("__cos"))
+      .groupBy(col(docCol), col("__qt"))
+      .agg(max(col("__cos")).as("__m"))
+      .select(col(docCol),
+        (round(col("__m"), 6) + lit(0.0)).cast("decimal(18,6)").as("__m6"))
+      .groupBy(col(docCol))
+      .agg(sum(col("__m6")).cast("double").as("score"))
+      .orderBy(desc("score"), col(docCol))
+      .limit(k)
+  }
+
   /** kNN label propagation: predict a label for every unlabeled vector by
     * majority vote of its k nearest LABELED neighbors — the standard
     * semi-supervised labeling pass a curation pipeline runs to spread a
