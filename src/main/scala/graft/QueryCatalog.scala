@@ -9006,6 +9006,83 @@ object QueryCatalog {
                          ELSE (CAST(c AS DOUBLE) - mean) / std END) >= CAST(2.0 AS DOUBLE)
           ORDER BY hour""")),
 
+      // Top-k per group: the best 3 documents per source by quality —
+      // the shape Spark optimizes with WindowGroupLimit (per-partition
+      // rank pruning BEFORE the exchange, so only k rows per group per
+      // task shuffle instead of every row sorting globally).
+      Q("q_topk_per_domain",
+        (s, dir) => {
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy("source")
+            .orderBy(desc("q6"), col("doc_id"))
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              r6(TextF.qualityScore(col("text"))).as("q6"))
+            .withColumn("rnk", row_number().over(w).cast("long"))
+            .where(col("rnk") <= 3)
+            .select(col("source"), col("rnk"), col("doc_id"), col("q6"))
+            .orderBy("source", "rnk")
+        },
+        Some {
+          val toks = D.splitWs("text")
+          val stopArr = D.strArray(TextF.StopEn)
+          val quality =
+            s"""least(CAST(len($toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+               + (CAST(len(list_filter($toks, t__ -> list_contains($stopArr, t__))) AS DOUBLE) / len($toks)) * CAST(0.3 AS DOUBLE)
+               + (CAST(1.0 AS DOUBLE) - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * CAST(0.3 AS DOUBLE)"""
+          s"""
+          WITH q AS (SELECT doc_id, source,
+                            (round($quality, 6) + ${D.d(0.0)}) AS q6
+                     FROM documents),
+          r AS (SELECT source, doc_id, q6,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY q6 DESC, doc_id) AS rnk
+                FROM q)
+          SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, q6
+          FROM r WHERE rnk <= 3
+          ORDER BY source, rnk"""
+        }),
+
+      // Percentile-rank normalization per language: quality scores are
+      // not comparable across languages (stopword lists bias en); the
+      // standard fix is within-group percent_rank, making thresholds
+      // language-fair. percent_rank = (rank-1)/(n-1) — exact integer
+      // arithmetic, deterministic ties on (q6, doc_id).
+      Q("q_quality_pctrank",
+        (s, dir) => {
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy("lang").orderBy(col("q6"), col("doc_id"))
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"),
+              r6(TextF.qualityScore(col("text"))).as("q6"))
+            .withColumn("rnk", row_number().over(w).cast("long"))
+            .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")).cast("long"))
+            .select(col("doc_id"), col("lang"), col("q6"),
+              r6((col("rnk") - 1).cast("double") /
+                greatest(col("n") - 1, lit(1L)).cast("double")).as("pct"))
+            .orderBy("doc_id")
+        },
+        Some {
+          val toks = D.splitWs("text")
+          val stopArr = D.strArray(TextF.StopEn)
+          val quality =
+            s"""least(CAST(len($toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+               + (CAST(len(list_filter($toks, t__ -> list_contains($stopArr, t__))) AS DOUBLE) / len($toks)) * CAST(0.3 AS DOUBLE)
+               + (CAST(1.0 AS DOUBLE) - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * CAST(0.3 AS DOUBLE)"""
+          s"""
+          WITH q AS (SELECT doc_id, lang,
+                            (round($quality, 6) + ${D.d(0.0)}) AS q6
+                     FROM documents),
+          r AS (SELECT doc_id, lang, q6,
+                       row_number() OVER (PARTITION BY lang ORDER BY q6, doc_id) AS rnk,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM q)
+          SELECT doc_id, lang, q6,
+                 ${duckR6("CAST(rnk - 1 AS DOUBLE) / CAST(greatest(n - 1, 1) AS DOUBLE)")} AS pct
+          FROM r
+          ORDER BY doc_id"""
+        }),
+
       // Rank-biased overlap (Webber et al. 2010) between the BM25 and
       // keyword rankers at depth 10, p = 0.9 — the ranker-agreement
       // metric an IR team reads before swapping scorers. Each common id
