@@ -9006,6 +9006,128 @@ object QueryCatalog {
                          ELSE (CAST(c AS DOUBLE) - mean) / std END) >= CAST(2.0 AS DOUBLE)
           ORDER BY hour""")),
 
+      // Robust outlier detection per language: median + MAD (median
+      // absolute deviation) over doc lengths, flag |x - med| > 3*MAD —
+      // the outlier rule that, unlike mean/std, a handful of giant docs
+      // cannot drag. Lengths are integers, medians are exact order
+      // statistics (lower median), so EVERYTHING is integer arithmetic.
+      Q("q_mad_outliers",
+        (s, dir) => {
+          import org.apache.spark.sql.expressions.Window
+          val base = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+            col("n_chars"))
+          val w1 = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+          val med = base
+            .withColumn("rn", row_number().over(w1))
+            .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+            .groupBy("lang")
+            .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("n_chars"))).as("med"))
+          val dev = base.join(med, "lang")
+            .withColumn("dev", abs(col("n_chars") - col("med")))
+          val w2 = Window.partitionBy("lang").orderBy(col("dev"), col("doc_id"))
+          val mad = dev
+            .withColumn("rn", row_number().over(w2))
+            .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+            .groupBy("lang")
+            .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("dev"))).as("mad"))
+          dev.join(mad, "lang")
+            .groupBy("lang")
+            .agg(count(lit(1)).cast("long").as("n_docs"),
+              max(col("med")).cast("long").as("med"),
+              max(col("mad")).cast("long").as("mad"),
+              sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L))
+                .cast("long").as("n_outliers"))
+            .orderBy("lang")
+        },
+        Some("""
+          WITH b AS (SELECT doc_id, lang, n_chars FROM documents),
+          r1 AS (SELECT lang, n_chars, doc_id,
+                        row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+                        count(*) OVER (PARTITION BY lang) AS n
+                 FROM b),
+          med AS (SELECT lang, max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS med
+                  FROM r1 GROUP BY lang),
+          dev AS (SELECT b.lang, b.doc_id, b.n_chars, abs(b.n_chars - m.med) AS dev, m.med
+                  FROM b JOIN med m ON b.lang = m.lang),
+          r2 AS (SELECT lang, dev, doc_id,
+                        row_number() OVER (PARTITION BY lang ORDER BY dev, doc_id) AS rn,
+                        count(*) OVER (PARTITION BY lang) AS n
+                 FROM dev),
+          mad AS (SELECT lang, max(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
+                  FROM r2 GROUP BY lang)
+          SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(max(d.med) AS BIGINT) AS med,
+                 CAST(max(m.mad) AS BIGINT) AS mad,
+                 CAST(sum(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          FROM dev d JOIN mad m ON d.lang = m.lang
+          GROUP BY d.lang
+          ORDER BY d.lang""")),
+
+      // Quality-signal correlation audit: Pearson correlation between the
+      // integer signal counts (tokens, stopword hits, doc chars)
+      // from EXACT BIGINT moment sums — redundant signals waste filter
+      // capacity, anti-correlated ones disagree; this is the audit that
+      // decides which signals a composed filter keeps.
+      Q("q_signal_corr",
+        (s, dir) => {
+          val base = t(s, dir, "documents").select(
+            size(TextF.tokens(col("text"))).cast("long").as("s1"),
+            TextF.stopHits(TextF.tokens(col("text")), TextF.StopEn)
+              .cast("long").as("s2"),
+            col("n_chars").cast("long").as("s3"))
+          val m = base.agg(
+            count(lit(1)).cast("long").as("n"),
+            sum(col("s1")).cast("long").as("a1"),
+            sum(col("s2")).cast("long").as("a2"),
+            sum(col("s3")).cast("long").as("a3"),
+            sum(col("s1") * col("s1")).cast("long").as("q11"),
+            sum(col("s2") * col("s2")).cast("long").as("q22"),
+            sum(col("s3") * col("s3")).cast("long").as("q33"),
+            sum(col("s1") * col("s2")).cast("long").as("q12"),
+            sum(col("s1") * col("s3")).cast("long").as("q13"),
+            sum(col("s2") * col("s3")).cast("long").as("q23"))
+          def corr(n: org.apache.spark.sql.Column, sx: org.apache.spark.sql.Column,
+                   sy: org.apache.spark.sql.Column, sxx: org.apache.spark.sql.Column,
+                   syy: org.apache.spark.sql.Column, sxy: org.apache.spark.sql.Column) = {
+            val nd = n.cast("double")
+            (nd * sxy.cast("double") - sx.cast("double") * sy.cast("double")) /
+              (sqrt(nd * sxx.cast("double") - sx.cast("double") * sx.cast("double")) *
+                sqrt(nd * syy.cast("double") - sy.cast("double") * sy.cast("double")))
+          }
+          m.select(
+            r6(corr(col("n"), col("a1"), col("a2"), col("q11"), col("q22"), col("q12"))).as("corr_tok_stop"),
+            r6(corr(col("n"), col("a1"), col("a3"), col("q11"), col("q33"), col("q13"))).as("corr_tok_chars"),
+            r6(corr(col("n"), col("a2"), col("a3"), col("q22"), col("q33"), col("q23"))).as("corr_stop_chars"))
+        },
+        Some {
+          val toks = D.splitWs("text")
+          val stopArr = D.strArray(TextF.StopEn)
+          def c(sx: String, sy: String, sxx: String, syy: String, sxy: String) =
+            s"""((CAST(n AS DOUBLE) * CAST($sxy AS DOUBLE) - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE)) /
+                (sqrt(CAST(n AS DOUBLE) * CAST($sxx AS DOUBLE) - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE)) *
+                 sqrt(CAST(n AS DOUBLE) * CAST($syy AS DOUBLE) - CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE))))"""
+          s"""
+          WITH b AS (
+            SELECT CAST(len($toks) AS BIGINT) AS s1,
+                   CAST(len(list_filter($toks, t__ -> list_contains($stopArr, t__))) AS BIGINT) AS s2,
+                   CAST(n_chars AS BIGINT) AS s3
+            FROM documents),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(s1) AS BIGINT) AS a1, CAST(sum(s2) AS BIGINT) AS a2,
+                       CAST(sum(s3) AS BIGINT) AS a3,
+                       CAST(sum(s1 * s1) AS BIGINT) AS q11,
+                       CAST(sum(s2 * s2) AS BIGINT) AS q22,
+                       CAST(sum(s3 * s3) AS BIGINT) AS q33,
+                       CAST(sum(s1 * s2) AS BIGINT) AS q12,
+                       CAST(sum(s1 * s3) AS BIGINT) AS q13,
+                       CAST(sum(s2 * s3) AS BIGINT) AS q23
+                FROM b)
+          SELECT ${duckR6(c("a1", "a2", "q11", "q22", "q12"))} AS corr_tok_stop,
+                 ${duckR6(c("a1", "a3", "q11", "q33", "q13"))} AS corr_tok_chars,
+                 ${duckR6(c("a2", "a3", "q22", "q33", "q23"))} AS corr_stop_chars
+          FROM m"""
+        }),
+
       // Top-k per group: the best 3 documents per source by quality —
       // the shape Spark optimizes with WindowGroupLimit (per-partition
       // rank pruning BEFORE the exchange, so only k rows per group per
