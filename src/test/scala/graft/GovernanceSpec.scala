@@ -81,6 +81,24 @@ class GovernanceSpec extends AnyFunSuite {
     assert(!got.map(_.getLong(1)).contains(1L), "same-label vector leaked in")
   }
 
+  test("maxSimSearch: each query token matches its best chunk independently") {
+    // doc 1 has two chunks each aligned to a different query token; doc 2
+    // has one chunk weakly matching both — MaxSim must rank doc 1 first
+    // (sum of two strong maxes beats one mediocre chunk twice)
+    val chunks = Seq(
+      (1L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.7f, 0.7f))
+    ).toDF("doc_id", "embedding")
+    val qv = Seq(("qa", Array(1.0f, 0.0f)), ("qb", Array(0.0f, 1.0f)))
+      .toDF("qt", "embedding")
+    val got = Similarity.maxSimSearch(chunks, qv, "doc_id", "embedding",
+        "qt", "embedding", 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.head._1 == 1L && got.head._2 == 2.0, s"perfect two-max doc wins: $got")
+    // doc 2: cos((0.7,0.7),(1,0)) = 0.707107 for each token
+    assert(math.abs(got(1)._2 - 2 * 0.707107) < 1e-6, s"doc 2 score: $got")
+  }
+
   test("domainMixtureWeights: baseline domain gets 0, weights sum to 1") {
     val df = Seq(
       ("a", 1.0), ("a", 1.0),       // easiest domain -> excess 0
