@@ -133,7 +133,11 @@ object Bench {
           "q_sq8_ann", "q_hard_negatives", "q_domain_mixture",
           "q_curriculum_shards",
           // iterative-graph, chunk-capstone and vocabulary-join witnesses
-          "q_hits", "q_contrastive_pairs", "q_term_drift")
+          "q_hits", "q_contrastive_pairs", "q_term_drift",
+          // round-7 session 2: degree-ordered triangle counting (the
+          // skew-sensitive wedge join), seeded PPR, and the fixed-round
+          // k-core peel on the same graph
+          "q_triangles", "q_ppr", "q_kcore")
         def timed(fn: String => Unit, dir: String, name: String): Double = {
           def once(): Double = {
             val t0 = System.nanoTime()

@@ -10159,11 +10159,452 @@ object QueryCatalog {
     )
   }
 
+  // =========================================================================
+  // Graph structure + behavioral analytics (round 7: triangles, PPR,
+  // cohort retention, SCD2, EWMA, Welch z, incremental merge, phrase search)
+  // =========================================================================
+  private def analyticsOps: Seq[Q] = {
+    // Similarity graph for the structure operators: sign-bucket LSH pairs
+    // over the embeddings, both directions. The STRUCTURE fixture uses 4
+    // sign bits + cosine >= 0.1 — avg degree ~10 at sf0.01, so triangles /
+    // k-cores / communities / assortativity exercise real structure (the
+    // q_pagerank fixture's 8-bit/0.3 graph is nearly edgeless here: max
+    // degree 2, which would make every structure oracle trivially green).
+    def nearDupEdges(s: SparkSession, dir: String, signBits: Int,
+                     thr: Double): DataFrame = {
+      val emb = t(s, dir, "embeddings")
+      val pairs = graft.ops.Dedup
+        .embeddingNearDupPairs(emb, "vec_id", "embedding", signBits, thr)
+        .select(col("id_a"), col("id_b"))
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    }
+    def duckNearDupEdgesAt(signBits: Int, thr: Double): String = {
+      val bk = s"""(SELECT vec_id, v,
+             array_to_string(list_transform(v[1:$signBits],
+               x__ -> CASE WHEN x__ >= CAST(0.0 AS DOUBLE) THEN '1' ELSE '0' END), '') AS bucket
+           FROM $duckEmbTable)"""
+      s"""(SELECT a.vec_id AS src, b.vec_id AS dst
+           FROM $bk a JOIN $bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+           WHERE ${D.cosine("a.v", "b.v")} >= ${D.d(thr)})"""
+    }
+    def structureEdges(s: SparkSession, dir: String): DataFrame =
+      nearDupEdges(s, dir, 4, 0.1)
+    val duckNearDupEdges: String = duckNearDupEdgesAt(4, 0.1)
+    val duckDocToks =
+      s"(SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents)"
+    // events with a REAL timestamp ts regardless of how the testdata
+    // shipped it (ns-as-long or us) — tEvents normalizes to Long nanos,
+    // converted back to a microsecond timestamp here; the oracle casts the
+    // raw column to the same microsecond TIMESTAMP.
+    def evT(s: SparkSession, dir: String): DataFrame =
+      tEvents(s, dir).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val duckEvents =
+      """(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                 event_type, value FROM events)"""
+
+    Seq(
+      // Per-node triangle count + local clustering coefficient on the
+      // near-dup graph — the cluster-density signal behind "is this dup
+      // cluster a clique (true near-dups) or a chain (LSH accident)".
+      // Degree-ordered orientation caps wedge generation at O(m^1.5)
+      // independent of skew; every exchange carries (long, long[, long]).
+      Q("q_triangles",
+        (s, dir) =>
+          graft.ops.Graph.triangles(structureEdges(s, dir))
+            .select(col("id").as("vec_id"), col("degree"), col("n_tri"),
+              col("clustering"))
+            .orderBy("vec_id"),
+        Some(s"""
+          SELECT id AS vec_id, degree, n_tri, clustering FROM (
+            ${graft.ops.Graph.trianglesOracleSql(duckNearDupEdges)}
+          ) ORDER BY vec_id""")),
+
+      // Personalized PageRank from a seed set (every 50th vector) — the
+      // "related to THESE pages" centrality (crawl frontier priority,
+      // related-item ranking). Same audited linear-iteration shape as
+      // q_pagerank; restart mass lands only on seeds.
+      Q("q_ppr",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          graft.ops.Graph.personalizedPageRank(
+              emb.select(col("vec_id").as("id")),
+              structureEdges(s, dir),
+              emb.where(col("vec_id") % 50 === 0)
+                .select(col("vec_id").as("id")),
+              5, 0.85)
+            .select(col("id").as("vec_id"), col("rank"))
+            .orderBy("vec_id")
+        },
+        Some(s"""
+          SELECT id AS vec_id, rank FROM (
+            ${graft.ops.Graph.pprOracleSql(
+              "(SELECT vec_id AS id FROM embeddings)",
+              duckNearDupEdges,
+              "(SELECT vec_id AS id FROM embeddings WHERE vec_id % 50 = 0)",
+              5, 0.85)}
+          ) ORDER BY vec_id""")),
+
+      // Weekly cohort retention triangle over the event log: cohort by
+      // first-signup week, distinct active users per (cohort, offset).
+      Q("q_retention_cohort",
+        (s, dir) =>
+          graft.ops.Analytics.retentionCohort(
+              evT(s, dir), "user_id", "ts", "event_type", "signup")
+            .orderBy("cohort_week", "offset_weeks"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.retentionCohortOracleSql(
+              duckEvents, "user_id", "ts", "event_type", "signup")}
+          ) ORDER BY cohort_week, offset_weeks""")),
+
+      // SCD2 dimension history from the event change-log: per-user runs of
+      // equal event_type collapse to validity intervals — the warehouse
+      // MERGE loop as one windowed linear plan.
+      Q("q_scd2",
+        (s, dir) =>
+          graft.ops.Analytics.scd2History(
+              evT(s, dir), "user_id", "ts", "event_id", "event_type")
+            .orderBy("user_id", "version"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.scd2HistoryOracleSql(
+              duckEvents, "user_id", "ts", "event_id", "event_type")}
+          ) ORDER BY user_id, version""")),
+
+      // Bounded-history EWMA per user (α=0.25 over the last 16 events):
+      // per-key state is a fixed-size array by construction — hot keys
+      // cannot blow up a task; the fold is the same IEEE op order as
+      // DuckDB's list_reduce, so the smoothed value is bit-exact.
+      Q("q_ewma_user",
+        (s, dir) =>
+          graft.ops.Analytics.ewmaSmooth(
+              evT(s, dir), "user_id", "ts", "event_id", "value",
+              0.25, 16)
+            .orderBy("user_id"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.ewmaSmoothOracleSql(
+              duckEvents, "user_id", "ts", "event_id", "value", 0.25, 16)}
+          ) ORDER BY user_id""")),
+
+      // Streaming EWMA == batch EWMA: the bounded last-16 buffer lives in
+      // the state store across 4 REAL micro-batches; far-future sentinel
+      // batches advance the watermark so EventTimeTimeout flushes every
+      // key's final value, which hash-matches the BATCH oracle (same SQL
+      // as q_ewma_user). Cross-batch buffer maintenance is under the hash.
+      Q("q_stream_ewma_eq",
+        (s, dir) => {
+          import s.implicits._
+          import graft.streaming.StreamingEwma
+          import graft.streaming.StreamingEwma.{EwmaOut, VEvent}
+          val ss = streamSession(s)
+          implicit val sqlCtx = ss.sqlContext
+          def tsOf(usv: Long) = java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(usv / 1000000L, (usv % 1000000L) * 1000L))
+          val evs = tEvents(s, dir)
+            .select(col("user_id").cast("long"), expr("ts div 1000").as("tsus"),
+              col("event_id").cast("long"), col("value").cast("double"))
+            .as[(Long, Long, Long, Double)].collect()
+            .sortBy { case (_, tsus, eid, _) => (tsus, eid) }
+            .map { case (u, tsus, eid, v) => VEvent(u, tsOf(tsus), eid, v) }
+          // quiet window LARGER than the fixture's 30-day span: sorted
+          // micro-batch slices jump the watermark ~7.5 days at a time, and
+          // a smaller quiet window would fire mid-stream timeouts that
+          // emit partial buffers and reset state (seen as 558 rows for 150
+          // keys). Sentinel sits past last-event + quiet so every key
+          // flushes exactly once, at the end.
+          val quiet = 35L * 86400000000L
+          val sentinelUs = evs.map(e => e.ts.getTime).max * 1000L +
+            40L * 86400000000L
+          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[VEvent]
+          val name = s"q_stream_ewma_eq_${System.nanoTime()}"
+          val q = StreamingEwma.ewmaStream(
+              in.toDS().withWatermark("ts", "0 seconds"),
+              alpha = 0.25, lastN = 16, quietUs = quiet)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+          try {
+            evs.grouped(math.max(1, (evs.length + 3) / 4)).foreach { b =>
+              in.addData(b.toSeq); q.processAllAvailable()
+            }
+            in.addData(VEvent(-1L, tsOf(sentinelUs), 0L, 0.0)); q.processAllAvailable()
+            in.addData(VEvent(-1L, tsOf(sentinelUs + 1000000L), 1L, 0.0)); q.processAllAvailable()
+          } finally {
+            q.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
+          ss.table(name).as[EwmaOut].collect().toSeq.filter(_.user_id >= 0)
+            .toDF("user_id", "n_obs", "ewma")
+            .orderBy("user_id")
+        },
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.ewmaSmoothOracleSql(
+              duckEvents, "user_id", "ts", "event_id", "value", 0.25, 16)}
+          ) ORDER BY user_id""")),
+
+      // Welch two-sample z between click and purchase values from EXACT
+      // decimal moment sums — the A/B significance read as one map-combined
+      // scan; a single row crosses the final exchange.
+      Q("q_ab_ztest",
+        (s, dir) =>
+          graft.ops.Analytics.welchZTest(
+            evT(s, dir), "event_type", "value", "click", "purchase"),
+        Some(graft.ops.Analytics.welchZTestOracleSql(
+          duckEvents, "event_type", "value", "click", "purchase"))),
+
+      // Incremental aggregation: base-slice partials (< Jan 20) merged with
+      // delta-slice partials must EQUAL the full recompute (the oracle) —
+      // the exactness guarantee behind never rescanning history in a
+      // 100 TB metrics store. Counts + decimal sums are associative
+      // partial states; emitted as DOUBLE like every money sum here.
+      Q("q_incremental_agg",
+        (s, dir) => {
+          import graft.ops.Analytics
+          val ev = evT(s, dir)
+          val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+          val base = Analytics.dailyPartials(
+            ev.where(col("ts") < cutoff), "event_type", "ts", "value")
+          val delta = Analytics.dailyPartials(
+            ev.where(col("ts") >= cutoff), "event_type", "ts", "value")
+          Analytics.mergePartials(base.unionAll(delta))
+            .select(col("event_type"), col("day"), col("n_events"),
+              col("total").cast("double").as("total"))
+            .orderBy("event_type", "day")
+        },
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.dailyPartialsOracleSql(
+              duckEvents, "event_type", "ts", "value")}
+          ) ORDER BY event_type, day""")),
+
+      // Degree assortativity of the near-dup graph: one number — do
+      // high-degree near-dup hubs link to other hubs (template families)
+      // or to leaves (boilerplate radiating into unique docs)? Exact
+      // DECIMAL(38,0) moment sums; a single row crosses the exchange.
+      Q("q_assortativity",
+        (s, dir) =>
+          graft.ops.Graph.assortativity(structureEdges(s, dir)),
+        Some(graft.ops.Graph.assortativityOracleSql(duckNearDupEdges))),
+
+      // First-order Markov transition matrix over per-user event
+      // sequences — "what happens after a click". One user-partitioned
+      // lead() window, then a |types|²-key aggregation.
+      Q("q_event_transitions",
+        (s, dir) =>
+          graft.ops.Analytics.eventTransitions(
+              evT(s, dir), "user_id", "ts", "event_id", "event_type")
+            .orderBy("from_type", "to_type"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.eventTransitionsOracleSql(
+              duckEvents, "user_id", "ts", "event_id", "event_type")}
+          ) ORDER BY from_type, to_type""")),
+
+      // Pairwise association rules over per-(user, day) baskets of event
+      // types: support / confidence / lift from exact basket counts —
+      // the market-basket read. Pair fan-out bounded by the tiny type
+      // domain, never by basket-row count.
+      Q("q_assoc_rules",
+        (s, dir) =>
+          graft.ops.Analytics.assocRules(
+              evT(s, dir), "user_id", "ts", "event_type")
+            .orderBy("item_a", "item_b"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.assocRulesOracleSql(
+              duckEvents, "user_id", "ts", "event_type")}
+          ) ORDER BY item_a, item_b""")),
+
+      // Per-language Gini concentration of document token counts — is a
+      // language's token mass dominated by a few huge docs? Rank window
+      // per language (no global sort), Σ i·xᵢ in DECIMAL(38,0).
+      Q("q_gini_lang",
+        (s, dir) =>
+          graft.ops.Analytics.giniByGroup(
+              t(s, dir, "documents"), "lang", "doc_id",
+              size(TextF.tokens(col("text"))))
+            .orderBy("lang"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.giniByGroupOracleSql(
+              "documents", "lang", "doc_id",
+              s"len(${D.splitWs("text")})")}
+          ) ORDER BY lang""")),
+
+      // Last-touch revenue attribution: each purchase attributes to the
+      // user's latest click within 7 days via the NATIVE as-of operator
+      // (AsOfJoinExec + tolerance), then rolls up attributed vs organic
+      // revenue per day — the composition that turns the as-of primitive
+      // into the marketing report. Oracle replays it through DuckDB's own
+      // ASOF LEFT JOIN: two independent as-of engines under one hash.
+      Q("q_attribution",
+        (s, dir) => {
+          import graft.ops.TemporalJoins
+          val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
+          val clicks = ev.where(col("event_type") === "click")
+            .groupBy(col("user_id"), col("tsu").as("ctsu"))
+            .agg(max(col("event_id")).as("click_id"))
+            .withColumn("click_ts", col("ctsu"))
+          val purch = ev.where(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("tsu"),
+              col("value"))
+          TemporalJoins.asofBackwardTolerance(purch, clicks, "user_id",
+              "tsu", "ctsu", Seq("click_id", "click_ts"), "click_ts",
+              tolerance = 604800000000L)
+            .groupBy(to_date(timestamp_micros(col("tsu"))).as("day"))
+            .agg(count(lit(1)).cast("long").as("n_purchases"),
+              sum(when(col("click_id").isNotNull, lit(1L)).otherwise(lit(0L)))
+                .cast("long").as("n_attributed"),
+              sum(when(col("click_id").isNotNull,
+                round(col("value"), 2).cast("decimal(18,2)")))
+                .cast("double").as("attributed_rev"),
+              sum(when(col("click_id").isNull,
+                round(col("value"), 2).cast("decimal(18,2)")))
+                .cast("double").as("organic_rev"))
+            .orderBy("day")
+        },
+        Some("""
+          WITH l AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value
+                     FROM events WHERE event_type = 'purchase'),
+          r AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ctsu,
+                       max(event_id) AS click_id
+                FROM events WHERE event_type = 'click'
+                GROUP BY user_id, epoch_us(CAST(ts AS TIMESTAMP))),
+          j AS (SELECT l.tsu, l.value,
+                       CASE WHEN r.ctsu IS NOT NULL AND l.tsu - r.ctsu <= 604800000000
+                            THEN r.click_id END AS click_id
+                FROM l ASOF LEFT JOIN r
+                  ON l.user_id = r.user_id AND l.tsu >= r.ctsu)
+          SELECT CAST(make_timestamp(tsu) AS DATE) AS day,
+                 CAST(count(*) AS BIGINT) AS n_purchases,
+                 CAST(sum(CASE WHEN click_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+                 CAST(sum(CASE WHEN click_id IS NOT NULL
+                               THEN CAST(round(value, 2) AS DECIMAL(18,2)) END) AS DOUBLE) AS attributed_rev,
+                 CAST(sum(CASE WHEN click_id IS NULL
+                               THEN CAST(round(value, 2) AS DECIMAL(18,2)) END) AS DOUBLE) AS organic_rev
+          FROM j
+          GROUP BY day
+          ORDER BY day""")),
+
+      // KMV key-overlap estimate between orders and customer custkeys —
+      // "how many distinct keys do these join sides share" WITHOUT
+      // joining: two bounded sketches (≤ 256 doubles each cross the
+      // wire), driver-side merge, vs the exact distinct intersection.
+      // The join-planning statistic in the eval suite next to
+      // q_kmv_distinct / q_sketch_error.
+      Q("q_join_overlap_est",
+        (s, dir) => {
+          import graft.ops.Sketches
+          val o = t(s, dir, "orders")
+          val c = t(s, dir, "customer")
+          val ov = Sketches.kmvOverlap(o, "o_custkey", c, "c_custkey", 256)
+          val exact = o.select(col("o_custkey").as("kk")).distinct()
+            .join(c.select(col("c_custkey").as("kk")).distinct(),
+              Seq("kk"), "left_semi")
+            .agg(count(lit(1)).as("exact"))
+          ov.crossJoin(broadcast(exact))
+            .select(r6(col("est_inter")).as("est_inter"),
+              col("n_union_hashes").cast("long").as("n_union_hashes"),
+              r6(col("jaccard")).as("jaccard"),
+              col("exact").cast("long").as("exact"),
+              r6(abs(col("est_inter") - col("exact").cast("double")) /
+                col("exact").cast("double")).as("rel_err"))
+        },
+        Some(s"""
+          WITH ua AS (SELECT DISTINCT ${D.md5Uniform(D.castStr("o_custkey"))} AS u
+                      FROM orders WHERE o_custkey IS NOT NULL),
+          ub AS (SELECT DISTINCT ${D.md5Uniform(D.castStr("c_custkey"))} AS u
+                 FROM customer WHERE c_custkey IS NOT NULL),
+          un AS (SELECT u FROM (SELECT u FROM ua UNION SELECT u FROM ub) t__
+                 ORDER BY u LIMIT 256),
+          s AS (SELECT CAST(count(*) AS BIGINT) AS n, max(u) AS uk FROM un),
+          cm AS (SELECT CAST(count(*) AS BIGINT) AS c FROM un
+                 WHERE u IN (SELECT u FROM ua) AND u IN (SELECT u FROM ub)),
+          e AS (SELECT CAST(count(*) AS BIGINT) AS exact
+                FROM (SELECT DISTINCT o_custkey AS kk FROM orders) oo
+                JOIN (SELECT DISTINCT c_custkey FROM customer) cc
+                  ON oo.kk = cc.c_custkey),
+          est0 AS (SELECT
+              (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+                (CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+                      ELSE ${D.d(255.0)} / uk END) AS est,
+              n, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS jacc, exact
+            FROM s, cm, e)
+          SELECT ${duckR6("est")} AS est_inter, n AS n_union_hashes,
+                 ${duckR6("jacc")} AS jaccard, exact,
+                 ${duckR6("abs(est - CAST(exact AS DOUBLE)) / CAST(exact AS DOUBLE)")} AS rel_err
+          FROM est0""")),
+
+      // 3-core of the near-dup graph after 6 fixed peel rounds: the
+      // dense-template-family extractor (chains and pendants peel away).
+      // BOTH engines run exactly 6 rounds, so the hash matches whether or
+      // not the peel converged; each round's edge set is persisted
+      // (lazy chaining is the 3^rounds planning trap).
+      Q("q_kcore",
+        (s, dir) =>
+          graft.ops.Graph.kCore(structureEdges(s, dir), 3, 6)
+            .select(col("id").as("vec_id"), col("degree"))
+            .orderBy("vec_id"),
+        Some(s"""
+          SELECT id AS vec_id, degree FROM (
+            ${graft.ops.Graph.kCoreOracleSql(duckNearDupEdges, 3, 6)}
+          ) ORDER BY vec_id""")),
+
+      // Synchronous label-propagation communities on the near-dup graph
+      // (4 fixed rounds, min-label tie-break — deterministic, no random
+      // visit order): the lighter-weight community signal next to exact
+      // connected components; the argmax is max(struct(n, −label)), no
+      // window.
+      Q("q_lpa_communities",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          graft.ops.Graph.labelPropagation(
+              emb.select(col("vec_id").as("id")), structureEdges(s, dir), 4)
+            .select(col("id").as("vec_id"), col("label").as("community"))
+            .orderBy("vec_id")
+        },
+        Some(s"""
+          SELECT id AS vec_id, label AS community FROM (
+            ${graft.ops.Graph.labelPropagationOracleSql(
+              "(SELECT vec_id AS id FROM embeddings)", duckNearDupEdges, 4)}
+          ) ORDER BY vec_id""")),
+
+      // Top user journeys: first 5 event types of each (user, day)
+      // session, counted across sessions — the path-frequency read behind
+      // funnel design. Session state capped at 5 steps; top-50 via
+      // per-partition heaps (TakeOrderedAndProject).
+      Q("q_session_paths",
+        (s, dir) =>
+          graft.ops.Analytics.sessionPaths(
+            evT(s, dir), "user_id", "ts", "event_id", "event_type", 5, 50),
+        Some(graft.ops.Analytics.sessionPathsOracleSql(
+          duckEvents, "user_id", "ts", "event_id", "event_type", 5, 50))),
+
+      // Exact-phrase retrieval from positional postings: adjacent (pos,
+      // pos+1) co-occurrences of "fast merge" per doc — the term-order
+      // feature BM25 cannot express. Only the two queried terms' postings
+      // (narrow (doc, pos) pairs) reach the doc-keyed join.
+      Q("q_phrase_search",
+        (s, dir) =>
+          graft.ops.Analytics.phraseHits(
+              t(s, dir, "documents"), "doc_id",
+              TextF.tokens(col("text")), "fast", "merge")
+            .orderBy("doc_id"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.phraseHitsOracleSql(
+              duckDocToks, "doc_id", "fast", "merge")}
+          ) ORDER BY doc_id"""))
+    )
+  }
+
   def all: Seq[Q] =
     relational ++ textOps ++ vectorOps ++ ragOps ++ metaOps ++ extraOps ++
       temporalOps ++ pipelineOps ++ scaleOps ++ relationalPlus ++ trainingPlus ++
       relationalFull ++ curationOps ++ pcmOps ++ imagePixelOps ++ streamingEqOps ++
-      warcOps ++ governanceOps
+      warcOps ++ governanceOps ++ analyticsOps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,555 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-grade behavioral analytics over the event stream — the
+  * operators a product/ops team runs daily on the same cluster that curates
+  * the training corpus: cohort retention, slowly-changing-dimension history,
+  * exponential smoothing, A/B significance, and incremental (partial-state)
+  * aggregation.
+  *
+  * Shared determinism contract (see QueryCatalog): exact integer/decimal
+  * aggregation wherever a sum crosses an exchange (order-independent), fixed
+  * 6-decimal rounding on emitted doubles, full tie-breaks on every window
+  * order — partitioning cannot change an output bit, so every operator here
+  * is hash-oracled against DuckDB replaying the same arithmetic text.
+  *
+  * Scale notes per operator are on each method; the common shape is "one
+  * window or one keyed aggregation over narrow columns", which is exactly
+  * what survives a 1000-executor shuffle.
+  */
+object Analytics {
+
+  private def r6(c: Column): Column = round(c, 6) + lit(0.0)
+
+  // =========================================================================
+  // Cohort retention
+  // =========================================================================
+
+  /** Weekly cohort retention: users are cohorted by the week of their first
+    * `signupType` event; each (cohort_week, offset_weeks) cell counts the
+    * distinct cohort users active (any event) that week. The classic
+    * triangle matrix behind every retention dashboard.
+    *
+    * Scale: one per-user min-aggregation (shuffle on user), one user-keyed
+    * equi-join of the narrow (user, cohort) table onto events — broadcast
+    * when the user dimension fits, shuffle-hash otherwise — then one
+    * count-distinct aggregation on the (cohort, offset) key, whose
+    * cardinality is O(weeks²): tiny forever. The events table crosses
+    * exactly one exchange carrying (user, week) pairs.
+    */
+  def retentionCohort(events: DataFrame, userCol: String, tsCol: String,
+                      typeCol: String, signupType: String): DataFrame = {
+    val cohorts = events
+      .where(col(typeCol) === signupType)
+      .groupBy(col(userCol))
+      .agg(min(date_trunc("week", col(tsCol))).cast("date").as("cohort_week"))
+    val activity = events
+      .select(col(userCol),
+        date_trunc("week", col(tsCol)).cast("date").as("active_week"))
+    activity.join(cohorts, userCol)
+      .where(col("active_week") >= col("cohort_week"))
+      .select(col(userCol), col("cohort_week"),
+        (datediff(col("active_week"), col("cohort_week")) / lit(7))
+          .cast("long").as("offset_weeks"))
+      .groupBy(col("cohort_week"), col("offset_weeks"))
+      .agg(countDistinct(col(userCol)).cast("long").as("n_users"))
+  }
+
+  /** Oracle fragment replaying [[retentionCohort]] (DuckDB dialect).
+    * `eventsRel` must expose the same four columns. */
+  def retentionCohortOracleSql(eventsRel: String, userCol: String,
+                               tsCol: String, typeCol: String,
+                               signupType: String): String =
+    s"""WITH coh AS (
+         SELECT $userCol, CAST(min(date_trunc('week', $tsCol)) AS DATE) AS cohort_week
+         FROM $eventsRel WHERE $typeCol = '$signupType' GROUP BY $userCol),
+       act AS (
+         SELECT $userCol, CAST(date_trunc('week', $tsCol) AS DATE) AS active_week
+         FROM $eventsRel)
+       SELECT cohort_week,
+              CAST(date_diff('day', cohort_week, active_week) / 7 AS BIGINT) AS offset_weeks,
+              CAST(count(DISTINCT act.$userCol) AS BIGINT) AS n_users
+       FROM act JOIN coh ON act.$userCol = coh.$userCol
+       WHERE active_week >= cohort_week
+       GROUP BY cohort_week, offset_weeks"""
+
+  // =========================================================================
+  // SCD2 history build
+  // =========================================================================
+
+  /** Slowly-changing-dimension (type 2) history from a change log: per key,
+    * consecutive rows with the same attribute collapse into one validity
+    * interval [valid_from, valid_to); the latest interval closes at the
+    * sentinel `9999-12-31`. `ordCol` breaks timestamp ties so the row
+    * sequence — and therefore every interval — is total-order deterministic.
+    *
+    * Scale: two windows and nothing else, both partitioned by the key —
+    * state per task is one partition of one key-group, no global sort, no
+    * join. This is the standard "changes → dimension table" build that
+    * otherwise runs as a MERGE loop in a warehouse; here it is one linear
+    * plan over the log.
+    */
+  def scd2History(changes: DataFrame, keyCol: String, tsCol: String,
+                  ordCol: String, attrCol: String): DataFrame = {
+    val seq = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(ordCol))
+    val marked = changes.select(
+        col(keyCol), col(tsCol), col(ordCol), col(attrCol))
+      .withColumn("__prev", lag(col(attrCol), 1).over(seq))
+      .where(col("__prev").isNull || col("__prev") =!= col(attrCol))
+    val runs = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(ordCol))
+    marked
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to",
+        coalesce(lead(col(tsCol), 1).over(runs),
+          lit("9999-12-31 00:00:00").cast("timestamp")))
+      .withColumn("version", row_number().over(runs).cast("long"))
+      .select(col(keyCol), col(attrCol).as("attr"),
+        col("valid_from"), col("valid_to"), col("version"))
+  }
+
+  /** Oracle fragment replaying [[scd2History]] (DuckDB dialect). */
+  def scd2HistoryOracleSql(changesRel: String, keyCol: String, tsCol: String,
+                           ordCol: String, attrCol: String): String =
+    s"""WITH seq AS (
+         SELECT $keyCol, $tsCol, $ordCol, $attrCol,
+                lag($attrCol, 1) OVER (PARTITION BY $keyCol ORDER BY $tsCol, $ordCol) AS prev
+         FROM $changesRel),
+       marked AS (
+         SELECT * FROM seq WHERE prev IS NULL OR prev <> $attrCol)
+       SELECT $keyCol, $attrCol AS attr,
+              $tsCol AS valid_from,
+              coalesce(lead($tsCol, 1) OVER (PARTITION BY $keyCol ORDER BY $tsCol, $ordCol),
+                       TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+              CAST(row_number() OVER (PARTITION BY $keyCol ORDER BY $tsCol, $ordCol) AS BIGINT) AS version
+       FROM marked"""
+
+  // =========================================================================
+  // EWMA smoothing (bounded history)
+  // =========================================================================
+
+  /** Per-key exponentially-weighted moving average over the LAST `lastN`
+    * observations: ewma ← α·x + (1−α)·ewma, seeded with the oldest kept
+    * value and folded forward in event order ((ts, ord) total order). The
+    * standard smoothing for per-entity rate/latency dashboards.
+    *
+    * Scale: the explicit `lastN` bound IS the design — per-key state is a
+    * fixed-size array regardless of history length (a rank window prunes
+    * before the collect), so a hot key cannot blow up a task. The fold is a
+    * sequential double reduction with the same IEEE op order as DuckDB's
+    * `list_reduce`, so the oracle is bit-exact, and it runs data-parallel
+    * per key after one shuffle of (key, ts, ord, value) rows.
+    */
+  def ewmaSmooth(events: DataFrame, keyCol: String, tsCol: String,
+                 ordCol: String, valCol: String, alpha: Double,
+                 lastN: Int): DataFrame = {
+    val recent = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(ordCol).desc)
+    val kept = events
+      .select(col(keyCol), col(tsCol), col(ordCol), col(valCol))
+      .withColumn("__rn", row_number().over(recent))
+      .where(col("__rn") <= lastN)
+    val vals = transform(
+      sort_array(collect_list(struct(col(tsCol), col(ordCol),
+        col(valCol).cast("double").as("__v")))),
+      s => s.getField("__v"))
+    kept.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_obs"), vals.as("__vals"))
+      .select(col(keyCol), col("n_obs"),
+        r6(aggregate(
+          slice(col("__vals"), 2, lastN),
+          element_at(col("__vals"), 1),
+          (acc, x) => lit(alpha) * x + lit(1.0 - alpha) * acc))
+          .as("ewma"))
+  }
+
+  /** Oracle fragment replaying [[ewmaSmooth]] (DuckDB dialect): the kept
+    * window via QUALIFY, the ordered value list via `list(... ORDER BY)`,
+    * the same left fold via `list_reduce`. */
+  def ewmaSmoothOracleSql(eventsRel: String, keyCol: String, tsCol: String,
+                          ordCol: String, valCol: String, alpha: Double,
+                          lastN: Int): String =
+    s"""WITH kept AS (
+         SELECT $keyCol, $tsCol, $ordCol, $valCol
+         FROM $eventsRel
+         QUALIFY row_number() OVER (PARTITION BY $keyCol ORDER BY $tsCol DESC, $ordCol DESC) <= $lastN),
+       folded AS (
+         SELECT $keyCol, CAST(count(*) AS BIGINT) AS n_obs,
+                list(CAST($valCol AS DOUBLE) ORDER BY $tsCol, $ordCol) AS vals
+         FROM kept GROUP BY $keyCol)
+       SELECT $keyCol, n_obs,
+              (round(list_reduce(vals,
+                 (acc__, x__) -> CAST($alpha AS DOUBLE) * x__ + CAST(${1.0 - alpha} AS DOUBLE) * acc__), 6)
+               + CAST(0.0 AS DOUBLE)) AS ewma
+       FROM folded"""
+
+  // =========================================================================
+  // Welch two-sample z-test
+  // =========================================================================
+
+  /** Welch z-statistic between the `valCol` distributions of two event
+    * types — the A/B significance read. All moments are EXACT: values round
+    * to 6 decimals and sum in DECIMAL (order-independent across any
+    * partitioning); mean/variance/z are then derived in one fixed double
+    * expression, so both engines emit identical bits.
+    *
+    * Scale: a single full-scan aggregate with conditional partial sums —
+    * map-side combine does almost all the work; one 1-row result crosses
+    * the final exchange. This is the cheapest possible shape for a
+    * whole-corpus statistic.
+    */
+  def welchZTest(events: DataFrame, typeCol: String, valCol: String,
+                 typeA: String, typeB: String): DataFrame = {
+    val x = round(col(valCol), 6).cast("decimal(18,6)")
+    def side(t: String, suffix: String) = Seq(
+      sum(when(col(typeCol) === t, lit(1L)).otherwise(lit(0L)))
+        .as(s"__n$suffix"),
+      sum(when(col(typeCol) === t, x).otherwise(lit(null))).as(s"__s$suffix"),
+      sum(when(col(typeCol) === t, x * x).otherwise(lit(null)))
+        .as(s"__ss$suffix"))
+    val moments = side(typeA, "a") ++ side(typeB, "b")
+    val aggd = events.agg(moments.head, moments.tail: _*)
+    def stats(suffix: String): (Column, Column, Column) = {
+      val n = col(s"__n$suffix").cast("double")
+      val s = col(s"__s$suffix").cast("double")
+      val ss = col(s"__ss$suffix").cast("double")
+      val mean = s / n
+      val variance = (ss - s * s / n) / (n - lit(1.0))
+      (n, mean, variance)
+    }
+    val (na, ma, va) = stats("a")
+    val (nb, mb, vb) = stats("b")
+    aggd.select(
+      col("__na").cast("long").as("n_a"), col("__nb").cast("long").as("n_b"),
+      r6(ma).as("mean_a"), r6(mb).as("mean_b"),
+      r6(va).as("var_a"), r6(vb).as("var_b"),
+      r6((ma - mb) / sqrt(va / na + vb / nb)).as("z"))
+  }
+
+  /** Oracle fragment replaying [[welchZTest]] (DuckDB dialect). */
+  def welchZTestOracleSql(eventsRel: String, typeCol: String, valCol: String,
+                          typeA: String, typeB: String): String = {
+    def side(t: String, sfx: String) =
+      s"""sum(CASE WHEN $typeCol = '$t' THEN 1 ELSE 0 END) AS n$sfx,
+          sum(CASE WHEN $typeCol = '$t' THEN CAST(round($valCol, 6) AS DECIMAL(18,6)) END) AS s$sfx,
+          sum(CASE WHEN $typeCol = '$t' THEN CAST(round($valCol, 6) AS DECIMAL(18,6))
+                                             * CAST(round($valCol, 6) AS DECIMAL(18,6)) END) AS ss$sfx"""
+    def stats(sfx: String) = (
+      s"CAST(n$sfx AS DOUBLE)",
+      s"CAST(s$sfx AS DOUBLE) / CAST(n$sfx AS DOUBLE)",
+      s"(CAST(ss$sfx AS DOUBLE) - CAST(s$sfx AS DOUBLE) * CAST(s$sfx AS DOUBLE) / CAST(n$sfx AS DOUBLE)) / (CAST(n$sfx AS DOUBLE) - CAST(1.0 AS DOUBLE))")
+    val (na, ma, va) = stats("a")
+    val (nb, mb, vb) = stats("b")
+    def r6s(x: String) = s"(round($x, 6) + CAST(0.0 AS DOUBLE))"
+    s"""WITH m AS (SELECT ${side(typeA, "a")}, ${side(typeB, "b")} FROM $eventsRel)
+       SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+              ${r6s(ma)} AS mean_a, ${r6s(mb)} AS mean_b,
+              ${r6s(va)} AS var_a, ${r6s(vb)} AS var_b,
+              ${r6s(s"($ma - $mb) / sqrt($va / $na + $vb / $nb)")} AS z
+       FROM m"""
+  }
+
+  // =========================================================================
+  // Incremental (partial-state) aggregation
+  // =========================================================================
+
+  /** Daily per-type metrics as MERGEABLE partial states: [[dailyPartials]]
+    * aggregates one slice of the log; [[mergePartials]] combines any number
+    * of slices (base + delta, or per-region shards) into the same result a
+    * full recompute would give — counts and decimal sums are associative
+    * and commutative, so incremental refresh is exact, never approximate.
+    *
+    * Scale: THE pattern for a 100 TB metrics store — yesterday's base
+    * partials are never rescanned; each refresh aggregates only the delta
+    * slice and merges O(days × types) partial rows. Both stages shuffle on
+    * the (type, day) key only.
+    */
+  def dailyPartials(events: DataFrame, typeCol: String, tsCol: String,
+                    valCol: String): DataFrame =
+    events.groupBy(col(typeCol).as("event_type"),
+        to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(round(col(valCol), 2).cast("decimal(18,2)")).as("total"))
+
+  /** Merge any union of [[dailyPartials]] outputs (re-aggregation of the
+    * partial states; exact because both measures are associative). */
+  def mergePartials(partials: DataFrame): DataFrame =
+    partials.groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n_events")).cast("long").as("n_events"),
+        sum(col("total")).cast("decimal(18,2)").as("total"))
+
+  /** Oracle fragment: the full recompute [[dailyPartials]] over the whole
+    * relation — what the incremental merge must equal (exact decimal state,
+    * emitted as DOUBLE like every money sum in the catalog). */
+  def dailyPartialsOracleSql(eventsRel: String, typeCol: String,
+                             tsCol: String, valCol: String): String =
+    s"""SELECT $typeCol AS event_type, CAST($tsCol AS DATE) AS day,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(CAST(round($valCol, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total
+       FROM $eventsRel
+       GROUP BY event_type, day"""
+
+  // =========================================================================
+  // Markov event transitions
+  // =========================================================================
+
+  /** First-order Markov transition matrix over the per-key event sequence:
+    * (from_type → to_type) counts via one lead() window, probabilities
+    * normalized per from-type with exact integer counts. The behavioral
+    * "what do users do next" read, and the input to sequence-anomaly
+    * scoring.
+    *
+    * Scale: one key-partitioned window (no global sort) + one aggregation
+    * on the (from, to) key whose cardinality is |types|² — tiny forever.
+    */
+  def eventTransitions(events: DataFrame, keyCol: String, tsCol: String,
+                       ordCol: String, typeCol: String): DataFrame = {
+    val seq = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(ordCol))
+    val pairs = events
+      .select(col(keyCol), col(tsCol), col(ordCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(seq))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val fromTotals = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("p", r6(col("n").cast("double") /
+        sum(col("n")).over(fromTotals).cast("double")))
+  }
+
+  /** Oracle fragment replaying [[eventTransitions]] (DuckDB dialect). */
+  def eventTransitionsOracleSql(eventsRel: String, keyCol: String,
+                                tsCol: String, ordCol: String,
+                                typeCol: String): String =
+    s"""WITH seq AS (
+         SELECT $typeCol AS from_type,
+                lead($typeCol, 1) OVER (PARTITION BY $keyCol ORDER BY $tsCol, $ordCol) AS to_type
+         FROM $eventsRel),
+       pairs AS (
+         SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+         FROM seq WHERE to_type IS NOT NULL
+         GROUP BY from_type, to_type)
+       SELECT from_type, to_type, n,
+              (round(CAST(n AS DOUBLE) /
+                     CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+               + CAST(0.0 AS DOUBLE)) AS p
+       FROM pairs"""
+
+  // =========================================================================
+  // Association rules (pairwise support / confidence / lift)
+  // =========================================================================
+
+  /** Pairwise association rules over per-(key, day) baskets of distinct
+    * event types: for each ordered type pair, support / confidence / lift
+    * from exact basket counts — the market-basket read ("users who error
+    * also churn") over the event log.
+    *
+    * Scale: baskets are distinct (key, day, type) rows; the pair join is a
+    * self-equi-join on the basket key whose per-basket fan-out is bounded
+    * by |types|² (tiny domain), never by basket-row count; all counts are
+    * exact integers, ratios derived once per pair. */
+  def assocRules(events: DataFrame, keyCol: String, tsCol: String,
+                 typeCol: String): DataFrame = {
+    val items = events
+      .select(col(keyCol), to_date(col(tsCol)).as("__day"),
+        col(typeCol).as("item"))
+      .distinct()
+    val nBaskets = items.select(col(keyCol), col("__day")).distinct().count()
+    val single = items.groupBy(col("item"))
+      .agg(count(lit(1)).as("__n1")).persist()
+    val a = items.select(col(keyCol), col("__day"), col("item").as("item_a"))
+    val b = items.select(col(keyCol), col("__day"), col("item").as("item_b"))
+    val pair = a.join(b, Seq(keyCol, "__day"))
+      .where(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("__n12"))
+    val out = pair
+      .join(single.select(col("item").as("item_a"), col("__n1").as("__na")),
+        "item_a")
+      .join(single.select(col("item").as("item_b"), col("__n1").as("__nb")),
+        "item_b")
+      .select(col("item_a"), col("item_b"),
+        col("__n12").cast("long").as("n_both"),
+        r6(col("__n12").cast("double") / lit(nBaskets.toDouble))
+          .as("support"),
+        r6(col("__n12").cast("double") / col("__na").cast("double"))
+          .as("confidence"),
+        r6(col("__n12").cast("double") * lit(nBaskets.toDouble) /
+          (col("__na").cast("double") * col("__nb").cast("double")))
+          .as("lift"))
+    val result = out.persist()
+    result.count()
+    single.unpersist()
+    result
+  }
+
+  /** Oracle fragment replaying [[assocRules]] (DuckDB dialect). */
+  def assocRulesOracleSql(eventsRel: String, keyCol: String, tsCol: String,
+                          typeCol: String): String =
+    s"""WITH items AS (
+         SELECT DISTINCT $keyCol, CAST($tsCol AS DATE) AS day, $typeCol AS item
+         FROM $eventsRel),
+       nb AS (SELECT count(*) AS n FROM (
+                SELECT DISTINCT $keyCol, day FROM items) t__),
+       single AS (SELECT item, count(*) AS n1 FROM items GROUP BY item),
+       pair AS (
+         SELECT a.item AS item_a, b.item AS item_b, count(*) AS n12
+         FROM items a JOIN items b
+           ON a.$keyCol = b.$keyCol AND a.day = b.day AND a.item < b.item
+         GROUP BY a.item, b.item)
+       SELECT item_a, item_b, CAST(n12 AS BIGINT) AS n_both,
+              (round(CAST(n12 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               + CAST(0.0 AS DOUBLE)) AS support,
+              (round(CAST(n12 AS DOUBLE) / CAST(sa.n1 AS DOUBLE), 6)
+               + CAST(0.0 AS DOUBLE)) AS confidence,
+              (round(CAST(n12 AS DOUBLE) * CAST(n AS DOUBLE) /
+                     (CAST(sa.n1 AS DOUBLE) * CAST(sb.n1 AS DOUBLE)), 6)
+               + CAST(0.0 AS DOUBLE)) AS lift
+       FROM pair
+       JOIN single sa ON pair.item_a = sa.item
+       JOIN single sb ON pair.item_b = sb.item
+       CROSS JOIN nb"""
+
+  // =========================================================================
+  // Per-group Gini concentration
+  // =========================================================================
+
+  /** Gini coefficient of a non-negative integer measure within each group
+    * (rank formulation: G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over values
+    * ascending) — the corpus-concentration audit: is one source/language
+    * dominated by a few huge documents?
+    *
+    * Scale: one rank window per group (partitioned — no global sort) and
+    * one exact-integer aggregation; Σ i·xᵢ sums in DECIMAL(38,0), so the
+    * result is partitioning-independent at any size. Ties break by the id
+    * column, making ranks — and the statistic — fully deterministic. */
+  def giniByGroup(df: DataFrame, groupCol: String, idCol: String,
+                  valueCol: Column): DataFrame = {
+    val ranked = df
+      .select(col(groupCol), col(idCol), valueCol.cast("long").as("__x"))
+      .withColumn("__i", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col("__x"), col(idCol))).cast("long"))
+    ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__x")).cast("long").as("total"),
+        sum((col("__i") * col("__x")).cast("decimal(38,0)")).as("__ix"))
+      .select(col(groupCol), col("n"), col("total"),
+        r6(lit(2.0) * col("__ix").cast("double") /
+          (col("n").cast("double") * col("total").cast("double")) -
+          (col("n").cast("double") + lit(1.0)) / col("n").cast("double"))
+          .as("gini"))
+  }
+
+  /** Oracle fragment replaying [[giniByGroup]] (DuckDB dialect);
+    * `valueSql` is the measure expression over the relation's columns. */
+  def giniByGroupOracleSql(rel: String, groupCol: String, idCol: String,
+                           valueSql: String): String =
+    s"""WITH ranked AS (
+         SELECT $groupCol, CAST($valueSql AS BIGINT) AS x,
+                CAST(row_number() OVER (PARTITION BY $groupCol
+                                        ORDER BY CAST($valueSql AS BIGINT), $idCol) AS BIGINT) AS i
+         FROM $rel),
+       s AS (SELECT $groupCol, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(x) AS BIGINT) AS total,
+                    sum(CAST(i * x AS DECIMAL(38,0))) AS ix
+             FROM ranked GROUP BY $groupCol)
+       SELECT $groupCol, n, total,
+              (round(CAST(2.0 AS DOUBLE) * CAST(ix AS DOUBLE) /
+                     (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) -
+                     (CAST(n AS DOUBLE) + CAST(1.0 AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+               + CAST(0.0 AS DOUBLE)) AS gini
+       FROM s"""
+
+  // =========================================================================
+  // Session path analysis
+  // =========================================================================
+
+  /** Top user journeys: the first `maxSteps` event types of each
+    * (key, day) session in (ts, ord) order, joined with '>', counted
+    * across sessions — "what are the most common paths" behind every
+    * funnel design decision.
+    *
+    * Scale: per-session state is capped at `maxSteps` after an ordered
+    * collect of the session's type sequence — sessions are day-bounded, so
+    * the collect is bounded by a day's events per key (and a rank window
+    * can pre-prune pathological keys if needed); the path-frequency
+    * aggregation runs on short strings with map-side combine. Top-N via
+    * TakeOrderedAndProject — per-partition heaps, no global sort. */
+  def sessionPaths(events: DataFrame, keyCol: String, tsCol: String,
+                   ordCol: String, typeCol: String, maxSteps: Int,
+                   topN: Int): DataFrame = {
+    val seq = sort_array(collect_list(struct(col(tsCol), col(ordCol),
+      col(typeCol).as("__ty"))))
+    events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("__day"))
+      .agg(array_join(
+        slice(transform(seq, s => s.getField("__ty")), 1, maxSteps), ">")
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).cast("long").as("n_sessions"))
+      .orderBy(desc("n_sessions"), col("path"))
+      .limit(topN)
+  }
+
+  /** Oracle fragment replaying [[sessionPaths]] (DuckDB dialect). */
+  def sessionPathsOracleSql(eventsRel: String, keyCol: String, tsCol: String,
+                            ordCol: String, typeCol: String, maxSteps: Int,
+                            topN: Int): String =
+    s"""WITH sess AS (
+         SELECT $keyCol, CAST($tsCol AS DATE) AS day,
+                array_to_string(
+                  (list($typeCol ORDER BY $tsCol, $ordCol))[1:$maxSteps],
+                  '>') AS path
+         FROM $eventsRel GROUP BY $keyCol, day)
+       SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+       FROM sess GROUP BY path
+       ORDER BY n_sessions DESC, path
+       LIMIT $topN"""
+
+  // =========================================================================
+  // Positional phrase search
+  // =========================================================================
+
+  /** Exact-phrase hit counts from a POSITIONAL postings index: tokenize,
+    * keep the postings of the phrase's two terms, and count adjacent
+    * (pos, pos+1) co-occurrences per document — the retrieval feature BM25
+    * cannot express (term order). Generalizes to longer phrases by chaining
+    * the same adjacency join.
+    *
+    * Scale: the full postings relation is never materialized — the term
+    * filter pushes into the token explode, so only the two queried terms'
+    * postings (corpus-frequency-bounded, narrow (doc, pos) pairs) reach the
+    * doc-keyed join. With a pre-built postings table at rest this is two
+    * index lookups + one merge, the textbook inverted-index plan.
+    */
+  def phraseHits(docs: DataFrame, idCol: String, toks: Column,
+                 w1: String, w2: String): DataFrame = {
+    val postings = docs
+      .select(col(idCol), posexplode(toks).as(Seq("pos", "term")))
+    val p1 = postings.where(col("term") === w1)
+      .select(col(idCol), col("pos"))
+    val p2 = postings.where(col("term") === w2)
+      .select(col(idCol), col("pos").as("pos2"))
+    p1.join(p2, p1(idCol) === p2(idCol) && col("pos2") === col("pos") + 1)
+      .groupBy(p1(idCol))
+      .agg(count(lit(1)).cast("long").as("n_hits"))
+  }
+
+  /** Oracle fragment replaying [[phraseHits]] (DuckDB dialect) over a
+    * tokenized relation (idCol, toks). Positions are generated 1-based via
+    * range — only relative adjacency matters, so the base cancels. */
+  def phraseHitsOracleSql(toksRel: String, idCol: String, w1: String,
+                          w2: String): String =
+    s"""WITH ix AS (
+         SELECT $idCol, toks, unnest(range(1, len(toks) + 1)) AS i FROM $toksRel),
+       p AS (SELECT $idCol, i AS pos, toks[i] AS term FROM ix),
+       p1 AS (SELECT $idCol, pos FROM p WHERE term = '$w1'),
+       p2 AS (SELECT $idCol, pos FROM p WHERE term = '$w2')
+       SELECT p1.$idCol, CAST(count(*) AS BIGINT) AS n_hits
+       FROM p1 JOIN p2 ON p1.$idCol = p2.$idCol AND p2.pos = p1.pos + 1
+       GROUP BY p1.$idCol"""
+}

@@ -163,6 +163,408 @@ object Graph {
       s" SELECT a_$iters.id, auth, hub FROM a_$iters JOIN h_$iters ON a_$iters.id = h_$iters.id")
   }
 
+  /** Per-node triangle count + local clustering coefficient over the
+    * UNDIRECTED graph induced by `edges0` (cols src, dst; direction and
+    * duplicates ignored, self-loops dropped). Returns
+    * (id, degree, n_tri, clustering) with clustering = 2·T/(d·(d−1)) for
+    * d ≥ 2 else 0, rounded to 6 decimals.
+    *
+    * Scale design (100 TB): the standard degree-ordered orientation
+    * (compact-forward / Ortmann–Brandes): every canonical edge is oriented
+    * from its lower-(degree, id) endpoint to the higher, so each wedge is
+    * generated exactly once at its lowest-ordered apex and the total wedge
+    * count is O(m^{3/2}) regardless of skew — a hub of degree D generates
+    * no wedges at itself unless its neighbors are even higher-ordered,
+    * which at most √m of them can be. All joins shuffle narrow (long,
+    * long[, long]) tuples: dedup on the canonical pair, two degree joins,
+    * one self-join on the apex key, one closure equi-join on (v, w). No
+    * payload column ever enters an exchange; triangles explode to exactly
+    * 3 rows each for the per-node credit aggregation.
+    *
+    * Determinism: pure integer arithmetic until the final fixed-decimal
+    * rounding — partitioning cannot change any output bit. */
+  def triangles(edges0: DataFrame): DataFrame = {
+    val und = edges0
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct().persist()
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d")).persist()
+    val withDeg = und
+      .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    // oriented edge (u -> v) with v's degree kept for the wedge-order test
+    val orient = withDeg.select(
+      when(fwd, col("a")).otherwise(col("b")).as("u"),
+      when(fwd, col("b")).otherwise(col("a")).as("v"),
+      when(fwd, col("db")).otherwise(col("da")).as("dv"))
+      .persist()
+    val e1 = orient.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+    val e2 = orient.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
+    val wedges = e1.join(e2, "u")
+      .where(col("dv1") < col("dv2") ||
+        (col("dv1") === col("dv2") && col("v1") < col("v2")))
+    val tri = wedges.join(
+      orient.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+      .select(col("u"), col("v1"), col("v2"))
+    val credit = tri.select(col("u").as("id"))
+      .union(tri.select(col("v1").as("id")))
+      .union(tri.select(col("v2").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    val out = deg.join(credit, Seq("id"), "left")
+      .select(col("id"),
+        col("d").cast("long").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).cast("long").as("n_tri"),
+        (round(
+          when(col("d") >= 2,
+            lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast("double") /
+              (col("d").cast("double") * (col("d") - 1).cast("double")))
+            .otherwise(lit(0.0)), 6) + lit(0.0)).as("clustering"))
+    val result = out.persist()
+    result.count()
+    und.unpersist(); deg.unpersist(); orient.unpersist()
+    result
+  }
+
+  /** Oracle fragment replaying [[triangles]]'s exact orientation and
+    * arithmetic over an edge relation (cols src, dst). */
+  def trianglesOracleSql(edgesSql: String): String =
+    s"""WITH e0 AS (SELECT src, dst FROM $edgesSql),
+      und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM e0 WHERE src <> dst),
+      deg AS (SELECT id, count(*) AS d FROM (
+                SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und) t__
+              GROUP BY id),
+      wd AS (SELECT und.a, und.b, da.d AS da, db.d AS db
+             FROM und JOIN deg da ON und.a = da.id JOIN deg db ON und.b = db.id),
+      orient AS (SELECT
+          CASE WHEN (da < db) OR (da = db AND a < b) THEN a ELSE b END AS u,
+          CASE WHEN (da < db) OR (da = db AND a < b) THEN b ELSE a END AS v,
+          CASE WHEN (da < db) OR (da = db AND a < b) THEN db ELSE da END AS dv
+        FROM wd),
+      tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+              FROM orient e1 JOIN orient e2 ON e1.u = e2.u
+                AND ((e1.dv < e2.dv) OR (e1.dv = e2.dv AND e1.v < e2.v))
+              JOIN orient e3 ON e3.u = e1.v AND e3.v = e2.v),
+      cnt AS (SELECT id, count(*) AS n_tri FROM (
+                SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri) t__
+              GROUP BY id)
+      SELECT deg.id, CAST(deg.d AS BIGINT) AS degree,
+             CAST(coalesce(cnt.n_tri, 0) AS BIGINT) AS n_tri,
+             (round(CASE WHEN deg.d >= 2
+                    THEN CAST(2.0 AS DOUBLE) * CAST(coalesce(cnt.n_tri, 0) AS DOUBLE)
+                         / (CAST(deg.d AS DOUBLE) * CAST(deg.d - 1 AS DOUBLE))
+                    ELSE CAST(0.0 AS DOUBLE) END, 6) + CAST(0.0 AS DOUBLE)) AS clustering
+      FROM deg LEFT JOIN cnt ON deg.id = cnt.id"""
+
+  /** k-core peeling, FIXED `rounds` iterations: each round drops nodes
+    * whose degree in the surviving subgraph is < k, then recomputes
+    * degrees. Returns the surviving nodes with their subgraph degree
+    * after exactly `rounds` peels — the dense-cluster extractor (a
+    * near-dup k-core is a template family; a 1-degree chain is an LSH
+    * accident), and the standard graph-sparsification preprocessor.
+    *
+    * Fixed-round contract: BOTH engines run exactly `rounds` peels, so
+    * results are identical whether or not the peel has converged —
+    * convergence is a property to assert on a given corpus (typical
+    * near-dup/web graphs settle in ≤ 6 rounds), not a precondition for
+    * correctness. Once converged, further rounds are no-ops.
+    *
+    * Scale: per round, one degree aggregation + two semi-joins, all on
+    * narrow (long, long) edge tuples; each round's edge set is persisted
+    * and materialized (the keep-set derives from the same edges — chaining
+    * lazily would triple the plan per round, the 3^rounds CC trap
+    * documented at [[Dedup.connectedComponents]]). Monotone shrinkage:
+    * every round's input is a subset of the last. */
+  def kCore(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    // Each round's edge set references ITSELF three times (degrees → keep
+    // → two semi-joins), so chaining DataFrames grows the LOGICAL plan 3×
+    // per round — 3^rounds copies of the (possibly expensive) edge
+    // derivation that re-analyze on every action even when the data is
+    // cached. Materializing each round through an RDD cuts lineage flat
+    // (the CC pattern, Dedup.connectedComponents) and gives deterministic
+    // unpersist of the previous round.
+    var prevRdd = edges0
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    var edges = prevRdd.toDF("a", "b")
+    for (_ <- 1 to rounds) {
+      val deg = edges.select(col("a").as("id"))
+        .union(edges.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val keep = deg.where(col("d") >= k).select(col("id"))
+      val nextRdd = edges
+        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      nextRdd.count()
+      prevRdd.unpersist()
+      prevRdd = nextRdd
+      edges = nextRdd.toDF("a", "b")
+    }
+    val out = edges.select(col("a").as("id"))
+      .union(edges.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).cast("long").as("degree"))
+      .persist()
+    out.count()
+    prevRdd.unpersist()
+    out
+  }
+
+  /** Oracle fragment replaying [[kCore]]'s exact fixed-round peel. The
+    * per-round edge CTEs are MATERIALIZED: each round references the
+    * previous round three times, and DuckDB's default CTE inlining would
+    * expand the base edge derivation 3^rounds times (the same geometric
+    * blowup the engine side cuts with per-round RDD materialization). */
+  def kCoreOracleSql(edgesSql: String, k: Int, rounds: Int): String = {
+    val base = Seq(
+      s"""e_0 AS MATERIALIZED (
+           SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM (SELECT src, dst FROM $edgesSql) raw__ WHERE src <> dst)""")
+    val steps = (1 to rounds).flatMap { i =>
+      Seq(
+        s"""d_$i AS (SELECT id, count(*) AS d FROM (
+              SELECT a AS id FROM e_${i - 1} UNION ALL SELECT b AS id FROM e_${i - 1}) t__
+            GROUP BY id)""",
+        s"k_$i AS (SELECT id FROM d_$i WHERE d >= $k)",
+        s"""e_$i AS MATERIALIZED (SELECT e.a, e.b FROM e_${i - 1} e
+            JOIN k_$i ka ON e.a = ka.id JOIN k_$i kb ON e.b = kb.id)""")
+    }
+    (base ++ steps).mkString("WITH ", ", ",
+      s""" SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+           SELECT a AS id FROM e_$rounds UNION ALL SELECT b AS id FROM e_$rounds) t__
+         GROUP BY id""")
+  }
+
+  /** Synchronous label-propagation community detection (Raghavan 2007,
+    * made deterministic): labels start as node ids; each of the FIXED
+    * `iters` rounds every node adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label; isolated nodes keep
+    * their own label. Deterministic by construction (no random visit
+    * order — synchronous update + total tie-break), so the oracle replays
+    * rounds exactly; like [[kCore]], both engines run the same fixed
+    * round count, converged or not.
+    *
+    * Scale: per round one edge⋈label join (shuffle on the neighbor key) +
+    * one (node, label)-keyed count + one argmax-by-struct aggregation —
+    * all narrow (long, long[, long]) rows; labels are O(nodes). The
+    * argmax is max(struct(n, −label)): lexicographic max picks the
+    * largest count then the smallest label, identical to the oracle's
+    * (n DESC, label ASC) row_number — no window needed in-engine. */
+  def labelPropagation(nodes: DataFrame, edges0: DataFrame,
+                       iters: Int = 4): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val edges = edges0.select(col("src"), col("dst")).persist()
+    val base = nodes.select(col("id")).persist()
+    // label tables materialize through an RDD per round (the CC lineage
+    // cut): the round references the previous labels inside a join+agg
+    // chain, so DataFrame chaining would re-analyze a geometrically
+    // growing logical plan even with caching.
+    var prevRdd = base.select(col("id"), col("id").as("label"))
+      .as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = prevRdd.toDF("id", "label")
+    for (_ <- 1 to iters) {
+      val best = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("__n"), (-col("label")).as("__neg"))).as("__b"))
+        .select(col("src").as("id"), (-col("__b.__neg")).as("label"))
+      val nextRdd = base
+        .join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+        .as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      nextRdd.count()
+      prevRdd.unpersist()
+      prevRdd = nextRdd
+      labels = nextRdd.toDF("id", "label")
+    }
+    val result = labels.persist()
+    result.count()
+    edges.unpersist(); base.unpersist(); prevRdd.unpersist()
+    result
+  }
+
+  /** Oracle fragment replaying [[labelPropagation]] round by round. */
+  def labelPropagationOracleSql(nodesSql: String, edgesSql: String,
+                                iters: Int = 4): String = {
+    val base = Seq(
+      s"nodes AS (SELECT id FROM $nodesSql)",
+      s"edges AS (SELECT src, dst FROM $edgesSql)",
+      "l_0 AS (SELECT id, id AS label FROM nodes)")
+    val steps = (1 to iters).flatMap { i =>
+      Seq(
+        s"""c_$i AS (SELECT e.src, l.label, count(*) AS n
+            FROM edges e JOIN l_${i - 1} l ON e.dst = l.id
+            GROUP BY e.src, l.label)""",
+        s"""b_$i AS (SELECT src AS id, label FROM (
+              SELECT src, label,
+                     row_number() OVER (PARTITION BY src ORDER BY n DESC, label) AS rn
+              FROM c_$i) t__ WHERE rn = 1)""",
+        s"""l_$i AS (SELECT nodes.id, coalesce(b_$i.label, nodes.id) AS label
+            FROM nodes LEFT JOIN b_$i ON nodes.id = b_$i.id)""")
+    }
+    (base ++ steps).mkString("WITH ", ", ", s" SELECT id, label FROM l_$iters")
+  }
+
+  /** Degree assortativity (Newman 2002): Pearson correlation between the
+    * endpoint degrees over all ORDERED edges of the undirected graph
+    * (each canonical edge counted in both directions, the standard
+    * symmetric treatment). Positive = hubs attach to hubs (social-graph
+    * shape); negative = hubs attach to leaves (star/crawl shape) — the
+    * one-number structure audit next to [[triangles]]'s local density.
+    *
+    * Scale: canonical-edge dedup + two narrow degree joins + ONE
+    * map-combined scalar aggregation; a single row crosses the final
+    * exchange. All moment sums are exact DECIMAL(38,0) on integer
+    * degrees (order-independent, overflow-safe at any corpus size); the
+    * Pearson is one fixed double expression over the exact sums. */
+  def assortativity(edges0: DataFrame): DataFrame = {
+    val und = edges0
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val ordered = und
+      .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+      .select(col("da").as("x"), col("db").as("y"))
+    val sym = ordered.unionAll(
+      ordered.select(col("y").as("x"), col("x").as("y")))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val sums = sym.agg(
+      count(lit(1)).as("__m"),
+      sum(dec(col("x"))).as("__sx"), sum(dec(col("y"))).as("__sy"),
+      sum(dec(col("x") * col("y"))).as("__sxy"),
+      sum(dec(col("x") * col("x"))).as("__sxx"),
+      sum(dec(col("y") * col("y"))).as("__syy"))
+    val md = col("__m").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val sxy = col("__sxy").cast("double")
+    val sxx = col("__sxx").cast("double"); val syy = col("__syy").cast("double")
+    sums.select(col("__m").cast("long").as("m"),
+      (round((md * sxy - sx * sy) /
+        (sqrt(md * sxx - sx * sx) * sqrt(md * syy - sy * sy)), 6) + lit(0.0))
+        .as("assortativity"))
+  }
+
+  /** Oracle fragment replaying [[assortativity]] (DuckDB dialect). */
+  def assortativityOracleSql(edgesSql: String): String =
+    s"""WITH e0 AS (SELECT src, dst FROM $edgesSql),
+      und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM e0 WHERE src <> dst),
+      deg AS (SELECT id, count(*) AS d FROM (
+                SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und) t__
+              GROUP BY id),
+      ord0 AS (SELECT da.d AS x, db.d AS y
+               FROM und JOIN deg da ON und.a = da.id JOIN deg db ON und.b = db.id),
+      sym AS (SELECT x, y FROM ord0 UNION ALL SELECT y AS x, x AS y FROM ord0),
+      s AS (SELECT count(*) AS m,
+                   sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                   sum(CAST(y AS DECIMAL(38,0))) AS sy,
+                   sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+                   sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                   sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+            FROM sym)
+      SELECT CAST(m AS BIGINT) AS m,
+             (round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                    (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+              + CAST(0.0 AS DOUBLE)) AS assortativity
+      FROM s"""
+
+  /** Personalized PageRank: identical iteration shape to [[pageRank]] but
+    * the (1−d) restart mass lands only on `seeds` (col id), 1/|S| each —
+    * the crawl-frontier / related-item ranking primitive ("centrality as
+    * seen from these pages"). Dangling mass drops, as in [[pageRank]].
+    * Same scale/determinism contract: per-iteration rank tables are
+    * O(nodes) narrow, contributions round to 9 decimals and sum in
+    * DECIMAL(28,9), the restart table is computed once and reused. */
+  def personalizedPageRank(nodes: DataFrame, edges0: DataFrame,
+                           seeds: DataFrame, iters: Int = 5,
+                           damping: Double = 0.85): DataFrame = {
+    val edges = edges0.select(col("src"), col("dst")).persist()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg")).persist()
+    val ns = seeds.agg(count(lit(1)).as("__ns"))
+    val base = nodes
+      .join(seeds.select(col("id"), lit(1).as("__is")), Seq("id"), "left")
+      .crossJoin(broadcast(ns))
+      .select(col("id"), r9(
+        coalesce(col("__is").cast("double"), lit(0.0)) /
+          col("__ns").cast("double")).as("__base"))
+      .persist()
+    var ranks = base.select(col("id"), col("__base").as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = edges.join(deg, "src")
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"),
+          r9(col("rank") / col("__deg").cast("double"))
+            .cast("decimal(28,9)").as("__c"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
+      ranks = base
+        .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"), r9(
+          lit(1.0 - damping) * col("__base") +
+            lit(damping) * coalesce(col("__s").cast("double"), lit(0.0)))
+          .as("rank"))
+    }
+    val result = ranks.persist()
+    result.count()
+    edges.unpersist(); deg.unpersist(); base.unpersist()
+    result
+  }
+
+  /** Unrolled-PPR oracle fragment, identical arithmetic text to
+    * [[personalizedPageRank]]. `seedsSql` is a relation with col id. */
+  def pprOracleSql(nodesSql: String, edgesSql: String, seedsSql: String,
+                   iters: Int = 5, damping: Double = 0.85): String = {
+    def r9s(x: String) = s"(round($x, 9) + CAST(0.0 AS DOUBLE))"
+    val base = Seq(
+      s"nodes AS (SELECT id FROM $nodesSql)",
+      s"edges AS (SELECT src, dst FROM $edgesSql)",
+      s"seeds AS (SELECT id FROM $seedsSql)",
+      "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
+      "ns AS (SELECT count(*) AS n FROM seeds)",
+      s"""b AS (SELECT nodes.id, ${r9s(
+        "CASE WHEN seeds.id IS NOT NULL THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END / CAST(n AS DOUBLE)")} AS base
+          FROM nodes CROSS JOIN ns LEFT JOIN seeds ON nodes.id = seeds.id)""",
+      "r_0 AS (SELECT id, base AS rank FROM b)")
+    val steps = (1 to iters).map { i =>
+      s"""r_$i AS (
+         SELECT b.id, ${r9s(
+        s"CAST(${1.0 - damping} AS DOUBLE) * base + " +
+          s"CAST($damping AS DOUBLE) * CAST(coalesce(s, CAST(0.0 AS DECIMAL(28,9))) AS DOUBLE)")} AS rank
+         FROM b
+         LEFT JOIN (
+           SELECT e.dst AS id,
+                  sum(CAST(${r9s("r.rank / CAST(deg.d AS DOUBLE)")} AS DECIMAL(28,9))) AS s
+           FROM edges e JOIN deg ON e.src = deg.src JOIN r_${i - 1} r ON e.src = r.id
+           GROUP BY e.dst) c ON b.id = c.id)"""
+    }
+    (base ++ steps).mkString("WITH ", ", ", s" SELECT id, rank FROM r_$iters")
+  }
+
   /** The matching oracle fragment: unrolled PageRank over a node relation
     * `nodesSql` (col id) and edge relation `edgesSql` (cols src, dst) —
     * identical arithmetic text to [[pageRank]]. */

@@ -172,4 +172,32 @@ object Sketches {
       }
     }
   }
+
+  /** KMV key-overlap estimate between two relations — the join-planning
+    * statistic "how many distinct keys do these sides share" WITHOUT
+    * joining them: two [[kmvSummary]] sketches (one bounded pass per
+    * side), merged driver-side into the union's k smallest hashes;
+    * Jaccard = fraction of those present in BOTH sketches (exact hash
+    * equality — same md5-uniform on both sides), D_union from the k-th
+    * smallest, est_inter = J · D_union (Beyer et al. 2007). Exact in the
+    * sparse regime (union < k hashes).
+    *
+    * Scale: each side's full key set collapses to ≤ k doubles before
+    * anything crosses the wire; the estimate itself is O(k log k) driver
+    * work. Returns one row (est_inter, n_union_hashes, jaccard). */
+  def kmvOverlap(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+                 k: Int): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val sa = kmvSummary(a, aKey, k)
+    val sb = kmvSummary(b, bKey, k)
+    val union = (sa ++ sb).take(k)
+    val n = union.size
+    val common = union.count(u => sa.contains(u) && sb.contains(u))
+    val dUnion =
+      if (n < k) n.toDouble else (k - 1).toDouble / union.last
+    val jaccard = common.toDouble / n.toDouble
+    val est = jaccard * dUnion
+    Seq((est, n.toLong, jaccard)).toDF("est_inter", "n_union_hashes", "jaccard")
+  }
 }

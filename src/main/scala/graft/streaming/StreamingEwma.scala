@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Bounded-history EWMA as a streaming state machine — the live form of
+  * `graft.ops.Analytics.ewmaSmooth` (same α-fold over the last N
+  * observations per key, same (ts, ord) total order).
+  *
+  * State per key is a FIXED-SIZE buffer of the N latest (ts, ord, value)
+  * triples — the same bound the batch operator enforces with a rank
+  * window, here enforced by insertion-truncation, so a hot key's state
+  * cannot grow with its history. Final values emit when the event-time
+  * watermark passes the key's last observation + `quietUs`
+  * (EventTimeTimeout — fires for every idle key, no per-key sentinel
+  * needed); a batch run of the same operator flushes inline.
+  *
+  * The gate (QueryCatalog q_stream_ewma_eq) replays real micro-batches
+  * through the state store and hash-matches the BATCH oracle SQL — the
+  * cross-batch buffer maintenance is what's under the hash.
+  */
+object StreamingEwma {
+
+  final case class VEvent(user_id: Long, ts: Timestamp, event_id: Long,
+                          value: Double)
+  final case class Buffer(items: Vector[(Long, Long, Double)])
+  final case class EwmaOut(user_id: Long, n_obs: Long, ewma: Double)
+
+  private def us(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  private def finish(userId: Long, b: Buffer, alpha: Double): EwmaOut = {
+    // ascending (ts, ord) fold, seeded with the oldest kept value —
+    // identical op order to Analytics.ewmaSmooth / DuckDB list_reduce
+    val vals = b.items.sortBy(x => (x._1, x._2)).map(_._3)
+    val ewma = vals.tail.foldLeft(vals.head)((acc, x) =>
+      alpha * x + (1.0 - alpha) * acc)
+    // Spark's round(double, 6): BigDecimal.valueOf (shortest decimal
+    // repr), HALF_UP — NOT new BigDecimal(double)'s exact binary
+    // expansion, which can round the boundary digit differently.
+    val r6 = java.math.BigDecimal.valueOf(ewma)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+    EwmaOut(userId, b.items.size.toLong, r6)
+  }
+
+  /** EWMA over the last `lastN` observations per key. `quietUs`: a key
+    * whose watermark-lag exceeds this emits its final value. */
+  def ewmaStream(events: Dataset[VEvent], alpha: Double, lastN: Int,
+                 quietUs: Long): Dataset[EwmaOut] = {
+    implicit val outEnc = Encoders.product[EwmaOut]
+    implicit val longEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.product[Buffer]
+    val isStreamingRun = events.isStreaming
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Buffer, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[VEvent], state: GroupState[Buffer]) =>
+
+        if (rows.isEmpty && state.hasTimedOut) {
+          val b = state.get
+          state.remove()
+          Iterator.single(finish(userId, b, alpha))
+        } else {
+          val incoming = rows.map(e => (us(e.ts), e.event_id, e.value)).toVector
+          // keep the lastN LATEST by (ts, ord): merge + sort + take-right.
+          // The buffer is <= lastN and batches are small slices — the sort
+          // is O(lastN log lastN) per key per batch, state stays bounded.
+          val merged = (state.getOption.map(_.items).getOrElse(Vector.empty)
+            ++ incoming).sortBy(x => (x._1, x._2)).takeRight(lastN)
+          val b = Buffer(merged)
+          if (isStreamingRun) {
+            state.update(b)
+            state.setTimeoutTimestamp(merged.last._1 / 1000L + quietUs / 1000L)
+            Iterator.empty
+          } else {
+            state.remove()
+            Iterator.single(finish(userId, b, alpha))
+          }
+        }
+      }
+  }
+}

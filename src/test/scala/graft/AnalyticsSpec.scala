@@ -1,0 +1,249 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Analytics, Graph}
+
+/** Round-7 graph-structure + behavioral analytics operators. */
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("triangles: counts, degrees, clustering on a known graph") {
+    // triangle {1,2,3}, a tail 3-4-5; reversed dup (2,1) and self-loop
+    // (3,3) must be ignored by canonicalization
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 3L),
+      (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = Graph.triangles(edges).orderBy("id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0), (3L, 3L, 1L, 0.333333),
+      (4L, 2L, 0L, 0.0), (5L, 1L, 0L, 0.0)))
+  }
+
+  test("triangles: two shared-edge triangles credit the shared nodes twice") {
+    // {1,2,3} and {2,3,4} share edge (2,3)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.triangles(edges).orderBy("id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._3)) ==
+      Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L)))
+  }
+
+  test("personalizedPageRank: restart mass lands only on the seed") {
+    val nodes = Seq(1L, 2L).toDF("id")
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.personalizedPageRank(nodes, edges, seeds, iters = 1)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    // base = (1.0, 0.0); r1(1) = 0.15*1, r1(2) = 0.15*0 + 0.85*(1/1)
+    assert(got == Seq((1L, 0.15), (2L, 0.85)))
+  }
+
+  test("retentionCohort: cohort by first signup week, offsets in weeks") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "signup"),
+      (2L, ts("2024-01-03 10:00:00"), 1L, "click"),   // week 0
+      (3L, ts("2024-01-10 10:00:00"), 1L, "click"),   // week 1
+      (4L, ts("2024-01-08 09:00:00"), 2L, "signup"),  // cohort week 2024-01-08
+      (5L, ts("2024-01-05 09:00:00"), 3L, "click")    // never signed up
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Analytics
+      .retentionCohort(ev, "user_id", "ts", "event_type", "signup")
+      .orderBy("cohort_week", "offset_weeks")
+      .as[(java.sql.Date, Long, Long)].collect().toSeq
+      .map(r => (r._1.toString, r._2, r._3))
+    assert(got == Seq(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L), ("2024-01-08", 0L, 1L)))
+  }
+
+  test("scd2History: runs collapse; last interval closes at the sentinel") {
+    val ch = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+      (1L, ts("2024-01-02 00:00:00"), 2L, "A"),
+      (1L, ts("2024-01-03 00:00:00"), 3L, "B"),
+      (1L, ts("2024-01-04 00:00:00"), 4L, "A")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.scd2History(ch, "user_id", "ts", "event_id", "event_type")
+      .orderBy("version")
+      .as[(Long, String, Timestamp, Timestamp, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "A", ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"), 1L),
+      (1L, "B", ts("2024-01-03 00:00:00"), ts("2024-01-04 00:00:00"), 2L),
+      (1L, "A", ts("2024-01-04 00:00:00"), ts("9999-12-31 00:00:00"), 3L)))
+  }
+
+  test("ewmaSmooth: sequential fold in event order; lastN bounds history") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 1.0),
+      (1L, ts("2024-01-02 00:00:00"), 2L, 2.0),
+      (1L, ts("2024-01-03 00:00:00"), 3L, 3.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val full = Analytics.ewmaSmooth(ev, "user_id", "ts", "event_id", "value",
+        alpha = 0.5, lastN = 16)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(full == Seq((1L, 3L, 2.25))) // 1 -> 1.5 -> 2.25
+    val bounded = Analytics.ewmaSmooth(ev, "user_id", "ts", "event_id", "value",
+        alpha = 0.5, lastN = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(bounded == Seq((1L, 2L, 2.5))) // keeps (2.0, 3.0): 2 -> 2.5
+  }
+
+  test("welchZTest: exact moments -> textbook z") {
+    val ev = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 4.0))
+      .toDF("event_type", "value")
+    val got = Analytics.welchZTest(ev, "event_type", "value", "a", "b")
+      .as[(Long, Long, Double, Double, Double, Double, Double)]
+      .collect().head
+    assert(got._1 == 3L && got._2 == 2L)
+    assert(got._3 == 2.0 && got._4 == 3.0)
+    assert(got._5 == 1.0 && got._6 == 2.0)
+    // z = (2-3)/sqrt(1/3 + 2/2) = -0.866025 at 6 decimals
+    assert(got._7 == -0.866025)
+  }
+
+  test("incremental merge of partials equals the full recompute") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 01:00:00"), "click", 1.5),
+      (2L, ts("2024-01-01 02:00:00"), "click", 2.5),
+      (3L, ts("2024-01-02 01:00:00"), "click", 3.0),
+      (4L, ts("2024-01-02 02:00:00"), "view", 0.5)
+    ).toDF("event_id", "ts", "event_type", "value")
+    val cutoff = lit("2024-01-02 00:00:00").cast("timestamp")
+    val merged = Analytics.mergePartials(
+        Analytics.dailyPartials(ev.where(col("ts") < cutoff),
+            "event_type", "ts", "value")
+          .unionAll(Analytics.dailyPartials(ev.where(col("ts") >= cutoff),
+            "event_type", "ts", "value")))
+      .orderBy("event_type", "day")
+    val full = Analytics.dailyPartials(ev, "event_type", "ts", "value")
+      .orderBy("event_type", "day")
+    assert(merged.collect().toSeq == full.collect().toSeq)
+  }
+
+  test("assortativity: star graph is perfectly disassortative") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val got = Graph.assortativity(edges).as[(Long, Double)].collect().head
+    assert(got == ((6L, -1.0)))
+  }
+
+  test("eventTransitions: lead pairs and per-from normalization") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:01"), 1L, "A"),
+      (1L, ts("2024-01-01 00:00:02"), 2L, "B"),
+      (1L, ts("2024-01-01 00:00:03"), 3L, "A"),
+      (1L, ts("2024-01-01 00:00:04"), 4L, "B")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics
+      .eventTransitions(ev, "user_id", "ts", "event_id", "event_type")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("A", "B", 2L, 1.0), ("B", "A", 1L, 1.0)))
+  }
+
+  test("assocRules: support, confidence, lift from basket counts") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 01:00:00"), "A"), (1L, ts("2024-01-01 02:00:00"), "B"),
+      (2L, ts("2024-01-01 01:00:00"), "A"),
+      (3L, ts("2024-01-01 01:00:00"), "B")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Analytics.assocRules(ev, "user_id", "ts", "event_type")
+      .as[(String, String, Long, Double, Double, Double)].collect().toSeq
+    // 3 baskets; {A,B} co-occur once; n(A)=2, n(B)=2
+    assert(got == Seq(("A", "B", 1L, 0.333333, 0.5, 0.75)))
+  }
+
+  test("giniByGroup: uniform -> 0; one-holder -> (n-1)/n") {
+    val docs = Seq(
+      ("u", 1L, 1L), ("u", 2L, 1L), ("u", 3L, 1L), ("u", 4L, 1L),
+      ("c", 1L, 0L), ("c", 2L, 0L), ("c", 3L, 0L), ("c", 4L, 4L)
+    ).toDF("lang", "doc_id", "ntok")
+    val got = Analytics.giniByGroup(docs, "lang", "doc_id", col("ntok"))
+      .orderBy("lang").as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("c", 4L, 4L, 0.75), ("u", 4L, 4L, 0.0)))
+  }
+
+  test("kCore: pendant peels away; surviving core keeps subgraph degrees") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val core2 = Graph.kCore(edges, k = 2, rounds = 3).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(core2 == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    val core3 = Graph.kCore(edges, k = 3, rounds = 3).count()
+    assert(core3 == 0L) // a triangle has no 3-core
+  }
+
+  test("labelPropagation: clique converges to min label; isolated keeps own") {
+    val nodes = Seq(1L, 2L, 3L, 9L).toDF("id")
+    // triangle 1-2-3 (both directions), node 9 isolated
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.labelPropagation(nodes, edges, iters = 4)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L)))
+  }
+
+  test("sessionPaths: ordered per-day paths, frequency-ranked") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 01:00:00"), 1L, "A"),
+      (1L, ts("2024-01-01 02:00:00"), 2L, "B"),
+      (1L, ts("2024-01-01 03:00:00"), 3L, "C"),
+      (2L, ts("2024-01-01 01:00:00"), 4L, "A"),
+      (2L, ts("2024-01-01 02:00:00"), 5L, "B"),
+      (2L, ts("2024-01-01 03:00:00"), 6L, "C"),
+      (3L, ts("2024-01-01 01:00:00"), 7L, "B")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.sessionPaths(ev, "user_id", "ts", "event_id",
+        "event_type", maxSteps = 5, topN = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("A>B>C", 2L), ("B", 1L)))
+  }
+
+  test("kmvOverlap: identical sides exact in sparse regime; disjoint -> 0") {
+    import graft.ops.Sketches
+    val a = (1 to 100).map(_.toLong).toDF("k")
+    val same = Sketches.kmvOverlap(a, "k", a, "k", 256)
+      .as[(Double, Long, Double)].collect().head
+    assert(same == ((100.0, 100L, 1.0))) // sparse regime: exact
+    val b = (101 to 200).map(_.toLong).toDF("k")
+    val disj = Sketches.kmvOverlap(a, "k", b, "k", 256)
+      .as[(Double, Long, Double)].collect().head
+    assert(disj._1 == 0.0 && disj._2 == 200L && disj._3 == 0.0)
+  }
+
+  test("StreamingEwma in batch mode == Analytics.ewmaSmooth") {
+    import graft.streaming.StreamingEwma
+    import graft.streaming.StreamingEwma.VEvent
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:01", 1L, 1.0),
+      (1L, "2024-01-01 00:00:02", 2L, 2.0),
+      (1L, "2024-01-01 00:00:03", 3L, 3.0),
+      (2L, "2024-01-01 00:00:01", 4L, 5.0))
+    val ds = rows.map { case (u, t, e, v) => VEvent(u, ts(t), e, v) }.toDS()
+    val streamed = StreamingEwma.ewmaStream(ds, 0.5, 2, 3600000000L)
+      .collect().map(o => (o.user_id, o.n_obs, o.ewma)).sortBy(_._1).toSeq
+    val batch = Analytics.ewmaSmooth(
+        rows.toDF("user_id", "ts0", "event_id", "value")
+          .withColumn("ts", col("ts0").cast("timestamp")),
+        "user_id", "ts", "event_id", "value", 0.5, 2)
+      .orderBy("user_id").as[(Long, Long, Double)].collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("phraseHits: adjacent positions only, per-doc counts") {
+    val docs = Seq(
+      (1L, "fast merge fast merge"), // two hits
+      (2L, "merge fast"),            // reversed -> none
+      (3L, "fast x merge")           // gap -> none
+    ).toDF("doc_id", "text")
+    val got = Analytics.phraseHits(docs, "doc_id",
+        split(trim(col("text")), "\\s+"), "fast", "merge")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+}
