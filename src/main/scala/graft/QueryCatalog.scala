@@ -10344,6 +10344,57 @@ object QueryCatalog {
               duckEvents, "user_id", "ts", "event_id", "value", 0.25, 16)}
           ) ORDER BY user_id""")),
 
+      // Streaming SCD2 == batch SCD2: O(1) state per key (the single open
+      // interval — never an event buffer); intervals close and emit the
+      // moment a different attribute arrives across micro-batch
+      // boundaries; the watermark sentinel closes the final interval at
+      // 9999-12-31. Hash-matches the batch windowed oracle (q_scd2's).
+      Q("q_stream_scd2_eq",
+        (s, dir) => {
+          import s.implicits._
+          import graft.streaming.StreamingScd2
+          import graft.streaming.StreamingScd2.{ChEvent, Scd2Row}
+          val ss = streamSession(s)
+          implicit val sqlCtx = ss.sqlContext
+          def tsOf(usv: Long) = java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(usv / 1000000L, (usv % 1000000L) * 1000L))
+          val evs = tEvents(s, dir)
+            .select(col("user_id").cast("long"), expr("ts div 1000").as("tsus"),
+              col("event_id").cast("long"), col("event_type"))
+            .as[(Long, Long, Long, String)].collect()
+            .sortBy { case (_, tsus, eid, _) => (tsus, eid) }
+            .map { case (u, tsus, eid, a) => ChEvent(u, tsOf(tsus), eid, a) }
+          // quiet window past the fixture span, sentinel past quiet — the
+          // same premature-timeout guard as q_stream_ewma_eq
+          val quiet = 35L * 86400000000L
+          val sentinelUs = evs.map(e => e.ts.getTime).max * 1000L +
+            40L * 86400000000L
+          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ChEvent]
+          val name = s"q_stream_scd2_eq_${System.nanoTime()}"
+          val q = StreamingScd2.scd2Stream(
+              in.toDS().withWatermark("ts", "0 seconds"), quietUs = quiet)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+          try {
+            evs.grouped(math.max(1, (evs.length + 3) / 4)).foreach { b =>
+              in.addData(b.toSeq); q.processAllAvailable()
+            }
+            in.addData(ChEvent(-1L, tsOf(sentinelUs), 0L, "x")); q.processAllAvailable()
+            in.addData(ChEvent(-1L, tsOf(sentinelUs + 1000000L), 1L, "x")); q.processAllAvailable()
+          } finally {
+            q.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
+          ss.table(name).as[Scd2Row].collect().toSeq.filter(_.user_id >= 0)
+            .toDF("user_id", "attr", "valid_from", "valid_to", "version")
+            .orderBy("user_id", "version")
+        },
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.scd2HistoryOracleSql(
+              duckEvents, "user_id", "ts", "event_id", "event_type")}
+          ) ORDER BY user_id, version""")),
+
       // Welch two-sample z between click and purchase values from EXACT
       // decimal moment sums — the A/B significance read as one map-combined
       // scan; a single row crosses the final exchange.
@@ -10581,6 +10632,135 @@ object QueryCatalog {
             evT(s, dir), "user_id", "ts", "event_id", "event_type", 5, 50),
         Some(graft.ops.Analytics.sessionPathsOracleSql(
           duckEvents, "user_id", "ts", "event_id", "event_type", 5, 50))),
+
+      // Benford first-digit audit of lineitem prices: exact integer-cents
+      // digit extraction (no log10 near powers of ten), shared-literal
+      // expected probabilities, per-digit chi-square contributions — the
+      // synthetic-data / corrupt-feed alarm. One 9-key map-combined agg.
+      Q("q_benford",
+        (s, dir) =>
+          graft.ops.Analytics.benford(
+              t(s, dir, "lineitem"), col("l_extendedprice"))
+            .orderBy("digit"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.benfordOracleSql("lineitem", "l_extendedprice")}
+          ) ORDER BY digit""")),
+
+      // RFM quintile segmentation of purchasers — recency/frequency/
+      // monetary scores 1-5 with full tie-breaks; the windows run over the
+      // aggregated USER dimension, never event volume.
+      Q("q_rfm",
+        (s, dir) =>
+          graft.ops.Analytics.rfm(
+              evT(s, dir), "user_id", "ts", "event_type", "value", "purchase")
+            .orderBy("user_id"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.rfmOracleSql(
+              duckEvents, "user_id", "ts", "event_type", "value", "purchase")}
+          ) ORDER BY user_id""")),
+
+      // ABC/Pareto classification of parts by exact decimal revenue share
+      // (A <= 0.80, B <= 0.95): the catalog 80-15-5 report; cumulative
+      // sums stay DECIMAL so the class boundary cannot drift with
+      // partitioning.
+      Q("q_abc_parts",
+        (s, dir) =>
+          graft.ops.Analytics.abcClassify(
+              t(s, dir, "lineitem"), "l_partkey",
+              col("l_extendedprice").cast("decimal(18,2)") *
+                (lit(1) - col("l_discount")).cast("decimal(18,2)"),
+              0.80, 0.95)
+            .orderBy("rank"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.abcClassifyOracleSql(
+              "lineitem", "l_partkey",
+              "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))",
+              0.80, 0.95)}
+          ) ORDER BY rank""")),
+
+      // Data-quality audit: the dbt-tests-style constraint table — FK
+      // orphans both directions, PK duplicates, domain violations, null
+      // checks — one row per check with its exact violation count. Each
+      // check is an independent scalar aggregate (anti-joins broadcast
+      // the key side); a healthy warehouse reads all zeros.
+      Q("q_dq_audit",
+        (s, dir) => {
+          val li = t(s, dir, "lineitem")
+          val o = t(s, dir, "orders")
+          val c = t(s, dir, "customer")
+          def chk(name: String, d: DataFrame) =
+            d.agg(count(lit(1)).cast("long").as("n_violations"))
+              .select(lit(name).as("check"), col("n_violations"))
+          chk("customer.c_name_null", c.where(col("c_name").isNull))
+            .unionAll(chk("lineitem.l_orderkey_orphan",
+              li.join(o.select(col("o_orderkey").as("l_orderkey")),
+                Seq("l_orderkey"), "left_anti")))
+            .unionAll(chk("lineitem.l_quantity_nonpositive",
+              li.where(col("l_quantity") <= 0)))
+            .unionAll(chk("orders.o_custkey_orphan",
+              o.join(c.select(col("c_custkey").as("o_custkey")),
+                Seq("o_custkey"), "left_anti")))
+            .unionAll(chk("orders.o_orderkey_dup",
+              o.groupBy("o_orderkey").agg(count(lit(1)).as("__c"))
+                .where(col("__c") > 1)))
+            .orderBy("check")
+        },
+        Some("""
+          SELECT 'customer.c_name_null' AS "check",
+                 CAST(count(*) AS BIGINT) AS n_violations
+          FROM customer WHERE c_name IS NULL
+          UNION ALL
+          SELECT 'lineitem.l_orderkey_orphan', CAST(count(*) AS BIGINT)
+          FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+          UNION ALL
+          SELECT 'lineitem.l_quantity_nonpositive', CAST(count(*) AS BIGINT)
+          FROM lineitem WHERE l_quantity <= 0
+          UNION ALL
+          SELECT 'orders.o_custkey_orphan', CAST(count(*) AS BIGINT)
+          FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+          UNION ALL
+          SELECT 'orders.o_orderkey_dup', CAST(count(*) AS BIGINT)
+          FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+                HAVING count(*) > 1) d__
+          ORDER BY "check"""")),
+
+      // Flesch reading ease over the dotted-sentence fixture (every 7th
+      // token closes a sentence, same dual-dialect dotting as
+      // q_sent_dedup) — the education-quality readability signal. Pure
+      // per-row kernel: two regexp passes + one integer fold, no shuffle.
+      Q("q_readability",
+        (s, dir) => {
+          val dotted = expr(
+            """transform(split(trim(text), '\\s+'),
+                 (t, i) -> CASE WHEN i % 7 = 6 THEN concat(t, '.') ELSE t END)""")
+          val docs = tk(s, dir, "documents")
+            .withColumn("text2", array_join(dotted, " "))
+          graft.ops.Analytics.readability(docs, "doc_id", "text2")
+            .orderBy("doc_id")
+        },
+        Some {
+          val dottedRel = s"""(
+            SELECT doc_id, array_to_string(list_transform(${D.splitWs("text")},
+              (t, i) -> CASE WHEN i % 7 = 0 THEN t || '.' ELSE t END), ' ') AS text2
+            FROM documents)"""
+          s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.readabilityOracleSql(dottedRel, "doc_id", "text2")}
+          ) ORDER BY doc_id"""
+        }),
+
+      // Zipf rank-frequency fit over the top-200 corpus terms: healthy
+      // natural text sits near slope −1, template corpora flatten — the
+      // corpus-health audit next to entropy/term-drift. Logs round to 6
+      // decimals BEFORE the DECIMAL moment sums, so libm ulps can't reach
+      // the regression; the rank window runs on 200 rows by construction.
+      Q("q_zipf_slope",
+        (s, dir) =>
+          graft.ops.Analytics.zipfSlope(tk(s, dir, "documents"), "text", 200),
+        Some(graft.ops.Analytics.zipfSlopeOracleSql("documents", "text", 200))),
 
       // Exact-phrase retrieval from positional postings: adjacent (pos,
       // pos+1) co-occurrences of "fast merge" per doc — the term-order

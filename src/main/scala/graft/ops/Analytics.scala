@@ -511,6 +511,324 @@ object Analytics {
        LIMIT $topN"""
 
   // =========================================================================
+  // Readability (Flesch reading ease)
+  // =========================================================================
+
+  /** Flesch reading ease per document:
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    * sentences counted from terminal-punctuation runs (min 1) and
+    * syllables estimated as vowel-group runs per word (min 1/word) — the
+    * classic readability signal behind education-quality corpus filters.
+    *
+    * Scale: pure per-row kernel — two regexp passes and one integer fold
+    * per document, no shuffle at all; all counts are exact integers and
+    * the final formula is one fixed double expression, so the score is
+    * partitioning-independent. */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val syl = aggregate(
+      transform(toks, t =>
+        greatest(size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))), lit(1))),
+      lit(0L), (acc, x) => acc + x.cast("long"))
+    val sents = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))), lit(1))
+      .cast("long")
+    val nw = size(toks).cast("long")
+    docs.select(col(idCol),
+      nw.as("n_words"), sents.as("n_sents"), syl.as("n_syll"))
+      .select(col(idCol), col("n_words"), col("n_sents"), col("n_syll"),
+        r6(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") /
+            col("n_sents").cast("double")) -
+          lit(84.6) * (col("n_syll").cast("double") /
+            col("n_words").cast("double"))).as("flesch"))
+  }
+
+  /** Oracle fragment replaying [[readability]] (DuckDB dialect). */
+  def readabilityOracleSql(rel: String, idCol: String,
+                           textCol: String): String =
+    s"""WITH b AS (
+         SELECT $idCol,
+                string_split_regex(trim($textCol), '\\s+') AS toks,
+                greatest(len(regexp_extract_all($textCol, '[.!?]+')), 1) AS ns
+         FROM $rel),
+       c AS (
+         SELECT $idCol,
+                CAST(len(toks) AS BIGINT) AS n_words,
+                CAST(ns AS BIGINT) AS n_sents,
+                CAST(list_reduce(
+                  list_prepend(0, list_transform(toks,
+                    t__ -> greatest(len(regexp_extract_all(t__, '[aeiouy]+')), 1))),
+                  (acc__, x__) -> acc__ + x__) AS BIGINT) AS n_syll
+         FROM b)
+       SELECT $idCol, n_words, n_sents, n_syll,
+              (round(CAST(206.835 AS DOUBLE) -
+                     CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE)) -
+                     CAST(84.6 AS DOUBLE) * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+               + CAST(0.0 AS DOUBLE)) AS flesch
+       FROM c"""
+
+  // =========================================================================
+  // Zipf rank-frequency slope
+  // =========================================================================
+
+  /** Least-squares slope (and intercept) of log(freq) on log(rank) over
+    * the corpus's top `topN` terms — the Zipf-law fit (healthy natural
+    * text sits near slope −1; template/boilerplate corpora flatten it).
+    * The corpus-health audit next to term-drift and entropy.
+    *
+    * Determinism contract: logs are rounded to 6 decimals FIRST, then all
+    * regression moments sum in DECIMAL (order-independent) — engine libm
+    * ulp differences cannot reach the sums. Rank ties break by term.
+    *
+    * Scale: term counting is the usual explode + map-combined count; only
+    * `topN` rows (via TakeOrderedAndProject's per-partition heaps) reach
+    * the driver-side-free rank window — the window runs on topN rows, a
+    * bounded SinglePartition by construction, not a corpus-sized one. */
+  def zipfSlope(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val terms = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("term"))
+      .limit(topN)
+    val ranked = terms.withColumn("rank",
+      row_number().over(Window.orderBy(desc("freq"), col("term"))).cast("long"))
+    val x = round(log(col("rank").cast("double")), 6).cast("decimal(18,6)")
+    val y = round(log(col("freq").cast("double")), 6).cast("decimal(18,6)")
+    val m = ranked.agg(
+      count(lit(1)).as("__n"),
+      sum(x).as("__sx"), sum(y).as("__sy"),
+      sum((x * y).cast("decimal(38,12)")).as("__sxy"),
+      sum((x * x).cast("decimal(38,12)")).as("__sxx"))
+    val nd = col("__n").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val sxy = col("__sxy").cast("double"); val sxx = col("__sxx").cast("double")
+    val slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    m.select(col("__n").cast("long").as("n_terms"),
+      r6(slope).as("slope"),
+      r6(sy / nd - slope * (sx / nd)).as("intercept"))
+  }
+
+  /** Oracle fragment replaying [[zipfSlope]] (DuckDB dialect). */
+  def zipfSlopeOracleSql(rel: String, textCol: String, topN: Int): String =
+    s"""WITH t AS (
+         SELECT unnest(string_split_regex(trim($textCol), '\\s+')) AS term
+         FROM $rel),
+       f AS (SELECT term, count(*) AS freq FROM t WHERE len(term) > 0
+             GROUP BY term ORDER BY freq DESC, term LIMIT $topN),
+       rk AS (SELECT freq,
+                     CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT) AS rank
+              FROM f),
+       xy AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+                     CAST(round(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+              FROM rk),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    sum(x) AS sx, sum(y) AS sy,
+                    sum(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+                    sum(CAST(x * x AS DECIMAL(38,12))) AS sxx
+             FROM xy)
+       SELECT n AS n_terms,
+              (round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                     (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+               + CAST(0.0 AS DOUBLE)) AS slope,
+              (round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                     - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+               + CAST(0.0 AS DOUBLE)) AS intercept
+       FROM m"""
+
+  // =========================================================================
+  // Benford first-digit audit
+  // =========================================================================
+
+  /** Benford's-law expected probabilities log10(1 + 1/d), precomputed once
+    * in Scala and embedded as LITERALS in both engines' SQL (the shared-
+    * coefficient pattern — no cross-engine log in the hot path). */
+  val BenfordP: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+
+  /** First-significant-digit distribution of a positive measure vs
+    * Benford's law, with per-digit chi-square contributions — the
+    * synthetic-data / fraud / corrupt-feed audit. The digit comes from
+    * the EXACT integer cents (DECIMAL(18,2)·100 → BIGINT → first char):
+    * integer-to-string is identical across engines, whereas
+    * ⌊log10 x⌋-based extraction can flip a digit on a libm ulp at exact
+    * powers of ten. Expected probabilities are shared Scala literals.
+    *
+    * Scale: one map-combined 9-key aggregation over the scan — nothing
+    * else. */
+  def benford(df: DataFrame, valueCol: Column): DataFrame = {
+    val x = valueCol.cast("double")
+    val cents = (round(x, 2).cast("decimal(18,2)") * 100).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("long")
+    val counts = df.where(x > 0.0 && cents >= 1)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).cast("long").as("n_obs"))
+    val total = counts.agg(sum(col("n_obs")).as("__t"))
+    val pExpr = BenfordP.foldLeft(lit(0.0)) { case (acc, (d, p)) =>
+      when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n_obs"),
+        r6(pExpr * col("__t").cast("double")).as("expected"),
+        r6(((col("n_obs").cast("double") - pExpr * col("__t").cast("double")) *
+          (col("n_obs").cast("double") - pExpr * col("__t").cast("double"))) /
+          (pExpr * col("__t").cast("double"))).as("chi2_contrib"))
+  }
+
+  /** Oracle fragment replaying [[benford]] (DuckDB dialect). `valueSql`
+    * is the measure expression. */
+  def benfordOracleSql(rel: String, valueSql: String): String = {
+    val pCase = BenfordP.map { case (d, p) =>
+      s"WHEN $d THEN CAST($p AS DOUBLE)"
+    }.mkString("CASE digit ", " ", " END")
+    s"""WITH v AS (SELECT CAST($valueSql AS DOUBLE) AS x FROM $rel
+                   WHERE CAST($valueSql AS DOUBLE) > CAST(0.0 AS DOUBLE)),
+       d AS (SELECT CAST(substr(CAST(CAST(CAST(round(x, 2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+             FROM v WHERE CAST(CAST(round(x, 2) AS DECIMAL(18,2)) * 100 AS BIGINT) >= 1),
+       c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
+       t AS (SELECT sum(n_obs) AS tt FROM c)
+       SELECT digit, n_obs,
+              (round(($pCase) * CAST(tt AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS expected,
+              (round(((CAST(n_obs AS DOUBLE) - ($pCase) * CAST(tt AS DOUBLE)) *
+                      (CAST(n_obs AS DOUBLE) - ($pCase) * CAST(tt AS DOUBLE))) /
+                     (($pCase) * CAST(tt AS DOUBLE)), 6) + CAST(0.0 AS DOUBLE)) AS chi2_contrib
+       FROM c CROSS JOIN t"""
+  }
+
+  // =========================================================================
+  // RFM segmentation
+  // =========================================================================
+
+  /** Recency / Frequency / Monetary quintile segmentation of purchasers —
+    * the classic marketing customer-value grid. R = days since the user's
+    * last purchase (vs the corpus max date, exact integer days), F =
+    * purchase count, M = exact decimal spend; each scored 1–5 by ntile
+    * over a fully tie-broken order (metric, then user id — both engines'
+    * ntile follows the SQL-standard bucket-size rule, so the quintiles
+    * are deterministic).
+    *
+    * Scale: one user-keyed aggregation; the three ntile windows run over
+    * the USER dimension (already aggregated — bounded by |users|, not by
+    * event volume), which is the standard shape for segment scoring. */
+  def rfm(events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+          valCol: String, purchaseType: String): DataFrame = {
+    val purch = events.where(col(typeCol) === purchaseType)
+    val anchor = purch.agg(max(to_date(col(tsCol))).as("__maxd"))
+    val base = purch.groupBy(col(userCol))
+      .agg(max(to_date(col(tsCol))).as("__lastd"),
+        count(lit(1)).cast("long").as("f"),
+        sum(round(col(valCol), 2).cast("decimal(18,2)")).as("__m"))
+      .crossJoin(broadcast(anchor))
+      .select(col(userCol),
+        datediff(col("__maxd"), col("__lastd")).cast("long").as("r_days"),
+        col("f"), col("__m").cast("double").as("m"))
+    val rQ = ntile(5).over(
+      Window.orderBy(col("r_days"), col(userCol))).cast("long")
+    val fQ = ntile(5).over(
+      Window.orderBy(desc("f"), col(userCol))).cast("long")
+    val mQ = ntile(5).over(
+      Window.orderBy(desc("m"), col(userCol))).cast("long")
+    base.select(col(userCol), col("r_days"), col("f"), r6(col("m")).as("m"),
+      rQ.as("r_q"), fQ.as("f_q"), mQ.as("m_q"))
+      .withColumn("rfm_code",
+        concat(col("r_q").cast("string"), col("f_q").cast("string"),
+          col("m_q").cast("string")))
+  }
+
+  /** Oracle fragment replaying [[rfm]] (DuckDB dialect). */
+  def rfmOracleSql(eventsRel: String, userCol: String, tsCol: String,
+                   typeCol: String, valCol: String,
+                   purchaseType: String): String =
+    s"""WITH p AS (SELECT * FROM $eventsRel WHERE $typeCol = '$purchaseType'),
+       anchor AS (SELECT max(CAST($tsCol AS DATE)) AS maxd FROM p),
+       base AS (
+         SELECT $userCol,
+                CAST(date_diff('day', max(CAST($tsCol AS DATE)), maxd) AS BIGINT) AS r_days,
+                CAST(count(*) AS BIGINT) AS f,
+                CAST(sum(CAST(round($valCol, 2) AS DECIMAL(18,2))) AS DOUBLE) AS m
+         FROM p CROSS JOIN anchor
+         GROUP BY $userCol, maxd),
+       q AS (
+         SELECT $userCol, r_days, f, m,
+                CAST(ntile(5) OVER (ORDER BY r_days, $userCol) AS BIGINT) AS r_q,
+                CAST(ntile(5) OVER (ORDER BY f DESC, $userCol) AS BIGINT) AS f_q,
+                CAST(ntile(5) OVER (ORDER BY m DESC, $userCol) AS BIGINT) AS m_q
+         FROM base)
+       SELECT $userCol, r_days, f,
+              (round(m, 6) + CAST(0.0 AS DOUBLE)) AS m,
+              r_q, f_q, m_q,
+              CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR) AS rfm_code
+       FROM q"""
+
+  // =========================================================================
+  // ABC (Pareto) classification
+  // =========================================================================
+
+  /** ABC/Pareto classification of items by revenue share: rank items by
+    * exact decimal revenue, take the running share of the total, class A
+    * while cumulative share ≤ `aCut`, B while ≤ `bCut`, else C — the
+    * inventory/catalog 80-15-5 analysis. Cumulative sums stay in DECIMAL
+    * (exact, so the class boundary cannot drift with partitioning); the
+    * share threshold compares on round-6 values.
+    *
+    * Scale: revenue aggregation is map-combined on the item key; the rank
+    * window runs over the ITEM dimension (bounded by catalog size, not
+    * fact volume). For catalogs too large for one partition, the same
+    * logic runs on the range-partitioned two-pass rank (q_dense_ids'
+    * shape) — documented trade, standard for this report. */
+  def abcClassify(fact: DataFrame, itemCol: String, revenue: Column,
+                  aCut: Double, bCut: Double): DataFrame = {
+    // `revenue` must already be an exact DECIMAL expression — summed
+    // as-is (a per-row re-cast to a narrower scale would round, and
+    // Spark rounds decimal casts HALF_UP while DuckDB rounds HALF_EVEN:
+    // divergent by construction).
+    val rev = fact.groupBy(col(itemCol))
+      .agg(sum(revenue).as("__rev"))
+    val w = Window.orderBy(desc("__rev"), col(itemCol))
+    val total = rev.agg(sum(col("__rev")).as("__t"))
+    rev.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__cum", sum(col("__rev")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col(itemCol), col("rank"),
+        col("__rev").cast("double").as("revenue"),
+        r6(col("__cum").cast("double") / col("__t").cast("double"))
+          .as("cum_share"))
+      .withColumn("abc_class",
+        when(col("cum_share") <= aCut, "A")
+          .when(col("cum_share") <= bCut, "B").otherwise(lit("C")))
+  }
+
+  /** Oracle fragment replaying [[abcClassify]] (DuckDB dialect);
+    * `revenueSql` is the per-row revenue expression. */
+  def abcClassifyOracleSql(rel: String, itemCol: String, revenueSql: String,
+                           aCut: Double, bCut: Double): String =
+    s"""WITH rev AS (
+         SELECT $itemCol, sum($revenueSql) AS r
+         FROM $rel GROUP BY $itemCol),
+       t AS (SELECT sum(r) AS tt FROM rev),
+       w AS (
+         SELECT $itemCol,
+                CAST(row_number() OVER (ORDER BY r DESC, $itemCol) AS BIGINT) AS rank,
+                CAST(r AS DOUBLE) AS revenue,
+                (round(CAST(sum(r) OVER (ORDER BY r DESC, $itemCol
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                       / CAST(tt AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS cum_share
+         FROM rev CROSS JOIN t)
+       SELECT $itemCol, rank, revenue, cum_share,
+              CASE WHEN cum_share <= CAST($aCut AS DOUBLE) THEN 'A'
+                   WHEN cum_share <= CAST($bCut AS DOUBLE) THEN 'B'
+                   ELSE 'C' END AS abc_class
+       FROM w"""
+
+  // =========================================================================
   // Positional phrase search
   // =========================================================================
 

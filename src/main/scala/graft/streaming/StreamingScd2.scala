@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** SCD2 history build as a streaming state machine — the live form of
+  * `graft.ops.Analytics.scd2History`: per key, runs of equal attribute
+  * collapse into validity intervals; an interval closes the moment a
+  * DIFFERENT attribute arrives (emitted immediately — no buffering), and
+  * the final open interval closes at the 9999-12-31 sentinel when the
+  * event-time watermark passes the key's last change + `quietUs`.
+  *
+  * State per key is O(1) — the single open interval (attr, valid_from,
+  * version), never an event buffer: the property that lets a dimension
+  * with billions of keys stream through a bounded state store. One code
+  * path serves batch (inline flush) and stream; the gate
+  * (QueryCatalog q_stream_scd2_eq) hash-matches real micro-batches
+  * against the batch windowed oracle.
+  */
+object StreamingScd2 {
+
+  final case class ChEvent(user_id: Long, ts: Timestamp, event_id: Long,
+                           attr: String)
+  final case class Open(attr: String, fromUs: Long, version: Long)
+  final case class Scd2Row(user_id: Long, attr: String, valid_from: Timestamp,
+                           valid_to: Timestamp, version: Long)
+
+  private def us(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  private def tsOf(usv: Long): Timestamp = Timestamp.from(
+    java.time.Instant.ofEpochSecond(usv / 1000000L, (usv % 1000000L) * 1000L))
+
+  private val SentinelTs = Timestamp.valueOf("9999-12-31 00:00:00")
+
+  /** Build SCD2 intervals from an (optionally watermarked) change stream. */
+  def scd2Stream(changes: Dataset[ChEvent], quietUs: Long): Dataset[Scd2Row] = {
+    implicit val outEnc = Encoders.product[Scd2Row]
+    implicit val longEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.product[Open]
+    val isStreamingRun = changes.isStreaming
+
+    changes.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Open, Scd2Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[ChEvent], state: GroupState[Open]) =>
+
+        if (rows.isEmpty && state.hasTimedOut) {
+          val o = state.get
+          state.remove()
+          Iterator.single(
+            Scd2Row(userId, o.attr, tsOf(o.fromUs), SentinelTs, o.version))
+        } else {
+          val sorted = rows.toArray.sortBy(e => (us(e.ts), e.event_id))
+          val closed = Vector.newBuilder[Scd2Row]
+          var open = state.getOption
+          sorted.foreach { e =>
+            val t = us(e.ts)
+            open match {
+              case Some(o) if o.attr == e.attr => // same run — no-op
+              case Some(o) =>
+                closed += Scd2Row(userId, o.attr, tsOf(o.fromUs), tsOf(t),
+                  o.version)
+                open = Some(Open(e.attr, t, o.version + 1))
+              case None =>
+                open = Some(Open(e.attr, t, 1L))
+            }
+          }
+          open.foreach { o =>
+            state.update(o)
+            if (isStreamingRun)
+              state.setTimeoutTimestamp(
+                sorted.lastOption.map(e => us(e.ts)).getOrElse(o.fromUs) / 1000L
+                  + quietUs / 1000L)
+          }
+          val tail =
+            if (!isStreamingRun && open.isDefined) {
+              val o = open.get
+              state.remove()
+              Vector(Scd2Row(userId, o.attr, tsOf(o.fromUs), SentinelTs,
+                o.version))
+            } else Vector.empty
+          (closed.result() ++ tail).iterator
+        }
+      }
+  }
+}

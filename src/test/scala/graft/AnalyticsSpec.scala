@@ -235,6 +235,91 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("StreamingScd2 in batch mode == Analytics.scd2History") {
+    import graft.streaming.StreamingScd2
+    import graft.streaming.StreamingScd2.ChEvent
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "A"),
+      (1L, "2024-01-02 00:00:00", 2L, "A"),
+      (1L, "2024-01-03 00:00:00", 3L, "B"),
+      (1L, "2024-01-04 00:00:00", 4L, "A"))
+    val ds = rows.map { case (u, t, e, a) => ChEvent(u, ts(t), e, a) }.toDS()
+    val streamed = StreamingScd2.scd2Stream(ds, 3600000000L)
+      .collect().map(r => (r.user_id, r.attr, r.valid_from, r.valid_to,
+        r.version)).sortBy(_._5).toSeq
+    val batch = Analytics.scd2History(
+        rows.toDF("user_id", "ts0", "event_id", "event_type")
+          .withColumn("ts", col("ts0").cast("timestamp")),
+        "user_id", "ts", "event_id", "event_type")
+      .orderBy("version")
+      .as[(Long, String, Timestamp, Timestamp, Long)].collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("readability: textbook Flesch from exact counts") {
+    // "the cat sat. it ran far." -> 6 words, 2 sentences, 6 syllables
+    // (each word one vowel group): 206.835 - 1.015*3 - 84.6*1 = 119.19
+    val docs = Seq((1L, "the cat sat. it ran far.")).toDF("doc_id", "text")
+    val got = Analytics.readability(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(got == ((1L, 6L, 2L, 6L, 119.19)))
+  }
+
+  test("zipfSlope: exact power law recovers slope -1") {
+    // freqs 12,6,4,3 ~ 12/rank: log-log is exactly linear with slope -1
+    val words = Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = Analytics.zipfSlope(docs, "text", 4)
+      .as[(Long, Double, Double)].collect().head
+    assert(got._1 == 4L)
+    assert(math.abs(got._2 - (-1.0)) < 0.01, s"slope ${got._2}")
+    assert(math.abs(got._3 - math.log(12.0)) < 0.01, s"intercept ${got._3}")
+  }
+
+  test("benford: exact-cents digit extraction and chi2 contributions") {
+    val df = (1 to 9).map(d => d.toDouble).toDF("v")
+    val got = Analytics.benford(df, col("v")).orderBy("digit")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == (1L to 9L))
+    assert(got.forall(_._2 == 1L))
+    val p1 = Analytics.BenfordP.head._2
+    val exp1 = BigDecimal(p1 * 9).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(math.abs(got.head._3 - exp1.toDouble) < 1e-9)
+    // sub-cent values are excluded, fractional first digit comes from cents
+    val tiny = Seq(0.004, 0.05).toDF("v")
+    val gt = Analytics.benford(tiny, col("v")).as[(Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(gt.map(r => (r._1, r._2)) == Seq((5L, 1L)))
+  }
+
+  test("rfm: quintile codes with deterministic tie-breaks") {
+    val ev = Seq(
+      (1L, ts("2024-01-10 00:00:00"), "purchase", 100.0),
+      (1L, ts("2024-01-12 00:00:00"), "purchase", 50.0),
+      (2L, ts("2024-01-05 00:00:00"), "purchase", 10.0),
+      (3L, ts("2024-01-12 00:00:00"), "click", 99.0) // not a purchase
+    ).toDF("user_id", "ts", "event_type", "value")
+    val got = Analytics.rfm(ev, "user_id", "ts", "event_type", "value",
+        "purchase").orderBy("user_id")
+      .as[(Long, Long, Long, Double, Long, Long, Long, String)]
+      .collect().toSeq
+    // anchor = 2024-01-12; user1: r=0, f=2, m=150; user2: r=7, f=1, m=10
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) ==
+      Seq((1L, 0L, 2L, 150.0), (2L, 7L, 1L, 10.0)))
+    assert(got.map(_._8) == Seq("111", "222"))
+  }
+
+  test("abcClassify: exact cumulative shares split A/B/C") {
+    val fact = Seq((1L, 80.0), (2L, 15.0), (3L, 5.0)).toDF("item", "rev")
+    val got = Analytics.abcClassify(fact, "item", col("rev"), 0.80, 0.95)
+      .orderBy("rank")
+      .as[(Long, Long, Double, Double, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 80.0, 0.8, "A"), (2L, 2L, 15.0, 0.95, "B"),
+      (3L, 3L, 5.0, 1.0, "C")))
+  }
+
   test("phraseHits: adjacent positions only, per-doc counts") {
     val docs = Seq(
       (1L, "fast merge fast merge"), // two hits
