@@ -10633,6 +10633,123 @@ object QueryCatalog {
         Some(graft.ops.Analytics.sessionPathsOracleSql(
           duckEvents, "user_id", "ts", "event_id", "event_type", 5, 50))),
 
+      // Adjacent-bigram PMI collocations from exact corpus counts (min
+      // count 20, top 50): the "new york" detector feeding tokenizer
+      // merge candidates; the single ln runs on identical exact ratios.
+      Q("q_pmi_collocations",
+        (s, dir) =>
+          graft.ops.Analytics.pmiCollocations(
+            tk(s, dir, "documents"), "text", 20, 50),
+        Some(graft.ops.Analytics.pmiCollocationsOracleSql(
+          duckDocToks, 20, 50))),
+
+      // RAKE corpus keyphrases: stopword-free runs segmented by one
+      // doc-partitioned cumulative window, corpus deg/freq word scores,
+      // DECIMAL(18,6) phrase sums, top-50 by (score, phrase). The
+      // unsupervised keyphrase baseline for corpus exploration.
+      Q("q_rake_keyphrases",
+        (s, dir) =>
+          graft.ops.Analytics.rakeKeyphrases(
+              tk(s, dir, "documents"), "doc_id", "text",
+              graft.functions.TextF.StopEn, 50)
+            .orderBy(desc("score"), col("phrase")),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.rakeKeyphrasesOracleSql(
+              duckDocToks, "doc_id",
+              D.strArray(graft.functions.TextF.StopEn), 50)}
+          ) ORDER BY score DESC, phrase""")),
+
+      // Time-to-convert funnel: per signup cohort week, exact p50/p90 of
+      // microseconds from first signup to first subsequent purchase —
+      // the funnel-latency report behind activation dashboards. Durations
+      // are exact integers; quantiles go through the audited exact
+      // rank-interpolation operator (window form: cohorts are few and
+      // small after the per-user collapse).
+      Q("q_funnel_timing",
+        (s, dir) => {
+          val ev = evT(s, dir)
+          val su = ev.where(col("event_type") === "signup")
+            .groupBy(col("user_id")).agg(min(col("ts")).as("sts"))
+          val pu = ev.where(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("pts"))
+          val dur = pu.join(su, "user_id")
+            .where(col("pts") >= col("sts"))
+            .groupBy(col("user_id"), col("sts")).agg(min(col("pts")).as("fp"))
+            .select(
+              date_trunc("week", col("sts")).cast("date").as("cohort_week"),
+              (unix_micros(col("fp")) - unix_micros(col("sts")))
+                .as("dur_us"))
+          graft.ops.Percentiles.quantiles(dur, "dur_us", Seq("cohort_week"),
+              Seq("p50_raw" -> 0.5, "p90_raw" -> 0.9))
+            .select(col("cohort_week"),
+              r6(col("p50_raw")).as("p50_us"), r6(col("p90_raw")).as("p90_us"),
+              col("cnt"))
+            .orderBy("cohort_week")
+        },
+        Some(s"""
+          WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                     FROM events),
+          su AS (SELECT user_id, min(ts) AS sts FROM e
+                 WHERE event_type = 'signup' GROUP BY user_id),
+          fp AS (SELECT pu.user_id, su.sts, min(pu.ts) AS fp
+                 FROM e pu JOIN su ON pu.user_id = su.user_id
+                 WHERE pu.event_type = 'purchase' AND pu.ts >= su.sts
+                 GROUP BY pu.user_id, su.sts),
+          dur AS (SELECT CAST(date_trunc('week', sts) AS DATE) AS cohort_week,
+                         epoch_us(fp) - epoch_us(sts) AS dur_us
+                  FROM fp)
+          SELECT cohort_week,
+                 (round(quantile_cont(dur_us, 0.5), 6) + CAST(0.0 AS DOUBLE)) AS p50_us,
+                 (round(quantile_cont(dur_us, 0.9), 6) + CAST(0.0 AS DOUBLE)) AS p90_us,
+                 count(*) AS cnt
+          FROM dur
+          GROUP BY cohort_week
+          ORDER BY cohort_week""")),
+
+      // Language-ID confusion matrix: the n-gram-heuristic classifier's
+      // predictions crossed with the corpus's true lang labels, plus
+      // per-cell share of the true-label row — the eval that turns
+      // q_langid from a prediction dump into a measured classifier.
+      Q("q_langid_confusion",
+        (s, dir) =>
+          tk(s, dir, "documents")
+            .select(col("lang"),
+              graft.functions.TextF.langId(TextF.tokens(col("text")))
+                .as("pred_lang"))
+            .groupBy("lang", "pred_lang")
+            .agg(count(lit(1)).cast("long").as("n"))
+            .withColumn("row_share", r6(col("n").cast("double") /
+              sum(col("n")).over(
+                org.apache.spark.sql.expressions.Window.partitionBy("lang"))
+                .cast("double")))
+            .orderBy("lang", "pred_lang"),
+        Some {
+          def hits(stop: Seq[String]) =
+            s"len(list_filter(toks, t__ -> list_contains(${D.strArray(stop)}, t__)))"
+          s"""
+          WITH pred AS (
+            SELECT lang,
+                   CASE WHEN en__ >= de__ AND en__ >= es__ AND en__ >= fr__ THEN 'en'
+                        WHEN de__ >= es__ AND de__ >= fr__ THEN 'de'
+                        WHEN es__ >= fr__ THEN 'es'
+                        ELSE 'fr' END AS pred_lang
+            FROM (SELECT d0.lang, ${hits(graft.functions.TextF.StopEn)} AS en__,
+                         ${hits(graft.functions.TextF.StopDe)} AS de__,
+                         ${hits(graft.functions.TextF.StopEs)} AS es__,
+                         ${hits(graft.functions.TextF.StopFr)} AS fr__
+                  FROM (SELECT doc_id, lang, ${D.splitWs("text")} AS toks
+                        FROM documents) d0)),
+          cm AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+                 FROM pred GROUP BY lang, pred_lang)
+          SELECT lang, pred_lang, n,
+                 (round(CAST(n AS DOUBLE) /
+                        CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6)
+                  + CAST(0.0 AS DOUBLE)) AS row_share
+          FROM cm
+          ORDER BY lang, pred_lang"""
+        }),
+
       // Benford first-digit audit of lineitem prices: exact integer-cents
       // digit extraction (no log10 near powers of ten), shared-literal
       // expected probabilities, per-digit chi-square contributions — the

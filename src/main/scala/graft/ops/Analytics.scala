@@ -829,6 +829,167 @@ object Analytics {
        FROM w"""
 
   // =========================================================================
+  // RAKE keyphrase extraction
+  // =========================================================================
+
+  /** RAKE (Rose et al. 2010) corpus keyphrases: candidate phrases are
+    * maximal stopword-free token runs; each word scores deg/freq over the
+    * corpus (deg = Σ length of phrases containing it — favors words that
+    * appear inside long collocations); a phrase scores the sum of its
+    * member word scores. Returns the top `topN` distinct phrases.
+    *
+    * Determinism: integer deg/freq, per-word ratio rounded to 6 decimals,
+    * phrase sums in DECIMAL(18,6) — exact; ranking ties break on the
+    * phrase text.
+    *
+    * Scale: one doc-partitioned cumulative window segments phrases (no
+    * global sort); word stats are a map-combined term aggregation; the
+    * final top-N is TakeOrderedAndProject. Nothing wider than
+    * (doc, phrase-id, term) rows crosses an exchange. */
+  def rakeKeyphrases(docs: DataFrame, idCol: String, textCol: String,
+                     stopwords: Seq[String], topN: Int): DataFrame = {
+    val toksP = docs.select(col(idCol),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "term")))
+    val marked = toksP.withColumn("__st",
+      when(col("term").isInCollection(stopwords), 1).otherwise(0))
+    val cum = sum(col("__st")).over(
+      Window.partitionBy(col(idCol)).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val nonstop = marked.withColumn("__g", cum).where(col("__st") === 0)
+      .select(col(idCol), col("__g"), col("pos"), col("term"))
+    val phrases = nonstop.groupBy(col(idCol), col("__g"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("term")))),
+        s => s.getField("term")), " ").as("phrase"),
+        count(lit(1)).as("__len"))
+    val withLen = nonstop.join(
+      phrases.select(col(idCol), col("__g"), col("__len")),
+      Seq(idCol, "__g"))
+    val wordStats = withLen.groupBy(col("term"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+    val phraseScore = withLen.join(wordStats, "term")
+      .select(col(idCol), col("__g"),
+        round(col("__deg").cast("double") / col("__freq").cast("double"), 6)
+          .cast("decimal(18,6)").as("__ws"))
+      .groupBy(col(idCol), col("__g"))
+      .agg(sum(col("__ws")).as("__score"))
+    phrases.join(phraseScore, Seq(idCol, "__g"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).cast("long").as("n_occurs"),
+        max(col("__len")).cast("long").as("n_words"),
+        max(col("__score")).as("__sc"))
+      .orderBy(desc("__sc"), col("phrase"))
+      .limit(topN)
+      .select(col("phrase"), col("n_occurs"), col("n_words"),
+        r6(col("__sc").cast("double")).as("score"))
+  }
+
+  /** Oracle fragment replaying [[rakeKeyphrases]] over a tokenized
+    * relation (idCol, toks); `stopArr` is the dialect array literal. */
+  def rakeKeyphrasesOracleSql(toksRel: String, idCol: String,
+                              stopArr: String, topN: Int): String =
+    s"""WITH ix AS (
+         SELECT $idCol, toks, unnest(range(1, len(toks) + 1)) AS i FROM $toksRel),
+       tok AS (SELECT $idCol, i AS pos, toks[i] AS term FROM ix),
+       m AS (SELECT $idCol, pos, term,
+                    CASE WHEN list_contains($stopArr, term) THEN 1 ELSE 0 END AS st
+             FROM tok),
+       c AS (SELECT $idCol, pos, term, st,
+                    sum(st) OVER (PARTITION BY $idCol ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+             FROM m),
+       ns AS (SELECT $idCol, g, pos, term FROM c WHERE st = 0),
+       ph AS (SELECT $idCol, g,
+                     array_to_string(list(term ORDER BY pos), ' ') AS phrase,
+                     count(*) AS len
+              FROM ns GROUP BY $idCol, g),
+       wl AS (SELECT ns.$idCol, ns.g, ns.term, ph.len
+              FROM ns JOIN ph ON ns.$idCol = ph.$idCol AND ns.g = ph.g),
+       ws AS (SELECT term, count(*) AS freq, sum(len) AS deg
+              FROM wl GROUP BY term),
+       psc AS (SELECT wl.$idCol, wl.g,
+                      sum(CAST(round(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE), 6)
+                               AS DECIMAL(18,6))) AS score
+               FROM wl JOIN ws ON wl.term = ws.term
+               GROUP BY wl.$idCol, wl.g),
+       agg AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurs,
+                      CAST(max(len) AS BIGINT) AS n_words,
+                      max(score) AS sc
+               FROM ph JOIN psc ON ph.$idCol = psc.$idCol AND ph.g = psc.g
+               GROUP BY phrase
+               ORDER BY sc DESC, phrase LIMIT $topN)
+       SELECT phrase, n_occurs, n_words,
+              (round(CAST(sc AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS score
+       FROM agg"""
+
+  // =========================================================================
+  // PMI collocations
+  // =========================================================================
+
+  /** Pointwise mutual information of adjacent token bigrams:
+    * PMI = ln(n₁₂·N / (n₁·n₂)) from EXACT corpus counts, minimum-count
+    * filtered, top `topN` by (PMI, bigram) — the collocation detector
+    * ("new york"-style units) feeding tokenizer merge candidates and
+    * phrase vocabularies.
+    *
+    * Determinism: all counts are exact integers; the single ln happens on
+    * the identical exact ratio in both engines and the result rounds to 6
+    * decimals (a libm ulp cannot survive the rounding except on exact
+    * boundary values, which integer ratios don't hit).
+    *
+    * Scale: bigram generation is a per-doc zip (no shuffle), counting is
+    * map-combined on the bigram key, the two unigram joins are joins of
+    * a count-filtered (small) bigram table against the term table, and
+    * top-N is TakeOrderedAndProject. */
+  def pmiCollocations(docs: DataFrame, textCol: String, minCount: Int,
+                      topN: Int): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val bigrams = docs
+      .select(explode(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), size(toks)),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("__n12"))
+      .where(col("__n12") >= minCount)
+    val unigrams = docs
+      .select(explode(toks).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("__n1"))
+    val total = unigrams.agg(sum(col("__n1")).as("__t"))
+    bigrams
+      .join(unigrams.select(col("term").as("w1"), col("__n1").as("__na")), "w1")
+      .join(unigrams.select(col("term").as("w2"), col("__n1").as("__nb")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("__n12").cast("long").as("n_pair"),
+        r6(log((col("__n12").cast("double") * col("__t").cast("double")) /
+          (col("__na").cast("double") * col("__nb").cast("double"))))
+          .as("pmi"))
+      .orderBy(desc("pmi"), col("w1"), col("w2"))
+      .limit(topN)
+  }
+
+  /** Oracle fragment replaying [[pmiCollocations]] (DuckDB dialect) over
+    * a tokenized relation (idCol, toks). */
+  def pmiCollocationsOracleSql(toksRel: String, minCount: Int,
+                               topN: Int): String =
+    s"""WITH ix AS (
+         SELECT toks, unnest(range(1, len(toks))) AS i FROM $toksRel),
+       bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2, count(*) AS n12
+              FROM ix GROUP BY w1, w2 HAVING count(*) >= $minCount),
+       ug AS (SELECT unnest(toks) AS term FROM $toksRel),
+       u AS (SELECT term, count(*) AS n1 FROM ug GROUP BY term),
+       t AS (SELECT sum(n1) AS tt FROM u)
+       SELECT w1, w2, CAST(n12 AS BIGINT) AS n_pair,
+              (round(ln((CAST(n12 AS DOUBLE) * CAST(tt AS DOUBLE)) /
+                        (CAST(ua.n1 AS DOUBLE) * CAST(ub.n1 AS DOUBLE))), 6)
+               + CAST(0.0 AS DOUBLE)) AS pmi
+       FROM bg
+       JOIN u ua ON bg.w1 = ua.term
+       JOIN u ub ON bg.w2 = ub.term
+       CROSS JOIN t
+       ORDER BY pmi DESC, w1, w2 LIMIT $topN"""
+
+  // =========================================================================
   // Positional phrase search
   // =========================================================================
 

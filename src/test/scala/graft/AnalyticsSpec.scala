@@ -320,6 +320,26 @@ class AnalyticsSpec extends AnyFunSuite {
       (3L, 3L, 5.0, 1.0, "C")))
   }
 
+  test("pmiCollocations: textbook PMI from exact counts") {
+    // corpus of 8 tokens: "a b" occurs 3x, n(a)=3 n(b)=3, N=8
+    val docs = Seq((1L, "a b a b a b x y")).toDF("doc_id", "text")
+    val got = Analytics.pmiCollocations(docs, "text", minCount = 3, topN = 5)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val expected = BigDecimal(math.log(3.0 * 8.0 / (3.0 * 3.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(("a", "b", 3L, expected)))
+  }
+
+  test("rakeKeyphrases: deg/freq scores, stopword segmentation") {
+    val docs = Seq((1L, "deep learning of deep learning the model"))
+      .toDF("doc_id", "text")
+    val got = Analytics.rakeKeyphrases(docs, "doc_id", "text",
+        Seq("of", "the"), 10)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // words: deep/learning freq 2 deg 4 -> 2.0; model freq 1 deg 1 -> 1.0
+    assert(got == Seq(("deep learning", 2L, 2L, 4.0), ("model", 1L, 1L, 1.0)))
+  }
+
   test("phraseHits: adjacent positions only, per-doc counts") {
     val docs = Seq(
       (1L, "fast merge fast merge"), // two hits
