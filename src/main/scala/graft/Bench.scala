@@ -135,9 +135,11 @@ object Bench {
           // iterative-graph, chunk-capstone and vocabulary-join witnesses
           "q_hits", "q_contrastive_pairs", "q_term_drift",
           // round-7 session 2: degree-ordered triangle counting (the
-          // skew-sensitive wedge join), seeded PPR, and the fixed-round
-          // k-core peel on the same graph
-          "q_triangles", "q_ppr", "q_kcore")
+          // skew-sensitive wedge join), seeded PPR, the fixed-round
+          // k-core peel, the per-user SCD2 window build, and the two
+          // corpus-text kernels (RAKE window+joins, PMI bigram counting)
+          "q_triangles", "q_ppr", "q_kcore", "q_scd2",
+          "q_rake_keyphrases", "q_pmi_collocations")
         def timed(fn: String => Unit, dir: String, name: String): Double = {
           def once(): Double = {
             val t0 = System.nanoTime()

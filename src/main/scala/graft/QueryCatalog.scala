@@ -3854,6 +3854,55 @@ object QueryCatalog {
         FROM v GROUP BY doc_id, window_no
         ORDER BY doc_id, window_no""")),
 
+    // Single-bin DFT power (bin 3 over the 96-sample payload) on REAL
+    // WAV byte round-trips — the tone/carrier detector, frequency-domain
+    // companion to q_pcm_energy. The trig coefficients are computed ONCE
+    // in Scala and shared with the oracle as 17-significant-digit
+    // literals (exact double round-trip), so no libm trig runs in either
+    // engine's kernel: products and the sequential fold are bit-exact.
+    Q("q_audio_dft",
+      (s, dir) => {
+        def le(e: String, nBytes: Int): String =
+          (0 until nBytes).map(i =>
+            s"lpad(hex((($e) div ${1L << (8 * i)}) % 256), 2, '0')")
+            .mkString("concat(", ", ", ")")
+        val u = "(((doc_id * 131 + s__ * 17) % 2001 - 1000) + 65536) % 65536"
+        val pcmHex = s"array_join(transform(sequence(0, 95), " +
+          s"s__ -> concat(lpad(hex(($u) % 256), 2, '0'), " +
+          s"lpad(hex(($u) div 256), 2, '0'))), '')"
+        val withBytes = t(s, dir, "documents")
+          .withColumn("wav", unhex(expr(
+            s"""concat('52494646', ${le("36 + 192", 4)}, '57415645',
+                '666D7420', '10000000', '0100', '0100', ${le("8000", 4)},
+                ${le("16000", 4)}, '0200', '1000',
+                '64617461', ${le("192", 4)}, $pcmHex)""")))
+        val cosC = Array.tabulate(96)(n => math.cos(2.0 * math.Pi * 3 * n / 96))
+        val sinC = Array.tabulate(96)(n => math.sin(2.0 * math.Pi * 3 * n / 96))
+        graft.multimodal.BinaryColumns
+          .pcmDftBin(withBytes, "wav", "doc_id", 96, cosC, sinC)
+          .select(col("doc_id"), col("window_no"), r6(col("power")).as("power"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val cosC = Array.tabulate(96)(n => math.cos(2.0 * math.Pi * 3 * n / 96))
+        val sinC = Array.tabulate(96)(n => math.sin(2.0 * math.Pi * 3 * n / 96))
+        def arr(a: Array[Double]) = a.map(v => f"$v%.17e").mkString("[", ", ", "]")
+        val v = "CAST((doc_id * 131 + n * 17) % 2001 - 1000 AS DOUBLE)"
+        def fold(coefCol: String) =
+          s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(0, 96), n -> $v * ($coefCol)[n + 1])),
+              (a__, x__) -> a__ + x__)"""
+        s"""
+        WITH coef AS (SELECT ${arr(cosC)} AS ca, ${arr(sinC)} AS sa),
+        f AS (SELECT doc_id,
+                     ${fold("ca")} AS re, ${fold("sa")} AS im
+              FROM documents CROSS JOIN coef)
+        SELECT doc_id, CAST(0 AS BIGINT) AS window_no,
+               ${duckR6("re * re + im * im")} AS power
+        FROM f
+        ORDER BY doc_id"""
+      }),
+
     // Haar-wavelet audio fingerprints over REAL PCM byte round-trips: the
     // sample payload is keyed by doc_id % 50 (a CONTENT class) while the
     // container's sample-rate fields vary by doc_id — so byte hashes

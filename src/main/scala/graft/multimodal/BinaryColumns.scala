@@ -252,6 +252,53 @@ object BinaryColumns {
     * stream). Malformed/non-PCM payloads emit nothing. Narrow flatMap
     * generator — one pass over each payload, no shuffle, rows carry no
     * audio bytes. */
+  /** Single-bin DFT power per `winLen`-sample window — the tone /
+    * dial-tone / carrier detector (the frequency-domain companion to
+    * [[pcmEnergyWindows]]'s time-domain RMS): power = re² + im² with
+    * re = Σ sₙ·cos(2πkn/N), im = Σ sₙ·sin(2πkn/N).
+    *
+    * The caller passes the cos/sin coefficient arrays (computed ONCE in
+    * Scala) so an SQL oracle can embed the *identical* doubles as
+    * literals — products and the sequential left-fold then match
+    * bit-for-bit across engines (the shared-literal pattern; no libm
+    * trig in either engine's hot path). Only COMPLETE windows emit.
+    * Narrow flatMap, no shuffle, rows carry no audio bytes. */
+  def pcmDftBin(df: DataFrame, binCol: String, idCol: String,
+                winLen: Int, cosC: Array[Double],
+                sinC: Array[Double]): DataFrame = {
+    require(cosC.length == winLen && sinC.length == winLen,
+      s"coefficient arrays must have length $winLen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        val d = findPcmData(b)
+        if (d == null) Iterator.empty
+        else {
+          val (off, len, _, _) = d
+          val nSamples = len / 2
+          (0 until nSamples / winLen).iterator.map { w =>
+            val from = w * winLen
+            var re = 0.0
+            var im = 0.0
+            var n = 0
+            while (n < winLen) {
+              val s = from + n
+              val lo = b(off + 2 * s) & 0xFF
+              val hi = b(off + 2 * s + 1).toInt // sign-extends
+              val v = ((hi << 8) | lo).toShort.toDouble
+              re += v * cosC(n)
+              im += v * sinC(n)
+              n += 1
+            }
+            (id, w.toLong, re * re + im * im)
+          }
+        }
+      }
+      .toDF(idCol, "window_no", "power")
+  }
+
   def pcmEnergyWindows(df: DataFrame, binCol: String, idCol: String,
                        windowSamples: Int = 256): DataFrame = {
     val spark = df.sparkSession
