@@ -10682,6 +10682,87 @@ object QueryCatalog {
         Some(graft.ops.Analytics.sessionPathsOracleSql(
           duckEvents, "user_id", "ts", "event_id", "event_type", 5, 50))),
 
+      // SCD1 MERGE in-engine: order-derived updates (latest o_orderkey
+      // wins per customer) upsert into the customer dimension; every
+      // 50th update also inserts under a shifted key, exercising the
+      // insert path. One latest-per-key reduction + one full-outer join
+      // — what a warehouse MERGE compiles to before file rewriting.
+      Q("q_scd1_merge",
+        (s, dir) => {
+          val base = t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+          val upd0 = t(s, dir, "orders").select(
+            col("o_custkey").as("c_custkey"), col("o_orderkey").as("ord"),
+            concat(lit("upd_"), col("o_orderkey")).as("c_name"),
+            col("o_totalprice").as("c_acctbal"))
+          val updates = upd0.unionAll(
+            upd0.where(col("c_custkey") % 50 === 0)
+              .withColumn("c_custkey", col("c_custkey") + lit(1000000L)))
+          graft.ops.Analytics.scd1Merge(base, updates, "c_custkey", "ord",
+              Seq("c_name", "c_acctbal"))
+            .orderBy("c_custkey")
+        },
+        Some {
+          val updatesRel = """(
+            SELECT o_custkey AS c_custkey, o_orderkey AS ord,
+                   'upd_' || CAST(o_orderkey AS VARCHAR) AS c_name,
+                   o_totalprice AS c_acctbal
+            FROM orders
+            UNION ALL
+            SELECT o_custkey + 1000000 AS c_custkey, o_orderkey AS ord,
+                   'upd_' || CAST(o_orderkey AS VARCHAR) AS c_name,
+                   o_totalprice AS c_acctbal
+            FROM orders WHERE o_custkey % 50 = 0)"""
+          s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.scd1MergeOracleSql(
+              "(SELECT c_custkey, c_name, c_acctbal FROM customer)",
+              updatesRel, "c_custkey", "ord", Seq("c_name", "c_acctbal"))}
+          ) ORDER BY c_custkey"""
+        }),
+
+      // Per-user time-weighted average of the value signal: each
+      // observation holds until the next (exact µs weights, DECIMAL
+      // mass) — what plain AVG gets wrong under irregular sampling.
+      Q("q_twap",
+        (s, dir) =>
+          graft.ops.Analytics.twap(
+              evT(s, dir), "user_id", "ts", "event_id", "value")
+            .orderBy("user_id"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.twapOracleSql(
+              duckEvents, "user_id", "ts", "event_id", "value")}
+          ) ORDER BY user_id""")),
+
+      // Hourly OHLC bars per event type: open/close via min/max-by-struct
+      // on the (ts, id) total order — one map-combined aggregation, no
+      // window; the time-series resampling primitive.
+      Q("q_ohlc_bars",
+        (s, dir) =>
+          graft.ops.Analytics.ohlcBars(
+              evT(s, dir), "event_type", "ts", "event_id", "value")
+            .orderBy("event_type", "bar_ts"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.ohlcBarsOracleSql(
+              duckEvents, "event_type", "ts", "event_id", "value")}
+          ) ORDER BY event_type, bar_ts""")),
+
+      // Session entry/exit transition counts (first/last event type per
+      // (user, day) via the same argmin/argmax-by-struct shape) — the
+      // bounce/landing read.
+      Q("q_entry_exit",
+        (s, dir) =>
+          graft.ops.Analytics.entryExit(
+              evT(s, dir), "user_id", "ts", "event_id", "event_type")
+            .orderBy("entry_type", "exit_type"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.entryExitOracleSql(
+              duckEvents, "user_id", "ts", "event_id", "event_type")}
+          ) ORDER BY entry_type, exit_type""")),
+
       // Adjacent-bigram PMI collocations from exact corpus counts (min
       // count 20, top 50): the "new york" detector feeding tokenizer
       // merge candidates; the single ln runs on identical exact ratios.

@@ -990,6 +990,181 @@ object Analytics {
        ORDER BY pmi DESC, w1, w2 LIMIT $topN"""
 
   // =========================================================================
+  // SCD1 merge (upsert semantics in-engine)
+  // =========================================================================
+
+  /** MERGE INTO semantics as a pure transformation: `updates` win over
+    * `base` on the key; rows only in base survive; rows only in updates
+    * insert — the SCD1 dimension refresh (latest value, no history; the
+    * history-keeping variant is [[scd2History]]). When several updates
+    * share a key, the (ordCol)-latest wins; `ordCol` must be UNIQUE per
+    * key (a change-log sequence id) — that is what makes the winner, and
+    * therefore the oracle's per-column arg_max replay, deterministic.
+    *
+    * Scale: one update-side latest-per-key reduction (max-by-struct, no
+    * window) + one full-outer equi-join on the key — the minimal shape;
+    * at rest this is what Delta/Iceberg MERGE compiles to before file
+    * rewriting. */
+  def scd1Merge(base: DataFrame, updates: DataFrame, keyCol: String,
+                ordCol: String, valueCols: Seq[String]): DataFrame = {
+    val latest = updates
+      .groupBy(col(keyCol))
+      .agg(max(struct((col(ordCol) +: valueCols.map(col)): _*)).as("__u"))
+      .select(col(keyCol) +:
+        valueCols.map(c => col(s"__u.$c").as(s"__u_$c")): _*)
+    base.join(latest, Seq(keyCol), "full_outer")
+      .select(col(keyCol) +: valueCols.map(c =>
+        coalesce(col(s"__u_$c"), col(c)).as(c)): _*)
+  }
+
+  /** Oracle fragment replaying [[scd1Merge]] (DuckDB dialect). */
+  def scd1MergeOracleSql(baseRel: String, updatesRel: String, keyCol: String,
+                         ordCol: String, valueCols: Seq[String]): String = {
+    val uCols = valueCols.map(c =>
+      s"arg_max($c, $ordCol) AS u_$c").mkString(", ")
+    val out = valueCols.map(c => s"coalesce(u.u_$c, b.$c) AS $c").mkString(", ")
+    s"""WITH u AS (SELECT $keyCol, $uCols FROM $updatesRel GROUP BY $keyCol)
+       SELECT coalesce(b.$keyCol, u.$keyCol) AS $keyCol, $out
+       FROM $baseRel b FULL OUTER JOIN u ON b.$keyCol = u.$keyCol"""
+  }
+
+  // =========================================================================
+  // Time-weighted average (TWAP)
+  // =========================================================================
+
+  /** Per-key time-weighted average: each observation holds until the
+    * next one, so twap = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_n−t₀) — the monitoring /
+    * pricing staple that plain AVG gets wrong under irregular sampling.
+    * Weights are EXACT integer microseconds; the weighted mass sums in
+    * DECIMAL (order-independent); one final division. Keys with a single
+    * observation (zero span) are dropped — no 0/0.
+    *
+    * Scale: one key-partitioned lead() window + one keyed aggregation,
+    * narrow rows throughout. */
+  def twap(events: DataFrame, keyCol: String, tsCol: String, ordCol: String,
+           valCol: String): DataFrame = {
+    // micro-units: v6 = round-6 value × 10⁶ as an exact BIGINT (the shift
+    // happens in decimal space — a double multiply would reintroduce FP
+    // error); mass = Σ v6·Δtµs in DECIMAL(38,0), divided back at the end.
+    val v6 = (round(col(valCol), 6).cast("decimal(18,6)") * lit(1000000))
+      .cast("long")
+    val stepped = events
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__t"), col(ordCol),
+        v6.as("__v6"))
+      .withColumn("__tn", lead(col("__t"), 1).over(
+        Window.partitionBy(col(keyCol)).orderBy(col("__t"), col(ordCol))))
+      .where(col("__tn").isNotNull)
+    stepped.groupBy(col(keyCol))
+      .agg(
+        sum(col("__v6").cast("decimal(19,0)") *
+          (col("__tn") - col("__t")).cast("decimal(19,0)")).as("__mass"),
+        (max(col("__tn")) - min(col("__t"))).as("__span"),
+        count(lit(1)).cast("long").as("n_steps"))
+      .select(col(keyCol), col("n_steps"),
+        r6(col("__mass").cast("double") / col("__span").cast("double") /
+          lit(1000000.0)).as("twap"))
+  }
+
+  /** Oracle fragment replaying [[twap]] (DuckDB dialect). */
+  def twapOracleSql(eventsRel: String, keyCol: String, tsCol: String,
+                    ordCol: String, valCol: String): String =
+    s"""WITH s0 AS (
+         SELECT $keyCol, epoch_us($tsCol) AS t, $ordCol,
+                CAST(CAST(round($valCol, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v6
+         FROM $eventsRel),
+       st AS (SELECT $keyCol, t, v6,
+                     lead(t, 1) OVER (PARTITION BY $keyCol ORDER BY t, $ordCol) AS tn
+              FROM s0),
+       k AS (SELECT $keyCol,
+                    sum(CAST(v6 AS DECIMAL(19,0)) * CAST(tn - t AS DECIMAL(19,0))) AS mass,
+                    max(tn) - min(t) AS span,
+                    CAST(count(*) AS BIGINT) AS n_steps
+             FROM st WHERE tn IS NOT NULL GROUP BY $keyCol)
+       SELECT $keyCol, n_steps,
+              (round(CAST(mass AS DOUBLE) / CAST(span AS DOUBLE)
+                     / CAST(1000000.0 AS DOUBLE), 6)
+               + CAST(0.0 AS DOUBLE)) AS twap
+       FROM k"""
+
+  // =========================================================================
+  // OHLC bars
+  // =========================================================================
+
+  /** Open/high/low/close bars per (series, hour): open/close by the
+    * (ts, ord) total order via min/max-by-struct (no window — one
+    * map-combined aggregation), high/low plain extremes, volume the
+    * exact count. The time-series resampling primitive.
+    *
+    * Scale: a single aggregation on the (series, bar) key; per-bar state
+    * is O(1). */
+  def ohlcBars(events: DataFrame, seriesCol: String, tsCol: String,
+               ordCol: String, valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val keyStruct = struct(col(tsCol), col(ordCol), v.as("__v"))
+    events
+      .groupBy(col(seriesCol),
+        date_trunc("hour", col(tsCol)).cast("timestamp").as("bar_ts"))
+      .agg(
+        min(keyStruct).getField("__v").as("open"),
+        max(v).as("high"), min(v).as("low"),
+        max(keyStruct).getField("__v").as("close"),
+        count(lit(1)).cast("long").as("n_ticks"))
+  }
+
+  /** DuckDB arg_min/arg_max take SCALAR keys only — encode the (ts, ord)
+    * total order as one zero-padded string (identical ordering to the
+    * engine side's numeric struct for non-negative components). */
+  private def duckOrderKey(tsCol: String, ordCol: String): String =
+    s"lpad(CAST(epoch_us($tsCol) AS VARCHAR), 20, '0') || " +
+      s"lpad(CAST($ordCol AS VARCHAR), 12, '0')"
+
+  /** Oracle fragment replaying [[ohlcBars]] (DuckDB dialect). */
+  def ohlcBarsOracleSql(eventsRel: String, seriesCol: String, tsCol: String,
+                        ordCol: String, valCol: String): String = {
+    val k = duckOrderKey(tsCol, ordCol)
+    s"""SELECT $seriesCol,
+              CAST(date_trunc('hour', $tsCol) AS TIMESTAMP) AS bar_ts,
+              arg_min(CAST($valCol AS DOUBLE), $k) AS open,
+              max(CAST($valCol AS DOUBLE)) AS high,
+              min(CAST($valCol AS DOUBLE)) AS low,
+              arg_max(CAST($valCol AS DOUBLE), $k) AS close,
+              CAST(count(*) AS BIGINT) AS n_ticks
+       FROM $eventsRel
+       GROUP BY $seriesCol, bar_ts"""
+  }
+
+  // =========================================================================
+  // Session entry/exit analysis
+  // =========================================================================
+
+  /** Entry/exit distribution: the FIRST and LAST event type of each
+    * (key, day) session via min/max-by-struct (no window), then the
+    * (entry, exit) transition counts — the bounce/landing-page read.
+    * One session aggregation + one tiny-key count. */
+  def entryExit(events: DataFrame, keyCol: String, tsCol: String,
+                ordCol: String, typeCol: String): DataFrame = {
+    val keyStruct = struct(col(tsCol), col(ordCol),
+      col(typeCol).as("__ty"))
+    events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("__day"))
+      .agg(min(keyStruct).getField("__ty").as("entry_type"),
+        max(keyStruct).getField("__ty").as("exit_type"))
+      .groupBy(col("entry_type"), col("exit_type"))
+      .agg(count(lit(1)).cast("long").as("n_sessions"))
+  }
+
+  /** Oracle fragment replaying [[entryExit]] (DuckDB dialect). */
+  def entryExitOracleSql(eventsRel: String, keyCol: String, tsCol: String,
+                         ordCol: String, typeCol: String): String =
+    s"""WITH s AS (
+         SELECT $keyCol, CAST($tsCol AS DATE) AS day,
+                arg_min($typeCol, ${duckOrderKey(tsCol, ordCol)}) AS entry_type,
+                arg_max($typeCol, ${duckOrderKey(tsCol, ordCol)}) AS exit_type
+         FROM $eventsRel GROUP BY $keyCol, day)
+       SELECT entry_type, exit_type, CAST(count(*) AS BIGINT) AS n_sessions
+       FROM s GROUP BY entry_type, exit_type"""
+
+  // =========================================================================
   // Positional phrase search
   // =========================================================================
 

@@ -320,6 +320,53 @@ class AnalyticsSpec extends AnyFunSuite {
       (3L, 3L, 5.0, 1.0, "C")))
   }
 
+  test("scd1Merge: updates win, inserts land, base-only rows survive") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "bal")
+    val upd = Seq((2L, 1L, "b1", 21.0), (2L, 2L, "b2", 22.0),
+      (9L, 3L, "new", 99.0)).toDF("k", "ord", "name", "bal")
+    val got = Analytics.scd1Merge(base, upd, "k", "ord", Seq("name", "bal"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "b2", 22.0), (9L, "new", 99.0)))
+  }
+
+  test("twap: exact time-weighted mean; singletons dropped") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 10.0), // holds 1s
+      (1L, ts("2024-01-01 00:00:01"), 2L, 20.0), // holds 3s
+      (1L, ts("2024-01-01 00:00:04"), 3L, 0.0),  // terminal, no weight
+      (2L, ts("2024-01-01 00:00:00"), 4L, 5.0)   // singleton -> dropped
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = Analytics.twap(ev, "user_id", "ts", "event_id", "value")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 17.5))) // (10*1 + 20*3) / 4
+  }
+
+  test("ohlcBars: open/close by time order, high/low extremes") {
+    val ev = Seq(
+      ("x", ts("2024-01-01 10:05:00"), 1L, 3.0),
+      ("x", ts("2024-01-01 10:10:00"), 2L, 9.0),
+      ("x", ts("2024-01-01 10:20:00"), 3L, 1.0),
+      ("x", ts("2024-01-01 10:50:00"), 4L, 5.0)
+    ).toDF("event_type", "ts", "event_id", "value")
+    val got = Analytics.ohlcBars(ev, "event_type", "ts", "event_id", "value")
+      .as[(String, Timestamp, Double, Double, Double, Double, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("x", ts("2024-01-01 10:00:00"), 3.0, 9.0, 1.0, 5.0, 4L)))
+  }
+
+  test("entryExit: first/last types per day-session") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 01:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 02:00:00"), 2L, "buy"),
+      (2L, ts("2024-01-01 03:00:00"), 3L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.entryExit(ev, "user_id", "ts", "event_id", "event_type")
+      .orderBy("entry_type", "exit_type")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("view", "buy", 1L), ("view", "view", 1L)))
+  }
+
   test("pmiCollocations: textbook PMI from exact counts") {
     // corpus of 8 tokens: "a b" occurs 3x, n(a)=3 n(b)=3, N=8
     val docs = Seq((1L, "a b a b a b x y")).toDF("doc_id", "text")
