@@ -10682,6 +10682,21 @@ object QueryCatalog {
         Some(graft.ops.Analytics.sessionPathsOracleSql(
           duckEvents, "user_id", "ts", "event_id", "event_type", 5, 50))),
 
+      // Simplified silhouette against label centroids — the
+      // embedding-space separability eval next to recall@k/calibration.
+      // Centroids: round-6 component sums in DECIMAL, broadcast; each
+      // vector scores against |labels| centroids map-only — vectors
+      // never shuffle.
+      Q("q_silhouette",
+        (s, dir) =>
+          graft.ops.Analytics.labelSilhouette(
+              t(s, dir, "embeddings"), "vec_id", "embedding", "label", 64)
+            .orderBy("vec_id"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.labelSilhouetteOracleSql(64)}
+          ) ORDER BY vec_id""")),
+
       // SCD1 MERGE in-engine: order-derived updates (latest o_orderkey
       // wins per customer) upsert into the customer dimension; every
       // 50th update also inserts under a shifted key, exercising the
@@ -10729,6 +10744,54 @@ object QueryCatalog {
           graft.ops.Analytics.twap(
               evT(s, dir), "user_id", "ts", "event_id", "value")
             .orderBy("user_id"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.twapOracleSql(
+              duckEvents, "user_id", "ts", "event_id", "value")}
+          ) ORDER BY user_id""")),
+
+      // Streaming TWAP == batch TWAP: mass accrues incrementally across
+      // micro-batches in O(1) state per key (exact integer mass as a
+      // decimal string — exceeds Long on long spans); watermark sentinel
+      // flushes; hash-matches the batch DECIMAL oracle.
+      Q("q_stream_twap_eq",
+        (s, dir) => {
+          import s.implicits._
+          import graft.streaming.StreamingTwap
+          import graft.streaming.StreamingTwap.{TwapOut, VEvent}
+          val ss = streamSession(s)
+          implicit val sqlCtx = ss.sqlContext
+          def tsOf(usv: Long) = java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(usv / 1000000L, (usv % 1000000L) * 1000L))
+          val evs = tEvents(s, dir)
+            .select(col("user_id").cast("long"), expr("ts div 1000").as("tsus"),
+              col("event_id").cast("long"), col("value").cast("double"))
+            .as[(Long, Long, Long, Double)].collect()
+            .sortBy { case (_, tsus, eid, _) => (tsus, eid) }
+            .map { case (u, tsus, eid, v) => VEvent(u, tsOf(tsus), eid, v) }
+          val quiet = 35L * 86400000000L
+          val sentinelUs = evs.map(e => e.ts.getTime).max * 1000L +
+            40L * 86400000000L
+          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[VEvent]
+          val name = s"q_stream_twap_eq_${System.nanoTime()}"
+          val q = StreamingTwap.twapStream(
+              in.toDS().withWatermark("ts", "0 seconds"), quietUs = quiet)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+          try {
+            evs.grouped(math.max(1, (evs.length + 3) / 4)).foreach { b =>
+              in.addData(b.toSeq); q.processAllAvailable()
+            }
+            in.addData(VEvent(-1L, tsOf(sentinelUs), 0L, 0.0)); q.processAllAvailable()
+            in.addData(VEvent(-1L, tsOf(sentinelUs + 1000000L), 1L, 0.0)); q.processAllAvailable()
+          } finally {
+            q.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
+          ss.table(name).as[TwapOut].collect().toSeq.filter(_.user_id >= 0)
+            .toDF("user_id", "n_steps", "twap")
+            .orderBy("user_id")
+        },
         Some(s"""
           SELECT * FROM (
             ${graft.ops.Analytics.twapOracleSql(

@@ -1165,6 +1165,76 @@ object Analytics {
        FROM s GROUP BY entry_type, exit_type"""
 
   // =========================================================================
+  // Label silhouette (clustering / embedding-space eval)
+  // =========================================================================
+
+  /** Simplified silhouette against LABEL centroids: a = distance to the
+    * own-label centroid, b = distance to the nearest other centroid,
+    * s = (b−a)/max(a,b) — the embedding-space separability eval ("do the
+    * labels form clusters?") next to recall@k and calibration.
+    *
+    * Determinism: centroid components are round-6 values summed in
+    * DECIMAL (partitioning-independent), distances are the dialect's
+    * sequential fold + one sqrt — bit-identical across engines.
+    *
+    * Scale: centroids are |labels|·dim rows built by one map-combined
+    * aggregation and then BROADCAST; each vector scores against k
+    * centroids in a map-only pass — no vector ever shuffles. */
+  def labelSilhouette(emb: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String, dim: Int): DataFrame = {
+    val SP = graft.sqlgen.Dialect.spark
+    val base = emb.select(col(idCol),
+      col(labelCol).cast("long").as("label"),
+      col(vecCol).cast("array<double>").as("v"))
+    val ex = base.select(col("label"), posexplode(col("v")).as(Seq("p", "x")))
+    val cent = ex.groupBy(col("label"), col("p"))
+      .agg((sum((round(col("x"), 6) + lit(0.0)).cast("decimal(28,6)"))
+        .cast("double") / count(lit(1)).cast("double")).as("cx"))
+    val cents = cent.groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("p"), col("cx")))),
+        s => s.getField("cx")).as("cv"))
+      .select(col("label").as("clabel"), col("cv"))
+    val d = base.crossJoin(broadcast(cents))
+      .select(col(idCol), col("label"), col("clabel"),
+        expr(s"sqrt(${SP.l2sq("v", "cv")})").as("d"))
+    d.groupBy(col(idCol), col("label"))
+      .agg(min(when(col("clabel") === col("label"), col("d"))).as("__a"),
+        min(when(col("clabel") =!= col("label"), col("d"))).as("__b"))
+      .select(col(idCol), col("label"),
+        r6(col("__a")).as("a_own"), r6(col("__b")).as("b_other"),
+        r6((col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+          .as("silhouette"))
+  }
+
+  /** Oracle fragment replaying [[labelSilhouette]] (DuckDB dialect) over
+    * the embeddings table (vec_id, embedding, label). */
+  def labelSilhouetteOracleSql(dim: Int): String = {
+    val D = graft.sqlgen.Dialect.duckdb
+    s"""WITH base AS (SELECT vec_id, label,
+              CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       ex AS (SELECT label, CAST(r.p AS INT) AS p, v[CAST(r.p AS INT)] AS x
+              FROM base, range(1, ${dim + 1}) r(p)),
+       cent AS (SELECT label, p,
+                       CAST(sum(CAST((round(x, 6) + CAST(0.0 AS DOUBLE)) AS DECIMAL(28,6))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS cx
+                FROM ex GROUP BY label, p),
+       cv AS (SELECT label AS clabel, list(cx ORDER BY p) AS cv
+              FROM cent GROUP BY label),
+       d AS (SELECT b.vec_id, b.label, c.clabel,
+                    sqrt(${D.l2sq("b.v", "c.cv")}) AS d
+             FROM base b CROSS JOIN cv c),
+       agg AS (SELECT vec_id, label,
+                      min(CASE WHEN clabel = label THEN d END) AS a,
+                      min(CASE WHEN clabel <> label THEN d END) AS b
+               FROM d GROUP BY vec_id, label)
+       SELECT vec_id, CAST(label AS BIGINT) AS label,
+              (round(a, 6) + CAST(0.0 AS DOUBLE)) AS a_own,
+              (round(b, 6) + CAST(0.0 AS DOUBLE)) AS b_other,
+              (round((b - a) / greatest(a, b), 6) + CAST(0.0 AS DOUBLE)) AS silhouette
+       FROM agg"""
+  }
+
+  // =========================================================================
   // Positional phrase search
   // =========================================================================
 

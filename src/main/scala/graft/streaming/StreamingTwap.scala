@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Time-weighted average as a streaming state machine — the live form of
+  * `graft.ops.Analytics.twap`: each observation holds until the next, so
+  * the weighted mass accrues INCREMENTALLY as events arrive and the state
+  * per key is O(1): (first t, last t, last value, interval count, mass).
+  * The mass is an exact integer (micro-units × µs) carried as a decimal
+  * string — it exceeds Long range on month-long spans, and exactness is
+  * what lets the final value hash-match the batch DECIMAL(38,0) sum.
+  *
+  * Final values emit when the event-time watermark passes the key's last
+  * observation + `quietUs`; single-observation keys emit nothing (no
+  * interval — same rule as the batch operator). Batch mode flushes
+  * inline: one code path, two execution modes.
+  */
+object StreamingTwap {
+
+  final case class VEvent(user_id: Long, ts: Timestamp, event_id: Long,
+                          value: Double)
+  final case class TState(firstT: Long, lastT: Long, lastV6: Long,
+                          nSteps: Long, mass: String)
+  final case class TwapOut(user_id: Long, n_steps: Long, twap: Double)
+
+  private def us(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** round-6 value × 10⁶ as an exact long — the same decimal-space shift
+    * the batch operator performs (never a double multiply). */
+  private def v6Of(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).longValueExact()
+
+  private def finish(userId: Long, s: TState): Option[TwapOut] =
+    if (s.nSteps == 0L) None
+    else {
+      // identical op order to the batch emit: CAST(mass AS DOUBLE) /
+      // CAST(span AS DOUBLE) / 1e6, then Spark-style round-6
+      val massD = new java.math.BigDecimal(new java.math.BigInteger(s.mass))
+        .doubleValue()
+      val raw = massD / (s.lastT - s.firstT).toDouble / 1000000.0
+      val r6 = java.math.BigDecimal.valueOf(raw)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+      Some(TwapOut(userId, s.nSteps, r6))
+    }
+
+  def twapStream(events: Dataset[VEvent], quietUs: Long): Dataset[TwapOut] = {
+    implicit val outEnc = Encoders.product[TwapOut]
+    implicit val longEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.product[TState]
+    val isStreamingRun = events.isStreaming
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TState, TwapOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[VEvent], state: GroupState[TState]) =>
+
+        if (rows.isEmpty && state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          finish(userId, s).iterator
+        } else {
+          val sorted = rows.toArray.sortBy(e => (us(e.ts), e.event_id))
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            val t = us(e.ts)
+            val v6 = v6Of(e.value)
+            st =
+              if (st == null) TState(t, t, v6, 0L, "0")
+              else {
+                val inc = java.math.BigInteger.valueOf(st.lastV6)
+                  .multiply(java.math.BigInteger.valueOf(t - st.lastT))
+                TState(st.firstT, t, v6, st.nSteps + 1,
+                  new java.math.BigInteger(st.mass).add(inc).toString)
+              }
+          }
+          if (isStreamingRun) {
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastT / 1000L + quietUs / 1000L)
+            Iterator.empty
+          } else {
+            state.remove()
+            finish(userId, st).iterator
+          }
+        }
+      }
+  }
+}

@@ -320,6 +320,38 @@ class AnalyticsSpec extends AnyFunSuite {
       (3L, 3L, 5.0, 1.0, "C")))
   }
 
+  test("StreamingTwap in batch mode == Analytics.twap") {
+    import graft.streaming.StreamingTwap
+    import graft.streaming.StreamingTwap.VEvent
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, 10.0),
+      (1L, "2024-01-01 00:00:01", 2L, 20.0),
+      (1L, "2024-01-01 00:00:04", 3L, 0.0),
+      (2L, "2024-01-01 00:00:00", 4L, 5.0))
+    val ds = rows.map { case (u, t, e, v) => VEvent(u, ts(t), e, v) }.toDS()
+    val streamed = StreamingTwap.twapStream(ds, 3600000000L)
+      .collect().map(o => (o.user_id, o.n_steps, o.twap)).sortBy(_._1).toSeq
+    val batch = Analytics.twap(
+        rows.toDF("user_id", "ts0", "event_id", "value")
+          .withColumn("ts", col("ts0").cast("timestamp")),
+        "user_id", "ts", "event_id", "value")
+      .orderBy("user_id").as[(Long, Long, Double)].collect().toSeq
+    assert(streamed == batch && streamed == Seq((1L, 2L, 17.5)))
+  }
+
+  test("labelSilhouette: separated labels score near 1") {
+    // label 0 at (0,0.2), label 1 at (10,10.2): within-dist 0.1 to own
+    // centroid, cross-dist >> -> silhouette ~1
+    val emb = Seq(
+      (1L, Array(0.0f, 0.0f), 0), (2L, Array(0.0f, 0.4f), 0),
+      (3L, Array(10.0f, 10.0f), 1), (4L, Array(10.0f, 10.4f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Analytics.labelSilhouette(emb, "vec_id", "embedding", "label", 2)
+      .orderBy("vec_id")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got.forall(r => r._3 == 0.2 && r._5 > 0.98), got.toString)
+  }
+
   test("scd1Merge: updates win, inserts land, base-only rows survive") {
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "bal")
     val upd = Seq((2L, 1L, "b1", 21.0), (2L, 2L, "b2", 22.0),
