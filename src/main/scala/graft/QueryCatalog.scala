@@ -10682,6 +10682,29 @@ object QueryCatalog {
         Some(graft.ops.Analytics.sessionPathsOracleSql(
           duckEvents, "user_id", "ts", "event_id", "event_type", 5, 50))),
 
+      // Consecutive-day activity streaks per user (gaps-and-islands via
+      // the day-minus-rank constant) — the engagement-streak metric;
+      // events collapse to distinct (user, day) BEFORE any window.
+      Q("q_user_streaks",
+        (s, dir) =>
+          graft.ops.Analytics.activityStreaks(evT(s, dir), "user_id", "ts")
+            .orderBy("user_id"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.activityStreaksOracleSql(
+              duckEvents, "user_id", "ts")}
+          ) ORDER BY user_id""")),
+
+      // Pearson correlation between the click and error hourly series
+      // (exact integer moments, inner-aligned hours) — "do errors move
+      // with traffic?"
+      Q("q_series_corr",
+        (s, dir) =>
+          graft.ops.Analytics.seriesCorr(
+            evT(s, dir), "ts", "event_type", "click", "error"),
+        Some(graft.ops.Analytics.seriesCorrOracleSql(
+          duckEvents, "ts", "event_type", "click", "error"))),
+
       // Simplified silhouette against label centroids — the
       // embedding-space separability eval next to recall@k/calibration.
       // Centroids: round-6 component sums in DECIMAL, broadcast; each

@@ -1235,6 +1235,112 @@ object Analytics {
   }
 
   // =========================================================================
+  // Gaps-and-islands (activity streaks)
+  // =========================================================================
+
+  /** Longest consecutive-day activity streak per key (gaps-and-islands):
+    * distinct active days minus a per-key day-rank is constant within a
+    * consecutive run, so one group-by on (key, day − rank) measures every
+    * island — the engagement-streak metric. Pure integer arithmetic.
+    *
+    * Scale: distinct (key, day) reduction first (events collapse before
+    * any window), then a key-partitioned rank — no global sort; islands
+    * aggregate map-combined. */
+  def activityStreaks(events: DataFrame, keyCol: String,
+                      tsCol: String): DataFrame = {
+    val days = events
+      .select(col(keyCol), to_date(col(tsCol)).as("__day"))
+      .distinct()
+    val ranked = days.withColumn("__rn", row_number().over(
+      Window.partitionBy(col(keyCol)).orderBy(col("__day"))))
+    val islands = ranked
+      .select(col(keyCol), date_sub(col("__day"), col("__rn")).as("__isl"),
+        col("__day"))
+      .groupBy(col(keyCol), col("__isl"))
+      .agg(count(lit(1)).as("__len"))
+    islands.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_streaks"),
+        max(col("__len")).cast("long").as("longest_streak"),
+        sum(col("__len")).cast("long").as("n_active_days"))
+  }
+
+  /** Oracle fragment replaying [[activityStreaks]] (DuckDB dialect). */
+  def activityStreaksOracleSql(eventsRel: String, keyCol: String,
+                               tsCol: String): String =
+    s"""WITH days AS (
+         SELECT DISTINCT $keyCol, CAST($tsCol AS DATE) AS day FROM $eventsRel),
+       ranked AS (
+         SELECT $keyCol, day,
+                row_number() OVER (PARTITION BY $keyCol ORDER BY day) AS rn
+         FROM days),
+       isl AS (SELECT $keyCol, day - CAST(rn AS INTEGER) AS grp, count(*) AS len
+               FROM ranked GROUP BY $keyCol, grp)
+       SELECT $keyCol, CAST(count(*) AS BIGINT) AS n_streaks,
+              CAST(max(len) AS BIGINT) AS longest_streak,
+              CAST(sum(len) AS BIGINT) AS n_active_days
+       FROM isl GROUP BY $keyCol"""
+
+  // =========================================================================
+  // Aligned-series correlation
+  // =========================================================================
+
+  /** Pearson correlation between two event types' hourly count series
+    * (inner-aligned on hours where both exist) — "do errors move with
+    * traffic?" All moments are exact integer sums; one fixed double
+    * expression at the end. One (hour, type) aggregation + one hour-keyed
+    * self-alignment + a single-row reduction. */
+  def seriesCorr(events: DataFrame, tsCol: String, typeCol: String,
+                 typeA: String, typeB: String): DataFrame = {
+    val hourly = events
+      .where(col(typeCol).isin(typeA, typeB))
+      .groupBy(date_trunc("hour", col(tsCol)).as("__h"), col(typeCol))
+      .agg(count(lit(1)).as("__n"))
+    val a = hourly.where(col(typeCol) === typeA)
+      .select(col("__h"), col("__n").as("__x"))
+    val b = hourly.where(col(typeCol) === typeB)
+      .select(col("__h"), col("__n").as("__y"))
+    val m = a.join(b, "__h").agg(
+      count(lit(1)).as("__m"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum((col("__x") * col("__y")).cast("decimal(38,0)")).as("__sxy"),
+      sum((col("__x") * col("__x")).cast("decimal(38,0)")).as("__sxx"),
+      sum((col("__y") * col("__y")).cast("decimal(38,0)")).as("__syy"))
+    val md = col("__m").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val sxy = col("__sxy").cast("double")
+    val sxx = col("__sxx").cast("double"); val syy = col("__syy").cast("double")
+    m.select(col("__m").cast("long").as("n_hours"),
+      r6((md * sxy - sx * sy) /
+        (sqrt(md * sxx - sx * sx) * sqrt(md * syy - sy * sy))).as("corr"))
+  }
+
+  /** Oracle fragment replaying [[seriesCorr]] (DuckDB dialect). */
+  def seriesCorrOracleSql(eventsRel: String, tsCol: String, typeCol: String,
+                          typeA: String, typeB: String): String =
+    s"""WITH hourly AS (
+         SELECT date_trunc('hour', $tsCol) AS h, $typeCol AS ty, count(*) AS n
+         FROM $eventsRel WHERE $typeCol IN ('$typeA', '$typeB')
+         GROUP BY h, ty),
+       ab AS (SELECT a.n AS x, b.n AS y
+              FROM hourly a JOIN hourly b ON a.h = b.h
+              WHERE a.ty = '$typeA' AND b.ty = '$typeB'),
+       s AS (SELECT count(*) AS m,
+                    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                    sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+                    sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                    sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+             FROM ab)
+       SELECT CAST(m AS BIGINT) AS n_hours,
+              (round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                     (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               + CAST(0.0 AS DOUBLE)) AS corr
+       FROM s"""
+
+  // =========================================================================
   // Positional phrase search
   // =========================================================================
 

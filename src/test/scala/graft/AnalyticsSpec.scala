@@ -320,6 +320,32 @@ class AnalyticsSpec extends AnyFunSuite {
       (3L, 3L, 5.0, 1.0, "C")))
   }
 
+  test("activityStreaks: islands found, gaps split them") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 09:00:00")),
+      (1L, ts("2024-01-02 23:00:00")), // same day, deduped
+      (1L, ts("2024-01-05 10:00:00")), // gap -> new island
+      (2L, ts("2024-01-03 10:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Analytics.activityStreaks(ev, "user_id", "ts")
+      .orderBy("user_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L, 3L), (2L, 1L, 1L, 1L)))
+  }
+
+  test("seriesCorr: perfectly correlated counts -> 1") {
+    val ev = Seq(
+      ("a", ts("2024-01-01 10:00:00")), ("b", ts("2024-01-01 10:30:00")),
+      ("a", ts("2024-01-01 11:00:00")), ("a", ts("2024-01-01 11:30:00")),
+      ("b", ts("2024-01-01 11:40:00")), ("b", ts("2024-01-01 11:50:00")),
+      ("a", ts("2024-01-01 12:00:00")), ("a", ts("2024-01-01 12:10:00")),
+      ("a", ts("2024-01-01 12:20:00")), ("b", ts("2024-01-01 12:30:00")),
+      ("b", ts("2024-01-01 12:40:00")), ("b", ts("2024-01-01 12:50:00"))
+    ).toDF("event_type", "ts")
+    val got = Analytics.seriesCorr(ev, "ts", "event_type", "a", "b")
+      .as[(Long, Double)].collect().head
+    assert(got == ((3L, 1.0))) // counts (1,2,3) vs (1,2,3)
+  }
+
   test("StreamingTwap in batch mode == Analytics.twap") {
     import graft.streaming.StreamingTwap
     import graft.streaming.StreamingTwap.VEvent
