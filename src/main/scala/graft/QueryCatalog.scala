@@ -10682,6 +10682,167 @@ object QueryCatalog {
         Some(graft.ops.Analytics.sessionPathsOracleSql(
           duckEvents, "user_id", "ts", "event_id", "event_type", 5, 50))),
 
+      // Day-of-week × hour activity heatmap with exact per-cell share —
+      // the ops-dashboard staple; one map-combined 168-key aggregation.
+      Q("q_calendar_heatmap",
+        (s, dir) =>
+          evT(s, dir)
+            .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+              hour(col("ts")).cast("long").as("hod"))
+            .agg(count(lit(1)).cast("long").as("n"))
+            .withColumn("share", r6(col("n").cast("double") /
+              sum(col("n")).over(
+                org.apache.spark.sql.expressions.Window.partitionBy())
+                .cast("double")))
+            .orderBy("dow", "hod"),
+        Some(s"""
+          WITH c AS (
+            SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hod,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM $duckEvents e__
+            GROUP BY dow, hod),
+          t AS (SELECT sum(n) AS tt FROM c)
+          SELECT dow, hod, n,
+                 ${duckR6("CAST(n AS DOUBLE) / CAST(tt AS DOUBLE)")} AS share
+          FROM c CROSS JOIN t
+          ORDER BY dow, hod""")),
+
+      // Embedding peakiness outliers: vectors whose LARGEST |coordinate|
+      // sits more than 3 z-units from the corpus mean (round-6 peaks
+      // summed in DECIMAL — exact moments) — the collapsed/degenerate-
+      // vector detector next to the per-dimension health stats. (L2 norm
+      // is useless here by design: the store is normalized, every norm
+      // is exactly 1.)
+      Q("q_embed_outliers",
+        (s, dir) => {
+          val base = t(s, dir, "embeddings")
+            .select(col("vec_id"),
+              expr("array_max(transform(CAST(embedding AS ARRAY<DOUBLE>), x__ -> abs(x__)))")
+                .as("__peak"))
+            .select(col("vec_id"),
+              (round(col("__peak"), 6) + lit(0.0)).as("norm"))
+          val m = base.agg(
+            count(lit(1)).cast("long").as("__n"),
+            sum(col("norm").cast("decimal(12,6)")).as("__s"),
+            sum((col("norm").cast("decimal(12,6)") *
+              col("norm").cast("decimal(12,6)")).cast("decimal(38,12)"))
+              .as("__ss"))
+          val nd = col("__n").cast("double")
+          val sd = col("__s").cast("double"); val ssd = col("__ss").cast("double")
+          val stats = m.select(
+            (sd / nd).as("__mean"),
+            sqrt((ssd - sd * sd / nd) / (nd - lit(1.0))).as("__std"))
+          base.crossJoin(broadcast(stats))
+            .withColumn("z", r6((col("norm") - col("__mean")) / col("__std")))
+            .where(abs(col("z")) > 3.0)
+            .select(col("vec_id"), col("norm"), col("z"))
+            .orderBy("vec_id")
+        },
+        Some(s"""
+          WITH b AS (SELECT vec_id,
+                            (round(list_max(list_transform(v, x__ -> abs(x__))), 6)
+                             + CAST(0.0 AS DOUBLE)) AS norm
+                     FROM $duckEmbTable),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       sum(CAST(norm AS DECIMAL(12,6))) AS s,
+                       sum(CAST(CAST(norm AS DECIMAL(12,6))
+                                * CAST(norm AS DECIMAL(12,6)) AS DECIMAL(38,12))) AS ss
+                FROM b),
+          st AS (SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                        sqrt((CAST(ss AS DOUBLE)
+                              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                             / (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))) AS std
+                 FROM m)
+          SELECT vec_id, norm,
+                 ${duckR6("(norm - mean) / std")} AS z
+          FROM b CROSS JOIN st
+          WHERE abs((round((norm - mean) / std, 6) + CAST(0.0 AS DOUBLE)))
+                > CAST(3.0 AS DOUBLE)
+          ORDER BY vec_id""")),
+
+      // ROC AUC of the in-engine trained quality classifier via EXACT
+      // Mann-Whitney rank arithmetic: doubled average ranks (2r + c − 1)
+      // keep tie handling in pure integers; the single division happens
+      // once at the end. Turns q_quality_classifier + calibration into a
+      // threshold-free ranking eval. Rank window bounded by the corpus
+      // (the denseIds two-pass is the at-scale form, q_dense_ids).
+      Q("q_classifier_auc",
+        (s, dir) => {
+          import org.apache.spark.sql.expressions.Window
+          val scored = graft.ops.QualityClassifier.trainAndScore(
+            t(s, dir, "documents"), "doc_id", "text", "n_chars >= 250")
+          val rk = scored
+            .withColumn("__r", rank().over(Window.orderBy(col("score"))))
+            .withColumn("__c", count(lit(1)).over(
+              Window.partitionBy(col("score"))))
+          val agg = rk.agg(
+            sum(when(col("label") === 1.0,
+              lit(2L) * col("__r") + col("__c") - 1L).otherwise(lit(0L)))
+              .cast("long").as("__s2"),
+            sum(when(col("label") === 1.0, 1L).otherwise(0L))
+              .cast("long").as("__np"),
+            sum(when(col("label") === 1.0, 0L).otherwise(1L))
+              .cast("long").as("__nn"))
+          agg.select(col("__np").as("n_pos"), col("__nn").as("n_neg"),
+            r6((col("__s2") - col("__np") * (col("__np") + 1L)).cast("double") /
+              (lit(2L) * col("__np") * col("__nn")).cast("double")).as("auc"))
+        },
+        Some(s"""
+          WITH scored AS (
+            SELECT doc_id, score, label FROM (
+              ${graft.ops.QualityClassifier.oracleSql(
+                D, "documents", "doc_id", "text", "n_chars >= 250")}) t__),
+          rk AS (SELECT label, score,
+                        rank() OVER (ORDER BY score) AS r,
+                        count(*) OVER (PARTITION BY score) AS c
+                 FROM scored),
+          agg AS (SELECT
+              CAST(sum(CASE WHEN label = 1 THEN 2 * r + c - 1 ELSE 0 END) AS BIGINT) AS s2,
+              CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+              CAST(sum(CASE WHEN label = 1 THEN 0 ELSE 1 END) AS BIGINT) AS nn
+            FROM rk)
+          SELECT np AS n_pos, nn AS n_neg,
+                 ${duckR6("CAST(s2 - np * (np + 1) AS DOUBLE) / CAST(2 * np * nn AS DOUBLE)")} AS auc
+          FROM agg""")),
+
+      // Directed-edge reciprocity of the host link graph: the fraction of
+      // distinct edges whose reverse also exists — mutual-linking vs
+      // one-way citation structure, one self-join + one scalar row.
+      Q("q_reciprocity",
+        (s, dir) => {
+          val pages = tk(s, dir, "documents")
+          val edges = pages.select(
+              concat(lit("h"), col("doc_id") % 7, lit(".example.com")).as("src"),
+              concat(lit("h"), (col("doc_id") + 1) % 7, lit(".example.com")).as("dst"))
+            .where(col("src") =!= col("dst"))
+            .distinct()
+          val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+            .withColumn("__rev", lit(1))
+          edges.join(rev, Seq("src", "dst"), "left")
+            .agg(count(lit(1)).cast("long").as("n_edges"),
+              sum(coalesce(col("__rev"), lit(0))).cast("long").as("n_mutual"))
+            .select(col("n_edges"), col("n_mutual"),
+              r6(col("n_mutual").cast("double") / col("n_edges").cast("double"))
+                .as("reciprocity"))
+        },
+        Some("""
+          WITH e AS (
+            SELECT DISTINCT
+                   'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS src,
+                   'h' || CAST((doc_id + 1) % 7 AS VARCHAR) || '.example.com' AS dst
+            FROM documents
+            WHERE doc_id % 7 <> (doc_id + 1) % 7),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                       CAST(sum(CASE WHEN EXISTS (
+                         SELECT 1 FROM e e2 WHERE e2.src = e.dst AND e2.dst = e.src)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mutual
+                FROM e)
+          SELECT n_edges, n_mutual,
+                 (round(CAST(n_mutual AS DOUBLE) / CAST(n_edges AS DOUBLE), 6)
+                  + CAST(0.0 AS DOUBLE)) AS reciprocity
+          FROM m""")),
+
       // Consecutive-day activity streaks per user (gaps-and-islands via
       // the day-minus-rank constant) — the engagement-streak metric;
       // events collapse to distinct (user, day) BEFORE any window.
