@@ -10682,6 +10682,114 @@ object QueryCatalog {
         Some(graft.ops.Analytics.sessionPathsOracleSql(
           duckEvents, "user_id", "ts", "event_id", "event_type", 5, 50))),
 
+      // LSH banding precision/recall on a doc sample: ground TRUTH comes
+      // from the exact set-similarity join (pairs sharing >= 1 shingle
+      // via the postings equi-join — a Jaccard >= 0.2 pair MUST share a
+      // shingle, so recall of the truth set is exact and no cartesian
+      // appears anywhere); candidates are the production 4-band/2-row
+      // signatures. The banding-trust eval behind every LSH parameter
+      // choice, alongside q_sketch_error.
+      Q("q_lsh_pr_eval",
+        (s, dir) => {
+          val docs = t(s, dir, "documents").where(col("doc_id") < 200)
+          val sets = Dedup.shingleSets(docs, "text", "doc_id", 3)
+          val post = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+          val pairs = post.select(col("doc_id").as("id_a"), col("s"))
+            .join(post.select(col("doc_id").as("id_b"), col("s")), "s")
+            .where(col("id_a") < col("id_b"))
+            .select(col("id_a"), col("id_b")).distinct()
+          val truth = Dedup.jaccardVerify(docs, pairs, "text", "doc_id", 3, 0.1)
+            .select(col("id_a"), col("id_b"))
+          val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", 3, 8)
+          val cand = Dedup.lshCandidatePairs(sigs, "doc_id", 2)
+            .select(col("id_a"), col("id_b")).distinct()
+          val hit = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
+          val nT = truth.agg(count(lit(1)).as("n_truth"))
+          val nC = cand.agg(count(lit(1)).as("n_cand"))
+          val nH = hit.agg(count(lit(1)).as("n_hit"))
+          nT.crossJoin(broadcast(nC)).crossJoin(broadcast(nH))
+            .select(col("n_truth").cast("long").as("n_truth"),
+              col("n_cand").cast("long").as("n_cand"),
+              col("n_hit").cast("long").as("n_hit"),
+              r6(col("n_hit").cast("double") / col("n_cand").cast("double"))
+                .as("precision"),
+              r6(col("n_hit").cast("double") / col("n_truth").cast("double"))
+                .as("recall"))
+        },
+        Some {
+          val duckToksS =
+            s"(SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents WHERE doc_id < 200)"
+          val duckShinglesS =
+            s"(SELECT doc_id, ${Exprs.wordShingles(D, "toks", 3)} AS sh FROM $duckToksS)"
+          s"""
+          WITH sets AS (SELECT doc_id, ${D.arrayDistinct("sh")} AS shs FROM $duckShinglesS),
+          post AS (SELECT doc_id, unnest(shs) AS s FROM sets),
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id),
+          truth AS (SELECT id_a, id_b
+                    FROM pairs JOIN sets sa ON sa.doc_id = id_a
+                               JOIN sets sb ON sb.doc_id = id_b
+                    WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                          / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
+                          >= CAST(0.1 AS DOUBLE)),
+          sigs AS (SELECT doc_id, ${Exprs.minhashSig(D, "sh", 8)} AS sig
+                   FROM $duckShinglesS),
+          banded AS (
+            SELECT doc_id, CAST(b.b AS BIGINT) AS band,
+                   md5(array_to_string(sig[(CAST(b.b AS INT) * 2 + 1):(CAST(b.b AS INT) * 2 + 2)], '|')) AS band_key
+            FROM sigs, range(0, 4) AS b(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+            FROM banded a JOIN banded c
+              ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+          hit AS (SELECT c.id_a, c.id_b FROM cand c
+                  JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b),
+          m AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+                       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+                       (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit)
+          SELECT n_truth, n_cand, n_hit,
+                 ${duckR6("CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE)")} AS precision,
+                 ${duckR6("CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)")} AS recall
+          FROM m"""
+        }),
+
+      // Join-key skew probe for lineitem.l_orderkey: exact frequency
+      // extremes + distribution quantiles + the max/median skew ratio —
+      // the pre-join planning read that decides salting/AQE-skew config
+      // BEFORE a 100 TB shuffle. Frequencies are one map-combined agg;
+      // quantiles go through the distributed exact-rank picker.
+      Q("q_join_skew_probe",
+        (s, dir) => {
+          val freqs = t(s, dir, "lineitem")
+            .groupBy(col("l_orderkey")).agg(count(lit(1)).as("f"))
+          val qs = graft.ops.Percentiles.quantilesGlobal(
+            freqs, "f", Seq("p50_f" -> 0.5, "p99_f" -> 0.99))
+          val ext = freqs.agg(
+            count(lit(1)).cast("long").as("n_keys"),
+            sum(col("f")).cast("long").as("total_rows"),
+            max(col("f")).cast("long").as("max_freq"))
+          ext.crossJoin(broadcast(qs))
+            .select(col("n_keys"), col("total_rows"), col("max_freq"),
+              r6(col("max_freq").cast("double") /
+                col("total_rows").cast("double")).as("top1_share"),
+              r6(col("p50_f")).as("p50_freq"), r6(col("p99_f")).as("p99_freq"),
+              r6(col("max_freq").cast("double") / col("p50_f")).as("skew_ratio"))
+        },
+        Some(s"""
+          WITH f AS (SELECT l_orderkey, count(*) AS f FROM lineitem
+                     GROUP BY l_orderkey),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                       CAST(sum(f) AS BIGINT) AS total_rows,
+                       CAST(max(f) AS BIGINT) AS max_freq,
+                       quantile_cont(f, 0.5) AS p50,
+                       quantile_cont(f, 0.99) AS p99
+                FROM f)
+          SELECT n_keys, total_rows, max_freq,
+                 ${duckR6("CAST(max_freq AS DOUBLE) / CAST(total_rows AS DOUBLE)")} AS top1_share,
+                 ${duckR6("p50")} AS p50_freq, ${duckR6("p99")} AS p99_freq,
+                 ${duckR6("CAST(max_freq AS DOUBLE) / p50")} AS skew_ratio
+          FROM m""")),
+
       // Day-of-week × hour activity heatmap with exact per-cell share —
       // the ops-dashboard staple; one map-combined 168-key aggregation.
       Q("q_calendar_heatmap",
