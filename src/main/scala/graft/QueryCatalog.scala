@@ -10682,6 +10682,107 @@ object QueryCatalog {
         Some(graft.ops.Analytics.sessionPathsOracleSql(
           duckEvents, "user_id", "ts", "event_id", "event_type", 5, 50))),
 
+      // Lorenz curve deciles of customer revenue: cumulative share of
+      // exact decimal revenue by customer decile (ntile over tie-broken
+      // order) — the concentration curve behind the Gini number; "top
+      // decile carries X% of revenue".
+      Q("q_lorenz_curve",
+        (s, dir) => {
+          import org.apache.spark.sql.expressions.Window
+          val rev = t(s, dir, "orders")
+            .groupBy(col("o_custkey"))
+            .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("__r"))
+          val dec = rev.withColumn("decile",
+            ntile(10).over(Window.orderBy(col("__r"), col("o_custkey")))
+              .cast("long"))
+          val byDec = dec.groupBy(col("decile"))
+            .agg(count(lit(1)).cast("long").as("n_customers"),
+              sum(col("__r")).as("__dr"))
+          val tot = byDec.agg(sum(col("__dr")).as("__t"))
+          byDec.crossJoin(broadcast(tot))
+            .withColumn("__cum", sum(col("__dr")).over(
+              Window.orderBy(col("decile"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .select(col("decile"), col("n_customers"),
+              col("__dr").cast("double").as("revenue"),
+              r6(col("__cum").cast("double") / col("__t").cast("double"))
+                .as("cum_share"))
+            .orderBy("decile")
+        },
+        Some("""
+          WITH rev AS (SELECT o_custkey,
+                              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+                       FROM orders GROUP BY o_custkey),
+          dec AS (SELECT o_custkey, r,
+                         CAST(ntile(10) OVER (ORDER BY r, o_custkey) AS BIGINT) AS decile
+                  FROM rev),
+          bd AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+                        sum(r) AS dr
+                 FROM dec GROUP BY decile),
+          t AS (SELECT sum(dr) AS tt FROM bd)
+          SELECT decile, n_customers, CAST(dr AS DOUBLE) AS revenue,
+                 (round(CAST(sum(dr) OVER (ORDER BY decile
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                        / CAST(tt AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS cum_share
+          FROM bd CROSS JOIN t
+          ORDER BY decile""")),
+
+      // Heaps'-law vocabulary growth: V(n) at doc-count checkpoints from
+      // each term's FIRST-occurrence doc (min doc_id per term — exact
+      // integers, no cumulative distinct scan), plus the fitted exponent
+      // from the rounded-log regression (the zipf-slope discipline). The
+      // "how fast does the vocabulary grow" corpus-scaling audit.
+      Q("q_heaps_law",
+        (s, dir) => {
+          val firstDoc = tk(s, dir, "documents")
+            .select(col("doc_id"), explode(TextF.tokens(col("text"))).as("term"))
+            .where(length(col("term")) > 0)
+            .groupBy(col("term")).agg(min(col("doc_id")).as("__fd"))
+          val checkpoints = Seq(100L, 200L, 300L, 400L, 500L)
+          val cps = checkpoints.map(n =>
+            firstDoc.where(col("__fd") < n)
+              .agg(lit(n).cast("long").as("n_docs"),
+                count(lit(1)).cast("long").as("vocab")))
+            .reduce(_.unionAll(_))
+          val x = round(log(col("n_docs").cast("double")), 6)
+            .cast("decimal(18,6)")
+          val y = round(log(col("vocab").cast("double")), 6)
+            .cast("decimal(18,6)")
+          val m = cps.agg(count(lit(1)).as("__n"),
+            sum(x).as("__sx"), sum(y).as("__sy"),
+            sum((x * y).cast("decimal(38,12)")).as("__sxy"),
+            sum((x * x).cast("decimal(38,12)")).as("__sxx"))
+          val nd = col("__n").cast("double")
+          val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+          val sxy = col("__sxy").cast("double"); val sxx = col("__sxx").cast("double")
+          cps.crossJoin(broadcast(m.select(
+              r6((nd * sxy - sx * sy) / (nd * sxx - sx * sx)).as("heaps_beta"))))
+            .orderBy("n_docs")
+        },
+        Some(s"""
+          WITH fd AS (
+            SELECT term, min(doc_id) AS fdoc FROM (
+              SELECT doc_id, unnest(${D.splitWs("text")}) AS term FROM documents) t__
+            WHERE len(term) > 0 GROUP BY term),
+          cp AS (SELECT CAST(n AS BIGINT) AS n_docs,
+                        (SELECT CAST(count(*) AS BIGINT) FROM fd WHERE fdoc < n) AS vocab
+                 FROM (SELECT unnest([100, 200, 300, 400, 500]) AS n) ns),
+          xy AS (SELECT CAST(round(ln(CAST(n_docs AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+                        CAST(round(ln(CAST(vocab AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+                 FROM cp),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       sum(x) AS sx, sum(y) AS sy,
+                       sum(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+                       sum(CAST(x * x AS DECIMAL(38,12))) AS sxx
+                FROM xy),
+          b AS (SELECT ${duckR6(
+            """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+               (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))""")} AS heaps_beta
+               FROM m)
+          SELECT n_docs, vocab, heaps_beta
+          FROM cp CROSS JOIN b
+          ORDER BY n_docs""")),
+
       // LSH banding precision/recall on a doc sample: ground TRUTH comes
       // from the exact set-similarity join (pairs sharing >= 1 shingle
       // via the postings equi-join — a Jaccard >= 0.2 pair MUST share a
