@@ -10792,7 +10792,16 @@ object QueryCatalog {
       // choice, alongside q_sketch_error.
       Q("q_lsh_pr_eval",
         (s, dir) => {
-          val docs = t(s, dir, "documents").where(col("doc_id") < 200)
+          // seed 5 guaranteed near-dup pairs (suffix-mutated copies of
+          // docs 0-4) so the truth set is non-empty at EVERY scale factor
+          // — sf0.1's first-200 docs happen to contain no natural pairs,
+          // which would make the eval vacuous (and divide by zero)
+          val base = t(s, dir, "documents").where(col("doc_id") < 200)
+            .select(col("doc_id"), col("text"))
+          val mutated = base.where(col("doc_id") < 5)
+            .select((col("doc_id") + 9000L).as("doc_id"),
+              concat(col("text"), lit(" zz qq xtra")).as("text"))
+          val docs = base.unionAll(mutated)
           val sets = Dedup.shingleSets(docs, "text", "doc_id", 3)
           val post = sets.select(col("doc_id"), explode(col("sh")).as("s"))
           val pairs = post.select(col("doc_id").as("id_a"), col("s"))
@@ -10808,18 +10817,27 @@ object QueryCatalog {
           val nT = truth.agg(count(lit(1)).as("n_truth"))
           val nC = cand.agg(count(lit(1)).as("n_cand"))
           val nH = hit.agg(count(lit(1)).as("n_hit"))
+          // empty truth/candidate sets are legitimate on a slice with no
+          // similar pairs (seen at sf0.1's first-200 docs) — report 0.0,
+          // never divide by zero (ANSI mode aborts the query otherwise)
           nT.crossJoin(broadcast(nC)).crossJoin(broadcast(nH))
             .select(col("n_truth").cast("long").as("n_truth"),
               col("n_cand").cast("long").as("n_cand"),
               col("n_hit").cast("long").as("n_hit"),
-              r6(col("n_hit").cast("double") / col("n_cand").cast("double"))
-                .as("precision"),
-              r6(col("n_hit").cast("double") / col("n_truth").cast("double"))
-                .as("recall"))
+              r6(when(col("n_cand") > 0,
+                col("n_hit").cast("double") / col("n_cand").cast("double"))
+                .otherwise(lit(0.0))).as("precision"),
+              r6(when(col("n_truth") > 0,
+                col("n_hit").cast("double") / col("n_truth").cast("double"))
+                .otherwise(lit(0.0))).as("recall"))
         },
         Some {
           val duckToksS =
-            s"(SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents WHERE doc_id < 200)"
+            s"""(SELECT doc_id, ${D.splitWs("text")} AS toks FROM (
+                 SELECT doc_id, text FROM documents WHERE doc_id < 200
+                 UNION ALL
+                 SELECT doc_id + 9000, text || ' zz qq xtra'
+                 FROM documents WHERE doc_id < 5) u__)"""
           val duckShinglesS =
             s"(SELECT doc_id, ${Exprs.wordShingles(D, "toks", 3)} AS sh FROM $duckToksS)"
           s"""
@@ -10849,8 +10867,8 @@ object QueryCatalog {
                        (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
                        (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit)
           SELECT n_truth, n_cand, n_hit,
-                 ${duckR6("CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE)")} AS precision,
-                 ${duckR6("CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)")} AS recall
+                 ${duckR6("CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END")} AS precision,
+                 ${duckR6("CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END")} AS recall
           FROM m"""
         }),
 
