@@ -25,6 +25,26 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Wall-clock budget for the WHOLE bench (r7 lesson: the driver killed
+    // the unbudgeted run at its own cap — rc 124, sf1 section lost, and
+    // every number after the kill point unusable). Every phase after the
+    // mandatory single base pass degrades gracefully against this budget
+    // and records what it skipped, so the artifact is always complete and
+    // parseable even when time runs out.
+    // Default calibrated against r7's evidence: the driver's cap killed a
+    // ~1500 s run near the END of its sf1 section, and the r8 local
+    // rehearsal measured warm-all(~150) + min-of-2 base(~500) + sf1(~300)
+    // ≈ 950 s — so 1000 s fits under the observed cap with the phases
+    // below yielding gracefully as it approaches.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1000").toDouble
+    // Wall reserved for the sf1 scale rehearsal: the base multi-run phase
+    // stops ADDING samples once it would eat into this slice, because a
+    // missing sf1 section (r8 first local run) is worse evidence than a
+    // handful of single-sample cheap queries.
+    val sf1ReserveS = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_RESERVE_S", "300").toDouble
+    val wall0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - wall0) / 1e9
+    def remainS: Double = budgetS - elapsedS
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -36,21 +56,55 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // JVM/codegen warmup on the smallest SF so per-query numbers measure
-    // the plan, not first-time class generation.
+    // the plan, not first-time class generation. The r8 lesson argues for
+    // warming EVERYTHING: a 25%-budget cut left 270 queries cold, and the
+    // cold first runs were both the measurement (inflated 2x) AND the
+    // wall cost — skipping warmup saves nothing, it just moves codegen
+    // into the timed pass. Queries warm SLOWEST-FIRST (ranked by the
+    // committed previous-round BENCH_FULL map) so if the 35% guard does
+    // trip, the cut lands on the cheap tail where codegen is smallest.
     val warmDir = "/root/testdata/sf0.001"
+    val priorTimes: Map[String, Double] = {
+      val f = new java.io.File(s"${sys.props("user.dir")}/BENCH_FULL.json")
+      if (!f.isFile) Map.empty
+      else {
+        val txt = java.nio.file.Files.readString(f.toPath)
+        val pat = java.util.regex.Pattern.compile("\"([A-Za-z0-9_]+)\":(-?[0-9]+\\.[0-9]+)")
+        val m = pat.matcher(txt)
+        val b = Map.newBuilder[String, Double]
+        while (m.find()) b += (m.group(1) -> m.group(2).toDouble)
+        // names not in the catalog (e.g. "value") fall out here
+        b.result().filter { case (k, _) => SparkEntry.queries.contains(k) }
+      }
+    }
+    var nWarmed = 0
     if (new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
-        catch { case _: Throwable => () }
+      val order = SparkEntry.queries.keys.toSeq
+        .sortBy(n => (-priorTimes.getOrElse(n, 0.0), n))
+      order.foreach { name =>
+        if (elapsedS < 0.35 * budgetS) {
+          try {
+            SparkEntry.queries(name)(spark, warmDir)
+              .write.mode("overwrite").format("noop").save()
+            nWarmed += 1
+          } catch { case _: Throwable => () }
+        }
       }
     }
 
-    // Min-of-3 per query with GC isolation: a single local[32] pass is
-    // noisy (page cache, JIT recompiles, GC debt from the PREVIOUS query
-    // landing mid-measurement — the r3 q_pq_ann 7x phantom). A System.gc()
-    // + short settle before each query charges collection work to the
-    // query that allocated it, and min-of-runs measures the plan rather
-    // than the interference.
+    // Base pass with GC isolation: a single local[32] pass is noisy (page
+    // cache, JIT recompiles, GC debt from the PREVIOUS query landing
+    // mid-measurement — the r3 q_pq_ann 7x phantom). A System.gc() +
+    // short settle before each query charges collection work to the query
+    // that allocated it, and min-of-runs measures the plan rather than
+    // the interference. Run policy (budget-adaptive): one run is
+    // MANDATORY for every query (the map must be complete); a second run
+    // — which also absorbs any codegen cost the warmup guard skipped —
+    // happens while the phase stays clear of the sf1 reserve; a third
+    // sample (noise is worth it only on >= 0.5 s queries) while the
+    // phase is inside 45% of the budget. Queries left at a single sample
+    // are counted in n_single_run.
+    var nSingleRun = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -63,7 +117,14 @@ object Bench {
       }
       System.gc()
       Thread.sleep(50)
-      val runs = Iterator.continually(once()).take(3).toSeq
+      val r1 = once()
+      val runs = scala.collection.mutable.ArrayBuffer(r1)
+      if (r1 >= 0) {
+        val inBudget = remainS > sf1ReserveS + 30 + r1
+        if (inBudget) runs += once()
+        if (r1 >= 0.5 && elapsedS < 0.45 * budgetS) runs += once()
+        if (!inBudget) nSingleRun += 1
+      }
       val ok = runs.filter(_ >= 0)
       val dt = if (ok.isEmpty) -1.0 else ok.min
       name -> dt
@@ -82,6 +143,9 @@ object Bench {
         "value" -> jnum(total),
         "unit" -> "\"sec\"",
         "sf" -> ("\"" + sfDir + "\""),
+        "budget_s" -> jnum(budgetS),
+        "n_warmed" -> nWarmed.toString,
+        "n_single_run" -> nSingleRun.toString,
         "n_queries" -> results.size.toString,
         "failed" -> failed.map("\"" + _ + "\"").mkString("[", ",", "]"),
         "queries" -> jmap(qs)) )
@@ -104,6 +168,10 @@ object Bench {
     // corpus. Disable with SPARK_GRAFT_SF1=0.
     val sf1Part =
       if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0") ""
+      else if (remainS < 120)
+        // not enough wall left even for the replica build — an explicit
+        // record beats an rc-124 kill mid-section
+        s""","sf1_note":"skipped: ${jnum(remainS)}s left of ${jnum(budgetS)}s budget","sf1_queries":{},"sf1_ratio_vs_1x":{},"sf1_skipped_budget":["*"]"""
       else try {
         val base = results.toMap
         val dir10 = ScaleRehearsal.ensureReplica(spark, sfDir)
@@ -139,8 +207,18 @@ object Bench {
           // k-core peel, the per-user SCD2 window build, and the two
           // corpus-text kernels (RAKE window+joins, PMI bigram counting)
           "q_triangles", "q_ppr", "q_kcore", "q_scd2",
-          "q_rake_keyphrases", "q_pmi_collocations")
-        def timed(fn: String => Unit, dir: String, name: String): Double = {
+          "q_rake_keyphrases", "q_pmi_collocations",
+          // round-8: the two slowest streaming-equivalence gates — the
+          // state store was untested beyond sf0.1 (18 gates, none in the
+          // rehearsal). The fixture is inherently bounded: the replay
+          // collects the replicated events table (1M (long,ts,long)
+          // tuples at 10x — tens of MB) and feeds the SAME 4 micro-batch
+          // replay, so the witness times state-store growth, not an
+          // unbounded driver structure.
+          "q_stream_interval_eq", "q_stream_ewma_eq")
+        val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+        def timed(fn: String => Unit, dir: String, name: String,
+                  baseT: Double): Double = {
           def once(): Double = {
             val t0 = System.nanoTime()
             try { fn(dir); (System.nanoTime() - t0) / 1e9 }
@@ -149,21 +227,33 @@ object Bench {
               -1.0
             }
           }
+          // Per-query budget gate: a 10x run can cost ~12x the base time
+          // (10x data + replica page-cache faults); starting one the
+          // budget can't absorb is how r7 died mid-section. Skips are
+          // RECORDED (sf1_skipped_budget), never silent.
+          val est = math.max(20.0, 12.0 * math.max(baseT, 0.0))
+          if (remainS < est) { skipped += name; return -1.0 }
           // Same GC isolation as the base loop — without it, collection
           // debt from the replica/fixture builds (GBs of shuffle) lands
           // inside whichever sf1 query runs next and survives even a
           // min-of-2 (r8: q_entropy read 12.4x in-bench vs 3.1x measured
-          // standalone). Warm min-of-3: first touch pays replica
-          // page-cache faults.
+          // standalone). Warm min-of-2: first touch pays replica
+          // page-cache faults, the second is the measured-ish floor; a
+          // third only for sub-30s-estimate queries with budget to spare.
           System.gc()
           Thread.sleep(50)
-          val runs = Seq(once(), once(), once()).filter(_ >= 0)
-          if (runs.isEmpty) -1.0 else runs.min
+          val r1 = once()
+          val runs = scala.collection.mutable.ArrayBuffer(r1)
+          if (remainS > est) runs += once()
+          if (est < 30 && remainS > 0.35 * budgetS) runs += once()
+          val ok = runs.filter(_ >= 0)
+          if (ok.isEmpty) -1.0 else ok.min
         }
         val t10 = heavy.map { name =>
           val fn = (d: String) => SparkEntry.queries(name)(spark, d)
             .write.mode("overwrite").format("noop").save()
-          (name, timed(fn, dir10, name), base.getOrElse(name, -1.0))
+          (name, timed(fn, dir10, name, base.getOrElse(name, -1.0)),
+            base.getOrElse(name, -1.0))
         }
         // Image near-dup 10x-at-10x: the catalog's q_image_neardup fixture
         // formula aliases doc_id mod 256, so its pair count is quadratic
@@ -172,11 +262,11 @@ object Bench {
         // mixing, 1-in-100 planted near-dups) where the true answer grows
         // linearly — the banded-join plan itself is what gets timed.
         val imgFn = (d: String) => ScaleRehearsal.imageNearDupRehearsal(spark, d)
-        val imgBase = timed(imgFn, sfDir, "x_image_neardup_10x")
-        val img10 = timed(imgFn, dir10, "x_image_neardup_10x")
+        val imgBase = timed(imgFn, sfDir, "x_image_neardup_10x", 2.0)
+        val img10 = timed(imgFn, dir10, "x_image_neardup_10x", imgBase)
         val img256Fn = (d: String) => ScaleRehearsal.imageNearDup256Rehearsal(spark, d)
-        val img256Base = timed(img256Fn, sfDir, "x_image_neardup256_10x")
-        val img256 = timed(img256Fn, dir10, "x_image_neardup256_10x")
+        val img256Base = timed(img256Fn, sfDir, "x_image_neardup256_10x", 1.0)
+        val img256 = timed(img256Fn, dir10, "x_image_neardup256_10x", img256Base)
         val all10 = t10 :+ ("x_image_neardup_10x", img10, imgBase) :+
           ("x_image_neardup256_10x", img256, img256Base)
         val qs10 = jmap(all10.map { case (k, v, _) => k -> jnum(v) })
@@ -184,7 +274,8 @@ object Bench {
           val r = if (v >= 0 && b > 0) v / b else -1.0
           k -> f"$r%.1f"
         })
-        s""","sf1_note":"10x-replicated $sfDir (copies decorrelated), min of 2 warm runs","sf1_queries":$qs10,"sf1_ratio_vs_1x":$ratios"""
+        val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+        s""","sf1_note":"10x-replicated $sfDir (copies decorrelated), min of <=2 warm runs, budget ${jnum(budgetS)}s","sf1_queries":$qs10,"sf1_ratio_vs_1x":$ratios,"sf1_skipped_budget":$skippedJson"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 rehearsal aborted: ${e.getMessage}")
         ""
@@ -200,6 +291,10 @@ object Bench {
       "value" -> jnum(total),
       "unit" -> "\"sec\"",
       "sf" -> ("\"" + sfDir + "\""),
+      "budget_s" -> jnum(budgetS),
+      "wall_s" -> jnum(elapsedS),
+      "n_warmed" -> nWarmed.toString,
+      "n_single_run" -> nSingleRun.toString,
       "n_queries" -> results.size.toString,
       "n_failed" -> failed.size.toString,
       "full" -> "\"BENCH_FULL.json\"",

@@ -2921,17 +2921,25 @@ object QueryCatalog {
         ORDER BY user_id""")),
 
     // ntile + cume_dist ranking (unique-rank tie-breaks keep both engines
-    // deterministic; decimal totals keep the sums exact).
+    // deterministic; decimal totals keep the sums exact). The rank itself
+    // comes from the range-partitioned two-pass (Layout.globalRank) — at
+    // 10^9 users a `Window.orderBy(...)` here is an Exchange
+    // SinglePartition, THE dimension-ranking bottleneck; ntile and
+    // cume_dist then follow from (rank, n) by pure arithmetic (the
+    // ordering is unique, so cume_dist = rank / n exactly).
     Q("q_ntile",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val totals = tEvents(s, dir)
           .groupBy("user_id")
           .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
-        val w = Window.orderBy(desc("total"), col("user_id"))
-        totals
-          .withColumn("quartile", ntile(4).over(w).cast("long"))
-          .withColumn("cd", r6(cume_dist().over(w)))
+        val (ranked, n) = graft.ops.Layout.globalRank(
+          totals, Seq(desc("total"), col("user_id")), "__r")
+        ranked
+          .withColumn("quartile",
+            graft.ops.Layout.ntileFromRank(col("__r"), n, 4))
+          .withColumn("cd",
+            r6(col("__r").cast("double") / n.toDouble))
+          .drop("__r")
           .orderBy("user_id")
       },
       Some("""
@@ -4579,6 +4587,95 @@ object QueryCatalog {
     }
     inDir
   }
+
+  /** Deterministic EXIF-JPEG synthesis for the image-governance oracles:
+    * a real JPEG container (SOI, JFIF APP0, Exif APP1, COM, EOI) whose
+    * TIFF block alternates LITTLE and BIG endian by doc parity, with
+    * Make/Model/Orientation/DateTime from doc_id formulas and, on every
+    * 3rd doc, a GPS sub-IFD carrying (deg,min,sec) RATIONAL coordinates.
+    * Cheap enough (~300 bytes, no compression) to build per run — no
+    * /tmp cache to go stale. */
+  private val synthExifUdf = udf((d: Long) => {
+    val gps =
+      if (d % 3 == 0) Some((
+        if (d % 6 == 0) "N" else "S",
+        Array((d % 90, 1L), (d % 60, 1L), (d % 5999, 100L)),
+        if ((d / 3) % 2 == 0) "E" else "W",
+        Array((d % 180, 1L), ((d * 7) % 60, 1L), ((d * 13) % 5999, 100L))))
+      else None
+    graft.multimodal.ExifCodec.buildExifJpeg(
+      d % 2 == 0,
+      "Cam" + (d % 17), "M-" + (d % 29), (1 + d % 8).toInt,
+      f"2024:01:${1 + d % 28}%02d ${d % 24}%02d:00:00", gps)
+  })
+
+  /** The shared DuckDB replay of the synthExif field formulas. */
+  private def duckExifFields(hasGpsSql: String): String = {
+    val latSum = "(CAST(doc_id % 90 AS DOUBLE) / CAST(1.0 AS DOUBLE) + " +
+      "(CAST(doc_id % 60 AS DOUBLE) / CAST(1.0 AS DOUBLE)) / CAST(60.0 AS DOUBLE) + " +
+      "(CAST(doc_id % 5999 AS DOUBLE) / CAST(100.0 AS DOUBLE)) / CAST(3600.0 AS DOUBLE))"
+    val lonSum = "(CAST(doc_id % 180 AS DOUBLE) / CAST(1.0 AS DOUBLE) + " +
+      "(CAST((doc_id * 7) % 60 AS DOUBLE) / CAST(1.0 AS DOUBLE)) / CAST(60.0 AS DOUBLE) + " +
+      "(CAST((doc_id * 13) % 5999 AS DOUBLE) / CAST(100.0 AS DOUBLE)) / CAST(3600.0 AS DOUBLE))"
+    s"""doc_id,
+       'Cam' || CAST(doc_id % 17 AS VARCHAR) AS make,
+       'M-' || CAST(doc_id % 29 AS VARCHAR) AS model,
+       CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+       '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') ||
+         ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':00:00' AS date_time,
+       CAST($hasGpsSql AS BOOLEAN) AS has_gps,
+       CASE WHEN $hasGpsSql THEN
+         (round(CASE WHEN doc_id % 6 = 0 THEN $latSum ELSE -$latSum END, 6)
+          + CAST(0.0 AS DOUBLE)) END AS lat_deg,
+       CASE WHEN $hasGpsSql THEN
+         (round(CASE WHEN (doc_id // 3) % 2 = 0 THEN $lonSum ELSE -$lonSum END, 6)
+          + CAST(0.0 AS DOUBLE)) END AS lon_deg"""
+  }
+
+  /** Image-governance operators: REAL EXIF parse + GPS-geotag redaction
+    * over synthesized-but-real JPEG bytes (both TIFF endians), the
+    * image-side PII pass next to ops.Governance's text redaction. */
+  private def exifOps: Seq[Q] = Seq(
+    // Byte-level EXIF parse: JPEG segment walk -> TIFF IFD walk -> GPS
+    // sub-IFD -> decimal degrees, hash-matched field-by-field against
+    // the synthesis formulas (the q_image_pixels synthesize->parse->
+    // formula-check pattern; a parser bug in either endian, the ASCII
+    // NUL handling, the RATIONAL math, or the ref sign hash-fails).
+    Q("q_image_exif",
+      (s, dir) => {
+        val withJpg = t(s, dir, "documents").select(col("doc_id"))
+          .withColumn("jpg", synthExifUdf(col("doc_id")))
+        graft.multimodal.ExifCodec.withExifMeta(withJpg, "jpg", "doc_id")
+          .select(col("doc_id"), col("make"), col("model"), col("orientation"),
+            col("date_time"), col("has_gps"),
+            r6(col("lat_deg")).as("lat_deg"), r6(col("lon_deg")).as("lon_deg"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        SELECT ${duckExifFields("doc_id % 3 = 0")}
+        FROM documents ORDER BY doc_id""")),
+
+    // GPS redaction round-trip: stripGps re-serializes the APP1 without
+    // the GPS IFD, and the REDACTED bytes are re-parsed — the oracle
+    // pins has_gps = false everywhere AND every IFD0 field surviving
+    // byte-identically through parse -> rebuild -> reparse. This is the
+    // geotag-stripping governance gate, not an assertion.
+    Q("q_exif_redact",
+      (s, dir) => {
+        val withJpg = t(s, dir, "documents").select(col("doc_id"))
+          .withColumn("jpg", synthExifUdf(col("doc_id")))
+        val stripped = graft.multimodal.ExifCodec.withGpsStripped(
+          withJpg, "jpg", "doc_id")
+        graft.multimodal.ExifCodec.withExifMeta(stripped, "jpg", "doc_id")
+          .select(col("doc_id"), col("make"), col("model"), col("orientation"),
+            col("date_time"), col("has_gps"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        SELECT doc_id, make, model, orientation, date_time,
+               CAST(FALSE AS BOOLEAN) AS has_gps
+        FROM (SELECT ${duckExifFields("doc_id % 3 = 0")} FROM documents)
+        ORDER BY doc_id""")))
 
   /** Streaming/batch equivalence oracles: the streaming operators RUN AS
     * REAL STREAMS (MemoryStream micro-batches through the state store,
@@ -10397,7 +10494,8 @@ object QueryCatalog {
       // interval — never an event buffer); intervals close and emit the
       // moment a different attribute arrives across micro-batch
       // boundaries; the watermark sentinel closes the final interval at
-      // 9999-12-31. Hash-matches the batch windowed oracle (q_scd2's).
+      // the ns-safe Analytics.Scd2Sentinel (2261-12-31). Hash-matches the
+      // batch windowed oracle (q_scd2's).
       Q("q_stream_scd2_eq",
         (s, dir) => {
           import s.implicits._
@@ -10688,21 +10786,28 @@ object QueryCatalog {
       // decile carries X% of revenue".
       Q("q_lorenz_curve",
         (s, dir) => {
-          import org.apache.spark.sql.expressions.Window
+          // decile assignment via the range-partitioned two-pass rank
+          // (never a Window.orderBy SinglePartition over the customer
+          // dimension); the 10-row cumulative share is a broadcast
+          // triangular join on the fixed decile key — exact decimal sums,
+          // no window anywhere in the plan.
           val rev = t(s, dir, "orders")
             .groupBy(col("o_custkey"))
             .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("__r"))
-          val dec = rev.withColumn("decile",
-            ntile(10).over(Window.orderBy(col("__r"), col("o_custkey")))
-              .cast("long"))
+          val (ranked, n) = graft.ops.Layout.globalRank(
+            rev, Seq(col("__r"), col("o_custkey")), "__rk")
+          val dec = ranked.withColumn("decile",
+            graft.ops.Layout.ntileFromRank(col("__rk"), n, 10))
           val byDec = dec.groupBy(col("decile"))
             .agg(count(lit(1)).cast("long").as("n_customers"),
               sum(col("__r")).as("__dr"))
           val tot = byDec.agg(sum(col("__dr")).as("__t"))
-          byDec.crossJoin(broadcast(tot))
-            .withColumn("__cum", sum(col("__dr")).over(
-              Window.orderBy(col("decile"))
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          val prior = byDec.select(col("decile").as("__d2"),
+            col("__dr").as("__dr2"))
+          byDec.join(broadcast(prior), col("__d2") <= col("decile"))
+            .groupBy(col("decile"), col("n_customers"), col("__dr"))
+            .agg(sum(col("__dr2")).as("__cum"))
+            .crossJoin(broadcast(tot))
             .select(col("decile"), col("n_customers"),
               col("__dr").cast("double").as("revenue"),
               r6(col("__cum").cast("double") / col("__t").cast("double"))
@@ -10785,7 +10890,7 @@ object QueryCatalog {
 
       // LSH banding precision/recall on a doc sample: ground TRUTH comes
       // from the exact set-similarity join (pairs sharing >= 1 shingle
-      // via the postings equi-join — a Jaccard >= 0.2 pair MUST share a
+      // via the postings equi-join — a Jaccard >= 0.1 pair MUST share a
       // shingle, so recall of the truth set is exact and no cartesian
       // appears anywhere); candidates are the production 4-band/2-row
       // signatures. The banding-trust eval behind every LSH parameter
@@ -10992,25 +11097,32 @@ object QueryCatalog {
       // Mann-Whitney rank arithmetic: doubled average ranks (2r + c − 1)
       // keep tie handling in pure integers; the single division happens
       // once at the end. Turns q_quality_classifier + calibration into a
-      // threshold-free ranking eval. Rank window bounded by the corpus
-      // (the denseIds two-pass is the at-scale form, q_dense_ids).
+      // threshold-free ranking eval. At scale: NO corpus-sized rank
+      // window — rows first collapse to per-distinct-score tallies
+      // (c rows, cp positives: a map-combined aggregate), and the
+      // min-rank of each tie group is cum(c) − c + 1 from the
+      // range-partitioned two-pass prefix sum (Layout.rankedCumSum) over
+      // the DISTINCT-SCORE dimension, exactly rank() OVER (ORDER BY
+      // score) but never an Exchange SinglePartition.
       Q("q_classifier_auc",
         (s, dir) => {
-          import org.apache.spark.sql.expressions.Window
           val scored = graft.ops.QualityClassifier.trainAndScore(
             t(s, dir, "documents"), "doc_id", "text", "n_chars >= 250")
-          val rk = scored
-            .withColumn("__r", rank().over(Window.orderBy(col("score"))))
-            .withColumn("__c", count(lit(1)).over(
-              Window.partitionBy(col("score"))))
-          val agg = rk.agg(
-            sum(when(col("label") === 1.0,
-              lit(2L) * col("__r") + col("__c") - 1L).otherwise(lit(0L)))
-              .cast("long").as("__s2"),
-            sum(when(col("label") === 1.0, 1L).otherwise(0L))
-              .cast("long").as("__np"),
-            sum(when(col("label") === 1.0, 0L).otherwise(1L))
-              .cast("long").as("__nn"))
+          val byScore = scored.groupBy(col("score"))
+            .agg(count(lit(1)).cast("decimal(18,0)").as("__c"),
+              sum(when(col("label") === 1.0, 1L).otherwise(0L))
+                .cast("long").as("__cp"))
+          val (ranked, _) = graft.ops.Layout.rankedCumSum(
+            byScore, Seq(col("score")), "__c", "__rk", "__cum")
+          val agg = ranked.select(col("__cp"),
+              col("__c").cast("long").as("__cl"),
+              (col("__cum").cast("long") - col("__c").cast("long") + 1L)
+                .as("__r"))
+            .agg(
+              sum(col("__cp") * (lit(2L) * col("__r") + col("__cl") - 1L))
+                .cast("long").as("__s2"),
+              sum(col("__cp")).cast("long").as("__np"),
+              sum(col("__cl") - col("__cp")).cast("long").as("__nn"))
           agg.select(col("__np").as("n_pos"), col("__nn").as("n_neg"),
             r6((col("__s2") - col("__np") * (col("__np") + 1L)).cast("double") /
               (lit(2L) * col("__np") * col("__nn")).cast("double")).as("auc"))
@@ -11504,7 +11616,8 @@ object QueryCatalog {
   def all: Seq[Q] =
     relational ++ textOps ++ vectorOps ++ ragOps ++ metaOps ++ extraOps ++
       temporalOps ++ pipelineOps ++ scaleOps ++ relationalPlus ++ trainingPlus ++
-      relationalFull ++ curationOps ++ pcmOps ++ imagePixelOps ++ streamingEqOps ++
+      relationalFull ++ curationOps ++ pcmOps ++ imagePixelOps ++ exifOps ++
+      streamingEqOps ++
       warcOps ++ governanceOps ++ analyticsOps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -14,6 +14,15 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // NOTE on timestamp artifacts: dumps stay on Spark's default INT96
+      // parquet encoding, which every consumer here reads as a NAIVE
+      // ns-precision timestamp (matching DuckDB's naive TIMESTAMP).
+      // Switching to TIMESTAMP_MICROS was tried for the r07 SCD2 bug and
+      // REGRESSES: MICROS is annotated isAdjustedToUTC=true, so readers
+      // surface tz-AWARE values that no longer compare equal to the
+      // oracle's naive ones. The actual r07 fix lives in the operators:
+      // the SCD2 open-row sentinel is ns-safe (2261-12-31, see
+      // Analytics.Scd2SentinelTs) so INT96→ns conversion cannot wrap it.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

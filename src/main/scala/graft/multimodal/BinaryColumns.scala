@@ -243,15 +243,6 @@ object BinaryColumns {
     else (dataOff, dataLen, bits, channels)
   }
 
-  /** REAL per-window audio energy over 16-bit PCM WAV payloads — unlike
-    * the codec-gated [[MediaDecoder]] stub, PCM needs no external
-    * library, so this is a working multimodal feature extractor: the RMS
-    * kernel behind voice-activity detection / silence trimming in audio
-    * pipelines. Emits (idCol, window_no, n_samples, rms) per
-    * `windowSamples`-sample window (channels interleaved, treated as one
-    * stream). Malformed/non-PCM payloads emit nothing. Narrow flatMap
-    * generator — one pass over each payload, no shuffle, rows carry no
-    * audio bytes. */
   /** Single-bin DFT power per `winLen`-sample window — the tone /
     * dial-tone / carrier detector (the frequency-domain companion to
     * [[pcmEnergyWindows]]'s time-domain RMS): power = re² + im² with
@@ -299,6 +290,15 @@ object BinaryColumns {
       .toDF(idCol, "window_no", "power")
   }
 
+  /** REAL per-window audio energy over 16-bit PCM WAV payloads — unlike
+    * the codec-gated [[MediaDecoder]] stub, PCM needs no external
+    * library, so this is a working multimodal feature extractor: the RMS
+    * kernel behind voice-activity detection / silence trimming in audio
+    * pipelines. Emits (idCol, window_no, n_samples, rms) per
+    * `windowSamples`-sample window (channels interleaved, treated as one
+    * stream). Malformed/non-PCM payloads emit nothing. Narrow flatMap
+    * generator — one pass over each payload, no shuffle, rows carry no
+    * audio bytes. */
   def pcmEnergyWindows(df: DataFrame, binCol: String, idCol: String,
                        windowSamples: Int = 256): DataFrame = {
     val spark = df.sparkSession

@@ -1,0 +1,384 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** REAL EXIF (TIFF-in-APP1) metadata codec over JPEG payloads — the
+  * image-governance stage a web-scale multimodal corpus needs: camera
+  * EXIF routinely carries GPS geotags, i.e. location PII that must be
+  * detected and STRIPPED before training data leaves curation (the
+  * image-side analogue of the text PII redaction in `ops.Governance`).
+  *
+  * Everything here is a byte-level walk of the real container formats,
+  * no libraries:
+  *   - JPEG segment scan: SOI, then marker-length segments until
+  *     SOS/EOI; APP1 payloads starting "Exif\0\0" carry TIFF;
+  *   - TIFF: byte-order mark ("II" little / "MM" big — BOTH endians are
+  *     parsed and synthesized), magic 42, IFD walk (tag/type/count with
+  *     inline-or-offset values), ASCII / SHORT / LONG / RATIONAL types;
+  *   - GPS sub-IFD via pointer tag 0x8825; latitude/longitude as the
+  *     standard (deg, min, sec) RATIONAL triples with N/S/E/W refs.
+  *
+  * Redaction ([[stripGps]]) re-serializes the APP1 from the parsed
+  * fields WITHOUT the GPS IFD and splices it into the original JPEG —
+  * verified round-trip: re-parsing the redacted bytes must show the
+  * same Make/Model/Orientation/DateTime and no GPS (oracle-gated, not
+  * asserted).
+  *
+  * Scale shape: parse and strip are narrow per-row kernels (one pass
+  * over each payload, no shuffle); only small typed fields leave the
+  * kernel — image bytes never transit an exchange. Determinism: decimal
+  * degrees evaluate in a FIXED operation order
+  * (deg + min/60 + (num/den)/3600, each term one IEEE double op chain)
+  * so the DuckDB oracle replays them bit-exactly.
+  *
+  * Degenerate frames (the reference's corrupt-input discipline,
+  * `pdf_reader.py:83-149`): truncated segments, bad byte-order marks,
+  * out-of-bounds offsets, zero denominators all return null fields —
+  * the kernel never throws.
+  */
+object ExifCodec {
+
+  /** Parsed EXIF record; nulls where absent/malformed. Degrees are
+    * signed decimal (N/E positive), RAW doubles — rounding is the
+    * caller's (the catalog applies its standard round-6 discipline so
+    * Spark and the oracle round the same way). */
+  final case class ExifMeta(make: String, model: String,
+                            orientation: java.lang.Long, dateTime: String,
+                            hasGps: Boolean, latDeg: java.lang.Double,
+                            lonDeg: java.lang.Double)
+
+  // TIFF tags
+  private val TagMake = 0x010f
+  private val TagModel = 0x0110
+  private val TagOrientation = 0x0112
+  private val TagDateTime = 0x0132
+  private val TagGpsIfd = 0x8825
+  // GPS IFD tags
+  private val GpsLatRef = 0x0001
+  private val GpsLat = 0x0002
+  private val GpsLonRef = 0x0003
+  private val GpsLon = 0x0004
+
+  // =========================================================================
+  // Parser
+  // =========================================================================
+
+  /** Locate the Exif APP1 payload inside a JPEG; (offset, length) of the
+    * TIFF bytes (after "Exif\0\0") or null. */
+  private def findExifTiff(b: Array[Byte]): (Int, Int) = {
+    if (b == null || b.length < 4) return null
+    if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return null // SOI
+    var p = 2
+    while (p + 4 <= b.length) {
+      if ((b(p) & 0xff) != 0xff) return null
+      val marker = b(p + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return null // EOI / SOS
+      val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+      if (len < 2 || p + 2 + len > b.length) return null
+      if (marker == 0xe1 && len >= 8 &&
+          b(p + 4) == 'E' && b(p + 5) == 'x' && b(p + 6) == 'i' &&
+          b(p + 7) == 'f' && b(p + 8) == 0 && b(p + 9) == 0)
+        return (p + 10, len - 8)
+      p += 2 + len
+    }
+    null
+  }
+
+  private final class Tiff(bytes: Array[Byte], off: Int, len: Int) {
+    val order: ByteOrder =
+      if (len >= 2 && bytes(off) == 'I' && bytes(off + 1) == 'I')
+        ByteOrder.LITTLE_ENDIAN
+      else if (len >= 2 && bytes(off) == 'M' && bytes(off + 1) == 'M')
+        ByteOrder.BIG_ENDIAN
+      else null
+    private val bb =
+      if (order == null) null
+      else ByteBuffer.wrap(bytes, off, len).slice().order(order)
+    def ok: Boolean = order != null && len >= 8 &&
+      (bb.getShort(2) & 0xffff) == 42
+    def u16(p: Int): Int =
+      if (p < 0 || p + 2 > len) -1 else bb.getShort(p) & 0xffff
+    def u32(p: Int): Long =
+      if (p < 0 || p + 4 > len) -1L else bb.getInt(p) & 0xffffffffL
+    def ifd0: Int = { val o = u32(4); if (o < 0 || o > Int.MaxValue) -1 else o.toInt }
+    def ascii(p: Int, n: Int): String = {
+      if (p < 0 || n <= 0 || p + n > len) return null
+      val arr = new Array[Byte](n)
+      var i = 0
+      while (i < n) { arr(i) = bb.get(p + i); i += 1 }
+      val z = arr.indexOf(0.toByte)
+      new String(arr, 0, if (z >= 0) z else n, "US-ASCII")
+    }
+    /** IFD entries as (tag -> (type, count, valueFieldPos)). The value
+      * field holds the value inline when its byte size <= 4, else a u32
+      * offset to it. */
+    def entries(ifdPos: Int): Seq[(Int, (Int, Long, Int))] = {
+      val n = u16(ifdPos)
+      if (n <= 0 || n > 512) return Seq.empty
+      (0 until n).flatMap { i =>
+        val e = ifdPos + 2 + i * 12
+        val tag = u16(e); val typ = u16(e + 2); val cnt = u32(e + 4)
+        if (tag < 0 || typ < 0 || cnt < 0) None
+        else Some(tag -> ((typ, cnt, e + 8)))
+      }
+    }
+    private def typeSize(t: Int): Int = t match {
+      case 1 | 2 | 7 => 1; case 3 => 2; case 4 => 4; case 5 | 10 => 8
+      case _ => 0
+    }
+    /** Position of an entry's value bytes (inline or via offset). */
+    def valuePos(typ: Int, cnt: Long, vf: Int): Int = {
+      val sz = typeSize(typ) * cnt
+      if (sz <= 0 || sz > len) -1
+      else if (sz <= 4) vf
+      else { val o = u32(vf); if (o < 0 || o + sz > len) -1 else o.toInt }
+    }
+    def shortVal(typ: Int, cnt: Long, vf: Int): java.lang.Long = {
+      val p = valuePos(typ, cnt, vf)
+      if (p < 0 || cnt < 1) null
+      else typ match {
+        case 3 => val v = u16(p); if (v < 0) null else java.lang.Long.valueOf(v.toLong)
+        case 4 => val v = u32(p); if (v < 0) null else java.lang.Long.valueOf(v)
+        case _ => null
+      }
+    }
+    def asciiVal(typ: Int, cnt: Long, vf: Int): String = {
+      if (typ != 2 || cnt <= 0 || cnt > 4096) null
+      else { val p = valuePos(typ, cnt, vf); if (p < 0) null else ascii(p, cnt.toInt) }
+    }
+    /** (num, den) pairs of a RATIONAL array. */
+    def rationals(typ: Int, cnt: Long, vf: Int): Array[(Long, Long)] = {
+      if (typ != 5 || cnt <= 0 || cnt > 16) return null
+      val p = valuePos(typ, cnt, vf)
+      if (p < 0) return null
+      Array.tabulate(cnt.toInt) { i =>
+        (u32(p + i * 8), u32(p + i * 8 + 4))
+      }
+    }
+  }
+
+  /** Decimal degrees from the (deg, min, sec) rational triple — FIXED
+    * op order for oracle replay: deg + min/60 + (num/den)/3600. */
+  private def toDegrees(r: Array[(Long, Long)], ref: String,
+                        neg: String): java.lang.Double = {
+    if (r == null || r.length != 3 || ref == null) return null
+    if (r.exists { case (n, d) => n < 0 || d <= 0 }) return null
+    val v = r(0)._1.toDouble / r(0)._2.toDouble +
+      (r(1)._1.toDouble / r(1)._2.toDouble) / 60.0 +
+      (r(2)._1.toDouble / r(2)._2.toDouble) / 3600.0
+    java.lang.Double.valueOf(if (ref == neg) -v else v)
+  }
+
+  /** Parse EXIF from a JPEG payload; null when absent/unparseable. */
+  def parseExif(bytes: Array[Byte]): ExifMeta =
+    try {
+      val loc = findExifTiff(bytes)
+      if (loc == null) return null
+      val t = new Tiff(bytes, loc._1, loc._2)
+      if (!t.ok) return null
+      val e0 = t.entries(t.ifd0).toMap
+      def str(tag: Int): String =
+        e0.get(tag).map { case (ty, c, v) => t.asciiVal(ty, c, v) }.orNull
+      def num(tag: Int): java.lang.Long =
+        e0.get(tag).map { case (ty, c, v) => t.shortVal(ty, c, v) }.orNull
+      var hasGps = false
+      var lat: java.lang.Double = null
+      var lon: java.lang.Double = null
+      e0.get(TagGpsIfd).foreach { case (ty, c, v) =>
+        val gp = t.shortVal(ty, c, v)
+        if (gp != null && gp >= 0 && gp < Int.MaxValue) {
+          val ge = t.entries(gp.toInt).toMap
+          def gstr(tag: Int): String =
+            ge.get(tag).map { case (ty2, c2, v2) => t.asciiVal(ty2, c2, v2) }.orNull
+          def grat(tag: Int): Array[(Long, Long)] =
+            ge.get(tag).map { case (ty2, c2, v2) => t.rationals(ty2, c2, v2) }.orNull
+          lat = toDegrees(grat(GpsLat), gstr(GpsLatRef), "S")
+          lon = toDegrees(grat(GpsLon), gstr(GpsLonRef), "W")
+          hasGps = lat != null && lon != null
+        }
+      }
+      ExifMeta(str(TagMake), str(TagModel), num(TagOrientation),
+        str(TagDateTime), hasGps, lat, lon)
+    } catch { case _: Throwable => null }
+
+  // =========================================================================
+  // Writer (fixture + redaction re-serializer)
+  // =========================================================================
+
+  /** Serialize an EXIF APP1 TIFF payload (without the "Exif\0\0" head).
+    * Layout: header(8) | IFD0 | IFD0 data | [GPS IFD | GPS data]. */
+  private def buildTiff(littleEndian: Boolean, make: String, model: String,
+                        orientation: Int, dateTime: String,
+                        gps: Option[(String, Array[(Long, Long)],
+                                     String, Array[(Long, Long)])]): Array[Byte] = {
+    val order =
+      if (littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+    // entry payloads larger than 4 bytes go to a data area; compute
+    // positions in two passes
+    final case class Ent(tag: Int, typ: Int, cnt: Int, inline: Option[Int],
+                         data: Array[Byte])
+    def asciiEnt(tag: Int, s: String): Ent = {
+      val raw = (s + "\u0000").getBytes("US-ASCII")
+      Ent(tag, 2, raw.length, None, raw)
+    }
+    def shortEnt(tag: Int, v: Int): Ent = Ent(tag, 3, 1, Some(v), null)
+    def longEnt(tag: Int, v: Int): Ent = Ent(tag, 4, 1, Some(v), null)
+    def ratEnt(tag: Int, rs: Array[(Long, Long)]): Ent = {
+      val bb = ByteBuffer.allocate(rs.length * 8).order(order)
+      rs.foreach { case (n, d) => bb.putInt(n.toInt); bb.putInt(d.toInt) }
+      Ent(tag, 5, rs.length, None, bb.array())
+    }
+    def serializeIfd(entries: Seq[Ent], ifdPos: Int): Array[Byte] = {
+      val sorted = entries.sortBy(_.tag)
+      val entBytes = 2 + sorted.length * 12 + 4
+      var dataPos = ifdPos + entBytes
+      val bb = ByteBuffer.allocate(entBytes +
+        sorted.filter(e => e.data != null && e.data.length > 4)
+          .map(e => e.data.length + (e.data.length & 1)).sum).order(order)
+      bb.putShort(sorted.length.toShort)
+      val dataBuf = new java.io.ByteArrayOutputStream()
+      sorted.foreach { e =>
+        bb.putShort(e.tag.toShort)
+        bb.putShort(e.typ.toShort)
+        bb.putInt(e.cnt)
+        e.inline match {
+          case Some(v) if e.typ == 3 =>
+            // SHORT inline: value in the first 2 bytes of the field
+            if (order == ByteOrder.LITTLE_ENDIAN) {
+              bb.putShort(v.toShort); bb.putShort(0.toShort)
+            } else { bb.putShort(v.toShort); bb.putShort(0.toShort) }
+          case Some(v) => bb.putInt(v)
+          case None =>
+            if (e.data.length <= 4) {
+              val pad = e.data ++ Array.fill(4 - e.data.length)(0.toByte)
+              bb.put(pad)
+            } else {
+              bb.putInt(dataPos)
+              dataBuf.write(e.data)
+              if ((e.data.length & 1) == 1) dataBuf.write(0) // word-align
+              dataPos += e.data.length + (e.data.length & 1)
+            }
+        }
+      }
+      bb.putInt(0) // next-IFD pointer
+      bb.put(dataBuf.toByteArray)
+      bb.array()
+    }
+    // IFD0 (GPS pointer patched in after the GPS IFD position is known)
+    val base = Seq(asciiEnt(TagMake, make), asciiEnt(TagModel, model),
+      shortEnt(TagOrientation, orientation), asciiEnt(TagDateTime, dateTime))
+    val ifd0Pos = 8
+    gps match {
+      case None =>
+        val ifd0 = serializeIfd(base, ifd0Pos)
+        val bb = ByteBuffer.allocate(8 + ifd0.length).order(order)
+        bb.put((if (littleEndian) "II" else "MM").getBytes("US-ASCII"))
+        bb.putShort(42.toShort); bb.putInt(ifd0Pos)
+        bb.put(ifd0); bb.array()
+      case Some((latRef, lat, lonRef, lon)) =>
+        // pass 1 sizes IFD0 with a placeholder pointer
+        val probe = serializeIfd(base :+ longEnt(TagGpsIfd, 0), ifd0Pos)
+        val gpsPos = ifd0Pos + probe.length
+        val ifd0 = serializeIfd(base :+ longEnt(TagGpsIfd, gpsPos), ifd0Pos)
+        val gpsIfd = serializeIfd(Seq(asciiEnt(GpsLatRef, latRef),
+          ratEnt(GpsLat, lat), asciiEnt(GpsLonRef, lonRef),
+          ratEnt(GpsLon, lon)), gpsPos)
+        val bb = ByteBuffer.allocate(8 + ifd0.length + gpsIfd.length).order(order)
+        bb.put((if (littleEndian) "II" else "MM").getBytes("US-ASCII"))
+        bb.putShort(42.toShort); bb.putInt(ifd0Pos)
+        bb.put(ifd0); bb.put(gpsIfd); bb.array()
+    }
+  }
+
+  private def app1(tiff: Array[Byte]): Array[Byte] = {
+    val payload = "Exif\u0000\u0000".getBytes("US-ASCII") ++ tiff
+    val len = payload.length + 2
+    Array(0xff.toByte, 0xe1.toByte, ((len >> 8) & 0xff).toByte,
+      (len & 0xff).toByte) ++ payload
+  }
+
+  /** Deterministic minimal JPEG with a real EXIF APP1 (plus JFIF APP0
+    * and a COM segment the parser must skip over) — the fixture writer:
+    * synthesize → parse → formula-check, the q_image_pixels pattern. */
+  def buildExifJpeg(littleEndian: Boolean, make: String, model: String,
+                    orientation: Int, dateTime: String,
+                    gps: Option[(String, Array[(Long, Long)],
+                                 String, Array[(Long, Long)])]): Array[Byte] = {
+    val jfif = {
+      val payload = "JFIF\u0000".getBytes("US-ASCII") ++
+        Array[Byte](1, 2, 0, 0, 1, 0, 1, 0, 0)
+      val len = payload.length + 2
+      Array(0xff.toByte, 0xe0.toByte, ((len >> 8) & 0xff).toByte,
+        (len & 0xff).toByte) ++ payload
+    }
+    val com = {
+      val payload = "graft".getBytes("US-ASCII")
+      val len = payload.length + 2
+      Array(0xff.toByte, 0xfe.toByte, ((len >> 8) & 0xff).toByte,
+        (len & 0xff).toByte) ++ payload
+    }
+    Array(0xff.toByte, 0xd8.toByte) ++ jfif ++
+      app1(buildTiff(littleEndian, make, model, orientation, dateTime, gps)) ++
+      com ++ Array(0xff.toByte, 0xd9.toByte)
+  }
+
+  /** GPS-geotag redaction: re-serialize the EXIF APP1 from the parsed
+    * fields WITHOUT the GPS IFD and splice it over the original APP1.
+    * Payloads with no parseable EXIF (or no GPS) pass through untouched.
+    * Preserves the TIFF's own byte order. The result is a valid JPEG
+    * whose re-parse shows the same IFD0 fields and hasGps = false. */
+  def stripGps(bytes: Array[Byte]): Array[Byte] =
+    try {
+      val meta = parseExif(bytes)
+      if (meta == null || !meta.hasGps) return bytes
+      val loc = findExifTiff(bytes)
+      val t = new Tiff(bytes, loc._1, loc._2)
+      val clean = app1(buildTiff(t.order == ByteOrder.LITTLE_ENDIAN,
+        if (meta.make == null) "" else meta.make,
+        if (meta.model == null) "" else meta.model,
+        if (meta.orientation == null) 1 else meta.orientation.toInt,
+        if (meta.dateTime == null) "" else meta.dateTime, None))
+      // splice: APP1 starts 10 bytes before the TIFF (marker 2 + len 2 +
+      // "Exif\0\0" 6) and spans its declared length
+      val segStart = loc._1 - 10
+      val segLen = (((bytes(segStart + 2) & 0xff) << 8) |
+        (bytes(segStart + 3) & 0xff)) + 2
+      bytes.take(segStart) ++ clean ++ bytes.drop(segStart + segLen)
+    } catch { case _: Throwable => bytes }
+
+  // =========================================================================
+  // DataFrame plumbing
+  // =========================================================================
+
+  /** Parse EXIF per row: adds make, model, orientation, date_time,
+    * has_gps, lat_deg, lon_deg (nulls where absent). Narrow kernel —
+    * bytes never leave the task. */
+  def withExifMeta(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, b) =>
+        val m = parseExif(b)
+        if (m == null) (id, null: String, null: String, null: java.lang.Long,
+          null: String, false, null: java.lang.Double, null: java.lang.Double)
+        else (id, m.make, m.model, m.orientation, m.dateTime, m.hasGps,
+          m.latDeg, m.lonDeg)
+      }
+      .toDF(idCol, "make", "model", "orientation", "date_time", "has_gps",
+        "lat_deg", "lon_deg")
+  }
+
+  /** [[stripGps]] per row, keeping the payload column name. */
+  def withGpsStripped(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, b) => (id, stripGps(b)) }
+      .toDF(idCol, binCol)
+  }
+}

@@ -80,10 +80,22 @@ object Analytics {
   // SCD2 history build
   // =========================================================================
 
+  /** Open-interval sentinel for SCD2 `valid_to`. DELIBERATELY ns-safe
+    * (within int64 NANOSECONDS of the epoch, max 2262-04-11): the
+    * warehouse-traditional 9999-12-31 survives inside both engines but
+    * WRAPS when the INT96-parquet verify artifact is read back at ns
+    * precision by the driver's compare (the r07 q_scd2/q_stream_scd2_eq
+    * hash reds — values were identical, the far-future sentinel alone
+    * corrupted). Shared by batch [[scd2History]], its oracle text, and
+    * [[graft.streaming.StreamingScd2]]. */
+  val Scd2Sentinel = "2261-12-31 00:00:00"
+  val Scd2SentinelTs: java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(Scd2Sentinel)
+
   /** Slowly-changing-dimension (type 2) history from a change log: per key,
     * consecutive rows with the same attribute collapse into one validity
     * interval [valid_from, valid_to); the latest interval closes at the
-    * sentinel `9999-12-31`. `ordCol` breaks timestamp ties so the row
+    * ns-safe sentinel [[Scd2Sentinel]]. `ordCol` breaks timestamp ties so the row
     * sequence — and therefore every interval — is total-order deterministic.
     *
     * Scale: two windows and nothing else, both partitioned by the key —
@@ -104,7 +116,7 @@ object Analytics {
       .withColumn("valid_from", col(tsCol))
       .withColumn("valid_to",
         coalesce(lead(col(tsCol), 1).over(runs),
-          lit("9999-12-31 00:00:00").cast("timestamp")))
+          lit(Scd2Sentinel).cast("timestamp")))
       .withColumn("version", row_number().over(runs).cast("long"))
       .select(col(keyCol), col(attrCol).as("attr"),
         col("valid_from"), col("valid_to"), col("version"))
@@ -122,7 +134,7 @@ object Analytics {
        SELECT $keyCol, $attrCol AS attr,
               $tsCol AS valid_from,
               coalesce(lead($tsCol, 1) OVER (PARTITION BY $keyCol ORDER BY $tsCol, $ordCol),
-                       TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+                       TIMESTAMP '$Scd2Sentinel') AS valid_to,
               CAST(row_number() OVER (PARTITION BY $keyCol ORDER BY $tsCol, $ordCol) AS BIGINT) AS version
        FROM marked"""
 
@@ -380,8 +392,10 @@ object Analytics {
         r6(col("__n12").cast("double") * lit(nBaskets.toDouble) /
           (col("__na").cast("double") * col("__nb").cast("double")))
           .as("lift"))
-    val result = out.persist()
-    result.count()
+    // eager localCheckpoint, not persist(): materializes so `single` can
+    // drop, without leaving an un-unpersistable CacheManager entry
+    // (Graph.materialize rationale)
+    val result = Graph.materialize(out)
     single.unpersist()
     result
   }
@@ -714,9 +728,13 @@ object Analytics {
     * ntile follows the SQL-standard bucket-size rule, so the quintiles
     * are deterministic).
     *
-    * Scale: one user-keyed aggregation; the three ntile windows run over
+    * Scale: one user-keyed aggregation; the three quintile scores run on
     * the USER dimension (already aggregated — bounded by |users|, not by
-    * event volume), which is the standard shape for segment scoring. */
+    * event volume) through Layout.globalRank's range-partitioned two-pass
+    * — three parallel re-sorts, never a `Window.orderBy` Exchange
+    * SinglePartition (at 10^9 users the global window is THE bottleneck);
+    * ntile(5) then derives from (rank, n) by the SQL-standard bucket-size
+    * rule, so oracle hashes are preserved. */
   def rfm(events: DataFrame, userCol: String, tsCol: String, typeCol: String,
           valCol: String, purchaseType: String): DataFrame = {
     val purch = events.where(col(typeCol) === purchaseType)
@@ -729,14 +747,16 @@ object Analytics {
       .select(col(userCol),
         datediff(col("__maxd"), col("__lastd")).cast("long").as("r_days"),
         col("f"), col("__m").cast("double").as("m"))
-    val rQ = ntile(5).over(
-      Window.orderBy(col("r_days"), col(userCol))).cast("long")
-    val fQ = ntile(5).over(
-      Window.orderBy(desc("f"), col(userCol))).cast("long")
-    val mQ = ntile(5).over(
-      Window.orderBy(desc("m"), col(userCol))).cast("long")
-    base.select(col(userCol), col("r_days"), col("f"), r6(col("m")).as("m"),
-      rQ.as("r_q"), fQ.as("f_q"), mQ.as("m_q"))
+    val (rkR, n) = Layout.globalRank(
+      base, Seq(col("r_days"), col(userCol)), "__rr")
+    val (rkF, _) = Layout.globalRank(
+      rkR, Seq(desc("f"), col(userCol)), "__rf")
+    val (rkM, _) = Layout.globalRank(
+      rkF, Seq(desc("m"), col(userCol)), "__rm")
+    rkM.select(col(userCol), col("r_days"), col("f"), r6(col("m")).as("m"),
+      Layout.ntileFromRank(col("__rr"), n, 5).as("r_q"),
+      Layout.ntileFromRank(col("__rf"), n, 5).as("f_q"),
+      Layout.ntileFromRank(col("__rm"), n, 5).as("m_q"))
       .withColumn("rfm_code",
         concat(col("r_q").cast("string"), col("f_q").cast("string"),
           col("m_q").cast("string")))
@@ -778,11 +798,13 @@ object Analytics {
     * (exact, so the class boundary cannot drift with partitioning); the
     * share threshold compares on round-6 values.
     *
-    * Scale: revenue aggregation is map-combined on the item key; the rank
-    * window runs over the ITEM dimension (bounded by catalog size, not
-    * fact volume). For catalogs too large for one partition, the same
-    * logic runs on the range-partitioned two-pass rank (q_dense_ids'
-    * shape) — documented trade, standard for this report. */
+    * Scale: revenue aggregation is map-combined on the item key; the
+    * global rank AND the running decimal sum come from
+    * Layout.rankedCumSum's range-partitioned two-pass (per-partition
+    * partials, O(partitions) driver offsets) — never a `Window.orderBy`
+    * Exchange SinglePartition over the catalog. The prefix sum stays in
+    * DECIMAL end-to-end, so the class boundary cannot drift with
+    * partitioning. */
   def abcClassify(fact: DataFrame, itemCol: String, revenue: Column,
                   aCut: Double, bCut: Double): DataFrame = {
     // `revenue` must already be an exact DECIMAL expression — summed
@@ -791,12 +813,11 @@ object Analytics {
     // divergent by construction).
     val rev = fact.groupBy(col(itemCol))
       .agg(sum(revenue).as("__rev"))
-    val w = Window.orderBy(desc("__rev"), col(itemCol))
-    val total = rev.agg(sum(col("__rev")).as("__t"))
-    rev.crossJoin(broadcast(total))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("__cum", sum(col("__rev")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val (ranked, _) = Layout.rankedCumSum(
+      rev, Seq(desc("__rev"), col(itemCol)), "__rev", "rank", "__cum")
+    // total from the checkpointed ranked frame — no upstream recompute
+    val total = ranked.agg(sum(col("__rev")).as("__t"))
+    ranked.crossJoin(broadcast(total))
       .select(col(itemCol), col("rank"),
         col("__rev").cast("double").as("revenue"),
         r6(col("__cum").cast("double") / col("__t").cast("double"))

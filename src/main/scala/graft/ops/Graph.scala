@@ -28,6 +28,18 @@ object Graph {
 
   private def r9(c: org.apache.spark.sql.Column) = round(c, 9) + lit(0.0)
 
+  /** Materializes `df` and cuts lineage WITHOUT registering the result in
+    * the CacheManager: an eager localCheckpoint stores partitions
+    * executor-locally, so the upstream iteration caches can be dropped
+    * immediately, and the checkpoint blocks themselves are released by
+    * the ContextCleaner once the caller drops the reference — the
+    * operator owns the whole cache lifecycle instead of handing back an
+    * un-unpersistable persist() (repeated catalog/bench invocations were
+    * accumulating cached partitions and "Asked to cache already cached
+    * data" warnings). */
+  private[graft] def materialize(df: DataFrame): DataFrame =
+    df.localCheckpoint(true)
+
   /** PageRank over directed `edges` (cols src, dst) on the node set
     * `nodes` (col id). Returns (id, rank). */
   def pageRank(nodes: DataFrame, edges0: DataFrame, iters: Int = 5,
@@ -67,8 +79,7 @@ object Graph {
     }
     // materialize the result so the caches below can be dropped without
     // forcing a later action to re-derive the edge relation
-    val result = ranks.persist()
-    result.count()
+    val result = materialize(ranks)
     edges.unpersist(); deg.unpersist(); pinned.foreach(_.unpersist())
     result
   }
@@ -127,8 +138,7 @@ object Graph {
       auth = normalized(contrib(hub, "src", "dst", "hub"), "auth")
       hub = normalized(contrib(auth, "dst", "src", "auth"), "hub")
     }
-    val result = auth.join(hub, "id").persist()
-    result.count()
+    val result = materialize(auth.join(hub, "id"))
     edges.unpersist(); nodes.unpersist()
     pinned.foreach(_.unpersist())
     result
@@ -224,8 +234,7 @@ object Graph {
             lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast("double") /
               (col("d").cast("double") * (col("d") - 1).cast("double")))
             .otherwise(lit(0.0)), 6) + lit(0.0)).as("clustering"))
-    val result = out.persist()
-    result.count()
+    val result = materialize(out)
     und.unpersist(); deg.unpersist(); orient.unpersist()
     result
   }
@@ -314,11 +323,10 @@ object Graph {
       prevRdd = nextRdd
       edges = nextRdd.toDF("a", "b")
     }
-    val out = edges.select(col("a").as("id"))
-      .union(edges.select(col("b").as("id")))
-      .groupBy("id").agg(count(lit(1)).cast("long").as("degree"))
-      .persist()
-    out.count()
+    val out = materialize(
+      edges.select(col("a").as("id"))
+        .union(edges.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).cast("long").as("degree")))
     prevRdd.unpersist()
     out
   }
@@ -394,8 +402,7 @@ object Graph {
       prevRdd = nextRdd
       labels = nextRdd.toDF("id", "label")
     }
-    val result = labels.persist()
-    result.count()
+    val result = materialize(labels)
     edges.unpersist(); base.unpersist(); prevRdd.unpersist()
     result
   }
@@ -529,8 +536,7 @@ object Graph {
             lit(damping) * coalesce(col("__s").cast("double"), lit(0.0)))
           .as("rank"))
     }
-    val result = ranks.persist()
-    result.count()
+    val result = materialize(ranks)
     edges.unpersist(); deg.unpersist(); base.unpersist()
     result
   }

@@ -51,6 +51,130 @@ object Layout {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Global 1-based rank over an arbitrary tie-broken sort order (asc or
+    * desc columns) WITHOUT the `Exchange SinglePartition` collapse of
+    * `row_number() OVER (ORDER BY ...)` — the same range-partitioned
+    * two-pass as [[denseIds]], generalized to multi-column orderings so
+    * the dimension-ranking reports (ntile segmentation, ABC/Pareto,
+    * Lorenz deciles) can retire their global windows. Returns the ranked
+    * frame AND the total row count `n` (free from the counting pass — it
+    * is what lets callers turn rank into ntile/cume_dist with pure column
+    * arithmetic instead of a second global window).
+    *
+    * EAGER: the counting pass runs now; the returned frame is an
+    * executor-local checkpoint (lineage cut, nothing left registered in
+    * the CacheManager — Graph.materialize discipline).
+    *
+    * `sortCols` must be a total order (tie-broken) or the assignment is
+    * nondeterministic in any engine. */
+  def globalRank(df: DataFrame, sortCols: Seq[Column],
+                 outCol: String = "rank",
+                 numPartitions: Int = 0): (DataFrame, Long) =
+    rankedScan(df, sortCols, None, outCol, "__unused", numPartitions)
+
+  /** [[globalRank]] plus an exact running DECIMAL prefix sum of
+    * `valueCol` in rank order — the scale-safe form of
+    * `sum(x) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`: per-partition
+    * partials from the counting pass, O(partitions) driver offsets, one
+    * stamping pass. A DecimalType `valueCol` accumulates exactly (use it
+    * whenever drift matters); other numerics accumulate in BigDecimal
+    * over their decimal string form — deterministic and
+    * partitioning-independent — and emit the running sum as double. */
+  def rankedCumSum(df: DataFrame, sortCols: Seq[Column], valueCol: String,
+                   rankCol: String = "rank", cumCol: String = "cum",
+                   numPartitions: Int = 0): (DataFrame, Long) =
+    rankedScan(df, sortCols, Some(valueCol), rankCol, cumCol, numPartitions)
+
+  private def rankedScan(df: DataFrame, sortCols: Seq[Column],
+                         valueCol: Option[String], rankCol: String,
+                         cumCol: String, numPartitions: Int): (DataFrame, Long) = {
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val rdd = sorted.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vIdx = valueCol.map(sorted.schema.fieldIndex)
+    // DECIMAL values accumulate exactly; other numerics go through their
+    // decimal string form (BigDecimal.valueOf) — still deterministic and
+    // order-independent, emitted back at the input's own type
+    val vIsDecimal = vIdx.exists(i =>
+      sorted.schema(i).dataType.isInstanceOf[DecimalType])
+    val getBD: (org.apache.spark.sql.Row, Int) => java.math.BigDecimal =
+      if (vIsDecimal) (r, i) => r.getDecimal(i)
+      else (r, i) => java.math.BigDecimal.valueOf(
+        r.get(i).asInstanceOf[Number].doubleValue())
+    // pass 1: per-partition counts (and decimal partials) → driver offsets
+    val stats = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var c = 0L
+      var s = java.math.BigDecimal.ZERO
+      it.foreach { r =>
+        c += 1
+        vIdx.foreach(i => s = s.add(getBD(r, i)))
+      }
+      Iterator((pi, c, s))
+    }.collect().sortBy(_._1)
+    val total = stats.map(_._2).sum
+    val cntOff = stats.scanLeft(0L)(_ + _._2).dropRight(1)
+    val sumOff = stats.map(_._3).scanLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      .dropRight(1)
+    // pass 2: stamp rank (1-based) and running sum per partition
+    val cumType = valueCol.map { c =>
+      sorted.schema(sorted.schema.fieldIndex(c)).dataType match {
+        case dt: DecimalType => DecimalType(DecimalType.MAX_PRECISION, dt.scale)
+        case _ => DoubleType
+      }
+    }
+    val fields = sorted.schema.fields :+
+      StructField(rankCol, LongType, nullable = false)
+    val schema = StructType(cumType match {
+      case Some(ct) => fields :+ StructField(cumCol, ct, nullable = false)
+      case None => fields
+    })
+    val rows = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var r = cntOff(pi)
+      var cum = sumOff(pi)
+      it.map { row =>
+        r += 1
+        vIdx match {
+          case Some(i) =>
+            cum = cum.add(getBD(row, i))
+            val cumOut: Any =
+              if (vIsDecimal) cum else cum.doubleValue()
+            org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r :+ cumOut)
+          case None =>
+            org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r)
+        }
+      }
+    }
+    // materialize executor-locally so the sorted RDD cache can drop now
+    // and nothing stays registered in the CacheManager (Graph.materialize)
+    val out = spark.createDataFrame(rows, schema).localCheckpoint(true)
+    rdd.unpersist(blocking = false)
+    (out, total)
+  }
+
+  /** SQL-standard `ntile(k)` derived from a precomputed unique 1-based
+    * global rank and the driver-known row count — pure column arithmetic,
+    * no window: the first `n mod k` buckets take `n/k + 1` rows, the rest
+    * `n/k` (exactly the rule Spark and DuckDB both implement, so oracle
+    * hashes are preserved). */
+  def ntileFromRank(rank: Column, nRows: Long, k: Int): Column = {
+    val base = nRows / k
+    val rem = nRows % k
+    if (base == 0L) rank // n < k: every bucket holds one row
+    else {
+      val cut = rem * (base + 1) // rows covered by the larger buckets
+      when(rank <= cut,
+          floor((rank - 1).cast("double") / (base + 1).toDouble) + 1L)
+        .otherwise(lit(rem) +
+          floor((rank - 1 - cut).cast("double") / base.toDouble) + 1L)
+        .cast("long")
+    }
+  }
+
   /** Write `df` z-order-clustered on (xCol, yCol): range-partition by the
     * z-value (keeps files balanced AND z-contiguous), sort within
     * partitions, drop the helper column. */

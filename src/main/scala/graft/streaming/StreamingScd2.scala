@@ -9,8 +9,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `graft.ops.Analytics.scd2History`: per key, runs of equal attribute
   * collapse into validity intervals; an interval closes the moment a
   * DIFFERENT attribute arrives (emitted immediately — no buffering), and
-  * the final open interval closes at the 9999-12-31 sentinel when the
-  * event-time watermark passes the key's last change + `quietUs`.
+  * the final open interval closes at the shared ns-safe sentinel
+  * (`Analytics.Scd2Sentinel`, 2261-12-31) when the event-time watermark
+  * passes the key's last change + `quietUs`.
   *
   * State per key is O(1) — the single open interval (attr, valid_from,
   * version), never an event buffer: the property that lets a dimension
@@ -33,7 +34,9 @@ object StreamingScd2 {
   private def tsOf(usv: Long): Timestamp = Timestamp.from(
     java.time.Instant.ofEpochSecond(usv / 1000000L, (usv % 1000000L) * 1000L))
 
-  private val SentinelTs = Timestamp.valueOf("9999-12-31 00:00:00")
+  // shared with the batch build + oracle — MUST stay ns-safe (see
+  // Analytics.Scd2Sentinel scaladoc for the INT96/ns-wrap story)
+  private val SentinelTs = graft.ops.Analytics.Scd2SentinelTs
 
   /** Build SCD2 intervals from an (optionally watermarked) change stream. */
   def scd2Stream(changes: Dataset[ChEvent], quietUs: Long): Dataset[Scd2Row] = {

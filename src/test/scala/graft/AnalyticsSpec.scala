@@ -76,7 +76,7 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == Seq(
       (1L, "A", ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"), 1L),
       (1L, "B", ts("2024-01-03 00:00:00"), ts("2024-01-04 00:00:00"), 2L),
-      (1L, "A", ts("2024-01-04 00:00:00"), ts("9999-12-31 00:00:00"), 3L)))
+      (1L, "A", ts("2024-01-04 00:00:00"), Analytics.Scd2SentinelTs, 3L)))
   }
 
   test("ewmaSmooth: sequential fold in event order; lastN bounds history") {

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.ExifCodec
+
+/** Byte-level EXIF codec contracts: both TIFF endians, GPS sub-IFD
+  * arithmetic, malformed-input safety, and the redaction round-trip.
+  * (The corpus-level parse/redact behavior is oracle-gated by
+  * q_image_exif / q_exif_redact; these pin the kernel edge cases the
+  * formula fixtures cannot reach.) */
+class ExifSpec extends AnyFunSuite {
+
+  private def gps(latRef: String, lonRef: String) = Some((
+    latRef, Array((37L, 1L), (46L, 1L), (3012L, 100L)),
+    lonRef, Array((122L, 1L), (25L, 1L), (911L, 100L))))
+
+  test("parse round-trips every field through both TIFF byte orders") {
+    for (little <- Seq(true, false)) {
+      val jpg = ExifCodec.buildExifJpeg(little, "CamX", "M-9", 6,
+        "2024:03:05 11:00:00", gps("N", "W"))
+      val m = ExifCodec.parseExif(jpg)
+      assert(m != null, s"little=$little")
+      assert(m.make == "CamX" && m.model == "M-9")
+      assert(m.orientation == 6L)
+      assert(m.dateTime == "2024:03:05 11:00:00")
+      assert(m.hasGps)
+      // 37 + 46/60 + 30.12/3600 ; W longitude is negative
+      assert(math.abs(m.latDeg - (37.0 + 46.0 / 60.0 + 30.12 / 3600.0)) < 1e-9)
+      assert(m.lonDeg < 0 &&
+        math.abs(m.lonDeg + (122.0 + 25.0 / 60.0 + 9.11 / 3600.0)) < 1e-9)
+    }
+  }
+
+  test("S/E refs flip the expected signs") {
+    val m = ExifCodec.parseExif(
+      ExifCodec.buildExifJpeg(true, "c", "m", 1, "d", gps("S", "E")))
+    assert(m.latDeg < 0 && m.lonDeg > 0)
+  }
+
+  test("no-GPS payloads parse with hasGps=false and null degrees") {
+    val m = ExifCodec.parseExif(
+      ExifCodec.buildExifJpeg(false, "c", "m", 3, "d", None))
+    assert(!m.hasGps && m.latDeg == null && m.lonDeg == null)
+    assert(m.orientation == 3L)
+  }
+
+  test("malformed inputs return null, never throw") {
+    val good = ExifCodec.buildExifJpeg(true, "c", "m", 1, "d", gps("N", "E"))
+    assert(ExifCodec.parseExif(null) == null)
+    assert(ExifCodec.parseExif(Array.emptyByteArray) == null)
+    assert(ExifCodec.parseExif("not a jpeg".getBytes) == null)
+    // truncation at every prefix length must not throw
+    (0 until good.length).foreach { n =>
+      ExifCodec.parseExif(good.take(n))
+    }
+    // corrupt the byte-order mark
+    val bad = good.clone()
+    val tiffAt = bad.indexOfSlice("Exif".getBytes) + 6
+    bad(tiffAt) = 'X'.toByte
+    assert(ExifCodec.parseExif(bad) == null)
+  }
+
+  test("stripGps removes GPS, preserves IFD0 fields, keeps byte order") {
+    for (little <- Seq(true, false)) {
+      val jpg = ExifCodec.buildExifJpeg(little, "CamX", "M-9", 6,
+        "2024:03:05 11:00:00", gps("N", "W"))
+      val red = ExifCodec.stripGps(jpg)
+      assert(red.length < jpg.length)
+      val m = ExifCodec.parseExif(red)
+      assert(m != null && !m.hasGps && m.latDeg == null)
+      assert(m.make == "CamX" && m.model == "M-9" && m.orientation == 6L &&
+        m.dateTime == "2024:03:05 11:00:00")
+      // the redacted JPEG still ends in EOI and starts with SOI
+      assert((red(0) & 0xff) == 0xff && (red(1) & 0xff) == 0xd8)
+      assert((red(red.length - 1) & 0xff) == 0xd9)
+    }
+  }
+
+  test("stripGps is identity on GPS-free and non-EXIF payloads") {
+    val noGps = ExifCodec.buildExifJpeg(true, "c", "m", 1, "d", None)
+    assert(ExifCodec.stripGps(noGps) eq noGps)
+    val plain = "plain bytes".getBytes
+    assert(ExifCodec.stripGps(plain) eq plain)
+  }
+}

@@ -349,6 +349,75 @@ class PlanSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("globalRank/ntileFromRank match the window functions, stay parallel") {
+    // unique tie-broken order over a desc metric — the dimension-ranking
+    // shape (ntile segmentation / ABC / Lorenz). SQL-standard bucket rule
+    // must match Spark's ntile exactly for every (n, k) remainder case.
+    val df = (0 until 103).map(i => (i.toLong, (i * 37 % 101).toDouble))
+      .toDF("id", "m")
+    val (ranked, n) = graft.ops.Layout.globalRank(
+      df, Seq(desc("m"), col("id")), "__r", numPartitions = 8)
+    assert(n == 103L)
+    assert(ranked.rdd.getNumPartitions == 8,
+      "two-pass rank must keep the range-partitioned parallelism")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(desc("m"), col("id"))
+    val want = df
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("q4", ntile(4).over(w).cast("long"))
+      .withColumn("q5", ntile(5).over(w).cast("long"))
+      .withColumn("cd", round(cume_dist().over(w), 9))
+      .orderBy("id").collect().map(_.toSeq)
+    val got = ranked
+      .withColumn("q4", graft.ops.Layout.ntileFromRank(col("__r"), n, 4))
+      .withColumn("q5", graft.ops.Layout.ntileFromRank(col("__r"), n, 5))
+      .withColumn("cd", round(col("__r").cast("double") / n.toDouble, 9))
+      .select("id", "m", "__r", "q4", "q5", "cd")
+      .orderBy("id").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+    // n < k: every bucket holds exactly one row (the base==0 branch)
+    val tiny = (0 until 3).map(i => (i.toLong, i.toDouble)).toDF("id", "m")
+    val (tr, tn) = graft.ops.Layout.globalRank(tiny, Seq(col("m"), col("id")), "__r")
+    val tg = tr.withColumn("q", graft.ops.Layout.ntileFromRank(col("__r"), tn, 5))
+      .orderBy("id").select("q").as[Long].collect().toSeq
+    assert(tg == Seq(1L, 2L, 3L))
+  }
+
+  test("rankedCumSum: exact decimal prefix sum equals the running window") {
+    val df = (0 until 97).map(i =>
+      (i.toLong, BigDecimal((i * 53 % 89) + i, 2).bigDecimal))
+      .toDF("id", "v").select(col("id"), col("v").cast("decimal(18,2)").as("v"))
+    val (got, n) = graft.ops.Layout.rankedCumSum(
+      df, Seq(desc("v"), col("id")), "v", "rank", "cum", numPartitions = 7)
+    assert(n == 97L)
+    assert(got.rdd.getNumPartitions == 7)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(desc("v"), col("id"))
+    val want = df
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("v")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow))
+        .cast("decimal(38,2)"))
+      .orderBy("id").collect().map(_.toSeq)
+    assert(got.select("id", "v", "rank", "cum").orderBy("id")
+      .collect().map(_.toSeq).toSeq == want.toSeq)
+  }
+
+  test("dimension ranking reports plan no corpus-sized SinglePartition window") {
+    // the retired shape: ntile/row_number over Window.orderBy — q_ntile,
+    // RFM, ABC, Lorenz all now rank through the two-pass scan. The final
+    // physical plans must not contain a Window at all (the only remaining
+    // exchanges are range sorts and broadcasts).
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    for (q <- Seq("q_ntile", "q_rfm", "q_abc_parts", "q_lorenz_curve")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"$q must not collapse to one partition:\n$plan")
+      assert(!plan.contains("Window"),
+        s"$q must rank via the two-pass scan, not a window:\n$plan")
+    }
+  }
+
   test("keepBestPerCluster is a hash aggregate — no Window over the corpus") {
     val docs = (0 until 200).map(i => (i.toLong, (i % 17).toDouble / 17.0))
       .toDF("doc_id", "quality")

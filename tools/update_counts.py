@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Regenerate README.md's catalog/correctness/spec claims from the round
+artifacts instead of asserting them by hand (the r7 lesson: README said
+"ALL 311 hash-match" while CORRECTNESS_r07 recorded 309/311 — claims must
+track the artifacts byte-for-byte).
+
+Sources of truth:
+  - newest CORRECTNESS_r*.json -> green/total query counts (the claim line
+    `N operator queries; ... hash-match` is rewritten wherever it appears)
+  - `sbt test` summary passed via --tests N/S (optional) -> the
+    `N specs across S suites` line
+
+Run from the repo root:  python3 tools/update_counts.py [--tests 313/37]
+"""
+import glob, json, re, sys
+
+files = sorted(glob.glob("CORRECTNESS_r*.json"))
+if not files:
+    sys.exit("no CORRECTNESS_r*.json artifact")
+corr_file = files[-1]
+corr = json.load(open(corr_file))
+total = len(corr)
+green = sum(1 for v in corr.values()
+            if v.get("rows_match") and v.get("schema_match")
+            and v.get("hash_match"))
+
+claim = (f"{total} operator queries; ALL {total} hash-match an exact"
+         if green == total else
+         f"{total} operator queries; {green} of {total} hash-match an exact")
+
+readme = open("README.md").read()
+pat = re.compile(r"\d+ operator queries; (?:ALL \d+|\d+ of \d+) hash-match an exact")
+if not pat.search(readme):
+    sys.exit("README.md no longer contains the catalog claim line")
+readme = pat.sub(claim, readme)
+
+tests = None
+args = sys.argv[1:]
+for i, a in enumerate(args):
+    if a.startswith("--tests"):
+        tests = a.split("=", 1)[1] if "=" in a else args[i + 1]
+if tests:
+    n, s = tests.split("/")
+    tpat = re.compile(r"\d+ specs across \d+ suites")
+    if not tpat.search(readme):
+        sys.exit("README.md no longer contains the spec-count line")
+    readme = tpat.sub(f"{n} specs across {s} suites", readme)
+
+open("README.md", "w").write(readme)
+print(f"README.md counts <- {corr_file}: {green}/{total} green"
+      + (f", tests {tests}" if tests else ""))
