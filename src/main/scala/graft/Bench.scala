@@ -45,15 +45,46 @@ object Bench {
     val wall0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - wall0) / 1e9
     def remainS: Double = budgetS - elapsedS
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // Session lifecycle: a single long-lived session AGES — measured in
+    // r8, the streaming gates ran 7.8 s early in a fresh process, 18.8 s
+    // ~250 executions in, 44 s ~600 executions in (same code, same data):
+    // shared-state listeners, state-store providers, memory-sink rows and
+    // app shuffle dirs all accrete. But recycling is NOT free either —
+    // the every-60 experiment fixed the stream family (44 s -> 18 s) and
+    // regressed warm batch queries (first runs after a fresh context pay
+    // re-init with no second sample to absorb it; total 520 s -> 603 s).
+    // So the session recycles at PHASE BOUNDARIES (after warmup, before
+    // the sf1 rehearsal), on entry to the aging-sensitive q_stream_*
+    // block, and otherwise only as a safety valve every `recycleEvery`
+    // measured queries. spark.stop() drops the whole shared state and
+    // the app's local dirs while the JVM keeps its JIT profile and the
+    // (static, source-keyed) codegen cache.
+    val recycleEvery =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RECYCLE_EVERY", "150").toInt
+    def newSpark(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .appName("graft-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = newSpark()
+    var sinceRecycle = 0
+    def recycleNow(): Unit = {
+      spark.stop()
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      spark = newSpark()
+      sinceRecycle = 0
+    }
+    def maybeRecycle(): Unit =
+      if (recycleEvery > 0 && sinceRecycle >= recycleEvery) recycleNow()
 
     // JVM/codegen warmup on the smallest SF so per-query numbers measure
     // the plan, not first-time class generation. The r8 lesson argues for
@@ -79,17 +110,27 @@ object Bench {
     }
     var nWarmed = 0
     if (new java.io.File(warmDir).isDirectory) {
+      // Selective: queries the last artifact timed under 0.4 s carry so
+      // little codegen that their budget-gated second base run absorbs
+      // it — warming them buys nothing the wall can't better spend on
+      // the expensive heads. Unknown (new) queries always warm.
       val order = SparkEntry.queries.keys.toSeq
-        .sortBy(n => (-priorTimes.getOrElse(n, 0.0), n))
+        .filter(n => priorTimes.getOrElse(n, 1.0) >= 0.4)
+        .sortBy(n => (-priorTimes.getOrElse(n, 1.0), n))
       order.foreach { name =>
-        if (elapsedS < 0.35 * budgetS) {
+        if (elapsedS < 0.30 * budgetS) {
           try {
+            sinceRecycle += 1
             SparkEntry.queries(name)(spark, warmDir)
               .write.mode("overwrite").format("noop").save()
             nWarmed += 1
           } catch { case _: Throwable => () }
         }
       }
+      // base starts on a fresh context: warmup's accretion (18 real
+      // streams, every heavy fixture build) must not be what the first
+      // measured queries pay for
+      recycleNow()
     }
 
     // Base pass with GC isolation: a single local[32] pass is noisy (page
@@ -105,6 +146,7 @@ object Bench {
     // phase is inside 45% of the budget. Queries left at a single sample
     // are counted in n_single_run.
     var nSingleRun = 0
+    val warmupS = elapsedS
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -115,6 +157,11 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // entering the q_stream_* block gets a fresh context (the family
+      // the aging measurements implicate); elsewhere the safety valve
+      if (name == "q_stream_asof_eq" && sinceRecycle > 20) recycleNow()
+      maybeRecycle()
+      sinceRecycle += 1
       System.gc()
       Thread.sleep(50)
       val r1 = once()
@@ -122,7 +169,7 @@ object Bench {
       if (r1 >= 0) {
         val inBudget = remainS > sf1ReserveS + 30 + r1
         if (inBudget) runs += once()
-        if (r1 >= 0.5 && elapsedS < 0.45 * budgetS) runs += once()
+        if (r1 >= 0.5 && elapsedS < 0.40 * budgetS) runs += once()
         if (!inBudget) nSingleRun += 1
       }
       val ok = runs.filter(_ >= 0)
@@ -131,6 +178,7 @@ object Bench {
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.filter(_._2 < 0).map(_._1)
+    val baseDoneS = elapsedS
 
     // Complete per-query artifact — written BEFORE the sf1 section so a
     // rehearsal crash can never lose the measured base results, and
@@ -144,6 +192,8 @@ object Bench {
         "unit" -> "\"sec\"",
         "sf" -> ("\"" + sfDir + "\""),
         "budget_s" -> jnum(budgetS),
+        "warmup_s" -> jnum(warmupS),
+        "base_done_s" -> jnum(baseDoneS),
         "n_warmed" -> nWarmed.toString,
         "n_single_run" -> nSingleRun.toString,
         "n_queries" -> results.size.toString,
@@ -174,6 +224,9 @@ object Bench {
         s""","sf1_note":"skipped: ${jnum(remainS)}s left of ${jnum(budgetS)}s budget","sf1_queries":{},"sf1_ratio_vs_1x":{},"sf1_skipped_budget":["*"]"""
       else try {
         val base = results.toMap
+        // fresh session for the rehearsal — 10x measurements must not pay
+        // for whatever the base pass accreted
+        recycleNow()
         val dir10 = ScaleRehearsal.ensureReplica(spark, sfDir)
         val heavy = Seq("q_pagerank", "q_quality_classifier", "q_substr_dedup",
           "q_sink_roundtrip", "q_opq_ann", "q_pcm_energy", "q_sessionize",
@@ -293,6 +346,8 @@ object Bench {
       "sf" -> ("\"" + sfDir + "\""),
       "budget_s" -> jnum(budgetS),
       "wall_s" -> jnum(elapsedS),
+      "warmup_s" -> jnum(warmupS),
+      "base_done_s" -> jnum(baseDoneS),
       "n_warmed" -> nWarmed.toString,
       "n_single_run" -> nSingleRun.toString,
       "n_queries" -> results.size.toString,

@@ -3862,6 +3862,59 @@ object QueryCatalog {
         FROM v GROUP BY doc_id, window_no
         ORDER BY doc_id, window_no""")),
 
+    // Voice-activity segments on REAL WAV byte round-trips: a 512-sample
+    // payload whose 16 windows carry a burst ENVELOPE (windows with
+    // ((doc_id + w) % 5) < 2 get full-scale samples, the rest a ±20
+    // murmur), so RMS >= 50 marks activity and consecutive active
+    // windows must merge into islands. The whole chain — LE
+    // serialization, chunk walk, RMS kernel, threshold, island collapse,
+    // segment numbering — replays from the sample formula in SQL.
+    Q("q_audio_vad",
+      (s, dir) => {
+        def le(e: String, nBytes: Int): String =
+          (0 until nBytes).map(i =>
+            s"lpad(hex((($e) div ${1L << (8 * i)}) % 256), 2, '0')")
+            .mkString("concat(", ", ", ")")
+        val v = "(CASE WHEN ((doc_id + (s__ div 32)) % 5) < 2 " +
+          "THEN (doc_id * 131 + s__ * 17) % 2001 - 1000 " +
+          "ELSE (doc_id * 7 + s__ * 13) % 41 - 20 END)"
+        val u = s"(($v) + 65536) % 65536"
+        val pcmHex = s"array_join(transform(sequence(0, 511), " +
+          s"s__ -> concat(lpad(hex(($u) % 256), 2, '0'), " +
+          s"lpad(hex(($u) div 256), 2, '0'))), '')"
+        val withBytes = t(s, dir, "documents")
+          .withColumn("wav", unhex(expr(
+            s"""concat('52494646', ${le("36 + 1024", 4)}, '57415645',
+                '666D7420', '10000000', '0100', '0100', ${le("8000", 4)},
+                ${le("16000", 4)}, '0200', '1000',
+                '64617461', ${le("1024", 4)}, $pcmHex)""")))
+        graft.multimodal.BinaryColumns.pcmVadSegments(
+            withBytes, "wav", "doc_id", 32, 50.0)
+          .orderBy("doc_id", "seg_no")
+      },
+      Some("""
+        WITH s AS (SELECT doc_id, unnest(range(0, 512)) AS s FROM documents),
+        v AS (SELECT doc_id, s // 32 AS w,
+                     CASE WHEN ((doc_id + (s // 32)) % 5) < 2
+                          THEN CAST((doc_id * 131 + s * 17) % 2001 - 1000 AS DOUBLE)
+                          ELSE CAST((doc_id * 7 + s * 13) % 41 - 20 AS DOUBLE) END AS v
+              FROM s),
+        e AS (SELECT doc_id, w, sqrt(sum(v * v) / CAST(32 AS DOUBLE)) AS rms
+              FROM v GROUP BY doc_id, w),
+        a AS (SELECT doc_id, w FROM e WHERE rms >= CAST(50.0 AS DOUBLE)),
+        g AS (SELECT doc_id, w,
+                     w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+              FROM a),
+        seg AS (SELECT doc_id,
+                       CAST(min(w) AS BIGINT) AS start_window,
+                       CAST(max(w) AS BIGINT) AS end_window,
+                       CAST(count(*) AS BIGINT) AS n_windows
+                FROM g GROUP BY doc_id, grp)
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_window) AS BIGINT) AS seg_no,
+               start_window, end_window, n_windows
+        FROM seg ORDER BY doc_id, seg_no""")),
+
     // Single-bin DFT power (bin 3 over the 96-sample payload) on REAL
     // WAV byte round-trips — the tone/carrier detector, frequency-domain
     // companion to q_pcm_energy. The trig coefficients are computed ONCE
@@ -8695,6 +8748,28 @@ object QueryCatalog {
       s"concat('pay ', $d16, ' or card 4', $d15, ' ref A', ${dl.castStr("doc_id")})"
     }
 
+    /** Dialect-shared IBAN fixture: two account numbers per doc whose
+      * check digits come from the REAL mod-97 fold (Exprs.ibanMod97), so
+      * validity is by construction — the first (German-shape, digit-only
+      * BBAN) is valid iff doc_id % 3 = 0, the second (GB-shape, LETTER
+      * BBAN prefix 'GRFT' exercising the two-digit letter expansion)
+      * valid iff doc_id % 5 = 0; invalid variants shift the check digits
+      * by +50 mod 99 (never re-valid: 50 and 97+50-99 are both nonzero
+      * mod 97). */
+    def ibanBody(dl: Dialect): String = {
+      val bban1 = s"lpad(${dl.castStr("(doc_id * 7919 + 11) % 1000000000000000000")}, 18, '0')"
+      // 'DE' expands to 13 14; appended '00' are the zeroed check digits
+      val k1 = s"(98 - ${Exprs.ibanMod97(dl, s"concat($bban1, '131400')")})"
+      val kk1 = s"lpad(${dl.castStr(
+        s"CASE WHEN doc_id % 3 = 0 THEN $k1 ELSE ($k1 + 50) % 99 END")}, 2, '0')"
+      val bban2 = s"concat('GRFT', lpad(${dl.castStr("(doc_id * 104729 + 7) % 100000000000000")}, 14, '0'))"
+      // 'GB' expands to 16 11
+      val k2 = s"(98 - ${Exprs.ibanMod97(dl, s"concat($bban2, '161100')")})"
+      val kk2 = s"lpad(${dl.castStr(
+        s"CASE WHEN doc_id % 5 = 0 THEN $k2 ELSE ($k2 + 50) % 99 END")}, 2, '0')"
+      s"concat('acct DE', $kk1, $bban1, ' and GB', $kk2, $bban2, ' end')"
+    }
+
     /** Dialect-shared secret fixture: one AWS-shaped key (20 chars — below
       * the generic-candidate length floor), one 28-char hex token (high
       * entropy) and one 28-char 'ab' run (entropy exactly 1.0). */
@@ -8743,6 +8818,34 @@ object QueryCatalog {
                  CAST(len(cands) AS BIGINT) AS n_cands,
                  CAST(len(valid) AS BIGINT) AS n_valid,
                  coalesce(array_to_string(valid, ','), '') AS valid_cards
+          FROM v
+          ORDER BY doc_id""")),
+
+      // IBAN scan: regex candidates + ISO 13616 mod-97 checksum
+      // (Exprs.ibanOk — rearranged char-wise fold, letters as two-digit
+      // expansions; no big-number arithmetic). The fixture derives check
+      // digits from the SAME fold, so the valid subset (DE shape on
+      // doc_id % 3, letter-BBAN GB shape on doc_id % 5) is structural,
+      // and both the digit and letter code paths are under the hash.
+      Q("q_pii_iban",
+        (s, dir) =>
+          Governance.ibanScan(
+            t(s, dir, "documents")
+              .select(col("doc_id"), expr(ibanBody(S)).as("body")),
+            "body", "doc_id")
+            .orderBy("doc_id"),
+        Some(s"""
+          WITH b AS (SELECT doc_id, ${ibanBody(D)} AS body FROM documents),
+          c AS (SELECT doc_id,
+                       regexp_extract_all(body, '\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b') AS cands
+                FROM b),
+          v AS (SELECT doc_id, cands,
+                       ${D.filter("cands", "cx__", Exprs.ibanOk(D, "cx__"))} AS valid
+                FROM c)
+          SELECT doc_id,
+                 CAST(len(cands) AS BIGINT) AS n_cands,
+                 CAST(len(valid) AS BIGINT) AS n_valid,
+                 coalesce(array_to_string(valid, ','), '') AS valid_ibans
           FROM v
           ORDER BY doc_id""")),
 
@@ -10391,6 +10494,27 @@ object QueryCatalog {
               5, 0.85)}
           ) ORDER BY vec_id""")),
 
+      // Harmonic centrality from 8 pinned sources (lowest vec_ids) via
+      // 3-hop multi-source BFS — the sampled-source estimator that IS
+      // the at-scale form of closeness centrality (all-pairs BFS is
+      // O(V*E)); frontier anti-joins keep state at V*S rows and the
+      // recursive DuckDB oracle replays min-distances + the round-6
+      // DECIMAL 1/d sums exactly.
+      Q("q_harmonic_centrality",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          graft.ops.Graph.harmonicCentrality(
+              emb.select(col("vec_id").as("id")), structureEdges(s, dir),
+              8, 3)
+            .select(col("id").as("vec_id"), col("n_reached"), col("harmonic"))
+            .orderBy("vec_id")
+        },
+        Some(s"""
+          SELECT id AS vec_id, n_reached, harmonic FROM (
+            ${graft.ops.Graph.harmonicCentralityOracleSql(
+              "(SELECT vec_id AS id FROM embeddings)", duckNearDupEdges, 8, 3)}
+          ) ORDER BY vec_id""")),
+
       // Weekly cohort retention triangle over the event log: cohort by
       // first-signup week, distinct active users per (cohort, offset).
       Q("q_retention_cohort",
@@ -10433,6 +10557,56 @@ object QueryCatalog {
             ${graft.ops.Analytics.ewmaSmoothOracleSql(
               duckEvents, "user_id", "ts", "event_id", "value", 0.25, 16)}
           ) ORDER BY user_id""")),
+
+      // Holt double-exponential (level+trend) smoothing per user — the
+      // 2-state recursion no portable scalar fold carries, so the WHOLE
+      // per-step state table ships as RAW doubles and the oracle replays
+      // it INDUCTIVELY from its own dump (q_bpe_vocab pattern): expected
+      // step k = one fixed IEEE op chain over dumped step k-1 + the k-th
+      // raw value — bit-exact, NO rounding anywhere (per-cell round-6
+      // was tried and rejected: dyadic-alpha combinations of rounded
+      // cells land on exact .xxxxxx5 decimal ties where Spark HALF_UP
+      // and DuckDB binary rounding split). The trend check reads the
+      // SAME-ROW dumped level, itself under the level check — still
+      // inductive. Any engine deviation at k-1 hash-fails the replay
+      // at k.
+      Q("q_holt_trend",
+        (s, dir) =>
+          graft.ops.Analytics.holtSmooth(
+              evT(s, dir), "user_id", "ts", "event_id", "value",
+              0.5, 0.25, 16)
+            .orderBy("user_id", "step"),
+        Some(s"""
+          WITH kept AS (
+            SELECT user_id, ts, event_id, value
+            FROM $duckEvents
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) <= 16),
+          vals AS (
+            SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs
+            FROM kept GROUP BY user_id),
+          dump AS (
+            SELECT user_id, step, level, trend
+            FROM read_parquet('__GRAFT_OUT__/q_holt_trend/*.parquet')),
+          prev AS (
+            SELECT user_id, step, level,
+                   lag(level) OVER w AS pl, lag(trend) OVER w AS pt
+            FROM dump
+            WINDOW w AS (PARTITION BY user_id ORDER BY step))
+          SELECT d.user_id, d.step,
+                 CASE WHEN d.step = 1
+                      THEN (v.xs[1] + CAST(0.0 AS DOUBLE))
+                      ELSE (CAST(0.5 AS DOUBLE) * v.xs[CAST(d.step AS INT)]
+                              + CAST(0.5 AS DOUBLE) * (p.pl + p.pt)
+                            + CAST(0.0 AS DOUBLE)) END AS level,
+                 CASE WHEN d.step = 1
+                      THEN CAST(0.0 AS DOUBLE)
+                      ELSE (CAST(0.25 AS DOUBLE) * (p.level - p.pl)
+                              + CAST(0.75 AS DOUBLE) * p.pt
+                            + CAST(0.0 AS DOUBLE)) END AS trend
+          FROM dump d
+          JOIN prev p ON d.user_id = p.user_id AND d.step = p.step
+          JOIN vals v ON d.user_id = v.user_id
+          ORDER BY d.user_id, d.step""")),
 
       // Streaming EWMA == batch EWMA: the bounded last-16 buffer lives in
       // the state store across 4 REAL micro-batches; far-future sentinel

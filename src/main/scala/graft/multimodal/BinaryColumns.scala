@@ -331,6 +331,37 @@ object BinaryColumns {
       .toDF(idCol, "window_no", "n_samples", "rms")
   }
 
+  /** Voice-activity segments over [[pcmEnergyWindows]]: windows whose RMS
+    * clears `threshold` are active, and CONSECUTIVE active windows merge
+    * into one segment (the islands-and-gaps collapse) — the
+    * silence-trimming / speech-extent stage an audio training pipeline
+    * runs before transcription routing. Emits one row per segment:
+    * (idCol, seg_no, start_window, end_window, n_windows).
+    *
+    * Scale: the energy kernel is the narrow per-payload pass; the island
+    * collapse is two windows PARTITIONED BY the payload id (never
+    * global) plus one keyed aggregate — rows entering the exchange are
+    * (id, window_no, rms) triples, bytes stay in the kernel. */
+  def pcmVadSegments(df: DataFrame, binCol: String, idCol: String,
+                     windowSamples: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val active = pcmEnergyWindows(df, binCol, idCol, windowSamples)
+      .where(col("rms") >= threshold)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("window_no"))
+    val segs = active
+      .withColumn("__grp", col("window_no") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("window_no")).cast("long").as("start_window"),
+        max(col("window_no")).cast("long").as("end_window"),
+        count(lit(1)).cast("long").as("n_windows"))
+    segs
+      .withColumn("seg_no", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("start_window")))
+        .cast("long"))
+      .select(col(idCol), col("seg_no"), col("start_window"),
+        col("end_window"), col("n_windows"))
+  }
+
   /** REAL video-container header parsing (codec-free) — the video analog
     * of [[parseWavHeader]]: ISO BMFF (MP4) box walk. Boxes are
     * [size:4 BE][type:4][payload]; `moov` nests `mvhd` (movie header:

@@ -197,6 +197,64 @@ object Analytics {
                + CAST(0.0 AS DOUBLE)) AS ewma
        FROM folded"""
 
+  /** Holt double-exponential smoothing (level + trend) per key over the
+    * last `lastN` events in (ts, ord) order — the trend-aware upgrade of
+    * [[ewmaSmooth]] behind short-horizon forecasting and drift detection:
+    *   level_k = α·x_k + (1−α)·(level_{k−1} + trend_{k−1})
+    *   trend_k = β·(level_k − level_{k−1}) + (1−β)·trend_{k−1}
+    * with level_1 = x_1, trend_1 = 0.
+    *
+    * The recursion has a 2-component state, which no engine-portable
+    * scalar fold carries — so instead of a fold, the operator emits the
+    * WHOLE per-step state table as RAW doubles, and the catalog's oracle
+    * replays it inductively from its own dump (the q_bpe_vocab pattern):
+    * expected step k is ONE fixed IEEE op chain over the dumped step k−1
+    * doubles, so equality is bit-exact with no rounding anywhere — a
+    * deviation at any step hash-fails the replay at the next. (Per-step
+    * round-6 was tried and REJECTED: rounding every cell creates short-
+    * decimal values whose dyadic-α combinations land on exact .xxxxxx5
+    * decimal ties, where Spark's decimal-string HALF_UP and DuckDB's
+    * binary-double rounding disagree.)
+    *
+    * Scale: one shuffle on the key, per-key state bounded by `lastN`
+    * (the recency window), array fold inside the aggregate — the same
+    * shape as ewmaSmooth. Returns (key, step, level, trend). */
+  def holtSmooth(events: DataFrame, keyCol: String, tsCol: String,
+                 ordCol: String, valCol: String, alpha: Double, beta: Double,
+                 lastN: Int): DataFrame = {
+    val recent = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(ordCol).desc)
+    val kept = events
+      .select(col(keyCol), col(tsCol), col(ordCol), col(valCol))
+      .withColumn("__rn", row_number().over(recent))
+      .where(col("__rn") <= lastN)
+    val vals = transform(
+      sort_array(collect_list(struct(col(tsCol), col(ordCol),
+        col(valCol).cast("double").as("__v")))),
+      s => s.getField("__v"))
+    val grouped = kept.groupBy(col(keyCol)).agg(vals.as("__vals"))
+    val zero = array(struct(
+      lit(1).as("step"),
+      element_at(col("__vals"), 1).as("level"),
+      lit(0.0).as("trend")))
+    val folded = grouped.select(col(keyCol),
+      aggregate(
+        slice(col("__vals"), 2, lastN), zero,
+        (acc, x) => {
+          val last = element_at(acc, size(acc))
+          val pl = last.getField("level")
+          val pt = last.getField("trend")
+          val nl = lit(alpha) * x + lit(1.0 - alpha) * (pl + pt)
+          val nt = lit(beta) * (nl - pl) + lit(1.0 - beta) * pt
+          concat(acc, array(struct(
+            (size(acc) + 1).as("step"), nl.as("level"), nt.as("trend"))))
+        }).as("__steps"))
+    folded.select(col(keyCol), explode(col("__steps")).as("__s"))
+      .select(col(keyCol), col("__s.step").cast("long").as("step"),
+        (col("__s.level") + lit(0.0)).as("level"),
+        (col("__s.trend") + lit(0.0)).as("trend"))
+  }
+
   // =========================================================================
   // Welch two-sample z-test
   // =========================================================================

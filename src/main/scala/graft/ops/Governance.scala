@@ -63,6 +63,28 @@ object Governance {
         size(col("__valid")).cast("long").as("n_valid"),
         array_join(col("__valid"), ",").as("valid_cards"))
 
+  /** Candidate IBANs: 2 country letters + 2 check digits + 11-30 alnum
+    * BBAN on word boundaries — the international-bank-account shape. */
+  val IbanRe = "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b"
+
+  /** IBAN scan — [[cardScan]]'s financial-account sibling: regex
+    * candidates validated by the ISO 13616 mod-97 checksum
+    * ([[Exprs.ibanOk]]: rearrange BBAN++country++check, fold char-wise
+    * remainders — no big-number arithmetic). A random IBAN-shaped run
+    * passes mod-97 ~1% of the time, so validation cuts ~99% of regex
+    * false positives. Output: idCol, n_cands, n_valid, valid_ibans
+    * (comma-joined, candidate order). Same per-row codegen'd shape as
+    * the card scan: no shuffle, no UDF, no state. */
+  def ibanScan(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("__cands",
+        regexp_extract_all(col(textCol), lit(IbanRe), lit(0)))
+      .withColumn("__valid",
+        expr(S.filter("__cands", "cx__", Exprs.ibanOk(S, "cx__"))))
+      .select(col(idCol),
+        size(col("__cands")).cast("long").as("n_cands"),
+        size(col("__valid")).cast("long").as("n_valid"),
+        array_join(col("__valid"), ",").as("valid_ibans"))
+
   /** Audit-context extraction: for every document with at least one
     * Luhn-valid card, the +-`window`-char snippet around the FIRST valid
     * card with the card itself redacted — what a human reviewer of a PII

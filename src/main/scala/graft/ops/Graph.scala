@@ -597,4 +597,81 @@ object Graph {
     }
     (base ++ steps).mkString("WITH ", ", ", s" SELECT id, rank FROM r_$iters")
   }
+
+  /** Harmonic centrality from `nSources` pinned sources (the lowest node
+    * ids — deterministic, no RNG) via multi-source BFS bounded at
+    * `maxDepth`: per node, Σ over reached sources of 1/d(source, node).
+    * The sampled-source estimator (Eppstein–Wang) is THE scalable form
+    * of closeness/harmonic centrality — exact all-pairs BFS is O(V·E)
+    * and dead at any interesting scale, while S sources cost S·E join
+    * work with O(V·S) state.
+    *
+    * Distributed shape: the frontier table (id, src, dist) expands one
+    * hop per round through an equi-join on the edge list; an anti-join
+    * on (id, src) keeps first (= minimal) distances only, so state never
+    * exceeds V·S rows and rounds are fixed (hash-stable iteration, the
+    * pageRank discipline). Per-term 1/d is rounded to 6 decimals and
+    * summed in DECIMAL — order-independent, oracle-replayable.
+    * Returns (id, n_reached, harmonic) for every node, zeros for
+    * isolated ones. */
+  def harmonicCentrality(nodes: DataFrame, edges0: DataFrame,
+                         nSources: Int, maxDepth: Int): DataFrame = {
+    val edges = edges0.select(col("src"), col("dst")).persist()
+    edges.count()
+    val sources = nodes.select(col("id")).orderBy(col("id")).limit(nSources)
+    var reached = materialize(
+      sources.select(col("id"), col("id").as("__src"),
+        lit(0).cast("int").as("__d")))
+    var frontier = reached
+    for (d <- 1 to maxDepth) {
+      val expanded = frontier.join(edges, frontier("id") === edges("src"))
+        .select(edges("dst").as("id"), col("__src"),
+          lit(d).cast("int").as("__d"))
+        .distinct()
+      val newly = materialize(
+        expanded.join(reached.select(col("id"), col("__src")),
+          Seq("id", "__src"), "left_anti"))
+      reached = materialize(reached.unionAll(newly))
+      frontier = newly
+    }
+    val h = reached.where(col("__d") >= 1)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_reached"),
+        sum(round(lit(1.0) / col("__d").cast("double"), 6)
+          .cast("decimal(18,6)")).as("__h"))
+    val out = nodes.select(col("id")).join(h, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        (round(coalesce(col("__h"), lit(0).cast("decimal(18,6)"))
+          .cast("double"), 6) + lit(0.0)).as("harmonic"))
+    val result = materialize(out)
+    edges.unpersist()
+    result
+  }
+
+  /** Oracle fragment replaying [[harmonicCentrality]] with a recursive
+    * BFS (DuckDB dialect): UNION-deduped (id, src, d) walk bounded at
+    * `maxDepth`, min distance per (id, src), identical per-term
+    * round-6 DECIMAL harmonic sum. */
+  def harmonicCentralityOracleSql(nodesSql: String, edgesSql: String,
+                                  nSources: Int, maxDepth: Int): String =
+    s"""WITH RECURSIVE
+       nodes AS (SELECT id FROM $nodesSql),
+       edges AS (SELECT src, dst FROM $edgesSql),
+       srcs AS (SELECT id FROM nodes ORDER BY id LIMIT $nSources),
+       walk(id, s, d) AS (
+         SELECT id, id, 0 FROM srcs
+         UNION
+         SELECT e.dst, w.s, w.d + 1
+         FROM walk w JOIN edges e ON e.src = w.id
+         WHERE w.d < $maxDepth),
+       md AS (SELECT id, s, min(d) AS d FROM walk GROUP BY id, s),
+       h AS (SELECT id, CAST(count(*) AS BIGINT) AS n_reached,
+                    sum(CAST(round(CAST(1.0 AS DOUBLE) / CAST(d AS DOUBLE), 6)
+                        AS DECIMAL(18,6))) AS hsum
+             FROM md WHERE d >= 1 GROUP BY id)
+       SELECT n.id, coalesce(h.n_reached, CAST(0 AS BIGINT)) AS n_reached,
+              (round(CAST(coalesce(h.hsum, CAST(0.0 AS DECIMAL(18,6)))
+                 AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS harmonic
+       FROM nodes n LEFT JOIN h ON n.id = h.id"""
 }

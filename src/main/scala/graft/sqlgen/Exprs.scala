@@ -119,6 +119,43 @@ object Exprs {
     let(dl, "s__", sExpr, s"(($total) % 10 = 0)")
   }
 
+  /** ISO 7064 mod-97 remainder of an uppercase-alphanumeric string (the
+    * IBAN checksum base): each char folds into a running remainder —
+    * digits as one decimal step `(acc*10 + d) % 97`, letters as their
+    * two-digit expansion A=10..Z=35 in one step `(acc*100 + v) % 97` —
+    * so the "big number mod 97" never materializes a big number. Chars
+    * pre-encode to a homogeneous BIGINT array (digit d -> d, letter v ->
+    * 100 + v) because DuckDB's list_reduce needs one element type.
+    * Pure small-integer arithmetic, identical on both engines. */
+  def ibanMod97(dl: Dialect, tExpr: String): String = {
+    val c = "substr(t__, CAST(i__ AS INT), 1)"
+    val pd = dl.instr("'0123456789'", c)
+    val pl = dl.instr("'ABCDEFGHIJKLMNOPQRSTUVWXYZ'", c)
+    val code = s"CAST(CASE WHEN $pd > 0 THEN $pd - 1 ELSE 100 + $pl + 9 END AS BIGINT)"
+    val codes = dl.transform(dl.seq1("length(t__)"), "i__", code)
+    val step = "CASE WHEN e__ < 100 THEN (acc__ * 10 + e__) % 97 " +
+      "ELSE (acc__ * 100 + (e__ - 100)) % 97 END"
+    val fold =
+      if (dl.duck)
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), $codes), (acc__, e__) -> $step)"
+      else
+        s"aggregate($codes, CAST(0 AS BIGINT), (acc__, e__) -> $step)"
+    let(dl, "t__", tExpr, fold)
+  }
+
+  /** IBAN validity: structural shape (2 country letters, 2 check digits,
+    * 11-30 alnum BBAN) AND the ISO 13616 checksum — rearrange
+    * (BBAN ++ country ++ check) and require [[ibanMod97]] == 1. The
+    * financial-account PII validator next to [[luhnOk]]: a random
+    * IBAN-shaped string passes mod-97 only ~1% of the time, so the
+    * checksum kills regex false positives the same way Luhn does. */
+  def ibanOk(dl: Dialect, sExpr: String): String = {
+    val rearranged = "concat(substr(s__, 5), substr(s__, 1, 4))"
+    val shape = dl.rlike("s__", "^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$")
+    let(dl, "s__", sExpr,
+      s"(($shape) AND ${ibanMod97(dl, rearranged)} = 1)")
+  }
+
   /** Shannon entropy (bits/char) of a string expression: distinct chars
     * SORTED for a deterministic fold order, per-char count via
     * length-of-replace (no per-char grouping), sequential double fold.

@@ -445,6 +445,39 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == Seq(("deep learning", 2L, 2L, 4.0), ("model", 1L, 1L, 1.0)))
   }
 
+  test("harmonicCentrality: path graph distances from pinned sources") {
+    // path 1-2-3-4-5, sources = {1, 2} (two lowest ids), depth 3
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (e ++ e.map(_.swap)).toDF("src", "dst")
+    val got = graft.ops.Graph.harmonicCentrality(nodes, edges, 2, 3)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // d(1,-): 2->1 3->2 4->3; d(2,-): 1->1 3->1 4->2 5->3
+    assert(got.map(t => (t._1, t._2)) ==
+      Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L), (5L, 1L)))
+    assert(got(0)._3 == 1.0)                    // node 1: 1/d(2,1) = 1
+    assert(got(2)._3 == 1.5)                    // node 3: 1/2 + 1/1
+    assert(math.abs(got(3)._3 - 0.833333) < 1e-9) // node 4: 1/3 + 1/2
+    assert(math.abs(got(4)._3 - 0.333333) < 1e-9) // node 5: 1/3 (src 2 only)
+  }
+
+  test("holtSmooth: state table matches the hand recursion, step 1 inits") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 10.0),
+      (1L, ts("2024-01-02 00:00:00"), 2L, 20.0),
+      (1L, ts("2024-01-03 00:00:00"), 3L, 14.0),
+      (2L, ts("2024-01-01 00:00:00"), 4L, 5.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = Analytics.holtSmooth(ev, "user_id", "ts", "event_id", "value",
+        0.5, 0.25, 16)
+      .as[(Long, Long, Double, Double)].collect().sortBy(t => (t._1, t._2)).toSeq
+    // l1=10 t1=0; l2=.5*20+.5*10=15, t2=.25*5+0=1.25;
+    // l3=.5*14+.5*16.25=15.125, t3=.25*.125+.75*1.25=.96875
+    assert(got == Seq(
+      (1L, 1L, 10.0, 0.0), (1L, 2L, 15.0, 1.25),
+      (1L, 3L, 15.125, 0.96875), (2L, 1L, 5.0, 0.0)))
+  }
+
   test("phraseHits: adjacent positions only, per-doc counts") {
     val docs = Seq(
       (1L, "fast merge fast merge"), // two hits

@@ -24,6 +24,35 @@ class GovernanceSpec extends AnyFunSuite {
     assert(!got(2L) && !got(3L))
   }
 
+  test("ibanOk validates real-format IBANs and rejects corrupted ones") {
+    val df = Seq(
+      (0L, "GB82WEST12345698765432"), // the ISO 13616 worked example
+      (1L, "DE89370400440532013000"), // published German test IBAN
+      (2L, "GB82WEST12345698765431"), // last digit off
+      (3L, "DE89370400440532013001"),
+      (4L, "XX00SHORT1")              // fails the structural shape
+    ).toDF("id", "s")
+    val got = df.select(col("id"),
+        expr(graft.sqlgen.Exprs.ibanOk(graft.sqlgen.Dialect.spark, "s")).as("ok"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got(0L) && got(1L))
+    assert(!got(2L) && !got(3L) && !got(4L))
+  }
+
+  test("ibanScan counts candidates and the mod-97-valid subset") {
+    val df = Seq(
+      (0L, "pay to DE89370400440532013000 or GB82WEST12345698765432 now"),
+      (1L, "ref DE89370400440532013001 only"),
+      (2L, "no accounts here")
+    ).toDF("id", "body")
+    val got = Governance.ibanScan(df, "body", "id")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got(0) == (0L, 2L, 2L,
+      "DE89370400440532013000,GB82WEST12345698765432"))
+    assert(got(1) == (1L, 1L, 0L, ""))
+    assert(got(2) == (2L, 0L, 0L, ""))
+  }
+
   test("charEntropy: repeated pair is exactly 1 bit, single char 0 bits") {
     val df = Seq((0L, "ababababab"), (1L, "aaaaaaaa"), (2L, "abcd"))
       .toDF("id", "s")

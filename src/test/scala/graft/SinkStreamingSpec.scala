@@ -213,6 +213,29 @@ class SinkStreamingSpec extends AnyFunSuite {
     assert(got(2)._4 == 2000.0, s"negative constant amplitude: ${got(2)._4}")
   }
 
+  test("pcmVadSegments: consecutive loud windows merge, silence splits") {
+    def le16(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int): Array[Byte] =
+      Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xFF).toByte)
+    // windows of 32: [loud, loud, quiet, loud, quiet, quiet] -> segments
+    // (0-1) and (3-3); a fully-quiet payload yields no rows
+    def win(amp: Int) = Array.fill(32)(amp)
+    val samples = win(800) ++ win(900) ++ win(5) ++ win(700) ++ win(0) ++ win(3)
+    def wav(s: Array[Int]): Array[Byte] = {
+      val pcm = s.flatMap(le16)
+      "RIFF".getBytes ++ le32(36 + pcm.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+        le32(16000) ++ le16(2) ++ le16(16) ++
+        "data".getBytes ++ le32(pcm.length) ++ pcm
+    }
+    val df = Seq((1L, wav(samples)), (2L, wav(win(2) ++ win(1))))
+      .toDF("id", "content")
+    val got = BinaryColumns.pcmVadSegments(df, "content", "id", 32, 50.0)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq((1L, 1L, 0L, 1L, 2L), (1L, 2L, 3L, 3L, 1L)),
+      s"islands (0,1) and (3): $got")
+  }
+
   test("mp4 box walk: real boxes parse, hostile sizes and nesting degrade clean") {
     def be32(v: Long): Array[Byte] =
       Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
