@@ -11787,12 +11787,189 @@ object QueryCatalog {
     )
   }
 
+  /** Learned-embedding memo, same contract as [[opqRotation]]: the five
+    * q_lsa / q_cooc queries share ONE PPMI-factorization training run
+    * per dir (training is deterministic: df-ranked vocab, lexicographic
+    * pair canonicalization, hash-seeded fixed-iteration eigensolve). */
+  private val lsaTopV = 512
+  private val lsaWindow = 4
+  private val lsaDim = 32
+  private val lsaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Lsa.Model]()
+  private def lsaModel(s: SparkSession, dir: String): graft.ops.Lsa.Model =
+    lsaCache.computeIfAbsent(dir, _ =>
+      graft.ops.Lsa.train(tk(s, dir, "documents"), "text", "doc_id",
+        topV = lsaTopV, window = lsaWindow, dim = lsaDim, iters = 40))
+
+  /** LSA learned embeddings (ops/Lsa.scala + embed/LsaEmbedder.scala): the
+    * trained-in-engine semantic backend for the reference's embedding
+    * stage (`document_processor.py:273-277`). Oracle strategy mirrors the
+    * OPQ/BPE split: everything SQL-expressible (vocabulary, windowed
+    * co-occurrence counts, the mean-pool inference arithmetic, kNN over
+    * the result) hash-matches DuckDB end to end; the eigensolve itself is
+    * property-gated (orthogonality + eigenvalue-order residuals pinned at
+    * spec-constant 0.0, vocabulary identity re-derived non-circularly
+    * from the documents table). */
+  private def lsaOps: Seq[Q] = {
+    val duckPosToks =
+      s"""toksl AS (SELECT doc_id, ${D.splitWs("text")} AS ss FROM documents),
+          pos AS (SELECT doc_id, CAST(i AS INT) AS pos, ss[CAST(i AS INT)] AS term
+                  FROM (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i
+                        FROM toksl))"""
+    val duckVocab =
+      s"""voc AS (SELECT CAST(row_number() OVER (ORDER BY df DESC, term) - 1 AS BIGINT) AS term_id,
+                         term, df
+                  FROM (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                        FROM pos WHERE length(term) > 0
+                        GROUP BY term ORDER BY df DESC, term LIMIT $lsaTopV))"""
+    Seq(
+      // Vocabulary selection: top-V terms by document frequency — the
+      // learned model's support, fully oracle-replayable (the bounded
+      // row_number window runs on V=512 post-limit rows, never the
+      // corpus).
+      Q("q_lsa_vocab",
+        (s, dir) =>
+          graft.ops.Lsa.vocabulary(tk(s, dir, "documents"), "text", "doc_id",
+            lsaTopV).orderBy("term_id"),
+        Some(s"""
+          WITH $duckPosToks, $duckVocab
+          SELECT term_id, term, df FROM voc ORDER BY term_id""")),
+
+      // Windowed term-term co-occurrence counts over the vocabulary —
+      // the exact-integer statistics PPMI factorizes. Spark side is a
+      // narrow per-document kernel (no position self-join anywhere near
+      // the corpus); the oracle replays it as DuckDB's bounded-distance
+      // position join. Pairs canonicalize lexicographically so
+      // least/greatest replays the kernel's ordering.
+      Q("q_cooc_counts",
+        (s, dir) => {
+          import s.implicits._
+          val m = lsaModel(s, dir)
+          val ids = m.terms.indices.map(i => (i.toLong, m.terms(i)))
+          val lo = ids.toDF("id_lo", "term_lo")
+          val hi = ids.toDF("id_hi", "term_hi")
+          graft.ops.Lsa.cooccurrence(tk(s, dir, "documents"), "text",
+              m.terms, lsaWindow)
+            .join(broadcast(lo), "id_lo").join(broadcast(hi), "id_hi")
+            .select(col("term_lo"), col("term_hi"),
+              col("cnt").cast("long").as("cnt"))
+            .orderBy("term_lo", "term_hi")
+        },
+        Some(s"""
+          WITH $duckPosToks, $duckVocab,
+          p2 AS (SELECT doc_id, pos, term FROM pos
+                 JOIN (SELECT term FROM voc) USING (term))
+          SELECT least(a.term, b.term) AS term_lo,
+                 greatest(a.term, b.term) AS term_hi,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM p2 a JOIN p2 b
+            ON a.doc_id = b.doc_id AND b.pos > a.pos
+           AND b.pos - a.pos <= $lsaWindow
+          GROUP BY 1, 2
+          ORDER BY 1, 2""")),
+
+      // The learned model dump + property gate (q_opq_rotated pattern):
+      // vocabulary identity (term_id, term, df) is re-derived by the
+      // oracle from the documents table (non-circular); the eigensolve's
+      // correctness properties — max |U^T U - I| over signal columns and
+      // any eigenvalue-order violation — are measured in-driver and
+      // pinned at the spec constant 0.0. The vec strings feed the
+      // q_lsa_embed / q_lsa_knn replay oracles (Double.toString
+      // round-trips bit-exactly through DuckDB's CAST).
+      Q("q_lsa_model",
+        (s, dir) => {
+          import s.implicits._
+          val m = lsaModel(s, dir)
+          val ortho = graft.ops.Lsa.orthoResidual(m)
+          val eig = graft.ops.Lsa.eigOrderViolation(m)
+          m.terms.indices
+            .map(i => (i.toLong, m.terms(i), m.dfs(i), m.vectors(i).mkString(",")))
+            .toDF("term_id", "term", "df", "vec")
+            .withColumn("ortho_resid", r6(lit(ortho)))
+            .withColumn("eig_viol", r6(lit(eig)))
+            .orderBy("term_id")
+        },
+        Some(s"""
+          WITH dump AS (SELECT * FROM read_parquet('__GRAFT_OUT__/q_lsa_model/*.parquet')),
+          $duckPosToks, $duckVocab
+          SELECT v.term_id, v.term, v.df, d.vec,
+                 ${duckR6("0.0")} AS ortho_resid,
+                 ${duckR6("0.0")} AS eig_viol
+          FROM voc v JOIN dump d ON v.term = d.term
+          ORDER BY v.term_id""")),
+
+      // Inference, declaratively: document embedding = count-weighted mean
+      // of the learned vectors of in-vocab tokens, long-form (doc_id, dim,
+      // comp) with the EmbeddingPooling decimal discipline. The oracle
+      // replays the SAME arithmetic from the q_lsa_model dump — gating the
+      // whole mean-pool path (LsaSpec pins the BatchedEmbedder kernel's
+      // parity with this declarative form).
+      Q("q_lsa_embed",
+        (s, dir) =>
+          graft.ops.Lsa.docEmbeddingsLong(tk(s, dir, "documents"), "text",
+              "doc_id", lsaModel(s, dir))
+            .orderBy("doc_id", "dim"),
+        Some(s"""
+          WITH dump AS (SELECT term,
+                               list_transform(string_split(vec, ','),
+                                              x -> CAST(x AS DOUBLE)) AS v
+                        FROM read_parquet('__GRAFT_OUT__/q_lsa_model/*.parquet')),
+          tv AS (SELECT term, CAST(k AS BIGINT) AS dim,
+                        v[CAST(k AS INT) + 1] AS comp
+                 FROM (SELECT term, v, unnest(range(0, len(v))) AS k FROM dump)),
+          toks AS (SELECT doc_id, unnest(${D.splitWs("text")}) AS term
+                   FROM documents),
+          counts AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt
+                     FROM toks GROUP BY doc_id, term),
+          tot AS (SELECT doc_id, sum(cnt) AS tot
+                  FROM counts JOIN (SELECT DISTINCT term FROM dump) USING (term)
+                  GROUP BY doc_id)
+          SELECT c.doc_id, tv.dim,
+                 CAST(sum(CAST(round(CAST(c.cnt AS DOUBLE) * tv.comp, 6)
+                                 + ${D.d(0.0)} AS DECIMAL(28,6))) AS DOUBLE)
+                   / CAST(t.tot AS DOUBLE) AS comp
+          FROM counts c JOIN tv USING (term) JOIN tot t ON c.doc_id = t.doc_id
+          GROUP BY c.doc_id, tv.dim, t.tot
+          ORDER BY c.doc_id, tv.dim""")),
+
+      // Semantic kNN over the LEARNED embeddings: top-10 cosine neighbors
+      // of doc 0 — the retrieval query the whole training exists for,
+      // replayed by the oracle from the q_lsa_embed dump with the shared
+      // sequential-fold cosine. TakeOrderedAndProject top-k; the probe
+      // side is one broadcast row.
+      Q("q_lsa_knn",
+        (s, dir) => {
+          val dls = Dialect.spark
+          val emb = graft.ops.Lsa.docEmbeddingsLong(
+              tk(s, dir, "documents"), "text", "doc_id", lsaModel(s, dir))
+            .groupBy("doc_id")
+            .agg(expr("transform(array_sort(collect_list(struct(dim, comp))), s__ -> s__.comp)")
+              .as("v"))
+          val probe = emb.where(col("doc_id") === 0)
+            .select(col("v").as("qv"))
+          emb.where(col("doc_id") =!= 0).crossJoin(broadcast(probe))
+            .select(col("doc_id"), r6(expr(dls.cosine("v", "qv"))).as("sim"))
+            .orderBy(col("sim").desc, col("doc_id"))
+            .limit(10)
+        },
+        Some(s"""
+          WITH e AS (SELECT doc_id, list(comp ORDER BY dim) AS v
+                     FROM read_parquet('__GRAFT_OUT__/q_lsa_embed/*.parquet')
+                     GROUP BY doc_id),
+          q AS (SELECT v AS qv FROM e WHERE doc_id = 0)
+          SELECT e.doc_id, ${duckR6(D.cosine("e.v", "q.qv"))} AS sim
+          FROM e, q WHERE e.doc_id <> 0
+          ORDER BY sim DESC, e.doc_id
+          LIMIT 10"""))
+    )
+  }
+
   def all: Seq[Q] =
     relational ++ textOps ++ vectorOps ++ ragOps ++ metaOps ++ extraOps ++
       temporalOps ++ pipelineOps ++ scaleOps ++ relationalPlus ++ trainingPlus ++
       relationalFull ++ curationOps ++ pcmOps ++ imagePixelOps ++ exifOps ++
       streamingEqOps ++
-      warcOps ++ governanceOps ++ analyticsOps
+      warcOps ++ governanceOps ++ analyticsOps ++ lsaOps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,77 @@
+package graft.embed
+
+import org.apache.spark.sql.DataFrame
+
+import graft.functions.TextHashing
+import graft.ops.Lsa
+
+/** The learned-model counterpart to [[HashingInferenceModel]]: plugs the
+  * in-engine-trained PPMI-factorization model ([[graft.ops.Lsa]]) into the
+  * production [[BatchedEmbedder]] slot — per-partition init materializes
+  * the term->vector map once, each batch is a pure in-memory
+  * lookup+mean+normalize pass. This is a REAL learned inference backend
+  * (the vectors come from a factorization trained on the corpus), filling
+  * the `document_processor.py:273-277` embedding-stage slot as far as a
+  * zero-egress JVM allows; a transformer ONNX session drops into the same
+  * [[InferenceModel]] contract when a runtime jar exists.
+  *
+  * Kernel contract (LsaSpec pins parity with the declarative
+  * [[Lsa.docEmbeddingsLong]] path): embedding = count-weighted mean of the
+  * in-vocab tokens' learned vectors, L2-normalized; no in-vocab tokens ->
+  * the zero vector. */
+final case class LsaInferenceModel(model: Lsa.Model) extends InferenceModel {
+  def dimension: Int = model.dim
+
+  def init(): InferenceSession = new InferenceSession {
+    // built once per partition: the broadcast-shaped lookup the batched
+    // forward passes share
+    private val index = model.termIndex
+    private val vecs = model.vectors
+    private val d = model.dim
+
+    def embedBatch(texts: Seq[String]): Seq[Array[Double]] =
+      texts.map { t =>
+        val toks = TextHashing.tokens(if (t == null) "" else t)
+        val acc = new Array[Double](d)
+        var n = 0L
+        var i = 0
+        while (i < toks.length) {
+          val id = index.getOrElse(toks(i), -1)
+          if (id >= 0) {
+            val v = vecs(id)
+            var k = 0
+            while (k < d) { acc(k) += v(k); k += 1 }
+            n += 1
+          }
+          i += 1
+        }
+        if (n == 0L) acc
+        else {
+          var k = 0
+          while (k < d) { acc(k) /= n.toDouble; k += 1 }
+          var sq = 0.0
+          k = 0
+          while (k < d) { sq += acc(k) * acc(k); k += 1 }
+          val nrm = math.sqrt(sq)
+          if (nrm > 0.0) {
+            k = 0
+            while (k < d) { acc(k) /= nrm; k += 1 }
+          }
+          acc
+        }
+      }
+  }
+}
+
+/** [[Embedder]] facade over the LSA model: `BatchedEmbedder` with a
+  * [[LsaInferenceModel]] — the drop-in learned replacement for
+  * [[HashingEmbedder]] in any pipeline stage that takes an Embedder. */
+object LsaEmbedder {
+  def apply(model: Lsa.Model, batchSize: Int = 32): Embedder =
+    BatchedEmbedder(LsaInferenceModel(model), batchSize)
+
+  /** Train on a corpus and return the ready Embedder in one call. */
+  def train(docs: DataFrame, textCol: String, idCol: String,
+            topV: Int = 512, window: Int = 4, dim: Int = 32): Embedder =
+    apply(Lsa.train(docs, textCol, idCol, topV, window, dim))
+}

@@ -1,0 +1,359 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.{TextF, TextHashing}
+
+/** LSA-family learned embeddings: PPMI co-occurrence + truncated
+  * eigendecomposition — a REAL trained-in-engine semantic embedding
+  * backend (closes the "no learned inference backend" gap honestly within
+  * a zero-egress JVM: no transformer weights can load here, but
+  * PPMI-factorization embeddings are the published classical equivalent —
+  * Deerwester et al. 1990 LSA; Levy & Goldberg NeurIPS'14 showed
+  * skip-gram-negative-sampling implicitly factorizes exactly this
+  * shifted-PMI matrix). Reference parity target: the embedding-stage slot
+  * sentence-transformers fills in `document_processor.py:273-277` — the
+  * reference's own tests mock that model; here the engine TRAINS one.
+  *
+  * Scale design (100 TB discipline):
+  *   - vocabulary: one distributed df-count + top-V TakeOrderedAndProject
+  *     (V bounded, default 512 — the only window runs AFTER the limit, on
+  *     V rows, never corpus-sized);
+  *   - co-occurrence: a NARROW per-row kernel (each document row emits its
+  *     own within-window pairs — no position self-join, no shuffle of
+  *     text), map-side combined into at most V² (id,id) keys. At 100 TB
+  *     the shuffle is bounded by distinct pairs (≤ V²), not corpus size;
+  *   - PPMI + eigensolve: driver-side over the collected V×V sparse
+  *     counts (nnz require-capped) — the same bounded-model-on-driver
+  *     discipline as OPQ/PQ codebooks. V=512, d=32 is ~120 KB of model;
+  *   - inference: the learned term vectors broadcast back — either
+  *     declaratively (equi-join + decimal mean, oracle-replayable) or as
+  *     an [[graft.embed.InferenceModel]] behind BatchedEmbedder
+  *     (per-partition init, batched, the production mapPartitions shape).
+  *
+  * Determinism (oracle discipline): vocabulary order is (df DESC, term
+  * ASC); co-occurrence pairs canonicalize by TERM-LEXICOGRAPHIC order so
+  * DuckDB's least/greatest replays them; the eigensolve uses a fixed
+  * hash-seeded start, fixed iteration count, ordered modified
+  * Gram-Schmidt, and a largest-|component|-positive sign convention — the
+  * same inputs always yield bit-identical vectors.
+  */
+object Lsa {
+
+  /** Learned model: `terms(i)`/`dfs(i)` aligned with `vectors(i)` (length
+    * `dim` each), eigenvalues descending. */
+  final case class Model(
+      terms: Array[String],
+      dfs: Array[Long],
+      vectors: Array[Array[Double]],
+      eigenvalues: Array[Double],
+      window: Int) {
+    def dim: Int = eigenvalues.length
+    lazy val termIndex: Map[String, Int] = terms.iterator.zipWithIndex.toMap
+  }
+
+  /** Top-V vocabulary by document frequency: (term_id, term, df), term_id
+    * dense 0..V-1 in (df DESC, term ASC) order. The row_number window runs
+    * on at most `topV` rows (post-limit) — bounded by construction, never
+    * a corpus-sized SinglePartition. */
+  def vocabulary(docs: DataFrame, textCol: String, idCol: String,
+                 topV: Int): DataFrame = {
+    val dfreq = docs
+      .select(col(idCol), explode(TextF.tokens(col(textCol))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("term").agg(countDistinct(idCol).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(topV)
+    dfreq.withColumn("term_id",
+        row_number().over(Window.orderBy(col("df").desc, col("term")))
+          .cast("long") - 1L)
+      .select(col("term_id"), col("term"), col("df").cast("long").as("df"))
+  }
+
+  /** Within-window co-occurrence counts over the vocabulary: one row per
+    * canonical (term_lo_id, term_hi_id) pair — canonical by TERM string
+    * order (ids carry the df-rank order, strings carry the replayable
+    * one). Narrow flatMap: each document emits its own sliding-window
+    * pairs; OOV tokens are skipped but still occupy positions (standard
+    * surface-distance windows). Same-term windows count once per
+    * position pair. */
+  def cooccurrence(docs: DataFrame, textCol: String,
+                   terms: Array[String], window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bcIndex = spark.sparkContext.broadcast(
+      terms.iterator.zipWithIndex.toMap)
+    val bcTerms = spark.sparkContext.broadcast(terms)
+    val w = window
+    docs.select(col(textCol).cast("string")).as[String]
+      .flatMap { text =>
+        val idx = bcIndex.value
+        val ts = bcTerms.value
+        val toks = TextHashing.tokens(if (text == null) "" else text)
+        val ids = toks.map(t => idx.getOrElse(t, -1))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var i = 0
+        while (i < ids.length) {
+          if (ids(i) >= 0) {
+            var j = i + 1
+            val hi = math.min(i + w, ids.length - 1)
+            while (j <= hi) {
+              if (ids(j) >= 0) {
+                val a = ids(i); val b = ids(j)
+                // canonicalize by term string (replayable as
+                // least/greatest in SQL), not by df-rank id
+                if (ts(a) <= ts(b)) out += ((a.toLong, b.toLong))
+                else out += ((b.toLong, a.toLong))
+              }
+              j += 1
+            }
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("id_lo", "id_hi")
+      .groupBy("id_lo", "id_hi").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Train: vocabulary -> co-occurrence -> PPMI -> top-`dim` eigenvectors
+    * by fixed-iteration orthogonal (block power) iteration. Distributed
+    * until the V×V sparse counts; driver-side after (require-capped).
+    * Word vector i = U_i * sqrt(lambda) (the symmetric PPMI-SVD weighting:
+    * for a symmetric PSD-truncated factorization U diag(l) U^T, the
+    * sqrt(l)-scaled rows give dot products that approximate PPMI). */
+  def train(docs: DataFrame, textCol: String, idCol: String,
+            topV: Int = 512, window: Int = 4, dim: Int = 32,
+            iters: Int = 40, nnzCap: Long = 8000000L): Model = {
+    val vocabRows = vocabulary(docs, textCol, idCol, topV)
+      .orderBy("term_id").collect()
+    val terms = vocabRows.map(_.getString(1))
+    val dfs = vocabRows.map(_.getLong(2))
+    val v = terms.length
+    require(v > 0, "empty vocabulary — no tokens in corpus")
+    val d = math.min(dim, v)
+
+    val coocRows = cooccurrence(docs, textCol, terms, window)
+    val nnz = coocRows.count()
+    require(nnz <= nnzCap,
+      s"co-occurrence nnz $nnz exceeds driver cap $nnzCap — lower topV")
+    val triples = coocRows.collect().map(r =>
+      (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2)))
+
+    // symmetric CSR-ish build: mirror off-diagonal entries; marginals and
+    // total from the mirrored matrix so PPMI is the standard symmetric one
+    val rowsIdx = Array.fill(v)(scala.collection.mutable.ArrayBuffer.empty[(Int, Double)])
+    val marg = new Array[Double](v)
+    var total = 0.0
+    for ((a, b, c) <- triples) {
+      val cd = c.toDouble
+      rowsIdx(a) += ((b, cd)); marg(a) += cd; total += cd
+      if (a != b) { rowsIdx(b) += ((a, cd)); marg(b) += cd; total += cd }
+    }
+    // PPMI transform in place; deterministic StrictMath.log
+    val rows: Array[Array[(Int, Double)]] = rowsIdx.zipWithIndex.map {
+      case (buf, i) =>
+        buf.iterator.map { case (j, c) =>
+          val pmi = StrictMath.log(c * total / (marg(i) * marg(j)))
+          (j, math.max(0.0, pmi))
+        }.filter(_._2 > 0.0).toArray.sortBy(_._1)
+    }
+
+    // deterministic start: splitmix64 of (i, k) -> [-0.5, 0.5)
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    var x = Array.tabulate(v, d) { (i, k) =>
+      (mix(i.toLong * 131071L + k).toDouble / Long.MaxValue.toDouble) * 0.5
+    }
+
+    def matMul(m: Array[Array[(Int, Double)]], xs: Array[Array[Double]]): Array[Array[Double]] = {
+      val y = Array.ofDim[Double](v, d)
+      var i = 0
+      while (i < v) {
+        val r = m(i)
+        var p = 0
+        while (p < r.length) {
+          val (j, a) = r(p)
+          val xj = xs(j)
+          var k = 0
+          while (k < d) { y(i)(k) += a * xj(k); k += 1 }
+          p += 1
+        }
+        i += 1
+      }
+      y
+    }
+    // ordered modified Gram-Schmidt (deterministic column order); a zero
+    // column (possible only if rank < d) re-seeds from its hash basis
+    def mgs(y: Array[Array[Double]]): Unit = {
+      var k = 0
+      while (k < d) {
+        var kk = 0
+        while (kk < k) {
+          var dp = 0.0
+          var i = 0
+          while (i < v) { dp += y(i)(k) * y(i)(kk); i += 1 }
+          i = 0
+          while (i < v) { y(i)(k) -= dp * y(i)(kk); i += 1 }
+          kk += 1
+        }
+        var nrm = 0.0
+        var i = 0
+        while (i < v) { nrm += y(i)(k) * y(i)(k); i += 1 }
+        nrm = math.sqrt(nrm)
+        if (nrm > 1e-12) {
+          i = 0
+          while (i < v) { y(i)(k) /= nrm; i += 1 }
+        } else {
+          i = 0
+          while (i < v) {
+            y(i)(k) = (mix(i.toLong * 524287L + k + 7777).toDouble /
+              Long.MaxValue.toDouble) * 0.5
+            i += 1
+          }
+          k -= 1 // redo this column against the prior basis
+        }
+        k += 1
+      }
+    }
+
+    var it = 0
+    while (it < iters) {
+      val y = matMul(rows, x)
+      mgs(y)
+      x = y
+      it += 1
+    }
+
+    // Rayleigh quotients; then order columns by eigenvalue desc (index
+    // tie-break) and fix signs: largest-|component| element positive
+    // (first index on ties)
+    val mx = matMul(rows, x)
+    val lam = Array.tabulate(d) { k =>
+      var s = 0.0
+      var i = 0
+      while (i < v) { s += x(i)(k) * mx(i)(k); i += 1 }
+      s
+    }
+    val order = (0 until d).sortBy(k => (-lam(k), k))
+    val vecs = Array.ofDim[Double](v, d)
+    val lamOut = new Array[Double](d)
+    for ((src, dst) <- order.zipWithIndex) {
+      lamOut(dst) = lam(src)
+      var best = 0
+      var bestAbs = -1.0
+      var i = 0
+      while (i < v) {
+        val a = math.abs(x(i)(src))
+        if (a > bestAbs + 1e-15) { bestAbs = a; best = i }
+        i += 1
+      }
+      val sign = if (x(best)(src) < 0.0) -1.0 else 1.0
+      val scale = sign * math.sqrt(math.max(lamOut(dst), 0.0))
+      i = 0
+      while (i < v) { vecs(i)(dst) = x(i)(src) * scale; i += 1 }
+    }
+    Model(terms, dfs, vecs, lamOut, window)
+  }
+
+  /** max |U^T U - I| over the learned (unscaled) basis — the orthogonality
+    * property the oracle pins at spec-constant 0.0 (q_opq_rotated
+    * pattern). Computed from the sqrt(lambda)-scaled vectors by undoing
+    * the scale; zero eigenvalues contribute their raw basis. */
+  def orthoResidual(model: Model): Double = {
+    val v = model.terms.length
+    val d = model.dim
+    // rebuild unscaled U: divide by sqrt(lambda) where > 0
+    val u = Array.ofDim[Double](v, d)
+    var k = 0
+    while (k < d) {
+      val s = math.sqrt(math.max(model.eigenvalues(k), 0.0))
+      var i = 0
+      while (i < v) {
+        u(i)(k) = if (s > 0.0) model.vectors(i)(k) / s else 0.0
+        i += 1
+      }
+      k += 1
+    }
+    var worst = 0.0
+    var a = 0
+    while (a < d) {
+      var b = 0
+      while (b < d) {
+        var dp = 0.0
+        var i = 0
+        while (i < v) { dp += u(i)(a) * u(i)(b); i += 1 }
+        // a zero-eigenvalue column legitimately has zero norm; only pin
+        // pairs whose BOTH columns carry signal
+        val sa = model.eigenvalues(a) > 0.0
+        val sb = model.eigenvalues(b) > 0.0
+        if (sa && sb) {
+          val diff = math.abs(dp - (if (a == b) 1.0 else 0.0))
+          if (diff > worst) worst = diff
+        }
+        b += 1
+      }
+      a += 1
+    }
+    worst
+  }
+
+  /** max over k of max(0, lambda_{k+1} - lambda_k): descending-order
+    * violation, oracle-pinned at 0.0. */
+  def eigOrderViolation(model: Model): Double = {
+    var worst = 0.0
+    var k = 1
+    while (k < model.dim) {
+      val v = model.eigenvalues(k) - model.eigenvalues(k - 1)
+      if (v > worst) worst = v
+      k += 1
+    }
+    worst
+  }
+
+  /** The learned term vectors as a (term, dim, comp) long table — the
+    * broadcastable inference artifact, and the dump shape the embedding
+    * oracle replays from. */
+  def termVectors(spark: SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    model.terms.indices.flatMap { i =>
+      model.vectors(i).iterator.zipWithIndex.map { case (c, k) =>
+        (model.terms(i), k.toLong, c)
+      }
+    }.toDF("term", "dim", "comp")
+  }
+
+  /** Declarative (oracle-replayable) document embeddings: the mean of the
+    * learned vectors of a document's in-vocab tokens, count-weighted —
+    * emitted LONG-FORM (doc_id, dim, comp) so no vector transits a shuffle
+    * whole, with the EmbeddingPooling decimal discipline: per-term
+    * contribution cnt*comp rounds to 6 decimals, sums in DECIMAL(28,6)
+    * (order-independent, oracle-exact), and the final divide-by-count
+    * stays un-re-rounded (exact decimal / exact count is the same
+    * correctly-rounded double everywhere). Docs with zero in-vocab tokens
+    * emit nothing. */
+  def docEmbeddingsLong(docs: DataFrame, textCol: String, idCol: String,
+                        model: Model): DataFrame = {
+    val spark = docs.sparkSession
+    val tv = broadcast(termVectors(spark, model))
+    val counts = docs
+      .select(col(idCol), explode(TextF.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("cnt"))
+    val contrib = counts.join(tv, Seq("term"))
+    val totals = counts.join(tv.select("term").distinct(), Seq("term"))
+      .groupBy(col(idCol)).agg(sum("cnt").as("__tot"))
+    contrib
+      .groupBy(col(idCol), col("dim"))
+      .agg(sum((round(col("cnt").cast("double") * col("comp"), 6) + lit(0.0))
+        .cast("decimal(28,6)")).as("__s"))
+      .join(totals, Seq(idCol))
+      .select(col(idCol), col("dim").cast("long").as("dim"),
+        (col("__s").cast("double") / col("__tot").cast("double")).as("comp"))
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.embed.{BatchedEmbedder, LsaEmbedder, LsaInferenceModel}
+import graft.ops.Lsa
+
+/** Learned-embedding (PPMI + truncated eigendecomposition) invariants:
+  * training determinism, the eigensolve's math properties (the ones
+  * q_lsa_model's oracle pins at spec-constant 0.0), semantic structure
+  * (co-occurring terms land closer than non-co-occurring ones — the whole
+  * point of a LEARNED embedding, and what HashingEmbedder cannot do), and
+  * the BatchedEmbedder kernel's parity with the declarative
+  * docEmbeddingsLong path that the DuckDB oracle replays. */
+class LsaSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  // two "topics" sharing no vocabulary: {cat, dog, pet} co-occur;
+  // {tensor, gradient, loss} co-occur; "the" bridges both (stopword-ish)
+  private lazy val docs = Seq(
+    (0L, "the cat and the dog are pet friends the cat dog pet"),
+    (1L, "dog pet cat dog pet cat the dog"),
+    (2L, "cat pet dog cat pet the pet"),
+    (3L, "tensor gradient loss tensor gradient the loss"),
+    (4L, "gradient loss tensor gradient loss the tensor"),
+    (5L, "loss tensor gradient loss the gradient tensor loss")
+  ).toDF("doc_id", "text")
+
+  private lazy val model =
+    Lsa.train(docs, "text", "doc_id", topV = 16, window = 3, dim = 4, iters = 60)
+
+  test("training is deterministic: two runs produce identical models") {
+    val m2 = Lsa.train(docs, "text", "doc_id", topV = 16, window = 3, dim = 4, iters = 60)
+    assert(model.terms.toSeq == m2.terms.toSeq)
+    assert(model.eigenvalues.toSeq == m2.eigenvalues.toSeq)
+    assert(model.vectors.map(_.toSeq).toSeq == m2.vectors.map(_.toSeq).toSeq)
+  }
+
+  test("eigenbasis is orthonormal and eigenvalues are descending") {
+    assert(Lsa.orthoResidual(model) < 1e-9,
+      s"ortho residual ${Lsa.orthoResidual(model)}")
+    assert(Lsa.eigOrderViolation(model) == 0.0)
+    assert(model.eigenvalues.head > 0.0, "top eigenvalue must carry signal")
+  }
+
+  test("vocabulary is df-ranked with dense ids and exact dfs") {
+    val v = Lsa.vocabulary(docs, "text", "doc_id", 16)
+      .orderBy("term_id").collect()
+    assert(v.map(_.getLong(0)).toSeq == v.indices.map(_.toLong))
+    // "the" appears in all 6 docs — it must be rank 0
+    assert(v.head.getString(1) == "the" && v.head.getLong(2) == 6L)
+    val dfs = v.map(_.getLong(2))
+    assert(dfs.zip(dfs.tail).forall { case (a, b) => a >= b }, "df descending")
+  }
+
+  test("co-occurrence counts: hand-checked window pairs, canonical order") {
+    val m = Map(Lsa.cooccurrence(
+      Seq((0L, "a b a")).toDF("doc_id", "text"), "text",
+      Array("a", "b"), window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)): _*)
+    // pairs within window 2 of "a b a": (a,b) pos(1,2), (a,a) pos(1,3), (b,a) pos(2,3)
+    assert(m((0L, 1L)) == 2L, "a-b co-occurs twice (both directions canonicalize)")
+    assert(m((0L, 0L)) == 1L, "a-a same-term pair counts once")
+  }
+
+  test("learned vectors carry topic structure: co-occurring terms cluster") {
+    def vec(t: String) = model.vectors(model.termIndex(t))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.lazyZip(b).map(_ * _).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val within1 = cos(vec("cat"), vec("dog"))
+    val within2 = cos(vec("tensor"), vec("gradient"))
+    val across = cos(vec("cat"), vec("tensor"))
+    assert(within1 > across,
+      s"cat~dog ($within1) must beat cat~tensor ($across)")
+    assert(within2 > across,
+      s"tensor~gradient ($within2) must beat cat~tensor ($across)")
+  }
+
+  test("BatchedEmbedder kernel matches the declarative oracle path") {
+    // declarative long-form mean (pre-normalization), decimal-rounded
+    val decl = Lsa.docEmbeddingsLong(docs, "text", "doc_id", model)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // kernel mean: re-derive pre-normalized means by scaling back the norm
+    val session = LsaInferenceModel(model).init()
+    val texts = docs.orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    val kern = session.embedBatch(texts)
+    for (doc <- texts.indices; k <- 0 until model.dim) {
+      val d = decl((doc.toLong, k.toLong))
+      // normalize the declarative vector the way the kernel does
+      val full = (0 until model.dim).map(j => decl((doc.toLong, j.toLong)))
+      val nrm = math.sqrt(full.map(x => x * x).sum)
+      val dn = if (nrm > 0) d / nrm else d
+      assert(math.abs(dn - kern(doc)(k)) < 1e-5,
+        s"doc $doc dim $k: declarative $dn vs kernel ${kern(doc)(k)}")
+    }
+  }
+
+  test("LsaEmbedder is a working Embedder: dimension, unit norm, semantics") {
+    val e = LsaEmbedder(model)
+    assert(e.dimension == model.dim)
+    val out = e.withEmbedding(docs, "text", "emb")
+      .select($"doc_id", $"emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // unit norms (every doc has in-vocab tokens here)
+    out.values.foreach { v =>
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+    def cos(a: Array[Double], b: Array[Double]) = a.lazyZip(b).map(_ * _).sum
+    // same-topic docs beat cross-topic docs
+    assert(cos(out(0L), out(1L)) > cos(out(0L), out(3L)),
+      "pet doc must be closer to pet doc than to tensor doc")
+    assert(cos(out(3L), out(4L)) > cos(out(4L), out(2L)))
+  }
+
+  test("empty / all-OOV text embeds to the zero vector, no crash") {
+    val session = LsaInferenceModel(model).init()
+    val out = session.embedBatch(Seq("", "zzz qqq www", null))
+    out.foreach(v => assert(v.forall(_ == 0.0)))
+    assert(out.forall(_.length == model.dim))
+  }
+
+  test("train caps driver collection: nnzCap breach throws") {
+    val e = intercept[IllegalArgumentException] {
+      Lsa.train(docs, "text", "doc_id", topV = 16, window = 3, dim = 4,
+        iters = 1, nnzCap = 2L)
+    }
+    assert(e.getMessage.contains("nnz"))
+  }
+}
