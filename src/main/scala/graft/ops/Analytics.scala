@@ -256,6 +256,156 @@ object Analytics {
   }
 
   // =========================================================================
+  // Series diagnostics: autocorrelation + CUSUM changepoint
+  // =========================================================================
+
+  /** Autocorrelation function of a single ordered series at lags
+    * 1..`maxLag` — the seasonality/memory read behind forecasting-model
+    * choice (a weekly-cycle series shows a lag-7 spike; white noise shows
+    * none). acf_k = sum_t dev_t*dev_{t+k} / sum_t dev_t^2 over the
+    * OBSERVED sequence (standard practice for trading-day series: gaps
+    * collapse).
+    *
+    * Determinism: the mean is exact-DECIMAL-sum / count (one correctly-
+    * rounded double on every engine), each deviation is one IEEE subtract
+    * of agreed doubles, each lag product rounds to 6 decimals and sums in
+    * DECIMAL(28,6) (order-independent), and each acf is one double
+    * divide — bit-exact against the SQL oracle with no fold-order
+    * assumptions.
+    *
+    * Scale: the input is a PRE-AGGREGATED series (daily totals etc.), so
+    * its size is bounded by the calendar, not the corpus — the global
+    * order window here is bounded by construction, the corpus-sized work
+    * happened in the caller's groupBy. */
+  def acf(series: DataFrame, ordCol: String, valCol: String,
+          maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    // EXACT decimal moments, centered analytically: working with
+    // deviations directly would need per-element rounding, and at daily-
+    // revenue magnitudes (dev^2 ~ 1e12) six decimals sit BELOW the
+    // double's ulp — round-6 is unstable there (r8 lesson). Instead every
+    // aggregate is an exact DECIMAL sum of raw values/products, and
+    //   num_k = P_k - m*S1_k - m*S2_k + cnt_k*(m*m)
+    //   den   = SXX - 2*m*S + n*(m*m)
+    // are single fixed IEEE chains over correctly-rounded casts of those
+    // exact sums (dialect decToDouble on the oracle side — DuckDB's
+    // direct decimal cast is 1 ulp off at this scale).
+    val x = col(valCol).cast("decimal(18,2)")
+    val w = Window.orderBy(col(ordCol))
+    val withLeads = (1 to maxLag).foldLeft(
+      series.select(col(ordCol), x.as("__x"))) { (df, k) =>
+      df.withColumn(s"__l$k", lead(col("__x"), k).over(w))
+    }
+    val aggs = Seq(
+      count(lit(1)).as("__n"),
+      sum(col("__x")).as("__s"),
+      sum(col("__x") * col("__x")).as("__sxx")) ++
+      (1 to maxLag).flatMap { k =>
+        val lk = col(s"__l$k")
+        Seq(
+          sum(col("__x") * lk).as(s"__p$k"),
+          sum(when(lk.isNotNull, col("__x"))).as(s"__s1_$k"),
+          sum(lk).as(s"__s2_$k"),
+          count(lk).as(s"__c$k"))
+      }
+    val folded = withLeads.agg(aggs.head, aggs.tail: _*)
+    val m = col("__s").cast("double") / col("__n").cast("double")
+    val den = col("__sxx").cast("double") -
+      lit(2.0) * m * col("__s").cast("double") +
+      col("__n").cast("double") * (m * m)
+    val pairs = (1 to maxLag).map { k =>
+      val num = col(s"__p$k").cast("double") -
+        m * col(s"__s1_$k").cast("double") -
+        m * col(s"__s2_$k").cast("double") +
+        col(s"__c$k").cast("double") * (m * m)
+      struct(lit(k.toLong).as("lag"), (num / den).as("acf"))
+    }
+    folded.select(explode(array(pairs: _*)).as("__pr"))
+      .select(col("__pr.lag").as("lag"), col("__pr.acf").as("acf"))
+  }
+
+  /** Shared SQL text for [[acf]] — `seriesRel` must provide ($ordCol,
+    * $valCol); both engines run the same arithmetic. */
+  def acfOracleSql(dl: graft.sqlgen.Dialect, seriesRel: String,
+                   ordCol: String, valCol: String, maxLag: Int): String = {
+    val leads = (1 to maxLag).map(k =>
+      s"lead(x, $k) OVER (ORDER BY $ordCol) AS l$k").mkString(", ")
+    val sums = (1 to maxLag).map(k =>
+      s"""sum(x * l$k) AS p$k,
+          sum(CASE WHEN l$k IS NOT NULL THEN x END) AS s1_$k,
+          sum(l$k) AS s2_$k,
+          CAST(count(l$k) AS BIGINT) AS c$k""").mkString(", ")
+    val m = s"(${dl.decToDouble("s")} / CAST(n AS DOUBLE))"
+    val den = s"(${dl.decToDouble("sxx")} - ${dl.d(2.0)} * $m * ${dl.decToDouble("s")} + CAST(n AS DOUBLE) * ($m * $m))"
+    val sel = (1 to maxLag).map { k =>
+      val num = s"(${dl.decToDouble(s"p$k")} - $m * ${dl.decToDouble(s"s1_$k")} - $m * ${dl.decToDouble(s"s2_$k")} + CAST(c$k AS DOUBLE) * ($m * $m))"
+      s"SELECT CAST($k AS BIGINT) AS lag, $num / $den AS acf FROM folded"
+    }.mkString(" UNION ALL ")
+    s"""WITH ser AS (SELECT $ordCol, CAST($valCol AS DECIMAL(18,2)) AS x
+                     FROM $seriesRel),
+        led AS (SELECT $ordCol, x, $leads FROM ser),
+        folded AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS s,
+                          sum(x * x) AS sxx, $sums
+                   FROM led)
+        $sel"""
+  }
+
+  /** One-sided CUSUM changepoint statistic over a single ordered series:
+    *   S_1 = max(0, (x_1 - mu) - slack);  S_t = max(0, S_{t-1} + ((x_t - mu) - slack))
+    * with mu = series mean and slack = sd/2 (half a population standard
+    * deviation — the standard CUSUM allowance). A sustained upward shift
+    * accumulates; noise resets to 0. The recursion is sequential, so —
+    * holtSmooth's discipline — the operator emits the WHOLE per-step
+    * state as RAW doubles and the catalog's oracle replays each step as
+    * ONE fixed IEEE op chain over the dumped previous step: bit-exact,
+    * no rounding anywhere in the recursion. mu and sd derive from exact
+    * DECIMAL sums (x and x*x), so both engines agree on them to the bit.
+    *
+    * Returns (step, ord, x, s). Input is a pre-aggregated series —
+    * calendar-bounded, same scale note as [[acf]]. */
+  def cusum(series: DataFrame, ordCol: String, valCol: String): DataFrame = {
+    val stats = series.agg(
+      count(lit(1)).as("__n"),
+      sum(col(valCol).cast("decimal(18,2)")).as("__s"),
+      sum(col(valCol).cast("decimal(18,2)") *
+        col(valCol).cast("decimal(18,2)")).as("__s2"))
+    val mu = col("__s").cast("double") / col("__n").cast("double")
+    val ex2 = col("__s2").cast("double") / col("__n").cast("double")
+    val sd = sqrt(ex2 - mu * mu)
+    val slack = sd / lit(2.0)
+    val vals = sort_array(collect_list(struct(col(ordCol).as("__o"),
+      col(valCol).cast("decimal(18,2)").cast("double").as("__x"))))
+    val grouped = series.crossJoin(broadcast(stats))
+      .groupBy(mu.as("__mu"), slack.as("__k"))
+      .agg(vals.as("__vals"))
+    val zero = array(struct(
+      lit(1).as("step"),
+      element_at(col("__vals"), 1).getField("__o").as("o"),
+      element_at(col("__vals"), 1).getField("__x").as("x"),
+      greatest(lit(0.0),
+        (element_at(col("__vals"), 1).getField("__x") - col("__mu")) -
+          col("__k")).as("s")))
+    val folded = grouped.select(
+      aggregate(
+        expr("slice(__vals, 2, size(__vals) - 1)"), zero,
+        (acc, e) => {
+          val prev = element_at(acc, size(acc)).getField("s")
+          val next = greatest(lit(0.0),
+            prev + ((e.getField("__x") - col("__mu")) - col("__k")))
+          concat(acc, array(struct(
+            (size(acc) + 1).as("step"),
+            e.getField("__o").as("o"),
+            e.getField("__x").as("x"),
+            next.as("s"))))
+        }).as("__steps"))
+    folded.select(explode(col("__steps")).as("__e"))
+      .select(col("__e.step").cast("long").as("step"),
+        col("__e.o").as(ordCol),
+        (col("__e.x") + lit(0.0)).as("x"),
+        (col("__e.s") + lit(0.0)).as("s"))
+  }
+
+  // =========================================================================
   // Welch two-sample z-test
   // =========================================================================
 

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+
+import graft.functions.JaroWinklerSim
+
+/** Record linkage: blocked candidate generation + string-similarity
+  * verification — the entity-resolution step a training-data pipeline
+  * runs over source records (author names, product titles, site hosts)
+  * before joining corpora.
+  *
+  * Scale design: linkage NEVER scores all pairs. Candidates come from an
+  * equi-join on a blocking key (here: a caller-supplied expression —
+  * first token, soundex-ish fold, length band...), so the shuffle is a
+  * plain hash join on the key and the quadratic cost is per-block,
+  * bounded by the biggest block. Low-cardinality keys are the classic
+  * failure ([[Skew]]'s probe applies) — callers bound their input or
+  * pick a more selective key; `maxBlock` makes the bound EXPLICIT: any
+  * block larger than it throws rather than silently going quadratic.
+  * Scoring runs inside WholeStageCodegen ([[JaroWinklerSim]] is a native
+  * codegen expression, not a UDF). */
+object Linkage {
+
+  /** Jaro-Winkler as a Column (codegen path). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    toCol(JaroWinklerSim(toExpr(a), toExpr(b)))
+
+  /** Blocked linkage pairs: join `df` to itself on `blockCol`, score
+    * `nameCol` pairs with Jaro-Winkler, keep those >= `threshold`.
+    * Emits (id_a, id_b, name_a, name_b, sim) with id_a < id_b.
+    * `maxBlock`: require-fail if any block exceeds it (the explicit
+    * quadratic guard — at 100 TB a hot block is a bug, not a wait). */
+  def blockedPairs(df: DataFrame, idCol: String, nameCol: String,
+                   blockCol: Column, threshold: Double,
+                   maxBlock: Long = 100000L): DataFrame = {
+    val keyed = df.select(
+      col(idCol).cast("long").as("__id"),
+      col(nameCol).cast("string").as("__name"),
+      blockCol.cast("string").as("__blk"))
+    val biggest = keyed.groupBy("__blk").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    require(biggest <= maxBlock,
+      s"largest block has $biggest rows (> $maxBlock): blocking key too " +
+        "coarse — pick a more selective key or bound the input")
+    val a = keyed.toDF("id_a", "name_a", "__blk")
+    val b = keyed.toDF("id_b", "name_b", "__blk")
+    a.join(b, "__blk")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim", jaroWinkler(col("name_a"), col("name_b")))
+      .where(col("sim") >= threshold)
+      .select("id_a", "id_b", "name_a", "name_b", "sim")
+  }
+}

@@ -99,6 +99,15 @@ final case class Dialect(duck: Boolean) {
     if (duck) s"CAST($a AS DOUBLE[])" else s"CAST($a AS ARRAY<DOUBLE>)"
   /** Exact-decimal cast for 2-decimal money doubles. */
   def dec2(x: String): String = s"CAST($x AS DECIMAL(18,2))"
+  /** DECIMAL -> DOUBLE, correctly rounded on BOTH engines. DuckDB's
+    * direct decimal cast goes through int128/pow(10,scale) double
+    * division — TWO roundings, observed 1 ulp off Java's
+    * BigDecimal.doubleValue on ~7e15-scale sums (r8 q_cusum). Routing
+    * through VARCHAR uses strtod, which is correctly rounded; Spark's
+    * plain cast already is. Use for any decimal whose magnitude can
+    * exceed ~2^53 / 10^scale. */
+  def decToDouble(x: String): String =
+    if (duck) s"CAST(CAST($x AS VARCHAR) AS DOUBLE)" else s"CAST($x AS DOUBLE)"
   def intDiv(a: String, b: String): String =
     if (duck) s"(($a) // ($b))" else s"(($a) div ($b))"
 

@@ -26,6 +26,18 @@ object Exprs {
       s"(((16 * $h1) + $h2) % $dim) + (CASE WHEN $h3 >= 8 THEN $dim ELSE 0 END)")
   }
 
+  /** Salted md5 bucket: 3 hex digits (4096 values) of md5("salt:x")
+    * folded and reduced mod `width` — the shared hash family behind the
+    * REPLAYABLE Count-Min rows and Bloom bit positions (q_cms_freq /
+    * q_bloom_probe / q_stream_cms_eq): both engines evaluate the
+    * identical small-integer expression, so every counter and bit is an
+    * exact integer the oracle recomputes. */
+  def md5Bucket(dl: Dialect, x: String, salt: Int, width: Int): String = {
+    val h = (1 to 3).map(i => dl.md5HexDigit(s"concat('$salt:', $x)", i))
+      .reduceLeft((a, d) => s"(($a) * 16 + $d)")
+    s"(($h) % $width)"
+  }
+
   /** Raw (unnormalized) signed-count vector from a codes column. */
   def embedRawVec(dl: Dialect, codesCol: String, dim: Int): String =
     dl.transform(

@@ -107,4 +107,46 @@ object StreamingSketch {
     }.queryName(queryName).start()
     (q, holder)
   }
+
+  /** Cross-batch Count-Min grid with the REPLAYABLE md5 hash family
+    * ([[graft.sqlgen.Exprs.md5Bucket]]): each micro-batch aggregates its
+    * own (row, bucket) counts distributed (at most depth*width longs
+    * reach the driver per batch) and the holder adds them in. Counter
+    * addition commutes, so the merged stream grid must equal the one-pass
+    * batch grid EXACTLY — the q_stream_cms_eq gate hash-matches the same
+    * oracle as q_cms_freq. */
+  final class CmsHolder(val depth: Int, val width: Int) extends Serializable {
+    private val grid = Array.ofDim[Long](depth, width)
+    private[graft] def add(batchId: Long, cells: Seq[(Int, Int, Long)]): Unit =
+      grid.synchronized {
+        cells.foreach { case (r, b, c) => grid(r)(b) += c }
+      }
+    def counters: Seq[(Int, Int, Long)] = grid.synchronized {
+      (for (r <- 0 until depth; b <- 0 until width if grid(r)(b) != 0L)
+        yield (r, b, grid(r)(b))).toSeq
+    }
+    def estimate(bucketOf: Int => Int): Long = grid.synchronized {
+      (0 until depth).map(r => grid(r)(bucketOf(r))).min
+    }
+  }
+
+  def cmsStream(stream: DataFrame, valCol: String, depth: Int, width: Int,
+                queryName: String): (StreamingQuery, CmsHolder) = {
+    import org.apache.spark.sql.functions._
+    val holder = new CmsHolder(depth, width)
+    val dl = graft.sqlgen.Dialect.spark
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val cells = batch
+          .select(posexplode(array((0 until depth).map(r =>
+            expr(graft.sqlgen.Exprs.md5Bucket(dl, valCol, r, width))
+              .cast("int")): _*)).as(Seq("r", "bucket")))
+          .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+          .collect()
+          .map(row => (row.getInt(0), row.getInt(1), row.getLong(2)))
+        holder.add(batchId, cells.toSeq)
+      }
+    }.queryName(queryName).start()
+    (q, holder)
+  }
 }

@@ -489,4 +489,41 @@ class AnalyticsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 2L)))
   }
+
+  test("acf: hand-checked lag-1 on a tiny series; period-2 signal peaks at lag 2") {
+    // series 1,2,1,2,... mean 1.5, devs alternate -.5/+.5:
+    // acf(1) = -1 * (n-1)/n-ish; exact: num1 = sum of (n-1) products = -(n-1)*.25
+    // den = n*.25 -> acf1 = -(n-1)/n; acf2 = +(n-2)/n
+    val n = 8
+    val ser = (1 to n).map(t => (t, if (t % 2 == 0) 2.0 else 1.0))
+      .toDF("t", "v")
+    val got = Analytics.acf(ser, "t", "v", 2)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L) - (-(n - 1).toDouble / n)) < 1e-12)
+    assert(math.abs(got(2L) - ((n - 2).toDouble / n)) < 1e-12)
+  }
+
+  test("cusum: flat series stays clamped at 0; a step change accumulates") {
+    // 6 flat points then 6 shifted by +10: mu sits between, the shifted
+    // tail accumulates ~(10/2 - k)-ish per step; the flat head clamps to 0
+    val ser = ((1 to 6).map(t => (t, 100.0)) ++
+      (7 to 12).map(t => (t, 110.0))).toDF("t", "v")
+    val got = Analytics.cusum(ser, "t", "v")
+      .orderBy("step").as[(Long, Int, Double, Double)].collect()
+    assert(got.length == 12)
+    assert(got.take(6).forall(_._4 == 0.0), "pre-change steps clamp to 0")
+    val tail = got.drop(6).map(_._4)
+    assert(tail.zip(tail.tail).forall { case (a, b) => b > a },
+      "post-change statistic strictly accumulates")
+    // recursion replay: s_t = max(0, s_{t-1} + (x - mu) - k)
+    val mu = 105.0
+    val sd = 5.0 // population sd of the two-level series
+    val k = sd / 2.0
+    val expect = got.scanLeft(0.0) { case (p, (_, _, x, _)) =>
+      math.max(0.0, p + ((x - mu) - k))
+    }.tail
+    got.map(_._4).zip(expect).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"$a vs $b")
+    }
+  }
 }

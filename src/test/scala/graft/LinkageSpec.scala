@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.StringKernels
+import graft.ops.Linkage
+
+/** Jaro-Winkler kernel + blocked-linkage invariants: the published
+  * textbook values (Winkler's own examples), edge contracts (the DuckDB
+  * empty-empty convention the oracle compares against), the codegen path
+  * matching the kernel, and the blocking guard. */
+class LinkageSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  test("jaroWinkler: published textbook values") {
+    def jw(a: String, b: String) = StringKernels.jaroWinkler(a, b)
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    assert(jw("abc", "abc") == 1.0)
+  }
+
+  test("jaroWinkler edge contract: empty strings score 0 (DuckDB convention)") {
+    assert(StringKernels.jaroWinkler("", "") == 0.0)
+    assert(StringKernels.jaroWinkler("a", "") == 0.0)
+    assert(StringKernels.jaroWinkler("", "a") == 0.0)
+  }
+
+  test("winkler boost applies only above the 0.7 jaro threshold") {
+    // a pair with common prefix but jaro <= 0.7 must NOT get the bonus
+    val a = "abcdefgh"
+    val b = "abzzzzzz"
+    val j = StringKernels.jaro(a, b)
+    assert(j <= 0.7, s"fixture assumption: jaro $j <= 0.7")
+    assert(StringKernels.jaroWinkler(a, b) == j)
+  }
+
+  test("column expression matches the kernel and runs codegen") {
+    val df = Seq(("martha", "marhta"), ("dwayne", "duane"), ("", ""))
+      .toDF("a", "b")
+    val got = df.select(Linkage.jaroWinkler(col("a"), col("b")).as("s"))
+      .as[Double].collect().toSeq
+    val want = Seq(
+      StringKernels.jaroWinkler("martha", "marhta"),
+      StringKernels.jaroWinkler("dwayne", "duane"), 0.0)
+    assert(got == want)
+    // stays inside WholeStageCodegen (no UDF boundary) — a range source,
+    // not local rows (LocalTableScan pre-evaluates and shows no codegen)
+    val ranged = spark.range(8).select(
+      concat(lit("name"), col("id")).as("a"), lit("names").as("b"))
+    val plan = ranged.select(Linkage.jaroWinkler(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    // the starred "*(n)" operator prefix is the codegen marker in the
+    // compact plan form
+    assert(plan.contains("*(1) Project [jarowinklersim"), plan)
+    // and the generated code path produces the kernel's numbers
+    val scored = ranged
+      .select(col("a"), Linkage.jaroWinkler(col("a"), col("b")).as("s"))
+      .as[(String, Double)].collect()
+    scored.foreach { case (a, s) =>
+      assert(s == StringKernels.jaroWinkler(a, "names"), a)
+    }
+  }
+
+  test("blockedPairs: only same-block pairs score; threshold filters") {
+    val df = Seq(
+      (1L, "red widget", "red"), (2L, "red widgets", "red"),
+      (3L, "red gadget", "red"), (4L, "blue widget", "blue")
+    ).toDF("id", "name", "blk")
+    val got = Linkage.blockedPairs(df, "id", "name", col("blk"), 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)), "near-identical names in one block match")
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L),
+      "cross-block pairs are never scored")
+  }
+
+  test("blockedPairs: oversized block require-fails (explicit quadratic guard)") {
+    val df = (1 to 50).map(i => (i.toLong, s"name $i", "same"))
+      .toDF("id", "name", "blk")
+    val e = intercept[IllegalArgumentException] {
+      Linkage.blockedPairs(df, "id", "name", col("blk"), 0.9, maxBlock = 10L)
+    }
+    assert(e.getMessage.contains("block"))
+  }
+}
