@@ -125,6 +125,11 @@ object QueryCatalog {
       graft.ops.QualityClassifier.trainModel(
         t(s, dir, "documents"), "doc_id", "text", "n_chars >= 250"))
 
+  /** Near-dup structure-edge memo (see structureEdges below): one
+    * persisted edge frame per (session identity, dir). */
+  private val structureEdgesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   /** PCA model memo, same contract as [[opqRotation]]: q_pca_project and
     * q_pca_ann share one (mean, top-16 eigenvectors) fit per dir. */
   private val pcaCache =
@@ -2850,6 +2855,30 @@ object QueryCatalog {
                (round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99), 6) + CAST(0.0 AS DOUBLE)) AS p99,
                count(*) AS cnt
         FROM orders""")),
+
+    // Quantile normalization: re-express every distinct click `value` as
+    // the purchase distribution's value at the same cumulative
+    // probability (100-bin quantile mapping) — the score calibrator that
+    // puts two scorers/domains on one ranking scale. Source ECDF via the
+    // range-partitioned prefix-sum two-pass (never SinglePartition);
+    // reference summarized by ONE quantilesGlobal run (range shuffle +
+    // two passes for all 100 bins); the bin map broadcasts.
+    Q("q_quantile_norm",
+      (s, dir) => {
+        val ev = tEvents(s, dir) // value only — ts representation irrelevant
+        graft.ops.Percentiles.quantileNormalize(
+            ev.where(col("event_type") === "click").select(col("value")),
+            ev.where(col("event_type") === "purchase").select(col("value")),
+            "value", 100)
+          .orderBy("x")
+      },
+      Some(s"""
+        SELECT * FROM (
+          ${graft.ops.Percentiles.quantileNormalizeOracleSql(
+            "(SELECT value FROM events WHERE event_type = 'click')",
+            "(SELECT value FROM events WHERE event_type = 'purchase')",
+            "value", 100)}
+        ) ORDER BY x""")),
 
     // Pivot (wide event-type counts per user). Spark's pivot relational
     // operator vs the oracle's conditional aggregation — same table.
@@ -10437,8 +10466,28 @@ object QueryCatalog {
            FROM $bk a JOIN $bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
            WHERE ${D.cosine("a.v", "b.v")} >= ${D.d(thr)})"""
     }
+    // Shared-fixture memo, the [[opqRotation]] contract adapted to a
+    // DataFrame: SEVEN graph queries (triangles, ppr, k-core, harmonic,
+    // LPA, assortativity, link prediction, ...) all run on the SAME
+    // LSH near-dup edge set, and rebuilding it is the dominant cost of
+    // each (an embeddings scan + banded self-join + cosine verify, ~4 s
+    // at sf0.1 — measured: q_link_predict 12.5 s cold vs 2.6 s with the
+    // edges hot). Cache it ONCE per (session, dir) as a lazily-persisted
+    // frame: persist (not localCheckpoint) keeps the full lineage inside
+    // InMemoryRelation, so CatalogPlanAuditSpec still sweeps the
+    // edge-derivation subplan for cartesians. Keyed by session identity
+    // because a cached plan is session-bound (tests/Verify/Bench each
+    // own one session). Narrow (long, long) rows — at any scale this is
+    // the graph, not the corpus.
     def structureEdges(s: SparkSession, dir: String): DataFrame =
-      nearDupEdges(s, dir, 4, 0.1)
+      structureEdgesCache.computeIfAbsent(
+        System.identityHashCode(s) + "|" + dir,
+        _ => {
+          val e = nearDupEdges(s, dir, 4, 0.1)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          e.count() // materialize now: first caller pays once, visibly
+          e
+        })
     val duckNearDupEdges: String = duckNearDupEdgesAt(4, 0.1)
     val duckDocToks =
       s"(SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents)"
@@ -10514,6 +10563,50 @@ object QueryCatalog {
             ${graft.ops.Graph.harmonicCentralityOracleSql(
               "(SELECT vec_id AS id FROM embeddings)", duckNearDupEdges, 8, 3)}
           ) ORDER BY vec_id""")),
+
+      // Topological link prediction on the near-dup graph: which UNLINKED
+      // vector pairs share ≥2 neighbors — the "what did LSH banding miss"
+      // auditor (a pair with many common near-dup neighbors is itself a
+      // near-dup candidate) scored by common-neighbors / Jaccard /
+      // Adamic-Adar / resource-allocation. Wedge self-join on the apex
+      // with a degree-64 hub cap — candidate width is bounded per key,
+      // never an all-pairs product; DECIMAL term sums keep the doubles
+      // partition-invariant.
+      Q("q_link_predict",
+        (s, dir) =>
+          graft.ops.Graph.linkPrediction(structureEdges(s, dir), 64, 2)
+            .orderBy("src", "dst"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Graph.linkPredictionOracleSql(duckNearDupEdges, 64, 2)}
+          ) ORDER BY src, dst""")),
+
+      // Item-item collaborative filtering over the order log: parts are
+      // related when the same customers buy both (co-occurrence cosine +
+      // Jaccard, top-5 neighbors per part). The behavioral complement of
+      // the embedding kNN — same top-N output shape, evidence from
+      // co-engagement instead of content. Pair generation self-joins the
+      // per-customer basket capped at 20 lowest partkeys (deterministic,
+      // oracle-replayed), so join width is bounded under any power-user
+      // skew; the top-N filter is a partitioned window, never global.
+      Q("q_item_cf",
+        (s, dir) => {
+          val o = t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey"))
+          val li = t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey"))
+          val inter = li.join(o, li("l_orderkey") === o("o_orderkey"))
+            .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
+          graft.ops.Recommend.itemItemCf(inter, "u", "i", 20, 2, 5)
+            .orderBy("item", "rank")
+        },
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Recommend.itemItemCfOracleSql(
+              """(SELECT o_custkey AS u, l_partkey AS i
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
+              20, 2, 5)}
+          ) ORDER BY item, rank""")),
 
       // Weekly cohort retention triangle over the event log: cohort by
       // first-signup week, distinct active users per (cohort, offset).
@@ -10603,6 +10696,66 @@ object QueryCatalog {
                       ELSE (CAST(0.25 AS DOUBLE) * (p.level - p.pl)
                               + CAST(0.75 AS DOUBLE) * p.pt
                             + CAST(0.0 AS DOUBLE)) END AS trend
+          FROM dump d
+          JOIN prev p ON d.user_id = p.user_id AND d.step = p.step
+          JOIN vals v ON d.user_id = v.user_id
+          ORDER BY d.user_id, d.step""")),
+
+      // Holt-Winters additive triple-exponential (level+trend+period-7
+      // seasonal, last 28 events per user) — the seasonality-aware
+      // forecaster over the event log. Same inductive dump-replay
+      // contract as q_holt_trend, extended one lag deeper: expected step
+      // t is one fixed IEEE chain over dumped step t−1 (level/trend via
+      // lag 1) and dumped step t−7 (seasonal via lag 7); the first cycle
+      // runs Holt and seeds seasonals from deviations (documented warmup
+      // contract). All of α=0.5, β=γ=0.25 are exact in binary.
+      Q("q_holt_winters",
+        (s, dir) =>
+          graft.ops.Analytics.holtWinters(
+              evT(s, dir), "user_id", "ts", "event_id", "value",
+              0.5, 0.25, 0.25, 7, 28)
+            .orderBy("user_id", "step"),
+        Some(s"""
+          WITH kept AS (
+            SELECT user_id, ts, event_id, value
+            FROM $duckEvents
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) <= 28),
+          vals AS (
+            SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs
+            FROM kept GROUP BY user_id),
+          dump AS (
+            SELECT user_id, step, level, trend, seasonal
+            FROM read_parquet('__GRAFT_OUT__/q_holt_winters/*.parquet')),
+          prev AS (
+            SELECT user_id, step, level,
+                   lag(level) OVER w AS pl, lag(trend) OVER w AS pt,
+                   lag(seasonal, 7) OVER w AS sm
+            FROM dump
+            WINDOW w AS (PARTITION BY user_id ORDER BY step))
+          SELECT d.user_id, d.step,
+                 CASE WHEN d.step = 1
+                      THEN (v.xs[1] + CAST(0.0 AS DOUBLE))
+                      WHEN d.step <= 7
+                      THEN (CAST(0.5 AS DOUBLE) * v.xs[CAST(d.step AS INT)]
+                              + CAST(0.5 AS DOUBLE) * (p.pl + p.pt)
+                            + CAST(0.0 AS DOUBLE))
+                      ELSE (CAST(0.5 AS DOUBLE) * (v.xs[CAST(d.step AS INT)] - p.sm)
+                              + CAST(0.5 AS DOUBLE) * (p.pl + p.pt)
+                            + CAST(0.0 AS DOUBLE)) END AS level,
+                 CASE WHEN d.step = 1
+                      THEN CAST(0.0 AS DOUBLE)
+                      ELSE (CAST(0.25 AS DOUBLE) * (p.level - p.pl)
+                              + CAST(0.75 AS DOUBLE) * p.pt
+                            + CAST(0.0 AS DOUBLE)) END AS trend,
+                 CASE WHEN d.step = 1
+                      THEN CAST(0.0 AS DOUBLE)
+                      WHEN d.step <= 7
+                      THEN (v.xs[CAST(d.step AS INT)] - p.level
+                            + CAST(0.0 AS DOUBLE))
+                      ELSE (CAST(0.25 AS DOUBLE)
+                              * (v.xs[CAST(d.step AS INT)] - p.pl - p.pt)
+                              + CAST(0.75 AS DOUBLE) * p.sm
+                            + CAST(0.0 AS DOUBLE)) END AS seasonal
           FROM dump d
           JOIN prev p ON d.user_id = p.user_id AND d.step = p.step
           JOIN vals v ON d.user_id = v.user_id
@@ -10724,6 +10877,20 @@ object QueryCatalog {
           graft.ops.Analytics.welchZTest(
             evT(s, dir), "event_type", "value", "click", "purchase"),
         Some(graft.ops.Analytics.welchZTestOracleSql(
+          duckEvents, "event_type", "value", "click", "purchase"))),
+
+      // Kolmogorov–Smirnov two-sample drift between the same two event
+      // segments — the whole-distribution complement of q_ab_ztest (a
+      // mean-preserving shape change is invisible to a z-test). Corpus
+      // collapses to the distinct round-6 value dimension, ECDFs come
+      // from the range-partitioned prefix-sum two-pass (never an
+      // Exchange SinglePartition), and the supremum is a
+      // TakeOrderedAndProject top-1 with the value as tie-break.
+      Q("q_ks_drift",
+        (s, dir) =>
+          graft.ops.Analytics.ksTest(
+            evT(s, dir), "event_type", "value", "click", "purchase"),
+        Some(graft.ops.Analytics.ksTestOracleSql(
           duckEvents, "event_type", "value", "click", "purchase"))),
 
       // Incremental aggregation: base-slice partials (< Jan 20) merged with

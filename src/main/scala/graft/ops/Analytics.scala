@@ -255,6 +255,83 @@ object Analytics {
         (col("__s.trend") + lit(0.0)).as("trend"))
   }
 
+  /** Holt-Winters ADDITIVE triple-exponential smoothing (level + trend +
+    * period-`m` seasonal) per key over the last `lastN` events in
+    * (ts, ord) order — the seasonality-aware upgrade of [[holtSmooth]]
+    * (Winters 1960; Hyndman & Athanasopoulos fpp3 §8.3 formulation):
+    *   t = 1:        l=x₁, b=0, s=0
+    *   2 ≤ t ≤ m:    l = α·x_t + (1−α)(l₋+b₋); b = β(l−l₋)+(1−β)b₋;
+    *                 s = x_t − l          (first-cycle seasonal = deviation)
+    *   t > m:        l = α(x_t − s_{t−m}) + (1−α)(l₋+b₋)
+    *                 b = β(l − l₋) + (1−β)b₋
+    *                 s = γ(x_t − l₋ − b₋) + (1−γ)s_{t−m}
+    * The first cycle has no seasonal history, so it runs the Holt
+    * recursion and SEEDS the seasonal table from deviations — a fixed,
+    * documented warmup contract (there is no universal HW init; what
+    * matters for the oracle is that both engines replay the SAME one).
+    *
+    * Same determinism scheme as [[holtSmooth]]: the 3-component state
+    * fits no portable scalar fold, so the whole per-step state table is
+    * emitted RAW and the catalog oracle replays it inductively from its
+    * own dump — step t is one fixed IEEE chain over dumped step t−1
+    * (level/trend) and dumped step t−m (seasonal), no rounding anywhere.
+    *
+    * Scale: one shuffle on the key; per-key state bounded by `lastN`;
+    * the seasonal lookback is an array index into the fold accumulator
+    * (s_{t−m} = acc[t−m]), still O(lastN) per key.
+    * Returns (key, step, level, trend, seasonal). */
+  def holtWinters(events: DataFrame, keyCol: String, tsCol: String,
+                  ordCol: String, valCol: String, alpha: Double,
+                  beta: Double, gamma: Double, m: Int,
+                  lastN: Int): DataFrame = {
+    require(m >= 2, s"seasonal period must be >= 2, got $m")
+    val recent = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(ordCol).desc)
+    val kept = events
+      .select(col(keyCol), col(tsCol), col(ordCol), col(valCol))
+      .withColumn("__rn", row_number().over(recent))
+      .where(col("__rn") <= lastN)
+    val vals = transform(
+      sort_array(collect_list(struct(col(tsCol), col(ordCol),
+        col(valCol).cast("double").as("__v")))),
+      s => s.getField("__v"))
+    val grouped = kept.groupBy(col(keyCol)).agg(vals.as("__vals"))
+    val zero = array(struct(
+      lit(1).as("step"),
+      element_at(col("__vals"), 1).as("level"),
+      lit(0.0).as("trend"),
+      lit(0.0).as("seasonal")))
+    val folded = grouped.select(col(keyCol),
+      aggregate(
+        slice(col("__vals"), 2, lastN), zero,
+        (acc, x) => {
+          val last = element_at(acc, size(acc))
+          val pl = last.getField("level")
+          val pt = last.getField("trend")
+          // s_{t−m} = acc[t−m] with t = size(acc)+1; guarded so the
+          // index is only read once a full cycle of history exists
+          val sm = element_at(acc,
+            greatest(size(acc) + 1 - lit(m), lit(1)))
+            .getField("seasonal")
+          val inCycle = size(acc) + 1 <= lit(m)
+          val nl = when(inCycle,
+              lit(alpha) * x + lit(1.0 - alpha) * (pl + pt))
+            .otherwise(
+              lit(alpha) * (x - sm) + lit(1.0 - alpha) * (pl + pt))
+          val nt = lit(beta) * (nl - pl) + lit(1.0 - beta) * pt
+          val ns = when(inCycle, x - nl)
+            .otherwise(lit(gamma) * (x - pl - pt) + lit(1.0 - gamma) * sm)
+          concat(acc, array(struct(
+            (size(acc) + 1).as("step"), nl.as("level"), nt.as("trend"),
+            ns.as("seasonal"))))
+        }).as("__steps"))
+    folded.select(col(keyCol), explode(col("__steps")).as("__s"))
+      .select(col(keyCol), col("__s.step").cast("long").as("step"),
+        (col("__s.level") + lit(0.0)).as("level"),
+        (col("__s.trend") + lit(0.0)).as("trend"),
+        (col("__s.seasonal") + lit(0.0)).as("seasonal"))
+  }
+
   // =========================================================================
   // Series diagnostics: autocorrelation + CUSUM changepoint
   // =========================================================================
@@ -469,6 +546,98 @@ object Analytics {
               ${r6s(va)} AS var_a, ${r6s(vb)} AS var_b,
               ${r6s(s"($ma - $mb) / sqrt($va / $na + $vb / $nb)")} AS z
        FROM m"""
+  }
+
+  // =========================================================================
+  // Kolmogorov–Smirnov two-sample drift test
+  // =========================================================================
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the `valCol`
+    * distributions of two event types: D = max over x of
+    * |ECDF_A(x) − ECDF_B(x)| — the standard WHOLE-DISTRIBUTION drift
+    * detector (data-drift monitoring between a training snapshot and
+    * production traffic; the nonparametric complement of [[welchZTest]],
+    * which only sees means). Returns one row
+    * (n_a, n_b, at_value, d_stat, d_scaled) where `at_value` is the
+    * location of the supremum (lowest such value on ties) and `d_scaled`
+    * = √(n_a·n_b/(n_a+n_b))·D is the sample-size-normalized statistic the
+    * asymptotic KS tables index.
+    *
+    * Scale design (100 TB): the corpus collapses FIRST to the
+    * distinct-value dimension (values quantized to DECIMAL(18,6) — a
+    * map-combined groupBy with per-type conditional counts), and the
+    * ECDFs come from [[Layout.rankedCumSum]]'s range-partitioned two-pass
+    * prefix sum over that dimension — exactly
+    * `sum(c) OVER (ORDER BY x)` but never an `Exchange SinglePartition`.
+    * The supremum is an orderBy(…).limit(1) = TakeOrderedAndProject:
+    * per-partition top-1, one row to the driver.
+    *
+    * Determinism: counts cumulate in DECIMAL (order-independent); the
+    * per-value ECDF gap rounds to 9 decimals BEFORE the max, with the
+    * value itself as tie-break, so both engines pick the same supremum
+    * bit-for-bit; outputs round to 6. */
+  def ksTest(events: DataFrame, typeCol: String, valCol: String,
+             typeA: String, typeB: String): DataFrame = {
+    val x6 = round(col(valCol), 6).cast("decimal(18,6)")
+    val per = events.where(col(typeCol).isin(typeA, typeB))
+      .select(col(typeCol).as("__t"), x6.as("__x"))
+      .groupBy(col("__x"))
+      .agg(
+        sum(when(col("__t") === typeA, lit(1L)).otherwise(lit(0L)))
+          .cast("decimal(18,0)").as("__ca"),
+        sum(when(col("__t") === typeB, lit(1L)).otherwise(lit(0L)))
+          .cast("decimal(18,0)").as("__cb"))
+    // two range-partitioned prefix-sum passes over the (already
+    // collapsed) distinct-value dimension — narrow rows, no global window
+    val (cumA, _) = Layout.rankedCumSum(per, Seq(col("__x")), "__ca",
+      "__rka", "__cuma")
+    val (cumB, _) = Layout.rankedCumSum(cumA, Seq(col("__x")), "__cb",
+      "__rkb", "__cumb")
+    val totals = per.agg(
+      sum(col("__ca")).cast("double").as("__na"),
+      sum(col("__cb")).cast("double").as("__nb"))
+    val gap = cumB.crossJoin(broadcast(totals))
+      .select(col("__x"), col("__na"), col("__nb"),
+        (round(abs(col("__cuma").cast("double") / col("__na") -
+          col("__cumb").cast("double") / col("__nb")), 9) + lit(0.0))
+          .as("__d"))
+    gap.orderBy(col("__d").desc, col("__x")).limit(1)
+      .select(
+        col("__na").cast("long").as("n_a"),
+        col("__nb").cast("long").as("n_b"),
+        col("__x").as("at_value"),
+        r6(col("__d")).as("d_stat"),
+        r6(sqrt(col("__na") * col("__nb") / (col("__na") + col("__nb")))
+          * col("__d")).as("d_scaled"))
+  }
+
+  /** Oracle fragment replaying [[ksTest]] (DuckDB dialect): the prefix
+    * sums become plain cumulative windows — the oracle may afford the
+    * single-partition sort the engine avoids. */
+  def ksTestOracleSql(eventsRel: String, typeCol: String, valCol: String,
+                      typeA: String, typeB: String): String = {
+    def r6s(x: String) = s"(round($x, 6) + CAST(0.0 AS DOUBLE))"
+    s"""WITH per AS (
+         SELECT CAST(round($valCol, 6) AS DECIMAL(18,6)) AS x,
+                CAST(sum(CASE WHEN $typeCol = '$typeA' THEN 1 ELSE 0 END) AS DECIMAL(18,0)) AS ca,
+                CAST(sum(CASE WHEN $typeCol = '$typeB' THEN 1 ELSE 0 END) AS DECIMAL(18,0)) AS cb
+         FROM $eventsRel WHERE $typeCol IN ('$typeA', '$typeB')
+         GROUP BY 1),
+       tot AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
+                      CAST(sum(cb) AS DOUBLE) AS nb FROM per),
+       cum AS (SELECT x,
+                      sum(ca) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cuma,
+                      sum(cb) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cumb
+               FROM per),
+       gap AS (SELECT x, na, nb,
+                      (round(abs(CAST(cuma AS DOUBLE) / na
+                                 - CAST(cumb AS DOUBLE) / nb), 9)
+                       + CAST(0.0 AS DOUBLE)) AS d
+               FROM cum CROSS JOIN tot)
+       SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+              x AS at_value, ${r6s("d")} AS d_stat,
+              ${r6s("sqrt(na * nb / (na + nb)) * d")} AS d_scaled
+       FROM gap ORDER BY d DESC, x LIMIT 1"""
   }
 
   // =========================================================================

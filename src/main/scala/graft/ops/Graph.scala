@@ -674,4 +674,113 @@ object Graph {
               (round(CAST(coalesce(h.hsum, CAST(0.0 AS DECIMAL(18,6)))
                  AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS harmonic
        FROM nodes n LEFT JOIN h ON n.id = h.id"""
+
+  /** Topological link prediction over the UNDIRECTED graph induced by
+    * `edges0` (cols src, dst; direction/duplicates ignored, self-loops
+    * dropped): for every UNLINKED pair (u, v) with at least `minCommon`
+    * common neighbors, the four classic neighborhood scores —
+    * common-neighbor count, Jaccard overlap cn/(du+dv−cn), Adamic–Adar
+    * Σ 1/ln(d_z) and resource-allocation Σ 1/d_z over the shared
+    * neighbors z (Liben-Nowell & Kleinberg CIKM'03; Zhou/Lü/Zhang EPJ B
+    * 2009). This is the "which near-dup pair did LSH MISS" auditor and
+    * the related-item candidate generator that needs no embeddings.
+    *
+    * Scale design (100 TB): candidate pairs are generated as wedges —
+    * one self-join of the adjacency list on the shared-neighbor apex —
+    * NEVER as an all-pairs product. A degree-D apex fans out D² wedge
+    * rows, so apexes with degree > `maxApexDegree` are excluded from
+    * wedge generation (the hub guard): per-key join width is bounded by
+    * maxApexDegree on both sides, which is exactly the skew bound the
+    * salting playbook would otherwise chase. Dropping super-hubs is the
+    * standard AA practice, not an approximation dodge — a hub shared by
+    * everyone scores 1/ln(D) ≈ 0 and carries no signal, and the oracle
+    * replays the same cap so the contract stays exact. Jaccard's du/dv
+    * stay FULL degrees (hub edges count toward the union; only the
+    * wedge APEX role is capped). All shuffled tuples are narrow
+    * (long, long, long); the final anti-join against existing edges and
+    * the two degree joins are equi-joins on node ids.
+    *
+    * Determinism: per-wedge 1/ln(d_z) and 1/d_z round to 9 decimals and
+    * sum in DECIMAL(28,9) — order-independent under any partitioning;
+    * outputs round to 6. An apex needs ≥ 2 neighbors to emit a wedge, so
+    * ln(d_z) ≥ ln 2 > 0 — no division-by-zero edge. Returns
+    * (src, dst, common, jaccard, adamic_adar, resource_alloc),
+    * src < dst canonical. */
+  def linkPrediction(edges0: DataFrame, maxApexDegree: Int,
+                     minCommon: Int): DataFrame = {
+    val und = edges0
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct().persist()
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d")).persist()
+    val adj = und.select(col("a").as("z"), col("b").as("x"))
+      .unionAll(und.select(col("b").as("z"), col("a").as("x")))
+    val eligible = adj.join(
+      deg.where(col("d") <= maxApexDegree && col("d") >= 2)
+        .select(col("id").as("z"), col("d").as("dz")), "z")
+    val w1 = eligible.select(col("z"), col("dz"), col("x").as("u"))
+    val w2 = eligible.select(col("z"), col("x").as("v"))
+    val scored = w1.join(w2, "z").where(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).cast("long").as("common"),
+        sum(round(lit(1.0) / log(col("dz").cast("double")), 9)
+          .cast("decimal(28,9)")).as("__aa"),
+        sum(round(lit(1.0) / col("dz").cast("double"), 9)
+          .cast("decimal(28,9)")).as("__ra"))
+      .where(col("common") >= minCommon)
+    val unlinked = scored.join(
+      und.select(col("a").as("u"), col("b").as("v")),
+      Seq("u", "v"), "left_anti")
+    val out = unlinked
+      .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
+      .select(col("u").as("src"), col("v").as("dst"), col("common"),
+        (round(col("common").cast("double") /
+          (col("du") + col("dv") - col("common")).cast("double"), 6)
+          + lit(0.0)).as("jaccard"),
+        (round(col("__aa").cast("double"), 6) + lit(0.0)).as("adamic_adar"),
+        (round(col("__ra").cast("double"), 6) + lit(0.0)).as("resource_alloc"))
+    val result = materialize(out)
+    und.unpersist(); deg.unpersist()
+    result
+  }
+
+  /** Oracle fragment replaying [[linkPrediction]]'s exact wedge
+    * generation, hub cap and DECIMAL score arithmetic over an edge
+    * relation (cols src, dst). */
+  def linkPredictionOracleSql(edgesSql: String, maxApexDegree: Int,
+                              minCommon: Int): String =
+    s"""WITH e0 AS (SELECT src, dst FROM $edgesSql),
+      und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM e0 WHERE src <> dst),
+      deg AS (SELECT id, count(*) AS d FROM (
+                SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und) t__
+              GROUP BY id),
+      adj AS (SELECT a AS z, b AS x FROM und
+              UNION ALL SELECT b AS z, a AS x FROM und),
+      elig AS (SELECT adj.z, deg.d AS dz, adj.x
+               FROM adj JOIN deg ON adj.z = deg.id
+               WHERE deg.d <= $maxApexDegree AND deg.d >= 2),
+      sc AS (SELECT w1.x AS u, w2.x AS v,
+                    CAST(count(*) AS BIGINT) AS common,
+                    sum(CAST(round(CAST(1.0 AS DOUBLE) / ln(CAST(w1.dz AS DOUBLE)), 9)
+                        AS DECIMAL(28,9))) AS aa,
+                    sum(CAST(round(CAST(1.0 AS DOUBLE) / CAST(w1.dz AS DOUBLE), 9)
+                        AS DECIMAL(28,9))) AS ra
+             FROM elig w1 JOIN elig w2 ON w1.z = w2.z AND w1.x < w2.x
+             GROUP BY w1.x, w2.x
+             HAVING count(*) >= $minCommon),
+      unl AS (SELECT sc.* FROM sc
+              LEFT JOIN und ON sc.u = und.a AND sc.v = und.b
+              WHERE und.a IS NULL)
+      SELECT unl.u AS src, unl.v AS dst, unl.common,
+             (round(CAST(unl.common AS DOUBLE)
+                / CAST(du.d + dv.d - unl.common AS DOUBLE), 6)
+                + CAST(0.0 AS DOUBLE)) AS jaccard,
+             (round(CAST(unl.aa AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS adamic_adar,
+             (round(CAST(unl.ra AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS resource_alloc
+      FROM unl JOIN deg du ON unl.u = du.id JOIN deg dv ON unl.v = dv.id"""
 }

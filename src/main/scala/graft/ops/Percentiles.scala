@@ -216,4 +216,92 @@ object Percentiles {
         .drop(s"__${name}_lo", s"__${name}_hi", s"__${name}_f")
     }
   }
+
+  /** Quantile normalization (binned quantile mapping): re-expresses every
+    * distinct `valCol` value of `source` as the `reference` distribution's
+    * value at the same cumulative probability — the standard score
+    * calibrator when two scorers/domains/snapshots must rank on one scale
+    * (Bolstad et al. Bioinformatics 2003 popularized the exact form;
+    * binning is the at-scale practice). The map is
+    * x ↦ Q_ref(⌈F_src(x)·bins⌉/bins): an exact ECDF on the source side,
+    * the reference side summarized once at `bins` fixed probabilities.
+    *
+    * Scale design (100 TB): the source collapses FIRST to its distinct
+    * round-6 value dimension (map-combined groupBy), the ECDF comes from
+    * [[Layout.rankedCumSum]]'s range-partitioned prefix sum (never an
+    * `Exchange SinglePartition`), and the reference costs ONE
+    * [[quantilesGlobal]] run — a range shuffle + two passes regardless of
+    * `bins`. The bin→quantile map is `bins` rows, broadcast; no join ever
+    * sees more than the distinct-value dimension.
+    *
+    * Determinism: ECDF = exact-DECIMAL cum count / total, rounded to 9
+    * BEFORE the bin arithmetic (⌈ecdf·bins⌉ is then the same IEEE chain
+    * in both engines); quantiles interpolate in quantile_cont's convex
+    * form (bit-parity pinned by q_percentile_global); emitted doubles
+    * round to 6. Returns (x, ecdf, bin, normalized) per distinct source
+    * value. */
+  def quantileNormalize(source: DataFrame, reference: DataFrame,
+                        valCol: String, bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 10000, s"bins out of range: $bins")
+    val x6 = round(col(valCol), 6).cast("decimal(18,6)")
+    val per = source.select(x6.as("__x")).where(col("__x").isNotNull)
+      .groupBy(col("__x"))
+      .agg(count(lit(1)).cast("decimal(18,0)").as("__c"))
+    val (cum, _) = Layout.rankedCumSum(per, Seq(col("__x")), "__c",
+      "__rk", "__cum")
+    val totals = per.agg(sum(col("__c")).cast("double").as("__n"))
+    val binned = cum.crossJoin(broadcast(totals))
+      .select(col("__x"),
+        (round(col("__cum").cast("double") / col("__n"), 9) + lit(0.0))
+          .as("__ecdf"))
+      .withColumn("__bin",
+        least(ceil(col("__ecdf") * lit(bins.toDouble)), lit(bins.toLong))
+          .cast("long"))
+    val qs = (1 to bins).map(j => (s"q$j", j.toDouble / bins))
+    val qrow = quantilesGlobal(reference.select(
+      col(valCol).cast("double").as("__v")), "__v", qs)
+    val qtab = qrow.selectExpr(
+      s"stack($bins, " +
+        (1 to bins).map(j => s"CAST($j AS BIGINT), q$j").mkString(", ") +
+        ") AS (__bin, __q)")
+    binned.join(broadcast(qtab), Seq("__bin"))
+      .select(col("__x").as("x"), (round(col("__ecdf"), 6) + lit(0.0)).as("ecdf"),
+        col("__bin").as("bin"),
+        (round(col("__q"), 6) + lit(0.0)).as("normalized"))
+  }
+
+  /** Oracle fragment replaying [[quantileNormalize]] (DuckDB dialect):
+    * the prefix sum becomes a cumulative window, the reference side one
+    * `quantile_cont(v, [p…])` list aggregate. */
+  def quantileNormalizeOracleSql(sourceRel: String, referenceRel: String,
+                                 valCol: String, bins: Int): String = {
+    // CAST each probability to DOUBLE: a bare 0.01 literal is DECIMAL in
+    // DuckDB; the cast path and Scala's j.toDouble/bins are both
+    // correctly rounded, so the probabilities are bit-identical
+    val ps = (1 to bins)
+      .map(j => s"CAST(${(j.toDouble / bins).toString} AS DOUBLE)")
+      .mkString(", ")
+    s"""WITH per AS (
+         SELECT CAST(round($valCol, 6) AS DECIMAL(18,6)) AS x,
+                CAST(count(*) AS DECIMAL(18,0)) AS c
+         FROM $sourceRel WHERE $valCol IS NOT NULL GROUP BY 1),
+       tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM per),
+       cum AS (SELECT x,
+                      sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cc
+               FROM per),
+       e AS (SELECT x,
+                    (round(CAST(cc AS DOUBLE) / n, 9) + CAST(0.0 AS DOUBLE)) AS ecdf
+             FROM cum CROSS JOIN tot),
+       b AS (SELECT x, ecdf,
+                    CAST(least(ceil(ecdf * CAST($bins AS DOUBLE)),
+                               CAST($bins AS DOUBLE)) AS BIGINT) AS bin
+             FROM e),
+       ql AS (SELECT quantile_cont(CAST($valCol AS DOUBLE), [$ps]) AS qs
+              FROM $referenceRel WHERE $valCol IS NOT NULL),
+       q AS (SELECT CAST(j AS BIGINT) AS bin, qs[CAST(j AS INT)] AS qv
+             FROM ql, generate_series(1, $bins) AS t__(j))
+       SELECT b.x, (round(b.ecdf, 6) + CAST(0.0 AS DOUBLE)) AS ecdf, b.bin,
+              (round(q.qv, 6) + CAST(0.0 AS DOUBLE)) AS normalized
+       FROM b JOIN q ON b.bin = q.bin"""
+  }
 }

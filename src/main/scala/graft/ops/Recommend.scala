@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Item–item collaborative filtering over a (user, item) interaction log —
+  * the classic neighborhood recommender (Sarwar et al. WWW'01; Linden et
+  * al. IEEE IC'03 is the industrial statement): two items are similar when
+  * the same users touch both, scored by co-occurrence cosine
+  * cooc/√(n_i·n_j) and Jaccard cooc/(n_i+n_j−cooc), then each item keeps
+  * its top-N neighbors. No embeddings, no training — the similarity IS the
+  * co-engagement structure, which is why it survives at catalog scales
+  * where per-item models don't.
+  *
+  * Reference anchor: the reference ranks related content purely by vector
+  * similarity (`document_processor.py` retrieval path); this operator is
+  * the behavioral complement a production pipeline runs next to it —
+  * same top-N-neighbors output shape as the kNN join
+  * ([[Similarity]]), different evidence.
+  *
+  * Scale design (100 TB of interactions):
+  *   - the pair generator is a self-join of the per-user item list on the
+  *     user key — never an item×item product. A degree-U user emits U²
+  *     pairs, so each user's list is CAPPED at `capPerUser` items first
+  *     (deterministic: lowest item ids survive — a replayable rule, not a
+  *     sample); per-key join width is then ≤ capPerUser on both sides,
+  *     the same hub bound [[Graph.linkPrediction]] puts on wedge apexes.
+  *     Power users are exactly the uninformative ones here (a user who
+  *     touches everything links everything), so the cap is the standard
+  *     practice, and the oracle replays it so the contract stays exact.
+  *   - item supports n_i are counted on the SAME capped set, so
+  *     cosine/Jaccard stay internally consistent and ≤ 1.
+  *   - the top-N filter is a PARTITIONED window (one item's neighbor list
+  *     per task) — never a global sort; neighbor lists are bounded by
+  *     minCooc before ranking so the window input is the co-engagement
+  *     graph, not the pair blow-up.
+  *
+  * Determinism: counts are integers; cosine/Jaccard round to 6 decimals
+  * BEFORE ranking, with (cooc DESC, neighbor ASC) tie-breaks — identical
+  * rank on any partitioning and in the oracle replay. Returns
+  * (item, neighbor, cooc, cosine, jaccard, rank), rank 1..topN. */
+object Recommend {
+
+  def itemItemCf(interactions: DataFrame, userCol: String, itemCol: String,
+                 capPerUser: Int, minCooc: Int, topN: Int): DataFrame = {
+    val ui = interactions
+      .select(col(userCol).as("u"), col(itemCol).as("i"))
+      .distinct()
+    // deterministic per-user cap: keep the capPerUser lowest item ids —
+    // a bounded partitioned window (≤ one user's items per task)
+    val capped = ui
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("u")).orderBy(col("i"))))
+      .where(col("__rn") <= capPerUser)
+      .select(col("u"), col("i"))
+      .persist()
+    val support = capped.groupBy(col("i"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val l = capped.select(col("u"), col("i").as("i1"))
+    val r = capped.select(col("u"), col("i").as("i2"))
+    val cooc = l.join(r, "u").where(col("i1") < col("i2"))
+      .groupBy(col("i1"), col("i2"))
+      .agg(count(lit(1)).cast("long").as("cooc"))
+      .where(col("cooc") >= minCooc)
+    val scoredPairs = cooc
+      .join(support.select(col("i").as("i1"), col("n").as("n1")), "i1")
+      .join(support.select(col("i").as("i2"), col("n").as("n2")), "i2")
+      .select(col("i1"), col("i2"), col("cooc"),
+        (round(col("cooc").cast("double") /
+          sqrt(col("n1").cast("double") * col("n2").cast("double")), 6)
+          + lit(0.0)).as("cosine"),
+        (round(col("cooc").cast("double") /
+          (col("n1") + col("n2") - col("cooc")).cast("double"), 6)
+          + lit(0.0)).as("jaccard"))
+    // symmetrize, then bounded top-N per item (partitioned window)
+    val sym = scoredPairs.select(col("i1").as("item"), col("i2").as("neighbor"),
+        col("cooc"), col("cosine"), col("jaccard"))
+      .unionAll(scoredPairs.select(col("i2").as("item"), col("i1").as("neighbor"),
+        col("cooc"), col("cosine"), col("jaccard")))
+    val ranked = sym.withColumn("rank", row_number().over(
+        Window.partitionBy(col("item"))
+          .orderBy(col("cosine").desc, col("cooc").desc, col("neighbor"))))
+      .where(col("rank") <= topN)
+      .select(col("item"), col("neighbor"), col("cooc"),
+        col("cosine"), col("jaccard"), col("rank").cast("long").as("rank"))
+    val result = Graph.materialize(ranked)
+    capped.unpersist()
+    result
+  }
+
+  /** Oracle fragment replaying [[itemItemCf]] — same deterministic cap,
+    * same round-6-then-rank discipline — over an interaction relation
+    * (two columns aliased u, i). */
+  def itemItemCfOracleSql(interactionsSql: String, capPerUser: Int,
+                          minCooc: Int, topN: Int): String =
+    s"""WITH ui AS (SELECT DISTINCT u, i FROM $interactionsSql),
+      capped AS (SELECT u, i FROM (
+          SELECT u, i, row_number() OVER (PARTITION BY u ORDER BY i) AS rn
+          FROM ui) t__ WHERE rn <= $capPerUser),
+      support AS (SELECT i, CAST(count(*) AS BIGINT) AS n
+                  FROM capped GROUP BY i),
+      cooc AS (SELECT l.i AS i1, r.i AS i2, CAST(count(*) AS BIGINT) AS cooc
+               FROM capped l JOIN capped r ON l.u = r.u AND l.i < r.i
+               GROUP BY l.i, r.i
+               HAVING count(*) >= $minCooc),
+      sp AS (SELECT i1, i2, cooc,
+                    (round(CAST(cooc AS DOUBLE)
+                       / sqrt(CAST(s1.n AS DOUBLE) * CAST(s2.n AS DOUBLE)), 6)
+                       + CAST(0.0 AS DOUBLE)) AS cosine,
+                    (round(CAST(cooc AS DOUBLE)
+                       / CAST(s1.n + s2.n - cooc AS DOUBLE), 6)
+                       + CAST(0.0 AS DOUBLE)) AS jaccard
+             FROM cooc JOIN support s1 ON cooc.i1 = s1.i
+                       JOIN support s2 ON cooc.i2 = s2.i),
+      sym AS (SELECT i1 AS item, i2 AS neighbor, cooc, cosine, jaccard FROM sp
+              UNION ALL
+              SELECT i2 AS item, i1 AS neighbor, cooc, cosine, jaccard FROM sp)
+      SELECT item, neighbor, cooc, cosine, jaccard, CAST(rank AS BIGINT) AS rank
+      FROM (SELECT sym.*, row_number() OVER (PARTITION BY item
+              ORDER BY cosine DESC, cooc DESC, neighbor) AS rank
+            FROM sym) t__
+      WHERE rank <= $topN"""
+}

@@ -478,6 +478,26 @@ class AnalyticsSpec extends AnyFunSuite {
       (1L, 3L, 15.125, 0.96875), (2L, 1L, 5.0, 0.0)))
   }
 
+  test("holtWinters: hand recursion with period-2 seasonal lookback") {
+    // x = 10,20,14,22; m=2: steps 1-2 run Holt + seed seasonals from
+    // deviations, steps 3-4 read s_{t-2} (all dyadic -> exact doubles)
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 10.0),
+      (1L, ts("2024-01-02 00:00:00"), 2L, 20.0),
+      (1L, ts("2024-01-03 00:00:00"), 3L, 14.0),
+      (1L, ts("2024-01-04 00:00:00"), 4L, 22.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = Analytics.holtWinters(ev, "user_id", "ts", "event_id",
+        "value", 0.5, 0.25, 0.25, 2, 16)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      (1L, 1L, 10.0, 0.0, 0.0),
+      (1L, 2L, 15.0, 1.25, 5.0),
+      (1L, 3L, 15.125, 0.96875, -0.5625),
+      (1L, 4L, 16.546875, 1.08203125, 5.2265625)))
+  }
+
   test("phraseHits: adjacent positions only, per-doc counts") {
     val docs = Seq(
       (1L, "fast merge fast merge"), // two hits
@@ -525,5 +545,57 @@ class AnalyticsSpec extends AnyFunSuite {
     got.map(_._4).zip(expect).foreach { case (a, b) =>
       assert(math.abs(a - b) < 1e-9, s"$a vs $b")
     }
+  }
+
+  test("ksTest: supremum location, value tie-break, scaled statistic") {
+    // A = {1,2,3}, B = {2,3,4,4}: ECDF gaps .3333/.4167/.5/0 -> D=0.5 at
+    // x=3; d_scaled = sqrt(3*4/7)*0.5 = 0.654654
+    val ev = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0), ("b", 4.0),
+      ("zz", 99.0) // other types must be filtered out
+    ).toDF("event_type", "value")
+    val r = Analytics.ksTest(ev, "event_type", "value", "a", "b")
+      .collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L)
+    assert(r.getDecimal(2).doubleValue() == 3.0)
+    assert(r.getDouble(3) == 0.5)
+    assert(r.getDouble(4) == 0.654654)
+    // disjoint supports: D = 1 at the LOWEST value achieving it
+    val ev2 = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("event_type", "value")
+    val r2 = Analytics.ksTest(ev2, "event_type", "value", "a", "b")
+      .collect()(0)
+    assert(r2.getDecimal(2).doubleValue() == 2.0 && r2.getDouble(3) == 1.0)
+  }
+
+  test("linkPrediction: 4-cycle scores the two diagonals, linked pairs excluded") {
+    // square 1-2-4-3-1: the only unlinked pairs are the diagonals (1,4)
+    // and (2,3), each with two degree-2 common neighbors
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.linkPrediction(edges, maxApexDegree = 64, minCommon = 2)
+      .orderBy("src", "dst")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    // AA per term: round(1/ln 2, 9) = 1.442695041, summed twice, round 6
+    assert(got == Seq(
+      (1L, 4L, 2L, 1.0, 2.88539, 1.0),
+      (2L, 3L, 2L, 1.0, 2.88539, 1.0)))
+  }
+
+  test("linkPrediction: hub apex above the degree cap generates no wedges") {
+    // square plus a degree-4 hub 9 linked to everyone; cap 3 excludes 9
+    // as an APEX (its wedges vanish) but NOT as an endpoint — and the
+    // hub's pairs (k,9) are all real edges anyway, so only the diagonals
+    // survive, now with degree-3 endpoints: jaccard 2/(3+3-2) = 0.5,
+    // AA = 2*round(1/ln 3, 9) -> 1.820478, RA = 2*round(1/3, 9) -> 0.666667
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L)).toDF("src", "dst")
+    val got = Graph.linkPrediction(edges, maxApexDegree = 3, minCommon = 2)
+      .orderBy("src", "dst")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 2L, 0.5, 1.820478, 0.666667),
+      (2L, 3L, 2L, 0.5, 1.820478, 0.666667)))
   }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Recommend
+
+/** Item-item collaborative filtering: hand-checked co-occurrence scores,
+  * the deterministic per-user cap, and the partitioned top-N ranking. */
+class RecommendSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private val interactions = Seq(
+    // u1 buys {1,2,3}, u2 {1,2}, u3 {2,3}, u4 {1}; duplicate row must
+    // not double-count
+    (10L, 1L), (10L, 2L), (10L, 3L), (10L, 3L),
+    (20L, 1L), (20L, 2L),
+    (30L, 2L), (30L, 3L),
+    (40L, 1L)).toDF("u", "i")
+
+  test("itemItemCf: cosine/jaccard arithmetic and per-item ranks") {
+    val got = Recommend.itemItemCf(interactions, "u", "i",
+        capPerUser = 20, minCooc = 2, topN = 5)
+      .orderBy("item", "rank")
+      .as[(Long, Long, Long, Double, Double, Long)].collect().toSeq
+    // supports: n1=3, n2=3, n3=2; pairs: (1,2) cooc 2, (2,3) cooc 2,
+    // (1,3) cooc 1 dropped by minCooc.
+    // cos(1,2)=2/3=0.666667 jac=2/4=0.5; cos(2,3)=2/sqrt(6)=0.816497
+    // jac=2/3=0.666667. Item 2 ranks 3 (higher cosine) above 1.
+    assert(got == Seq(
+      (1L, 2L, 2L, 0.666667, 0.5, 1L),
+      (2L, 3L, 2L, 0.816497, 0.666667, 1L),
+      (2L, 1L, 2L, 0.666667, 0.5, 2L),
+      (3L, 2L, 2L, 0.816497, 0.666667, 1L)))
+  }
+
+  test("itemItemCf: per-user cap keeps the lowest item ids and recounts support") {
+    // cap 2: u1's basket becomes {1,2}, so (2,3) loses u1 and falls
+    // under minCooc; only (1,2) survives, in both directions
+    val got = Recommend.itemItemCf(interactions, "u", "i",
+        capPerUser = 2, minCooc = 2, topN = 5)
+      .orderBy("item", "rank")
+      .as[(Long, Long, Long, Double, Double, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) == Seq(
+      (1L, 2L, 2L), (2L, 1L, 2L)))
+  }
+
+  test("itemItemCf: topN truncates each neighbor list independently") {
+    // one anchor item 1 co-bought with 2,3,4 by enough users; topN=1
+    // keeps only the strongest neighbor per item
+    val wide = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 1L), (2L, 2L), (2L, 3L), (2L, 4L),
+      (3L, 1L), (3L, 2L)).toDF("u", "i")
+    val got = Recommend.itemItemCf(wide, "u", "i",
+        capPerUser = 20, minCooc = 2, topN = 1)
+      .orderBy("item")
+      .as[(Long, Long, Long, Double, Double, Long)].collect().toSeq
+    assert(got.forall(_._6 == 1L))
+    // item 1's best neighbor is 2 (cooc 3 of support 3 both sides)
+    assert(got.find(_._1 == 1L).map(_._2).contains(2L))
+  }
+}

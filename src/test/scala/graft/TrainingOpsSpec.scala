@@ -239,4 +239,28 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(viaWindow == viaGiant, "route choice must never change the answer")
     assert(viaWindow.map(_._1) == Seq("F", "O", "P"))
   }
+
+  test("Percentiles.quantileNormalize: 4-bin mapping onto the reference quantiles") {
+    // source {1,2,3,4} -> ecdf .25/.5/.75/1 -> bins 1..4; reference
+    // {10,20,30,40} quantiles at p=.25/.5/.75/1 are 17.5/25/32.5/40
+    // (convex interpolation with pos=(n-1)q)
+    val src = Seq(1.0, 2.0, 3.0, 4.0).toDF("value")
+    val ref = Seq(10.0, 20.0, 30.0, 40.0).toDF("value")
+    val got = Percentiles.quantileNormalize(src, ref, "value", 4)
+      .orderBy("x")
+      .select(col("x").cast("double"), col("ecdf"), col("bin"),
+        col("normalized"))
+      .as[(Double, Double, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1.0, 0.25, 1L, 17.5), (2.0, 0.5, 2L, 25.0),
+      (3.0, 0.75, 3L, 32.5), (4.0, 1.0, 4L, 40.0)))
+    // duplicate source values collapse to one distinct row with the
+    // count-weighted ecdf: {1,1,1,2} -> ecdf(1)=.75 -> bin 3
+    val src2 = Seq(1.0, 1.0, 1.0, 2.0).toDF("value")
+    val got2 = Percentiles.quantileNormalize(src2, ref, "value", 4)
+      .orderBy("x")
+      .select(col("x").cast("double"), col("bin"), col("normalized"))
+      .as[(Double, Long, Double)].collect().toSeq
+    assert(got2 == Seq((1.0, 3L, 32.5), (2.0, 4L, 40.0)))
+  }
 }
