@@ -126,9 +126,12 @@ object QueryCatalog {
         t(s, dir, "documents"), "doc_id", "text", "n_chars >= 250"))
 
   /** Near-dup structure-edge memo (see structureEdges below): one
-    * persisted edge frame per (session identity, dir). */
+    * persisted edge frame per (session, dir). Keyed by the session
+    * REFERENCE (default identity equals/hashCode), not its
+    * identityHashCode — a hash collision between two live sessions can
+    * therefore never serve a plan bound to the wrong session. */
   private val structureEdgesCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** PCA model memo, same contract as [[opqRotation]]: q_pca_project and
     * q_pca_ann share one (mean, top-16 eigenvectors) fit per dir. */
@@ -2862,7 +2865,12 @@ object QueryCatalog {
     // puts two scorers/domains on one ranking scale. Source ECDF via the
     // range-partitioned prefix-sum two-pass (never SinglePartition);
     // reference summarized by ONE quantilesGlobal run (range shuffle +
-    // two passes for all 100 bins); the bin map broadcasts.
+    // two passes for all 100 bins); the bin map broadcasts. Bin selection
+    // is EXACT integer ceil-division (DECIMAL div / HUGEINT //) and the
+    // oracle reads the reference quantiles from q_qnorm_bins' dump — no
+    // float parity left in the contract (the r8 hash-RED was driver-side
+    // quantile_cont/round ULP skew on machinery that value-matched
+    // DuckDB 1.0.0 locally).
     Q("q_quantile_norm",
       (s, dir) => {
         val ev = tEvents(s, dir) // value only — ts representation irrelevant
@@ -2876,9 +2884,26 @@ object QueryCatalog {
         SELECT * FROM (
           ${graft.ops.Percentiles.quantileNormalizeOracleSql(
             "(SELECT value FROM events WHERE event_type = 'click')",
-            "(SELECT value FROM events WHERE event_type = 'purchase')",
+            "(SELECT bin, q FROM read_parquet('__GRAFT_OUT__/q_qnorm_bins/*.parquet'))",
             "value", 100)}
         ) ORDER BY x""")),
+
+    // The reference side of q_quantile_norm as its own dumped artifact:
+    // the purchase distribution's 100-bin quantile table. Rows-only gate
+    // by design (no oracleSql): its values are the engine's own
+    // quantilesGlobal output, whose cross-engine interpolation parity is
+    // already pinned bit-for-bit by q_percentile_global — replaying 100
+    // quantile_cont calls here would re-import exactly the ULP fragility
+    // q_quantile_norm's contract just removed.
+    Q("q_qnorm_bins",
+      (s, dir) => {
+        val ev = tEvents(s, dir)
+        graft.ops.Percentiles.quantileBinTable(
+            ev.where(col("event_type") === "purchase").select(col("value")),
+            "value", 100)
+          .orderBy("bin")
+      },
+      None),
 
     // Pivot (wide event-type counts per user). Spark's pivot relational
     // operator vs the oracle's conditional aggregation — same table.
@@ -10479,15 +10504,24 @@ object QueryCatalog {
     // because a cached plan is session-bound (tests/Verify/Bench each
     // own one session). Narrow (long, long) rows — at any scale this is
     // the graph, not the corpus.
-    def structureEdges(s: SparkSession, dir: String): DataFrame =
-      structureEdgesCache.computeIfAbsent(
-        System.identityHashCode(s) + "|" + dir,
-        _ => {
-          val e = nearDupEdges(s, dir, 4, 0.1)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def structureEdges(s: SparkSession, dir: String): DataFrame = {
+      // putIfAbsent (not computeIfAbsent): the eager materialization is a
+      // multi-second Spark job and must NOT run while holding the map's
+      // bin lock. A racing loser unpersists its never-counted copy.
+      val key = (s, dir)
+      val hit = structureEdgesCache.get(key)
+      if (hit != null) hit
+      else {
+        val e = nearDupEdges(s, dir, 4, 0.1)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val prev = structureEdgesCache.putIfAbsent(key, e)
+        if (prev != null) { e.unpersist(blocking = false); prev }
+        else {
           e.count() // materialize now: first caller pays once, visibly
           e
-        })
+        }
+      }
+    }
     val duckNearDupEdges: String = duckNearDupEdgesAt(4, 0.1)
     val duckDocToks =
       s"(SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents)"
@@ -10669,37 +10703,11 @@ object QueryCatalog {
               evT(s, dir), "user_id", "ts", "event_id", "value",
               0.5, 0.25, 16)
             .orderBy("user_id", "step"),
-        Some(s"""
-          WITH kept AS (
-            SELECT user_id, ts, event_id, value
-            FROM $duckEvents
-            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) <= 16),
-          vals AS (
-            SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs
-            FROM kept GROUP BY user_id),
-          dump AS (
-            SELECT user_id, step, level, trend
-            FROM read_parquet('__GRAFT_OUT__/q_holt_trend/*.parquet')),
-          prev AS (
-            SELECT user_id, step, level,
-                   lag(level) OVER w AS pl, lag(trend) OVER w AS pt
-            FROM dump
-            WINDOW w AS (PARTITION BY user_id ORDER BY step))
-          SELECT d.user_id, d.step,
-                 CASE WHEN d.step = 1
-                      THEN (v.xs[1] + CAST(0.0 AS DOUBLE))
-                      ELSE (CAST(0.5 AS DOUBLE) * v.xs[CAST(d.step AS INT)]
-                              + CAST(0.5 AS DOUBLE) * (p.pl + p.pt)
-                            + CAST(0.0 AS DOUBLE)) END AS level,
-                 CASE WHEN d.step = 1
-                      THEN CAST(0.0 AS DOUBLE)
-                      ELSE (CAST(0.25 AS DOUBLE) * (p.level - p.pl)
-                              + CAST(0.75 AS DOUBLE) * p.pt
-                            + CAST(0.0 AS DOUBLE)) END AS trend
-          FROM dump d
-          JOIN prev p ON d.user_id = p.user_id AND d.step = p.step
-          JOIN vals v ON d.user_id = v.user_id
-          ORDER BY d.user_id, d.step""")),
+        // ONE parameter set feeds both the engine call above and the
+        // replay text (holtSmoothOracleSql) — constants cannot desync
+        Some(graft.ops.Analytics.holtSmoothOracleSql(
+          duckEvents, "user_id", "ts", "event_id", "value",
+          0.5, 0.25, 16, "__GRAFT_OUT__/q_holt_trend"))),
 
       // Holt-Winters additive triple-exponential (level+trend+period-7
       // seasonal, last 28 events per user) — the seasonality-aware
@@ -10715,51 +10723,12 @@ object QueryCatalog {
               evT(s, dir), "user_id", "ts", "event_id", "value",
               0.5, 0.25, 0.25, 7, 28)
             .orderBy("user_id", "step"),
-        Some(s"""
-          WITH kept AS (
-            SELECT user_id, ts, event_id, value
-            FROM $duckEvents
-            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) <= 28),
-          vals AS (
-            SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs
-            FROM kept GROUP BY user_id),
-          dump AS (
-            SELECT user_id, step, level, trend, seasonal
-            FROM read_parquet('__GRAFT_OUT__/q_holt_winters/*.parquet')),
-          prev AS (
-            SELECT user_id, step, level,
-                   lag(level) OVER w AS pl, lag(trend) OVER w AS pt,
-                   lag(seasonal, 7) OVER w AS sm
-            FROM dump
-            WINDOW w AS (PARTITION BY user_id ORDER BY step))
-          SELECT d.user_id, d.step,
-                 CASE WHEN d.step = 1
-                      THEN (v.xs[1] + CAST(0.0 AS DOUBLE))
-                      WHEN d.step <= 7
-                      THEN (CAST(0.5 AS DOUBLE) * v.xs[CAST(d.step AS INT)]
-                              + CAST(0.5 AS DOUBLE) * (p.pl + p.pt)
-                            + CAST(0.0 AS DOUBLE))
-                      ELSE (CAST(0.5 AS DOUBLE) * (v.xs[CAST(d.step AS INT)] - p.sm)
-                              + CAST(0.5 AS DOUBLE) * (p.pl + p.pt)
-                            + CAST(0.0 AS DOUBLE)) END AS level,
-                 CASE WHEN d.step = 1
-                      THEN CAST(0.0 AS DOUBLE)
-                      ELSE (CAST(0.25 AS DOUBLE) * (p.level - p.pl)
-                              + CAST(0.75 AS DOUBLE) * p.pt
-                            + CAST(0.0 AS DOUBLE)) END AS trend,
-                 CASE WHEN d.step = 1
-                      THEN CAST(0.0 AS DOUBLE)
-                      WHEN d.step <= 7
-                      THEN (v.xs[CAST(d.step AS INT)] - p.level
-                            + CAST(0.0 AS DOUBLE))
-                      ELSE (CAST(0.25 AS DOUBLE)
-                              * (v.xs[CAST(d.step AS INT)] - p.pl - p.pt)
-                              + CAST(0.75 AS DOUBLE) * p.sm
-                            + CAST(0.0 AS DOUBLE)) END AS seasonal
-          FROM dump d
-          JOIN prev p ON d.user_id = p.user_id AND d.step = p.step
-          JOIN vals v ON d.user_id = v.user_id
-          ORDER BY d.user_id, d.step""")),
+        // ONE parameter set feeds both the engine recursion above and the
+        // inductive replay text (holtWintersOracleSql): alpha/beta/gamma,
+        // the seasonal lag m, the warmup bound and lastN cannot desync
+        Some(graft.ops.Analytics.holtWintersOracleSql(
+          duckEvents, "user_id", "ts", "event_id", "value",
+          0.5, 0.25, 0.25, 7, 28, "__GRAFT_OUT__/q_holt_winters"))),
 
       // Streaming EWMA == batch EWMA: the bounded last-16 buffer lives in
       // the state store across 4 REAL micro-batches; far-future sentinel

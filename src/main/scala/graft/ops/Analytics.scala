@@ -332,6 +332,105 @@ object Analytics {
         (col("__s.seasonal") + lit(0.0)).as("seasonal"))
   }
 
+  /** Oracle fragment replaying [[holtSmooth]]'s inductive dump-replay
+    * contract (DuckDB dialect; see q_holt_trend for the contract
+    * rationale). Parameterized on the SAME (alpha, beta, lastN) the
+    * engine call receives — the catalog passes one argument list to both
+    * sides, so a one-sided edit cannot desynchronize recursion constants
+    * from replay constants. `dumpRel` is the dumped-result dir (the
+    * __GRAFT_OUT__ pattern), e.g. "__GRAFT_OUT__/q_holt_trend". */
+  def holtSmoothOracleSql(eventsRel: String, keyCol: String, tsCol: String,
+                          ordCol: String, valCol: String, alpha: Double,
+                          beta: Double, lastN: Int,
+                          dumpRel: String): String =
+    s"""WITH kept AS (
+         SELECT $keyCol, $tsCol, $ordCol, $valCol
+         FROM $eventsRel
+         QUALIFY row_number() OVER (PARTITION BY $keyCol ORDER BY $tsCol DESC, $ordCol DESC) <= $lastN),
+       vals AS (
+         SELECT $keyCol, list(CAST($valCol AS DOUBLE) ORDER BY $tsCol, $ordCol) AS xs
+         FROM kept GROUP BY $keyCol),
+       dump AS (
+         SELECT $keyCol, step, level, trend
+         FROM read_parquet('$dumpRel/*.parquet')),
+       prev AS (
+         SELECT $keyCol, step, level,
+                lag(level) OVER w AS pl, lag(trend) OVER w AS pt
+         FROM dump
+         WINDOW w AS (PARTITION BY $keyCol ORDER BY step))
+       SELECT d.$keyCol, d.step,
+              CASE WHEN d.step = 1
+                   THEN (v.xs[1] + CAST(0.0 AS DOUBLE))
+                   ELSE (CAST($alpha AS DOUBLE) * v.xs[CAST(d.step AS INT)]
+                           + CAST(${1.0 - alpha} AS DOUBLE) * (p.pl + p.pt)
+                         + CAST(0.0 AS DOUBLE)) END AS level,
+              CASE WHEN d.step = 1
+                   THEN CAST(0.0 AS DOUBLE)
+                   ELSE (CAST($beta AS DOUBLE) * (p.level - p.pl)
+                           + CAST(${1.0 - beta} AS DOUBLE) * p.pt
+                         + CAST(0.0 AS DOUBLE)) END AS trend
+       FROM dump d
+       JOIN prev p ON d.$keyCol = p.$keyCol AND d.step = p.step
+       JOIN vals v ON d.$keyCol = v.$keyCol
+       ORDER BY d.$keyCol, d.step"""
+
+  /** Oracle fragment replaying [[holtWinters]]'s inductive dump-replay
+    * contract (DuckDB dialect; see q_holt_winters). Same one-argument-list
+    * guarantee as [[holtSmoothOracleSql]]: (alpha, beta, gamma, m, lastN)
+    * flow from the catalog's single parameter set into both the engine
+    * recursion and this replay — the seasonal lag `m`, the warmup bound
+    * `step <= m`, the history bound `lastN`, and every smoothing constant
+    * (and its 1−x complement, computed HERE the same way [[holtWinters]]
+    * computes `lit(1.0 - x)`) stay in lockstep by construction. */
+  def holtWintersOracleSql(eventsRel: String, keyCol: String, tsCol: String,
+                           ordCol: String, valCol: String, alpha: Double,
+                           beta: Double, gamma: Double, m: Int, lastN: Int,
+                           dumpRel: String): String =
+    s"""WITH kept AS (
+         SELECT $keyCol, $tsCol, $ordCol, $valCol
+         FROM $eventsRel
+         QUALIFY row_number() OVER (PARTITION BY $keyCol ORDER BY $tsCol DESC, $ordCol DESC) <= $lastN),
+       vals AS (
+         SELECT $keyCol, list(CAST($valCol AS DOUBLE) ORDER BY $tsCol, $ordCol) AS xs
+         FROM kept GROUP BY $keyCol),
+       dump AS (
+         SELECT $keyCol, step, level, trend, seasonal
+         FROM read_parquet('$dumpRel/*.parquet')),
+       prev AS (
+         SELECT $keyCol, step, level,
+                lag(level) OVER w AS pl, lag(trend) OVER w AS pt,
+                lag(seasonal, $m) OVER w AS sm
+         FROM dump
+         WINDOW w AS (PARTITION BY $keyCol ORDER BY step))
+       SELECT d.$keyCol, d.step,
+              CASE WHEN d.step = 1
+                   THEN (v.xs[1] + CAST(0.0 AS DOUBLE))
+                   WHEN d.step <= $m
+                   THEN (CAST($alpha AS DOUBLE) * v.xs[CAST(d.step AS INT)]
+                           + CAST(${1.0 - alpha} AS DOUBLE) * (p.pl + p.pt)
+                         + CAST(0.0 AS DOUBLE))
+                   ELSE (CAST($alpha AS DOUBLE) * (v.xs[CAST(d.step AS INT)] - p.sm)
+                           + CAST(${1.0 - alpha} AS DOUBLE) * (p.pl + p.pt)
+                         + CAST(0.0 AS DOUBLE)) END AS level,
+              CASE WHEN d.step = 1
+                   THEN CAST(0.0 AS DOUBLE)
+                   ELSE (CAST($beta AS DOUBLE) * (p.level - p.pl)
+                           + CAST(${1.0 - beta} AS DOUBLE) * p.pt
+                         + CAST(0.0 AS DOUBLE)) END AS trend,
+              CASE WHEN d.step = 1
+                   THEN CAST(0.0 AS DOUBLE)
+                   WHEN d.step <= $m
+                   THEN (v.xs[CAST(d.step AS INT)] - p.level
+                         + CAST(0.0 AS DOUBLE))
+                   ELSE (CAST($gamma AS DOUBLE)
+                           * (v.xs[CAST(d.step AS INT)] - p.pl - p.pt)
+                           + CAST(${1.0 - gamma} AS DOUBLE) * p.sm
+                         + CAST(0.0 AS DOUBLE)) END AS seasonal
+       FROM dump d
+       JOIN prev p ON d.$keyCol = p.$keyCol AND d.step = p.step
+       JOIN vals v ON d.$keyCol = v.$keyCol
+       ORDER BY d.$keyCol, d.step"""
+
   // =========================================================================
   // Series diagnostics: autocorrelation + CUSUM changepoint
   // =========================================================================
@@ -570,12 +669,24 @@ object Analytics {
     * prefix sum over that dimension — exactly
     * `sum(c) OVER (ORDER BY x)` but never an `Exchange SinglePartition`.
     * The supremum is an orderBy(…).limit(1) = TakeOrderedAndProject:
-    * per-partition top-1, one row to the driver.
+    * per-partition top-1, one row to the driver. The totals aggregate
+    * reads the (eagerly checkpointed) prefix-sum output, not the events
+    * table — one corpus scan total.
     *
-    * Determinism: counts cumulate in DECIMAL (order-independent); the
-    * per-value ECDF gap rounds to 9 decimals BEFORE the max, with the
-    * value itself as tie-break, so both engines pick the same supremum
-    * bit-for-bit; outputs round to 6. */
+    * Determinism: NO float enters the supremum decision. The per-value
+    * gap is the exact integer cross-multiplication
+    * |cumA·n_b − cumB·n_a| carried as DECIMAL(38,0) (equivalent to
+    * comparing |cumA/n_a − cumB/n_b| without the divisions), with the
+    * value itself as tie-break — both engines select the same supremum
+    * by exact arithmetic, immune to round/interpolation ULP skew between
+    * engines. Doubles appear only in the final one-row projection
+    * (gap/(n_a·n_b) and the √ factor — single correctly-rounded IEEE op
+    * chains identical on both sides), rounded to 6.
+    *
+    * Degenerate inputs are defined: if either segment is empty, the row
+    * still comes back with its exact counts and null d_stat/d_scaled
+    * (the statistic is undefined, not NaN); if BOTH are empty the result
+    * has zero rows. */
   def ksTest(events: DataFrame, typeCol: String, valCol: String,
              typeA: String, typeB: String): DataFrame = {
     val x6 = round(col(valCol), 6).cast("decimal(18,6)")
@@ -593,51 +704,62 @@ object Analytics {
       "__rka", "__cuma")
     val (cumB, _) = Layout.rankedCumSum(cumA, Seq(col("__x")), "__cb",
       "__rkb", "__cumb")
-    val totals = per.agg(
-      sum(col("__ca")).cast("double").as("__na"),
-      sum(col("__cb")).cast("double").as("__nb"))
+    // totals from the checkpointed prefix-sum frame — NOT from `per`,
+    // whose lineage would re-run the whole events scan a second time
+    val totals = cumB.agg(
+      sum(col("__ca")).cast("decimal(19,0)").as("__na"),
+      sum(col("__cb")).cast("decimal(19,0)").as("__nb"))
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
     val gap = cumB.crossJoin(broadcast(totals))
       .select(col("__x"), col("__na"), col("__nb"),
-        (round(abs(col("__cuma").cast("double") / col("__na") -
-          col("__cumb").cast("double") / col("__nb")), 9) + lit(0.0))
-          .as("__d"))
-    gap.orderBy(col("__d").desc, col("__x")).limit(1)
+        abs(c19(col("__cuma")) * col("__nb") -
+            c19(col("__cumb")) * col("__na")).as("__gap"))
+    val nad = col("__na").cast("double")
+    val nbd = col("__nb").cast("double")
+    val undef = col("__na") === 0 || col("__nb") === 0
+    val dRaw = col("__gap").cast("double") / (nad * nbd)
+    gap.orderBy(col("__gap").desc, col("__x")).limit(1)
       .select(
         col("__na").cast("long").as("n_a"),
         col("__nb").cast("long").as("n_b"),
         col("__x").as("at_value"),
-        r6(col("__d")).as("d_stat"),
-        r6(sqrt(col("__na") * col("__nb") / (col("__na") + col("__nb")))
-          * col("__d")).as("d_scaled"))
+        when(undef, lit(null).cast("double"))
+          .otherwise(r6(dRaw)).as("d_stat"),
+        when(undef, lit(null).cast("double"))
+          .otherwise(r6(sqrt(nad * nbd / (nad + nbd)) * dRaw))
+          .as("d_scaled"))
   }
 
   /** Oracle fragment replaying [[ksTest]] (DuckDB dialect): the prefix
-    * sums become plain cumulative windows — the oracle may afford the
-    * single-partition sort the engine avoids. */
+    * sums become plain cumulative windows (the oracle may afford the
+    * single-partition sort the engine avoids), and the exact DECIMAL(38)
+    * cross-multiplication becomes HUGEINT — both 128-bit-exact, so the
+    * supremum row is selected identically with no float in the decision. */
   def ksTestOracleSql(eventsRel: String, typeCol: String, valCol: String,
                       typeA: String, typeB: String): String = {
     def r6s(x: String) = s"(round($x, 6) + CAST(0.0 AS DOUBLE))"
     s"""WITH per AS (
          SELECT CAST(round($valCol, 6) AS DECIMAL(18,6)) AS x,
-                CAST(sum(CASE WHEN $typeCol = '$typeA' THEN 1 ELSE 0 END) AS DECIMAL(18,0)) AS ca,
-                CAST(sum(CASE WHEN $typeCol = '$typeB' THEN 1 ELSE 0 END) AS DECIMAL(18,0)) AS cb
+                CAST(sum(CASE WHEN $typeCol = '$typeA' THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+                CAST(sum(CASE WHEN $typeCol = '$typeB' THEN 1 ELSE 0 END) AS HUGEINT) AS cb
          FROM $eventsRel WHERE $typeCol IN ('$typeA', '$typeB')
          GROUP BY 1),
-       tot AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
-                      CAST(sum(cb) AS DOUBLE) AS nb FROM per),
+       tot AS (SELECT CAST(sum(ca) AS HUGEINT) AS na,
+                      CAST(sum(cb) AS HUGEINT) AS nb FROM per),
        cum AS (SELECT x,
-                      sum(ca) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cuma,
-                      sum(cb) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cumb
+                      CAST(sum(ca) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cuma,
+                      CAST(sum(cb) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cumb
                FROM per),
        gap AS (SELECT x, na, nb,
-                      (round(abs(CAST(cuma AS DOUBLE) / na
-                                 - CAST(cumb AS DOUBLE) / nb), 9)
-                       + CAST(0.0 AS DOUBLE)) AS d
+                      abs(cuma * nb - cumb * na) AS g
                FROM cum CROSS JOIN tot)
        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-              x AS at_value, ${r6s("d")} AS d_stat,
-              ${r6s("sqrt(na * nb / (na + nb)) * d")} AS d_scaled
-       FROM gap ORDER BY d DESC, x LIMIT 1"""
+              x AS at_value,
+              CASE WHEN na = 0 OR nb = 0 THEN NULL
+                   ELSE ${r6s("CAST(g AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))")} END AS d_stat,
+              CASE WHEN na = 0 OR nb = 0 THEN NULL
+                   ELSE ${r6s("sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))) * (CAST(g AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))")} END AS d_scaled
+       FROM gap ORDER BY g DESC, x LIMIT 1"""
   }
 
   // =========================================================================

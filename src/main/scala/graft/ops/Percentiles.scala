@@ -232,14 +232,20 @@ object Percentiles {
     * `Exchange SinglePartition`), and the reference costs ONE
     * [[quantilesGlobal]] run — a range shuffle + two passes regardless of
     * `bins`. The bin→quantile map is `bins` rows, broadcast; no join ever
-    * sees more than the distinct-value dimension.
+    * sees more than the distinct-value dimension. The source total reads
+    * the (eagerly checkpointed) prefix-sum output, not the source again.
     *
-    * Determinism: ECDF = exact-DECIMAL cum count / total, rounded to 9
-    * BEFORE the bin arithmetic (⌈ecdf·bins⌉ is then the same IEEE chain
-    * in both engines); quantiles interpolate in quantile_cont's convex
-    * form (bit-parity pinned by q_percentile_global); emitted doubles
-    * round to 6. Returns (x, ecdf, bin, normalized) per distinct source
-    * value. */
+    * Determinism: NO float enters the bin decision. The bin is the exact
+    * integer ⌈cum·bins/n⌉ = ((cum·bins − 1) div n) + 1 computed in
+    * DECIMAL(38,0) (the oracle replays it in HUGEINT) — immune to the
+    * cross-engine round/interpolation ULP skew a double ECDF would
+    * inherit. The reference quantiles come from [[quantileBinTable]],
+    * whose display-rounded output IS the `normalized` column (the oracle
+    * reads the same dumped table, so quantile-interpolation parity is
+    * out of this operator's contract; [[quantilesGlobal]] parity is
+    * pinned separately by q_percentile_global). `ecdf` is display-only:
+    * one exact-int division rounded to 6. Returns
+    * (x, ecdf, bin, normalized) per distinct source value. */
   def quantileNormalize(source: DataFrame, reference: DataFrame,
                         valCol: String, bins: Int): DataFrame = {
     require(bins >= 2 && bins <= 10000, s"bins out of range: $bins")
@@ -249,59 +255,74 @@ object Percentiles {
       .agg(count(lit(1)).cast("decimal(18,0)").as("__c"))
     val (cum, _) = Layout.rankedCumSum(per, Seq(col("__x")), "__c",
       "__rk", "__cum")
-    val totals = per.agg(sum(col("__c")).cast("double").as("__n"))
+    // totals from the checkpointed prefix-sum frame — NOT from `per`,
+    // whose lineage would re-run the whole source scan a second time
+    val totals = cum.agg(sum(col("__c")).cast("decimal(19,0)").as("__n"))
     val binned = cum.crossJoin(broadcast(totals))
       .select(col("__x"),
-        (round(col("__cum").cast("double") / col("__n"), 9) + lit(0.0))
-          .as("__ecdf"))
-      .withColumn("__bin",
-        least(ceil(col("__ecdf") * lit(bins.toDouble)), lit(bins.toLong))
-          .cast("long"))
-    val qs = (1 to bins).map(j => (s"q$j", j.toDouble / bins))
-    val qrow = quantilesGlobal(reference.select(
-      col(valCol).cast("double").as("__v")), "__v", qs)
-    val qtab = qrow.selectExpr(
-      s"stack($bins, " +
-        (1 to bins).map(j => s"CAST($j AS BIGINT), q$j").mkString(", ") +
-        ") AS (__bin, __q)")
+        (round(col("__cum").cast("double") / col("__n").cast("double"), 6)
+          + lit(0.0)).as("__ecdf"),
+        // exact ceil-division: ⌈cum·bins/n⌉ with cum ≥ 1 — pure integer
+        // arithmetic (DECIMAL(38,0) div), no float can shift a boundary
+        expr(s"CAST(((__cum * $bins - 1) div __n) + 1 AS BIGINT)")
+          .as("__bin"))
+    val qtab = quantileBinTable(reference, valCol, bins)
+      .select(col("bin").as("__bin"), col("q").as("__q"))
     binned.join(broadcast(qtab), Seq("__bin"))
-      .select(col("__x").as("x"), (round(col("__ecdf"), 6) + lit(0.0)).as("ecdf"),
-        col("__bin").as("bin"),
-        (round(col("__q"), 6) + lit(0.0)).as("normalized"))
+      .select(col("__x").as("x"), col("__ecdf").as("ecdf"),
+        col("__bin").as("bin"), col("__q").as("normalized"))
+  }
+
+  /** The reference side of [[quantileNormalize]] as a standalone frame:
+    * one row per bin j ∈ [1, bins] with `q` = the reference
+    * distribution's quantile_cont value at probability j/bins, rounded to
+    * the display contract (6 decimals, −0.0 normalized). One
+    * [[quantilesGlobal]] run (range shuffle + two passes) regardless of
+    * `bins`; the result is `bins` rows. Dumped by the q_qnorm_bins
+    * catalog entry so the q_quantile_norm oracle can read the SAME table
+    * instead of replaying `bins` quantile interpolations whose ULP
+    * behavior varies across engine versions.
+    *
+    * Fails fast (require) on an empty/all-null reference — otherwise the
+    * interpolation positions (total−1)·q would go negative and surface as
+    * an undecipherable downstream error. */
+  def quantileBinTable(reference: DataFrame, valCol: String,
+                       bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 10000, s"bins out of range: $bins")
+    val ref = reference.select(col(valCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+    require(!ref.isEmpty,
+      s"quantileBinTable: reference has no non-null '$valCol' values")
+    val qs = (1 to bins).map(j => (s"q$j", j.toDouble / bins))
+    quantilesGlobal(ref, "__v", qs).selectExpr(
+        s"stack($bins, " +
+          (1 to bins).map(j => s"CAST($j AS BIGINT), q$j").mkString(", ") +
+          ") AS (bin, q)")
+      .select(col("bin"), (round(col("q"), 6) + lit(0.0)).as("q"))
   }
 
   /** Oracle fragment replaying [[quantileNormalize]] (DuckDB dialect):
-    * the prefix sum becomes a cumulative window, the reference side one
-    * `quantile_cont(v, [p…])` list aggregate. */
-  def quantileNormalizeOracleSql(sourceRel: String, referenceRel: String,
-                                 valCol: String, bins: Int): String = {
-    // CAST each probability to DOUBLE: a bare 0.01 literal is DECIMAL in
-    // DuckDB; the cast path and Scala's j.toDouble/bins are both
-    // correctly rounded, so the probabilities are bit-identical
-    val ps = (1 to bins)
-      .map(j => s"CAST(${(j.toDouble / bins).toString} AS DOUBLE)")
-      .mkString(", ")
+    * the prefix sum becomes a cumulative window, the exact ceil-division
+    * binning replays in HUGEINT (`//` is floor division), and the
+    * reference quantiles come from the engine's dumped
+    * [[quantileBinTable]] at `binTableRel` (the __GRAFT_OUT__ pattern) —
+    * no quantile interpolation runs on the oracle side at all. */
+  def quantileNormalizeOracleSql(sourceRel: String, binTableRel: String,
+                                 valCol: String, bins: Int): String =
     s"""WITH per AS (
          SELECT CAST(round($valCol, 6) AS DECIMAL(18,6)) AS x,
-                CAST(count(*) AS DECIMAL(18,0)) AS c
+                CAST(count(*) AS HUGEINT) AS c
          FROM $sourceRel WHERE $valCol IS NOT NULL GROUP BY 1),
-       tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM per),
+       tot AS (SELECT CAST(sum(c) AS HUGEINT) AS n FROM per),
        cum AS (SELECT x,
-                      sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cc
+                      CAST(sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cc
                FROM per),
-       e AS (SELECT x,
-                    (round(CAST(cc AS DOUBLE) / n, 9) + CAST(0.0 AS DOUBLE)) AS ecdf
+       b AS (SELECT x,
+                    (round(CAST(cc AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                     + CAST(0.0 AS DOUBLE)) AS ecdf,
+                    CAST(((cc * $bins - 1) // n) + 1 AS BIGINT) AS bin
              FROM cum CROSS JOIN tot),
-       b AS (SELECT x, ecdf,
-                    CAST(least(ceil(ecdf * CAST($bins AS DOUBLE)),
-                               CAST($bins AS DOUBLE)) AS BIGINT) AS bin
-             FROM e),
-       ql AS (SELECT quantile_cont(CAST($valCol AS DOUBLE), [$ps]) AS qs
-              FROM $referenceRel WHERE $valCol IS NOT NULL),
-       q AS (SELECT CAST(j AS BIGINT) AS bin, qs[CAST(j AS INT)] AS qv
-             FROM ql, generate_series(1, $bins) AS t__(j))
-       SELECT b.x, (round(b.ecdf, 6) + CAST(0.0 AS DOUBLE)) AS ecdf, b.bin,
-              (round(q.qv, 6) + CAST(0.0 AS DOUBLE)) AS normalized
+       q AS (SELECT bin, q FROM $binTableRel)
+       SELECT b.x, b.ecdf, b.bin, q.q AS normalized
        FROM b JOIN q ON b.bin = q.bin"""
-  }
 }

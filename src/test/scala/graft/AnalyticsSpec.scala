@@ -569,6 +569,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r2.getDecimal(2).doubleValue() == 2.0 && r2.getDouble(3) == 1.0)
   }
 
+  test("ksTest: empty segment yields defined row with null statistic") {
+    // segment b has no rows: counts come back exact, d_stat/d_scaled are
+    // NULL (undefined, not NaN) — the documented degenerate contract
+    val ev = Seq(("a", 1.0), ("a", 2.0)).toDF("event_type", "value")
+    val r = Analytics.ksTest(ev, "event_type", "value", "a", "b")
+      .collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L)
+    assert(r.isNullAt(3) && r.isNullAt(4))
+    // both segments empty: zero rows, not a crash
+    assert(Analytics.ksTest(ev, "event_type", "value", "x", "y")
+      .collect().isEmpty)
+  }
+
   test("linkPrediction: 4-cycle scores the two diagonals, linked pairs excluded") {
     // square 1-2-4-3-1: the only unlinked pairs are the diagonals (1,4)
     // and (2,3), each with two degree-2 common neighbors

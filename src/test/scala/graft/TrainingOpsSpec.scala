@@ -262,5 +262,16 @@ class TrainingOpsSpec extends AnyFunSuite {
       .select(col("x").cast("double"), col("bin"), col("normalized"))
       .as[(Double, Long, Double)].collect().toSeq
     assert(got2 == Seq((1.0, 3L, 32.5), (2.0, 4L, 40.0)))
+    // empty / all-null reference fails FAST with a descriptive error
+    // instead of feeding quantilesGlobal a negative interpolation position
+    val emptyRef = Seq.empty[Double].toDF("value")
+    val ex = intercept[IllegalArgumentException] {
+      Percentiles.quantileNormalize(src, emptyRef, "value", 4)
+    }
+    assert(ex.getMessage.contains("reference has no non-null"))
+    val nullRef = Seq[Option[Double]](None, None).toDF("value")
+    intercept[IllegalArgumentException] {
+      Percentiles.quantileBinTable(nullRef, "value", 4)
+    }
   }
 }
