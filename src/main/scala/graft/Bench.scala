@@ -25,6 +25,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Streaming-gate thinning (r8 verdict item 4): the 18 q_stream_*_eq
+    // gates cost ~60-130 s/run in micro-batch MACHINERY, not dataflow —
+    // they gate correctness (covered at full SF by Verify, where this
+    // switch is never set), so the bench times them against the smallest
+    // SF and spends the reclaimed wall on the sf1 scale rehearsal. Two
+    // representative gates still get a FULL-scale 1x/10x pair inside the
+    // rehearsal with the switch cleared. SPARK_GRAFT_STREAM_LITE=0 restores
+    // full-fixture gate timing.
+    val streamLite = sys.env.getOrElse("SPARK_GRAFT_STREAM_LITE", "1") != "0"
+    if (streamLite) System.setProperty("graft.bench.streamLite", "1")
     // Wall-clock budget for the WHOLE bench (r7 lesson: the driver killed
     // the unbudgeted run at its own cap — rc 124, sf1 section lost, and
     // every number after the kill point unusable). Every phase after the
@@ -137,21 +147,54 @@ object Bench {
       recycleNow()
     }
 
+    // Contention canary (r8 verdict item 3): the driver's r8 run read
+    // +32% vs a committed run of IDENTICAL code — machine contention an
+    // artifact-only reader cannot distinguish from a real regression.
+    // Three cheap, shape-diverse queries (scan+agg join, tf-idf shuffle,
+    // per-row text kernel) are re-timed min-of-2 at the start and end of
+    // the run; canary_ratio ≈ 1 certifies a clean box, >> 1 flags that
+    // every number in between carries ambient inflation.
+    val canaries = Seq("q1_agg", "q_tfidf", "q_langid")
+    def canaryPass(): Double =
+      canaries.map { name =>
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try { SparkEntry.queries(name)(spark, sfDir)
+            .write.mode("overwrite").format("noop").save() }
+          catch { case _: Throwable => return -1.0 }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val a = once(); val b = once()
+        Seq(a, b).filter(_ >= 0) match {
+          case Nil => 0.0
+          case ok => ok.min
+        }
+      }.sum
+    val canaryStart = canaryPass()
+
     // Base pass with GC isolation: a single local[32] pass is noisy (page
     // cache, JIT recompiles, GC debt from the PREVIOUS query landing
     // mid-measurement — the r3 q_pq_ann 7x phantom). A System.gc() +
     // short settle before each query charges collection work to the query
     // that allocated it, and min-of-runs measures the plan rather than
-    // the interference. Run policy (budget-adaptive): one run is
-    // MANDATORY for every query (the map must be complete); a second run
-    // — which also absorbs any codegen cost the warmup guard skipped —
-    // happens while the phase stays clear of the sf1 reserve; a third
-    // sample (noise is worth it only on >= 0.5 s queries) while the
-    // phase is inside 45% of the budget. Queries left at a single sample
-    // are counted in n_single_run.
+    // the interference. Run policy (budget-adaptive): a first run is
+    // taken for every query THE RESERVE CAN AFFORD — the r8 failure mode
+    // was precisely that unconditional mandatory runs ate the sf1
+    // reserve whole (base_done_s 1353 of a 1000 budget, sf1 skipped
+    // "*") — so the pass runs SLOWEST-FIRST (by prior-round time) and
+    // once remaining wall dips into the reserve the un-run CHEAP tail is
+    // cut and recorded (base_skipped_budget, value -2 in the map: cut,
+    // not failed). A second run — which also absorbs any codegen cost
+    // the warmup guard skipped — happens while the phase stays clear of
+    // the reserve; a third sample (noise is worth it only on >= 0.5 s
+    // queries) while the phase is inside 45% of the budget. Queries left
+    // at a single sample are counted in n_single_run.
     var nSingleRun = 0
     val warmupS = elapsedS
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    var streamRecycled = false
+    val baseOrder = SparkEntry.queries.toSeq
+      .sortBy { case (name, _) => (-priorTimes.getOrElse(name, 1.0), name) }
+    val results = baseOrder.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
@@ -161,44 +204,59 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      // entering the q_stream_* block gets a fresh context (the family
-      // the aging measurements implicate); elsewhere the safety valve
-      if (name == "q_stream_asof_eq" && sinceRecycle > 20) recycleNow()
-      maybeRecycle()
-      sinceRecycle += 1
-      // GC isolation only where it matters: a sub-0.5s-prior query
-      // allocates little and its min-of-2 absorbs any inherited debt —
-      // 322 unconditional gc+settle rounds cost ~60s of wall the sf1
-      // reserve needs more (r8 phase accounting)
-      if (priorTimes.getOrElse(name, 1.0) >= 0.5) {
-        System.gc()
-        Thread.sleep(50)
+      // the sf1 reserve is enforced on the FIRST run too: estimate from
+      // the prior round (contended priors overestimate — safe direction)
+      val estQ = math.max(5.0, 1.5 * priorTimes.getOrElse(name, 1.0))
+      if (remainS < sf1ReserveS + estQ) name -> -2.0
+      else {
+        // first entry into the q_stream_* family gets a fresh context
+        // (the family the r8 aging measurements implicate); elsewhere
+        // the safety valve
+        if (name.startsWith("q_stream_") && !streamRecycled) {
+          if (sinceRecycle > 20) recycleNow()
+          streamRecycled = true
+        }
+        maybeRecycle()
+        sinceRecycle += 1
+        // GC isolation only where it matters: a sub-0.5s-prior query
+        // allocates little and its min-of-2 absorbs any inherited debt —
+        // 322 unconditional gc+settle rounds cost ~60s of wall the sf1
+        // reserve needs more (r8 phase accounting)
+        if (priorTimes.getOrElse(name, 1.0) >= 0.5) {
+          System.gc()
+          Thread.sleep(50)
+        }
+        val r1 = once()
+        val runs = scala.collection.mutable.ArrayBuffer(r1)
+        if (r1 >= 0) {
+          // the second sample must clear the sf1 reserve WITH the
+          // repeat's own cost counted (r8: "+30" flat headroom let late
+          // second runs nibble the reserve down to nothing)
+          val inBudget = remainS > sf1ReserveS + 60 + 2 * r1
+          if (inBudget) runs += once()
+          if (r1 >= 0.5 && elapsedS < 0.40 * budgetS) runs += once()
+          if (!inBudget) nSingleRun += 1
+        }
+        val ok = runs.filter(_ >= 0)
+        val dt = if (ok.isEmpty) -1.0 else ok.min
+        name -> dt
       }
-      val r1 = once()
-      val runs = scala.collection.mutable.ArrayBuffer(r1)
-      if (r1 >= 0) {
-        // the second sample must clear the sf1 reserve WITH the repeat's
-        // own cost counted (r8: "+30" flat headroom let late second runs
-        // nibble the reserve down to nothing)
-        val inBudget = remainS > sf1ReserveS + 60 + 2 * r1
-        if (inBudget) runs += once()
-        if (r1 >= 0.5 && elapsedS < 0.40 * budgetS) runs += once()
-        if (!inBudget) nSingleRun += 1
-      }
-      val ok = runs.filter(_ >= 0)
-      val dt = if (ok.isEmpty) -1.0 else ok.min
-      name -> dt
     }
     val total = results.map(_._2).filter(_ >= 0).sum
-    val failed = results.filter(_._2 < 0).map(_._1)
+    val failed = results.filter(_._2 == -1.0).map(_._1)
+    val baseSkipped = results.filter(_._2 == -2.0).map(_._1)
     val baseDoneS = elapsedS
 
     // Complete per-query artifact — written BEFORE the sf1 section so a
     // rehearsal crash can never lose the measured base results, and
     // rewritten with the sf1 maps appended once they exist.
     val fullPath = s"${sys.props("user.dir")}/BENCH_FULL.json"
+    var canaryEnd = -1.0 // measured after the sf1 section
     def writeFull(sf1Part: String): Unit = {
       val qs = results.map { case (k, v) => k -> jnum(v) }
+      val canaryRatio =
+        if (canaryStart > 0 && canaryEnd > 0) canaryEnd / canaryStart
+        else -1.0
       val payload = jmap(Seq(
         "metric" -> "\"total\"",
         "value" -> jnum(total),
@@ -210,6 +268,12 @@ object Bench {
         "n_warmed" -> nWarmed.toString,
         "n_single_run" -> nSingleRun.toString,
         "n_queries" -> results.size.toString,
+        "stream_lite" -> (if (streamLite) "true" else "false"),
+        "canary_queries" -> canaries.map("\"" + _ + "\"").mkString("[", ",", "]"),
+        "canary_start_s" -> jnum(canaryStart),
+        "canary_end_s" -> jnum(canaryEnd),
+        "canary_ratio" -> f"$canaryRatio%.2f",
+        "base_skipped_budget" -> baseSkipped.map("\"" + _ + "\"").mkString("[", ",", "]"),
         "failed" -> failed.map("\"" + _ + "\"").mkString("[", ",", "]"),
         "queries" -> jmap(qs)) )
       java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
@@ -258,11 +322,6 @@ object Bench {
           // custom physical op + two-pass layout primitives
           "q_asof_native", "q_range_native", "q_dense_ids",
           "q_curriculum_shards",
-          // state store beyond sf0.1: the two slowest streaming gates
-          // (the replay collects the replicated events table — bounded,
-          // tens of MB — and feeds the SAME 4 micro-batch replay, so the
-          // witness times state-store growth, not a driver structure)
-          "q_stream_interval_eq", "q_stream_ewma_eq",
           // broadcast-shortlist ANN + mining paths
           "q_opq_ann", "q_sq8_ann", "q_hard_negatives",
           // aggregation/join-shaped analytics
@@ -329,7 +388,28 @@ object Bench {
         val img256Fn = (d: String) => ScaleRehearsal.imageNearDup256Rehearsal(spark, d)
         val img256Base = timed(img256Fn, sfDir, "x_image_neardup256_10x", 1.0)
         val img256 = timed(img256Fn, dir10, "x_image_neardup256_10x", img256Base)
-        val all10 = t10 :+ ("x_image_neardup_10x", img10, imgBase) :+
+        // State store beyond sf0.1: two representative streaming gates,
+        // timed as their OWN full-fixture 1x/10x pair with the lite
+        // switch cleared (their base-pass entries are lite-thinned, so a
+        // ratio against those would be meaningless). The replay collects
+        // the replicated events table — bounded, tens of MB — and feeds
+        // the SAME micro-batch replay, so the witness times state-store
+        // growth, not a driver structure.
+        val streamPairs = Seq("q_stream_interval_eq", "q_stream_ewma_eq")
+          .map { name =>
+            if (streamLite) System.clearProperty("graft.bench.streamLite")
+            try {
+              val fn = (d: String) => SparkEntry.queries(name)(spark, d)
+                .write.mode("overwrite").format("noop").save()
+              val prior = priorTimes.getOrElse(name, 15.0)
+              val t1 = timed(fn, sfDir, s"$name(full-1x)", prior)
+              val t10x = timed(fn, dir10, name, t1)
+              (name, t10x, t1)
+            } finally {
+              if (streamLite) System.setProperty("graft.bench.streamLite", "1")
+            }
+          }
+        val all10 = t10 ++ streamPairs :+ ("x_image_neardup_10x", img10, imgBase) :+
           ("x_image_neardup256_10x", img256, img256Base)
         val qs10 = jmap(all10.map { case (k, v, _) => k -> jnum(v) })
         val ratios = jmap(all10.map { case (k, v, b) =>
@@ -342,6 +422,9 @@ object Bench {
         System.err.println(s"[bench] sf1 rehearsal aborted: ${e.getMessage}")
         ""
       }
+    // end-of-run canary: same three queries, same min-of-2 — the ratio
+    // against canaryStart is the run's ambient-contention witness
+    canaryEnd = canaryPass()
     writeFull(sf1Part)
 
     // Compact final line — the parseable payload for the driver's tail
@@ -361,6 +444,11 @@ object Bench {
       "n_single_run" -> nSingleRun.toString,
       "n_queries" -> results.size.toString,
       "n_failed" -> failed.size.toString,
+      "n_base_skipped" -> baseSkipped.size.toString,
+      "stream_lite" -> (if (streamLite) "true" else "false"),
+      "canary_start_s" -> jnum(canaryStart),
+      "canary_end_s" -> jnum(canaryEnd),
+      "canary_ratio" -> f"${if (canaryStart > 0 && canaryEnd > 0) canaryEnd / canaryStart else -1.0}%.2f",
       "full" -> "\"BENCH_FULL.json\"",
       "queries_note" -> "\"top 15 by time; complete map in BENCH_FULL.json\"",
       "queries" -> jmap(top.map { case (k, v) => k -> jnum(v) })) )

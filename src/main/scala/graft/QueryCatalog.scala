@@ -1632,6 +1632,58 @@ object QueryCatalog {
           ORDER BY score DESC, chunk_id"""
         }),
 
+      // T4 PRODUCTION loading path: a disk-loaded linear model (config
+      // eagerly on the driver, weights.csv parsed per partition in
+      // init()) projecting the hashing feature counts to 16 dims through
+      // BatchedEmbedder — artifact load, per-partition init, and batch
+      // framing are all under the hash gate (a row-order/column-split/
+      // decimal-parse bug in the loader changes e1/e2/checksum). The
+      // oracle replays the projection from the weight FORMULA the
+      // artifact was generated from; weights are dyadic (k/256), so
+      // every product/partial sum is exact and fold order is free.
+      Q("q_linear_embed",
+        (s, dir) => {
+          val modelDir = graft.embed.LinearModelArtifact.ensure(64, 16)
+          val model = graft.embed.LinearInferenceModel(modelDir)
+          graft.embed.BatchedEmbedder(model, 32)
+            .withEmbedding(
+              tk(s, dir, "documents").select(col("doc_id"), col("text")),
+              "text", "lemb")
+            .select(col("doc_id"),
+              r6(element_at(col("lemb"), 1)).as("e1"),
+              r6(element_at(col("lemb"), 2)).as("e2"),
+              r6(VectorF.dot(col("lemb"),
+                expr("transform(sequence(1, 16), j__ -> CAST(j__ AS DOUBLE))")))
+                .as("checksum"))
+            .orderBy("doc_id")
+        },
+        Some {
+          val w16 = "list_transform(range(1, 17), j__ -> CAST(j__ AS DOUBLE))"
+          s"""
+          WITH toks AS (SELECT doc_id, ${D.splitWs("text")} AS __toks FROM documents),
+          c AS (SELECT doc_id, ${Exprs.embedCodes(D, "__toks", 64)} AS __codes FROM toks),
+          r AS (SELECT doc_id, ${Exprs.embedRawVec(D, "__codes", 64)} AS __raw FROM c),
+          y AS (SELECT doc_id,
+                       list_transform(range(0, 16), j__ ->
+                         list_reduce(
+                           list_transform(range(0, 64), i__ ->
+                             __raw[CAST(i__ AS INT) + 1]
+                               * (CAST((((i__ * 31) + (j__ * 17)) % 7) - 3 AS DOUBLE)
+                                  / CAST(256 AS DOUBLE))),
+                           (s__, x__) -> s__ + x__)) AS yv
+                FROM r),
+          n AS (SELECT doc_id, yv, sqrt(${D.dot("yv", "yv")}) AS nrm FROM y),
+          e AS (SELECT doc_id,
+                       CASE WHEN nrm = CAST(0 AS DOUBLE) THEN yv
+                            ELSE list_transform(yv, v__ -> v__ / nrm) END AS emb
+                FROM n)
+          SELECT doc_id,
+                 (round(emb[1], 6) + CAST(0.0 AS DOUBLE)) AS e1,
+                 (round(emb[2], 6) + CAST(0.0 AS DOUBLE)) AS e2,
+                 (round(${D.dot("emb", w16)}, 6) + CAST(0.0 AS DOUBLE)) AS checksum
+          FROM e ORDER BY doc_id"""
+        }),
+
       // K1/K2/S8 round trip: WRITE the chunk table through the real sink
       // (ordered zstd parquet + metadata.json manifest), RELOAD it, and
       // hash the reloaded content + the manifest's total-embedded-files
@@ -4672,6 +4724,22 @@ object QueryCatalog {
     ss
   }
 
+  /** Bench-only input thinning for the streaming equivalence gates: when
+    * `graft.bench.streamLite` is set (ONLY by graft.Bench — never by
+    * Verify, so the correctness contract is untouched), a gate's input
+    * dir redirects to the smallest SF. Rationale (r8 verdict): the gates'
+    * bench cost is micro-batch machinery, not dataflow — they gate
+    * correctness, which CORRECTNESS_r{N} already covers at full SF, and
+    * re-benching 18 state-store replays at sf0.1 burned the wall budget
+    * the sf1 scale rehearsal needed. Two representative gates still get
+    * a FULL-scale (sfDir and 10x) timing pair inside the rehearsal
+    * itself, with this switch cleared (Bench.sf1StreamPair). */
+  private def streamLiteDir(dir: String): String =
+    if (sys.props.get("graft.bench.streamLite").contains("1"))
+      sys.props.getOrElse("graft.bench.streamLiteDir",
+        "/root/testdata/sf0.001")
+    else dir
+
   /** File-source stream fixture: split `df` into 4 deterministic
     * single-file parquet chunks by `idCol` quartile (contiguous-id ceil
     * split — the same rule the oracles replay) under `runDir/in`, so a
@@ -4799,7 +4867,8 @@ object QueryCatalog {
     // RE-ARRIVES as id+1000 — landing in a LATER micro-batch than its
     // original, which is precisely the state-store path under test.
     Q("q_stream_dedup_eq",
-      (s, dir) => {
+      (s, dir0) => {
+        val dir = streamLiteDir(dir0) // bench-only thinning, see helper
         import s.implicits._
         import graft.streaming.StreamingDedup
         import graft.streaming.StreamingDedup.{DocIn, DupPair}
@@ -4853,7 +4922,8 @@ object QueryCatalog {
     // through two final batches, flushing every open session via the
     // EventTimeTimeout path — the timeout emit itself is hash-checked.
     Q("q_stream_session_eq",
-      (s, dir) => {
+      (s, dir0) => {
+        val dir = streamLiteDir(dir0) // bench-only thinning, see helper
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
         import graft.streaming.StatefulSessionize
@@ -4923,7 +4993,8 @@ object QueryCatalog {
     // end (any drift in frozen standardization constants or the scoring
     // formula flips scores).
     Q("q_stream_score_eq",
-      (s, dir) => {
+      (s, dir0) => {
+        val dir = streamLiteDir(dir0) // bench-only thinning, see helper
         import s.implicits._
         // child session: streaming-query state (memory-sink views, query
         // manager, execution listeners) stays scoped to this invocation
@@ -4970,7 +5041,8 @@ object QueryCatalog {
     // modes — cross-batch accumulation is exact because the quality sum
     // is DECIMAL(18,6).
     Q("q_stream_domain_eq",
-      (s, dir) => {
+      (s, dir0) => {
+        val dir = streamLiteDir(dir0) // bench-only thinning, see helper
         import s.implicits._
         val ss = streamSession(s)
         implicit val sqlCtx = ss.sqlContext
@@ -5031,7 +5103,8 @@ object QueryCatalog {
     // banding cannot test — is exactly what the ascending-id batches
     // exercise.
     Q("q_stream_lsh_eq",
-      (s, dir) => {
+      (s, dir0) => {
+        val dir = streamLiteDir(dir0) // bench-only thinning, see helper
         import s.implicits._
         import graft.streaming.StreamingDedup
         import graft.streaming.StreamingDedup.{CandPair, DocIn}
@@ -5091,7 +5164,8 @@ object QueryCatalog {
     // q_pq_ann argmin SQL, and n_batches pins that four separate
     // triggers actually ran.
     Q("q_stream_pq_eq",
-      (s, dir) => {
+      (s, dir0) => {
+        val dir = streamLiteDir(dir0) // bench-only thinning, see helper
         import graft.ops.ProductQuantization
         val emb = t(s, dir, "embeddings")
         val books = ProductQuantization.trainCodebooks(
@@ -5146,7 +5220,8 @@ object QueryCatalog {
     // equal the batch sketch EXACTLY — est, retained-hash count, exact
     // distinct and relative error all hash-match q_kmv_distinct's oracle.
     Q("q_stream_kmv_eq",
-      (s, dir) => {
+      (s, dir0) => {
+        val dir = streamLiteDir(dir0) // bench-only thinning, see helper
         import s.implicits._
         val ss = streamSession(s)
         implicit val sqlCtx = ss.sqlContext
@@ -5195,7 +5270,8 @@ object QueryCatalog {
     // in DIFFERENT micro-batches (the buffered-state path the batch plan
     // never exercises).
     Q("q_stream_interval_eq",
-      (s, dir) => {
+      (s, dir0) => {
+        val dir = streamLiteDir(dir0) // bench-only thinning, see helper
         import s.implicits._
         val ss = streamSession(s)
         implicit val sqlCtx = ss.sqlContext
@@ -5260,7 +5336,8 @@ object QueryCatalog {
     // paths hash-match, so all THREE as-of algorithms (window,
     // sort-merge exec, stateful stream) are pinned to one truth.
     Q("q_stream_asof_eq",
-      (s, dir) => {
+      (s, dir0) => {
+        val dir = streamLiteDir(dir0) // bench-only thinning, see helper
         import s.implicits._
         import graft.streaming.StreamingAsOf
         import graft.streaming.StreamingAsOf.AsOfEvent
@@ -5321,7 +5398,8 @@ object QueryCatalog {
     // reference) is oracle-gated, not spec-only. n_batches pins that 4
     // separate triggers appended.
     Q("q_stream_ingest_eq",
-      (s, dir) => {
+      (s, dir0) => {
+        val dir = streamLiteDir(dir0) // bench-only thinning, see helper
         val run = s"${sys.props("java.io.tmpdir")}/graft_ingest_stream_${System.nanoTime()}"
         val outDir = s"$run/out"
         val src = t(s, dir, "documents")
@@ -9517,7 +9595,6 @@ object QueryCatalog {
       // accumulate as DECIMAL(28,12).
       Q("q_rbo_rankers",
         (s, dir) => {
-          import org.apache.spark.sql.expressions.Window
           val terms = Seq("spark", "join", "stream")
           val p = 0.9; val depth = 10
           // tail(k) = sum_{d=k..D} (1-p) p^(d-1) / d, as a fixed literal
@@ -9530,9 +9607,9 @@ object QueryCatalog {
             .map(k => s"WHEN $k THEN CAST(${tail(k)} AS DOUBLE)")
             .mkString("CASE greatest(ra, rb) ", " ", " ELSE CAST(0.0 AS DOUBLE) END")
           val chunks = RagPipeline.buildChunks(tk(s, dir, "documents"))
-          def ranked(df: DataFrame, out: String) = df
-            .withColumn(out, row_number()
-              .over(Window.orderBy(desc("score"), col("chunk_id"))).cast("long"))
+          // ≤ depth rows: Layout.boundedRank, not an unpartitioned window
+          def ranked(df: DataFrame, out: String) = graft.ops.Layout
+            .boundedRank(df, Seq(-col("score"), col("chunk_id")), out)
             .select(col("chunk_id"), col(out))
           val bm = ranked(Similarity.bm25TopK(
             chunks, "chunk_text", "chunk_id", terms, depth), "ra")
@@ -9641,7 +9718,6 @@ object QueryCatalog {
       // DECIMAL(28,9); log2 of power-of-two ranks is exact.
       Q("q_search_ndcg",
         (s, dir) => {
-          import org.apache.spark.sql.expressions.Window
           val terms = Seq("spark", "join", "stream")
           val chunks = RagPipeline.buildChunks(tk(s, dir, "documents"))
           val rel = chunks
@@ -9654,15 +9730,16 @@ object QueryCatalog {
             round((pow(lit(2.0), relC.cast("double")) - lit(1.0)) /
               log2(rankC.cast("double") + lit(1.0)), 9)
               .cast("decimal(28,9)")
-          val ranked = Similarity.bm25TopK(chunks, "chunk_text", "chunk_id", terms, 10)
-            .withColumn("rank", row_number()
-              .over(Window.orderBy(desc("score"), col("chunk_id"))).cast("long"))
+          // ≤ 10 rows each: Layout.boundedRank, not unpartitioned windows
+          val ranked = graft.ops.Layout.boundedRank(
+              Similarity.bm25TopK(chunks, "chunk_text", "chunk_id", terms, 10),
+              Seq(-col("score"), col("chunk_id")), "rank")
             .join(rel, "chunk_id")
           val dcg = ranked.agg(
             sum(gain(col("rel"), col("rank"))).cast("double").as("dcg"))
-          val ideal = rel.orderBy(desc("rel"), col("chunk_id")).limit(10)
-            .withColumn("rank", row_number()
-              .over(Window.orderBy(desc("rel"), col("chunk_id"))).cast("long"))
+          val ideal = graft.ops.Layout.boundedRank(
+            rel.orderBy(desc("rel"), col("chunk_id")).limit(10),
+            Seq(-col("rel"), col("chunk_id")), "rank")
           val idcg = ideal.agg(
             sum(gain(col("rel"), col("rank"))).cast("double").as("idcg"))
           dcg.crossJoin(idcg)
@@ -9877,7 +9954,8 @@ object QueryCatalog {
       // over 4 REAL micro-batches and hash-matches the batch q_pii_cards
       // oracle — map-only operators carry to streams with zero state.
       Q("q_stream_pii_eq",
-        (s, dir) => {
+        (s, dir0) => {
+          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
           import s.implicits._
           val ss = streamSession(s)
           implicit val sqlCtx = ss.sqlContext
@@ -9922,7 +10000,8 @@ object QueryCatalog {
       // slowly-changing-dimension lookup) over 4 real micro-batches
       // hash-matches the batch join.
       Q("q_stream_enrich_eq",
-        (s, dir) => {
+        (s, dir0) => {
+          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
           import s.implicits._
           val ss = streamSession(s)
           implicit val sqlCtx = ss.sqlContext
@@ -9964,7 +10043,8 @@ object QueryCatalog {
       // are absorbed by the keyed MERGE, which is the exactly-once
       // argument a production keyed sink rests on.
       Q("q_stream_jdbc_eq",
-        (s, dir) => {
+        (s, dir0) => {
+          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
           import s.implicits._
           import graft.index.JdbcVectorSink
           val ss = streamSession(s)
@@ -10039,7 +10119,8 @@ object QueryCatalog {
       // state are all under the gate. Value sums are DECIMAL(18,2) so
       // stream/batch accumulation order cannot diverge.
       Q("q_stream_window_eq",
-        (s, dir) => {
+        (s, dir0) => {
+          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
           import s.implicits._
           val ss = streamSession(s)
           implicit val sqlCtx = ss.sqlContext
@@ -10736,7 +10817,8 @@ object QueryCatalog {
       // key's final value, which hash-matches the BATCH oracle (same SQL
       // as q_ewma_user). Cross-batch buffer maintenance is under the hash.
       Q("q_stream_ewma_eq",
-        (s, dir) => {
+        (s, dir0) => {
+          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
           import s.implicits._
           import graft.streaming.StreamingEwma
           import graft.streaming.StreamingEwma.{EwmaOut, VEvent}
@@ -10793,7 +10875,8 @@ object QueryCatalog {
       // the ns-safe Analytics.Scd2Sentinel (2261-12-31). Hash-matches the
       // batch windowed oracle (q_scd2's).
       Q("q_stream_scd2_eq",
-        (s, dir) => {
+        (s, dir0) => {
+          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
           import s.implicits._
           import graft.streaming.StreamingScd2
           import graft.streaming.StreamingScd2.{ChEvent, Scd2Row}
@@ -11588,7 +11671,8 @@ object QueryCatalog {
       // decimal string — exceeds Long on long spans); watermark sentinel
       // flushes; hash-matches the batch DECIMAL oracle.
       Q("q_stream_twap_eq",
-        (s, dir) => {
+        (s, dir0) => {
+          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
           import s.implicits._
           import graft.streaming.StreamingTwap
           import graft.streaming.StreamingTwap.{TwapOut, VEvent}
@@ -12307,7 +12391,8 @@ object QueryCatalog {
       // pattern: constant state (depth x width longs) no matter how many
       // batches or how hot the keys.
       Q("q_stream_cms_eq",
-        (s, dir) => {
+        (s, dir0) => {
+          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
           import s.implicits._
           val ss = streamSession(s)
           implicit val sqlCtx = ss.sqlContext

@@ -136,10 +136,11 @@ final case class HashingInferenceModel(dimension: Int = 64) extends InferenceMod
 object HashingEmbedder {
   import graft.functions.TextHashing
 
-  /** The embedding kernel: mirrors Exprs.embedCodes/embedRawVec/l2Normalize
-    * exactly (same md5 hex digits, same signed counts, same sequential
-    * norm fold, same per-element division). */
-  def embedText(text: String, dim: Int): Array[Double] = {
+  /** The signed-count phase of the kernel alone (mirrors
+    * Exprs.embedCodes/embedRawVec): the feature vector BEFORE
+    * normalization — the input both [[embedText]] and the disk-loaded
+    * [[LinearInferenceModel]] project from. */
+  def rawCounts(text: String, dim: Int): Array[Long] = {
     val toks = TextHashing.tokens(text)
     val counts = new Array[Long](dim)
     var t = 0
@@ -153,6 +154,14 @@ object HashingEmbedder {
       counts(bucket) += (if (h3 >= 8) -1L else 1L)
       t += 1
     }
+    counts
+  }
+
+  /** The embedding kernel: mirrors Exprs.embedCodes/embedRawVec/l2Normalize
+    * exactly (same md5 hex digits, same signed counts, same sequential
+    * norm fold, same per-element division). */
+  def embedText(text: String, dim: Int): Array[Double] = {
+    val counts = rawCounts(text, dim)
     val raw = new Array[Double](dim)
     var i = 0
     while (i < dim) { raw(i) = counts(i).toDouble; i += 1 }

@@ -1,0 +1,131 @@
+package graft.embed
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Disk-loaded linear projection model behind the [[InferenceModel]]
+  * contract — the PRODUCTION loading path beyond [[HashingInferenceModel]]:
+  * a model ARTIFACT directory (config.json + weights.csv) is parsed from
+  * the filesystem, config eagerly on the driver (dimension probe, T5) and
+  * weights lazily in `init()` — i.e. ONCE PER PARTITION on the executor,
+  * exactly where sentence-transformers loads its weight files in the
+  * reference's swappable model-dir design (`utils.py:88-93`,
+  * `document_processor.py:273-277`). On a cluster the dir must be
+  * node-visible (shared FS / distributed cache), the standard model-dir
+  * contract.
+  *
+  * Inference: text -> signed hashing bucket counts (featDim, the same
+  * kernel as [[HashingEmbedder]] BEFORE normalization) -> y = Wᵀx ->
+  * L2-normalize. Weights are dyadic rationals (k/256, |k| <= 3), so every
+  * product and partial sum is EXACT in binary double and the result is
+  * bit-identical regardless of fold order — the property the DuckDB
+  * oracle (q_linear_embed) relies on to replay the projection without a
+  * sequential-fold contract.
+  */
+final case class LinearInferenceModel(modelDir: String) extends InferenceModel {
+  // config parsed eagerly (driver-side dimension probe); weights stay on
+  // disk until a partition's init()
+  val (featDim: Int, outDim: Int) = LinearModelArtifact.readConfig(modelDir)
+  def dimension: Int = outDim
+
+  def init(): InferenceSession = {
+    val w = LinearModelArtifact.readWeights(modelDir, featDim, outDim)
+    new InferenceSession {
+      def embedBatch(texts: Seq[String]): Seq[Array[Double]] =
+        texts.map { t =>
+          val counts = HashingEmbedder.rawCounts(if (t == null) "" else t, featDim)
+          val y = new Array[Double](outDim)
+          var j = 0
+          while (j < outDim) {
+            var acc = 0.0
+            var i = 0
+            while (i < featDim) { acc += counts(i) * w(i)(j); i += 1 }
+            y(j) = acc
+            j += 1
+          }
+          var nsq = 0.0
+          var k = 0
+          while (k < outDim) { nsq += y(k) * y(k); k += 1 }
+          val nrm = math.sqrt(nsq)
+          if (nrm == 0.0) y
+          else {
+            val out = new Array[Double](outDim)
+            k = 0
+            while (k < outDim) { out(k) = y(k) / nrm; k += 1 }
+            out
+          }
+        }
+    }
+  }
+}
+
+/** Writer/reader for the linear-model artifact directory.
+  *
+  * The weight FORMULA w(i,j) = (((i·31 + j·17) mod 7) − 3) / 256 is what
+  * the oracle replays; the ENGINE never uses the formula at inference
+  * time — it round-trips the values through the on-disk artifact
+  * (write -> parse -> project), so a loading bug (row order, column
+  * split, decimal parse) hash-fails q_linear_embed rather than being
+  * masked by a shared in-memory constant. k/256 is exact both as an
+  * 8-decimal string and as a binary double, so the round trip is
+  * lossless by construction. */
+object LinearModelArtifact {
+  /** Bump when the artifact format or weight formula changes — stale /tmp
+    * artifacts from an older formula must not serve a newer oracle. */
+  private val Version = 1
+
+  def weight(i: Int, j: Int): Double =
+    (((i * 31 + j * 17) % 7) - 3) / 256.0
+
+  /** Write the artifact into `dir` (created if needed). */
+  def write(dir: String, featDim: Int, outDim: Int): Unit = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    Files.write(d.resolve("config.json"),
+      s"""{"feat_dim": $featDim, "out_dim": $outDim, "version": $Version}"""
+        .getBytes(StandardCharsets.UTF_8))
+    val rows = (0 until featDim).map { i =>
+      (0 until outDim).map(j => f"${weight(i, j)}%.8f").mkString(",")
+    }
+    Files.write(d.resolve("weights.csv"),
+      rows.mkString("\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Idempotent /tmp-cached artifact for the catalog/spec fixtures (the
+    * synthMedia pattern: keyed on shape + format version, marker-gated). */
+  def ensure(featDim: Int, outDim: Int): String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_linear_model_${featDim}x${outDim}_v$Version"
+    val marker = Paths.get(dir, "_DONE")
+    if (!Files.isRegularFile(marker)) {
+      write(dir, featDim, outDim)
+      Files.write(marker, "ok".getBytes(StandardCharsets.UTF_8))
+    }
+    dir
+  }
+
+  def readConfig(dir: String): (Int, Int) = {
+    val txt = new String(
+      Files.readAllBytes(Paths.get(dir, "config.json")), StandardCharsets.UTF_8)
+    def field(name: String): Int = {
+      val m = java.util.regex.Pattern.compile(s""""$name"\\s*:\\s*(\\d+)""")
+        .matcher(txt)
+      require(m.find(), s"config.json at $dir missing '$name'")
+      m.group(1).toInt
+    }
+    (field("feat_dim"), field("out_dim"))
+  }
+
+  def readWeights(dir: String, featDim: Int, outDim: Int): Array[Array[Double]] = {
+    val lines = new String(
+      Files.readAllBytes(Paths.get(dir, "weights.csv")), StandardCharsets.UTF_8)
+      .split("\n")
+    require(lines.length == featDim,
+      s"weights.csv at $dir has ${lines.length} rows, config says $featDim")
+    lines.map { line =>
+      val cells = line.split(",")
+      require(cells.length == outDim,
+        s"weights.csv row has ${cells.length} cols, config says $outDim")
+      cells.map(_.toDouble)
+    }
+  }
+}

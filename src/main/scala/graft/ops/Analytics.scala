@@ -1105,8 +1105,10 @@ object Analytics {
       .groupBy("term").agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), col("term"))
       .limit(topN)
-    val ranked = terms.withColumn("rank",
-      row_number().over(Window.orderBy(desc("freq"), col("term"))).cast("long"))
+    // bounded (≤ topN) rank without an unpartitioned window — see
+    // Layout.boundedRank
+    val ranked = Layout.boundedRank(
+      terms, Seq(-col("freq"), col("term")), "rank")
     val x = round(log(col("rank").cast("double")), 6).cast("decimal(18,6)")
     val y = round(log(col("freq").cast("double")), 6).cast("decimal(18,6)")
     val m = ranked.agg(

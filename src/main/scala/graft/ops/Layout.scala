@@ -23,6 +23,34 @@ object Layout {
   def zValue(xCol: String, yCol: String, bits: Int = 16): Column =
     expr(S.zInterleave(s"CAST($xCol AS BIGINT)", s"CAST($yCol AS BIGINT)", bits))
 
+  /** Rank 1..n over a BOUNDED-by-construction frame (top-k shortlists,
+    * `limit(n)` outputs, vocab heads — never corpus-sized input) without
+    * an unpartitioned window: `row_number() OVER (ORDER BY …)` on such
+    * sets is correct but WindowExec logs the "No Partition Defined"
+    * performance warning unconditionally — six bounded call sites flooded
+    * the r8 bench log, burying real warnings (and `partitionBy(lit(0))`
+    * does NOT silence it: Spark 4's EliminateWindowPartitions folds the
+    * constant away again). Here the ≤n rows pack into ONE
+    * `sort_array(collect_list(struct(keys…, row)))` aggregate and ranks
+    * are positions from posexplode — same total order, no WindowExec at
+    * all.
+    *
+    * `sortKeys` are ASCENDING struct-comparison keys (negate numeric
+    * columns for descending) and must form a total order (include a
+    * unique tie-break) — on a full key tie the row payload itself would
+    * compare, which a total key order makes unreachable. Appends
+    * `rankCol` (LongType, first rank = `startAt`) to the input columns. */
+  def boundedRank(df: DataFrame, sortKeys: Seq[Column], rankCol: String,
+                  startAt: Int = 1): DataFrame = {
+    val keyed = sortKeys.zipWithIndex.map { case (c, i) => c.as(s"__bk$i") } :+
+      struct(df.columns.map(col).toSeq: _*).as("__brow")
+    df.select(struct(keyed: _*).as("__bkey"))
+      .agg(sort_array(collect_list(col("__bkey"))).as("__bsorted"))
+      .select(posexplode(col("__bsorted")).as(Seq("__bpos", "__bkey")))
+      .select(col("__bkey.__brow.*"),
+        (col("__bpos") + lit(startAt.toLong)).cast("long").as(rankCol))
+  }
+
   /** Stable dense sequential ids (0-based) in `orderCol` order WITHOUT the
     * single-partition collapse: `row_number() OVER (ORDER BY k)` plans
     * `Exchange SinglePartition` — one task sorts the entire corpus, the

@@ -65,9 +65,8 @@ object Lsa {
       .where(length(col("term")) > 0)
       .groupBy("term").agg(countDistinct(idCol).as("df"))
       .orderBy(col("df").desc, col("term")).limit(topV)
-    dfreq.withColumn("term_id",
-        row_number().over(Window.orderBy(col("df").desc, col("term")))
-          .cast("long") - 1L)
+    Layout.boundedRank(dfreq, Seq(-col("df"), col("term")), "term_id",
+        startAt = 0)
       .select(col("term_id"), col("term"), col("df").cast("long").as("df"))
   }
 

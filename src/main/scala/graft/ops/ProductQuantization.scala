@@ -50,10 +50,12 @@ object ProductQuantization {
     val spark = emb.sparkSession
     import spark.implicits._
     val v = VectorF.toDoubleArray(col(vecCol))
-    val init = emb.orderBy(col(idCol)).limit(k)
-      .select(col(idCol), v.as("__v"))
-      .withColumn("cid",
-        (row_number().over(Window.orderBy(col(idCol))) - 1).cast("int"))
+    // bounded (= k rows) 0-based ids without an unpartitioned window —
+    // see Layout.boundedRank
+    val init = Layout.boundedRank(
+        emb.orderBy(col(idCol)).limit(k).select(col(idCol), v.as("__v")),
+        Seq(col(idCol)), "cid", startAt = 0)
+      .withColumn("cid", col("cid").cast("int"))
     var books = withSubs(init, "__v", m, dim)
       .select(col("sub"), col("cid"), col("subv").as("cv"))
     for (_ <- 1 to iters) {
@@ -133,11 +135,10 @@ object ProductQuantization {
     val spark = emb.sparkSession
     val v = VectorF.toDoubleArray(col(vecCol))
     val base = emb.select(col(idCol), v.as("__v"))
-    val coarse = base.orderBy(col(idCol)).limit(kc)
-      .select(col(idCol), col("__v"))
-      .withColumn("ccid",
-        (row_number().over(Window.orderBy(col(idCol))) - 1).cast("int"))
-      .select(col("ccid"), col("__v").as("ccv"))
+    val coarse = Layout.boundedRank(
+        base.orderBy(col(idCol)).limit(kc).select(col(idCol), col("__v")),
+        Seq(col(idCol)), "ccid", startAt = 0)
+      .select(col("ccid").cast("int").as("ccid"), col("__v").as("ccv"))
     // nearest-centroid assignment, keeping the centroid vector for the
     // residual (struct-min on (distance, ccid) — lowest-cid tie-break)
     val assigned = base.crossJoin(broadcast(coarse))

@@ -464,21 +464,23 @@ object Similarity {
   def rrfTopK(chunks: DataFrame, queryDF: DataFrame, textCol: String,
               idCol: String, vecCol: String, terms: Seq[String],
               k: Int, n: Int = 50, c: Double = 60.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = VectorF.toDoubleArray(col(vecCol))
-    val vTop = chunks.crossJoin(broadcast(queryDF))
-      .withColumn("vs", VectorF.cosine(v, col("qv")))
-      .select(col(idCol), col("vs"))
-      .orderBy(desc("vs"), col(idCol)).limit(n)
-      .withColumn("vrank",
-        row_number().over(Window.orderBy(desc("vs"), col(idCol))).cast("long"))
+    // ranks over the ≤n shortlists via Layout.boundedRank (sorted-struct
+    // positions), not an unpartitioned row_number window — same total
+    // order, no WindowExec "No Partition Defined" log flood
+    val vTop = Layout.boundedRank(
+        chunks.crossJoin(broadcast(queryDF))
+          .withColumn("vs", VectorF.cosine(v, col("qv")))
+          .select(col(idCol), col("vs"))
+          .orderBy(desc("vs"), col(idCol)).limit(n),
+        Seq(-col("vs"), col(idCol)), "vrank")
       .select(col(idCol), col("vrank"))
-    val kTop = chunks
-      .withColumn("ks", keywordScore(col(textCol), terms))
-      .select(col(idCol), col("ks"))
-      .orderBy(desc("ks"), col(idCol)).limit(n)
-      .withColumn("krank",
-        row_number().over(Window.orderBy(desc("ks"), col(idCol))).cast("long"))
+    val kTop = Layout.boundedRank(
+        chunks
+          .withColumn("ks", keywordScore(col(textCol), terms))
+          .select(col(idCol), col("ks"))
+          .orderBy(desc("ks"), col(idCol)).limit(n),
+        Seq(-col("ks"), col(idCol)), "krank")
       .select(col(idCol), col("krank"))
     vTop.join(kTop, Seq(idCol), "full_outer")
       .withColumn("score",

@@ -84,6 +84,46 @@ class EmbedderSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(out == expected, "stand-in model must reproduce HashingEmbedder output")
   }
+
+  test("LinearInferenceModel: disk artifact round-trips through the batched path") {
+    import graft.embed.{BatchedEmbedder, LinearInferenceModel, LinearModelArtifact}
+    // fresh artifact dir (not the /tmp ensure cache): the WRITE path is
+    // under test too
+    val dir = java.nio.file.Files.createTempDirectory("graft_lin_spec").toString
+    LinearModelArtifact.write(dir, 64, 16)
+    val model = LinearInferenceModel(dir)
+    assert(model.featDim == 64 && model.dimension == 16,
+      "config.json drives the driver-side dimension probe")
+    val many = (0L until 40L).map(i => (i, s"linear model doc $i tokens"))
+      .toDF("doc_id", "text").repartition(4, $"doc_id")
+    val out = BatchedEmbedder(model, batchSize = 8)
+      .withEmbedding(many, "text", "emb")
+      .select($"doc_id", $"emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(out.size == 40 && out.values.forall(_.length == 16))
+    // unit norm (no text here hashes to the zero vector)
+    out.values.foreach { v =>
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-12)
+    }
+    // bit-exact vs a driver-side replay from the weight FORMULA — proves
+    // the file round trip (format -> parse -> project) is lossless
+    (0L until 40L).foreach { i =>
+      val counts = graft.embed.HashingEmbedder.rawCounts(s"linear model doc $i tokens", 64)
+      val y = Array.tabulate(16) { j =>
+        (0 until 64).map(k => counts(k) * LinearModelArtifact.weight(k, j)).sum
+      }
+      val nrm = math.sqrt(y.map(x => x * x).sum)
+      val exp = if (nrm == 0.0) y else y.map(_ / nrm)
+      assert(out(i).sameElements(exp), s"doc $i diverged from formula replay")
+    }
+    // loader validation: truncated weights fail fast with a clear error
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "weights.csv"),
+      "0.1,0.2".getBytes("UTF-8"))
+    val ex = intercept[IllegalArgumentException] {
+      LinearInferenceModel(dir).init()
+    }
+    assert(ex.getMessage.contains("rows"))
+  }
 }
 
 /** Test instrumentation for BatchedEmbedder: counts init calls and batch
