@@ -2053,6 +2053,43 @@ object QueryCatalog {
         FROM documents
         ORDER BY doc_id""")),
 
+    // S4 table capability (pdf_reader.py:83-149, docling TableFormer
+    // ACCURATE — capability, not bug-for-bug): a REAL ruled lattice-table
+    // PDF is written per doc (stroked grid + Tm-positioned cells, Flate
+    // compressed), then recovered by the POSITIONAL extractor — runs
+    // clustered into rows by baseline y and cells by x — back to
+    // tab/newline TSV. The oracle rebuilds the TSV from the cell formula,
+    // so a bug anywhere in write -> object graph -> inflate -> positional
+    // interpret -> cluster order hash-fails.
+    Q("q_pdf_table",
+      (s, dir) => {
+        import s.implicits._
+        val docs = tk(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"))
+          .as[Long]
+        docs.mapPartitions { it =>
+            it.map { id =>
+              val rows = (0 until 4).map(r =>
+                (0 until 3).map(c => s"r${r}c${c}v${(id * 7 + r * 3 + c) % 100}"))
+              val pdf = graft.sources.PdfWrite.tablePage(rows)
+              (id, graft.sources.PdfTableExtract.extract(pdf))
+            }
+          }
+          .toDF("doc_id", "table_tsv")
+          .orderBy("doc_id")
+      },
+      Some {
+        val tsv = (0 until 4).map { r =>
+          (0 until 3).map { c =>
+            s"'r${r}c${c}v' || CAST((doc_id * 7 + ${r * 3 + c}) % 100 AS VARCHAR)"
+          }.mkString(" || chr(9) || ")
+        }.mkString(" || chr(10) || ")
+        s"""
+        SELECT doc_id, $tsv AS table_tsv
+        FROM documents
+        ORDER BY doc_id"""
+      }),
+
     // T7/S5: in-engine AsciiDoc -> text rendering (sources/AsciiDocText —
     // the Ruby plugin's node semantics without the external process). Each
     // document is wrapped in a known AsciiDoc skeleton (title + doc
@@ -5451,6 +5488,38 @@ object QueryCatalog {
       s"(SELECT doc_id, source, lang, n_chars, ${D.splitWs("text")} AS toks FROM documents)"
 
     Seq(
+      // Gopher §A1.1 duplicate-LINE repetition (Rae et al. 2021): the
+      // boilerplate detector the word-level rules can't see — nav bars
+      // and footers repeat as whole lines. Lines md5-hash BEFORE the
+      // exchange (32 hex chars + counts travel, never boilerplate text);
+      // map-combined (doc, hash) counts then one per-doc aggregate.
+      Q("q_dup_lines",
+        (s, dir) =>
+          graft.ops.Curation.dupLineStats(
+              t(s, dir, "documents"), "text", "doc_id")
+            .orderBy("doc_id"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Curation.dupLineStatsOracleSql(
+              "documents", "doc_id", "text")}
+          ) ORDER BY doc_id""")),
+
+      // Gopher §A1.1 top-n-gram concentration: chars covered by the most
+      // frequent word 2-gram / total chars — the looping-generation and
+      // keyword-stuffing signal. Supremum tie-breaks to the LOWEST gram
+      // (two-stage max-count/min-gram, exact integers end to end).
+      Q("q_top_ngram",
+        (s, dir) =>
+          graft.ops.Curation.topNgramCharFrac(
+              t(s, dir, "documents"), "text", "doc_id", 2)
+            .orderBy("doc_id"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Curation.topNgramCharFracOracleSql(
+              s"(SELECT doc_id, text, ${D.splitWs("text")} AS toks FROM documents)",
+              "doc_id", "text", Exprs.wordShingles(D, "toks", 2))}
+          ) ORDER BY doc_id""")),
+
       // Gopher-style document quality rules (Rae et al. 2021 §A1.1 — the
       // standard public filter battery a pretraining pipeline applies
       // before dedup): word-count bounds, mean word length band,

@@ -134,13 +134,34 @@ object Main {
         .foreach { r => println(s"=== ${r.getString(0)}\n${r.getString(1)}") }
       spark.stop()
 
+    // §3.3 structure investigation (asciidoc/__main__.py:55-74
+    // get_structure + asciidoc_structure_dumper.rb): dump the parsed
+    // AsciiDoc node tree for ONE file in the Ruby dumper's nested
+    // `#<Class {context: :x, ...}>` shape. Single-file inspection is a
+    // driver-side pure function — no Spark session, exactly like the
+    // reference shells a single ruby process.
+    case "structure" :: inputFile :: rest =>
+      val fs = parseFlags(rest)
+      val f = new java.io.File(inputFile)
+      if (!f.isFile) { System.err.println(s"no such file: $inputFile"); sys.exit(1) }
+      val attrs = flag(fs, Seq("a", "attributes-file"))
+        .map(p => graft.sources.AsciiDocText.attributesFromYaml(
+          new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+            java.nio.charset.StandardCharsets.UTF_8)))
+        .getOrElse(Map.empty[String, String])
+      val adoc = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      println(graft.sources.AsciiDocText.dumpStructure(
+        graft.sources.AsciiDocText.structure(adoc, attrs)))
+
     case other =>
       System.err.println(
         s"""unknown args: ${other.mkString(" ")}
            |usage:
            |  generate <docsDir> <outDir>
            |  query <indexDir> <text> [k] [threshold]
-           |  convert <docsDir>""".stripMargin)
+           |  convert <docsDir>
+           |  structure <file.adoc> [-a attributes.yaml]""".stripMargin)
       sys.exit(2)
   }
 }

@@ -463,4 +463,118 @@ object Curation {
         (round(col("mean_loss"), 6) + lit(0.0)).as("mean_loss"),
         col("weight"))
   }
+
+  /** Gopher §A1.1 line-repetition signals (Rae et al. 2021) — the
+    * duplicate-LINE complement of [[Dedup.repetitionStats]]'s n-gram
+    * ratios: per document,
+    *   dup_line_frac      = (occurrences beyond each line's first) / lines
+    *   dup_line_char_frac = (chars of those repeat occurrences) / line chars
+    * over trimmed non-empty lines (boilerplate nav/footer text repeats as
+    * whole lines; exact whitespace variation is noise for this signal).
+    *
+    * Scale: explode to (doc, line) rows -> map-combined count per distinct
+    * (doc, line) -> per-doc aggregate. Narrow rows, one shuffle on the
+    * (doc, md5(line)) key space; no per-doc state bigger than a counter.
+    * Hashing the line to md5 BEFORE the shuffle keeps long boilerplate
+    * lines out of the exchange (only 32 hex chars + counts travel);
+    * lengths aggregate as exact integers, fractions round at emission. */
+  def dupLineStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val lines = docs
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("__line0"))
+      .select(col(idCol), trim(col("__line0")).as("__line"))
+      .where(length(col("__line")) > 0)
+      .select(col(idCol), md5(col("__line")).as("__h"),
+        length(col("__line")).cast("long").as("__len"))
+    val per = lines.groupBy(col(idCol), col("__h"))
+      .agg(count(lit(1)).cast("long").as("__c"), first(col("__len")).as("__len"))
+    per.groupBy(col(idCol))
+      .agg(
+        sum(col("__c")).cast("long").as("n_lines"),
+        sum(col("__c") - 1).cast("long").as("__dups"),
+        sum(col("__c") * col("__len")).cast("long").as("__chars"),
+        sum((col("__c") - 1) * col("__len")).cast("long").as("__dupchars"))
+      .select(col(idCol), col("n_lines"),
+        (round(col("__dups").cast("double") / col("n_lines").cast("double"), 6)
+          + lit(0.0)).as("dup_line_frac"),
+        (round(col("__dupchars").cast("double") / col("__chars").cast("double"), 6)
+          + lit(0.0)).as("dup_line_char_frac"))
+  }
+
+  /** Oracle fragment replaying [[dupLineStats]] (DuckDB dialect). */
+  def dupLineStatsOracleSql(fromSql: String, idCol: String,
+                            textCol: String): String =
+    s"""WITH l AS (
+         SELECT $idCol, trim(ln) AS line
+         FROM (SELECT $idCol, unnest(string_split($textCol, chr(10))) AS ln
+               FROM $fromSql)
+         WHERE length(trim(ln)) > 0),
+       per AS (
+         SELECT $idCol, md5(line) AS h, CAST(count(*) AS BIGINT) AS c,
+                CAST(min(length(line)) AS BIGINT) AS len
+         FROM l GROUP BY $idCol, md5(line), line)
+       SELECT $idCol,
+              CAST(sum(c) AS BIGINT) AS n_lines,
+              (round(CAST(sum(c - 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+               + CAST(0.0 AS DOUBLE)) AS dup_line_frac,
+              (round(CAST(sum((c - 1) * len) AS DOUBLE)
+                     / CAST(sum(c * len) AS DOUBLE), 6)
+               + CAST(0.0 AS DOUBLE)) AS dup_line_char_frac
+       FROM per GROUP BY $idCol"""
+
+  /** Gopher §A1.1 top-n-gram concentration: the fraction of a document's
+    * characters covered by occurrences of its single most frequent word
+    * n-gram (count · ngram-chars / text chars) — high values mark looping
+    * generation and keyword-stuffed spam that line- and shingle-ratio
+    * signals under-read. Ties break to the lexicographically FIRST n-gram
+    * (deterministic supremum, the ksTest pattern). Character counts are
+    * exact integers; one explode + two keyed aggregations. */
+  def topNgramCharFrac(docs: DataFrame, textCol: String, idCol: String,
+                       n: Int): DataFrame = {
+    require(n >= 2 && n <= 8, s"n out of range: $n")
+    val toks = graft.functions.TextF.tokens(col(textCol))
+    val grams = docs
+      .select(col(idCol), length(col(textCol)).cast("long").as("__tc"),
+        explode(graft.functions.TextF.wordShingles(toks, n)).as("__g"))
+    val counted = grams.groupBy(col(idCol), col("__tc"), col("__g"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+    // two-stage supremum: max count per doc, then min gram over the
+    // equal-count set — count desc with lexicographically-lowest tie-break
+    counted.groupBy(col(idCol), col("__tc"))
+      .agg(max(col("__c")).as("__bc"))
+      .join(counted, Seq(idCol, "__tc"))
+      .where(col("__c") === col("__bc"))
+      .groupBy(col(idCol), col("__tc"), col("__bc"))
+      .agg(min(col("__g")).as("top_ngram"))
+      .select(col(idCol),
+        col("__bc").as("top_count"),
+        col("top_ngram"),
+        (round((col("__bc") * length(col("top_ngram")).cast("long"))
+            .cast("double") / col("__tc").cast("double"), 6) + lit(0.0))
+          .as("top_ngram_char_frac"))
+  }
+
+  /** Oracle fragment replaying [[topNgramCharFrac]] (DuckDB dialect);
+    * `shinglesSql` must produce the same word n-grams as
+    * TextF.wordShingles over `toks`. */
+  def topNgramCharFracOracleSql(fromSql: String, idCol: String,
+                                textCol: String, shinglesSql: String): String =
+    s"""WITH g AS (
+         SELECT $idCol, CAST(length($textCol) AS BIGINT) AS tc,
+                unnest($shinglesSql) AS gram
+         FROM $fromSql),
+       counted AS (
+         SELECT $idCol, tc, gram, CAST(count(*) AS BIGINT) AS c
+         FROM g GROUP BY $idCol, tc, gram),
+       best AS (
+         SELECT $idCol, tc, max(c) AS bc FROM counted GROUP BY $idCol, tc),
+       pick AS (
+         SELECT c.$idCol, c.tc, b.bc, min(c.gram) AS top_ngram
+         FROM counted c JOIN best b
+           ON c.$idCol = b.$idCol AND c.c = b.bc
+         GROUP BY c.$idCol, c.tc, b.bc)
+       SELECT $idCol, bc AS top_count, top_ngram,
+              (round(CAST(bc * CAST(length(top_ngram) AS BIGINT) AS DOUBLE)
+                     / CAST(tc AS DOUBLE), 6)
+               + CAST(0.0 AS DOUBLE)) AS top_ngram_char_frac
+       FROM pick"""
 }

@@ -59,6 +59,35 @@ object AsciiDocText {
     } catch { case _: Exception => Map.empty }
   }
 
+  /** {name} substitution for known attributes only (unknown refs pass
+    * through, as asciidoctor leaves unresolved references intact).
+    * Expansion depth is CAPPED: circular definitions (:a: {b} / :b: {a},
+    * or :x: {x}) would otherwise rewrite forever — after the cap the
+    * remaining references stay as text, which is the lenient
+    * unresolved-reference behavior, not an error. Shared by [[render]]
+    * and [[structure]]. */
+  private def expandAttrs(s: String, attr: String => Option[String]): String = {
+    var r = s
+    var changed = true
+    var depth = 0
+    while (changed && depth < 10) {
+      depth += 1
+      changed = false
+      val m = java.util.regex.Pattern.compile("\\{([A-Za-z0-9_][A-Za-z0-9_-]*)\\}").matcher(r)
+      val sb = new java.lang.StringBuilder
+      var last = 0
+      while (m.find()) {
+        attr(m.group(1)) match {
+          case Some(v) =>
+            sb.append(r, last, m.start()).append(v); last = m.end(); changed = true
+          case None => ()
+        }
+      }
+      if (changed) { sb.append(r, last, r.length); r = sb.toString }
+    }
+    r
+  }
+
   private val AttrLine = "^:([A-Za-z0-9_][A-Za-z0-9_-]*):\\s*(.*)$".r
   private val Heading = "^(={2,6})\\s+(.*)$".r
   private val SourceStyle = "^\\[source(?:\\s*,\\s*([^\\]]+))?\\]\\s*$".r
@@ -77,33 +106,7 @@ object AsciiDocText {
     val n = lines.length
     val docAttrs = scala.collection.mutable.Map.empty[String, String]
     def attr(k: String): Option[String] = cliAttrs.get(k).orElse(docAttrs.get(k))
-    def sub(s: String): String = {
-      // {name} substitution for known attributes only (unknown refs pass
-      // through, as asciidoctor leaves unresolved references intact).
-      // Expansion depth is CAPPED: circular definitions (:a: {b} / :b: {a},
-      // or :x: {x}) would otherwise rewrite forever — after the cap the
-      // remaining references stay as text, which is the lenient
-      // unresolved-reference behavior, not an error.
-      var r = s
-      var changed = true
-      var depth = 0
-      while (changed && depth < 10) {
-        depth += 1
-        changed = false
-        val m = java.util.regex.Pattern.compile("\\{([A-Za-z0-9_][A-Za-z0-9_-]*)\\}").matcher(r)
-        val sb = new java.lang.StringBuilder
-        var last = 0
-        while (m.find()) {
-          attr(m.group(1)) match {
-            case Some(v) =>
-              sb.append(r, last, m.start()).append(v); last = m.end(); changed = true
-            case None => ()
-          }
-        }
-        if (changed) { sb.append(r, last, r.length); r = sb.toString }
-      }
-      r
-    }
+    def sub(s: String): String = expandAttrs(s, attr)
 
     val blocks = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
@@ -223,5 +226,181 @@ object AsciiDocText {
     val attrs = cliAttrs
     val f = udf((s: String) => render(s, attrs))
     f(c)
+  }
+
+  // ==========================================================================
+  // Structure dump (reference `asciidoc/__main__.py:55-74` get_structure +
+  // `asciidoc_structure_dumper.rb`): the parsed node TREE rather than the
+  // rendered text — same grammar as [[render]], surfaced as nested nodes.
+  // ==========================================================================
+
+  /** One parsed node: `klass`/`context` mirror the Ruby dumper's
+    * `#<Asciidoctor::X {context: :y, ...}>` identity pair; `title` is set
+    * for the document and sections, `text` for leaf blocks/list items. */
+  final case class AdocNode(klass: String, context: String,
+                            title: Option[String], level: Int,
+                            text: Option[String],
+                            children: Vector[AdocNode])
+
+  /** Parse `adoc` into its document tree: document -> nested sections (by
+    * heading level) -> blocks (paragraph / listing / literal / example /
+    * admonition / image / ulist / olist / dlist with list_item children).
+    * Attribute substitution and entity decode follow [[render]]'s rules;
+    * verbatim listings stay unsubstituted (the no-subs contract). */
+  def structure(adoc: String, cliAttrs: Map[String, String] = Map.empty): AdocNode = {
+    val lines = Option(adoc).getOrElse("").split("\n", -1)
+    val n = lines.length
+    val docAttrs = scala.collection.mutable.Map.empty[String, String]
+    def attr(k: String): Option[String] = cliAttrs.get(k).orElse(docAttrs.get(k))
+    def sub(s: String): String = expandAttrs(s, attr)
+
+    final class B(val klass: String, val context: String,
+                  val title: Option[String], val level: Int,
+                  val text: Option[String]) {
+      val children = scala.collection.mutable.ArrayBuffer.empty[B]
+      def toNode: AdocNode =
+        AdocNode(klass, context, title, level, text, children.map(_.toNode).toVector)
+    }
+
+    var i = 0
+    while (i < n && lines(i).trim.isEmpty) i += 1
+    var docTitle: Option[String] = None
+    if (i < n && lines(i).startsWith("= ")) {
+      val t = lines(i).substring(2)
+      i += 1
+      var reading = true
+      while (i < n && reading) lines(i) match {
+        case AttrLine(k, v) => docAttrs(k) = v.trim; i += 1
+        case l if l.trim.isEmpty => reading = false
+        case _ => reading = false
+      }
+      docTitle = Some(decode(sub(t)))
+    }
+    val root = new B("Asciidoctor::Document", "document", docTitle, 0, None)
+    // innermost open container last; blocks attach to the top
+    val stack = scala.collection.mutable.ArrayBuffer(root)
+    def top: B = stack.last
+    def leaf(context: String, text: String): Unit =
+      top.children += new B("Asciidoctor::Block", context, None, top.level,
+        Some(text))
+    def listNode(context: String, items: Seq[String]): Unit = {
+      val l = new B("Asciidoctor::List", context, None, top.level, None)
+      items.foreach { t =>
+        l.children += new B("Asciidoctor::ListItem", "list_item", None,
+          top.level, Some(t))
+      }
+      top.children += l
+    }
+
+    var pendingAdmonition: Option[String] = None
+    def collectDelimited(delim: String): Seq[String] = {
+      i += 1
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (i < n && lines(i).trim != delim) { buf += lines(i); i += 1 }
+      if (i < n) i += 1
+      buf.toSeq
+    }
+
+    while (i < n) {
+      lines(i) match {
+        case l if l.trim.isEmpty => i += 1
+        case AttrLine(k, v) => docAttrs(k) = v.trim; i += 1
+        case Heading(eqs, title) =>
+          val level = eqs.length - 1
+          while (stack.length > 1 && top.level >= level)
+            stack.remove(stack.length - 1)
+          val s = new B("Asciidoctor::Section", "section",
+            Some(decode(sub(title))), level, None)
+          top.children += s
+          stack += s
+          i += 1
+        case SourceStyle(_) => i += 1 // style only affects rendering
+        case AdmonitionStyle(kind) => pendingAdmonition = Some(kind); i += 1
+        case QuoteStyle() | VerseStyle() => i += 1
+        case l if l.trim == "----" =>
+          val content = collectDelimited("----").mkString("\n")
+          pendingAdmonition match {
+            case Some(_) => leaf("admonition", decode(sub(content)))
+                            pendingAdmonition = None
+            case None => leaf("listing", decode(content)) // verbatim: no subs
+          }
+        case l if l.trim == "...." =>
+          leaf("literal", decode(collectDelimited("....").mkString("\n")))
+        case l if l.trim == "====" =>
+          val content = decode(sub(collectDelimited("====").mkString("\n")))
+          pendingAdmonition match {
+            case Some(_) => leaf("admonition", content); pendingAdmonition = None
+            case None => leaf("example", content)
+          }
+        case InlineAdmonition(_, text) =>
+          leaf("admonition", decode(sub(text))); i += 1
+        case Image(_, alt) => leaf("image", sub(alt)); i += 1
+        case UItem(_) =>
+          val items = scala.collection.mutable.ArrayBuffer.empty[String]
+          var go = true
+          while (i < n && go) lines(i) match {
+            case UItem(item) => items += decode(sub(item)); i += 1
+            case _ => go = false
+          }
+          listNode("ulist", items.toSeq)
+        case OItem(_) =>
+          val items = scala.collection.mutable.ArrayBuffer.empty[String]
+          var go = true
+          while (i < n && go) lines(i) match {
+            case OItem(item) => items += decode(sub(item)); i += 1
+            case _ => go = false
+          }
+          listNode("olist", items.toSeq)
+        case DItem(_, _) =>
+          val items = scala.collection.mutable.ArrayBuffer.empty[String]
+          var go = true
+          while (i < n && go) lines(i) match {
+            case DItem(term, desc) =>
+              items += (decode(sub(term)) + ":: " +
+                Option(desc).map(d => decode(sub(d))).getOrElse(""))
+              i += 1
+            case _ => go = false
+          }
+          listNode("dlist", items.toSeq)
+        case _ =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          var go = true
+          while (i < n && go) {
+            val l = lines(i)
+            if (l.trim.isEmpty) go = false else { buf += l; i += 1 }
+          }
+          leaf("paragraph", decode(sub(buf.mkString("\n"))))
+      }
+    }
+    root.toNode
+  }
+
+  /** Render the tree in the reference Ruby dumper's exact line shape:
+    * `#<Class {context: :ctx, title: "…", level: N, text: "…", blocks: N}>`
+    * with two-space indentation per depth and children recursed in order
+    * (`asciidoc_structure_dumper.rb`). `title`/`text` print Ruby-inspect
+    * style (double-quoted with \\ \" \n escapes, `nil` when absent). */
+  def dumpStructure(node: AdocNode, indent: Int = 0): String = {
+    def inspect(o: Option[String]): String = o match {
+      case None => "nil"
+      case Some(s) =>
+        "\"" + s.flatMap {
+          case '\\' => "\\\\"
+          case '"' => "\\\""
+          case '\n' => "\\n"
+          case '\t' => "\\t"
+          case c => c.toString
+        } + "\""
+    }
+    val attrs = scala.collection.mutable.ArrayBuffer.empty[String]
+    attrs += s"context: :${node.context}"
+    // every Asciidoctor node here responds_to?(:title) in the Ruby
+    // dumper's probe (AbstractBlock), so the attribute always prints
+    attrs += s"title: ${inspect(node.title)}"
+    attrs += s"level: ${node.level}"
+    node.text.foreach(t => attrs += s"text: ${inspect(Some(t))}")
+    attrs += s"blocks: ${node.children.length}"
+    val line = " " * indent + s"#<${node.klass} {${attrs.mkString(", ")}}>"
+    (line +: node.children.map(dumpStructure(_, indent + 2))).mkString("\n")
   }
 }

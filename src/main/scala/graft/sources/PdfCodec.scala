@@ -308,10 +308,13 @@ object PdfParse {
 object PdfContentText {
   import PdfParse._
 
-  private def decodeString(b: Array[Byte]): String =
+  /** PDF string bytes -> text (UTF-16BE BOM or Latin-1) — shared with the
+    * positional extractor. */
+  def decodeBytes(b: Array[Byte]): String =
     if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
       new String(b, 2, b.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
     else new String(b, ISO_8859_1)
+  private def decodeString(b: Array[Byte]): String = decodeBytes(b)
 
   /** TJ kerning gap (thousandths of text-space units) below which a space is
     * synthesized — the common word-gap heuristic. */
@@ -364,23 +367,29 @@ object PdfContentText {
     out.toString
   }
 
-  private def isOpEnd(ch: Char): Boolean =
+  /** Operator-token terminator — shared with the positional extractor. */
+  def opEnd(ch: Char): Boolean =
     ch == ' ' || ch == '\t' || ch == '\r' || ch == '\n' || ch == '\f' ||
       ch == 0.toChar || ch == '(' || ch == '<' || ch == '[' || ch == '/' ||
       ch == ']' || ch == '>' || ch == ')'
+  private def isOpEnd(ch: Char): Boolean = opEnd(ch)
 }
 
-/** The real S4 kernel: full-file extraction via the page tree (Catalog ->
-  * Pages -> Page -> Contents), falling back to "any stream containing BT"
-  * when the trailer/catalog is unresolvable. Pages join with '\n'. */
-final class PdfTextExtractor extends PdfExtractor {
+/** Shared page-tree walk for the extractors: per-page decoded content
+  * streams in document order (Catalog -> Pages kids order), falling back
+  * to one pseudo-page per BT-bearing stream when the trailer/catalog is
+  * unresolvable. Streams stay SEPARATE per page (a text object may not
+  * span streams in practice, but each extractor decides how to combine —
+  * the text kernel extracts each and concatenates the results, preserving
+  * its long-pinned behavior). */
+object PdfPages {
   import PdfParse._
 
-  def extract(bytes: Array[Byte]): String = {
-    if (bytes == null || bytes.length < 8) return ""
+  def contentStreams(bytes: Array[Byte]): Vector[Vector[Array[Byte]]] = {
+    if (bytes == null || bytes.length < 8) return Vector.empty
     val objs =
       try objects(bytes)
-      catch { case _: Exception => return "" }
+      catch { case _: Exception => return Vector.empty }
 
     def contentsOf(page: PDict): Vector[Array[Byte]] =
       resolve(page.m.getOrElse("Contents", PNull), objs) match {
@@ -414,24 +423,139 @@ final class PdfTextExtractor extends PdfExtractor {
 
     val catalogPages: Vector[PDict] = objs.values
       .collectFirst {
-        case PObj(_, d @ PDict(m), _) if m.get("Type").contains(PName("Catalog")) =>
+        case PObj(_, PDict(m), _) if m.get("Type").contains(PName("Catalog")) =>
           walkPages(m.getOrElse("Pages", PNull), 0)
       }
       .getOrElse(Vector.empty)
 
-    val pageTexts: Vector[String] =
-      if (catalogPages.nonEmpty)
-        catalogPages.map(p => contentsOf(p).map(PdfContentText.extract).mkString)
-      else
-        // damaged/catalog-less file: any decodable stream with a BT block
-        objs.values.toVector.sortBy(_.num).flatMap { o =>
-          decodedStream(o, objs).filter { b =>
-            new String(b, ISO_8859_1).contains("BT")
-          }.map(PdfContentText.extract)
-        }
-
-    pageTexts.filter(_.nonEmpty).mkString("\n")
+    if (catalogPages.nonEmpty) catalogPages.map(contentsOf)
+    else
+      // damaged/catalog-less file: any decodable stream with a BT block
+      objs.values.toVector.sortBy(_.num).flatMap { o =>
+        decodedStream(o, objs).filter { b =>
+          new String(b, ISO_8859_1).contains("BT")
+        }.map(Vector(_))
+      }
   }
+}
+
+/** The real S4 kernel: full-file extraction via the page tree (Catalog ->
+  * Pages -> Page -> Contents), falling back to "any stream containing BT"
+  * when the trailer/catalog is unresolvable. Pages join with '\n'. */
+final class PdfTextExtractor extends PdfExtractor {
+  def extract(bytes: Array[Byte]): String =
+    PdfPages.contentStreams(bytes)
+      .map(_.map(PdfContentText.extract).mkString)
+      .filter(_.nonEmpty).mkString("\n")
+}
+
+/** Positional text runs from a content stream: the coordinate-aware
+  * complement of [[PdfContentText]] for TABLE structure recovery. Tracks
+  * the text-line origin through `Tm` (set; axis-aligned translation part
+  * e,f), `Td`/`TD` (relative move, TD also setting leading), `TL` and
+  * `T*`, and records every shown string with the line origin current at
+  * show time. Rotation/skew in Tm is ignored (axis-aligned tables — the
+  * lattice case TableFormer's ACCURATE mode targets; see SURVEY/verdict
+  * scope: capability, not bug-for-bug docling). */
+object PdfPositionalText {
+  import PdfParse._
+
+  final case class Run(x: Double, y: Double, text: String)
+
+  def runs(content: Array[Byte]): Vector[Run] = {
+    val c = new Cursor(new String(content, ISO_8859_1), 0)
+    val out = Vector.newBuilder[Run]
+    val operands = scala.collection.mutable.ArrayBuffer.empty[PVal]
+    var lx = 0.0; var ly = 0.0; var leading = 0.0
+    def num(i: Int): Double = operands.lift(operands.length - i) match {
+      case Some(PNum(v)) => v
+      case _ => 0.0
+    }
+    def show(v: PVal): Unit = v match {
+      case PStr(b) =>
+        val t = PdfContentText.decodeBytes(b)
+        if (t.nonEmpty) out += Run(lx, ly, t)
+      case _ => ()
+    }
+    def showTJ(v: PVal): Unit = v match {
+      case PArr(items) =>
+        val sb = new StringBuilder
+        items.foreach {
+          case PStr(b) => sb.append(PdfContentText.decodeBytes(b))
+          case PNum(n) => if (n < PdfContentText.TjSpaceGap) sb.append(' ')
+          case _ => ()
+        }
+        if (sb.nonEmpty) out += Run(lx, ly, sb.toString)
+      case _ => ()
+    }
+    while (!c.done) {
+      c.skipWs()
+      if (!c.done) {
+        val ch = c.ch
+        if (ch == '(' || ch == '<' || ch == '[' || ch == '/' ||
+            ch == '+' || ch == '-' || ch == '.' || (ch >= '0' && ch <= '9')) {
+          operands += parseValue(c)
+        } else {
+          val start = c.i
+          while (!c.done && !PdfContentText.opEnd(c.ch)) c.i += 1
+          val op = c.s.substring(start, if (c.i > start) c.i else { c.i += 1; c.i })
+          op match {
+            case "BT" => lx = 0.0; ly = 0.0; leading = 0.0
+            case "Tm" => lx = num(2); ly = num(1)
+            case "Td" => lx += num(2); ly += num(1)
+            case "TD" => leading = -num(1); lx += num(2); ly += num(1)
+            case "TL" => leading = num(1)
+            case "T*" => ly -= leading
+            case "Tj" => operands.lastOption.foreach(show)
+            case "'" => ly -= leading; operands.lastOption.foreach(show)
+            case "\"" => ly -= leading; operands.lastOption.foreach(show)
+            case "TJ" => operands.lastOption.foreach(showTJ)
+            case _ => () // Tf/graphics (ruling lines): no positional effect
+          }
+          operands.clear()
+        }
+      }
+    }
+    out.result()
+  }
+}
+
+/** Table-structure recovery from the text layer: cluster positional runs
+  * into rows (same quantized baseline y, top-to-bottom) and cells (x
+  * order within a row, runs within half a point merging into one cell),
+  * emitting tab-separated cells and newline-separated rows — the
+  * TableFormer-equivalent CAPABILITY of `pdf_reader.py:83-149` (docling
+  * TableFormer ACCURATE) for lattice/grid tables, re-expressed over the
+  * object graph this codec already parses rather than a vision model.
+  * Reading order is deterministic: pages in document order joined by
+  * '\n', rows by descending y, cells by ascending x. */
+object PdfTableExtract {
+  /** Quantize a coordinate to half-point cells — rounding noise from
+    * real-world writers lands in one bucket, distinct rows/columns (>= 1pt
+    * apart in any real layout) stay distinct. */
+  private def q(v: Double): Double = math.rint(v * 2.0) / 2.0
+
+  def tableText(runs: Vector[PdfPositionalText.Run]): String = {
+    if (runs.isEmpty) return ""
+    runs.groupBy(r => q(r.y)).toVector.sortBy { case (y, _) => -y }
+      .map { case (_, rowRuns) =>
+        // stable by (x, arrival order); merge runs sharing a column x
+        val cells = scala.collection.mutable.ArrayBuffer.empty[(Double, StringBuilder)]
+        rowRuns.sortBy(r => q(r.x)).foreach { r =>
+          cells.lastOption match {
+            case Some((cx, sb)) if q(r.x) == cx => sb.append(r.text)
+            case _ => cells += ((q(r.x), new StringBuilder(r.text)))
+          }
+        }
+        cells.map(_._2.toString).mkString("\t")
+      }
+      .mkString("\n")
+  }
+
+  def extract(bytes: Array[Byte]): String =
+    PdfPages.contentStreams(bytes)
+      .map(streams => tableText(streams.flatMap(PdfPositionalText.runs)))
+      .filter(_.nonEmpty).mkString("\n")
 }
 
 /** Minimal deterministic PDF WRITER (classic xref, Flate-compressed content
@@ -529,4 +653,92 @@ object PdfWrite {
   }
 
   def singlePage(text: String): Array[Byte] = document(Seq(text))
+
+  /** Content stream for a LATTICE table page: the cell grid is stroked
+    * with real ruling lines (`m`/`l`/`S` path ops — present so the
+    * fixture is an honest ruled table, ignored by the text extractors)
+    * and each cell's text is its own `Tm`-positioned text object at
+    * (x0 + c·colW, y0 − r·rowH). */
+  def tableContent(rows: Seq[Seq[String]], x0: Double = 72.0,
+                   y0: Double = 700.0, colW: Double = 120.0,
+                   rowH: Double = 20.0): Array[Byte] = {
+    val nRows = rows.length
+    val nCols = if (rows.isEmpty) 0 else rows.map(_.length).max
+    val sb = new StringBuilder
+    def f(v: Double): String = {
+      val s = BigDecimal(v).underlying.stripTrailingZeros.toPlainString
+      if (s == "-0") "0" else s
+    }
+    // ruling lines: (nRows+1) horizontals, (nCols+1) verticals — the grid
+    // sits 14pt above each text baseline so cells enclose their text
+    val top = y0 + 14.0
+    val bottom = top - nRows * rowH
+    val left = x0 - 4.0
+    val right = left + nCols * colW
+    (0 to nRows).foreach { r =>
+      val y = top - r * rowH
+      sb.append(s"${f(left)} ${f(y)} m ${f(right)} ${f(y)} l S\n")
+    }
+    (0 to nCols).foreach { cI =>
+      val x = left + cI * colW
+      sb.append(s"${f(x)} ${f(top)} m ${f(x)} ${f(bottom)} l S\n")
+    }
+    rows.zipWithIndex.foreach { case (cells, r) =>
+      cells.zipWithIndex.foreach { case (cell, cI) =>
+        val x = x0 + cI * colW
+        val y = y0 - r * rowH
+        sb.append("BT\n/F1 10 Tf\n")
+        sb.append(s"1 0 0 1 ${f(x)} ${f(y)} Tm\n")
+        sb.append('(').append(escapeLine(cell.replace("\n", " "))).append(") Tj\n")
+        sb.append("ET\n")
+      }
+    }
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  /** A complete one-page PDF whose page is a ruled (lattice) table. */
+  def tablePage(rows: Seq[Seq[String]], compress: Boolean = true): Array[Byte] = {
+    val raw = tableContent(rows)
+    documentFromContents(Seq(if (compress) deflate(raw) else raw), compress)
+  }
+
+  /** Same writer skeleton as [[document]] but over PRE-BUILT content
+    * streams (already deflated when `compressed`). */
+  private def documentFromContents(contents: Seq[Array[Byte]],
+                                   compressed: Boolean): Array[Byte] = {
+    val n = contents.length
+    val objCount = 3 + 2 * n
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.4\n%âãÏÓ\n")
+    val offsets = new Array[Long](objCount + 1)
+    def writeObj(num: Int, body: String, stream: Option[Array[Byte]]): Unit = {
+      offsets(num) = out.size().toLong
+      w(s"$num 0 obj\n$body\n")
+      stream.foreach { b =>
+        w("stream\n"); out.write(b, 0, b.length); w("\nendstream\n")
+      }
+      w("endobj\n")
+    }
+    writeObj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
+    val kids = (0 until n).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
+    writeObj(2, s"<< /Type /Pages /Kids [ $kids ] /Count $n >>", None)
+    writeObj(3, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>", None)
+    contents.zipWithIndex.foreach { case (payload, i) =>
+      val pageNum = 4 + 2 * i
+      val contNum = 5 + 2 * i
+      writeObj(pageNum,
+        s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+          s"/Resources << /Font << /F1 3 0 R >> >> /Contents $contNum 0 R >>",
+        None)
+      val filter = if (compressed) " /Filter /FlateDecode" else ""
+      writeObj(contNum, s"<< /Length ${payload.length}$filter >>", Some(payload))
+    }
+    val xrefOff = out.size().toLong
+    w(s"xref\n0 ${objCount + 1}\n")
+    w("0000000000 65535 f \n")
+    (1 to objCount).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${objCount + 1} /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
 }

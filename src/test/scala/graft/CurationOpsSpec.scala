@@ -783,4 +783,36 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(g.map(_._1) == Seq("A.ex", "b.ex", "c.ex"), g.toString)
     assert(g.forall(r => r._2 == 1L && r._3 == 1L && r._4 == 1L), g.toString)
   }
+
+  test("dupLineStats: duplicate-line and char fractions, trimmed-line identity") {
+    import graft.ops.Curation
+    val docs = Seq(
+      // "nav" repeats 3x (2 dups, 3 chars each); body lines unique;
+      // "  nav  " trims to the same line; blank lines drop
+      (1L, "nav\nalpha beta\n\n  nav  \ngamma\nnav"),
+      (2L, "one\ntwo\nthree") // no dups
+    ).toDF("doc_id", "text")
+    val got = Curation.dupLineStats(docs, "text", "doc_id").orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    // doc 1: 6 lines kept... nav,alpha beta,nav,gamma,nav -> 5 lines,
+    // 2 dup occurrences; chars: nav 3*3 + 10 + 5 = 24; dup chars 2*3 = 6
+    assert(got(0) == ((1L, 5L, 0.4, 0.25)))
+    assert(got(1) == ((2L, 3L, 0.0, 0.0)))
+  }
+
+  test("topNgramCharFrac: most frequent 2-gram, lexicographic tie-break") {
+    import graft.ops.Curation
+    val docs = Seq(
+      // "b c" occurs twice (from "a b c b c"): 2-grams a b, b c, c b, b c
+      (1L, "a b c b c"),
+      // tie: every 2-gram once -> lowest gram "x y" wins
+      (2L, "x y z")
+    ).toDF("doc_id", "text")
+    val got = Curation.topNgramCharFrac(docs, "text", "doc_id", 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, String, Double)].collect().toSeq
+    // doc1: top "b c" count 2, chars 3*2=6 of 9 -> 0.666667
+    assert(got(0) == ((1L, 2L, "b c", 0.666667)))
+    assert(got(1) == ((2L, 1L, "x y", 0.6)))
+  }
 }

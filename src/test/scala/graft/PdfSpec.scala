@@ -145,4 +145,38 @@ class PdfSpec extends AnyFunSuite {
     var t = 1
     while (t < base.length) { ex.extract(base.take(t)); t += 37 }
   }
+
+  test("table round-trip: ruled lattice table recovers cells in reading order") {
+    import graft.sources.PdfTableExtract
+    val rows = Seq(
+      Seq("name", "qty", "price"),
+      Seq("bolt M4", "100", "0.12"),
+      Seq("nut (M4)", "250", "0.05"))
+    val pdf = PdfWrite.tablePage(rows)
+    val got = PdfTableExtract.extract(pdf)
+    assert(got == rows.map(_.mkString("\t")).mkString("\n"))
+    // ragged rows keep their own cell counts; uncompressed path identical
+    val ragged = Seq(Seq("a", "b", "c"), Seq("only"), Seq("x", "y"))
+    assert(PdfTableExtract.extract(PdfWrite.tablePage(ragged)) ==
+      "a\tb\tc\nonly\nx\ty")
+    assert(PdfTableExtract.extract(PdfWrite.tablePage(ragged, compress = false)) ==
+      "a\tb\tc\nonly\nx\ty")
+    // the PLAIN text extractor still reads the same file (cells in row-
+    // major order, one text object each -> newline-separated)
+    val flat = ex.extract(pdf)
+    assert(rows.flatten.forall(flat.contains), s"plain text lost cells: $flat")
+  }
+
+  test("positional runs: Td/TD/TL/T* arithmetic and Tm placement") {
+    import graft.sources.{PdfPositionalText => P}
+    val content =
+      ("BT /F1 10 Tf 1 0 0 1 100 700 Tm (a) Tj 50 0 Td (b) Tj " +
+       "0 -20 TD (c) Tj T* (d) Tj ET").getBytes("ISO-8859-1")
+    val rs = P.runs(content)
+    assert(rs == Vector(
+      P.Run(100, 700, "a"), P.Run(150, 700, "b"),
+      P.Run(150, 680, "c"), P.Run(150, 660, "d")))
+    // table clustering: b/a share y (row 1) with x deciding cell order
+    assert(graft.sources.PdfTableExtract.tableText(rs) == "a\tb\nc\nd")
+  }
 }
