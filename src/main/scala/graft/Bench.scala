@@ -114,8 +114,12 @@ object Bench {
         val m = pat.matcher(txt)
         val b = Map.newBuilder[String, Double]
         while (m.find()) b += (m.group(1) -> m.group(2).toDouble)
-        // names not in the catalog (e.g. "value") fall out here
-        b.result().filter { case (k, _) => SparkEntry.queries.contains(k) }
+        // names not in the catalog (e.g. "value") fall out here, and so
+        // do -1/-2/-3 sentinel times (failed/cut/cancelled entries are
+        // UNKNOWN priors, not "negative seconds" — they'd poison the
+        // slowest-first sort and the warmup threshold)
+        b.result().filter { case (k, v) =>
+          v >= 0 && SparkEntry.queries.contains(k) }
       }
     }
     var nWarmed = 0
@@ -192,8 +196,19 @@ object Bench {
     var nSingleRun = 0
     val warmupS = elapsedS
     var streamRecycled = false
+    // Coverage-preserving order (r9): slowest-first alone let the r9
+    // first run cut 172 cheap queries (-2) — a complete artifact beats
+    // perfect heavy sampling. The sub-0.6s tail is CHEAP to measure
+    // (min-of-2, no gc: ~0.8 s each), so the heavy head holds back an
+    // explicit slice for it — the heavy loop treats 0.8 s per unmeasured
+    // cheap query as part of the reserve, and the tail then sweeps
+    // inside that slice.
+    val cheapSet = SparkEntry.queries.keySet
+      .filter(n => priorTimes.get(n).exists(t => t >= 0 && t < 0.6))
+    var cheapRemaining = cheapSet.size
     val baseOrder = SparkEntry.queries.toSeq
-      .sortBy { case (name, _) => (-priorTimes.getOrElse(name, 1.0), name) }
+      .sortBy { case (name, _) =>
+        (cheapSet.contains(name), -priorTimes.getOrElse(name, 1.0), name) }
     val results = baseOrder.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -204,10 +219,15 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      val isCheap = cheapSet.contains(name)
+      if (isCheap) cheapRemaining -= 1
       // the sf1 reserve is enforced on the FIRST run too: estimate from
       // the prior round (contended priors overestimate — safe direction)
-      val estQ = math.max(5.0, 1.5 * priorTimes.getOrElse(name, 1.0))
-      if (remainS < sf1ReserveS + estQ) name -> -2.0
+      val estQ =
+        if (isCheap) 1.0
+        else math.max(5.0, 1.5 * priorTimes.getOrElse(name, 1.0))
+      val reserveNow = sf1ReserveS + 0.8 * cheapRemaining
+      if (remainS < reserveNow + estQ) name -> -2.0
       else {
         // first entry into the q_stream_* family gets a fresh context
         // (the family the r8 aging measurements implicate); elsewhere
@@ -229,10 +249,12 @@ object Bench {
         val r1 = once()
         val runs = scala.collection.mutable.ArrayBuffer(r1)
         if (r1 >= 0) {
-          // the second sample must clear the sf1 reserve WITH the
-          // repeat's own cost counted (r8: "+30" flat headroom let late
-          // second runs nibble the reserve down to nothing)
-          val inBudget = remainS > sf1ReserveS + 60 + 2 * r1
+          // the second sample must clear the sf1 reserve AND the cheap
+          // sweep's slice WITH the repeat's own cost counted (r8: "+30"
+          // flat headroom let late second runs nibble the reserve down
+          // to nothing)
+          val inBudget =
+            remainS > reserveNow + (if (isCheap) 5 else 60) + 2 * r1
           if (inBudget) runs += once()
           if (r1 >= 0.5 && elapsedS < 0.40 * budgetS) runs += once()
           if (!inBudget) nSingleRun += 1
@@ -312,12 +334,25 @@ object Bench {
         // per-row kernels whose 10x ratio has been ~10x for three
         // rounds running.
         val heavy = Seq(
-          // iterative graph: fixed-round loops whose per-round shuffle is
-          // the classic super-linear trap
-          "q_pagerank", "q_triangles", "q_ppr", "q_kcore", "q_hits",
+          // iterative graph on the CATALOG fixture: q_pagerank is the
+          // dense-graph representative (the bits=4 fixture densifies
+          // 100x at 10x — linear-in-m rounds survive even that);
+          // q_link_predict measures the hub cap under that same
+          // densification (apexes beyond maxApexDegree drop out — the
+          // skew-guard behaving is itself the measurement). Triangles/
+          // k-core wedge+peel plans are timed on the occupancy-held
+          // x_graph_* fixture below instead — on the bits=4 fixture
+          // their true answer grows ~1000x by construction (r8: 329 s),
+          // which measures the fixture, not the plan.
+          "q_pagerank", "q_link_predict",
+          // r8: learned-embedding inference (explode + broadcast term
+          // vectors + decimal mean-pool — the trained-model apply path)
+          // + the r7/r8 operators that have never seen 10x data, early
+          // so the budget gate cannot starve them again
+          "q_lsa_embed", "q_trigram_lm", "q_winnow_pairs",
           // banded/bucketed self-joins: candidate growth is the risk
           "q_minhash_pairs", "q_simhash_pairs", "q_embed_neardup",
-          "q_winnow_pairs", "q_snm_pairs", "q_cluster_best",
+          "q_snm_pairs", "q_cluster_best",
           "q_substr_dedup",
           // custom physical op + two-pass layout primitives
           "q_asof_native", "q_range_native", "q_dense_ids",
@@ -328,25 +363,50 @@ object Bench {
           "q_quality_classifier", "q_tfidf", "q_domain_mixture",
           "q_term_drift", "q_contrastive_pairs", "q_scd2",
           "q_sessionize", "q_sink_roundtrip", "q1_agg",
-          // r8: learned-embedding inference (explode + broadcast term
-          // vectors + decimal mean-pool — the trained-model apply path)
-          "q_lsa_embed",
           // per-row linear kernels (three rounds of ~10x ratios — lowest
           // marginal information, timed last)
-          "q_sp_segment", "q_justext_blocks", "q_trigram_lm",
+          "q_sp_segment", "q_justext_blocks",
           "q_audio_fingerprint", "q_pcm_energy", "q_winnowing",
           "q_entropy", "q_robots_filter", "q_rake_keyphrases",
           "q_pmi_collocations")
         val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
         def timed(fn: String => Unit, dir: String, name: String,
                   baseT: Double): Double = {
-          def once(): Double = {
-            val t0 = System.nanoTime()
-            try { fn(dir); (System.nanoTime() - t0) / 1e9 }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] sf1 $name failed: ${e.getMessage}")
-              -1.0
+          // Hard watchdog (r8 lesson: q_triangles ran 329 s — 4x its
+          // 12x-of-base estimate — and single-handedly drained the sf1
+          // reserve, starving 40 queued queries). The estimate gate can
+          // only refuse to START a query; this cancels one that LIES
+          // about its cost mid-flight: the body runs in its own thread
+          // under a job group, and at the cap the group is cancelled —
+          // Spark tears the running stages down in seconds. A cancelled
+          // query records -3.0 (timed out ≠ skipped -1.0): itself a
+          // scale verdict, and bounded-cost evidence for everything
+          // still in the queue.
+          def once(capS: Double): Double = {
+            val group = s"sf1:$name:${System.nanoTime()}"
+            @volatile var res = -1.0
+            val th = new Thread(() => {
+              spark.sparkContext.setJobGroup(group, s"sf1 $name",
+                interruptOnCancel = true)
+              val t0 = System.nanoTime()
+              try { fn(dir); res = (System.nanoTime() - t0) / 1e9 }
+              catch { case e: Throwable =>
+                if (res != -3.0)
+                  System.err.println(s"[bench] sf1 $name failed: ${e.getMessage}")
+              }
+              finally spark.sparkContext.clearJobGroup()
+            }, s"sf1-$name")
+            th.setDaemon(true)
+            th.start()
+            th.join(math.max(1000L, (capS * 1000).toLong))
+            if (th.isAlive) {
+              res = -3.0
+              System.err.println(
+                f"[bench] sf1 $name cancelled at cap $capS%.0f s")
+              spark.sparkContext.cancelJobGroup(group)
+              th.join(30000)
             }
+            res
           }
           // Per-query budget gate: a 10x run can cost ~12x the base time
           // (10x data + replica page-cache faults); starting one the
@@ -354,6 +414,10 @@ object Bench {
           // RECORDED (sf1_skipped_budget), never silent.
           val est = math.max(20.0, 12.0 * math.max(baseT, 0.0))
           if (remainS < est) { skipped += name; return -1.0 }
+          // Cancellation cap: generous (2x the estimate, 60 s floor) so
+          // page-cache-cold first touches survive, but never more than
+          // the wall actually left minus teardown slack.
+          def cap = math.min(math.max(60.0, 2.0 * est), math.max(30.0, remainS - 15.0))
           // Same GC isolation as the base loop — without it, collection
           // debt from the replica/fixture builds (GBs of shuffle) lands
           // inside whichever sf1 query runs next and survives even a
@@ -363,12 +427,45 @@ object Bench {
           // third only for sub-30s-estimate queries with budget to spare.
           System.gc()
           Thread.sleep(50)
-          val r1 = once()
+          val r1 = once(cap)
+          if (r1 == -3.0) { skipped += s"$name(cancelled)"; return -3.0 }
           val runs = scala.collection.mutable.ArrayBuffer(r1)
-          if (remainS > est) runs += once()
-          if (est < 30 && remainS > 0.35 * budgetS) runs += once()
+          if (remainS > est) runs += once(cap)
+          if (est < 30 && remainS > 0.35 * budgetS) runs += once(cap)
           val ok = runs.filter(_ >= 0)
           if (ok.isEmpty) -1.0 else ok.min
+        }
+        // Graph family at held LSH occupancy (see ScaleRehearsal
+        // .graphOpRehearsal): bits 4 at 1x, 7 at 10x — the resolution
+        // schedule a real deployment runs, under which the edge set
+        // grows linearly. 7 (not 8) keeps the comparison conservative:
+        // bucket occupancy goes 125 -> 156 per bucket (candidates/row
+        // x1.25), so the 10x run does slightly MORE than 10x the work —
+        // the recorded ratio never flatters. Each op gets its own 1x
+        // base (the catalog base times include the shared structureEdges
+        // memo, not this fixture). "edges" times the banded self-join
+        // itself; the ops then reuse the hot edge memo and time the pure
+        // graph plan.
+        val graphPairs = Seq("edges", "triangles", "kcore", "link_predict")
+          .map { op =>
+            val name = s"x_graph_${op}_10x"
+            val b = timed(
+              d => ScaleRehearsal.graphOpRehearsal(spark, d, 4, op),
+              sfDir, s"$name(1x)", 2.0)
+            val t = timed(
+              d => ScaleRehearsal.graphOpRehearsal(spark, d, 7, op),
+              dir10, name, b)
+            (name, t, b)
+          }
+        // Record linkage at full (uncapped) table scale — the catalog
+        // q_jw_linkage bounds its input for the static oracle, so this
+        // x_ pair carries its 10x evidence (see ScaleRehearsal.jwRehearsal)
+        val jwPair = {
+          val b = timed(d => ScaleRehearsal.jwRehearsal(spark, d),
+            sfDir, "x_jw_linkage_10x(1x)", 3.0)
+          val t = timed(d => ScaleRehearsal.jwRehearsal(spark, d),
+            dir10, "x_jw_linkage_10x", b)
+          ("x_jw_linkage_10x", t, b)
         }
         val t10 = heavy.map { name =>
           val fn = (d: String) => SparkEntry.queries(name)(spark, d)
@@ -409,7 +506,8 @@ object Bench {
               if (streamLite) System.setProperty("graft.bench.streamLite", "1")
             }
           }
-        val all10 = t10 ++ streamPairs :+ ("x_image_neardup_10x", img10, imgBase) :+
+        val all10 = (graphPairs :+ jwPair) ++ t10 ++ streamPairs :+
+          ("x_image_neardup_10x", img10, imgBase) :+
           ("x_image_neardup256_10x", img256, img256Base)
         val qs10 = jmap(all10.map { case (k, v, _) => k -> jnum(v) })
         val ratios = jmap(all10.map { case (k, v, b) =>
@@ -417,7 +515,7 @@ object Bench {
           k -> f"$r%.1f"
         })
         val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-        s""","sf1_note":"10x-replicated $sfDir (copies decorrelated), min of <=2 warm runs, budget ${jnum(budgetS)}s","sf1_queries":$qs10,"sf1_ratio_vs_1x":$ratios,"sf1_skipped_budget":$skippedJson"""
+        s""","sf1_note":"10x-replicated $sfDir (copies decorrelated), min of <=2 warm runs, budget ${jnum(budgetS)}s; -3.0 = cancelled at watchdog cap; x_graph_* = occupancy-held LSH (bits 4 at 1x, 7 at 10x) vs own 1x base","sf1_queries":$qs10,"sf1_ratio_vs_1x":$ratios,"sf1_skipped_budget":$skippedJson"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 rehearsal aborted: ${e.getMessage}")
         ""
@@ -468,7 +566,7 @@ object ScaleRehearsal {
 
   /** Bump when the replica construction changes — stale /tmp replicas
     * from an older formula must not serve a newer bench. */
-  private val ReplicaVersion = 3
+  private val ReplicaVersion = 4
 
   private def dirKey(sfDir: String, copies: Int): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -485,7 +583,8 @@ object ScaleRehearsal {
     if (marker.isFile) return out
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def replicate(table: String, shifts: Map[String, Long],
-                  variedText: Boolean = false, variedVec: Boolean = false): Unit = {
+                  variedText: Boolean = false, variedVec: Boolean = false,
+                  textCol: String = "text"): Unit = {
       val src = spark.read.parquet(s"$sfDir/$table.parquet")
       val copiesDf = (0 until copies).map { k =>
         val shifted = shifts.foldLeft(src) { case (df, (c, unit)) =>
@@ -506,8 +605,8 @@ object ScaleRehearsal {
         def rot(s: String, n: Int) = s.drop(n) + s.take(n)
         val t1 =
           if (variedText && k > 0)
-            shifted.withColumn("text",
-              F.translate(F.col("text"),
+            shifted.withColumn(textCol,
+              F.translate(F.col(textCol),
                 lowerAz + lowerAz.toUpperCase,
                 rot(lowerAz, k) + rot(lowerAz.toUpperCase, k)))
           else shifted
@@ -531,6 +630,11 @@ object ScaleRehearsal {
     replicate("embeddings", Map("vec_id" -> 10000000L), variedVec = true)
     replicate("events", Map("event_id" -> 10000000L, "user_id" -> 1000000L))
     replicate("lineitem", Map("l_orderkey" -> 10000000L))
+    // part names letter-rotate per copy so blocked record linkage keeps
+    // its block sizes (10x the blocks, same rows per block): pairs —
+    // the true answer — grow linearly like a real 10x catalog.
+    replicate("part", Map("p_partkey" -> 10000000L),
+      variedText = true, textCol = "p_name")
     marker.getParentFile.mkdirs()
     java.nio.file.Files.writeString(marker.toPath, "ok")
     out
@@ -601,5 +705,80 @@ object ScaleRehearsal {
   def imageNearDup256Rehearsal(spark: SparkSession, dir: String): Unit =
     graft.multimodal.ImageCodec
       .imageNearDupPairs256(imageScaleFixture(spark, dir), "doc_id", "img", 14)
+      .write.mode("overwrite").format("noop").save()
+
+  /** Occupancy-held near-dup graph for the graph-family rehearsal.
+    *
+    * The catalog's structureEdges fixture pins signBits=4 (16 buckets)
+    * so its DuckDB oracle is a static replay — correct for correctness,
+    * but quadratic BY CONSTRUCTION under replication: measured at 10x,
+    * edges grow 100x (38.8k -> 3.89M) and wedge work ~1000x (sum d^2
+    * 3.1M -> 3.08G), which is the r8 q_triangles "73x" — the fixture's
+    * true answer densifying, not the plan. A real deployment scales LSH
+    * resolution with the corpus (bits ~ base + log2(growth)) to hold
+    * bucket occupancy — and candidate pairs PER ROW — constant; measured
+    * here, bits 4 -> 8 at 10x gives 8.7x edges and 7.7x sum d^2, i.e.
+    * linear growth, so the 10x ratio times the PLAN (banded self-join,
+    * orientation, wedge join, peel loop) at the operating point a 100 TB
+    * run would actually use. */
+  private val heldEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+  private def heldEdges(spark: SparkSession, dir: String, bits: Int): DataFrame = {
+    val key = (spark, dir, bits)
+    val hit = heldEdgeCache.get(key)
+    if (hit != null) hit
+    else {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val pairs = graft.ops.Dedup
+        .embeddingNearDupPairs(emb, "vec_id", "embedding", bits, 0.1)
+        .select(F.col("id_a"), F.col("id_b"))
+      val e = pairs
+        .select(F.col("id_a").as("src"), F.col("id_b").as("dst"))
+        .union(pairs.select(F.col("id_b").as("src"), F.col("id_a").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val prev = heldEdgeCache.putIfAbsent(key, e)
+      if (prev != null) { e.unpersist(blocking = false); prev }
+      else { e.count(); e }
+    }
+  }
+
+  /** One timed graph-family body at the given LSH resolution. "edges"
+    * times the banded self-join + cosine verify itself (build + count,
+    * memo evicted first so it is never a cache read); the ops reuse the
+    * hot memo and time the pure graph plan. */
+  def graphOpRehearsal(spark: SparkSession, dir: String, bits: Int,
+                       op: String): Unit = op match {
+    case "edges" =>
+      val old = heldEdgeCache.remove((spark, dir, bits))
+      if (old != null) old.unpersist(blocking = false)
+      heldEdges(spark, dir, bits).count(): Unit
+    case "triangles" =>
+      graft.ops.Graph.triangles(heldEdges(spark, dir, bits))
+        .write.mode("overwrite").format("noop").save()
+    case "kcore" =>
+      graft.ops.Graph.kCore(heldEdges(spark, dir, bits), 3, 6)
+        .write.mode("overwrite").format("noop").save()
+    case "link_predict" =>
+      graft.ops.Graph.linkPrediction(heldEdges(spark, dir, bits), 64, 2)
+        .write.mode("overwrite").format("noop").save()
+    case other => throw new IllegalArgumentException(s"unknown graph op: $other")
+  }
+
+  /** Blocked Jaro-Winkler linkage over the FULL part table — the catalog
+    * query (q_jw_linkage) bounds itself to p_partkey < 1500 so its static
+    * oracle stays replayable, which also pins its work constant under
+    * replication; this rehearsal drops the bound. Replica copies
+    * letter-rotate p_name (ensureReplica), so first-word blocks stay
+    * per-copy disjoint: 10x the blocks at the same rows-per-block, and
+    * the pair count — the true answer — grows linearly. */
+  def jwRehearsal(spark: SparkSession, dir: String): Unit =
+    // deterministic 1/3 sample: blocks shrink uniformly (pairs /9), so
+    // the 1x body fits the rehearsal budget while the 10x ratio still
+    // measures the same blocked self-join plan
+    graft.ops.Linkage.blockedPairs(
+        spark.read.parquet(s"$dir/part.parquet")
+          .where(F.pmod(F.col("p_partkey"), F.lit(3)) === 0),
+        "p_partkey", "p_name",
+        F.element_at(F.split(F.col("p_name"), "\\s+"), 1), 0.87)
       .write.mode("overwrite").format("noop").save()
 }

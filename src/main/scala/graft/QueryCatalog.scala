@@ -1886,6 +1886,112 @@ object QueryCatalog {
         FROM documents
         ORDER BY doc_id""")),
 
+    // S3 structural fidelity (docling export_to_markdown capability,
+    // html_reader.py:49-109): the STRUCTURAL converter
+    // (sources/HtmlMarkdown — tolerant DOM + renderer) vs the flattening
+    // htmlToText fast path. The fixture wraps each document in HTML that
+    // exercises every structure the renderer claims — heading, inline
+    // bold/link paragraph, nested ul>ol, th-headed pipe table, fenced
+    // pre, blockquote — and the oracle rebuilds the EXACT markdown from
+    // the same formulas, so a divergence anywhere in parse -> implicit
+    // close -> render order hash-fails. Codegen'd per-row kernel fused
+    // into the scan; zero exchanges before the final orderBy.
+    Q("q_html_markdown",
+      (s, dir) => {
+        val html = tk(s, dir, "documents")
+          .withColumn("html", concat(
+            lit("<html><body><h1>Doc "), col("doc_id"),
+            lit("</h1><p>"), col("text"),
+            lit(" <b>bold "), col("doc_id") % 5,
+            lit("</b> <a href=\"https://ex.com/"), col("doc_id"),
+            lit("\">site</a></p><ul><li>item a"), col("doc_id") % 3,
+            lit("</li><li>item b<ol><li>s"), col("doc_id") % 4,
+            lit("</li><li>t</li></ol></li></ul><table><tr><th>K</th><th>V</th></tr><tr><td>k"),
+            col("doc_id") % 7,
+            lit("</td><td>"), col("doc_id"),
+            lit("</td></tr><tr><td>k2</td><td>"), col("doc_id") % 11,
+            lit("</td></tr></table><pre>code "), col("doc_id"),
+            lit("</pre><blockquote><p>quoted "), col("doc_id") % 13,
+            lit("</p></blockquote></body></html>")))
+        html.select(col("doc_id"),
+            graft.sources.HtmlMarkdown.column(col("html")).as("md"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+               trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) ||
+               ' **bold ' || CAST(doc_id % 5 AS VARCHAR) ||
+               '** [site](https://ex.com/' || CAST(doc_id AS VARCHAR) || ')' ||
+               chr(10) || chr(10) ||
+               '- item a' || CAST(doc_id % 3 AS VARCHAR) || chr(10) || chr(10) ||
+               '- item b' || chr(10) || chr(10) ||
+               '  1. s' || CAST(doc_id % 4 AS VARCHAR) || chr(10) || chr(10) ||
+               '  2. t' || chr(10) || chr(10) ||
+               '| K | V |' || chr(10) || '| --- | --- |' || chr(10) ||
+               '| k' || CAST(doc_id % 7 AS VARCHAR) || ' | ' ||
+               CAST(doc_id AS VARCHAR) || ' |' || chr(10) ||
+               '| k2 | ' || CAST(doc_id % 11 AS VARCHAR) || ' |' ||
+               chr(10) || chr(10) ||
+               '```' || chr(10) || 'code ' || CAST(doc_id AS VARCHAR) ||
+               chr(10) || '```' || chr(10) || chr(10) ||
+               '> quoted ' || CAST(doc_id % 13 AS VARCHAR) AS md
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // The composed ingest pipeline a reference user actually runs on an
+    // HTML corpus: S3 structural conversion (HtmlMarkdown) -> C2 heading
+    // chunker (explodeMarkdownSections) in ONE plan — the converter is a
+    // codegen'd per-row kernel fused into the scan, the splitter a
+    // regexp tag + split + posexplode, so the whole pipeline is one
+    // narrow scan-shaped stage per document with no shuffle before the
+    // final orderBy. The oracle rebuilds the markdown from the fixture
+    // formulas and replays the IDENTICAL sentinel-split, so the hash
+    // gates converter and chunker jointly.
+    Q("q_html_sections",
+      (s, dir) => {
+        val html = tk(s, dir, "documents")
+          .withColumn("html", concat(
+            lit("<html><body><h1>Doc "), col("doc_id"),
+            lit("</h1><p>"), substring(col("text"), 1, 100),
+            lit("</p><h2>Sub "), col("doc_id") % 3,
+            lit("</h2><ul><li>x"), col("doc_id") % 5,
+            lit("</li></ul><h2>Notes</h2><p>tail "), col("doc_id") % 7,
+            lit("</p></body></html>")))
+        val md = html.select(col("doc_id"),
+          graft.sources.HtmlMarkdown.column(col("html")).as("md"))
+        graft.chunk.Chunking.explodeMarkdownSections(md, "md")
+          .select(col("doc_id"),
+            col("chunk_idx").cast("long").as("chunk_idx"), col("chunk_text"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""
+        WITH md AS (
+          SELECT doc_id,
+                 '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+                 trim(regexp_replace(substring(text, 1, 100),
+                                     '[ \t\r\n]+', ' ', 'g')) ||
+                 chr(10) || chr(10) ||
+                 '## Sub ' || CAST(doc_id % 3 AS VARCHAR) ||
+                 chr(10) || chr(10) ||
+                 '- x' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || chr(10) ||
+                 '## Notes' || chr(10) || chr(10) ||
+                 'tail ' || CAST(doc_id % 7 AS VARCHAR) AS m
+          FROM documents),
+        tagged AS (
+          SELECT doc_id,
+                 regexp_replace(m, '(?m)^(#{1,6} )', chr(1) || '\1', 'g') AS tm
+          FROM md),
+        secs AS (
+          SELECT doc_id,
+                 list_filter(string_split(tm, chr(1)), s__ -> trim(s__) <> '') AS ss
+          FROM tagged),
+        idx AS (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i FROM secs)
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+               ss[CAST(i AS INT)] AS chunk_text
+        FROM idx
+        ORDER BY doc_id, chunk_idx""")),
+
     // Hyperlink extraction + host-level outlink graph: the link side of
     // the crawl pipeline (anchor text labels the TARGET page; the host
     // graph drives frontier scheduling and host priors). The fixture HTML
@@ -12654,6 +12760,34 @@ object QueryCatalog {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
 
+  /** Collapse source-indentation whitespace to single spaces WITHOUT
+    * touching the inside of single-quoted SQL string literals — a
+    * literal like '  1. s' (markdown list indent) must reach DuckDB
+    * verbatim. Doubled quotes ('') read as exit+re-enter, which is
+    * harmless: nothing between them. */
+  private def squishSql(sql: String): String = {
+    val s = sql.trim
+    val sb = new java.lang.StringBuilder(s.length)
+    var inQ = false
+    var pendingWs = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) {
+        sb.append(c)
+        if (c == '\'') inQ = false
+      } else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
+        pendingWs = true
+      } else {
+        if (pendingWs) { sb.append(' '); pendingWs = false }
+        sb.append(c)
+        if (c == '\'') inQ = true
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] =
-    all.flatMap(q => q.oracle.map(o => q.name -> o.trim.replaceAll("\\s+", " "))).toMap
+    all.flatMap(q => q.oracle.map(o => q.name -> squishSql(o))).toMap
 }

@@ -17,9 +17,15 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the bench's non-catalog rehearsal bodies are timeable too
+    val graphBits = sys.env.getOrElse("SCRATCH_GRAPH_BITS", "4").toInt
     val rehearsals: Map[String, (SparkSession, String) => Unit] = Map(
       "x_image_neardup_10x" -> ((s, d) => ScaleRehearsal.imageNearDupRehearsal(s, d)),
-      "x_image_neardup256_10x" -> ((s, d) => ScaleRehearsal.imageNearDup256Rehearsal(s, d)))
+      "x_image_neardup256_10x" -> ((s, d) => ScaleRehearsal.imageNearDup256Rehearsal(s, d)),
+      "x_jw_linkage_10x" -> ((s, d) => ScaleRehearsal.jwRehearsal(s, d))) ++
+      Seq("edges", "triangles", "kcore", "link_predict").map(op =>
+        s"x_graph_${op}_10x" ->
+          ((s: SparkSession, d: String) =>
+            ScaleRehearsal.graphOpRehearsal(s, d, graphBits, op))).toMap
     names.foreach { n =>
       val run: () => Unit = rehearsals.get(n) match {
         case Some(r) => () => r(spark, sfDir)

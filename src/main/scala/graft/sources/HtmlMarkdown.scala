@@ -1,0 +1,412 @@
+package graft.sources
+
+import scala.collection.mutable.{ArrayBuffer, ListBuffer}
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Structural HTML -> Markdown converter — the docling
+  * `export_to_markdown` CAPABILITY (html_reader.py:49-109: docling
+  * DocumentConverter -> markdown, "preserving document structure where
+  * possible"), not its bug-for-bug markup dialect. Where
+  * [[HtmlKernel.toText]] flattens to text (the fast ingest path), this
+  * keeps the structure a chunker downstream actually uses:
+  *
+  *   - h1..h6 -> `#`..`######` heading lines
+  *   - `<ul>`/`<ol>` -> `-` / `1.` items, nested at 2 spaces per level,
+  *     ordered lists numbered per level
+  *   - `<table>` -> GitHub pipe tables (first `<tr>` with `<th>` cells —
+  *     or the first row — becomes the header, then `| --- |`)
+  *   - `<pre>` -> fenced ``` blocks, inner whitespace preserved
+  *   - `<blockquote>` -> `> ` prefixed lines (nesting stacks `> >`)
+  *   - inline `<strong>/<b>` -> `**`, `<em>/<i>` -> `*`, `<code>` ->
+  *     backticks, `<a href>` -> `[text](href)`, `<br>` -> hard newline,
+  *     `<hr>` -> `---`
+  *   - script/style/comments/doctype dropped; entities decoded (named
+  *     core set + any `&#NNN;`/`&#xHH;` numeric reference)
+  *
+  * One pass builds a tolerant DOM (unclosed tags close at the nearest
+  * matching ancestor; stray close tags are ignored — real-corpus HTML is
+  * hostile), one pass renders. Both are strictly linear in the input and
+  * allocation-light, so the expression stays inside whole-stage codegen
+  * as a per-row kernel: at corpus scale HTML conversion is scan-dominant
+  * and this fuses into the scan like [[HtmlToText]] does. */
+object HtmlMarkdown {
+
+  // ---------------------------------------------------------------- DOM
+  private final class Node(val tag: String) {
+    val children = new ListBuffer[AnyRef] // Node | String (text)
+    var href: String = null
+  }
+
+  private val Void = Set("br", "hr", "img", "meta", "link", "input",
+    "source", "area", "base", "col", "embed", "track", "wbr")
+  private val Raw = Set("script", "style")
+
+  /** Blocks that implicitly close an open <p> / <li> / cell the way real
+    * parsers do — enough tolerance for corpus HTML without a spec parser. */
+  private val Block = Set("p", "div", "ul", "ol", "li", "table", "tr",
+    "td", "th", "thead", "tbody", "blockquote", "pre",
+    "h1", "h2", "h3", "h4", "h5", "h6")
+
+  private def decodeEntity(s: String, from: Int, to: Int): String = {
+    val body = s.substring(from, to)
+    if (body.startsWith("#x") || body.startsWith("#X"))
+      try String.valueOf(Integer.parseInt(body.substring(2), 16).toChar)
+      catch { case _: Exception => "&" + body + ";" }
+    else if (body.startsWith("#"))
+      try String.valueOf(Integer.parseInt(body.substring(1)).toChar)
+      catch { case _: Exception => "&" + body + ";" }
+    else body match {
+      case "lt" => "<"
+      case "gt" => ">"
+      case "amp" => "&"
+      case "quot" => "\""
+      case "apos" => "'"
+      case "nbsp" => " "
+      case other => "&" + other + ";"
+    }
+  }
+
+  private def decodeEntities(s: String): String = {
+    var i = s.indexOf('&')
+    if (i < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var last = 0
+    while (i >= 0) {
+      val semi = s.indexOf(';', i + 1)
+      if (semi > i && semi - i <= 10) {
+        sb.append(s, last, i)
+        sb.append(decodeEntity(s, i + 1, semi))
+        last = semi + 1
+        i = s.indexOf('&', semi + 1)
+      } else i = s.indexOf('&', i + 1)
+    }
+    sb.append(s, last, s.length)
+    sb.toString
+  }
+
+  /** Tolerant one-pass parse into a Node tree rooted at "#root". */
+  private def parse(html: String): Node = {
+    val root = new Node("#root")
+    val stack = ArrayBuffer(root)
+    def top = stack.last
+    val n = html.length
+    var i = 0
+    var textStart = 0
+    def flushText(upTo: Int): Unit =
+      if (upTo > textStart) top.children += html.substring(textStart, upTo)
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) { flushText(n); i = n; textStart = n }
+      else {
+        flushText(lt)
+        if (lt + 1 >= n) { i = n; textStart = n }
+        else if (html.startsWith("<!--", lt)) {
+          val end = html.indexOf("-->", lt + 4)
+          i = if (end < 0) n else end + 3
+          textStart = i
+        } else if (html.charAt(lt + 1) == '!' || html.charAt(lt + 1) == '?') {
+          val end = html.indexOf('>', lt + 1)
+          i = if (end < 0) n else end + 1
+          textStart = i
+        } else {
+          // scan to tag end, quote-aware (title="x > y" must not cut)
+          var j = lt + 1
+          var q = 0.toChar
+          while (j < n && (q != 0 || html.charAt(j) != '>')) {
+            val c = html.charAt(j)
+            if (q != 0) { if (c == q) q = 0 }
+            else if (c == '"' || c == '\'') q = c
+            j += 1
+          }
+          if (j >= n) { flushText(n); i = n; textStart = n } // dangling '<'
+          else {
+            val inner = html.substring(lt + 1, j)
+            val closing = inner.startsWith("/")
+            val body = if (closing) inner.substring(1) else inner
+            var k = 0
+            while (k < body.length && (body.charAt(k).isLetterOrDigit)) k += 1
+            val tag = body.substring(0, k).toLowerCase(java.util.Locale.ROOT)
+            if (tag.isEmpty) {
+              // not a real tag ("< 5 km"): keep the '<' as text and
+              // resume right after it — swallowing to the next '>' would
+              // eat arbitrary prose
+              top.children += "<"
+              i = lt + 1
+              textStart = i
+            } else if (closing) {
+              val at = stack.lastIndexWhere(_.tag == tag)
+              if (at > 0) stack.takeInPlace(at) // pops mismatched inners too
+            } else if (Raw.contains(tag)) {
+              val end = html.indexOf(s"</$tag", j + 1)
+              val close = if (end < 0) n else html.indexOf('>', end)
+              i = if (end < 0 || close < 0) n else close + 1
+              textStart = i
+            } else {
+              val node = new Node(tag)
+              if (tag == "a") {
+                val m = AHref.matcher(inner)
+                if (m.find()) node.href = decodeEntities(
+                  if (m.group(1) != null) m.group(1)
+                  else if (m.group(2) != null) m.group(2) else m.group(3))
+              }
+              // implicit closes: a block tag terminates an open p/li/cell
+              if (Block.contains(tag)) {
+                val implicitClose = tag match {
+                  case "li" => Set("li", "p")
+                  case "td" | "th" => Set("td", "th", "p")
+                  case "tr" => Set("tr", "td", "th", "p")
+                  case _ => Set("p")
+                }
+                while (stack.length > 1 && implicitClose.contains(top.tag))
+                  stack.takeInPlace(stack.length - 1)
+              }
+              top.children += node
+              if (!(Void.contains(tag) || inner.endsWith("/"))) stack += node
+            }
+            if (tag.nonEmpty && (!Raw.contains(tag) || closing)) {
+              i = j + 1; textStart = i
+            }
+          }
+        }
+      }
+    }
+    root
+  }
+
+  private val AHref = java.util.regex.Pattern.compile(
+    "(?is)\\bhref\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>]+))")
+
+  // ------------------------------------------------------------- render
+  /** Hard-break sentinel: <br> must survive whitespace collapse while
+    * source newlines must NOT — so <br> writes U+0001 and inline() splits
+    * on it after collapse turned real newlines into spaces. */
+  private final val Br = '\u0001'
+
+  private def marked(c: Node, sb: java.lang.StringBuilder, mark: String): Unit = {
+    val t = new java.lang.StringBuilder
+    inlineText(c, t)
+    val body = collapse(t.toString)
+    if (body.nonEmpty) sb.append(mark).append(body).append(mark)
+  }
+
+  private def inlineText(node: Node, sb: java.lang.StringBuilder): Unit =
+    node.children.foreach {
+      case s: String => sb.append(decodeEntities(s))
+      case c: Node => c.tag match {
+        case "br" => sb.append(Br)
+        case "strong" | "b" => marked(c, sb, "**")
+        case "em" | "i" => marked(c, sb, "*")
+        case "code" => marked(c, sb, "`")
+        case "a" =>
+          val t = new java.lang.StringBuilder
+          inlineText(c, t)
+          val label = collapse(t.toString)
+          if (c.href != null && c.href.nonEmpty)
+            sb.append('[').append(label).append("](").append(c.href).append(')')
+          else sb.append(label)
+        case _ => inlineText(c, sb)
+      }
+    }
+
+  /** Collapse whitespace runs to one space and trim — inline normal mode. */
+  private def collapse(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\r' || (c == '\n')) pendingSpace = true
+      else {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        sb.append(c)
+        pendingSpace = false
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def inline(node: Node): String = {
+    val sb = new java.lang.StringBuilder
+    inlineText(node, sb)
+    // hard <br> sentinels become line breaks; source newlines collapsed
+    sb.toString.split(Br).map(collapse).filter(_.nonEmpty).mkString("\n")
+  }
+
+  private def rawText(node: Node, sb: java.lang.StringBuilder): Unit =
+    node.children.foreach {
+      case s: String => sb.append(decodeEntities(s))
+      case c: Node =>
+        if (c.tag == "br") sb.append('\n')
+        rawText(c, sb)
+    }
+
+  private final class Out {
+    val blocks = new ListBuffer[String]
+    def +=(b: String): Unit = if (b.nonEmpty) blocks += b
+  }
+
+  private def cellText(c: Node): String =
+    inline(c).replace("|", "\\|").replace("\n", " ")
+
+  private def renderTable(t: Node, out: Out): Unit = {
+    val rows = new ListBuffer[(Boolean, IndexedSeq[String])] // (isHeader, cells)
+    def walkRows(n: Node): Unit = n.children.foreach {
+      case c: Node if c.tag == "tr" =>
+        val cells = c.children.collect {
+          case cell: Node if cell.tag == "td" || cell.tag == "th" =>
+            (cell.tag == "th", cellText(cell))
+        }.toIndexedSeq
+        if (cells.nonEmpty)
+          rows += ((cells.forall(_._1), cells.map(_._2)))
+      case c: Node if c.tag == "thead" || c.tag == "tbody" || c.tag == "tfoot" =>
+        walkRows(c)
+      case _ => ()
+    }
+    walkRows(t)
+    if (rows.isEmpty) return
+    val width = rows.map(_._2.length).max
+    def line(cells: IndexedSeq[String]): String =
+      (0 until width).map(i => cells.lift(i).getOrElse("")).mkString("| ", " | ", " |")
+    val header = rows.head._2
+    val body = rows.tail
+    val sb = new ListBuffer[String]
+    sb += line(header)
+    sb += (0 until width).map(_ => "---").mkString("| ", " | ", " |")
+    body.foreach { case (_, cells) => sb += line(cells) }
+    out += sb.mkString("\n")
+  }
+
+  private def renderList(l: Node, depth: Int, out: Out): Unit = {
+    val ordered = l.tag == "ol"
+    var idx = 0
+    l.children.foreach {
+      case li: Node if li.tag == "li" =>
+        idx += 1
+        val marker = if (ordered) s"$idx. " else "- "
+        val indent = "  " * depth
+        // split the li into its inline head and nested sub-blocks
+        val headSb = new java.lang.StringBuilder
+        val sub = new ListBuffer[Node]
+        li.children.foreach {
+          case s: String => headSb.append(decodeEntities(s))
+          case c: Node if c.tag == "ul" || c.tag == "ol" => sub += c
+          case c: Node if c.tag == "p" || c.tag == "div" =>
+            if (headSb.length > 0 && !headSb.toString.endsWith(" "))
+              headSb.append(' ')
+            val t = new java.lang.StringBuilder
+            inlineText(c, t)
+            headSb.append(t)
+          case c: Node =>
+            val w = new Node("#w")
+            w.children += c
+            val t = new java.lang.StringBuilder
+            inlineText(w, t)
+            headSb.append(t)
+        }
+        val head = collapse(headSb.toString.replace('\n', ' ').replace(Br, ' '))
+        out += (indent + marker + head)
+        sub.foreach(renderList(_, depth + 1, out))
+      case _ => () // stray non-li content in a list is dropped
+    }
+  }
+
+  private def renderBlocks(node: Node, out: Out, quote: Int): Unit = {
+    // text + inline runs between block children coalesce into paragraphs
+    val para = new ListBuffer[AnyRef]
+    def flushPara(): Unit = {
+      if (para.nonEmpty) {
+        val w = new Node("#p")
+        w.children ++= para
+        para.clear()
+        emit(inline(w))
+      }
+    }
+    def emit(text: String): Unit = if (text.nonEmpty) {
+      val t = if (quote > 0) text.split('\n').map(("> " * quote) + _).mkString("\n")
+      else text
+      out += t
+    }
+    node.children.foreach {
+      case s: String => para += s
+      case c: Node => c.tag match {
+        case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
+          flushPara()
+          emit(("#" * (c.tag.charAt(1) - '0')) + " " + inline(c).replace('\n', ' '))
+        case "html" | "body" | "section" | "article" | "main" | "header" |
+             "footer" | "nav" | "aside" | "figure" | "figcaption" |
+             "details" | "summary" | "center" =>
+          // pure containers always recurse (head/title/script children
+          // are dropped by their own cases below)
+          flushPara(); renderBlocks(c, out, quote)
+        case "p" | "div" | "span" =>
+          // span is inline but a block-bearing span shows up in the wild;
+          // leaf p/div become paragraphs, block-bearing ones recurse
+          if (c.children.exists {
+            case n: Node => Block.contains(n.tag); case _ => false }) {
+            flushPara(); renderBlocks(c, out, quote)
+          } else if (c.tag == "span") para += c
+          else { flushPara(); emit(inline(c)) }
+        case "ul" | "ol" =>
+          flushPara(); renderList(c, 0, out)
+        case "table" =>
+          flushPara()
+          if (quote == 0) renderTable(c, out)
+          else { val o2 = new Out; renderTable(c, o2)
+            o2.blocks.foreach(b => emit(b)) }
+        case "pre" =>
+          flushPara()
+          val sb = new java.lang.StringBuilder
+          rawText(c, sb)
+          var body = sb.toString
+          if (body.startsWith("\n")) body = body.substring(1)
+          body = body.reverse.dropWhile(ch => ch == '\n' || ch == ' ').reverse
+          emit("```\n" + body + "\n```")
+        case "blockquote" =>
+          flushPara(); renderBlocks(c, out, quote + 1)
+        case "hr" =>
+          flushPara(); emit("---")
+        case "br" => para += c
+        case "script" | "style" | "head" | "title" => flushPara()
+        case _ => para += c // inline content joins the running paragraph
+      }
+    }
+    flushPara()
+  }
+
+  /** The kernel: HTML string in, Markdown string out. Total, never
+    * throws; linear in the input. */
+  def convert(html: String): String = {
+    val out = new Out
+    renderBlocks(parse(html), out, 0)
+    out.blocks.mkString("\n\n")
+  }
+
+  /** Column form — codegen'd [[HtmlToMarkdown]], one conversion each way. */
+  def column(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    toCol(HtmlToMarkdown(toExpr(html)))
+  }
+}
+
+/** Catalyst expression wrapper — same contract as [[HtmlToText]]: one
+  * UTF8String conversion each way, codegen'd into the enclosing stage. */
+case class HtmlToMarkdown(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(HtmlMarkdown.convert(input.toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.sources.HtmlMarkdown.convert($c.toString()));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

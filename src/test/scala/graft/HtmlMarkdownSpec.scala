@@ -1,0 +1,126 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.HtmlMarkdown
+
+/** Structural HTML -> Markdown converter contract (HtmlMarkdown):
+  * docling-export capability — headings, nested lists, pipe tables,
+  * fences, quotes, inline marks — plus hostility: real-corpus HTML is
+  * unclosed, mis-nested and attribute-booby-trapped. */
+class HtmlMarkdownSpec extends AnyFunSuite {
+
+  private def md(html: String): String = HtmlMarkdown.convert(html)
+
+  test("headings and paragraphs: levels, blank-line separation, inline collapse") {
+    val out = md(
+      """<h1>Title</h1><p>First   para
+        |over two lines.</p><h3>Sub</h3><p>Second.</p>""".stripMargin)
+    assert(out ==
+      "# Title\n\nFirst para over two lines.\n\n### Sub\n\nSecond.")
+  }
+
+  test("nested lists: ul/ol markers, per-level numbering, 2-space indent") {
+    val out = md(
+      """<ul>
+        |  <li>alpha</li>
+        |  <li>beta
+        |    <ol><li>one</li><li>two
+        |      <ul><li>deep</li></ul>
+        |    </li></ol>
+        |  </li>
+        |  <li>gamma</li>
+        |</ul>""".stripMargin)
+    assert(out ==
+      "- alpha\n\n- beta\n\n  1. one\n\n  2. two\n\n    - deep\n\n- gamma")
+  }
+
+  test("table: th header row, separator, pipe escaping, ragged rows pad") {
+    val out = md(
+      """<table>
+        |<thead><tr><th>Name</th><th>Qty</th></tr></thead>
+        |<tbody>
+        |<tr><td>a|b</td><td>1</td></tr>
+        |<tr><td>c</td></tr>
+        |</tbody></table>""".stripMargin)
+    assert(out ==
+      "| Name | Qty |\n| --- | --- |\n| a\\|b | 1 |\n| c |  |")
+  }
+
+  test("table without thead/th: first row becomes the header") {
+    val out = md("<table><tr><td>h1</td><td>h2</td></tr><tr><td>x</td><td>y</td></tr></table>")
+    assert(out == "| h1 | h2 |\n| --- | --- |\n| x | y |")
+  }
+
+  test("pre: fenced, inner whitespace preserved, entities decoded") {
+    val out = md("<pre>def f(x):\n    return x &lt; 2\n</pre>")
+    assert(out == "```\ndef f(x):\n    return x < 2\n```")
+  }
+
+  test("blockquote: prefix, nesting stacks") {
+    val out = md("<blockquote><p>outer</p><blockquote><p>inner</p></blockquote></blockquote>")
+    assert(out == "> outer\n\n> > inner")
+  }
+
+  test("inline marks: strong/em/code/a, href quoting styles, br hard break") {
+    assert(md("<p><strong>b</strong> and <em>i</em> and <code>c()</code></p>") ==
+      "**b** and *i* and `c()`")
+    assert(md("<p><a href=\"http://x/y\">link</a> <a href='u'>q</a> <a href=bare>r</a></p>") ==
+      "[link](http://x/y) [q](u) [r](bare)")
+    assert(md("<p>one<br>two</p>") == "one\ntwo")
+    assert(md("<p><a>no href keeps text</a></p>") == "no href keeps text")
+  }
+
+  test("entities: named + decimal + hex; bare ampersand untouched") {
+    assert(md("<p>a &amp; b &#60;tag&#x3E; &nbsp;end; 5 & 6</p>") ==
+      "a & b <tag> end; 5 & 6")
+  }
+
+  test("hostile: script/style/comments/doctype dropped; quoted '>' in attr") {
+    val out = md(
+      """<!DOCTYPE html><html><head><title>t</title>
+        |<style>p { color: red; }</style>
+        |<script>if (a > b) { alert("<p>"); }</script></head>
+        |<body><p title="x > y">kept</p><!-- <p>gone</p> --></body></html>""".stripMargin)
+    assert(out == "kept")
+  }
+
+  test("hostile: unclosed p/li close implicitly; stray close tags ignored") {
+    assert(md("<p>one<p>two</div><p>three") == "one\n\ntwo\n\nthree")
+    assert(md("<ul><li>a<li>b<li>c</ul>") == "- a\n\n- b\n\n- c")
+  }
+
+  test("hostile: literal '<' that is not a tag survives as text") {
+    assert(md("<p>5 < 6 and < 7 holds</p>") == "5 < 6 and < 7 holds")
+  }
+
+  test("div soup: containers recurse, leaf divs become paragraphs") {
+    val out = md("<div><div>a</div><div><p>b</p><ul><li>c</li></ul></div></div>")
+    assert(out == "a\n\nb\n\n- c")
+  }
+
+  test("empty and degenerate inputs are total") {
+    assert(md("") == "")
+    assert(md("<") == "")
+    assert(md("<p></p><ul></ul><table></table>") == "")
+    assert(md("plain text only") == "plain text only")
+  }
+
+  test("fuzz: total and deterministic on hostile tag soup") {
+    // seeded PRNG over a tag-heavy alphabet: every corpus byte pattern
+    // eventually shows up at 100 TB — convert() must never throw, never
+    // hang, and be a pure function of its input
+    val rng = new scala.util.Random(0x9e3779b9L)
+    val alphabet =
+      "<>/&;\"'= abPpHh13-#!|\n\t" + "<ul><li><table><tr><td><pre><blockquote>"
+    (1 to 500).foreach { _ =>
+      val len = rng.nextInt(400)
+      val s = new StringBuilder
+      (0 until len).foreach(_ => s.append(alphabet.charAt(rng.nextInt(alphabet.length))))
+      val in = s.toString
+      val a = md(in)
+      val b = md(in)
+      assert(a == b)
+    }
+  }
+}
