@@ -123,6 +123,17 @@ object Bench {
       }
     }
     var nWarmed = 0
+    // sf0.001 warmup durations double as PRIOR ESTIMATES for queries the
+    // committed artifact has no clean time for (new queries, and any -1/
+    // -2/-3 sentinel entries a budget-pressed previous run left behind —
+    // the r9 lesson: 241 unknown-prior queries warmed, mis-sorted at an
+    // assumed 1.0 s, and then got cut again, a self-reinforcing spiral).
+    // sf0.001 -> sf0.1 scales ~1-5x on this catalog; x3 is the safe
+    // middle for gating purposes.
+    val warmTimes = scala.collection.mutable.HashMap.empty[String, Double]
+    def priorEst(name: String): Double =
+      priorTimes.getOrElse(name,
+        warmTimes.get(name).map(t => math.max(0.05, 3.0 * t)).getOrElse(1.0))
     if (new java.io.File(warmDir).isDirectory) {
       // Selective: queries the last artifact timed under 0.6 s carry so
       // little codegen that their budget-gated second base run absorbs
@@ -139,8 +150,10 @@ object Bench {
         if (elapsedS < 0.24 * budgetS) {
           try {
             sinceRecycle += 1
+            val t0 = System.nanoTime()
             SparkEntry.queries(name)(spark, warmDir)
               .write.mode("overwrite").format("noop").save()
+            warmTimes(name) = (System.nanoTime() - t0) / 1e9
             nWarmed += 1
           } catch { case _: Throwable => () }
         }
@@ -203,12 +216,11 @@ object Bench {
     // explicit slice for it — the heavy loop treats 0.8 s per unmeasured
     // cheap query as part of the reserve, and the tail then sweeps
     // inside that slice.
-    val cheapSet = SparkEntry.queries.keySet
-      .filter(n => priorTimes.get(n).exists(t => t >= 0 && t < 0.6))
+    val cheapSet = SparkEntry.queries.keySet.filter(n => priorEst(n) < 0.6)
     var cheapRemaining = cheapSet.size
     val baseOrder = SparkEntry.queries.toSeq
       .sortBy { case (name, _) =>
-        (cheapSet.contains(name), -priorTimes.getOrElse(name, 1.0), name) }
+        (cheapSet.contains(name), -priorEst(name), name) }
     val results = baseOrder.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -225,7 +237,7 @@ object Bench {
       // the prior round (contended priors overestimate — safe direction)
       val estQ =
         if (isCheap) 1.0
-        else math.max(5.0, 1.5 * priorTimes.getOrElse(name, 1.0))
+        else math.max(5.0, 1.5 * priorEst(name))
       val reserveNow = sf1ReserveS + 0.8 * cheapRemaining
       if (remainS < reserveNow + estQ) name -> -2.0
       else {
@@ -242,7 +254,7 @@ object Bench {
         // allocates little and its min-of-2 absorbs any inherited debt —
         // 322 unconditional gc+settle rounds cost ~60s of wall the sf1
         // reserve needs more (r8 phase accounting)
-        if (priorTimes.getOrElse(name, 1.0) >= 0.5) {
+        if (priorEst(name) >= 0.5) {
           System.gc()
           Thread.sleep(50)
         }
@@ -430,8 +442,13 @@ object Bench {
           val r1 = once(cap)
           if (r1 == -3.0) { skipped += s"$name(cancelled)"; return -3.0 }
           val runs = scala.collection.mutable.ArrayBuffer(r1)
-          if (remainS > est) runs += once(cap)
-          if (est < 30 && remainS > 0.35 * budgetS) runs += once(cap)
+          // repeats are gated by the MEASURED first run, not the
+          // estimate (r9: min-of-2 on a 40 s triangles body burned 80 s
+          // of a 300 s reserve — on a body that long, run-to-run noise
+          // is small relative and a single sample is the right trade)
+          if (r1 >= 0 && r1 < 15 && remainS > est) runs += once(cap)
+          if (r1 >= 0 && r1 < 5 && est < 30 && remainS > 0.35 * budgetS)
+            runs += once(cap)
           val ok = runs.filter(_ >= 0)
           if (ok.isEmpty) -1.0 else ok.min
         }

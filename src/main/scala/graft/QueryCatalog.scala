@@ -4069,7 +4069,120 @@ object QueryCatalog {
                CAST(160 + (doc_id % 8) * 16 AS BIGINT) AS width,
                CAST(120 + (doc_id % 6) * 24 AS BIGINT) AS height
         FROM documents
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // WebDataset-style tar shards (multimodal/ShardCodec): the at-scale
+    // storage layout for multimodal training corpora — samples packed
+    // into tar shards, entries sharing a basename form one sample. Each
+    // doc packs a REAL 3-entry ustar shard (txt/cls/json by formula),
+    // then the PARSER walks it back: octal sizes, 512-block alignment,
+    // header checksums. The oracle recomputes names/sizes/payload md5s
+    // from the formulas, so a byte off anywhere in header layout or
+    // payload offsets hash-fails. Kernel inside mapPartitions; only
+    // narrow (name, size, md5) rows reach the exchange — shard bytes
+    // never do.
+    Q("q_tar_shard",
+      (s, dir) => {
+        import s.implicits._
+        val docs = tk(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"),
+            substring(col("text"), 1, 64).as("prefix"))
+          .as[(Long, String)]
+        docs.mapPartitions { it =>
+            it.flatMap { case (id, prefix) =>
+              import graft.multimodal.TarShard
+              val shard = TarShard.pack(Seq(
+                s"$id.txt" -> prefix.getBytes("UTF-8"),
+                s"$id.cls" -> s"label${id % 10}".getBytes("UTF-8"),
+                s"$id.json" -> s"""{"id":$id}""".getBytes("UTF-8")))
+              TarShard.entries(shard).map { e =>
+                (id, e.name, e.size,
+                  TarShard.md5Hex(TarShard.payload(shard, e)), e.checksumOk)
+              }
+            }
+          }
+          .toDF("doc_id", "name", "size", "payload_md5", "checksum_ok")
+          .orderBy("doc_id", "name")
+      },
+      Some("""
+        WITH e AS (
+          SELECT doc_id, CAST(doc_id AS VARCHAR) || '.txt' AS name,
+                 CAST(strlen(substring(text, 1, 64)) AS BIGINT) AS size,
+                 md5(substring(text, 1, 64)) AS payload_md5
+          FROM documents
+          UNION ALL
+          SELECT doc_id, CAST(doc_id AS VARCHAR) || '.cls',
+                 CAST(strlen('label' || CAST(doc_id % 10 AS VARCHAR)) AS BIGINT),
+                 md5('label' || CAST(doc_id % 10 AS VARCHAR))
+          FROM documents
+          UNION ALL
+          SELECT doc_id, CAST(doc_id AS VARCHAR) || '.json',
+                 CAST(strlen('{"id":' || CAST(doc_id AS VARCHAR) || '}') AS BIGINT),
+                 md5('{"id":' || CAST(doc_id AS VARCHAR) || '}')
+          FROM documents)
+        SELECT doc_id, name, size, payload_md5, true AS checksum_ok
+        FROM e
+        ORDER BY doc_id, name""")),
+
+    // SRT subtitle parse + caption-to-frame alignment (multimodal/
+    // Subtitles): the text side of a video-text training pipeline. A
+    // real 3-cue SRT document is formatted per doc (format_string time
+    // stamps, multi-line cue text), parsed back declaratively
+    // (split/regexp_extract — fused into the scan), and each cue's
+    // interval is aligned to the 2000 ms frame grid in CLOSED FORM
+    // (ceil/floor integer arithmetic, no interval join, no shuffle).
+    // The oracle recomputes cues and covered frames from the formulas,
+    // so the parse (time arithmetic incl. hour carries, text joining)
+    // and the grid algebra are both gated.
+    Q("q_srt_align",
+      (s, dir) => {
+        def ts(msExpr: String): String = {
+          val m = s"CAST(($msExpr) AS BIGINT)"
+          s"format_string('%02d:%02d:%02d,%03d', $m div 3600000, " +
+            s"($m div 60000) % 60, ($m div 1000) % 60, $m % 1000)"
+        }
+        val cue = (i: Int) => {
+          val st = s"(doc_id % 7) * 500 + ${(i - 1) * 3000}"
+          val en = s"$st + 2000 + (doc_id % 3) * 250"
+          s"concat('$i', chr(10), ${ts(st)}, ' --> ', ${ts(en)}, chr(10), " +
+            s"'cap ', doc_id, chr(10), 'more$i')"
+        }
+        val srtExpr = s"concat(${cue(1)}, chr(10), chr(10), ${cue(2)}, " +
+          s"chr(10), chr(10), ${cue(3)})"
+        val parsed = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.multimodal.Subtitles.parseSrt(expr(srtExpr))).as("c"))
+          .select(col("doc_id"), col("c.seq").as("seq"),
+            col("c.start_ms").as("start_ms"), col("c.end_ms").as("end_ms"),
+            col("c.text").as("cap_text"))
+        parsed
+          .withColumn("frame_k", explode(
+            graft.multimodal.Subtitles.coveredFrames(
+              col("start_ms"), col("end_ms"), 2000L)))
+          .withColumn("frame_ms", col("frame_k") * 2000L)
+          .orderBy("doc_id", "seq", "frame_k")
+      },
+      Some("""
+        WITH cue AS (
+          SELECT doc_id, unnest(range(1, 4)) AS i FROM documents),
+        t AS (
+          SELECT doc_id, CAST(i AS INT) AS seq,
+                 CAST((doc_id % 7) * 500 + (i - 1) * 3000 AS BIGINT) AS start_ms,
+                 CAST((doc_id % 7) * 500 + (i - 1) * 3000
+                      + 2000 + (doc_id % 3) * 250 AS BIGINT) AS end_ms,
+                 'cap ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+                 'more' || CAST(i AS VARCHAR) AS cap_text
+          FROM cue),
+        f AS (
+          SELECT t.*, unnest(range(
+                   CAST(ceil(start_ms / 2000.0) AS BIGINT),
+                   CAST(floor((end_ms - 1) / 2000.0) AS BIGINT) + 1)) AS frame_k
+          FROM t)
+        SELECT doc_id, seq, start_ms, end_ms, cap_text,
+               CAST(frame_k AS BIGINT) AS frame_k,
+               CAST(frame_k * 2000 AS BIGINT) AS frame_ms
+        FROM f
+        ORDER BY doc_id, seq, frame_k"""))
   )
 
   /** PCM energy windows over REAL synthesized payloads: each doc gets 96
@@ -9187,6 +9300,51 @@ object QueryCatalog {
       // over long base64-ish candidates (ops.Governance). Entropy is a
       // sorted-distinct sequential fold rounded to 6 decimals before the
       // threshold compare, so engine log2 ulps cannot flip a flag.
+      // k-anonymity audit (Sweeney 2002) over customer quasi-identifiers
+      // (nation, market segment, 1000-unit balance band): equivalence
+      // classes below k = 5 are the re-identification cells a release
+      // must suppress. Balance banding is exact-integer floor division
+      // (cents -> band) so negative balances band identically in both
+      // engines (SQL integer div truncates toward zero in Spark but
+      // floors in DuckDB — floor(double) sidesteps the divergence).
+      Q("q_k_anon",
+        (s, dir) => {
+          val band = "CAST(floor(CAST(CAST(c_acctbal * 100 AS BIGINT) AS DOUBLE)" +
+            " / 100000) AS BIGINT)"
+          Governance.kAnonymityAudit(
+            t(s, dir, "customer").withColumn("bal_band", expr(band)),
+            Seq("c_nationkey", "c_mktsegment", "bal_band"), 5)
+            .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+        },
+        Some("""
+          SELECT c_nationkey, c_mktsegment, bal_band,
+                 CAST(count(*) AS BIGINT) AS n,
+                 (count(*) < 5) AS suppress
+          FROM (SELECT c_nationkey, c_mktsegment,
+                       CAST(floor(CAST(CAST(c_acctbal * 100 AS BIGINT) AS DOUBLE)
+                            / 100000) AS BIGINT) AS bal_band
+                FROM customer)
+          GROUP BY c_nationkey, c_mktsegment, bal_band
+          ORDER BY c_nationkey, c_mktsegment, bal_band""")),
+
+      // Noisy count release with deterministic Laplace(1/eps) noise
+      // (Exprs.laplaceNoise — md5-seeded inverse-CDF, the replayable
+      // stand-in that makes a DP release pipeline hash-testable).
+      Q("q_dp_counts",
+        (s, dir) =>
+          Governance.dpNoisyCounts(
+              t(s, dir, "events").select(col("event_type")),
+              "event_type", 0.5, "dp-r9")
+            .orderBy("event_type"),
+        Some(s"""
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 (round(CAST(count(*) AS DOUBLE) +
+                        ${Exprs.laplaceNoise(D, "event_type", 0.5, "dp-r9")}, 6)
+                  + ${D.d(0.0)}) AS noisy_n
+          FROM events
+          GROUP BY event_type
+          ORDER BY event_type""")),
+
       Q("q_secret_scan",
         (s, dir) =>
           Governance.secretScan(

@@ -1,0 +1,146 @@
+package graft.multimodal
+
+import scala.collection.mutable.ArrayBuffer
+
+/** WebDataset-style tar shard codec — the standard at-scale storage
+  * layout for multimodal training corpora: samples are packed into tar
+  * shards (entries sharing a basename form one sample: `000123.jpg` +
+  * `000123.txt` + `000123.cls`), and the pipeline streams shard files,
+  * never a filesystem of tiny objects. The reference's container-image
+  * sink (K7, `ImageArchiveSink`) WRITES ustar; this is the read side a
+  * training pipeline needs, plus a minimal sample-oriented writer.
+  *
+  * Pure-JVM ustar subset (the POSIX.1-1988 layout every tar implements):
+  * 512-byte headers — name[100], mode[8], uid/gid[8+8], size[12 octal],
+  * mtime[12], checksum[8], typeflag, ustar magic — payload rounded up to
+  * 512, two zero blocks at the end. The parser walks headers by octal
+  * size (never scans payload bytes), validates each header checksum, and
+  * returns (name, size, offset) views so callers can hash or slice
+  * payloads without copying the whole shard.
+  *
+  * Scale shape: shards are VALUES of a binary column (one shard per row,
+  * like every other multimodal payload here) — entry listing and payload
+  * hashing run inside mapPartitions kernels, and only narrow metadata
+  * (name, size, md5) ever reaches an exchange. */
+object TarShard {
+
+  final case class Entry(name: String, size: Long, offset: Int,
+                         typeFlag: Char, checksumOk: Boolean)
+
+  private final val Block = 512
+
+  private def putOctal(h: Array[Byte], off: Int, len: Int, v: Long): Unit = {
+    // len-1 digits + NUL, zero-padded — the GNU/ustar common form
+    val s = java.lang.Long.toOctalString(v)
+    val pad = len - 1 - s.length
+    var i = 0
+    while (i < pad) { h(off + i) = '0'; i += 1 }
+    s.getBytes("US-ASCII").copyToArray(h, off + pad)
+    h(off + len - 1) = 0
+  }
+
+  private def putStr(h: Array[Byte], off: Int, s: String): Unit = {
+    val b = s.getBytes("UTF-8")
+    System.arraycopy(b, 0, h, off, math.min(b.length, 99))
+  }
+
+  private def header(name: String, size: Long, typeFlag: Char): Array[Byte] = {
+    val h = new Array[Byte](Block)
+    putStr(h, 0, name)
+    putOctal(h, 100, 8, 420)      // mode 0644
+    putOctal(h, 108, 8, 0)        // uid
+    putOctal(h, 116, 8, 0)        // gid
+    putOctal(h, 124, 12, size)
+    putOctal(h, 136, 12, 0)       // mtime (deterministic shards)
+    h(156) = typeFlag.toByte
+    "ustar".getBytes("US-ASCII").copyToArray(h, 257)
+    h(263) = '0'; h(264) = '0'    // version "00"
+    // checksum: field counts as spaces while summing
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L
+    var i = 0
+    while (i < Block) { sum += (h(i) & 0xff); i += 1 }
+    putOctal(h, 148, 7, sum)
+    h(155) = ' '
+    h
+  }
+
+  /** Pack (name, payload) pairs into one deterministic ustar shard. */
+  def pack(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (name, data) =>
+      out.write(header(name, data.length.toLong, '0'))
+      out.write(data)
+      val rem = data.length % Block
+      if (rem != 0) out.write(new Array[Byte](Block - rem))
+    }
+    out.write(new Array[Byte](2 * Block))
+    out.toByteArray
+  }
+
+  private def octal(b: Array[Byte], off: Int, len: Int): Long = {
+    var i = off
+    val end = off + len
+    while (i < end && b(i) == ' ') i += 1 // leading spaces (old tars)
+    var v = 0L
+    while (i < end && b(i) >= '0' && b(i) <= '7') {
+      v = (v << 3) + (b(i) - '0'); i += 1
+    }
+    v
+  }
+
+  private def cstr(b: Array[Byte], off: Int, len: Int): String = {
+    var end = off
+    val max = off + len
+    while (end < max && b(end) != 0) end += 1
+    new String(b, off, end - off, "UTF-8")
+  }
+
+  /** Walk the shard's headers. Total: a truncated or garbage tail ends
+    * the walk (entries seen so far are returned); a corrupted header
+    * inside the walk surfaces as checksumOk = false rather than an
+    * exception — at corpus scale a damaged shard must degrade, not
+    * kill the stage. */
+  def entries(bytes: Array[Byte]): Seq[Entry] = {
+    val out = ArrayBuffer.empty[Entry]
+    var pos = 0
+    var live = true
+    while (live && pos + Block <= bytes.length) {
+      // end-of-archive: an all-zero block
+      var allZero = true
+      var i = 0
+      while (allZero && i < Block) { if (bytes(pos + i) != 0) allZero = false; i += 1 }
+      if (allZero) live = false
+      else {
+        val size = octal(bytes, pos + 124, 12)
+        val stored = octal(bytes, pos + 148, 8)
+        var sum = 0L
+        i = 0
+        while (i < Block) {
+          val c =
+            if (i >= 148 && i < 156) ' '.toByte
+            else bytes(pos + i)
+          sum += (c & 0xff)
+          i += 1
+        }
+        val name = cstr(bytes, pos, 100)
+        val tf = { val t = bytes(pos + 156); if (t == 0) '0' else t.toChar }
+        val dataOff = pos + Block
+        if (size < 0 || dataOff + size > bytes.length) live = false
+        else {
+          out += Entry(name, size, dataOff, tf, sum == stored)
+          pos = dataOff + (((size + Block - 1) / Block) * Block).toInt
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Copy one entry's payload out of the shard. */
+  def payload(bytes: Array[Byte], e: Entry): Array[Byte] =
+    java.util.Arrays.copyOfRange(bytes, e.offset, e.offset + e.size.toInt)
+
+  def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+}

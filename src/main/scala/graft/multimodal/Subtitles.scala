@@ -1,0 +1,63 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** SubRip (SRT) subtitle parsing + caption-to-frame alignment — the
+  * text side of a video-text training pipeline: transcripts ship as
+  * .srt/.vtt next to the media, and VLM/ASR training data is built by
+  * aligning caption intervals to a sampled frame grid (the media side is
+  * BinaryColumns' MP4 box walk + frame sampling).
+  *
+  * Everything is declarative `split`/`regexp_extract`/`transform` — the
+  * whole parse fuses into the scan stage under whole-stage codegen, and
+  * the SAME functions exist in DuckDB so every step is oracle-replayable.
+  *
+  * Alignment is CLOSED-FORM, not a join: a regular frame grid (one frame
+  * every `stepMs`) intersected with a caption interval [start, end) is
+  * just k in [ceil(start/step), floor((end-1)/step)] — per-row integer
+  * arithmetic, no shuffle, no interval join. (The generic interval-join
+  * operator exists separately — q_range_join/q_asof_* — this is the
+  * degenerate case a fixed sampling grid makes free.) */
+object Subtitles {
+
+  private val TimeRe =
+    "(\\d+):(\\d+):(\\d+)[,.](\\d+)\\s*-->\\s*(\\d+):(\\d+):(\\d+)[,.](\\d+)"
+
+  private def ms(line: Column, g0: Int): Column =
+    regexp_extract(line, TimeRe, g0).cast("long") * 3600000L +
+      regexp_extract(line, TimeRe, g0 + 1).cast("long") * 60000L +
+      regexp_extract(line, TimeRe, g0 + 2).cast("long") * 1000L +
+      regexp_extract(line, TimeRe, g0 + 3).cast("long")
+
+  /** Parse an SRT document into
+    * array<struct<seq:int, start_ms:long, end_ms:long, text:string>>.
+    * Cue layout: sequence line, `HH:MM:SS,mmm --> HH:MM:SS,mmm` line,
+    * then 1+ text lines; cues separated by blank lines. Malformed cues
+    * (no parseable time line) yield start_ms = end_ms = -1 rather than
+    * dropping silently — the caller decides the policy. */
+  def parseSrt(srt: Column): Column = {
+    val blocks = filter(split(srt, "\\r?\\n\\r?\\n"),
+      b => length(trim(b)) > 0)
+    transform(blocks, b => {
+      val lines = split(b, "\\r?\\n")
+      val timeLine = element_at(lines, 2)
+      val hasTime = regexp_extract(timeLine, TimeRe, 1) =!= ""
+      struct(
+        trim(element_at(lines, 1)).cast("int").as("seq"),
+        when(hasTime, ms(timeLine, 1)).otherwise(lit(-1L)).as("start_ms"),
+        when(hasTime, ms(timeLine, 5)).otherwise(lit(-1L)).as("end_ms"),
+        array_join(slice(lines, lit(3), greatest(size(lines) - 2, lit(0))), "\n")
+          .as("text"))
+    })
+  }
+
+  /** Frame indices of a `stepMs` grid covered by [startMs, endMs):
+    * array<long>, empty when the interval misses the grid. */
+  def coveredFrames(startMs: Column, endMs: Column, stepMs: Long): Column = {
+    val kLo = ceil(startMs.cast("double") / stepMs.toDouble).cast("long")
+    val kHi = floor((endMs.cast("double") - 1.0) / stepMs.toDouble).cast("long")
+    when(startMs >= 0 && endMs > startMs && kHi >= kLo,
+      sequence(kLo, kHi)).otherwise(array().cast("array<bigint>"))
+  }
+}

@@ -127,4 +127,39 @@ object Governance {
         coalesce(array_max(col("__ents")), lit(0.0)).as("max_entropy"),
         coalesce(array_min(col("__ents")), lit(0.0)).as("min_entropy"))
   }
+
+  /** k-anonymity audit over quasi-identifier columns (Sweeney 2002): a
+    * released table is k-anonymous when every quasi-identifier
+    * combination covers >= k rows — smaller equivalence classes
+    * re-identify individuals by join with public data, the governance
+    * failure a training-data release must catch BEFORE export. Returns
+    * one row per equivalence class: the quasi values, its size `n`, and
+    * `suppress` = n < k (the cells a release must drop or generalize).
+    *
+    * Scale: ONE hash aggregate on the quasi tuple, map-side combined;
+    * the report is |distinct quasi tuples| rows — the audit artifact,
+    * tiny next to the table at any corpus size. No window, no join. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+                      k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k-anonymity needs k >= 2: $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("suppress", col("n") < k)
+  }
+
+  /** Differentially-private-style noisy group counts with DETERMINISTIC
+    * Laplace(1/eps) noise keyed by (seed, group) — [[Exprs.laplaceNoise]]
+    * carries the mechanism and the caveat (md5-seeded noise makes the
+    * release pipeline hash-testable; swap in a real RNG to claim actual
+    * DP). Output: group, exact `n`, `noisy_n` (round-6 double). Plan:
+    * one map-side-combined aggregate; the noise is a per-GROUP scalar
+    * expression on the aggregated (tiny) frame. */
+  def dpNoisyCounts(df: DataFrame, groupCol: String, eps: Double,
+                    seed: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("noisy_n",
+        round(col("n").cast("double") +
+          expr(Exprs.laplaceNoise(S, groupCol, eps, seed)), 6) + lit(0.0))
 }

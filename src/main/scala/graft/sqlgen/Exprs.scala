@@ -184,6 +184,27 @@ object Exprs {
     let(dl, "s__", sExpr, total)
   }
 
+  /** Deterministic Laplace(1/eps) noise keyed by (seed, keyExpr) — the
+    * differentially-private release mechanism with the randomness
+    * replaced by an md5-uniform (the replayable-sketch contract: both
+    * engines derive the SAME u from the same key, so the oracle can
+    * hash-match the noised value). Inverse-CDF: u ~ U[0,1),
+    * noise = -sign(u - 1/2) * (1/eps) * ln(1 - 2|u - 1/2|); the ln
+    * argument is clamped at 1e-12 (u = 0 would be -inf) — a bounded
+    * worst-case noise of ~27.6/eps instead of an outlier row. NOTE: a
+    * seeded mechanism is NOT cryptographic DP (the noise is a public
+    * function of the key) — it is the deterministic stand-in that makes
+    * the release PIPELINE testable; swap md5Uniform for a real RNG at
+    * deployment. */
+  def laplaceNoise(dl: Dialect, keyExpr: String, eps: Double,
+                   seed: String): String = {
+    require(eps > 0, s"eps must be positive: $eps")
+    val u = dl.md5Uniform(s"concat('$seed:', $keyExpr)")
+    val sign = s"(CASE WHEN $u >= ${dl.d(0.5)} THEN ${dl.d(1.0)} ELSE ${dl.d(-1.0)} END)"
+    val lnArg = s"greatest(${dl.d(1.0)} - abs(${dl.d(2.0)} * $u - ${dl.d(1.0)}), ${dl.d(1e-12)})"
+    s"(${dl.d(0.0)} - $sign * ${dl.d(1.0 / eps)} * ln($lnArg))"
+  }
+
   /** Johnson-Lindenstrauss sign projection of an ARRAY<DOUBLE> column:
     * out[j] = (1/sqrt(inDim)) * Σ_i v[i] * s(i,j), with s(i,j) ∈ {+1,-1}
     * from a deterministic integer LCG of (i, j) — an OBLIVIOUS (training

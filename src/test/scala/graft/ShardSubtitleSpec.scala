@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.{Subtitles, TarShard}
+
+/** WebDataset-style tar shard codec + SRT subtitle parse/align. */
+class ShardSubtitleSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  test("tar: pack -> entries roundtrip, multi-block payloads, payload bytes") {
+    val big = Array.tabulate[Byte](1300)(i => ((i * 31 + 7) % 251).toByte)
+    val entries = Seq(
+      "0001.txt" -> "hello shard".getBytes("UTF-8"),
+      "0001.bin" -> big,
+      "0001.cls" -> Array.empty[Byte])
+    val shard = TarShard.pack(entries)
+    assert(shard.length % 512 == 0)
+    val got = TarShard.entries(shard)
+    assert(got.map(e => (e.name, e.size, e.checksumOk)) == Seq(
+      ("0001.txt", 11L, true), ("0001.bin", 1300L, true), ("0001.cls", 0L, true)))
+    assert(new String(TarShard.payload(shard, got(0)), "UTF-8") == "hello shard")
+    assert(TarShard.payload(shard, got(1)).toSeq == big.toSeq)
+  }
+
+  test("tar: system tar reads our shards (independent parity witness)") {
+    val shard = TarShard.pack(Seq(
+      "a/x.txt" -> "alpha".getBytes("UTF-8"),
+      "a/y.json" -> """{"k":1}""".getBytes("UTF-8")))
+    val f = java.io.File.createTempFile("graft_shard", ".tar")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, shard)
+    val p = new ProcessBuilder("tar", "-tf", f.getAbsolutePath)
+      .redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    assert(p.waitFor() == 0, s"tar -tf failed:\n$out")
+    assert(out.split("\n").toSeq == Seq("a/x.txt", "a/y.json"))
+  }
+
+  test("tar: truncated shard degrades to the entries before the cut") {
+    val shard = TarShard.pack(Seq(
+      "one" -> "11".getBytes, "two" -> "22".getBytes))
+    val cut = java.util.Arrays.copyOf(shard, 512 + 512 + 100) // mid entry 2
+    val got = TarShard.entries(cut)
+    assert(got.map(_.name) == Seq("one"))
+  }
+
+  test("tar: corrupted header flags checksumOk=false, walk continues") {
+    val shard = TarShard.pack(Seq(
+      "one" -> "11".getBytes, "two" -> "22".getBytes))
+    shard(1024 + 3) = 'X' // flip a name byte in entry 2's header
+    val got = TarShard.entries(shard)
+    assert(got.map(_.checksumOk) == Seq(true, false))
+  }
+
+  test("srt: parse cues, multi-line text, malformed cue marked -1") {
+    val srt =
+      """1
+        |00:00:01,500 --> 00:00:03,000
+        |first line
+        |second line
+        |
+        |2
+        |01:02:03,450 --> 01:02:04,000
+        |solo
+        |
+        |3
+        |not a time line
+        |orphan""".stripMargin
+    val got = spark.range(1).select(Subtitles.parseSrt(lit(srt)).as("c"))
+      .select(explode(col("c")).as("c"))
+      .select(col("c.seq"), col("c.start_ms"), col("c.end_ms"), col("c.text"))
+      .as[(Int, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1, 1500L, 3000L, "first line\nsecond line"),
+      (2, 3723450L, 3724000L, "solo"),
+      (3, -1L, -1L, "orphan")))
+  }
+
+  test("srt: covered frames closed form — boundaries, empty, exact grid hits") {
+    val df = Seq((0L, 4000L), (1999L, 2000L), (2000L, 2001L), (4500L, 4600L),
+        (-1L, -1L))
+      .toDF("s", "e")
+      .select(Subtitles.coveredFrames(col("s"), col("e"), 2000L).as("ks"))
+    val got = df.as[Seq[Long]].collect().toSeq
+    // [0,4000) covers frames 0 and 1 (ts 0, 2000); [1999,2000) none;
+    // [2000,2001) exactly frame 1; [4500,4600) none; malformed none
+    assert(got == Seq(Seq(0L, 1L), Seq(), Seq(1L), Seq(), Seq()))
+  }
+}
