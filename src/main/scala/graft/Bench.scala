@@ -310,8 +310,17 @@ object Bench {
         "base_skipped_budget" -> baseSkipped.map("\"" + _ + "\"").mkString("[", ",", "]"),
         "failed" -> failed.map("\"" + _ + "\"").mkString("[", ",", "]"),
         "queries" -> jmap(qs)) )
+      // Complete positive prior for EVERY query — measured this run when
+      // it was, carried forward otherwise. This map is written LAST on
+      // purpose: the prior loader keeps the final occurrence per name,
+      // so it wins over both the -2 sentinels in `queries` and the 10x
+      // times in `sf1_queries` (the r9 spiral: a budget-cut run dropped
+      // 241 priors, so the NEXT run warmed 225 unknowns, mis-sorted the
+      // base pass, and cut the tail again).
+      val priorsOut = jmap(results.map { case (k, v) =>
+        k -> jnum(if (v >= 0) v else priorEst(k)) })
       java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-        payload.dropRight(1) + sf1Part + "}\n")
+        payload.dropRight(1) + sf1Part + s""","priors":$priorsOut}\n""")
     }
     writeFull("")
 
@@ -375,12 +384,10 @@ object Bench {
           "q_quality_classifier", "q_tfidf", "q_domain_mixture",
           "q_term_drift", "q_contrastive_pairs", "q_scd2",
           "q_sessionize", "q_sink_roundtrip", "q1_agg",
-          // per-row linear kernels (three rounds of ~10x ratios — lowest
-          // marginal information, timed last)
-          "q_sp_segment", "q_justext_blocks",
-          "q_audio_fingerprint", "q_pcm_energy", "q_winnowing",
-          "q_entropy", "q_robots_filter", "q_rake_keyphrases",
-          "q_pmi_collocations")
+          // per-row linear kernels: three rounds of ~10x ratios — three
+          // representatives carry the family (the r6-measured full set
+          // freed ~80 s that the image/stream witnesses kept losing to)
+          "q_sp_segment", "q_entropy", "q_winnowing")
         val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
         def timed(fn: String => Unit, dir: String, name: String,
                   baseT: Double): Double = {
@@ -532,7 +539,7 @@ object Bench {
           k -> f"$r%.1f"
         })
         val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-        s""","sf1_note":"10x-replicated $sfDir (copies decorrelated), min of <=2 warm runs, budget ${jnum(budgetS)}s; -3.0 = cancelled at watchdog cap; x_graph_* = occupancy-held LSH (bits 4 at 1x, 7 at 10x) vs own 1x base","sf1_queries":$qs10,"sf1_ratio_vs_1x":$ratios,"sf1_skipped_budget":$skippedJson"""
+        s""","sf1_note":"10x-replicated $sfDir (copies decorrelated), min of <=2 warm runs, budget ${jnum(budgetS)}s; -3.0 = cancelled at watchdog cap; x_graph_* = occupancy-held LSH (bits 4 at 1x, 7 at 10x) vs own 1x base — integer bits make DESIGNED work 12.5x for 10x rows (candidates/row +25%), and the triangle wedge stage ~15.6x, so x_graph ratios up to ~13-16 read LINEAR-equivalent","sf1_queries":$qs10,"sf1_ratio_vs_1x":$ratios,"sf1_skipped_budget":$skippedJson"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 rehearsal aborted: ${e.getMessage}")
         ""

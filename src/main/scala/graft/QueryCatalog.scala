@@ -1113,6 +1113,47 @@ object QueryCatalog {
           ORDER BY source"""
         }),
 
+      // Empirical-Bayes shrinkage of the same per-domain quality: the
+      // posterior mean (Σq + τ·g)/(n + τ) with τ = 20 pseudo-counts —
+      // rare domains pull toward the corpus mean instead of tripping
+      // hard thresholds on 3 noisy docs. Global mean rounds BEFORE the
+      // shrink so both engines run one fixed IEEE chain per domain.
+      Q("q_domain_shrunk",
+        (s, dir) =>
+          graft.ops.Curation.domainQualityShrunk(
+              t(s, dir, "documents"), "text", "source", 20.0)
+            .orderBy("source"),
+        Some {
+          val toks = D.splitWs("text")
+          val stopArr = D.strArray(TextF.StopEn)
+          s"""
+          WITH q AS (
+            SELECT source,
+                   round(
+                     least(CAST(len($toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+                     + (CAST(len(list_filter($toks, t__ -> list_contains($stopArr, t__))) AS DOUBLE) / len($toks)) * CAST(0.3 AS DOUBLE)
+                     + (CAST(1.0 AS DOUBLE) - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * CAST(0.3 AS DOUBLE)
+                   , 6) + CAST(0.0 AS DOUBLE) AS ql
+            FROM documents),
+          per AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   sum(CAST(ql AS DECIMAL(18,6))) AS sq
+            FROM q GROUP BY source),
+          g AS (
+            SELECT (round(CAST(sum(sq) AS DOUBLE) / CAST(sum(n_docs) AS DOUBLE), 6)
+                    + CAST(0.0 AS DOUBLE)) AS gm
+            FROM per)
+          SELECT source, n_docs,
+                 (round(CAST(sq AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+                  + CAST(0.0 AS DOUBLE)) AS mean_quality,
+                 gm AS global_mean,
+                 (round((CAST(sq AS DOUBLE) + CAST(20.0 AS DOUBLE) * gm)
+                        / (CAST(n_docs AS DOUBLE) + CAST(20.0 AS DOUBLE)), 6)
+                  + CAST(0.0 AS DOUBLE)) AS shrunk_quality
+          FROM per CROSS JOIN g
+          ORDER BY source"""
+        }),
+
       // Inverted keyword index at rest (term -> document-frequency +
       // sorted posting list): the batch artifact behind the keyword/BM25
       // query modes. One explode + one groupBy shuffle on the term key;
@@ -4182,7 +4223,60 @@ object QueryCatalog {
                CAST(frame_k AS BIGINT) AS frame_k,
                CAST(frame_k * 2000 AS BIGINT) AS frame_ms
         FROM f
-        ORDER BY doc_id, seq, frame_k"""))
+        ORDER BY doc_id, seq, frame_k""")),
+
+    // WebVTT variant (multimodal/Subtitles.parseVtt): the caption format
+    // web video actually ships. The fixture exercises the grammar the
+    // SRT parser doesn't see — WEBVTT header and NOTE blocks (must be
+    // dropped), a short-form MM:SS.mmm cue with NO id line, and an
+    // id-carrying cue with an HOURS field and a position setting after
+    // the end time (must be ignored). Oracle recomputes both cues from
+    // the formulas, gating header skip, optional-hour time algebra and
+    // id/text line splitting at once.
+    Q("q_vtt_cues",
+      (s, dir) => {
+        def mmss(ms: String): String = {
+          val m = s"CAST(($ms) AS BIGINT)"
+          s"format_string('%02d:%02d.%03d', $m div 60000, ($m div 1000) % 60, $m % 1000)"
+        }
+        def hmmss(ms: String): String = {
+          val m = s"CAST(($ms) AS BIGINT)"
+          s"format_string('%d:%02d:%02d.%03d', $m div 3600000, " +
+            s"($m div 60000) % 60, ($m div 1000) % 60, $m % 1000)"
+        }
+        val st1 = "(doc_id % 5) * 250"
+        val st2 = "3700000 + (doc_id % 9) * 111"
+        val vtt = s"concat('WEBVTT', chr(10), chr(10), " +
+          s"'NOTE formula fixture', chr(10), chr(10), " +
+          s"${mmss(st1)}, ' --> ', ${mmss(s"$st1 + 1500")}, chr(10), " +
+          s"'short ', doc_id, chr(10), chr(10), " +
+          s"'c', doc_id, chr(10), " +
+          s"${hmmss(st2)}, ' --> ', ${hmmss(s"$st2 + 2000")}, ' position:10%', chr(10), " +
+          s"'long ', doc_id, chr(10), 'tail')"
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.multimodal.Subtitles.parseVtt(expr(vtt))).as("c"))
+          .select(col("doc_id"), col("c.cue_id").as("cue_id"),
+            col("c.start_ms").as("start_ms"), col("c.end_ms").as("end_ms"),
+            col("c.text").as("cue_text"))
+          .orderBy("doc_id", "start_ms")
+      },
+      Some("""
+        WITH c AS (
+          SELECT doc_id, '' AS cue_id,
+                 CAST((doc_id % 5) * 250 AS BIGINT) AS start_ms,
+                 CAST((doc_id % 5) * 250 + 1500 AS BIGINT) AS end_ms,
+                 'short ' || CAST(doc_id AS VARCHAR) AS cue_text
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 'c' || CAST(doc_id AS VARCHAR),
+                 CAST(3700000 + (doc_id % 9) * 111 AS BIGINT),
+                 CAST(3700000 + (doc_id % 9) * 111 + 2000 AS BIGINT),
+                 'long ' || CAST(doc_id AS VARCHAR) || chr(10) || 'tail'
+          FROM documents)
+        SELECT doc_id, cue_id, start_ms, end_ms, cue_text
+        FROM c
+        ORDER BY doc_id, start_ms"""))
   )
 
   /** PCM energy windows over REAL synthesized payloads: each doc gets 96

@@ -52,6 +52,46 @@ object Subtitles {
     })
   }
 
+  private val VttTimeRe =
+    "(?:(\\d+):)?(\\d{2}):(\\d{2})[.,](\\d{3})\\s*-->\\s*" +
+      "(?:(\\d+):)?(\\d{2}):(\\d{2})[.,](\\d{3})"
+
+  private def vttMs(line: Column, g0: Int): Column =
+    coalesce(nullif(regexp_extract(line, VttTimeRe, g0), lit("")).cast("long"),
+      lit(0L)) * 3600000L +
+      regexp_extract(line, VttTimeRe, g0 + 1).cast("long") * 60000L +
+      regexp_extract(line, VttTimeRe, g0 + 2).cast("long") * 1000L +
+      regexp_extract(line, VttTimeRe, g0 + 3).cast("long")
+
+  /** Parse a WebVTT document into
+    * array<struct<cue_id:string, start_ms:long, end_ms:long, text:string>>.
+    * Tolerates the VTT grammar a real caption corpus has: `WEBVTT`
+    * header and NOTE/STYLE blocks (dropped — a block is a cue iff it
+    * contains a time arrow), optional cue-identifier line (cue_id = ''
+    * when absent), OPTIONAL hours (`MM:SS.mmm` short form), dot or
+    * comma millisecond separators, and positioning settings after the
+    * end time (ignored by prefix match). Same declarative shape as
+    * [[parseSrt]]. */
+  def parseVtt(vtt: Column): Column = {
+    val noBom = regexp_replace(vtt, "^\\uFEFF", "")
+    val blocks = filter(split(noBom, "\\r?\\n\\r?\\n"),
+      b => regexp_extract(b, VttTimeRe, 2) =!= "")
+    transform(blocks, b => {
+      val lines = split(b, "\\r?\\n")
+      val l1 = element_at(lines, 1)
+      val firstIsTime = regexp_extract(l1, VttTimeRe, 2) =!= ""
+      val timeLine = when(firstIsTime, l1).otherwise(element_at(lines, 2))
+      val textStart = when(firstIsTime, lit(2)).otherwise(lit(3))
+      struct(
+        when(firstIsTime, lit("")).otherwise(trim(l1)).as("cue_id"),
+        vttMs(timeLine, 1).as("start_ms"),
+        vttMs(timeLine, 5).as("end_ms"),
+        array_join(
+          slice(lines, textStart, greatest(size(lines) - textStart + 1, lit(0))),
+          "\n").as("text"))
+    })
+  }
+
   /** Frame indices of a `stepMs` grid covered by [startMs, endMs):
     * array<long>, empty when the interval misses the grid. */
   def coveredFrames(startMs: Column, endMs: Column, stepMs: Long): Column = {

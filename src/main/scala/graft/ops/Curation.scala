@@ -380,6 +380,44 @@ object Curation {
         col("mean_quality") < lit(minMean) || col("low_frac") > lit(maxLowFrac))
   }
 
+  /** Empirical-Bayes shrinkage of per-domain quality: a domain seen 3
+    * times must not swing its prior the way one seen 300k times does, so
+    * each domain's mean is pulled toward the corpus mean with strength
+    * `tau` pseudo-counts — shrunk = (Σq + τ·g) / (n + τ), the standard
+    * beta-binomial/James-Stein posterior mean a host-prior model feeds
+    * on. Complements [[domainQuality]]'s hard thresholds (which a
+    * 2-doc domain can trip on noise).
+    *
+    * Determinism: per-doc quality rounds to 6 before aggregation and
+    * sums in DECIMAL (order-free); the global mean is itself rounded
+    * before entering the shrink formula, so both engines run ONE fixed
+    * IEEE chain per domain. Plan: one map-combined aggregate on the
+    * domain, a 1-row global aggregate broadcast back — |domains| rows
+    * move, never the corpus. */
+  def domainQualityShrunk(docs: DataFrame, textCol: String,
+                          domainCol: String, tau: Double): DataFrame = {
+    require(tau > 0, s"tau must be positive: $tau")
+    val q = round(graft.functions.TextF.qualityScore(col(textCol)), 6) + lit(0.0)
+    val per = docs.select(col(domainCol), q.as("__q"))
+      .groupBy(domainCol)
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("__q").cast("decimal(18,6)")).as("__sq"))
+    val g = per.agg(
+      sum(col("__sq")).cast("decimal(28,6)").as("__gsq"),
+      sum(col("n_docs")).cast("long").as("__gn"))
+    val gMean = round(col("__gsq").cast("double") / col("__gn").cast("double"), 6) +
+      lit(0.0)
+    per.crossJoin(broadcast(g))
+      .withColumn("global_mean", gMean)
+      .select(col(domainCol), col("n_docs"),
+        (round(col("__sq").cast("double") / col("n_docs").cast("double"), 6)
+          + lit(0.0)).as("mean_quality"),
+        col("global_mean"),
+        (round((col("__sq").cast("double") + lit(tau) * col("global_mean")) /
+            (col("n_docs").cast("double") + lit(tau)), 6) + lit(0.0))
+          .as("shrunk_quality"))
+  }
+
   /** Quality-aware canonical selection: keep the BEST-scoring document of
     * every near-dup cluster instead of an arbitrary one. SemDeDup-style
     * dedup (`Dedup.semanticDedup`, `q_semantic_dedup`) keeps the

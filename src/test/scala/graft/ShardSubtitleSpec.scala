@@ -79,6 +79,20 @@ class ShardSubtitleSpec extends AnyFunSuite {
       (3, -1L, -1L, "orphan")))
   }
 
+  test("vtt: header/NOTE dropped, optional id, short and hour times, settings ignored") {
+    val vtt =
+      "﻿WEBVTT\n\nNOTE a comment\nstill the note\n\n" +
+        "00:05.250 --> 00:07.000\nno id cue\n\n" +
+        "intro-cue\n1:02:03.000 --> 1:02:05.500 position:10%,line:0\nwith id\nsecond line"
+    val got = spark.range(1)
+      .select(explode(graft.multimodal.Subtitles.parseVtt(lit(vtt))).as("c"))
+      .select(col("c.cue_id"), col("c.start_ms"), col("c.end_ms"), col("c.text"))
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      ("", 5250L, 7000L, "no id cue"),
+      ("intro-cue", 3723000L, 3725500L, "with id\nsecond line")))
+  }
+
   test("srt: covered frames closed form — boundaries, empty, exact grid hits") {
     val df = Seq((0L, 4000L), (1999L, 2000L), (2000L, 2001L), (4500L, 4600L),
         (-1L, -1L))
