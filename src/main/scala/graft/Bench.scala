@@ -209,37 +209,32 @@ object Bench {
     var nSingleRun = 0
     val warmupS = elapsedS
     var streamRecycled = false
-    // Coverage-preserving order (r9): slowest-first alone let the r9
-    // first run cut 172 cheap queries (-2) — a complete artifact beats
-    // perfect heavy sampling. The sub-0.6s tail is CHEAP to measure
-    // (min-of-2, no gc: ~0.8 s each), so the heavy head holds back an
-    // explicit slice for it — the heavy loop treats 0.8 s per unmeasured
-    // cheap query as part of the reserve, and the tail then sweeps
-    // inside that slice.
-    val cheapSet = SparkEntry.queries.keySet.filter(n => priorEst(n) < 0.6)
-    var cheapRemaining = cheapSet.size
     val baseOrder = SparkEntry.queries.toSeq
-      .sortBy { case (name, _) =>
-        (cheapSet.contains(name), -priorEst(name), name) }
-    val results = baseOrder.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          return -1.0
-        }
-        (System.nanoTime() - t0) / 1e9
+      .sortBy { case (name, _) => (-priorEst(name), name) }
+    // Coverage-first, quality-second (r9 final shape). The catalog's
+    // honest arithmetic: ~240 queries run >= 0.6 s, so min-of-2 for all
+    // of them can NEVER fit warmup + base + sf1 inside 1000 s — three
+    // r9 runs proved every min-of-2-first policy ends with ~200 queries
+    // cut to -2 (no time at all), which is the worst artifact. So:
+    //   PASS 1 — every query gets ONE timed run, slowest-first (gc
+    //   isolation above the 0.5 s bar). Complete coverage is the
+    //   invariant; the reserve gate should essentially never trip.
+    //   PASS 2 — while wall remains clear of the sf1 reserve, re-run
+    //   queries slowest-first and keep the min: the expensive head —
+    //   where absolute noise lives — gets its second sample, the cheap
+    //   tail keeps an honest single.
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        return -1.0
       }
-      val isCheap = cheapSet.contains(name)
-      if (isCheap) cheapRemaining -= 1
-      // the sf1 reserve is enforced on the FIRST run too: estimate from
-      // the prior round (contended priors overestimate — safe direction)
-      val estQ =
-        if (isCheap) 1.0
-        else math.max(5.0, 1.5 * priorEst(name))
-      val reserveNow = sf1ReserveS + 0.8 * cheapRemaining
-      if (remainS < reserveNow + estQ) name -> -2.0
+      (System.nanoTime() - t0) / 1e9
+    }
+    val pass1 = baseOrder.map { case (name, fn) =>
+      val estQ = math.max(1.0, priorEst(name))
+      if (remainS < sf1ReserveS + estQ) name -> -2.0
       else {
         // first entry into the q_stream_* family gets a fresh context
         // (the family the r8 aging measurements implicate); elsewhere
@@ -250,31 +245,37 @@ object Bench {
         }
         maybeRecycle()
         sinceRecycle += 1
-        // GC isolation only where it matters: a sub-0.5s-prior query
-        // allocates little and its min-of-2 absorbs any inherited debt —
-        // 322 unconditional gc+settle rounds cost ~60s of wall the sf1
-        // reserve needs more (r8 phase accounting)
+        // GC isolation only where it matters: a sub-0.5s query allocates
+        // little — 322 unconditional gc+settle rounds cost ~60 s of wall
+        // the sf1 reserve needs more (r8 phase accounting)
         if (priorEst(name) >= 0.5) {
           System.gc()
           Thread.sleep(50)
         }
-        val r1 = once()
-        val runs = scala.collection.mutable.ArrayBuffer(r1)
-        if (r1 >= 0) {
-          // the second sample must clear the sf1 reserve AND the cheap
-          // sweep's slice WITH the repeat's own cost counted (r8: "+30"
-          // flat headroom let late second runs nibble the reserve down
-          // to nothing)
-          val inBudget =
-            remainS > reserveNow + (if (isCheap) 5 else 60) + 2 * r1
-          if (inBudget) runs += once()
-          if (r1 >= 0.5 && elapsedS < 0.40 * budgetS) runs += once()
-          if (!inBudget) nSingleRun += 1
-        }
-        val ok = runs.filter(_ >= 0)
-        val dt = if (ok.isEmpty) -1.0 else ok.min
-        name -> dt
+        name -> runOnce(name, fn)
       }
+    }
+    val fnOf = SparkEntry.queries
+    val secondSamples = scala.collection.mutable.HashMap.empty[String, Double]
+    // 60 s of slack above the reserve so a mis-estimated repeat cannot
+    // nibble into sf1 (the r8 "+30 flat headroom" lesson)
+    val pass2Order = pass1.filter(_._2 >= 0).sortBy { case (n, t) => (-t, n) }
+    pass2Order.foreach { case (name, t1) =>
+      if (remainS > sf1ReserveS + 60 + 2 * t1) {
+        maybeRecycle()
+        sinceRecycle += 1
+        if (t1 >= 0.5) { System.gc(); Thread.sleep(50) }
+        val t2 = runOnce(name, fnOf(name))
+        if (t2 >= 0) secondSamples(name) = t2
+      }
+    }
+    val results = pass1.map { case (name, t1) =>
+      val t = secondSamples.get(name) match {
+        case Some(t2) if t1 >= 0 => math.min(t1, t2)
+        case _ => t1
+      }
+      if (t1 >= 0 && !secondSamples.contains(name)) nSingleRun += 1
+      name -> t
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.filter(_._2 == -1.0).map(_._1)

@@ -11358,6 +11358,19 @@ object QueryCatalog {
         Some(graft.ops.Analytics.welchZTestOracleSql(
           duckEvents, "event_type", "value", "click", "purchase"))),
 
+      // Poisson-bootstrap CI for the mean event value (Chamandy 2012) —
+      // the at-scale bootstrap: per-row Poisson(1) weights make all 50
+      // replicates one pass, no resampling shuffle. Draws are md5-
+      // uniform(seed, rep, event_id) through fixed CDF literals; sums
+      // are exact long micro-units per (partition, replicate), so the
+      // interval is bit-replayable.
+      Q("q_bootstrap_ci",
+        (s, dir) =>
+          graft.ops.Analytics.poissonBootstrapMeanCi(
+            t(s, dir, "events"), "value", "event_id", 50, "dpb-r9"),
+        Some(graft.ops.Analytics.poissonBootstrapOracleSql(
+          D, "events", "value", "event_id", 50, "dpb-r9"))),
+
       // Kolmogorov–Smirnov two-sample drift between the same two event
       // segments — the whole-distribution complement of q_ab_ztest (a
       // mean-preserving shape change is invisible to a z-test). Corpus

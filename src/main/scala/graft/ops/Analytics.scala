@@ -1904,4 +1904,120 @@ object Analytics {
        SELECT p1.$idCol, CAST(count(*) AS BIGINT) AS n_hits
        FROM p1 JOIN p2 ON p1.$idCol = p2.$idCol AND p2.pos = p1.pos + 1
        GROUP BY p1.$idCol"""
+
+  // =========================================================================
+  // Poisson bootstrap
+  // =========================================================================
+
+  /** Cumulative Poisson(1) CDF literals e^-1·Σ 1/k!, shared verbatim with
+    * [[graft.sqlgen.Exprs.poissonWeight]] — both sides strtod the same
+    * strings, so the per-(row, replicate) draw is bit-identical. */
+  private val PoisCum = Array(0.36787944117144233, 0.7357588823428847,
+    0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+    0.9994058151824183)
+  private def poissonInv(u: Double): Int = {
+    var k = 0
+    while (k < PoisCum.length && u >= PoisCum(k)) k += 1
+    k
+  }
+
+  /** Poisson-bootstrap confidence interval for the mean of `valCol` —
+    * THE bootstrap that works at 100 TB: classic multinomial resampling
+    * needs a coordinated global draw per replicate, Poissonizing the
+    * counts (w ~ Poisson(1) per row per replicate) makes every row
+    * independent, so all B replicates compute in ONE pass of per-row
+    * arithmetic with no resampling shuffle (Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams", Google 2012).
+    *
+    * Determinism: the draw is an md5-uniform of (seed, replicate,
+    * row-id) folded through fixed CDF literals (TextHashing.hash24 ==
+    * the SQL dialect's md5Uniform, one md5 per draw instead of the SQL
+    * form's six); values round to 6 decimals and sum as exact LONG
+    * micro-units per (partition, replicate), so partitioning cannot
+    * change a bit. Replicate means then run one fixed IEEE chain
+    * (swx / 1e6 / sw, round 6).
+    *
+    * Plan: mapPartitions emits B partial rows per PARTITION (narrow
+    * (rep, swx, sw) longs — partitions x B rows cross the exchange,
+    * never the data); one tiny group-by on rep; the B replicate means
+    * collect into a single sorted array for the percentile endpoints.
+    * Output: one row (n, mean, ci_lo, ci_hi). */
+  def poissonBootstrapMeanCi(events: DataFrame, valCol: String,
+                             idCol: String, b: Int,
+                             seed: String): DataFrame = {
+    require(b >= 20 && b <= 500, s"replicates out of range: $b")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val x6 = round(col(valCol).cast("double"), 6).cast("decimal(18,6)")
+    val base = events
+      .select(col(idCol).cast("string").as("id"),
+        (x6 * lit(1000000)).cast("long").as("micros"))
+      .where(col("micros").isNotNull)
+    val partials = base.as[(String, Long)]
+      .mapPartitions { it =>
+        val swx = new Array[Long](b)
+        val sw = new Array[Long](b)
+        it.foreach { case (id, m) =>
+          var rep = 0
+          while (rep < b) {
+            val u = graft.functions.TextHashing
+              .hash24(s"$seed:$rep:$id") / 16777216.0
+            val w = poissonInv(u)
+            if (w > 0) { swx(rep) += w * m; sw(rep) += w.toLong }
+            rep += 1
+          }
+        }
+        Iterator.range(0, b).map(rep => (rep, swx(rep), sw(rep)))
+      }
+      .toDF("rep", "swx", "sw")
+    val perRep = partials.groupBy("rep")
+      .agg(sum(col("swx")).as("swx"), sum(col("sw")).as("sw"))
+      .select((round(col("swx").cast("double") / lit(1000000.0) /
+          col("sw").cast("double"), 6) + lit(0.0)).as("m"))
+    val obs = base.agg(
+      count(lit(1)).cast("long").as("n"),
+      (round(sum(col("micros")).cast("double") / lit(1000000.0) /
+          count(lit(1)).cast("double"), 6) + lit(0.0)).as("mean"))
+    val lo = math.ceil(0.025 * b).toInt
+    val hi = math.ceil(0.975 * b).toInt
+    val ci = perRep.agg(sort_array(collect_list(col("m"))).as("ms"))
+      .select(element_at(col("ms"), lo).as("ci_lo"),
+        element_at(col("ms"), hi).as("ci_hi"))
+    obs.crossJoin(broadcast(ci))
+      .select(col("n"), col("mean"), col("ci_lo"), col("ci_hi"))
+  }
+
+  /** Oracle fragment replaying [[poissonBootstrapMeanCi]] (DuckDB). */
+  def poissonBootstrapOracleSql(dl: graft.sqlgen.Dialect, eventsRel: String,
+                                valCol: String, idCol: String, b: Int,
+                                seed: String): String = {
+    val lo = math.ceil(0.025 * b).toInt
+    val hi = math.ceil(0.975 * b).toInt
+    val key = s"concat('$seed:', CAST(rep AS VARCHAR), ':', id)"
+    s"""WITH base AS (
+         SELECT CAST($idCol AS VARCHAR) AS id,
+                CAST(round(CAST($valCol AS DOUBLE), 6) AS DECIMAL(18,6)) AS x6
+         FROM $eventsRel WHERE $valCol IS NOT NULL),
+       reps AS (SELECT id, CAST(x6 * 1000000 AS BIGINT) AS mic,
+                       unnest(range(0, $b)) AS rep
+                FROM base),
+       w AS (SELECT rep, mic,
+                    ${graft.sqlgen.Exprs.poissonWeight(dl, key)} AS w
+             FROM reps),
+       per AS (SELECT rep, CAST(sum(w * mic) AS BIGINT) AS swx,
+                      CAST(sum(w) AS BIGINT) AS sw
+               FROM w GROUP BY rep),
+       m AS (SELECT (round(CAST(swx AS DOUBLE) / CAST(1000000.0 AS DOUBLE)
+                           / CAST(sw AS DOUBLE), 6)
+                     + ${dl.d(0.0)}) AS m FROM per),
+       ms AS (SELECT list_sort(list(m)) AS ms FROM m),
+       obs AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      (round(CAST(sum(CAST(x6 * 1000000 AS BIGINT)) AS DOUBLE)
+                             / CAST(1000000.0 AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE), 6)
+                       + ${dl.d(0.0)}) AS mean
+               FROM base)
+       SELECT n, mean, ms[$lo] AS ci_lo, ms[$hi] AS ci_hi
+       FROM obs CROSS JOIN ms"""
+  }
 }

@@ -184,6 +184,24 @@ object Exprs {
     let(dl, "s__", sExpr, total)
   }
 
+  /** Deterministic Poisson(1) draw from an md5-uniform of `keyExpr` —
+    * the per-(row, replicate) weight of the POISSON BOOTSTRAP (the
+    * at-scale bootstrap: multinomial resampling needs a global draw per
+    * replicate, Poissonization makes every row independent, so B
+    * replicates run as ONE pass of per-row arithmetic). Inverse CDF over
+    * fixed cumulative literals e^-1·Σ 1/k! — both engines strtod the
+    * same strings, so the draw is bit-identical; truncated at 6
+    * (P(X>6) ≈ 8e-5, absorbed into the k=6 bucket). */
+  def poissonWeight(dl: Dialect, keyExpr: String): String = {
+    val u = dl.md5Uniform(keyExpr)
+    val cum = Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+    val whens = cum.zipWithIndex
+      .map { case (t, k) => s"WHEN u__ < ${dl.d(t)} THEN $k" }
+      .mkString(" ")
+    s"(CASE $whens ELSE 6 END)".replace("u__", u)
+  }
+
   /** Deterministic Laplace(1/eps) noise keyed by (seed, keyExpr) — the
     * differentially-private release mechanism with the randomness
     * replaced by an md5-uniform (the replayable-sketch contract: both

@@ -611,4 +611,23 @@ class AnalyticsSpec extends AnyFunSuite {
       (1L, 4L, 2L, 0.5, 1.820478, 0.666667),
       (2L, 3L, 2L, 0.5, 1.820478, 0.666667)))
   }
+
+  test("poissonBootstrapMeanCi: exact n/mean, CI brackets, partition-invariant") {
+    val rows = (1 to 400).map(i => (i.toLong, (i % 37).toDouble + 0.25))
+    val df = rows.toDF("event_id", "value")
+    def run(parts: Int) =
+      graft.ops.Analytics.poissonBootstrapMeanCi(
+          df.repartition(parts), "value", "event_id", 50, "spec")
+        .as[(Long, Double, Double, Double)].collect().head
+    val (n, mean, lo, hi) = run(7)
+    assert(n == 400L)
+    val exact = rows.map(_._2).sum / 400.0
+    assert(math.abs(mean - exact) < 1e-6, s"mean $mean vs $exact")
+    // percentile CI must bracket the point estimate and be ordered
+    assert(lo < mean && mean < hi && lo < hi, s"CI [$lo, $hi] around $mean")
+    // the whole quadruple is a pure function of the data, not the
+    // partitioning — exact integer partials make this bit-stable
+    assert(run(1) == ((n, mean, lo, hi)))
+    assert(run(32) == ((n, mean, lo, hi)))
+  }
 }
