@@ -1725,6 +1725,56 @@ object QueryCatalog {
           FROM e ORDER BY doc_id"""
         }),
 
+      // T4 quantized-deployment path: the SAME batched mapPartitions
+      // inference seam loading an INT8 artifact (qweights.csv codes +
+      // per-column dequant scales — the GGUF/ONNX-int8 layout distilled).
+      // The inner accumulation is exact 64-bit integer arithmetic, the
+      // dequant scale is dyadic (1/1024), so the projection is
+      // bit-identical under any partitioning and the oracle replays it
+      // with a plain double fold of integer-valued products.
+      Q("q_qlinear_embed",
+        (s, dir) => {
+          val modelDir = graft.embed.QuantLinearModelArtifact.ensure(64, 16)
+          val model = graft.embed.QuantLinearInferenceModel(modelDir)
+          graft.embed.BatchedEmbedder(model, 32)
+            .withEmbedding(
+              tk(s, dir, "documents").select(col("doc_id"), col("text")),
+              "text", "qemb")
+            .select(col("doc_id"),
+              r6(element_at(col("qemb"), 1)).as("e1"),
+              r6(element_at(col("qemb"), 2)).as("e2"),
+              r6(VectorF.dot(col("qemb"),
+                expr("transform(sequence(1, 16), j__ -> CAST(j__ AS DOUBLE))")))
+                .as("checksum"))
+            .orderBy("doc_id")
+        },
+        Some {
+          val w16 = "list_transform(range(1, 17), j__ -> CAST(j__ AS DOUBLE))"
+          s"""
+          WITH toks AS (SELECT doc_id, ${D.splitWs("text")} AS __toks FROM documents),
+          c AS (SELECT doc_id, ${Exprs.embedCodes(D, "__toks", 64)} AS __codes FROM toks),
+          r AS (SELECT doc_id, ${Exprs.embedRawVec(D, "__codes", 64)} AS __raw FROM c),
+          y AS (SELECT doc_id,
+                       list_transform(range(0, 16), j__ ->
+                         list_reduce(
+                           list_transform(range(0, 64), i__ ->
+                             __raw[CAST(i__ AS INT) + 1]
+                               * CAST((((i__ * 13) + (j__ * 29)) % 255) - 127 AS DOUBLE)),
+                           (s__, x__) -> s__ + x__)
+                         * (CAST(1 AS DOUBLE) / CAST(1024 AS DOUBLE))) AS yv
+                FROM r),
+          n AS (SELECT doc_id, yv, sqrt(${D.dot("yv", "yv")}) AS nrm FROM y),
+          e AS (SELECT doc_id,
+                       CASE WHEN nrm = CAST(0 AS DOUBLE) THEN yv
+                            ELSE list_transform(yv, v__ -> v__ / nrm) END AS emb
+                FROM n)
+          SELECT doc_id,
+                 (round(emb[1], 6) + CAST(0.0 AS DOUBLE)) AS e1,
+                 (round(emb[2], 6) + CAST(0.0 AS DOUBLE)) AS e2,
+                 (round(${D.dot("emb", w16)}, 6) + CAST(0.0 AS DOUBLE)) AS checksum
+          FROM e ORDER BY doc_id"""
+        }),
+
       // K1/K2/S8 round trip: WRITE the chunk table through the real sink
       // (ordered zstd parquet + metadata.json manifest), RELOAD it, and
       // hash the reloaded content + the manifest's total-embedded-files
@@ -6021,6 +6071,41 @@ object QueryCatalog {
       // Sequence packing: fill 256-token training bins by cumulative token
       // count. Packs WITHIN each source partition (parallel at scale; a
       // single global packing order would serialize the corpus).
+      // Fill-in-the-middle transform (Bavarian et al. 2022; the
+      // StarCoder/-2 pretraining op): split each document at two
+      // deterministic char offsets into prefix/middle/suffix and emit
+      // the PSM rearrangement <fim_prefix>P<fim_suffix>S<fim_middle>M —
+      // infilling supervision from plain text. Offsets vary per doc
+      // (doc_id-keyed percentages) so every boundary class is
+      // exercised. Pure per-row substring arithmetic fused into the
+      // scan; the oracle replays the identical 1-based substr algebra.
+      Q("q_fim_transform",
+        (s, dir) => {
+          val c1 = "greatest(CAST(1 AS BIGINT), (length(text) * (10 + doc_id % 40)) div 100)"
+          val c2 = s"($c1 + greatest(CAST(1 AS BIGINT), (length(text) * 30) div 100))"
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              expr(c1).as("cut1"), expr(c2).as("cut2"),
+              expr(s"""concat('<fim_prefix>', substring(text, 1, CAST($c1 AS INT)),
+                  '<fim_suffix>', substring(text, CAST($c2 AS INT) + 1),
+                  '<fim_middle>', substring(text, CAST($c1 AS INT) + 1,
+                                            CAST($c2 - $c1 AS INT)))""")
+                .as("fim_text"))
+            .orderBy("doc_id")
+        },
+        Some {
+          val c1 = "greatest(CAST(1 AS BIGINT), (length(text) * (10 + doc_id % 40)) // 100)"
+          val c2 = s"($c1 + greatest(CAST(1 AS BIGINT), (length(text) * 30) // 100))"
+          s"""
+          SELECT doc_id, $c1 AS cut1, $c2 AS cut2,
+                 '<fim_prefix>' || substring(text, 1, CAST($c1 AS INT)) ||
+                 '<fim_suffix>' || substring(text, CAST($c2 AS INT) + 1) ||
+                 '<fim_middle>' || substring(text, CAST($c1 AS INT) + 1,
+                                             CAST($c2 - $c1 AS INT)) AS fim_text
+          FROM documents
+          ORDER BY doc_id"""
+        }),
+
       Q("q_seq_pack",
         (s, dir) => {
           import org.apache.spark.sql.expressions.Window

@@ -129,3 +129,115 @@ object LinearModelArtifact {
     }
   }
 }
+
+/** Int8-quantized variant of [[LinearInferenceModel]] — the weight format
+  * quantized deployment actually ships (a GGUF/ONNX-int8-style layout
+  * distilled to its essentials): `qweights.csv` holds int8 codes,
+  * `scales.csv` one dequant scale per OUTPUT column, and inference is
+  * y(j) = scale(j) · Σ_i counts(i)·q(i,j) — the inner accumulation is
+  * EXACT 64-bit integer arithmetic (hashing counts and codes are both
+  * integers), so the projection is bit-identical under ANY fold order or
+  * partitioning, and the only float op per output is the final dequant
+  * multiply. The artifact round-trips through disk exactly like the fp
+  * model: a loading bug (row order, sign parse, scale split) hash-fails
+  * q_qlinear_embed rather than hiding behind a shared constant. */
+final case class QuantLinearInferenceModel(modelDir: String) extends InferenceModel {
+  val (featDim: Int, outDim: Int) = LinearModelArtifact.readConfig(modelDir)
+  def dimension: Int = outDim
+
+  def init(): InferenceSession = {
+    val q = QuantLinearModelArtifact.readQWeights(modelDir, featDim, outDim)
+    val scales = QuantLinearModelArtifact.readScales(modelDir, outDim)
+    new InferenceSession {
+      def embedBatch(texts: Seq[String]): Seq[Array[Double]] =
+        texts.map { t =>
+          val counts = HashingEmbedder.rawCounts(if (t == null) "" else t, featDim)
+          val y = new Array[Double](outDim)
+          var j = 0
+          while (j < outDim) {
+            var acc = 0L
+            var i = 0
+            while (i < featDim) { acc += counts(i) * q(i)(j); i += 1 }
+            y(j) = acc * scales(j)
+            j += 1
+          }
+          var nsq = 0.0
+          var k = 0
+          while (k < outDim) { nsq += y(k) * y(k); k += 1 }
+          val nrm = math.sqrt(nsq)
+          if (nrm == 0.0) y
+          else {
+            val out = new Array[Double](outDim)
+            k = 0
+            while (k < outDim) { out(k) = y(k) / nrm; k += 1 }
+            out
+          }
+        }
+    }
+  }
+}
+
+/** Writer/reader for the quantized artifact. Codes
+  * q(i,j) = ((i·13 + j·29) mod 255) − 127 ∈ [−127, 127] and scales
+  * s(j) = 1/1024 (dyadic — the dequant multiply is exact in binary
+  * double) are the formulas the DuckDB oracle replays; the engine only
+  * ever sees the on-disk CSVs. */
+object QuantLinearModelArtifact {
+  private val Version = 1
+
+  def code(i: Int, j: Int): Int = ((i * 13 + j * 29) % 255) - 127
+  def scale(j: Int): Double = 1.0 / 1024.0
+
+  def write(dir: String, featDim: Int, outDim: Int): Unit = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    Files.write(d.resolve("config.json"),
+      s"""{"feat_dim": $featDim, "out_dim": $outDim, "quant": "int8", "version": $Version}"""
+        .getBytes(StandardCharsets.UTF_8))
+    val rows = (0 until featDim).map { i =>
+      (0 until outDim).map(j => code(i, j).toString).mkString(",")
+    }
+    Files.write(d.resolve("qweights.csv"),
+      rows.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(d.resolve("scales.csv"),
+      (0 until outDim).map(j => f"${scale(j)}%.10f").mkString(",")
+        .getBytes(StandardCharsets.UTF_8))
+  }
+
+  def ensure(featDim: Int, outDim: Int): String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_qlinear_model_${featDim}x${outDim}_v$Version"
+    val marker = Paths.get(dir, "_DONE")
+    if (!Files.isRegularFile(marker)) {
+      write(dir, featDim, outDim)
+      Files.write(marker, "ok".getBytes(StandardCharsets.UTF_8))
+    }
+    dir
+  }
+
+  def readQWeights(dir: String, featDim: Int, outDim: Int): Array[Array[Long]] = {
+    val lines = new String(
+      Files.readAllBytes(Paths.get(dir, "qweights.csv")), StandardCharsets.UTF_8)
+      .split("\n")
+    require(lines.length == featDim,
+      s"qweights.csv at $dir has ${lines.length} rows, config says $featDim")
+    lines.map { line =>
+      val cells = line.split(",")
+      require(cells.length == outDim,
+        s"qweights.csv row has ${cells.length} cols, config says $outDim")
+      cells.map { c =>
+        val v = c.toLong
+        require(v >= -128 && v <= 127, s"int8 code out of range: $v")
+        v
+      }
+    }
+  }
+
+  def readScales(dir: String, outDim: Int): Array[Double] = {
+    val cells = new String(
+      Files.readAllBytes(Paths.get(dir, "scales.csv")), StandardCharsets.UTF_8)
+      .trim.split(",")
+    require(cells.length == outDim,
+      s"scales.csv at $dir has ${cells.length} cols, config says $outDim")
+    cells.map(_.toDouble)
+  }
+}

@@ -124,6 +124,40 @@ class EmbedderSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("rows"))
   }
+
+  test("QuantLinearInferenceModel: int8 artifact round-trips, integer-exact projection") {
+    import graft.embed.{BatchedEmbedder, QuantLinearInferenceModel, QuantLinearModelArtifact}
+    val dir = java.nio.file.Files.createTempDirectory("graft_qlin_spec").toString
+    QuantLinearModelArtifact.write(dir, 64, 16)
+    val model = QuantLinearInferenceModel(dir)
+    assert(model.featDim == 64 && model.dimension == 16)
+    val many = (0L until 24L).map(i => (i, s"quant doc $i body"))
+      .toDF("doc_id", "text").repartition(3, $"doc_id")
+    val out = BatchedEmbedder(model, batchSize = 8)
+      .withEmbedding(many, "text", "emb")
+      .select($"doc_id", $"emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // bit-exact vs a driver replay of code/scale FORMULAS: integer
+    // accumulation then one dequant multiply — lossless by construction
+    (0L until 24L).foreach { i =>
+      val counts = graft.embed.HashingEmbedder.rawCounts(s"quant doc $i body", 64)
+      val y = Array.tabulate(16) { j =>
+        (0 until 64).map(k => counts(k) * QuantLinearModelArtifact.code(k, j)).sum *
+          QuantLinearModelArtifact.scale(j)
+      }
+      val nrm = math.sqrt(y.map(x => x * x).sum)
+      val exp = if (nrm == 0.0) y else y.map(_ / nrm)
+      assert(out(i).sameElements(exp), s"doc $i diverged from formula replay")
+    }
+    // an out-of-range code is a corrupt artifact, not a silent clamp
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "qweights.csv"),
+      ((0 until 63).map(_ => (0 until 16).map(_ => "1").mkString(",")) :+
+        (0 until 16).map(_ => "300").mkString(",")).mkString("\n").getBytes("UTF-8"))
+    val ex = intercept[IllegalArgumentException] {
+      QuantLinearInferenceModel(dir).init()
+    }
+    assert(ex.getMessage.contains("out of range"))
+  }
 }
 
 /** Test instrumentation for BatchedEmbedder: counts init calls and batch
