@@ -11456,6 +11456,18 @@ object QueryCatalog {
         Some(graft.ops.Analytics.poissonBootstrapOracleSql(
           D, "events", "value", "event_id", 50, "dpb-r9"))),
 
+      // CUPED variance-reduced readout (Deng et al. 2013): per-user
+      // pre-period covariate (midpoint time split) regresses out the
+      // between-user variance, theta pooled, adjusted arm means derived
+      // algebraically from arm moments — two exact-decimal aggregates
+      // and one IEEE chain, no second pass over users.
+      Q("q_cuped",
+        (s, dir) =>
+          graft.ops.Analytics.cuped(
+            tEvents(s, dir), "user_id", "ts", "value"),
+        Some(graft.ops.Analytics.cupedOracleSql(
+          duckEvents, "user_id", "epoch_us(ts) * 1000", "value"))),
+
       // Kolmogorov–Smirnov two-sample drift between the same two event
       // segments — the whole-distribution complement of q_ab_ztest (a
       // mean-preserving shape change is invisible to a z-test). Corpus

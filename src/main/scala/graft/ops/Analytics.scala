@@ -1906,6 +1906,143 @@ object Analytics {
        GROUP BY p1.$idCol"""
 
   // =========================================================================
+  // CUPED
+  // =========================================================================
+
+  /** CUPED variance-reduced experiment readout (Deng et al. 2013, the
+    * industry-standard A/B sensitivity technique): each unit's metric is
+    * adjusted by its PRE-period covariate, y' = y − θ(x − x̄) with
+    * θ = Sxy/Sxx pooled, removing the between-user variance the
+    * pre-period already explains (factor 1 − ρ²). Here units are users,
+    * the pre/post split is the midpoint of the observed time range, the
+    * covariate and metric are the user's pre/post value sums, and arms
+    * are user_id parity (the deterministic stand-in for an assignment
+    * column).
+    *
+    * Scale/determinism: per-user sums are exact DECIMAL (one shuffle on
+    * user); arm-level moments (n, Σx, Σy, Σxy, Σx², Σy²) are exact
+    * DECIMAL(38,12) with map-side combine; the adjusted arm means need
+    * NO second pass — ȳ'_arm = ȳ_arm − θ(x̄_arm − x̄) algebraically —
+    * so two tiny aggregates and one fixed IEEE chain emit the one-row
+    * readout. Returns (n_users, theta, mean_a, mean_b, mean_a_adj,
+    * mean_b_adj, diff_adj, rho2). */
+  def cuped(events: DataFrame, userCol: String, tsCol: String,
+            valCol: String): DataFrame = {
+    val x6 = round(col(valCol), 6).cast("decimal(18,6)")
+    // integer floor-midpoint (Column `/` would widen to DOUBLE and
+    // diverge from the oracle's BIGINT `//`)
+    val thrDf = events.agg(expr(
+      s"CAST((min($tsCol) + max($tsCol)) div 2 AS BIGINT)").as("__thr"))
+    val users = events.crossJoin(broadcast(thrDf))
+      .select(col(userCol).as("__u"), (col(userCol) % 2).as("__arm"),
+        when(col(tsCol) <= col("__thr"), x6).otherwise(lit(null)).as("__pre"),
+        when(col(tsCol) > col("__thr"), x6).otherwise(lit(null)).as("__post"))
+      .groupBy(col("__u"), col("__arm"))
+      .agg(coalesce(sum(col("__pre")), lit(0).cast("decimal(18,6)")).as("__x"),
+        coalesce(sum(col("__post")), lit(0).cast("decimal(18,6)")).as("__y"))
+    val d38 = (c: Column) => c.cast("decimal(38,12)")
+    val arms = users.groupBy(col("__arm"))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(d38(col("__x"))).as("__sx"), sum(d38(col("__y"))).as("__sy"),
+        sum(d38(col("__x") * col("__y"))).as("__sxy"),
+        sum(d38(col("__x") * col("__x"))).as("__sxx"),
+        sum(d38(col("__y") * col("__y"))).as("__syy"))
+    def armSum(c: String, arm: Int) =
+      sum(when(col("__arm") === arm, col(c)).otherwise(lit(null)))
+    val one = arms.agg(
+      sum(col("__n")).cast("long").as("n"),
+      sum(col("__sx")).as("sx"), sum(col("__sy")).as("sy"),
+      sum(col("__sxy")).as("sxy"), sum(col("__sxx")).as("sxx"),
+      sum(col("__syy")).as("syy"),
+      armSum("__n", 0).cast("long").as("na"),
+      armSum("__n", 1).cast("long").as("nb"),
+      armSum("__sx", 0).as("sxa"), armSum("__sx", 1).as("sxb"),
+      armSum("__sy", 0).as("sya"), armSum("__sy", 1).as("syb"))
+    val nD = col("n").cast("double")
+    val cxy = col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double") / nD
+    val cxx = col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / nD
+    val cyy = col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double") / nD
+    val theta = cxy / cxx
+    val xbar = col("sx").cast("double") / nD
+    def meanAdj(sy: String, sx: String, nArm: String): Column =
+      col(sy).cast("double") / col(nArm).cast("double") -
+        theta * (col(sx).cast("double") / col(nArm).cast("double") - xbar)
+    one.select(col("n").as("n_users"),
+      r6(theta).as("theta"),
+      r6(col("sya").cast("double") / col("na").cast("double")).as("mean_a"),
+      r6(col("syb").cast("double") / col("nb").cast("double")).as("mean_b"),
+      r6(meanAdj("sya", "sxa", "na")).as("mean_a_adj"),
+      r6(meanAdj("syb", "sxb", "nb")).as("mean_b_adj"),
+      r6(meanAdj("syb", "sxb", "nb") - meanAdj("sya", "sxa", "na"))
+        .as("diff_adj"),
+      r6(cxy * cxy / (cxx * cyy)).as("rho2"))
+  }
+
+  /** Oracle fragment replaying [[cuped]] (DuckDB; `tsNsExpr` must yield
+    * the same integer timeline the engine compares). */
+  def cupedOracleSql(eventsRel: String, userCol: String, tsNsExpr: String,
+                     valCol: String): String =
+    s"""WITH e AS (
+         SELECT $userCol AS u, $tsNsExpr AS tsn,
+                CAST(round($valCol, 6) AS DECIMAL(18,6)) AS x6
+         FROM $eventsRel),
+       thr AS (SELECT CAST((min(tsn) + max(tsn)) // 2 AS BIGINT) AS thr FROM e),
+       users AS (
+         SELECT u, u % 2 AS arm,
+                coalesce(sum(CASE WHEN tsn <= thr THEN x6 END),
+                         CAST(0 AS DECIMAL(18,6))) AS x,
+                coalesce(sum(CASE WHEN tsn > thr THEN x6 END),
+                         CAST(0 AS DECIMAL(18,6))) AS y
+         FROM e CROSS JOIN thr GROUP BY u, u % 2),
+       arms AS (
+         SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                sum(CAST(x AS DECIMAL(38,12))) AS sx,
+                sum(CAST(y AS DECIMAL(38,12))) AS sy,
+                sum(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+                sum(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+                sum(CAST(y * y AS DECIMAL(38,12))) AS syy
+         FROM users GROUP BY arm),
+       one AS (
+         SELECT CAST(sum(n) AS BIGINT) AS n,
+                sum(sx) AS sx, sum(sy) AS sy, sum(sxy) AS sxy,
+                sum(sxx) AS sxx, sum(syy) AS syy,
+                CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS na,
+                CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS nb,
+                sum(CASE WHEN arm = 0 THEN sx END) AS sxa,
+                sum(CASE WHEN arm = 1 THEN sx END) AS sxb,
+                sum(CASE WHEN arm = 0 THEN sy END) AS sya,
+                sum(CASE WHEN arm = 1 THEN sy END) AS syb
+         FROM arms),
+       f AS (
+         SELECT n,
+                CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cxy,
+                CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS cxx,
+                CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cyy,
+                CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+                na, nb, sxa, sxb, sya, syb
+         FROM one)
+       SELECT n AS n_users,
+              (round(cxy / cxx, 6) + CAST(0.0 AS DOUBLE)) AS theta,
+              (round(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS mean_a,
+              (round(CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS mean_b,
+              (round(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+                     - (cxy / cxx) * (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) - xbar), 6)
+               + CAST(0.0 AS DOUBLE)) AS mean_a_adj,
+              (round(CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE)
+                     - (cxy / cxx) * (CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) - xbar), 6)
+               + CAST(0.0 AS DOUBLE)) AS mean_b_adj,
+              (round((CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE)
+                      - (cxy / cxx) * (CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) - xbar))
+                     - (CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+                        - (cxy / cxx) * (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) - xbar)), 6)
+               + CAST(0.0 AS DOUBLE)) AS diff_adj,
+              (round(cxy * cxy / (cxx * cyy), 6) + CAST(0.0 AS DOUBLE)) AS rho2
+       FROM f"""
+
+  // =========================================================================
   // Poisson bootstrap
   // =========================================================================
 

@@ -612,6 +612,28 @@ class AnalyticsSpec extends AnyFunSuite {
       (2L, 3L, 2L, 0.5, 1.820478, 0.666667)))
   }
 
+  test("cuped: covariate-correlated noise is removed, true lift preserved") {
+    // 200 users; per-user latent scale s(u) drives BOTH periods (the
+    // covariate-explained noise); arm 1 gets a +5 post-period lift.
+    // Events: one pre (ts 0) and one post (ts 100) per user.
+    val rows = (0 until 200).flatMap { u =>
+      val s = (u % 17).toDouble
+      val lift = if (u % 2 == 1) 5.0 else 0.0
+      Seq((u.toLong, 0L, 3.0 * s + 1.0), (u.toLong, 100L, 3.0 * s + lift))
+    }
+    val df = rows.toDF("user_id", "ts", "value")
+    val got = graft.ops.Analytics.cuped(df, "user_id", "ts", "value")
+      .as[(Long, Double, Double, Double, Double, Double, Double, Double)]
+      .collect().head
+    val (n, theta, _, _, _, _, diffAdj, rho2) = got
+    assert(n == 200L)
+    // y = s*3 + lift, x = s*3 + 1 -> theta ~ 1, rho2 near 1, and the
+    // adjusted diff recovers the planted +5 (parity is balanced over s)
+    assert(math.abs(theta - 1.0) < 0.05, s"theta $theta")
+    assert(rho2 > 0.95, s"rho2 $rho2")
+    assert(math.abs(diffAdj - 5.0) < 0.3, s"diff_adj $diffAdj")
+  }
+
   test("poissonBootstrapMeanCi: exact n/mean, CI brackets, partition-invariant") {
     val rows = (1 to 400).map(i => (i.toLong, (i % 37).toDouble + 0.25))
     val df = rows.toDF("event_id", "value")
