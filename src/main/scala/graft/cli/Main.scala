@@ -154,6 +154,16 @@ object Main {
       println(graft.sources.AsciiDocText.dumpStructure(
         graft.sources.AsciiDocText.structure(adoc, attrs)))
 
+    // html module convenience entry (html_reader.py
+    // convert_html_file_to_markdown): one file, structural Markdown out.
+    // Driver-side pure function — no Spark session for one document.
+    case "markdown" :: inputFile :: _ =>
+      val f = new java.io.File(inputFile)
+      if (!f.isFile) { System.err.println(s"no such file: $inputFile"); sys.exit(1) }
+      val html = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      println(graft.sources.HtmlMarkdown.convert(html))
+
     case other =>
       System.err.println(
         s"""unknown args: ${other.mkString(" ")}
@@ -161,7 +171,8 @@ object Main {
            |  generate <docsDir> <outDir>
            |  query <indexDir> <text> [k] [threshold]
            |  convert <docsDir>
-           |  structure <file.adoc> [-a attributes.yaml]""".stripMargin)
+           |  structure <file.adoc> [-a attributes.yaml]
+           |  markdown <file.html>""".stripMargin)
       sys.exit(2)
   }
 }
