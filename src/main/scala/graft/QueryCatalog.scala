@@ -9512,7 +9512,7 @@ object QueryCatalog {
       Q("q_dp_counts",
         (s, dir) =>
           Governance.dpNoisyCounts(
-              t(s, dir, "events").select(col("event_type")),
+              tEvents(s, dir).select(col("event_type")),
               "event_type", 0.5, "dp-r9")
             .orderBy("event_type"),
         Some(s"""
@@ -11452,7 +11452,7 @@ object QueryCatalog {
       Q("q_bootstrap_ci",
         (s, dir) =>
           graft.ops.Analytics.poissonBootstrapMeanCi(
-            t(s, dir, "events"), "value", "event_id", 50, "dpb-r9"),
+            tEvents(s, dir), "value", "event_id", 50, "dpb-r9"),
         Some(graft.ops.Analytics.poissonBootstrapOracleSql(
           D, "events", "value", "event_id", 50, "dpb-r9"))),
 
