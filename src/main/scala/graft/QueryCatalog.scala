@@ -4215,6 +4215,50 @@ object QueryCatalog {
         FROM e
         ORDER BY doc_id, name""")),
 
+    // The WebDataset READ path end to end: shard FILES on disk (written
+    // 50 docs/shard by the executors — synthShardDir), re-ingested
+    // through Spark's binaryFile source, entries exploded by the ustar
+    // walker. This is how a 100 TB multimodal corpus actually arrives:
+    // thousands of shard files, one task per shard, payload bytes never
+    // in an exchange — only (shard, name, size, md5) rows move. Oracle
+    // recomputes everything from the packing formulas, so file naming,
+    // shard assignment, write-side ordering and the parse all gate.
+    Q("q_shard_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val shardDir = synthShardDir(s, dir)
+        s.read.format("binaryFile").load(s"$shardDir/*.tar")
+          .select(col("path"), col("content"))
+          .as[(String, Array[Byte])]
+          .flatMap { case (path, bytes) =>
+            import graft.multimodal.TarShard
+            val shard = "shard-(\\d+)\\.tar".r.findFirstMatchIn(path)
+              .map(_.group(1).toLong).getOrElse(-1L)
+            TarShard.entries(bytes).map { e =>
+              (shard, e.name, e.size,
+                TarShard.md5Hex(TarShard.payload(bytes, e)), e.checksumOk)
+            }
+          }
+          .toDF("shard_id", "name", "size", "payload_md5", "checksum_ok")
+          .orderBy("shard_id", "name")
+      },
+      Some("""
+        WITH e AS (
+          SELECT CAST(doc_id // 50 AS BIGINT) AS shard_id,
+                 CAST(doc_id AS VARCHAR) || '.txt' AS name,
+                 CAST(strlen(substring(text, 1, 48)) AS BIGINT) AS size,
+                 md5(substring(text, 1, 48)) AS payload_md5
+          FROM documents
+          UNION ALL
+          SELECT CAST(doc_id // 50 AS BIGINT),
+                 CAST(doc_id AS VARCHAR) || '.json',
+                 CAST(strlen('{"id":' || CAST(doc_id AS VARCHAR) || '}') AS BIGINT),
+                 md5('{"id":' || CAST(doc_id AS VARCHAR) || '}')
+          FROM documents)
+        SELECT shard_id, name, size, payload_md5, true AS checksum_ok
+        FROM e
+        ORDER BY shard_id, name""")),
+
     // SRT subtitle parse + caption-to-frame alignment (multimodal/
     // Subtitles): the text side of a video-text training pipeline. A
     // real 3-cue SRT document is formatted per doc (format_string time
@@ -4667,6 +4711,44 @@ object QueryCatalog {
     * fixture encode. Columns: doc_id, img_var (formula PNG, dims
     * 16-20 x 16-22), img_nd (16x16; ids 100-199 are perturbed copies of
     * 0-99), gif (3-5 frame animated GIF). */
+  /** WebDataset-style shard DIRECTORY fixture: documents packed 50 per
+    * ustar shard file (two entries per doc, ordered by doc_id), written
+    * from the executors — `repartition(shard_id)` puts every shard's
+    * rows in one task, the file write is the task's side effect (on a
+    * real cluster the target is shared storage; locally /tmp). Memoized
+    * like synthMedia: md5(dir|version)-keyed, marker-gated. */
+  private val shardDirVersion = 1
+  private def synthShardDir(s: SparkSession, dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val key = md.digest(s"$dir|$shardDirVersion".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val out = s"${sys.props("java.io.tmpdir")}/graft_shards_$key"
+    val marker = new java.io.File(s"$out/_DONE")
+    if (!marker.isFile) {
+      import s.implicits._
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      t(s, dir, "documents")
+        .select(expr("CAST(doc_id div 50 AS BIGINT)").as("shard_id"),
+          col("doc_id").cast("long").as("doc_id"),
+          substring(col("text"), 1, 48).as("prefix"))
+        .repartition(8, col("shard_id"))
+        .as[(Long, Long, String)]
+        .foreachPartition { it: Iterator[(Long, Long, String)] =>
+          it.toSeq.groupBy(_._1).foreach { case (shard, rows) =>
+            val entries = rows.sortBy(_._2).flatMap { case (_, id, prefix) =>
+              Seq(s"$id.txt" -> prefix.getBytes("UTF-8"),
+                s"$id.json" -> s"""{"id":$id}""".getBytes("UTF-8"))
+            }
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, f"shard-$shard%05d.tar"),
+              graft.multimodal.TarShard.pack(entries))
+          }
+        }
+      java.nio.file.Files.writeString(marker.toPath, "ok")
+    }
+    out
+  }
+
   private val synthMediaVersion = 2 // bump on ANY pixel/GIF formula change
   // (v2: same formulas, cache written as 32 files — 8 row groups capped
   // every decode-heavy image query at 8 of the 32 cores, the same
