@@ -3150,13 +3150,15 @@ object QueryCatalog {
     // probability (100-bin quantile mapping) — the score calibrator that
     // puts two scorers/domains on one ranking scale. Source ECDF via the
     // range-partitioned prefix-sum two-pass (never SinglePartition);
-    // reference summarized by ONE quantilesGlobal run (range shuffle +
-    // two passes for all 100 bins); the bin map broadcasts. Bin selection
-    // is EXACT integer ceil-division (DECIMAL div / HUGEINT //) and the
-    // oracle reads the reference quantiles from q_qnorm_bins' dump — no
-    // float parity left in the contract (the r8 hash-RED was driver-side
-    // quantile_cont/round ULP skew on machinery that value-matched
-    // DuckDB 1.0.0 locally).
+    // reference summarized by ONE order-statistic rank pick (range
+    // shuffle + two passes for all 100 bins); the bin map broadcasts.
+    // EVERY compared column is exact: bin by integer ceil-division
+    // (DECIMAL div / HUGEINT //), normalized a RAW stored reference
+    // value (nearest-rank bins since r10 — the r8/r9 hash-REDs were
+    // driver-side round()/quantile_cont ULP skew on display doubles that
+    // value-matched DuckDB 1.0.0 locally, so the doubles left the
+    // projection). The oracle reads the reference quantiles from
+    // q_qnorm_bins' dump, which now carries its own non-circular oracle.
     Q("q_quantile_norm",
       (s, dir) => {
         val ev = tEvents(s, dir) // value only — ts representation irrelevant
@@ -3175,12 +3177,13 @@ object QueryCatalog {
         ) ORDER BY x""")),
 
     // The reference side of q_quantile_norm as its own dumped artifact:
-    // the purchase distribution's 100-bin quantile table. Rows-only gate
-    // by design (no oracleSql): its values are the engine's own
-    // quantilesGlobal output, whose cross-engine interpolation parity is
-    // already pinned bit-for-bit by q_percentile_global — replaying 100
-    // quantile_cont calls here would re-import exactly the ULP fragility
-    // q_quantile_norm's contract just removed.
+    // the purchase distribution's 100-bin NEAREST-RANK quantile table.
+    // Type-1 quantiles are exact order-statistic selects — the
+    // ⌈n·j/bins⌉-th value, replayed by the oracle as a row_number()
+    // pick at the same integer ranks — so this carries a REAL
+    // non-circular oracle (unlike the r9 rows-only gate, whose
+    // quantile_cont values couldn't be replayed without re-importing
+    // cross-engine interpolation-ULP fragility).
     Q("q_qnorm_bins",
       (s, dir) => {
         val ev = tEvents(s, dir)
@@ -3189,7 +3192,9 @@ object QueryCatalog {
             "value", 100)
           .orderBy("bin")
       },
-      None),
+      Some(graft.ops.Percentiles.quantileBinTableOracleSql(
+        "(SELECT value FROM events WHERE event_type = 'purchase')",
+        "value", 100))),
 
     // Pivot (wide event-type counts per user). Spark's pivot relational
     // operator vs the oracle's conditional aggregation — same table.
@@ -11557,10 +11562,16 @@ object QueryCatalog {
       // from the range-partitioned prefix-sum two-pass (never an
       // Exchange SinglePartition), and the supremum is a
       // TakeOrderedAndProject top-1 with the value as tie-break.
+      // Compared projection is the EXACT contract only — (n_a, n_b,
+      // at_value, gap DECIMAL(38,0)); the derived d_stat/d_scaled
+      // doubles stay in the library output but OUT of the hash: rounds
+      // 8-9 proved the values match DuckDB locally while the driver's
+      // DuckDB rounds the display doubles 1 ULP differently.
       Q("q_ks_drift",
         (s, dir) =>
           graft.ops.Analytics.ksTest(
-            evT(s, dir), "event_type", "value", "click", "purchase"),
+              evT(s, dir), "event_type", "value", "click", "purchase")
+            .select("n_a", "n_b", "at_value", "gap"),
         Some(graft.ops.Analytics.ksTestOracleSql(
           duckEvents, "event_type", "value", "click", "purchase"))),
 

@@ -657,10 +657,16 @@ object Analytics {
     * detector (data-drift monitoring between a training snapshot and
     * production traffic; the nonparametric complement of [[welchZTest]],
     * which only sees means). Returns one row
-    * (n_a, n_b, at_value, d_stat, d_scaled) where `at_value` is the
-    * location of the supremum (lowest such value on ties) and `d_scaled`
+    * (n_a, n_b, at_value, gap, d_stat, d_scaled) where `at_value` is the
+    * location of the supremum (lowest such value on ties), `gap` is the
+    * EXACT integer numerator |cumA·n_b − cumB·n_a| as DECIMAL(38,0)
+    * (D = gap/(n_a·n_b) with no information lost), and `d_scaled`
     * = √(n_a·n_b/(n_a+n_b))·D is the sample-size-normalized statistic the
-    * asymptotic KS tables index.
+    * asymptotic KS tables index. The first FOUR columns are the exact
+    * engine-replayable contract (the q_ks_drift compare); d_stat/d_scaled
+    * are derived-double conveniences — two rounds of driver-side 1-ULP
+    * `round()` skew (against values matching local DuckDB exactly)
+    * taught that they don't belong in a cross-engine-hashed projection.
     *
     * Scale design (100 TB): the corpus collapses FIRST to the
     * distinct-value dimension (values quantized to DECIMAL(18,6) — a
@@ -679,9 +685,8 @@ object Analytics {
     * comparing |cumA/n_a − cumB/n_b| without the divisions), with the
     * value itself as tie-break — both engines select the same supremum
     * by exact arithmetic, immune to round/interpolation ULP skew between
-    * engines. Doubles appear only in the final one-row projection
-    * (gap/(n_a·n_b) and the √ factor — single correctly-rounded IEEE op
-    * chains identical on both sides), rounded to 6.
+    * engines. Doubles appear only in the trailing convenience columns
+    * (gap/(n_a·n_b) and the √ factor), OUTSIDE the exact contract.
     *
     * Degenerate inputs are defined: if either segment is empty, the row
     * still comes back with its exact counts and null d_stat/d_scaled
@@ -723,6 +728,7 @@ object Analytics {
         col("__na").cast("long").as("n_a"),
         col("__nb").cast("long").as("n_b"),
         col("__x").as("at_value"),
+        col("__gap").cast("decimal(38,0)").as("gap"),
         when(undef, lit(null).cast("double"))
           .otherwise(r6(dRaw)).as("d_stat"),
         when(undef, lit(null).cast("double"))
@@ -730,14 +736,16 @@ object Analytics {
           .as("d_scaled"))
   }
 
-  /** Oracle fragment replaying [[ksTest]] (DuckDB dialect): the prefix
-    * sums become plain cumulative windows (the oracle may afford the
-    * single-partition sort the engine avoids), and the exact DECIMAL(38)
-    * cross-multiplication becomes HUGEINT — both 128-bit-exact, so the
-    * supremum row is selected identically with no float in the decision. */
+  /** Oracle fragment replaying [[ksTest]]'s EXACT contract (DuckDB
+    * dialect): the prefix sums become plain cumulative windows (the
+    * oracle may afford the single-partition sort the engine avoids), and
+    * the exact DECIMAL(38) cross-multiplication becomes HUGEINT — both
+    * 128-bit-exact, so the supremum row is selected identically with no
+    * float in the decision AND no float in the compared projection
+    * (n_a, n_b, at_value, gap); the derived d_stat/d_scaled doubles are
+    * deliberately absent — they are anyone's one IEEE division away. */
   def ksTestOracleSql(eventsRel: String, typeCol: String, valCol: String,
-                      typeA: String, typeB: String): String = {
-    def r6s(x: String) = s"(round($x, 6) + CAST(0.0 AS DOUBLE))"
+                      typeA: String, typeB: String): String =
     s"""WITH per AS (
          SELECT CAST(round($valCol, 6) AS DECIMAL(18,6)) AS x,
                 CAST(sum(CASE WHEN $typeCol = '$typeA' THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
@@ -755,12 +763,8 @@ object Analytics {
                FROM cum CROSS JOIN tot)
        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
               x AS at_value,
-              CASE WHEN na = 0 OR nb = 0 THEN NULL
-                   ELSE ${r6s("CAST(g AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))")} END AS d_stat,
-              CASE WHEN na = 0 OR nb = 0 THEN NULL
-                   ELSE ${r6s("sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))) * (CAST(g AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))")} END AS d_scaled
+              CAST(g AS DECIMAL(38,0)) AS gap
        FROM gap ORDER BY g DESC, x LIMIT 1"""
-  }
 
   // =========================================================================
   // Incremental (partial-state) aggregation

@@ -48,7 +48,42 @@ object Percentiles {
     * buffers more than its partition, at any group size. */
   def quantilesGlobal(df: DataFrame, valCol: String,
                       qs: Seq[(String, Double)],
-                      numPartitions: Int = 0): DataFrame = {
+                      numPartitions: Int = 0): DataFrame =
+    rankPickRow(df, valCol, numPartitions) { total =>
+      qs.map { case (name, q) =>
+        val pos = (total - 1).toDouble * q
+        Want(name, math.floor(pos).toLong + 1, math.ceil(pos).toLong + 1,
+          pos - math.floor(pos))
+      }
+    }
+
+  /** Exact GLOBAL order statistics (nearest-rank / type-1 quantile
+    * selects) through the same range-partitioned distributed rank pick as
+    * [[quantilesGlobal]] — but NO interpolation: each named output is the
+    * raw value at a 1-based global rank, a value that physically exists
+    * in the data. `ranksOf(total)` maps the (runtime) row count to the
+    * wanted (name, rank) pairs, so callers can express data-dependent
+    * ranks like ⌈n·j/bins⌉ in EXACT integer arithmetic — the property
+    * that makes the result replayable bit-for-bit by any engine's
+    * row_number() select, with zero float in the contract. Out-of-range
+    * ranks are clamped to [1, total]; empty input yields nulls. */
+  def orderStatisticsGlobal(df: DataFrame, valCol: String,
+                            ranksOf: Long => Seq[(String, Long)],
+                            numPartitions: Int = 0): DataFrame =
+    rankPickRow(df, valCol, numPartitions) { total =>
+      ranksOf(total).map { case (name, r) =>
+        val c = math.max(1L, math.min(total, r))
+        Want(name, c, c, 0.0)
+      }
+    }
+
+  private case class Want(name: String, lo: Long, hi: Long, frac: Double)
+
+  /** Shared machinery: one range shuffle + per-partition counts + a
+    * second pass picking the bracketing values at their local ranks.
+    * Returns a single row (one DOUBLE per want, in order) + `cnt`. */
+  private def rankPickRow(df: DataFrame, valCol: String, numPartitions: Int)
+                         (wantsOf: Long => Seq[Want]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel
@@ -74,12 +109,7 @@ object Percentiles {
     val total = counts.sum
     val cum = counts.scanLeft(0L)(_ + _) // cum(i) = rows before partition i
     // global 1-based ranks to fetch, with interpolation weights
-    case class Want(name: String, lo: Long, hi: Long, frac: Double)
-    val wants = qs.map { case (name, q) =>
-      val pos = (total - 1).toDouble * q
-      Want(name, math.floor(pos).toLong + 1, math.ceil(pos).toLong + 1,
-        pos - math.floor(pos))
-    }
+    val wants = wantsOf(total)
     val ranks: Seq[Long] = wants.flatMap(w => Seq(w.lo, w.hi)).distinct.sorted
     // rank -> (partition, local 1-based index)
     def locate(rank: Long): (Int, Long) = {
@@ -113,10 +143,14 @@ object Percentiles {
     val row = org.apache.spark.sql.Row.fromSeq(
       wants.map(w =>
         if (total == 0) null
+        // lo == hi (integer position / order-statistic select): return
+        // the raw stored value — no arithmetic may touch it, so the
+        // result is an exact value from the data, engine-replayable
+        else if (w.lo == w.hi) picked(w.lo)
         else picked(w.lo) * (1.0 - w.frac) + picked(w.hi) * w.frac) :+ total)
     val schema = org.apache.spark.sql.types.StructType(
-      qs.map { case (name, _) =>
-        org.apache.spark.sql.types.StructField(name,
+      wants.map { w =>
+        org.apache.spark.sql.types.StructField(w.name,
           org.apache.spark.sql.types.DoubleType) } :+
         org.apache.spark.sql.types.StructField("cnt",
           org.apache.spark.sql.types.LongType))
@@ -230,22 +264,25 @@ object Percentiles {
     * round-6 value dimension (map-combined groupBy), the ECDF comes from
     * [[Layout.rankedCumSum]]'s range-partitioned prefix sum (never an
     * `Exchange SinglePartition`), and the reference costs ONE
-    * [[quantilesGlobal]] run — a range shuffle + two passes regardless of
-    * `bins`. The bin→quantile map is `bins` rows, broadcast; no join ever
-    * sees more than the distinct-value dimension. The source total reads
-    * the (eagerly checkpointed) prefix-sum output, not the source again.
+    * [[orderStatisticsGlobal]] run — a range shuffle + two passes
+    * regardless of `bins`. The bin→quantile map is `bins` rows,
+    * broadcast; no join ever sees more than the distinct-value
+    * dimension. The source total reads the (eagerly checkpointed)
+    * prefix-sum output, not the source again.
     *
-    * Determinism: NO float enters the bin decision. The bin is the exact
-    * integer ⌈cum·bins/n⌉ = ((cum·bins − 1) div n) + 1 computed in
-    * DECIMAL(38,0) (the oracle replays it in HUGEINT) — immune to the
-    * cross-engine round/interpolation ULP skew a double ECDF would
-    * inherit. The reference quantiles come from [[quantileBinTable]],
-    * whose display-rounded output IS the `normalized` column (the oracle
-    * reads the same dumped table, so quantile-interpolation parity is
-    * out of this operator's contract; [[quantilesGlobal]] parity is
-    * pinned separately by q_percentile_global). `ecdf` is display-only:
-    * one exact-int division rounded to 6. Returns
-    * (x, ecdf, bin, normalized) per distinct source value. */
+    * Determinism: NO float anywhere in the contract. The bin is the
+    * exact integer ⌈cum·bins/n⌉ = ((cum·bins − 1) div n) + 1 computed in
+    * DECIMAL(38,0) (an oracle replays it in HUGEINT), and `normalized`
+    * is a RAW stored value of the reference — [[quantileBinTable]] is a
+    * nearest-rank (type-1) order-statistic select, no interpolation, no
+    * rounding. Every output column is therefore exact-replayable on any
+    * engine: x is a DECIMAL(18,6) quantization, bin an integer select,
+    * normalized a value that physically exists in the reference data.
+    * (An earlier revision also emitted a display `ecdf` double; two
+    * rounds of driver-side 1-ULP `round()` skew on that column — against
+    * values that matched local DuckDB exactly — taught that derived
+    * doubles don't belong in a cross-engine-compared projection.)
+    * Returns (x, bin, normalized) per distinct source value. */
   def quantileNormalize(source: DataFrame, reference: DataFrame,
                         valCol: String, bins: Int): DataFrame = {
     require(bins >= 2 && bins <= 10000, s"bins out of range: $bins")
@@ -260,8 +297,6 @@ object Percentiles {
     val totals = cum.agg(sum(col("__c")).cast("decimal(19,0)").as("__n"))
     val binned = cum.crossJoin(broadcast(totals))
       .select(col("__x"),
-        (round(col("__cum").cast("double") / col("__n").cast("double"), 6)
-          + lit(0.0)).as("__ecdf"),
         // exact ceil-division: ⌈cum·bins/n⌉ with cum ≥ 1 — pure integer
         // arithmetic (DECIMAL(38,0) div), no float can shift a boundary
         expr(s"CAST(((__cum * $bins - 1) div __n) + 1 AS BIGINT)")
@@ -269,23 +304,26 @@ object Percentiles {
     val qtab = quantileBinTable(reference, valCol, bins)
       .select(col("bin").as("__bin"), col("q").as("__q"))
     binned.join(broadcast(qtab), Seq("__bin"))
-      .select(col("__x").as("x"), col("__ecdf").as("ecdf"),
+      .select(col("__x").as("x"),
         col("__bin").as("bin"), col("__q").as("normalized"))
   }
 
   /** The reference side of [[quantileNormalize]] as a standalone frame:
     * one row per bin j ∈ [1, bins] with `q` = the reference
-    * distribution's quantile_cont value at probability j/bins, rounded to
-    * the display contract (6 decimals, −0.0 normalized). One
-    * [[quantilesGlobal]] run (range shuffle + two passes) regardless of
-    * `bins`; the result is `bins` rows. Dumped by the q_qnorm_bins
-    * catalog entry so the q_quantile_norm oracle can read the SAME table
-    * instead of replaying `bins` quantile interpolations whose ULP
-    * behavior varies across engine versions.
+    * distribution's NEAREST-RANK (type-1) quantile at probability
+    * j/bins — the ⌈n·j/bins⌉-th order statistic, selected by EXACT
+    * integer rank arithmetic with no interpolation and no rounding, so
+    * every `q` is a raw value that physically exists in the data. Any
+    * engine replays it bit-for-bit as a row_number() select (the
+    * q_qnorm_bins oracle does exactly that — see
+    * [[quantileBinTableOracleSql]]); interpolated quantile_cont parity,
+    * whose ULP behavior varies across engine versions, is out of the
+    * contract entirely. One [[orderStatisticsGlobal]] run (range shuffle
+    * + two passes) regardless of `bins`; the result is `bins` rows.
     *
     * Fails fast (require) on an empty/all-null reference — otherwise the
-    * interpolation positions (total−1)·q would go negative and surface as
-    * an undecipherable downstream error. */
+    * rank selects have nothing to clamp to and surface as an
+    * undecipherable downstream null. */
   def quantileBinTable(reference: DataFrame, valCol: String,
                        bins: Int): DataFrame = {
     require(bins >= 2 && bins <= 10000, s"bins out of range: $bins")
@@ -293,20 +331,43 @@ object Percentiles {
       .where(col("__v").isNotNull)
     require(!ref.isEmpty,
       s"quantileBinTable: reference has no non-null '$valCol' values")
-    val qs = (1 to bins).map(j => (s"q$j", j.toDouble / bins))
-    quantilesGlobal(ref, "__v", qs).selectExpr(
+    // rank_j = ⌈n·j/bins⌉ in pure Long arithmetic ((a−1)/b + 1 with
+    // a = n·j ≥ 1). n·j overflows Long only past ~9e14 rows at
+    // bins=10000 — require'd far below any real corpus size.
+    orderStatisticsGlobal(ref, "__v", { n =>
+      require(n <= Long.MaxValue / bins,
+        s"quantileBinTable: $n rows x $bins bins overflows the rank arithmetic")
+      (1 to bins).map(j => (s"q$j", (n * j - 1) / bins + 1))
+    }).selectExpr(
         s"stack($bins, " +
           (1 to bins).map(j => s"CAST($j AS BIGINT), q$j").mkString(", ") +
           ") AS (bin, q)")
-      .select(col("bin"), (round(col("q"), 6) + lit(0.0)).as("q"))
   }
+
+  /** Oracle fragment replaying [[quantileBinTable]] (DuckDB dialect): a
+    * row_number() order-statistic select at the same exact integer ranks
+    * ⌈n·j/bins⌉ (HUGEINT `//` is floor division). No interpolation, no
+    * rounding — both engines pick the identical stored value, so the
+    * q_qnorm_bins contract is hash-exact by construction. */
+  def quantileBinTableOracleSql(refRel: String, valCol: String,
+                                bins: Int): String =
+    s"""WITH v AS (
+         SELECT CAST($valCol AS DOUBLE) AS v FROM $refRel
+         WHERE $valCol IS NOT NULL),
+       n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM v),
+       r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+       b AS (SELECT CAST(range AS BIGINT) AS bin FROM range(1, ${bins + 1}))
+       SELECT b.bin, r.v AS q
+       FROM b CROSS JOIN n JOIN r
+         ON CAST(r.rn AS HUGEINT) = ((n.n * b.bin - 1) // $bins) + 1"""
 
   /** Oracle fragment replaying [[quantileNormalize]] (DuckDB dialect):
     * the prefix sum becomes a cumulative window, the exact ceil-division
     * binning replays in HUGEINT (`//` is floor division), and the
     * reference quantiles come from the engine's dumped
     * [[quantileBinTable]] at `binTableRel` (the __GRAFT_OUT__ pattern) —
-    * no quantile interpolation runs on the oracle side at all. */
+    * no quantile interpolation, and no derived double at all, runs on
+    * either side of the compare. */
   def quantileNormalizeOracleSql(sourceRel: String, binTableRel: String,
                                  valCol: String, bins: Int): String =
     s"""WITH per AS (
@@ -318,11 +379,9 @@ object Percentiles {
                       CAST(sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cc
                FROM per),
        b AS (SELECT x,
-                    (round(CAST(cc AS DOUBLE) / CAST(n AS DOUBLE), 6)
-                     + CAST(0.0 AS DOUBLE)) AS ecdf,
                     CAST(((cc * $bins - 1) // n) + 1 AS BIGINT) AS bin
              FROM cum CROSS JOIN tot),
        q AS (SELECT bin, q FROM $binTableRel)
-       SELECT b.x, b.ecdf, b.bin, q.q AS normalized
+       SELECT b.x, b.bin, q.q AS normalized
        FROM b JOIN q ON b.bin = q.bin"""
 }

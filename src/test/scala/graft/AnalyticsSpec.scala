@@ -559,14 +559,17 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect()(0)
     assert(r.getLong(0) == 3L && r.getLong(1) == 4L)
     assert(r.getDecimal(2).doubleValue() == 3.0)
-    assert(r.getDouble(3) == 0.5)
-    assert(r.getDouble(4) == 0.654654)
+    // exact integer numerator: |cumA·n_b − cumB·n_a| = |3·4 − 2·3| = 6
+    assert(r.getDecimal(3).longValueExact() == 6L)
+    assert(r.getDouble(4) == 0.5)
+    assert(r.getDouble(5) == 0.654654)
     // disjoint supports: D = 1 at the LOWEST value achieving it
     val ev2 = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
       .toDF("event_type", "value")
     val r2 = Analytics.ksTest(ev2, "event_type", "value", "a", "b")
       .collect()(0)
-    assert(r2.getDecimal(2).doubleValue() == 2.0 && r2.getDouble(3) == 1.0)
+    assert(r2.getDecimal(2).doubleValue() == 2.0 && r2.getDouble(4) == 1.0)
+    assert(r2.getDecimal(3).longValueExact() == 4L) // 2·2 − 0·2
   }
 
   test("ksTest: empty segment yields defined row with null statistic") {
@@ -576,7 +579,8 @@ class AnalyticsSpec extends AnyFunSuite {
     val r = Analytics.ksTest(ev, "event_type", "value", "a", "b")
       .collect()(0)
     assert(r.getLong(0) == 2L && r.getLong(1) == 0L)
-    assert(r.isNullAt(3) && r.isNullAt(4))
+    assert(r.getDecimal(3).longValueExact() == 0L) // gap defined: 0 exact
+    assert(r.isNullAt(4) && r.isNullAt(5))
     // both segments empty: zero rows, not a crash
     assert(Analytics.ksTest(ev, "event_type", "value", "x", "y")
       .collect().isEmpty)

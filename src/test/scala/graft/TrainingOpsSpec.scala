@@ -241,27 +241,33 @@ class TrainingOpsSpec extends AnyFunSuite {
   }
 
   test("Percentiles.quantileNormalize: 4-bin mapping onto the reference quantiles") {
-    // source {1,2,3,4} -> ecdf .25/.5/.75/1 -> bins 1..4; reference
-    // {10,20,30,40} quantiles at p=.25/.5/.75/1 are 17.5/25/32.5/40
-    // (convex interpolation with pos=(n-1)q)
+    // source {1,2,3,4} -> exact-ecdf bins 1..4; reference {10,20,30,40}
+    // nearest-rank (type-1) quantiles at j/4 are the ⌈4·j/4⌉ = j-th
+    // order statistics: 10/20/30/40 — raw stored values, no interpolation
     val src = Seq(1.0, 2.0, 3.0, 4.0).toDF("value")
     val ref = Seq(10.0, 20.0, 30.0, 40.0).toDF("value")
     val got = Percentiles.quantileNormalize(src, ref, "value", 4)
       .orderBy("x")
-      .select(col("x").cast("double"), col("ecdf"), col("bin"),
-        col("normalized"))
-      .as[(Double, Double, Long, Double)].collect().toSeq
+      .select(col("x").cast("double"), col("bin"), col("normalized"))
+      .as[(Double, Long, Double)].collect().toSeq
     assert(got == Seq(
-      (1.0, 0.25, 1L, 17.5), (2.0, 0.5, 2L, 25.0),
-      (3.0, 0.75, 3L, 32.5), (4.0, 1.0, 4L, 40.0)))
+      (1.0, 1L, 10.0), (2.0, 2L, 20.0),
+      (3.0, 3L, 30.0), (4.0, 4L, 40.0)))
     // duplicate source values collapse to one distinct row with the
-    // count-weighted ecdf: {1,1,1,2} -> ecdf(1)=.75 -> bin 3
+    // count-weighted exact ecdf: {1,1,1,2} -> cum(1)=3 -> bin 3
     val src2 = Seq(1.0, 1.0, 1.0, 2.0).toDF("value")
     val got2 = Percentiles.quantileNormalize(src2, ref, "value", 4)
       .orderBy("x")
       .select(col("x").cast("double"), col("bin"), col("normalized"))
       .as[(Double, Long, Double)].collect().toSeq
-    assert(got2 == Seq((1.0, 3L, 32.5), (2.0, 4L, 40.0)))
+    assert(got2 == Seq((1.0, 3L, 30.0), (2.0, 4L, 40.0)))
+    // nearest-rank picks a physically-present value even when the rank
+    // arithmetic lands between order statistics: 5 ref values, 4 bins ->
+    // ranks ⌈5j/4⌉ = 2,3,4,5
+    val ref5 = Seq(10.0, 20.0, 30.0, 40.0, 50.0).toDF("value")
+    val bins5 = Percentiles.quantileBinTable(ref5, "value", 4)
+      .orderBy("bin").as[(Long, Double)].collect().toSeq
+    assert(bins5 == Seq((1L, 20.0), (2L, 30.0), (3L, 40.0), (4L, 50.0)))
     // empty / all-null reference fails FAST with a descriptive error
     // instead of feeding quantilesGlobal a negative interpolation position
     val emptyRef = Seq.empty[Double].toDF("value")
