@@ -5222,10 +5222,23 @@ object QueryCatalog {
     * a FULL-scale (sfDir and 10x) timing pair inside the rehearsal
     * itself, with this switch cleared (Bench.sf1StreamPair). */
   private def streamLiteDir(dir: String): String =
-    if (sys.props.get("graft.bench.streamLite").contains("1"))
-      sys.props.getOrElse("graft.bench.streamLiteDir",
-        "/root/testdata/sf0.001")
-    else dir
+    if (sys.props.get("graft.bench.streamLite").contains("1")) {
+      // default derives from the CURRENT dir's parent (…/sfX -> …/sf0.001)
+      // rather than a hardcoded machine path; if the lite fixture doesn't
+      // exist the gate falls back to the original dir with a warning —
+      // 18 confusing PATH_NOT_FOUND "failures" polluting the bench's
+      // failed list on any box without that fixture is the worse outcome
+      val lite = sys.props.getOrElse("graft.bench.streamLiteDir", {
+        val parent = new java.io.File(dir).getAbsoluteFile.getParent
+        s"$parent/sf0.001"
+      })
+      if (new java.io.File(lite).isDirectory) lite
+      else {
+        System.err.println(
+          s"[graft] stream-lite dir $lite missing; timing stream gates at full $dir")
+        dir
+      }
+    } else dir
 
   /** File-source stream fixture: split `df` into 4 deterministic
     * single-file parquet chunks by `idCol` quartile (contiguous-id ceil

@@ -40,6 +40,17 @@ object Layout {
     * unique tie-break) — on a full key tie the row payload itself would
     * compare, which a total key order makes unreachable. Appends
     * `rankCol` (LongType, first rank = `startAt`) to the input columns. */
+  /** Ascending [[boundedRank]] key ordering a FLOAT score DESCENDING with
+    * NaN FIRST — the exact total preorder of `orderBy(desc(score))`
+    * (Spark sorts NaN above every value). Plain negation is NOT that
+    * order: −NaN is NaN, which sorts LAST ascending, so a NaN score
+    * selected at the top of a desc-limit shortlist would receive rank n
+    * instead of rank 1 — ranks inconsistent with the limit that chose
+    * the rows. Use this for any score column a cosine/division can turn
+    * NaN; keep plain negation for exact integer keys. */
+  def descNaNFirst(c: Column): Column =
+    nanvl(-c.cast("double"), lit(Double.NegativeInfinity))
+
   def boundedRank(df: DataFrame, sortKeys: Seq[Column], rankCol: String,
                   startAt: Int = 1): DataFrame = {
     val keyed = sortKeys.zipWithIndex.map { case (c, i) => c.as(s"__bk$i") } :+

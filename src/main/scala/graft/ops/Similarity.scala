@@ -468,19 +468,22 @@ object Similarity {
     // ranks over the ≤n shortlists via Layout.boundedRank (sorted-struct
     // positions), not an unpartitioned row_number window — same total
     // order, no WindowExec "No Partition Defined" log flood
+    // descNaNFirst, not plain negation: the shortlist is selected by
+    // orderBy(desc(score)) where Spark ranks NaN FIRST — a NaN cosine
+    // (zero vector) must keep rank 1, not fall to rank n under -NaN
     val vTop = Layout.boundedRank(
         chunks.crossJoin(broadcast(queryDF))
           .withColumn("vs", VectorF.cosine(v, col("qv")))
           .select(col(idCol), col("vs"))
           .orderBy(desc("vs"), col(idCol)).limit(n),
-        Seq(-col("vs"), col(idCol)), "vrank")
+        Seq(Layout.descNaNFirst(col("vs")), col(idCol)), "vrank")
       .select(col(idCol), col("vrank"))
     val kTop = Layout.boundedRank(
         chunks
           .withColumn("ks", keywordScore(col(textCol), terms))
           .select(col(idCol), col("ks"))
           .orderBy(desc("ks"), col(idCol)).limit(n),
-        Seq(-col("ks"), col(idCol)), "krank")
+        Seq(Layout.descNaNFirst(col("ks")), col(idCol)), "krank")
       .select(col(idCol), col("krank"))
     vTop.join(kTop, Seq(idCol), "full_outer")
       .withColumn("score",

@@ -17,8 +17,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - h1..h6 -> `#`..`######` heading lines
   *   - `<ul>`/`<ol>` -> `-` / `1.` items, nested at 2 spaces per level,
   *     ordered lists numbered per level
-  *   - `<table>` -> GitHub pipe tables (first `<tr>` with `<th>` cells —
-  *     or the first row — becomes the header, then `| --- |`)
+  *   - `<table>` -> GitHub pipe tables (the first all-`<th>` row —
+  *     or the first row — becomes the header, then `| --- |`);
+  *     colspan/rowspan REPEAT the cell text into the spanned grid
+  *     positions (clamped 64/256), so merged-cell tables keep column
+  *     alignment — pipe tables have no merge syntax
   *   - `<pre>` -> fenced ``` blocks, inner whitespace preserved
   *   - `<blockquote>` -> `> ` prefixed lines (nesting stacks `> >`)
   *   - inline `<strong>/<b>` -> `**`, `<em>/<i>` -> `*`, `<code>` ->
@@ -39,6 +42,8 @@ object HtmlMarkdown {
   private final class Node(val tag: String) {
     val children = new ListBuffer[AnyRef] // Node | String (text)
     var href: String = null
+    var colspan: Int = 1 // td/th only; clamped to [1, 64]
+    var rowspan: Int = 1 // td/th only; clamped to [1, 256]
   }
 
   private val Void = Set("br", "hr", "img", "meta", "link", "input",
@@ -153,6 +158,19 @@ object HtmlMarkdown {
                   if (m.group(1) != null) m.group(1)
                   else if (m.group(2) != null) m.group(2) else m.group(3))
               }
+              if (tag == "td" || tag == "th") {
+                val m = CellSpan.matcher(inner)
+                while (m.find()) {
+                  val raw = Seq(m.group(2), m.group(3), m.group(4))
+                    .find(_ != null).getOrElse("")
+                  val v = try raw.trim.toInt catch { case _: Exception => 1 }
+                  // clamps bound adversarial spans: output stays linear
+                  // in the source cell count times a small constant
+                  if (m.group(1).equalsIgnoreCase("colspan"))
+                    node.colspan = math.min(64, math.max(1, v))
+                  else node.rowspan = math.min(256, math.max(1, v))
+                }
+              }
               // implicit closes: a block tag terminates an open p/li/cell
               if (Block.contains(tag)) {
                 val implicitClose = tag match {
@@ -179,6 +197,8 @@ object HtmlMarkdown {
 
   private val AHref = java.util.regex.Pattern.compile(
     "(?is)\\bhref\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>]+))")
+  private val CellSpan = java.util.regex.Pattern.compile(
+    "(?is)\\b(colspan|rowspan)\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>]+))")
 
   // ------------------------------------------------------------- render
   /** Hard-break sentinel: <br> must survive whitespace collapse while
@@ -254,30 +274,75 @@ object HtmlMarkdown {
     inline(c).replace("|", "\\|").replace("\n", " ")
 
   private def renderTable(t: Node, out: Out): Unit = {
-    val rows = new ListBuffer[(Boolean, IndexedSeq[String])] // (isHeader, cells)
+    // raw rows: (isTh, text, colspan, rowspan) per source cell
+    val raw = new ListBuffer[IndexedSeq[(Boolean, String, Int, Int)]]
     def walkRows(n: Node): Unit = n.children.foreach {
       case c: Node if c.tag == "tr" =>
         val cells = c.children.collect {
           case cell: Node if cell.tag == "td" || cell.tag == "th" =>
-            (cell.tag == "th", cellText(cell))
+            (cell.tag == "th", cellText(cell), cell.colspan, cell.rowspan)
         }.toIndexedSeq
-        if (cells.nonEmpty)
-          rows += ((cells.forall(_._1), cells.map(_._2)))
+        if (cells.nonEmpty) raw += cells
       case c: Node if c.tag == "thead" || c.tag == "tbody" || c.tag == "tfoot" =>
         walkRows(c)
       case _ => ()
     }
     walkRows(t)
+    // Grid expansion: a colspan-c cell REPEATS its text into c columns
+    // and a rowspan-r cell into the same column of the next r-1 rows
+    // (docling-equivalent merged-cell handling — repeating keeps every
+    // row the same width AND keeps the spanned value visible where the
+    // visual table shows it; pipe tables have no merge syntax). Pending
+    // rowspans carry per ABSOLUTE column index; source cells land in the
+    // first column not occupied by a carry, exactly like a browser.
+    val rows = new ListBuffer[(Boolean, IndexedSeq[String])] // (isHeader, cells)
+    val carry = scala.collection.mutable.Map.empty[Int, (Int, String)]
+    raw.foreach { cells =>
+      val outCells = new ArrayBuffer[String]
+      var colIdx = 0
+      def drainCarry(): Unit =
+        while (carry.contains(colIdx)) {
+          val (left, txt) = carry(colIdx)
+          outCells += txt
+          if (left <= 1) carry.remove(colIdx) else carry(colIdx) = (left - 1, txt)
+          colIdx += 1
+        }
+      cells.foreach { case (_, txt, cs, rs) =>
+        drainCarry()
+        var c = 0
+        while (c < cs) {
+          outCells += txt
+          if (rs > 1) carry(colIdx) = (rs - 1, txt)
+          colIdx += 1
+          c += 1
+        }
+      }
+      // cells exhausted: flush every still-pending carry in column order
+      // (padding gap columns of a short row with "") — a rowspan ticks
+      // down once per ROW like a browser's, never deferred by a short row
+      carry.keys.filter(_ >= colIdx).toSeq.sorted.foreach { k =>
+        while (colIdx < k) { outCells += ""; colIdx += 1 }
+        drainCarry()
+      }
+      rows += ((cells.forall(_._1), outCells.toIndexedSeq))
+    }
     if (rows.isEmpty) return
     val width = rows.map(_._2.length).max
     def line(cells: IndexedSeq[String]): String =
       (0 until width).map(i => cells.lift(i).getOrElse("")).mkString("| ", " | ", " |")
-    val header = rows.head._2
-    val body = rows.tail
+    // the first all-<th> row — WHEREVER it sits — becomes the pipe-table
+    // header (a <th> row after leading <td> data rows is how scraped
+    // tables often arrive); rows before it stay in the body, in order.
+    // No <th> row at all: the first row is the header, like pandoc.
+    val headerIdx = math.max(0, rows.indexWhere(_._1))
+    val header = rows(headerIdx)._2
+    val body = rows.zipWithIndex.collect {
+      case ((_, cells), i) if i != headerIdx => cells
+    }
     val sb = new ListBuffer[String]
     sb += line(header)
     sb += (0 until width).map(_ => "---").mkString("| ", " | ", " |")
-    body.foreach { case (_, cells) => sb += line(cells) }
+    body.foreach(cells => sb += line(cells))
     out += sb.mkString("\n")
   }
 

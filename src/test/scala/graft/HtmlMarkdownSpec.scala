@@ -52,6 +52,39 @@ class HtmlMarkdownSpec extends AnyFunSuite {
     assert(out == "| h1 | h2 |\n| --- | --- |\n| x | y |")
   }
 
+  test("table: a th row AFTER td rows becomes the header, data rows keep order") {
+    val out = md(
+      "<table><tr><td>pre1</td><td>pre2</td></tr>" +
+        "<tr><th>A</th><th>B</th></tr>" +
+        "<tr><td>x</td><td>y</td></tr></table>")
+    assert(out == "| A | B |\n| --- | --- |\n| pre1 | pre2 |\n| x | y |")
+  }
+
+  test("table: colspan repeats the cell text across spanned columns") {
+    val out = md(
+      "<table><tr><th>A</th><th>B</th><th>C</th></tr>" +
+        "<tr><td colspan=2>wide</td><td>z</td></tr></table>")
+    assert(out == "| A | B | C |\n| --- | --- | --- |\n| wide | wide | z |")
+  }
+
+  test("table: rowspan repeats the cell down spanned rows, later cells shift right") {
+    val out = md(
+      """<table><tr><th>K</th><th>V</th></tr>
+        |<tr><td rowspan="2">grp</td><td>v1</td></tr>
+        |<tr><td>v2</td></tr></table>""".stripMargin)
+    assert(out == "| K | V |\n| --- | --- |\n| grp | v1 |\n| grp | v2 |")
+  }
+
+  test("table: combined spans keep the grid aligned; junk/oversized spans clamp") {
+    val out = md(
+      "<table><tr><th colspan='2'>H</th><th>C</th></tr>" +
+        "<tr><td rowspan=2 colspan=2>m</td><td>r1</td></tr>" +
+        "<tr><td>r2</td></tr>" +
+        "<tr><td colspan=bogus rowspan=\"-3\">a</td><td>b</td><td>c</td></tr></table>")
+    assert(out ==
+      "| H | H | C |\n| --- | --- | --- |\n| m | m | r1 |\n| m | m | r2 |\n| a | b | c |")
+  }
+
   test("pre: fenced, inner whitespace preserved, entities decoded") {
     val out = md("<pre>def f(x):\n    return x &lt; 2\n</pre>")
     assert(out == "```\ndef f(x):\n    return x < 2\n```")
