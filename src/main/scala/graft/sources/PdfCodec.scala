@@ -303,6 +303,172 @@ object PdfParse {
     }
 }
 
+/** Font decode model — the Type0/CID + ToUnicode completion of S4
+  * (docling's pdf_reader.py:83-149 reads CJK and subset-embedded-font
+  * PDFs; without this, composite-font strings extract as garbage).
+  *
+  * A PDF string argument of Tj/TJ is a sequence of CODES in the current
+  * font's encoding: 1-byte for simple fonts (Type1/TrueType/Type3),
+  * 2-byte for Type0 composite fonts with Identity-H/V (the near-universal
+  * CID case — per-CMap variable-width codespaces are out of scope, as in
+  * most practical extractors). The /ToUnicode CMap stream, when present,
+  * maps codes to Unicode strings via bfchar/bfrange sections; it is the
+  * ONLY authoritative code->text source for subset fonts, whose glyph
+  * names and codes are otherwise meaningless. */
+object PdfFonts {
+  import PdfParse._
+
+  /** codeBytes: 1 (simple) or 2 (Type0/CID). toUnicode: code -> Unicode
+    * string (possibly multi-char, e.g. ligatures or surrogate pairs). */
+  final case class PdfFont(codeBytes: Int, toUnicode: Map[Int, String])
+
+  /** The legacy no-font-info model: 1-byte codes, Latin-1 passthrough. */
+  val Default: PdfFont = PdfFont(1, Map.empty)
+
+  /** Decode string bytes as `font` prescribes. Unmapped codes fall back
+    * to the code point itself (exact for Identity CMaps and for the
+    * Latin-1 range of simple fonts — the best available reading, never
+    * a crash). An odd trailing byte of a 2-byte font decodes as itself. */
+  def decode(b: Array[Byte], font: PdfFont): String =
+    if (font.codeBytes == 1 && font.toUnicode.isEmpty)
+      PdfContentText.decodeBytes(b) // legacy path incl. UTF-16BE BOM
+    else {
+      val sb = new java.lang.StringBuilder(b.length)
+      var i = 0
+      while (i < b.length) {
+        val code =
+          if (font.codeBytes == 2 && i + 1 < b.length)
+            ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+          else b(i) & 0xff
+        font.toUnicode.get(code) match {
+          case Some(s) => sb.append(s)
+          case None => sb.appendCodePoint(code)
+        }
+        i += font.codeBytes
+      }
+      sb.toString
+    }
+
+  /** Parse a ToUnicode CMap stream into code -> Unicode string.
+    *
+    * Token-walks the PostScript-ish CMap body and honors the two mapping
+    * section kinds (PDF 32000-1 §9.10.3):
+    *   - `beginbfchar`: <src> <dstUtf16BeHex> pairs
+    *   - `beginbfrange`: <lo> <hi> <dstStart> (last UTF-16 code unit
+    *     increments across the range) or <lo> <hi> [<dst> ...] (explicit
+    *     per-code array)
+    * codespacerange/cidrange and all operators outside bf sections are
+    * skipped — tolerant of every real-world CMap preamble. */
+  def parseToUnicode(cmap: Array[Byte]): Map[Int, String] = {
+    val s = new String(cmap, ISO_8859_1)
+    val out = Map.newBuilder[Int, String]
+    // tokens: <hex>, [, ], bare words; everything else skipped
+    final case class Tok(kind: Char, text: String) // 'h' hex, '[', ']', 'w'
+    val toks = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        val e = s.indexOf('>', i + 1)
+        if (e < 0) i = s.length
+        else { toks += Tok('h', s.substring(i + 1, e).trim); i = e + 1 }
+      } else if (c == '[') { toks += Tok('[', "["); i += 1 }
+      else if (c == ']') { toks += Tok(']', "]"); i += 1 }
+      else if (Character.isLetter(c)) {
+        val st = i
+        while (i < s.length && (Character.isLetterOrDigit(s.charAt(i)))) i += 1
+        toks += Tok('w', s.substring(st, i))
+      } else i += 1
+    }
+    def hexCode(h: String): Int =
+      try java.lang.Long.parseLong(h, 16).toInt catch { case _: Exception => -1 }
+    def hexStr(h: String): String = {
+      // UTF-16BE code units from hex pairs-of-pairs; odd lengths padded
+      val clean = if (h.length % 4 == 0) h else h.reverse.padTo((h.length + 3) / 4 * 4, '0').reverse
+      val sb = new java.lang.StringBuilder(clean.length / 4)
+      var k = 0
+      var ok = true
+      while (ok && k + 4 <= clean.length) {
+        try sb.append(Integer.parseInt(clean.substring(k, k + 4), 16).toChar)
+        catch { case _: Exception => ok = false }
+        k += 4
+      }
+      sb.toString
+    }
+    /** dst string with its LAST UTF-16 code unit incremented by k. */
+    def bump(dst: String, k: Int): String =
+      if (dst.isEmpty) dst
+      else dst.substring(0, dst.length - 1) +
+        (dst.charAt(dst.length - 1) + k).toChar
+    var t = 0
+    while (t < toks.length) {
+      toks(t) match {
+        case Tok('w', "beginbfchar") =>
+          t += 1
+          while (t + 1 < toks.length && toks(t).kind == 'h' && toks(t + 1).kind == 'h') {
+            val code = hexCode(toks(t).text)
+            if (code >= 0) out += code -> hexStr(toks(t + 1).text)
+            t += 2
+          }
+        case Tok('w', "beginbfrange") =>
+          t += 1
+          var more = true
+          while (more && t + 2 < toks.length &&
+                 toks(t).kind == 'h' && toks(t + 1).kind == 'h') {
+            val lo = hexCode(toks(t).text)
+            val hi = hexCode(toks(t + 1).text)
+            toks(t + 2).kind match {
+              case 'h' =>
+                val dst = hexStr(toks(t + 2).text)
+                if (lo >= 0 && hi >= lo && hi - lo <= 65535)
+                  (lo to hi).foreach(c => out += c -> bump(dst, c - lo))
+                t += 3
+              case '[' =>
+                var k = t + 3
+                var c = lo
+                while (k < toks.length && toks(k).kind == 'h') {
+                  if (c <= hi) out += c -> hexStr(toks(k).text)
+                  c += 1; k += 1
+                }
+                t = if (k < toks.length && toks(k).kind == ']') k + 1 else k
+              case _ => more = false
+            }
+          }
+        case _ => t += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Resolve a page's /Resources -> /Font dictionary into name ->
+    * [[PdfFont]]. Unresolvable/streamless entries degrade to [[Default]]
+    * behavior via absence (the interpreters fall back per-string). */
+  def fontsOf(page: PDict, objs: Map[Int, PObj]): Map[String, PdfFont] =
+    resolve(page.m.getOrElse("Resources", PNull), objs) match {
+      case PDict(res) => resolve(res.getOrElse("Font", PNull), objs) match {
+        case PDict(fonts) => fonts.flatMap { case (name, fv) =>
+          resolve(fv, objs) match {
+            case PDict(f) =>
+              val codeBytes = f.get("Subtype") match {
+                case Some(PName("Type0")) => 2
+                case _ => 1
+              }
+              val toUni = f.get("ToUnicode") match {
+                case Some(PRef(n, _)) => objs.get(n)
+                  .flatMap(decodedStream(_, objs))
+                  .map(parseToUnicode).getOrElse(Map.empty[Int, String])
+                case _ => Map.empty[Int, String]
+              }
+              Some(name -> PdfFont(codeBytes, toUni))
+            case _ => None
+          }
+        }
+        case _ => Map.empty
+      }
+      case _ => Map.empty
+    }
+}
+
 /** Content-stream text interpreter: evaluates the text-showing operators of
   * one or more page content streams into plain text. */
 object PdfContentText {
@@ -314,20 +480,27 @@ object PdfContentText {
     if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
       new String(b, 2, b.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
     else new String(b, ISO_8859_1)
-  private def decodeString(b: Array[Byte]): String = decodeBytes(b)
 
   /** TJ kerning gap (thousandths of text-space units) below which a space is
     * synthesized — the common word-gap heuristic. */
   val TjSpaceGap: Double = -180.0
 
-  def extract(content: Array[Byte]): String = {
+  def extract(content: Array[Byte]): String =
+    extract(content, Map.empty)
+
+  /** Font-aware variant: `Tf` switches the decode model to the selected
+    * page font (Type0/CID 2-byte codes through its ToUnicode CMap);
+    * strings shown with no/unknown font keep the legacy 1-byte decode. */
+  def extract(content: Array[Byte],
+              fonts: Map[String, PdfFonts.PdfFont]): String = {
     val c = new Cursor(new String(content, ISO_8859_1), 0)
     val out = new StringBuilder
     val operands = scala.collection.mutable.ArrayBuffer.empty[PVal]
     var sawTextOp = false
+    var font: PdfFonts.PdfFont = PdfFonts.Default
 
     def showString(v: PVal): Unit = v match {
-      case PStr(b) => out.append(decodeString(b)); sawTextOp = true
+      case PStr(b) => out.append(PdfFonts.decode(b, font)); sawTextOp = true
       case _ => ()
     }
     def lineBreak(): Unit = if (sawTextOp) out.append('\n')
@@ -345,6 +518,11 @@ object PdfContentText {
           val op = c.s.substring(start, if (c.i > start) c.i else { c.i += 1; c.i })
           op match {
             case "BT" => sawTextOp = false
+            case "Tf" =>
+              operands.lift(operands.length - 2).foreach {
+                case PName(n) => font = fonts.getOrElse(n, PdfFonts.Default)
+                case _ => ()
+              }
             case "Td" | "TD" | "T*" => lineBreak()
             case "Tj" => operands.lastOption.foreach(showString)
             case "'" => lineBreak(); operands.lastOption.foreach(showString)
@@ -358,7 +536,7 @@ object PdfContentText {
                 }
                 case _ => ()
               }
-            case _ => () // Tf/Tm/TL/graphics ops: no text effect here
+            case _ => () // Tm/TL/graphics ops: no text effect here
           }
           operands.clear()
         }
@@ -385,7 +563,15 @@ object PdfContentText {
 object PdfPages {
   import PdfParse._
 
-  def contentStreams(bytes: Array[Byte]): Vector[Vector[Array[Byte]]] = {
+  /** One page's decoded content streams + its /Resources font models
+    * (empty for the damaged-file pseudo-pages — they decode legacy). */
+  final case class Page(streams: Vector[Array[Byte]],
+                        fonts: Map[String, PdfFonts.PdfFont])
+
+  def contentStreams(bytes: Array[Byte]): Vector[Vector[Array[Byte]]] =
+    pages(bytes).map(_.streams)
+
+  def pages(bytes: Array[Byte]): Vector[Page] = {
     if (bytes == null || bytes.length < 8) return Vector.empty
     val objs =
       try objects(bytes)
@@ -428,13 +614,15 @@ object PdfPages {
       }
       .getOrElse(Vector.empty)
 
-    if (catalogPages.nonEmpty) catalogPages.map(contentsOf)
+    if (catalogPages.nonEmpty)
+      catalogPages.map(p => Page(contentsOf(p),
+        try PdfFonts.fontsOf(p, objs) catch { case _: Exception => Map.empty }))
     else
       // damaged/catalog-less file: any decodable stream with a BT block
       objs.values.toVector.sortBy(_.num).flatMap { o =>
         decodedStream(o, objs).filter { b =>
           new String(b, ISO_8859_1).contains("BT")
-        }.map(Vector(_))
+        }.map(b => Page(Vector(b), Map.empty))
       }
   }
 }
@@ -444,8 +632,8 @@ object PdfPages {
   * when the trailer/catalog is unresolvable. Pages join with '\n'. */
 final class PdfTextExtractor extends PdfExtractor {
   def extract(bytes: Array[Byte]): String =
-    PdfPages.contentStreams(bytes)
-      .map(_.map(PdfContentText.extract).mkString)
+    PdfPages.pages(bytes)
+      .map(p => p.streams.map(PdfContentText.extract(_, p.fonts)).mkString)
       .filter(_.nonEmpty).mkString("\n")
 }
 
@@ -462,18 +650,25 @@ object PdfPositionalText {
 
   final case class Run(x: Double, y: Double, text: String)
 
-  def runs(content: Array[Byte]): Vector[Run] = {
+  def runs(content: Array[Byte]): Vector[Run] =
+    runs(content, Map.empty)
+
+  /** Font-aware variant — `Tf` switches the string decode model exactly
+    * as in [[PdfContentText.extract]]. */
+  def runs(content: Array[Byte],
+           fonts: Map[String, PdfFonts.PdfFont]): Vector[Run] = {
     val c = new Cursor(new String(content, ISO_8859_1), 0)
     val out = Vector.newBuilder[Run]
     val operands = scala.collection.mutable.ArrayBuffer.empty[PVal]
     var lx = 0.0; var ly = 0.0; var leading = 0.0
+    var font: PdfFonts.PdfFont = PdfFonts.Default
     def num(i: Int): Double = operands.lift(operands.length - i) match {
       case Some(PNum(v)) => v
       case _ => 0.0
     }
     def show(v: PVal): Unit = v match {
       case PStr(b) =>
-        val t = PdfContentText.decodeBytes(b)
+        val t = PdfFonts.decode(b, font)
         if (t.nonEmpty) out += Run(lx, ly, t)
       case _ => ()
     }
@@ -481,7 +676,7 @@ object PdfPositionalText {
       case PArr(items) =>
         val sb = new StringBuilder
         items.foreach {
-          case PStr(b) => sb.append(PdfContentText.decodeBytes(b))
+          case PStr(b) => sb.append(PdfFonts.decode(b, font))
           case PNum(n) => if (n < PdfContentText.TjSpaceGap) sb.append(' ')
           case _ => ()
         }
@@ -501,6 +696,11 @@ object PdfPositionalText {
           val op = c.s.substring(start, if (c.i > start) c.i else { c.i += 1; c.i })
           op match {
             case "BT" => lx = 0.0; ly = 0.0; leading = 0.0
+            case "Tf" =>
+              operands.lift(operands.length - 2).foreach {
+                case PName(n) => font = fonts.getOrElse(n, PdfFonts.Default)
+                case _ => ()
+              }
             case "Tm" => lx = num(2); ly = num(1)
             case "Td" => lx += num(2); ly += num(1)
             case "TD" => leading = -num(1); lx += num(2); ly += num(1)
@@ -510,7 +710,7 @@ object PdfPositionalText {
             case "'" => ly -= leading; operands.lastOption.foreach(show)
             case "\"" => ly -= leading; operands.lastOption.foreach(show)
             case "TJ" => operands.lastOption.foreach(showTJ)
-            case _ => () // Tf/graphics (ruling lines): no positional effect
+            case _ => () // graphics (ruling lines): no positional effect
           }
           operands.clear()
         }
@@ -553,8 +753,8 @@ object PdfTableExtract {
   }
 
   def extract(bytes: Array[Byte]): String =
-    PdfPages.contentStreams(bytes)
-      .map(streams => tableText(streams.flatMap(PdfPositionalText.runs)))
+    PdfPages.pages(bytes)
+      .map(p => tableText(p.streams.flatMap(PdfPositionalText.runs(_, p.fonts))))
       .filter(_.nonEmpty).mkString("\n")
 }
 
@@ -701,6 +901,109 @@ object PdfWrite {
     val raw = tableContent(rows)
     documentFromContents(Seq(if (compress) deflate(raw) else raw), compress)
   }
+
+  /** A complete PDF whose text shows through a Type0 (CID) composite
+    * font: Identity-H encoding, a CIDFontType2 descendant, 2-byte hex
+    * string codes, and a Flate-compressed /ToUnicode CMap. CIDs are
+    * DELIBERATELY non-identity — cid = 1 + rank of the character among
+    * the document's distinct shown characters, the dense code assignment
+    * a real subset font embeds — so extraction MUST parse the CMap:
+    * reading the raw codes yields control-range garbage, and a hash
+    * match proves the full Type0 path (font resolution via /Resources,
+    * Tf tracking, 2-byte code framing, bfchar lookup). BMP text only
+    * (astral chars are dropped from the subset, like a subsetter that
+    * was never given their glyphs). */
+  def cidDocument(pages: Seq[String], compress: Boolean = true): Array[Byte] = {
+    val pageList = if (pages.isEmpty) Seq("") else pages
+    val n = pageList.length
+    val chars: Vector[Char] = pageList.flatMap(
+        _.filter(c => c != '\n' && !Character.isSurrogate(c)))
+      .distinct.sorted.toVector
+    require(chars.length <= 0xFFFE, s"cid subset overflow: ${chars.length}")
+    val cidOf: Map[Char, Int] =
+      chars.iterator.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+    def hex4(v: Int): String = f"$v%04X"
+    val cmapSb = new StringBuilder
+    cmapSb.append("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n")
+      .append("/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def\n")
+      .append("/CMapName /GraftSubsetUCS def\n/CMapType 2 def\n")
+      .append("1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n")
+    chars.zipWithIndex
+      .map { case (c, i) => s"<${hex4(i + 1)}> <${hex4(c.toInt)}>" }
+      .grouped(100).foreach { g => // spec caps bf sections at 100 entries
+        cmapSb.append(s"${g.length} beginbfchar\n")
+        g.foreach(e => cmapSb.append(e).append('\n'))
+        cmapSb.append("endbfchar\n")
+      }
+    cmapSb.append("endcmap\nCMap currentdict /CMap defineresource pop\nend\nend\n")
+    val cmapRaw = cmapSb.toString.getBytes(ISO_8859_1)
+    val cmapPayload = if (compress) deflate(cmapRaw) else cmapRaw
+
+    def contentFor(text: String): Array[Byte] = {
+      val sb = new StringBuilder
+      sb.append("BT\n/F1 11 Tf\n14 TL\n72 720 Td\n")
+      var first = true
+      text.split("\n", -1).foreach { line =>
+        if (!first) sb.append("0 -14 Td\n")
+        sb.append('<')
+        line.foreach(c => cidOf.get(c).foreach(cid => sb.append(hex4(cid))))
+        sb.append("> Tj\n")
+        first = false
+      }
+      sb.append("ET\n")
+      sb.toString.getBytes(ISO_8859_1)
+    }
+
+    // objects: 1 catalog, 2 pages, 3 Type0 font, 4 descendant CIDFont,
+    // 5 ToUnicode stream, then per page i: 6+2i page, 7+2i content
+    val objCount = 5 + 2 * n
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.4\n%âãÏÓ\n")
+    val offsets = new Array[Long](objCount + 1)
+    def writeObj(num: Int, body: String, stream: Option[Array[Byte]]): Unit = {
+      offsets(num) = out.size().toLong
+      w(s"$num 0 obj\n$body\n")
+      stream.foreach { b =>
+        w("stream\n"); out.write(b, 0, b.length); w("\nendstream\n")
+      }
+      w("endobj\n")
+    }
+    writeObj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
+    val kids = (0 until n).map(i => s"${6 + 2 * i} 0 R").mkString(" ")
+    writeObj(2, s"<< /Type /Pages /Kids [ $kids ] /Count $n >>", None)
+    writeObj(3,
+      "<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
+        "/Encoding /Identity-H /DescendantFonts [ 4 0 R ] /ToUnicode 5 0 R >>",
+      None)
+    writeObj(4,
+      "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftCID " +
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> " +
+        "/DW 1000 >>",
+      None)
+    val cmapFilter = if (compress) " /Filter /FlateDecode" else ""
+    writeObj(5, s"<< /Length ${cmapPayload.length}$cmapFilter >>", Some(cmapPayload))
+    pageList.zipWithIndex.foreach { case (text, i) =>
+      val pageNum = 6 + 2 * i
+      val contNum = 7 + 2 * i
+      writeObj(pageNum,
+        s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+          s"/Resources << /Font << /F1 3 0 R >> >> /Contents $contNum 0 R >>",
+        None)
+      val raw = contentFor(text)
+      val payload = if (compress) deflate(raw) else raw
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      writeObj(contNum, s"<< /Length ${payload.length}$filter >>", Some(payload))
+    }
+    val xrefOff = out.size().toLong
+    w(s"xref\n0 ${objCount + 1}\n")
+    w("0000000000 65535 f \n")
+    (1 to objCount).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${objCount + 1} /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  def cidSinglePage(text: String): Array[Byte] = cidDocument(Seq(text))
 
   /** Same writer skeleton as [[document]] but over PRE-BUILT content
     * streams (already deflated when `compressed`). */

@@ -37,6 +37,58 @@ class PdfSpec extends AnyFunSuite {
     assert(ex.extract(pdf) == "\nleading newline\nx")
   }
 
+  test("CID round-trip: Type0/Identity-H + ToUnicode, CJK and mixed text") {
+    // subset cids are rank-based (NON-identity): a decoder that skips the
+    // CMap reads control-range garbage, so equality proves the full path
+    val pages = Seq(
+      "漢字テスト\nmixed ASCII + éü中",
+      "Здравствуй\nsecond page")
+    val pdf = PdfWrite.cidDocument(pages)
+    assert(ex.extract(pdf) == pages.mkString("\n"))
+    // uncompressed variant exercises the no-filter CMap stream path
+    val pdf2 = PdfWrite.cidDocument(Seq("一二三 abc"), compress = false)
+    assert(ex.extract(pdf2) == "一二三 abc")
+  }
+
+  test("ToUnicode CMap parser: bfchar, bfrange increment, bfrange array, surrogates") {
+    import graft.sources.PdfFonts
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0041> <0061>
+        |<0042> <00660066>
+        |endbfchar
+        |2 beginbfrange
+        |<0100> <0102> <4E00>
+        |<0200> <0201> [<0058> <0059>]
+        |endbfrange
+        |1 beginbfchar
+        |<0300> <D83DDE00>
+        |endbfchar
+        |endcmap
+        |""".stripMargin.getBytes("ISO-8859-1")
+    val m = PdfFonts.parseToUnicode(cmap)
+    assert(m(0x41) == "a")
+    assert(m(0x42) == "ff") // multi-char dst (ligature expansion)
+    assert(m(0x100) == "一" && m(0x101) == "丁" && m(0x102) == "丂")
+    assert(m(0x200) == "X" && m(0x201) == "Y")
+    assert(m(0x300) == "😀") // surrogate pair = astral char
+    assert(!m.contains(0x103))
+  }
+
+  test("simple font with ToUnicode remaps 1-byte codes; unknown codes pass through") {
+    import graft.sources.PdfFonts
+    val f = PdfFonts.PdfFont(1, Map(0x41 -> "Z", 0x42 -> "qq"))
+    assert(PdfFonts.decode("ABC".getBytes("ISO-8859-1"), f) == "ZqqC")
+    // 2-byte font, unmapped code falls back to the code point (identity)
+    val f2 = PdfFonts.PdfFont(2, Map(1 -> "a"))
+    assert(PdfFonts.decode(Array[Byte](0, 1, 0x4e, 0), f2) == "a一")
+  }
+
   test("reference markers flow through extractText into rag chunks") {
     // the reference fixture covers a BYOK guide mentioning Raleigh; ours
     // embeds the same markers in generated (real, Flate-compressed) PDFs
