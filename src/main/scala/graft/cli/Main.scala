@@ -164,6 +164,28 @@ object Main {
         java.nio.charset.StandardCharsets.UTF_8)
       println(graft.sources.HtmlMarkdown.convert(html))
 
+    // Store-config serve-time rewrite (query_rag.py:129-146, 160-184):
+    // rebase db_path onto the store dir and repoint the embedding model,
+    // honoring BOTH config format generations. Pure driver-side file
+    // work, like the reference script; prints the rewritten YAML.
+    case "migrate-config" :: storeDir :: rest =>
+      val fs = parseFlags(rest)
+      val cfgPath = new java.io.File(storeDir, "llama-stack.yaml")
+      if (!cfgPath.isFile) {
+        System.err.println(s"no such file: $cfgPath"); sys.exit(1)
+      }
+      val yaml = new String(java.nio.file.Files.readAllBytes(cfgPath.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val out = graft.index.StoreConfigMigrate.rewrite(
+        yaml, new java.io.File(storeDir).getAbsolutePath,
+        flag(fs, Seq("v", "vector-store-type")).getOrElse("llamastack-faiss"),
+        flag(fs, Seq("m", "model-path")))
+      flag(fs, Seq("o", "out")) match {
+        case Some(p) => java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(p), out): Unit
+        case None => println(out)
+      }
+
     case other =>
       System.err.println(
         s"""unknown args: ${other.mkString(" ")}
@@ -172,7 +194,8 @@ object Main {
            |  query <indexDir> <text> [k] [threshold]
            |  convert <docsDir>
            |  structure <file.adoc> [-a attributes.yaml]
-           |  markdown <file.html>""".stripMargin)
+           |  markdown <file.html>
+           |  migrate-config <storeDir> [-v vectorStoreType] [-m modelPath] [-o out.yaml]""".stripMargin)
       sys.exit(2)
   }
 }

@@ -1,0 +1,264 @@
+package graft.index
+
+import scala.collection.mutable.ListBuffer
+
+/** Minimal block-YAML model for the store-config migration shim: nested
+  * maps, lists, scalars — the exact subset the serving-stack configs use
+  * (no anchors, flow collections, multi-doc, or block scalars). Nodes are
+  * MUTABLE on purpose: the shim's job is surgical in-place rewrites of a
+  * config it then re-renders, preserving entry order.
+  */
+object YamlLite {
+  sealed trait Y
+  final case class YMap(entries: ListBuffer[(String, Y)]) extends Y {
+    def get(k: String): Option[Y] = entries.collectFirst { case (`k`, v) => v }
+    def put(k: String, v: Y): Unit = {
+      val i = entries.indexWhere(_._1 == k)
+      if (i >= 0) entries(i) = (k, v) else entries += ((k, v))
+    }
+  }
+  final case class YList(items: ListBuffer[Y]) extends Y
+  final case class YScalar(raw: String) extends Y {
+    /** Unquoted value (the parser keeps quotes so rendering round-trips). */
+    def value: String =
+      if (raw.length >= 2 &&
+          ((raw.head == '\'' && raw.last == '\'') ||
+           (raw.head == '"' && raw.last == '"')))
+        raw.substring(1, raw.length - 1)
+      else raw
+  }
+
+  def scalar(v: String): YScalar = YScalar(v)
+
+  /** Parse a block-YAML document. Tolerates blank lines and full-line
+    * comments; inline comments are NOT stripped (config values here never
+    * carry ` #`). Indentation is whatever the document uses, judged
+    * relatively (an inner block = any deeper indent), like real YAML. */
+  def parse(text: String): Y = {
+    val lines = text.split("\n", -1).toIndexedSeq
+      .map(_.replaceAll("\\s+$", ""))
+    def indentOf(l: String): Int = l.takeWhile(_ == ' ').length
+    def isSkip(l: String): Boolean =
+      l.trim.isEmpty || l.trim.startsWith("#") || l.trim == "---"
+    var pos = 0
+    def peek: Option[String] = {
+      var p = pos
+      while (p < lines.length && isSkip(lines(p))) p += 1
+      if (p < lines.length) { pos = p; Some(lines(p)) } else { pos = p; None }
+    }
+    def parseBlock(indent: Int): Y = peek match {
+      case Some(l) if indentOf(l) >= indent && l.trim.startsWith("- ") =>
+        parseList(indentOf(l))
+      case Some(l) if indentOf(l) >= indent => parseMap(indentOf(l))
+      case _ => YScalar("")
+    }
+    def splitKv(s: String): (String, String) = {
+      // key: value — the colon split must ignore colons inside quotes
+      var i = 0; var q = 0.toChar
+      while (i < s.length && !(q == 0 && s.charAt(i) == ':' &&
+             (i + 1 >= s.length || s.charAt(i + 1) == ' '))) {
+        val c = s.charAt(i)
+        if (q != 0) { if (c == q) q = 0 }
+        else if (c == '\'' || c == '"') q = c
+        i += 1
+      }
+      if (i >= s.length) (s.trim, "")
+      else (s.substring(0, i).trim, s.substring(i + 1).trim)
+    }
+    def parseMap(indent: Int): YMap = {
+      val m = new ListBuffer[(String, Y)]
+      var go = true
+      while (go) peek match {
+        case Some(l) if indentOf(l) == indent && !l.trim.startsWith("- ") =>
+          pos += 1
+          val (k, v) = splitKv(l.trim)
+          if (v.nonEmpty) m += ((k, YScalar(v)))
+          else peek match {
+            case Some(nl) if indentOf(nl) > indent => m += ((k, parseBlock(indent + 1)))
+            case _ => m += ((k, YScalar("")))
+          }
+        case _ => go = false
+      }
+      YMap(m)
+    }
+    def parseList(indent: Int): YList = {
+      val items = new ListBuffer[Y]
+      var go = true
+      while (go) peek match {
+        case Some(l) if indentOf(l) == indent && l.trim.startsWith("- ") =>
+          pos += 1
+          val rest = l.trim.substring(2).trim
+          if (rest.isEmpty) items += parseBlock(indent + 1)
+          else {
+            val (k, v) = splitKv(rest)
+            // "- key: value" opens an item map continued by deeper lines;
+            // a rest with no colon-space is a plain scalar item
+            if (k == rest && !rest.endsWith(":")) items += YScalar(rest)
+            else {
+              val head =
+                if (v.nonEmpty) YScalar(v)
+                else peek match {
+                  // the item's continuation lines are deeper than the dash
+                  case Some(nl) if indentOf(nl) > indent + 2 => parseBlock(indent + 3)
+                  case _ => YScalar("")
+                }
+              val m = new ListBuffer[(String, Y)]
+              m += ((if (k.endsWith(":")) k.dropRight(1) else k, head))
+              peek match {
+                case Some(nl) if indentOf(nl) == indent + 2 &&
+                    !nl.trim.startsWith("- ") =>
+                  parseMap(indent + 2) match {
+                    case YMap(more) => m ++= more
+                  }
+                case _ => ()
+              }
+              items += YMap(m)
+            }
+          }
+        case _ => go = false
+      }
+      YList(items)
+    }
+    parseBlock(0)
+  }
+
+  def render(y: Y): String = {
+    val sb = new StringBuilder
+    def pad(n: Int): String = " " * n
+    def walk(v: Y, indent: Int, inListHead: Boolean): Unit = v match {
+      case YScalar(s) => sb.append(' ').append(s).append('\n')
+      case YMap(entries) =>
+        entries.zipWithIndex.foreach { case ((k, ev), i) =>
+          if (i == 0 && inListHead) sb.append(' ') // after "-"
+          else sb.append(pad(indent))
+          sb.append(k).append(':')
+          ev match {
+            case YScalar(s) =>
+              if (s.nonEmpty) sb.append(' ').append(s)
+              sb.append('\n')
+            case _ => sb.append('\n'); walk(ev, indent + 2, inListHead = false)
+          }
+        }
+      case YList(items) =>
+        items.foreach { item =>
+          sb.append(pad(indent)).append('-')
+          item match {
+            case YScalar(s) => sb.append(' ').append(s).append('\n')
+            case m: YMap => walk(m, indent + 2, inListHead = true)
+            case l: YList => sb.append('\n'); walk(l, indent + 2, inListHead = false)
+          }
+        }
+    }
+    walk(y, 0, inListHead = false)
+    sb.toString
+  }
+}
+
+/** Store-config version-rewrite compat — the `query_rag.py:129-146,
+  * 160-184` CAPABILITY: a serving stack's YAML config arrives in either
+  * of two format generations, and the index directory / embedding model
+  * recorded at BUILD time must be rebased onto their SERVE-time paths.
+  *
+  *   - 0.3.x: `providers.vector_io[0].config.persistence.backend` names
+  *     an entry of `storage.backends`, which holds `db_path`; the model
+  *     lives at `registered_resources.models[0].provider_model_id` and
+  *     each `registered_resources.vector_stores[*].embedding_model`.
+  *   - 0.2.x: the provider `config` itself holds `db_path` (for the
+  *     faiss store type, its `kvstore` sub-dict does); the model lives
+  *     at `models[0].provider_model_id`.
+  *
+  * `db_path` is rewritten to `<storeDir>/<basename(db_path)>` — the
+  * reference's exact rebase rule. Invalid structure fails fast with a
+  * descriptive IllegalArgumentException (its ValueError analog). */
+object StoreConfigMigrate {
+  import YamlLite._
+
+  private def asMap(y: Y, what: String): YMap = y match {
+    case m: YMap => m
+    case _ => throw new IllegalArgumentException(
+      s"Invalid configuration structure: $what is not a mapping")
+  }
+  private def asList(y: Y, what: String): YList = y match {
+    case l: YList => l
+    case _ => throw new IllegalArgumentException(
+      s"Invalid configuration structure: $what is not a list")
+  }
+  private def req(m: YMap, k: String, where: String): Y =
+    m.get(k).getOrElse(throw new IllegalArgumentException(
+      s"Invalid configuration structure: missing '$k' in $where"))
+
+  /** The dict holding `db_path` — 0.3.x storage backend, or the 0.2.x
+    * provider config (its kvstore for the faiss store type). */
+  private[index] def dbPathDict(cfg: YMap, vectorType: String): YMap = {
+    val provider0 = asList(req(asMap(req(cfg, "providers", "config"),
+      "providers"), "vector_io", "providers"), "vector_io").items.headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "Invalid configuration structure: vector_io is empty"))
+    val pConf = asMap(req(asMap(provider0, "vector_io[0]"), "config",
+      "vector_io[0]"), "config")
+    pConf.get("persistence") match {
+      case Some(p) => // 0.3.x
+        val backend = asMap(p, "persistence").get("backend") match {
+          case Some(s: YScalar) => s.value
+          case _ => throw new IllegalArgumentException(
+            "Invalid configuration structure: missing 'backend' in persistence")
+        }
+        asMap(req(asMap(req(cfg, "storage", "config"), "storage"),
+          "backends", "storage"), "backends").get(backend) match {
+          case Some(m: YMap) => m
+          case _ => throw new IllegalArgumentException(
+            s"Invalid configuration structure: missing backend '$backend'")
+        }
+      case None => // 0.2.x
+        if (vectorType == "llamastack-faiss")
+          asMap(req(pConf, "kvstore", "config"), "kvstore")
+        else pConf
+    }
+  }
+
+  /** Rewrite `yamlText` for serving: rebase db_path onto `storeDir` and
+    * (when given) point the registered model at `modelPath` in whichever
+    * format generation the config uses. Returns the re-rendered YAML. */
+  def rewrite(yamlText: String, storeDir: String, vectorType: String,
+              modelPath: Option[String] = None): String = {
+    val cfg = YamlLite.parse(yamlText) match {
+      case m: YMap => m
+      case _ => throw new IllegalArgumentException(
+        "Invalid configuration structure: document is not a mapping")
+    }
+    val dbDict = dbPathDict(cfg, vectorType)
+    val base = dbDict.get("db_path") match {
+      case Some(s: YScalar) => new java.io.File(s.value).getName
+      case _ => throw new IllegalArgumentException(
+        "Invalid configuration structure: missing 'db_path'")
+    }
+    dbDict.put("db_path",
+      scalar(new java.io.File(storeDir, base).getPath))
+    modelPath.foreach { mp =>
+      cfg.get("registered_resources") match {
+        case Some(rr: YMap) if rr.get("models").nonEmpty => // 0.3.x
+          asList(req(rr, "models", "registered_resources"), "models")
+            .items.headOption.foreach {
+              case m: YMap => m.put("provider_model_id", scalar(mp))
+              case _ => ()
+            }
+          rr.get("vector_stores").foreach {
+            case YList(stores) => stores.foreach {
+              case vs: YMap =>
+                vs.put("embedding_model", scalar(s"sentence-transformers/$mp"))
+              case _ => ()
+            }
+            case _ => ()
+          }
+        case _ => cfg.get("models") match { // 0.2.x
+          case Some(YList(models)) => models.headOption.foreach {
+            case m: YMap => m.put("provider_model_id", scalar(mp))
+            case _ => ()
+          }
+          case _ => ()
+        }
+      }
+    }
+    YamlLite.render(cfg)
+  }
+}

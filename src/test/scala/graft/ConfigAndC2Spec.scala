@@ -39,6 +39,75 @@ class ConfigAndC2Spec extends AnyFunSuite {
     assert(byok.contains("rag_id: idx-1") && byok.contains("db_path: /tmp/idx"))
   }
 
+  test("store-config migration: 0.3.x persistence/backends + registered_resources") {
+    import graft.index.StoreConfigMigrate
+    val cfg =
+      """version: '2'
+        |providers:
+        |  vector_io:
+        |    - provider_id: sqlite-vec
+        |      provider_type: inline::sqlite-vec
+        |      config:
+        |        persistence:
+        |          backend: kv_default
+        |storage:
+        |  backends:
+        |    kv_default:
+        |      type: sqlite
+        |      db_path: /build/time/path/store.db
+        |registered_resources:
+        |  models:
+        |    - model_id: emb
+        |      provider_model_id: /build/models/mini
+        |  vector_stores:
+        |    - vector_store_id: idx1
+        |      embedding_model: sentence-transformers/old
+        |""".stripMargin
+    val out = StoreConfigMigrate.rewrite(cfg, "/srv/rag",
+      "llamastack-sqlite", Some("/srv/models/mini"))
+    assert(out.contains("db_path: /srv/rag/store.db"))
+    assert(out.contains("provider_model_id: /srv/models/mini"))
+    // the reference prefixes verbatim (query_rag.py:176): capability parity
+    assert(out.contains("embedding_model: sentence-transformers//srv/models/mini"))
+    // untouched structure survives the round trip
+    assert(out.contains("provider_type: inline::sqlite-vec"))
+    assert(out.contains("version: '2'"))
+  }
+
+  test("store-config migration: 0.2.x kvstore (faiss) and plain provider config") {
+    import graft.index.StoreConfigMigrate
+    val faiss =
+      """providers:
+        |  vector_io:
+        |    - provider_id: faiss
+        |      config:
+        |        kvstore:
+        |          type: sqlite
+        |          db_path: /old/faiss_store.db
+        |models:
+        |  - model_id: emb
+        |    provider_model_id: original
+        |""".stripMargin
+    val out = StoreConfigMigrate.rewrite(faiss, "/serve/dir",
+      "llamastack-faiss", Some("new-model"))
+    assert(out.contains("db_path: /serve/dir/faiss_store.db"))
+    assert(out.contains("provider_model_id: new-model"))
+    val plain =
+      """providers:
+        |  vector_io:
+        |    - provider_id: sqlite-vec
+        |      config:
+        |        db_path: rel/store.db
+        |""".stripMargin
+    val out2 = StoreConfigMigrate.rewrite(plain, "/s", "llamastack-sqlite", None)
+    assert(out2.contains("db_path: /s/store.db"))
+    // invalid structure fails fast, like the reference's ValueError
+    val ex = intercept[IllegalArgumentException] {
+      StoreConfigMigrate.rewrite("a: 1\n", "/s", "llamastack-faiss", None)
+    }
+    assert(ex.getMessage.contains("Invalid configuration structure"))
+  }
+
   test("K3: pgvector DDL / INSERT / vector-literal wire format (golden)") {
     import graft.index.JdbcVectorSink
     val cfg = JdbcVectorSink.PgConfig("db.example", 5433, "ragdb", "u", "p", "rag_chunks")
