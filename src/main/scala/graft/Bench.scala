@@ -235,7 +235,14 @@ object Bench {
     }
     val pass1 = baseOrder.map { case (name, fn) =>
       val estQ = math.max(1.0, priorEst(name))
-      if (remainS < sf1ReserveS + estQ) name -> -2.0
+      // The CHEAP tail (sub-second priors — estQ clamps them to 1.0) may
+      // dip 90 s into the sf1 reserve: complete base coverage is the
+      // invariant, and the r10 runs showed an ambient ~1.8x slowdown
+      // cutting 165 sub-second queries while the reserve still had
+      // 300 s for a section whose verdict-named head needs ~half that.
+      // Expensive queries still respect the full reserve.
+      val floorS = if (priorEst(name) <= 1.0) sf1ReserveS - 90 else sf1ReserveS
+      if (remainS < floorS + estQ) name -> -2.0
       else {
         // first entry into the q_stream_* family gets a fresh context
         // (the family the r8 aging measurements implicate); elsewhere
