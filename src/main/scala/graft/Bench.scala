@@ -500,8 +500,14 @@ object Bench {
         def runHeavy(names: Seq[String]) = names.map { name =>
           val fn = (d: String) => SparkEntry.queries(name)(spark, d)
             .write.mode("overwrite").format("noop").save()
-          (name, timed(fn, dir10, name, base.getOrElse(name, -1.0)),
-            base.getOrElse(name, -1.0))
+          // A budget-cut base (-2) would void the ratio even when the 10x
+          // run succeeds (r10 run 5: sq8/ivf measured at 10x, ratio -1).
+          // Time our own 1x instead — same-run ambient, like the x_ pairs.
+          val b0 = base.getOrElse(name, -1.0)
+          val b = if (b0 > 0) b0
+                  else timed(fn, sfDir, s"$name(1x)",
+                    priorTimes.getOrElse(name, 1.0))
+          (name, timed(fn, dir10, name, b), b)
         }
         val t10head = runHeavy(heavy.take(6))
         // Graph family at held LSH occupancy (see ScaleRehearsal
