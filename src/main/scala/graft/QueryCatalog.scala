@@ -2001,7 +2001,15 @@ object QueryCatalog {
             col("doc_id") % 7,
             lit("</td><td>"), col("doc_id"),
             lit("</td></tr><tr><td>k2</td><td>"), col("doc_id") % 11,
-            lit("</td></tr></table><pre>code "), col("doc_id"),
+            // second table: colspan/rowspan — the r10 merged-cell grid
+            // expansion (spanned text repeats into its grid positions)
+            lit("</td></tr></table><table><tr><th colspan=2>H"),
+            col("doc_id") % 3,
+            lit("</th><th>C</th></tr><tr><td rowspan=\"2\">g"),
+            col("doc_id") % 5,
+            lit("</td><td>a</td><td>"), col("doc_id") % 7,
+            lit("</td></tr><tr><td>b</td><td>c</td></tr></table><pre>code "),
+            col("doc_id"),
             lit("</pre><blockquote><p>quoted "), col("doc_id") % 13,
             lit("</p></blockquote></body></html>")))
         html.select(col("doc_id"),
@@ -2023,6 +2031,13 @@ object QueryCatalog {
                '| k' || CAST(doc_id % 7 AS VARCHAR) || ' | ' ||
                CAST(doc_id AS VARCHAR) || ' |' || chr(10) ||
                '| k2 | ' || CAST(doc_id % 11 AS VARCHAR) || ' |' ||
+               chr(10) || chr(10) ||
+               '| H' || CAST(doc_id % 3 AS VARCHAR) ||
+               ' | H' || CAST(doc_id % 3 AS VARCHAR) || ' | C |' || chr(10) ||
+               '| --- | --- | --- |' || chr(10) ||
+               '| g' || CAST(doc_id % 5 AS VARCHAR) || ' | a | ' ||
+               CAST(doc_id % 7 AS VARCHAR) || ' |' || chr(10) ||
+               '| g' || CAST(doc_id % 5 AS VARCHAR) || ' | b | c |' ||
                chr(10) || chr(10) ||
                '```' || chr(10) || 'code ' || CAST(doc_id AS VARCHAR) ||
                chr(10) || '```' || chr(10) || chr(10) ||
