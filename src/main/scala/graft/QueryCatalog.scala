@@ -1775,6 +1775,48 @@ object QueryCatalog {
           FROM e ORDER BY doc_id"""
         }),
 
+      // T4 at the FULL sentence-transformer shape: a REAL transformer
+      // encoder forward pass in-engine — token + sinusoidal position
+      // embeddings, 2 blocks of 4-head scaled dot-product self-attention
+      // (residual + LayerNorm) and a GELU MLP (residual + LayerNorm),
+      // masked mean-pool, L2-normalize — batched in mapPartitions with
+      // the weight artifact parsed per partition in init(). No SQL engine
+      // can replay attention, so the compare pins what IS machine-
+      // checkable (the OPQ/PCA property-oracle pattern): exact round-6
+      // residuals of the kernel's own invariants — every softmax row
+      // sums to 1, every LayerNorm output has pre-gain mean 0/variance 1,
+      // the pooled embedding has unit norm — plus exact token-count and
+      // dimension replays. Structural behavior (masking, position
+      // sensitivity, batching invariance, artifact round trip) is pinned
+      // by EmbedderSpec. Only pretrained weight VALUES are out of reach
+      // in this zero-egress container (no torch/ONNX runtime) — swapping
+      // the artifact for exported real weights is a file change.
+      Q("q_transformer_embed",
+        (s, dir) => {
+          val cfg = graft.embed.TransformerArtifact.Config(
+            dim = 32, heads = 4, layers = 2, ffDim = 64, maxLen = 24, vocab = 256)
+          val modelDir = graft.embed.TransformerArtifact.ensure(cfg)
+          val model = graft.embed.TransformerInferenceModel(modelDir)
+          graft.embed.TransformerEncoder.diagnostics(
+              tk(s, dir, "documents").select(col("doc_id"), col("text")),
+              "text", "doc_id", model, batchSize = 16)
+            .select(col("doc_id"),
+              least(col("n_tokens"), lit(24L)).as("n_tokens"), col("dim"),
+              r6(col("attn_err")).as("attn_err"),
+              r6(col("ln_err")).as("ln_err"),
+              r6(col("norm_err")).as("norm_err"))
+            .orderBy("doc_id")
+        },
+        Some(s"""
+          SELECT doc_id,
+                 CAST(LEAST(len(${D.splitWs("text")}), 24) AS BIGINT) AS n_tokens,
+                 CAST(32 AS BIGINT) AS dim,
+                 (CAST(0.0 AS DOUBLE) + CAST(0.0 AS DOUBLE)) AS attn_err,
+                 (CAST(0.0 AS DOUBLE) + CAST(0.0 AS DOUBLE)) AS ln_err,
+                 (CAST(0.0 AS DOUBLE) + CAST(0.0 AS DOUBLE)) AS norm_err
+          FROM documents
+          ORDER BY doc_id""")),
+
       // K1/K2/S8 round trip: WRITE the chunk table through the real sink
       // (ordered zstd parquet + metadata.json manifest), RELOAD it, and
       // hash the reloaded content + the manifest's total-embedded-files

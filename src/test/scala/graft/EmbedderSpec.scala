@@ -125,6 +125,47 @@ class EmbedderSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("rows"))
   }
 
+  test("TransformerInferenceModel: full encoder forward pass — invariants, masking, positions") {
+    import graft.embed.{TransformerArtifact, TransformerInferenceModel, TransformerSession}
+    val cfg = TransformerArtifact.Config(
+      dim = 32, heads = 4, layers = 2, ffDim = 64, maxLen = 8, vocab = 128)
+    // fresh artifact dir: the WRITE path is under test too
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfm_spec").toString
+    TransformerArtifact.write(dir, cfg)
+    val model = TransformerInferenceModel(dir)
+    assert(model.dimension == 32, "config.json drives the dimension probe")
+    val sess = model.init().asInstanceOf[TransformerSession]
+
+    def emb(t: String): Array[Double] = sess.embedBatch(Seq(t)).head
+    val a = emb("alpha beta gamma")
+    // unit L2 norm + invariant residuals at double precision
+    assert(math.abs(math.sqrt(a.map(x => x * x).sum) - 1.0) < 1e-12)
+    val (_, n, attnErr, lnErr, normErr) = sess.diagnostics("alpha beta gamma")
+    assert(n == 3)
+    assert(attnErr < 1e-9 && lnErr < 1e-9 && normErr < 1e-12,
+      s"invariants: attn=$attnErr ln=$lnErr norm=$normErr")
+    // deterministic + batching-invariant: a batch gives the same vectors
+    val batch = sess.embedBatch(Seq("alpha beta gamma", "other text", "alpha beta gamma"))
+    assert(batch(0).sameElements(a) && batch(2).sameElements(a))
+    assert(!batch(1).sameElements(a))
+    // POSITION sensitivity: same bag of tokens, different order
+    assert(!emb("beta alpha gamma").sameElements(a),
+      "positional encoding must distinguish token order")
+    // ATTENTION mixes context: changing one distant token moves the vector
+    assert(!emb("alpha beta delta").sameElements(a))
+    // maxLen masking: tokens beyond maxLen (8) cannot affect the output
+    val base8 = "t1 t2 t3 t4 t5 t6 t7 t8"
+    assert(emb(base8 + " extra ignored").sameElements(emb(base8 + " zz qq")))
+    assert(emb(base8).sameElements(emb(base8 + " anything")))
+    // loader validation: a truncated matrix fails fast
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "layer0_wq.csv"),
+      "0.1,0.2".getBytes("UTF-8"))
+    val ex = intercept[IllegalArgumentException] {
+      TransformerInferenceModel(dir).init()
+    }
+    assert(ex.getMessage.contains("rows") || ex.getMessage.contains("cols"))
+  }
+
   test("QuantLinearInferenceModel: int8 artifact round-trips, integer-exact projection") {
     import graft.embed.{BatchedEmbedder, QuantLinearInferenceModel, QuantLinearModelArtifact}
     val dir = java.nio.file.Files.createTempDirectory("graft_qlin_spec").toString
