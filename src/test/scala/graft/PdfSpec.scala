@@ -80,6 +80,39 @@ class PdfSpec extends AnyFunSuite {
     assert(!m.contains(0x103))
   }
 
+  test("ToUnicode parser: total and deterministic on hostile CMap bytes") {
+    import graft.sources.PdfFonts
+    val valid =
+      ("begincmap\n1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+        "2 beginbfchar\n<0041> <0061>\n<0042> <0062>\nendbfchar\n" +
+        "1 beginbfrange\n<0100> <0103> <4E00>\nendbfrange\nendcmap\n")
+    // deterministic mutation sweep: delete a window / swap chars / inject
+    // delimiters at every stride — the parser must never throw and must
+    // parse the same bytes to the same map
+    (0 until valid.length by 7).foreach { i =>
+      val del = valid.substring(0, i) + valid.substring(math.min(valid.length, i + 5))
+      val inj = valid.substring(0, i) + "<[>]" + valid.substring(i)
+      Seq(del, inj).foreach { s =>
+        val a = PdfFonts.parseToUnicode(s.getBytes("ISO-8859-1"))
+        val b = PdfFonts.parseToUnicode(s.getBytes("ISO-8859-1"))
+        assert(a == b)
+      }
+    }
+    // pathological shapes: unterminated hex, reversed range, huge range
+    // (clamped), empty dst, bare operators
+    Seq("<0041", "beginbfrange <0002> <0001> <0041> endbfrange",
+        "beginbfrange <0000> <FFFFFFFF> <0041> endbfrange",
+        "beginbfchar <0041> <> endbfchar",
+        "beginbfchar endbfchar beginbfrange endbfrange", "")
+      .foreach { s =>
+        PdfFonts.parseToUnicode(s.getBytes("ISO-8859-1")): Unit
+      }
+    // the huge-range guard: a 32-bit span must not allocate 4B entries
+    val big = PdfFonts.parseToUnicode(
+      "1 beginbfrange\n<0000> <FFFFFFFF> <0041>\nendbfrange\n".getBytes("ISO-8859-1"))
+    assert(big.isEmpty)
+  }
+
   test("simple font with ToUnicode remaps 1-byte codes; unknown codes pass through") {
     import graft.sources.PdfFonts
     val f = PdfFonts.PdfFont(1, Map(0x41 -> "Z", 0x42 -> "qq"))
