@@ -3248,13 +3248,14 @@ object QueryCatalog {
     // range-partitioned prefix-sum two-pass (never SinglePartition);
     // reference summarized by ONE order-statistic rank pick (range
     // shuffle + two passes for all 100 bins); the bin map broadcasts.
-    // EVERY compared column is exact: bin by integer ceil-division
-    // (DECIMAL div / HUGEINT //), normalized a RAW stored reference
-    // value (nearest-rank bins since r10 — the r8/r9 hash-REDs were
-    // driver-side round()/quantile_cont ULP skew on display doubles that
-    // value-matched DuckDB 1.0.0 locally, so the doubles left the
-    // projection). The oracle reads the reference quantiles from
-    // q_qnorm_bins' dump, which now carries its own non-circular oracle.
+    // EVERY compared column is exact: x the RAW stored source double
+    // (bit-identical cross-engine — since r11; the r8-r10 hash-REDs
+    // were driver-side round() ULP skew, first on display doubles,
+    // finally on the round(value,6)→DECIMAL group KEY itself), bin by
+    // integer ceil-division (DECIMAL div / HUGEINT //), normalized a
+    // RAW stored reference value (nearest-rank bins since r10). The
+    // oracle reads the reference quantiles from q_qnorm_bins' dump,
+    // which carries its own non-circular oracle.
     Q("q_quantile_norm",
       (s, dir) => {
         val ev = tEvents(s, dir) // value only — ts representation irrelevant
@@ -11681,15 +11682,19 @@ object QueryCatalog {
       // Kolmogorov–Smirnov two-sample drift between the same two event
       // segments — the whole-distribution complement of q_ab_ztest (a
       // mean-preserving shape change is invisible to a z-test). Corpus
-      // collapses to the distinct round-6 value dimension, ECDFs come
+      // collapses to the distinct RAW-double value dimension, ECDFs come
       // from the range-partitioned prefix-sum two-pass (never an
       // Exchange SinglePartition), and the supremum is a
       // TakeOrderedAndProject top-1 with the value as tie-break.
       // Compared projection is the EXACT contract only — (n_a, n_b,
-      // at_value, gap DECIMAL(38,0)); the derived d_stat/d_scaled
-      // doubles stay in the library output but OUT of the hash: rounds
-      // 8-9 proved the values match DuckDB locally while the driver's
-      // DuckDB rounds the display doubles 1 ULP differently.
+      // at_value DOUBLE raw, gap DECIMAL(38,0)); the derived
+      // d_stat/d_scaled doubles stay in the library output but OUT of
+      // the hash. Rounds 8-10 history: projection doubles, then a
+      // round(value,6)→DECIMAL group KEY, each cost a red round to
+      // driver-side 1-ULP round() skew — r11 removed round() from the
+      // contract entirely; every compared byte is now either raw
+      // storage or exact integer arithmetic (the green-q_qnorm_bins
+      // pattern).
       Q("q_ks_drift",
         (s, dir) =>
           graft.ops.Analytics.ksTest(

@@ -75,6 +75,11 @@ object YamlLite {
           if (v.nonEmpty) m += ((k, YScalar(v)))
           else peek match {
             case Some(nl) if indentOf(nl) > indent => m += ((k, parseBlock(indent + 1)))
+            // indentless block sequence (PyYAML's default dump style):
+            // a dash at the SAME indent as a value-less key is that
+            // key's list child — not the end of the map
+            case Some(nl) if indentOf(nl) == indent && nl.trim.startsWith("- ") =>
+              m += ((k, parseList(indent)))
             case _ => m += ((k, YScalar("")))
           }
         case _ => go = false
@@ -100,6 +105,11 @@ object YamlLite {
                 else peek match {
                   // the item's continuation lines are deeper than the dash
                   case Some(nl) if indentOf(nl) > indent + 2 => parseBlock(indent + 3)
+                  // indentless list child of a key inside a list item:
+                  // the dash sits at the KEY's column (indent + 2) —
+                  // dashes at `indent` are the parent list's next item
+                  case Some(nl) if indentOf(nl) == indent + 2 &&
+                      nl.trim.startsWith("- ") => parseList(indent + 2)
                   case _ => YScalar("")
                 }
               val m = new ListBuffer[(String, Y)]

@@ -669,8 +669,8 @@ object Analytics {
     * taught that they don't belong in a cross-engine-hashed projection.
     *
     * Scale design (100 TB): the corpus collapses FIRST to the
-    * distinct-value dimension (values quantized to DECIMAL(18,6) — a
-    * map-combined groupBy with per-type conditional counts), and the
+    * distinct-value dimension (the RAW stored double — a map-combined
+    * groupBy with per-type conditional counts), and the
     * ECDFs come from [[Layout.rankedCumSum]]'s range-partitioned two-pass
     * prefix sum over that dimension — exactly
     * `sum(c) OVER (ORDER BY x)` but never an `Exchange SinglePartition`.
@@ -685,7 +685,10 @@ object Analytics {
     * comparing |cumA/n_a − cumB/n_b| without the divisions), with the
     * value itself as tie-break — both engines select the same supremum
     * by exact arithmetic, immune to round/interpolation ULP skew between
-    * engines. Doubles appear only in the trailing convenience columns
+    * engines. `at_value` is a raw stored double (bit-identical on any
+    * engine reading the same parquet — no round() may touch it: a
+    * round()-derived key cost this query three red rounds). Computed
+    * doubles appear only in the trailing convenience columns
     * (gap/(n_a·n_b) and the √ factor), OUTSIDE the exact contract.
     *
     * Degenerate inputs are defined: if either segment is empty, the row
@@ -694,9 +697,14 @@ object Analytics {
     * has zero rows. */
   def ksTest(events: DataFrame, typeCol: String, valCol: String,
              typeA: String, typeB: String): DataFrame = {
-    val x6 = round(col(valCol), 6).cast("decimal(18,6)")
+    // The distinct-value dimension is the RAW stored double. Rounds 8-10
+    // proved any round()-derived key (even cast to DECIMAL) imports
+    // 1-ULP cross-engine skew into the GROUP KEY itself — a shifted key
+    // moves the supremum row with counts and schema intact. Raw parquet
+    // doubles are bit-identical on every engine reading the same file.
+    val xv = col(valCol).cast("double")
     val per = events.where(col(typeCol).isin(typeA, typeB))
-      .select(col(typeCol).as("__t"), x6.as("__x"))
+      .select(col(typeCol).as("__t"), xv.as("__x"))
       .groupBy(col("__x"))
       .agg(
         sum(when(col("__t") === typeA, lit(1L)).otherwise(lit(0L)))
@@ -747,7 +755,7 @@ object Analytics {
   def ksTestOracleSql(eventsRel: String, typeCol: String, valCol: String,
                       typeA: String, typeB: String): String =
     s"""WITH per AS (
-         SELECT CAST(round($valCol, 6) AS DECIMAL(18,6)) AS x,
+         SELECT CAST($valCol AS DOUBLE) AS x,
                 CAST(sum(CASE WHEN $typeCol = '$typeA' THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
                 CAST(sum(CASE WHEN $typeCol = '$typeB' THEN 1 ELSE 0 END) AS HUGEINT) AS cb
          FROM $eventsRel WHERE $typeCol IN ('$typeA', '$typeB')

@@ -46,10 +46,18 @@ object Layout {
     * order: −NaN is NaN, which sorts LAST ascending, so a NaN score
     * selected at the top of a desc-limit shortlist would receive rank n
     * instead of rank 1 — ranks inconsistent with the limit that chose
-    * the rows. Use this for any score column a cosine/division can turn
-    * NaN; keep plain negation for exact integer keys. */
-  def descNaNFirst(c: Column): Column =
-    nanvl(-c.cast("double"), lit(Double.NegativeInfinity))
+    * the rows. A two-part struct key, not `nanvl(−c, −∞)`: collapsing
+    * NaN to −∞ collides with a genuine +∞ score (−(+∞) = −∞), letting
+    * the id tie-break order +∞ above NaN — the opposite of
+    * `orderBy(desc)`. The leading 0/1 flag ranks NaN strictly before
+    * every finite AND infinite value; structs compare field-by-field.
+    * Use this for any score column a cosine/division can turn NaN;
+    * keep plain negation for exact integer keys. */
+  def descNaNFirst(c: Column): Column = {
+    val d = c.cast("double")
+    struct(when(isnan(d), lit(0)).otherwise(lit(1)).as("nan_first"),
+      (-d).as("neg_score"))
+  }
 
   def boundedRank(df: DataFrame, sortKeys: Seq[Column], rankCol: String,
                   startAt: Int = 1): DataFrame = {

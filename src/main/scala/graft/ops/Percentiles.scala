@@ -276,18 +276,23 @@ object Percentiles {
     * is a RAW stored value of the reference — [[quantileBinTable]] is a
     * nearest-rank (type-1) order-statistic select, no interpolation, no
     * rounding. Every output column is therefore exact-replayable on any
-    * engine: x is a DECIMAL(18,6) quantization, bin an integer select,
-    * normalized a value that physically exists in the reference data.
-    * (An earlier revision also emitted a display `ecdf` double; two
-    * rounds of driver-side 1-ULP `round()` skew on that column — against
-    * values that matched local DuckDB exactly — taught that derived
-    * doubles don't belong in a cross-engine-compared projection.)
+    * engine: x is the RAW stored double (bit-identical wherever the same
+    * parquet is read), bin an integer select, normalized a value that
+    * physically exists in the reference data.
+    * (Earlier revisions emitted a display `ecdf` double, then a
+    * round(x,6)→DECIMAL group KEY; three rounds of driver-side 1-ULP
+    * `round()` skew — against values that matched local DuckDB exactly —
+    * taught that NO round() on a double may appear anywhere in a
+    * cross-engine-compared contract, projection OR group key.)
     * Returns (x, bin, normalized) per distinct source value. */
   def quantileNormalize(source: DataFrame, reference: DataFrame,
                         valCol: String, bins: Int): DataFrame = {
     require(bins >= 2 && bins <= 10000, s"bins out of range: $bins")
-    val x6 = round(col(valCol), 6).cast("decimal(18,6)")
-    val per = source.select(x6.as("__x")).where(col("__x").isNotNull)
+    // RAW stored double as the distinct dimension — a round()-derived
+    // key (even DECIMAL-cast) imports 1-ULP cross-engine skew into the
+    // GROUP KEY (r8-r10 lesson); raw parquet doubles are bit-identical.
+    val xv = col(valCol).cast("double")
+    val per = source.select(xv.as("__x")).where(col("__x").isNotNull)
       .groupBy(col("__x"))
       .agg(count(lit(1)).cast("decimal(18,0)").as("__c"))
     val (cum, _) = Layout.rankedCumSum(per, Seq(col("__x")), "__c",
@@ -371,7 +376,7 @@ object Percentiles {
   def quantileNormalizeOracleSql(sourceRel: String, binTableRel: String,
                                  valCol: String, bins: Int): String =
     s"""WITH per AS (
-         SELECT CAST(round($valCol, 6) AS DECIMAL(18,6)) AS x,
+         SELECT CAST($valCol AS DOUBLE) AS x,
                 CAST(count(*) AS HUGEINT) AS c
          FROM $sourceRel WHERE $valCol IS NOT NULL GROUP BY 1),
        tot AS (SELECT CAST(sum(c) AS HUGEINT) AS n FROM per),

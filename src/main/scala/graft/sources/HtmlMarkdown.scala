@@ -282,7 +282,12 @@ object HtmlMarkdown {
           case cell: Node if cell.tag == "td" || cell.tag == "th" =>
             (cell.tag == "th", cellText(cell), cell.colspan, cell.rowspan)
         }.toIndexedSeq
-        if (cells.nonEmpty) raw += cells
+        // keep zero-cell rows too: a <tr> whose every column is supplied
+        // by rowspans above still occupies a grid row — dropping it here
+        // would stop pending carries from ticking down and bleed the
+        // spanned text one row too far (truly-empty spacer rows with no
+        // carries active are filtered at expansion time instead)
+        raw += cells
       case c: Node if c.tag == "thead" || c.tag == "tbody" || c.tag == "tfoot" =>
         walkRows(c)
       case _ => ()
@@ -298,6 +303,11 @@ object HtmlMarkdown {
     val rows = new ListBuffer[(Boolean, IndexedSeq[String])] // (isHeader, cells)
     val carry = scala.collection.mutable.Map.empty[Int, (Int, String)]
     raw.foreach { cells =>
+      // a spacer <tr> with no source cells AND no pending carries is
+      // vertical whitespace, not a grid row; a zero-cell row WITH
+      // carries is a real row made entirely of rowspan continuations
+      if (cells.isEmpty && carry.isEmpty) ()
+      else {
       val outCells = new ArrayBuffer[String]
       var colIdx = 0
       def drainCarry(): Unit =
@@ -324,7 +334,9 @@ object HtmlMarkdown {
         while (colIdx < k) { outCells += ""; colIdx += 1 }
         drainCarry()
       }
-      rows += ((cells.forall(_._1), outCells.toIndexedSeq))
+      // carried-only rows are data rows, never the pipe-table header
+      rows += ((cells.nonEmpty && cells.forall(_._1), outCells.toIndexedSeq))
+      }
     }
     if (rows.isEmpty) return
     val width = rows.map(_._2.length).max

@@ -558,7 +558,7 @@ class AnalyticsSpec extends AnyFunSuite {
     val r = Analytics.ksTest(ev, "event_type", "value", "a", "b")
       .collect()(0)
     assert(r.getLong(0) == 3L && r.getLong(1) == 4L)
-    assert(r.getDecimal(2).doubleValue() == 3.0)
+    assert(r.getDouble(2) == 3.0)
     // exact integer numerator: |cumA·n_b − cumB·n_a| = |3·4 − 2·3| = 6
     assert(r.getDecimal(3).longValueExact() == 6L)
     assert(r.getDouble(4) == 0.5)
@@ -568,7 +568,7 @@ class AnalyticsSpec extends AnyFunSuite {
       .toDF("event_type", "value")
     val r2 = Analytics.ksTest(ev2, "event_type", "value", "a", "b")
       .collect()(0)
-    assert(r2.getDecimal(2).doubleValue() == 2.0 && r2.getDouble(4) == 1.0)
+    assert(r2.getDouble(2) == 2.0 && r2.getDouble(4) == 1.0)
     assert(r2.getDecimal(3).longValueExact() == 4L) // 2·2 − 0·2
   }
 

@@ -108,6 +108,83 @@ class ConfigAndC2Spec extends AnyFunSuite {
     assert(ex.getMessage.contains("Invalid configuration structure"))
   }
 
+  test("store-config migration: PyYAML indentless block sequences (reference run.yaml style)") {
+    import graft.index.{StoreConfigMigrate, YamlLite}
+    // The canonical llama-stack dump style: dash at the SAME indent as
+    // the parent key — at top level (apis:), nested under a map key
+    // (providers.vector_io:, registered_resources.models:), and a list
+    // child of a key inside a list item (tags: under - name:). Modeled
+    // on tests/integration-konflux/config/run.yaml in the reference.
+    val cfg =
+      """version: 2
+        |image_name: starter
+        |apis:
+        |- agents
+        |- inference
+        |- vector_io
+        |providers:
+        |  vector_io:
+        |  - provider_id: sqlite-vec
+        |    provider_type: inline::sqlite-vec
+        |    config:
+        |      persistence:
+        |        backend: kv_default
+        |  inference:
+        |  - provider_id: sentence-transformers
+        |    tags:
+        |    - local
+        |    - embedding
+        |server:
+        |  port: 8321
+        |storage:
+        |  backends:
+        |    kv_default:
+        |      type: kv_sqlite
+        |      db_path: /build/kv_store.db
+        |registered_resources:
+        |  models:
+        |  - model_id: all-mpnet-base-v2
+        |    provider_model_id: /embeddings
+        |    metadata:
+        |      embedding_dimension: 768
+        |  vector_stores:
+        |  - vector_store_id: idx1
+        |    embedding_model: sentence-transformers/old
+        |safety:
+        |  default_shield_id: llama-guard
+        |""".stripMargin
+    // parse picks up EVERY section (nothing silently truncated)
+    val parsed = YamlLite.parse(cfg).asInstanceOf[YamlLite.YMap]
+    assert(parsed.entries.map(_._1) == Seq("version", "image_name", "apis",
+      "providers", "server", "storage", "registered_resources", "safety"))
+    parsed.get("apis") match {
+      case Some(YamlLite.YList(items)) =>
+        assert(items.map { case YamlLite.YScalar(s) => s } ==
+          Seq("agents", "inference", "vector_io"))
+      case other => fail(s"apis parsed as $other, not a list")
+    }
+    // nested indentless list-in-item child
+    val inf = parsed.get("providers").get.asInstanceOf[YamlLite.YMap]
+      .get("inference").get.asInstanceOf[YamlLite.YList]
+    val tags = inf.items.head.asInstanceOf[YamlLite.YMap]
+      .get("tags").get.asInstanceOf[YamlLite.YList]
+    assert(tags.items.map { case YamlLite.YScalar(s) => s } ==
+      Seq("local", "embedding"))
+    // render → re-parse round trip preserves structure
+    val reparsed = YamlLite.parse(YamlLite.render(parsed))
+      .asInstanceOf[YamlLite.YMap]
+    assert(reparsed.entries.map(_._1) == parsed.entries.map(_._1))
+    // and the rewrite finds every section it needs — r10 failed here
+    // ('missing providers') or silently dropped models:/safety:
+    val out = StoreConfigMigrate.rewrite(cfg, "/srv/rag",
+      "llamastack-sqlite", Some("/srv/models/mpnet"))
+    assert(out.contains("db_path: /srv/rag/kv_store.db"))
+    assert(out.contains("provider_model_id: /srv/models/mpnet"))
+    assert(out.contains("embedding_model: sentence-transformers//srv/models/mpnet"))
+    assert(out.contains("default_shield_id: llama-guard")) // tail survived
+    assert(out.contains("embedding_dimension: 768"))
+  }
+
   test("K3: pgvector DDL / INSERT / vector-literal wire format (golden)") {
     import graft.index.JdbcVectorSink
     val cfg = JdbcVectorSink.PgConfig("db.example", 5433, "ragdb", "u", "p", "rag_chunks")

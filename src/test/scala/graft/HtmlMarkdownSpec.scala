@@ -75,6 +75,23 @@ class HtmlMarkdownSpec extends AnyFunSuite {
     assert(out == "| K | V |\n| --- | --- |\n| grp | v1 |\n| grp | v2 |")
   }
 
+  test("table: a tr supplied ENTIRELY by rowspans still occupies a grid row") {
+    // the middle <tr></tr> has zero source cells — both its columns come
+    // from the rowspan=3 / rowspan=2 carries above. It must render as its
+    // own row (carries tick down once per row, browser-style), not
+    // vanish and bleed 'grp'/'v1' one row too far into the 'v2' row.
+    val out = md(
+      """<table><tr><th>K</th><th>V</th></tr>
+        |<tr><td rowspan="3">grp</td><td rowspan="2">v1</td></tr>
+        |<tr></tr>
+        |<tr><td>v2</td></tr></table>""".stripMargin)
+    assert(out == "| K | V |\n| --- | --- |\n| grp | v1 |\n| grp | v1 |\n| grp | v2 |")
+    // a spacer tr with NO pending carries is still dropped, not rendered
+    val spacer = md(
+      "<table><tr><th>A</th></tr><tr></tr><tr><td>x</td></tr></table>")
+    assert(spacer == "| A |\n| --- |\n| x |")
+  }
+
   test("table: combined spans keep the grid aligned; junk/oversized spans clamp") {
     val out = md(
       "<table><tr><th colspan='2'>H</th><th>C</th></tr>" +

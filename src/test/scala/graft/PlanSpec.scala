@@ -349,6 +349,23 @@ class PlanSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("descNaNFirst ranks NaN strictly above +Infinity (orderBy(desc) parity)") {
+    // the nanvl(−c, −∞) shortcut collided NaN with +∞ (−(+∞) = −∞) and
+    // let the id tie-break invert them vs orderBy(desc); the two-part
+    // struct key must reproduce Spark's desc order exactly: NaN, +∞,
+    // finite desc, −∞ — including an id that would prefer the inversion
+    val df = Seq(
+      (1L, Double.PositiveInfinity), (2L, Double.NaN),
+      (3L, 5.0), (4L, Double.NegativeInfinity), (5L, -2.5))
+      .toDF("id", "score")
+    val got = graft.ops.Layout.boundedRank(df,
+        Seq(graft.ops.Layout.descNaNFirst(col("score")), col("id")), "r")
+      .orderBy("r").select("id").as[Long].collect().toSeq
+    val want = df.orderBy(desc("score"), col("id"))
+      .select("id").as[Long].collect().toSeq
+    assert(got == want && got == Seq(2L, 1L, 3L, 5L, 4L))
+  }
+
   test("globalRank/ntileFromRank match the window functions, stay parallel") {
     // unique tie-broken order over a desc metric — the dimension-ranking
     // shape (ntile segmentation / ABC / Lorenz). SQL-standard bucket rule
