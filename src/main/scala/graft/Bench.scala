@@ -316,6 +316,11 @@ object Bench {
         "canary_start_s" -> jnum(canaryStart),
         "canary_end_s" -> jnum(canaryEnd),
         "canary_ratio" -> f"$canaryRatio%.2f",
+        // self-describing contention verdict (r10 advice #5): a reader of
+        // this artifact alone must not mistake host contention for a
+        // scaling regression (the r10 driver run read q_substr_dedup sf1
+        // at 8.4x vs 0.9x clean purely from a 13x-contended box)
+        "contended" -> (if (canaryRatio > 2.0) "true" else "false"),
         "base_skipped_budget" -> baseSkipped.map("\"" + _ + "\"").mkString("[", ",", "]"),
         "failed" -> failed.map("\"" + _ + "\"").mkString("[", ",", "]"),
         "queries" -> jmap(qs)) )
@@ -368,46 +373,32 @@ object Bench {
         // per-row kernels whose 10x ratio has been ~10x for three
         // rounds running.
         val heavy = Seq(
-          // r9-verdict-named head: the ANN family + substring dedup —
-          // the last major scale claims with ZERO empirical backing
-          // (three straight rounds of budget skips) — plus q_lsa_embed,
-          // itself skipped at r9. These run before everything else in
-          // the reserve so the gate cannot starve them a fourth time.
+          // r10-verdict-named head (advice #4): the 26-entry tail the
+          // clean run-7 record budget-cut — NEVER measured in any single
+          // clean artifact. The never-measured-anywhere group leads
+          // (q_tfidf .. q_sp_segment), then the r9-measured dedup/graph
+          // family, so a short budget starves the already-evidenced, not
+          // the never-evidenced.
+          "q_tfidf", "q_scd2", "q_sessionize", "q_sink_roundtrip",
+          "q1_agg", "q_entropy", "q_winnowing", "q_sp_segment",
+          "q_embed_neardup", "q_asof_native", "q_range_native",
+          "q_dense_ids", "q_curriculum_shards", "q_hard_negatives",
+          "q_quality_classifier", "q_domain_mixture", "q_term_drift",
+          "q_contrastive_pairs", "q_trigram_lm",
+          // r9-measured banded self-joins (minhash 1.2x / simhash 1.4x /
+          // snm 1.4x rolling evidence) + catalog-fixture winnowing (the
+          // occupancy-held x_winnow_pairs_10x below adjudicates; this
+          // keeps the raw reading alongside) + iterative graph on the
+          // CATALOG fixture (q_pagerank dense-graph representative,
+          // q_link_predict hub cap; triangles/k-core go through the
+          // occupancy-held x_graph_* pairs below instead — the bits=4
+          // fixture grows their true answer ~1000x by construction)
+          "q_minhash_pairs", "q_simhash_pairs", "q_snm_pairs",
+          "q_winnow_pairs", "q_pagerank", "q_link_predict",
+          // r10-clean-measured head (ANN <= 1.7x, substr 0.9x, lsa 3.6x
+          // in the run-7 record): re-measured last, freshness only
           "q_opq_ann", "q_sq8_ann", "q_ann_ivf", "q_cluster_best",
-          "q_substr_dedup", "q_lsa_embed",
-          // iterative graph on the CATALOG fixture: q_pagerank is the
-          // dense-graph representative (the bits=4 fixture densifies
-          // 100x at 10x — linear-in-m rounds survive even that);
-          // q_link_predict measures the hub cap under that same
-          // densification (apexes beyond maxApexDegree drop out — the
-          // skew-guard behaving is itself the measurement). Triangles/
-          // k-core wedge+peel plans are timed on the occupancy-held
-          // x_graph_* fixture below instead — on the bits=4 fixture
-          // their true answer grows ~1000x by construction (r8: 329 s),
-          // which measures the fixture, not the plan. Both measured
-          // clean at r9 (1.3x / 0.7x), so they follow the unproven head.
-          "q_pagerank", "q_link_predict", "q_trigram_lm",
-          // winnowing collision pairs: r9 read 6.1x on the catalog
-          // fixture; the occupancy-held x_winnow_pairs_10x pair below is
-          // the adjudicating measurement, this entry keeps the raw
-          // catalog-fixture reading alongside it
-          "q_winnow_pairs",
-          // banded/bucketed self-joins: candidate growth is the risk
-          "q_minhash_pairs", "q_simhash_pairs", "q_embed_neardup",
-          "q_snm_pairs",
-          // custom physical op + two-pass layout primitives
-          "q_asof_native", "q_range_native", "q_dense_ids",
-          "q_curriculum_shards",
-          // broadcast-shortlist mining path
-          "q_hard_negatives",
-          // aggregation/join-shaped analytics
-          "q_quality_classifier", "q_tfidf", "q_domain_mixture",
-          "q_term_drift", "q_contrastive_pairs", "q_scd2",
-          "q_sessionize", "q_sink_roundtrip", "q1_agg",
-          // per-row linear kernels: three rounds of ~10x ratios — three
-          // representatives carry the family (the r6-measured full set
-          // freed ~80 s that the image/stream witnesses kept losing to)
-          "q_sp_segment", "q_entropy", "q_winnowing")
+          "q_substr_dedup", "q_lsa_embed")
         val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
         def timed(fn: String => Unit, dir: String, name: String,
                   baseT: Double): Double = {
@@ -632,6 +623,30 @@ object Bench {
     // against canaryStart is the run's ambient-contention witness
     canaryEnd = canaryPass()
     writeFull(sf1Part._1)
+    val contended = canaryStart > 0 && canaryEnd > 0 &&
+      canaryEnd / canaryStart > 2.0
+    // A clean full-coverage record survives under a name the driver never
+    // overwrites (r10 advice #8): BENCH_FULL.json is rewritten by every
+    // run — including a contended driver run — so the round's legitimate
+    // record needs its own file. Only a run that measured every base
+    // query on a clean box earns the copy.
+    if (!contended && baseSkipped.isEmpty && failed.isEmpty) {
+      try java.nio.file.Files.copy(
+        java.nio.file.Paths.get(fullPath),
+        java.nio.file.Paths.get(s"${sys.props("user.dir")}/BENCH_CLEAN.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case e: Exception =>
+        System.err.println(s"[bench] BENCH_CLEAN copy failed: ${e.getMessage}") }
+    }
+    // under contention the sf1 ratios are ambient noise, not scaling
+    // signal — suppress them in the stdout artifact (times stay; the
+    // full map in BENCH_FULL.json carries the contended flag)
+    val sf1Stdout =
+      if (contended && sf1Part._2.nonEmpty)
+        sf1Part._2.replaceAll(
+          "\"sf1_ratio_vs_1x\":\\{[^}]*\\}",
+          "\"sf1_ratio_vs_1x\":\"SUPPRESSED_CONTENDED\"")
+      else sf1Part._2
 
     // Compact final line — the parseable payload for the driver's tail
     // window: totals + failures + top slowest + the sf1 section; the
@@ -655,11 +670,12 @@ object Bench {
       "canary_start_s" -> jnum(canaryStart),
       "canary_end_s" -> jnum(canaryEnd),
       "canary_ratio" -> f"${if (canaryStart > 0 && canaryEnd > 0) canaryEnd / canaryStart else -1.0}%.2f",
+      "contended" -> (if (contended) "true" else "false"),
       "full" -> "\"BENCH_FULL.json\"",
       "queries_note" -> "\"top 10 by time; complete map in BENCH_FULL.json\"",
       "queries" -> jmap(top.map { case (k, v) => k -> jnum(v) })) )
     println("[bench] complete per-query map written to " + fullPath)
-    println(compact.dropRight(1) + sf1Part._2 + "}")
+    println(compact.dropRight(1) + sf1Stdout + "}")
     spark.stop()
   }
 }

@@ -167,6 +167,30 @@ object QueryCatalog {
   private def duckR6(x: String): String =
     s"(round($x, 6) + CAST(0.0 AS DOUBLE))"
 
+  /** q_wordpiece's shared demo vocabulary — ONE Scala list is the source
+    * of truth for both the engine tokenizer and the DuckDB oracle's
+    * VALUES table. Chosen so the synthetic corpus exercises every
+    * WordPiece behavior: whole-word hits (fast/key/order/part/row/sort/
+    * the/a), multi-piece greedy segmentation (every other word), and
+    * whole-word [UNK] (big, dup — no start piece matches). id 0 is
+    * [UNK]; pieces take ids 1..N in list order. */
+  private val wpPieces: Seq[String] = Seq(
+    "a", "bat", "col", "cust", "da", "fast", "fil", "gro", "ha", "jo",
+    "key", "li", "mer", "order", "part", "qu", "row", "sc", "slo", "sm",
+    "sp", "st", "sort", "ta", "the", "val", "vec", "win",
+    "##gg", "##ch", "##umn", "##om", "##er", "##ta", "##ter", "##up",
+    "##sh", "##in", "##ne", "##ge", "##ery", "##an", "##w", "##all",
+    "##ark", "##re", "##am", "##ble", "##ue", "##tor", "##dow")
+  private val wpVocab: Map[String, Int] =
+    (("[UNK]" -> 0) +: wpPieces.zipWithIndex.map { case (p, i) => p -> (i + 1) }).toMap
+  /** (piece, surface, iscont, id) VALUES rows for the oracle. */
+  private def wpVocabValues: String =
+    wpPieces.zipWithIndex.map { case (p, i) =>
+      val cont = p.startsWith("##")
+      val surf = if (cont) p.substring(2) else p
+      s"('$p', '$surf', $cont, ${i + 1})"
+    }.mkString(",\n            ")
+
   /** Shared Spark-SQL/DuckDB formula text deriving statistics from exact
     * decimal moment sums (n, sq, sqq, sqqq, sp, spp, sqp). The SAME text
     * evaluates on both sides, so every +,*,/,sqrt is the same sequence of
@@ -2343,6 +2367,41 @@ object QueryCatalog {
                || chr(10) ||
                (SELECT string_agg(chr(19968 + CAST((doc_id * 7 + 20 + j) % 1000 AS INT)), '' ORDER BY j)
                 FROM range(0, 20) t(j)) AS cid_text
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // S4 modern-container capability (r10 verdict missing #2): per doc a
+    // REAL PDF 1.5 file — catalog, page tree, and font dict packed in a
+    // Flate-compressed /Type /ObjStm, a /Type /XRef cross-reference
+    // STREAM (PNG-Up predicted W-rows) instead of a classic xref table —
+    // and, for odd docs, LZWDecode-compressed content streams (the
+    // second classic filter). Extraction must unpack the ObjStm to find
+    // the page tree at all, so the hash match proves object-stream
+    // parse + packed-object resolution + the LZW decoder end-to-end.
+    Q("q_pdf_objstm",
+      (s, dir) => {
+        import s.implicits._
+        val docs = tk(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"),
+            regexp_replace(col("text"), "[^ -~\\n]", "?").as("clean"))
+          .as[(Long, String)]
+        docs.mapPartitions { it =>
+            val ex = new graft.sources.PdfTextExtractor
+            it.map { case (id, text) =>
+              val pdfText =
+                if (text == null) null
+                else if (id % 2 == 1)
+                  ex.extract(graft.sources.PdfWrite.lzwDocument(Seq(text)))
+                else
+                  ex.extract(graft.sources.PdfWrite.objStmDocument(Seq(text)))
+              (id, pdfText)
+            }
+          }
+          .toDF("doc_id", "pdf_text")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, regexp_replace(text, '[^ -~\n]', '?', 'g') AS pdf_text
         FROM documents
         ORDER BY doc_id""")),
 
@@ -6162,6 +6221,99 @@ object QueryCatalog {
                          '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+') AS bt
                 FROM documents)
           ORDER BY doc_id""")),
+
+      // WordPiece subword tokenization (the reference's all-mpnet-base-v2
+      // tokenizer contract: greedy longest-match, '##' continuations,
+      // whole-word [UNK] on any dead end — functions/WordPiece.scala, the
+      // last code gap to drop-in real transformer weights). The compared
+      // contract is the SQL-expressible core: words via the same
+      // regexp_extract_all on both sides, then the greedy algorithm —
+      // replayed move-for-move by the oracle as a recursive CTE over a
+      // per-(word,pos) longest-match table built from the SAME Scala
+      // vocab list. Full BertNormalizer/BertPreTokenizer behavior (accent
+      // strip, CJK padding, punctuation isolation, maxInputChars) is
+      // pinned by WordPieceSpec — the corpus here is [a-z]+ words ≤ 8
+      // chars, where those stages are identity. Every compared column is
+      // exact: counts, an id checksum, md5 of the piece stream.
+      // Scale: per-row pure-CPU kernel over a broadcast-size vocab map —
+      // no shuffle, composes with the batched inference seam unchanged.
+      Q("q_wordpiece",
+        (s, dir) => {
+          val wp = graft.functions.WordPiece.fromVocab(wpVocab)
+          val ids = wpVocab
+          val f = udf { words: Seq[String] =>
+            val pieces = words.flatMap(wp.tokenizeWord)
+            (pieces.length.toLong,
+              pieces.count(_ == "[UNK]").toLong,
+              pieces.map(p => ids(p).toLong).sum,
+              pieces.mkString(" "))
+          }
+          t(s, dir, "documents")
+            .withColumn("ws", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+            .withColumn("r", f(col("ws")))
+            .select(col("doc_id"),
+              col("r._1").as("n_pieces"), col("r._2").as("n_unk"),
+              col("r._3").as("id_sum"), md5(col("r._4")).as("pieces_md5"))
+            .orderBy("doc_id")
+        },
+        Some(s"""
+          WITH RECURSIVE vocab(piece, surface, iscont, id) AS (VALUES
+            $wpVocabValues),
+          docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+                   FROM documents),
+          wocc AS (SELECT doc_id, CAST(i AS BIGINT) AS ord, ws[CAST(i AS INT)] AS w
+                   FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM docs)),
+          words AS (SELECT DISTINCT w FROM wocc),
+          best AS (
+            SELECT wp.w, wp.pos,
+                   max_by(v.piece, length(v.surface)) AS piece,
+                   CAST(max(length(v.surface)) AS INT) AS len,
+                   max_by(v.id, length(v.surface)) AS id
+            FROM (SELECT w, CAST(p AS INT) AS pos
+                  FROM (SELECT w, unnest(range(1, length(w) + 1)) AS p FROM words)) wp
+            JOIN vocab v
+              ON v.iscont = (wp.pos > 1)
+             AND substr(wp.w, wp.pos, length(v.surface)) = v.surface
+            GROUP BY wp.w, wp.pos),
+          walk(w, pos, n, idsum, acc, dead) AS (
+            SELECT w, 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                   CAST('' AS VARCHAR), false
+            FROM words
+            UNION ALL
+            SELECT k.w, k.pos + coalesce(b.len, 0),
+                   k.n + 1,
+                   k.idsum + CAST(coalesce(b.id, 0) AS BIGINT),
+                   CASE WHEN k.acc = '' THEN coalesce(b.piece, '')
+                        ELSE k.acc || ' ' || coalesce(b.piece, '') END,
+                   b.piece IS NULL
+            FROM walk k LEFT JOIN best b ON b.w = k.w AND b.pos = k.pos
+            WHERE NOT k.dead AND k.pos <= length(k.w)),
+          term AS (SELECT w, n, idsum, acc FROM walk
+                   WHERE NOT dead AND pos = length(w) + 1),
+          deadw AS (SELECT DISTINCT w FROM walk WHERE dead),
+          wordres AS (
+            SELECT ws.w,
+                   CASE WHEN d.w IS NOT NULL THEN CAST(1 AS BIGINT) ELSE t.n END AS n,
+                   CASE WHEN d.w IS NOT NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS unk,
+                   CASE WHEN d.w IS NOT NULL THEN CAST(0 AS BIGINT) ELSE t.idsum END AS idsum,
+                   CASE WHEN d.w IS NOT NULL THEN '[UNK]' ELSE t.acc END AS acc
+            FROM words ws LEFT JOIN term t ON t.w = ws.w
+                          LEFT JOIN deadw d ON d.w = ws.w),
+          perdoc AS (
+            SELECT o.doc_id,
+                   CAST(sum(r.n) AS BIGINT) AS n_pieces,
+                   CAST(sum(r.unk) AS BIGINT) AS n_unk,
+                   CAST(sum(r.idsum) AS BIGINT) AS id_sum,
+                   md5(coalesce(string_agg(r.acc, ' ' ORDER BY o.ord), '')) AS pieces_md5
+            FROM wocc o JOIN wordres r ON r.w = o.w
+            GROUP BY o.doc_id)
+          SELECT d.doc_id,
+                 coalesce(p.n_pieces, 0) AS n_pieces,
+                 coalesce(p.n_unk, 0) AS n_unk,
+                 coalesce(p.id_sum, 0) AS id_sum,
+                 coalesce(p.pieces_md5, md5('')) AS pieces_md5
+          FROM docs d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+          ORDER BY d.doc_id""")),
 
       // Exact substring-span dedup (Lee et al. 2022): every repeated
       // 8-token span is cut from all but its lowest-(doc,pos) occurrence.

@@ -36,14 +36,22 @@ final case class TransformerInferenceModel(modelDir: String) extends InferenceMo
 
   def init(): InferenceSession = {
     val w = TransformerArtifact.readWeights(modelDir, cfg)
-    new TransformerSession(cfg, w)
+    new TransformerSession(cfg, w, TransformerArtifact.readTokenizer(modelDir, cfg))
   }
 }
 
 /** One forward-pass session over loaded weights. Exposes the batch API
-  * plus a diagnostics variant returning the invariant residuals. */
+  * plus a diagnostics variant returning the invariant residuals.
+  *
+  * Tokenization: with a `vocab.txt` in the artifact dir (the reference's
+  * sentence-transformers layout) the session tokenizes via real WordPiece
+  * — greedy longest-match subwords whose ids index the embedding table
+  * DIRECTLY, exactly what exported all-mpnet-base-v2 weights expect.
+  * Without one it falls back to whitespace tokens md5-bucketed into the
+  * fixture vocab (the zero-egress test path). */
 final class TransformerSession(cfg: TransformerArtifact.Config,
-                               w: TransformerArtifact.Weights)
+                               w: TransformerArtifact.Weights,
+                               wp: Option[graft.functions.WordPiece] = None)
     extends InferenceSession {
 
   def embedBatch(texts: Seq[String]): Seq[Array[Double]] =
@@ -70,16 +78,26 @@ final class TransformerSession(cfg: TransformerArtifact.Config,
   // ---- kernel ----------------------------------------------------------
   private def forwardDiag(text: String): (Array[Double], Int, Double, Double) = {
     val dim = cfg.dim; val heads = cfg.heads; val dk = dim / heads
-    val toks0 = TextHashing.tokens(if (text == null) "" else text)
-    val n = math.min(toks0.length, cfg.maxLen)
+    val safe = if (text == null) "" else text
+    // real WordPiece ids when the artifact ships a vocab.txt (exported
+    // sentence-transformers weights); md5-bucketed whitespace tokens
+    // otherwise (the self-contained fixture path)
+    val tokIds: Array[Int] = wp match {
+      case Some(t) => t.ids(safe)
+      case None =>
+        TextHashing.tokens(safe).map { tok =>
+          val h = TextHashing.md5Hex(tok)
+          java.lang.Math.floorMod(
+            java.lang.Long.parseLong(h.substring(0, 12), 16), cfg.vocab.toLong).toInt
+        }
+    }
+    val n = math.min(tokIds.length, cfg.maxLen)
     var attnErr = 0.0
     var lnErr = 0.0
     if (n == 0) return (new Array[Double](dim), 0, 0.0, 0.0)
-    // token embedding (md5 bucket into the vocab table) + sinusoidal pos
+    // token embedding row + sinusoidal position
     var x = Array.tabulate(n) { i =>
-      val h = TextHashing.md5Hex(toks0(i))
-      val bucket = java.lang.Math.floorMod(
-        java.lang.Long.parseLong(h.substring(0, 12), 16), cfg.vocab.toLong).toInt
+      val bucket = tokIds(i)
       val row = new Array[Double](dim)
       var j = 0
       while (j < dim) {
@@ -333,6 +351,22 @@ object TransformerArtifact {
       Files.write(marker, "ok".getBytes(StandardCharsets.UTF_8))
     }
     dir
+  }
+
+  /** Optional real tokenizer: a `vocab.txt` beside the weights (the
+    * reference's `embeddings_model/` layout — one surface form per line,
+    * id = line number) switches inference to WordPiece ids. The ids
+    * index the embedding table directly, so the vocab may not exceed
+    * the table. */
+  def readTokenizer(dir: String, cfg: Config): Option[graft.functions.WordPiece] = {
+    val p = Paths.get(dir, "vocab.txt")
+    if (!Files.isRegularFile(p)) None
+    else {
+      val wp = graft.functions.WordPiece.fromVocabFile(p.toString)
+      require(wp.size <= cfg.vocab,
+        s"vocab.txt has ${wp.size} entries but the embedding table holds ${cfg.vocab}")
+      Some(wp)
+    }
   }
 
   def readConfig(dir: String): Config = {

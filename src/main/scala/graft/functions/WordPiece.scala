@@ -1,0 +1,186 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.text.Normalizer
+
+/** WordPiece tokenizer with the sentence-transformers/all-mpnet-base-v2
+  * contract (reference `embeddings_model/tokenizer.json`: model type
+  * WordPiece, `##` continuing-subword prefix, max 100 chars per word,
+  * BertNormalizer with lowercase + clean_text + handle_chinese_chars,
+  * BertPreTokenizer; `tokenizer_config.json`: MPNetTokenizer,
+  * do_lower_case, cls `<s>` / sep `</s>` / unk `[UNK]`). This closes the
+  * last code gap between [[graft.embed.TransformerInferenceModel]] and
+  * drop-in real pretrained weights: with a `vocab.txt` in the model
+  * artifact directory the engine tokenizes EXACTLY like the reference's
+  * sentence-transformers stack, so exported real weights line up with
+  * real vocabulary ids instead of md5 buckets.
+  *
+  * The four pipeline stages, each independently pinned by WordPieceSpec:
+  *
+  *  1. normalize — Unicode cleanup: strip control chars/replacement char,
+  *     map all whitespace to ' ' (clean_text); NFD-decompose and drop
+  *     combining marks (strip_accents, implied by do_lower_case when the
+  *     config leaves it null, per BERT's tokenizer); lowercase; pad CJK
+  *     ideographs with spaces (handle_chinese_chars).
+  *  2. preTokenize — split on whitespace, then isolate every punctuation
+  *     character as its own token (BertPreTokenizer).
+  *  3. tokenizeWord — GREEDY LONGEST-MATCH WordPiece: repeatedly take the
+  *     longest vocab entry matching a prefix of the remaining word
+  *     (continuations looked up with the `##` prefix); if at any position
+  *     no vocab entry matches, the WHOLE word becomes one [UNK]. Words
+  *     longer than maxInputChars are [UNK] without scanning.
+  *  4. encode — `<s>` ids ++ pieces ++ `</s>` (RobertaProcessing post,
+  *     MPNet ids 0 / 2).
+  *
+  * Scale: the vocab is a plain immutable Map loaded once per partition
+  * (or broadcast); tokenization is per-row pure CPU with zero shuffle
+  * implications — it composes with the batched mapPartitions inference
+  * seam unchanged.
+  */
+final class WordPiece(val vocab: Map[String, Int],
+                      val unkToken: String = "[UNK]",
+                      val clsToken: String = "<s>",
+                      val sepToken: String = "</s>",
+                      val maxInputChars: Int = 100,
+                      val lowercase: Boolean = true) extends Serializable {
+  require(vocab.contains(unkToken), s"vocab missing unk token '$unkToken'")
+
+  val unkId: Int = vocab(unkToken)
+  def clsId: Int = vocab.getOrElse(clsToken, unkId)
+  def sepId: Int = vocab.getOrElse(sepToken, unkId)
+  def size: Int = vocab.size
+
+  // longest vocab surface form bounds the greedy scan window
+  private val maxPieceLen: Int =
+    if (vocab.isEmpty) 1
+    else vocab.keysIterator.map { k =>
+      if (k.startsWith("##")) k.length - 2 else k.length
+    }.max
+
+  /** Stage 1: BertNormalizer. Total on any input including null. NFD
+    * decomposition happens only on the accent-stripping path (lowercase
+    * implies strip_accents when the config leaves it null) — without it
+    * the text keeps its original composition, like HuggingFace's. */
+  def normalize(text: String): String = {
+    if (text == null) return ""
+    val decomposed =
+      if (lowercase) Normalizer.normalize(text, Normalizer.Form.NFD) else text
+    val sb = new java.lang.StringBuilder(decomposed.length)
+    var i = 0
+    while (i < decomposed.length) {
+      val c = decomposed.charAt(i)
+      val t = Character.getType(c)
+      if (c == '\u0000' || c == '\uFFFD' || (t == Character.CONTROL &&
+          c != '\t' && c != '\n' && c != '\r')) ()            // clean_text
+      else if (t == Character.NON_SPACING_MARK && lowercase) () // strip_accents
+      else if (Character.isWhitespace(c)) sb.append(' ')
+      else if (isCjk(c)) {                                    // handle_chinese_chars
+        sb.append(' ').append(c).append(' ')
+      }
+      else sb.append(if (lowercase) Character.toLowerCase(c) else c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def isCjk(c: Char): Boolean =
+    (c >= 0x4e00 && c <= 0x9fff) || (c >= 0x3400 && c <= 0x4dbf) ||
+    (c >= 0xf900 && c <= 0xfaff)
+
+  /** Stage 2: BertPreTokenizer — whitespace split + punctuation isolated. */
+  def preTokenize(normalized: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new java.lang.StringBuilder
+    def flush(): Unit = if (cur.length > 0) { out += cur.toString; cur.setLength(0) }
+    var i = 0
+    while (i < normalized.length) {
+      val c = normalized.charAt(i)
+      if (c == ' ') flush()
+      else if (isPunct(c)) { flush(); out += c.toString }
+      else cur.append(c)
+      i += 1
+    }
+    flush()
+    out.toArray
+  }
+
+  /** BERT's punctuation class: Unicode P* plus every non-alnum ASCII
+    * (so `$`, `+`, `<` — Unicode symbols, not punctuation — still split). */
+  private def isPunct(c: Char): Boolean = {
+    if ((c >= 33 && c <= 47) || (c >= 58 && c <= 64) ||
+        (c >= 91 && c <= 96) || (c >= 123 && c <= 126)) true
+    else {
+      val t = Character.getType(c)
+      t == Character.CONNECTOR_PUNCTUATION || t == Character.DASH_PUNCTUATION ||
+      t == Character.START_PUNCTUATION || t == Character.END_PUNCTUATION ||
+      t == Character.INITIAL_QUOTE_PUNCTUATION ||
+      t == Character.FINAL_QUOTE_PUNCTUATION || t == Character.OTHER_PUNCTUATION
+    }
+  }
+
+  /** Stage 3: greedy longest-match over ONE pre-token. */
+  def tokenizeWord(word: String): Array[String] = {
+    if (word.isEmpty) return Array.empty
+    if (word.length > maxInputChars) return Array(unkToken)
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    while (start < word.length) {
+      val prefix = if (start == 0) "" else "##"
+      var end = math.min(word.length, start + maxPieceLen)
+      var found: String = null
+      while (found == null && end > start) {
+        val cand = prefix + word.substring(start, end)
+        if (vocab.contains(cand)) found = cand else end -= 1
+      }
+      if (found == null) return Array(unkToken) // whole-word UNK, BERT rule
+      pieces += found
+      start = end
+    }
+    pieces.toArray
+  }
+
+  /** Full pipeline to surface pieces (no specials). */
+  def tokenize(text: String): Array[String] =
+    preTokenize(normalize(text)).flatMap(tokenizeWord)
+
+  /** Full pipeline to ids with `<s>`/`</s>` post-processing (MPNet). */
+  def encode(text: String): Array[Int] = {
+    val body = tokenize(text).map(p => vocab.getOrElse(p, unkId))
+    (clsId +: body) :+ sepId
+  }
+
+  /** Ids without specials — what the masked-mean-pool inference consumes. */
+  def ids(text: String): Array[Int] =
+    tokenize(text).map(p => vocab.getOrElse(p, unkId))
+}
+
+object WordPiece {
+  /** Load from a HuggingFace-style `vocab.txt` (one surface form per line,
+    * id = 0-based line number — the reference's
+    * `embeddings_model/vocab.txt` layout). Special-token names follow
+    * the MPNet config; pass overrides for plain-BERT vocabs
+    * (`[CLS]`/`[SEP]`). */
+  def fromVocabFile(path: String,
+                    unkToken: String = "[UNK]",
+                    clsToken: String = "<s>",
+                    sepToken: String = "</s>"): WordPiece = {
+    val lines = new String(Files.readAllBytes(Paths.get(path)),
+        StandardCharsets.UTF_8)
+      .split("\n", -1)
+    // a trailing empty line is file formatting, not an empty token
+    val toks = if (lines.nonEmpty && lines.last.isEmpty) lines.dropRight(1)
+               else lines
+    val m = Map.newBuilder[String, Int]
+    var i = 0
+    while (i < toks.length) { m += ((toks(i), i)); i += 1 }
+    new WordPiece(m.result(), unkToken, clsToken, sepToken)
+  }
+
+  /** Build from an explicit (token -> id) table (tests, in-engine vocabs). */
+  def fromVocab(vocab: Map[String, Int],
+                unkToken: String = "[UNK]",
+                clsToken: String = "<s>",
+                sepToken: String = "</s>"): WordPiece =
+    new WordPiece(vocab, unkToken, clsToken, sepToken)
+}

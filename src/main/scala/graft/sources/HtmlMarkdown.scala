@@ -270,8 +270,37 @@ object HtmlMarkdown {
     def +=(b: String): Unit = if (b.nonEmpty) blocks += b
   }
 
-  private def cellText(c: Node): String =
-    inline(c).replace("|", "\\|").replace("\n", " ")
+  /** A cell's pipe-safe text. Pipe tables have no nesting syntax, so a
+    * table INSIDE a cell renders as escaped pipe-table text flattened to
+    * one line and appended after the cell's own inline content (the
+    * "escaped text" disposition: the inner grid stays readable and
+    * greppable, and the outer grid stays aligned — lifting the inner
+    * table out of its cell would detach it from the row that contains
+    * it). The inner render recurses through this same path, so deeper
+    * nesting escapes again (pipes double-escape, correctly). */
+  private def cellText(c: Node): String = {
+    val inner = new ListBuffer[Node]
+    def strip(n: Node): Node = {
+      val copy = new Node(n.tag)
+      copy.href = n.href
+      n.children.foreach {
+        case t: Node if t.tag == "table" => inner += t
+        case t: Node => copy.children += strip(t)
+        case s => copy.children += s
+      }
+      copy
+    }
+    val own = inline(strip(c)).replace("|", "\\|").replace("\n", " ")
+    if (inner.isEmpty) own
+    else {
+      val rendered = inner.map { t =>
+        val o = new Out
+        renderTable(t, o)
+        o.blocks.mkString(" ").replace("|", "\\|").replace("\n", " ")
+      }.filter(_.nonEmpty)
+      (Seq(own) ++ rendered).filter(_.nonEmpty).mkString(" ")
+    }
+  }
 
   private def renderTable(t: Node, out: Out): Unit = {
     // raw rows: (isTh, text, colspan, rowspan) per source cell

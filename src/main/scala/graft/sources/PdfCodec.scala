@@ -279,28 +279,234 @@ object PdfParse {
     out.toByteArray
   }
 
+  /** PDF LZWDecode (ISO 32000 §7.4.4): TIFF-style LZW with MSB-first
+    * variable-width codes 9..12 bits, Clear=256, EOD=257, first dynamic
+    * code 258, and EarlyChange (default 1: the code width grows one code
+    * EARLY, when the next assignable code is one short of the width
+    * limit). Total on malformed input — decoding stops at EOD, at an
+    * out-of-range code, or at end of data, keeping what decoded (the
+    * inflate() tolerance policy). */
+  def lzwDecode(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val out = new ByteArrayOutputStream(math.max(64, data.length * 3))
+    val dict = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
+    var width = 9
+    var prev: Array[Byte] = null
+    var bitBuf = 0L
+    var bitCnt = 0
+    var i = 0
+    var done = false
+    while (!done && (i < data.length || bitCnt >= width)) {
+      if (bitCnt < width) {
+        bitBuf = (bitBuf << 8) | (data(i) & 0xffL); bitCnt += 8; i += 1
+      } else {
+        val code = ((bitBuf >>> (bitCnt - width)) & ((1L << width) - 1)).toInt
+        bitCnt -= width
+        if (code == 256) { dict.clear(); width = 9; prev = null }
+        else if (code == 257) done = true
+        else {
+          val entry: Array[Byte] =
+            if (code < 256) Array(code.toByte)
+            else if (code - 258 < dict.length) dict(code - 258)
+            else if (prev != null && code == 258 + dict.length)
+              prev :+ prev(0) // the KwKwK case
+            else { done = true; null }
+          if (entry != null) {
+            out.write(entry, 0, entry.length)
+            if (prev != null) dict += (prev :+ entry(0))
+            prev = entry
+            // grow when the next code to assign is `earlyChange` short of
+            // the width limit (the decoder's table lags the encoder's by
+            // one symbol, so its boundary is one entry earlier)
+            if (258 + dict.length + earlyChange >= (1 << width) && width < 12)
+              width += 1
+          }
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** PNG row predictors (/Predictor >= 10 in /DecodeParms — the layout
+    * every writer uses for XRef/ObjStm streams): each row starts with a
+    * filter-type byte (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) over
+    * `colors*ceil(bpc/8)`-byte pixels and `columns` pixels per row.
+    * Predictor 1 (none) and 2 (TIFF horizontal, 8-bit) pass through the
+    * same entry point. Truncated trailing rows decode as far as data
+    * goes. */
+  def unpredict(data: Array[Byte], predictor: Int, colors: Int,
+                bpc: Int, columns: Int): Array[Byte] = {
+    if (predictor <= 1) return data
+    val bpp = math.max(1, colors * ((bpc + 7) / 8))
+    val rowLen = bpp * columns
+    if (predictor == 2) { // TIFF horizontal differencing (8-bit only)
+      val out = data.clone()
+      var r = 0
+      while (r * rowLen < out.length) {
+        val base = r * rowLen
+        var j = bpp
+        while (j < rowLen && base + j < out.length) {
+          out(base + j) = (out(base + j) + out(base + j - bpp)).toByte
+          j += 1
+        }
+        r += 1
+      }
+      return out
+    }
+    // PNG: stride is rowLen + 1 (leading filter byte per row)
+    val stride = rowLen + 1
+    val nRows = data.length / stride
+    val out = new Array[Byte](nRows * rowLen)
+    val zero = new Array[Byte](rowLen)
+    var prior = zero
+    var r = 0
+    while (r < nRows) {
+      val ft = data(r * stride) & 0xff
+      val row = new Array[Byte](rowLen)
+      System.arraycopy(data, r * stride + 1, row, 0, rowLen)
+      var j = 0
+      while (j < rowLen) {
+        val left = if (j >= bpp) row(j - bpp) & 0xff else 0
+        val up = prior(j) & 0xff
+        val ul = if (j >= bpp) prior(j - bpp) & 0xff else 0
+        val add = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => // Paeth
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+          case _ => 0
+        }
+        row(j) = ((row(j) & 0xff) + add).toByte
+        j += 1
+      }
+      System.arraycopy(row, 0, out, r * rowLen, rowLen)
+      prior = row
+      r += 1
+    }
+    out
+  }
+
   def resolve(v: PVal, objs: Map[Int, PObj]): PVal = v match {
     case PRef(n, _) => objs.get(n).map(_.value).getOrElse(PNull)
     case other => other
   }
 
-  /** Decode a stream object's payload honoring /Filter (FlateDecode or
-    * none; unsupported filters yield None so callers skip e.g. images). */
+  /** Decode a stream object's payload honoring /Filter chains of
+    * FlateDecode / LZWDecode (each with its /DecodeParms Predictor +
+    * EarlyChange honored); any other filter in the chain yields None so
+    * callers skip e.g. DCT images. */
   def decodedStream(o: PObj, objs: Map[Int, PObj]): Option[Array[Byte]] =
     o.stream.flatMap { raw =>
-      val filters: Vector[String] = o.value match {
-        case PDict(d) => resolve(d.getOrElse("Filter", PNull), objs) match {
+      val dict: Map[String, PVal] = o.value match {
+        case PDict(d) => d
+        case _ => Map.empty
+      }
+      val filters: Vector[String] =
+        resolve(dict.getOrElse("Filter", PNull), objs) match {
           case PName(f) => Vector(f)
           case PArr(items) => items.collect { case PName(f) => f }
           case _ => Vector.empty
         }
-        case _ => Vector.empty
+      // /DecodeParms (or legacy /DP): one dict, or an array parallel to
+      // the filter array with nulls for filters that take none
+      val parms: Vector[Map[String, PVal]] = {
+        val p = resolve(
+          dict.getOrElse("DecodeParms", dict.getOrElse("DP", PNull)), objs)
+        p match {
+          case PDict(d) => Vector(d)
+          case PArr(items) => items.map(v => resolve(v, objs) match {
+            case PDict(d) => d
+            case _ => Map.empty[String, PVal]
+          })
+          case _ => Vector.empty
+        }
       }
+      def intParm(fi: Int, key: String, dflt: Int): Int =
+        parms.lift(fi).flatMap(_.get(key)).map(v => resolve(v, objs)) match {
+          case Some(PNum(n)) => n.toInt
+          case _ => dflt
+        }
       if (filters.isEmpty) Some(raw)
-      else if (filters.forall(_ == "FlateDecode"))
-        Some(filters.foldLeft(raw)((b, _) => inflate(b)))
+      else if (filters.forall(f => f == "FlateDecode" || f == "LZWDecode")) {
+        var b = raw
+        var fi = 0
+        while (fi < filters.length) {
+          b = filters(fi) match {
+            case "FlateDecode" => inflate(b)
+            case _ => lzwDecode(b, intParm(fi, "EarlyChange", 1))
+          }
+          val pred = intParm(fi, "Predictor", 1)
+          if (pred > 1)
+            b = unpredict(b, pred, intParm(fi, "Colors", 1),
+              intParm(fi, "BitsPerComponent", 8), intParm(fi, "Columns", 1))
+          fi += 1
+        }
+        Some(b)
+      }
       else None
     }
+
+  /** Unpack every /Type /ObjStm (PDF 1.5 object stream — where modern
+    * writers put the page tree, font dicts, and ToUnicode references;
+    * docling reads these natively, see pdf_reader.py:83-149): the
+    * decoded payload starts with /N whitespace-separated (objnum,
+    * offset) integer pairs, then the packed objects at /First + offset.
+    * Packed definitions NEVER shadow a top-level `N G obj` — a top-level
+    * definition is either the only one or a newer incremental update,
+    * and the sequential scan already applied its own later-wins rule.
+    * Streams cannot live inside an ObjStm (spec), so packed objects are
+    * value-only. Malformed headers or short payloads unpack as far as
+    * they parse. */
+  def unpackObjStm(objs: Map[Int, PObj]): Map[Int, PObj] = {
+    val packed = scala.collection.mutable.Map.empty[Int, PObj]
+    objs.values.foreach { o =>
+      o.value match {
+        case PDict(d) if resolve(d.getOrElse("Type", PNull), objs) == PName("ObjStm") =>
+          val n = resolve(d.getOrElse("N", PNull), objs) match {
+            case PNum(v) => v.toInt
+            case _ => 0
+          }
+          val first = resolve(d.getOrElse("First", PNull), objs) match {
+            case PNum(v) => v.toInt
+            case _ => -1
+          }
+          if (n > 0 && first >= 0) decodedStream(o, objs).foreach { payload =>
+            val s = new String(payload, ISO_8859_1)
+            val c = new Cursor(s, 0)
+            val pairs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+            var k = 0
+            var ok = true
+            while (ok && k < n) {
+              c.skipWs()
+              val numStart = c.i
+              while (!c.done && c.ch.isDigit) c.i += 1
+              val numEnd = c.i
+              c.skipWs()
+              val offStart = c.i
+              while (!c.done && c.ch.isDigit) c.i += 1
+              if (numEnd > numStart && c.i > offStart)
+                pairs += ((s.substring(numStart, numEnd).toInt,
+                  s.substring(offStart, c.i).toInt))
+              else ok = false
+              k += 1
+            }
+            pairs.foreach { case (num, off) =>
+              if (first + off < s.length && !objs.contains(num) &&
+                  !packed.contains(num)) {
+                val pc = new Cursor(s, first + off)
+                packed(num) = PObj(num, parseValue(pc), None)
+              }
+            }
+          }
+        case _ => ()
+      }
+    }
+    objs ++ packed
+  }
 }
 
 /** Font decode model — the Type0/CID + ToUnicode completion of S4
@@ -574,7 +780,7 @@ object PdfPages {
   def pages(bytes: Array[Byte]): Vector[Page] = {
     if (bytes == null || bytes.length < 8) return Vector.empty
     val objs =
-      try objects(bytes)
+      try unpackObjStm(objects(bytes)) // PDF 1.5+: page tree/fonts may be packed
       catch { case _: Exception => return Vector.empty }
 
     def contentsOf(page: PDict): Vector[Array[Byte]] =
@@ -1042,6 +1248,165 @@ object PdfWrite {
     w("0000000000 65535 f \n")
     (1 to objCount).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
     w(s"trailer\n<< /Size ${objCount + 1} /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** PDF LZWDecode-compatible ENCODER (earlyChange = 1): Clear, then
+    * greedy longest-known-sequence codes, EOD; width grows one code
+    * early, mirroring [[PdfParse.lzwDecode]]'s default. Exists so LZW
+    * fixtures are real compressed bytes (the decoder is additionally
+    * pinned against the ISO 32000 §7.4.4 worked example, so an encoder/
+    * decoder twin bug cannot hide). */
+  def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(math.max(16, data.length / 2))
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code.toLong
+      bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >>> (bitCnt - 8)) & 0xff).toInt)
+        bitCnt -= 8
+      }
+    }
+    val dict = scala.collection.mutable.Map.empty[Seq[Byte], Int]
+    var nextCode = 258
+    emit(256) // Clear
+    var cur = Vector.empty[Byte]
+    data.foreach { b =>
+      val ext = cur :+ b
+      val known = if (ext.length == 1) true else dict.contains(ext)
+      if (known) cur = ext
+      else {
+        emit(if (cur.length == 1) cur.head & 0xff else dict(cur))
+        dict(ext) = nextCode
+        nextCode += 1
+        // the decoder grows its width BEFORE reading the code following
+        // the one that filled (1 << width) - 1: mirror exactly
+        if (nextCode + 1 > (1 << width) && width < 12) width += 1
+        // 12-bit ceiling: codes past 4095 are untransmittable — emit
+        // Clear and restart the table (what every real LZW writer does)
+        if (nextCode + 1 > 4096) {
+          emit(256); dict.clear(); nextCode = 258; width = 9
+        }
+        cur = Vector(b)
+      }
+    }
+    if (cur.nonEmpty) emit(if (cur.length == 1) cur.head & 0xff else dict(cur))
+    emit(257) // EOD
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** A complete one-page-per-element PDF with LZW-compressed content
+    * streams (the second-most-common classic stream filter). */
+  def lzwDocument(pages: Seq[String]): Array[Byte] = {
+    val contents = (if (pages.isEmpty) Seq("") else pages)
+      .map(t => lzwEncode(contentStream(t)))
+    documentFromContents(contents, compressed = false) match {
+      case bytes =>
+        // documentFromContents stamps FlateDecode when compressed; patch
+        // the filter name in for the LZW payloads instead
+        val s = new String(bytes, ISO_8859_1)
+        s.replace("<< /Length ", "<< /Filter /LZWDecode /Length ")
+          .getBytes(ISO_8859_1)
+    }
+  }
+
+  /** A complete PDF 1.5 document whose ENTIRE dict population — catalog,
+    * page tree, font — lives inside a Flate-compressed /Type /ObjStm,
+    * with a cross-reference STREAM (/Type /XRef, PNG-Up predicted
+    * W [1 4 2] rows) instead of a classic xref table: the modern-writer
+    * layout (VERDICT r10 missing #2). Content streams stay top-level
+    * (streams may not live in an ObjStm, per spec). Object numbering:
+    * 1 ObjStm, 2 catalog (packed), 3 pages (packed), 4 font (packed),
+    * then per page i: packed page dict 5+2i, top-level content 6+2i,
+    * and finally the XRef stream itself. */
+  def objStmDocument(pages: Seq[String], compress: Boolean = true): Array[Byte] = {
+    val pageList = if (pages.isEmpty) Seq("") else pages
+    val n = pageList.length
+    val kids = (0 until n).map(i => s"${5 + 2 * i} 0 R").mkString(" ")
+    // (objnum, body) pairs packed into the object stream
+    val packed: Seq[(Int, String)] =
+      Seq(2 -> "<< /Type /Catalog /Pages 3 0 R >>",
+        3 -> s"<< /Type /Pages /Kids [ $kids ] /Count $n >>",
+        4 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") ++
+      (0 until n).map { i =>
+        (5 + 2 * i) ->
+          (s"<< /Type /Page /Parent 3 0 R /MediaBox [ 0 0 612 792 ] " +
+            s"/Resources << /Font << /F1 4 0 R >> >> /Contents ${6 + 2 * i} 0 R >>")
+      }
+    val bodiesJoined = packed.map(_._2 + "\n").mkString
+    val offs = packed.map(_._2 + "\n").scanLeft(0)(_ + _.length).init
+    val header = packed.zip(offs)
+      .map { case ((num, _), off) => s"$num $off" }.mkString(" ") + "\n"
+    val objStmRaw = (header + bodiesJoined).getBytes(ISO_8859_1)
+    val objStmPayload = if (compress) deflate(objStmRaw) else objStmRaw
+    val objStmFilter = if (compress) " /Filter /FlateDecode" else ""
+
+    val xrefNum = 7 + 2 * (n - 1) // after the last content stream
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.5\n%âãÏÓ\n")
+    val offsets = scala.collection.mutable.Map.empty[Int, Long]
+    def writeObj(num: Int, body: String, stream: Option[Array[Byte]]): Unit = {
+      offsets(num) = out.size().toLong
+      w(s"$num 0 obj\n$body\n")
+      stream.foreach { b =>
+        w("stream\n"); out.write(b, 0, b.length); w("\nendstream\n")
+      }
+      w("endobj\n")
+    }
+    writeObj(1,
+      s"<< /Type /ObjStm /N ${packed.length} /First ${header.length} " +
+        s"/Length ${objStmPayload.length}$objStmFilter >>",
+      Some(objStmPayload))
+    pageList.zipWithIndex.foreach { case (text, i) =>
+      val raw = contentStream(text)
+      val payload = if (compress) deflate(raw) else raw
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      writeObj(6 + 2 * i, s"<< /Length ${payload.length}$filter >>", Some(payload))
+    }
+    // XRef stream: W [1 4 2] rows — type 0 free, type 1 (offset, 0),
+    // type 2 (objstm number, index) — PNG-Up predicted like real writers
+    val xrefOff = out.size().toLong
+    offsets(xrefNum) = xrefOff
+    val size = xrefNum + 1
+    val rowLen = 7
+    def row(t: Int, a: Long, b: Int): Array[Byte] = {
+      val r = new Array[Byte](rowLen)
+      r(0) = t.toByte
+      r(1) = ((a >>> 24) & 0xff).toByte; r(2) = ((a >>> 16) & 0xff).toByte
+      r(3) = ((a >>> 8) & 0xff).toByte; r(4) = (a & 0xff).toByte
+      r(5) = ((b >>> 8) & 0xff).toByte; r(6) = (b & 0xff).toByte
+      r
+    }
+    val packedIndex = packed.map(_._1).zipWithIndex.toMap
+    val rows: Seq[Array[Byte]] = (0 until size).map { num =>
+      if (num == 0) row(0, 0L, 0xffff)
+      else packedIndex.get(num) match {
+        case Some(idx) => row(2, 1L, idx) // lives in ObjStm 1 at index idx
+        case None => row(1, offsets(num), 0)
+      }
+    }
+    // PNG Up filter: each row stored as (2, row - priorRow)
+    val pred = new ByteArrayOutputStream()
+    var prior = new Array[Byte](rowLen)
+    rows.foreach { r =>
+      pred.write(2)
+      var j = 0
+      while (j < rowLen) { pred.write((r(j) - prior(j)) & 0xff); j += 1 }
+      prior = r
+    }
+    val xrefPayload = if (compress) deflate(pred.toByteArray) else pred.toByteArray
+    val xrefFilter = if (compress) " /Filter /FlateDecode" else ""
+    w(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /Root 2 0 R " +
+      s"/W [ 1 4 2 ] /DecodeParms << /Predictor 12 /Colors 1 " +
+      s"/BitsPerComponent 8 /Columns $rowLen >> " +
+      s"/Length ${xrefPayload.length}$xrefFilter >>\nstream\n")
+    out.write(xrefPayload, 0, xrefPayload.length)
+    w(s"\nendstream\nendobj\nstartxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }
 }

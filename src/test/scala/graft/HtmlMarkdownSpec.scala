@@ -75,6 +75,27 @@ class HtmlMarkdownSpec extends AnyFunSuite {
     assert(out == "| K | V |\n| --- | --- |\n| grp | v1 |\n| grp | v2 |")
   }
 
+  test("table: a nested table renders as escaped pipe text inside its cell") {
+    // the inner grid flattens to one escaped line appended to the cell's
+    // own text — the outer table's alignment survives, the inner content
+    // stays readable (and a nested pipe is escaped, not a column break)
+    val out = md(
+      "<table><tr><th>K</th><th>V</th></tr>" +
+        "<tr><td>outer</td><td>pre " +
+        "<table><tr><th>a</th><th>b</th></tr><tr><td>1</td><td>2</td></tr></table>" +
+        "</td></tr></table>")
+    val lines = out.split("\n")
+    assert(lines.length == 3, s"outer table must stay a 2-col grid:\n$out")
+    assert(lines(0) == "| K | V |")
+    assert(lines(2).startsWith("| outer | pre "))
+    assert(lines(2).contains("\\| a \\| b \\|"))
+    assert(lines(2).contains("\\| 1 \\| 2 \\|"))
+    // a cell that is ONLY a nested table still renders it
+    val only = md(
+      "<table><tr><td><table><tr><td>x</td></tr></table></td></tr></table>")
+    assert(only.contains("\\| x \\|"))
+  }
+
   test("table: a tr supplied ENTIRELY by rowspans still occupies a grid row") {
     // the middle <tr></tr> has zero source cells — both its columns come
     // from the rowspan=3 / rowspan=2 carries above. It must render as its

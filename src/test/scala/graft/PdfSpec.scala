@@ -37,6 +37,89 @@ class PdfSpec extends AnyFunSuite {
     assert(ex.extract(pdf) == "\nleading newline\nx")
   }
 
+  test("LZWDecode: ISO 32000 §7.4.4 worked example decodes to the spec bytes") {
+    // the spec's sample: input 45 45 45 45 45 65 45 45 45 66 encodes to
+    // codes (256) 45 258 258 65 259 66 (257) = bytes 80 0B 60 50 22 0C 0C 85 01
+    val encoded = Array(0x80, 0x0B, 0x60, 0x50, 0x22, 0x0C, 0x0C, 0x85, 0x01)
+      .map(_.toByte)
+    val want = Array(45, 45, 45, 45, 45, 65, 45, 45, 45, 66).map(_.toByte)
+    assert(PdfParse.lzwDecode(encoded).toSeq == want.toSeq)
+    // and the fixture encoder reproduces the spec's exact code stream
+    assert(PdfWrite.lzwEncode(want).toSeq == encoded.toSeq)
+  }
+
+  test("LZWDecode round-trip crosses the 9->10->11 bit width boundaries") {
+    // >1024 dictionary entries forces two width growths on both sides;
+    // a varied byte pattern (not periodic) keeps entries distinct
+    val data = Array.tabulate[Byte](60000)(i => ((i * i + i / 7) % 251).toByte)
+    assert(PdfParse.lzwDecode(PdfWrite.lzwEncode(data)).toSeq == data.toSeq)
+    // degenerate inputs are total
+    assert(PdfParse.lzwDecode(Array.empty[Byte]).isEmpty)
+    assert(PdfParse.lzwDecode(Array[Byte](0x7f)).isEmpty) // short of one code
+  }
+
+  test("LZW-compressed content streams extract like Flate ones") {
+    val pages = Seq("LZW page one\nsecond line", "page (two)")
+    val pdf = PdfWrite.lzwDocument(pages)
+    assert(new String(pdf, "ISO-8859-1").contains("/LZWDecode"))
+    assert(ex.extract(pdf) == pages.mkString("\n"))
+  }
+
+  test("PNG predictors invert: Up on W-rows (the XRef layout) and Sub/Paeth") {
+    // predictor 12 (PNG Up): rows delta-coded against the prior row
+    val rows = Seq(
+      Array[Byte](1, 0, 0, 0, 10, 0, 1),
+      Array[Byte](1, 0, 0, 0, 25, 0, 2),
+      Array[Byte](2, 0, 0, 1, 5, 0, 0))
+    val pred = new java.io.ByteArrayOutputStream()
+    var prior = new Array[Byte](7)
+    rows.foreach { r =>
+      pred.write(2)
+      (0 until 7).foreach(j => pred.write((r(j) - prior(j)) & 0xff))
+      prior = r
+    }
+    val got = PdfParse.unpredict(pred.toByteArray, 12, 1, 8, 7)
+    assert(got.toSeq == rows.flatten.toSeq)
+    // TIFF predictor 2: horizontal differencing
+    assert(PdfParse.unpredict(Array[Byte](10, 5, 5, 5), 2, 1, 8, 4).toSeq ==
+      Seq[Byte](10, 15, 20, 25))
+  }
+
+  test("PDF 1.5 ObjStm: packed page tree + fonts extract identically to classic layout") {
+    val pages = Seq(
+      "Object streams\nline (two) with parens",
+      "Second page\nmore text")
+    val modern = PdfWrite.objStmDocument(pages)
+    assert(new String(modern, "ISO-8859-1").startsWith("%PDF-1.5"))
+    assert(new String(modern, "ISO-8859-1").contains("/ObjStm"))
+    assert(new String(modern, "ISO-8859-1").contains("/Type /XRef"))
+    val classic = PdfWrite.document(pages)
+    assert(ex.extract(modern) == ex.extract(classic))
+    assert(ex.extract(modern) == pages.mkString("\n"))
+    // uncompressed ObjStm payload parses too
+    val plain = PdfWrite.objStmDocument(Seq("plain objstm"), compress = false)
+    assert(ex.extract(plain) == "plain objstm")
+    // a top-level definition of the SAME object number wins over a packed
+    // one (the incremental-update rule): append a replacement catalog
+    // pointing at an empty page tree — the packed catalog must not shadow it
+    val s = new String(modern, "ISO-8859-1")
+    val updated = (s + "\n2 0 obj\n<< /Type /Catalog /Pages 99 0 R >>\nendobj\n")
+      .getBytes("ISO-8859-1")
+    // page tree unresolvable now -> BT fallback still finds the text
+    assert(ex.extract(updated).contains("Object streams"))
+  }
+
+  test("fuzz: ObjStm unpack is total on mutated modern PDFs") {
+    val base = PdfWrite.objStmDocument(Seq("fuzz target\nabc"))
+    (0 until 200).foreach { k =>
+      val mutated = base.clone()
+      val idx = (k * 7919) % mutated.length
+      mutated(idx) = (mutated(idx) ^ (1 << (k % 8))).toByte
+      val out = ex.extract(mutated) // must not throw
+      assert(out != null)
+    }
+  }
+
   test("CID round-trip: Type0/Identity-H + ToUnicode, CJK and mixed text") {
     // subset cids are rank-based (NON-identity): a decoder that skips the
     // CMap reads control-range garbage, so equality proves the full path

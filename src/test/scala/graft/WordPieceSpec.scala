@@ -1,0 +1,157 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.WordPiece
+
+/** Tokenizer-contract parity cases for the WordPiece pipeline (reference
+  * `embeddings_model/tokenizer.json`: WordPiece + BertNormalizer +
+  * BertPreTokenizer, MPNet specials). Each stage is pinned separately so
+  * a regression names the broken stage, not just "ids changed". */
+class WordPieceSpec extends AnyFunSuite {
+
+  private def wp(tokens: String*): WordPiece =
+    WordPiece.fromVocab(
+      (Seq("[UNK]", "<s>", "</s>") ++ tokens).zipWithIndex.toMap)
+
+  // ---- stage 1: BertNormalizer ------------------------------------------
+
+  test("normalize: lowercase + NFD accent strip (do_lower_case implies strip_accents)") {
+    val t = wp()
+    assert(t.normalize("Café CRÈME") == "cafe creme")
+    // precomposed and decomposed inputs normalize identically
+    assert(t.normalize("Café") == t.normalize("Café"))
+  }
+
+  test("normalize: clean_text drops control/NUL/replacement, maps whitespace to space") {
+    val t = wp()
+    assert(t.normalize("a\u0000b\uFFFDc") == "abc")
+    assert(t.normalize("a\tb\nc\rd") == "a b c d")
+    assert(t.normalize("a\u0007b") == "ab") // BEL is CONTROL, removed
+  }
+
+  test("normalize: handle_chinese_chars pads CJK ideographs with spaces") {
+    val t = wp()
+    assert(t.normalize("ab中文cd") == "ab 中  文 cd")
+  }
+
+  test("normalize: lowercase=false keeps case and accents") {
+    val t = new WordPiece(Map("[UNK]" -> 0), lowercase = false)
+    assert(t.normalize("Café") == "Café")
+  }
+
+  // ---- stage 2: BertPreTokenizer ----------------------------------------
+
+  test("preTokenize: whitespace split + every punctuation char isolated") {
+    val t = wp()
+    assert(t.preTokenize("don't stop!").toSeq ==
+      Seq("don", "'", "t", "stop", "!"))
+    assert(t.preTokenize("a-b_c.d").toSeq ==
+      Seq("a", "-", "b", "_", "c", ".", "d"))
+    // ASCII symbols outside Unicode P* still split (BERT's _is_punctuation)
+    assert(t.preTokenize("x$y+z").toSeq == Seq("x", "$", "y", "+", "z"))
+    assert(t.preTokenize("  leading  runs  ").toSeq ==
+      Seq("leading", "runs"))
+    assert(t.preTokenize("").toSeq == Seq.empty)
+  }
+
+  // ---- stage 3: greedy longest-match WordPiece --------------------------
+
+  test("tokenizeWord: the classic un ##aff ##able segmentation") {
+    val t = wp("un", "##aff", "##able", "runn", "##ing")
+    assert(t.tokenizeWord("unaffable").toSeq == Seq("un", "##aff", "##able"))
+    assert(t.tokenizeWord("running").toSeq == Seq("runn", "##ing"))
+  }
+
+  test("tokenizeWord: GREEDY longest match, no backtracking — a dead end UNKs the whole word") {
+    // 's' + '##can' would segment 'scan', but greedy takes the longer
+    // start 'sc' first and then finds no '##an' — whole word becomes
+    // [UNK], exactly like HuggingFace's WordPiece
+    val t = wp("s", "sc", "##can")
+    assert(t.tokenizeWord("scan").toSeq == Seq("[UNK]"))
+    // with '##an' present the greedy path completes
+    val t2 = wp("s", "sc", "##can", "##an")
+    assert(t2.tokenizeWord("scan").toSeq == Seq("sc", "##an"))
+  }
+
+  test("tokenizeWord: longest match wins over first match at every position") {
+    val t = wp("a", "ab", "abc", "##d", "##cd")
+    assert(t.tokenizeWord("abcd").toSeq == Seq("abc", "##d"))
+  }
+
+  test("tokenizeWord: maxInputChars guard UNKs long words without scanning") {
+    val t = wp("a", "##a")
+    assert(t.tokenizeWord("a" * 100).length == 100)
+    assert(t.tokenizeWord("a" * 101).toSeq == Seq("[UNK]"))
+    assert(t.tokenizeWord("").toSeq == Seq.empty)
+  }
+
+  // ---- stage 4: encode (MPNet RobertaProcessing post) --------------------
+
+  test("encode wraps ids in <s>/</s>; ids() is the bare body") {
+    val t = wp("hello", "world") // ids: unk 0, <s> 1, </s> 2, hello 3, world 4
+    assert(t.encode("hello world").toSeq == Seq(1, 3, 4, 2))
+    assert(t.ids("hello world").toSeq == Seq(3, 4))
+    assert(t.ids("hello zzz").toSeq == Seq(3, 0)) // unk body id
+    assert(t.encode("").toSeq == Seq(1, 2))
+  }
+
+  test("full pipeline: normalization feeds pre-tokenization feeds wordpiece") {
+    val t = wp("cafe", "crem", "##e", "!")
+    assert(t.tokenize("Café CRÈME!").toSeq ==
+      Seq("cafe", "crem", "##e", "!"))
+  }
+
+  // ---- loader -------------------------------------------------------------
+
+  test("fromVocabFile: line number = id, trailing newline tolerated, mpnet specials") {
+    val dir = java.nio.file.Files.createTempDirectory("wp_vocab").toFile
+    val f = new java.io.File(dir, "vocab.txt")
+    java.nio.file.Files.write(f.toPath,
+      "<s>\n<pad>\n</s>\n<unk>\n[UNK]\nhello\n##s\n".getBytes("UTF-8"))
+    val t = WordPiece.fromVocabFile(f.getPath)
+    assert(t.size == 7)
+    assert(t.vocab("hello") == 5 && t.vocab("##s") == 6)
+    assert(t.clsId == 0 && t.sepId == 2 && t.unkId == 4)
+    assert(t.encode("hellos").toSeq == Seq(0, 5, 6, 2))
+  }
+
+  test("vocab missing the unk token fails fast") {
+    val ex = intercept[IllegalArgumentException] {
+      WordPiece.fromVocab(Map("a" -> 0))
+    }
+    assert(ex.getMessage.contains("unk"))
+  }
+
+  // ---- transformer artifact integration ----------------------------------
+
+  test("TransformerArtifact: a vocab.txt beside the weights switches inference to WordPiece ids") {
+    import graft.embed.{TransformerArtifact, TransformerInferenceModel}
+    val cfg = TransformerArtifact.Config(
+      dim = 16, heads = 2, layers = 1, ffDim = 32, maxLen = 16, vocab = 32)
+    // fresh dir (not the shared /tmp cache — we add a file to it)
+    val dir = java.nio.file.Files.createTempDirectory("wp_artifact").toString
+    TransformerArtifact.write(dir, cfg)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "vocab.txt"),
+      "[UNK]\n<s>\n</s>\nval\n##ue\nkey\n".getBytes("UTF-8"))
+    val m = TransformerInferenceModel(dir)
+    val s = m.init().asInstanceOf[graft.embed.TransformerSession]
+    // 'value' -> val ##ue (2 wordpiece tokens), 'key' -> key (1)
+    assert(s.diagnostics("value")._2 == 2)
+    assert(s.diagnostics("Value KEY!?")._2 == 5) // val ##ue key [UNK] [UNK]
+    // same ids -> same embedding: 'value' tokenizes identically to 'VALUE'
+    assert(s.embedBatch(Seq("value")).head.toSeq ==
+      s.embedBatch(Seq("VALUE")).head.toSeq)
+    // and differently from a different id sequence
+    assert(s.embedBatch(Seq("value")).head.toSeq !=
+      s.embedBatch(Seq("key")).head.toSeq)
+    s.close()
+    // oversized vocab vs embedding table fails fast
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "vocab.txt"),
+      (Seq("[UNK]") ++ (0 until 40).map(i => s"t$i")).mkString("\n").getBytes("UTF-8"))
+    val ex = intercept[IllegalArgumentException] {
+      TransformerInferenceModel(dir).init()
+    }
+    assert(ex.getMessage.contains("embedding table"))
+  }
+}
