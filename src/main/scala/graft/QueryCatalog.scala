@@ -191,6 +191,65 @@ object QueryCatalog {
       s"('$p', '$surf', $cont, ${i + 1})"
     }.mkString(",\n            ")
 
+  /** The DuckDB CTE chain replaying the WordPiece greedy walk per doc
+    * (ends at `perdoc`) — shared by the q_wordpiece and q_transformer_wp
+    * oracles. Must follow a WITH RECURSIVE keyword. The walk: per
+    * (word, position) the longest vocab match is precomputed (matching
+    * surfaces at one position are nested prefixes, so the length argmax
+    * is unique); the recursion takes one step per emitted piece; a
+    * position with no match marks the word dead = whole-word [UNK]. */
+  private def wpPerDocCtes: String =
+    s"""vocab(piece, surface, iscont, id) AS (VALUES
+            $wpVocabValues),
+          docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+                   FROM documents),
+          wocc AS (SELECT doc_id, CAST(i AS BIGINT) AS ord, ws[CAST(i AS INT)] AS w
+                   FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM docs)),
+          words AS (SELECT DISTINCT w FROM wocc),
+          best AS (
+            SELECT wp.w, wp.pos,
+                   max_by(v.piece, length(v.surface)) AS piece,
+                   CAST(max(length(v.surface)) AS INT) AS len,
+                   max_by(v.id, length(v.surface)) AS id
+            FROM (SELECT w, CAST(p AS INT) AS pos
+                  FROM (SELECT w, unnest(range(1, length(w) + 1)) AS p FROM words)) wp
+            JOIN vocab v
+              ON v.iscont = (wp.pos > 1)
+             AND substr(wp.w, wp.pos, length(v.surface)) = v.surface
+            GROUP BY wp.w, wp.pos),
+          walk(w, pos, n, idsum, acc, dead) AS (
+            SELECT w, 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                   CAST('' AS VARCHAR), false
+            FROM words
+            UNION ALL
+            SELECT k.w, k.pos + coalesce(b.len, 0),
+                   k.n + 1,
+                   k.idsum + CAST(coalesce(b.id, 0) AS BIGINT),
+                   CASE WHEN k.acc = '' THEN coalesce(b.piece, '')
+                        ELSE k.acc || ' ' || coalesce(b.piece, '') END,
+                   b.piece IS NULL
+            FROM walk k LEFT JOIN best b ON b.w = k.w AND b.pos = k.pos
+            WHERE NOT k.dead AND k.pos <= length(k.w)),
+          term AS (SELECT w, n, idsum, acc FROM walk
+                   WHERE NOT dead AND pos = length(w) + 1),
+          deadw AS (SELECT DISTINCT w FROM walk WHERE dead),
+          wordres AS (
+            SELECT ws.w,
+                   CASE WHEN d.w IS NOT NULL THEN CAST(1 AS BIGINT) ELSE t.n END AS n,
+                   CASE WHEN d.w IS NOT NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS unk,
+                   CASE WHEN d.w IS NOT NULL THEN CAST(0 AS BIGINT) ELSE t.idsum END AS idsum,
+                   CASE WHEN d.w IS NOT NULL THEN '[UNK]' ELSE t.acc END AS acc
+            FROM words ws LEFT JOIN term t ON t.w = ws.w
+                          LEFT JOIN deadw d ON d.w = ws.w),
+          perdoc AS (
+            SELECT o.doc_id,
+                   CAST(sum(r.n) AS BIGINT) AS n_pieces,
+                   CAST(sum(r.unk) AS BIGINT) AS n_unk,
+                   CAST(sum(r.idsum) AS BIGINT) AS id_sum,
+                   md5(coalesce(string_agg(r.acc, ' ' ORDER BY o.ord), '')) AS pieces_md5
+            FROM wocc o JOIN wordres r ON r.w = o.w
+            GROUP BY o.doc_id)"""
+
   /** Shared Spark-SQL/DuckDB formula text deriving statistics from exact
     * decimal moment sums (n, sq, sqq, sqqq, sp, spp, sqp). The SAME text
     * evaluates on both sides, so every +,*,/,sqrt is the same sequence of
@@ -6257,61 +6316,51 @@ object QueryCatalog {
             .orderBy("doc_id")
         },
         Some(s"""
-          WITH RECURSIVE vocab(piece, surface, iscont, id) AS (VALUES
-            $wpVocabValues),
-          docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
-                   FROM documents),
-          wocc AS (SELECT doc_id, CAST(i AS BIGINT) AS ord, ws[CAST(i AS INT)] AS w
-                   FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM docs)),
-          words AS (SELECT DISTINCT w FROM wocc),
-          best AS (
-            SELECT wp.w, wp.pos,
-                   max_by(v.piece, length(v.surface)) AS piece,
-                   CAST(max(length(v.surface)) AS INT) AS len,
-                   max_by(v.id, length(v.surface)) AS id
-            FROM (SELECT w, CAST(p AS INT) AS pos
-                  FROM (SELECT w, unnest(range(1, length(w) + 1)) AS p FROM words)) wp
-            JOIN vocab v
-              ON v.iscont = (wp.pos > 1)
-             AND substr(wp.w, wp.pos, length(v.surface)) = v.surface
-            GROUP BY wp.w, wp.pos),
-          walk(w, pos, n, idsum, acc, dead) AS (
-            SELECT w, 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
-                   CAST('' AS VARCHAR), false
-            FROM words
-            UNION ALL
-            SELECT k.w, k.pos + coalesce(b.len, 0),
-                   k.n + 1,
-                   k.idsum + CAST(coalesce(b.id, 0) AS BIGINT),
-                   CASE WHEN k.acc = '' THEN coalesce(b.piece, '')
-                        ELSE k.acc || ' ' || coalesce(b.piece, '') END,
-                   b.piece IS NULL
-            FROM walk k LEFT JOIN best b ON b.w = k.w AND b.pos = k.pos
-            WHERE NOT k.dead AND k.pos <= length(k.w)),
-          term AS (SELECT w, n, idsum, acc FROM walk
-                   WHERE NOT dead AND pos = length(w) + 1),
-          deadw AS (SELECT DISTINCT w FROM walk WHERE dead),
-          wordres AS (
-            SELECT ws.w,
-                   CASE WHEN d.w IS NOT NULL THEN CAST(1 AS BIGINT) ELSE t.n END AS n,
-                   CASE WHEN d.w IS NOT NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS unk,
-                   CASE WHEN d.w IS NOT NULL THEN CAST(0 AS BIGINT) ELSE t.idsum END AS idsum,
-                   CASE WHEN d.w IS NOT NULL THEN '[UNK]' ELSE t.acc END AS acc
-            FROM words ws LEFT JOIN term t ON t.w = ws.w
-                          LEFT JOIN deadw d ON d.w = ws.w),
-          perdoc AS (
-            SELECT o.doc_id,
-                   CAST(sum(r.n) AS BIGINT) AS n_pieces,
-                   CAST(sum(r.unk) AS BIGINT) AS n_unk,
-                   CAST(sum(r.idsum) AS BIGINT) AS id_sum,
-                   md5(coalesce(string_agg(r.acc, ' ' ORDER BY o.ord), '')) AS pieces_md5
-            FROM wocc o JOIN wordres r ON r.w = o.w
-            GROUP BY o.doc_id)
+          WITH RECURSIVE $wpPerDocCtes
           SELECT d.doc_id,
                  coalesce(p.n_pieces, 0) AS n_pieces,
                  coalesce(p.n_unk, 0) AS n_unk,
                  coalesce(p.id_sum, 0) AS id_sum,
                  coalesce(p.pieces_md5, md5('')) AS pieces_md5
+          FROM docs d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+          ORDER BY d.doc_id""")),
+
+      // The WordPiece tokenizer DRIVING the transformer encoder — the
+      // complete mpnet-shaped inference path (tokenizer.json contract ->
+      // vocab ids -> forward pass) through the artifact layout real
+      // exported weights arrive in (weights dir + vocab.txt). The oracle
+      // pins the wordpiece token count per doc by replaying the greedy
+      // walk in SQL (the shared q_wordpiece CTE chain; this corpus is
+      // strictly [a-z ]+ so the full Bert normalize/pre-tokenize
+      // pipeline and the regexp contract provably coincide) plus the
+      // forward pass's exact machine-checkable invariants (softmax row
+      // sums, LayerNorm moments, unit pooled norm) as round-6 residuals
+      // against literal zeros.
+      Q("q_transformer_wp",
+        (s, dir) => {
+          val cfg = graft.embed.TransformerArtifact.Config(
+            dim = 32, heads = 4, layers = 2, ffDim = 64, maxLen = 24, vocab = 64)
+          val modelDir = graft.embed.TransformerArtifact.ensureWithVocab(
+            cfg, "[UNK]" +: wpPieces)
+          val model = graft.embed.TransformerInferenceModel(modelDir)
+          graft.embed.TransformerEncoder.diagnostics(
+              tk(s, dir, "documents").select(col("doc_id"), col("text")),
+              "text", "doc_id", model, batchSize = 16)
+            .select(col("doc_id"),
+              least(col("n_tokens"), lit(24L)).as("n_tokens"), col("dim"),
+              r6(col("attn_err")).as("attn_err"),
+              r6(col("ln_err")).as("ln_err"),
+              r6(col("norm_err")).as("norm_err"))
+            .orderBy("doc_id")
+        },
+        Some(s"""
+          WITH RECURSIVE $wpPerDocCtes
+          SELECT d.doc_id,
+                 CAST(LEAST(coalesce(p.n_pieces, 0), 24) AS BIGINT) AS n_tokens,
+                 CAST(32 AS BIGINT) AS dim,
+                 (CAST(0.0 AS DOUBLE) + CAST(0.0 AS DOUBLE)) AS attn_err,
+                 (CAST(0.0 AS DOUBLE) + CAST(0.0 AS DOUBLE)) AS ln_err,
+                 (CAST(0.0 AS DOUBLE) + CAST(0.0 AS DOUBLE)) AS norm_err
           FROM docs d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
           ORDER BY d.doc_id""")),
 

@@ -353,6 +353,26 @@ object TransformerArtifact {
     dir
   }
 
+  /** [[ensure]] plus a `vocab.txt` (line = id, the reference
+    * `embeddings_model/` layout) — the artifact shape exported REAL
+    * sentence-transformers weights arrive in. Cache key includes the
+    * vocab content hash so a vocab change invalidates the marker. */
+  def ensureWithVocab(cfg: Config, vocabLines: Seq[String]): String = {
+    val vkey = graft.functions.TextHashing.md5Hex(vocabLines.mkString("\n"))
+      .take(8)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_transformer_wp_" +
+      s"${cfg.dim}x${cfg.heads}x${cfg.layers}x${cfg.ffDim}x${cfg.maxLen}x${cfg.vocab}" +
+      s"_$vkey" + s"_v$Version"
+    val marker = Paths.get(dir, "_DONE")
+    if (!Files.isRegularFile(marker)) {
+      write(dir, cfg)
+      Files.write(Paths.get(dir, "vocab.txt"),
+        (vocabLines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+      Files.write(marker, "ok".getBytes(StandardCharsets.UTF_8))
+    }
+    dir
+  }
+
   /** Optional real tokenizer: a `vocab.txt` beside the weights (the
     * reference's `embeddings_model/` layout — one surface form per line,
     * id = line number) switches inference to WordPiece ids. The ids
