@@ -104,6 +104,26 @@ object QueryCatalog {
           coalesce(max(CASE WHEN "rank" = $k THEN chr(30) || "left" || "right" || chr(31) END), chr(29)) AS q$k""")
       .mkString(", ")
 
+  /** WordPiece-trainer memo, same contract as [[bpeMerges]]: q_wp_vocab
+    * and q_wp_segment share one deterministic training run per dir. */
+  private val wpMergeCount = 12
+  private val wpTrainCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.ops.WordPieceTrainer.Merge]]()
+  private def wpMerges(s: SparkSession, dir: String): Seq[graft.ops.WordPieceTrainer.Merge] =
+    wpTrainCache.computeIfAbsent(dir, _ =>
+      graft.ops.WordPieceTrainer.train(
+        graft.ops.BpeTrainer.wordFrequencies(tk(s, dir, "documents"), "text"),
+        wpMergeCount))
+
+  /** Merge patterns for the q_wp_vocab SQL replay (the [[bpePatCols]]
+    * wrap trick, with the WordPiece merged piece — left + right minus
+    * its ## — as the replacement). */
+  private val wpPatCols: String =
+    (0 until wpMergeCount).map(k =>
+      s"""coalesce(max(CASE WHEN "rank" = $k THEN chr(30) || "left" || chr(31) || chr(30) || "right" || chr(31) END), chr(29)) AS p$k,
+          coalesce(max(CASE WHEN "rank" = $k THEN chr(30) || piece || chr(31) END), chr(29)) AS q$k""")
+      .mkString(", ")
+
   /** Unigram-tokenizer model memo, same contract as [[opqRotation]]:
     * q_sp_vocab / q_sp_segment / q_sp_dp share one hard-EM training run
     * per dir (deterministic: substring-count seed, Viterbi counts,
@@ -199,8 +219,15 @@ object QueryCatalog {
     * is unique); the recursion takes one step per emitted piece; a
     * position with no match marks the word dead = whole-word [UNK]. */
   private def wpPerDocCtes: String =
-    s"""vocab(piece, surface, iscont, id) AS (VALUES
-            $wpVocabValues),
+    wpPerDocCtesWith(s"""VALUES
+            $wpVocabValues""")
+
+  /** Same chain with an arbitrary vocab CTE body (columns piece,
+    * surface, iscont, id) — q_wp_segment feeds the TRAINED vocabulary
+    * (alphabet ∪ learned pieces from the q_wp_vocab dump) through the
+    * identical greedy-walk replay. */
+  private def wpPerDocCtesWith(vocabCte: String): String =
+    s"""vocab(piece, surface, iscont, id) AS ($vocabCte),
           docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
                    FROM documents),
           wocc AS (SELECT doc_id, CAST(i AS BIGINT) AS ord, ws[CAST(i AS INT)] AS w
@@ -2453,6 +2480,40 @@ object QueryCatalog {
                   ex.extract(graft.sources.PdfWrite.lzwDocument(Seq(text)))
                 else
                   ex.extract(graft.sources.PdfWrite.objStmDocument(Seq(text)))
+              (id, pdfText)
+            }
+          }
+          .toDF("doc_id", "pdf_text")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, regexp_replace(text, '[^ -~\n]', '?', 'g') AS pdf_text
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // S4 encrypted-PDF capability: per doc a REAL standard-security-
+    // handler file with an EMPTY user password — RC4-40 (V1 R2), RC4-128
+    // (V2 R3), or AES-128-CBC /AESV2 (V4 R4) by doc_id mod 3 — real /O
+    // and /U entries (Algorithms 2-5), streams Flate-compressed then
+    // encrypted. pypdfium opens these transparently for docling
+    // (pdf_reader.py:83-149); before r11 the extractor read ciphertext
+    // and returned "" like a scanned file. The hash match proves key
+    // derivation, per-object keys, and both cipher paths end-to-end.
+    Q("q_pdf_encrypted",
+      (s, dir) => {
+        import s.implicits._
+        val docs = tk(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"),
+            regexp_replace(col("text"), "[^ -~\\n]", "?").as("clean"))
+          .as[(Long, String)]
+        docs.mapPartitions { it =>
+            val ex = new graft.sources.PdfTextExtractor
+            val modes = Array("rc4-40", "rc4-128", "aes")
+            it.map { case (id, text) =>
+              val pdfText =
+                if (text == null) null
+                else ex.extract(graft.sources.PdfWrite.encryptedDocument(
+                  Seq(text), modes((id % 3).toInt)))
               (id, pdfText)
             }
           }
@@ -8880,6 +8941,123 @@ object QueryCatalog {
         SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_pieces,
                coalesce(array_to_string(pieces, chr(31)), '') AS pieces
         FROM out ORDER BY doc_id"""
+      }),
+
+    // WordPiece vocabulary TRAINING, full loop (Schuster & Nakajima
+    // 2012 — the trainer behind the reference's all-mpnet-base-v2
+    // vocab.txt): like q_bpe_vocab but the merge objective is the
+    // likelihood score n(l,r)/(c(l)·c(r)) — merge what co-occurs more
+    // than chance — over ##-marked word-internal symbols. The oracle
+    // replays the loop INDUCTIVELY against the dump: stage k rebuilds
+    // the symbol state with dumped merges 0..k-1 (the chr(30)/chr(31)
+    // replace trick), recomputes symbol AND pair counts, and re-derives
+    // the score argmax (one double division of exact integers — the
+    // same two IEEE ops both engines) — a wrong pick at any rank
+    // hash-fails. Emitted counts make the score replay non-circular.
+    Q("q_wp_vocab",
+      (s, dir) => {
+        import s.implicits._
+        wpMerges(s, dir)
+          .map(m => (m.rank.toLong, m.left, m.right, m.piece, m.n, m.cl, m.cr))
+          .toDF("rank", "left", "right", "piece", "pair_count", "cl", "cr")
+          .orderBy("rank")
+      },
+      Some {
+        val seg = "string_split(substr(syms, 2, length(syms) - 2), chr(31) || chr(30))"
+        val stages = (0 until wpMergeCount).map { k =>
+          val adv =
+            if (k == 0) ""
+            else s"s$k AS (SELECT replace(syms, p${k - 1}, q${k - 1}) AS syms, cnt FROM s${k - 1}, pats), "
+          adv +
+            s"""a$k AS (
+               SELECT l, r, CAST(sum(cnt) AS BIGINT) AS n
+               FROM (SELECT ss[CAST(i AS INT)] AS l, ss[CAST(i AS INT) + 1] AS r, cnt
+                     FROM (SELECT ss, cnt, unnest(range(1, len(ss))) AS i
+                           FROM (SELECT $seg AS ss, cnt FROM s$k)))
+               GROUP BY l, r),
+             c$k AS (
+               SELECT s, CAST(sum(cnt) AS BIGINT) AS c
+               FROM (SELECT unnest($seg) AS s, cnt FROM s$k)
+               GROUP BY s),
+             m$k AS (SELECT CAST($k AS BIGINT) AS "rank", a.l AS "left", a.r AS "right",
+                            a.l || CASE WHEN a.r LIKE '##%' THEN substr(a.r, 3) ELSE a.r END AS piece,
+                            a.n AS pair_count, cl.c AS cl, cr.c AS cr
+                     FROM a$k a JOIN c$k cl ON cl.s = a.l JOIN c$k cr ON cr.s = a.r
+                     WHERE a.n >= 2
+                     ORDER BY CAST(a.n AS DOUBLE) / (CAST(cl.c AS DOUBLE) * CAST(cr.c AS DOUBLE)) DESC,
+                              a.n DESC, a.l, a.r
+                     LIMIT 1)"""
+        }.mkString(", ")
+        s"""
+        WITH dump AS (SELECT * FROM read_parquet('__GRAFT_OUT__/q_wp_vocab/*.parquet')),
+        pats AS (SELECT $wpPatCols FROM dump),
+        wf AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+               FROM (SELECT unnest(${D.splitWs("text")}) AS w FROM documents)
+               WHERE length(w) > 0 GROUP BY w),
+        s0 AS (SELECT array_to_string(list_transform(range(1, length(word) + 1),
+                 i__ -> chr(30) ||
+                        (CASE WHEN i__ = 1 THEN substr(word, CAST(i__ AS INT), 1)
+                              ELSE '##' || substr(word, CAST(i__ AS INT), 1) END) ||
+                        chr(31)), '') AS syms, cnt
+               FROM wf),
+        $stages
+        ${(0 until wpMergeCount).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")}
+        ORDER BY "rank""""
+      }),
+
+    // The TRAINED WordPiece vocabulary driving greedy longest-match
+    // inference over the corpus — training and inference are different
+    // algorithms in WordPiece (merge order trains, longest-match
+    // tokenizes), so this is a separate contract from q_wp_vocab: the
+    // oracle rebuilds the inference vocab in SQL (corpus alphabet with
+    // positional ## marks ∪ the dumped learned pieces) and replays the
+    // same recursive-CTE greedy walk as q_wordpiece over it. The corpus
+    // alphabet guarantee means no word dead-ends: n_unk must be 0 for
+    // every doc — itself part of the hash.
+    Q("q_wp_segment",
+      (s, dir) => {
+        val merges = wpMerges(s, dir)
+        val words = graft.ops.BpeTrainer.wordFrequencies(tk(s, dir, "documents"), "text")
+        val vocabSeq = graft.ops.WordPieceTrainer.vocabulary(words, merges)
+        val vmap = (vocabSeq ++ Seq("[UNK]")).distinct.zipWithIndex.toMap
+        val wp = graft.functions.WordPiece.fromVocab(vmap)
+        val f = udf { ws: Seq[String] =>
+          val pieces = ws.flatMap(wp.tokenizeWord)
+          (pieces.length.toLong,
+            pieces.count(_ == "[UNK]").toLong,
+            pieces.mkString(" "))
+        }
+        t(s, dir, "documents")
+          .withColumn("ws", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+          .withColumn("r", f(col("ws")))
+          .select(col("doc_id"),
+            col("r._1").as("n_pieces"), col("r._2").as("n_unk"),
+            md5(col("r._3")).as("pieces_md5"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val vocabCte =
+          s"""SELECT piece,
+                CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS surface,
+                (piece LIKE '##%') AS iscont,
+                CAST(0 AS BIGINT) AS id
+              FROM (
+                SELECT DISTINCT CASE WHEN i__ = 1 THEN substr(word, CAST(i__ AS INT), 1)
+                                     ELSE '##' || substr(word, CAST(i__ AS INT), 1) END AS piece
+                FROM (SELECT word, unnest(range(1, length(word) + 1)) AS i__
+                      FROM (SELECT w AS word FROM (
+                              SELECT unnest(${D.splitWs("text")}) AS w FROM documents)
+                            WHERE length(w) > 0 GROUP BY w))
+                UNION
+                SELECT piece FROM read_parquet('__GRAFT_OUT__/q_wp_vocab/*.parquet'))"""
+        s"""
+          WITH RECURSIVE ${wpPerDocCtesWith(vocabCte)}
+          SELECT d.doc_id,
+                 coalesce(p.n_pieces, 0) AS n_pieces,
+                 coalesce(p.n_unk, 0) AS n_unk,
+                 coalesce(p.pieces_md5, md5('')) AS pieces_md5
+          FROM docs d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+          ORDER BY d.doc_id"""
       }),
 
     // WordPiece-style MaxMatch vocabulary (ops/MaxMatch): all length-1

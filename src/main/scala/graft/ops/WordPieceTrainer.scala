@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed WordPiece vocabulary induction (Schuster & Nakajima 2012;
+  * the trainer behind BERT/MPNet vocabularies, incl. the reference's
+  * all-mpnet-base-v2 `vocab.txt`) — completing the in-engine tokenizer
+  * training family next to [[BpeTrainer]] (BPE) and the unigram-LM
+  * trainer: train the vocab here, tokenize with
+  * [[graft.functions.WordPiece]]'s greedy longest-match.
+  *
+  * Identical reduction to BPE — statistics depend only on the
+  * corpus-independent (distinct word, count) table — but the merge
+  * OBJECTIVE differs: WordPiece picks the adjacent pair maximizing the
+  * likelihood ratio score n(l,r) / (c(l) · c(r)) (pair count over the
+  * product of symbol counts), the "merge what co-occurs more than
+  * chance" rule, instead of raw pair count. Symbols carry the `##`
+  * continuation marker from initialization (first code point plain, the
+  * rest `##`-prefixed), and merging (l, r) yields l + r-without-##, so
+  * learned pieces ARE the inference vocab's surface forms.
+  *
+  * Determinism and cross-engine replay: n, c(l), c(r) are exact integer
+  * sums; the score is ONE double division of doubles cast from those
+  * integers — the same two IEEE ops on any engine or partitioning —
+  * with (n DESC, l, r) tie-breaks. The full training loop is replayed
+  * inductively in SQL by the q_wp_vocab oracle (the q_bpe_vocab
+  * chr(30)/chr(31) replace() pattern, plus per-stage symbol counts for
+  * the score), so a wrong pick at ANY rank hash-fails.
+  */
+object WordPieceTrainer {
+
+  /** Initial symbols: code points, `##`-prefixed after the first (the
+    * WordPiece word-internal continuation convention). */
+  private[graft] def initSymbols(w: String): Array[String] = {
+    val cps = BpeTrainer.codePoints(w)
+    var i = 1
+    while (i < cps.length) { cps(i) = "##" + cps(i); i += 1 }
+    cps
+  }
+
+  private[graft] def mergedPiece(l: String, r: String): String =
+    l + (if (r.startsWith("##")) r.substring(2) else r)
+
+  /** Left-to-right greedy collapse of adjacent (l, r) into the merged
+    * piece — same kernel shape as [[BpeTrainer.applyMerge]]. */
+  private[graft] def applyMerge(syms: Array[String], l: String, r: String): Array[String] = {
+    val m = mergedPiece(l, r)
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += m; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** One learned merge: (rank, left, right, piece, pair n, c(left),
+    * c(right)) — the counts emitted so the oracle's per-stage score
+    * replay is non-circular. */
+  final case class Merge(rank: Int, left: String, right: String,
+                         piece: String, n: Long, cl: Long, cr: Long)
+
+  /** Train `merges` WordPiece merges over a (word, cnt) table. Hybrid
+    * like [[BpeTrainer.train]]: the vocab table is corpus-size-
+    * independent, so under `driverThreshold` distinct words the loop
+    * runs driver-side with bit-identical semantics; above it, each
+    * round is one pair-count + one symbol-count aggregation over the
+    * vocab table and a driver argmax of one row. */
+  def train(words: DataFrame, merges: Int,
+            driverThreshold: Long = 200000): Seq[Merge] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val freq = words.select(col("word"), col("cnt").cast("long").as("cnt"))
+    if (driverThreshold > 0 &&
+        freq.limit(driverThreshold.toInt + 1).count() <= driverThreshold)
+      return trainLocal(freq.as[(String, Long)].collect(), merges)
+    var vocab = freq.as[(String, Long)]
+      .map { case (w, c) => (initSymbols(w), c) }
+      .toDF("syms", "cnt").persist()
+    vocab.count()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 0
+    var go = true
+    while (go && rank < merges) {
+      val symCounts = vocab
+        .select(explode(col("syms")).as("s"), col("cnt"))
+        .groupBy("s").agg(sum(col("cnt")).as("c"))
+      val top = vocab
+        .where(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i__ -> struct(element_at(syms, i__) AS l, element_at(syms, i__ + 1) AS r))")).as("p"),
+          col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .join(symCounts.withColumnRenamed("s", "l").withColumnRenamed("c", "cl"), "l")
+        .join(symCounts.withColumnRenamed("s", "r").withColumnRenamed("c", "cr"), "r")
+        .where(col("n") >= 2)
+        .orderBy(
+          (col("n").cast("double") /
+            (col("cl").cast("double") * col("cr").cast("double"))).desc,
+          col("n").desc, col("l"), col("r"))
+        .limit(1)
+        .select("l", "r", "n", "cl", "cr")
+        .collect()
+      top.headOption match {
+        case Some(Row(l: String, r: String, n: Long, cl: Long, cr: Long)) =>
+          learned += Merge(rank, l, r, mergedPiece(l, r), n, cl, cr)
+          val next = vocab.as[(Array[String], Long)]
+            .map { case (syms, c) => (applyMerge(syms, l, r), c) }
+            .toDF("syms", "cnt").persist()
+          next.count()
+          vocab.unpersist()
+          vocab = next
+          rank += 1
+        case _ => go = false // no pair occurs twice — saturated
+      }
+    }
+    vocab.unpersist()
+    learned.toSeq
+  }
+
+  /** Driver-side loop — identical contract (same score, same tie-breaks,
+    * same kernels; WordPieceTrainerSpec pins the parity). */
+  private def trainLocal(freq: Array[(String, Long)], merges: Int): Seq[Merge] = {
+    var vocab: Array[(Array[String], Long)] =
+      freq.map { case (w, c) => (initSymbols(w), c) }
+    val learned = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 0
+    var go = true
+    while (go && rank < merges) {
+      val sym = scala.collection.mutable.Map.empty[String, Long]
+      val pair = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length) {
+          sym(syms(i)) = sym.getOrElse(syms(i), 0L) + c
+          if (i + 1 < syms.length) {
+            val k = (syms(i), syms(i + 1))
+            pair(k) = pair.getOrElse(k, 0L) + c
+          }
+          i += 1
+        }
+      }
+      val cands = pair.iterator.filter(_._2 >= 2L).map { case ((l, r), n) =>
+        (l, r, n, sym(l), sym(r), n.toDouble / (sym(l).toDouble * sym(r).toDouble))
+      }.toSeq
+      if (cands.isEmpty) go = false
+      else {
+        val (l, r, n, cl, cr, _) = cands.minBy { case (l0, r0, n0, _, _, sc) =>
+          (-sc, -n0, l0, r0)
+        }
+        learned += Merge(rank, l, r, mergedPiece(l, r), n, cl, cr)
+        vocab = vocab.map { case (syms, c) => (applyMerge(syms, l, r), c) }
+        rank += 1
+      }
+    }
+    learned.toSeq
+  }
+
+  /** The trained inference vocabulary: every symbol still reachable —
+    * corpus alphabet (initial symbols) plus all learned pieces — the
+    * set [[graft.functions.WordPiece]] greedy-matches against. */
+  def vocabulary(words: DataFrame, learned: Seq[Merge]): Seq[String] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val alphabet = words.select(col("word")).as[String]
+      .flatMap(w => initSymbols(w).toSeq)
+      .distinct().collect().sorted.toSeq
+    (alphabet ++ learned.map(_.piece)).distinct
+  }
+}

@@ -779,8 +779,11 @@ object PdfPages {
 
   def pages(bytes: Array[Byte]): Vector[Page] = {
     if (bytes == null || bytes.length < 8) return Vector.empty
+    // decrypt FIRST (encryption is the outermost layer — ObjStm payloads
+    // and content/CMap streams are ciphertext until the standard-handler
+    // key is applied), THEN unpack PDF 1.5 object streams
     val objs =
-      try unpackObjStm(objects(bytes)) // PDF 1.5+: page tree/fonts may be packed
+      try unpackObjStm(PdfCrypt.decryptIfNeeded(bytes, objects(bytes)))
       catch { case _: Exception => return Vector.empty }
 
     def contentsOf(page: PDict): Vector[Array[Byte]] =
@@ -1407,6 +1410,83 @@ object PdfWrite {
       s"/Length ${xrefPayload.length}$xrefFilter >>\nstream\n")
     out.write(xrefPayload, 0, xrefPayload.length)
     w(s"\nendstream\nendobj\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** A complete ENCRYPTED PDF (standard security handler, EMPTY user
+    * password — the "openable but restricted" layout that dominates real
+    * corpora). `mode`: "rc4-40" (V1 R2), "rc4-128" (V2 R3), or "aes"
+    * (V4 R4 /AESV2, AES-128-CBC). Streams are Flate-compressed THEN
+    * encrypted (encryption is the outermost layer); /O and /U are the
+    * real Algorithm 3/4/5 values so any conformant reader opens the
+    * file. Deterministic: the file ID is the md5 of the page text and
+    * AES IVs derive from (objnum, ID). */
+  def encryptedDocument(pages: Seq[String], mode: String = "rc4-128"): Array[Byte] = {
+    val (v, r, bits, aes) = mode match {
+      case "rc4-40" => (1, 2, 40, false)
+      case "aes" => (4, 4, 128, true)
+      case _ => (2, 3, 128, false)
+    }
+    val pageList = if (pages.isEmpty) Seq("") else pages
+    val n = pageList.length
+    val id0 = java.security.MessageDigest.getInstance("MD5")
+      .digest(pageList.mkString(" ").getBytes(ISO_8859_1))
+    val pPerm = -44 // print+copy restricted owner perms; any value works
+    val o = PdfCrypt.computeO(Array.empty, Array.empty, r, bits)
+    val fk = PdfCrypt.fileKey(o, pPerm, id0, bits, r)
+    val u = PdfCrypt.computeU(fk, id0, r)
+    def hex(b: Array[Byte]): String =
+      b.map(x => f"${x & 0xff}%02X").mkString
+    def crypt(num: Int, data: Array[Byte]): Array[Byte] = {
+      val key = PdfCrypt.objectKey(fk, num, aes)
+      if (aes) {
+        val iv = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"iv$num".getBytes(ISO_8859_1) ++ id0).take(16)
+        PdfCrypt.aesEncrypt(key, iv, data)
+      } else PdfCrypt.rc4(key, data)
+    }
+    val objCount = 4 + 2 * n // ... + encrypt dict (last)
+    val encNum = objCount
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.4\n%âãÏÓ\n")
+    val offsets = new Array[Long](objCount + 1)
+    def writeObj(num: Int, body: String, stream: Option[Array[Byte]]): Unit = {
+      offsets(num) = out.size().toLong
+      w(s"$num 0 obj\n$body\n")
+      stream.foreach { b =>
+        w("stream\n"); out.write(b, 0, b.length); w("\nendstream\n")
+      }
+      w("endobj\n")
+    }
+    writeObj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
+    val kids = (0 until n).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
+    writeObj(2, s"<< /Type /Pages /Kids [ $kids ] /Count $n >>", None)
+    writeObj(3, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>", None)
+    pageList.zipWithIndex.foreach { case (text, i) =>
+      val pageNum = 4 + 2 * i
+      val contNum = 5 + 2 * i
+      writeObj(pageNum,
+        s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+          s"/Resources << /Font << /F1 3 0 R >> >> /Contents $contNum 0 R >>",
+        None)
+      val payload = crypt(contNum, deflate(contentStream(text)))
+      writeObj(contNum,
+        s"<< /Length ${payload.length} /Filter /FlateDecode >>", Some(payload))
+    }
+    val cf =
+      if (aes) " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >>" +
+        " /StmF /StdCF /StrF /StdCF"
+      else ""
+    writeObj(encNum,
+      s"<< /Filter /Standard /V $v /R $r /Length $bits$cf " +
+        s"/O <${hex(o)}> /U <${hex(u)}> /P $pPerm >>", None)
+    val xrefOff = out.size().toLong
+    w(s"xref\n0 ${objCount + 1}\n")
+    w("0000000000 65535 f \n")
+    (1 to objCount).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${objCount + 1} /Root 1 0 R /Encrypt $encNum 0 R " +
+      s"/ID [ <${hex(id0)}> <${hex(id0)}> ] >>\nstartxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }
 }

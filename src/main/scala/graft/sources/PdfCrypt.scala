@@ -1,0 +1,225 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import java.security.MessageDigest
+
+import PdfParse._
+
+/** PDF standard security handler (ISO 32000 §7.6.3) — the
+  * "encrypted but openable" case that dominates real corpora: an empty
+  * USER password with owner-only restrictions. Covers V1/V2 RC4 (40- and
+  * 128-bit, R2/R3) and V4 /AESV2 (AES-128-CBC, R4). Decryption happens
+  * BEFORE filter decoding (encryption is the outermost layer), so the
+  * rest of the pipeline — FlateDecode/LZW, ObjStm, ToUnicode, content
+  * interpretation — is unchanged.
+  *
+  * The sequential object scan does not track generation numbers;
+  * per-object keys use gen 0, which is what incremental-update-free
+  * files (and this writer) produce. Wrong-generation objects would
+  * decrypt to garbage text, never throw.
+  *
+  * docling opens these files transparently (`pdf_reader.py:83-149` via
+  * pypdfium); without this the extractor read ciphertext as operators
+  * and returned "" — indistinguishable from a scanned PDF.
+  */
+object PdfCrypt {
+
+  /** The 32-byte password padding constant (ISO 32000 Table 21 prose). */
+  val Pad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private def md5(b: Array[Byte]): Array[Byte] =
+    MessageDigest.getInstance("MD5").digest(b)
+
+  def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(_.toByte)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + s(i) + key(i % key.length)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var x = 0; var y = 0
+    i = 0
+    while (i < data.length) {
+      x = (x + 1) & 0xff
+      y = (y + s(x)) & 0xff
+      val t = s(x); s(x) = s(y); s(y) = t
+      out(i) = (data(i) ^ s((s(x) + s(y)) & 0xff)).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def padPw(pw: Array[Byte]): Array[Byte] =
+    (pw.take(32) ++ Pad).take(32)
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** Algorithm 2: the file encryption key from the (empty here) user
+    * password, /O, /P, and the first file-ID string. */
+  def fileKey(o: Array[Byte], p: Int, id0: Array[Byte], lengthBits: Int,
+              r: Int, userPw: Array[Byte] = Array.empty): Array[Byte] = {
+    val n = math.max(5, math.min(16, lengthBits / 8))
+    var h = md5(padPw(userPw) ++ o.take(32) ++ le32(p) ++ id0)
+    if (r >= 3) {
+      var k = 0
+      while (k < 50) { h = md5(h.take(n)); k += 1 }
+    }
+    h.take(n)
+  }
+
+  private val AesSalt = Array(0x73, 0x41, 0x6C, 0x54).map(_.toByte) // "sAlT"
+
+  /** Algorithm 1: the per-object key (gen fixed at 0 — see class doc). */
+  def objectKey(fk: Array[Byte], num: Int, aes: Boolean): Array[Byte] = {
+    val tail = Array((num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+      ((num >> 16) & 0xff).toByte, 0.toByte, 0.toByte)
+    val h = md5(fk ++ tail ++ (if (aes) AesSalt else Array.empty[Byte]))
+    h.take(math.min(fk.length + 5, 16))
+  }
+
+  /** Algorithm 3: the /O entry. */
+  def computeO(ownerPw: Array[Byte], userPw: Array[Byte], r: Int,
+               lengthBits: Int): Array[Byte] = {
+    val n = math.max(5, math.min(16, lengthBits / 8))
+    var h = md5(padPw(if (ownerPw.nonEmpty) ownerPw else userPw))
+    if (r >= 3) { var k = 0; while (k < 50) { h = md5(h); k += 1 } }
+    val key = h.take(n)
+    var enc = rc4(key, padPw(userPw))
+    if (r >= 3) {
+      var i = 1
+      while (i <= 19) {
+        enc = rc4(key.map(b => (b ^ i).toByte), enc)
+        i += 1
+      }
+    }
+    enc
+  }
+
+  /** Algorithms 4/5: the /U entry (R2 full RC4; R3+ hash-then-pad). */
+  def computeU(fk: Array[Byte], id0: Array[Byte], r: Int): Array[Byte] =
+    if (r == 2) rc4(fk, Pad)
+    else {
+      var enc = rc4(fk, md5(Pad ++ id0))
+      var i = 1
+      while (i <= 19) {
+        enc = rc4(fk.map(b => (b ^ i).toByte), enc)
+        i += 1
+      }
+      enc ++ new Array[Byte](16)
+    }
+
+  def aesDecrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    if (data.length < 32 || data.length % 16 != 0)
+      return Array.empty // malformed AES payload: empty, never a throw
+    val cipher = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    cipher.init(javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(data.take(16)))
+    try cipher.doFinal(data, 16, data.length - 16)
+    catch { case _: java.security.GeneralSecurityException => Array.empty }
+  }
+
+  def aesEncrypt(key: Array[Byte], iv: Array[Byte],
+                 data: Array[Byte]): Array[Byte] = {
+    val cipher = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    iv ++ cipher.doFinal(data)
+  }
+
+  /** The trailer dictionary (last `trailer` keyword), or None. */
+  def trailerDict(s: String): Option[PDict] = {
+    val at = s.lastIndexOf("trailer")
+    if (at < 0) None
+    else {
+      val c = new Cursor(s, at + "trailer".length)
+      c.skipWs()
+      PdfParse.parseValue(c) match {
+        case d: PDict => Some(d)
+        case _ => None
+      }
+    }
+  }
+
+  private def strOf(v: PVal, objs: Map[Int, PObj]): Array[Byte] =
+    PdfParse.resolve(v, objs) match {
+      case PStr(b) => b
+      case _ => Array.empty
+    }
+  private def numOf(v: PVal, objs: Map[Int, PObj], dflt: Int): Int =
+    PdfParse.resolve(v, objs) match {
+      case PNum(n) => n.toInt
+      case _ => dflt
+    }
+
+  /** Detect a standard-handler /Encrypt in the trailer and decrypt every
+    * object's stream and string values in place (empty user password).
+    * Unsupported handlers/revisions return the map unchanged — the
+    * extractor then sees ciphertext and degrades to "" like a scanned
+    * file, never throws. */
+  def decryptIfNeeded(bytes: Array[Byte], objs: Map[Int, PObj]): Map[Int, PObj] = {
+    val s = new String(bytes, ISO_8859_1)
+    val trailer = trailerDict(s).getOrElse(return objs)
+    val encRefNum = trailer.m.get("Encrypt") match {
+      case Some(PRef(n, _)) => n
+      case Some(_: PDict) => -1 // inline dict: no object to exempt
+      case _ => return objs
+    }
+    val enc = PdfParse.resolve(trailer.m("Encrypt"), objs) match {
+      case d: PDict => d
+      case _ => return objs
+    }
+    if (PdfParse.resolve(enc.m.getOrElse("Filter", PNull), objs) != PName("Standard"))
+      return objs
+    val v = numOf(enc.m.getOrElse("V", PNull), objs, 0)
+    val r = numOf(enc.m.getOrElse("R", PNull), objs, 2)
+    val aes = v == 4 && (PdfParse.resolve(enc.m.getOrElse("CF", PNull), objs) match {
+      case PDict(cf) => cf.get("StdCF").exists(c =>
+        PdfParse.resolve(c, objs) match {
+          case PDict(std) => std.get("CFM").contains(PName("AESV2"))
+          case _ => false
+        })
+      case _ => false
+    })
+    if (!(v == 1 || v == 2 || (v == 4 && aes))) return objs
+    if (r < 2 || r > 4) return objs
+    val lengthBits =
+      if (v == 1) 40
+      else numOf(enc.m.getOrElse("Length", PNull), objs, if (aes) 128 else 40)
+    val o = strOf(enc.m.getOrElse("O", PNull), objs)
+    if (o.length < 32) return objs
+    val p = numOf(enc.m.getOrElse("P", PNull), objs, -1)
+    val id0 = PdfParse.resolve(trailer.m.getOrElse("ID", PNull), objs) match {
+      case PArr(items) if items.nonEmpty => strOf(items.head, objs)
+      case _ => Array.empty[Byte]
+    }
+    val fk = fileKey(o, p, id0, lengthBits, r)
+
+    def decBytes(key: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (aes) aesDecrypt(key, b) else rc4(key, b)
+    def decValue(v: PVal, key: Array[Byte]): PVal = v match {
+      case PStr(b) => PStr(decBytes(key, b))
+      case PArr(items) => PArr(items.map(decValue(_, key)))
+      case PDict(m) => PDict(m.map { case (k, vv) => k -> decValue(vv, key) })
+      case other => other
+    }
+    objs.map { case (num, obj) =>
+      if (num == encRefNum) (num, obj)
+      else {
+        val key = objectKey(fk, num, aes)
+        (num, PObj(num, decValue(obj.value, key),
+          obj.stream.map(decBytes(key, _))))
+      }
+    }
+  }
+}

@@ -109,6 +109,48 @@ class PdfSpec extends AnyFunSuite {
     assert(ex.extract(updated).contains("Object streams"))
   }
 
+  test("RC4 kernel: the classic Key/Plaintext known vector") {
+    import graft.sources.PdfCrypt
+    val got = PdfCrypt.rc4("Key".getBytes("ISO-8859-1"),
+      "Plaintext".getBytes("ISO-8859-1"))
+    assert(got.map(b => f"${b & 0xff}%02X").mkString == "BBF316E8D940AF0AD3")
+    // involution: decrypt == encrypt
+    assert(new String(PdfCrypt.rc4("Key".getBytes, got), "ISO-8859-1") == "Plaintext")
+  }
+
+  test("encrypted PDFs (RC4-40 / RC4-128 / AES-128, empty user password) extract like plain ones") {
+    import graft.sources.PdfCrypt
+    val pages = Seq("Encrypted page\nline (two) with parens", "second page")
+    Seq("rc4-40", "rc4-128", "aes").foreach { mode =>
+      val pdf = PdfWrite.encryptedDocument(pages, mode)
+      val s = new String(pdf, "ISO-8859-1")
+      assert(s.contains("/Encrypt") && s.contains("/Filter /Standard"), mode)
+      assert(ex.extract(pdf) == pages.mkString("\n"), s"mode=$mode")
+    }
+    // a corrupted /O derives the wrong key: ciphertext streams fail to
+    // inflate and the file degrades to "" (scanned-PDF signature), no throw
+    val enc = new String(PdfWrite.encryptedDocument(pages, "rc4-128"), "ISO-8859-1")
+    val oAt = enc.indexOf("/O <") + 4
+    val broken = (enc.substring(0, oAt) + "00000000" + enc.substring(oAt + 8))
+      .getBytes("ISO-8859-1")
+    assert(ex.extract(broken) == "")
+    // unsupported revision (R 5) is left untouched -> ciphertext -> ""
+    val r5 = enc.replace("/V 2 /R 3", "/V 5 /R 5").getBytes("ISO-8859-1")
+    assert(ex.extract(r5) == "")
+    // trailer parser is total
+    assert(PdfCrypt.trailerDict("no trailer here").isEmpty)
+  }
+
+  test("fuzz: encrypted-PDF decrypt path is total on mutated bytes") {
+    val base = PdfWrite.encryptedDocument(Seq("fuzz target\nxyz"), "aes")
+    (0 until 150).foreach { k =>
+      val mutated = base.clone()
+      val idx = (k * 6151) % mutated.length
+      mutated(idx) = (mutated(idx) ^ (1 << (k % 8))).toByte
+      assert(ex.extract(mutated) != null)
+    }
+  }
+
   test("fuzz: ObjStm unpack is total on mutated modern PDFs") {
     val base = PdfWrite.objStmDocument(Seq("fuzz target\nabc"))
     (0 until 200).foreach { k =>

@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.WordPiece
+import graft.ops.WordPieceTrainer
+
+class WordPieceTrainerSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  test("initSymbols: ## continuation marks, surrogate-safe code points") {
+    assert(WordPieceTrainer.initSymbols("abc").toSeq == Seq("a", "##b", "##c"))
+    assert(WordPieceTrainer.initSymbols("a").toSeq == Seq("a"))
+    // astral-plane char stays one symbol (no lone surrogates)
+    val e = WordPieceTrainer.initSymbols("x😀y")
+    assert(e.toSeq == Seq("x", "##😀", "##y"))
+  }
+
+  test("mergedPiece and applyMerge respect the ## convention") {
+    assert(WordPieceTrainer.mergedPiece("a", "##b") == "ab")
+    assert(WordPieceTrainer.mergedPiece("##a", "##b") == "##ab")
+    assert(WordPieceTrainer.applyMerge(
+      Array("a", "##b", "##a", "##b"), "a", "##b").toSeq == Seq("ab", "##a", "##b"))
+    assert(WordPieceTrainer.applyMerge(
+      Array("##a", "##b", "##a", "##b"), "##a", "##b").toSeq == Seq("##ab", "##ab"))
+  }
+
+  test("likelihood objective: rarer-symbol pairs beat raw-frequency pairs") {
+    // 'ab' appears 10x but a and b are everywhere (c=30 each);
+    // 'xy' appears 6x and x/y appear ONLY there (c=6 each).
+    // BPE (raw count) would merge (a,##b); WordPiece's score picks
+    // (x,##y): 6/36 = 0.167 >> 10/900 = 0.011.
+    val words = Seq(
+      ("ab", 10L), ("ax", 10L), ("ba", 10L), // a,b common in many contexts
+      ("xy", 6L)
+    ).toDF("word", "cnt")
+    val m = WordPieceTrainer.train(words, 1)
+    assert(m.head.left == "x" && m.head.right == "##y" && m.head.piece == "xy")
+    // independent score check: counts are exact
+    assert(m.head.n == 6L && m.head.cl == 6L && m.head.cr == 6L)
+  }
+
+  test("driver and distributed paths learn the identical merge table") {
+    val words = graft.ops.BpeTrainer.wordFrequencies(
+      Seq((1L, "the cat sat on the mat"), (2L, "the cat ran to the cats"),
+        (3L, "mats and cats and rats")).toDF("doc_id", "text"), "text")
+    val local = WordPieceTrainer.train(words, 8)
+    val dist = WordPieceTrainer.train(words, 8, driverThreshold = 0)
+    assert(local == dist)
+    assert(local.nonEmpty)
+    // ranks are sequential and pieces well-formed
+    assert(local.map(_.rank) == local.indices)
+    local.foreach { m =>
+      assert(m.piece ==
+        m.left + (if (m.right.startsWith("##")) m.right.substring(2) else m.right))
+    }
+  }
+
+  test("parity with an independent naive single-threaded reference") {
+    // brute-force reference: recompute all counts each round, pick by
+    // (score desc, n desc, l, r) — no shared kernels with the trainer
+    def naive(freq: Seq[(String, Long)], merges: Int): Seq[(String, String)] = {
+      var vocab = freq.map { case (w, c) =>
+        (w.toCharArray.zipWithIndex.map { case (ch, i) =>
+          if (i == 0) ch.toString else "##" + ch }.toSeq, c)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var go = true
+      while (go && out.length < merges) {
+        val sym = scala.collection.mutable.Map.empty[String, Long]
+        val pair = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, c) =>
+          syms.foreach(s => sym(s) = sym.getOrElse(s, 0L) + c)
+          syms.zip(syms.drop(1)).foreach(p => pair(p) = pair.getOrElse(p, 0L) + c)
+        }
+        val cands = pair.toSeq.filter(_._2 >= 2)
+        if (cands.isEmpty) go = false
+        else {
+          val best = cands.minBy { case ((l, r), n) =>
+            (-(n.toDouble / (sym(l).toDouble * sym(r).toDouble)), -n, l, r)
+          }._1
+          out += best
+          val merged = best._1 + best._2.stripPrefix("##")
+          vocab = vocab.map { case (syms, c) =>
+            val b = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == best._1 && syms(i + 1) == best._2) {
+                b += merged; i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            (b.toSeq, c)
+          }
+        }
+      }
+      out.toSeq
+    }
+    val freq = Seq(("hugs", 10L), ("hug", 5L), ("pug", 12L), ("pun", 4L),
+      ("bun", 4L), ("hugging", 5L))
+    val got = WordPieceTrainer.train(freq.toDF("word", "cnt"), 10)
+    assert(got.map(m => (m.left, m.right)) == naive(freq, 10))
+  }
+
+  test("trained vocabulary feeds greedy longest-match inference with zero UNKs") {
+    val docs = Seq((1L, "sparking sparks parked"), (2L, "park spark sparked"))
+      .toDF("doc_id", "text")
+    val words = graft.ops.BpeTrainer.wordFrequencies(docs, "text")
+    val merges = WordPieceTrainer.train(words, 6)
+    val vocabSeq = WordPieceTrainer.vocabulary(words, merges)
+    val wp = WordPiece.fromVocab(
+      (vocabSeq ++ Seq("[UNK]")).distinct.zipWithIndex.toMap)
+    // every corpus word segments without UNK (alphabet is in the vocab)
+    Seq("sparking", "sparks", "parked", "park", "spark", "sparked").foreach { w =>
+      val pieces = wp.tokenizeWord(w)
+      assert(!pieces.contains("[UNK]"), s"$w -> ${pieces.toSeq}")
+      assert(pieces.map(_.stripPrefix("##")).mkString == w)
+    }
+    // a word with an unseen character still UNKs (dead end mid-word)
+    assert(wp.tokenizeWord("sparkz").toSeq == Seq("[UNK]"))
+  }
+
+  test("saturation: trainer stops early when no pair repeats") {
+    val words = Seq(("ab", 1L), ("cd", 1L)).toDF("word", "cnt")
+    assert(WordPieceTrainer.train(words, 5).isEmpty)
+  }
+}
