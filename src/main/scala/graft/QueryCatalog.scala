@@ -2493,12 +2493,13 @@ object QueryCatalog {
 
     // S4 encrypted-PDF capability: per doc a REAL standard-security-
     // handler file with an EMPTY user password — RC4-40 (V1 R2), RC4-128
-    // (V2 R3), or AES-128-CBC /AESV2 (V4 R4) by doc_id mod 3 — real /O
-    // and /U entries (Algorithms 2-5), streams Flate-compressed then
-    // encrypted. pypdfium opens these transparently for docling
-    // (pdf_reader.py:83-149); before r11 the extractor read ciphertext
-    // and returned "" like a scanned file. The hash match proves key
-    // derivation, per-object keys, and both cipher paths end-to-end.
+    // (V2 R3), AES-128-CBC /AESV2 (V4 R4), or AES-256 /AESV3 (V5 R6,
+    // PDF 2.0 hardened hash) by doc_id mod 4 — real /O /U (/OE /UE)
+    // entries, streams Flate-compressed then encrypted. pypdfium opens
+    // these transparently for docling (pdf_reader.py:83-149); before
+    // r11 the extractor read ciphertext and returned "" like a scanned
+    // file. The hash match proves key derivation, per-object keys, and
+    // all three cipher paths end-to-end.
     Q("q_pdf_encrypted",
       (s, dir) => {
         import s.implicits._
@@ -2508,12 +2509,12 @@ object QueryCatalog {
           .as[(Long, String)]
         docs.mapPartitions { it =>
             val ex = new graft.sources.PdfTextExtractor
-            val modes = Array("rc4-40", "rc4-128", "aes")
+            val modes = Array("rc4-40", "rc4-128", "aes", "aes256")
             it.map { case (id, text) =>
               val pdfText =
                 if (text == null) null
                 else ex.extract(graft.sources.PdfWrite.encryptedDocument(
-                  Seq(text), modes((id % 3).toInt)))
+                  Seq(text), modes((id % 4).toInt)))
               (id, pdfText)
             }
           }
@@ -2681,6 +2682,61 @@ object QueryCatalog {
                 FROM s3)
           GROUP BY doc_id, chunk_idx
           ORDER BY doc_id, chunk_idx""")),
+
+      // SEMANTIC chunking (llama-index SemanticSplitterNodeParser
+      // capability): boundaries fall where the cosine between ADJACENT
+      // unit embeddings drops below 0.35 — topic shifts become chunk
+      // borders instead of fixed token counts. Units here are 12-word
+      // windows (the corpus has no sentence terminators; the regex
+      // sentence wrapper is spec-pinned); the hashing-embedder pipeline,
+      // the cosine, the threshold compare, and the break cumsum all
+      // replay bit-for-bit in the oracle (same IEEE sequence both
+      // engines — the threshold itself probed against the corpus: the
+      // adjacent-cosine distribution spans 0..0.8, so 0.35 yields a real
+      // break/merge mix, not a degenerate all-or-nothing split).
+      Q("q_semantic_chunks",
+        (s, dir) => {
+          val units = t(s, dir, "documents")
+            .withColumn("__toks", expr(Dialect.spark.splitWs("text")))
+            .select(col("doc_id"), posexplode(expr(
+              "transform(sequence(0, CAST(ceil(size(__toks) / CAST(12 AS DOUBLE)) AS INT) - 1), " +
+                "i__ -> array_join(slice(__toks, i__ * 12 + 1, 12), ' '))"))
+              .as(Seq("sidx", "sent")))
+          Chunking.semanticChunks(units, HashingEmbedder(dim), 0.35)
+            .select(col("doc_id"), col("chunk_idx"), col("n_sents"),
+              md5(col("chunk_text")).as("chunk_md5"))
+            .orderBy("doc_id", "chunk_idx")
+        },
+        Some {
+          val cos = D.cosine("pemb", "emb")
+          s"""
+          WITH docs AS (SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents),
+          units AS (SELECT doc_id, CAST(i AS BIGINT) AS sidx,
+                           array_to_string(toks[CAST(i * 12 + 1 AS INT):CAST(i * 12 + 12 AS INT)], ' ') AS sent
+                    FROM (SELECT doc_id, toks,
+                            unnest(range(0, CAST(ceil(len(toks) / CAST(12 AS DOUBLE)) AS INT))) AS i
+                          FROM docs)),
+          e AS (SELECT doc_id, sidx, sent, emb
+                FROM ${duckEmbed("units", "sent", dim)}),
+          c AS (SELECT doc_id, sidx, sent,
+                       lag(emb) OVER (PARTITION BY doc_id ORDER BY sidx) AS pemb,
+                       emb
+                FROM e),
+          b AS (SELECT doc_id, sidx, sent,
+                       CASE WHEN pemb IS NULL THEN 1
+                            WHEN $cos < CAST(0.35 AS DOUBLE) THEN 1
+                            ELSE 0 END AS brk
+                FROM c),
+          g AS (SELECT doc_id, sidx, sent,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY sidx
+                                      ROWS UNBOUNDED PRECEDING) - 1 AS chunk_idx
+                FROM b)
+          SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                 CAST(count(*) AS BIGINT) AS n_sents,
+                 md5(string_agg(sent, ' ' ORDER BY sidx)) AS chunk_md5
+          FROM g GROUP BY doc_id, chunk_idx
+          ORDER BY doc_id, chunk_idx"""
+        }),
 
       // Q3 mode=keyword — runs on the chunk table only: no embedding pass
       // (the embedder is opaque to Catalyst's column pruning, so skipping

@@ -88,6 +88,63 @@ object Chunking {
         sum(col("stoks")).as("n_tokens"))
   }
 
+  /** SEMANTIC splitter (the llama-index SemanticSplitterNodeParser
+    * capability, re-expressed relationally): chunk boundaries fall where
+    * adjacent text units stop being semantically similar — embed every
+    * unit, take the cosine between consecutive units, and open a new
+    * chunk when it drops below `breakBelow`. Topic shifts become chunk
+    * borders instead of arbitrary token counts.
+    *
+    * Input is a (doc_id, sidx, sent) unit table — sentences from
+    * [[explodeSentenceWindows]]'s regex, fixed word windows, or any
+    * upstream segmentation — so the boundary logic is one operator
+    * whatever the unit. Embeddings come from the deterministic
+    * [[graft.embed.HashingEmbedder]] SQL pipeline, so the WHOLE decision
+    * — embedding, cosine, threshold compare, break cumsum — replays
+    * bit-for-bit in an oracle (both engines run the same IEEE sequence;
+    * a zero-vector unit yields cosine NaN, and NaN < t is false on both
+    * engines, so degenerate units merge with their predecessor).
+    *
+    * Scale: one shuffle on doc_id (the window partition key); the
+    * embedding is a narrow per-row projection; chunks re-aggregate on
+    * the same (doc_id) key — no second exchange at 100 TB.
+    * Output: doc_id, chunk_idx (0-based per doc), chunk_text, n_sents. */
+  def semanticChunks(sents: DataFrame, embedder: graft.embed.HashingEmbedder,
+                     breakBelow: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // codegen fast path — bit-identical to the SQL pipeline the oracle runs
+    val emb = embedder.withEmbedding(sents, "sent", "__emb")
+    val w = Window.partitionBy("doc_id").orderBy("sidx")
+    emb
+      .withColumn("__prev", lag(col("__emb"), 1).over(w))
+      .withColumn("__cos",
+        when(col("__prev").isNull, lit(null).cast("double"))
+          .otherwise(graft.functions.VectorF.cosine(col("__prev"), col("__emb"))))
+      .withColumn("__brk",
+        when(col("__cos").isNull || col("__cos") < breakBelow, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("chunk_idx", sum(col("__brk")).over(w) - 1)
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(sidx, sent))), s -> s.sent), ' ')")
+          .as("chunk_text"),
+        count(lit(1)).as("n_sents"))
+  }
+
+  /** [[semanticChunks]] over regex sentences of a text column. */
+  def explodeSemanticWindows(df: DataFrame, textCol: String,
+                             embedder: graft.embed.HashingEmbedder,
+                             breakBelow: Double): DataFrame = {
+    val sentPattern = "[^.!?]*[.!?]+\\s*|[^.!?]+$"
+    val sents = df
+      .withColumn("__sents",
+        regexp_extract_all(col(textCol), lit(sentPattern), lit(0)))
+      .select(col("doc_id"), posexplode(col("__sents")).as(Seq("sidx", "sent")))
+      .withColumn("sent", trim(col("sent")))
+      .where(length(col("sent")) > 0)
+    semanticChunks(sents, embedder, breakBelow)
+  }
+
   /** Pure-Scala token-window chunker for the typed Dataset API + tests. */
   def chunkTokens(text: String, budget: Int, overlap: Int): Seq[String] = {
     require(budget > 0 && overlap >= 0 && overlap < budget)

@@ -1425,20 +1425,32 @@ object PdfWrite {
     val (v, r, bits, aes) = mode match {
       case "rc4-40" => (1, 2, 40, false)
       case "aes" => (4, 4, 128, true)
+      case "aes256" => (5, 6, 256, true)
       case _ => (2, 3, 128, false)
     }
     val pageList = if (pages.isEmpty) Seq("") else pages
     val n = pageList.length
-    val id0 = java.security.MessageDigest.getInstance("MD5")
-      .digest(pageList.mkString(" ").getBytes(ISO_8859_1))
+    def dmd5(tag: String): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest((tag + pageList.mkString(" ")).getBytes("UTF-8"))
+    val id0 = dmd5("")
     val pPerm = -44 // print+copy restricted owner perms; any value works
-    val o = PdfCrypt.computeO(Array.empty, Array.empty, r, bits)
-    val fk = PdfCrypt.fileKey(o, pPerm, id0, bits, r)
-    val u = PdfCrypt.computeU(fk, id0, r)
+    // R6 (PDF 2.0): the 32-byte file key is free-standing; /U /UE carry
+    // its empty-password wrapping. R2-R4: the key derives from /O.
+    val fkR6 = dmd5("k1") ++ dmd5("k2")
+    val (vSalt, kSalt) = (dmd5("vs").take(8), dmd5("ks").take(8))
+    val (uR6, ueR6) =
+      if (r == 6) PdfCrypt.computeUR6(fkR6, vSalt, kSalt)
+      else (Array.empty[Byte], Array.empty[Byte])
+    val o = PdfCrypt.computeO(Array.empty, Array.empty, math.min(r, 4), math.min(bits, 128))
+    val fk =
+      if (r == 6) fkR6
+      else PdfCrypt.fileKey(o, pPerm, id0, bits, r)
+    val u = if (r == 6) uR6 else PdfCrypt.computeU(fk, id0, r)
     def hex(b: Array[Byte]): String =
       b.map(x => f"${x & 0xff}%02X").mkString
     def crypt(num: Int, data: Array[Byte]): Array[Byte] = {
-      val key = PdfCrypt.objectKey(fk, num, aes)
+      val key = if (r == 6) fk else PdfCrypt.objectKey(fk, num, aes)
       if (aes) {
         val iv = java.security.MessageDigest.getInstance("MD5")
           .digest(s"iv$num".getBytes(ISO_8859_1) ++ id0).take(16)
@@ -1474,13 +1486,33 @@ object PdfWrite {
       writeObj(contNum,
         s"<< /Length ${payload.length} /Filter /FlateDecode >>", Some(payload))
     }
-    val cf =
-      if (aes) " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >>" +
-        " /StmF /StdCF /StrF /StdCF"
-      else ""
-    writeObj(encNum,
-      s"<< /Filter /Standard /V $v /R $r /Length $bits$cf " +
-        s"/O <${hex(o)}> /U <${hex(u)}> /P $pPerm >>", None)
+    val encBody =
+      if (r == 6) {
+        // owner wrapping over /U per spec (reader opens via the user path)
+        val (ovS, okS) = (dmd5("ovs").take(8), dmd5("oks").take(8))
+        val oHash = PdfCrypt.hash2B(Array.empty, ovS, u.take(48)) ++ ovS ++ okS
+        val ikO = PdfCrypt.hash2B(Array.empty, okS, u.take(48))
+        val oe = {
+          val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+          c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+            new javax.crypto.spec.SecretKeySpec(ikO, "AES"),
+            new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+          c.doFinal(fk)
+        }
+        s"<< /Filter /Standard /V 5 /R 6 /Length 256 " +
+          "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> " +
+          "/StmF /StdCF /StrF /StdCF " +
+          s"/O <${hex(oHash)}> /U <${hex(u)}> " +
+          s"/OE <${hex(oe)}> /UE <${hex(ueR6)}> /P $pPerm >>"
+      } else {
+        val cf =
+          if (aes) " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >>" +
+            " /StmF /StdCF /StrF /StdCF"
+          else ""
+        s"<< /Filter /Standard /V $v /R $r /Length $bits$cf " +
+          s"/O <${hex(o)}> /U <${hex(u)}> /P $pPerm >>"
+      }
+    writeObj(encNum, encBody, None)
     val xrefOff = out.size().toLong
     w(s"xref\n0 ${objCount + 1}\n")
     w("0000000000 65535 f \n")

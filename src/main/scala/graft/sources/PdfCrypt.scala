@@ -117,6 +117,75 @@ object PdfCrypt {
       enc ++ new Array[Byte](16)
     }
 
+  // ---- V5 / R6 (PDF 2.0, /AESV3, AES-256) --------------------------------
+
+  private def sha(alg: String, b: Array[Byte]): Array[Byte] =
+    MessageDigest.getInstance(alg).digest(b)
+
+  /** ISO 32000-2 Algorithm 2.B — the R6 hardened hash: SHA-256 seed,
+    * then rounds of AES-128-CBC over 64 repetitions of (pw ‖ K ‖ udata)
+    * keyed by K's halves, picking SHA-256/384/512 by E's byte sum mod 3,
+    * until round ≥ 64 and E's last byte ≤ round − 32. */
+  def hash2B(pw: Array[Byte], salt: Array[Byte],
+             udata: Array[Byte] = Array.empty): Array[Byte] = {
+    var k = sha("SHA-256", pw ++ salt ++ udata)
+    var round = 0
+    var done = false
+    var e = Array.empty[Byte]
+    while (!done) {
+      val k1 = {
+        val unit = pw ++ k ++ udata
+        val b = new java.io.ByteArrayOutputStream(unit.length * 64)
+        var i = 0
+        while (i < 64) { b.write(unit, 0, unit.length); i += 1 }
+        b.toByteArray
+      }
+      val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+        new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
+      e = cipher.doFinal(k1)
+      val mod = e.take(16).foldLeft(0)((a, b) => a + (b & 0xff)) % 3
+      k = sha(mod match {
+        case 0 => "SHA-256"; case 1 => "SHA-384"; case _ => "SHA-512"
+      }, e)
+      round += 1
+      done = round >= 64 && (e.last & 0xff) <= round - 32
+    }
+    k.take(32)
+  }
+
+  private def aesNoPad(mode: Int, key: Array[Byte], iv: Array[Byte],
+                       data: Array[Byte]): Array[Byte] = {
+    val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    cipher.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    cipher.doFinal(data)
+  }
+
+  /** R6 file key from the EMPTY user password: /U = hash(48) ‖
+    * validation-salt(8) ‖ key-salt(8); the intermediate key
+    * hash2B(pw, keySalt) AES-256-CBC-zero-IV-decrypts /UE into the
+    * 32-byte file key. Returns None when /U//UE are malformed. */
+  def fileKeyR6(u: Array[Byte], ue: Array[Byte]): Option[Array[Byte]] =
+    if (u.length < 48 || ue.length < 32) None
+    else {
+      val keySalt = u.slice(40, 48)
+      val ik = hash2B(Array.empty, keySalt)
+      Some(aesNoPad(javax.crypto.Cipher.DECRYPT_MODE, ik,
+        new Array[Byte](16), ue.take(32)))
+    }
+
+  /** Writer-side R6 /U and /UE for a chosen file key (empty user pw). */
+  def computeUR6(fileKey: Array[Byte], vSalt: Array[Byte],
+                 kSalt: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    val uHash = hash2B(Array.empty, vSalt)
+    val ik = hash2B(Array.empty, kSalt)
+    val ue = aesNoPad(javax.crypto.Cipher.ENCRYPT_MODE, ik,
+      new Array[Byte](16), fileKey)
+    (uHash ++ vSalt ++ kSalt, ue)
+  }
+
   def aesDecrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
     if (data.length < 32 || data.length % 16 != 0)
       return Array.empty // malformed AES payload: empty, never a throw
@@ -183,27 +252,40 @@ object PdfCrypt {
       return objs
     val v = numOf(enc.m.getOrElse("V", PNull), objs, 0)
     val r = numOf(enc.m.getOrElse("R", PNull), objs, 2)
-    val aes = v == 4 && (PdfParse.resolve(enc.m.getOrElse("CF", PNull), objs) match {
-      case PDict(cf) => cf.get("StdCF").exists(c =>
-        PdfParse.resolve(c, objs) match {
-          case PDict(std) => std.get("CFM").contains(PName("AESV2"))
-          case _ => false
-        })
-      case _ => false
-    })
-    if (!(v == 1 || v == 2 || (v == 4 && aes))) return objs
-    if (r < 2 || r > 4) return objs
-    val lengthBits =
-      if (v == 1) 40
-      else numOf(enc.m.getOrElse("Length", PNull), objs, if (aes) 128 else 40)
-    val o = strOf(enc.m.getOrElse("O", PNull), objs)
-    if (o.length < 32) return objs
-    val p = numOf(enc.m.getOrElse("P", PNull), objs, -1)
+    def cfm(name: String): Boolean =
+      PdfParse.resolve(enc.m.getOrElse("CF", PNull), objs) match {
+        case PDict(cf) => cf.get("StdCF").exists(c =>
+          PdfParse.resolve(c, objs) match {
+            case PDict(std) => std.get("CFM").contains(PName(name))
+            case _ => false
+          })
+        case _ => false
+      }
+    val aes2 = v == 4 && cfm("AESV2")
+    val aes3 = v == 5 && cfm("AESV3")
     val id0 = PdfParse.resolve(trailer.m.getOrElse("ID", PNull), objs) match {
       case PArr(items) if items.nonEmpty => strOf(items.head, objs)
       case _ => Array.empty[Byte]
     }
-    val fk = fileKey(o, p, id0, lengthBits, r)
+    // (fileKey, per-object key derivation?, AES?) per handler revision
+    val keyed: Option[(Array[Byte], Boolean, Boolean)] =
+      if (v == 5 && (r == 5 || r == 6) && aes3) {
+        // PDF 2.0: AES-256, the FILE key encrypts everything directly
+        val u = strOf(enc.m.getOrElse("U", PNull), objs)
+        val ue = strOf(enc.m.getOrElse("UE", PNull), objs)
+        fileKeyR6(u, ue).map(fk => (fk, false, true))
+      } else if ((v == 1 || v == 2 || aes2) && r >= 2 && r <= 4) {
+        val lengthBits =
+          if (v == 1) 40
+          else numOf(enc.m.getOrElse("Length", PNull), objs, if (aes2) 128 else 40)
+        val o = strOf(enc.m.getOrElse("O", PNull), objs)
+        if (o.length < 32) None
+        else {
+          val p = numOf(enc.m.getOrElse("P", PNull), objs, -1)
+          Some((fileKey(o, p, id0, lengthBits, r), true, aes2))
+        }
+      } else None
+    val (fk, perObject, aes) = keyed.getOrElse(return objs)
 
     def decBytes(key: Array[Byte], b: Array[Byte]): Array[Byte] =
       if (aes) aesDecrypt(key, b) else rc4(key, b)
@@ -216,7 +298,7 @@ object PdfCrypt {
     objs.map { case (num, obj) =>
       if (num == encRefNum) (num, obj)
       else {
-        val key = objectKey(fk, num, aes)
+        val key = if (perObject) objectKey(fk, num, aes) else fk
         (num, PObj(num, decValue(obj.value, key),
           obj.stream.map(decBytes(key, _))))
       }

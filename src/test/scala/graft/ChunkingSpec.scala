@@ -81,4 +81,34 @@ class ChunkingSpec extends AnyFunSuite {
     }
     assert(startsOk, s"chunk_idx must be floor(start-tokens / budget): $got")
   }
+
+  test("semantic chunker: breaks exactly at the topic shift, lossless repack") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    // two topics with DISJOINT vocabularies: within-topic adjacent units
+    // share words (cosine > 0), the cross-topic pair shares none (~0) —
+    // the break must land exactly there and nowhere else
+    val text = "alpha beta gamma. alpha beta delta. " +
+      "omega sigma tau. omega sigma rho."
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = graft.chunk.Chunking.explodeSemanticWindows(
+        df, "text", graft.embed.HashingEmbedder(64), 0.3)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_text", "n_sents")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(0L, 1L), s"one break expected: $got")
+    assert(got(0)._2 == "alpha beta gamma. alpha beta delta." && got(0)._3 == 2)
+    assert(got(1)._2 == "omega sigma tau. omega sigma rho." && got(1)._3 == 2)
+    // threshold 0 merges everything into one chunk (no cosine is negative
+    // enough); a first-unit break always opens chunk 0
+    val one = graft.chunk.Chunking.explodeSemanticWindows(
+        df, "text", graft.embed.HashingEmbedder(64), -1.1)
+      .collect()
+    assert(one.length == 1)
+    // a repeated unit (cosine exactly 1) never breaks at any threshold < 1
+    val rep = Seq((2L, "same words here. same words here. same words here."))
+      .toDF("doc_id", "text")
+    assert(graft.chunk.Chunking.explodeSemanticWindows(
+      rep, "text", graft.embed.HashingEmbedder(64), 0.999).collect().length == 1)
+  }
 }

@@ -121,12 +121,24 @@ class PdfSpec extends AnyFunSuite {
   test("encrypted PDFs (RC4-40 / RC4-128 / AES-128, empty user password) extract like plain ones") {
     import graft.sources.PdfCrypt
     val pages = Seq("Encrypted page\nline (two) with parens", "second page")
-    Seq("rc4-40", "rc4-128", "aes").foreach { mode =>
+    Seq("rc4-40", "rc4-128", "aes", "aes256").foreach { mode =>
       val pdf = PdfWrite.encryptedDocument(pages, mode)
       val s = new String(pdf, "ISO-8859-1")
       assert(s.contains("/Encrypt") && s.contains("/Filter /Standard"), mode)
       assert(ex.extract(pdf) == pages.mkString("\n"), s"mode=$mode")
     }
+    // R6 structure: AESV3 dict with 48-byte /U and 32-byte /UE; the
+    // hardened hash is deterministic and password-sensitive
+    import graft.sources.PdfCrypt
+    val k1 = PdfCrypt.hash2B("a".getBytes, Array.fill[Byte](8)(1))
+    assert(k1.length == 32)
+    assert(k1.toSeq == PdfCrypt.hash2B("a".getBytes, Array.fill[Byte](8)(1)).toSeq)
+    assert(k1.toSeq != PdfCrypt.hash2B("b".getBytes, Array.fill[Byte](8)(1)).toSeq)
+    // file-key round trip through the /U /UE wrapping
+    val fk = Array.tabulate[Byte](32)(i => (i * 7 + 3).toByte)
+    val (uu, ue) = PdfCrypt.computeUR6(fk, Array.fill[Byte](8)(2), Array.fill[Byte](8)(3))
+    assert(PdfCrypt.fileKeyR6(uu, ue).get.toSeq == fk.toSeq)
+    assert(PdfCrypt.fileKeyR6(Array.empty, Array.empty).isEmpty)
     // a corrupted /O derives the wrong key: ciphertext streams fail to
     // inflate and the file degrades to "" (scanned-PDF signature), no throw
     val enc = new String(PdfWrite.encryptedDocument(pages, "rc4-128"), "ISO-8859-1")
