@@ -398,7 +398,12 @@ object Bench {
           // r10-clean-measured head (ANN <= 1.7x, substr 0.9x, lsa 3.6x
           // in the run-7 record): re-measured last, freshness only
           "q_opq_ann", "q_sq8_ann", "q_ann_ivf", "q_cluster_best",
-          "q_substr_dedup", "q_lsa_embed")
+          "q_substr_dedup", "q_lsa_embed",
+          // r11-new operators: per-row kernels (PDF container/crypto,
+          // tokenizers) and the one-shuffle semantic chunker — expected
+          // linear; first ratios recorded by the r11 2600s run
+          "q_pdf_objstm", "q_pdf_encrypted", "q_wordpiece",
+          "q_semantic_chunks", "q_wp_segment", "q_transformer_wp")
         val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
         def timed(fn: String => Unit, dir: String, name: String,
                   baseT: Double): Double = {
