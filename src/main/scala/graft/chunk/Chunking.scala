@@ -112,8 +112,12 @@ object Chunking {
   def semanticChunks(sents: DataFrame, embedder: graft.embed.HashingEmbedder,
                      breakBelow: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // codegen fast path — bit-identical to the SQL pipeline the oracle runs
-    val emb = embedder.withEmbedding(sents, "sent", "__emb")
+    // repartition FIRST on the window key so the codegen embedding runs
+    // POST-shuffle: the exchange moves narrow (doc_id, sidx, sent) rows,
+    // never the 64-double vectors (the ANN-family exchange discipline —
+    // without this Catalyst hoists the embed Project above the shuffle)
+    val emb = embedder.withEmbedding(
+      sents.repartition(col("doc_id")), "sent", "__emb")
     val w = Window.partitionBy("doc_id").orderBy("sidx")
     emb
       .withColumn("__prev", lag(col("__emb"), 1).over(w))

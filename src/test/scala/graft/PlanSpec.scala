@@ -349,6 +349,25 @@ class PlanSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("semanticChunks: embeddings computed POST-shuffle, one data exchange") {
+    val sents = (0 until 40).map(i => (i.toLong % 5, i.toLong, s"word$i text"))
+      .toDF("doc_id", "sidx", "sent")
+    val plan = graft.chunk.Chunking.semanticChunks(
+      sents, graft.embed.HashingEmbedder(64), 0.35)
+      .queryExecution.executedPlan.toString
+    // the embed Project must sit ABOVE the repartition exchange: the
+    // shuffle moves narrow (doc_id, sidx, sent) rows, never the
+    // 64-double vectors (the ANN-family exchange discipline)
+    val embAt = plan.indexOf("embedtext")
+    val exAt = plan.indexOf("REPARTITION_BY_COL")
+    assert(embAt >= 0 && exAt >= 0 && embAt < exAt,
+      s"embedtext must be post-shuffle (above the exchange in plan text):\n$plan")
+    // exactly ONE data exchange feeds the windows + aggregation chain
+    assert(plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      s"windows and agg must reuse the single doc_id partitioning:\n$plan")
+  }
+
   test("descNaNFirst ranks NaN strictly above +Infinity (orderBy(desc) parity)") {
     // the nanvl(−c, −∞) shortcut collided NaN with +∞ (−(+∞) = −∞) and
     // let the id tie-break invert them vs orderBy(desc); the two-part
