@@ -116,6 +116,29 @@ class WordPieceSpec extends AnyFunSuite {
     assert(t.encode("hellos").toSeq == Seq(0, 5, 6, 2))
   }
 
+  test("fuzz: the full pipeline is total and deterministic on hostile unicode") {
+    val t = wp("a", "##b", "x", "##y")
+    val rnd = new scala.util.Random(7)
+    val hostile = Seq(
+      "😀😀 astral",            // emoji pairs
+      "\uD800 lone high surrogate \uDFFF lone low", // broken surrogates
+      "a\u0301\u0301\u0301 stacked marks",
+      "\u202Ertl override\u202C mixed \u00A0\u2003 nbsp",
+      "\u0000\u0001\u0002 controls \uFFFD",
+      "中文漢字 cjk run",
+      "a" * 5000,                                   // huge word
+      "")
+    (hostile ++ (0 until 200).map { _ =>
+      (0 until 20).map(_ => rnd.nextInt(0x3000).toChar).mkString
+    }).foreach { s =>
+      val a = t.tokenize(s)
+      val b = t.tokenize(s)
+      assert(a.toSeq == b.toSeq) // deterministic
+      assert(t.encode(s).length == a.length + 2)
+      a.foreach(p => assert(p == "[UNK]" || t.vocab.contains(p)))
+    }
+  }
+
   test("vocab missing the unk token fails fast") {
     val ex = intercept[IllegalArgumentException] {
       WordPiece.fromVocab(Map("a" -> 0))
