@@ -1413,6 +1413,107 @@ object PdfWrite {
     out.toByteArray
   }
 
+  /** The fully-modern combination: a PDF 1.5 document that is BOTH
+    * object-stream-packed AND encrypted (RC4-128, V2 R3, empty user
+    * password) — the layout contemporary writers emit for restricted
+    * documents. No classic trailer exists: /Encrypt and /ID live in the
+    * /Type /XRef stream dictionary. The ObjStm payload and content
+    * streams are Flate-then-encrypted; the XRef stream itself stays
+    * plaintext (the reader needs it before it has a key, per spec). */
+  def encryptedObjStmDocument(pages: Seq[String]): Array[Byte] = {
+    val pageList = if (pages.isEmpty) Seq("") else pages
+    val n = pageList.length
+    val id0 = java.security.MessageDigest.getInstance("MD5")
+      .digest(("eo" + pageList.mkString(" ")).getBytes("UTF-8"))
+    val pPerm = -44
+    val o = PdfCrypt.computeO(Array.empty, Array.empty, 3, 128)
+    val fk = PdfCrypt.fileKey(o, pPerm, id0, 128, 3)
+    val u = PdfCrypt.computeU(fk, id0, 3)
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
+    def crypt(num: Int, data: Array[Byte]): Array[Byte] =
+      PdfCrypt.rc4(PdfCrypt.objectKey(fk, num, aes = false), data)
+
+    val kids = (0 until n).map(i => s"${5 + 2 * i} 0 R").mkString(" ")
+    val packed: Seq[(Int, String)] =
+      Seq(2 -> "<< /Type /Catalog /Pages 3 0 R >>",
+        3 -> s"<< /Type /Pages /Kids [ $kids ] /Count $n >>",
+        4 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") ++
+      (0 until n).map { i =>
+        (5 + 2 * i) ->
+          (s"<< /Type /Page /Parent 3 0 R /MediaBox [ 0 0 612 792 ] " +
+            s"/Resources << /Font << /F1 4 0 R >> >> /Contents ${6 + 2 * i} 0 R >>")
+      }
+    val bodiesJoined = packed.map(_._2 + "\n").mkString
+    val offs = packed.map(_._2 + "\n").scanLeft(0)(_ + _.length).init
+    val header = packed.zip(offs)
+      .map { case ((num, _), off) => s"$num $off" }.mkString(" ") + "\n"
+    val objStmPayload = crypt(1, deflate((header + bodiesJoined).getBytes(ISO_8859_1)))
+
+    val encNum = 5 + 2 * n
+    val xrefNum = encNum + 1
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.5\n%âãÏÓ\n")
+    val offsets = scala.collection.mutable.Map.empty[Int, Long]
+    def writeObj(num: Int, body: String, stream: Option[Array[Byte]]): Unit = {
+      offsets(num) = out.size().toLong
+      w(s"$num 0 obj\n$body\n")
+      stream.foreach { b =>
+        w("stream\n"); out.write(b, 0, b.length); w("\nendstream\n")
+      }
+      w("endobj\n")
+    }
+    writeObj(1,
+      s"<< /Type /ObjStm /N ${packed.length} /First ${header.length} " +
+        s"/Length ${objStmPayload.length} /Filter /FlateDecode >>",
+      Some(objStmPayload))
+    pageList.zipWithIndex.foreach { case (text, i) =>
+      val payload = crypt(6 + 2 * i, deflate(contentStream(text)))
+      writeObj(6 + 2 * i,
+        s"<< /Length ${payload.length} /Filter /FlateDecode >>", Some(payload))
+    }
+    writeObj(encNum,
+      s"<< /Filter /Standard /V 2 /R 3 /Length 128 " +
+        s"/O <${hex(o)}> /U <${hex(u)}> /P $pPerm >>", None)
+    // XRef stream (plaintext): same W [1 4 2] rows as objStmDocument
+    val xrefOff = out.size().toLong
+    offsets(xrefNum) = xrefOff
+    val size = xrefNum + 1
+    val rowLen = 7
+    def row(t: Int, a: Long, b: Int): Array[Byte] = {
+      val r = new Array[Byte](rowLen)
+      r(0) = t.toByte
+      r(1) = ((a >>> 24) & 0xff).toByte; r(2) = ((a >>> 16) & 0xff).toByte
+      r(3) = ((a >>> 8) & 0xff).toByte; r(4) = (a & 0xff).toByte
+      r(5) = ((b >>> 8) & 0xff).toByte; r(6) = (b & 0xff).toByte
+      r
+    }
+    val packedIndex = packed.map(_._1).zipWithIndex.toMap
+    val pred = new ByteArrayOutputStream()
+    var prior = new Array[Byte](rowLen)
+    (0 until size).foreach { num =>
+      val r =
+        if (num == 0) row(0, 0L, 0xffff)
+        else packedIndex.get(num) match {
+          case Some(idx) => row(2, 1L, idx)
+          case None => row(1, offsets(num), 0)
+        }
+      pred.write(2)
+      var j = 0
+      while (j < rowLen) { pred.write((r(j) - prior(j)) & 0xff); j += 1 }
+      prior = r
+    }
+    val xrefPayload = deflate(pred.toByteArray)
+    w(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /Root 2 0 R " +
+      s"/Encrypt $encNum 0 R /ID [ <${hex(id0)}> <${hex(id0)}> ] " +
+      s"/W [ 1 4 2 ] /DecodeParms << /Predictor 12 /Colors 1 " +
+      s"/BitsPerComponent 8 /Columns $rowLen >> " +
+      s"/Length ${xrefPayload.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(xrefPayload, 0, xrefPayload.length)
+    w(s"\nendstream\nendobj\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** A complete ENCRYPTED PDF (standard security handler, EMPTY user
     * password — the "openable but restricted" layout that dominates real
     * corpora). `mode`: "rc4-40" (V1 R2), "rc4-128" (V2 R3), or "aes"

@@ -231,14 +231,22 @@ object PdfCrypt {
       case _ => dflt
     }
 
-  /** Detect a standard-handler /Encrypt in the trailer and decrypt every
-    * object's stream and string values in place (empty user password).
+  /** Detect a standard-handler /Encrypt in the trailer — or, in the
+    * PDF 1.5+ xref-STREAM layout where no `trailer` keyword exists, in
+    * the /Type /XRef stream dictionary (which doubles as the trailer
+    * there, carrying /Encrypt and /ID) — and decrypt every object's
+    * stream and string values in place (empty user password).
     * Unsupported handlers/revisions return the map unchanged — the
     * extractor then sees ciphertext and degrades to "" like a scanned
     * file, never throws. */
   def decryptIfNeeded(bytes: Array[Byte], objs: Map[Int, PObj]): Map[Int, PObj] = {
     val s = new String(bytes, ISO_8859_1)
-    val trailer = trailerDict(s).getOrElse(return objs)
+    val trailer = trailerDict(s)
+      .orElse(objs.values.collectFirst {
+        case PObj(_, d @ PDict(m), _)
+          if m.get("Type").contains(PName("XRef")) && m.contains("Encrypt") => d
+      })
+      .getOrElse(return objs)
     val encRefNum = trailer.m.get("Encrypt") match {
       case Some(PRef(n, _)) => n
       case Some(_: PDict) => -1 // inline dict: no object to exempt
@@ -295,8 +303,14 @@ object PdfCrypt {
       case PDict(m) => PDict(m.map { case (k, vv) => k -> decValue(vv, key) })
       case other => other
     }
+    def isXref(o: PObj): Boolean = o.value match {
+      case PDict(m) => m.get("Type").contains(PName("XRef"))
+      case _ => false
+    }
     objs.map { case (num, obj) =>
-      if (num == encRefNum) (num, obj)
+      // the encryption dict and xref streams are never themselves
+      // encrypted (the reader must parse both BEFORE it has the key)
+      if (num == encRefNum || isXref(obj)) (num, obj)
       else {
         val key = if (perObject) objectKey(fk, num, aes) else fk
         (num, PObj(num, decValue(obj.value, key),

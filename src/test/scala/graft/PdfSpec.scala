@@ -153,6 +153,25 @@ class PdfSpec extends AnyFunSuite {
     assert(PdfCrypt.trailerDict("no trailer here").isEmpty)
   }
 
+  test("encrypted + object-stream combined (PDF 1.5, /Encrypt in the XRef stream dict)") {
+    // the fully-modern layout: no classic trailer keyword anywhere — the
+    // /Type /XRef stream dictionary carries /Encrypt and /ID; the ObjStm
+    // payload (catalog/page tree/fonts) and the content streams are
+    // Flate-then-RC4; the XRef stream itself is plaintext per spec
+    val pages = Seq("Modern encrypted\nline (two)", "second page")
+    val pdf = PdfWrite.encryptedObjStmDocument(pages)
+    val s = new String(pdf, "ISO-8859-1")
+    assert(!s.contains("trailer"))
+    assert(s.contains("/ObjStm") && s.contains("/Type /XRef") &&
+      s.contains("/Encrypt"))
+    assert(ex.extract(pdf) == pages.mkString("\n"))
+    // breaking /U does nothing (key comes from /O); breaking /O kills it
+    val oAt = s.indexOf("/O <") + 4
+    val broken = (s.substring(0, oAt) + "00000000" + s.substring(oAt + 8))
+      .getBytes("ISO-8859-1")
+    assert(ex.extract(broken) == "")
+  }
+
   test("fuzz: encrypted-PDF decrypt path is total on mutated bytes") {
     val base = PdfWrite.encryptedDocument(Seq("fuzz target\nxyz"), "aes")
     (0 until 150).foreach { k =>
