@@ -10362,6 +10362,57 @@ object QueryCatalog {
           GROUP BY source
           ORDER BY source""")),
 
+      // In-context pretraining corpus ordering (Shi et al. 2023):
+      // semantically related docs placed ADJACENT in the training
+      // stream — sign-pattern LSH buckets (SQL-replayable neighborhood
+      // assignment), then a greedy nearest-neighbor chain per bucket
+      // (start at the lowest id, hop to the unvisited member with the
+      // highest cosine to the CURRENT doc, ties -> lowest id). The
+      // compared projection is ALL exact integers (vec_id, bucket, pos);
+      // the greedy chain replays INDUCTIVELY against the dump (the
+      // q_mmr_rerank pattern): every step's pick is recomputed from raw
+      // embeddings given the dump's prefix, so the first wrong hop
+      // hash-fails. NaN cosines (zero vectors) key as -1e308 on both
+      // engines — degenerate members chain last, by id.
+      Q("q_icp_order",
+        (s, dir) =>
+          graft.ops.CorpusOrder.icpOrder(
+              t(s, dir, "embeddings"), "vec_id", "embedding", signBits = 4)
+            .orderBy("bucket", "pos"),
+        Some(s"""
+          WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                            ${graft.ops.CorpusOrder.bucketExprSql("embedding", 4, oneBased = true)} AS bucket
+                     FROM embeddings),
+          dump AS (SELECT * FROM read_parquet('__GRAFT_OUT__/q_icp_order/*.parquet')),
+          pairs AS (SELECT a.bucket, a.vec_id AS ia, b.vec_id AS ib,
+                           ${D.cosine("a.v", "b.v")} AS c
+                    FROM e a JOIN e b
+                      ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+          strt AS (SELECT bucket, min(vec_id) AS vec_id FROM e GROUP BY bucket),
+          steps AS (SELECT bucket, pos FROM dump WHERE pos > 0),
+          prev AS (SELECT st.bucket, st.pos, d.vec_id AS pv
+                   FROM steps st JOIN dump d
+                     ON d.bucket = st.bucket AND d.pos = st.pos - 1),
+          cand AS (SELECT p.bucket, p.pos, pr.ib,
+                          CASE WHEN isnan(pr.c) THEN CAST(-1e308 AS DOUBLE)
+                               ELSE pr.c END AS key
+                   FROM prev p JOIN pairs pr
+                     ON pr.bucket = p.bucket AND pr.ia = p.pv
+                   WHERE NOT EXISTS (SELECT 1 FROM dump d2
+                                     WHERE d2.bucket = p.bucket
+                                       AND d2.vec_id = pr.ib
+                                       AND d2.pos < p.pos)),
+          picked AS (SELECT bucket, pos, ib AS vec_id,
+                            row_number() OVER (PARTITION BY bucket, pos
+                                               ORDER BY key DESC, ib) AS rn
+                     FROM cand)
+          SELECT vec_id, bucket, pos FROM (
+            SELECT vec_id, bucket, CAST(0 AS BIGINT) AS pos FROM strt
+            UNION ALL
+            SELECT vec_id, bucket, CAST(pos AS BIGINT) AS pos
+            FROM picked WHERE rn = 1)
+          ORDER BY bucket, pos""")),
+
       // Curriculum shards (ops.Sampling.curriculumShards): global
       // quality-rank round-robin into 8 shards; the rank comes from the
       // range-partitioned denseIds two-pass, NEVER a row_number window's

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** In-context pretraining corpus ordering (Shi et al. 2023, "In-Context
+  * Pretraining: Language Modeling Beyond Document Boundaries"): place
+  * SEMANTICALLY RELATED documents adjacent in the training stream, so
+  * each context window spans coherent material instead of a random
+  * shard-order jumble — measured to improve downstream in-context
+  * learning. The paper's pipeline is exactly this shape: embed, group
+  * into neighborhoods, then chain each neighborhood greedily by
+  * nearest-neighbor hops.
+  *
+  * Relational re-expression: documents are bucketed by the sign pattern
+  * of their first `signBits` embedding dimensions (an LSH neighborhood —
+  * SQL-replayable, unlike a trained k-means assignment), and each bucket
+  * is chained greedily: start at the lowest id, repeatedly hop to the
+  * unvisited member with the highest cosine to the CURRENT document
+  * (ties -> lowest id). Output (id, bucket, pos) is all exact integers —
+  * no double ever enters the compared projection; the greedy argmax
+  * replays inductively against the dump (the q_mmr_rerank pattern).
+  *
+  * Scale (100 TB): the bucket is the shuffle key; chains run per bucket
+  * inside `flatMapGroups` with O(n²) cosines over ONE bucket's members.
+  * More corpus -> more sign bits (buckets double per bit, members stay
+  * bounded); the require-cap makes an under-provisioned bucket count an
+  * ERROR, never a silent driver-side quadratic. Cosines use the shared
+  * sequential-fold kernel, bit-identical to the SQL dialect's
+  * list_reduce chain.
+  */
+object CorpusOrder {
+
+  /** Sign-pattern bucket of the first `signBits` dims: bit i set iff
+    * dim i >= 0. Indexing is the ONE dialect difference (Spark arrays
+    * are 0-based, DuckDB lists 1-based — the classic cross-engine
+    * trap), so the base is explicit; everything else renders
+    * identically. */
+  def bucketExprSql(vecCol: String, signBits: Int, oneBased: Boolean): String =
+    (0 until signBits).map { i =>
+      s"(CASE WHEN $vecCol[${if (oneBased) i + 1 else i}] >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("CAST((", " + ", ") AS INT)")
+
+  /** Sequential-fold cosine — the dialect op order: dot, norms, divide. */
+  private[graft] def cos(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Greedy nearest-neighbor chain over one bucket's (id, vec) members:
+    * pos 0 = lowest id, then argmax cosine to the current pick among the
+    * unvisited (ties -> lowest id). */
+  private[graft] def chain(members: Array[(Long, Array[Double])]): Array[(Long, Long)] = {
+    val sorted = members.sortBy(_._1)
+    val n = sorted.length
+    val visited = new Array[Boolean](n)
+    val out = new Array[(Long, Long)](n)
+    var cur = 0 // lowest id starts
+    visited(0) = true
+    out(0) = (sorted(0)._1, 0L)
+    var pos = 1
+    while (pos < n) {
+      var best = -1
+      var bestCos = Double.NegativeInfinity
+      var j = 0
+      while (j < n) {
+        if (!visited(j)) {
+          val c = cos(sorted(cur)._2, sorted(j)._2)
+          // strict > keeps the LOWEST id on ties (ascending scan order);
+          // a NaN cosine (zero-vector member) never beats anything —
+          // equivalent to the oracle's CASE isnan -> -1e308 key
+          if (c > bestCos) { bestCos = c; best = j }
+        }
+        j += 1
+      }
+      if (best < 0) { // every remaining cosine NaN: lowest unvisited id
+        var k = 0
+        while (best < 0 && k < n) { if (!visited(k)) best = k; k += 1 }
+      }
+      visited(best) = true
+      out(pos) = (sorted(best)._1, pos.toLong)
+      cur = best
+      pos += 1
+    }
+    out
+  }
+
+  /** The ordering: (idCol, bucket, pos). `vecCol` is ARRAY<FLOAT|DOUBLE>;
+    * floats widen exactly. Buckets larger than `maxBucket` fail fast —
+    * raise `signBits` for a bigger corpus instead. */
+  def icpOrder(emb: DataFrame, idCol: String, vecCol: String,
+               signBits: Int = 4, maxBucket: Int = 100000): DataFrame = {
+    require(signBits >= 1 && signBits <= 16, s"signBits out of range: $signBits")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cap = maxBucket
+    val src = emb
+      .withColumn("__bucket", expr(bucketExprSql(vecCol, signBits, oneBased = false)))
+      .select(col(idCol).cast("long"), col("__bucket"),
+        col(vecCol).cast("array<double>"))
+    src.as[(Long, Int, Seq[Double])]
+      .groupByKey(_._2)
+      .flatMapGroups { (bucket, it) =>
+        val members = it.map { case (id, _, v) => (id, v.toArray) }.toArray
+        require(members.length <= cap,
+          s"bucket $bucket holds ${members.length} > $maxBucket members — raise signBits")
+        chain(members).iterator.map { case (id, pos) => (id, bucket, pos) }
+      }
+      .toDF(idCol, "bucket", "pos")
+  }
+}

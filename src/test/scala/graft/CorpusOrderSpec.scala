@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.CorpusOrder
+
+class CorpusOrderSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  test("greedy chain follows cosine neighbors, not id order; zero vectors chain last") {
+    // one bucket (dim0 >= 0 for all): from id 1, the nearest-neighbor
+    // hops are 1 -> 2 (cos ~.95) -> 4 (cos .41 beats 3's .30) -> 3,
+    // and the zero vector 5 (NaN cosines) comes last by the id fallback
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.95, 0.3)),
+      (3L, Seq(0.1, 1.0)),
+      (4L, Seq(0.12, 0.99)),
+      (5L, Seq(0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val got = CorpusOrder.icpOrder(emb, "vec_id", "embedding", signBits = 1)
+      .orderBy("pos").select("vec_id", "bucket", "pos")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 4L, 3L, 5L), got.toString)
+    assert(got.map(_._3) == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(got.map(_._2).distinct == Seq(1)) // dim0 >= 0 -> bucket bit set
+  }
+
+  test("sign buckets split the corpus; every member appears exactly once") {
+    val emb = (0 until 64).map { i =>
+      (i.toLong, Seq((if ((i & 1) == 0) 1.0 else -1.0),
+        (if ((i & 2) == 0) 1.0 else -1.0), 0.5, 0.5))
+    }.toDF("vec_id", "embedding")
+    val got = CorpusOrder.icpOrder(emb, "vec_id", "embedding", signBits = 2)
+      .select("vec_id", "bucket", "pos").as[(Long, Int, Long)].collect()
+    assert(got.length == 64)
+    assert(got.map(_._1).distinct.length == 64)
+    assert(got.map(_._2).distinct.sorted.toSeq == Seq(0, 1, 2, 3))
+    // positions are dense 0..n-1 within each bucket
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0 until rows.length).map(_.toLong))
+    }
+    // bucket assignment matches the SQL expression's semantics
+    got.foreach { case (id, b, _) =>
+      val want = (if ((id & 1) == 0) 1 else 0) + (if ((id & 2) == 0) 2 else 0)
+      assert(b == want, s"id $id bucket $b != $want")
+    }
+  }
+
+  test("chain equals a brute-force reference on random vectors") {
+    val rnd = new scala.util.Random(11)
+    val members = (0 until 30).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian()))).toArray
+    def brute(): Seq[Long] = {
+      val left = scala.collection.mutable.LinkedHashMap(members.sortBy(_._1): _*)
+      var cur = left.keys.min
+      val out = scala.collection.mutable.ArrayBuffer(cur)
+      left.remove(cur)
+      while (left.nonEmpty) {
+        val next = left.keys.toSeq.map { k =>
+          (k, CorpusOrder.cos(members.find(_._1 == cur).get._2, left(k)))
+        }.minBy { case (k, c) => (-c, k) }._1
+        out += next
+        left.remove(next)
+        cur = next
+      }
+      out.toSeq
+    }
+    val got = CorpusOrder.chain(members).map(_._1).toSeq
+    assert(got == brute())
+  }
+
+  test("oversized bucket fails fast with the signBits hint") {
+    val emb = (0 until 10).map(i => (i.toLong, Seq(1.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[org.apache.spark.SparkException] {
+      CorpusOrder.icpOrder(emb, "vec_id", "embedding",
+        signBits = 1, maxBucket = 5).collect()
+    }
+    assert(ex.getMessage.contains("signBits") ||
+      Option(ex.getCause).exists(_.getMessage.contains("signBits")))
+  }
+}
