@@ -12173,10 +12173,14 @@ object QueryCatalog {
       // Exchange SinglePartition), and the supremum is a
       // TakeOrderedAndProject top-1 with the value as tie-break.
       // Compared projection is the EXACT contract only — (n_a, n_b,
-      // at_value DOUBLE raw, gap DECIMAL(38,0)); the derived
+      // at_value DOUBLE raw, gap BIGINT); the derived
       // d_stat/d_scaled doubles stay in the library output but OUT of
-      // the hash. Rounds 8-10 history: projection doubles, then a
-      // round(value,6)→DECIMAL group KEY, each cost a red round to
+      // the hash. Rounds 8-11 history: projection doubles, then a
+      // round(value,6)→DECIMAL group KEY, then a DECIMAL(38,0) gap
+      // emission (values byte-exact four rounds running, but the
+      // board's ONLY wide decimal canonicalized differently in the
+      // driver's hash path — r12 emits int64 on both sides, guarded
+      // by raise_error above ~3e9 rows/segment), each cost a red round to
       // driver-side 1-ULP round() skew — r11 removed round() from the
       // contract entirely; every compared byte is now either raw
       // storage or exact integer arithmetic (the green-q_qnorm_bins

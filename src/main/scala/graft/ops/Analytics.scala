@@ -586,10 +586,14 @@ object Analytics {
   // =========================================================================
 
   /** Welch z-statistic between the `valCol` distributions of two event
-    * types — the A/B significance read. All moments are EXACT: values round
-    * to 6 decimals and sum in DECIMAL (order-independent across any
-    * partitioning); mean/variance/z are then derived in one fixed double
-    * expression, so both engines emit identical bits.
+    * types — the A/B significance read. All moments are EXACT: raw stored
+    * doubles are cast STRAIGHT to DECIMAL(18,6) (never via round() on the
+    * double — the engine-side round() is the exact 1-ULP cross-engine skew
+    * that cost q_ks_drift four red rounds; a direct double→decimal cast is
+    * the same nearest-decimal conversion on every engine) and sum in
+    * DECIMAL (order-independent across any partitioning); mean/variance/z
+    * are then derived in one fixed double expression, so both engines emit
+    * identical bits.
     *
     * Scale: a single full-scan aggregate with conditional partial sums —
     * map-side combine does almost all the work; one 1-row result crosses
@@ -598,7 +602,7 @@ object Analytics {
     */
   def welchZTest(events: DataFrame, typeCol: String, valCol: String,
                  typeA: String, typeB: String): DataFrame = {
-    val x = round(col(valCol), 6).cast("decimal(18,6)")
+    val x = col(valCol).cast("decimal(18,6)")
     def side(t: String, suffix: String) = Seq(
       sum(when(col(typeCol) === t, lit(1L)).otherwise(lit(0L)))
         .as(s"__n$suffix"),
@@ -629,9 +633,9 @@ object Analytics {
                           typeA: String, typeB: String): String = {
     def side(t: String, sfx: String) =
       s"""sum(CASE WHEN $typeCol = '$t' THEN 1 ELSE 0 END) AS n$sfx,
-          sum(CASE WHEN $typeCol = '$t' THEN CAST(round($valCol, 6) AS DECIMAL(18,6)) END) AS s$sfx,
-          sum(CASE WHEN $typeCol = '$t' THEN CAST(round($valCol, 6) AS DECIMAL(18,6))
-                                             * CAST(round($valCol, 6) AS DECIMAL(18,6)) END) AS ss$sfx"""
+          sum(CASE WHEN $typeCol = '$t' THEN CAST($valCol AS DECIMAL(18,6)) END) AS s$sfx,
+          sum(CASE WHEN $typeCol = '$t' THEN CAST($valCol AS DECIMAL(18,6))
+                                             * CAST($valCol AS DECIMAL(18,6)) END) AS ss$sfx"""
     def stats(sfx: String) = (
       s"CAST(n$sfx AS DOUBLE)",
       s"CAST(s$sfx AS DOUBLE) / CAST(n$sfx AS DOUBLE)",
@@ -659,8 +663,14 @@ object Analytics {
     * which only sees means). Returns one row
     * (n_a, n_b, at_value, gap, d_stat, d_scaled) where `at_value` is the
     * location of the supremum (lowest such value on ties), `gap` is the
-    * EXACT integer numerator |cumA·n_b − cumB·n_a| as DECIMAL(38,0)
-    * (D = gap/(n_a·n_b) with no information lost), and `d_scaled`
+    * EXACT integer numerator |cumA·n_b − cumB·n_a| emitted as BIGINT
+    * (D = gap/(n_a·n_b) with no information lost; gap ≤ n_a·n_b so int64
+    * holds for segments up to ~3×10⁹ rows — guarded by an explicit
+    * raise_error, with the internal math staying 128-bit DECIMAL/HUGEINT.
+    * Four driver rounds proved the VALUES exact while a DECIMAL(38,0)
+    * emission — the board's only one — hash-mismatched in the driver's
+    * decimal canonicalizer, so wide decimals stay out of compared
+    * projections engine-wide), and `d_scaled`
     * = √(n_a·n_b/(n_a+n_b))·D is the sample-size-normalized statistic the
     * asymptotic KS tables index. The first FOUR columns are the exact
     * engine-replayable contract (the q_ks_drift compare); d_stat/d_scaled
@@ -731,12 +741,20 @@ object Analytics {
     val nbd = col("__nb").cast("double")
     val undef = col("__na") === 0 || col("__nb") === 0
     val dRaw = col("__gap").cast("double") / (nad * nbd)
+    // gap <= n_a*n_b, so int64 suffices below ~3e9 rows/segment; rather
+    // than let a silent non-ANSI cast null out on overflow, raise by name.
+    val gapLong = when(
+      col("__gap") <= lit(Long.MaxValue).cast("decimal(38,0)"),
+      col("__gap").cast("long"))
+      .otherwise(raise_error(concat(
+        lit("ksTest gap exceeds int64 (segment too large): "),
+        col("__gap").cast("string"))).cast("long"))
     gap.orderBy(col("__gap").desc, col("__x")).limit(1)
       .select(
         col("__na").cast("long").as("n_a"),
         col("__nb").cast("long").as("n_b"),
         col("__x").as("at_value"),
-        col("__gap").cast("decimal(38,0)").as("gap"),
+        gapLong.as("gap"),
         when(undef, lit(null).cast("double"))
           .otherwise(r6(dRaw)).as("d_stat"),
         when(undef, lit(null).cast("double"))
@@ -771,7 +789,7 @@ object Analytics {
                FROM cum CROSS JOIN tot)
        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
               x AS at_value,
-              CAST(g AS DECIMAL(38,0)) AS gap
+              CAST(g AS BIGINT) AS gap
        FROM gap ORDER BY g DESC, x LIMIT 1"""
 
   // =========================================================================
@@ -794,7 +812,7 @@ object Analytics {
     events.groupBy(col(typeCol).as("event_type"),
         to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).cast("long").as("n_events"),
-        sum(round(col(valCol), 2).cast("decimal(18,2)")).as("total"))
+        sum(col(valCol).cast("decimal(18,2)")).as("total"))
 
   /** Merge any union of [[dailyPartials]] outputs (re-aggregation of the
     * partial states; exact because both measures are associative). */
@@ -810,7 +828,7 @@ object Analytics {
                              tsCol: String, valCol: String): String =
     s"""SELECT $typeCol AS event_type, CAST($tsCol AS DATE) AS day,
               CAST(count(*) AS BIGINT) AS n_events,
-              CAST(sum(CAST(round($valCol, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total
+              CAST(sum(CAST($valCol AS DECIMAL(18,2))) AS DOUBLE) AS total
        FROM $eventsRel
        GROUP BY event_type, day"""
 
@@ -1255,7 +1273,7 @@ object Analytics {
     val base = purch.groupBy(col(userCol))
       .agg(max(to_date(col(tsCol))).as("__lastd"),
         count(lit(1)).cast("long").as("f"),
-        sum(round(col(valCol), 2).cast("decimal(18,2)")).as("__m"))
+        sum(col(valCol).cast("decimal(18,2)")).as("__m"))
       .crossJoin(broadcast(anchor))
       .select(col(userCol),
         datediff(col("__maxd"), col("__lastd")).cast("long").as("r_days"),
@@ -1285,7 +1303,7 @@ object Analytics {
          SELECT $userCol,
                 CAST(date_diff('day', max(CAST($tsCol AS DATE)), maxd) AS BIGINT) AS r_days,
                 CAST(count(*) AS BIGINT) AS f,
-                CAST(sum(CAST(round($valCol, 2) AS DECIMAL(18,2))) AS DOUBLE) AS m
+                CAST(sum(CAST($valCol AS DECIMAL(18,2))) AS DOUBLE) AS m
          FROM p CROSS JOIN anchor
          GROUP BY $userCol, maxd),
        q AS (
