@@ -12297,10 +12297,10 @@ object QueryCatalog {
               sum(when(col("click_id").isNotNull, lit(1L)).otherwise(lit(0L)))
                 .cast("long").as("n_attributed"),
               sum(when(col("click_id").isNotNull,
-                round(col("value"), 2).cast("decimal(18,2)")))
+                col("value").cast("decimal(18,2)")))
                 .cast("double").as("attributed_rev"),
               sum(when(col("click_id").isNull,
-                round(col("value"), 2).cast("decimal(18,2)")))
+                col("value").cast("decimal(18,2)")))
                 .cast("double").as("organic_rev"))
             .orderBy("day")
         },
@@ -12320,9 +12320,9 @@ object QueryCatalog {
                  CAST(count(*) AS BIGINT) AS n_purchases,
                  CAST(sum(CASE WHEN click_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
                  CAST(sum(CASE WHEN click_id IS NOT NULL
-                               THEN CAST(round(value, 2) AS DECIMAL(18,2)) END) AS DOUBLE) AS attributed_rev,
+                               THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS attributed_rev,
                  CAST(sum(CASE WHEN click_id IS NULL
-                               THEN CAST(round(value, 2) AS DECIMAL(18,2)) END) AS DOUBLE) AS organic_rev
+                               THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS organic_rev
           FROM j
           GROUP BY day
           ORDER BY day""")),

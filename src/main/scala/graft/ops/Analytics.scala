@@ -1595,10 +1595,11 @@ object Analytics {
     * narrow rows throughout. */
   def twap(events: DataFrame, keyCol: String, tsCol: String, ordCol: String,
            valCol: String): DataFrame = {
-    // micro-units: v6 = round-6 value × 10⁶ as an exact BIGINT (the shift
-    // happens in decimal space — a double multiply would reintroduce FP
-    // error); mass = Σ v6·Δtµs in DECIMAL(38,0), divided back at the end.
-    val v6 = (round(col(valCol), 6).cast("decimal(18,6)") * lit(1000000))
+    // micro-units: v6 = value quantized to 6 decimals × 10⁶ as an exact
+    // BIGINT. The quantization is a DIRECT double→decimal cast, never
+    // round() on the double (engine-dependent at 1 ULP — the q_ks_drift
+    // lesson); the shift happens in decimal space so no FP error enters.
+    val v6 = (col(valCol).cast("decimal(18,6)") * lit(1000000))
       .cast("long")
     val stepped = events
       .select(col(keyCol), unix_micros(col(tsCol)).as("__t"), col(ordCol),
@@ -1622,7 +1623,7 @@ object Analytics {
                     ordCol: String, valCol: String): String =
     s"""WITH s0 AS (
          SELECT $keyCol, epoch_us($tsCol) AS t, $ordCol,
-                CAST(CAST(round($valCol, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v6
+                CAST(CAST($valCol AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v6
          FROM $eventsRel),
        st AS (SELECT $keyCol, t, v6,
                      lead(t, 1) OVER (PARTITION BY $keyCol ORDER BY t, $ordCol) AS tn
@@ -1958,7 +1959,7 @@ object Analytics {
     * mean_b_adj, diff_adj, rho2). */
   def cuped(events: DataFrame, userCol: String, tsCol: String,
             valCol: String): DataFrame = {
-    val x6 = round(col(valCol), 6).cast("decimal(18,6)")
+    val x6 = col(valCol).cast("decimal(18,6)")
     // integer floor-midpoint (Column `/` would widen to DOUBLE and
     // diverge from the oracle's BIGINT `//`)
     val thrDf = events.agg(expr(
@@ -2017,7 +2018,7 @@ object Analytics {
                      valCol: String): String =
     s"""WITH e AS (
          SELECT $userCol AS u, $tsNsExpr AS tsn,
-                CAST(round($valCol, 6) AS DECIMAL(18,6)) AS x6
+                CAST($valCol AS DECIMAL(18,6)) AS x6
          FROM $eventsRel),
        thr AS (SELECT CAST((min(tsn) + max(tsn)) // 2 AS BIGINT) AS thr FROM e),
        users AS (
@@ -2099,7 +2100,8 @@ object Analytics {
     * Determinism: the draw is an md5-uniform of (seed, replicate,
     * row-id) folded through fixed CDF literals (TextHashing.hash24 ==
     * the SQL dialect's md5Uniform, one md5 per draw instead of the SQL
-    * form's six); values round to 6 decimals and sum as exact LONG
+    * form's six); values quantize to 6 decimals (direct double→decimal
+    * cast, never round() on a double) and sum as exact LONG
     * micro-units per (partition, replicate), so partitioning cannot
     * change a bit. Replicate means then run one fixed IEEE chain
     * (swx / 1e6 / sw, round 6).
@@ -2115,7 +2117,7 @@ object Analytics {
     require(b >= 20 && b <= 500, s"replicates out of range: $b")
     val spark = events.sparkSession
     import spark.implicits._
-    val x6 = round(col(valCol).cast("double"), 6).cast("decimal(18,6)")
+    val x6 = col(valCol).cast("double").cast("decimal(18,6)")
     val base = events
       .select(col(idCol).cast("string").as("id"),
         (x6 * lit(1000000)).cast("long").as("micros"))
@@ -2163,7 +2165,7 @@ object Analytics {
     val key = s"concat('$seed:', CAST(rep AS VARCHAR), ':', id)"
     s"""WITH base AS (
          SELECT CAST($idCol AS VARCHAR) AS id,
-                CAST(round(CAST($valCol AS DOUBLE), 6) AS DECIMAL(18,6)) AS x6
+                CAST(CAST($valCol AS DOUBLE) AS DECIMAL(18,6)) AS x6
          FROM $eventsRel WHERE $valCol IS NOT NULL),
        reps AS (SELECT id, CAST(x6 * 1000000 AS BIGINT) AS mic,
                        unnest(range(0, $b)) AS rep

@@ -1,0 +1,194 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{
+  AttributeReference, Cast, Expression, Round, BRound}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.types.{
+  ArrayType, DataType, DecimalType, DoubleType, MapType, StructType}
+
+/** Machine enforcement of the cross-engine compare contract — the four-round
+  * q_ks_drift lesson turned into a gate that fails BY QUERY NAME the moment
+  * either hazard class reappears anywhere on the board:
+  *
+  *  1. NO `round()` on a double inside an exact contract. Engine side:
+  *     no Round/BRound over DoubleType in any Aggregate GROUPING expression
+  *     (the r8-r10 group-key bug: a 1-ULP engine-dependent round() shifts a
+  *     key, silently moving supremum/join rows with counts and schema
+  *     intact), and no Round applied directly to a LEAF-relation double
+  *     attribute inside an aggregate-function argument (the r11 latent
+  *     class: `sum(round(raw_value, k))` is a no-op only until a fixture
+  *     regeneration stops pre-rounding the stored values — quantize via a
+  *     direct double→decimal cast instead). Round over DERIVED doubles in
+  *     display projections (`r6`) stays legal: both engines compute the
+  *     same fixed IEEE chain from exact inputs.
+  *  2. NO DECIMAL(38+,*) in a compared projection. The driver's hash path
+  *     canonicalizes Spark's 16-byte fixed-array wide decimal differently
+  *     from DuckDB's HUGEINT-cast decimal even when values are byte-exact —
+  *     q_ks_drift stayed hash-RED a full round on exactly this after its
+  *     values had been proven correct. Wide decimals are for INTERNAL
+  *     exact math only; emit BIGINT/narrow-decimal/double.
+  *  3. NO `--` comments in oracle SQL: the driver one-lines the query, so
+  *     a comment swallows the rest of the statement.
+  *  4. Oracle-side mirror of rule 1: no `round(` applied textually to a
+  *     base-table column (raw stored doubles must reach DuckDB's DECIMAL
+  *     cast un-rounded, exactly like the engine side).
+  *
+  * One pass builds every catalog query at sf0.001 (analysis only — same
+  * cost envelope as [[CatalogPlanAuditSpec]]) and walks the analyzed plan;
+  * the oracle strings are linted textually against the actual base-table
+  * column inventory read from the testdata schemas. */
+class ContractLinterSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+  private val tables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  private def stripCast(e: Expression): Expression = e match {
+    case c: Cast => stripCast(c.child)
+    case other => other
+  }
+
+  private def isRound(e: Expression): Boolean = e match {
+    case _: Round | _: BRound => true
+    case _ => false
+  }
+
+  private def wideDecimals(dt: DataType, path: String): Seq[String] =
+    dt match {
+      case d: DecimalType if d.precision >= 38 => Seq(s"$path: $d")
+      case s: StructType =>
+        s.fields.toSeq.flatMap(f => wideDecimals(f.dataType, s"$path.${f.name}"))
+      case a: ArrayType => wideDecimals(a.elementType, s"$path[]")
+      case m: MapType =>
+        wideDecimals(m.keyType, s"$path<key>") ++
+          wideDecimals(m.valueType, s"$path<value>")
+      case _ => Nil
+    }
+
+  /** Offenses in one query's ANALYZED plan + output schema. */
+  private def lintDf(df: DataFrame): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    out ++= wideDecimals(
+      StructType(df.schema.fields), "schema").map(w => s"wide decimal in compared projection ($w)")
+    val plan = df.queryExecution.analyzed
+    val leafIds = plan.collectLeaves().flatMap(_.output).map(_.exprId).toSet
+    plan.foreach {
+      case agg: Aggregate =>
+        agg.groupingExpressions.foreach { g =>
+          if (g.exists(e => isRound(e) &&
+              e.children.headOption.exists(_.dataType == DoubleType)))
+            out += s"round() on a double in a GROUP KEY: $g"
+        }
+        agg.aggregateExpressions.foreach { ne =>
+          ne.foreach {
+            case ae: AggregateExpression =>
+              ae.aggregateFunction.children.foreach { arg =>
+                arg.foreach { e =>
+                  if (isRound(e)) stripCast(e.children.head) match {
+                    case a: AttributeReference
+                        if a.dataType == DoubleType && leafIds(a.exprId) =>
+                      out += s"round() on raw stored double '${a.name}' inside an aggregate: $e"
+                    case _ =>
+                  }
+                }
+              }
+            case _ =>
+          }
+        }
+      case _ =>
+    }
+    out.toSeq
+  }
+
+  /** Textual offenses in one oracle SQL string. */
+  private def lintOracle(sql: String, baseCols: Set[String]): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    // `--` is only a comment OUTSIDE single-quoted literals; markdown
+    // separators / asciidoc delimiters inside '...' are legal content.
+    var i = 0; var inQuote = false; var commentAt = -1
+    while (i < sql.length && commentAt < 0) {
+      sql.charAt(i) match {
+        case '\'' => inQuote = !inQuote // '' escapes toggle twice: net no-op
+        case '-' if !inQuote && i + 1 < sql.length &&
+            sql.charAt(i + 1) == '-' => commentAt = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (commentAt >= 0)
+      out += "'--' comment in oracle SQL (driver one-lines the query)"
+    val roundRe =
+      """(?i)round\(\s*(?:CAST\(\s*)?([A-Za-z_][A-Za-z0-9_]*)\b""".r
+    roundRe.findAllMatchIn(sql).foreach { m =>
+      val ident = m.group(1).toLowerCase
+      if (baseCols(ident))
+        out += s"oracle round() on base-table column '$ident'"
+    }
+    out.toSeq
+  }
+
+  // --- sensitivity: each banned class must actually trip the linter ---
+
+  test("linter catches round() on a raw stored double inside an aggregate") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type"))
+      .agg(sum(round(col("value"), 2).cast("decimal(18,2)")).as("total"))
+    assert(lintDf(df).exists(_.contains("round() on raw stored double")))
+    // and the fixed form (direct double→decimal cast) stays clean
+    val ok = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("total"))
+    assert(lintDf(ok).isEmpty)
+  }
+
+  test("linter catches round() on a double in a group key") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(round(col("value"), 6).as("k"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(lintDf(df).exists(_.contains("GROUP KEY")))
+  }
+
+  test("linter catches a wide decimal in a compared projection") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$dir/events.parquet")
+      .agg(sum(col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,0)").as("gap"))
+    assert(lintDf(df).exists(_.contains("wide decimal")))
+  }
+
+  test("linter catches oracle comments and base-column rounds, not literals") {
+    val base = Set("value", "l_quantity")
+    assert(lintOracle("SELECT 1 -- trailing", base).nonEmpty)
+    assert(lintOracle("SELECT '| --- | --- |' AS sep", base).isEmpty)
+    assert(lintOracle("SELECT sum(CAST(round(value, 2) AS DECIMAL(18,2)))", base).nonEmpty)
+    assert(lintOracle("SELECT sum(CAST(value AS DECIMAL(18,2)))", base).isEmpty)
+    assert(lintOracle("SELECT round(derived_mean, 6) FROM t", base).isEmpty)
+  }
+
+  test("no compared contract uses round()-on-double, wide decimals, or oracle comments") {
+    val baseCols = tables.flatMap { t =>
+      spark.read.parquet(s"$dir/$t.parquet").schema.fieldNames
+    }.map(_.toLowerCase).toSet
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        lintDf(fn(spark, dir)).foreach(o => offenders += s"$name: $o")
+      } catch {
+        case e: Throwable => errors += s"$name: ${e.getMessage}"
+      }
+    }
+    SparkEntry.oracleSql.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+      lintOracle(sql, baseCols).foreach(o => offenders += s"$name: $o")
+    }
+    assert(errors.isEmpty,
+      s"queries must build at sf0.001:\n${errors.mkString("\n")}")
+    assert(offenders.isEmpty,
+      s"contract violations:\n${offenders.mkString("\n")}")
+  }
+}
