@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
   * Scale (100 TB): the bucket is the shuffle key; chains run per bucket
   * inside `flatMapGroups` with O(n²) cosines over ONE bucket's members.
   * More corpus -> more sign bits (buckets double per bit, members stay
-  * bounded); the require-cap makes an under-provisioned bucket count an
-  * ERROR, never a silent driver-side quadratic. Cosines use the shared
+  * bounded), and any bucket that still exceeds the cap SPLITS recursively
+  * on further sign dimensions BEFORE the shuffle (see [[icpOrder]]) —
+  * never a silent driver-side quadratic, and no manual signBits bump
+  * needed for a skewed neighborhood. Cosines use the shared
   * sequential-fold kernel, bit-identical to the SQL dialect's
   * list_reduce chain.
   */
@@ -91,24 +93,78 @@ object CorpusOrder {
   }
 
   /** The ordering: (idCol, bucket, pos). `vecCol` is ARRAY<FLOAT|DOUBLE>;
-    * floats widen exactly. Buckets larger than `maxBucket` fail fast —
-    * raise `signBits` for a bigger corpus instead. */
+    * floats widen exactly.
+    *
+    * Over-cap buckets SPLIT instead of failing: a bucket holding more
+    * than `maxBucket` members is recursively subdivided on the sign of
+    * the NEXT embedding dimension (dim `signBits + depth`) until every
+    * sub-bucket fits — so a skewed neighborhood at 100 TB degrades into
+    * more, smaller chains rather than demanding a manual `signBits` bump
+    * (and never a silent driver-side quadratic). The split happens in the
+    * DataFrame BEFORE the shuffle — each round is one k-sized count
+    * aggregate plus a broadcast semi-join marking the still-over-cap
+    * buckets — so sub-buckets land on different executors; the per-group
+    * chain kernel itself never sees an over-cap member list. Sub-bucket
+    * ids use the prefix-free encoding (2^depth + extraBits) << signBits
+    * | base (depth-0 buckets keep their raw base id, so the fits-already
+    * corpus is bit-identical to the pre-split contract); ids stay INT
+    * (depth is bounded at 30 − signBits, ~10^9× the cap per base bucket).
+    * A corpus whose vectors run out of dimensions to split on still
+    * fails fast by name — that is a degenerate embedding (thousands of
+    * EXACTLY sign-identical vectors), not a provisioning problem. */
   def icpOrder(emb: DataFrame, idCol: String, vecCol: String,
                signBits: Int = 4, maxBucket: Int = 100000): DataFrame = {
     require(signBits >= 1 && signBits <= 16, s"signBits out of range: $signBits")
     val spark = emb.sparkSession
     import spark.implicits._
     val cap = maxBucket
-    val src = emb
+    var cur = emb
       .withColumn("__bucket", expr(bucketExprSql(vecCol, signBits, oneBased = false)))
-      .select(col(idCol).cast("long"), col("__bucket"),
-        col(vecCol).cast("array<double>"))
-    src.as[(Long, Int, Seq[Double])]
+      .select(col(idCol).cast("long").as("__id"), col("__bucket"),
+        col(vecCol).cast("array<double>").as("__v"),
+        lit(0).as("__depth"), lit(0).as("__extra"))
+    val maxDepth = 30 - signBits // keeps the encoded id inside INT
+    var depth = 0
+    var done = false
+    while (!done && depth < maxDepth) {
+      val over = cur.groupBy("__bucket", "__depth", "__extra")
+        .agg(count(lit(1)).as("__n")).where(col("__n") > cap)
+        .select("__bucket", "__depth", "__extra")
+      // k-sized driver read: one row per still-over-cap bucket
+      if (over.limit(1).isEmpty) done = true
+      else {
+        val marked = cur.join(broadcast(over.withColumn("__over", lit(true))),
+          Seq("__bucket", "__depth", "__extra"), "left")
+        // next sign bit comes from dim (signBits + depth); a vector too
+        // short to split further is a hard error by name, not a hang
+        val bitDim = signBits + depth
+        val nextBit = when(size(col("__v")) <= lit(bitDim),
+          raise_error(concat(
+            lit(s"icpOrder: bucket over $cap members but vectors have no " +
+              s"dim $bitDim to split on (sign-identical degenerate embeddings)"))
+          ).cast("int"))
+          .otherwise(when(element_at(col("__v"), lit(bitDim + 1)) >= 0, lit(1))
+            .otherwise(lit(0)))
+        cur = marked.select(col("__id"), col("__bucket"), col("__v"),
+          when(col("__over"), col("__depth") + 1)
+            .otherwise(col("__depth")).as("__depth"),
+          when(col("__over"), col("__extra") * 2 + nextBit)
+            .otherwise(col("__extra")).as("__extra"))
+        depth += 1
+      }
+    }
+    // prefix-free sub-bucket id; depth 0 keeps the raw base bucket id
+    val encoded = when(col("__depth") === 0, col("__bucket"))
+      .otherwise(((expr("shiftleft(1, __depth)") + col("__extra"))
+        * lit(1 << signBits) + col("__bucket")).cast("int"))
+    cur.select(col("__id"), encoded.as("__eb"), col("__v"))
+      .as[(Long, Int, Seq[Double])]
       .groupByKey(_._2)
       .flatMapGroups { (bucket, it) =>
         val members = it.map { case (id, _, v) => (id, v.toArray) }.toArray
         require(members.length <= cap,
-          s"bucket $bucket holds ${members.length} > $maxBucket members — raise signBits")
+          s"bucket $bucket holds ${members.length} > $maxBucket members " +
+            "after maximum split depth")
         chain(members).iterator.map { case (id, pos) => (id, bucket, pos) }
       }
       .toDF(idCol, "bucket", "pos")

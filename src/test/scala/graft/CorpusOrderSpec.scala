@@ -71,14 +71,61 @@ class CorpusOrderSpec extends AnyFunSuite {
     assert(got == brute())
   }
 
-  test("oversized bucket fails fast with the signBits hint") {
+  test("over-cap bucket splits on further sign dims and still chains deterministically") {
+    // base bucket 1 (dim0 >= 0) holds 10 members — over the cap of 5 —
+    // but dim1 signs divide them 5/5; base bucket 0 (dim0 < 0) holds 3
+    // and must keep its RAW id (depth-0 contract unchanged by the split
+    // machinery). Sub-bucket ids follow the prefix-free encoding
+    // (2^depth + extra) << signBits | base: depth 1, signBits 1, base 1
+    // -> extra 0 (dim1 < 0) = 5, extra 1 (dim1 >= 0) = 7.
+    val rnd = new scala.util.Random(7)
+    val over = (0 until 10).map { i =>
+      (i.toLong, Seq(1.0 + rnd.nextDouble(),
+        (if (i < 5) 1.0 else -1.0) * (1.0 + rnd.nextDouble()),
+        rnd.nextGaussian(), rnd.nextGaussian()))
+    }
+    val under = (100 until 103).map { i =>
+      (i.toLong, Seq(-1.0 - rnd.nextDouble(), rnd.nextGaussian(),
+        rnd.nextGaussian(), rnd.nextGaussian()))
+    }
+    val emb = (over ++ under).toDF("vec_id", "embedding")
+    def run() = CorpusOrder.icpOrder(emb, "vec_id", "embedding",
+        signBits = 1, maxBucket = 5)
+      .select("vec_id", "bucket", "pos").as[(Long, Int, Long)]
+      .collect().sortBy(r => (r._2, r._3)).toSeq
+    val got = run()
+    assert(got.length == 13)
+    assert(got.map(_._1).distinct.length == 13)
+    // raw id kept for the under-cap bucket; encoded ids for the split
+    assert(got.map(_._2).distinct.sorted == Seq(0, 5, 7))
+    assert(got.filter(_._2 == 0).map(_._1).toSet == Set(100L, 101L, 102L))
+    assert(got.filter(_._2 == 7).map(_._1).forall(_ < 5), got.toString)
+    assert(got.filter(_._2 == 5).map(_._1).forall(id => id >= 5 && id < 10))
+    // no sub-bucket exceeds the cap; positions dense per bucket
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_._3).sorted == (0 until rows.length).map(_.toLong))
+    }
+    // each sub-bucket's order equals the chain kernel on its members
+    val byId = (over ++ under).map { case (id, v) => id -> v.toArray }.toMap
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val members = rows.map(r => (r._1, byId(r._1))).toArray
+      val want = CorpusOrder.chain(members).map(_._1).toSeq
+      assert(rows.sortBy(_._3).map(_._1) == want)
+    }
+    // deterministic across runs
+    assert(run() == got)
+  }
+
+  test("sign-identical over-cap members fail fast by name (cannot split)") {
     val emb = (0 until 10).map(i => (i.toLong, Seq(1.0, 1.0)))
       .toDF("vec_id", "embedding")
-    val ex = intercept[org.apache.spark.SparkException] {
+    val ex = intercept[Exception] {
       CorpusOrder.icpOrder(emb, "vec_id", "embedding",
         signBits = 1, maxBucket = 5).collect()
     }
-    assert(ex.getMessage.contains("signBits") ||
-      Option(ex.getCause).exists(_.getMessage.contains("signBits")))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("sign-identical")), msgs(ex).toString)
   }
 }
