@@ -2603,6 +2603,41 @@ object QueryCatalog {
   // Chunker variants, search modes, embedding near-dup
   // =========================================================================
 
+  /** Shared oracle for the semantic-chunk contract: 12-word units, the
+    * dialect hashing-embedder pipeline, lag-cosine 0.35 break, cumsum
+    * chunk ids — hash-matched by BOTH q_semantic_chunks (batch) and
+    * q_stream_chunks_eq (flatMapGroupsWithState streaming replay). */
+  private def semanticChunkOracleSql(dim: Int): String = {
+    val cos = D.cosine("pemb", "emb")
+    s"""
+          WITH docs AS (SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents),
+          units AS (SELECT doc_id, CAST(i AS BIGINT) AS sidx,
+                           array_to_string(toks[CAST(i * 12 + 1 AS INT):CAST(i * 12 + 12 AS INT)], ' ') AS sent
+                    FROM (SELECT doc_id, toks,
+                            unnest(range(0, CAST(ceil(len(toks) / CAST(12 AS DOUBLE)) AS INT))) AS i
+                          FROM docs)),
+          e AS (SELECT doc_id, sidx, sent, emb
+                FROM ${duckEmbed("units", "sent", dim)}),
+          c AS (SELECT doc_id, sidx, sent,
+                       lag(emb) OVER (PARTITION BY doc_id ORDER BY sidx) AS pemb,
+                       emb
+                FROM e),
+          b AS (SELECT doc_id, sidx, sent,
+                       CASE WHEN pemb IS NULL THEN 1
+                            WHEN $cos < CAST(0.35 AS DOUBLE) THEN 1
+                            ELSE 0 END AS brk
+                FROM c),
+          g AS (SELECT doc_id, sidx, sent,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY sidx
+                                      ROWS UNBOUNDED PRECEDING) - 1 AS chunk_idx
+                FROM b)
+          SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                 CAST(count(*) AS BIGINT) AS n_sents,
+                 md5(string_agg(sent, ' ' ORDER BY sidx)) AS chunk_md5
+          FROM g GROUP BY doc_id, chunk_idx
+          ORDER BY doc_id, chunk_idx"""
+  }
+
   private def extraOps: Seq[Q] = {
     val dim = 64
     val duckIndexed = duckEmbed(
@@ -2707,36 +2742,69 @@ object QueryCatalog {
               md5(col("chunk_text")).as("chunk_md5"))
             .orderBy("doc_id", "chunk_idx")
         },
-        Some {
-          val cos = D.cosine("pemb", "emb")
-          s"""
-          WITH docs AS (SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents),
-          units AS (SELECT doc_id, CAST(i AS BIGINT) AS sidx,
-                           array_to_string(toks[CAST(i * 12 + 1 AS INT):CAST(i * 12 + 12 AS INT)], ' ') AS sent
-                    FROM (SELECT doc_id, toks,
-                            unnest(range(0, CAST(ceil(len(toks) / CAST(12 AS DOUBLE)) AS INT))) AS i
-                          FROM docs)),
-          e AS (SELECT doc_id, sidx, sent, emb
-                FROM ${duckEmbed("units", "sent", dim)}),
-          c AS (SELECT doc_id, sidx, sent,
-                       lag(emb) OVER (PARTITION BY doc_id ORDER BY sidx) AS pemb,
-                       emb
-                FROM e),
-          b AS (SELECT doc_id, sidx, sent,
-                       CASE WHEN pemb IS NULL THEN 1
-                            WHEN $cos < CAST(0.35 AS DOUBLE) THEN 1
-                            ELSE 0 END AS brk
-                FROM c),
-          g AS (SELECT doc_id, sidx, sent,
-                       sum(brk) OVER (PARTITION BY doc_id ORDER BY sidx
-                                      ROWS UNBOUNDED PRECEDING) - 1 AS chunk_idx
-                FROM b)
-          SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-                 CAST(count(*) AS BIGINT) AS n_sents,
-                 md5(string_agg(sent, ' ' ORDER BY sidx)) AS chunk_md5
-          FROM g GROUP BY doc_id, chunk_idx
-          ORDER BY doc_id, chunk_idx"""
-        }),
+        Some(semanticChunkOracleSql(dim))),
+
+      // Streaming semantic chunking == the batch operator: the SAME
+      // 12-word units feed a flatMapGroupsWithState state machine
+      // (StreamingSemanticChunk) as 4 REAL micro-batches; a completed
+      // chunk emits the moment its break arrives, the final open chunk
+      // on watermark timeout — and the result hash-matches the SAME
+      // oracle as q_semantic_chunks. Embedding parity holds because the
+      // streaming path calls the pure-Scala HashingEmbedder kernel the
+      // batch SQL pipeline compiles to; the break rule (lag-cosine <
+      // 0.35, NaN merges) is the identical IEEE sequence.
+      Q("q_stream_chunks_eq",
+        (s, dir0) => {
+          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
+          import s.implicits._
+          import graft.streaming.StreamingSemanticChunk
+          import graft.streaming.StreamingSemanticChunk.{SentIn, ChunkOut}
+          // child session: streaming-query state stays scoped here
+          val ss = streamSession(s)
+          implicit val sqlCtx = ss.sqlContext
+          val units = t(s, dir, "documents")
+            .withColumn("__toks", expr(Dialect.spark.splitWs("text")))
+            .select(col("doc_id").cast("long").as("doc_id"), posexplode(expr(
+              "transform(sequence(0, CAST(ceil(size(__toks) / CAST(12 AS DOUBLE)) AS INT) - 1), " +
+                "i__ -> array_join(slice(__toks, i__ * 12 + 1, 12), ' '))"))
+              .as(Seq("sidx", "sent")))
+            .select(col("doc_id"), col("sidx").cast("long"), col("sent"))
+            .as[(Long, Long, String)].collect()
+            .sortBy { case (d, i, _) => (d, i) }
+          val base = 1700000000000L // any fixed epoch; only ORDER matters
+          val rows = units.zipWithIndex.map { case ((d, i, sent), k) =>
+            SentIn(d, new java.sql.Timestamp(base + k), i, sent)
+          }
+          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SentIn]
+          val name = s"q_stream_chunks_eq_${System.nanoTime()}"
+          val q = StreamingSemanticChunk.chunkStream(
+              in.toDS().withWatermark("ts", "0 seconds"),
+              dim, 0.35, quietMs = 3600000L)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+          try {
+            rows.grouped(math.max(1, (rows.length + 3) / 4)).foreach { b =>
+              in.addData(b.toSeq); q.processAllAvailable()
+            }
+            // two sentinel batches: the first advances the watermark past
+            // every timeout, the second processes the timeouts against it
+            val far = base + rows.length + 30L * 86400000L
+            in.addData(SentIn(-1L, new java.sql.Timestamp(far), 0L, "x"))
+            q.processAllAvailable()
+            in.addData(SentIn(-1L, new java.sql.Timestamp(far + 1000L), 1L, "y"))
+            q.processAllAvailable()
+          } finally {
+            q.stop()
+            // unload HDFS-backed state providers eagerly (bench hygiene)
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
+          ss.table(name).as[ChunkOut].collect().toSeq.filter(_.doc_id >= 0)
+            .toDF()
+            .select(col("doc_id"), col("chunk_idx"), col("n_sents"),
+              md5(col("chunk_text")).as("chunk_md5"))
+            .orderBy("doc_id", "chunk_idx")
+        },
+        Some(semanticChunkOracleSql(dim))),
 
       // Q3 mode=keyword — runs on the chunk table only: no embedding pass
       // (the embedder is opaque to Catalyst's column pruning, so skipping

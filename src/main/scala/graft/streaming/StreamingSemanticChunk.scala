@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.embed.HashingEmbedder
+
+/** Semantic chunking as a streaming state machine — the live form of
+  * `graft.chunk.Chunking.semanticChunks`: sentence units arrive per doc in
+  * `sidx` order, each is embedded with the SAME pure-Scala hashing kernel
+  * the batch SQL pipeline compiles to ([[HashingEmbedder.embedText]] —
+  * EmbedderSpec pins the parity), and a chunk BOUNDARY falls exactly where
+  * the batch operator puts it: cosine(prev, cur) < breakBelow, with a NaN
+  * cosine (zero-vector unit) merging into the predecessor on both paths
+  * because `NaN < t` is false in IEEE and in Spark alike.
+  *
+  * State per doc is O(1) in sentence count only for the embedding + indices
+  * (one 64-double vector, the chunk counter) plus the CURRENT chunk's
+  * accumulated text — bounded by chunk size, never by document count.
+  * A COMPLETED chunk emits the moment its break arrives (append mode, no
+  * end-of-stream barrier); the final open chunk emits when the event-time
+  * watermark passes the doc's last unit + `quietUs`. Batch mode flushes
+  * inline: one code path, two execution modes — the q_stream_chunks_eq
+  * gate pins the streaming output to the same DuckDB oracle that
+  * q_semantic_chunks hash-matches.
+  */
+object StreamingSemanticChunk {
+
+  final case class SentIn(doc_id: Long, ts: Timestamp, sidx: Long, sent: String)
+  final case class CState(lastEmb: Seq[Double], chunkIdx: Long,
+                          parts: Seq[String], nSents: Long, lastMs: Long)
+  final case class ChunkOut(doc_id: Long, chunk_idx: Long, chunk_text: String,
+                            n_sents: Long)
+
+  /** Identical sequential fold to the codegen CosineSimilarity expression
+    * (dot, aa, bb in one pass; dot / (sqrt·sqrt)). */
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < n) {
+      ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i)
+      i += 1
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  def chunkStream(sents: Dataset[SentIn], dim: Int, breakBelow: Double,
+                  quietMs: Long): Dataset[ChunkOut] = {
+    implicit val outEnc = Encoders.product[ChunkOut]
+    implicit val longEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.product[CState]
+    val isStreamingRun = sents.isStreaming
+
+    sents.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[CState, ChunkOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (docId: Long, it: Iterator[SentIn], state: GroupState[CState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last unit + quiet: the open chunk is final
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              ChunkOut(docId, s.chunkIdx, s.parts.mkString(" "), s.nSents))
+          } else {
+            // units within a micro-batch may interleave; order is per-doc
+            // sidx (the batch window's ORDER BY) — cross-batch order is the
+            // feeder's contract, same as every gate in this family
+            val batch = it.toArray.sortBy(_.sidx)
+            val out = Seq.newBuilder[ChunkOut]
+            var st = state.getOption.orNull
+            batch.foreach { r =>
+              val emb = HashingEmbedder.embedText(
+                if (r.sent == null) "" else r.sent, dim)
+              if (st == null) {
+                st = CState(emb.toSeq, 0L, Seq(r.sent), 1L, r.ts.getTime)
+              } else if (cos(st.lastEmb.toArray, emb) < breakBelow) {
+                // boundary: the chunk BEFORE the break is complete — emit
+                out += ChunkOut(docId, st.chunkIdx, st.parts.mkString(" "),
+                  st.nSents)
+                st = CState(emb.toSeq, st.chunkIdx + 1, Seq(r.sent), 1L,
+                  r.ts.getTime)
+              } else {
+                // NaN cosine lands here too (NaN < t is false): merge
+                st = CState(emb.toSeq, st.chunkIdx, st.parts :+ r.sent,
+                  st.nSents + 1, r.ts.getTime)
+              }
+            }
+            if (st == null) Iterator.empty
+            else if (isStreamingRun) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastMs + quietMs)
+              out.result().iterator
+            } else {
+              // batch mode: the group is complete — flush the open chunk
+              (out.result() :+
+                ChunkOut(docId, st.chunkIdx, st.parts.mkString(" "),
+                  st.nSents)).iterator
+            }
+          }
+      }
+  }
+}
