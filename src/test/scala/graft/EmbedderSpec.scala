@@ -166,6 +166,79 @@ class EmbedderSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("rows") || ex.getMessage.contains("cols"))
   }
 
+  test("real-weights drop-in: a HAND-written artifact dir (external-export shape) loads and embeds with zero code") {
+    import graft.embed.{TransformerArtifact, TransformerInferenceModel, TransformerSession}
+    import java.nio.file.{Files, Paths}
+    // Simulate an EXTERNAL weights export: every file written as raw text
+    // by this test — never via TransformerArtifact.write — in the exact
+    // layout MIGRATION.md's runbook documents. If this passes, a real
+    // all-mpnet-base-v2 export lands as a pure file drop, zero code.
+    val dir = Files.createTempDirectory("graft_tfm_import").toString
+    def put(name: String, text: String): Unit =
+      Files.write(Paths.get(dir, name), text.getBytes("UTF-8"))
+    // field order, whitespace, and extra keys unlike the fixture writer:
+    // the documented contract is "these six integer fields exist"
+    put("config.json",
+      """{
+        |  "exported_by": "external-tool 9.9",
+        |  "version": 1,
+        |  "vocab": 6, "max_len": 4,
+        |  "ff_dim": 8, "layers": 1, "heads": 2, "dim": 4
+        |}""".stripMargin)
+    val rnd = new scala.util.Random(42)
+    def num(): Double = (rnd.nextInt(2001) - 1000) / 1000.0 // 3-dec exact
+    def gen(rows: Int, cols: Int): Array[Array[Double]] =
+      Array.fill(rows, cols)(num())
+    def csvOf(m: Array[Array[Double]]): String =
+      m.map(_.mkString(",")).mkString("\n") + "\n" // exporter-style trailing \n
+    val mats = Seq(
+      "emb" -> gen(6, 4),
+      "layer0_wq" -> gen(4, 4), "layer0_wk" -> gen(4, 4),
+      "layer0_wv" -> gen(4, 4), "layer0_wo" -> gen(4, 4),
+      "layer0_w1" -> gen(4, 8), "layer0_w2" -> gen(8, 4),
+      "layer0_ln1g" -> gen(1, 4), "layer0_ln1b" -> gen(1, 4),
+      "layer0_ln2g" -> gen(1, 4), "layer0_ln2b" -> gen(1, 4))
+    mats.foreach { case (name, m) => put(s"$name.csv", csvOf(m)) }
+    put("vocab.txt", "[UNK]\nhello\nworld\n##ld\nwor\nxyz\n")
+
+    // config parse is order/extras-tolerant; dimension probe driver-side
+    val model = TransformerInferenceModel(dir)
+    assert(model.dimension == 4)
+    assert(model.cfg == TransformerArtifact.Config(4, 2, 1, 8, 4, 6))
+    // the weight parse is LOSSLESS against the hand-written values
+    val w = TransformerArtifact.readWeights(dir, model.cfg)
+    val byName: Map[String, Array[Array[Double]]] = mats.toMap
+    def rows(m: Array[Array[Double]]): Seq[Seq[Double]] = m.map(_.toSeq).toSeq
+    assert(rows(w.emb) == rows(byName("emb")))
+    assert(rows(w.layers(0).w1) == rows(byName("layer0_w1")))
+    assert(w.layers(0).ln2b.toSeq == byName("layer0_ln2b")(0).toSeq)
+
+    val sess = model.init().asInstanceOf[TransformerSession]
+    val v = sess.embedBatch(Seq("hello world")).head
+    assert(v.length == 4)
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-12)
+    assert(sess.embedBatch(Seq("hello world")).head.sameElements(v),
+      "deterministic across calls")
+    // the vocab.txt actually drives tokenization: a twin artifact with
+    // IDENTICAL weights but no vocab falls back to md5 buckets and embeds
+    // the same text differently
+    val dir2 = Files.createTempDirectory("graft_tfm_import_novocab").toString
+    Files.list(Paths.get(dir)).forEach { p =>
+      if (p.getFileName.toString != "vocab.txt")
+        Files.copy(p, Paths.get(dir2, p.getFileName.toString))
+    }
+    val fallback = TransformerInferenceModel(dir2).init()
+      .asInstanceOf[TransformerSession].embedBatch(Seq("hello world")).head
+    assert(!fallback.sameElements(v),
+      "vocab.txt must switch ids away from the md5-bucket fallback")
+    // a vocab larger than the embedding table is a corrupt drop: fail fast
+    put("vocab.txt", "[UNK]\na\nb\nc\nd\ne\nf\n") // 7 > vocab 6
+    val ex = intercept[IllegalArgumentException] {
+      TransformerInferenceModel(dir).init()
+    }
+    assert(ex.getMessage.contains("vocab.txt"))
+  }
+
   test("QuantLinearInferenceModel: int8 artifact round-trips, integer-exact projection") {
     import graft.embed.{BatchedEmbedder, QuantLinearInferenceModel, QuantLinearModelArtifact}
     val dir = java.nio.file.Files.createTempDirectory("graft_qlin_spec").toString
