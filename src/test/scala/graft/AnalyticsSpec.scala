@@ -560,7 +560,8 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 3L && r.getLong(1) == 4L)
     assert(r.getDouble(2) == 3.0)
     // exact integer numerator: |cumA·n_b − cumB·n_a| = |3·4 − 2·3| = 6
-    assert(r.getDecimal(3).longValueExact() == 6L)
+    // (emitted as BIGINT since r12 — wide decimals stay out of contracts)
+    assert(r.getLong(3) == 6L)
     assert(r.getDouble(4) == 0.5)
     assert(r.getDouble(5) == 0.654654)
     // disjoint supports: D = 1 at the LOWEST value achieving it
@@ -569,7 +570,7 @@ class AnalyticsSpec extends AnyFunSuite {
     val r2 = Analytics.ksTest(ev2, "event_type", "value", "a", "b")
       .collect()(0)
     assert(r2.getDouble(2) == 2.0 && r2.getDouble(4) == 1.0)
-    assert(r2.getDecimal(3).longValueExact() == 4L) // 2·2 − 0·2
+    assert(r2.getLong(3) == 4L) // 2·2 − 0·2
   }
 
   test("ksTest: empty segment yields defined row with null statistic") {
@@ -579,7 +580,7 @@ class AnalyticsSpec extends AnyFunSuite {
     val r = Analytics.ksTest(ev, "event_type", "value", "a", "b")
       .collect()(0)
     assert(r.getLong(0) == 2L && r.getLong(1) == 0L)
-    assert(r.getDecimal(3).longValueExact() == 0L) // gap defined: 0 exact
+    assert(r.getLong(3) == 0L) // gap defined: 0 exact
     assert(r.isNullAt(4) && r.isNullAt(5))
     // both segments empty: zero rows, not a crash
     assert(Analytics.ksTest(ev, "event_type", "value", "x", "y")
