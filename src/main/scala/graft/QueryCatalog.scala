@@ -13891,12 +13891,203 @@ object QueryCatalog {
     )
   }
 
+  // =========================================================================
+  // Preference / provenance / topic ops — the reward-model-era additions:
+  // pairwise-preference strength fitting, annotator agreement, synthetic-
+  // text watermark detection, and cluster topic labeling
+  // =========================================================================
+
+  private def preferenceOps: Seq[Q] = {
+    val SP = Dialect.spark
+    // comparison-bit LSH bucket: bit i set iff emb[2i] > emb[2i+1]
+    // (0-based dims; rendered 1-based for both engines' at()). The
+    // hashing embedding is non-negative, so SIGN bits would collapse to
+    // one bucket — adjacent-component comparisons are balanced instead.
+    def cmpBits(dl: Dialect, vecCol: String, bits: Int): String =
+      (0 until bits).map { i =>
+        s"(CASE WHEN ${dl.at(vecCol, (2 * i + 1).toString)} > " +
+          s"${dl.at(vecCol, (2 * i + 2).toString)} THEN ${1 << i} ELSE 0 END)"
+      }.mkString("CAST((", " + ", ") AS INT)")
+    Seq(
+      // Statistical watermark detection (Kirchenbauer et al. 2023): per
+      // doc, the fraction of (prev, cur) token bigrams whose seeded hash
+      // lands in the green half, z-tested against Binomial(n, 0.5) —
+      // the provenance gate that keeps model-generated text out of the
+      // next pretraining mix. Green membership is the shared md5Uniform
+      // fold (exact small-int arithmetic + one IEEE division), so both
+      // engines classify every bigram identically; z is one fixed chain
+      // from exact integers. Plan: a PURE per-row projection — one scan,
+      // zero exchanges; the cheapest possible shape at 100 TB.
+      Q("q_watermark_detect",
+        (s, dir) => {
+          val (nP, nG) =
+            graft.ops.Provenance.watermarkCountsSql(SP, "__toks", "wm1")
+          t(s, dir, "documents")
+            .withColumn("__toks", expr(SP.splitWs("text")))
+            .select(col("doc_id"), expr(nP).as("n_pairs"),
+              expr(nG).as("n_green"))
+            .withColumn("z",
+              when(col("n_pairs") === 0, lit(null).cast("double"))
+                .otherwise(r6((lit(2.0) * col("n_green").cast("double") -
+                  col("n_pairs").cast("double")) /
+                  sqrt(col("n_pairs").cast("double")))))
+            .withColumn("flagged",
+              when(col("n_pairs") >= 20 && col("z") > lit(2.0), lit(1L))
+                .otherwise(lit(0L)))
+            .orderBy("doc_id")
+        },
+        Some {
+          val (nP, nG) =
+            graft.ops.Provenance.watermarkCountsSql(D, "__toks", "wm1")
+          s"""WITH base AS (SELECT doc_id, ${D.splitWs("text")} AS __toks
+                            FROM documents),
+             cnt AS (SELECT doc_id, $nP AS n_pairs, $nG AS n_green
+                     FROM base),
+             zz AS (SELECT doc_id, n_pairs, n_green,
+                      CASE WHEN n_pairs = 0 THEN NULL ELSE
+                        ${duckR6("(CAST(2.0 AS DOUBLE) * CAST(n_green AS DOUBLE) - CAST(n_pairs AS DOUBLE)) / sqrt(CAST(n_pairs AS DOUBLE))")}
+                      END AS z
+                    FROM cnt)
+             SELECT doc_id, n_pairs, n_green, z,
+                    CAST(CASE WHEN n_pairs >= 20 AND z > ${D.d(2.0)}
+                         THEN 1 ELSE 0 END AS BIGINT) AS flagged
+             FROM zz ORDER BY doc_id"""
+        }),
+
+      // Bradley-Terry preference strengths (chatbot-arena / reward-model
+      // label aggregation): consecutive same-user events form pairwise
+      // contests (higher stored value wins, exact-tie -> lexicographic),
+      // then 5 unrolled MM iterations fit per-type strengths. ONE
+      // dialect-parameterized SQL runs on BOTH engines (Spark executes
+      // the identical text over a temp view), with round-6 state at every
+      // iteration boundary and pinned summation order — the q_sp_dp
+      // store-rounded inductive pattern. Corpus-sized work is one lead()
+      // window + one (i,j) count agg; the MM loop runs on the |types|²
+      // matrix — dozens of rows at any corpus size.
+      Q("q_bradley_terry",
+        (s, dir) => {
+          import graft.ops.Preference
+          val evView = s"graft_bt_events_${System.nanoTime()}"
+          tEvents(s, dir).createOrReplaceTempView(evView)
+          // Spark inlines CTEs, so the one-statement form would re-derive
+          // each θ state ~2^iters times (32 redundant JOBS even on the
+          // tiny matrix, and 32 corpus windows without the checkpoint) —
+          // the engine therefore runs the SAME step builders the oracle's
+          // single statement is composed from, localCheckpointing the
+          // k²-row state between steps: identical math, linear work.
+          val tag = System.nanoTime()
+          def mat(df: org.apache.spark.sql.DataFrame,
+                  name: String): String = {
+            val v = s"graft_bt_${name}_$tag"
+            df.localCheckpoint(true).createOrReplaceTempView(v)
+            v
+          }
+          val cV = mat(s.sql(
+            s"""SELECT i, j, CAST(count(*) AS BIGINT) AS w FROM (
+                  ${Preference.comparisonsSql(SP, evView, "user_id", "ts",
+                    "event_id", "event_type", "value")}
+                ) c__ GROUP BY i, j"""), "counts")
+          val nmV = mat(s.sql(Preference.btMatrixSql(SP, cV)), "nm")
+          val wtV = mat(s.sql(Preference.btWtotSql(SP, nmV)), "wt")
+          var thV = mat(s.sql(Preference.btTh0Sql(SP, nmV)), "th0")
+          for (it <- 1 to 5)
+            thV = mat(s.sql(Preference.btIterSql(SP, nmV, wtV, thV)), s"th$it")
+          s.sql(Preference.btFinalSql(SP, thV, wtV))
+        },
+        Some {
+          import graft.ops.Preference
+          Preference.bradleyTerrySql(D,
+            Preference.comparisonsSql(D, "events", "user_id", "ts",
+              "event_id", "event_type", "value"), iters = 5)
+        }),
+
+      // Cohen's kappa inter-annotator agreement between two deterministic
+      // binary raters (length gate vs stopword-density gate, the density
+      // compared by integer cross-multiplication) — the label-quality
+      // read that gates preference/quality data before training. One
+      // map-combined scan to a 2x2 table; po/pe/kappa in one IEEE chain.
+      Q("q_cohen_kappa",
+        (s, dir) => {
+          val view = s"graft_kappa_docs_${System.nanoTime()}"
+          t(s, dir, "documents").createOrReplaceTempView(view)
+          s.sql(graft.ops.Preference.cohenKappaSql(SP, view))
+        },
+        Some(graft.ops.Preference.cohenKappaSql(D, "documents"))),
+
+      // c-TF-IDF cluster topic labeling (Grootendorst 2022, BERTopic):
+      // docs cluster by embedding comparison-bits (the SQL-replayable LSH
+      // neighborhood, same expression family as q_icp_order), then each
+      // cluster's top-10 terms rank by class-based TF-IDF
+      // W(t,c) = tf(t,c) · ln(1 + A/f(t)) — the corpus-curation read
+      // ("what IS each data cluster") behind cluster-level pruning and
+      // mixture decisions. Exact: tf/f/A derive from integers; the score
+      // is one identical IEEE chain ranked with a full (score DESC, term)
+      // tie-break. Plan: ONE corpus-sized aggregation to the (cluster,
+      // term) dimension (map-side combined, localCheckpointed so f/A
+      // derive from it without re-scanning the corpus), then dim-sized
+      // joins and an 8-partition window — no second corpus pass.
+      Q("q_ctfidf_topics",
+        (s, dir) => {
+          import org.apache.spark.sql.expressions.Window
+          val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          val emb = graft.embed.HashingEmbedder(64)
+            .withEmbedding(docs, "text", "__emb")
+          val toks = emb
+            .withColumn("__c", expr(cmpBits(SP, "__emb", 3)).cast("long"))
+            .select(col("__c"),
+              explode(expr(SP.splitWs("text"))).as("term"))
+          val tf = toks.groupBy(col("__c"), col("term"))
+            .agg(count(lit(1)).cast("long").as("tf"))
+            .localCheckpoint(true)
+          val f = tf.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("f"))
+          val tot = tf.agg(sum(col("tf")).cast("long").as("__n"),
+            countDistinct(col("__c")).cast("long").as("__nc"))
+          val scored = tf.join(f, "term").crossJoin(broadcast(tot))
+            .where(col("tf") >= 5)
+            .withColumn("__score", col("tf").cast("double") *
+              log(lit(1.0) + col("__n").cast("double") /
+                col("__nc").cast("double") / col("f").cast("double")))
+          val w = Window.partitionBy(col("__c"))
+            .orderBy(col("__score").desc, col("term"))
+          scored.withColumn("rnk", row_number().over(w).cast("long"))
+            .where(col("rnk") <= 10)
+            .select(col("__c").as("cluster"), col("rnk"), col("term"),
+              col("tf"), r6(col("__score")).as("score"))
+            .orderBy("cluster", "rnk")
+        },
+        Some(s"""
+          WITH docs AS (SELECT doc_id, text FROM documents),
+          e AS (SELECT doc_id, text, emb FROM ${duckEmbed("docs", "text", 64)}),
+          cl AS (SELECT CAST(${cmpBits(D, "emb", 3)} AS BIGINT) AS c,
+                        text FROM e),
+          tk AS (SELECT c, unnest(${D.splitWs("text")}) AS term FROM cl),
+          tf AS (SELECT c, term, CAST(count(*) AS BIGINT) AS tf
+                 FROM tk GROUP BY c, term),
+          f AS (SELECT term, CAST(sum(tf) AS BIGINT) AS f FROM tf GROUP BY term),
+          tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n,
+                         CAST(count(DISTINCT c) AS BIGINT) AS nc FROM tf),
+          sc AS (SELECT tf.c, tf.term, tf.tf,
+                        CAST(tf.tf AS DOUBLE) *
+                          ln(${D.d(1.0)} + CAST(n AS DOUBLE) / CAST(nc AS DOUBLE) / CAST(f.f AS DOUBLE)) AS s
+                 FROM tf JOIN f ON f.term = tf.term CROSS JOIN tot
+                 WHERE tf.tf >= 5),
+          rk AS (SELECT c, term, tf, s,
+                        row_number() OVER (PARTITION BY c ORDER BY s DESC, term) AS rnk
+                 FROM sc)
+          SELECT c AS cluster, CAST(rnk AS BIGINT) AS rnk, term, tf,
+                 ${duckR6("s")} AS score
+          FROM rk WHERE rnk <= 10
+          ORDER BY cluster, rnk"""))
+    )
+  }
+
   def all: Seq[Q] =
     relational ++ textOps ++ vectorOps ++ ragOps ++ metaOps ++ extraOps ++
       temporalOps ++ pipelineOps ++ scaleOps ++ relationalPlus ++ trainingPlus ++
       relationalFull ++ curationOps ++ pcmOps ++ imagePixelOps ++ exifOps ++
       streamingEqOps ++
-      warcOps ++ governanceOps ++ analyticsOps ++ lsaOps ++ sketchLinkOps
+      warcOps ++ governanceOps ++ analyticsOps ++ lsaOps ++ sketchLinkOps ++
+      preferenceOps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

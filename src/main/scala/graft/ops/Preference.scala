@@ -1,0 +1,173 @@
+package graft.ops
+
+import graft.sqlgen.Dialect
+
+/** Preference-data operators for reward-model / RLHF data preparation:
+  * Bradley-Terry strength fitting over pairwise comparisons (the model
+  * behind chatbot-arena rankings and reward-model label aggregation —
+  * Bradley & Terry 1952; MM fitting per Hunter 2004) and Cohen's kappa
+  * inter-annotator agreement (the standard label-quality gate before any
+  * preference data enters training).
+  *
+  * Everything here is rendered from ONE dialect-parameterized SQL builder
+  * and executed by BOTH engines (Spark runs the same text via
+  * `spark.sql` over a temp view; DuckDB runs it as the oracle), so the
+  * compared projection is bit-identical by construction: integer counts,
+  * round-6 state at every iteration boundary, and summation order pinned
+  * by [[Dialect.foldSumOrdered]] (the q_sp_dp store-rounded-DP pattern —
+  * each step is one IEEE chain over already-rounded inputs, so the
+  * inductive replay is exact).
+  *
+  * Scale: the corpus-sized work is the comparisons derivation (one
+  * key-partitioned lead() window — no global sort) and one (i, j) count
+  * aggregation with map-side combine; the MM iterations then run on the
+  * |types|² count matrix — dozens of rows forever, independent of corpus
+  * size. This is THE shape for preference aggregation at 100 TB: the
+  * event log never moves twice.
+  */
+object Preference {
+
+  private def r6s(dl: Dialect, x: String): String =
+    s"(round($x, 6) + ${dl.d(0.0)})"
+
+  /** Pairwise comparisons from an event stream: consecutive events per
+    * user (by `ordExpr`, then `idCol`) compare their types; the one with
+    * the larger `valCol` wins, exact ties go to the lexicographically
+    * smaller type (raw stored doubles compare — no recomputation, so both
+    * engines pick identical winners). Same-type pairs are no contest. */
+  def comparisonsSql(dl: Dialect, eventsRel: String, userCol: String,
+                     ordExpr: String, idCol: String, typeCol: String,
+                     valCol: String): String =
+    s"""SELECT CASE WHEN v__ > nv__ THEN t__ WHEN nv__ > v__ THEN nt__
+                    WHEN t__ < nt__ THEN t__ ELSE nt__ END AS i,
+               CASE WHEN v__ > nv__ THEN nt__ WHEN nv__ > v__ THEN t__
+                    WHEN t__ < nt__ THEN nt__ ELSE t__ END AS j
+        FROM (SELECT $typeCol AS t__, $valCol AS v__,
+                     lead($typeCol, 1) OVER (PARTITION BY $userCol ORDER BY $ordExpr, $idCol) AS nt__,
+                     lead($valCol, 1) OVER (PARTITION BY $userCol ORDER BY $ordExpr, $idCol) AS nv__
+              FROM $eventsRel) seq__
+        WHERE nt__ IS NOT NULL AND nt__ <> t__"""
+
+  /** Bradley-Terry strengths via `iters` unrolled MM iterations
+    * (Hunter 2004: θᵢ ← Wᵢ / Σ_j n_ij/(θᵢ+θⱼ), then normalize to Σθ = 1),
+    * add-one smoothed (w_ij + 1 per ordered pair) so every strength is
+    * positive and defined. θ is round-6 at EVERY iteration boundary and
+    * both inner sums fold in pinned order, so the k×|iters| replay is
+    * bit-exact on any engine. Returns (event_type, wins, strength).
+    *
+    * The unrolled CTE chain references each iteration's θ twice (θᵢ and
+    * θⱼ), so an INLINING planner would re-derive the corpus-sized
+    * comparison window ~2^iters times — the Spark engine therefore
+    * aggregates the count matrix first, `localCheckpoint`s it (k² rows),
+    * and runs [[bradleyTerryFromCountsSql]] over that view, while DuckDB
+    * (which materializes multi-referenced CTEs) takes the one-statement
+    * [[bradleyTerrySql]] form. */
+  def bradleyTerrySql(dl: Dialect, comparisons: String, iters: Int): String =
+    s"""WITH cmp ${dl.cteAs} ($comparisons),
+      counts ${dl.cteAs} (SELECT i, j, CAST(count(*) AS BIGINT) AS w
+                 FROM cmp GROUP BY i, j),
+      bt AS (${bradleyTerryFromCountsSql(dl, "SELECT i, j, w FROM counts", iters)})
+      SELECT * FROM bt ORDER BY event_type"""
+
+  /** Smoothed contest matrix (i, j, wij, nij) from an ordered-pair win
+    * relation `countsRel` = (i, j, w): wij = w + 1 (add-one smoothing,
+    * every ordered pair of observed types), nij = wij + wji. */
+  def btMatrixSql(dl: Dialect, countsRel: String): String =
+    s"""WITH types ${dl.cteAs} (SELECT DISTINCT t FROM
+          (SELECT i AS t FROM $countsRel
+           UNION ALL SELECT j AS t FROM $countsRel) u__),
+        prs ${dl.cteAs} (SELECT a.t AS i, b.t AS j
+             FROM types a JOIN types b ON a.t <> b.t),
+        m ${dl.cteAs} (SELECT p.i, p.j,
+               CAST(coalesce(c.w, 0) + 1 AS BIGINT) AS wij
+             FROM prs p LEFT JOIN $countsRel c ON c.i = p.i AND c.j = p.j)
+        SELECT m.i, m.j, m.wij, CAST(m.wij + m2.wij AS BIGINT) AS nij
+        FROM m JOIN m m2 ON m2.i = m.j AND m2.j = m.i"""
+
+  /** Per-type totals (i, wi, kk) from the [[btMatrixSql]] relation. */
+  def btWtotSql(dl: Dialect, nmRel: String): String =
+    s"""SELECT i, CAST(sum(wij) AS BIGINT) AS wi,
+               CAST(count(*) AS BIGINT) AS kk
+        FROM $nmRel GROUP BY i"""
+
+  /** Uniform round-6 initial strengths from the matrix relation. */
+  def btTh0Sql(dl: Dialect, nmRel: String): String =
+    s"""WITH t__ ${dl.cteAs} (SELECT DISTINCT i FROM $nmRel),
+        k__ ${dl.cteAs} (SELECT CAST(count(*) AS BIGINT) AS k FROM t__)
+        SELECT i, ${r6s(dl, s"${dl.d(1.0)} / CAST(k AS DOUBLE)")} AS th
+        FROM t__ CROSS JOIN k__"""
+
+  /** ONE MM step: θᵢ' = r6(normalize(Wᵢ / Σ_j n_ij/(θᵢ+θⱼ))). Both inner
+    * sums fold in pinned order ([[Dialect.foldSumOrdered]]); state is
+    * round-6 at the boundary, so the replay is bit-exact cross-engine. */
+  def btIterSql(dl: Dialect, nmRel: String, wtotRel: String,
+                thRel: String): String =
+    s"""WITH den__ ${dl.cteAs} (SELECT nm.i,
+          ${dl.foldSumOrdered("CAST(nm.nij AS DOUBLE) / (ti.th + tj.th)", "nm.j")} AS den
+          FROM $nmRel nm JOIN $thRel ti ON ti.i = nm.i
+                         JOIN $thRel tj ON tj.i = nm.j
+          GROUP BY nm.i),
+        raw__ ${dl.cteAs} (SELECT d.i, CAST(w.wi AS DOUBLE) / d.den AS v
+          FROM den__ d JOIN $wtotRel w ON w.i = d.i),
+        s__ ${dl.cteAs} (SELECT ${dl.foldSumOrdered("v", "i")} AS s FROM raw__)
+        SELECT i, ${r6s(dl, "v / s")} AS th FROM raw__ CROSS JOIN s__"""
+
+  /** Final projection: (event_type, wins, strength), wins unsmoothed. */
+  def btFinalSql(dl: Dialect, thRel: String, wtotRel: String): String =
+    s"""SELECT t.i AS event_type,
+               CAST(w.wi - w.kk AS BIGINT) AS wins,
+               t.th AS strength
+        FROM $thRel t JOIN $wtotRel w ON w.i = t.i
+        ORDER BY event_type"""
+
+  /** The MM-iteration core over a pre-aggregated ordered-pair win matrix
+    * `countsSql` = (i, j, w), composed from the SAME step builders the
+    * Spark engine executes stepwise — see [[bradleyTerrySql]]. */
+  def bradleyTerryFromCountsSql(dl: Dialect, countsSql: String,
+                                iters: Int): String = {
+    require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+    val sb = new StringBuilder
+    sb ++= s"""WITH cm__ ${dl.cteAs} ($countsSql),
+      nm__ ${dl.cteAs} (${btMatrixSql(dl, "cm__")}),
+      wt__ ${dl.cteAs} (${btWtotSql(dl, "nm__")}),
+      th0 ${dl.cteAs} (${btTh0Sql(dl, "nm__")})"""
+    for (it <- 1 to iters)
+      sb ++= s""",
+      th$it ${dl.cteAs} (${btIterSql(dl, "nm__", "wt__", s"th${it - 1}")})"""
+    sb ++= s"""
+      ${btFinalSql(dl, s"th$iters", "wt__")}"""
+    sb.toString
+  }
+
+  /** Cohen's kappa between two deterministic binary raters over the
+    * documents table: rater A = length gate (n_chars >= 500), rater B =
+    * stopword-density gate (stopword share >= 1/4 — compared by integer
+    * CROSS-MULTIPLICATION, never a ratio double). po/pe/kappa derive from
+    * the exact 2x2 counts in one fixed IEEE chain. The inter-annotator
+    * agreement read that gates labeled preference/quality data. */
+  def cohenKappaSql(dl: Dialect, docsRel: String): String = {
+    val stopPred =
+      "lower(t__) IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+    val nTok = dl.size("toks__")
+    val nStop = dl.size(dl.filter("toks__", "t__", stopPred))
+    val po = "CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)"
+    val pe = "CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE)" +
+      " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+    s"""WITH r AS (
+         SELECT CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS ra,
+                CASE WHEN 4 * $nStop >= $nTok THEN 1 ELSE 0 END AS rb
+         FROM (SELECT n_chars, ${dl.splitWs("text")} AS toks__
+               FROM $docsRel) base__),
+       c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+                    CAST(sum(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+                    CAST(sum(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+                    CAST(sum(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+             FROM r)
+       SELECT n, n11, n10, n01, n00,
+              ${r6s(dl, po)} AS po,
+              ${r6s(dl, pe)} AS pe,
+              ${r6s(dl, s"(($po) - ($pe)) / (${dl.d(1.0)} - ($pe))")} AS kappa
+       FROM c"""
+  }
+}

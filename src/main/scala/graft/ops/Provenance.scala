@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.sqlgen.Dialect
+
+/** Model-generated-text detection via decoding-watermark statistics
+  * (Kirchenbauer et al. 2023, "A Watermark for Large Language Models"):
+  * a watermarking sampler biases each token toward a "green list" seeded
+  * by the PREVIOUS token's hash, so generated text carries a detectable
+  * excess of green (prev, cur) bigrams while human text sits at the
+  * green-list fraction γ by chance. The detector needs NO model access:
+  * per document, count bigrams whose seeded hash lands green (γ = 0.5
+  * here) and test n_green against Binomial(n, γ) —
+  * z = (2·g − n)/√n. Provenance filtering of synthetic text is a
+  * first-class 2024-era curation stage (keeping model output out of the
+  * next model's pretraining mix).
+  *
+  * Determinism: the green test is the shared md5Uniform fold (first 6
+  * md5 hex digits → 24-bit integer → one exact IEEE division — the same
+  * machinery the bootstrap and hash-split contracts replay), so both
+  * engines classify every bigram identically; n/g are exact integers and
+  * z is one fixed IEEE chain from them.
+  *
+  * Scale: the whole statistic is a per-row projection over the token
+  * array — one corpus scan, ZERO exchanges (no groupBy, no window, no
+  * join). At 100 TB this is the cheapest possible operator shape; cost
+  * is one md5 per bigram, embarrassingly parallel. */
+object Provenance {
+
+  /** (n_pairs, n_green) SQL fragments over a token-ARRAY column.
+    * `seed` keys the green partition (the watermark secret). */
+  def watermarkCountsSql(dl: Dialect, toksCol: String,
+                         seed: String): (String, String) = {
+    val n = dl.size(toksCol)
+    val pairKey = s"'$seed:' || ${dl.at(toksCol, "i__")} || ':' || " +
+      dl.at(toksCol, "(i__ + 1)")
+    // gamma = 0.5 needs only ONE hex digit of the md5 (digit < 8 <=>
+    // uniform < 0.5): k=1 keeps the per-bigram cost at a single md5 call
+    // instead of md5Uniform's default six-digit fold
+    val green = s"${dl.md5Uniform(pairKey, 1)} < ${dl.d(0.5)}"
+    // guard BEFORE building the index range: Spark's sequence(1, n-1)
+    // auto-steps DOWNWARD for n < 2 instead of yielding empty
+    val greens =
+      s"CASE WHEN $n < 2 THEN 0 ELSE " +
+        s"${dl.size(dl.filter(dl.seq1(s"(($n) - 1)"), "i__", green))} END"
+    (s"CAST(greatest(($n) - 1, 0) AS BIGINT)", s"CAST($greens AS BIGINT)")
+  }
+}

@@ -154,6 +154,25 @@ final case class Dialect(duck: Boolean) {
     terms.mkString("(", " + ", ")")
   }
 
+  /** CTE definition keyword: DuckDB re-derives a multi-referenced CTE per
+    * reference unless told to materialize (an unrolled iteration chain
+    * referencing each state twice goes exponential); Spark has no
+    * MATERIALIZED syntax — callers that iterate must checkpoint a view on
+    * the Spark side instead (see Preference.bradleyTerrySql). */
+  def cteAs: String = if (duck) "AS MATERIALIZED" else "AS"
+
+  /** Sequential left-fold SUM of a per-row double `expr` over group rows
+    * in `ord` order — the aggregation-shaped sibling of [[dot]]'s array
+    * fold: plain sum() leaves summation order engine-chosen, this pins it
+    * so derived doubles stay bit-identical cross-engine. Group must be
+    * non-empty (DuckDB's list_reduce takes no init; Spark's 0.0 init adds
+    * nothing bit-wise for positive terms). */
+  def foldSumOrdered(expr: String, ord: String): String =
+    if (duck)
+      s"list_reduce(list(($expr) ORDER BY $ord), (s__, x__) -> s__ + x__)"
+    else
+      s"aggregate(transform(sort_array(collect_list(struct(($ord) AS o__, ($expr) AS v__))), e__ -> e__.v__), ${d(0.0)}, (s__, x__) -> s__ + x__)"
+
   /** Deterministic uniform in [0,1): the first `k` hex digits of md5(x)
     * folded into an integer, divided by 16^k. Small-integer arithmetic +
     * one exact IEEE division — bit-identical across engines. */
