@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Preference, Provenance}
+import graft.sqlgen.Dialect
+
+class PreferenceSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+  private val SP = Dialect.spark
+
+  test("cohenKappaSql: hand-checked 2x2 agreement") {
+    // rater A = n_chars >= 500; rater B = stopword share >= 1/4.
+    // doc1: long + stopword-heavy (1,1); doc2: long + stopword-light
+    // (1,0); doc3: short + stopword-heavy (0,1); doc4+5: short + light
+    // (0,0) twice -> n=5, n11=1, n10=1, n01=1, n00=2
+    // po = 3/5 = .6; pe = (2*2 + 3*3)/25 = .52; kappa = .08/.48 = 1/6
+    val docs = Seq(
+      (600L, "the of and to in"),
+      (700L, "alpha beta gamma delta epsilon"),
+      (100L, "the of and a to"),
+      (100L, "alpha beta gamma delta epsilon"),
+      (100L, "zeta eta theta iota kappa")
+    ).toDF("n_chars", "text")
+    val v = s"pref_kappa_${System.nanoTime()}"
+    docs.createOrReplaceTempView(v)
+    val r = spark.sql(Preference.cohenKappaSql(SP, v)).collect()(0)
+    assert(r.getLong(0) == 5 && r.getLong(1) == 1 && r.getLong(2) == 1 &&
+      r.getLong(3) == 1 && r.getLong(4) == 2)
+    assert(r.getDouble(5) == 0.6)
+    assert(r.getDouble(6) == 0.52)
+    assert(math.abs(r.getDouble(7) - 1.0 / 6.0) < 1e-6)
+  }
+
+  private def runBt(counts: Seq[(String, String, Long)],
+                    iters: Int): Map[String, (Long, Double)] = {
+    val tag = System.nanoTime()
+    def mat(df: org.apache.spark.sql.DataFrame, n: String): String = {
+      val v = s"pref_bt_${n}_$tag"
+      df.localCheckpoint(true).createOrReplaceTempView(v)
+      v
+    }
+    val cV = mat(counts.toDF("i", "j", "w"), "c")
+    val nmV = mat(spark.sql(Preference.btMatrixSql(SP, cV)), "nm")
+    val wtV = mat(spark.sql(Preference.btWtotSql(SP, nmV)), "wt")
+    var thV = mat(spark.sql(Preference.btTh0Sql(SP, nmV)), "th0")
+    for (it <- 1 to iters)
+      thV = mat(spark.sql(Preference.btIterSql(SP, nmV, wtV, thV)), s"th$it")
+    spark.sql(Preference.btFinalSql(SP, thV, wtV)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+  }
+
+  test("Bradley-Terry: hand-checked one-iteration two-player fit") {
+    // A beats B 3x, B beats A once. Smoothed: wAB=4, wBA=2, nAB=6.
+    // MM step from uniform: vA = 4/(6/1) = 2/3, vB = 2/6 = 1/3 -> after
+    // normalization thA ~ 2/3, thB ~ 1/3; unsmoothed wins survive.
+    val out = runBt(Seq(("A", "B", 3L), ("B", "A", 1L)), iters = 1)
+    assert(out("A")._1 == 3L && out("B")._1 == 1L)
+    assert(math.abs(out("A")._2 - 2.0 / 3.0) < 1e-5)
+    assert(math.abs(out("B")._2 - 1.0 / 3.0) < 1e-5)
+  }
+
+  test("Bradley-Terry: symmetry, dominance order, unit mass") {
+    // symmetric contests -> equal strengths
+    val sym = runBt(Seq(("A", "B", 5L), ("B", "A", 5L),
+      ("B", "C", 5L), ("C", "B", 5L), ("A", "C", 5L), ("C", "A", 5L)), 5)
+    assert(sym.values.map(_._2).toSet.size == 1)
+    // a dominant player ranks strictly above a dominated one
+    val dom = runBt(Seq(("A", "B", 9L), ("B", "A", 1L),
+      ("B", "C", 9L), ("C", "B", 1L), ("A", "C", 9L), ("C", "A", 1L)), 5)
+    assert(dom("A")._2 > dom("B")._2 && dom("B")._2 > dom("C")._2)
+    // strengths normalize to ~1
+    assert(math.abs(dom.values.map(_._2).sum - 1.0) < 1e-4)
+  }
+
+  test("watermark counts: planted green chain flags, planted red does not") {
+    import graft.functions.TextHashing
+    // greedily build a 41-token chain whose every bigram hashes green
+    // (first md5 hex digit of 'wm1:prev:cur' < 8) and one all-red chain
+    def chain(green: Boolean): String = {
+      val toks = scala.collection.mutable.ArrayBuffer("t0")
+      while (toks.length <= 40) {
+        val prev = toks.last
+        val cand = (0 until 64).map(c => s"w$c").find { c =>
+          val d = TextHashing.md5Hex(s"wm1:$prev:$c").charAt(0)
+          val isGreen = d >= '0' && d <= '7'
+          isGreen == green
+        }
+        toks += cand.get
+      }
+      toks.mkString(" ")
+    }
+    val docs = Seq((1L, chain(green = true)), (2L, chain(green = false)))
+      .toDF("doc_id", "text")
+    val v = s"pref_wm_${System.nanoTime()}"
+    docs.createOrReplaceTempView(v)
+    val (nP, nG) = Provenance.watermarkCountsSql(SP, "__toks", "wm1")
+    val got = spark.sql(
+      s"""SELECT doc_id, $nP AS n_pairs, $nG AS n_green
+          FROM (SELECT doc_id, ${SP.splitWs("text")} AS __toks FROM $v)
+          ORDER BY doc_id""").collect()
+    assert(got(0).getLong(1) == 40 && got(0).getLong(2) == 40) // all green
+    assert(got(1).getLong(1) == 40 && got(1).getLong(2) == 0)  // all red
+    // z = (2g-n)/sqrt(n): +sqrt(40) ~ 6.32 flags; -6.32 does not
+  }
+}
