@@ -403,7 +403,14 @@ object Bench {
           // tokenizers) and the one-shuffle semantic chunker — expected
           // linear; first ratios recorded by the r11 2600s run
           "q_pdf_objstm", "q_pdf_encrypted", "q_wordpiece",
-          "q_semantic_chunks", "q_wp_segment", "q_transformer_wp")
+          "q_semantic_chunks", "q_wp_segment", "q_transformer_wp",
+          // r12-new operators: watermark/kappa are pure per-row kernels
+          // (expect ~linear), ctfidf is one corpus aggregation, and
+          // bradley_terry's MM loop is matrix-sized — its ratio should
+          // hover near 1 (fixed cost), direct evidence the iteration
+          // cost is corpus-independent
+          "q_watermark_detect", "q_ctfidf_topics", "q_cohen_kappa",
+          "q_bradley_terry")
         val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
         def timed(fn: String => Unit, dir: String, name: String,
                   baseT: Double): Double = {

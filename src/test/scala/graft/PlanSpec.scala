@@ -516,4 +516,17 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.forall(e => !e.contains("__cv") && !e.contains("__qv")),
       s"raw vectors must not transit an exchange:\n$exchanges")
   }
+
+  test("watermark detection: a pure per-row projection, zero exchanges") {
+    // the per-doc (n_pairs, n_green) statistic must never shuffle — at
+    // 100 TB the detector is one map-only corpus scan
+    val SP = graft.sqlgen.Dialect.spark
+    val docs = Seq((1L, "a b c d e"), (2L, "x y z")).toDF("doc_id", "text")
+    val (nP, nG) = graft.ops.Provenance.watermarkCountsSql(SP, "__toks", "wm1")
+    val plan = formatted(docs
+      .withColumn("__toks", expr(SP.splitWs("text")))
+      .select(col("doc_id"), expr(nP).as("n_pairs"), expr(nG).as("n_green")))
+    assert(!plan.contains("Exchange"),
+      s"watermark stats must stay map-only:\n$plan")
+  }
 }
