@@ -14014,6 +14014,41 @@ object QueryCatalog {
         },
         Some(graft.ops.Preference.cohenKappaSql(D, "documents"))),
 
+      // SFT chat-transcript structure gate: deterministic "role: content"
+      // transcripts built from the document tokens (system/tool/user/
+      // assistant pattern planting real alternation violations and
+      // unknown roles), then PARSED back — per-doc turn counts by role,
+      // same-speaker violations, and per-role token masses, the checks
+      // that decide keep/fix/drop before chat logs become training rows.
+      // All exact integers from string positions; construction AND parse
+      // render from one dialect builder so the oracle replays end to
+      // end. Plan: per-row projections only — the watermark shape, one
+      // scan, zero exchanges.
+      Q("q_chat_turns",
+        (s, dir) => {
+          import graft.ops.ChatLog
+          val stats = ChatLog.statsSql(SP, "__lines")
+          t(s, dir, "documents")
+            .withColumn("__toks", expr(SP.splitWs("text")))
+            .withColumn("__t", expr(ChatLog.transcriptSql(SP, "__toks")))
+            .withColumn("__lines", expr(SP.splitLines("__t")))
+            .select(col("doc_id") +:
+              stats.map { case (k, e) => expr(e).as(k) }: _*)
+            .orderBy("doc_id")
+        },
+        Some {
+          import graft.ops.ChatLog
+          val stats = ChatLog.statsSql(D, "lns")
+          s"""WITH b AS (SELECT doc_id, ${D.splitWs("text")} AS toks
+                         FROM documents),
+             tr AS (SELECT doc_id, ${ChatLog.transcriptSql(D, "toks")} AS t
+                    FROM b),
+             ln AS (SELECT doc_id, ${D.splitLines("t")} AS lns FROM tr)
+             SELECT doc_id,
+                    ${stats.map { case (k, e) => s"$e AS $k" }.mkString(",\n                    ")}
+             FROM ln ORDER BY doc_id"""
+        }),
+
       // c-TF-IDF cluster topic labeling (Grootendorst 2022, BERTopic):
       // docs cluster by embedding comparison-bits (the SQL-replayable LSH
       // neighborhood, same expression family as q_icp_order), then each

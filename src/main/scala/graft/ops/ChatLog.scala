@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.sqlgen.Dialect
+
+/** SFT / chat-transcript structure analysis — the format gate every
+  * instruction-tuning pipeline runs before chat logs become training
+  * rows: parse "role: content" transcripts, recover the turn structure,
+  * and emit the checks that decide keep/fix/drop — turn counts per role,
+  * system-prompt multiplicity, role-alternation violations (two
+  * consecutive turns by the same speaker break most chat templates), and
+  * per-role token masses (the user/assistant balance that drives loss
+  * masking and length curricula).
+  *
+  * The PARSER is the operator under test: role = text before the FIRST
+  * colon of each line (content colons don't confuse it), unknown roles
+  * count separately rather than throwing (a malformed log is a data
+  * quality signal, not a crash).
+  *
+  * Determinism: every statistic is an exact integer derived from string
+  * positions — nothing floats. Scale: all stats are per-row projections
+  * over the line array (the watermark shape — one corpus scan, ZERO
+  * exchanges); the fixture transcript is itself built from the document
+  * tokens by a shared dialect expression, so the oracle replays
+  * construction AND parse end to end. */
+object ChatLog {
+
+  /** Deterministic chat-transcript fixture from a token-ARRAY column:
+    * 12-word windows become turns rendered as "role: words..." lines.
+    * The role pattern deliberately exercises EVERY parser branch: turn 1
+    * is `system`, every 7th turn is `tool` (unknown to the stats — they
+    * must count, not crash), and the i%5 cycle plants back-to-back
+    * same-role runs so the alternation-violation counter has real work. */
+  def transcriptSql(dl: Dialect, toksCol: String): String = {
+    val nWin = s"CAST(ceil(${dl.size(toksCol)} / ${dl.d(12.0)}) AS INT)"
+    val role =
+      """CASE WHEN i__ = 1 THEN 'system'
+               WHEN i__ % 7 = 0 THEN 'tool'
+               WHEN i__ % 5 IN (2, 3) THEN 'user'
+               ELSE 'assistant' END"""
+    val content = dl.arrayJoin(
+      dl.sliceE(toksCol, "((i__ - 1) * 12 + 1)", 12), " ")
+    val lines = dl.transform(dl.seq1(nWin), "i__",
+      s"$role || ': ' || $content")
+    dl.arrayJoinE(lines, "chr(10)")
+  }
+
+  /** (name -> SQL expr) per-doc stats over a pre-projected line-ARRAY
+    * column (callers split the transcript ONCE — `dl.splitLines` — and
+    * hand the array column in, so no stat re-splits the string). */
+  def statsSql(dl: Dialect, linesCol: String): Seq[(String, String)] = {
+    def role(l: String) =
+      s"CASE WHEN ${dl.instr(l, "': '")} = 0 THEN '?' " +
+        s"ELSE substring($l, 1, ${dl.instr(l, "': '")} - 1) END"
+    val n = dl.size(linesCol)
+    def countRole(r: String) =
+      dl.size(dl.filter(linesCol, "l__", s"${role("l__")} = '$r'"))
+    // consecutive same-role pairs (system excluded — a doubled system
+    // prompt is counted by n_system instead)
+    val sameRole = s"${role(dl.at(linesCol, "i__"))} = " +
+      s"${role(dl.at(linesCol, "(i__ + 1)"))} AND " +
+      s"${role(dl.at(linesCol, "i__"))} <> 'system'"
+    val violations =
+      s"CASE WHEN $n < 2 THEN 0 ELSE " +
+        s"${dl.size(dl.filter(dl.seq1(s"(($n) - 1)"), "i__", sameRole))} END"
+    // per-role token mass: join the role's contents and count tokens
+    // (empty join is NULL in DuckDB vs '' in Spark — and splitWs('') is
+    // [''], size 1 — so both cases gate on the joined string length)
+    def roleTokens(r: String) = {
+      val joined = dl.arrayJoin(
+        dl.transform(
+          dl.filter(linesCol, "l__", s"${role("l__")} = '$r'"),
+          "l__", s"substring(l__, ${dl.instr("l__", "': '")} + 2)"), " ")
+      s"CASE WHEN coalesce(length($joined), 0) = 0 THEN 0 " +
+        s"ELSE ${dl.size(dl.splitWs(joined))} END"
+    }
+    def big(x: String) = s"CAST($x AS BIGINT)"
+    Seq(
+      "n_turns" -> big(n),
+      "n_system" -> big(countRole("system")),
+      "n_user" -> big(countRole("user")),
+      "n_assistant" -> big(countRole("assistant")),
+      "n_unknown" -> big(s"($n) - ${countRole("system")} - " +
+        s"${countRole("user")} - ${countRole("assistant")}"),
+      "violations" -> big(violations),
+      "user_tokens" -> big(roleTokens("user")),
+      "assistant_tokens" -> big(roleTokens("assistant")))
+  }
+}
