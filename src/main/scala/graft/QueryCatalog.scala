@@ -14049,6 +14049,71 @@ object QueryCatalog {
              FROM ln ORDER BY doc_id"""
         }),
 
+      // SFT loss-mask spans: the EXACT 1-based character offsets of every
+      // assistant turn's content inside the rendered transcript — what a
+      // trainer needs to mask user/system tokens out of the loss. The
+      // contract is self-proving: content_md5 hashes the substring CUT
+      // FROM THE TRANSCRIPT at (start, len), so any off-by-one in the
+      // offset arithmetic (prefix sums of line lengths + newlines + the
+      // role prefix) breaks the hash against the oracle's independent
+      // replay. One shuffle on doc_id for the prefix-sum window; all
+      // outputs exact integers + md5.
+      Q("q_chat_spans",
+        (s, dir) => {
+          import graft.ops.ChatLog
+          import org.apache.spark.sql.expressions.Window
+          val base = t(s, dir, "documents")
+            .withColumn("__toks", expr(SP.splitWs("text")))
+            .withColumn("__t", expr(ChatLog.transcriptSql(SP, "__toks")))
+            .withColumn("__lines", expr(SP.splitLines("__t")))
+          val ex = base
+            .select(col("doc_id"), col("__t"),
+              posexplode(col("__lines")).as(Seq("__i0", "__line")))
+            .withColumn("turn_idx", col("__i0").cast("long") + 1)
+          val w = Window.partitionBy(col("doc_id")).orderBy(col("turn_idx"))
+          ex
+            .withColumn("__cum",
+              sum(length(col("__line")).cast("long") + lit(1L)).over(w))
+            .withColumn("__ls",
+              col("__cum") - (length(col("__line")).cast("long") + lit(1L)) + 1)
+            .withColumn("__p", expr(SP.instr("__line", "': '")).cast("long"))
+            .where(expr(ChatLog.roleSql(SP, "__line")) === "assistant")
+            .select(col("doc_id"), col("turn_idx"),
+              (col("__ls") + col("__p") + 1).as("start"),
+              (length(col("__line")).cast("long") - col("__p") - 1).as("len"),
+              md5(expr("substring(__t, CAST(__ls + __p + 1 AS INT), " +
+                "CAST(length(__line) - __p - 1 AS INT))")).as("content_md5"))
+            .orderBy("doc_id", "turn_idx")
+        },
+        Some {
+          import graft.ops.ChatLog
+          s"""WITH b AS (SELECT doc_id, ${D.splitWs("text")} AS toks
+                         FROM documents),
+             tr AS (SELECT doc_id, ${ChatLog.transcriptSql(D, "toks")} AS t
+                    FROM b),
+             ex AS (SELECT doc_id, t, CAST(i AS BIGINT) AS turn_idx,
+                           lns[CAST(i AS INT)] AS line
+                    FROM (SELECT doc_id, t, lns,
+                                 unnest(range(1, len(lns) + 1)) AS i
+                          FROM (SELECT doc_id, t, ${D.splitLines("t")} AS lns
+                                FROM tr) y__) x__),
+             pos AS (SELECT doc_id, t, turn_idx, line,
+                            CAST(sum(length(line) + 1) OVER (
+                              PARTITION BY doc_id ORDER BY turn_idx
+                              ROWS UNBOUNDED PRECEDING)
+                              - (length(line) + 1) + 1 AS BIGINT) AS ls,
+                            CAST(${D.instr("line", "': '")} AS BIGINT) AS p
+                     FROM ex)
+             SELECT doc_id, turn_idx,
+                    CAST(ls + p + 1 AS BIGINT) AS start,
+                    CAST(length(line) - p - 1 AS BIGINT) AS len,
+                    md5(substring(t, CAST(ls + p + 1 AS INT),
+                                  CAST(length(line) - p - 1 AS INT))) AS content_md5
+             FROM pos
+             WHERE ${ChatLog.roleSql(D, "line")} = 'assistant'
+             ORDER BY doc_id, turn_idx"""
+        }),
+
       // c-TF-IDF cluster topic labeling (Grootendorst 2022, BERTopic):
       // docs cluster by embedding comparison-bits (the SQL-replayable LSH
       // neighborhood, same expression family as q_icp_order), then each

@@ -44,13 +44,17 @@ object ChatLog {
     dl.arrayJoinE(lines, "chr(10)")
   }
 
+  /** Role of one "role: content" line: the text before the FIRST ': '
+    * (0-position -> '?', the unknown/malformed marker). */
+  def roleSql(dl: Dialect, l: String): String =
+    s"CASE WHEN ${dl.instr(l, "': '")} = 0 THEN '?' " +
+      s"ELSE substring($l, 1, ${dl.instr(l, "': '")} - 1) END"
+
   /** (name -> SQL expr) per-doc stats over a pre-projected line-ARRAY
     * column (callers split the transcript ONCE — `dl.splitLines` — and
     * hand the array column in, so no stat re-splits the string). */
   def statsSql(dl: Dialect, linesCol: String): Seq[(String, String)] = {
-    def role(l: String) =
-      s"CASE WHEN ${dl.instr(l, "': '")} = 0 THEN '?' " +
-        s"ELSE substring($l, 1, ${dl.instr(l, "': '")} - 1) END"
+    def role(l: String) = roleSql(dl, l)
     val n = dl.size(linesCol)
     def countRole(r: String) =
       dl.size(dl.filter(linesCol, "l__", s"${role("l__")} = '$r'"))
