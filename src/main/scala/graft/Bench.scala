@@ -410,7 +410,7 @@ object Bench {
           // hover near 1 (fixed cost), direct evidence the iteration
           // cost is corpus-independent
           "q_watermark_detect", "q_ctfidf_topics", "q_cohen_kappa",
-          "q_bradley_terry")
+          "q_bradley_terry", "q_data_cartography")
         val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
         def timed(fn: String => Unit, dir: String, name: String,
                   baseT: Double): Double = {

@@ -13908,6 +13908,35 @@ object QueryCatalog {
         s"(CASE WHEN ${dl.at(vecCol, (2 * i + 1).toString)} > " +
           s"${dl.at(vecCol, (2 * i + 2).toString)} THEN ${1 << i} ELSE 0 END)"
       }.mkString("CAST((", " + ", ") AS INT)")
+    // Bradley-Terry MM steps over a (i, j, w) ordered-pair count frame —
+    // SHARED by the batch query and the streaming gate. Spark inlines
+    // CTEs, so the one-statement form would re-derive each θ 2^iters
+    // times: run the oracle's own step builders over localCheckpointed
+    // k²-row views instead — identical math, linear work.
+    def btFromCounts(sess: SparkSession,
+                     counts: org.apache.spark.sql.DataFrame,
+                     iters: Int): org.apache.spark.sql.DataFrame = {
+      import graft.ops.Preference
+      val tag = System.nanoTime()
+      def mat(df: org.apache.spark.sql.DataFrame, name: String): String = {
+        val v = s"graft_bt_${name}_$tag"
+        df.localCheckpoint(true).createOrReplaceTempView(v)
+        v
+      }
+      val cV = mat(counts, "counts")
+      val nmV = mat(sess.sql(Preference.btMatrixSql(SP, cV)), "nm")
+      val wtV = mat(sess.sql(Preference.btWtotSql(SP, nmV)), "wt")
+      var thV = mat(sess.sql(Preference.btTh0Sql(SP, nmV)), "th0")
+      for (it <- 1 to iters)
+        thV = mat(sess.sql(Preference.btIterSql(SP, nmV, wtV, thV)), s"th$it")
+      sess.sql(Preference.btFinalSql(SP, thV, wtV))
+    }
+    val btOracle = {
+      import graft.ops.Preference
+      Preference.bradleyTerrySql(D,
+        Preference.comparisonsSql(D, "events", "user_id", "ts",
+          "event_id", "event_type", "value"), iters = 5)
+    }
     Seq(
       // Statistical watermark detection (Kirchenbauer et al. 2023): per
       // doc, the fraction of (prev, cur) token bigrams whose seeded hash
@@ -13969,37 +13998,56 @@ object QueryCatalog {
           import graft.ops.Preference
           val evView = s"graft_bt_events_${System.nanoTime()}"
           tEvents(s, dir).createOrReplaceTempView(evView)
-          // Spark inlines CTEs, so the one-statement form would re-derive
-          // each θ state ~2^iters times (32 redundant JOBS even on the
-          // tiny matrix, and 32 corpus windows without the checkpoint) —
-          // the engine therefore runs the SAME step builders the oracle's
-          // single statement is composed from, localCheckpointing the
-          // k²-row state between steps: identical math, linear work.
-          val tag = System.nanoTime()
-          def mat(df: org.apache.spark.sql.DataFrame,
-                  name: String): String = {
-            val v = s"graft_bt_${name}_$tag"
-            df.localCheckpoint(true).createOrReplaceTempView(v)
-            v
-          }
-          val cV = mat(s.sql(
+          btFromCounts(s, s.sql(
             s"""SELECT i, j, CAST(count(*) AS BIGINT) AS w FROM (
                   ${Preference.comparisonsSql(SP, evView, "user_id", "ts",
                     "event_id", "event_type", "value")}
-                ) c__ GROUP BY i, j"""), "counts")
-          val nmV = mat(s.sql(Preference.btMatrixSql(SP, cV)), "nm")
-          val wtV = mat(s.sql(Preference.btWtotSql(SP, nmV)), "wt")
-          var thV = mat(s.sql(Preference.btTh0Sql(SP, nmV)), "th0")
-          for (it <- 1 to 5)
-            thV = mat(s.sql(Preference.btIterSql(SP, nmV, wtV, thV)), s"th$it")
-          s.sql(Preference.btFinalSql(SP, thV, wtV))
+                ) c__ GROUP BY i, j"""), iters = 5)
         },
-        Some {
-          import graft.ops.Preference
-          Preference.bradleyTerrySql(D,
-            Preference.comparisonsSql(D, "events", "user_id", "ts",
-              "event_id", "event_type", "value"), iters = 5)
-        }),
+        Some(btOracle)),
+
+      // Streaming Bradley-Terry == batch: contests derive INCREMENTALLY
+      // (flatMapGroupsWithState retains each user's last event — O(1)
+      // state — and every arrival forms a contest against it), fed as 4
+      // REAL micro-batches; the streamed contests re-aggregate and run
+      // the SAME MM steps, hash-matching the SAME oracle as
+      // q_bradley_terry. The 20th batch/stream equivalence gate: a live
+      // preference/reward-model count matrix never re-scans history.
+      Q("q_stream_bt_eq",
+        (s, dir0) => {
+          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
+          import s.implicits._
+          import graft.streaming.StreamingPreference
+          import graft.streaming.StreamingPreference.PEvent
+          val ss = streamSession(s)
+          implicit val sqlCtx = ss.sqlContext
+          def tsOf(us: Long) = java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(us / 1000000L,
+              (us % 1000000L) * 1000L))
+          val evs = tEvents(s, dir)
+            .select(col("user_id").cast("long"),
+              expr("ts div 1000").as("tsus"),
+              col("event_id").cast("long"), col("event_type"), col("value"))
+            .as[(Long, Long, Long, String, Double)].collect()
+            .sortBy { case (_, tsus, eid, _, _) => (tsus, eid) }
+            .map { case (u, tsus, eid, t, v) => PEvent(u, tsOf(tsus), eid, t, v) }
+          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[PEvent]
+          val name = s"q_stream_bt_eq_${System.nanoTime()}"
+          val q = StreamingPreference.contestStream(in.toDS())
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+          try {
+            evs.grouped(math.max(1, (evs.length + 3) / 4)).foreach { b =>
+              in.addData(b.toSeq); q.processAllAvailable()
+            }
+          } finally {
+            q.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
+          btFromCounts(ss, ss.table(name).groupBy(col("i"), col("j"))
+            .agg(count(lit(1)).cast("long").as("w")), iters = 5)
+        },
+        Some(btOracle)),
 
       // Cohen's kappa inter-annotator agreement between two deterministic
       // binary raters (length gate vs stopword-density gate, the density
@@ -14047,6 +14095,51 @@ object QueryCatalog {
              SELECT doc_id,
                     ${stats.map { case (k, e) => s"$e AS $k" }.mkString(",\n                    ")}
              FROM ln ORDER BY doc_id"""
+        }),
+
+      // Dataset Cartography (Swayamdipta et al. 2020): per-example
+      // confidence (mean per-epoch true-label probability) and
+      // variability (std), bucketed easy/ambiguous/hard — the training-
+      // dynamics triage behind pruning easy redundancy and auditing hard
+      // examples for label noise. Probabilities are the deterministic
+      // md5Uniform fixture; the OPERATOR is the epoch-ordered fold
+      // aggregation + rounded-coordinate bucketing. Per-row projections
+      // only: one scan, zero exchanges.
+      Q("q_data_cartography",
+        (s, dir) => {
+          import graft.ops.Cartography
+          val E = 8
+          t(s, dir, "documents")
+            .select(col("doc_id"))
+            .withColumn("__p",
+              expr(Cartography.probsSql(SP, "doc_id", "cart", E)))
+            .withColumn("__conf", expr(Cartography.confSql(SP, "__p", E)))
+            .withColumn("__std",
+              expr(Cartography.stdSql(SP, "__p", "__conf", E)))
+            .withColumn("confidence", r6(col("__conf")))
+            .withColumn("variability", r6(col("__std")))
+            .select(col("doc_id"), col("confidence"), col("variability"),
+              expr(Cartography.categorySql(SP, "confidence", "variability"))
+                .as("category"))
+            .orderBy("doc_id")
+        },
+        Some {
+          import graft.ops.Cartography
+          val E = 8
+          s"""WITH p AS (SELECT doc_id,
+                    ${Cartography.probsSql(D, "doc_id", "cart", E)} AS pr
+                  FROM documents),
+             c AS (SELECT doc_id, pr,
+                    ${Cartography.confSql(D, "pr", E)} AS cf FROM p),
+             sd AS (SELECT doc_id, cf,
+                    ${Cartography.stdSql(D, "pr", "cf", E)} AS st FROM c),
+             r AS (SELECT doc_id,
+                    ${duckR6("cf")} AS confidence,
+                    ${duckR6("st")} AS variability
+                   FROM sd)
+             SELECT doc_id, confidence, variability,
+                    ${Cartography.categorySql(D, "confidence", "variability")} AS category
+             FROM r ORDER BY doc_id"""
         }),
 
       // SFT loss-mask spans: the EXACT 1-based character offsets of every

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.sqlgen.Dialect
+
+/** Dataset Cartography (Swayamdipta et al. 2020, "Dataset Cartography:
+  * Mapping and Diagnosing Datasets with Training Dynamics"): aggregate a
+  * model's PER-EPOCH confidence in each training example into the two
+  * coordinates that triage data — confidence (mean true-label
+  * probability across epochs) and variability (its std) — then bucket
+  * examples easy-to-learn / ambiguous / hard-to-learn. The data-centric
+  * read behind pruning easy redundancy, prioritizing ambiguous examples,
+  * and auditing hard ones for label noise.
+  *
+  * The per-epoch probabilities here are a deterministic md5Uniform
+  * fixture keyed (example, epoch) — the OPERATOR under test is the
+  * aggregation: epoch-ordered sequential folds (mean, then centered
+  * second moment), one sqrt, round-6, and the bucket rule applied to the
+  * ROUNDED coordinates so both engines cross the thresholds identically.
+  * Callers LAYER the builders (probability array -> mean -> std ->
+  * category) as projections/CTEs so the array materializes once per row.
+  *
+  * Scale: in production the epoch×example loss log is the input and this
+  * collapses it with one keyed aggregation; in the fixture form the
+  * whole map is a per-row projection — one scan, ZERO exchanges (the
+  * watermark shape). Either way nothing corpus-sized moves twice. */
+object Cartography {
+
+  /** Epoch-ordered probability array for one example id. */
+  def probsSql(dl: Dialect, idCol: String, seed: String,
+               epochs: Int): String = {
+    require(epochs >= 2 && epochs <= 64, s"epochs out of range: $epochs")
+    val key = s"'$seed:' || ${dl.castStr(idCol)} || ':' || e__"
+    dl.transform(dl.seq1(epochs.toString), "e__", dl.md5Uniform(key))
+  }
+
+  /** Mean over the epoch-ordered array (sequential fold). */
+  def confSql(dl: Dialect, pCol: String, epochs: Int): String =
+    s"(${dl.foldSum(pCol)} / CAST($epochs AS DOUBLE))"
+
+  /** Population std around a pre-projected mean column. */
+  def stdSql(dl: Dialect, pCol: String, confCol: String,
+             epochs: Int): String = {
+    val dev = dl.transform(pCol, "x__",
+      s"(x__ - $confCol) * (x__ - $confCol)")
+    s"sqrt(${dl.foldSum(dev)} / CAST($epochs AS DOUBLE))"
+  }
+
+  /** Map region from the ROUNDED coordinates — variability first
+    * (ambiguous), then confidence (easy), else hard. */
+  def categorySql(dl: Dialect, conf6Col: String, std6Col: String): String =
+    s"""CASE WHEN $std6Col >= ${dl.d(0.25)} THEN 'ambiguous'
+             WHEN $conf6Col >= ${dl.d(0.5)} THEN 'easy'
+             ELSE 'hard' END"""
+}

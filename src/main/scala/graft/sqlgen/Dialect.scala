@@ -154,6 +154,13 @@ final case class Dialect(duck: Boolean) {
     terms.mkString("(", " + ", ")")
   }
 
+  /** Sequential left-fold SUM over a double-ARRAY expression (non-empty;
+    * DuckDB's list_reduce takes no init — Spark's 0.0 init adds nothing
+    * bit-wise for the first positive term). */
+  def foldSum(a: String): String =
+    if (duck) s"list_reduce($a, (s__, x__) -> s__ + x__)"
+    else s"aggregate($a, ${d(0.0)}, (s__, x__) -> s__ + x__)"
+
   /** CTE definition keyword: DuckDB re-derives a multi-referenced CTE per
     * reference unless told to materialize (an unrolled iteration chain
     * referencing each state twice goes exponential); Spark has no

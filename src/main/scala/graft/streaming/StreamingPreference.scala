@@ -1,0 +1,57 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Incremental pairwise-preference derivation — the live form of
+  * `graft.ops.Preference.comparisonsSql`: as events arrive per user, each
+  * one forms a contest against the RETAINED previous event (higher stored
+  * value wins, exact tie -> lexicographically smaller type; same-type
+  * pairs are no contest), so a preference/reward-model count matrix stays
+  * current without ever re-scanning history. State per user is O(1): the
+  * last (type, value). The q_stream_bt_eq gate feeds real micro-batches
+  * through this, re-aggregates the emitted contests, runs the SAME
+  * Bradley-Terry MM steps, and hash-matches the SAME oracle as the batch
+  * q_bradley_terry — batch and live preference fitting under one hash. */
+object StreamingPreference {
+
+  final case class PEvent(user_id: Long, ts: Timestamp, event_id: Long,
+                          event_type: String, value: Double)
+  final case class PState(lastType: String, lastValue: Double)
+  final case class Contest(i: String, j: String)
+
+  def contestStream(events: Dataset[PEvent]): Dataset[Contest] = {
+    implicit val outEnc = Encoders.product[Contest]
+    implicit val longEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.product[PState]
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PState, Contest](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[PEvent], state: GroupState[PState]) =>
+          // per-user (ts, event_id) order inside the batch; cross-batch
+          // order is the feeder's contract (same as every gate here)
+          val batch = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[Contest]
+          var st = state.getOption.orNull
+          batch.foreach { e =>
+            if (st != null && st.lastType != e.event_type) {
+              // identical decision to the batch SQL: raw stored doubles
+              // compare; exact tie goes to the smaller type name
+              val (w, l) =
+                if (st.lastValue > e.value) (st.lastType, e.event_type)
+                else if (e.value > st.lastValue) (e.event_type, st.lastType)
+                else if (st.lastType < e.event_type)
+                  (st.lastType, e.event_type)
+                else (e.event_type, st.lastType)
+              out += Contest(w, l)
+            }
+            st = PState(e.event_type, e.value)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+}

@@ -74,6 +74,21 @@ class PreferenceSpec extends AnyFunSuite {
     assert(math.abs(dom.values.map(_._2).sum - 1.0) < 1e-4)
   }
 
+  test("streaming contest derivation: last-event state, winner rule, same-type skip") {
+    import graft.streaming.StreamingPreference
+    import graft.streaming.StreamingPreference.PEvent
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // user 1: A(5) -> B(3) => A beats B; B(3) -> B(9) same type skip;
+    // B(9) -> C(9) exact tie -> lexicographic B; user 2: X(1) -> Y(2) => Y
+    val evs = Seq(
+      PEvent(1L, ts(1), 1L, "A", 5.0), PEvent(1L, ts(2), 2L, "B", 3.0),
+      PEvent(1L, ts(3), 3L, "B", 9.0), PEvent(1L, ts(4), 4L, "C", 9.0),
+      PEvent(2L, ts(1), 5L, "X", 1.0), PEvent(2L, ts(2), 6L, "Y", 2.0))
+    val got = StreamingPreference.contestStream(evs.toDS())
+      .collect().map(c => (c.i, c.j)).sorted.toSeq
+    assert(got == Seq(("A", "B"), ("B", "C"), ("Y", "X")), got.toString)
+  }
+
   test("watermark counts: planted green chain flags, planted red does not") {
     import graft.functions.TextHashing
     // greedily build a 41-token chain whose every bigram hashes green
