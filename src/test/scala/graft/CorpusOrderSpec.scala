@@ -117,6 +117,32 @@ class CorpusOrderSpec extends AnyFunSuite {
     assert(run() == got)
   }
 
+  test("two-level split: a sub-bucket still over cap splits again") {
+    // 12 members share dim0 AND dim1 signs (base bucket survives depth 1
+    // intact: extra bit 1 for all) but dim2 divides them 6/6 — the split
+    // must recurse to depth 2. Encoding (signBits 1): depth-2 id =
+    // (4 + extra2) << 1 | 1 with extra2 in {2,3} (depth-1 bit 1 shifted,
+    // then the dim2 bit) -> buckets 13 and 15.
+    val rnd = new scala.util.Random(13)
+    val emb = (0 until 12).map { i =>
+      (i.toLong, Seq(1.0 + rnd.nextDouble(), 1.0 + rnd.nextDouble(),
+        (if (i % 2 == 0) 1.0 else -1.0) * (1.0 + rnd.nextDouble()),
+        rnd.nextGaussian()))
+    }.toDF("vec_id", "embedding")
+    val got = CorpusOrder.icpOrder(emb, "vec_id", "embedding",
+        signBits = 1, maxBucket = 8)
+      .select("vec_id", "bucket", "pos").as[(Long, Int, Long)].collect()
+    assert(got.length == 12)
+    assert(got.map(_._2).distinct.sorted.toSeq == Seq(13, 15), got.toSeq)
+    got.groupBy(_._2).foreach { case (b, rows) =>
+      assert(rows.length == 6, s"bucket $b: ${rows.length}")
+      assert(rows.map(_._3).sorted.toSeq == (0 until 6).map(_.toLong))
+    }
+    // dim2-positive members (even ids) share one sub-bucket
+    val evenBucket = got.filter(_._1 % 2 == 0).map(_._2).distinct
+    assert(evenBucket.length == 1)
+  }
+
   test("sign-identical over-cap members fail fast by name (cannot split)") {
     val emb = (0 until 10).map(i => (i.toLong, Seq(1.0, 1.0)))
       .toDF("vec_id", "embedding")
