@@ -14207,6 +14207,76 @@ object QueryCatalog {
              ORDER BY doc_id, turn_idx"""
         }),
 
+      // CAPSTONE composition for the r12 layer — the provenance-gated SFT
+      // intake pipeline as ONE dataflow under ONE hash: watermark-screen
+      // the corpus (drop suspected model output: z >= 2 at n >= 20),
+      // render the survivors as chat transcripts, parse the turn
+      // structure back, and keep only well-formed conversations (at most
+      // 2 alternation violations, at least one assistant turn), emitting
+      // each kept doc's turn count and assistant token mass. Every stage
+      // boundary (screen, render, parse, filter) is inside the compare,
+      // so a drift in ANY of the three operators breaks this hash too.
+      // Plan: per-row projections end to end — one corpus scan, zero
+      // data exchanges before the presentation sort.
+      Q("q_sft_pipeline",
+        (s, dir) => {
+          import graft.ops.{ChatLog, Provenance}
+          val (nP, nG) =
+            Provenance.watermarkCountsSql(SP, "__toks", "wm1")
+          val stats = ChatLog.statsSql(SP, "__lines").toMap
+          t(s, dir, "documents")
+            .withColumn("__toks", expr(SP.splitWs("text")))
+            .withColumn("__np", expr(nP))
+            .withColumn("__ng", expr(nG))
+            .withColumn("__z",
+              when(col("__np") === 0, lit(null).cast("double"))
+                .otherwise(r6((lit(2.0) * col("__ng").cast("double") -
+                  col("__np").cast("double")) /
+                  sqrt(col("__np").cast("double")))))
+            .where(col("__np") < 20 || col("__z") < lit(2.0))
+            .withColumn("__t", expr(ChatLog.transcriptSql(SP, "__toks")))
+            .withColumn("__lines", expr(SP.splitLines("__t")))
+            .withColumn("n_turns", expr(stats("n_turns")))
+            .withColumn("violations", expr(stats("violations")))
+            .withColumn("n_assistant", expr(stats("n_assistant")))
+            .withColumn("assistant_tokens", expr(stats("assistant_tokens")))
+            .where(col("violations") <= 2 && col("n_assistant") >= 1)
+            .select(col("doc_id"), col("n_turns"), col("violations"),
+              col("assistant_tokens"))
+            .orderBy("doc_id")
+        },
+        Some {
+          import graft.ops.{ChatLog, Provenance}
+          val (nP, nG) =
+            Provenance.watermarkCountsSql(D, "__toks", "wm1")
+          val stats = ChatLog.statsSql(D, "lns").toMap
+          s"""WITH base AS (SELECT doc_id, text, ${D.splitWs("text")} AS __toks
+                            FROM documents),
+             wm AS (SELECT doc_id, text, __toks,
+                           $nP AS np, $nG AS ng FROM base),
+             z AS (SELECT doc_id, text, __toks, np,
+                          CASE WHEN np = 0 THEN NULL ELSE
+                            ${duckR6("(CAST(2.0 AS DOUBLE) * CAST(ng AS DOUBLE) - CAST(np AS DOUBLE)) / sqrt(CAST(np AS DOUBLE))")}
+                          END AS zz
+                   FROM wm),
+             kept AS (SELECT doc_id, __toks FROM z
+                      WHERE np < 20 OR zz < ${D.d(2.0)}),
+             tr AS (SELECT doc_id,
+                           ${ChatLog.transcriptSql(D, "__toks")} AS t
+                    FROM kept),
+             ln AS (SELECT doc_id, ${D.splitLines("t")} AS lns FROM tr),
+             st AS (SELECT doc_id,
+                           ${stats("n_turns")} AS n_turns,
+                           ${stats("violations")} AS violations,
+                           ${stats("n_assistant")} AS n_assistant,
+                           ${stats("assistant_tokens")} AS assistant_tokens
+                    FROM ln)
+             SELECT doc_id, n_turns, violations, assistant_tokens
+             FROM st
+             WHERE violations <= 2 AND n_assistant >= 1
+             ORDER BY doc_id"""
+        }),
+
       // c-TF-IDF cluster topic labeling (Grootendorst 2022, BERTopic):
       // docs cluster by embedding comparison-bits (the SQL-replayable LSH
       // neighborhood, same expression family as q_icp_order), then each
