@@ -14075,13 +14075,19 @@ object QueryCatalog {
       Q("q_chat_turns",
         (s, dir) => {
           import graft.ops.ChatLog
-          val stats = ChatLog.statsSql(SP, "__lines")
+          val stats = ChatLog.statsSql(SP, "lns__")
+          // Dialect.bind1 chain: split -> transcript -> lines evaluate
+          // once per row structurally (alias substitution would otherwise
+          // re-derive them per stat — see q_sft_pipeline)
+          val statStruct = SP.bind1(SP.splitWs("text"), "toks__",
+            SP.bind1(ChatLog.transcriptSql(SP, "toks__"), "t__",
+              SP.bind1(SP.splitLines("t__"), "lns__",
+                s"struct(${stats.map { case (k, e) => s"$e AS $k" }
+                  .mkString(", ")})")))
           t(s, dir, "documents")
-            .withColumn("__toks", expr(SP.splitWs("text")))
-            .withColumn("__t", expr(ChatLog.transcriptSql(SP, "__toks")))
-            .withColumn("__lines", expr(SP.splitLines("__t")))
+            .select(col("doc_id"), expr(statStruct).as("__st"))
             .select(col("doc_id") +:
-              stats.map { case (k, e) => expr(e).as(k) }: _*)
+              stats.map { case (k, _) => col(s"__st.$k").as(k) }: _*)
             .orderBy("doc_id")
         },
         Some {
@@ -14109,18 +14115,23 @@ object QueryCatalog {
         (s, dir) => {
           import graft.ops.Cartography
           val E = 8
+          // Dialect.bind1: the probability array and its mean evaluate
+          // once per row structurally (std references both; the inner
+          // lambda captures the outer variable)
+          val mapStruct = SP.bind1(
+            Cartography.probsSql(SP, "doc_id", "cart", E), "p__",
+            SP.bind1(Cartography.confSql(SP, "p__", E), "cf__",
+              s"""struct(
+                 (round(cf__, 6) + ${SP.d(0.0)}) AS confidence,
+                 (round(${Cartography.stdSql(SP, "p__", "cf__", E)}, 6)
+                   + ${SP.d(0.0)}) AS variability)"""))
           t(s, dir, "documents")
-            .select(col("doc_id"))
-            .withColumn("__p",
-              expr(Cartography.probsSql(SP, "doc_id", "cart", E)))
-            .withColumn("__conf", expr(Cartography.confSql(SP, "__p", E)))
-            .withColumn("__std",
-              expr(Cartography.stdSql(SP, "__p", "__conf", E)))
-            .withColumn("confidence", r6(col("__conf")))
-            .withColumn("variability", r6(col("__std")))
-            .select(col("doc_id"), col("confidence"), col("variability"),
-              expr(Cartography.categorySql(SP, "confidence", "variability"))
-                .as("category"))
+            .select(col("doc_id"), expr(mapStruct).as("__m"))
+            .select(col("doc_id"),
+              col("__m.confidence").as("confidence"),
+              col("__m.variability").as("variability"),
+              expr(Cartography.categorySql(SP,
+                "__m.confidence", "__m.variability")).as("category"))
             .orderBy("doc_id")
         },
         Some {
@@ -14223,26 +14234,36 @@ object QueryCatalog {
           import graft.ops.{ChatLog, Provenance}
           val (nP, nG) =
             Provenance.watermarkCountsSql(SP, "__toks", "wm1")
-          val stats = ChatLog.statsSql(SP, "__lines").toMap
-          t(s, dir, "documents")
-            .withColumn("__toks", expr(SP.splitWs("text")))
-            .withColumn("__np", expr(nP))
-            .withColumn("__ng", expr(nG))
+          val statsL = ChatLog.statsSql(SP, "lns__")
+          // Alias substitution (CollapseProject inlining + predicate
+          // pushdown, neither cost-guarded) re-derives heavy chains like
+          // the token split per USE — measured 7x wall on the naive
+          // filter-over-projection form. Dialect.bind1 pins each
+          // intermediate to exactly one evaluation per row STRUCTURALLY
+          // (lambda variables are leaves — no rewrite can re-expand them).
+          val wmStruct = SP.bind1(SP.splitWs("text"), "__toks",
+            s"struct($nP AS np, $nG AS ng)")
+          val statStruct = SP.bind1(SP.splitWs("text"), "toks__",
+            SP.bind1(ChatLog.transcriptSql(SP, "toks__"), "t__",
+              SP.bind1(SP.splitLines("t__"), "lns__",
+                s"struct(${statsL.map { case (k, e) => s"$e AS $k" }
+                  .mkString(", ")})")))
+          val screened = t(s, dir, "documents")
+            .select(col("doc_id"), col("text"), expr(wmStruct).as("__wm"))
             .withColumn("__z",
-              when(col("__np") === 0, lit(null).cast("double"))
-                .otherwise(r6((lit(2.0) * col("__ng").cast("double") -
-                  col("__np").cast("double")) /
-                  sqrt(col("__np").cast("double")))))
-            .where(col("__np") < 20 || col("__z") < lit(2.0))
-            .withColumn("__t", expr(ChatLog.transcriptSql(SP, "__toks")))
-            .withColumn("__lines", expr(SP.splitLines("__t")))
-            .withColumn("n_turns", expr(stats("n_turns")))
-            .withColumn("violations", expr(stats("violations")))
-            .withColumn("n_assistant", expr(stats("n_assistant")))
-            .withColumn("assistant_tokens", expr(stats("assistant_tokens")))
-            .where(col("violations") <= 2 && col("n_assistant") >= 1)
-            .select(col("doc_id"), col("n_turns"), col("violations"),
-              col("assistant_tokens"))
+              when(col("__wm.np") === 0, lit(null).cast("double"))
+                .otherwise(r6((lit(2.0) * col("__wm.ng").cast("double") -
+                  col("__wm.np").cast("double")) /
+                  sqrt(col("__wm.np").cast("double")))))
+            .where(col("__wm.np") < 20 || col("__z") < lit(2.0))
+            .select(col("doc_id"), col("text"))
+          screened
+            .select(col("doc_id"), expr(statStruct).as("__st"))
+            .where(col("__st.violations") <= 2 &&
+              col("__st.n_assistant") >= 1)
+            .select(col("doc_id"), col("__st.n_turns").as("n_turns"),
+              col("__st.violations").as("violations"),
+              col("__st.assistant_tokens").as("assistant_tokens"))
             .orderBy("doc_id")
         },
         Some {

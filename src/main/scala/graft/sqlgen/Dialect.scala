@@ -161,6 +161,17 @@ final case class Dialect(duck: Boolean) {
     if (duck) s"list_reduce($a, (s__, x__) -> s__ + x__)"
     else s"aggregate($a, ${d(0.0)}, (s__, x__) -> s__ + x__)"
 
+  /** Evaluate `input` exactly once per row by binding it as a LAMBDA
+    * VARIABLE (array-of-one + transform + element 1). Alias substitution
+    * (CollapseProject inlining, predicate pushdown) re-derives projected
+    * expression chains per USE — a lambda variable is a leaf, so
+    * downstream references can never re-expand it, making the single
+    * evaluation STRUCTURAL rather than optimizer-dependent. Nested calls
+    * may reference outer variables (lambda scoping). */
+  def bind1(input: String, v: String, body: String): String =
+    if (duck) s"(list_transform([$input], $v -> $body)[1])"
+    else s"element_at(transform(array($input), $v -> $body), 1)"
+
   /** CTE definition keyword: DuckDB re-derives a multi-referenced CTE per
     * reference unless told to materialize (an unrolled iteration chain
     * referencing each state twice goes exponential); Spark has no
