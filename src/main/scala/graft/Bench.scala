@@ -22,6 +22,17 @@ object Bench {
   private def jmap(m: Seq[(String, String)]): String =
     m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
+  /** Symmetric contention test on the end/start canary ratio: a run is
+    * contended when the same three-query canary swings >= 2x in EITHER
+    * direction. ratio > 2 = the box degraded under us (r10's 13x tail);
+    * ratio < 0.5 = the box was contended at the START and recovered
+    * (BENCH_r12: 7.54 s -> 1.76 s, ratio 0.23, 210 base queries cut — a
+    * start-contended run previously stamped itself clean). A sentinel
+    * ratio <= 0 (either canary pass unusable) is NOT evidence of a clean
+    * box, but the caller already requires both passes positive. */
+  def contendedRatio(ratio: Double): Boolean =
+    ratio > 0 && (ratio > 2.0 || ratio < 0.5)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -319,8 +330,13 @@ object Bench {
         // self-describing contention verdict (r10 advice #5): a reader of
         // this artifact alone must not mistake host contention for a
         // scaling regression (the r10 driver run read q_substr_dedup sf1
-        // at 8.4x vs 0.9x clean purely from a 13x-contended box)
-        "contended" -> (if (canaryRatio > 2.0) "true" else "false"),
+        // at 8.4x vs 0.9x clean purely from a 13x-contended box). The
+        // test is SYMMETRIC (r12 advice #2): end-slower-than-start marks
+        // tail contention, but start-slower-than-end (BENCH_r12: canary
+        // 7.54 s -> 1.76 s, ratio 0.23, 210 base queries budget-cut) is
+        // the same box lying about the START of the run — either
+        // direction of a >=2x canary swing stamps the run contended.
+        "contended" -> (if (Bench.contendedRatio(canaryRatio)) "true" else "false"),
         "base_skipped_budget" -> baseSkipped.map("\"" + _ + "\"").mkString("[", ",", "]"),
         "failed" -> failed.map("\"" + _ + "\"").mkString("[", ",", "]"),
         "queries" -> jmap(qs)) )
@@ -636,7 +652,7 @@ object Bench {
     canaryEnd = canaryPass()
     writeFull(sf1Part._1)
     val contended = canaryStart > 0 && canaryEnd > 0 &&
-      canaryEnd / canaryStart > 2.0
+      Bench.contendedRatio(canaryEnd / canaryStart)
     // A clean full-coverage record survives under a name the driver never
     // overwrites (r10 advice #8): BENCH_FULL.json is rewritten by every
     // run — including a contended driver run — so the round's legitimate

@@ -14220,7 +14220,9 @@ object QueryCatalog {
 
       // CAPSTONE composition for the r12 layer — the provenance-gated SFT
       // intake pipeline as ONE dataflow under ONE hash: watermark-screen
-      // the corpus (drop suspected model output: z >= 2 at n >= 20),
+      // the corpus (drop suspected model output: z > 2 at n >= 20 — the
+      // keep predicate is EXACTLY the q_watermark_detect flag's negation,
+      // boundary z = 2.0 included on the kept side),
       // render the survivors as chat transcripts, parse the turn
       // structure back, and keep only well-formed conversations (at most
       // 2 alternation violations, at least one assistant turn), emitting
@@ -14255,7 +14257,7 @@ object QueryCatalog {
                 .otherwise(r6((lit(2.0) * col("__wm.ng").cast("double") -
                   col("__wm.np").cast("double")) /
                   sqrt(col("__wm.np").cast("double")))))
-            .where(col("__wm.np") < 20 || col("__z") < lit(2.0))
+            .where(col("__wm.np") < 20 || col("__z") <= lit(2.0))
             .select(col("doc_id"), col("text"))
           screened
             .select(col("doc_id"), expr(statStruct).as("__st"))
@@ -14281,7 +14283,7 @@ object QueryCatalog {
                           END AS zz
                    FROM wm),
              kept AS (SELECT doc_id, __toks FROM z
-                      WHERE np < 20 OR zz < ${D.d(2.0)}),
+                      WHERE np < 20 OR zz <= ${D.d(2.0)}),
              tr AS (SELECT doc_id,
                            ${ChatLog.transcriptSql(D, "__toks")} AS t
                     FROM kept),

@@ -589,8 +589,18 @@ object Analytics {
     * types — the A/B significance read. All moments are EXACT: raw stored
     * doubles are cast STRAIGHT to DECIMAL(18,6) (never via round() on the
     * double — the engine-side round() is the exact 1-ULP cross-engine skew
-    * that cost q_ks_drift four red rounds; a direct double→decimal cast is
-    * the same nearest-decimal conversion on every engine) and sum in
+    * that cost q_ks_drift four red rounds). Caveat on the direct cast:
+    * Spark's Cast rounds the double's SHORTEST decimal representation
+    * (BigDecimal(Double.toString), HALF_UP) while DuckDB rounds the exact
+    * binary value — these diverge only when the shortest repr ends in an
+    * exact 5 at the target scale (e.g. the double nearest 5e-7 at scale
+    * 6). This is safe here because the fixtures PRE-QUANTIZE stored
+    * doubles to ≤6 fractional digits (each stored value is the double
+    * nearest its decimal literal, so the shortest repr never carries a
+    * tie digit beyond the contract scale) — FixtureQuantizationSpec
+    * asserts this invariant over every stored double column the decimal
+    * casts touch. The cast then lands on the identical decimal on both
+    * engines and the sums are exact in
     * DECIMAL (order-independent across any partitioning); mean/variance/z
     * are then derived in one fixed double expression, so both engines emit
     * identical bits.

@@ -103,7 +103,11 @@ object CorpusOrder {
     * (and never a silent driver-side quadratic). The split happens in the
     * DataFrame BEFORE the shuffle — each round is one k-sized count
     * aggregate plus a broadcast semi-join marking the still-over-cap
-    * buckets — so sub-buckets land on different executors; the per-group
+    * buckets; under-cap rows settle out immediately and the over-cap
+    * remainder is localCheckpointed per round, so round k counts a
+    * materialized geometrically-shrinking relation instead of replaying
+    * a k-join lineage over the corpus — so sub-buckets land on different
+    * executors; the per-group
     * chain kernel itself never sees an over-cap member list. Sub-bucket
     * ids use the prefix-free encoding (2^depth + extraBits) << signBits
     * | base (depth-0 buckets keep their raw base id, so the fits-already
@@ -126,6 +130,13 @@ object CorpusOrder {
     val maxDepth = 30 - signBits // keeps the encoded id inside INT
     var depth = 0
     var done = false
+    // Rows whose bucket fits NEVER change in later rounds, so each round
+    // peels them off into `settled` and keeps only the over-cap remainder
+    // as `cur`, localCheckpointed (eager) so iteration k's count runs over
+    // a materialized, geometrically-shrinking relation — never the
+    // O(depth²) recompute of a base-scan-plus-k-joins lineage, and the
+    // common no-split corpus pays zero materializations.
+    var settled = List.empty[DataFrame]
     while (!done && depth < maxDepth) {
       val over = cur.groupBy("__bucket", "__depth", "__extra")
         .agg(count(lit(1)).as("__n")).where(col("__n") > cap)
@@ -135,6 +146,8 @@ object CorpusOrder {
       else {
         val marked = cur.join(broadcast(over.withColumn("__over", lit(true))),
           Seq("__bucket", "__depth", "__extra"), "left")
+        settled ::= marked.where(col("__over").isNull)
+          .select("__id", "__bucket", "__v", "__depth", "__extra")
         // next sign bit comes from dim (signBits + depth); a vector too
         // short to split further is a hard error by name, not a hang
         val bitDim = signBits + depth
@@ -145,14 +158,15 @@ object CorpusOrder {
           ).cast("int"))
           .otherwise(when(element_at(col("__v"), lit(bitDim + 1)) >= 0, lit(1))
             .otherwise(lit(0)))
-        cur = marked.select(col("__id"), col("__bucket"), col("__v"),
-          when(col("__over"), col("__depth") + 1)
-            .otherwise(col("__depth")).as("__depth"),
-          when(col("__over"), col("__extra") * 2 + nextBit)
-            .otherwise(col("__extra")).as("__extra"))
+        cur = marked.where(col("__over"))
+          .select(col("__id"), col("__bucket"), col("__v"),
+            (col("__depth") + 1).as("__depth"),
+            (col("__extra") * 2 + nextBit).as("__extra"))
+          .localCheckpoint()
         depth += 1
       }
     }
+    cur = settled.foldLeft(cur)(_ unionByName _)
     // prefix-free sub-bucket id; depth 0 keeps the raw base bucket id
     val encoded = when(col("__depth") === 0, col("__bucket"))
       .otherwise(((expr("shiftleft(1, __depth)") + col("__extra"))

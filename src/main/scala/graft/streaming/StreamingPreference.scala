@@ -22,6 +22,9 @@ object StreamingPreference {
   final case class PState(lastType: String, lastValue: Double)
   final case class Contest(i: String, j: String)
 
+  private def us(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
   def contestStream(events: Dataset[PEvent]): Dataset[Contest] = {
     implicit val outEnc = Encoders.product[Contest]
     implicit val longEnc = Encoders.scalaLong
@@ -31,9 +34,11 @@ object StreamingPreference {
       .flatMapGroupsWithState[PState, Contest](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Long, it: Iterator[PEvent], state: GroupState[PState]) =>
-          // per-user (ts, event_id) order inside the batch; cross-batch
-          // order is the feeder's contract (same as every gate here)
-          val batch = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+          // per-user (ts, event_id) order inside the batch at MICROSECOND
+          // precision — the feeder encodes sub-millisecond ts and the
+          // oracle orders by full ts; cross-batch order is the feeder's
+          // contract (same as every gate here)
+          val batch = it.toArray.sortBy(e => (us(e.ts), e.event_id))
           val out = Seq.newBuilder[Contest]
           var st = state.getOption.orNull
           batch.foreach { e =>

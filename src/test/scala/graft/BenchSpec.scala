@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's self-diagnosis must be symmetric (r12 advice: BENCH_r12's
+  * start-contended run — canary 7.54 s -> 1.76 s, ratio 0.23, 210 base
+  * queries budget-cut — sailed through the end-only test stamped clean). */
+class BenchSpec extends AnyFunSuite {
+
+  test("tail contention (end slower than start) flags") {
+    assert(Bench.contendedRatio(2.01))
+    assert(Bench.contendedRatio(13.0)) // the r10 box
+  }
+
+  test("start contention (start slower than end) flags") {
+    assert(Bench.contendedRatio(0.49))
+    assert(Bench.contendedRatio(0.23)) // the r12 driver run
+  }
+
+  test("a steady canary in the symmetric band stays clean") {
+    assert(!Bench.contendedRatio(1.0))
+    assert(!Bench.contendedRatio(0.84)) // the r12 clean record
+    assert(!Bench.contendedRatio(0.5))
+    assert(!Bench.contendedRatio(2.0))
+  }
+
+  test("sentinel ratios never read as clean evidence") {
+    assert(!Bench.contendedRatio(-1.0))
+    assert(!Bench.contendedRatio(0.0))
+  }
+}

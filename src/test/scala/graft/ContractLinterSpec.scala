@@ -120,10 +120,12 @@ class ContractLinterSpec extends AnyFunSuite {
     }
     if (commentAt >= 0)
       out += "'--' comment in oracle SQL (driver one-lines the query)"
+    // allow any depth of CAST( prefixes and table-qualified names
+    // (`round(e.value, 2)` must lint `value`, not the alias `e`)
     val roundRe =
-      """(?i)round\(\s*(?:CAST\(\s*)?([A-Za-z_][A-Za-z0-9_]*)\b""".r
+      """(?i)round\(\s*(?:CAST\(\s*)*((?:[A-Za-z_][A-Za-z0-9_]*\s*\.\s*)?[A-Za-z_][A-Za-z0-9_]*)\b""".r
     roundRe.findAllMatchIn(sql).foreach { m =>
-      val ident = m.group(1).toLowerCase
+      val ident = m.group(1).split('.').last.trim.toLowerCase
       if (baseCols(ident))
         out += s"oracle round() on base-table column '$ident'"
     }
@@ -168,6 +170,10 @@ class ContractLinterSpec extends AnyFunSuite {
     assert(lintOracle("SELECT sum(CAST(round(value, 2) AS DECIMAL(18,2)))", base).nonEmpty)
     assert(lintOracle("SELECT sum(CAST(value AS DECIMAL(18,2)))", base).isEmpty)
     assert(lintOracle("SELECT round(derived_mean, 6) FROM t", base).isEmpty)
+    // table-qualified and multiply-CAST forms must not escape the mirror
+    assert(lintOracle("SELECT round(e.value, 2) FROM events e", base).nonEmpty)
+    assert(lintOracle("SELECT round(CAST(CAST(l_quantity AS DOUBLE) AS DOUBLE), 2) FROM lineitem", base).nonEmpty)
+    assert(lintOracle("SELECT round(e.derived, 2) FROM t e", base).isEmpty)
   }
 
   test("no compared contract uses round()-on-double, wide decimals, or oracle comments") {

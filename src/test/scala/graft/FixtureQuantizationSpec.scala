@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the precondition behind every direct double→DECIMAL(18,6) cast
+  * in the catalog (welchZTest, TWAP, CUPED, incremental-agg, bootstrap —
+  * see the Scaladoc at ops/Analytics.scala `welchZTest`): Spark's Cast
+  * quantizes the double's SHORTEST decimal string (HALF_UP) while DuckDB
+  * quantizes the exact binary value, and the two diverge exactly when the
+  * shortest representation carries a tie digit ('…5') beyond scale 6
+  * (e.g. the double nearest 5e-7). That class is impossible as long as
+  * every stored double is the double nearest a ≤6-fractional-digit
+  * decimal literal — its shortest repr is then that literal, scale ≤ 6,
+  * and both engines' casts agree bit-for-bit.
+  *
+  * This spec asserts the invariant over every scalar double column the
+  * fixtures ship (the ContractLinterSpec's rules 1–3 cover the query
+  * text; this covers the DATA side of the same contract). If a future
+  * fixture regeneration ever stores unquantized doubles, this fails by
+  * table.column before any oracle round does.
+  */
+class FixtureQuantizationSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Scale of the shortest decimal representation — what Spark's Cast
+    * rounds from (BigDecimal(Double.toString(x))). */
+  private def shortestScale(x: Double): Int =
+    new java.math.BigDecimal(java.lang.Double.toString(x)).stripTrailingZeros.scale
+
+  private val doubleCols: Seq[(String, String)] = Seq(
+    "events" -> "value",
+    "lineitem" -> "l_quantity",
+    "lineitem" -> "l_extendedprice",
+    "lineitem" -> "l_discount",
+    "lineitem" -> "l_tax",
+    "orders" -> "o_totalprice",
+    "customer" -> "c_acctbal",
+    "supplier" -> "s_acctbal",
+    "part" -> "p_retailprice")
+
+  test("every stored scalar double is exactly representable at scale 6") {
+    import spark.implicits._
+    doubleCols.foreach { case (table, c) =>
+      val vals = spark.read.parquet(s"$dir/$table.parquet")
+        .select(c).na.drop().as[Double].collect()
+      assert(vals.nonEmpty, s"$table.$c: fixture empty")
+      val bad = vals.filter(v => shortestScale(v) > 6)
+      assert(bad.isEmpty,
+        s"$table.$c: ${bad.length} values not quantized to scale 6 " +
+          s"(first: ${bad.headOption.map(java.lang.Double.toString).getOrElse("")}) — " +
+          "direct double→DECIMAL(18,6) casts are no longer cross-engine safe")
+    }
+  }
+
+  test("the tie class the invariant excludes is real (sanity)") {
+    // The double nearest 5e-7: shortest repr "5.0E-7" (scale 7). Spark's
+    // string-based cast would HALF_UP it to 0.000001; DuckDB's
+    // binary-value cast sees 4.9999...e-7 and lands on 0.000000. The
+    // invariant above keeps exactly this class out of the fixtures.
+    assert(shortestScale(5e-7) > 6)
+    assert(new java.math.BigDecimal(java.lang.Double.toString(5e-7))
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .compareTo(new java.math.BigDecimal(5e-7)
+        .setScale(6, java.math.RoundingMode.HALF_UP)) != 0)
+  }
+}
