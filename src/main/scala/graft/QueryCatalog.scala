@@ -14121,6 +14121,33 @@ object QueryCatalog {
             ${Preference.bestOfNFinalSql(D, "b")}"""
         }),
 
+      // BLEU-2 + chrF pair-quality scoring (Papineni 2002; Popović 2015)
+      // — the standard MT-data filter run beside q_bitext_mine: clipped
+      // n-gram precision × brevity penalty (geometric mean as sqrt, so
+      // the only transcendental is the BP exp) and the purely rational
+      // chrF chain, over deterministic candidate/reference pairs
+      // (truncation pairs score high with BP active; unrelated
+      // next-doc pairs score near 0). All counts BIGINT; one corpus map
+      // pass for stats (zero exchanges), per-row chains for scores —
+      // engine runs the IDENTICAL dialect-rendered text from a
+      // checkpointed stats view.
+      Q("q_bleu_pairs",
+        (s, dir) => {
+          import graft.ops.PairQuality
+          val tag = System.nanoTime()
+          val docsV = s"graft_bleu_docs_$tag"
+          t(s, dir, "documents").createOrReplaceTempView(docsV)
+          val statsV = s"graft_bleu_stats_$tag"
+          s.sql(PairQuality.pairStatsSql(SP, docsV))
+            .localCheckpoint(true).createOrReplaceTempView(statsV)
+          s.sql(PairQuality.scoresSql(SP, statsV))
+        },
+        Some {
+          import graft.ops.PairQuality
+          s"""WITH st ${D.cteAs} (${PairQuality.pairStatsSql(D, "documents")})
+            ${PairQuality.scoresSql(D, "st")}"""
+        }),
+
       // Cohen's kappa inter-annotator agreement between two deterministic
       // binary raters (length gate vs stopword-density gate, the density
       // compared by integer cross-multiplication) — the label-quality

@@ -1,0 +1,129 @@
+package graft.ops
+
+import graft.sqlgen.Dialect
+
+/** Pair-quality scoring for mined parallel/near-parallel text — the
+  * standard MT-data filters run beside bitext mining (the reference's
+  * corpus-curation stage admits a pair only when a quality score clears a
+  * threshold; see q_bitext_mine for the mining side):
+  *
+  *   - BLEU-2 (Papineni et al. 2002): clipped (modified) 1/2-gram
+  *     precision geometric mean × brevity penalty. The geometric mean is
+  *     written sqrt(p1·p2) — sqrt is IEEE-correctly-rounded on every
+  *     engine, so exp/ln never enter except the one brevity-penalty exp
+  *     (round-6 display class, same as the catalog's ctfidf/zipf chains).
+  *   - chrF (Popović 2015), β = 2, char n ∈ {1,2}, whitespace removed,
+  *     macro-averaged precision/recall — a purely RATIONAL chain from
+  *     exact integer counts (no transcendentals at all).
+  *
+  * Everything is rendered from dialect-parameterized builders and executed
+  * as the SAME text by both engines; all match/length counts are BIGINT,
+  * so the score chains are bit-identical by construction.
+  *
+  * Scale: [[pairStatsSql]] is one corpus-sized map pass (per-row lambda
+  * kernels, zero exchanges) emitting a dozen BIGINTs per pair;
+  * [[scoresSql]] is a per-row arithmetic chain over that. The clipped
+  * counts use [[Dialect.clipOverlap]] — O(distinct·len) per row, right for
+  * the sentence/short-doc grain of mined pairs, with the char side
+  * prefix-capped (`charCap`); book-length inputs should switch to an
+  * explode→groupBy count shape instead.
+  */
+object PairQuality {
+
+  private def r6(dl: Dialect, x: String): String =
+    s"(round($x, 6) + ${dl.d(0.0)})"
+
+  /** Token bigrams of an array-typed lambda VAR (chr(30) joint — absent
+    * from whitespace-split tokens). Guarded: sequence(1, n) steps
+    * DOWNWARD for n < 1 on Spark. */
+  private def tokBigrams(dl: Dialect, v: String): String = {
+    val n = dl.size(v)
+    s"""CASE WHEN $n < 2 THEN ${dl.emptyStrArray}
+        ELSE ${dl.transform(dl.seq1(s"$n - 1"), "i__",
+          s"${dl.at(v, "CAST(i__ AS INT)")} || chr(30) || " +
+            s"${dl.at(v, "CAST(i__ AS INT) + 1")}")} END"""
+  }
+
+  /** Char n-grams of a string-typed lambda VAR. */
+  private def charGrams(dl: Dialect, sv: String, n: Int): String =
+    s"""CASE WHEN length($sv) < $n THEN ${dl.emptyStrArray}
+        ELSE ${dl.transform(dl.seq1(s"length($sv) - ${n - 1}"), "i__",
+          s"substr($sv, CAST(i__ AS INT), $n)")} END"""
+
+  /** Whitespace-removed, prefix-capped string of a token-array VAR.
+    * coalesce guards the DuckDB empty-list→NULL join quirk. */
+  private def wsStripped(dl: Dialect, v: String, cap: Int): String =
+    s"substr(coalesce(${dl.arrayJoin(v, "")}, ''), 1, $cap)"
+
+  /** Stage 1 — exact per-pair match/length counts. Pairing over the
+    * documents relation: candidate = the first ~80% of each doc's tokens;
+    * reference = the NEXT doc's full tokens for even ids (an unrelated
+    * pair — scores near 0, exercises clipping) and the SAME doc's full
+    * tokens for odd ids (a truncation pair — precision ~1, brevity
+    * penalty active). Every gram array is bound through [[Dialect.bind1]]
+    * so the token split / slice / join chains evaluate once per COLUMN
+    * structurally — alias substitution would otherwise re-expand them
+    * inside every per-gram lambda (the q_sft_pipeline lesson). */
+  def pairStatsSql(dl: Dialect, docsRel: String, charCap: Int = 240): String = {
+    val ct = dl.sliceLenE("d.tk", "1",
+      s"greatest(1, ${dl.intDiv(s"4 * ${dl.size("d.tk")}", "5")})")
+    val rt = "(CASE WHEN d.doc_id % 2 = 0 THEN n.tk ELSE d.tk END)"
+    def overCR(body: String): String =
+      dl.bind1(ct, "c__", dl.bind1(rt, "r__", body))
+    val m2Body = dl.bind1(tokBigrams(dl, "c__"), "c2__",
+      dl.bind1(tokBigrams(dl, "r__"), "r2__",
+        dl.clipOverlap("c2__", "r2__")))
+    def overCS(body: String): String =
+      overCR(dl.bind1(wsStripped(dl, "c__", charCap), "cs__",
+        dl.bind1(wsStripped(dl, "r__", charCap), "rs__", body)))
+    def xmBody(n: Int): String =
+      // var names must not collide with clipOverlap's internal a__/b__
+      // accumulator lambdas (shadowing rebinds the array ref to BIGINT)
+      dl.bind1(charGrams(dl, "cs__", n), "xg__",
+        dl.bind1(charGrams(dl, "rs__", n), "yg__",
+          dl.clipOverlap("xg__", "yg__")))
+    s"""SELECT d.doc_id AS pair_id,
+          CASE WHEN d.doc_id % 2 = 0 THEN 'unrelated' ELSE 'truncation' END
+            AS pair_kind,
+          CAST(${dl.bind1(ct, "c__", dl.size("c__"))} AS BIGINT) AS lc,
+          CAST(${overCR(dl.size("r__"))} AS BIGINT) AS lr,
+          ${overCR(dl.clipOverlap("c__", "r__"))} AS m1,
+          ${overCR(m2Body)} AS m2,
+          CAST(${overCS("length(cs__)")} AS BIGINT) AS xc1,
+          CAST(${overCS("length(rs__)")} AS BIGINT) AS xr1,
+          CAST(${overCS("greatest(length(cs__) - 1, 0)")} AS BIGINT) AS xc2,
+          CAST(${overCS("greatest(length(rs__) - 1, 0)")} AS BIGINT) AS xr2,
+          ${overCS(xmBody(1))} AS xm1,
+          ${overCS(xmBody(2))} AS xm2
+        FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${dl.splitWs("text")}
+                AS tk FROM $docsRel) d
+        LEFT JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     ${dl.splitWs("text")} AS tk FROM $docsRel) n
+          ON n.doc_id = d.doc_id + 1
+        WHERE (d.doc_id % 2 = 1) OR n.doc_id IS NOT NULL"""
+  }
+
+  /** Stage 2 — BLEU-2 and chrF from the exact counts. Both scores are one
+    * fixed IEEE chain per row (textually identical on both engines);
+    * round-6 display at the end. */
+  def scoresSql(dl: Dialect, statsRel: String): String = {
+    def dd(x: String) = s"CAST($x AS DOUBLE)"
+    val bp = s"""(CASE WHEN lc >= lr THEN ${dl.d(1.0)}
+                 ELSE exp(${dl.d(1.0)} - ${dd("lr")} / ${dd("lc")}) END)"""
+    val bleu =
+      s"""CASE WHEN m1 = 0 OR m2 = 0 OR lc < 2 THEN ${dl.d(0.0)}
+          ELSE $bp * sqrt((${dd("m1")} / ${dd("lc")})
+                          * (${dd("m2")} / ${dd("lc - 1")})) END"""
+    def ratio(num: String, den: String): String =
+      s"(CASE WHEN $den = 0 THEN ${dl.d(0.0)} ELSE ${dd(num)} / ${dd(den)} END)"
+    val p = s"((${ratio("xm1", "xc1")} + ${ratio("xm2", "xc2")}) / ${dl.d(2.0)})"
+    val r = s"((${ratio("xm1", "xr1")} + ${ratio("xm2", "xr2")}) / ${dl.d(2.0)})"
+    val chrf =
+      s"""CASE WHEN (${dl.d(4.0)} * $p + $r) = ${dl.d(0.0)} THEN ${dl.d(0.0)}
+          ELSE ${dl.d(5.0)} * $p * $r / (${dl.d(4.0)} * $p + $r) END"""
+    s"""SELECT pair_id, pair_kind, lc, lr, m1, m2, xm1, xm2,
+               ${r6(dl, bleu)} AS bleu,
+               ${r6(dl, chrf)} AS chrf
+        FROM $statsRel ORDER BY pair_id"""
+  }
+}

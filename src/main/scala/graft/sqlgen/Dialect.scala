@@ -191,6 +191,44 @@ final case class Dialect(duck: Boolean) {
     else
       s"aggregate(transform(sort_array(collect_list(struct(($ord) AS o__, ($expr) AS v__))), e__ -> e__.v__), ${d(0.0)}, (s__, x__) -> s__ + x__)"
 
+  /** 1-based sub-array with BOTH start and length as expressions (the
+    * fixed-length sibling is [[sliceE]]). DuckDB list slicing is
+    * inclusive-end. */
+  def sliceLenE(a: String, start1: String, len: String): String =
+    if (duck) s"list_slice($a, $start1, ($start1) + ($len) - 1)"
+    else s"slice($a, $start1, $len)"
+
+  /** Typed empty VARCHAR/STRING array literal (CASE-branch partner for
+    * guarded HOF ranges — Spark's sequence(1, n) steps DOWNWARD for
+    * n < 1). */
+  def emptyStrArray: String =
+    if (duck) "CAST([] AS VARCHAR[])" else "CAST(array() AS ARRAY<STRING>)"
+
+  /** Clipped multiset-intersection size Σ_g min(count_c(g), count_r(g))
+    * over the grams of two string-array expressions — the modified
+    * n-gram precision numerator of BLEU (Papineni et al. 2002) and the
+    * chrF match count (Popović 2015). Exact BIGINT from integer counts.
+    *
+    * O(|distinct grams| · |array|) lambda work per row: fine for the
+    * sentence/short-document grain this scores (and the char side is
+    * prefix-capped by callers); for book-length texts prefer an
+    * explode → groupBy → join shape instead. IMPORTANT: pass lambda
+    * variables (via [[bind1]]) or plain column references as `cg`/`rg` —
+    * a derived expression would be re-expanded inside the per-gram
+    * lambda by alias substitution (the bind1 lesson). */
+  def clipOverlap(cg: String, rg: String): String =
+    if (duck)
+      s"""(CASE WHEN len($cg) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(
+         list_reduce(list_transform(list_distinct($cg),
+           g__ -> least(len(list_filter($cg, e__ -> e__ = g__)),
+                        len(list_filter($rg, e__ -> e__ = g__)))),
+           (a__, b__) -> a__ + b__) AS BIGINT) END)"""
+    else
+      s"""CAST(aggregate(array_distinct($cg), 0L,
+         (a__, g__) -> a__ + least(size(filter($cg, e__ -> e__ = g__)),
+                                   size(filter($rg, e__ -> e__ = g__))))
+         AS BIGINT)"""
+
   /** Deterministic uniform in [0,1): the first `k` hex digits of md5(x)
     * folded into an integer, divided by 16^k. Small-integer arithmetic +
     * one exact IEEE division — bit-identical across engines. */

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.PairQuality
+import graft.sqlgen.Dialect
+
+class PairQualitySpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+  private val SP = Dialect.spark
+
+  private def run(docs: Seq[(Long, String)]): Map[Long, org.apache.spark.sql.Row] = {
+    val tag = System.nanoTime()
+    val docsV = s"pq_docs_$tag"
+    docs.toDF("doc_id", "text").createOrReplaceTempView(docsV)
+    val statsV = s"pq_stats_$tag"
+    spark.sql(PairQuality.pairStatsSql(SP, docsV))
+      .localCheckpoint(true).createOrReplaceTempView(statsV)
+    spark.sql(PairQuality.scoresSql(SP, statsV)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+  }
+
+  test("hand-checked truncation pair: BLEU = BP, chrF from exact counts") {
+    // doc 1 (odd -> truncation pair): tokens [a b c d e]; cand = first
+    // 4*5/5 = 4 tokens, ref = all 5. m1 = 4, m2 = 3 (ab bc cd), p1 = p2
+    // = 1, BP = exp(1 - 5/4). Chars: "abcd" vs "abcde": xm1 = 4/4/5,
+    // xm2 = 3/3/4 -> P = 1, R = (4/5 + 3/4)/2 = .775,
+    // chrF = 5*.775/4.775.
+    val out = run(Seq((0L, "x y z w v"), (1L, "a b c d e")))
+    val r1 = out(1L)
+    assert(r1.getString(1) == "truncation")
+    assert(r1.getLong(2) == 4 && r1.getLong(3) == 5) // lc, lr
+    assert(r1.getLong(4) == 4 && r1.getLong(5) == 3) // m1, m2
+    assert(r1.getLong(6) == 4 && r1.getLong(7) == 3) // xm1, xm2
+    assert(math.abs(r1.getDouble(8) - math.exp(-0.25)) < 1e-6, s"bleu=${r1.getDouble(8)}")
+    assert(math.abs(r1.getDouble(9) - 5.0 * 0.775 / 4.775) < 1e-6, s"chrf=${r1.getDouble(9)}")
+  }
+
+  test("disjoint unrelated pair scores exactly zero on both metrics") {
+    // doc 0 (even -> unrelated pair vs doc 1): letters fully disjoint
+    val out = run(Seq((0L, "x y z w v"), (1L, "a b c d e")))
+    val r0 = out(0L)
+    assert(r0.getString(1) == "unrelated")
+    assert(r0.getLong(4) == 0 && r0.getLong(6) == 0)
+    assert(r0.getDouble(8) == 0.0 && r0.getDouble(9) == 0.0)
+  }
+
+  test("clipping caps repeated grams at the reference count") {
+    // doc 1: [t t t t t] -> cand = [t t t t], ref = [t t t t t]: the
+    // clip keeps min(4, 5) = 4 unigrams, min(3, 4) = 3 bigrams -> BLEU
+    // = BP exactly, same shape as distinct tokens (clip is per GRAM)
+    val out = run(Seq((0L, "q"), (1L, "t t t t t")))
+    val r1 = out(1L)
+    assert(r1.getLong(4) == 4 && r1.getLong(5) == 3)
+    // single-token doc 0 pairs with doc 1 (even): cand [q] vs ref
+    // [t t t t t] -> m1 = 0, bleu 0, and the lc < 2 guard holds
+    val r0 = out(0L)
+    assert(r0.getLong(2) == 1 && r0.getDouble(8) == 0.0)
+  }
+
+  test("last even doc without a successor is dropped; odd kept") {
+    val out = run(Seq((0L, "a b"), (1L, "c d"), (2L, "e f")))
+    assert(out.keySet == Set(0L, 1L)) // doc 2 (even, no doc 3) dropped
+  }
+}
