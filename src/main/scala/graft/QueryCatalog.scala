@@ -13908,6 +13908,30 @@ object QueryCatalog {
         s"(CASE WHEN ${dl.at(vecCol, (2 * i + 1).toString)} > " +
           s"${dl.at(vecCol, (2 * i + 2).toString)} THEN ${1 << i} ELSE 0 END)"
       }.mkString("CAST((", " + ", ") AS INT)")
+    // c-TF-IDF scoring from a (cluster __c, term, tf) count matrix —
+    // SHARED by the batch query and the incremental streaming gate, so
+    // the two provably run the same math over their respective matrices.
+    // Input must be materialized (both callers checkpoint); everything
+    // here is dim-sized: f/tot re-aggregate the matrix, the join
+    // broadcasts, the window runs over (cluster, term) rows.
+    def ctfidfScore(tf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val f = tf.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("f"))
+      val tot = tf.agg(sum(col("tf")).cast("long").as("__n"),
+        countDistinct(col("__c")).cast("long").as("__nc"))
+      val scored = tf.join(f, "term").crossJoin(broadcast(tot))
+        .where(col("tf") >= 5)
+        .withColumn("__score", col("tf").cast("double") *
+          log(lit(1.0) + col("__n").cast("double") /
+            col("__nc").cast("double") / col("f").cast("double")))
+      val w = Window.partitionBy(col("__c"))
+        .orderBy(col("__score").desc, col("term"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 10)
+        .select(col("__c").as("cluster"), col("rnk"), col("term"),
+          col("tf"), r6(col("__score")).as("score"))
+        .orderBy("cluster", "rnk")
+    }
     // Bradley-Terry MM steps over a (i, j, w) ordered-pair count frame —
     // SHARED by the batch query and the streaming gate. Spark inlines
     // CTEs, so the one-statement form would re-derive each θ 2^iters
@@ -14413,7 +14437,6 @@ object QueryCatalog {
       // joins and an 8-partition window — no second corpus pass.
       Q("q_ctfidf_topics",
         (s, dir) => {
-          import org.apache.spark.sql.expressions.Window
           val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
           val emb = graft.embed.HashingEmbedder(64)
             .withEmbedding(docs, "text", "__emb")
@@ -14424,46 +14447,87 @@ object QueryCatalog {
           val tf = toks.groupBy(col("__c"), col("term"))
             .agg(count(lit(1)).cast("long").as("tf"))
             .localCheckpoint(true)
-          val f = tf.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("f"))
-          val tot = tf.agg(sum(col("tf")).cast("long").as("__n"),
-            countDistinct(col("__c")).cast("long").as("__nc"))
-          val scored = tf.join(f, "term").crossJoin(broadcast(tot))
-            .where(col("tf") >= 5)
-            .withColumn("__score", col("tf").cast("double") *
-              log(lit(1.0) + col("__n").cast("double") /
-                col("__nc").cast("double") / col("f").cast("double")))
-          val w = Window.partitionBy(col("__c"))
-            .orderBy(col("__score").desc, col("term"))
-          scored.withColumn("rnk", row_number().over(w).cast("long"))
-            .where(col("rnk") <= 10)
-            .select(col("__c").as("cluster"), col("rnk"), col("term"),
-              col("tf"), r6(col("__score")).as("score"))
-            .orderBy("cluster", "rnk")
+          ctfidfScore(tf)
         },
-        Some(s"""
-          WITH docs AS (SELECT doc_id, text FROM documents),
-          e AS (SELECT doc_id, text, emb FROM ${duckEmbed("docs", "text", 64)}),
-          cl AS (SELECT CAST(${cmpBits(D, "emb", 3)} AS BIGINT) AS c,
-                        text FROM e),
-          tk AS (SELECT c, unnest(${D.splitWs("text")}) AS term FROM cl),
-          tf AS (SELECT c, term, CAST(count(*) AS BIGINT) AS tf
-                 FROM tk GROUP BY c, term),
-          f AS (SELECT term, CAST(sum(tf) AS BIGINT) AS f FROM tf GROUP BY term),
-          tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n,
-                         CAST(count(DISTINCT c) AS BIGINT) AS nc FROM tf),
-          sc AS (SELECT tf.c, tf.term, tf.tf,
-                        CAST(tf.tf AS DOUBLE) *
-                          ln(${D.d(1.0)} + CAST(n AS DOUBLE) / CAST(nc AS DOUBLE) / CAST(f.f AS DOUBLE)) AS s
-                 FROM tf JOIN f ON f.term = tf.term CROSS JOIN tot
-                 WHERE tf.tf >= 5),
-          rk AS (SELECT c, term, tf, s,
-                        row_number() OVER (PARTITION BY c ORDER BY s DESC, term) AS rnk
-                 FROM sc)
-          SELECT c AS cluster, CAST(rnk AS BIGINT) AS rnk, term, tf,
-                 ${duckR6("s")} AS score
-          FROM rk WHERE rnk <= 10
-          ORDER BY cluster, rnk"""))
+        Some(ctfidfOracle)),
+
+      // 21st streaming/batch equivalence gate — INCREMENTAL c-TF-IDF:
+      // the (cluster, term) count matrix is the natural streaming state
+      // (Structured Streaming's stateful aggregation adds each
+      // micro-batch's counts into the state store; nothing re-scans
+      // history), and topic rescoring is dim-sized work over the live
+      // matrix. Docs arrive as 4 REAL micro-batches (embed -> LSH
+      // cluster -> term explode run INSIDE the stream); the final state
+      // rescores through the SAME ctfidfScore the batch query uses and
+      // hash-matches the SAME oracle — live topic labels == batch
+      // BERTopic labels under one hash.
+      Q("q_stream_ctfidf_eq",
+        (s, dir0) => {
+          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
+          import s.implicits._
+          val ss = streamSession(s)
+          implicit val sqlCtx = ss.sqlContext
+          val docs = t(s, dir, "documents")
+            .select(col("doc_id").cast("long"), col("text"))
+            .as[(Long, String)].collect().sortBy(_._1)
+          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+          val name = s"q_stream_ctfidf_${System.nanoTime()}"
+          val stream = in.toDF().toDF("doc_id", "text")
+          val emb = graft.embed.HashingEmbedder(64)
+            .withEmbedding(stream, "text", "__emb")
+          val counts = emb
+            .withColumn("__c", expr(cmpBits(SP, "__emb", 3)).cast("long"))
+            .select(col("__c"),
+              explode(expr(SP.splitWs("text"))).as("term"))
+            .groupBy(col("__c"), col("term"))
+            .agg(count(lit(1)).cast("long").as("tf"))
+          val q = counts.writeStream.format("memory").queryName(name)
+            .outputMode("complete").start()
+          try {
+            docs.grouped(math.max(1, (docs.length + 3) / 4)).foreach { b =>
+              in.addData(b.toSeq); q.processAllAvailable()
+            }
+          } finally {
+            q.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
+          ctfidfScore(ss.table(name).localCheckpoint(true))
+        },
+        Some(ctfidfOracle))
     )
+  }
+
+  /** Shared oracle for q_ctfidf_topics and its incremental streaming
+    * twin q_stream_ctfidf_eq — one hash for batch and live labels. */
+  private lazy val ctfidfOracle: String = {
+    def cmpBitsD(vecCol: String, bits: Int): String =
+      (0 until bits).map { i =>
+        s"(CASE WHEN ${D.at(vecCol, (2 * i + 1).toString)} > " +
+          s"${D.at(vecCol, (2 * i + 2).toString)} THEN ${1 << i} ELSE 0 END)"
+      }.mkString("CAST((", " + ", ") AS INT)")
+    s"""
+      WITH docs AS (SELECT doc_id, text FROM documents),
+      e AS (SELECT doc_id, text, emb FROM ${duckEmbed("docs", "text", 64)}),
+      cl AS (SELECT CAST(${cmpBitsD("emb", 3)} AS BIGINT) AS c,
+                    text FROM e),
+      tk AS (SELECT c, unnest(${D.splitWs("text")}) AS term FROM cl),
+      tf AS (SELECT c, term, CAST(count(*) AS BIGINT) AS tf
+             FROM tk GROUP BY c, term),
+      f AS (SELECT term, CAST(sum(tf) AS BIGINT) AS f FROM tf GROUP BY term),
+      tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n,
+                     CAST(count(DISTINCT c) AS BIGINT) AS nc FROM tf),
+      sc AS (SELECT tf.c, tf.term, tf.tf,
+                    CAST(tf.tf AS DOUBLE) *
+                      ln(${D.d(1.0)} + CAST(n AS DOUBLE) / CAST(nc AS DOUBLE) / CAST(f.f AS DOUBLE)) AS s
+             FROM tf JOIN f ON f.term = tf.term CROSS JOIN tot
+             WHERE tf.tf >= 5),
+      rk AS (SELECT c, term, tf, s,
+                    row_number() OVER (PARTITION BY c ORDER BY s DESC, term) AS rnk
+             FROM sc)
+      SELECT c AS cluster, CAST(rnk AS BIGINT) AS rnk, term, tf,
+             ${duckR6("s")} AS score
+      FROM rk WHERE rnk <= 10
+      ORDER BY cluster, rnk"""
   }
 
   def all: Seq[Q] =
