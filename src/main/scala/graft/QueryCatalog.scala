@@ -1,14534 +1,33 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-
-import graft.chunk.Chunking
-import graft.embed.HashingEmbedder
-import graft.functions.{MdContent, TextF, VectorF}
-import graft.ops.{Dedup, Similarity}
-import graft.rag.RagPipeline
-import graft.sqlgen.{Dialect, Exprs}
 
 /** One entry per implemented operator from SURVEY.md §2 (+ the north-star
-  * training-data ops). Each query has a Spark implementation built from the
-  * library's public API and, where SQL-expressible, a DuckDB oracle that is
-  * engineered to hash-match EXACTLY:
-  *
-  *   - money arithmetic via DECIMAL(18,2) (exact, order-independent sums);
-  *   - vector math as sequential double folds (same IEEE op order in both
-  *     engines — see [[graft.sqlgen.Dialect]]);
-  *   - every emitted integer is BIGINT on both sides;
-  *   - every result deterministically ordered with full tie-breaks.
+  * training-data ops) — the assembled catalog. Each query has a Spark
+  * implementation built from the library's public API and, where
+  * SQL-expressible, a DuckDB oracle engineered to hash-match EXACTLY
+  * (DECIMAL money, sequential-fold vector math, BIGINT integers, full
+  * ORDER BY tie-breaks — see graft.sqlgen.Dialect). The queries live in
+  * per-family traits under catalog/ (r13 split of the former 14k-line
+  * file); [[CatalogCore]] holds the shared fixtures and helpers.
   */
-object QueryCatalog {
-
-  final case class Q(
-      name: String,
-      run: (SparkSession, String) => DataFrame,
-      oracle: Option[String])
-
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
-
-  /** Kernel-input scan: like [[t]] but rebalanced across the cluster.
-    * The driver's testdata parquet ships as ONE row group per file, so a
-    * scan is a single task no matter how many cores exist. For CPU-heavy
-    * per-row kernels (shingling, minhash, chunking, embedding, ...) the
-    * exchange moves the corpus once — cheap relative to kernel cost at any
-    * scale — and the kernel then runs with full parallelism. At production
-    * scale inputs arrive as many splittable row groups and this is a
-    * guard against coarse upstream partitioning ahead of expensive
-    * per-row compute. */
-  private def tk(s: SparkSession, dir: String, name: String): DataFrame = {
-    // hash-partition on the table's id column: unlike round-robin
-    // repartition (which local-sorts every row for determinism), a hash
-    // exchange is deterministic by value and skips the sort.
-    val key = Map("documents" -> "doc_id", "embeddings" -> "vec_id")
-      .getOrElse(name, null)
-    val df = t(s, dir, name)
-    if (key == null) df.repartition(s.sparkContext.defaultParallelism)
-    else df.repartition(s.sparkContext.defaultParallelism, col(key))
-  }
-
-  /** OPQ rotation memo: q_opq_rotated and q_opq_ann need the SAME learned
-    * rotation (the dump feeds the ANN oracle), and learning it — one-pass
-    * covariance + driver Jacobi — is deterministic for a given input dir,
-    * so compute it once per (dir) and share. */
-  private val opqRotationCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
-  private def opqRotation(s: SparkSession, dir: String): Array[Array[Double]] =
-    opqRotationCache.computeIfAbsent(dir, _ => {
-      val sample = t(s, dir, "embeddings").where(col("vec_id") % 4 === 0)
-      graft.ops.OpqRotation.learnRotation(sample, "embedding", 64, 4)
-    })
-
-  /** Refined-OPQ memo, same contract as [[opqRotation]]: q_opq_refined and
-    * q_opq_refined_ann share one alternating-minimization run per dir
-    * (deterministic: first-k init, fixed partitioning, fixed tie-breaks).
-    * Seeds from the eigenvalue-allocation rotation ([[opqRotation]]) and
-    * runs 4 Lloyd+Procrustes alternations — returns (R, per-iteration
-    * mean distortion). */
-  private val opqRefinedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Array[Array[Double]], Array[Double])]()
-  private def opqRefined(s: SparkSession, dir: String): (Array[Array[Double]], Array[Double]) =
-    opqRefinedCache.computeIfAbsent(dir, _ => {
-      val sample = t(s, dir, "embeddings").where(col("vec_id") % 4 === 0)
-      graft.ops.OpqRotation.refineRotation(
-        sample, "vec_id", "embedding", 64, 4, 8, 4, opqRotation(s, dir))
-    })
-
-  /** BPE merge-table memo, same contract as [[opqRotation]]: q_bpe_vocab
-    * and q_bpe_segment share one training run per dir (training is
-    * deterministic for a given input). */
-  private val bpeMergeCount = 12
-  private val bpeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long)]]()
-  private def bpeMerges(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
-    bpeCache.computeIfAbsent(dir, _ =>
-      graft.ops.BpeTrainer.train(
-        graft.ops.BpeTrainer.wordFrequencies(tk(s, dir, "documents"), "text"),
-        bpeMergeCount))
-
-  /** One column pair per learned merge, hoisted from the q_bpe_vocab dump
-    * for the SQL merge-replay oracles: p$k = the wrapped adjacent-pair
-    * pattern chr(30)l chr(31)chr(30)r chr(31); q$k = its merged
-    * replacement chr(30)lr chr(31). */
-  private val bpePatCols: String =
-    // coalesce to chr(29) (never present in wrapped symbols): if the
-    // trainer saturates before bpeMergeCount merges the dump has fewer
-    // rows, and the missing ranks must replay as NO-OPS (replace with a
-    // non-matching pattern) instead of NULLing the whole state
-    (0 until bpeMergeCount).map(k =>
-      s"""coalesce(max(CASE WHEN "rank" = $k THEN chr(30) || "left" || chr(31) || chr(30) || "right" || chr(31) END), chr(29)) AS p$k,
-          coalesce(max(CASE WHEN "rank" = $k THEN chr(30) || "left" || "right" || chr(31) END), chr(29)) AS q$k""")
-      .mkString(", ")
-
-  /** WordPiece-trainer memo, same contract as [[bpeMerges]]: q_wp_vocab
-    * and q_wp_segment share one deterministic training run per dir. */
-  private val wpMergeCount = 12
-  private val wpTrainCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.ops.WordPieceTrainer.Merge]]()
-  private def wpMerges(s: SparkSession, dir: String): Seq[graft.ops.WordPieceTrainer.Merge] =
-    wpTrainCache.computeIfAbsent(dir, _ =>
-      graft.ops.WordPieceTrainer.train(
-        graft.ops.BpeTrainer.wordFrequencies(tk(s, dir, "documents"), "text"),
-        wpMergeCount))
-
-  /** Merge patterns for the q_wp_vocab SQL replay (the [[bpePatCols]]
-    * wrap trick, with the WordPiece merged piece — left + right minus
-    * its ## — as the replacement). */
-  private val wpPatCols: String =
-    (0 until wpMergeCount).map(k =>
-      s"""coalesce(max(CASE WHEN "rank" = $k THEN chr(30) || "left" || chr(31) || chr(30) || "right" || chr(31) END), chr(29)) AS p$k,
-          coalesce(max(CASE WHEN "rank" = $k THEN chr(30) || piece || chr(31) END), chr(29)) AS q$k""")
-      .mkString(", ")
-
-  /** Unigram-tokenizer model memo, same contract as [[opqRotation]]:
-    * q_sp_vocab / q_sp_segment / q_sp_dp share one hard-EM training run
-    * per dir (deterministic: substring-count seed, Viterbi counts,
-    * add-one smoothing). */
-  private val spModelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.UnigramTokenizer.Model]()
-  private def spModel(s: SparkSession, dir: String): graft.ops.UnigramTokenizer.Model =
-    spModelCache.computeIfAbsent(dir, _ =>
-      graft.ops.UnigramTokenizer.train(
-        tk(s, dir, "documents"), "text", "doc_id", maxLen = 4, minCount = 100, iters = 2))
-
-  /** Frozen classifier-model memo, same contract as [[opqRotation]]:
-    * q_stream_score_eq needs the trained model and training is
-    * deterministic per dir. */
-  private val clsModelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.QualityClassifier.TrainedModel]()
-  private def clsModel(s: SparkSession, dir: String): graft.ops.QualityClassifier.TrainedModel =
-    clsModelCache.computeIfAbsent(dir, _ =>
-      graft.ops.QualityClassifier.trainModel(
-        t(s, dir, "documents"), "doc_id", "text", "n_chars >= 250"))
-
-  /** Near-dup structure-edge memo (see structureEdges below): one
-    * persisted edge frame per (session, dir). Keyed by the session
-    * REFERENCE (default identity equals/hashCode), not its
-    * identityHashCode — a hash collision between two live sessions can
-    * therefore never serve a plan bound to the wrong session. */
-  private val structureEdgesCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  /** PCA model memo, same contract as [[opqRotation]]: q_pca_project and
-    * q_pca_ann share one (mean, top-16 eigenvectors) fit per dir. */
-  private val pcaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Array[Double]])]()
-  private def pcaModel(s: SparkSession, dir: String): (Array[Double], Array[Array[Double]]) =
-    pcaCache.computeIfAbsent(dir, _ =>
-      graft.ops.Pca.fit(t(s, dir, "embeddings"), "embedding", 64, 16))
-
-  /** Events scan with a schema-drift shim: the synthetic `ts` column has
-    * shipped both as parquet timestamp[ns] (read as Long nanos under the
-    * legacy nanosAsLong conf) and as timestamp[us] (read as
-    * TIMESTAMP_NTZ). Every consumer — and every DuckDB oracle via
-    * `epoch_us(ts)` — treats ts as an epoch count, so normalize any
-    * timestamp read back to Long NANOSECONDS (session tz is UTC, making
-    * the NTZ→LTZ cast the identity on the wall clock). */
-  private def tEvents(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => raw
-      case _ => raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
-    }
-  }
-
-  private val D = Dialect.duckdb
-
-  // -0.0 vs +0.0 normalization: both engines can legitimately produce
-  // negative zero from rounding; +0.0 forces the canonical bit pattern so
-  // the driver's value hashing can't diverge on equal values.
-  private def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    round(c, 6) + lit(0.0)
-  private def duckR6(x: String): String =
-    s"(round($x, 6) + CAST(0.0 AS DOUBLE))"
-
-  /** q_wordpiece's shared demo vocabulary — ONE Scala list is the source
-    * of truth for both the engine tokenizer and the DuckDB oracle's
-    * VALUES table. Chosen so the synthetic corpus exercises every
-    * WordPiece behavior: whole-word hits (fast/key/order/part/row/sort/
-    * the/a), multi-piece greedy segmentation (every other word), and
-    * whole-word [UNK] (big, dup — no start piece matches). id 0 is
-    * [UNK]; pieces take ids 1..N in list order. */
-  private val wpPieces: Seq[String] = Seq(
-    "a", "bat", "col", "cust", "da", "fast", "fil", "gro", "ha", "jo",
-    "key", "li", "mer", "order", "part", "qu", "row", "sc", "slo", "sm",
-    "sp", "st", "sort", "ta", "the", "val", "vec", "win",
-    "##gg", "##ch", "##umn", "##om", "##er", "##ta", "##ter", "##up",
-    "##sh", "##in", "##ne", "##ge", "##ery", "##an", "##w", "##all",
-    "##ark", "##re", "##am", "##ble", "##ue", "##tor", "##dow")
-  private val wpVocab: Map[String, Int] =
-    (("[UNK]" -> 0) +: wpPieces.zipWithIndex.map { case (p, i) => p -> (i + 1) }).toMap
-  /** (piece, surface, iscont, id) VALUES rows for the oracle. */
-  private def wpVocabValues: String =
-    wpPieces.zipWithIndex.map { case (p, i) =>
-      val cont = p.startsWith("##")
-      val surf = if (cont) p.substring(2) else p
-      s"('$p', '$surf', $cont, ${i + 1})"
-    }.mkString(",\n            ")
-
-  /** The DuckDB CTE chain replaying the WordPiece greedy walk per doc
-    * (ends at `perdoc`) — shared by the q_wordpiece and q_transformer_wp
-    * oracles. Must follow a WITH RECURSIVE keyword. The walk: per
-    * (word, position) the longest vocab match is precomputed (matching
-    * surfaces at one position are nested prefixes, so the length argmax
-    * is unique); the recursion takes one step per emitted piece; a
-    * position with no match marks the word dead = whole-word [UNK]. */
-  private def wpPerDocCtes: String =
-    wpPerDocCtesWith(s"""VALUES
-            $wpVocabValues""")
-
-  /** Same chain with an arbitrary vocab CTE body (columns piece,
-    * surface, iscont, id) — q_wp_segment feeds the TRAINED vocabulary
-    * (alphabet ∪ learned pieces from the q_wp_vocab dump) through the
-    * identical greedy-walk replay. */
-  private def wpPerDocCtesWith(vocabCte: String): String =
-    s"""vocab(piece, surface, iscont, id) AS ($vocabCte),
-          docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
-                   FROM documents),
-          wocc AS (SELECT doc_id, CAST(i AS BIGINT) AS ord, ws[CAST(i AS INT)] AS w
-                   FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM docs)),
-          words AS (SELECT DISTINCT w FROM wocc),
-          best AS (
-            SELECT wp.w, wp.pos,
-                   max_by(v.piece, length(v.surface)) AS piece,
-                   CAST(max(length(v.surface)) AS INT) AS len,
-                   max_by(v.id, length(v.surface)) AS id
-            FROM (SELECT w, CAST(p AS INT) AS pos
-                  FROM (SELECT w, unnest(range(1, length(w) + 1)) AS p FROM words)) wp
-            JOIN vocab v
-              ON v.iscont = (wp.pos > 1)
-             AND substr(wp.w, wp.pos, length(v.surface)) = v.surface
-            GROUP BY wp.w, wp.pos),
-          walk(w, pos, n, idsum, acc, dead) AS (
-            SELECT w, 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
-                   CAST('' AS VARCHAR), false
-            FROM words
-            UNION ALL
-            SELECT k.w, k.pos + coalesce(b.len, 0),
-                   k.n + 1,
-                   k.idsum + CAST(coalesce(b.id, 0) AS BIGINT),
-                   CASE WHEN k.acc = '' THEN coalesce(b.piece, '')
-                        ELSE k.acc || ' ' || coalesce(b.piece, '') END,
-                   b.piece IS NULL
-            FROM walk k LEFT JOIN best b ON b.w = k.w AND b.pos = k.pos
-            WHERE NOT k.dead AND k.pos <= length(k.w)),
-          term AS (SELECT w, n, idsum, acc FROM walk
-                   WHERE NOT dead AND pos = length(w) + 1),
-          deadw AS (SELECT DISTINCT w FROM walk WHERE dead),
-          wordres AS (
-            SELECT ws.w,
-                   CASE WHEN d.w IS NOT NULL THEN CAST(1 AS BIGINT) ELSE t.n END AS n,
-                   CASE WHEN d.w IS NOT NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS unk,
-                   CASE WHEN d.w IS NOT NULL THEN CAST(0 AS BIGINT) ELSE t.idsum END AS idsum,
-                   CASE WHEN d.w IS NOT NULL THEN '[UNK]' ELSE t.acc END AS acc
-            FROM words ws LEFT JOIN term t ON t.w = ws.w
-                          LEFT JOIN deadw d ON d.w = ws.w),
-          perdoc AS (
-            SELECT o.doc_id,
-                   CAST(sum(r.n) AS BIGINT) AS n_pieces,
-                   CAST(sum(r.unk) AS BIGINT) AS n_unk,
-                   CAST(sum(r.idsum) AS BIGINT) AS id_sum,
-                   md5(coalesce(string_agg(r.acc, ' ' ORDER BY o.ord), '')) AS pieces_md5
-            FROM wocc o JOIN wordres r ON r.w = o.w
-            GROUP BY o.doc_id)"""
-
-  /** Shared Spark-SQL/DuckDB formula text deriving statistics from exact
-    * decimal moment sums (n, sq, sqq, sqqq, sp, spp, sqp). The SAME text
-    * evaluates on both sides, so every +,*,/,sqrt is the same sequence of
-    * correctly-rounded IEEE ops — bit-identical results. */
-  private val statFormulas: Seq[String] = {
-    val nd = "CAST(n AS DOUBLE)"
-    val sq = "CAST(sq AS DOUBLE)"; val sqq = "CAST(sqq AS DOUBLE)"
-    val sqqq = "CAST(sqqq AS DOUBLE)"
-    val sp = "CAST(sp AS DOUBLE)"; val spp = "CAST(spp AS DOUBLE)"
-    val sqp = "CAST(sqp AS DOUBLE)"
-    def r6s(x: String, as: String) = s"(round($x, 6) + CAST(0.0 AS DOUBLE)) AS $as"
-    val meanQ = s"($sq / $nd)"
-    val stdP = s"sqrt((($spp - ($sp * $sp) / $nd) / ($nd - CAST(1.0 AS DOUBLE))))"
-    val corr = s"(($nd * $sqp - $sq * $sp) / (sqrt($nd * $sqq - $sq * $sq) * sqrt($nd * $spp - $sp * $sp)))"
-    val m2 = s"($sqq / $nd - $meanQ * $meanQ)"
-    val m3 = s"($sqqq / $nd - CAST(3.0 AS DOUBLE) * $meanQ * ($sqq / $nd) + CAST(2.0 AS DOUBLE) * $meanQ * $meanQ * $meanQ)"
-    val skew = s"($m3 / ($m2 * sqrt($m2)))"
-    Seq(r6s(meanQ, "mean_qty"), r6s(stdP, "std_price"),
-      r6s(corr, "corr_qty_price"), r6s(skew, "skew_qty"),
-      "CAST(n AS BIGINT) AS n")
-  }
-
-  // ---- shared DuckDB fragments --------------------------------------------
-
-  /** documents -> (doc_id, chunk_idx BIGINT, chunk_id, chunk_text); fixed
-    * char windows 200/150 — mirrors Chunking.explodeCharWindows. */
-  private val duckChunks: String =
-    """(SELECT doc_id,
-          CAST(i AS BIGINT) AS chunk_idx,
-          concat(CAST(doc_id AS VARCHAR), '_', CAST(i AS VARCHAR)) AS chunk_id,
-          substr(text, CAST(i AS INT) * 150 + 1, 200) AS chunk_text
-        FROM (SELECT doc_id, text,
-                unnest(range(0, greatest(CAST(ceil((length(text) - 200) / CAST(150 AS DOUBLE)) AS INT) + 1, 1))) AS i
-              FROM documents))"""
-
-  /** Wrap a relation (must expose `chunk_text`) with the hashing-embedder
-    * pipeline -> adds column `emb` (ARRAY<DOUBLE>, L2-normalized). Mirrors
-    * HashingEmbedder.withEmbedding stage by stage. */
-  private def duckEmbed(fromSql: String, textCol: String, dim: Int): String = {
-    val toks = D.splitWs(textCol)
-    val codes = Exprs.embedCodes(D, "__toks", dim)
-    val raw = Exprs.embedRawVec(D, "__codes", dim)
-    val nrm = D.norm("__raw")
-    val emb = Exprs.l2Normalize(D, "__raw", "__nrm")
-    s"""(SELECT * EXCLUDE (__toks, __codes, __raw, __nrm), $emb AS emb FROM
-          (SELECT *, $nrm AS __nrm FROM
-            (SELECT *, $raw AS __raw FROM
-              (SELECT *, $codes AS __codes FROM
-                (SELECT *, $toks AS __toks FROM $fromSql)))))"""
-  }
-
-  /** DuckDB embeddings table cast to DOUBLE[] (exact float widening). */
-  private val duckEmbTable: String =
-    "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
-
-  // =========================================================================
-  // Relational surface (SURVEY §2.11 shapes over the TPC-H-ish tables)
-  // =========================================================================
-
-  private def relational: Seq[Q] = Seq(
-    Q("q1_agg",
-      (s, dir) => {
-        val li = t(s, dir, "lineitem")
-        li.groupBy("l_returnflag", "l_linestatus")
-          .agg(
-            sum("l_quantity").as("sum_qty"),
-            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
-            sum(col("l_extendedprice").cast("decimal(18,2)") *
-              (lit(1) - col("l_discount")).cast("decimal(18,2)")).cast("double").as("sum_disc"),
-            count(lit(1)).as("cnt"))
-          .orderBy("l_returnflag", "l_linestatus")
-      },
-      Some("""
-        SELECT l_returnflag, l_linestatus,
-               sum(l_quantity) AS sum_qty,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
-               count(*) AS cnt
-        FROM lineitem
-        GROUP BY l_returnflag, l_linestatus
-        ORDER BY l_returnflag, l_linestatus""")),
-
-    Q("q3_join_agg",
-      (s, dir) => {
-        val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
-        val o = t(s, dir, "orders")
-        val li = t(s, dir, "lineitem")
-        // Join order matters at scale: reduce orders by the selective
-        // broadcast customer filter FIRST, so the fact-table join sees a
-        // ~5x smaller build side (AQE can then pick broadcast for it).
-        val oc = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        li.join(oc, li("l_orderkey") === oc("o_orderkey"))
-          .groupBy("o_orderkey")
-          .agg(
-            sum(col("l_extendedprice").cast("decimal(18,2)") *
-              (lit(1) - col("l_discount")).cast("decimal(18,2)")).cast("double").as("revenue"),
-            count(lit(1)).as("n_items"))
-          .orderBy(desc("revenue"), col("o_orderkey"))
-          .limit(20)
-      },
-      Some("""
-        SELECT o_orderkey,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-               count(*) AS n_items
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        WHERE c_mktsegment = 'BUILDING'
-        GROUP BY o_orderkey
-        ORDER BY revenue DESC, o_orderkey
-        LIMIT 20""")),
-
-    // TPC-H Q5 shape: star join over two dimension chains. Dimensions
-    // (region->nation->customer / supplier) broadcast; the only shuffle is
-    // the lineitem->orders join + final aggregation — the plan shape that
-    // must survive a 100x fact-table scale-up.
-    Q("q5_star_join",
-      (s, dir) => {
-        val r = t(s, dir, "region").where(col("r_name") === "ASIA")
-        val n = t(s, dir, "nation")
-        val c = t(s, dir, "customer")
-        val sup = t(s, dir, "supplier")
-        val o = t(s, dir, "orders")
-        val li = t(s, dir, "lineitem")
-        val nr = n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-          .select(col("n_nationkey"), col("n_name"))
-        val cnr = c.join(broadcast(nr), c("c_nationkey") === nr("n_nationkey"))
-          .select(col("c_custkey"), col("n_nationkey").as("c_nkey"), col("n_name"))
-        val snr = sup.join(broadcast(nr), sup("s_nationkey") === nr("n_nationkey"))
-          .select(col("s_suppkey"), col("s_nationkey"))
-        li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(cnr), o("o_custkey") === cnr("c_custkey"))
-          .join(broadcast(snr), li("l_suppkey") === snr("s_suppkey") &&
-            col("c_nkey") === col("s_nationkey"))
-          .groupBy(col("n_name"))
-          .agg(
-            sum(col("l_extendedprice").cast("decimal(18,2)") *
-              (lit(1) - col("l_discount")).cast("decimal(18,2)")).cast("double").as("revenue"),
-            count(lit(1)).as("n_items"))
-          .orderBy(desc("revenue"), col("n_name"))
-      },
-      Some("""
-        SELECT n_name,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-               count(*) AS n_items
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        JOIN nation ON c_nationkey = n_nationkey
-        JOIN region ON n_regionkey = r_regionkey
-        WHERE r_name = 'ASIA'
-        GROUP BY n_name
-        ORDER BY revenue DESC, n_name""")),
-
-    // TPC-H Q13 shape: customer order-count distribution through a
-    // left-outer join with a join-side filter (customers with zero
-    // surviving orders count as c_count = 0).
-    Q("q13_custdist",
-      (s, dir) => {
-        val c = t(s, dir, "customer")
-        val o = t(s, dir, "orders").where(col("o_orderpriority") =!= "1-URGENT")
-        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
-          .groupBy(c("c_custkey")).agg(count(col("o_orderkey")).as("c_count"))
-          .groupBy("c_count").agg(count(lit(1)).as("custdist"))
-          .orderBy(desc("custdist"), desc("c_count"))
-      },
-      Some("""
-        SELECT c_count, count(*) AS custdist
-        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
-              FROM customer LEFT OUTER JOIN orders
-                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-              GROUP BY c_custkey)
-        GROUP BY c_count
-        ORDER BY custdist DESC, c_count DESC""")),
-
-    // TPC-H Q16 shape: distinct-supplier counts per part attribute set
-    // (partsupp stands in as part JOIN lineitem in this schema).
-    Q("q16_supplier_cnt",
-      (s, dir) =>
-        t(s, dir, "part")
-          .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
-          .where(col("p_brand") =!= "Brand#1" && col("p_size").isin(1, 5, 9, 13))
-          .groupBy("p_brand", "p_type", "p_size")
-          .agg(countDistinct("l_suppkey").as("supplier_cnt"))
-          .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size")),
-      Some("""
-        SELECT p_brand, p_type, p_size,
-               count(DISTINCT l_suppkey) AS supplier_cnt
-        FROM part JOIN lineitem ON p_partkey = l_partkey
-        WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13)
-        GROUP BY p_brand, p_type, p_size
-        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
-
-    // TPC-H Q18 shape: large-volume orders (HAVING over a grouped join key,
-    // then enrich through two joins).
-    Q("q18_big_orders",
-      (s, dir) => {
-        val big = t(s, dir, "lineitem")
-          .groupBy("l_orderkey")
-          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
-          .where(col("sum_qty") > 180)
-        t(s, dir, "orders")
-          .join(big, col("o_orderkey") === col("l_orderkey"))
-          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-          .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
-            col("sum_qty").cast("double").as("sum_qty"))
-          .orderBy("o_orderkey")
-      },
-      Some("""
-        SELECT c_name, o_orderkey, o_totalprice, CAST(sum_qty AS DOUBLE) AS sum_qty
-        FROM (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
-              FROM lineitem GROUP BY l_orderkey
-              HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 180) b
-        JOIN orders ON o_orderkey = l_orderkey
-        JOIN customer ON c_custkey = o_custkey
-        ORDER BY o_orderkey""")),
-
-    // TPC-H Q21 shape: EXISTS + NOT EXISTS with inequality correlation
-    // (the only 'R'-flag supplier in multi-supplier orders), planned as a
-    // left-semi + left-anti join pair.
-    Q("q21_waiting",
-      (s, dir) => {
-        val li = t(s, dir, "lineitem")
-        val l1 = li.where(col("l_returnflag") === "R")
-          .select(col("l_orderkey").as("o1"), col("l_suppkey").as("s1"))
-        val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
-        val l3 = li.where(col("l_returnflag") === "R")
-          .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
-        l1.join(l2, col("o1") === col("o2") && col("s1") =!= col("s2"), "left_semi")
-          .join(l3, col("o1") === col("o3") && col("s1") =!= col("s3"), "left_anti")
-          .join(t(s, dir, "supplier"), col("s1") === col("s_suppkey"))
-          .groupBy("s_name").agg(count(lit(1)).as("numwait"))
-          .orderBy(desc("numwait"), col("s_name"))
-      },
-      Some("""
-        SELECT s_name, count(*) AS numwait
-        FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-        WHERE l1.l_returnflag = 'R'
-          AND EXISTS (SELECT 1 FROM lineitem l2
-                      WHERE l2.l_orderkey = l1.l_orderkey
-                        AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                          WHERE l3.l_orderkey = l1.l_orderkey
-                            AND l3.l_suppkey <> l1.l_suppkey
-                            AND l3.l_returnflag = 'R')
-        GROUP BY s_name
-        ORDER BY numwait DESC, s_name""")),
-
-    // TPC-H Q22 shape: global scalar aggregate comparison (rewritten to
-    // exact decimal cross-multiplication) + anti-join on orders.
-    Q("q22_idle_balance",
-      (s, dir) => {
-        val c = t(s, dir, "customer")
-        val pos = c.where(col("c_acctbal") > 0.0)
-          .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("s"),
-            count(lit(1)).as("n"))
-        c.crossJoin(broadcast(pos))
-          .where(col("c_acctbal").cast("decimal(18,2)") * col("n") > col("s"))
-          .join(t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT"),
-            col("c_custkey") === col("o_custkey"), "left_anti")
-          .groupBy("c_nationkey")
-          .agg(count(lit(1)).as("numcust"),
-            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
-          .orderBy("c_nationkey")
-      },
-      Some("""
-        WITH stats AS (
-          SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s, count(*) AS n
-          FROM customer WHERE c_acctbal > CAST(0.0 AS DOUBLE))
-        SELECT c_nationkey, count(*) AS numcust,
-               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
-        FROM customer, stats
-        WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
-          AND NOT EXISTS (SELECT 1 FROM orders
-                          WHERE o_custkey = c_custkey
-                            AND o_orderpriority = '1-URGENT')
-        GROUP BY c_nationkey
-        ORDER BY c_nationkey""")),
-
-    // TPC-H Q7 shape: bidirectional nation-pair trade volume by ship year
-    // (disjunctive pair predicate after two broadcast dimension chains).
-    Q("q7_volume",
-      (s, dir) => {
-        val li = t(s, dir, "lineitem")
-        val n = t(s, dir, "nation")
-        val sn = t(s, dir, "supplier")
-          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
-        val cn = t(s, dir, "customer")
-          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-          .select(col("c_custkey"), col("n_name").as("cust_nation"))
-        li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
-          .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
-          .groupBy(col("supp_nation"), col("cust_nation"),
-            year(col("l_shipdate")).cast("long").as("l_year"))
-          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-              (lit(1) - col("l_discount")).cast("decimal(18,2)"))
-              .cast("double").as("revenue"),
-            count(lit(1)).as("n"))
-          .orderBy("supp_nation", "cust_nation", "l_year")
-      },
-      Some("""
-        SELECT supp_nation, cust_nation, l_year,
-               CAST(sum(vol) AS DOUBLE) AS revenue, count(*) AS n
-        FROM (SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
-                     CAST(year(l_shipdate) AS BIGINT) AS l_year,
-                     CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS vol
-              FROM lineitem
-              JOIN orders ON l_orderkey = o_orderkey
-              JOIN supplier ON l_suppkey = s_suppkey
-              JOIN customer ON o_custkey = c_custkey
-              JOIN nation ns ON s_nationkey = ns.n_nationkey
-              JOIN nation nc ON c_nationkey = nc.n_nationkey
-              WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
-                 OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
-        GROUP BY supp_nation, cust_nation, l_year
-        ORDER BY supp_nation, cust_nation, l_year""")),
-
-    // TPC-H Q12 shape: priority counts by line status in a ship-year band
-    // (CASE aggregation after an equi-join).
-    Q("q12_priority",
-      (s, dir) =>
-        t(s, dir, "lineitem")
-          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-          .where(expr("l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'") &&
-            expr("l_shipdate < TIMESTAMP '1997-01-01 00:00:00'"))
-          .groupBy("l_linestatus")
-          .agg(
-            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
-              .otherwise(0L)).cast("long").as("high_count"),
-            sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
-              .otherwise(0L)).cast("long").as("low_count"))
-          .orderBy("l_linestatus"),
-      Some("""
-        SELECT l_linestatus,
-               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
-               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate < TIMESTAMP '1997-01-01'
-        GROUP BY l_linestatus
-        ORDER BY l_linestatus""")),
-
-    // TPC-H Q14 shape: promo revenue share — exact decimal sums, ratio
-    // derived with identical double formula text on both sides.
-    Q("q14_promo",
-      (s, dir) => {
-        val rev = col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1) - col("l_discount")).cast("decimal(18,2)")
-        t(s, dir, "lineitem")
-          .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
-          .where(expr("l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'") &&
-            expr("l_shipdate < TIMESTAMP '1997-04-01 00:00:00'"))
-          .agg(sum(when(col("p_type") === "PROMO", rev)
-              .otherwise(lit(0).cast("decimal(18,2)"))).as("promo"),
-            sum(rev).as("total"))
-          .selectExpr(
-            "(round(CAST(promo AS DOUBLE) * CAST(100.0 AS DOUBLE) / CAST(total AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS promo_pct",
-            "CAST(promo AS DOUBLE) AS promo_rev")
-      },
-      Some("""
-        SELECT (round(CAST(promo AS DOUBLE) * CAST(100.0 AS DOUBLE) / CAST(total AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS promo_pct,
-               CAST(promo AS DOUBLE) AS promo_rev
-        FROM (SELECT
-                sum(CASE WHEN p_type = 'PROMO'
-                    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
-                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo,
-                sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS total
-              FROM lineitem JOIN part ON l_partkey = p_partkey
-              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-                AND l_shipdate < TIMESTAMP '1997-04-01')""")),
-
-    // TPC-H Q19 shape: OR-of-ANDs join predicate (brand x size x quantity
-    // bands) — the disjunction Catalyst must keep out of the join key but
-    // push below the aggregate.
-    Q("q19_bands",
-      (s, dir) =>
-        t(s, dir, "lineitem")
-          .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
-          .where(
-            (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
-              col("l_quantity").between(1, 20)) ||
-            (col("p_brand") === "Brand#2" && col("p_size").between(5, 20) &&
-              col("l_quantity").between(10, 30)) ||
-            (col("p_brand") === "Brand#3" && col("p_size").between(10, 40) &&
-              col("l_quantity").between(20, 50)))
-          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-              (lit(1) - col("l_discount")).cast("decimal(18,2)"))
-              .cast("double").as("revenue"),
-            count(lit(1)).as("n")),
-      Some("""
-        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-               count(*) AS n
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
-           OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 30)
-           OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 50)""")),
-
-    // J1: anti-join (reference ignore-list partition, document_processor.py:869-880)
-    Q("q_j1_anti",
-      (s, dir) => {
-        val o = t(s, dir, "orders")
-        val r = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
-          .select(col("l_orderkey").as("o_orderkey"))
-        o.join(r, Seq("o_orderkey"), "left_anti")
-          .select("o_orderkey", "o_orderstatus", "o_totalprice")
-          .orderBy("o_orderkey")
-          .limit(100)
-      },
-      Some("""
-        SELECT o_orderkey, o_orderstatus, o_totalprice
-        FROM orders
-        WHERE NOT EXISTS (SELECT 1 FROM lineitem
-                          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
-        ORDER BY o_orderkey
-        LIMIT 100""")),
-
-    // F6: EXISTS over a tokenized list column (okp.py:28-52 shape)
-    Q("q_f6_exists",
-      (s, dir) => {
-        val kw = Seq("spark", "shuffle", "merge")
-        t(s, dir, "documents")
-          .where(exists(TextF.tokens(col("text")), w => w.isInCollection(kw)))
-          .select(col("doc_id"), col("lang"))
-          .orderBy("doc_id")
-      },
-      Some("""
-        SELECT doc_id, lang
-        FROM documents
-        WHERE len(list_filter(string_split_regex(trim(text), '\s+'),
-                              w -> list_contains(['spark', 'shuffle', 'merge'], w))) > 0
-        ORDER BY doc_id""")),
-
-    // F5: policy filter — reachable OR ignored, one disjunctive predicate
-    // (document_processor.py:867-896)
-    Q("q_f5_policy",
-      (s, dir) =>
-        t(s, dir, "documents")
-          .where(col("lang") === "en" || col("source").isin("src0", "src1"))
-          .groupBy("source").agg(count(lit(1)).as("n"))
-          .orderBy("source"),
-      Some("""
-        SELECT source, count(*) AS n
-        FROM documents
-        WHERE lang = 'en' OR source IN ('src0', 'src1')
-        GROUP BY source
-        ORDER BY source""")),
-
-    // A1 + J2: group chunks per doc and join back (document_processor.py:521-541)
-    Q("q_a1_group_collect",
-      (s, dir) => {
-        val li = t(s, dir, "lineitem")
-        val o = t(s, dir, "orders")
-        val g = li.groupBy(col("l_orderkey").as("o_orderkey"))
-          .agg(concat_ws(",", sort_array(collect_list(col("l_linenumber")))).as("lines"),
-            count(lit(1)).as("n_items"))
-        o.join(g, Seq("o_orderkey"))
-          .select("o_orderkey", "o_orderstatus", "lines", "n_items")
-          .orderBy("o_orderkey")
-          .limit(1000)
-      },
-      Some("""
-        WITH g AS (SELECT l_orderkey,
-                          array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
-                          count(*) AS n_items
-                   FROM lineitem GROUP BY l_orderkey)
-        SELECT o_orderkey, o_orderstatus, lines, n_items
-        FROM orders JOIN g ON g.l_orderkey = o_orderkey
-        ORDER BY o_orderkey
-        LIMIT 1000""")),
-
-    // O2: top-k (TakeOrderedAndProject — the scalable exact top-k)
-    Q("q_o2_topk",
-      (s, dir) =>
-        t(s, dir, "orders")
-          .select("o_orderkey", "o_totalprice")
-          .orderBy(desc("o_totalprice"), col("o_orderkey"))
-          .limit(20),
-      Some("""
-        SELECT o_orderkey, o_totalprice
-        FROM orders
-        ORDER BY o_totalprice DESC, o_orderkey
-        LIMIT 20""")),
-
-    Q("q_window_topn",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("event_type"))
-          .orderBy(desc("value"), col("event_id"))
-        tEvents(s, dir)
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .where(col("rn") <= 3)
-          .select("event_type", "event_id", "value", "rn")
-          .orderBy("event_type", "rn")
-      },
-      Some("""
-        SELECT event_type, event_id, value, rn
-        FROM (SELECT event_type, event_id, value,
-                     row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
-              FROM events)
-        WHERE rn <= 3
-        ORDER BY event_type, rn""")),
-
-    // A4/F8: group-level max-score threshold
-    Q("q_having_max",
-      (s, dir) =>
-        tEvents(s, dir)
-          .groupBy("user_id")
-          .agg(count(lit(1)).as("cnt"), max(col("value")).as("mx"))
-          .where(col("mx") >= 350.0)
-          .orderBy("user_id"),
-      Some("""
-        SELECT user_id, count(*) AS cnt, max(value) AS mx
-        FROM events
-        GROUP BY user_id
-        HAVING max(value) >= CAST(350.0 AS DOUBLE)
-        ORDER BY user_id""")),
-
-    // S7-shape: typed metadata extraction from a semi-structured column
-    Q("q_json_extract",
-      (s, dir) =>
-        tEvents(s, dir)
-          .select(col("event_id"),
-            get_json_object(col("props"), "$.k").cast("long").as("k"))
-          .orderBy("event_id")
-          .limit(1000),
-      Some("""
-        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        FROM events
-        ORDER BY event_id
-        LIMIT 1000""")),
-
-    // Streaming-shaped tumbling-window aggregation (batch form; the same
-    // plan runs under Structured Streaming with a watermark)
-    Q("q_events_window",
-      (s, dir) =>
-        tEvents(s, dir)
-          .groupBy(col("event_type"),
-            (expr("ts div 3600000000000L") * 3600).cast("long").as("hour_epoch"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
-          .orderBy("event_type", "hour_epoch"),
-      Some("""
-        SELECT event_type,
-               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
-               count(*) AS n,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM events
-        GROUP BY event_type, hour_epoch
-        ORDER BY event_type, hour_epoch"""))
-  )
-
-  // =========================================================================
-  // Text analysis / dedup (north-star training-data ops)
-  // =========================================================================
-
-  private def textOps: Seq[Q] = {
-    val duckToks = s"(SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents)"
-    val duckShingles =
-      s"(SELECT doc_id, ${Exprs.wordShingles(D, "toks", 3)} AS sh FROM $duckToks)"
-
-    Seq(
-      // F1: whitespace predicate (document_processor.py:131-137)
-      Q("q_f1_whitespace",
-        (s, dir) =>
-          t(s, dir, "documents")
-            .where(col("text").rlike("\\s"))
-            .groupBy(col("lang")).agg(count(lit(1)).as("n"))
-            .orderBy("lang"),
-        Some("""
-          SELECT lang, count(*) AS n
-          FROM documents
-          WHERE regexp_matches(text, '\s')
-          GROUP BY lang
-          ORDER BY lang""")),
-
-      // F2: markdown-content validity (stateful UDF; rows-only check — the
-      // 19-case reference contract is enforced in MdContentSpec)
-      // Oracle is analytic: the synthetic docs are plain prose (no headers,
-      // no code fences), so F2 reduces to "has a non-blank line". The full
-      // line-machine semantics are pinned by MdContentSpec's 19 reference
-      // fixtures.
-      Q("q_f2_md_valid",
-        (s, dir) =>
-          t(s, dir, "documents")
-            .where(MdContent.mdHasContent(col("text")))
-            .select(col("doc_id"))
-            .orderBy("doc_id"),
-        Some("""
-          SELECT doc_id FROM documents
-          WHERE trim(text) <> ''
-          ORDER BY doc_id""")),
-
-      // T9: title fallback — first line stripped of leading #/whitespace
-      // (metadata_processor.py:52-54)
-      Q("q_title_fallback",
-        (s, dir) =>
-          t(s, dir, "documents")
-            .select(col("doc_id"),
-              substring(regexp_replace(element_at(split(col("text"), "\n"), 1),
-                "^[#\\s]+", ""), 1, 30).as("title"))
-            .orderBy("doc_id"),
-        Some("""
-          SELECT doc_id,
-                 substr(regexp_replace(string_split(text, chr(10))[1], '^[#\s]+', ''), 1, 30) AS title
-          FROM documents
-          ORDER BY doc_id""")),
-
-      Q("q_token_stats",
-        (s, dir) => {
-          val toks = TextF.tokens(col("text"))
-          t(s, dir, "documents")
-            .select(col("doc_id"),
-              size(toks).cast("long").as("n_tokens"),
-              size(array_distinct(toks)).cast("long").as("n_uniq"))
-            .orderBy("doc_id")
-        },
-        Some("""
-          SELECT doc_id,
-                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-                 CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_uniq
-          FROM documents
-          ORDER BY doc_id""")),
-
-      Q("q_quality_score",
-        (s, dir) =>
-          t(s, dir, "documents")
-            .select(col("doc_id"), r6(TextF.qualityScore(col("text"))).as("quality"))
-            .orderBy("doc_id"),
-        Some {
-          val toks = D.splitWs("text")
-          val stopArr = D.strArray(TextF.StopEn)
-          s"""
-          SELECT doc_id,
-                 round(
-                   least(CAST(len($toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
-                   + (CAST(len(list_filter($toks, t__ -> list_contains($stopArr, t__))) AS DOUBLE) / len($toks)) * CAST(0.3 AS DOUBLE)
-                   + (CAST(1.0 AS DOUBLE) - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * CAST(0.3 AS DOUBLE)
-                 , 6) + CAST(0.0 AS DOUBLE) AS quality
-          FROM documents
-          ORDER BY doc_id"""
-        }),
-
-      Q("q_langid",
-        (s, dir) =>
-          tk(s, dir, "documents")
-            .select(col("doc_id"), TextF.langId(TextF.tokens(col("text"))).as("pred_lang"))
-            .orderBy("doc_id"),
-        Some {
-          def hits(stop: Seq[String]) =
-            s"len(list_filter(toks, t__ -> list_contains(${D.strArray(stop)}, t__)))"
-          s"""
-          SELECT doc_id,
-                 CASE WHEN en__ >= de__ AND en__ >= es__ AND en__ >= fr__ THEN 'en'
-                      WHEN de__ >= es__ AND de__ >= fr__ THEN 'de'
-                      WHEN es__ >= fr__ THEN 'es'
-                      ELSE 'fr' END AS pred_lang
-          FROM (SELECT doc_id,
-                       ${hits(TextF.StopEn)} AS en__, ${hits(TextF.StopDe)} AS de__,
-                       ${hits(TextF.StopEs)} AS es__, ${hits(TextF.StopFr)} AS fr__
-                FROM $duckToks)
-          ORDER BY doc_id"""
-        }),
-
-      Q("q_dedup_exact",
-        (s, dir) =>
-          Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
-            .orderBy("content_hash"),
-        Some("""
-          SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
-          FROM documents
-          GROUP BY md5(text)
-          ORDER BY content_hash""")),
-
-      Q("q_minhash_sig",
-        (s, dir) =>
-          Dedup.minhashSignatures(t(s, dir, "documents"), "text", "doc_id", 3, 8)
-            .select(col("doc_id"), array_join(col("sig").cast("array<string>"), "|").as("sig"))
-            .orderBy("doc_id"),
-        Some(s"""
-          SELECT doc_id, ${D.arrayJoin(Exprs.minhashSig(D, "sh", 8), "|")} AS sig
-          FROM $duckShingles
-          ORDER BY doc_id""")),
-
-      Q("q_minhash_pairs",
-        (s, dir) => {
-          val docs = t(s, dir, "documents")
-          val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", 3, 8)
-          val cand = Dedup.lshCandidatePairs(sigs, "doc_id", 2)
-          Dedup.jaccardVerify(docs, cand, "text", "doc_id", 3, 0.2)
-            .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
-            .orderBy("id_a", "id_b")
-        },
-        Some(s"""
-          WITH sigs AS (
-            SELECT doc_id, ${Exprs.minhashSig(D, "sh", 8)} AS sig FROM $duckShingles),
-          banded AS (
-            SELECT doc_id, CAST(b.b AS BIGINT) AS band,
-                   md5(array_to_string(sig[(CAST(b.b AS INT) * 2 + 1):(CAST(b.b AS INT) * 2 + 2)], '|')) AS band_key
-            FROM sigs, range(0, 4) AS b(b)),
-          cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-            FROM banded a JOIN banded c
-              ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
-          sets AS (SELECT doc_id, list_distinct(sh) AS shs FROM $duckShingles)
-          SELECT id_a, id_b,
-                 round(CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
-                       / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))), 6) + CAST(0.0 AS DOUBLE) AS jaccard
-          FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
-          WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
-                / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= CAST(0.2 AS DOUBLE)
-          ORDER BY id_a, id_b""")),
-
-      // End-to-end near-dup REMOVAL (minhash -> LSH -> verify -> anti-join)
-      Q("q_dedup_near_drop",
-        (s, dir) =>
-          Dedup.dropNearDuplicates(tk(s, dir, "documents"), "text", "doc_id",
-              3, 8, 2, 0.2)
-            .agg(count(lit(1)).as("n_kept"),
-              sum(col("doc_id")).cast("long").as("id_sum")),
-        Some(s"""
-          WITH sigs AS (
-            SELECT doc_id, ${Exprs.minhashSig(D, "sh", 8)} AS sig FROM $duckShingles),
-          banded AS (
-            SELECT doc_id, CAST(b.b AS BIGINT) AS band,
-                   md5(array_to_string(sig[(CAST(b.b AS INT) * 2 + 1):(CAST(b.b AS INT) * 2 + 2)], '|')) AS band_key
-            FROM sigs, range(0, 4) AS b(b)),
-          cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-            FROM banded a JOIN banded c
-              ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
-          sets AS (SELECT doc_id, list_distinct(sh) AS shs FROM $duckShingles),
-          dup AS (
-            SELECT DISTINCT id_b
-            FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
-            WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
-                  / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= CAST(0.2 AS DOUBLE))
-          SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
-          FROM documents
-          WHERE doc_id NOT IN (SELECT id_b FROM dup)""")),
-
-      // Transitive near-dup CLUSTERING: connected components over the
-      // verified minhash near-dup graph. Spark side = iterative min-label
-      // propagation (joins over the edge list, O(|E|) per round); oracle =
-      // recursive-CTE reachability with min-label aggregation. Every doc
-      // is labeled (singletons label themselves).
-      Q("q_cc_clusters",
-        (s, dir) =>
-          Dedup.nearDupClusters(tk(s, dir, "documents"), "text", "doc_id",
-              3, 8, 2, 0.2)
-            .select(col("doc_id").cast("long").as("doc_id"),
-              col("cluster_id").cast("long").as("cluster_id"))
-            .orderBy("doc_id"),
-        Some(s"""
-          WITH RECURSIVE
-          sigs AS (
-            SELECT doc_id, ${Exprs.minhashSig(D, "sh", 8)} AS sig FROM $duckShingles),
-          banded AS (
-            SELECT doc_id, CAST(b.b AS BIGINT) AS band,
-                   md5(array_to_string(sig[(CAST(b.b AS INT) * 2 + 1):(CAST(b.b AS INT) * 2 + 2)], '|')) AS band_key
-            FROM sigs, range(0, 4) AS b(b)),
-          cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-            FROM banded a JOIN banded c
-              ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
-          sets AS (SELECT doc_id, list_distinct(sh) AS shs FROM $duckShingles),
-          edges AS (
-            SELECT id_a, id_b
-            FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
-            WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
-                  / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= CAST(0.2 AS DOUBLE)),
-          und AS (
-            SELECT id_a AS src, id_b AS dst FROM edges
-            UNION ALL
-            SELECT id_b, id_a FROM edges),
-          reach(id, l) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT u.src, r.l FROM reach r JOIN und u ON u.dst = r.id)
-          SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
-          FROM reach GROUP BY id
-          ORDER BY doc_id""")),
-
-      // Dedup-aware train/val/test split: split decided by the near-dup
-      // CLUSTER id (md5 digit on cluster_id), so near-duplicate docs can
-      // never straddle train and test — the leakage guard the doc-keyed
-      // q_hash_split cannot provide. Oracle replays clustering (recursive
-      // reachability) + the identical md5 split rule.
-      Q("q_leakage_split",
-        (s, dir) => {
-          val docs = tk(s, dir, "documents")
-          val clusters = Dedup.nearDupClusters(docs, "text", "doc_id", 3, 8, 2, 0.2)
-            .select(col("doc_id").cast("long").as("doc_id"),
-              col("cluster_id").cast("long").as("cluster_id"))
-          graft.ops.Sampling.leakageSafeSplit(
-              docs.select(col("doc_id").cast("long").as("doc_id")),
-              clusters, "doc_id")
-            .select(col("doc_id"), col("cluster_id"), col("split"))
-            .orderBy("doc_id")
-        },
-        Some(s"""
-          WITH RECURSIVE
-          sigs AS (
-            SELECT doc_id, ${Exprs.minhashSig(D, "sh", 8)} AS sig FROM $duckShingles),
-          banded AS (
-            SELECT doc_id, CAST(b.b AS BIGINT) AS band,
-                   md5(array_to_string(sig[(CAST(b.b AS INT) * 2 + 1):(CAST(b.b AS INT) * 2 + 2)], '|')) AS band_key
-            FROM sigs, range(0, 4) AS b(b)),
-          cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-            FROM banded a JOIN banded c
-              ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
-          sets AS (SELECT doc_id, list_distinct(sh) AS shs FROM $duckShingles),
-          edges AS (
-            SELECT id_a, id_b
-            FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
-            WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
-                  / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= CAST(0.2 AS DOUBLE)),
-          und AS (
-            SELECT id_a AS src, id_b AS dst FROM edges
-            UNION ALL
-            SELECT id_b, id_a FROM edges),
-          reach(id, l) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT u.src, r.l FROM reach r JOIN und u ON u.dst = r.id),
-          cl AS (
-            SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
-            FROM reach GROUP BY id)
-          SELECT doc_id, cluster_id,
-                 CASE WHEN d__ < 12 THEN 'train' WHEN d__ < 14 THEN 'val'
-                      ELSE 'test' END AS split
-          FROM (SELECT doc_id, cluster_id,
-                       ${D.md5HexDigit(D.castStr("cluster_id"), 1)} AS d__
-                FROM cl)
-          ORDER BY doc_id""")),
-
-      // Quality-aware canonical selection: keep the BEST-quality doc of
-      // every near-dup cluster (not an arbitrary member) — the curation
-      // variant of dedup. Selection = ONE max-of-struct aggregation
-      // ((quality, -id) lexicographic, ties to lowest id): map-side
-      // combined, no rank window, no corpus sort. Oracle replays
-      // clustering (recursive reachability), the quality formula at 6dp,
-      // and the same argmax tie-break via a rank window.
-      Q("q_cluster_best",
-        (s, dir) => {
-          val docs = tk(s, dir, "documents")
-          val clusters = Dedup.nearDupClusters(docs, "text", "doc_id", 3, 8, 2, 0.2)
-            .select(col("doc_id").cast("long").as("doc_id"),
-              col("cluster_id").cast("long").as("cluster_id"))
-          val scored = docs.select(col("doc_id").cast("long").as("doc_id"),
-            r6(TextF.qualityScore(col("text"))).as("quality"))
-          graft.ops.Curation.keepBestPerCluster(scored, clusters, "doc_id", "quality")
-            .select(col("cluster_id"), col("best_doc_id"),
-              col("best_score").as("best_quality"), col("n_members"))
-            .orderBy("cluster_id")
-        },
-        Some {
-          val toks = D.splitWs("text")
-          val stopArr = D.strArray(TextF.StopEn)
-          s"""
-          WITH RECURSIVE
-          sigs AS (
-            SELECT doc_id, ${Exprs.minhashSig(D, "sh", 8)} AS sig FROM $duckShingles),
-          banded AS (
-            SELECT doc_id, CAST(b.b AS BIGINT) AS band,
-                   md5(array_to_string(sig[(CAST(b.b AS INT) * 2 + 1):(CAST(b.b AS INT) * 2 + 2)], '|')) AS band_key
-            FROM sigs, range(0, 4) AS b(b)),
-          cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-            FROM banded a JOIN banded c
-              ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
-          sets AS (SELECT doc_id, list_distinct(sh) AS shs FROM $duckShingles),
-          edges AS (
-            SELECT id_a, id_b
-            FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
-            WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
-                  / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= CAST(0.2 AS DOUBLE)),
-          und AS (
-            SELECT id_a AS src, id_b AS dst FROM edges
-            UNION ALL
-            SELECT id_b, id_a FROM edges),
-          reach(id, l) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT u.src, r.l FROM reach r JOIN und u ON u.dst = r.id),
-          cl AS (
-            SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
-            FROM reach GROUP BY id),
-          q AS (
-            SELECT doc_id,
-                   round(
-                     least(CAST(len($toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
-                     + (CAST(len(list_filter($toks, t__ -> list_contains($stopArr, t__))) AS DOUBLE) / len($toks)) * CAST(0.3 AS DOUBLE)
-                     + (CAST(1.0 AS DOUBLE) - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * CAST(0.3 AS DOUBLE)
-                   , 6) + CAST(0.0 AS DOUBLE) AS quality
-            FROM documents)
-          SELECT cluster_id, doc_id AS best_doc_id, quality AS best_quality,
-                 n_members
-          FROM (SELECT cl.cluster_id, cl.doc_id, q.quality,
-                       row_number() OVER (PARTITION BY cl.cluster_id
-                         ORDER BY q.quality DESC, cl.doc_id) AS rn,
-                       count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
-                FROM cl JOIN q USING (doc_id))
-          WHERE rn = 1
-          ORDER BY cluster_id"""
-        }),
-
-      // Domain-level quality gate: per-source mean quality (DECIMAL-
-      // summed, order-independent), low-quality fraction, and the
-      // wholesale keep/block verdict — domain filtering runs BEFORE
-      // doc filters in a web curation stack. One map-side-combined
-      // aggregation on the domain key.
-      Q("q_domain_quality",
-        (s, dir) =>
-          graft.ops.Curation.domainQuality(
-              t(s, dir, "documents"), "text", "source", 0.53, 0.45)
-            .orderBy("source"),
-        Some {
-          val toks = D.splitWs("text")
-          val stopArr = D.strArray(TextF.StopEn)
-          s"""
-          WITH q AS (
-            SELECT source,
-                   round(
-                     least(CAST(len($toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
-                     + (CAST(len(list_filter($toks, t__ -> list_contains($stopArr, t__))) AS DOUBLE) / len($toks)) * CAST(0.3 AS DOUBLE)
-                     + (CAST(1.0 AS DOUBLE) - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * CAST(0.3 AS DOUBLE)
-                   , 6) + CAST(0.0 AS DOUBLE) AS ql
-            FROM documents)
-          SELECT source, n_docs, mean_quality, low_frac,
-                 (mean_quality < CAST(0.53 AS DOUBLE) OR low_frac > CAST(0.45 AS DOUBLE)) AS blocked
-          FROM (SELECT source,
-                       count(*) AS n_docs,
-                       (round(CAST(sum(CAST(ql AS DECIMAL(18,6))) AS DOUBLE)
-                              / CAST(count(*) AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS mean_quality,
-                       (round(CAST(sum(CASE WHEN ql < CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END) AS DOUBLE)
-                              / CAST(count(*) AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS low_frac
-                FROM q GROUP BY source)
-          ORDER BY source"""
-        }),
-
-      // Empirical-Bayes shrinkage of the same per-domain quality: the
-      // posterior mean (Σq + τ·g)/(n + τ) with τ = 20 pseudo-counts —
-      // rare domains pull toward the corpus mean instead of tripping
-      // hard thresholds on 3 noisy docs. Global mean rounds BEFORE the
-      // shrink so both engines run one fixed IEEE chain per domain.
-      Q("q_domain_shrunk",
-        (s, dir) =>
-          graft.ops.Curation.domainQualityShrunk(
-              t(s, dir, "documents"), "text", "source", 20.0)
-            .orderBy("source"),
-        Some {
-          val toks = D.splitWs("text")
-          val stopArr = D.strArray(TextF.StopEn)
-          s"""
-          WITH q AS (
-            SELECT source,
-                   round(
-                     least(CAST(len($toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
-                     + (CAST(len(list_filter($toks, t__ -> list_contains($stopArr, t__))) AS DOUBLE) / len($toks)) * CAST(0.3 AS DOUBLE)
-                     + (CAST(1.0 AS DOUBLE) - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * CAST(0.3 AS DOUBLE)
-                   , 6) + CAST(0.0 AS DOUBLE) AS ql
-            FROM documents),
-          per AS (
-            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                   sum(CAST(ql AS DECIMAL(18,6))) AS sq
-            FROM q GROUP BY source),
-          g AS (
-            SELECT (round(CAST(sum(sq) AS DOUBLE) / CAST(sum(n_docs) AS DOUBLE), 6)
-                    + CAST(0.0 AS DOUBLE)) AS gm
-            FROM per)
-          SELECT source, n_docs,
-                 (round(CAST(sq AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
-                  + CAST(0.0 AS DOUBLE)) AS mean_quality,
-                 gm AS global_mean,
-                 (round((CAST(sq AS DOUBLE) + CAST(20.0 AS DOUBLE) * gm)
-                        / (CAST(n_docs AS DOUBLE) + CAST(20.0 AS DOUBLE)), 6)
-                  + CAST(0.0 AS DOUBLE)) AS shrunk_quality
-          FROM per CROSS JOIN g
-          ORDER BY source"""
-        }),
-
-      // Inverted keyword index at rest (term -> document-frequency +
-      // sorted posting list): the batch artifact behind the keyword/BM25
-      // query modes. One explode + one groupBy shuffle on the term key;
-      // posting lists bounded (top 20 ids shown) so hot terms can't blow
-      // up a row.
-      Q("q_inverted_index",
-        (s, dir) => {
-          val pairs = t(s, dir, "documents")
-            .select(col("doc_id"), explode(TextF.tokens(col("text"))).as("term"))
-            .where(length(col("term")) >= 5)
-            .distinct()
-          pairs.groupBy("term")
-            .agg(countDistinct("doc_id").as("df"),
-              array_join(
-                slice(sort_array(collect_list(col("doc_id"))), 1, 20)
-                  .cast("array<string>"), ",").as("postings"))
-            .orderBy(desc("df"), col("term"))
-            .limit(100)
-        },
-        Some(s"""
-          WITH pairs AS (
-            SELECT DISTINCT doc_id, unnest(toks) AS term
-            FROM $duckToks)
-          SELECT term, count(*) AS df,
-                 array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
-          FROM pairs
-          WHERE len(term) >= 5
-          GROUP BY term
-          ORDER BY df DESC, term
-          LIMIT 100""")),
-
-      Q("q_simhash",
-        (s, dir) =>
-          Dedup.simhash(t(s, dir, "documents"), "text", "doc_id")
-            .orderBy("doc_id"),
-        Some(s"""
-          SELECT doc_id, ${Exprs.simhashBits(D, "toks")} AS simhash
-          FROM $duckToks
-          ORDER BY doc_id""")),
-
-      Q("q_fingerprint",
-        (s, dir) =>
-          Dedup.fingerprints(t(s, dir, "documents"), "text", "doc_id", 3)
-            .orderBy("doc_id"),
-        Some(s"""
-          SELECT doc_id, ${D.arrayMin(D.transform("sh", "s__", "md5(s__)"))} AS fp
-          FROM $duckShingles
-          ORDER BY doc_id""")),
-
-      // Winnowing (MOSS): rightmost-min of each w-window of k-gram hashes.
-      // Both sides are generated from ONE Dialect formula, so the oracle
-      // replays the exact selection rule (ties, clamped windows, short
-      // docs) rather than an independent reimplementation.
-      Q("q_winnowing",
-        (s, dir) =>
-          // tk: the md5-per-gram kernel is the cost — rebalance the
-          // 1-row-group scan across cores before it runs
-          Dedup.winnowingFingerprints(
-              tk(s, dir, "documents"), "text", "doc_id", k = 8, w = 4)
-            .orderBy("doc_id", "pos"),
-        Some(s"""
-          WITH b AS (SELECT doc_id, ${Dedup.winnowHashesExpr(D, "text", 8)} AS hs
-                     FROM documents WHERE length(text) >= 8),
-          sel AS (SELECT doc_id, hs,
-                         unnest(${D.arrayDistinct(Dedup.winnowSelExpr(D, "hs", 4))}) AS p
-                  FROM b)
-          SELECT doc_id, CAST(p AS BIGINT) AS pos, ${D.at("hs", "p")} AS fp
-          FROM sel
-          ORDER BY doc_id, pos""")),
-
-      // Span-level near-dup pairs over the winnowed fingerprints: DF-capped
-      // buckets (stop-fingerprint drop) then one fp-keyed equi-join —
-      // bounded buckets by construction, like every band join here.
-      Q("q_winnow_pairs",
-        (s, dir) =>
-          Dedup.winnowingPairs(tk(s, dir, "documents"), "text", "doc_id",
-              k = 8, w = 4, maxDf = 10, minShared = 3)
-            .orderBy("id_a", "id_b"),
-        Some(s"""
-          WITH b AS (SELECT doc_id, ${Dedup.winnowHashesExpr(D, "text", 8)} AS hs
-                     FROM documents WHERE length(text) >= 8),
-          sel AS (SELECT doc_id, hs,
-                         unnest(${D.arrayDistinct(Dedup.winnowSelExpr(D, "hs", 4))}) AS p
-                  FROM b),
-          fp AS (SELECT DISTINCT doc_id, ${D.at("hs", "p")} AS fp FROM sel),
-          keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 10),
-          pr AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep USING (fp))
-          SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
-                 CAST(count(*) AS BIGINT) AS n_shared
-          FROM pr a JOIN pr b2 ON a.fp = b2.fp AND a.doc_id < b2.doc_id
-          GROUP BY a.doc_id, b2.doc_id
-          HAVING count(*) >= 3
-          ORDER BY id_a, id_b"""))
-    )
-  }
-
-  // =========================================================================
-  // Vector similarity (reference Q1/O2/F8/T8 + ANN scale path)
-  // =========================================================================
-
-  private def vectorOps: Seq[Q] = {
-    val duckDot = D.dot("v", "qv")
-    val duckCos = D.cosine("v", "qv")
-
-    def duckQueryVec =
-      s"(SELECT v AS qv FROM $duckEmbTable WHERE vec_id = 0)"
-
-    Seq(
-      Q("q_knn_cosine",
-        (s, dir) => {
-          val emb = t(s, dir, "embeddings")
-          val q = emb.where(col("vec_id") === 0)
-            .select(VectorF.toDoubleArray(col("embedding")).as("qv"))
-          Similarity.bruteForceTopK(
-            emb.where(col("vec_id") =!= 0), q, "vec_id", "embedding", 10)
-            .select(col("vec_id"), r6(col("score")).as("score"))
-        },
-        Some(s"""
-          SELECT vec_id, (round(score, 6) + CAST(0.0 AS DOUBLE)) AS score
-          FROM (SELECT vec_id, $duckCos AS score
-                FROM $duckEmbTable, $duckQueryVec
-                WHERE vec_id <> 0
-                ORDER BY score DESC, vec_id
-                LIMIT 10)
-          ORDER BY score DESC, vec_id""")),
-
-      Q("q_knn_threshold",
-        (s, dir) => {
-          val emb = t(s, dir, "embeddings")
-          val q = emb.where(col("vec_id") === 0)
-            .select(VectorF.toDoubleArray(col("embedding")).as("qv"))
-          val topk = Similarity.bruteForceTopK(
-            emb.where(col("vec_id") =!= 0), q, "vec_id", "embedding", 10)
-          Similarity.withScoreThreshold(topk, 0.2)
-            .select(col("vec_id"), r6(col("score")).as("score"))
-        },
-        Some(s"""
-          WITH topk AS (
-            SELECT vec_id, $duckCos AS score
-            FROM $duckEmbTable, $duckQueryVec
-            WHERE vec_id <> 0
-            ORDER BY score DESC, vec_id
-            LIMIT 10)
-          SELECT vec_id, (round(score, 6) + CAST(0.0 AS DOUBLE)) AS score
-          FROM topk
-          WHERE (SELECT max(score) FROM topk) >= CAST(0.2 AS DOUBLE)
-          ORDER BY score DESC, vec_id""")),
-
-      Q("q_distance_pairs",
-        (s, dir) =>
-          Similarity.pairwiseDistances(
-            t(s, dir, "embeddings").where(col("vec_id") < 20), "vec_id", "embedding")
-            .select(col("id_a"), col("id_b"),
-              r6(col("cos_sim")).as("cos_sim"),
-              r6(col("euc_dist")).as("euc_dist"),
-              r6(col("combined")).as("combined"))
-            .orderBy("id_a", "id_b"),
-        Some {
-          val cos = D.cosine("a.v", "b.v")
-          val euc = D.euclidean("a.v", "b.v")
-          s"""
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                 (round($cos, 6) + CAST(0.0 AS DOUBLE)) AS cos_sim,
-                 (round($euc, 6) + CAST(0.0 AS DOUBLE)) AS euc_dist,
-                 (round(($cos + $euc) / CAST(2.0 AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS combined
-          FROM $duckEmbTable a, $duckEmbTable b
-          WHERE a.vec_id < 20 AND b.vec_id < 20 AND a.vec_id < b.vec_id
-          ORDER BY id_a, id_b"""
-        }),
-
-      // Distributed k-NN JOIN: exact top-k for every query row, with
-      // map-side per-partition per-query heap pruning before the shuffle.
-      Q("q_knn_join",
-        (s, dir) => {
-          val emb = t(s, dir, "embeddings")
-          Similarity.knnJoin(emb.where(col("vec_id") >= 5),
-              emb.where(col("vec_id") < 5),
-              "vec_id", "embedding", "vec_id", "embedding", 5)
-            .select(col("query_id"), col("vec_id"), col("rank"),
-              r6(col("score")).as("score"))
-            .orderBy("query_id", "rank")
-        },
-        Some(s"""
-          WITH q AS (SELECT vec_id AS query_id, v AS qv FROM $duckEmbTable WHERE vec_id < 5),
-          c AS (SELECT vec_id, v FROM $duckEmbTable WHERE vec_id >= 5),
-          scored AS (SELECT query_id, c.vec_id AS vec_id,
-                            ${D.cosine("c.v", "q.qv")} AS score
-                     FROM c, q),
-          ranked AS (SELECT query_id, vec_id, score,
-                            row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
-                     FROM scored)
-          SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
-                 ${duckR6("score")} AS score
-          FROM ranked WHERE rank <= 5
-          ORDER BY query_id, rank""")),
-
-      // Radius search: all (query, vector) pairs above a cosine threshold —
-      // broadcast queries, map-only filtered scan.
-      Q("q_radius_search",
-        (s, dir) => {
-          val emb = t(s, dir, "embeddings")
-          Similarity.radiusSearch(emb.where(col("vec_id") >= 5),
-              emb.where(col("vec_id") < 5),
-              "vec_id", "embedding", "vec_id", "embedding", 0.2)
-            .select(col("query_id"), col("vec_id"), r6(col("score")).as("score"))
-            .orderBy("query_id", "vec_id")
-        },
-        Some(s"""
-          WITH q AS (SELECT vec_id AS query_id, v AS qv FROM $duckEmbTable WHERE vec_id < 5),
-          c AS (SELECT vec_id, v FROM $duckEmbTable WHERE vec_id >= 5)
-          SELECT query_id, c.vec_id AS vec_id,
-                 ${duckR6(D.cosine("c.v", "q.qv"))} AS score
-          FROM c, q
-          WHERE ${D.cosine("c.v", "q.qv")} >= CAST(0.2 AS DOUBLE)
-          ORDER BY query_id, vec_id""")),
-
-      Q("q_ann_ivf",
-        (s, dir) => {
-          val emb = t(s, dir, "embeddings")
-          val cents = emb.where(col("vec_id") < 8)
-            .select(col("vec_id").cast("int").as("cid"),
-              VectorF.toDoubleArray(col("embedding")).as("cv"))
-          val q = emb.where(col("vec_id") === 0)
-            .select(VectorF.toDoubleArray(col("embedding")).as("qv"))
-          Similarity.ivfTopK(emb, cents, q, "vec_id", "embedding", 10, 2)
-            .select(col("vec_id"), r6(col("score")).as("score"))
-        },
-        Some {
-          val dotNN = D.dot("e.vn", "c.cvn")
-          s"""
-          WITH cents AS (
-            SELECT CAST(vec_id AS INT) AS cid,
-                   ${Exprs.l2Normalize(D, "v", D.norm("v"))} AS cvn
-            FROM $duckEmbTable WHERE vec_id < 8),
-          normed AS (
-            SELECT vec_id, v, ${Exprs.l2Normalize(D, "v", D.norm("v"))} AS vn
-            FROM $duckEmbTable),
-          assigned AS (
-            SELECT e.vec_id, e.v,
-                   (SELECT c.cid FROM cents c ORDER BY $dotNN DESC, c.cid LIMIT 1) AS cluster_id
-            FROM normed e),
-          probe AS (
-            SELECT c.cid AS cluster_id
-            FROM cents c, (SELECT vn AS qvn FROM normed WHERE vec_id = 0)
-            ORDER BY ${D.dot("c.cvn", "qvn")} DESC, c.cid
-            LIMIT 2)
-          SELECT vec_id, (round(score, 6) + CAST(0.0 AS DOUBLE)) AS score
-          FROM (SELECT a.vec_id, $duckCos AS score
-                FROM (SELECT assigned.* FROM assigned JOIN probe USING (cluster_id)) a(vec_id, v, cluster_id),
-                     $duckQueryVec
-                ORDER BY score DESC, vec_id
-                LIMIT 10)
-          ORDER BY score DESC, vec_id"""
-        }),
-
-      // ANN index-quality evaluation: recall@10 of the IVF index (fixed
-      // first-8 centroids, nprobe=2) against exact brute force, over the
-      // vec_id % 50 query sample. Ground truth and IVF answer both
-      // replayed in SQL (same centroid-assign/probe/rank tie-breaks as
-      // the q_ann_ivf oracle), so the recall NUMBERS are hash-gated —
-      // this is the nprobe-tuning/monitoring pass a production vector
-      // store runs after every index build. Plan: corpus scanned twice
-      // (brute via map-side k-bounded heaps, IVF via centroid-pruned
-      // candidates), queries and centroids broadcast, never corpus^2.
-      Q("q_ann_recall",
-        (s, dir) => {
-          val emb = t(s, dir, "embeddings")
-          val cents = emb.where(col("vec_id") < 8)
-            .select(col("vec_id").cast("int").as("cid"),
-              VectorF.toDoubleArray(col("embedding")).as("cv"))
-          val qs = emb.where(col("vec_id") % 50 === 0)
-          Similarity.ivfRecallEval(emb, cents, qs, "vec_id", "embedding",
-              "vec_id", "embedding", 10, 2)
-            .select(col("query_id"), col("n_hits"), r6(col("recall")).as("recall"))
-            .orderBy("query_id")
-        },
-        Some(s"""
-          WITH normed AS (
-            SELECT vec_id, v, ${Exprs.l2Normalize(D, "v", D.norm("v"))} AS vn
-            FROM $duckEmbTable),
-          cents AS (
-            SELECT CAST(vec_id AS INT) AS cid, v AS cv, vn AS cvn
-            FROM normed WHERE vec_id < 8),
-          qs AS (
-            SELECT vec_id AS query_id, v AS qv
-            FROM $duckEmbTable WHERE vec_id % 50 = 0),
-          assigned AS (
-            SELECT e.vec_id, e.v,
-                   (SELECT c.cid FROM cents c
-                    ORDER BY ${D.dot("e.vn", "c.cvn")} DESC, c.cid LIMIT 1) AS cluster_id
-            FROM normed e),
-          brute AS (
-            SELECT query_id, vec_id FROM (
-              SELECT q.query_id, e.vec_id,
-                     row_number() OVER (PARTITION BY q.query_id
-                       ORDER BY ${D.cosine("e.v", "q.qv")} DESC, e.vec_id) AS rn
-              FROM $duckEmbTable e, qs q) WHERE rn <= 10),
-          probe AS (
-            SELECT query_id, cluster_id FROM (
-              SELECT q.query_id, c.cid AS cluster_id,
-                     row_number() OVER (PARTITION BY q.query_id
-                       ORDER BY ${D.cosine("c.cv", "q.qv")} DESC, c.cid) AS rn
-              FROM cents c, qs q) WHERE rn <= 2),
-          ivf AS (
-            SELECT query_id, vec_id FROM (
-              SELECT p.query_id, a.vec_id,
-                     row_number() OVER (PARTITION BY p.query_id
-                       ORDER BY ${D.cosine("a.v", "q.qv")} DESC, a.vec_id) AS rn
-              FROM assigned a
-              JOIN probe p USING (cluster_id)
-              JOIN qs q ON q.query_id = p.query_id) WHERE rn <= 10),
-          hits AS (
-            SELECT i.query_id, count(*) AS n_hits
-            FROM ivf i JOIN brute b
-              ON b.query_id = i.query_id AND b.vec_id = i.vec_id
-            GROUP BY i.query_id)
-          SELECT q.query_id,
-                 CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-                 (round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(10.0 AS DOUBLE), 6)
-                  + CAST(0.0 AS DOUBLE)) AS recall
-          FROM qs q LEFT JOIN hits h ON h.query_id = q.query_id
-          ORDER BY q.query_id""")),
-
-      // k-means|| scalable init (Bahmani et al. 2012): 2 oversampling
-      // rounds (l=4) + candidate weighting + top-k selection, all
-      // replayed in SQL — D² as round-9 folds, Σ D² in DECIMAL(28,9)
-      // (order-independent), sampling via the shared md5-uniform of
-      // (round ':' id), so candidate set, weights, AND the final k are
-      // hash-gated. The corpus is scanned once per round + once for
-      // weights; candidates broadcast; nothing corpus-sized shuffles.
-      Q("q_kmeans_scalable",
-        (s, dir) => {
-          val emb = t(s, dir, "embeddings")
-          Similarity.kmeansParallelInit(emb, "vec_id", "embedding", 4, 4, 2)
-            .select(col("cid"), col("weight"), col("selected"))
-            .orderBy("cid")
-        },
-        Some {
-          def minD2(cents: String) =
-            s"""(SELECT b2.id, (round(min(${D.l2sq("b2.v", "c.cv")}), 9)
-                 + CAST(0.0 AS DOUBLE)) AS d2
-                 FROM base b2 CROSS JOIN $cents c GROUP BY b2.id)"""
-          def thr(a: String, sTab: String) =
-            s"(CAST(4 AS DOUBLE) * CAST($a.d2 AS DOUBLE) / CAST($sTab.s AS DOUBLE))"
-          s"""
-          WITH base AS (SELECT vec_id AS id, v FROM $duckEmbTable),
-          c0 AS (SELECT id AS cid, v AS cv FROM base
-                 WHERE id = (SELECT min(id) FROM base)),
-          d1 AS ${minD2("c0")},
-          s1 AS (SELECT sum(CAST(d2 AS DECIMAL(28,9))) AS s FROM d1),
-          sel1 AS (SELECT d.id FROM d1 d, s1
-                   WHERE ${D.md5Uniform("concat('1:', CAST(d.id AS VARCHAR))")}
-                         < ${thr("d", "s1")}),
-          cents1 AS (SELECT cid, cv FROM c0
-                     UNION ALL
-                     SELECT b.id, b.v FROM base b JOIN sel1 USING (id)),
-          d2t AS ${minD2("cents1")},
-          s2 AS (SELECT sum(CAST(d2 AS DECIMAL(28,9))) AS s FROM d2t),
-          sel2 AS (SELECT d.id FROM d2t d, s2
-                   WHERE ${D.md5Uniform("concat('2:', CAST(d.id AS VARCHAR))")}
-                         < ${thr("d", "s2")}),
-          cents2 AS (SELECT cid, cv FROM cents1
-                     UNION ALL
-                     SELECT b.id, b.v FROM base b JOIN sel2 USING (id)),
-          near AS (SELECT b.id AS vid,
-                          (SELECT c.cid FROM cents2 c
-                           ORDER BY ${D.l2sq("b.v", "c.cv")} ASC, c.cid ASC
-                           LIMIT 1) AS cid
-                   FROM base b),
-          wt AS (SELECT cid, count(*) AS weight FROM near GROUP BY cid)
-          SELECT cid, weight,
-                 (row_number() OVER (ORDER BY weight DESC, cid) <= 4) AS selected
-          FROM (SELECT c.cid, CAST(coalesce(w.weight, 0) AS BIGINT) AS weight
-                FROM cents2 c LEFT JOIN wt w ON w.cid = c.cid)
-          ORDER BY cid"""
-        }),
-
-      // Binary-quantization ANN: sign-bit codes (two 32-bit words for the
-      // 64-dim vectors), Hamming-distance prefilter to 50 candidates,
-      // exact-cosine rerank to top 10. The oracle mirrors the exact
-      // two-stage algorithm (same MSB-first pack fold, same tie-breaks),
-      // so this is hash-exact, not recall-approximate.
-      Q("q_bq_ann",
-        (s, dir) => {
-          val emb = t(s, dir, "embeddings")
-          val q = emb.where(col("vec_id") === 0)
-            .select(VectorF.toDoubleArray(col("embedding")).as("qv"))
-          Similarity.binaryQuantTopK(
-            emb.where(col("vec_id") =!= 0), q, "vec_id", "embedding",
-            64, 10, 50)
-            .select(col("vec_id"), col("hamming"), r6(col("score")).as("score"))
-        },
-        Some {
-          def pack(arr: String) =
-            s"""list_transform(range(0, 2), w__ ->
-                  list_reduce(list_transform(range(0, 32), j__ ->
-                      CASE WHEN ($arr)[w__ * 32 + j__ + 1] > ${D.d(0.0)}
-                           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
-                    (s__, x__) -> s__ * 2 + x__))"""
-          s"""
-          WITH q AS (SELECT v AS qv, ${pack("v")} AS qcode
-                     FROM $duckEmbTable WHERE vec_id = 0),
-          coded AS (SELECT vec_id, v, ${pack("v")} AS code
-                    FROM $duckEmbTable WHERE vec_id <> 0),
-          cand AS (
-            SELECT vec_id, v, qv,
-                   CAST(list_reduce(list_transform(list_zip(code, qcode),
-                          p__ -> bit_count(xor(p__[1], p__[2]))),
-                        (s__, x__) -> s__ + x__) AS BIGINT) AS hamming
-            FROM coded, q
-            ORDER BY hamming, vec_id
-            LIMIT 50)
-          SELECT vec_id, hamming,
-                 (round($duckCos, 6) + ${D.d(0.0)}) AS score
-          FROM cand
-          ORDER BY score DESC, vec_id
-          LIMIT 10"""
-        }),
-
-      // Matryoshka truncated-dimension ANN: cosine over the first 16 dims
-      // prefilters to 50 candidates (a quarter of the vector bytes read),
-      // full 64-dim cosine reranks to top 10. Hash-exact like q_bq_ann:
-      // the oracle runs the same prefix-then-rerank algorithm.
-      Q("q_mrl_ann",
-        (s, dir) => {
-          val emb = t(s, dir, "embeddings")
-          val q = emb.where(col("vec_id") === 0)
-            .select(VectorF.toDoubleArray(col("embedding")).as("qv"))
-          Similarity.truncatedRerankTopK(
-            emb.where(col("vec_id") =!= 0), q, "vec_id", "embedding",
-            16, 10, 50)
-            .select(col("vec_id"),
-              r6(col("pre_score")).as("pre_score"),
-              r6(col("score")).as("score"))
-        },
-        Some {
-          val preCos = D.cosine("((v)[1:16])", "((qv)[1:16])")
-          s"""
-          WITH q AS (SELECT v AS qv FROM $duckEmbTable WHERE vec_id = 0),
-          cand AS (
-            SELECT vec_id, v, qv, $preCos AS pre
-            FROM $duckEmbTable, q
-            WHERE vec_id <> 0
-            ORDER BY pre DESC, vec_id
-            LIMIT 50)
-          SELECT vec_id,
-                 (round(pre, 6) + ${D.d(0.0)}) AS pre_score,
-                 (round($duckCos, 6) + ${D.d(0.0)}) AS score
-          FROM cand
-          ORDER BY score DESC, vec_id
-          LIMIT 10"""
-        })
-    )
-  }
-
-  // =========================================================================
-  // RAG pipeline composites (reference §3.1 / §3.2 end-to-end)
-  // =========================================================================
-
-  private def ragOps: Seq[Q] = {
-    val dim = 64
-    val duckIndexed = duckEmbed(
-      s"(SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})", "chunk_text", dim)
-    val weights = "list_transform(range(1, 65), j__ -> CAST(j__ AS DOUBLE))"
-    val queryText = "spark sql shuffle partition join"
-
-    Seq(
-      Q("q_chunk_fixed",
-        (s, dir) =>
-          Chunking.explodeCharWindows(t(s, dir, "documents"), "text", 200, 150)
-            .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-              md5(col("chunk_text")).as("h"),
-              length(col("chunk_text")).cast("long").as("len"))
-            .orderBy("doc_id", "chunk_idx"),
-        Some(s"""
-          SELECT doc_id, chunk_idx, md5(chunk_text) AS h,
-                 CAST(length(chunk_text) AS BIGINT) AS len
-          FROM $duckChunks
-          ORDER BY doc_id, chunk_idx""")),
-
-      Q("q_rag_index",
-        (s, dir) =>
-          RagPipeline.buildIndex(tk(s, dir, "documents"))
-            .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-              col("chunk_id"), col("n_tokens").cast("long").as("n_tokens"),
-              r6(element_at(col("embedding"), 1)).as("e1"),
-              r6(element_at(col("embedding"), 2)).as("e2"),
-              r6(VectorF.dot(col("embedding"),
-                expr("transform(sequence(1, 64), j__ -> CAST(j__ AS DOUBLE))"))).as("checksum"))
-            .orderBy("doc_id", "chunk_idx"),
-        Some(s"""
-          SELECT doc_id, chunk_idx, chunk_id,
-                 CAST(len(${D.splitWs("chunk_text")}) AS BIGINT) AS n_tokens,
-                 (round(emb[1], 6) + CAST(0.0 AS DOUBLE)) AS e1,
-                 (round(emb[2], 6) + CAST(0.0 AS DOUBLE)) AS e2,
-                 (round(${D.dot("emb", weights)}, 6) + CAST(0.0 AS DOUBLE)) AS checksum
-          FROM $duckIndexed
-          ORDER BY doc_id, chunk_idx""")),
-
-      Q("q_rag_query",
-        (s, dir) => {
-          val index = RagPipeline.buildIndex(tk(s, dir, "documents"))
-          RagPipeline.query(s, index, queryText, 5, 0.05)
-            .select(col("chunk_id"), r6(col("score")).as("score"))
-        },
-        Some {
-          val duckQ = duckEmbed(s"(SELECT '$queryText' AS chunk_text)", "chunk_text", dim)
-          s"""
-          WITH topk AS (
-            SELECT chunk_id, ${D.dot("i.emb", "q.qemb")} AS score
-            FROM $duckIndexed i, (SELECT emb AS qemb FROM $duckQ) q
-            ORDER BY score DESC, chunk_id
-            LIMIT 5)
-          SELECT chunk_id, (round(score, 6) + CAST(0.0 AS DOUBLE)) AS score
-          FROM topk
-          WHERE (SELECT max(score) FROM topk) >= CAST(0.05 AS DOUBLE)
-          ORDER BY score DESC, chunk_id"""
-        }),
-
-      // T4 PRODUCTION loading path: a disk-loaded linear model (config
-      // eagerly on the driver, weights.csv parsed per partition in
-      // init()) projecting the hashing feature counts to 16 dims through
-      // BatchedEmbedder — artifact load, per-partition init, and batch
-      // framing are all under the hash gate (a row-order/column-split/
-      // decimal-parse bug in the loader changes e1/e2/checksum). The
-      // oracle replays the projection from the weight FORMULA the
-      // artifact was generated from; weights are dyadic (k/256), so
-      // every product/partial sum is exact and fold order is free.
-      Q("q_linear_embed",
-        (s, dir) => {
-          val modelDir = graft.embed.LinearModelArtifact.ensure(64, 16)
-          val model = graft.embed.LinearInferenceModel(modelDir)
-          graft.embed.BatchedEmbedder(model, 32)
-            .withEmbedding(
-              tk(s, dir, "documents").select(col("doc_id"), col("text")),
-              "text", "lemb")
-            .select(col("doc_id"),
-              r6(element_at(col("lemb"), 1)).as("e1"),
-              r6(element_at(col("lemb"), 2)).as("e2"),
-              r6(VectorF.dot(col("lemb"),
-                expr("transform(sequence(1, 16), j__ -> CAST(j__ AS DOUBLE))")))
-                .as("checksum"))
-            .orderBy("doc_id")
-        },
-        Some {
-          val w16 = "list_transform(range(1, 17), j__ -> CAST(j__ AS DOUBLE))"
-          s"""
-          WITH toks AS (SELECT doc_id, ${D.splitWs("text")} AS __toks FROM documents),
-          c AS (SELECT doc_id, ${Exprs.embedCodes(D, "__toks", 64)} AS __codes FROM toks),
-          r AS (SELECT doc_id, ${Exprs.embedRawVec(D, "__codes", 64)} AS __raw FROM c),
-          y AS (SELECT doc_id,
-                       list_transform(range(0, 16), j__ ->
-                         list_reduce(
-                           list_transform(range(0, 64), i__ ->
-                             __raw[CAST(i__ AS INT) + 1]
-                               * (CAST((((i__ * 31) + (j__ * 17)) % 7) - 3 AS DOUBLE)
-                                  / CAST(256 AS DOUBLE))),
-                           (s__, x__) -> s__ + x__)) AS yv
-                FROM r),
-          n AS (SELECT doc_id, yv, sqrt(${D.dot("yv", "yv")}) AS nrm FROM y),
-          e AS (SELECT doc_id,
-                       CASE WHEN nrm = CAST(0 AS DOUBLE) THEN yv
-                            ELSE list_transform(yv, v__ -> v__ / nrm) END AS emb
-                FROM n)
-          SELECT doc_id,
-                 (round(emb[1], 6) + CAST(0.0 AS DOUBLE)) AS e1,
-                 (round(emb[2], 6) + CAST(0.0 AS DOUBLE)) AS e2,
-                 (round(${D.dot("emb", w16)}, 6) + CAST(0.0 AS DOUBLE)) AS checksum
-          FROM e ORDER BY doc_id"""
-        }),
-
-      // T4 quantized-deployment path: the SAME batched mapPartitions
-      // inference seam loading an INT8 artifact (qweights.csv codes +
-      // per-column dequant scales — the GGUF/ONNX-int8 layout distilled).
-      // The inner accumulation is exact 64-bit integer arithmetic, the
-      // dequant scale is dyadic (1/1024), so the projection is
-      // bit-identical under any partitioning and the oracle replays it
-      // with a plain double fold of integer-valued products.
-      Q("q_qlinear_embed",
-        (s, dir) => {
-          val modelDir = graft.embed.QuantLinearModelArtifact.ensure(64, 16)
-          val model = graft.embed.QuantLinearInferenceModel(modelDir)
-          graft.embed.BatchedEmbedder(model, 32)
-            .withEmbedding(
-              tk(s, dir, "documents").select(col("doc_id"), col("text")),
-              "text", "qemb")
-            .select(col("doc_id"),
-              r6(element_at(col("qemb"), 1)).as("e1"),
-              r6(element_at(col("qemb"), 2)).as("e2"),
-              r6(VectorF.dot(col("qemb"),
-                expr("transform(sequence(1, 16), j__ -> CAST(j__ AS DOUBLE))")))
-                .as("checksum"))
-            .orderBy("doc_id")
-        },
-        Some {
-          val w16 = "list_transform(range(1, 17), j__ -> CAST(j__ AS DOUBLE))"
-          s"""
-          WITH toks AS (SELECT doc_id, ${D.splitWs("text")} AS __toks FROM documents),
-          c AS (SELECT doc_id, ${Exprs.embedCodes(D, "__toks", 64)} AS __codes FROM toks),
-          r AS (SELECT doc_id, ${Exprs.embedRawVec(D, "__codes", 64)} AS __raw FROM c),
-          y AS (SELECT doc_id,
-                       list_transform(range(0, 16), j__ ->
-                         list_reduce(
-                           list_transform(range(0, 64), i__ ->
-                             __raw[CAST(i__ AS INT) + 1]
-                               * CAST((((i__ * 13) + (j__ * 29)) % 255) - 127 AS DOUBLE)),
-                           (s__, x__) -> s__ + x__)
-                         * (CAST(1 AS DOUBLE) / CAST(1024 AS DOUBLE))) AS yv
-                FROM r),
-          n AS (SELECT doc_id, yv, sqrt(${D.dot("yv", "yv")}) AS nrm FROM y),
-          e AS (SELECT doc_id,
-                       CASE WHEN nrm = CAST(0 AS DOUBLE) THEN yv
-                            ELSE list_transform(yv, v__ -> v__ / nrm) END AS emb
-                FROM n)
-          SELECT doc_id,
-                 (round(emb[1], 6) + CAST(0.0 AS DOUBLE)) AS e1,
-                 (round(emb[2], 6) + CAST(0.0 AS DOUBLE)) AS e2,
-                 (round(${D.dot("emb", w16)}, 6) + CAST(0.0 AS DOUBLE)) AS checksum
-          FROM e ORDER BY doc_id"""
-        }),
-
-      // T4 at the FULL sentence-transformer shape: a REAL transformer
-      // encoder forward pass in-engine — token + sinusoidal position
-      // embeddings, 2 blocks of 4-head scaled dot-product self-attention
-      // (residual + LayerNorm) and a GELU MLP (residual + LayerNorm),
-      // masked mean-pool, L2-normalize — batched in mapPartitions with
-      // the weight artifact parsed per partition in init(). No SQL engine
-      // can replay attention, so the compare pins what IS machine-
-      // checkable (the OPQ/PCA property-oracle pattern): exact round-6
-      // residuals of the kernel's own invariants — every softmax row
-      // sums to 1, every LayerNorm output has pre-gain mean 0/variance 1,
-      // the pooled embedding has unit norm — plus exact token-count and
-      // dimension replays. Structural behavior (masking, position
-      // sensitivity, batching invariance, artifact round trip) is pinned
-      // by EmbedderSpec. Only pretrained weight VALUES are out of reach
-      // in this zero-egress container (no torch/ONNX runtime) — swapping
-      // the artifact for exported real weights is a file change.
-      Q("q_transformer_embed",
-        (s, dir) => {
-          val cfg = graft.embed.TransformerArtifact.Config(
-            dim = 32, heads = 4, layers = 2, ffDim = 64, maxLen = 24, vocab = 256)
-          val modelDir = graft.embed.TransformerArtifact.ensure(cfg)
-          val model = graft.embed.TransformerInferenceModel(modelDir)
-          graft.embed.TransformerEncoder.diagnostics(
-              tk(s, dir, "documents").select(col("doc_id"), col("text")),
-              "text", "doc_id", model, batchSize = 16)
-            .select(col("doc_id"),
-              least(col("n_tokens"), lit(24L)).as("n_tokens"), col("dim"),
-              r6(col("attn_err")).as("attn_err"),
-              r6(col("ln_err")).as("ln_err"),
-              r6(col("norm_err")).as("norm_err"))
-            .orderBy("doc_id")
-        },
-        Some(s"""
-          SELECT doc_id,
-                 CAST(LEAST(len(${D.splitWs("text")}), 24) AS BIGINT) AS n_tokens,
-                 CAST(32 AS BIGINT) AS dim,
-                 (CAST(0.0 AS DOUBLE) + CAST(0.0 AS DOUBLE)) AS attn_err,
-                 (CAST(0.0 AS DOUBLE) + CAST(0.0 AS DOUBLE)) AS ln_err,
-                 (CAST(0.0 AS DOUBLE) + CAST(0.0 AS DOUBLE)) AS norm_err
-          FROM documents
-          ORDER BY doc_id""")),
-
-      // K1/K2/S8 round trip: WRITE the chunk table through the real sink
-      // (ordered zstd parquet + metadata.json manifest), RELOAD it, and
-      // hash the reloaded content + the manifest's total-embedded-files
-      // against the same SQL that q_rag_index matches — promotes the
-      // sink/load/manifest trio from spec-only to oracle-verified.
-      Q("q_sink_roundtrip",
-        (s, dir) => {
-          import graft.index.ChunkTableSink
-          val index = RagPipeline.buildIndex(tk(s, dir, "documents"))
-          val out = sys.props("java.io.tmpdir") + "/graft_sink_roundtrip"
-          ChunkTableSink.write(index, out, ChunkTableSink.Manifest(
-            0.0, "hashing-64", "graft-roundtrip", "parquet-chunk-table", 64,
-            RagPipeline.Config().chunkSize, RagPipeline.Config().chunkStep, 0L))
-          val manifest = java.nio.file.Files.readString(
-            java.nio.file.Paths.get(s"$out/metadata.json"))
-          val nFiles = "\"total-embedded-files\":\\s*(\\d+)".r
-            .findFirstMatchIn(manifest).map(_.group(1).toLong).getOrElse(-1L)
-          ChunkTableSink.load(s, out)
-            .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-              col("chunk_id"), col("n_tokens").cast("long").as("n_tokens"),
-              r6(element_at(col("embedding"), 1)).as("e1"),
-              r6(VectorF.dot(col("embedding"),
-                expr("transform(sequence(1, 64), j__ -> CAST(j__ AS DOUBLE))"))).as("checksum"),
-              lit(nFiles).as("n_files"))
-            .orderBy("doc_id", "chunk_idx")
-        },
-        Some(s"""
-          SELECT doc_id, chunk_idx, chunk_id,
-                 CAST(len(${D.splitWs("chunk_text")}) AS BIGINT) AS n_tokens,
-                 (round(emb[1], 6) + CAST(0.0 AS DOUBLE)) AS e1,
-                 (round(${D.dot("emb", weights)}, 6) + CAST(0.0 AS DOUBLE)) AS checksum,
-                 (SELECT count(DISTINCT doc_id) FROM $duckIndexed) AS n_files
-          FROM $duckIndexed
-          ORDER BY doc_id, chunk_idx""")),
-
-      // K3 under the hash gate: the chunk table round-trips through a
-      // REAL SQL engine — staged bulk-load + engine-side MERGE upsert
-      // into embedded in-memory Derby, WRITTEN TWICE (the idempotent
-      // re-index path), read back over JDBC, the pgvector wire literal
-      // parsed back to doubles (Java's shortest-round-trip float strings
-      // reparse bit-exactly) — and the result must hash-match the SAME
-      // from-scratch oracle as q_rag_index. Any defect in DDL, literal
-      // formatting, MERGE key semantics, or double-write dedup changes
-      // rows or values and breaks the gate.
-      Q("q_jdbc_roundtrip",
-        (s, dir) => {
-          import graft.index.JdbcVectorSink
-          val index = RagPipeline.buildIndex(tk(s, dir, "documents"))
-          val url = s"jdbc:derby:memory:graftrt${System.nanoTime()};create=true"
-          val drv = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
-          JdbcVectorSink.writeGenericUpsert(index, url, "chunks", driver = drv)
-          JdbcVectorSink.writeGenericUpsert(index, url, "chunks", driver = drv)
-          val back = s.read.format("jdbc").option("url", url)
-            .option("dbtable", "chunks").option("driver", drv).load()
-            .withColumn("emb", expr(
-              "transform(split(substring(embedding_vec, 2, length(embedding_vec) - 2), ','), x__ -> CAST(x__ AS DOUBLE))"))
-            .select(col("doc_id").cast("long").as("doc_id"),
-              col("chunk_idx").cast("long").as("chunk_idx"),
-              col("chunk_id"),
-              col("n_tokens").cast("long").as("n_tokens"),
-              r6(element_at(col("emb"), 1)).as("e1"),
-              r6(element_at(col("emb"), 2)).as("e2"),
-              r6(VectorF.dot(col("emb"),
-                expr("transform(sequence(1, 64), j__ -> CAST(j__ AS DOUBLE))"))).as("checksum"))
-            .orderBy("doc_id", "chunk_idx")
-          // materialize the (table-sized, test-scale) read-back eagerly so
-          // the in-memory Derby db can be DROPPED — a lazy JDBC scan would
-          // pin every per-invocation database in the JVM heap for the rest
-          // of a bench run (measured as GC pressure on later queries)
-          val rows = back.collect().toSeq
-          val schema = back.schema
-          try java.sql.DriverManager.getConnection(
-            url.replace(";create=true", ";drop=true"))
-          catch { case _: java.sql.SQLException => () } // 08006 = dropped OK
-          s.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](
-              scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
-        },
-        Some(s"""
-          SELECT doc_id, chunk_idx, chunk_id,
-                 CAST(len(${D.splitWs("chunk_text")}) AS BIGINT) AS n_tokens,
-                 (round(emb[1], 6) + CAST(0.0 AS DOUBLE)) AS e1,
-                 (round(emb[2], 6) + CAST(0.0 AS DOUBLE)) AS e2,
-                 (round(${D.dot("emb", weights)}, 6) + CAST(0.0 AS DOUBLE)) AS checksum
-          FROM $duckIndexed
-          ORDER BY doc_id, chunk_idx""")),
-
-      // Q2: point lookup over the chunk table
-      Q("q_point_lookup",
-        (s, dir) =>
-          RagPipeline.pointLookup(
-            RagPipeline.buildIndex(t(s, dir, "documents")), "42_0")
-            .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-              md5(col("chunk_text")).as("h"), col("n_tokens").cast("long").as("n_tokens")),
-        Some(s"""
-          SELECT doc_id, chunk_idx, md5(chunk_text) AS h,
-                 CAST(len(${D.splitWs("chunk_text")}) AS BIGINT) AS n_tokens
-          FROM $duckChunks
-          WHERE chunk_id = '42_0' AND ${D.rlikeWs("chunk_text")}""")),
-
-      // A1+J2: doc-anchor minting + broadcast write-back
-      Q("q_doc_anchor",
-        (s, dir) => {
-          val chunks = Chunking.explodeCharWindows(t(s, dir, "documents"), "text", 200, 150)
-            .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"))
-          RagPipeline.docAnchorWriteBack(chunks)
-            .select(col("doc_id"), col("chunk_idx"), col("anchor_id"),
-              col("n_chunks").cast("long").as("n_chunks"))
-            .orderBy("doc_id", "chunk_idx")
-        },
-        Some(s"""
-          WITH chunks AS (SELECT doc_id, chunk_idx FROM $duckChunks),
-          anchors AS (SELECT doc_id, count(*) AS n_chunks,
-                             md5(concat('anchor:', CAST(doc_id AS VARCHAR))) AS anchor_id
-                      FROM chunks GROUP BY doc_id)
-          SELECT c.doc_id, c.chunk_idx, a.anchor_id, a.n_chunks
-          FROM chunks c JOIN anchors a ON a.doc_id = c.doc_id
-          ORDER BY c.doc_id, c.chunk_idx"""))
-    )
-  }
-
-  // =========================================================================
-  // Metadata / source operators over synthesized fixtures (S7/T1/T9, S6/F6/F7,
-  // S3). The fixture text is constructed from documents columns, so the
-  // expected output is known in closed form — a strong analytic oracle.
-  // =========================================================================
-
-  private def metaOps: Seq[Q] = Seq(
-    // S7 + T9 + T1: frontmatter title/url with fallback + hermetic probe
-    Q("q_s7_frontmatter",
-      (s, dir) => {
-        val withFm = t(s, dir, "documents")
-          .withColumn("path", concat(lit("/corpus/doc_"), col("doc_id"), lit(".md")))
-          .withColumn("text",
-            when(col("doc_id") % 2 === 0,
-              concat(lit("---\ntitle: T"), col("doc_id"),
-                lit("\nurl: https://ex.com/d/"), col("doc_id"),
-                lit("\n---\n# H\n"), col("text")))
-            .otherwise(concat(lit("# FB"), col("doc_id"), lit("\n"), col("text"))))
-        graft.meta.MetadataStage.enrich(withFm)
-          .select(col("doc_id"), col("title"), col("docs_url"), col("url_reachable"))
-          .orderBy("doc_id")
-      },
-      Some("""
-        SELECT doc_id,
-               CASE WHEN doc_id % 2 = 0 THEN 'T' || CAST(doc_id AS VARCHAR)
-                    ELSE 'FB' || CAST(doc_id AS VARCHAR) END AS title,
-               CASE WHEN doc_id % 2 = 0 THEN 'https://ex.com/d/' || CAST(doc_id AS VARCHAR)
-                    ELSE 'doc_' || CAST(doc_id AS VARCHAR) || '.md' END AS docs_url,
-               true AS url_reachable
-        FROM documents
-        ORDER BY doc_id""")),
-
-    // S6 + F6 + F7: OKP TOML parse + project substring filter
-    Q("q_okp_filter",
-      (s, dir) => {
-        val okp = t(s, dir, "documents")
-          .withColumn("text",
-            concat(lit("+++\ntitle = \"Doc "), col("doc_id"),
-              lit("\"\n[extra]\nreference_url = \"https://okp/"), col("doc_id"),
-              lit("\"\nportal_product_names = [\"Spark Engine\", \""), col("source"),
-              lit("\"]\n+++\n"), col("text")))
-        graft.meta.OkpSource.projectFiles(okp, Seq("src1"))
-          .select(col("doc_id"), col("okp_title"), col("okp_reference_url"),
-            size(col("okp_product_names")).cast("long").as("n_products"))
-          .orderBy("doc_id")
-      },
-      Some("""
-        SELECT doc_id,
-               'Doc ' || CAST(doc_id AS VARCHAR) AS okp_title,
-               'https://okp/' || CAST(doc_id AS VARCHAR) AS okp_reference_url,
-               CAST(2 AS BIGINT) AS n_products
-        FROM documents
-        WHERE contains(lower(source), 'src1')
-        ORDER BY doc_id""")),
-
-    // S3 + T6: HTML -> text conversion. The fixture HTML is constructed
-    // from documents columns (verified free of [<>&] and odd whitespace),
-    // so the converter's output is known in closed form: the h1 becomes a
-    // '# ' heading line, the <p> body is the original text with runs of
-    // [ \t] collapsed and newlines tightened — an analytic oracle, same
-    // style as q_s7_frontmatter. Full tag/entity semantics are pinned by
-    // SourcesSpec.
-    Q("q_html_to_text",
-      (s, dir) => {
-        val html = tk(s, dir, "documents")
-          .withColumn("html", concat(
-            lit("<html><body><h1>Title "), col("doc_id"),
-            lit("</h1><p>"), col("text"), lit(" &amp; more</p></body></html>")))
-        html.select(col("doc_id"),
-            graft.sources.DirectoryCorpus.htmlToTextFast(col("html")).as("text"))
-          .where(col("text").startsWith("# Title"))
-          .orderBy("doc_id")
-      },
-      Some("""
-        SELECT doc_id,
-               '# Title ' || CAST(doc_id AS VARCHAR) || chr(10) ||
-               trim(regexp_replace(regexp_replace(text || ' & more', '[ \t]+', ' ', 'g'),
-                                   '\s*\n\s*', chr(10), 'g')) AS text
-        FROM documents
-        ORDER BY doc_id""")),
-
-    // S3 structural fidelity (docling export_to_markdown capability,
-    // html_reader.py:49-109): the STRUCTURAL converter
-    // (sources/HtmlMarkdown — tolerant DOM + renderer) vs the flattening
-    // htmlToText fast path. The fixture wraps each document in HTML that
-    // exercises every structure the renderer claims — heading, inline
-    // bold/link paragraph, nested ul>ol, th-headed pipe table, fenced
-    // pre, blockquote — and the oracle rebuilds the EXACT markdown from
-    // the same formulas, so a divergence anywhere in parse -> implicit
-    // close -> render order hash-fails. Codegen'd per-row kernel fused
-    // into the scan; zero exchanges before the final orderBy.
-    Q("q_html_markdown",
-      (s, dir) => {
-        val html = tk(s, dir, "documents")
-          .withColumn("html", concat(
-            lit("<html><body><h1>Doc "), col("doc_id"),
-            lit("</h1><p>"), col("text"),
-            lit(" <b>bold "), col("doc_id") % 5,
-            lit("</b> <a href=\"https://ex.com/"), col("doc_id"),
-            lit("\">site</a></p><ul><li>item a"), col("doc_id") % 3,
-            lit("</li><li>item b<ol><li>s"), col("doc_id") % 4,
-            lit("</li><li>t</li></ol></li></ul><table><tr><th>K</th><th>V</th></tr><tr><td>k"),
-            col("doc_id") % 7,
-            lit("</td><td>"), col("doc_id"),
-            lit("</td></tr><tr><td>k2</td><td>"), col("doc_id") % 11,
-            // second table: colspan/rowspan — the r10 merged-cell grid
-            // expansion (spanned text repeats into its grid positions)
-            lit("</td></tr></table><table><tr><th colspan=2>H"),
-            col("doc_id") % 3,
-            lit("</th><th>C</th></tr><tr><td rowspan=\"2\">g"),
-            col("doc_id") % 5,
-            lit("</td><td>a</td><td>"), col("doc_id") % 7,
-            lit("</td></tr><tr><td>b</td><td>c</td></tr></table><pre>code "),
-            col("doc_id"),
-            lit("</pre><blockquote><p>quoted "), col("doc_id") % 13,
-            lit("</p></blockquote></body></html>")))
-        html.select(col("doc_id"),
-            graft.sources.HtmlMarkdown.column(col("html")).as("md"))
-          .orderBy("doc_id")
-      },
-      Some("""
-        SELECT doc_id,
-               '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
-               trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) ||
-               ' **bold ' || CAST(doc_id % 5 AS VARCHAR) ||
-               '** [site](https://ex.com/' || CAST(doc_id AS VARCHAR) || ')' ||
-               chr(10) || chr(10) ||
-               '- item a' || CAST(doc_id % 3 AS VARCHAR) || chr(10) || chr(10) ||
-               '- item b' || chr(10) || chr(10) ||
-               '  1. s' || CAST(doc_id % 4 AS VARCHAR) || chr(10) || chr(10) ||
-               '  2. t' || chr(10) || chr(10) ||
-               '| K | V |' || chr(10) || '| --- | --- |' || chr(10) ||
-               '| k' || CAST(doc_id % 7 AS VARCHAR) || ' | ' ||
-               CAST(doc_id AS VARCHAR) || ' |' || chr(10) ||
-               '| k2 | ' || CAST(doc_id % 11 AS VARCHAR) || ' |' ||
-               chr(10) || chr(10) ||
-               '| H' || CAST(doc_id % 3 AS VARCHAR) ||
-               ' | H' || CAST(doc_id % 3 AS VARCHAR) || ' | C |' || chr(10) ||
-               '| --- | --- | --- |' || chr(10) ||
-               '| g' || CAST(doc_id % 5 AS VARCHAR) || ' | a | ' ||
-               CAST(doc_id % 7 AS VARCHAR) || ' |' || chr(10) ||
-               '| g' || CAST(doc_id % 5 AS VARCHAR) || ' | b | c |' ||
-               chr(10) || chr(10) ||
-               '```' || chr(10) || 'code ' || CAST(doc_id AS VARCHAR) ||
-               chr(10) || '```' || chr(10) || chr(10) ||
-               '> quoted ' || CAST(doc_id % 13 AS VARCHAR) AS md
-        FROM documents
-        ORDER BY doc_id""")),
-
-    // The composed ingest pipeline a reference user actually runs on an
-    // HTML corpus: S3 structural conversion (HtmlMarkdown) -> C2 heading
-    // chunker (explodeMarkdownSections) in ONE plan — the converter is a
-    // codegen'd per-row kernel fused into the scan, the splitter a
-    // regexp tag + split + posexplode, so the whole pipeline is one
-    // narrow scan-shaped stage per document with no shuffle before the
-    // final orderBy. The oracle rebuilds the markdown from the fixture
-    // formulas and replays the IDENTICAL sentinel-split, so the hash
-    // gates converter and chunker jointly.
-    Q("q_html_sections",
-      (s, dir) => {
-        val html = tk(s, dir, "documents")
-          .withColumn("html", concat(
-            lit("<html><body><h1>Doc "), col("doc_id"),
-            lit("</h1><p>"), substring(col("text"), 1, 100),
-            lit("</p><h2>Sub "), col("doc_id") % 3,
-            lit("</h2><ul><li>x"), col("doc_id") % 5,
-            lit("</li></ul><h2>Notes</h2><p>tail "), col("doc_id") % 7,
-            lit("</p></body></html>")))
-        val md = html.select(col("doc_id"),
-          graft.sources.HtmlMarkdown.column(col("html")).as("md"))
-        graft.chunk.Chunking.explodeMarkdownSections(md, "md")
-          .select(col("doc_id"),
-            col("chunk_idx").cast("long").as("chunk_idx"), col("chunk_text"))
-          .orderBy("doc_id", "chunk_idx")
-      },
-      Some("""
-        WITH md AS (
-          SELECT doc_id,
-                 '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
-                 trim(regexp_replace(substring(text, 1, 100),
-                                     '[ \t\r\n]+', ' ', 'g')) ||
-                 chr(10) || chr(10) ||
-                 '## Sub ' || CAST(doc_id % 3 AS VARCHAR) ||
-                 chr(10) || chr(10) ||
-                 '- x' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || chr(10) ||
-                 '## Notes' || chr(10) || chr(10) ||
-                 'tail ' || CAST(doc_id % 7 AS VARCHAR) AS m
-          FROM documents),
-        tagged AS (
-          SELECT doc_id,
-                 regexp_replace(m, '(?m)^(#{1,6} )', chr(1) || '\1', 'g') AS tm
-          FROM md),
-        secs AS (
-          SELECT doc_id,
-                 list_filter(string_split(tm, chr(1)), s__ -> trim(s__) <> '') AS ss
-          FROM tagged),
-        idx AS (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i FROM secs)
-        SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
-               ss[CAST(i AS INT)] AS chunk_text
-        FROM idx
-        ORDER BY doc_id, chunk_idx""")),
-
-    // Hyperlink extraction + host-level outlink graph: the link side of
-    // the crawl pipeline (anchor text labels the TARGET page; the host
-    // graph drives frontier scheduling and host priors). The fixture HTML
-    // carries 3 links per page — two absolute (regex must pair each href
-    // with ITS anchor through surrounding attributes/text) and one
-    // relative (must be dropped by the host filter). The oracle replays
-    // the link set analytically from doc_id, so the hash gates the
-    // whole extract->parse-host->aggregate chain. Plan: codegen'd
-    // regexp_extract_all fused into the scan; ONE host-keyed aggregation
-    // (map-side combined, |hosts| << |pages|) — nothing else moves.
-    Q("q_links_graph",
-      (s, dir) => {
-        val pages = tk(s, dir, "documents")
-          .withColumn("html", concat(
-            lit("<html><body><h1>T</h1><p>intro</p><a class=\"r\" href=\"https://h"),
-            col("doc_id") % 7,
-            lit(".example.com/p/"), col("doc_id"),
-            lit("?s=1\">Doc "), col("doc_id"),
-            lit("</a> mid <a href=\"http://h"), (col("doc_id") + 1) % 7,
-            lit(".example.com/q/"), col("doc_id") % 40,
-            lit("\">Ref "), col("doc_id") % 9,
-            lit("</a> tail <a href=\"/rel/"), col("doc_id"),
-            lit("\">rel</a></body></html>")))
-        graft.sources.HtmlLinks.hostGraph(pages, "doc_id", "html")
-          .orderBy("host")
-      },
-      Some("""
-        WITH l AS (
-          SELECT doc_id, j,
-                 CASE j WHEN 0 THEN 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
-                        ELSE 'h' || CAST((doc_id + 1) % 7 AS VARCHAR) || '.example.com' END AS host,
-                 CASE j WHEN 0 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/'
-                                    || CAST(doc_id AS VARCHAR) || '?s=1'
-                        ELSE 'http://h' || CAST((doc_id + 1) % 7 AS VARCHAR) || '.example.com/q/'
-                                    || CAST(doc_id % 40 AS VARCHAR) END AS href,
-                 CASE j WHEN 0 THEN 'Doc ' || CAST(doc_id AS VARCHAR)
-                        ELSE 'Ref ' || CAST(doc_id % 9 AS VARCHAR) END AS anchor
-          FROM documents, range(0, 2) AS r(j))
-        SELECT host,
-               count(*) AS n_links,
-               count(DISTINCT doc_id) AS n_src_docs,
-               count(DISTINCT href) AS n_urls,
-               min(anchor) AS sample_anchor
-        FROM l
-        GROUP BY host
-        ORDER BY host""")),
-
-    // Anchor-text label propagation: anchors aggregated onto the TARGET
-    // page — the classic web supervision signal (anchor text describes
-    // the target, not the source). Target ids parsed from the href path;
-    // one target-keyed aggregation with sorted-distinct label sets so
-    // the result is partitioning-invariant. The /q/ links alias many
-    // sources onto one target (doc_id % 40), so real multi-source label
-    // fusion is exercised, not 1:1 copying.
-    Q("q_anchor_label",
-      (s, dir) => {
-        val pages = tk(s, dir, "documents")
-          .withColumn("html", concat(
-            lit("<html><body><h1>T</h1><p>intro</p><a class=\"r\" href=\"https://h"),
-            col("doc_id") % 7,
-            lit(".example.com/p/"), col("doc_id"),
-            lit("?s=1\">Doc "), col("doc_id"),
-            lit("</a> mid <a href=\"http://h"), (col("doc_id") + 1) % 7,
-            lit(".example.com/q/"), col("doc_id") % 40,
-            lit("\">Ref "), col("doc_id") % 9,
-            lit("</a> tail <a href=\"/rel/"), col("doc_id"),
-            lit("\">rel</a></body></html>")))
-        graft.sources.HtmlLinks.explodeLinks(pages, "doc_id", "html")
-          .where(col("href").rlike("/q/\\d+$"))
-          .select(regexp_extract(col("href"), "/q/(\\d+)$", 1)
-            .cast("long").as("target"), col("anchor"))
-          .groupBy("target")
-          .agg(count(lit(1)).cast("long").as("n_inlinks"),
-            countDistinct(col("anchor")).cast("long").as("n_labels"),
-            array_join(sort_array(collect_set(col("anchor"))), "|").as("labels"))
-          .orderBy("target")
-      },
-      Some("""
-        WITH l AS (
-          SELECT doc_id % 40 AS target, 'Ref ' || CAST(doc_id % 9 AS VARCHAR) AS anchor
-          FROM documents)
-        SELECT target,
-               count(*) AS n_inlinks,
-               count(DISTINCT anchor) AS n_labels,
-               array_to_string(list_sort(list_distinct(list(anchor))), '|') AS labels
-        FROM l
-        GROUP BY target
-        ORDER BY target""")),
-
-    // Host-authority composition: link extraction -> host edge list ->
-    // PageRank — the crawl-side "host prior" signal (authority feeds
-    // frontier priority and quality weighting). Edges come out of the
-    // SAME HtmlLinks regex path as q_links_graph (self-loops included —
-    // the first link targets the page's own host); the oracle replays
-    // the analytic edge set through the shared unrolled-PageRank SQL, so
-    // extraction AND the 5-iteration rank fixed point are under one
-    // hash. Plan: narrow regex scan -> tiny host-keyed edge relation ->
-    // the audited linear-lineage PageRank (7 nodes; rank joins touch
-    // only the edge table).
-    Q("q_host_rank",
-      (s, dir) => {
-        import graft.ops.Graph
-        val pages = tk(s, dir, "documents")
-          .withColumn("html", concat(
-            lit("<html><body><h1>T</h1><p>intro</p><a class=\"r\" href=\"https://h"),
-            col("doc_id") % 7,
-            lit(".example.com/p/"), col("doc_id"),
-            lit("?s=1\">Doc "), col("doc_id"),
-            lit("</a> mid <a href=\"http://h"), (col("doc_id") + 1) % 7,
-            lit(".example.com/q/"), col("doc_id") % 40,
-            lit("\">Ref "), col("doc_id") % 9,
-            lit("</a> tail <a href=\"/rel/"), col("doc_id"),
-            lit("\">rel</a></body></html>")))
-        val links = graft.sources.HtmlLinks.explodeLinks(pages, "doc_id", "html")
-          .where(length(col("host")) > 0)
-        val edges = links.select(
-          concat(lit("h"), col("doc_id") % 7, lit(".example.com")).as("src"),
-          col("host").as("dst"))
-        val nodes = edges.select(col("src").as("id")).distinct()
-        Graph.pageRank(nodes, edges, 5, 0.85)
-          .select(col("id").as("host"), col("rank"))
-          .orderBy("host")
-      },
-      Some {
-        val duckEdges = """(SELECT
-             'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS src,
-             CASE j WHEN 0 THEN 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
-                    ELSE 'h' || CAST((doc_id + 1) % 7 AS VARCHAR) || '.example.com' END AS dst
-           FROM documents, range(0, 2) AS r(j))"""
-        val duckNodes = s"(SELECT DISTINCT src AS id FROM $duckEdges e__)"
-        s"""SELECT id AS host, rank FROM (
-          ${graft.ops.Graph.pageRankOracleSql(duckNodes, duckEdges, 5, 0.85)}
-        ) ORDER BY host"""
-      }),
-
-    // S4: REAL PDF text extraction (pure-JVM xref/object walk + Inflater +
-    // Tj/TJ interpreter — sources/PdfCodec.scala). Each document is
-    // rendered to an actual Flate-compressed PDF in the kernel and
-    // extracted back; the oracle is the identity on the sanitized text
-    // (printable ASCII + newlines — the page codec round-trips it
-    // exactly), so a hash match proves extraction, not a stub. The
-    // distributed shape is mapPartitions (one extractor per partition,
-    // narrow, no shuffle) — the same plan that runs a real PDF corpus.
-    Q("q_pdf_extract",
-      (s, dir) => {
-        import s.implicits._
-        val docs = tk(s, dir, "documents")
-          .select(col("doc_id").cast("long").as("doc_id"),
-            regexp_replace(col("text"), "[^ -~\\n]", "?").as("clean"))
-          .as[(Long, String)]
-        docs.mapPartitions { it =>
-            val ex = new graft.sources.PdfTextExtractor
-            it.map { case (id, text) =>
-              val pdfText =
-                if (text == null) null
-                else ex.extract(graft.sources.PdfWrite.singlePage(text))
-              (id, pdfText)
-            }
-          }
-          .toDF("doc_id", "pdf_text")
-          .orderBy("doc_id")
-      },
-      Some("""
-        SELECT doc_id, regexp_replace(text, '[^ -~\n]', '?', 'g') AS pdf_text
-        FROM documents
-        ORDER BY doc_id""")),
-
-    // S4 composite-font capability (pdf_reader.py:83-149 — docling reads
-    // CJK / subset-embedded-font PDFs; r9 verdict missing-item #3): a
-    // REAL Type0/Identity-H PDF is written per doc — 2-byte CID codes
-    // with a DELIBERATELY non-identity subset assignment (cid = rank
-    // among the doc's distinct chars) and a Flate-compressed /ToUnicode
-    // CMap — then extracted back. A decoder that skips the CMap reads
-    // control-range garbage, so the hash match proves the whole chain:
-    // /Resources font resolution, Tf tracking, 2-byte code framing,
-    // bfchar lookup. The oracle rebuilds the closed-form CJK fixture
-    // with DuckDB's full-codepoint chr().
-    Q("q_pdf_cid",
-      (s, dir) => {
-        import s.implicits._
-        val docs = tk(s, dir, "documents")
-          .select(col("doc_id").cast("long").as("doc_id"))
-          .as[Long]
-        docs.mapPartitions { it =>
-            val ex = new graft.sources.PdfTextExtractor
-            it.map { id =>
-              val text = (0 until 2).map { r =>
-                (0 until 20).map(j =>
-                  (0x4E00 + ((id * 7 + r * 20 + j) % 1000)).toChar).mkString
-              }.mkString("\n")
-              (id, ex.extract(graft.sources.PdfWrite.cidSinglePage(text)))
-            }
-          }
-          .toDF("doc_id", "cid_text")
-          .orderBy("doc_id")
-      },
-      Some("""
-        SELECT doc_id,
-               (SELECT string_agg(chr(19968 + CAST((doc_id * 7 + j) % 1000 AS INT)), '' ORDER BY j)
-                FROM range(0, 20) t(j))
-               || chr(10) ||
-               (SELECT string_agg(chr(19968 + CAST((doc_id * 7 + 20 + j) % 1000 AS INT)), '' ORDER BY j)
-                FROM range(0, 20) t(j)) AS cid_text
-        FROM documents
-        ORDER BY doc_id""")),
-
-    // S4 modern-container capability (r10 verdict missing #2): per doc a
-    // REAL PDF 1.5 file — catalog, page tree, and font dict packed in a
-    // Flate-compressed /Type /ObjStm, a /Type /XRef cross-reference
-    // STREAM (PNG-Up predicted W-rows) instead of a classic xref table —
-    // and, for odd docs, LZWDecode-compressed content streams (the
-    // second classic filter). Extraction must unpack the ObjStm to find
-    // the page tree at all, so the hash match proves object-stream
-    // parse + packed-object resolution + the LZW decoder end-to-end.
-    Q("q_pdf_objstm",
-      (s, dir) => {
-        import s.implicits._
-        val docs = tk(s, dir, "documents")
-          .select(col("doc_id").cast("long").as("doc_id"),
-            regexp_replace(col("text"), "[^ -~\\n]", "?").as("clean"))
-          .as[(Long, String)]
-        docs.mapPartitions { it =>
-            val ex = new graft.sources.PdfTextExtractor
-            it.map { case (id, text) =>
-              val pdfText =
-                if (text == null) null
-                else if (id % 2 == 1)
-                  ex.extract(graft.sources.PdfWrite.lzwDocument(Seq(text)))
-                else
-                  ex.extract(graft.sources.PdfWrite.objStmDocument(Seq(text)))
-              (id, pdfText)
-            }
-          }
-          .toDF("doc_id", "pdf_text")
-          .orderBy("doc_id")
-      },
-      Some("""
-        SELECT doc_id, regexp_replace(text, '[^ -~\n]', '?', 'g') AS pdf_text
-        FROM documents
-        ORDER BY doc_id""")),
-
-    // S4 encrypted-PDF capability: per doc a REAL standard-security-
-    // handler file with an EMPTY user password — RC4-40 (V1 R2), RC4-128
-    // (V2 R3), AES-128-CBC /AESV2 (V4 R4), or AES-256 /AESV3 (V5 R6,
-    // PDF 2.0 hardened hash) by doc_id mod 4 — real /O /U (/OE /UE)
-    // entries, streams Flate-compressed then encrypted. pypdfium opens
-    // these transparently for docling (pdf_reader.py:83-149); before
-    // r11 the extractor read ciphertext and returned "" like a scanned
-    // file. The hash match proves key derivation, per-object keys, and
-    // all three cipher paths end-to-end.
-    Q("q_pdf_encrypted",
-      (s, dir) => {
-        import s.implicits._
-        val docs = tk(s, dir, "documents")
-          .select(col("doc_id").cast("long").as("doc_id"),
-            regexp_replace(col("text"), "[^ -~\\n]", "?").as("clean"))
-          .as[(Long, String)]
-        docs.mapPartitions { it =>
-            val ex = new graft.sources.PdfTextExtractor
-            val modes = Array("rc4-40", "rc4-128", "aes", "aes256")
-            it.map { case (id, text) =>
-              val pdfText =
-                if (text == null) null
-                else ex.extract(graft.sources.PdfWrite.encryptedDocument(
-                  Seq(text), modes((id % 4).toInt)))
-              (id, pdfText)
-            }
-          }
-          .toDF("doc_id", "pdf_text")
-          .orderBy("doc_id")
-      },
-      Some("""
-        SELECT doc_id, regexp_replace(text, '[^ -~\n]', '?', 'g') AS pdf_text
-        FROM documents
-        ORDER BY doc_id""")),
-
-    // S4 table capability (pdf_reader.py:83-149, docling TableFormer
-    // ACCURATE — capability, not bug-for-bug): a REAL ruled lattice-table
-    // PDF is written per doc (stroked grid + Tm-positioned cells, Flate
-    // compressed), then recovered by the POSITIONAL extractor — runs
-    // clustered into rows by baseline y and cells by x — back to
-    // tab/newline TSV. The oracle rebuilds the TSV from the cell formula,
-    // so a bug anywhere in write -> object graph -> inflate -> positional
-    // interpret -> cluster order hash-fails.
-    Q("q_pdf_table",
-      (s, dir) => {
-        import s.implicits._
-        val docs = tk(s, dir, "documents")
-          .select(col("doc_id").cast("long").as("doc_id"))
-          .as[Long]
-        docs.mapPartitions { it =>
-            it.map { id =>
-              val rows = (0 until 4).map(r =>
-                (0 until 3).map(c => s"r${r}c${c}v${(id * 7 + r * 3 + c) % 100}"))
-              val pdf = graft.sources.PdfWrite.tablePage(rows)
-              (id, graft.sources.PdfTableExtract.extract(pdf))
-            }
-          }
-          .toDF("doc_id", "table_tsv")
-          .orderBy("doc_id")
-      },
-      Some {
-        val tsv = (0 until 4).map { r =>
-          (0 until 3).map { c =>
-            s"'r${r}c${c}v' || CAST((doc_id * 7 + ${r * 3 + c}) % 100 AS VARCHAR)"
-          }.mkString(" || chr(9) || ")
-        }.mkString(" || chr(10) || ")
-        s"""
-        SELECT doc_id, $tsv AS table_tsv
-        FROM documents
-        ORDER BY doc_id"""
-      }),
-
-    // T7/S5: in-engine AsciiDoc -> text rendering (sources/AsciiDocText —
-    // the Ruby plugin's node semantics without the external process). Each
-    // document is wrapped in a known AsciiDoc skeleton (title + doc
-    // attribute, section, paragraph with {attr} substitution, ulist,
-    // verbatim source listing, inline admonition) whose rendering is in
-    // closed form — the oracle rebuilds it by concatenation, so the hash
-    // match pins title/section/list/listing/admonition shapes, attribute
-    // substitution, and the no-subs-in-listing contract.
-    Q("q_asciidoc_text",
-      (s, dir) => {
-        val adoc = concat(
-          lit("= Doc "), col("doc_id"),
-          lit("\n:env: prod\n\n== Overview\n\nIntro {env} says:\n"),
-          col("text"),
-          lit("\n\n* alpha\n* beta {env}\n\n[source,scala]\n----\nval x = {env}\n----\n\nNOTE: check {env}"))
-        tk(s, dir, "documents")
-          .select(col("doc_id"),
-            graft.sources.AsciiDocText.renderColumn(adoc).as("converted"))
-          .orderBy("doc_id")
-      },
-      Some("""
-        SELECT doc_id,
-               '# Doc ' || CAST(doc_id AS VARCHAR) ||
-               chr(10) || chr(10) || '# Overview' ||
-               chr(10) || chr(10) || 'Intro prod says:' ||
-               chr(10) || regexp_replace(text, '\s+$', '') ||
-               chr(10) || chr(10) || '* alpha' || chr(10) || '* beta prod' ||
-               chr(10) || chr(10) || chr(10) || '```scala' ||
-               chr(10) || 'val x = {env}' || chr(10) || '```' ||
-               chr(10) || chr(10) || chr(10) || chr(10) || '[NOTE]' ||
-               chr(10) || '----' || chr(10) || 'check prod' || chr(10) || '----'
-               AS converted
-        FROM documents
-        ORDER BY doc_id"""))
-  )
-
-  // =========================================================================
-  // Chunker variants, search modes, embedding near-dup
-  // =========================================================================
-
-  /** Shared oracle for the semantic-chunk contract: 12-word units, the
-    * dialect hashing-embedder pipeline, lag-cosine 0.35 break, cumsum
-    * chunk ids — hash-matched by BOTH q_semantic_chunks (batch) and
-    * q_stream_chunks_eq (flatMapGroupsWithState streaming replay). */
-  private def semanticChunkOracleSql(dim: Int): String = {
-    val cos = D.cosine("pemb", "emb")
-    s"""
-          WITH docs AS (SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents),
-          units AS (SELECT doc_id, CAST(i AS BIGINT) AS sidx,
-                           array_to_string(toks[CAST(i * 12 + 1 AS INT):CAST(i * 12 + 12 AS INT)], ' ') AS sent
-                    FROM (SELECT doc_id, toks,
-                            unnest(range(0, CAST(ceil(len(toks) / CAST(12 AS DOUBLE)) AS INT))) AS i
-                          FROM docs)),
-          e AS (SELECT doc_id, sidx, sent, emb
-                FROM ${duckEmbed("units", "sent", dim)}),
-          c AS (SELECT doc_id, sidx, sent,
-                       lag(emb) OVER (PARTITION BY doc_id ORDER BY sidx) AS pemb,
-                       emb
-                FROM e),
-          b AS (SELECT doc_id, sidx, sent,
-                       CASE WHEN pemb IS NULL THEN 1
-                            WHEN $cos < CAST(0.35 AS DOUBLE) THEN 1
-                            ELSE 0 END AS brk
-                FROM c),
-          g AS (SELECT doc_id, sidx, sent,
-                       sum(brk) OVER (PARTITION BY doc_id ORDER BY sidx
-                                      ROWS UNBOUNDED PRECEDING) - 1 AS chunk_idx
-                FROM b)
-          SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-                 CAST(count(*) AS BIGINT) AS n_sents,
-                 md5(string_agg(sent, ' ' ORDER BY sidx)) AS chunk_md5
-          FROM g GROUP BY doc_id, chunk_idx
-          ORDER BY doc_id, chunk_idx"""
-  }
-
-  private def extraOps: Seq[Q] = {
-    val dim = 64
-    val duckIndexed = duckEmbed(
-      s"(SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})", "chunk_text", dim)
-    val queryText = "spark sql shuffle partition join"
-    val kwTerms = Seq("spark", "join", "stream")
-    val duckKw =
-      s"(CAST(len(list_filter(['spark', 'join', 'stream'], t__ -> list_contains(string_split_regex(trim(chunk_text), '\\s+'), t__))) AS DOUBLE) / 3)"
-
-    Seq(
-      // C1 proper: token-budget chunker with overlap (reference defaults
-      // 380/0; here 40/10 so multi-chunk docs exist at test scale)
-      Q("q_chunk_tokens",
-        (s, dir) =>
-          Chunking.explodeTokenWindows(t(s, dir, "documents"), "text", 40, 10)
-            .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-              md5(col("chunk_text")).as("h"),
-              size(split(col("chunk_text"), " ")).cast("long").as("n_tokens"))
-            .orderBy("doc_id", "chunk_idx"),
-        Some("""
-          WITH toks AS (
-            SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
-          c AS (
-            SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
-                   array_to_string(tk[(CAST(i AS INT) * 30 + 1):(CAST(i AS INT) * 30 + 40)], ' ') AS chunk_text
-            FROM (SELECT doc_id, tk,
-                    unnest(range(0, greatest(CAST(ceil((len(tk) - 40) / CAST(30 AS DOUBLE)) AS INT) + 1, 1))) AS i
-                  FROM toks))
-          SELECT doc_id, chunk_idx, md5(chunk_text) AS h,
-                 CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tokens
-          FROM c
-          ORDER BY doc_id, chunk_idx""")),
-
-      // C1 sentence-aware variant (reference SentenceSplitter boundary
-      // semantic): whole sentences pack into a 25-token budget, never
-      // splitting a sentence. The synthetic docs carry no punctuation, so
-      // the query plants a '.' after every 7th token first (index lambdas
-      // in both engines: Spark 0-based, DuckDB 1-based — aligned below),
-      // then chunker output hash-matches the window-cumsum oracle.
-      Q("q_chunk_sentences",
-        (s, dir) => {
-          val docs = t(s, dir, "documents")
-            .withColumn("text", expr(
-              "array_join(transform(split(trim(text), '\\\\s+'), " +
-                "(t, i) -> CASE WHEN i % 7 = 6 THEN concat(t, '.') ELSE t END), ' ')"))
-          Chunking.explodeSentenceWindows(docs, "text", 25)
-            .select(col("doc_id"), col("chunk_idx"),
-              md5(col("chunk_text")).as("h"),
-              col("n_tokens"))
-            .orderBy("doc_id", "chunk_idx")
-        },
-        Some("""
-          WITH dotted AS (
-            SELECT doc_id,
-                   array_to_string(list_transform(string_split_regex(trim(text), '\s+'),
-                     (t, i) -> CASE WHEN i % 7 = 0 THEN t || '.' ELSE t END), ' ') AS text
-            FROM documents),
-          s0 AS (SELECT doc_id,
-                        regexp_extract_all(text, '[^.!?]*[.!?]+\s*|[^.!?]+$') AS sents
-                 FROM dotted),
-          s1 AS (SELECT doc_id, CAST(i AS BIGINT) AS sidx,
-                        trim(sents[CAST(i AS INT)]) AS sent
-                 FROM (SELECT doc_id, sents,
-                         unnest(range(1, len(sents) + 1)) AS i
-                       FROM s0)),
-          s2 AS (SELECT doc_id, sidx, sent,
-                        CAST(len(string_split_regex(sent, '\s+')) AS BIGINT) AS stoks
-                 FROM s1 WHERE length(sent) > 0),
-          s3 AS (SELECT doc_id, sidx, sent, stoks,
-                        sum(stoks) OVER (PARTITION BY doc_id ORDER BY sidx) AS cum
-                 FROM s2)
-          SELECT doc_id, CAST((cum0 - stoks0) // 25 AS BIGINT) AS chunk_idx,
-                 md5(string_agg(sent, ' ' ORDER BY sidx)) AS h,
-                 CAST(sum(stoks) AS BIGINT) AS n_tokens
-          FROM (SELECT doc_id, sidx, sent, stoks,
-                       CAST(cum AS BIGINT) AS cum0, stoks AS stoks0
-                FROM s3)
-          GROUP BY doc_id, chunk_idx
-          ORDER BY doc_id, chunk_idx""")),
-
-      // SEMANTIC chunking (llama-index SemanticSplitterNodeParser
-      // capability): boundaries fall where the cosine between ADJACENT
-      // unit embeddings drops below 0.35 — topic shifts become chunk
-      // borders instead of fixed token counts. Units here are 12-word
-      // windows (the corpus has no sentence terminators; the regex
-      // sentence wrapper is spec-pinned); the hashing-embedder pipeline,
-      // the cosine, the threshold compare, and the break cumsum all
-      // replay bit-for-bit in the oracle (same IEEE sequence both
-      // engines — the threshold itself probed against the corpus: the
-      // adjacent-cosine distribution spans 0..0.8, so 0.35 yields a real
-      // break/merge mix, not a degenerate all-or-nothing split).
-      Q("q_semantic_chunks",
-        (s, dir) => {
-          val units = t(s, dir, "documents")
-            .withColumn("__toks", expr(Dialect.spark.splitWs("text")))
-            .select(col("doc_id"), posexplode(expr(
-              "transform(sequence(0, CAST(ceil(size(__toks) / CAST(12 AS DOUBLE)) AS INT) - 1), " +
-                "i__ -> array_join(slice(__toks, i__ * 12 + 1, 12), ' '))"))
-              .as(Seq("sidx", "sent")))
-          Chunking.semanticChunks(units, HashingEmbedder(dim), 0.35)
-            .select(col("doc_id"), col("chunk_idx"), col("n_sents"),
-              md5(col("chunk_text")).as("chunk_md5"))
-            .orderBy("doc_id", "chunk_idx")
-        },
-        Some(semanticChunkOracleSql(dim))),
-
-      // Streaming semantic chunking == the batch operator: the SAME
-      // 12-word units feed a flatMapGroupsWithState state machine
-      // (StreamingSemanticChunk) as 4 REAL micro-batches; a completed
-      // chunk emits the moment its break arrives, the final open chunk
-      // on watermark timeout — and the result hash-matches the SAME
-      // oracle as q_semantic_chunks. Embedding parity holds because the
-      // streaming path calls the pure-Scala HashingEmbedder kernel the
-      // batch SQL pipeline compiles to; the break rule (lag-cosine <
-      // 0.35, NaN merges) is the identical IEEE sequence.
-      Q("q_stream_chunks_eq",
-        (s, dir0) => {
-          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
-          import s.implicits._
-          import graft.streaming.StreamingSemanticChunk
-          import graft.streaming.StreamingSemanticChunk.{SentIn, ChunkOut}
-          // child session: streaming-query state stays scoped here
-          val ss = streamSession(s)
-          implicit val sqlCtx = ss.sqlContext
-          val units = t(s, dir, "documents")
-            .withColumn("__toks", expr(Dialect.spark.splitWs("text")))
-            .select(col("doc_id").cast("long").as("doc_id"), posexplode(expr(
-              "transform(sequence(0, CAST(ceil(size(__toks) / CAST(12 AS DOUBLE)) AS INT) - 1), " +
-                "i__ -> array_join(slice(__toks, i__ * 12 + 1, 12), ' '))"))
-              .as(Seq("sidx", "sent")))
-            .select(col("doc_id"), col("sidx").cast("long"), col("sent"))
-            .as[(Long, Long, String)].collect()
-            .sortBy { case (d, i, _) => (d, i) }
-          val base = 1700000000000L // any fixed epoch; only ORDER matters
-          val rows = units.zipWithIndex.map { case ((d, i, sent), k) =>
-            SentIn(d, new java.sql.Timestamp(base + k), i, sent)
-          }
-          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SentIn]
-          val name = s"q_stream_chunks_eq_${System.nanoTime()}"
-          val q = StreamingSemanticChunk.chunkStream(
-              in.toDS().withWatermark("ts", "0 seconds"),
-              dim, 0.35, quietMs = 3600000L)
-            .writeStream.format("memory").queryName(name)
-            .outputMode("append").start()
-          try {
-            rows.grouped(math.max(1, (rows.length + 3) / 4)).foreach { b =>
-              in.addData(b.toSeq); q.processAllAvailable()
-            }
-            // two sentinel batches: the first advances the watermark past
-            // every timeout, the second processes the timeouts against it
-            val far = base + rows.length + 30L * 86400000L
-            in.addData(SentIn(-1L, new java.sql.Timestamp(far), 0L, "x"))
-            q.processAllAvailable()
-            in.addData(SentIn(-1L, new java.sql.Timestamp(far + 1000L), 1L, "y"))
-            q.processAllAvailable()
-          } finally {
-            q.stop()
-            // unload HDFS-backed state providers eagerly (bench hygiene)
-            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-          }
-          ss.table(name).as[ChunkOut].collect().toSeq.filter(_.doc_id >= 0)
-            .toDF()
-            .select(col("doc_id"), col("chunk_idx"), col("n_sents"),
-              md5(col("chunk_text")).as("chunk_md5"))
-            .orderBy("doc_id", "chunk_idx")
-        },
-        Some(semanticChunkOracleSql(dim))),
-
-      // Q3 mode=keyword — runs on the chunk table only: no embedding pass
-      // (the embedder is opaque to Catalyst's column pruning, so skipping
-      // it must happen at the operator level).
-      Q("q_keyword_search",
-        (s, dir) => {
-          val chunks = RagPipeline.buildChunks(t(s, dir, "documents"))
-          Similarity.keywordTopK(chunks, "chunk_text", "chunk_id", kwTerms, 10)
-            .select(col("chunk_id"), r6(col("score")).as("score"))
-        },
-        Some(s"""
-          SELECT chunk_id, (round(score, 6) + CAST(0.0 AS DOUBLE)) AS score
-          FROM (SELECT chunk_id, $duckKw AS score
-                FROM (SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})
-                ORDER BY score DESC, chunk_id
-                LIMIT 10)
-          ORDER BY score DESC, chunk_id""")),
-
-      // Q3 mode=hybrid (0.5 * cosine + 0.5 * keyword)
-      Q("q_hybrid_search",
-        (s, dir) => {
-          val index = RagPipeline.buildIndex(tk(s, dir, "documents"))
-          val q = HashingEmbedder(dim).embedQueryDF(s, queryText)
-          Similarity.hybridTopK(index, q, "chunk_text", "chunk_id", "embedding",
-              kwTerms, 10, 0.5)
-            .select(col("chunk_id"), r6(col("score")).as("score"))
-        },
-        Some {
-          val duckQ = duckEmbed(s"(SELECT '$queryText' AS chunk_text)", "chunk_text", dim)
-          s"""
-          SELECT chunk_id, (round(score, 6) + CAST(0.0 AS DOUBLE)) AS score
-          FROM (SELECT chunk_id,
-                       (${D.dot("i.emb", "q.qemb")} * CAST(0.5 AS DOUBLE)) + ($duckKw * (CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE))) AS score
-                FROM $duckIndexed i, (SELECT emb AS qemb FROM $duckQ) q
-                ORDER BY score DESC, chunk_id
-                LIMIT 10)
-          ORDER BY score DESC, chunk_id"""
-        }),
-
-      // Reciprocal-rank fusion (the score-scale-free hybrid): vector and
-      // keyword top-50 lists fused by sum of 1/(60 + rank), full outer —
-      // rank arithmetic is exact in both engines (no score normalization,
-      // full (score, id) tie-breaks), so the fusion hash-matches.
-      Q("q_rrf_fusion",
-        (s, dir) => {
-          val index = RagPipeline.buildIndex(tk(s, dir, "documents"))
-          val q = HashingEmbedder(dim).embedQueryDF(s, queryText)
-          Similarity.rrfTopK(index, q, "chunk_text", "chunk_id", "embedding",
-              kwTerms, 10, 50, 60.0)
-            .select(col("chunk_id"), r6(col("score")).as("score"))
-        },
-        Some {
-          val duckQ = duckEmbed(s"(SELECT '$queryText' AS chunk_text)", "chunk_text", dim)
-          s"""
-          WITH vt AS (
-            SELECT chunk_id, ${D.cosine("i.emb", "q.qemb")} AS vs
-            FROM $duckIndexed i, (SELECT emb AS qemb FROM $duckQ) q
-            ORDER BY vs DESC, chunk_id
-            LIMIT 50),
-          vr AS (SELECT chunk_id,
-                        CAST(row_number() OVER (ORDER BY vs DESC, chunk_id) AS BIGINT) AS vrank
-                 FROM vt),
-          kt AS (
-            SELECT chunk_id, $duckKw AS ks
-            FROM $duckIndexed
-            ORDER BY ks DESC, chunk_id
-            LIMIT 50),
-          kr AS (SELECT chunk_id,
-                        CAST(row_number() OVER (ORDER BY ks DESC, chunk_id) AS BIGINT) AS krank
-                 FROM kt),
-          fused AS (
-            SELECT coalesce(vr.chunk_id, kr.chunk_id) AS chunk_id,
-                   coalesce(CAST(1.0 AS DOUBLE) / (CAST(vrank AS DOUBLE) + CAST(60.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)) +
-                   coalesce(CAST(1.0 AS DOUBLE) / (CAST(krank AS DOUBLE) + CAST(60.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS score
-            FROM vr FULL OUTER JOIN kr ON vr.chunk_id = kr.chunk_id)
-          SELECT chunk_id, (round(score, 6) + CAST(0.0 AS DOUBLE)) AS score
-          FROM fused
-          ORDER BY score DESC, chunk_id
-          LIMIT 10"""
-        }),
-
-      // MMR diversity rerank (Carbonell & Goldstein 1998) of a top-40
-      // retrieval window: greedy argmax of lambda*rel - (1-lambda)*
-      // max-cos-to-selected. Greedy is sequential, so the oracle replays
-      // it NON-recursively against the dump (the q_bpe_vocab pattern):
-      // at every step t, "selected" is the dump's rank < t prefix, and
-      // the oracle recomputes the full-precision argmax over the
-      // remaining candidates from the raw embeddings — the first wrong
-      // pick in the dump would diverge and break the hash, so the whole
-      // greedy sequence is verified inductively (scores recomputed, not
-      // copied; rounding only at emission).
-      Q("q_mmr_rerank",
-        (s, dir) => {
-          val emb = t(s, dir, "embeddings")
-          val q = emb.where(col("vec_id") === 0)
-            .select(VectorF.toDoubleArray(col("embedding")).as("qv"))
-          val cands = Similarity.bruteForceTopK(
-              emb.where(col("vec_id") =!= 0), q, "vec_id", "embedding", 40)
-            .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-          Similarity.mmrRerank(cands, "vec_id", "embedding", "score", 0.7, 12)
-            .select(col("vec_id"), col("mmr_rank"),
-              r6(col("mmr_score")).as("mmr_score"))
-            .orderBy("mmr_rank")
-        },
-        Some(s"""
-          WITH cand AS (
-            SELECT vec_id, v, score FROM (
-              SELECT vec_id, v, ${D.cosine("v", "qv")} AS score
-              FROM $duckEmbTable,
-                   (SELECT v AS qv FROM $duckEmbTable WHERE vec_id = 0)
-              WHERE vec_id <> 0
-              ORDER BY score DESC, vec_id
-              LIMIT 40)),
-          dump AS (
-            SELECT * FROM read_parquet('__GRAFT_OUT__/q_mmr_rerank/*.parquet')),
-          pairs AS (
-            SELECT a.vec_id AS ia, b.vec_id AS ib,
-                   ${D.cosine("a.v", "b.v")} AS sim
-            FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
-          steps AS (SELECT unnest(range(1, 13)) AS t),
-          maxsim AS (
-            SELECT st.t, p.ia AS vec_id, max(p.sim) AS ms
-            FROM steps st
-            JOIN dump d ON d.mmr_rank < st.t
-            JOIN pairs p ON p.ib = d.vec_id
-            GROUP BY st.t, p.ia),
-          scored AS (
-            SELECT st.t, c.vec_id,
-                   CAST(0.7 AS DOUBLE) * c.score
-                   - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
-                     * coalesce(m.ms, CAST(0.0 AS DOUBLE)) AS mscore
-            FROM steps st CROSS JOIN cand c
-            LEFT JOIN maxsim m ON m.t = st.t AND m.vec_id = c.vec_id
-            WHERE NOT EXISTS (SELECT 1 FROM dump d2
-                              WHERE d2.vec_id = c.vec_id AND d2.mmr_rank < st.t)),
-          picked AS (
-            SELECT t, vec_id, mscore,
-                   row_number() OVER (PARTITION BY t
-                                      ORDER BY mscore DESC, vec_id) AS rn
-            FROM scored)
-          SELECT vec_id, CAST(t AS INT) AS mmr_rank,
-                 (round(mscore, 6) + CAST(0.0 AS DOUBLE)) AS mmr_score
-          FROM picked WHERE rn = 1
-          ORDER BY mmr_rank""")),
-
-      // Embedding-cosine near-dup within sign-pattern LSH buckets
-      Q("q_embed_neardup",
-        (s, dir) =>
-          Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 8, 0.3)
-            .select(col("id_a"), col("id_b"), r6(col("cos")).as("cos"))
-            .orderBy("id_a", "id_b"),
-        Some {
-          val cos = D.cosine("a.v", "b.v")
-          s"""
-          WITH bk AS (
-            SELECT vec_id, v,
-                   array_to_string(list_transform(v[1:8],
-                     x__ -> CASE WHEN x__ >= CAST(0.0 AS DOUBLE) THEN '1' ELSE '0' END), '') AS bucket
-            FROM $duckEmbTable)
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                 (round($cos, 6) + CAST(0.0 AS DOUBLE)) AS cos
-          FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-          WHERE $cos >= CAST(0.3 AS DOUBLE)
-          ORDER BY id_a, id_b"""
-        }),
-
-      // Random-hyperplane LSH ANN (the no-training scale path next to IVF):
-    // sign-pattern bucket + hamming-1 probes, cosine within candidates.
-    Q("q_ann_lsh",
-      (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val q = emb.where(col("vec_id") === 0)
-          .select(VectorF.toDoubleArray(col("embedding")).as("qv"))
-        Similarity.lshTopK(emb.where(col("vec_id") =!= 0), q,
-            "vec_id", "embedding", 10, 6)
-          .select(col("vec_id"), r6(col("score")).as("score"))
-      },
-      Some {
-        val cos = D.cosine("e.v", "q.qv")
-        s"""
-        WITH b AS (
-          SELECT vec_id, v,
-                 array_to_string(list_transform(v[1:6],
-                   x -> CASE WHEN x >= CAST(0.0 AS DOUBLE) THEN '1' ELSE '0' END), '') AS bucket
-          FROM $duckEmbTable),
-        qb AS (SELECT bucket AS qbucket, v AS qv FROM b WHERE vec_id = 0),
-        probes AS (
-          SELECT qbucket AS p FROM qb
-          UNION ALL
-          SELECT substr(qbucket, 1, CAST(i AS INT) - 1)
-                 || (CASE WHEN substr(qbucket, CAST(i AS INT), 1) = '1' THEN '0' ELSE '1' END)
-                 || substr(qbucket, CAST(i AS INT) + 1)
-          FROM qb, range(1, 7) AS r(i))
-        SELECT vec_id, (round(score, 6) + CAST(0.0 AS DOUBLE)) AS score
-        FROM (SELECT e.vec_id, $cos AS score
-              FROM b e, qb q
-              WHERE e.vec_id <> 0 AND e.bucket IN (SELECT p FROM probes)
-              ORDER BY score DESC, vec_id
-              LIMIT 10)
-        ORDER BY score DESC, vec_id"""
-      }),
-
-    // Corpus bigram frequency (training-data analysis staple): explode
-    // n-grams, count, top-20 — partial aggregation keeps the shuffle to
-    // one (term, count) pair per map partition per term.
-    Q("q_ngram_freq",
-      (s, dir) =>
-        t(s, dir, "documents")
-          // let-bind the token array (tokenize ONCE — an inline split would
-          // be re-evaluated per element inside the lambda); guard 1-token
-          // docs (Spark's sequence(1, 0) is DESCENDING, not empty).
-          .select(explode(expr(
-            """element_at(transform(array(split(trim(text), '\\s+')), tk ->
-                 CASE WHEN size(tk) < 2 THEN CAST(array() AS ARRAY<STRING>)
-                      ELSE transform(sequence(1, size(tk) - 1),
-                             i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))
-                 END), 1)"""))
-            .as("bigram"))
-          .groupBy("bigram").agg(count(lit(1)).as("n"))
-          .orderBy(desc("n"), col("bigram"))
-          .limit(20),
-      Some("""
-        WITH toks AS (
-          SELECT string_split_regex(trim(text), '\s+') AS tk FROM documents),
-        grams AS (
-          SELECT tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] AS bigram
-          FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM toks))
-        SELECT bigram, count(*) AS n
-        FROM grams
-        GROUP BY bigram
-        ORDER BY n DESC, bigram
-        LIMIT 20""")),
-
-    // Text normalization (lowercase, strip punctuation, collapse
-    // whitespace) — the canonical cleaning pass before dedup/tokenize.
-    Q("q_normalize_text",
-      (s, dir) =>
-        t(s, dir, "documents")
-          .select(col("doc_id"),
-            md5(trim(regexp_replace(regexp_replace(lower(col("text")),
-              "[^a-z0-9\\s]", ""), "\\s+", " "))).as("norm_hash"))
-          .orderBy("doc_id"),
-      Some("""
-        SELECT doc_id,
-               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_hash
-        FROM documents
-        ORDER BY doc_id""")),
-
-    // PII redaction scrub pass: both engines CONSTRUCT identical
-    // PII-bearing text (emails + SSN-shaped ids derived from doc_id),
-    // Spark redacts with TextF.redactPii (chained codegen
-    // regexp_replace), the oracle with RE2 'g'-flag replaces — the
-    // patterns are written lookaround-free so Java regex and RE2 agree.
-    Q("q_pii_redact",
-      (s, dir) => {
-        val pii = concat(
-          lit("Contact user"), col("doc_id").cast("string"),
-          lit("@mail.example.com or u"), col("doc_id").cast("string"),
-          lit("@alt.org ssn "),
-          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
-          lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit("-"),
-          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
-          lit(" | "), substring(col("text"), 1, 40))
-        t(s, dir, "documents")
-          .select(col("doc_id"), TextF.redactPii(pii).as("redacted"),
-            TextF.emailCount(pii).as("n_emails"))
-          .orderBy("doc_id")
-      },
-      Some(s"""
-        SELECT doc_id,
-               regexp_replace(regexp_replace(pii, '${TextF.EmailRe}', '<EMAIL>', 'g'),
-                              '${TextF.SsnRe}', '<ID>', 'g') AS redacted,
-               CAST(len(regexp_extract_all(pii, '${TextF.EmailRe}')) AS BIGINT) AS n_emails
-        FROM (SELECT doc_id,
-                     concat('Contact user', CAST(doc_id AS VARCHAR), '@mail.example.com or u',
-                            CAST(doc_id AS VARCHAR), '@alt.org ssn ',
-                            lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-',
-                            lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'), '-',
-                            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
-                            ' | ', substr(text, 1, 40)) AS pii
-              FROM documents)
-        ORDER BY doc_id""")),
-
-    // URL extraction (regexp_extract_all on both engines).
-    Q("q_extract_urls",
-      (s, dir) => {
-        val urlText = concat(lit("see https://ex.com/p/"), col("doc_id").cast("string"),
-          lit("?ref=a and http://t.co/"), (col("doc_id") % 97).cast("string"), lit(" end"))
-        t(s, dir, "documents")
-          .select(col("doc_id"),
-            array_join(TextF.extractUrls(urlText), ",").as("urls"),
-            size(TextF.extractUrls(urlText)).cast("long").as("n_urls"))
-          .orderBy("doc_id")
-      },
-      Some(s"""
-        SELECT doc_id,
-               array_to_string(regexp_extract_all(s, '${TextF.UrlRe}'), ',') AS urls,
-               CAST(len(regexp_extract_all(s, '${TextF.UrlRe}')) AS BIGINT) AS n_urls
-        FROM (SELECT doc_id,
-                     concat('see https://ex.com/p/', CAST(doc_id AS VARCHAR),
-                            '?ref=a and http://t.co/', CAST(doc_id % 97 AS VARCHAR),
-                            ' end') AS s
-              FROM documents)
-        ORDER BY doc_id""")),
-
-    // Exact-dedup keep count (dropExactDuplicates end to end)
-      Q("q_dedup_drop",
-        (s, dir) =>
-          Dedup.dropExactDuplicates(t(s, dir, "documents"), "text", "doc_id")
-            .agg(count(lit(1)).as("n_kept"),
-              // BIGINT on both sides: DuckDB's sum(BIGINT) widens to
-              // HUGEINT, which the driver's value hasher formats
-              // differently — pin the emitted type explicitly.
-              sum(col("doc_id")).cast("long").as("id_sum")),
-        Some("""
-          SELECT count(*) AS n_kept, CAST(sum(keep_id) AS BIGINT) AS id_sum
-          FROM (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text))"""))
-    )
-  }
-
-  // =========================================================================
-  // Temporal joins + window frames + OLAP aggregates (round-2 widening:
-  // the event-pipeline operators a training-data engine needs at scale)
-  // =========================================================================
-
-  private def temporalOps: Seq[Q] = Seq(
-    // As-of join (union+window algorithm; DuckDB's native ASOF JOIN is the
-    // oracle — two completely different algorithms, same semantics).
-    Q("q_asof_join",
-      (s, dir) => {
-        import graft.ops.TemporalJoins
-        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
-        val clicks = ev.where(col("event_type") === "click")
-          .select(col("event_id"), col("user_id"), col("tsu"))
-        val purch = ev.where(col("event_type") === "purchase")
-          .groupBy(col("user_id"), col("tsu").as("ptsu"))
-          .agg(max(col("value")).as("asof_value"))
-          .withColumn("asof_ts", col("ptsu"))
-        TemporalJoins.asofBackward(clicks, purch, "user_id", "tsu", "ptsu",
-            Seq("asof_value", "asof_ts"))
-          .select(col("event_id"), col("user_id"),
-            col("asof_ts").cast("long").as("asof_ts"), col("asof_value"))
-          .orderBy("event_id")
-      },
-      Some("""
-        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
-                   FROM events WHERE event_type = 'click'),
-        r AS (SELECT user_id, epoch_us(ts) AS ptsu, max(value) AS asof_value
-              FROM events WHERE event_type = 'purchase'
-              GROUP BY user_id, epoch_us(ts))
-        SELECT l.event_id, l.user_id,
-               CAST(r.ptsu AS BIGINT) AS asof_ts, r.asof_value
-        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.ptsu
-        ORDER BY event_id""")),
-
-    // The SAME as-of semantics through the custom Catalyst operator
-    // (graft.plans.AsOfJoinExec: logical node + planner strategy + sort-
-    // merge physical plan) — a THIRD independent algorithm hash-matched
-    // against DuckDB's native ASOF JOIN. One clustered exchange + one sort
-    // per side, O(1) state per task.
-    Q("q_asof_native",
-      (s, dir) => {
-        import graft.ops.TemporalJoins
-        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
-        val clicks = ev.where(col("event_type") === "click")
-          .select(col("event_id"), col("user_id"), col("tsu"))
-        val purch = ev.where(col("event_type") === "purchase")
-          .groupBy(col("user_id"), col("tsu").as("ptsu"))
-          .agg(max(col("value")).as("asof_value"))
-          .withColumn("asof_ts", col("ptsu"))
-        TemporalJoins.asofBackwardNative(clicks, purch, "user_id", "tsu", "ptsu",
-            Seq("asof_value", "asof_ts"))
-          .select(col("event_id"), col("user_id"),
-            col("asof_ts").cast("long").as("asof_ts"), col("asof_value"))
-          .orderBy("event_id")
-      },
-      Some("""
-        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
-                   FROM events WHERE event_type = 'click'),
-        r AS (SELECT user_id, epoch_us(ts) AS ptsu, max(value) AS asof_value
-              FROM events WHERE event_type = 'purchase'
-              GROUP BY user_id, epoch_us(ts))
-        SELECT l.event_id, l.user_id,
-               CAST(r.ptsu AS BIGINT) AS asof_ts, r.asof_value
-        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.ptsu
-        ORDER BY event_id""")),
-
-    // Forward as-of join (earliest purchase at-or-after each click).
-    Q("q_asof_forward",
-      (s, dir) => {
-        import graft.ops.TemporalJoins
-        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
-        val clicks = ev.where(col("event_type") === "click")
-          .select(col("event_id"), col("user_id"), col("tsu"))
-        val purch = ev.where(col("event_type") === "purchase")
-          .groupBy(col("user_id"), col("tsu").as("ptsu"))
-          .agg(max(col("value")).as("next_value"))
-          .withColumn("next_ts", col("ptsu"))
-        TemporalJoins.asofForward(clicks, purch, "user_id", "tsu", "ptsu",
-            Seq("next_value", "next_ts"))
-          .select(col("event_id"), col("user_id"),
-            col("next_ts").cast("long").as("next_ts"), col("next_value"))
-          .orderBy("event_id")
-      },
-      Some("""
-        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
-                   FROM events WHERE event_type = 'click'),
-        r AS (SELECT user_id, epoch_us(ts) AS ptsu, max(value) AS next_value
-              FROM events WHERE event_type = 'purchase'
-              GROUP BY user_id, epoch_us(ts)),
-        m AS (SELECT l.event_id, min(r.ptsu) AS mts
-              FROM l JOIN r ON l.user_id = r.user_id AND r.ptsu >= l.tsu
-              GROUP BY l.event_id)
-        SELECT l.event_id AS event_id, l.user_id AS user_id,
-               CAST(m.mts AS BIGINT) AS next_ts, r.next_value
-        FROM l
-        LEFT JOIN m ON m.event_id = l.event_id
-        LEFT JOIN r ON r.user_id = l.user_id AND r.ptsu = m.mts
-        ORDER BY l.event_id""")),
-
-    // Tolerance-bounded as-of (pandas merge_asof(tolerance=...)): the
-    // native operator carries the matched time; matches staler than 10
-    // minutes null out post-join. Oracle = ASOF JOIN + the same CASE.
-    Q("q_asof_tolerance",
-      (s, dir) => {
-        import graft.ops.TemporalJoins
-        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
-        val clicks = ev.where(col("event_type") === "click")
-          .select(col("event_id"), col("user_id"), col("tsu"))
-        val purch = ev.where(col("event_type") === "purchase")
-          .groupBy(col("user_id"), col("tsu").as("ptsu"))
-          .agg(max(col("value")).as("asof_value"))
-          .withColumn("asof_ts", col("ptsu"))
-        TemporalJoins.asofBackwardTolerance(clicks, purch, "user_id",
-            "tsu", "ptsu", Seq("asof_value", "asof_ts"), "asof_ts",
-            tolerance = 600000000L)
-          .select(col("event_id"), col("user_id"),
-            col("asof_ts").cast("long").as("asof_ts"), col("asof_value"))
-          .orderBy("event_id")
-      },
-      Some("""
-        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
-                   FROM events WHERE event_type = 'click'),
-        r AS (SELECT user_id, epoch_us(ts) AS ptsu, max(value) AS asof_value
-              FROM events WHERE event_type = 'purchase'
-              GROUP BY user_id, epoch_us(ts))
-        SELECT l.event_id, l.user_id,
-               CASE WHEN r.ptsu IS NOT NULL AND l.tsu - r.ptsu <= 600000000
-                    THEN CAST(r.ptsu AS BIGINT) END AS asof_ts,
-               CASE WHEN r.ptsu IS NOT NULL AND l.tsu - r.ptsu <= 600000000
-                    THEN r.asof_value END AS asof_value
-        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.ptsu
-        ORDER BY event_id""")),
-
-    // Forward as-of through the native operator: forward is backward on
-    // NEGATED times, so AsOfJoinExec serves both directions. Same oracle
-    // as q_asof_forward (min-over-future + two equi-joins in DuckDB).
-    Q("q_asof_forward_native",
-      (s, dir) => {
-        import graft.ops.TemporalJoins
-        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
-        val clicks = ev.where(col("event_type") === "click")
-          .select(col("event_id"), col("user_id"), col("tsu"))
-        val purch = ev.where(col("event_type") === "purchase")
-          .groupBy(col("user_id"), col("tsu").as("ptsu"))
-          .agg(max(col("value")).as("next_value"))
-          .withColumn("next_ts", col("ptsu"))
-        TemporalJoins.asofForwardNative(clicks, purch, "user_id", "tsu", "ptsu",
-            Seq("next_value", "next_ts"))
-          .select(col("event_id"), col("user_id"),
-            col("next_ts").cast("long").as("next_ts"), col("next_value"))
-          .orderBy("event_id")
-      },
-      Some("""
-        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
-                   FROM events WHERE event_type = 'click'),
-        r AS (SELECT user_id, epoch_us(ts) AS ptsu, max(value) AS next_value
-              FROM events WHERE event_type = 'purchase'
-              GROUP BY user_id, epoch_us(ts)),
-        m AS (SELECT l.event_id, min(r.ptsu) AS mts
-              FROM l JOIN r ON l.user_id = r.user_id AND r.ptsu >= l.tsu
-              GROUP BY l.event_id)
-        SELECT l.event_id AS event_id, l.user_id AS user_id,
-               CAST(m.mts AS BIGINT) AS next_ts, r.next_value
-        FROM l
-        LEFT JOIN m ON m.event_id = l.event_id
-        LEFT JOIN r ON r.user_id = l.user_id AND r.ptsu = m.mts
-        ORDER BY l.event_id""")),
-
-    // Nearest as-of join (closest purchase either direction; ties prefer
-    // the backward match). One union + one key shuffle, two window sorts.
-    Q("q_asof_nearest",
-      (s, dir) => {
-        import graft.ops.TemporalJoins
-        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
-        val clicks = ev.where(col("event_type") === "click")
-          .select(col("event_id"), col("user_id"), col("tsu"))
-        val purch = ev.where(col("event_type") === "purchase")
-          .groupBy(col("user_id"), col("tsu").as("ptsu"))
-          .agg(max(col("value")).as("near_value"))
-          .withColumn("near_ts", col("ptsu"))
-        TemporalJoins.asofNearest(clicks, purch, "user_id", "tsu", "ptsu",
-            Seq("near_value", "near_ts"))
-          .select(col("event_id"), col("user_id"),
-            col("near_ts").cast("long").as("near_ts"), col("near_value"))
-          .orderBy("event_id")
-      },
-      Some("""
-        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
-                   FROM events WHERE event_type = 'click'),
-        r AS (SELECT user_id, epoch_us(ts) AS ptsu, max(value) AS near_value
-              FROM events WHERE event_type = 'purchase'
-              GROUP BY user_id, epoch_us(ts)),
-        ranked AS (
-          SELECT l.event_id, l.user_id, r.ptsu, r.near_value,
-                 row_number() OVER (
-                   PARTITION BY l.event_id
-                   ORDER BY abs(l.tsu - r.ptsu),
-                            CASE WHEN r.ptsu <= l.tsu THEN 0 ELSE 1 END) AS rn
-          FROM l JOIN r ON l.user_id = r.user_id)
-        SELECT l.event_id AS event_id, l.user_id AS user_id,
-               CAST(k.ptsu AS BIGINT) AS near_ts, k.near_value
-        FROM l LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) k
-          ON k.event_id = l.event_id
-        ORDER BY l.event_id""")),
-
-    // Nearest via the chained native operators (backward + forward merge;
-    // left side shuffles ONCE across both). Same row_number oracle as
-    // q_asof_nearest.
-    Q("q_asof_nearest_native",
-      (s, dir) => {
-        import graft.ops.TemporalJoins
-        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
-        val clicks = ev.where(col("event_type") === "click")
-          .select(col("event_id"), col("user_id"), col("tsu"))
-        val purch = ev.where(col("event_type") === "purchase")
-          .groupBy(col("user_id"), col("tsu").as("ptsu"))
-          .agg(max(col("value")).as("near_value"))
-          .withColumn("near_ts", col("ptsu"))
-        TemporalJoins.asofNearestNative(clicks, purch, "user_id", "tsu", "ptsu",
-            Seq("near_value", "near_ts"))
-          .select(col("event_id"), col("user_id"),
-            col("near_ts").cast("long").as("near_ts"), col("near_value"))
-          .orderBy("event_id")
-      },
-      Some("""
-        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
-                   FROM events WHERE event_type = 'click'),
-        r AS (SELECT user_id, epoch_us(ts) AS ptsu, max(value) AS near_value
-              FROM events WHERE event_type = 'purchase'
-              GROUP BY user_id, epoch_us(ts)),
-        ranked AS (
-          SELECT l.event_id, l.user_id, r.ptsu, r.near_value,
-                 row_number() OVER (
-                   PARTITION BY l.event_id
-                   ORDER BY abs(l.tsu - r.ptsu),
-                            CASE WHEN r.ptsu <= l.tsu THEN 0 ELSE 1 END) AS rn
-          FROM l JOIN r ON l.user_id = r.user_id)
-        SELECT l.event_id AS event_id, l.user_id AS user_id,
-               CAST(k.ptsu AS BIGINT) AS near_ts, k.near_value
-        FROM l LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) k
-          ON k.event_id = l.event_id
-        ORDER BY l.event_id""")),
-
-    // Bounded time-range join (bucketed equi-join algorithm vs the oracle's
-    // naive theta join — same pairs, scalable plan).
-    Q("q_range_join",
-      (s, dir) => {
-        import graft.ops.TemporalJoins
-        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
-        val clicks = ev.where(col("event_type") === "click")
-          .select(col("user_id"), col("tsu").as("ctsu"))
-        val errors = ev.where(col("event_type") === "error")
-          .select(col("user_id"), col("event_id").as("err_id"), col("tsu").as("etsu"))
-        TemporalJoins.timeRangeJoin(clicks, errors, "user_id", "ctsu", "etsu",
-            Seq("err_id"), 3600000000L)
-          .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
-          .orderBy("user_id")
-      },
-      Some("""
-        WITH l AS (SELECT user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'click'),
-        r AS (SELECT user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'error')
-        SELECT l.user_id AS user_id, count(*) AS n_pairs
-        FROM l JOIN r ON l.user_id = r.user_id AND abs(l.tsu - r.tsu) <= 3600000000
-        GROUP BY l.user_id
-        ORDER BY l.user_id""")),
-
-    // The SAME band-join semantics through the custom sliding-buffer
-    // operator (graft.plans.RangeJoinExec): no bin explosion, exact
-    // movement, O(window) task memory. Hash-matched against the identical
-    // theta-join oracle as q_range_join — two algorithms, one truth.
-    Q("q_range_native",
-      (s, dir) => {
-        import graft.ops.TemporalJoins
-        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
-        val clicks = ev.where(col("event_type") === "click")
-          .select(col("user_id"), col("tsu").as("ctsu"))
-        val errors = ev.where(col("event_type") === "error")
-          .select(col("user_id"), col("event_id").as("err_id"), col("tsu").as("etsu"))
-        TemporalJoins.timeRangeJoinNative(clicks, errors, Seq("user_id"),
-            "ctsu", "etsu", Seq("err_id"), 3600000000L)
-          .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
-          .orderBy("user_id")
-      },
-      Some("""
-        WITH l AS (SELECT user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'click'),
-        r AS (SELECT user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'error')
-        SELECT l.user_id AS user_id, count(*) AS n_pairs
-        FROM l JOIN r ON l.user_id = r.user_id AND abs(l.tsu - r.tsu) <= 3600000000
-        GROUP BY l.user_id
-        ORDER BY l.user_id""")),
-
-    // Rolling window frame (ROWS BETWEEN): decimal sums keep the frame
-    // arithmetic exact on both engines.
-    Q("q_rolling_avg",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("__tsu"), col("event_id"))
-          .rowsBetween(-3, Window.currentRow)
-        tEvents(s, dir)
-          .withColumn("__tsu", expr("ts div 1000"))
-          .withColumn("roll_avg",
-            sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
-              count(lit(1)).over(w))
-          .select(col("user_id"), col("event_id"), col("roll_avg"))
-          .orderBy("user_id", "event_id")
-      },
-      Some("""
-        SELECT user_id, event_id,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
-                 / count(*) OVER w AS roll_avg
-        FROM (SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events)
-        WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
-                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-        ORDER BY user_id, event_id""")),
-
-    // ROLLUP hierarchy aggregate (Catalyst expands grouping sets natively;
-    // partial aggregation still applies per grouping set).
-    Q("q_rollup",
-      (s, dir) =>
-        // Pre-aggregate to the finest grouping before ROLLUP: decimal sums
-        // are exact and associative, so rolling up the |groups|-row base
-        // aggregate is bit-identical to rolling up the raw rows while
-        // shrinking the Expand + shuffle input by |rows|/|groups| — the
-        // plan that survives a 100x scale-up.
-        t(s, dir, "lineitem")
-          .groupBy("l_returnflag", "l_linestatus")
-          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("s"),
-            count(lit(1)).as("c"))
-          .rollup("l_returnflag", "l_linestatus")
-          .agg(
-            sum(col("s")).cast("double").as("sum_base"),
-            sum(col("c")).as("cnt"))
-          .select(
-            coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
-            coalesce(col("l_linestatus"), lit("ALL")).as("status"),
-            col("sum_base"), col("cnt"))
-          .orderBy("flag", "status"),
-      Some("""
-        SELECT coalesce(l_returnflag, 'ALL') AS flag,
-               coalesce(l_linestatus, 'ALL') AS status,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
-               count(*) AS cnt
-        FROM lineitem
-        GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        ORDER BY flag, status""")),
-
-    // Exact interpolated percentiles (sort-based `percentile`, not the
-    // approximate sketch — the oracle-matchable form).
-    // Exact quantiles via the distributed sort-rank operator (interpolation
-    // identical to percentile()/quantile_cont, but no per-group value
-    // buffering — survives billion-row groups; see ops.Percentiles).
-    Q("q_percentile",
-      (s, dir) =>
-        graft.ops.Percentiles.quantiles(t(s, dir, "orders"), "o_totalprice",
-            Seq("o_orderstatus"), Seq("p50_raw" -> 0.5, "p90_raw" -> 0.9))
-          .select(col("o_orderstatus"),
-            r6(col("p50_raw")).as("p50"), r6(col("p90_raw")).as("p90"), col("cnt"))
-          .orderBy("o_orderstatus"),
-      Some("""
-        SELECT o_orderstatus,
-               (round(quantile_cont(o_totalprice, 0.5), 6) + CAST(0.0 AS DOUBLE)) AS p50,
-               (round(quantile_cont(o_totalprice, 0.9), 6) + CAST(0.0 AS DOUBLE)) AS p90,
-               count(*) AS cnt
-        FROM orders
-        GROUP BY o_orderstatus
-        ORDER BY o_orderstatus""")),
-
-    // Winsorized robust statistics: clip at the (round-6) p05/p95 exact
-    // quantiles from the distributed rank picker, then exact-decimal mean
-    // over the clipped values — two passes, every task participating in
-    // both. Thresholds are rounded identically in both engines BEFORE
-    // clipping so boundary rows can't flip on an interpolation ulp.
-    Q("q_winsorize",
-      (s, dir) => {
-        val o = t(s, dir, "orders")
-        val qrow = graft.ops.Percentiles.quantilesGlobal(
-          o, "o_totalprice", Seq("p05" -> 0.05, "p95" -> 0.95)).head()
-        val lo = BigDecimal(qrow.getDouble(0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        val hi = BigDecimal(qrow.getDouble(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        o.select(least(greatest(col("o_totalprice").cast("double"), lit(lo)), lit(hi))
-            .cast("decimal(18,2)").as("w"))
-          .agg(sum(col("w")).as("wsum"), count(lit(1)).as("n"))
-          .select(col("wsum").cast("double").as("winsorized_sum"),
-            expr("(round(CAST(wsum AS DOUBLE) / CAST(n AS DOUBLE), 6) + CAST(0.0 AS DOUBLE))")
-              .as("winsorized_mean"),
-            col("n"))
-      },
-      Some("""
-        WITH q AS (
-          SELECT round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.05), 6) AS lo,
-                 round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95), 6) AS hi
-          FROM orders),
-        w AS (
-          SELECT CAST(least(greatest(CAST(o_totalprice AS DOUBLE), q.lo), q.hi) AS DECIMAL(18,2)) AS w
-          FROM orders, q)
-        SELECT CAST(sum(w) AS DOUBLE) AS winsorized_sum,
-               (round(CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS winsorized_mean,
-               count(*) AS n
-        FROM w""")),
-
-    // Exact GLOBAL quantiles via range-partitioned distributed rank
-    // selection (every task participates; no single-task group sort —
-    // the billion-row-group/global-case scale path; see
-    // Percentiles.quantilesGlobal).
-    Q("q_percentile_global",
-      (s, dir) =>
-        graft.ops.Percentiles.quantilesGlobal(t(s, dir, "orders"), "o_totalprice",
-            Seq("p50_raw" -> 0.5, "p90_raw" -> 0.9, "p99_raw" -> 0.99))
-          .select(r6(col("p50_raw")).as("p50"), r6(col("p90_raw")).as("p90"),
-            r6(col("p99_raw")).as("p99"), col("cnt")),
-      Some("""
-        SELECT (round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 6) + CAST(0.0 AS DOUBLE)) AS p50,
-               (round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9), 6) + CAST(0.0 AS DOUBLE)) AS p90,
-               (round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99), 6) + CAST(0.0 AS DOUBLE)) AS p99,
-               count(*) AS cnt
-        FROM orders""")),
-
-    // Quantile normalization: re-express every distinct click `value` as
-    // the purchase distribution's value at the same cumulative
-    // probability (100-bin quantile mapping) — the score calibrator that
-    // puts two scorers/domains on one ranking scale. Source ECDF via the
-    // range-partitioned prefix-sum two-pass (never SinglePartition);
-    // reference summarized by ONE order-statistic rank pick (range
-    // shuffle + two passes for all 100 bins); the bin map broadcasts.
-    // EVERY compared column is exact: x the RAW stored source double
-    // (bit-identical cross-engine — since r11; the r8-r10 hash-REDs
-    // were driver-side round() ULP skew, first on display doubles,
-    // finally on the round(value,6)→DECIMAL group KEY itself), bin by
-    // integer ceil-division (DECIMAL div / HUGEINT //), normalized a
-    // RAW stored reference value (nearest-rank bins since r10). The
-    // oracle reads the reference quantiles from q_qnorm_bins' dump,
-    // which carries its own non-circular oracle.
-    Q("q_quantile_norm",
-      (s, dir) => {
-        val ev = tEvents(s, dir) // value only — ts representation irrelevant
-        graft.ops.Percentiles.quantileNormalize(
-            ev.where(col("event_type") === "click").select(col("value")),
-            ev.where(col("event_type") === "purchase").select(col("value")),
-            "value", 100)
-          .orderBy("x")
-      },
-      Some(s"""
-        SELECT * FROM (
-          ${graft.ops.Percentiles.quantileNormalizeOracleSql(
-            "(SELECT value FROM events WHERE event_type = 'click')",
-            "(SELECT bin, q FROM read_parquet('__GRAFT_OUT__/q_qnorm_bins/*.parquet'))",
-            "value", 100)}
-        ) ORDER BY x""")),
-
-    // The reference side of q_quantile_norm as its own dumped artifact:
-    // the purchase distribution's 100-bin NEAREST-RANK quantile table.
-    // Type-1 quantiles are exact order-statistic selects — the
-    // ⌈n·j/bins⌉-th value, replayed by the oracle as a row_number()
-    // pick at the same integer ranks — so this carries a REAL
-    // non-circular oracle (unlike the r9 rows-only gate, whose
-    // quantile_cont values couldn't be replayed without re-importing
-    // cross-engine interpolation-ULP fragility).
-    Q("q_qnorm_bins",
-      (s, dir) => {
-        val ev = tEvents(s, dir)
-        graft.ops.Percentiles.quantileBinTable(
-            ev.where(col("event_type") === "purchase").select(col("value")),
-            "value", 100)
-          .orderBy("bin")
-      },
-      Some(graft.ops.Percentiles.quantileBinTableOracleSql(
-        "(SELECT value FROM events WHERE event_type = 'purchase')",
-        "value", 100))),
-
-    // Pivot (wide event-type counts per user). Spark's pivot relational
-    // operator vs the oracle's conditional aggregation — same table.
-    Q("q_pivot",
-      (s, dir) => {
-        val types = Seq("click", "view", "purchase", "signup", "error")
-        val p = tEvents(s, dir)
-          .groupBy("user_id")
-          .pivot("event_type", types)
-          .agg(count(lit(1)))
-        p.select(col("user_id") +:
-            types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
-          .orderBy("user_id")
-      },
-      Some("""
-        SELECT user_id,
-               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
-               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
-               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
-               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
-               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
-        FROM events
-        GROUP BY user_id
-        ORDER BY user_id""")),
-
-    // UNPIVOT (melt): wide metric columns -> long (metric, value) rows —
-    // the inverse of q_pivot and the shape feature stores and plotting
-    // exports consume. stack() is a narrow generator (no shuffle, stays
-    // in the scan stage); the oracle replays as UNION ALL.
-    Q("q_unpivot",
-      (s, dir) =>
-        t(s, dir, "lineitem")
-          .where(col("l_orderkey") % 997 === 0)
-          .selectExpr("l_orderkey", "l_linenumber",
-            """stack(3,
-               'discount', CAST(l_discount AS DOUBLE),
-               'price', CAST(l_extendedprice AS DOUBLE),
-               'quantity', CAST(l_quantity AS DOUBLE)) AS (metric, val)""")
-          .orderBy("l_orderkey", "l_linenumber", "metric"),
-      Some("""
-        WITH src AS (SELECT * FROM lineitem WHERE l_orderkey % 997 = 0)
-        SELECT l_orderkey, l_linenumber, metric, val FROM (
-          SELECT l_orderkey, l_linenumber, 'discount' AS metric, CAST(l_discount AS DOUBLE) AS val FROM src
-          UNION ALL
-          SELECT l_orderkey, l_linenumber, 'price', CAST(l_extendedprice AS DOUBLE) FROM src
-          UNION ALL
-          SELECT l_orderkey, l_linenumber, 'quantity', CAST(l_quantity AS DOUBLE) FROM src)
-        ORDER BY l_orderkey, l_linenumber, metric""")),
-
-    // INTERSECT / EXCEPT set operators (Catalyst rewrites to semi/anti
-    // joins — the scalable form; the oracle uses the SQL operators).
-    Q("q_setops",
-      (s, dir) => {
-        val ev = tEvents(s, dir)
-        def ids(t: String) = ev.where(col("event_type") === t).select("user_id")
-        val heavyError = ev.where(col("event_type") === "error")
-          .groupBy("user_id").agg(count(lit(1)).as("n"))
-          .where(col("n") >= 16).select("user_id")
-        ids("click").intersect(ids("purchase")).except(heavyError)
-          .orderBy("user_id")
-      },
-      Some("""
-        SELECT user_id FROM events WHERE event_type = 'click'
-        INTERSECT
-        SELECT user_id FROM events WHERE event_type = 'purchase'
-        EXCEPT
-        SELECT user_id FROM events WHERE event_type = 'error'
-        GROUP BY user_id HAVING count(*) >= 16
-        ORDER BY user_id""")),
-
-    // ntile + cume_dist ranking (unique-rank tie-breaks keep both engines
-    // deterministic; decimal totals keep the sums exact). The rank itself
-    // comes from the range-partitioned two-pass (Layout.globalRank) — at
-    // 10^9 users a `Window.orderBy(...)` here is an Exchange
-    // SinglePartition, THE dimension-ranking bottleneck; ntile and
-    // cume_dist then follow from (rank, n) by pure arithmetic (the
-    // ordering is unique, so cume_dist = rank / n exactly).
-    Q("q_ntile",
-      (s, dir) => {
-        val totals = tEvents(s, dir)
-          .groupBy("user_id")
-          .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
-        val (ranked, n) = graft.ops.Layout.globalRank(
-          totals, Seq(desc("total"), col("user_id")), "__r")
-        ranked
-          .withColumn("quartile",
-            graft.ops.Layout.ntileFromRank(col("__r"), n, 4))
-          .withColumn("cd",
-            r6(col("__r").cast("double") / n.toDouble))
-          .drop("__r")
-          .orderBy("user_id")
-      },
-      Some("""
-        WITH totals AS (
-          SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-          FROM events GROUP BY user_id)
-        SELECT user_id, total,
-               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-               (round(cume_dist() OVER w, 6) + CAST(0.0 AS DOUBLE)) AS cd
-        FROM totals
-        WINDOW w AS (ORDER BY total DESC, user_id)
-        ORDER BY user_id""")),
-
-    // Full analytic-window family over one unique ordering (lag / lead /
-    // first_value / dense_rank / percent_rank) — one shuffle on user_id
-    // serves every function.
-    Q("q_window_family",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        // rank windows order by value alone: dense_rank/percent_rank are
-        // deterministic under ties, and ties are what dense_rank is for
-        val wv = Window.partitionBy("user_id").orderBy(col("value"))
-        tEvents(s, dir)
-          .withColumn("prev_val", lag(col("value"), 1).over(w))
-          .withColumn("next_val", lead(col("value"), 1).over(w))
-          .withColumn("first_val", first(col("value")).over(w))
-          .withColumn("vrank", dense_rank().over(wv).cast("long"))
-          .withColumn("prank", r6(percent_rank().over(wv)))
-          .select("event_id", "user_id", "value",
-            "prev_val", "next_val", "first_val", "vrank", "prank")
-          .orderBy("event_id")
-          .limit(3000)
-      },
-      Some("""
-        SELECT event_id, user_id, value,
-               lag(value, 1) OVER w AS prev_val,
-               lead(value, 1) OVER w AS next_val,
-               first_value(value) OVER w AS first_val,
-               CAST(dense_rank() OVER wv AS BIGINT) AS vrank,
-               (round(percent_rank() OVER wv, 6) + CAST(0.0 AS DOUBLE)) AS prank
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
-               wv AS (PARTITION BY user_id ORDER BY value)
-        ORDER BY event_id
-        LIMIT 3000""")),
-
-    // BM25 full-text ranking (TF-IDF upgrade of the keyword mode): global
-    // stats from one aggregation pass, broadcast back over the scan.
-    Q("q_bm25_search",
-      (s, dir) => {
-        val chunks = RagPipeline.buildChunks(tk(s, dir, "documents"))
-        Similarity.bm25TopK(chunks, "chunk_text", "chunk_id",
-            Seq("spark", "join", "stream"), 10)
-          .select(col("chunk_id"), r6(col("score")).as("score"))
-      },
-      Some {
-        val terms = Seq("spark", "join", "stream")
-        val tfs = terms.zipWithIndex.map { case (tm, i) =>
-          s"CAST(len(list_filter(toks, x -> x = '$tm')) AS DOUBLE) AS tf_$i"
-        }.mkString(", ")
-        val dfs = terms.zipWithIndex.map { case (tm, i) =>
-          s"sum(CASE WHEN list_contains(toks, '$tm') THEN 1 ELSE 0 END) AS df_$i"
-        }.mkString(", ")
-        val scoreSum = terms.indices.map { i =>
-          s"""(ln(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - CAST(df_$i AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df_$i AS DOUBLE) + CAST(0.5 AS DOUBLE)))
-              * (tf_$i * CAST(2.2 AS DOUBLE))
-              / (tf_$i + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)))"""
-        }.mkString(" + ")
-        s"""
-        WITH ch AS (
-          SELECT chunk_id, ${D.splitWs("chunk_text")} AS toks
-          FROM (SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})),
-        st AS (SELECT count(*) AS n, sum(len(toks)) AS sumdl, $dfs FROM ch),
-        scored AS (
-          SELECT chunk_id, $tfs, CAST(len(toks) AS DOUBLE) AS dl,
-                 CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl,
-                 n, df_0, df_1, df_2
-          FROM ch, st)
-        SELECT chunk_id, (round(score, 6) + CAST(0.0 AS DOUBLE)) AS score
-        FROM (SELECT chunk_id, $scoreSum AS score
-              FROM scored
-              ORDER BY score DESC, chunk_id
-              LIMIT 10)
-        ORDER BY score DESC, chunk_id"""
-      }),
-
-    // SimHash near-dup pairs: 2x32-bit banding (the width that survives
-    // correlated simhashes at scale — see Dedup.simhashNearDupPairs) +
-    // exact hamming verify via bit_count(xor). The oracle runs the same
-    // algorithm on the bit strings directly.
-    Q("q_simhash_pairs",
-      (s, dir) =>
-        Dedup.simhashNearDupPairs(tk(s, dir, "documents"), "text", "doc_id", 16)
-          .orderBy("id_a", "id_b"),
-      Some {
-        val duckToks = s"(SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents)"
-        s"""
-        WITH sims AS (
-          SELECT doc_id, ${Exprs.simhashBits(D, "toks")} AS simhash FROM $duckToks),
-        banded AS (
-          SELECT doc_id, CAST(b.b AS BIGINT) AS band,
-                 substr(simhash, CAST(b.b AS INT) * 32 + 1, 32) AS band_key
-          FROM sims, range(0, 2) AS b(b)),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-          FROM banded a JOIN banded c
-            ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
-        verified AS (
-          SELECT id_a, id_b,
-                 CAST(len(list_filter(range(1, 65),
-                   i -> substr(sa.simhash, CAST(i AS INT), 1) <> substr(sb.simhash, CAST(i AS INT), 1))) AS BIGINT) AS hamming
-          FROM cand JOIN sims sa ON sa.doc_id = id_a JOIN sims sb ON sb.doc_id = id_b)
-        SELECT id_a, id_b, hamming
-        FROM verified
-        WHERE hamming <= 16
-        ORDER BY id_a, id_b"""
-      })
-  )
-
-  // =========================================================================
-  // Training-data pipeline breadth: funnel analytics, binary (multimodal)
-  // column plumbing, embedding quantization
-  // =========================================================================
-
-  private def pipelineOps: Seq[Q] = Seq(
-    // Conversion funnel: first signup -> first subsequent purchase per user.
-    Q("q_funnel",
-      (s, dir) => {
-        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
-        val signup = ev.where(col("event_type") === "signup")
-          .groupBy("user_id").agg(min(col("tsu")).as("signup_ts"))
-        val purch = ev.where(col("event_type") === "purchase")
-          .select(col("user_id"), col("tsu"))
-        signup.join(purch, Seq("user_id"), "left")
-          .groupBy(col("user_id"), col("signup_ts"))
-          .agg(min(when(col("tsu") >= col("signup_ts"), col("tsu"))).as("conv_ts"))
-          .select(col("user_id"),
-            col("signup_ts").cast("long").as("signup_ts"),
-            col("conv_ts").cast("long").as("conv_ts"),
-            col("conv_ts").isNotNull.as("converted"))
-          .orderBy("user_id")
-      },
-      Some("""
-        WITH s AS (SELECT user_id, min(epoch_us(ts)) AS signup_ts
-                   FROM events WHERE event_type = 'signup' GROUP BY user_id),
-        p AS (SELECT user_id, epoch_us(ts) AS tsu
-              FROM events WHERE event_type = 'purchase')
-        SELECT s.user_id,
-               CAST(s.signup_ts AS BIGINT) AS signup_ts,
-               CAST(min(CASE WHEN p.tsu >= s.signup_ts THEN p.tsu END) AS BIGINT) AS conv_ts,
-               (min(CASE WHEN p.tsu >= s.signup_ts THEN p.tsu END) IS NOT NULL) AS converted
-        FROM s LEFT JOIN p ON p.user_id = s.user_id
-        GROUP BY s.user_id, s.signup_ts
-        ORDER BY s.user_id""")),
-
-    // Binary-column plumbing (multimodal surface): byte length, content
-    // hash, magic bytes — the metadata pass any image/audio pipeline runs
-    // before decode. Bytes synthesized from text so the oracle is exact.
-    Q("q_binary_meta",
-      (s, dir) =>
-        t(s, dir, "documents")
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
-          .select(col("doc_id"),
-            length(col("bin")).cast("long").as("n_bytes"),
-            md5(col("bin")).as("content_md5"),
-            hex(substring(col("bin"), 1, 4)).as("magic"))
-          .orderBy("doc_id"),
-      Some("""
-        SELECT doc_id,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-               md5(text) AS content_md5,
-               hex(encode(substring(text, 1, 4))) AS magic
-        FROM documents
-        ORDER BY doc_id""")),
-
-    // REAL image-header parsing: the Spark side CONSTRUCTS valid
-    // PNG/GIF/JPEG container headers byte-for-byte (dims derived from
-    // doc_id), then the BinaryColumns kernel PARSES them back — magic
-    // sniffing, endianness, and the JFIF segment walk are all exercised.
-    // The oracle computes the expected dims arithmetically, so any parse
-    // error hash-mismatches.
-    Q("q_image_meta",
-      (s, dir) => {
-        val withBytes = t(s, dir, "documents")
-          .withColumn("w", (col("doc_id") % 500 + 16).cast("int"))
-          .withColumn("h", (col("doc_id") % 300 + 16).cast("int"))
-          .withColumn("img", unhex(expr("""CASE CAST(doc_id % 3 AS INT)
-            WHEN 0 THEN concat('89504E470D0A1A0A0000000D49484452',
-                               lpad(hex(w), 8, '0'), lpad(hex(h), 8, '0'))
-            WHEN 1 THEN concat('474946383961',
-                               lpad(hex(w % 256), 2, '0'), lpad(hex(w div 256), 2, '0'),
-                               lpad(hex(h % 256), 2, '0'), lpad(hex(h div 256), 2, '0'))
-            ELSE concat('FFD8FFE000044A46FFC0001108',
-                        lpad(hex(h), 4, '0'), lpad(hex(w), 4, '0'))
-            END""")))
-        graft.multimodal.BinaryColumns.withImageMeta(withBytes, "img")
-          .select(col("doc_id"), col("img_format"),
-            col("img_width").cast("long").as("img_width"),
-            col("img_height").cast("long").as("img_height"))
-          .orderBy("doc_id")
-      },
-      Some("""
-        SELECT doc_id,
-               CASE CAST(doc_id % 3 AS INT)
-                 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS img_format,
-               CAST(doc_id % 500 + 16 AS BIGINT) AS img_width,
-               CAST(doc_id % 300 + 16 AS BIGINT) AS img_height
-        FROM documents
-        ORDER BY doc_id""")),
-
-    // Multimodal frame sampling: treat bytes as fixed 16-byte frames,
-    // sample every 4th — the decode-free plumbing (schema, stride, batch
-    // shape) of a video pipeline, exact-checkable over hex strings.
-    Q("q_frame_sample",
-      (s, dir) =>
-        t(s, dir, "documents")
-          .withColumn("hexstr", hex(encode(col("text"), "UTF-8")))
-          .withColumn("total", expr("CAST(length(hexstr) div 32 AS BIGINT)"))
-          .where(col("total") >= 1)
-          .withColumn("frames", expr(
-            "transform(sequence(0L, total - 1, 4L), k -> substr(hexstr, CAST(k * 32 + 1 AS INT), 32))"))
-          .select(col("doc_id"), col("total"),
-            size(col("frames")).cast("long").as("n_sampled"),
-            md5(concat_ws("", col("frames"))).as("sample_md5"))
-          .orderBy("doc_id"),
-      Some("""
-        WITH h AS (SELECT doc_id, hex(encode(text)) AS hexstr FROM documents),
-        t AS (SELECT doc_id, hexstr,
-                     CAST(length(hexstr) // 32 AS BIGINT) AS total
-              FROM h),
-        f AS (SELECT doc_id, total,
-                     list_transform(range(0, total, 4),
-                       k -> substr(hexstr, CAST(k * 32 + 1 AS INT), 32)) AS frames
-              FROM t WHERE total >= 1)
-        SELECT doc_id, total, CAST(len(frames) AS BIGINT) AS n_sampled,
-               md5(array_to_string(frames, '')) AS sample_md5
-        FROM f
-        ORDER BY doc_id""")),
-
-    // Symmetric int8 embedding quantization (index compression): scale +
-    // integer-code checksums; floor(x+0.5) instead of round() because
-    // half-rounding modes differ across engines.
-    Q("q_quantize",
-      (s, dir) => {
-        val v = VectorF.toDoubleArray(col("embedding"))
-        t(s, dir, "embeddings")
-          .select(col("vec_id"), v.as("v"))
-          .withColumn("scale", VectorF.int8Scale(col("v")))
-          .where(col("scale").isNotNull && !col("scale").isin(Double.PositiveInfinity))
-          .withColumn("qv", VectorF.quantizeInt8(col("v"), col("scale")))
-          .select(col("vec_id"), r6(col("scale")).as("scale"),
-            aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
-            array_max(col("qv")).as("q_max"),
-            array_min(col("qv")).as("q_min"))
-          .orderBy("vec_id")
-      },
-      Some("""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        s AS (SELECT vec_id, v,
-                     CAST(127.0 AS DOUBLE) / list_max(list_transform(v, x -> abs(x))) AS scale
-              FROM e),
-        q AS (SELECT vec_id, scale,
-                     list_transform(v, x -> CAST(floor(x * scale + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS qv
-              FROM s
-              WHERE scale IS NOT NULL AND scale <> CAST('inf' AS DOUBLE))
-        SELECT vec_id, (round(scale, 6) + CAST(0.0 AS DOUBLE)) AS scale,
-               CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
-               CAST(list_max(qv) AS BIGINT) AS q_max,
-               CAST(list_min(qv) AS BIGINT) AS q_min
-        FROM q
-        ORDER BY vec_id"""))
-  )
-
-  private def scaleOps: Seq[Q] = Seq(
-    // Gap-based sessionization (30-min inactivity): lag + cumulative-sum
-    // window pattern — the standard large-scale eventstream operator.
-    // Exact: pure integer-nanosecond arithmetic on both engines.
-    Q("q_sessionize",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        // microsecond precision: DuckDB timestamps are µs internally (its
-        // parquet reader TRUNCATES nanos), so compare in truncated µs.
-        val w = Window.partitionBy(col("user_id")).orderBy(col("__tsus"), col("event_id"))
-        tEvents(s, dir)
-          .withColumn("__tsus", expr("ts div 1000"))
-          .withColumn("__prev", lag(col("__tsus"), 1).over(w))
-          .withColumn("__new",
-            when(col("__prev").isNull ||
-              (col("__tsus") - col("__prev")) > lit(1800000000L), 1).otherwise(0))
-          .withColumn("sess_id", sum(col("__new")).over(w))
-          .groupBy(col("user_id"), col("sess_id").cast("long").as("sess_id"))
-          .agg(count(lit(1)).as("n"),
-            (max(col("__tsus")) - min(col("__tsus"))).cast("long").as("duration_us"))
-          .orderBy("user_id", "sess_id")
-      },
-      Some("""
-        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
-        x AS (SELECT user_id, event_id, tsu,
-                CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) IS NULL
-                       OR tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) > 1800000000
-                     THEN 1 ELSE 0 END AS ns
-              FROM e),
-        y AS (SELECT user_id, tsu,
-                sum(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS sess_id
-              FROM x)
-        SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n,
-               CAST(max(tsu) - min(tsu) AS BIGINT) AS duration_us
-        FROM y
-        GROUP BY user_id, sess_id
-        ORDER BY user_id, sess_id""")),
-
-    // Skew-mitigating two-phase salted aggregation: bit-identical to the
-    // one-phase GROUP BY because decimal sums are order-independent —
-    // which is exactly why the plain SQL is a valid oracle.
-    Q("q_skew_salted_agg",
-      (s, dir) => {
-        import graft.ops.Skew
-        val li = t(s, dir, "lineitem")
-        Skew.saltedAggregate(li,
-          keyCols = Seq("l_returnflag"),
-          buckets = 16,
-          identityCols = Seq("l_orderkey", "l_linenumber"),
-          partialAggs = Map(
-            "sum_disc" -> (
-              sum(col("l_extendedprice").cast("decimal(18,2)") *
-                (lit(1) - col("l_discount")).cast("decimal(18,2)")),
-              (c: String) => sum(col(c))),
-            "cnt" -> (count(lit(1)), (c: String) => sum(col(c)))))
-          .select(col("l_returnflag"),
-            col("sum_disc").cast("double").as("sum_disc"),
-            col("cnt").cast("long").as("cnt"))
-          .orderBy("l_returnflag")
-      },
-      Some("""
-        SELECT l_returnflag,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
-               count(*) AS cnt
-        FROM lineitem
-        GROUP BY l_returnflag
-        ORDER BY l_returnflag""")),
-
-    // The chunk_text Catalyst Generator, driven from SQL; must agree with
-    // the token-window oracle arithmetic (same as q_chunk_tokens 40/10).
-    Q("q_chunk_generator",
-      (s, dir) => {
-        graft.functions.VectorNative.register(s)
-        t(s, dir, "documents").createOrReplaceTempView("__docs_gen")
-        s.sql("""
-          SELECT doc_id, CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
-                 md5(c.chunk_text) AS h
-          FROM __docs_gen
-          LATERAL VIEW chunk_text(text, 40, 10) c AS chunk_idx, chunk_text
-          ORDER BY doc_id, chunk_idx""")
-      },
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents)
-        SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
-               md5(array_to_string(tk[(CAST(i AS INT) * 30 + 1):(CAST(i AS INT) * 30 + 40)], ' ')) AS h
-        FROM (SELECT doc_id, tk,
-                unnest(range(0, greatest(CAST(ceil((len(tk) - 40) / CAST(30 AS DOUBLE)) AS INT) + 1, 1))) AS i
-              FROM toks)
-        ORDER BY doc_id, chunk_idx"""))
-  )
-
-  // =========================================================================
-  // Round-2 widening: relational completeness + training-pipeline operators
-  // =========================================================================
-
-  /** Relational shapes the reference never needed but a complete engine must
-    * plan well: multi-dimensional rollups, correlated subqueries, outer
-    * joins, frame-based windows. Each lands on a single-shuffle Catalyst
-    * plan (Expand for cube/grouping-sets, semi-join for EXISTS). */
-  private def relationalPlus: Seq[Q] = Seq(
-    // CUBE: all grouping combinations in ONE pass — Catalyst's Expand emits
-    // 4 grouping projections before a single hash aggregate, vs 4 scans if
-    // composed manually. The plan shape that matters at 100 TB.
-    Q("q_cube",
-      (s, dir) =>
-        // Same pre-aggregation as q_rollup: CUBE over the tiny base
-        // aggregate instead of Expand x4 over every raw row.
-        t(s, dir, "lineitem")
-          .groupBy("l_returnflag", "l_linestatus")
-          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("s"),
-            count(lit(1)).as("c"))
-          .cube("l_returnflag", "l_linestatus")
-          .agg(
-            sum(col("s")).cast("double").as("sum_base"),
-            sum(col("c")).as("cnt"))
-          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
-      Some("""
-        SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
-               count(*) AS cnt
-        FROM lineitem
-        GROUP BY CUBE (l_returnflag, l_linestatus)
-        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
-
-    // Array higher-order functions (sequence/transform/filter/aggregate
-    // vs generate_series/list_transform/list_filter/list_sum) — integer
-    // arithmetic, exact on both engines.
-    Q("q_array_hof",
-      (s, dir) =>
-        t(s, dir, "orders")
-          .where(col("o_orderkey") <= 500)
-          .select(col("o_orderkey"),
-            expr("sequence(1L, CAST(o_orderkey % 7 AS BIGINT) + 1L)").as("arr"))
-          .select(col("o_orderkey"),
-            expr("aggregate(arr, 0L, (s, x) -> s + x)").as("arr_sum"),
-            expr("CAST(size(filter(arr, x -> x % 2 = 0)) AS BIGINT)").as("n_even"),
-            expr("aggregate(transform(arr, x -> x * x), 0L, (s, x) -> s + x)").as("sum_sq"))
-          .orderBy("o_orderkey"),
-      Some("""
-        SELECT o_orderkey,
-               CAST(list_sum(arr) AS BIGINT) AS arr_sum,
-               CAST(len(list_filter(arr, x -> x % 2 = 0)) AS BIGINT) AS n_even,
-               CAST(list_sum(list_transform(arr, x -> x * x)) AS BIGINT) AS sum_sq
-        FROM (SELECT o_orderkey,
-                     generate_series(1, CAST(o_orderkey % 7 AS BIGINT) + 1) AS arr
-              FROM orders WHERE o_orderkey <= 500)
-        ORDER BY o_orderkey""")),
-
-    // Z-order (Morton) clustering key: the layout operator behind
-    // two-dimensional data skipping (ops.Layout.zorderWrite). The
-    // interleave is pure integer arithmetic — pinned against the oracle
-    // computing the identical formula.
-    Q("q_zorder",
-      (s, dir) =>
-        t(s, dir, "orders")
-          .withColumn("zval", graft.ops.Layout.zValue("o_custkey", "o_orderkey", 16))
-          .select(col("o_orderkey"), col("zval"))
-          .orderBy("zval", "o_orderkey")
-          .limit(200),
-      Some(s"""
-        SELECT o_orderkey,
-               ${D.zInterleave("CAST(o_custkey AS BIGINT)", "CAST(o_orderkey AS BIGINT)", 16)} AS zval
-        FROM orders
-        ORDER BY zval, o_orderkey
-        LIMIT 200""")),
-
-    // Stable dense sequential ids WITHOUT row_number's Exchange
-    // SinglePartition: range-partition + in-partition sort + two-pass
-    // zipWithIndex (count pass, offset-stamp pass). The oracle replays it
-    // as the window it replaces — same assignment, opposite plan shape.
-    Q("q_dense_ids",
-      (s, dir) =>
-        graft.ops.Layout.denseIds(
-            t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id")),
-            "doc_id")
-          .orderBy("doc_id"),
-      Some("""
-        SELECT CAST(doc_id AS BIGINT) AS doc_id,
-               CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq_id
-        FROM documents
-        ORDER BY doc_id""")),
-
-    // Statistical aggregates (corr / stddev / skewness) computed from
-    // EXACT decimal moments: the 2-decimal inputs make every power sum
-    // exact in DECIMAL, and both engines then derive the statistics from
-    // those sums with the IDENTICAL double formula — so results are
-    // bit-identical despite each engine's native one-pass co-moment
-    // aggregates using different accumulation orders. Map-side partial
-    // aggregation applies to the decimal sums like any sum — one shuffle.
-    Q("q_stats_moments",
-      (s, dir) => {
-        val q = col("l_quantity").cast("decimal(9,2)")
-        val p = col("l_extendedprice").cast("decimal(18,2)")
-        t(s, dir, "lineitem")
-          .groupBy("l_returnflag")
-          .agg(count(lit(1)).as("n"),
-            sum(q).as("sq"), sum(q * q).as("sqq"), sum(q * q * q).as("sqqq"),
-            sum(p).as("sp"), sum(p * p).as("spp"), sum(q * p).as("sqp"))
-          .selectExpr("l_returnflag" +: statFormulas: _*)
-          .orderBy("l_returnflag")
-      },
-      Some(s"""
-        SELECT l_returnflag, ${statFormulas.mkString(", ")}
-        FROM (SELECT l_returnflag, count(*) AS n,
-                     sum(CAST(l_quantity AS DECIMAL(9,2))) AS sq,
-                     sum(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS sqq,
-                     sum(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS sqqq,
-                     sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
-                     sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp,
-                     sum(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp
-              FROM lineitem GROUP BY l_returnflag)
-        ORDER BY l_returnflag""")),
-
-    Q("q_grouping_sets",
-      (s, dir) => {
-        t(s, dir, "documents").createOrReplaceTempView("__docs_gs")
-        s.sql("""
-          SELECT source, lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
-          FROM __docs_gs
-          GROUP BY GROUPING SETS ((source, lang), (source), ())
-          ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""")
-      },
-      Some("""
-        SELECT source, lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
-        FROM documents
-        GROUP BY GROUPING SETS ((source, lang), (source), ())
-        ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""")),
-
-    // Correlated EXISTS (TPC-H Q4 shape) — planned as a left-semi join, so
-    // the probe side streams and never duplicates rows.
-    Q("q_exists_corr",
-      (s, dir) => {
-        val o = t(s, dir, "orders")
-        val big = t(s, dir, "lineitem").where(col("l_quantity") > 45)
-          .select(col("l_orderkey").as("o_orderkey"))
-        o.join(big, Seq("o_orderkey"), "left_semi")
-          .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
-          .orderBy("o_orderpriority")
-      },
-      Some("""
-        SELECT o_orderpriority, count(*) AS n
-        FROM orders
-        WHERE EXISTS (SELECT 1 FROM lineitem
-                      WHERE l_orderkey = o_orderkey AND l_quantity > 45)
-        GROUP BY o_orderpriority
-        ORDER BY o_orderpriority""")),
-
-    // Scalar-aggregate subquery (TPC-H Q17 shape). The avg comparison is
-    // rewritten to exact integer/decimal arithmetic (qty < sum/(5*cnt)
-    // <=> 5*qty*cnt < sum) so both engines decide each row identically —
-    // no floating-point avg on the comparison path.
-    Q("q_scalar_subq",
-      (s, dir) => {
-        val li = t(s, dir, "lineitem")
-        val perPart = li.groupBy("l_partkey").agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          count(lit(1)).as("cnt_qty"))
-        li.join(perPart, Seq("l_partkey"))
-          .where(col("l_quantity").cast("decimal(18,2)") * lit(5) * col("cnt_qty") <
-            col("sum_qty"))
-          .agg(
-            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("total_price"),
-            count(lit(1)).as("n"))
-      },
-      Some("""
-        WITH a AS (SELECT l_partkey,
-                          sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-                          count(*) AS cnt_qty
-                   FROM lineitem GROUP BY l_partkey)
-        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
-               count(*) AS n
-        FROM lineitem JOIN a USING (l_partkey)
-        WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt_qty < sum_qty""")),
-
-    Q("q_full_outer",
-      (s, dir) => {
-        val c = t(s, dir, "customer").where(col("c_custkey") <= 100)
-          .select("c_custkey", "c_mktsegment")
-        val oa = t(s, dir, "orders").where(col("o_custkey").between(50, 150))
-          .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
-        c.join(oa, c("c_custkey") === oa("o_custkey"), "full_outer")
-          .select(coalesce(c("c_custkey"), oa("o_custkey")).as("custkey"),
-            col("c_mktsegment"), col("n_orders"))
-          .orderBy("custkey")
-      },
-      Some("""
-        SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_mktsegment, n_orders
-        FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 100) c
-        FULL JOIN (SELECT o_custkey, count(*) AS n_orders
-                   FROM orders WHERE o_custkey BETWEEN 50 AND 150
-                   GROUP BY o_custkey) o
-          ON c_custkey = o_custkey
-        ORDER BY custkey""")),
-
-    // argmax via struct-max: one hash aggregate, no window sort. The struct
-    // compares (value, event_id) lexicographically in both engines, so ties
-    // on value break deterministically on event_id.
-    Q("q_argmax",
-      (s, dir) => {
-        val b = max(struct(col("value"), col("event_id")))
-        tEvents(s, dir)
-          .groupBy("event_type")
-          .agg(b.getField("event_id").as("best_id"),
-            b.getField("value").as("best_v"),
-            count(lit(1)).as("n"))
-          .orderBy("event_type")
-      },
-      Some("""
-        SELECT event_type,
-               (max(struct_pack(v := value, id := event_id))).id AS best_id,
-               (max(struct_pack(v := value, id := event_id))).v AS best_v,
-               count(*) AS n
-        FROM events
-        GROUP BY event_type
-        ORDER BY event_type""")),
-
-    // Fixed-width histogram binning: floor(x / w) — the same IEEE divide in
-    // both engines, so bucket boundaries agree bit-for-bit.
-    Q("q_histogram",
-      (s, dir) =>
-        t(s, dir, "orders")
-          .select(floor(col("o_totalprice") / lit(30000.0)).cast("long").as("bucket"),
-            col("o_totalprice"))
-          .groupBy("bucket")
-          .agg(count(lit(1)).as("n"), min("o_totalprice").as("lo"),
-            max("o_totalprice").as("hi"))
-          .orderBy("bucket"),
-      Some("""
-        SELECT CAST(floor(o_totalprice / CAST(30000.0 AS DOUBLE)) AS BIGINT) AS bucket,
-               count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
-        FROM orders
-        GROUP BY bucket
-        ORDER BY bucket""")),
-
-    Q("q_distinct_count",
-      (s, dir) =>
-        t(s, dir, "lineitem")
-          .groupBy("l_returnflag")
-          .agg(countDistinct("l_partkey").as("n_parts"),
-            countDistinct("l_suppkey").as("n_supps"),
-            count(lit(1)).as("n"))
-          .orderBy("l_returnflag"),
-      Some("""
-        SELECT l_returnflag,
-               count(DISTINCT l_partkey) AS n_parts,
-               count(DISTINCT l_suppkey) AS n_supps,
-               count(*) AS n
-        FROM lineitem
-        GROUP BY l_returnflag
-        ORDER BY l_returnflag""")),
-
-    // Value-range window frame (trailing 1 hour per user) — RANGE BETWEEN
-    // over epoch-nanos, peers included identically in both engines.
-    Q("q_range_frame",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("user_id").orderBy("ts")
-          .rangeBetween(-3600000000000L, 0)
-        tEvents(s, dir)
-          .withColumn("trail_1h", count(lit(1)).over(w).cast("long"))
-          .select("event_id", "user_id", "trail_1h")
-          .orderBy("event_id")
-          .limit(2000)
-      },
-      Some("""
-        SELECT event_id, user_id,
-               CAST(count(*) OVER (PARTITION BY user_id
-                 ORDER BY CAST(epoch_ns(ts) AS BIGINT)
-                 RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_1h
-        FROM events
-        ORDER BY event_id
-        LIMIT 2000""")),
-
-    // TPC-H Q6 shape: the forecast-revenue-delta scan — a pure
-    // filter+aggregate with NO join, the canonical full-pushdown plan
-    // (predicates reach the parquet scan, one partial+final agg, no
-    // exchange of anything but 1 row per partition).
-    Q("q6_forecast",
-      (s, dir) =>
-        t(s, dir, "lineitem")
-          .where(expr("l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'") &&
-            expr("l_shipdate < TIMESTAMP '1998-01-01 00:00:00'") &&
-            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-              col("l_discount").cast("decimal(18,2)")).as("rev"),
-            count(lit(1)).as("n"))
-          .select(col("rev").cast("double").as("revenue"), col("n")),
-      Some("""
-        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                        CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-               count(*) AS n
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-          AND l_shipdate < TIMESTAMP '1998-01-01'
-          AND l_discount BETWEEN 0.05 AND 0.07
-          AND l_quantity < 24""")),
-
-    // TPC-H Q8 shape: national market share inside one region by year —
-    // a 6-table broadcast-dimension chain over the fact scan (customer ->
-    // nation -> region filter one side, supplier -> nation the other),
-    // exact-decimal share ratio. All dimensions broadcast; the fact table
-    // shuffles ONCE for the year aggregate.
-    Q("q8_market_share",
-      (s, dir) => {
-        val vol = col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1) - col("l_discount")).cast("decimal(18,2)")
-        val custNation = t(s, dir, "nation")
-          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-          .where(col("r_name") === "ASIA")
-          .select(col("n_nationkey").as("cn_key"))
-        val suppNation = t(s, dir, "nation")
-          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
-        t(s, dir, "lineitem")
-          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
-          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
-          .where(expr("o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'") &&
-            expr("o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"))
-          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
-          .agg(
-            sum(when(col("supp_nation") === "NATION_7", vol)
-              .otherwise(lit(0).cast("decimal(18,2)"))).as("nation_vol"),
-            sum(vol).as("total_vol"))
-          .select(col("o_year"),
-            expr("(round(CAST(nation_vol AS DOUBLE) / CAST(total_vol AS DOUBLE), 6) + CAST(0.0 AS DOUBLE))").as("mkt_share"),
-            col("total_vol").cast("double").as("total_vol"))
-          .orderBy("o_year")
-      },
-      Some("""
-        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-               (round(CAST(sum(CASE WHEN sn.n_name = 'NATION_7'
-                   THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
-                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
-                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 6)
-                 + CAST(0.0 AS DOUBLE)) AS mkt_share,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_vol
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation cn ON c_nationkey = cn.n_nationkey
-        JOIN region ON cn.n_regionkey = r_regionkey
-        JOIN supplier ON l_suppkey = s_suppkey
-        JOIN nation sn ON s_nationkey = sn.n_nationkey
-        WHERE r_name = 'ASIA'
-          AND o_orderdate >= TIMESTAMP '1996-01-01'
-          AND o_orderdate < TIMESTAMP '1998-01-01'
-        GROUP BY 1
-        ORDER BY o_year""")),
-
-    // TPC-H Q10 shape: returned-item revenue ranking — fact->fact join
-    // (orders x lineitem) filtered by quarter and return flag, customer +
-    // nation broadcast in, top 20 by exact-decimal revenue.
-    Q("q10_returned",
-      (s, dir) => {
-        val rev = col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1) - col("l_discount")).cast("decimal(18,2)")
-        t(s, dir, "lineitem")
-          .where(col("l_returnflag") === "R")
-          .join(t(s, dir, "orders")
-              .where(expr("o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'") &&
-                expr("o_orderdate < TIMESTAMP '1997-07-01 00:00:00'")),
-            col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-          .agg(sum(rev).as("revenue"), count(lit(1)).as("n_items"))
-          .select(col("c_custkey"), col("c_name"), col("n_name"),
-            col("revenue").cast("double").as("revenue"), col("n_items"))
-          .orderBy(desc("revenue"), col("c_custkey"))
-          .limit(20)
-      },
-      Some("""
-        SELECT c_custkey, c_name, n_name,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                        CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-               count(*) AS n_items
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation ON c_nationkey = n_nationkey
-        WHERE l_returnflag = 'R'
-          AND o_orderdate >= TIMESTAMP '1997-01-01'
-          AND o_orderdate < TIMESTAMP '1997-07-01'
-        GROUP BY c_custkey, c_name, n_name
-        ORDER BY revenue DESC, c_custkey
-        LIMIT 20""")),
-
-    // TPC-H Q15 shape: top supplier by quarterly revenue — the
-    // "view + scalar max" pattern: one aggregate pass builds per-supplier
-    // revenue, a broadcast scalar max selects the winner(s) exactly
-    // (decimal compare, no double ties).
-    Q("q15_top_supplier",
-      (s, dir) => {
-        val rev = col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1) - col("l_discount")).cast("decimal(18,2)")
-        val revenue = t(s, dir, "lineitem")
-          .where(expr("l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'") &&
-            expr("l_shipdate < TIMESTAMP '1997-04-01 00:00:00'"))
-          .groupBy(col("l_suppkey"))
-          .agg(sum(rev).as("total_rev"))
-        val maxRev = revenue.agg(max(col("total_rev")).as("mx"))
-        revenue.join(broadcast(maxRev), col("total_rev") === col("mx"))
-          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
-          .select(col("s_suppkey"), col("s_name"),
-            col("total_rev").cast("double").as("total_rev"))
-          .orderBy("s_suppkey")
-      },
-      Some("""
-        WITH revenue AS (
-          SELECT l_suppkey,
-                 sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                     CAST(1 - l_discount AS DECIMAL(18,2))) AS total_rev
-          FROM lineitem
-          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-            AND l_shipdate < TIMESTAMP '1997-04-01'
-          GROUP BY l_suppkey)
-        SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
-        FROM revenue JOIN supplier ON l_suppkey = s_suppkey
-        WHERE total_rev = (SELECT max(total_rev) FROM revenue)
-        ORDER BY s_suppkey""")),
-
-    // REAL audio-container header parsing (multimodal, codec-free): the
-    // Spark side CONSTRUCTS valid RIFF/WAVE headers byte-for-byte (params
-    // derived from doc_id), the BinaryColumns kernel PARSES them back —
-    // magic sniff, little-endian chunk walk, fmt fields, and the
-    // data-size -> duration arithmetic. The oracle recomputes everything
-    // arithmetically, so any parse error hash-mismatches.
-    Q("q_audio_meta",
-      (s, dir) => {
-        def le(e: String, nBytes: Int): String =
-          (0 until nBytes).map(i =>
-            s"lpad(hex((($e) div ${1L << (8 * i)}) % 256), 2, '0')")
-            .mkString("concat(", ", ", ")")
-        val withBytes = t(s, dir, "documents")
-          .withColumn("ch", (col("doc_id") % 2 + 1).cast("long"))
-          .withColumn("sr", (lit(8000) + (col("doc_id") % 8) * 1000).cast("long"))
-          .withColumn("db", ((col("doc_id") % 1000 + 1) * 100).cast("long"))
-          .withColumn("br", (col("sr") * col("ch") * 2).cast("long"))
-          .withColumn("wav", unhex(expr(
-            s"""concat('52494646', ${le("36 + db", 4)}, '57415645',
-                '666D7420', '10000000', '0100', ${le("ch", 2)}, ${le("sr", 4)},
-                ${le("br", 4)}, ${le("ch * 2", 2)}, '1000',
-                '64617461', ${le("db", 4)})""")))
-        graft.multimodal.BinaryColumns.withAudioMeta(withBytes, "wav")
-          .select(col("doc_id"), col("audio_format"),
-            col("audio_channels").cast("long").as("channels"),
-            col("audio_sample_rate").cast("long").as("sample_rate"),
-            col("audio_bits").cast("long").as("bits"),
-            col("audio_duration_ms").as("duration_ms"))
-          .orderBy("doc_id")
-      },
-      Some("""
-        SELECT doc_id, 'wav' AS audio_format,
-               CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
-               CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
-               CAST(16 AS BIGINT) AS bits,
-               CAST(((doc_id % 1000 + 1) * 100) * 1000 //
-                    ((8000 + (doc_id % 8) * 1000) * (doc_id % 2 + 1) * 2) AS BIGINT) AS duration_ms
-        FROM documents
-        ORDER BY doc_id""")),
-
-    // REAL video-container parsing (multimodal triage, codec-free): the
-    // Spark side CONSTRUCTS spec-shaped ISO-BMFF (MP4) bytes — ftyp,
-    // moov nesting a full-size mvhd (timescale/duration) and trak/tkhd
-    // (16.16-fixed width/height at payload offsets 76/80) — and the
-    // BinaryColumns kernel walks the big-endian box tree back. The
-    // oracle recomputes every field arithmetically from the residue
-    // formulas, so the box walk, nesting recursion, fixed-point shift,
-    // and duration arithmetic are all under the hash.
-    Q("q_video_meta",
-      (s, dir) => {
-        def be(e: String): String = s"lpad(hex($e), 8, '0')"
-        def zeros(n: Int): String = "'" + "00" * n + "'"
-        val withBytes = t(s, dir, "documents")
-          .withColumn("ts", (lit(600) + (col("doc_id") % 5) * 120).cast("long"))
-          .withColumn("dur", ((col("doc_id") % 1000 + 1) * 250).cast("long"))
-          .withColumn("w", (lit(160) + (col("doc_id") % 8) * 16).cast("long"))
-          .withColumn("h", (lit(120) + (col("doc_id") % 6) * 24).cast("long"))
-          .withColumn("mp4", unhex(expr(
-            s"""concat(
-                '00000010', '66747970', '69736F6D', '00000000',
-                '000000D8', '6D6F6F76',
-                '0000006C', '6D766864', '00000000', '00000000', '00000000',
-                ${be("ts")}, ${be("dur")}, ${zeros(80)},
-                '00000064', '7472616B',
-                '0000005C', '746B6864', ${zeros(76)},
-                ${be("w * 65536")}, ${be("h * 65536")})""")))
-        graft.multimodal.BinaryColumns.withVideoMeta(withBytes, "mp4")
-          .select(col("doc_id"), col("video_format"),
-            col("video_timescale").cast("long").as("timescale"),
-            col("video_duration_ms").as("duration_ms"),
-            col("video_width").cast("long").as("width"),
-            col("video_height").cast("long").as("height"))
-          .orderBy("doc_id")
-      },
-      Some("""
-        SELECT doc_id, 'mp4' AS video_format,
-               CAST(600 + (doc_id % 5) * 120 AS BIGINT) AS timescale,
-               CAST(((doc_id % 1000 + 1) * 250) * 1000 //
-                    (600 + (doc_id % 5) * 120) AS BIGINT) AS duration_ms,
-               CAST(160 + (doc_id % 8) * 16 AS BIGINT) AS width,
-               CAST(120 + (doc_id % 6) * 24 AS BIGINT) AS height
-        FROM documents
-        ORDER BY doc_id""")),
-
-    // WebDataset-style tar shards (multimodal/ShardCodec): the at-scale
-    // storage layout for multimodal training corpora — samples packed
-    // into tar shards, entries sharing a basename form one sample. Each
-    // doc packs a REAL 3-entry ustar shard (txt/cls/json by formula),
-    // then the PARSER walks it back: octal sizes, 512-block alignment,
-    // header checksums. The oracle recomputes names/sizes/payload md5s
-    // from the formulas, so a byte off anywhere in header layout or
-    // payload offsets hash-fails. Kernel inside mapPartitions; only
-    // narrow (name, size, md5) rows reach the exchange — shard bytes
-    // never do.
-    Q("q_tar_shard",
-      (s, dir) => {
-        import s.implicits._
-        val docs = tk(s, dir, "documents")
-          .select(col("doc_id").cast("long").as("doc_id"),
-            substring(col("text"), 1, 64).as("prefix"))
-          .as[(Long, String)]
-        docs.mapPartitions { it =>
-            it.flatMap { case (id, prefix) =>
-              import graft.multimodal.TarShard
-              val shard = TarShard.pack(Seq(
-                s"$id.txt" -> prefix.getBytes("UTF-8"),
-                s"$id.cls" -> s"label${id % 10}".getBytes("UTF-8"),
-                s"$id.json" -> s"""{"id":$id}""".getBytes("UTF-8")))
-              TarShard.entries(shard).map { e =>
-                (id, e.name, e.size,
-                  TarShard.md5Hex(TarShard.payload(shard, e)), e.checksumOk)
-              }
-            }
-          }
-          .toDF("doc_id", "name", "size", "payload_md5", "checksum_ok")
-          .orderBy("doc_id", "name")
-      },
-      Some("""
-        WITH e AS (
-          SELECT doc_id, CAST(doc_id AS VARCHAR) || '.txt' AS name,
-                 CAST(strlen(substring(text, 1, 64)) AS BIGINT) AS size,
-                 md5(substring(text, 1, 64)) AS payload_md5
-          FROM documents
-          UNION ALL
-          SELECT doc_id, CAST(doc_id AS VARCHAR) || '.cls',
-                 CAST(strlen('label' || CAST(doc_id % 10 AS VARCHAR)) AS BIGINT),
-                 md5('label' || CAST(doc_id % 10 AS VARCHAR))
-          FROM documents
-          UNION ALL
-          SELECT doc_id, CAST(doc_id AS VARCHAR) || '.json',
-                 CAST(strlen('{"id":' || CAST(doc_id AS VARCHAR) || '}') AS BIGINT),
-                 md5('{"id":' || CAST(doc_id AS VARCHAR) || '}')
-          FROM documents)
-        SELECT doc_id, name, size, payload_md5, true AS checksum_ok
-        FROM e
-        ORDER BY doc_id, name""")),
-
-    // The WebDataset READ path end to end: shard FILES on disk (written
-    // 50 docs/shard by the executors — synthShardDir), re-ingested
-    // through Spark's binaryFile source, entries exploded by the ustar
-    // walker. This is how a 100 TB multimodal corpus actually arrives:
-    // thousands of shard files, one task per shard, payload bytes never
-    // in an exchange — only (shard, name, size, md5) rows move. Oracle
-    // recomputes everything from the packing formulas, so file naming,
-    // shard assignment, write-side ordering and the parse all gate.
-    Q("q_shard_roundtrip",
-      (s, dir) => {
-        import s.implicits._
-        val shardDir = synthShardDir(s, dir)
-        s.read.format("binaryFile").load(s"$shardDir/*.tar")
-          .select(col("path"), col("content"))
-          .as[(String, Array[Byte])]
-          .flatMap { case (path, bytes) =>
-            import graft.multimodal.TarShard
-            val shard = "shard-(\\d+)\\.tar".r.findFirstMatchIn(path)
-              .map(_.group(1).toLong).getOrElse(-1L)
-            TarShard.entries(bytes).map { e =>
-              (shard, e.name, e.size,
-                TarShard.md5Hex(TarShard.payload(bytes, e)), e.checksumOk)
-            }
-          }
-          .toDF("shard_id", "name", "size", "payload_md5", "checksum_ok")
-          .orderBy("shard_id", "name")
-      },
-      Some("""
-        WITH e AS (
-          SELECT CAST(doc_id // 50 AS BIGINT) AS shard_id,
-                 CAST(doc_id AS VARCHAR) || '.txt' AS name,
-                 CAST(strlen(substring(text, 1, 48)) AS BIGINT) AS size,
-                 md5(substring(text, 1, 48)) AS payload_md5
-          FROM documents
-          UNION ALL
-          SELECT CAST(doc_id // 50 AS BIGINT),
-                 CAST(doc_id AS VARCHAR) || '.json',
-                 CAST(strlen('{"id":' || CAST(doc_id AS VARCHAR) || '}') AS BIGINT),
-                 md5('{"id":' || CAST(doc_id AS VARCHAR) || '}')
-          FROM documents)
-        SELECT shard_id, name, size, payload_md5, true AS checksum_ok
-        FROM e
-        ORDER BY shard_id, name""")),
-
-    // SRT subtitle parse + caption-to-frame alignment (multimodal/
-    // Subtitles): the text side of a video-text training pipeline. A
-    // real 3-cue SRT document is formatted per doc (format_string time
-    // stamps, multi-line cue text), parsed back declaratively
-    // (split/regexp_extract — fused into the scan), and each cue's
-    // interval is aligned to the 2000 ms frame grid in CLOSED FORM
-    // (ceil/floor integer arithmetic, no interval join, no shuffle).
-    // The oracle recomputes cues and covered frames from the formulas,
-    // so the parse (time arithmetic incl. hour carries, text joining)
-    // and the grid algebra are both gated.
-    Q("q_srt_align",
-      (s, dir) => {
-        def ts(msExpr: String): String = {
-          val m = s"CAST(($msExpr) AS BIGINT)"
-          s"format_string('%02d:%02d:%02d,%03d', $m div 3600000, " +
-            s"($m div 60000) % 60, ($m div 1000) % 60, $m % 1000)"
-        }
-        val cue = (i: Int) => {
-          val st = s"(doc_id % 7) * 500 + ${(i - 1) * 3000}"
-          val en = s"$st + 2000 + (doc_id % 3) * 250"
-          s"concat('$i', chr(10), ${ts(st)}, ' --> ', ${ts(en)}, chr(10), " +
-            s"'cap ', doc_id, chr(10), 'more$i')"
-        }
-        val srtExpr = s"concat(${cue(1)}, chr(10), chr(10), ${cue(2)}, " +
-          s"chr(10), chr(10), ${cue(3)})"
-        val parsed = t(s, dir, "documents")
-          .select(col("doc_id"),
-            explode(graft.multimodal.Subtitles.parseSrt(expr(srtExpr))).as("c"))
-          .select(col("doc_id"), col("c.seq").as("seq"),
-            col("c.start_ms").as("start_ms"), col("c.end_ms").as("end_ms"),
-            col("c.text").as("cap_text"))
-        parsed
-          .withColumn("frame_k", explode(
-            graft.multimodal.Subtitles.coveredFrames(
-              col("start_ms"), col("end_ms"), 2000L)))
-          .withColumn("frame_ms", col("frame_k") * 2000L)
-          .orderBy("doc_id", "seq", "frame_k")
-      },
-      Some("""
-        WITH cue AS (
-          SELECT doc_id, unnest(range(1, 4)) AS i FROM documents),
-        t AS (
-          SELECT doc_id, CAST(i AS INT) AS seq,
-                 CAST((doc_id % 7) * 500 + (i - 1) * 3000 AS BIGINT) AS start_ms,
-                 CAST((doc_id % 7) * 500 + (i - 1) * 3000
-                      + 2000 + (doc_id % 3) * 250 AS BIGINT) AS end_ms,
-                 'cap ' || CAST(doc_id AS VARCHAR) || chr(10) ||
-                 'more' || CAST(i AS VARCHAR) AS cap_text
-          FROM cue),
-        f AS (
-          SELECT t.*, unnest(range(
-                   CAST(ceil(start_ms / 2000.0) AS BIGINT),
-                   CAST(floor((end_ms - 1) / 2000.0) AS BIGINT) + 1)) AS frame_k
-          FROM t)
-        SELECT doc_id, seq, start_ms, end_ms, cap_text,
-               CAST(frame_k AS BIGINT) AS frame_k,
-               CAST(frame_k * 2000 AS BIGINT) AS frame_ms
-        FROM f
-        ORDER BY doc_id, seq, frame_k""")),
-
-    // WebVTT variant (multimodal/Subtitles.parseVtt): the caption format
-    // web video actually ships. The fixture exercises the grammar the
-    // SRT parser doesn't see — WEBVTT header and NOTE blocks (must be
-    // dropped), a short-form MM:SS.mmm cue with NO id line, and an
-    // id-carrying cue with an HOURS field and a position setting after
-    // the end time (must be ignored). Oracle recomputes both cues from
-    // the formulas, gating header skip, optional-hour time algebra and
-    // id/text line splitting at once.
-    Q("q_vtt_cues",
-      (s, dir) => {
-        def mmss(ms: String): String = {
-          val m = s"CAST(($ms) AS BIGINT)"
-          s"format_string('%02d:%02d.%03d', $m div 60000, ($m div 1000) % 60, $m % 1000)"
-        }
-        def hmmss(ms: String): String = {
-          val m = s"CAST(($ms) AS BIGINT)"
-          s"format_string('%d:%02d:%02d.%03d', $m div 3600000, " +
-            s"($m div 60000) % 60, ($m div 1000) % 60, $m % 1000)"
-        }
-        val st1 = "(doc_id % 5) * 250"
-        val st2 = "3700000 + (doc_id % 9) * 111"
-        val vtt = s"concat('WEBVTT', chr(10), chr(10), " +
-          s"'NOTE formula fixture', chr(10), chr(10), " +
-          s"${mmss(st1)}, ' --> ', ${mmss(s"$st1 + 1500")}, chr(10), " +
-          s"'short ', doc_id, chr(10), chr(10), " +
-          s"'c', doc_id, chr(10), " +
-          s"${hmmss(st2)}, ' --> ', ${hmmss(s"$st2 + 2000")}, ' position:10%', chr(10), " +
-          s"'long ', doc_id, chr(10), 'tail')"
-        t(s, dir, "documents")
-          .select(col("doc_id"),
-            explode(graft.multimodal.Subtitles.parseVtt(expr(vtt))).as("c"))
-          .select(col("doc_id"), col("c.cue_id").as("cue_id"),
-            col("c.start_ms").as("start_ms"), col("c.end_ms").as("end_ms"),
-            col("c.text").as("cue_text"))
-          .orderBy("doc_id", "start_ms")
-      },
-      Some("""
-        WITH c AS (
-          SELECT doc_id, '' AS cue_id,
-                 CAST((doc_id % 5) * 250 AS BIGINT) AS start_ms,
-                 CAST((doc_id % 5) * 250 + 1500 AS BIGINT) AS end_ms,
-                 'short ' || CAST(doc_id AS VARCHAR) AS cue_text
-          FROM documents
-          UNION ALL
-          SELECT doc_id, 'c' || CAST(doc_id AS VARCHAR),
-                 CAST(3700000 + (doc_id % 9) * 111 AS BIGINT),
-                 CAST(3700000 + (doc_id % 9) * 111 + 2000 AS BIGINT),
-                 'long ' || CAST(doc_id AS VARCHAR) || chr(10) || 'tail'
-          FROM documents)
-        SELECT doc_id, cue_id, start_ms, end_ms, cue_text
-        FROM c
-        ORDER BY doc_id, start_ms"""))
-  )
-
-  /** PCM energy windows over REAL synthesized payloads: each doc gets 96
-    * deterministic 16-bit samples (v = (doc_id*131 + s*17) % 2001 - 1000)
-    * serialized into an actual RIFF/WAVE byte string; the kernel decodes
-    * the two's-complement bytes back and computes per-32-sample RMS. The
-    * oracle recomputes the RMS from the sample FORMULA — so the byte
-    * round-trip (LE serialization, chunk walk, sign extension) is what's
-    * being verified. Integer samples keep every sum exact: no rounding
-    * anywhere, outputs are bit-identical raw doubles. */
-  private def pcmOps: Seq[Q] = Seq(
-    Q("q_pcm_energy",
-      (s, dir) => {
-        def le(e: String, nBytes: Int): String =
-          (0 until nBytes).map(i =>
-            s"lpad(hex((($e) div ${1L << (8 * i)}) % 256), 2, '0')")
-            .mkString("concat(", ", ", ")")
-        val u = "(((doc_id * 131 + s__ * 17) % 2001 - 1000) + 65536) % 65536"
-        val pcmHex = s"array_join(transform(sequence(0, 95), " +
-          s"s__ -> concat(lpad(hex(($u) % 256), 2, '0'), " +
-          s"lpad(hex(($u) div 256), 2, '0'))), '')"
-        val withBytes = t(s, dir, "documents")
-          .withColumn("wav", unhex(expr(
-            s"""concat('52494646', ${le("36 + 192", 4)}, '57415645',
-                '666D7420', '10000000', '0100', '0100', ${le("8000", 4)},
-                ${le("16000", 4)}, '0200', '1000',
-                '64617461', ${le("192", 4)}, $pcmHex)""")))
-        graft.multimodal.BinaryColumns.pcmEnergyWindows(withBytes, "wav", "doc_id", 32)
-          .orderBy("doc_id", "window_no")
-      },
-      Some("""
-        WITH s AS (SELECT doc_id, unnest(range(0, 96)) AS s FROM documents),
-        v AS (SELECT doc_id, s // 32 AS window_no,
-                     CAST((doc_id * 131 + s * 17) % 2001 - 1000 AS DOUBLE) AS v
-              FROM s)
-        SELECT doc_id, CAST(window_no AS BIGINT) AS window_no,
-               count(*) AS n_samples,
-               sqrt(sum(v * v) / CAST(32 AS DOUBLE)) AS rms
-        FROM v GROUP BY doc_id, window_no
-        ORDER BY doc_id, window_no""")),
-
-    // Voice-activity segments on REAL WAV byte round-trips: a 512-sample
-    // payload whose 16 windows carry a burst ENVELOPE (windows with
-    // ((doc_id + w) % 5) < 2 get full-scale samples, the rest a ±20
-    // murmur), so RMS >= 50 marks activity and consecutive active
-    // windows must merge into islands. The whole chain — LE
-    // serialization, chunk walk, RMS kernel, threshold, island collapse,
-    // segment numbering — replays from the sample formula in SQL.
-    Q("q_audio_vad",
-      (s, dir) => {
-        def le(e: String, nBytes: Int): String =
-          (0 until nBytes).map(i =>
-            s"lpad(hex((($e) div ${1L << (8 * i)}) % 256), 2, '0')")
-            .mkString("concat(", ", ", ")")
-        val v = "(CASE WHEN ((doc_id + (s__ div 32)) % 5) < 2 " +
-          "THEN (doc_id * 131 + s__ * 17) % 2001 - 1000 " +
-          "ELSE (doc_id * 7 + s__ * 13) % 41 - 20 END)"
-        val u = s"(($v) + 65536) % 65536"
-        val pcmHex = s"array_join(transform(sequence(0, 511), " +
-          s"s__ -> concat(lpad(hex(($u) % 256), 2, '0'), " +
-          s"lpad(hex(($u) div 256), 2, '0'))), '')"
-        val withBytes = t(s, dir, "documents")
-          .withColumn("wav", unhex(expr(
-            s"""concat('52494646', ${le("36 + 1024", 4)}, '57415645',
-                '666D7420', '10000000', '0100', '0100', ${le("8000", 4)},
-                ${le("16000", 4)}, '0200', '1000',
-                '64617461', ${le("1024", 4)}, $pcmHex)""")))
-        graft.multimodal.BinaryColumns.pcmVadSegments(
-            withBytes, "wav", "doc_id", 32, 50.0)
-          .orderBy("doc_id", "seg_no")
-      },
-      Some("""
-        WITH s AS (SELECT doc_id, unnest(range(0, 512)) AS s FROM documents),
-        v AS (SELECT doc_id, s // 32 AS w,
-                     CASE WHEN ((doc_id + (s // 32)) % 5) < 2
-                          THEN CAST((doc_id * 131 + s * 17) % 2001 - 1000 AS DOUBLE)
-                          ELSE CAST((doc_id * 7 + s * 13) % 41 - 20 AS DOUBLE) END AS v
-              FROM s),
-        e AS (SELECT doc_id, w, sqrt(sum(v * v) / CAST(32 AS DOUBLE)) AS rms
-              FROM v GROUP BY doc_id, w),
-        a AS (SELECT doc_id, w FROM e WHERE rms >= CAST(50.0 AS DOUBLE)),
-        g AS (SELECT doc_id, w,
-                     w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS grp
-              FROM a),
-        seg AS (SELECT doc_id,
-                       CAST(min(w) AS BIGINT) AS start_window,
-                       CAST(max(w) AS BIGINT) AS end_window,
-                       CAST(count(*) AS BIGINT) AS n_windows
-                FROM g GROUP BY doc_id, grp)
-        SELECT doc_id,
-               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_window) AS BIGINT) AS seg_no,
-               start_window, end_window, n_windows
-        FROM seg ORDER BY doc_id, seg_no""")),
-
-    // Single-bin DFT power (bin 3 over the 96-sample payload) on REAL
-    // WAV byte round-trips — the tone/carrier detector, frequency-domain
-    // companion to q_pcm_energy. The trig coefficients are computed ONCE
-    // in Scala and shared with the oracle as 17-significant-digit
-    // literals (exact double round-trip), so no libm trig runs in either
-    // engine's kernel: products and the sequential fold are bit-exact.
-    Q("q_audio_dft",
-      (s, dir) => {
-        def le(e: String, nBytes: Int): String =
-          (0 until nBytes).map(i =>
-            s"lpad(hex((($e) div ${1L << (8 * i)}) % 256), 2, '0')")
-            .mkString("concat(", ", ", ")")
-        val u = "(((doc_id * 131 + s__ * 17) % 2001 - 1000) + 65536) % 65536"
-        val pcmHex = s"array_join(transform(sequence(0, 95), " +
-          s"s__ -> concat(lpad(hex(($u) % 256), 2, '0'), " +
-          s"lpad(hex(($u) div 256), 2, '0'))), '')"
-        val withBytes = t(s, dir, "documents")
-          .withColumn("wav", unhex(expr(
-            s"""concat('52494646', ${le("36 + 192", 4)}, '57415645',
-                '666D7420', '10000000', '0100', '0100', ${le("8000", 4)},
-                ${le("16000", 4)}, '0200', '1000',
-                '64617461', ${le("192", 4)}, $pcmHex)""")))
-        val cosC = Array.tabulate(96)(n => math.cos(2.0 * math.Pi * 3 * n / 96))
-        val sinC = Array.tabulate(96)(n => math.sin(2.0 * math.Pi * 3 * n / 96))
-        graft.multimodal.BinaryColumns
-          .pcmDftBin(withBytes, "wav", "doc_id", 96, cosC, sinC)
-          .select(col("doc_id"), col("window_no"), r6(col("power")).as("power"))
-          .orderBy("doc_id")
-      },
-      Some {
-        val cosC = Array.tabulate(96)(n => math.cos(2.0 * math.Pi * 3 * n / 96))
-        val sinC = Array.tabulate(96)(n => math.sin(2.0 * math.Pi * 3 * n / 96))
-        def arr(a: Array[Double]) = a.map(v => f"$v%.17e").mkString("[", ", ", "]")
-        val v = "CAST((doc_id * 131 + n * 17) % 2001 - 1000 AS DOUBLE)"
-        def fold(coefCol: String) =
-          s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-              list_transform(range(0, 96), n -> $v * ($coefCol)[n + 1])),
-              (a__, x__) -> a__ + x__)"""
-        s"""
-        WITH coef AS (SELECT ${arr(cosC)} AS ca, ${arr(sinC)} AS sa),
-        f AS (SELECT doc_id,
-                     ${fold("ca")} AS re, ${fold("sa")} AS im
-              FROM documents CROSS JOIN coef)
-        SELECT doc_id, CAST(0 AS BIGINT) AS window_no,
-               ${duckR6("re * re + im * im")} AS power
-        FROM f
-        ORDER BY doc_id"""
-      }),
-
-    // Haar-wavelet audio fingerprints over REAL PCM byte round-trips: the
-    // sample payload is keyed by doc_id % 50 (a CONTENT class) while the
-    // container's sample-rate fields vary by doc_id — so byte hashes
-    // differ within a class but decoded-sample fingerprints agree. Exact
-    // integer arithmetic end to end: the oracle recomputes every Haar
-    // difference, band energy, and sign bit from the sample FORMULA, so
-    // the LE serialization, chunk walk, sign extension, and wavelet
-    // kernel are all under the hash.
-    Q("q_audio_fingerprint",
-      (s, dir) => {
-        def le(e: String, nBytes: Int): String =
-          (0 until nBytes).map(i =>
-            s"lpad(hex((($e) div ${1L << (8 * i)}) % 256), 2, '0')")
-            .mkString("concat(", ", ", ")")
-        val u = "((((doc_id % 50) * 131 + s__ * 17) % 2001 - 1000) + 65536) % 65536"
-        val pcmHex = s"array_join(transform(sequence(0, 95), " +
-          s"s__ -> concat(lpad(hex(($u) % 256), 2, '0'), " +
-          s"lpad(hex(($u) div 256), 2, '0'))), '')"
-        val withBytes = t(s, dir, "documents")
-          .withColumn("sr", (lit(8000) + (col("doc_id") % 8) * 1000).cast("long"))
-          .withColumn("wav", unhex(expr(
-            s"""concat('52494646', ${le("36 + 192", 4)}, '57415645',
-                '666D7420', '10000000', '0100', '0100', ${le("sr", 4)},
-                ${le("sr * 2", 4)}, '0200', '1000',
-                '64617461', ${le("192", 4)}, $pcmHex)""")))
-        graft.multimodal.BinaryColumns.pcmHaarFingerprints(withBytes, "wav", "doc_id")
-          .orderBy("doc_id", "window_no")
-      },
-      Some("""
-        WITH g AS (SELECT doc_id, doc_id % 50 AS cls FROM documents),
-        win AS (SELECT doc_id, cls, unnest(range(0, 3)) AS w FROM g),
-        d1 AS (SELECT doc_id, w, i,
-                      (CAST((cls * 131 + (32*w + 2*i) * 17) % 2001 - 1000 AS BIGINT)
-                     - CAST((cls * 131 + (32*w + 2*i + 1) * 17) % 2001 - 1000 AS BIGINT)) AS d
-               FROM win, range(0, 16) r(i)),
-        d2 AS (SELECT doc_id, w, i,
-                      (CAST((cls * 131 + (32*w + 4*i) * 17) % 2001 - 1000 AS BIGINT)
-                     + CAST((cls * 131 + (32*w + 4*i + 1) * 17) % 2001 - 1000 AS BIGINT)
-                     - CAST((cls * 131 + (32*w + 4*i + 2) * 17) % 2001 - 1000 AS BIGINT)
-                     - CAST((cls * 131 + (32*w + 4*i + 3) * 17) % 2001 - 1000 AS BIGINT)) AS d
-               FROM win, range(0, 8) r(i)),
-        d3 AS (SELECT doc_id, w, i,
-                      (CAST((cls * 131 + (32*w + 8*i) * 17) % 2001 - 1000 AS BIGINT)
-                     + CAST((cls * 131 + (32*w + 8*i + 1) * 17) % 2001 - 1000 AS BIGINT)
-                     + CAST((cls * 131 + (32*w + 8*i + 2) * 17) % 2001 - 1000 AS BIGINT)
-                     + CAST((cls * 131 + (32*w + 8*i + 3) * 17) % 2001 - 1000 AS BIGINT)
-                     - CAST((cls * 131 + (32*w + 8*i + 4) * 17) % 2001 - 1000 AS BIGINT)
-                     - CAST((cls * 131 + (32*w + 8*i + 5) * 17) % 2001 - 1000 AS BIGINT)
-                     - CAST((cls * 131 + (32*w + 8*i + 6) * 17) % 2001 - 1000 AS BIGINT)
-                     - CAST((cls * 131 + (32*w + 8*i + 7) * 17) % 2001 - 1000 AS BIGINT)) AS d
-               FROM win, range(0, 4) r(i)),
-        l1 AS (SELECT doc_id, w, CAST(sum(d*d) AS BIGINT) AS e1,
-                      CAST(sum(CASE WHEN d > 0 THEN 1 << CAST(i AS INT) ELSE 0 END) AS BIGINT) AS f1
-               FROM d1 GROUP BY doc_id, w),
-        l2 AS (SELECT doc_id, w, CAST(sum(d*d) AS BIGINT) AS e2,
-                      CAST(sum(CASE WHEN d > 0 THEN 1 << CAST(16 + i AS INT) ELSE 0 END) AS BIGINT) AS f2
-               FROM d2 GROUP BY doc_id, w),
-        l3 AS (SELECT doc_id, w, CAST(sum(d*d) AS BIGINT) AS e3,
-                      CAST(sum(CASE WHEN d > 0 THEN 1 << CAST(24 + i AS INT) ELSE 0 END) AS BIGINT) AS f3
-               FROM d3 GROUP BY doc_id, w)
-        SELECT doc_id, CAST(w AS BIGINT) AS window_no, e1, e2, e3,
-               (f1 + f2 + f3) AS fp
-        FROM l1 JOIN l2 USING (doc_id, w) JOIN l3 USING (doc_id, w)
-        ORDER BY doc_id, window_no""")),
-
-    // Audio CONTENT dedup on the fingerprint-sequence hash: docs sharing
-    // a sample class collide on md5(fp sequence) even though their
-    // container bytes differ (sample-rate fields vary by doc_id) — the
-    // dedup a byte hash (q_binary_meta's content_hash) cannot do.
-    // Canonical = lowest doc_id per content hash, one window over
-    // (doc_id, hash) rows.
-    Q("q_audio_dedup",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        def le(e: String, nBytes: Int): String =
-          (0 until nBytes).map(i =>
-            s"lpad(hex((($e) div ${1L << (8 * i)}) % 256), 2, '0')")
-            .mkString("concat(", ", ", ")")
-        val u = "((((doc_id % 50) * 131 + s__ * 17) % 2001 - 1000) + 65536) % 65536"
-        val pcmHex = s"array_join(transform(sequence(0, 95), " +
-          s"s__ -> concat(lpad(hex(($u) % 256), 2, '0'), " +
-          s"lpad(hex(($u) div 256), 2, '0'))), '')"
-        val withBytes = t(s, dir, "documents")
-          .withColumn("sr", (lit(8000) + (col("doc_id") % 8) * 1000).cast("long"))
-          .withColumn("wav", unhex(expr(
-            s"""concat('52494646', ${le("36 + 192", 4)}, '57415645',
-                '666D7420', '10000000', '0100', '0100', ${le("sr", 4)},
-                ${le("sr * 2", 4)}, '0200', '1000',
-                '64617461', ${le("192", 4)}, $pcmHex)""")))
-        graft.multimodal.BinaryColumns.pcmHaarFingerprints(withBytes, "wav", "doc_id")
-          .groupBy(col("doc_id"))
-          .agg(expr("""md5(array_join(transform(
-                 array_sort(collect_list(struct(window_no, fp))),
-                 s__ -> CAST(s__.fp AS STRING)), ','))""").as("content_fp"))
-          .withColumn("canonical_id",
-            min(col("doc_id")).over(Window.partitionBy(col("content_fp"))))
-          .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
-          .select(col("doc_id"), col("content_fp"), col("canonical_id"), col("is_dup"))
-          .orderBy("doc_id")
-      },
-      Some("""
-        WITH g AS (SELECT doc_id, doc_id % 50 AS cls FROM documents),
-        win AS (SELECT doc_id, cls, unnest(range(0, 3)) AS w FROM g),
-        d1 AS (SELECT doc_id, w, i,
-                      (CAST((cls * 131 + (32*w + 2*i) * 17) % 2001 - 1000 AS BIGINT)
-                     - CAST((cls * 131 + (32*w + 2*i + 1) * 17) % 2001 - 1000 AS BIGINT)) AS d
-               FROM win, range(0, 16) r(i)),
-        d2 AS (SELECT doc_id, w, i,
-                      (CAST((cls * 131 + (32*w + 4*i) * 17) % 2001 - 1000 AS BIGINT)
-                     + CAST((cls * 131 + (32*w + 4*i + 1) * 17) % 2001 - 1000 AS BIGINT)
-                     - CAST((cls * 131 + (32*w + 4*i + 2) * 17) % 2001 - 1000 AS BIGINT)
-                     - CAST((cls * 131 + (32*w + 4*i + 3) * 17) % 2001 - 1000 AS BIGINT)) AS d
-               FROM win, range(0, 8) r(i)),
-        d3 AS (SELECT doc_id, w, i,
-                      (CAST((cls * 131 + (32*w + 8*i) * 17) % 2001 - 1000 AS BIGINT)
-                     + CAST((cls * 131 + (32*w + 8*i + 1) * 17) % 2001 - 1000 AS BIGINT)
-                     + CAST((cls * 131 + (32*w + 8*i + 2) * 17) % 2001 - 1000 AS BIGINT)
-                     + CAST((cls * 131 + (32*w + 8*i + 3) * 17) % 2001 - 1000 AS BIGINT)
-                     - CAST((cls * 131 + (32*w + 8*i + 4) * 17) % 2001 - 1000 AS BIGINT)
-                     - CAST((cls * 131 + (32*w + 8*i + 5) * 17) % 2001 - 1000 AS BIGINT)
-                     - CAST((cls * 131 + (32*w + 8*i + 6) * 17) % 2001 - 1000 AS BIGINT)
-                     - CAST((cls * 131 + (32*w + 8*i + 7) * 17) % 2001 - 1000 AS BIGINT)) AS d
-               FROM win, range(0, 4) r(i)),
-        l1 AS (SELECT doc_id, w,
-                      CAST(sum(CASE WHEN d > 0 THEN 1 << CAST(i AS INT) ELSE 0 END) AS BIGINT) AS f1
-               FROM d1 GROUP BY doc_id, w),
-        l2 AS (SELECT doc_id, w,
-                      CAST(sum(CASE WHEN d > 0 THEN 1 << CAST(16 + i AS INT) ELSE 0 END) AS BIGINT) AS f2
-               FROM d2 GROUP BY doc_id, w),
-        l3 AS (SELECT doc_id, w,
-                      CAST(sum(CASE WHEN d > 0 THEN 1 << CAST(24 + i AS INT) ELSE 0 END) AS BIGINT) AS f3
-               FROM d3 GROUP BY doc_id, w),
-        fpw AS (SELECT doc_id, w, (f1 + f2 + f3) AS fp
-                FROM l1 JOIN l2 USING (doc_id, w) JOIN l3 USING (doc_id, w)),
-        doc AS (SELECT doc_id,
-                       md5(array_to_string(list(CAST(fp AS VARCHAR) ORDER BY w), ',')) AS content_fp
-                FROM fpw GROUP BY doc_id)
-        SELECT doc_id, content_fp,
-               CAST(min(doc_id) OVER (PARTITION BY content_fp) AS BIGINT) AS canonical_id,
-               doc_id <> min(doc_id) OVER (PARTITION BY content_fp) AS is_dup
-        FROM doc
-        ORDER BY doc_id"""))
-  )
-
-  /** Deterministic PNG synthesis for the decoded-pixel oracles: paints the
-    * `key`-seeded pixel formula (row-major, x = p % w, y = p / w)
-    *   r = (key*7 + x*13 + y*31) % 256   [perturbed: r - r%16 + 8 where
-    *                                      (x*7 + y*11) % 13 == 0]
-    *   g = (key*11 + x*3 + y*17) % 256
-    *   b = (key*5 + x*23 + y*29) % 256
-    * and losslessly PNG-encodes it. The ORACLE recomputes every feature
-    * from this formula in SQL, so the whole ImageIO encode→decode byte
-    * round-trip is what gets verified (the q_pcm_energy pattern). */
-  private val synthPngUdf = udf((key: Long, w: Int, h: Int, perturb: Boolean) => {
-    val rgb = new Array[Int](w * h)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val r0 = ((key * 7 + x * 13 + y * 31) % 256).toInt
-        val r = if (perturb && (x * 7 + y * 11) % 13 == 0) r0 - r0 % 16 + 8 else r0
-        val g = ((key * 11 + x * 3 + y * 17) % 256).toInt
-        val b = ((key * 5 + x * 23 + y * 29) % 256).toInt
-        rgb(y * w + x) = (r << 16) | (g << 8) | b
-        x += 1
-      }
-      y += 1
-    }
-    graft.multimodal.ImageCodec.encodePng(w, h, rgb)
-  })
-
-  /** Deterministic animated-GIF synthesis for the multi-frame oracle:
-    * 3 + doc_id%3 frames of 16x12, each split into left/right halves
-    * painted with RGB-cube-corner colors (lc = (doc_id+k)%8,
-    * rc = (doc_id*3+k*5)%8; corner bits -> 0/255 channels) — the only
-    * palette-proof color set, so the GIF round-trip is bit-exact. */
-  private val synthGifUdf = udf((docId: Long) => {
-    def corner(c: Long): Int =
-      ((255L * (c & 1)).toInt << 16) | ((255L * ((c >> 1) & 1)).toInt << 8) |
-        (255L * ((c >> 2) & 1)).toInt
-    val n = (3 + docId % 3).toInt
-    val frames = (0 until n).map { k =>
-      val lc = (docId + k) % 8
-      val rc = (docId * 3 + k * 5) % 8
-      Array.tabulate(16 * 12)(p => corner(if (p % 16 < 8) lc else rc))
-    }
-    graft.multimodal.ImageCodec.encodeAnimatedGif(16, 12, frames)
-  })
-
-  /** Synthesized-media fixture table, cached per dir (the opqRotation
-    * memo contract): q_image_pixels / q_image_neardup / q_image_resize /
-    * q_gif_frames all decode fixtures that are pure functions of doc_id,
-    * so synthesis (thousands of PNG/GIF encodes) runs once per dir and
-    * subsequent runs measure the operator — decode/hash/join — not the
-    * fixture encode. Columns: doc_id, img_var (formula PNG, dims
-    * 16-20 x 16-22), img_nd (16x16; ids 100-199 are perturbed copies of
-    * 0-99), gif (3-5 frame animated GIF). */
-  /** WebDataset-style shard DIRECTORY fixture: documents packed 50 per
-    * ustar shard file (two entries per doc, ordered by doc_id), written
-    * from the executors — `repartition(shard_id)` puts every shard's
-    * rows in one task, the file write is the task's side effect (on a
-    * real cluster the target is shared storage; locally /tmp). Memoized
-    * like synthMedia: md5(dir|version)-keyed, marker-gated. */
-  private val shardDirVersion = 1
-  private def synthShardDir(s: SparkSession, dir: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val key = md.digest(s"$dir|$shardDirVersion".getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
-    val out = s"${sys.props("java.io.tmpdir")}/graft_shards_$key"
-    val marker = new java.io.File(s"$out/_DONE")
-    if (!marker.isFile) {
-      import s.implicits._
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
-      t(s, dir, "documents")
-        .select(expr("CAST(doc_id div 50 AS BIGINT)").as("shard_id"),
-          col("doc_id").cast("long").as("doc_id"),
-          substring(col("text"), 1, 48).as("prefix"))
-        .repartition(8, col("shard_id"))
-        .as[(Long, Long, String)]
-        .foreachPartition { it: Iterator[(Long, Long, String)] =>
-          it.toSeq.groupBy(_._1).foreach { case (shard, rows) =>
-            val entries = rows.sortBy(_._2).flatMap { case (_, id, prefix) =>
-              Seq(s"$id.txt" -> prefix.getBytes("UTF-8"),
-                s"$id.json" -> s"""{"id":$id}""".getBytes("UTF-8"))
-            }
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(out, f"shard-$shard%05d.tar"),
-              graft.multimodal.TarShard.pack(entries))
-          }
-        }
-      java.nio.file.Files.writeString(marker.toPath, "ok")
-    }
-    out
-  }
-
-  private val synthMediaVersion = 2 // bump on ANY pixel/GIF formula change
-  // (v2: same formulas, cache written as 32 files — 8 row groups capped
-  // every decode-heavy image query at 8 of the 32 cores, the same
-  // starvation the sf10x replica fix addressed)
-  private def synthMedia(s: SparkSession, dir: String): DataFrame = {
-    // cache key = md5(full path + format version): hashCode collisions
-    // across dirs can't serve wrong fixtures, and a formula change can't
-    // silently keep serving stale /tmp caches to the correctness oracles
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val key = md.digest(s"$dir|$synthMediaVersion".getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
-    val out = s"${sys.props("java.io.tmpdir")}/graft_synth_media_$key"
-    val marker = new java.io.File(s"$out/_DONE")
-    if (!marker.isFile) {
-      t(s, dir, "documents").select(col("doc_id"))
-        .withColumn("img_var", synthPngUdf(col("doc_id"),
-          (col("doc_id") % 5 + 16).cast("int"),
-          (col("doc_id") % 7 + 16).cast("int"), lit(false)))
-        .withColumn("img_nd", synthPngUdf(
-          expr("CASE WHEN doc_id >= 100 AND doc_id < 200 THEN doc_id - 100 ELSE doc_id END"),
-          lit(16), lit(16),
-          expr("doc_id >= 100 AND doc_id < 200")))
-        .withColumn("gif", synthGifUdf(col("doc_id")))
-        .repartition(32)
-        .write.mode("overwrite").parquet(out)
-      java.nio.file.Files.writeString(marker.toPath, "ok")
-    }
-    // NOT tk()-rebalanced: measured at sf0.1, a hash exchange of the
-    // image payloads costs more than the single-digit-ms/row decode
-    // saves (blobs are the widest rows in the repo — moving them is the
-    // expense the near-dup/stats operators are designed to avoid). The
-    // cache is written pre-split so bigger fixtures split by size.
-    s.read.parquet(out)
-  }
-
-  /** Assemble one 32-bit half of a perceptual hash from (i, bit) rows —
-    * shared by both image-pixel oracles; halves keep every value in
-    * non-negative BIGINT range on both engines. */
-  private def duckHashHalf(lo: Boolean, as: String): String =
-    if (lo)
-      s"CAST(sum(CASE WHEN i < 32 THEN bit * (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS $as"
-    else
-      s"CAST(sum(CASE WHEN i >= 32 THEN bit * (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS $as"
-
-  /** REAL decoded-pixel image features (ImageIO decode in-engine; oracle
-    * recomputes from the pixel formula — any decode/luma/blocking error
-    * hash-mismatches) + pixel-level image near-dup over the banded
-    * perceptual-hash join. */
-  private def imagePixelOps: Seq[Q] = Seq(
-    // Decode verification: per-doc synthesized PNG (dims vary 16-20 x
-    // 16-22 so the floor block mapping hits UNEVEN blocks), decoded by
-    // ImageCodec; exact integer channel sums + aHash/dHash halves.
-    Q("q_image_pixels",
-      (s, dir) => {
-        val withImg = synthMedia(s, dir).select(col("doc_id"), col("img_var").as("img"))
-        graft.multimodal.ImageCodec.withImagePixelStats(withImg, "img")
-          .select(col("doc_id"),
-            col("img_w").cast("long").as("img_w"),
-            col("img_h").cast("long").as("img_h"),
-            col("sum_r"), col("sum_g"), col("sum_b"),
-            expr("ahash & 4294967295").as("ahash_lo"),
-            expr("shiftright(ahash, 32) & 4294967295").as("ahash_hi"),
-            expr("dhash & 4294967295").as("dhash_lo"),
-            expr("shiftright(dhash, 32) & 4294967295").as("dhash_hi"))
-          .orderBy("doc_id")
-      },
-      Some(s"""
-        WITH px AS (
-          SELECT doc_id,
-                 CAST(doc_id % 5 + 16 AS BIGINT) AS w,
-                 CAST(doc_id % 7 + 16 AS BIGINT) AS h,
-                 unnest(range(0, (doc_id % 5 + 16) * (doc_id % 7 + 16))) AS p
-          FROM documents),
-        g AS (
-          SELECT doc_id, w, h,
-                 (doc_id * 7 + (p % w) * 13 + (p // w) * 31) % 256 AS r,
-                 (doc_id * 11 + (p % w) * 3 + (p // w) * 17) % 256 AS g,
-                 (doc_id * 5 + (p % w) * 23 + (p // w) * 29) % 256 AS b,
-                 ((p % w) * 8) // w AS bx, ((p // w) * 8) // h AS by,
-                 ((p % w) * 9) // w AS cx
-          FROM px),
-        g2 AS (SELECT *, 299 * r + 587 * g + 114 * b AS gray FROM g),
-        tot AS (
-          SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
-                 CAST(sum(r) AS BIGINT) AS sum_r,
-                 CAST(sum(g) AS BIGINT) AS sum_g,
-                 CAST(sum(b) AS BIGINT) AS sum_b,
-                 CAST(sum(gray) AS BIGINT) AS total, count(*) AS n
-          FROM g2 GROUP BY doc_id),
-        ab AS (SELECT doc_id, by, bx, CAST(sum(gray) AS BIGINT) AS s2,
-                      count(*) AS c2
-               FROM g2 GROUP BY doc_id, by, bx),
-        abit AS (SELECT ab.doc_id, ab.by * 8 + ab.bx AS i,
-                        CASE WHEN ab.s2 * tot.n >= tot.total * ab.c2
-                             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
-                 FROM ab JOIN tot USING (doc_id)),
-        ah AS (SELECT doc_id, ${duckHashHalf(lo = true, "ahash_lo")},
-                      ${duckHashHalf(lo = false, "ahash_hi")}
-               FROM abit GROUP BY doc_id),
-        db AS (SELECT doc_id, by, cx, CAST(sum(gray) AS BIGINT) AS s2,
-                      count(*) AS c2
-               FROM g2 GROUP BY doc_id, by, cx),
-        dbit AS (SELECT l.doc_id, l.by * 8 + l.cx AS i,
-                        CASE WHEN r2.s2 * l.c2 > l.s2 * r2.c2
-                             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
-                 FROM db l JOIN db r2 ON l.doc_id = r2.doc_id
-                                     AND l.by = r2.by AND r2.cx = l.cx + 1
-                 WHERE l.cx < 8),
-        dh AS (SELECT doc_id, ${duckHashHalf(lo = true, "dhash_lo")},
-                      ${duckHashHalf(lo = false, "dhash_hi")}
-               FROM dbit GROUP BY doc_id)
-        SELECT doc_id, w AS img_w, h AS img_h, sum_r, sum_g, sum_b,
-               ahash_lo, ahash_hi, dhash_lo, dhash_hi
-        FROM tot JOIN ah USING (doc_id) JOIN dh USING (doc_id)
-        ORDER BY doc_id""")),
-
-    // Decode -> box-resize -> re-encode -> decode: the thumbnailing stage
-    // with EXACT integer semantics (factor-2 block floor-means, trailing
-    // row/col dropped on the odd dims) — the oracle recomputes every
-    // output pixel from the input formula, so both PNG round-trips and
-    // the block arithmetic are verified.
-    Q("q_image_resize",
-      (s, dir) => {
-        val withImg = synthMedia(s, dir).select(col("doc_id"), col("img_var").as("img"))
-        val rs = graft.multimodal.ImageCodec.withResized(withImg, "img", 2)
-        graft.multimodal.ImageCodec.withImagePixelStats(rs, "resized")
-          .select(col("doc_id"),
-            col("img_w").cast("long").as("img_w"),
-            col("img_h").cast("long").as("img_h"),
-            col("sum_r"), col("sum_g"), col("sum_b"))
-          .orderBy("doc_id")
-      },
-      Some("""
-        WITH px AS (
-          SELECT doc_id,
-                 CAST(doc_id % 5 + 16 AS BIGINT) AS w,
-                 CAST(doc_id % 7 + 16 AS BIGINT) AS h,
-                 unnest(range(0, (doc_id % 5 + 16) * (doc_id % 7 + 16))) AS p
-          FROM documents),
-        c AS (
-          SELECT doc_id, w, h, p % w AS x, p // w AS y,
-                 (doc_id * 7 + (p % w) * 13 + (p // w) * 31) % 256 AS r,
-                 (doc_id * 11 + (p % w) * 3 + (p // w) * 17) % 256 AS g,
-                 (doc_id * 5 + (p % w) * 23 + (p // w) * 29) % 256 AS b
-          FROM px),
-        blk AS (
-          SELECT doc_id, x // 2 AS ox, y // 2 AS oy,
-                 CAST(sum(r) AS BIGINT) AS sr, CAST(sum(g) AS BIGINT) AS sg,
-                 CAST(sum(b) AS BIGINT) AS sb
-          FROM c
-          WHERE x < (w // 2) * 2 AND y < (h // 2) * 2
-          GROUP BY doc_id, x // 2, y // 2),
-        o AS (
-          SELECT doc_id, CAST(sum(sr // 4) AS BIGINT) AS sum_r,
-                 CAST(sum(sg // 4) AS BIGINT) AS sum_g,
-                 CAST(sum(sb // 4) AS BIGINT) AS sum_b
-          FROM blk GROUP BY doc_id)
-        SELECT doc_id,
-               CAST((doc_id % 5 + 16) // 2 AS BIGINT) AS img_w,
-               CAST((doc_id % 7 + 16) // 2 AS BIGINT) AS img_h,
-               sum_r, sum_g, sum_b
-        FROM o ORDER BY doc_id""")),
-
-    // REAL multi-frame decode: per-doc animated GIF (3-5 frames of
-    // RGB-cube-corner half-split patterns — colors that survive palette
-    // quantization exactly), every 2nd frame sampled and channel-summed;
-    // the oracle recomputes each sampled frame's sums from the corner
-    // formula. Retires the "frame sampling is byte-slicing" caveat with
-    // an actual multi-frame container decode.
-    Q("q_gif_frames",
-      (s, dir) => {
-        val withGif = synthMedia(s, dir).select(col("doc_id"), col("gif"))
-        graft.multimodal.ImageCodec.gifFrameStats(withGif, "gif", "doc_id", 2)
-          .select(col("doc_id"), col("frame_no"),
-            col("frame_w").cast("long").as("frame_w"),
-            col("frame_h").cast("long").as("frame_h"),
-            col("sum_r"), col("sum_g"), col("sum_b"))
-          .orderBy("doc_id", "frame_no")
-      },
-      Some("""
-        WITH f AS (SELECT doc_id, unnest(range(0, 3 + doc_id % 3, 2)) AS k
-                   FROM documents),
-        c AS (SELECT doc_id, k, (doc_id + k) % 8 AS lc,
-                     (doc_id * 3 + k * 5) % 8 AS rc
-              FROM f)
-        SELECT doc_id, CAST(k AS BIGINT) AS frame_no,
-               CAST(16 AS BIGINT) AS frame_w, CAST(12 AS BIGINT) AS frame_h,
-               CAST(96 * 255 * ((lc % 2) + (rc % 2)) AS BIGINT) AS sum_r,
-               CAST(96 * 255 * (((lc // 2) % 2) + ((rc // 2) % 2)) AS BIGINT) AS sum_g,
-               CAST(96 * 255 * (((lc // 4) % 2) + ((rc // 4) % 2)) AS BIGINT) AS sum_b
-        FROM c ORDER BY doc_id, frame_no""")),
-
-    // Pixel-level image near-dup: docs 100-199 are perturbed copies of
-    // 0-99 (small quantized nudge on ~1/13 of red pixels), everything
-    // else independent; the engine decodes, aHashes, and band-joins
-    // (8x8-bit LSH — full recall at hamming <= 6 by pigeonhole), and the
-    // oracle recomputes aHash from the formula and brute-forces all
-    // pairs, which is equivalent BY THE SAME pigeonhole bound — so the
-    // banded plan's recall itself is under test.
-    Q("q_image_neardup",
-      (s, dir) => {
-        val docs = synthMedia(s, dir).select(col("doc_id"), col("img_nd").as("img"))
-        graft.multimodal.ImageCodec.imageNearDupPairs(docs, "doc_id", "img", 6)
-          .orderBy("id_a", "id_b")
-      },
-      Some("""
-        WITH d AS (
-          SELECT doc_id,
-                 CASE WHEN doc_id >= 100 AND doc_id < 200
-                      THEN doc_id - 100 ELSE doc_id END AS key,
-                 (doc_id >= 100 AND doc_id < 200) AS pert
-          FROM documents),
-        px AS (SELECT doc_id, key, pert, unnest(range(0, 256)) AS p FROM d),
-        c AS (
-          SELECT doc_id, pert, p % 16 AS x, p // 16 AS y,
-                 (key * 7 + (p % 16) * 13 + (p // 16) * 31) % 256 AS r0,
-                 (key * 11 + (p % 16) * 3 + (p // 16) * 17) % 256 AS g,
-                 (key * 5 + (p % 16) * 23 + (p // 16) * 29) % 256 AS b
-          FROM px),
-        g2 AS (
-          SELECT doc_id,
-                 (x * 8) // 16 AS bx, (y * 8) // 16 AS by,
-                 299 * (CASE WHEN pert AND (x * 7 + y * 11) % 13 = 0
-                             THEN r0 - (r0 % 16) + 8 ELSE r0 END)
-                 + 587 * g + 114 * b AS gray
-          FROM c),
-        tot AS (SELECT doc_id, CAST(sum(gray) AS BIGINT) AS total, count(*) AS n
-                FROM g2 GROUP BY doc_id),
-        ab AS (SELECT doc_id, by, bx, CAST(sum(gray) AS BIGINT) AS s2,
-                      count(*) AS c2
-               FROM g2 GROUP BY doc_id, by, bx),
-        abit AS (SELECT ab.doc_id, ab.by * 8 + ab.bx AS i,
-                        CASE WHEN ab.s2 * tot.n >= tot.total * ab.c2
-                             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
-                 FROM ab JOIN tot USING (doc_id)),
-        ah AS (SELECT doc_id,
-                      CAST(sum(CASE WHEN i < 32 THEN bit * (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS lo,
-                      CAST(sum(CASE WHEN i >= 32 THEN bit * (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS hi
-               FROM abit GROUP BY doc_id)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
-        FROM ah a JOIN ah b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6
-        ORDER BY id_a, id_b""")),
-
-    // Dual-hash near-dup (r7): candidates = aHash bands UNION dHash bands,
-    // pair kept when EITHER hamming <= 6 — the production union real image
-    // pipelines run (dHash catches gradient dups a brightness shift hides
-    // from aHash). The oracle recomputes BOTH hashes from the pixel
-    // formula and brute-forces all pairs, which by the pigeonhole bound
-    // equals the banded plan's output — recall of the union join is under
-    // the hash gate.
-    Q("q_image_neardup_d",
-      (s, dir) => {
-        val docs = synthMedia(s, dir).select(col("doc_id"), col("img_nd").as("img"))
-        graft.multimodal.ImageCodec.imageNearDupPairsDual(docs, "doc_id", "img", 6)
-          .orderBy("id_a", "id_b")
-      },
-      Some(s"""
-        WITH d AS (
-          SELECT doc_id,
-                 CASE WHEN doc_id >= 100 AND doc_id < 200
-                      THEN doc_id - 100 ELSE doc_id END AS key,
-                 (doc_id >= 100 AND doc_id < 200) AS pert
-          FROM documents),
-        px AS (SELECT doc_id, key, pert, unnest(range(0, 256)) AS p FROM d),
-        c AS (
-          SELECT doc_id, pert, p % 16 AS x, p // 16 AS y,
-                 (key * 7 + (p % 16) * 13 + (p // 16) * 31) % 256 AS r0,
-                 (key * 11 + (p % 16) * 3 + (p // 16) * 17) % 256 AS g,
-                 (key * 5 + (p % 16) * 23 + (p // 16) * 29) % 256 AS b
-          FROM px),
-        g2 AS (
-          SELECT doc_id, x, y,
-                 299 * (CASE WHEN pert AND (x * 7 + y * 11) % 13 = 0
-                             THEN r0 - (r0 % 16) + 8 ELSE r0 END)
-                 + 587 * g + 114 * b AS gray
-          FROM c),
-        tot AS (SELECT doc_id, CAST(sum(gray) AS BIGINT) AS total, count(*) AS n
-                FROM g2 GROUP BY doc_id),
-        ab AS (SELECT doc_id, (y * 8) // 16 AS by, (x * 8) // 16 AS bx,
-                      CAST(sum(gray) AS BIGINT) AS s2, count(*) AS c2
-               FROM g2 GROUP BY doc_id, (y * 8) // 16, (x * 8) // 16),
-        abit AS (SELECT ab.doc_id, ab.by * 8 + ab.bx AS i,
-                        CASE WHEN ab.s2 * tot.n >= tot.total * ab.c2
-                             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
-                 FROM ab JOIN tot USING (doc_id)),
-        ah AS (SELECT doc_id, ${duckHashHalf(lo = true, "alo")},
-                      ${duckHashHalf(lo = false, "ahi")}
-               FROM abit GROUP BY doc_id),
-        db AS (SELECT doc_id, (y * 8) // 16 AS by, (x * 9) // 16 AS cx,
-                      CAST(sum(gray) AS BIGINT) AS s2, count(*) AS c2
-               FROM g2 GROUP BY doc_id, (y * 8) // 16, (x * 9) // 16),
-        dbit AS (SELECT l.doc_id, l.by * 8 + l.cx AS i,
-                        CASE WHEN r2.s2 * l.c2 > l.s2 * r2.c2
-                             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
-                 FROM db l JOIN db r2 ON l.doc_id = r2.doc_id
-                                     AND l.by = r2.by AND r2.cx = l.cx + 1
-                 WHERE l.cx < 8),
-        dh AS (SELECT doc_id, ${duckHashHalf(lo = true, "dlo")},
-                      ${duckHashHalf(lo = false, "dhi")}
-               FROM dbit GROUP BY doc_id),
-        hx AS (SELECT ah.doc_id, alo, ahi, dlo, dhi
-               FROM ah JOIN dh USING (doc_id))
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(bit_count(xor(a.alo, b.alo)) + bit_count(xor(a.ahi, b.ahi)) AS BIGINT) AS hamming_a,
-               CAST(bit_count(xor(a.dlo, b.dlo)) + bit_count(xor(a.dhi, b.dhi)) AS BIGINT) AS hamming_d
-        FROM hx a JOIN hx b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.alo, b.alo)) + bit_count(xor(a.ahi, b.ahi)) <= 6
-           OR bit_count(xor(a.dlo, b.dlo)) + bit_count(xor(a.dhi, b.dhi)) <= 6
-        ORDER BY id_a, id_b""")),
-
-    // 256-bit aHash near-dup — the SCALE-PATH fingerprint. The 64-bit
-    // hash's pair bands collide at n^2*28/2^16 on unrelated data (the 10x
-    // rehearsal's measured saturation); with 4x the bits, 32-bit
-    // block-pair keys drop the collision term by 2^16 (exact recall <=
-    // hamming 14 by pigeonhole over the 16 two-byte blocks). On the
-    // 16x16 fixture every block is one pixel, so the oracle recomputes
-    // each of the 256 bits directly (gray*256 vs total), packs 8 32-bit
-    // words, and brute-forces all pairs — banding recall under the hash.
-    Q("q_image_neardup256",
-      (s, dir) => {
-        val docs = synthMedia(s, dir).select(col("doc_id"), col("img_nd").as("img"))
-        graft.multimodal.ImageCodec.imageNearDupPairs256(docs, "doc_id", "img", 14)
-          .orderBy("id_a", "id_b")
-      },
-      Some {
-        val words = (0 until 8).map(k =>
-          s"CAST(sum(CASE WHEN i // 32 = $k THEN bit * (CAST(1 AS BIGINT) << CAST(i % 32 AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS w$k")
-          .mkString(", ")
-        // bit_count is TINYINT in DuckDB — the 8-word sum can reach 256,
-        // so every term must widen BEFORE the addition
-        val ham = (0 until 8).map(k => s"CAST(bit_count(xor(a.w$k, b.w$k)) AS BIGINT)")
-          .mkString(" + ")
-        s"""
-        WITH d AS (
-          SELECT doc_id,
-                 CASE WHEN doc_id >= 100 AND doc_id < 200
-                      THEN doc_id - 100 ELSE doc_id END AS key,
-                 (doc_id >= 100 AND doc_id < 200) AS pert
-          FROM documents),
-        px AS (SELECT doc_id, key, pert, unnest(range(0, 256)) AS p FROM d),
-        c AS (
-          SELECT doc_id, pert, p, p % 16 AS x, p // 16 AS y,
-                 (key * 7 + (p % 16) * 13 + (p // 16) * 31) % 256 AS r0,
-                 (key * 11 + (p % 16) * 3 + (p // 16) * 17) % 256 AS g,
-                 (key * 5 + (p % 16) * 23 + (p // 16) * 29) % 256 AS b
-          FROM px),
-        g2 AS (
-          SELECT doc_id, y * 16 + x AS i,
-                 299 * (CASE WHEN pert AND (x * 7 + y * 11) % 13 = 0
-                             THEN r0 - (r0 % 16) + 8 ELSE r0 END)
-                 + 587 * g + 114 * b AS gray
-          FROM c),
-        tot AS (SELECT doc_id, CAST(sum(gray) AS BIGINT) AS total
-                FROM g2 GROUP BY doc_id),
-        abit AS (SELECT g2.doc_id, g2.i,
-                        CASE WHEN g2.gray * 256 >= tot.total
-                             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
-                 FROM g2 JOIN tot USING (doc_id)),
-        ah AS (SELECT doc_id, $words FROM abit GROUP BY doc_id)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST($ham AS BIGINT) AS hamming
-        FROM ah a JOIN ah b ON a.doc_id < b.doc_id
-        WHERE $ham <= 14
-        ORDER BY id_a, id_b"""
-      }),
-
-    // Resize-invariance gate (r7): the factor-2 box thumbnail's aHash must
-    // sit within a small hamming distance of the original's — the property
-    // that makes perceptual-hash dedup robust to stored-at-multiple-
-    // resolutions corpora. The engine computes both hashes from REAL
-    // decode->resize->re-encode->decode; the oracle recomputes BOTH from
-    // the pixel formula (original blocks, and exact 2x2 floor-mean resized
-    // blocks), so the emitted per-doc hamming is pinned end to end.
-    Q("q_image_invariance",
-      (s, dir) => {
-        import graft.multimodal.ImageCodec
-        val withImg = synthMedia(s, dir).select(col("doc_id"), col("img_var").as("img"))
-        val orig = ImageCodec.withImagePixelStats(withImg, "img")
-          .select(col("doc_id"), col("ahash").as("__h1"), col("img"))
-        val both = ImageCodec.withImagePixelStats(
-            ImageCodec.withResized(orig, "img", 2), "resized")
-          .select(col("doc_id"), col("__h1"), col("ahash").as("__h2"))
-        both.select(col("doc_id"),
-            expr("CAST(bit_count(__h1 ^ __h2) AS BIGINT)").as("hamming"))
-          .orderBy("doc_id")
-      },
-      Some(s"""
-        WITH px AS (
-          SELECT doc_id,
-                 CAST(doc_id % 5 + 16 AS BIGINT) AS w,
-                 CAST(doc_id % 7 + 16 AS BIGINT) AS h,
-                 unnest(range(0, (doc_id % 5 + 16) * (doc_id % 7 + 16))) AS p
-          FROM documents),
-        c AS (
-          SELECT doc_id, w, h, p % w AS x, p // w AS y,
-                 (doc_id * 7 + (p % w) * 13 + (p // w) * 31) % 256 AS r,
-                 (doc_id * 11 + (p % w) * 3 + (p // w) * 17) % 256 AS g,
-                 (doc_id * 5 + (p % w) * 23 + (p // w) * 29) % 256 AS b
-          FROM px),
-        g1 AS (SELECT doc_id, w, h, x, y, 299 * r + 587 * g + 114 * b AS gray FROM c),
-        tot AS (SELECT doc_id, CAST(sum(gray) AS BIGINT) AS total, count(*) AS n
-                FROM g1 GROUP BY doc_id),
-        ab AS (SELECT doc_id, (y * 8) // h AS by, (x * 8) // w AS bx,
-                      CAST(sum(gray) AS BIGINT) AS s2, count(*) AS c2
-               FROM g1 GROUP BY doc_id, (y * 8) // h, (x * 8) // w),
-        abit AS (SELECT ab.doc_id, ab.by * 8 + ab.bx AS i,
-                        CASE WHEN ab.s2 * tot.n >= tot.total * ab.c2
-                             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
-                 FROM ab JOIN tot USING (doc_id)),
-        ah1 AS (SELECT doc_id, ${duckHashHalf(lo = true, "lo1")},
-                       ${duckHashHalf(lo = false, "hi1")}
-                FROM abit GROUP BY doc_id),
-        blk AS (
-          SELECT doc_id, w // 2 AS w2, h // 2 AS h2, x // 2 AS ox, y // 2 AS oy,
-                 CAST(sum(r) AS BIGINT) AS sr, CAST(sum(g) AS BIGINT) AS sg,
-                 CAST(sum(b) AS BIGINT) AS sb
-          FROM c
-          WHERE x < (w // 2) * 2 AND y < (h // 2) * 2
-          GROUP BY doc_id, w // 2, h // 2, x // 2, y // 2),
-        rg AS (SELECT doc_id, w2, h2, ox, oy,
-                      299 * (sr // 4) + 587 * (sg // 4) + 114 * (sb // 4) AS gray
-               FROM blk),
-        tot2 AS (SELECT doc_id, CAST(sum(gray) AS BIGINT) AS total, count(*) AS n
-                 FROM rg GROUP BY doc_id),
-        ab2 AS (SELECT doc_id, (oy * 8) // h2 AS by, (ox * 8) // w2 AS bx,
-                       CAST(sum(gray) AS BIGINT) AS s2, count(*) AS c2
-                FROM rg GROUP BY doc_id, (oy * 8) // h2, (ox * 8) // w2),
-        abit2 AS (SELECT ab2.doc_id, ab2.by * 8 + ab2.bx AS i,
-                         CASE WHEN ab2.s2 * tot2.n >= tot2.total * ab2.c2
-                              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
-                  FROM ab2 JOIN tot2 USING (doc_id)),
-        ah2 AS (SELECT doc_id, ${duckHashHalf(lo = true, "lo2")},
-                       ${duckHashHalf(lo = false, "hi2")}
-                FROM abit2 GROUP BY doc_id)
-        SELECT doc_id,
-               CAST(bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)) AS BIGINT) AS hamming
-        FROM ah1 JOIN ah2 USING (doc_id)
-        ORDER BY doc_id"""))
-  )
-
-  /** Child session for the streaming equivalence gates, with shuffle
-    * parallelism sized for the state store, not the data: a stream-stream
-    * join keeps 4 state-store instances per shuffle partition and every
-    * micro-batch commits a delta file per store, so at 32 partitions the
-    * gates pay ~hundreds of store lifecycles for KB-sized state. 8
-    * partitions keeps the same cross-batch semantics under test at 1/4 the
-    * harness cost; correctness is unaffected (results are sorted+hashed).
-    * At production scale the conf is the caller's: these operators inherit
-    * whatever parallelism the real session sets. */
-  private def streamSession(s: SparkSession): SparkSession = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    ss
-  }
-
-  /** Bench-only input thinning for the streaming equivalence gates: when
-    * `graft.bench.streamLite` is set (ONLY by graft.Bench — never by
-    * Verify, so the correctness contract is untouched), a gate's input
-    * dir redirects to the smallest SF. Rationale (r8 verdict): the gates'
-    * bench cost is micro-batch machinery, not dataflow — they gate
-    * correctness, which CORRECTNESS_r{N} already covers at full SF, and
-    * re-benching 18 state-store replays at sf0.1 burned the wall budget
-    * the sf1 scale rehearsal needed. Two representative gates still get
-    * a FULL-scale (sfDir and 10x) timing pair inside the rehearsal
-    * itself, with this switch cleared (Bench.sf1StreamPair). */
-  private def streamLiteDir(dir: String): String =
-    if (sys.props.get("graft.bench.streamLite").contains("1")) {
-      // default derives from the CURRENT dir's parent (…/sfX -> …/sf0.001)
-      // rather than a hardcoded machine path; if the lite fixture doesn't
-      // exist the gate falls back to the original dir with a warning —
-      // 18 confusing PATH_NOT_FOUND "failures" polluting the bench's
-      // failed list on any box without that fixture is the worse outcome
-      val lite = sys.props.getOrElse("graft.bench.streamLiteDir", {
-        val parent = new java.io.File(dir).getAbsoluteFile.getParent
-        s"$parent/sf0.001"
-      })
-      if (new java.io.File(lite).isDirectory) lite
-      else {
-        System.err.println(
-          s"[graft] stream-lite dir $lite missing; timing stream gates at full $dir")
-        dir
-      }
-    } else dir
-
-  /** File-source stream fixture: split `df` into 4 deterministic
-    * single-file parquet chunks by `idCol` quartile (contiguous-id ceil
-    * split — the same rule the oracles replay) under `runDir/in`, so a
-    * `maxFilesPerTrigger=1` stream replays them as 4 REAL micro-batches.
-    * Returns the input dir. */
-  private def writeStreamChunks(df: DataFrame, idCol: String,
-                                runDir: String): java.io.File = {
-    val inDir = new java.io.File(s"$runDir/in"); inDir.mkdirs()
-    val n = df.count()
-    val per = ((n + 3) / 4).max(1L)
-    (0 until 4).foreach { k =>
-      val chunk = df.where(
-        col(idCol) >= lit(k * per) && col(idCol) < lit((k + 1) * per))
-      val tmp = s"$runDir/chunk_$k"
-      chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        new java.io.File(inDir, s"b$k.parquet").toPath)
-    }
-    inDir
-  }
-
-  /** Deterministic EXIF-JPEG synthesis for the image-governance oracles:
-    * a real JPEG container (SOI, JFIF APP0, Exif APP1, COM, EOI) whose
-    * TIFF block alternates LITTLE and BIG endian by doc parity, with
-    * Make/Model/Orientation/DateTime from doc_id formulas and, on every
-    * 3rd doc, a GPS sub-IFD carrying (deg,min,sec) RATIONAL coordinates.
-    * Cheap enough (~300 bytes, no compression) to build per run — no
-    * /tmp cache to go stale. */
-  private val synthExifUdf = udf((d: Long) => {
-    val gps =
-      if (d % 3 == 0) Some((
-        if (d % 6 == 0) "N" else "S",
-        Array((d % 90, 1L), (d % 60, 1L), (d % 5999, 100L)),
-        if ((d / 3) % 2 == 0) "E" else "W",
-        Array((d % 180, 1L), ((d * 7) % 60, 1L), ((d * 13) % 5999, 100L))))
-      else None
-    graft.multimodal.ExifCodec.buildExifJpeg(
-      d % 2 == 0,
-      "Cam" + (d % 17), "M-" + (d % 29), (1 + d % 8).toInt,
-      f"2024:01:${1 + d % 28}%02d ${d % 24}%02d:00:00", gps)
-  })
-
-  /** The shared DuckDB replay of the synthExif field formulas. */
-  private def duckExifFields(hasGpsSql: String): String = {
-    val latSum = "(CAST(doc_id % 90 AS DOUBLE) / CAST(1.0 AS DOUBLE) + " +
-      "(CAST(doc_id % 60 AS DOUBLE) / CAST(1.0 AS DOUBLE)) / CAST(60.0 AS DOUBLE) + " +
-      "(CAST(doc_id % 5999 AS DOUBLE) / CAST(100.0 AS DOUBLE)) / CAST(3600.0 AS DOUBLE))"
-    val lonSum = "(CAST(doc_id % 180 AS DOUBLE) / CAST(1.0 AS DOUBLE) + " +
-      "(CAST((doc_id * 7) % 60 AS DOUBLE) / CAST(1.0 AS DOUBLE)) / CAST(60.0 AS DOUBLE) + " +
-      "(CAST((doc_id * 13) % 5999 AS DOUBLE) / CAST(100.0 AS DOUBLE)) / CAST(3600.0 AS DOUBLE))"
-    s"""doc_id,
-       'Cam' || CAST(doc_id % 17 AS VARCHAR) AS make,
-       'M-' || CAST(doc_id % 29 AS VARCHAR) AS model,
-       CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
-       '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') ||
-         ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':00:00' AS date_time,
-       CAST($hasGpsSql AS BOOLEAN) AS has_gps,
-       CASE WHEN $hasGpsSql THEN
-         (round(CASE WHEN doc_id % 6 = 0 THEN $latSum ELSE -$latSum END, 6)
-          + CAST(0.0 AS DOUBLE)) END AS lat_deg,
-       CASE WHEN $hasGpsSql THEN
-         (round(CASE WHEN (doc_id // 3) % 2 = 0 THEN $lonSum ELSE -$lonSum END, 6)
-          + CAST(0.0 AS DOUBLE)) END AS lon_deg"""
-  }
-
-  /** Image-governance operators: REAL EXIF parse + GPS-geotag redaction
-    * over synthesized-but-real JPEG bytes (both TIFF endians), the
-    * image-side PII pass next to ops.Governance's text redaction. */
-  private def exifOps: Seq[Q] = Seq(
-    // Byte-level EXIF parse: JPEG segment walk -> TIFF IFD walk -> GPS
-    // sub-IFD -> decimal degrees, hash-matched field-by-field against
-    // the synthesis formulas (the q_image_pixels synthesize->parse->
-    // formula-check pattern; a parser bug in either endian, the ASCII
-    // NUL handling, the RATIONAL math, or the ref sign hash-fails).
-    Q("q_image_exif",
-      (s, dir) => {
-        val withJpg = t(s, dir, "documents").select(col("doc_id"))
-          .withColumn("jpg", synthExifUdf(col("doc_id")))
-        graft.multimodal.ExifCodec.withExifMeta(withJpg, "jpg", "doc_id")
-          .select(col("doc_id"), col("make"), col("model"), col("orientation"),
-            col("date_time"), col("has_gps"),
-            r6(col("lat_deg")).as("lat_deg"), r6(col("lon_deg")).as("lon_deg"))
-          .orderBy("doc_id")
-      },
-      Some(s"""
-        SELECT ${duckExifFields("doc_id % 3 = 0")}
-        FROM documents ORDER BY doc_id""")),
-
-    // GPS redaction round-trip: stripGps re-serializes the APP1 without
-    // the GPS IFD, and the REDACTED bytes are re-parsed — the oracle
-    // pins has_gps = false everywhere AND every IFD0 field surviving
-    // byte-identically through parse -> rebuild -> reparse. This is the
-    // geotag-stripping governance gate, not an assertion.
-    Q("q_exif_redact",
-      (s, dir) => {
-        val withJpg = t(s, dir, "documents").select(col("doc_id"))
-          .withColumn("jpg", synthExifUdf(col("doc_id")))
-        val stripped = graft.multimodal.ExifCodec.withGpsStripped(
-          withJpg, "jpg", "doc_id")
-        graft.multimodal.ExifCodec.withExifMeta(stripped, "jpg", "doc_id")
-          .select(col("doc_id"), col("make"), col("model"), col("orientation"),
-            col("date_time"), col("has_gps"))
-          .orderBy("doc_id")
-      },
-      Some(s"""
-        SELECT doc_id, make, model, orientation, date_time,
-               CAST(FALSE AS BOOLEAN) AS has_gps
-        FROM (SELECT ${duckExifFields("doc_id % 3 = 0")} FROM documents)
-        ORDER BY doc_id""")))
-
-  /** Streaming/batch equivalence oracles: the streaming operators RUN AS
-    * REAL STREAMS (MemoryStream micro-batches through the state store,
-    * deterministically split in sorted order) inside the catalog entry,
-    * and the DuckDB oracle recomputes the BATCH semantics — so
-    * cross-micro-batch state handling itself is under the hash gate, not
-    * just spec-pinned. The driver-side collect feeds the MemoryStream
-    * fixture (the only way to replay a table as micro-batches); the
-    * operators under test shuffle only keys/state, never the fixture. */
-  private def streamingEqOps: Seq[Q] = Seq(
-    // Exact cross-batch dedup == batch min-id-keeper dedup. Batches are
-    // doc_id-ascending, so first-seen keeper == global min id per hash.
-    // The corpus has no exact dup texts, so every doc_id % 7 == 0 doc
-    // RE-ARRIVES as id+1000 — landing in a LATER micro-batch than its
-    // original, which is precisely the state-store path under test.
-    Q("q_stream_dedup_eq",
-      (s, dir0) => {
-        val dir = streamLiteDir(dir0) // bench-only thinning, see helper
-        import s.implicits._
-        import graft.streaming.StreamingDedup
-        import graft.streaming.StreamingDedup.{DocIn, DupPair}
-        // child session: streaming-query state (memory-sink views, query
-        // manager, execution listeners) stays scoped to this invocation
-        // instead of accumulating on the shared bench session
-        val ss = streamSession(s)
-        implicit val sqlCtx = ss.sqlContext
-        val base = t(s, dir, "documents")
-          .select(col("doc_id").cast("long").as("doc_id"),
-            coalesce(col("text"), lit("")).as("text"))
-        val docs = base
-          .unionAll(base.where(col("doc_id") % 7 === 0)
-            .select((col("doc_id") + 1000).as("doc_id"), col("text")))
-          .as[DocIn].collect().sortBy(_.doc_id)
-        val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocIn]
-        val name = s"q_stream_dedup_eq_${System.nanoTime()}"
-        val q = StreamingDedup.exactDupStream(in.toDS())
-          .writeStream.format("memory").queryName(name).outputMode("append").start()
-        try {
-          docs.grouped(math.max(1, (docs.length + 3) / 4)).foreach { b =>
-            in.addData(b.toSeq); q.processAllAvailable()
-          }
-        } finally {
-          q.stop()
-          // unload HDFS-backed state providers eagerly: loaded providers
-          // (and their in-memory version maps) otherwise persist past the
-          // query and pile up across a 160-query bench run
-          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-        }
-        val pairs = ss.table(name).as[DupPair].collect().toSeq
-        pairs.toDF("keep_id", "dup_id").orderBy("keep_id", "dup_id")
-      },
-      Some("""
-        WITH src AS (
-          SELECT doc_id, coalesce(text, '') AS t FROM documents
-          UNION ALL
-          SELECT doc_id + 1000, coalesce(text, '') FROM documents
-          WHERE doc_id % 7 = 0),
-        h AS (SELECT doc_id, md5(t) AS h FROM src),
-        k AS (SELECT h, min(doc_id) AS keep_id FROM h GROUP BY h)
-        SELECT k.keep_id, d.doc_id AS dup_id
-        FROM h d JOIN k USING (h)
-        WHERE d.doc_id <> k.keep_id
-        ORDER BY keep_id, dup_id""")),
-
-    // Stateful streaming sessionize == the batch window-lag-cumsum
-    // sessionize (same oracle SQL as q_sessionize). Micro-batches split
-    // at sorted event-time boundaries (so the 0-delay watermark never
-    // drops a row); a far-future sentinel user advances the watermark
-    // through two final batches, flushing every open session via the
-    // EventTimeTimeout path — the timeout emit itself is hash-checked.
-    Q("q_stream_session_eq",
-      (s, dir0) => {
-        val dir = streamLiteDir(dir0) // bench-only thinning, see helper
-        import s.implicits._
-        import org.apache.spark.sql.expressions.Window
-        import graft.streaming.StatefulSessionize
-        import graft.streaming.StatefulSessionize.{SEvent, Session}
-        // child session: streaming-query state (memory-sink views, query
-        // manager, execution listeners) stays scoped to this invocation
-        // instead of accumulating on the shared bench session
-        val ss = streamSession(s)
-        implicit val sqlCtx = ss.sqlContext
-        def tsOf(us: Long) = java.sql.Timestamp.from(
-          java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
-        val evs = tEvents(s, dir)
-          .select(col("user_id").cast("long"), expr("ts div 1000").as("tsus"),
-            col("event_id").cast("long"))
-          .as[(Long, Long, Long)].collect()
-          .sortBy { case (_, tsus, eid) => (tsus, eid) }
-          .map { case (u, tsus, eid) => SEvent(u, tsOf(tsus), eid) }
-        val sentinelUs = evs.map(e => e.ts.getTime).max * 1000L + 86400000000L
-        val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
-        val name = s"q_stream_session_eq_${System.nanoTime()}"
-        val q = StatefulSessionize.sessionize(
-            in.toDS().withWatermark("ts", "0 seconds"), 1800000000L)
-          .writeStream.format("memory").queryName(name).outputMode("append").start()
-        try {
-          evs.grouped(math.max(1, (evs.length + 3) / 4)).foreach { b =>
-            in.addData(b.toSeq); q.processAllAvailable()
-          }
-          // two sentinel batches: the first carries the far-future event
-          // time, the second processes timeouts against that watermark
-          in.addData(SEvent(-1L, tsOf(sentinelUs), 0L)); q.processAllAvailable()
-          in.addData(SEvent(-1L, tsOf(sentinelUs + 1000000L), 1L)); q.processAllAvailable()
-        } finally {
-          q.stop()
-          // unload HDFS-backed state providers eagerly: loaded providers
-          // (and their in-memory version maps) otherwise persist past the
-          // query and pile up across a 160-query bench run
-          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-        }
-        val sess = ss.table(name).as[Session].collect().toSeq.filter(_.user_id >= 0)
-        val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
-        sess.toDF()
-          .withColumn("sess_id", row_number().over(w).cast("long"))
-          .select(col("user_id"), col("sess_id"), col("n"), col("duration_us"))
-          .orderBy("user_id", "sess_id")
-      },
-      Some("""
-        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
-        x AS (SELECT user_id, event_id, tsu,
-                CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) IS NULL
-                       OR tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) > 1800000000
-                     THEN 1 ELSE 0 END AS ns
-              FROM e),
-        y AS (SELECT user_id, tsu,
-                sum(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS sess_id
-              FROM x)
-        SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n,
-               CAST(max(tsu) - min(tsu) AS BIGINT) AS duration_us
-        FROM y
-        GROUP BY user_id, sess_id
-        ORDER BY user_id, sess_id""")),
-
-    // Frozen-model stream scoring == the training run's batch scores: the
-    // model (10 doubles) trains once per dir, then REAL micro-batches
-    // score through StreamingScore, and the oracle is the SAME unrolled
-    // GD-training SQL that q_quality_classifier hash-matches — so the
-    // batch-train -> stream-serve bridge is under the hash gate end to
-    // end (any drift in frozen standardization constants or the scoring
-    // formula flips scores).
-    Q("q_stream_score_eq",
-      (s, dir0) => {
-        val dir = streamLiteDir(dir0) // bench-only thinning, see helper
-        import s.implicits._
-        // child session: streaming-query state (memory-sink views, query
-        // manager, execution listeners) stays scoped to this invocation
-        // instead of accumulating on the shared bench session
-        val ss = streamSession(s)
-        implicit val sqlCtx = ss.sqlContext
-        val model = clsModel(s, dir)
-        val rows = t(s, dir, "documents")
-          .select(col("doc_id").cast("long"), col("text"))
-          .as[(Long, String)].collect().sortBy(_._1)
-        val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-        val name = s"q_stream_score_eq_${System.nanoTime()}"
-        val q = graft.streaming.StreamingScore.scoreStream(
-            in.toDS().toDF("doc_id", "text"), "doc_id", "text", model)
-          .writeStream.format("memory").queryName(name).outputMode("append").start()
-        try {
-          rows.grouped(math.max(1, (rows.length + 3) / 4)).foreach { b =>
-            in.addData(b.toSeq); q.processAllAvailable()
-          }
-        } finally {
-          q.stop()
-          // unload HDFS-backed state providers eagerly: loaded providers
-          // (and their in-memory version maps) otherwise persist past the
-          // query and pile up across a 160-query bench run
-          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-        }
-        val scored = ss.table(name)
-          .select(col("doc_id"), col("score"))
-          .as[(Long, Double)].collect().toSeq
-        scored.toDF("doc_id", "score").orderBy("doc_id")
-      },
-      Some {
-        val inner = graft.ops.QualityClassifier.oracleSql(
-          D, "documents", "doc_id", "text", "n_chars >= 250")
-        s"SELECT doc_id, score FROM ($inner) __t ORDER BY doc_id"
-      }),
-
-    // Streaming domain-quality monitoring == the batch gate: the SAME
-    // Curation.domainQuality code runs as a complete-mode streaming
-    // aggregation (per-domain running (n, Σq-DECIMAL, n_low) in the
-    // state store — bounded by |domains|), fed 4 REAL micro-batches;
-    // the verdict table after the last batch hash-matches the SAME
-    // oracle as batch q_domain_quality. One code path, two execution
-    // modes — cross-batch accumulation is exact because the quality sum
-    // is DECIMAL(18,6).
-    Q("q_stream_domain_eq",
-      (s, dir0) => {
-        val dir = streamLiteDir(dir0) // bench-only thinning, see helper
-        import s.implicits._
-        val ss = streamSession(s)
-        implicit val sqlCtx = ss.sqlContext
-        val rows = t(s, dir, "documents")
-          .select(col("doc_id").cast("long"), col("text"), col("source"))
-          .as[(Long, String, String)].collect().sortBy(_._1)
-        val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
-        val name = s"q_stream_domain_eq_${System.nanoTime()}"
-        val q = graft.streaming.StreamingCuration.domainQualityStream(
-            in.toDS().toDF("doc_id", "text", "source"),
-            "text", "source", 0.53, 0.45)
-          .writeStream.format("memory").queryName(name)
-          .outputMode("complete").start()
-        try {
-          rows.grouped(math.max(1, (rows.length + 3) / 4)).foreach { b =>
-            in.addData(b.toSeq); q.processAllAvailable()
-          }
-        } finally {
-          q.stop()
-          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-        }
-        ss.table(name)
-          .select(col("source"), col("n_docs"), col("mean_quality"),
-            col("low_frac"), col("blocked"))
-          .as[(String, Long, Double, Double, Boolean)].collect().toSeq
-          .toDF("source", "n_docs", "mean_quality", "low_frac", "blocked")
-          .orderBy("source")
-      },
-      Some {
-        val toks = D.splitWs("text")
-        val stopArr = D.strArray(TextF.StopEn)
-        s"""
-        WITH q AS (
-          SELECT source,
-                 round(
-                   least(CAST(len($toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
-                   + (CAST(len(list_filter($toks, t__ -> list_contains($stopArr, t__))) AS DOUBLE) / len($toks)) * CAST(0.3 AS DOUBLE)
-                   + (CAST(1.0 AS DOUBLE) - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * CAST(0.3 AS DOUBLE)
-                 , 6) + CAST(0.0 AS DOUBLE) AS ql
-          FROM documents)
-        SELECT source, n_docs, mean_quality, low_frac,
-               (mean_quality < CAST(0.53 AS DOUBLE) OR low_frac > CAST(0.45 AS DOUBLE)) AS blocked
-        FROM (SELECT source,
-                     count(*) AS n_docs,
-                     (round(CAST(sum(CAST(ql AS DECIMAL(18,6))) AS DOUBLE)
-                            / CAST(count(*) AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS mean_quality,
-                     (round(CAST(sum(CASE WHEN ql < CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END) AS DOUBLE)
-                            / CAST(count(*) AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS low_frac
-              FROM q GROUP BY source)
-        ORDER BY source"""
-      }),
-
-    // Streaming LSH candidate generation == batch banding: REAL
-    // micro-batches probe/extend the per-bucket state store (cap raised
-    // past every sf0.01 bucket so the sampling degradation cannot kick
-    // in), and the oracle recomputes the banded collision pairs from
-    // scratch. Cross-batch candidate emission — the property batch
-    // banding cannot test — is exactly what the ascending-id batches
-    // exercise.
-    Q("q_stream_lsh_eq",
-      (s, dir0) => {
-        val dir = streamLiteDir(dir0) // bench-only thinning, see helper
-        import s.implicits._
-        import graft.streaming.StreamingDedup
-        import graft.streaming.StreamingDedup.{CandPair, DocIn}
-        // child session: streaming-query state (memory-sink views, query
-        // manager, execution listeners) stays scoped to this invocation
-        // instead of accumulating on the shared bench session
-        val ss = streamSession(s)
-        implicit val sqlCtx = ss.sqlContext
-        val docs = t(s, dir, "documents")
-          .select(col("doc_id").cast("long").as("doc_id"),
-            coalesce(col("text"), lit("")).as("text"))
-          .as[DocIn].collect().sortBy(_.doc_id)
-        val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocIn]
-        val name = s"q_stream_lsh_eq_${System.nanoTime()}"
-        val q = StreamingDedup.lshCandidateStream(in.toDS(), 3, 8, 2,
-            maxPerBucket = 1000000)
-          .writeStream.format("memory").queryName(name).outputMode("append").start()
-        try {
-          docs.grouped(math.max(1, (docs.length + 3) / 4)).foreach { b =>
-            in.addData(b.toSeq); q.processAllAvailable()
-          }
-        } finally {
-          q.stop()
-          // unload HDFS-backed state providers eagerly: loaded providers
-          // (and their in-memory version maps) otherwise persist past the
-          // query and pile up across a 160-query bench run
-          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-        }
-        val pairs = ss.table(name).as[CandPair].collect().toSeq
-        pairs.toDF("id_a", "id_b").distinct().orderBy("id_a", "id_b")
-      },
-      Some {
-        val duckToks =
-          s"(SELECT doc_id, ${D.splitWs("coalesce(text, '')")} AS toks FROM documents)"
-        val duckShingles =
-          s"(SELECT doc_id, ${Exprs.wordShingles(D, "toks", 3)} AS sh FROM $duckToks)"
-        s"""
-        WITH sigs AS (
-          SELECT doc_id, ${Exprs.minhashSig(D, "sh", 8)} AS sig FROM $duckShingles),
-        banded AS (
-          SELECT doc_id, CAST(b.b AS BIGINT) AS band,
-                 md5(array_to_string(sig[(CAST(b.b AS INT) * 2 + 1):(CAST(b.b AS INT) * 2 + 2)], '|')) AS band_key
-          FROM sigs, range(0, 4) AS b(b))
-        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-        FROM banded a JOIN banded c
-          ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id
-        ORDER BY id_a, id_b"""
-      }),
-
-    // Streaming PQ encode == batch PQ codes: codebooks train offline
-    // (frozen — stored codes must stay comparable), then vectors arrive
-    // as a REAL file-source stream in 4 single-file micro-batches
-    // (maxFilesPerTrigger=1) and encode per batch through
-    // StreamingPq.encodeStream's foreachBatch path. Every vector must get
-    // the IDENTICAL code whether it arrived in batch 0 or batch 3 — the
-    // oracle recomputes all codes from the embeddings table with the
-    // q_pq_ann argmin SQL, and n_batches pins that four separate
-    // triggers actually ran.
-    Q("q_stream_pq_eq",
-      (s, dir0) => {
-        val dir = streamLiteDir(dir0) // bench-only thinning, see helper
-        import graft.ops.ProductQuantization
-        val emb = t(s, dir, "embeddings")
-        val books = ProductQuantization.trainCodebooks(
-          emb, "vec_id", "embedding", 4, 8, 64, 0)
-        val run = s"${sys.props("java.io.tmpdir")}/graft_pq_stream_${System.nanoTime()}"
-        val outDir = s"$run/out"
-        val src = emb.select(col("vec_id").cast("long").as("vec_id"),
-          VectorF.toDoubleArray(col("embedding")).as("embedding"))
-        val inDir = writeStreamChunks(src, "vec_id", run)
-        val ss = streamSession(s)
-        val q = graft.streaming.StreamingPq.encodeStream(
-            ss, inDir.getAbsolutePath, src.schema, books, "vec_id", "embedding",
-            4, 64, outDir, filesPerTrigger = 1)
-          .start()
-        try { q.processAllAvailable() }
-        finally {
-          q.stop()
-          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-        }
-        val enc = s.read.parquet(outDir)
-        val nb = enc.agg(countDistinct(col("batch_id"))).head().getLong(0)
-        enc.select(col("vec_id"),
-            concat_ws(",", transform(col("codes"), _.cast("string"))).as("codes"),
-            lit(nb).cast("long").as("n_batches"))
-          .orderBy("vec_id")
-      },
-      Some(s"""
-        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        books AS (
-          SELECT CAST(s.s AS INT) AS sub, CAST(e.vec_id AS INT) AS cid,
-                 e.v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS cv
-          FROM (SELECT * FROM emb WHERE vec_id < 8) e, range(0, 4) s(s)),
-        subs AS (
-          SELECT vec_id, CAST(s.s AS INT) AS sub,
-                 v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS sv
-          FROM emb, range(0, 4) s(s)),
-        codes AS (
-          SELECT vec_id, sub,
-                 (min(struct_pack(d := ${D.l2sq("sv", "cv")}, c := cid))).c AS code
-          FROM subs JOIN books USING (sub)
-          GROUP BY vec_id, sub)
-        SELECT vec_id,
-               array_to_string(list(code ORDER BY sub), ',') AS codes,
-               CAST(4 AS BIGINT) AS n_batches
-        FROM codes GROUP BY vec_id
-        ORDER BY vec_id""")),
-
-    // Cross-batch KMV sketch merge == the one-pass batch sketch: REAL
-    // micro-batches each compute a distributed k-min summary and union
-    // into the query-scoped holder; because the KMV summary is an
-    // order-insensitive bounded set union, the merged stream state must
-    // equal the batch sketch EXACTLY — est, retained-hash count, exact
-    // distinct and relative error all hash-match q_kmv_distinct's oracle.
-    Q("q_stream_kmv_eq",
-      (s, dir0) => {
-        val dir = streamLiteDir(dir0) // bench-only thinning, see helper
-        import s.implicits._
-        val ss = streamSession(s)
-        implicit val sqlCtx = ss.sqlContext
-        val li = t(s, dir, "lineitem")
-        val vals = li.select(col("l_partkey").cast("long")).as[Long]
-          .collect().sorted
-        val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
-        val (q, holder) = graft.streaming.StreamingSketch.distinctCountStream(
-          in.toDS().toDF("l_partkey"), "l_partkey", 256,
-          s"q_stream_kmv_eq_${System.nanoTime()}")
-        try {
-          vals.grouped(math.max(1, (vals.length + 3) / 4)).foreach { b =>
-            in.addData(b.toSeq); q.processAllAvailable()
-          }
-        } finally {
-          q.stop()
-          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-        }
-        val est = holder.estimate
-        val nHashes = holder.stateSize.toLong
-        val exact = li.agg(countDistinct(col("l_partkey"))).head().getLong(0)
-        Seq((est, nHashes, exact)).toDF("est0", "n_hashes", "exact")
-          .select(r6(col("est0")).as("est"), col("n_hashes"), col("exact"),
-            r6(abs(col("est0") - col("exact").cast("double")) /
-              col("exact").cast("double")).as("rel_err"))
-      },
-      Some(s"""
-        WITH u AS (SELECT DISTINCT ${D.md5Uniform(D.castStr("l_partkey"))} AS u
-                   FROM lineitem WHERE l_partkey IS NOT NULL),
-        kk AS (SELECT u FROM u ORDER BY u LIMIT 256),
-        s AS (SELECT CAST(count(*) AS BIGINT) AS n_hashes, max(u) AS uk FROM kk),
-        e AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact FROM lineitem),
-        est0 AS (SELECT CASE WHEN n_hashes < 256 THEN CAST(n_hashes AS DOUBLE)
-                             ELSE ${D.d(255.0)} / uk END AS est,
-                        n_hashes, exact
-                 FROM s, e)
-        SELECT ${duckR6("est")} AS est, n_hashes, exact,
-               ${duckR6("abs(est - CAST(exact AS DOUBLE)) / CAST(exact AS DOUBLE)")} AS rel_err
-        FROM est0""")),
-
-    // Stream-stream interval join == the batch join semantics: clicks
-    // (even event_ids) and purchases (odd) replay as two synchronized
-    // MemoryStreams split at global event-time boundaries; the
-    // watermarked state-store join must emit EXACTLY the pairs the plain
-    // batch SQL join produces — including pairs whose two sides arrive
-    // in DIFFERENT micro-batches (the buffered-state path the batch plan
-    // never exercises).
-    Q("q_stream_interval_eq",
-      (s, dir0) => {
-        val dir = streamLiteDir(dir0) // bench-only thinning, see helper
-        import s.implicits._
-        val ss = streamSession(s)
-        // the two-sided join keeps a state store PER shuffle partition
-        // PER side: at gate scale the per-batch commit machinery (file
-        // write + fsync x partitions x sides x batches) IS the cost —
-        // 2 partitions exercise the same multi-partition state paths at
-        // a quarter of it. No-data micro-batches exist to advance the
-        // watermark for APPEND-finalized aggregations; an INNER interval
-        // join emits matches eagerly and uses the watermark only for
-        // state EVICTION, so skipping them changes nothing but wall.
-        ss.conf.set("spark.sql.shuffle.partitions", "2")
-        ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-        implicit val sqlCtx = ss.sqlContext
-        def tsOf(us: Long) = java.sql.Timestamp.from(
-          java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
-        val evs = tEvents(s, dir)
-          .select(col("user_id").cast("long"), expr("ts div 1000").as("tsus"),
-            col("event_id").cast("long"))
-          .as[(Long, Long, Long)].collect()
-          .sortBy { case (_, tsus, eid) => (tsus, eid) }
-        val inL = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, java.sql.Timestamp, Long)]
-        val inR = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, java.sql.Timestamp, Long)]
-        val joined = graft.streaming.StreamJoins.intervalJoin(
-            inL.toDS().toDF("user_id", "ts", "event_id"),
-            inR.toDS().toDF("user_id", "ts", "event_id"),
-            "user_id", "ts", tolerance = "10 minutes", watermark = "1 hour")
-          .select(col("l.user_id").as("user_id"),
-            col("l.event_id").as("left_id"),
-            col("r.event_id").as("right_id"),
-            (unix_micros(col("r.ts")) - unix_micros(col("l.ts"))).as("gap_us"))
-        val name = s"q_stream_interval_eq_${System.nanoTime()}"
-        val q = joined.writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
-        try {
-          evs.grouped(math.max(1, (evs.length + 3) / 4)).foreach { b =>
-            val rows = b.map { case (u, tsus, eid) => (u, tsOf(tsus), eid) }
-            val (lRows, rRows) = rows.partition(_._3 % 2 == 0)
-            if (lRows.nonEmpty) inL.addData(lRows.toSeq)
-            if (rRows.nonEmpty) inR.addData(rRows.toSeq)
-            q.processAllAvailable()
-          }
-        } finally {
-          q.stop()
-          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-        }
-        ss.table(name)
-          .select(col("user_id"), col("left_id"), col("right_id"),
-            col("gap_us").cast("long").as("gap_us"))
-          .orderBy("user_id", "left_id", "right_id")
-      },
-      Some("""
-        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
-        l AS (SELECT * FROM e WHERE event_id % 2 = 0),
-        r AS (SELECT * FROM e WHERE event_id % 2 = 1)
-        SELECT CAST(l.user_id AS BIGINT) AS user_id,
-               CAST(l.event_id AS BIGINT) AS left_id,
-               CAST(r.event_id AS BIGINT) AS right_id,
-               CAST(r.tsu - l.tsu AS BIGINT) AS gap_us
-        FROM l JOIN r ON l.user_id = r.user_id
-                     AND r.tsu >= l.tsu AND r.tsu <= l.tsu + 600000000
-        ORDER BY user_id, left_id, right_id""")),
-
-    // Streaming as-of enrichment == the batch as-of join: clicks and
-    // (pre-aggregated) purchases replay as ONE globally time-ordered
-    // tagged stream in 4 micro-batches; flatMapGroupsWithState keeps ONE
-    // (time, payload) pair per user in the state store. Cross-batch
-    // carry — a click matching a purchase from an earlier batch — is
-    // exactly what the split exercises. Oracle = DuckDB's native ASOF
-    // LEFT JOIN, the same oracle the batch window and custom-operator
-    // paths hash-match, so all THREE as-of algorithms (window,
-    // sort-merge exec, stateful stream) are pinned to one truth.
-    Q("q_stream_asof_eq",
-      (s, dir0) => {
-        val dir = streamLiteDir(dir0) // bench-only thinning, see helper
-        import s.implicits._
-        import graft.streaming.StreamingAsOf
-        import graft.streaming.StreamingAsOf.AsOfEvent
-        val ss = streamSession(s)
-        implicit val sqlCtx = ss.sqlContext
-        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
-        val clicks = ev.where(col("event_type") === "click")
-          .select(col("user_id").cast("long"), col("tsu").cast("long"),
-            col("event_id").cast("long"))
-          .as[(Long, Long, Long)].collect()
-          .map { case (u, t, id) => AsOfEvent(u, t, 1, id, 0.0) }
-        val purch = ev.where(col("event_type") === "purchase")
-          .groupBy(col("user_id"), col("tsu"))
-          .agg(max(col("value")).as("v"))
-          .select(col("user_id").cast("long"), col("tsu").cast("long"), col("v"))
-          .as[(Long, Long, Double)].collect()
-          .map { case (u, t, v) => AsOfEvent(u, t, 0, -1L, v) }
-        // right-before-left at equal times = the inclusive-tie rule; a
-        // globally time-ordered feed keeps batch boundaries semantics-free
-        val all = (clicks ++ purch).sortBy(e => (e.t, e.side, e.id))
-        val in = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[AsOfEvent]
-        val name = s"q_stream_asof_eq_${System.nanoTime()}"
-        val q = StreamingAsOf.enrich(in.toDS())
-          .toDF().writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
-        try {
-          all.grouped(math.max(1, (all.length + 3) / 4)).foreach { b =>
-            in.addData(b.toSeq); q.processAllAvailable()
-          }
-        } finally {
-          q.stop()
-          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-        }
-        ss.table(name)
-          .select(col("id").as("event_id"), col("key").as("user_id"),
-            col("asof_t").cast("long").as("asof_ts"),
-            col("asof_v").as("asof_value"))
-          .orderBy("event_id")
-      },
-      Some("""
-        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
-                   FROM events WHERE event_type = 'click'),
-        r AS (SELECT user_id, epoch_us(ts) AS ptsu, max(value) AS asof_value
-              FROM events WHERE event_type = 'purchase'
-              GROUP BY user_id, epoch_us(ts))
-        SELECT l.event_id, l.user_id,
-               CAST(r.ptsu AS BIGINT) AS asof_ts, r.asof_value
-        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.ptsu
-        ORDER BY event_id""")),
-
-    // Incremental index build == the batch build: documents stream in as
-    // 4 single-file micro-batches through StreamingIngest.indexStream
-    // (the foreachBatch path reusing the EXACT batch operators), the
-    // appended chunk tables union, and the result must hash-match the
-    // SAME chunk->filter->embed oracle as q_rag_index — so the
-    // incremental-ingest claim ("process() per batch, one save()" in the
-    // reference) is oracle-gated, not spec-only. n_batches pins that 4
-    // separate triggers appended.
-    Q("q_stream_ingest_eq",
-      (s, dir0) => {
-        val dir = streamLiteDir(dir0) // bench-only thinning, see helper
-        val run = s"${sys.props("java.io.tmpdir")}/graft_ingest_stream_${System.nanoTime()}"
-        val outDir = s"$run/out"
-        val src = t(s, dir, "documents")
-          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-        val inDir = writeStreamChunks(src, "doc_id", run)
-        val ss = streamSession(s)
-        val q = graft.streaming.StreamingIngest.indexStream(
-            ss, inDir.getAbsolutePath, src.schema, outDir,
-            filesPerTrigger = 1)
-          .start()
-        try { q.processAllAvailable() }
-        finally {
-          q.stop()
-          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-        }
-        val idx = s.read.parquet(outDir)
-        val nb = idx.agg(countDistinct(col("batch_id"))).head().getLong(0)
-        idx.select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-            col("chunk_id"), col("n_tokens").cast("long").as("n_tokens"),
-            r6(element_at(col("embedding"), 1)).as("e1"),
-            r6(element_at(col("embedding"), 2)).as("e2"),
-            r6(VectorF.dot(col("embedding"),
-              expr("transform(sequence(1, 64), j__ -> CAST(j__ AS DOUBLE))"))).as("checksum"),
-            lit(nb).cast("long").as("n_batches"))
-          .orderBy("doc_id", "chunk_idx")
-      },
-      Some {
-        val duckIndexed = duckEmbed(
-          s"(SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})",
-          "chunk_text", 64)
-        val weights = "list_transform(range(1, 65), j__ -> CAST(j__ AS DOUBLE))"
-        s"""
-        SELECT doc_id, chunk_idx, chunk_id,
-               CAST(len(${D.splitWs("chunk_text")}) AS BIGINT) AS n_tokens,
-               (round(emb[1], 6) + CAST(0.0 AS DOUBLE)) AS e1,
-               (round(emb[2], 6) + CAST(0.0 AS DOUBLE)) AS e2,
-               (round(${D.dot("emb", weights)}, 6) + CAST(0.0 AS DOUBLE)) AS checksum,
-               CAST(4 AS BIGINT) AS n_batches
-        FROM $duckIndexed
-        ORDER BY doc_id, chunk_idx"""
-      })
-  )
-
-  /** Training-data pipeline operators beyond the dedup/similarity set:
-    * deterministic corpus splits, sequence packing, benchmark
-    * decontamination, repetition quality, edit-distance near-dup, TF-IDF. */
-  private def trainingPlus: Seq[Q] = {
-    val duckToks =
-      s"(SELECT doc_id, source, lang, n_chars, ${D.splitWs("text")} AS toks FROM documents)"
-
-    Seq(
-      // Gopher §A1.1 duplicate-LINE repetition (Rae et al. 2021): the
-      // boilerplate detector the word-level rules can't see — nav bars
-      // and footers repeat as whole lines. Lines md5-hash BEFORE the
-      // exchange (32 hex chars + counts travel, never boilerplate text);
-      // map-combined (doc, hash) counts then one per-doc aggregate.
-      Q("q_dup_lines",
-        (s, dir) =>
-          graft.ops.Curation.dupLineStats(
-              t(s, dir, "documents"), "text", "doc_id")
-            .orderBy("doc_id"),
-        Some(s"""
-          SELECT * FROM (
-            ${graft.ops.Curation.dupLineStatsOracleSql(
-              "documents", "doc_id", "text")}
-          ) ORDER BY doc_id""")),
-
-      // Gopher §A1.1 top-n-gram concentration: chars covered by the most
-      // frequent word 2-gram / total chars — the looping-generation and
-      // keyword-stuffing signal. Supremum tie-breaks to the LOWEST gram
-      // (two-stage max-count/min-gram, exact integers end to end).
-      Q("q_top_ngram",
-        (s, dir) =>
-          graft.ops.Curation.topNgramCharFrac(
-              t(s, dir, "documents"), "text", "doc_id", 2)
-            .orderBy("doc_id"),
-        Some(s"""
-          SELECT * FROM (
-            ${graft.ops.Curation.topNgramCharFracOracleSql(
-              s"(SELECT doc_id, text, ${D.splitWs("text")} AS toks FROM documents)",
-              "doc_id", "text", Exprs.wordShingles(D, "toks", 2))}
-          ) ORDER BY doc_id""")),
-
-      // Gopher-style document quality rules (Rae et al. 2021 §A1.1 — the
-      // standard public filter battery a pretraining pipeline applies
-      // before dedup): word-count bounds, mean word length band,
-      // alphabetic-word fraction, stopword presence. One narrow pass of
-      // array HOFs — no shuffle, codegen-friendly, and the keep decision
-      // is computed from the SAME rounded values in both engines so
-      // boundary cases can't flip across an ulp.
-      Q("q_gopher_rules",
-        (s, dir) =>
-          t(s, dir, "documents")
-            .withColumn("toks", TextF.tokens(col("text")))
-            .withColumn("n_words", size(col("toks")).cast("long"))
-            .withColumn("wlen", expr("aggregate(toks, 0L, (a, t) -> a + length(t))"))
-            .withColumn("mean_wlen",
-              r6(col("wlen").cast("double") / col("n_words").cast("double")))
-            .withColumn("alpha_words", expr(
-              "CAST(size(filter(toks, t -> t rlike '[a-zA-Z]')) AS BIGINT)"))
-            .withColumn("alpha_frac",
-              r6(col("alpha_words").cast("double") / col("n_words").cast("double")))
-            .withColumn("stop_hits", expr(
-              "CAST(size(filter(toks, t -> array_contains(" +
-                "array('the','a','of','to','and','in','is','for'), t))) AS BIGINT)"))
-            .withColumn("keep",
-              col("n_words") >= 10 && col("n_words") <= 100000 &&
-                col("mean_wlen") >= 2.0 && col("mean_wlen") <= 10.0 &&
-                col("alpha_frac") > 0.8 && col("stop_hits") >= 1)
-            .select(col("doc_id"), col("n_words"), col("mean_wlen"),
-              col("alpha_frac"), col("stop_hits"), col("keep"))
-            .orderBy("doc_id"),
-        Some(s"""
-          WITH t AS (
-            SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_words,
-                   list_reduce(list_transform(toks, t2 -> CAST(length(t2) AS BIGINT)),
-                               (a, b) -> a + b) AS wlen,
-                   CAST(len(list_filter(toks, t2 -> regexp_matches(t2, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
-                   CAST(len(list_filter(toks, t2 -> list_contains(
-                     ['the','a','of','to','and','in','is','for'], t2))) AS BIGINT) AS stop_hits
-            FROM $duckToks),
-          r AS (
-            SELECT doc_id, n_words,
-                   (round(CAST(wlen AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS mean_wlen,
-                   (round(CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS alpha_frac,
-                   stop_hits
-            FROM t)
-          SELECT doc_id, n_words, mean_wlen, alpha_frac, stop_hits,
-                 (n_words >= 10 AND n_words <= 100000 AND
-                  mean_wlen >= CAST(2.0 AS DOUBLE) AND mean_wlen <= CAST(10.0 AS DOUBLE) AND
-                  alpha_frac > CAST(0.8 AS DOUBLE) AND stop_hits >= 1) AS keep
-          FROM r
-          ORDER BY doc_id""")),
-      // BPE-style pretokenization (GPT-2 pattern, RE2-compatible subset):
-      // token-budget accounting with the unit a BPE tokenizer merges
-      // within. The md5 over the joined token stream pins the EXACT
-      // tokenization, not just the count — Java regex and RE2 must agree
-      // match-for-match.
-      Q("q_bpe_tokens",
-        (s, dir) =>
-          t(s, dir, "documents")
-            .withColumn("bt", TextF.bpeTokens(col("text")))
-            .select(col("doc_id"),
-              size(col("bt")).cast("long").as("n_bpe"),
-              md5(array_join(col("bt"), "\u0001")).as("toks_md5"))
-            .orderBy("doc_id"),
-        Some(s"""
-          SELECT doc_id,
-                 CAST(len(bt) AS BIGINT) AS n_bpe,
-                 md5(array_to_string(bt, chr(1))) AS toks_md5
-          FROM (SELECT doc_id,
-                       regexp_extract_all(text,
-                         '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+') AS bt
-                FROM documents)
-          ORDER BY doc_id""")),
-
-      // WordPiece subword tokenization (the reference's all-mpnet-base-v2
-      // tokenizer contract: greedy longest-match, '##' continuations,
-      // whole-word [UNK] on any dead end — functions/WordPiece.scala, the
-      // last code gap to drop-in real transformer weights). The compared
-      // contract is the SQL-expressible core: words via the same
-      // regexp_extract_all on both sides, then the greedy algorithm —
-      // replayed move-for-move by the oracle as a recursive CTE over a
-      // per-(word,pos) longest-match table built from the SAME Scala
-      // vocab list. Full BertNormalizer/BertPreTokenizer behavior (accent
-      // strip, CJK padding, punctuation isolation, maxInputChars) is
-      // pinned by WordPieceSpec — the corpus here is [a-z]+ words ≤ 8
-      // chars, where those stages are identity. Every compared column is
-      // exact: counts, an id checksum, md5 of the piece stream.
-      // Scale: per-row pure-CPU kernel over a broadcast-size vocab map —
-      // no shuffle, composes with the batched inference seam unchanged.
-      Q("q_wordpiece",
-        (s, dir) => {
-          val wp = graft.functions.WordPiece.fromVocab(wpVocab)
-          val ids = wpVocab
-          val f = udf { words: Seq[String] =>
-            val pieces = words.flatMap(wp.tokenizeWord)
-            (pieces.length.toLong,
-              pieces.count(_ == "[UNK]").toLong,
-              pieces.map(p => ids(p).toLong).sum,
-              pieces.mkString(" "))
-          }
-          t(s, dir, "documents")
-            .withColumn("ws", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
-            .withColumn("r", f(col("ws")))
-            .select(col("doc_id"),
-              col("r._1").as("n_pieces"), col("r._2").as("n_unk"),
-              col("r._3").as("id_sum"), md5(col("r._4")).as("pieces_md5"))
-            .orderBy("doc_id")
-        },
-        Some(s"""
-          WITH RECURSIVE $wpPerDocCtes
-          SELECT d.doc_id,
-                 coalesce(p.n_pieces, 0) AS n_pieces,
-                 coalesce(p.n_unk, 0) AS n_unk,
-                 coalesce(p.id_sum, 0) AS id_sum,
-                 coalesce(p.pieces_md5, md5('')) AS pieces_md5
-          FROM docs d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
-          ORDER BY d.doc_id""")),
-
-      // The WordPiece tokenizer DRIVING the transformer encoder — the
-      // complete mpnet-shaped inference path (tokenizer.json contract ->
-      // vocab ids -> forward pass) through the artifact layout real
-      // exported weights arrive in (weights dir + vocab.txt). The oracle
-      // pins the wordpiece token count per doc by replaying the greedy
-      // walk in SQL (the shared q_wordpiece CTE chain; this corpus is
-      // strictly [a-z ]+ so the full Bert normalize/pre-tokenize
-      // pipeline and the regexp contract provably coincide) plus the
-      // forward pass's exact machine-checkable invariants (softmax row
-      // sums, LayerNorm moments, unit pooled norm) as round-6 residuals
-      // against literal zeros.
-      Q("q_transformer_wp",
-        (s, dir) => {
-          val cfg = graft.embed.TransformerArtifact.Config(
-            dim = 32, heads = 4, layers = 2, ffDim = 64, maxLen = 24, vocab = 64)
-          val modelDir = graft.embed.TransformerArtifact.ensureWithVocab(
-            cfg, "[UNK]" +: wpPieces)
-          val model = graft.embed.TransformerInferenceModel(modelDir)
-          graft.embed.TransformerEncoder.diagnostics(
-              tk(s, dir, "documents").select(col("doc_id"), col("text")),
-              "text", "doc_id", model, batchSize = 16)
-            .select(col("doc_id"),
-              least(col("n_tokens"), lit(24L)).as("n_tokens"), col("dim"),
-              r6(col("attn_err")).as("attn_err"),
-              r6(col("ln_err")).as("ln_err"),
-              r6(col("norm_err")).as("norm_err"))
-            .orderBy("doc_id")
-        },
-        Some(s"""
-          WITH RECURSIVE $wpPerDocCtes
-          SELECT d.doc_id,
-                 CAST(LEAST(coalesce(p.n_pieces, 0), 24) AS BIGINT) AS n_tokens,
-                 CAST(32 AS BIGINT) AS dim,
-                 (CAST(0.0 AS DOUBLE) + CAST(0.0 AS DOUBLE)) AS attn_err,
-                 (CAST(0.0 AS DOUBLE) + CAST(0.0 AS DOUBLE)) AS ln_err,
-                 (CAST(0.0 AS DOUBLE) + CAST(0.0 AS DOUBLE)) AS norm_err
-          FROM docs d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
-          ORDER BY d.doc_id""")),
-
-      // Exact substring-span dedup (Lee et al. 2022): every repeated
-      // 8-token span is cut from all but its lowest-(doc,pos) occurrence.
-      // ~1000 duplicated spans exist in the synthetic corpus at this span
-      // length, so the cleaned output is a real transformation; md5 over
-      // the cleaned text pins the exact cut-and-repack.
-      Q("q_substr_dedup",
-        (s, dir) =>
-          Dedup.exactSubstringDedup(tk(s, dir, "documents"), "text", "doc_id", 8)
-            .select(col("doc_id"), col("n_total"), col("n_removed"),
-              md5(col("cleaned")).as("cleaned_md5"))
-            .orderBy("doc_id"),
-        Some(s"""
-          WITH base AS (
-            SELECT doc_id, ${D.splitWs("text")} AS tk FROM documents),
-          spans AS (
-            SELECT doc_id, CAST(i AS INT) - 1 AS pos,
-                   md5(array_to_string(tk[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS h
-            FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 8 + 2)) AS i
-                  FROM base WHERE len(tk) >= 8)),
-          dup AS (
-            SELECT h, (min(struct_pack(d := doc_id, p := pos))).d AS cd,
-                   (min(struct_pack(d := doc_id, p := pos))).p AS cp
-            FROM spans GROUP BY h HAVING count(*) > 1),
-          occ AS (
-            SELECT s.doc_id, s.pos
-            FROM spans s JOIN dup USING (h)
-            WHERE NOT (s.doc_id = dup.cd AND s.pos = dup.cp)),
-          covered AS (
-            SELECT DISTINCT doc_id, CAST(pos + x AS BIGINT) AS tix
-            FROM occ, unnest(range(0, 8)) t(x)),
-          toks AS (
-            SELECT doc_id, CAST(i AS BIGINT) - 1 AS tix, tk[CAST(i AS INT)] AS tok
-            FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM base)),
-          kept AS (
-            SELECT t.doc_id,
-                   string_agg(t.tok, ' ' ORDER BY t.tix) AS cleaned,
-                   count(*) AS n_kept
-            FROM toks t
-            WHERE NOT EXISTS (SELECT 1 FROM covered c
-                              WHERE c.doc_id = t.doc_id AND c.tix = t.tix)
-            GROUP BY t.doc_id)
-          SELECT b.doc_id, CAST(len(b.tk) AS BIGINT) AS n_total,
-                 CAST(len(b.tk) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
-                 md5(coalesce(k.cleaned, '')) AS cleaned_md5
-          FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
-          ORDER BY b.doc_id""")),
-
-      // Deterministic train/val/test split by content-stable hash — the
-      // standard way to split a 100 TB corpus reproducibly without a
-      // shuffle or a random() that breaks retries/speculation.
-      Q("q_hash_split",
-        (s, dir) => {
-          val dlS = Dialect.spark
-          val bucket = expr(dlS.md5HexDigit(dlS.castStr("doc_id"), 1))
-          t(s, dir, "documents")
-            .withColumn("split",
-              when(bucket < 12, "train").when(bucket < 14, "val").otherwise("test"))
-            .groupBy("split")
-            .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("chars"))
-            .orderBy("split")
-        },
-        Some(s"""
-          SELECT CASE WHEN d__ < 12 THEN 'train' WHEN d__ < 14 THEN 'val'
-                      ELSE 'test' END AS split,
-                 count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
-          FROM (SELECT n_chars, ${D.md5HexDigit(D.castStr("doc_id"), 1)} AS d__
-                FROM documents)
-          GROUP BY split
-          ORDER BY split""")),
-
-      // Deterministic sampling family (ops.Sampling): every decision is
-      // md5(doc_id)-derived — reproducible across runs, retries, and
-      // speculation, and replayable bit-for-bit by the oracle engine.
-      Q("q_sample_rate",
-        (s, dir) =>
-          graft.ops.Sampling.hashSample(t(s, dir, "documents"), "doc_id", 0.25)
-            .select("doc_id")
-            .orderBy("doc_id"),
-        Some(s"""
-          SELECT doc_id FROM documents
-          WHERE ${D.md5Uniform(D.castStr("doc_id"))} < ${D.d(0.25)}
-          ORDER BY doc_id""")),
-
-      Q("q_sample_stratified",
-        (s, dir) =>
-          graft.ops.Sampling.stratifiedExact(
-              t(s, dir, "documents"), Seq("source", "lang"), "doc_id", 10)
-            .select("doc_id", "source", "lang")
-            .orderBy("doc_id"),
-        Some(s"""
-          SELECT doc_id, source, lang
-          FROM (SELECT doc_id, source, lang,
-                       row_number() OVER (PARTITION BY source, lang
-                                          ORDER BY ${D.md5Uniform(D.castStr("doc_id"))}, doc_id) AS rn
-                FROM documents)
-          WHERE rn <= 10
-          ORDER BY doc_id""")),
-
-      Q("q_sample_weighted",
-        (s, dir) =>
-          graft.ops.Sampling.weightedSample(
-              t(s, dir, "documents"), "doc_id", "n_chars", 50)
-            .select(col("doc_id"), col("priority"))
-            .orderBy(desc("priority"), col("doc_id")),
-        Some(s"""
-          SELECT doc_id,
-                 (round(pow(${D.md5Uniform(D.castStr("doc_id"))},
-                            ${D.d(1.0)} / CAST(n_chars AS DOUBLE)), 6) + ${D.d(0.0)}) AS priority
-          FROM documents
-          ORDER BY priority DESC, doc_id
-          LIMIT 50""")),
-
-      // Sequence packing: fill 256-token training bins by cumulative token
-      // count. Packs WITHIN each source partition (parallel at scale; a
-      // single global packing order would serialize the corpus).
-      // Fill-in-the-middle transform (Bavarian et al. 2022; the
-      // StarCoder/-2 pretraining op): split each document at two
-      // deterministic char offsets into prefix/middle/suffix and emit
-      // the PSM rearrangement <fim_prefix>P<fim_suffix>S<fim_middle>M —
-      // infilling supervision from plain text. Offsets vary per doc
-      // (doc_id-keyed percentages) so every boundary class is
-      // exercised. Pure per-row substring arithmetic fused into the
-      // scan; the oracle replays the identical 1-based substr algebra.
-      Q("q_fim_transform",
-        (s, dir) => {
-          val c1 = "greatest(CAST(1 AS BIGINT), (length(text) * (10 + doc_id % 40)) div 100)"
-          val c2 = s"($c1 + greatest(CAST(1 AS BIGINT), (length(text) * 30) div 100))"
-          t(s, dir, "documents")
-            .select(col("doc_id"),
-              expr(c1).as("cut1"), expr(c2).as("cut2"),
-              expr(s"""concat('<fim_prefix>', substring(text, 1, CAST($c1 AS INT)),
-                  '<fim_suffix>', substring(text, CAST($c2 AS INT) + 1),
-                  '<fim_middle>', substring(text, CAST($c1 AS INT) + 1,
-                                            CAST($c2 - $c1 AS INT)))""")
-                .as("fim_text"))
-            .orderBy("doc_id")
-        },
-        Some {
-          val c1 = "greatest(CAST(1 AS BIGINT), (length(text) * (10 + doc_id % 40)) // 100)"
-          val c2 = s"($c1 + greatest(CAST(1 AS BIGINT), (length(text) * 30) // 100))"
-          s"""
-          SELECT doc_id, $c1 AS cut1, $c2 AS cut2,
-                 '<fim_prefix>' || substring(text, 1, CAST($c1 AS INT)) ||
-                 '<fim_suffix>' || substring(text, CAST($c2 AS INT) + 1) ||
-                 '<fim_middle>' || substring(text, CAST($c1 AS INT) + 1,
-                                             CAST($c2 - $c1 AS INT)) AS fim_text
-          FROM documents
-          ORDER BY doc_id"""
-        }),
-
-      Q("q_seq_pack",
-        (s, dir) => {
-          import org.apache.spark.sql.expressions.Window
-          val w = Window.partitionBy("source").orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          t(s, dir, "documents")
-            .select(col("source"), col("doc_id"),
-              TextF.tokenCount(col("text")).cast("long").as("n_tok"))
-            .withColumn("cum", sum("n_tok").over(w))
-            .withColumn("bin", expr("CAST((cum - n_tok) div 256 AS BIGINT)"))
-            .groupBy("source", "bin")
-            .agg(count(lit(1)).as("n_docs"), sum("n_tok").cast("long").as("tok_sum"))
-            .orderBy("source", "bin")
-        },
-        Some(s"""
-          WITH tk AS (SELECT source, doc_id,
-                             CAST(${D.size(D.splitWs("text"))} AS BIGINT) AS n_tok
-                      FROM documents),
-          c AS (SELECT source, doc_id, n_tok,
-                       sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-                FROM tk)
-          SELECT source, CAST((cum - n_tok) // 256 AS BIGINT) AS bin,
-                 count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_sum
-          FROM c
-          GROUP BY source, bin
-          ORDER BY source, bin""")),
-
-      // Benchmark decontamination: corpus docs sharing any 4-gram with the
-      // benchmark set (source='src0'). Distinct shingles per doc BEFORE the
-      // explode keeps the join input minimal; the benchmark side broadcasts.
-      Q("q_contamination",
-        (s, dir) =>
-          Dedup.contaminationCounts(t(s, dir, "documents"),
-              "text", "doc_id", "source", "src0", 4)
-            .orderBy(desc("n_shared"), col("doc_id")),
-        Some(s"""
-          WITH sh AS (SELECT doc_id, source,
-                             unnest(list_distinct(${Exprs.wordShingles(D, "toks", 4)})) AS s
-                      FROM $duckToks),
-          bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
-          SELECT doc_id, count(*) AS n_shared
-          FROM sh JOIN bench USING (s)
-          WHERE source <> 'src0'
-          GROUP BY doc_id
-          ORDER BY n_shared DESC, doc_id""")),
-
-      // Repetition ratio (training-quality signal): 1 - distinct/total
-      // 3-grams. Pure per-row expression — no shuffle at all.
-      Q("q_repetition",
-        (s, dir) =>
-          Dedup.repetitionStats(t(s, dir, "documents"), "text", "doc_id", 3)
-            .withColumn("repetition",
-              r6(lit(1.0) - col("n_uniq").cast("double") / col("n_grams")))
-            .orderBy("doc_id"),
-        Some {
-          val sh = Exprs.wordShingles(D, "toks", 3)
-          s"""
-          SELECT doc_id,
-                 CAST(${D.size(sh)} AS BIGINT) AS n_grams,
-                 CAST(${D.size(D.arrayDistinct(sh))} AS BIGINT) AS n_uniq,
-                 ${duckR6(s"${D.d(1.0)} - CAST(${D.size(D.arrayDistinct(sh))} AS DOUBLE) / ${D.size(sh)}")} AS repetition
-          FROM $duckToks
-          ORDER BY doc_id"""
-        }),
-
-      // Edit-distance near-dup pairs over a bounded candidate set — the
-      // verify kernel of fuzzy dedup (candidate generation is LSH's job;
-      // see q_minhash_pairs).
-      Q("q_lev_pairs",
-        (s, dir) => {
-          val p = t(s, dir, "documents").where(col("doc_id") < 30)
-            .select(col("doc_id"), substring(col("text"), 1, 40).as("p"))
-          val a = p.toDF("id_a", "pa")
-          val b = p.toDF("id_b", "pb")
-          a.crossJoin(b).where(col("id_a") < col("id_b"))
-            .select(col("id_a"), col("id_b"),
-              levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
-            .where(col("dist") <= 25)
-            .orderBy("id_a", "id_b")
-        },
-        Some("""
-          WITH p AS (SELECT doc_id, substr(text, 1, 40) AS pp
-                     FROM documents WHERE doc_id < 30)
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 CAST(levenshtein(a.pp, b.pp) AS BIGINT) AS dist
-          FROM p a JOIN p b ON a.doc_id < b.doc_id
-          WHERE levenshtein(a.pp, b.pp) <= 25
-          ORDER BY id_a, id_b""")),
-
-      // TF-IDF top term per document. Linear idf (N/df) keeps the score a
-      // deterministic IEEE expression over exact integers — no ln() whose
-      // last-ulp could differ between engines. Struct-max avoids a window
-      // sort: one aggregate, ties broken on the term string.
-      Q("q_tfidf",
-        (s, dir) => {
-          val docs = t(s, dir, "documents")
-          val toks = docs.select(col("doc_id"),
-            explode(TextF.tokens(col("text"))).as("term"))
-          val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-          val dfreq = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
-          val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-          val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(nDocs))
-            .withColumn("score",
-              col("tf").cast("double") * col("n_docs").cast("double") /
-                col("df").cast("double"))
-          val best = max(struct(col("score"), col("term")))
-          scored.groupBy("doc_id")
-            .agg(best.getField("term").as("term"),
-              r6(best.getField("score")).as("score"))
-            .orderBy("doc_id")
-        },
-        Some("""
-          WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-                        FROM documents),
-          tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-          dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
-          n AS (SELECT count(*) AS n_docs FROM documents),
-          scored AS (SELECT doc_id, term,
-                            CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
-                     FROM tf JOIN dfreq USING (term) CROSS JOIN n)
-          SELECT doc_id,
-                 (max(struct_pack(s := score, t := term))).t AS term,
-                 (round((max(struct_pack(s := score, t := term))).s, 6) + CAST(0.0 AS DOUBLE)) AS score
-          FROM scored
-          GROUP BY doc_id
-          ORDER BY doc_id""")),
-
-      // OPQ rotation dump: the learned (Jacobi-eigensolver) rotation applied
-      // to every vector — NOT SQL-expressible, so rows-only here; its math
-      // contract (orthogonality, isometry, distortion non-inferiority) is
-      // pinned by PqSketchSpec. The dump is the TABLE INPUT that lets
-      // q_opq_ann's PQ+ADC stage be oracled. The vector is dumped as a
-      // comma-joined STRING, not array<double>: the driver's rows-only
-      // check sorts every dumped column in pandas, and an ndarray column
-      // is unhashable there (r4 crash); the string round-trips bit-exactly
-      // (Java Double.toString emits the shortest uniquely-round-tripping
-      // decimal, DuckDB's CAST back to DOUBLE is correctly rounded), so
-      // the oracle reconstructs the SAME doubles via string_split.
-      // ORACLED (r7, property gate — the dump-then-verify pattern that
-      // closed BPE): the eigensolve itself is not SQL-expressible, so the
-      // oracle pins the properties that make a rotation CORRECT instead —
-      //   - ortho_resid: driver-side max |R^T R - I| over the learned R,
-      //     emitted as a measured column; the oracle emits the SPEC
-      //     constant 0.0, so any non-orthonormal R hash-mismatches;
-      //   - iso_resid: per-row |  ||Rx||^2 - ||x||^2 |, measured in-engine
-      //     with the shared sequential-fold formula vs oracle constant
-      //     0.0 — isometry of the APPLIED kernel, vector by vector;
-      //   - l2_in: ||x||^2 recomputed BY THE ORACLE from the embeddings
-      //     TABLE (non-circular source join) — the dump rows must
-      //     correspond 1:1 with the source vectors.
-      // rv itself round-trips through the dump (it feeds q_opq_ann's
-      // independent replay oracle, which is where its values are tested).
-      Q("q_opq_rotated",
-        (s, dir) => {
-          import graft.ops.OpqRotation
-          val r = opqRotation(s, dir)
-          val d = r.length
-          var ortho = 0.0
-          var i = 0
-          while (i < d) {
-            var j = 0
-            while (j < d) {
-              var s2 = 0.0
-              var k = 0
-              while (k < d) { s2 += r(k)(i) * r(k)(j); k += 1 }
-              val diff = math.abs(s2 - (if (i == j) 1.0 else 0.0))
-              if (diff > ortho) ortho = diff
-              j += 1
-            }
-            i += 1
-          }
-          val dls = Dialect.spark
-          // sort BEFORE the rotate projection: range partitioning samples
-          // its input, so an orderBy placed after the mat-vec UDF would
-          // execute the rotation twice; a narrow projection preserves the
-          // sort order of its input
-          val emb = t(s, dir, "embeddings").orderBy("vec_id")
-          OpqRotation.rotate(emb, "embedding", "rv", r)
-            .withColumn("__xd", VectorF.toDoubleArray(col("embedding")))
-            .select(col("vec_id"),
-              concat_ws(",", transform(col("rv"), _.cast("string"))).as("rv"),
-              r6(abs(expr(dls.dot("rv", "rv")) - expr(dls.dot("__xd", "__xd"))))
-                .as("iso_resid"),
-              r6(expr(dls.dot("__xd", "__xd"))).as("l2_in"),
-              r6(lit(ortho)).as("ortho_resid"))
-        },
-        Some(s"""
-          WITH dump AS (
-            SELECT vec_id,
-                   rv,
-                   list_transform(string_split(rv, ','),
-                                  x -> CAST(x AS DOUBLE)) AS rvv
-            FROM read_parquet('__GRAFT_OUT__/q_opq_rotated/*.parquet')),
-          src AS (SELECT vec_id, ${D.castDoubleArray("embedding")} AS v
-                  FROM embeddings)
-          SELECT d.vec_id, d.rv,
-                 ${duckR6("0.0")} AS iso_resid,
-                 ${duckR6(D.dot("s.v", "s.v"))} AS l2_in,
-                 ${duckR6("0.0")} AS ortho_resid
-          FROM dump d JOIN src s ON d.vec_id = s.vec_id""")),
-
-      // Product-quantization ANN (m=4 subspaces x 16 dims, k=8 centroids,
-      // deterministic first-k init): encode all vectors to 4 codes, then
-      // ADC top-10 by squared L2 — the whole compress->search path
-      // hash-matched against plain SQL. See ops.ProductQuantization.
-      // OPQ-rotated PQ end to end. The rotation itself is recomputed
-      // in-memory (deterministic: same data, same partitioning, same
-      // treeAggregate combine order) and its dump feeds the oracle:
-      // __GRAFT_OUT__ is substituted with the Verify outDir, so DuckDB
-      // runs the q_pq_ann-shaped SQL over the SAME rotated vectors —
-      // codebooks are the first 8 SAMPLE vectors (vec_id % 4 = 0, so
-      // vec_id < 32, cid = vec_id / 4).
-      Q("q_opq_ann",
-        (s, dir) => {
-          import graft.ops.{OpqRotation, ProductQuantization}
-          val emb = t(s, dir, "embeddings")
-          // train rotation + codebooks on a deterministic sample (standard
-          // PQ practice — training is O(sample), encode covers everything)
-          val sample = emb.where(col("vec_id") % 4 === 0)
-          val r = opqRotation(s, dir)
-          val rot = OpqRotation.rotate(emb, "embedding", "rv", r)
-          val books = ProductQuantization.trainCodebooks(
-            OpqRotation.rotate(sample, "embedding", "rv", r), "vec_id", "rv",
-            4, 8, 64, 0)
-          val codes = ProductQuantization.encode(
-            rot.where(col("vec_id") =!= 0), books, "vec_id", "rv", 4, 64)
-          val q = rot.where(col("vec_id") === 0)
-            .select(col("rv").as("qv"))
-          ProductQuantization.adcTopK(codes, books, q, "vec_id", 4, 64, 10)
-            .select(col("vec_id"), r6(col("dist")).as("dist"))
-        },
-        Some(s"""
-          WITH emb AS (SELECT vec_id,
-                              list_transform(string_split(rv, ','),
-                                             x -> CAST(x AS DOUBLE)) AS v
-                       FROM read_parquet('__GRAFT_OUT__/q_opq_rotated/*.parquet')),
-          books AS (
-            SELECT CAST(s.s AS INT) AS sub, CAST(e.vec_id // 4 AS INT) AS cid,
-                   e.v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS cv
-            FROM (SELECT * FROM emb WHERE vec_id % 4 = 0 AND vec_id < 32) e, range(0, 4) s(s)),
-          subs AS (
-            SELECT vec_id, CAST(s.s AS INT) AS sub,
-                   v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS sv
-            FROM emb, range(0, 4) s(s)
-            WHERE vec_id <> 0),
-          codes AS (
-            SELECT vec_id, sub,
-                   (min(struct_pack(d := ${D.l2sq("sv", "cv")}, c := cid))).c AS code
-            FROM subs JOIN books USING (sub)
-            GROUP BY vec_id, sub),
-          codearr AS (SELECT vec_id, list(code ORDER BY sub) AS codes
-                      FROM codes GROUP BY vec_id),
-          qsubs AS (
-            SELECT CAST(s.s AS INT) AS sub,
-                   v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS qsv
-            FROM emb, range(0, 4) s(s) WHERE vec_id = 0),
-          dt AS (SELECT b.sub, b.cid, ${D.l2sq("b.cv", "q.qsv")} AS d
-                 FROM books b JOIN qsubs q USING (sub)),
-          dt1 AS (SELECT sub, list(d ORDER BY cid) AS ds FROM dt GROUP BY sub),
-          dtarr AS (SELECT list(ds ORDER BY sub) AS tables FROM dt1),
-          scored AS (
-            SELECT c.vec_id,
-                   list_reduce(list_transform(range(0, 4),
-                     i -> tables[CAST(i AS INT) + 1][codes[CAST(i AS INT) + 1] + 1]),
-                     (s__, x__) -> s__ + x__) AS dist
-            FROM codearr c, dtarr)
-          SELECT vec_id, ${duckR6("dist")} AS dist
-          FROM scored
-          ORDER BY dist, vec_id
-          LIMIT 10""")),
-
-      // FULL iterative OPQ (Ge et al. CVPR'13 non-parametric solution —
-      // closes the "init-only OPQ" gap): 4 alternations of (one Lloyd
-      // codebook step on the rotated data) and (orthogonal-Procrustes
-      // rotation update from the SVD of N = sum yhat x^T). Property gate,
-      // q_opq_rotated pattern:
-      //   - mono_viol: max over iterations of max(0, obj_t - obj_{t-1}),
-      //     measured in-driver — alternating exact minimizers make the
-      //     distortion sequence non-increasing, so the oracle pins the
-      //     SPEC constant 0.0 (a refinement bug that ever increases the
-      //     objective hash-mismatches);
-      //   - ortho_resid / iso_resid: the refined R must still be exactly
-      //     orthonormal (Procrustes returns U V^T) — max |R^T R - I| and
-      //     per-row | ||Rx||^2 - ||x||^2 | vs oracle constant 0.0;
-      //   - l2_in: ||x||^2 recomputed by the oracle from the embeddings
-      //     TABLE (non-circular 1:1 source join).
-      // rv round-trips through the dump and feeds q_opq_refined_ann's
-      // independent full-PQ replay, where its values are tested.
-      Q("q_opq_refined",
-        (s, dir) => {
-          import graft.ops.OpqRotation
-          val (r, objs) = opqRefined(s, dir)
-          val d = r.length
-          var ortho = 0.0
-          var i = 0
-          while (i < d) {
-            var j = 0
-            while (j < d) {
-              var s2 = 0.0
-              var k = 0
-              while (k < d) { s2 += r(k)(i) * r(k)(j); k += 1 }
-              val diff = math.abs(s2 - (if (i == j) 1.0 else 0.0))
-              if (diff > ortho) ortho = diff
-              j += 1
-            }
-            i += 1
-          }
-          var viol = 0.0
-          var t2 = 1
-          while (t2 < objs.length) {
-            val v = objs(t2) - objs(t2 - 1)
-            if (v > viol) viol = v
-            t2 += 1
-          }
-          val dls = Dialect.spark
-          val emb = t(s, dir, "embeddings").orderBy("vec_id")
-          OpqRotation.rotate(emb, "embedding", "rv", r)
-            .withColumn("__xd", VectorF.toDoubleArray(col("embedding")))
-            .select(col("vec_id"),
-              concat_ws(",", transform(col("rv"), _.cast("string"))).as("rv"),
-              r6(abs(expr(dls.dot("rv", "rv")) - expr(dls.dot("__xd", "__xd"))))
-                .as("iso_resid"),
-              r6(expr(dls.dot("__xd", "__xd"))).as("l2_in"),
-              r6(lit(ortho)).as("ortho_resid"),
-              r6(lit(viol)).as("mono_viol"))
-        },
-        Some(s"""
-          WITH dump AS (
-            SELECT vec_id, rv
-            FROM read_parquet('__GRAFT_OUT__/q_opq_refined/*.parquet')),
-          src AS (SELECT vec_id, ${D.castDoubleArray("embedding")} AS v
-                  FROM embeddings)
-          SELECT d.vec_id, d.rv,
-                 ${duckR6("0.0")} AS iso_resid,
-                 ${duckR6(D.dot("s.v", "s.v"))} AS l2_in,
-                 ${duckR6("0.0")} AS ortho_resid,
-                 ${duckR6("0.0")} AS mono_viol
-          FROM dump d JOIN src s ON d.vec_id = s.vec_id""")),
-
-      // PQ + ADC over the REFINED rotation, end to end — q_opq_ann's
-      // independent replay oracle re-run against q_opq_refined's dump:
-      // codebooks are first-8-sample slices of the refined-rotated
-      // vectors, codes the argmin assignment, distances the sequential
-      // ADC fold. Tests the refined rv VALUES (the property gate above
-      // pins only residuals) through the whole compress->search path.
-      Q("q_opq_refined_ann",
-        (s, dir) => {
-          import graft.ops.{OpqRotation, ProductQuantization}
-          val emb = t(s, dir, "embeddings")
-          val sample = emb.where(col("vec_id") % 4 === 0)
-          val (r, _) = opqRefined(s, dir)
-          val rot = OpqRotation.rotate(emb, "embedding", "rv", r)
-          val books = ProductQuantization.trainCodebooks(
-            OpqRotation.rotate(sample, "embedding", "rv", r), "vec_id", "rv",
-            4, 8, 64, 0)
-          val codes = ProductQuantization.encode(
-            rot.where(col("vec_id") =!= 0), books, "vec_id", "rv", 4, 64)
-          val q = rot.where(col("vec_id") === 0)
-            .select(col("rv").as("qv"))
-          ProductQuantization.adcTopK(codes, books, q, "vec_id", 4, 64, 10)
-            .select(col("vec_id"), r6(col("dist")).as("dist"))
-        },
-        Some(s"""
-          WITH emb AS (SELECT vec_id,
-                              list_transform(string_split(rv, ','),
-                                             x -> CAST(x AS DOUBLE)) AS v
-                       FROM read_parquet('__GRAFT_OUT__/q_opq_refined/*.parquet')),
-          books AS (
-            SELECT CAST(s.s AS INT) AS sub, CAST(e.vec_id // 4 AS INT) AS cid,
-                   e.v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS cv
-            FROM (SELECT * FROM emb WHERE vec_id % 4 = 0 AND vec_id < 32) e, range(0, 4) s(s)),
-          subs AS (
-            SELECT vec_id, CAST(s.s AS INT) AS sub,
-                   v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS sv
-            FROM emb, range(0, 4) s(s)
-            WHERE vec_id <> 0),
-          codes AS (
-            SELECT vec_id, sub,
-                   (min(struct_pack(d := ${D.l2sq("sv", "cv")}, c := cid))).c AS code
-            FROM subs JOIN books USING (sub)
-            GROUP BY vec_id, sub),
-          codearr AS (SELECT vec_id, list(code ORDER BY sub) AS codes
-                      FROM codes GROUP BY vec_id),
-          qsubs AS (
-            SELECT CAST(s.s AS INT) AS sub,
-                   v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS qsv
-            FROM emb, range(0, 4) s(s) WHERE vec_id = 0),
-          dt AS (SELECT b.sub, b.cid, ${D.l2sq("b.cv", "q.qsv")} AS d
-                 FROM books b JOIN qsubs q USING (sub)),
-          dt1 AS (SELECT sub, list(d ORDER BY cid) AS ds FROM dt GROUP BY sub),
-          dtarr AS (SELECT list(ds ORDER BY sub) AS tables FROM dt1),
-          scored AS (
-            SELECT c.vec_id,
-                   list_reduce(list_transform(range(0, 4),
-                     i -> tables[CAST(i AS INT) + 1][codes[CAST(i AS INT) + 1] + 1]),
-                     (s__, x__) -> s__ + x__) AS dist
-            FROM codearr c, dtarr)
-          SELECT vec_id, ${duckR6("dist")} AS dist
-          FROM scored
-          ORDER BY dist, vec_id
-          LIMIT 10""")),
-
-      // IVF-PQ composite (faiss-IVFPQ as DataFrame ops): 4 coarse cells by
-      // squared L2, PQ codebooks on residuals, query probes 2 cells and
-      // folds per-cell ADC tables. The whole coarse-assign -> residual ->
-      // encode -> probe -> ADC path hash-matches plain SQL; the exactness
-      // degeneration (all residuals as codewords + probe-all == exact L2)
-      // is pinned in PqSketchSpec.
-      Q("q_ivfpq_ann",
-        (s, dir) => {
-          import graft.ops.ProductQuantization
-          ProductQuantization.ivfPqTopK(
-            t(s, dir, "embeddings"), "vec_id", "embedding",
-            4, 2, 4, 8, 64, 10)
-            .select(col("vec_id"), col("cl").cast("long").as("cl"),
-              r6(col("dist")).as("dist"))
-        },
-        Some(s"""
-          WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          coarse AS (SELECT CAST(vec_id AS INT) AS ccid, v AS ccv FROM emb WHERE vec_id < 4),
-          assigned AS (
-            SELECT e.vec_id,
-                   (min(struct_pack(d := ${D.l2sq("e.v", "c.ccv")}, c := c.ccid))).c AS cl
-            FROM emb e, coarse c
-            GROUP BY e.vec_id),
-          resid AS (
-            SELECT a.vec_id, a.cl,
-                   list_transform(range(1, 65),
-                     i -> e.v[CAST(i AS INT)] - c.ccv[CAST(i AS INT)]) AS rv
-            FROM assigned a
-            JOIN emb e ON a.vec_id = e.vec_id
-            JOIN coarse c ON a.cl = c.ccid),
-          books AS (
-            SELECT CAST(s.s AS INT) AS sub, CAST(r.vec_id AS INT) AS cid,
-                   r.rv[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS cv
-            FROM (SELECT * FROM resid WHERE vec_id < 8) r, range(0, 4) s(s)),
-          subs AS (
-            SELECT vec_id, cl, CAST(s.s AS INT) AS sub,
-                   rv[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS sv
-            FROM resid, range(0, 4) s(s)
-            WHERE vec_id <> 0),
-          codes AS (
-            SELECT vec_id, cl, sub,
-                   (min(struct_pack(d := ${D.l2sq("sv", "cv")}, c := cid))).c AS code
-            FROM subs JOIN books USING (sub)
-            GROUP BY vec_id, cl, sub),
-          codearr AS (SELECT vec_id, cl, list(code ORDER BY sub) AS codes
-                      FROM codes GROUP BY vec_id, cl),
-          qv AS (SELECT v AS qvec FROM emb WHERE vec_id = 0),
-          probed AS (
-            SELECT ccid AS cl,
-                   list_transform(range(1, 65),
-                     i -> q.qvec[CAST(i AS INT)] - ccv[CAST(i AS INT)]) AS qres
-            FROM coarse, qv q
-            ORDER BY ${D.l2sq("q.qvec", "ccv")}, ccid
-            LIMIT 2),
-          qsubs AS (
-            SELECT cl, CAST(s.s AS INT) AS sub,
-                   qres[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS qsv
-            FROM probed, range(0, 4) s(s)),
-          dt AS (SELECT q.cl, b.sub, b.cid, ${D.l2sq("b.cv", "q.qsv")} AS d
-                 FROM books b JOIN qsubs q USING (sub)),
-          dt1 AS (SELECT cl, sub, list(d ORDER BY cid) AS ds FROM dt GROUP BY cl, sub),
-          dtarr AS (SELECT cl, list(ds ORDER BY sub) AS tables FROM dt1 GROUP BY cl),
-          scored AS (
-            SELECT c.vec_id, c.cl,
-                   list_reduce(list_transform(range(0, 4),
-                     i -> tables[CAST(i AS INT) + 1][codes[CAST(i AS INT) + 1] + 1]),
-                     (s__, x__) -> s__ + x__) AS dist
-            FROM codearr c JOIN dtarr t ON c.cl = t.cl)
-          SELECT vec_id, CAST(cl AS BIGINT) AS cl, ${duckR6("dist")} AS dist
-          FROM scored
-          ORDER BY dist, vec_id
-          LIMIT 10""")),
-
-      Q("q_pq_ann",
-        (s, dir) => {
-          import graft.ops.ProductQuantization
-          val emb = t(s, dir, "embeddings")
-          val books = ProductQuantization.trainCodebooks(
-            emb, "vec_id", "embedding", 4, 8, 64, 0)
-          val codes = ProductQuantization.encode(
-            emb.where(col("vec_id") =!= 0), books, "vec_id", "embedding", 4, 64)
-          val q = emb.where(col("vec_id") === 0)
-            .select(VectorF.toDoubleArray(col("embedding")).as("qv"))
-          ProductQuantization.adcTopK(codes, books, q, "vec_id", 4, 64, 10)
-            .select(col("vec_id"), r6(col("dist")).as("dist"))
-        },
-        Some(s"""
-          WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          books AS (
-            SELECT CAST(s.s AS INT) AS sub, CAST(e.vec_id AS INT) AS cid,
-                   e.v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS cv
-            FROM (SELECT * FROM emb WHERE vec_id < 8) e, range(0, 4) s(s)),
-          subs AS (
-            SELECT vec_id, CAST(s.s AS INT) AS sub,
-                   v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS sv
-            FROM emb, range(0, 4) s(s)
-            WHERE vec_id <> 0),
-          codes AS (
-            SELECT vec_id, sub,
-                   (min(struct_pack(d := ${D.l2sq("sv", "cv")}, c := cid))).c AS code
-            FROM subs JOIN books USING (sub)
-            GROUP BY vec_id, sub),
-          codearr AS (SELECT vec_id, list(code ORDER BY sub) AS codes
-                      FROM codes GROUP BY vec_id),
-          qsubs AS (
-            SELECT CAST(s.s AS INT) AS sub,
-                   v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS qsv
-            FROM emb, range(0, 4) s(s) WHERE vec_id = 0),
-          dt AS (SELECT b.sub, b.cid, ${D.l2sq("b.cv", "q.qsv")} AS d
-                 FROM books b JOIN qsubs q USING (sub)),
-          dt1 AS (SELECT sub, list(d ORDER BY cid) AS ds FROM dt GROUP BY sub),
-          dtarr AS (SELECT list(ds ORDER BY sub) AS tables FROM dt1),
-          scored AS (
-            SELECT c.vec_id,
-                   list_reduce(list_transform(range(0, 4),
-                     i -> tables[CAST(i AS INT) + 1][codes[CAST(i AS INT) + 1] + 1]),
-                     (s__, x__) -> s__ + x__) AS dist
-            FROM codearr c, dtarr)
-          SELECT vec_id, ${duckR6("dist")} AS dist
-          FROM scored
-          ORDER BY dist, vec_id
-          LIMIT 10""")),
-
-      // KMV distinct-count sketch over l_partkey (k=256): the estimate is
-      // md5-deterministic, so unlike HLL the ORACLE runs the identical
-      // sketch and the hash must match exactly — est, number of retained
-      // hashes, the exact distinct count, and the relative error.
-      Q("q_kmv_distinct",
-        (s, dir) => {
-          import graft.ops.Sketches
-          val li = t(s, dir, "lineitem")
-          val kmv = Sketches.kmvDistinct(li, "l_partkey", 256)
-          val exact = li.agg(countDistinct(col("l_partkey")).as("exact"))
-          kmv.crossJoin(exact)
-            .select(
-              r6(col("est")).as("est"),
-              col("n_hashes").cast("long").as("n_hashes"),
-              col("exact").cast("long").as("exact"),
-              r6(abs(col("est") - col("exact").cast("double")) /
-                col("exact").cast("double")).as("rel_err"))
-        },
-        Some(s"""
-          WITH u AS (SELECT DISTINCT ${D.md5Uniform(D.castStr("l_partkey"))} AS u
-                     FROM lineitem WHERE l_partkey IS NOT NULL),
-          kk AS (SELECT u FROM u ORDER BY u LIMIT 256),
-          s AS (SELECT CAST(count(*) AS BIGINT) AS n_hashes, max(u) AS uk FROM kk),
-          e AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact FROM lineitem),
-          est0 AS (SELECT CASE WHEN n_hashes < 256 THEN CAST(n_hashes AS DOUBLE)
-                               ELSE ${D.d(255.0)} / uk END AS est,
-                          n_hashes, exact
-                   FROM s, e)
-          SELECT ${duckR6("est")} AS est, n_hashes, exact,
-                 ${duckR6("abs(est - CAST(exact AS DOUBLE)) / CAST(exact AS DOUBLE)")} AS rel_err
-          FROM est0""")),
-
-      // Intra-document repeated-sentence removal (C4-style line dedup).
-      // Fixture: dot every 7th token into sentence boundaries, then
-      // re-append the first two sentences so every doc HAS duplicates;
-      // the operator keeps first occurrences in order. Narrow, no shuffle.
-      Q("q_sent_dedup",
-        (s, dir) => {
-          val dotted = expr(
-            """transform(split(trim(text), '\\s+'),
-                 (t, i) -> CASE WHEN i % 7 = 6 THEN concat(t, '.') ELSE t END)""")
-          val docs = t(s, dir, "documents")
-            .withColumn("__dt", dotted)
-            .withColumn("text2",
-              concat(array_join(col("__dt"), " "), lit(" "),
-                array_join(slice(col("__dt"), 1, 14), " ")))
-          Dedup.dedupSentencesWithin(docs, "text2", "doc_id")
-            .select(col("doc_id"), col("n_sent"), col("n_kept"),
-              md5(col("cleaned")).as("cleaned_md5"))
-            .orderBy("doc_id")
-        },
-        Some("""
-          WITH dt AS (
-            SELECT doc_id,
-                   list_transform(string_split_regex(trim(text), '\s+'),
-                     (t, i) -> CASE WHEN i % 7 = 0 THEN t || '.' ELSE t END) AS dt
-            FROM documents),
-          tx AS (SELECT doc_id,
-                        array_to_string(dt, ' ') || ' ' ||
-                          array_to_string(dt[1:14], ' ') AS text2
-                 FROM dt),
-          sents AS (SELECT doc_id, string_split(text2, '. ') AS s FROM tx),
-          kept AS (SELECT doc_id, s,
-                          list_filter(s, (x, i) -> list_position(s, x) = i) AS k
-                   FROM sents)
-          SELECT doc_id,
-                 CAST(len(s) AS BIGINT) AS n_sent,
-                 CAST(len(k) AS BIGINT) AS n_kept,
-                 md5(array_to_string(k, '. ')) AS cleaned_md5
-          FROM kept
-          ORDER BY doc_id""")),
-
-      // CROSS-document sentence dedup (C4/Dolma corpus-level rule): every
-      // doc gets a shared preamble sentence + its own dotted sentences +
-      // a repeat of its own head slice; the preamble survives only in the
-      // lowest doc, repeats are cut everywhere, survivors re-join in
-      // order. Canonicality = min (doc, pos) per sentence, decided on
-      // hashes; the oracle replays it by grouping on the sentence value.
-      Q("q_crossdoc_sent_dedup",
-        (s, dir) => {
-          val dotted = expr(
-            """transform(split(trim(text), '\\s+'),
-                 (t, i) -> CASE WHEN i % 7 = 6 THEN concat(t, '.') ELSE t END)""")
-          val docs = t(s, dir, "documents")
-            .withColumn("__dt", dotted)
-            .withColumn("text2",
-              concat(lit("the shared corpus preamble. "),
-                array_join(col("__dt"), " "), lit(" "),
-                array_join(slice(col("__dt"), 1, 14), " ")))
-          Dedup.dedupSentencesAcross(docs, "text2", "doc_id")
-            .select(col("doc_id"), col("n_kept"),
-              md5(col("cleaned")).as("cleaned_md5"))
-            .orderBy("doc_id")
-        },
-        Some("""
-          WITH dt AS (
-            SELECT doc_id,
-                   list_transform(string_split_regex(trim(text), '\s+'),
-                     (t, i) -> CASE WHEN i % 7 = 0 THEN t || '.' ELSE t END) AS dt
-            FROM documents),
-          tx AS (SELECT doc_id,
-                        'the shared corpus preamble. ' ||
-                          array_to_string(dt, ' ') || ' ' ||
-                          array_to_string(dt[1:14], ' ') AS text2
-                 FROM dt),
-          sl AS (SELECT doc_id, string_split(text2, '. ') AS sl FROM tx),
-          sents AS (SELECT doc_id, unnest(sl) AS s,
-                           unnest(range(0, len(sl))) AS pos
-                    FROM sl),
-          canon AS (SELECT s, min(struct_pack(d := doc_id, p := pos)) AS f
-                    FROM sents GROUP BY s),
-          kept AS (SELECT se.doc_id, se.pos, se.s
-                   FROM sents se JOIN canon c USING (s)
-                   WHERE se.doc_id = (c.f).d AND se.pos = (c.f).p),
-          agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-                         array_to_string(list(s ORDER BY pos), '. ') AS cleaned
-                  FROM kept GROUP BY doc_id)
-          SELECT d.doc_id,
-                 coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept,
-                 md5(coalesce(cleaned, '')) AS cleaned_md5
-          FROM documents d LEFT JOIN agg USING (doc_id)
-          ORDER BY doc_id""")),
-
-      // Per-domain corpus cap (RefinedWeb-style: no domain may contribute
-      // more than N documents). Domain parsed from a synthesized URL
-      // (37 domains over the corpus), cap 3 via the deterministic
-      // hash-ranked quota in Sampling.capPerKey.
-      Q("q_domain_cap",
-        (s, dir) => {
-          import graft.ops.Sampling
-          val docs = t(s, dir, "documents")
-            .withColumn("url",
-              concat(lit("https://d"), (col("doc_id") % 37).cast("string"),
-                lit(".example.com/p/"), col("doc_id").cast("string")))
-            .withColumn("domain", TextF.domainOf(col("url")))
-          Sampling.capPerKey(docs, Seq("domain"), "doc_id", 3)
-            .select(col("doc_id"), col("domain"))
-            .orderBy("doc_id")
-        },
-        Some(s"""
-          WITH d AS (
-            SELECT doc_id,
-                   regexp_extract('https://d' || CAST(doc_id % 37 AS VARCHAR) ||
-                                  '.example.com/p/' || CAST(doc_id AS VARCHAR),
-                                  '${TextF.DomainRe}', 1) AS domain
-            FROM documents),
-          r AS (SELECT doc_id, domain,
-                       row_number() OVER (
-                         PARTITION BY domain
-                         ORDER BY ${D.md5Uniform(D.castStr("doc_id"))}, doc_id) AS rn
-                FROM d)
-          SELECT doc_id, domain
-          FROM r WHERE rn <= 3
-          ORDER BY doc_id""")),
-
-      // Corpus-trained unigram LM surprisal per document (the cheap
-      // stand-in for CCNet/RedPajama perplexity filtering). Per-token
-      // surprisals round to 6 decimals BEFORE the position-ordered fold,
-      // so a last-ulp ln() difference between engines cannot accumulate.
-      Q("q_unigram_lm",
-        (s, dir) => {
-          import graft.ops.LanguageModel
-          LanguageModel.unigramSurprisal(t(s, dir, "documents"), "text", "doc_id")
-            .select(col("doc_id"), col("n_tokens"),
-              r6(col("avg_surprisal")).as("avg_surprisal"))
-            .orderBy("doc_id")
-        },
-        Some(s"""
-          WITH toks AS (
-            SELECT doc_id,
-                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-                   unnest(range(1, len(string_split_regex(trim(text), '\\s+')) + 1)) AS pos
-            FROM documents),
-          vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
-          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
-          scored AS (
-            SELECT doc_id, pos,
-                   round(-ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS lp
-            FROM toks JOIN vocab USING (tok) CROSS JOIN tot),
-          agg AS (SELECT doc_id, list(lp ORDER BY pos) AS lps,
-                         CAST(count(*) AS BIGINT) AS n_tokens
-                  FROM scored GROUP BY doc_id)
-          SELECT doc_id, n_tokens,
-                 ${duckR6("list_reduce(lps, (a__, x__) -> a__ + x__) / CAST(n_tokens AS DOUBLE)")} AS avg_surprisal
-          FROM agg
-          ORDER BY doc_id""")),
-
-      // Interpolated-bigram surprisal (one Markov order above
-      // q_unigram_lm; lambda = 0.75 and 0.25 are exact in binary, so the
-      // interpolation constants cannot skew between engines). First token
-      // of each doc scores by unigram alone.
-      Q("q_bigram_lm",
-        (s, dir) => {
-          import graft.ops.LanguageModel
-          LanguageModel.bigramSurprisal(tk(s, dir, "documents"), "text", "doc_id")
-            .select(col("doc_id"), col("n_tokens"),
-              r6(col("avg_surprisal")).as("avg_surprisal"))
-            .orderBy("doc_id")
-        },
-        Some(s"""
-          WITH toks AS (
-            SELECT doc_id,
-                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-                   unnest(range(1, len(string_split_regex(trim(text), '\\s+')) + 1)) AS pos
-            FROM documents),
-          prevs AS (
-            SELECT doc_id, pos, tok,
-                   lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-            FROM toks),
-          uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM toks GROUP BY tok),
-          tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM uni),
-          bi AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS cb
-                 FROM prevs WHERE prev IS NOT NULL GROUP BY prev, tok),
-          scored AS (
-            SELECT p.doc_id, p.pos,
-                   round(-ln(CASE WHEN p.prev IS NULL
-                                  THEN CAST(u.cu AS DOUBLE) / CAST(n_total AS DOUBLE)
-                                  ELSE ${D.d(0.75)} * (CAST(b.cb AS DOUBLE) / CAST(up.cprev AS DOUBLE)) +
-                                       ${D.d(0.25)} * (CAST(u.cu AS DOUBLE) / CAST(n_total AS DOUBLE))
-                             END), 6) AS lp
-            FROM prevs p
-            JOIN uni u USING (tok)
-            LEFT JOIN (SELECT tok AS prev, cu AS cprev FROM uni) up USING (prev)
-            LEFT JOIN bi b ON b.prev = p.prev AND b.tok = p.tok
-            CROSS JOIN tot),
-          agg AS (SELECT doc_id, list(lp ORDER BY pos) AS lps,
-                         CAST(count(*) AS BIGINT) AS n_tokens
-                  FROM scored GROUP BY doc_id)
-          SELECT doc_id, n_tokens,
-                 ${duckR6("list_reduce(lps, (a__, x__) -> a__ + x__) / CAST(n_tokens AS DOUBLE)")} AS avg_surprisal
-          FROM agg
-          ORDER BY doc_id""")),
-
-      // Interpolated-trigram surprisal (the top of the n-gram family —
-      // KenLM-class filters run order 3-5): lambda3/2/1 = 0.5/0.25/0.25,
-      // all exact in binary. First token scores by unigram, second by the
-      // bigram interpolation, the rest by the full trigram mix. The
-      // trigram denominator c(u v) counts pair occurrences corpus-wide
-      // (doc-final pairs included — the standard no-sentinel MLE).
-      Q("q_trigram_lm",
-        (s, dir) => {
-          import graft.ops.LanguageModel
-          LanguageModel.trigramSurprisal(tk(s, dir, "documents"), "text", "doc_id")
-            .select(col("doc_id"), col("n_tokens"),
-              r6(col("avg_surprisal")).as("avg_surprisal"))
-            .orderBy("doc_id")
-        },
-        Some(s"""
-          WITH toks AS (
-            SELECT doc_id,
-                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-                   unnest(range(1, len(string_split_regex(trim(text), '\\s+')) + 1)) AS pos
-            FROM documents),
-          ctx AS (
-            SELECT doc_id, pos, tok,
-                   lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
-                   lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS prev2
-            FROM toks),
-          uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM toks GROUP BY tok),
-          tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM uni),
-          bi AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS cb
-                 FROM ctx WHERE prev IS NOT NULL GROUP BY prev, tok),
-          tri AS (SELECT prev2, prev, tok, CAST(count(*) AS BIGINT) AS ct
-                  FROM ctx WHERE prev2 IS NOT NULL GROUP BY prev2, prev, tok),
-          scored AS (
-            SELECT c.doc_id, c.pos,
-                   round(-ln(CASE
-                     WHEN c.prev IS NULL
-                     THEN CAST(u.cu AS DOUBLE) / CAST(n_total AS DOUBLE)
-                     WHEN c.prev2 IS NULL
-                     THEN ${D.d(0.75)} * (CAST(b.cb AS DOUBLE) / CAST(up.cprev AS DOUBLE)) +
-                          ${D.d(0.25)} * (CAST(u.cu AS DOUBLE) / CAST(n_total AS DOUBLE))
-                     ELSE ${D.d(0.5)} * (CAST(t.ct AS DOUBLE) / CAST(bc.cctx AS DOUBLE)) +
-                          ${D.d(0.25)} * (CAST(b.cb AS DOUBLE) / CAST(up.cprev AS DOUBLE)) +
-                          ${D.d(0.25)} * (CAST(u.cu AS DOUBLE) / CAST(n_total AS DOUBLE))
-                   END), 6) AS lp
-            FROM ctx c
-            JOIN uni u USING (tok)
-            LEFT JOIN (SELECT tok AS prev, cu AS cprev FROM uni) up USING (prev)
-            LEFT JOIN bi b ON b.prev = c.prev AND b.tok = c.tok
-            LEFT JOIN tri t ON t.prev2 = c.prev2 AND t.prev = c.prev AND t.tok = c.tok
-            LEFT JOIN (SELECT prev AS prev2, tok AS prev, cb AS cctx FROM bi) bc
-                   ON bc.prev2 = c.prev2 AND bc.prev = c.prev
-            CROSS JOIN tot),
-          agg AS (SELECT doc_id, list(lp ORDER BY pos) AS lps,
-                         CAST(count(*) AS BIGINT) AS n_tokens
-                  FROM scored GROUP BY doc_id)
-          SELECT doc_id, n_tokens,
-                 ${duckR6("list_reduce(lps, (a__, x__) -> a__ + x__) / CAST(n_tokens AS DOUBLE)")} AS avg_surprisal
-          FROM agg
-          ORDER BY doc_id""")),
-
-      // Interpolated Kneser-Ney bigram surprisal — the KenLM-class
-      // smoother: observed bigrams discounted by D=0.75 (exact in
-      // binary), freed mass backed off to CONTINUATION probability
-      // (distinct-left-context counts, not frequency). Four count
-      // tables, all corpus-token-bounded; same position-ordered
-      // round-6 fold contract.
-      Q("q_kneser_ney",
-        (s, dir) => {
-          import graft.ops.LanguageModel
-          LanguageModel.kneserNeyBigram(tk(s, dir, "documents"), "text", "doc_id")
-            .select(col("doc_id"), col("n_tokens"),
-              r6(col("avg_surprisal")).as("avg_surprisal"))
-            .orderBy("doc_id")
-        },
-        Some(s"""
-          WITH toks AS (
-            SELECT doc_id,
-                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-                   unnest(range(1, len(string_split_regex(trim(text), '\\s+')) + 1)) AS pos
-            FROM documents),
-          prevs AS (
-            SELECT doc_id, pos, tok,
-                   lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-            FROM toks),
-          uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM toks GROUP BY tok),
-          tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM uni),
-          bi AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS cb
-                 FROM prevs WHERE prev IS NOT NULL GROUP BY prev, tok),
-          nf AS (SELECT prev, CAST(count(DISTINCT tok) AS BIGINT) AS nf
-                 FROM bi GROUP BY prev),
-          nl AS (SELECT tok, CAST(count(DISTINCT prev) AS BIGINT) AS nl
-                 FROM bi GROUP BY tok),
-          nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM bi),
-          scored AS (
-            SELECT p.doc_id, p.pos,
-                   round(-ln(CASE WHEN p.prev IS NULL
-                                  THEN CAST(u.cu AS DOUBLE) / CAST(n_total AS DOUBLE)
-                                  ELSE (CAST(b.cb AS DOUBLE) - ${D.d(0.75)}) / CAST(up.cprev AS DOUBLE) +
-                                       ${D.d(0.75)} * (CAST(f.nf AS DOUBLE) / CAST(up.cprev AS DOUBLE)) *
-                                       (CAST(l.nl AS DOUBLE) / CAST(nt AS DOUBLE))
-                             END), 6) AS lp
-            FROM prevs p
-            JOIN uni u USING (tok)
-            LEFT JOIN (SELECT tok AS prev, cu AS cprev FROM uni) up USING (prev)
-            LEFT JOIN bi b ON b.prev = p.prev AND b.tok = p.tok
-            LEFT JOIN nf f ON f.prev = p.prev
-            LEFT JOIN nl l ON l.tok = p.tok
-            CROSS JOIN nt
-            CROSS JOIN tot),
-          agg AS (SELECT doc_id, list(lp ORDER BY pos) AS lps,
-                         CAST(count(*) AS BIGINT) AS n_tokens
-                  FROM scored GROUP BY doc_id)
-          SELECT doc_id, n_tokens,
-                 ${duckR6("list_reduce(lps, (a__, x__) -> a__ + x__) / CAST(n_tokens AS DOUBLE)")} AS avg_surprisal
-          FROM agg
-          ORDER BY doc_id""")),
-
-      // Deterministic mixture up/down-sampling ("epochs per source"):
-      // language weights 2.5/1.5/1.0/0.75/0.25 — ALL exact in binary —
-      // replicate floor(w) + md5-bernoulli(frac(w)) times. zh at 0.25
-      // mostly drops; en at 2.5 doubles-or-triples.
-      Q("q_mixture_upsample",
-        (s, dir) => {
-          import graft.ops.Sampling
-          val docs = t(s, dir, "documents")
-            .withColumn("wt",
-              when(col("lang") === "en", 2.5)
-                .when(col("lang") === "de", 1.5)
-                .when(col("lang") === "fr", 1.0)
-                .when(col("lang") === "es", 0.75)
-                .otherwise(0.25))
-          Sampling.upsampleByWeight(docs, "doc_id", "wt")
-            .select(col("doc_id"), col("lang"), col("copy").cast("long").as("copy"))
-            .orderBy("doc_id", "copy")
-        },
-        Some(s"""
-          WITH w AS (
-            SELECT doc_id, lang,
-                   CASE lang WHEN 'en' THEN ${D.d(2.5)} WHEN 'de' THEN ${D.d(1.5)}
-                             WHEN 'fr' THEN ${D.d(1.0)} WHEN 'es' THEN ${D.d(0.75)}
-                             ELSE ${D.d(0.25)} END AS wt
-            FROM documents),
-          n AS (
-            SELECT doc_id, lang,
-                   CAST(floor(wt) +
-                        CASE WHEN ${D.md5Uniform(D.castStr("doc_id"))} < wt - floor(wt)
-                             THEN 1 ELSE 0 END AS BIGINT) AS n_copies
-            FROM w)
-          SELECT doc_id, lang, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy
-          FROM n
-          ORDER BY doc_id, copy""")),
-
-      // mC4/XLM-R alpha-temperature language rebalancing at alpha = 0.5:
-      // factor_l = sqrt(n_max / n_l) (sqrt is IEEE correctly-rounded, so
-      // both engines agree bit-for-bit; pow would not). One tiny (lang)
-      // aggregation broadcasts; replication is the same narrow
-      // deterministic generator as q_mixture_upsample.
-      Q("q_temperature_mix",
-        (s, dir) => {
-          import graft.ops.Sampling
-          Sampling.temperatureResample(t(s, dir, "documents"), "doc_id", "lang", 0.5)
-            .select(col("doc_id"), col("lang"),
-              col("factor"), col("copy").cast("long").as("copy"))
-            .orderBy("doc_id", "copy")
-        },
-        Some(s"""
-          WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
-                     FROM documents GROUP BY lang),
-          m AS (SELECT max(n) AS mx FROM c),
-          f AS (SELECT lang, sqrt(CAST(mx AS DOUBLE) / CAST(n AS DOUBLE)) AS factor
-                FROM c, m),
-          w AS (SELECT d.doc_id, d.lang, f.factor
-                FROM documents d JOIN f ON d.lang = f.lang),
-          n2 AS (SELECT doc_id, lang, factor,
-                       CAST(floor(factor) +
-                            CASE WHEN ${D.md5Uniform(D.castStr("doc_id"))} < factor - floor(factor)
-                                 THEN 1 ELSE 0 END AS BIGINT) AS n_copies
-                 FROM w)
-          SELECT doc_id, lang, factor,
-                 CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy
-          FROM n2
-          ORDER BY doc_id, copy""")),
-
-      // PCA 64->16 projection dump — the q_opq_rotated pattern: the
-      // eigensolve is not SQL-expressible (rows-only; math contract in
-      // QuantAnnSpec), the vectors dump as bit-exact round-tripping
-      // strings, and the dump is the table input that lets q_pca_ann be
-      // oracled over the SAME projected doubles.
-      // ORACLED (r7, property gate — same pattern as q_opq_rotated):
-      //   - ortho_resid: driver-side max |P P^T - I_m| (P's rows must be
-      //     orthonormal) vs oracle constant 0.0;
-      //   - recon_resid: per-row Pythagoras identity for an orthonormal
-      //     projector — || mean + P^T pv - x ||^2 must equal
-      //     ||x - mean||^2 - ||pv||^2; the residual between the ACTUAL
-      //     reconstruction error and the identity is measured in-engine
-      //     (vs oracle 0.0), which fails for any non-orthonormal P or any
-      //     pv that is not the true projection of x;
-      //   - var_order_viol: driver-side per-component population variance
-      //     of the projections (one tiny 16-row aggregate) — components
-      //     must come out eigenvalue-DESCENDING; the max increasing
-      //     violation is emitted vs oracle 0.0;
-      //   - cen2: ||x - mean||^2 with mean recomputed by the ORACLE from
-      //     the embeddings TABLE (avg per coordinate is order-independent
-      //     only at rounded precision, so the oracle recomputes the whole
-      //     quantity from source at r6) — pins the dump 1:1 to source
-      //     vectors AND the mean vector itself.
-      Q("q_pca_project",
-        (s, dir) => {
-          import graft.ops.Pca
-          val (mean, p) = pcaModel(s, dir)
-          val m = p.length
-          val dim = mean.length
-          var ortho = 0.0
-          var i = 0
-          while (i < m) {
-            var j = 0
-            while (j < m) {
-              var s2 = 0.0
-              var k = 0
-              while (k < dim) { s2 += p(i)(k) * p(j)(k); k += 1 }
-              val diff = math.abs(s2 - (if (i == j) 1.0 else 0.0))
-              if (diff > ortho) ortho = diff
-              j += 1
-            }
-            i += 1
-          }
-          // orderBy before the projection (see q_opq_rotated: range
-          // sampling would run the mat-vec twice if the sort came after)
-          val proj = Pca.project(t(s, dir, "embeddings").orderBy("vec_id"),
-            "embedding", "pv", mean, p)
-          // variance ordering: one 16-row aggregate over the projections
-          val vars = Pca.project(t(s, dir, "embeddings"), "embedding", "pv", mean, p)
-            .select(posexplode(col("pv")).as(Seq("k", "x")))
-            .groupBy("k").agg(avg(col("x") * col("x")).as("exx"), avg(col("x")).as("ex"))
-            .collect().map(r => (r.getInt(0), r.getDouble(1) - r.getDouble(2) * r.getDouble(2)))
-            .sortBy(_._1).map(_._2)
-          val varViol = vars.sliding(2).collect { case Array(a, b) => b - a }
-            .foldLeft(0.0)(math.max)
-          val bm = s.sparkContext.broadcast(mean)
-          val bp = s.sparkContext.broadcast(p)
-          val recon = udf((xs: Seq[Double], pvs: Seq[Double]) => {
-            val x = xs.toArray; val pv = pvs.toArray
-            val mu = bm.value; val mat = bp.value
-            var err2 = 0.0; var cen2 = 0.0; var proj2 = 0.0
-            var i2 = 0
-            while (i2 < mu.length) {
-              var xhat = mu(i2)
-              var k2 = 0
-              while (k2 < mat.length) { xhat += mat(k2)(i2) * pv(k2); k2 += 1 }
-              val e = xhat - x(i2); err2 += e * e
-              val c = x(i2) - mu(i2); cen2 += c * c
-              i2 += 1
-            }
-            var k3 = 0
-            while (k3 < pv.length) { proj2 += pv(k3) * pv(k3); k3 += 1 }
-            Array(math.abs(err2 - (cen2 - proj2)), cen2)
-          })
-          proj
-            .withColumn("__pr", recon(VectorF.toDoubleArray(col("embedding")), col("pv")))
-            .select(col("vec_id"),
-              concat_ws(",", transform(col("pv"), _.cast("string"))).as("pv"),
-              r6(element_at(col("__pr"), 1)).as("recon_resid"),
-              r6(element_at(col("__pr"), 2)).as("cen2"),
-              r6(lit(ortho)).as("ortho_resid"),
-              r6(lit(math.max(varViol, 0.0))).as("var_order_viol"))
-        },
-        Some(s"""
-          WITH dump AS (
-            SELECT vec_id, pv
-            FROM read_parquet('__GRAFT_OUT__/q_pca_project/*.parquet')),
-          src AS (SELECT vec_id, ${D.castDoubleArray("embedding")} AS v
-                  FROM embeddings),
-          mu AS (
-            SELECT list(m ORDER BY k) AS mean
-            FROM (SELECT k, avg(v[CAST(k AS INT)]) AS m
-                  FROM src, range(1, 65) t(k) GROUP BY k)),
-          cen AS (
-            SELECT s.vec_id,
-                   ${D.l2sq("s.v", "mu.mean")} AS cen2
-            FROM src s, mu)
-          SELECT d.vec_id, d.pv,
-                 ${duckR6("0.0")} AS recon_resid,
-                 ${duckR6("c.cen2")} AS cen2,
-                 ${duckR6("0.0")} AS ortho_resid,
-                 ${duckR6("0.0")} AS var_order_viol
-          FROM dump d JOIN cen c ON d.vec_id = c.vec_id""")),
-
-      // ANN in PCA space: exact cosine top-10 over the 16-dim projections
-      // (4x smaller scan than the raw 64-dim index). DuckDB reruns the
-      // same search over the dumped projections.
-      Q("q_pca_ann",
-        (s, dir) => {
-          import graft.ops.Pca
-          val (mean, p) = pcaModel(s, dir)
-          val proj = Pca.project(t(s, dir, "embeddings"), "embedding", "pv", mean, p)
-          val q = proj.where(col("vec_id") === 0).select(col("pv").as("qv"))
-          Similarity.bruteForceTopK(
-            proj.where(col("vec_id") =!= 0).select(col("vec_id"), col("pv")),
-            q, "vec_id", "pv", 10)
-            .select(col("vec_id"), r6(col("score")).as("score"))
-        },
-        Some(s"""
-          WITH emb AS (SELECT vec_id,
-                              list_transform(string_split(pv, ','),
-                                             x -> CAST(x AS DOUBLE)) AS v
-                       FROM read_parquet('__GRAFT_OUT__/q_pca_project/*.parquet')),
-          q AS (SELECT v AS qv FROM emb WHERE vec_id = 0)
-          SELECT vec_id, (round(score, 6) + ${D.d(0.0)}) AS score
-          FROM (SELECT vec_id, ${D.cosine("v", "qv")} AS score
-                FROM emb, q
-                WHERE vec_id <> 0
-                ORDER BY score DESC, vec_id
-                LIMIT 10)
-          ORDER BY score DESC, vec_id""")),
-
-      // Greedy token-budget fill per language: best-quality-first
-      // (n_chars DESC as the quality key) until each language holds at
-      // least 2k whitespace tokens (binding for every language at every
-      // SF, so the filter genuinely selects). Pure integer window math.
-      Q("q_token_budget",
-        (s, dir) => {
-          import graft.ops.Sampling
-          val docs = t(s, dir, "documents")
-            .withColumn("n_tokens",
-              size(split(trim(col("text")), "\\s+")).cast("long"))
-          Sampling.tokenBudgetSelect(docs, "lang", "n_tokens", "n_chars",
-              "doc_id", 2000L)
-            .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
-            .orderBy("doc_id")
-        },
-        Some(s"""
-          WITH d AS (
-            SELECT doc_id, lang, n_chars,
-                   CAST(len(${D.splitWs("text")}) AS BIGINT) AS n_tokens
-            FROM documents),
-          c AS (
-            SELECT doc_id, lang, n_tokens,
-                   sum(n_tokens) OVER (
-                     PARTITION BY lang ORDER BY n_chars DESC, doc_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-            FROM d)
-          SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
-          FROM c
-          WHERE cum - n_tokens < 2000
-          ORDER BY doc_id"""))
-    )
-  }
-
-  // ===========================================================================
-  // Round-5: the four remaining TPC-H shapes (Q2/Q9/Q11/Q20). The testdata
-  // schema carries no partsupp table, so — like q16_supplier_cnt before them —
-  // these use lineitem as the part-supplier relation. The SHAPES are the
-  // point: argmin-per-group through a correlated min (Q2), a profit
-  // expression differencing two exact decimal sums (Q9), a group HAVING
-  // against a fraction of a global scalar (Q11), and a two-level semi-join
-  // chain (Q20). With these, all 22 TPC-H query shapes are oracle-checked.
-  // ===========================================================================
-
-  private def relationalFull: Seq[Q] = Seq(
-    // TPC-H Q4 shape: order-priority checking — orders in a quarter with
-    // at least one LATE lineitem (shipped > 30 days after the order date;
-    // the synthetic lineitem has no commit/receipt dates, so late-ship is
-    // the available lateness predicate). The plan is the canonical Q4
-    // shape: EXISTS -> left-semi hash join on the order key (one shuffle
-    // each side, no duplication of multi-lineitem orders), then a tiny
-    // group-by on priority. Completes the TPC-H sweep alongside q17.
-    Q("q4_order_priority",
-      (s, dir) => {
-        val o = t(s, dir, "orders").where(
-          expr("o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'") &&
-            expr("o_orderdate < TIMESTAMP '1996-07-01 00:00:00'"))
-        val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
-        o.join(l,
-            col("l_orderkey") === col("o_orderkey") &&
-              col("l_shipdate") > expr("o_orderdate + INTERVAL 30 DAYS"),
-            "left_semi")
-          .groupBy("o_orderpriority")
-          .agg(count(lit(1)).as("order_count"))
-          .orderBy("o_orderpriority")
-      },
-      Some("""
-        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
-        FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-          AND o_orderdate < TIMESTAMP '1996-07-01'
-          AND EXISTS (SELECT 1 FROM lineitem
-                      WHERE l_orderkey = o_orderkey
-                        AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
-        GROUP BY o_orderpriority
-        ORDER BY o_orderpriority""")),
-
-    // TPC-H Q17 shape: small-quantity-order revenue — the correlated
-    // per-part average subquery, planned Spark-native: brand dimension
-    // broadcasts into the fact scan, the per-partkey average is ONE
-    // map-side-combined aggregation, and the self-join back is
-    // partkey-to-partkey (both sides already hash-partitioned on the
-    // key, so AQE reuses the exchange rather than reshuffling). Avg is
-    // exact here (integral quantities sum exactly in doubles), so the
-    // 0.2*avg threshold is the same double in both engines.
-    Q("q17_small_qty",
-      (s, dir) => {
-        val pk = t(s, dir, "part").where(col("p_brand") === "Brand#3")
-          .select(col("p_partkey"))
-        val f = t(s, dir, "lineitem")
-          .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
-          .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-        val avgq = f.groupBy("l_partkey").agg(avg(col("l_quantity")).as("avg_qty"))
-        f.join(avgq, "l_partkey")
-          .where(col("l_quantity") < expr("CAST(0.2 AS DOUBLE)") * col("avg_qty"))
-          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("s"),
-            count(lit(1)).as("n"))
-          .selectExpr(
-            "(round(CAST(s AS DOUBLE) / CAST(7.0 AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS avg_yearly",
-            "CAST(n AS BIGINT) AS n")
-      },
-      Some("""
-        WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3'),
-        f AS (SELECT l_partkey, l_quantity, l_extendedprice
-              FROM lineitem JOIN pk ON l_partkey = p_partkey),
-        a AS (SELECT l_partkey, avg(l_quantity) AS avg_qty FROM f GROUP BY l_partkey),
-        sel AS (SELECT l_extendedprice
-                FROM f JOIN a USING (l_partkey)
-                WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_qty)
-        SELECT (round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                      / CAST(7.0 AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS avg_yearly,
-               CAST(count(*) AS BIGINT) AS n
-        FROM sel""")),
-
-    // TPC-H Q2 shape: cheapest supplier per part (correlated MIN subquery ->
-    // argmin). Spark plans the argmin as one struct-min aggregation — no
-    // window sort, no self-join; part dimension broadcasts.
-    Q("q2_min_cost",
-      (s, dir) => {
-        val li = t(s, dir, "lineitem")
-        val p = t(s, dir, "part")
-          .where(col("p_size") <= 5 && col("p_type") === "PROMO")
-        // cheapest observed sale per (part, supplier) — the partsupp stand-in
-        val ps = li.groupBy(col("l_partkey"), col("l_suppkey"))
-          .agg(min(col("l_extendedprice")).as("cost"))
-        // argmin supplier per part, ties to the lowest suppkey: min over
-        // (cost, suppkey) structs == row_number()=1 under the same order,
-        // but stays a hash aggregate (no per-group sort at scale).
-        val best = ps.groupBy(col("l_partkey"))
-          .agg(min(struct(col("cost"), col("l_suppkey"))).as("b"))
-          .select(col("l_partkey"), col("b.cost").as("cost"),
-            col("b.l_suppkey").as("best_supp"))
-        best.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-          .join(t(s, dir, "supplier"), col("best_supp") === col("s_suppkey"))
-          .join(broadcast(t(s, dir, "nation")),
-            col("s_nationkey") === col("n_nationkey"))
-          .select(col("s_acctbal"), col("s_name"), col("n_name"),
-            col("p_partkey"), col("p_type"), col("cost"))
-          .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"),
-            col("p_partkey"))
-          .limit(100)
-      },
-      Some("""
-        WITH ps AS (
-          SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
-          FROM lineitem GROUP BY l_partkey, l_suppkey),
-        best AS (
-          SELECT l_partkey, cost, l_suppkey AS best_supp FROM (
-            SELECT l_partkey, cost, l_suppkey,
-                   row_number() OVER (PARTITION BY l_partkey
-                                      ORDER BY cost, l_suppkey) AS rn
-            FROM ps) WHERE rn = 1)
-        SELECT s_acctbal, s_name, n_name, p_partkey, p_type, cost
-        FROM best
-        JOIN part ON l_partkey = p_partkey
-        JOIN supplier ON best_supp = s_suppkey
-        JOIN nation ON s_nationkey = n_nationkey
-        WHERE p_size <= 5 AND p_type = 'PROMO'
-        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
-        LIMIT 100""")),
-
-    // TPC-H Q9 shape: profit by nation and year — the profit expression
-    // differences two EXACT decimal sums (revenue minus a cost proxy), so
-    // the subtraction happens once per group on exact values and the final
-    // double cast is bit-identical cross-engine. Dimensions broadcast; the
-    // only shuffle is the final (nation, year) aggregation.
-    Q("q9_profit",
-      (s, dir) => {
-        val li = t(s, dir, "lineitem")
-        val p = t(s, dir, "part").where(col("p_name").contains("widget"))
-          .select(col("p_partkey"), col("p_retailprice"))
-        val sn = t(s, dir, "supplier")
-          .join(broadcast(t(s, dir, "nation")),
-            col("s_nationkey") === col("n_nationkey"))
-          .select(col("s_suppkey"), col("n_name"))
-        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-          .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
-          .groupBy(col("n_name"),
-            year(col("l_shipdate")).cast("long").as("o_year"))
-          .agg(
-            (sum(col("l_extendedprice").cast("decimal(18,2)") *
-                (lit(1) - col("l_discount")).cast("decimal(18,2)")) -
-              sum(col("p_retailprice").cast("decimal(18,2)") *
-                col("l_quantity").cast("decimal(18,2)")))
-              .cast("double").as("profit"),
-            count(lit(1)).as("n"))
-          .select(col("n_name").as("nation"), col("o_year"),
-            col("profit"), col("n"))
-          .orderBy(col("nation"), desc("o_year"))
-      },
-      Some("""
-        SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                        CAST(1 - l_discount AS DECIMAL(18,2))) -
-                    sum(CAST(p_retailprice AS DECIMAL(18,2)) *
-                        CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit,
-               count(*) AS n
-        FROM lineitem
-        JOIN part ON l_partkey = p_partkey
-        JOIN supplier ON l_suppkey = s_suppkey
-        JOIN nation ON s_nationkey = n_nationkey
-        WHERE p_name LIKE '%widget%'
-        GROUP BY n_name, CAST(year(l_shipdate) AS BIGINT)
-        ORDER BY nation, o_year DESC""")),
-
-    // TPC-H Q11 shape: groups whose value exceeds a fraction of the global
-    // total. The comparison is cross-multiplied into exact BIGINT cents
-    // (value*1000 > total) — no double fraction, no epsilon. The global
-    // scalar broadcasts back over the per-part aggregate. (At true 100 TB
-    // the cents*1000 product still fits BIGINT until corpus revenue passes
-    // ~9e15 dollars; past that, widen to DECIMAL(38,0).)
-    Q("q11_important",
-      (s, dir) => {
-        val li = t(s, dir, "lineitem")
-        val sn = t(s, dir, "supplier")
-          .join(broadcast(t(s, dir, "nation").where(col("n_name") === "NATION_1")),
-            col("s_nationkey") === col("n_nationkey"))
-          .select(col("s_suppkey"))
-        val byPart = li
-          .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"), "left_semi")
-          .groupBy("l_partkey")
-          .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
-            .cast("long").as("cents"))
-        val total = byPart.agg(sum(col("cents")).as("tot"))
-        byPart.crossJoin(broadcast(total))
-          .where(col("cents") * 1000 > col("tot"))
-          .select(col("l_partkey"),
-            (col("cents").cast("double") / 100.0).as("value"))
-          .orderBy(desc("value"), col("l_partkey"))
-      },
-      Some("""
-        WITH v AS (
-          SELECT l_partkey,
-                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
-          FROM lineitem
-          WHERE l_suppkey IN (
-            SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
-            WHERE n_name = 'NATION_1')
-          GROUP BY l_partkey),
-        tot AS (SELECT sum(cents) AS t FROM v)
-        SELECT l_partkey, CAST(cents AS DOUBLE) / 100.0 AS value
-        FROM v, tot
-        WHERE cents * 1000 > t
-        ORDER BY value DESC, l_partkey""")),
-
-    // TPC-H Q20 shape: two-level semi-join chain — suppliers who shipped a
-    // heavy volume of some name-filtered part in the window. Both inner
-    // relations reduce BEFORE touching supplier: parts broadcast into a
-    // left-semi, the (supp, part) aggregate collapses lineitem to supplier
-    // keys, and supplier sees only a semi-join probe. Nothing quadratic.
-    Q("q20_semi_chain",
-      (s, dir) => {
-        val li = t(s, dir, "lineitem")
-        val p = t(s, dir, "part").where(col("p_name").startsWith("large"))
-          .select(col("p_partkey"))
-        val heavy = li
-          .where(expr("l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'") &&
-            expr("l_shipdate < TIMESTAMP '1997-01-01 00:00:00'"))
-          .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
-          .groupBy(col("l_suppkey"), col("l_partkey"))
-          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
-          .where(col("qty") > 40)
-          .select(col("l_suppkey"))
-        t(s, dir, "supplier")
-          .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
-          .join(broadcast(t(s, dir, "nation")),
-            col("s_nationkey") === col("n_nationkey"))
-          .select(col("s_suppkey"), col("s_name"), col("n_name"), col("s_acctbal"))
-          .orderBy(col("s_suppkey"))
-      },
-      Some("""
-        SELECT s_suppkey, s_name, n_name, s_acctbal
-        FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        WHERE s_suppkey IN (
-          SELECT l_suppkey FROM lineitem
-          WHERE l_partkey IN (SELECT p_partkey FROM part
-                              WHERE p_name LIKE 'large%')
-            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-          GROUP BY l_suppkey, l_partkey
-          HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 40)
-        ORDER BY s_suppkey"""))
-  )
-
-  // ===========================================================================
-  // Round-5 corpus-curation ops: semantic dedup (SemDeDup), DSIR importance
-  // reweighting, one-pass column profiling, in-engine trained quality
-  // classifier — the named modern-pipeline components still missing after r4.
-  // ===========================================================================
-
-  /** Synthetic 7-line web page for the C4 filter, built from each doc's
-    * words by ONE dialect-shared formula (same text both engines). Slice
-    * offsets stay within the corpus's 10-word minimum so every slice is
-    * non-empty in both dialects. */
-  private def c4PageExpr(dl: Dialect): String = {
-    val ws = dl.splitWs("text")
-    def sl(st: Int, n: Int) = dl.arrayJoinE(dl.slice1(ws, st, n), "' '")
-    val l1 = s"${sl(1, 8)} || ' intro page.'"
-    val l2 = dl.str("home about contact")
-    val l3 = s"CASE WHEN doc_id % 7 = 3 THEN ${dl.str("please enable javascript to continue.")}" +
-      s" ELSE ${sl(3, 4)} || ' really works!' END"
-    val l4 = s"CASE WHEN doc_id % 11 = 5 THEN ${dl.str("lorem ipsum dolor sit amet.")}" +
-      s" ELSE ${sl(5, 4)} || ' is that fine?' END"
-    val l5 = s"CASE WHEN doc_id % 13 = 6 THEN ${dl.str("""var cfg = { "a": 1 };""")}" +
-      s" ELSE ${sl(7, 3)} || ' the end.' END"
-    val l6 = dl.str("copyright 2026 example corp.")
-    val l7 = s"${sl(9, 2)} || '.'"
-    Seq(l1, l2, l3, l4, l5, l6, l7).mkString("(", " || chr(10) || ", ")")
-  }
-
-  /** Synthetic HTML page for the jusText gate, one dialect-shared formula:
-    * a link-heavy nav (link density ~0.9 → bad), two 20-word content
-    * paragraphs (good), a "Read more" stub whose nearest classified
-    * neighbors are good (context → good), a copyright footer at link
-    * density 0.5 (bad), and — on doc_id % 3 = 0 — a trailing "Contact us"
-    * stub whose nearest classified neighbor is the bad footer (context →
-    * bad). Both context-resolution branches fire on every sf. */
-  private def justextPageExpr(dl: Dialect): String = {
-    val ws = dl.splitWs("text")
-    // COALESCE: DuckDB's array_to_string of an EMPTY list is NULL, Spark's
-    // array_join is '' — short docs must build the same '<p></p>' block
-    def para(st: Int, n: Int) =
-      s"'<p>' || COALESCE(${dl.arrayJoinE(dl.slice1(ws, st, n), "' '")}, '') || '</p>'"
-    val nav = dl.str("""<div><a href="/">Home</a> <a href="/s">Section</a></div>""")
-    val footer = dl.str("""<div>Copyright <a href="/tos">Terms of Service</a> 2024.</div>""")
-    val stub = dl.str("<p>Read more</p>")
-    val tail = s"CASE WHEN doc_id % 3 = 0 THEN ${dl.str("<p>Contact us</p>")} END"
-    s"concat_ws(chr(10), $nav, ${para(1, 20)}, $stub, ${para(21, 20)}, $footer, $tail)"
-  }
-
-  private def curationOps: Seq[Q] = Seq(
-    // jusText-style boilerplate classification (Pomikálek 2011,
-    // simplified): block segmentation -> link/stopword densities ->
-    // preliminary class -> context resolution of short/ambiguous blocks
-    // against nearest classified neighbors (four windows over label rows
-    // only). The fixture page exercises both context branches; the oracle
-    // replays segmentation, densities, classification, AND the window
-    // pass verbatim from the shared formula text.
-    Q("q_justext_blocks",
-      (s, dir) => {
-        import graft.ops.Curation
-        val docs = t(s, dir, "documents")
-          .selectExpr("doc_id", s"${justextPageExpr(Dialect.spark)} AS page")
-        Curation.justextBlocks(docs, "page", "doc_id")
-          .select(col("doc_id"), col("block_no"), col("prelim"), col("cls"),
-            col("wc"), r6(col("link_density")).as("link_density"), col("btext"))
-          .orderBy("doc_id", "block_no")
-      },
-      Some(s"""
-        WITH out AS (${graft.ops.Curation.justextOracleSql(D, "documents", "doc_id", justextPageExpr(D))})
-        SELECT doc_id, block_no, prelim, cls, wc,
-               ${duckR6("link_density")} AS link_density, btext
-        FROM out
-        ORDER BY doc_id, block_no""")),
-
-    // The extraction a crawl pipeline actually ships: main text = the
-    // context-resolved good blocks, reassembled in block order. One
-    // doc-keyed aggregation above the block pass.
-    Q("q_justext_clean",
-      (s, dir) => {
-        import graft.ops.Curation
-        val docs = t(s, dir, "documents")
-          .selectExpr("doc_id", s"${justextPageExpr(Dialect.spark)} AS page")
-        Curation.justextBlocks(docs, "page", "doc_id")
-          .groupBy(col("doc_id"))
-          .agg(
-            count(lit(1)).as("n_blocks"),
-            count(when(col("cls") === "good", 1)).as("n_good"),
-            expr("""COALESCE(array_join(transform(
-                      array_sort(collect_list(CASE WHEN cls = 'good'
-                        THEN struct(block_no, btext) END)),
-                      s__ -> s__.btext), chr(10)), '')""").as("main_text"))
-          .orderBy("doc_id")
-      },
-      Some(s"""
-        WITH out AS (${graft.ops.Curation.justextOracleSql(D, "documents", "doc_id", justextPageExpr(D))})
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
-               CAST(count(CASE WHEN cls = 'good' THEN 1 END) AS BIGINT) AS n_good,
-               COALESCE(array_to_string(
-                 list(btext ORDER BY block_no) FILTER (WHERE cls = 'good'),
-                 chr(10)), '') AS main_text
-        FROM out
-        GROUP BY doc_id
-        ORDER BY doc_id""")),
-
-    // Sorted-neighborhood blocking (Hernández & Stolfo 1995): the classic
-    // entity-resolution candidate generator — sort by a blocking key,
-    // pair everything within a 4-row sliding window. Scale path: a
-    // distributed global rank (range repartition + zipWithIndex; the
-    // rank is the total-order position whatever the sampled partition
-    // boundaries) + a band join on rank buckets — no global window
-    // operator, nothing quadratic. The oracle replays the total order
-    // with row_number and a rank-difference self-join.
-    Q("q_snm_pairs",
-      (s, dir) => {
-        val docs = tk(s, dir, "documents")
-          .withColumn("k", expr("substr(lower(text), 1, 12)"))
-        graft.ops.Dedup.sortedNeighborhoodPairs(docs, "doc_id", "k", 4)
-          .orderBy("id_a", "id_b")
-      },
-      Some("""
-        WITH r AS (SELECT doc_id, substr(lower(text), 1, 12) AS k,
-                          row_number() OVER (ORDER BY substr(lower(text), 1, 12), doc_id) - 1 AS rnk
-                   FROM documents)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.k AS key_a, b.k AS key_b,
-               CAST(b.rnk - a.rnk AS BIGINT) AS rank_dist
-        FROM r a JOIN r b ON b.rnk - a.rnk >= 1 AND b.rnk - a.rnk <= 3
-        ORDER BY id_a, id_b""")),
-
-    // Unicode NFC normalization (UAX #15 canonical composition) — the
-    // pass that keeps "e"+COMBINING-ACUTE and precomposed "é" from
-    // leaking past hash dedup as distinct bytes. The fixture appends a
-    // decomposed suffix (doc_id%3=0), its precomposed twin (=1), or a
-    // plain tail (=2); the ENGINE normalizes with JDK java.text.Normalizer
-    // while the ORACLE normalizes with DuckDB's utf8proc nfc_normalize —
-    // two independent implementations of the same standard must agree
-    // codepoint-for-codepoint for the md5s to match. Narrow kernel; the
-    // one UDF in TextF (no Catalyst NFC exists), no shuffle.
-    Q("q_nfc_normalize",
-      (s, dir) => {
-        val raw = tk(s, dir, "documents")
-          .withColumn("r", concat(col("text"),
-            when(col("doc_id") % 3 === 0, lit(" cafe\u0301")) // decomposed e + combining acute
-              .when(col("doc_id") % 3 === 1, lit(" caf\u00e9")) // precomposed
-              .otherwise(lit(" cafx"))))
-        raw.select(col("doc_id"),
-            length(col("r")).cast("long").as("n_raw"),
-            length(TextF.nfcNormalize(col("r"))).cast("long").as("n_norm"),
-            md5(TextF.nfcNormalize(col("r"))).as("h_norm"))
-          .orderBy("doc_id")
-      },
-      Some("""
-        WITH raw AS (
-          SELECT doc_id,
-                 text || CASE doc_id % 3
-                           WHEN 0 THEN ' caf' || 'e' || chr(769)
-                           WHEN 1 THEN ' caf' || chr(233)
-                           ELSE ' cafx' END AS r
-          FROM documents)
-        SELECT doc_id, CAST(length(r) AS BIGINT) AS n_raw,
-               CAST(length(nfc_normalize(r)) AS BIGINT) AS n_norm,
-               md5(nfc_normalize(r)) AS h_norm
-        FROM raw
-        ORDER BY doc_id""")),
-
-    // EXACT set-similarity join via prefix filtering (PPJoin family,
-    // Xiao et al. 2008) — the deterministic counterpart to MinHash
-    // banding: pairs at Jaccard >= 4/5 are GUARANTEED found
-    // (pigeonhole on the rarest-first global token order). The oracle
-    // BRUTE-FORCES every pair of the subset, so the prefix filter's
-    // recall — not just its output values — is under the hash (the
-    // q_image_neardup pattern for text). Rational threshold: the
-    // verify comparison is exact-integer cross-multiplication.
-    Q("q_ppjoin",
-      (s, dir) => {
-        // doc_id % 10: the fixture vocabulary is tiny and shared (every
-        // "rarest" token still has df in the hundreds), so prefix buckets
-        // are far denser than on a Zipfian real corpus — the subset keeps
-        // the brute-force oracle and the bench budget honest
-        val docs = tk(s, dir, "documents").where(col("doc_id") % 10 === 0)
-        graft.ops.Dedup.prefixJaccardJoin(docs, "text", "doc_id", 4, 5)
-          .orderBy("id_a", "id_b")
-      },
-      Some(s"""
-        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-        t0 AS (SELECT doc_id,
-                      unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
-               FROM d),
-        t AS (SELECT doc_id, tok FROM t0 WHERE tok <> ''),
-        sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY doc_id),
-        i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                     CAST(count(*) AS BIGINT) AS inter
-              FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
-              GROUP BY id_a, id_b)
-        SELECT id_a, id_b, inter,
-               CAST(sa.n + sb.n - inter AS BIGINT) AS uni
-        FROM i JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-        WHERE inter * 5 >= (sa.n + sb.n - inter) * 4
-        ORDER BY id_a, id_b""")),
-
-    // EXACT containment join (asymmetric PPJoin): |A∩B|/|A| >= 19/20 —
-    // the quote / boilerplate-inclusion / superseded-version detector
-    // Jaccard misses when sizes differ. Prefix filter on the CONTAINED
-    // side only (pigeonhole: a container must share one of A's rarest
-    // n/20+1 tokens); exact-integer cross-multiplied verify. Oracle =
-    // brute-force all ordered pairs on the same subset, so the prefix
-    // pruning's EXACT recall is itself under the hash.
-    Q("q_containment_join",
-      (s, dir) => {
-        val docs = tk(s, dir, "documents").where(col("doc_id") % 10 === 0)
-        graft.ops.Dedup.containmentJoin(docs, "text", "doc_id", 19, 20)
-          .orderBy("id_a", "id_b")
-      },
-      Some(s"""
-        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-        t0 AS (SELECT doc_id,
-                      unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
-               FROM d),
-        t AS (SELECT doc_id, tok FROM t0 WHERE tok <> ''),
-        sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY doc_id),
-        i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                     CAST(count(*) AS BIGINT) AS inter
-              FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id <> b.doc_id
-              GROUP BY id_a, id_b)
-        SELECT id_a, id_b, inter, CAST(sa.n AS BIGINT) AS na
-        FROM i JOIN sz sa ON sa.doc_id = id_a
-        WHERE inter * 20 >= sa.n * 19
-        ORDER BY id_a, id_b""")),
-
-    // Corpus snapshot diff — the triage an incremental pipeline runs
-    // before reprocessing: old vs new snapshot full-outer-joined on the
-    // doc key, each row classed added / removed / changed / unchanged by
-    // content hash. Fixture derives both snapshots from the documents
-    // table by residue (doc_id%11 dropped from new, %13 added only to
-    // new, %7 text-modified); the oracle replays the class rules. One
-    // id-keyed join; text never moves (hashes compare).
-    Q("q_snapshot_diff",
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val old = docs.where(col("doc_id") % 13 =!= 0)
-          .select(col("doc_id"), md5(col("text")).as("h_old"))
-        val nw = docs.where(col("doc_id") % 11 =!= 0)
-          .select(col("doc_id"),
-            md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
-              .otherwise(col("text"))).as("h_new"))
-        old.join(nw, Seq("doc_id"), "full_outer")
-          .select(col("doc_id"),
-            when(col("h_old").isNull, "added")
-              .when(col("h_new").isNull, "removed")
-              .when(col("h_old") =!= col("h_new"), "changed")
-              .otherwise("unchanged").as("status"))
-          .orderBy("doc_id")
-      },
-      Some("""
-        SELECT doc_id,
-               CASE WHEN doc_id % 13 = 0 THEN 'added'
-                    WHEN doc_id % 11 = 0 THEN 'removed'
-                    WHEN doc_id % 7 = 0 THEN 'changed'
-                    ELSE 'unchanged' END AS status
-        FROM documents
-        WHERE NOT (doc_id % 13 = 0 AND doc_id % 11 = 0)
-        ORDER BY doc_id""")),
-
-    // One-row corpus report — the dataset-card summary a curation run
-    // ships: doc/token/char totals, language distribution, exact-dup
-    // rate, short-doc rate. Entirely map-side-combinable aggregation
-    // plus one md5-keyed distinct; emitted as a single wide row.
-    Q("q_corpus_report",
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-          .withColumn("__toks", size(split(trim(col("text")), "\\s+")))
-        docs.agg(
-            count(lit(1)).as("n_docs"),
-            sum(col("__toks")).cast("long").as("n_tokens"),
-            sum(length(col("text"))).cast("long").as("n_chars"),
-            countDistinct(md5(col("text"))).as("n_distinct"),
-            count(when(col("__toks") < 25, 1)).as("n_short"),
-            countDistinct(col("lang")).as("n_langs"),
-            count(when(col("lang") === "en", 1)).as("n_en"))
-          .select(col("n_docs"), col("n_tokens"), col("n_chars"),
-            (col("n_docs") - col("n_distinct")).as("n_exact_dups"),
-            col("n_short"), col("n_langs"), col("n_en"))
-      },
-      Some(s"""
-        SELECT CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(len(${D.splitWs("text")})) AS BIGINT) AS n_tokens,
-               CAST(sum(length(text)) AS BIGINT) AS n_chars,
-               CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
-               CAST(count(CASE WHEN len(${D.splitWs("text")}) < 25 THEN 1 END) AS BIGINT) AS n_short,
-               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-               CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_en
-        FROM documents""")),
-
-    // SemDeDup (Abbas et al. 2023): nearest-centroid assignment (same
-    // deterministic fixed-centroid scheme q_ann_ivf oracles), then cosine
-    // near-dup pruning WITHIN clusters — never corpus^2. Output = kept rows.
-    Q("q_semantic_dedup",
-      (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val cents = emb.where(col("vec_id") < 8)
-          .select(col("vec_id").cast("int").as("cid"),
-            VectorF.toDoubleArray(col("embedding")).as("cv"))
-        graft.ops.Dedup.semanticDedup(emb, cents, "vec_id", "embedding", 0.3)
-          .orderBy("vec_id")
-      },
-      Some {
-        val dotNN = D.dot("e.vn", "c.cvn")
-        s"""
-        WITH cents AS (
-          SELECT CAST(vec_id AS INT) AS cid,
-                 ${Exprs.l2Normalize(D, "v", D.norm("v"))} AS cvn
-          FROM $duckEmbTable WHERE vec_id < 8),
-        normed AS (
-          SELECT vec_id, v, ${Exprs.l2Normalize(D, "v", D.norm("v"))} AS vn
-          FROM $duckEmbTable),
-        assigned AS (
-          SELECT e.vec_id, e.v,
-                 (SELECT c.cid FROM cents c ORDER BY $dotNN DESC, c.cid LIMIT 1) AS cluster_id
-          FROM normed e),
-        dropped AS (
-          SELECT DISTINCT b.vec_id
-          FROM assigned a JOIN assigned b
-            ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-          WHERE ${D.cosine("a.v", "b.v")} >= ${D.d(0.3)})
-        SELECT vec_id, cluster_id
-        FROM assigned
-        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
-        ORDER BY vec_id"""
-      }),
-
-    // One-pass column profiler over the documents table: typed min/max
-    // rendered to string, exact distincts, null tally — the audit report
-    // shape. Profiled columns are BIGINT/VARCHAR so the string rendering
-    // is engine-identical (doubles would not be).
-    Q("q_profile",
-      (s, dir) =>
-        graft.ops.Profile.profile(t(s, dir, "documents"),
-            Seq("doc_id", "lang", "n_chars", "source"))
-          .orderBy("column"),
-      Some {
-        def one(c: String) = s"""
-          SELECT '$c' AS "column", count(*) AS n_rows,
-                 CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-                 count(DISTINCT $c) AS n_distinct,
-                 CAST(min($c) AS VARCHAR) AS min_repr,
-                 CAST(max($c) AS VARCHAR) AS max_repr,
-                 (round(avg(length(CAST($c AS VARCHAR))), 6) + CAST(0.0 AS DOUBLE)) AS avg_repr_len
-          FROM documents"""
-        Seq("doc_id", "lang", "n_chars", "source").map(one)
-          .mkString("", " UNION ALL ", """ ORDER BY "column"""")
-      }),
-
-    // DSIR importance reweighting: target = English docs; every doc scored
-    // by the hashed-unigram log-likelihood ratio target-vs-raw. Bounded
-    // bucket table broadcasts; per-bucket round-6 + decimal per-doc sums
-    // make the weights partitioning-independent and oracle-exact.
-    Q("q_dsir_weights",
-      (s, dir) =>
-        graft.ops.Dsir.importanceWeights(t(s, dir, "documents"),
-            "doc_id", "text", col("lang") === "en")
-          .select(col("doc_id"), col("weight"), col("n_tokens"))
-          .orderBy("doc_id"),
-      Some(s"""
-        SELECT id AS doc_id, weight, n_tokens FROM (
-          ${graft.ops.Dsir.oracleSql(D, "documents", "doc_id", "text", "lang = 'en'")}
-        ) ORDER BY doc_id""")),
-
-    // In-engine trained quality classifier: 3 unrolled GD iterations of
-    // logistic regression (label = lang='en'), weights as a 1-row relation
-    // threaded through the plan — training itself is hash-verified because
-    // any weight divergence flips every score.
-    Q("q_quality_classifier",
-      (s, dir) =>
-        graft.ops.QualityClassifier.trainAndScore(
-            t(s, dir, "documents"), "doc_id", "text", "n_chars >= 250")
-          .orderBy("doc_id"),
-      Some(graft.ops.QualityClassifier.oracleSql(
-        D, "documents", "doc_id", "text", "n_chars >= 250"))),
-
-    // PageRank centrality over the embedding near-dup graph (both edge
-    // directions of the sign-bucket pairs) — canonical-doc selection by
-    // centrality. 5 unrolled iterations, round-9 decimal-summed
-    // contributions: partitioning-independent, oracle-exact.
-    Q("q_pagerank",
-      (s, dir) => {
-        import graft.ops.{Dedup, Graph}
-        val emb = t(s, dir, "embeddings")
-        val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 8, 0.3)
-          .select(col("id_a"), col("id_b"))
-        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-          .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-        Graph.pageRank(emb.select(col("vec_id").as("id")), edges, 5, 0.85)
-          .select(col("id").as("vec_id"), col("rank"))
-          .orderBy("vec_id")
-      },
-      Some {
-        val bk = s"""(SELECT vec_id, v,
-               array_to_string(list_transform(v[1:8],
-                 x__ -> CASE WHEN x__ >= CAST(0.0 AS DOUBLE) THEN '1' ELSE '0' END), '') AS bucket
-             FROM $duckEmbTable)"""
-        val edges = s"""(SELECT a.vec_id AS src, b.vec_id AS dst
-             FROM $bk a JOIN $bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-             WHERE ${D.cosine("a.v", "b.v")} >= ${D.d(0.3)})"""
-        s"""SELECT id AS vec_id, rank FROM (
-          ${graft.ops.Graph.pageRankOracleSql(
-            "(SELECT vec_id AS id FROM embeddings)", edges, 5, 0.85)}
-        ) ORDER BY vec_id"""
-      }),
-
-    // Shingle-novelty: fraction of a doc's distinct 3-gram shingles that
-    // appear in no other doc — the diversity dual of contamination.
-    Q("q_shingle_novelty",
-      (s, dir) =>
-        graft.ops.Dedup.shingleNovelty(tk(s, dir, "documents"), "text", "doc_id")
-          .orderBy("doc_id"),
-      Some {
-        val duckToks = s"(SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents)"
-        val duckShingles =
-          s"(SELECT doc_id, ${Exprs.wordShingles(D, "toks", 3)} AS sh FROM $duckToks)"
-        s"""
-        WITH ex AS (
-          SELECT doc_id, unnest(${D.arrayDistinct("sh")}) AS s FROM $duckShingles),
-        dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s)
-        SELECT doc_id, count(*) AS n_shingles,
-               (round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
-                      CAST(count(*) AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS novel_frac
-        FROM ex JOIN dfreq USING (s)
-        GROUP BY doc_id
-        ORDER BY doc_id"""
-      }),
-
-    // Deterministic per-epoch shuffle order: epoch-salted md5 sort key.
-    Q("q_epoch_shuffle",
-      (s, dir) =>
-        graft.ops.Sampling.epochShuffle(t(s, dir, "documents"), "doc_id", 7)
-          .select(col("shuffle_key"), col("doc_id")),
-      Some("""
-        SELECT md5(concat('7', ':', CAST(doc_id AS VARCHAR))) AS shuffle_key, doc_id
-        FROM documents ORDER BY shuffle_key""")),
-
-    // Document embedding = per-dim mean of chunk embeddings (mean-pool).
-    // posexplode -> (id, dim) decimal-summed aggregation -> reassembly; no
-    // vector transits a shuffle whole. Scalar projections + a dot-product
-    // checksum pin every dimension of the pooled vector. Outputs are NOT
-    // round-6'd: each mean is an exact-decimal sum over a SMALL count, so
-    // its decimal expansion lands exactly on .xxxxxx5 halfway points where
-    // the engines' round() semantics disagree — while the unrounded
-    // doubles (decimal->double cast, one division, shared-text fold) are
-    // bit-identical on both engines.
-    Q("q_doc_embedding",
-      (s, dir) => {
-        val idx = RagPipeline.buildIndex(tk(s, dir, "documents"))
-        val SP = Dialect.spark
-        graft.embed.EmbeddingPooling.meanPool(idx, "doc_id", "embedding")
-          .withColumn("__w", expr("transform(sequence(1, 64), j__ -> CAST(j__ AS DOUBLE))"))
-          .select(col("doc_id"),
-            element_at(col("doc_embedding"), 1).as("e1"),
-            element_at(col("doc_embedding"), 2).as("e2"),
-            expr(SP.dot("doc_embedding", "__w")).as("checksum"))
-          .orderBy("doc_id")
-      },
-      Some {
-        val duckIndexed2 = duckEmbed(
-          s"(SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})", "chunk_text", 64)
-        val weights = "list_transform(range(1, 65), j__ -> CAST(j__ AS DOUBLE))"
-        s"""
-        WITH idx AS (SELECT doc_id, emb FROM $duckIndexed2),
-        ex AS (SELECT doc_id, CAST(r.p AS INT) AS p, emb[CAST(r.p AS INT)] AS x
-               FROM idx, range(1, 65) r(p)),
-        m AS (SELECT doc_id, p,
-                (CAST(sum(CAST((round(x, 6) + CAST(0.0 AS DOUBLE)) AS DECIMAL(28,6))) AS DOUBLE) /
-                 CAST(count(*) AS DOUBLE)) AS mx
-              FROM ex GROUP BY doc_id, p),
-        mv AS (SELECT doc_id, list(mx ORDER BY p) AS dv FROM m GROUP BY doc_id)
-        SELECT doc_id, dv[1] AS e1, dv[2] AS e2,
-               ${D.dot("dv", weights)} AS checksum
-        FROM mv ORDER BY doc_id"""
-      }),
-
-    // Multi-pattern keyword tagging: the engine runs an Aho-Corasick
-    // automaton (one pass, dictionary-size-independent); the oracle
-    // brute-forces contains() per term — small dictionaries make the
-    // equivalence checkable while the engine keeps the scalable kernel.
-    Q("q_keyword_tags",
-      (s, dir) => {
-        val dict = Seq("spark", "join", "batch", "window", "merge",
-          "customer", "vector", "stream", "zzz-absent")
-        graft.functions.KeywordTagger.tagDocuments(
-            tk(s, dir, "documents"), "text", "doc_id", dict)
-          .orderBy("doc_id")
-      },
-      Some {
-        val dictSql = D.strArray(Seq("spark", "join", "batch", "window", "merge",
-          "customer", "vector", "stream", "zzz-absent"))
-        s"""
-        SELECT doc_id,
-               coalesce(array_to_string(list_sort(list_filter($dictSql,
-                 t__ -> strpos(text, t__) > 0)), ','), '') AS tags,
-               CAST(len(list_filter($dictSql,
-                 t__ -> strpos(text, t__) > 0)) AS BIGINT) AS n_tags
-        FROM documents
-        ORDER BY doc_id"""
-      }),
-
-    // CCNet-style perplexity bucketing (Wenzek et al. 2020): per-language
-    // head/middle/tail terciles of LM surprisal — the canonical
-    // keep-the-LM-plausible-part partitioning of a crawl. Deterministic
-    // ntile over (round-6 surprisal, doc_id); the oracle recomputes the
-    // identical surprisal (same formula text family as q_unigram_lm) and
-    // the identical window.
-    Q("q_ccnet_buckets",
-      (s, dir) => {
-        graft.ops.Curation.ccnetBuckets(
-            t(s, dir, "documents"), "text", "doc_id", "lang")
-          .orderBy("doc_id")
-      },
-      Some(s"""
-        WITH toks AS (
-          SELECT doc_id,
-                 unnest(string_split_regex(trim(text), '\\s+')) AS tok
-          FROM documents),
-        vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
-        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
-        scored AS (
-          SELECT doc_id,
-                 round(-ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS lp
-          FROM toks JOIN vocab USING (tok) CROSS JOIN tot),
-        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-                       ${duckR6("sum(lp) / CAST(count(*) AS DOUBLE)")} AS avg_surprisal
-                FROM scored GROUP BY doc_id),
-        l AS (SELECT d.doc_id, d.lang, a.n_tokens, a.avg_surprisal
-              FROM agg a JOIN documents d USING (doc_id)),
-        b AS (SELECT doc_id, lang, n_tokens, avg_surprisal,
-                     ntile(3) OVER (PARTITION BY lang
-                                    ORDER BY avg_surprisal, doc_id) AS b3
-              FROM l)
-        SELECT doc_id, lang, n_tokens, avg_surprisal,
-               CASE b3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
-                       ELSE 'tail' END AS bucket,
-               (b3 <> 3) AS keep
-        FROM b ORDER BY doc_id""")),
-
-    // Keyword tagger, case-insensitive + word-boundary modes (how real
-    // blocklists run): mixed-case dictionary, tags reported as lowercase
-    // canonical terms, and a hit only counts flanked by non-word chars.
-    // For all-word-char terms that is exactly membership in the
-    // \\W+-token split, which is what the oracle brute-forces — so the
-    // automaton's per-char lowercasing AND end-of-match boundary check
-    // are both under oracle test.
-    Q("q_keyword_tags_ci",
-      (s, dir) => {
-        val dict = Seq("The", "DATA", "Stream", "Window", "ERROR",
-          "Batch", "Customer", "zzz-Absent")
-        graft.functions.KeywordTagger.tagDocuments(
-            tk(s, dir, "documents"), "text", "doc_id", dict,
-            caseInsensitive = true, wordBoundary = true)
-          .orderBy("doc_id")
-      },
-      Some {
-        val dictLc = D.strArray(Seq("the", "data", "stream", "window",
-          "error", "batch", "customer", "zzz-absent"))
-        s"""
-        WITH toks AS (
-          SELECT doc_id,
-                 string_split_regex(lower(coalesce(text, '')), '[^0-9a-z_]+') AS tk
-          FROM documents)
-        SELECT doc_id,
-               coalesce(array_to_string(list_sort(list_filter($dictLc,
-                 t__ -> list_contains(tk, t__))), ','), '') AS tags,
-               CAST(len(list_filter($dictLc,
-                 t__ -> list_contains(tk, t__))) AS BIGINT) AS n_tags
-        FROM toks
-        ORDER BY doc_id"""
-      }),
-
-    // C2 markdown heading splitter, oracled: markdown is synthesized
-    // in-engine (an H1, a body slice, an H2, a tail slice), then split at
-    // ATX heading boundaries keeping each heading with its section.
-    Q("q_md_sections",
-      (s, dir) => {
-        val mdExpr = "concat('# ', substring(text, 1, 24), chr(10), " +
-          "substring(text, 25, 120), chr(10), " +
-          "'## sub ', CAST(doc_id AS STRING), chr(10), substring(text, 145, 80))"
-        val docs = t(s, dir, "documents")
-          .select(col("doc_id"), expr(mdExpr).as("md"))
-        graft.chunk.Chunking.explodeMarkdownSections(docs, "md")
-          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-            col("chunk_text"))
-          .orderBy("doc_id", "chunk_idx")
-      },
-      Some("""
-        WITH md AS (
-          SELECT doc_id,
-                 concat('# ', substring(text, 1, 24), chr(10),
-                        substring(text, 25, 120), chr(10),
-                        '## sub ', CAST(doc_id AS VARCHAR), chr(10),
-                        substring(text, 145, 80)) AS m
-          FROM documents),
-        tagged AS (
-          SELECT doc_id,
-                 regexp_replace(m, '(?m)^(#{1,6} )', chr(1) || '\1', 'g') AS tm
-          FROM md),
-        secs AS (
-          SELECT doc_id,
-                 list_filter(string_split(tm, chr(1)), s__ -> trim(s__) <> '') AS ss
-          FROM tagged),
-        idx AS (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i FROM secs)
-        SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
-               ss[CAST(i AS INT)] AS chunk_text
-        FROM idx
-        ORDER BY doc_id, chunk_idx""")),
-
-    // End-to-end quality filter: gopher bounds + repetition + exact-dup
-    // composed into keep/drop with an auditable reason list, one scan.
-    Q("q_quality_filter",
-      (s, dir) =>
-        // tk: the shingle + per-rule reason kernel is the cost — one
-        // upfront hash exchange buys full-width execution (1.7 -> .5 s)
-        graft.ops.Curation.qualityFilter(tk(s, dir, "documents"), "text", "doc_id")
-          .orderBy("doc_id"),
-      Some(s"""
-        SELECT doc_id, keep, reasons FROM (
-          ${graft.ops.Curation.oracleSql(D, "documents", "doc_id", "text")}
-        ) ORDER BY doc_id""")),
-
-    // C4 line-level cleaning (Raffel et al. 2020 §2.2; ops/Curation.c4Clean).
-    // The corpus text is single-line prose, so each doc is first framed as
-    // a 7-line synthetic web page by a closed-form dialect-shared formula:
-    // boilerplate nav (no terminal punct), a javascript line on doc_id%7=3,
-    // "lorem ipsum" on %11=5, a curly-brace config line on %13=6, a
-    // 2-word punct-terminated footer (exercises the >=3-words rule alone),
-    // the rest prose slices with terminal punctuation. Every C4 rule fires
-    // both ways across the corpus, and the cleaned text itself is part of
-    // the hash — line filtering, sentence counting, and page rules are all
-    // pinned. Narrow plan: one scan, codegen'd higher-order functions, no
-    // shuffle before the fixture-scale sort.
-    Q("q_c4_filters",
-      (s, dir) => {
-        val page = c4PageExpr(Dialect.spark)
-        val docs = tk(s, dir, "documents")
-          .selectExpr("doc_id", s"$page AS page")
-        graft.ops.Curation.c4Clean(docs, "page", "doc_id").orderBy("doc_id")
-      },
-      Some(s"""
-        SELECT * FROM (
-          ${graft.ops.Curation.c4OracleSql(D, "documents", "doc_id", c4PageExpr(D))}
-        ) ORDER BY doc_id""")),
-
-    // Shannon entropy (char + word, nats) — the compression-proxy
-    // quality signal (ops/Curation.entropyStats). Per-frequency
-    // contributions round to 6 decimals BEFORE a symbol-ordered
-    // sequential fold (q_unigram_lm idiom), so engine ln() ulps cannot
-    // accumulate; DuckDB's init-less list_reduce gets an explicit 0.0
-    // prepended to replay Spark's aggregate(init) op sequence exactly.
-    Q("q_entropy",
-      (s, dir) =>
-        graft.ops.Curation.entropyStats(tk(s, dir, "documents"), "text", "doc_id")
-          .select(col("doc_id"), col("n_chars"), r6(col("char_entropy")).as("char_entropy"),
-            col("n_words"), r6(col("word_entropy")).as("word_entropy"))
-          .orderBy("doc_id"),
-      Some {
-        def fold(src: String, unit: String, n: String, e: String) = s"""
-          (WITH cnts AS (
-            SELECT doc_id, u, count(*) AS cnt FROM $src GROUP BY doc_id, u),
-          agg AS (
-            SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
-                   list(cnt ORDER BY u) AS cs
-            FROM cnts GROUP BY doc_id)
-          SELECT doc_id, n AS $n,
-                 list_reduce(
-                   list_prepend(CAST(0.0 AS DOUBLE),
-                     list_transform(cs, c__ -> round(
-                       -(CAST(c__ AS DOUBLE) / CAST(n AS DOUBLE))
-                         * ln(CAST(c__ AS DOUBLE) / CAST(n AS DOUBLE)), 6))),
-                   (a__, x__) -> a__ + x__) AS $e
-          FROM agg)"""
-        val chars = fold(
-          """(SELECT doc_id, substr(text, CAST(p AS INT), 1) AS u
-              FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS p
-                    FROM documents WHERE length(text) > 0))""",
-          "u", "n_chars", "char_entropy")
-        val words = fold(
-          """(SELECT doc_id, u FROM
-               (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS u
-                FROM documents)
-             WHERE length(u) > 0)""",
-          "u", "n_words", "word_entropy")
-        s"""
-        SELECT c.doc_id, c.n_chars,
-               (round(c.char_entropy, 6) + CAST(0.0 AS DOUBLE)) AS char_entropy,
-               w.n_words,
-               (round(w.word_entropy, 6) + CAST(0.0 AS DOUBLE)) AS word_entropy
-        FROM $chars c JOIN $words w ON c.doc_id = w.doc_id
-        ORDER BY c.doc_id"""
-      }),
-
-    // CAPSTONE composition — the one-job shape a 100 TB curation run
-    // actually executes, with EVERY stage boundary under a single hash:
-    // messy frontier URL -> canonicalize -> URL-keyed exact dedup (min
-    // doc wins) -> quality gates (word count + char-entropy floor) ->
-    // deterministic md5 sample -> greedy token-budget fill. Library ops
-    // compose declaratively (UrlOps, Curation.entropyStats,
-    // Sampling.hashSample/tokenBudgetSelect); the only wide stages are
-    // the canonical-key window, the doc-keyed entropy aggs, and the
-    // budget window — each inherent to its stage's semantics. The
-    // entropy floor compares UNROUNDED folds that are bit-identical
-    // across engines by the r6-before-ordered-fold construction.
-    Q("q_training_pipeline",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val docs = tk(s, dir, "documents")
-        val canon = graft.ops.UrlOps.canonicalize(
-          docs.selectExpr("doc_id", "text",
-            s"${messyUrlExpr(Dialect.spark)} AS url"), "url")
-        val dd = canon.withColumn("__keep",
-            min(col("doc_id")).over(Window.partitionBy(col("canonical"))))
-          .where(col("doc_id") === col("__keep")).drop("__keep")
-        val ent = graft.ops.Curation.entropyStats(docs, "text", "doc_id")
-          .select(col("doc_id").as("__eid"), col("char_entropy"), col("n_words"))
-        val gated = dd.join(ent, col("doc_id") === col("__eid"))
-          .where(col("n_words") >= 25L && col("char_entropy") >= 2.82)
-        val sampled = graft.ops.Sampling.hashSample(gated, "doc_id", 0.8)
-          .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
-          .withColumn("__grp", lit("all"))
-          .withColumn("__ord",
-            expr(Dialect.spark.md5Uniform(Dialect.spark.castStr("doc_id"))))
-        graft.ops.Sampling.tokenBudgetSelect(
-            sampled, "__grp", "n_tokens", "__ord", "doc_id", 8000L)
-          .select(col("doc_id"), col("canonical"), col("n_tokens"),
-            col("cum_tokens"))
-          .orderBy("cum_tokens", "doc_id")
-      },
-      Some(s"""
-        WITH u AS (SELECT doc_id, text, ${messyUrlExpr(D)} AS url FROM documents),
-        c AS (SELECT doc_id, text,
-                     ${graft.ops.UrlOps.canonicalExpr(D, "url")} AS canonical
-              FROM u),
-        dd AS (SELECT doc_id, text, canonical FROM (
-                 SELECT *, min(doc_id) OVER (PARTITION BY canonical) AS k FROM c)
-               WHERE doc_id = k),
-        cnts AS (
-          SELECT doc_id, u2, count(*) AS cnt
-          FROM (SELECT doc_id, substr(text, CAST(p AS INT), 1) AS u2
-                FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS p
-                      FROM documents WHERE length(text) > 0))
-          GROUP BY doc_id, u2),
-        eagg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
-                        list(cnt ORDER BY u2) AS cs
-                 FROM cnts GROUP BY doc_id),
-        ent AS (
-          SELECT doc_id,
-                 list_reduce(
-                   list_prepend(CAST(0.0 AS DOUBLE),
-                     list_transform(cs, c__ -> round(
-                       -(CAST(c__ AS DOUBLE) / CAST(n AS DOUBLE))
-                         * ln(CAST(c__ AS DOUBLE) / CAST(n AS DOUBLE)), 6))),
-                   (a__, x__) -> a__ + x__) AS char_entropy
-          FROM eagg),
-        wrds AS (SELECT doc_id,
-                        CAST(len(${D.splitWs("text")}) AS BIGINT) AS n_words
-                 FROM documents),
-        g AS (SELECT dd.doc_id, dd.canonical, dd.text
-              FROM dd JOIN ent ON ent.doc_id = dd.doc_id
-                      JOIN wrds ON wrds.doc_id = dd.doc_id
-              WHERE wrds.n_words >= 25 AND ent.char_entropy >= ${D.d(2.82)}),
-        smp AS (SELECT doc_id, canonical, text,
-                       CAST(len(${D.splitWs("text")}) AS BIGINT) AS n_tokens,
-                       ${D.md5Uniform(D.castStr("doc_id"))} AS ord
-                FROM g
-                WHERE ${D.md5Uniform(D.castStr("doc_id"))} < ${D.d(0.8)}),
-        cum AS (SELECT doc_id, canonical, n_tokens,
-                       sum(n_tokens) OVER (ORDER BY ord DESC, doc_id
-                         ROWS UNBOUNDED PRECEDING) AS cum_tokens
-                FROM smp)
-        SELECT doc_id, canonical, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
-        FROM cum
-        WHERE cum_tokens - n_tokens < 8000
-        ORDER BY cum_tokens, doc_id""")),
-
-    // kNN label propagation: every 5th vector "loses" its label and gets
-    // one back by majority vote of its 5 nearest labeled neighbors.
-    Q("q_knn_classify",
-      (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        Similarity.knnClassify(emb.where(col("vec_id") % 5 =!= 0),
-            emb.where(col("vec_id") % 5 === 0), "vec_id", "embedding", "label", 5)
-          .orderBy("vec_id")
-      },
-      Some {
-        val cosQL = D.cosine("q.v", "l.v")
-        s"""
-        WITH lab AS (SELECT vec_id, v, label FROM
-                       (SELECT e.vec_id, e.v, CAST(raw.label AS BIGINT) AS label
-                        FROM $duckEmbTable e JOIN embeddings raw USING (vec_id))
-                     WHERE vec_id % 5 <> 0),
-        unl AS (SELECT vec_id, v FROM $duckEmbTable WHERE vec_id % 5 = 0),
-        nn AS (
-          SELECT q.vec_id AS qid, l.label,
-                 row_number() OVER (PARTITION BY q.vec_id
-                                    ORDER BY $cosQL DESC, l.vec_id) AS rn
-          FROM unl q, lab l),
-        votes AS (SELECT qid, label, count(*) AS votes
-                  FROM nn WHERE rn <= 5 GROUP BY qid, label)
-        SELECT qid AS vec_id,
-               -((max(struct_pack(v := votes, nl := -label))).nl) AS predicted_label,
-               (max(struct_pack(v := votes, nl := -label))).v AS votes
-        FROM votes GROUP BY qid
-        ORDER BY vec_id"""
-      }),
-
-    // Margin-based bitext mining (LASER-style): side A = vec_id < 250,
-    // side B = the rest; best margin-scored B per A above 1.05. The
-    // oracle brute-forces both kNN directions; the neighborhood mean
-    // divides by the actual neighbor count and re-rounds to 6 (the
-    // repo-wide cross-engine containment), mirroring mineBitext.
-    Q("q_bitext_mine",
-      (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        Similarity.mineBitext(emb.where(col("vec_id") < 250),
-            emb.where(col("vec_id") >= 250), "vec_id", "embedding", 4, 1.05)
-          .orderBy("id_a")
-      },
-      Some {
-        val cosAB = D.cosine("a.v", "b.v")
-        s"""
-        WITH a AS (SELECT vec_id, v FROM $duckEmbTable WHERE vec_id < 250),
-        b AS (SELECT vec_id, v FROM $duckEmbTable WHERE vec_id >= 250),
-        cos AS (SELECT a.vec_id AS ia, b.vec_id AS ib, $cosAB AS s FROM a, b),
-        fwd AS (SELECT ia, ib, s,
-                       row_number() OVER (PARTITION BY ia ORDER BY s DESC, ib) AS rn
-                FROM cos),
-        bwd AS (SELECT ia, ib, s,
-                       row_number() OVER (PARTITION BY ib ORDER BY s DESC, ia) AS rn
-                FROM cos),
-        aavg AS (SELECT ia, sum(CAST((round(s, 6) + CAST(0.0 AS DOUBLE)) AS DECIMAL(28,6))) AS sum_a,
-                        count(*) AS n_a
-                 FROM fwd WHERE rn <= 4 GROUP BY ia),
-        bavg AS (SELECT ib, sum(CAST((round(s, 6) + CAST(0.0 AS DOUBLE)) AS DECIMAL(28,6))) AS sum_b,
-                        count(*) AS n_b
-                 FROM bwd WHERE rn <= 4 GROUP BY ib),
-        margins AS (
-          SELECT ia, ib,
-                 (round((round(s, 6) + CAST(0.0 AS DOUBLE))
-                        * CAST(2 * n_a * n_b AS DOUBLE)
-                        / CAST(sum_a * n_b + sum_b * n_a AS DOUBLE), 6)
-                  + CAST(0.0 AS DOUBLE)) AS margin
-          FROM fwd JOIN aavg USING (ia) JOIN bavg USING (ib)
-          WHERE rn <= 4),
-        best AS (
-          SELECT ia AS id_a,
-                 (max(struct_pack(m := margin, nib := -ib))).nib AS nib,
-                 (max(struct_pack(m := margin, nib := -ib))).m AS margin
-          FROM margins WHERE margin >= CAST(1.05 AS DOUBLE) GROUP BY ia)
-        SELECT id_a, -nib AS id_b, margin FROM best ORDER BY id_a"""
-      }),
-
-    // BPE tokenizer training, stage 1 (oracle-checked): adjacent-character
-    // pair counts over the word-frequency table — the aggregation every
-    // merge iteration re-runs. Top 20 with full deterministic tie-breaks.
-    Q("q_bpe_pair_counts",
-      (s, dir) => {
-        val words = graft.ops.BpeTrainer.wordFrequencies(tk(s, dir, "documents"), "text")
-        words.where(length(col("word")) >= 2)
-          .select(explode(expr(
-            "transform(sequence(1, length(word) - 1), " +
-              "i__ -> struct(substring(word, i__, 1) AS l, substring(word, i__ + 1, 1) AS r))")).as("p"),
-            col("cnt"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("cnt")).cast("long").as("n"))
-          .orderBy(desc("n"), col("l"), col("r"))
-          .limit(20)
-      },
-      Some(s"""
-        WITH words AS (
-          SELECT word, count(*) AS cnt FROM (
-            SELECT unnest(${D.splitWs("text")}) AS word FROM documents)
-          WHERE length(word) > 0 GROUP BY word),
-        pairs0 AS (
-          SELECT word, cnt, unnest(range(1, length(word))) AS i
-          FROM words WHERE length(word) >= 2),
-        pairs AS (
-          SELECT substr(word, CAST(i AS INT), 1) AS l,
-                 substr(word, CAST(i AS INT) + 1, 1) AS r, cnt
-          FROM pairs0)
-        SELECT l, r, CAST(sum(cnt) AS BIGINT) AS n
-        FROM pairs GROUP BY l, r
-        ORDER BY n DESC, l, r LIMIT 20""")),
-
-    // BPE training, full loop — ORACLED by replaying the merge loop in
-    // SQL (the __GRAFT_OUT__ pattern): each word's symbol sequence is a
-    // string of chr(30)||sym||chr(31)-wrapped symbols, which makes
-    // DuckDB's left-to-right non-overlapping replace() EXACTLY the greedy
-    // adjacent-pair collapse (both match ends anchored, adjacent matches
-    // share no characters). Stage k recomputes the pair-count argmax of
-    // the state built with the DUMPED merges 0..k-1, so the first rank at
-    // which the dump deviates from true BPE hash-mismatches (inductive,
-    // not circular). 12 learned merges.
-    Q("q_bpe_vocab",
-      (s, dir) => {
-        import s.implicits._
-        bpeMerges(s, dir)
-          .toDF("rank", "left", "right", "pair_count")
-          .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
-            col("pair_count"))
-          .orderBy("rank")
-      },
-      Some {
-        val seg = "string_split(substr(syms, 2, length(syms) - 2), chr(31) || chr(30))"
-        val stages = (0 until bpeMergeCount).map { k =>
-          val adv =
-            if (k == 0) ""
-            else s"s$k AS (SELECT replace(syms, p${k - 1}, q${k - 1}) AS syms, cnt FROM s${k - 1}, pats), "
-          adv +
-            s"""a$k AS (
-               SELECT l, r, CAST(sum(cnt) AS BIGINT) AS n
-               FROM (SELECT ss[CAST(i AS INT)] AS l, ss[CAST(i AS INT) + 1] AS r, cnt
-                     FROM (SELECT ss, cnt, unnest(range(1, len(ss))) AS i
-                           FROM (SELECT $seg AS ss, cnt FROM s$k)))
-               GROUP BY l, r),
-             m$k AS (SELECT CAST($k AS BIGINT) AS "rank", l AS "left", r AS "right",
-                            n AS pair_count
-                     FROM a$k WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1)"""
-        }.mkString(", ")
-        s"""
-        WITH dump AS (SELECT * FROM read_parquet('__GRAFT_OUT__/q_bpe_vocab/*.parquet')),
-        pats AS (SELECT $bpePatCols FROM dump),
-        wf AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
-               FROM (SELECT unnest(${D.splitWs("text")}) AS w FROM documents)
-               WHERE length(w) > 0 GROUP BY w),
-        s0 AS (SELECT array_to_string(list_transform(string_split(word, ''),
-                        c__ -> chr(30) || c__ || chr(31)), '') AS syms, cnt
-               FROM wf),
-        $stages
-        ${(0 until bpeMergeCount).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")}
-        ORDER BY "rank""""
-      }),
-
-    // Incremental near-dup screening: incoming batch (doc_id >= 400)
-    // probed against the existing corpus (doc_id < 400) — band collisions
-    // only across the two sides, verified Jaccard above 0.2.
-    Q("q_incremental_neardup",
-      (s, dir) => {
-        val docs = tk(s, dir, "documents")
-        graft.ops.Dedup.incrementalNearDups(
-            docs.where(col("doc_id") < 400), docs.where(col("doc_id") >= 400),
-            "text", "doc_id", 3, 8, 2, 0.2)
-          .select(col("id_new"), col("id_old"), r6(col("jaccard")).as("jaccard"))
-          .orderBy("id_new", "id_old")
-      },
-      Some {
-        val duckToks = s"(SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents)"
-        val duckShingles =
-          s"(SELECT doc_id, ${Exprs.wordShingles(D, "toks", 3)} AS sh FROM $duckToks)"
-        s"""
-        WITH sigs AS (
-          SELECT doc_id, ${Exprs.minhashSig(D, "sh", 8)} AS sig FROM $duckShingles),
-        banded AS (
-          SELECT doc_id, CAST(b.b AS BIGINT) AS band,
-                 md5(array_to_string(sig[(CAST(b.b AS INT) * 2 + 1):(CAST(b.b AS INT) * 2 + 2)], '|')) AS band_key
-          FROM sigs, range(0, 4) AS b(b)),
-        cand AS (
-          SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
-          FROM banded n JOIN banded o
-            ON n.band = o.band AND n.band_key = o.band_key
-          WHERE n.doc_id >= 400 AND o.doc_id < 400),
-        sets AS (SELECT doc_id, list_distinct(sh) AS shs FROM $duckShingles)
-        SELECT id_new, id_old,
-               round(CAST(len(list_intersect(sn.shs, so.shs)) AS DOUBLE)
-                     / (len(sn.shs) + len(so.shs) - len(list_intersect(sn.shs, so.shs))), 6) + CAST(0.0 AS DOUBLE) AS jaccard
-        FROM cand JOIN sets sn ON sn.doc_id = id_new JOIN sets so ON so.doc_id = id_old
-        WHERE CAST(len(list_intersect(sn.shs, so.shs)) AS DOUBLE)
-              / (len(sn.shs) + len(so.shs) - len(list_intersect(sn.shs, so.shs))) >= CAST(0.2 AS DOUBLE)
-        ORDER BY id_new, id_old"""
-      }),
-
-    // BPE encode of the corpus with the learned merges, ORACLED by
-    // replaying the encode in SQL over the dumped merge table: applying
-    // merges in RANK order (one anchored replace per rank, per token) is
-    // provably equivalent to encodeToken's lowest-rank-present loop —
-    // a merge's sides always predate it in rank, so collapsing rank k can
-    // only create pairs of rank > k, and within one rank a single
-    // left-to-right replace IS the greedy collapse (a merge can never
-    // recreate its own pair: l+r equals neither l nor r). Pieces join
-    // with a unit separator so the dump stays scalar-typed.
-    Q("q_bpe_segment",
-      (s, dir) => {
-        val docs = tk(s, dir, "documents")
-        graft.ops.BpeTrainer.segment(docs, "text", "doc_id", bpeMerges(s, dir))
-          .select(col("doc_id"), col("n_pieces"),
-            concat_ws("\u001f", col("pieces")).as("pieces"))
-          .orderBy("doc_id")
-      },
-      Some {
-        val stages = (1 to bpeMergeCount).map { k =>
-          s"w$k AS (SELECT doc_id, list_transform(ws, w__ -> replace(w__, p${k - 1}, q${k - 1})) AS ws FROM w${k - 1}, pats)"
-        }.mkString(", ")
-        s"""
-        WITH dump AS (SELECT * FROM read_parquet('__GRAFT_OUT__/q_bpe_vocab/*.parquet')),
-        pats AS (SELECT $bpePatCols FROM dump),
-        w0 AS (SELECT doc_id,
-                 list_transform(
-                   list_filter(${D.splitWs("coalesce(text, '')")}, t__ -> length(t__) > 0),
-                   t__ -> array_to_string(list_transform(string_split(t__, ''),
-                            c__ -> chr(30) || c__ || chr(31)), '')) AS ws
-               FROM documents),
-        $stages,
-        out AS (SELECT doc_id,
-                  flatten(list_transform(ws,
-                    w__ -> string_split(substr(w__, 2, length(w__) - 2),
-                                        chr(31) || chr(30)))) AS pieces
-                FROM w$bpeMergeCount)
-        SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_pieces,
-               coalesce(array_to_string(pieces, chr(31)), '') AS pieces
-        FROM out ORDER BY doc_id"""
-      }),
-
-    // WordPiece vocabulary TRAINING, full loop (Schuster & Nakajima
-    // 2012 — the trainer behind the reference's all-mpnet-base-v2
-    // vocab.txt): like q_bpe_vocab but the merge objective is the
-    // likelihood score n(l,r)/(c(l)·c(r)) — merge what co-occurs more
-    // than chance — over ##-marked word-internal symbols. The oracle
-    // replays the loop INDUCTIVELY against the dump: stage k rebuilds
-    // the symbol state with dumped merges 0..k-1 (the chr(30)/chr(31)
-    // replace trick), recomputes symbol AND pair counts, and re-derives
-    // the score argmax (one double division of exact integers — the
-    // same two IEEE ops both engines) — a wrong pick at any rank
-    // hash-fails. Emitted counts make the score replay non-circular.
-    Q("q_wp_vocab",
-      (s, dir) => {
-        import s.implicits._
-        wpMerges(s, dir)
-          .map(m => (m.rank.toLong, m.left, m.right, m.piece, m.n, m.cl, m.cr))
-          .toDF("rank", "left", "right", "piece", "pair_count", "cl", "cr")
-          .orderBy("rank")
-      },
-      Some {
-        val seg = "string_split(substr(syms, 2, length(syms) - 2), chr(31) || chr(30))"
-        val stages = (0 until wpMergeCount).map { k =>
-          val adv =
-            if (k == 0) ""
-            else s"s$k AS (SELECT replace(syms, p${k - 1}, q${k - 1}) AS syms, cnt FROM s${k - 1}, pats), "
-          adv +
-            s"""a$k AS (
-               SELECT l, r, CAST(sum(cnt) AS BIGINT) AS n
-               FROM (SELECT ss[CAST(i AS INT)] AS l, ss[CAST(i AS INT) + 1] AS r, cnt
-                     FROM (SELECT ss, cnt, unnest(range(1, len(ss))) AS i
-                           FROM (SELECT $seg AS ss, cnt FROM s$k)))
-               GROUP BY l, r),
-             c$k AS (
-               SELECT s, CAST(sum(cnt) AS BIGINT) AS c
-               FROM (SELECT unnest($seg) AS s, cnt FROM s$k)
-               GROUP BY s),
-             m$k AS (SELECT CAST($k AS BIGINT) AS "rank", a.l AS "left", a.r AS "right",
-                            a.l || CASE WHEN a.r LIKE '##%' THEN substr(a.r, 3) ELSE a.r END AS piece,
-                            a.n AS pair_count, cl.c AS cl, cr.c AS cr
-                     FROM a$k a JOIN c$k cl ON cl.s = a.l JOIN c$k cr ON cr.s = a.r
-                     WHERE a.n >= 2
-                     ORDER BY CAST(a.n AS DOUBLE) / (CAST(cl.c AS DOUBLE) * CAST(cr.c AS DOUBLE)) DESC,
-                              a.n DESC, a.l, a.r
-                     LIMIT 1)"""
-        }.mkString(", ")
-        s"""
-        WITH dump AS (SELECT * FROM read_parquet('__GRAFT_OUT__/q_wp_vocab/*.parquet')),
-        pats AS (SELECT $wpPatCols FROM dump),
-        wf AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
-               FROM (SELECT unnest(${D.splitWs("text")}) AS w FROM documents)
-               WHERE length(w) > 0 GROUP BY w),
-        s0 AS (SELECT array_to_string(list_transform(range(1, length(word) + 1),
-                 i__ -> chr(30) ||
-                        (CASE WHEN i__ = 1 THEN substr(word, CAST(i__ AS INT), 1)
-                              ELSE '##' || substr(word, CAST(i__ AS INT), 1) END) ||
-                        chr(31)), '') AS syms, cnt
-               FROM wf),
-        $stages
-        ${(0 until wpMergeCount).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")}
-        ORDER BY "rank""""
-      }),
-
-    // The TRAINED WordPiece vocabulary driving greedy longest-match
-    // inference over the corpus — training and inference are different
-    // algorithms in WordPiece (merge order trains, longest-match
-    // tokenizes), so this is a separate contract from q_wp_vocab: the
-    // oracle rebuilds the inference vocab in SQL (corpus alphabet with
-    // positional ## marks ∪ the dumped learned pieces) and replays the
-    // same recursive-CTE greedy walk as q_wordpiece over it. The corpus
-    // alphabet guarantee means no word dead-ends: n_unk must be 0 for
-    // every doc — itself part of the hash.
-    Q("q_wp_segment",
-      (s, dir) => {
-        val merges = wpMerges(s, dir)
-        val words = graft.ops.BpeTrainer.wordFrequencies(tk(s, dir, "documents"), "text")
-        val vocabSeq = graft.ops.WordPieceTrainer.vocabulary(words, merges)
-        val vmap = (vocabSeq ++ Seq("[UNK]")).distinct.zipWithIndex.toMap
-        val wp = graft.functions.WordPiece.fromVocab(vmap)
-        val f = udf { ws: Seq[String] =>
-          val pieces = ws.flatMap(wp.tokenizeWord)
-          (pieces.length.toLong,
-            pieces.count(_ == "[UNK]").toLong,
-            pieces.mkString(" "))
-        }
-        t(s, dir, "documents")
-          .withColumn("ws", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
-          .withColumn("r", f(col("ws")))
-          .select(col("doc_id"),
-            col("r._1").as("n_pieces"), col("r._2").as("n_unk"),
-            md5(col("r._3")).as("pieces_md5"))
-          .orderBy("doc_id")
-      },
-      Some {
-        val vocabCte =
-          s"""SELECT piece,
-                CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS surface,
-                (piece LIKE '##%') AS iscont,
-                CAST(0 AS BIGINT) AS id
-              FROM (
-                SELECT DISTINCT CASE WHEN i__ = 1 THEN substr(word, CAST(i__ AS INT), 1)
-                                     ELSE '##' || substr(word, CAST(i__ AS INT), 1) END AS piece
-                FROM (SELECT word, unnest(range(1, length(word) + 1)) AS i__
-                      FROM (SELECT w AS word FROM (
-                              SELECT unnest(${D.splitWs("text")}) AS w FROM documents)
-                            WHERE length(w) > 0 GROUP BY w))
-                UNION
-                SELECT piece FROM read_parquet('__GRAFT_OUT__/q_wp_vocab/*.parquet'))"""
-        s"""
-          WITH RECURSIVE ${wpPerDocCtesWith(vocabCte)}
-          SELECT d.doc_id,
-                 coalesce(p.n_pieces, 0) AS n_pieces,
-                 coalesce(p.n_unk, 0) AS n_unk,
-                 coalesce(p.pieces_md5, md5('')) AS pieces_md5
-          FROM docs d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
-          ORDER BY d.doc_id"""
-      }),
-
-    // WordPiece-style MaxMatch vocabulary (ops/MaxMatch): all length-1
-    // pieces (coverage) + substrings of codepoint-length 2-4 with >= 100
-    // overlapping occurrences. One map-side-combined piece aggregation —
-    // piece cardinality is alphabet-bounded, not corpus-bounded.
-    Q("q_maxmatch_vocab",
-      (s, dir) =>
-        graft.ops.MaxMatch.vocab(tk(s, dir, "documents"), "text", "doc_id")
-          .orderBy("piece"),
-      Some(s"""
-        WITH pos AS (
-          SELECT doc_id, text, unnest(range(0, length(text))) AS p
-          FROM documents),
-        subs AS (
-          SELECT substr(text, CAST(p + 1 AS INT), CAST(l AS INT)) AS piece
-          FROM pos, (SELECT unnest(range(1, 5)) AS l) ls
-          WHERE p + l <= length(text)),
-        counts AS (SELECT piece, CAST(count(*) AS BIGINT) AS cnt
-                   FROM subs GROUP BY piece)
-        SELECT piece, cnt FROM counts
-        WHERE cnt >= 100 OR length(piece) = 1
-        ORDER BY piece""")),
-
-    // MaxMatch segmentation (the WordPiece/BERT inference step, greedy
-    // longest-match-first). The oracle exploits that longest-match is
-    // POSITION-LOCAL: it rebuilds the per-position match table in SQL
-    // (candidate join + argmax on length) and takes the chain as
-    // recursive-CTE reachability over follow(p) = p + len(best(p)) —
-    // exact replay of the greedy walk, no sequential loop. The Spark
-    // side broadcasts the vocab (the model) and segments in one narrow
-    // kernel pass; text never transits an exchange.
-    Q("q_maxmatch_segment",
-      (s, dir) => {
-        val docs = tk(s, dir, "documents")
-        val v = graft.ops.MaxMatch.vocab(docs, "text", "doc_id")
-        graft.ops.MaxMatch.segment(docs, "text", "doc_id", v)
-          .orderBy("doc_id", "p")
-      },
-      Some(s"""
-        WITH pos AS (
-          SELECT doc_id, text, unnest(range(0, length(text))) AS p
-          FROM documents),
-        subs AS (
-          SELECT doc_id, p, l,
-                 substr(text, CAST(p + 1 AS INT), CAST(l AS INT)) AS piece
-          FROM pos, (SELECT unnest(range(1, 5)) AS l) ls
-          WHERE p + l <= length(text)),
-        counts AS (SELECT piece, count(*) AS cnt FROM subs GROUP BY piece),
-        vocab AS (SELECT piece FROM counts
-                  WHERE cnt >= 100 OR length(piece) = 1),
-        cand AS (SELECT s.doc_id, s.p, s.l, s.piece
-                 FROM subs s JOIN vocab v USING (piece)),
-        best AS (SELECT doc_id, p, max_by(piece, l) AS piece, max(l) AS l
-                 FROM cand GROUP BY doc_id, p),
-        reach AS (
-          WITH RECURSIVE r(doc_id, p) AS (
-            SELECT doc_id, CAST(0 AS BIGINT) FROM documents
-            UNION
-            SELECT b.doc_id, r.p + b.l
-            FROM r JOIN best b ON b.doc_id = r.doc_id AND b.p = r.p)
-          SELECT * FROM r)
-        SELECT b.doc_id, b.p, b.piece, CAST(b.l AS BIGINT) AS piece_len
-        FROM best b JOIN reach r ON b.doc_id = r.doc_id AND b.p = r.p
-        ORDER BY b.doc_id, b.p""")),
-
-    // SentencePiece-style unigram-LM tokenizer (ops/UnigramTokenizer,
-    // Kudo 2018 hard-EM): the trained model dump. The oracle pins
-    //   - sp self-consistency: every surprisal recomputed from the
-    //     dumped counts (add-one over Σ(cnt+1)) — the -ln math and
-    //     smoothing are under the hash;
-    //   - coverage as a measured-vs-spec-constant residual: the engine
-    //     ANTI-JOINS the corpus's distinct codepoints against the
-    //     model's single-char pieces and emits the count; the oracle
-    //     recomputes the same anti-join from the SOURCE table against
-    //     the dump and both must be the 0 a covering model guarantees.
-    // Model values themselves are tested where they bite: the
-    // q_sp_dp/q_sp_segment replays below consume this dump.
-    // Bench profile (r10 adjudication of the r9 0.75->2.65 s watch-item):
-    // cold run ~10 s = the one-time memoized EM training, warm 0.7-1.0 s
-    // — the apply stage is unchanged; any single-sample reading between
-    // those poles caught training amortization, not a code regression.
-    Q("q_sp_vocab",
-      (s, dir) => {
-        val model = spModel(s, dir)
-        val vocabDf = graft.ops.UnigramTokenizer.modelDf(s, model)
-        val singles = vocabDf.where(col("piece_len") === 1).select("piece")
-        val missing = tk(s, dir, "documents")
-          // per-doc array_distinct BEFORE the explode: ~50 distinct chars
-          // per doc instead of every position — the corpus-wide distinct
-          // then dedups thousands, not tens of millions, of rows
-          .select(explode(expr(
-            "array_distinct(transform(sequence(1, length(text)), i__ -> substr(text, i__, 1)))"))
-            .as("piece"))
-          .distinct()
-          .join(singles, Seq("piece"), "left_anti")
-          .agg(count(lit(1)).as("missing_chars"))
-        vocabDf.crossJoin(broadcast(missing)).orderBy("piece")
-      },
-      Some(s"""
-        WITH dump AS (SELECT piece, piece_len, cnt, sp
-                      FROM read_parquet('__GRAFT_OUT__/q_sp_vocab/*.parquet')),
-        tot AS (SELECT CAST(sum(cnt + 1) AS BIGINT) AS t FROM dump),
-        chars AS (
-          SELECT DISTINCT substr(text, CAST(p AS INT), 1) AS c
-          FROM (SELECT text, unnest(range(1, length(text) + 1)) AS p
-                FROM documents)),
-        miss AS (SELECT CAST(count(*) AS BIGINT) AS missing_chars
-                 FROM chars
-                 WHERE c NOT IN (SELECT piece FROM dump WHERE piece_len = 1))
-        SELECT piece, piece_len, cnt,
-               ${duckR6("-ln(CAST(cnt + 1 AS DOUBLE) / CAST(t AS DOUBLE))")} AS sp,
-               missing_chars
-        FROM dump CROSS JOIN tot CROSS JOIN miss
-        ORDER BY piece""")),
-
-    // Unigram-tokenizer Viterbi segmentation, all docs. The oracle
-    // derives every emitted piece from the SOURCE text at the dumped
-    // offsets (substr anchor — a wrong piece or offset mismatches), and
-    // computes the structural gates the engine claims as constants:
-    // contiguity (each piece starts where the previous ended, first at
-    // 0), completeness (the last piece reaches the text's end), and
-    // vocab membership of every piece.
-    Q("q_sp_segment",
-      (s, dir) => {
-        val model = spModel(s, dir)
-        graft.ops.UnigramTokenizer.segment(
-            tk(s, dir, "documents"), "text", "doc_id", model)
-          .select(col("doc_id"), col("p"), col("piece"), col("piece_len"),
-            lit(true).as("contig"), lit(true).as("complete"),
-            lit(true).as("in_vocab"))
-          .orderBy("doc_id", "p")
-      },
-      Some(s"""
-        WITH seg AS (SELECT doc_id, p, piece_len
-                     FROM read_parquet('__GRAFT_OUT__/q_sp_segment/*.parquet')),
-        v AS (SELECT piece FROM read_parquet('__GRAFT_OUT__/q_sp_vocab/*.parquet'))
-        SELECT s.doc_id, s.p,
-               substr(d.text, CAST(s.p + 1 AS INT), CAST(s.piece_len AS INT)) AS piece,
-               s.piece_len,
-               (s.p = coalesce(lag(s.p + s.piece_len)
-                  OVER (PARTITION BY s.doc_id ORDER BY s.p), 0)) AS contig,
-               (max(s.p + s.piece_len) OVER (PARTITION BY s.doc_id)
-                  = length(d.text)) AS complete,
-               (substr(d.text, CAST(s.p + 1 AS INT), CAST(s.piece_len AS INT))
-                  IN (SELECT piece FROM v)) AS in_vocab
-        FROM seg s JOIN documents d USING (doc_id)
-        ORDER BY s.doc_id, s.p""")),
-
-    // The Viterbi OPTIMALITY gate (the q_bpe_vocab inductive pattern one
-    // level up): the engine dumps its full ROUND-6 DP table for a doc
-    // subset, and the oracle re-derives every row from EARLIER dumped
-    // rows — best(p) must equal round6(min over piece lengths of
-    // best(p-l) + sp(substr(text, p-l+1, l))) with pieces and surprisals
-    // from the model dump and the text from the SOURCE table. Each
-    // candidate is one IEEE add of two round-6 doubles (the engine
-    // stores the DP rounded at every step precisely so this replay is
-    // bit-exact); a single wrong DP cell breaks its own row AND every
-    // later row it feeds. Row-count equality catches unreachable
-    // positions.
-    Q("q_sp_dp",
-      (s, dir) => {
-        val model = spModel(s, dir)
-        graft.ops.UnigramTokenizer.dpTable(
-            tk(s, dir, "documents").where(col("doc_id") % 20 === 0),
-            "text", "doc_id", model)
-          .select(col("doc_id"), col("p"), col("best"))
-          .orderBy("doc_id", "p")
-      },
-      Some(s"""
-        WITH dp AS (SELECT doc_id, p, best
-                    FROM read_parquet('__GRAFT_OUT__/q_sp_dp/*.parquet')),
-        v AS (SELECT piece, sp
-              FROM read_parquet('__GRAFT_OUT__/q_sp_vocab/*.parquet')),
-        src AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
-        cand AS (
-          SELECT d.doc_id, d.p,
-                 (CASE WHEN d.p - l.l = 0 THEN ${D.d(0.0)} ELSE prev.best END
-                  + v.sp) AS c
-          FROM dp d
-          JOIN src t ON t.doc_id = d.doc_id
-          CROSS JOIN (SELECT unnest(range(1, 5)) AS l) l
-          LEFT JOIN dp prev ON prev.doc_id = d.doc_id AND prev.p = d.p - l.l
-          JOIN v ON v.piece = substr(t.text, CAST(d.p - l.l + 1 AS INT), CAST(l.l AS INT))
-          WHERE d.p - l.l >= 0 AND (d.p - l.l = 0 OR prev.p IS NOT NULL))
-        SELECT doc_id, p, ${duckR6("min(c)")} AS best
-        FROM cand
-        GROUP BY doc_id, p
-        ORDER BY doc_id, p""")))
-
-  // =========================================================================
-  // WARC / WET crawl-archive ingest (sources/WarcCodec.scala)
-  // =========================================================================
-
-  /** Synthesized Common-Crawl-shaped fixture: 8 `.warc.gz` archive files
-    * (docs assigned by doc_id % 8), each a concatenation of per-record
-    * gzip members — a `warcinfo` header record, then per doc a WET
-    * `conversion` record whose payload IS documents.text (UTF-8) and a
-    * crawl `response` record wrapping an HTTP response (status varies by
-    * doc_id % 10, HTML body built from text by a closed-form formula the
-    * oracles replay). Built driver-side ONCE per dir and cached (the
-    * corpus is KB-scale at fixture SFs; the operator under test is the
-    * distributed archive scan, not the fixture write). Cache key =
-    * md5(path + version) — collisions can't serve wrong fixtures and
-    * format changes can't serve stale ones. */
-  private val synthWarcVersion = 1 // bump on ANY record/HTML formula change
-  private def synthWarc(s: SparkSession, dir: String): String = {
-    import graft.sources.WarcCodec._
-    import java.nio.charset.StandardCharsets.UTF_8
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val key = md.digest(s"$dir|$synthWarcVersion".getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
-    val out = s"${sys.props("java.io.tmpdir")}/graft_synth_warc_$key"
-    val marker = new java.io.File(s"$out/_DONE")
-    if (!marker.isFile) {
-      new java.io.File(out).mkdirs()
-      val rows = t(s, dir, "documents")
-        .select(col("doc_id").cast("long"), col("text"))
-        .collect()
-        .map(r => (r.getLong(0), r.getString(1)))
-        .sortBy(_._1)
-      rows.groupBy(_._1 % 8).foreach { case (fk, docs) =>
-        val bos = new java.io.ByteArrayOutputStream()
-        bos.write(gzipMember(writeRecord(WarcRecord("warcinfo", "",
-          s"<urn:graft:info:$fk>", "application/warc-fields", 0L,
-          "software: graft\r\n".getBytes(UTF_8)))))
-        docs.foreach { case (id, text) =>
-          bos.write(gzipMember(writeRecord(WarcRecord("conversion",
-            s"https://crawl.example/doc/$id", s"<urn:graft:wet:$id>",
-            "text/plain", 0L, text.getBytes(UTF_8)))))
-          val status = if (id % 10 == 7) "404 Not Found" else "200 OK"
-          val html = s"<html><head><title>doc $id</title></head><body><p>$text</p></body></html>"
-          val http = s"HTTP/1.1 $status\r\nContent-Type: text/html; charset=utf-8\r\nX-Doc: $id\r\n\r\n$html"
-          bos.write(gzipMember(writeRecord(WarcRecord("response",
-            s"https://crawl.example/page/$id", s"<urn:graft:res:$id>",
-            "application/http; msgtype=response", 0L, http.getBytes(UTF_8)))))
-        }
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(out, f"part-$fk%d.warc.gz"), bos.toByteArray)
-      }
-      java.nio.file.Files.writeString(marker.toPath, "ok")
-    }
-    out
-  }
-
-  /** Synthesized CDX index shards ([[graft.sources.CdxIndex]]): one
-    * .cdx.gz per doc_id%8, one capture line per doc (+ a second, later
-    * capture for doc_id%4=0 — the latest-wins dedup case) plus two
-    * planted malformed lines per shard (no-spaces, broken json) that the
-    * reader must drop. All fields are residue/md5 formulas the oracle
-    * replays. */
-  private val synthCdxVersion = 1
-  private def synthCdx(s: SparkSession, dir: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val key = md.digest(s"$dir|$synthCdxVersion".getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
-    val out = s"${sys.props("java.io.tmpdir")}/graft_synth_cdx_$key"
-    val marker = new java.io.File(s"$out/_DONE")
-    if (!marker.isFile) {
-      new java.io.File(out).mkdirs()
-      def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
-        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val rows = t(s, dir, "documents")
-        .select(col("doc_id").cast("long"), col("text")).collect()
-        .map(r => (r.getLong(0), r.getString(1)))
-      rows.groupBy(_._1 % 8).foreach { case (fk, docs) =>
-        val sb = new StringBuilder
-        sb ++= "not-a-cdx-line\n"
-        sb ++= "x)/bad 20240101000000 {malformed\n"
-        docs.sortBy(_._1).foreach { case (id, text) =>
-          val surt = s"org,example${id % 5})/page/$id"
-          val url = s"https://example${id % 5}.org/page/$id"
-          val mime = if (id % 3 == 0) "text/plain" else "text/html"
-          val status = if (id % 10 == 7) 404 else 200
-          def line(ts: Long, digest: String, off: Long) =
-            s"""$surt $ts {"url": "$url", "mime": "$mime", "status": "$status", "digest": "$digest", "length": "${text.length}", "offset": "$off", "filename": "part-$fk.warc.gz"}""" + "\n"
-          sb ++= line(20240101000000L + id, md5hex(text), id * 1000)
-          if (id % 4 == 0)
-            sb ++= line(20240101000000L + id + 777, md5hex(text + "v2"), id * 1000 + 7)
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        val gz = new java.util.zip.GZIPOutputStream(bos)
-        gz.write(sb.toString.getBytes("UTF-8")); gz.close()
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(out, f"cdx-$fk%d.gz"), bos.toByteArray)
-      }
-      java.nio.file.Files.writeString(marker.toPath, "ok")
-    }
-    out
-  }
-
-  /** Dialect-shared capture-field formulas of [[synthCdx]]: one row per
-    * capture (c=0 always, c=1 for doc_id%4=0). */
-  private val cdxCapsSql: String = """
-    SELECT 'org,example' || CAST(doc_id % 5 AS VARCHAR) || ')/page/' ||
-             CAST(doc_id AS VARCHAR) AS surt,
-           CAST(20240101000000 + doc_id +
-                CASE WHEN c = 1 THEN 777 ELSE 0 END AS BIGINT) AS ts,
-           'https://example' || CAST(doc_id % 5 AS VARCHAR) || '.org/page/' ||
-             CAST(doc_id AS VARCHAR) AS url,
-           CASE WHEN doc_id % 3 = 0 THEN 'text/plain' ELSE 'text/html' END AS mime,
-           CAST(CASE WHEN doc_id % 10 = 7 THEN 404 ELSE 200 END AS BIGINT) AS status,
-           md5(CASE WHEN c = 1 THEN text || 'v2' ELSE text END) AS digest,
-           CAST(length(text) AS BIGINT) AS "length",
-           CAST(doc_id * 1000 + CASE WHEN c = 1 THEN 7 ELSE 0 END AS BIGINT) AS "offset",
-           'part-' || CAST(doc_id % 8 AS VARCHAR) || '.warc.gz' AS filename
-    FROM documents, (VALUES (0), (1)) AS v(c)
-    WHERE c = 0 OR doc_id % 4 = 0"""
-
-  private def warcOps: Seq[Q] = Seq(
-    // CDX(J) capture-index scan: REAL gzip index shards (one task each,
-    // spark.read.text is gzip-transparent) through the codegen split +
-    // from_json parse; two planted malformed lines per shard must drop.
-    // Every field (surt, timestamp, json payload incl. md5 digest and
-    // byte offsets) hash-matched against the residue-formula replay.
-    Q("q_cdx_parse",
-      (s, dir) =>
-        graft.sources.CdxIndex.read(s, synthCdx(s, dir))
-          .orderBy("surt", "ts"),
-      Some(s"""
-        SELECT * FROM ($cdxCapsSql)
-        ORDER BY surt, ts""")),
-
-    // Latest-capture-per-URL selection — the standard crawl dedup a
-    // pipeline runs on the index BEFORE touching any archive bytes: one
-    // surt-keyed window (max ts, digest tie-break). For doc_id%4=0 the
-    // planted second capture (ts+777, different digest) must win.
-    Q("q_cdx_latest",
-      (s, dir) =>
-        graft.sources.CdxIndex.latestCaptures(
-            graft.sources.CdxIndex.read(s, synthCdx(s, dir)))
-          .orderBy("surt"),
-      Some(s"""
-        SELECT * EXCLUDE (rn) FROM (
-          SELECT *, row_number() OVER (PARTITION BY surt
-                      ORDER BY ts DESC, digest DESC) AS rn
-          FROM ($cdxCapsSql))
-        WHERE rn = 1
-        ORDER BY surt""")),
-    // WET conversion-record scan: gzip-member decode + Content-Length
-    // framing + header parse, hash-gated against the source table — URI,
-    // record Content-Type, byte-exact Content-Length, and the payload
-    // round-tripped BOTH as md5 and as decoded text (any framing slip,
-    // member-boundary bug, or charset mangling mismatches). The plan is
-    // one binaryFile task per archive + a narrow flatMap — the 100 TB
-    // crawl model (~1 GB segments, one task each, zero shuffle before
-    // the final fixture-scale sort).
-    Q("q_warc_wet",
-      (s, dir) => {
-        val recs = graft.sources.WarcSource.records(s, synthWarc(s, dir))
-        recs.where(col("warc_type") === "conversion")
-          .select(
-            regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
-              .cast("long").as("doc_id"),
-            col("target_uri"), col("content_type"), col("content_length"),
-            md5(col("payload")).as("payload_md5"),
-            col("payload").cast("string").as("text"))
-          .orderBy("doc_id")
-      },
-      Some("""
-        SELECT CAST(doc_id AS BIGINT) AS doc_id,
-               'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
-               'text/plain' AS content_type,
-               CAST(strlen(text) AS BIGINT) AS content_length,
-               md5(text) AS payload_md5,
-               text
-        FROM documents
-        ORDER BY doc_id""")),
-
-    // Crawl response-record scan: the HTTP sub-parse on top of the WARC
-    // framing — status line (varying by formula), header lookup, and the
-    // header/body split, with the body verified byte-exactly (md5 + byte
-    // length) against the closed-form HTML the fixture embeds. warcinfo
-    // records prove type filtering; 404s prove non-2xx payloads survive.
-    Q("q_warc_response",
-      (s, dir) => {
-        val recs = graft.sources.WarcSource.records(s, synthWarc(s, dir))
-        graft.sources.WarcSource.httpResponses(recs)
-          .select(
-            regexp_extract(col("target_uri"), "page/(\\d+)$", 1)
-              .cast("long").as("doc_id"),
-            col("http_status").cast("long").as("http_status"),
-            col("http_content_type"),
-            length(col("body")).cast("long").as("body_len"),
-            md5(col("body")).as("body_md5"))
-          .orderBy("doc_id")
-      },
-      Some("""
-        WITH h AS (
-          SELECT doc_id,
-                 '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
-                 '</title></head><body><p>' || text ||
-                 '</p></body></html>' AS html
-          FROM documents)
-        SELECT CAST(doc_id AS BIGINT) AS doc_id,
-               CAST(CASE WHEN doc_id % 10 = 7 THEN 404 ELSE 200 END AS BIGINT) AS http_status,
-               'text/html; charset=utf-8' AS http_content_type,
-               CAST(strlen(html) AS BIGINT) AS body_len,
-               md5(html) AS body_md5
-        FROM h
-        ORDER BY doc_id"""))
-  ,
-
-    // End-to-end crawl ingest — the composition a 100 TB pipeline runs as
-    // ONE job: archive scan -> HTTP parse -> status gate (404s drop out,
-    // ~10% of the fixture) -> HTML-to-text kernel -> token stats ->
-    // quality bound. Everything stays in the scan stage (binaryFile task
-    // per segment, narrow flatMaps, codegen'd HTML kernel) until the
-    // fixture-scale final sort; the oracle replays the whole composition
-    // from the documents table in closed form, so the hash pins every
-    // stage boundary (status routing, tag stripping, whitespace collapse,
-    // tokenization) at once.
-    Q("q_crawl_pipeline",
-      (s, dir) => {
-        val recs = graft.sources.WarcSource.records(s, synthWarc(s, dir))
-        val ok = graft.sources.WarcSource.httpResponses(recs)
-          .where(col("http_status") === 200)
-        ok.select(
-            regexp_extract(col("target_uri"), "page/(\\d+)$", 1)
-              .cast("long").as("doc_id"),
-            graft.sources.DirectoryCorpus.htmlToTextFast(
-              col("body").cast("string")).as("text"))
-          .withColumn("n_tokens",
-            size(split(trim(col("text")), "\\s+")).cast("long"))
-          .withColumn("keep", col("n_tokens") >= 25)
-          .orderBy("doc_id")
-      },
-      Some("""
-        WITH src AS (
-          SELECT doc_id,
-                 'doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
-                 trim(regexp_replace(regexp_replace(text, '[ \t]+', ' ', 'g'),
-                                     '\s*\n\s*', chr(10), 'g')) AS text
-          FROM documents
-          WHERE doc_id % 10 <> 7)
-        SELECT doc_id, text,
-               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-               (len(string_split_regex(trim(text), '\s+')) >= 25) AS keep
-        FROM src
-        ORDER BY doc_id""")),
-
-    // URL canonicalization (ops/UrlOps) — the crawl-frontier/dedup key
-    // maker. Each doc gets a formula-built MESSY url (mixed-case scheme
-    // and host, default and non-default ports, slash runs, trailing
-    // slash, utm_ tracking params, unsorted query, fragment); the
-    // canonical form collapses doc_id residue classes so n_dupes > 1
-    // groups emerge — the URL-keyed dedup story, with the whole rule set
-    // (incl. scheme-conditional port stripping: http:443 KEPT, https:443
-    // stripped) under the hash. Narrow except the one canonical-keyed
-    // window — exactly the shuffle a URL-keyed dedup pays at scale.
-    Q("q_url_canonical",
-      (s, dir) => {
-        val urls = tk(s, dir, "documents")
-          .selectExpr("doc_id", s"${messyUrlExpr(Dialect.spark)} AS url")
-        graft.ops.UrlOps.canonicalize(urls, "url")
-          .selectExpr("doc_id", "url", "canonical",
-            "CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT) AS n_dupes")
-          .orderBy("doc_id")
-      },
-      Some(s"""
-        WITH u AS (SELECT doc_id, ${messyUrlExpr(D)} AS url FROM documents),
-        c AS (SELECT doc_id, url,
-                     ${graft.ops.UrlOps.canonicalExpr(D, "url")} AS canonical
-              FROM u)
-        SELECT doc_id, url, canonical,
-               CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT) AS n_dupes
-        FROM c
-        ORDER BY doc_id""")),
-
-    // robots.txt parsing (ops/Robots, RFC 9309): the robots BODY is
-    // synthesized per host from a residue formula (case-varied field
-    // names, inline comments, unknown directives, consecutive User-agent
-    // lines sharing a group, empty rule values); Spark PARSES the text
-    // with the real line machine while the oracle regenerates the
-    // expected rule set directly from the same formula — any parser
-    // defect (group attribution, comment stripping, case folding, empty
-    // rules) breaks the hash. Parse is a narrow per-host kernel; rule
-    // cardinality is per-host-bounded, never corpus-bounded.
-    Q("q_robots_parse",
-      (s, dir) => {
-        val robots = synthRobots(tk(s, dir, "documents"))
-        graft.ops.Robots.parseRules(robots, "host", "txt")
-          .orderBy("host", "agent", "pattern", "allow")
-      },
-      Some(s"""
-        ${robotsRulesSql}
-        SELECT host, agent, allow, pattern, patlen FROM rules
-        ORDER BY host, agent, pattern, allow""")),
-
-    // Crawl-frontier politeness gate: parse + group selection (a host's
-    // agent-specific group REPLACES '*', so graftbot hosts allow the
-    // '*'-disallowed /private paths) + longest-pattern-wins matching with
-    // Allow beating Disallow at equal length, '$' end anchors and '*'
-    // wildcards both ways. The frontier path formula spans every residue
-    // class; the oracle replays matching with a generic pattern->LIKE
-    // rewrite over the formula-derived rules. Plan: rules broadcast,
-    // frontier host-equi-join with residual LIKE, winner window
-    // partitioned on the URL id only — the 100 TB side never shuffles
-    // except that per-URL window.
-    Q("q_robots_filter",
-      (s, dir) => {
-        val docs = tk(s, dir, "documents")
-        val rules = graft.ops.Robots.parseRules(synthRobots(docs), "host", "txt")
-        val urls = docs.selectExpr("doc_id",
-          s"'h' || ${Dialect.spark.castStr("doc_id % 41")} AS host",
-          s"${robotsPathExpr(Dialect.spark)} AS path")
-        graft.ops.Robots.filterFrontier(urls, rules, "GraftBot",
-            "doc_id", "host", "path")
-          .orderBy("doc_id")
-      },
-      Some(s"""
-        ${robotsRulesSql}
-        , eff AS (
-          SELECT r.host, r.allow, r.pattern, r.patlen,
-                 CASE WHEN r.pattern LIKE '%$$'
-                      THEN replace(substr(r.pattern, 1, length(r.pattern) - 1), '*', '%')
-                      ELSE replace(r.pattern, '*', '%') || '%' END AS like_pat
-          FROM rules r
-          JOIN (SELECT host,
-                       max(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END) AS hasg
-                FROM rules GROUP BY host) s ON s.host = r.host
-          WHERE (r.agent = 'graftbot' AND s.hasg = 1)
-             OR (r.agent = '*' AND s.hasg = 0)),
-        urls AS (
-          SELECT doc_id, 'h' || ${D.castStr("doc_id % 41")} AS host,
-                 ${robotsPathExpr(D)} AS path
-          FROM documents),
-        m AS (
-          SELECT u.doc_id, r.allow, r.pattern,
-                 row_number() OVER (PARTITION BY u.doc_id
-                   ORDER BY r.patlen DESC, r.allow DESC, r.pattern) AS rn
-          FROM urls u JOIN eff r ON r.host = u.host AND u.path LIKE r.like_pat)
-        SELECT u.doc_id, u.host, u.path,
-               coalesce(m.allow, true) AS allowed, m.pattern AS rule
-        FROM urls u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rn = 1
-        ORDER BY u.doc_id""")),
-
-    // Politeness scheduler — the stage AFTER the robots gate: parse
-    // Crawl-delay with the same group machine (agent-specific beats '*',
-    // h%11==7 hosts declare none -> default), then per-host rank windows
-    // assign fetch slots (rank-1)*delay and 60s batch waves. The oracle
-    // regenerates delays from the residue formula and replays the window
-    // — group selection, delay parsing, and slot arithmetic all under
-    // the hash. Delays broadcast; the frontier shuffles once into the
-    // host window.
-    Q("q_frontier_schedule",
-      (s, dir) => {
-        val docs = tk(s, dir, "documents")
-        val delays = graft.ops.Robots.parseCrawlDelays(
-          synthRobots(docs), "host", "txt")
-        val urls = docs.selectExpr("doc_id",
-          s"'h' || ${Dialect.spark.castStr("doc_id % 41")} AS host")
-        graft.ops.Robots.scheduleFrontier(urls, delays, "GraftBot",
-            "doc_id", "host", 5000L, 60000L)
-          .orderBy("doc_id")
-      },
-      Some(s"""
-        WITH urls AS (
-          SELECT doc_id, doc_id % 41 AS h,
-                 'h' || ${D.castStr("doc_id % 41")} AS host
-          FROM documents),
-        d AS (
-          SELECT doc_id, host,
-                 CAST(CASE WHEN h % 3 = 0 THEN (h % 4 + 1) * 1000
-                           WHEN h % 11 <> 7 THEN (2 + h % 3) * 1000
-                           ELSE 5000 END AS BIGINT) AS delay_ms
-          FROM urls),
-        r AS (
-          SELECT doc_id, host, delay_ms,
-                 CAST((row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1)
-                      * delay_ms AS BIGINT) AS fetch_slot_ms
-          FROM d)
-        SELECT doc_id, host, delay_ms, fetch_slot_ms,
-               CAST(fetch_slot_ms // 60000 AS BIGINT) AS batch_no
-        FROM r
-        ORDER BY doc_id""")),
-
-    // Politeness-stack capstone: messy frontier URL -> canonicalize
-    // (uppercase host, default :443, utm noise, fragment) -> host/path
-    // split -> robots gate (group selection + longest-match) ->
-    // crawl-delay schedule for the ALLOWED rows, composed as ONE
-    // declarative job. The oracle replays every stage: the shared
-    // canonical formula, the rules CTE, the winner window, the delay
-    // formula, and the per-host rank window — a defect at any stage
-    // boundary (wrong host case, unstripped port, wrong group, wrong
-    // slot) breaks the hash. Disallowed rows keep null schedule
-    // columns.
-    Q("q_frontier_pipeline",
-      (s, dir) => {
-        val dls = Dialect.spark
-        val docs = tk(s, dir, "documents")
-        val messy = s"'https://H' || ${dls.castStr("doc_id % 41")} || ':443' || " +
-          s"${robotsPathExpr(dls)} || '?utm_source=x&b=' || ${dls.castStr("doc_id % 7")} || '#frag'"
-        val urls = graft.ops.UrlOps.canonicalize(
-            docs.selectExpr("doc_id", s"$messy AS url"), "url")
-          .selectExpr("doc_id",
-            "regexp_extract(canonical, '^[^:]+://([^/?#]*)', 1) AS host",
-            "regexp_extract(canonical, '^[^:]+://[^/?#]*([^?#]*)', 1) AS path")
-        val robots = synthRobots(docs)
-        val rules = graft.ops.Robots.parseRules(robots, "host", "txt")
-        val filtered = graft.ops.Robots.filterFrontier(
-          urls, rules, "GraftBot", "doc_id", "host", "path")
-        val delays = graft.ops.Robots.parseCrawlDelays(robots, "host", "txt")
-        val sched = graft.ops.Robots.scheduleFrontier(
-          filtered.where(col("allowed")).select("doc_id", "host"),
-          delays, "GraftBot", "doc_id", "host", 5000L, 60000L)
-        filtered.join(
-            sched.select(col("doc_id"), col("delay_ms"),
-              col("fetch_slot_ms"), col("batch_no")),
-            Seq("doc_id"), "left")
-          .select(col("doc_id"), col("host"), col("path"), col("allowed"),
-            col("rule"), col("delay_ms"), col("fetch_slot_ms"), col("batch_no"))
-          .orderBy("doc_id")
-      },
-      Some(s"""
-        ${robotsRulesSql}
-        , eff AS (
-          SELECT r.host, r.allow, r.pattern, r.patlen,
-                 CASE WHEN r.pattern LIKE '%$$'
-                      THEN replace(substr(r.pattern, 1, length(r.pattern) - 1), '*', '%')
-                      ELSE replace(r.pattern, '*', '%') || '%' END AS like_pat
-          FROM rules r
-          JOIN (SELECT host,
-                       max(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END) AS hasg
-                FROM rules GROUP BY host) s ON s.host = r.host
-          WHERE (r.agent = 'graftbot' AND s.hasg = 1)
-             OR (r.agent = '*' AND s.hasg = 0)),
-        messy AS (
-          SELECT doc_id,
-                 'https://H' || ${D.castStr("doc_id % 41")} || ':443' ||
-                 ${robotsPathExpr(D)} || '?utm_source=x&b=' || ${D.castStr("doc_id % 7")} || '#frag' AS url
-          FROM documents),
-        canon AS (SELECT doc_id, ${graft.ops.UrlOps.canonicalExpr(D, "url")} AS canonical
-                  FROM messy),
-        urls AS (
-          SELECT doc_id, canonical,
-                 regexp_extract(canonical, '^[^:]+://([^/?#]*)', 1) AS host,
-                 regexp_extract(canonical, '^[^:]+://[^/?#]*([^?#]*)', 1) AS path
-          FROM canon),
-        m AS (
-          SELECT u.doc_id, r.allow, r.pattern,
-                 row_number() OVER (PARTITION BY u.doc_id
-                   ORDER BY r.patlen DESC, r.allow DESC, r.pattern) AS rn
-          FROM urls u JOIN eff r ON r.host = u.host AND u.path LIKE r.like_pat),
-        f AS (
-          SELECT u.doc_id, u.host, u.path,
-                 coalesce(m.allow, true) AS allowed, m.pattern AS rule
-          FROM urls u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rn = 1),
-        dly AS (
-          SELECT f.doc_id, f.host,
-                 CAST(CASE WHEN (doc_id % 41) % 3 = 0 THEN ((doc_id % 41) % 4 + 1) * 1000
-                           WHEN (doc_id % 41) % 11 <> 7 THEN (2 + (doc_id % 41) % 3) * 1000
-                           ELSE 5000 END AS BIGINT) AS delay_ms
-          FROM f WHERE f.allowed),
-        sched AS (
-          SELECT doc_id, host, delay_ms,
-                 CAST((row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1)
-                      * delay_ms AS BIGINT) AS fetch_slot_ms
-          FROM dly)
-        SELECT f.doc_id, f.host, f.path, f.allowed, f.rule,
-               s.delay_ms, s.fetch_slot_ms,
-               CAST(s.fetch_slot_ms // 60000 AS BIGINT) AS batch_no
-        FROM f LEFT JOIN sched s ON s.doc_id = f.doc_id
-        ORDER BY f.doc_id""")),
-
-    // Sitemap XML scan — the crawl-DISCOVERY feed (robots points at
-    // sitemaps, their <loc>s seed the frontier the robots gate filters).
-    // Pure codegen regexp kernel: <url> block split + field extracts +
-    // entity unescape (the escaped &amp; in every query string MUST
-    // decode). Absent <lastmod> tags (doc_id%6=0) yield ''. Oracle
-    // replays every field from the residue formulas.
-    Q("q_sitemap_urls",
-      (s, dir) => {
-        val maps = synthSitemaps(tk(s, dir, "documents"))
-        graft.sources.Sitemap.urls(maps, "xml")
-          .select(col("loc"), col("lastmod"), col("priority"))
-          .orderBy("loc")
-      },
-      Some("""
-        SELECT 'https://h' || CAST(doc_id % 41 AS VARCHAR) || '.example/page/' ||
-                 CAST(doc_id AS VARCHAR) || '?a=1&b=' || CAST(doc_id % 7 AS VARCHAR) AS loc,
-               CASE WHEN doc_id % 6 = 0 THEN ''
-                    ELSE '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') END AS lastmod,
-               '0.' || CAST(doc_id % 10 AS VARCHAR) AS priority
-        FROM documents
-        ORDER BY loc""")),
-
-    // S1/S2/S3/F9 under ONE hash gate: a real on-disk nested directory
-    // (one file per doc, residue-driven extensions) is recursively
-    // scanned, extension-dispatched (html/htm through the HTML kernel,
-    // txt/md passthrough, log DROPPED by required-exts), and the whole
-    // corpus is hash-matched against a closed-form replay from the
-    // documents table — upgrading the directory-source family from
-    // spec-pinned to oracle-gated. The html branch reuses the
-    // q_crawl_pipeline-proven collapse replay. Plan: binaryFile tasks
-    // per file batch, narrow projections, no shuffle before the
-    // fixture-scale final sort.
-    Q("q_dir_corpus",
-      (s, dir) => {
-        val corpus = graft.sources.DirectoryCorpus.readCorpus(s, synthDocsDir(s, dir))
-        corpus.select(
-            regexp_extract(col("path"), "d(\\d+)\\.[a-z]+$", 1)
-              .cast("long").as("doc_id"),
-            col("ext"), col("text"))
-          .orderBy("doc_id")
-      },
-      Some("""
-        WITH src AS (
-          SELECT doc_id,
-                 CASE doc_id % 5 WHEN 0 THEN 'txt' WHEN 1 THEN 'md'
-                                 WHEN 2 THEN 'html' ELSE 'htm' END AS ext,
-                 CASE WHEN doc_id % 5 IN (2, 4)
-                      THEN 'doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
-                           trim(regexp_replace(regexp_replace(text, '[ \t]+', ' ', 'g'),
-                                               '\s*\n\s*', chr(10), 'g'))
-                      ELSE 'doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text END AS text
-          FROM documents WHERE doc_id % 5 <> 3)
-        SELECT doc_id, ext, text FROM src ORDER BY doc_id"""))
-  )
-
-  /** Synthesized on-disk corpus directory for [[q_dir_corpus]] — one file
-    * per document in nested subdirs, extension by residue (txt / md /
-    * html / log / htm; `log` exercises the required-exts DROP). Cached
-    * per (sfDir, version) in /tmp like the media fixture. */
-  private val synthDirVersion = 1
-  private def synthDocsDir(s: SparkSession, dir: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val key = md.digest(s"$dir|$synthDirVersion".getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
-    val out = s"${sys.props("java.io.tmpdir")}/graft_synth_dir_$key"
-    val marker = new java.io.File(s"$out/_DONE")
-    if (!marker.isFile) {
-      new java.io.File(out).mkdirs()
-      t(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
-        .collect().foreach { r =>
-          val id = r.getLong(0); val text = r.getString(1)
-          val ext = (id % 5) match {
-            case 0 => "txt"; case 1 => "md"; case 2 => "html"
-            case 3 => "log"; case _ => "htm"
-          }
-          val body =
-            if (ext == "html" || ext == "htm")
-              s"<html><head><title>doc $id</title></head><body><p>$text</p></body></html>"
-            else s"doc $id\n$text"
-          val sub = java.nio.file.Paths.get(out, s"sub${id % 3}")
-          java.nio.file.Files.createDirectories(sub)
-          java.nio.file.Files.writeString(sub.resolve(s"d$id.$ext"), body)
-        }
-      java.nio.file.Files.writeString(marker.toPath, "ok")
-    }
-    out
-  }
-
-  /** Synthesized per-host sitemap XML (h = doc_id % 41): one <url> entry
-    * per doc — escaped ampersand in the query string, lastmod omitted for
-    * doc_id%6=0, priority as a digit string — built from the same residue
-    * formulas the oracle replays. */
-  private def synthSitemaps(docs: DataFrame): DataFrame = {
-    val xml = udf { (h: Long, ids: Seq[Long]) =>
-      val sb = new StringBuilder
-      sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
-      sb ++= "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"
-      ids.foreach { d =>
-        sb ++= "  <url>\n"
-        sb ++= s"    <loc>https://h$h.example/page/$d?a=1&amp;b=${d % 7}</loc>\n"
-        if (d % 6 != 0)
-          sb ++= f"    <lastmod>2024-01-${d % 28 + 1}%02d</lastmod>\n"
-        sb ++= s"    <priority>0.${d % 10}</priority>\n"
-        sb ++= "  </url>\n"
-      }
-      sb ++= "</urlset>\n"
-      sb.toString
-    }
-    docs.select((col("doc_id") % 41).as("h"), col("doc_id"))
-      .groupBy("h").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .select(col("h"), xml(col("h"), col("ids")).as("xml"))
-  }
-
-  /** Synthesized robots.txt per host (h = doc_id % 41) — residue-driven
-    * structure shared with [[robotsRulesSql]]'s closed-form replay. */
-  private def synthRobots(docs: DataFrame): DataFrame = {
-    val txt = udf { (h: Long) =>
-      val a = h % 7; val b = h % 5
-      val sb = new StringBuilder
-      sb ++= s"# robots for host $h\n"
-      sb ++= (if (h % 2 == 0) "User-agent: *\n" else "USER-AGENT: *\n")
-      sb ++= s"Disallow: /private$a/\n"
-      sb ++= s"Allow: /private$a/pub/   # keep the published subtree\n"
-      // residue-varying delay; h%11==7 hosts declare NONE (default path).
-      // crawl-delay lines don't change RULE attribution (any non-UA
-      // directive just closes the group), so the parse/filter oracles
-      // are unaffected by this variation.
-      if (h % 11 != 7) sb ++= s"Crawl-delay: ${2 + h % 3}\n"
-      if (h % 3 == 0) {
-        sb ++= "User-agent: GraftBot\n"
-        if (b == 2) sb ++= "user-agent: OtherBot\n"
-        sb ++= s"Disallow: /bot$b/*\n"
-        sb ++= s"Allow: /bot$b/ok$$\n"
-        sb ++= s"Crawl-delay: ${h % 4 + 1}\n" // agent-specific delay
-      }
-      if (h % 4 == 1) sb ++= "Disallow:\n"
-      sb.toString
-    }
-    docs.select((col("doc_id") % 41).as("h")).distinct()
-      .select(concat(lit("h"), col("h").cast("string")).as("host"),
-        txt(col("h")).as("txt"))
-  }
-
-  /** Expected rule set of [[synthRobots]], regenerated in DuckDB. */
-  private val robotsRulesSql: String = s"""
-    WITH hosts AS (SELECT DISTINCT doc_id % 41 AS h FROM documents),
-    rules AS (
-      SELECT 'h' || CAST(h AS VARCHAR) AS host, agent, allow, pattern,
-             CAST(length(pattern) AS INT) AS patlen
-      FROM (
-        SELECT h, '*' AS agent, false AS allow,
-               '/private' || CAST(h % 7 AS VARCHAR) || '/' AS pattern
-        FROM hosts
-        UNION ALL
-        SELECT h, '*', true,
-               '/private' || CAST(h % 7 AS VARCHAR) || '/pub/'
-        FROM hosts
-        UNION ALL
-        SELECT h, a.agent, false,
-               '/bot' || CAST(h % 5 AS VARCHAR) || '/*'
-        FROM hosts, (VALUES ('graftbot'), ('otherbot')) AS a(agent)
-        WHERE h % 3 = 0 AND (a.agent = 'graftbot' OR h % 5 = 2)
-        UNION ALL
-        SELECT h, a.agent, true,
-               '/bot' || CAST(h % 5 AS VARCHAR) || '/ok$$'
-        FROM hosts, (VALUES ('graftbot'), ('otherbot')) AS a(agent)
-        WHERE h % 3 = 0 AND (a.agent = 'graftbot' OR h % 5 = 2)))"""
-
-  /** Frontier path formula — spans prefix match, longer-Allow override,
-    * '*' wildcard, '$' anchor hit AND miss, and no-rule fallthrough. */
-  private def robotsPathExpr(dl: Dialect): String = {
-    val a = dl.castStr("(doc_id % 41) % 7")
-    val b = dl.castStr("(doc_id % 41) % 5")
-    s"(CASE doc_id % 6" +
-      s" WHEN 0 THEN '/private' || $a || '/x.html'" +
-      s" WHEN 1 THEN '/private' || $a || '/pub/y.html'" +
-      s" WHEN 2 THEN '/bot' || $b || '/deep/z'" +
-      s" WHEN 3 THEN '/bot' || $b || '/ok'" +
-      s" WHEN 4 THEN '/bot' || $b || '/okno'" +
-      s" ELSE '/open/w' END)"
-  }
-
-  /** Deterministically messy URL for [[graft.ops.UrlOps]] — one
-    * dialect-shared formula; every canonicalization rule is exercised
-    * both ways across the doc_id residue classes. */
-  private def messyUrlExpr(dl: Dialect): String = {
-    def n(m: Int) = dl.castStr(s"doc_id % $m")
-    s"(CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'HtTp' END" +
-      s" || '://WWW.Example' || ${n(5)} || '.COM'" +
-      s" || CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END" +
-      s" || '/Pages//item/' || ${n(20)}" +
-      s" || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END" +
-      s" || '?utm_source=feed&b=' || ${n(6)} || '&a=1'" +
-      s" || CASE WHEN doc_id % 9 = 0 THEN '#frag' ELSE '' END)"
-  }
-
-  // =========================================================================
-  // Governance + training-mix operators (round 7): Luhn card scan, secret
-  // entropy scan, hard-negative mining, DoReMi-lite domain mixture,
-  // curriculum shards, tokenizer fertility.
-  // =========================================================================
-
-  private def governanceOps: Seq[Q] = {
-    import graft.ops.{Curation, Governance, Sampling}
-
-    /** Dialect-shared PII fixture: two card-shaped digit runs per doc
-      * (≈10% Luhn-valid each — checksum validity is data-dependent, so
-      * both the keep and the cut paths are exercised). */
-    def cardBody(dl: Dialect): String = {
-      val d16 = s"lpad(${dl.castStr("(doc_id * 273452891) % 10000000000000000")}, 16, '0')"
-      val d15 = s"lpad(${dl.castStr("doc_id % 100000000000000")}, 14, '0')"
-      s"concat('pay ', $d16, ' or card 4', $d15, ' ref A', ${dl.castStr("doc_id")})"
-    }
-
-    /** Dialect-shared IBAN fixture: two account numbers per doc whose
-      * check digits come from the REAL mod-97 fold (Exprs.ibanMod97), so
-      * validity is by construction — the first (German-shape, digit-only
-      * BBAN) is valid iff doc_id % 3 = 0, the second (GB-shape, LETTER
-      * BBAN prefix 'GRFT' exercising the two-digit letter expansion)
-      * valid iff doc_id % 5 = 0; invalid variants shift the check digits
-      * by +50 mod 99 (never re-valid: 50 and 97+50-99 are both nonzero
-      * mod 97). */
-    def ibanBody(dl: Dialect): String = {
-      val bban1 = s"lpad(${dl.castStr("(doc_id * 7919 + 11) % 1000000000000000000")}, 18, '0')"
-      // 'DE' expands to 13 14; appended '00' are the zeroed check digits
-      val k1 = s"(98 - ${Exprs.ibanMod97(dl, s"concat($bban1, '131400')")})"
-      val kk1 = s"lpad(${dl.castStr(
-        s"CASE WHEN doc_id % 3 = 0 THEN $k1 ELSE ($k1 + 50) % 99 END")}, 2, '0')"
-      val bban2 = s"concat('GRFT', lpad(${dl.castStr("(doc_id * 104729 + 7) % 100000000000000")}, 14, '0'))"
-      // 'GB' expands to 16 11
-      val k2 = s"(98 - ${Exprs.ibanMod97(dl, s"concat($bban2, '161100')")})"
-      val kk2 = s"lpad(${dl.castStr(
-        s"CASE WHEN doc_id % 5 = 0 THEN $k2 ELSE ($k2 + 50) % 99 END")}, 2, '0')"
-      s"concat('acct DE', $kk1, $bban1, ' and GB', $kk2, $bban2, ' end')"
-    }
-
-    /** Dialect-shared secret fixture: one AWS-shaped key (20 chars — below
-      * the generic-candidate length floor), one 28-char hex token (high
-      * entropy) and one 28-char 'ab' run (entropy exactly 1.0). */
-    def secretBody(dl: Dialect): String =
-      s"concat('key AKIA', upper(substr(md5(concat('k', ${dl.castStr("doc_id")})), 1, 16))," +
-        s" ' tok ', substr(concat(md5(concat('s', ${dl.castStr("doc_id")}))," +
-        s" md5(concat('t', ${dl.castStr("doc_id")}))), 1, 28)," +
-        s" ' pad ', repeat('ab', 14), ' end')"
-
-    /** The q_quality_score formula as dialect-shared text (same op order
-      * both engines — reused here as the curriculum order key). */
-    def qualitySql(dl: Dialect): String = {
-      val toks = dl.splitWs("text")
-      val stopArr = dl.strArray(TextF.StopEn)
-      val punct =
-        if (dl.duck) "CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)"
-        else "CAST(length(regexp_replace(text, '[a-zA-Z0-9\\\\s]', '')) AS DOUBLE)"
-      s"least(CAST(${dl.size(toks)} AS DOUBLE) / ${dl.d(100.0)}, ${dl.d(1.0)}) * ${dl.d(0.4)}" +
-        s" + (CAST(${dl.size(dl.filter(toks, "t__", dl.contains(stopArr, "t__")))} AS DOUBLE) / ${dl.size(toks)}) * ${dl.d(0.3)}" +
-        s" + (${dl.d(1.0)} - $punct / greatest(length(text), 1)) * ${dl.d(0.3)}"
-    }
-
-    val S = Dialect.spark
-
-    Seq(
-      // Payment-card scan: regex candidates + Luhn checksum validation
-      // (ops.Governance) — the checksum kills ~90% of regex-shaped false
-      // positives, and BOTH engines compute it from the same generated
-      // integer-arithmetic text (Exprs.luhnOk).
-      Q("q_pii_cards",
-        (s, dir) =>
-          Governance.cardScan(
-            t(s, dir, "documents")
-              .select(col("doc_id"), expr(cardBody(S)).as("body")),
-            "body", "doc_id")
-            .orderBy("doc_id"),
-        Some(s"""
-          WITH b AS (SELECT doc_id, ${cardBody(D)} AS body FROM documents),
-          c AS (SELECT doc_id,
-                       regexp_extract_all(body, '\\b[0-9]{13,19}\\b') AS cands
-                FROM b),
-          v AS (SELECT doc_id, cands,
-                       ${D.filter("cands", "cx__", Exprs.luhnOk(D, "cx__"))} AS valid
-                FROM c)
-          SELECT doc_id,
-                 CAST(len(cands) AS BIGINT) AS n_cands,
-                 CAST(len(valid) AS BIGINT) AS n_valid,
-                 coalesce(array_to_string(valid, ','), '') AS valid_cards
-          FROM v
-          ORDER BY doc_id""")),
-
-      // IBAN scan: regex candidates + ISO 13616 mod-97 checksum
-      // (Exprs.ibanOk — rearranged char-wise fold, letters as two-digit
-      // expansions; no big-number arithmetic). The fixture derives check
-      // digits from the SAME fold, so the valid subset (DE shape on
-      // doc_id % 3, letter-BBAN GB shape on doc_id % 5) is structural,
-      // and both the digit and letter code paths are under the hash.
-      Q("q_pii_iban",
-        (s, dir) =>
-          Governance.ibanScan(
-            t(s, dir, "documents")
-              .select(col("doc_id"), expr(ibanBody(S)).as("body")),
-            "body", "doc_id")
-            .orderBy("doc_id"),
-        Some(s"""
-          WITH b AS (SELECT doc_id, ${ibanBody(D)} AS body FROM documents),
-          c AS (SELECT doc_id,
-                       regexp_extract_all(body, '\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b') AS cands
-                FROM b),
-          v AS (SELECT doc_id, cands,
-                       ${D.filter("cands", "cx__", Exprs.ibanOk(D, "cx__"))} AS valid
-                FROM c)
-          SELECT doc_id,
-                 CAST(len(cands) AS BIGINT) AS n_cands,
-                 CAST(len(valid) AS BIGINT) AS n_valid,
-                 coalesce(array_to_string(valid, ','), '') AS valid_ibans
-          FROM v
-          ORDER BY doc_id""")),
-
-      // PII audit contexts: the +-10-char snippet around the first
-      // Luhn-valid card per affected doc, card redacted — the
-      // human-review table behind q_pii_cards' counts.
-      Q("q_pii_context",
-        (s, dir) =>
-          Governance.cardContexts(
-            t(s, dir, "documents")
-              .select(col("doc_id"), expr(cardBody(S)).as("body")),
-            "body", "doc_id")
-            .orderBy("doc_id"),
-        Some(s"""
-          WITH b AS (SELECT doc_id, ${cardBody(D)} AS body FROM documents),
-          c AS (SELECT doc_id, body,
-                       regexp_extract_all(body, '\\b[0-9]{13,19}\\b') AS cands
-                FROM b),
-          v AS (SELECT doc_id, body,
-                       ${D.filter("cands", "cx__", Exprs.luhnOk(D, "cx__"))} AS valid
-                FROM c),
-          f AS (SELECT doc_id, body, valid[1] AS card,
-                       strpos(body, valid[1]) AS pos
-                FROM v WHERE len(valid) > 0)
-          SELECT doc_id,
-                 replace(substr(body, greatest(pos - 10, 1), length(card) + 20),
-                         card, '<CARD>') AS snippet
-          FROM f
-          ORDER BY doc_id""")),
-
-      // Secret/credential scan: provider-prefix count + Shannon entropy
-      // over long base64-ish candidates (ops.Governance). Entropy is a
-      // sorted-distinct sequential fold rounded to 6 decimals before the
-      // threshold compare, so engine log2 ulps cannot flip a flag.
-      // k-anonymity audit (Sweeney 2002) over customer quasi-identifiers
-      // (nation, market segment, 1000-unit balance band): equivalence
-      // classes below k = 5 are the re-identification cells a release
-      // must suppress. Balance banding is exact-integer floor division
-      // (cents -> band) so negative balances band identically in both
-      // engines (SQL integer div truncates toward zero in Spark but
-      // floors in DuckDB — floor(double) sidesteps the divergence).
-      Q("q_k_anon",
-        (s, dir) => {
-          val band = "CAST(floor(CAST(CAST(c_acctbal * 100 AS BIGINT) AS DOUBLE)" +
-            " / 100000) AS BIGINT)"
-          Governance.kAnonymityAudit(
-            t(s, dir, "customer").withColumn("bal_band", expr(band)),
-            Seq("c_nationkey", "c_mktsegment", "bal_band"), 5)
-            .orderBy("c_nationkey", "c_mktsegment", "bal_band")
-        },
-        Some("""
-          SELECT c_nationkey, c_mktsegment, bal_band,
-                 CAST(count(*) AS BIGINT) AS n,
-                 (count(*) < 5) AS suppress
-          FROM (SELECT c_nationkey, c_mktsegment,
-                       CAST(floor(CAST(CAST(c_acctbal * 100 AS BIGINT) AS DOUBLE)
-                            / 100000) AS BIGINT) AS bal_band
-                FROM customer)
-          GROUP BY c_nationkey, c_mktsegment, bal_band
-          ORDER BY c_nationkey, c_mktsegment, bal_band""")),
-
-      // Noisy count release with deterministic Laplace(1/eps) noise
-      // (Exprs.laplaceNoise — md5-seeded inverse-CDF, the replayable
-      // stand-in that makes a DP release pipeline hash-testable).
-      Q("q_dp_counts",
-        (s, dir) =>
-          Governance.dpNoisyCounts(
-              tEvents(s, dir).select(col("event_type")),
-              "event_type", 0.5, "dp-r9")
-            .orderBy("event_type"),
-        Some(s"""
-          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-                 (round(CAST(count(*) AS DOUBLE) +
-                        ${Exprs.laplaceNoise(D, "event_type", 0.5, "dp-r9")}, 6)
-                  + ${D.d(0.0)}) AS noisy_n
-          FROM events
-          GROUP BY event_type
-          ORDER BY event_type""")),
-
-      Q("q_secret_scan",
-        (s, dir) =>
-          Governance.secretScan(
-            t(s, dir, "documents")
-              .select(col("doc_id"), expr(secretBody(S)).as("body")),
-            "body", "doc_id")
-            .orderBy("doc_id"),
-        Some {
-          val ents = D.transform("cands", "tx__",
-            s"(round(${Exprs.charEntropy(D, "tx__")}, 6) + ${D.d(0.0)})")
-          s"""
-          WITH b AS (SELECT doc_id, ${secretBody(D)} AS body FROM documents),
-          c AS (SELECT doc_id, body,
-                       regexp_extract_all(body, '${Governance.SecretTokenRe}') AS cands
-                FROM b),
-          e AS (SELECT doc_id, body, cands, $ents AS ents FROM c)
-          SELECT doc_id,
-                 CAST(len(regexp_extract_all(body, '${Governance.AwsKeyRe}')) AS BIGINT) AS n_aws,
-                 CAST(len(cands) AS BIGINT) AS n_cands,
-                 CAST(len(${D.filter("ents", "e__", s"e__ >= ${D.d(3.3)}")}) AS BIGINT) AS n_high,
-                 coalesce(list_max(ents), ${D.d(0.0)}) AS max_entropy,
-                 coalesce(list_min(ents), ${D.d(0.0)}) AS min_entropy
-          FROM e
-          ORDER BY doc_id"""
-        }),
-
-      // Hard-negative mining (ops.Similarity.hardNegatives): top-5 most
-      // similar DIFFERENT-label vectors per query — label filter fused
-      // BEFORE top-k selection (post-filtering a kNN result would lose
-      // the hardest negatives), map-side k-bounded heaps before the
-      // shuffle exactly like q_knn_join.
-      Q("q_hard_negatives",
-        (s, dir) => {
-          val emb = t(s, dir, "embeddings")
-          Similarity.hardNegatives(emb, emb.where(col("vec_id") % 100 === 0),
-              "vec_id", "embedding", "label", 5)
-            .select(col("query_id"), col("vec_id"), col("rank"),
-              r6(col("score")).as("score"))
-            .orderBy("query_id", "rank")
-        },
-        Some(s"""
-          WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-                     FROM embeddings),
-          q AS (SELECT vec_id AS query_id, label AS qlbl, v AS qv
-                FROM e WHERE vec_id % 100 = 0),
-          scored AS (SELECT q.query_id, e.vec_id, ${D.cosine("e.v", "q.qv")} AS score
-                     FROM e, q WHERE e.label <> q.qlbl),
-          ranked AS (SELECT query_id, vec_id, score,
-                            row_number() OVER (PARTITION BY query_id
-                                               ORDER BY score DESC, vec_id) AS rank
-                     FROM scored)
-          SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
-                 ${duckR6("score")} AS score
-          FROM ranked WHERE rank <= 5
-          ORDER BY query_id, rank""")),
-
-      // DoReMi-lite domain mixture (ops.Curation.domainMixtureWeights):
-      // per-source sampling weights proportional to excess unigram-LM
-      // loss over the easiest source. Loss mass sums as DECIMAL(18,6)
-      // (exact, order-independent — the q1_agg money discipline), so the
-      // group aggregate is reproducible under any partition interleave.
-      Q("q_domain_mixture",
-        (s, dir) => {
-          import graft.ops.LanguageModel
-          val loss = LanguageModel
-            .unigramSurprisal(t(s, dir, "documents"), "text", "doc_id")
-          val withDomain = loss.join(
-            t(s, dir, "documents").select(col("doc_id"), col("source")), "doc_id")
-          Curation.domainMixtureWeights(withDomain, "source", "avg_surprisal")
-            .orderBy("source")
-        },
-        Some(s"""
-          WITH toks AS (
-            SELECT doc_id,
-                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-                   unnest(range(1, len(string_split_regex(trim(text), '\\s+')) + 1)) AS pos
-            FROM documents),
-          vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
-          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
-          scored AS (
-            SELECT doc_id, pos,
-                   round(-ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS lp
-            FROM toks JOIN vocab USING (tok) CROSS JOIN tot),
-          agg AS (SELECT doc_id, list(lp ORDER BY pos) AS lps,
-                         CAST(count(*) AS BIGINT) AS n_tokens
-                  FROM scored GROUP BY doc_id),
-          docloss AS (
-            SELECT a.doc_id, d.source,
-                   list_reduce(a.lps, (x__, y__) -> x__ + y__) / CAST(a.n_tokens AS DOUBLE) AS loss
-            FROM agg a JOIN documents d USING (doc_id)),
-          dom AS (
-            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(CAST(round(loss, 6) AS DECIMAL(18,6))) AS DOUBLE)
-                     / CAST(count(*) AS DOUBLE) AS mean_loss
-            FROM docloss GROUP BY source),
-          ex AS (
-            SELECT source, n_docs, mean_loss,
-                   greatest(round(mean_loss - (SELECT min(mean_loss) FROM dom), 6),
-                            ${D.d(0.0)}) AS excess
-            FROM dom),
-          tot2 AS (SELECT CAST(sum(CAST(excess AS DECIMAL(18,6))) AS DOUBLE) AS te,
-                          CAST(count(*) AS BIGINT) AS nd
-                   FROM ex)
-          SELECT source, n_docs,
-                 ${duckR6("mean_loss")} AS mean_loss,
-                 (round(CASE WHEN te = ${D.d(0.0)} THEN ${D.d(1.0)} / CAST(nd AS DOUBLE)
-                             ELSE excess / te END, 6) + ${D.d(0.0)}) AS weight
-          FROM ex CROSS JOIN tot2
-          ORDER BY source""")),
-
-      // Mixture weights -> ACTUAL corpus: per-domain token budgets
-      // (weight x 20k global budget) drive the greedy quality-prefix
-      // fill — the composition that closes the DoReMi loop (weights are
-      // used, not just reported). The baseline domain (weight 0, budget
-      // 0) selects nothing and is absent from the output on both
-      // engines. Weights broadcast; the fill is the per-group window
-      // cumsum of q_token_budget with a joined budget column.
-      Q("q_mixture_budget",
-        (s, dir) => {
-          import graft.ops.LanguageModel
-          val docs = t(s, dir, "documents")
-          val loss = LanguageModel.unigramSurprisal(docs, "text", "doc_id")
-            .join(docs.select(col("doc_id"), col("source")), "doc_id")
-          val weights = Curation.domainMixtureWeights(loss, "source", "avg_surprisal")
-            .select(col("source"),
-              round(col("weight") * lit(20000.0), 0).cast("long").as("budget"))
-          val d = docs.select(col("doc_id"), col("source"), col("n_chars"),
-              size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-            .join(broadcast(weights), "source")
-          Sampling.tokenBudgetSelectBy(d, "source", "n_tokens", "n_chars",
-              "doc_id", "budget")
-            .groupBy("source")
-            .agg(count(lit(1)).cast("long").as("n_sel"),
-              sum(col("n_tokens")).cast("long").as("tokens_sel"),
-              max(col("budget")).as("budget"))
-            .orderBy("source")
-        },
-        Some(s"""
-          WITH toks AS (
-            SELECT doc_id,
-                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-                   unnest(range(1, len(string_split_regex(trim(text), '\\s+')) + 1)) AS pos
-            FROM documents),
-          vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
-          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
-          scored AS (
-            SELECT doc_id, pos,
-                   round(-ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS lp
-            FROM toks JOIN vocab USING (tok) CROSS JOIN tot),
-          agg AS (SELECT doc_id, list(lp ORDER BY pos) AS lps,
-                         CAST(count(*) AS BIGINT) AS n_tokens
-                  FROM scored GROUP BY doc_id),
-          docloss AS (
-            SELECT a.doc_id, d.source,
-                   list_reduce(a.lps, (x__, y__) -> x__ + y__) / CAST(a.n_tokens AS DOUBLE) AS loss
-            FROM agg a JOIN documents d USING (doc_id)),
-          dom AS (
-            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(CAST(round(loss, 6) AS DECIMAL(18,6))) AS DOUBLE)
-                     / CAST(count(*) AS DOUBLE) AS mean_loss
-            FROM docloss GROUP BY source),
-          ex AS (
-            SELECT source, greatest(round(mean_loss - (SELECT min(mean_loss) FROM dom), 6),
-                            ${D.d(0.0)}) AS excess
-            FROM dom),
-          tot2 AS (SELECT CAST(sum(CAST(excess AS DECIMAL(18,6))) AS DOUBLE) AS te,
-                          CAST(count(*) AS BIGINT) AS nd
-                   FROM ex),
-          wts AS (
-            SELECT source,
-                   CAST(round((round(CASE WHEN te = ${D.d(0.0)} THEN ${D.d(1.0)} / CAST(nd AS DOUBLE)
-                               ELSE excess / te END, 6) + ${D.d(0.0)}) * ${D.d(20000.0)}, 0) AS BIGINT) AS budget
-            FROM ex CROSS JOIN tot2),
-          d2 AS (
-            SELECT doc_id, source, n_chars,
-                   CAST(len(${D.splitWs("text")}) AS BIGINT) AS n_tokens
-            FROM documents),
-          c AS (
-            SELECT d2.doc_id, d2.source, d2.n_tokens, w.budget,
-                   sum(d2.n_tokens) OVER (
-                     PARTITION BY d2.source ORDER BY d2.n_chars DESC, d2.doc_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-            FROM d2 JOIN wts w ON d2.source = w.source)
-          SELECT source,
-                 CAST(count(*) AS BIGINT) AS n_sel,
-                 CAST(sum(n_tokens) AS BIGINT) AS tokens_sel,
-                 CAST(max(budget) AS BIGINT) AS budget
-          FROM c
-          WHERE cum - n_tokens < budget
-          GROUP BY source
-          ORDER BY source""")),
-
-      // In-context pretraining corpus ordering (Shi et al. 2023):
-      // semantically related docs placed ADJACENT in the training
-      // stream — sign-pattern LSH buckets (SQL-replayable neighborhood
-      // assignment), then a greedy nearest-neighbor chain per bucket
-      // (start at the lowest id, hop to the unvisited member with the
-      // highest cosine to the CURRENT doc, ties -> lowest id). The
-      // compared projection is ALL exact integers (vec_id, bucket, pos);
-      // the greedy chain replays INDUCTIVELY against the dump (the
-      // q_mmr_rerank pattern): every step's pick is recomputed from raw
-      // embeddings given the dump's prefix, so the first wrong hop
-      // hash-fails. NaN cosines (zero vectors) key as -1e308 on both
-      // engines — degenerate members chain last, by id.
-      Q("q_icp_order",
-        (s, dir) =>
-          graft.ops.CorpusOrder.icpOrder(
-              t(s, dir, "embeddings"), "vec_id", "embedding", signBits = 4)
-            .orderBy("bucket", "pos"),
-        Some(s"""
-          WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                            ${graft.ops.CorpusOrder.bucketExprSql("embedding", 4, oneBased = true)} AS bucket
-                     FROM embeddings),
-          dump AS (SELECT * FROM read_parquet('__GRAFT_OUT__/q_icp_order/*.parquet')),
-          pairs AS (SELECT a.bucket, a.vec_id AS ia, b.vec_id AS ib,
-                           ${D.cosine("a.v", "b.v")} AS c
-                    FROM e a JOIN e b
-                      ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-          strt AS (SELECT bucket, min(vec_id) AS vec_id FROM e GROUP BY bucket),
-          steps AS (SELECT bucket, pos FROM dump WHERE pos > 0),
-          prev AS (SELECT st.bucket, st.pos, d.vec_id AS pv
-                   FROM steps st JOIN dump d
-                     ON d.bucket = st.bucket AND d.pos = st.pos - 1),
-          cand AS (SELECT p.bucket, p.pos, pr.ib,
-                          CASE WHEN isnan(pr.c) THEN CAST(-1e308 AS DOUBLE)
-                               ELSE pr.c END AS key
-                   FROM prev p JOIN pairs pr
-                     ON pr.bucket = p.bucket AND pr.ia = p.pv
-                   WHERE NOT EXISTS (SELECT 1 FROM dump d2
-                                     WHERE d2.bucket = p.bucket
-                                       AND d2.vec_id = pr.ib
-                                       AND d2.pos < p.pos)),
-          picked AS (SELECT bucket, pos, ib AS vec_id,
-                            row_number() OVER (PARTITION BY bucket, pos
-                                               ORDER BY key DESC, ib) AS rn
-                     FROM cand)
-          SELECT vec_id, bucket, pos FROM (
-            SELECT vec_id, bucket, CAST(0 AS BIGINT) AS pos FROM strt
-            UNION ALL
-            SELECT vec_id, bucket, CAST(pos AS BIGINT) AS pos
-            FROM picked WHERE rn = 1)
-          ORDER BY bucket, pos""")),
-
-      // Curriculum shards (ops.Sampling.curriculumShards): global
-      // quality-rank round-robin into 8 shards; the rank comes from the
-      // range-partitioned denseIds two-pass, NEVER a row_number window's
-      // Exchange SinglePartition. Verified per-shard: count + exact
-      // DECIMAL sum of the rounded scores.
-      Q("q_curriculum_shards",
-        (s, dir) => {
-          val scored = t(s, dir, "documents")
-            .select(col("doc_id"), TextF.qualityScore(col("text")).as("q"))
-          Sampling.curriculumShards(scored, "doc_id", "q", 8)
-            .groupBy("shard")
-            .agg(count(lit(1)).cast("long").as("n_docs"),
-              sum(col("score6").cast("decimal(18,6)")).cast("double").as("sum_q"))
-            .select(col("shard"), col("n_docs"), r6(col("sum_q")).as("sum_q"))
-            .orderBy("shard")
-        },
-        Some(s"""
-          WITH q AS (SELECT doc_id, (round(${qualitySql(D)}, 6) + ${D.d(0.0)}) AS qs
-                     FROM documents),
-          r AS (SELECT doc_id, qs,
-                       row_number() OVER (ORDER BY qs DESC, doc_id) - 1 AS seq
-                FROM q)
-          SELECT CAST(seq % 8 AS BIGINT) AS shard,
-                 CAST(count(*) AS BIGINT) AS n_docs,
-                 ${duckR6("CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE)")} AS sum_q
-          FROM r
-          GROUP BY seq % 8
-          ORDER BY shard""")),
-
-      // JSONL corpus roundtrip: the de-facto training-data interchange
-      // format (C4/Pile/RedPajama/Dolma ship as JSONL). The corpus is
-      // written as JSONL shards and read back with an explicit schema
-      // (no inference pass); md5 over the roundtripped text hash-gates
-      // content integrity THROUGH the format's escaping contract.
-      Q("q_jsonl_roundtrip",
-        (s, dir) => {
-          import graft.sources.JsonlCorpus
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val key = md.digest(dir.getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString.take(12)
-          val out = sys.props("java.io.tmpdir") + s"/graft_jsonl_$key"
-          val docs = t(s, dir, "documents")
-          JsonlCorpus.write(docs, out)
-          JsonlCorpus.read(s, out, docs.schema)
-            .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-              md5(col("text")).as("text_md5"))
-            .orderBy("doc_id")
-        },
-        Some("""
-          SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
-          FROM documents
-          ORDER BY doc_id""")),
-
-      // Hive-style lang-partitioned corpus layout: write partitionBy(lang)
-      // parquet, read back with a partition predicate — the scan prunes
-      // at the DIRECTORY level (PartitionFilters, pinned in PlanSpec), so
-      // a one-language job over a 100 TB multilingual corpus never lists,
-      // opens, or reads the other languages' files.
-      Q("q_partitioned_scan",
-        (s, dir) => {
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val key = md.digest(dir.getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString.take(12)
-          val out = sys.props("java.io.tmpdir") + s"/graft_langpart_$key"
-          t(s, dir, "documents").write.mode("overwrite")
-            .partitionBy("lang").parquet(out)
-          s.read.parquet(out).where(col("lang") === "en")
-            .agg(count(lit(1)).cast("long").as("n_en"),
-              sum(col("n_chars")).cast("long").as("chars_en"),
-              sum(col("doc_id")).cast("long").as("id_sum"))
-        },
-        Some("""
-          SELECT CAST(count(*) AS BIGINT) AS n_en,
-                 CAST(sum(n_chars) AS BIGINT) AS chars_en,
-                 CAST(sum(doc_id) AS BIGINT) AS id_sum
-          FROM documents WHERE lang = 'en'""")),
-
-      // Sketch-accuracy eval: MinHash-estimated Jaccard (fraction of
-      // agreeing signature positions, k = 16) vs EXACT 3-shingle Jaccard
-      // on deterministic doc pairs — the error audit that tells a
-      // pipeline whether its LSH banding parameters can be trusted
-      // (recall@k audits ANN, this audits the dedup sketch). k = 16 is a
-      // power of two, so the estimate matches/16 is exact binary.
-      Q("q_sketch_error",
-        (s, dir) => {
-          val S = Dialect.spark
-          val docs = t(s, dir, "documents")
-            .withColumn("toks", split(trim(col("text")), "\\s+"))
-            .withColumn("shd",
-              array_distinct(expr(Exprs.wordShingles(S, "toks", 3))))
-            .withColumn("sig", TextF.minhashSignature("shd", 16))
-            .select(col("doc_id"), col("shd"), col("sig"))
-          val a = docs.where(col("doc_id") % 7 === 0)
-            .select(col("doc_id").as("doc_a"), col("shd").as("sa"), col("sig").as("ga"))
-          val b = docs.select((col("doc_id") - 1).as("doc_a"),
-            col("doc_id").as("doc_b"), col("shd").as("sb"), col("sig").as("gb"))
-          a.join(b, "doc_a")
-            .withColumn("matches",
-              expr("size(filter(zip_with(ga, gb, (x__, y__) -> x__ = y__), v__ -> v__))")
-                .cast("long"))
-            .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-            .withColumn("uni",
-              (size(col("sa")) + size(col("sb")) - col("inter")).cast("double"))
-            .withColumn("est", col("matches").cast("double") / lit(16.0))
-            .withColumn("tru", col("inter").cast("double") / col("uni"))
-            .select(col("doc_a"), col("doc_b"), col("matches"),
-              r6(col("est")).as("est_jaccard"),
-              r6(col("tru")).as("true_jaccard"),
-              r6(abs(col("est") - col("tru"))).as("abs_err"))
-            .orderBy("doc_a")
-        },
-        Some {
-          val sh = Exprs.wordShingles(D, "toks", 3)
-          val sig = Exprs.minhashSig(D, "shd", 16)
-          s"""
-          WITH d AS (SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents),
-          s2 AS (SELECT doc_id, list_distinct($sh) AS shd FROM d),
-          g AS (SELECT doc_id, shd, $sig AS sig FROM s2),
-          a AS (SELECT doc_id AS doc_a, shd AS sa, sig AS ga FROM g WHERE doc_id % 7 = 0),
-          b AS (SELECT doc_id - 1 AS doc_a, doc_id AS doc_b, shd AS sb, sig AS gb FROM g),
-          j AS (SELECT doc_a, doc_b,
-                       CAST(len(list_filter(list_zip(ga, gb), p__ -> p__[1] = p__[2])) AS BIGINT) AS matches,
-                       CAST(len(list_intersect(sa, sb)) AS BIGINT) AS inter,
-                       CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE) AS uni
-                FROM a JOIN b USING (doc_a)),
-          k2 AS (SELECT doc_a, doc_b, matches,
-                        CAST(matches AS DOUBLE) / ${D.d(16.0)} AS est,
-                        CAST(inter AS DOUBLE) / uni AS tru
-                 FROM j)
-          SELECT doc_a, doc_b, matches,
-                 ${duckR6("est")} AS est_jaccard,
-                 ${duckR6("tru")} AS true_jaccard,
-                 ${duckR6("abs(est - tru)")} AS abs_err
-          FROM k2
-          ORDER BY doc_a"""
-        }),
-
-      // Event-rate anomaly detection: hourly event counts z-scored
-      // against the corpus of hours — the ingest-monitoring alarm for a
-      // streaming pipeline (a stalled producer or a flood shows up as
-      // |z| >= 2 hours). Every statistic derives from exact integer
-      // sums, so both engines agree to the bit before any rounding.
-      Q("q_rate_anomaly",
-        (s, dir) => {
-          val e = tEvents(s, dir)
-            .withColumn("h", expr("(ts div 1000) div 3600000000"))
-          val hc = e.groupBy("h").agg(count(lit(1)).as("c"))
-          val st = hc.agg(count(lit(1)).cast("long").as("nh"),
-            sum(col("c")).cast("long").as("sc"),
-            sum(col("c") * col("c")).cast("long").as("scc"))
-          hc.crossJoin(broadcast(st))
-            .withColumn("mean", col("sc").cast("double") / col("nh").cast("double"))
-            .withColumn("std", sqrt(greatest(
-              col("scc").cast("double") / col("nh").cast("double") -
-                col("mean") * col("mean"), lit(0.0))))
-            .withColumn("z", when(col("std") === 0.0, lit(0.0))
-              .otherwise((col("c").cast("double") - col("mean")) / col("std")))
-            .where(abs(col("z")) >= 2.0)
-            .select(col("h").cast("long").as("hour"),
-              col("c").cast("long").as("n_events"), r6(col("z")).as("z"))
-            .orderBy("hour")
-        },
-        Some("""
-          WITH e AS (SELECT (epoch_us(ts) // 3600000000) AS h FROM events),
-          hc AS (SELECT h, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY h),
-          st AS (SELECT CAST(count(*) AS BIGINT) AS nh,
-                        CAST(sum(c) AS BIGINT) AS sc,
-                        CAST(sum(c * c) AS BIGINT) AS scc
-                 FROM hc),
-          zz AS (SELECT h, c,
-                        CAST(sc AS DOUBLE) / CAST(nh AS DOUBLE) AS mean,
-                        sqrt(greatest(CAST(scc AS DOUBLE) / CAST(nh AS DOUBLE) -
-                          (CAST(sc AS DOUBLE) / CAST(nh AS DOUBLE)) * (CAST(sc AS DOUBLE) / CAST(nh AS DOUBLE)),
-                          CAST(0.0 AS DOUBLE))) AS std
-                 FROM hc CROSS JOIN st)
-          SELECT CAST(h AS BIGINT) AS hour, c AS n_events,
-                 (round(CASE WHEN std = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
-                             ELSE (CAST(c AS DOUBLE) - mean) / std END, 6) + CAST(0.0 AS DOUBLE)) AS z
-          FROM zz
-          WHERE abs(CASE WHEN std = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
-                         ELSE (CAST(c AS DOUBLE) - mean) / std END) >= CAST(2.0 AS DOUBLE)
-          ORDER BY hour""")),
-
-      // Robust outlier detection per language: median + MAD (median
-      // absolute deviation) over doc lengths, flag |x - med| > 3*MAD —
-      // the outlier rule that, unlike mean/std, a handful of giant docs
-      // cannot drag. Lengths are integers, medians are exact order
-      // statistics (lower median), so EVERYTHING is integer arithmetic.
-      Q("q_mad_outliers",
-        (s, dir) => {
-          import org.apache.spark.sql.expressions.Window
-          val base = t(s, dir, "documents").select(col("doc_id"), col("lang"),
-            col("n_chars"))
-          val w1 = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
-          val med = base
-            .withColumn("rn", row_number().over(w1))
-            .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
-            .groupBy("lang")
-            .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("n_chars"))).as("med"))
-          val dev = base.join(med, "lang")
-            .withColumn("dev", abs(col("n_chars") - col("med")))
-          val w2 = Window.partitionBy("lang").orderBy(col("dev"), col("doc_id"))
-          val mad = dev
-            .withColumn("rn", row_number().over(w2))
-            .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
-            .groupBy("lang")
-            .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("dev"))).as("mad"))
-          dev.join(mad, "lang")
-            .groupBy("lang")
-            .agg(count(lit(1)).cast("long").as("n_docs"),
-              max(col("med")).cast("long").as("med"),
-              max(col("mad")).cast("long").as("mad"),
-              sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L))
-                .cast("long").as("n_outliers"))
-            .orderBy("lang")
-        },
-        Some("""
-          WITH b AS (SELECT doc_id, lang, n_chars FROM documents),
-          r1 AS (SELECT lang, n_chars, doc_id,
-                        row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
-                        count(*) OVER (PARTITION BY lang) AS n
-                 FROM b),
-          med AS (SELECT lang, max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS med
-                  FROM r1 GROUP BY lang),
-          dev AS (SELECT b.lang, b.doc_id, b.n_chars, abs(b.n_chars - m.med) AS dev, m.med
-                  FROM b JOIN med m ON b.lang = m.lang),
-          r2 AS (SELECT lang, dev, doc_id,
-                        row_number() OVER (PARTITION BY lang ORDER BY dev, doc_id) AS rn,
-                        count(*) OVER (PARTITION BY lang) AS n
-                 FROM dev),
-          mad AS (SELECT lang, max(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
-                  FROM r2 GROUP BY lang)
-          SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
-                 CAST(max(d.med) AS BIGINT) AS med,
-                 CAST(max(m.mad) AS BIGINT) AS mad,
-                 CAST(sum(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-          FROM dev d JOIN mad m ON d.lang = m.lang
-          GROUP BY d.lang
-          ORDER BY d.lang""")),
-
-      // Quality-signal correlation audit: Pearson correlation between the
-      // integer signal counts (tokens, stopword hits, doc chars)
-      // from EXACT BIGINT moment sums — redundant signals waste filter
-      // capacity, anti-correlated ones disagree; this is the audit that
-      // decides which signals a composed filter keeps.
-      Q("q_signal_corr",
-        (s, dir) => {
-          val base = t(s, dir, "documents").select(
-            size(TextF.tokens(col("text"))).cast("long").as("s1"),
-            TextF.stopHits(TextF.tokens(col("text")), TextF.StopEn)
-              .cast("long").as("s2"),
-            col("n_chars").cast("long").as("s3"))
-          val m = base.agg(
-            count(lit(1)).cast("long").as("n"),
-            sum(col("s1")).cast("long").as("a1"),
-            sum(col("s2")).cast("long").as("a2"),
-            sum(col("s3")).cast("long").as("a3"),
-            sum(col("s1") * col("s1")).cast("long").as("q11"),
-            sum(col("s2") * col("s2")).cast("long").as("q22"),
-            sum(col("s3") * col("s3")).cast("long").as("q33"),
-            sum(col("s1") * col("s2")).cast("long").as("q12"),
-            sum(col("s1") * col("s3")).cast("long").as("q13"),
-            sum(col("s2") * col("s3")).cast("long").as("q23"))
-          def corr(n: org.apache.spark.sql.Column, sx: org.apache.spark.sql.Column,
-                   sy: org.apache.spark.sql.Column, sxx: org.apache.spark.sql.Column,
-                   syy: org.apache.spark.sql.Column, sxy: org.apache.spark.sql.Column) = {
-            val nd = n.cast("double")
-            (nd * sxy.cast("double") - sx.cast("double") * sy.cast("double")) /
-              (sqrt(nd * sxx.cast("double") - sx.cast("double") * sx.cast("double")) *
-                sqrt(nd * syy.cast("double") - sy.cast("double") * sy.cast("double")))
-          }
-          m.select(
-            r6(corr(col("n"), col("a1"), col("a2"), col("q11"), col("q22"), col("q12"))).as("corr_tok_stop"),
-            r6(corr(col("n"), col("a1"), col("a3"), col("q11"), col("q33"), col("q13"))).as("corr_tok_chars"),
-            r6(corr(col("n"), col("a2"), col("a3"), col("q22"), col("q33"), col("q23"))).as("corr_stop_chars"))
-        },
-        Some {
-          val toks = D.splitWs("text")
-          val stopArr = D.strArray(TextF.StopEn)
-          def c(sx: String, sy: String, sxx: String, syy: String, sxy: String) =
-            s"""((CAST(n AS DOUBLE) * CAST($sxy AS DOUBLE) - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE)) /
-                (sqrt(CAST(n AS DOUBLE) * CAST($sxx AS DOUBLE) - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE)) *
-                 sqrt(CAST(n AS DOUBLE) * CAST($syy AS DOUBLE) - CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE))))"""
-          s"""
-          WITH b AS (
-            SELECT CAST(len($toks) AS BIGINT) AS s1,
-                   CAST(len(list_filter($toks, t__ -> list_contains($stopArr, t__))) AS BIGINT) AS s2,
-                   CAST(n_chars AS BIGINT) AS s3
-            FROM documents),
-          m AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                       CAST(sum(s1) AS BIGINT) AS a1, CAST(sum(s2) AS BIGINT) AS a2,
-                       CAST(sum(s3) AS BIGINT) AS a3,
-                       CAST(sum(s1 * s1) AS BIGINT) AS q11,
-                       CAST(sum(s2 * s2) AS BIGINT) AS q22,
-                       CAST(sum(s3 * s3) AS BIGINT) AS q33,
-                       CAST(sum(s1 * s2) AS BIGINT) AS q12,
-                       CAST(sum(s1 * s3) AS BIGINT) AS q13,
-                       CAST(sum(s2 * s3) AS BIGINT) AS q23
-                FROM b)
-          SELECT ${duckR6(c("a1", "a2", "q11", "q22", "q12"))} AS corr_tok_stop,
-                 ${duckR6(c("a1", "a3", "q11", "q33", "q13"))} AS corr_tok_chars,
-                 ${duckR6(c("a2", "a3", "q22", "q33", "q23"))} AS corr_stop_chars
-          FROM m"""
-        }),
-
-      // Top-k per group: the best 3 documents per source by quality —
-      // the shape Spark optimizes with WindowGroupLimit (per-partition
-      // rank pruning BEFORE the exchange, so only k rows per group per
-      // task shuffle instead of every row sorting globally).
-      Q("q_topk_per_domain",
-        (s, dir) => {
-          import org.apache.spark.sql.expressions.Window
-          val w = Window.partitionBy("source")
-            .orderBy(desc("q6"), col("doc_id"))
-          t(s, dir, "documents")
-            .select(col("doc_id"), col("source"),
-              r6(TextF.qualityScore(col("text"))).as("q6"))
-            .withColumn("rnk", row_number().over(w).cast("long"))
-            .where(col("rnk") <= 3)
-            .select(col("source"), col("rnk"), col("doc_id"), col("q6"))
-            .orderBy("source", "rnk")
-        },
-        Some {
-          val toks = D.splitWs("text")
-          val stopArr = D.strArray(TextF.StopEn)
-          val quality =
-            s"""least(CAST(len($toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
-               + (CAST(len(list_filter($toks, t__ -> list_contains($stopArr, t__))) AS DOUBLE) / len($toks)) * CAST(0.3 AS DOUBLE)
-               + (CAST(1.0 AS DOUBLE) - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * CAST(0.3 AS DOUBLE)"""
-          s"""
-          WITH q AS (SELECT doc_id, source,
-                            (round($quality, 6) + ${D.d(0.0)}) AS q6
-                     FROM documents),
-          r AS (SELECT source, doc_id, q6,
-                       row_number() OVER (PARTITION BY source
-                                          ORDER BY q6 DESC, doc_id) AS rnk
-                FROM q)
-          SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, q6
-          FROM r WHERE rnk <= 3
-          ORDER BY source, rnk"""
-        }),
-
-      // Percentile-rank normalization per language: quality scores are
-      // not comparable across languages (stopword lists bias en); the
-      // standard fix is within-group percent_rank, making thresholds
-      // language-fair. percent_rank = (rank-1)/(n-1) — exact integer
-      // arithmetic, deterministic ties on (q6, doc_id).
-      Q("q_quality_pctrank",
-        (s, dir) => {
-          import org.apache.spark.sql.expressions.Window
-          val w = Window.partitionBy("lang").orderBy(col("q6"), col("doc_id"))
-          t(s, dir, "documents")
-            .select(col("doc_id"), col("lang"),
-              r6(TextF.qualityScore(col("text"))).as("q6"))
-            .withColumn("rnk", row_number().over(w).cast("long"))
-            .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")).cast("long"))
-            .select(col("doc_id"), col("lang"), col("q6"),
-              r6((col("rnk") - 1).cast("double") /
-                greatest(col("n") - 1, lit(1L)).cast("double")).as("pct"))
-            .orderBy("doc_id")
-        },
-        Some {
-          val toks = D.splitWs("text")
-          val stopArr = D.strArray(TextF.StopEn)
-          val quality =
-            s"""least(CAST(len($toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
-               + (CAST(len(list_filter($toks, t__ -> list_contains($stopArr, t__))) AS DOUBLE) / len($toks)) * CAST(0.3 AS DOUBLE)
-               + (CAST(1.0 AS DOUBLE) - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * CAST(0.3 AS DOUBLE)"""
-          s"""
-          WITH q AS (SELECT doc_id, lang,
-                            (round($quality, 6) + ${D.d(0.0)}) AS q6
-                     FROM documents),
-          r AS (SELECT doc_id, lang, q6,
-                       row_number() OVER (PARTITION BY lang ORDER BY q6, doc_id) AS rnk,
-                       count(*) OVER (PARTITION BY lang) AS n
-                FROM q)
-          SELECT doc_id, lang, q6,
-                 ${duckR6("CAST(rnk - 1 AS DOUBLE) / CAST(greatest(n - 1, 1) AS DOUBLE)")} AS pct
-          FROM r
-          ORDER BY doc_id"""
-        }),
-
-      // Rank-biased overlap (Webber et al. 2010) between the BM25 and
-      // keyword rankers at depth 10, p = 0.9 — the ranker-agreement
-      // metric an IR team reads before swapping scorers. Each common id
-      // contributes the TAIL sum of RBO coefficients from its first
-      // depth of co-presence (max of its two ranks); tail sums are
-      // Scala-computed literals shared verbatim by both engines and
-      // accumulate as DECIMAL(28,12).
-      Q("q_rbo_rankers",
-        (s, dir) => {
-          val terms = Seq("spark", "join", "stream")
-          val p = 0.9; val depth = 10
-          // tail(k) = sum_{d=k..D} (1-p) p^(d-1) / d, as a fixed literal
-          def tail(k: Int): String = {
-            val v = (k to depth).map(d => (1 - p) * math.pow(p, d - 1) / d).sum
-            java.math.BigDecimal.valueOf(v)
-              .setScale(12, java.math.RoundingMode.HALF_UP).toPlainString
-          }
-          val caseSql = (1 to depth)
-            .map(k => s"WHEN $k THEN CAST(${tail(k)} AS DOUBLE)")
-            .mkString("CASE greatest(ra, rb) ", " ", " ELSE CAST(0.0 AS DOUBLE) END")
-          val chunks = RagPipeline.buildChunks(tk(s, dir, "documents"))
-          // ≤ depth rows: Layout.boundedRank, not an unpartitioned window
-          def ranked(df: DataFrame, out: String) = graft.ops.Layout
-            .boundedRank(df, Seq(-col("score"), col("chunk_id")), out)
-            .select(col("chunk_id"), col(out))
-          val bm = ranked(Similarity.bm25TopK(
-            chunks, "chunk_text", "chunk_id", terms, depth), "ra")
-          val kw = ranked(Similarity.keywordTopK(
-            chunks, "chunk_text", "chunk_id", terms, depth), "rb")
-          bm.join(kw, "chunk_id")
-            .withColumn("__c", expr(caseSql).cast("decimal(28,12)"))
-            .agg(count(lit(1)).cast("long").as("n_common"),
-              sum(col("__c")).cast("double").as("rbo"))
-            .select(col("n_common"), r6(col("rbo")).as("rbo"))
-        },
-        Some {
-          val terms = Seq("spark", "join", "stream")
-          val p = 0.9; val depth = 10
-          def tail(k: Int): String = {
-            val v = (k to depth).map(d => (1 - p) * math.pow(p, d - 1) / d).sum
-            java.math.BigDecimal.valueOf(v)
-              .setScale(12, java.math.RoundingMode.HALF_UP).toPlainString
-          }
-          val caseSql = (1 to depth)
-            .map(k => s"WHEN $k THEN CAST(${tail(k)} AS DOUBLE)")
-            .mkString("CASE greatest(ra, rb) ", " ", " ELSE CAST(0.0 AS DOUBLE) END")
-          val tfs = terms.zipWithIndex.map { case (tm, i) =>
-            s"CAST(len(list_filter(toks, x -> x = '$tm')) AS DOUBLE) AS tf_$i"
-          }.mkString(", ")
-          val dfs = terms.zipWithIndex.map { case (tm, i) =>
-            s"sum(CASE WHEN list_contains(toks, '$tm') THEN 1 ELSE 0 END) AS df_$i"
-          }.mkString(", ")
-          val scoreSum = terms.indices.map { i =>
-            s"""(ln(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - CAST(df_$i AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df_$i AS DOUBLE) + CAST(0.5 AS DOUBLE)))
-                * (tf_$i * CAST(2.2 AS DOUBLE))
-                / (tf_$i + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)))"""
-          }.mkString(" + ")
-          val kwScore =
-            s"(CAST(len(list_filter(${D.strArray(terms)}, t__ -> list_contains(toks, t__))) AS DOUBLE) / ${terms.size})"
-          s"""
-          WITH ch AS (
-            SELECT chunk_id, ${D.splitWs("chunk_text")} AS toks
-            FROM (SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})),
-          st AS (SELECT count(*) AS n, sum(len(toks)) AS sumdl, $dfs FROM ch),
-          scored AS (
-            SELECT chunk_id, $tfs, CAST(len(toks) AS DOUBLE) AS dl,
-                   CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl,
-                   n, df_0, df_1, df_2
-            FROM ch, st),
-          bm AS (SELECT chunk_id,
-                        row_number() OVER (ORDER BY score DESC, chunk_id) AS ra
-                 FROM (SELECT chunk_id, $scoreSum AS score
-                       FROM scored ORDER BY score DESC, chunk_id LIMIT $depth)),
-          kw AS (SELECT chunk_id,
-                        row_number() OVER (ORDER BY score DESC, chunk_id) AS rb
-                 FROM (SELECT chunk_id, $kwScore AS score
-                       FROM ch ORDER BY score DESC, chunk_id LIMIT $depth))
-          SELECT CAST(count(*) AS BIGINT) AS n_common,
-                 ${duckR6(s"CAST(sum(CAST(($caseSql) AS DECIMAL(28,12))) AS DOUBLE)")} AS rbo
-          FROM bm JOIN kw USING (chunk_id)"""
-        }),
-
-      // Late-interaction retrieval (ops.Similarity.maxSimSearch): the
-      // ColBERT MaxSim paradigm — docs are BAGS of chunk vectors, each
-      // query token matches its best chunk independently, per-doc score
-      // = Σ round-6 maxes accumulated as DECIMAL(18,6). The third
-      // retrieval paradigm beside single-vector ANN and BM25.
-      Q("q_maxsim_search",
-        (s, dir) => {
-          val chunks = RagPipeline.buildIndex(tk(s, dir, "documents"))
-            .select(col("doc_id"), col("embedding"))
-          val terms = Seq("spark", "join", "stream")
-          val qv = graft.embed.HashingEmbedder(64).withEmbedding(
-            s.createDataFrame(
-              s.sparkContext.parallelize(terms.map(org.apache.spark.sql.Row(_))),
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("qt",
-                  org.apache.spark.sql.types.StringType)))), "qt", "embedding")
-          Similarity.maxSimSearch(chunks, qv, "doc_id", "embedding",
-              "qt", "embedding", 10)
-            .select(col("doc_id"), r6(col("score")).as("score"))
-        },
-        Some {
-          val duckIndexed = duckEmbed(
-            s"(SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})",
-            "chunk_text", 64)
-          val duckQ = duckEmbed(
-            "(SELECT unnest(['spark', 'join', 'stream']) AS chunk_text)",
-            "chunk_text", 64)
-          s"""
-          WITH d AS (SELECT doc_id, emb FROM $duckIndexed),
-          q AS (SELECT chunk_text AS qt, emb AS qv FROM $duckQ),
-          m AS (SELECT d.doc_id, q.qt,
-                       max(${D.cosine("d.emb", "q.qv")}) AS mx
-                FROM d, q GROUP BY d.doc_id, q.qt),
-          sc AS (SELECT doc_id,
-                        CAST(sum(CAST((round(mx, 6) + ${D.d(0.0)}) AS DECIMAL(18,6))) AS DOUBLE) AS score
-                 FROM m GROUP BY doc_id)
-          SELECT doc_id, ${duckR6("score")} AS score
-          FROM sc
-          ORDER BY score DESC, doc_id
-          LIMIT 10"""
-        }),
-
-      // Search-quality NDCG@10: graded relevance (how many query terms a
-      // chunk contains) scores the BM25 ranking against the ideal
-      // ordering — the IR eval that closes the search loop (recall@k
-      // covers ANN, calibration covers the classifier, NDCG covers
-      // ranking). Per-rank gains round to 9 decimals and sum as
-      // DECIMAL(28,9); log2 of power-of-two ranks is exact.
-      Q("q_search_ndcg",
-        (s, dir) => {
-          val terms = Seq("spark", "join", "stream")
-          val chunks = RagPipeline.buildChunks(tk(s, dir, "documents"))
-          val rel = chunks
-            .withColumn("__toks", split(trim(col("chunk_text")), "\\s+"))
-            .select(col("chunk_id"),
-              terms.map(tm => when(array_contains(col("__toks"), tm), 1L)
-                .otherwise(0L)).reduce(_ + _).as("rel"))
-          def gain(relC: org.apache.spark.sql.Column,
-                   rankC: org.apache.spark.sql.Column) =
-            round((pow(lit(2.0), relC.cast("double")) - lit(1.0)) /
-              log2(rankC.cast("double") + lit(1.0)), 9)
-              .cast("decimal(28,9)")
-          // ≤ 10 rows each: Layout.boundedRank, not unpartitioned windows
-          val ranked = graft.ops.Layout.boundedRank(
-              Similarity.bm25TopK(chunks, "chunk_text", "chunk_id", terms, 10),
-              Seq(-col("score"), col("chunk_id")), "rank")
-            .join(rel, "chunk_id")
-          val dcg = ranked.agg(
-            sum(gain(col("rel"), col("rank"))).cast("double").as("dcg"))
-          val ideal = graft.ops.Layout.boundedRank(
-            rel.orderBy(desc("rel"), col("chunk_id")).limit(10),
-            Seq(-col("rel"), col("chunk_id")), "rank")
-          val idcg = ideal.agg(
-            sum(gain(col("rel"), col("rank"))).cast("double").as("idcg"))
-          dcg.crossJoin(idcg)
-            .select(r6(col("dcg")).as("dcg"), r6(col("idcg")).as("idcg"),
-              r6(when(col("idcg") === 0.0, lit(0.0))
-                .otherwise(col("dcg") / col("idcg"))).as("ndcg"))
-        },
-        Some {
-          val terms = Seq("spark", "join", "stream")
-          val tfs = terms.zipWithIndex.map { case (tm, i) =>
-            s"CAST(len(list_filter(toks, x -> x = '$tm')) AS DOUBLE) AS tf_$i"
-          }.mkString(", ")
-          val dfs = terms.zipWithIndex.map { case (tm, i) =>
-            s"sum(CASE WHEN list_contains(toks, '$tm') THEN 1 ELSE 0 END) AS df_$i"
-          }.mkString(", ")
-          val scoreSum = terms.indices.map { i =>
-            s"""(ln(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - CAST(df_$i AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df_$i AS DOUBLE) + CAST(0.5 AS DOUBLE)))
-                * (tf_$i * CAST(2.2 AS DOUBLE))
-                / (tf_$i + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)))"""
-          }.mkString(" + ")
-          val relExpr = terms.map(tm =>
-            s"CASE WHEN list_contains(toks, '$tm') THEN 1 ELSE 0 END")
-            .mkString("(", " + ", ")")
-          val g = "CAST(round((pow(CAST(2.0 AS DOUBLE), CAST(rel AS DOUBLE)) - CAST(1.0 AS DOUBLE)) / log2(CAST(rank AS DOUBLE) + CAST(1.0 AS DOUBLE)), 9) AS DECIMAL(28,9))"
-          s"""
-          WITH ch AS (
-            SELECT chunk_id, ${D.splitWs("chunk_text")} AS toks
-            FROM (SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})),
-          st AS (SELECT count(*) AS n, sum(len(toks)) AS sumdl, $dfs FROM ch),
-          scored AS (
-            SELECT chunk_id, $tfs, CAST(len(toks) AS DOUBLE) AS dl,
-                   CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl,
-                   n, df_0, df_1, df_2
-            FROM ch, st),
-          top AS (
-            SELECT chunk_id, score,
-                   row_number() OVER (ORDER BY score DESC, chunk_id) AS rank
-            FROM (SELECT chunk_id, $scoreSum AS score
-                  FROM scored ORDER BY score DESC, chunk_id LIMIT 10)),
-          rel AS (SELECT chunk_id, $relExpr AS rel FROM ch),
-          dcg AS (SELECT CAST(sum($g) AS DOUBLE) AS dcg
-                  FROM top JOIN rel USING (chunk_id)),
-          ideal AS (
-            SELECT rel, row_number() OVER (ORDER BY rel DESC, chunk_id) AS rank
-            FROM (SELECT chunk_id, rel FROM rel ORDER BY rel DESC, chunk_id LIMIT 10)),
-          idcg AS (SELECT CAST(sum($g) AS DOUBLE) AS idcg FROM ideal)
-          SELECT ${duckR6("dcg")} AS dcg, ${duckR6("idcg")} AS idcg,
-                 ${duckR6(s"CASE WHEN idcg = ${D.d(0.0)} THEN ${D.d(0.0)} ELSE dcg / idcg END")} AS ndcg
-          FROM dcg CROSS JOIN idcg"""
-        }),
-
-      // Classifier calibration curve: bucket the trained quality
-      // classifier's predictions into 5 score bins and compare mean
-      // prediction vs observed positive fraction per bin — the
-      // reliability diagram a data team reads before trusting a filter
-      // threshold. Reuses the full unrolled-GD oracle; bin means are
-      // exact DECIMAL sums of round-6 scores.
-      Q("q_classifier_calibration",
-        (s, dir) => {
-          val scored = graft.ops.QualityClassifier.trainAndScore(
-            t(s, dir, "documents"), "doc_id", "text", "n_chars >= 250")
-          scored.withColumn("s6", round(col("score"), 6) + lit(0.0))
-            .withColumn("bin",
-              least(floor(col("s6") * lit(5.0)).cast("long"), lit(4L)))
-            .groupBy("bin")
-            .agg(count(lit(1)).cast("long").as("n"),
-              sum(col("s6").cast("decimal(18,6)")).cast("double").as("sp"),
-              sum(col("label").cast("long")).cast("long").as("np"))
-            .select(col("bin"), col("n"),
-              r6(col("sp") / col("n").cast("double")).as("avg_pred"),
-              r6(col("np").cast("double") / col("n").cast("double")).as("frac_pos"))
-            .orderBy("bin")
-        },
-        Some {
-          val inner = graft.ops.QualityClassifier.oracleSql(
-            D, "documents", "doc_id", "text", "n_chars >= 250")
-          s"""
-          WITH base AS ($inner),
-          b AS (SELECT least(CAST(floor((round(score, 6) + ${D.d(0.0)}) * ${D.d(5.0)}) AS BIGINT), 4) AS bin,
-                       (round(score, 6) + ${D.d(0.0)}) AS s6, label
-                FROM base)
-          SELECT bin, CAST(count(*) AS BIGINT) AS n,
-                 ${duckR6("CAST(sum(CAST(s6 AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS avg_pred,
-                 ${duckR6("CAST(sum(label) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS frac_pos
-          FROM b GROUP BY bin ORDER BY bin"""
-        }),
-
-      // Diacritic folding (TextF.stripAccents): NFD + combining-mark
-      // removal vs DuckDB strip_accents (utf8proc) — two independent
-      // Unicode implementations under one hash. Fixture text carries
-      // accents from all five classes (acute, umlaut, tilde, ring,
-      // grave); UTF-8 Scala string literals Spark-side, chr() oracle-side
-      // (Spark SQL's chr is mod-256 — the verify-skill gotcha).
-      Q("q_strip_accents",
-        (s, dir) => {
-          val accented = when(col("doc_id") % 5 === 0, lit("café au lait"))
-            .when(col("doc_id") % 5 === 1, lit("über alles"))
-            .when(col("doc_id") % 5 === 2, lit("niño pequeño"))
-            .when(col("doc_id") % 5 === 3, lit("Ångström unit"))
-            .otherwise(lit("déjà vu"))
-          t(s, dir, "documents")
-            .select(col("doc_id"),
-              TextF.stripAccents(concat(accented, lit(" #"),
-                col("doc_id").cast("string"))).as("folded"))
-            .orderBy("doc_id")
-        },
-        Some("""
-          WITH f AS (SELECT doc_id,
-                 CASE doc_id % 5
-                   WHEN 0 THEN 'caf' || chr(233) || ' au lait'
-                   WHEN 1 THEN chr(252) || 'ber alles'
-                   WHEN 2 THEN 'ni' || chr(241) || 'o peque' || chr(241) || 'o'
-                   WHEN 3 THEN chr(197) || 'ngstr' || chr(246) || 'm unit'
-                   ELSE 'd' || chr(233) || 'j' || chr(224) || ' vu'
-                 END || ' #' || CAST(doc_id AS VARCHAR) AS s
-               FROM documents)
-          SELECT doc_id, strip_accents(s) AS folded
-          FROM f
-          ORDER BY doc_id""")),
-
-      // CSV roundtrip with full quoting: text containing commas, quotes
-      // and newlines survives write->read (RFC 4180 quote/escape,
-      // multiLine read for embedded newlines). CSV is the interchange
-      // format metadata tables actually arrive in; the md5 gate proves
-      // the quoting contract end to end. (Note multiLine CSV files are
-      // not line-splittable — fine for metadata tables, wrong for a
-      // 100 TB corpus body, which is what JSONL/parquet are for.)
-      Q("q_csv_roundtrip",
-        (s, dir) => {
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val key = md.digest(dir.getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString.take(12)
-          val out = sys.props("java.io.tmpdir") + s"/graft_csv_$key"
-          val docs = t(s, dir, "documents")
-          docs.write.mode("overwrite").option("header", "true")
-            .option("quoteAll", "true").option("escape", "\"").csv(out)
-          s.read.schema(docs.schema).option("header", "true")
-            .option("multiLine", "true").option("escape", "\"").csv(out)
-            .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-              md5(col("text")).as("text_md5"))
-            .orderBy("doc_id")
-        },
-        Some("""
-          SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
-          FROM documents
-          ORDER BY doc_id""")),
-
-      // ORC roundtrip: the second columnar container Spark ships
-      // natively — same integrity gate as parquet/JSONL/CSV.
-      Q("q_orc_roundtrip",
-        (s, dir) => {
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val key = md.digest(dir.getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString.take(12)
-          val out = sys.props("java.io.tmpdir") + s"/graft_orc_$key"
-          val docs = t(s, dir, "documents")
-          docs.write.mode("overwrite").orc(out)
-          s.read.orc(out)
-            .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-              md5(col("text")).as("text_md5"))
-            .orderBy("doc_id")
-        },
-        Some("""
-          SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
-          FROM documents
-          ORDER BY doc_id""")),
-
-      // Pairwise n-gram overlap P/R/F1 (the ROUGE-1 shape): distinct
-      // unigram intersection between deterministic doc pairs — the
-      // eval-side overlap metric (summary-vs-source, dedup explain).
-      // Spark array_intersect and DuckDB list_intersect both return the
-      // DISTINCT common elements, so the counts agree exactly; the three
-      // divisions are single deterministic IEEE ops.
-      Q("q_ngram_f1",
-        (s, dir) => {
-          val docs = t(s, dir, "documents")
-            .select(col("doc_id"), array_distinct(TextF.tokens(col("text"))).as("tk"))
-          val a = docs.where(col("doc_id") % 7 === 0)
-            .select(col("doc_id").as("doc_a"), col("tk").as("ta"))
-          val b = docs.select((col("doc_id") - 1).as("doc_a"),
-            col("doc_id").as("doc_b"), col("tk").as("tb"))
-          a.join(b, "doc_a")
-            .withColumn("ninter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
-            .withColumn("p", col("ninter").cast("double") / size(col("ta")))
-            .withColumn("r", col("ninter").cast("double") / size(col("tb")))
-            .select(col("doc_a"), col("doc_b"), col("ninter"),
-              r6(col("p")).as("p"), r6(col("r")).as("r"),
-              r6(when(col("p") + col("r") === 0.0, lit(0.0))
-                .otherwise(lit(2.0) * col("p") * col("r") / (col("p") + col("r"))))
-                .as("f1"))
-            .orderBy("doc_a")
-        },
-        Some(s"""
-          WITH d AS (SELECT doc_id, list_distinct(${D.splitWs("text")}) AS tk
-                     FROM documents),
-          a AS (SELECT doc_id AS doc_a, tk AS ta FROM d WHERE doc_id % 7 = 0),
-          b AS (SELECT doc_id - 1 AS doc_a, doc_id AS doc_b, tk AS tb FROM d),
-          j AS (SELECT doc_a, doc_b,
-                       CAST(len(list_intersect(ta, tb)) AS BIGINT) AS ninter,
-                       CAST(len(list_intersect(ta, tb)) AS DOUBLE) / len(ta) AS p,
-                       CAST(len(list_intersect(ta, tb)) AS DOUBLE) / len(tb) AS r
-                FROM a JOIN b USING (doc_a))
-          SELECT doc_a, doc_b, ninter,
-                 ${duckR6("p")} AS p, ${duckR6("r")} AS r,
-                 ${duckR6(s"CASE WHEN p + r = ${D.d(0.0)} THEN ${D.d(0.0)} " +
-                   s"ELSE ${D.d(2.0)} * p * r / (p + r) END")} AS f1
-          FROM j
-          ORDER BY doc_a""")),
-
-      // Streaming governance parity: the SAME Governance.cardScan code
-      // runs unchanged as a stateless append-mode streaming projection
-      // over 4 REAL micro-batches and hash-matches the batch q_pii_cards
-      // oracle — map-only operators carry to streams with zero state.
-      Q("q_stream_pii_eq",
-        (s, dir0) => {
-          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
-          import s.implicits._
-          val ss = streamSession(s)
-          implicit val sqlCtx = ss.sqlContext
-          val rows = t(s, dir, "documents")
-            .select(col("doc_id").cast("long"), expr(cardBody(S)).as("body"))
-            .as[(Long, String)].collect().sortBy(_._1)
-          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-          val name = s"q_stream_pii_eq_${System.nanoTime()}"
-          val q = Governance.cardScan(in.toDS().toDF("doc_id", "body"), "body", "doc_id")
-            .writeStream.format("memory").queryName(name).outputMode("append").start()
-          try {
-            rows.grouped(math.max(1, (rows.length + 3) / 4)).foreach { b =>
-              in.addData(b.toSeq); q.processAllAvailable()
-            }
-          } finally {
-            q.stop()
-            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-          }
-          val got = ss.table(name)
-            .select(col("doc_id"), col("n_cands"), col("n_valid"), col("valid_cards"))
-            .as[(Long, Long, Long, String)].collect().toSeq
-          got.toDF("doc_id", "n_cands", "n_valid", "valid_cards").orderBy("doc_id")
-        },
-        Some(s"""
-          WITH b AS (SELECT doc_id, ${cardBody(D)} AS body FROM documents),
-          c AS (SELECT doc_id,
-                       regexp_extract_all(body, '\\b[0-9]{13,19}\\b') AS cands
-                FROM b),
-          v AS (SELECT doc_id, cands,
-                       ${D.filter("cands", "cx__", Exprs.luhnOk(D, "cx__"))} AS valid
-                FROM c)
-          SELECT doc_id,
-                 CAST(len(cands) AS BIGINT) AS n_cands,
-                 CAST(len(valid) AS BIGINT) AS n_valid,
-                 coalesce(array_to_string(valid, ','), '') AS valid_cards
-          FROM v
-          ORDER BY doc_id""")),
-
-      // Stream-static enrich equivalence: a streaming fact feed joined
-      // with a STATIC dimension table (StreamingIngest.enrichStream —
-      // the broadcast re-resolved per micro-batch, the Spark-native
-      // slowly-changing-dimension lookup) over 4 real micro-batches
-      // hash-matches the batch join.
-      Q("q_stream_enrich_eq",
-        (s, dir0) => {
-          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
-          import s.implicits._
-          val ss = streamSession(s)
-          implicit val sqlCtx = ss.sqlContext
-          val rows = t(s, dir, "documents")
-            .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
-            .as[(Long, Long)].collect().sortBy(_._1)
-          val meta = t(ss, dir, "documents")
-            .select(col("doc_id"), col("lang"), col("source"))
-          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
-          val name = s"q_stream_enrich_eq_${System.nanoTime()}"
-          val q = graft.streaming.StreamingIngest.enrichStream(
-              in.toDS().toDF("doc_id", "n_chars"), meta)
-            .writeStream.format("memory").queryName(name)
-            .outputMode("append").start()
-          try {
-            rows.grouped(math.max(1, (rows.length + 3) / 4)).foreach { b =>
-              in.addData(b.toSeq); q.processAllAvailable()
-            }
-          } finally {
-            q.stop()
-            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-          }
-          val got = ss.table(name)
-            .select(col("doc_id"), col("n_chars"), col("lang"), col("source"))
-            .as[(Long, Long, String, String)].collect().toSeq
-          got.toDF("doc_id", "n_chars", "lang", "source").orderBy("doc_id")
-        },
-        Some("""
-          SELECT doc_id, n_chars, lang, source
-          FROM documents
-          ORDER BY doc_id""")),
-
-      // Streaming JDBC upsert sink — exactly-once BY KEY through real
-      // retries: the chunk index streams in 4 micro-batches through
-      // foreachBatch -> Derby MERGE (writeGenericUpsert), with every
-      // batch RE-SENDING the tail of the previous one (the at-least-once
-      // delivery a restarted stream actually produces). The final table
-      // hash-matches the batch q_rag_index oracle — duplicate deliveries
-      // are absorbed by the keyed MERGE, which is the exactly-once
-      // argument a production keyed sink rests on.
-      Q("q_stream_jdbc_eq",
-        (s, dir0) => {
-          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
-          import s.implicits._
-          import graft.index.JdbcVectorSink
-          val ss = streamSession(s)
-          implicit val sqlCtx = ss.sqlContext
-          val index = RagPipeline.buildIndex(tk(s, dir, "documents"))
-            .select(col("doc_id").cast("long"), col("chunk_idx").cast("long"),
-              col("chunk_id"), col("n_tokens").cast("long"),
-              VectorF.toDoubleArray(col("embedding")).as("embedding"))
-            .as[(Long, Long, String, Long, Seq[Double])]
-            .collect().sortBy(r => (r._1, r._2)).toSeq
-          val url = s"jdbc:derby:memory:graftst${System.nanoTime()};create=true"
-          val drv = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
-          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String, Long, Seq[Double])]
-          val q = in.toDS()
-            .toDF("doc_id", "chunk_idx", "chunk_id", "n_tokens", "embedding")
-            .writeStream
-            .foreachBatch { (batch: DataFrame, _: Long) =>
-              JdbcVectorSink.writeGenericUpsert(batch, url, "chunks", driver = drv)
-            }
-            .outputMode("append").start()
-          try {
-            val g = index.grouped(math.max(1, (index.length + 3) / 4)).toSeq
-            g.zipWithIndex.foreach { case (b, i) =>
-              // re-deliver the previous batch's last 5 rows: simulated
-              // retry overlap the MERGE must absorb
-              val redelivered = if (i == 0) b else g(i - 1).takeRight(5) ++ b
-              in.addData(redelivered); q.processAllAvailable()
-            }
-          } finally q.stop()
-          val back = s.read.format("jdbc").option("url", url)
-            .option("dbtable", "chunks").option("driver", drv).load()
-            .withColumn("emb", expr(
-              "transform(split(substring(embedding_vec, 2, length(embedding_vec) - 2), ','), x__ -> CAST(x__ AS DOUBLE))"))
-            .select(col("doc_id").cast("long").as("doc_id"),
-              col("chunk_idx").cast("long").as("chunk_idx"),
-              col("chunk_id"),
-              col("n_tokens").cast("long").as("n_tokens"),
-              r6(element_at(col("emb"), 1)).as("e1"),
-              r6(VectorF.dot(col("emb"),
-                expr("transform(sequence(1, 64), j__ -> CAST(j__ AS DOUBLE))"))).as("checksum"))
-            .orderBy("doc_id", "chunk_idx")
-          val rows = back.collect().toSeq
-          val schema = back.schema
-          try java.sql.DriverManager.getConnection(
-            url.replace(";create=true", ";drop=true"))
-          catch { case _: java.sql.SQLException => () }
-          s.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](
-              scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
-        },
-        Some {
-          val duckIndexed = duckEmbed(
-            s"(SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})",
-            "chunk_text", 64)
-          val weights = "list_transform(range(1, 65), j__ -> CAST(j__ AS DOUBLE))"
-          s"""
-          SELECT doc_id, chunk_idx, chunk_id,
-                 CAST(len(${D.splitWs("chunk_text")}) AS BIGINT) AS n_tokens,
-                 (round(emb[1], 6) + CAST(0.0 AS DOUBLE)) AS e1,
-                 (round(${D.dot("emb", weights)}, 6) + CAST(0.0 AS DOUBLE)) AS checksum
-          FROM $duckIndexed
-          ORDER BY doc_id, chunk_idx"""
-        }),
-
-      // Watermarked tumbling-window equivalence: eventsWindowed (1-hour
-      // event-time windows + 1-hour watermark, APPEND mode — only
-      // finalized windows emit) over 4 real micro-batches fed in
-      // event-time order, plus two sentinel batches that push the
-      // watermark past the last real window. The emitted set must
-      // hash-match the BATCH hourly aggregate (q_events_window's SQL):
-      // watermark bookkeeping, window finalization, and cross-batch
-      // state are all under the gate. Value sums are DECIMAL(18,2) so
-      // stream/batch accumulation order cannot diverge.
-      Q("q_stream_window_eq",
-        (s, dir0) => {
-          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
-          import s.implicits._
-          val ss = streamSession(s)
-          implicit val sqlCtx = ss.sqlContext
-          val rows = tEvents(s, dir)
-            .select(expr("ts div 1000").as("tsu"), col("event_type"), col("value"))
-            .as[(Long, String, Double)].collect().sortBy(_._1)
-          val maxTsu = rows.map(_._1).max
-          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double)]
-          val name = s"q_stream_window_eq_${System.nanoTime()}"
-          val stream = in.toDS().toDF("tsu", "event_type", "value")
-            .withColumn("ts", expr("timestamp_micros(tsu)"))
-            .withColumn("value", col("value").cast("decimal(18,2)"))
-          val q = graft.streaming.StreamingIngest.eventsWindowed(stream, "1 hour")
-            .writeStream.format("memory").queryName(name)
-            .outputMode("append").start()
-          try {
-            rows.grouped(math.max(1, (rows.length + 3) / 4)).foreach { b =>
-              in.addData(b.toSeq); q.processAllAvailable()
-            }
-            in.addData((maxTsu + 3L * 3600000000L, "__sentinel__", 0.0))
-            q.processAllAvailable()
-            in.addData((maxTsu + 4L * 3600000000L, "__sentinel__", 0.0))
-            q.processAllAvailable()
-          } finally {
-            q.stop()
-            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-          }
-          val got = ss.table(name)
-            .select(col("event_type"),
-              expr("unix_micros(window.start) div 1000000").cast("long").as("hour_epoch"),
-              col("n").cast("long").as("n"),
-              col("sum_value").cast("double").as("sum_value"))
-            .as[(String, Long, Long, Double)].collect().toSeq
-          got.toDF("event_type", "hour_epoch", "n", "sum_value")
-            .orderBy("event_type", "hour_epoch")
-        },
-        Some("""
-          SELECT event_type,
-                 CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
-                 count(*) AS n,
-                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-          FROM events
-          GROUP BY event_type, hour_epoch
-          ORDER BY event_type, hour_epoch""")),
-
-      // HITS hubs/authorities over a deterministic directed doc graph
-      // (every doc links into the low-id "authority core" via two
-      // modular edges) — the companion centrality to q_pagerank for
-      // link-graph curation. 3 unrolled iterations, round-9 decimal
-      // contribution sums, max-normalized half-steps: oracle-exact.
-      Q("q_hits",
-        (s, dir) => {
-          import graft.ops.Graph
-          val docs = t(s, dir, "documents").select(col("doc_id").as("id"))
-          val e1 = docs.select(col("id").as("src"),
-            ((col("id") * col("id") + 1) % 97).as("dst"))
-          val e2 = docs.select(col("id").as("src"),
-            ((col("id") * 31 + 7) % 97).as("dst"))
-          val edges = e1.union(e2).where(col("src") =!= col("dst"))
-          Graph.hits(docs, edges, 3)
-            .select(col("id").as("doc_id"), col("auth"), col("hub"))
-            .orderBy("doc_id")
-        },
-        Some {
-          val edges = """(SELECT src, dst FROM (
-               SELECT doc_id AS src, (doc_id * doc_id + 1) % 97 AS dst FROM documents
-               UNION ALL
-               SELECT doc_id AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents)
-             WHERE src <> dst)"""
-          s"""SELECT id AS doc_id, auth, hub FROM (
-            ${graft.ops.Graph.hitsOracleSql(
-              "(SELECT doc_id AS id FROM documents)", edges, 3)}
-          ) ORDER BY doc_id"""
-        }),
-
-      // Contrastive training-pair generation — the embedding-training
-      // capstone: anchors = first chunk of every 10th doc, positive = the
-      // doc's second chunk (adjacent-window positive), negative = the
-      // single most-similar chunk from a DIFFERENT doc (hardNegatives
-      // with label = doc_id, k = 1). Chunk/embed replayed by the same
-      // oracle CTEs as q_rag_index; the numeric chunk id packs
-      // (doc_id, chunk_idx) so the heap tie-break replays as a
-      // two-column ORDER BY.
-      Q("q_contrastive_pairs",
-        (s, dir) => {
-          // the chunk index feeds THREE subtrees (corpus, anchors,
-          // positives) — persist it so the chunk+embed pipeline runs
-          // once, not three times; the cache manager dedups by plan, so
-          // repeated invocations share one ~O(chunks x dim) entry
-          val chunks = RagPipeline.buildIndex(tk(s, dir, "documents"))
-            .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-              col("chunk_id"), col("embedding"))
-            .withColumn("cid", col("doc_id") * lit(100000L) + col("chunk_idx"))
-            .persist()
-          // BOUNDED anchor set (doc_id < 1000): the broadcast-heap shape
-          // is |anchors| x |corpus| — with anchors growing alongside the
-          // corpus it turns quadratic (measured 18x at 10x data). A
-          // bounded query set keeps it linear; mining negatives for
-          // EVERY doc at 100 TB goes through the LSH/IVF bucket joins
-          // (Dedup/Similarity), not this brute pass.
-          val anchors = chunks
-            .where(col("chunk_idx") === 0 && col("doc_id") % 10 === 0 &&
-              col("doc_id") < 1000)
-          val neg = Similarity.hardNegatives(
-              chunks.select(col("cid"), col("embedding"), col("doc_id")),
-              anchors.select(col("cid"), col("embedding"), col("doc_id")),
-              "cid", "embedding", "doc_id", 1)
-            .withColumn("doc_id", expr("query_id div 100000"))
-            .join(chunks.select(col("cid"), col("chunk_id").as("neg_chunk_id")), "cid")
-          val pos = chunks.where(col("chunk_idx") === 1)
-            .select(col("doc_id"), col("chunk_id").as("pos_chunk_id"))
-          neg.join(pos, "doc_id")
-            .select(col("doc_id"), col("pos_chunk_id"), col("neg_chunk_id"),
-              r6(col("score")).as("neg_score"))
-            .orderBy("doc_id")
-        },
-        Some {
-          val duckIndexed = duckEmbed(
-            s"(SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})",
-            "chunk_text", 64)
-          s"""
-          WITH ch AS (SELECT doc_id, chunk_idx, chunk_id, emb FROM $duckIndexed),
-          a AS (SELECT doc_id, emb AS aemb FROM ch
-                WHERE chunk_idx = 0 AND doc_id % 10 = 0 AND doc_id < 1000),
-          p AS (SELECT doc_id, chunk_id AS pos_chunk_id FROM ch WHERE chunk_idx = 1),
-          scored AS (SELECT a.doc_id, c.chunk_id, c.doc_id AS ndoc, c.chunk_idx,
-                            ${D.cosine("c.emb", "a.aemb")} AS score
-                     FROM ch c, a WHERE c.doc_id <> a.doc_id),
-          best AS (SELECT doc_id, chunk_id AS neg_chunk_id, score,
-                          row_number() OVER (PARTITION BY doc_id
-                                             ORDER BY score DESC, ndoc, chunk_idx) AS rn
-                   FROM scored)
-          SELECT b.doc_id, p.pos_chunk_id, b.neg_chunk_id,
-                 ${duckR6("b.score")} AS neg_score
-          FROM best b JOIN p ON b.doc_id = p.doc_id
-          WHERE b.rn = 1
-          ORDER BY b.doc_id"""
-        }),
-
-      // Term-distribution drift (ops.Profile.termDrift): add-1-smoothed
-      // unigram KL contributions between the even- and odd-id corpus
-      // halves — the batch-admission drift monitor of a continuously
-      // ingesting pipeline. Vocabulary-sized join; totals broadcast.
-      Q("q_term_drift",
-        (s, dir) => {
-          val docs = t(s, dir, "documents")
-          graft.ops.Profile.termDrift(
-            docs.where(col("doc_id") % 2 === 0),
-            docs.where(col("doc_id") % 2 === 1), "text", 20)
-        },
-        Some(s"""
-          WITH ta AS (SELECT unnest(${D.splitWs("text")}) AS tok
-                      FROM documents WHERE doc_id % 2 = 0),
-          tb AS (SELECT unnest(${D.splitWs("text")}) AS tok
-                 FROM documents WHERE doc_id % 2 = 1),
-          ca AS (SELECT tok, CAST(count(*) AS BIGINT) AS ca FROM ta GROUP BY tok),
-          cb AS (SELECT tok, CAST(count(*) AS BIGINT) AS cb FROM tb GROUP BY tok),
-          j AS (SELECT coalesce(ca.tok, cb.tok) AS tok,
-                       coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
-                FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
-          tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
-                         CAST(sum(cb) AS BIGINT) AS nb,
-                         CAST(count(*) AS BIGINT) AS v
-                  FROM j),
-          k AS (SELECT tok, ca, cb,
-                       (round((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)) *
-                              ln((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)) /
-                                 (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))), 6)
-                        + ${D.d(0.0)}) AS contrib
-                FROM j CROSS JOIN tot)
-          SELECT tok, ca, cb, contrib
-          FROM k
-          ORDER BY contrib DESC, tok
-          LIMIT 20""")),
-
-      // Per-dimension embedding health stats — the production monitor for
-      // collapsed/dead dimensions and scale drift in an embedding
-      // pipeline: mean, std, and zero fraction per dimension. Values and
-      // squares round (6/9 decimals) then sum as DECIMALs — exact,
-      // order-independent; one narrow (dim, x) explode, map-side
-      // combined into 64 rows.
-      Q("q_embed_stats",
-        (s, dir) =>
-          t(s, dir, "embeddings")
-            .select(explode(sequence(lit(1), lit(64))).as("dim"),
-              VectorF.toDoubleArray(col("embedding")).as("v"))
-            .select(col("dim").cast("long").as("dim"),
-              element_at(col("v"), col("dim").cast("int")).as("x"))
-            .groupBy("dim")
-            .agg(count(lit(1)).cast("long").as("n"),
-              sum(round(col("x"), 6).cast("decimal(18,6)")).as("sx"),
-              sum(round(col("x") * col("x"), 9).cast("decimal(28,9)")).as("sxx"),
-              sum(when(col("x") === 0.0, 1L).otherwise(0L)).cast("long").as("nz"))
-            .select(col("dim"),
-              r6(col("sx").cast("double") / col("n").cast("double")).as("mean"),
-              r6(sqrt(greatest(
-                col("sxx").cast("double") / col("n").cast("double") -
-                  (col("sx").cast("double") / col("n").cast("double")) *
-                  (col("sx").cast("double") / col("n").cast("double")),
-                lit(0.0)))).as("std"),
-              r6(col("nz").cast("double") / col("n").cast("double")).as("zero_frac"))
-            .orderBy("dim"),
-        Some(s"""
-          WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          x AS (SELECT CAST(dim AS BIGINT) AS dim, v[CAST(dim AS INT)] AS x
-                FROM e, unnest(range(1, 65)) AS t(dim)),
-          a AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
-                       sum(CAST(round(x, 6) AS DECIMAL(18,6))) AS sx,
-                       sum(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS sxx,
-                       CAST(sum(CASE WHEN x = ${D.d(0.0)} THEN 1 ELSE 0 END) AS BIGINT) AS nz
-                FROM x GROUP BY dim)
-          SELECT dim,
-                 ${duckR6("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)")} AS mean,
-                 ${duckR6("sqrt(greatest(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), CAST(0.0 AS DOUBLE)))")} AS std,
-                 ${duckR6("CAST(nz AS DOUBLE) / CAST(n AS DOUBLE)")} AS zero_frac
-          FROM a
-          ORDER BY dim""")),
-
-      // Johnson-Lindenstrauss sign projection 64 -> 16 (Exprs.jlProject):
-      // OBLIVIOUS dim reduction — no training, no model state, one
-      // streaming pass; the sign matrix is a deterministic integer LCG
-      // of (i, j) evaluated identically in both engines, and the
-      // 1/sqrt(64) = 0.125 scale is exact binary. Emitted: first two
-      // output components + input/output norms (distance preservation is
-      // the JL contract; the norm pair lets any consumer audit it).
-      Q("q_jl_project",
-        (s, dir) => {
-          val S = Dialect.spark
-          t(s, dir, "embeddings")
-            .select(col("vec_id"), VectorF.toDoubleArray(col("embedding")).as("v"))
-            .withColumn("p", expr(Exprs.jlProject(S, "v", 64, 16)))
-            .select(col("vec_id"),
-              r6(element_at(col("p"), 1)).as("p1"),
-              r6(element_at(col("p"), 2)).as("p2"),
-              r6(expr(S.norm("p"))).as("norm_out"),
-              r6(expr(S.norm("v"))).as("norm_in"))
-            .orderBy("vec_id")
-        },
-        Some {
-          val proj = Exprs.jlProject(D, "v", 64, 16)
-          s"""
-          WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          p AS (SELECT vec_id, v, $proj AS p FROM e)
-          SELECT vec_id,
-                 ${duckR6("p[1]")} AS p1,
-                 ${duckR6("p[2]")} AS p2,
-                 ${duckR6(D.norm("p"))} AS norm_out,
-                 ${duckR6(D.norm("v"))} AS norm_in
-          FROM p
-          ORDER BY vec_id"""
-        }),
-
-      // Quantization-error audit with percentile clipping: per dimension,
-      // int8 MSE under the raw symmetric scale (127/max|x| — one outlier
-      // wastes the whole code range) vs the p01/p99-clipped scale — the
-      // standard pre-quantization calibration a vector store runs before
-      // committing to int8. Exact order-statistic clip bounds (window
-      // rank over the per-dim sort), per-element errors round to 12
-      // decimals and sum as DECIMAL(38,12) — exact, order-independent.
-      Q("q_sq8_clip",
-        (s, dir) => {
-          import org.apache.spark.sql.expressions.Window
-          val xs = t(s, dir, "embeddings")
-            .select(explode(sequence(lit(1), lit(64))).as("dim"),
-              VectorF.toDoubleArray(col("embedding")).as("v"))
-            .select(col("dim").cast("long").as("dim"),
-              element_at(col("v"), col("dim").cast("int")).as("x"))
-          val w = Window.partitionBy("dim").orderBy(col("x"))
-          val ranked = xs.withColumn("rn", row_number().over(w))
-          val nPer = ranked.groupBy("dim").agg(count(lit(1)).as("n"))
-          val bounds = ranked.join(nPer, "dim")
-            .groupBy("dim")
-            .agg(
-              max(when(col("rn") === greatest(ceil(col("n") * 0.01), lit(1)).cast("int"),
-                col("x"))).as("lo"),
-              max(when(col("rn") === ceil(col("n") * 0.99).cast("int"),
-                col("x"))).as("hi"),
-              max(abs(col("x"))).as("xm"))
-          val errs = xs.join(bounds, "dim")
-            .withColumn("sr", lit(127.0) / col("xm"))
-            .withColumn("qr", floor(col("x") * col("sr") + lit(0.5)))
-            .withColumn("er",
-              round((col("x") - col("qr") / col("sr")) * (col("x") - col("qr") / col("sr")), 12))
-            .withColumn("xc", least(greatest(col("x"), col("lo")), col("hi")))
-            .withColumn("sc", lit(127.0) / greatest(abs(col("lo")), abs(col("hi"))))
-            .withColumn("qc", floor(col("xc") * col("sc") + lit(0.5)))
-            .withColumn("ec",
-              round((col("x") - col("qc") / col("sc")) * (col("x") - col("qc") / col("sc")), 12))
-          errs.groupBy("dim")
-            .agg(count(lit(1)).as("n"),
-              sum(col("er").cast("decimal(38,12)")).cast("double").as("ser"),
-              sum(col("ec").cast("decimal(38,12)")).cast("double").as("sec"))
-            .select(col("dim"),
-              (round(col("ser") / col("n").cast("double") * lit(1000000.0), 6) + lit(0.0))
-                .as("mse_raw_ppm"),
-              (round(col("sec") / col("n").cast("double") * lit(1000000.0), 6) + lit(0.0))
-                .as("mse_clip_ppm"))
-            .orderBy("dim")
-        },
-        Some("""
-          WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          xs AS (SELECT CAST(dim AS BIGINT) AS dim, v[CAST(dim AS INT)] AS x
-                 FROM e, unnest(range(1, 65)) AS t(dim)),
-          rk AS (SELECT dim, x,
-                        row_number() OVER (PARTITION BY dim ORDER BY x) AS rn,
-                        count(*) OVER (PARTITION BY dim) AS n
-                 FROM xs),
-          bounds AS (SELECT dim,
-                            max(CASE WHEN rn = CAST(greatest(ceil(n * 0.01), 1) AS INT) THEN x END) AS lo,
-                            max(CASE WHEN rn = CAST(ceil(n * 0.99) AS INT) THEN x END) AS hi,
-                            max(abs(x)) AS xm
-                     FROM rk GROUP BY dim),
-          er AS (SELECT xs.dim, xs.x, b.lo, b.hi,
-                        CAST(127.0 AS DOUBLE) / b.xm AS sr,
-                        CAST(127.0 AS DOUBLE) / greatest(abs(b.lo), abs(b.hi)) AS sc,
-                        least(greatest(xs.x, b.lo), b.hi) AS xc
-                 FROM xs JOIN bounds b ON xs.dim = b.dim),
-          er2 AS (SELECT dim,
-                         round((x - floor(x * sr + CAST(0.5 AS DOUBLE)) / sr) *
-                               (x - floor(x * sr + CAST(0.5 AS DOUBLE)) / sr), 12) AS e_raw,
-                         round((x - floor(xc * sc + CAST(0.5 AS DOUBLE)) / sc) *
-                               (x - floor(xc * sc + CAST(0.5 AS DOUBLE)) / sc), 12) AS e_clip
-                  FROM er)
-          SELECT dim,
-                 (round(CAST(sum(CAST(e_raw AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) * CAST(1000000.0 AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS mse_raw_ppm,
-                 (round(CAST(sum(CAST(e_clip AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) * CAST(1000000.0 AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS mse_clip_ppm
-          FROM er2
-          GROUP BY dim
-          ORDER BY dim""")),
-
-      // SQ8 two-stage ANN (ops.Similarity.sq8Ann): int8 scalar-quantized
-      // shortlist scored by the native codegen IntDotProduct (EXACT
-      // integer accumulator — no float discipline needed), exact float
-      // re-rank over the k*4 survivors. The 8x-smaller code index is the
-      // memory/recall trade a 100 TB vector store actually ships.
-      Q("q_sq8_ann",
-        (s, dir) => {
-          val emb = t(s, dir, "embeddings")
-          Similarity.sq8Ann(emb, emb.where(col("vec_id") < 5),
-              "vec_id", "embedding", "vec_id", "embedding", 5)
-            .select(col("query_id"), col("vec_id"), col("rank"),
-              r6(col("score")).as("score"))
-            .orderBy("query_id", "rank")
-        },
-        Some {
-          val intDot = Exprs.sumLong(D,
-            "list_transform(list_zip(c2.qv, q.qq), p__ -> p__[1] * p__[2])")
-          s"""
-          WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          c AS (SELECT vec_id, v,
-                       ${D.d(127.0)} / list_max(list_transform(v, x__ -> abs(x__))) AS sc
-                FROM e),
-          cq AS (SELECT vec_id, v, sc,
-                        list_transform(v, x__ -> CAST(floor(x__ * sc + ${D.d(0.5)}) AS BIGINT)) AS qv
-                 FROM c WHERE sc IS NOT NULL AND sc <> CAST('inf' AS DOUBLE)),
-          q AS (SELECT vec_id AS query_id, v AS qraw, sc AS qsc, qv AS qq
-                FROM cq WHERE vec_id < 5),
-          approx AS (SELECT q.query_id, c2.vec_id,
-                            CAST($intDot AS DOUBLE) / (c2.sc * q.qsc) AS ascore
-                     FROM cq c2, q),
-          short AS (SELECT query_id, vec_id,
-                           row_number() OVER (PARTITION BY query_id
-                                              ORDER BY ascore DESC, vec_id) AS srn
-                    FROM approx),
-          rr AS (SELECT s.query_id, s.vec_id, ${D.dot("e2.v", "q2.qraw")} AS exact
-                 FROM short s
-                 JOIN e e2 ON s.vec_id = e2.vec_id
-                 JOIN q q2 ON s.query_id = q2.query_id
-                 WHERE s.srn <= 20),
-          ranked AS (SELECT query_id, vec_id, exact,
-                            row_number() OVER (PARTITION BY query_id
-                                               ORDER BY exact DESC, vec_id) AS rank
-                     FROM rr)
-          SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
-                 ${duckR6("exact")} AS score
-          FROM ranked WHERE rank <= 5
-          ORDER BY query_id, rank"""
-        }),
-
-      // Tokenizer fertility per language: BPE-pretokens per word and
-      // bytes per pretoken, grouped on the corpus `lang` column — the
-      // standard multilingual tokenizer-budget audit (a high
-      // bytes-per-token language is under-served by the tokenizer).
-      // Integer sums are exact; one final division per group.
-      Q("q_tok_fertility",
-        (s, dir) =>
-          t(s, dir, "documents")
-            .select(col("lang"),
-              size(TextF.tokens(col("text"))).cast("long").as("nw"),
-              size(TextF.bpeTokens(col("text"))).cast("long").as("nb"),
-              col("n_chars"))
-            .groupBy("lang")
-            .agg(count(lit(1)).cast("long").as("n_docs"),
-              sum(col("nw")).cast("long").as("n_words"),
-              sum(col("nb")).cast("long").as("n_bpe"),
-              sum(col("n_chars")).cast("long").as("n_bytes"))
-            .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe"),
-              r6(col("n_bpe").cast("double") / col("n_words").cast("double"))
-                .as("fertility"),
-              r6(col("n_bytes").cast("double") / col("n_bpe").cast("double"))
-                .as("bytes_per_token"))
-            .orderBy("lang"),
-        Some(s"""
-          WITH d AS (
-            SELECT lang,
-                   len(${D.splitWs("text")}) AS nw,
-                   len(regexp_extract_all(text,
-                     '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+')) AS nb,
-                   n_chars
-            FROM documents)
-          SELECT lang,
-                 CAST(count(*) AS BIGINT) AS n_docs,
-                 CAST(sum(nw) AS BIGINT) AS n_words,
-                 CAST(sum(nb) AS BIGINT) AS n_bpe,
-                 ${duckR6("CAST(sum(nb) AS DOUBLE) / CAST(sum(nw) AS DOUBLE)")} AS fertility,
-                 ${duckR6("CAST(sum(n_chars) AS DOUBLE) / CAST(sum(nb) AS DOUBLE)")} AS bytes_per_token
-          FROM d
-          GROUP BY lang
-          ORDER BY lang"""))
-    )
-  }
-
-  // =========================================================================
-  // Graph structure + behavioral analytics (round 7: triangles, PPR,
-  // cohort retention, SCD2, EWMA, Welch z, incremental merge, phrase search)
-  // =========================================================================
-  private def analyticsOps: Seq[Q] = {
-    // Similarity graph for the structure operators: sign-bucket LSH pairs
-    // over the embeddings, both directions. The STRUCTURE fixture uses 4
-    // sign bits + cosine >= 0.1 — avg degree ~10 at sf0.01, so triangles /
-    // k-cores / communities / assortativity exercise real structure (the
-    // q_pagerank fixture's 8-bit/0.3 graph is nearly edgeless here: max
-    // degree 2, which would make every structure oracle trivially green).
-    def nearDupEdges(s: SparkSession, dir: String, signBits: Int,
-                     thr: Double): DataFrame = {
-      val emb = t(s, dir, "embeddings")
-      val pairs = graft.ops.Dedup
-        .embeddingNearDupPairs(emb, "vec_id", "embedding", signBits, thr)
-        .select(col("id_a"), col("id_b"))
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    }
-    def duckNearDupEdgesAt(signBits: Int, thr: Double): String = {
-      val bk = s"""(SELECT vec_id, v,
-             array_to_string(list_transform(v[1:$signBits],
-               x__ -> CASE WHEN x__ >= CAST(0.0 AS DOUBLE) THEN '1' ELSE '0' END), '') AS bucket
-           FROM $duckEmbTable)"""
-      s"""(SELECT a.vec_id AS src, b.vec_id AS dst
-           FROM $bk a JOIN $bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-           WHERE ${D.cosine("a.v", "b.v")} >= ${D.d(thr)})"""
-    }
-    // Shared-fixture memo, the [[opqRotation]] contract adapted to a
-    // DataFrame: SEVEN graph queries (triangles, ppr, k-core, harmonic,
-    // LPA, assortativity, link prediction, ...) all run on the SAME
-    // LSH near-dup edge set, and rebuilding it is the dominant cost of
-    // each (an embeddings scan + banded self-join + cosine verify, ~4 s
-    // at sf0.1 — measured: q_link_predict 12.5 s cold vs 2.6 s with the
-    // edges hot). Cache it ONCE per (session, dir) as a lazily-persisted
-    // frame: persist (not localCheckpoint) keeps the full lineage inside
-    // InMemoryRelation, so CatalogPlanAuditSpec still sweeps the
-    // edge-derivation subplan for cartesians. Keyed by session identity
-    // because a cached plan is session-bound (tests/Verify/Bench each
-    // own one session). Narrow (long, long) rows — at any scale this is
-    // the graph, not the corpus.
-    def structureEdges(s: SparkSession, dir: String): DataFrame = {
-      // putIfAbsent (not computeIfAbsent): the eager materialization is a
-      // multi-second Spark job and must NOT run while holding the map's
-      // bin lock. A racing loser unpersists its never-counted copy.
-      val key = (s, dir)
-      val hit = structureEdgesCache.get(key)
-      if (hit != null) hit
-      else {
-        val e = nearDupEdges(s, dir, 4, 0.1)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val prev = structureEdgesCache.putIfAbsent(key, e)
-        if (prev != null) { e.unpersist(blocking = false); prev }
-        else {
-          e.count() // materialize now: first caller pays once, visibly
-          e
-        }
-      }
-    }
-    val duckNearDupEdges: String = duckNearDupEdgesAt(4, 0.1)
-    val duckDocToks =
-      s"(SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents)"
-    // events with a REAL timestamp ts regardless of how the testdata
-    // shipped it (ns-as-long or us) — tEvents normalizes to Long nanos,
-    // converted back to a microsecond timestamp here; the oracle casts the
-    // raw column to the same microsecond TIMESTAMP.
-    def evT(s: SparkSession, dir: String): DataFrame =
-      tEvents(s, dir).withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val duckEvents =
-      """(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
-                 event_type, value FROM events)"""
-
-    Seq(
-      // Per-node triangle count + local clustering coefficient on the
-      // near-dup graph — the cluster-density signal behind "is this dup
-      // cluster a clique (true near-dups) or a chain (LSH accident)".
-      // Degree-ordered orientation caps wedge generation at O(m^1.5)
-      // independent of skew; every exchange carries (long, long[, long]).
-      Q("q_triangles",
-        (s, dir) =>
-          graft.ops.Graph.triangles(structureEdges(s, dir))
-            .select(col("id").as("vec_id"), col("degree"), col("n_tri"),
-              col("clustering"))
-            .orderBy("vec_id"),
-        Some(s"""
-          SELECT id AS vec_id, degree, n_tri, clustering FROM (
-            ${graft.ops.Graph.trianglesOracleSql(duckNearDupEdges)}
-          ) ORDER BY vec_id""")),
-
-      // Personalized PageRank from a seed set (every 50th vector) — the
-      // "related to THESE pages" centrality (crawl frontier priority,
-      // related-item ranking). Same audited linear-iteration shape as
-      // q_pagerank; restart mass lands only on seeds.
-      Q("q_ppr",
-        (s, dir) => {
-          val emb = t(s, dir, "embeddings")
-          graft.ops.Graph.personalizedPageRank(
-              emb.select(col("vec_id").as("id")),
-              structureEdges(s, dir),
-              emb.where(col("vec_id") % 50 === 0)
-                .select(col("vec_id").as("id")),
-              5, 0.85)
-            .select(col("id").as("vec_id"), col("rank"))
-            .orderBy("vec_id")
-        },
-        Some(s"""
-          SELECT id AS vec_id, rank FROM (
-            ${graft.ops.Graph.pprOracleSql(
-              "(SELECT vec_id AS id FROM embeddings)",
-              duckNearDupEdges,
-              "(SELECT vec_id AS id FROM embeddings WHERE vec_id % 50 = 0)",
-              5, 0.85)}
-          ) ORDER BY vec_id""")),
-
-      // Harmonic centrality from 8 pinned sources (lowest vec_ids) via
-      // 3-hop multi-source BFS — the sampled-source estimator that IS
-      // the at-scale form of closeness centrality (all-pairs BFS is
-      // O(V*E)); frontier anti-joins keep state at V*S rows and the
-      // recursive DuckDB oracle replays min-distances + the round-6
-      // DECIMAL 1/d sums exactly.
-      Q("q_harmonic_centrality",
-        (s, dir) => {
-          val emb = t(s, dir, "embeddings")
-          graft.ops.Graph.harmonicCentrality(
-              emb.select(col("vec_id").as("id")), structureEdges(s, dir),
-              8, 3)
-            .select(col("id").as("vec_id"), col("n_reached"), col("harmonic"))
-            .orderBy("vec_id")
-        },
-        Some(s"""
-          SELECT id AS vec_id, n_reached, harmonic FROM (
-            ${graft.ops.Graph.harmonicCentralityOracleSql(
-              "(SELECT vec_id AS id FROM embeddings)", duckNearDupEdges, 8, 3)}
-          ) ORDER BY vec_id""")),
-
-      // Topological link prediction on the near-dup graph: which UNLINKED
-      // vector pairs share ≥2 neighbors — the "what did LSH banding miss"
-      // auditor (a pair with many common near-dup neighbors is itself a
-      // near-dup candidate) scored by common-neighbors / Jaccard /
-      // Adamic-Adar / resource-allocation. Wedge self-join on the apex
-      // with a degree-64 hub cap — candidate width is bounded per key,
-      // never an all-pairs product; DECIMAL term sums keep the doubles
-      // partition-invariant.
-      Q("q_link_predict",
-        (s, dir) =>
-          graft.ops.Graph.linkPrediction(structureEdges(s, dir), 64, 2)
-            .orderBy("src", "dst"),
-        Some(s"""
-          SELECT * FROM (
-            ${graft.ops.Graph.linkPredictionOracleSql(duckNearDupEdges, 64, 2)}
-          ) ORDER BY src, dst""")),
-
-      // Item-item collaborative filtering over the order log: parts are
-      // related when the same customers buy both (co-occurrence cosine +
-      // Jaccard, top-5 neighbors per part). The behavioral complement of
-      // the embedding kNN — same top-N output shape, evidence from
-      // co-engagement instead of content. Pair generation self-joins the
-      // per-customer basket capped at 20 lowest partkeys (deterministic,
-      // oracle-replayed), so join width is bounded under any power-user
-      // skew; the top-N filter is a partitioned window, never global.
-      Q("q_item_cf",
-        (s, dir) => {
-          val o = t(s, dir, "orders")
-            .select(col("o_orderkey"), col("o_custkey"))
-          val li = t(s, dir, "lineitem")
-            .select(col("l_orderkey"), col("l_partkey"))
-          val inter = li.join(o, li("l_orderkey") === o("o_orderkey"))
-            .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
-          graft.ops.Recommend.itemItemCf(inter, "u", "i", 20, 2, 5)
-            .orderBy("item", "rank")
-        },
-        Some(s"""
-          SELECT * FROM (
-            ${graft.ops.Recommend.itemItemCfOracleSql(
-              """(SELECT o_custkey AS u, l_partkey AS i
-                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
-              20, 2, 5)}
-          ) ORDER BY item, rank""")),
-
-      // Weekly cohort retention triangle over the event log: cohort by
-      // first-signup week, distinct active users per (cohort, offset).
-      Q("q_retention_cohort",
-        (s, dir) =>
-          graft.ops.Analytics.retentionCohort(
-              evT(s, dir), "user_id", "ts", "event_type", "signup")
-            .orderBy("cohort_week", "offset_weeks"),
-        Some(s"""
-          SELECT * FROM (
-            ${graft.ops.Analytics.retentionCohortOracleSql(
-              duckEvents, "user_id", "ts", "event_type", "signup")}
-          ) ORDER BY cohort_week, offset_weeks""")),
-
-      // SCD2 dimension history from the event change-log: per-user runs of
-      // equal event_type collapse to validity intervals — the warehouse
-      // MERGE loop as one windowed linear plan.
-      Q("q_scd2",
-        (s, dir) =>
-          graft.ops.Analytics.scd2History(
-              evT(s, dir), "user_id", "ts", "event_id", "event_type")
-            .orderBy("user_id", "version"),
-        Some(s"""
-          SELECT * FROM (
-            ${graft.ops.Analytics.scd2HistoryOracleSql(
-              duckEvents, "user_id", "ts", "event_id", "event_type")}
-          ) ORDER BY user_id, version""")),
-
-      // Bounded-history EWMA per user (α=0.25 over the last 16 events):
-      // per-key state is a fixed-size array by construction — hot keys
-      // cannot blow up a task; the fold is the same IEEE op order as
-      // DuckDB's list_reduce, so the smoothed value is bit-exact.
-      Q("q_ewma_user",
-        (s, dir) =>
-          graft.ops.Analytics.ewmaSmooth(
-              evT(s, dir), "user_id", "ts", "event_id", "value",
-              0.25, 16)
-            .orderBy("user_id"),
-        Some(s"""
-          SELECT * FROM (
-            ${graft.ops.Analytics.ewmaSmoothOracleSql(
-              duckEvents, "user_id", "ts", "event_id", "value", 0.25, 16)}
-          ) ORDER BY user_id""")),
-
-      // Holt double-exponential (level+trend) smoothing per user — the
-      // 2-state recursion no portable scalar fold carries, so the WHOLE
-      // per-step state table ships as RAW doubles and the oracle replays
-      // it INDUCTIVELY from its own dump (q_bpe_vocab pattern): expected
-      // step k = one fixed IEEE op chain over dumped step k-1 + the k-th
-      // raw value — bit-exact, NO rounding anywhere (per-cell round-6
-      // was tried and rejected: dyadic-alpha combinations of rounded
-      // cells land on exact .xxxxxx5 decimal ties where Spark HALF_UP
-      // and DuckDB binary rounding split). The trend check reads the
-      // SAME-ROW dumped level, itself under the level check — still
-      // inductive. Any engine deviation at k-1 hash-fails the replay
-      // at k.
-      Q("q_holt_trend",
-        (s, dir) =>
-          graft.ops.Analytics.holtSmooth(
-              evT(s, dir), "user_id", "ts", "event_id", "value",
-              0.5, 0.25, 16)
-            .orderBy("user_id", "step"),
-        // ONE parameter set feeds both the engine call above and the
-        // replay text (holtSmoothOracleSql) — constants cannot desync
-        Some(graft.ops.Analytics.holtSmoothOracleSql(
-          duckEvents, "user_id", "ts", "event_id", "value",
-          0.5, 0.25, 16, "__GRAFT_OUT__/q_holt_trend"))),
-
-      // Holt-Winters additive triple-exponential (level+trend+period-7
-      // seasonal, last 28 events per user) — the seasonality-aware
-      // forecaster over the event log. Same inductive dump-replay
-      // contract as q_holt_trend, extended one lag deeper: expected step
-      // t is one fixed IEEE chain over dumped step t−1 (level/trend via
-      // lag 1) and dumped step t−7 (seasonal via lag 7); the first cycle
-      // runs Holt and seeds seasonals from deviations (documented warmup
-      // contract). All of α=0.5, β=γ=0.25 are exact in binary.
-      Q("q_holt_winters",
-        (s, dir) =>
-          graft.ops.Analytics.holtWinters(
-              evT(s, dir), "user_id", "ts", "event_id", "value",
-              0.5, 0.25, 0.25, 7, 28)
-            .orderBy("user_id", "step"),
-        // ONE parameter set feeds both the engine recursion above and the
-        // inductive replay text (holtWintersOracleSql): alpha/beta/gamma,
-        // the seasonal lag m, the warmup bound and lastN cannot desync
-        Some(graft.ops.Analytics.holtWintersOracleSql(
-          duckEvents, "user_id", "ts", "event_id", "value",
-          0.5, 0.25, 0.25, 7, 28, "__GRAFT_OUT__/q_holt_winters"))),
-
-      // Streaming EWMA == batch EWMA: the bounded last-16 buffer lives in
-      // the state store across 4 REAL micro-batches; far-future sentinel
-      // batches advance the watermark so EventTimeTimeout flushes every
-      // key's final value, which hash-matches the BATCH oracle (same SQL
-      // as q_ewma_user). Cross-batch buffer maintenance is under the hash.
-      Q("q_stream_ewma_eq",
-        (s, dir0) => {
-          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
-          import s.implicits._
-          import graft.streaming.StreamingEwma
-          import graft.streaming.StreamingEwma.{EwmaOut, VEvent}
-          val ss = streamSession(s)
-          implicit val sqlCtx = ss.sqlContext
-          def tsOf(usv: Long) = java.sql.Timestamp.from(
-            java.time.Instant.ofEpochSecond(usv / 1000000L, (usv % 1000000L) * 1000L))
-          val evs = tEvents(s, dir)
-            .select(col("user_id").cast("long"), expr("ts div 1000").as("tsus"),
-              col("event_id").cast("long"), col("value").cast("double"))
-            .as[(Long, Long, Long, Double)].collect()
-            .sortBy { case (_, tsus, eid, _) => (tsus, eid) }
-            .map { case (u, tsus, eid, v) => VEvent(u, tsOf(tsus), eid, v) }
-          // quiet window LARGER than the fixture's 30-day span: sorted
-          // micro-batch slices jump the watermark ~7.5 days at a time, and
-          // a smaller quiet window would fire mid-stream timeouts that
-          // emit partial buffers and reset state (seen as 558 rows for 150
-          // keys). Sentinel sits past last-event + quiet so every key
-          // flushes exactly once, at the end.
-          val quiet = 35L * 86400000000L
-          val sentinelUs = evs.map(e => e.ts.getTime).max * 1000L +
-            40L * 86400000000L
-          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[VEvent]
-          val name = s"q_stream_ewma_eq_${System.nanoTime()}"
-          val q = StreamingEwma.ewmaStream(
-              in.toDS().withWatermark("ts", "0 seconds"),
-              alpha = 0.25, lastN = 16, quietUs = quiet)
-            .writeStream.format("memory").queryName(name)
-            .outputMode("append").start()
-          try {
-            evs.grouped(math.max(1, (evs.length + 3) / 4)).foreach { b =>
-              in.addData(b.toSeq); q.processAllAvailable()
-            }
-            in.addData(VEvent(-1L, tsOf(sentinelUs), 0L, 0.0)); q.processAllAvailable()
-            in.addData(VEvent(-1L, tsOf(sentinelUs + 1000000L), 1L, 0.0)); q.processAllAvailable()
-          } finally {
-            q.stop()
-            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-          }
-          ss.table(name).as[EwmaOut].collect().toSeq.filter(_.user_id >= 0)
-            .toDF("user_id", "n_obs", "ewma")
-            .orderBy("user_id")
-        },
-        Some(s"""
-          SELECT * FROM (
-            ${graft.ops.Analytics.ewmaSmoothOracleSql(
-              duckEvents, "user_id", "ts", "event_id", "value", 0.25, 16)}
-          ) ORDER BY user_id""")),
-
-      // Streaming SCD2 == batch SCD2: O(1) state per key (the single open
-      // interval — never an event buffer); intervals close and emit the
-      // moment a different attribute arrives across micro-batch
-      // boundaries; the watermark sentinel closes the final interval at
-      // the ns-safe Analytics.Scd2Sentinel (2261-12-31). Hash-matches the
-      // batch windowed oracle (q_scd2's).
-      Q("q_stream_scd2_eq",
-        (s, dir0) => {
-          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
-          import s.implicits._
-          import graft.streaming.StreamingScd2
-          import graft.streaming.StreamingScd2.{ChEvent, Scd2Row}
-          val ss = streamSession(s)
-          implicit val sqlCtx = ss.sqlContext
-          def tsOf(usv: Long) = java.sql.Timestamp.from(
-            java.time.Instant.ofEpochSecond(usv / 1000000L, (usv % 1000000L) * 1000L))
-          val evs = tEvents(s, dir)
-            .select(col("user_id").cast("long"), expr("ts div 1000").as("tsus"),
-              col("event_id").cast("long"), col("event_type"))
-            .as[(Long, Long, Long, String)].collect()
-            .sortBy { case (_, tsus, eid, _) => (tsus, eid) }
-            .map { case (u, tsus, eid, a) => ChEvent(u, tsOf(tsus), eid, a) }
-          // quiet window past the fixture span, sentinel past quiet — the
-          // same premature-timeout guard as q_stream_ewma_eq
-          val quiet = 35L * 86400000000L
-          val sentinelUs = evs.map(e => e.ts.getTime).max * 1000L +
-            40L * 86400000000L
-          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ChEvent]
-          val name = s"q_stream_scd2_eq_${System.nanoTime()}"
-          val q = StreamingScd2.scd2Stream(
-              in.toDS().withWatermark("ts", "0 seconds"), quietUs = quiet)
-            .writeStream.format("memory").queryName(name)
-            .outputMode("append").start()
-          try {
-            evs.grouped(math.max(1, (evs.length + 3) / 4)).foreach { b =>
-              in.addData(b.toSeq); q.processAllAvailable()
-            }
-            in.addData(ChEvent(-1L, tsOf(sentinelUs), 0L, "x")); q.processAllAvailable()
-            in.addData(ChEvent(-1L, tsOf(sentinelUs + 1000000L), 1L, "x")); q.processAllAvailable()
-          } finally {
-            q.stop()
-            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-          }
-          ss.table(name).as[Scd2Row].collect().toSeq.filter(_.user_id >= 0)
-            .toDF("user_id", "attr", "valid_from", "valid_to", "version")
-            .orderBy("user_id", "version")
-        },
-        Some(s"""
-          SELECT * FROM (
-            ${graft.ops.Analytics.scd2HistoryOracleSql(
-              duckEvents, "user_id", "ts", "event_id", "event_type")}
-          ) ORDER BY user_id, version""")),
-
-      // Welch two-sample z between click and purchase values from EXACT
-      // decimal moment sums — the A/B significance read as one map-combined
-      // scan; a single row crosses the final exchange.
-      Q("q_ab_ztest",
-        (s, dir) =>
-          graft.ops.Analytics.welchZTest(
-            evT(s, dir), "event_type", "value", "click", "purchase"),
-        Some(graft.ops.Analytics.welchZTestOracleSql(
-          duckEvents, "event_type", "value", "click", "purchase"))),
-
-      // Poisson-bootstrap CI for the mean event value (Chamandy 2012) —
-      // the at-scale bootstrap: per-row Poisson(1) weights make all 50
-      // replicates one pass, no resampling shuffle. Draws are md5-
-      // uniform(seed, rep, event_id) through fixed CDF literals; sums
-      // are exact long micro-units per (partition, replicate), so the
-      // interval is bit-replayable.
-      Q("q_bootstrap_ci",
-        (s, dir) =>
-          graft.ops.Analytics.poissonBootstrapMeanCi(
-            tEvents(s, dir), "value", "event_id", 50, "dpb-r9"),
-        Some(graft.ops.Analytics.poissonBootstrapOracleSql(
-          D, "events", "value", "event_id", 50, "dpb-r9"))),
-
-      // CUPED variance-reduced readout (Deng et al. 2013): per-user
-      // pre-period covariate (midpoint time split) regresses out the
-      // between-user variance, theta pooled, adjusted arm means derived
-      // algebraically from arm moments — two exact-decimal aggregates
-      // and one IEEE chain, no second pass over users.
-      Q("q_cuped",
-        (s, dir) =>
-          graft.ops.Analytics.cuped(
-            tEvents(s, dir), "user_id", "ts", "value"),
-        Some(graft.ops.Analytics.cupedOracleSql(
-          duckEvents, "user_id", "epoch_us(ts) * 1000", "value"))),
-
-      // Kolmogorov–Smirnov two-sample drift between the same two event
-      // segments — the whole-distribution complement of q_ab_ztest (a
-      // mean-preserving shape change is invisible to a z-test). Corpus
-      // collapses to the distinct RAW-double value dimension, ECDFs come
-      // from the range-partitioned prefix-sum two-pass (never an
-      // Exchange SinglePartition), and the supremum is a
-      // TakeOrderedAndProject top-1 with the value as tie-break.
-      // Compared projection is the EXACT contract only — (n_a, n_b,
-      // at_value DOUBLE raw, gap BIGINT); the derived
-      // d_stat/d_scaled doubles stay in the library output but OUT of
-      // the hash. Rounds 8-11 history: projection doubles, then a
-      // round(value,6)→DECIMAL group KEY, then a DECIMAL(38,0) gap
-      // emission (values byte-exact four rounds running, but the
-      // board's ONLY wide decimal canonicalized differently in the
-      // driver's hash path — r12 emits int64 on both sides, guarded
-      // by raise_error above ~3e9 rows/segment), each cost a red round to
-      // driver-side 1-ULP round() skew — r11 removed round() from the
-      // contract entirely; every compared byte is now either raw
-      // storage or exact integer arithmetic (the green-q_qnorm_bins
-      // pattern).
-      Q("q_ks_drift",
-        (s, dir) =>
-          graft.ops.Analytics.ksTest(
-              evT(s, dir), "event_type", "value", "click", "purchase")
-            .select("n_a", "n_b", "at_value", "gap"),
-        Some(graft.ops.Analytics.ksTestOracleSql(
-          duckEvents, "event_type", "value", "click", "purchase"))),
-
-      // Incremental aggregation: base-slice partials (< Jan 20) merged with
-      // delta-slice partials must EQUAL the full recompute (the oracle) —
-      // the exactness guarantee behind never rescanning history in a
-      // 100 TB metrics store. Counts + decimal sums are associative
-      // partial states; emitted as DOUBLE like every money sum here.
-      Q("q_incremental_agg",
-        (s, dir) => {
-          import graft.ops.Analytics
-          val ev = evT(s, dir)
-          val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
-          val base = Analytics.dailyPartials(
-            ev.where(col("ts") < cutoff), "event_type", "ts", "value")
-          val delta = Analytics.dailyPartials(
-            ev.where(col("ts") >= cutoff), "event_type", "ts", "value")
-          Analytics.mergePartials(base.unionAll(delta))
-            .select(col("event_type"), col("day"), col("n_events"),
-              col("total").cast("double").as("total"))
-            .orderBy("event_type", "day")
-        },
-        Some(s"""
-          SELECT * FROM (
-            ${graft.ops.Analytics.dailyPartialsOracleSql(
-              duckEvents, "event_type", "ts", "value")}
-          ) ORDER BY event_type, day""")),
-
-      // Degree assortativity of the near-dup graph: one number — do
-      // high-degree near-dup hubs link to other hubs (template families)
-      // or to leaves (boilerplate radiating into unique docs)? Exact
-      // DECIMAL(38,0) moment sums; a single row crosses the exchange.
-      Q("q_assortativity",
-        (s, dir) =>
-          graft.ops.Graph.assortativity(structureEdges(s, dir)),
-        Some(graft.ops.Graph.assortativityOracleSql(duckNearDupEdges))),
-
-      // First-order Markov transition matrix over per-user event
-      // sequences — "what happens after a click". One user-partitioned
-      // lead() window, then a |types|²-key aggregation.
-      Q("q_event_transitions",
-        (s, dir) =>
-          graft.ops.Analytics.eventTransitions(
-              evT(s, dir), "user_id", "ts", "event_id", "event_type")
-            .orderBy("from_type", "to_type"),
-        Some(s"""
-          SELECT * FROM (
-            ${graft.ops.Analytics.eventTransitionsOracleSql(
-              duckEvents, "user_id", "ts", "event_id", "event_type")}
-          ) ORDER BY from_type, to_type""")),
-
-      // Pairwise association rules over per-(user, day) baskets of event
-      // types: support / confidence / lift from exact basket counts —
-      // the market-basket read. Pair fan-out bounded by the tiny type
-      // domain, never by basket-row count.
-      Q("q_assoc_rules",
-        (s, dir) =>
-          graft.ops.Analytics.assocRules(
-              evT(s, dir), "user_id", "ts", "event_type")
-            .orderBy("item_a", "item_b"),
-        Some(s"""
-          SELECT * FROM (
-            ${graft.ops.Analytics.assocRulesOracleSql(
-              duckEvents, "user_id", "ts", "event_type")}
-          ) ORDER BY item_a, item_b""")),
-
-      // Per-language Gini concentration of document token counts — is a
-      // language's token mass dominated by a few huge docs? Rank window
-      // per language (no global sort), Σ i·xᵢ in DECIMAL(38,0).
-      Q("q_gini_lang",
-        (s, dir) =>
-          graft.ops.Analytics.giniByGroup(
-              t(s, dir, "documents"), "lang", "doc_id",
-              size(TextF.tokens(col("text"))))
-            .orderBy("lang"),
-        Some(s"""
-          SELECT * FROM (
-            ${graft.ops.Analytics.giniByGroupOracleSql(
-              "documents", "lang", "doc_id",
-              s"len(${D.splitWs("text")})")}
-          ) ORDER BY lang""")),
-
-      // Last-touch revenue attribution: each purchase attributes to the
-      // user's latest click within 7 days via the NATIVE as-of operator
-      // (AsOfJoinExec + tolerance), then rolls up attributed vs organic
-      // revenue per day — the composition that turns the as-of primitive
-      // into the marketing report. Oracle replays it through DuckDB's own
-      // ASOF LEFT JOIN: two independent as-of engines under one hash.
-      Q("q_attribution",
-        (s, dir) => {
-          import graft.ops.TemporalJoins
-          val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
-          val clicks = ev.where(col("event_type") === "click")
-            .groupBy(col("user_id"), col("tsu").as("ctsu"))
-            .agg(max(col("event_id")).as("click_id"))
-            .withColumn("click_ts", col("ctsu"))
-          val purch = ev.where(col("event_type") === "purchase")
-            .select(col("event_id"), col("user_id"), col("tsu"),
-              col("value"))
-          TemporalJoins.asofBackwardTolerance(purch, clicks, "user_id",
-              "tsu", "ctsu", Seq("click_id", "click_ts"), "click_ts",
-              tolerance = 604800000000L)
-            .groupBy(to_date(timestamp_micros(col("tsu"))).as("day"))
-            .agg(count(lit(1)).cast("long").as("n_purchases"),
-              sum(when(col("click_id").isNotNull, lit(1L)).otherwise(lit(0L)))
-                .cast("long").as("n_attributed"),
-              sum(when(col("click_id").isNotNull,
-                col("value").cast("decimal(18,2)")))
-                .cast("double").as("attributed_rev"),
-              sum(when(col("click_id").isNull,
-                col("value").cast("decimal(18,2)")))
-                .cast("double").as("organic_rev"))
-            .orderBy("day")
-        },
-        Some("""
-          WITH l AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value
-                     FROM events WHERE event_type = 'purchase'),
-          r AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ctsu,
-                       max(event_id) AS click_id
-                FROM events WHERE event_type = 'click'
-                GROUP BY user_id, epoch_us(CAST(ts AS TIMESTAMP))),
-          j AS (SELECT l.tsu, l.value,
-                       CASE WHEN r.ctsu IS NOT NULL AND l.tsu - r.ctsu <= 604800000000
-                            THEN r.click_id END AS click_id
-                FROM l ASOF LEFT JOIN r
-                  ON l.user_id = r.user_id AND l.tsu >= r.ctsu)
-          SELECT CAST(make_timestamp(tsu) AS DATE) AS day,
-                 CAST(count(*) AS BIGINT) AS n_purchases,
-                 CAST(sum(CASE WHEN click_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
-                 CAST(sum(CASE WHEN click_id IS NOT NULL
-                               THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS attributed_rev,
-                 CAST(sum(CASE WHEN click_id IS NULL
-                               THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS organic_rev
-          FROM j
-          GROUP BY day
-          ORDER BY day""")),
-
-      // KMV key-overlap estimate between orders and customer custkeys —
-      // "how many distinct keys do these join sides share" WITHOUT
-      // joining: two bounded sketches (≤ 256 doubles each cross the
-      // wire), driver-side merge, vs the exact distinct intersection.
-      // The join-planning statistic in the eval suite next to
-      // q_kmv_distinct / q_sketch_error.
-      Q("q_join_overlap_est",
-        (s, dir) => {
-          import graft.ops.Sketches
-          val o = t(s, dir, "orders")
-          val c = t(s, dir, "customer")
-          val ov = Sketches.kmvOverlap(o, "o_custkey", c, "c_custkey", 256)
-          val exact = o.select(col("o_custkey").as("kk")).distinct()
-            .join(c.select(col("c_custkey").as("kk")).distinct(),
-              Seq("kk"), "left_semi")
-            .agg(count(lit(1)).as("exact"))
-          ov.crossJoin(broadcast(exact))
-            .select(r6(col("est_inter")).as("est_inter"),
-              col("n_union_hashes").cast("long").as("n_union_hashes"),
-              r6(col("jaccard")).as("jaccard"),
-              col("exact").cast("long").as("exact"),
-              r6(abs(col("est_inter") - col("exact").cast("double")) /
-                col("exact").cast("double")).as("rel_err"))
-        },
-        Some(s"""
-          WITH ua AS (SELECT DISTINCT ${D.md5Uniform(D.castStr("o_custkey"))} AS u
-                      FROM orders WHERE o_custkey IS NOT NULL),
-          ub AS (SELECT DISTINCT ${D.md5Uniform(D.castStr("c_custkey"))} AS u
-                 FROM customer WHERE c_custkey IS NOT NULL),
-          un AS (SELECT u FROM (SELECT u FROM ua UNION SELECT u FROM ub) t__
-                 ORDER BY u LIMIT 256),
-          s AS (SELECT CAST(count(*) AS BIGINT) AS n, max(u) AS uk FROM un),
-          cm AS (SELECT CAST(count(*) AS BIGINT) AS c FROM un
-                 WHERE u IN (SELECT u FROM ua) AND u IN (SELECT u FROM ub)),
-          e AS (SELECT CAST(count(*) AS BIGINT) AS exact
-                FROM (SELECT DISTINCT o_custkey AS kk FROM orders) oo
-                JOIN (SELECT DISTINCT c_custkey FROM customer) cc
-                  ON oo.kk = cc.c_custkey),
-          est0 AS (SELECT
-              (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
-                (CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
-                      ELSE ${D.d(255.0)} / uk END) AS est,
-              n, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS jacc, exact
-            FROM s, cm, e)
-          SELECT ${duckR6("est")} AS est_inter, n AS n_union_hashes,
-                 ${duckR6("jacc")} AS jaccard, exact,
-                 ${duckR6("abs(est - CAST(exact AS DOUBLE)) / CAST(exact AS DOUBLE)")} AS rel_err
-          FROM est0""")),
-
-      // 3-core of the near-dup graph after 6 fixed peel rounds: the
-      // dense-template-family extractor (chains and pendants peel away).
-      // BOTH engines run exactly 6 rounds, so the hash matches whether or
-      // not the peel converged; each round's edge set is persisted
-      // (lazy chaining is the 3^rounds planning trap).
-      Q("q_kcore",
-        (s, dir) =>
-          graft.ops.Graph.kCore(structureEdges(s, dir), 3, 6)
-            .select(col("id").as("vec_id"), col("degree"))
-            .orderBy("vec_id"),
-        Some(s"""
-          SELECT id AS vec_id, degree FROM (
-            ${graft.ops.Graph.kCoreOracleSql(duckNearDupEdges, 3, 6)}
-          ) ORDER BY vec_id""")),
-
-      // Synchronous label-propagation communities on the near-dup graph
-      // (4 fixed rounds, min-label tie-break — deterministic, no random
-      // visit order): the lighter-weight community signal next to exact
-      // connected components; the argmax is max(struct(n, −label)), no
-      // window.
-      Q("q_lpa_communities",
-        (s, dir) => {
-          val emb = t(s, dir, "embeddings")
-          graft.ops.Graph.labelPropagation(
-              emb.select(col("vec_id").as("id")), structureEdges(s, dir), 4)
-            .select(col("id").as("vec_id"), col("label").as("community"))
-            .orderBy("vec_id")
-        },
-        Some(s"""
-          SELECT id AS vec_id, label AS community FROM (
-            ${graft.ops.Graph.labelPropagationOracleSql(
-              "(SELECT vec_id AS id FROM embeddings)", duckNearDupEdges, 4)}
-          ) ORDER BY vec_id""")),
-
-      // Top user journeys: first 5 event types of each (user, day)
-      // session, counted across sessions — the path-frequency read behind
-      // funnel design. Session state capped at 5 steps; top-50 via
-      // per-partition heaps (TakeOrderedAndProject).
-      Q("q_session_paths",
-        (s, dir) =>
-          graft.ops.Analytics.sessionPaths(
-            evT(s, dir), "user_id", "ts", "event_id", "event_type", 5, 50),
-        Some(graft.ops.Analytics.sessionPathsOracleSql(
-          duckEvents, "user_id", "ts", "event_id", "event_type", 5, 50))),
-
-      // Lorenz curve deciles of customer revenue: cumulative share of
-      // exact decimal revenue by customer decile (ntile over tie-broken
-      // order) — the concentration curve behind the Gini number; "top
-      // decile carries X% of revenue".
-      Q("q_lorenz_curve",
-        (s, dir) => {
-          // decile assignment via the range-partitioned two-pass rank
-          // (never a Window.orderBy SinglePartition over the customer
-          // dimension); the 10-row cumulative share is a broadcast
-          // triangular join on the fixed decile key — exact decimal sums,
-          // no window anywhere in the plan.
-          val rev = t(s, dir, "orders")
-            .groupBy(col("o_custkey"))
-            .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("__r"))
-          val (ranked, n) = graft.ops.Layout.globalRank(
-            rev, Seq(col("__r"), col("o_custkey")), "__rk")
-          val dec = ranked.withColumn("decile",
-            graft.ops.Layout.ntileFromRank(col("__rk"), n, 10))
-          val byDec = dec.groupBy(col("decile"))
-            .agg(count(lit(1)).cast("long").as("n_customers"),
-              sum(col("__r")).as("__dr"))
-          val tot = byDec.agg(sum(col("__dr")).as("__t"))
-          val prior = byDec.select(col("decile").as("__d2"),
-            col("__dr").as("__dr2"))
-          byDec.join(broadcast(prior), col("__d2") <= col("decile"))
-            .groupBy(col("decile"), col("n_customers"), col("__dr"))
-            .agg(sum(col("__dr2")).as("__cum"))
-            .crossJoin(broadcast(tot))
-            .select(col("decile"), col("n_customers"),
-              col("__dr").cast("double").as("revenue"),
-              r6(col("__cum").cast("double") / col("__t").cast("double"))
-                .as("cum_share"))
-            .orderBy("decile")
-        },
-        Some("""
-          WITH rev AS (SELECT o_custkey,
-                              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS r
-                       FROM orders GROUP BY o_custkey),
-          dec AS (SELECT o_custkey, r,
-                         CAST(ntile(10) OVER (ORDER BY r, o_custkey) AS BIGINT) AS decile
-                  FROM rev),
-          bd AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
-                        sum(r) AS dr
-                 FROM dec GROUP BY decile),
-          t AS (SELECT sum(dr) AS tt FROM bd)
-          SELECT decile, n_customers, CAST(dr AS DOUBLE) AS revenue,
-                 (round(CAST(sum(dr) OVER (ORDER BY decile
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-                        / CAST(tt AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS cum_share
-          FROM bd CROSS JOIN t
-          ORDER BY decile""")),
-
-      // Heaps'-law vocabulary growth: V(n) at doc-count checkpoints from
-      // each term's FIRST-occurrence doc (min doc_id per term — exact
-      // integers, no cumulative distinct scan), plus the fitted exponent
-      // from the rounded-log regression (the zipf-slope discipline). The
-      // "how fast does the vocabulary grow" corpus-scaling audit.
-      Q("q_heaps_law",
-        (s, dir) => {
-          val firstDoc = tk(s, dir, "documents")
-            .select(col("doc_id"), explode(TextF.tokens(col("text"))).as("term"))
-            .where(length(col("term")) > 0)
-            .groupBy(col("term")).agg(min(col("doc_id")).as("__fd"))
-          val checkpoints = Seq(100L, 200L, 300L, 400L, 500L)
-          val cps = checkpoints.map(n =>
-            firstDoc.where(col("__fd") < n)
-              .agg(lit(n).cast("long").as("n_docs"),
-                count(lit(1)).cast("long").as("vocab")))
-            .reduce(_.unionAll(_))
-          val x = round(log(col("n_docs").cast("double")), 6)
-            .cast("decimal(18,6)")
-          val y = round(log(col("vocab").cast("double")), 6)
-            .cast("decimal(18,6)")
-          val m = cps.agg(count(lit(1)).as("__n"),
-            sum(x).as("__sx"), sum(y).as("__sy"),
-            sum((x * y).cast("decimal(38,12)")).as("__sxy"),
-            sum((x * x).cast("decimal(38,12)")).as("__sxx"))
-          val nd = col("__n").cast("double")
-          val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
-          val sxy = col("__sxy").cast("double"); val sxx = col("__sxx").cast("double")
-          cps.crossJoin(broadcast(m.select(
-              r6((nd * sxy - sx * sy) / (nd * sxx - sx * sx)).as("heaps_beta"))))
-            .orderBy("n_docs")
-        },
-        Some(s"""
-          WITH fd AS (
-            SELECT term, min(doc_id) AS fdoc FROM (
-              SELECT doc_id, unnest(${D.splitWs("text")}) AS term FROM documents) t__
-            WHERE len(term) > 0 GROUP BY term),
-          cp AS (SELECT CAST(n AS BIGINT) AS n_docs,
-                        (SELECT CAST(count(*) AS BIGINT) FROM fd WHERE fdoc < n) AS vocab
-                 FROM (SELECT unnest([100, 200, 300, 400, 500]) AS n) ns),
-          xy AS (SELECT CAST(round(ln(CAST(n_docs AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
-                        CAST(round(ln(CAST(vocab AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
-                 FROM cp),
-          m AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                       sum(x) AS sx, sum(y) AS sy,
-                       sum(CAST(x * y AS DECIMAL(38,12))) AS sxy,
-                       sum(CAST(x * x AS DECIMAL(38,12))) AS sxx
-                FROM xy),
-          b AS (SELECT ${duckR6(
-            """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-               (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))""")} AS heaps_beta
-               FROM m)
-          SELECT n_docs, vocab, heaps_beta
-          FROM cp CROSS JOIN b
-          ORDER BY n_docs""")),
-
-      // LSH banding precision/recall on a doc sample: ground TRUTH comes
-      // from the exact set-similarity join (pairs sharing >= 1 shingle
-      // via the postings equi-join — a Jaccard >= 0.1 pair MUST share a
-      // shingle, so recall of the truth set is exact and no cartesian
-      // appears anywhere); candidates are the production 4-band/2-row
-      // signatures. The banding-trust eval behind every LSH parameter
-      // choice, alongside q_sketch_error.
-      Q("q_lsh_pr_eval",
-        (s, dir) => {
-          // seed 5 guaranteed near-dup pairs (suffix-mutated copies of
-          // docs 0-4) so the truth set is non-empty at EVERY scale factor
-          // — sf0.1's first-200 docs happen to contain no natural pairs,
-          // which would make the eval vacuous (and divide by zero)
-          val base = t(s, dir, "documents").where(col("doc_id") < 200)
-            .select(col("doc_id"), col("text"))
-          val mutated = base.where(col("doc_id") < 5)
-            .select((col("doc_id") + 9000L).as("doc_id"),
-              concat(col("text"), lit(" zz qq xtra")).as("text"))
-          val docs = base.unionAll(mutated)
-          val sets = Dedup.shingleSets(docs, "text", "doc_id", 3)
-          val post = sets.select(col("doc_id"), explode(col("sh")).as("s"))
-          val pairs = post.select(col("doc_id").as("id_a"), col("s"))
-            .join(post.select(col("doc_id").as("id_b"), col("s")), "s")
-            .where(col("id_a") < col("id_b"))
-            .select(col("id_a"), col("id_b")).distinct()
-          val truth = Dedup.jaccardVerify(docs, pairs, "text", "doc_id", 3, 0.1)
-            .select(col("id_a"), col("id_b"))
-          val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", 3, 8)
-          val cand = Dedup.lshCandidatePairs(sigs, "doc_id", 2)
-            .select(col("id_a"), col("id_b")).distinct()
-          val hit = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
-          val nT = truth.agg(count(lit(1)).as("n_truth"))
-          val nC = cand.agg(count(lit(1)).as("n_cand"))
-          val nH = hit.agg(count(lit(1)).as("n_hit"))
-          // empty truth/candidate sets are legitimate on a slice with no
-          // similar pairs (seen at sf0.1's first-200 docs) — report 0.0,
-          // never divide by zero (ANSI mode aborts the query otherwise)
-          nT.crossJoin(broadcast(nC)).crossJoin(broadcast(nH))
-            .select(col("n_truth").cast("long").as("n_truth"),
-              col("n_cand").cast("long").as("n_cand"),
-              col("n_hit").cast("long").as("n_hit"),
-              r6(when(col("n_cand") > 0,
-                col("n_hit").cast("double") / col("n_cand").cast("double"))
-                .otherwise(lit(0.0))).as("precision"),
-              r6(when(col("n_truth") > 0,
-                col("n_hit").cast("double") / col("n_truth").cast("double"))
-                .otherwise(lit(0.0))).as("recall"))
-        },
-        Some {
-          val duckToksS =
-            s"""(SELECT doc_id, ${D.splitWs("text")} AS toks FROM (
-                 SELECT doc_id, text FROM documents WHERE doc_id < 200
-                 UNION ALL
-                 SELECT doc_id + 9000, text || ' zz qq xtra'
-                 FROM documents WHERE doc_id < 5) u__)"""
-          val duckShinglesS =
-            s"(SELECT doc_id, ${Exprs.wordShingles(D, "toks", 3)} AS sh FROM $duckToksS)"
-          s"""
-          WITH sets AS (SELECT doc_id, ${D.arrayDistinct("sh")} AS shs FROM $duckShinglesS),
-          post AS (SELECT doc_id, unnest(shs) AS s FROM sets),
-          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                    FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id),
-          truth AS (SELECT id_a, id_b
-                    FROM pairs JOIN sets sa ON sa.doc_id = id_a
-                               JOIN sets sb ON sb.doc_id = id_b
-                    WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
-                          / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
-                          >= CAST(0.1 AS DOUBLE)),
-          sigs AS (SELECT doc_id, ${Exprs.minhashSig(D, "sh", 8)} AS sig
-                   FROM $duckShinglesS),
-          banded AS (
-            SELECT doc_id, CAST(b.b AS BIGINT) AS band,
-                   md5(array_to_string(sig[(CAST(b.b AS INT) * 2 + 1):(CAST(b.b AS INT) * 2 + 2)], '|')) AS band_key
-            FROM sigs, range(0, 4) AS b(b)),
-          cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-            FROM banded a JOIN banded c
-              ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
-          hit AS (SELECT c.id_a, c.id_b FROM cand c
-                  JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b),
-          m AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
-                       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
-                       (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit)
-          SELECT n_truth, n_cand, n_hit,
-                 ${duckR6("CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END")} AS precision,
-                 ${duckR6("CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END")} AS recall
-          FROM m"""
-        }),
-
-      // Join-key skew probe for lineitem.l_orderkey: exact frequency
-      // extremes + distribution quantiles + the max/median skew ratio —
-      // the pre-join planning read that decides salting/AQE-skew config
-      // BEFORE a 100 TB shuffle. Frequencies are one map-combined agg;
-      // quantiles go through the distributed exact-rank picker.
-      Q("q_join_skew_probe",
-        (s, dir) => {
-          val freqs = t(s, dir, "lineitem")
-            .groupBy(col("l_orderkey")).agg(count(lit(1)).as("f"))
-          val qs = graft.ops.Percentiles.quantilesGlobal(
-            freqs, "f", Seq("p50_f" -> 0.5, "p99_f" -> 0.99))
-          val ext = freqs.agg(
-            count(lit(1)).cast("long").as("n_keys"),
-            sum(col("f")).cast("long").as("total_rows"),
-            max(col("f")).cast("long").as("max_freq"))
-          ext.crossJoin(broadcast(qs))
-            .select(col("n_keys"), col("total_rows"), col("max_freq"),
-              r6(col("max_freq").cast("double") /
-                col("total_rows").cast("double")).as("top1_share"),
-              r6(col("p50_f")).as("p50_freq"), r6(col("p99_f")).as("p99_freq"),
-              r6(col("max_freq").cast("double") / col("p50_f")).as("skew_ratio"))
-        },
-        Some(s"""
-          WITH f AS (SELECT l_orderkey, count(*) AS f FROM lineitem
-                     GROUP BY l_orderkey),
-          m AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
-                       CAST(sum(f) AS BIGINT) AS total_rows,
-                       CAST(max(f) AS BIGINT) AS max_freq,
-                       quantile_cont(f, 0.5) AS p50,
-                       quantile_cont(f, 0.99) AS p99
-                FROM f)
-          SELECT n_keys, total_rows, max_freq,
-                 ${duckR6("CAST(max_freq AS DOUBLE) / CAST(total_rows AS DOUBLE)")} AS top1_share,
-                 ${duckR6("p50")} AS p50_freq, ${duckR6("p99")} AS p99_freq,
-                 ${duckR6("CAST(max_freq AS DOUBLE) / p50")} AS skew_ratio
-          FROM m""")),
-
-      // Day-of-week × hour activity heatmap with exact per-cell share —
-      // the ops-dashboard staple; one map-combined 168-key aggregation.
-      Q("q_calendar_heatmap",
-        (s, dir) =>
-          evT(s, dir)
-            .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
-              hour(col("ts")).cast("long").as("hod"))
-            .agg(count(lit(1)).cast("long").as("n"))
-            .withColumn("share", r6(col("n").cast("double") /
-              sum(col("n")).over(
-                org.apache.spark.sql.expressions.Window.partitionBy())
-                .cast("double")))
-            .orderBy("dow", "hod"),
-        Some(s"""
-          WITH c AS (
-            SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
-                   CAST(hour(ts) AS BIGINT) AS hod,
-                   CAST(count(*) AS BIGINT) AS n
-            FROM $duckEvents e__
-            GROUP BY dow, hod),
-          t AS (SELECT sum(n) AS tt FROM c)
-          SELECT dow, hod, n,
-                 ${duckR6("CAST(n AS DOUBLE) / CAST(tt AS DOUBLE)")} AS share
-          FROM c CROSS JOIN t
-          ORDER BY dow, hod""")),
-
-      // Embedding peakiness outliers: vectors whose LARGEST |coordinate|
-      // sits more than 3 z-units from the corpus mean (round-6 peaks
-      // summed in DECIMAL — exact moments) — the collapsed/degenerate-
-      // vector detector next to the per-dimension health stats. (L2 norm
-      // is useless here by design: the store is normalized, every norm
-      // is exactly 1.)
-      Q("q_embed_outliers",
-        (s, dir) => {
-          val base = t(s, dir, "embeddings")
-            .select(col("vec_id"),
-              expr("array_max(transform(CAST(embedding AS ARRAY<DOUBLE>), x__ -> abs(x__)))")
-                .as("__peak"))
-            .select(col("vec_id"),
-              (round(col("__peak"), 6) + lit(0.0)).as("norm"))
-          val m = base.agg(
-            count(lit(1)).cast("long").as("__n"),
-            sum(col("norm").cast("decimal(12,6)")).as("__s"),
-            sum((col("norm").cast("decimal(12,6)") *
-              col("norm").cast("decimal(12,6)")).cast("decimal(38,12)"))
-              .as("__ss"))
-          val nd = col("__n").cast("double")
-          val sd = col("__s").cast("double"); val ssd = col("__ss").cast("double")
-          val stats = m.select(
-            (sd / nd).as("__mean"),
-            sqrt((ssd - sd * sd / nd) / (nd - lit(1.0))).as("__std"))
-          base.crossJoin(broadcast(stats))
-            .withColumn("z", r6((col("norm") - col("__mean")) / col("__std")))
-            .where(abs(col("z")) > 3.0)
-            .select(col("vec_id"), col("norm"), col("z"))
-            .orderBy("vec_id")
-        },
-        Some(s"""
-          WITH b AS (SELECT vec_id,
-                            (round(list_max(list_transform(v, x__ -> abs(x__))), 6)
-                             + CAST(0.0 AS DOUBLE)) AS norm
-                     FROM $duckEmbTable),
-          m AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                       sum(CAST(norm AS DECIMAL(12,6))) AS s,
-                       sum(CAST(CAST(norm AS DECIMAL(12,6))
-                                * CAST(norm AS DECIMAL(12,6)) AS DECIMAL(38,12))) AS ss
-                FROM b),
-          st AS (SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-                        sqrt((CAST(ss AS DOUBLE)
-                              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-                             / (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))) AS std
-                 FROM m)
-          SELECT vec_id, norm,
-                 ${duckR6("(norm - mean) / std")} AS z
-          FROM b CROSS JOIN st
-          WHERE abs((round((norm - mean) / std, 6) + CAST(0.0 AS DOUBLE)))
-                > CAST(3.0 AS DOUBLE)
-          ORDER BY vec_id""")),
-
-      // ROC AUC of the in-engine trained quality classifier via EXACT
-      // Mann-Whitney rank arithmetic: doubled average ranks (2r + c − 1)
-      // keep tie handling in pure integers; the single division happens
-      // once at the end. Turns q_quality_classifier + calibration into a
-      // threshold-free ranking eval. At scale: NO corpus-sized rank
-      // window — rows first collapse to per-distinct-score tallies
-      // (c rows, cp positives: a map-combined aggregate), and the
-      // min-rank of each tie group is cum(c) − c + 1 from the
-      // range-partitioned two-pass prefix sum (Layout.rankedCumSum) over
-      // the DISTINCT-SCORE dimension, exactly rank() OVER (ORDER BY
-      // score) but never an Exchange SinglePartition.
-      Q("q_classifier_auc",
-        (s, dir) => {
-          val scored = graft.ops.QualityClassifier.trainAndScore(
-            t(s, dir, "documents"), "doc_id", "text", "n_chars >= 250")
-          val byScore = scored.groupBy(col("score"))
-            .agg(count(lit(1)).cast("decimal(18,0)").as("__c"),
-              sum(when(col("label") === 1.0, 1L).otherwise(0L))
-                .cast("long").as("__cp"))
-          val (ranked, _) = graft.ops.Layout.rankedCumSum(
-            byScore, Seq(col("score")), "__c", "__rk", "__cum")
-          val agg = ranked.select(col("__cp"),
-              col("__c").cast("long").as("__cl"),
-              (col("__cum").cast("long") - col("__c").cast("long") + 1L)
-                .as("__r"))
-            .agg(
-              sum(col("__cp") * (lit(2L) * col("__r") + col("__cl") - 1L))
-                .cast("long").as("__s2"),
-              sum(col("__cp")).cast("long").as("__np"),
-              sum(col("__cl") - col("__cp")).cast("long").as("__nn"))
-          agg.select(col("__np").as("n_pos"), col("__nn").as("n_neg"),
-            r6((col("__s2") - col("__np") * (col("__np") + 1L)).cast("double") /
-              (lit(2L) * col("__np") * col("__nn")).cast("double")).as("auc"))
-        },
-        Some(s"""
-          WITH scored AS (
-            SELECT doc_id, score, label FROM (
-              ${graft.ops.QualityClassifier.oracleSql(
-                D, "documents", "doc_id", "text", "n_chars >= 250")}) t__),
-          rk AS (SELECT label, score,
-                        rank() OVER (ORDER BY score) AS r,
-                        count(*) OVER (PARTITION BY score) AS c
-                 FROM scored),
-          agg AS (SELECT
-              CAST(sum(CASE WHEN label = 1 THEN 2 * r + c - 1 ELSE 0 END) AS BIGINT) AS s2,
-              CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
-              CAST(sum(CASE WHEN label = 1 THEN 0 ELSE 1 END) AS BIGINT) AS nn
-            FROM rk)
-          SELECT np AS n_pos, nn AS n_neg,
-                 ${duckR6("CAST(s2 - np * (np + 1) AS DOUBLE) / CAST(2 * np * nn AS DOUBLE)")} AS auc
-          FROM agg""")),
-
-      // Directed-edge reciprocity of the host link graph: the fraction of
-      // distinct edges whose reverse also exists — mutual-linking vs
-      // one-way citation structure, one self-join + one scalar row.
-      Q("q_reciprocity",
-        (s, dir) => {
-          val pages = tk(s, dir, "documents")
-          val edges = pages.select(
-              concat(lit("h"), col("doc_id") % 7, lit(".example.com")).as("src"),
-              concat(lit("h"), (col("doc_id") + 1) % 7, lit(".example.com")).as("dst"))
-            .where(col("src") =!= col("dst"))
-            .distinct()
-          val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
-            .withColumn("__rev", lit(1))
-          edges.join(rev, Seq("src", "dst"), "left")
-            .agg(count(lit(1)).cast("long").as("n_edges"),
-              sum(coalesce(col("__rev"), lit(0))).cast("long").as("n_mutual"))
-            .select(col("n_edges"), col("n_mutual"),
-              r6(col("n_mutual").cast("double") / col("n_edges").cast("double"))
-                .as("reciprocity"))
-        },
-        Some("""
-          WITH e AS (
-            SELECT DISTINCT
-                   'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS src,
-                   'h' || CAST((doc_id + 1) % 7 AS VARCHAR) || '.example.com' AS dst
-            FROM documents
-            WHERE doc_id % 7 <> (doc_id + 1) % 7),
-          m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
-                       CAST(sum(CASE WHEN EXISTS (
-                         SELECT 1 FROM e e2 WHERE e2.src = e.dst AND e2.dst = e.src)
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mutual
-                FROM e)
-          SELECT n_edges, n_mutual,
-                 (round(CAST(n_mutual AS DOUBLE) / CAST(n_edges AS DOUBLE), 6)
-                  + CAST(0.0 AS DOUBLE)) AS reciprocity
-          FROM m""")),
-
-      // Consecutive-day activity streaks per user (gaps-and-islands via
-      // the day-minus-rank constant) — the engagement-streak metric;
-      // events collapse to distinct (user, day) BEFORE any window.
-      Q("q_user_streaks",
-        (s, dir) =>
-          graft.ops.Analytics.activityStreaks(evT(s, dir), "user_id", "ts")
-            .orderBy("user_id"),
-        Some(s"""
-          SELECT * FROM (
-            ${graft.ops.Analytics.activityStreaksOracleSql(
-              duckEvents, "user_id", "ts")}
-          ) ORDER BY user_id""")),
-
-      // Pearson correlation between the click and error hourly series
-      // (exact integer moments, inner-aligned hours) — "do errors move
-      // with traffic?"
-      Q("q_series_corr",
-        (s, dir) =>
-          graft.ops.Analytics.seriesCorr(
-            evT(s, dir), "ts", "event_type", "click", "error"),
-        Some(graft.ops.Analytics.seriesCorrOracleSql(
-          duckEvents, "ts", "event_type", "click", "error"))),
-
-      // Simplified silhouette against label centroids — the
-      // embedding-space separability eval next to recall@k/calibration.
-      // Centroids: round-6 component sums in DECIMAL, broadcast; each
-      // vector scores against |labels| centroids map-only — vectors
-      // never shuffle.
-      Q("q_silhouette",
-        (s, dir) =>
-          graft.ops.Analytics.labelSilhouette(
-              t(s, dir, "embeddings"), "vec_id", "embedding", "label", 64)
-            .orderBy("vec_id"),
-        Some(s"""
-          SELECT * FROM (
-            ${graft.ops.Analytics.labelSilhouetteOracleSql(64)}
-          ) ORDER BY vec_id""")),
-
-      // SCD1 MERGE in-engine: order-derived updates (latest o_orderkey
-      // wins per customer) upsert into the customer dimension; every
-      // 50th update also inserts under a shifted key, exercising the
-      // insert path. One latest-per-key reduction + one full-outer join
-      // — what a warehouse MERGE compiles to before file rewriting.
-      Q("q_scd1_merge",
-        (s, dir) => {
-          val base = t(s, dir, "customer")
-            .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-          val upd0 = t(s, dir, "orders").select(
-            col("o_custkey").as("c_custkey"), col("o_orderkey").as("ord"),
-            concat(lit("upd_"), col("o_orderkey")).as("c_name"),
-            col("o_totalprice").as("c_acctbal"))
-          val updates = upd0.unionAll(
-            upd0.where(col("c_custkey") % 50 === 0)
-              .withColumn("c_custkey", col("c_custkey") + lit(1000000L)))
-          graft.ops.Analytics.scd1Merge(base, updates, "c_custkey", "ord",
-              Seq("c_name", "c_acctbal"))
-            .orderBy("c_custkey")
-        },
-        Some {
-          val updatesRel = """(
-            SELECT o_custkey AS c_custkey, o_orderkey AS ord,
-                   'upd_' || CAST(o_orderkey AS VARCHAR) AS c_name,
-                   o_totalprice AS c_acctbal
-            FROM orders
-            UNION ALL
-            SELECT o_custkey + 1000000 AS c_custkey, o_orderkey AS ord,
-                   'upd_' || CAST(o_orderkey AS VARCHAR) AS c_name,
-                   o_totalprice AS c_acctbal
-            FROM orders WHERE o_custkey % 50 = 0)"""
-          s"""
-          SELECT * FROM (
-            ${graft.ops.Analytics.scd1MergeOracleSql(
-              "(SELECT c_custkey, c_name, c_acctbal FROM customer)",
-              updatesRel, "c_custkey", "ord", Seq("c_name", "c_acctbal"))}
-          ) ORDER BY c_custkey"""
-        }),
-
-      // Per-user time-weighted average of the value signal: each
-      // observation holds until the next (exact µs weights, DECIMAL
-      // mass) — what plain AVG gets wrong under irregular sampling.
-      Q("q_twap",
-        (s, dir) =>
-          graft.ops.Analytics.twap(
-              evT(s, dir), "user_id", "ts", "event_id", "value")
-            .orderBy("user_id"),
-        Some(s"""
-          SELECT * FROM (
-            ${graft.ops.Analytics.twapOracleSql(
-              duckEvents, "user_id", "ts", "event_id", "value")}
-          ) ORDER BY user_id""")),
-
-      // Streaming TWAP == batch TWAP: mass accrues incrementally across
-      // micro-batches in O(1) state per key (exact integer mass as a
-      // decimal string — exceeds Long on long spans); watermark sentinel
-      // flushes; hash-matches the batch DECIMAL oracle.
-      Q("q_stream_twap_eq",
-        (s, dir0) => {
-          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
-          import s.implicits._
-          import graft.streaming.StreamingTwap
-          import graft.streaming.StreamingTwap.{TwapOut, VEvent}
-          val ss = streamSession(s)
-          implicit val sqlCtx = ss.sqlContext
-          def tsOf(usv: Long) = java.sql.Timestamp.from(
-            java.time.Instant.ofEpochSecond(usv / 1000000L, (usv % 1000000L) * 1000L))
-          val evs = tEvents(s, dir)
-            .select(col("user_id").cast("long"), expr("ts div 1000").as("tsus"),
-              col("event_id").cast("long"), col("value").cast("double"))
-            .as[(Long, Long, Long, Double)].collect()
-            .sortBy { case (_, tsus, eid, _) => (tsus, eid) }
-            .map { case (u, tsus, eid, v) => VEvent(u, tsOf(tsus), eid, v) }
-          val quiet = 35L * 86400000000L
-          val sentinelUs = evs.map(e => e.ts.getTime).max * 1000L +
-            40L * 86400000000L
-          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[VEvent]
-          val name = s"q_stream_twap_eq_${System.nanoTime()}"
-          val q = StreamingTwap.twapStream(
-              in.toDS().withWatermark("ts", "0 seconds"), quietUs = quiet)
-            .writeStream.format("memory").queryName(name)
-            .outputMode("append").start()
-          try {
-            evs.grouped(math.max(1, (evs.length + 3) / 4)).foreach { b =>
-              in.addData(b.toSeq); q.processAllAvailable()
-            }
-            in.addData(VEvent(-1L, tsOf(sentinelUs), 0L, 0.0)); q.processAllAvailable()
-            in.addData(VEvent(-1L, tsOf(sentinelUs + 1000000L), 1L, 0.0)); q.processAllAvailable()
-          } finally {
-            q.stop()
-            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-          }
-          ss.table(name).as[TwapOut].collect().toSeq.filter(_.user_id >= 0)
-            .toDF("user_id", "n_steps", "twap")
-            .orderBy("user_id")
-        },
-        Some(s"""
-          SELECT * FROM (
-            ${graft.ops.Analytics.twapOracleSql(
-              duckEvents, "user_id", "ts", "event_id", "value")}
-          ) ORDER BY user_id""")),
-
-      // Hourly OHLC bars per event type: open/close via min/max-by-struct
-      // on the (ts, id) total order — one map-combined aggregation, no
-      // window; the time-series resampling primitive.
-      Q("q_ohlc_bars",
-        (s, dir) =>
-          graft.ops.Analytics.ohlcBars(
-              evT(s, dir), "event_type", "ts", "event_id", "value")
-            .orderBy("event_type", "bar_ts"),
-        Some(s"""
-          SELECT * FROM (
-            ${graft.ops.Analytics.ohlcBarsOracleSql(
-              duckEvents, "event_type", "ts", "event_id", "value")}
-          ) ORDER BY event_type, bar_ts""")),
-
-      // Session entry/exit transition counts (first/last event type per
-      // (user, day) via the same argmin/argmax-by-struct shape) — the
-      // bounce/landing read.
-      Q("q_entry_exit",
-        (s, dir) =>
-          graft.ops.Analytics.entryExit(
-              evT(s, dir), "user_id", "ts", "event_id", "event_type")
-            .orderBy("entry_type", "exit_type"),
-        Some(s"""
-          SELECT * FROM (
-            ${graft.ops.Analytics.entryExitOracleSql(
-              duckEvents, "user_id", "ts", "event_id", "event_type")}
-          ) ORDER BY entry_type, exit_type""")),
-
-      // Adjacent-bigram PMI collocations from exact corpus counts (min
-      // count 20, top 50): the "new york" detector feeding tokenizer
-      // merge candidates; the single ln runs on identical exact ratios.
-      Q("q_pmi_collocations",
-        (s, dir) =>
-          graft.ops.Analytics.pmiCollocations(
-            tk(s, dir, "documents"), "text", 20, 50),
-        Some(graft.ops.Analytics.pmiCollocationsOracleSql(
-          duckDocToks, 20, 50))),
-
-      // RAKE corpus keyphrases: stopword-free runs segmented by one
-      // doc-partitioned cumulative window, corpus deg/freq word scores,
-      // DECIMAL(18,6) phrase sums, top-50 by (score, phrase). The
-      // unsupervised keyphrase baseline for corpus exploration.
-      Q("q_rake_keyphrases",
-        (s, dir) =>
-          graft.ops.Analytics.rakeKeyphrases(
-              tk(s, dir, "documents"), "doc_id", "text",
-              graft.functions.TextF.StopEn, 50)
-            .orderBy(desc("score"), col("phrase")),
-        Some(s"""
-          SELECT * FROM (
-            ${graft.ops.Analytics.rakeKeyphrasesOracleSql(
-              duckDocToks, "doc_id",
-              D.strArray(graft.functions.TextF.StopEn), 50)}
-          ) ORDER BY score DESC, phrase""")),
-
-      // Time-to-convert funnel: per signup cohort week, exact p50/p90 of
-      // microseconds from first signup to first subsequent purchase —
-      // the funnel-latency report behind activation dashboards. Durations
-      // are exact integers; quantiles go through the audited exact
-      // rank-interpolation operator (window form: cohorts are few and
-      // small after the per-user collapse).
-      Q("q_funnel_timing",
-        (s, dir) => {
-          val ev = evT(s, dir)
-          val su = ev.where(col("event_type") === "signup")
-            .groupBy(col("user_id")).agg(min(col("ts")).as("sts"))
-          val pu = ev.where(col("event_type") === "purchase")
-            .select(col("user_id"), col("ts").as("pts"))
-          val dur = pu.join(su, "user_id")
-            .where(col("pts") >= col("sts"))
-            .groupBy(col("user_id"), col("sts")).agg(min(col("pts")).as("fp"))
-            .select(
-              date_trunc("week", col("sts")).cast("date").as("cohort_week"),
-              (unix_micros(col("fp")) - unix_micros(col("sts")))
-                .as("dur_us"))
-          graft.ops.Percentiles.quantiles(dur, "dur_us", Seq("cohort_week"),
-              Seq("p50_raw" -> 0.5, "p90_raw" -> 0.9))
-            .select(col("cohort_week"),
-              r6(col("p50_raw")).as("p50_us"), r6(col("p90_raw")).as("p90_us"),
-              col("cnt"))
-            .orderBy("cohort_week")
-        },
-        Some(s"""
-          WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
-                     FROM events),
-          su AS (SELECT user_id, min(ts) AS sts FROM e
-                 WHERE event_type = 'signup' GROUP BY user_id),
-          fp AS (SELECT pu.user_id, su.sts, min(pu.ts) AS fp
-                 FROM e pu JOIN su ON pu.user_id = su.user_id
-                 WHERE pu.event_type = 'purchase' AND pu.ts >= su.sts
-                 GROUP BY pu.user_id, su.sts),
-          dur AS (SELECT CAST(date_trunc('week', sts) AS DATE) AS cohort_week,
-                         epoch_us(fp) - epoch_us(sts) AS dur_us
-                  FROM fp)
-          SELECT cohort_week,
-                 (round(quantile_cont(dur_us, 0.5), 6) + CAST(0.0 AS DOUBLE)) AS p50_us,
-                 (round(quantile_cont(dur_us, 0.9), 6) + CAST(0.0 AS DOUBLE)) AS p90_us,
-                 count(*) AS cnt
-          FROM dur
-          GROUP BY cohort_week
-          ORDER BY cohort_week""")),
-
-      // Language-ID confusion matrix: the n-gram-heuristic classifier's
-      // predictions crossed with the corpus's true lang labels, plus
-      // per-cell share of the true-label row — the eval that turns
-      // q_langid from a prediction dump into a measured classifier.
-      Q("q_langid_confusion",
-        (s, dir) =>
-          tk(s, dir, "documents")
-            .select(col("lang"),
-              graft.functions.TextF.langId(TextF.tokens(col("text")))
-                .as("pred_lang"))
-            .groupBy("lang", "pred_lang")
-            .agg(count(lit(1)).cast("long").as("n"))
-            .withColumn("row_share", r6(col("n").cast("double") /
-              sum(col("n")).over(
-                org.apache.spark.sql.expressions.Window.partitionBy("lang"))
-                .cast("double")))
-            .orderBy("lang", "pred_lang"),
-        Some {
-          def hits(stop: Seq[String]) =
-            s"len(list_filter(toks, t__ -> list_contains(${D.strArray(stop)}, t__)))"
-          s"""
-          WITH pred AS (
-            SELECT lang,
-                   CASE WHEN en__ >= de__ AND en__ >= es__ AND en__ >= fr__ THEN 'en'
-                        WHEN de__ >= es__ AND de__ >= fr__ THEN 'de'
-                        WHEN es__ >= fr__ THEN 'es'
-                        ELSE 'fr' END AS pred_lang
-            FROM (SELECT d0.lang, ${hits(graft.functions.TextF.StopEn)} AS en__,
-                         ${hits(graft.functions.TextF.StopDe)} AS de__,
-                         ${hits(graft.functions.TextF.StopEs)} AS es__,
-                         ${hits(graft.functions.TextF.StopFr)} AS fr__
-                  FROM (SELECT doc_id, lang, ${D.splitWs("text")} AS toks
-                        FROM documents) d0)),
-          cm AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
-                 FROM pred GROUP BY lang, pred_lang)
-          SELECT lang, pred_lang, n,
-                 (round(CAST(n AS DOUBLE) /
-                        CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6)
-                  + CAST(0.0 AS DOUBLE)) AS row_share
-          FROM cm
-          ORDER BY lang, pred_lang"""
-        }),
-
-      // Benford first-digit audit of lineitem prices: exact integer-cents
-      // digit extraction (no log10 near powers of ten), shared-literal
-      // expected probabilities, per-digit chi-square contributions — the
-      // synthetic-data / corrupt-feed alarm. One 9-key map-combined agg.
-      Q("q_benford",
-        (s, dir) =>
-          graft.ops.Analytics.benford(
-              t(s, dir, "lineitem"), col("l_extendedprice"))
-            .orderBy("digit"),
-        Some(s"""
-          SELECT * FROM (
-            ${graft.ops.Analytics.benfordOracleSql("lineitem", "l_extendedprice")}
-          ) ORDER BY digit""")),
-
-      // RFM quintile segmentation of purchasers — recency/frequency/
-      // monetary scores 1-5 with full tie-breaks; the windows run over the
-      // aggregated USER dimension, never event volume.
-      Q("q_rfm",
-        (s, dir) =>
-          graft.ops.Analytics.rfm(
-              evT(s, dir), "user_id", "ts", "event_type", "value", "purchase")
-            .orderBy("user_id"),
-        Some(s"""
-          SELECT * FROM (
-            ${graft.ops.Analytics.rfmOracleSql(
-              duckEvents, "user_id", "ts", "event_type", "value", "purchase")}
-          ) ORDER BY user_id""")),
-
-      // ABC/Pareto classification of parts by exact decimal revenue share
-      // (A <= 0.80, B <= 0.95): the catalog 80-15-5 report; cumulative
-      // sums stay DECIMAL so the class boundary cannot drift with
-      // partitioning.
-      Q("q_abc_parts",
-        (s, dir) =>
-          graft.ops.Analytics.abcClassify(
-              t(s, dir, "lineitem"), "l_partkey",
-              col("l_extendedprice").cast("decimal(18,2)") *
-                (lit(1) - col("l_discount")).cast("decimal(18,2)"),
-              0.80, 0.95)
-            .orderBy("rank"),
-        Some(s"""
-          SELECT * FROM (
-            ${graft.ops.Analytics.abcClassifyOracleSql(
-              "lineitem", "l_partkey",
-              "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))",
-              0.80, 0.95)}
-          ) ORDER BY rank""")),
-
-      // Data-quality audit: the dbt-tests-style constraint table — FK
-      // orphans both directions, PK duplicates, domain violations, null
-      // checks — one row per check with its exact violation count. Each
-      // check is an independent scalar aggregate (anti-joins broadcast
-      // the key side); a healthy warehouse reads all zeros.
-      Q("q_dq_audit",
-        (s, dir) => {
-          val li = t(s, dir, "lineitem")
-          val o = t(s, dir, "orders")
-          val c = t(s, dir, "customer")
-          def chk(name: String, d: DataFrame) =
-            d.agg(count(lit(1)).cast("long").as("n_violations"))
-              .select(lit(name).as("check"), col("n_violations"))
-          chk("customer.c_name_null", c.where(col("c_name").isNull))
-            .unionAll(chk("lineitem.l_orderkey_orphan",
-              li.join(o.select(col("o_orderkey").as("l_orderkey")),
-                Seq("l_orderkey"), "left_anti")))
-            .unionAll(chk("lineitem.l_quantity_nonpositive",
-              li.where(col("l_quantity") <= 0)))
-            .unionAll(chk("orders.o_custkey_orphan",
-              o.join(c.select(col("c_custkey").as("o_custkey")),
-                Seq("o_custkey"), "left_anti")))
-            .unionAll(chk("orders.o_orderkey_dup",
-              o.groupBy("o_orderkey").agg(count(lit(1)).as("__c"))
-                .where(col("__c") > 1)))
-            .orderBy("check")
-        },
-        Some("""
-          SELECT 'customer.c_name_null' AS "check",
-                 CAST(count(*) AS BIGINT) AS n_violations
-          FROM customer WHERE c_name IS NULL
-          UNION ALL
-          SELECT 'lineitem.l_orderkey_orphan', CAST(count(*) AS BIGINT)
-          FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
-          UNION ALL
-          SELECT 'lineitem.l_quantity_nonpositive', CAST(count(*) AS BIGINT)
-          FROM lineitem WHERE l_quantity <= 0
-          UNION ALL
-          SELECT 'orders.o_custkey_orphan', CAST(count(*) AS BIGINT)
-          FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
-          UNION ALL
-          SELECT 'orders.o_orderkey_dup', CAST(count(*) AS BIGINT)
-          FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey
-                HAVING count(*) > 1) d__
-          ORDER BY "check"""")),
-
-      // Flesch reading ease over the dotted-sentence fixture (every 7th
-      // token closes a sentence, same dual-dialect dotting as
-      // q_sent_dedup) — the education-quality readability signal. Pure
-      // per-row kernel: two regexp passes + one integer fold, no shuffle.
-      Q("q_readability",
-        (s, dir) => {
-          val dotted = expr(
-            """transform(split(trim(text), '\\s+'),
-                 (t, i) -> CASE WHEN i % 7 = 6 THEN concat(t, '.') ELSE t END)""")
-          val docs = tk(s, dir, "documents")
-            .withColumn("text2", array_join(dotted, " "))
-          graft.ops.Analytics.readability(docs, "doc_id", "text2")
-            .orderBy("doc_id")
-        },
-        Some {
-          val dottedRel = s"""(
-            SELECT doc_id, array_to_string(list_transform(${D.splitWs("text")},
-              (t, i) -> CASE WHEN i % 7 = 0 THEN t || '.' ELSE t END), ' ') AS text2
-            FROM documents)"""
-          s"""
-          SELECT * FROM (
-            ${graft.ops.Analytics.readabilityOracleSql(dottedRel, "doc_id", "text2")}
-          ) ORDER BY doc_id"""
-        }),
-
-      // Zipf rank-frequency fit over the top-200 corpus terms: healthy
-      // natural text sits near slope −1, template corpora flatten — the
-      // corpus-health audit next to entropy/term-drift. Logs round to 6
-      // decimals BEFORE the DECIMAL moment sums, so libm ulps can't reach
-      // the regression; the rank window runs on 200 rows by construction.
-      Q("q_zipf_slope",
-        (s, dir) =>
-          graft.ops.Analytics.zipfSlope(tk(s, dir, "documents"), "text", 200),
-        Some(graft.ops.Analytics.zipfSlopeOracleSql("documents", "text", 200))),
-
-      // Exact-phrase retrieval from positional postings: adjacent (pos,
-      // pos+1) co-occurrences of "fast merge" per doc — the term-order
-      // feature BM25 cannot express. Only the two queried terms' postings
-      // (narrow (doc, pos) pairs) reach the doc-keyed join.
-      Q("q_phrase_search",
-        (s, dir) =>
-          graft.ops.Analytics.phraseHits(
-              t(s, dir, "documents"), "doc_id",
-              TextF.tokens(col("text")), "fast", "merge")
-            .orderBy("doc_id"),
-        Some(s"""
-          SELECT * FROM (
-            ${graft.ops.Analytics.phraseHitsOracleSql(
-              duckDocToks, "doc_id", "fast", "merge")}
-          ) ORDER BY doc_id"""))
-    )
-  }
-
-  /** Learned-embedding memo, same contract as [[opqRotation]]: the five
-    * q_lsa / q_cooc queries share ONE PPMI-factorization training run
-    * per dir (training is deterministic: df-ranked vocab, lexicographic
-    * pair canonicalization, hash-seeded fixed-iteration eigensolve). */
-  private val lsaTopV = 512
-  private val lsaWindow = 4
-  private val lsaDim = 32
-  private val lsaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Lsa.Model]()
-  private def lsaModel(s: SparkSession, dir: String): graft.ops.Lsa.Model =
-    lsaCache.computeIfAbsent(dir, _ =>
-      graft.ops.Lsa.train(tk(s, dir, "documents"), "text", "doc_id",
-        topV = lsaTopV, window = lsaWindow, dim = lsaDim, iters = 40))
-
-  /** LSA learned embeddings (ops/Lsa.scala + embed/LsaEmbedder.scala): the
-    * trained-in-engine semantic backend for the reference's embedding
-    * stage (`document_processor.py:273-277`). Oracle strategy mirrors the
-    * OPQ/BPE split: everything SQL-expressible (vocabulary, windowed
-    * co-occurrence counts, the mean-pool inference arithmetic, kNN over
-    * the result) hash-matches DuckDB end to end; the eigensolve itself is
-    * property-gated (orthogonality + eigenvalue-order residuals pinned at
-    * spec-constant 0.0, vocabulary identity re-derived non-circularly
-    * from the documents table). */
-  private def lsaOps: Seq[Q] = {
-    val duckPosToks =
-      s"""toksl AS (SELECT doc_id, ${D.splitWs("text")} AS ss FROM documents),
-          pos AS (SELECT doc_id, CAST(i AS INT) AS pos, ss[CAST(i AS INT)] AS term
-                  FROM (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i
-                        FROM toksl))"""
-    val duckVocab =
-      s"""voc AS (SELECT CAST(row_number() OVER (ORDER BY df DESC, term) - 1 AS BIGINT) AS term_id,
-                         term, df
-                  FROM (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-                        FROM pos WHERE length(term) > 0
-                        GROUP BY term ORDER BY df DESC, term LIMIT $lsaTopV))"""
-    Seq(
-      // Vocabulary selection: top-V terms by document frequency — the
-      // learned model's support, fully oracle-replayable (the bounded
-      // row_number window runs on V=512 post-limit rows, never the
-      // corpus).
-      Q("q_lsa_vocab",
-        (s, dir) =>
-          graft.ops.Lsa.vocabulary(tk(s, dir, "documents"), "text", "doc_id",
-            lsaTopV).orderBy("term_id"),
-        Some(s"""
-          WITH $duckPosToks, $duckVocab
-          SELECT term_id, term, df FROM voc ORDER BY term_id""")),
-
-      // Windowed term-term co-occurrence counts over the vocabulary —
-      // the exact-integer statistics PPMI factorizes. Spark side is a
-      // narrow per-document kernel (no position self-join anywhere near
-      // the corpus); the oracle replays it as DuckDB's bounded-distance
-      // position join. Pairs canonicalize lexicographically so
-      // least/greatest replays the kernel's ordering.
-      Q("q_cooc_counts",
-        (s, dir) => {
-          import s.implicits._
-          val m = lsaModel(s, dir)
-          val ids = m.terms.indices.map(i => (i.toLong, m.terms(i)))
-          val lo = ids.toDF("id_lo", "term_lo")
-          val hi = ids.toDF("id_hi", "term_hi")
-          graft.ops.Lsa.cooccurrence(tk(s, dir, "documents"), "text",
-              m.terms, lsaWindow)
-            .join(broadcast(lo), "id_lo").join(broadcast(hi), "id_hi")
-            .select(col("term_lo"), col("term_hi"),
-              col("cnt").cast("long").as("cnt"))
-            .orderBy("term_lo", "term_hi")
-        },
-        Some(s"""
-          WITH $duckPosToks, $duckVocab,
-          p2 AS (SELECT doc_id, pos, term FROM pos
-                 JOIN (SELECT term FROM voc) USING (term))
-          SELECT least(a.term, b.term) AS term_lo,
-                 greatest(a.term, b.term) AS term_hi,
-                 CAST(count(*) AS BIGINT) AS cnt
-          FROM p2 a JOIN p2 b
-            ON a.doc_id = b.doc_id AND b.pos > a.pos
-           AND b.pos - a.pos <= $lsaWindow
-          GROUP BY 1, 2
-          ORDER BY 1, 2""")),
-
-      // The learned model dump + property gate (q_opq_rotated pattern):
-      // vocabulary identity (term_id, term, df) is re-derived by the
-      // oracle from the documents table (non-circular); the eigensolve's
-      // correctness properties — max |U^T U - I| over signal columns and
-      // any eigenvalue-order violation — are measured in-driver and
-      // pinned at the spec constant 0.0. The vec strings feed the
-      // q_lsa_embed / q_lsa_knn replay oracles (Double.toString
-      // round-trips bit-exactly through DuckDB's CAST).
-      Q("q_lsa_model",
-        (s, dir) => {
-          import s.implicits._
-          val m = lsaModel(s, dir)
-          val ortho = graft.ops.Lsa.orthoResidual(m)
-          val eig = graft.ops.Lsa.eigOrderViolation(m)
-          m.terms.indices
-            .map(i => (i.toLong, m.terms(i), m.dfs(i), m.vectors(i).mkString(",")))
-            .toDF("term_id", "term", "df", "vec")
-            .withColumn("ortho_resid", r6(lit(ortho)))
-            .withColumn("eig_viol", r6(lit(eig)))
-            .orderBy("term_id")
-        },
-        Some(s"""
-          WITH dump AS (SELECT * FROM read_parquet('__GRAFT_OUT__/q_lsa_model/*.parquet')),
-          $duckPosToks, $duckVocab
-          SELECT v.term_id, v.term, v.df, d.vec,
-                 ${duckR6("0.0")} AS ortho_resid,
-                 ${duckR6("0.0")} AS eig_viol
-          FROM voc v JOIN dump d ON v.term = d.term
-          ORDER BY v.term_id""")),
-
-      // Inference, declaratively: document embedding = count-weighted mean
-      // of the learned vectors of in-vocab tokens, long-form (doc_id, dim,
-      // comp) with the EmbeddingPooling decimal discipline. The oracle
-      // replays the SAME arithmetic from the q_lsa_model dump — gating the
-      // whole mean-pool path (LsaSpec pins the BatchedEmbedder kernel's
-      // parity with this declarative form).
-      Q("q_lsa_embed",
-        (s, dir) =>
-          graft.ops.Lsa.docEmbeddingsLong(tk(s, dir, "documents"), "text",
-              "doc_id", lsaModel(s, dir))
-            .orderBy("doc_id", "dim"),
-        Some(s"""
-          WITH dump AS (SELECT term,
-                               list_transform(string_split(vec, ','),
-                                              x -> CAST(x AS DOUBLE)) AS v
-                        FROM read_parquet('__GRAFT_OUT__/q_lsa_model/*.parquet')),
-          tv AS (SELECT term, CAST(k AS BIGINT) AS dim,
-                        v[CAST(k AS INT) + 1] AS comp
-                 FROM (SELECT term, v, unnest(range(0, len(v))) AS k FROM dump)),
-          toks AS (SELECT doc_id, unnest(${D.splitWs("text")}) AS term
-                   FROM documents),
-          counts AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt
-                     FROM toks GROUP BY doc_id, term),
-          tot AS (SELECT doc_id, sum(cnt) AS tot
-                  FROM counts JOIN (SELECT DISTINCT term FROM dump) USING (term)
-                  GROUP BY doc_id)
-          SELECT c.doc_id, tv.dim,
-                 CAST(sum(CAST(round(CAST(c.cnt AS DOUBLE) * tv.comp, 6)
-                                 + ${D.d(0.0)} AS DECIMAL(28,6))) AS DOUBLE)
-                   / CAST(t.tot AS DOUBLE) AS comp
-          FROM counts c JOIN tv USING (term) JOIN tot t ON c.doc_id = t.doc_id
-          GROUP BY c.doc_id, tv.dim, t.tot
-          ORDER BY c.doc_id, tv.dim""")),
-
-      // Semantic kNN over the LEARNED embeddings: top-10 cosine neighbors
-      // of doc 0 — the retrieval query the whole training exists for,
-      // replayed by the oracle from the q_lsa_embed dump with the shared
-      // sequential-fold cosine. TakeOrderedAndProject top-k; the probe
-      // side is one broadcast row.
-      Q("q_lsa_knn",
-        (s, dir) => {
-          val dls = Dialect.spark
-          val emb = graft.ops.Lsa.docEmbeddingsLong(
-              tk(s, dir, "documents"), "text", "doc_id", lsaModel(s, dir))
-            .groupBy("doc_id")
-            .agg(expr("transform(array_sort(collect_list(struct(dim, comp))), s__ -> s__.comp)")
-              .as("v"))
-          val probe = emb.where(col("doc_id") === 0)
-            .select(col("v").as("qv"))
-          emb.where(col("doc_id") =!= 0).crossJoin(broadcast(probe))
-            .select(col("doc_id"), r6(expr(dls.cosine("v", "qv"))).as("sim"))
-            .orderBy(col("sim").desc, col("doc_id"))
-            .limit(10)
-        },
-        Some(s"""
-          WITH e AS (SELECT doc_id, list(comp ORDER BY dim) AS v
-                     FROM read_parquet('__GRAFT_OUT__/q_lsa_embed/*.parquet')
-                     GROUP BY doc_id),
-          q AS (SELECT v AS qv FROM e WHERE doc_id = 0)
-          SELECT e.doc_id, ${duckR6(D.cosine("e.v", "q.qv"))} AS sim
-          FROM e, q WHERE e.doc_id <> 0
-          ORDER BY sim DESC, e.doc_id
-          LIMIT 10"""))
-    )
-  }
-
-  /** Hash-sketch gates (exact md5-replayable CMS + Bloom), Misra-Gries
-    * property gate, Jaro-Winkler record linkage, and single-series
-    * diagnostics (ACF, CUSUM). The sketch queries use EXPLICIT md5-derived
-    * hash functions shared verbatim between the engines — unlike the
-    * opaque built-in sketches ([[graft.ops.Sketches]].approxDistinct /
-    * cmsFrequencies), every counter and bit here is an exact integer the
-    * oracle recomputes. */
-  private def sketchLinkOps: Seq[Q] = {
-    // 3 md5 hex digits (4096 values) of "salt:term" folded mod width —
-    // the shared CMS-row / Bloom-bit hash family (Exprs.md5Bucket, also
-    // used by the streaming CMS gate)
-    def hb(dl: Dialect, x: String, salt: Int, width: Int): String =
-      Exprs.md5Bucket(dl, x, salt, width)
-    val dls = Dialect.spark
-    val duckToksNE =
-      s"""toks AS (SELECT doc_id, unnest(${D.splitWs("text")}) AS term
-                   FROM documents),
-          tf AS (SELECT doc_id, term FROM toks WHERE length(term) > 0)"""
-    // daily revenue series: the calendar-bounded input both series
-    // diagnostics share (the corpus-sized work is THIS groupBy; the
-    // recursion/window after it touches ~2.4k rows)
-    def daySeries(s: SparkSession, dir: String) =
-      t(s, dir, "orders").groupBy(col("o_orderdate").as("d"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
-          .cast("decimal(18,2)").as("rev"))
-    val duckDays =
-      """(SELECT o_orderdate AS d,
-                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
-          FROM orders GROUP BY 1)"""
-    Seq(
-      // Count-Min Sketch with an EXPLICIT replayable hash family (depth 4
-      // x width 64): every counter is an exact group-by count, estimates
-      // are min-over-rows — the oracle rebuilds the entire grid and every
-      // estimate. Structural guarantee under the hash: est >= exact
-      // (collisions only ADD), visible in the dump as est - exact.
-      Q("q_cms_freq",
-        (s, dir) => {
-          val toks = tk(s, dir, "documents")
-            .select(explode(TextF.tokens(col("text"))).as("term"))
-            .where(length(col("term")) > 0)
-          val withB = toks.select(col("term") +:
-            (0 until 4).map(r =>
-              expr(hb(dls, "term", r, 64)).cast("long").as(s"b$r")): _*)
-          val counters = withB
-            .select(posexplode(array((0 until 4).map(r => col(s"b$r")): _*))
-              .as(Seq("r", "bucket")))
-            .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
-          val probes = toks.groupBy("term").agg(count(lit(1)).as("exact"))
-            .orderBy(col("exact").desc, col("term")).limit(20)
-          val probeB = probes.select(col("term"), col("exact"),
-            posexplode(array((0 until 4).map(r =>
-              expr(hb(dls, "term", r, 64)).cast("long")): _*))
-              .as(Seq("r", "bucket")))
-          probeB.join(counters, Seq("r", "bucket"))
-            .groupBy("term", "exact").agg(min("c").as("est"))
-            .select(col("term"), col("exact").cast("long").as("exact"),
-              col("est").cast("long").as("est"))
-            .orderBy(col("exact").desc, col("term"))
-        },
-        Some {
-          val counters = (0 until 4).map(r =>
-            s"""SELECT $r AS r, ${hb(D, "term", r, 64)} AS bucket,
-                       CAST(count(*) AS BIGINT) AS c
-                FROM tf GROUP BY 2""").mkString(" UNION ALL ")
-          val probeJoin = (0 until 4).map(r =>
-            s"""SELECT p.term, p.exact, c.c
-                FROM probes p JOIN counters c
-                  ON c.r = $r AND c.bucket = ${hb(D, "p.term", r, 64)}""")
-            .mkString(" UNION ALL ")
-          s"""
-          WITH $duckToksNE,
-          counters AS ($counters),
-          probes AS (SELECT term, CAST(count(*) AS BIGINT) AS exact
-                     FROM tf GROUP BY term
-                     ORDER BY exact DESC, term LIMIT 20)
-          SELECT term, exact, min(c) AS est
-          FROM ($probeJoin)
-          GROUP BY term, exact
-          ORDER BY exact DESC, term"""
-        }),
-
-      // Bloom-filter membership with explicit md5 bits (m=1024, 3
-      // hashes): the filter is built over the doc_id < 250 half's
-      // vocabulary and probed with EVERY term — present terms must hit
-      // (no false negatives, structural), absent terms expose the real
-      // false-positive surface. Bits, probes, and hits all replay
-      // exactly.
-      Q("q_bloom_probe",
-        (s, dir) => {
-          val terms = tk(s, dir, "documents")
-            .select(col("doc_id"), explode(TextF.tokens(col("text"))).as("term"))
-            .where(length(col("term")) > 0)
-          val vocab = terms.groupBy("term")
-            .agg(max(when(col("doc_id") < 250, 1L).otherwise(0L)).as("present"))
-          val bitsOf = array((0 until 3).map(j =>
-            expr(hb(dls, "term", 100 + j, 1024)).cast("long")): _*)
-          val bits = vocab.where(col("present") === 1L)
-            .select(explode(bitsOf).as("bit")).distinct()
-          val probeBits = vocab.select(col("term"), col("present"),
-            explode(bitsOf).as("bit"))
-          probeBits.join(broadcast(bits), Seq("bit"))
-            .groupBy("term", "present").agg(count(lit(1)).as("__hits"))
-            .select(col("term"), (col("present") === 1L).as("present"),
-              (col("__hits") === 3L).as("hit"))
-            .orderBy("term")
-        },
-        Some {
-          val bitsOf = (j: Int, x: String) => hb(D, x, 100 + j, 1024)
-          val idxBits = (0 until 3).map(j =>
-            s"SELECT DISTINCT ${bitsOf(j, "term")} AS bit FROM voc WHERE present = 1")
-            .mkString(" UNION ")
-          val probeBits = (0 until 3).map(j =>
-            s"SELECT term, present, ${bitsOf(j, "term")} AS bit FROM voc")
-            .mkString(" UNION ALL ")
-          s"""
-          WITH $duckToksNE,
-          voc AS (SELECT term,
-                         max(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS present
-                  FROM tf GROUP BY term),
-          bits AS ($idxBits),
-          pb AS ($probeBits)
-          SELECT pb.term, (max(pb.present) = 1) AS present,
-                 (CAST(count(*) AS BIGINT) = 3) AS hit
-          FROM pb JOIN bits ON pb.bit = bits.bit
-          GROUP BY pb.term
-          ORDER BY pb.term"""
-        }),
-
-      // Misra-Gries heavy hitters, property-gated (the merged candidate
-      // set is merge-order dependent, so the dump IS the candidate list
-      // and the oracle re-derives everything checkable about it):
-      // exact counts recomputed non-circularly per candidate; est_ok
-      // pins the two MG guarantees (underestimate, within n/(k+1));
-      // covers_required pins "every term with exact > n/(k+1) is in the
-      // dump" — the guarantee that makes MG a safe pre-filter.
-      Q("q_mg_heavy",
-        (s, dir) => {
-          import s.implicits._
-          val toks = tk(s, dir, "documents")
-            .select(explode(TextF.tokens(col("text"))).as("term"))
-            .where(length(col("term")) > 0)
-          val k = 32
-          val mg = graft.ops.Sketches.heavyHittersSummary(toks, "term", k)
-          val n = toks.count()
-          val bound = n / (k + 1)
-          val exact = toks.groupBy("term").agg(count(lit(1)).as("exact"))
-          val cand = mg.toSeq.sortBy { case (t, c) => (-c, t) }
-            .toDF("term", "mg_est")
-          val joined = cand.join(exact, Seq("term"))
-          val estOk = joined.agg(min(
-            (col("mg_est") <= col("exact")) &&
-              (col("exact") - col("mg_est") <= lit(bound))).as("ok"))
-            .collect()(0).getBoolean(0)
-          val required = exact.where(col("exact") > bound)
-          val covered = required.join(cand, Seq("term"), "left_anti").count() == 0L
-          joined
-            .select(col("term"), col("exact").cast("long").as("exact"),
-              lit(estOk).as("est_ok"), lit(covered).as("covers_required"))
-            .orderBy(col("exact").desc, col("term"))
-        },
-        Some(s"""
-          WITH $duckToksNE,
-          dump AS (SELECT term FROM read_parquet('__GRAFT_OUT__/q_mg_heavy/*.parquet')),
-          cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS exact
-                  FROM tf GROUP BY term),
-          n AS (SELECT CAST(count(*) AS BIGINT) // 33 AS bound FROM tf),
-          req AS (SELECT c.term FROM cnt c, n WHERE c.exact > n.bound),
-          cov AS (SELECT (count(*) = 0) AS covered
-                  FROM req WHERE term NOT IN (SELECT term FROM dump))
-          SELECT d.term, c.exact, TRUE AS est_ok, cov.covered AS covers_required
-          FROM dump d JOIN cnt c ON d.term = c.term, cov
-          ORDER BY c.exact DESC, d.term""")),
-
-      // Record linkage: blocked candidate pairs (equi-join on the first
-      // name token — NEVER all-pairs; Linkage.blockedPairs require-fails
-      // on any block above the explicit cap) scored by the native codegen
-      // Jaro-Winkler expression, fuzz-pinned to DuckDB's built-in so the
-      // oracle scores with jaro_winkler_similarity directly.
-      Q("q_jw_linkage",
-        (s, dir) => {
-          val p = t(s, dir, "part").where(col("p_partkey") < 1500)
-          graft.ops.Linkage.blockedPairs(
-              p, "p_partkey", "p_name",
-              expr(dls.at(dls.splitWs("p_name"), "1")), 0.87)
-            .select(col("id_a"), col("id_b"), r6(col("sim")).as("sim"))
-            .orderBy(col("sim").desc, col("id_a"), col("id_b"))
-            .limit(200)
-        },
-        Some(s"""
-          WITH p AS (SELECT p_partkey, p_name,
-                            ${D.at(D.splitWs("p_name"), "1")} AS blk
-                     FROM part WHERE p_partkey < 1500)
-          SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-                 ${duckR6("jaro_winkler_similarity(a.p_name, b.p_name)")} AS sim
-          FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
-          WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.87
-          ORDER BY sim DESC, id_a, id_b
-          LIMIT 200""")),
-
-      // Streaming CMS == batch CMS: each REAL micro-batch aggregates its
-      // own (row, bucket) counts distributed and the cross-batch holder
-      // adds them; counter addition commutes, so the merged grid — and
-      // every probe estimate off it — must hash-match the SAME oracle
-      // that replays q_cms_freq's one-pass grid. The sketch-in-a-stream
-      // pattern: constant state (depth x width longs) no matter how many
-      // batches or how hot the keys.
-      Q("q_stream_cms_eq",
-        (s, dir0) => {
-          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
-          import s.implicits._
-          val ss = streamSession(s)
-          implicit val sqlCtx = ss.sqlContext
-          val toksDf = tk(s, dir, "documents")
-            .select(explode(TextF.tokens(col("text"))).as("term"))
-            .where(length(col("term")) > 0)
-          val vals = toksDf.as[String].collect().sorted
-          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
-          val (q, holder) = graft.streaming.StreamingSketch.cmsStream(
-            in.toDS().toDF("term"), "term", 4, 64,
-            s"q_stream_cms_eq_${System.nanoTime()}")
-          try {
-            vals.grouped(math.max(1, (vals.length + 3) / 4)).foreach { b =>
-              in.addData(b.toSeq); q.processAllAvailable()
-            }
-          } finally {
-            q.stop()
-            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-          }
-          val counters = holder.counters
-            .toDF("r", "bucket", "c")
-            .select(col("r").cast("int").as("r"),
-              col("bucket").cast("long").as("bucket"), col("c"))
-          val probes = toksDf.groupBy("term").agg(count(lit(1)).as("exact"))
-            .orderBy(col("exact").desc, col("term")).limit(20)
-          val probeB = probes.select(col("term"), col("exact"),
-            posexplode(array((0 until 4).map(r =>
-              expr(hb(dls, "term", r, 64)).cast("long")): _*))
-              .as(Seq("r", "bucket")))
-          probeB.join(broadcast(counters), Seq("r", "bucket"))
-            .groupBy("term", "exact").agg(min("c").as("est"))
-            .select(col("term"), col("exact").cast("long").as("exact"),
-              col("est").cast("long").as("est"))
-            .orderBy(col("exact").desc, col("term"))
-        },
-        Some {
-          val counters = (0 until 4).map(r =>
-            s"""SELECT $r AS r, ${hb(D, "term", r, 64)} AS bucket,
-                       CAST(count(*) AS BIGINT) AS c
-                FROM tf GROUP BY 2""").mkString(" UNION ALL ")
-          val probeJoin = (0 until 4).map(r =>
-            s"""SELECT p.term, p.exact, c.c
-                FROM probes p JOIN counters c
-                  ON c.r = $r AND c.bucket = ${hb(D, "p.term", r, 64)}""")
-            .mkString(" UNION ALL ")
-          s"""
-          WITH $duckToksNE,
-          counters AS ($counters),
-          probes AS (SELECT term, CAST(count(*) AS BIGINT) AS exact
-                     FROM tf GROUP BY term
-                     ORDER BY exact DESC, term LIMIT 20)
-          SELECT term, exact, min(c) AS est
-          FROM ($probeJoin)
-          GROUP BY term, exact
-          ORDER BY exact DESC, term"""
-        }),
-
-      // CIDR enrichment: md5-derived IPv4 per user, a mixed /8 + /9
-      // network dimension labeled by nation, and the SCALABLE range-join
-      // shape — equi-join on the top octet (every block lives inside one
-      // top octet, so the prefix IS a perfect blocking key) + range
-      // check inside the block, all on a broadcast dimension. No
-      // BroadcastNestedLoopJoin, no theta-join over the corpus.
-      Q("q_ip_enrich",
-        (s, dir) => {
-          val ipFold = {
-            val h1 = s"CAST(${dls.md5HexDigit(dls.castStr("user_id"), 1)} AS BIGINT)"
-            (2 to 8).map(i => dls.md5HexDigit(dls.castStr("user_id"), i))
-              .foldLeft(h1)((acc, d) => s"(($acc) * 16 + $d)")
-          }
-          val evs = t(s, dir, "events")
-            .select(col("user_id").cast("long").as("user_id"),
-              expr(ipFold).as("ip"))
-            .withColumn("oct1", expr("ip div 16777216").cast("long"))
-          // 128 /8 blocks (oct1 0..127) + 512 /9 blocks (oct1 128..255,
-          // two halves each) — mixed prefix lengths, like a real CIDR set
-          val blocks = s.range(0, 128 + 256)
-            .select(col("id").as("net_id"),
-              when(col("id") < 128, col("id"))
-                .otherwise(lit(128) + expr("(id - 128) div 2")).as("oct1"),
-              when(col("id") < 128, col("id") * 16777216L)
-                .otherwise((lit(128) + expr("(id - 128) div 2")) * 16777216L +
-                  expr("(id - 128) % 2") * 8388608L).as("lo"))
-            .withColumn("hi",
-              when(col("net_id") < 128, col("lo") + 16777215L)
-                .otherwise(col("lo") + 8388607L))
-            .withColumn("n_nationkey", expr("net_id % 25"))
-          val nation = t(s, dir, "nation")
-            .select(col("n_nationkey"), col("n_name"))
-          val dim = blocks.join(nation, Seq("n_nationkey"))
-          evs.join(broadcast(dim), Seq("oct1"))
-            .where(col("ip") >= col("lo") && col("ip") <= col("hi"))
-            .groupBy(col("n_name"))
-            .agg(count(lit(1)).as("n_events"),
-              countDistinct(col("user_id")).as("n_users"))
-            .select(col("n_name"), col("n_events").cast("long").as("n_events"),
-              col("n_users").cast("long").as("n_users"))
-            .orderBy("n_name")
-        },
-        Some {
-          val ipFold = {
-            val h1 = s"CAST(${D.md5HexDigit(D.castStr("user_id"), 1)} AS BIGINT)"
-            (2 to 8).map(i => D.md5HexDigit(D.castStr("user_id"), i))
-              .foldLeft(h1)((acc, d) => s"(($acc) * 16 + $d)")
-          }
-          s"""
-          WITH evs AS (SELECT CAST(user_id AS BIGINT) AS user_id,
-                              $ipFold AS ip
-                       FROM events),
-          e2 AS (SELECT user_id, ip, ip // 16777216 AS oct1 FROM evs),
-          blocks AS (
-            SELECT i AS net_id,
-                   CASE WHEN i < 128 THEN i ELSE 128 + (i - 128) // 2 END AS oct1,
-                   CASE WHEN i < 128 THEN i * 16777216
-                        ELSE (128 + (i - 128) // 2) * 16777216
-                             + ((i - 128) % 2) * 8388608 END AS lo,
-                   CASE WHEN i < 128 THEN i * 16777216 + 16777215
-                        ELSE (128 + (i - 128) // 2) * 16777216
-                             + ((i - 128) % 2) * 8388608 + 8388607 END AS hi,
-                   i % 25 AS n_nationkey
-            FROM (SELECT unnest(range(0, 384)) AS i)),
-          dim AS (SELECT b.*, n.n_name FROM blocks b
-                  JOIN nation n USING (n_nationkey))
-          SELECT d.n_name,
-                 CAST(count(*) AS BIGINT) AS n_events,
-                 CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
-          FROM e2 e JOIN dim d
-            ON e.oct1 = d.oct1 AND e.ip >= d.lo AND e.ip <= d.hi
-          GROUP BY d.n_name
-          ORDER BY d.n_name"""
-        }),
-
-      // Autocorrelation of daily revenue at lags 1..7 — the seasonality
-      // read. Exact-decimal mean + r6-decimal lag products: bit-exact
-      // with no fold-order assumptions (see Analytics.acf).
-      Q("q_acf",
-        (s, dir) =>
-          graft.ops.Analytics.acf(daySeries(s, dir), "d", "rev", 7)
-            .orderBy("lag"),
-        Some(s"""
-          SELECT * FROM (
-            ${graft.ops.Analytics.acfOracleSql(D, duckDays, "d", "rev", 7)}
-          ) ORDER BY lag""")),
-
-      // One-sided CUSUM changepoint statistic over daily revenue:
-      // sequential recursion dumped as RAW doubles, oracle replays each
-      // step as one IEEE op chain over the dumped previous step (the
-      // holt pattern); mu and the sd/2 allowance re-derived by the
-      // oracle from exact decimal sums.
-      Q("q_cusum",
-        (s, dir) =>
-          graft.ops.Analytics.cusum(daySeries(s, dir), "d", "rev")
-            .orderBy("step"),
-        Some(s"""
-          WITH ser AS (SELECT d, rev AS x FROM $duckDays t__(d, rev)),
-          st AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS s,
-                        sum(x * x) AS s2
-                 FROM ser),
-          park AS (SELECT ${D.decToDouble("s")} / CAST(n AS DOUBLE) AS mu,
-                          sqrt(${D.decToDouble("s2")} / CAST(n AS DOUBLE)
-                               - (${D.decToDouble("s")} / CAST(n AS DOUBLE))
-                                 * (${D.decToDouble("s")} / CAST(n AS DOUBLE)))
-                            / CAST(2.0 AS DOUBLE) AS k
-                   FROM st),
-          dump AS (SELECT step, d, s
-                   FROM read_parquet('__GRAFT_OUT__/q_cusum/*.parquet')),
-          prev AS (SELECT step, lag(s) OVER (ORDER BY step) AS ps FROM dump)
-          SELECT dm.step, dm.d,
-                 (CAST(r.x AS DOUBLE) + ${D.d(0.0)}) AS x,
-                 (CASE WHEN dm.step = 1
-                       THEN greatest(${D.d(0.0)},
-                              (CAST(r.x AS DOUBLE) - park.mu) - park.k)
-                       ELSE greatest(${D.d(0.0)},
-                              p.ps + ((CAST(r.x AS DOUBLE) - park.mu) - park.k))
-                  END + ${D.d(0.0)}) AS s
-          FROM dump dm
-          JOIN prev p ON dm.step = p.step
-          JOIN ser r ON dm.d = r.d, park
-          ORDER BY dm.step"""))
-    )
-  }
-
-  // =========================================================================
-  // Preference / provenance / topic ops — the reward-model-era additions:
-  // pairwise-preference strength fitting, annotator agreement, synthetic-
-  // text watermark detection, and cluster topic labeling
-  // =========================================================================
-
-  private def preferenceOps: Seq[Q] = {
-    val SP = Dialect.spark
-    // comparison-bit LSH bucket: bit i set iff emb[2i] > emb[2i+1]
-    // (0-based dims; rendered 1-based for both engines' at()). The
-    // hashing embedding is non-negative, so SIGN bits would collapse to
-    // one bucket — adjacent-component comparisons are balanced instead.
-    def cmpBits(dl: Dialect, vecCol: String, bits: Int): String =
-      (0 until bits).map { i =>
-        s"(CASE WHEN ${dl.at(vecCol, (2 * i + 1).toString)} > " +
-          s"${dl.at(vecCol, (2 * i + 2).toString)} THEN ${1 << i} ELSE 0 END)"
-      }.mkString("CAST((", " + ", ") AS INT)")
-    // c-TF-IDF scoring from a (cluster __c, term, tf) count matrix —
-    // SHARED by the batch query and the incremental streaming gate, so
-    // the two provably run the same math over their respective matrices.
-    // Input must be materialized (both callers checkpoint); everything
-    // here is dim-sized: f/tot re-aggregate the matrix, the join
-    // broadcasts, the window runs over (cluster, term) rows.
-    def ctfidfScore(tf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      val f = tf.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("f"))
-      val tot = tf.agg(sum(col("tf")).cast("long").as("__n"),
-        countDistinct(col("__c")).cast("long").as("__nc"))
-      val scored = tf.join(f, "term").crossJoin(broadcast(tot))
-        .where(col("tf") >= 5)
-        .withColumn("__score", col("tf").cast("double") *
-          log(lit(1.0) + col("__n").cast("double") /
-            col("__nc").cast("double") / col("f").cast("double")))
-      val w = Window.partitionBy(col("__c"))
-        .orderBy(col("__score").desc, col("term"))
-      scored.withColumn("rnk", row_number().over(w).cast("long"))
-        .where(col("rnk") <= 10)
-        .select(col("__c").as("cluster"), col("rnk"), col("term"),
-          col("tf"), r6(col("__score")).as("score"))
-        .orderBy("cluster", "rnk")
-    }
-    // Bradley-Terry MM steps over a (i, j, w) ordered-pair count frame —
-    // SHARED by the batch query and the streaming gate. Spark inlines
-    // CTEs, so the one-statement form would re-derive each θ 2^iters
-    // times: run the oracle's own step builders over localCheckpointed
-    // k²-row views instead — identical math, linear work.
-    def btFromCounts(sess: SparkSession,
-                     counts: org.apache.spark.sql.DataFrame,
-                     iters: Int): org.apache.spark.sql.DataFrame = {
-      import graft.ops.Preference
-      val tag = System.nanoTime()
-      def mat(df: org.apache.spark.sql.DataFrame, name: String): String = {
-        val v = s"graft_bt_${name}_$tag"
-        df.localCheckpoint(true).createOrReplaceTempView(v)
-        v
-      }
-      val cV = mat(counts, "counts")
-      val nmV = mat(sess.sql(Preference.btMatrixSql(SP, cV)), "nm")
-      val wtV = mat(sess.sql(Preference.btWtotSql(SP, nmV)), "wt")
-      var thV = mat(sess.sql(Preference.btTh0Sql(SP, nmV)), "th0")
-      for (it <- 1 to iters)
-        thV = mat(sess.sql(Preference.btIterSql(SP, nmV, wtV, thV)), s"th$it")
-      sess.sql(Preference.btFinalSql(SP, thV, wtV))
-    }
-    val btOracle = {
-      import graft.ops.Preference
-      Preference.bradleyTerrySql(D,
-        Preference.comparisonsSql(D, "events", "user_id", "ts",
-          "event_id", "event_type", "value"), iters = 5)
-    }
-    Seq(
-      // Statistical watermark detection (Kirchenbauer et al. 2023): per
-      // doc, the fraction of (prev, cur) token bigrams whose seeded hash
-      // lands in the green half, z-tested against Binomial(n, 0.5) —
-      // the provenance gate that keeps model-generated text out of the
-      // next pretraining mix. Green membership is the shared md5Uniform
-      // fold (exact small-int arithmetic + one IEEE division), so both
-      // engines classify every bigram identically; z is one fixed chain
-      // from exact integers. Plan: a PURE per-row projection — one scan,
-      // zero exchanges; the cheapest possible shape at 100 TB.
-      Q("q_watermark_detect",
-        (s, dir) => {
-          val (nP, nG) =
-            graft.ops.Provenance.watermarkCountsSql(SP, "__toks", "wm1")
-          t(s, dir, "documents")
-            .withColumn("__toks", expr(SP.splitWs("text")))
-            .select(col("doc_id"), expr(nP).as("n_pairs"),
-              expr(nG).as("n_green"))
-            .withColumn("z",
-              when(col("n_pairs") === 0, lit(null).cast("double"))
-                .otherwise(r6((lit(2.0) * col("n_green").cast("double") -
-                  col("n_pairs").cast("double")) /
-                  sqrt(col("n_pairs").cast("double")))))
-            .withColumn("flagged",
-              when(col("n_pairs") >= 20 && col("z") > lit(2.0), lit(1L))
-                .otherwise(lit(0L)))
-            .orderBy("doc_id")
-        },
-        Some {
-          val (nP, nG) =
-            graft.ops.Provenance.watermarkCountsSql(D, "__toks", "wm1")
-          s"""WITH base AS (SELECT doc_id, ${D.splitWs("text")} AS __toks
-                            FROM documents),
-             cnt AS (SELECT doc_id, $nP AS n_pairs, $nG AS n_green
-                     FROM base),
-             zz AS (SELECT doc_id, n_pairs, n_green,
-                      CASE WHEN n_pairs = 0 THEN NULL ELSE
-                        ${duckR6("(CAST(2.0 AS DOUBLE) * CAST(n_green AS DOUBLE) - CAST(n_pairs AS DOUBLE)) / sqrt(CAST(n_pairs AS DOUBLE))")}
-                      END AS z
-                    FROM cnt)
-             SELECT doc_id, n_pairs, n_green, z,
-                    CAST(CASE WHEN n_pairs >= 20 AND z > ${D.d(2.0)}
-                         THEN 1 ELSE 0 END AS BIGINT) AS flagged
-             FROM zz ORDER BY doc_id"""
-        }),
-
-      // Bradley-Terry preference strengths (chatbot-arena / reward-model
-      // label aggregation): consecutive same-user events form pairwise
-      // contests (higher stored value wins, exact-tie -> lexicographic),
-      // then 5 unrolled MM iterations fit per-type strengths. ONE
-      // dialect-parameterized SQL runs on BOTH engines (Spark executes
-      // the identical text over a temp view), with round-6 state at every
-      // iteration boundary and pinned summation order — the q_sp_dp
-      // store-rounded inductive pattern. Corpus-sized work is one lead()
-      // window + one (i,j) count agg; the MM loop runs on the |types|²
-      // matrix — dozens of rows at any corpus size.
-      Q("q_bradley_terry",
-        (s, dir) => {
-          import graft.ops.Preference
-          val evView = s"graft_bt_events_${System.nanoTime()}"
-          tEvents(s, dir).createOrReplaceTempView(evView)
-          btFromCounts(s, s.sql(
-            s"""SELECT i, j, CAST(count(*) AS BIGINT) AS w FROM (
-                  ${Preference.comparisonsSql(SP, evView, "user_id", "ts",
-                    "event_id", "event_type", "value")}
-                ) c__ GROUP BY i, j"""), iters = 5)
-        },
-        Some(btOracle)),
-
-      // Streaming Bradley-Terry == batch: contests derive INCREMENTALLY
-      // (flatMapGroupsWithState retains each user's last event — O(1)
-      // state — and every arrival forms a contest against it), fed as 4
-      // REAL micro-batches; the streamed contests re-aggregate and run
-      // the SAME MM steps, hash-matching the SAME oracle as
-      // q_bradley_terry. The 20th batch/stream equivalence gate: a live
-      // preference/reward-model count matrix never re-scans history.
-      Q("q_stream_bt_eq",
-        (s, dir0) => {
-          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
-          import s.implicits._
-          import graft.streaming.StreamingPreference
-          import graft.streaming.StreamingPreference.PEvent
-          val ss = streamSession(s)
-          implicit val sqlCtx = ss.sqlContext
-          def tsOf(us: Long) = java.sql.Timestamp.from(
-            java.time.Instant.ofEpochSecond(us / 1000000L,
-              (us % 1000000L) * 1000L))
-          val evs = tEvents(s, dir)
-            .select(col("user_id").cast("long"),
-              expr("ts div 1000").as("tsus"),
-              col("event_id").cast("long"), col("event_type"), col("value"))
-            .as[(Long, Long, Long, String, Double)].collect()
-            .sortBy { case (_, tsus, eid, _, _) => (tsus, eid) }
-            .map { case (u, tsus, eid, t, v) => PEvent(u, tsOf(tsus), eid, t, v) }
-          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[PEvent]
-          val name = s"q_stream_bt_eq_${System.nanoTime()}"
-          val q = StreamingPreference.contestStream(in.toDS())
-            .writeStream.format("memory").queryName(name)
-            .outputMode("append").start()
-          try {
-            evs.grouped(math.max(1, (evs.length + 3) / 4)).foreach { b =>
-              in.addData(b.toSeq); q.processAllAvailable()
-            }
-          } finally {
-            q.stop()
-            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-          }
-          btFromCounts(ss, ss.table(name).groupBy(col("i"), col("j"))
-            .agg(count(lit(1)).cast("long").as("w")), iters = 5)
-        },
-        Some(btOracle)),
-
-      // DPO-style preference-pair mining (Rafailov et al. 2023's data
-      // contract) — the missing fourth stage of the reward-model
-      // pipeline: contests collapse to the (context, chosen, rejected)
-      // count grain in the SAME pass that derives them, the global
-      // Bradley-Terry matrix re-aggregates THAT small relation (the
-      // corpus is never scanned twice), fitted strengths attach by
-      // broadcast, and only pairs whose local winner is also globally
-      // stronger survive. margin = θ_chosen − θ_rejected is one IEEE
-      // subtraction of round-6 state — bit-identical cross-engine.
-      Q("q_dpo_pairs",
-        (s, dir) => {
-          import graft.ops.Preference
-          val tag = System.nanoTime()
-          val evView = s"graft_dpo_events_$tag"
-          tEvents(s, dir).createOrReplaceTempView(evView)
-          // contest grain: |ctx|·k² rows — dim-sized, checkpoint so the
-          // BT matrix and the final pair table both read it without
-          // re-running the corpus window (Spark inlines temp views)
-          val pcV = s"graft_dpo_pc_$tag"
-          s.sql(Preference.dpoPairCountsSql(SP,
-              s"(${Preference.comparisonsCtxSql(SP, evView, "user_id", "ts",
-                "event_id", "event_type", "value")}) cmpc__"))
-            .localCheckpoint(true).createOrReplaceTempView(pcV)
-          val btV = s"graft_dpo_bt_$tag"
-          btFromCounts(s, s.sql(
-            s"""SELECT chosen AS i, rejected AS j,
-                  CAST(sum(n_wins) AS BIGINT) AS w FROM $pcV
-                GROUP BY chosen, rejected"""), iters = 5)
-            .localCheckpoint(true).createOrReplaceTempView(btV)
-          s.sql(Preference.dpoPairsSql(SP, pcV, btV))
-        },
-        Some {
-          import graft.ops.Preference
-          s"""WITH cmpc ${D.cteAs} (${Preference.comparisonsCtxSql(D,
-                "events", "user_id", "ts", "event_id", "event_type", "value")}),
-            pc ${D.cteAs} (${Preference.dpoPairCountsSql(D, "cmpc")}),
-            bt ${D.cteAs} (${Preference.bradleyTerryFromCountsSql(D,
-              """SELECT chosen AS i, rejected AS j,
-                 CAST(sum(n_wins) AS BIGINT) AS w FROM pc
-                 GROUP BY chosen, rejected""", iters = 5)})
-            ${Preference.dpoPairsSql(D, "pc", "bt")}"""
-        }),
-
-      // Best-of-n / rejection-sampling selection (the Llama-2 RLHF data
-      // loop; WebGPT): per (user, event_type) prompt group, the single
-      // top-scoring candidate by exact tie-break (raw stored doubles
-      // DESC, event_id ASC), with candidate count, exact-mean score gain
-      // (DECIMAL sum over pre-quantized fixtures), a kept flag vs the
-      // 450.0 score threshold, and the global kept fraction. Plan: ONE
-      // keyed window (rank/count/sum share the exchange), rn=1 collapses
-      // to prompt grain, and the kept-fraction attaches from a
-      // checkpointed prompt-sized view — zero second corpus passes.
-      Q("q_best_of_n",
-        (s, dir) => {
-          import graft.ops.Preference
-          val tag = System.nanoTime()
-          val evView = s"graft_bofn_events_$tag"
-          tEvents(s, dir).createOrReplaceTempView(evView)
-          val bV = s"graft_bofn_ranked_$tag"
-          s.sql(Preference.bestOfNRankedSql(SP, evView, "user_id",
-              "event_type", "event_id", "value", threshold = 450.0))
-            .localCheckpoint(true).createOrReplaceTempView(bV)
-          s.sql(Preference.bestOfNFinalSql(SP, bV))
-        },
-        Some {
-          import graft.ops.Preference
-          s"""WITH b ${D.cteAs} (${Preference.bestOfNRankedSql(D, "events",
-                "user_id", "event_type", "event_id", "value",
-                threshold = 450.0)})
-            ${Preference.bestOfNFinalSql(D, "b")}"""
-        }),
-
-      // BLEU-2 + chrF pair-quality scoring (Papineni 2002; Popović 2015)
-      // — the standard MT-data filter run beside q_bitext_mine: clipped
-      // n-gram precision × brevity penalty (geometric mean as sqrt, so
-      // the only transcendental is the BP exp) and the purely rational
-      // chrF chain, over deterministic candidate/reference pairs
-      // (truncation pairs score high with BP active; unrelated
-      // next-doc pairs score near 0). All counts BIGINT; one corpus map
-      // pass for stats (zero exchanges), per-row chains for scores —
-      // engine runs the IDENTICAL dialect-rendered text from a
-      // checkpointed stats view.
-      Q("q_bleu_pairs",
-        (s, dir) => {
-          import graft.ops.PairQuality
-          val tag = System.nanoTime()
-          val docsV = s"graft_bleu_docs_$tag"
-          t(s, dir, "documents").createOrReplaceTempView(docsV)
-          val statsV = s"graft_bleu_stats_$tag"
-          s.sql(PairQuality.pairStatsSql(SP, docsV))
-            .localCheckpoint(true).createOrReplaceTempView(statsV)
-          s.sql(PairQuality.scoresSql(SP, statsV))
-        },
-        Some {
-          import graft.ops.PairQuality
-          s"""WITH st ${D.cteAs} (${PairQuality.pairStatsSql(D, "documents")})
-            ${PairQuality.scoresSql(D, "st")}"""
-        }),
-
-      // Cohen's kappa inter-annotator agreement between two deterministic
-      // binary raters (length gate vs stopword-density gate, the density
-      // compared by integer cross-multiplication) — the label-quality
-      // read that gates preference/quality data before training. One
-      // map-combined scan to a 2x2 table; po/pe/kappa in one IEEE chain.
-      Q("q_cohen_kappa",
-        (s, dir) => {
-          val view = s"graft_kappa_docs_${System.nanoTime()}"
-          t(s, dir, "documents").createOrReplaceTempView(view)
-          s.sql(graft.ops.Preference.cohenKappaSql(SP, view))
-        },
-        Some(graft.ops.Preference.cohenKappaSql(D, "documents"))),
-
-      // SFT chat-transcript structure gate: deterministic "role: content"
-      // transcripts built from the document tokens (system/tool/user/
-      // assistant pattern planting real alternation violations and
-      // unknown roles), then PARSED back — per-doc turn counts by role,
-      // same-speaker violations, and per-role token masses, the checks
-      // that decide keep/fix/drop before chat logs become training rows.
-      // All exact integers from string positions; construction AND parse
-      // render from one dialect builder so the oracle replays end to
-      // end. Plan: per-row projections only — the watermark shape, one
-      // scan, zero exchanges.
-      Q("q_chat_turns",
-        (s, dir) => {
-          import graft.ops.ChatLog
-          val stats = ChatLog.statsSql(SP, "lns__")
-          // Dialect.bind1 chain: split -> transcript -> lines evaluate
-          // once per row structurally (alias substitution would otherwise
-          // re-derive them per stat — see q_sft_pipeline)
-          val statStruct = SP.bind1(SP.splitWs("text"), "toks__",
-            SP.bind1(ChatLog.transcriptSql(SP, "toks__"), "t__",
-              SP.bind1(SP.splitLines("t__"), "lns__",
-                s"struct(${stats.map { case (k, e) => s"$e AS $k" }
-                  .mkString(", ")})")))
-          t(s, dir, "documents")
-            .select(col("doc_id"), expr(statStruct).as("__st"))
-            .select(col("doc_id") +:
-              stats.map { case (k, _) => col(s"__st.$k").as(k) }: _*)
-            .orderBy("doc_id")
-        },
-        Some {
-          import graft.ops.ChatLog
-          val stats = ChatLog.statsSql(D, "lns")
-          s"""WITH b AS (SELECT doc_id, ${D.splitWs("text")} AS toks
-                         FROM documents),
-             tr AS (SELECT doc_id, ${ChatLog.transcriptSql(D, "toks")} AS t
-                    FROM b),
-             ln AS (SELECT doc_id, ${D.splitLines("t")} AS lns FROM tr)
-             SELECT doc_id,
-                    ${stats.map { case (k, e) => s"$e AS $k" }.mkString(",\n                    ")}
-             FROM ln ORDER BY doc_id"""
-        }),
-
-      // Dataset Cartography (Swayamdipta et al. 2020): per-example
-      // confidence (mean per-epoch true-label probability) and
-      // variability (std), bucketed easy/ambiguous/hard — the training-
-      // dynamics triage behind pruning easy redundancy and auditing hard
-      // examples for label noise. Probabilities are the deterministic
-      // md5Uniform fixture; the OPERATOR is the epoch-ordered fold
-      // aggregation + rounded-coordinate bucketing. Per-row projections
-      // only: one scan, zero exchanges.
-      Q("q_data_cartography",
-        (s, dir) => {
-          import graft.ops.Cartography
-          val E = 8
-          // Dialect.bind1: the probability array and its mean evaluate
-          // once per row structurally (std references both; the inner
-          // lambda captures the outer variable)
-          val mapStruct = SP.bind1(
-            Cartography.probsSql(SP, "doc_id", "cart", E), "p__",
-            SP.bind1(Cartography.confSql(SP, "p__", E), "cf__",
-              s"""struct(
-                 (round(cf__, 6) + ${SP.d(0.0)}) AS confidence,
-                 (round(${Cartography.stdSql(SP, "p__", "cf__", E)}, 6)
-                   + ${SP.d(0.0)}) AS variability)"""))
-          t(s, dir, "documents")
-            .select(col("doc_id"), expr(mapStruct).as("__m"))
-            .select(col("doc_id"),
-              col("__m.confidence").as("confidence"),
-              col("__m.variability").as("variability"),
-              expr(Cartography.categorySql(SP,
-                "__m.confidence", "__m.variability")).as("category"))
-            .orderBy("doc_id")
-        },
-        Some {
-          import graft.ops.Cartography
-          val E = 8
-          s"""WITH p AS (SELECT doc_id,
-                    ${Cartography.probsSql(D, "doc_id", "cart", E)} AS pr
-                  FROM documents),
-             c AS (SELECT doc_id, pr,
-                    ${Cartography.confSql(D, "pr", E)} AS cf FROM p),
-             sd AS (SELECT doc_id, cf,
-                    ${Cartography.stdSql(D, "pr", "cf", E)} AS st FROM c),
-             r AS (SELECT doc_id,
-                    ${duckR6("cf")} AS confidence,
-                    ${duckR6("st")} AS variability
-                   FROM sd)
-             SELECT doc_id, confidence, variability,
-                    ${Cartography.categorySql(D, "confidence", "variability")} AS category
-             FROM r ORDER BY doc_id"""
-        }),
-
-      // SFT loss-mask spans: the EXACT 1-based character offsets of every
-      // assistant turn's content inside the rendered transcript — what a
-      // trainer needs to mask user/system tokens out of the loss. The
-      // contract is self-proving: content_md5 hashes the substring CUT
-      // FROM THE TRANSCRIPT at (start, len), so any off-by-one in the
-      // offset arithmetic (prefix sums of line lengths + newlines + the
-      // role prefix) breaks the hash against the oracle's independent
-      // replay. One shuffle on doc_id for the prefix-sum window; all
-      // outputs exact integers + md5.
-      Q("q_chat_spans",
-        (s, dir) => {
-          import graft.ops.ChatLog
-          import org.apache.spark.sql.expressions.Window
-          val base = t(s, dir, "documents")
-            .withColumn("__toks", expr(SP.splitWs("text")))
-            .withColumn("__t", expr(ChatLog.transcriptSql(SP, "__toks")))
-            .withColumn("__lines", expr(SP.splitLines("__t")))
-          val ex = base
-            .select(col("doc_id"), col("__t"),
-              posexplode(col("__lines")).as(Seq("__i0", "__line")))
-            .withColumn("turn_idx", col("__i0").cast("long") + 1)
-          val w = Window.partitionBy(col("doc_id")).orderBy(col("turn_idx"))
-          ex
-            .withColumn("__cum",
-              sum(length(col("__line")).cast("long") + lit(1L)).over(w))
-            .withColumn("__ls",
-              col("__cum") - (length(col("__line")).cast("long") + lit(1L)) + 1)
-            .withColumn("__p", expr(SP.instr("__line", "': '")).cast("long"))
-            .where(expr(ChatLog.roleSql(SP, "__line")) === "assistant")
-            .select(col("doc_id"), col("turn_idx"),
-              (col("__ls") + col("__p") + 1).as("start"),
-              (length(col("__line")).cast("long") - col("__p") - 1).as("len"),
-              md5(expr("substring(__t, CAST(__ls + __p + 1 AS INT), " +
-                "CAST(length(__line) - __p - 1 AS INT))")).as("content_md5"))
-            .orderBy("doc_id", "turn_idx")
-        },
-        Some {
-          import graft.ops.ChatLog
-          s"""WITH b AS (SELECT doc_id, ${D.splitWs("text")} AS toks
-                         FROM documents),
-             tr AS (SELECT doc_id, ${ChatLog.transcriptSql(D, "toks")} AS t
-                    FROM b),
-             ex AS (SELECT doc_id, t, CAST(i AS BIGINT) AS turn_idx,
-                           lns[CAST(i AS INT)] AS line
-                    FROM (SELECT doc_id, t, lns,
-                                 unnest(range(1, len(lns) + 1)) AS i
-                          FROM (SELECT doc_id, t, ${D.splitLines("t")} AS lns
-                                FROM tr) y__) x__),
-             pos AS (SELECT doc_id, t, turn_idx, line,
-                            CAST(sum(length(line) + 1) OVER (
-                              PARTITION BY doc_id ORDER BY turn_idx
-                              ROWS UNBOUNDED PRECEDING)
-                              - (length(line) + 1) + 1 AS BIGINT) AS ls,
-                            CAST(${D.instr("line", "': '")} AS BIGINT) AS p
-                     FROM ex)
-             SELECT doc_id, turn_idx,
-                    CAST(ls + p + 1 AS BIGINT) AS start,
-                    CAST(length(line) - p - 1 AS BIGINT) AS len,
-                    md5(substring(t, CAST(ls + p + 1 AS INT),
-                                  CAST(length(line) - p - 1 AS INT))) AS content_md5
-             FROM pos
-             WHERE ${ChatLog.roleSql(D, "line")} = 'assistant'
-             ORDER BY doc_id, turn_idx"""
-        }),
-
-      // CAPSTONE composition for the r12 layer — the provenance-gated SFT
-      // intake pipeline as ONE dataflow under ONE hash: watermark-screen
-      // the corpus (drop suspected model output: z > 2 at n >= 20 — the
-      // keep predicate is EXACTLY the q_watermark_detect flag's negation,
-      // boundary z = 2.0 included on the kept side),
-      // render the survivors as chat transcripts, parse the turn
-      // structure back, and keep only well-formed conversations (at most
-      // 2 alternation violations, at least one assistant turn), emitting
-      // each kept doc's turn count and assistant token mass. Every stage
-      // boundary (screen, render, parse, filter) is inside the compare,
-      // so a drift in ANY of the three operators breaks this hash too.
-      // Plan: per-row projections end to end — one corpus scan, zero
-      // data exchanges before the presentation sort.
-      Q("q_sft_pipeline",
-        (s, dir) => {
-          import graft.ops.{ChatLog, Provenance}
-          val (nP, nG) =
-            Provenance.watermarkCountsSql(SP, "__toks", "wm1")
-          val statsL = ChatLog.statsSql(SP, "lns__")
-          // Alias substitution (CollapseProject inlining + predicate
-          // pushdown, neither cost-guarded) re-derives heavy chains like
-          // the token split per USE — measured 7x wall on the naive
-          // filter-over-projection form. Dialect.bind1 pins each
-          // intermediate to exactly one evaluation per row STRUCTURALLY
-          // (lambda variables are leaves — no rewrite can re-expand them).
-          val wmStruct = SP.bind1(SP.splitWs("text"), "__toks",
-            s"struct($nP AS np, $nG AS ng)")
-          val statStruct = SP.bind1(SP.splitWs("text"), "toks__",
-            SP.bind1(ChatLog.transcriptSql(SP, "toks__"), "t__",
-              SP.bind1(SP.splitLines("t__"), "lns__",
-                s"struct(${statsL.map { case (k, e) => s"$e AS $k" }
-                  .mkString(", ")})")))
-          val screened = t(s, dir, "documents")
-            .select(col("doc_id"), col("text"), expr(wmStruct).as("__wm"))
-            .withColumn("__z",
-              when(col("__wm.np") === 0, lit(null).cast("double"))
-                .otherwise(r6((lit(2.0) * col("__wm.ng").cast("double") -
-                  col("__wm.np").cast("double")) /
-                  sqrt(col("__wm.np").cast("double")))))
-            .where(col("__wm.np") < 20 || col("__z") <= lit(2.0))
-            .select(col("doc_id"), col("text"))
-          screened
-            .select(col("doc_id"), expr(statStruct).as("__st"))
-            .where(col("__st.violations") <= 2 &&
-              col("__st.n_assistant") >= 1)
-            .select(col("doc_id"), col("__st.n_turns").as("n_turns"),
-              col("__st.violations").as("violations"),
-              col("__st.assistant_tokens").as("assistant_tokens"))
-            .orderBy("doc_id")
-        },
-        Some {
-          import graft.ops.{ChatLog, Provenance}
-          val (nP, nG) =
-            Provenance.watermarkCountsSql(D, "__toks", "wm1")
-          val stats = ChatLog.statsSql(D, "lns").toMap
-          s"""WITH base AS (SELECT doc_id, text, ${D.splitWs("text")} AS __toks
-                            FROM documents),
-             wm AS (SELECT doc_id, text, __toks,
-                           $nP AS np, $nG AS ng FROM base),
-             z AS (SELECT doc_id, text, __toks, np,
-                          CASE WHEN np = 0 THEN NULL ELSE
-                            ${duckR6("(CAST(2.0 AS DOUBLE) * CAST(ng AS DOUBLE) - CAST(np AS DOUBLE)) / sqrt(CAST(np AS DOUBLE))")}
-                          END AS zz
-                   FROM wm),
-             kept AS (SELECT doc_id, __toks FROM z
-                      WHERE np < 20 OR zz <= ${D.d(2.0)}),
-             tr AS (SELECT doc_id,
-                           ${ChatLog.transcriptSql(D, "__toks")} AS t
-                    FROM kept),
-             ln AS (SELECT doc_id, ${D.splitLines("t")} AS lns FROM tr),
-             st AS (SELECT doc_id,
-                           ${stats("n_turns")} AS n_turns,
-                           ${stats("violations")} AS violations,
-                           ${stats("n_assistant")} AS n_assistant,
-                           ${stats("assistant_tokens")} AS assistant_tokens
-                    FROM ln)
-             SELECT doc_id, n_turns, violations, assistant_tokens
-             FROM st
-             WHERE violations <= 2 AND n_assistant >= 1
-             ORDER BY doc_id"""
-        }),
-
-      // c-TF-IDF cluster topic labeling (Grootendorst 2022, BERTopic):
-      // docs cluster by embedding comparison-bits (the SQL-replayable LSH
-      // neighborhood, same expression family as q_icp_order), then each
-      // cluster's top-10 terms rank by class-based TF-IDF
-      // W(t,c) = tf(t,c) · ln(1 + A/f(t)) — the corpus-curation read
-      // ("what IS each data cluster") behind cluster-level pruning and
-      // mixture decisions. Exact: tf/f/A derive from integers; the score
-      // is one identical IEEE chain ranked with a full (score DESC, term)
-      // tie-break. Plan: ONE corpus-sized aggregation to the (cluster,
-      // term) dimension (map-side combined, localCheckpointed so f/A
-      // derive from it without re-scanning the corpus), then dim-sized
-      // joins and an 8-partition window — no second corpus pass.
-      Q("q_ctfidf_topics",
-        (s, dir) => {
-          val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-          val emb = graft.embed.HashingEmbedder(64)
-            .withEmbedding(docs, "text", "__emb")
-          val toks = emb
-            .withColumn("__c", expr(cmpBits(SP, "__emb", 3)).cast("long"))
-            .select(col("__c"),
-              explode(expr(SP.splitWs("text"))).as("term"))
-          val tf = toks.groupBy(col("__c"), col("term"))
-            .agg(count(lit(1)).cast("long").as("tf"))
-            .localCheckpoint(true)
-          ctfidfScore(tf)
-        },
-        Some(ctfidfOracle)),
-
-      // 21st streaming/batch equivalence gate — INCREMENTAL c-TF-IDF:
-      // the (cluster, term) count matrix is the natural streaming state
-      // (Structured Streaming's stateful aggregation adds each
-      // micro-batch's counts into the state store; nothing re-scans
-      // history), and topic rescoring is dim-sized work over the live
-      // matrix. Docs arrive as 4 REAL micro-batches (embed -> LSH
-      // cluster -> term explode run INSIDE the stream); the final state
-      // rescores through the SAME ctfidfScore the batch query uses and
-      // hash-matches the SAME oracle — live topic labels == batch
-      // BERTopic labels under one hash.
-      Q("q_stream_ctfidf_eq",
-        (s, dir0) => {
-          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
-          import s.implicits._
-          val ss = streamSession(s)
-          implicit val sqlCtx = ss.sqlContext
-          val docs = t(s, dir, "documents")
-            .select(col("doc_id").cast("long"), col("text"))
-            .as[(Long, String)].collect().sortBy(_._1)
-          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-          val name = s"q_stream_ctfidf_${System.nanoTime()}"
-          val stream = in.toDF().toDF("doc_id", "text")
-          val emb = graft.embed.HashingEmbedder(64)
-            .withEmbedding(stream, "text", "__emb")
-          val counts = emb
-            .withColumn("__c", expr(cmpBits(SP, "__emb", 3)).cast("long"))
-            .select(col("__c"),
-              explode(expr(SP.splitWs("text"))).as("term"))
-            .groupBy(col("__c"), col("term"))
-            .agg(count(lit(1)).cast("long").as("tf"))
-          val q = counts.writeStream.format("memory").queryName(name)
-            .outputMode("complete").start()
-          try {
-            docs.grouped(math.max(1, (docs.length + 3) / 4)).foreach { b =>
-              in.addData(b.toSeq); q.processAllAvailable()
-            }
-          } finally {
-            q.stop()
-            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-          }
-          ctfidfScore(ss.table(name).localCheckpoint(true))
-        },
-        Some(ctfidfOracle))
-    )
-  }
-
-  /** Shared oracle for q_ctfidf_topics and its incremental streaming
-    * twin q_stream_ctfidf_eq — one hash for batch and live labels. */
-  private lazy val ctfidfOracle: String = {
-    def cmpBitsD(vecCol: String, bits: Int): String =
-      (0 until bits).map { i =>
-        s"(CASE WHEN ${D.at(vecCol, (2 * i + 1).toString)} > " +
-          s"${D.at(vecCol, (2 * i + 2).toString)} THEN ${1 << i} ELSE 0 END)"
-      }.mkString("CAST((", " + ", ") AS INT)")
-    s"""
-      WITH docs AS (SELECT doc_id, text FROM documents),
-      e AS (SELECT doc_id, text, emb FROM ${duckEmbed("docs", "text", 64)}),
-      cl AS (SELECT CAST(${cmpBitsD("emb", 3)} AS BIGINT) AS c,
-                    text FROM e),
-      tk AS (SELECT c, unnest(${D.splitWs("text")}) AS term FROM cl),
-      tf AS (SELECT c, term, CAST(count(*) AS BIGINT) AS tf
-             FROM tk GROUP BY c, term),
-      f AS (SELECT term, CAST(sum(tf) AS BIGINT) AS f FROM tf GROUP BY term),
-      tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n,
-                     CAST(count(DISTINCT c) AS BIGINT) AS nc FROM tf),
-      sc AS (SELECT tf.c, tf.term, tf.tf,
-                    CAST(tf.tf AS DOUBLE) *
-                      ln(${D.d(1.0)} + CAST(n AS DOUBLE) / CAST(nc AS DOUBLE) / CAST(f.f AS DOUBLE)) AS s
-             FROM tf JOIN f ON f.term = tf.term CROSS JOIN tot
-             WHERE tf.tf >= 5),
-      rk AS (SELECT c, term, tf, s,
-                    row_number() OVER (PARTITION BY c ORDER BY s DESC, term) AS rnk
-             FROM sc)
-      SELECT c AS cluster, CAST(rnk AS BIGINT) AS rnk, term, tf,
-             ${duckR6("s")} AS score
-      FROM rk WHERE rnk <= 10
-      ORDER BY cluster, rnk"""
-  }
+object QueryCatalog extends CatalogRelational
+  with CatalogText
+  with CatalogVector
+  with CatalogRagMeta
+  with CatalogExtra
+  with CatalogTemporal
+  with CatalogPipelineScale
+  with CatalogMedia
+  with CatalogExifStreaming
+  with CatalogTraining
+  with CatalogRelationalFull
+  with CatalogCuration
+  with CatalogWarc
+  with CatalogGovernance
+  with CatalogAnalytics
+  with CatalogLsaSketch
+  with CatalogPreference {
 
   def all: Seq[Q] =
     relational ++ textOps ++ vectorOps ++ ragOps ++ metaOps ++ extraOps ++

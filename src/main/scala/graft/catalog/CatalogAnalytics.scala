@@ -1,0 +1,1519 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chunk.Chunking
+import graft.embed.HashingEmbedder
+import graft.functions.{MdContent, TextF, VectorF}
+import graft.ops.{Dedup, Similarity}
+import graft.rag.RagPipeline
+import graft.sqlgen.{Dialect, Exprs}
+
+/** Statistical analytics: tests, sketches, drift, experiment ops. Split from QueryCatalog in r13; shared helpers live in
+  * [[CatalogCore]], the assembled query map in [[QueryCatalog]]. */
+private[graft] trait CatalogAnalytics extends CatalogCore {
+
+  // =========================================================================
+  // Graph structure + behavioral analytics (round 7: triangles, PPR,
+  // cohort retention, SCD2, EWMA, Welch z, incremental merge, phrase search)
+  // =========================================================================
+  protected def analyticsOps: Seq[Q] = {
+    // Similarity graph for the structure operators: sign-bucket LSH pairs
+    // over the embeddings, both directions. The STRUCTURE fixture uses 4
+    // sign bits + cosine >= 0.1 — avg degree ~10 at sf0.01, so triangles /
+    // k-cores / communities / assortativity exercise real structure (the
+    // q_pagerank fixture's 8-bit/0.3 graph is nearly edgeless here: max
+    // degree 2, which would make every structure oracle trivially green).
+    def nearDupEdges(s: SparkSession, dir: String, signBits: Int,
+                     thr: Double): DataFrame = {
+      val emb = t(s, dir, "embeddings")
+      val pairs = graft.ops.Dedup
+        .embeddingNearDupPairs(emb, "vec_id", "embedding", signBits, thr)
+        .select(col("id_a"), col("id_b"))
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    }
+    def duckNearDupEdgesAt(signBits: Int, thr: Double): String = {
+      val bk = s"""(SELECT vec_id, v,
+             array_to_string(list_transform(v[1:$signBits],
+               x__ -> CASE WHEN x__ >= CAST(0.0 AS DOUBLE) THEN '1' ELSE '0' END), '') AS bucket
+           FROM $duckEmbTable)"""
+      s"""(SELECT a.vec_id AS src, b.vec_id AS dst
+           FROM $bk a JOIN $bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+           WHERE ${D.cosine("a.v", "b.v")} >= ${D.d(thr)})"""
+    }
+    // Shared-fixture memo, the [[opqRotation]] contract adapted to a
+    // DataFrame: SEVEN graph queries (triangles, ppr, k-core, harmonic,
+    // LPA, assortativity, link prediction, ...) all run on the SAME
+    // LSH near-dup edge set, and rebuilding it is the dominant cost of
+    // each (an embeddings scan + banded self-join + cosine verify, ~4 s
+    // at sf0.1 — measured: q_link_predict 12.5 s cold vs 2.6 s with the
+    // edges hot). Cache it ONCE per (session, dir) as a lazily-persisted
+    // frame: persist (not localCheckpoint) keeps the full lineage inside
+    // InMemoryRelation, so CatalogPlanAuditSpec still sweeps the
+    // edge-derivation subplan for cartesians. Keyed by session identity
+    // because a cached plan is session-bound (tests/Verify/Bench each
+    // own one session). Narrow (long, long) rows — at any scale this is
+    // the graph, not the corpus.
+    def structureEdges(s: SparkSession, dir: String): DataFrame = {
+      // putIfAbsent (not computeIfAbsent): the eager materialization is a
+      // multi-second Spark job and must NOT run while holding the map's
+      // bin lock. A racing loser unpersists its never-counted copy.
+      val key = (s, dir)
+      val hit = structureEdgesCache.get(key)
+      if (hit != null) hit
+      else {
+        val e = nearDupEdges(s, dir, 4, 0.1)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val prev = structureEdgesCache.putIfAbsent(key, e)
+        if (prev != null) { e.unpersist(blocking = false); prev }
+        else {
+          e.count() // materialize now: first caller pays once, visibly
+          e
+        }
+      }
+    }
+    val duckNearDupEdges: String = duckNearDupEdgesAt(4, 0.1)
+    val duckDocToks =
+      s"(SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents)"
+    // events with a REAL timestamp ts regardless of how the testdata
+    // shipped it (ns-as-long or us) — tEvents normalizes to Long nanos,
+    // converted back to a microsecond timestamp here; the oracle casts the
+    // raw column to the same microsecond TIMESTAMP.
+    def evT(s: SparkSession, dir: String): DataFrame =
+      tEvents(s, dir).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val duckEvents =
+      """(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                 event_type, value FROM events)"""
+
+    Seq(
+      // Per-node triangle count + local clustering coefficient on the
+      // near-dup graph — the cluster-density signal behind "is this dup
+      // cluster a clique (true near-dups) or a chain (LSH accident)".
+      // Degree-ordered orientation caps wedge generation at O(m^1.5)
+      // independent of skew; every exchange carries (long, long[, long]).
+      Q("q_triangles",
+        (s, dir) =>
+          graft.ops.Graph.triangles(structureEdges(s, dir))
+            .select(col("id").as("vec_id"), col("degree"), col("n_tri"),
+              col("clustering"))
+            .orderBy("vec_id"),
+        Some(s"""
+          SELECT id AS vec_id, degree, n_tri, clustering FROM (
+            ${graft.ops.Graph.trianglesOracleSql(duckNearDupEdges)}
+          ) ORDER BY vec_id""")),
+
+      // Personalized PageRank from a seed set (every 50th vector) — the
+      // "related to THESE pages" centrality (crawl frontier priority,
+      // related-item ranking). Same audited linear-iteration shape as
+      // q_pagerank; restart mass lands only on seeds.
+      Q("q_ppr",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          graft.ops.Graph.personalizedPageRank(
+              emb.select(col("vec_id").as("id")),
+              structureEdges(s, dir),
+              emb.where(col("vec_id") % 50 === 0)
+                .select(col("vec_id").as("id")),
+              5, 0.85)
+            .select(col("id").as("vec_id"), col("rank"))
+            .orderBy("vec_id")
+        },
+        Some(s"""
+          SELECT id AS vec_id, rank FROM (
+            ${graft.ops.Graph.pprOracleSql(
+              "(SELECT vec_id AS id FROM embeddings)",
+              duckNearDupEdges,
+              "(SELECT vec_id AS id FROM embeddings WHERE vec_id % 50 = 0)",
+              5, 0.85)}
+          ) ORDER BY vec_id""")),
+
+      // Harmonic centrality from 8 pinned sources (lowest vec_ids) via
+      // 3-hop multi-source BFS — the sampled-source estimator that IS
+      // the at-scale form of closeness centrality (all-pairs BFS is
+      // O(V*E)); frontier anti-joins keep state at V*S rows and the
+      // recursive DuckDB oracle replays min-distances + the round-6
+      // DECIMAL 1/d sums exactly.
+      Q("q_harmonic_centrality",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          graft.ops.Graph.harmonicCentrality(
+              emb.select(col("vec_id").as("id")), structureEdges(s, dir),
+              8, 3)
+            .select(col("id").as("vec_id"), col("n_reached"), col("harmonic"))
+            .orderBy("vec_id")
+        },
+        Some(s"""
+          SELECT id AS vec_id, n_reached, harmonic FROM (
+            ${graft.ops.Graph.harmonicCentralityOracleSql(
+              "(SELECT vec_id AS id FROM embeddings)", duckNearDupEdges, 8, 3)}
+          ) ORDER BY vec_id""")),
+
+      // Topological link prediction on the near-dup graph: which UNLINKED
+      // vector pairs share ≥2 neighbors — the "what did LSH banding miss"
+      // auditor (a pair with many common near-dup neighbors is itself a
+      // near-dup candidate) scored by common-neighbors / Jaccard /
+      // Adamic-Adar / resource-allocation. Wedge self-join on the apex
+      // with a degree-64 hub cap — candidate width is bounded per key,
+      // never an all-pairs product; DECIMAL term sums keep the doubles
+      // partition-invariant.
+      Q("q_link_predict",
+        (s, dir) =>
+          graft.ops.Graph.linkPrediction(structureEdges(s, dir), 64, 2)
+            .orderBy("src", "dst"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Graph.linkPredictionOracleSql(duckNearDupEdges, 64, 2)}
+          ) ORDER BY src, dst""")),
+
+      // Item-item collaborative filtering over the order log: parts are
+      // related when the same customers buy both (co-occurrence cosine +
+      // Jaccard, top-5 neighbors per part). The behavioral complement of
+      // the embedding kNN — same top-N output shape, evidence from
+      // co-engagement instead of content. Pair generation self-joins the
+      // per-customer basket capped at 20 lowest partkeys (deterministic,
+      // oracle-replayed), so join width is bounded under any power-user
+      // skew; the top-N filter is a partitioned window, never global.
+      Q("q_item_cf",
+        (s, dir) => {
+          val o = t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey"))
+          val li = t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey"))
+          val inter = li.join(o, li("l_orderkey") === o("o_orderkey"))
+            .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
+          graft.ops.Recommend.itemItemCf(inter, "u", "i", 20, 2, 5)
+            .orderBy("item", "rank")
+        },
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Recommend.itemItemCfOracleSql(
+              """(SELECT o_custkey AS u, l_partkey AS i
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
+              20, 2, 5)}
+          ) ORDER BY item, rank""")),
+
+      // Weekly cohort retention triangle over the event log: cohort by
+      // first-signup week, distinct active users per (cohort, offset).
+      Q("q_retention_cohort",
+        (s, dir) =>
+          graft.ops.Analytics.retentionCohort(
+              evT(s, dir), "user_id", "ts", "event_type", "signup")
+            .orderBy("cohort_week", "offset_weeks"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.retentionCohortOracleSql(
+              duckEvents, "user_id", "ts", "event_type", "signup")}
+          ) ORDER BY cohort_week, offset_weeks""")),
+
+      // SCD2 dimension history from the event change-log: per-user runs of
+      // equal event_type collapse to validity intervals — the warehouse
+      // MERGE loop as one windowed linear plan.
+      Q("q_scd2",
+        (s, dir) =>
+          graft.ops.Analytics.scd2History(
+              evT(s, dir), "user_id", "ts", "event_id", "event_type")
+            .orderBy("user_id", "version"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.scd2HistoryOracleSql(
+              duckEvents, "user_id", "ts", "event_id", "event_type")}
+          ) ORDER BY user_id, version""")),
+
+      // Bounded-history EWMA per user (α=0.25 over the last 16 events):
+      // per-key state is a fixed-size array by construction — hot keys
+      // cannot blow up a task; the fold is the same IEEE op order as
+      // DuckDB's list_reduce, so the smoothed value is bit-exact.
+      Q("q_ewma_user",
+        (s, dir) =>
+          graft.ops.Analytics.ewmaSmooth(
+              evT(s, dir), "user_id", "ts", "event_id", "value",
+              0.25, 16)
+            .orderBy("user_id"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.ewmaSmoothOracleSql(
+              duckEvents, "user_id", "ts", "event_id", "value", 0.25, 16)}
+          ) ORDER BY user_id""")),
+
+      // Holt double-exponential (level+trend) smoothing per user — the
+      // 2-state recursion no portable scalar fold carries, so the WHOLE
+      // per-step state table ships as RAW doubles and the oracle replays
+      // it INDUCTIVELY from its own dump (q_bpe_vocab pattern): expected
+      // step k = one fixed IEEE op chain over dumped step k-1 + the k-th
+      // raw value — bit-exact, NO rounding anywhere (per-cell round-6
+      // was tried and rejected: dyadic-alpha combinations of rounded
+      // cells land on exact .xxxxxx5 decimal ties where Spark HALF_UP
+      // and DuckDB binary rounding split). The trend check reads the
+      // SAME-ROW dumped level, itself under the level check — still
+      // inductive. Any engine deviation at k-1 hash-fails the replay
+      // at k.
+      Q("q_holt_trend",
+        (s, dir) =>
+          graft.ops.Analytics.holtSmooth(
+              evT(s, dir), "user_id", "ts", "event_id", "value",
+              0.5, 0.25, 16)
+            .orderBy("user_id", "step"),
+        // ONE parameter set feeds both the engine call above and the
+        // replay text (holtSmoothOracleSql) — constants cannot desync
+        Some(graft.ops.Analytics.holtSmoothOracleSql(
+          duckEvents, "user_id", "ts", "event_id", "value",
+          0.5, 0.25, 16, "__GRAFT_OUT__/q_holt_trend"))),
+
+      // Holt-Winters additive triple-exponential (level+trend+period-7
+      // seasonal, last 28 events per user) — the seasonality-aware
+      // forecaster over the event log. Same inductive dump-replay
+      // contract as q_holt_trend, extended one lag deeper: expected step
+      // t is one fixed IEEE chain over dumped step t−1 (level/trend via
+      // lag 1) and dumped step t−7 (seasonal via lag 7); the first cycle
+      // runs Holt and seeds seasonals from deviations (documented warmup
+      // contract). All of α=0.5, β=γ=0.25 are exact in binary.
+      Q("q_holt_winters",
+        (s, dir) =>
+          graft.ops.Analytics.holtWinters(
+              evT(s, dir), "user_id", "ts", "event_id", "value",
+              0.5, 0.25, 0.25, 7, 28)
+            .orderBy("user_id", "step"),
+        // ONE parameter set feeds both the engine recursion above and the
+        // inductive replay text (holtWintersOracleSql): alpha/beta/gamma,
+        // the seasonal lag m, the warmup bound and lastN cannot desync
+        Some(graft.ops.Analytics.holtWintersOracleSql(
+          duckEvents, "user_id", "ts", "event_id", "value",
+          0.5, 0.25, 0.25, 7, 28, "__GRAFT_OUT__/q_holt_winters"))),
+
+      // Streaming EWMA == batch EWMA: the bounded last-16 buffer lives in
+      // the state store across 4 REAL micro-batches; far-future sentinel
+      // batches advance the watermark so EventTimeTimeout flushes every
+      // key's final value, which hash-matches the BATCH oracle (same SQL
+      // as q_ewma_user). Cross-batch buffer maintenance is under the hash.
+      Q("q_stream_ewma_eq",
+        (s, dir0) => {
+          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
+          import s.implicits._
+          import graft.streaming.StreamingEwma
+          import graft.streaming.StreamingEwma.{EwmaOut, VEvent}
+          val ss = streamSession(s)
+          implicit val sqlCtx = ss.sqlContext
+          def tsOf(usv: Long) = java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(usv / 1000000L, (usv % 1000000L) * 1000L))
+          val evs = tEvents(s, dir)
+            .select(col("user_id").cast("long"), expr("ts div 1000").as("tsus"),
+              col("event_id").cast("long"), col("value").cast("double"))
+            .as[(Long, Long, Long, Double)].collect()
+            .sortBy { case (_, tsus, eid, _) => (tsus, eid) }
+            .map { case (u, tsus, eid, v) => VEvent(u, tsOf(tsus), eid, v) }
+          // quiet window LARGER than the fixture's 30-day span: sorted
+          // micro-batch slices jump the watermark ~7.5 days at a time, and
+          // a smaller quiet window would fire mid-stream timeouts that
+          // emit partial buffers and reset state (seen as 558 rows for 150
+          // keys). Sentinel sits past last-event + quiet so every key
+          // flushes exactly once, at the end.
+          val quiet = 35L * 86400000000L
+          val sentinelUs = evs.map(e => e.ts.getTime).max * 1000L +
+            40L * 86400000000L
+          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[VEvent]
+          val name = s"q_stream_ewma_eq_${System.nanoTime()}"
+          val q = StreamingEwma.ewmaStream(
+              in.toDS().withWatermark("ts", "0 seconds"),
+              alpha = 0.25, lastN = 16, quietUs = quiet)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+          try {
+            evs.grouped(math.max(1, (evs.length + 3) / 4)).foreach { b =>
+              in.addData(b.toSeq); q.processAllAvailable()
+            }
+            in.addData(VEvent(-1L, tsOf(sentinelUs), 0L, 0.0)); q.processAllAvailable()
+            in.addData(VEvent(-1L, tsOf(sentinelUs + 1000000L), 1L, 0.0)); q.processAllAvailable()
+          } finally {
+            q.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
+          ss.table(name).as[EwmaOut].collect().toSeq.filter(_.user_id >= 0)
+            .toDF("user_id", "n_obs", "ewma")
+            .orderBy("user_id")
+        },
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.ewmaSmoothOracleSql(
+              duckEvents, "user_id", "ts", "event_id", "value", 0.25, 16)}
+          ) ORDER BY user_id""")),
+
+      // Streaming SCD2 == batch SCD2: O(1) state per key (the single open
+      // interval — never an event buffer); intervals close and emit the
+      // moment a different attribute arrives across micro-batch
+      // boundaries; the watermark sentinel closes the final interval at
+      // the ns-safe Analytics.Scd2Sentinel (2261-12-31). Hash-matches the
+      // batch windowed oracle (q_scd2's).
+      Q("q_stream_scd2_eq",
+        (s, dir0) => {
+          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
+          import s.implicits._
+          import graft.streaming.StreamingScd2
+          import graft.streaming.StreamingScd2.{ChEvent, Scd2Row}
+          val ss = streamSession(s)
+          implicit val sqlCtx = ss.sqlContext
+          def tsOf(usv: Long) = java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(usv / 1000000L, (usv % 1000000L) * 1000L))
+          val evs = tEvents(s, dir)
+            .select(col("user_id").cast("long"), expr("ts div 1000").as("tsus"),
+              col("event_id").cast("long"), col("event_type"))
+            .as[(Long, Long, Long, String)].collect()
+            .sortBy { case (_, tsus, eid, _) => (tsus, eid) }
+            .map { case (u, tsus, eid, a) => ChEvent(u, tsOf(tsus), eid, a) }
+          // quiet window past the fixture span, sentinel past quiet — the
+          // same premature-timeout guard as q_stream_ewma_eq
+          val quiet = 35L * 86400000000L
+          val sentinelUs = evs.map(e => e.ts.getTime).max * 1000L +
+            40L * 86400000000L
+          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ChEvent]
+          val name = s"q_stream_scd2_eq_${System.nanoTime()}"
+          val q = StreamingScd2.scd2Stream(
+              in.toDS().withWatermark("ts", "0 seconds"), quietUs = quiet)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+          try {
+            evs.grouped(math.max(1, (evs.length + 3) / 4)).foreach { b =>
+              in.addData(b.toSeq); q.processAllAvailable()
+            }
+            in.addData(ChEvent(-1L, tsOf(sentinelUs), 0L, "x")); q.processAllAvailable()
+            in.addData(ChEvent(-1L, tsOf(sentinelUs + 1000000L), 1L, "x")); q.processAllAvailable()
+          } finally {
+            q.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
+          ss.table(name).as[Scd2Row].collect().toSeq.filter(_.user_id >= 0)
+            .toDF("user_id", "attr", "valid_from", "valid_to", "version")
+            .orderBy("user_id", "version")
+        },
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.scd2HistoryOracleSql(
+              duckEvents, "user_id", "ts", "event_id", "event_type")}
+          ) ORDER BY user_id, version""")),
+
+      // Welch two-sample z between click and purchase values from EXACT
+      // decimal moment sums — the A/B significance read as one map-combined
+      // scan; a single row crosses the final exchange.
+      Q("q_ab_ztest",
+        (s, dir) =>
+          graft.ops.Analytics.welchZTest(
+            evT(s, dir), "event_type", "value", "click", "purchase"),
+        Some(graft.ops.Analytics.welchZTestOracleSql(
+          duckEvents, "event_type", "value", "click", "purchase"))),
+
+      // Poisson-bootstrap CI for the mean event value (Chamandy 2012) —
+      // the at-scale bootstrap: per-row Poisson(1) weights make all 50
+      // replicates one pass, no resampling shuffle. Draws are md5-
+      // uniform(seed, rep, event_id) through fixed CDF literals; sums
+      // are exact long micro-units per (partition, replicate), so the
+      // interval is bit-replayable.
+      Q("q_bootstrap_ci",
+        (s, dir) =>
+          graft.ops.Analytics.poissonBootstrapMeanCi(
+            tEvents(s, dir), "value", "event_id", 50, "dpb-r9"),
+        Some(graft.ops.Analytics.poissonBootstrapOracleSql(
+          D, "events", "value", "event_id", 50, "dpb-r9"))),
+
+      // CUPED variance-reduced readout (Deng et al. 2013): per-user
+      // pre-period covariate (midpoint time split) regresses out the
+      // between-user variance, theta pooled, adjusted arm means derived
+      // algebraically from arm moments — two exact-decimal aggregates
+      // and one IEEE chain, no second pass over users.
+      Q("q_cuped",
+        (s, dir) =>
+          graft.ops.Analytics.cuped(
+            tEvents(s, dir), "user_id", "ts", "value"),
+        Some(graft.ops.Analytics.cupedOracleSql(
+          duckEvents, "user_id", "epoch_us(ts) * 1000", "value"))),
+
+      // Kolmogorov–Smirnov two-sample drift between the same two event
+      // segments — the whole-distribution complement of q_ab_ztest (a
+      // mean-preserving shape change is invisible to a z-test). Corpus
+      // collapses to the distinct RAW-double value dimension, ECDFs come
+      // from the range-partitioned prefix-sum two-pass (never an
+      // Exchange SinglePartition), and the supremum is a
+      // TakeOrderedAndProject top-1 with the value as tie-break.
+      // Compared projection is the EXACT contract only — (n_a, n_b,
+      // at_value DOUBLE raw, gap BIGINT); the derived
+      // d_stat/d_scaled doubles stay in the library output but OUT of
+      // the hash. Rounds 8-11 history: projection doubles, then a
+      // round(value,6)→DECIMAL group KEY, then a DECIMAL(38,0) gap
+      // emission (values byte-exact four rounds running, but the
+      // board's ONLY wide decimal canonicalized differently in the
+      // driver's hash path — r12 emits int64 on both sides, guarded
+      // by raise_error above ~3e9 rows/segment), each cost a red round to
+      // driver-side 1-ULP round() skew — r11 removed round() from the
+      // contract entirely; every compared byte is now either raw
+      // storage or exact integer arithmetic (the green-q_qnorm_bins
+      // pattern).
+      Q("q_ks_drift",
+        (s, dir) =>
+          graft.ops.Analytics.ksTest(
+              evT(s, dir), "event_type", "value", "click", "purchase")
+            .select("n_a", "n_b", "at_value", "gap"),
+        Some(graft.ops.Analytics.ksTestOracleSql(
+          duckEvents, "event_type", "value", "click", "purchase"))),
+
+      // Incremental aggregation: base-slice partials (< Jan 20) merged with
+      // delta-slice partials must EQUAL the full recompute (the oracle) —
+      // the exactness guarantee behind never rescanning history in a
+      // 100 TB metrics store. Counts + decimal sums are associative
+      // partial states; emitted as DOUBLE like every money sum here.
+      Q("q_incremental_agg",
+        (s, dir) => {
+          import graft.ops.Analytics
+          val ev = evT(s, dir)
+          val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+          val base = Analytics.dailyPartials(
+            ev.where(col("ts") < cutoff), "event_type", "ts", "value")
+          val delta = Analytics.dailyPartials(
+            ev.where(col("ts") >= cutoff), "event_type", "ts", "value")
+          Analytics.mergePartials(base.unionAll(delta))
+            .select(col("event_type"), col("day"), col("n_events"),
+              col("total").cast("double").as("total"))
+            .orderBy("event_type", "day")
+        },
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.dailyPartialsOracleSql(
+              duckEvents, "event_type", "ts", "value")}
+          ) ORDER BY event_type, day""")),
+
+      // Degree assortativity of the near-dup graph: one number — do
+      // high-degree near-dup hubs link to other hubs (template families)
+      // or to leaves (boilerplate radiating into unique docs)? Exact
+      // DECIMAL(38,0) moment sums; a single row crosses the exchange.
+      Q("q_assortativity",
+        (s, dir) =>
+          graft.ops.Graph.assortativity(structureEdges(s, dir)),
+        Some(graft.ops.Graph.assortativityOracleSql(duckNearDupEdges))),
+
+      // First-order Markov transition matrix over per-user event
+      // sequences — "what happens after a click". One user-partitioned
+      // lead() window, then a |types|²-key aggregation.
+      Q("q_event_transitions",
+        (s, dir) =>
+          graft.ops.Analytics.eventTransitions(
+              evT(s, dir), "user_id", "ts", "event_id", "event_type")
+            .orderBy("from_type", "to_type"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.eventTransitionsOracleSql(
+              duckEvents, "user_id", "ts", "event_id", "event_type")}
+          ) ORDER BY from_type, to_type""")),
+
+      // Pairwise association rules over per-(user, day) baskets of event
+      // types: support / confidence / lift from exact basket counts —
+      // the market-basket read. Pair fan-out bounded by the tiny type
+      // domain, never by basket-row count.
+      Q("q_assoc_rules",
+        (s, dir) =>
+          graft.ops.Analytics.assocRules(
+              evT(s, dir), "user_id", "ts", "event_type")
+            .orderBy("item_a", "item_b"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.assocRulesOracleSql(
+              duckEvents, "user_id", "ts", "event_type")}
+          ) ORDER BY item_a, item_b""")),
+
+      // Per-language Gini concentration of document token counts — is a
+      // language's token mass dominated by a few huge docs? Rank window
+      // per language (no global sort), Σ i·xᵢ in DECIMAL(38,0).
+      Q("q_gini_lang",
+        (s, dir) =>
+          graft.ops.Analytics.giniByGroup(
+              t(s, dir, "documents"), "lang", "doc_id",
+              size(TextF.tokens(col("text"))))
+            .orderBy("lang"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.giniByGroupOracleSql(
+              "documents", "lang", "doc_id",
+              s"len(${D.splitWs("text")})")}
+          ) ORDER BY lang""")),
+
+      // Last-touch revenue attribution: each purchase attributes to the
+      // user's latest click within 7 days via the NATIVE as-of operator
+      // (AsOfJoinExec + tolerance), then rolls up attributed vs organic
+      // revenue per day — the composition that turns the as-of primitive
+      // into the marketing report. Oracle replays it through DuckDB's own
+      // ASOF LEFT JOIN: two independent as-of engines under one hash.
+      Q("q_attribution",
+        (s, dir) => {
+          import graft.ops.TemporalJoins
+          val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
+          val clicks = ev.where(col("event_type") === "click")
+            .groupBy(col("user_id"), col("tsu").as("ctsu"))
+            .agg(max(col("event_id")).as("click_id"))
+            .withColumn("click_ts", col("ctsu"))
+          val purch = ev.where(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("tsu"),
+              col("value"))
+          TemporalJoins.asofBackwardTolerance(purch, clicks, "user_id",
+              "tsu", "ctsu", Seq("click_id", "click_ts"), "click_ts",
+              tolerance = 604800000000L)
+            .groupBy(to_date(timestamp_micros(col("tsu"))).as("day"))
+            .agg(count(lit(1)).cast("long").as("n_purchases"),
+              sum(when(col("click_id").isNotNull, lit(1L)).otherwise(lit(0L)))
+                .cast("long").as("n_attributed"),
+              sum(when(col("click_id").isNotNull,
+                col("value").cast("decimal(18,2)")))
+                .cast("double").as("attributed_rev"),
+              sum(when(col("click_id").isNull,
+                col("value").cast("decimal(18,2)")))
+                .cast("double").as("organic_rev"))
+            .orderBy("day")
+        },
+        Some("""
+          WITH l AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value
+                     FROM events WHERE event_type = 'purchase'),
+          r AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ctsu,
+                       max(event_id) AS click_id
+                FROM events WHERE event_type = 'click'
+                GROUP BY user_id, epoch_us(CAST(ts AS TIMESTAMP))),
+          j AS (SELECT l.tsu, l.value,
+                       CASE WHEN r.ctsu IS NOT NULL AND l.tsu - r.ctsu <= 604800000000
+                            THEN r.click_id END AS click_id
+                FROM l ASOF LEFT JOIN r
+                  ON l.user_id = r.user_id AND l.tsu >= r.ctsu)
+          SELECT CAST(make_timestamp(tsu) AS DATE) AS day,
+                 CAST(count(*) AS BIGINT) AS n_purchases,
+                 CAST(sum(CASE WHEN click_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+                 CAST(sum(CASE WHEN click_id IS NOT NULL
+                               THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS attributed_rev,
+                 CAST(sum(CASE WHEN click_id IS NULL
+                               THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS organic_rev
+          FROM j
+          GROUP BY day
+          ORDER BY day""")),
+
+      // KMV key-overlap estimate between orders and customer custkeys —
+      // "how many distinct keys do these join sides share" WITHOUT
+      // joining: two bounded sketches (≤ 256 doubles each cross the
+      // wire), driver-side merge, vs the exact distinct intersection.
+      // The join-planning statistic in the eval suite next to
+      // q_kmv_distinct / q_sketch_error.
+      Q("q_join_overlap_est",
+        (s, dir) => {
+          import graft.ops.Sketches
+          val o = t(s, dir, "orders")
+          val c = t(s, dir, "customer")
+          val ov = Sketches.kmvOverlap(o, "o_custkey", c, "c_custkey", 256)
+          val exact = o.select(col("o_custkey").as("kk")).distinct()
+            .join(c.select(col("c_custkey").as("kk")).distinct(),
+              Seq("kk"), "left_semi")
+            .agg(count(lit(1)).as("exact"))
+          ov.crossJoin(broadcast(exact))
+            .select(r6(col("est_inter")).as("est_inter"),
+              col("n_union_hashes").cast("long").as("n_union_hashes"),
+              r6(col("jaccard")).as("jaccard"),
+              col("exact").cast("long").as("exact"),
+              r6(abs(col("est_inter") - col("exact").cast("double")) /
+                col("exact").cast("double")).as("rel_err"))
+        },
+        Some(s"""
+          WITH ua AS (SELECT DISTINCT ${D.md5Uniform(D.castStr("o_custkey"))} AS u
+                      FROM orders WHERE o_custkey IS NOT NULL),
+          ub AS (SELECT DISTINCT ${D.md5Uniform(D.castStr("c_custkey"))} AS u
+                 FROM customer WHERE c_custkey IS NOT NULL),
+          un AS (SELECT u FROM (SELECT u FROM ua UNION SELECT u FROM ub) t__
+                 ORDER BY u LIMIT 256),
+          s AS (SELECT CAST(count(*) AS BIGINT) AS n, max(u) AS uk FROM un),
+          cm AS (SELECT CAST(count(*) AS BIGINT) AS c FROM un
+                 WHERE u IN (SELECT u FROM ua) AND u IN (SELECT u FROM ub)),
+          e AS (SELECT CAST(count(*) AS BIGINT) AS exact
+                FROM (SELECT DISTINCT o_custkey AS kk FROM orders) oo
+                JOIN (SELECT DISTINCT c_custkey FROM customer) cc
+                  ON oo.kk = cc.c_custkey),
+          est0 AS (SELECT
+              (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+                (CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+                      ELSE ${D.d(255.0)} / uk END) AS est,
+              n, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS jacc, exact
+            FROM s, cm, e)
+          SELECT ${duckR6("est")} AS est_inter, n AS n_union_hashes,
+                 ${duckR6("jacc")} AS jaccard, exact,
+                 ${duckR6("abs(est - CAST(exact AS DOUBLE)) / CAST(exact AS DOUBLE)")} AS rel_err
+          FROM est0""")),
+
+      // 3-core of the near-dup graph after 6 fixed peel rounds: the
+      // dense-template-family extractor (chains and pendants peel away).
+      // BOTH engines run exactly 6 rounds, so the hash matches whether or
+      // not the peel converged; each round's edge set is persisted
+      // (lazy chaining is the 3^rounds planning trap).
+      Q("q_kcore",
+        (s, dir) =>
+          graft.ops.Graph.kCore(structureEdges(s, dir), 3, 6)
+            .select(col("id").as("vec_id"), col("degree"))
+            .orderBy("vec_id"),
+        Some(s"""
+          SELECT id AS vec_id, degree FROM (
+            ${graft.ops.Graph.kCoreOracleSql(duckNearDupEdges, 3, 6)}
+          ) ORDER BY vec_id""")),
+
+      // Synchronous label-propagation communities on the near-dup graph
+      // (4 fixed rounds, min-label tie-break — deterministic, no random
+      // visit order): the lighter-weight community signal next to exact
+      // connected components; the argmax is max(struct(n, −label)), no
+      // window.
+      Q("q_lpa_communities",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          graft.ops.Graph.labelPropagation(
+              emb.select(col("vec_id").as("id")), structureEdges(s, dir), 4)
+            .select(col("id").as("vec_id"), col("label").as("community"))
+            .orderBy("vec_id")
+        },
+        Some(s"""
+          SELECT id AS vec_id, label AS community FROM (
+            ${graft.ops.Graph.labelPropagationOracleSql(
+              "(SELECT vec_id AS id FROM embeddings)", duckNearDupEdges, 4)}
+          ) ORDER BY vec_id""")),
+
+      // Top user journeys: first 5 event types of each (user, day)
+      // session, counted across sessions — the path-frequency read behind
+      // funnel design. Session state capped at 5 steps; top-50 via
+      // per-partition heaps (TakeOrderedAndProject).
+      Q("q_session_paths",
+        (s, dir) =>
+          graft.ops.Analytics.sessionPaths(
+            evT(s, dir), "user_id", "ts", "event_id", "event_type", 5, 50),
+        Some(graft.ops.Analytics.sessionPathsOracleSql(
+          duckEvents, "user_id", "ts", "event_id", "event_type", 5, 50))),
+
+      // Lorenz curve deciles of customer revenue: cumulative share of
+      // exact decimal revenue by customer decile (ntile over tie-broken
+      // order) — the concentration curve behind the Gini number; "top
+      // decile carries X% of revenue".
+      Q("q_lorenz_curve",
+        (s, dir) => {
+          // decile assignment via the range-partitioned two-pass rank
+          // (never a Window.orderBy SinglePartition over the customer
+          // dimension); the 10-row cumulative share is a broadcast
+          // triangular join on the fixed decile key — exact decimal sums,
+          // no window anywhere in the plan.
+          val rev = t(s, dir, "orders")
+            .groupBy(col("o_custkey"))
+            .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("__r"))
+          val (ranked, n) = graft.ops.Layout.globalRank(
+            rev, Seq(col("__r"), col("o_custkey")), "__rk")
+          val dec = ranked.withColumn("decile",
+            graft.ops.Layout.ntileFromRank(col("__rk"), n, 10))
+          val byDec = dec.groupBy(col("decile"))
+            .agg(count(lit(1)).cast("long").as("n_customers"),
+              sum(col("__r")).as("__dr"))
+          val tot = byDec.agg(sum(col("__dr")).as("__t"))
+          val prior = byDec.select(col("decile").as("__d2"),
+            col("__dr").as("__dr2"))
+          byDec.join(broadcast(prior), col("__d2") <= col("decile"))
+            .groupBy(col("decile"), col("n_customers"), col("__dr"))
+            .agg(sum(col("__dr2")).as("__cum"))
+            .crossJoin(broadcast(tot))
+            .select(col("decile"), col("n_customers"),
+              col("__dr").cast("double").as("revenue"),
+              r6(col("__cum").cast("double") / col("__t").cast("double"))
+                .as("cum_share"))
+            .orderBy("decile")
+        },
+        Some("""
+          WITH rev AS (SELECT o_custkey,
+                              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+                       FROM orders GROUP BY o_custkey),
+          dec AS (SELECT o_custkey, r,
+                         CAST(ntile(10) OVER (ORDER BY r, o_custkey) AS BIGINT) AS decile
+                  FROM rev),
+          bd AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+                        sum(r) AS dr
+                 FROM dec GROUP BY decile),
+          t AS (SELECT sum(dr) AS tt FROM bd)
+          SELECT decile, n_customers, CAST(dr AS DOUBLE) AS revenue,
+                 (round(CAST(sum(dr) OVER (ORDER BY decile
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                        / CAST(tt AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS cum_share
+          FROM bd CROSS JOIN t
+          ORDER BY decile""")),
+
+      // Heaps'-law vocabulary growth: V(n) at doc-count checkpoints from
+      // each term's FIRST-occurrence doc (min doc_id per term — exact
+      // integers, no cumulative distinct scan), plus the fitted exponent
+      // from the rounded-log regression (the zipf-slope discipline). The
+      // "how fast does the vocabulary grow" corpus-scaling audit.
+      Q("q_heaps_law",
+        (s, dir) => {
+          val firstDoc = tk(s, dir, "documents")
+            .select(col("doc_id"), explode(TextF.tokens(col("text"))).as("term"))
+            .where(length(col("term")) > 0)
+            .groupBy(col("term")).agg(min(col("doc_id")).as("__fd"))
+          val checkpoints = Seq(100L, 200L, 300L, 400L, 500L)
+          val cps = checkpoints.map(n =>
+            firstDoc.where(col("__fd") < n)
+              .agg(lit(n).cast("long").as("n_docs"),
+                count(lit(1)).cast("long").as("vocab")))
+            .reduce(_.unionAll(_))
+          val x = round(log(col("n_docs").cast("double")), 6)
+            .cast("decimal(18,6)")
+          val y = round(log(col("vocab").cast("double")), 6)
+            .cast("decimal(18,6)")
+          val m = cps.agg(count(lit(1)).as("__n"),
+            sum(x).as("__sx"), sum(y).as("__sy"),
+            sum((x * y).cast("decimal(38,12)")).as("__sxy"),
+            sum((x * x).cast("decimal(38,12)")).as("__sxx"))
+          val nd = col("__n").cast("double")
+          val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+          val sxy = col("__sxy").cast("double"); val sxx = col("__sxx").cast("double")
+          cps.crossJoin(broadcast(m.select(
+              r6((nd * sxy - sx * sy) / (nd * sxx - sx * sx)).as("heaps_beta"))))
+            .orderBy("n_docs")
+        },
+        Some(s"""
+          WITH fd AS (
+            SELECT term, min(doc_id) AS fdoc FROM (
+              SELECT doc_id, unnest(${D.splitWs("text")}) AS term FROM documents) t__
+            WHERE len(term) > 0 GROUP BY term),
+          cp AS (SELECT CAST(n AS BIGINT) AS n_docs,
+                        (SELECT CAST(count(*) AS BIGINT) FROM fd WHERE fdoc < n) AS vocab
+                 FROM (SELECT unnest([100, 200, 300, 400, 500]) AS n) ns),
+          xy AS (SELECT CAST(round(ln(CAST(n_docs AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+                        CAST(round(ln(CAST(vocab AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+                 FROM cp),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       sum(x) AS sx, sum(y) AS sy,
+                       sum(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+                       sum(CAST(x * x AS DECIMAL(38,12))) AS sxx
+                FROM xy),
+          b AS (SELECT ${duckR6(
+            """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+               (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))""")} AS heaps_beta
+               FROM m)
+          SELECT n_docs, vocab, heaps_beta
+          FROM cp CROSS JOIN b
+          ORDER BY n_docs""")),
+
+      // LSH banding precision/recall on a doc sample: ground TRUTH comes
+      // from the exact set-similarity join (pairs sharing >= 1 shingle
+      // via the postings equi-join — a Jaccard >= 0.1 pair MUST share a
+      // shingle, so recall of the truth set is exact and no cartesian
+      // appears anywhere); candidates are the production 4-band/2-row
+      // signatures. The banding-trust eval behind every LSH parameter
+      // choice, alongside q_sketch_error.
+      Q("q_lsh_pr_eval",
+        (s, dir) => {
+          // seed 5 guaranteed near-dup pairs (suffix-mutated copies of
+          // docs 0-4) so the truth set is non-empty at EVERY scale factor
+          // — sf0.1's first-200 docs happen to contain no natural pairs,
+          // which would make the eval vacuous (and divide by zero)
+          val base = t(s, dir, "documents").where(col("doc_id") < 200)
+            .select(col("doc_id"), col("text"))
+          val mutated = base.where(col("doc_id") < 5)
+            .select((col("doc_id") + 9000L).as("doc_id"),
+              concat(col("text"), lit(" zz qq xtra")).as("text"))
+          val docs = base.unionAll(mutated)
+          val sets = Dedup.shingleSets(docs, "text", "doc_id", 3)
+          val post = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+          val pairs = post.select(col("doc_id").as("id_a"), col("s"))
+            .join(post.select(col("doc_id").as("id_b"), col("s")), "s")
+            .where(col("id_a") < col("id_b"))
+            .select(col("id_a"), col("id_b")).distinct()
+          val truth = Dedup.jaccardVerify(docs, pairs, "text", "doc_id", 3, 0.1)
+            .select(col("id_a"), col("id_b"))
+          val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", 3, 8)
+          val cand = Dedup.lshCandidatePairs(sigs, "doc_id", 2)
+            .select(col("id_a"), col("id_b")).distinct()
+          val hit = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
+          val nT = truth.agg(count(lit(1)).as("n_truth"))
+          val nC = cand.agg(count(lit(1)).as("n_cand"))
+          val nH = hit.agg(count(lit(1)).as("n_hit"))
+          // empty truth/candidate sets are legitimate on a slice with no
+          // similar pairs (seen at sf0.1's first-200 docs) — report 0.0,
+          // never divide by zero (ANSI mode aborts the query otherwise)
+          nT.crossJoin(broadcast(nC)).crossJoin(broadcast(nH))
+            .select(col("n_truth").cast("long").as("n_truth"),
+              col("n_cand").cast("long").as("n_cand"),
+              col("n_hit").cast("long").as("n_hit"),
+              r6(when(col("n_cand") > 0,
+                col("n_hit").cast("double") / col("n_cand").cast("double"))
+                .otherwise(lit(0.0))).as("precision"),
+              r6(when(col("n_truth") > 0,
+                col("n_hit").cast("double") / col("n_truth").cast("double"))
+                .otherwise(lit(0.0))).as("recall"))
+        },
+        Some {
+          val duckToksS =
+            s"""(SELECT doc_id, ${D.splitWs("text")} AS toks FROM (
+                 SELECT doc_id, text FROM documents WHERE doc_id < 200
+                 UNION ALL
+                 SELECT doc_id + 9000, text || ' zz qq xtra'
+                 FROM documents WHERE doc_id < 5) u__)"""
+          val duckShinglesS =
+            s"(SELECT doc_id, ${Exprs.wordShingles(D, "toks", 3)} AS sh FROM $duckToksS)"
+          s"""
+          WITH sets AS (SELECT doc_id, ${D.arrayDistinct("sh")} AS shs FROM $duckShinglesS),
+          post AS (SELECT doc_id, unnest(shs) AS s FROM sets),
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id),
+          truth AS (SELECT id_a, id_b
+                    FROM pairs JOIN sets sa ON sa.doc_id = id_a
+                               JOIN sets sb ON sb.doc_id = id_b
+                    WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                          / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
+                          >= CAST(0.1 AS DOUBLE)),
+          sigs AS (SELECT doc_id, ${Exprs.minhashSig(D, "sh", 8)} AS sig
+                   FROM $duckShinglesS),
+          banded AS (
+            SELECT doc_id, CAST(b.b AS BIGINT) AS band,
+                   md5(array_to_string(sig[(CAST(b.b AS INT) * 2 + 1):(CAST(b.b AS INT) * 2 + 2)], '|')) AS band_key
+            FROM sigs, range(0, 4) AS b(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+            FROM banded a JOIN banded c
+              ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+          hit AS (SELECT c.id_a, c.id_b FROM cand c
+                  JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b),
+          m AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+                       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+                       (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit)
+          SELECT n_truth, n_cand, n_hit,
+                 ${duckR6("CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END")} AS precision,
+                 ${duckR6("CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END")} AS recall
+          FROM m"""
+        }),
+
+      // Join-key skew probe for lineitem.l_orderkey: exact frequency
+      // extremes + distribution quantiles + the max/median skew ratio —
+      // the pre-join planning read that decides salting/AQE-skew config
+      // BEFORE a 100 TB shuffle. Frequencies are one map-combined agg;
+      // quantiles go through the distributed exact-rank picker.
+      Q("q_join_skew_probe",
+        (s, dir) => {
+          val freqs = t(s, dir, "lineitem")
+            .groupBy(col("l_orderkey")).agg(count(lit(1)).as("f"))
+          val qs = graft.ops.Percentiles.quantilesGlobal(
+            freqs, "f", Seq("p50_f" -> 0.5, "p99_f" -> 0.99))
+          val ext = freqs.agg(
+            count(lit(1)).cast("long").as("n_keys"),
+            sum(col("f")).cast("long").as("total_rows"),
+            max(col("f")).cast("long").as("max_freq"))
+          ext.crossJoin(broadcast(qs))
+            .select(col("n_keys"), col("total_rows"), col("max_freq"),
+              r6(col("max_freq").cast("double") /
+                col("total_rows").cast("double")).as("top1_share"),
+              r6(col("p50_f")).as("p50_freq"), r6(col("p99_f")).as("p99_freq"),
+              r6(col("max_freq").cast("double") / col("p50_f")).as("skew_ratio"))
+        },
+        Some(s"""
+          WITH f AS (SELECT l_orderkey, count(*) AS f FROM lineitem
+                     GROUP BY l_orderkey),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                       CAST(sum(f) AS BIGINT) AS total_rows,
+                       CAST(max(f) AS BIGINT) AS max_freq,
+                       quantile_cont(f, 0.5) AS p50,
+                       quantile_cont(f, 0.99) AS p99
+                FROM f)
+          SELECT n_keys, total_rows, max_freq,
+                 ${duckR6("CAST(max_freq AS DOUBLE) / CAST(total_rows AS DOUBLE)")} AS top1_share,
+                 ${duckR6("p50")} AS p50_freq, ${duckR6("p99")} AS p99_freq,
+                 ${duckR6("CAST(max_freq AS DOUBLE) / p50")} AS skew_ratio
+          FROM m""")),
+
+      // Day-of-week × hour activity heatmap with exact per-cell share —
+      // the ops-dashboard staple; one map-combined 168-key aggregation.
+      Q("q_calendar_heatmap",
+        (s, dir) =>
+          evT(s, dir)
+            .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+              hour(col("ts")).cast("long").as("hod"))
+            .agg(count(lit(1)).cast("long").as("n"))
+            .withColumn("share", r6(col("n").cast("double") /
+              sum(col("n")).over(
+                org.apache.spark.sql.expressions.Window.partitionBy())
+                .cast("double")))
+            .orderBy("dow", "hod"),
+        Some(s"""
+          WITH c AS (
+            SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hod,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM $duckEvents e__
+            GROUP BY dow, hod),
+          t AS (SELECT sum(n) AS tt FROM c)
+          SELECT dow, hod, n,
+                 ${duckR6("CAST(n AS DOUBLE) / CAST(tt AS DOUBLE)")} AS share
+          FROM c CROSS JOIN t
+          ORDER BY dow, hod""")),
+
+      // Embedding peakiness outliers: vectors whose LARGEST |coordinate|
+      // sits more than 3 z-units from the corpus mean (round-6 peaks
+      // summed in DECIMAL — exact moments) — the collapsed/degenerate-
+      // vector detector next to the per-dimension health stats. (L2 norm
+      // is useless here by design: the store is normalized, every norm
+      // is exactly 1.)
+      Q("q_embed_outliers",
+        (s, dir) => {
+          val base = t(s, dir, "embeddings")
+            .select(col("vec_id"),
+              expr("array_max(transform(CAST(embedding AS ARRAY<DOUBLE>), x__ -> abs(x__)))")
+                .as("__peak"))
+            .select(col("vec_id"),
+              (round(col("__peak"), 6) + lit(0.0)).as("norm"))
+          val m = base.agg(
+            count(lit(1)).cast("long").as("__n"),
+            sum(col("norm").cast("decimal(12,6)")).as("__s"),
+            sum((col("norm").cast("decimal(12,6)") *
+              col("norm").cast("decimal(12,6)")).cast("decimal(38,12)"))
+              .as("__ss"))
+          val nd = col("__n").cast("double")
+          val sd = col("__s").cast("double"); val ssd = col("__ss").cast("double")
+          val stats = m.select(
+            (sd / nd).as("__mean"),
+            sqrt((ssd - sd * sd / nd) / (nd - lit(1.0))).as("__std"))
+          base.crossJoin(broadcast(stats))
+            .withColumn("z", r6((col("norm") - col("__mean")) / col("__std")))
+            .where(abs(col("z")) > 3.0)
+            .select(col("vec_id"), col("norm"), col("z"))
+            .orderBy("vec_id")
+        },
+        Some(s"""
+          WITH b AS (SELECT vec_id,
+                            (round(list_max(list_transform(v, x__ -> abs(x__))), 6)
+                             + CAST(0.0 AS DOUBLE)) AS norm
+                     FROM $duckEmbTable),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       sum(CAST(norm AS DECIMAL(12,6))) AS s,
+                       sum(CAST(CAST(norm AS DECIMAL(12,6))
+                                * CAST(norm AS DECIMAL(12,6)) AS DECIMAL(38,12))) AS ss
+                FROM b),
+          st AS (SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                        sqrt((CAST(ss AS DOUBLE)
+                              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                             / (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))) AS std
+                 FROM m)
+          SELECT vec_id, norm,
+                 ${duckR6("(norm - mean) / std")} AS z
+          FROM b CROSS JOIN st
+          WHERE abs((round((norm - mean) / std, 6) + CAST(0.0 AS DOUBLE)))
+                > CAST(3.0 AS DOUBLE)
+          ORDER BY vec_id""")),
+
+      // ROC AUC of the in-engine trained quality classifier via EXACT
+      // Mann-Whitney rank arithmetic: doubled average ranks (2r + c − 1)
+      // keep tie handling in pure integers; the single division happens
+      // once at the end. Turns q_quality_classifier + calibration into a
+      // threshold-free ranking eval. At scale: NO corpus-sized rank
+      // window — rows first collapse to per-distinct-score tallies
+      // (c rows, cp positives: a map-combined aggregate), and the
+      // min-rank of each tie group is cum(c) − c + 1 from the
+      // range-partitioned two-pass prefix sum (Layout.rankedCumSum) over
+      // the DISTINCT-SCORE dimension, exactly rank() OVER (ORDER BY
+      // score) but never an Exchange SinglePartition.
+      Q("q_classifier_auc",
+        (s, dir) => {
+          val scored = graft.ops.QualityClassifier.trainAndScore(
+            t(s, dir, "documents"), "doc_id", "text", "n_chars >= 250")
+          val byScore = scored.groupBy(col("score"))
+            .agg(count(lit(1)).cast("decimal(18,0)").as("__c"),
+              sum(when(col("label") === 1.0, 1L).otherwise(0L))
+                .cast("long").as("__cp"))
+          val (ranked, _) = graft.ops.Layout.rankedCumSum(
+            byScore, Seq(col("score")), "__c", "__rk", "__cum")
+          val agg = ranked.select(col("__cp"),
+              col("__c").cast("long").as("__cl"),
+              (col("__cum").cast("long") - col("__c").cast("long") + 1L)
+                .as("__r"))
+            .agg(
+              sum(col("__cp") * (lit(2L) * col("__r") + col("__cl") - 1L))
+                .cast("long").as("__s2"),
+              sum(col("__cp")).cast("long").as("__np"),
+              sum(col("__cl") - col("__cp")).cast("long").as("__nn"))
+          agg.select(col("__np").as("n_pos"), col("__nn").as("n_neg"),
+            r6((col("__s2") - col("__np") * (col("__np") + 1L)).cast("double") /
+              (lit(2L) * col("__np") * col("__nn")).cast("double")).as("auc"))
+        },
+        Some(s"""
+          WITH scored AS (
+            SELECT doc_id, score, label FROM (
+              ${graft.ops.QualityClassifier.oracleSql(
+                D, "documents", "doc_id", "text", "n_chars >= 250")}) t__),
+          rk AS (SELECT label, score,
+                        rank() OVER (ORDER BY score) AS r,
+                        count(*) OVER (PARTITION BY score) AS c
+                 FROM scored),
+          agg AS (SELECT
+              CAST(sum(CASE WHEN label = 1 THEN 2 * r + c - 1 ELSE 0 END) AS BIGINT) AS s2,
+              CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+              CAST(sum(CASE WHEN label = 1 THEN 0 ELSE 1 END) AS BIGINT) AS nn
+            FROM rk)
+          SELECT np AS n_pos, nn AS n_neg,
+                 ${duckR6("CAST(s2 - np * (np + 1) AS DOUBLE) / CAST(2 * np * nn AS DOUBLE)")} AS auc
+          FROM agg""")),
+
+      // Directed-edge reciprocity of the host link graph: the fraction of
+      // distinct edges whose reverse also exists — mutual-linking vs
+      // one-way citation structure, one self-join + one scalar row.
+      Q("q_reciprocity",
+        (s, dir) => {
+          val pages = tk(s, dir, "documents")
+          val edges = pages.select(
+              concat(lit("h"), col("doc_id") % 7, lit(".example.com")).as("src"),
+              concat(lit("h"), (col("doc_id") + 1) % 7, lit(".example.com")).as("dst"))
+            .where(col("src") =!= col("dst"))
+            .distinct()
+          val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+            .withColumn("__rev", lit(1))
+          edges.join(rev, Seq("src", "dst"), "left")
+            .agg(count(lit(1)).cast("long").as("n_edges"),
+              sum(coalesce(col("__rev"), lit(0))).cast("long").as("n_mutual"))
+            .select(col("n_edges"), col("n_mutual"),
+              r6(col("n_mutual").cast("double") / col("n_edges").cast("double"))
+                .as("reciprocity"))
+        },
+        Some("""
+          WITH e AS (
+            SELECT DISTINCT
+                   'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS src,
+                   'h' || CAST((doc_id + 1) % 7 AS VARCHAR) || '.example.com' AS dst
+            FROM documents
+            WHERE doc_id % 7 <> (doc_id + 1) % 7),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                       CAST(sum(CASE WHEN EXISTS (
+                         SELECT 1 FROM e e2 WHERE e2.src = e.dst AND e2.dst = e.src)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mutual
+                FROM e)
+          SELECT n_edges, n_mutual,
+                 (round(CAST(n_mutual AS DOUBLE) / CAST(n_edges AS DOUBLE), 6)
+                  + CAST(0.0 AS DOUBLE)) AS reciprocity
+          FROM m""")),
+
+      // Consecutive-day activity streaks per user (gaps-and-islands via
+      // the day-minus-rank constant) — the engagement-streak metric;
+      // events collapse to distinct (user, day) BEFORE any window.
+      Q("q_user_streaks",
+        (s, dir) =>
+          graft.ops.Analytics.activityStreaks(evT(s, dir), "user_id", "ts")
+            .orderBy("user_id"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.activityStreaksOracleSql(
+              duckEvents, "user_id", "ts")}
+          ) ORDER BY user_id""")),
+
+      // Pearson correlation between the click and error hourly series
+      // (exact integer moments, inner-aligned hours) — "do errors move
+      // with traffic?"
+      Q("q_series_corr",
+        (s, dir) =>
+          graft.ops.Analytics.seriesCorr(
+            evT(s, dir), "ts", "event_type", "click", "error"),
+        Some(graft.ops.Analytics.seriesCorrOracleSql(
+          duckEvents, "ts", "event_type", "click", "error"))),
+
+      // Simplified silhouette against label centroids — the
+      // embedding-space separability eval next to recall@k/calibration.
+      // Centroids: round-6 component sums in DECIMAL, broadcast; each
+      // vector scores against |labels| centroids map-only — vectors
+      // never shuffle.
+      Q("q_silhouette",
+        (s, dir) =>
+          graft.ops.Analytics.labelSilhouette(
+              t(s, dir, "embeddings"), "vec_id", "embedding", "label", 64)
+            .orderBy("vec_id"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.labelSilhouetteOracleSql(64)}
+          ) ORDER BY vec_id""")),
+
+      // SCD1 MERGE in-engine: order-derived updates (latest o_orderkey
+      // wins per customer) upsert into the customer dimension; every
+      // 50th update also inserts under a shifted key, exercising the
+      // insert path. One latest-per-key reduction + one full-outer join
+      // — what a warehouse MERGE compiles to before file rewriting.
+      Q("q_scd1_merge",
+        (s, dir) => {
+          val base = t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+          val upd0 = t(s, dir, "orders").select(
+            col("o_custkey").as("c_custkey"), col("o_orderkey").as("ord"),
+            concat(lit("upd_"), col("o_orderkey")).as("c_name"),
+            col("o_totalprice").as("c_acctbal"))
+          val updates = upd0.unionAll(
+            upd0.where(col("c_custkey") % 50 === 0)
+              .withColumn("c_custkey", col("c_custkey") + lit(1000000L)))
+          graft.ops.Analytics.scd1Merge(base, updates, "c_custkey", "ord",
+              Seq("c_name", "c_acctbal"))
+            .orderBy("c_custkey")
+        },
+        Some {
+          val updatesRel = """(
+            SELECT o_custkey AS c_custkey, o_orderkey AS ord,
+                   'upd_' || CAST(o_orderkey AS VARCHAR) AS c_name,
+                   o_totalprice AS c_acctbal
+            FROM orders
+            UNION ALL
+            SELECT o_custkey + 1000000 AS c_custkey, o_orderkey AS ord,
+                   'upd_' || CAST(o_orderkey AS VARCHAR) AS c_name,
+                   o_totalprice AS c_acctbal
+            FROM orders WHERE o_custkey % 50 = 0)"""
+          s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.scd1MergeOracleSql(
+              "(SELECT c_custkey, c_name, c_acctbal FROM customer)",
+              updatesRel, "c_custkey", "ord", Seq("c_name", "c_acctbal"))}
+          ) ORDER BY c_custkey"""
+        }),
+
+      // Per-user time-weighted average of the value signal: each
+      // observation holds until the next (exact µs weights, DECIMAL
+      // mass) — what plain AVG gets wrong under irregular sampling.
+      Q("q_twap",
+        (s, dir) =>
+          graft.ops.Analytics.twap(
+              evT(s, dir), "user_id", "ts", "event_id", "value")
+            .orderBy("user_id"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.twapOracleSql(
+              duckEvents, "user_id", "ts", "event_id", "value")}
+          ) ORDER BY user_id""")),
+
+      // Streaming TWAP == batch TWAP: mass accrues incrementally across
+      // micro-batches in O(1) state per key (exact integer mass as a
+      // decimal string — exceeds Long on long spans); watermark sentinel
+      // flushes; hash-matches the batch DECIMAL oracle.
+      Q("q_stream_twap_eq",
+        (s, dir0) => {
+          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
+          import s.implicits._
+          import graft.streaming.StreamingTwap
+          import graft.streaming.StreamingTwap.{TwapOut, VEvent}
+          val ss = streamSession(s)
+          implicit val sqlCtx = ss.sqlContext
+          def tsOf(usv: Long) = java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(usv / 1000000L, (usv % 1000000L) * 1000L))
+          val evs = tEvents(s, dir)
+            .select(col("user_id").cast("long"), expr("ts div 1000").as("tsus"),
+              col("event_id").cast("long"), col("value").cast("double"))
+            .as[(Long, Long, Long, Double)].collect()
+            .sortBy { case (_, tsus, eid, _) => (tsus, eid) }
+            .map { case (u, tsus, eid, v) => VEvent(u, tsOf(tsus), eid, v) }
+          val quiet = 35L * 86400000000L
+          val sentinelUs = evs.map(e => e.ts.getTime).max * 1000L +
+            40L * 86400000000L
+          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[VEvent]
+          val name = s"q_stream_twap_eq_${System.nanoTime()}"
+          val q = StreamingTwap.twapStream(
+              in.toDS().withWatermark("ts", "0 seconds"), quietUs = quiet)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+          try {
+            evs.grouped(math.max(1, (evs.length + 3) / 4)).foreach { b =>
+              in.addData(b.toSeq); q.processAllAvailable()
+            }
+            in.addData(VEvent(-1L, tsOf(sentinelUs), 0L, 0.0)); q.processAllAvailable()
+            in.addData(VEvent(-1L, tsOf(sentinelUs + 1000000L), 1L, 0.0)); q.processAllAvailable()
+          } finally {
+            q.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
+          ss.table(name).as[TwapOut].collect().toSeq.filter(_.user_id >= 0)
+            .toDF("user_id", "n_steps", "twap")
+            .orderBy("user_id")
+        },
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.twapOracleSql(
+              duckEvents, "user_id", "ts", "event_id", "value")}
+          ) ORDER BY user_id""")),
+
+      // Hourly OHLC bars per event type: open/close via min/max-by-struct
+      // on the (ts, id) total order — one map-combined aggregation, no
+      // window; the time-series resampling primitive.
+      Q("q_ohlc_bars",
+        (s, dir) =>
+          graft.ops.Analytics.ohlcBars(
+              evT(s, dir), "event_type", "ts", "event_id", "value")
+            .orderBy("event_type", "bar_ts"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.ohlcBarsOracleSql(
+              duckEvents, "event_type", "ts", "event_id", "value")}
+          ) ORDER BY event_type, bar_ts""")),
+
+      // Session entry/exit transition counts (first/last event type per
+      // (user, day) via the same argmin/argmax-by-struct shape) — the
+      // bounce/landing read.
+      Q("q_entry_exit",
+        (s, dir) =>
+          graft.ops.Analytics.entryExit(
+              evT(s, dir), "user_id", "ts", "event_id", "event_type")
+            .orderBy("entry_type", "exit_type"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.entryExitOracleSql(
+              duckEvents, "user_id", "ts", "event_id", "event_type")}
+          ) ORDER BY entry_type, exit_type""")),
+
+      // Adjacent-bigram PMI collocations from exact corpus counts (min
+      // count 20, top 50): the "new york" detector feeding tokenizer
+      // merge candidates; the single ln runs on identical exact ratios.
+      Q("q_pmi_collocations",
+        (s, dir) =>
+          graft.ops.Analytics.pmiCollocations(
+            tk(s, dir, "documents"), "text", 20, 50),
+        Some(graft.ops.Analytics.pmiCollocationsOracleSql(
+          duckDocToks, 20, 50))),
+
+      // RAKE corpus keyphrases: stopword-free runs segmented by one
+      // doc-partitioned cumulative window, corpus deg/freq word scores,
+      // DECIMAL(18,6) phrase sums, top-50 by (score, phrase). The
+      // unsupervised keyphrase baseline for corpus exploration.
+      Q("q_rake_keyphrases",
+        (s, dir) =>
+          graft.ops.Analytics.rakeKeyphrases(
+              tk(s, dir, "documents"), "doc_id", "text",
+              graft.functions.TextF.StopEn, 50)
+            .orderBy(desc("score"), col("phrase")),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.rakeKeyphrasesOracleSql(
+              duckDocToks, "doc_id",
+              D.strArray(graft.functions.TextF.StopEn), 50)}
+          ) ORDER BY score DESC, phrase""")),
+
+      // Time-to-convert funnel: per signup cohort week, exact p50/p90 of
+      // microseconds from first signup to first subsequent purchase —
+      // the funnel-latency report behind activation dashboards. Durations
+      // are exact integers; quantiles go through the audited exact
+      // rank-interpolation operator (window form: cohorts are few and
+      // small after the per-user collapse).
+      Q("q_funnel_timing",
+        (s, dir) => {
+          val ev = evT(s, dir)
+          val su = ev.where(col("event_type") === "signup")
+            .groupBy(col("user_id")).agg(min(col("ts")).as("sts"))
+          val pu = ev.where(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("pts"))
+          val dur = pu.join(su, "user_id")
+            .where(col("pts") >= col("sts"))
+            .groupBy(col("user_id"), col("sts")).agg(min(col("pts")).as("fp"))
+            .select(
+              date_trunc("week", col("sts")).cast("date").as("cohort_week"),
+              (unix_micros(col("fp")) - unix_micros(col("sts")))
+                .as("dur_us"))
+          graft.ops.Percentiles.quantiles(dur, "dur_us", Seq("cohort_week"),
+              Seq("p50_raw" -> 0.5, "p90_raw" -> 0.9))
+            .select(col("cohort_week"),
+              r6(col("p50_raw")).as("p50_us"), r6(col("p90_raw")).as("p90_us"),
+              col("cnt"))
+            .orderBy("cohort_week")
+        },
+        Some(s"""
+          WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                     FROM events),
+          su AS (SELECT user_id, min(ts) AS sts FROM e
+                 WHERE event_type = 'signup' GROUP BY user_id),
+          fp AS (SELECT pu.user_id, su.sts, min(pu.ts) AS fp
+                 FROM e pu JOIN su ON pu.user_id = su.user_id
+                 WHERE pu.event_type = 'purchase' AND pu.ts >= su.sts
+                 GROUP BY pu.user_id, su.sts),
+          dur AS (SELECT CAST(date_trunc('week', sts) AS DATE) AS cohort_week,
+                         epoch_us(fp) - epoch_us(sts) AS dur_us
+                  FROM fp)
+          SELECT cohort_week,
+                 (round(quantile_cont(dur_us, 0.5), 6) + CAST(0.0 AS DOUBLE)) AS p50_us,
+                 (round(quantile_cont(dur_us, 0.9), 6) + CAST(0.0 AS DOUBLE)) AS p90_us,
+                 count(*) AS cnt
+          FROM dur
+          GROUP BY cohort_week
+          ORDER BY cohort_week""")),
+
+      // Language-ID confusion matrix: the n-gram-heuristic classifier's
+      // predictions crossed with the corpus's true lang labels, plus
+      // per-cell share of the true-label row — the eval that turns
+      // q_langid from a prediction dump into a measured classifier.
+      Q("q_langid_confusion",
+        (s, dir) =>
+          tk(s, dir, "documents")
+            .select(col("lang"),
+              graft.functions.TextF.langId(TextF.tokens(col("text")))
+                .as("pred_lang"))
+            .groupBy("lang", "pred_lang")
+            .agg(count(lit(1)).cast("long").as("n"))
+            .withColumn("row_share", r6(col("n").cast("double") /
+              sum(col("n")).over(
+                org.apache.spark.sql.expressions.Window.partitionBy("lang"))
+                .cast("double")))
+            .orderBy("lang", "pred_lang"),
+        Some {
+          def hits(stop: Seq[String]) =
+            s"len(list_filter(toks, t__ -> list_contains(${D.strArray(stop)}, t__)))"
+          s"""
+          WITH pred AS (
+            SELECT lang,
+                   CASE WHEN en__ >= de__ AND en__ >= es__ AND en__ >= fr__ THEN 'en'
+                        WHEN de__ >= es__ AND de__ >= fr__ THEN 'de'
+                        WHEN es__ >= fr__ THEN 'es'
+                        ELSE 'fr' END AS pred_lang
+            FROM (SELECT d0.lang, ${hits(graft.functions.TextF.StopEn)} AS en__,
+                         ${hits(graft.functions.TextF.StopDe)} AS de__,
+                         ${hits(graft.functions.TextF.StopEs)} AS es__,
+                         ${hits(graft.functions.TextF.StopFr)} AS fr__
+                  FROM (SELECT doc_id, lang, ${D.splitWs("text")} AS toks
+                        FROM documents) d0)),
+          cm AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+                 FROM pred GROUP BY lang, pred_lang)
+          SELECT lang, pred_lang, n,
+                 (round(CAST(n AS DOUBLE) /
+                        CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6)
+                  + CAST(0.0 AS DOUBLE)) AS row_share
+          FROM cm
+          ORDER BY lang, pred_lang"""
+        }),
+
+      // Benford first-digit audit of lineitem prices: exact integer-cents
+      // digit extraction (no log10 near powers of ten), shared-literal
+      // expected probabilities, per-digit chi-square contributions — the
+      // synthetic-data / corrupt-feed alarm. One 9-key map-combined agg.
+      Q("q_benford",
+        (s, dir) =>
+          graft.ops.Analytics.benford(
+              t(s, dir, "lineitem"), col("l_extendedprice"))
+            .orderBy("digit"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.benfordOracleSql("lineitem", "l_extendedprice")}
+          ) ORDER BY digit""")),
+
+      // RFM quintile segmentation of purchasers — recency/frequency/
+      // monetary scores 1-5 with full tie-breaks; the windows run over the
+      // aggregated USER dimension, never event volume.
+      Q("q_rfm",
+        (s, dir) =>
+          graft.ops.Analytics.rfm(
+              evT(s, dir), "user_id", "ts", "event_type", "value", "purchase")
+            .orderBy("user_id"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.rfmOracleSql(
+              duckEvents, "user_id", "ts", "event_type", "value", "purchase")}
+          ) ORDER BY user_id""")),
+
+      // ABC/Pareto classification of parts by exact decimal revenue share
+      // (A <= 0.80, B <= 0.95): the catalog 80-15-5 report; cumulative
+      // sums stay DECIMAL so the class boundary cannot drift with
+      // partitioning.
+      Q("q_abc_parts",
+        (s, dir) =>
+          graft.ops.Analytics.abcClassify(
+              t(s, dir, "lineitem"), "l_partkey",
+              col("l_extendedprice").cast("decimal(18,2)") *
+                (lit(1) - col("l_discount")).cast("decimal(18,2)"),
+              0.80, 0.95)
+            .orderBy("rank"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.abcClassifyOracleSql(
+              "lineitem", "l_partkey",
+              "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))",
+              0.80, 0.95)}
+          ) ORDER BY rank""")),
+
+      // Data-quality audit: the dbt-tests-style constraint table — FK
+      // orphans both directions, PK duplicates, domain violations, null
+      // checks — one row per check with its exact violation count. Each
+      // check is an independent scalar aggregate (anti-joins broadcast
+      // the key side); a healthy warehouse reads all zeros.
+      Q("q_dq_audit",
+        (s, dir) => {
+          val li = t(s, dir, "lineitem")
+          val o = t(s, dir, "orders")
+          val c = t(s, dir, "customer")
+          def chk(name: String, d: DataFrame) =
+            d.agg(count(lit(1)).cast("long").as("n_violations"))
+              .select(lit(name).as("check"), col("n_violations"))
+          chk("customer.c_name_null", c.where(col("c_name").isNull))
+            .unionAll(chk("lineitem.l_orderkey_orphan",
+              li.join(o.select(col("o_orderkey").as("l_orderkey")),
+                Seq("l_orderkey"), "left_anti")))
+            .unionAll(chk("lineitem.l_quantity_nonpositive",
+              li.where(col("l_quantity") <= 0)))
+            .unionAll(chk("orders.o_custkey_orphan",
+              o.join(c.select(col("c_custkey").as("o_custkey")),
+                Seq("o_custkey"), "left_anti")))
+            .unionAll(chk("orders.o_orderkey_dup",
+              o.groupBy("o_orderkey").agg(count(lit(1)).as("__c"))
+                .where(col("__c") > 1)))
+            .orderBy("check")
+        },
+        Some("""
+          SELECT 'customer.c_name_null' AS "check",
+                 CAST(count(*) AS BIGINT) AS n_violations
+          FROM customer WHERE c_name IS NULL
+          UNION ALL
+          SELECT 'lineitem.l_orderkey_orphan', CAST(count(*) AS BIGINT)
+          FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+          UNION ALL
+          SELECT 'lineitem.l_quantity_nonpositive', CAST(count(*) AS BIGINT)
+          FROM lineitem WHERE l_quantity <= 0
+          UNION ALL
+          SELECT 'orders.o_custkey_orphan', CAST(count(*) AS BIGINT)
+          FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+          UNION ALL
+          SELECT 'orders.o_orderkey_dup', CAST(count(*) AS BIGINT)
+          FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+                HAVING count(*) > 1) d__
+          ORDER BY "check"""")),
+
+      // Flesch reading ease over the dotted-sentence fixture (every 7th
+      // token closes a sentence, same dual-dialect dotting as
+      // q_sent_dedup) — the education-quality readability signal. Pure
+      // per-row kernel: two regexp passes + one integer fold, no shuffle.
+      Q("q_readability",
+        (s, dir) => {
+          val dotted = expr(
+            """transform(split(trim(text), '\\s+'),
+                 (t, i) -> CASE WHEN i % 7 = 6 THEN concat(t, '.') ELSE t END)""")
+          val docs = tk(s, dir, "documents")
+            .withColumn("text2", array_join(dotted, " "))
+          graft.ops.Analytics.readability(docs, "doc_id", "text2")
+            .orderBy("doc_id")
+        },
+        Some {
+          val dottedRel = s"""(
+            SELECT doc_id, array_to_string(list_transform(${D.splitWs("text")},
+              (t, i) -> CASE WHEN i % 7 = 0 THEN t || '.' ELSE t END), ' ') AS text2
+            FROM documents)"""
+          s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.readabilityOracleSql(dottedRel, "doc_id", "text2")}
+          ) ORDER BY doc_id"""
+        }),
+
+      // Zipf rank-frequency fit over the top-200 corpus terms: healthy
+      // natural text sits near slope −1, template corpora flatten — the
+      // corpus-health audit next to entropy/term-drift. Logs round to 6
+      // decimals BEFORE the DECIMAL moment sums, so libm ulps can't reach
+      // the regression; the rank window runs on 200 rows by construction.
+      Q("q_zipf_slope",
+        (s, dir) =>
+          graft.ops.Analytics.zipfSlope(tk(s, dir, "documents"), "text", 200),
+        Some(graft.ops.Analytics.zipfSlopeOracleSql("documents", "text", 200))),
+
+      // Exact-phrase retrieval from positional postings: adjacent (pos,
+      // pos+1) co-occurrences of "fast merge" per doc — the term-order
+      // feature BM25 cannot express. Only the two queried terms' postings
+      // (narrow (doc, pos) pairs) reach the doc-keyed join.
+      Q("q_phrase_search",
+        (s, dir) =>
+          graft.ops.Analytics.phraseHits(
+              t(s, dir, "documents"), "doc_id",
+              TextF.tokens(col("text")), "fast", "merge")
+            .orderBy("doc_id"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.phraseHitsOracleSql(
+              duckDocToks, "doc_id", "fast", "merge")}
+          ) ORDER BY doc_id"""))
+    )
+  }
+}

@@ -1,0 +1,957 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chunk.Chunking
+import graft.embed.HashingEmbedder
+import graft.functions.{MdContent, TextF, VectorF}
+import graft.ops.{Dedup, Similarity}
+import graft.rag.RagPipeline
+import graft.sqlgen.{Dialect, Exprs}
+
+/** Shared fixtures, dialect helpers, synth-corpus builders, and model
+  * memos for the catalog family traits (split from the single 14k-line
+  * QueryCatalog in r13 — review cost, not behavior). Everything here was
+  * `private` in the old object; `protected` is the same surface once the
+  * families are traits mixed into [[QueryCatalog]].
+  */
+/** One catalog entry: a named Spark query plus (where SQL-expressible)
+  * its DuckDB oracle text. */
+private[graft] final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+private[graft] trait CatalogCore {
+
+  protected def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Kernel-input scan: like [[t]] but rebalanced across the cluster.
+    * The driver's testdata parquet ships as ONE row group per file, so a
+    * scan is a single task no matter how many cores exist. For CPU-heavy
+    * per-row kernels (shingling, minhash, chunking, embedding, ...) the
+    * exchange moves the corpus once — cheap relative to kernel cost at any
+    * scale — and the kernel then runs with full parallelism. At production
+    * scale inputs arrive as many splittable row groups and this is a
+    * guard against coarse upstream partitioning ahead of expensive
+    * per-row compute. */
+  protected def tk(s: SparkSession, dir: String, name: String): DataFrame = {
+    // hash-partition on the table's id column: unlike round-robin
+    // repartition (which local-sorts every row for determinism), a hash
+    // exchange is deterministic by value and skips the sort.
+    val key = Map("documents" -> "doc_id", "embeddings" -> "vec_id")
+      .getOrElse(name, null)
+    val df = t(s, dir, name)
+    if (key == null) df.repartition(s.sparkContext.defaultParallelism)
+    else df.repartition(s.sparkContext.defaultParallelism, col(key))
+  }
+
+  /** OPQ rotation memo: q_opq_rotated and q_opq_ann need the SAME learned
+    * rotation (the dump feeds the ANN oracle), and learning it — one-pass
+    * covariance + driver Jacobi — is deterministic for a given input dir,
+    * so compute it once per (dir) and share. */
+  protected val opqRotationCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  protected def opqRotation(s: SparkSession, dir: String): Array[Array[Double]] =
+    opqRotationCache.computeIfAbsent(dir, _ => {
+      val sample = t(s, dir, "embeddings").where(col("vec_id") % 4 === 0)
+      graft.ops.OpqRotation.learnRotation(sample, "embedding", 64, 4)
+    })
+
+  /** Refined-OPQ memo, same contract as [[opqRotation]]: q_opq_refined and
+    * q_opq_refined_ann share one alternating-minimization run per dir
+    * (deterministic: first-k init, fixed partitioning, fixed tie-breaks).
+    * Seeds from the eigenvalue-allocation rotation ([[opqRotation]]) and
+    * runs 4 Lloyd+Procrustes alternations — returns (R, per-iteration
+    * mean distortion). */
+  protected val opqRefinedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Array[Double]], Array[Double])]()
+
+  protected def opqRefined(s: SparkSession, dir: String): (Array[Array[Double]], Array[Double]) =
+    opqRefinedCache.computeIfAbsent(dir, _ => {
+      val sample = t(s, dir, "embeddings").where(col("vec_id") % 4 === 0)
+      graft.ops.OpqRotation.refineRotation(
+        sample, "vec_id", "embedding", 64, 4, 8, 4, opqRotation(s, dir))
+    })
+
+  /** BPE merge-table memo, same contract as [[opqRotation]]: q_bpe_vocab
+    * and q_bpe_segment share one training run per dir (training is
+    * deterministic for a given input). */
+  protected val bpeMergeCount = 12
+
+  protected val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long)]]()
+
+  protected def bpeMerges(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
+    bpeCache.computeIfAbsent(dir, _ =>
+      graft.ops.BpeTrainer.train(
+        graft.ops.BpeTrainer.wordFrequencies(tk(s, dir, "documents"), "text"),
+        bpeMergeCount))
+
+  /** One column pair per learned merge, hoisted from the q_bpe_vocab dump
+    * for the SQL merge-replay oracles: p$k = the wrapped adjacent-pair
+    * pattern chr(30)l chr(31)chr(30)r chr(31); q$k = its merged
+    * replacement chr(30)lr chr(31). */
+  protected val bpePatCols: String =
+    // coalesce to chr(29) (never present in wrapped symbols): if the
+    // trainer saturates before bpeMergeCount merges the dump has fewer
+    // rows, and the missing ranks must replay as NO-OPS (replace with a
+    // non-matching pattern) instead of NULLing the whole state
+    (0 until bpeMergeCount).map(k =>
+      s"""coalesce(max(CASE WHEN "rank" = $k THEN chr(30) || "left" || chr(31) || chr(30) || "right" || chr(31) END), chr(29)) AS p$k,
+          coalesce(max(CASE WHEN "rank" = $k THEN chr(30) || "left" || "right" || chr(31) END), chr(29)) AS q$k""")
+      .mkString(", ")
+
+  /** WordPiece-trainer memo, same contract as [[bpeMerges]]: q_wp_vocab
+    * and q_wp_segment share one deterministic training run per dir. */
+  protected val wpMergeCount = 12
+
+  protected val wpTrainCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.ops.WordPieceTrainer.Merge]]()
+
+  protected def wpMerges(s: SparkSession, dir: String): Seq[graft.ops.WordPieceTrainer.Merge] =
+    wpTrainCache.computeIfAbsent(dir, _ =>
+      graft.ops.WordPieceTrainer.train(
+        graft.ops.BpeTrainer.wordFrequencies(tk(s, dir, "documents"), "text"),
+        wpMergeCount))
+
+  /** Merge patterns for the q_wp_vocab SQL replay (the [[bpePatCols]]
+    * wrap trick, with the WordPiece merged piece — left + right minus
+    * its ## — as the replacement). */
+  protected val wpPatCols: String =
+    (0 until wpMergeCount).map(k =>
+      s"""coalesce(max(CASE WHEN "rank" = $k THEN chr(30) || "left" || chr(31) || chr(30) || "right" || chr(31) END), chr(29)) AS p$k,
+          coalesce(max(CASE WHEN "rank" = $k THEN chr(30) || piece || chr(31) END), chr(29)) AS q$k""")
+      .mkString(", ")
+
+  /** Unigram-tokenizer model memo, same contract as [[opqRotation]]:
+    * q_sp_vocab / q_sp_segment / q_sp_dp share one hard-EM training run
+    * per dir (deterministic: substring-count seed, Viterbi counts,
+    * add-one smoothing). */
+  protected val spModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.UnigramTokenizer.Model]()
+
+  protected def spModel(s: SparkSession, dir: String): graft.ops.UnigramTokenizer.Model =
+    spModelCache.computeIfAbsent(dir, _ =>
+      graft.ops.UnigramTokenizer.train(
+        tk(s, dir, "documents"), "text", "doc_id", maxLen = 4, minCount = 100, iters = 2))
+
+  /** Frozen classifier-model memo, same contract as [[opqRotation]]:
+    * q_stream_score_eq needs the trained model and training is
+    * deterministic per dir. */
+  protected val clsModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.QualityClassifier.TrainedModel]()
+
+  protected def clsModel(s: SparkSession, dir: String): graft.ops.QualityClassifier.TrainedModel =
+    clsModelCache.computeIfAbsent(dir, _ =>
+      graft.ops.QualityClassifier.trainModel(
+        t(s, dir, "documents"), "doc_id", "text", "n_chars >= 250"))
+
+  /** Near-dup structure-edge memo (see structureEdges below): one
+    * persisted edge frame per (session, dir). Keyed by the session
+    * REFERENCE (default identity equals/hashCode), not its
+    * identityHashCode — a hash collision between two live sessions can
+    * therefore never serve a plan bound to the wrong session. */
+  protected val structureEdgesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** PCA model memo, same contract as [[opqRotation]]: q_pca_project and
+    * q_pca_ann share one (mean, top-16 eigenvectors) fit per dir. */
+  protected val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Array[Double]])]()
+
+  protected def pcaModel(s: SparkSession, dir: String): (Array[Double], Array[Array[Double]]) =
+    pcaCache.computeIfAbsent(dir, _ =>
+      graft.ops.Pca.fit(t(s, dir, "embeddings"), "embedding", 64, 16))
+
+  /** Events scan with a schema-drift shim: the synthetic `ts` column has
+    * shipped both as parquet timestamp[ns] (read as Long nanos under the
+    * legacy nanosAsLong conf) and as timestamp[us] (read as
+    * TIMESTAMP_NTZ). Every consumer — and every DuckDB oracle via
+    * `epoch_us(ts)` — treats ts as an epoch count, so normalize any
+    * timestamp read back to Long NANOSECONDS (session tz is UTC, making
+    * the NTZ→LTZ cast the identity on the wall clock). */
+  protected def tEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
+  }
+
+  protected val D = Dialect.duckdb
+
+  // -0.0 vs +0.0 normalization: both engines can legitimately produce
+  // negative zero from rounding; +0.0 forces the canonical bit pattern so
+  // the driver's value hashing can't diverge on equal values.
+  protected def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c, 6) + lit(0.0)
+
+  protected def duckR6(x: String): String =
+    s"(round($x, 6) + CAST(0.0 AS DOUBLE))"
+
+  /** q_wordpiece's shared demo vocabulary — ONE Scala list is the source
+    * of truth for both the engine tokenizer and the DuckDB oracle's
+    * VALUES table. Chosen so the synthetic corpus exercises every
+    * WordPiece behavior: whole-word hits (fast/key/order/part/row/sort/
+    * the/a), multi-piece greedy segmentation (every other word), and
+    * whole-word [UNK] (big, dup — no start piece matches). id 0 is
+    * [UNK]; pieces take ids 1..N in list order. */
+  protected val wpPieces: Seq[String] = Seq(
+    "a", "bat", "col", "cust", "da", "fast", "fil", "gro", "ha", "jo",
+    "key", "li", "mer", "order", "part", "qu", "row", "sc", "slo", "sm",
+    "sp", "st", "sort", "ta", "the", "val", "vec", "win",
+    "##gg", "##ch", "##umn", "##om", "##er", "##ta", "##ter", "##up",
+    "##sh", "##in", "##ne", "##ge", "##ery", "##an", "##w", "##all",
+    "##ark", "##re", "##am", "##ble", "##ue", "##tor", "##dow")
+
+  protected val wpVocab: Map[String, Int] =
+    (("[UNK]" -> 0) +: wpPieces.zipWithIndex.map { case (p, i) => p -> (i + 1) }).toMap
+
+  /** (piece, surface, iscont, id) VALUES rows for the oracle. */
+  protected def wpVocabValues: String =
+    wpPieces.zipWithIndex.map { case (p, i) =>
+      val cont = p.startsWith("##")
+      val surf = if (cont) p.substring(2) else p
+      s"('$p', '$surf', $cont, ${i + 1})"
+    }.mkString(",\n            ")
+
+  /** The DuckDB CTE chain replaying the WordPiece greedy walk per doc
+    * (ends at `perdoc`) — shared by the q_wordpiece and q_transformer_wp
+    * oracles. Must follow a WITH RECURSIVE keyword. The walk: per
+    * (word, position) the longest vocab match is precomputed (matching
+    * surfaces at one position are nested prefixes, so the length argmax
+    * is unique); the recursion takes one step per emitted piece; a
+    * position with no match marks the word dead = whole-word [UNK]. */
+  protected def wpPerDocCtes: String =
+    wpPerDocCtesWith(s"""VALUES
+            $wpVocabValues""")
+
+  /** Same chain with an arbitrary vocab CTE body (columns piece,
+    * surface, iscont, id) — q_wp_segment feeds the TRAINED vocabulary
+    * (alphabet ∪ learned pieces from the q_wp_vocab dump) through the
+    * identical greedy-walk replay. */
+  protected def wpPerDocCtesWith(vocabCte: String): String =
+    s"""vocab(piece, surface, iscont, id) AS ($vocabCte),
+          docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+                   FROM documents),
+          wocc AS (SELECT doc_id, CAST(i AS BIGINT) AS ord, ws[CAST(i AS INT)] AS w
+                   FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM docs)),
+          words AS (SELECT DISTINCT w FROM wocc),
+          best AS (
+            SELECT wp.w, wp.pos,
+                   max_by(v.piece, length(v.surface)) AS piece,
+                   CAST(max(length(v.surface)) AS INT) AS len,
+                   max_by(v.id, length(v.surface)) AS id
+            FROM (SELECT w, CAST(p AS INT) AS pos
+                  FROM (SELECT w, unnest(range(1, length(w) + 1)) AS p FROM words)) wp
+            JOIN vocab v
+              ON v.iscont = (wp.pos > 1)
+             AND substr(wp.w, wp.pos, length(v.surface)) = v.surface
+            GROUP BY wp.w, wp.pos),
+          walk(w, pos, n, idsum, acc, dead) AS (
+            SELECT w, 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                   CAST('' AS VARCHAR), false
+            FROM words
+            UNION ALL
+            SELECT k.w, k.pos + coalesce(b.len, 0),
+                   k.n + 1,
+                   k.idsum + CAST(coalesce(b.id, 0) AS BIGINT),
+                   CASE WHEN k.acc = '' THEN coalesce(b.piece, '')
+                        ELSE k.acc || ' ' || coalesce(b.piece, '') END,
+                   b.piece IS NULL
+            FROM walk k LEFT JOIN best b ON b.w = k.w AND b.pos = k.pos
+            WHERE NOT k.dead AND k.pos <= length(k.w)),
+          term AS (SELECT w, n, idsum, acc FROM walk
+                   WHERE NOT dead AND pos = length(w) + 1),
+          deadw AS (SELECT DISTINCT w FROM walk WHERE dead),
+          wordres AS (
+            SELECT ws.w,
+                   CASE WHEN d.w IS NOT NULL THEN CAST(1 AS BIGINT) ELSE t.n END AS n,
+                   CASE WHEN d.w IS NOT NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS unk,
+                   CASE WHEN d.w IS NOT NULL THEN CAST(0 AS BIGINT) ELSE t.idsum END AS idsum,
+                   CASE WHEN d.w IS NOT NULL THEN '[UNK]' ELSE t.acc END AS acc
+            FROM words ws LEFT JOIN term t ON t.w = ws.w
+                          LEFT JOIN deadw d ON d.w = ws.w),
+          perdoc AS (
+            SELECT o.doc_id,
+                   CAST(sum(r.n) AS BIGINT) AS n_pieces,
+                   CAST(sum(r.unk) AS BIGINT) AS n_unk,
+                   CAST(sum(r.idsum) AS BIGINT) AS id_sum,
+                   md5(coalesce(string_agg(r.acc, ' ' ORDER BY o.ord), '')) AS pieces_md5
+            FROM wocc o JOIN wordres r ON r.w = o.w
+            GROUP BY o.doc_id)"""
+
+  /** Shared Spark-SQL/DuckDB formula text deriving statistics from exact
+    * decimal moment sums (n, sq, sqq, sqqq, sp, spp, sqp). The SAME text
+    * evaluates on both sides, so every +,*,/,sqrt is the same sequence of
+    * correctly-rounded IEEE ops — bit-identical results. */
+  protected val statFormulas: Seq[String] = {
+    val nd = "CAST(n AS DOUBLE)"
+    val sq = "CAST(sq AS DOUBLE)"; val sqq = "CAST(sqq AS DOUBLE)"
+    val sqqq = "CAST(sqqq AS DOUBLE)"
+    val sp = "CAST(sp AS DOUBLE)"; val spp = "CAST(spp AS DOUBLE)"
+    val sqp = "CAST(sqp AS DOUBLE)"
+    def r6s(x: String, as: String) = s"(round($x, 6) + CAST(0.0 AS DOUBLE)) AS $as"
+    val meanQ = s"($sq / $nd)"
+    val stdP = s"sqrt((($spp - ($sp * $sp) / $nd) / ($nd - CAST(1.0 AS DOUBLE))))"
+    val corr = s"(($nd * $sqp - $sq * $sp) / (sqrt($nd * $sqq - $sq * $sq) * sqrt($nd * $spp - $sp * $sp)))"
+    val m2 = s"($sqq / $nd - $meanQ * $meanQ)"
+    val m3 = s"($sqqq / $nd - CAST(3.0 AS DOUBLE) * $meanQ * ($sqq / $nd) + CAST(2.0 AS DOUBLE) * $meanQ * $meanQ * $meanQ)"
+    val skew = s"($m3 / ($m2 * sqrt($m2)))"
+    Seq(r6s(meanQ, "mean_qty"), r6s(stdP, "std_price"),
+      r6s(corr, "corr_qty_price"), r6s(skew, "skew_qty"),
+      "CAST(n AS BIGINT) AS n")
+  }
+
+  // ---- shared DuckDB fragments --------------------------------------------
+
+  /** documents -> (doc_id, chunk_idx BIGINT, chunk_id, chunk_text); fixed
+    * char windows 200/150 — mirrors Chunking.explodeCharWindows. */
+  protected val duckChunks: String =
+    """(SELECT doc_id,
+          CAST(i AS BIGINT) AS chunk_idx,
+          concat(CAST(doc_id AS VARCHAR), '_', CAST(i AS VARCHAR)) AS chunk_id,
+          substr(text, CAST(i AS INT) * 150 + 1, 200) AS chunk_text
+        FROM (SELECT doc_id, text,
+                unnest(range(0, greatest(CAST(ceil((length(text) - 200) / CAST(150 AS DOUBLE)) AS INT) + 1, 1))) AS i
+              FROM documents))"""
+
+  /** Wrap a relation (must expose `chunk_text`) with the hashing-embedder
+    * pipeline -> adds column `emb` (ARRAY<DOUBLE>, L2-normalized). Mirrors
+    * HashingEmbedder.withEmbedding stage by stage. */
+  protected def duckEmbed(fromSql: String, textCol: String, dim: Int): String = {
+    val toks = D.splitWs(textCol)
+    val codes = Exprs.embedCodes(D, "__toks", dim)
+    val raw = Exprs.embedRawVec(D, "__codes", dim)
+    val nrm = D.norm("__raw")
+    val emb = Exprs.l2Normalize(D, "__raw", "__nrm")
+    s"""(SELECT * EXCLUDE (__toks, __codes, __raw, __nrm), $emb AS emb FROM
+          (SELECT *, $nrm AS __nrm FROM
+            (SELECT *, $raw AS __raw FROM
+              (SELECT *, $codes AS __codes FROM
+                (SELECT *, $toks AS __toks FROM $fromSql)))))"""
+  }
+
+  /** DuckDB embeddings table cast to DOUBLE[] (exact float widening). */
+  protected val duckEmbTable: String =
+    "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+  // =========================================================================
+  // Chunker variants, search modes, embedding near-dup
+  // =========================================================================
+
+  /** Shared oracle for the semantic-chunk contract: 12-word units, the
+    * dialect hashing-embedder pipeline, lag-cosine 0.35 break, cumsum
+    * chunk ids — hash-matched by BOTH q_semantic_chunks (batch) and
+    * q_stream_chunks_eq (flatMapGroupsWithState streaming replay). */
+  protected def semanticChunkOracleSql(dim: Int): String = {
+    val cos = D.cosine("pemb", "emb")
+    s"""
+          WITH docs AS (SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents),
+          units AS (SELECT doc_id, CAST(i AS BIGINT) AS sidx,
+                           array_to_string(toks[CAST(i * 12 + 1 AS INT):CAST(i * 12 + 12 AS INT)], ' ') AS sent
+                    FROM (SELECT doc_id, toks,
+                            unnest(range(0, CAST(ceil(len(toks) / CAST(12 AS DOUBLE)) AS INT))) AS i
+                          FROM docs)),
+          e AS (SELECT doc_id, sidx, sent, emb
+                FROM ${duckEmbed("units", "sent", dim)}),
+          c AS (SELECT doc_id, sidx, sent,
+                       lag(emb) OVER (PARTITION BY doc_id ORDER BY sidx) AS pemb,
+                       emb
+                FROM e),
+          b AS (SELECT doc_id, sidx, sent,
+                       CASE WHEN pemb IS NULL THEN 1
+                            WHEN $cos < CAST(0.35 AS DOUBLE) THEN 1
+                            ELSE 0 END AS brk
+                FROM c),
+          g AS (SELECT doc_id, sidx, sent,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY sidx
+                                      ROWS UNBOUNDED PRECEDING) - 1 AS chunk_idx
+                FROM b)
+          SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                 CAST(count(*) AS BIGINT) AS n_sents,
+                 md5(string_agg(sent, ' ' ORDER BY sidx)) AS chunk_md5
+          FROM g GROUP BY doc_id, chunk_idx
+          ORDER BY doc_id, chunk_idx"""
+  }
+
+  /** Deterministic PNG synthesis for the decoded-pixel oracles: paints the
+    * `key`-seeded pixel formula (row-major, x = p % w, y = p / w)
+    *   r = (key*7 + x*13 + y*31) % 256   [perturbed: r - r%16 + 8 where
+    *                                      (x*7 + y*11) % 13 == 0]
+    *   g = (key*11 + x*3 + y*17) % 256
+    *   b = (key*5 + x*23 + y*29) % 256
+    * and losslessly PNG-encodes it. The ORACLE recomputes every feature
+    * from this formula in SQL, so the whole ImageIO encode→decode byte
+    * round-trip is what gets verified (the q_pcm_energy pattern). */
+  protected val synthPngUdf = udf((key: Long, w: Int, h: Int, perturb: Boolean) => {
+    val rgb = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r0 = ((key * 7 + x * 13 + y * 31) % 256).toInt
+        val r = if (perturb && (x * 7 + y * 11) % 13 == 0) r0 - r0 % 16 + 8 else r0
+        val g = ((key * 11 + x * 3 + y * 17) % 256).toInt
+        val b = ((key * 5 + x * 23 + y * 29) % 256).toInt
+        rgb(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    graft.multimodal.ImageCodec.encodePng(w, h, rgb)
+  })
+
+  /** Deterministic animated-GIF synthesis for the multi-frame oracle:
+    * 3 + doc_id%3 frames of 16x12, each split into left/right halves
+    * painted with RGB-cube-corner colors (lc = (doc_id+k)%8,
+    * rc = (doc_id*3+k*5)%8; corner bits -> 0/255 channels) — the only
+    * palette-proof color set, so the GIF round-trip is bit-exact. */
+  protected val synthGifUdf = udf((docId: Long) => {
+    def corner(c: Long): Int =
+      ((255L * (c & 1)).toInt << 16) | ((255L * ((c >> 1) & 1)).toInt << 8) |
+        (255L * ((c >> 2) & 1)).toInt
+    val n = (3 + docId % 3).toInt
+    val frames = (0 until n).map { k =>
+      val lc = (docId + k) % 8
+      val rc = (docId * 3 + k * 5) % 8
+      Array.tabulate(16 * 12)(p => corner(if (p % 16 < 8) lc else rc))
+    }
+    graft.multimodal.ImageCodec.encodeAnimatedGif(16, 12, frames)
+  })
+
+  /** Synthesized-media fixture table, cached per dir (the opqRotation
+    * memo contract): q_image_pixels / q_image_neardup / q_image_resize /
+    * q_gif_frames all decode fixtures that are pure functions of doc_id,
+    * so synthesis (thousands of PNG/GIF encodes) runs once per dir and
+    * subsequent runs measure the operator — decode/hash/join — not the
+    * fixture encode. Columns: doc_id, img_var (formula PNG, dims
+    * 16-20 x 16-22), img_nd (16x16; ids 100-199 are perturbed copies of
+    * 0-99), gif (3-5 frame animated GIF). */
+  /** WebDataset-style shard DIRECTORY fixture: documents packed 50 per
+    * ustar shard file (two entries per doc, ordered by doc_id), written
+    * from the executors — `repartition(shard_id)` puts every shard's
+    * rows in one task, the file write is the task's side effect (on a
+    * real cluster the target is shared storage; locally /tmp). Memoized
+    * like synthMedia: md5(dir|version)-keyed, marker-gated. */
+  protected val shardDirVersion = 1
+
+  protected def synthShardDir(s: SparkSession, dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val key = md.digest(s"$dir|$shardDirVersion".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val out = s"${sys.props("java.io.tmpdir")}/graft_shards_$key"
+    val marker = new java.io.File(s"$out/_DONE")
+    if (!marker.isFile) {
+      import s.implicits._
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      t(s, dir, "documents")
+        .select(expr("CAST(doc_id div 50 AS BIGINT)").as("shard_id"),
+          col("doc_id").cast("long").as("doc_id"),
+          substring(col("text"), 1, 48).as("prefix"))
+        .repartition(8, col("shard_id"))
+        .as[(Long, Long, String)]
+        .foreachPartition { it: Iterator[(Long, Long, String)] =>
+          it.toSeq.groupBy(_._1).foreach { case (shard, rows) =>
+            val entries = rows.sortBy(_._2).flatMap { case (_, id, prefix) =>
+              Seq(s"$id.txt" -> prefix.getBytes("UTF-8"),
+                s"$id.json" -> s"""{"id":$id}""".getBytes("UTF-8"))
+            }
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, f"shard-$shard%05d.tar"),
+              graft.multimodal.TarShard.pack(entries))
+          }
+        }
+      java.nio.file.Files.writeString(marker.toPath, "ok")
+    }
+    out
+  }
+
+  protected val synthMediaVersion = 2 // bump on ANY pixel/GIF formula change
+
+  // (v2: same formulas, cache written as 32 files — 8 row groups capped
+  // every decode-heavy image query at 8 of the 32 cores, the same
+  // starvation the sf10x replica fix addressed)
+  protected def synthMedia(s: SparkSession, dir: String): DataFrame = {
+    // cache key = md5(full path + format version): hashCode collisions
+    // across dirs can't serve wrong fixtures, and a formula change can't
+    // silently keep serving stale /tmp caches to the correctness oracles
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val key = md.digest(s"$dir|$synthMediaVersion".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val out = s"${sys.props("java.io.tmpdir")}/graft_synth_media_$key"
+    val marker = new java.io.File(s"$out/_DONE")
+    if (!marker.isFile) {
+      t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("img_var", synthPngUdf(col("doc_id"),
+          (col("doc_id") % 5 + 16).cast("int"),
+          (col("doc_id") % 7 + 16).cast("int"), lit(false)))
+        .withColumn("img_nd", synthPngUdf(
+          expr("CASE WHEN doc_id >= 100 AND doc_id < 200 THEN doc_id - 100 ELSE doc_id END"),
+          lit(16), lit(16),
+          expr("doc_id >= 100 AND doc_id < 200")))
+        .withColumn("gif", synthGifUdf(col("doc_id")))
+        .repartition(32)
+        .write.mode("overwrite").parquet(out)
+      java.nio.file.Files.writeString(marker.toPath, "ok")
+    }
+    // NOT tk()-rebalanced: measured at sf0.1, a hash exchange of the
+    // image payloads costs more than the single-digit-ms/row decode
+    // saves (blobs are the widest rows in the repo — moving them is the
+    // expense the near-dup/stats operators are designed to avoid). The
+    // cache is written pre-split so bigger fixtures split by size.
+    s.read.parquet(out)
+  }
+
+  /** Assemble one 32-bit half of a perceptual hash from (i, bit) rows —
+    * shared by both image-pixel oracles; halves keep every value in
+    * non-negative BIGINT range on both engines. */
+  protected def duckHashHalf(lo: Boolean, as: String): String =
+    if (lo)
+      s"CAST(sum(CASE WHEN i < 32 THEN bit * (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS $as"
+    else
+      s"CAST(sum(CASE WHEN i >= 32 THEN bit * (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS $as"
+
+  /** Child session for the streaming equivalence gates, with shuffle
+    * parallelism sized for the state store, not the data: a stream-stream
+    * join keeps 4 state-store instances per shuffle partition and every
+    * micro-batch commits a delta file per store, so at 32 partitions the
+    * gates pay ~hundreds of store lifecycles for KB-sized state. 8
+    * partitions keeps the same cross-batch semantics under test at 1/4 the
+    * harness cost; correctness is unaffected (results are sorted+hashed).
+    * At production scale the conf is the caller's: these operators inherit
+    * whatever parallelism the real session sets. */
+  protected def streamSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss
+  }
+
+  /** Bench-only input thinning for the streaming equivalence gates: when
+    * `graft.bench.streamLite` is set (ONLY by graft.Bench — never by
+    * Verify, so the correctness contract is untouched), a gate's input
+    * dir redirects to the smallest SF. Rationale (r8 verdict): the gates'
+    * bench cost is micro-batch machinery, not dataflow — they gate
+    * correctness, which CORRECTNESS_r{N} already covers at full SF, and
+    * re-benching 18 state-store replays at sf0.1 burned the wall budget
+    * the sf1 scale rehearsal needed. Two representative gates still get
+    * a FULL-scale (sfDir and 10x) timing pair inside the rehearsal
+    * itself, with this switch cleared (Bench.sf1StreamPair). */
+  protected def streamLiteDir(dir: String): String =
+    if (sys.props.get("graft.bench.streamLite").contains("1")) {
+      // default derives from the CURRENT dir's parent (…/sfX -> …/sf0.001)
+      // rather than a hardcoded machine path; if the lite fixture doesn't
+      // exist the gate falls back to the original dir with a warning —
+      // 18 confusing PATH_NOT_FOUND "failures" polluting the bench's
+      // failed list on any box without that fixture is the worse outcome
+      val lite = sys.props.getOrElse("graft.bench.streamLiteDir", {
+        val parent = new java.io.File(dir).getAbsoluteFile.getParent
+        s"$parent/sf0.001"
+      })
+      if (new java.io.File(lite).isDirectory) lite
+      else {
+        System.err.println(
+          s"[graft] stream-lite dir $lite missing; timing stream gates at full $dir")
+        dir
+      }
+    } else dir
+
+  /** File-source stream fixture: split `df` into 4 deterministic
+    * single-file parquet chunks by `idCol` quartile (contiguous-id ceil
+    * split — the same rule the oracles replay) under `runDir/in`, so a
+    * `maxFilesPerTrigger=1` stream replays them as 4 REAL micro-batches.
+    * Returns the input dir. */
+  protected def writeStreamChunks(df: DataFrame, idCol: String,
+                                runDir: String): java.io.File = {
+    val inDir = new java.io.File(s"$runDir/in"); inDir.mkdirs()
+    val n = df.count()
+    val per = ((n + 3) / 4).max(1L)
+    (0 until 4).foreach { k =>
+      val chunk = df.where(
+        col(idCol) >= lit(k * per) && col(idCol) < lit((k + 1) * per))
+      val tmp = s"$runDir/chunk_$k"
+      chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(inDir, s"b$k.parquet").toPath)
+    }
+    inDir
+  }
+
+  /** Deterministic EXIF-JPEG synthesis for the image-governance oracles:
+    * a real JPEG container (SOI, JFIF APP0, Exif APP1, COM, EOI) whose
+    * TIFF block alternates LITTLE and BIG endian by doc parity, with
+    * Make/Model/Orientation/DateTime from doc_id formulas and, on every
+    * 3rd doc, a GPS sub-IFD carrying (deg,min,sec) RATIONAL coordinates.
+    * Cheap enough (~300 bytes, no compression) to build per run — no
+    * /tmp cache to go stale. */
+  protected val synthExifUdf = udf((d: Long) => {
+    val gps =
+      if (d % 3 == 0) Some((
+        if (d % 6 == 0) "N" else "S",
+        Array((d % 90, 1L), (d % 60, 1L), (d % 5999, 100L)),
+        if ((d / 3) % 2 == 0) "E" else "W",
+        Array((d % 180, 1L), ((d * 7) % 60, 1L), ((d * 13) % 5999, 100L))))
+      else None
+    graft.multimodal.ExifCodec.buildExifJpeg(
+      d % 2 == 0,
+      "Cam" + (d % 17), "M-" + (d % 29), (1 + d % 8).toInt,
+      f"2024:01:${1 + d % 28}%02d ${d % 24}%02d:00:00", gps)
+  })
+
+  /** The shared DuckDB replay of the synthExif field formulas. */
+  protected def duckExifFields(hasGpsSql: String): String = {
+    val latSum = "(CAST(doc_id % 90 AS DOUBLE) / CAST(1.0 AS DOUBLE) + " +
+      "(CAST(doc_id % 60 AS DOUBLE) / CAST(1.0 AS DOUBLE)) / CAST(60.0 AS DOUBLE) + " +
+      "(CAST(doc_id % 5999 AS DOUBLE) / CAST(100.0 AS DOUBLE)) / CAST(3600.0 AS DOUBLE))"
+    val lonSum = "(CAST(doc_id % 180 AS DOUBLE) / CAST(1.0 AS DOUBLE) + " +
+      "(CAST((doc_id * 7) % 60 AS DOUBLE) / CAST(1.0 AS DOUBLE)) / CAST(60.0 AS DOUBLE) + " +
+      "(CAST((doc_id * 13) % 5999 AS DOUBLE) / CAST(100.0 AS DOUBLE)) / CAST(3600.0 AS DOUBLE))"
+    s"""doc_id,
+       'Cam' || CAST(doc_id % 17 AS VARCHAR) AS make,
+       'M-' || CAST(doc_id % 29 AS VARCHAR) AS model,
+       CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+       '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') ||
+         ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':00:00' AS date_time,
+       CAST($hasGpsSql AS BOOLEAN) AS has_gps,
+       CASE WHEN $hasGpsSql THEN
+         (round(CASE WHEN doc_id % 6 = 0 THEN $latSum ELSE -$latSum END, 6)
+          + CAST(0.0 AS DOUBLE)) END AS lat_deg,
+       CASE WHEN $hasGpsSql THEN
+         (round(CASE WHEN (doc_id // 3) % 2 = 0 THEN $lonSum ELSE -$lonSum END, 6)
+          + CAST(0.0 AS DOUBLE)) END AS lon_deg"""
+  }
+
+  // ===========================================================================
+  // Round-5 corpus-curation ops: semantic dedup (SemDeDup), DSIR importance
+  // reweighting, one-pass column profiling, in-engine trained quality
+  // classifier — the named modern-pipeline components still missing after r4.
+  // ===========================================================================
+
+  /** Synthetic 7-line web page for the C4 filter, built from each doc's
+    * words by ONE dialect-shared formula (same text both engines). Slice
+    * offsets stay within the corpus's 10-word minimum so every slice is
+    * non-empty in both dialects. */
+  protected def c4PageExpr(dl: Dialect): String = {
+    val ws = dl.splitWs("text")
+    def sl(st: Int, n: Int) = dl.arrayJoinE(dl.slice1(ws, st, n), "' '")
+    val l1 = s"${sl(1, 8)} || ' intro page.'"
+    val l2 = dl.str("home about contact")
+    val l3 = s"CASE WHEN doc_id % 7 = 3 THEN ${dl.str("please enable javascript to continue.")}" +
+      s" ELSE ${sl(3, 4)} || ' really works!' END"
+    val l4 = s"CASE WHEN doc_id % 11 = 5 THEN ${dl.str("lorem ipsum dolor sit amet.")}" +
+      s" ELSE ${sl(5, 4)} || ' is that fine?' END"
+    val l5 = s"CASE WHEN doc_id % 13 = 6 THEN ${dl.str("""var cfg = { "a": 1 };""")}" +
+      s" ELSE ${sl(7, 3)} || ' the end.' END"
+    val l6 = dl.str("copyright 2026 example corp.")
+    val l7 = s"${sl(9, 2)} || '.'"
+    Seq(l1, l2, l3, l4, l5, l6, l7).mkString("(", " || chr(10) || ", ")")
+  }
+
+  /** Synthetic HTML page for the jusText gate, one dialect-shared formula:
+    * a link-heavy nav (link density ~0.9 → bad), two 20-word content
+    * paragraphs (good), a "Read more" stub whose nearest classified
+    * neighbors are good (context → good), a copyright footer at link
+    * density 0.5 (bad), and — on doc_id % 3 = 0 — a trailing "Contact us"
+    * stub whose nearest classified neighbor is the bad footer (context →
+    * bad). Both context-resolution branches fire on every sf. */
+  protected def justextPageExpr(dl: Dialect): String = {
+    val ws = dl.splitWs("text")
+    // COALESCE: DuckDB's array_to_string of an EMPTY list is NULL, Spark's
+    // array_join is '' — short docs must build the same '<p></p>' block
+    def para(st: Int, n: Int) =
+      s"'<p>' || COALESCE(${dl.arrayJoinE(dl.slice1(ws, st, n), "' '")}, '') || '</p>'"
+    val nav = dl.str("""<div><a href="/">Home</a> <a href="/s">Section</a></div>""")
+    val footer = dl.str("""<div>Copyright <a href="/tos">Terms of Service</a> 2024.</div>""")
+    val stub = dl.str("<p>Read more</p>")
+    val tail = s"CASE WHEN doc_id % 3 = 0 THEN ${dl.str("<p>Contact us</p>")} END"
+    s"concat_ws(chr(10), $nav, ${para(1, 20)}, $stub, ${para(21, 20)}, $footer, $tail)"
+  }
+
+  // =========================================================================
+  // WARC / WET crawl-archive ingest (sources/WarcCodec.scala)
+  // =========================================================================
+
+  /** Synthesized Common-Crawl-shaped fixture: 8 `.warc.gz` archive files
+    * (docs assigned by doc_id % 8), each a concatenation of per-record
+    * gzip members — a `warcinfo` header record, then per doc a WET
+    * `conversion` record whose payload IS documents.text (UTF-8) and a
+    * crawl `response` record wrapping an HTTP response (status varies by
+    * doc_id % 10, HTML body built from text by a closed-form formula the
+    * oracles replay). Built driver-side ONCE per dir and cached (the
+    * corpus is KB-scale at fixture SFs; the operator under test is the
+    * distributed archive scan, not the fixture write). Cache key =
+    * md5(path + version) — collisions can't serve wrong fixtures and
+    * format changes can't serve stale ones. */
+  protected val synthWarcVersion = 1 // bump on ANY record/HTML formula change
+
+  protected def synthWarc(s: SparkSession, dir: String): String = {
+    import graft.sources.WarcCodec._
+    import java.nio.charset.StandardCharsets.UTF_8
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val key = md.digest(s"$dir|$synthWarcVersion".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val out = s"${sys.props("java.io.tmpdir")}/graft_synth_warc_$key"
+    val marker = new java.io.File(s"$out/_DONE")
+    if (!marker.isFile) {
+      new java.io.File(out).mkdirs()
+      val rows = t(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1)
+      rows.groupBy(_._1 % 8).foreach { case (fk, docs) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(gzipMember(writeRecord(WarcRecord("warcinfo", "",
+          s"<urn:graft:info:$fk>", "application/warc-fields", 0L,
+          "software: graft\r\n".getBytes(UTF_8)))))
+        docs.foreach { case (id, text) =>
+          bos.write(gzipMember(writeRecord(WarcRecord("conversion",
+            s"https://crawl.example/doc/$id", s"<urn:graft:wet:$id>",
+            "text/plain", 0L, text.getBytes(UTF_8)))))
+          val status = if (id % 10 == 7) "404 Not Found" else "200 OK"
+          val html = s"<html><head><title>doc $id</title></head><body><p>$text</p></body></html>"
+          val http = s"HTTP/1.1 $status\r\nContent-Type: text/html; charset=utf-8\r\nX-Doc: $id\r\n\r\n$html"
+          bos.write(gzipMember(writeRecord(WarcRecord("response",
+            s"https://crawl.example/page/$id", s"<urn:graft:res:$id>",
+            "application/http; msgtype=response", 0L, http.getBytes(UTF_8)))))
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, f"part-$fk%d.warc.gz"), bos.toByteArray)
+      }
+      java.nio.file.Files.writeString(marker.toPath, "ok")
+    }
+    out
+  }
+
+  /** Synthesized CDX index shards ([[graft.sources.CdxIndex]]): one
+    * .cdx.gz per doc_id%8, one capture line per doc (+ a second, later
+    * capture for doc_id%4=0 — the latest-wins dedup case) plus two
+    * planted malformed lines per shard (no-spaces, broken json) that the
+    * reader must drop. All fields are residue/md5 formulas the oracle
+    * replays. */
+  protected val synthCdxVersion = 1
+
+  protected def synthCdx(s: SparkSession, dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val key = md.digest(s"$dir|$synthCdxVersion".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val out = s"${sys.props("java.io.tmpdir")}/graft_synth_cdx_$key"
+    val marker = new java.io.File(s"$out/_DONE")
+    if (!marker.isFile) {
+      new java.io.File(out).mkdirs()
+      def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val rows = t(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      rows.groupBy(_._1 % 8).foreach { case (fk, docs) =>
+        val sb = new StringBuilder
+        sb ++= "not-a-cdx-line\n"
+        sb ++= "x)/bad 20240101000000 {malformed\n"
+        docs.sortBy(_._1).foreach { case (id, text) =>
+          val surt = s"org,example${id % 5})/page/$id"
+          val url = s"https://example${id % 5}.org/page/$id"
+          val mime = if (id % 3 == 0) "text/plain" else "text/html"
+          val status = if (id % 10 == 7) 404 else 200
+          def line(ts: Long, digest: String, off: Long) =
+            s"""$surt $ts {"url": "$url", "mime": "$mime", "status": "$status", "digest": "$digest", "length": "${text.length}", "offset": "$off", "filename": "part-$fk.warc.gz"}""" + "\n"
+          sb ++= line(20240101000000L + id, md5hex(text), id * 1000)
+          if (id % 4 == 0)
+            sb ++= line(20240101000000L + id + 777, md5hex(text + "v2"), id * 1000 + 7)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(sb.toString.getBytes("UTF-8")); gz.close()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, f"cdx-$fk%d.gz"), bos.toByteArray)
+      }
+      java.nio.file.Files.writeString(marker.toPath, "ok")
+    }
+    out
+  }
+
+  /** Dialect-shared capture-field formulas of [[synthCdx]]: one row per
+    * capture (c=0 always, c=1 for doc_id%4=0). */
+  protected val cdxCapsSql: String = """
+    SELECT 'org,example' || CAST(doc_id % 5 AS VARCHAR) || ')/page/' ||
+             CAST(doc_id AS VARCHAR) AS surt,
+           CAST(20240101000000 + doc_id +
+                CASE WHEN c = 1 THEN 777 ELSE 0 END AS BIGINT) AS ts,
+           'https://example' || CAST(doc_id % 5 AS VARCHAR) || '.org/page/' ||
+             CAST(doc_id AS VARCHAR) AS url,
+           CASE WHEN doc_id % 3 = 0 THEN 'text/plain' ELSE 'text/html' END AS mime,
+           CAST(CASE WHEN doc_id % 10 = 7 THEN 404 ELSE 200 END AS BIGINT) AS status,
+           md5(CASE WHEN c = 1 THEN text || 'v2' ELSE text END) AS digest,
+           CAST(length(text) AS BIGINT) AS "length",
+           CAST(doc_id * 1000 + CASE WHEN c = 1 THEN 7 ELSE 0 END AS BIGINT) AS "offset",
+           'part-' || CAST(doc_id % 8 AS VARCHAR) || '.warc.gz' AS filename
+    FROM documents, (VALUES (0), (1)) AS v(c)
+    WHERE c = 0 OR doc_id % 4 = 0"""
+
+  /** Synthesized on-disk corpus directory for [[q_dir_corpus]] — one file
+    * per document in nested subdirs, extension by residue (txt / md /
+    * html / log / htm; `log` exercises the required-exts DROP). Cached
+    * per (sfDir, version) in /tmp like the media fixture. */
+  protected val synthDirVersion = 1
+
+  protected def synthDocsDir(s: SparkSession, dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val key = md.digest(s"$dir|$synthDirVersion".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val out = s"${sys.props("java.io.tmpdir")}/graft_synth_dir_$key"
+    val marker = new java.io.File(s"$out/_DONE")
+    if (!marker.isFile) {
+      new java.io.File(out).mkdirs()
+      t(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+        .collect().foreach { r =>
+          val id = r.getLong(0); val text = r.getString(1)
+          val ext = (id % 5) match {
+            case 0 => "txt"; case 1 => "md"; case 2 => "html"
+            case 3 => "log"; case _ => "htm"
+          }
+          val body =
+            if (ext == "html" || ext == "htm")
+              s"<html><head><title>doc $id</title></head><body><p>$text</p></body></html>"
+            else s"doc $id\n$text"
+          val sub = java.nio.file.Paths.get(out, s"sub${id % 3}")
+          java.nio.file.Files.createDirectories(sub)
+          java.nio.file.Files.writeString(sub.resolve(s"d$id.$ext"), body)
+        }
+      java.nio.file.Files.writeString(marker.toPath, "ok")
+    }
+    out
+  }
+
+  /** Synthesized per-host sitemap XML (h = doc_id % 41): one <url> entry
+    * per doc — escaped ampersand in the query string, lastmod omitted for
+    * doc_id%6=0, priority as a digit string — built from the same residue
+    * formulas the oracle replays. */
+  protected def synthSitemaps(docs: DataFrame): DataFrame = {
+    val xml = udf { (h: Long, ids: Seq[Long]) =>
+      val sb = new StringBuilder
+      sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
+      sb ++= "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"
+      ids.foreach { d =>
+        sb ++= "  <url>\n"
+        sb ++= s"    <loc>https://h$h.example/page/$d?a=1&amp;b=${d % 7}</loc>\n"
+        if (d % 6 != 0)
+          sb ++= f"    <lastmod>2024-01-${d % 28 + 1}%02d</lastmod>\n"
+        sb ++= s"    <priority>0.${d % 10}</priority>\n"
+        sb ++= "  </url>\n"
+      }
+      sb ++= "</urlset>\n"
+      sb.toString
+    }
+    docs.select((col("doc_id") % 41).as("h"), col("doc_id"))
+      .groupBy("h").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(col("h"), xml(col("h"), col("ids")).as("xml"))
+  }
+
+  /** Synthesized robots.txt per host (h = doc_id % 41) — residue-driven
+    * structure shared with [[robotsRulesSql]]'s closed-form replay. */
+  protected def synthRobots(docs: DataFrame): DataFrame = {
+    val txt = udf { (h: Long) =>
+      val a = h % 7; val b = h % 5
+      val sb = new StringBuilder
+      sb ++= s"# robots for host $h\n"
+      sb ++= (if (h % 2 == 0) "User-agent: *\n" else "USER-AGENT: *\n")
+      sb ++= s"Disallow: /private$a/\n"
+      sb ++= s"Allow: /private$a/pub/   # keep the published subtree\n"
+      // residue-varying delay; h%11==7 hosts declare NONE (default path).
+      // crawl-delay lines don't change RULE attribution (any non-UA
+      // directive just closes the group), so the parse/filter oracles
+      // are unaffected by this variation.
+      if (h % 11 != 7) sb ++= s"Crawl-delay: ${2 + h % 3}\n"
+      if (h % 3 == 0) {
+        sb ++= "User-agent: GraftBot\n"
+        if (b == 2) sb ++= "user-agent: OtherBot\n"
+        sb ++= s"Disallow: /bot$b/*\n"
+        sb ++= s"Allow: /bot$b/ok$$\n"
+        sb ++= s"Crawl-delay: ${h % 4 + 1}\n" // agent-specific delay
+      }
+      if (h % 4 == 1) sb ++= "Disallow:\n"
+      sb.toString
+    }
+    docs.select((col("doc_id") % 41).as("h")).distinct()
+      .select(concat(lit("h"), col("h").cast("string")).as("host"),
+        txt(col("h")).as("txt"))
+  }
+
+  /** Expected rule set of [[synthRobots]], regenerated in DuckDB. */
+  protected val robotsRulesSql: String = s"""
+    WITH hosts AS (SELECT DISTINCT doc_id % 41 AS h FROM documents),
+    rules AS (
+      SELECT 'h' || CAST(h AS VARCHAR) AS host, agent, allow, pattern,
+             CAST(length(pattern) AS INT) AS patlen
+      FROM (
+        SELECT h, '*' AS agent, false AS allow,
+               '/private' || CAST(h % 7 AS VARCHAR) || '/' AS pattern
+        FROM hosts
+        UNION ALL
+        SELECT h, '*', true,
+               '/private' || CAST(h % 7 AS VARCHAR) || '/pub/'
+        FROM hosts
+        UNION ALL
+        SELECT h, a.agent, false,
+               '/bot' || CAST(h % 5 AS VARCHAR) || '/*'
+        FROM hosts, (VALUES ('graftbot'), ('otherbot')) AS a(agent)
+        WHERE h % 3 = 0 AND (a.agent = 'graftbot' OR h % 5 = 2)
+        UNION ALL
+        SELECT h, a.agent, true,
+               '/bot' || CAST(h % 5 AS VARCHAR) || '/ok$$'
+        FROM hosts, (VALUES ('graftbot'), ('otherbot')) AS a(agent)
+        WHERE h % 3 = 0 AND (a.agent = 'graftbot' OR h % 5 = 2)))"""
+
+  /** Frontier path formula — spans prefix match, longer-Allow override,
+    * '*' wildcard, '$' anchor hit AND miss, and no-rule fallthrough. */
+  protected def robotsPathExpr(dl: Dialect): String = {
+    val a = dl.castStr("(doc_id % 41) % 7")
+    val b = dl.castStr("(doc_id % 41) % 5")
+    s"(CASE doc_id % 6" +
+      s" WHEN 0 THEN '/private' || $a || '/x.html'" +
+      s" WHEN 1 THEN '/private' || $a || '/pub/y.html'" +
+      s" WHEN 2 THEN '/bot' || $b || '/deep/z'" +
+      s" WHEN 3 THEN '/bot' || $b || '/ok'" +
+      s" WHEN 4 THEN '/bot' || $b || '/okno'" +
+      s" ELSE '/open/w' END)"
+  }
+
+  /** Deterministically messy URL for [[graft.ops.UrlOps]] — one
+    * dialect-shared formula; every canonicalization rule is exercised
+    * both ways across the doc_id residue classes. */
+  protected def messyUrlExpr(dl: Dialect): String = {
+    def n(m: Int) = dl.castStr(s"doc_id % $m")
+    s"(CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'HtTp' END" +
+      s" || '://WWW.Example' || ${n(5)} || '.COM'" +
+      s" || CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END" +
+      s" || '/Pages//item/' || ${n(20)}" +
+      s" || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END" +
+      s" || '?utm_source=feed&b=' || ${n(6)} || '&a=1'" +
+      s" || CASE WHEN doc_id % 9 = 0 THEN '#frag' ELSE '' END)"
+  }
+
+  /** Learned-embedding memo, same contract as [[opqRotation]]: the five
+    * q_lsa / q_cooc queries share ONE PPMI-factorization training run
+    * per dir (training is deterministic: df-ranked vocab, lexicographic
+    * pair canonicalization, hash-seeded fixed-iteration eigensolve). */
+  protected val lsaTopV = 512
+
+  protected val lsaWindow = 4
+
+  protected val lsaDim = 32
+
+  protected val lsaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Lsa.Model]()
+
+  protected def lsaModel(s: SparkSession, dir: String): graft.ops.Lsa.Model =
+    lsaCache.computeIfAbsent(dir, _ =>
+      graft.ops.Lsa.train(tk(s, dir, "documents"), "text", "doc_id",
+        topV = lsaTopV, window = lsaWindow, dim = lsaDim, iters = 40))
+}

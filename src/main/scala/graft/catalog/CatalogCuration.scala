@@ -1,0 +1,1287 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chunk.Chunking
+import graft.embed.HashingEmbedder
+import graft.functions.{MdContent, TextF, VectorF}
+import graft.ops.{Dedup, Similarity}
+import graft.rag.RagPipeline
+import graft.sqlgen.{Dialect, Exprs}
+
+/** Corpus curation: C4/Gopher/ccnet/justext, dedup mining, bitext. Split from QueryCatalog in r13; shared helpers live in
+  * [[CatalogCore]], the assembled query map in [[QueryCatalog]]. */
+private[graft] trait CatalogCuration extends CatalogCore {
+
+  protected def curationOps: Seq[Q] = Seq(
+    // jusText-style boilerplate classification (Pomikálek 2011,
+    // simplified): block segmentation -> link/stopword densities ->
+    // preliminary class -> context resolution of short/ambiguous blocks
+    // against nearest classified neighbors (four windows over label rows
+    // only). The fixture page exercises both context branches; the oracle
+    // replays segmentation, densities, classification, AND the window
+    // pass verbatim from the shared formula text.
+    Q("q_justext_blocks",
+      (s, dir) => {
+        import graft.ops.Curation
+        val docs = t(s, dir, "documents")
+          .selectExpr("doc_id", s"${justextPageExpr(Dialect.spark)} AS page")
+        Curation.justextBlocks(docs, "page", "doc_id")
+          .select(col("doc_id"), col("block_no"), col("prelim"), col("cls"),
+            col("wc"), r6(col("link_density")).as("link_density"), col("btext"))
+          .orderBy("doc_id", "block_no")
+      },
+      Some(s"""
+        WITH out AS (${graft.ops.Curation.justextOracleSql(D, "documents", "doc_id", justextPageExpr(D))})
+        SELECT doc_id, block_no, prelim, cls, wc,
+               ${duckR6("link_density")} AS link_density, btext
+        FROM out
+        ORDER BY doc_id, block_no""")),
+
+    // The extraction a crawl pipeline actually ships: main text = the
+    // context-resolved good blocks, reassembled in block order. One
+    // doc-keyed aggregation above the block pass.
+    Q("q_justext_clean",
+      (s, dir) => {
+        import graft.ops.Curation
+        val docs = t(s, dir, "documents")
+          .selectExpr("doc_id", s"${justextPageExpr(Dialect.spark)} AS page")
+        Curation.justextBlocks(docs, "page", "doc_id")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_blocks"),
+            count(when(col("cls") === "good", 1)).as("n_good"),
+            expr("""COALESCE(array_join(transform(
+                      array_sort(collect_list(CASE WHEN cls = 'good'
+                        THEN struct(block_no, btext) END)),
+                      s__ -> s__.btext), chr(10)), '')""").as("main_text"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH out AS (${graft.ops.Curation.justextOracleSql(D, "documents", "doc_id", justextPageExpr(D))})
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(count(CASE WHEN cls = 'good' THEN 1 END) AS BIGINT) AS n_good,
+               COALESCE(array_to_string(
+                 list(btext ORDER BY block_no) FILTER (WHERE cls = 'good'),
+                 chr(10)), '') AS main_text
+        FROM out
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // Sorted-neighborhood blocking (Hernández & Stolfo 1995): the classic
+    // entity-resolution candidate generator — sort by a blocking key,
+    // pair everything within a 4-row sliding window. Scale path: a
+    // distributed global rank (range repartition + zipWithIndex; the
+    // rank is the total-order position whatever the sampled partition
+    // boundaries) + a band join on rank buckets — no global window
+    // operator, nothing quadratic. The oracle replays the total order
+    // with row_number and a rank-difference self-join.
+    Q("q_snm_pairs",
+      (s, dir) => {
+        val docs = tk(s, dir, "documents")
+          .withColumn("k", expr("substr(lower(text), 1, 12)"))
+        graft.ops.Dedup.sortedNeighborhoodPairs(docs, "doc_id", "k", 4)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH r AS (SELECT doc_id, substr(lower(text), 1, 12) AS k,
+                          row_number() OVER (ORDER BY substr(lower(text), 1, 12), doc_id) - 1 AS rnk
+                   FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.k AS key_a, b.k AS key_b,
+               CAST(b.rnk - a.rnk AS BIGINT) AS rank_dist
+        FROM r a JOIN r b ON b.rnk - a.rnk >= 1 AND b.rnk - a.rnk <= 3
+        ORDER BY id_a, id_b""")),
+
+    // Unicode NFC normalization (UAX #15 canonical composition) — the
+    // pass that keeps "e"+COMBINING-ACUTE and precomposed "é" from
+    // leaking past hash dedup as distinct bytes. The fixture appends a
+    // decomposed suffix (doc_id%3=0), its precomposed twin (=1), or a
+    // plain tail (=2); the ENGINE normalizes with JDK java.text.Normalizer
+    // while the ORACLE normalizes with DuckDB's utf8proc nfc_normalize —
+    // two independent implementations of the same standard must agree
+    // codepoint-for-codepoint for the md5s to match. Narrow kernel; the
+    // one UDF in TextF (no Catalyst NFC exists), no shuffle.
+    Q("q_nfc_normalize",
+      (s, dir) => {
+        val raw = tk(s, dir, "documents")
+          .withColumn("r", concat(col("text"),
+            when(col("doc_id") % 3 === 0, lit(" cafe\u0301")) // decomposed e + combining acute
+              .when(col("doc_id") % 3 === 1, lit(" caf\u00e9")) // precomposed
+              .otherwise(lit(" cafx"))))
+        raw.select(col("doc_id"),
+            length(col("r")).cast("long").as("n_raw"),
+            length(TextF.nfcNormalize(col("r"))).cast("long").as("n_norm"),
+            md5(TextF.nfcNormalize(col("r"))).as("h_norm"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH raw AS (
+          SELECT doc_id,
+                 text || CASE doc_id % 3
+                           WHEN 0 THEN ' caf' || 'e' || chr(769)
+                           WHEN 1 THEN ' caf' || chr(233)
+                           ELSE ' cafx' END AS r
+          FROM documents)
+        SELECT doc_id, CAST(length(r) AS BIGINT) AS n_raw,
+               CAST(length(nfc_normalize(r)) AS BIGINT) AS n_norm,
+               md5(nfc_normalize(r)) AS h_norm
+        FROM raw
+        ORDER BY doc_id""")),
+
+    // EXACT set-similarity join via prefix filtering (PPJoin family,
+    // Xiao et al. 2008) — the deterministic counterpart to MinHash
+    // banding: pairs at Jaccard >= 4/5 are GUARANTEED found
+    // (pigeonhole on the rarest-first global token order). The oracle
+    // BRUTE-FORCES every pair of the subset, so the prefix filter's
+    // recall — not just its output values — is under the hash (the
+    // q_image_neardup pattern for text). Rational threshold: the
+    // verify comparison is exact-integer cross-multiplication.
+    Q("q_ppjoin",
+      (s, dir) => {
+        // doc_id % 10: the fixture vocabulary is tiny and shared (every
+        // "rarest" token still has df in the hundreds), so prefix buckets
+        // are far denser than on a Zipfian real corpus — the subset keeps
+        // the brute-force oracle and the bench budget honest
+        val docs = tk(s, dir, "documents").where(col("doc_id") % 10 === 0)
+        graft.ops.Dedup.prefixJaccardJoin(docs, "text", "doc_id", 4, 5)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        t0 AS (SELECT doc_id,
+                      unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+               FROM d),
+        t AS (SELECT doc_id, tok FROM t0 WHERE tok <> ''),
+        sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY doc_id),
+        i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(count(*) AS BIGINT) AS inter
+              FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY id_a, id_b)
+        SELECT id_a, id_b, inter,
+               CAST(sa.n + sb.n - inter AS BIGINT) AS uni
+        FROM i JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        WHERE inter * 5 >= (sa.n + sb.n - inter) * 4
+        ORDER BY id_a, id_b""")),
+
+    // EXACT containment join (asymmetric PPJoin): |A∩B|/|A| >= 19/20 —
+    // the quote / boilerplate-inclusion / superseded-version detector
+    // Jaccard misses when sizes differ. Prefix filter on the CONTAINED
+    // side only (pigeonhole: a container must share one of A's rarest
+    // n/20+1 tokens); exact-integer cross-multiplied verify. Oracle =
+    // brute-force all ordered pairs on the same subset, so the prefix
+    // pruning's EXACT recall is itself under the hash.
+    Q("q_containment_join",
+      (s, dir) => {
+        val docs = tk(s, dir, "documents").where(col("doc_id") % 10 === 0)
+        graft.ops.Dedup.containmentJoin(docs, "text", "doc_id", 19, 20)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        t0 AS (SELECT doc_id,
+                      unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+               FROM d),
+        t AS (SELECT doc_id, tok FROM t0 WHERE tok <> ''),
+        sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY doc_id),
+        i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(count(*) AS BIGINT) AS inter
+              FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+              GROUP BY id_a, id_b)
+        SELECT id_a, id_b, inter, CAST(sa.n AS BIGINT) AS na
+        FROM i JOIN sz sa ON sa.doc_id = id_a
+        WHERE inter * 20 >= sa.n * 19
+        ORDER BY id_a, id_b""")),
+
+    // Corpus snapshot diff — the triage an incremental pipeline runs
+    // before reprocessing: old vs new snapshot full-outer-joined on the
+    // doc key, each row classed added / removed / changed / unchanged by
+    // content hash. Fixture derives both snapshots from the documents
+    // table by residue (doc_id%11 dropped from new, %13 added only to
+    // new, %7 text-modified); the oracle replays the class rules. One
+    // id-keyed join; text never moves (hashes compare).
+    Q("q_snapshot_diff",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val old = docs.where(col("doc_id") % 13 =!= 0)
+          .select(col("doc_id"), md5(col("text")).as("h_old"))
+        val nw = docs.where(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))).as("h_new"))
+        old.join(nw, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("h_old").isNull, "added")
+              .when(col("h_new").isNull, "removed")
+              .when(col("h_old") =!= col("h_new"), "changed")
+              .otherwise("unchanged").as("status"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0 THEN 'added'
+                    WHEN doc_id % 11 = 0 THEN 'removed'
+                    WHEN doc_id % 7 = 0 THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM documents
+        WHERE NOT (doc_id % 13 = 0 AND doc_id % 11 = 0)
+        ORDER BY doc_id""")),
+
+    // One-row corpus report — the dataset-card summary a curation run
+    // ships: doc/token/char totals, language distribution, exact-dup
+    // rate, short-doc rate. Entirely map-side-combinable aggregation
+    // plus one md5-keyed distinct; emitted as a single wide row.
+    Q("q_corpus_report",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("__toks", size(split(trim(col("text")), "\\s+")))
+        docs.agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("__toks")).cast("long").as("n_tokens"),
+            sum(length(col("text"))).cast("long").as("n_chars"),
+            countDistinct(md5(col("text"))).as("n_distinct"),
+            count(when(col("__toks") < 25, 1)).as("n_short"),
+            countDistinct(col("lang")).as("n_langs"),
+            count(when(col("lang") === "en", 1)).as("n_en"))
+          .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+            (col("n_docs") - col("n_distinct")).as("n_exact_dups"),
+            col("n_short"), col("n_langs"), col("n_en"))
+      },
+      Some(s"""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(${D.splitWs("text")})) AS BIGINT) AS n_tokens,
+               CAST(sum(length(text)) AS BIGINT) AS n_chars,
+               CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+               CAST(count(CASE WHEN len(${D.splitWs("text")}) < 25 THEN 1 END) AS BIGINT) AS n_short,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_en
+        FROM documents""")),
+
+    // SemDeDup (Abbas et al. 2023): nearest-centroid assignment (same
+    // deterministic fixed-centroid scheme q_ann_ivf oracles), then cosine
+    // near-dup pruning WITHIN clusters — never corpus^2. Output = kept rows.
+    Q("q_semantic_dedup",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cents = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("cid"),
+            VectorF.toDoubleArray(col("embedding")).as("cv"))
+        graft.ops.Dedup.semanticDedup(emb, cents, "vec_id", "embedding", 0.3)
+          .orderBy("vec_id")
+      },
+      Some {
+        val dotNN = D.dot("e.vn", "c.cvn")
+        s"""
+        WITH cents AS (
+          SELECT CAST(vec_id AS INT) AS cid,
+                 ${Exprs.l2Normalize(D, "v", D.norm("v"))} AS cvn
+          FROM $duckEmbTable WHERE vec_id < 8),
+        normed AS (
+          SELECT vec_id, v, ${Exprs.l2Normalize(D, "v", D.norm("v"))} AS vn
+          FROM $duckEmbTable),
+        assigned AS (
+          SELECT e.vec_id, e.v,
+                 (SELECT c.cid FROM cents c ORDER BY $dotNN DESC, c.cid LIMIT 1) AS cluster_id
+          FROM normed e),
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM assigned a JOIN assigned b
+            ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+          WHERE ${D.cosine("a.v", "b.v")} >= ${D.d(0.3)})
+        SELECT vec_id, cluster_id
+        FROM assigned
+        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        ORDER BY vec_id"""
+      }),
+
+    // One-pass column profiler over the documents table: typed min/max
+    // rendered to string, exact distincts, null tally — the audit report
+    // shape. Profiled columns are BIGINT/VARCHAR so the string rendering
+    // is engine-identical (doubles would not be).
+    Q("q_profile",
+      (s, dir) =>
+        graft.ops.Profile.profile(t(s, dir, "documents"),
+            Seq("doc_id", "lang", "n_chars", "source"))
+          .orderBy("column"),
+      Some {
+        def one(c: String) = s"""
+          SELECT '$c' AS "column", count(*) AS n_rows,
+                 CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                 count(DISTINCT $c) AS n_distinct,
+                 CAST(min($c) AS VARCHAR) AS min_repr,
+                 CAST(max($c) AS VARCHAR) AS max_repr,
+                 (round(avg(length(CAST($c AS VARCHAR))), 6) + CAST(0.0 AS DOUBLE)) AS avg_repr_len
+          FROM documents"""
+        Seq("doc_id", "lang", "n_chars", "source").map(one)
+          .mkString("", " UNION ALL ", """ ORDER BY "column"""")
+      }),
+
+    // DSIR importance reweighting: target = English docs; every doc scored
+    // by the hashed-unigram log-likelihood ratio target-vs-raw. Bounded
+    // bucket table broadcasts; per-bucket round-6 + decimal per-doc sums
+    // make the weights partitioning-independent and oracle-exact.
+    Q("q_dsir_weights",
+      (s, dir) =>
+        graft.ops.Dsir.importanceWeights(t(s, dir, "documents"),
+            "doc_id", "text", col("lang") === "en")
+          .select(col("doc_id"), col("weight"), col("n_tokens"))
+          .orderBy("doc_id"),
+      Some(s"""
+        SELECT id AS doc_id, weight, n_tokens FROM (
+          ${graft.ops.Dsir.oracleSql(D, "documents", "doc_id", "text", "lang = 'en'")}
+        ) ORDER BY doc_id""")),
+
+    // In-engine trained quality classifier: 3 unrolled GD iterations of
+    // logistic regression (label = lang='en'), weights as a 1-row relation
+    // threaded through the plan — training itself is hash-verified because
+    // any weight divergence flips every score.
+    Q("q_quality_classifier",
+      (s, dir) =>
+        graft.ops.QualityClassifier.trainAndScore(
+            t(s, dir, "documents"), "doc_id", "text", "n_chars >= 250")
+          .orderBy("doc_id"),
+      Some(graft.ops.QualityClassifier.oracleSql(
+        D, "documents", "doc_id", "text", "n_chars >= 250"))),
+
+    // PageRank centrality over the embedding near-dup graph (both edge
+    // directions of the sign-bucket pairs) — canonical-doc selection by
+    // centrality. 5 unrolled iterations, round-9 decimal-summed
+    // contributions: partitioning-independent, oracle-exact.
+    Q("q_pagerank",
+      (s, dir) => {
+        import graft.ops.{Dedup, Graph}
+        val emb = t(s, dir, "embeddings")
+        val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 8, 0.3)
+          .select(col("id_a"), col("id_b"))
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        Graph.pageRank(emb.select(col("vec_id").as("id")), edges, 5, 0.85)
+          .select(col("id").as("vec_id"), col("rank"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val bk = s"""(SELECT vec_id, v,
+               array_to_string(list_transform(v[1:8],
+                 x__ -> CASE WHEN x__ >= CAST(0.0 AS DOUBLE) THEN '1' ELSE '0' END), '') AS bucket
+             FROM $duckEmbTable)"""
+        val edges = s"""(SELECT a.vec_id AS src, b.vec_id AS dst
+             FROM $bk a JOIN $bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+             WHERE ${D.cosine("a.v", "b.v")} >= ${D.d(0.3)})"""
+        s"""SELECT id AS vec_id, rank FROM (
+          ${graft.ops.Graph.pageRankOracleSql(
+            "(SELECT vec_id AS id FROM embeddings)", edges, 5, 0.85)}
+        ) ORDER BY vec_id"""
+      }),
+
+    // Shingle-novelty: fraction of a doc's distinct 3-gram shingles that
+    // appear in no other doc — the diversity dual of contamination.
+    Q("q_shingle_novelty",
+      (s, dir) =>
+        graft.ops.Dedup.shingleNovelty(tk(s, dir, "documents"), "text", "doc_id")
+          .orderBy("doc_id"),
+      Some {
+        val duckToks = s"(SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents)"
+        val duckShingles =
+          s"(SELECT doc_id, ${Exprs.wordShingles(D, "toks", 3)} AS sh FROM $duckToks)"
+        s"""
+        WITH ex AS (
+          SELECT doc_id, unnest(${D.arrayDistinct("sh")}) AS s FROM $duckShingles),
+        dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s)
+        SELECT doc_id, count(*) AS n_shingles,
+               (round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+                      CAST(count(*) AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS novel_frac
+        FROM ex JOIN dfreq USING (s)
+        GROUP BY doc_id
+        ORDER BY doc_id"""
+      }),
+
+    // Deterministic per-epoch shuffle order: epoch-salted md5 sort key.
+    Q("q_epoch_shuffle",
+      (s, dir) =>
+        graft.ops.Sampling.epochShuffle(t(s, dir, "documents"), "doc_id", 7)
+          .select(col("shuffle_key"), col("doc_id")),
+      Some("""
+        SELECT md5(concat('7', ':', CAST(doc_id AS VARCHAR))) AS shuffle_key, doc_id
+        FROM documents ORDER BY shuffle_key""")),
+
+    // Document embedding = per-dim mean of chunk embeddings (mean-pool).
+    // posexplode -> (id, dim) decimal-summed aggregation -> reassembly; no
+    // vector transits a shuffle whole. Scalar projections + a dot-product
+    // checksum pin every dimension of the pooled vector. Outputs are NOT
+    // round-6'd: each mean is an exact-decimal sum over a SMALL count, so
+    // its decimal expansion lands exactly on .xxxxxx5 halfway points where
+    // the engines' round() semantics disagree — while the unrounded
+    // doubles (decimal->double cast, one division, shared-text fold) are
+    // bit-identical on both engines.
+    Q("q_doc_embedding",
+      (s, dir) => {
+        val idx = RagPipeline.buildIndex(tk(s, dir, "documents"))
+        val SP = Dialect.spark
+        graft.embed.EmbeddingPooling.meanPool(idx, "doc_id", "embedding")
+          .withColumn("__w", expr("transform(sequence(1, 64), j__ -> CAST(j__ AS DOUBLE))"))
+          .select(col("doc_id"),
+            element_at(col("doc_embedding"), 1).as("e1"),
+            element_at(col("doc_embedding"), 2).as("e2"),
+            expr(SP.dot("doc_embedding", "__w")).as("checksum"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val duckIndexed2 = duckEmbed(
+          s"(SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})", "chunk_text", 64)
+        val weights = "list_transform(range(1, 65), j__ -> CAST(j__ AS DOUBLE))"
+        s"""
+        WITH idx AS (SELECT doc_id, emb FROM $duckIndexed2),
+        ex AS (SELECT doc_id, CAST(r.p AS INT) AS p, emb[CAST(r.p AS INT)] AS x
+               FROM idx, range(1, 65) r(p)),
+        m AS (SELECT doc_id, p,
+                (CAST(sum(CAST((round(x, 6) + CAST(0.0 AS DOUBLE)) AS DECIMAL(28,6))) AS DOUBLE) /
+                 CAST(count(*) AS DOUBLE)) AS mx
+              FROM ex GROUP BY doc_id, p),
+        mv AS (SELECT doc_id, list(mx ORDER BY p) AS dv FROM m GROUP BY doc_id)
+        SELECT doc_id, dv[1] AS e1, dv[2] AS e2,
+               ${D.dot("dv", weights)} AS checksum
+        FROM mv ORDER BY doc_id"""
+      }),
+
+    // Multi-pattern keyword tagging: the engine runs an Aho-Corasick
+    // automaton (one pass, dictionary-size-independent); the oracle
+    // brute-forces contains() per term — small dictionaries make the
+    // equivalence checkable while the engine keeps the scalable kernel.
+    Q("q_keyword_tags",
+      (s, dir) => {
+        val dict = Seq("spark", "join", "batch", "window", "merge",
+          "customer", "vector", "stream", "zzz-absent")
+        graft.functions.KeywordTagger.tagDocuments(
+            tk(s, dir, "documents"), "text", "doc_id", dict)
+          .orderBy("doc_id")
+      },
+      Some {
+        val dictSql = D.strArray(Seq("spark", "join", "batch", "window", "merge",
+          "customer", "vector", "stream", "zzz-absent"))
+        s"""
+        SELECT doc_id,
+               coalesce(array_to_string(list_sort(list_filter($dictSql,
+                 t__ -> strpos(text, t__) > 0)), ','), '') AS tags,
+               CAST(len(list_filter($dictSql,
+                 t__ -> strpos(text, t__) > 0)) AS BIGINT) AS n_tags
+        FROM documents
+        ORDER BY doc_id"""
+      }),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): per-language
+    // head/middle/tail terciles of LM surprisal — the canonical
+    // keep-the-LM-plausible-part partitioning of a crawl. Deterministic
+    // ntile over (round-6 surprisal, doc_id); the oracle recomputes the
+    // identical surprisal (same formula text family as q_unigram_lm) and
+    // the identical window.
+    Q("q_ccnet_buckets",
+      (s, dir) => {
+        graft.ops.Curation.ccnetBuckets(
+            t(s, dir, "documents"), "text", "doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(text), '\\s+')) AS tok
+          FROM documents),
+        vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+        scored AS (
+          SELECT doc_id,
+                 round(-ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS lp
+          FROM toks JOIN vocab USING (tok) CROSS JOIN tot),
+        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                       ${duckR6("sum(lp) / CAST(count(*) AS DOUBLE)")} AS avg_surprisal
+                FROM scored GROUP BY doc_id),
+        l AS (SELECT d.doc_id, d.lang, a.n_tokens, a.avg_surprisal
+              FROM agg a JOIN documents d USING (doc_id)),
+        b AS (SELECT doc_id, lang, n_tokens, avg_surprisal,
+                     ntile(3) OVER (PARTITION BY lang
+                                    ORDER BY avg_surprisal, doc_id) AS b3
+              FROM l)
+        SELECT doc_id, lang, n_tokens, avg_surprisal,
+               CASE b3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                       ELSE 'tail' END AS bucket,
+               (b3 <> 3) AS keep
+        FROM b ORDER BY doc_id""")),
+
+    // Keyword tagger, case-insensitive + word-boundary modes (how real
+    // blocklists run): mixed-case dictionary, tags reported as lowercase
+    // canonical terms, and a hit only counts flanked by non-word chars.
+    // For all-word-char terms that is exactly membership in the
+    // \\W+-token split, which is what the oracle brute-forces — so the
+    // automaton's per-char lowercasing AND end-of-match boundary check
+    // are both under oracle test.
+    Q("q_keyword_tags_ci",
+      (s, dir) => {
+        val dict = Seq("The", "DATA", "Stream", "Window", "ERROR",
+          "Batch", "Customer", "zzz-Absent")
+        graft.functions.KeywordTagger.tagDocuments(
+            tk(s, dir, "documents"), "text", "doc_id", dict,
+            caseInsensitive = true, wordBoundary = true)
+          .orderBy("doc_id")
+      },
+      Some {
+        val dictLc = D.strArray(Seq("the", "data", "stream", "window",
+          "error", "batch", "customer", "zzz-absent"))
+        s"""
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split_regex(lower(coalesce(text, '')), '[^0-9a-z_]+') AS tk
+          FROM documents)
+        SELECT doc_id,
+               coalesce(array_to_string(list_sort(list_filter($dictLc,
+                 t__ -> list_contains(tk, t__))), ','), '') AS tags,
+               CAST(len(list_filter($dictLc,
+                 t__ -> list_contains(tk, t__))) AS BIGINT) AS n_tags
+        FROM toks
+        ORDER BY doc_id"""
+      }),
+
+    // C2 markdown heading splitter, oracled: markdown is synthesized
+    // in-engine (an H1, a body slice, an H2, a tail slice), then split at
+    // ATX heading boundaries keeping each heading with its section.
+    Q("q_md_sections",
+      (s, dir) => {
+        val mdExpr = "concat('# ', substring(text, 1, 24), chr(10), " +
+          "substring(text, 25, 120), chr(10), " +
+          "'## sub ', CAST(doc_id AS STRING), chr(10), substring(text, 145, 80))"
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), expr(mdExpr).as("md"))
+        graft.chunk.Chunking.explodeMarkdownSections(docs, "md")
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            col("chunk_text"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""
+        WITH md AS (
+          SELECT doc_id,
+                 concat('# ', substring(text, 1, 24), chr(10),
+                        substring(text, 25, 120), chr(10),
+                        '## sub ', CAST(doc_id AS VARCHAR), chr(10),
+                        substring(text, 145, 80)) AS m
+          FROM documents),
+        tagged AS (
+          SELECT doc_id,
+                 regexp_replace(m, '(?m)^(#{1,6} )', chr(1) || '\1', 'g') AS tm
+          FROM md),
+        secs AS (
+          SELECT doc_id,
+                 list_filter(string_split(tm, chr(1)), s__ -> trim(s__) <> '') AS ss
+          FROM tagged),
+        idx AS (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i FROM secs)
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+               ss[CAST(i AS INT)] AS chunk_text
+        FROM idx
+        ORDER BY doc_id, chunk_idx""")),
+
+    // End-to-end quality filter: gopher bounds + repetition + exact-dup
+    // composed into keep/drop with an auditable reason list, one scan.
+    Q("q_quality_filter",
+      (s, dir) =>
+        // tk: the shingle + per-rule reason kernel is the cost — one
+        // upfront hash exchange buys full-width execution (1.7 -> .5 s)
+        graft.ops.Curation.qualityFilter(tk(s, dir, "documents"), "text", "doc_id")
+          .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id, keep, reasons FROM (
+          ${graft.ops.Curation.oracleSql(D, "documents", "doc_id", "text")}
+        ) ORDER BY doc_id""")),
+
+    // C4 line-level cleaning (Raffel et al. 2020 §2.2; ops/Curation.c4Clean).
+    // The corpus text is single-line prose, so each doc is first framed as
+    // a 7-line synthetic web page by a closed-form dialect-shared formula:
+    // boilerplate nav (no terminal punct), a javascript line on doc_id%7=3,
+    // "lorem ipsum" on %11=5, a curly-brace config line on %13=6, a
+    // 2-word punct-terminated footer (exercises the >=3-words rule alone),
+    // the rest prose slices with terminal punctuation. Every C4 rule fires
+    // both ways across the corpus, and the cleaned text itself is part of
+    // the hash — line filtering, sentence counting, and page rules are all
+    // pinned. Narrow plan: one scan, codegen'd higher-order functions, no
+    // shuffle before the fixture-scale sort.
+    Q("q_c4_filters",
+      (s, dir) => {
+        val page = c4PageExpr(Dialect.spark)
+        val docs = tk(s, dir, "documents")
+          .selectExpr("doc_id", s"$page AS page")
+        graft.ops.Curation.c4Clean(docs, "page", "doc_id").orderBy("doc_id")
+      },
+      Some(s"""
+        SELECT * FROM (
+          ${graft.ops.Curation.c4OracleSql(D, "documents", "doc_id", c4PageExpr(D))}
+        ) ORDER BY doc_id""")),
+
+    // Shannon entropy (char + word, nats) — the compression-proxy
+    // quality signal (ops/Curation.entropyStats). Per-frequency
+    // contributions round to 6 decimals BEFORE a symbol-ordered
+    // sequential fold (q_unigram_lm idiom), so engine ln() ulps cannot
+    // accumulate; DuckDB's init-less list_reduce gets an explicit 0.0
+    // prepended to replay Spark's aggregate(init) op sequence exactly.
+    Q("q_entropy",
+      (s, dir) =>
+        graft.ops.Curation.entropyStats(tk(s, dir, "documents"), "text", "doc_id")
+          .select(col("doc_id"), col("n_chars"), r6(col("char_entropy")).as("char_entropy"),
+            col("n_words"), r6(col("word_entropy")).as("word_entropy"))
+          .orderBy("doc_id"),
+      Some {
+        def fold(src: String, unit: String, n: String, e: String) = s"""
+          (WITH cnts AS (
+            SELECT doc_id, u, count(*) AS cnt FROM $src GROUP BY doc_id, u),
+          agg AS (
+            SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+                   list(cnt ORDER BY u) AS cs
+            FROM cnts GROUP BY doc_id)
+          SELECT doc_id, n AS $n,
+                 list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(cs, c__ -> round(
+                       -(CAST(c__ AS DOUBLE) / CAST(n AS DOUBLE))
+                         * ln(CAST(c__ AS DOUBLE) / CAST(n AS DOUBLE)), 6))),
+                   (a__, x__) -> a__ + x__) AS $e
+          FROM agg)"""
+        val chars = fold(
+          """(SELECT doc_id, substr(text, CAST(p AS INT), 1) AS u
+              FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS p
+                    FROM documents WHERE length(text) > 0))""",
+          "u", "n_chars", "char_entropy")
+        val words = fold(
+          """(SELECT doc_id, u FROM
+               (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS u
+                FROM documents)
+             WHERE length(u) > 0)""",
+          "u", "n_words", "word_entropy")
+        s"""
+        SELECT c.doc_id, c.n_chars,
+               (round(c.char_entropy, 6) + CAST(0.0 AS DOUBLE)) AS char_entropy,
+               w.n_words,
+               (round(w.word_entropy, 6) + CAST(0.0 AS DOUBLE)) AS word_entropy
+        FROM $chars c JOIN $words w ON c.doc_id = w.doc_id
+        ORDER BY c.doc_id"""
+      }),
+
+    // CAPSTONE composition — the one-job shape a 100 TB curation run
+    // actually executes, with EVERY stage boundary under a single hash:
+    // messy frontier URL -> canonicalize -> URL-keyed exact dedup (min
+    // doc wins) -> quality gates (word count + char-entropy floor) ->
+    // deterministic md5 sample -> greedy token-budget fill. Library ops
+    // compose declaratively (UrlOps, Curation.entropyStats,
+    // Sampling.hashSample/tokenBudgetSelect); the only wide stages are
+    // the canonical-key window, the doc-keyed entropy aggs, and the
+    // budget window — each inherent to its stage's semantics. The
+    // entropy floor compares UNROUNDED folds that are bit-identical
+    // across engines by the r6-before-ordered-fold construction.
+    Q("q_training_pipeline",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = tk(s, dir, "documents")
+        val canon = graft.ops.UrlOps.canonicalize(
+          docs.selectExpr("doc_id", "text",
+            s"${messyUrlExpr(Dialect.spark)} AS url"), "url")
+        val dd = canon.withColumn("__keep",
+            min(col("doc_id")).over(Window.partitionBy(col("canonical"))))
+          .where(col("doc_id") === col("__keep")).drop("__keep")
+        val ent = graft.ops.Curation.entropyStats(docs, "text", "doc_id")
+          .select(col("doc_id").as("__eid"), col("char_entropy"), col("n_words"))
+        val gated = dd.join(ent, col("doc_id") === col("__eid"))
+          .where(col("n_words") >= 25L && col("char_entropy") >= 2.82)
+        val sampled = graft.ops.Sampling.hashSample(gated, "doc_id", 0.8)
+          .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+          .withColumn("__grp", lit("all"))
+          .withColumn("__ord",
+            expr(Dialect.spark.md5Uniform(Dialect.spark.castStr("doc_id"))))
+        graft.ops.Sampling.tokenBudgetSelect(
+            sampled, "__grp", "n_tokens", "__ord", "doc_id", 8000L)
+          .select(col("doc_id"), col("canonical"), col("n_tokens"),
+            col("cum_tokens"))
+          .orderBy("cum_tokens", "doc_id")
+      },
+      Some(s"""
+        WITH u AS (SELECT doc_id, text, ${messyUrlExpr(D)} AS url FROM documents),
+        c AS (SELECT doc_id, text,
+                     ${graft.ops.UrlOps.canonicalExpr(D, "url")} AS canonical
+              FROM u),
+        dd AS (SELECT doc_id, text, canonical FROM (
+                 SELECT *, min(doc_id) OVER (PARTITION BY canonical) AS k FROM c)
+               WHERE doc_id = k),
+        cnts AS (
+          SELECT doc_id, u2, count(*) AS cnt
+          FROM (SELECT doc_id, substr(text, CAST(p AS INT), 1) AS u2
+                FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS p
+                      FROM documents WHERE length(text) > 0))
+          GROUP BY doc_id, u2),
+        eagg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+                        list(cnt ORDER BY u2) AS cs
+                 FROM cnts GROUP BY doc_id),
+        ent AS (
+          SELECT doc_id,
+                 list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(cs, c__ -> round(
+                       -(CAST(c__ AS DOUBLE) / CAST(n AS DOUBLE))
+                         * ln(CAST(c__ AS DOUBLE) / CAST(n AS DOUBLE)), 6))),
+                   (a__, x__) -> a__ + x__) AS char_entropy
+          FROM eagg),
+        wrds AS (SELECT doc_id,
+                        CAST(len(${D.splitWs("text")}) AS BIGINT) AS n_words
+                 FROM documents),
+        g AS (SELECT dd.doc_id, dd.canonical, dd.text
+              FROM dd JOIN ent ON ent.doc_id = dd.doc_id
+                      JOIN wrds ON wrds.doc_id = dd.doc_id
+              WHERE wrds.n_words >= 25 AND ent.char_entropy >= ${D.d(2.82)}),
+        smp AS (SELECT doc_id, canonical, text,
+                       CAST(len(${D.splitWs("text")}) AS BIGINT) AS n_tokens,
+                       ${D.md5Uniform(D.castStr("doc_id"))} AS ord
+                FROM g
+                WHERE ${D.md5Uniform(D.castStr("doc_id"))} < ${D.d(0.8)}),
+        cum AS (SELECT doc_id, canonical, n_tokens,
+                       sum(n_tokens) OVER (ORDER BY ord DESC, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                FROM smp)
+        SELECT doc_id, canonical, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM cum
+        WHERE cum_tokens - n_tokens < 8000
+        ORDER BY cum_tokens, doc_id""")),
+
+    // kNN label propagation: every 5th vector "loses" its label and gets
+    // one back by majority vote of its 5 nearest labeled neighbors.
+    Q("q_knn_classify",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnClassify(emb.where(col("vec_id") % 5 =!= 0),
+            emb.where(col("vec_id") % 5 === 0), "vec_id", "embedding", "label", 5)
+          .orderBy("vec_id")
+      },
+      Some {
+        val cosQL = D.cosine("q.v", "l.v")
+        s"""
+        WITH lab AS (SELECT vec_id, v, label FROM
+                       (SELECT e.vec_id, e.v, CAST(raw.label AS BIGINT) AS label
+                        FROM $duckEmbTable e JOIN embeddings raw USING (vec_id))
+                     WHERE vec_id % 5 <> 0),
+        unl AS (SELECT vec_id, v FROM $duckEmbTable WHERE vec_id % 5 = 0),
+        nn AS (
+          SELECT q.vec_id AS qid, l.label,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY $cosQL DESC, l.vec_id) AS rn
+          FROM unl q, lab l),
+        votes AS (SELECT qid, label, count(*) AS votes
+                  FROM nn WHERE rn <= 5 GROUP BY qid, label)
+        SELECT qid AS vec_id,
+               -((max(struct_pack(v := votes, nl := -label))).nl) AS predicted_label,
+               (max(struct_pack(v := votes, nl := -label))).v AS votes
+        FROM votes GROUP BY qid
+        ORDER BY vec_id"""
+      }),
+
+    // Margin-based bitext mining (LASER-style): side A = vec_id < 250,
+    // side B = the rest; best margin-scored B per A above 1.05. The
+    // oracle brute-forces both kNN directions; the neighborhood mean
+    // divides by the actual neighbor count and re-rounds to 6 (the
+    // repo-wide cross-engine containment), mirroring mineBitext.
+    Q("q_bitext_mine",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.mineBitext(emb.where(col("vec_id") < 250),
+            emb.where(col("vec_id") >= 250), "vec_id", "embedding", 4, 1.05)
+          .orderBy("id_a")
+      },
+      Some {
+        val cosAB = D.cosine("a.v", "b.v")
+        s"""
+        WITH a AS (SELECT vec_id, v FROM $duckEmbTable WHERE vec_id < 250),
+        b AS (SELECT vec_id, v FROM $duckEmbTable WHERE vec_id >= 250),
+        cos AS (SELECT a.vec_id AS ia, b.vec_id AS ib, $cosAB AS s FROM a, b),
+        fwd AS (SELECT ia, ib, s,
+                       row_number() OVER (PARTITION BY ia ORDER BY s DESC, ib) AS rn
+                FROM cos),
+        bwd AS (SELECT ia, ib, s,
+                       row_number() OVER (PARTITION BY ib ORDER BY s DESC, ia) AS rn
+                FROM cos),
+        aavg AS (SELECT ia, sum(CAST((round(s, 6) + CAST(0.0 AS DOUBLE)) AS DECIMAL(28,6))) AS sum_a,
+                        count(*) AS n_a
+                 FROM fwd WHERE rn <= 4 GROUP BY ia),
+        bavg AS (SELECT ib, sum(CAST((round(s, 6) + CAST(0.0 AS DOUBLE)) AS DECIMAL(28,6))) AS sum_b,
+                        count(*) AS n_b
+                 FROM bwd WHERE rn <= 4 GROUP BY ib),
+        margins AS (
+          SELECT ia, ib,
+                 (round((round(s, 6) + CAST(0.0 AS DOUBLE))
+                        * CAST(2 * n_a * n_b AS DOUBLE)
+                        / CAST(sum_a * n_b + sum_b * n_a AS DOUBLE), 6)
+                  + CAST(0.0 AS DOUBLE)) AS margin
+          FROM fwd JOIN aavg USING (ia) JOIN bavg USING (ib)
+          WHERE rn <= 4),
+        best AS (
+          SELECT ia AS id_a,
+                 (max(struct_pack(m := margin, nib := -ib))).nib AS nib,
+                 (max(struct_pack(m := margin, nib := -ib))).m AS margin
+          FROM margins WHERE margin >= CAST(1.05 AS DOUBLE) GROUP BY ia)
+        SELECT id_a, -nib AS id_b, margin FROM best ORDER BY id_a"""
+      }),
+
+    // BPE tokenizer training, stage 1 (oracle-checked): adjacent-character
+    // pair counts over the word-frequency table — the aggregation every
+    // merge iteration re-runs. Top 20 with full deterministic tie-breaks.
+    Q("q_bpe_pair_counts",
+      (s, dir) => {
+        val words = graft.ops.BpeTrainer.wordFrequencies(tk(s, dir, "documents"), "text")
+        words.where(length(col("word")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(word) - 1), " +
+              "i__ -> struct(substring(word, i__, 1) AS l, substring(word, i__ + 1, 1) AS r))")).as("p"),
+            col("cnt"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).cast("long").as("n"))
+          .orderBy(desc("n"), col("l"), col("r"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH words AS (
+          SELECT word, count(*) AS cnt FROM (
+            SELECT unnest(${D.splitWs("text")}) AS word FROM documents)
+          WHERE length(word) > 0 GROUP BY word),
+        pairs0 AS (
+          SELECT word, cnt, unnest(range(1, length(word))) AS i
+          FROM words WHERE length(word) >= 2),
+        pairs AS (
+          SELECT substr(word, CAST(i AS INT), 1) AS l,
+                 substr(word, CAST(i AS INT) + 1, 1) AS r, cnt
+          FROM pairs0)
+        SELECT l, r, CAST(sum(cnt) AS BIGINT) AS n
+        FROM pairs GROUP BY l, r
+        ORDER BY n DESC, l, r LIMIT 20""")),
+
+    // BPE training, full loop — ORACLED by replaying the merge loop in
+    // SQL (the __GRAFT_OUT__ pattern): each word's symbol sequence is a
+    // string of chr(30)||sym||chr(31)-wrapped symbols, which makes
+    // DuckDB's left-to-right non-overlapping replace() EXACTLY the greedy
+    // adjacent-pair collapse (both match ends anchored, adjacent matches
+    // share no characters). Stage k recomputes the pair-count argmax of
+    // the state built with the DUMPED merges 0..k-1, so the first rank at
+    // which the dump deviates from true BPE hash-mismatches (inductive,
+    // not circular). 12 learned merges.
+    Q("q_bpe_vocab",
+      (s, dir) => {
+        import s.implicits._
+        bpeMerges(s, dir)
+          .toDF("rank", "left", "right", "pair_count")
+          .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
+            col("pair_count"))
+          .orderBy("rank")
+      },
+      Some {
+        val seg = "string_split(substr(syms, 2, length(syms) - 2), chr(31) || chr(30))"
+        val stages = (0 until bpeMergeCount).map { k =>
+          val adv =
+            if (k == 0) ""
+            else s"s$k AS (SELECT replace(syms, p${k - 1}, q${k - 1}) AS syms, cnt FROM s${k - 1}, pats), "
+          adv +
+            s"""a$k AS (
+               SELECT l, r, CAST(sum(cnt) AS BIGINT) AS n
+               FROM (SELECT ss[CAST(i AS INT)] AS l, ss[CAST(i AS INT) + 1] AS r, cnt
+                     FROM (SELECT ss, cnt, unnest(range(1, len(ss))) AS i
+                           FROM (SELECT $seg AS ss, cnt FROM s$k)))
+               GROUP BY l, r),
+             m$k AS (SELECT CAST($k AS BIGINT) AS "rank", l AS "left", r AS "right",
+                            n AS pair_count
+                     FROM a$k WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1)"""
+        }.mkString(", ")
+        s"""
+        WITH dump AS (SELECT * FROM read_parquet('__GRAFT_OUT__/q_bpe_vocab/*.parquet')),
+        pats AS (SELECT $bpePatCols FROM dump),
+        wf AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+               FROM (SELECT unnest(${D.splitWs("text")}) AS w FROM documents)
+               WHERE length(w) > 0 GROUP BY w),
+        s0 AS (SELECT array_to_string(list_transform(string_split(word, ''),
+                        c__ -> chr(30) || c__ || chr(31)), '') AS syms, cnt
+               FROM wf),
+        $stages
+        ${(0 until bpeMergeCount).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")}
+        ORDER BY "rank""""
+      }),
+
+    // Incremental near-dup screening: incoming batch (doc_id >= 400)
+    // probed against the existing corpus (doc_id < 400) — band collisions
+    // only across the two sides, verified Jaccard above 0.2.
+    Q("q_incremental_neardup",
+      (s, dir) => {
+        val docs = tk(s, dir, "documents")
+        graft.ops.Dedup.incrementalNearDups(
+            docs.where(col("doc_id") < 400), docs.where(col("doc_id") >= 400),
+            "text", "doc_id", 3, 8, 2, 0.2)
+          .select(col("id_new"), col("id_old"), r6(col("jaccard")).as("jaccard"))
+          .orderBy("id_new", "id_old")
+      },
+      Some {
+        val duckToks = s"(SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents)"
+        val duckShingles =
+          s"(SELECT doc_id, ${Exprs.wordShingles(D, "toks", 3)} AS sh FROM $duckToks)"
+        s"""
+        WITH sigs AS (
+          SELECT doc_id, ${Exprs.minhashSig(D, "sh", 8)} AS sig FROM $duckShingles),
+        banded AS (
+          SELECT doc_id, CAST(b.b AS BIGINT) AS band,
+                 md5(array_to_string(sig[(CAST(b.b AS INT) * 2 + 1):(CAST(b.b AS INT) * 2 + 2)], '|')) AS band_key
+          FROM sigs, range(0, 4) AS b(b)),
+        cand AS (
+          SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+          FROM banded n JOIN banded o
+            ON n.band = o.band AND n.band_key = o.band_key
+          WHERE n.doc_id >= 400 AND o.doc_id < 400),
+        sets AS (SELECT doc_id, list_distinct(sh) AS shs FROM $duckShingles)
+        SELECT id_new, id_old,
+               round(CAST(len(list_intersect(sn.shs, so.shs)) AS DOUBLE)
+                     / (len(sn.shs) + len(so.shs) - len(list_intersect(sn.shs, so.shs))), 6) + CAST(0.0 AS DOUBLE) AS jaccard
+        FROM cand JOIN sets sn ON sn.doc_id = id_new JOIN sets so ON so.doc_id = id_old
+        WHERE CAST(len(list_intersect(sn.shs, so.shs)) AS DOUBLE)
+              / (len(sn.shs) + len(so.shs) - len(list_intersect(sn.shs, so.shs))) >= CAST(0.2 AS DOUBLE)
+        ORDER BY id_new, id_old"""
+      }),
+
+    // BPE encode of the corpus with the learned merges, ORACLED by
+    // replaying the encode in SQL over the dumped merge table: applying
+    // merges in RANK order (one anchored replace per rank, per token) is
+    // provably equivalent to encodeToken's lowest-rank-present loop —
+    // a merge's sides always predate it in rank, so collapsing rank k can
+    // only create pairs of rank > k, and within one rank a single
+    // left-to-right replace IS the greedy collapse (a merge can never
+    // recreate its own pair: l+r equals neither l nor r). Pieces join
+    // with a unit separator so the dump stays scalar-typed.
+    Q("q_bpe_segment",
+      (s, dir) => {
+        val docs = tk(s, dir, "documents")
+        graft.ops.BpeTrainer.segment(docs, "text", "doc_id", bpeMerges(s, dir))
+          .select(col("doc_id"), col("n_pieces"),
+            concat_ws("\u001f", col("pieces")).as("pieces"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val stages = (1 to bpeMergeCount).map { k =>
+          s"w$k AS (SELECT doc_id, list_transform(ws, w__ -> replace(w__, p${k - 1}, q${k - 1})) AS ws FROM w${k - 1}, pats)"
+        }.mkString(", ")
+        s"""
+        WITH dump AS (SELECT * FROM read_parquet('__GRAFT_OUT__/q_bpe_vocab/*.parquet')),
+        pats AS (SELECT $bpePatCols FROM dump),
+        w0 AS (SELECT doc_id,
+                 list_transform(
+                   list_filter(${D.splitWs("coalesce(text, '')")}, t__ -> length(t__) > 0),
+                   t__ -> array_to_string(list_transform(string_split(t__, ''),
+                            c__ -> chr(30) || c__ || chr(31)), '')) AS ws
+               FROM documents),
+        $stages,
+        out AS (SELECT doc_id,
+                  flatten(list_transform(ws,
+                    w__ -> string_split(substr(w__, 2, length(w__) - 2),
+                                        chr(31) || chr(30)))) AS pieces
+                FROM w$bpeMergeCount)
+        SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_pieces,
+               coalesce(array_to_string(pieces, chr(31)), '') AS pieces
+        FROM out ORDER BY doc_id"""
+      }),
+
+    // WordPiece vocabulary TRAINING, full loop (Schuster & Nakajima
+    // 2012 — the trainer behind the reference's all-mpnet-base-v2
+    // vocab.txt): like q_bpe_vocab but the merge objective is the
+    // likelihood score n(l,r)/(c(l)·c(r)) — merge what co-occurs more
+    // than chance — over ##-marked word-internal symbols. The oracle
+    // replays the loop INDUCTIVELY against the dump: stage k rebuilds
+    // the symbol state with dumped merges 0..k-1 (the chr(30)/chr(31)
+    // replace trick), recomputes symbol AND pair counts, and re-derives
+    // the score argmax (one double division of exact integers — the
+    // same two IEEE ops both engines) — a wrong pick at any rank
+    // hash-fails. Emitted counts make the score replay non-circular.
+    Q("q_wp_vocab",
+      (s, dir) => {
+        import s.implicits._
+        wpMerges(s, dir)
+          .map(m => (m.rank.toLong, m.left, m.right, m.piece, m.n, m.cl, m.cr))
+          .toDF("rank", "left", "right", "piece", "pair_count", "cl", "cr")
+          .orderBy("rank")
+      },
+      Some {
+        val seg = "string_split(substr(syms, 2, length(syms) - 2), chr(31) || chr(30))"
+        val stages = (0 until wpMergeCount).map { k =>
+          val adv =
+            if (k == 0) ""
+            else s"s$k AS (SELECT replace(syms, p${k - 1}, q${k - 1}) AS syms, cnt FROM s${k - 1}, pats), "
+          adv +
+            s"""a$k AS (
+               SELECT l, r, CAST(sum(cnt) AS BIGINT) AS n
+               FROM (SELECT ss[CAST(i AS INT)] AS l, ss[CAST(i AS INT) + 1] AS r, cnt
+                     FROM (SELECT ss, cnt, unnest(range(1, len(ss))) AS i
+                           FROM (SELECT $seg AS ss, cnt FROM s$k)))
+               GROUP BY l, r),
+             c$k AS (
+               SELECT s, CAST(sum(cnt) AS BIGINT) AS c
+               FROM (SELECT unnest($seg) AS s, cnt FROM s$k)
+               GROUP BY s),
+             m$k AS (SELECT CAST($k AS BIGINT) AS "rank", a.l AS "left", a.r AS "right",
+                            a.l || CASE WHEN a.r LIKE '##%' THEN substr(a.r, 3) ELSE a.r END AS piece,
+                            a.n AS pair_count, cl.c AS cl, cr.c AS cr
+                     FROM a$k a JOIN c$k cl ON cl.s = a.l JOIN c$k cr ON cr.s = a.r
+                     WHERE a.n >= 2
+                     ORDER BY CAST(a.n AS DOUBLE) / (CAST(cl.c AS DOUBLE) * CAST(cr.c AS DOUBLE)) DESC,
+                              a.n DESC, a.l, a.r
+                     LIMIT 1)"""
+        }.mkString(", ")
+        s"""
+        WITH dump AS (SELECT * FROM read_parquet('__GRAFT_OUT__/q_wp_vocab/*.parquet')),
+        pats AS (SELECT $wpPatCols FROM dump),
+        wf AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+               FROM (SELECT unnest(${D.splitWs("text")}) AS w FROM documents)
+               WHERE length(w) > 0 GROUP BY w),
+        s0 AS (SELECT array_to_string(list_transform(range(1, length(word) + 1),
+                 i__ -> chr(30) ||
+                        (CASE WHEN i__ = 1 THEN substr(word, CAST(i__ AS INT), 1)
+                              ELSE '##' || substr(word, CAST(i__ AS INT), 1) END) ||
+                        chr(31)), '') AS syms, cnt
+               FROM wf),
+        $stages
+        ${(0 until wpMergeCount).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")}
+        ORDER BY "rank""""
+      }),
+
+    // The TRAINED WordPiece vocabulary driving greedy longest-match
+    // inference over the corpus — training and inference are different
+    // algorithms in WordPiece (merge order trains, longest-match
+    // tokenizes), so this is a separate contract from q_wp_vocab: the
+    // oracle rebuilds the inference vocab in SQL (corpus alphabet with
+    // positional ## marks ∪ the dumped learned pieces) and replays the
+    // same recursive-CTE greedy walk as q_wordpiece over it. The corpus
+    // alphabet guarantee means no word dead-ends: n_unk must be 0 for
+    // every doc — itself part of the hash.
+    Q("q_wp_segment",
+      (s, dir) => {
+        val merges = wpMerges(s, dir)
+        val words = graft.ops.BpeTrainer.wordFrequencies(tk(s, dir, "documents"), "text")
+        val vocabSeq = graft.ops.WordPieceTrainer.vocabulary(words, merges)
+        val vmap = (vocabSeq ++ Seq("[UNK]")).distinct.zipWithIndex.toMap
+        val wp = graft.functions.WordPiece.fromVocab(vmap)
+        val f = udf { ws: Seq[String] =>
+          val pieces = ws.flatMap(wp.tokenizeWord)
+          (pieces.length.toLong,
+            pieces.count(_ == "[UNK]").toLong,
+            pieces.mkString(" "))
+        }
+        t(s, dir, "documents")
+          .withColumn("ws", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+          .withColumn("r", f(col("ws")))
+          .select(col("doc_id"),
+            col("r._1").as("n_pieces"), col("r._2").as("n_unk"),
+            md5(col("r._3")).as("pieces_md5"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val vocabCte =
+          s"""SELECT piece,
+                CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS surface,
+                (piece LIKE '##%') AS iscont,
+                CAST(0 AS BIGINT) AS id
+              FROM (
+                SELECT DISTINCT CASE WHEN i__ = 1 THEN substr(word, CAST(i__ AS INT), 1)
+                                     ELSE '##' || substr(word, CAST(i__ AS INT), 1) END AS piece
+                FROM (SELECT word, unnest(range(1, length(word) + 1)) AS i__
+                      FROM (SELECT w AS word FROM (
+                              SELECT unnest(${D.splitWs("text")}) AS w FROM documents)
+                            WHERE length(w) > 0 GROUP BY w))
+                UNION
+                SELECT piece FROM read_parquet('__GRAFT_OUT__/q_wp_vocab/*.parquet'))"""
+        s"""
+          WITH RECURSIVE ${wpPerDocCtesWith(vocabCte)}
+          SELECT d.doc_id,
+                 coalesce(p.n_pieces, 0) AS n_pieces,
+                 coalesce(p.n_unk, 0) AS n_unk,
+                 coalesce(p.pieces_md5, md5('')) AS pieces_md5
+          FROM docs d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+          ORDER BY d.doc_id"""
+      }),
+
+    // WordPiece-style MaxMatch vocabulary (ops/MaxMatch): all length-1
+    // pieces (coverage) + substrings of codepoint-length 2-4 with >= 100
+    // overlapping occurrences. One map-side-combined piece aggregation —
+    // piece cardinality is alphabet-bounded, not corpus-bounded.
+    Q("q_maxmatch_vocab",
+      (s, dir) =>
+        graft.ops.MaxMatch.vocab(tk(s, dir, "documents"), "text", "doc_id")
+          .orderBy("piece"),
+      Some(s"""
+        WITH pos AS (
+          SELECT doc_id, text, unnest(range(0, length(text))) AS p
+          FROM documents),
+        subs AS (
+          SELECT substr(text, CAST(p + 1 AS INT), CAST(l AS INT)) AS piece
+          FROM pos, (SELECT unnest(range(1, 5)) AS l) ls
+          WHERE p + l <= length(text)),
+        counts AS (SELECT piece, CAST(count(*) AS BIGINT) AS cnt
+                   FROM subs GROUP BY piece)
+        SELECT piece, cnt FROM counts
+        WHERE cnt >= 100 OR length(piece) = 1
+        ORDER BY piece""")),
+
+    // MaxMatch segmentation (the WordPiece/BERT inference step, greedy
+    // longest-match-first). The oracle exploits that longest-match is
+    // POSITION-LOCAL: it rebuilds the per-position match table in SQL
+    // (candidate join + argmax on length) and takes the chain as
+    // recursive-CTE reachability over follow(p) = p + len(best(p)) —
+    // exact replay of the greedy walk, no sequential loop. The Spark
+    // side broadcasts the vocab (the model) and segments in one narrow
+    // kernel pass; text never transits an exchange.
+    Q("q_maxmatch_segment",
+      (s, dir) => {
+        val docs = tk(s, dir, "documents")
+        val v = graft.ops.MaxMatch.vocab(docs, "text", "doc_id")
+        graft.ops.MaxMatch.segment(docs, "text", "doc_id", v)
+          .orderBy("doc_id", "p")
+      },
+      Some(s"""
+        WITH pos AS (
+          SELECT doc_id, text, unnest(range(0, length(text))) AS p
+          FROM documents),
+        subs AS (
+          SELECT doc_id, p, l,
+                 substr(text, CAST(p + 1 AS INT), CAST(l AS INT)) AS piece
+          FROM pos, (SELECT unnest(range(1, 5)) AS l) ls
+          WHERE p + l <= length(text)),
+        counts AS (SELECT piece, count(*) AS cnt FROM subs GROUP BY piece),
+        vocab AS (SELECT piece FROM counts
+                  WHERE cnt >= 100 OR length(piece) = 1),
+        cand AS (SELECT s.doc_id, s.p, s.l, s.piece
+                 FROM subs s JOIN vocab v USING (piece)),
+        best AS (SELECT doc_id, p, max_by(piece, l) AS piece, max(l) AS l
+                 FROM cand GROUP BY doc_id, p),
+        reach AS (
+          WITH RECURSIVE r(doc_id, p) AS (
+            SELECT doc_id, CAST(0 AS BIGINT) FROM documents
+            UNION
+            SELECT b.doc_id, r.p + b.l
+            FROM r JOIN best b ON b.doc_id = r.doc_id AND b.p = r.p)
+          SELECT * FROM r)
+        SELECT b.doc_id, b.p, b.piece, CAST(b.l AS BIGINT) AS piece_len
+        FROM best b JOIN reach r ON b.doc_id = r.doc_id AND b.p = r.p
+        ORDER BY b.doc_id, b.p""")),
+
+    // SentencePiece-style unigram-LM tokenizer (ops/UnigramTokenizer,
+    // Kudo 2018 hard-EM): the trained model dump. The oracle pins
+    //   - sp self-consistency: every surprisal recomputed from the
+    //     dumped counts (add-one over Σ(cnt+1)) — the -ln math and
+    //     smoothing are under the hash;
+    //   - coverage as a measured-vs-spec-constant residual: the engine
+    //     ANTI-JOINS the corpus's distinct codepoints against the
+    //     model's single-char pieces and emits the count; the oracle
+    //     recomputes the same anti-join from the SOURCE table against
+    //     the dump and both must be the 0 a covering model guarantees.
+    // Model values themselves are tested where they bite: the
+    // q_sp_dp/q_sp_segment replays below consume this dump.
+    // Bench profile (r10 adjudication of the r9 0.75->2.65 s watch-item):
+    // cold run ~10 s = the one-time memoized EM training, warm 0.7-1.0 s
+    // — the apply stage is unchanged; any single-sample reading between
+    // those poles caught training amortization, not a code regression.
+    Q("q_sp_vocab",
+      (s, dir) => {
+        val model = spModel(s, dir)
+        val vocabDf = graft.ops.UnigramTokenizer.modelDf(s, model)
+        val singles = vocabDf.where(col("piece_len") === 1).select("piece")
+        val missing = tk(s, dir, "documents")
+          // per-doc array_distinct BEFORE the explode: ~50 distinct chars
+          // per doc instead of every position — the corpus-wide distinct
+          // then dedups thousands, not tens of millions, of rows
+          .select(explode(expr(
+            "array_distinct(transform(sequence(1, length(text)), i__ -> substr(text, i__, 1)))"))
+            .as("piece"))
+          .distinct()
+          .join(singles, Seq("piece"), "left_anti")
+          .agg(count(lit(1)).as("missing_chars"))
+        vocabDf.crossJoin(broadcast(missing)).orderBy("piece")
+      },
+      Some(s"""
+        WITH dump AS (SELECT piece, piece_len, cnt, sp
+                      FROM read_parquet('__GRAFT_OUT__/q_sp_vocab/*.parquet')),
+        tot AS (SELECT CAST(sum(cnt + 1) AS BIGINT) AS t FROM dump),
+        chars AS (
+          SELECT DISTINCT substr(text, CAST(p AS INT), 1) AS c
+          FROM (SELECT text, unnest(range(1, length(text) + 1)) AS p
+                FROM documents)),
+        miss AS (SELECT CAST(count(*) AS BIGINT) AS missing_chars
+                 FROM chars
+                 WHERE c NOT IN (SELECT piece FROM dump WHERE piece_len = 1))
+        SELECT piece, piece_len, cnt,
+               ${duckR6("-ln(CAST(cnt + 1 AS DOUBLE) / CAST(t AS DOUBLE))")} AS sp,
+               missing_chars
+        FROM dump CROSS JOIN tot CROSS JOIN miss
+        ORDER BY piece""")),
+
+    // Unigram-tokenizer Viterbi segmentation, all docs. The oracle
+    // derives every emitted piece from the SOURCE text at the dumped
+    // offsets (substr anchor — a wrong piece or offset mismatches), and
+    // computes the structural gates the engine claims as constants:
+    // contiguity (each piece starts where the previous ended, first at
+    // 0), completeness (the last piece reaches the text's end), and
+    // vocab membership of every piece.
+    Q("q_sp_segment",
+      (s, dir) => {
+        val model = spModel(s, dir)
+        graft.ops.UnigramTokenizer.segment(
+            tk(s, dir, "documents"), "text", "doc_id", model)
+          .select(col("doc_id"), col("p"), col("piece"), col("piece_len"),
+            lit(true).as("contig"), lit(true).as("complete"),
+            lit(true).as("in_vocab"))
+          .orderBy("doc_id", "p")
+      },
+      Some(s"""
+        WITH seg AS (SELECT doc_id, p, piece_len
+                     FROM read_parquet('__GRAFT_OUT__/q_sp_segment/*.parquet')),
+        v AS (SELECT piece FROM read_parquet('__GRAFT_OUT__/q_sp_vocab/*.parquet'))
+        SELECT s.doc_id, s.p,
+               substr(d.text, CAST(s.p + 1 AS INT), CAST(s.piece_len AS INT)) AS piece,
+               s.piece_len,
+               (s.p = coalesce(lag(s.p + s.piece_len)
+                  OVER (PARTITION BY s.doc_id ORDER BY s.p), 0)) AS contig,
+               (max(s.p + s.piece_len) OVER (PARTITION BY s.doc_id)
+                  = length(d.text)) AS complete,
+               (substr(d.text, CAST(s.p + 1 AS INT), CAST(s.piece_len AS INT))
+                  IN (SELECT piece FROM v)) AS in_vocab
+        FROM seg s JOIN documents d USING (doc_id)
+        ORDER BY s.doc_id, s.p""")),
+
+    // The Viterbi OPTIMALITY gate (the q_bpe_vocab inductive pattern one
+    // level up): the engine dumps its full ROUND-6 DP table for a doc
+    // subset, and the oracle re-derives every row from EARLIER dumped
+    // rows — best(p) must equal round6(min over piece lengths of
+    // best(p-l) + sp(substr(text, p-l+1, l))) with pieces and surprisals
+    // from the model dump and the text from the SOURCE table. Each
+    // candidate is one IEEE add of two round-6 doubles (the engine
+    // stores the DP rounded at every step precisely so this replay is
+    // bit-exact); a single wrong DP cell breaks its own row AND every
+    // later row it feeds. Row-count equality catches unreachable
+    // positions.
+    Q("q_sp_dp",
+      (s, dir) => {
+        val model = spModel(s, dir)
+        graft.ops.UnigramTokenizer.dpTable(
+            tk(s, dir, "documents").where(col("doc_id") % 20 === 0),
+            "text", "doc_id", model)
+          .select(col("doc_id"), col("p"), col("best"))
+          .orderBy("doc_id", "p")
+      },
+      Some(s"""
+        WITH dp AS (SELECT doc_id, p, best
+                    FROM read_parquet('__GRAFT_OUT__/q_sp_dp/*.parquet')),
+        v AS (SELECT piece, sp
+              FROM read_parquet('__GRAFT_OUT__/q_sp_vocab/*.parquet')),
+        src AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        cand AS (
+          SELECT d.doc_id, d.p,
+                 (CASE WHEN d.p - l.l = 0 THEN ${D.d(0.0)} ELSE prev.best END
+                  + v.sp) AS c
+          FROM dp d
+          JOIN src t ON t.doc_id = d.doc_id
+          CROSS JOIN (SELECT unnest(range(1, 5)) AS l) l
+          LEFT JOIN dp prev ON prev.doc_id = d.doc_id AND prev.p = d.p - l.l
+          JOIN v ON v.piece = substr(t.text, CAST(d.p - l.l + 1 AS INT), CAST(l.l AS INT))
+          WHERE d.p - l.l >= 0 AND (d.p - l.l = 0 OR prev.p IS NOT NULL))
+        SELECT doc_id, p, ${duckR6("min(c)")} AS best
+        FROM cand
+        GROUP BY doc_id, p
+        ORDER BY doc_id, p""")))
+}

@@ -1,0 +1,503 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chunk.Chunking
+import graft.embed.HashingEmbedder
+import graft.functions.{MdContent, TextF, VectorF}
+import graft.ops.{Dedup, Similarity}
+import graft.rag.RagPipeline
+import graft.sqlgen.{Dialect, Exprs}
+
+/** Chunking, windows, set ops, and misc relational surface. Split from QueryCatalog in r13; shared helpers live in
+  * [[CatalogCore]], the assembled query map in [[QueryCatalog]]. */
+private[graft] trait CatalogExtra extends CatalogCore {
+
+  protected def extraOps: Seq[Q] = {
+    val dim = 64
+    val duckIndexed = duckEmbed(
+      s"(SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})", "chunk_text", dim)
+    val queryText = "spark sql shuffle partition join"
+    val kwTerms = Seq("spark", "join", "stream")
+    val duckKw =
+      s"(CAST(len(list_filter(['spark', 'join', 'stream'], t__ -> list_contains(string_split_regex(trim(chunk_text), '\\s+'), t__))) AS DOUBLE) / 3)"
+
+    Seq(
+      // C1 proper: token-budget chunker with overlap (reference defaults
+      // 380/0; here 40/10 so multi-chunk docs exist at test scale)
+      Q("q_chunk_tokens",
+        (s, dir) =>
+          Chunking.explodeTokenWindows(t(s, dir, "documents"), "text", 40, 10)
+            .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+              md5(col("chunk_text")).as("h"),
+              size(split(col("chunk_text"), " ")).cast("long").as("n_tokens"))
+            .orderBy("doc_id", "chunk_idx"),
+        Some("""
+          WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+          c AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                   array_to_string(tk[(CAST(i AS INT) * 30 + 1):(CAST(i AS INT) * 30 + 40)], ' ') AS chunk_text
+            FROM (SELECT doc_id, tk,
+                    unnest(range(0, greatest(CAST(ceil((len(tk) - 40) / CAST(30 AS DOUBLE)) AS INT) + 1, 1))) AS i
+                  FROM toks))
+          SELECT doc_id, chunk_idx, md5(chunk_text) AS h,
+                 CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tokens
+          FROM c
+          ORDER BY doc_id, chunk_idx""")),
+
+      // C1 sentence-aware variant (reference SentenceSplitter boundary
+      // semantic): whole sentences pack into a 25-token budget, never
+      // splitting a sentence. The synthetic docs carry no punctuation, so
+      // the query plants a '.' after every 7th token first (index lambdas
+      // in both engines: Spark 0-based, DuckDB 1-based — aligned below),
+      // then chunker output hash-matches the window-cumsum oracle.
+      Q("q_chunk_sentences",
+        (s, dir) => {
+          val docs = t(s, dir, "documents")
+            .withColumn("text", expr(
+              "array_join(transform(split(trim(text), '\\\\s+'), " +
+                "(t, i) -> CASE WHEN i % 7 = 6 THEN concat(t, '.') ELSE t END), ' ')"))
+          Chunking.explodeSentenceWindows(docs, "text", 25)
+            .select(col("doc_id"), col("chunk_idx"),
+              md5(col("chunk_text")).as("h"),
+              col("n_tokens"))
+            .orderBy("doc_id", "chunk_idx")
+        },
+        Some("""
+          WITH dotted AS (
+            SELECT doc_id,
+                   array_to_string(list_transform(string_split_regex(trim(text), '\s+'),
+                     (t, i) -> CASE WHEN i % 7 = 0 THEN t || '.' ELSE t END), ' ') AS text
+            FROM documents),
+          s0 AS (SELECT doc_id,
+                        regexp_extract_all(text, '[^.!?]*[.!?]+\s*|[^.!?]+$') AS sents
+                 FROM dotted),
+          s1 AS (SELECT doc_id, CAST(i AS BIGINT) AS sidx,
+                        trim(sents[CAST(i AS INT)]) AS sent
+                 FROM (SELECT doc_id, sents,
+                         unnest(range(1, len(sents) + 1)) AS i
+                       FROM s0)),
+          s2 AS (SELECT doc_id, sidx, sent,
+                        CAST(len(string_split_regex(sent, '\s+')) AS BIGINT) AS stoks
+                 FROM s1 WHERE length(sent) > 0),
+          s3 AS (SELECT doc_id, sidx, sent, stoks,
+                        sum(stoks) OVER (PARTITION BY doc_id ORDER BY sidx) AS cum
+                 FROM s2)
+          SELECT doc_id, CAST((cum0 - stoks0) // 25 AS BIGINT) AS chunk_idx,
+                 md5(string_agg(sent, ' ' ORDER BY sidx)) AS h,
+                 CAST(sum(stoks) AS BIGINT) AS n_tokens
+          FROM (SELECT doc_id, sidx, sent, stoks,
+                       CAST(cum AS BIGINT) AS cum0, stoks AS stoks0
+                FROM s3)
+          GROUP BY doc_id, chunk_idx
+          ORDER BY doc_id, chunk_idx""")),
+
+      // SEMANTIC chunking (llama-index SemanticSplitterNodeParser
+      // capability): boundaries fall where the cosine between ADJACENT
+      // unit embeddings drops below 0.35 — topic shifts become chunk
+      // borders instead of fixed token counts. Units here are 12-word
+      // windows (the corpus has no sentence terminators; the regex
+      // sentence wrapper is spec-pinned); the hashing-embedder pipeline,
+      // the cosine, the threshold compare, and the break cumsum all
+      // replay bit-for-bit in the oracle (same IEEE sequence both
+      // engines — the threshold itself probed against the corpus: the
+      // adjacent-cosine distribution spans 0..0.8, so 0.35 yields a real
+      // break/merge mix, not a degenerate all-or-nothing split).
+      Q("q_semantic_chunks",
+        (s, dir) => {
+          val units = t(s, dir, "documents")
+            .withColumn("__toks", expr(Dialect.spark.splitWs("text")))
+            .select(col("doc_id"), posexplode(expr(
+              "transform(sequence(0, CAST(ceil(size(__toks) / CAST(12 AS DOUBLE)) AS INT) - 1), " +
+                "i__ -> array_join(slice(__toks, i__ * 12 + 1, 12), ' '))"))
+              .as(Seq("sidx", "sent")))
+          Chunking.semanticChunks(units, HashingEmbedder(dim), 0.35)
+            .select(col("doc_id"), col("chunk_idx"), col("n_sents"),
+              md5(col("chunk_text")).as("chunk_md5"))
+            .orderBy("doc_id", "chunk_idx")
+        },
+        Some(semanticChunkOracleSql(dim))),
+
+      // Streaming semantic chunking == the batch operator: the SAME
+      // 12-word units feed a flatMapGroupsWithState state machine
+      // (StreamingSemanticChunk) as 4 REAL micro-batches; a completed
+      // chunk emits the moment its break arrives, the final open chunk
+      // on watermark timeout — and the result hash-matches the SAME
+      // oracle as q_semantic_chunks. Embedding parity holds because the
+      // streaming path calls the pure-Scala HashingEmbedder kernel the
+      // batch SQL pipeline compiles to; the break rule (lag-cosine <
+      // 0.35, NaN merges) is the identical IEEE sequence.
+      Q("q_stream_chunks_eq",
+        (s, dir0) => {
+          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
+          import s.implicits._
+          import graft.streaming.StreamingSemanticChunk
+          import graft.streaming.StreamingSemanticChunk.{SentIn, ChunkOut}
+          // child session: streaming-query state stays scoped here
+          val ss = streamSession(s)
+          implicit val sqlCtx = ss.sqlContext
+          val units = t(s, dir, "documents")
+            .withColumn("__toks", expr(Dialect.spark.splitWs("text")))
+            .select(col("doc_id").cast("long").as("doc_id"), posexplode(expr(
+              "transform(sequence(0, CAST(ceil(size(__toks) / CAST(12 AS DOUBLE)) AS INT) - 1), " +
+                "i__ -> array_join(slice(__toks, i__ * 12 + 1, 12), ' '))"))
+              .as(Seq("sidx", "sent")))
+            .select(col("doc_id"), col("sidx").cast("long"), col("sent"))
+            .as[(Long, Long, String)].collect()
+            .sortBy { case (d, i, _) => (d, i) }
+          val base = 1700000000000L // any fixed epoch; only ORDER matters
+          val rows = units.zipWithIndex.map { case ((d, i, sent), k) =>
+            SentIn(d, new java.sql.Timestamp(base + k), i, sent)
+          }
+          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SentIn]
+          val name = s"q_stream_chunks_eq_${System.nanoTime()}"
+          val q = StreamingSemanticChunk.chunkStream(
+              in.toDS().withWatermark("ts", "0 seconds"),
+              dim, 0.35, quietMs = 3600000L)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+          try {
+            rows.grouped(math.max(1, (rows.length + 3) / 4)).foreach { b =>
+              in.addData(b.toSeq); q.processAllAvailable()
+            }
+            // two sentinel batches: the first advances the watermark past
+            // every timeout, the second processes the timeouts against it
+            val far = base + rows.length + 30L * 86400000L
+            in.addData(SentIn(-1L, new java.sql.Timestamp(far), 0L, "x"))
+            q.processAllAvailable()
+            in.addData(SentIn(-1L, new java.sql.Timestamp(far + 1000L), 1L, "y"))
+            q.processAllAvailable()
+          } finally {
+            q.stop()
+            // unload HDFS-backed state providers eagerly (bench hygiene)
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
+          ss.table(name).as[ChunkOut].collect().toSeq.filter(_.doc_id >= 0)
+            .toDF()
+            .select(col("doc_id"), col("chunk_idx"), col("n_sents"),
+              md5(col("chunk_text")).as("chunk_md5"))
+            .orderBy("doc_id", "chunk_idx")
+        },
+        Some(semanticChunkOracleSql(dim))),
+
+      // Q3 mode=keyword — runs on the chunk table only: no embedding pass
+      // (the embedder is opaque to Catalyst's column pruning, so skipping
+      // it must happen at the operator level).
+      Q("q_keyword_search",
+        (s, dir) => {
+          val chunks = RagPipeline.buildChunks(t(s, dir, "documents"))
+          Similarity.keywordTopK(chunks, "chunk_text", "chunk_id", kwTerms, 10)
+            .select(col("chunk_id"), r6(col("score")).as("score"))
+        },
+        Some(s"""
+          SELECT chunk_id, (round(score, 6) + CAST(0.0 AS DOUBLE)) AS score
+          FROM (SELECT chunk_id, $duckKw AS score
+                FROM (SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})
+                ORDER BY score DESC, chunk_id
+                LIMIT 10)
+          ORDER BY score DESC, chunk_id""")),
+
+      // Q3 mode=hybrid (0.5 * cosine + 0.5 * keyword)
+      Q("q_hybrid_search",
+        (s, dir) => {
+          val index = RagPipeline.buildIndex(tk(s, dir, "documents"))
+          val q = HashingEmbedder(dim).embedQueryDF(s, queryText)
+          Similarity.hybridTopK(index, q, "chunk_text", "chunk_id", "embedding",
+              kwTerms, 10, 0.5)
+            .select(col("chunk_id"), r6(col("score")).as("score"))
+        },
+        Some {
+          val duckQ = duckEmbed(s"(SELECT '$queryText' AS chunk_text)", "chunk_text", dim)
+          s"""
+          SELECT chunk_id, (round(score, 6) + CAST(0.0 AS DOUBLE)) AS score
+          FROM (SELECT chunk_id,
+                       (${D.dot("i.emb", "q.qemb")} * CAST(0.5 AS DOUBLE)) + ($duckKw * (CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE))) AS score
+                FROM $duckIndexed i, (SELECT emb AS qemb FROM $duckQ) q
+                ORDER BY score DESC, chunk_id
+                LIMIT 10)
+          ORDER BY score DESC, chunk_id"""
+        }),
+
+      // Reciprocal-rank fusion (the score-scale-free hybrid): vector and
+      // keyword top-50 lists fused by sum of 1/(60 + rank), full outer —
+      // rank arithmetic is exact in both engines (no score normalization,
+      // full (score, id) tie-breaks), so the fusion hash-matches.
+      Q("q_rrf_fusion",
+        (s, dir) => {
+          val index = RagPipeline.buildIndex(tk(s, dir, "documents"))
+          val q = HashingEmbedder(dim).embedQueryDF(s, queryText)
+          Similarity.rrfTopK(index, q, "chunk_text", "chunk_id", "embedding",
+              kwTerms, 10, 50, 60.0)
+            .select(col("chunk_id"), r6(col("score")).as("score"))
+        },
+        Some {
+          val duckQ = duckEmbed(s"(SELECT '$queryText' AS chunk_text)", "chunk_text", dim)
+          s"""
+          WITH vt AS (
+            SELECT chunk_id, ${D.cosine("i.emb", "q.qemb")} AS vs
+            FROM $duckIndexed i, (SELECT emb AS qemb FROM $duckQ) q
+            ORDER BY vs DESC, chunk_id
+            LIMIT 50),
+          vr AS (SELECT chunk_id,
+                        CAST(row_number() OVER (ORDER BY vs DESC, chunk_id) AS BIGINT) AS vrank
+                 FROM vt),
+          kt AS (
+            SELECT chunk_id, $duckKw AS ks
+            FROM $duckIndexed
+            ORDER BY ks DESC, chunk_id
+            LIMIT 50),
+          kr AS (SELECT chunk_id,
+                        CAST(row_number() OVER (ORDER BY ks DESC, chunk_id) AS BIGINT) AS krank
+                 FROM kt),
+          fused AS (
+            SELECT coalesce(vr.chunk_id, kr.chunk_id) AS chunk_id,
+                   coalesce(CAST(1.0 AS DOUBLE) / (CAST(vrank AS DOUBLE) + CAST(60.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)) +
+                   coalesce(CAST(1.0 AS DOUBLE) / (CAST(krank AS DOUBLE) + CAST(60.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS score
+            FROM vr FULL OUTER JOIN kr ON vr.chunk_id = kr.chunk_id)
+          SELECT chunk_id, (round(score, 6) + CAST(0.0 AS DOUBLE)) AS score
+          FROM fused
+          ORDER BY score DESC, chunk_id
+          LIMIT 10"""
+        }),
+
+      // MMR diversity rerank (Carbonell & Goldstein 1998) of a top-40
+      // retrieval window: greedy argmax of lambda*rel - (1-lambda)*
+      // max-cos-to-selected. Greedy is sequential, so the oracle replays
+      // it NON-recursively against the dump (the q_bpe_vocab pattern):
+      // at every step t, "selected" is the dump's rank < t prefix, and
+      // the oracle recomputes the full-precision argmax over the
+      // remaining candidates from the raw embeddings — the first wrong
+      // pick in the dump would diverge and break the hash, so the whole
+      // greedy sequence is verified inductively (scores recomputed, not
+      // copied; rounding only at emission).
+      Q("q_mmr_rerank",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          val q = emb.where(col("vec_id") === 0)
+            .select(VectorF.toDoubleArray(col("embedding")).as("qv"))
+          val cands = Similarity.bruteForceTopK(
+              emb.where(col("vec_id") =!= 0), q, "vec_id", "embedding", 40)
+            .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+          Similarity.mmrRerank(cands, "vec_id", "embedding", "score", 0.7, 12)
+            .select(col("vec_id"), col("mmr_rank"),
+              r6(col("mmr_score")).as("mmr_score"))
+            .orderBy("mmr_rank")
+        },
+        Some(s"""
+          WITH cand AS (
+            SELECT vec_id, v, score FROM (
+              SELECT vec_id, v, ${D.cosine("v", "qv")} AS score
+              FROM $duckEmbTable,
+                   (SELECT v AS qv FROM $duckEmbTable WHERE vec_id = 0)
+              WHERE vec_id <> 0
+              ORDER BY score DESC, vec_id
+              LIMIT 40)),
+          dump AS (
+            SELECT * FROM read_parquet('__GRAFT_OUT__/q_mmr_rerank/*.parquet')),
+          pairs AS (
+            SELECT a.vec_id AS ia, b.vec_id AS ib,
+                   ${D.cosine("a.v", "b.v")} AS sim
+            FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+          steps AS (SELECT unnest(range(1, 13)) AS t),
+          maxsim AS (
+            SELECT st.t, p.ia AS vec_id, max(p.sim) AS ms
+            FROM steps st
+            JOIN dump d ON d.mmr_rank < st.t
+            JOIN pairs p ON p.ib = d.vec_id
+            GROUP BY st.t, p.ia),
+          scored AS (
+            SELECT st.t, c.vec_id,
+                   CAST(0.7 AS DOUBLE) * c.score
+                   - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+                     * coalesce(m.ms, CAST(0.0 AS DOUBLE)) AS mscore
+            FROM steps st CROSS JOIN cand c
+            LEFT JOIN maxsim m ON m.t = st.t AND m.vec_id = c.vec_id
+            WHERE NOT EXISTS (SELECT 1 FROM dump d2
+                              WHERE d2.vec_id = c.vec_id AND d2.mmr_rank < st.t)),
+          picked AS (
+            SELECT t, vec_id, mscore,
+                   row_number() OVER (PARTITION BY t
+                                      ORDER BY mscore DESC, vec_id) AS rn
+            FROM scored)
+          SELECT vec_id, CAST(t AS INT) AS mmr_rank,
+                 (round(mscore, 6) + CAST(0.0 AS DOUBLE)) AS mmr_score
+          FROM picked WHERE rn = 1
+          ORDER BY mmr_rank""")),
+
+      // Embedding-cosine near-dup within sign-pattern LSH buckets
+      Q("q_embed_neardup",
+        (s, dir) =>
+          Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 8, 0.3)
+            .select(col("id_a"), col("id_b"), r6(col("cos")).as("cos"))
+            .orderBy("id_a", "id_b"),
+        Some {
+          val cos = D.cosine("a.v", "b.v")
+          s"""
+          WITH bk AS (
+            SELECT vec_id, v,
+                   array_to_string(list_transform(v[1:8],
+                     x__ -> CASE WHEN x__ >= CAST(0.0 AS DOUBLE) THEN '1' ELSE '0' END), '') AS bucket
+            FROM $duckEmbTable)
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 (round($cos, 6) + CAST(0.0 AS DOUBLE)) AS cos
+          FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE $cos >= CAST(0.3 AS DOUBLE)
+          ORDER BY id_a, id_b"""
+        }),
+
+      // Random-hyperplane LSH ANN (the no-training scale path next to IVF):
+    // sign-pattern bucket + hamming-1 probes, cosine within candidates.
+    Q("q_ann_lsh",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.where(col("vec_id") === 0)
+          .select(VectorF.toDoubleArray(col("embedding")).as("qv"))
+        Similarity.lshTopK(emb.where(col("vec_id") =!= 0), q,
+            "vec_id", "embedding", 10, 6)
+          .select(col("vec_id"), r6(col("score")).as("score"))
+      },
+      Some {
+        val cos = D.cosine("e.v", "q.qv")
+        s"""
+        WITH b AS (
+          SELECT vec_id, v,
+                 array_to_string(list_transform(v[1:6],
+                   x -> CASE WHEN x >= CAST(0.0 AS DOUBLE) THEN '1' ELSE '0' END), '') AS bucket
+          FROM $duckEmbTable),
+        qb AS (SELECT bucket AS qbucket, v AS qv FROM b WHERE vec_id = 0),
+        probes AS (
+          SELECT qbucket AS p FROM qb
+          UNION ALL
+          SELECT substr(qbucket, 1, CAST(i AS INT) - 1)
+                 || (CASE WHEN substr(qbucket, CAST(i AS INT), 1) = '1' THEN '0' ELSE '1' END)
+                 || substr(qbucket, CAST(i AS INT) + 1)
+          FROM qb, range(1, 7) AS r(i))
+        SELECT vec_id, (round(score, 6) + CAST(0.0 AS DOUBLE)) AS score
+        FROM (SELECT e.vec_id, $cos AS score
+              FROM b e, qb q
+              WHERE e.vec_id <> 0 AND e.bucket IN (SELECT p FROM probes)
+              ORDER BY score DESC, vec_id
+              LIMIT 10)
+        ORDER BY score DESC, vec_id"""
+      }),
+
+    // Corpus bigram frequency (training-data analysis staple): explode
+    // n-grams, count, top-20 — partial aggregation keeps the shuffle to
+    // one (term, count) pair per map partition per term.
+    Q("q_ngram_freq",
+      (s, dir) =>
+        t(s, dir, "documents")
+          // let-bind the token array (tokenize ONCE — an inline split would
+          // be re-evaluated per element inside the lambda); guard 1-token
+          // docs (Spark's sequence(1, 0) is DESCENDING, not empty).
+          .select(explode(expr(
+            """element_at(transform(array(split(trim(text), '\\s+')), tk ->
+                 CASE WHEN size(tk) < 2 THEN CAST(array() AS ARRAY<STRING>)
+                      ELSE transform(sequence(1, size(tk) - 1),
+                             i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))
+                 END), 1)"""))
+            .as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("bigram"))
+          .limit(20),
+      Some("""
+        WITH toks AS (
+          SELECT string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        grams AS (
+          SELECT tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] AS bigram
+          FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM toks))
+        SELECT bigram, count(*) AS n
+        FROM grams
+        GROUP BY bigram
+        ORDER BY n DESC, bigram
+        LIMIT 20""")),
+
+    // Text normalization (lowercase, strip punctuation, collapse
+    // whitespace) — the canonical cleaning pass before dedup/tokenize.
+    Q("q_normalize_text",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+              "[^a-z0-9\\s]", ""), "\\s+", " "))).as("norm_hash"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_hash
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // PII redaction scrub pass: both engines CONSTRUCT identical
+    // PII-bearing text (emails + SSN-shaped ids derived from doc_id),
+    // Spark redacts with TextF.redactPii (chained codegen
+    // regexp_replace), the oracle with RE2 'g'-flag replaces — the
+    // patterns are written lookaround-free so Java regex and RE2 agree.
+    Q("q_pii_redact",
+      (s, dir) => {
+        val pii = concat(
+          lit("Contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or u"), col("doc_id").cast("string"),
+          lit("@alt.org ssn "),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" | "), substring(col("text"), 1, 40))
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextF.redactPii(pii).as("redacted"),
+            TextF.emailCount(pii).as("n_emails"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(pii, '${TextF.EmailRe}', '<EMAIL>', 'g'),
+                              '${TextF.SsnRe}', '<ID>', 'g') AS redacted,
+               CAST(len(regexp_extract_all(pii, '${TextF.EmailRe}')) AS BIGINT) AS n_emails
+        FROM (SELECT doc_id,
+                     concat('Contact user', CAST(doc_id AS VARCHAR), '@mail.example.com or u',
+                            CAST(doc_id AS VARCHAR), '@alt.org ssn ',
+                            lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-',
+                            lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'), '-',
+                            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                            ' | ', substr(text, 1, 40)) AS pii
+              FROM documents)
+        ORDER BY doc_id""")),
+
+    // URL extraction (regexp_extract_all on both engines).
+    Q("q_extract_urls",
+      (s, dir) => {
+        val urlText = concat(lit("see https://ex.com/p/"), col("doc_id").cast("string"),
+          lit("?ref=a and http://t.co/"), (col("doc_id") % 97).cast("string"), lit(" end"))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            array_join(TextF.extractUrls(urlText), ",").as("urls"),
+            size(TextF.extractUrls(urlText)).cast("long").as("n_urls"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        SELECT doc_id,
+               array_to_string(regexp_extract_all(s, '${TextF.UrlRe}'), ',') AS urls,
+               CAST(len(regexp_extract_all(s, '${TextF.UrlRe}')) AS BIGINT) AS n_urls
+        FROM (SELECT doc_id,
+                     concat('see https://ex.com/p/', CAST(doc_id AS VARCHAR),
+                            '?ref=a and http://t.co/', CAST(doc_id % 97 AS VARCHAR),
+                            ' end') AS s
+              FROM documents)
+        ORDER BY doc_id""")),
+
+    // Exact-dedup keep count (dropExactDuplicates end to end)
+      Q("q_dedup_drop",
+        (s, dir) =>
+          Dedup.dropExactDuplicates(t(s, dir, "documents"), "text", "doc_id")
+            .agg(count(lit(1)).as("n_kept"),
+              // BIGINT on both sides: DuckDB's sum(BIGINT) widens to
+              // HUGEINT, which the driver's value hasher formats
+              // differently — pin the emitted type explicitly.
+              sum(col("doc_id")).cast("long").as("id_sum")),
+        Some("""
+          SELECT count(*) AS n_kept, CAST(sum(keep_id) AS BIGINT) AS id_sum
+          FROM (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text))"""))
+    )
+  }
+}

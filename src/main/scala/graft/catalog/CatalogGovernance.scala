@@ -1,0 +1,1793 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chunk.Chunking
+import graft.embed.HashingEmbedder
+import graft.functions.{MdContent, TextF, VectorF}
+import graft.ops.{Dedup, Similarity}
+import graft.rag.RagPipeline
+import graft.sqlgen.{Dialect, Exprs}
+
+/** PII, k-anon, DP, robots, URL and domain governance. Split from QueryCatalog in r13; shared helpers live in
+  * [[CatalogCore]], the assembled query map in [[QueryCatalog]]. */
+private[graft] trait CatalogGovernance extends CatalogCore {
+
+  // =========================================================================
+  // Governance + training-mix operators (round 7): Luhn card scan, secret
+  // entropy scan, hard-negative mining, DoReMi-lite domain mixture,
+  // curriculum shards, tokenizer fertility.
+  // =========================================================================
+
+  protected def governanceOps: Seq[Q] = {
+    import graft.ops.{Curation, Governance, Sampling}
+
+    /** Dialect-shared PII fixture: two card-shaped digit runs per doc
+      * (≈10% Luhn-valid each — checksum validity is data-dependent, so
+      * both the keep and the cut paths are exercised). */
+    def cardBody(dl: Dialect): String = {
+      val d16 = s"lpad(${dl.castStr("(doc_id * 273452891) % 10000000000000000")}, 16, '0')"
+      val d15 = s"lpad(${dl.castStr("doc_id % 100000000000000")}, 14, '0')"
+      s"concat('pay ', $d16, ' or card 4', $d15, ' ref A', ${dl.castStr("doc_id")})"
+    }
+
+    /** Dialect-shared IBAN fixture: two account numbers per doc whose
+      * check digits come from the REAL mod-97 fold (Exprs.ibanMod97), so
+      * validity is by construction — the first (German-shape, digit-only
+      * BBAN) is valid iff doc_id % 3 = 0, the second (GB-shape, LETTER
+      * BBAN prefix 'GRFT' exercising the two-digit letter expansion)
+      * valid iff doc_id % 5 = 0; invalid variants shift the check digits
+      * by +50 mod 99 (never re-valid: 50 and 97+50-99 are both nonzero
+      * mod 97). */
+    def ibanBody(dl: Dialect): String = {
+      val bban1 = s"lpad(${dl.castStr("(doc_id * 7919 + 11) % 1000000000000000000")}, 18, '0')"
+      // 'DE' expands to 13 14; appended '00' are the zeroed check digits
+      val k1 = s"(98 - ${Exprs.ibanMod97(dl, s"concat($bban1, '131400')")})"
+      val kk1 = s"lpad(${dl.castStr(
+        s"CASE WHEN doc_id % 3 = 0 THEN $k1 ELSE ($k1 + 50) % 99 END")}, 2, '0')"
+      val bban2 = s"concat('GRFT', lpad(${dl.castStr("(doc_id * 104729 + 7) % 100000000000000")}, 14, '0'))"
+      // 'GB' expands to 16 11
+      val k2 = s"(98 - ${Exprs.ibanMod97(dl, s"concat($bban2, '161100')")})"
+      val kk2 = s"lpad(${dl.castStr(
+        s"CASE WHEN doc_id % 5 = 0 THEN $k2 ELSE ($k2 + 50) % 99 END")}, 2, '0')"
+      s"concat('acct DE', $kk1, $bban1, ' and GB', $kk2, $bban2, ' end')"
+    }
+
+    /** Dialect-shared secret fixture: one AWS-shaped key (20 chars — below
+      * the generic-candidate length floor), one 28-char hex token (high
+      * entropy) and one 28-char 'ab' run (entropy exactly 1.0). */
+    def secretBody(dl: Dialect): String =
+      s"concat('key AKIA', upper(substr(md5(concat('k', ${dl.castStr("doc_id")})), 1, 16))," +
+        s" ' tok ', substr(concat(md5(concat('s', ${dl.castStr("doc_id")}))," +
+        s" md5(concat('t', ${dl.castStr("doc_id")}))), 1, 28)," +
+        s" ' pad ', repeat('ab', 14), ' end')"
+
+    /** The q_quality_score formula as dialect-shared text (same op order
+      * both engines — reused here as the curriculum order key). */
+    def qualitySql(dl: Dialect): String = {
+      val toks = dl.splitWs("text")
+      val stopArr = dl.strArray(TextF.StopEn)
+      val punct =
+        if (dl.duck) "CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)"
+        else "CAST(length(regexp_replace(text, '[a-zA-Z0-9\\\\s]', '')) AS DOUBLE)"
+      s"least(CAST(${dl.size(toks)} AS DOUBLE) / ${dl.d(100.0)}, ${dl.d(1.0)}) * ${dl.d(0.4)}" +
+        s" + (CAST(${dl.size(dl.filter(toks, "t__", dl.contains(stopArr, "t__")))} AS DOUBLE) / ${dl.size(toks)}) * ${dl.d(0.3)}" +
+        s" + (${dl.d(1.0)} - $punct / greatest(length(text), 1)) * ${dl.d(0.3)}"
+    }
+
+    val S = Dialect.spark
+
+    Seq(
+      // Payment-card scan: regex candidates + Luhn checksum validation
+      // (ops.Governance) — the checksum kills ~90% of regex-shaped false
+      // positives, and BOTH engines compute it from the same generated
+      // integer-arithmetic text (Exprs.luhnOk).
+      Q("q_pii_cards",
+        (s, dir) =>
+          Governance.cardScan(
+            t(s, dir, "documents")
+              .select(col("doc_id"), expr(cardBody(S)).as("body")),
+            "body", "doc_id")
+            .orderBy("doc_id"),
+        Some(s"""
+          WITH b AS (SELECT doc_id, ${cardBody(D)} AS body FROM documents),
+          c AS (SELECT doc_id,
+                       regexp_extract_all(body, '\\b[0-9]{13,19}\\b') AS cands
+                FROM b),
+          v AS (SELECT doc_id, cands,
+                       ${D.filter("cands", "cx__", Exprs.luhnOk(D, "cx__"))} AS valid
+                FROM c)
+          SELECT doc_id,
+                 CAST(len(cands) AS BIGINT) AS n_cands,
+                 CAST(len(valid) AS BIGINT) AS n_valid,
+                 coalesce(array_to_string(valid, ','), '') AS valid_cards
+          FROM v
+          ORDER BY doc_id""")),
+
+      // IBAN scan: regex candidates + ISO 13616 mod-97 checksum
+      // (Exprs.ibanOk — rearranged char-wise fold, letters as two-digit
+      // expansions; no big-number arithmetic). The fixture derives check
+      // digits from the SAME fold, so the valid subset (DE shape on
+      // doc_id % 3, letter-BBAN GB shape on doc_id % 5) is structural,
+      // and both the digit and letter code paths are under the hash.
+      Q("q_pii_iban",
+        (s, dir) =>
+          Governance.ibanScan(
+            t(s, dir, "documents")
+              .select(col("doc_id"), expr(ibanBody(S)).as("body")),
+            "body", "doc_id")
+            .orderBy("doc_id"),
+        Some(s"""
+          WITH b AS (SELECT doc_id, ${ibanBody(D)} AS body FROM documents),
+          c AS (SELECT doc_id,
+                       regexp_extract_all(body, '\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b') AS cands
+                FROM b),
+          v AS (SELECT doc_id, cands,
+                       ${D.filter("cands", "cx__", Exprs.ibanOk(D, "cx__"))} AS valid
+                FROM c)
+          SELECT doc_id,
+                 CAST(len(cands) AS BIGINT) AS n_cands,
+                 CAST(len(valid) AS BIGINT) AS n_valid,
+                 coalesce(array_to_string(valid, ','), '') AS valid_ibans
+          FROM v
+          ORDER BY doc_id""")),
+
+      // PII audit contexts: the +-10-char snippet around the first
+      // Luhn-valid card per affected doc, card redacted — the
+      // human-review table behind q_pii_cards' counts.
+      Q("q_pii_context",
+        (s, dir) =>
+          Governance.cardContexts(
+            t(s, dir, "documents")
+              .select(col("doc_id"), expr(cardBody(S)).as("body")),
+            "body", "doc_id")
+            .orderBy("doc_id"),
+        Some(s"""
+          WITH b AS (SELECT doc_id, ${cardBody(D)} AS body FROM documents),
+          c AS (SELECT doc_id, body,
+                       regexp_extract_all(body, '\\b[0-9]{13,19}\\b') AS cands
+                FROM b),
+          v AS (SELECT doc_id, body,
+                       ${D.filter("cands", "cx__", Exprs.luhnOk(D, "cx__"))} AS valid
+                FROM c),
+          f AS (SELECT doc_id, body, valid[1] AS card,
+                       strpos(body, valid[1]) AS pos
+                FROM v WHERE len(valid) > 0)
+          SELECT doc_id,
+                 replace(substr(body, greatest(pos - 10, 1), length(card) + 20),
+                         card, '<CARD>') AS snippet
+          FROM f
+          ORDER BY doc_id""")),
+
+      // Secret/credential scan: provider-prefix count + Shannon entropy
+      // over long base64-ish candidates (ops.Governance). Entropy is a
+      // sorted-distinct sequential fold rounded to 6 decimals before the
+      // threshold compare, so engine log2 ulps cannot flip a flag.
+      // k-anonymity audit (Sweeney 2002) over customer quasi-identifiers
+      // (nation, market segment, 1000-unit balance band): equivalence
+      // classes below k = 5 are the re-identification cells a release
+      // must suppress. Balance banding is exact-integer floor division
+      // (cents -> band) so negative balances band identically in both
+      // engines (SQL integer div truncates toward zero in Spark but
+      // floors in DuckDB — floor(double) sidesteps the divergence).
+      Q("q_k_anon",
+        (s, dir) => {
+          val band = "CAST(floor(CAST(CAST(c_acctbal * 100 AS BIGINT) AS DOUBLE)" +
+            " / 100000) AS BIGINT)"
+          Governance.kAnonymityAudit(
+            t(s, dir, "customer").withColumn("bal_band", expr(band)),
+            Seq("c_nationkey", "c_mktsegment", "bal_band"), 5)
+            .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+        },
+        Some("""
+          SELECT c_nationkey, c_mktsegment, bal_band,
+                 CAST(count(*) AS BIGINT) AS n,
+                 (count(*) < 5) AS suppress
+          FROM (SELECT c_nationkey, c_mktsegment,
+                       CAST(floor(CAST(CAST(c_acctbal * 100 AS BIGINT) AS DOUBLE)
+                            / 100000) AS BIGINT) AS bal_band
+                FROM customer)
+          GROUP BY c_nationkey, c_mktsegment, bal_band
+          ORDER BY c_nationkey, c_mktsegment, bal_band""")),
+
+      // Noisy count release with deterministic Laplace(1/eps) noise
+      // (Exprs.laplaceNoise — md5-seeded inverse-CDF, the replayable
+      // stand-in that makes a DP release pipeline hash-testable).
+      Q("q_dp_counts",
+        (s, dir) =>
+          Governance.dpNoisyCounts(
+              tEvents(s, dir).select(col("event_type")),
+              "event_type", 0.5, "dp-r9")
+            .orderBy("event_type"),
+        Some(s"""
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 (round(CAST(count(*) AS DOUBLE) +
+                        ${Exprs.laplaceNoise(D, "event_type", 0.5, "dp-r9")}, 6)
+                  + ${D.d(0.0)}) AS noisy_n
+          FROM events
+          GROUP BY event_type
+          ORDER BY event_type""")),
+
+      Q("q_secret_scan",
+        (s, dir) =>
+          Governance.secretScan(
+            t(s, dir, "documents")
+              .select(col("doc_id"), expr(secretBody(S)).as("body")),
+            "body", "doc_id")
+            .orderBy("doc_id"),
+        Some {
+          val ents = D.transform("cands", "tx__",
+            s"(round(${Exprs.charEntropy(D, "tx__")}, 6) + ${D.d(0.0)})")
+          s"""
+          WITH b AS (SELECT doc_id, ${secretBody(D)} AS body FROM documents),
+          c AS (SELECT doc_id, body,
+                       regexp_extract_all(body, '${Governance.SecretTokenRe}') AS cands
+                FROM b),
+          e AS (SELECT doc_id, body, cands, $ents AS ents FROM c)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(body, '${Governance.AwsKeyRe}')) AS BIGINT) AS n_aws,
+                 CAST(len(cands) AS BIGINT) AS n_cands,
+                 CAST(len(${D.filter("ents", "e__", s"e__ >= ${D.d(3.3)}")}) AS BIGINT) AS n_high,
+                 coalesce(list_max(ents), ${D.d(0.0)}) AS max_entropy,
+                 coalesce(list_min(ents), ${D.d(0.0)}) AS min_entropy
+          FROM e
+          ORDER BY doc_id"""
+        }),
+
+      // Hard-negative mining (ops.Similarity.hardNegatives): top-5 most
+      // similar DIFFERENT-label vectors per query — label filter fused
+      // BEFORE top-k selection (post-filtering a kNN result would lose
+      // the hardest negatives), map-side k-bounded heaps before the
+      // shuffle exactly like q_knn_join.
+      Q("q_hard_negatives",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          Similarity.hardNegatives(emb, emb.where(col("vec_id") % 100 === 0),
+              "vec_id", "embedding", "label", 5)
+            .select(col("query_id"), col("vec_id"), col("rank"),
+              r6(col("score")).as("score"))
+            .orderBy("query_id", "rank")
+        },
+        Some(s"""
+          WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+          q AS (SELECT vec_id AS query_id, label AS qlbl, v AS qv
+                FROM e WHERE vec_id % 100 = 0),
+          scored AS (SELECT q.query_id, e.vec_id, ${D.cosine("e.v", "q.qv")} AS score
+                     FROM e, q WHERE e.label <> q.qlbl),
+          ranked AS (SELECT query_id, vec_id, score,
+                            row_number() OVER (PARTITION BY query_id
+                                               ORDER BY score DESC, vec_id) AS rank
+                     FROM scored)
+          SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
+                 ${duckR6("score")} AS score
+          FROM ranked WHERE rank <= 5
+          ORDER BY query_id, rank""")),
+
+      // DoReMi-lite domain mixture (ops.Curation.domainMixtureWeights):
+      // per-source sampling weights proportional to excess unigram-LM
+      // loss over the easiest source. Loss mass sums as DECIMAL(18,6)
+      // (exact, order-independent — the q1_agg money discipline), so the
+      // group aggregate is reproducible under any partition interleave.
+      Q("q_domain_mixture",
+        (s, dir) => {
+          import graft.ops.LanguageModel
+          val loss = LanguageModel
+            .unigramSurprisal(t(s, dir, "documents"), "text", "doc_id")
+          val withDomain = loss.join(
+            t(s, dir, "documents").select(col("doc_id"), col("source")), "doc_id")
+          Curation.domainMixtureWeights(withDomain, "source", "avg_surprisal")
+            .orderBy("source")
+        },
+        Some(s"""
+          WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                   unnest(range(1, len(string_split_regex(trim(text), '\\s+')) + 1)) AS pos
+            FROM documents),
+          vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+          scored AS (
+            SELECT doc_id, pos,
+                   round(-ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS lp
+            FROM toks JOIN vocab USING (tok) CROSS JOIN tot),
+          agg AS (SELECT doc_id, list(lp ORDER BY pos) AS lps,
+                         CAST(count(*) AS BIGINT) AS n_tokens
+                  FROM scored GROUP BY doc_id),
+          docloss AS (
+            SELECT a.doc_id, d.source,
+                   list_reduce(a.lps, (x__, y__) -> x__ + y__) / CAST(a.n_tokens AS DOUBLE) AS loss
+            FROM agg a JOIN documents d USING (doc_id)),
+          dom AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CAST(round(loss, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS mean_loss
+            FROM docloss GROUP BY source),
+          ex AS (
+            SELECT source, n_docs, mean_loss,
+                   greatest(round(mean_loss - (SELECT min(mean_loss) FROM dom), 6),
+                            ${D.d(0.0)}) AS excess
+            FROM dom),
+          tot2 AS (SELECT CAST(sum(CAST(excess AS DECIMAL(18,6))) AS DOUBLE) AS te,
+                          CAST(count(*) AS BIGINT) AS nd
+                   FROM ex)
+          SELECT source, n_docs,
+                 ${duckR6("mean_loss")} AS mean_loss,
+                 (round(CASE WHEN te = ${D.d(0.0)} THEN ${D.d(1.0)} / CAST(nd AS DOUBLE)
+                             ELSE excess / te END, 6) + ${D.d(0.0)}) AS weight
+          FROM ex CROSS JOIN tot2
+          ORDER BY source""")),
+
+      // Mixture weights -> ACTUAL corpus: per-domain token budgets
+      // (weight x 20k global budget) drive the greedy quality-prefix
+      // fill — the composition that closes the DoReMi loop (weights are
+      // used, not just reported). The baseline domain (weight 0, budget
+      // 0) selects nothing and is absent from the output on both
+      // engines. Weights broadcast; the fill is the per-group window
+      // cumsum of q_token_budget with a joined budget column.
+      Q("q_mixture_budget",
+        (s, dir) => {
+          import graft.ops.LanguageModel
+          val docs = t(s, dir, "documents")
+          val loss = LanguageModel.unigramSurprisal(docs, "text", "doc_id")
+            .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          val weights = Curation.domainMixtureWeights(loss, "source", "avg_surprisal")
+            .select(col("source"),
+              round(col("weight") * lit(20000.0), 0).cast("long").as("budget"))
+          val d = docs.select(col("doc_id"), col("source"), col("n_chars"),
+              size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+            .join(broadcast(weights), "source")
+          Sampling.tokenBudgetSelectBy(d, "source", "n_tokens", "n_chars",
+              "doc_id", "budget")
+            .groupBy("source")
+            .agg(count(lit(1)).cast("long").as("n_sel"),
+              sum(col("n_tokens")).cast("long").as("tokens_sel"),
+              max(col("budget")).as("budget"))
+            .orderBy("source")
+        },
+        Some(s"""
+          WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                   unnest(range(1, len(string_split_regex(trim(text), '\\s+')) + 1)) AS pos
+            FROM documents),
+          vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+          scored AS (
+            SELECT doc_id, pos,
+                   round(-ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS lp
+            FROM toks JOIN vocab USING (tok) CROSS JOIN tot),
+          agg AS (SELECT doc_id, list(lp ORDER BY pos) AS lps,
+                         CAST(count(*) AS BIGINT) AS n_tokens
+                  FROM scored GROUP BY doc_id),
+          docloss AS (
+            SELECT a.doc_id, d.source,
+                   list_reduce(a.lps, (x__, y__) -> x__ + y__) / CAST(a.n_tokens AS DOUBLE) AS loss
+            FROM agg a JOIN documents d USING (doc_id)),
+          dom AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CAST(round(loss, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS mean_loss
+            FROM docloss GROUP BY source),
+          ex AS (
+            SELECT source, greatest(round(mean_loss - (SELECT min(mean_loss) FROM dom), 6),
+                            ${D.d(0.0)}) AS excess
+            FROM dom),
+          tot2 AS (SELECT CAST(sum(CAST(excess AS DECIMAL(18,6))) AS DOUBLE) AS te,
+                          CAST(count(*) AS BIGINT) AS nd
+                   FROM ex),
+          wts AS (
+            SELECT source,
+                   CAST(round((round(CASE WHEN te = ${D.d(0.0)} THEN ${D.d(1.0)} / CAST(nd AS DOUBLE)
+                               ELSE excess / te END, 6) + ${D.d(0.0)}) * ${D.d(20000.0)}, 0) AS BIGINT) AS budget
+            FROM ex CROSS JOIN tot2),
+          d2 AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(len(${D.splitWs("text")}) AS BIGINT) AS n_tokens
+            FROM documents),
+          c AS (
+            SELECT d2.doc_id, d2.source, d2.n_tokens, w.budget,
+                   sum(d2.n_tokens) OVER (
+                     PARTITION BY d2.source ORDER BY d2.n_chars DESC, d2.doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM d2 JOIN wts w ON d2.source = w.source)
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_sel,
+                 CAST(sum(n_tokens) AS BIGINT) AS tokens_sel,
+                 CAST(max(budget) AS BIGINT) AS budget
+          FROM c
+          WHERE cum - n_tokens < budget
+          GROUP BY source
+          ORDER BY source""")),
+
+      // In-context pretraining corpus ordering (Shi et al. 2023):
+      // semantically related docs placed ADJACENT in the training
+      // stream — sign-pattern LSH buckets (SQL-replayable neighborhood
+      // assignment), then a greedy nearest-neighbor chain per bucket
+      // (start at the lowest id, hop to the unvisited member with the
+      // highest cosine to the CURRENT doc, ties -> lowest id). The
+      // compared projection is ALL exact integers (vec_id, bucket, pos);
+      // the greedy chain replays INDUCTIVELY against the dump (the
+      // q_mmr_rerank pattern): every step's pick is recomputed from raw
+      // embeddings given the dump's prefix, so the first wrong hop
+      // hash-fails. NaN cosines (zero vectors) key as -1e308 on both
+      // engines — degenerate members chain last, by id.
+      Q("q_icp_order",
+        (s, dir) =>
+          graft.ops.CorpusOrder.icpOrder(
+              t(s, dir, "embeddings"), "vec_id", "embedding", signBits = 4)
+            .orderBy("bucket", "pos"),
+        Some(s"""
+          WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                            ${graft.ops.CorpusOrder.bucketExprSql("embedding", 4, oneBased = true)} AS bucket
+                     FROM embeddings),
+          dump AS (SELECT * FROM read_parquet('__GRAFT_OUT__/q_icp_order/*.parquet')),
+          pairs AS (SELECT a.bucket, a.vec_id AS ia, b.vec_id AS ib,
+                           ${D.cosine("a.v", "b.v")} AS c
+                    FROM e a JOIN e b
+                      ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+          strt AS (SELECT bucket, min(vec_id) AS vec_id FROM e GROUP BY bucket),
+          steps AS (SELECT bucket, pos FROM dump WHERE pos > 0),
+          prev AS (SELECT st.bucket, st.pos, d.vec_id AS pv
+                   FROM steps st JOIN dump d
+                     ON d.bucket = st.bucket AND d.pos = st.pos - 1),
+          cand AS (SELECT p.bucket, p.pos, pr.ib,
+                          CASE WHEN isnan(pr.c) THEN CAST(-1e308 AS DOUBLE)
+                               ELSE pr.c END AS key
+                   FROM prev p JOIN pairs pr
+                     ON pr.bucket = p.bucket AND pr.ia = p.pv
+                   WHERE NOT EXISTS (SELECT 1 FROM dump d2
+                                     WHERE d2.bucket = p.bucket
+                                       AND d2.vec_id = pr.ib
+                                       AND d2.pos < p.pos)),
+          picked AS (SELECT bucket, pos, ib AS vec_id,
+                            row_number() OVER (PARTITION BY bucket, pos
+                                               ORDER BY key DESC, ib) AS rn
+                     FROM cand)
+          SELECT vec_id, bucket, pos FROM (
+            SELECT vec_id, bucket, CAST(0 AS BIGINT) AS pos FROM strt
+            UNION ALL
+            SELECT vec_id, bucket, CAST(pos AS BIGINT) AS pos
+            FROM picked WHERE rn = 1)
+          ORDER BY bucket, pos""")),
+
+      // Curriculum shards (ops.Sampling.curriculumShards): global
+      // quality-rank round-robin into 8 shards; the rank comes from the
+      // range-partitioned denseIds two-pass, NEVER a row_number window's
+      // Exchange SinglePartition. Verified per-shard: count + exact
+      // DECIMAL sum of the rounded scores.
+      Q("q_curriculum_shards",
+        (s, dir) => {
+          val scored = t(s, dir, "documents")
+            .select(col("doc_id"), TextF.qualityScore(col("text")).as("q"))
+          Sampling.curriculumShards(scored, "doc_id", "q", 8)
+            .groupBy("shard")
+            .agg(count(lit(1)).cast("long").as("n_docs"),
+              sum(col("score6").cast("decimal(18,6)")).cast("double").as("sum_q"))
+            .select(col("shard"), col("n_docs"), r6(col("sum_q")).as("sum_q"))
+            .orderBy("shard")
+        },
+        Some(s"""
+          WITH q AS (SELECT doc_id, (round(${qualitySql(D)}, 6) + ${D.d(0.0)}) AS qs
+                     FROM documents),
+          r AS (SELECT doc_id, qs,
+                       row_number() OVER (ORDER BY qs DESC, doc_id) - 1 AS seq
+                FROM q)
+          SELECT CAST(seq % 8 AS BIGINT) AS shard,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 ${duckR6("CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE)")} AS sum_q
+          FROM r
+          GROUP BY seq % 8
+          ORDER BY shard""")),
+
+      // JSONL corpus roundtrip: the de-facto training-data interchange
+      // format (C4/Pile/RedPajama/Dolma ship as JSONL). The corpus is
+      // written as JSONL shards and read back with an explicit schema
+      // (no inference pass); md5 over the roundtripped text hash-gates
+      // content integrity THROUGH the format's escaping contract.
+      Q("q_jsonl_roundtrip",
+        (s, dir) => {
+          import graft.sources.JsonlCorpus
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val key = md.digest(dir.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(12)
+          val out = sys.props("java.io.tmpdir") + s"/graft_jsonl_$key"
+          val docs = t(s, dir, "documents")
+          JsonlCorpus.write(docs, out)
+          JsonlCorpus.read(s, out, docs.schema)
+            .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+              md5(col("text")).as("text_md5"))
+            .orderBy("doc_id")
+        },
+        Some("""
+          SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+          FROM documents
+          ORDER BY doc_id""")),
+
+      // Hive-style lang-partitioned corpus layout: write partitionBy(lang)
+      // parquet, read back with a partition predicate — the scan prunes
+      // at the DIRECTORY level (PartitionFilters, pinned in PlanSpec), so
+      // a one-language job over a 100 TB multilingual corpus never lists,
+      // opens, or reads the other languages' files.
+      Q("q_partitioned_scan",
+        (s, dir) => {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val key = md.digest(dir.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(12)
+          val out = sys.props("java.io.tmpdir") + s"/graft_langpart_$key"
+          t(s, dir, "documents").write.mode("overwrite")
+            .partitionBy("lang").parquet(out)
+          s.read.parquet(out).where(col("lang") === "en")
+            .agg(count(lit(1)).cast("long").as("n_en"),
+              sum(col("n_chars")).cast("long").as("chars_en"),
+              sum(col("doc_id")).cast("long").as("id_sum"))
+        },
+        Some("""
+          SELECT CAST(count(*) AS BIGINT) AS n_en,
+                 CAST(sum(n_chars) AS BIGINT) AS chars_en,
+                 CAST(sum(doc_id) AS BIGINT) AS id_sum
+          FROM documents WHERE lang = 'en'""")),
+
+      // Sketch-accuracy eval: MinHash-estimated Jaccard (fraction of
+      // agreeing signature positions, k = 16) vs EXACT 3-shingle Jaccard
+      // on deterministic doc pairs — the error audit that tells a
+      // pipeline whether its LSH banding parameters can be trusted
+      // (recall@k audits ANN, this audits the dedup sketch). k = 16 is a
+      // power of two, so the estimate matches/16 is exact binary.
+      Q("q_sketch_error",
+        (s, dir) => {
+          val S = Dialect.spark
+          val docs = t(s, dir, "documents")
+            .withColumn("toks", split(trim(col("text")), "\\s+"))
+            .withColumn("shd",
+              array_distinct(expr(Exprs.wordShingles(S, "toks", 3))))
+            .withColumn("sig", TextF.minhashSignature("shd", 16))
+            .select(col("doc_id"), col("shd"), col("sig"))
+          val a = docs.where(col("doc_id") % 7 === 0)
+            .select(col("doc_id").as("doc_a"), col("shd").as("sa"), col("sig").as("ga"))
+          val b = docs.select((col("doc_id") - 1).as("doc_a"),
+            col("doc_id").as("doc_b"), col("shd").as("sb"), col("sig").as("gb"))
+          a.join(b, "doc_a")
+            .withColumn("matches",
+              expr("size(filter(zip_with(ga, gb, (x__, y__) -> x__ = y__), v__ -> v__))")
+                .cast("long"))
+            .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+            .withColumn("uni",
+              (size(col("sa")) + size(col("sb")) - col("inter")).cast("double"))
+            .withColumn("est", col("matches").cast("double") / lit(16.0))
+            .withColumn("tru", col("inter").cast("double") / col("uni"))
+            .select(col("doc_a"), col("doc_b"), col("matches"),
+              r6(col("est")).as("est_jaccard"),
+              r6(col("tru")).as("true_jaccard"),
+              r6(abs(col("est") - col("tru"))).as("abs_err"))
+            .orderBy("doc_a")
+        },
+        Some {
+          val sh = Exprs.wordShingles(D, "toks", 3)
+          val sig = Exprs.minhashSig(D, "shd", 16)
+          s"""
+          WITH d AS (SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents),
+          s2 AS (SELECT doc_id, list_distinct($sh) AS shd FROM d),
+          g AS (SELECT doc_id, shd, $sig AS sig FROM s2),
+          a AS (SELECT doc_id AS doc_a, shd AS sa, sig AS ga FROM g WHERE doc_id % 7 = 0),
+          b AS (SELECT doc_id - 1 AS doc_a, doc_id AS doc_b, shd AS sb, sig AS gb FROM g),
+          j AS (SELECT doc_a, doc_b,
+                       CAST(len(list_filter(list_zip(ga, gb), p__ -> p__[1] = p__[2])) AS BIGINT) AS matches,
+                       CAST(len(list_intersect(sa, sb)) AS BIGINT) AS inter,
+                       CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE) AS uni
+                FROM a JOIN b USING (doc_a)),
+          k2 AS (SELECT doc_a, doc_b, matches,
+                        CAST(matches AS DOUBLE) / ${D.d(16.0)} AS est,
+                        CAST(inter AS DOUBLE) / uni AS tru
+                 FROM j)
+          SELECT doc_a, doc_b, matches,
+                 ${duckR6("est")} AS est_jaccard,
+                 ${duckR6("tru")} AS true_jaccard,
+                 ${duckR6("abs(est - tru)")} AS abs_err
+          FROM k2
+          ORDER BY doc_a"""
+        }),
+
+      // Event-rate anomaly detection: hourly event counts z-scored
+      // against the corpus of hours — the ingest-monitoring alarm for a
+      // streaming pipeline (a stalled producer or a flood shows up as
+      // |z| >= 2 hours). Every statistic derives from exact integer
+      // sums, so both engines agree to the bit before any rounding.
+      Q("q_rate_anomaly",
+        (s, dir) => {
+          val e = tEvents(s, dir)
+            .withColumn("h", expr("(ts div 1000) div 3600000000"))
+          val hc = e.groupBy("h").agg(count(lit(1)).as("c"))
+          val st = hc.agg(count(lit(1)).cast("long").as("nh"),
+            sum(col("c")).cast("long").as("sc"),
+            sum(col("c") * col("c")).cast("long").as("scc"))
+          hc.crossJoin(broadcast(st))
+            .withColumn("mean", col("sc").cast("double") / col("nh").cast("double"))
+            .withColumn("std", sqrt(greatest(
+              col("scc").cast("double") / col("nh").cast("double") -
+                col("mean") * col("mean"), lit(0.0))))
+            .withColumn("z", when(col("std") === 0.0, lit(0.0))
+              .otherwise((col("c").cast("double") - col("mean")) / col("std")))
+            .where(abs(col("z")) >= 2.0)
+            .select(col("h").cast("long").as("hour"),
+              col("c").cast("long").as("n_events"), r6(col("z")).as("z"))
+            .orderBy("hour")
+        },
+        Some("""
+          WITH e AS (SELECT (epoch_us(ts) // 3600000000) AS h FROM events),
+          hc AS (SELECT h, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY h),
+          st AS (SELECT CAST(count(*) AS BIGINT) AS nh,
+                        CAST(sum(c) AS BIGINT) AS sc,
+                        CAST(sum(c * c) AS BIGINT) AS scc
+                 FROM hc),
+          zz AS (SELECT h, c,
+                        CAST(sc AS DOUBLE) / CAST(nh AS DOUBLE) AS mean,
+                        sqrt(greatest(CAST(scc AS DOUBLE) / CAST(nh AS DOUBLE) -
+                          (CAST(sc AS DOUBLE) / CAST(nh AS DOUBLE)) * (CAST(sc AS DOUBLE) / CAST(nh AS DOUBLE)),
+                          CAST(0.0 AS DOUBLE))) AS std
+                 FROM hc CROSS JOIN st)
+          SELECT CAST(h AS BIGINT) AS hour, c AS n_events,
+                 (round(CASE WHEN std = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+                             ELSE (CAST(c AS DOUBLE) - mean) / std END, 6) + CAST(0.0 AS DOUBLE)) AS z
+          FROM zz
+          WHERE abs(CASE WHEN std = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+                         ELSE (CAST(c AS DOUBLE) - mean) / std END) >= CAST(2.0 AS DOUBLE)
+          ORDER BY hour""")),
+
+      // Robust outlier detection per language: median + MAD (median
+      // absolute deviation) over doc lengths, flag |x - med| > 3*MAD —
+      // the outlier rule that, unlike mean/std, a handful of giant docs
+      // cannot drag. Lengths are integers, medians are exact order
+      // statistics (lower median), so EVERYTHING is integer arithmetic.
+      Q("q_mad_outliers",
+        (s, dir) => {
+          import org.apache.spark.sql.expressions.Window
+          val base = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+            col("n_chars"))
+          val w1 = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+          val med = base
+            .withColumn("rn", row_number().over(w1))
+            .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+            .groupBy("lang")
+            .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("n_chars"))).as("med"))
+          val dev = base.join(med, "lang")
+            .withColumn("dev", abs(col("n_chars") - col("med")))
+          val w2 = Window.partitionBy("lang").orderBy(col("dev"), col("doc_id"))
+          val mad = dev
+            .withColumn("rn", row_number().over(w2))
+            .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+            .groupBy("lang")
+            .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("dev"))).as("mad"))
+          dev.join(mad, "lang")
+            .groupBy("lang")
+            .agg(count(lit(1)).cast("long").as("n_docs"),
+              max(col("med")).cast("long").as("med"),
+              max(col("mad")).cast("long").as("mad"),
+              sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L))
+                .cast("long").as("n_outliers"))
+            .orderBy("lang")
+        },
+        Some("""
+          WITH b AS (SELECT doc_id, lang, n_chars FROM documents),
+          r1 AS (SELECT lang, n_chars, doc_id,
+                        row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+                        count(*) OVER (PARTITION BY lang) AS n
+                 FROM b),
+          med AS (SELECT lang, max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS med
+                  FROM r1 GROUP BY lang),
+          dev AS (SELECT b.lang, b.doc_id, b.n_chars, abs(b.n_chars - m.med) AS dev, m.med
+                  FROM b JOIN med m ON b.lang = m.lang),
+          r2 AS (SELECT lang, dev, doc_id,
+                        row_number() OVER (PARTITION BY lang ORDER BY dev, doc_id) AS rn,
+                        count(*) OVER (PARTITION BY lang) AS n
+                 FROM dev),
+          mad AS (SELECT lang, max(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
+                  FROM r2 GROUP BY lang)
+          SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(max(d.med) AS BIGINT) AS med,
+                 CAST(max(m.mad) AS BIGINT) AS mad,
+                 CAST(sum(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          FROM dev d JOIN mad m ON d.lang = m.lang
+          GROUP BY d.lang
+          ORDER BY d.lang""")),
+
+      // Quality-signal correlation audit: Pearson correlation between the
+      // integer signal counts (tokens, stopword hits, doc chars)
+      // from EXACT BIGINT moment sums — redundant signals waste filter
+      // capacity, anti-correlated ones disagree; this is the audit that
+      // decides which signals a composed filter keeps.
+      Q("q_signal_corr",
+        (s, dir) => {
+          val base = t(s, dir, "documents").select(
+            size(TextF.tokens(col("text"))).cast("long").as("s1"),
+            TextF.stopHits(TextF.tokens(col("text")), TextF.StopEn)
+              .cast("long").as("s2"),
+            col("n_chars").cast("long").as("s3"))
+          val m = base.agg(
+            count(lit(1)).cast("long").as("n"),
+            sum(col("s1")).cast("long").as("a1"),
+            sum(col("s2")).cast("long").as("a2"),
+            sum(col("s3")).cast("long").as("a3"),
+            sum(col("s1") * col("s1")).cast("long").as("q11"),
+            sum(col("s2") * col("s2")).cast("long").as("q22"),
+            sum(col("s3") * col("s3")).cast("long").as("q33"),
+            sum(col("s1") * col("s2")).cast("long").as("q12"),
+            sum(col("s1") * col("s3")).cast("long").as("q13"),
+            sum(col("s2") * col("s3")).cast("long").as("q23"))
+          def corr(n: org.apache.spark.sql.Column, sx: org.apache.spark.sql.Column,
+                   sy: org.apache.spark.sql.Column, sxx: org.apache.spark.sql.Column,
+                   syy: org.apache.spark.sql.Column, sxy: org.apache.spark.sql.Column) = {
+            val nd = n.cast("double")
+            (nd * sxy.cast("double") - sx.cast("double") * sy.cast("double")) /
+              (sqrt(nd * sxx.cast("double") - sx.cast("double") * sx.cast("double")) *
+                sqrt(nd * syy.cast("double") - sy.cast("double") * sy.cast("double")))
+          }
+          m.select(
+            r6(corr(col("n"), col("a1"), col("a2"), col("q11"), col("q22"), col("q12"))).as("corr_tok_stop"),
+            r6(corr(col("n"), col("a1"), col("a3"), col("q11"), col("q33"), col("q13"))).as("corr_tok_chars"),
+            r6(corr(col("n"), col("a2"), col("a3"), col("q22"), col("q33"), col("q23"))).as("corr_stop_chars"))
+        },
+        Some {
+          val toks = D.splitWs("text")
+          val stopArr = D.strArray(TextF.StopEn)
+          def c(sx: String, sy: String, sxx: String, syy: String, sxy: String) =
+            s"""((CAST(n AS DOUBLE) * CAST($sxy AS DOUBLE) - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE)) /
+                (sqrt(CAST(n AS DOUBLE) * CAST($sxx AS DOUBLE) - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE)) *
+                 sqrt(CAST(n AS DOUBLE) * CAST($syy AS DOUBLE) - CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE))))"""
+          s"""
+          WITH b AS (
+            SELECT CAST(len($toks) AS BIGINT) AS s1,
+                   CAST(len(list_filter($toks, t__ -> list_contains($stopArr, t__))) AS BIGINT) AS s2,
+                   CAST(n_chars AS BIGINT) AS s3
+            FROM documents),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(s1) AS BIGINT) AS a1, CAST(sum(s2) AS BIGINT) AS a2,
+                       CAST(sum(s3) AS BIGINT) AS a3,
+                       CAST(sum(s1 * s1) AS BIGINT) AS q11,
+                       CAST(sum(s2 * s2) AS BIGINT) AS q22,
+                       CAST(sum(s3 * s3) AS BIGINT) AS q33,
+                       CAST(sum(s1 * s2) AS BIGINT) AS q12,
+                       CAST(sum(s1 * s3) AS BIGINT) AS q13,
+                       CAST(sum(s2 * s3) AS BIGINT) AS q23
+                FROM b)
+          SELECT ${duckR6(c("a1", "a2", "q11", "q22", "q12"))} AS corr_tok_stop,
+                 ${duckR6(c("a1", "a3", "q11", "q33", "q13"))} AS corr_tok_chars,
+                 ${duckR6(c("a2", "a3", "q22", "q33", "q23"))} AS corr_stop_chars
+          FROM m"""
+        }),
+
+      // Top-k per group: the best 3 documents per source by quality —
+      // the shape Spark optimizes with WindowGroupLimit (per-partition
+      // rank pruning BEFORE the exchange, so only k rows per group per
+      // task shuffle instead of every row sorting globally).
+      Q("q_topk_per_domain",
+        (s, dir) => {
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy("source")
+            .orderBy(desc("q6"), col("doc_id"))
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              r6(TextF.qualityScore(col("text"))).as("q6"))
+            .withColumn("rnk", row_number().over(w).cast("long"))
+            .where(col("rnk") <= 3)
+            .select(col("source"), col("rnk"), col("doc_id"), col("q6"))
+            .orderBy("source", "rnk")
+        },
+        Some {
+          val toks = D.splitWs("text")
+          val stopArr = D.strArray(TextF.StopEn)
+          val quality =
+            s"""least(CAST(len($toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+               + (CAST(len(list_filter($toks, t__ -> list_contains($stopArr, t__))) AS DOUBLE) / len($toks)) * CAST(0.3 AS DOUBLE)
+               + (CAST(1.0 AS DOUBLE) - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * CAST(0.3 AS DOUBLE)"""
+          s"""
+          WITH q AS (SELECT doc_id, source,
+                            (round($quality, 6) + ${D.d(0.0)}) AS q6
+                     FROM documents),
+          r AS (SELECT source, doc_id, q6,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY q6 DESC, doc_id) AS rnk
+                FROM q)
+          SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, q6
+          FROM r WHERE rnk <= 3
+          ORDER BY source, rnk"""
+        }),
+
+      // Percentile-rank normalization per language: quality scores are
+      // not comparable across languages (stopword lists bias en); the
+      // standard fix is within-group percent_rank, making thresholds
+      // language-fair. percent_rank = (rank-1)/(n-1) — exact integer
+      // arithmetic, deterministic ties on (q6, doc_id).
+      Q("q_quality_pctrank",
+        (s, dir) => {
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy("lang").orderBy(col("q6"), col("doc_id"))
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"),
+              r6(TextF.qualityScore(col("text"))).as("q6"))
+            .withColumn("rnk", row_number().over(w).cast("long"))
+            .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")).cast("long"))
+            .select(col("doc_id"), col("lang"), col("q6"),
+              r6((col("rnk") - 1).cast("double") /
+                greatest(col("n") - 1, lit(1L)).cast("double")).as("pct"))
+            .orderBy("doc_id")
+        },
+        Some {
+          val toks = D.splitWs("text")
+          val stopArr = D.strArray(TextF.StopEn)
+          val quality =
+            s"""least(CAST(len($toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+               + (CAST(len(list_filter($toks, t__ -> list_contains($stopArr, t__))) AS DOUBLE) / len($toks)) * CAST(0.3 AS DOUBLE)
+               + (CAST(1.0 AS DOUBLE) - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * CAST(0.3 AS DOUBLE)"""
+          s"""
+          WITH q AS (SELECT doc_id, lang,
+                            (round($quality, 6) + ${D.d(0.0)}) AS q6
+                     FROM documents),
+          r AS (SELECT doc_id, lang, q6,
+                       row_number() OVER (PARTITION BY lang ORDER BY q6, doc_id) AS rnk,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM q)
+          SELECT doc_id, lang, q6,
+                 ${duckR6("CAST(rnk - 1 AS DOUBLE) / CAST(greatest(n - 1, 1) AS DOUBLE)")} AS pct
+          FROM r
+          ORDER BY doc_id"""
+        }),
+
+      // Rank-biased overlap (Webber et al. 2010) between the BM25 and
+      // keyword rankers at depth 10, p = 0.9 — the ranker-agreement
+      // metric an IR team reads before swapping scorers. Each common id
+      // contributes the TAIL sum of RBO coefficients from its first
+      // depth of co-presence (max of its two ranks); tail sums are
+      // Scala-computed literals shared verbatim by both engines and
+      // accumulate as DECIMAL(28,12).
+      Q("q_rbo_rankers",
+        (s, dir) => {
+          val terms = Seq("spark", "join", "stream")
+          val p = 0.9; val depth = 10
+          // tail(k) = sum_{d=k..D} (1-p) p^(d-1) / d, as a fixed literal
+          def tail(k: Int): String = {
+            val v = (k to depth).map(d => (1 - p) * math.pow(p, d - 1) / d).sum
+            java.math.BigDecimal.valueOf(v)
+              .setScale(12, java.math.RoundingMode.HALF_UP).toPlainString
+          }
+          val caseSql = (1 to depth)
+            .map(k => s"WHEN $k THEN CAST(${tail(k)} AS DOUBLE)")
+            .mkString("CASE greatest(ra, rb) ", " ", " ELSE CAST(0.0 AS DOUBLE) END")
+          val chunks = RagPipeline.buildChunks(tk(s, dir, "documents"))
+          // ≤ depth rows: Layout.boundedRank, not an unpartitioned window
+          def ranked(df: DataFrame, out: String) = graft.ops.Layout
+            .boundedRank(df, Seq(-col("score"), col("chunk_id")), out)
+            .select(col("chunk_id"), col(out))
+          val bm = ranked(Similarity.bm25TopK(
+            chunks, "chunk_text", "chunk_id", terms, depth), "ra")
+          val kw = ranked(Similarity.keywordTopK(
+            chunks, "chunk_text", "chunk_id", terms, depth), "rb")
+          bm.join(kw, "chunk_id")
+            .withColumn("__c", expr(caseSql).cast("decimal(28,12)"))
+            .agg(count(lit(1)).cast("long").as("n_common"),
+              sum(col("__c")).cast("double").as("rbo"))
+            .select(col("n_common"), r6(col("rbo")).as("rbo"))
+        },
+        Some {
+          val terms = Seq("spark", "join", "stream")
+          val p = 0.9; val depth = 10
+          def tail(k: Int): String = {
+            val v = (k to depth).map(d => (1 - p) * math.pow(p, d - 1) / d).sum
+            java.math.BigDecimal.valueOf(v)
+              .setScale(12, java.math.RoundingMode.HALF_UP).toPlainString
+          }
+          val caseSql = (1 to depth)
+            .map(k => s"WHEN $k THEN CAST(${tail(k)} AS DOUBLE)")
+            .mkString("CASE greatest(ra, rb) ", " ", " ELSE CAST(0.0 AS DOUBLE) END")
+          val tfs = terms.zipWithIndex.map { case (tm, i) =>
+            s"CAST(len(list_filter(toks, x -> x = '$tm')) AS DOUBLE) AS tf_$i"
+          }.mkString(", ")
+          val dfs = terms.zipWithIndex.map { case (tm, i) =>
+            s"sum(CASE WHEN list_contains(toks, '$tm') THEN 1 ELSE 0 END) AS df_$i"
+          }.mkString(", ")
+          val scoreSum = terms.indices.map { i =>
+            s"""(ln(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - CAST(df_$i AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df_$i AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                * (tf_$i * CAST(2.2 AS DOUBLE))
+                / (tf_$i + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)))"""
+          }.mkString(" + ")
+          val kwScore =
+            s"(CAST(len(list_filter(${D.strArray(terms)}, t__ -> list_contains(toks, t__))) AS DOUBLE) / ${terms.size})"
+          s"""
+          WITH ch AS (
+            SELECT chunk_id, ${D.splitWs("chunk_text")} AS toks
+            FROM (SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})),
+          st AS (SELECT count(*) AS n, sum(len(toks)) AS sumdl, $dfs FROM ch),
+          scored AS (
+            SELECT chunk_id, $tfs, CAST(len(toks) AS DOUBLE) AS dl,
+                   CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl,
+                   n, df_0, df_1, df_2
+            FROM ch, st),
+          bm AS (SELECT chunk_id,
+                        row_number() OVER (ORDER BY score DESC, chunk_id) AS ra
+                 FROM (SELECT chunk_id, $scoreSum AS score
+                       FROM scored ORDER BY score DESC, chunk_id LIMIT $depth)),
+          kw AS (SELECT chunk_id,
+                        row_number() OVER (ORDER BY score DESC, chunk_id) AS rb
+                 FROM (SELECT chunk_id, $kwScore AS score
+                       FROM ch ORDER BY score DESC, chunk_id LIMIT $depth))
+          SELECT CAST(count(*) AS BIGINT) AS n_common,
+                 ${duckR6(s"CAST(sum(CAST(($caseSql) AS DECIMAL(28,12))) AS DOUBLE)")} AS rbo
+          FROM bm JOIN kw USING (chunk_id)"""
+        }),
+
+      // Late-interaction retrieval (ops.Similarity.maxSimSearch): the
+      // ColBERT MaxSim paradigm — docs are BAGS of chunk vectors, each
+      // query token matches its best chunk independently, per-doc score
+      // = Σ round-6 maxes accumulated as DECIMAL(18,6). The third
+      // retrieval paradigm beside single-vector ANN and BM25.
+      Q("q_maxsim_search",
+        (s, dir) => {
+          val chunks = RagPipeline.buildIndex(tk(s, dir, "documents"))
+            .select(col("doc_id"), col("embedding"))
+          val terms = Seq("spark", "join", "stream")
+          val qv = graft.embed.HashingEmbedder(64).withEmbedding(
+            s.createDataFrame(
+              s.sparkContext.parallelize(terms.map(org.apache.spark.sql.Row(_))),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("qt",
+                  org.apache.spark.sql.types.StringType)))), "qt", "embedding")
+          Similarity.maxSimSearch(chunks, qv, "doc_id", "embedding",
+              "qt", "embedding", 10)
+            .select(col("doc_id"), r6(col("score")).as("score"))
+        },
+        Some {
+          val duckIndexed = duckEmbed(
+            s"(SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})",
+            "chunk_text", 64)
+          val duckQ = duckEmbed(
+            "(SELECT unnest(['spark', 'join', 'stream']) AS chunk_text)",
+            "chunk_text", 64)
+          s"""
+          WITH d AS (SELECT doc_id, emb FROM $duckIndexed),
+          q AS (SELECT chunk_text AS qt, emb AS qv FROM $duckQ),
+          m AS (SELECT d.doc_id, q.qt,
+                       max(${D.cosine("d.emb", "q.qv")}) AS mx
+                FROM d, q GROUP BY d.doc_id, q.qt),
+          sc AS (SELECT doc_id,
+                        CAST(sum(CAST((round(mx, 6) + ${D.d(0.0)}) AS DECIMAL(18,6))) AS DOUBLE) AS score
+                 FROM m GROUP BY doc_id)
+          SELECT doc_id, ${duckR6("score")} AS score
+          FROM sc
+          ORDER BY score DESC, doc_id
+          LIMIT 10"""
+        }),
+
+      // Search-quality NDCG@10: graded relevance (how many query terms a
+      // chunk contains) scores the BM25 ranking against the ideal
+      // ordering — the IR eval that closes the search loop (recall@k
+      // covers ANN, calibration covers the classifier, NDCG covers
+      // ranking). Per-rank gains round to 9 decimals and sum as
+      // DECIMAL(28,9); log2 of power-of-two ranks is exact.
+      Q("q_search_ndcg",
+        (s, dir) => {
+          val terms = Seq("spark", "join", "stream")
+          val chunks = RagPipeline.buildChunks(tk(s, dir, "documents"))
+          val rel = chunks
+            .withColumn("__toks", split(trim(col("chunk_text")), "\\s+"))
+            .select(col("chunk_id"),
+              terms.map(tm => when(array_contains(col("__toks"), tm), 1L)
+                .otherwise(0L)).reduce(_ + _).as("rel"))
+          def gain(relC: org.apache.spark.sql.Column,
+                   rankC: org.apache.spark.sql.Column) =
+            round((pow(lit(2.0), relC.cast("double")) - lit(1.0)) /
+              log2(rankC.cast("double") + lit(1.0)), 9)
+              .cast("decimal(28,9)")
+          // ≤ 10 rows each: Layout.boundedRank, not unpartitioned windows
+          val ranked = graft.ops.Layout.boundedRank(
+              Similarity.bm25TopK(chunks, "chunk_text", "chunk_id", terms, 10),
+              Seq(-col("score"), col("chunk_id")), "rank")
+            .join(rel, "chunk_id")
+          val dcg = ranked.agg(
+            sum(gain(col("rel"), col("rank"))).cast("double").as("dcg"))
+          val ideal = graft.ops.Layout.boundedRank(
+            rel.orderBy(desc("rel"), col("chunk_id")).limit(10),
+            Seq(-col("rel"), col("chunk_id")), "rank")
+          val idcg = ideal.agg(
+            sum(gain(col("rel"), col("rank"))).cast("double").as("idcg"))
+          dcg.crossJoin(idcg)
+            .select(r6(col("dcg")).as("dcg"), r6(col("idcg")).as("idcg"),
+              r6(when(col("idcg") === 0.0, lit(0.0))
+                .otherwise(col("dcg") / col("idcg"))).as("ndcg"))
+        },
+        Some {
+          val terms = Seq("spark", "join", "stream")
+          val tfs = terms.zipWithIndex.map { case (tm, i) =>
+            s"CAST(len(list_filter(toks, x -> x = '$tm')) AS DOUBLE) AS tf_$i"
+          }.mkString(", ")
+          val dfs = terms.zipWithIndex.map { case (tm, i) =>
+            s"sum(CASE WHEN list_contains(toks, '$tm') THEN 1 ELSE 0 END) AS df_$i"
+          }.mkString(", ")
+          val scoreSum = terms.indices.map { i =>
+            s"""(ln(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - CAST(df_$i AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df_$i AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                * (tf_$i * CAST(2.2 AS DOUBLE))
+                / (tf_$i + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)))"""
+          }.mkString(" + ")
+          val relExpr = terms.map(tm =>
+            s"CASE WHEN list_contains(toks, '$tm') THEN 1 ELSE 0 END")
+            .mkString("(", " + ", ")")
+          val g = "CAST(round((pow(CAST(2.0 AS DOUBLE), CAST(rel AS DOUBLE)) - CAST(1.0 AS DOUBLE)) / log2(CAST(rank AS DOUBLE) + CAST(1.0 AS DOUBLE)), 9) AS DECIMAL(28,9))"
+          s"""
+          WITH ch AS (
+            SELECT chunk_id, ${D.splitWs("chunk_text")} AS toks
+            FROM (SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})),
+          st AS (SELECT count(*) AS n, sum(len(toks)) AS sumdl, $dfs FROM ch),
+          scored AS (
+            SELECT chunk_id, $tfs, CAST(len(toks) AS DOUBLE) AS dl,
+                   CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl,
+                   n, df_0, df_1, df_2
+            FROM ch, st),
+          top AS (
+            SELECT chunk_id, score,
+                   row_number() OVER (ORDER BY score DESC, chunk_id) AS rank
+            FROM (SELECT chunk_id, $scoreSum AS score
+                  FROM scored ORDER BY score DESC, chunk_id LIMIT 10)),
+          rel AS (SELECT chunk_id, $relExpr AS rel FROM ch),
+          dcg AS (SELECT CAST(sum($g) AS DOUBLE) AS dcg
+                  FROM top JOIN rel USING (chunk_id)),
+          ideal AS (
+            SELECT rel, row_number() OVER (ORDER BY rel DESC, chunk_id) AS rank
+            FROM (SELECT chunk_id, rel FROM rel ORDER BY rel DESC, chunk_id LIMIT 10)),
+          idcg AS (SELECT CAST(sum($g) AS DOUBLE) AS idcg FROM ideal)
+          SELECT ${duckR6("dcg")} AS dcg, ${duckR6("idcg")} AS idcg,
+                 ${duckR6(s"CASE WHEN idcg = ${D.d(0.0)} THEN ${D.d(0.0)} ELSE dcg / idcg END")} AS ndcg
+          FROM dcg CROSS JOIN idcg"""
+        }),
+
+      // Classifier calibration curve: bucket the trained quality
+      // classifier's predictions into 5 score bins and compare mean
+      // prediction vs observed positive fraction per bin — the
+      // reliability diagram a data team reads before trusting a filter
+      // threshold. Reuses the full unrolled-GD oracle; bin means are
+      // exact DECIMAL sums of round-6 scores.
+      Q("q_classifier_calibration",
+        (s, dir) => {
+          val scored = graft.ops.QualityClassifier.trainAndScore(
+            t(s, dir, "documents"), "doc_id", "text", "n_chars >= 250")
+          scored.withColumn("s6", round(col("score"), 6) + lit(0.0))
+            .withColumn("bin",
+              least(floor(col("s6") * lit(5.0)).cast("long"), lit(4L)))
+            .groupBy("bin")
+            .agg(count(lit(1)).cast("long").as("n"),
+              sum(col("s6").cast("decimal(18,6)")).cast("double").as("sp"),
+              sum(col("label").cast("long")).cast("long").as("np"))
+            .select(col("bin"), col("n"),
+              r6(col("sp") / col("n").cast("double")).as("avg_pred"),
+              r6(col("np").cast("double") / col("n").cast("double")).as("frac_pos"))
+            .orderBy("bin")
+        },
+        Some {
+          val inner = graft.ops.QualityClassifier.oracleSql(
+            D, "documents", "doc_id", "text", "n_chars >= 250")
+          s"""
+          WITH base AS ($inner),
+          b AS (SELECT least(CAST(floor((round(score, 6) + ${D.d(0.0)}) * ${D.d(5.0)}) AS BIGINT), 4) AS bin,
+                       (round(score, 6) + ${D.d(0.0)}) AS s6, label
+                FROM base)
+          SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                 ${duckR6("CAST(sum(CAST(s6 AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS avg_pred,
+                 ${duckR6("CAST(sum(label) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS frac_pos
+          FROM b GROUP BY bin ORDER BY bin"""
+        }),
+
+      // Diacritic folding (TextF.stripAccents): NFD + combining-mark
+      // removal vs DuckDB strip_accents (utf8proc) — two independent
+      // Unicode implementations under one hash. Fixture text carries
+      // accents from all five classes (acute, umlaut, tilde, ring,
+      // grave); UTF-8 Scala string literals Spark-side, chr() oracle-side
+      // (Spark SQL's chr is mod-256 — the verify-skill gotcha).
+      Q("q_strip_accents",
+        (s, dir) => {
+          val accented = when(col("doc_id") % 5 === 0, lit("café au lait"))
+            .when(col("doc_id") % 5 === 1, lit("über alles"))
+            .when(col("doc_id") % 5 === 2, lit("niño pequeño"))
+            .when(col("doc_id") % 5 === 3, lit("Ångström unit"))
+            .otherwise(lit("déjà vu"))
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              TextF.stripAccents(concat(accented, lit(" #"),
+                col("doc_id").cast("string"))).as("folded"))
+            .orderBy("doc_id")
+        },
+        Some("""
+          WITH f AS (SELECT doc_id,
+                 CASE doc_id % 5
+                   WHEN 0 THEN 'caf' || chr(233) || ' au lait'
+                   WHEN 1 THEN chr(252) || 'ber alles'
+                   WHEN 2 THEN 'ni' || chr(241) || 'o peque' || chr(241) || 'o'
+                   WHEN 3 THEN chr(197) || 'ngstr' || chr(246) || 'm unit'
+                   ELSE 'd' || chr(233) || 'j' || chr(224) || ' vu'
+                 END || ' #' || CAST(doc_id AS VARCHAR) AS s
+               FROM documents)
+          SELECT doc_id, strip_accents(s) AS folded
+          FROM f
+          ORDER BY doc_id""")),
+
+      // CSV roundtrip with full quoting: text containing commas, quotes
+      // and newlines survives write->read (RFC 4180 quote/escape,
+      // multiLine read for embedded newlines). CSV is the interchange
+      // format metadata tables actually arrive in; the md5 gate proves
+      // the quoting contract end to end. (Note multiLine CSV files are
+      // not line-splittable — fine for metadata tables, wrong for a
+      // 100 TB corpus body, which is what JSONL/parquet are for.)
+      Q("q_csv_roundtrip",
+        (s, dir) => {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val key = md.digest(dir.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(12)
+          val out = sys.props("java.io.tmpdir") + s"/graft_csv_$key"
+          val docs = t(s, dir, "documents")
+          docs.write.mode("overwrite").option("header", "true")
+            .option("quoteAll", "true").option("escape", "\"").csv(out)
+          s.read.schema(docs.schema).option("header", "true")
+            .option("multiLine", "true").option("escape", "\"").csv(out)
+            .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+              md5(col("text")).as("text_md5"))
+            .orderBy("doc_id")
+        },
+        Some("""
+          SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+          FROM documents
+          ORDER BY doc_id""")),
+
+      // ORC roundtrip: the second columnar container Spark ships
+      // natively — same integrity gate as parquet/JSONL/CSV.
+      Q("q_orc_roundtrip",
+        (s, dir) => {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val key = md.digest(dir.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(12)
+          val out = sys.props("java.io.tmpdir") + s"/graft_orc_$key"
+          val docs = t(s, dir, "documents")
+          docs.write.mode("overwrite").orc(out)
+          s.read.orc(out)
+            .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+              md5(col("text")).as("text_md5"))
+            .orderBy("doc_id")
+        },
+        Some("""
+          SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+          FROM documents
+          ORDER BY doc_id""")),
+
+      // Pairwise n-gram overlap P/R/F1 (the ROUGE-1 shape): distinct
+      // unigram intersection between deterministic doc pairs — the
+      // eval-side overlap metric (summary-vs-source, dedup explain).
+      // Spark array_intersect and DuckDB list_intersect both return the
+      // DISTINCT common elements, so the counts agree exactly; the three
+      // divisions are single deterministic IEEE ops.
+      Q("q_ngram_f1",
+        (s, dir) => {
+          val docs = t(s, dir, "documents")
+            .select(col("doc_id"), array_distinct(TextF.tokens(col("text"))).as("tk"))
+          val a = docs.where(col("doc_id") % 7 === 0)
+            .select(col("doc_id").as("doc_a"), col("tk").as("ta"))
+          val b = docs.select((col("doc_id") - 1).as("doc_a"),
+            col("doc_id").as("doc_b"), col("tk").as("tb"))
+          a.join(b, "doc_a")
+            .withColumn("ninter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+            .withColumn("p", col("ninter").cast("double") / size(col("ta")))
+            .withColumn("r", col("ninter").cast("double") / size(col("tb")))
+            .select(col("doc_a"), col("doc_b"), col("ninter"),
+              r6(col("p")).as("p"), r6(col("r")).as("r"),
+              r6(when(col("p") + col("r") === 0.0, lit(0.0))
+                .otherwise(lit(2.0) * col("p") * col("r") / (col("p") + col("r"))))
+                .as("f1"))
+            .orderBy("doc_a")
+        },
+        Some(s"""
+          WITH d AS (SELECT doc_id, list_distinct(${D.splitWs("text")}) AS tk
+                     FROM documents),
+          a AS (SELECT doc_id AS doc_a, tk AS ta FROM d WHERE doc_id % 7 = 0),
+          b AS (SELECT doc_id - 1 AS doc_a, doc_id AS doc_b, tk AS tb FROM d),
+          j AS (SELECT doc_a, doc_b,
+                       CAST(len(list_intersect(ta, tb)) AS BIGINT) AS ninter,
+                       CAST(len(list_intersect(ta, tb)) AS DOUBLE) / len(ta) AS p,
+                       CAST(len(list_intersect(ta, tb)) AS DOUBLE) / len(tb) AS r
+                FROM a JOIN b USING (doc_a))
+          SELECT doc_a, doc_b, ninter,
+                 ${duckR6("p")} AS p, ${duckR6("r")} AS r,
+                 ${duckR6(s"CASE WHEN p + r = ${D.d(0.0)} THEN ${D.d(0.0)} " +
+                   s"ELSE ${D.d(2.0)} * p * r / (p + r) END")} AS f1
+          FROM j
+          ORDER BY doc_a""")),
+
+      // Streaming governance parity: the SAME Governance.cardScan code
+      // runs unchanged as a stateless append-mode streaming projection
+      // over 4 REAL micro-batches and hash-matches the batch q_pii_cards
+      // oracle — map-only operators carry to streams with zero state.
+      Q("q_stream_pii_eq",
+        (s, dir0) => {
+          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
+          import s.implicits._
+          val ss = streamSession(s)
+          implicit val sqlCtx = ss.sqlContext
+          val rows = t(s, dir, "documents")
+            .select(col("doc_id").cast("long"), expr(cardBody(S)).as("body"))
+            .as[(Long, String)].collect().sortBy(_._1)
+          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+          val name = s"q_stream_pii_eq_${System.nanoTime()}"
+          val q = Governance.cardScan(in.toDS().toDF("doc_id", "body"), "body", "doc_id")
+            .writeStream.format("memory").queryName(name).outputMode("append").start()
+          try {
+            rows.grouped(math.max(1, (rows.length + 3) / 4)).foreach { b =>
+              in.addData(b.toSeq); q.processAllAvailable()
+            }
+          } finally {
+            q.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
+          val got = ss.table(name)
+            .select(col("doc_id"), col("n_cands"), col("n_valid"), col("valid_cards"))
+            .as[(Long, Long, Long, String)].collect().toSeq
+          got.toDF("doc_id", "n_cands", "n_valid", "valid_cards").orderBy("doc_id")
+        },
+        Some(s"""
+          WITH b AS (SELECT doc_id, ${cardBody(D)} AS body FROM documents),
+          c AS (SELECT doc_id,
+                       regexp_extract_all(body, '\\b[0-9]{13,19}\\b') AS cands
+                FROM b),
+          v AS (SELECT doc_id, cands,
+                       ${D.filter("cands", "cx__", Exprs.luhnOk(D, "cx__"))} AS valid
+                FROM c)
+          SELECT doc_id,
+                 CAST(len(cands) AS BIGINT) AS n_cands,
+                 CAST(len(valid) AS BIGINT) AS n_valid,
+                 coalesce(array_to_string(valid, ','), '') AS valid_cards
+          FROM v
+          ORDER BY doc_id""")),
+
+      // Stream-static enrich equivalence: a streaming fact feed joined
+      // with a STATIC dimension table (StreamingIngest.enrichStream —
+      // the broadcast re-resolved per micro-batch, the Spark-native
+      // slowly-changing-dimension lookup) over 4 real micro-batches
+      // hash-matches the batch join.
+      Q("q_stream_enrich_eq",
+        (s, dir0) => {
+          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
+          import s.implicits._
+          val ss = streamSession(s)
+          implicit val sqlCtx = ss.sqlContext
+          val rows = t(s, dir, "documents")
+            .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+            .as[(Long, Long)].collect().sortBy(_._1)
+          val meta = t(ss, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("source"))
+          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+          val name = s"q_stream_enrich_eq_${System.nanoTime()}"
+          val q = graft.streaming.StreamingIngest.enrichStream(
+              in.toDS().toDF("doc_id", "n_chars"), meta)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+          try {
+            rows.grouped(math.max(1, (rows.length + 3) / 4)).foreach { b =>
+              in.addData(b.toSeq); q.processAllAvailable()
+            }
+          } finally {
+            q.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
+          val got = ss.table(name)
+            .select(col("doc_id"), col("n_chars"), col("lang"), col("source"))
+            .as[(Long, Long, String, String)].collect().toSeq
+          got.toDF("doc_id", "n_chars", "lang", "source").orderBy("doc_id")
+        },
+        Some("""
+          SELECT doc_id, n_chars, lang, source
+          FROM documents
+          ORDER BY doc_id""")),
+
+      // Streaming JDBC upsert sink — exactly-once BY KEY through real
+      // retries: the chunk index streams in 4 micro-batches through
+      // foreachBatch -> Derby MERGE (writeGenericUpsert), with every
+      // batch RE-SENDING the tail of the previous one (the at-least-once
+      // delivery a restarted stream actually produces). The final table
+      // hash-matches the batch q_rag_index oracle — duplicate deliveries
+      // are absorbed by the keyed MERGE, which is the exactly-once
+      // argument a production keyed sink rests on.
+      Q("q_stream_jdbc_eq",
+        (s, dir0) => {
+          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
+          import s.implicits._
+          import graft.index.JdbcVectorSink
+          val ss = streamSession(s)
+          implicit val sqlCtx = ss.sqlContext
+          val index = RagPipeline.buildIndex(tk(s, dir, "documents"))
+            .select(col("doc_id").cast("long"), col("chunk_idx").cast("long"),
+              col("chunk_id"), col("n_tokens").cast("long"),
+              VectorF.toDoubleArray(col("embedding")).as("embedding"))
+            .as[(Long, Long, String, Long, Seq[Double])]
+            .collect().sortBy(r => (r._1, r._2)).toSeq
+          val url = s"jdbc:derby:memory:graftst${System.nanoTime()};create=true"
+          val drv = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String, Long, Seq[Double])]
+          val q = in.toDS()
+            .toDF("doc_id", "chunk_idx", "chunk_id", "n_tokens", "embedding")
+            .writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              JdbcVectorSink.writeGenericUpsert(batch, url, "chunks", driver = drv)
+            }
+            .outputMode("append").start()
+          try {
+            val g = index.grouped(math.max(1, (index.length + 3) / 4)).toSeq
+            g.zipWithIndex.foreach { case (b, i) =>
+              // re-deliver the previous batch's last 5 rows: simulated
+              // retry overlap the MERGE must absorb
+              val redelivered = if (i == 0) b else g(i - 1).takeRight(5) ++ b
+              in.addData(redelivered); q.processAllAvailable()
+            }
+          } finally q.stop()
+          val back = s.read.format("jdbc").option("url", url)
+            .option("dbtable", "chunks").option("driver", drv).load()
+            .withColumn("emb", expr(
+              "transform(split(substring(embedding_vec, 2, length(embedding_vec) - 2), ','), x__ -> CAST(x__ AS DOUBLE))"))
+            .select(col("doc_id").cast("long").as("doc_id"),
+              col("chunk_idx").cast("long").as("chunk_idx"),
+              col("chunk_id"),
+              col("n_tokens").cast("long").as("n_tokens"),
+              r6(element_at(col("emb"), 1)).as("e1"),
+              r6(VectorF.dot(col("emb"),
+                expr("transform(sequence(1, 64), j__ -> CAST(j__ AS DOUBLE))"))).as("checksum"))
+            .orderBy("doc_id", "chunk_idx")
+          val rows = back.collect().toSeq
+          val schema = back.schema
+          try java.sql.DriverManager.getConnection(
+            url.replace(";create=true", ";drop=true"))
+          catch { case _: java.sql.SQLException => () }
+          s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](
+              scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+        },
+        Some {
+          val duckIndexed = duckEmbed(
+            s"(SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})",
+            "chunk_text", 64)
+          val weights = "list_transform(range(1, 65), j__ -> CAST(j__ AS DOUBLE))"
+          s"""
+          SELECT doc_id, chunk_idx, chunk_id,
+                 CAST(len(${D.splitWs("chunk_text")}) AS BIGINT) AS n_tokens,
+                 (round(emb[1], 6) + CAST(0.0 AS DOUBLE)) AS e1,
+                 (round(${D.dot("emb", weights)}, 6) + CAST(0.0 AS DOUBLE)) AS checksum
+          FROM $duckIndexed
+          ORDER BY doc_id, chunk_idx"""
+        }),
+
+      // Watermarked tumbling-window equivalence: eventsWindowed (1-hour
+      // event-time windows + 1-hour watermark, APPEND mode — only
+      // finalized windows emit) over 4 real micro-batches fed in
+      // event-time order, plus two sentinel batches that push the
+      // watermark past the last real window. The emitted set must
+      // hash-match the BATCH hourly aggregate (q_events_window's SQL):
+      // watermark bookkeeping, window finalization, and cross-batch
+      // state are all under the gate. Value sums are DECIMAL(18,2) so
+      // stream/batch accumulation order cannot diverge.
+      Q("q_stream_window_eq",
+        (s, dir0) => {
+          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
+          import s.implicits._
+          val ss = streamSession(s)
+          implicit val sqlCtx = ss.sqlContext
+          val rows = tEvents(s, dir)
+            .select(expr("ts div 1000").as("tsu"), col("event_type"), col("value"))
+            .as[(Long, String, Double)].collect().sortBy(_._1)
+          val maxTsu = rows.map(_._1).max
+          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double)]
+          val name = s"q_stream_window_eq_${System.nanoTime()}"
+          val stream = in.toDS().toDF("tsu", "event_type", "value")
+            .withColumn("ts", expr("timestamp_micros(tsu)"))
+            .withColumn("value", col("value").cast("decimal(18,2)"))
+          val q = graft.streaming.StreamingIngest.eventsWindowed(stream, "1 hour")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+          try {
+            rows.grouped(math.max(1, (rows.length + 3) / 4)).foreach { b =>
+              in.addData(b.toSeq); q.processAllAvailable()
+            }
+            in.addData((maxTsu + 3L * 3600000000L, "__sentinel__", 0.0))
+            q.processAllAvailable()
+            in.addData((maxTsu + 4L * 3600000000L, "__sentinel__", 0.0))
+            q.processAllAvailable()
+          } finally {
+            q.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
+          val got = ss.table(name)
+            .select(col("event_type"),
+              expr("unix_micros(window.start) div 1000000").cast("long").as("hour_epoch"),
+              col("n").cast("long").as("n"),
+              col("sum_value").cast("double").as("sum_value"))
+            .as[(String, Long, Long, Double)].collect().toSeq
+          got.toDF("event_type", "hour_epoch", "n", "sum_value")
+            .orderBy("event_type", "hour_epoch")
+        },
+        Some("""
+          SELECT event_type,
+                 CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                 count(*) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          FROM events
+          GROUP BY event_type, hour_epoch
+          ORDER BY event_type, hour_epoch""")),
+
+      // HITS hubs/authorities over a deterministic directed doc graph
+      // (every doc links into the low-id "authority core" via two
+      // modular edges) — the companion centrality to q_pagerank for
+      // link-graph curation. 3 unrolled iterations, round-9 decimal
+      // contribution sums, max-normalized half-steps: oracle-exact.
+      Q("q_hits",
+        (s, dir) => {
+          import graft.ops.Graph
+          val docs = t(s, dir, "documents").select(col("doc_id").as("id"))
+          val e1 = docs.select(col("id").as("src"),
+            ((col("id") * col("id") + 1) % 97).as("dst"))
+          val e2 = docs.select(col("id").as("src"),
+            ((col("id") * 31 + 7) % 97).as("dst"))
+          val edges = e1.union(e2).where(col("src") =!= col("dst"))
+          Graph.hits(docs, edges, 3)
+            .select(col("id").as("doc_id"), col("auth"), col("hub"))
+            .orderBy("doc_id")
+        },
+        Some {
+          val edges = """(SELECT src, dst FROM (
+               SELECT doc_id AS src, (doc_id * doc_id + 1) % 97 AS dst FROM documents
+               UNION ALL
+               SELECT doc_id AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents)
+             WHERE src <> dst)"""
+          s"""SELECT id AS doc_id, auth, hub FROM (
+            ${graft.ops.Graph.hitsOracleSql(
+              "(SELECT doc_id AS id FROM documents)", edges, 3)}
+          ) ORDER BY doc_id"""
+        }),
+
+      // Contrastive training-pair generation — the embedding-training
+      // capstone: anchors = first chunk of every 10th doc, positive = the
+      // doc's second chunk (adjacent-window positive), negative = the
+      // single most-similar chunk from a DIFFERENT doc (hardNegatives
+      // with label = doc_id, k = 1). Chunk/embed replayed by the same
+      // oracle CTEs as q_rag_index; the numeric chunk id packs
+      // (doc_id, chunk_idx) so the heap tie-break replays as a
+      // two-column ORDER BY.
+      Q("q_contrastive_pairs",
+        (s, dir) => {
+          // the chunk index feeds THREE subtrees (corpus, anchors,
+          // positives) — persist it so the chunk+embed pipeline runs
+          // once, not three times; the cache manager dedups by plan, so
+          // repeated invocations share one ~O(chunks x dim) entry
+          val chunks = RagPipeline.buildIndex(tk(s, dir, "documents"))
+            .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+              col("chunk_id"), col("embedding"))
+            .withColumn("cid", col("doc_id") * lit(100000L) + col("chunk_idx"))
+            .persist()
+          // BOUNDED anchor set (doc_id < 1000): the broadcast-heap shape
+          // is |anchors| x |corpus| — with anchors growing alongside the
+          // corpus it turns quadratic (measured 18x at 10x data). A
+          // bounded query set keeps it linear; mining negatives for
+          // EVERY doc at 100 TB goes through the LSH/IVF bucket joins
+          // (Dedup/Similarity), not this brute pass.
+          val anchors = chunks
+            .where(col("chunk_idx") === 0 && col("doc_id") % 10 === 0 &&
+              col("doc_id") < 1000)
+          val neg = Similarity.hardNegatives(
+              chunks.select(col("cid"), col("embedding"), col("doc_id")),
+              anchors.select(col("cid"), col("embedding"), col("doc_id")),
+              "cid", "embedding", "doc_id", 1)
+            .withColumn("doc_id", expr("query_id div 100000"))
+            .join(chunks.select(col("cid"), col("chunk_id").as("neg_chunk_id")), "cid")
+          val pos = chunks.where(col("chunk_idx") === 1)
+            .select(col("doc_id"), col("chunk_id").as("pos_chunk_id"))
+          neg.join(pos, "doc_id")
+            .select(col("doc_id"), col("pos_chunk_id"), col("neg_chunk_id"),
+              r6(col("score")).as("neg_score"))
+            .orderBy("doc_id")
+        },
+        Some {
+          val duckIndexed = duckEmbed(
+            s"(SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})",
+            "chunk_text", 64)
+          s"""
+          WITH ch AS (SELECT doc_id, chunk_idx, chunk_id, emb FROM $duckIndexed),
+          a AS (SELECT doc_id, emb AS aemb FROM ch
+                WHERE chunk_idx = 0 AND doc_id % 10 = 0 AND doc_id < 1000),
+          p AS (SELECT doc_id, chunk_id AS pos_chunk_id FROM ch WHERE chunk_idx = 1),
+          scored AS (SELECT a.doc_id, c.chunk_id, c.doc_id AS ndoc, c.chunk_idx,
+                            ${D.cosine("c.emb", "a.aemb")} AS score
+                     FROM ch c, a WHERE c.doc_id <> a.doc_id),
+          best AS (SELECT doc_id, chunk_id AS neg_chunk_id, score,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY score DESC, ndoc, chunk_idx) AS rn
+                   FROM scored)
+          SELECT b.doc_id, p.pos_chunk_id, b.neg_chunk_id,
+                 ${duckR6("b.score")} AS neg_score
+          FROM best b JOIN p ON b.doc_id = p.doc_id
+          WHERE b.rn = 1
+          ORDER BY b.doc_id"""
+        }),
+
+      // Term-distribution drift (ops.Profile.termDrift): add-1-smoothed
+      // unigram KL contributions between the even- and odd-id corpus
+      // halves — the batch-admission drift monitor of a continuously
+      // ingesting pipeline. Vocabulary-sized join; totals broadcast.
+      Q("q_term_drift",
+        (s, dir) => {
+          val docs = t(s, dir, "documents")
+          graft.ops.Profile.termDrift(
+            docs.where(col("doc_id") % 2 === 0),
+            docs.where(col("doc_id") % 2 === 1), "text", 20)
+        },
+        Some(s"""
+          WITH ta AS (SELECT unnest(${D.splitWs("text")}) AS tok
+                      FROM documents WHERE doc_id % 2 = 0),
+          tb AS (SELECT unnest(${D.splitWs("text")}) AS tok
+                 FROM documents WHERE doc_id % 2 = 1),
+          ca AS (SELECT tok, CAST(count(*) AS BIGINT) AS ca FROM ta GROUP BY tok),
+          cb AS (SELECT tok, CAST(count(*) AS BIGINT) AS cb FROM tb GROUP BY tok),
+          j AS (SELECT coalesce(ca.tok, cb.tok) AS tok,
+                       coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+                FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+          tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                         CAST(sum(cb) AS BIGINT) AS nb,
+                         CAST(count(*) AS BIGINT) AS v
+                  FROM j),
+          k AS (SELECT tok, ca, cb,
+                       (round((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)) *
+                              ln((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)) /
+                                 (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))), 6)
+                        + ${D.d(0.0)}) AS contrib
+                FROM j CROSS JOIN tot)
+          SELECT tok, ca, cb, contrib
+          FROM k
+          ORDER BY contrib DESC, tok
+          LIMIT 20""")),
+
+      // Per-dimension embedding health stats — the production monitor for
+      // collapsed/dead dimensions and scale drift in an embedding
+      // pipeline: mean, std, and zero fraction per dimension. Values and
+      // squares round (6/9 decimals) then sum as DECIMALs — exact,
+      // order-independent; one narrow (dim, x) explode, map-side
+      // combined into 64 rows.
+      Q("q_embed_stats",
+        (s, dir) =>
+          t(s, dir, "embeddings")
+            .select(explode(sequence(lit(1), lit(64))).as("dim"),
+              VectorF.toDoubleArray(col("embedding")).as("v"))
+            .select(col("dim").cast("long").as("dim"),
+              element_at(col("v"), col("dim").cast("int")).as("x"))
+            .groupBy("dim")
+            .agg(count(lit(1)).cast("long").as("n"),
+              sum(round(col("x"), 6).cast("decimal(18,6)")).as("sx"),
+              sum(round(col("x") * col("x"), 9).cast("decimal(28,9)")).as("sxx"),
+              sum(when(col("x") === 0.0, 1L).otherwise(0L)).cast("long").as("nz"))
+            .select(col("dim"),
+              r6(col("sx").cast("double") / col("n").cast("double")).as("mean"),
+              r6(sqrt(greatest(
+                col("sxx").cast("double") / col("n").cast("double") -
+                  (col("sx").cast("double") / col("n").cast("double")) *
+                  (col("sx").cast("double") / col("n").cast("double")),
+                lit(0.0)))).as("std"),
+              r6(col("nz").cast("double") / col("n").cast("double")).as("zero_frac"))
+            .orderBy("dim"),
+        Some(s"""
+          WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          x AS (SELECT CAST(dim AS BIGINT) AS dim, v[CAST(dim AS INT)] AS x
+                FROM e, unnest(range(1, 65)) AS t(dim)),
+          a AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                       sum(CAST(round(x, 6) AS DECIMAL(18,6))) AS sx,
+                       sum(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS sxx,
+                       CAST(sum(CASE WHEN x = ${D.d(0.0)} THEN 1 ELSE 0 END) AS BIGINT) AS nz
+                FROM x GROUP BY dim)
+          SELECT dim,
+                 ${duckR6("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)")} AS mean,
+                 ${duckR6("sqrt(greatest(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), CAST(0.0 AS DOUBLE)))")} AS std,
+                 ${duckR6("CAST(nz AS DOUBLE) / CAST(n AS DOUBLE)")} AS zero_frac
+          FROM a
+          ORDER BY dim""")),
+
+      // Johnson-Lindenstrauss sign projection 64 -> 16 (Exprs.jlProject):
+      // OBLIVIOUS dim reduction — no training, no model state, one
+      // streaming pass; the sign matrix is a deterministic integer LCG
+      // of (i, j) evaluated identically in both engines, and the
+      // 1/sqrt(64) = 0.125 scale is exact binary. Emitted: first two
+      // output components + input/output norms (distance preservation is
+      // the JL contract; the norm pair lets any consumer audit it).
+      Q("q_jl_project",
+        (s, dir) => {
+          val S = Dialect.spark
+          t(s, dir, "embeddings")
+            .select(col("vec_id"), VectorF.toDoubleArray(col("embedding")).as("v"))
+            .withColumn("p", expr(Exprs.jlProject(S, "v", 64, 16)))
+            .select(col("vec_id"),
+              r6(element_at(col("p"), 1)).as("p1"),
+              r6(element_at(col("p"), 2)).as("p2"),
+              r6(expr(S.norm("p"))).as("norm_out"),
+              r6(expr(S.norm("v"))).as("norm_in"))
+            .orderBy("vec_id")
+        },
+        Some {
+          val proj = Exprs.jlProject(D, "v", 64, 16)
+          s"""
+          WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          p AS (SELECT vec_id, v, $proj AS p FROM e)
+          SELECT vec_id,
+                 ${duckR6("p[1]")} AS p1,
+                 ${duckR6("p[2]")} AS p2,
+                 ${duckR6(D.norm("p"))} AS norm_out,
+                 ${duckR6(D.norm("v"))} AS norm_in
+          FROM p
+          ORDER BY vec_id"""
+        }),
+
+      // Quantization-error audit with percentile clipping: per dimension,
+      // int8 MSE under the raw symmetric scale (127/max|x| — one outlier
+      // wastes the whole code range) vs the p01/p99-clipped scale — the
+      // standard pre-quantization calibration a vector store runs before
+      // committing to int8. Exact order-statistic clip bounds (window
+      // rank over the per-dim sort), per-element errors round to 12
+      // decimals and sum as DECIMAL(38,12) — exact, order-independent.
+      Q("q_sq8_clip",
+        (s, dir) => {
+          import org.apache.spark.sql.expressions.Window
+          val xs = t(s, dir, "embeddings")
+            .select(explode(sequence(lit(1), lit(64))).as("dim"),
+              VectorF.toDoubleArray(col("embedding")).as("v"))
+            .select(col("dim").cast("long").as("dim"),
+              element_at(col("v"), col("dim").cast("int")).as("x"))
+          val w = Window.partitionBy("dim").orderBy(col("x"))
+          val ranked = xs.withColumn("rn", row_number().over(w))
+          val nPer = ranked.groupBy("dim").agg(count(lit(1)).as("n"))
+          val bounds = ranked.join(nPer, "dim")
+            .groupBy("dim")
+            .agg(
+              max(when(col("rn") === greatest(ceil(col("n") * 0.01), lit(1)).cast("int"),
+                col("x"))).as("lo"),
+              max(when(col("rn") === ceil(col("n") * 0.99).cast("int"),
+                col("x"))).as("hi"),
+              max(abs(col("x"))).as("xm"))
+          val errs = xs.join(bounds, "dim")
+            .withColumn("sr", lit(127.0) / col("xm"))
+            .withColumn("qr", floor(col("x") * col("sr") + lit(0.5)))
+            .withColumn("er",
+              round((col("x") - col("qr") / col("sr")) * (col("x") - col("qr") / col("sr")), 12))
+            .withColumn("xc", least(greatest(col("x"), col("lo")), col("hi")))
+            .withColumn("sc", lit(127.0) / greatest(abs(col("lo")), abs(col("hi"))))
+            .withColumn("qc", floor(col("xc") * col("sc") + lit(0.5)))
+            .withColumn("ec",
+              round((col("x") - col("qc") / col("sc")) * (col("x") - col("qc") / col("sc")), 12))
+          errs.groupBy("dim")
+            .agg(count(lit(1)).as("n"),
+              sum(col("er").cast("decimal(38,12)")).cast("double").as("ser"),
+              sum(col("ec").cast("decimal(38,12)")).cast("double").as("sec"))
+            .select(col("dim"),
+              (round(col("ser") / col("n").cast("double") * lit(1000000.0), 6) + lit(0.0))
+                .as("mse_raw_ppm"),
+              (round(col("sec") / col("n").cast("double") * lit(1000000.0), 6) + lit(0.0))
+                .as("mse_clip_ppm"))
+            .orderBy("dim")
+        },
+        Some("""
+          WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          xs AS (SELECT CAST(dim AS BIGINT) AS dim, v[CAST(dim AS INT)] AS x
+                 FROM e, unnest(range(1, 65)) AS t(dim)),
+          rk AS (SELECT dim, x,
+                        row_number() OVER (PARTITION BY dim ORDER BY x) AS rn,
+                        count(*) OVER (PARTITION BY dim) AS n
+                 FROM xs),
+          bounds AS (SELECT dim,
+                            max(CASE WHEN rn = CAST(greatest(ceil(n * 0.01), 1) AS INT) THEN x END) AS lo,
+                            max(CASE WHEN rn = CAST(ceil(n * 0.99) AS INT) THEN x END) AS hi,
+                            max(abs(x)) AS xm
+                     FROM rk GROUP BY dim),
+          er AS (SELECT xs.dim, xs.x, b.lo, b.hi,
+                        CAST(127.0 AS DOUBLE) / b.xm AS sr,
+                        CAST(127.0 AS DOUBLE) / greatest(abs(b.lo), abs(b.hi)) AS sc,
+                        least(greatest(xs.x, b.lo), b.hi) AS xc
+                 FROM xs JOIN bounds b ON xs.dim = b.dim),
+          er2 AS (SELECT dim,
+                         round((x - floor(x * sr + CAST(0.5 AS DOUBLE)) / sr) *
+                               (x - floor(x * sr + CAST(0.5 AS DOUBLE)) / sr), 12) AS e_raw,
+                         round((x - floor(xc * sc + CAST(0.5 AS DOUBLE)) / sc) *
+                               (x - floor(xc * sc + CAST(0.5 AS DOUBLE)) / sc), 12) AS e_clip
+                  FROM er)
+          SELECT dim,
+                 (round(CAST(sum(CAST(e_raw AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) * CAST(1000000.0 AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS mse_raw_ppm,
+                 (round(CAST(sum(CAST(e_clip AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) * CAST(1000000.0 AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS mse_clip_ppm
+          FROM er2
+          GROUP BY dim
+          ORDER BY dim""")),
+
+      // SQ8 two-stage ANN (ops.Similarity.sq8Ann): int8 scalar-quantized
+      // shortlist scored by the native codegen IntDotProduct (EXACT
+      // integer accumulator — no float discipline needed), exact float
+      // re-rank over the k*4 survivors. The 8x-smaller code index is the
+      // memory/recall trade a 100 TB vector store actually ships.
+      Q("q_sq8_ann",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          Similarity.sq8Ann(emb, emb.where(col("vec_id") < 5),
+              "vec_id", "embedding", "vec_id", "embedding", 5)
+            .select(col("query_id"), col("vec_id"), col("rank"),
+              r6(col("score")).as("score"))
+            .orderBy("query_id", "rank")
+        },
+        Some {
+          val intDot = Exprs.sumLong(D,
+            "list_transform(list_zip(c2.qv, q.qq), p__ -> p__[1] * p__[2])")
+          s"""
+          WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          c AS (SELECT vec_id, v,
+                       ${D.d(127.0)} / list_max(list_transform(v, x__ -> abs(x__))) AS sc
+                FROM e),
+          cq AS (SELECT vec_id, v, sc,
+                        list_transform(v, x__ -> CAST(floor(x__ * sc + ${D.d(0.5)}) AS BIGINT)) AS qv
+                 FROM c WHERE sc IS NOT NULL AND sc <> CAST('inf' AS DOUBLE)),
+          q AS (SELECT vec_id AS query_id, v AS qraw, sc AS qsc, qv AS qq
+                FROM cq WHERE vec_id < 5),
+          approx AS (SELECT q.query_id, c2.vec_id,
+                            CAST($intDot AS DOUBLE) / (c2.sc * q.qsc) AS ascore
+                     FROM cq c2, q),
+          short AS (SELECT query_id, vec_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY ascore DESC, vec_id) AS srn
+                    FROM approx),
+          rr AS (SELECT s.query_id, s.vec_id, ${D.dot("e2.v", "q2.qraw")} AS exact
+                 FROM short s
+                 JOIN e e2 ON s.vec_id = e2.vec_id
+                 JOIN q q2 ON s.query_id = q2.query_id
+                 WHERE s.srn <= 20),
+          ranked AS (SELECT query_id, vec_id, exact,
+                            row_number() OVER (PARTITION BY query_id
+                                               ORDER BY exact DESC, vec_id) AS rank
+                     FROM rr)
+          SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
+                 ${duckR6("exact")} AS score
+          FROM ranked WHERE rank <= 5
+          ORDER BY query_id, rank"""
+        }),
+
+      // Tokenizer fertility per language: BPE-pretokens per word and
+      // bytes per pretoken, grouped on the corpus `lang` column — the
+      // standard multilingual tokenizer-budget audit (a high
+      // bytes-per-token language is under-served by the tokenizer).
+      // Integer sums are exact; one final division per group.
+      Q("q_tok_fertility",
+        (s, dir) =>
+          t(s, dir, "documents")
+            .select(col("lang"),
+              size(TextF.tokens(col("text"))).cast("long").as("nw"),
+              size(TextF.bpeTokens(col("text"))).cast("long").as("nb"),
+              col("n_chars"))
+            .groupBy("lang")
+            .agg(count(lit(1)).cast("long").as("n_docs"),
+              sum(col("nw")).cast("long").as("n_words"),
+              sum(col("nb")).cast("long").as("n_bpe"),
+              sum(col("n_chars")).cast("long").as("n_bytes"))
+            .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe"),
+              r6(col("n_bpe").cast("double") / col("n_words").cast("double"))
+                .as("fertility"),
+              r6(col("n_bytes").cast("double") / col("n_bpe").cast("double"))
+                .as("bytes_per_token"))
+            .orderBy("lang"),
+        Some(s"""
+          WITH d AS (
+            SELECT lang,
+                   len(${D.splitWs("text")}) AS nw,
+                   len(regexp_extract_all(text,
+                     '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+')) AS nb,
+                   n_chars
+            FROM documents)
+          SELECT lang,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(nw) AS BIGINT) AS n_words,
+                 CAST(sum(nb) AS BIGINT) AS n_bpe,
+                 ${duckR6("CAST(sum(nb) AS DOUBLE) / CAST(sum(nw) AS DOUBLE)")} AS fertility,
+                 ${duckR6("CAST(sum(n_chars) AS DOUBLE) / CAST(sum(nb) AS DOUBLE)")} AS bytes_per_token
+          FROM d
+          GROUP BY lang
+          ORDER BY lang"""))
+    )
+  }
+}

@@ -1,0 +1,570 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chunk.Chunking
+import graft.embed.HashingEmbedder
+import graft.functions.{MdContent, TextF, VectorF}
+import graft.ops.{Dedup, Similarity}
+import graft.rag.RagPipeline
+import graft.sqlgen.{Dialect, Exprs}
+
+/** LSA embedding family + sketch/linkage operators. Split from QueryCatalog in r13; shared helpers live in
+  * [[CatalogCore]], the assembled query map in [[QueryCatalog]]. */
+private[graft] trait CatalogLsaSketch extends CatalogCore {
+
+  /** LSA learned embeddings (ops/Lsa.scala + embed/LsaEmbedder.scala): the
+    * trained-in-engine semantic backend for the reference's embedding
+    * stage (`document_processor.py:273-277`). Oracle strategy mirrors the
+    * OPQ/BPE split: everything SQL-expressible (vocabulary, windowed
+    * co-occurrence counts, the mean-pool inference arithmetic, kNN over
+    * the result) hash-matches DuckDB end to end; the eigensolve itself is
+    * property-gated (orthogonality + eigenvalue-order residuals pinned at
+    * spec-constant 0.0, vocabulary identity re-derived non-circularly
+    * from the documents table). */
+  protected def lsaOps: Seq[Q] = {
+    val duckPosToks =
+      s"""toksl AS (SELECT doc_id, ${D.splitWs("text")} AS ss FROM documents),
+          pos AS (SELECT doc_id, CAST(i AS INT) AS pos, ss[CAST(i AS INT)] AS term
+                  FROM (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i
+                        FROM toksl))"""
+    val duckVocab =
+      s"""voc AS (SELECT CAST(row_number() OVER (ORDER BY df DESC, term) - 1 AS BIGINT) AS term_id,
+                         term, df
+                  FROM (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                        FROM pos WHERE length(term) > 0
+                        GROUP BY term ORDER BY df DESC, term LIMIT $lsaTopV))"""
+    Seq(
+      // Vocabulary selection: top-V terms by document frequency — the
+      // learned model's support, fully oracle-replayable (the bounded
+      // row_number window runs on V=512 post-limit rows, never the
+      // corpus).
+      Q("q_lsa_vocab",
+        (s, dir) =>
+          graft.ops.Lsa.vocabulary(tk(s, dir, "documents"), "text", "doc_id",
+            lsaTopV).orderBy("term_id"),
+        Some(s"""
+          WITH $duckPosToks, $duckVocab
+          SELECT term_id, term, df FROM voc ORDER BY term_id""")),
+
+      // Windowed term-term co-occurrence counts over the vocabulary —
+      // the exact-integer statistics PPMI factorizes. Spark side is a
+      // narrow per-document kernel (no position self-join anywhere near
+      // the corpus); the oracle replays it as DuckDB's bounded-distance
+      // position join. Pairs canonicalize lexicographically so
+      // least/greatest replays the kernel's ordering.
+      Q("q_cooc_counts",
+        (s, dir) => {
+          import s.implicits._
+          val m = lsaModel(s, dir)
+          val ids = m.terms.indices.map(i => (i.toLong, m.terms(i)))
+          val lo = ids.toDF("id_lo", "term_lo")
+          val hi = ids.toDF("id_hi", "term_hi")
+          graft.ops.Lsa.cooccurrence(tk(s, dir, "documents"), "text",
+              m.terms, lsaWindow)
+            .join(broadcast(lo), "id_lo").join(broadcast(hi), "id_hi")
+            .select(col("term_lo"), col("term_hi"),
+              col("cnt").cast("long").as("cnt"))
+            .orderBy("term_lo", "term_hi")
+        },
+        Some(s"""
+          WITH $duckPosToks, $duckVocab,
+          p2 AS (SELECT doc_id, pos, term FROM pos
+                 JOIN (SELECT term FROM voc) USING (term))
+          SELECT least(a.term, b.term) AS term_lo,
+                 greatest(a.term, b.term) AS term_hi,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM p2 a JOIN p2 b
+            ON a.doc_id = b.doc_id AND b.pos > a.pos
+           AND b.pos - a.pos <= $lsaWindow
+          GROUP BY 1, 2
+          ORDER BY 1, 2""")),
+
+      // The learned model dump + property gate (q_opq_rotated pattern):
+      // vocabulary identity (term_id, term, df) is re-derived by the
+      // oracle from the documents table (non-circular); the eigensolve's
+      // correctness properties — max |U^T U - I| over signal columns and
+      // any eigenvalue-order violation — are measured in-driver and
+      // pinned at the spec constant 0.0. The vec strings feed the
+      // q_lsa_embed / q_lsa_knn replay oracles (Double.toString
+      // round-trips bit-exactly through DuckDB's CAST).
+      Q("q_lsa_model",
+        (s, dir) => {
+          import s.implicits._
+          val m = lsaModel(s, dir)
+          val ortho = graft.ops.Lsa.orthoResidual(m)
+          val eig = graft.ops.Lsa.eigOrderViolation(m)
+          m.terms.indices
+            .map(i => (i.toLong, m.terms(i), m.dfs(i), m.vectors(i).mkString(",")))
+            .toDF("term_id", "term", "df", "vec")
+            .withColumn("ortho_resid", r6(lit(ortho)))
+            .withColumn("eig_viol", r6(lit(eig)))
+            .orderBy("term_id")
+        },
+        Some(s"""
+          WITH dump AS (SELECT * FROM read_parquet('__GRAFT_OUT__/q_lsa_model/*.parquet')),
+          $duckPosToks, $duckVocab
+          SELECT v.term_id, v.term, v.df, d.vec,
+                 ${duckR6("0.0")} AS ortho_resid,
+                 ${duckR6("0.0")} AS eig_viol
+          FROM voc v JOIN dump d ON v.term = d.term
+          ORDER BY v.term_id""")),
+
+      // Inference, declaratively: document embedding = count-weighted mean
+      // of the learned vectors of in-vocab tokens, long-form (doc_id, dim,
+      // comp) with the EmbeddingPooling decimal discipline. The oracle
+      // replays the SAME arithmetic from the q_lsa_model dump — gating the
+      // whole mean-pool path (LsaSpec pins the BatchedEmbedder kernel's
+      // parity with this declarative form).
+      Q("q_lsa_embed",
+        (s, dir) =>
+          graft.ops.Lsa.docEmbeddingsLong(tk(s, dir, "documents"), "text",
+              "doc_id", lsaModel(s, dir))
+            .orderBy("doc_id", "dim"),
+        Some(s"""
+          WITH dump AS (SELECT term,
+                               list_transform(string_split(vec, ','),
+                                              x -> CAST(x AS DOUBLE)) AS v
+                        FROM read_parquet('__GRAFT_OUT__/q_lsa_model/*.parquet')),
+          tv AS (SELECT term, CAST(k AS BIGINT) AS dim,
+                        v[CAST(k AS INT) + 1] AS comp
+                 FROM (SELECT term, v, unnest(range(0, len(v))) AS k FROM dump)),
+          toks AS (SELECT doc_id, unnest(${D.splitWs("text")}) AS term
+                   FROM documents),
+          counts AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt
+                     FROM toks GROUP BY doc_id, term),
+          tot AS (SELECT doc_id, sum(cnt) AS tot
+                  FROM counts JOIN (SELECT DISTINCT term FROM dump) USING (term)
+                  GROUP BY doc_id)
+          SELECT c.doc_id, tv.dim,
+                 CAST(sum(CAST(round(CAST(c.cnt AS DOUBLE) * tv.comp, 6)
+                                 + ${D.d(0.0)} AS DECIMAL(28,6))) AS DOUBLE)
+                   / CAST(t.tot AS DOUBLE) AS comp
+          FROM counts c JOIN tv USING (term) JOIN tot t ON c.doc_id = t.doc_id
+          GROUP BY c.doc_id, tv.dim, t.tot
+          ORDER BY c.doc_id, tv.dim""")),
+
+      // Semantic kNN over the LEARNED embeddings: top-10 cosine neighbors
+      // of doc 0 — the retrieval query the whole training exists for,
+      // replayed by the oracle from the q_lsa_embed dump with the shared
+      // sequential-fold cosine. TakeOrderedAndProject top-k; the probe
+      // side is one broadcast row.
+      Q("q_lsa_knn",
+        (s, dir) => {
+          val dls = Dialect.spark
+          val emb = graft.ops.Lsa.docEmbeddingsLong(
+              tk(s, dir, "documents"), "text", "doc_id", lsaModel(s, dir))
+            .groupBy("doc_id")
+            .agg(expr("transform(array_sort(collect_list(struct(dim, comp))), s__ -> s__.comp)")
+              .as("v"))
+          val probe = emb.where(col("doc_id") === 0)
+            .select(col("v").as("qv"))
+          emb.where(col("doc_id") =!= 0).crossJoin(broadcast(probe))
+            .select(col("doc_id"), r6(expr(dls.cosine("v", "qv"))).as("sim"))
+            .orderBy(col("sim").desc, col("doc_id"))
+            .limit(10)
+        },
+        Some(s"""
+          WITH e AS (SELECT doc_id, list(comp ORDER BY dim) AS v
+                     FROM read_parquet('__GRAFT_OUT__/q_lsa_embed/*.parquet')
+                     GROUP BY doc_id),
+          q AS (SELECT v AS qv FROM e WHERE doc_id = 0)
+          SELECT e.doc_id, ${duckR6(D.cosine("e.v", "q.qv"))} AS sim
+          FROM e, q WHERE e.doc_id <> 0
+          ORDER BY sim DESC, e.doc_id
+          LIMIT 10"""))
+    )
+  }
+
+  /** Hash-sketch gates (exact md5-replayable CMS + Bloom), Misra-Gries
+    * property gate, Jaro-Winkler record linkage, and single-series
+    * diagnostics (ACF, CUSUM). The sketch queries use EXPLICIT md5-derived
+    * hash functions shared verbatim between the engines — unlike the
+    * opaque built-in sketches ([[graft.ops.Sketches]].approxDistinct /
+    * cmsFrequencies), every counter and bit here is an exact integer the
+    * oracle recomputes. */
+  protected def sketchLinkOps: Seq[Q] = {
+    // 3 md5 hex digits (4096 values) of "salt:term" folded mod width —
+    // the shared CMS-row / Bloom-bit hash family (Exprs.md5Bucket, also
+    // used by the streaming CMS gate)
+    def hb(dl: Dialect, x: String, salt: Int, width: Int): String =
+      Exprs.md5Bucket(dl, x, salt, width)
+    val dls = Dialect.spark
+    val duckToksNE =
+      s"""toks AS (SELECT doc_id, unnest(${D.splitWs("text")}) AS term
+                   FROM documents),
+          tf AS (SELECT doc_id, term FROM toks WHERE length(term) > 0)"""
+    // daily revenue series: the calendar-bounded input both series
+    // diagnostics share (the corpus-sized work is THIS groupBy; the
+    // recursion/window after it touches ~2.4k rows)
+    def daySeries(s: SparkSession, dir: String) =
+      t(s, dir, "orders").groupBy(col("o_orderdate").as("d"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("rev"))
+    val duckDays =
+      """(SELECT o_orderdate AS d,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+          FROM orders GROUP BY 1)"""
+    Seq(
+      // Count-Min Sketch with an EXPLICIT replayable hash family (depth 4
+      // x width 64): every counter is an exact group-by count, estimates
+      // are min-over-rows — the oracle rebuilds the entire grid and every
+      // estimate. Structural guarantee under the hash: est >= exact
+      // (collisions only ADD), visible in the dump as est - exact.
+      Q("q_cms_freq",
+        (s, dir) => {
+          val toks = tk(s, dir, "documents")
+            .select(explode(TextF.tokens(col("text"))).as("term"))
+            .where(length(col("term")) > 0)
+          val withB = toks.select(col("term") +:
+            (0 until 4).map(r =>
+              expr(hb(dls, "term", r, 64)).cast("long").as(s"b$r")): _*)
+          val counters = withB
+            .select(posexplode(array((0 until 4).map(r => col(s"b$r")): _*))
+              .as(Seq("r", "bucket")))
+            .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+          val probes = toks.groupBy("term").agg(count(lit(1)).as("exact"))
+            .orderBy(col("exact").desc, col("term")).limit(20)
+          val probeB = probes.select(col("term"), col("exact"),
+            posexplode(array((0 until 4).map(r =>
+              expr(hb(dls, "term", r, 64)).cast("long")): _*))
+              .as(Seq("r", "bucket")))
+          probeB.join(counters, Seq("r", "bucket"))
+            .groupBy("term", "exact").agg(min("c").as("est"))
+            .select(col("term"), col("exact").cast("long").as("exact"),
+              col("est").cast("long").as("est"))
+            .orderBy(col("exact").desc, col("term"))
+        },
+        Some {
+          val counters = (0 until 4).map(r =>
+            s"""SELECT $r AS r, ${hb(D, "term", r, 64)} AS bucket,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM tf GROUP BY 2""").mkString(" UNION ALL ")
+          val probeJoin = (0 until 4).map(r =>
+            s"""SELECT p.term, p.exact, c.c
+                FROM probes p JOIN counters c
+                  ON c.r = $r AND c.bucket = ${hb(D, "p.term", r, 64)}""")
+            .mkString(" UNION ALL ")
+          s"""
+          WITH $duckToksNE,
+          counters AS ($counters),
+          probes AS (SELECT term, CAST(count(*) AS BIGINT) AS exact
+                     FROM tf GROUP BY term
+                     ORDER BY exact DESC, term LIMIT 20)
+          SELECT term, exact, min(c) AS est
+          FROM ($probeJoin)
+          GROUP BY term, exact
+          ORDER BY exact DESC, term"""
+        }),
+
+      // Bloom-filter membership with explicit md5 bits (m=1024, 3
+      // hashes): the filter is built over the doc_id < 250 half's
+      // vocabulary and probed with EVERY term — present terms must hit
+      // (no false negatives, structural), absent terms expose the real
+      // false-positive surface. Bits, probes, and hits all replay
+      // exactly.
+      Q("q_bloom_probe",
+        (s, dir) => {
+          val terms = tk(s, dir, "documents")
+            .select(col("doc_id"), explode(TextF.tokens(col("text"))).as("term"))
+            .where(length(col("term")) > 0)
+          val vocab = terms.groupBy("term")
+            .agg(max(when(col("doc_id") < 250, 1L).otherwise(0L)).as("present"))
+          val bitsOf = array((0 until 3).map(j =>
+            expr(hb(dls, "term", 100 + j, 1024)).cast("long")): _*)
+          val bits = vocab.where(col("present") === 1L)
+            .select(explode(bitsOf).as("bit")).distinct()
+          val probeBits = vocab.select(col("term"), col("present"),
+            explode(bitsOf).as("bit"))
+          probeBits.join(broadcast(bits), Seq("bit"))
+            .groupBy("term", "present").agg(count(lit(1)).as("__hits"))
+            .select(col("term"), (col("present") === 1L).as("present"),
+              (col("__hits") === 3L).as("hit"))
+            .orderBy("term")
+        },
+        Some {
+          val bitsOf = (j: Int, x: String) => hb(D, x, 100 + j, 1024)
+          val idxBits = (0 until 3).map(j =>
+            s"SELECT DISTINCT ${bitsOf(j, "term")} AS bit FROM voc WHERE present = 1")
+            .mkString(" UNION ")
+          val probeBits = (0 until 3).map(j =>
+            s"SELECT term, present, ${bitsOf(j, "term")} AS bit FROM voc")
+            .mkString(" UNION ALL ")
+          s"""
+          WITH $duckToksNE,
+          voc AS (SELECT term,
+                         max(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS present
+                  FROM tf GROUP BY term),
+          bits AS ($idxBits),
+          pb AS ($probeBits)
+          SELECT pb.term, (max(pb.present) = 1) AS present,
+                 (CAST(count(*) AS BIGINT) = 3) AS hit
+          FROM pb JOIN bits ON pb.bit = bits.bit
+          GROUP BY pb.term
+          ORDER BY pb.term"""
+        }),
+
+      // Misra-Gries heavy hitters, property-gated (the merged candidate
+      // set is merge-order dependent, so the dump IS the candidate list
+      // and the oracle re-derives everything checkable about it):
+      // exact counts recomputed non-circularly per candidate; est_ok
+      // pins the two MG guarantees (underestimate, within n/(k+1));
+      // covers_required pins "every term with exact > n/(k+1) is in the
+      // dump" — the guarantee that makes MG a safe pre-filter.
+      Q("q_mg_heavy",
+        (s, dir) => {
+          import s.implicits._
+          val toks = tk(s, dir, "documents")
+            .select(explode(TextF.tokens(col("text"))).as("term"))
+            .where(length(col("term")) > 0)
+          val k = 32
+          val mg = graft.ops.Sketches.heavyHittersSummary(toks, "term", k)
+          val n = toks.count()
+          val bound = n / (k + 1)
+          val exact = toks.groupBy("term").agg(count(lit(1)).as("exact"))
+          val cand = mg.toSeq.sortBy { case (t, c) => (-c, t) }
+            .toDF("term", "mg_est")
+          val joined = cand.join(exact, Seq("term"))
+          val estOk = joined.agg(min(
+            (col("mg_est") <= col("exact")) &&
+              (col("exact") - col("mg_est") <= lit(bound))).as("ok"))
+            .collect()(0).getBoolean(0)
+          val required = exact.where(col("exact") > bound)
+          val covered = required.join(cand, Seq("term"), "left_anti").count() == 0L
+          joined
+            .select(col("term"), col("exact").cast("long").as("exact"),
+              lit(estOk).as("est_ok"), lit(covered).as("covers_required"))
+            .orderBy(col("exact").desc, col("term"))
+        },
+        Some(s"""
+          WITH $duckToksNE,
+          dump AS (SELECT term FROM read_parquet('__GRAFT_OUT__/q_mg_heavy/*.parquet')),
+          cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS exact
+                  FROM tf GROUP BY term),
+          n AS (SELECT CAST(count(*) AS BIGINT) // 33 AS bound FROM tf),
+          req AS (SELECT c.term FROM cnt c, n WHERE c.exact > n.bound),
+          cov AS (SELECT (count(*) = 0) AS covered
+                  FROM req WHERE term NOT IN (SELECT term FROM dump))
+          SELECT d.term, c.exact, TRUE AS est_ok, cov.covered AS covers_required
+          FROM dump d JOIN cnt c ON d.term = c.term, cov
+          ORDER BY c.exact DESC, d.term""")),
+
+      // Record linkage: blocked candidate pairs (equi-join on the first
+      // name token — NEVER all-pairs; Linkage.blockedPairs require-fails
+      // on any block above the explicit cap) scored by the native codegen
+      // Jaro-Winkler expression, fuzz-pinned to DuckDB's built-in so the
+      // oracle scores with jaro_winkler_similarity directly.
+      Q("q_jw_linkage",
+        (s, dir) => {
+          val p = t(s, dir, "part").where(col("p_partkey") < 1500)
+          graft.ops.Linkage.blockedPairs(
+              p, "p_partkey", "p_name",
+              expr(dls.at(dls.splitWs("p_name"), "1")), 0.87)
+            .select(col("id_a"), col("id_b"), r6(col("sim")).as("sim"))
+            .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+            .limit(200)
+        },
+        Some(s"""
+          WITH p AS (SELECT p_partkey, p_name,
+                            ${D.at(D.splitWs("p_name"), "1")} AS blk
+                     FROM part WHERE p_partkey < 1500)
+          SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                 ${duckR6("jaro_winkler_similarity(a.p_name, b.p_name)")} AS sim
+          FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+          WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.87
+          ORDER BY sim DESC, id_a, id_b
+          LIMIT 200""")),
+
+      // Streaming CMS == batch CMS: each REAL micro-batch aggregates its
+      // own (row, bucket) counts distributed and the cross-batch holder
+      // adds them; counter addition commutes, so the merged grid — and
+      // every probe estimate off it — must hash-match the SAME oracle
+      // that replays q_cms_freq's one-pass grid. The sketch-in-a-stream
+      // pattern: constant state (depth x width longs) no matter how many
+      // batches or how hot the keys.
+      Q("q_stream_cms_eq",
+        (s, dir0) => {
+          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
+          import s.implicits._
+          val ss = streamSession(s)
+          implicit val sqlCtx = ss.sqlContext
+          val toksDf = tk(s, dir, "documents")
+            .select(explode(TextF.tokens(col("text"))).as("term"))
+            .where(length(col("term")) > 0)
+          val vals = toksDf.as[String].collect().sorted
+          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+          val (q, holder) = graft.streaming.StreamingSketch.cmsStream(
+            in.toDS().toDF("term"), "term", 4, 64,
+            s"q_stream_cms_eq_${System.nanoTime()}")
+          try {
+            vals.grouped(math.max(1, (vals.length + 3) / 4)).foreach { b =>
+              in.addData(b.toSeq); q.processAllAvailable()
+            }
+          } finally {
+            q.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
+          val counters = holder.counters
+            .toDF("r", "bucket", "c")
+            .select(col("r").cast("int").as("r"),
+              col("bucket").cast("long").as("bucket"), col("c"))
+          val probes = toksDf.groupBy("term").agg(count(lit(1)).as("exact"))
+            .orderBy(col("exact").desc, col("term")).limit(20)
+          val probeB = probes.select(col("term"), col("exact"),
+            posexplode(array((0 until 4).map(r =>
+              expr(hb(dls, "term", r, 64)).cast("long")): _*))
+              .as(Seq("r", "bucket")))
+          probeB.join(broadcast(counters), Seq("r", "bucket"))
+            .groupBy("term", "exact").agg(min("c").as("est"))
+            .select(col("term"), col("exact").cast("long").as("exact"),
+              col("est").cast("long").as("est"))
+            .orderBy(col("exact").desc, col("term"))
+        },
+        Some {
+          val counters = (0 until 4).map(r =>
+            s"""SELECT $r AS r, ${hb(D, "term", r, 64)} AS bucket,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM tf GROUP BY 2""").mkString(" UNION ALL ")
+          val probeJoin = (0 until 4).map(r =>
+            s"""SELECT p.term, p.exact, c.c
+                FROM probes p JOIN counters c
+                  ON c.r = $r AND c.bucket = ${hb(D, "p.term", r, 64)}""")
+            .mkString(" UNION ALL ")
+          s"""
+          WITH $duckToksNE,
+          counters AS ($counters),
+          probes AS (SELECT term, CAST(count(*) AS BIGINT) AS exact
+                     FROM tf GROUP BY term
+                     ORDER BY exact DESC, term LIMIT 20)
+          SELECT term, exact, min(c) AS est
+          FROM ($probeJoin)
+          GROUP BY term, exact
+          ORDER BY exact DESC, term"""
+        }),
+
+      // CIDR enrichment: md5-derived IPv4 per user, a mixed /8 + /9
+      // network dimension labeled by nation, and the SCALABLE range-join
+      // shape — equi-join on the top octet (every block lives inside one
+      // top octet, so the prefix IS a perfect blocking key) + range
+      // check inside the block, all on a broadcast dimension. No
+      // BroadcastNestedLoopJoin, no theta-join over the corpus.
+      Q("q_ip_enrich",
+        (s, dir) => {
+          val ipFold = {
+            val h1 = s"CAST(${dls.md5HexDigit(dls.castStr("user_id"), 1)} AS BIGINT)"
+            (2 to 8).map(i => dls.md5HexDigit(dls.castStr("user_id"), i))
+              .foldLeft(h1)((acc, d) => s"(($acc) * 16 + $d)")
+          }
+          val evs = t(s, dir, "events")
+            .select(col("user_id").cast("long").as("user_id"),
+              expr(ipFold).as("ip"))
+            .withColumn("oct1", expr("ip div 16777216").cast("long"))
+          // 128 /8 blocks (oct1 0..127) + 512 /9 blocks (oct1 128..255,
+          // two halves each) — mixed prefix lengths, like a real CIDR set
+          val blocks = s.range(0, 128 + 256)
+            .select(col("id").as("net_id"),
+              when(col("id") < 128, col("id"))
+                .otherwise(lit(128) + expr("(id - 128) div 2")).as("oct1"),
+              when(col("id") < 128, col("id") * 16777216L)
+                .otherwise((lit(128) + expr("(id - 128) div 2")) * 16777216L +
+                  expr("(id - 128) % 2") * 8388608L).as("lo"))
+            .withColumn("hi",
+              when(col("net_id") < 128, col("lo") + 16777215L)
+                .otherwise(col("lo") + 8388607L))
+            .withColumn("n_nationkey", expr("net_id % 25"))
+          val nation = t(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"))
+          val dim = blocks.join(nation, Seq("n_nationkey"))
+          evs.join(broadcast(dim), Seq("oct1"))
+            .where(col("ip") >= col("lo") && col("ip") <= col("hi"))
+            .groupBy(col("n_name"))
+            .agg(count(lit(1)).as("n_events"),
+              countDistinct(col("user_id")).as("n_users"))
+            .select(col("n_name"), col("n_events").cast("long").as("n_events"),
+              col("n_users").cast("long").as("n_users"))
+            .orderBy("n_name")
+        },
+        Some {
+          val ipFold = {
+            val h1 = s"CAST(${D.md5HexDigit(D.castStr("user_id"), 1)} AS BIGINT)"
+            (2 to 8).map(i => D.md5HexDigit(D.castStr("user_id"), i))
+              .foldLeft(h1)((acc, d) => s"(($acc) * 16 + $d)")
+          }
+          s"""
+          WITH evs AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+                              $ipFold AS ip
+                       FROM events),
+          e2 AS (SELECT user_id, ip, ip // 16777216 AS oct1 FROM evs),
+          blocks AS (
+            SELECT i AS net_id,
+                   CASE WHEN i < 128 THEN i ELSE 128 + (i - 128) // 2 END AS oct1,
+                   CASE WHEN i < 128 THEN i * 16777216
+                        ELSE (128 + (i - 128) // 2) * 16777216
+                             + ((i - 128) % 2) * 8388608 END AS lo,
+                   CASE WHEN i < 128 THEN i * 16777216 + 16777215
+                        ELSE (128 + (i - 128) // 2) * 16777216
+                             + ((i - 128) % 2) * 8388608 + 8388607 END AS hi,
+                   i % 25 AS n_nationkey
+            FROM (SELECT unnest(range(0, 384)) AS i)),
+          dim AS (SELECT b.*, n.n_name FROM blocks b
+                  JOIN nation n USING (n_nationkey))
+          SELECT d.n_name,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+          FROM e2 e JOIN dim d
+            ON e.oct1 = d.oct1 AND e.ip >= d.lo AND e.ip <= d.hi
+          GROUP BY d.n_name
+          ORDER BY d.n_name"""
+        }),
+
+      // Autocorrelation of daily revenue at lags 1..7 — the seasonality
+      // read. Exact-decimal mean + r6-decimal lag products: bit-exact
+      // with no fold-order assumptions (see Analytics.acf).
+      Q("q_acf",
+        (s, dir) =>
+          graft.ops.Analytics.acf(daySeries(s, dir), "d", "rev", 7)
+            .orderBy("lag"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Analytics.acfOracleSql(D, duckDays, "d", "rev", 7)}
+          ) ORDER BY lag""")),
+
+      // One-sided CUSUM changepoint statistic over daily revenue:
+      // sequential recursion dumped as RAW doubles, oracle replays each
+      // step as one IEEE op chain over the dumped previous step (the
+      // holt pattern); mu and the sd/2 allowance re-derived by the
+      // oracle from exact decimal sums.
+      Q("q_cusum",
+        (s, dir) =>
+          graft.ops.Analytics.cusum(daySeries(s, dir), "d", "rev")
+            .orderBy("step"),
+        Some(s"""
+          WITH ser AS (SELECT d, rev AS x FROM $duckDays t__(d, rev)),
+          st AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS s,
+                        sum(x * x) AS s2
+                 FROM ser),
+          park AS (SELECT ${D.decToDouble("s")} / CAST(n AS DOUBLE) AS mu,
+                          sqrt(${D.decToDouble("s2")} / CAST(n AS DOUBLE)
+                               - (${D.decToDouble("s")} / CAST(n AS DOUBLE))
+                                 * (${D.decToDouble("s")} / CAST(n AS DOUBLE)))
+                            / CAST(2.0 AS DOUBLE) AS k
+                   FROM st),
+          dump AS (SELECT step, d, s
+                   FROM read_parquet('__GRAFT_OUT__/q_cusum/*.parquet')),
+          prev AS (SELECT step, lag(s) OVER (ORDER BY step) AS ps FROM dump)
+          SELECT dm.step, dm.d,
+                 (CAST(r.x AS DOUBLE) + ${D.d(0.0)}) AS x,
+                 (CASE WHEN dm.step = 1
+                       THEN greatest(${D.d(0.0)},
+                              (CAST(r.x AS DOUBLE) - park.mu) - park.k)
+                       ELSE greatest(${D.d(0.0)},
+                              p.ps + ((CAST(r.x AS DOUBLE) - park.mu) - park.k))
+                  END + ${D.d(0.0)}) AS s
+          FROM dump dm
+          JOIN prev p ON dm.step = p.step
+          JOIN ser r ON dm.d = r.d, park
+          ORDER BY dm.step"""))
+    )
+  }
+}

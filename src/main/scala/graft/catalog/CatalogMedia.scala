@@ -1,0 +1,699 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chunk.Chunking
+import graft.embed.HashingEmbedder
+import graft.functions.{MdContent, TextF, VectorF}
+import graft.ops.{Dedup, Similarity}
+import graft.rag.RagPipeline
+import graft.sqlgen.{Dialect, Exprs}
+
+/** Audio/PCM and image-pixel multimodal operators. Split from QueryCatalog in r13; shared helpers live in
+  * [[CatalogCore]], the assembled query map in [[QueryCatalog]]. */
+private[graft] trait CatalogMedia extends CatalogCore {
+
+  /** PCM energy windows over REAL synthesized payloads: each doc gets 96
+    * deterministic 16-bit samples (v = (doc_id*131 + s*17) % 2001 - 1000)
+    * serialized into an actual RIFF/WAVE byte string; the kernel decodes
+    * the two's-complement bytes back and computes per-32-sample RMS. The
+    * oracle recomputes the RMS from the sample FORMULA — so the byte
+    * round-trip (LE serialization, chunk walk, sign extension) is what's
+    * being verified. Integer samples keep every sum exact: no rounding
+    * anywhere, outputs are bit-identical raw doubles. */
+  protected def pcmOps: Seq[Q] = Seq(
+    Q("q_pcm_energy",
+      (s, dir) => {
+        def le(e: String, nBytes: Int): String =
+          (0 until nBytes).map(i =>
+            s"lpad(hex((($e) div ${1L << (8 * i)}) % 256), 2, '0')")
+            .mkString("concat(", ", ", ")")
+        val u = "(((doc_id * 131 + s__ * 17) % 2001 - 1000) + 65536) % 65536"
+        val pcmHex = s"array_join(transform(sequence(0, 95), " +
+          s"s__ -> concat(lpad(hex(($u) % 256), 2, '0'), " +
+          s"lpad(hex(($u) div 256), 2, '0'))), '')"
+        val withBytes = t(s, dir, "documents")
+          .withColumn("wav", unhex(expr(
+            s"""concat('52494646', ${le("36 + 192", 4)}, '57415645',
+                '666D7420', '10000000', '0100', '0100', ${le("8000", 4)},
+                ${le("16000", 4)}, '0200', '1000',
+                '64617461', ${le("192", 4)}, $pcmHex)""")))
+        graft.multimodal.BinaryColumns.pcmEnergyWindows(withBytes, "wav", "doc_id", 32)
+          .orderBy("doc_id", "window_no")
+      },
+      Some("""
+        WITH s AS (SELECT doc_id, unnest(range(0, 96)) AS s FROM documents),
+        v AS (SELECT doc_id, s // 32 AS window_no,
+                     CAST((doc_id * 131 + s * 17) % 2001 - 1000 AS DOUBLE) AS v
+              FROM s)
+        SELECT doc_id, CAST(window_no AS BIGINT) AS window_no,
+               count(*) AS n_samples,
+               sqrt(sum(v * v) / CAST(32 AS DOUBLE)) AS rms
+        FROM v GROUP BY doc_id, window_no
+        ORDER BY doc_id, window_no""")),
+
+    // Voice-activity segments on REAL WAV byte round-trips: a 512-sample
+    // payload whose 16 windows carry a burst ENVELOPE (windows with
+    // ((doc_id + w) % 5) < 2 get full-scale samples, the rest a ±20
+    // murmur), so RMS >= 50 marks activity and consecutive active
+    // windows must merge into islands. The whole chain — LE
+    // serialization, chunk walk, RMS kernel, threshold, island collapse,
+    // segment numbering — replays from the sample formula in SQL.
+    Q("q_audio_vad",
+      (s, dir) => {
+        def le(e: String, nBytes: Int): String =
+          (0 until nBytes).map(i =>
+            s"lpad(hex((($e) div ${1L << (8 * i)}) % 256), 2, '0')")
+            .mkString("concat(", ", ", ")")
+        val v = "(CASE WHEN ((doc_id + (s__ div 32)) % 5) < 2 " +
+          "THEN (doc_id * 131 + s__ * 17) % 2001 - 1000 " +
+          "ELSE (doc_id * 7 + s__ * 13) % 41 - 20 END)"
+        val u = s"(($v) + 65536) % 65536"
+        val pcmHex = s"array_join(transform(sequence(0, 511), " +
+          s"s__ -> concat(lpad(hex(($u) % 256), 2, '0'), " +
+          s"lpad(hex(($u) div 256), 2, '0'))), '')"
+        val withBytes = t(s, dir, "documents")
+          .withColumn("wav", unhex(expr(
+            s"""concat('52494646', ${le("36 + 1024", 4)}, '57415645',
+                '666D7420', '10000000', '0100', '0100', ${le("8000", 4)},
+                ${le("16000", 4)}, '0200', '1000',
+                '64617461', ${le("1024", 4)}, $pcmHex)""")))
+        graft.multimodal.BinaryColumns.pcmVadSegments(
+            withBytes, "wav", "doc_id", 32, 50.0)
+          .orderBy("doc_id", "seg_no")
+      },
+      Some("""
+        WITH s AS (SELECT doc_id, unnest(range(0, 512)) AS s FROM documents),
+        v AS (SELECT doc_id, s // 32 AS w,
+                     CASE WHEN ((doc_id + (s // 32)) % 5) < 2
+                          THEN CAST((doc_id * 131 + s * 17) % 2001 - 1000 AS DOUBLE)
+                          ELSE CAST((doc_id * 7 + s * 13) % 41 - 20 AS DOUBLE) END AS v
+              FROM s),
+        e AS (SELECT doc_id, w, sqrt(sum(v * v) / CAST(32 AS DOUBLE)) AS rms
+              FROM v GROUP BY doc_id, w),
+        a AS (SELECT doc_id, w FROM e WHERE rms >= CAST(50.0 AS DOUBLE)),
+        g AS (SELECT doc_id, w,
+                     w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+              FROM a),
+        seg AS (SELECT doc_id,
+                       CAST(min(w) AS BIGINT) AS start_window,
+                       CAST(max(w) AS BIGINT) AS end_window,
+                       CAST(count(*) AS BIGINT) AS n_windows
+                FROM g GROUP BY doc_id, grp)
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_window) AS BIGINT) AS seg_no,
+               start_window, end_window, n_windows
+        FROM seg ORDER BY doc_id, seg_no""")),
+
+    // Single-bin DFT power (bin 3 over the 96-sample payload) on REAL
+    // WAV byte round-trips — the tone/carrier detector, frequency-domain
+    // companion to q_pcm_energy. The trig coefficients are computed ONCE
+    // in Scala and shared with the oracle as 17-significant-digit
+    // literals (exact double round-trip), so no libm trig runs in either
+    // engine's kernel: products and the sequential fold are bit-exact.
+    Q("q_audio_dft",
+      (s, dir) => {
+        def le(e: String, nBytes: Int): String =
+          (0 until nBytes).map(i =>
+            s"lpad(hex((($e) div ${1L << (8 * i)}) % 256), 2, '0')")
+            .mkString("concat(", ", ", ")")
+        val u = "(((doc_id * 131 + s__ * 17) % 2001 - 1000) + 65536) % 65536"
+        val pcmHex = s"array_join(transform(sequence(0, 95), " +
+          s"s__ -> concat(lpad(hex(($u) % 256), 2, '0'), " +
+          s"lpad(hex(($u) div 256), 2, '0'))), '')"
+        val withBytes = t(s, dir, "documents")
+          .withColumn("wav", unhex(expr(
+            s"""concat('52494646', ${le("36 + 192", 4)}, '57415645',
+                '666D7420', '10000000', '0100', '0100', ${le("8000", 4)},
+                ${le("16000", 4)}, '0200', '1000',
+                '64617461', ${le("192", 4)}, $pcmHex)""")))
+        val cosC = Array.tabulate(96)(n => math.cos(2.0 * math.Pi * 3 * n / 96))
+        val sinC = Array.tabulate(96)(n => math.sin(2.0 * math.Pi * 3 * n / 96))
+        graft.multimodal.BinaryColumns
+          .pcmDftBin(withBytes, "wav", "doc_id", 96, cosC, sinC)
+          .select(col("doc_id"), col("window_no"), r6(col("power")).as("power"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val cosC = Array.tabulate(96)(n => math.cos(2.0 * math.Pi * 3 * n / 96))
+        val sinC = Array.tabulate(96)(n => math.sin(2.0 * math.Pi * 3 * n / 96))
+        def arr(a: Array[Double]) = a.map(v => f"$v%.17e").mkString("[", ", ", "]")
+        val v = "CAST((doc_id * 131 + n * 17) % 2001 - 1000 AS DOUBLE)"
+        def fold(coefCol: String) =
+          s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(0, 96), n -> $v * ($coefCol)[n + 1])),
+              (a__, x__) -> a__ + x__)"""
+        s"""
+        WITH coef AS (SELECT ${arr(cosC)} AS ca, ${arr(sinC)} AS sa),
+        f AS (SELECT doc_id,
+                     ${fold("ca")} AS re, ${fold("sa")} AS im
+              FROM documents CROSS JOIN coef)
+        SELECT doc_id, CAST(0 AS BIGINT) AS window_no,
+               ${duckR6("re * re + im * im")} AS power
+        FROM f
+        ORDER BY doc_id"""
+      }),
+
+    // Haar-wavelet audio fingerprints over REAL PCM byte round-trips: the
+    // sample payload is keyed by doc_id % 50 (a CONTENT class) while the
+    // container's sample-rate fields vary by doc_id — so byte hashes
+    // differ within a class but decoded-sample fingerprints agree. Exact
+    // integer arithmetic end to end: the oracle recomputes every Haar
+    // difference, band energy, and sign bit from the sample FORMULA, so
+    // the LE serialization, chunk walk, sign extension, and wavelet
+    // kernel are all under the hash.
+    Q("q_audio_fingerprint",
+      (s, dir) => {
+        def le(e: String, nBytes: Int): String =
+          (0 until nBytes).map(i =>
+            s"lpad(hex((($e) div ${1L << (8 * i)}) % 256), 2, '0')")
+            .mkString("concat(", ", ", ")")
+        val u = "((((doc_id % 50) * 131 + s__ * 17) % 2001 - 1000) + 65536) % 65536"
+        val pcmHex = s"array_join(transform(sequence(0, 95), " +
+          s"s__ -> concat(lpad(hex(($u) % 256), 2, '0'), " +
+          s"lpad(hex(($u) div 256), 2, '0'))), '')"
+        val withBytes = t(s, dir, "documents")
+          .withColumn("sr", (lit(8000) + (col("doc_id") % 8) * 1000).cast("long"))
+          .withColumn("wav", unhex(expr(
+            s"""concat('52494646', ${le("36 + 192", 4)}, '57415645',
+                '666D7420', '10000000', '0100', '0100', ${le("sr", 4)},
+                ${le("sr * 2", 4)}, '0200', '1000',
+                '64617461', ${le("192", 4)}, $pcmHex)""")))
+        graft.multimodal.BinaryColumns.pcmHaarFingerprints(withBytes, "wav", "doc_id")
+          .orderBy("doc_id", "window_no")
+      },
+      Some("""
+        WITH g AS (SELECT doc_id, doc_id % 50 AS cls FROM documents),
+        win AS (SELECT doc_id, cls, unnest(range(0, 3)) AS w FROM g),
+        d1 AS (SELECT doc_id, w, i,
+                      (CAST((cls * 131 + (32*w + 2*i) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 2*i + 1) * 17) % 2001 - 1000 AS BIGINT)) AS d
+               FROM win, range(0, 16) r(i)),
+        d2 AS (SELECT doc_id, w, i,
+                      (CAST((cls * 131 + (32*w + 4*i) * 17) % 2001 - 1000 AS BIGINT)
+                     + CAST((cls * 131 + (32*w + 4*i + 1) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 4*i + 2) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 4*i + 3) * 17) % 2001 - 1000 AS BIGINT)) AS d
+               FROM win, range(0, 8) r(i)),
+        d3 AS (SELECT doc_id, w, i,
+                      (CAST((cls * 131 + (32*w + 8*i) * 17) % 2001 - 1000 AS BIGINT)
+                     + CAST((cls * 131 + (32*w + 8*i + 1) * 17) % 2001 - 1000 AS BIGINT)
+                     + CAST((cls * 131 + (32*w + 8*i + 2) * 17) % 2001 - 1000 AS BIGINT)
+                     + CAST((cls * 131 + (32*w + 8*i + 3) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 8*i + 4) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 8*i + 5) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 8*i + 6) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 8*i + 7) * 17) % 2001 - 1000 AS BIGINT)) AS d
+               FROM win, range(0, 4) r(i)),
+        l1 AS (SELECT doc_id, w, CAST(sum(d*d) AS BIGINT) AS e1,
+                      CAST(sum(CASE WHEN d > 0 THEN 1 << CAST(i AS INT) ELSE 0 END) AS BIGINT) AS f1
+               FROM d1 GROUP BY doc_id, w),
+        l2 AS (SELECT doc_id, w, CAST(sum(d*d) AS BIGINT) AS e2,
+                      CAST(sum(CASE WHEN d > 0 THEN 1 << CAST(16 + i AS INT) ELSE 0 END) AS BIGINT) AS f2
+               FROM d2 GROUP BY doc_id, w),
+        l3 AS (SELECT doc_id, w, CAST(sum(d*d) AS BIGINT) AS e3,
+                      CAST(sum(CASE WHEN d > 0 THEN 1 << CAST(24 + i AS INT) ELSE 0 END) AS BIGINT) AS f3
+               FROM d3 GROUP BY doc_id, w)
+        SELECT doc_id, CAST(w AS BIGINT) AS window_no, e1, e2, e3,
+               (f1 + f2 + f3) AS fp
+        FROM l1 JOIN l2 USING (doc_id, w) JOIN l3 USING (doc_id, w)
+        ORDER BY doc_id, window_no""")),
+
+    // Audio CONTENT dedup on the fingerprint-sequence hash: docs sharing
+    // a sample class collide on md5(fp sequence) even though their
+    // container bytes differ (sample-rate fields vary by doc_id) — the
+    // dedup a byte hash (q_binary_meta's content_hash) cannot do.
+    // Canonical = lowest doc_id per content hash, one window over
+    // (doc_id, hash) rows.
+    Q("q_audio_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        def le(e: String, nBytes: Int): String =
+          (0 until nBytes).map(i =>
+            s"lpad(hex((($e) div ${1L << (8 * i)}) % 256), 2, '0')")
+            .mkString("concat(", ", ", ")")
+        val u = "((((doc_id % 50) * 131 + s__ * 17) % 2001 - 1000) + 65536) % 65536"
+        val pcmHex = s"array_join(transform(sequence(0, 95), " +
+          s"s__ -> concat(lpad(hex(($u) % 256), 2, '0'), " +
+          s"lpad(hex(($u) div 256), 2, '0'))), '')"
+        val withBytes = t(s, dir, "documents")
+          .withColumn("sr", (lit(8000) + (col("doc_id") % 8) * 1000).cast("long"))
+          .withColumn("wav", unhex(expr(
+            s"""concat('52494646', ${le("36 + 192", 4)}, '57415645',
+                '666D7420', '10000000', '0100', '0100', ${le("sr", 4)},
+                ${le("sr * 2", 4)}, '0200', '1000',
+                '64617461', ${le("192", 4)}, $pcmHex)""")))
+        graft.multimodal.BinaryColumns.pcmHaarFingerprints(withBytes, "wav", "doc_id")
+          .groupBy(col("doc_id"))
+          .agg(expr("""md5(array_join(transform(
+                 array_sort(collect_list(struct(window_no, fp))),
+                 s__ -> CAST(s__.fp AS STRING)), ','))""").as("content_fp"))
+          .withColumn("canonical_id",
+            min(col("doc_id")).over(Window.partitionBy(col("content_fp"))))
+          .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+          .select(col("doc_id"), col("content_fp"), col("canonical_id"), col("is_dup"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH g AS (SELECT doc_id, doc_id % 50 AS cls FROM documents),
+        win AS (SELECT doc_id, cls, unnest(range(0, 3)) AS w FROM g),
+        d1 AS (SELECT doc_id, w, i,
+                      (CAST((cls * 131 + (32*w + 2*i) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 2*i + 1) * 17) % 2001 - 1000 AS BIGINT)) AS d
+               FROM win, range(0, 16) r(i)),
+        d2 AS (SELECT doc_id, w, i,
+                      (CAST((cls * 131 + (32*w + 4*i) * 17) % 2001 - 1000 AS BIGINT)
+                     + CAST((cls * 131 + (32*w + 4*i + 1) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 4*i + 2) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 4*i + 3) * 17) % 2001 - 1000 AS BIGINT)) AS d
+               FROM win, range(0, 8) r(i)),
+        d3 AS (SELECT doc_id, w, i,
+                      (CAST((cls * 131 + (32*w + 8*i) * 17) % 2001 - 1000 AS BIGINT)
+                     + CAST((cls * 131 + (32*w + 8*i + 1) * 17) % 2001 - 1000 AS BIGINT)
+                     + CAST((cls * 131 + (32*w + 8*i + 2) * 17) % 2001 - 1000 AS BIGINT)
+                     + CAST((cls * 131 + (32*w + 8*i + 3) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 8*i + 4) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 8*i + 5) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 8*i + 6) * 17) % 2001 - 1000 AS BIGINT)
+                     - CAST((cls * 131 + (32*w + 8*i + 7) * 17) % 2001 - 1000 AS BIGINT)) AS d
+               FROM win, range(0, 4) r(i)),
+        l1 AS (SELECT doc_id, w,
+                      CAST(sum(CASE WHEN d > 0 THEN 1 << CAST(i AS INT) ELSE 0 END) AS BIGINT) AS f1
+               FROM d1 GROUP BY doc_id, w),
+        l2 AS (SELECT doc_id, w,
+                      CAST(sum(CASE WHEN d > 0 THEN 1 << CAST(16 + i AS INT) ELSE 0 END) AS BIGINT) AS f2
+               FROM d2 GROUP BY doc_id, w),
+        l3 AS (SELECT doc_id, w,
+                      CAST(sum(CASE WHEN d > 0 THEN 1 << CAST(24 + i AS INT) ELSE 0 END) AS BIGINT) AS f3
+               FROM d3 GROUP BY doc_id, w),
+        fpw AS (SELECT doc_id, w, (f1 + f2 + f3) AS fp
+                FROM l1 JOIN l2 USING (doc_id, w) JOIN l3 USING (doc_id, w)),
+        doc AS (SELECT doc_id,
+                       md5(array_to_string(list(CAST(fp AS VARCHAR) ORDER BY w), ',')) AS content_fp
+                FROM fpw GROUP BY doc_id)
+        SELECT doc_id, content_fp,
+               CAST(min(doc_id) OVER (PARTITION BY content_fp) AS BIGINT) AS canonical_id,
+               doc_id <> min(doc_id) OVER (PARTITION BY content_fp) AS is_dup
+        FROM doc
+        ORDER BY doc_id"""))
+  )
+
+  /** REAL decoded-pixel image features (ImageIO decode in-engine; oracle
+    * recomputes from the pixel formula — any decode/luma/blocking error
+    * hash-mismatches) + pixel-level image near-dup over the banded
+    * perceptual-hash join. */
+  protected def imagePixelOps: Seq[Q] = Seq(
+    // Decode verification: per-doc synthesized PNG (dims vary 16-20 x
+    // 16-22 so the floor block mapping hits UNEVEN blocks), decoded by
+    // ImageCodec; exact integer channel sums + aHash/dHash halves.
+    Q("q_image_pixels",
+      (s, dir) => {
+        val withImg = synthMedia(s, dir).select(col("doc_id"), col("img_var").as("img"))
+        graft.multimodal.ImageCodec.withImagePixelStats(withImg, "img")
+          .select(col("doc_id"),
+            col("img_w").cast("long").as("img_w"),
+            col("img_h").cast("long").as("img_h"),
+            col("sum_r"), col("sum_g"), col("sum_b"),
+            expr("ahash & 4294967295").as("ahash_lo"),
+            expr("shiftright(ahash, 32) & 4294967295").as("ahash_hi"),
+            expr("dhash & 4294967295").as("dhash_lo"),
+            expr("shiftright(dhash, 32) & 4294967295").as("dhash_hi"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH px AS (
+          SELECT doc_id,
+                 CAST(doc_id % 5 + 16 AS BIGINT) AS w,
+                 CAST(doc_id % 7 + 16 AS BIGINT) AS h,
+                 unnest(range(0, (doc_id % 5 + 16) * (doc_id % 7 + 16))) AS p
+          FROM documents),
+        g AS (
+          SELECT doc_id, w, h,
+                 (doc_id * 7 + (p % w) * 13 + (p // w) * 31) % 256 AS r,
+                 (doc_id * 11 + (p % w) * 3 + (p // w) * 17) % 256 AS g,
+                 (doc_id * 5 + (p % w) * 23 + (p // w) * 29) % 256 AS b,
+                 ((p % w) * 8) // w AS bx, ((p // w) * 8) // h AS by,
+                 ((p % w) * 9) // w AS cx
+          FROM px),
+        g2 AS (SELECT *, 299 * r + 587 * g + 114 * b AS gray FROM g),
+        tot AS (
+          SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+                 CAST(sum(r) AS BIGINT) AS sum_r,
+                 CAST(sum(g) AS BIGINT) AS sum_g,
+                 CAST(sum(b) AS BIGINT) AS sum_b,
+                 CAST(sum(gray) AS BIGINT) AS total, count(*) AS n
+          FROM g2 GROUP BY doc_id),
+        ab AS (SELECT doc_id, by, bx, CAST(sum(gray) AS BIGINT) AS s2,
+                      count(*) AS c2
+               FROM g2 GROUP BY doc_id, by, bx),
+        abit AS (SELECT ab.doc_id, ab.by * 8 + ab.bx AS i,
+                        CASE WHEN ab.s2 * tot.n >= tot.total * ab.c2
+                             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+                 FROM ab JOIN tot USING (doc_id)),
+        ah AS (SELECT doc_id, ${duckHashHalf(lo = true, "ahash_lo")},
+                      ${duckHashHalf(lo = false, "ahash_hi")}
+               FROM abit GROUP BY doc_id),
+        db AS (SELECT doc_id, by, cx, CAST(sum(gray) AS BIGINT) AS s2,
+                      count(*) AS c2
+               FROM g2 GROUP BY doc_id, by, cx),
+        dbit AS (SELECT l.doc_id, l.by * 8 + l.cx AS i,
+                        CASE WHEN r2.s2 * l.c2 > l.s2 * r2.c2
+                             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+                 FROM db l JOIN db r2 ON l.doc_id = r2.doc_id
+                                     AND l.by = r2.by AND r2.cx = l.cx + 1
+                 WHERE l.cx < 8),
+        dh AS (SELECT doc_id, ${duckHashHalf(lo = true, "dhash_lo")},
+                      ${duckHashHalf(lo = false, "dhash_hi")}
+               FROM dbit GROUP BY doc_id)
+        SELECT doc_id, w AS img_w, h AS img_h, sum_r, sum_g, sum_b,
+               ahash_lo, ahash_hi, dhash_lo, dhash_hi
+        FROM tot JOIN ah USING (doc_id) JOIN dh USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // Decode -> box-resize -> re-encode -> decode: the thumbnailing stage
+    // with EXACT integer semantics (factor-2 block floor-means, trailing
+    // row/col dropped on the odd dims) — the oracle recomputes every
+    // output pixel from the input formula, so both PNG round-trips and
+    // the block arithmetic are verified.
+    Q("q_image_resize",
+      (s, dir) => {
+        val withImg = synthMedia(s, dir).select(col("doc_id"), col("img_var").as("img"))
+        val rs = graft.multimodal.ImageCodec.withResized(withImg, "img", 2)
+        graft.multimodal.ImageCodec.withImagePixelStats(rs, "resized")
+          .select(col("doc_id"),
+            col("img_w").cast("long").as("img_w"),
+            col("img_h").cast("long").as("img_h"),
+            col("sum_r"), col("sum_g"), col("sum_b"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH px AS (
+          SELECT doc_id,
+                 CAST(doc_id % 5 + 16 AS BIGINT) AS w,
+                 CAST(doc_id % 7 + 16 AS BIGINT) AS h,
+                 unnest(range(0, (doc_id % 5 + 16) * (doc_id % 7 + 16))) AS p
+          FROM documents),
+        c AS (
+          SELECT doc_id, w, h, p % w AS x, p // w AS y,
+                 (doc_id * 7 + (p % w) * 13 + (p // w) * 31) % 256 AS r,
+                 (doc_id * 11 + (p % w) * 3 + (p // w) * 17) % 256 AS g,
+                 (doc_id * 5 + (p % w) * 23 + (p // w) * 29) % 256 AS b
+          FROM px),
+        blk AS (
+          SELECT doc_id, x // 2 AS ox, y // 2 AS oy,
+                 CAST(sum(r) AS BIGINT) AS sr, CAST(sum(g) AS BIGINT) AS sg,
+                 CAST(sum(b) AS BIGINT) AS sb
+          FROM c
+          WHERE x < (w // 2) * 2 AND y < (h // 2) * 2
+          GROUP BY doc_id, x // 2, y // 2),
+        o AS (
+          SELECT doc_id, CAST(sum(sr // 4) AS BIGINT) AS sum_r,
+                 CAST(sum(sg // 4) AS BIGINT) AS sum_g,
+                 CAST(sum(sb // 4) AS BIGINT) AS sum_b
+          FROM blk GROUP BY doc_id)
+        SELECT doc_id,
+               CAST((doc_id % 5 + 16) // 2 AS BIGINT) AS img_w,
+               CAST((doc_id % 7 + 16) // 2 AS BIGINT) AS img_h,
+               sum_r, sum_g, sum_b
+        FROM o ORDER BY doc_id""")),
+
+    // REAL multi-frame decode: per-doc animated GIF (3-5 frames of
+    // RGB-cube-corner half-split patterns — colors that survive palette
+    // quantization exactly), every 2nd frame sampled and channel-summed;
+    // the oracle recomputes each sampled frame's sums from the corner
+    // formula. Retires the "frame sampling is byte-slicing" caveat with
+    // an actual multi-frame container decode.
+    Q("q_gif_frames",
+      (s, dir) => {
+        val withGif = synthMedia(s, dir).select(col("doc_id"), col("gif"))
+        graft.multimodal.ImageCodec.gifFrameStats(withGif, "gif", "doc_id", 2)
+          .select(col("doc_id"), col("frame_no"),
+            col("frame_w").cast("long").as("frame_w"),
+            col("frame_h").cast("long").as("frame_h"),
+            col("sum_r"), col("sum_g"), col("sum_b"))
+          .orderBy("doc_id", "frame_no")
+      },
+      Some("""
+        WITH f AS (SELECT doc_id, unnest(range(0, 3 + doc_id % 3, 2)) AS k
+                   FROM documents),
+        c AS (SELECT doc_id, k, (doc_id + k) % 8 AS lc,
+                     (doc_id * 3 + k * 5) % 8 AS rc
+              FROM f)
+        SELECT doc_id, CAST(k AS BIGINT) AS frame_no,
+               CAST(16 AS BIGINT) AS frame_w, CAST(12 AS BIGINT) AS frame_h,
+               CAST(96 * 255 * ((lc % 2) + (rc % 2)) AS BIGINT) AS sum_r,
+               CAST(96 * 255 * (((lc // 2) % 2) + ((rc // 2) % 2)) AS BIGINT) AS sum_g,
+               CAST(96 * 255 * (((lc // 4) % 2) + ((rc // 4) % 2)) AS BIGINT) AS sum_b
+        FROM c ORDER BY doc_id, frame_no""")),
+
+    // Pixel-level image near-dup: docs 100-199 are perturbed copies of
+    // 0-99 (small quantized nudge on ~1/13 of red pixels), everything
+    // else independent; the engine decodes, aHashes, and band-joins
+    // (8x8-bit LSH — full recall at hamming <= 6 by pigeonhole), and the
+    // oracle recomputes aHash from the formula and brute-forces all
+    // pairs, which is equivalent BY THE SAME pigeonhole bound — so the
+    // banded plan's recall itself is under test.
+    Q("q_image_neardup",
+      (s, dir) => {
+        val docs = synthMedia(s, dir).select(col("doc_id"), col("img_nd").as("img"))
+        graft.multimodal.ImageCodec.imageNearDupPairs(docs, "doc_id", "img", 6)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id >= 100 AND doc_id < 200
+                      THEN doc_id - 100 ELSE doc_id END AS key,
+                 (doc_id >= 100 AND doc_id < 200) AS pert
+          FROM documents),
+        px AS (SELECT doc_id, key, pert, unnest(range(0, 256)) AS p FROM d),
+        c AS (
+          SELECT doc_id, pert, p % 16 AS x, p // 16 AS y,
+                 (key * 7 + (p % 16) * 13 + (p // 16) * 31) % 256 AS r0,
+                 (key * 11 + (p % 16) * 3 + (p // 16) * 17) % 256 AS g,
+                 (key * 5 + (p % 16) * 23 + (p // 16) * 29) % 256 AS b
+          FROM px),
+        g2 AS (
+          SELECT doc_id,
+                 (x * 8) // 16 AS bx, (y * 8) // 16 AS by,
+                 299 * (CASE WHEN pert AND (x * 7 + y * 11) % 13 = 0
+                             THEN r0 - (r0 % 16) + 8 ELSE r0 END)
+                 + 587 * g + 114 * b AS gray
+          FROM c),
+        tot AS (SELECT doc_id, CAST(sum(gray) AS BIGINT) AS total, count(*) AS n
+                FROM g2 GROUP BY doc_id),
+        ab AS (SELECT doc_id, by, bx, CAST(sum(gray) AS BIGINT) AS s2,
+                      count(*) AS c2
+               FROM g2 GROUP BY doc_id, by, bx),
+        abit AS (SELECT ab.doc_id, ab.by * 8 + ab.bx AS i,
+                        CASE WHEN ab.s2 * tot.n >= tot.total * ab.c2
+                             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+                 FROM ab JOIN tot USING (doc_id)),
+        ah AS (SELECT doc_id,
+                      CAST(sum(CASE WHEN i < 32 THEN bit * (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS lo,
+                      CAST(sum(CASE WHEN i >= 32 THEN bit * (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS hi
+               FROM abit GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+        FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6
+        ORDER BY id_a, id_b""")),
+
+    // Dual-hash near-dup (r7): candidates = aHash bands UNION dHash bands,
+    // pair kept when EITHER hamming <= 6 — the production union real image
+    // pipelines run (dHash catches gradient dups a brightness shift hides
+    // from aHash). The oracle recomputes BOTH hashes from the pixel
+    // formula and brute-forces all pairs, which by the pigeonhole bound
+    // equals the banded plan's output — recall of the union join is under
+    // the hash gate.
+    Q("q_image_neardup_d",
+      (s, dir) => {
+        val docs = synthMedia(s, dir).select(col("doc_id"), col("img_nd").as("img"))
+        graft.multimodal.ImageCodec.imageNearDupPairsDual(docs, "doc_id", "img", 6)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id >= 100 AND doc_id < 200
+                      THEN doc_id - 100 ELSE doc_id END AS key,
+                 (doc_id >= 100 AND doc_id < 200) AS pert
+          FROM documents),
+        px AS (SELECT doc_id, key, pert, unnest(range(0, 256)) AS p FROM d),
+        c AS (
+          SELECT doc_id, pert, p % 16 AS x, p // 16 AS y,
+                 (key * 7 + (p % 16) * 13 + (p // 16) * 31) % 256 AS r0,
+                 (key * 11 + (p % 16) * 3 + (p // 16) * 17) % 256 AS g,
+                 (key * 5 + (p % 16) * 23 + (p // 16) * 29) % 256 AS b
+          FROM px),
+        g2 AS (
+          SELECT doc_id, x, y,
+                 299 * (CASE WHEN pert AND (x * 7 + y * 11) % 13 = 0
+                             THEN r0 - (r0 % 16) + 8 ELSE r0 END)
+                 + 587 * g + 114 * b AS gray
+          FROM c),
+        tot AS (SELECT doc_id, CAST(sum(gray) AS BIGINT) AS total, count(*) AS n
+                FROM g2 GROUP BY doc_id),
+        ab AS (SELECT doc_id, (y * 8) // 16 AS by, (x * 8) // 16 AS bx,
+                      CAST(sum(gray) AS BIGINT) AS s2, count(*) AS c2
+               FROM g2 GROUP BY doc_id, (y * 8) // 16, (x * 8) // 16),
+        abit AS (SELECT ab.doc_id, ab.by * 8 + ab.bx AS i,
+                        CASE WHEN ab.s2 * tot.n >= tot.total * ab.c2
+                             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+                 FROM ab JOIN tot USING (doc_id)),
+        ah AS (SELECT doc_id, ${duckHashHalf(lo = true, "alo")},
+                      ${duckHashHalf(lo = false, "ahi")}
+               FROM abit GROUP BY doc_id),
+        db AS (SELECT doc_id, (y * 8) // 16 AS by, (x * 9) // 16 AS cx,
+                      CAST(sum(gray) AS BIGINT) AS s2, count(*) AS c2
+               FROM g2 GROUP BY doc_id, (y * 8) // 16, (x * 9) // 16),
+        dbit AS (SELECT l.doc_id, l.by * 8 + l.cx AS i,
+                        CASE WHEN r2.s2 * l.c2 > l.s2 * r2.c2
+                             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+                 FROM db l JOIN db r2 ON l.doc_id = r2.doc_id
+                                     AND l.by = r2.by AND r2.cx = l.cx + 1
+                 WHERE l.cx < 8),
+        dh AS (SELECT doc_id, ${duckHashHalf(lo = true, "dlo")},
+                      ${duckHashHalf(lo = false, "dhi")}
+               FROM dbit GROUP BY doc_id),
+        hx AS (SELECT ah.doc_id, alo, ahi, dlo, dhi
+               FROM ah JOIN dh USING (doc_id))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.alo, b.alo)) + bit_count(xor(a.ahi, b.ahi)) AS BIGINT) AS hamming_a,
+               CAST(bit_count(xor(a.dlo, b.dlo)) + bit_count(xor(a.dhi, b.dhi)) AS BIGINT) AS hamming_d
+        FROM hx a JOIN hx b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.alo, b.alo)) + bit_count(xor(a.ahi, b.ahi)) <= 6
+           OR bit_count(xor(a.dlo, b.dlo)) + bit_count(xor(a.dhi, b.dhi)) <= 6
+        ORDER BY id_a, id_b""")),
+
+    // 256-bit aHash near-dup — the SCALE-PATH fingerprint. The 64-bit
+    // hash's pair bands collide at n^2*28/2^16 on unrelated data (the 10x
+    // rehearsal's measured saturation); with 4x the bits, 32-bit
+    // block-pair keys drop the collision term by 2^16 (exact recall <=
+    // hamming 14 by pigeonhole over the 16 two-byte blocks). On the
+    // 16x16 fixture every block is one pixel, so the oracle recomputes
+    // each of the 256 bits directly (gray*256 vs total), packs 8 32-bit
+    // words, and brute-forces all pairs — banding recall under the hash.
+    Q("q_image_neardup256",
+      (s, dir) => {
+        val docs = synthMedia(s, dir).select(col("doc_id"), col("img_nd").as("img"))
+        graft.multimodal.ImageCodec.imageNearDupPairs256(docs, "doc_id", "img", 14)
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val words = (0 until 8).map(k =>
+          s"CAST(sum(CASE WHEN i // 32 = $k THEN bit * (CAST(1 AS BIGINT) << CAST(i % 32 AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS w$k")
+          .mkString(", ")
+        // bit_count is TINYINT in DuckDB — the 8-word sum can reach 256,
+        // so every term must widen BEFORE the addition
+        val ham = (0 until 8).map(k => s"CAST(bit_count(xor(a.w$k, b.w$k)) AS BIGINT)")
+          .mkString(" + ")
+        s"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id >= 100 AND doc_id < 200
+                      THEN doc_id - 100 ELSE doc_id END AS key,
+                 (doc_id >= 100 AND doc_id < 200) AS pert
+          FROM documents),
+        px AS (SELECT doc_id, key, pert, unnest(range(0, 256)) AS p FROM d),
+        c AS (
+          SELECT doc_id, pert, p, p % 16 AS x, p // 16 AS y,
+                 (key * 7 + (p % 16) * 13 + (p // 16) * 31) % 256 AS r0,
+                 (key * 11 + (p % 16) * 3 + (p // 16) * 17) % 256 AS g,
+                 (key * 5 + (p % 16) * 23 + (p // 16) * 29) % 256 AS b
+          FROM px),
+        g2 AS (
+          SELECT doc_id, y * 16 + x AS i,
+                 299 * (CASE WHEN pert AND (x * 7 + y * 11) % 13 = 0
+                             THEN r0 - (r0 % 16) + 8 ELSE r0 END)
+                 + 587 * g + 114 * b AS gray
+          FROM c),
+        tot AS (SELECT doc_id, CAST(sum(gray) AS BIGINT) AS total
+                FROM g2 GROUP BY doc_id),
+        abit AS (SELECT g2.doc_id, g2.i,
+                        CASE WHEN g2.gray * 256 >= tot.total
+                             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+                 FROM g2 JOIN tot USING (doc_id)),
+        ah AS (SELECT doc_id, $words FROM abit GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST($ham AS BIGINT) AS hamming
+        FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+        WHERE $ham <= 14
+        ORDER BY id_a, id_b"""
+      }),
+
+    // Resize-invariance gate (r7): the factor-2 box thumbnail's aHash must
+    // sit within a small hamming distance of the original's — the property
+    // that makes perceptual-hash dedup robust to stored-at-multiple-
+    // resolutions corpora. The engine computes both hashes from REAL
+    // decode->resize->re-encode->decode; the oracle recomputes BOTH from
+    // the pixel formula (original blocks, and exact 2x2 floor-mean resized
+    // blocks), so the emitted per-doc hamming is pinned end to end.
+    Q("q_image_invariance",
+      (s, dir) => {
+        import graft.multimodal.ImageCodec
+        val withImg = synthMedia(s, dir).select(col("doc_id"), col("img_var").as("img"))
+        val orig = ImageCodec.withImagePixelStats(withImg, "img")
+          .select(col("doc_id"), col("ahash").as("__h1"), col("img"))
+        val both = ImageCodec.withImagePixelStats(
+            ImageCodec.withResized(orig, "img", 2), "resized")
+          .select(col("doc_id"), col("__h1"), col("ahash").as("__h2"))
+        both.select(col("doc_id"),
+            expr("CAST(bit_count(__h1 ^ __h2) AS BIGINT)").as("hamming"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH px AS (
+          SELECT doc_id,
+                 CAST(doc_id % 5 + 16 AS BIGINT) AS w,
+                 CAST(doc_id % 7 + 16 AS BIGINT) AS h,
+                 unnest(range(0, (doc_id % 5 + 16) * (doc_id % 7 + 16))) AS p
+          FROM documents),
+        c AS (
+          SELECT doc_id, w, h, p % w AS x, p // w AS y,
+                 (doc_id * 7 + (p % w) * 13 + (p // w) * 31) % 256 AS r,
+                 (doc_id * 11 + (p % w) * 3 + (p // w) * 17) % 256 AS g,
+                 (doc_id * 5 + (p % w) * 23 + (p // w) * 29) % 256 AS b
+          FROM px),
+        g1 AS (SELECT doc_id, w, h, x, y, 299 * r + 587 * g + 114 * b AS gray FROM c),
+        tot AS (SELECT doc_id, CAST(sum(gray) AS BIGINT) AS total, count(*) AS n
+                FROM g1 GROUP BY doc_id),
+        ab AS (SELECT doc_id, (y * 8) // h AS by, (x * 8) // w AS bx,
+                      CAST(sum(gray) AS BIGINT) AS s2, count(*) AS c2
+               FROM g1 GROUP BY doc_id, (y * 8) // h, (x * 8) // w),
+        abit AS (SELECT ab.doc_id, ab.by * 8 + ab.bx AS i,
+                        CASE WHEN ab.s2 * tot.n >= tot.total * ab.c2
+                             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+                 FROM ab JOIN tot USING (doc_id)),
+        ah1 AS (SELECT doc_id, ${duckHashHalf(lo = true, "lo1")},
+                       ${duckHashHalf(lo = false, "hi1")}
+                FROM abit GROUP BY doc_id),
+        blk AS (
+          SELECT doc_id, w // 2 AS w2, h // 2 AS h2, x // 2 AS ox, y // 2 AS oy,
+                 CAST(sum(r) AS BIGINT) AS sr, CAST(sum(g) AS BIGINT) AS sg,
+                 CAST(sum(b) AS BIGINT) AS sb
+          FROM c
+          WHERE x < (w // 2) * 2 AND y < (h // 2) * 2
+          GROUP BY doc_id, w // 2, h // 2, x // 2, y // 2),
+        rg AS (SELECT doc_id, w2, h2, ox, oy,
+                      299 * (sr // 4) + 587 * (sg // 4) + 114 * (sb // 4) AS gray
+               FROM blk),
+        tot2 AS (SELECT doc_id, CAST(sum(gray) AS BIGINT) AS total, count(*) AS n
+                 FROM rg GROUP BY doc_id),
+        ab2 AS (SELECT doc_id, (oy * 8) // h2 AS by, (ox * 8) // w2 AS bx,
+                       CAST(sum(gray) AS BIGINT) AS s2, count(*) AS c2
+                FROM rg GROUP BY doc_id, (oy * 8) // h2, (ox * 8) // w2),
+        abit2 AS (SELECT ab2.doc_id, ab2.by * 8 + ab2.bx AS i,
+                         CASE WHEN ab2.s2 * tot2.n >= tot2.total * ab2.c2
+                              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+                  FROM ab2 JOIN tot2 USING (doc_id)),
+        ah2 AS (SELECT doc_id, ${duckHashHalf(lo = true, "lo2")},
+                       ${duckHashHalf(lo = false, "hi2")}
+                FROM abit2 GROUP BY doc_id)
+        SELECT doc_id,
+               CAST(bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)) AS BIGINT) AS hamming
+        FROM ah1 JOIN ah2 USING (doc_id)
+        ORDER BY doc_id"""))
+  )
+}

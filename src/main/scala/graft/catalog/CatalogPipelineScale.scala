@@ -1,0 +1,989 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chunk.Chunking
+import graft.embed.HashingEmbedder
+import graft.functions.{MdContent, TextF, VectorF}
+import graft.ops.{Dedup, Similarity}
+import graft.rag.RagPipeline
+import graft.sqlgen.{Dialect, Exprs}
+
+/** Pipeline compositions, scale probes, relational extensions. Split from QueryCatalog in r13; shared helpers live in
+  * [[CatalogCore]], the assembled query map in [[QueryCatalog]]. */
+private[graft] trait CatalogPipelineScale extends CatalogCore {
+
+  // =========================================================================
+  // Training-data pipeline breadth: funnel analytics, binary (multimodal)
+  // column plumbing, embedding quantization
+  // =========================================================================
+
+  protected def pipelineOps: Seq[Q] = Seq(
+    // Conversion funnel: first signup -> first subsequent purchase per user.
+    Q("q_funnel",
+      (s, dir) => {
+        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
+        val signup = ev.where(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("tsu")).as("signup_ts"))
+        val purch = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("tsu"))
+        signup.join(purch, Seq("user_id"), "left")
+          .groupBy(col("user_id"), col("signup_ts"))
+          .agg(min(when(col("tsu") >= col("signup_ts"), col("tsu"))).as("conv_ts"))
+          .select(col("user_id"),
+            col("signup_ts").cast("long").as("signup_ts"),
+            col("conv_ts").cast("long").as("conv_ts"),
+            col("conv_ts").isNotNull.as("converted"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH s AS (SELECT user_id, min(epoch_us(ts)) AS signup_ts
+                   FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        p AS (SELECT user_id, epoch_us(ts) AS tsu
+              FROM events WHERE event_type = 'purchase')
+        SELECT s.user_id,
+               CAST(s.signup_ts AS BIGINT) AS signup_ts,
+               CAST(min(CASE WHEN p.tsu >= s.signup_ts THEN p.tsu END) AS BIGINT) AS conv_ts,
+               (min(CASE WHEN p.tsu >= s.signup_ts THEN p.tsu END) IS NOT NULL) AS converted
+        FROM s LEFT JOIN p ON p.user_id = s.user_id
+        GROUP BY s.user_id, s.signup_ts
+        ORDER BY s.user_id""")),
+
+    // Binary-column plumbing (multimodal surface): byte length, content
+    // hash, magic bytes — the metadata pass any image/audio pipeline runs
+    // before decode. Bytes synthesized from text so the oracle is exact.
+    Q("q_binary_meta",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+          .select(col("doc_id"),
+            length(col("bin")).cast("long").as("n_bytes"),
+            md5(col("bin")).as("content_md5"),
+            hex(substring(col("bin"), 1, 4)).as("magic"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_md5,
+               hex(encode(substring(text, 1, 4))) AS magic
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // REAL image-header parsing: the Spark side CONSTRUCTS valid
+    // PNG/GIF/JPEG container headers byte-for-byte (dims derived from
+    // doc_id), then the BinaryColumns kernel PARSES them back — magic
+    // sniffing, endianness, and the JFIF segment walk are all exercised.
+    // The oracle computes the expected dims arithmetically, so any parse
+    // error hash-mismatches.
+    Q("q_image_meta",
+      (s, dir) => {
+        val withBytes = t(s, dir, "documents")
+          .withColumn("w", (col("doc_id") % 500 + 16).cast("int"))
+          .withColumn("h", (col("doc_id") % 300 + 16).cast("int"))
+          .withColumn("img", unhex(expr("""CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN concat('89504E470D0A1A0A0000000D49484452',
+                               lpad(hex(w), 8, '0'), lpad(hex(h), 8, '0'))
+            WHEN 1 THEN concat('474946383961',
+                               lpad(hex(w % 256), 2, '0'), lpad(hex(w div 256), 2, '0'),
+                               lpad(hex(h % 256), 2, '0'), lpad(hex(h div 256), 2, '0'))
+            ELSE concat('FFD8FFE000044A46FFC0001108',
+                        lpad(hex(h), 4, '0'), lpad(hex(w), 4, '0'))
+            END""")))
+        graft.multimodal.BinaryColumns.withImageMeta(withBytes, "img")
+          .select(col("doc_id"), col("img_format"),
+            col("img_width").cast("long").as("img_width"),
+            col("img_height").cast("long").as("img_height"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT)
+                 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS img_format,
+               CAST(doc_id % 500 + 16 AS BIGINT) AS img_width,
+               CAST(doc_id % 300 + 16 AS BIGINT) AS img_height
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // Multimodal frame sampling: treat bytes as fixed 16-byte frames,
+    // sample every 4th — the decode-free plumbing (schema, stride, batch
+    // shape) of a video pipeline, exact-checkable over hex strings.
+    Q("q_frame_sample",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("hexstr", hex(encode(col("text"), "UTF-8")))
+          .withColumn("total", expr("CAST(length(hexstr) div 32 AS BIGINT)"))
+          .where(col("total") >= 1)
+          .withColumn("frames", expr(
+            "transform(sequence(0L, total - 1, 4L), k -> substr(hexstr, CAST(k * 32 + 1 AS INT), 32))"))
+          .select(col("doc_id"), col("total"),
+            size(col("frames")).cast("long").as("n_sampled"),
+            md5(concat_ws("", col("frames"))).as("sample_md5"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH h AS (SELECT doc_id, hex(encode(text)) AS hexstr FROM documents),
+        t AS (SELECT doc_id, hexstr,
+                     CAST(length(hexstr) // 32 AS BIGINT) AS total
+              FROM h),
+        f AS (SELECT doc_id, total,
+                     list_transform(range(0, total, 4),
+                       k -> substr(hexstr, CAST(k * 32 + 1 AS INT), 32)) AS frames
+              FROM t WHERE total >= 1)
+        SELECT doc_id, total, CAST(len(frames) AS BIGINT) AS n_sampled,
+               md5(array_to_string(frames, '')) AS sample_md5
+        FROM f
+        ORDER BY doc_id""")),
+
+    // Symmetric int8 embedding quantization (index compression): scale +
+    // integer-code checksums; floor(x+0.5) instead of round() because
+    // half-rounding modes differ across engines.
+    Q("q_quantize",
+      (s, dir) => {
+        val v = VectorF.toDoubleArray(col("embedding"))
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), v.as("v"))
+          .withColumn("scale", VectorF.int8Scale(col("v")))
+          .where(col("scale").isNotNull && !col("scale").isin(Double.PositiveInfinity))
+          .withColumn("qv", VectorF.quantizeInt8(col("v"), col("scale")))
+          .select(col("vec_id"), r6(col("scale")).as("scale"),
+            aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
+            array_max(col("qv")).as("q_max"),
+            array_min(col("qv")).as("q_min"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (SELECT vec_id, v,
+                     CAST(127.0 AS DOUBLE) / list_max(list_transform(v, x -> abs(x))) AS scale
+              FROM e),
+        q AS (SELECT vec_id, scale,
+                     list_transform(v, x -> CAST(floor(x * scale + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS qv
+              FROM s
+              WHERE scale IS NOT NULL AND scale <> CAST('inf' AS DOUBLE))
+        SELECT vec_id, (round(scale, 6) + CAST(0.0 AS DOUBLE)) AS scale,
+               CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+               CAST(list_max(qv) AS BIGINT) AS q_max,
+               CAST(list_min(qv) AS BIGINT) AS q_min
+        FROM q
+        ORDER BY vec_id"""))
+  )
+
+  protected def scaleOps: Seq[Q] = Seq(
+    // Gap-based sessionization (30-min inactivity): lag + cumulative-sum
+    // window pattern — the standard large-scale eventstream operator.
+    // Exact: pure integer-nanosecond arithmetic on both engines.
+    Q("q_sessionize",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // microsecond precision: DuckDB timestamps are µs internally (its
+        // parquet reader TRUNCATES nanos), so compare in truncated µs.
+        val w = Window.partitionBy(col("user_id")).orderBy(col("__tsus"), col("event_id"))
+        tEvents(s, dir)
+          .withColumn("__tsus", expr("ts div 1000"))
+          .withColumn("__prev", lag(col("__tsus"), 1).over(w))
+          .withColumn("__new",
+            when(col("__prev").isNull ||
+              (col("__tsus") - col("__prev")) > lit(1800000000L), 1).otherwise(0))
+          .withColumn("sess_id", sum(col("__new")).over(w))
+          .groupBy(col("user_id"), col("sess_id").cast("long").as("sess_id"))
+          .agg(count(lit(1)).as("n"),
+            (max(col("__tsus")) - min(col("__tsus"))).cast("long").as("duration_us"))
+          .orderBy("user_id", "sess_id")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+        x AS (SELECT user_id, event_id, tsu,
+                CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) IS NULL
+                       OR tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) > 1800000000
+                     THEN 1 ELSE 0 END AS ns
+              FROM e),
+        y AS (SELECT user_id, tsu,
+                sum(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS sess_id
+              FROM x)
+        SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n,
+               CAST(max(tsu) - min(tsu) AS BIGINT) AS duration_us
+        FROM y
+        GROUP BY user_id, sess_id
+        ORDER BY user_id, sess_id""")),
+
+    // Skew-mitigating two-phase salted aggregation: bit-identical to the
+    // one-phase GROUP BY because decimal sums are order-independent —
+    // which is exactly why the plain SQL is a valid oracle.
+    Q("q_skew_salted_agg",
+      (s, dir) => {
+        import graft.ops.Skew
+        val li = t(s, dir, "lineitem")
+        Skew.saltedAggregate(li,
+          keyCols = Seq("l_returnflag"),
+          buckets = 16,
+          identityCols = Seq("l_orderkey", "l_linenumber"),
+          partialAggs = Map(
+            "sum_disc" -> (
+              sum(col("l_extendedprice").cast("decimal(18,2)") *
+                (lit(1) - col("l_discount")).cast("decimal(18,2)")),
+              (c: String) => sum(col(c))),
+            "cnt" -> (count(lit(1)), (c: String) => sum(col(c)))))
+          .select(col("l_returnflag"),
+            col("sum_disc").cast("double").as("sum_disc"),
+            col("cnt").cast("long").as("cnt"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // The chunk_text Catalyst Generator, driven from SQL; must agree with
+    // the token-window oracle arithmetic (same as q_chunk_tokens 40/10).
+    Q("q_chunk_generator",
+      (s, dir) => {
+        graft.functions.VectorNative.register(s)
+        t(s, dir, "documents").createOrReplaceTempView("__docs_gen")
+        s.sql("""
+          SELECT doc_id, CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
+                 md5(c.chunk_text) AS h
+          FROM __docs_gen
+          LATERAL VIEW chunk_text(text, 40, 10) c AS chunk_idx, chunk_text
+          ORDER BY doc_id, chunk_idx""")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents)
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+               md5(array_to_string(tk[(CAST(i AS INT) * 30 + 1):(CAST(i AS INT) * 30 + 40)], ' ')) AS h
+        FROM (SELECT doc_id, tk,
+                unnest(range(0, greatest(CAST(ceil((len(tk) - 40) / CAST(30 AS DOUBLE)) AS INT) + 1, 1))) AS i
+              FROM toks)
+        ORDER BY doc_id, chunk_idx"""))
+  )
+
+  // =========================================================================
+  // Round-2 widening: relational completeness + training-pipeline operators
+  // =========================================================================
+
+  /** Relational shapes the reference never needed but a complete engine must
+    * plan well: multi-dimensional rollups, correlated subqueries, outer
+    * joins, frame-based windows. Each lands on a single-shuffle Catalyst
+    * plan (Expand for cube/grouping-sets, semi-join for EXISTS). */
+  protected def relationalPlus: Seq[Q] = Seq(
+    // CUBE: all grouping combinations in ONE pass — Catalyst's Expand emits
+    // 4 grouping projections before a single hash aggregate, vs 4 scans if
+    // composed manually. The plan shape that matters at 100 TB.
+    Q("q_cube",
+      (s, dir) =>
+        // Same pre-aggregation as q_rollup: CUBE over the tiny base
+        // aggregate instead of Expand x4 over every raw row.
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("s"),
+            count(lit(1)).as("c"))
+          .cube("l_returnflag", "l_linestatus")
+          .agg(
+            sum(col("s")).cast("double").as("sum_base"),
+            sum(col("c")).as("cnt"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // Array higher-order functions (sequence/transform/filter/aggregate
+    // vs generate_series/list_transform/list_filter/list_sum) — integer
+    // arithmetic, exact on both engines.
+    Q("q_array_hof",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .where(col("o_orderkey") <= 500)
+          .select(col("o_orderkey"),
+            expr("sequence(1L, CAST(o_orderkey % 7 AS BIGINT) + 1L)").as("arr"))
+          .select(col("o_orderkey"),
+            expr("aggregate(arr, 0L, (s, x) -> s + x)").as("arr_sum"),
+            expr("CAST(size(filter(arr, x -> x % 2 = 0)) AS BIGINT)").as("n_even"),
+            expr("aggregate(transform(arr, x -> x * x), 0L, (s, x) -> s + x)").as("sum_sq"))
+          .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey,
+               CAST(list_sum(arr) AS BIGINT) AS arr_sum,
+               CAST(len(list_filter(arr, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+               CAST(list_sum(list_transform(arr, x -> x * x)) AS BIGINT) AS sum_sq
+        FROM (SELECT o_orderkey,
+                     generate_series(1, CAST(o_orderkey % 7 AS BIGINT) + 1) AS arr
+              FROM orders WHERE o_orderkey <= 500)
+        ORDER BY o_orderkey""")),
+
+    // Z-order (Morton) clustering key: the layout operator behind
+    // two-dimensional data skipping (ops.Layout.zorderWrite). The
+    // interleave is pure integer arithmetic — pinned against the oracle
+    // computing the identical formula.
+    Q("q_zorder",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .withColumn("zval", graft.ops.Layout.zValue("o_custkey", "o_orderkey", 16))
+          .select(col("o_orderkey"), col("zval"))
+          .orderBy("zval", "o_orderkey")
+          .limit(200),
+      Some(s"""
+        SELECT o_orderkey,
+               ${D.zInterleave("CAST(o_custkey AS BIGINT)", "CAST(o_orderkey AS BIGINT)", 16)} AS zval
+        FROM orders
+        ORDER BY zval, o_orderkey
+        LIMIT 200""")),
+
+    // Stable dense sequential ids WITHOUT row_number's Exchange
+    // SinglePartition: range-partition + in-partition sort + two-pass
+    // zipWithIndex (count pass, offset-stamp pass). The oracle replays it
+    // as the window it replaces — same assignment, opposite plan shape.
+    Q("q_dense_ids",
+      (s, dir) =>
+        graft.ops.Layout.denseIds(
+            t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id")),
+            "doc_id")
+          .orderBy("doc_id"),
+      Some("""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq_id
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // Statistical aggregates (corr / stddev / skewness) computed from
+    // EXACT decimal moments: the 2-decimal inputs make every power sum
+    // exact in DECIMAL, and both engines then derive the statistics from
+    // those sums with the IDENTICAL double formula — so results are
+    // bit-identical despite each engine's native one-pass co-moment
+    // aggregates using different accumulation orders. Map-side partial
+    // aggregation applies to the decimal sums like any sum — one shuffle.
+    Q("q_stats_moments",
+      (s, dir) => {
+        val q = col("l_quantity").cast("decimal(9,2)")
+        val p = col("l_extendedprice").cast("decimal(18,2)")
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(q).as("sq"), sum(q * q).as("sqq"), sum(q * q * q).as("sqqq"),
+            sum(p).as("sp"), sum(p * p).as("spp"), sum(q * p).as("sqp"))
+          .selectExpr("l_returnflag" +: statFormulas: _*)
+          .orderBy("l_returnflag")
+      },
+      Some(s"""
+        SELECT l_returnflag, ${statFormulas.mkString(", ")}
+        FROM (SELECT l_returnflag, count(*) AS n,
+                     sum(CAST(l_quantity AS DECIMAL(9,2))) AS sq,
+                     sum(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS sqq,
+                     sum(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS sqqq,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp,
+                     sum(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp
+              FROM lineitem GROUP BY l_returnflag)
+        ORDER BY l_returnflag""")),
+
+    Q("q_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "documents").createOrReplaceTempView("__docs_gs")
+        s.sql("""
+          SELECT source, lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+          FROM __docs_gs
+          GROUP BY GROUPING SETS ((source, lang), (source), ())
+          ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""")
+      },
+      Some("""
+        SELECT source, lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents
+        GROUP BY GROUPING SETS ((source, lang), (source), ())
+        ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""")),
+
+    // Correlated EXISTS (TPC-H Q4 shape) — planned as a left-semi join, so
+    // the probe side streams and never duplicates rows.
+    Q("q_exists_corr",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val big = t(s, dir, "lineitem").where(col("l_quantity") > 45)
+          .select(col("l_orderkey").as("o_orderkey"))
+        o.join(big, Seq("o_orderkey"), "left_semi")
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // Scalar-aggregate subquery (TPC-H Q17 shape). The avg comparison is
+    // rewritten to exact integer/decimal arithmetic (qty < sum/(5*cnt)
+    // <=> 5*qty*cnt < sum) so both engines decide each row identically —
+    // no floating-point avg on the comparison path.
+    Q("q_scalar_subq",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val perPart = li.groupBy("l_partkey").agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          count(lit(1)).as("cnt_qty"))
+        li.join(perPart, Seq("l_partkey"))
+          .where(col("l_quantity").cast("decimal(18,2)") * lit(5) * col("cnt_qty") <
+            col("sum_qty"))
+          .agg(
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("total_price"),
+            count(lit(1)).as("n"))
+      },
+      Some("""
+        WITH a AS (SELECT l_partkey,
+                          sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                          count(*) AS cnt_qty
+                   FROM lineitem GROUP BY l_partkey)
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+               count(*) AS n
+        FROM lineitem JOIN a USING (l_partkey)
+        WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt_qty < sum_qty""")),
+
+    Q("q_full_outer",
+      (s, dir) => {
+        val c = t(s, dir, "customer").where(col("c_custkey") <= 100)
+          .select("c_custkey", "c_mktsegment")
+        val oa = t(s, dir, "orders").where(col("o_custkey").between(50, 150))
+          .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+        c.join(oa, c("c_custkey") === oa("o_custkey"), "full_outer")
+          .select(coalesce(c("c_custkey"), oa("o_custkey")).as("custkey"),
+            col("c_mktsegment"), col("n_orders"))
+          .orderBy("custkey")
+      },
+      Some("""
+        SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_mktsegment, n_orders
+        FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 100) c
+        FULL JOIN (SELECT o_custkey, count(*) AS n_orders
+                   FROM orders WHERE o_custkey BETWEEN 50 AND 150
+                   GROUP BY o_custkey) o
+          ON c_custkey = o_custkey
+        ORDER BY custkey""")),
+
+    // argmax via struct-max: one hash aggregate, no window sort. The struct
+    // compares (value, event_id) lexicographically in both engines, so ties
+    // on value break deterministically on event_id.
+    Q("q_argmax",
+      (s, dir) => {
+        val b = max(struct(col("value"), col("event_id")))
+        tEvents(s, dir)
+          .groupBy("event_type")
+          .agg(b.getField("event_id").as("best_id"),
+            b.getField("value").as("best_v"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type,
+               (max(struct_pack(v := value, id := event_id))).id AS best_id,
+               (max(struct_pack(v := value, id := event_id))).v AS best_v,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // Fixed-width histogram binning: floor(x / w) — the same IEEE divide in
+    // both engines, so bucket boundaries agree bit-for-bit.
+    Q("q_histogram",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(floor(col("o_totalprice") / lit(30000.0)).cast("long").as("bucket"),
+            col("o_totalprice"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), min("o_totalprice").as("lo"),
+            max("o_totalprice").as("hi"))
+          .orderBy("bucket"),
+      Some("""
+        SELECT CAST(floor(o_totalprice / CAST(30000.0 AS DOUBLE)) AS BIGINT) AS bucket,
+               count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        FROM orders
+        GROUP BY bucket
+        ORDER BY bucket""")),
+
+    Q("q_distinct_count",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(countDistinct("l_partkey").as("n_parts"),
+            countDistinct("l_suppkey").as("n_supps"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // Value-range window frame (trailing 1 hour per user) — RANGE BETWEEN
+    // over epoch-nanos, peers included identically in both engines.
+    Q("q_range_frame",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts")
+          .rangeBetween(-3600000000000L, 0)
+        tEvents(s, dir)
+          .withColumn("trail_1h", count(lit(1)).over(w).cast("long"))
+          .select("event_id", "user_id", "trail_1h")
+          .orderBy("event_id")
+          .limit(2000)
+      },
+      Some("""
+        SELECT event_id, user_id,
+               CAST(count(*) OVER (PARTITION BY user_id
+                 ORDER BY CAST(epoch_ns(ts) AS BIGINT)
+                 RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_1h
+        FROM events
+        ORDER BY event_id
+        LIMIT 2000""")),
+
+    // TPC-H Q6 shape: the forecast-revenue-delta scan — a pure
+    // filter+aggregate with NO join, the canonical full-pushdown plan
+    // (predicates reach the parquet scan, one partial+final agg, no
+    // exchange of anything but 1 row per partition).
+    Q("q6_forecast",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .where(expr("l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'") &&
+            expr("l_shipdate < TIMESTAMP '1998-01-01 00:00:00'") &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+              col("l_discount").cast("decimal(18,2)")).as("rev"),
+            count(lit(1)).as("n"))
+          .select(col("rev").cast("double").as("revenue"), col("n")),
+      Some("""
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")),
+
+    // TPC-H Q8 shape: national market share inside one region by year —
+    // a 6-table broadcast-dimension chain over the fact scan (customer ->
+    // nation -> region filter one side, supplier -> nation the other),
+    // exact-decimal share ratio. All dimensions broadcast; the fact table
+    // shuffles ONCE for the year aggregate.
+    Q("q8_market_share",
+      (s, dir) => {
+        val vol = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(18,2)")
+        val custNation = t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .where(col("r_name") === "ASIA")
+          .select(col("n_nationkey").as("cn_key"))
+        val suppNation = t(s, dir, "nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+          .where(expr("o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'") &&
+            expr("o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(
+            sum(when(col("supp_nation") === "NATION_7", vol)
+              .otherwise(lit(0).cast("decimal(18,2)"))).as("nation_vol"),
+            sum(vol).as("total_vol"))
+          .select(col("o_year"),
+            expr("(round(CAST(nation_vol AS DOUBLE) / CAST(total_vol AS DOUBLE), 6) + CAST(0.0 AS DOUBLE))").as("mkt_share"),
+            col("total_vol").cast("double").as("total_vol"))
+          .orderBy("o_year")
+      },
+      Some("""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               (round(CAST(sum(CASE WHEN sn.n_name = 'NATION_7'
+                   THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE)) AS mkt_share,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_vol
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+        ORDER BY o_year""")),
+
+    // TPC-H Q10 shape: returned-item revenue ranking — fact->fact join
+    // (orders x lineitem) filtered by quarter and return flag, customer +
+    // nation broadcast in, top 20 by exact-decimal revenue.
+    Q("q10_returned",
+      (s, dir) => {
+        val rev = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(18,2)")
+        t(s, dir, "lineitem")
+          .where(col("l_returnflag") === "R")
+          .join(t(s, dir, "orders")
+              .where(expr("o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'") &&
+                expr("o_orderdate < TIMESTAMP '1997-07-01 00:00:00'")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(sum(rev).as("revenue"), count(lit(1)).as("n_items"))
+          .select(col("c_custkey"), col("c_name"), col("n_name"),
+            col("revenue").cast("double").as("revenue"), col("n_items"))
+          .orderBy(desc("revenue"), col("c_custkey"))
+          .limit(20)
+      },
+      Some("""
+        SELECT c_custkey, c_name, n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-07-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20""")),
+
+    // TPC-H Q15 shape: top supplier by quarterly revenue — the
+    // "view + scalar max" pattern: one aggregate pass builds per-supplier
+    // revenue, a broadcast scalar max selects the winner(s) exactly
+    // (decimal compare, no double ties).
+    Q("q15_top_supplier",
+      (s, dir) => {
+        val rev = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(18,2)")
+        val revenue = t(s, dir, "lineitem")
+          .where(expr("l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'") &&
+            expr("l_shipdate < TIMESTAMP '1997-04-01 00:00:00'"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(rev).as("total_rev"))
+        val maxRev = revenue.agg(max(col("total_rev")).as("mx"))
+        revenue.join(broadcast(maxRev), col("total_rev") === col("mx"))
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("total_rev").cast("double").as("total_rev"))
+          .orderBy("s_suppkey")
+      },
+      Some("""
+        WITH revenue AS (
+          SELECT l_suppkey,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     CAST(1 - l_discount AS DECIMAL(18,2))) AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+        FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+        ORDER BY s_suppkey""")),
+
+    // REAL audio-container header parsing (multimodal, codec-free): the
+    // Spark side CONSTRUCTS valid RIFF/WAVE headers byte-for-byte (params
+    // derived from doc_id), the BinaryColumns kernel PARSES them back —
+    // magic sniff, little-endian chunk walk, fmt fields, and the
+    // data-size -> duration arithmetic. The oracle recomputes everything
+    // arithmetically, so any parse error hash-mismatches.
+    Q("q_audio_meta",
+      (s, dir) => {
+        def le(e: String, nBytes: Int): String =
+          (0 until nBytes).map(i =>
+            s"lpad(hex((($e) div ${1L << (8 * i)}) % 256), 2, '0')")
+            .mkString("concat(", ", ", ")")
+        val withBytes = t(s, dir, "documents")
+          .withColumn("ch", (col("doc_id") % 2 + 1).cast("long"))
+          .withColumn("sr", (lit(8000) + (col("doc_id") % 8) * 1000).cast("long"))
+          .withColumn("db", ((col("doc_id") % 1000 + 1) * 100).cast("long"))
+          .withColumn("br", (col("sr") * col("ch") * 2).cast("long"))
+          .withColumn("wav", unhex(expr(
+            s"""concat('52494646', ${le("36 + db", 4)}, '57415645',
+                '666D7420', '10000000', '0100', ${le("ch", 2)}, ${le("sr", 4)},
+                ${le("br", 4)}, ${le("ch * 2", 2)}, '1000',
+                '64617461', ${le("db", 4)})""")))
+        graft.multimodal.BinaryColumns.withAudioMeta(withBytes, "wav")
+          .select(col("doc_id"), col("audio_format"),
+            col("audio_channels").cast("long").as("channels"),
+            col("audio_sample_rate").cast("long").as("sample_rate"),
+            col("audio_bits").cast("long").as("bits"),
+            col("audio_duration_ms").as("duration_ms"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, 'wav' AS audio_format,
+               CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+               CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
+               CAST(16 AS BIGINT) AS bits,
+               CAST(((doc_id % 1000 + 1) * 100) * 1000 //
+                    ((8000 + (doc_id % 8) * 1000) * (doc_id % 2 + 1) * 2) AS BIGINT) AS duration_ms
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // REAL video-container parsing (multimodal triage, codec-free): the
+    // Spark side CONSTRUCTS spec-shaped ISO-BMFF (MP4) bytes — ftyp,
+    // moov nesting a full-size mvhd (timescale/duration) and trak/tkhd
+    // (16.16-fixed width/height at payload offsets 76/80) — and the
+    // BinaryColumns kernel walks the big-endian box tree back. The
+    // oracle recomputes every field arithmetically from the residue
+    // formulas, so the box walk, nesting recursion, fixed-point shift,
+    // and duration arithmetic are all under the hash.
+    Q("q_video_meta",
+      (s, dir) => {
+        def be(e: String): String = s"lpad(hex($e), 8, '0')"
+        def zeros(n: Int): String = "'" + "00" * n + "'"
+        val withBytes = t(s, dir, "documents")
+          .withColumn("ts", (lit(600) + (col("doc_id") % 5) * 120).cast("long"))
+          .withColumn("dur", ((col("doc_id") % 1000 + 1) * 250).cast("long"))
+          .withColumn("w", (lit(160) + (col("doc_id") % 8) * 16).cast("long"))
+          .withColumn("h", (lit(120) + (col("doc_id") % 6) * 24).cast("long"))
+          .withColumn("mp4", unhex(expr(
+            s"""concat(
+                '00000010', '66747970', '69736F6D', '00000000',
+                '000000D8', '6D6F6F76',
+                '0000006C', '6D766864', '00000000', '00000000', '00000000',
+                ${be("ts")}, ${be("dur")}, ${zeros(80)},
+                '00000064', '7472616B',
+                '0000005C', '746B6864', ${zeros(76)},
+                ${be("w * 65536")}, ${be("h * 65536")})""")))
+        graft.multimodal.BinaryColumns.withVideoMeta(withBytes, "mp4")
+          .select(col("doc_id"), col("video_format"),
+            col("video_timescale").cast("long").as("timescale"),
+            col("video_duration_ms").as("duration_ms"),
+            col("video_width").cast("long").as("width"),
+            col("video_height").cast("long").as("height"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, 'mp4' AS video_format,
+               CAST(600 + (doc_id % 5) * 120 AS BIGINT) AS timescale,
+               CAST(((doc_id % 1000 + 1) * 250) * 1000 //
+                    (600 + (doc_id % 5) * 120) AS BIGINT) AS duration_ms,
+               CAST(160 + (doc_id % 8) * 16 AS BIGINT) AS width,
+               CAST(120 + (doc_id % 6) * 24 AS BIGINT) AS height
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // WebDataset-style tar shards (multimodal/ShardCodec): the at-scale
+    // storage layout for multimodal training corpora — samples packed
+    // into tar shards, entries sharing a basename form one sample. Each
+    // doc packs a REAL 3-entry ustar shard (txt/cls/json by formula),
+    // then the PARSER walks it back: octal sizes, 512-block alignment,
+    // header checksums. The oracle recomputes names/sizes/payload md5s
+    // from the formulas, so a byte off anywhere in header layout or
+    // payload offsets hash-fails. Kernel inside mapPartitions; only
+    // narrow (name, size, md5) rows reach the exchange — shard bytes
+    // never do.
+    Q("q_tar_shard",
+      (s, dir) => {
+        import s.implicits._
+        val docs = tk(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"),
+            substring(col("text"), 1, 64).as("prefix"))
+          .as[(Long, String)]
+        docs.mapPartitions { it =>
+            it.flatMap { case (id, prefix) =>
+              import graft.multimodal.TarShard
+              val shard = TarShard.pack(Seq(
+                s"$id.txt" -> prefix.getBytes("UTF-8"),
+                s"$id.cls" -> s"label${id % 10}".getBytes("UTF-8"),
+                s"$id.json" -> s"""{"id":$id}""".getBytes("UTF-8")))
+              TarShard.entries(shard).map { e =>
+                (id, e.name, e.size,
+                  TarShard.md5Hex(TarShard.payload(shard, e)), e.checksumOk)
+              }
+            }
+          }
+          .toDF("doc_id", "name", "size", "payload_md5", "checksum_ok")
+          .orderBy("doc_id", "name")
+      },
+      Some("""
+        WITH e AS (
+          SELECT doc_id, CAST(doc_id AS VARCHAR) || '.txt' AS name,
+                 CAST(strlen(substring(text, 1, 64)) AS BIGINT) AS size,
+                 md5(substring(text, 1, 64)) AS payload_md5
+          FROM documents
+          UNION ALL
+          SELECT doc_id, CAST(doc_id AS VARCHAR) || '.cls',
+                 CAST(strlen('label' || CAST(doc_id % 10 AS VARCHAR)) AS BIGINT),
+                 md5('label' || CAST(doc_id % 10 AS VARCHAR))
+          FROM documents
+          UNION ALL
+          SELECT doc_id, CAST(doc_id AS VARCHAR) || '.json',
+                 CAST(strlen('{"id":' || CAST(doc_id AS VARCHAR) || '}') AS BIGINT),
+                 md5('{"id":' || CAST(doc_id AS VARCHAR) || '}')
+          FROM documents)
+        SELECT doc_id, name, size, payload_md5, true AS checksum_ok
+        FROM e
+        ORDER BY doc_id, name""")),
+
+    // The WebDataset READ path end to end: shard FILES on disk (written
+    // 50 docs/shard by the executors — synthShardDir), re-ingested
+    // through Spark's binaryFile source, entries exploded by the ustar
+    // walker. This is how a 100 TB multimodal corpus actually arrives:
+    // thousands of shard files, one task per shard, payload bytes never
+    // in an exchange — only (shard, name, size, md5) rows move. Oracle
+    // recomputes everything from the packing formulas, so file naming,
+    // shard assignment, write-side ordering and the parse all gate.
+    Q("q_shard_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val shardDir = synthShardDir(s, dir)
+        s.read.format("binaryFile").load(s"$shardDir/*.tar")
+          .select(col("path"), col("content"))
+          .as[(String, Array[Byte])]
+          .flatMap { case (path, bytes) =>
+            import graft.multimodal.TarShard
+            val shard = "shard-(\\d+)\\.tar".r.findFirstMatchIn(path)
+              .map(_.group(1).toLong).getOrElse(-1L)
+            TarShard.entries(bytes).map { e =>
+              (shard, e.name, e.size,
+                TarShard.md5Hex(TarShard.payload(bytes, e)), e.checksumOk)
+            }
+          }
+          .toDF("shard_id", "name", "size", "payload_md5", "checksum_ok")
+          .orderBy("shard_id", "name")
+      },
+      Some("""
+        WITH e AS (
+          SELECT CAST(doc_id // 50 AS BIGINT) AS shard_id,
+                 CAST(doc_id AS VARCHAR) || '.txt' AS name,
+                 CAST(strlen(substring(text, 1, 48)) AS BIGINT) AS size,
+                 md5(substring(text, 1, 48)) AS payload_md5
+          FROM documents
+          UNION ALL
+          SELECT CAST(doc_id // 50 AS BIGINT),
+                 CAST(doc_id AS VARCHAR) || '.json',
+                 CAST(strlen('{"id":' || CAST(doc_id AS VARCHAR) || '}') AS BIGINT),
+                 md5('{"id":' || CAST(doc_id AS VARCHAR) || '}')
+          FROM documents)
+        SELECT shard_id, name, size, payload_md5, true AS checksum_ok
+        FROM e
+        ORDER BY shard_id, name""")),
+
+    // SRT subtitle parse + caption-to-frame alignment (multimodal/
+    // Subtitles): the text side of a video-text training pipeline. A
+    // real 3-cue SRT document is formatted per doc (format_string time
+    // stamps, multi-line cue text), parsed back declaratively
+    // (split/regexp_extract — fused into the scan), and each cue's
+    // interval is aligned to the 2000 ms frame grid in CLOSED FORM
+    // (ceil/floor integer arithmetic, no interval join, no shuffle).
+    // The oracle recomputes cues and covered frames from the formulas,
+    // so the parse (time arithmetic incl. hour carries, text joining)
+    // and the grid algebra are both gated.
+    Q("q_srt_align",
+      (s, dir) => {
+        def ts(msExpr: String): String = {
+          val m = s"CAST(($msExpr) AS BIGINT)"
+          s"format_string('%02d:%02d:%02d,%03d', $m div 3600000, " +
+            s"($m div 60000) % 60, ($m div 1000) % 60, $m % 1000)"
+        }
+        val cue = (i: Int) => {
+          val st = s"(doc_id % 7) * 500 + ${(i - 1) * 3000}"
+          val en = s"$st + 2000 + (doc_id % 3) * 250"
+          s"concat('$i', chr(10), ${ts(st)}, ' --> ', ${ts(en)}, chr(10), " +
+            s"'cap ', doc_id, chr(10), 'more$i')"
+        }
+        val srtExpr = s"concat(${cue(1)}, chr(10), chr(10), ${cue(2)}, " +
+          s"chr(10), chr(10), ${cue(3)})"
+        val parsed = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.multimodal.Subtitles.parseSrt(expr(srtExpr))).as("c"))
+          .select(col("doc_id"), col("c.seq").as("seq"),
+            col("c.start_ms").as("start_ms"), col("c.end_ms").as("end_ms"),
+            col("c.text").as("cap_text"))
+        parsed
+          .withColumn("frame_k", explode(
+            graft.multimodal.Subtitles.coveredFrames(
+              col("start_ms"), col("end_ms"), 2000L)))
+          .withColumn("frame_ms", col("frame_k") * 2000L)
+          .orderBy("doc_id", "seq", "frame_k")
+      },
+      Some("""
+        WITH cue AS (
+          SELECT doc_id, unnest(range(1, 4)) AS i FROM documents),
+        t AS (
+          SELECT doc_id, CAST(i AS INT) AS seq,
+                 CAST((doc_id % 7) * 500 + (i - 1) * 3000 AS BIGINT) AS start_ms,
+                 CAST((doc_id % 7) * 500 + (i - 1) * 3000
+                      + 2000 + (doc_id % 3) * 250 AS BIGINT) AS end_ms,
+                 'cap ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+                 'more' || CAST(i AS VARCHAR) AS cap_text
+          FROM cue),
+        f AS (
+          SELECT t.*, unnest(range(
+                   CAST(ceil(start_ms / 2000.0) AS BIGINT),
+                   CAST(floor((end_ms - 1) / 2000.0) AS BIGINT) + 1)) AS frame_k
+          FROM t)
+        SELECT doc_id, seq, start_ms, end_ms, cap_text,
+               CAST(frame_k AS BIGINT) AS frame_k,
+               CAST(frame_k * 2000 AS BIGINT) AS frame_ms
+        FROM f
+        ORDER BY doc_id, seq, frame_k""")),
+
+    // WebVTT variant (multimodal/Subtitles.parseVtt): the caption format
+    // web video actually ships. The fixture exercises the grammar the
+    // SRT parser doesn't see — WEBVTT header and NOTE blocks (must be
+    // dropped), a short-form MM:SS.mmm cue with NO id line, and an
+    // id-carrying cue with an HOURS field and a position setting after
+    // the end time (must be ignored). Oracle recomputes both cues from
+    // the formulas, gating header skip, optional-hour time algebra and
+    // id/text line splitting at once.
+    Q("q_vtt_cues",
+      (s, dir) => {
+        def mmss(ms: String): String = {
+          val m = s"CAST(($ms) AS BIGINT)"
+          s"format_string('%02d:%02d.%03d', $m div 60000, ($m div 1000) % 60, $m % 1000)"
+        }
+        def hmmss(ms: String): String = {
+          val m = s"CAST(($ms) AS BIGINT)"
+          s"format_string('%d:%02d:%02d.%03d', $m div 3600000, " +
+            s"($m div 60000) % 60, ($m div 1000) % 60, $m % 1000)"
+        }
+        val st1 = "(doc_id % 5) * 250"
+        val st2 = "3700000 + (doc_id % 9) * 111"
+        val vtt = s"concat('WEBVTT', chr(10), chr(10), " +
+          s"'NOTE formula fixture', chr(10), chr(10), " +
+          s"${mmss(st1)}, ' --> ', ${mmss(s"$st1 + 1500")}, chr(10), " +
+          s"'short ', doc_id, chr(10), chr(10), " +
+          s"'c', doc_id, chr(10), " +
+          s"${hmmss(st2)}, ' --> ', ${hmmss(s"$st2 + 2000")}, ' position:10%', chr(10), " +
+          s"'long ', doc_id, chr(10), 'tail')"
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.multimodal.Subtitles.parseVtt(expr(vtt))).as("c"))
+          .select(col("doc_id"), col("c.cue_id").as("cue_id"),
+            col("c.start_ms").as("start_ms"), col("c.end_ms").as("end_ms"),
+            col("c.text").as("cue_text"))
+          .orderBy("doc_id", "start_ms")
+      },
+      Some("""
+        WITH c AS (
+          SELECT doc_id, '' AS cue_id,
+                 CAST((doc_id % 5) * 250 AS BIGINT) AS start_ms,
+                 CAST((doc_id % 5) * 250 + 1500 AS BIGINT) AS end_ms,
+                 'short ' || CAST(doc_id AS VARCHAR) AS cue_text
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 'c' || CAST(doc_id AS VARCHAR),
+                 CAST(3700000 + (doc_id % 9) * 111 AS BIGINT),
+                 CAST(3700000 + (doc_id % 9) * 111 + 2000 AS BIGINT),
+                 'long ' || CAST(doc_id AS VARCHAR) || chr(10) || 'tail'
+          FROM documents)
+        SELECT doc_id, cue_id, start_ms, end_ms, cue_text
+        FROM c
+        ORDER BY doc_id, start_ms"""))
+  )
+}

@@ -1,0 +1,655 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chunk.Chunking
+import graft.embed.HashingEmbedder
+import graft.functions.{MdContent, TextF, VectorF}
+import graft.ops.{Dedup, Similarity}
+import graft.rag.RagPipeline
+import graft.sqlgen.{Dialect, Exprs}
+
+/** Preference/reward-model era: watermark, Bradley-Terry, DPO, best-of-n, BLEU/chrF, c-TF-IDF (batch + streaming). Split from QueryCatalog in r13; shared helpers live in
+  * [[CatalogCore]], the assembled query map in [[QueryCatalog]]. */
+private[graft] trait CatalogPreference extends CatalogCore {
+
+  // =========================================================================
+  // Preference / provenance / topic ops — the reward-model-era additions:
+  // pairwise-preference strength fitting, annotator agreement, synthetic-
+  // text watermark detection, and cluster topic labeling
+  // =========================================================================
+
+  protected def preferenceOps: Seq[Q] = {
+    val SP = Dialect.spark
+    // comparison-bit LSH bucket: bit i set iff emb[2i] > emb[2i+1]
+    // (0-based dims; rendered 1-based for both engines' at()). The
+    // hashing embedding is non-negative, so SIGN bits would collapse to
+    // one bucket — adjacent-component comparisons are balanced instead.
+    def cmpBits(dl: Dialect, vecCol: String, bits: Int): String =
+      (0 until bits).map { i =>
+        s"(CASE WHEN ${dl.at(vecCol, (2 * i + 1).toString)} > " +
+          s"${dl.at(vecCol, (2 * i + 2).toString)} THEN ${1 << i} ELSE 0 END)"
+      }.mkString("CAST((", " + ", ") AS INT)")
+    // c-TF-IDF scoring from a (cluster __c, term, tf) count matrix —
+    // SHARED by the batch query and the incremental streaming gate, so
+    // the two provably run the same math over their respective matrices.
+    // Input must be materialized (both callers checkpoint); everything
+    // here is dim-sized: f/tot re-aggregate the matrix, the join
+    // broadcasts, the window runs over (cluster, term) rows.
+    def ctfidfScore(tf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val f = tf.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("f"))
+      val tot = tf.agg(sum(col("tf")).cast("long").as("__n"),
+        countDistinct(col("__c")).cast("long").as("__nc"))
+      val scored = tf.join(f, "term").crossJoin(broadcast(tot))
+        .where(col("tf") >= 5)
+        .withColumn("__score", col("tf").cast("double") *
+          log(lit(1.0) + col("__n").cast("double") /
+            col("__nc").cast("double") / col("f").cast("double")))
+      val w = Window.partitionBy(col("__c"))
+        .orderBy(col("__score").desc, col("term"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 10)
+        .select(col("__c").as("cluster"), col("rnk"), col("term"),
+          col("tf"), r6(col("__score")).as("score"))
+        .orderBy("cluster", "rnk")
+    }
+    // Bradley-Terry MM steps over a (i, j, w) ordered-pair count frame —
+    // SHARED by the batch query and the streaming gate. Spark inlines
+    // CTEs, so the one-statement form would re-derive each θ 2^iters
+    // times: run the oracle's own step builders over localCheckpointed
+    // k²-row views instead — identical math, linear work.
+    def btFromCounts(sess: SparkSession,
+                     counts: org.apache.spark.sql.DataFrame,
+                     iters: Int): org.apache.spark.sql.DataFrame = {
+      import graft.ops.Preference
+      val tag = System.nanoTime()
+      def mat(df: org.apache.spark.sql.DataFrame, name: String): String = {
+        val v = s"graft_bt_${name}_$tag"
+        df.localCheckpoint(true).createOrReplaceTempView(v)
+        v
+      }
+      val cV = mat(counts, "counts")
+      val nmV = mat(sess.sql(Preference.btMatrixSql(SP, cV)), "nm")
+      val wtV = mat(sess.sql(Preference.btWtotSql(SP, nmV)), "wt")
+      var thV = mat(sess.sql(Preference.btTh0Sql(SP, nmV)), "th0")
+      for (it <- 1 to iters)
+        thV = mat(sess.sql(Preference.btIterSql(SP, nmV, wtV, thV)), s"th$it")
+      sess.sql(Preference.btFinalSql(SP, thV, wtV))
+    }
+    val btOracle = {
+      import graft.ops.Preference
+      Preference.bradleyTerrySql(D,
+        Preference.comparisonsSql(D, "events", "user_id", "ts",
+          "event_id", "event_type", "value"), iters = 5)
+    }
+    Seq(
+      // Statistical watermark detection (Kirchenbauer et al. 2023): per
+      // doc, the fraction of (prev, cur) token bigrams whose seeded hash
+      // lands in the green half, z-tested against Binomial(n, 0.5) —
+      // the provenance gate that keeps model-generated text out of the
+      // next pretraining mix. Green membership is the shared md5Uniform
+      // fold (exact small-int arithmetic + one IEEE division), so both
+      // engines classify every bigram identically; z is one fixed chain
+      // from exact integers. Plan: a PURE per-row projection — one scan,
+      // zero exchanges; the cheapest possible shape at 100 TB.
+      Q("q_watermark_detect",
+        (s, dir) => {
+          val (nP, nG) =
+            graft.ops.Provenance.watermarkCountsSql(SP, "__toks", "wm1")
+          t(s, dir, "documents")
+            .withColumn("__toks", expr(SP.splitWs("text")))
+            .select(col("doc_id"), expr(nP).as("n_pairs"),
+              expr(nG).as("n_green"))
+            .withColumn("z",
+              when(col("n_pairs") === 0, lit(null).cast("double"))
+                .otherwise(r6((lit(2.0) * col("n_green").cast("double") -
+                  col("n_pairs").cast("double")) /
+                  sqrt(col("n_pairs").cast("double")))))
+            .withColumn("flagged",
+              when(col("n_pairs") >= 20 && col("z") > lit(2.0), lit(1L))
+                .otherwise(lit(0L)))
+            .orderBy("doc_id")
+        },
+        Some {
+          val (nP, nG) =
+            graft.ops.Provenance.watermarkCountsSql(D, "__toks", "wm1")
+          s"""WITH base AS (SELECT doc_id, ${D.splitWs("text")} AS __toks
+                            FROM documents),
+             cnt AS (SELECT doc_id, $nP AS n_pairs, $nG AS n_green
+                     FROM base),
+             zz AS (SELECT doc_id, n_pairs, n_green,
+                      CASE WHEN n_pairs = 0 THEN NULL ELSE
+                        ${duckR6("(CAST(2.0 AS DOUBLE) * CAST(n_green AS DOUBLE) - CAST(n_pairs AS DOUBLE)) / sqrt(CAST(n_pairs AS DOUBLE))")}
+                      END AS z
+                    FROM cnt)
+             SELECT doc_id, n_pairs, n_green, z,
+                    CAST(CASE WHEN n_pairs >= 20 AND z > ${D.d(2.0)}
+                         THEN 1 ELSE 0 END AS BIGINT) AS flagged
+             FROM zz ORDER BY doc_id"""
+        }),
+
+      // Bradley-Terry preference strengths (chatbot-arena / reward-model
+      // label aggregation): consecutive same-user events form pairwise
+      // contests (higher stored value wins, exact-tie -> lexicographic),
+      // then 5 unrolled MM iterations fit per-type strengths. ONE
+      // dialect-parameterized SQL runs on BOTH engines (Spark executes
+      // the identical text over a temp view), with round-6 state at every
+      // iteration boundary and pinned summation order — the q_sp_dp
+      // store-rounded inductive pattern. Corpus-sized work is one lead()
+      // window + one (i,j) count agg; the MM loop runs on the |types|²
+      // matrix — dozens of rows at any corpus size.
+      Q("q_bradley_terry",
+        (s, dir) => {
+          import graft.ops.Preference
+          val evView = s"graft_bt_events_${System.nanoTime()}"
+          tEvents(s, dir).createOrReplaceTempView(evView)
+          btFromCounts(s, s.sql(
+            s"""SELECT i, j, CAST(count(*) AS BIGINT) AS w FROM (
+                  ${Preference.comparisonsSql(SP, evView, "user_id", "ts",
+                    "event_id", "event_type", "value")}
+                ) c__ GROUP BY i, j"""), iters = 5)
+        },
+        Some(btOracle)),
+
+      // Streaming Bradley-Terry == batch: contests derive INCREMENTALLY
+      // (flatMapGroupsWithState retains each user's last event — O(1)
+      // state — and every arrival forms a contest against it), fed as 4
+      // REAL micro-batches; the streamed contests re-aggregate and run
+      // the SAME MM steps, hash-matching the SAME oracle as
+      // q_bradley_terry. The 20th batch/stream equivalence gate: a live
+      // preference/reward-model count matrix never re-scans history.
+      Q("q_stream_bt_eq",
+        (s, dir0) => {
+          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
+          import s.implicits._
+          import graft.streaming.StreamingPreference
+          import graft.streaming.StreamingPreference.PEvent
+          val ss = streamSession(s)
+          implicit val sqlCtx = ss.sqlContext
+          def tsOf(us: Long) = java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(us / 1000000L,
+              (us % 1000000L) * 1000L))
+          val evs = tEvents(s, dir)
+            .select(col("user_id").cast("long"),
+              expr("ts div 1000").as("tsus"),
+              col("event_id").cast("long"), col("event_type"), col("value"))
+            .as[(Long, Long, Long, String, Double)].collect()
+            .sortBy { case (_, tsus, eid, _, _) => (tsus, eid) }
+            .map { case (u, tsus, eid, t, v) => PEvent(u, tsOf(tsus), eid, t, v) }
+          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[PEvent]
+          val name = s"q_stream_bt_eq_${System.nanoTime()}"
+          val q = StreamingPreference.contestStream(in.toDS())
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+          try {
+            evs.grouped(math.max(1, (evs.length + 3) / 4)).foreach { b =>
+              in.addData(b.toSeq); q.processAllAvailable()
+            }
+          } finally {
+            q.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
+          btFromCounts(ss, ss.table(name).groupBy(col("i"), col("j"))
+            .agg(count(lit(1)).cast("long").as("w")), iters = 5)
+        },
+        Some(btOracle)),
+
+      // DPO-style preference-pair mining (Rafailov et al. 2023's data
+      // contract) — the missing fourth stage of the reward-model
+      // pipeline: contests collapse to the (context, chosen, rejected)
+      // count grain in the SAME pass that derives them, the global
+      // Bradley-Terry matrix re-aggregates THAT small relation (the
+      // corpus is never scanned twice), fitted strengths attach by
+      // broadcast, and only pairs whose local winner is also globally
+      // stronger survive. margin = θ_chosen − θ_rejected is one IEEE
+      // subtraction of round-6 state — bit-identical cross-engine.
+      Q("q_dpo_pairs",
+        (s, dir) => {
+          import graft.ops.Preference
+          val tag = System.nanoTime()
+          val evView = s"graft_dpo_events_$tag"
+          tEvents(s, dir).createOrReplaceTempView(evView)
+          // contest grain: |ctx|·k² rows — dim-sized, checkpoint so the
+          // BT matrix and the final pair table both read it without
+          // re-running the corpus window (Spark inlines temp views)
+          val pcV = s"graft_dpo_pc_$tag"
+          s.sql(Preference.dpoPairCountsSql(SP,
+              s"(${Preference.comparisonsCtxSql(SP, evView, "user_id", "ts",
+                "event_id", "event_type", "value")}) cmpc__"))
+            .localCheckpoint(true).createOrReplaceTempView(pcV)
+          val btV = s"graft_dpo_bt_$tag"
+          btFromCounts(s, s.sql(
+            s"""SELECT chosen AS i, rejected AS j,
+                  CAST(sum(n_wins) AS BIGINT) AS w FROM $pcV
+                GROUP BY chosen, rejected"""), iters = 5)
+            .localCheckpoint(true).createOrReplaceTempView(btV)
+          s.sql(Preference.dpoPairsSql(SP, pcV, btV))
+        },
+        Some {
+          import graft.ops.Preference
+          s"""WITH cmpc ${D.cteAs} (${Preference.comparisonsCtxSql(D,
+                "events", "user_id", "ts", "event_id", "event_type", "value")}),
+            pc ${D.cteAs} (${Preference.dpoPairCountsSql(D, "cmpc")}),
+            bt ${D.cteAs} (${Preference.bradleyTerryFromCountsSql(D,
+              """SELECT chosen AS i, rejected AS j,
+                 CAST(sum(n_wins) AS BIGINT) AS w FROM pc
+                 GROUP BY chosen, rejected""", iters = 5)})
+            ${Preference.dpoPairsSql(D, "pc", "bt")}"""
+        }),
+
+      // Best-of-n / rejection-sampling selection (the Llama-2 RLHF data
+      // loop; WebGPT): per (user, event_type) prompt group, the single
+      // top-scoring candidate by exact tie-break (raw stored doubles
+      // DESC, event_id ASC), with candidate count, exact-mean score gain
+      // (DECIMAL sum over pre-quantized fixtures), a kept flag vs the
+      // 450.0 score threshold, and the global kept fraction. Plan: ONE
+      // keyed window (rank/count/sum share the exchange), rn=1 collapses
+      // to prompt grain, and the kept-fraction attaches from a
+      // checkpointed prompt-sized view — zero second corpus passes.
+      Q("q_best_of_n",
+        (s, dir) => {
+          import graft.ops.Preference
+          val tag = System.nanoTime()
+          val evView = s"graft_bofn_events_$tag"
+          tEvents(s, dir).createOrReplaceTempView(evView)
+          val bV = s"graft_bofn_ranked_$tag"
+          s.sql(Preference.bestOfNRankedSql(SP, evView, "user_id",
+              "event_type", "event_id", "value", threshold = 450.0))
+            .localCheckpoint(true).createOrReplaceTempView(bV)
+          s.sql(Preference.bestOfNFinalSql(SP, bV))
+        },
+        Some {
+          import graft.ops.Preference
+          s"""WITH b ${D.cteAs} (${Preference.bestOfNRankedSql(D, "events",
+                "user_id", "event_type", "event_id", "value",
+                threshold = 450.0)})
+            ${Preference.bestOfNFinalSql(D, "b")}"""
+        }),
+
+      // BLEU-2 + chrF pair-quality scoring (Papineni 2002; Popović 2015)
+      // — the standard MT-data filter run beside q_bitext_mine: clipped
+      // n-gram precision × brevity penalty (geometric mean as sqrt, so
+      // the only transcendental is the BP exp) and the purely rational
+      // chrF chain, over deterministic candidate/reference pairs
+      // (truncation pairs score high with BP active; unrelated
+      // next-doc pairs score near 0). All counts BIGINT; one corpus map
+      // pass for stats (zero exchanges), per-row chains for scores —
+      // engine runs the IDENTICAL dialect-rendered text from a
+      // checkpointed stats view.
+      Q("q_bleu_pairs",
+        (s, dir) => {
+          import graft.ops.PairQuality
+          val tag = System.nanoTime()
+          val docsV = s"graft_bleu_docs_$tag"
+          t(s, dir, "documents").createOrReplaceTempView(docsV)
+          val statsV = s"graft_bleu_stats_$tag"
+          s.sql(PairQuality.pairStatsSql(SP, docsV))
+            .localCheckpoint(true).createOrReplaceTempView(statsV)
+          s.sql(PairQuality.scoresSql(SP, statsV))
+        },
+        Some {
+          import graft.ops.PairQuality
+          s"""WITH st ${D.cteAs} (${PairQuality.pairStatsSql(D, "documents")})
+            ${PairQuality.scoresSql(D, "st")}"""
+        }),
+
+      // Cohen's kappa inter-annotator agreement between two deterministic
+      // binary raters (length gate vs stopword-density gate, the density
+      // compared by integer cross-multiplication) — the label-quality
+      // read that gates preference/quality data before training. One
+      // map-combined scan to a 2x2 table; po/pe/kappa in one IEEE chain.
+      Q("q_cohen_kappa",
+        (s, dir) => {
+          val view = s"graft_kappa_docs_${System.nanoTime()}"
+          t(s, dir, "documents").createOrReplaceTempView(view)
+          s.sql(graft.ops.Preference.cohenKappaSql(SP, view))
+        },
+        Some(graft.ops.Preference.cohenKappaSql(D, "documents"))),
+
+      // SFT chat-transcript structure gate: deterministic "role: content"
+      // transcripts built from the document tokens (system/tool/user/
+      // assistant pattern planting real alternation violations and
+      // unknown roles), then PARSED back — per-doc turn counts by role,
+      // same-speaker violations, and per-role token masses, the checks
+      // that decide keep/fix/drop before chat logs become training rows.
+      // All exact integers from string positions; construction AND parse
+      // render from one dialect builder so the oracle replays end to
+      // end. Plan: per-row projections only — the watermark shape, one
+      // scan, zero exchanges.
+      Q("q_chat_turns",
+        (s, dir) => {
+          import graft.ops.ChatLog
+          val stats = ChatLog.statsSql(SP, "lns__")
+          // Dialect.bind1 chain: split -> transcript -> lines evaluate
+          // once per row structurally (alias substitution would otherwise
+          // re-derive them per stat — see q_sft_pipeline)
+          val statStruct = SP.bind1(SP.splitWs("text"), "toks__",
+            SP.bind1(ChatLog.transcriptSql(SP, "toks__"), "t__",
+              SP.bind1(SP.splitLines("t__"), "lns__",
+                s"struct(${stats.map { case (k, e) => s"$e AS $k" }
+                  .mkString(", ")})")))
+          t(s, dir, "documents")
+            .select(col("doc_id"), expr(statStruct).as("__st"))
+            .select(col("doc_id") +:
+              stats.map { case (k, _) => col(s"__st.$k").as(k) }: _*)
+            .orderBy("doc_id")
+        },
+        Some {
+          import graft.ops.ChatLog
+          val stats = ChatLog.statsSql(D, "lns")
+          s"""WITH b AS (SELECT doc_id, ${D.splitWs("text")} AS toks
+                         FROM documents),
+             tr AS (SELECT doc_id, ${ChatLog.transcriptSql(D, "toks")} AS t
+                    FROM b),
+             ln AS (SELECT doc_id, ${D.splitLines("t")} AS lns FROM tr)
+             SELECT doc_id,
+                    ${stats.map { case (k, e) => s"$e AS $k" }.mkString(",\n                    ")}
+             FROM ln ORDER BY doc_id"""
+        }),
+
+      // Dataset Cartography (Swayamdipta et al. 2020): per-example
+      // confidence (mean per-epoch true-label probability) and
+      // variability (std), bucketed easy/ambiguous/hard — the training-
+      // dynamics triage behind pruning easy redundancy and auditing hard
+      // examples for label noise. Probabilities are the deterministic
+      // md5Uniform fixture; the OPERATOR is the epoch-ordered fold
+      // aggregation + rounded-coordinate bucketing. Per-row projections
+      // only: one scan, zero exchanges.
+      Q("q_data_cartography",
+        (s, dir) => {
+          import graft.ops.Cartography
+          val E = 8
+          // Dialect.bind1: the probability array and its mean evaluate
+          // once per row structurally (std references both; the inner
+          // lambda captures the outer variable)
+          val mapStruct = SP.bind1(
+            Cartography.probsSql(SP, "doc_id", "cart", E), "p__",
+            SP.bind1(Cartography.confSql(SP, "p__", E), "cf__",
+              s"""struct(
+                 (round(cf__, 6) + ${SP.d(0.0)}) AS confidence,
+                 (round(${Cartography.stdSql(SP, "p__", "cf__", E)}, 6)
+                   + ${SP.d(0.0)}) AS variability)"""))
+          t(s, dir, "documents")
+            .select(col("doc_id"), expr(mapStruct).as("__m"))
+            .select(col("doc_id"),
+              col("__m.confidence").as("confidence"),
+              col("__m.variability").as("variability"),
+              expr(Cartography.categorySql(SP,
+                "__m.confidence", "__m.variability")).as("category"))
+            .orderBy("doc_id")
+        },
+        Some {
+          import graft.ops.Cartography
+          val E = 8
+          s"""WITH p AS (SELECT doc_id,
+                    ${Cartography.probsSql(D, "doc_id", "cart", E)} AS pr
+                  FROM documents),
+             c AS (SELECT doc_id, pr,
+                    ${Cartography.confSql(D, "pr", E)} AS cf FROM p),
+             sd AS (SELECT doc_id, cf,
+                    ${Cartography.stdSql(D, "pr", "cf", E)} AS st FROM c),
+             r AS (SELECT doc_id,
+                    ${duckR6("cf")} AS confidence,
+                    ${duckR6("st")} AS variability
+                   FROM sd)
+             SELECT doc_id, confidence, variability,
+                    ${Cartography.categorySql(D, "confidence", "variability")} AS category
+             FROM r ORDER BY doc_id"""
+        }),
+
+      // SFT loss-mask spans: the EXACT 1-based character offsets of every
+      // assistant turn's content inside the rendered transcript — what a
+      // trainer needs to mask user/system tokens out of the loss. The
+      // contract is self-proving: content_md5 hashes the substring CUT
+      // FROM THE TRANSCRIPT at (start, len), so any off-by-one in the
+      // offset arithmetic (prefix sums of line lengths + newlines + the
+      // role prefix) breaks the hash against the oracle's independent
+      // replay. One shuffle on doc_id for the prefix-sum window; all
+      // outputs exact integers + md5.
+      Q("q_chat_spans",
+        (s, dir) => {
+          import graft.ops.ChatLog
+          import org.apache.spark.sql.expressions.Window
+          val base = t(s, dir, "documents")
+            .withColumn("__toks", expr(SP.splitWs("text")))
+            .withColumn("__t", expr(ChatLog.transcriptSql(SP, "__toks")))
+            .withColumn("__lines", expr(SP.splitLines("__t")))
+          val ex = base
+            .select(col("doc_id"), col("__t"),
+              posexplode(col("__lines")).as(Seq("__i0", "__line")))
+            .withColumn("turn_idx", col("__i0").cast("long") + 1)
+          val w = Window.partitionBy(col("doc_id")).orderBy(col("turn_idx"))
+          ex
+            .withColumn("__cum",
+              sum(length(col("__line")).cast("long") + lit(1L)).over(w))
+            .withColumn("__ls",
+              col("__cum") - (length(col("__line")).cast("long") + lit(1L)) + 1)
+            .withColumn("__p", expr(SP.instr("__line", "': '")).cast("long"))
+            .where(expr(ChatLog.roleSql(SP, "__line")) === "assistant")
+            .select(col("doc_id"), col("turn_idx"),
+              (col("__ls") + col("__p") + 1).as("start"),
+              (length(col("__line")).cast("long") - col("__p") - 1).as("len"),
+              md5(expr("substring(__t, CAST(__ls + __p + 1 AS INT), " +
+                "CAST(length(__line) - __p - 1 AS INT))")).as("content_md5"))
+            .orderBy("doc_id", "turn_idx")
+        },
+        Some {
+          import graft.ops.ChatLog
+          s"""WITH b AS (SELECT doc_id, ${D.splitWs("text")} AS toks
+                         FROM documents),
+             tr AS (SELECT doc_id, ${ChatLog.transcriptSql(D, "toks")} AS t
+                    FROM b),
+             ex AS (SELECT doc_id, t, CAST(i AS BIGINT) AS turn_idx,
+                           lns[CAST(i AS INT)] AS line
+                    FROM (SELECT doc_id, t, lns,
+                                 unnest(range(1, len(lns) + 1)) AS i
+                          FROM (SELECT doc_id, t, ${D.splitLines("t")} AS lns
+                                FROM tr) y__) x__),
+             pos AS (SELECT doc_id, t, turn_idx, line,
+                            CAST(sum(length(line) + 1) OVER (
+                              PARTITION BY doc_id ORDER BY turn_idx
+                              ROWS UNBOUNDED PRECEDING)
+                              - (length(line) + 1) + 1 AS BIGINT) AS ls,
+                            CAST(${D.instr("line", "': '")} AS BIGINT) AS p
+                     FROM ex)
+             SELECT doc_id, turn_idx,
+                    CAST(ls + p + 1 AS BIGINT) AS start,
+                    CAST(length(line) - p - 1 AS BIGINT) AS len,
+                    md5(substring(t, CAST(ls + p + 1 AS INT),
+                                  CAST(length(line) - p - 1 AS INT))) AS content_md5
+             FROM pos
+             WHERE ${ChatLog.roleSql(D, "line")} = 'assistant'
+             ORDER BY doc_id, turn_idx"""
+        }),
+
+      // CAPSTONE composition for the r12 layer — the provenance-gated SFT
+      // intake pipeline as ONE dataflow under ONE hash: watermark-screen
+      // the corpus (drop suspected model output: z > 2 at n >= 20 — the
+      // keep predicate is EXACTLY the q_watermark_detect flag's negation,
+      // boundary z = 2.0 included on the kept side),
+      // render the survivors as chat transcripts, parse the turn
+      // structure back, and keep only well-formed conversations (at most
+      // 2 alternation violations, at least one assistant turn), emitting
+      // each kept doc's turn count and assistant token mass. Every stage
+      // boundary (screen, render, parse, filter) is inside the compare,
+      // so a drift in ANY of the three operators breaks this hash too.
+      // Plan: per-row projections end to end — one corpus scan, zero
+      // data exchanges before the presentation sort.
+      Q("q_sft_pipeline",
+        (s, dir) => {
+          import graft.ops.{ChatLog, Provenance}
+          val (nP, nG) =
+            Provenance.watermarkCountsSql(SP, "__toks", "wm1")
+          val statsL = ChatLog.statsSql(SP, "lns__")
+          // Alias substitution (CollapseProject inlining + predicate
+          // pushdown, neither cost-guarded) re-derives heavy chains like
+          // the token split per USE — measured 7x wall on the naive
+          // filter-over-projection form. Dialect.bind1 pins each
+          // intermediate to exactly one evaluation per row STRUCTURALLY
+          // (lambda variables are leaves — no rewrite can re-expand them).
+          val wmStruct = SP.bind1(SP.splitWs("text"), "__toks",
+            s"struct($nP AS np, $nG AS ng)")
+          val statStruct = SP.bind1(SP.splitWs("text"), "toks__",
+            SP.bind1(ChatLog.transcriptSql(SP, "toks__"), "t__",
+              SP.bind1(SP.splitLines("t__"), "lns__",
+                s"struct(${statsL.map { case (k, e) => s"$e AS $k" }
+                  .mkString(", ")})")))
+          val screened = t(s, dir, "documents")
+            .select(col("doc_id"), col("text"), expr(wmStruct).as("__wm"))
+            .withColumn("__z",
+              when(col("__wm.np") === 0, lit(null).cast("double"))
+                .otherwise(r6((lit(2.0) * col("__wm.ng").cast("double") -
+                  col("__wm.np").cast("double")) /
+                  sqrt(col("__wm.np").cast("double")))))
+            .where(col("__wm.np") < 20 || col("__z") <= lit(2.0))
+            .select(col("doc_id"), col("text"))
+          screened
+            .select(col("doc_id"), expr(statStruct).as("__st"))
+            .where(col("__st.violations") <= 2 &&
+              col("__st.n_assistant") >= 1)
+            .select(col("doc_id"), col("__st.n_turns").as("n_turns"),
+              col("__st.violations").as("violations"),
+              col("__st.assistant_tokens").as("assistant_tokens"))
+            .orderBy("doc_id")
+        },
+        Some {
+          import graft.ops.{ChatLog, Provenance}
+          val (nP, nG) =
+            Provenance.watermarkCountsSql(D, "__toks", "wm1")
+          val stats = ChatLog.statsSql(D, "lns").toMap
+          s"""WITH base AS (SELECT doc_id, text, ${D.splitWs("text")} AS __toks
+                            FROM documents),
+             wm AS (SELECT doc_id, text, __toks,
+                           $nP AS np, $nG AS ng FROM base),
+             z AS (SELECT doc_id, text, __toks, np,
+                          CASE WHEN np = 0 THEN NULL ELSE
+                            ${duckR6("(CAST(2.0 AS DOUBLE) * CAST(ng AS DOUBLE) - CAST(np AS DOUBLE)) / sqrt(CAST(np AS DOUBLE))")}
+                          END AS zz
+                   FROM wm),
+             kept AS (SELECT doc_id, __toks FROM z
+                      WHERE np < 20 OR zz <= ${D.d(2.0)}),
+             tr AS (SELECT doc_id,
+                           ${ChatLog.transcriptSql(D, "__toks")} AS t
+                    FROM kept),
+             ln AS (SELECT doc_id, ${D.splitLines("t")} AS lns FROM tr),
+             st AS (SELECT doc_id,
+                           ${stats("n_turns")} AS n_turns,
+                           ${stats("violations")} AS violations,
+                           ${stats("n_assistant")} AS n_assistant,
+                           ${stats("assistant_tokens")} AS assistant_tokens
+                    FROM ln)
+             SELECT doc_id, n_turns, violations, assistant_tokens
+             FROM st
+             WHERE violations <= 2 AND n_assistant >= 1
+             ORDER BY doc_id"""
+        }),
+
+      // c-TF-IDF cluster topic labeling (Grootendorst 2022, BERTopic):
+      // docs cluster by embedding comparison-bits (the SQL-replayable LSH
+      // neighborhood, same expression family as q_icp_order), then each
+      // cluster's top-10 terms rank by class-based TF-IDF
+      // W(t,c) = tf(t,c) · ln(1 + A/f(t)) — the corpus-curation read
+      // ("what IS each data cluster") behind cluster-level pruning and
+      // mixture decisions. Exact: tf/f/A derive from integers; the score
+      // is one identical IEEE chain ranked with a full (score DESC, term)
+      // tie-break. Plan: ONE corpus-sized aggregation to the (cluster,
+      // term) dimension (map-side combined, localCheckpointed so f/A
+      // derive from it without re-scanning the corpus), then dim-sized
+      // joins and an 8-partition window — no second corpus pass.
+      Q("q_ctfidf_topics",
+        (s, dir) => {
+          val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          val emb = graft.embed.HashingEmbedder(64)
+            .withEmbedding(docs, "text", "__emb")
+          val toks = emb
+            .withColumn("__c", expr(cmpBits(SP, "__emb", 3)).cast("long"))
+            .select(col("__c"),
+              explode(expr(SP.splitWs("text"))).as("term"))
+          val tf = toks.groupBy(col("__c"), col("term"))
+            .agg(count(lit(1)).cast("long").as("tf"))
+            .localCheckpoint(true)
+          ctfidfScore(tf)
+        },
+        Some(ctfidfOracle)),
+
+      // 21st streaming/batch equivalence gate — INCREMENTAL c-TF-IDF:
+      // the (cluster, term) count matrix is the natural streaming state
+      // (Structured Streaming's stateful aggregation adds each
+      // micro-batch's counts into the state store; nothing re-scans
+      // history), and topic rescoring is dim-sized work over the live
+      // matrix. Docs arrive as 4 REAL micro-batches (embed -> LSH
+      // cluster -> term explode run INSIDE the stream); the final state
+      // rescores through the SAME ctfidfScore the batch query uses and
+      // hash-matches the SAME oracle — live topic labels == batch
+      // BERTopic labels under one hash.
+      Q("q_stream_ctfidf_eq",
+        (s, dir0) => {
+          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
+          import s.implicits._
+          val ss = streamSession(s)
+          implicit val sqlCtx = ss.sqlContext
+          val docs = t(s, dir, "documents")
+            .select(col("doc_id").cast("long"), col("text"))
+            .as[(Long, String)].collect().sortBy(_._1)
+          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+          val name = s"q_stream_ctfidf_${System.nanoTime()}"
+          val stream = in.toDF().toDF("doc_id", "text")
+          val emb = graft.embed.HashingEmbedder(64)
+            .withEmbedding(stream, "text", "__emb")
+          val counts = emb
+            .withColumn("__c", expr(cmpBits(SP, "__emb", 3)).cast("long"))
+            .select(col("__c"),
+              explode(expr(SP.splitWs("text"))).as("term"))
+            .groupBy(col("__c"), col("term"))
+            .agg(count(lit(1)).cast("long").as("tf"))
+          val q = counts.writeStream.format("memory").queryName(name)
+            .outputMode("complete").start()
+          try {
+            docs.grouped(math.max(1, (docs.length + 3) / 4)).foreach { b =>
+              in.addData(b.toSeq); q.processAllAvailable()
+            }
+          } finally {
+            q.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
+          ctfidfScore(ss.table(name).localCheckpoint(true))
+        },
+        Some(ctfidfOracle))
+    )
+  }
+
+  /** Shared oracle for q_ctfidf_topics and its incremental streaming
+    * twin q_stream_ctfidf_eq — one hash for batch and live labels. */
+  protected lazy val ctfidfOracle: String = {
+    def cmpBitsD(vecCol: String, bits: Int): String =
+      (0 until bits).map { i =>
+        s"(CASE WHEN ${D.at(vecCol, (2 * i + 1).toString)} > " +
+          s"${D.at(vecCol, (2 * i + 2).toString)} THEN ${1 << i} ELSE 0 END)"
+      }.mkString("CAST((", " + ", ") AS INT)")
+    s"""
+      WITH docs AS (SELECT doc_id, text FROM documents),
+      e AS (SELECT doc_id, text, emb FROM ${duckEmbed("docs", "text", 64)}),
+      cl AS (SELECT CAST(${cmpBitsD("emb", 3)} AS BIGINT) AS c,
+                    text FROM e),
+      tk AS (SELECT c, unnest(${D.splitWs("text")}) AS term FROM cl),
+      tf AS (SELECT c, term, CAST(count(*) AS BIGINT) AS tf
+             FROM tk GROUP BY c, term),
+      f AS (SELECT term, CAST(sum(tf) AS BIGINT) AS f FROM tf GROUP BY term),
+      tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n,
+                     CAST(count(DISTINCT c) AS BIGINT) AS nc FROM tf),
+      sc AS (SELECT tf.c, tf.term, tf.tf,
+                    CAST(tf.tf AS DOUBLE) *
+                      ln(${D.d(1.0)} + CAST(n AS DOUBLE) / CAST(nc AS DOUBLE) / CAST(f.f AS DOUBLE)) AS s
+             FROM tf JOIN f ON f.term = tf.term CROSS JOIN tot
+             WHERE tf.tf >= 5),
+      rk AS (SELECT c, term, tf, s,
+                    row_number() OVER (PARTITION BY c ORDER BY s DESC, term) AS rnk
+             FROM sc)
+      SELECT c AS cluster, CAST(rnk AS BIGINT) AS rnk, term, tf,
+             ${duckR6("s")} AS score
+      FROM rk WHERE rnk <= 10
+      ORDER BY cluster, rnk"""
+  }
+}

@@ -1,0 +1,896 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chunk.Chunking
+import graft.embed.HashingEmbedder
+import graft.functions.{MdContent, TextF, VectorF}
+import graft.ops.{Dedup, Similarity}
+import graft.rag.RagPipeline
+import graft.sqlgen.{Dialect, Exprs}
+
+/** RAG pipeline + metadata-stage operators (SURVEY families F/T/A/J/U/Q). Split from QueryCatalog in r13; shared helpers live in
+  * [[CatalogCore]], the assembled query map in [[QueryCatalog]]. */
+private[graft] trait CatalogRagMeta extends CatalogCore {
+
+  // =========================================================================
+  // RAG pipeline composites (reference §3.1 / §3.2 end-to-end)
+  // =========================================================================
+
+  protected def ragOps: Seq[Q] = {
+    val dim = 64
+    val duckIndexed = duckEmbed(
+      s"(SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})", "chunk_text", dim)
+    val weights = "list_transform(range(1, 65), j__ -> CAST(j__ AS DOUBLE))"
+    val queryText = "spark sql shuffle partition join"
+
+    Seq(
+      Q("q_chunk_fixed",
+        (s, dir) =>
+          Chunking.explodeCharWindows(t(s, dir, "documents"), "text", 200, 150)
+            .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+              md5(col("chunk_text")).as("h"),
+              length(col("chunk_text")).cast("long").as("len"))
+            .orderBy("doc_id", "chunk_idx"),
+        Some(s"""
+          SELECT doc_id, chunk_idx, md5(chunk_text) AS h,
+                 CAST(length(chunk_text) AS BIGINT) AS len
+          FROM $duckChunks
+          ORDER BY doc_id, chunk_idx""")),
+
+      Q("q_rag_index",
+        (s, dir) =>
+          RagPipeline.buildIndex(tk(s, dir, "documents"))
+            .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+              col("chunk_id"), col("n_tokens").cast("long").as("n_tokens"),
+              r6(element_at(col("embedding"), 1)).as("e1"),
+              r6(element_at(col("embedding"), 2)).as("e2"),
+              r6(VectorF.dot(col("embedding"),
+                expr("transform(sequence(1, 64), j__ -> CAST(j__ AS DOUBLE))"))).as("checksum"))
+            .orderBy("doc_id", "chunk_idx"),
+        Some(s"""
+          SELECT doc_id, chunk_idx, chunk_id,
+                 CAST(len(${D.splitWs("chunk_text")}) AS BIGINT) AS n_tokens,
+                 (round(emb[1], 6) + CAST(0.0 AS DOUBLE)) AS e1,
+                 (round(emb[2], 6) + CAST(0.0 AS DOUBLE)) AS e2,
+                 (round(${D.dot("emb", weights)}, 6) + CAST(0.0 AS DOUBLE)) AS checksum
+          FROM $duckIndexed
+          ORDER BY doc_id, chunk_idx""")),
+
+      Q("q_rag_query",
+        (s, dir) => {
+          val index = RagPipeline.buildIndex(tk(s, dir, "documents"))
+          RagPipeline.query(s, index, queryText, 5, 0.05)
+            .select(col("chunk_id"), r6(col("score")).as("score"))
+        },
+        Some {
+          val duckQ = duckEmbed(s"(SELECT '$queryText' AS chunk_text)", "chunk_text", dim)
+          s"""
+          WITH topk AS (
+            SELECT chunk_id, ${D.dot("i.emb", "q.qemb")} AS score
+            FROM $duckIndexed i, (SELECT emb AS qemb FROM $duckQ) q
+            ORDER BY score DESC, chunk_id
+            LIMIT 5)
+          SELECT chunk_id, (round(score, 6) + CAST(0.0 AS DOUBLE)) AS score
+          FROM topk
+          WHERE (SELECT max(score) FROM topk) >= CAST(0.05 AS DOUBLE)
+          ORDER BY score DESC, chunk_id"""
+        }),
+
+      // T4 PRODUCTION loading path: a disk-loaded linear model (config
+      // eagerly on the driver, weights.csv parsed per partition in
+      // init()) projecting the hashing feature counts to 16 dims through
+      // BatchedEmbedder — artifact load, per-partition init, and batch
+      // framing are all under the hash gate (a row-order/column-split/
+      // decimal-parse bug in the loader changes e1/e2/checksum). The
+      // oracle replays the projection from the weight FORMULA the
+      // artifact was generated from; weights are dyadic (k/256), so
+      // every product/partial sum is exact and fold order is free.
+      Q("q_linear_embed",
+        (s, dir) => {
+          val modelDir = graft.embed.LinearModelArtifact.ensure(64, 16)
+          val model = graft.embed.LinearInferenceModel(modelDir)
+          graft.embed.BatchedEmbedder(model, 32)
+            .withEmbedding(
+              tk(s, dir, "documents").select(col("doc_id"), col("text")),
+              "text", "lemb")
+            .select(col("doc_id"),
+              r6(element_at(col("lemb"), 1)).as("e1"),
+              r6(element_at(col("lemb"), 2)).as("e2"),
+              r6(VectorF.dot(col("lemb"),
+                expr("transform(sequence(1, 16), j__ -> CAST(j__ AS DOUBLE))")))
+                .as("checksum"))
+            .orderBy("doc_id")
+        },
+        Some {
+          val w16 = "list_transform(range(1, 17), j__ -> CAST(j__ AS DOUBLE))"
+          s"""
+          WITH toks AS (SELECT doc_id, ${D.splitWs("text")} AS __toks FROM documents),
+          c AS (SELECT doc_id, ${Exprs.embedCodes(D, "__toks", 64)} AS __codes FROM toks),
+          r AS (SELECT doc_id, ${Exprs.embedRawVec(D, "__codes", 64)} AS __raw FROM c),
+          y AS (SELECT doc_id,
+                       list_transform(range(0, 16), j__ ->
+                         list_reduce(
+                           list_transform(range(0, 64), i__ ->
+                             __raw[CAST(i__ AS INT) + 1]
+                               * (CAST((((i__ * 31) + (j__ * 17)) % 7) - 3 AS DOUBLE)
+                                  / CAST(256 AS DOUBLE))),
+                           (s__, x__) -> s__ + x__)) AS yv
+                FROM r),
+          n AS (SELECT doc_id, yv, sqrt(${D.dot("yv", "yv")}) AS nrm FROM y),
+          e AS (SELECT doc_id,
+                       CASE WHEN nrm = CAST(0 AS DOUBLE) THEN yv
+                            ELSE list_transform(yv, v__ -> v__ / nrm) END AS emb
+                FROM n)
+          SELECT doc_id,
+                 (round(emb[1], 6) + CAST(0.0 AS DOUBLE)) AS e1,
+                 (round(emb[2], 6) + CAST(0.0 AS DOUBLE)) AS e2,
+                 (round(${D.dot("emb", w16)}, 6) + CAST(0.0 AS DOUBLE)) AS checksum
+          FROM e ORDER BY doc_id"""
+        }),
+
+      // T4 quantized-deployment path: the SAME batched mapPartitions
+      // inference seam loading an INT8 artifact (qweights.csv codes +
+      // per-column dequant scales — the GGUF/ONNX-int8 layout distilled).
+      // The inner accumulation is exact 64-bit integer arithmetic, the
+      // dequant scale is dyadic (1/1024), so the projection is
+      // bit-identical under any partitioning and the oracle replays it
+      // with a plain double fold of integer-valued products.
+      Q("q_qlinear_embed",
+        (s, dir) => {
+          val modelDir = graft.embed.QuantLinearModelArtifact.ensure(64, 16)
+          val model = graft.embed.QuantLinearInferenceModel(modelDir)
+          graft.embed.BatchedEmbedder(model, 32)
+            .withEmbedding(
+              tk(s, dir, "documents").select(col("doc_id"), col("text")),
+              "text", "qemb")
+            .select(col("doc_id"),
+              r6(element_at(col("qemb"), 1)).as("e1"),
+              r6(element_at(col("qemb"), 2)).as("e2"),
+              r6(VectorF.dot(col("qemb"),
+                expr("transform(sequence(1, 16), j__ -> CAST(j__ AS DOUBLE))")))
+                .as("checksum"))
+            .orderBy("doc_id")
+        },
+        Some {
+          val w16 = "list_transform(range(1, 17), j__ -> CAST(j__ AS DOUBLE))"
+          s"""
+          WITH toks AS (SELECT doc_id, ${D.splitWs("text")} AS __toks FROM documents),
+          c AS (SELECT doc_id, ${Exprs.embedCodes(D, "__toks", 64)} AS __codes FROM toks),
+          r AS (SELECT doc_id, ${Exprs.embedRawVec(D, "__codes", 64)} AS __raw FROM c),
+          y AS (SELECT doc_id,
+                       list_transform(range(0, 16), j__ ->
+                         list_reduce(
+                           list_transform(range(0, 64), i__ ->
+                             __raw[CAST(i__ AS INT) + 1]
+                               * CAST((((i__ * 13) + (j__ * 29)) % 255) - 127 AS DOUBLE)),
+                           (s__, x__) -> s__ + x__)
+                         * (CAST(1 AS DOUBLE) / CAST(1024 AS DOUBLE))) AS yv
+                FROM r),
+          n AS (SELECT doc_id, yv, sqrt(${D.dot("yv", "yv")}) AS nrm FROM y),
+          e AS (SELECT doc_id,
+                       CASE WHEN nrm = CAST(0 AS DOUBLE) THEN yv
+                            ELSE list_transform(yv, v__ -> v__ / nrm) END AS emb
+                FROM n)
+          SELECT doc_id,
+                 (round(emb[1], 6) + CAST(0.0 AS DOUBLE)) AS e1,
+                 (round(emb[2], 6) + CAST(0.0 AS DOUBLE)) AS e2,
+                 (round(${D.dot("emb", w16)}, 6) + CAST(0.0 AS DOUBLE)) AS checksum
+          FROM e ORDER BY doc_id"""
+        }),
+
+      // T4 at the FULL sentence-transformer shape: a REAL transformer
+      // encoder forward pass in-engine — token + sinusoidal position
+      // embeddings, 2 blocks of 4-head scaled dot-product self-attention
+      // (residual + LayerNorm) and a GELU MLP (residual + LayerNorm),
+      // masked mean-pool, L2-normalize — batched in mapPartitions with
+      // the weight artifact parsed per partition in init(). No SQL engine
+      // can replay attention, so the compare pins what IS machine-
+      // checkable (the OPQ/PCA property-oracle pattern): exact round-6
+      // residuals of the kernel's own invariants — every softmax row
+      // sums to 1, every LayerNorm output has pre-gain mean 0/variance 1,
+      // the pooled embedding has unit norm — plus exact token-count and
+      // dimension replays. Structural behavior (masking, position
+      // sensitivity, batching invariance, artifact round trip) is pinned
+      // by EmbedderSpec. Only pretrained weight VALUES are out of reach
+      // in this zero-egress container (no torch/ONNX runtime) — swapping
+      // the artifact for exported real weights is a file change.
+      Q("q_transformer_embed",
+        (s, dir) => {
+          val cfg = graft.embed.TransformerArtifact.Config(
+            dim = 32, heads = 4, layers = 2, ffDim = 64, maxLen = 24, vocab = 256)
+          val modelDir = graft.embed.TransformerArtifact.ensure(cfg)
+          val model = graft.embed.TransformerInferenceModel(modelDir)
+          graft.embed.TransformerEncoder.diagnostics(
+              tk(s, dir, "documents").select(col("doc_id"), col("text")),
+              "text", "doc_id", model, batchSize = 16)
+            .select(col("doc_id"),
+              least(col("n_tokens"), lit(24L)).as("n_tokens"), col("dim"),
+              r6(col("attn_err")).as("attn_err"),
+              r6(col("ln_err")).as("ln_err"),
+              r6(col("norm_err")).as("norm_err"))
+            .orderBy("doc_id")
+        },
+        Some(s"""
+          SELECT doc_id,
+                 CAST(LEAST(len(${D.splitWs("text")}), 24) AS BIGINT) AS n_tokens,
+                 CAST(32 AS BIGINT) AS dim,
+                 (CAST(0.0 AS DOUBLE) + CAST(0.0 AS DOUBLE)) AS attn_err,
+                 (CAST(0.0 AS DOUBLE) + CAST(0.0 AS DOUBLE)) AS ln_err,
+                 (CAST(0.0 AS DOUBLE) + CAST(0.0 AS DOUBLE)) AS norm_err
+          FROM documents
+          ORDER BY doc_id""")),
+
+      // K1/K2/S8 round trip: WRITE the chunk table through the real sink
+      // (ordered zstd parquet + metadata.json manifest), RELOAD it, and
+      // hash the reloaded content + the manifest's total-embedded-files
+      // against the same SQL that q_rag_index matches — promotes the
+      // sink/load/manifest trio from spec-only to oracle-verified.
+      Q("q_sink_roundtrip",
+        (s, dir) => {
+          import graft.index.ChunkTableSink
+          val index = RagPipeline.buildIndex(tk(s, dir, "documents"))
+          val out = sys.props("java.io.tmpdir") + "/graft_sink_roundtrip"
+          ChunkTableSink.write(index, out, ChunkTableSink.Manifest(
+            0.0, "hashing-64", "graft-roundtrip", "parquet-chunk-table", 64,
+            RagPipeline.Config().chunkSize, RagPipeline.Config().chunkStep, 0L))
+          val manifest = java.nio.file.Files.readString(
+            java.nio.file.Paths.get(s"$out/metadata.json"))
+          val nFiles = "\"total-embedded-files\":\\s*(\\d+)".r
+            .findFirstMatchIn(manifest).map(_.group(1).toLong).getOrElse(-1L)
+          ChunkTableSink.load(s, out)
+            .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+              col("chunk_id"), col("n_tokens").cast("long").as("n_tokens"),
+              r6(element_at(col("embedding"), 1)).as("e1"),
+              r6(VectorF.dot(col("embedding"),
+                expr("transform(sequence(1, 64), j__ -> CAST(j__ AS DOUBLE))"))).as("checksum"),
+              lit(nFiles).as("n_files"))
+            .orderBy("doc_id", "chunk_idx")
+        },
+        Some(s"""
+          SELECT doc_id, chunk_idx, chunk_id,
+                 CAST(len(${D.splitWs("chunk_text")}) AS BIGINT) AS n_tokens,
+                 (round(emb[1], 6) + CAST(0.0 AS DOUBLE)) AS e1,
+                 (round(${D.dot("emb", weights)}, 6) + CAST(0.0 AS DOUBLE)) AS checksum,
+                 (SELECT count(DISTINCT doc_id) FROM $duckIndexed) AS n_files
+          FROM $duckIndexed
+          ORDER BY doc_id, chunk_idx""")),
+
+      // K3 under the hash gate: the chunk table round-trips through a
+      // REAL SQL engine — staged bulk-load + engine-side MERGE upsert
+      // into embedded in-memory Derby, WRITTEN TWICE (the idempotent
+      // re-index path), read back over JDBC, the pgvector wire literal
+      // parsed back to doubles (Java's shortest-round-trip float strings
+      // reparse bit-exactly) — and the result must hash-match the SAME
+      // from-scratch oracle as q_rag_index. Any defect in DDL, literal
+      // formatting, MERGE key semantics, or double-write dedup changes
+      // rows or values and breaks the gate.
+      Q("q_jdbc_roundtrip",
+        (s, dir) => {
+          import graft.index.JdbcVectorSink
+          val index = RagPipeline.buildIndex(tk(s, dir, "documents"))
+          val url = s"jdbc:derby:memory:graftrt${System.nanoTime()};create=true"
+          val drv = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+          JdbcVectorSink.writeGenericUpsert(index, url, "chunks", driver = drv)
+          JdbcVectorSink.writeGenericUpsert(index, url, "chunks", driver = drv)
+          val back = s.read.format("jdbc").option("url", url)
+            .option("dbtable", "chunks").option("driver", drv).load()
+            .withColumn("emb", expr(
+              "transform(split(substring(embedding_vec, 2, length(embedding_vec) - 2), ','), x__ -> CAST(x__ AS DOUBLE))"))
+            .select(col("doc_id").cast("long").as("doc_id"),
+              col("chunk_idx").cast("long").as("chunk_idx"),
+              col("chunk_id"),
+              col("n_tokens").cast("long").as("n_tokens"),
+              r6(element_at(col("emb"), 1)).as("e1"),
+              r6(element_at(col("emb"), 2)).as("e2"),
+              r6(VectorF.dot(col("emb"),
+                expr("transform(sequence(1, 64), j__ -> CAST(j__ AS DOUBLE))"))).as("checksum"))
+            .orderBy("doc_id", "chunk_idx")
+          // materialize the (table-sized, test-scale) read-back eagerly so
+          // the in-memory Derby db can be DROPPED — a lazy JDBC scan would
+          // pin every per-invocation database in the JVM heap for the rest
+          // of a bench run (measured as GC pressure on later queries)
+          val rows = back.collect().toSeq
+          val schema = back.schema
+          try java.sql.DriverManager.getConnection(
+            url.replace(";create=true", ";drop=true"))
+          catch { case _: java.sql.SQLException => () } // 08006 = dropped OK
+          s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](
+              scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+        },
+        Some(s"""
+          SELECT doc_id, chunk_idx, chunk_id,
+                 CAST(len(${D.splitWs("chunk_text")}) AS BIGINT) AS n_tokens,
+                 (round(emb[1], 6) + CAST(0.0 AS DOUBLE)) AS e1,
+                 (round(emb[2], 6) + CAST(0.0 AS DOUBLE)) AS e2,
+                 (round(${D.dot("emb", weights)}, 6) + CAST(0.0 AS DOUBLE)) AS checksum
+          FROM $duckIndexed
+          ORDER BY doc_id, chunk_idx""")),
+
+      // Q2: point lookup over the chunk table
+      Q("q_point_lookup",
+        (s, dir) =>
+          RagPipeline.pointLookup(
+            RagPipeline.buildIndex(t(s, dir, "documents")), "42_0")
+            .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+              md5(col("chunk_text")).as("h"), col("n_tokens").cast("long").as("n_tokens")),
+        Some(s"""
+          SELECT doc_id, chunk_idx, md5(chunk_text) AS h,
+                 CAST(len(${D.splitWs("chunk_text")}) AS BIGINT) AS n_tokens
+          FROM $duckChunks
+          WHERE chunk_id = '42_0' AND ${D.rlikeWs("chunk_text")}""")),
+
+      // A1+J2: doc-anchor minting + broadcast write-back
+      Q("q_doc_anchor",
+        (s, dir) => {
+          val chunks = Chunking.explodeCharWindows(t(s, dir, "documents"), "text", 200, 150)
+            .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"))
+          RagPipeline.docAnchorWriteBack(chunks)
+            .select(col("doc_id"), col("chunk_idx"), col("anchor_id"),
+              col("n_chunks").cast("long").as("n_chunks"))
+            .orderBy("doc_id", "chunk_idx")
+        },
+        Some(s"""
+          WITH chunks AS (SELECT doc_id, chunk_idx FROM $duckChunks),
+          anchors AS (SELECT doc_id, count(*) AS n_chunks,
+                             md5(concat('anchor:', CAST(doc_id AS VARCHAR))) AS anchor_id
+                      FROM chunks GROUP BY doc_id)
+          SELECT c.doc_id, c.chunk_idx, a.anchor_id, a.n_chunks
+          FROM chunks c JOIN anchors a ON a.doc_id = c.doc_id
+          ORDER BY c.doc_id, c.chunk_idx"""))
+    )
+  }
+
+  // =========================================================================
+  // Metadata / source operators over synthesized fixtures (S7/T1/T9, S6/F6/F7,
+  // S3). The fixture text is constructed from documents columns, so the
+  // expected output is known in closed form — a strong analytic oracle.
+  // =========================================================================
+
+  protected def metaOps: Seq[Q] = Seq(
+    // S7 + T9 + T1: frontmatter title/url with fallback + hermetic probe
+    Q("q_s7_frontmatter",
+      (s, dir) => {
+        val withFm = t(s, dir, "documents")
+          .withColumn("path", concat(lit("/corpus/doc_"), col("doc_id"), lit(".md")))
+          .withColumn("text",
+            when(col("doc_id") % 2 === 0,
+              concat(lit("---\ntitle: T"), col("doc_id"),
+                lit("\nurl: https://ex.com/d/"), col("doc_id"),
+                lit("\n---\n# H\n"), col("text")))
+            .otherwise(concat(lit("# FB"), col("doc_id"), lit("\n"), col("text"))))
+        graft.meta.MetadataStage.enrich(withFm)
+          .select(col("doc_id"), col("title"), col("docs_url"), col("url_reachable"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'T' || CAST(doc_id AS VARCHAR)
+                    ELSE 'FB' || CAST(doc_id AS VARCHAR) END AS title,
+               CASE WHEN doc_id % 2 = 0 THEN 'https://ex.com/d/' || CAST(doc_id AS VARCHAR)
+                    ELSE 'doc_' || CAST(doc_id AS VARCHAR) || '.md' END AS docs_url,
+               true AS url_reachable
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // S6 + F6 + F7: OKP TOML parse + project substring filter
+    Q("q_okp_filter",
+      (s, dir) => {
+        val okp = t(s, dir, "documents")
+          .withColumn("text",
+            concat(lit("+++\ntitle = \"Doc "), col("doc_id"),
+              lit("\"\n[extra]\nreference_url = \"https://okp/"), col("doc_id"),
+              lit("\"\nportal_product_names = [\"Spark Engine\", \""), col("source"),
+              lit("\"]\n+++\n"), col("text")))
+        graft.meta.OkpSource.projectFiles(okp, Seq("src1"))
+          .select(col("doc_id"), col("okp_title"), col("okp_reference_url"),
+            size(col("okp_product_names")).cast("long").as("n_products"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               'Doc ' || CAST(doc_id AS VARCHAR) AS okp_title,
+               'https://okp/' || CAST(doc_id AS VARCHAR) AS okp_reference_url,
+               CAST(2 AS BIGINT) AS n_products
+        FROM documents
+        WHERE contains(lower(source), 'src1')
+        ORDER BY doc_id""")),
+
+    // S3 + T6: HTML -> text conversion. The fixture HTML is constructed
+    // from documents columns (verified free of [<>&] and odd whitespace),
+    // so the converter's output is known in closed form: the h1 becomes a
+    // '# ' heading line, the <p> body is the original text with runs of
+    // [ \t] collapsed and newlines tightened — an analytic oracle, same
+    // style as q_s7_frontmatter. Full tag/entity semantics are pinned by
+    // SourcesSpec.
+    Q("q_html_to_text",
+      (s, dir) => {
+        val html = tk(s, dir, "documents")
+          .withColumn("html", concat(
+            lit("<html><body><h1>Title "), col("doc_id"),
+            lit("</h1><p>"), col("text"), lit(" &amp; more</p></body></html>")))
+        html.select(col("doc_id"),
+            graft.sources.DirectoryCorpus.htmlToTextFast(col("html")).as("text"))
+          .where(col("text").startsWith("# Title"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               '# Title ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+               trim(regexp_replace(regexp_replace(text || ' & more', '[ \t]+', ' ', 'g'),
+                                   '\s*\n\s*', chr(10), 'g')) AS text
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // S3 structural fidelity (docling export_to_markdown capability,
+    // html_reader.py:49-109): the STRUCTURAL converter
+    // (sources/HtmlMarkdown — tolerant DOM + renderer) vs the flattening
+    // htmlToText fast path. The fixture wraps each document in HTML that
+    // exercises every structure the renderer claims — heading, inline
+    // bold/link paragraph, nested ul>ol, th-headed pipe table, fenced
+    // pre, blockquote — and the oracle rebuilds the EXACT markdown from
+    // the same formulas, so a divergence anywhere in parse -> implicit
+    // close -> render order hash-fails. Codegen'd per-row kernel fused
+    // into the scan; zero exchanges before the final orderBy.
+    Q("q_html_markdown",
+      (s, dir) => {
+        val html = tk(s, dir, "documents")
+          .withColumn("html", concat(
+            lit("<html><body><h1>Doc "), col("doc_id"),
+            lit("</h1><p>"), col("text"),
+            lit(" <b>bold "), col("doc_id") % 5,
+            lit("</b> <a href=\"https://ex.com/"), col("doc_id"),
+            lit("\">site</a></p><ul><li>item a"), col("doc_id") % 3,
+            lit("</li><li>item b<ol><li>s"), col("doc_id") % 4,
+            lit("</li><li>t</li></ol></li></ul><table><tr><th>K</th><th>V</th></tr><tr><td>k"),
+            col("doc_id") % 7,
+            lit("</td><td>"), col("doc_id"),
+            lit("</td></tr><tr><td>k2</td><td>"), col("doc_id") % 11,
+            // second table: colspan/rowspan — the r10 merged-cell grid
+            // expansion (spanned text repeats into its grid positions)
+            lit("</td></tr></table><table><tr><th colspan=2>H"),
+            col("doc_id") % 3,
+            lit("</th><th>C</th></tr><tr><td rowspan=\"2\">g"),
+            col("doc_id") % 5,
+            lit("</td><td>a</td><td>"), col("doc_id") % 7,
+            lit("</td></tr><tr><td>b</td><td>c</td></tr></table><pre>code "),
+            col("doc_id"),
+            lit("</pre><blockquote><p>quoted "), col("doc_id") % 13,
+            lit("</p></blockquote></body></html>")))
+        html.select(col("doc_id"),
+            graft.sources.HtmlMarkdown.column(col("html")).as("md"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+               trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) ||
+               ' **bold ' || CAST(doc_id % 5 AS VARCHAR) ||
+               '** [site](https://ex.com/' || CAST(doc_id AS VARCHAR) || ')' ||
+               chr(10) || chr(10) ||
+               '- item a' || CAST(doc_id % 3 AS VARCHAR) || chr(10) || chr(10) ||
+               '- item b' || chr(10) || chr(10) ||
+               '  1. s' || CAST(doc_id % 4 AS VARCHAR) || chr(10) || chr(10) ||
+               '  2. t' || chr(10) || chr(10) ||
+               '| K | V |' || chr(10) || '| --- | --- |' || chr(10) ||
+               '| k' || CAST(doc_id % 7 AS VARCHAR) || ' | ' ||
+               CAST(doc_id AS VARCHAR) || ' |' || chr(10) ||
+               '| k2 | ' || CAST(doc_id % 11 AS VARCHAR) || ' |' ||
+               chr(10) || chr(10) ||
+               '| H' || CAST(doc_id % 3 AS VARCHAR) ||
+               ' | H' || CAST(doc_id % 3 AS VARCHAR) || ' | C |' || chr(10) ||
+               '| --- | --- | --- |' || chr(10) ||
+               '| g' || CAST(doc_id % 5 AS VARCHAR) || ' | a | ' ||
+               CAST(doc_id % 7 AS VARCHAR) || ' |' || chr(10) ||
+               '| g' || CAST(doc_id % 5 AS VARCHAR) || ' | b | c |' ||
+               chr(10) || chr(10) ||
+               '```' || chr(10) || 'code ' || CAST(doc_id AS VARCHAR) ||
+               chr(10) || '```' || chr(10) || chr(10) ||
+               '> quoted ' || CAST(doc_id % 13 AS VARCHAR) AS md
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // The composed ingest pipeline a reference user actually runs on an
+    // HTML corpus: S3 structural conversion (HtmlMarkdown) -> C2 heading
+    // chunker (explodeMarkdownSections) in ONE plan — the converter is a
+    // codegen'd per-row kernel fused into the scan, the splitter a
+    // regexp tag + split + posexplode, so the whole pipeline is one
+    // narrow scan-shaped stage per document with no shuffle before the
+    // final orderBy. The oracle rebuilds the markdown from the fixture
+    // formulas and replays the IDENTICAL sentinel-split, so the hash
+    // gates converter and chunker jointly.
+    Q("q_html_sections",
+      (s, dir) => {
+        val html = tk(s, dir, "documents")
+          .withColumn("html", concat(
+            lit("<html><body><h1>Doc "), col("doc_id"),
+            lit("</h1><p>"), substring(col("text"), 1, 100),
+            lit("</p><h2>Sub "), col("doc_id") % 3,
+            lit("</h2><ul><li>x"), col("doc_id") % 5,
+            lit("</li></ul><h2>Notes</h2><p>tail "), col("doc_id") % 7,
+            lit("</p></body></html>")))
+        val md = html.select(col("doc_id"),
+          graft.sources.HtmlMarkdown.column(col("html")).as("md"))
+        graft.chunk.Chunking.explodeMarkdownSections(md, "md")
+          .select(col("doc_id"),
+            col("chunk_idx").cast("long").as("chunk_idx"), col("chunk_text"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""
+        WITH md AS (
+          SELECT doc_id,
+                 '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+                 trim(regexp_replace(substring(text, 1, 100),
+                                     '[ \t\r\n]+', ' ', 'g')) ||
+                 chr(10) || chr(10) ||
+                 '## Sub ' || CAST(doc_id % 3 AS VARCHAR) ||
+                 chr(10) || chr(10) ||
+                 '- x' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || chr(10) ||
+                 '## Notes' || chr(10) || chr(10) ||
+                 'tail ' || CAST(doc_id % 7 AS VARCHAR) AS m
+          FROM documents),
+        tagged AS (
+          SELECT doc_id,
+                 regexp_replace(m, '(?m)^(#{1,6} )', chr(1) || '\1', 'g') AS tm
+          FROM md),
+        secs AS (
+          SELECT doc_id,
+                 list_filter(string_split(tm, chr(1)), s__ -> trim(s__) <> '') AS ss
+          FROM tagged),
+        idx AS (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i FROM secs)
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+               ss[CAST(i AS INT)] AS chunk_text
+        FROM idx
+        ORDER BY doc_id, chunk_idx""")),
+
+    // Hyperlink extraction + host-level outlink graph: the link side of
+    // the crawl pipeline (anchor text labels the TARGET page; the host
+    // graph drives frontier scheduling and host priors). The fixture HTML
+    // carries 3 links per page — two absolute (regex must pair each href
+    // with ITS anchor through surrounding attributes/text) and one
+    // relative (must be dropped by the host filter). The oracle replays
+    // the link set analytically from doc_id, so the hash gates the
+    // whole extract->parse-host->aggregate chain. Plan: codegen'd
+    // regexp_extract_all fused into the scan; ONE host-keyed aggregation
+    // (map-side combined, |hosts| << |pages|) — nothing else moves.
+    Q("q_links_graph",
+      (s, dir) => {
+        val pages = tk(s, dir, "documents")
+          .withColumn("html", concat(
+            lit("<html><body><h1>T</h1><p>intro</p><a class=\"r\" href=\"https://h"),
+            col("doc_id") % 7,
+            lit(".example.com/p/"), col("doc_id"),
+            lit("?s=1\">Doc "), col("doc_id"),
+            lit("</a> mid <a href=\"http://h"), (col("doc_id") + 1) % 7,
+            lit(".example.com/q/"), col("doc_id") % 40,
+            lit("\">Ref "), col("doc_id") % 9,
+            lit("</a> tail <a href=\"/rel/"), col("doc_id"),
+            lit("\">rel</a></body></html>")))
+        graft.sources.HtmlLinks.hostGraph(pages, "doc_id", "html")
+          .orderBy("host")
+      },
+      Some("""
+        WITH l AS (
+          SELECT doc_id, j,
+                 CASE j WHEN 0 THEN 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                        ELSE 'h' || CAST((doc_id + 1) % 7 AS VARCHAR) || '.example.com' END AS host,
+                 CASE j WHEN 0 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/'
+                                    || CAST(doc_id AS VARCHAR) || '?s=1'
+                        ELSE 'http://h' || CAST((doc_id + 1) % 7 AS VARCHAR) || '.example.com/q/'
+                                    || CAST(doc_id % 40 AS VARCHAR) END AS href,
+                 CASE j WHEN 0 THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+                        ELSE 'Ref ' || CAST(doc_id % 9 AS VARCHAR) END AS anchor
+          FROM documents, range(0, 2) AS r(j))
+        SELECT host,
+               count(*) AS n_links,
+               count(DISTINCT doc_id) AS n_src_docs,
+               count(DISTINCT href) AS n_urls,
+               min(anchor) AS sample_anchor
+        FROM l
+        GROUP BY host
+        ORDER BY host""")),
+
+    // Anchor-text label propagation: anchors aggregated onto the TARGET
+    // page — the classic web supervision signal (anchor text describes
+    // the target, not the source). Target ids parsed from the href path;
+    // one target-keyed aggregation with sorted-distinct label sets so
+    // the result is partitioning-invariant. The /q/ links alias many
+    // sources onto one target (doc_id % 40), so real multi-source label
+    // fusion is exercised, not 1:1 copying.
+    Q("q_anchor_label",
+      (s, dir) => {
+        val pages = tk(s, dir, "documents")
+          .withColumn("html", concat(
+            lit("<html><body><h1>T</h1><p>intro</p><a class=\"r\" href=\"https://h"),
+            col("doc_id") % 7,
+            lit(".example.com/p/"), col("doc_id"),
+            lit("?s=1\">Doc "), col("doc_id"),
+            lit("</a> mid <a href=\"http://h"), (col("doc_id") + 1) % 7,
+            lit(".example.com/q/"), col("doc_id") % 40,
+            lit("\">Ref "), col("doc_id") % 9,
+            lit("</a> tail <a href=\"/rel/"), col("doc_id"),
+            lit("\">rel</a></body></html>")))
+        graft.sources.HtmlLinks.explodeLinks(pages, "doc_id", "html")
+          .where(col("href").rlike("/q/\\d+$"))
+          .select(regexp_extract(col("href"), "/q/(\\d+)$", 1)
+            .cast("long").as("target"), col("anchor"))
+          .groupBy("target")
+          .agg(count(lit(1)).cast("long").as("n_inlinks"),
+            countDistinct(col("anchor")).cast("long").as("n_labels"),
+            array_join(sort_array(collect_set(col("anchor"))), "|").as("labels"))
+          .orderBy("target")
+      },
+      Some("""
+        WITH l AS (
+          SELECT doc_id % 40 AS target, 'Ref ' || CAST(doc_id % 9 AS VARCHAR) AS anchor
+          FROM documents)
+        SELECT target,
+               count(*) AS n_inlinks,
+               count(DISTINCT anchor) AS n_labels,
+               array_to_string(list_sort(list_distinct(list(anchor))), '|') AS labels
+        FROM l
+        GROUP BY target
+        ORDER BY target""")),
+
+    // Host-authority composition: link extraction -> host edge list ->
+    // PageRank — the crawl-side "host prior" signal (authority feeds
+    // frontier priority and quality weighting). Edges come out of the
+    // SAME HtmlLinks regex path as q_links_graph (self-loops included —
+    // the first link targets the page's own host); the oracle replays
+    // the analytic edge set through the shared unrolled-PageRank SQL, so
+    // extraction AND the 5-iteration rank fixed point are under one
+    // hash. Plan: narrow regex scan -> tiny host-keyed edge relation ->
+    // the audited linear-lineage PageRank (7 nodes; rank joins touch
+    // only the edge table).
+    Q("q_host_rank",
+      (s, dir) => {
+        import graft.ops.Graph
+        val pages = tk(s, dir, "documents")
+          .withColumn("html", concat(
+            lit("<html><body><h1>T</h1><p>intro</p><a class=\"r\" href=\"https://h"),
+            col("doc_id") % 7,
+            lit(".example.com/p/"), col("doc_id"),
+            lit("?s=1\">Doc "), col("doc_id"),
+            lit("</a> mid <a href=\"http://h"), (col("doc_id") + 1) % 7,
+            lit(".example.com/q/"), col("doc_id") % 40,
+            lit("\">Ref "), col("doc_id") % 9,
+            lit("</a> tail <a href=\"/rel/"), col("doc_id"),
+            lit("\">rel</a></body></html>")))
+        val links = graft.sources.HtmlLinks.explodeLinks(pages, "doc_id", "html")
+          .where(length(col("host")) > 0)
+        val edges = links.select(
+          concat(lit("h"), col("doc_id") % 7, lit(".example.com")).as("src"),
+          col("host").as("dst"))
+        val nodes = edges.select(col("src").as("id")).distinct()
+        Graph.pageRank(nodes, edges, 5, 0.85)
+          .select(col("id").as("host"), col("rank"))
+          .orderBy("host")
+      },
+      Some {
+        val duckEdges = """(SELECT
+             'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS src,
+             CASE j WHEN 0 THEN 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                    ELSE 'h' || CAST((doc_id + 1) % 7 AS VARCHAR) || '.example.com' END AS dst
+           FROM documents, range(0, 2) AS r(j))"""
+        val duckNodes = s"(SELECT DISTINCT src AS id FROM $duckEdges e__)"
+        s"""SELECT id AS host, rank FROM (
+          ${graft.ops.Graph.pageRankOracleSql(duckNodes, duckEdges, 5, 0.85)}
+        ) ORDER BY host"""
+      }),
+
+    // S4: REAL PDF text extraction (pure-JVM xref/object walk + Inflater +
+    // Tj/TJ interpreter — sources/PdfCodec.scala). Each document is
+    // rendered to an actual Flate-compressed PDF in the kernel and
+    // extracted back; the oracle is the identity on the sanitized text
+    // (printable ASCII + newlines — the page codec round-trips it
+    // exactly), so a hash match proves extraction, not a stub. The
+    // distributed shape is mapPartitions (one extractor per partition,
+    // narrow, no shuffle) — the same plan that runs a real PDF corpus.
+    Q("q_pdf_extract",
+      (s, dir) => {
+        import s.implicits._
+        val docs = tk(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"),
+            regexp_replace(col("text"), "[^ -~\\n]", "?").as("clean"))
+          .as[(Long, String)]
+        docs.mapPartitions { it =>
+            val ex = new graft.sources.PdfTextExtractor
+            it.map { case (id, text) =>
+              val pdfText =
+                if (text == null) null
+                else ex.extract(graft.sources.PdfWrite.singlePage(text))
+              (id, pdfText)
+            }
+          }
+          .toDF("doc_id", "pdf_text")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, regexp_replace(text, '[^ -~\n]', '?', 'g') AS pdf_text
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // S4 composite-font capability (pdf_reader.py:83-149 — docling reads
+    // CJK / subset-embedded-font PDFs; r9 verdict missing-item #3): a
+    // REAL Type0/Identity-H PDF is written per doc — 2-byte CID codes
+    // with a DELIBERATELY non-identity subset assignment (cid = rank
+    // among the doc's distinct chars) and a Flate-compressed /ToUnicode
+    // CMap — then extracted back. A decoder that skips the CMap reads
+    // control-range garbage, so the hash match proves the whole chain:
+    // /Resources font resolution, Tf tracking, 2-byte code framing,
+    // bfchar lookup. The oracle rebuilds the closed-form CJK fixture
+    // with DuckDB's full-codepoint chr().
+    Q("q_pdf_cid",
+      (s, dir) => {
+        import s.implicits._
+        val docs = tk(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"))
+          .as[Long]
+        docs.mapPartitions { it =>
+            val ex = new graft.sources.PdfTextExtractor
+            it.map { id =>
+              val text = (0 until 2).map { r =>
+                (0 until 20).map(j =>
+                  (0x4E00 + ((id * 7 + r * 20 + j) % 1000)).toChar).mkString
+              }.mkString("\n")
+              (id, ex.extract(graft.sources.PdfWrite.cidSinglePage(text)))
+            }
+          }
+          .toDF("doc_id", "cid_text")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               (SELECT string_agg(chr(19968 + CAST((doc_id * 7 + j) % 1000 AS INT)), '' ORDER BY j)
+                FROM range(0, 20) t(j))
+               || chr(10) ||
+               (SELECT string_agg(chr(19968 + CAST((doc_id * 7 + 20 + j) % 1000 AS INT)), '' ORDER BY j)
+                FROM range(0, 20) t(j)) AS cid_text
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // S4 modern-container capability (r10 verdict missing #2): per doc a
+    // REAL PDF 1.5 file — catalog, page tree, and font dict packed in a
+    // Flate-compressed /Type /ObjStm, a /Type /XRef cross-reference
+    // STREAM (PNG-Up predicted W-rows) instead of a classic xref table —
+    // and, for odd docs, LZWDecode-compressed content streams (the
+    // second classic filter). Extraction must unpack the ObjStm to find
+    // the page tree at all, so the hash match proves object-stream
+    // parse + packed-object resolution + the LZW decoder end-to-end.
+    Q("q_pdf_objstm",
+      (s, dir) => {
+        import s.implicits._
+        val docs = tk(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"),
+            regexp_replace(col("text"), "[^ -~\\n]", "?").as("clean"))
+          .as[(Long, String)]
+        docs.mapPartitions { it =>
+            val ex = new graft.sources.PdfTextExtractor
+            it.map { case (id, text) =>
+              val pdfText =
+                if (text == null) null
+                else if (id % 2 == 1)
+                  ex.extract(graft.sources.PdfWrite.lzwDocument(Seq(text)))
+                else
+                  ex.extract(graft.sources.PdfWrite.objStmDocument(Seq(text)))
+              (id, pdfText)
+            }
+          }
+          .toDF("doc_id", "pdf_text")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, regexp_replace(text, '[^ -~\n]', '?', 'g') AS pdf_text
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // S4 encrypted-PDF capability: per doc a REAL standard-security-
+    // handler file with an EMPTY user password — RC4-40 (V1 R2), RC4-128
+    // (V2 R3), AES-128-CBC /AESV2 (V4 R4), or AES-256 /AESV3 (V5 R6,
+    // PDF 2.0 hardened hash) by doc_id mod 4 — real /O /U (/OE /UE)
+    // entries, streams Flate-compressed then encrypted. pypdfium opens
+    // these transparently for docling (pdf_reader.py:83-149); before
+    // r11 the extractor read ciphertext and returned "" like a scanned
+    // file. The hash match proves key derivation, per-object keys, and
+    // all three cipher paths end-to-end.
+    Q("q_pdf_encrypted",
+      (s, dir) => {
+        import s.implicits._
+        val docs = tk(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"),
+            regexp_replace(col("text"), "[^ -~\\n]", "?").as("clean"))
+          .as[(Long, String)]
+        docs.mapPartitions { it =>
+            val ex = new graft.sources.PdfTextExtractor
+            val modes = Array("rc4-40", "rc4-128", "aes", "aes256")
+            it.map { case (id, text) =>
+              val pdfText =
+                if (text == null) null
+                else ex.extract(graft.sources.PdfWrite.encryptedDocument(
+                  Seq(text), modes((id % 4).toInt)))
+              (id, pdfText)
+            }
+          }
+          .toDF("doc_id", "pdf_text")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, regexp_replace(text, '[^ -~\n]', '?', 'g') AS pdf_text
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // S4 table capability (pdf_reader.py:83-149, docling TableFormer
+    // ACCURATE — capability, not bug-for-bug): a REAL ruled lattice-table
+    // PDF is written per doc (stroked grid + Tm-positioned cells, Flate
+    // compressed), then recovered by the POSITIONAL extractor — runs
+    // clustered into rows by baseline y and cells by x — back to
+    // tab/newline TSV. The oracle rebuilds the TSV from the cell formula,
+    // so a bug anywhere in write -> object graph -> inflate -> positional
+    // interpret -> cluster order hash-fails.
+    Q("q_pdf_table",
+      (s, dir) => {
+        import s.implicits._
+        val docs = tk(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"))
+          .as[Long]
+        docs.mapPartitions { it =>
+            it.map { id =>
+              val rows = (0 until 4).map(r =>
+                (0 until 3).map(c => s"r${r}c${c}v${(id * 7 + r * 3 + c) % 100}"))
+              val pdf = graft.sources.PdfWrite.tablePage(rows)
+              (id, graft.sources.PdfTableExtract.extract(pdf))
+            }
+          }
+          .toDF("doc_id", "table_tsv")
+          .orderBy("doc_id")
+      },
+      Some {
+        val tsv = (0 until 4).map { r =>
+          (0 until 3).map { c =>
+            s"'r${r}c${c}v' || CAST((doc_id * 7 + ${r * 3 + c}) % 100 AS VARCHAR)"
+          }.mkString(" || chr(9) || ")
+        }.mkString(" || chr(10) || ")
+        s"""
+        SELECT doc_id, $tsv AS table_tsv
+        FROM documents
+        ORDER BY doc_id"""
+      }),
+
+    // T7/S5: in-engine AsciiDoc -> text rendering (sources/AsciiDocText —
+    // the Ruby plugin's node semantics without the external process). Each
+    // document is wrapped in a known AsciiDoc skeleton (title + doc
+    // attribute, section, paragraph with {attr} substitution, ulist,
+    // verbatim source listing, inline admonition) whose rendering is in
+    // closed form — the oracle rebuilds it by concatenation, so the hash
+    // match pins title/section/list/listing/admonition shapes, attribute
+    // substitution, and the no-subs-in-listing contract.
+    Q("q_asciidoc_text",
+      (s, dir) => {
+        val adoc = concat(
+          lit("= Doc "), col("doc_id"),
+          lit("\n:env: prod\n\n== Overview\n\nIntro {env} says:\n"),
+          col("text"),
+          lit("\n\n* alpha\n* beta {env}\n\n[source,scala]\n----\nval x = {env}\n----\n\nNOTE: check {env}"))
+        tk(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.sources.AsciiDocText.renderColumn(adoc).as("converted"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               '# Doc ' || CAST(doc_id AS VARCHAR) ||
+               chr(10) || chr(10) || '# Overview' ||
+               chr(10) || chr(10) || 'Intro prod says:' ||
+               chr(10) || regexp_replace(text, '\s+$', '') ||
+               chr(10) || chr(10) || '* alpha' || chr(10) || '* beta prod' ||
+               chr(10) || chr(10) || chr(10) || '```scala' ||
+               chr(10) || 'val x = {env}' || chr(10) || '```' ||
+               chr(10) || chr(10) || chr(10) || chr(10) || '[NOTE]' ||
+               chr(10) || '----' || chr(10) || 'check prod' || chr(10) || '----'
+               AS converted
+        FROM documents
+        ORDER BY doc_id"""))
+  )
+}

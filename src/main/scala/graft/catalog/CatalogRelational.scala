@@ -1,0 +1,517 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chunk.Chunking
+import graft.embed.HashingEmbedder
+import graft.functions.{MdContent, TextF, VectorF}
+import graft.ops.{Dedup, Similarity}
+import graft.rag.RagPipeline
+import graft.sqlgen.{Dialect, Exprs}
+
+/** TPC-H-style relational core queries (q1..q22 family). Split from QueryCatalog in r13; shared helpers live in
+  * [[CatalogCore]], the assembled query map in [[QueryCatalog]]. */
+private[graft] trait CatalogRelational extends CatalogCore {
+
+  // =========================================================================
+  // Relational surface (SURVEY §2.11 shapes over the TPC-H-ish tables)
+  // =========================================================================
+
+  protected def relational: Seq[Q] = Seq(
+    Q("q1_agg",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum("l_quantity").as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount")).cast("decimal(18,2)")).cast("double").as("sum_disc"),
+            count(lit(1)).as("cnt"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    Q("q3_join_agg",
+      (s, dir) => {
+        val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        // Join order matters at scale: reduce orders by the selective
+        // broadcast customer filter FIRST, so the fact-table join sees a
+        // ~5x smaller build side (AQE can then pick broadcast for it).
+        val oc = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        li.join(oc, li("l_orderkey") === oc("o_orderkey"))
+          .groupBy("o_orderkey")
+          .agg(
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount")).cast("decimal(18,2)")).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(desc("revenue"), col("o_orderkey"))
+          .limit(20)
+      },
+      Some("""
+        SELECT o_orderkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 20""")),
+
+    // TPC-H Q5 shape: star join over two dimension chains. Dimensions
+    // (region->nation->customer / supplier) broadcast; the only shuffle is
+    // the lineitem->orders join + final aggregation — the plan shape that
+    // must survive a 100x fact-table scale-up.
+    Q("q5_star_join",
+      (s, dir) => {
+        val r = t(s, dir, "region").where(col("r_name") === "ASIA")
+        val n = t(s, dir, "nation")
+        val c = t(s, dir, "customer")
+        val sup = t(s, dir, "supplier")
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        val nr = n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val cnr = c.join(broadcast(nr), c("c_nationkey") === nr("n_nationkey"))
+          .select(col("c_custkey"), col("n_nationkey").as("c_nkey"), col("n_name"))
+        val snr = sup.join(broadcast(nr), sup("s_nationkey") === nr("n_nationkey"))
+          .select(col("s_suppkey"), col("s_nationkey"))
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(cnr), o("o_custkey") === cnr("c_custkey"))
+          .join(broadcast(snr), li("l_suppkey") === snr("s_suppkey") &&
+            col("c_nkey") === col("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount")).cast("decimal(18,2)")).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(desc("revenue"), col("n_name"))
+      },
+      Some("""
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name""")),
+
+    // TPC-H Q13 shape: customer order-count distribution through a
+    // left-outer join with a join-side filter (customers with zero
+    // surviving orders count as c_count = 0).
+    Q("q13_custdist",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").where(col("o_orderpriority") =!= "1-URGENT")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(c("c_custkey")).agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      },
+      Some("""
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""")),
+
+    // TPC-H Q16 shape: distinct-supplier counts per part attribute set
+    // (partsupp stands in as part JOIN lineitem in this schema).
+    Q("q16_supplier_cnt",
+      (s, dir) =>
+        t(s, dir, "part")
+          .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
+          .where(col("p_brand") =!= "Brand#1" && col("p_size").isin(1, 5, 9, 13))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+          .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size")),
+      Some("""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    // TPC-H Q18 shape: large-volume orders (HAVING over a grouped join key,
+    // then enrich through two joins).
+    Q("q18_big_orders",
+      (s, dir) => {
+        val big = t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+          .where(col("sum_qty") > 180)
+        t(s, dir, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
+            col("sum_qty").cast("double").as("sum_qty"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT c_name, o_orderkey, o_totalprice, CAST(sum_qty AS DOUBLE) AS sum_qty
+        FROM (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 180) b
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_orderkey""")),
+
+    // TPC-H Q21 shape: EXISTS + NOT EXISTS with inequality correlation
+    // (the only 'R'-flag supplier in multi-supplier orders), planned as a
+    // left-semi + left-anti join pair.
+    Q("q21_waiting",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val l1 = li.where(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("o1"), col("l_suppkey").as("s1"))
+        val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+        val l3 = li.where(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+        l1.join(l2, col("o1") === col("o2") && col("s1") =!= col("s2"), "left_semi")
+          .join(l3, col("o1") === col("o3") && col("s1") =!= col("s3"), "left_anti")
+          .join(t(s, dir, "supplier"), col("s1") === col("s_suppkey"))
+          .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+          .orderBy(desc("numwait"), col("s_name"))
+      },
+      Some("""
+        SELECT s_name, count(*) AS numwait
+        FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name""")),
+
+    // TPC-H Q22 shape: global scalar aggregate comparison (rewritten to
+    // exact decimal cross-multiplication) + anti-join on orders.
+    Q("q22_idle_balance",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val pos = c.where(col("c_acctbal") > 0.0)
+          .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("s"),
+            count(lit(1)).as("n"))
+        c.crossJoin(broadcast(pos))
+          .where(col("c_acctbal").cast("decimal(18,2)") * col("n") > col("s"))
+          .join(t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
+          .orderBy("c_nationkey")
+      },
+      Some("""
+        WITH stats AS (
+          SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s, count(*) AS n
+          FROM customer WHERE c_acctbal > CAST(0.0 AS DOUBLE))
+        SELECT c_nationkey, count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer, stats
+        WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey""")),
+
+    // TPC-H Q7 shape: bidirectional nation-pair trade volume by ship year
+    // (disjunctive pair predicate after two broadcast dimension chains).
+    Q("q7_volume",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val n = t(s, dir, "nation")
+        val sn = t(s, dir, "supplier")
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val cn = t(s, dir, "customer")
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+          .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount")).cast("decimal(18,2)"))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(sum(vol) AS DOUBLE) AS revenue, count(*) AS n
+        FROM (SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                     CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS vol
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ns ON s_nationkey = ns.n_nationkey
+              JOIN nation nc ON c_nationkey = nc.n_nationkey
+              WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+                 OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year""")),
+
+    // TPC-H Q12 shape: priority counts by line status in a ship-year band
+    // (CASE aggregation after an equi-join).
+    Q("q12_priority",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .where(expr("l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'") &&
+            expr("l_shipdate < TIMESTAMP '1997-01-01 00:00:00'"))
+          .groupBy("l_linestatus")
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).cast("long").as("high_count"),
+            sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).cast("long").as("low_count"))
+          .orderBy("l_linestatus"),
+      Some("""
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus""")),
+
+    // TPC-H Q14 shape: promo revenue share — exact decimal sums, ratio
+    // derived with identical double formula text on both sides.
+    Q("q14_promo",
+      (s, dir) => {
+        val rev = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(18,2)")
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+          .where(expr("l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'") &&
+            expr("l_shipdate < TIMESTAMP '1997-04-01 00:00:00'"))
+          .agg(sum(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(0).cast("decimal(18,2)"))).as("promo"),
+            sum(rev).as("total"))
+          .selectExpr(
+            "(round(CAST(promo AS DOUBLE) * CAST(100.0 AS DOUBLE) / CAST(total AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS promo_pct",
+            "CAST(promo AS DOUBLE) AS promo_rev")
+      },
+      Some("""
+        SELECT (round(CAST(promo AS DOUBLE) * CAST(100.0 AS DOUBLE) / CAST(total AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS promo_pct,
+               CAST(promo AS DOUBLE) AS promo_rev
+        FROM (SELECT
+                sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS total
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1997-04-01')""")),
+
+    // TPC-H Q19 shape: OR-of-ANDs join predicate (brand x size x quantity
+    // bands) — the disjunction Catalyst must keep out of the join key but
+    // push below the aggregate.
+    Q("q19_bands",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+          .where(
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+              col("l_quantity").between(1, 20)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(5, 20) &&
+              col("l_quantity").between(10, 30)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(10, 40) &&
+              col("l_quantity").between(20, 50)))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount")).cast("decimal(18,2)"))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n")),
+      Some("""
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 50)""")),
+
+    // J1: anti-join (reference ignore-list partition, document_processor.py:869-880)
+    Q("q_j1_anti",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val r = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("o_orderkey"))
+        o.join(r, Seq("o_orderkey"), "left_anti")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .orderBy("o_orderkey")
+          .limit(100)
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        ORDER BY o_orderkey
+        LIMIT 100""")),
+
+    // F6: EXISTS over a tokenized list column (okp.py:28-52 shape)
+    Q("q_f6_exists",
+      (s, dir) => {
+        val kw = Seq("spark", "shuffle", "merge")
+        t(s, dir, "documents")
+          .where(exists(TextF.tokens(col("text")), w => w.isInCollection(kw)))
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE len(list_filter(string_split_regex(trim(text), '\s+'),
+                              w -> list_contains(['spark', 'shuffle', 'merge'], w))) > 0
+        ORDER BY doc_id""")),
+
+    // F5: policy filter — reachable OR ignored, one disjunctive predicate
+    // (document_processor.py:867-896)
+    Q("q_f5_policy",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .where(col("lang") === "en" || col("source").isin("src0", "src1"))
+          .groupBy("source").agg(count(lit(1)).as("n"))
+          .orderBy("source"),
+      Some("""
+        SELECT source, count(*) AS n
+        FROM documents
+        WHERE lang = 'en' OR source IN ('src0', 'src1')
+        GROUP BY source
+        ORDER BY source""")),
+
+    // A1 + J2: group chunks per doc and join back (document_processor.py:521-541)
+    Q("q_a1_group_collect",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val g = li.groupBy(col("l_orderkey").as("o_orderkey"))
+          .agg(concat_ws(",", sort_array(collect_list(col("l_linenumber")))).as("lines"),
+            count(lit(1)).as("n_items"))
+        o.join(g, Seq("o_orderkey"))
+          .select("o_orderkey", "o_orderstatus", "lines", "n_items")
+          .orderBy("o_orderkey")
+          .limit(1000)
+      },
+      Some("""
+        WITH g AS (SELECT l_orderkey,
+                          array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+                          count(*) AS n_items
+                   FROM lineitem GROUP BY l_orderkey)
+        SELECT o_orderkey, o_orderstatus, lines, n_items
+        FROM orders JOIN g ON g.l_orderkey = o_orderkey
+        ORDER BY o_orderkey
+        LIMIT 1000""")),
+
+    // O2: top-k (TakeOrderedAndProject — the scalable exact top-k)
+    Q("q_o2_topk",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+          .limit(20),
+      Some("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20""")),
+
+    Q("q_window_topn",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(desc("value"), col("event_id"))
+        tEvents(s, dir)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .where(col("rn") <= 3)
+          .select("event_type", "event_id", "value", "rn")
+          .orderBy("event_type", "rn")
+      },
+      Some("""
+        SELECT event_type, event_id, value, rn
+        FROM (SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+              FROM events)
+        WHERE rn <= 3
+        ORDER BY event_type, rn""")),
+
+    // A4/F8: group-level max-score threshold
+    Q("q_having_max",
+      (s, dir) =>
+        tEvents(s, dir)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("cnt"), max(col("value")).as("mx"))
+          .where(col("mx") >= 350.0)
+          .orderBy("user_id"),
+      Some("""
+        SELECT user_id, count(*) AS cnt, max(value) AS mx
+        FROM events
+        GROUP BY user_id
+        HAVING max(value) >= CAST(350.0 AS DOUBLE)
+        ORDER BY user_id""")),
+
+    // S7-shape: typed metadata extraction from a semi-structured column
+    Q("q_json_extract",
+      (s, dir) =>
+        tEvents(s, dir)
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .orderBy("event_id")
+          .limit(1000),
+      Some("""
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+        ORDER BY event_id
+        LIMIT 1000""")),
+
+    // Streaming-shaped tumbling-window aggregation (batch form; the same
+    // plan runs under Structured Streaming with a watermark)
+    Q("q_events_window",
+      (s, dir) =>
+        tEvents(s, dir)
+          .groupBy(col("event_type"),
+            (expr("ts div 3600000000000L") * 3600).cast("long").as("hour_epoch"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .orderBy("event_type", "hour_epoch"),
+      Some("""
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY event_type, hour_epoch
+        ORDER BY event_type, hour_epoch"""))
+  )
+}

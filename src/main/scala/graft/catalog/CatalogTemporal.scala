@@ -1,0 +1,696 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chunk.Chunking
+import graft.embed.HashingEmbedder
+import graft.functions.{MdContent, TextF, VectorF}
+import graft.ops.{Dedup, Similarity}
+import graft.rag.RagPipeline
+import graft.sqlgen.{Dialect, Exprs}
+
+/** Temporal joins, sessionization, time-series operators. Split from QueryCatalog in r13; shared helpers live in
+  * [[CatalogCore]], the assembled query map in [[QueryCatalog]]. */
+private[graft] trait CatalogTemporal extends CatalogCore {
+
+  // =========================================================================
+  // Temporal joins + window frames + OLAP aggregates (round-2 widening:
+  // the event-pipeline operators a training-data engine needs at scale)
+  // =========================================================================
+
+  protected def temporalOps: Seq[Q] = Seq(
+    // As-of join (union+window algorithm; DuckDB's native ASOF JOIN is the
+    // oracle — two completely different algorithms, same semantics).
+    Q("q_asof_join",
+      (s, dir) => {
+        import graft.ops.TemporalJoins
+        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("tsu"))
+        val purch = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("tsu").as("ptsu"))
+          .agg(max(col("value")).as("asof_value"))
+          .withColumn("asof_ts", col("ptsu"))
+        TemporalJoins.asofBackward(clicks, purch, "user_id", "tsu", "ptsu",
+            Seq("asof_value", "asof_ts"))
+          .select(col("event_id"), col("user_id"),
+            col("asof_ts").cast("long").as("asof_ts"), col("asof_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+                   FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, epoch_us(ts) AS ptsu, max(value) AS asof_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, epoch_us(ts))
+        SELECT l.event_id, l.user_id,
+               CAST(r.ptsu AS BIGINT) AS asof_ts, r.asof_value
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.ptsu
+        ORDER BY event_id""")),
+
+    // The SAME as-of semantics through the custom Catalyst operator
+    // (graft.plans.AsOfJoinExec: logical node + planner strategy + sort-
+    // merge physical plan) — a THIRD independent algorithm hash-matched
+    // against DuckDB's native ASOF JOIN. One clustered exchange + one sort
+    // per side, O(1) state per task.
+    Q("q_asof_native",
+      (s, dir) => {
+        import graft.ops.TemporalJoins
+        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("tsu"))
+        val purch = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("tsu").as("ptsu"))
+          .agg(max(col("value")).as("asof_value"))
+          .withColumn("asof_ts", col("ptsu"))
+        TemporalJoins.asofBackwardNative(clicks, purch, "user_id", "tsu", "ptsu",
+            Seq("asof_value", "asof_ts"))
+          .select(col("event_id"), col("user_id"),
+            col("asof_ts").cast("long").as("asof_ts"), col("asof_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+                   FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, epoch_us(ts) AS ptsu, max(value) AS asof_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, epoch_us(ts))
+        SELECT l.event_id, l.user_id,
+               CAST(r.ptsu AS BIGINT) AS asof_ts, r.asof_value
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.ptsu
+        ORDER BY event_id""")),
+
+    // Forward as-of join (earliest purchase at-or-after each click).
+    Q("q_asof_forward",
+      (s, dir) => {
+        import graft.ops.TemporalJoins
+        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("tsu"))
+        val purch = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("tsu").as("ptsu"))
+          .agg(max(col("value")).as("next_value"))
+          .withColumn("next_ts", col("ptsu"))
+        TemporalJoins.asofForward(clicks, purch, "user_id", "tsu", "ptsu",
+            Seq("next_value", "next_ts"))
+          .select(col("event_id"), col("user_id"),
+            col("next_ts").cast("long").as("next_ts"), col("next_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+                   FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, epoch_us(ts) AS ptsu, max(value) AS next_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, epoch_us(ts)),
+        m AS (SELECT l.event_id, min(r.ptsu) AS mts
+              FROM l JOIN r ON l.user_id = r.user_id AND r.ptsu >= l.tsu
+              GROUP BY l.event_id)
+        SELECT l.event_id AS event_id, l.user_id AS user_id,
+               CAST(m.mts AS BIGINT) AS next_ts, r.next_value
+        FROM l
+        LEFT JOIN m ON m.event_id = l.event_id
+        LEFT JOIN r ON r.user_id = l.user_id AND r.ptsu = m.mts
+        ORDER BY l.event_id""")),
+
+    // Tolerance-bounded as-of (pandas merge_asof(tolerance=...)): the
+    // native operator carries the matched time; matches staler than 10
+    // minutes null out post-join. Oracle = ASOF JOIN + the same CASE.
+    Q("q_asof_tolerance",
+      (s, dir) => {
+        import graft.ops.TemporalJoins
+        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("tsu"))
+        val purch = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("tsu").as("ptsu"))
+          .agg(max(col("value")).as("asof_value"))
+          .withColumn("asof_ts", col("ptsu"))
+        TemporalJoins.asofBackwardTolerance(clicks, purch, "user_id",
+            "tsu", "ptsu", Seq("asof_value", "asof_ts"), "asof_ts",
+            tolerance = 600000000L)
+          .select(col("event_id"), col("user_id"),
+            col("asof_ts").cast("long").as("asof_ts"), col("asof_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+                   FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, epoch_us(ts) AS ptsu, max(value) AS asof_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, epoch_us(ts))
+        SELECT l.event_id, l.user_id,
+               CASE WHEN r.ptsu IS NOT NULL AND l.tsu - r.ptsu <= 600000000
+                    THEN CAST(r.ptsu AS BIGINT) END AS asof_ts,
+               CASE WHEN r.ptsu IS NOT NULL AND l.tsu - r.ptsu <= 600000000
+                    THEN r.asof_value END AS asof_value
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.ptsu
+        ORDER BY event_id""")),
+
+    // Forward as-of through the native operator: forward is backward on
+    // NEGATED times, so AsOfJoinExec serves both directions. Same oracle
+    // as q_asof_forward (min-over-future + two equi-joins in DuckDB).
+    Q("q_asof_forward_native",
+      (s, dir) => {
+        import graft.ops.TemporalJoins
+        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("tsu"))
+        val purch = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("tsu").as("ptsu"))
+          .agg(max(col("value")).as("next_value"))
+          .withColumn("next_ts", col("ptsu"))
+        TemporalJoins.asofForwardNative(clicks, purch, "user_id", "tsu", "ptsu",
+            Seq("next_value", "next_ts"))
+          .select(col("event_id"), col("user_id"),
+            col("next_ts").cast("long").as("next_ts"), col("next_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+                   FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, epoch_us(ts) AS ptsu, max(value) AS next_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, epoch_us(ts)),
+        m AS (SELECT l.event_id, min(r.ptsu) AS mts
+              FROM l JOIN r ON l.user_id = r.user_id AND r.ptsu >= l.tsu
+              GROUP BY l.event_id)
+        SELECT l.event_id AS event_id, l.user_id AS user_id,
+               CAST(m.mts AS BIGINT) AS next_ts, r.next_value
+        FROM l
+        LEFT JOIN m ON m.event_id = l.event_id
+        LEFT JOIN r ON r.user_id = l.user_id AND r.ptsu = m.mts
+        ORDER BY l.event_id""")),
+
+    // Nearest as-of join (closest purchase either direction; ties prefer
+    // the backward match). One union + one key shuffle, two window sorts.
+    Q("q_asof_nearest",
+      (s, dir) => {
+        import graft.ops.TemporalJoins
+        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("tsu"))
+        val purch = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("tsu").as("ptsu"))
+          .agg(max(col("value")).as("near_value"))
+          .withColumn("near_ts", col("ptsu"))
+        TemporalJoins.asofNearest(clicks, purch, "user_id", "tsu", "ptsu",
+            Seq("near_value", "near_ts"))
+          .select(col("event_id"), col("user_id"),
+            col("near_ts").cast("long").as("near_ts"), col("near_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+                   FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, epoch_us(ts) AS ptsu, max(value) AS near_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, epoch_us(ts)),
+        ranked AS (
+          SELECT l.event_id, l.user_id, r.ptsu, r.near_value,
+                 row_number() OVER (
+                   PARTITION BY l.event_id
+                   ORDER BY abs(l.tsu - r.ptsu),
+                            CASE WHEN r.ptsu <= l.tsu THEN 0 ELSE 1 END) AS rn
+          FROM l JOIN r ON l.user_id = r.user_id)
+        SELECT l.event_id AS event_id, l.user_id AS user_id,
+               CAST(k.ptsu AS BIGINT) AS near_ts, k.near_value
+        FROM l LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) k
+          ON k.event_id = l.event_id
+        ORDER BY l.event_id""")),
+
+    // Nearest via the chained native operators (backward + forward merge;
+    // left side shuffles ONCE across both). Same row_number oracle as
+    // q_asof_nearest.
+    Q("q_asof_nearest_native",
+      (s, dir) => {
+        import graft.ops.TemporalJoins
+        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("tsu"))
+        val purch = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("tsu").as("ptsu"))
+          .agg(max(col("value")).as("near_value"))
+          .withColumn("near_ts", col("ptsu"))
+        TemporalJoins.asofNearestNative(clicks, purch, "user_id", "tsu", "ptsu",
+            Seq("near_value", "near_ts"))
+          .select(col("event_id"), col("user_id"),
+            col("near_ts").cast("long").as("near_ts"), col("near_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+                   FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, epoch_us(ts) AS ptsu, max(value) AS near_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, epoch_us(ts)),
+        ranked AS (
+          SELECT l.event_id, l.user_id, r.ptsu, r.near_value,
+                 row_number() OVER (
+                   PARTITION BY l.event_id
+                   ORDER BY abs(l.tsu - r.ptsu),
+                            CASE WHEN r.ptsu <= l.tsu THEN 0 ELSE 1 END) AS rn
+          FROM l JOIN r ON l.user_id = r.user_id)
+        SELECT l.event_id AS event_id, l.user_id AS user_id,
+               CAST(k.ptsu AS BIGINT) AS near_ts, k.near_value
+        FROM l LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) k
+          ON k.event_id = l.event_id
+        ORDER BY l.event_id""")),
+
+    // Bounded time-range join (bucketed equi-join algorithm vs the oracle's
+    // naive theta join — same pairs, scalable plan).
+    Q("q_range_join",
+      (s, dir) => {
+        import graft.ops.TemporalJoins
+        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("tsu").as("ctsu"))
+        val errors = ev.where(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("err_id"), col("tsu").as("etsu"))
+        TemporalJoins.timeRangeJoin(clicks, errors, "user_id", "ctsu", "etsu",
+            Seq("err_id"), 3600000000L)
+          .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH l AS (SELECT user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'error')
+        SELECT l.user_id AS user_id, count(*) AS n_pairs
+        FROM l JOIN r ON l.user_id = r.user_id AND abs(l.tsu - r.tsu) <= 3600000000
+        GROUP BY l.user_id
+        ORDER BY l.user_id""")),
+
+    // The SAME band-join semantics through the custom sliding-buffer
+    // operator (graft.plans.RangeJoinExec): no bin explosion, exact
+    // movement, O(window) task memory. Hash-matched against the identical
+    // theta-join oracle as q_range_join — two algorithms, one truth.
+    Q("q_range_native",
+      (s, dir) => {
+        import graft.ops.TemporalJoins
+        val ev = tEvents(s, dir).withColumn("tsu", expr("ts div 1000"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("tsu").as("ctsu"))
+        val errors = ev.where(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("err_id"), col("tsu").as("etsu"))
+        TemporalJoins.timeRangeJoinNative(clicks, errors, Seq("user_id"),
+            "ctsu", "etsu", Seq("err_id"), 3600000000L)
+          .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH l AS (SELECT user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'error')
+        SELECT l.user_id AS user_id, count(*) AS n_pairs
+        FROM l JOIN r ON l.user_id = r.user_id AND abs(l.tsu - r.tsu) <= 3600000000
+        GROUP BY l.user_id
+        ORDER BY l.user_id""")),
+
+    // Rolling window frame (ROWS BETWEEN): decimal sums keep the frame
+    // arithmetic exact on both engines.
+    Q("q_rolling_avg",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("__tsu"), col("event_id"))
+          .rowsBetween(-3, Window.currentRow)
+        tEvents(s, dir)
+          .withColumn("__tsu", expr("ts div 1000"))
+          .withColumn("roll_avg",
+            sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+              count(lit(1)).over(w))
+          .select(col("user_id"), col("event_id"), col("roll_avg"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""
+        SELECT user_id, event_id,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / count(*) OVER w AS roll_avg
+        FROM (SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id""")),
+
+    // ROLLUP hierarchy aggregate (Catalyst expands grouping sets natively;
+    // partial aggregation still applies per grouping set).
+    Q("q_rollup",
+      (s, dir) =>
+        // Pre-aggregate to the finest grouping before ROLLUP: decimal sums
+        // are exact and associative, so rolling up the |groups|-row base
+        // aggregate is bit-identical to rolling up the raw rows while
+        // shrinking the Expand + shuffle input by |rows|/|groups| — the
+        // plan that survives a 100x scale-up.
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("s"),
+            count(lit(1)).as("c"))
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(
+            sum(col("s")).cast("double").as("sum_base"),
+            sum(col("c")).as("cnt"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+            col("sum_base"), col("cnt"))
+          .orderBy("flag", "status"),
+      Some("""
+        SELECT coalesce(l_returnflag, 'ALL') AS flag,
+               coalesce(l_linestatus, 'ALL') AS status,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY flag, status""")),
+
+    // Exact interpolated percentiles (sort-based `percentile`, not the
+    // approximate sketch — the oracle-matchable form).
+    // Exact quantiles via the distributed sort-rank operator (interpolation
+    // identical to percentile()/quantile_cont, but no per-group value
+    // buffering — survives billion-row groups; see ops.Percentiles).
+    Q("q_percentile",
+      (s, dir) =>
+        graft.ops.Percentiles.quantiles(t(s, dir, "orders"), "o_totalprice",
+            Seq("o_orderstatus"), Seq("p50_raw" -> 0.5, "p90_raw" -> 0.9))
+          .select(col("o_orderstatus"),
+            r6(col("p50_raw")).as("p50"), r6(col("p90_raw")).as("p90"), col("cnt"))
+          .orderBy("o_orderstatus"),
+      Some("""
+        SELECT o_orderstatus,
+               (round(quantile_cont(o_totalprice, 0.5), 6) + CAST(0.0 AS DOUBLE)) AS p50,
+               (round(quantile_cont(o_totalprice, 0.9), 6) + CAST(0.0 AS DOUBLE)) AS p90,
+               count(*) AS cnt
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
+
+    // Winsorized robust statistics: clip at the (round-6) p05/p95 exact
+    // quantiles from the distributed rank picker, then exact-decimal mean
+    // over the clipped values — two passes, every task participating in
+    // both. Thresholds are rounded identically in both engines BEFORE
+    // clipping so boundary rows can't flip on an interpolation ulp.
+    Q("q_winsorize",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val qrow = graft.ops.Percentiles.quantilesGlobal(
+          o, "o_totalprice", Seq("p05" -> 0.05, "p95" -> 0.95)).head()
+        val lo = BigDecimal(qrow.getDouble(0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val hi = BigDecimal(qrow.getDouble(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        o.select(least(greatest(col("o_totalprice").cast("double"), lit(lo)), lit(hi))
+            .cast("decimal(18,2)").as("w"))
+          .agg(sum(col("w")).as("wsum"), count(lit(1)).as("n"))
+          .select(col("wsum").cast("double").as("winsorized_sum"),
+            expr("(round(CAST(wsum AS DOUBLE) / CAST(n AS DOUBLE), 6) + CAST(0.0 AS DOUBLE))")
+              .as("winsorized_mean"),
+            col("n"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.05), 6) AS lo,
+                 round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95), 6) AS hi
+          FROM orders),
+        w AS (
+          SELECT CAST(least(greatest(CAST(o_totalprice AS DOUBLE), q.lo), q.hi) AS DECIMAL(18,2)) AS w
+          FROM orders, q)
+        SELECT CAST(sum(w) AS DOUBLE) AS winsorized_sum,
+               (round(CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS winsorized_mean,
+               count(*) AS n
+        FROM w""")),
+
+    // Exact GLOBAL quantiles via range-partitioned distributed rank
+    // selection (every task participates; no single-task group sort —
+    // the billion-row-group/global-case scale path; see
+    // Percentiles.quantilesGlobal).
+    Q("q_percentile_global",
+      (s, dir) =>
+        graft.ops.Percentiles.quantilesGlobal(t(s, dir, "orders"), "o_totalprice",
+            Seq("p50_raw" -> 0.5, "p90_raw" -> 0.9, "p99_raw" -> 0.99))
+          .select(r6(col("p50_raw")).as("p50"), r6(col("p90_raw")).as("p90"),
+            r6(col("p99_raw")).as("p99"), col("cnt")),
+      Some("""
+        SELECT (round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 6) + CAST(0.0 AS DOUBLE)) AS p50,
+               (round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9), 6) + CAST(0.0 AS DOUBLE)) AS p90,
+               (round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99), 6) + CAST(0.0 AS DOUBLE)) AS p99,
+               count(*) AS cnt
+        FROM orders""")),
+
+    // Quantile normalization: re-express every distinct click `value` as
+    // the purchase distribution's value at the same cumulative
+    // probability (100-bin quantile mapping) — the score calibrator that
+    // puts two scorers/domains on one ranking scale. Source ECDF via the
+    // range-partitioned prefix-sum two-pass (never SinglePartition);
+    // reference summarized by ONE order-statistic rank pick (range
+    // shuffle + two passes for all 100 bins); the bin map broadcasts.
+    // EVERY compared column is exact: x the RAW stored source double
+    // (bit-identical cross-engine — since r11; the r8-r10 hash-REDs
+    // were driver-side round() ULP skew, first on display doubles,
+    // finally on the round(value,6)→DECIMAL group KEY itself), bin by
+    // integer ceil-division (DECIMAL div / HUGEINT //), normalized a
+    // RAW stored reference value (nearest-rank bins since r10). The
+    // oracle reads the reference quantiles from q_qnorm_bins' dump,
+    // which carries its own non-circular oracle.
+    Q("q_quantile_norm",
+      (s, dir) => {
+        val ev = tEvents(s, dir) // value only — ts representation irrelevant
+        graft.ops.Percentiles.quantileNormalize(
+            ev.where(col("event_type") === "click").select(col("value")),
+            ev.where(col("event_type") === "purchase").select(col("value")),
+            "value", 100)
+          .orderBy("x")
+      },
+      Some(s"""
+        SELECT * FROM (
+          ${graft.ops.Percentiles.quantileNormalizeOracleSql(
+            "(SELECT value FROM events WHERE event_type = 'click')",
+            "(SELECT bin, q FROM read_parquet('__GRAFT_OUT__/q_qnorm_bins/*.parquet'))",
+            "value", 100)}
+        ) ORDER BY x""")),
+
+    // The reference side of q_quantile_norm as its own dumped artifact:
+    // the purchase distribution's 100-bin NEAREST-RANK quantile table.
+    // Type-1 quantiles are exact order-statistic selects — the
+    // ⌈n·j/bins⌉-th value, replayed by the oracle as a row_number()
+    // pick at the same integer ranks — so this carries a REAL
+    // non-circular oracle (unlike the r9 rows-only gate, whose
+    // quantile_cont values couldn't be replayed without re-importing
+    // cross-engine interpolation-ULP fragility).
+    Q("q_qnorm_bins",
+      (s, dir) => {
+        val ev = tEvents(s, dir)
+        graft.ops.Percentiles.quantileBinTable(
+            ev.where(col("event_type") === "purchase").select(col("value")),
+            "value", 100)
+          .orderBy("bin")
+      },
+      Some(graft.ops.Percentiles.quantileBinTableOracleSql(
+        "(SELECT value FROM events WHERE event_type = 'purchase')",
+        "value", 100))),
+
+    // Pivot (wide event-type counts per user). Spark's pivot relational
+    // operator vs the oracle's conditional aggregation — same table.
+    Q("q_pivot",
+      (s, dir) => {
+        val types = Seq("click", "view", "purchase", "signup", "error")
+        val p = tEvents(s, dir)
+          .groupBy("user_id")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        p.select(col("user_id") +:
+            types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+          .orderBy("user_id")
+      },
+      Some("""
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id""")),
+
+    // UNPIVOT (melt): wide metric columns -> long (metric, value) rows —
+    // the inverse of q_pivot and the shape feature stores and plotting
+    // exports consume. stack() is a narrow generator (no shuffle, stays
+    // in the scan stage); the oracle replays as UNION ALL.
+    Q("q_unpivot",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .where(col("l_orderkey") % 997 === 0)
+          .selectExpr("l_orderkey", "l_linenumber",
+            """stack(3,
+               'discount', CAST(l_discount AS DOUBLE),
+               'price', CAST(l_extendedprice AS DOUBLE),
+               'quantity', CAST(l_quantity AS DOUBLE)) AS (metric, val)""")
+          .orderBy("l_orderkey", "l_linenumber", "metric"),
+      Some("""
+        WITH src AS (SELECT * FROM lineitem WHERE l_orderkey % 997 = 0)
+        SELECT l_orderkey, l_linenumber, metric, val FROM (
+          SELECT l_orderkey, l_linenumber, 'discount' AS metric, CAST(l_discount AS DOUBLE) AS val FROM src
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'price', CAST(l_extendedprice AS DOUBLE) FROM src
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'quantity', CAST(l_quantity AS DOUBLE) FROM src)
+        ORDER BY l_orderkey, l_linenumber, metric""")),
+
+    // INTERSECT / EXCEPT set operators (Catalyst rewrites to semi/anti
+    // joins — the scalable form; the oracle uses the SQL operators).
+    Q("q_setops",
+      (s, dir) => {
+        val ev = tEvents(s, dir)
+        def ids(t: String) = ev.where(col("event_type") === t).select("user_id")
+        val heavyError = ev.where(col("event_type") === "error")
+          .groupBy("user_id").agg(count(lit(1)).as("n"))
+          .where(col("n") >= 16).select("user_id")
+        ids("click").intersect(ids("purchase")).except(heavyError)
+          .orderBy("user_id")
+      },
+      Some("""
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'error'
+        GROUP BY user_id HAVING count(*) >= 16
+        ORDER BY user_id""")),
+
+    // ntile + cume_dist ranking (unique-rank tie-breaks keep both engines
+    // deterministic; decimal totals keep the sums exact). The rank itself
+    // comes from the range-partitioned two-pass (Layout.globalRank) — at
+    // 10^9 users a `Window.orderBy(...)` here is an Exchange
+    // SinglePartition, THE dimension-ranking bottleneck; ntile and
+    // cume_dist then follow from (rank, n) by pure arithmetic (the
+    // ordering is unique, so cume_dist = rank / n exactly).
+    Q("q_ntile",
+      (s, dir) => {
+        val totals = tEvents(s, dir)
+          .groupBy("user_id")
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+        val (ranked, n) = graft.ops.Layout.globalRank(
+          totals, Seq(desc("total"), col("user_id")), "__r")
+        ranked
+          .withColumn("quartile",
+            graft.ops.Layout.ntileFromRank(col("__r"), n, 4))
+          .withColumn("cd",
+            r6(col("__r").cast("double") / n.toDouble))
+          .drop("__r")
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH totals AS (
+          SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM events GROUP BY user_id)
+        SELECT user_id, total,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               (round(cume_dist() OVER w, 6) + CAST(0.0 AS DOUBLE)) AS cd
+        FROM totals
+        WINDOW w AS (ORDER BY total DESC, user_id)
+        ORDER BY user_id""")),
+
+    // Full analytic-window family over one unique ordering (lag / lead /
+    // first_value / dense_rank / percent_rank) — one shuffle on user_id
+    // serves every function.
+    Q("q_window_family",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        // rank windows order by value alone: dense_rank/percent_rank are
+        // deterministic under ties, and ties are what dense_rank is for
+        val wv = Window.partitionBy("user_id").orderBy(col("value"))
+        tEvents(s, dir)
+          .withColumn("prev_val", lag(col("value"), 1).over(w))
+          .withColumn("next_val", lead(col("value"), 1).over(w))
+          .withColumn("first_val", first(col("value")).over(w))
+          .withColumn("vrank", dense_rank().over(wv).cast("long"))
+          .withColumn("prank", r6(percent_rank().over(wv)))
+          .select("event_id", "user_id", "value",
+            "prev_val", "next_val", "first_val", "vrank", "prank")
+          .orderBy("event_id")
+          .limit(3000)
+      },
+      Some("""
+        SELECT event_id, user_id, value,
+               lag(value, 1) OVER w AS prev_val,
+               lead(value, 1) OVER w AS next_val,
+               first_value(value) OVER w AS first_val,
+               CAST(dense_rank() OVER wv AS BIGINT) AS vrank,
+               (round(percent_rank() OVER wv, 6) + CAST(0.0 AS DOUBLE)) AS prank
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               wv AS (PARTITION BY user_id ORDER BY value)
+        ORDER BY event_id
+        LIMIT 3000""")),
+
+    // BM25 full-text ranking (TF-IDF upgrade of the keyword mode): global
+    // stats from one aggregation pass, broadcast back over the scan.
+    Q("q_bm25_search",
+      (s, dir) => {
+        val chunks = RagPipeline.buildChunks(tk(s, dir, "documents"))
+        Similarity.bm25TopK(chunks, "chunk_text", "chunk_id",
+            Seq("spark", "join", "stream"), 10)
+          .select(col("chunk_id"), r6(col("score")).as("score"))
+      },
+      Some {
+        val terms = Seq("spark", "join", "stream")
+        val tfs = terms.zipWithIndex.map { case (tm, i) =>
+          s"CAST(len(list_filter(toks, x -> x = '$tm')) AS DOUBLE) AS tf_$i"
+        }.mkString(", ")
+        val dfs = terms.zipWithIndex.map { case (tm, i) =>
+          s"sum(CASE WHEN list_contains(toks, '$tm') THEN 1 ELSE 0 END) AS df_$i"
+        }.mkString(", ")
+        val scoreSum = terms.indices.map { i =>
+          s"""(ln(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - CAST(df_$i AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df_$i AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+              * (tf_$i * CAST(2.2 AS DOUBLE))
+              / (tf_$i + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)))"""
+        }.mkString(" + ")
+        s"""
+        WITH ch AS (
+          SELECT chunk_id, ${D.splitWs("chunk_text")} AS toks
+          FROM (SELECT * FROM $duckChunks WHERE ${D.rlikeWs("chunk_text")})),
+        st AS (SELECT count(*) AS n, sum(len(toks)) AS sumdl, $dfs FROM ch),
+        scored AS (
+          SELECT chunk_id, $tfs, CAST(len(toks) AS DOUBLE) AS dl,
+                 CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl,
+                 n, df_0, df_1, df_2
+          FROM ch, st)
+        SELECT chunk_id, (round(score, 6) + CAST(0.0 AS DOUBLE)) AS score
+        FROM (SELECT chunk_id, $scoreSum AS score
+              FROM scored
+              ORDER BY score DESC, chunk_id
+              LIMIT 10)
+        ORDER BY score DESC, chunk_id"""
+      }),
+
+    // SimHash near-dup pairs: 2x32-bit banding (the width that survives
+    // correlated simhashes at scale — see Dedup.simhashNearDupPairs) +
+    // exact hamming verify via bit_count(xor). The oracle runs the same
+    // algorithm on the bit strings directly.
+    Q("q_simhash_pairs",
+      (s, dir) =>
+        Dedup.simhashNearDupPairs(tk(s, dir, "documents"), "text", "doc_id", 16)
+          .orderBy("id_a", "id_b"),
+      Some {
+        val duckToks = s"(SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents)"
+        s"""
+        WITH sims AS (
+          SELECT doc_id, ${Exprs.simhashBits(D, "toks")} AS simhash FROM $duckToks),
+        banded AS (
+          SELECT doc_id, CAST(b.b AS BIGINT) AS band,
+                 substr(simhash, CAST(b.b AS INT) * 32 + 1, 32) AS band_key
+          FROM sims, range(0, 2) AS b(b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+          FROM banded a JOIN banded c
+            ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+        verified AS (
+          SELECT id_a, id_b,
+                 CAST(len(list_filter(range(1, 65),
+                   i -> substr(sa.simhash, CAST(i AS INT), 1) <> substr(sb.simhash, CAST(i AS INT), 1))) AS BIGINT) AS hamming
+          FROM cand JOIN sims sa ON sa.doc_id = id_a JOIN sims sb ON sb.doc_id = id_b)
+        SELECT id_a, id_b, hamming
+        FROM verified
+        WHERE hamming <= 16
+        ORDER BY id_a, id_b"""
+      })
+  )
+}

@@ -1,0 +1,543 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chunk.Chunking
+import graft.embed.HashingEmbedder
+import graft.functions.{MdContent, TextF, VectorF}
+import graft.ops.{Dedup, Similarity}
+import graft.rag.RagPipeline
+import graft.sqlgen.{Dialect, Exprs}
+
+/** Text-analysis operators: langid, quality, tokens, fingerprints. Split from QueryCatalog in r13; shared helpers live in
+  * [[CatalogCore]], the assembled query map in [[QueryCatalog]]. */
+private[graft] trait CatalogText extends CatalogCore {
+
+  // =========================================================================
+  // Text analysis / dedup (north-star training-data ops)
+  // =========================================================================
+
+  protected def textOps: Seq[Q] = {
+    val duckToks = s"(SELECT doc_id, ${D.splitWs("text")} AS toks FROM documents)"
+    val duckShingles =
+      s"(SELECT doc_id, ${Exprs.wordShingles(D, "toks", 3)} AS sh FROM $duckToks)"
+
+    Seq(
+      // F1: whitespace predicate (document_processor.py:131-137)
+      Q("q_f1_whitespace",
+        (s, dir) =>
+          t(s, dir, "documents")
+            .where(col("text").rlike("\\s"))
+            .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+            .orderBy("lang"),
+        Some("""
+          SELECT lang, count(*) AS n
+          FROM documents
+          WHERE regexp_matches(text, '\s')
+          GROUP BY lang
+          ORDER BY lang""")),
+
+      // F2: markdown-content validity (stateful UDF; rows-only check — the
+      // 19-case reference contract is enforced in MdContentSpec)
+      // Oracle is analytic: the synthetic docs are plain prose (no headers,
+      // no code fences), so F2 reduces to "has a non-blank line". The full
+      // line-machine semantics are pinned by MdContentSpec's 19 reference
+      // fixtures.
+      Q("q_f2_md_valid",
+        (s, dir) =>
+          t(s, dir, "documents")
+            .where(MdContent.mdHasContent(col("text")))
+            .select(col("doc_id"))
+            .orderBy("doc_id"),
+        Some("""
+          SELECT doc_id FROM documents
+          WHERE trim(text) <> ''
+          ORDER BY doc_id""")),
+
+      // T9: title fallback — first line stripped of leading #/whitespace
+      // (metadata_processor.py:52-54)
+      Q("q_title_fallback",
+        (s, dir) =>
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              substring(regexp_replace(element_at(split(col("text"), "\n"), 1),
+                "^[#\\s]+", ""), 1, 30).as("title"))
+            .orderBy("doc_id"),
+        Some("""
+          SELECT doc_id,
+                 substr(regexp_replace(string_split(text, chr(10))[1], '^[#\s]+', ''), 1, 30) AS title
+          FROM documents
+          ORDER BY doc_id""")),
+
+      Q("q_token_stats",
+        (s, dir) => {
+          val toks = TextF.tokens(col("text"))
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              size(toks).cast("long").as("n_tokens"),
+              size(array_distinct(toks)).cast("long").as("n_uniq"))
+            .orderBy("doc_id")
+        },
+        Some("""
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_uniq
+          FROM documents
+          ORDER BY doc_id""")),
+
+      Q("q_quality_score",
+        (s, dir) =>
+          t(s, dir, "documents")
+            .select(col("doc_id"), r6(TextF.qualityScore(col("text"))).as("quality"))
+            .orderBy("doc_id"),
+        Some {
+          val toks = D.splitWs("text")
+          val stopArr = D.strArray(TextF.StopEn)
+          s"""
+          SELECT doc_id,
+                 round(
+                   least(CAST(len($toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+                   + (CAST(len(list_filter($toks, t__ -> list_contains($stopArr, t__))) AS DOUBLE) / len($toks)) * CAST(0.3 AS DOUBLE)
+                   + (CAST(1.0 AS DOUBLE) - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * CAST(0.3 AS DOUBLE)
+                 , 6) + CAST(0.0 AS DOUBLE) AS quality
+          FROM documents
+          ORDER BY doc_id"""
+        }),
+
+      Q("q_langid",
+        (s, dir) =>
+          tk(s, dir, "documents")
+            .select(col("doc_id"), TextF.langId(TextF.tokens(col("text"))).as("pred_lang"))
+            .orderBy("doc_id"),
+        Some {
+          def hits(stop: Seq[String]) =
+            s"len(list_filter(toks, t__ -> list_contains(${D.strArray(stop)}, t__)))"
+          s"""
+          SELECT doc_id,
+                 CASE WHEN en__ >= de__ AND en__ >= es__ AND en__ >= fr__ THEN 'en'
+                      WHEN de__ >= es__ AND de__ >= fr__ THEN 'de'
+                      WHEN es__ >= fr__ THEN 'es'
+                      ELSE 'fr' END AS pred_lang
+          FROM (SELECT doc_id,
+                       ${hits(TextF.StopEn)} AS en__, ${hits(TextF.StopDe)} AS de__,
+                       ${hits(TextF.StopEs)} AS es__, ${hits(TextF.StopFr)} AS fr__
+                FROM $duckToks)
+          ORDER BY doc_id"""
+        }),
+
+      Q("q_dedup_exact",
+        (s, dir) =>
+          Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
+            .orderBy("content_hash"),
+        Some("""
+          SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+          FROM documents
+          GROUP BY md5(text)
+          ORDER BY content_hash""")),
+
+      Q("q_minhash_sig",
+        (s, dir) =>
+          Dedup.minhashSignatures(t(s, dir, "documents"), "text", "doc_id", 3, 8)
+            .select(col("doc_id"), array_join(col("sig").cast("array<string>"), "|").as("sig"))
+            .orderBy("doc_id"),
+        Some(s"""
+          SELECT doc_id, ${D.arrayJoin(Exprs.minhashSig(D, "sh", 8), "|")} AS sig
+          FROM $duckShingles
+          ORDER BY doc_id""")),
+
+      Q("q_minhash_pairs",
+        (s, dir) => {
+          val docs = t(s, dir, "documents")
+          val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", 3, 8)
+          val cand = Dedup.lshCandidatePairs(sigs, "doc_id", 2)
+          Dedup.jaccardVerify(docs, cand, "text", "doc_id", 3, 0.2)
+            .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
+            .orderBy("id_a", "id_b")
+        },
+        Some(s"""
+          WITH sigs AS (
+            SELECT doc_id, ${Exprs.minhashSig(D, "sh", 8)} AS sig FROM $duckShingles),
+          banded AS (
+            SELECT doc_id, CAST(b.b AS BIGINT) AS band,
+                   md5(array_to_string(sig[(CAST(b.b AS INT) * 2 + 1):(CAST(b.b AS INT) * 2 + 2)], '|')) AS band_key
+            FROM sigs, range(0, 4) AS b(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+            FROM banded a JOIN banded c
+              ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+          sets AS (SELECT doc_id, list_distinct(sh) AS shs FROM $duckShingles)
+          SELECT id_a, id_b,
+                 round(CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                       / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))), 6) + CAST(0.0 AS DOUBLE) AS jaccard
+          FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
+          WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= CAST(0.2 AS DOUBLE)
+          ORDER BY id_a, id_b""")),
+
+      // End-to-end near-dup REMOVAL (minhash -> LSH -> verify -> anti-join)
+      Q("q_dedup_near_drop",
+        (s, dir) =>
+          Dedup.dropNearDuplicates(tk(s, dir, "documents"), "text", "doc_id",
+              3, 8, 2, 0.2)
+            .agg(count(lit(1)).as("n_kept"),
+              sum(col("doc_id")).cast("long").as("id_sum")),
+        Some(s"""
+          WITH sigs AS (
+            SELECT doc_id, ${Exprs.minhashSig(D, "sh", 8)} AS sig FROM $duckShingles),
+          banded AS (
+            SELECT doc_id, CAST(b.b AS BIGINT) AS band,
+                   md5(array_to_string(sig[(CAST(b.b AS INT) * 2 + 1):(CAST(b.b AS INT) * 2 + 2)], '|')) AS band_key
+            FROM sigs, range(0, 4) AS b(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+            FROM banded a JOIN banded c
+              ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+          sets AS (SELECT doc_id, list_distinct(sh) AS shs FROM $duckShingles),
+          dup AS (
+            SELECT DISTINCT id_b
+            FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
+            WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                  / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= CAST(0.2 AS DOUBLE))
+          SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+          FROM documents
+          WHERE doc_id NOT IN (SELECT id_b FROM dup)""")),
+
+      // Transitive near-dup CLUSTERING: connected components over the
+      // verified minhash near-dup graph. Spark side = iterative min-label
+      // propagation (joins over the edge list, O(|E|) per round); oracle =
+      // recursive-CTE reachability with min-label aggregation. Every doc
+      // is labeled (singletons label themselves).
+      Q("q_cc_clusters",
+        (s, dir) =>
+          Dedup.nearDupClusters(tk(s, dir, "documents"), "text", "doc_id",
+              3, 8, 2, 0.2)
+            .select(col("doc_id").cast("long").as("doc_id"),
+              col("cluster_id").cast("long").as("cluster_id"))
+            .orderBy("doc_id"),
+        Some(s"""
+          WITH RECURSIVE
+          sigs AS (
+            SELECT doc_id, ${Exprs.minhashSig(D, "sh", 8)} AS sig FROM $duckShingles),
+          banded AS (
+            SELECT doc_id, CAST(b.b AS BIGINT) AS band,
+                   md5(array_to_string(sig[(CAST(b.b AS INT) * 2 + 1):(CAST(b.b AS INT) * 2 + 2)], '|')) AS band_key
+            FROM sigs, range(0, 4) AS b(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+            FROM banded a JOIN banded c
+              ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+          sets AS (SELECT doc_id, list_distinct(sh) AS shs FROM $duckShingles),
+          edges AS (
+            SELECT id_a, id_b
+            FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
+            WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                  / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= CAST(0.2 AS DOUBLE)),
+          und AS (
+            SELECT id_a AS src, id_b AS dst FROM edges
+            UNION ALL
+            SELECT id_b, id_a FROM edges),
+          reach(id, l) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT u.src, r.l FROM reach r JOIN und u ON u.dst = r.id)
+          SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY id
+          ORDER BY doc_id""")),
+
+      // Dedup-aware train/val/test split: split decided by the near-dup
+      // CLUSTER id (md5 digit on cluster_id), so near-duplicate docs can
+      // never straddle train and test — the leakage guard the doc-keyed
+      // q_hash_split cannot provide. Oracle replays clustering (recursive
+      // reachability) + the identical md5 split rule.
+      Q("q_leakage_split",
+        (s, dir) => {
+          val docs = tk(s, dir, "documents")
+          val clusters = Dedup.nearDupClusters(docs, "text", "doc_id", 3, 8, 2, 0.2)
+            .select(col("doc_id").cast("long").as("doc_id"),
+              col("cluster_id").cast("long").as("cluster_id"))
+          graft.ops.Sampling.leakageSafeSplit(
+              docs.select(col("doc_id").cast("long").as("doc_id")),
+              clusters, "doc_id")
+            .select(col("doc_id"), col("cluster_id"), col("split"))
+            .orderBy("doc_id")
+        },
+        Some(s"""
+          WITH RECURSIVE
+          sigs AS (
+            SELECT doc_id, ${Exprs.minhashSig(D, "sh", 8)} AS sig FROM $duckShingles),
+          banded AS (
+            SELECT doc_id, CAST(b.b AS BIGINT) AS band,
+                   md5(array_to_string(sig[(CAST(b.b AS INT) * 2 + 1):(CAST(b.b AS INT) * 2 + 2)], '|')) AS band_key
+            FROM sigs, range(0, 4) AS b(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+            FROM banded a JOIN banded c
+              ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+          sets AS (SELECT doc_id, list_distinct(sh) AS shs FROM $duckShingles),
+          edges AS (
+            SELECT id_a, id_b
+            FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
+            WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                  / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= CAST(0.2 AS DOUBLE)),
+          und AS (
+            SELECT id_a AS src, id_b AS dst FROM edges
+            UNION ALL
+            SELECT id_b, id_a FROM edges),
+          reach(id, l) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT u.src, r.l FROM reach r JOIN und u ON u.dst = r.id),
+          cl AS (
+            SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY id)
+          SELECT doc_id, cluster_id,
+                 CASE WHEN d__ < 12 THEN 'train' WHEN d__ < 14 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (SELECT doc_id, cluster_id,
+                       ${D.md5HexDigit(D.castStr("cluster_id"), 1)} AS d__
+                FROM cl)
+          ORDER BY doc_id""")),
+
+      // Quality-aware canonical selection: keep the BEST-quality doc of
+      // every near-dup cluster (not an arbitrary member) — the curation
+      // variant of dedup. Selection = ONE max-of-struct aggregation
+      // ((quality, -id) lexicographic, ties to lowest id): map-side
+      // combined, no rank window, no corpus sort. Oracle replays
+      // clustering (recursive reachability), the quality formula at 6dp,
+      // and the same argmax tie-break via a rank window.
+      Q("q_cluster_best",
+        (s, dir) => {
+          val docs = tk(s, dir, "documents")
+          val clusters = Dedup.nearDupClusters(docs, "text", "doc_id", 3, 8, 2, 0.2)
+            .select(col("doc_id").cast("long").as("doc_id"),
+              col("cluster_id").cast("long").as("cluster_id"))
+          val scored = docs.select(col("doc_id").cast("long").as("doc_id"),
+            r6(TextF.qualityScore(col("text"))).as("quality"))
+          graft.ops.Curation.keepBestPerCluster(scored, clusters, "doc_id", "quality")
+            .select(col("cluster_id"), col("best_doc_id"),
+              col("best_score").as("best_quality"), col("n_members"))
+            .orderBy("cluster_id")
+        },
+        Some {
+          val toks = D.splitWs("text")
+          val stopArr = D.strArray(TextF.StopEn)
+          s"""
+          WITH RECURSIVE
+          sigs AS (
+            SELECT doc_id, ${Exprs.minhashSig(D, "sh", 8)} AS sig FROM $duckShingles),
+          banded AS (
+            SELECT doc_id, CAST(b.b AS BIGINT) AS band,
+                   md5(array_to_string(sig[(CAST(b.b AS INT) * 2 + 1):(CAST(b.b AS INT) * 2 + 2)], '|')) AS band_key
+            FROM sigs, range(0, 4) AS b(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+            FROM banded a JOIN banded c
+              ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+          sets AS (SELECT doc_id, list_distinct(sh) AS shs FROM $duckShingles),
+          edges AS (
+            SELECT id_a, id_b
+            FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
+            WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                  / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= CAST(0.2 AS DOUBLE)),
+          und AS (
+            SELECT id_a AS src, id_b AS dst FROM edges
+            UNION ALL
+            SELECT id_b, id_a FROM edges),
+          reach(id, l) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT u.src, r.l FROM reach r JOIN und u ON u.dst = r.id),
+          cl AS (
+            SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY id),
+          q AS (
+            SELECT doc_id,
+                   round(
+                     least(CAST(len($toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+                     + (CAST(len(list_filter($toks, t__ -> list_contains($stopArr, t__))) AS DOUBLE) / len($toks)) * CAST(0.3 AS DOUBLE)
+                     + (CAST(1.0 AS DOUBLE) - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * CAST(0.3 AS DOUBLE)
+                   , 6) + CAST(0.0 AS DOUBLE) AS quality
+            FROM documents)
+          SELECT cluster_id, doc_id AS best_doc_id, quality AS best_quality,
+                 n_members
+          FROM (SELECT cl.cluster_id, cl.doc_id, q.quality,
+                       row_number() OVER (PARTITION BY cl.cluster_id
+                         ORDER BY q.quality DESC, cl.doc_id) AS rn,
+                       count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+                FROM cl JOIN q USING (doc_id))
+          WHERE rn = 1
+          ORDER BY cluster_id"""
+        }),
+
+      // Domain-level quality gate: per-source mean quality (DECIMAL-
+      // summed, order-independent), low-quality fraction, and the
+      // wholesale keep/block verdict — domain filtering runs BEFORE
+      // doc filters in a web curation stack. One map-side-combined
+      // aggregation on the domain key.
+      Q("q_domain_quality",
+        (s, dir) =>
+          graft.ops.Curation.domainQuality(
+              t(s, dir, "documents"), "text", "source", 0.53, 0.45)
+            .orderBy("source"),
+        Some {
+          val toks = D.splitWs("text")
+          val stopArr = D.strArray(TextF.StopEn)
+          s"""
+          WITH q AS (
+            SELECT source,
+                   round(
+                     least(CAST(len($toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+                     + (CAST(len(list_filter($toks, t__ -> list_contains($stopArr, t__))) AS DOUBLE) / len($toks)) * CAST(0.3 AS DOUBLE)
+                     + (CAST(1.0 AS DOUBLE) - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * CAST(0.3 AS DOUBLE)
+                   , 6) + CAST(0.0 AS DOUBLE) AS ql
+            FROM documents)
+          SELECT source, n_docs, mean_quality, low_frac,
+                 (mean_quality < CAST(0.53 AS DOUBLE) OR low_frac > CAST(0.45 AS DOUBLE)) AS blocked
+          FROM (SELECT source,
+                       count(*) AS n_docs,
+                       (round(CAST(sum(CAST(ql AS DECIMAL(18,6))) AS DOUBLE)
+                              / CAST(count(*) AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS mean_quality,
+                       (round(CAST(sum(CASE WHEN ql < CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END) AS DOUBLE)
+                              / CAST(count(*) AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS low_frac
+                FROM q GROUP BY source)
+          ORDER BY source"""
+        }),
+
+      // Empirical-Bayes shrinkage of the same per-domain quality: the
+      // posterior mean (Σq + τ·g)/(n + τ) with τ = 20 pseudo-counts —
+      // rare domains pull toward the corpus mean instead of tripping
+      // hard thresholds on 3 noisy docs. Global mean rounds BEFORE the
+      // shrink so both engines run one fixed IEEE chain per domain.
+      Q("q_domain_shrunk",
+        (s, dir) =>
+          graft.ops.Curation.domainQualityShrunk(
+              t(s, dir, "documents"), "text", "source", 20.0)
+            .orderBy("source"),
+        Some {
+          val toks = D.splitWs("text")
+          val stopArr = D.strArray(TextF.StopEn)
+          s"""
+          WITH q AS (
+            SELECT source,
+                   round(
+                     least(CAST(len($toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+                     + (CAST(len(list_filter($toks, t__ -> list_contains($stopArr, t__))) AS DOUBLE) / len($toks)) * CAST(0.3 AS DOUBLE)
+                     + (CAST(1.0 AS DOUBLE) - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * CAST(0.3 AS DOUBLE)
+                   , 6) + CAST(0.0 AS DOUBLE) AS ql
+            FROM documents),
+          per AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   sum(CAST(ql AS DECIMAL(18,6))) AS sq
+            FROM q GROUP BY source),
+          g AS (
+            SELECT (round(CAST(sum(sq) AS DOUBLE) / CAST(sum(n_docs) AS DOUBLE), 6)
+                    + CAST(0.0 AS DOUBLE)) AS gm
+            FROM per)
+          SELECT source, n_docs,
+                 (round(CAST(sq AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+                  + CAST(0.0 AS DOUBLE)) AS mean_quality,
+                 gm AS global_mean,
+                 (round((CAST(sq AS DOUBLE) + CAST(20.0 AS DOUBLE) * gm)
+                        / (CAST(n_docs AS DOUBLE) + CAST(20.0 AS DOUBLE)), 6)
+                  + CAST(0.0 AS DOUBLE)) AS shrunk_quality
+          FROM per CROSS JOIN g
+          ORDER BY source"""
+        }),
+
+      // Inverted keyword index at rest (term -> document-frequency +
+      // sorted posting list): the batch artifact behind the keyword/BM25
+      // query modes. One explode + one groupBy shuffle on the term key;
+      // posting lists bounded (top 20 ids shown) so hot terms can't blow
+      // up a row.
+      Q("q_inverted_index",
+        (s, dir) => {
+          val pairs = t(s, dir, "documents")
+            .select(col("doc_id"), explode(TextF.tokens(col("text"))).as("term"))
+            .where(length(col("term")) >= 5)
+            .distinct()
+          pairs.groupBy("term")
+            .agg(countDistinct("doc_id").as("df"),
+              array_join(
+                slice(sort_array(collect_list(col("doc_id"))), 1, 20)
+                  .cast("array<string>"), ",").as("postings"))
+            .orderBy(desc("df"), col("term"))
+            .limit(100)
+        },
+        Some(s"""
+          WITH pairs AS (
+            SELECT DISTINCT doc_id, unnest(toks) AS term
+            FROM $duckToks)
+          SELECT term, count(*) AS df,
+                 array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
+          FROM pairs
+          WHERE len(term) >= 5
+          GROUP BY term
+          ORDER BY df DESC, term
+          LIMIT 100""")),
+
+      Q("q_simhash",
+        (s, dir) =>
+          Dedup.simhash(t(s, dir, "documents"), "text", "doc_id")
+            .orderBy("doc_id"),
+        Some(s"""
+          SELECT doc_id, ${Exprs.simhashBits(D, "toks")} AS simhash
+          FROM $duckToks
+          ORDER BY doc_id""")),
+
+      Q("q_fingerprint",
+        (s, dir) =>
+          Dedup.fingerprints(t(s, dir, "documents"), "text", "doc_id", 3)
+            .orderBy("doc_id"),
+        Some(s"""
+          SELECT doc_id, ${D.arrayMin(D.transform("sh", "s__", "md5(s__)"))} AS fp
+          FROM $duckShingles
+          ORDER BY doc_id""")),
+
+      // Winnowing (MOSS): rightmost-min of each w-window of k-gram hashes.
+      // Both sides are generated from ONE Dialect formula, so the oracle
+      // replays the exact selection rule (ties, clamped windows, short
+      // docs) rather than an independent reimplementation.
+      Q("q_winnowing",
+        (s, dir) =>
+          // tk: the md5-per-gram kernel is the cost — rebalance the
+          // 1-row-group scan across cores before it runs
+          Dedup.winnowingFingerprints(
+              tk(s, dir, "documents"), "text", "doc_id", k = 8, w = 4)
+            .orderBy("doc_id", "pos"),
+        Some(s"""
+          WITH b AS (SELECT doc_id, ${Dedup.winnowHashesExpr(D, "text", 8)} AS hs
+                     FROM documents WHERE length(text) >= 8),
+          sel AS (SELECT doc_id, hs,
+                         unnest(${D.arrayDistinct(Dedup.winnowSelExpr(D, "hs", 4))}) AS p
+                  FROM b)
+          SELECT doc_id, CAST(p AS BIGINT) AS pos, ${D.at("hs", "p")} AS fp
+          FROM sel
+          ORDER BY doc_id, pos""")),
+
+      // Span-level near-dup pairs over the winnowed fingerprints: DF-capped
+      // buckets (stop-fingerprint drop) then one fp-keyed equi-join —
+      // bounded buckets by construction, like every band join here.
+      Q("q_winnow_pairs",
+        (s, dir) =>
+          Dedup.winnowingPairs(tk(s, dir, "documents"), "text", "doc_id",
+              k = 8, w = 4, maxDf = 10, minShared = 3)
+            .orderBy("id_a", "id_b"),
+        Some(s"""
+          WITH b AS (SELECT doc_id, ${Dedup.winnowHashesExpr(D, "text", 8)} AS hs
+                     FROM documents WHERE length(text) >= 8),
+          sel AS (SELECT doc_id, hs,
+                         unnest(${D.arrayDistinct(Dedup.winnowSelExpr(D, "hs", 4))}) AS p
+                  FROM b),
+          fp AS (SELECT DISTINCT doc_id, ${D.at("hs", "p")} AS fp FROM sel),
+          keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 10),
+          pr AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep USING (fp))
+          SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM pr a JOIN pr b2 ON a.fp = b2.fp AND a.doc_id < b2.doc_id
+          GROUP BY a.doc_id, b2.doc_id
+          HAVING count(*) >= 3
+          ORDER BY id_a, id_b"""))
+    )
+  }
+}

@@ -1,0 +1,1468 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chunk.Chunking
+import graft.embed.HashingEmbedder
+import graft.functions.{MdContent, TextF, VectorF}
+import graft.ops.{Dedup, Similarity}
+import graft.rag.RagPipeline
+import graft.sqlgen.{Dialect, Exprs}
+
+/** Training-data ops: tokenizers, packing, curriculum, FIM. Split from QueryCatalog in r13; shared helpers live in
+  * [[CatalogCore]], the assembled query map in [[QueryCatalog]]. */
+private[graft] trait CatalogTraining extends CatalogCore {
+
+  /** Training-data pipeline operators beyond the dedup/similarity set:
+    * deterministic corpus splits, sequence packing, benchmark
+    * decontamination, repetition quality, edit-distance near-dup, TF-IDF. */
+  protected def trainingPlus: Seq[Q] = {
+    val duckToks =
+      s"(SELECT doc_id, source, lang, n_chars, ${D.splitWs("text")} AS toks FROM documents)"
+
+    Seq(
+      // Gopher §A1.1 duplicate-LINE repetition (Rae et al. 2021): the
+      // boilerplate detector the word-level rules can't see — nav bars
+      // and footers repeat as whole lines. Lines md5-hash BEFORE the
+      // exchange (32 hex chars + counts travel, never boilerplate text);
+      // map-combined (doc, hash) counts then one per-doc aggregate.
+      Q("q_dup_lines",
+        (s, dir) =>
+          graft.ops.Curation.dupLineStats(
+              t(s, dir, "documents"), "text", "doc_id")
+            .orderBy("doc_id"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Curation.dupLineStatsOracleSql(
+              "documents", "doc_id", "text")}
+          ) ORDER BY doc_id""")),
+
+      // Gopher §A1.1 top-n-gram concentration: chars covered by the most
+      // frequent word 2-gram / total chars — the looping-generation and
+      // keyword-stuffing signal. Supremum tie-breaks to the LOWEST gram
+      // (two-stage max-count/min-gram, exact integers end to end).
+      Q("q_top_ngram",
+        (s, dir) =>
+          graft.ops.Curation.topNgramCharFrac(
+              t(s, dir, "documents"), "text", "doc_id", 2)
+            .orderBy("doc_id"),
+        Some(s"""
+          SELECT * FROM (
+            ${graft.ops.Curation.topNgramCharFracOracleSql(
+              s"(SELECT doc_id, text, ${D.splitWs("text")} AS toks FROM documents)",
+              "doc_id", "text", Exprs.wordShingles(D, "toks", 2))}
+          ) ORDER BY doc_id""")),
+
+      // Gopher-style document quality rules (Rae et al. 2021 §A1.1 — the
+      // standard public filter battery a pretraining pipeline applies
+      // before dedup): word-count bounds, mean word length band,
+      // alphabetic-word fraction, stopword presence. One narrow pass of
+      // array HOFs — no shuffle, codegen-friendly, and the keep decision
+      // is computed from the SAME rounded values in both engines so
+      // boundary cases can't flip across an ulp.
+      Q("q_gopher_rules",
+        (s, dir) =>
+          t(s, dir, "documents")
+            .withColumn("toks", TextF.tokens(col("text")))
+            .withColumn("n_words", size(col("toks")).cast("long"))
+            .withColumn("wlen", expr("aggregate(toks, 0L, (a, t) -> a + length(t))"))
+            .withColumn("mean_wlen",
+              r6(col("wlen").cast("double") / col("n_words").cast("double")))
+            .withColumn("alpha_words", expr(
+              "CAST(size(filter(toks, t -> t rlike '[a-zA-Z]')) AS BIGINT)"))
+            .withColumn("alpha_frac",
+              r6(col("alpha_words").cast("double") / col("n_words").cast("double")))
+            .withColumn("stop_hits", expr(
+              "CAST(size(filter(toks, t -> array_contains(" +
+                "array('the','a','of','to','and','in','is','for'), t))) AS BIGINT)"))
+            .withColumn("keep",
+              col("n_words") >= 10 && col("n_words") <= 100000 &&
+                col("mean_wlen") >= 2.0 && col("mean_wlen") <= 10.0 &&
+                col("alpha_frac") > 0.8 && col("stop_hits") >= 1)
+            .select(col("doc_id"), col("n_words"), col("mean_wlen"),
+              col("alpha_frac"), col("stop_hits"), col("keep"))
+            .orderBy("doc_id"),
+        Some(s"""
+          WITH t AS (
+            SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_words,
+                   list_reduce(list_transform(toks, t2 -> CAST(length(t2) AS BIGINT)),
+                               (a, b) -> a + b) AS wlen,
+                   CAST(len(list_filter(toks, t2 -> regexp_matches(t2, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+                   CAST(len(list_filter(toks, t2 -> list_contains(
+                     ['the','a','of','to','and','in','is','for'], t2))) AS BIGINT) AS stop_hits
+            FROM $duckToks),
+          r AS (
+            SELECT doc_id, n_words,
+                   (round(CAST(wlen AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS mean_wlen,
+                   (round(CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS alpha_frac,
+                   stop_hits
+            FROM t)
+          SELECT doc_id, n_words, mean_wlen, alpha_frac, stop_hits,
+                 (n_words >= 10 AND n_words <= 100000 AND
+                  mean_wlen >= CAST(2.0 AS DOUBLE) AND mean_wlen <= CAST(10.0 AS DOUBLE) AND
+                  alpha_frac > CAST(0.8 AS DOUBLE) AND stop_hits >= 1) AS keep
+          FROM r
+          ORDER BY doc_id""")),
+      // BPE-style pretokenization (GPT-2 pattern, RE2-compatible subset):
+      // token-budget accounting with the unit a BPE tokenizer merges
+      // within. The md5 over the joined token stream pins the EXACT
+      // tokenization, not just the count — Java regex and RE2 must agree
+      // match-for-match.
+      Q("q_bpe_tokens",
+        (s, dir) =>
+          t(s, dir, "documents")
+            .withColumn("bt", TextF.bpeTokens(col("text")))
+            .select(col("doc_id"),
+              size(col("bt")).cast("long").as("n_bpe"),
+              md5(array_join(col("bt"), "\u0001")).as("toks_md5"))
+            .orderBy("doc_id"),
+        Some(s"""
+          SELECT doc_id,
+                 CAST(len(bt) AS BIGINT) AS n_bpe,
+                 md5(array_to_string(bt, chr(1))) AS toks_md5
+          FROM (SELECT doc_id,
+                       regexp_extract_all(text,
+                         '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+') AS bt
+                FROM documents)
+          ORDER BY doc_id""")),
+
+      // WordPiece subword tokenization (the reference's all-mpnet-base-v2
+      // tokenizer contract: greedy longest-match, '##' continuations,
+      // whole-word [UNK] on any dead end — functions/WordPiece.scala, the
+      // last code gap to drop-in real transformer weights). The compared
+      // contract is the SQL-expressible core: words via the same
+      // regexp_extract_all on both sides, then the greedy algorithm —
+      // replayed move-for-move by the oracle as a recursive CTE over a
+      // per-(word,pos) longest-match table built from the SAME Scala
+      // vocab list. Full BertNormalizer/BertPreTokenizer behavior (accent
+      // strip, CJK padding, punctuation isolation, maxInputChars) is
+      // pinned by WordPieceSpec — the corpus here is [a-z]+ words ≤ 8
+      // chars, where those stages are identity. Every compared column is
+      // exact: counts, an id checksum, md5 of the piece stream.
+      // Scale: per-row pure-CPU kernel over a broadcast-size vocab map —
+      // no shuffle, composes with the batched inference seam unchanged.
+      Q("q_wordpiece",
+        (s, dir) => {
+          val wp = graft.functions.WordPiece.fromVocab(wpVocab)
+          val ids = wpVocab
+          val f = udf { words: Seq[String] =>
+            val pieces = words.flatMap(wp.tokenizeWord)
+            (pieces.length.toLong,
+              pieces.count(_ == "[UNK]").toLong,
+              pieces.map(p => ids(p).toLong).sum,
+              pieces.mkString(" "))
+          }
+          t(s, dir, "documents")
+            .withColumn("ws", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+            .withColumn("r", f(col("ws")))
+            .select(col("doc_id"),
+              col("r._1").as("n_pieces"), col("r._2").as("n_unk"),
+              col("r._3").as("id_sum"), md5(col("r._4")).as("pieces_md5"))
+            .orderBy("doc_id")
+        },
+        Some(s"""
+          WITH RECURSIVE $wpPerDocCtes
+          SELECT d.doc_id,
+                 coalesce(p.n_pieces, 0) AS n_pieces,
+                 coalesce(p.n_unk, 0) AS n_unk,
+                 coalesce(p.id_sum, 0) AS id_sum,
+                 coalesce(p.pieces_md5, md5('')) AS pieces_md5
+          FROM docs d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+          ORDER BY d.doc_id""")),
+
+      // The WordPiece tokenizer DRIVING the transformer encoder — the
+      // complete mpnet-shaped inference path (tokenizer.json contract ->
+      // vocab ids -> forward pass) through the artifact layout real
+      // exported weights arrive in (weights dir + vocab.txt). The oracle
+      // pins the wordpiece token count per doc by replaying the greedy
+      // walk in SQL (the shared q_wordpiece CTE chain; this corpus is
+      // strictly [a-z ]+ so the full Bert normalize/pre-tokenize
+      // pipeline and the regexp contract provably coincide) plus the
+      // forward pass's exact machine-checkable invariants (softmax row
+      // sums, LayerNorm moments, unit pooled norm) as round-6 residuals
+      // against literal zeros.
+      Q("q_transformer_wp",
+        (s, dir) => {
+          val cfg = graft.embed.TransformerArtifact.Config(
+            dim = 32, heads = 4, layers = 2, ffDim = 64, maxLen = 24, vocab = 64)
+          val modelDir = graft.embed.TransformerArtifact.ensureWithVocab(
+            cfg, "[UNK]" +: wpPieces)
+          val model = graft.embed.TransformerInferenceModel(modelDir)
+          graft.embed.TransformerEncoder.diagnostics(
+              tk(s, dir, "documents").select(col("doc_id"), col("text")),
+              "text", "doc_id", model, batchSize = 16)
+            .select(col("doc_id"),
+              least(col("n_tokens"), lit(24L)).as("n_tokens"), col("dim"),
+              r6(col("attn_err")).as("attn_err"),
+              r6(col("ln_err")).as("ln_err"),
+              r6(col("norm_err")).as("norm_err"))
+            .orderBy("doc_id")
+        },
+        Some(s"""
+          WITH RECURSIVE $wpPerDocCtes
+          SELECT d.doc_id,
+                 CAST(LEAST(coalesce(p.n_pieces, 0), 24) AS BIGINT) AS n_tokens,
+                 CAST(32 AS BIGINT) AS dim,
+                 (CAST(0.0 AS DOUBLE) + CAST(0.0 AS DOUBLE)) AS attn_err,
+                 (CAST(0.0 AS DOUBLE) + CAST(0.0 AS DOUBLE)) AS ln_err,
+                 (CAST(0.0 AS DOUBLE) + CAST(0.0 AS DOUBLE)) AS norm_err
+          FROM docs d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+          ORDER BY d.doc_id""")),
+
+      // Exact substring-span dedup (Lee et al. 2022): every repeated
+      // 8-token span is cut from all but its lowest-(doc,pos) occurrence.
+      // ~1000 duplicated spans exist in the synthetic corpus at this span
+      // length, so the cleaned output is a real transformation; md5 over
+      // the cleaned text pins the exact cut-and-repack.
+      Q("q_substr_dedup",
+        (s, dir) =>
+          Dedup.exactSubstringDedup(tk(s, dir, "documents"), "text", "doc_id", 8)
+            .select(col("doc_id"), col("n_total"), col("n_removed"),
+              md5(col("cleaned")).as("cleaned_md5"))
+            .orderBy("doc_id"),
+        Some(s"""
+          WITH base AS (
+            SELECT doc_id, ${D.splitWs("text")} AS tk FROM documents),
+          spans AS (
+            SELECT doc_id, CAST(i AS INT) - 1 AS pos,
+                   md5(array_to_string(tk[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS h
+            FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 8 + 2)) AS i
+                  FROM base WHERE len(tk) >= 8)),
+          dup AS (
+            SELECT h, (min(struct_pack(d := doc_id, p := pos))).d AS cd,
+                   (min(struct_pack(d := doc_id, p := pos))).p AS cp
+            FROM spans GROUP BY h HAVING count(*) > 1),
+          occ AS (
+            SELECT s.doc_id, s.pos
+            FROM spans s JOIN dup USING (h)
+            WHERE NOT (s.doc_id = dup.cd AND s.pos = dup.cp)),
+          covered AS (
+            SELECT DISTINCT doc_id, CAST(pos + x AS BIGINT) AS tix
+            FROM occ, unnest(range(0, 8)) t(x)),
+          toks AS (
+            SELECT doc_id, CAST(i AS BIGINT) - 1 AS tix, tk[CAST(i AS INT)] AS tok
+            FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM base)),
+          kept AS (
+            SELECT t.doc_id,
+                   string_agg(t.tok, ' ' ORDER BY t.tix) AS cleaned,
+                   count(*) AS n_kept
+            FROM toks t
+            WHERE NOT EXISTS (SELECT 1 FROM covered c
+                              WHERE c.doc_id = t.doc_id AND c.tix = t.tix)
+            GROUP BY t.doc_id)
+          SELECT b.doc_id, CAST(len(b.tk) AS BIGINT) AS n_total,
+                 CAST(len(b.tk) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+                 md5(coalesce(k.cleaned, '')) AS cleaned_md5
+          FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
+          ORDER BY b.doc_id""")),
+
+      // Deterministic train/val/test split by content-stable hash — the
+      // standard way to split a 100 TB corpus reproducibly without a
+      // shuffle or a random() that breaks retries/speculation.
+      Q("q_hash_split",
+        (s, dir) => {
+          val dlS = Dialect.spark
+          val bucket = expr(dlS.md5HexDigit(dlS.castStr("doc_id"), 1))
+          t(s, dir, "documents")
+            .withColumn("split",
+              when(bucket < 12, "train").when(bucket < 14, "val").otherwise("test"))
+            .groupBy("split")
+            .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("chars"))
+            .orderBy("split")
+        },
+        Some(s"""
+          SELECT CASE WHEN d__ < 12 THEN 'train' WHEN d__ < 14 THEN 'val'
+                      ELSE 'test' END AS split,
+                 count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+          FROM (SELECT n_chars, ${D.md5HexDigit(D.castStr("doc_id"), 1)} AS d__
+                FROM documents)
+          GROUP BY split
+          ORDER BY split""")),
+
+      // Deterministic sampling family (ops.Sampling): every decision is
+      // md5(doc_id)-derived — reproducible across runs, retries, and
+      // speculation, and replayable bit-for-bit by the oracle engine.
+      Q("q_sample_rate",
+        (s, dir) =>
+          graft.ops.Sampling.hashSample(t(s, dir, "documents"), "doc_id", 0.25)
+            .select("doc_id")
+            .orderBy("doc_id"),
+        Some(s"""
+          SELECT doc_id FROM documents
+          WHERE ${D.md5Uniform(D.castStr("doc_id"))} < ${D.d(0.25)}
+          ORDER BY doc_id""")),
+
+      Q("q_sample_stratified",
+        (s, dir) =>
+          graft.ops.Sampling.stratifiedExact(
+              t(s, dir, "documents"), Seq("source", "lang"), "doc_id", 10)
+            .select("doc_id", "source", "lang")
+            .orderBy("doc_id"),
+        Some(s"""
+          SELECT doc_id, source, lang
+          FROM (SELECT doc_id, source, lang,
+                       row_number() OVER (PARTITION BY source, lang
+                                          ORDER BY ${D.md5Uniform(D.castStr("doc_id"))}, doc_id) AS rn
+                FROM documents)
+          WHERE rn <= 10
+          ORDER BY doc_id""")),
+
+      Q("q_sample_weighted",
+        (s, dir) =>
+          graft.ops.Sampling.weightedSample(
+              t(s, dir, "documents"), "doc_id", "n_chars", 50)
+            .select(col("doc_id"), col("priority"))
+            .orderBy(desc("priority"), col("doc_id")),
+        Some(s"""
+          SELECT doc_id,
+                 (round(pow(${D.md5Uniform(D.castStr("doc_id"))},
+                            ${D.d(1.0)} / CAST(n_chars AS DOUBLE)), 6) + ${D.d(0.0)}) AS priority
+          FROM documents
+          ORDER BY priority DESC, doc_id
+          LIMIT 50""")),
+
+      // Sequence packing: fill 256-token training bins by cumulative token
+      // count. Packs WITHIN each source partition (parallel at scale; a
+      // single global packing order would serialize the corpus).
+      // Fill-in-the-middle transform (Bavarian et al. 2022; the
+      // StarCoder/-2 pretraining op): split each document at two
+      // deterministic char offsets into prefix/middle/suffix and emit
+      // the PSM rearrangement <fim_prefix>P<fim_suffix>S<fim_middle>M —
+      // infilling supervision from plain text. Offsets vary per doc
+      // (doc_id-keyed percentages) so every boundary class is
+      // exercised. Pure per-row substring arithmetic fused into the
+      // scan; the oracle replays the identical 1-based substr algebra.
+      Q("q_fim_transform",
+        (s, dir) => {
+          val c1 = "greatest(CAST(1 AS BIGINT), (length(text) * (10 + doc_id % 40)) div 100)"
+          val c2 = s"($c1 + greatest(CAST(1 AS BIGINT), (length(text) * 30) div 100))"
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              expr(c1).as("cut1"), expr(c2).as("cut2"),
+              expr(s"""concat('<fim_prefix>', substring(text, 1, CAST($c1 AS INT)),
+                  '<fim_suffix>', substring(text, CAST($c2 AS INT) + 1),
+                  '<fim_middle>', substring(text, CAST($c1 AS INT) + 1,
+                                            CAST($c2 - $c1 AS INT)))""")
+                .as("fim_text"))
+            .orderBy("doc_id")
+        },
+        Some {
+          val c1 = "greatest(CAST(1 AS BIGINT), (length(text) * (10 + doc_id % 40)) // 100)"
+          val c2 = s"($c1 + greatest(CAST(1 AS BIGINT), (length(text) * 30) // 100))"
+          s"""
+          SELECT doc_id, $c1 AS cut1, $c2 AS cut2,
+                 '<fim_prefix>' || substring(text, 1, CAST($c1 AS INT)) ||
+                 '<fim_suffix>' || substring(text, CAST($c2 AS INT) + 1) ||
+                 '<fim_middle>' || substring(text, CAST($c1 AS INT) + 1,
+                                             CAST($c2 - $c1 AS INT)) AS fim_text
+          FROM documents
+          ORDER BY doc_id"""
+        }),
+
+      Q("q_seq_pack",
+        (s, dir) => {
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy("source").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          t(s, dir, "documents")
+            .select(col("source"), col("doc_id"),
+              TextF.tokenCount(col("text")).cast("long").as("n_tok"))
+            .withColumn("cum", sum("n_tok").over(w))
+            .withColumn("bin", expr("CAST((cum - n_tok) div 256 AS BIGINT)"))
+            .groupBy("source", "bin")
+            .agg(count(lit(1)).as("n_docs"), sum("n_tok").cast("long").as("tok_sum"))
+            .orderBy("source", "bin")
+        },
+        Some(s"""
+          WITH tk AS (SELECT source, doc_id,
+                             CAST(${D.size(D.splitWs("text"))} AS BIGINT) AS n_tok
+                      FROM documents),
+          c AS (SELECT source, doc_id, n_tok,
+                       sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM tk)
+          SELECT source, CAST((cum - n_tok) // 256 AS BIGINT) AS bin,
+                 count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_sum
+          FROM c
+          GROUP BY source, bin
+          ORDER BY source, bin""")),
+
+      // Benchmark decontamination: corpus docs sharing any 4-gram with the
+      // benchmark set (source='src0'). Distinct shingles per doc BEFORE the
+      // explode keeps the join input minimal; the benchmark side broadcasts.
+      Q("q_contamination",
+        (s, dir) =>
+          Dedup.contaminationCounts(t(s, dir, "documents"),
+              "text", "doc_id", "source", "src0", 4)
+            .orderBy(desc("n_shared"), col("doc_id")),
+        Some(s"""
+          WITH sh AS (SELECT doc_id, source,
+                             unnest(list_distinct(${Exprs.wordShingles(D, "toks", 4)})) AS s
+                      FROM $duckToks),
+          bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
+          SELECT doc_id, count(*) AS n_shared
+          FROM sh JOIN bench USING (s)
+          WHERE source <> 'src0'
+          GROUP BY doc_id
+          ORDER BY n_shared DESC, doc_id""")),
+
+      // Repetition ratio (training-quality signal): 1 - distinct/total
+      // 3-grams. Pure per-row expression — no shuffle at all.
+      Q("q_repetition",
+        (s, dir) =>
+          Dedup.repetitionStats(t(s, dir, "documents"), "text", "doc_id", 3)
+            .withColumn("repetition",
+              r6(lit(1.0) - col("n_uniq").cast("double") / col("n_grams")))
+            .orderBy("doc_id"),
+        Some {
+          val sh = Exprs.wordShingles(D, "toks", 3)
+          s"""
+          SELECT doc_id,
+                 CAST(${D.size(sh)} AS BIGINT) AS n_grams,
+                 CAST(${D.size(D.arrayDistinct(sh))} AS BIGINT) AS n_uniq,
+                 ${duckR6(s"${D.d(1.0)} - CAST(${D.size(D.arrayDistinct(sh))} AS DOUBLE) / ${D.size(sh)}")} AS repetition
+          FROM $duckToks
+          ORDER BY doc_id"""
+        }),
+
+      // Edit-distance near-dup pairs over a bounded candidate set — the
+      // verify kernel of fuzzy dedup (candidate generation is LSH's job;
+      // see q_minhash_pairs).
+      Q("q_lev_pairs",
+        (s, dir) => {
+          val p = t(s, dir, "documents").where(col("doc_id") < 30)
+            .select(col("doc_id"), substring(col("text"), 1, 40).as("p"))
+          val a = p.toDF("id_a", "pa")
+          val b = p.toDF("id_b", "pb")
+          a.crossJoin(b).where(col("id_a") < col("id_b"))
+            .select(col("id_a"), col("id_b"),
+              levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
+            .where(col("dist") <= 25)
+            .orderBy("id_a", "id_b")
+        },
+        Some("""
+          WITH p AS (SELECT doc_id, substr(text, 1, 40) AS pp
+                     FROM documents WHERE doc_id < 30)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(levenshtein(a.pp, b.pp) AS BIGINT) AS dist
+          FROM p a JOIN p b ON a.doc_id < b.doc_id
+          WHERE levenshtein(a.pp, b.pp) <= 25
+          ORDER BY id_a, id_b""")),
+
+      // TF-IDF top term per document. Linear idf (N/df) keeps the score a
+      // deterministic IEEE expression over exact integers — no ln() whose
+      // last-ulp could differ between engines. Struct-max avoids a window
+      // sort: one aggregate, ties broken on the term string.
+      Q("q_tfidf",
+        (s, dir) => {
+          val docs = t(s, dir, "documents")
+          val toks = docs.select(col("doc_id"),
+            explode(TextF.tokens(col("text"))).as("term"))
+          val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          val dfreq = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+          val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+          val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(nDocs))
+            .withColumn("score",
+              col("tf").cast("double") * col("n_docs").cast("double") /
+                col("df").cast("double"))
+          val best = max(struct(col("score"), col("term")))
+          scored.groupBy("doc_id")
+            .agg(best.getField("term").as("term"),
+              r6(best.getField("score")).as("score"))
+            .orderBy("doc_id")
+        },
+        Some("""
+          WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+                        FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+          dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          scored AS (SELECT doc_id, term,
+                            CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+                     FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+          SELECT doc_id,
+                 (max(struct_pack(s := score, t := term))).t AS term,
+                 (round((max(struct_pack(s := score, t := term))).s, 6) + CAST(0.0 AS DOUBLE)) AS score
+          FROM scored
+          GROUP BY doc_id
+          ORDER BY doc_id""")),
+
+      // OPQ rotation dump: the learned (Jacobi-eigensolver) rotation applied
+      // to every vector — NOT SQL-expressible, so rows-only here; its math
+      // contract (orthogonality, isometry, distortion non-inferiority) is
+      // pinned by PqSketchSpec. The dump is the TABLE INPUT that lets
+      // q_opq_ann's PQ+ADC stage be oracled. The vector is dumped as a
+      // comma-joined STRING, not array<double>: the driver's rows-only
+      // check sorts every dumped column in pandas, and an ndarray column
+      // is unhashable there (r4 crash); the string round-trips bit-exactly
+      // (Java Double.toString emits the shortest uniquely-round-tripping
+      // decimal, DuckDB's CAST back to DOUBLE is correctly rounded), so
+      // the oracle reconstructs the SAME doubles via string_split.
+      // ORACLED (r7, property gate — the dump-then-verify pattern that
+      // closed BPE): the eigensolve itself is not SQL-expressible, so the
+      // oracle pins the properties that make a rotation CORRECT instead —
+      //   - ortho_resid: driver-side max |R^T R - I| over the learned R,
+      //     emitted as a measured column; the oracle emits the SPEC
+      //     constant 0.0, so any non-orthonormal R hash-mismatches;
+      //   - iso_resid: per-row |  ||Rx||^2 - ||x||^2 |, measured in-engine
+      //     with the shared sequential-fold formula vs oracle constant
+      //     0.0 — isometry of the APPLIED kernel, vector by vector;
+      //   - l2_in: ||x||^2 recomputed BY THE ORACLE from the embeddings
+      //     TABLE (non-circular source join) — the dump rows must
+      //     correspond 1:1 with the source vectors.
+      // rv itself round-trips through the dump (it feeds q_opq_ann's
+      // independent replay oracle, which is where its values are tested).
+      Q("q_opq_rotated",
+        (s, dir) => {
+          import graft.ops.OpqRotation
+          val r = opqRotation(s, dir)
+          val d = r.length
+          var ortho = 0.0
+          var i = 0
+          while (i < d) {
+            var j = 0
+            while (j < d) {
+              var s2 = 0.0
+              var k = 0
+              while (k < d) { s2 += r(k)(i) * r(k)(j); k += 1 }
+              val diff = math.abs(s2 - (if (i == j) 1.0 else 0.0))
+              if (diff > ortho) ortho = diff
+              j += 1
+            }
+            i += 1
+          }
+          val dls = Dialect.spark
+          // sort BEFORE the rotate projection: range partitioning samples
+          // its input, so an orderBy placed after the mat-vec UDF would
+          // execute the rotation twice; a narrow projection preserves the
+          // sort order of its input
+          val emb = t(s, dir, "embeddings").orderBy("vec_id")
+          OpqRotation.rotate(emb, "embedding", "rv", r)
+            .withColumn("__xd", VectorF.toDoubleArray(col("embedding")))
+            .select(col("vec_id"),
+              concat_ws(",", transform(col("rv"), _.cast("string"))).as("rv"),
+              r6(abs(expr(dls.dot("rv", "rv")) - expr(dls.dot("__xd", "__xd"))))
+                .as("iso_resid"),
+              r6(expr(dls.dot("__xd", "__xd"))).as("l2_in"),
+              r6(lit(ortho)).as("ortho_resid"))
+        },
+        Some(s"""
+          WITH dump AS (
+            SELECT vec_id,
+                   rv,
+                   list_transform(string_split(rv, ','),
+                                  x -> CAST(x AS DOUBLE)) AS rvv
+            FROM read_parquet('__GRAFT_OUT__/q_opq_rotated/*.parquet')),
+          src AS (SELECT vec_id, ${D.castDoubleArray("embedding")} AS v
+                  FROM embeddings)
+          SELECT d.vec_id, d.rv,
+                 ${duckR6("0.0")} AS iso_resid,
+                 ${duckR6(D.dot("s.v", "s.v"))} AS l2_in,
+                 ${duckR6("0.0")} AS ortho_resid
+          FROM dump d JOIN src s ON d.vec_id = s.vec_id""")),
+
+      // Product-quantization ANN (m=4 subspaces x 16 dims, k=8 centroids,
+      // deterministic first-k init): encode all vectors to 4 codes, then
+      // ADC top-10 by squared L2 — the whole compress->search path
+      // hash-matched against plain SQL. See ops.ProductQuantization.
+      // OPQ-rotated PQ end to end. The rotation itself is recomputed
+      // in-memory (deterministic: same data, same partitioning, same
+      // treeAggregate combine order) and its dump feeds the oracle:
+      // __GRAFT_OUT__ is substituted with the Verify outDir, so DuckDB
+      // runs the q_pq_ann-shaped SQL over the SAME rotated vectors —
+      // codebooks are the first 8 SAMPLE vectors (vec_id % 4 = 0, so
+      // vec_id < 32, cid = vec_id / 4).
+      Q("q_opq_ann",
+        (s, dir) => {
+          import graft.ops.{OpqRotation, ProductQuantization}
+          val emb = t(s, dir, "embeddings")
+          // train rotation + codebooks on a deterministic sample (standard
+          // PQ practice — training is O(sample), encode covers everything)
+          val sample = emb.where(col("vec_id") % 4 === 0)
+          val r = opqRotation(s, dir)
+          val rot = OpqRotation.rotate(emb, "embedding", "rv", r)
+          val books = ProductQuantization.trainCodebooks(
+            OpqRotation.rotate(sample, "embedding", "rv", r), "vec_id", "rv",
+            4, 8, 64, 0)
+          val codes = ProductQuantization.encode(
+            rot.where(col("vec_id") =!= 0), books, "vec_id", "rv", 4, 64)
+          val q = rot.where(col("vec_id") === 0)
+            .select(col("rv").as("qv"))
+          ProductQuantization.adcTopK(codes, books, q, "vec_id", 4, 64, 10)
+            .select(col("vec_id"), r6(col("dist")).as("dist"))
+        },
+        Some(s"""
+          WITH emb AS (SELECT vec_id,
+                              list_transform(string_split(rv, ','),
+                                             x -> CAST(x AS DOUBLE)) AS v
+                       FROM read_parquet('__GRAFT_OUT__/q_opq_rotated/*.parquet')),
+          books AS (
+            SELECT CAST(s.s AS INT) AS sub, CAST(e.vec_id // 4 AS INT) AS cid,
+                   e.v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS cv
+            FROM (SELECT * FROM emb WHERE vec_id % 4 = 0 AND vec_id < 32) e, range(0, 4) s(s)),
+          subs AS (
+            SELECT vec_id, CAST(s.s AS INT) AS sub,
+                   v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS sv
+            FROM emb, range(0, 4) s(s)
+            WHERE vec_id <> 0),
+          codes AS (
+            SELECT vec_id, sub,
+                   (min(struct_pack(d := ${D.l2sq("sv", "cv")}, c := cid))).c AS code
+            FROM subs JOIN books USING (sub)
+            GROUP BY vec_id, sub),
+          codearr AS (SELECT vec_id, list(code ORDER BY sub) AS codes
+                      FROM codes GROUP BY vec_id),
+          qsubs AS (
+            SELECT CAST(s.s AS INT) AS sub,
+                   v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS qsv
+            FROM emb, range(0, 4) s(s) WHERE vec_id = 0),
+          dt AS (SELECT b.sub, b.cid, ${D.l2sq("b.cv", "q.qsv")} AS d
+                 FROM books b JOIN qsubs q USING (sub)),
+          dt1 AS (SELECT sub, list(d ORDER BY cid) AS ds FROM dt GROUP BY sub),
+          dtarr AS (SELECT list(ds ORDER BY sub) AS tables FROM dt1),
+          scored AS (
+            SELECT c.vec_id,
+                   list_reduce(list_transform(range(0, 4),
+                     i -> tables[CAST(i AS INT) + 1][codes[CAST(i AS INT) + 1] + 1]),
+                     (s__, x__) -> s__ + x__) AS dist
+            FROM codearr c, dtarr)
+          SELECT vec_id, ${duckR6("dist")} AS dist
+          FROM scored
+          ORDER BY dist, vec_id
+          LIMIT 10""")),
+
+      // FULL iterative OPQ (Ge et al. CVPR'13 non-parametric solution —
+      // closes the "init-only OPQ" gap): 4 alternations of (one Lloyd
+      // codebook step on the rotated data) and (orthogonal-Procrustes
+      // rotation update from the SVD of N = sum yhat x^T). Property gate,
+      // q_opq_rotated pattern:
+      //   - mono_viol: max over iterations of max(0, obj_t - obj_{t-1}),
+      //     measured in-driver — alternating exact minimizers make the
+      //     distortion sequence non-increasing, so the oracle pins the
+      //     SPEC constant 0.0 (a refinement bug that ever increases the
+      //     objective hash-mismatches);
+      //   - ortho_resid / iso_resid: the refined R must still be exactly
+      //     orthonormal (Procrustes returns U V^T) — max |R^T R - I| and
+      //     per-row | ||Rx||^2 - ||x||^2 | vs oracle constant 0.0;
+      //   - l2_in: ||x||^2 recomputed by the oracle from the embeddings
+      //     TABLE (non-circular 1:1 source join).
+      // rv round-trips through the dump and feeds q_opq_refined_ann's
+      // independent full-PQ replay, where its values are tested.
+      Q("q_opq_refined",
+        (s, dir) => {
+          import graft.ops.OpqRotation
+          val (r, objs) = opqRefined(s, dir)
+          val d = r.length
+          var ortho = 0.0
+          var i = 0
+          while (i < d) {
+            var j = 0
+            while (j < d) {
+              var s2 = 0.0
+              var k = 0
+              while (k < d) { s2 += r(k)(i) * r(k)(j); k += 1 }
+              val diff = math.abs(s2 - (if (i == j) 1.0 else 0.0))
+              if (diff > ortho) ortho = diff
+              j += 1
+            }
+            i += 1
+          }
+          var viol = 0.0
+          var t2 = 1
+          while (t2 < objs.length) {
+            val v = objs(t2) - objs(t2 - 1)
+            if (v > viol) viol = v
+            t2 += 1
+          }
+          val dls = Dialect.spark
+          val emb = t(s, dir, "embeddings").orderBy("vec_id")
+          OpqRotation.rotate(emb, "embedding", "rv", r)
+            .withColumn("__xd", VectorF.toDoubleArray(col("embedding")))
+            .select(col("vec_id"),
+              concat_ws(",", transform(col("rv"), _.cast("string"))).as("rv"),
+              r6(abs(expr(dls.dot("rv", "rv")) - expr(dls.dot("__xd", "__xd"))))
+                .as("iso_resid"),
+              r6(expr(dls.dot("__xd", "__xd"))).as("l2_in"),
+              r6(lit(ortho)).as("ortho_resid"),
+              r6(lit(viol)).as("mono_viol"))
+        },
+        Some(s"""
+          WITH dump AS (
+            SELECT vec_id, rv
+            FROM read_parquet('__GRAFT_OUT__/q_opq_refined/*.parquet')),
+          src AS (SELECT vec_id, ${D.castDoubleArray("embedding")} AS v
+                  FROM embeddings)
+          SELECT d.vec_id, d.rv,
+                 ${duckR6("0.0")} AS iso_resid,
+                 ${duckR6(D.dot("s.v", "s.v"))} AS l2_in,
+                 ${duckR6("0.0")} AS ortho_resid,
+                 ${duckR6("0.0")} AS mono_viol
+          FROM dump d JOIN src s ON d.vec_id = s.vec_id""")),
+
+      // PQ + ADC over the REFINED rotation, end to end — q_opq_ann's
+      // independent replay oracle re-run against q_opq_refined's dump:
+      // codebooks are first-8-sample slices of the refined-rotated
+      // vectors, codes the argmin assignment, distances the sequential
+      // ADC fold. Tests the refined rv VALUES (the property gate above
+      // pins only residuals) through the whole compress->search path.
+      Q("q_opq_refined_ann",
+        (s, dir) => {
+          import graft.ops.{OpqRotation, ProductQuantization}
+          val emb = t(s, dir, "embeddings")
+          val sample = emb.where(col("vec_id") % 4 === 0)
+          val (r, _) = opqRefined(s, dir)
+          val rot = OpqRotation.rotate(emb, "embedding", "rv", r)
+          val books = ProductQuantization.trainCodebooks(
+            OpqRotation.rotate(sample, "embedding", "rv", r), "vec_id", "rv",
+            4, 8, 64, 0)
+          val codes = ProductQuantization.encode(
+            rot.where(col("vec_id") =!= 0), books, "vec_id", "rv", 4, 64)
+          val q = rot.where(col("vec_id") === 0)
+            .select(col("rv").as("qv"))
+          ProductQuantization.adcTopK(codes, books, q, "vec_id", 4, 64, 10)
+            .select(col("vec_id"), r6(col("dist")).as("dist"))
+        },
+        Some(s"""
+          WITH emb AS (SELECT vec_id,
+                              list_transform(string_split(rv, ','),
+                                             x -> CAST(x AS DOUBLE)) AS v
+                       FROM read_parquet('__GRAFT_OUT__/q_opq_refined/*.parquet')),
+          books AS (
+            SELECT CAST(s.s AS INT) AS sub, CAST(e.vec_id // 4 AS INT) AS cid,
+                   e.v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS cv
+            FROM (SELECT * FROM emb WHERE vec_id % 4 = 0 AND vec_id < 32) e, range(0, 4) s(s)),
+          subs AS (
+            SELECT vec_id, CAST(s.s AS INT) AS sub,
+                   v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS sv
+            FROM emb, range(0, 4) s(s)
+            WHERE vec_id <> 0),
+          codes AS (
+            SELECT vec_id, sub,
+                   (min(struct_pack(d := ${D.l2sq("sv", "cv")}, c := cid))).c AS code
+            FROM subs JOIN books USING (sub)
+            GROUP BY vec_id, sub),
+          codearr AS (SELECT vec_id, list(code ORDER BY sub) AS codes
+                      FROM codes GROUP BY vec_id),
+          qsubs AS (
+            SELECT CAST(s.s AS INT) AS sub,
+                   v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS qsv
+            FROM emb, range(0, 4) s(s) WHERE vec_id = 0),
+          dt AS (SELECT b.sub, b.cid, ${D.l2sq("b.cv", "q.qsv")} AS d
+                 FROM books b JOIN qsubs q USING (sub)),
+          dt1 AS (SELECT sub, list(d ORDER BY cid) AS ds FROM dt GROUP BY sub),
+          dtarr AS (SELECT list(ds ORDER BY sub) AS tables FROM dt1),
+          scored AS (
+            SELECT c.vec_id,
+                   list_reduce(list_transform(range(0, 4),
+                     i -> tables[CAST(i AS INT) + 1][codes[CAST(i AS INT) + 1] + 1]),
+                     (s__, x__) -> s__ + x__) AS dist
+            FROM codearr c, dtarr)
+          SELECT vec_id, ${duckR6("dist")} AS dist
+          FROM scored
+          ORDER BY dist, vec_id
+          LIMIT 10""")),
+
+      // IVF-PQ composite (faiss-IVFPQ as DataFrame ops): 4 coarse cells by
+      // squared L2, PQ codebooks on residuals, query probes 2 cells and
+      // folds per-cell ADC tables. The whole coarse-assign -> residual ->
+      // encode -> probe -> ADC path hash-matches plain SQL; the exactness
+      // degeneration (all residuals as codewords + probe-all == exact L2)
+      // is pinned in PqSketchSpec.
+      Q("q_ivfpq_ann",
+        (s, dir) => {
+          import graft.ops.ProductQuantization
+          ProductQuantization.ivfPqTopK(
+            t(s, dir, "embeddings"), "vec_id", "embedding",
+            4, 2, 4, 8, 64, 10)
+            .select(col("vec_id"), col("cl").cast("long").as("cl"),
+              r6(col("dist")).as("dist"))
+        },
+        Some(s"""
+          WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          coarse AS (SELECT CAST(vec_id AS INT) AS ccid, v AS ccv FROM emb WHERE vec_id < 4),
+          assigned AS (
+            SELECT e.vec_id,
+                   (min(struct_pack(d := ${D.l2sq("e.v", "c.ccv")}, c := c.ccid))).c AS cl
+            FROM emb e, coarse c
+            GROUP BY e.vec_id),
+          resid AS (
+            SELECT a.vec_id, a.cl,
+                   list_transform(range(1, 65),
+                     i -> e.v[CAST(i AS INT)] - c.ccv[CAST(i AS INT)]) AS rv
+            FROM assigned a
+            JOIN emb e ON a.vec_id = e.vec_id
+            JOIN coarse c ON a.cl = c.ccid),
+          books AS (
+            SELECT CAST(s.s AS INT) AS sub, CAST(r.vec_id AS INT) AS cid,
+                   r.rv[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS cv
+            FROM (SELECT * FROM resid WHERE vec_id < 8) r, range(0, 4) s(s)),
+          subs AS (
+            SELECT vec_id, cl, CAST(s.s AS INT) AS sub,
+                   rv[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS sv
+            FROM resid, range(0, 4) s(s)
+            WHERE vec_id <> 0),
+          codes AS (
+            SELECT vec_id, cl, sub,
+                   (min(struct_pack(d := ${D.l2sq("sv", "cv")}, c := cid))).c AS code
+            FROM subs JOIN books USING (sub)
+            GROUP BY vec_id, cl, sub),
+          codearr AS (SELECT vec_id, cl, list(code ORDER BY sub) AS codes
+                      FROM codes GROUP BY vec_id, cl),
+          qv AS (SELECT v AS qvec FROM emb WHERE vec_id = 0),
+          probed AS (
+            SELECT ccid AS cl,
+                   list_transform(range(1, 65),
+                     i -> q.qvec[CAST(i AS INT)] - ccv[CAST(i AS INT)]) AS qres
+            FROM coarse, qv q
+            ORDER BY ${D.l2sq("q.qvec", "ccv")}, ccid
+            LIMIT 2),
+          qsubs AS (
+            SELECT cl, CAST(s.s AS INT) AS sub,
+                   qres[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS qsv
+            FROM probed, range(0, 4) s(s)),
+          dt AS (SELECT q.cl, b.sub, b.cid, ${D.l2sq("b.cv", "q.qsv")} AS d
+                 FROM books b JOIN qsubs q USING (sub)),
+          dt1 AS (SELECT cl, sub, list(d ORDER BY cid) AS ds FROM dt GROUP BY cl, sub),
+          dtarr AS (SELECT cl, list(ds ORDER BY sub) AS tables FROM dt1 GROUP BY cl),
+          scored AS (
+            SELECT c.vec_id, c.cl,
+                   list_reduce(list_transform(range(0, 4),
+                     i -> tables[CAST(i AS INT) + 1][codes[CAST(i AS INT) + 1] + 1]),
+                     (s__, x__) -> s__ + x__) AS dist
+            FROM codearr c JOIN dtarr t ON c.cl = t.cl)
+          SELECT vec_id, CAST(cl AS BIGINT) AS cl, ${duckR6("dist")} AS dist
+          FROM scored
+          ORDER BY dist, vec_id
+          LIMIT 10""")),
+
+      Q("q_pq_ann",
+        (s, dir) => {
+          import graft.ops.ProductQuantization
+          val emb = t(s, dir, "embeddings")
+          val books = ProductQuantization.trainCodebooks(
+            emb, "vec_id", "embedding", 4, 8, 64, 0)
+          val codes = ProductQuantization.encode(
+            emb.where(col("vec_id") =!= 0), books, "vec_id", "embedding", 4, 64)
+          val q = emb.where(col("vec_id") === 0)
+            .select(VectorF.toDoubleArray(col("embedding")).as("qv"))
+          ProductQuantization.adcTopK(codes, books, q, "vec_id", 4, 64, 10)
+            .select(col("vec_id"), r6(col("dist")).as("dist"))
+        },
+        Some(s"""
+          WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          books AS (
+            SELECT CAST(s.s AS INT) AS sub, CAST(e.vec_id AS INT) AS cid,
+                   e.v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS cv
+            FROM (SELECT * FROM emb WHERE vec_id < 8) e, range(0, 4) s(s)),
+          subs AS (
+            SELECT vec_id, CAST(s.s AS INT) AS sub,
+                   v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS sv
+            FROM emb, range(0, 4) s(s)
+            WHERE vec_id <> 0),
+          codes AS (
+            SELECT vec_id, sub,
+                   (min(struct_pack(d := ${D.l2sq("sv", "cv")}, c := cid))).c AS code
+            FROM subs JOIN books USING (sub)
+            GROUP BY vec_id, sub),
+          codearr AS (SELECT vec_id, list(code ORDER BY sub) AS codes
+                      FROM codes GROUP BY vec_id),
+          qsubs AS (
+            SELECT CAST(s.s AS INT) AS sub,
+                   v[(CAST(s.s AS INT) * 16 + 1):(CAST(s.s AS INT) * 16 + 16)] AS qsv
+            FROM emb, range(0, 4) s(s) WHERE vec_id = 0),
+          dt AS (SELECT b.sub, b.cid, ${D.l2sq("b.cv", "q.qsv")} AS d
+                 FROM books b JOIN qsubs q USING (sub)),
+          dt1 AS (SELECT sub, list(d ORDER BY cid) AS ds FROM dt GROUP BY sub),
+          dtarr AS (SELECT list(ds ORDER BY sub) AS tables FROM dt1),
+          scored AS (
+            SELECT c.vec_id,
+                   list_reduce(list_transform(range(0, 4),
+                     i -> tables[CAST(i AS INT) + 1][codes[CAST(i AS INT) + 1] + 1]),
+                     (s__, x__) -> s__ + x__) AS dist
+            FROM codearr c, dtarr)
+          SELECT vec_id, ${duckR6("dist")} AS dist
+          FROM scored
+          ORDER BY dist, vec_id
+          LIMIT 10""")),
+
+      // KMV distinct-count sketch over l_partkey (k=256): the estimate is
+      // md5-deterministic, so unlike HLL the ORACLE runs the identical
+      // sketch and the hash must match exactly — est, number of retained
+      // hashes, the exact distinct count, and the relative error.
+      Q("q_kmv_distinct",
+        (s, dir) => {
+          import graft.ops.Sketches
+          val li = t(s, dir, "lineitem")
+          val kmv = Sketches.kmvDistinct(li, "l_partkey", 256)
+          val exact = li.agg(countDistinct(col("l_partkey")).as("exact"))
+          kmv.crossJoin(exact)
+            .select(
+              r6(col("est")).as("est"),
+              col("n_hashes").cast("long").as("n_hashes"),
+              col("exact").cast("long").as("exact"),
+              r6(abs(col("est") - col("exact").cast("double")) /
+                col("exact").cast("double")).as("rel_err"))
+        },
+        Some(s"""
+          WITH u AS (SELECT DISTINCT ${D.md5Uniform(D.castStr("l_partkey"))} AS u
+                     FROM lineitem WHERE l_partkey IS NOT NULL),
+          kk AS (SELECT u FROM u ORDER BY u LIMIT 256),
+          s AS (SELECT CAST(count(*) AS BIGINT) AS n_hashes, max(u) AS uk FROM kk),
+          e AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact FROM lineitem),
+          est0 AS (SELECT CASE WHEN n_hashes < 256 THEN CAST(n_hashes AS DOUBLE)
+                               ELSE ${D.d(255.0)} / uk END AS est,
+                          n_hashes, exact
+                   FROM s, e)
+          SELECT ${duckR6("est")} AS est, n_hashes, exact,
+                 ${duckR6("abs(est - CAST(exact AS DOUBLE)) / CAST(exact AS DOUBLE)")} AS rel_err
+          FROM est0""")),
+
+      // Intra-document repeated-sentence removal (C4-style line dedup).
+      // Fixture: dot every 7th token into sentence boundaries, then
+      // re-append the first two sentences so every doc HAS duplicates;
+      // the operator keeps first occurrences in order. Narrow, no shuffle.
+      Q("q_sent_dedup",
+        (s, dir) => {
+          val dotted = expr(
+            """transform(split(trim(text), '\\s+'),
+                 (t, i) -> CASE WHEN i % 7 = 6 THEN concat(t, '.') ELSE t END)""")
+          val docs = t(s, dir, "documents")
+            .withColumn("__dt", dotted)
+            .withColumn("text2",
+              concat(array_join(col("__dt"), " "), lit(" "),
+                array_join(slice(col("__dt"), 1, 14), " ")))
+          Dedup.dedupSentencesWithin(docs, "text2", "doc_id")
+            .select(col("doc_id"), col("n_sent"), col("n_kept"),
+              md5(col("cleaned")).as("cleaned_md5"))
+            .orderBy("doc_id")
+        },
+        Some("""
+          WITH dt AS (
+            SELECT doc_id,
+                   list_transform(string_split_regex(trim(text), '\s+'),
+                     (t, i) -> CASE WHEN i % 7 = 0 THEN t || '.' ELSE t END) AS dt
+            FROM documents),
+          tx AS (SELECT doc_id,
+                        array_to_string(dt, ' ') || ' ' ||
+                          array_to_string(dt[1:14], ' ') AS text2
+                 FROM dt),
+          sents AS (SELECT doc_id, string_split(text2, '. ') AS s FROM tx),
+          kept AS (SELECT doc_id, s,
+                          list_filter(s, (x, i) -> list_position(s, x) = i) AS k
+                   FROM sents)
+          SELECT doc_id,
+                 CAST(len(s) AS BIGINT) AS n_sent,
+                 CAST(len(k) AS BIGINT) AS n_kept,
+                 md5(array_to_string(k, '. ')) AS cleaned_md5
+          FROM kept
+          ORDER BY doc_id""")),
+
+      // CROSS-document sentence dedup (C4/Dolma corpus-level rule): every
+      // doc gets a shared preamble sentence + its own dotted sentences +
+      // a repeat of its own head slice; the preamble survives only in the
+      // lowest doc, repeats are cut everywhere, survivors re-join in
+      // order. Canonicality = min (doc, pos) per sentence, decided on
+      // hashes; the oracle replays it by grouping on the sentence value.
+      Q("q_crossdoc_sent_dedup",
+        (s, dir) => {
+          val dotted = expr(
+            """transform(split(trim(text), '\\s+'),
+                 (t, i) -> CASE WHEN i % 7 = 6 THEN concat(t, '.') ELSE t END)""")
+          val docs = t(s, dir, "documents")
+            .withColumn("__dt", dotted)
+            .withColumn("text2",
+              concat(lit("the shared corpus preamble. "),
+                array_join(col("__dt"), " "), lit(" "),
+                array_join(slice(col("__dt"), 1, 14), " ")))
+          Dedup.dedupSentencesAcross(docs, "text2", "doc_id")
+            .select(col("doc_id"), col("n_kept"),
+              md5(col("cleaned")).as("cleaned_md5"))
+            .orderBy("doc_id")
+        },
+        Some("""
+          WITH dt AS (
+            SELECT doc_id,
+                   list_transform(string_split_regex(trim(text), '\s+'),
+                     (t, i) -> CASE WHEN i % 7 = 0 THEN t || '.' ELSE t END) AS dt
+            FROM documents),
+          tx AS (SELECT doc_id,
+                        'the shared corpus preamble. ' ||
+                          array_to_string(dt, ' ') || ' ' ||
+                          array_to_string(dt[1:14], ' ') AS text2
+                 FROM dt),
+          sl AS (SELECT doc_id, string_split(text2, '. ') AS sl FROM tx),
+          sents AS (SELECT doc_id, unnest(sl) AS s,
+                           unnest(range(0, len(sl))) AS pos
+                    FROM sl),
+          canon AS (SELECT s, min(struct_pack(d := doc_id, p := pos)) AS f
+                    FROM sents GROUP BY s),
+          kept AS (SELECT se.doc_id, se.pos, se.s
+                   FROM sents se JOIN canon c USING (s)
+                   WHERE se.doc_id = (c.f).d AND se.pos = (c.f).p),
+          agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                         array_to_string(list(s ORDER BY pos), '. ') AS cleaned
+                  FROM kept GROUP BY doc_id)
+          SELECT d.doc_id,
+                 coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept,
+                 md5(coalesce(cleaned, '')) AS cleaned_md5
+          FROM documents d LEFT JOIN agg USING (doc_id)
+          ORDER BY doc_id""")),
+
+      // Per-domain corpus cap (RefinedWeb-style: no domain may contribute
+      // more than N documents). Domain parsed from a synthesized URL
+      // (37 domains over the corpus), cap 3 via the deterministic
+      // hash-ranked quota in Sampling.capPerKey.
+      Q("q_domain_cap",
+        (s, dir) => {
+          import graft.ops.Sampling
+          val docs = t(s, dir, "documents")
+            .withColumn("url",
+              concat(lit("https://d"), (col("doc_id") % 37).cast("string"),
+                lit(".example.com/p/"), col("doc_id").cast("string")))
+            .withColumn("domain", TextF.domainOf(col("url")))
+          Sampling.capPerKey(docs, Seq("domain"), "doc_id", 3)
+            .select(col("doc_id"), col("domain"))
+            .orderBy("doc_id")
+        },
+        Some(s"""
+          WITH d AS (
+            SELECT doc_id,
+                   regexp_extract('https://d' || CAST(doc_id % 37 AS VARCHAR) ||
+                                  '.example.com/p/' || CAST(doc_id AS VARCHAR),
+                                  '${TextF.DomainRe}', 1) AS domain
+            FROM documents),
+          r AS (SELECT doc_id, domain,
+                       row_number() OVER (
+                         PARTITION BY domain
+                         ORDER BY ${D.md5Uniform(D.castStr("doc_id"))}, doc_id) AS rn
+                FROM d)
+          SELECT doc_id, domain
+          FROM r WHERE rn <= 3
+          ORDER BY doc_id""")),
+
+      // Corpus-trained unigram LM surprisal per document (the cheap
+      // stand-in for CCNet/RedPajama perplexity filtering). Per-token
+      // surprisals round to 6 decimals BEFORE the position-ordered fold,
+      // so a last-ulp ln() difference between engines cannot accumulate.
+      Q("q_unigram_lm",
+        (s, dir) => {
+          import graft.ops.LanguageModel
+          LanguageModel.unigramSurprisal(t(s, dir, "documents"), "text", "doc_id")
+            .select(col("doc_id"), col("n_tokens"),
+              r6(col("avg_surprisal")).as("avg_surprisal"))
+            .orderBy("doc_id")
+        },
+        Some(s"""
+          WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                   unnest(range(1, len(string_split_regex(trim(text), '\\s+')) + 1)) AS pos
+            FROM documents),
+          vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+          scored AS (
+            SELECT doc_id, pos,
+                   round(-ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS lp
+            FROM toks JOIN vocab USING (tok) CROSS JOIN tot),
+          agg AS (SELECT doc_id, list(lp ORDER BY pos) AS lps,
+                         CAST(count(*) AS BIGINT) AS n_tokens
+                  FROM scored GROUP BY doc_id)
+          SELECT doc_id, n_tokens,
+                 ${duckR6("list_reduce(lps, (a__, x__) -> a__ + x__) / CAST(n_tokens AS DOUBLE)")} AS avg_surprisal
+          FROM agg
+          ORDER BY doc_id""")),
+
+      // Interpolated-bigram surprisal (one Markov order above
+      // q_unigram_lm; lambda = 0.75 and 0.25 are exact in binary, so the
+      // interpolation constants cannot skew between engines). First token
+      // of each doc scores by unigram alone.
+      Q("q_bigram_lm",
+        (s, dir) => {
+          import graft.ops.LanguageModel
+          LanguageModel.bigramSurprisal(tk(s, dir, "documents"), "text", "doc_id")
+            .select(col("doc_id"), col("n_tokens"),
+              r6(col("avg_surprisal")).as("avg_surprisal"))
+            .orderBy("doc_id")
+        },
+        Some(s"""
+          WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                   unnest(range(1, len(string_split_regex(trim(text), '\\s+')) + 1)) AS pos
+            FROM documents),
+          prevs AS (
+            SELECT doc_id, pos, tok,
+                   lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM toks),
+          uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM toks GROUP BY tok),
+          tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM uni),
+          bi AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS cb
+                 FROM prevs WHERE prev IS NOT NULL GROUP BY prev, tok),
+          scored AS (
+            SELECT p.doc_id, p.pos,
+                   round(-ln(CASE WHEN p.prev IS NULL
+                                  THEN CAST(u.cu AS DOUBLE) / CAST(n_total AS DOUBLE)
+                                  ELSE ${D.d(0.75)} * (CAST(b.cb AS DOUBLE) / CAST(up.cprev AS DOUBLE)) +
+                                       ${D.d(0.25)} * (CAST(u.cu AS DOUBLE) / CAST(n_total AS DOUBLE))
+                             END), 6) AS lp
+            FROM prevs p
+            JOIN uni u USING (tok)
+            LEFT JOIN (SELECT tok AS prev, cu AS cprev FROM uni) up USING (prev)
+            LEFT JOIN bi b ON b.prev = p.prev AND b.tok = p.tok
+            CROSS JOIN tot),
+          agg AS (SELECT doc_id, list(lp ORDER BY pos) AS lps,
+                         CAST(count(*) AS BIGINT) AS n_tokens
+                  FROM scored GROUP BY doc_id)
+          SELECT doc_id, n_tokens,
+                 ${duckR6("list_reduce(lps, (a__, x__) -> a__ + x__) / CAST(n_tokens AS DOUBLE)")} AS avg_surprisal
+          FROM agg
+          ORDER BY doc_id""")),
+
+      // Interpolated-trigram surprisal (the top of the n-gram family —
+      // KenLM-class filters run order 3-5): lambda3/2/1 = 0.5/0.25/0.25,
+      // all exact in binary. First token scores by unigram, second by the
+      // bigram interpolation, the rest by the full trigram mix. The
+      // trigram denominator c(u v) counts pair occurrences corpus-wide
+      // (doc-final pairs included — the standard no-sentinel MLE).
+      Q("q_trigram_lm",
+        (s, dir) => {
+          import graft.ops.LanguageModel
+          LanguageModel.trigramSurprisal(tk(s, dir, "documents"), "text", "doc_id")
+            .select(col("doc_id"), col("n_tokens"),
+              r6(col("avg_surprisal")).as("avg_surprisal"))
+            .orderBy("doc_id")
+        },
+        Some(s"""
+          WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                   unnest(range(1, len(string_split_regex(trim(text), '\\s+')) + 1)) AS pos
+            FROM documents),
+          ctx AS (
+            SELECT doc_id, pos, tok,
+                   lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+                   lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS prev2
+            FROM toks),
+          uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM toks GROUP BY tok),
+          tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM uni),
+          bi AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS cb
+                 FROM ctx WHERE prev IS NOT NULL GROUP BY prev, tok),
+          tri AS (SELECT prev2, prev, tok, CAST(count(*) AS BIGINT) AS ct
+                  FROM ctx WHERE prev2 IS NOT NULL GROUP BY prev2, prev, tok),
+          scored AS (
+            SELECT c.doc_id, c.pos,
+                   round(-ln(CASE
+                     WHEN c.prev IS NULL
+                     THEN CAST(u.cu AS DOUBLE) / CAST(n_total AS DOUBLE)
+                     WHEN c.prev2 IS NULL
+                     THEN ${D.d(0.75)} * (CAST(b.cb AS DOUBLE) / CAST(up.cprev AS DOUBLE)) +
+                          ${D.d(0.25)} * (CAST(u.cu AS DOUBLE) / CAST(n_total AS DOUBLE))
+                     ELSE ${D.d(0.5)} * (CAST(t.ct AS DOUBLE) / CAST(bc.cctx AS DOUBLE)) +
+                          ${D.d(0.25)} * (CAST(b.cb AS DOUBLE) / CAST(up.cprev AS DOUBLE)) +
+                          ${D.d(0.25)} * (CAST(u.cu AS DOUBLE) / CAST(n_total AS DOUBLE))
+                   END), 6) AS lp
+            FROM ctx c
+            JOIN uni u USING (tok)
+            LEFT JOIN (SELECT tok AS prev, cu AS cprev FROM uni) up USING (prev)
+            LEFT JOIN bi b ON b.prev = c.prev AND b.tok = c.tok
+            LEFT JOIN tri t ON t.prev2 = c.prev2 AND t.prev = c.prev AND t.tok = c.tok
+            LEFT JOIN (SELECT prev AS prev2, tok AS prev, cb AS cctx FROM bi) bc
+                   ON bc.prev2 = c.prev2 AND bc.prev = c.prev
+            CROSS JOIN tot),
+          agg AS (SELECT doc_id, list(lp ORDER BY pos) AS lps,
+                         CAST(count(*) AS BIGINT) AS n_tokens
+                  FROM scored GROUP BY doc_id)
+          SELECT doc_id, n_tokens,
+                 ${duckR6("list_reduce(lps, (a__, x__) -> a__ + x__) / CAST(n_tokens AS DOUBLE)")} AS avg_surprisal
+          FROM agg
+          ORDER BY doc_id""")),
+
+      // Interpolated Kneser-Ney bigram surprisal — the KenLM-class
+      // smoother: observed bigrams discounted by D=0.75 (exact in
+      // binary), freed mass backed off to CONTINUATION probability
+      // (distinct-left-context counts, not frequency). Four count
+      // tables, all corpus-token-bounded; same position-ordered
+      // round-6 fold contract.
+      Q("q_kneser_ney",
+        (s, dir) => {
+          import graft.ops.LanguageModel
+          LanguageModel.kneserNeyBigram(tk(s, dir, "documents"), "text", "doc_id")
+            .select(col("doc_id"), col("n_tokens"),
+              r6(col("avg_surprisal")).as("avg_surprisal"))
+            .orderBy("doc_id")
+        },
+        Some(s"""
+          WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                   unnest(range(1, len(string_split_regex(trim(text), '\\s+')) + 1)) AS pos
+            FROM documents),
+          prevs AS (
+            SELECT doc_id, pos, tok,
+                   lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM toks),
+          uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM toks GROUP BY tok),
+          tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM uni),
+          bi AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS cb
+                 FROM prevs WHERE prev IS NOT NULL GROUP BY prev, tok),
+          nf AS (SELECT prev, CAST(count(DISTINCT tok) AS BIGINT) AS nf
+                 FROM bi GROUP BY prev),
+          nl AS (SELECT tok, CAST(count(DISTINCT prev) AS BIGINT) AS nl
+                 FROM bi GROUP BY tok),
+          nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM bi),
+          scored AS (
+            SELECT p.doc_id, p.pos,
+                   round(-ln(CASE WHEN p.prev IS NULL
+                                  THEN CAST(u.cu AS DOUBLE) / CAST(n_total AS DOUBLE)
+                                  ELSE (CAST(b.cb AS DOUBLE) - ${D.d(0.75)}) / CAST(up.cprev AS DOUBLE) +
+                                       ${D.d(0.75)} * (CAST(f.nf AS DOUBLE) / CAST(up.cprev AS DOUBLE)) *
+                                       (CAST(l.nl AS DOUBLE) / CAST(nt AS DOUBLE))
+                             END), 6) AS lp
+            FROM prevs p
+            JOIN uni u USING (tok)
+            LEFT JOIN (SELECT tok AS prev, cu AS cprev FROM uni) up USING (prev)
+            LEFT JOIN bi b ON b.prev = p.prev AND b.tok = p.tok
+            LEFT JOIN nf f ON f.prev = p.prev
+            LEFT JOIN nl l ON l.tok = p.tok
+            CROSS JOIN nt
+            CROSS JOIN tot),
+          agg AS (SELECT doc_id, list(lp ORDER BY pos) AS lps,
+                         CAST(count(*) AS BIGINT) AS n_tokens
+                  FROM scored GROUP BY doc_id)
+          SELECT doc_id, n_tokens,
+                 ${duckR6("list_reduce(lps, (a__, x__) -> a__ + x__) / CAST(n_tokens AS DOUBLE)")} AS avg_surprisal
+          FROM agg
+          ORDER BY doc_id""")),
+
+      // Deterministic mixture up/down-sampling ("epochs per source"):
+      // language weights 2.5/1.5/1.0/0.75/0.25 — ALL exact in binary —
+      // replicate floor(w) + md5-bernoulli(frac(w)) times. zh at 0.25
+      // mostly drops; en at 2.5 doubles-or-triples.
+      Q("q_mixture_upsample",
+        (s, dir) => {
+          import graft.ops.Sampling
+          val docs = t(s, dir, "documents")
+            .withColumn("wt",
+              when(col("lang") === "en", 2.5)
+                .when(col("lang") === "de", 1.5)
+                .when(col("lang") === "fr", 1.0)
+                .when(col("lang") === "es", 0.75)
+                .otherwise(0.25))
+          Sampling.upsampleByWeight(docs, "doc_id", "wt")
+            .select(col("doc_id"), col("lang"), col("copy").cast("long").as("copy"))
+            .orderBy("doc_id", "copy")
+        },
+        Some(s"""
+          WITH w AS (
+            SELECT doc_id, lang,
+                   CASE lang WHEN 'en' THEN ${D.d(2.5)} WHEN 'de' THEN ${D.d(1.5)}
+                             WHEN 'fr' THEN ${D.d(1.0)} WHEN 'es' THEN ${D.d(0.75)}
+                             ELSE ${D.d(0.25)} END AS wt
+            FROM documents),
+          n AS (
+            SELECT doc_id, lang,
+                   CAST(floor(wt) +
+                        CASE WHEN ${D.md5Uniform(D.castStr("doc_id"))} < wt - floor(wt)
+                             THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+            FROM w)
+          SELECT doc_id, lang, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy
+          FROM n
+          ORDER BY doc_id, copy""")),
+
+      // mC4/XLM-R alpha-temperature language rebalancing at alpha = 0.5:
+      // factor_l = sqrt(n_max / n_l) (sqrt is IEEE correctly-rounded, so
+      // both engines agree bit-for-bit; pow would not). One tiny (lang)
+      // aggregation broadcasts; replication is the same narrow
+      // deterministic generator as q_mixture_upsample.
+      Q("q_temperature_mix",
+        (s, dir) => {
+          import graft.ops.Sampling
+          Sampling.temperatureResample(t(s, dir, "documents"), "doc_id", "lang", 0.5)
+            .select(col("doc_id"), col("lang"),
+              col("factor"), col("copy").cast("long").as("copy"))
+            .orderBy("doc_id", "copy")
+        },
+        Some(s"""
+          WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                     FROM documents GROUP BY lang),
+          m AS (SELECT max(n) AS mx FROM c),
+          f AS (SELECT lang, sqrt(CAST(mx AS DOUBLE) / CAST(n AS DOUBLE)) AS factor
+                FROM c, m),
+          w AS (SELECT d.doc_id, d.lang, f.factor
+                FROM documents d JOIN f ON d.lang = f.lang),
+          n2 AS (SELECT doc_id, lang, factor,
+                       CAST(floor(factor) +
+                            CASE WHEN ${D.md5Uniform(D.castStr("doc_id"))} < factor - floor(factor)
+                                 THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+                 FROM w)
+          SELECT doc_id, lang, factor,
+                 CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy
+          FROM n2
+          ORDER BY doc_id, copy""")),
+
+      // PCA 64->16 projection dump — the q_opq_rotated pattern: the
+      // eigensolve is not SQL-expressible (rows-only; math contract in
+      // QuantAnnSpec), the vectors dump as bit-exact round-tripping
+      // strings, and the dump is the table input that lets q_pca_ann be
+      // oracled over the SAME projected doubles.
+      // ORACLED (r7, property gate — same pattern as q_opq_rotated):
+      //   - ortho_resid: driver-side max |P P^T - I_m| (P's rows must be
+      //     orthonormal) vs oracle constant 0.0;
+      //   - recon_resid: per-row Pythagoras identity for an orthonormal
+      //     projector — || mean + P^T pv - x ||^2 must equal
+      //     ||x - mean||^2 - ||pv||^2; the residual between the ACTUAL
+      //     reconstruction error and the identity is measured in-engine
+      //     (vs oracle 0.0), which fails for any non-orthonormal P or any
+      //     pv that is not the true projection of x;
+      //   - var_order_viol: driver-side per-component population variance
+      //     of the projections (one tiny 16-row aggregate) — components
+      //     must come out eigenvalue-DESCENDING; the max increasing
+      //     violation is emitted vs oracle 0.0;
+      //   - cen2: ||x - mean||^2 with mean recomputed by the ORACLE from
+      //     the embeddings TABLE (avg per coordinate is order-independent
+      //     only at rounded precision, so the oracle recomputes the whole
+      //     quantity from source at r6) — pins the dump 1:1 to source
+      //     vectors AND the mean vector itself.
+      Q("q_pca_project",
+        (s, dir) => {
+          import graft.ops.Pca
+          val (mean, p) = pcaModel(s, dir)
+          val m = p.length
+          val dim = mean.length
+          var ortho = 0.0
+          var i = 0
+          while (i < m) {
+            var j = 0
+            while (j < m) {
+              var s2 = 0.0
+              var k = 0
+              while (k < dim) { s2 += p(i)(k) * p(j)(k); k += 1 }
+              val diff = math.abs(s2 - (if (i == j) 1.0 else 0.0))
+              if (diff > ortho) ortho = diff
+              j += 1
+            }
+            i += 1
+          }
+          // orderBy before the projection (see q_opq_rotated: range
+          // sampling would run the mat-vec twice if the sort came after)
+          val proj = Pca.project(t(s, dir, "embeddings").orderBy("vec_id"),
+            "embedding", "pv", mean, p)
+          // variance ordering: one 16-row aggregate over the projections
+          val vars = Pca.project(t(s, dir, "embeddings"), "embedding", "pv", mean, p)
+            .select(posexplode(col("pv")).as(Seq("k", "x")))
+            .groupBy("k").agg(avg(col("x") * col("x")).as("exx"), avg(col("x")).as("ex"))
+            .collect().map(r => (r.getInt(0), r.getDouble(1) - r.getDouble(2) * r.getDouble(2)))
+            .sortBy(_._1).map(_._2)
+          val varViol = vars.sliding(2).collect { case Array(a, b) => b - a }
+            .foldLeft(0.0)(math.max)
+          val bm = s.sparkContext.broadcast(mean)
+          val bp = s.sparkContext.broadcast(p)
+          val recon = udf((xs: Seq[Double], pvs: Seq[Double]) => {
+            val x = xs.toArray; val pv = pvs.toArray
+            val mu = bm.value; val mat = bp.value
+            var err2 = 0.0; var cen2 = 0.0; var proj2 = 0.0
+            var i2 = 0
+            while (i2 < mu.length) {
+              var xhat = mu(i2)
+              var k2 = 0
+              while (k2 < mat.length) { xhat += mat(k2)(i2) * pv(k2); k2 += 1 }
+              val e = xhat - x(i2); err2 += e * e
+              val c = x(i2) - mu(i2); cen2 += c * c
+              i2 += 1
+            }
+            var k3 = 0
+            while (k3 < pv.length) { proj2 += pv(k3) * pv(k3); k3 += 1 }
+            Array(math.abs(err2 - (cen2 - proj2)), cen2)
+          })
+          proj
+            .withColumn("__pr", recon(VectorF.toDoubleArray(col("embedding")), col("pv")))
+            .select(col("vec_id"),
+              concat_ws(",", transform(col("pv"), _.cast("string"))).as("pv"),
+              r6(element_at(col("__pr"), 1)).as("recon_resid"),
+              r6(element_at(col("__pr"), 2)).as("cen2"),
+              r6(lit(ortho)).as("ortho_resid"),
+              r6(lit(math.max(varViol, 0.0))).as("var_order_viol"))
+        },
+        Some(s"""
+          WITH dump AS (
+            SELECT vec_id, pv
+            FROM read_parquet('__GRAFT_OUT__/q_pca_project/*.parquet')),
+          src AS (SELECT vec_id, ${D.castDoubleArray("embedding")} AS v
+                  FROM embeddings),
+          mu AS (
+            SELECT list(m ORDER BY k) AS mean
+            FROM (SELECT k, avg(v[CAST(k AS INT)]) AS m
+                  FROM src, range(1, 65) t(k) GROUP BY k)),
+          cen AS (
+            SELECT s.vec_id,
+                   ${D.l2sq("s.v", "mu.mean")} AS cen2
+            FROM src s, mu)
+          SELECT d.vec_id, d.pv,
+                 ${duckR6("0.0")} AS recon_resid,
+                 ${duckR6("c.cen2")} AS cen2,
+                 ${duckR6("0.0")} AS ortho_resid,
+                 ${duckR6("0.0")} AS var_order_viol
+          FROM dump d JOIN cen c ON d.vec_id = c.vec_id""")),
+
+      // ANN in PCA space: exact cosine top-10 over the 16-dim projections
+      // (4x smaller scan than the raw 64-dim index). DuckDB reruns the
+      // same search over the dumped projections.
+      Q("q_pca_ann",
+        (s, dir) => {
+          import graft.ops.Pca
+          val (mean, p) = pcaModel(s, dir)
+          val proj = Pca.project(t(s, dir, "embeddings"), "embedding", "pv", mean, p)
+          val q = proj.where(col("vec_id") === 0).select(col("pv").as("qv"))
+          Similarity.bruteForceTopK(
+            proj.where(col("vec_id") =!= 0).select(col("vec_id"), col("pv")),
+            q, "vec_id", "pv", 10)
+            .select(col("vec_id"), r6(col("score")).as("score"))
+        },
+        Some(s"""
+          WITH emb AS (SELECT vec_id,
+                              list_transform(string_split(pv, ','),
+                                             x -> CAST(x AS DOUBLE)) AS v
+                       FROM read_parquet('__GRAFT_OUT__/q_pca_project/*.parquet')),
+          q AS (SELECT v AS qv FROM emb WHERE vec_id = 0)
+          SELECT vec_id, (round(score, 6) + ${D.d(0.0)}) AS score
+          FROM (SELECT vec_id, ${D.cosine("v", "qv")} AS score
+                FROM emb, q
+                WHERE vec_id <> 0
+                ORDER BY score DESC, vec_id
+                LIMIT 10)
+          ORDER BY score DESC, vec_id""")),
+
+      // Greedy token-budget fill per language: best-quality-first
+      // (n_chars DESC as the quality key) until each language holds at
+      // least 2k whitespace tokens (binding for every language at every
+      // SF, so the filter genuinely selects). Pure integer window math.
+      Q("q_token_budget",
+        (s, dir) => {
+          import graft.ops.Sampling
+          val docs = t(s, dir, "documents")
+            .withColumn("n_tokens",
+              size(split(trim(col("text")), "\\s+")).cast("long"))
+          Sampling.tokenBudgetSelect(docs, "lang", "n_tokens", "n_chars",
+              "doc_id", 2000L)
+            .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+            .orderBy("doc_id")
+        },
+        Some(s"""
+          WITH d AS (
+            SELECT doc_id, lang, n_chars,
+                   CAST(len(${D.splitWs("text")}) AS BIGINT) AS n_tokens
+            FROM documents),
+          c AS (
+            SELECT doc_id, lang, n_tokens,
+                   sum(n_tokens) OVER (
+                     PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM d)
+          SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+          FROM c
+          WHERE cum - n_tokens < 2000
+          ORDER BY doc_id"""))
+    )
+  }
+}

@@ -1,0 +1,375 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chunk.Chunking
+import graft.embed.HashingEmbedder
+import graft.functions.{MdContent, TextF, VectorF}
+import graft.ops.{Dedup, Similarity}
+import graft.rag.RagPipeline
+import graft.sqlgen.{Dialect, Exprs}
+
+/** Vector/ANN operators over the embeddings table. Split from QueryCatalog in r13; shared helpers live in
+  * [[CatalogCore]], the assembled query map in [[QueryCatalog]]. */
+private[graft] trait CatalogVector extends CatalogCore {
+
+  // =========================================================================
+  // Vector similarity (reference Q1/O2/F8/T8 + ANN scale path)
+  // =========================================================================
+
+  protected def vectorOps: Seq[Q] = {
+    val duckDot = D.dot("v", "qv")
+    val duckCos = D.cosine("v", "qv")
+
+    def duckQueryVec =
+      s"(SELECT v AS qv FROM $duckEmbTable WHERE vec_id = 0)"
+
+    Seq(
+      Q("q_knn_cosine",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          val q = emb.where(col("vec_id") === 0)
+            .select(VectorF.toDoubleArray(col("embedding")).as("qv"))
+          Similarity.bruteForceTopK(
+            emb.where(col("vec_id") =!= 0), q, "vec_id", "embedding", 10)
+            .select(col("vec_id"), r6(col("score")).as("score"))
+        },
+        Some(s"""
+          SELECT vec_id, (round(score, 6) + CAST(0.0 AS DOUBLE)) AS score
+          FROM (SELECT vec_id, $duckCos AS score
+                FROM $duckEmbTable, $duckQueryVec
+                WHERE vec_id <> 0
+                ORDER BY score DESC, vec_id
+                LIMIT 10)
+          ORDER BY score DESC, vec_id""")),
+
+      Q("q_knn_threshold",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          val q = emb.where(col("vec_id") === 0)
+            .select(VectorF.toDoubleArray(col("embedding")).as("qv"))
+          val topk = Similarity.bruteForceTopK(
+            emb.where(col("vec_id") =!= 0), q, "vec_id", "embedding", 10)
+          Similarity.withScoreThreshold(topk, 0.2)
+            .select(col("vec_id"), r6(col("score")).as("score"))
+        },
+        Some(s"""
+          WITH topk AS (
+            SELECT vec_id, $duckCos AS score
+            FROM $duckEmbTable, $duckQueryVec
+            WHERE vec_id <> 0
+            ORDER BY score DESC, vec_id
+            LIMIT 10)
+          SELECT vec_id, (round(score, 6) + CAST(0.0 AS DOUBLE)) AS score
+          FROM topk
+          WHERE (SELECT max(score) FROM topk) >= CAST(0.2 AS DOUBLE)
+          ORDER BY score DESC, vec_id""")),
+
+      Q("q_distance_pairs",
+        (s, dir) =>
+          Similarity.pairwiseDistances(
+            t(s, dir, "embeddings").where(col("vec_id") < 20), "vec_id", "embedding")
+            .select(col("id_a"), col("id_b"),
+              r6(col("cos_sim")).as("cos_sim"),
+              r6(col("euc_dist")).as("euc_dist"),
+              r6(col("combined")).as("combined"))
+            .orderBy("id_a", "id_b"),
+        Some {
+          val cos = D.cosine("a.v", "b.v")
+          val euc = D.euclidean("a.v", "b.v")
+          s"""
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 (round($cos, 6) + CAST(0.0 AS DOUBLE)) AS cos_sim,
+                 (round($euc, 6) + CAST(0.0 AS DOUBLE)) AS euc_dist,
+                 (round(($cos + $euc) / CAST(2.0 AS DOUBLE), 6) + CAST(0.0 AS DOUBLE)) AS combined
+          FROM $duckEmbTable a, $duckEmbTable b
+          WHERE a.vec_id < 20 AND b.vec_id < 20 AND a.vec_id < b.vec_id
+          ORDER BY id_a, id_b"""
+        }),
+
+      // Distributed k-NN JOIN: exact top-k for every query row, with
+      // map-side per-partition per-query heap pruning before the shuffle.
+      Q("q_knn_join",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          Similarity.knnJoin(emb.where(col("vec_id") >= 5),
+              emb.where(col("vec_id") < 5),
+              "vec_id", "embedding", "vec_id", "embedding", 5)
+            .select(col("query_id"), col("vec_id"), col("rank"),
+              r6(col("score")).as("score"))
+            .orderBy("query_id", "rank")
+        },
+        Some(s"""
+          WITH q AS (SELECT vec_id AS query_id, v AS qv FROM $duckEmbTable WHERE vec_id < 5),
+          c AS (SELECT vec_id, v FROM $duckEmbTable WHERE vec_id >= 5),
+          scored AS (SELECT query_id, c.vec_id AS vec_id,
+                            ${D.cosine("c.v", "q.qv")} AS score
+                     FROM c, q),
+          ranked AS (SELECT query_id, vec_id, score,
+                            row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+                     FROM scored)
+          SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
+                 ${duckR6("score")} AS score
+          FROM ranked WHERE rank <= 5
+          ORDER BY query_id, rank""")),
+
+      // Radius search: all (query, vector) pairs above a cosine threshold —
+      // broadcast queries, map-only filtered scan.
+      Q("q_radius_search",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          Similarity.radiusSearch(emb.where(col("vec_id") >= 5),
+              emb.where(col("vec_id") < 5),
+              "vec_id", "embedding", "vec_id", "embedding", 0.2)
+            .select(col("query_id"), col("vec_id"), r6(col("score")).as("score"))
+            .orderBy("query_id", "vec_id")
+        },
+        Some(s"""
+          WITH q AS (SELECT vec_id AS query_id, v AS qv FROM $duckEmbTable WHERE vec_id < 5),
+          c AS (SELECT vec_id, v FROM $duckEmbTable WHERE vec_id >= 5)
+          SELECT query_id, c.vec_id AS vec_id,
+                 ${duckR6(D.cosine("c.v", "q.qv"))} AS score
+          FROM c, q
+          WHERE ${D.cosine("c.v", "q.qv")} >= CAST(0.2 AS DOUBLE)
+          ORDER BY query_id, vec_id""")),
+
+      Q("q_ann_ivf",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          val cents = emb.where(col("vec_id") < 8)
+            .select(col("vec_id").cast("int").as("cid"),
+              VectorF.toDoubleArray(col("embedding")).as("cv"))
+          val q = emb.where(col("vec_id") === 0)
+            .select(VectorF.toDoubleArray(col("embedding")).as("qv"))
+          Similarity.ivfTopK(emb, cents, q, "vec_id", "embedding", 10, 2)
+            .select(col("vec_id"), r6(col("score")).as("score"))
+        },
+        Some {
+          val dotNN = D.dot("e.vn", "c.cvn")
+          s"""
+          WITH cents AS (
+            SELECT CAST(vec_id AS INT) AS cid,
+                   ${Exprs.l2Normalize(D, "v", D.norm("v"))} AS cvn
+            FROM $duckEmbTable WHERE vec_id < 8),
+          normed AS (
+            SELECT vec_id, v, ${Exprs.l2Normalize(D, "v", D.norm("v"))} AS vn
+            FROM $duckEmbTable),
+          assigned AS (
+            SELECT e.vec_id, e.v,
+                   (SELECT c.cid FROM cents c ORDER BY $dotNN DESC, c.cid LIMIT 1) AS cluster_id
+            FROM normed e),
+          probe AS (
+            SELECT c.cid AS cluster_id
+            FROM cents c, (SELECT vn AS qvn FROM normed WHERE vec_id = 0)
+            ORDER BY ${D.dot("c.cvn", "qvn")} DESC, c.cid
+            LIMIT 2)
+          SELECT vec_id, (round(score, 6) + CAST(0.0 AS DOUBLE)) AS score
+          FROM (SELECT a.vec_id, $duckCos AS score
+                FROM (SELECT assigned.* FROM assigned JOIN probe USING (cluster_id)) a(vec_id, v, cluster_id),
+                     $duckQueryVec
+                ORDER BY score DESC, vec_id
+                LIMIT 10)
+          ORDER BY score DESC, vec_id"""
+        }),
+
+      // ANN index-quality evaluation: recall@10 of the IVF index (fixed
+      // first-8 centroids, nprobe=2) against exact brute force, over the
+      // vec_id % 50 query sample. Ground truth and IVF answer both
+      // replayed in SQL (same centroid-assign/probe/rank tie-breaks as
+      // the q_ann_ivf oracle), so the recall NUMBERS are hash-gated —
+      // this is the nprobe-tuning/monitoring pass a production vector
+      // store runs after every index build. Plan: corpus scanned twice
+      // (brute via map-side k-bounded heaps, IVF via centroid-pruned
+      // candidates), queries and centroids broadcast, never corpus^2.
+      Q("q_ann_recall",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          val cents = emb.where(col("vec_id") < 8)
+            .select(col("vec_id").cast("int").as("cid"),
+              VectorF.toDoubleArray(col("embedding")).as("cv"))
+          val qs = emb.where(col("vec_id") % 50 === 0)
+          Similarity.ivfRecallEval(emb, cents, qs, "vec_id", "embedding",
+              "vec_id", "embedding", 10, 2)
+            .select(col("query_id"), col("n_hits"), r6(col("recall")).as("recall"))
+            .orderBy("query_id")
+        },
+        Some(s"""
+          WITH normed AS (
+            SELECT vec_id, v, ${Exprs.l2Normalize(D, "v", D.norm("v"))} AS vn
+            FROM $duckEmbTable),
+          cents AS (
+            SELECT CAST(vec_id AS INT) AS cid, v AS cv, vn AS cvn
+            FROM normed WHERE vec_id < 8),
+          qs AS (
+            SELECT vec_id AS query_id, v AS qv
+            FROM $duckEmbTable WHERE vec_id % 50 = 0),
+          assigned AS (
+            SELECT e.vec_id, e.v,
+                   (SELECT c.cid FROM cents c
+                    ORDER BY ${D.dot("e.vn", "c.cvn")} DESC, c.cid LIMIT 1) AS cluster_id
+            FROM normed e),
+          brute AS (
+            SELECT query_id, vec_id FROM (
+              SELECT q.query_id, e.vec_id,
+                     row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY ${D.cosine("e.v", "q.qv")} DESC, e.vec_id) AS rn
+              FROM $duckEmbTable e, qs q) WHERE rn <= 10),
+          probe AS (
+            SELECT query_id, cluster_id FROM (
+              SELECT q.query_id, c.cid AS cluster_id,
+                     row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY ${D.cosine("c.cv", "q.qv")} DESC, c.cid) AS rn
+              FROM cents c, qs q) WHERE rn <= 2),
+          ivf AS (
+            SELECT query_id, vec_id FROM (
+              SELECT p.query_id, a.vec_id,
+                     row_number() OVER (PARTITION BY p.query_id
+                       ORDER BY ${D.cosine("a.v", "q.qv")} DESC, a.vec_id) AS rn
+              FROM assigned a
+              JOIN probe p USING (cluster_id)
+              JOIN qs q ON q.query_id = p.query_id) WHERE rn <= 10),
+          hits AS (
+            SELECT i.query_id, count(*) AS n_hits
+            FROM ivf i JOIN brute b
+              ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+            GROUP BY i.query_id)
+          SELECT q.query_id,
+                 CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                 (round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(10.0 AS DOUBLE), 6)
+                  + CAST(0.0 AS DOUBLE)) AS recall
+          FROM qs q LEFT JOIN hits h ON h.query_id = q.query_id
+          ORDER BY q.query_id""")),
+
+      // k-means|| scalable init (Bahmani et al. 2012): 2 oversampling
+      // rounds (l=4) + candidate weighting + top-k selection, all
+      // replayed in SQL — D² as round-9 folds, Σ D² in DECIMAL(28,9)
+      // (order-independent), sampling via the shared md5-uniform of
+      // (round ':' id), so candidate set, weights, AND the final k are
+      // hash-gated. The corpus is scanned once per round + once for
+      // weights; candidates broadcast; nothing corpus-sized shuffles.
+      Q("q_kmeans_scalable",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          Similarity.kmeansParallelInit(emb, "vec_id", "embedding", 4, 4, 2)
+            .select(col("cid"), col("weight"), col("selected"))
+            .orderBy("cid")
+        },
+        Some {
+          def minD2(cents: String) =
+            s"""(SELECT b2.id, (round(min(${D.l2sq("b2.v", "c.cv")}), 9)
+                 + CAST(0.0 AS DOUBLE)) AS d2
+                 FROM base b2 CROSS JOIN $cents c GROUP BY b2.id)"""
+          def thr(a: String, sTab: String) =
+            s"(CAST(4 AS DOUBLE) * CAST($a.d2 AS DOUBLE) / CAST($sTab.s AS DOUBLE))"
+          s"""
+          WITH base AS (SELECT vec_id AS id, v FROM $duckEmbTable),
+          c0 AS (SELECT id AS cid, v AS cv FROM base
+                 WHERE id = (SELECT min(id) FROM base)),
+          d1 AS ${minD2("c0")},
+          s1 AS (SELECT sum(CAST(d2 AS DECIMAL(28,9))) AS s FROM d1),
+          sel1 AS (SELECT d.id FROM d1 d, s1
+                   WHERE ${D.md5Uniform("concat('1:', CAST(d.id AS VARCHAR))")}
+                         < ${thr("d", "s1")}),
+          cents1 AS (SELECT cid, cv FROM c0
+                     UNION ALL
+                     SELECT b.id, b.v FROM base b JOIN sel1 USING (id)),
+          d2t AS ${minD2("cents1")},
+          s2 AS (SELECT sum(CAST(d2 AS DECIMAL(28,9))) AS s FROM d2t),
+          sel2 AS (SELECT d.id FROM d2t d, s2
+                   WHERE ${D.md5Uniform("concat('2:', CAST(d.id AS VARCHAR))")}
+                         < ${thr("d", "s2")}),
+          cents2 AS (SELECT cid, cv FROM cents1
+                     UNION ALL
+                     SELECT b.id, b.v FROM base b JOIN sel2 USING (id)),
+          near AS (SELECT b.id AS vid,
+                          (SELECT c.cid FROM cents2 c
+                           ORDER BY ${D.l2sq("b.v", "c.cv")} ASC, c.cid ASC
+                           LIMIT 1) AS cid
+                   FROM base b),
+          wt AS (SELECT cid, count(*) AS weight FROM near GROUP BY cid)
+          SELECT cid, weight,
+                 (row_number() OVER (ORDER BY weight DESC, cid) <= 4) AS selected
+          FROM (SELECT c.cid, CAST(coalesce(w.weight, 0) AS BIGINT) AS weight
+                FROM cents2 c LEFT JOIN wt w ON w.cid = c.cid)
+          ORDER BY cid"""
+        }),
+
+      // Binary-quantization ANN: sign-bit codes (two 32-bit words for the
+      // 64-dim vectors), Hamming-distance prefilter to 50 candidates,
+      // exact-cosine rerank to top 10. The oracle mirrors the exact
+      // two-stage algorithm (same MSB-first pack fold, same tie-breaks),
+      // so this is hash-exact, not recall-approximate.
+      Q("q_bq_ann",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          val q = emb.where(col("vec_id") === 0)
+            .select(VectorF.toDoubleArray(col("embedding")).as("qv"))
+          Similarity.binaryQuantTopK(
+            emb.where(col("vec_id") =!= 0), q, "vec_id", "embedding",
+            64, 10, 50)
+            .select(col("vec_id"), col("hamming"), r6(col("score")).as("score"))
+        },
+        Some {
+          def pack(arr: String) =
+            s"""list_transform(range(0, 2), w__ ->
+                  list_reduce(list_transform(range(0, 32), j__ ->
+                      CASE WHEN ($arr)[w__ * 32 + j__ + 1] > ${D.d(0.0)}
+                           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+                    (s__, x__) -> s__ * 2 + x__))"""
+          s"""
+          WITH q AS (SELECT v AS qv, ${pack("v")} AS qcode
+                     FROM $duckEmbTable WHERE vec_id = 0),
+          coded AS (SELECT vec_id, v, ${pack("v")} AS code
+                    FROM $duckEmbTable WHERE vec_id <> 0),
+          cand AS (
+            SELECT vec_id, v, qv,
+                   CAST(list_reduce(list_transform(list_zip(code, qcode),
+                          p__ -> bit_count(xor(p__[1], p__[2]))),
+                        (s__, x__) -> s__ + x__) AS BIGINT) AS hamming
+            FROM coded, q
+            ORDER BY hamming, vec_id
+            LIMIT 50)
+          SELECT vec_id, hamming,
+                 (round($duckCos, 6) + ${D.d(0.0)}) AS score
+          FROM cand
+          ORDER BY score DESC, vec_id
+          LIMIT 10"""
+        }),
+
+      // Matryoshka truncated-dimension ANN: cosine over the first 16 dims
+      // prefilters to 50 candidates (a quarter of the vector bytes read),
+      // full 64-dim cosine reranks to top 10. Hash-exact like q_bq_ann:
+      // the oracle runs the same prefix-then-rerank algorithm.
+      Q("q_mrl_ann",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          val q = emb.where(col("vec_id") === 0)
+            .select(VectorF.toDoubleArray(col("embedding")).as("qv"))
+          Similarity.truncatedRerankTopK(
+            emb.where(col("vec_id") =!= 0), q, "vec_id", "embedding",
+            16, 10, 50)
+            .select(col("vec_id"),
+              r6(col("pre_score")).as("pre_score"),
+              r6(col("score")).as("score"))
+        },
+        Some {
+          val preCos = D.cosine("((v)[1:16])", "((qv)[1:16])")
+          s"""
+          WITH q AS (SELECT v AS qv FROM $duckEmbTable WHERE vec_id = 0),
+          cand AS (
+            SELECT vec_id, v, qv, $preCos AS pre
+            FROM $duckEmbTable, q
+            WHERE vec_id <> 0
+            ORDER BY pre DESC, vec_id
+            LIMIT 50)
+          SELECT vec_id,
+                 (round(pre, 6) + ${D.d(0.0)}) AS pre_score,
+                 (round($duckCos, 6) + ${D.d(0.0)}) AS score
+          FROM cand
+          ORDER BY score DESC, vec_id
+          LIMIT 10"""
+        })
+    )
+  }
+}

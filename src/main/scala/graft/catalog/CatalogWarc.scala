@@ -1,0 +1,427 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chunk.Chunking
+import graft.embed.HashingEmbedder
+import graft.functions.{MdContent, TextF, VectorF}
+import graft.ops.{Dedup, Similarity}
+import graft.rag.RagPipeline
+import graft.sqlgen.{Dialect, Exprs}
+
+/** WARC/WET/CDX web-archive operators. Split from QueryCatalog in r13; shared helpers live in
+  * [[CatalogCore]], the assembled query map in [[QueryCatalog]]. */
+private[graft] trait CatalogWarc extends CatalogCore {
+
+  protected def warcOps: Seq[Q] = Seq(
+    // CDX(J) capture-index scan: REAL gzip index shards (one task each,
+    // spark.read.text is gzip-transparent) through the codegen split +
+    // from_json parse; two planted malformed lines per shard must drop.
+    // Every field (surt, timestamp, json payload incl. md5 digest and
+    // byte offsets) hash-matched against the residue-formula replay.
+    Q("q_cdx_parse",
+      (s, dir) =>
+        graft.sources.CdxIndex.read(s, synthCdx(s, dir))
+          .orderBy("surt", "ts"),
+      Some(s"""
+        SELECT * FROM ($cdxCapsSql)
+        ORDER BY surt, ts""")),
+
+    // Latest-capture-per-URL selection — the standard crawl dedup a
+    // pipeline runs on the index BEFORE touching any archive bytes: one
+    // surt-keyed window (max ts, digest tie-break). For doc_id%4=0 the
+    // planted second capture (ts+777, different digest) must win.
+    Q("q_cdx_latest",
+      (s, dir) =>
+        graft.sources.CdxIndex.latestCaptures(
+            graft.sources.CdxIndex.read(s, synthCdx(s, dir)))
+          .orderBy("surt"),
+      Some(s"""
+        SELECT * EXCLUDE (rn) FROM (
+          SELECT *, row_number() OVER (PARTITION BY surt
+                      ORDER BY ts DESC, digest DESC) AS rn
+          FROM ($cdxCapsSql))
+        WHERE rn = 1
+        ORDER BY surt""")),
+    // WET conversion-record scan: gzip-member decode + Content-Length
+    // framing + header parse, hash-gated against the source table — URI,
+    // record Content-Type, byte-exact Content-Length, and the payload
+    // round-tripped BOTH as md5 and as decoded text (any framing slip,
+    // member-boundary bug, or charset mangling mismatches). The plan is
+    // one binaryFile task per archive + a narrow flatMap — the 100 TB
+    // crawl model (~1 GB segments, one task each, zero shuffle before
+    // the final fixture-scale sort).
+    Q("q_warc_wet",
+      (s, dir) => {
+        val recs = graft.sources.WarcSource.records(s, synthWarc(s, dir))
+        recs.where(col("warc_type") === "conversion")
+          .select(
+            regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            col("target_uri"), col("content_type"), col("content_length"),
+            md5(col("payload")).as("payload_md5"),
+            col("payload").cast("string").as("text"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+               'text/plain' AS content_type,
+               CAST(strlen(text) AS BIGINT) AS content_length,
+               md5(text) AS payload_md5,
+               text
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // Crawl response-record scan: the HTTP sub-parse on top of the WARC
+    // framing — status line (varying by formula), header lookup, and the
+    // header/body split, with the body verified byte-exactly (md5 + byte
+    // length) against the closed-form HTML the fixture embeds. warcinfo
+    // records prove type filtering; 404s prove non-2xx payloads survive.
+    Q("q_warc_response",
+      (s, dir) => {
+        val recs = graft.sources.WarcSource.records(s, synthWarc(s, dir))
+        graft.sources.WarcSource.httpResponses(recs)
+          .select(
+            regexp_extract(col("target_uri"), "page/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            col("http_status").cast("long").as("http_status"),
+            col("http_content_type"),
+            length(col("body")).cast("long").as("body_len"),
+            md5(col("body")).as("body_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+                 '</title></head><body><p>' || text ||
+                 '</p></body></html>' AS html
+          FROM documents)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(CASE WHEN doc_id % 10 = 7 THEN 404 ELSE 200 END AS BIGINT) AS http_status,
+               'text/html; charset=utf-8' AS http_content_type,
+               CAST(strlen(html) AS BIGINT) AS body_len,
+               md5(html) AS body_md5
+        FROM h
+        ORDER BY doc_id"""))
+  ,
+
+    // End-to-end crawl ingest — the composition a 100 TB pipeline runs as
+    // ONE job: archive scan -> HTTP parse -> status gate (404s drop out,
+    // ~10% of the fixture) -> HTML-to-text kernel -> token stats ->
+    // quality bound. Everything stays in the scan stage (binaryFile task
+    // per segment, narrow flatMaps, codegen'd HTML kernel) until the
+    // fixture-scale final sort; the oracle replays the whole composition
+    // from the documents table in closed form, so the hash pins every
+    // stage boundary (status routing, tag stripping, whitespace collapse,
+    // tokenization) at once.
+    Q("q_crawl_pipeline",
+      (s, dir) => {
+        val recs = graft.sources.WarcSource.records(s, synthWarc(s, dir))
+        val ok = graft.sources.WarcSource.httpResponses(recs)
+          .where(col("http_status") === 200)
+        ok.select(
+            regexp_extract(col("target_uri"), "page/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            graft.sources.DirectoryCorpus.htmlToTextFast(
+              col("body").cast("string")).as("text"))
+          .withColumn("n_tokens",
+            size(split(trim(col("text")), "\\s+")).cast("long"))
+          .withColumn("keep", col("n_tokens") >= 25)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH src AS (
+          SELECT doc_id,
+                 'doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+                 trim(regexp_replace(regexp_replace(text, '[ \t]+', ' ', 'g'),
+                                     '\s*\n\s*', chr(10), 'g')) AS text
+          FROM documents
+          WHERE doc_id % 10 <> 7)
+        SELECT doc_id, text,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               (len(string_split_regex(trim(text), '\s+')) >= 25) AS keep
+        FROM src
+        ORDER BY doc_id""")),
+
+    // URL canonicalization (ops/UrlOps) — the crawl-frontier/dedup key
+    // maker. Each doc gets a formula-built MESSY url (mixed-case scheme
+    // and host, default and non-default ports, slash runs, trailing
+    // slash, utm_ tracking params, unsorted query, fragment); the
+    // canonical form collapses doc_id residue classes so n_dupes > 1
+    // groups emerge — the URL-keyed dedup story, with the whole rule set
+    // (incl. scheme-conditional port stripping: http:443 KEPT, https:443
+    // stripped) under the hash. Narrow except the one canonical-keyed
+    // window — exactly the shuffle a URL-keyed dedup pays at scale.
+    Q("q_url_canonical",
+      (s, dir) => {
+        val urls = tk(s, dir, "documents")
+          .selectExpr("doc_id", s"${messyUrlExpr(Dialect.spark)} AS url")
+        graft.ops.UrlOps.canonicalize(urls, "url")
+          .selectExpr("doc_id", "url", "canonical",
+            "CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT) AS n_dupes")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH u AS (SELECT doc_id, ${messyUrlExpr(D)} AS url FROM documents),
+        c AS (SELECT doc_id, url,
+                     ${graft.ops.UrlOps.canonicalExpr(D, "url")} AS canonical
+              FROM u)
+        SELECT doc_id, url, canonical,
+               CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT) AS n_dupes
+        FROM c
+        ORDER BY doc_id""")),
+
+    // robots.txt parsing (ops/Robots, RFC 9309): the robots BODY is
+    // synthesized per host from a residue formula (case-varied field
+    // names, inline comments, unknown directives, consecutive User-agent
+    // lines sharing a group, empty rule values); Spark PARSES the text
+    // with the real line machine while the oracle regenerates the
+    // expected rule set directly from the same formula — any parser
+    // defect (group attribution, comment stripping, case folding, empty
+    // rules) breaks the hash. Parse is a narrow per-host kernel; rule
+    // cardinality is per-host-bounded, never corpus-bounded.
+    Q("q_robots_parse",
+      (s, dir) => {
+        val robots = synthRobots(tk(s, dir, "documents"))
+        graft.ops.Robots.parseRules(robots, "host", "txt")
+          .orderBy("host", "agent", "pattern", "allow")
+      },
+      Some(s"""
+        ${robotsRulesSql}
+        SELECT host, agent, allow, pattern, patlen FROM rules
+        ORDER BY host, agent, pattern, allow""")),
+
+    // Crawl-frontier politeness gate: parse + group selection (a host's
+    // agent-specific group REPLACES '*', so graftbot hosts allow the
+    // '*'-disallowed /private paths) + longest-pattern-wins matching with
+    // Allow beating Disallow at equal length, '$' end anchors and '*'
+    // wildcards both ways. The frontier path formula spans every residue
+    // class; the oracle replays matching with a generic pattern->LIKE
+    // rewrite over the formula-derived rules. Plan: rules broadcast,
+    // frontier host-equi-join with residual LIKE, winner window
+    // partitioned on the URL id only — the 100 TB side never shuffles
+    // except that per-URL window.
+    Q("q_robots_filter",
+      (s, dir) => {
+        val docs = tk(s, dir, "documents")
+        val rules = graft.ops.Robots.parseRules(synthRobots(docs), "host", "txt")
+        val urls = docs.selectExpr("doc_id",
+          s"'h' || ${Dialect.spark.castStr("doc_id % 41")} AS host",
+          s"${robotsPathExpr(Dialect.spark)} AS path")
+        graft.ops.Robots.filterFrontier(urls, rules, "GraftBot",
+            "doc_id", "host", "path")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        ${robotsRulesSql}
+        , eff AS (
+          SELECT r.host, r.allow, r.pattern, r.patlen,
+                 CASE WHEN r.pattern LIKE '%$$'
+                      THEN replace(substr(r.pattern, 1, length(r.pattern) - 1), '*', '%')
+                      ELSE replace(r.pattern, '*', '%') || '%' END AS like_pat
+          FROM rules r
+          JOIN (SELECT host,
+                       max(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END) AS hasg
+                FROM rules GROUP BY host) s ON s.host = r.host
+          WHERE (r.agent = 'graftbot' AND s.hasg = 1)
+             OR (r.agent = '*' AND s.hasg = 0)),
+        urls AS (
+          SELECT doc_id, 'h' || ${D.castStr("doc_id % 41")} AS host,
+                 ${robotsPathExpr(D)} AS path
+          FROM documents),
+        m AS (
+          SELECT u.doc_id, r.allow, r.pattern,
+                 row_number() OVER (PARTITION BY u.doc_id
+                   ORDER BY r.patlen DESC, r.allow DESC, r.pattern) AS rn
+          FROM urls u JOIN eff r ON r.host = u.host AND u.path LIKE r.like_pat)
+        SELECT u.doc_id, u.host, u.path,
+               coalesce(m.allow, true) AS allowed, m.pattern AS rule
+        FROM urls u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rn = 1
+        ORDER BY u.doc_id""")),
+
+    // Politeness scheduler — the stage AFTER the robots gate: parse
+    // Crawl-delay with the same group machine (agent-specific beats '*',
+    // h%11==7 hosts declare none -> default), then per-host rank windows
+    // assign fetch slots (rank-1)*delay and 60s batch waves. The oracle
+    // regenerates delays from the residue formula and replays the window
+    // — group selection, delay parsing, and slot arithmetic all under
+    // the hash. Delays broadcast; the frontier shuffles once into the
+    // host window.
+    Q("q_frontier_schedule",
+      (s, dir) => {
+        val docs = tk(s, dir, "documents")
+        val delays = graft.ops.Robots.parseCrawlDelays(
+          synthRobots(docs), "host", "txt")
+        val urls = docs.selectExpr("doc_id",
+          s"'h' || ${Dialect.spark.castStr("doc_id % 41")} AS host")
+        graft.ops.Robots.scheduleFrontier(urls, delays, "GraftBot",
+            "doc_id", "host", 5000L, 60000L)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH urls AS (
+          SELECT doc_id, doc_id % 41 AS h,
+                 'h' || ${D.castStr("doc_id % 41")} AS host
+          FROM documents),
+        d AS (
+          SELECT doc_id, host,
+                 CAST(CASE WHEN h % 3 = 0 THEN (h % 4 + 1) * 1000
+                           WHEN h % 11 <> 7 THEN (2 + h % 3) * 1000
+                           ELSE 5000 END AS BIGINT) AS delay_ms
+          FROM urls),
+        r AS (
+          SELECT doc_id, host, delay_ms,
+                 CAST((row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1)
+                      * delay_ms AS BIGINT) AS fetch_slot_ms
+          FROM d)
+        SELECT doc_id, host, delay_ms, fetch_slot_ms,
+               CAST(fetch_slot_ms // 60000 AS BIGINT) AS batch_no
+        FROM r
+        ORDER BY doc_id""")),
+
+    // Politeness-stack capstone: messy frontier URL -> canonicalize
+    // (uppercase host, default :443, utm noise, fragment) -> host/path
+    // split -> robots gate (group selection + longest-match) ->
+    // crawl-delay schedule for the ALLOWED rows, composed as ONE
+    // declarative job. The oracle replays every stage: the shared
+    // canonical formula, the rules CTE, the winner window, the delay
+    // formula, and the per-host rank window — a defect at any stage
+    // boundary (wrong host case, unstripped port, wrong group, wrong
+    // slot) breaks the hash. Disallowed rows keep null schedule
+    // columns.
+    Q("q_frontier_pipeline",
+      (s, dir) => {
+        val dls = Dialect.spark
+        val docs = tk(s, dir, "documents")
+        val messy = s"'https://H' || ${dls.castStr("doc_id % 41")} || ':443' || " +
+          s"${robotsPathExpr(dls)} || '?utm_source=x&b=' || ${dls.castStr("doc_id % 7")} || '#frag'"
+        val urls = graft.ops.UrlOps.canonicalize(
+            docs.selectExpr("doc_id", s"$messy AS url"), "url")
+          .selectExpr("doc_id",
+            "regexp_extract(canonical, '^[^:]+://([^/?#]*)', 1) AS host",
+            "regexp_extract(canonical, '^[^:]+://[^/?#]*([^?#]*)', 1) AS path")
+        val robots = synthRobots(docs)
+        val rules = graft.ops.Robots.parseRules(robots, "host", "txt")
+        val filtered = graft.ops.Robots.filterFrontier(
+          urls, rules, "GraftBot", "doc_id", "host", "path")
+        val delays = graft.ops.Robots.parseCrawlDelays(robots, "host", "txt")
+        val sched = graft.ops.Robots.scheduleFrontier(
+          filtered.where(col("allowed")).select("doc_id", "host"),
+          delays, "GraftBot", "doc_id", "host", 5000L, 60000L)
+        filtered.join(
+            sched.select(col("doc_id"), col("delay_ms"),
+              col("fetch_slot_ms"), col("batch_no")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("host"), col("path"), col("allowed"),
+            col("rule"), col("delay_ms"), col("fetch_slot_ms"), col("batch_no"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        ${robotsRulesSql}
+        , eff AS (
+          SELECT r.host, r.allow, r.pattern, r.patlen,
+                 CASE WHEN r.pattern LIKE '%$$'
+                      THEN replace(substr(r.pattern, 1, length(r.pattern) - 1), '*', '%')
+                      ELSE replace(r.pattern, '*', '%') || '%' END AS like_pat
+          FROM rules r
+          JOIN (SELECT host,
+                       max(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END) AS hasg
+                FROM rules GROUP BY host) s ON s.host = r.host
+          WHERE (r.agent = 'graftbot' AND s.hasg = 1)
+             OR (r.agent = '*' AND s.hasg = 0)),
+        messy AS (
+          SELECT doc_id,
+                 'https://H' || ${D.castStr("doc_id % 41")} || ':443' ||
+                 ${robotsPathExpr(D)} || '?utm_source=x&b=' || ${D.castStr("doc_id % 7")} || '#frag' AS url
+          FROM documents),
+        canon AS (SELECT doc_id, ${graft.ops.UrlOps.canonicalExpr(D, "url")} AS canonical
+                  FROM messy),
+        urls AS (
+          SELECT doc_id, canonical,
+                 regexp_extract(canonical, '^[^:]+://([^/?#]*)', 1) AS host,
+                 regexp_extract(canonical, '^[^:]+://[^/?#]*([^?#]*)', 1) AS path
+          FROM canon),
+        m AS (
+          SELECT u.doc_id, r.allow, r.pattern,
+                 row_number() OVER (PARTITION BY u.doc_id
+                   ORDER BY r.patlen DESC, r.allow DESC, r.pattern) AS rn
+          FROM urls u JOIN eff r ON r.host = u.host AND u.path LIKE r.like_pat),
+        f AS (
+          SELECT u.doc_id, u.host, u.path,
+                 coalesce(m.allow, true) AS allowed, m.pattern AS rule
+          FROM urls u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rn = 1),
+        dly AS (
+          SELECT f.doc_id, f.host,
+                 CAST(CASE WHEN (doc_id % 41) % 3 = 0 THEN ((doc_id % 41) % 4 + 1) * 1000
+                           WHEN (doc_id % 41) % 11 <> 7 THEN (2 + (doc_id % 41) % 3) * 1000
+                           ELSE 5000 END AS BIGINT) AS delay_ms
+          FROM f WHERE f.allowed),
+        sched AS (
+          SELECT doc_id, host, delay_ms,
+                 CAST((row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1)
+                      * delay_ms AS BIGINT) AS fetch_slot_ms
+          FROM dly)
+        SELECT f.doc_id, f.host, f.path, f.allowed, f.rule,
+               s.delay_ms, s.fetch_slot_ms,
+               CAST(s.fetch_slot_ms // 60000 AS BIGINT) AS batch_no
+        FROM f LEFT JOIN sched s ON s.doc_id = f.doc_id
+        ORDER BY f.doc_id""")),
+
+    // Sitemap XML scan — the crawl-DISCOVERY feed (robots points at
+    // sitemaps, their <loc>s seed the frontier the robots gate filters).
+    // Pure codegen regexp kernel: <url> block split + field extracts +
+    // entity unescape (the escaped &amp; in every query string MUST
+    // decode). Absent <lastmod> tags (doc_id%6=0) yield ''. Oracle
+    // replays every field from the residue formulas.
+    Q("q_sitemap_urls",
+      (s, dir) => {
+        val maps = synthSitemaps(tk(s, dir, "documents"))
+        graft.sources.Sitemap.urls(maps, "xml")
+          .select(col("loc"), col("lastmod"), col("priority"))
+          .orderBy("loc")
+      },
+      Some("""
+        SELECT 'https://h' || CAST(doc_id % 41 AS VARCHAR) || '.example/page/' ||
+                 CAST(doc_id AS VARCHAR) || '?a=1&b=' || CAST(doc_id % 7 AS VARCHAR) AS loc,
+               CASE WHEN doc_id % 6 = 0 THEN ''
+                    ELSE '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') END AS lastmod,
+               '0.' || CAST(doc_id % 10 AS VARCHAR) AS priority
+        FROM documents
+        ORDER BY loc""")),
+
+    // S1/S2/S3/F9 under ONE hash gate: a real on-disk nested directory
+    // (one file per doc, residue-driven extensions) is recursively
+    // scanned, extension-dispatched (html/htm through the HTML kernel,
+    // txt/md passthrough, log DROPPED by required-exts), and the whole
+    // corpus is hash-matched against a closed-form replay from the
+    // documents table — upgrading the directory-source family from
+    // spec-pinned to oracle-gated. The html branch reuses the
+    // q_crawl_pipeline-proven collapse replay. Plan: binaryFile tasks
+    // per file batch, narrow projections, no shuffle before the
+    // fixture-scale final sort.
+    Q("q_dir_corpus",
+      (s, dir) => {
+        val corpus = graft.sources.DirectoryCorpus.readCorpus(s, synthDocsDir(s, dir))
+        corpus.select(
+            regexp_extract(col("path"), "d(\\d+)\\.[a-z]+$", 1)
+              .cast("long").as("doc_id"),
+            col("ext"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH src AS (
+          SELECT doc_id,
+                 CASE doc_id % 5 WHEN 0 THEN 'txt' WHEN 1 THEN 'md'
+                                 WHEN 2 THEN 'html' ELSE 'htm' END AS ext,
+                 CASE WHEN doc_id % 5 IN (2, 4)
+                      THEN 'doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+                           trim(regexp_replace(regexp_replace(text, '[ \t]+', ' ', 'g'),
+                                               '\s*\n\s*', chr(10), 'g'))
+                      ELSE 'doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text END AS text
+          FROM documents WHERE doc_id % 5 <> 3)
+        SELECT doc_id, ext, text FROM src ORDER BY doc_id"""))
+  )
+}

@@ -529,4 +529,57 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"),
       s"watermark stats must stay map-only:\n$plan")
   }
+
+  test("best-of-n ranked stage: ONE keyed exchange shared by rank/count/sum, never SinglePartition") {
+    // at 100 TB the selection is one shuffle on the prompt key — the
+    // three window functions must share it, and nothing may funnel the
+    // corpus through a single partition
+    val SP = graft.sqlgen.Dialect.spark
+    val tag = System.nanoTime()
+    val evs = Seq((1L, "T", 1L, 10.0), (1L, "T", 2L, 30.0), (2L, "U", 3L, 5.0))
+      .toDF("user_id", "event_type", "event_id", "value")
+    val v = s"plan_bofn_$tag"
+    evs.createOrReplaceTempView(v)
+    val plan = formatted(spark.sql(graft.ops.Preference.bestOfNRankedSql(
+      SP, v, "user_id", "event_type", "event_id", "value", 450.0)))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"best-of-n must not single-partition the corpus:\n$plan")
+    val hashes = hashExchangeArgs(plan)
+    assert(hashes.length == 1 && hashes.head.contains("user_id"),
+      s"rank/count/sum must share ONE prompt-keyed exchange:\n$plan")
+  }
+
+  test("DPO contest grain: window + count-grain agg only; no single-partition funnel") {
+    // the corpus-sized work is the lead() window (keyed on the user) and
+    // the immediate collapse to (ctx, chosen, rejected) counts — two
+    // keyed exchanges, map-side combined, and nothing SinglePartition
+    val SP = graft.sqlgen.Dialect.spark
+    val tag = System.nanoTime()
+    val evs = Seq((1L, 1L, 1L, "A", 9.0), (1L, 2L, 2L, "B", 1.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val v = s"plan_dpo_$tag"
+    evs.createOrReplaceTempView(v)
+    val plan = formatted(spark.sql(graft.ops.Preference.dpoPairCountsSql(SP,
+      s"(${graft.ops.Preference.comparisonsCtxSql(SP, v, "user_id", "ts",
+        "event_id", "event_type", "value")}) c__")))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"contest derivation must stay keyed:\n$plan")
+    assert(hashExchangeArgs(plan).length <= 2,
+      s"expected only the window + count-grain exchanges:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"the count grain must combine map-side:\n$plan")
+  }
+
+  test("BLEU pair stats: successor join stays id-keyed, payload never single-partitions") {
+    val SP = graft.sqlgen.Dialect.spark
+    val tag = System.nanoTime()
+    val docs = Seq((0L, "a b c"), (1L, "a b c d")).toDF("doc_id", "text")
+    val v = s"plan_bleu_$tag"
+    docs.createOrReplaceTempView(v)
+    val plan = formatted(spark.sql(graft.ops.PairQuality.pairStatsSql(SP, v)))
+    assert(!plan.contains("CartesianProduct"),
+      s"pairing must be an equi-join on doc_id:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"stats stage must stay parallel:\n$plan")
+  }
 }
