@@ -295,6 +295,43 @@ private[graft] trait CatalogPreference extends CatalogCore {
             ${PairQuality.scoresSql(D, "st")}"""
         }),
 
+      // Reward-model calibration audit (Guo et al. 2017's ECE in the
+      // pairwise setting): for every observed unordered contest pair,
+      // predicted win prob θi/(θi+θj) vs the empirical w/n, the |gap|,
+      // and the count-weighted expected calibration error — the check
+      // that fitted strengths actually PREDICT contests before they gate
+      // training data. Raw unsmoothed counts; DECIMAL-exact weighted ECE;
+      // everything after the counts derivation is |types|²-sized.
+      Q("q_rm_calibration",
+        (s, dir) => {
+          import graft.ops.Preference
+          val tag = System.nanoTime()
+          val evView = s"graft_cal_events_$tag"
+          tEvents(s, dir).createOrReplaceTempView(evView)
+          val cV = s"graft_cal_counts_$tag"
+          s.sql(
+            s"""SELECT i, j, CAST(count(*) AS BIGINT) AS w FROM (
+                ${Preference.comparisonsSql(SP, evView, "user_id", "ts",
+                  "event_id", "event_type", "value")}) c__
+                GROUP BY i, j""")
+            .localCheckpoint(true).createOrReplaceTempView(cV)
+          val btV = s"graft_cal_bt_$tag"
+          btFromCounts(s, s.table(cV), iters = 5)
+            .localCheckpoint(true).createOrReplaceTempView(btV)
+          s.sql(Preference.btCalibrationSql(SP, cV, btV))
+        },
+        Some {
+          import graft.ops.Preference
+          s"""WITH cmp ${D.cteAs} (${Preference.comparisonsSql(D, "events",
+                "user_id", "ts", "event_id", "event_type", "value")}),
+            counts ${D.cteAs} (SELECT i, j, CAST(count(*) AS BIGINT) AS w
+                               FROM cmp GROUP BY i, j),
+            bt AS (${Preference.bradleyTerryFromCountsSql(D,
+              "SELECT i, j, w FROM counts", iters = 5)}),
+            cal AS (${Preference.btCalibrationSql(D, "counts", "bt")})
+            SELECT * FROM cal ORDER BY i, j"""
+        }),
+
       // Cohen's kappa inter-annotator agreement between two deterministic
       // binary raters (length gate vs stopword-density gate, the density
       // compared by integer cross-multiplication) — the label-quality

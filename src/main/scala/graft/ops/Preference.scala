@@ -183,6 +183,51 @@ object Preference {
     sb.toString
   }
 
+  /** Reward-model calibration audit over the fitted Bradley-Terry
+    * strengths: for every observed UNORDERED contest pair, the model's
+    * predicted win probability p̂ᵢⱼ = θᵢ/(θᵢ+θⱼ) sits next to the
+    * empirical rate wᵢⱼ/nᵢⱼ, with the |p̂−p| gap and the count-weighted
+    * expected calibration error attached to every row — the standard
+    * check that strengths fitted on contests actually PREDICT contests
+    * before those strengths gate training data (Guo et al. 2017's ECE,
+    * specialized to the pairwise-preference setting).
+    *
+    * Exactness: counts are raw (UNsmoothed) BIGINTs; p̂/p/|gap| are each
+    * round-6 at the boundary, so the weighted ECE can accumulate as
+    * DECIMAL(18,6)·n — exact integer math, order-independent — and
+    * convert once via [[Dialect.decToDouble]]. Scale: everything here is
+    * |types|²-sized; the corpus was consumed by the counts derivation.
+    * `countsRel` = (i, j, w) ordered-pair wins; `btRel` = (event_type,
+    * wins, strength). */
+  def btCalibrationSql(dl: Dialect, countsRel: String, btRel: String): String =
+    s"""WITH pr__ ${dl.cteAs} (
+          SELECT c1.i, c1.j, CAST(c1.w AS BIGINT) AS w,
+                 CAST(c1.w + coalesce(c2.w, 0) AS BIGINT) AS n
+          FROM $countsRel c1 LEFT JOIN $countsRel c2
+            ON c2.i = c1.j AND c2.j = c1.i
+          WHERE c1.i < c1.j OR c2.i IS NULL),
+        cal__ ${dl.cteAs} (
+          SELECT p.i, p.j, p.w, p.n,
+                 ${r6s(dl, "ti.th / (ti.th + tj.th)")} AS p_hat,
+                 ${r6s(dl, "CAST(p.w AS DOUBLE) / CAST(p.n AS DOUBLE)")} AS p_emp
+          FROM pr__ p
+          JOIN (SELECT event_type AS i, strength AS th FROM $btRel) ti
+            ON ti.i = p.i
+          JOIN (SELECT event_type AS i, strength AS th FROM $btRel) tj
+            ON tj.i = p.j),
+        gap__ ${dl.cteAs} (
+          SELECT i, j, w, n, p_hat, p_emp,
+                 ${r6s(dl, "abs(p_hat - p_emp)")} AS abs_err
+          FROM cal__),
+        ece__ ${dl.cteAs} (
+          SELECT ${r6s(dl, s"${dl.decToDouble(
+            "sum(CAST(abs_err AS DECIMAL(18,6)) * n)")} / CAST(sum(n) AS DOUBLE)")}
+            AS ece
+          FROM gap__)
+        SELECT g.i, g.j, g.w, g.n, g.p_hat, g.p_emp, g.abs_err, e.ece
+        FROM gap__ g CROSS JOIN ece__ e
+        ORDER BY g.i, g.j"""
+
   /** Best-of-n / rejection-sampling selection, stage 1 (Touvron et al.
     * 2023's Llama-2 RLHF data loop; Nakano et al. 2021 WebGPT): per
     * prompt — here a (user, event_type) group — pick the single

@@ -130,6 +130,45 @@ class PreferenceSpec extends AnyFunSuite {
     assert(pairs(1).getDouble(4) == thA - thC)
   }
 
+  test("RM calibration: unordered pairs, hand-checked p_hat/p_emp/ECE") {
+    // counts: A beats B 3x, B beats A 1x -> one unordered pair (A,B):
+    // w=3, n=4, p_emp=.75; 1-iter BT gives thA=2/3, thB=1/3 ->
+    // p_hat = r6(2/3) = .666667; abs_err = .083333; ece = same (one pair)
+    val tag = System.nanoTime()
+    val cV = s"pref_cal_c_$tag"
+    Seq(("A", "B", 3L), ("B", "A", 1L)).toDF("i", "j", "w")
+      .localCheckpoint(true).createOrReplaceTempView(cV)
+    val bt = runBt(Seq(("A", "B", 3L), ("B", "A", 1L)), iters = 1)
+    val btV = s"pref_cal_bt_$tag"
+    bt.toSeq.map { case (t, (w, th)) => (t, w, th) }
+      .toDF("event_type", "wins", "strength")
+      .localCheckpoint(true).createOrReplaceTempView(btV)
+    val out = spark.sql(Preference.btCalibrationSql(SP, cV, btV)).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getString(0) == "A" && r.getString(1) == "B")
+    assert(r.getLong(2) == 3L && r.getLong(3) == 4L)
+    assert(math.abs(r.getDouble(4) - 0.666667) < 1e-9, s"p_hat=${r.getDouble(4)}")
+    assert(r.getDouble(5) == 0.75)
+    assert(math.abs(r.getDouble(6) - 0.083333) < 1e-9)
+    assert(r.getDouble(7) == r.getDouble(6)) // single pair: ece == abs_err
+  }
+
+  test("RM calibration: a one-sided pair (no reverse contests) still appears") {
+    val tag = System.nanoTime()
+    val cV = s"pref_cal1_c_$tag"
+    Seq(("X", "Y", 2L)).toDF("i", "j", "w")
+      .localCheckpoint(true).createOrReplaceTempView(cV)
+    val bt = runBt(Seq(("X", "Y", 2L)), iters = 1)
+    val btV = s"pref_cal1_bt_$tag"
+    bt.toSeq.map { case (t, (w, th)) => (t, w, th) }
+      .toDF("event_type", "wins", "strength")
+      .localCheckpoint(true).createOrReplaceTempView(btV)
+    val out = spark.sql(Preference.btCalibrationSql(SP, cV, btV)).collect()
+    assert(out.length == 1 && out(0).getLong(3) == 2L &&
+      out(0).getDouble(5) == 1.0) // w=n=2: empirical rate 1
+  }
+
   test("best-of-n: argmax tie-break, exact gain, kept flag and fraction") {
     val tag = System.nanoTime()
     // prompt (1, T): scores 10, 30, 30 -> tie at 30 breaks to LOWER
