@@ -295,6 +295,35 @@ private[graft] trait CatalogPreference extends CatalogCore {
             ${PairQuality.scoresSql(D, "st")}"""
         }),
 
+      // KTO binary-signal conversion (Ethayarajh et al. 2024): unpaired
+      // (context, completion, desirable?) training examples with exact
+      // integer weights from per-context net wins over the SAME contest
+      // grain q_dpo_pairs mines — the alternative alignment-data format
+      // when paired preferences are too expensive. Ties carry no signal
+      // and drop. Zero doubles in the compared contract; two dim-sized
+      // GROUP BYs + one FULL OUTER join after the one corpus pass.
+      Q("q_kto_labels",
+        (s, dir) => {
+          import graft.ops.Preference
+          val tag = System.nanoTime()
+          val evView = s"graft_kto_events_$tag"
+          tEvents(s, dir).createOrReplaceTempView(evView)
+          val pcV = s"graft_kto_pc_$tag"
+          s.sql(Preference.dpoPairCountsSql(SP,
+              s"(${Preference.comparisonsCtxSql(SP, evView, "user_id", "ts",
+                "event_id", "event_type", "value")}) cmpc__"))
+            .localCheckpoint(true).createOrReplaceTempView(pcV)
+          s.sql(Preference.ktoLabelsSql(SP, pcV))
+        },
+        Some {
+          import graft.ops.Preference
+          s"""WITH cmpc ${D.cteAs} (${Preference.comparisonsCtxSql(D,
+                "events", "user_id", "ts", "event_id", "event_type", "value")}),
+            pc ${D.cteAs} (${Preference.dpoPairCountsSql(D, "cmpc")}),
+            kto AS (${Preference.ktoLabelsSql(D, "pc")})
+            SELECT * FROM kto ORDER BY context, completion"""
+        }),
+
       // Reward-model calibration audit (Guo et al. 2017's ECE in the
       // pairwise setting): for every observed unordered contest pair,
       // predicted win prob θi/(θi+θj) vs the empirical w/n, the |gap|,

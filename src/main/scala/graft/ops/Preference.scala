@@ -183,6 +183,38 @@ object Preference {
     sb.toString
   }
 
+  /** KTO-style binary-signal conversion (Ethayarajh et al. 2024's data
+    * contract: unpaired (context, completion, desirable?) examples with
+    * weights, for when paired preferences are too expensive): per
+    * (context, completion), net wins = Σ wins-as-chosen − Σ wins-as-
+    * rejected over the [[dpoPairCountsSql]] grain; net > 0 is desirable,
+    * net < 0 undesirable, exact ties drop (no signal). Weight = |net| —
+    * all exact BIGINTs, no doubles anywhere in the contract.
+    *
+    * Scale: two GROUP BYs and a FULL OUTER join over the |ctx|·k² count
+    * grain — the corpus was consumed upstream deriving that grain. */
+  def ktoLabelsSql(dl: Dialect, pairCountsRel: String): String =
+    s"""WITH w__ ${dl.cteAs} (
+          SELECT ctx, chosen AS t, CAST(sum(n_wins) AS BIGINT) AS w
+          FROM $pairCountsRel GROUP BY ctx, chosen),
+        l__ ${dl.cteAs} (
+          SELECT ctx, rejected AS t, CAST(sum(n_wins) AS BIGINT) AS l
+          FROM $pairCountsRel GROUP BY ctx, rejected),
+        j__ ${dl.cteAs} (
+          SELECT coalesce(w__.ctx, l__.ctx) AS context,
+                 coalesce(w__.t, l__.t) AS completion,
+                 CAST(coalesce(w, 0) AS BIGINT) AS n_wins,
+                 CAST(coalesce(l, 0) AS BIGINT) AS n_losses
+          FROM w__ FULL OUTER JOIN l__
+            ON l__.ctx = w__.ctx AND l__.t = w__.t)
+        SELECT context, completion, n_wins, n_losses,
+               CASE WHEN n_wins > n_losses THEN 'desirable'
+                    ELSE 'undesirable' END AS label,
+               CAST(abs(n_wins - n_losses) AS BIGINT) AS weight
+        FROM j__
+        WHERE n_wins <> n_losses
+        ORDER BY context, completion"""
+
   /** Reward-model calibration audit over the fitted Bradley-Terry
     * strengths: for every observed UNORDERED contest pair, the model's
     * predicted win probability p̂ᵢⱼ = θᵢ/(θᵢ+θⱼ) sits next to the

@@ -130,6 +130,27 @@ class PreferenceSpec extends AnyFunSuite {
     assert(pairs(1).getDouble(4) == thA - thC)
   }
 
+  test("KTO labels: net wins, tie drop, exact weights") {
+    // ctx 1: A beat B 2x, B beat A 1x, A beat C 1x
+    //   A: wins 3, losses 1 -> desirable weight 2
+    //   B: wins 1, losses 2 -> undesirable weight 1
+    //   C: wins 0, losses 1 -> undesirable weight 1
+    // ctx 2: X beat Y 1x, Y beat X 1x -> both tie, both drop
+    val tag = System.nanoTime()
+    val pcV = s"pref_kto_pc_$tag"
+    Seq((1L, "A", "B", 2L), (1L, "B", "A", 1L), (1L, "A", "C", 1L),
+        (2L, "X", "Y", 1L), (2L, "Y", "X", 1L))
+      .toDF("ctx", "chosen", "rejected", "n_wins")
+      .localCheckpoint(true).createOrReplaceTempView(pcV)
+    val out = spark.sql(Preference.ktoLabelsSql(SP, pcV)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5))).toSeq
+    assert(out == Seq(
+      (1L, "A", 3L, 1L, "desirable", 2L),
+      (1L, "B", 1L, 2L, "undesirable", 1L),
+      (1L, "C", 0L, 1L, "undesirable", 1L)), out.toString)
+  }
+
   test("RM calibration: unordered pairs, hand-checked p_hat/p_emp/ECE") {
     // counts: A beats B 3x, B beats A 1x -> one unordered pair (A,B):
     // w=3, n=4, p_emp=.75; 1-iter BT gives thA=2/3, thB=1/3 ->
