@@ -426,7 +426,13 @@ object Bench {
           // hover near 1 (fixed cost), direct evidence the iteration
           // cost is corpus-independent
           "q_watermark_detect", "q_ctfidf_topics", "q_cohen_kappa",
-          "q_bradley_terry", "q_data_cartography")
+          "q_bradley_terry", "q_data_cartography",
+          // r13-new operators: dpo/kto/calibration are one corpus window
+          // + dim-sized grains (expect ~linear window, flat tail),
+          // best_of_n is one keyed window, bleu is a per-row gram kernel
+          // over an id-keyed successor join
+          "q_dpo_pairs", "q_best_of_n", "q_bleu_pairs",
+          "q_rm_calibration", "q_kto_labels")
         val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
         def timed(fn: String => Unit, dir: String, name: String,
                   baseT: Double): Double = {
