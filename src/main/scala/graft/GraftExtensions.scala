@@ -51,5 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("embed_text", "embed_text(text, dim) - deterministic hashing embedding, L2-normalized ARRAY<DOUBLE>"),
       (es: Seq[Expression]) => graft.functions.EmbedText(es(0),
         es(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("clip_overlap"),
+      info("clip_overlap", "clip_overlap(a, b) - clipped multiset n-gram overlap of two ARRAY<STRING> (BLEU/chrF match count)"),
+      (es: Seq[Expression]) => graft.functions.ClipOverlapCount(es(0), es(1))))
   }
 }

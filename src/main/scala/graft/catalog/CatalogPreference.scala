@@ -281,6 +281,9 @@ private[graft] trait CatalogPreference extends CatalogCore {
       Q("q_bleu_pairs",
         (s, dir) => {
           import graft.ops.PairQuality
+          // the Spark dialect renders clip counts as the native O(n)
+          // clip_overlap kernel — register the SQL-callable form
+          graft.functions.VectorNative.register(s)
           val tag = System.nanoTime()
           val docsV = s"graft_bleu_docs_$tag"
           t(s, dir, "documents").createOrReplaceTempView(docsV)

@@ -200,3 +200,60 @@ case class EuclideanDistance(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Shared kernel for [[ClipOverlapCount]] — also the reference the spec
+  * checks the HOF dialect form against. */
+object GramKernels {
+  /** Clipped multiset-intersection size Σ_g min(count_a(g), count_b(g))
+    * of two string arrays — BLEU's modified-precision numerator and the
+    * chrF match count. Hash-count both sides: O(|a| + |b|), replacing the
+    * O(distinct · len) nested-lambda HOF form on the engine hot path
+    * (bit-identical by construction: exact integer counts either way;
+    * the DuckDB oracle keeps the HOF rendering). */
+  def clipOverlap(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 || nb == 0) return 0L
+    // counts(0) = occurrences in a; counts(1) = matches consumed by b
+    val m = new java.util.HashMap[Any, Array[Int]](na * 2)
+    var i = 0
+    while (i < na) {
+      val k = a.getUTF8String(i)
+      val e = m.get(k)
+      if (e == null) m.put(k, Array(1, 0)) else e(0) += 1
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < nb) {
+      val e = m.get(b.getUTF8String(j))
+      if (e != null && e(1) < e(0)) { e(1) += 1; out += 1L }
+      j += 1
+    }
+    out
+  }
+}
+
+/** Clipped n-gram overlap of two ARRAY<STRING> columns as a native
+  * expression — keeps the BLEU/chrF match counting inside whole-stage
+  * codegen at O(n) per row (the pure-SQL HOF form is quadratic in the
+  * gram count and forces CodegenFallback lambdas). SQL-callable as
+  * `clip_overlap(a, b)` after [[VectorNative.register]] /
+  * [[graft.GraftExtensions]]. */
+case class ClipOverlapCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GramKernels.clipOverlap(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"${ev.value} = graft.functions.GramKernels.clipOverlap($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -71,6 +71,8 @@ object VectorNative {
     reg.createOrReplaceTempFunction("embed_text",
       es => EmbedText(es(0),
         es(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("clip_overlap",
+      es => ClipOverlapCount(es(0), es(1)), "scala_udf")
   }
 
   def dotNative(a: Column, b: Column): Column =

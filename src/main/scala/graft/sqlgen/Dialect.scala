@@ -209,14 +209,22 @@ final case class Dialect(duck: Boolean) {
     * n-gram precision numerator of BLEU (Papineni et al. 2002) and the
     * chrF match count (Popović 2015). Exact BIGINT from integer counts.
     *
-    * O(|distinct grams| · |array|) lambda work per row: fine for the
-    * sentence/short-document grain this scores (and the char side is
-    * prefix-capped by callers); for book-length texts prefer an
-    * explode → groupBy → join shape instead. IMPORTANT: pass lambda
+    * Spark renders the native hash-count kernel (`clip_overlap`,
+    * O(|a|+|b|) inside whole-stage codegen — sessions must have
+    * [[graft.functions.VectorNative.register]] or GraftExtensions);
+    * DuckDB replays the same integer counts as the quadratic HOF fold
+    * ([[clipOverlapHof]]) — bit-identical by construction, as
+    * GramKernelSpec fuzz-pins. IMPORTANT on the duck side: pass lambda
     * variables (via [[bind1]]) or plain column references as `cg`/`rg` —
     * a derived expression would be re-expanded inside the per-gram
     * lambda by alias substitution (the bind1 lesson). */
   def clipOverlap(cg: String, rg: String): String =
+    if (duck) clipOverlapHof(cg, rg) else s"clip_overlap($cg, $rg)"
+
+  /** The portable HOF rendering of [[clipOverlap]] — the oracle form,
+    * and the cross-check surface for the native kernel. O(distinct·len)
+    * per row. */
+  def clipOverlapHof(cg: String, rg: String): String =
     if (duck)
       s"""(CASE WHEN len($cg) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(
          list_reduce(list_transform(list_distinct($cg),

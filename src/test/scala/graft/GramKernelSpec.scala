@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sqlgen.Dialect
+
+/** The native clip_overlap kernel must be value-identical to the portable
+  * HOF fold the DuckDB oracle replays — exact integers, so equality is
+  * bitwise. Fuzzed over random multisets plus the edge contract. */
+class GramKernelSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+  private val SP = Dialect.spark
+
+  private def both(pairs: Seq[(Seq[String], Seq[String])]): Seq[(Long, Long)] = {
+    graft.functions.VectorNative.register(spark)
+    val tag = System.nanoTime()
+    val v = s"gram_fuzz_$tag"
+    pairs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "a", "b").createOrReplaceTempView(v)
+    spark.sql(
+      s"""SELECT ${SP.clipOverlap("a", "b")} AS native,
+                 ${SP.clipOverlapHof("a", "b")} AS hof
+          FROM $v ORDER BY id""").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
+
+  test("edge contract: empty sides, disjoint, identical, full containment") {
+    val cases = Seq(
+      (Seq.empty[String], Seq("a")),
+      (Seq("a"), Seq.empty[String]),
+      (Seq("a", "b"), Seq("c", "d")),
+      (Seq("a", "b", "a"), Seq("a", "b", "a")),
+      (Seq("a", "a", "a"), Seq("a")),          // clip at ref count 1
+      (Seq("a"), Seq("a", "a", "a")))          // clip at cand count 1
+    val out = both(cases)
+    assert(out.map(_._1) == Seq(0L, 0L, 0L, 3L, 1L, 1L), out.toString)
+    assert(out.forall { case (n, h) => n == h }, out.toString)
+  }
+
+  test("fuzz: native == HOF on 200 random multiset pairs") {
+    val rnd = new scala.util.Random(13)
+    val cases = (0 until 200).map { _ =>
+      def arr() = Seq.fill(rnd.nextInt(30))(s"g${rnd.nextInt(8)}")
+      (arr(), arr())
+    }
+    val out = both(cases)
+    assert(out.forall { case (n, h) => n == h },
+      out.zipWithIndex.filter { case ((n, h), _) => n != h }.take(3).toString)
+  }
+}

@@ -11,6 +11,7 @@ class PairQualitySpec extends AnyFunSuite {
   private val SP = Dialect.spark
 
   private def run(docs: Seq[(Long, String)]): Map[Long, org.apache.spark.sql.Row] = {
+    graft.functions.VectorNative.register(spark)
     val tag = System.nanoTime()
     val docsV = s"pq_docs_$tag"
     docs.toDF("doc_id", "text").createOrReplaceTempView(docsV)

@@ -572,6 +572,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("BLEU pair stats: successor join stays id-keyed, payload never single-partitions") {
     val SP = graft.sqlgen.Dialect.spark
+    graft.functions.VectorNative.register(spark)
     val tag = System.nanoTime()
     val docs = Seq((0L, "a b c"), (1L, "a b c d")).toDF("doc_id", "text")
     val v = s"plan_bleu_$tag"
