@@ -227,17 +227,64 @@ private[graft] trait CatalogPreference extends CatalogCore {
             .localCheckpoint(true).createOrReplaceTempView(btV)
           s.sql(Preference.dpoPairsSql(SP, pcV, btV))
         },
-        Some {
+        Some(dpoOracle)),
+
+      // 22nd streaming/batch equivalence gate — LIVE DPO pair mining:
+      // contests derive incrementally WITH their context retained
+      // (contestStreamCtx, O(1) per-user state), fed as 4 REAL
+      // micro-batches; the streamed contests collapse to the SAME
+      // (context, chosen, rejected) grain, run the SAME BT steps and
+      // pair projection, and hash-match the SAME oracle as the batch
+      // q_dpo_pairs — alignment pairs mined from a live event stream
+      // equal the batch mining under one hash.
+      Q("q_stream_dpo_eq",
+        (s, dir0) => {
+          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
+          import s.implicits._
           import graft.ops.Preference
-          s"""WITH cmpc ${D.cteAs} (${Preference.comparisonsCtxSql(D,
-                "events", "user_id", "ts", "event_id", "event_type", "value")}),
-            pc ${D.cteAs} (${Preference.dpoPairCountsSql(D, "cmpc")}),
-            bt ${D.cteAs} (${Preference.bradleyTerryFromCountsSql(D,
-              """SELECT chosen AS i, rejected AS j,
-                 CAST(sum(n_wins) AS BIGINT) AS w FROM pc
-                 GROUP BY chosen, rejected""", iters = 5)})
-            ${Preference.dpoPairsSql(D, "pc", "bt")}"""
-        }),
+          import graft.streaming.StreamingPreference
+          import graft.streaming.StreamingPreference.PEvent
+          val ss = streamSession(s)
+          implicit val sqlCtx = ss.sqlContext
+          def tsOf(us: Long) = java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(us / 1000000L,
+              (us % 1000000L) * 1000L))
+          val evs = tEvents(s, dir)
+            .select(col("user_id").cast("long"),
+              expr("ts div 1000").as("tsus"),
+              col("event_id").cast("long"), col("event_type"), col("value"))
+            .as[(Long, Long, Long, String, Double)].collect()
+            .sortBy { case (_, tsus, eid, _, _) => (tsus, eid) }
+            .map { case (u, tsus, eid, t, v) => PEvent(u, tsOf(tsus), eid, t, v) }
+          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[PEvent]
+          val name = s"q_stream_dpo_eq_${System.nanoTime()}"
+          val q = StreamingPreference.contestStreamCtx(in.toDS())
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+          try {
+            evs.grouped(math.max(1, (evs.length + 3) / 4)).foreach { b =>
+              in.addData(b.toSeq); q.processAllAvailable()
+            }
+          } finally {
+            q.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
+          val tag = System.nanoTime()
+          val pcV = s"graft_sdpo_pc_$tag"
+          ss.table(name).groupBy(col("ctx"), col("i").as("chosen"),
+              col("j").as("rejected"))
+            .agg(count(lit(1)).cast("long").as("n_wins"))
+            .toDF("ctx", "chosen", "rejected", "n_wins")
+            .localCheckpoint(true).createOrReplaceTempView(pcV)
+          val btV = s"graft_sdpo_bt_$tag"
+          btFromCounts(ss, ss.sql(
+            s"""SELECT chosen AS i, rejected AS j,
+                  CAST(sum(n_wins) AS BIGINT) AS w FROM $pcV
+                GROUP BY chosen, rejected"""), iters = 5)
+            .localCheckpoint(true).createOrReplaceTempView(btV)
+          ss.sql(Preference.dpoPairsSql(SP, pcV, btV))
+        },
+        Some(dpoOracle)),
 
       // Best-of-n / rejection-sampling selection (the Llama-2 RLHF data
       // loop; WebGPT): per (user, event_type) prompt group, the single
@@ -687,6 +734,20 @@ private[graft] trait CatalogPreference extends CatalogCore {
         },
         Some(ctfidfOracle))
     )
+  }
+
+  /** Shared oracle for q_dpo_pairs and its live twin q_stream_dpo_eq —
+    * one hash for batch-mined and stream-mined alignment pairs. */
+  private lazy val dpoOracle: String = {
+    import graft.ops.Preference
+    s"""WITH cmpc ${D.cteAs} (${Preference.comparisonsCtxSql(D,
+          "events", "user_id", "ts", "event_id", "event_type", "value")}),
+      pc ${D.cteAs} (${Preference.dpoPairCountsSql(D, "cmpc")}),
+      bt ${D.cteAs} (${Preference.bradleyTerryFromCountsSql(D,
+        """SELECT chosen AS i, rejected AS j,
+           CAST(sum(n_wins) AS BIGINT) AS w FROM pc
+           GROUP BY chosen, rejected""", iters = 5)})
+      ${Preference.dpoPairsSql(D, "pc", "bt")}"""
   }
 
   /** Shared oracle for q_ctfidf_topics and its incremental streaming

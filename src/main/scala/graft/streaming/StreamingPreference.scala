@@ -21,25 +21,30 @@ object StreamingPreference {
                           event_type: String, value: Double)
   final case class PState(lastType: String, lastValue: Double)
   final case class Contest(i: String, j: String)
+  final case class CtxContest(ctx: Long, i: String, j: String)
 
   private def us(t: Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
-  def contestStream(events: Dataset[PEvent]): Dataset[Contest] = {
-    implicit val outEnc = Encoders.product[Contest]
+  /** Context-carrying incremental contest derivation — the live input to
+    * DPO-pair mining (each contest row keeps the user it came from, the
+    * grain `Preference.dpoPairCountsSql` groups by). Same O(1)-per-user
+    * state and winner rule as [[contestStream]]. */
+  def contestStreamCtx(events: Dataset[PEvent]): Dataset[CtxContest] = {
+    implicit val outEnc = Encoders.product[CtxContest]
     implicit val longEnc = Encoders.scalaLong
     implicit val stateEnc = Encoders.product[PState]
 
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[PState, Contest](
+      .flatMapGroupsWithState[PState, CtxContest](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, it: Iterator[PEvent], state: GroupState[PState]) =>
+        (user: Long, it: Iterator[PEvent], state: GroupState[PState]) =>
           // per-user (ts, event_id) order inside the batch at MICROSECOND
           // precision — the feeder encodes sub-millisecond ts and the
           // oracle orders by full ts; cross-batch order is the feeder's
           // contract (same as every gate here)
           val batch = it.toArray.sortBy(e => (us(e.ts), e.event_id))
-          val out = Seq.newBuilder[Contest]
+          val out = Seq.newBuilder[CtxContest]
           var st = state.getOption.orNull
           batch.foreach { e =>
             if (st != null && st.lastType != e.event_type) {
@@ -51,12 +56,19 @@ object StreamingPreference {
                 else if (st.lastType < e.event_type)
                   (st.lastType, e.event_type)
                 else (e.event_type, st.lastType)
-              out += Contest(w, l)
+              out += CtxContest(user, w, l)
             }
             st = PState(e.event_type, e.value)
           }
           if (st != null) state.update(st)
           out.result().iterator
       }
+  }
+
+  /** Context-free contests (the Bradley-Terry gate's input) — a stateless
+    * projection of [[contestStreamCtx]]. */
+  def contestStream(events: Dataset[PEvent]): Dataset[Contest] = {
+    implicit val outEnc = Encoders.product[Contest]
+    contestStreamCtx(events).map(c => Contest(c.i, c.j))
   }
 }

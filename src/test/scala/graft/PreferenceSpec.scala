@@ -87,6 +87,11 @@ class PreferenceSpec extends AnyFunSuite {
     val got = StreamingPreference.contestStream(evs.toDS())
       .collect().map(c => (c.i, c.j)).sorted.toSeq
     assert(got == Seq(("A", "B"), ("B", "C"), ("Y", "X")), got.toString)
+    // the ctx-carrying form keeps each contest's user — the DPO grain
+    val ctx = StreamingPreference.contestStreamCtx(evs.toDS())
+      .collect().map(c => (c.ctx, c.i, c.j)).sorted.toSeq
+    assert(ctx == Seq((1L, "A", "B"), (1L, "B", "C"), (2L, "Y", "X")),
+      ctx.toString)
   }
 
   test("DPO pair mining: count grain, agreement filter, exact margin") {
