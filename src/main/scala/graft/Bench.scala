@@ -29,7 +29,8 @@ object Bench {
     * (BENCH_r12: 7.54 s -> 1.76 s, ratio 0.23, 210 base queries cut — a
     * start-contended run previously stamped itself clean). A sentinel
     * ratio <= 0 (either canary pass unusable) is NOT evidence of a clean
-    * box, but the caller already requires both passes positive. */
+    * box: the end-of-run call sites require both passes positive, and the
+    * mid-run artifact write stamps "unknown" for a sentinel ratio. */
   def contendedRatio(ratio: Double): Boolean =
     ratio > 0 && (ratio > 2.0 || ratio < 0.5)
 
@@ -336,7 +337,12 @@ object Bench {
         // 7.54 s -> 1.76 s, ratio 0.23, 210 base queries budget-cut) is
         // the same box lying about the START of the run — either
         // direction of a >=2x canary swing stamps the run contended.
-        "contended" -> (if (Bench.contendedRatio(canaryRatio)) "true" else "false"),
+        // A sentinel ratio <= 0 means the end canary has not run yet
+        // (the mid-run checkpoint write) — that is NOT evidence of a
+        // clean box, so the intermediate artifact stamps "unknown"
+        // rather than a false "false" (r13 advice #1).
+        "contended" -> (if (canaryRatio <= 0) "\"unknown\""
+          else if (Bench.contendedRatio(canaryRatio)) "true" else "false"),
         "base_skipped_budget" -> baseSkipped.map("\"" + _ + "\"").mkString("[", ",", "]"),
         "failed" -> failed.map("\"" + _ + "\"").mkString("[", ",", "]"),
         "queries" -> jmap(qs)) )

@@ -214,20 +214,29 @@ object GramKernels {
     val na = a.numElements()
     val nb = b.numElements()
     if (na == 0 || nb == 0) return 0L
-    // counts(0) = occurrences in a; counts(1) = matches consumed by b
+    // counts(0) = occurrences in a; counts(1) = matches consumed by b.
+    // Null elements are skipped EXPLICITLY (r13 advice #3): getUTF8String
+    // on a null slot yields a null key on GenericArrayData but an empty
+    // string on UnsafeArrayData, so counting them would make the
+    // interpreted and codegen paths (and the HOF oracle, where
+    // NULL = NULL is not true) disagree.
     val m = new java.util.HashMap[Any, Array[Int]](na * 2)
     var i = 0
     while (i < na) {
-      val k = a.getUTF8String(i)
-      val e = m.get(k)
-      if (e == null) m.put(k, Array(1, 0)) else e(0) += 1
+      if (!a.isNullAt(i)) {
+        val k = a.getUTF8String(i)
+        val e = m.get(k)
+        if (e == null) m.put(k, Array(1, 0)) else e(0) += 1
+      }
       i += 1
     }
     var out = 0L
     var j = 0
     while (j < nb) {
-      val e = m.get(b.getUTF8String(j))
-      if (e != null && e(1) < e(0)) { e(1) += 1; out += 1L }
+      if (!b.isNullAt(j)) {
+        val e = m.get(b.getUTF8String(j))
+        if (e != null && e(1) < e(0)) { e(1) += 1; out += 1L }
+      }
       j += 1
     }
     out
@@ -244,6 +253,23 @@ case class ClipOverlapCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  // fail wrong-typed arguments at ANALYSIS time, not as a runtime
+  // ClassCastException inside the kernel (r13 advice #3; Spark 4 hides
+  // AbstractDataType/ExpectsInputTypes behind private[sql], so the
+  // equivalent checkInputDataTypes override is the public route)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"clip_overlap requires (array<string>, array<string>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any =
     GramKernels.clipOverlap(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

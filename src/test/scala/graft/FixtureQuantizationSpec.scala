@@ -22,7 +22,19 @@ import org.scalatest.funsuite.AnyFunSuite
 class FixtureQuantizationSpec extends AnyFunSuite {
 
   private lazy val spark = SparkSessionFixture.spark
-  private val dir = "/root/testdata/sf0.001"
+
+  /** Every fixture dir present — the bench/oracle default (sf0.1 via
+    * SPARK_GRAFT_SF_DIR) and sf1 consume the SAME invariant, so checking
+    * only sf0.001 would let a divergent regeneration of the larger
+    * fixtures slip past the guard (r13 advice #2). */
+  private val dirs: Seq[String] = {
+    val root = new java.io.File("/root/testdata")
+    val found = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("sf"))
+      .map(_.getAbsolutePath).sorted.toSeq
+    sys.env.get("SPARK_GRAFT_SF_DIR").filter(d => new java.io.File(d).isDirectory)
+      .map(d => (found :+ d).distinct).getOrElse(found)
+  }
 
   /** Scale of the shortest decimal representation — what Spark's Cast
     * rounds from (BigDecimal(Double.toString(x))). */
@@ -41,15 +53,21 @@ class FixtureQuantizationSpec extends AnyFunSuite {
     "part" -> "p_retailprice")
 
   test("every stored scalar double is exactly representable at scale 6") {
-    import spark.implicits._
-    doubleCols.foreach { case (table, c) =>
-      val vals = spark.read.parquet(s"$dir/$table.parquet")
-        .select(c).na.drop().as[Double].collect()
-      assert(vals.nonEmpty, s"$table.$c: fixture empty")
-      val bad = vals.filter(v => shortestScale(v) > 6)
+    assert(dirs.nonEmpty, "no sf* fixture dirs found under /root/testdata")
+    // distributed check: find violators executor-side instead of
+    // collecting the column (sf1 columns are millions of rows); the
+    // lambda inlines shortestScale so the closure stays serializable
+    val quantOk = org.apache.spark.sql.functions.udf((v: Double) =>
+      new java.math.BigDecimal(java.lang.Double.toString(v))
+        .stripTrailingZeros.scale <= 6)
+    for (dir <- dirs; (table, c) <- doubleCols) {
+      val vals = spark.read.parquet(s"$dir/$table.parquet").select(c).na.drop()
+      assert(!vals.isEmpty, s"$dir $table.$c: fixture empty")
+      val bad = vals.filter(!quantOk(org.apache.spark.sql.functions.col(c)))
+        .limit(1).collect()
       assert(bad.isEmpty,
-        s"$table.$c: ${bad.length} values not quantized to scale 6 " +
-          s"(first: ${bad.headOption.map(java.lang.Double.toString).getOrElse("")}) — " +
+        s"$dir $table.$c: values not quantized to scale 6 " +
+          s"(first: ${bad.headOption.map(_.get(0)).getOrElse("")}) — " +
           "direct double→DECIMAL(18,6) casts are no longer cross-engine safe")
     }
   }

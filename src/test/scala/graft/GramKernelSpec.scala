@@ -38,6 +38,28 @@ class GramKernelSpec extends AnyFunSuite {
     assert(out.forall { case (n, h) => n == h }, out.toString)
   }
 
+  test("null elements are skipped, matching the HOF where NULL = NULL is not true") {
+    graft.functions.VectorNative.register(spark)
+    val v = s"gram_null_${System.nanoTime()}"
+    spark.sql(
+      s"""SELECT array('a', CAST(NULL AS STRING), 'a', 'b') AS a,
+                 array(CAST(NULL AS STRING), 'a', 'b', 'b') AS b""")
+      .createOrReplaceTempView(v)
+    val r = spark.sql(
+      s"""SELECT ${SP.clipOverlap("a", "b")} AS native,
+                 ${SP.clipOverlapHof("a", "b")} AS hof FROM $v""").collect()(0)
+    assert(r.getLong(0) == 2L, r.toString) // min(2,1) for 'a' + min(1,2) for 'b'
+    assert(r.getLong(0) == r.getLong(1), r.toString)
+  }
+
+  test("wrong-typed args fail at analysis time, not as a runtime cast") {
+    graft.functions.VectorNative.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT clip_overlap(array(1, 2), array(3))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("clip_overlap"), e.getMessage)
+  }
+
   test("fuzz: native == HOF on 200 random multiset pairs") {
     val rnd = new scala.util.Random(13)
     val cases = (0 until 200).map { _ =>
