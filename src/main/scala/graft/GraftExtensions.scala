@@ -55,5 +55,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("clip_overlap"),
       info("clip_overlap", "clip_overlap(a, b) - clipped multiset n-gram overlap of two ARRAY<STRING> (BLEU/chrF match count)"),
       (es: Seq[Expression]) => graft.functions.ClipOverlapCount(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("lcs_length"),
+      info("lcs_length", "lcs_length(a, b) - longest-common-subsequence length of two ARRAY<STRING> (ROUGE-L numerator)"),
+      (es: Seq[Expression]) => graft.functions.LcsLength(es(0), es(1))))
   }
 }

@@ -345,6 +345,32 @@ private[graft] trait CatalogPreference extends CatalogCore {
             ${PairQuality.scoresSql(D, "st")}"""
         }),
 
+      // ROUGE-L pair-quality scoring (Lin 2004) — the third standard
+      // MT/summarization pair score beside BLEU-2/chrF, over the same
+      // deterministic pairing: LCS-based precision/recall/F1 from exact
+      // BIGINT counts. The engine side runs the native fused two-row-DP
+      // lcs_length kernel (O(n·m) inside whole-stage codegen — the
+      // clip_overlap pattern); the oracle replays the same recurrence as
+      // a prefix-max row fold. One corpus map pass for stats, zero
+      // exchanges; per-row IEEE chains for scores.
+      Q("q_rouge_pairs",
+        (s, dir) => {
+          import graft.ops.PairQuality
+          graft.functions.VectorNative.register(s)
+          val tag = System.nanoTime()
+          val docsV = s"graft_rouge_docs_$tag"
+          t(s, dir, "documents").createOrReplaceTempView(docsV)
+          val statsV = s"graft_rouge_stats_$tag"
+          s.sql(PairQuality.rougeStatsSql(SP, docsV))
+            .localCheckpoint(true).createOrReplaceTempView(statsV)
+          s.sql(PairQuality.rougeScoresSql(SP, statsV))
+        },
+        Some {
+          import graft.ops.PairQuality
+          s"""WITH st ${D.cteAs} (${PairQuality.rougeStatsSql(D, "documents")})
+            ${PairQuality.rougeScoresSql(D, "st")}"""
+        }),
+
       // KTO binary-signal conversion (Ethayarajh et al. 2024): unpaired
       // (context, completion, desirable?) training examples with exact
       // integer weights from per-context net wins over the SAME contest

@@ -241,6 +241,85 @@ object GramKernels {
     }
     out
   }
+
+  /** LCS length of two string arrays — the ROUGE-L numerator (Lin 2004).
+    * Classic two-row DP: dp[i][j] = dp[i-1][j-1]+1 on match else
+    * max(dp[i-1][j], dp[i][j-1]); O(n·m) time, two m-sized int rows.
+    * Null elements match nothing (NULL = NULL is not true in the
+    * portable SQL replay — the clip_overlap null contract). */
+  def lcsLength(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 || nb == 0) return 0L
+    val bs = new Array[AnyRef](nb)
+    var j = 0
+    while (j < nb) {
+      bs(j) = if (b.isNullAt(j)) null else b.getUTF8String(j)
+      j += 1
+    }
+    var prev = new Array[Int](nb + 1)
+    var cur = new Array[Int](nb + 1)
+    var i = 0
+    while (i < na) {
+      val ai = if (a.isNullAt(i)) null else a.getUTF8String(i)
+      var k = 0
+      while (k < nb) {
+        val diag =
+          if (ai != null && bs(k) != null && ai.equals(bs(k))) prev(k) + 1
+          else 0
+        var best = prev(k + 1)
+        if (cur(k) > best) best = cur(k)
+        if (diag > best) best = diag
+        cur(k + 1) = best
+        k += 1
+      }
+      val t = prev; prev = cur; cur = t
+      java.util.Arrays.fill(cur, 0)
+      i += 1
+    }
+    prev(nb).toLong
+  }
+}
+
+/** Longest-common-subsequence LENGTH of two ARRAY<STRING> token columns as
+  * a native expression — the ROUGE-L primitive (Lin 2004), the LCS sibling
+  * of [[ClipOverlapCount]]'s clip count: a fused two-row O(n·m) DP inside
+  * whole-stage codegen, O(min-side) memory, no DP table materialization.
+  * The portable replay (the DuckDB oracle and [[graft.sqlgen.Dialect
+  * .lcsLengthHof]]) runs the same recurrence in its prefix-max row form:
+  * new[j] = max(prev[j], max_{k<=j} e[k]) with e[k] = prev[k-1]+1 on a
+  * token match — exact integers, so equality is bitwise. SQL-callable as
+  * `lcs_length(a, b)` after [[VectorNative.register]] /
+  * [[graft.GraftExtensions]]. */
+case class LcsLength(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"lcs_length requires (array<string>, array<string>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GramKernels.lcsLength(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"${ev.value} = graft.functions.GramKernels.lcsLength($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Clipped n-gram overlap of two ARRAY<STRING> columns as a native

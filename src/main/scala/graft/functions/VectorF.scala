@@ -73,6 +73,8 @@ object VectorNative {
         es(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("clip_overlap",
       es => ClipOverlapCount(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("lcs_length",
+      es => LcsLength(es(0), es(1)), "scala_udf")
   }
 
   def dotNative(a: Column, b: Column): Column =

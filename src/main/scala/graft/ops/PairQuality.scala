@@ -126,4 +126,50 @@ object PairQuality {
                ${r6(dl, chrf)} AS chrf
         FROM $statsRel ORDER BY pair_id"""
   }
+
+  /** ROUGE-L stage 1 — exact per-pair LCS + length counts (Lin 2004),
+    * over the SAME deterministic candidate/reference pairing as
+    * [[pairStatsSql]] (truncation pairs: LCS = |candidate|, recall reads
+    * the truncation fraction; unrelated next-doc pairs: LCS = the
+    * shared-vocabulary floor). UNCAPPED on both sides — the documents
+    * fixture tokenizes to ≤100 tokens, and the engine side is the O(n·m)
+    * fused [[graft.functions.LcsLength]] kernel ([[Dialect.lcsLength]]),
+    * fine to ~10⁴-token docs; the oracle replays the prefix-max row fold.
+    * One corpus-sized map pass, zero exchanges, three BIGINTs per pair. */
+  def rougeStatsSql(dl: Dialect, docsRel: String): String = {
+    val ct = dl.sliceLenE("d.tk", "1",
+      s"greatest(1, ${dl.intDiv(s"4 * ${dl.size("d.tk")}", "5")})")
+    val rt = "(CASE WHEN d.doc_id % 2 = 0 THEN n.tk ELSE d.tk END)"
+    def overCR(body: String): String =
+      dl.bind1(ct, "c__", dl.bind1(rt, "r__", body))
+    s"""SELECT d.doc_id AS pair_id,
+          CASE WHEN d.doc_id % 2 = 0 THEN 'unrelated' ELSE 'truncation' END
+            AS pair_kind,
+          CAST(${dl.bind1(ct, "c__", dl.size("c__"))} AS BIGINT) AS lc,
+          CAST(${overCR(dl.size("r__"))} AS BIGINT) AS lr,
+          ${overCR(dl.lcsLength("c__", "r__"))} AS lcs
+        FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${dl.splitWs("text")}
+                AS tk FROM $docsRel) d
+        LEFT JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     ${dl.splitWs("text")} AS tk FROM $docsRel) n
+          ON n.doc_id = d.doc_id + 1
+        WHERE (d.doc_id % 2 = 1) OR n.doc_id IS NOT NULL"""
+  }
+
+  /** ROUGE-L stage 2 — P/R/F1 from the exact counts, one fixed IEEE chain
+    * per row (β = 1, the rouge-score library convention): P = LCS/|c|,
+    * R = LCS/|r|, F1 = 2PR/(P+R), 0 when LCS = 0. Round-6 display. */
+  def rougeScoresSql(dl: Dialect, statsRel: String): String = {
+    def dd(x: String) = s"CAST($x AS DOUBLE)"
+    val p = s"(${dd("lcs")} / ${dd("lc")})"
+    val r = s"(${dd("lcs")} / ${dd("lr")})"
+    val f =
+      s"""CASE WHEN lcs = 0 THEN ${dl.d(0.0)}
+          ELSE ${dl.d(2.0)} * $p * $r / ($p + $r) END"""
+    s"""SELECT pair_id, pair_kind, lc, lr, lcs,
+               ${r6(dl, p)} AS rouge_p,
+               ${r6(dl, r)} AS rouge_r,
+               ${r6(dl, f)} AS rouge_f1
+        FROM $statsRel ORDER BY pair_id"""
+  }
 }

@@ -237,6 +237,74 @@ final case class Dialect(duck: Boolean) {
                                    size(filter($rg, e__ -> e__ = g__))))
          AS BIGINT)"""
 
+  /** Longest-common-subsequence LENGTH of two string-array expressions —
+    * the ROUGE-L numerator (Lin 2004). Exact BIGINT.
+    *
+    * Spark renders the native fused two-row DP kernel (`lcs_length`,
+    * O(n·m) ints inside whole-stage codegen — sessions need
+    * [[graft.functions.VectorNative.register]] or GraftExtensions);
+    * DuckDB replays the SAME recurrence in its prefix-max row form
+    * ([[lcsLengthHof]]) — exact integers, bit-identical by construction
+    * (LcsKernelSpec fuzz-pins the Spark HOF mirror against the kernel).
+    * Same `cg`/`rg` contract as [[clipOverlap]]: pass lambda variables
+    * (via [[bind1]]) or plain column references. */
+  def lcsLength(cg: String, rg: String): String =
+    if (duck) lcsLengthHof(cg, rg) else s"lcs_length($cg, $rg)"
+
+  /** The portable HOF rendering of [[lcsLength]] — the oracle form, and
+    * the cross-check surface for the native kernel. One left fold over
+    * candidate tokens carrying the DP row; the in-row dependency
+    * new[j] = max(prev[j], new[j-1], diag) is rewritten dependency-free
+    * as new[j] = max(prev[j], max_{k<=j} e[k]) with
+    * e[k] = prev[k-1]+1 on a match else 0 (valid because prev is
+    * monotone nondecreasing), so each row is a prefix-max over a
+    * once-bound match array — O(n·m²) cheap int ops, fixture-grain
+    * only (the engine hot path is the O(n·m) kernel). DuckDB's
+    * list_reduce has no init, so the fold carries a
+    * {row, tok} struct and the init row rides in as element 0. */
+  def lcsLengthHof(cg: String, rg: String): String =
+    if (duck) {
+      val m = s"len($rg)"
+      val eArr =
+        s"""list_transform(range(1, $m + 1), k__ ->
+           CASE WHEN struct_extract(x__, 'tok') = ($rg)[k__]
+                THEN (CASE WHEN k__ = 1 THEN 0 ELSE p__[k__ - 1] END) + 1
+                ELSE 0 END)"""
+      val newRow =
+        s"""list_transform([$eArr], e__ ->
+           list_transform(range(1, $m + 1), j__ ->
+             greatest(p__[j__], list_max(list_slice(e__, 1, j__)))))[1]"""
+      val step =
+        s"list_transform([struct_extract(acc__, 'row')], p__ -> $newRow)[1]"
+      val init =
+        s"""{'row': list_transform(range(1, $m + 1), j__ -> 0),
+            'tok': CAST(NULL AS VARCHAR)}"""
+      val wrapped =
+        s"list_transform($cg, t__ -> {'row': CAST(NULL AS INTEGER[]), 'tok': t__})"
+      val fold =
+        s"""list_reduce(list_concat([$init], $wrapped),
+           (acc__, x__) -> {'row': $step, 'tok': CAST(NULL AS VARCHAR)})"""
+      s"""(CASE WHEN len($cg) = 0 OR len($rg) = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(struct_extract($fold, 'row')[$m] AS BIGINT) END)"""
+    } else {
+      val m = s"size($rg)"
+      val eArr =
+        s"""transform(sequence(1, $m), k__ ->
+           CASE WHEN t__ = element_at($rg, k__)
+                THEN (CASE WHEN k__ = 1 THEN 0L ELSE element_at(p__, k__ - 1) END) + 1L
+                ELSE 0L END)"""
+      val newRow =
+        s"""element_at(transform(array($eArr), e__ ->
+           transform(sequence(1, $m), j__ ->
+             greatest(element_at(p__, j__), array_max(slice(e__, 1, j__))))), 1)"""
+      val step =
+        s"element_at(transform(array(row__), p__ -> $newRow), 1)"
+      s"""(CASE WHEN size($cg) = 0 OR size($rg) = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(element_at(aggregate($cg,
+            transform(sequence(1, $m), j__ -> 0L),
+            (row__, t__) -> $step), $m) AS BIGINT) END)"""
+    }
+
   /** Deterministic uniform in [0,1): the first `k` hex digits of md5(x)
     * folded into an integer, divided by 16^k. Small-integer arithmetic +
     * one exact IEEE division — bit-identical across engines. */

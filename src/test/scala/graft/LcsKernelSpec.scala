@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sqlgen.Dialect
+
+/** The native lcs_length kernel (fused two-row DP) must be value-identical
+  * to the portable prefix-max row fold the DuckDB oracle replays
+  * ([[Dialect.lcsLengthHof]] — the Spark rendering here is the same
+  * recurrence text). Exact integers, so equality is bitwise. Fuzzed over
+  * random token sequences plus the edge contract, mirroring
+  * GramKernelSpec for clip_overlap. */
+class LcsKernelSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+  private val SP = Dialect.spark
+
+  private def both(pairs: Seq[(Seq[String], Seq[String])]): Seq[(Long, Long)] = {
+    graft.functions.VectorNative.register(spark)
+    val tag = System.nanoTime()
+    val v = s"lcs_fuzz_$tag"
+    pairs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "a", "b").createOrReplaceTempView(v)
+    spark.sql(
+      s"""SELECT ${SP.lcsLength("a", "b")} AS native,
+                 ${SP.lcsLengthHof("a", "b")} AS hof
+          FROM $v ORDER BY id""").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
+
+  /** Reference DP — the textbook recurrence, independently written. */
+  private def ref(a: Seq[String], b: Seq[String]): Long = {
+    val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) =
+        if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+        else math.max(dp(i - 1)(j), dp(i)(j - 1))
+    dp(a.length)(b.length).toLong
+  }
+
+  test("edge contract: empty sides, disjoint, subsequence, classic case") {
+    val cases = Seq(
+      (Seq.empty[String], Seq("a")),
+      (Seq("a"), Seq.empty[String]),
+      (Seq("a", "b"), Seq("c", "d")),
+      (Seq("a", "b", "c", "b", "d", "a", "b"), Seq("b", "d", "c", "a", "b", "a")),
+      (Seq("a", "a", "a"), Seq("a", "a")),
+      (Seq("x", "q", "y"), Seq("p", "x", "y", "z")))
+    val out = both(cases)
+    assert(out.map(_._1) == Seq(0L, 0L, 0L, 4L, 2L, 2L), out.toString)
+    assert(out.forall { case (n, h) => n == h }, out.toString)
+    assert(cases.map((ref _).tupled) == out.map(_._1), out.toString)
+  }
+
+  test("truncation property: a prefix's LCS with the full sequence is its length") {
+    val full = Seq("t0", "t1", "t2", "t3", "t4", "t5", "t6", "t7")
+    val out = both(Seq((full.take(5), full)))
+    assert(out == Seq((5L, 5L)), out.toString)
+  }
+
+  test("null elements match nothing (the clip_overlap null contract)") {
+    graft.functions.VectorNative.register(spark)
+    val v = s"lcs_null_${System.nanoTime()}"
+    spark.sql(
+      s"""SELECT array('a', CAST(NULL AS STRING), 'b') AS a,
+                 array(CAST(NULL AS STRING), 'a', 'b') AS b""")
+      .createOrReplaceTempView(v)
+    val r = spark.sql(
+      s"SELECT ${SP.lcsLength("a", "b")} AS n FROM $v").collect()(0)
+    assert(r.getLong(0) == 2L, r.toString)
+  }
+
+  test("wrong-typed args fail at analysis time") {
+    graft.functions.VectorNative.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT lcs_length(array(1), array(2))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("lcs_length"), e.getMessage)
+  }
+
+  test("fuzz: native == HOF == reference on 120 random sequence pairs") {
+    val rnd = new scala.util.Random(14)
+    val cases = (0 until 120).map { _ =>
+      def arr() = Seq.fill(rnd.nextInt(40))(s"w${rnd.nextInt(6)}")
+      (arr(), arr())
+    }
+    val out = both(cases)
+    assert(out.forall { case (n, h) => n == h },
+      out.zipWithIndex.filter { case ((n, h), _) => n != h }.take(3).toString)
+    val refs = cases.map((ref _).tupled)
+    assert(out.map(_._1) == refs,
+      out.map(_._1).zip(refs).zipWithIndex.filter { case ((n, r), _) => n != r }
+        .take(3).toString)
+  }
+}

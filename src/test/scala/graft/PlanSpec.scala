@@ -583,4 +583,59 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange SinglePartition"),
       s"stats stage must stay parallel:\n$plan")
   }
+
+  test("ROUGE-L pair stats: successor join stays id-keyed, kernel in a map pass") {
+    val SP = graft.sqlgen.Dialect.spark
+    graft.functions.VectorNative.register(spark)
+    val tag = System.nanoTime()
+    val docs = Seq((0L, "a b c"), (1L, "a b c d")).toDF("doc_id", "text")
+    val v = s"plan_rouge_$tag"
+    docs.createOrReplaceTempView(v)
+    val plan = formatted(spark.sql(graft.ops.PairQuality.rougeStatsSql(SP, v)))
+    assert(!plan.contains("CartesianProduct"),
+      s"pairing must be an equi-join on doc_id:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"stats stage must stay parallel:\n$plan")
+    assert(plan.toLowerCase.contains("lcslength"),
+      s"the native LCS kernel must sit in the projection:\n$plan")
+  }
+
+  test("KTO labels: two map-combined aggs over the grain, no single-partition funnel") {
+    // input is the |ctx|·k² dpoPairCounts grain (the corpus was consumed
+    // deriving it); the conversion must stay keyed — two hash aggs plus
+    // the FULL OUTER join, and the only plausible SinglePartition is the
+    // final presentation sort, which must be range- not single-partitioned
+    val SP = graft.sqlgen.Dialect.spark
+    val tag = System.nanoTime()
+    val grain = Seq((1L, "A", "B", 3L), (1L, "B", "C", 1L), (2L, "A", "C", 2L))
+      .toDF("ctx", "chosen", "rejected", "n_wins")
+    val v = s"plan_kto_$tag"
+    grain.createOrReplaceTempView(v)
+    val plan = formatted(spark.sql(graft.ops.Preference.ktoLabelsSql(SP, v)))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"KTO conversion must stay keyed end to end:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the wins/losses merge must be an equi-join:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"the per-(ctx, completion) sums must combine map-side:\n$plan")
+  }
+
+  test("BT calibration: dim-sized joins, ECE attaches by broadcast not cartesian") {
+    val SP = graft.sqlgen.Dialect.spark
+    val tag = System.nanoTime()
+    val counts = Seq(("A", "B", 5L), ("B", "A", 2L), ("A", "C", 4L))
+      .toDF("i", "j", "w")
+    val bt = Seq(("A", 9L, 0.5), ("B", 2L, 0.3), ("C", 0L, 0.2))
+      .toDF("event_type", "wins", "strength")
+    val cv = s"plan_cal_c_$tag"
+    val bv = s"plan_cal_bt_$tag"
+    counts.createOrReplaceTempView(cv)
+    bt.createOrReplaceTempView(bv)
+    val plan = formatted(spark.sql(
+      graft.ops.Preference.btCalibrationSql(SP, cv, bv)))
+    assert(!plan.contains("CartesianProduct"),
+      s"the 1-row ECE attach must broadcast:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast attach of the ECE row:\n$plan")
+  }
 }
