@@ -315,6 +315,28 @@ private[graft] trait CatalogPreference extends CatalogCore {
             ${Preference.bestOfNFinalSql(D, "b")}"""
         }),
 
+      // Group-relative advantage normalization (GRPO — Shao et al. 2024):
+      // per (context, event_type) candidate group, every candidate with
+      // advantage = (score − group mean) / group std, exact DECIMAL
+      // window state for Σx/Σx², deterministic zero-variance handling —
+      // the value-baseline-free RLHF transform beside q_best_of_n's
+      // argmax. Plan: ONE keyed window exchange shared by count/Σ/Σ²
+      // (PlanSpec-pinned), then per-row IEEE arithmetic.
+      Q("q_group_advantage",
+        (s, dir) => {
+          import graft.ops.Preference
+          val tag = System.nanoTime()
+          val evView = s"graft_grpo_events_$tag"
+          tEvents(s, dir).createOrReplaceTempView(evView)
+          s.sql(Preference.groupAdvantageSql(SP, evView, "user_id",
+            "event_type", "event_id", "value"))
+        },
+        Some {
+          import graft.ops.Preference
+          Preference.groupAdvantageSql(D, "events", "user_id",
+            "event_type", "event_id", "value")
+        }),
+
       // BLEU-2 + chrF pair-quality scoring (Papineni 2002; Popović 2015)
       // — the standard MT-data filter run beside q_bitext_mine: clipped
       // n-gram precision × brevity penalty (geometric mean as sqrt, so

@@ -311,6 +311,54 @@ object Preference {
               FROM $rankedRel) s
         ORDER BY b.context, b.event_type"""
 
+  /** Group-relative advantage normalization (the GRPO data transform —
+    * Shao et al. 2024's DeepSeekMath objective computes per-group
+    * advantages Â = (r − mean(group)) / std(group) instead of a learned
+    * value baseline): per (context, event_type) candidate group, EVERY
+    * candidate is emitted with its normalized advantage — the 2024+ RLHF
+    * sibling of [[bestOfNRankedSql]]'s argmax selection, sharing its
+    * window pattern.
+    *
+    * Exactness: the group's Σx and Σx² accumulate as DECIMAL window
+    * state (values are scale-6 pre-quantized — FixtureQuantizationSpec —
+    * so both sums are exact integers in disguise; the square is cast to
+    * DECIMAL(30,12) so BOTH engines' sum widens to the same exact
+    * DECIMAL(38,12)), convert once via [[Dialect.decToDouble]], and the
+    * mean/variance/advantage chain is ONE fixed IEEE expression over
+    * those identical doubles. Variance uses the Σx²/n − mean² form
+    * guarded at ≤ 0 (catastrophic cancellation and single-candidate
+    * groups both land there): zero-variance groups emit advantage 0 —
+    * deterministic, matching GRPO's no-signal case.
+    *
+    * Scale: ONE keyed window (count/Σ/Σ² share the unbounded
+    * (context, type) frame — a single exchange, PlanSpec-pinned), then
+    * per-row arithmetic. The corpus moves once; nothing single-partitions. */
+  def groupAdvantageSql(dl: Dialect, eventsRel: String, userCol: String,
+                        typeCol: String, idCol: String, valCol: String): String = {
+    val s1d = dl.decToDouble("ssum__")
+    val s2d = dl.decToDouble("sqsum__")
+    val nd = "CAST(n_candidates AS DOUBLE)"
+    val mean = s"($s1d / $nd)"
+    val vr = s"(($s2d - ($s1d * $s1d) / $nd) / $nd)"
+    s"""SELECT context, event_type, event_id, score, n_candidates,
+          (round($mean, 6) + ${dl.d(0.0)}) AS group_mean,
+          CASE WHEN $vr <= ${dl.d(0.0)} THEN ${dl.d(0.0)}
+               ELSE (round(((score) - $mean) / sqrt($vr), 6) + ${dl.d(0.0)}) END
+            AS advantage
+        FROM (SELECT CAST($userCol AS BIGINT) AS context,
+                     $typeCol AS event_type,
+                     CAST($idCol AS BIGINT) AS event_id,
+                     $valCol AS score,
+                     CAST(count(*) OVER w__ AS BIGINT) AS n_candidates,
+                     sum(CAST($valCol AS DECIMAL(18,6))) OVER w__ AS ssum__,
+                     sum(CAST(CAST($valCol AS DECIMAL(18,6))
+                              * CAST($valCol AS DECIMAL(18,6))
+                              AS DECIMAL(30,12))) OVER w__ AS sqsum__
+              FROM $eventsRel
+              WINDOW w__ AS (PARTITION BY $userCol, $typeCol)) g__
+        ORDER BY context, event_type, event_id"""
+  }
+
   /** Cohen's kappa between two deterministic binary raters over the
     * documents table: rater A = length gate (n_chars >= 500), rater B =
     * stopword-density gate (stopword share >= 1/4 — compared by integer

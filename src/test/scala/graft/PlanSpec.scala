@@ -549,6 +549,22 @@ class PlanSpec extends AnyFunSuite {
       s"rank/count/sum must share ONE prompt-keyed exchange:\n$plan")
   }
 
+  test("GRPO advantage: ONE keyed exchange shared by count/sum/sum-of-squares") {
+    val SP = graft.sqlgen.Dialect.spark
+    val tag = System.nanoTime()
+    val evs = Seq((1L, "A", 1L, 10.0), (1L, "A", 2L, 20.0), (2L, "B", 3L, 5.0))
+      .toDF("user_id", "event_type", "event_id", "value")
+    val v = s"plan_grpo_$tag"
+    evs.createOrReplaceTempView(v)
+    val plan = formatted(spark.sql(graft.ops.Preference.groupAdvantageSql(
+      SP, v, "user_id", "event_type", "event_id", "value")))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"group normalization must not single-partition the corpus:\n$plan")
+    val hashes = hashExchangeArgs(plan)
+    assert(hashes.length == 1 && hashes.head.contains("user_id"),
+      s"count/sum/sumsq must share ONE group-keyed exchange:\n$plan")
+  }
+
   test("DPO contest grain: window + count-grain agg only; no single-partition funnel") {
     // the corpus-sized work is the lead() window (keyed on the user) and
     // the immediate collapse to (ctx, chosen, rejected) counts — two
