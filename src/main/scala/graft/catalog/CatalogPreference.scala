@@ -367,6 +367,40 @@ private[graft] trait CatalogPreference extends CatalogCore {
             ${PairQuality.scoresSql(D, "st")}"""
         }),
 
+      // Uncapped chrF (the explode→groupBy shape PairQuality's scaladoc
+      // names for book-length inputs): same pairing and token-side BLEU
+      // stats, but char n-gram matches count as ROWS — explode grams,
+      // count per (pair, n, gram), inner-join, Σ min — so nothing is
+      // quadratic in document length and no lambda holds a whole doc's
+      // grams. The fixture docs (≤ ~600 chars) exceed the capped form's
+      // 240-char window, so this scores the region the cap discards.
+      // scoresSql runs UNCHANGED over the assembled stats (shared math).
+      Q("q_chrf_long",
+        (s, dir) => {
+          import graft.ops.PairQuality
+          graft.functions.VectorNative.register(s)
+          val tag = System.nanoTime()
+          val docsV = s"graft_chrfl_docs_$tag"
+          t(s, dir, "documents").createOrReplaceTempView(docsV)
+          val pV = s"graft_chrfl_pairs_$tag"
+          s.sql(PairQuality.longPairsSql(SP, docsV))
+            .localCheckpoint(true).createOrReplaceTempView(pV)
+          val xmV = s"graft_chrfl_xm_$tag"
+          s.sql(PairQuality.longCharMatchesSql(SP, pV))
+            .localCheckpoint(true).createOrReplaceTempView(xmV)
+          val stV = s"graft_chrfl_stats_$tag"
+          s.sql(PairQuality.longStatsSql(SP, pV, xmV))
+            .createOrReplaceTempView(stV)
+          s.sql(PairQuality.scoresSql(SP, stV))
+        },
+        Some {
+          import graft.ops.PairQuality
+          s"""WITH p ${D.cteAs} (${PairQuality.longPairsSql(D, "documents")}),
+            xm ${D.cteAs} (${PairQuality.longCharMatchesSql(D, "p")}),
+            st AS (${PairQuality.longStatsSql(D, "p", "xm")})
+            ${PairQuality.scoresSql(D, "st")}"""
+        }),
+
       // ROUGE-L pair-quality scoring (Lin 2004) — the third standard
       // MT/summarization pair score beside BLEU-2/chrF, over the same
       // deterministic pairing: LCS-based precision/recall/F1 from exact

@@ -127,6 +127,86 @@ object PairQuality {
         FROM $statsRel ORDER BY pair_id"""
   }
 
+  /** UNCAPPED chrF shape, stage 1 — the explode→groupBy variant
+    * [[pairStatsSql]]'s scaladoc names for book-length inputs: the SAME
+    * pairing and token-side stats (the O(n) clip kernel), but the char
+    * side carries the FULL whitespace-stripped strings (no `charCap`
+    * prefix). Emits (pair_id, pair_kind, lc, lr, m1, m2, cs, rs); the
+    * char-gram matching then runs as rows ([[longCharMatchesSql]]) so no
+    * per-row work is quadratic in document length. The documents fixture
+    * (≤ ~600 chars) exceeds the 240-char capped form's window, so this
+    * operator genuinely scores the region the cap discards. */
+  def longPairsSql(dl: Dialect, docsRel: String): String = {
+    val ct = dl.sliceLenE("d.tk", "1",
+      s"greatest(1, ${dl.intDiv(s"4 * ${dl.size("d.tk")}", "5")})")
+    val rt = "(CASE WHEN d.doc_id % 2 = 0 THEN n.tk ELSE d.tk END)"
+    def overCR(body: String): String =
+      dl.bind1(ct, "c__", dl.bind1(rt, "r__", body))
+    val m2Body = dl.bind1(tokBigrams(dl, "c__"), "c2__",
+      dl.bind1(tokBigrams(dl, "r__"), "r2__",
+        dl.clipOverlap("c2__", "r2__")))
+    def strip(v: String): String =
+      s"coalesce(${dl.arrayJoin(v, "")}, '')"
+    s"""SELECT d.doc_id AS pair_id,
+          CASE WHEN d.doc_id % 2 = 0 THEN 'unrelated' ELSE 'truncation' END
+            AS pair_kind,
+          CAST(${dl.bind1(ct, "c__", dl.size("c__"))} AS BIGINT) AS lc,
+          CAST(${overCR(dl.size("r__"))} AS BIGINT) AS lr,
+          ${overCR(dl.clipOverlap("c__", "r__"))} AS m1,
+          ${overCR(m2Body)} AS m2,
+          ${overCR(strip("c__"))} AS cs,
+          ${overCR(strip("r__"))} AS rs
+        FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${dl.splitWs("text")}
+                AS tk FROM $docsRel) d
+        LEFT JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     ${dl.splitWs("text")} AS tk FROM $docsRel) n
+          ON n.doc_id = d.doc_id + 1
+        WHERE (d.doc_id % 2 = 1) OR n.doc_id IS NOT NULL"""
+  }
+
+  /** Uncapped chrF stage 2 — clipped char 1/2-gram matches as a
+    * ROW-oriented count: explode each side's grams (gram length IS the n,
+    * so one explode covers both orders), count per (pair, n, gram),
+    * inner-join the two count tables (a gram absent from either side
+    * clips to 0), Σ min per pair. Linear rows per input char, keyed
+    * exchanges only — the 100 TB-safe shape for inputs where the per-row
+    * lambda would hold whole books in memory. */
+  def longCharMatchesSql(dl: Dialect, pairsRel: String): String = {
+    def grams(sv: String): String =
+      dl.arrayConcat(charGrams(dl, sv, 1), charGrams(dl, sv, 2))
+    s"""WITH cg__ AS (${dl.explodeRel(pairsRel, "pair_id", grams("cs"), "g")}),
+        rg__ AS (${dl.explodeRel(pairsRel, "pair_id", grams("rs"), "g")}),
+        cc__ AS (SELECT pair_id, length(g) AS n, g,
+                   CAST(count(*) AS BIGINT) AS c
+                 FROM cg__ GROUP BY pair_id, length(g), g),
+        rc__ AS (SELECT pair_id, length(g) AS n, g,
+                   CAST(count(*) AS BIGINT) AS r
+                 FROM rg__ GROUP BY pair_id, length(g), g),
+        mm__ AS (SELECT cc__.pair_id, cc__.n, least(cc__.c, rc__.r) AS m
+                 FROM cc__ JOIN rc__ ON rc__.pair_id = cc__.pair_id
+                   AND rc__.n = cc__.n AND rc__.g = cc__.g)
+        SELECT pair_id,
+               CAST(coalesce(sum(CASE WHEN n = 1 THEN m END), 0) AS BIGINT)
+                 AS xm1,
+               CAST(coalesce(sum(CASE WHEN n = 2 THEN m END), 0) AS BIGINT)
+                 AS xm2
+        FROM mm__ GROUP BY pair_id"""
+  }
+
+  /** Uncapped chrF stage 3 — assemble the [[pairStatsSql]] stats schema
+    * from the pairs and the row-counted matches, so [[scoresSql]] runs
+    * UNCHANGED over it (the shared-math guarantee: capped and uncapped
+    * variants provably differ only in their count inputs). */
+  def longStatsSql(dl: Dialect, pairsRel: String, xmRel: String): String =
+    s"""SELECT p.pair_id, p.pair_kind, p.lc, p.lr, p.m1, p.m2,
+               CAST(length(p.cs) AS BIGINT) AS xc1,
+               CAST(length(p.rs) AS BIGINT) AS xr1,
+               CAST(greatest(length(p.cs) - 1, 0) AS BIGINT) AS xc2,
+               CAST(greatest(length(p.rs) - 1, 0) AS BIGINT) AS xr2,
+               CAST(coalesce(x.xm1, 0) AS BIGINT) AS xm1,
+               CAST(coalesce(x.xm2, 0) AS BIGINT) AS xm2
+        FROM $pairsRel p LEFT JOIN $xmRel x ON x.pair_id = p.pair_id"""
+
   /** ROUGE-L stage 1 — exact per-pair LCS + length counts (Lin 2004),
     * over the SAME deterministic candidate/reference pairing as
     * [[pairStatsSql]] (truncation pairs: LCS = |candidate|, recall reads

@@ -237,6 +237,17 @@ final case class Dialect(duck: Boolean) {
                                    size(filter($rg, e__ -> e__ = g__))))
          AS BIGINT)"""
 
+  def arrayConcat(a: String, b: String): String =
+    if (duck) s"list_concat($a, $b)" else s"concat($a, $b)"
+
+  /** One row per array element: SELECT keyCols, g FROM rel, exploded over
+    * `arrExpr` (evaluated once per input row on both engines). An empty
+    * or NULL array contributes no rows in either dialect. */
+  def explodeRel(rel: String, keyCols: String, arrExpr: String,
+                 g: String): String =
+    if (duck) s"SELECT $keyCols, unnest($arrExpr) AS $g FROM $rel"
+    else s"SELECT $keyCols, $g FROM $rel LATERAL VIEW explode($arrExpr) exp__ AS $g"
+
   /** Longest-common-subsequence LENGTH of two string-array expressions —
     * the ROUGE-L numerator (Lin 2004). Exact BIGINT.
     *

@@ -600,6 +600,23 @@ class PlanSpec extends AnyFunSuite {
       s"stats stage must stay parallel:\n$plan")
   }
 
+  test("uncapped chrF: gram rows shuffle keyed, nothing single-partitions") {
+    val SP = graft.sqlgen.Dialect.spark
+    val tag = System.nanoTime()
+    val pairs = Seq((0L, "u", 2L, 3L, 1L, 0L, "abcd", "bcde"))
+      .toDF("pair_id", "pair_kind", "lc", "lr", "m1", "m2", "cs", "rs")
+    val v = s"plan_chrfl_$tag"
+    pairs.createOrReplaceTempView(v)
+    val plan = formatted(spark.sql(
+      graft.ops.PairQuality.longCharMatchesSql(SP, v)))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"gram counting must stay keyed:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the two count tables must equi-join:\n$plan")
+    assert(plan.contains("Generate") || plan.contains("explode"),
+      s"grams must explode to rows (the linear-state shape):\n$plan")
+  }
+
   test("ROUGE-L pair stats: successor join stays id-keyed, kernel in a map pass") {
     val SP = graft.sqlgen.Dialect.spark
     graft.functions.VectorNative.register(spark)
