@@ -1097,6 +1097,76 @@ private[graft] trait CatalogCuration extends CatalogCore {
           ORDER BY d.doc_id"""
       }),
 
+    // Tokenizer fertility / compression-ratio curation signal: bytes per
+    // token and tokens per word per document under the engine's OWN
+    // trained BPE and WordPiece vocabularies — the standard multilingual
+    // data-quality filter (high fertility = the tokenizer fragments the
+    // text = out-of-distribution or noisy for that vocab). One corpus
+    // pass over the existing segmenters (both models memoized per dir);
+    // the oracle reads the q_bpe_segment / q_wp_segment dumps — counts
+    // this query provably shares with the green segmentation contracts —
+    // and recomputes bytes/words/ratios from exact BIGINTs.
+    Q("q_token_fertility",
+      (s, dir) => {
+        val docs = tk(s, dir, "documents")
+        val bpe = graft.ops.BpeTrainer
+          .segment(docs, "text", "doc_id", bpeMerges(s, dir))
+          .select(col("doc_id"), col("n_pieces").as("n_bpe"))
+        val vocabSeq = graft.ops.WordPieceTrainer.vocabulary(
+          graft.ops.BpeTrainer.wordFrequencies(docs, "text"), wpMerges(s, dir))
+        val wp = graft.functions.WordPiece.fromVocab(
+          (vocabSeq ++ Seq("[UNK]")).distinct.zipWithIndex.toMap)
+        val countWp = udf { ws: Seq[String] =>
+          ws.flatMap(wp.tokenizeWord).length.toLong
+        }
+        val SPd = graft.sqlgen.Dialect.spark
+        val base = docs
+          .withColumn("n_bytes", expr("CAST(octet_length(text) AS BIGINT)"))
+          .withColumn("n_words", expr(
+            s"CAST(size(filter(${SPd.splitWs("text")}, t__ -> length(t__) > 0)) AS BIGINT)"))
+          .withColumn("n_wp",
+            countWp(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")))
+          .select("doc_id", "n_bytes", "n_words", "n_wp")
+        base.join(bpe, "doc_id")
+          .select(col("doc_id"), col("n_bytes"), col("n_words"),
+            col("n_bpe"), col("n_wp"),
+            r6(col("n_bpe").cast("double") / col("n_words").cast("double"))
+              .as("bpe_per_word"),
+            r6(col("n_wp").cast("double") / col("n_words").cast("double"))
+              .as("wp_per_word"),
+            r6(col("n_bytes").cast("double") / col("n_bpe").cast("double"))
+              .as("bytes_per_bpe"),
+            when(col("n_wp") === 0, lit(0.0)).otherwise(
+              r6(col("n_bytes").cast("double") / col("n_wp").cast("double")))
+              .as("bytes_per_wp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH bpe AS (SELECT doc_id, n_pieces AS n_bpe
+                     FROM read_parquet('__GRAFT_OUT__/q_bpe_segment/*.parquet')),
+        wp AS (SELECT doc_id, n_pieces AS n_wp
+               FROM read_parquet('__GRAFT_OUT__/q_wp_segment/*.parquet')),
+        base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   CAST(len(list_filter(${D.splitWs("text")},
+                     t__ -> length(t__) > 0)) AS BIGINT) AS n_words
+                 FROM documents)
+        SELECT b.doc_id, b.n_bytes, b.n_words,
+               CAST(e.n_bpe AS BIGINT) AS n_bpe,
+               CAST(w.n_wp AS BIGINT) AS n_wp,
+               (round(CAST(e.n_bpe AS DOUBLE) / CAST(b.n_words AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE)) AS bpe_per_word,
+               (round(CAST(w.n_wp AS DOUBLE) / CAST(b.n_words AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE)) AS wp_per_word,
+               (round(CAST(b.n_bytes AS DOUBLE) / CAST(e.n_bpe AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE)) AS bytes_per_bpe,
+               (CASE WHEN w.n_wp = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE (round(CAST(b.n_bytes AS DOUBLE) / CAST(w.n_wp AS DOUBLE), 6)
+                      + CAST(0.0 AS DOUBLE)) END) AS bytes_per_wp
+        FROM base b JOIN bpe e ON e.doc_id = b.doc_id
+                    JOIN wp w ON w.doc_id = b.doc_id
+        ORDER BY b.doc_id""")),
+
     // WordPiece-style MaxMatch vocabulary (ops/MaxMatch): all length-1
     // pieces (coverage) + substrings of codepoint-length 2-4 with >= 100
     // overlapping occurrences. One map-side-combined piece aggregation —
