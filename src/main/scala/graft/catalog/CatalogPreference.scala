@@ -286,6 +286,78 @@ private[graft] trait CatalogPreference extends CatalogCore {
         },
         Some(dpoOracle)),
 
+      // 23rd streaming/batch equivalence gate — INCREMENTAL best-of-n:
+      // the per-prompt argmax/count/Σ state is classic streaming
+      // max-state, held as REAL aggregation state (complete mode, the
+      // q_stream_ctfidf_eq pattern): max(struct(value, -event_id)) IS
+      // the batch tie-break (score DESC, id ASC) as a monoid, the
+      // DECIMAL(18,6) running sum is the batch window's exact state, and
+      // the final projection replays the SAME gain/kept/kept_frac chain
+      // over the sink — live rejection sampling hash-equals the batch
+      // q_best_of_n under its oracle.
+      Q("q_stream_bofn_eq",
+        (s, dir0) => {
+          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
+          import s.implicits._
+          import graft.ops.Preference
+          import graft.streaming.StreamingPreference.PEvent
+          val ss = streamSession(s)
+          implicit val sqlCtx = ss.sqlContext
+          def tsOf(us: Long) = java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(us / 1000000L,
+              (us % 1000000L) * 1000L))
+          val evs = tEvents(s, dir)
+            .select(col("user_id").cast("long"),
+              expr("ts div 1000").as("tsus"),
+              col("event_id").cast("long"), col("event_type"), col("value"))
+            .as[(Long, Long, Long, String, Double)].collect()
+            .sortBy { case (_, tsus, eid, _, _) => (tsus, eid) }
+            .map { case (u, tsus, eid, t, v) => PEvent(u, tsOf(tsus), eid, t, v) }
+          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[PEvent]
+          val name = s"q_stream_bofn_eq_${System.nanoTime()}"
+          val agg = in.toDS().groupBy(col("user_id"), col("event_type"))
+            .agg(
+              max(struct(col("value"), (-col("event_id")).as("nid"))).as("best"),
+              count(lit(1)).cast("long").as("n_candidates"),
+              sum(col("value").cast("decimal(18,6)")).as("ssum__"))
+          val q = agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete").start()
+          try {
+            evs.grouped(math.max(1, (evs.length + 3) / 4)).foreach { b =>
+              in.addData(b.toSeq); q.processAllAvailable()
+            }
+          } finally {
+            q.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
+          val tag = System.nanoTime()
+          val rawV = s"graft_sbofn_raw_$tag"
+          ss.table(name).localCheckpoint(true).createOrReplaceTempView(rawV)
+          val bV = s"graft_sbofn_ranked_$tag"
+          // the batch bestOfNRankedSql projection, replayed over the
+          // streamed state: identical DECIMAL(28,6) sum bits, identical
+          // IEEE gain chain, identical kept rule
+          ss.sql(
+            s"""SELECT CAST(user_id AS BIGINT) AS context, event_type,
+                  CAST(-best.nid AS BIGINT) AS best_event_id,
+                  best.value AS best_score, n_candidates,
+                  (round(((best.value) - CAST(ssum__ AS DOUBLE)
+                          / CAST(n_candidates AS DOUBLE)), 6)
+                    + CAST(0.0 AS DOUBLE)) AS gain,
+                  CAST(CASE WHEN best.value >= CAST(450.0 AS DOUBLE)
+                       THEN 1 ELSE 0 END AS BIGINT) AS kept
+                FROM $rawV""")
+            .localCheckpoint(true).createOrReplaceTempView(bV)
+          ss.sql(Preference.bestOfNFinalSql(SP, bV))
+        },
+        Some {
+          import graft.ops.Preference
+          s"""WITH b ${D.cteAs} (${Preference.bestOfNRankedSql(D, "events",
+                "user_id", "event_type", "event_id", "value",
+                threshold = 450.0)})
+            ${Preference.bestOfNFinalSql(D, "b")}"""
+        }),
+
       // Best-of-n / rejection-sampling selection (the Llama-2 RLHF data
       // loop; WebGPT): per (user, event_type) prompt group, the single
       // top-scoring candidate by exact tie-break (raw stored doubles
