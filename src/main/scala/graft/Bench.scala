@@ -438,7 +438,16 @@ object Bench {
           // best_of_n is one keyed window, bleu is a per-row gram kernel
           // over an id-keyed successor join
           "q_dpo_pairs", "q_best_of_n", "q_bleu_pairs",
-          "q_rm_calibration", "q_kto_labels")
+          "q_rm_calibration", "q_kto_labels",
+          // r14-new operators: rouge is the per-row LCS kernel over the
+          // id-keyed successor join (expect ~linear like bleu), grpo is
+          // one keyed window, chrf_long's gram rows explode linearly,
+          // fertility is segmenter kernels + a key join. q_dir_corpus
+          // joins them for a pinned sf1 ratio: three rounds of ~2x
+          // clean-record flip-flops (r11 1.56 / r12 0.80 / r13 1.85 s)
+          // need a scale row beside the warm min-of-3 adjudication
+          "q_rouge_pairs", "q_group_advantage", "q_chrf_long",
+          "q_token_fertility", "q_dir_corpus")
         val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
         def timed(fn: String => Unit, dir: String, name: String,
                   baseT: Double): Double = {
