@@ -439,6 +439,75 @@ private[graft] trait CatalogPreference extends CatalogCore {
             ${PairQuality.scoresSql(D, "st")}"""
         }),
 
+      // Plackett-Luce listwise preference fitting (Plackett 1975; Hunter
+      // 2004 MM) — the LISTWISE sibling of q_bradley_terry for
+      // InstructGPT-style rank-K annotations: per-context type rankings
+      // collapse to a ≤k! (pattern, count) grain in ONE corpus pass and
+      // all 5 MM iterations run over that grain (corpus-independent),
+      // add-one pair smoothing, θ round-6 at every boundary, all folds
+      // order-pinned. Spark runs the oracle's own step builders over
+      // checkpointed views (CTE-inlining would re-derive θ 2^iters
+      // times — the btFromCounts lesson).
+      Q("q_plackett_luce",
+        (s, dir) => {
+          import graft.ops.PlackettLuce
+          val tag = System.nanoTime()
+          val evView = s"graft_pl_events_$tag"
+          tEvents(s, dir).createOrReplaceTempView(evView)
+          def mat(df: org.apache.spark.sql.DataFrame, n: String): String = {
+            val v = s"graft_pl_${n}_$tag"
+            df.localCheckpoint(true).createOrReplaceTempView(v)
+            v
+          }
+          // every relation from the pattern grain down is ≤ k!·k rows
+          // (corpus-independent) — single-partition those so the 5 MM
+          // iterations don't schedule 32-task shuffles over 20-row
+          // frames; the user-sized rankings relation stays partitioned
+          def matDim(df: org.apache.spark.sql.DataFrame, n: String): String =
+            mat(df.coalesce(1), n)
+          // ranks + pattern collapse fuse into one statement (each is
+          // referenced once — no inlining hazard); the first checkpoint
+          // lands on the user-sized rankings, the second on the ≤k!
+          // pattern grain, where iteration reuse begins
+          val rlV = mat(s.sql(PlackettLuce.rankingsSql(SP,
+            s"(${PlackettLuce.typeRanksSql(SP, evView,
+              "user_id", "event_type", "value")}) rk__")), "rl")
+          val pcV = matDim(s.sql(PlackettLuce.patternCountsSql(SP, rlV)), "pc")
+          val exV = matDim(s.sql(PlackettLuce.explodedSql(SP, pcV)), "ex")
+          val wV = matDim(s.sql(PlackettLuce.wSql(SP, exV)), "w")
+          var thV = matDim(s.sql(PlackettLuce.th0Sql(SP, exV)), "th0")
+          for (it <- 1 to 5)
+            thV = matDim(s.sql(PlackettLuce.iterSql(SP, exV, wV, thV)), s"th$it")
+          s.sql(PlackettLuce.finalSql(SP, thV, wV, exV))
+        },
+        Some(graft.ops.PlackettLuce.plackettLuceSql(D, "events",
+          "user_id", "event_type", "value", iters = 5))),
+
+      // InstructGPT ranking→pairs expansion (Ouyang et al. 2022 train on
+      // all (K choose 2) pairs of each ranked K-list): every ordered pair
+      // from the per-context type ranking with rank gap and both raw
+      // scores — the pairwise training table a rank-K annotation yields.
+      // ctx-keyed self-join over the (users × k) rank relation; output is
+      // corpus-linear, never a cartesian.
+      Q("q_ranking_pairs",
+        (s, dir) => {
+          import graft.ops.PlackettLuce
+          val tag = System.nanoTime()
+          val evView = s"graft_rkp_events_$tag"
+          tEvents(s, dir).createOrReplaceTempView(evView)
+          val rkV = s"graft_rkp_ranks_$tag"
+          s.sql(PlackettLuce.typeRanksSql(SP, evView, "user_id",
+              "event_type", "value"))
+            .localCheckpoint(true).createOrReplaceTempView(rkV)
+          s.sql(PlackettLuce.rankingPairsSql(SP, rkV))
+        },
+        Some {
+          import graft.ops.PlackettLuce
+          s"""WITH rk ${D.cteAs} (${PlackettLuce.typeRanksSql(D, "events",
+                "user_id", "event_type", "value")})
+            ${PlackettLuce.rankingPairsSql(D, "rk")}"""
+        }),
+
       // Uncapped chrF (the explode→groupBy shape PairQuality's scaladoc
       // names for book-length inputs): same pairing and token-side BLEU
       // stats, but char n-gram matches count as ROWS — explode grams,

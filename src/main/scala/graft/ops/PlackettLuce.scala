@@ -1,0 +1,185 @@
+package graft.ops
+
+import graft.sqlgen.Dialect
+
+/** Plackett-Luce listwise preference fitting (Plackett 1975; Luce 1959)
+  * via Hunter 2004's MM algorithm — the LISTWISE sibling of
+  * [[Preference]]'s Bradley-Terry: where BT consumes pairwise contests,
+  * PL consumes full RANKINGS of k candidates per context (the
+  * InstructGPT-style annotation format: labelers rank K sampled outputs,
+  * and reward-model training consumes either the listwise likelihood or
+  * its pairwise expansion — both derivations live here).
+  *
+  * Likelihood of a ranking r = Π_{p=1}^{m-1} θ_{r(p)} / Σ_{q≥p} θ_{r(q)}
+  * (a sequence of softmax picks without replacement). MM update
+  * (Hunter 2004 §3): θᵢ ← Wᵢ / Σ_r Σ_{p ≤ min(posᵢ(r), m-1)} 1/D_{r,p}
+  * with D_{r,p} = Σ_{q≥p} θ_{r(q)} and Wᵢ = #selections of i (appearances
+  * at non-last positions), then normalize Σθ = 1.
+  *
+  * THE GRAIN TRICK (the 100 TB shape, same as BT's count matrix):
+  * rankings REPEAT — with k event types there are at most k! orderings
+  * per length — so the per-context rankings collapse to a
+  * (pattern, count) relation of ≤ Σ_m k!/(k-m)! rows in ONE corpus pass,
+  * and every MM iteration runs over the pattern grain (patterns × k
+  * rows), corpus-independent. Add-one smoothing: every ordered pair of
+  * observed types rides in as one pseudo 2-ranking, so no θ can hit 0
+  * (an always-last item would otherwise collapse — exactly BT's add-one
+  * pair rationale).
+  *
+  * Exactness: counts are BIGINT; θ is round-6 at EVERY iteration
+  * boundary; all double folds are [[Dialect.foldSumOrdered]] with
+  * duplicate-free orders, so the k!-grain replay is bit-identical on
+  * both engines (the bradleyTerrySql contract). The Spark engine runs
+  * the SAME step builders over localCheckpointed views (Spark inlines
+  * multi-referenced CTEs — the btFromCounts lesson) while DuckDB takes
+  * the one-statement [[plackettLuceSql]] with materialized CTEs.
+  */
+object PlackettLuce {
+
+  private def r6s(dl: Dialect, x: String): String =
+    s"(round($x, 6) + ${dl.d(0.0)})"
+
+  /** Per-(context, type) ranks: each type's strength within a context is
+    * its MAX stored value (raw doubles compare — both engines pick
+    * identical ranks), ordered v DESC then type ASC. (ctx, t, v, rn). */
+  def typeRanksSql(dl: Dialect, eventsRel: String, userCol: String,
+                   typeCol: String, valCol: String): String =
+    s"""SELECT ctx, t__ AS t, v__ AS v,
+               CAST(row_number() OVER (PARTITION BY ctx
+                 ORDER BY v__ DESC, t__) AS INT) AS rn
+        FROM (SELECT CAST($userCol AS BIGINT) AS ctx, $typeCol AS t__,
+                     max($valCol) AS v__
+              FROM $eventsRel
+              GROUP BY CAST($userCol AS BIGINT), $typeCol) a__"""
+
+  /** InstructGPT-style ranking→pairs expansion (Ouyang et al. 2022 train
+    * on all (K choose 2) pairs of each ranked K-list): every ordered pair
+    * with the rank gap and both raw scores. Corpus-linear output
+    * (contexts × k²/2); the self-join is ctx-keyed — never a cartesian. */
+  def rankingPairsSql(dl: Dialect, ranksRel: String): String =
+    s"""SELECT c1.ctx AS context, c1.t AS chosen, c2.t AS rejected,
+               CAST(c2.rn - c1.rn AS BIGINT) AS rank_gap,
+               c1.v AS chosen_score, c2.v AS rejected_score
+        FROM $ranksRel c1 JOIN $ranksRel c2
+          ON c2.ctx = c1.ctx AND c2.rn > c1.rn
+        ORDER BY context, chosen, rejected"""
+
+  /** Per-context ranking pattern string ('A>B>C'), contexts with ≥ 2
+    * ranked types (singletons carry no listwise information). */
+  def rankingsSql(dl: Dialect, ranksRel: String): String =
+    s"""SELECT ctx, ${dl.orderedStringAgg("t", "rn", ">")} AS pattern
+        FROM $ranksRel GROUP BY ctx HAVING count(*) >= 2"""
+
+  /** (pattern, cnt) grain with add-one ordered-pair smoothing over the
+    * observed types — the corpus never moves past this point. */
+  def patternCountsSql(dl: Dialect, rankingsRel: String): String = {
+    val split = if (dl.duck) "string_split(pattern, '>')"
+                else "split(pattern, '>')"
+    s"""WITH real__ ${dl.cteAs} (
+          SELECT pattern, CAST(count(*) AS BIGINT) AS cnt
+          FROM $rankingsRel GROUP BY pattern),
+        ty__ ${dl.cteAs} (
+          SELECT DISTINCT g__ AS t
+          FROM (${dl.explodeRel("real__", "pattern", split, "g__")}) e__),
+        ps__ ${dl.cteAs} (
+          SELECT t1.t || '>' || t2.t AS pattern, CAST(1 AS BIGINT) AS cnt
+          FROM ty__ t1 JOIN ty__ t2 ON t1.t <> t2.t)
+        SELECT pattern, CAST(sum(cnt) AS BIGINT) AS cnt
+        FROM (SELECT pattern, cnt FROM real__
+              UNION ALL SELECT pattern, cnt FROM ps__) u__
+        GROUP BY pattern"""
+  }
+
+  /** Exploded pattern positions: (pattern, cnt, m, p, t), p 1-based. */
+  def explodedSql(dl: Dialect, patRel: String): String = {
+    val split = if (dl.duck) "string_split(pattern, '>')"
+                else "split(pattern, '>')"
+    s"""SELECT pattern, cnt, m, CAST(p__ AS INT) AS p,
+               ${dl.at("a__", "CAST(p__ AS INT)")} AS t
+        FROM (${dl.explodeRel(
+          s"""(SELECT pattern, cnt, $split AS a__,
+                 CAST(${dl.size(split)} AS INT) AS m FROM $patRel) b__""",
+          "pattern, cnt, a__, m", dl.seq1("m"), "p__")}) e__"""
+  }
+
+  /** Smoothed selection counts Wᵢ (appearances at non-last positions). */
+  def wSql(dl: Dialect, expRel: String): String =
+    s"""SELECT t, CAST(sum(CASE WHEN p < m THEN cnt ELSE 0 END) AS BIGINT)
+          AS w
+        FROM $expRel GROUP BY t"""
+
+  /** Uniform θ⁰ = 1/k, round-6. */
+  def th0Sql(dl: Dialect, expRel: String): String =
+    s"""WITH ty__ ${dl.cteAs} (SELECT DISTINCT t FROM $expRel),
+        k__ ${dl.cteAs} (SELECT CAST(count(*) AS BIGINT) AS k FROM ty__)
+        SELECT t, ${r6s(dl, s"${dl.d(1.0)} / CAST(k__.k AS DOUBLE)")} AS th
+        FROM ty__ CROSS JOIN k__"""
+
+  /** One MM step over the pattern grain. Suffix denominators D_{r,p}
+    * fold the round-6 θs in position order; the per-type denominator
+    * folds cnt/D over a (pattern, zero-padded p) string order — both
+    * duplicate-free, so every double chain replays bit-exactly. */
+  def iterSql(dl: Dialect, expRel: String, wRel: String,
+              thRel: String): String = {
+    val stageOrd = s"(d.pattern || chr(31) || lpad(${dl.castStr("d.p")}, 4, '0'))"
+    s"""WITH den__ ${dl.cteAs} (
+          SELECT e1.pattern, e1.p, ${dl.foldSumOrdered("t2.th", "e2.p")} AS den
+          FROM $expRel e1 JOIN $expRel e2
+            ON e2.pattern = e1.pattern AND e2.p >= e1.p
+          JOIN $thRel t2 ON t2.t = e2.t
+          WHERE e1.p <= e1.m - 1
+          GROUP BY e1.pattern, e1.p),
+        di__ ${dl.cteAs} (
+          SELECT e.t,
+                 ${dl.foldSumOrdered("CAST(e.cnt AS DOUBLE) / d.den", stageOrd)}
+                   AS di
+          FROM $expRel e JOIN den__ d
+            ON d.pattern = e.pattern AND d.p <= e.p
+          GROUP BY e.t),
+        raw__ ${dl.cteAs} (
+          SELECT w.t, CAST(w.w AS DOUBLE) / di.di AS v
+          FROM $wRel w JOIN di__ di ON di.t = w.t),
+        s__ ${dl.cteAs} (SELECT ${dl.foldSumOrdered("v", "t")} AS s FROM raw__)
+        SELECT t, ${r6s(dl, "v / s")} AS th FROM raw__ CROSS JOIN s__"""
+  }
+
+  /** Final projection: (event_type, selections, strength) — selections
+    * UNsmoothed (the k−1 pseudo-pair picks per type subtract back out). */
+  def finalSql(dl: Dialect, thRel: String, wRel: String,
+               expRel: String): String =
+    s"""WITH k__ ${dl.cteAs} (
+          SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM $expRel)
+        SELECT w.t AS event_type,
+               CAST(w.w - (k__.k - 1) AS BIGINT) AS selections,
+               t2.th AS strength
+        FROM $wRel w JOIN $thRel t2 ON t2.t = w.t CROSS JOIN k__
+        ORDER BY event_type"""
+
+  /** The one-statement unrolled form — the DuckDB oracle (materialized
+    * CTEs; Spark must run the step builders over checkpointed views
+    * instead, or CTE inlining re-derives each θ exponentially). */
+  def plackettLuceSql(dl: Dialect, eventsRel: String, userCol: String,
+                      typeCol: String, valCol: String, iters: Int): String = {
+    require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+    val sb = new StringBuilder
+    sb ++= s"""WITH rk__ ${dl.cteAs} (${typeRanksSql(dl, eventsRel, userCol,
+      typeCol, valCol)}),
+      rl__ ${dl.cteAs} (${rankingsSql(dl, "rk__")}),
+      pc__ ${dl.cteAs} (${patternCountsSql(dl, "rl__")}),
+      ex__ ${dl.cteAs} (${explodedSql(dl, "pc__")}),
+      wt__ ${dl.cteAs} (${wSql(dl, "ex__")}),
+      pth0 ${dl.cteAs} (${th0Sql(dl, "ex__")})"""
+    for (it <- 1 to iters)
+      sb ++= s""",
+      pth$it ${dl.cteAs} (${iterSql(dl, "ex__", "wt__", s"pth${it - 1}")})"""
+    // finalSql opens with its own WITH, so it rides in as one more CTE
+    // (nested WITH is fine in a CTE body; a bare WITH after the outer
+    // CTE list is not) — and its internal ORDER BY does not survive the
+    // outer SELECT, so the presentation sort re-states at top level
+    sb ++= s""",
+      fin__ ${dl.cteAs} (${finalSql(dl, s"pth$iters", "wt__", "ex__")})
+      SELECT event_type, selections, strength FROM fin__
+      ORDER BY event_type"""
+    sb.toString
+  }
+}

@@ -237,6 +237,14 @@ final case class Dialect(duck: Boolean) {
                                    size(filter($rg, e__ -> e__ = g__))))
          AS BIGINT)"""
 
+  /** Group-ordered string concatenation with a literal separator — the
+    * string sibling of [[foldSumOrdered]]: plain string_agg leaves
+    * concatenation order engine-chosen; this pins it by `ord` (which must
+    * be duplicate-free within the group). */
+  def orderedStringAgg(v: String, ord: String, sep: String): String =
+    if (duck) s"string_agg($v, '$sep' ORDER BY $ord)"
+    else s"array_join(transform(sort_array(collect_list(struct(($ord) AS o__, ($v) AS v__))), e__ -> e__.v__), '$sep')"
+
   def arrayConcat(a: String, b: String): String =
     if (duck) s"list_concat($a, $b)" else s"concat($a, $b)"
 

@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sqlgen.Dialect
+
+/** Hand-checks for the Plackett-Luce listwise preference operators: the
+  * rank derivation, the InstructGPT pairs expansion, the pattern grain
+  * with add-one pair smoothing, the selection counts, and the MM fit's
+  * qualitative contract (dominance ordering, Σθ = 1). The cross-engine
+  * bit-exactness is pinned by the q_plackett_luce oracle gate. */
+class PlackettLuceSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+  private val SP = Dialect.spark
+  import graft.ops.PlackettLuce
+
+  private def evView(rows: Seq[(Long, String, Double)]): String = {
+    val v = s"pl_spec_${System.nanoTime()}"
+    rows.toDF("user_id", "event_type", "value").createOrReplaceTempView(v)
+    v
+  }
+
+  private def mat(df: org.apache.spark.sql.DataFrame): String = {
+    val v = s"pl_mat_${System.nanoTime()}"
+    df.localCheckpoint(true).createOrReplaceTempView(v)
+    v
+  }
+
+  test("type ranks + InstructGPT pairs expansion: every ordered pair, gap, scores") {
+    val v = evView(Seq(
+      (1L, "A", 2.0), (1L, "A", 1.0), // max(A) = 2.0
+      (1L, "B", 1.0), (1L, "C", 3.0)))
+    val rk = mat(spark.sql(PlackettLuce.typeRanksSql(SP, v, "user_id",
+      "event_type", "value")))
+    val pairs = spark.sql(PlackettLuce.rankingPairsSql(SP, rk)).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(pairs.toSet == Set(
+      ("C", "A", 1L, 3.0, 2.0), ("C", "B", 2L, 3.0, 1.0),
+      ("A", "B", 1L, 2.0, 1.0)), pairs.mkString(", "))
+  }
+
+  test("exact value tie ranks the lexicographically smaller type first") {
+    val v = evView(Seq((1L, "B", 5.0), (1L, "A", 5.0)))
+    val rk = mat(spark.sql(PlackettLuce.typeRanksSql(SP, v, "user_id",
+      "event_type", "value")))
+    val rl = spark.sql(PlackettLuce.rankingsSql(SP, rk)).collect()
+    assert(rl.map(_.getString(1)).toSeq == Seq("A>B"))
+  }
+
+  test("pattern grain: counts collapse + add-one pair smoothing over observed types") {
+    // 10 users all ranking A>B>C
+    val rows = (1 to 10).flatMap(u =>
+      Seq((u.toLong, "A", 3.0), (u.toLong, "B", 2.0), (u.toLong, "C", 1.0)))
+    val v = evView(rows)
+    val rk = mat(spark.sql(PlackettLuce.typeRanksSql(SP, v, "user_id",
+      "event_type", "value")))
+    val rl = mat(spark.sql(PlackettLuce.rankingsSql(SP, rk)))
+    val pc = spark.sql(PlackettLuce.patternCountsSql(SP, rl)).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // the real pattern + 6 pseudo ordered pairs (A>B gets no real mass)
+    assert(pc("A>B>C") == 10L, pc.toString)
+    assert(Seq("A>B", "A>C", "B>A", "B>C", "C>A", "C>B")
+      .forall(p => pc(p) == 1L), pc.toString)
+    assert(pc.size == 7, pc.toString)
+  }
+
+  test("selections are unsmoothed non-last appearances; MM fit ranks dominance; sum(th) = 1") {
+    val rows = (1 to 10).flatMap(u =>
+      Seq((u.toLong, "A", 3.0), (u.toLong, "B", 2.0), (u.toLong, "C", 1.0)))
+    val v = evView(rows)
+    val rk = mat(spark.sql(PlackettLuce.typeRanksSql(SP, v, "user_id",
+      "event_type", "value")))
+    val rl = mat(spark.sql(PlackettLuce.rankingsSql(SP, rk)))
+    val pc = mat(spark.sql(PlackettLuce.patternCountsSql(SP, rl)))
+    val ex = mat(spark.sql(PlackettLuce.explodedSql(SP, pc)))
+    val w = mat(spark.sql(PlackettLuce.wSql(SP, ex)))
+    var th = mat(spark.sql(PlackettLuce.th0Sql(SP, ex)))
+    for (_ <- 1 to 5)
+      th = mat(spark.sql(PlackettLuce.iterSql(SP, ex, w, th)))
+    val out = spark.sql(PlackettLuce.finalSql(SP, th, w, ex)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val m = out.map(x => x._1 -> x).toMap
+    // A selected in all 10 rankings (pos 1), B in all 10 (pos 2), C never
+    assert(m("A")._2 == 10L && m("B")._2 == 10L && m("C")._2 == 0L,
+      out.mkString(", "))
+    assert(m("A")._3 > m("B")._3 && m("B")._3 > m("C")._3, out.mkString(", "))
+    assert(m("C")._3 > 0.0, out.mkString(", ")) // smoothing keeps it alive
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-5, out.mkString(", "))
+  }
+
+  test("PL on 2-item rankings degenerates to the pairwise (BT-shaped) read") {
+    // A beats B 3:1 in head-to-heads; fitted strength must favor A
+    val rows = Seq(
+      (1L, "A", 2.0), (1L, "B", 1.0),
+      (2L, "A", 2.0), (2L, "B", 1.0),
+      (3L, "A", 2.0), (3L, "B", 1.0),
+      (4L, "B", 2.0), (4L, "A", 1.0))
+    val v = evView(rows)
+    val rk = mat(spark.sql(PlackettLuce.typeRanksSql(SP, v, "user_id",
+      "event_type", "value")))
+    val rl = mat(spark.sql(PlackettLuce.rankingsSql(SP, rk)))
+    val pc = mat(spark.sql(PlackettLuce.patternCountsSql(SP, rl)))
+    val ex = mat(spark.sql(PlackettLuce.explodedSql(SP, pc)))
+    val w = mat(spark.sql(PlackettLuce.wSql(SP, ex)))
+    var th = mat(spark.sql(PlackettLuce.th0Sql(SP, ex)))
+    for (_ <- 1 to 5)
+      th = mat(spark.sql(PlackettLuce.iterSql(SP, ex, w, th)))
+    val out = spark.sql(PlackettLuce.finalSql(SP, th, w, ex)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val m = out.map(x => x._1 -> x).toMap
+    assert(m("A")._2 == 3L && m("B")._2 == 1L, out.mkString(", "))
+    // smoothed contest record 4:2 -> MM fixed point ratio ~2:1
+    assert(m("A")._3 > 0.6 && m("B")._3 < 0.4, out.mkString(", "))
+  }
+}

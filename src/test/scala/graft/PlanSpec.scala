@@ -600,6 +600,27 @@ class PlanSpec extends AnyFunSuite {
       s"stats stage must stay parallel:\n$plan")
   }
 
+  test("Plackett-Luce corpus stage: ctx-keyed agg + window, never SinglePartition; pairs expansion is a ctx equi-join") {
+    val SP = graft.sqlgen.Dialect.spark
+    val tag = System.nanoTime()
+    val evs = Seq((1L, "A", 9.0), (1L, "B", 1.0), (2L, "A", 3.0))
+      .toDF("user_id", "event_type", "value")
+    val v = s"plan_pl_$tag"
+    evs.createOrReplaceTempView(v)
+    val ranks = graft.ops.PlackettLuce.typeRanksSql(SP, v, "user_id",
+      "event_type", "value")
+    val planRanks = formatted(spark.sql(
+      graft.ops.PlackettLuce.rankingsSql(SP, s"($ranks) rk__")))
+    assert(!planRanks.contains("Exchange SinglePartition"),
+      s"rank derivation must stay ctx-keyed:\n$planRanks")
+    val rv = s"plan_pl_rk_$tag"
+    spark.sql(ranks).createOrReplaceTempView(rv)
+    val planPairs = formatted(spark.sql(
+      graft.ops.PlackettLuce.rankingPairsSql(SP, rv)))
+    assert(!planPairs.contains("CartesianProduct"),
+      s"the pairs expansion must equi-join on ctx:\n$planPairs")
+  }
+
   test("uncapped chrF: gram rows shuffle keyed, nothing single-partitions") {
     val SP = graft.sqlgen.Dialect.spark
     val tag = System.nanoTime()
