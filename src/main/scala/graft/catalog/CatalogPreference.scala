@@ -647,6 +647,54 @@ private[graft] trait CatalogPreference extends CatalogCore {
         },
         Some(graft.ops.Preference.cohenKappaSql(D, "documents"))),
 
+      // Fleiss' kappa (Fleiss 1971) — multi-rater agreement for the
+      // standard >=3-annotator labeling setup, beside Cohen's two-rater
+      // q_cohen_kappa: three deterministic binary raters (length,
+      // stopword density by cross-multiplication, sentence count by
+      // exact '.' counting); per-item agreement accumulates as ONE
+      // BIGINT numerator, chance agreement is an exact integer ratio,
+      // kappa one fixed IEEE chain. One map-combined scan to 4 BIGINTs.
+      Q("q_fleiss_kappa",
+        (s, dir) => {
+          val view = s"graft_fleiss_docs_${System.nanoTime()}"
+          t(s, dir, "documents").createOrReplaceTempView(view)
+          s.sql(graft.ops.Preference.fleissKappaSql(SP, view))
+        },
+        Some(graft.ops.Preference.fleissKappaSql(D, "documents"))),
+
+      // Preference-transitivity audit (Kendall & Babington Smith 1940):
+      // circular triads in the strict-majority contest digraph — the
+      // structural consistency check beside q_rm_calibration's
+      // probabilistic one (a high cyclic rate means NO total order
+      // explains the contests and fitted strengths will calibrate
+      // poorly). One corpus window pass collapses to the (i, j, w)
+      // count matrix (checkpointed); edges/triples/cycles and Kendall's
+      // zeta are |types|^3-sized exact-integer derivations over it.
+      Q("q_pref_cycles",
+        (s, dir) => {
+          import graft.ops.Preference
+          val tag = System.nanoTime()
+          val evView = s"graft_cyc_events_$tag"
+          tEvents(s, dir).createOrReplaceTempView(evView)
+          val cV = s"graft_cyc_counts_$tag"
+          s.sql(
+            s"""SELECT i, j, CAST(count(*) AS BIGINT) AS w FROM (
+                ${Preference.comparisonsSql(SP, evView, "user_id", "ts",
+                  "event_id", "event_type", "value")}) c__
+                GROUP BY i, j""")
+            .localCheckpoint(true).createOrReplaceTempView(cV)
+          s.sql(Preference.prefCyclesSql(SP, cV))
+        },
+        Some {
+          import graft.ops.Preference
+          s"""WITH cmp0 ${D.cteAs} (${Preference.comparisonsSql(D, "events",
+                "user_id", "ts", "event_id", "event_type", "value")}),
+            counts0 ${D.cteAs} (SELECT i, j, CAST(count(*) AS BIGINT) AS w
+                                FROM cmp0 GROUP BY i, j),
+            cyc AS (${Preference.prefCyclesSql(D, "counts0")})
+            SELECT * FROM cyc"""
+        }),
+
       // SFT chat-transcript structure gate: deterministic "role: content"
       // transcripts built from the document tokens (system/tool/user/
       // assistant pattern planting real alternation violations and

@@ -359,6 +359,93 @@ object Preference {
         ORDER BY context, event_type, event_id"""
   }
 
+  /** Fleiss' kappa (Fleiss 1971) — the MULTI-rater generalization of
+    * [[cohenKappaSql]], for the standard ≥3-annotator labeling setup
+    * before preference/quality data enters training: three deterministic
+    * binary raters over the documents table (length gate, stopword-
+    * density gate by integer cross-multiplication, sentence-count gate
+    * by exact '.' counting). Per-item agreement Pᵢ = Σⱼ nᵢⱼ(nᵢⱼ−1)/(r(r−1))
+    * accumulates as ONE BIGINT numerator (r = 3 fixed), chance agreement
+    * P̄ₑ = Σⱼ (Cⱼ/(rN))² expands to an exact integer ratio, and κ is one
+    * fixed IEEE chain over those integers — nothing to drift cross-engine.
+    * One map-combined corpus scan to four BIGINTs. */
+  def fleissKappaSql(dl: Dialect, docsRel: String): String = {
+    val stopPred =
+      "lower(t__) IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+    val nTok = dl.size("toks__")
+    val nStop = dl.size(dl.filter("toks__", "t__", stopPred))
+    val nDot = "(length(text) - length(replace(text, '.', '')))"
+    def dd(x: String) = s"CAST($x AS DOUBLE)"
+    // exact integer ratios: pbar = s_agree/(6n); pe = (c1² + (3n−c1)²)/(9n²)
+    val pbar = s"(${dd("s_agree")} / (${dd("n")} * ${dl.d(6.0)}))"
+    val pe = s"(${dd("c1 * c1 + (3 * n - c1) * (3 * n - c1)")} / (${dl.d(9.0)} * ${dd("n")} * ${dd("n")}))"
+    s"""WITH r__ AS (
+         SELECT (CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END
+               + CASE WHEN 4 * $nStop >= $nTok THEN 1 ELSE 0 END
+               + CASE WHEN $nDot >= 5 THEN 1 ELSE 0 END) AS k1
+         FROM (SELECT n_chars, text, ${dl.splitWs("text")} AS toks__
+               FROM $docsRel) b__),
+       c__ AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(k1) AS BIGINT) AS c1,
+                      CAST(sum(k1 * (k1 - 1) + (3 - k1) * (2 - k1)) AS BIGINT)
+                        AS s_agree
+               FROM r__)
+       SELECT n, c1, s_agree,
+              ${r6s(dl, pbar)} AS pbar,
+              ${r6s(dl, pe)} AS pe,
+              CASE WHEN $pe >= ${dl.d(1.0)} THEN ${dl.d(1.0)}
+                   ELSE ${r6s(dl, s"(($pbar) - ($pe)) / (${dl.d(1.0)} - ($pe))")}
+              END AS kappa
+       FROM c__"""
+  }
+
+  /** Preference-transitivity audit: circular triads in the strict-
+    * majority contest digraph (Kendall & Babington Smith 1940 — the
+    * classic consistency diagnostic for paired-comparison data; a high
+    * cyclic rate means no total order explains the contests and fitted
+    * strengths like [[bradleyTerrySql]]'s will calibrate poorly — the
+    * structural sibling of [[btCalibrationSql]]'s probabilistic check).
+    * Edge i→j iff wᵢⱼ > wⱼᵢ (ties undecided); a decided triple is cyclic
+    * iff it is a directed 3-cycle. Emits edge/triple/cycle counts, the
+    * cyclic rate, and Kendall's consistency ζ = 1 − d/d_max with
+    * d_max = k(k²−4)/24 (k even) or k(k²−1)/24 (k odd) — all from exact
+    * BIGINTs. `countsRel` = (i, j, w) ordered-pair wins (the corpus was
+    * consumed deriving it — the Spark engine checkpoints it, the oracle
+    * materializes it); everything here is |types|³-sized. */
+  def prefCyclesSql(dl: Dialect, countsRel: String): String = {
+    def dd(x: String) = s"CAST($x AS DOUBLE)"
+    s"""WITH ty__ ${dl.cteAs} (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM
+                (SELECT i AS t FROM $countsRel
+                 UNION SELECT j AS t FROM $countsRel) u__),
+        e__ ${dl.cteAs} (SELECT a.i, a.j FROM $countsRel a LEFT JOIN $countsRel b
+                  ON b.i = a.j AND b.j = a.i
+                WHERE a.w > coalesce(b.w, 0)),
+        und__ ${dl.cteAs} (SELECT DISTINCT least(i, j) AS i, greatest(i, j) AS j
+                 FROM e__),
+        tr__ ${dl.cteAs} (SELECT CAST(count(*) AS BIGINT) AS n_triples
+                FROM und__ p1 JOIN und__ p2
+                  ON p2.i = p1.i AND p2.j > p1.j
+                JOIN und__ p3 ON p3.i = p1.j AND p3.j = p2.j),
+        cy__ ${dl.cteAs} (SELECT CAST(count(*) AS BIGINT) AS n_cyclic
+                FROM e__ e1 JOIN e__ e2 ON e2.i = e1.j
+                JOIN e__ e3 ON e3.i = e2.j AND e3.j = e1.i
+                WHERE e1.i < e2.i AND e1.i < e3.i),
+        mx__ ${dl.cteAs} (SELECT CASE WHEN k % 2 = 0
+                         THEN ${dl.intDiv("k * (k * k - 4)", "24")}
+                         ELSE ${dl.intDiv("k * (k * k - 1)", "24")} END AS dmax
+                FROM ty__)
+        SELECT ty__.k AS n_types,
+               (SELECT CAST(count(*) AS BIGINT) FROM e__) AS n_edges,
+               tr__.n_triples, cy__.n_cyclic,
+               CASE WHEN tr__.n_triples = 0 THEN ${dl.d(0.0)}
+                    ELSE ${r6s(dl, s"${dd("cy__.n_cyclic")} / ${dd("tr__.n_triples")}")}
+               END AS cycle_rate,
+               CASE WHEN mx__.dmax = 0 THEN ${dl.d(1.0)}
+                    ELSE ${r6s(dl, s"${dl.d(1.0)} - ${dd("cy__.n_cyclic")} / ${dd("mx__.dmax")}")}
+               END AS kendall_zeta
+        FROM ty__ CROSS JOIN tr__ CROSS JOIN cy__ CROSS JOIN mx__"""
+  }
+
   /** Cohen's kappa between two deterministic binary raters over the
     * documents table: rater A = length gate (n_chars >= 500), rater B =
     * stopword-density gate (stopword share >= 1/4 — compared by integer

@@ -222,6 +222,53 @@ class PreferenceSpec extends AnyFunSuite {
     assert(out.forall(_.getDouble(7) == 0.5)) // 1 of 2 prompts kept
   }
 
+  test("fleissKappaSql: hand-checked 3-rater agreement") {
+    // raters: A = n_chars >= 500; B = stopword share >= 1/4;
+    // C = at least 5 '.' characters.
+    // doc1 (1,1,1): k1=3 -> pairs agree 3*2 + 0 = 6
+    // doc2 (1,0,0): k1=1 -> 0 + 2*1 = 2
+    // doc3 (0,0,0): k1=0 -> 0 + 3*2 = 6
+    // n=3, c1=4, s_agree=14; pbar = 14/18; pe = (16 + 25)/81
+    val docs = Seq(
+      (600L, "the of and to in . . . . ."),
+      (700L, "alpha beta gamma delta epsilon"),
+      (100L, "zeta eta theta iota kappa")
+    ).toDF("n_chars", "text")
+    val v = s"pref_fleiss_${System.nanoTime()}"
+    docs.createOrReplaceTempView(v)
+    val r = spark.sql(Preference.fleissKappaSql(SP, v)).collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 4 && r.getLong(2) == 14,
+      r.toString)
+    assert(math.abs(r.getDouble(3) - 14.0 / 18.0) < 1e-6, r.toString)
+    assert(math.abs(r.getDouble(4) - 41.0 / 81.0) < 1e-6, r.toString)
+    val pbar = 14.0 / 18.0; val pe = 41.0 / 81.0
+    assert(math.abs(r.getDouble(5) - (pbar - pe) / (1.0 - pe)) < 1e-6,
+      r.toString)
+  }
+
+  test("prefCyclesSql: transitive triple scores zeta 1, cyclic triple flags") {
+    def run(counts: Seq[(String, String, Long)]) = {
+      val v = s"pref_cyc_${System.nanoTime()}"
+      counts.toDF("i", "j", "w").createOrReplaceTempView(v)
+      spark.sql(Preference.prefCyclesSql(SP, v)).collect()(0)
+    }
+    // transitive tournament A>B, B>C, A>C
+    val t = run(Seq(("A", "B", 3L), ("B", "C", 2L), ("A", "C", 2L),
+      ("C", "A", 1L)))
+    assert(t.getLong(0) == 3 && t.getLong(1) == 3 && t.getLong(2) == 1 &&
+      t.getLong(3) == 0, t.toString)
+    assert(t.getDouble(4) == 0.0 && t.getDouble(5) == 1.0, t.toString)
+    // rock-paper-scissors: A>B, B>C, C>A — one cyclic triad, zeta 0
+    val c = run(Seq(("A", "B", 3L), ("B", "C", 3L), ("C", "A", 3L)))
+    assert(c.getLong(2) == 1 && c.getLong(3) == 1, c.toString)
+    assert(c.getDouble(4) == 1.0 && c.getDouble(5) == 0.0, c.toString)
+    // a tied pair leaves the triple undecided — no triples at all
+    val u = run(Seq(("A", "B", 2L), ("B", "A", 2L), ("B", "C", 3L),
+      ("A", "C", 1L)))
+    assert(u.getLong(1) == 2 && u.getLong(2) == 0 && u.getLong(3) == 0,
+      u.toString)
+  }
+
   test("watermark counts: planted green chain flags, planted red does not") {
     import graft.functions.TextHashing
     // greedily build a 41-token chain whose every bigram hashes green
