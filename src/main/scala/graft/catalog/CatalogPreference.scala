@@ -409,6 +409,80 @@ private[graft] trait CatalogPreference extends CatalogCore {
             "event_type", "event_id", "value")
         }),
 
+      // 24th streaming/batch equivalence gate — INCREMENTAL GRPO: the
+      // per-group count/Σ/Σ² normalization state is pure monoid
+      // aggregation, held as REAL complete-mode streaming state with the
+      // SAME exact DECIMAL types as the batch window (sum DECIMAL(18,6)
+      // → 28,6; sum of DECIMAL(30,12) squares → 38,12 — identical bits);
+      // the advantage projection then replays the batch chain joining
+      // the streamed state back onto the events — live group-relative
+      // advantages hash-equal the batch q_group_advantage oracle.
+      Q("q_stream_grpo_eq",
+        (s, dir0) => {
+          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
+          import s.implicits._
+          import graft.streaming.StreamingPreference.PEvent
+          val ss = streamSession(s)
+          implicit val sqlCtx = ss.sqlContext
+          def tsOf(us: Long) = java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(us / 1000000L,
+              (us % 1000000L) * 1000L))
+          val evs = tEvents(s, dir)
+            .select(col("user_id").cast("long"),
+              expr("ts div 1000").as("tsus"),
+              col("event_id").cast("long"), col("event_type"), col("value"))
+            .as[(Long, Long, Long, String, Double)].collect()
+            .sortBy { case (_, tsus, eid, _, _) => (tsus, eid) }
+            .map { case (u, tsus, eid, t, v) => PEvent(u, tsOf(tsus), eid, t, v) }
+          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[PEvent]
+          val name = s"q_stream_grpo_eq_${System.nanoTime()}"
+          val agg = in.toDS().groupBy(col("user_id"), col("event_type"))
+            .agg(
+              count(lit(1)).cast("long").as("n_candidates"),
+              sum(col("value").cast("decimal(18,6)")).as("ssum__"),
+              sum((col("value").cast("decimal(18,6)") *
+                col("value").cast("decimal(18,6)")).cast("decimal(30,12)"))
+                .as("sqsum__"))
+          val q = agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete").start()
+          try {
+            evs.grouped(math.max(1, (evs.length + 3) / 4)).foreach { b =>
+              in.addData(b.toSeq); q.processAllAvailable()
+            }
+          } finally {
+            q.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
+          val tag = System.nanoTime()
+          val stV = s"graft_sgrpo_state_$tag"
+          ss.table(name).localCheckpoint(true).createOrReplaceTempView(stV)
+          val evV = s"graft_sgrpo_events_$tag"
+          ss.createDataFrame(evs.toSeq).createOrReplaceTempView(evV)
+          // the batch groupAdvantageSql projection over streamed state:
+          // identical DECIMAL bits, identical IEEE mean/variance chain
+          val s1d = "CAST(ssum__ AS DOUBLE)"
+          val s2d = "CAST(sqsum__ AS DOUBLE)"
+          val nd = "CAST(n_candidates AS DOUBLE)"
+          val mean = s"($s1d / $nd)"
+          val vr = s"(($s2d - ($s1d * $s1d) / $nd) / $nd)"
+          ss.sql(
+            s"""SELECT CAST(e.user_id AS BIGINT) AS context, e.event_type,
+                  CAST(e.event_id AS BIGINT) AS event_id, e.value AS score,
+                  CAST(g.n_candidates AS BIGINT) AS n_candidates,
+                  (round($mean, 6) + CAST(0.0 AS DOUBLE)) AS group_mean,
+                  CASE WHEN $vr <= CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+                       ELSE (round(((e.value) - $mean) / sqrt($vr), 6)
+                             + CAST(0.0 AS DOUBLE)) END AS advantage
+                FROM $evV e JOIN $stV g
+                  ON g.user_id = e.user_id AND g.event_type = e.event_type
+                ORDER BY context, e.event_type, event_id""")
+        },
+        Some {
+          import graft.ops.Preference
+          Preference.groupAdvantageSql(D, "events", "user_id",
+            "event_type", "event_id", "value")
+        }),
+
       // BLEU-2 + chrF pair-quality scoring (Papineni 2002; Popović 2015)
       // — the standard MT-data filter run beside q_bitext_mine: clipped
       // n-gram precision × brevity penalty (geometric mean as sqrt, so
