@@ -1167,6 +1167,57 @@ private[graft] trait CatalogCuration extends CatalogCore {
                     JOIN wp w ON w.doc_id = b.doc_id
         ORDER BY b.doc_id""")),
 
+    // Vocabulary coverage curve under the trained BPE vocab: pieces
+    // ranked by corpus frequency with exact cumulative BIGINT mass and
+    // round-6 cumulative share — the "how many pieces cover 50/90/99% of
+    // tokens" read that sizes vocabularies and flags out-of-distribution
+    // corpora. The global-order window runs AFTER the count aggregation,
+    // over the vocab-sized relation (dim-sized at any corpus scale — the
+    // one place a SinglePartition window is the right plan). The rank/
+    // cumulate chain is ONE dialect-rendered text over a counts view on
+    // both engines; the oracle's counts re-derive from the q_bpe_segment
+    // dump (shared provenance with the green segmentation contract).
+    Q("q_vocab_coverage", {
+      def coverage(dl: Dialect, countsRel: String): String = {
+        val cum = "sum(freq) OVER (ORDER BY freq DESC, piece ROWS UNBOUNDED PRECEDING)"
+        s"""SELECT CAST(row_number() OVER (ORDER BY freq DESC, piece)
+                     AS BIGINT) AS rnk,
+                   piece, freq,
+                   CAST($cum AS BIGINT) AS cum_freq,
+                   (round(CAST($cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+                     + CAST(0.0 AS DOUBLE)) AS cum_share
+            FROM (SELECT piece, freq, CAST(sum(freq) OVER () AS BIGINT) AS tot
+                  FROM $countsRel) c__
+            ORDER BY rnk"""
+      }
+      (s: SparkSession, dir: String) => {
+        val counts = graft.ops.BpeTrainer
+          .segment(tk(s, dir, "documents"), "text", "doc_id", bpeMerges(s, dir))
+          .select(explode(col("pieces")).as("piece"))
+          .groupBy("piece").agg(count(lit(1)).cast("long").as("freq"))
+        val v = s"graft_cov_counts_${System.nanoTime()}"
+        counts.localCheckpoint(true).createOrReplaceTempView(v)
+        s.sql(coverage(graft.sqlgen.Dialect.spark, v))
+      }
+    },
+      Some {
+        val cum = "sum(freq) OVER (ORDER BY freq DESC, piece ROWS UNBOUNDED PRECEDING)"
+        s"""WITH seg AS (SELECT string_split(pieces, chr(31)) AS ps
+                         FROM read_parquet('__GRAFT_OUT__/q_bpe_segment/*.parquet')),
+           counts AS (SELECT g AS piece, CAST(count(*) AS BIGINT) AS freq
+                      FROM (SELECT unnest(ps) AS g FROM seg) e
+                      GROUP BY g)
+           SELECT CAST(row_number() OVER (ORDER BY freq DESC, piece)
+                    AS BIGINT) AS rnk,
+                  piece, freq,
+                  CAST($cum AS BIGINT) AS cum_freq,
+                  (round(CAST($cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+                    + CAST(0.0 AS DOUBLE)) AS cum_share
+           FROM (SELECT piece, freq, CAST(sum(freq) OVER () AS BIGINT) AS tot
+                 FROM counts) c
+           ORDER BY rnk"""
+      }),
+
     // WordPiece-style MaxMatch vocabulary (ops/MaxMatch): all length-1
     // pieces (coverage) + substrings of codepoint-length 2-4 with >= 100
     // overlapping occurrences. One map-side-combined piece aggregation —
