@@ -450,6 +450,38 @@ private[graft] trait CatalogTraining extends CatalogCore {
           WHERE levenshtein(a.pp, b.pp) <= 25
           ORDER BY id_a, id_b""")),
 
+      // Self-Instruct ROUGE-L pool dedup (Wang et al. 2023 §3.2: admit an
+      // instruction only if ROUGE-L < 0.7 vs every pool member) — the
+      // parallel keep-earliest relaxation (the sequential pool is the
+      // lexicographically-first MIS, P-complete): df-banded shingle
+      // blocking -> native LCS-kernel verify with an INTEGER
+      // cross-multiplied 0.7 threshold -> kept iff no verified edge from
+      // a smaller id. All keyed joins; candidate volume linear under the
+      // df cap (see RougeDedup scaladoc).
+      Q("q_rouge_dedup",
+        (s, dir) => {
+          import graft.ops.RougeDedup
+          val dls = Dialect.spark
+          graft.functions.VectorNative.register(s)
+          val tag = System.nanoTime()
+          val docsV = s"graft_rgd_docs_$tag"
+          t(s, dir, "documents").createOrReplaceTempView(docsV)
+          val candV = s"graft_rgd_cand_$tag"
+          s.sql(RougeDedup.candidatesSql(dls, docsV))
+            .localCheckpoint(true).createOrReplaceTempView(candV)
+          val edgesV = s"graft_rgd_edges_$tag"
+          s.sql(RougeDedup.edgesSql(dls, candV, docsV))
+            .createOrReplaceTempView(edgesV)
+          s.sql(RougeDedup.poolSql(dls, edgesV, docsV))
+        },
+        Some {
+          import graft.ops.RougeDedup
+          s"""WITH cand ${D.cteAs} (${RougeDedup.candidatesSql(D, "documents")}),
+            edges ${D.cteAs} (${RougeDedup.edgesSql(D, "cand", "documents")}),
+            pool AS (${RougeDedup.poolSql(D, "edges", "documents")})
+            SELECT * FROM pool ORDER BY doc_id"""
+        }),
+
       // TF-IDF top term per document. Linear idf (N/df) keeps the score a
       // deterministic IEEE expression over exact integers — no ln() whose
       // last-ulp could differ between engines. Struct-max avoids a window

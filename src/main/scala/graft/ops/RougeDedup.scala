@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.sqlgen.{Dialect, Exprs}
+
+/** Self-Instruct-style ROUGE-L pool deduplication (Wang et al., ACL 2023
+  * "Self-Instruct", §3.2: a generated instruction joins the pool only
+  * when its ROUGE-L similarity with every existing pool member is below
+  * 0.7) — the instruction-data diversity filter, composed from the
+  * engine's own dedup blocking and the round-14 native LCS kernel.
+  *
+  * Reference-side relevance: the admission-gate shape is the same
+  * all-or-nothing score threshold as the reference's retrieval gate
+  * (`scripts/query_rag.py:81-94`) — here applied pairwise against a
+  * growing pool instead of per-query.
+  *
+  * The sequential greedy pool (each accepted doc joins the comparison
+  * set) is the lexicographically-first maximal-independent-set problem —
+  * P-complete, i.e. inherently sequential, the anti-pattern at 100 TB.
+  * This operator computes the standard parallel relaxation used by
+  * production near-dup pipelines: a doc is dropped iff ANY earlier doc
+  * (smaller id = arrival order) is a verified near-duplicate, so every
+  * duplicate cluster keeps exactly its earliest member (representatives
+  * agree with the sequential pool whenever dup edges are transitive,
+  * which near-identical text is).
+  *
+  * Three stages, all keyed joins — never a cartesian:
+  *  1. [[candidatesSql]] — blocking by shared word n-gram shingle with a
+  *     document-frequency band: a shingle shared by fewer than `dfMin`
+  *     docs pairs nothing; one shared by more than `dfMax` is boilerplate
+  *     whose pair count would grow quadratically (the LOGGED skew cap —
+  *     each in-band shingle yields ≤ C(dfMax,2) pairs, so candidate
+  *     volume is linear in corpus size; genuine near-dups share many
+  *     non-boilerplate shingles and survive the band).
+  *  2. [[edgesSql]] — exact verify: ROUGE-L F1 = 2·LCS/(|a|+|b|) via the
+  *     native fused DP kernel ([[Dialect.lcsLength]]); the threshold
+  *     compare is INTEGER cross-multiplication (2·den·LCS ≥ num·(|a|+|b|))
+  *     so admission never touches a double.
+  *  3. [[poolSql]] — per-doc verdict: kept iff no verified edge from a
+  *     smaller id; emits the earlier-dup count and the max earlier
+  *     ROUGE-L seen.
+  *
+  * Scale: stage 1 is explode → count → keyed self-join (the minhash/LSH
+  * banding shape, df-capped); stage 2 touches only candidate pairs;
+  * stage 3 is one groupBy + left join on doc_id. All exchanges are
+  * id- or shingle-keyed.
+  */
+object RougeDedup {
+
+  private def r6(dl: Dialect, x: String): String =
+    s"(round($x, 6) + ${dl.d(0.0)})"
+
+  /** Stage 1 — candidate pairs (id_a < id_b) sharing at least one
+    * in-band shingle. */
+  def candidatesSql(dl: Dialect, docsRel: String, n: Int = 4,
+                    dfMin: Int = 2, dfMax: Int = 8): String = {
+    val sh = dl.arrayDistinct(Exprs.wordShingles(dl, "t", n))
+    s"""WITH tk__ ${dl.cteAs} (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, ${dl.splitWs("text")} AS t
+          FROM $docsRel),
+        sh__ ${dl.cteAs} (${dl.explodeRel("tk__", "doc_id", sh, "s")}),
+        df__ ${dl.cteAs} (
+          SELECT s FROM sh__ GROUP BY s
+          HAVING count(*) BETWEEN $dfMin AND $dfMax)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh__ a JOIN df__ d__ ON d__.s = a.s
+        JOIN sh__ b ON b.s = a.s AND b.doc_id > a.doc_id"""
+  }
+
+  /** Stage 2 — verified near-dup edges over the candidates. The LCS
+    * kernel args are plain column references (the [[Dialect.lcsLength]]
+    * contract); the threshold num/den (default 7/10 = the Self-Instruct
+    * 0.7) compares as exact BIGINTs. */
+  def edgesSql(dl: Dialect, candRel: String, docsRel: String,
+               num: Int = 7, den: Int = 10): String =
+    s"""SELECT id_a, id_b, lc, lr, lcs,
+          ${r6(dl, s"${dl.d(2.0)} * CAST(lcs AS DOUBLE) / CAST(lc + lr AS DOUBLE)")}
+            AS rouge_f1
+        FROM (SELECT c.id_a, c.id_b,
+                CAST(${dl.size("x.t")} AS BIGINT) AS lc,
+                CAST(${dl.size("y.t")} AS BIGINT) AS lr,
+                ${dl.lcsLength("x.t", "y.t")} AS lcs
+              FROM $candRel c
+              JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                      ${dl.splitWs("text")} AS t FROM $docsRel) x
+                ON x.doc_id = c.id_a
+              JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                      ${dl.splitWs("text")} AS t FROM $docsRel) y
+                ON y.doc_id = c.id_b) v__
+        WHERE 2 * $den * lcs >= $num * (lc + lr)"""
+
+  /** Stage 3 — the pool verdict: one row per doc, kept iff no verified
+    * edge arrives from a smaller id. */
+  def poolSql(dl: Dialect, edgesRel: String, docsRel: String): String =
+    s"""SELECT d.doc_id,
+          CAST(coalesce(e.n_dup, 0) AS BIGINT) AS n_dup_earlier,
+          CAST(CASE WHEN e.n_dup IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+          coalesce(e.max_rouge, ${dl.d(0.0)}) AS max_earlier_rouge
+        FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM $docsRel) d
+        LEFT JOIN (SELECT id_b, CAST(count(*) AS BIGINT) AS n_dup,
+                     max(rouge_f1) AS max_rouge
+                   FROM $edgesRel GROUP BY id_b) e
+          ON e.id_b = d.doc_id
+        ORDER BY doc_id"""
+}
