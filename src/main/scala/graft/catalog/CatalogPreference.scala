@@ -409,6 +409,31 @@ private[graft] trait CatalogPreference extends CatalogCore {
             "event_type", "event_id", "value")
         }),
 
+      // Generalized Advantage Estimation (Schulman et al. 2016 — the PPO
+      // advantage estimator): per-context episodes ordered by (ts, id),
+      // Â_t = Σ (γλ)^k δ_{t+k} with episode-mean baseline and γλ = 1/2
+      // EXACTLY representable, so the suffix fold (reverse + acc ← δ +
+      // ½·acc) is a pinned-order IEEE chain — no pow(). One ctx-keyed
+      // exchange; per-episode arrays bounded by session length.
+      Q("q_gae_advantage",
+        (s, dir) => {
+          import graft.ops.Preference
+          val tag = System.nanoTime()
+          val evView = s"graft_gae_events_$tag"
+          tEvents(s, dir).createOrReplaceTempView(evView)
+          val posV = s"graft_gae_pos_$tag"
+          s.sql(Preference.gaeEventsSql(SP, evView, "user_id", "ts",
+              "event_id", "value"))
+            .localCheckpoint(true).createOrReplaceTempView(posV)
+          s.sql(Preference.gaeAdvantageSql(SP, posV))
+        },
+        Some {
+          import graft.ops.Preference
+          s"""WITH ev ${D.cteAs} (${Preference.gaeEventsSql(D, "events",
+                "user_id", "ts", "event_id", "value")})
+            ${Preference.gaeAdvantageSql(D, "ev")}"""
+        }),
+
       // 24th streaming/batch equivalence gate — INCREMENTAL GRPO: the
       // per-group count/Σ/Σ² normalization state is pure monoid
       // aggregation, held as REAL complete-mode streaming state with the

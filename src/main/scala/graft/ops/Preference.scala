@@ -359,6 +359,66 @@ object Preference {
         ORDER BY context, event_type, event_id"""
   }
 
+  /** GAE stage 1 — per-episode positions: each context's events ordered
+    * by (ts, id) with a 1-based step index. (ctx, pos, event_id, v). */
+  def gaeEventsSql(dl: Dialect, eventsRel: String, userCol: String,
+                   tsCol: String, idCol: String, valCol: String): String =
+    s"""SELECT CAST($userCol AS BIGINT) AS ctx,
+          CAST(row_number() OVER (PARTITION BY $userCol
+            ORDER BY $tsCol, $idCol) AS BIGINT) AS pos,
+          CAST($idCol AS BIGINT) AS event_id,
+          $valCol AS v
+        FROM $eventsRel"""
+
+  /** Generalized Advantage Estimation over per-context event episodes
+    * (Schulman et al. 2016, "High-Dimensional Continuous Control Using
+    * GAE" — the advantage estimator inside PPO-style RLHF): each step's
+    * advantage is the discounted sum of TD residuals,
+    * Â_t = Σ_{k≥0} (γλ)^k δ_{t+k}. Here the value baseline is the
+    * episode mean (the GRPO-style learned-critic-free choice, constant
+    * per episode, so δ_t = r_t − mean), and γλ = 1/2 — EXACTLY
+    * representable, so every discount multiply is a mantissa shift and
+    * the suffix fold ([[Dialect.foldDiscount]] over the reversed
+    * suffix: acc ← δ + ½·acc) is a pinned-order IEEE chain both engines
+    * replay bit-identically. No pow() anywhere.
+    *
+    * Exactness: episode Σx accumulates as DECIMAL(18,6) (values scale-6
+    * pre-quantized), ONE [[Dialect.decToDouble]] conversion, then
+    * mean/δ/Â are fixed IEEE chains; round-6 display at the end.
+    *
+    * Scale: ONE ctx-keyed exchange builds positions + the per-episode
+    * ordered reward array (episodes = user sessions, bounded length —
+    * the [[graft.ops.PlackettLuce]] grain argument); the suffix fold is
+    * O(len) per row, O(len²) per episode, corpus-linear in episode
+    * count. `evRel` = [[gaeEventsSql]] (multi-referenced — Spark callers
+    * checkpoint it; the oracle materializes the CTE). */
+  def gaeAdvantageSql(dl: Dialect, evRel: String): String = {
+    val s1d = dl.decToDouble("g.sv__")
+    val nd = "CAST(g.n__ AS DOUBLE)"
+    // the baseline is rounded ONCE (round-6 state), then δ and Â are raw
+    // pinned-order IEEE chains over it — re-rounding a derived double
+    // (round(v − mean, 6)) hit a half-tie digit the two engines resolve
+    // one ulp apart (the linter's round-on-raw-double class); raw
+    // emission of a bit-identical chain has no tie to disagree on
+    val mean = s"(round($s1d / $nd, 6) + ${dl.d(0.0)})"
+    val suffix = dl.arrayReverse(
+      dl.sliceLenE("g.arr__", "CAST(e.pos AS INT)",
+        "CAST(g.n__ - e.pos + 1 AS INT)"))
+    val centered = dl.transform(suffix, "c__", s"c__ - $mean")
+    val adv = dl.foldDiscount(centered, dl.d(0.5))
+    s"""SELECT e.ctx AS context, e.pos, e.event_id, e.v AS reward,
+          g.n__ AS n_steps,
+          ((e.v) - $mean) AS delta,
+          ($adv) AS advantage
+        FROM $evRel e
+        JOIN (SELECT ctx, CAST(count(*) AS BIGINT) AS n__,
+                sum(CAST(v AS DECIMAL(18,6))) AS sv__,
+                ${dl.orderedArrayAgg("v", "pos")} AS arr__
+              FROM $evRel GROUP BY ctx) g
+          ON g.ctx = e.ctx
+        ORDER BY context, pos"""
+  }
+
   /** Fleiss' kappa (Fleiss 1971) — the MULTI-rater generalization of
     * [[cohenKappaSql]], for the standard ≥3-annotator labeling setup
     * before preference/quality data enters training: three deterministic

@@ -191,6 +191,26 @@ final case class Dialect(duck: Boolean) {
     else
       s"aggregate(transform(sort_array(collect_list(struct(($ord) AS o__, ($expr) AS v__))), e__ -> e__.v__), ${d(0.0)}, (s__, x__) -> s__ + x__)"
 
+  /** Group-ordered ARRAY aggregation — the array sibling of
+    * [[orderedStringAgg]]: element order is pinned by `ord` (which must
+    * be duplicate-free within the group), never engine-chosen. */
+  def orderedArrayAgg(v: String, ord: String): String =
+    if (duck) s"list(($v) ORDER BY $ord)"
+    else s"transform(sort_array(collect_list(struct(($ord) AS o__, ($v) AS v__))), e__ -> e__.v__)"
+
+  /** Sequential DISCOUNTED left-fold over a non-empty double-array
+    * expression: acc ← x + factor·acc. With `factor` a negative power of
+    * two (0.5, 0.25) the multiply is an exact mantissa shift, so the
+    * whole chain is one pinned-order IEEE sum — no pow(), whose last
+    * ulp is engine-owned. DuckDB's list_reduce takes no init and seeds
+    * with the first element x₁ — identical bits to Spark's
+    * x₁ + factor·0.0 first step (a −0.0 seed difference can only
+    * surface through an all-zero chain, which round-6 `+ 0.0`
+    * normalization collapses). */
+  def foldDiscount(a: String, factor: String): String =
+    if (duck) s"list_reduce($a, (s__, x__) -> x__ + ($factor) * s__)"
+    else s"aggregate($a, ${d(0.0)}, (s__, x__) -> x__ + ($factor) * s__)"
+
   /** 1-based sub-array with BOTH start and length as expressions (the
     * fixed-length sibling is [[sliceE]]). DuckDB list slicing is
     * inclusive-end. */

@@ -246,6 +246,31 @@ class PreferenceSpec extends AnyFunSuite {
       r.toString)
   }
 
+  test("gaeAdvantageSql: hand-checked suffix fold, half discount") {
+    // one episode, rewards 1,2,3 in time order: mean 2, deltas -1,0,1;
+    // A_3 = 1; A_2 = 0 + 0.5*1 = 0.5; A_1 = -1 + 0.5*0.5 = -0.75
+    val ev = Seq((7L, 10L, 1L, 1.0), (7L, 20L, 2L, 2.0), (7L, 30L, 3L, 3.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val v = s"pref_gae_${System.nanoTime()}"
+    ev.createOrReplaceTempView(v)
+    val got = spark.sql(Preference.gaeAdvantageSql(SP,
+      s"(${Preference.gaeEventsSql(SP, v, "user_id", "ts", "event_id",
+        "value")})")).collect()
+    assert(got.length == 3)
+    assert(got.map(_.getDouble(5)).toSeq == Seq(-1.0, 0.0, 1.0),
+      got.mkString(";"))
+    assert(got.map(_.getDouble(6)).toSeq == Seq(-0.75, 0.5, 1.0),
+      got.mkString(";"))
+    // singleton episode: delta 0, advantage 0 (mean = the only reward)
+    val one = Seq((9L, 10L, 1L, 5.0)).toDF("user_id", "ts", "event_id", "value")
+    val v1 = s"pref_gae1_${System.nanoTime()}"
+    one.createOrReplaceTempView(v1)
+    val g1 = spark.sql(Preference.gaeAdvantageSql(SP,
+      s"(${Preference.gaeEventsSql(SP, v1, "user_id", "ts", "event_id",
+        "value")})")).collect()(0)
+    assert(g1.getDouble(5) == 0.0 && g1.getDouble(6) == 0.0, g1.toString)
+  }
+
   test("prefCyclesSql: transitive triple scores zeta 1, cyclic triple flags") {
     def run(counts: Seq[(String, String, Long)]) = {
       val v = s"pref_cyc_${System.nanoTime()}"
