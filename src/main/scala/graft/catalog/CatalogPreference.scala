@@ -607,6 +607,72 @@ private[graft] trait CatalogPreference extends CatalogCore {
             ${PlackettLuce.rankingPairsSql(D, "rk")}"""
         }),
 
+      // 25th streaming/batch equivalence gate — INCREMENTAL PLACKETT-LUCE:
+      // the listwise fit's only corpus-facing state is the per-(context,
+      // type) MAX strength, a pure monoid held as REAL complete-mode
+      // streaming aggregation state; the entire rank → pattern-grain →
+      // 5-iteration MM chain then runs over the streamed state exactly as
+      // batch runs it over the corpus — live listwise strengths
+      // hash-equal the q_plackett_luce oracle. A rank-K annotation
+      // stream never re-scans history: new events fold into the max.
+      Q("q_stream_pl_eq",
+        (s, dir0) => {
+          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
+          import s.implicits._
+          import graft.streaming.StreamingPreference.PEvent
+          import graft.ops.PlackettLuce
+          val ss = streamSession(s)
+          implicit val sqlCtx = ss.sqlContext
+          def tsOf(us: Long) = java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(us / 1000000L,
+              (us % 1000000L) * 1000L))
+          val evs = tEvents(s, dir)
+            .select(col("user_id").cast("long"),
+              expr("ts div 1000").as("tsus"),
+              col("event_id").cast("long"), col("event_type"), col("value"))
+            .as[(Long, Long, Long, String, Double)].collect()
+            .sortBy { case (_, tsus, eid, _, _) => (tsus, eid) }
+            .map { case (u, tsus, eid, t, v) => PEvent(u, tsOf(tsus), eid, t, v) }
+          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[PEvent]
+          val name = s"q_stream_pl_eq_${System.nanoTime()}"
+          val agg = in.toDS().groupBy(col("user_id"), col("event_type"))
+            .agg(max(col("value")).as("v__"))
+          val q = agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete").start()
+          try {
+            evs.grouped(math.max(1, (evs.length + 3) / 4)).foreach { b =>
+              in.addData(b.toSeq); q.processAllAvailable()
+            }
+          } finally {
+            q.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
+          val tag = System.nanoTime()
+          val stV = s"graft_spl_state_$tag"
+          ss.table(name).localCheckpoint(true).createOrReplaceTempView(stV)
+          // the batch step chain over streamed state (the q_plackett_luce
+          // runner's mat/matDim pattern, dim-sized frames coalesce(1))
+          def mat(df: org.apache.spark.sql.DataFrame, n: String): String = {
+            val v = s"graft_spl_${n}_$tag"
+            df.localCheckpoint(true).createOrReplaceTempView(v)
+            v
+          }
+          def matDim(df: org.apache.spark.sql.DataFrame, n: String): String =
+            mat(df.coalesce(1), n)
+          val rlV = mat(ss.sql(PlackettLuce.rankingsSql(SP,
+            s"(${PlackettLuce.typeRanksSql(SP, stV,
+              "user_id", "event_type", "v__")}) rk__")), "rl")
+          val pcV = matDim(ss.sql(PlackettLuce.patternCountsSql(SP, rlV)), "pc")
+          val exV = matDim(ss.sql(PlackettLuce.explodedSql(SP, pcV)), "ex")
+          val wV = matDim(ss.sql(PlackettLuce.wSql(SP, exV)), "w")
+          var thV = matDim(ss.sql(PlackettLuce.th0Sql(SP, exV)), "th0")
+          for (it <- 1 to 5)
+            thV = matDim(ss.sql(PlackettLuce.iterSql(SP, exV, wV, thV)), s"th$it")
+          ss.sql(PlackettLuce.finalSql(SP, thV, wV, exV))
+        },
+        Some(graft.ops.PlackettLuce.plackettLuceSql(D, "events",
+          "user_id", "event_type", "value", iters = 5))),
+
       // Uncapped chrF (the explode→groupBy shape PairQuality's scaladoc
       // names for book-length inputs): same pairing and token-side BLEU
       // stats, but char n-gram matches count as ROWS — explode grams,
