@@ -1218,6 +1218,104 @@ private[graft] trait CatalogCuration extends CatalogCore {
            ORDER BY rnk"""
       }),
 
+    // Cross-tokenizer vocabulary agreement: the LEARNED merge pieces of
+    // the trained BPE and WordPiece vocabularies compared piece-by-piece
+    // (frequency objective vs likelihood objective over the same corpus —
+    // the divergence IS the signal), with each piece's corpus mass under
+    // the BPE segmentation and two global reads repeated per row: piece
+    // Jaccard and the share of segmentation mass carried by SHARED
+    // pieces. Everything after the (memoized) training runs is dim-sized
+    // (vocab × vocab); the one corpus-scale input is the piece-count
+    // aggregation the coverage curve already uses. Oracle composes the
+    // q_bpe_vocab / q_wp_vocab / q_bpe_segment dumps — shared provenance
+    // with three green contracts.
+    Q("q_vocab_overlap", {
+      def overlap(dl: Dialect, ctRel: String, bpRel: String,
+                  wpRel: String): String = {
+        val shared = "CAST(sum(in_bpe * in_wp) OVER () AS BIGINT)"
+        val nUnion = "CAST(count(*) OVER () AS BIGINT)"
+        val sharedMass =
+          "CAST(sum(CASE WHEN in_bpe * in_wp = 1 THEN freq__ ELSE 0 END) OVER () AS BIGINT)"
+        s"""SELECT piece, CAST(in_bpe AS BIGINT) AS in_bpe,
+              CAST(in_wp AS BIGINT) AS in_wp,
+              CAST(freq__ AS BIGINT) AS bpe_freq,
+              (round(CAST($shared AS DOUBLE) / CAST($nUnion AS DOUBLE), 6)
+                + ${dl.d(0.0)}) AS jaccard,
+              (round(CAST($sharedMass AS DOUBLE) / CAST(tot__ AS DOUBLE), 6)
+                + ${dl.d(0.0)}) AS shared_mass_share
+            FROM (SELECT u.piece, u.in_bpe, u.in_wp,
+                    coalesce(c.freq, 0) AS freq__,
+                    (SELECT CAST(sum(freq) AS BIGINT) FROM $ctRel) AS tot__
+                  FROM (SELECT piece, max(in_bpe) AS in_bpe,
+                          max(in_wp) AS in_wp
+                        FROM (SELECT piece, 1 AS in_bpe, 0 AS in_wp
+                                FROM $bpRel
+                              UNION ALL
+                              SELECT piece, 0 AS in_bpe, 1 AS in_wp
+                                FROM $wpRel) x__
+                        GROUP BY piece) u
+                  LEFT JOIN $ctRel c ON c.piece = u.piece) v__
+            ORDER BY piece"""
+      }
+      (s: SparkSession, dir: String) => {
+        val tag = System.nanoTime()
+        val counts = graft.ops.BpeTrainer
+          .segment(tk(s, dir, "documents"), "text", "doc_id", bpeMerges(s, dir))
+          .select(explode(col("pieces")).as("piece"))
+          .groupBy("piece").agg(count(lit(1)).cast("long").as("freq"))
+        val ctV = s"graft_vov_counts_$tag"
+        counts.localCheckpoint(true).createOrReplaceTempView(ctV)
+        import s.implicits._
+        val bpV = s"graft_vov_bpe_$tag"
+        bpeMerges(s, dir).map { case (_, l, r, _) => l + r }.distinct
+          .toDF("piece").createOrReplaceTempView(bpV)
+        val wpV = s"graft_vov_wp_$tag"
+        // surface form: a word-internal merge carries the ## continuation
+        // marker — strip it so both vocabularies compare on piece TEXT
+        wpMerges(s, dir).map(_.piece).map(_.stripPrefix("##")).distinct
+          .toDF("piece").createOrReplaceTempView(wpV)
+        s.sql(overlap(graft.sqlgen.Dialect.spark, ctV, bpV, wpV))
+      }
+    },
+      Some {
+        val ct =
+          """(SELECT g AS piece, CAST(count(*) AS BIGINT) AS freq
+             FROM (SELECT unnest(string_split(pieces, chr(31))) AS g
+                   FROM read_parquet('__GRAFT_OUT__/q_bpe_segment/*.parquet')) e
+             GROUP BY g)"""
+        val bp =
+          """(SELECT DISTINCT "left" || "right" AS piece
+             FROM read_parquet('__GRAFT_OUT__/q_bpe_vocab/*.parquet'))"""
+        val wp =
+          """(SELECT DISTINCT CASE WHEN piece LIKE '##%'
+                THEN substr(piece, 3) ELSE piece END AS piece
+             FROM read_parquet('__GRAFT_OUT__/q_wp_vocab/*.parquet'))"""
+        val shared = "CAST(sum(in_bpe * in_wp) OVER () AS BIGINT)"
+        val nUnion = "CAST(count(*) OVER () AS BIGINT)"
+        val sharedMass =
+          "CAST(sum(CASE WHEN in_bpe * in_wp = 1 THEN freq__ ELSE 0 END) OVER () AS BIGINT)"
+        s"""SELECT piece, CAST(in_bpe AS BIGINT) AS in_bpe,
+              CAST(in_wp AS BIGINT) AS in_wp,
+              CAST(freq__ AS BIGINT) AS bpe_freq,
+              (round(CAST($shared AS DOUBLE) / CAST($nUnion AS DOUBLE), 6)
+                + CAST(0.0 AS DOUBLE)) AS jaccard,
+              (round(CAST($sharedMass AS DOUBLE) / CAST(tot__ AS DOUBLE), 6)
+                + CAST(0.0 AS DOUBLE)) AS shared_mass_share
+            FROM (SELECT u.piece, u.in_bpe, u.in_wp,
+                    coalesce(c.freq, 0) AS freq__,
+                    (SELECT CAST(sum(freq) AS BIGINT) FROM $ct c2__) AS tot__
+                  FROM (SELECT piece, max(in_bpe) AS in_bpe,
+                          max(in_wp) AS in_wp
+                        FROM (SELECT piece, 1 AS in_bpe, 0 AS in_wp
+                                FROM $bp b__
+                              UNION ALL
+                              SELECT piece, 0 AS in_bpe, 1 AS in_wp
+                                FROM $wp w__) x__
+                        GROUP BY piece) u
+                  LEFT JOIN $ct c ON c.piece = u.piece) v__
+            ORDER BY piece"""
+      }),
+
     // WordPiece-style MaxMatch vocabulary (ops/MaxMatch): all length-1
     // pieces (coverage) + substrings of codepoint-length 2-4 with >= 100
     // overlapping occurrences. One map-side-combined piece aggregation —
