@@ -673,6 +673,54 @@ private[graft] trait CatalogPreference extends CatalogCore {
         Some(graft.ops.PlackettLuce.plackettLuceSql(D, "events",
           "user_id", "event_type", "value", iters = 5))),
 
+      // 26th streaming/batch equivalence gate — INCREMENTAL FLEISS'
+      // KAPPA: the whole multi-rater agreement statistic reduces to a
+      // 3-BIGINT monoid (n, Σk1, Σ agreement-chain) — the per-doc rater
+      // projection runs STATELESSLY inside the stream (the same
+      // fleissK1Expr text as batch) and the three exact-integer sums are
+      // complete-mode aggregation state; the final κ projection replays
+      // fleissFromCountsSql over the live state and hash-equals the
+      // batch q_fleiss_kappa oracle. An annotation-agreement monitor
+      // never re-reads rated history.
+      Q("q_stream_fleiss_eq",
+        (s, dir0) => {
+          val dir = streamLiteDir(dir0) // bench-only thinning, see helper
+          import s.implicits._
+          import graft.ops.Preference
+          val ss = streamSession(s)
+          implicit val sqlCtx = ss.sqlContext
+          val docs = t(s, dir, "documents")
+            .select(col("doc_id").cast("long"), col("n_chars").cast("long"),
+              col("text"))
+            .as[(Long, Long, String)].collect().sortBy(_._1)
+          val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+          val name = s"q_stream_fleiss_${System.nanoTime()}"
+          val counts = in.toDF().toDF("doc_id", "n_chars", "text")
+            .selectExpr("n_chars", "text",
+              s"${SP.splitWs("text")} AS toks__")
+            .selectExpr(s"${Preference.fleissK1Expr(SP)} AS k1")
+            .groupBy()
+            .agg(count(lit(1)).cast("long").as("n"),
+              sum(col("k1")).cast("long").as("c1"),
+              sum(expr("k1 * (k1 - 1) + (3 - k1) * (2 - k1)")).cast("long")
+                .as("s_agree"))
+          val q = counts.writeStream.format("memory").queryName(name)
+            .outputMode("complete").start()
+          try {
+            docs.grouped(math.max(1, (docs.length + 3) / 4)).foreach { b =>
+              in.addData(b.toSeq); q.processAllAvailable()
+            }
+          } finally {
+            q.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
+          val tag = System.nanoTime()
+          val stV = s"graft_sfl_state_$tag"
+          ss.table(name).localCheckpoint(true).createOrReplaceTempView(stV)
+          ss.sql(Preference.fleissFromCountsSql(SP, stV))
+        },
+        Some(graft.ops.Preference.fleissKappaSql(D, "documents"))),
+
       // Uncapped chrF (the explode→groupBy shape PairQuality's scaladoc
       // names for book-length inputs): same pairing and token-side BLEU
       // stats, but char n-gram matches count as ROWS — explode grams,

@@ -429,20 +429,9 @@ object Preference {
     * P̄ₑ = Σⱼ (Cⱼ/(rN))² expands to an exact integer ratio, and κ is one
     * fixed IEEE chain over those integers — nothing to drift cross-engine.
     * One map-combined corpus scan to four BIGINTs. */
-  def fleissKappaSql(dl: Dialect, docsRel: String): String = {
-    val stopPred =
-      "lower(t__) IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')"
-    val nTok = dl.size("toks__")
-    val nStop = dl.size(dl.filter("toks__", "t__", stopPred))
-    val nDot = "(length(text) - length(replace(text, '.', '')))"
-    def dd(x: String) = s"CAST($x AS DOUBLE)"
-    // exact integer ratios: pbar = s_agree/(6n); pe = (c1² + (3n−c1)²)/(9n²)
-    val pbar = s"(${dd("s_agree")} / (${dd("n")} * ${dl.d(6.0)}))"
-    val pe = s"(${dd("c1 * c1 + (3 * n - c1) * (3 * n - c1)")} / (${dl.d(9.0)} * ${dd("n")} * ${dd("n")}))"
+  def fleissKappaSql(dl: Dialect, docsRel: String): String =
     s"""WITH r__ AS (
-         SELECT (CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END
-               + CASE WHEN 4 * $nStop >= $nTok THEN 1 ELSE 0 END
-               + CASE WHEN $nDot >= 5 THEN 1 ELSE 0 END) AS k1
+         SELECT ${fleissK1Expr(dl)} AS k1
          FROM (SELECT n_chars, text, ${dl.splitWs("text")} AS toks__
                FROM $docsRel) b__),
        c__ AS (SELECT CAST(count(*) AS BIGINT) AS n,
@@ -450,13 +439,37 @@ object Preference {
                       CAST(sum(k1 * (k1 - 1) + (3 - k1) * (2 - k1)) AS BIGINT)
                         AS s_agree
                FROM r__)
-       SELECT n, c1, s_agree,
+       ${fleissFromCountsSql(dl, "c__")}"""
+
+  /** The three deterministic raters as one k1 ∈ {0..3} expression over
+    * (n_chars, text, toks__) — exposed so the streaming gate's stateless
+    * projection runs the SAME rater text as batch. */
+  def fleissK1Expr(dl: Dialect): String = {
+    val stopPred =
+      "lower(t__) IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+    val nTok = dl.size("toks__")
+    val nStop = dl.size(dl.filter("toks__", "t__", stopPred))
+    val nDot = "(length(text) - length(replace(text, '.', '')))"
+    s"""(CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END
+       + CASE WHEN 4 * $nStop >= $nTok THEN 1 ELSE 0 END
+       + CASE WHEN $nDot >= 5 THEN 1 ELSE 0 END)"""
+  }
+
+  /** κ from a 1-row (n, c1, s_agree) counts relation — the state monoid
+    * is those three BIGINTs, so the streaming twin holds them as
+    * complete-mode aggregation state and replays THIS projection. */
+  def fleissFromCountsSql(dl: Dialect, cRel: String): String = {
+    def dd(x: String) = s"CAST($x AS DOUBLE)"
+    // exact integer ratios: pbar = s_agree/(6n); pe = (c1² + (3n−c1)²)/(9n²)
+    val pbar = s"(${dd("s_agree")} / (${dd("n")} * ${dl.d(6.0)}))"
+    val pe = s"(${dd("c1 * c1 + (3 * n - c1) * (3 * n - c1)")} / (${dl.d(9.0)} * ${dd("n")} * ${dd("n")}))"
+    s"""SELECT n, c1, s_agree,
               ${r6s(dl, pbar)} AS pbar,
               ${r6s(dl, pe)} AS pe,
               CASE WHEN $pe >= ${dl.d(1.0)} THEN ${dl.d(1.0)}
                    ELSE ${r6s(dl, s"(($pbar) - ($pe)) / (${dl.d(1.0)} - ($pe))")}
               END AS kappa
-       FROM c__"""
+       FROM $cRel"""
   }
 
   /** Preference-transitivity audit: circular triads in the strict-
