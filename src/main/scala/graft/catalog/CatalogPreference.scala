@@ -434,6 +434,24 @@ private[graft] trait CatalogPreference extends CatalogCore {
             ${Preference.gaeAdvantageSql(D, "ev")}"""
         }),
 
+      // Best-of-n inference-scaling curve (Gao/Schulman/Hilton 2023;
+      // Brown et al. 2024): per candidate group, E[best of k uniform
+      // WITH-replacement draws] for k ∈ {1,2,4,8,16} — every power a
+      // squaring chain (no pow()), group sums pinned by rank, RAW
+      // bit-identical emission. One (context,type)-keyed exchange shared
+      // by the rank window and the aggregation.
+      Q("q_bon_scaling",
+        (s, dir) => {
+          import graft.ops.Preference
+          val tag = System.nanoTime()
+          val evView = s"graft_bons_events_$tag"
+          tEvents(s, dir).createOrReplaceTempView(evView)
+          s.sql(Preference.bonScalingSql(SP, evView, "user_id",
+            "event_type", "event_id", "value"))
+        },
+        Some(graft.ops.Preference.bonScalingSql(D, "events", "user_id",
+          "event_type", "event_id", "value"))),
+
       // 24th streaming/batch equivalence gate — INCREMENTAL GRPO: the
       // per-group count/Σ/Σ² normalization state is pure monoid
       // aggregation, held as REAL complete-mode streaming state with the

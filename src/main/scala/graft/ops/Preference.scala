@@ -419,6 +419,63 @@ object Preference {
         ORDER BY context, pos"""
   }
 
+  /** Best-of-n scaling curve (the inference-compute read behind
+    * rejection sampling: Gao/Schulman/Hilton 2023 plot reward against n
+    * to locate overoptimization; Brown et al. 2024 show pass/max@k
+    * scaling): for each candidate group, the EXPECTED best score when k
+    * candidates are drawn uniformly WITH replacement (the actual LLM
+    * sampling process) — E[max_k] = Σᵢ s₍ᵢ₎·((i/n)ᵏ − ((i−1)/n)ᵏ) over
+    * ascending-sorted scores.
+    *
+    * Exactness: k ∈ {1,2,4,8,16} so every power is a SQUARING CHAIN
+    * (x² = x·x, x⁴ = (x²)², …) of IEEE multiplies — no pow(), whose last
+    * ulp is engine-owned; ranks/counts are exact BIGINTs, divisions and
+    * products are single correctly-rounded ops, and each group sum is
+    * an [[graft.sqlgen.Dialect.foldSumOrdered]] pinned by rank — the
+    * whole curve is emitted RAW, bit-identical by construction (tie
+    * ranks are pinned by (score, id); equal scores make the telescoping
+    * sum independent of tie order). E[max₁] = the mean; E[max_∞] → the
+    * group max (also emitted).
+    *
+    * Scale: ONE (context, type)-keyed exchange shared by the rank
+    * window and the group aggregation; per-row arithmetic; output one
+    * row per candidate group. */
+  def bonScalingSql(dl: Dialect, eventsRel: String, userCol: String,
+                    typeCol: String, idCol: String, valCol: String): String = {
+    def dd(x: String) = s"CAST($x AS DOUBLE)"
+    // (i/n)^k − ((i−1)/n)^k via nested lets: each power-of-two exponent
+    // is built by squaring the previous binding — one structural
+    // evaluation per power, no pow()
+    def term(k: Int): String = {
+      val ps = Iterator.iterate(1)(_ * 2).takeWhile(_ <= k).toList
+      def binds(v: String, base: String): List[(String, String)] =
+        ps.map(p => (s"$v${p}__",
+          if (p == 1) base else s"$v${p / 2}__ * $v${p / 2}__"))
+      val body = s"(v__) * (r${k}__ - q${k}__)"
+      (binds("r", s"(${dd("i__")} / ${dd("n__")})") ++
+        binds("q", s"(${dd("(i__ - 1)")} / ${dd("n__")})"))
+        .foldRight(body) { case ((nm, ex), acc) =>
+          graft.sqlgen.Exprs.let(dl, nm, ex, acc)
+        }
+    }
+    val cols = Seq(1, 2, 4, 8, 16).map(k =>
+      s"${dl.foldSumOrdered(term(k), "i__")} AS e_bo$k").mkString(",\n          ")
+    s"""SELECT ctx AS context, event_type,
+          CAST(max(n__) AS BIGINT) AS n_candidates,
+          max(v__) AS max_score,
+          $cols
+        FROM (SELECT CAST($userCol AS BIGINT) AS ctx,
+                $typeCol AS event_type,
+                $valCol AS v__,
+                CAST(row_number() OVER (PARTITION BY $userCol, $typeCol
+                  ORDER BY $valCol, $idCol) AS BIGINT) AS i__,
+                CAST(count(*) OVER (PARTITION BY $userCol, $typeCol)
+                  AS BIGINT) AS n__
+              FROM $eventsRel) g__
+        GROUP BY ctx, event_type
+        ORDER BY context, event_type"""
+  }
+
   /** Fleiss' kappa (Fleiss 1971) — the MULTI-rater generalization of
     * [[cohenKappaSql]], for the standard ≥3-annotator labeling setup
     * before preference/quality data enters training: three deterministic

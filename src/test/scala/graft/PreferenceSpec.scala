@@ -271,6 +271,22 @@ class PreferenceSpec extends AnyFunSuite {
     assert(g1.getDouble(5) == 0.0 && g1.getDouble(6) == 0.0, g1.toString)
   }
 
+  test("bonScalingSql: hand-checked with-replacement expected max") {
+    // one group, scores {0, 1}: E[bo1] = 1/2; E[bok] = 1·(1 − (1/2)^k)
+    val ev = Seq((1L, 1L, 1L, "A", 0.0), (1L, 2L, 2L, "A", 1.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val v = s"pref_bon_${System.nanoTime()}"
+    ev.createOrReplaceTempView(v)
+    val r = spark.sql(Preference.bonScalingSql(SP, v, "user_id",
+      "event_type", "event_id", "value")).collect()(0)
+    assert(r.getLong(2) == 2 && r.getDouble(3) == 1.0, r.toString)
+    assert(r.getDouble(4) == 0.5, r.toString)           // e_bo1
+    assert(r.getDouble(5) == 0.75, r.toString)          // e_bo2
+    assert(r.getDouble(6) == 1.0 - 1.0 / 16.0, r.toString)   // e_bo4
+    assert(r.getDouble(7) == 1.0 - 1.0 / 256.0, r.toString)  // e_bo8
+    assert(r.getDouble(8) == 1.0 - 1.0 / 65536.0, r.toString) // e_bo16
+  }
+
   test("prefCyclesSql: transitive triple scores zeta 1, cyclic triple flags") {
     def run(counts: Seq[(String, String, Long)]) = {
       val v = s"pref_cyc_${System.nanoTime()}"
