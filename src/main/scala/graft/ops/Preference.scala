@@ -464,14 +464,16 @@ object Preference {
           CAST(max(n__) AS BIGINT) AS n_candidates,
           max(v__) AS max_score,
           $cols
-        FROM (SELECT CAST($userCol AS BIGINT) AS ctx,
-                $typeCol AS event_type,
-                $valCol AS v__,
-                CAST(row_number() OVER (PARTITION BY $userCol, $typeCol
-                  ORDER BY $valCol, $idCol) AS BIGINT) AS i__,
-                CAST(count(*) OVER (PARTITION BY $userCol, $typeCol)
+        FROM (SELECT ctx, event_type, v__,
+                CAST(row_number() OVER (PARTITION BY ctx, event_type
+                  ORDER BY v__, id__) AS BIGINT) AS i__,
+                CAST(count(*) OVER (PARTITION BY ctx, event_type)
                   AS BIGINT) AS n__
-              FROM $eventsRel) g__
+              FROM (SELECT CAST($userCol AS BIGINT) AS ctx,
+                      $typeCol AS event_type,
+                      CAST($idCol AS BIGINT) AS id__,
+                      $valCol AS v__
+                    FROM $eventsRel) e0__) g__
         GROUP BY ctx, event_type
         ORDER BY context, event_type"""
   }

@@ -692,4 +692,64 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"expected a broadcast attach of the ECE row:\n$plan")
   }
+
+  test("ROUGE dedup: blocking + verify are keyed joins, never cartesian") {
+    val SP = graft.sqlgen.Dialect.spark
+    graft.functions.VectorNative.register(spark)
+    val tag = System.nanoTime()
+    val docs = Seq((0L, "a b c d e f"), (1L, "a b c d e f"), (2L, "x y z w q r"))
+      .toDF("doc_id", "text")
+    val v = s"plan_rgd_$tag"
+    docs.createOrReplaceTempView(v)
+    val candPlan = formatted(spark.sql(
+      graft.ops.RougeDedup.candidatesSql(SP, v)))
+    assert(!candPlan.contains("CartesianProduct"),
+      s"shingle blocking must self-join on the shingle key:\n$candPlan")
+    val cv = s"plan_rgd_c_$tag"
+    spark.sql(graft.ops.RougeDedup.candidatesSql(SP, v))
+      .createOrReplaceTempView(cv)
+    val edgePlan = formatted(spark.sql(
+      graft.ops.RougeDedup.edgesSql(SP, cv, v)))
+    assert(!edgePlan.contains("CartesianProduct") &&
+      !edgePlan.contains("Exchange SinglePartition"),
+      s"LCS verify must join candidates by id:\n$edgePlan")
+    assert(edgePlan.toLowerCase.contains("lcslength"),
+      s"the native kernel must sit in the verify projection:\n$edgePlan")
+  }
+
+  test("GAE advantage: episode aggregation and join stay ctx-keyed") {
+    val SP = graft.sqlgen.Dialect.spark
+    val tag = System.nanoTime()
+    val evs = Seq((1L, 1L, 1L, 1.0), (1L, 2L, 2L, 2.0), (2L, 1L, 3L, 5.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val v = s"plan_gae_$tag"
+    evs.createOrReplaceTempView(v)
+    val plan = formatted(spark.sql(graft.ops.Preference.gaeAdvantageSql(SP,
+      s"(${graft.ops.Preference.gaeEventsSql(SP, v, "user_id", "ts",
+        "event_id", "value")})")))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"episode state must stay partitioned by context:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the state joins back by ctx equi-join:\n$plan")
+    val hashes = hashExchangeArgs(plan)
+    assert(hashes.nonEmpty && hashes.forall(h =>
+      h.contains("ctx") || h.contains("user_id")),
+      s"every exchange must be ctx-keyed:\n$plan")
+  }
+
+  test("best-of-n scaling curve: ONE group-keyed exchange, no single partition") {
+    val SP = graft.sqlgen.Dialect.spark
+    val tag = System.nanoTime()
+    val evs = Seq((1L, "A", 1L, 1.0), (1L, "A", 2L, 2.0), (2L, "B", 3L, 5.0))
+      .toDF("user_id", "event_type", "event_id", "value")
+    val v = s"plan_bons_$tag"
+    evs.createOrReplaceTempView(v)
+    val plan = formatted(spark.sql(graft.ops.Preference.bonScalingSql(SP, v,
+      "user_id", "event_type", "event_id", "value")))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"the curve must not single-partition the corpus:\n$plan")
+    val hashes = hashExchangeArgs(plan)
+    assert(hashes.length == 1 && hashes.head.contains("ctx"),
+      s"rank window and aggregation must share ONE keyed exchange:\n$plan")
+  }
 }
