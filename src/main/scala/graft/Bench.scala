@@ -447,7 +447,14 @@ object Bench {
           // clean-record flip-flops (r11 1.56 / r12 0.80 / r13 1.85 s)
           // need a scale row beside the warm min-of-3 adjudication
           "q_rouge_pairs", "q_group_advantage", "q_chrf_long",
-          "q_token_fertility", "q_dir_corpus")
+          "q_token_fertility", "q_dir_corpus",
+          // r14-late operators: rouge_dedup is the banded-blocking +
+          // LCS-verify pair (candidate volume df-capped — expect the
+          // banded-self-join class), gae/bon are one keyed window/agg
+          // each, vocab_overlap is one piece-count aggregation over the
+          // memoized segmenter
+          "q_rouge_dedup", "q_gae_advantage", "q_bon_scaling",
+          "q_vocab_overlap")
         val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
         def timed(fn: String => Unit, dir: String, name: String,
                   baseT: Double): Double = {
