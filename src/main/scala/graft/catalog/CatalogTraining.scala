@@ -360,6 +360,31 @@ private[graft] trait CatalogTraining extends CatalogCore {
           ORDER BY doc_id"""
         }),
 
+      // T5/UL2 span corruption (Raffel 2020 §3.1.4): contiguous spans →
+      // numbered sentinels, target = sentinels + hidden tokens. Span
+      // starts/lengths are md5-deterministic; the inside-a-span exclusion
+      // is a per-doc struct-accumulator fold both engines replay (the
+      // lcsLengthHof prepended-init pattern on the duck side). Pure
+      // per-row projection, zero exchanges; fold checkpointed before the
+      // 4-field unpack (CollapseProject would re-inline it per field).
+      Q("q_span_corrupt",
+        (s, dir) => {
+          import graft.ops.SpanCorrupt
+          val dls = Dialect.spark
+          val tag = System.nanoTime()
+          val docsV = s"graft_spc_docs_$tag"
+          t(s, dir, "documents").createOrReplaceTempView(docsV)
+          val foldV = s"graft_spc_fold_$tag"
+          s.sql(SpanCorrupt.spanCorruptSql(dls, docsV))
+            .localCheckpoint(true).createOrReplaceTempView(foldV)
+          s.sql(SpanCorrupt.spanProjectSql(dls, foldV))
+        },
+        Some {
+          import graft.ops.SpanCorrupt
+          s"""WITH f ${D.cteAs} (${SpanCorrupt.spanCorruptSql(D, "documents")})
+            ${SpanCorrupt.spanProjectSql(D, "f")}"""
+        }),
+
       Q("q_seq_pack",
         (s, dir) => {
           import org.apache.spark.sql.expressions.Window

@@ -1,0 +1,116 @@
+package graft.ops
+
+import graft.sqlgen.Dialect
+
+/** T5-style span corruption (Raffel et al. 2020 §3.1.4; the R-denoiser of
+  * UL2, Tay et al. 2022) — the masked-span denoising objective's data
+  * transform: contiguous token spans are replaced by numbered sentinel
+  * tokens in the input, and the target is the sequence of sentinels each
+  * followed by the tokens it hid. The round-5 FIM transform covers the
+  * infilling objective family's other member; this adds the
+  * encoder-decoder denoising shape.
+  *
+  * Determinism: span starts and lengths derive from md5 over
+  * (doc_id, position) — a span STARTS at position i iff the first hex
+  * digit of md5('sc1:doc:i') is 0 (1/16 of free positions; with mean
+  * span 3 ≈ 18% of tokens masked, the T5 ballpark), and its length is
+  * 2 + (second digit mod 3) ∈ {2,3,4}. Positions already inside a span
+  * cannot start one — that "greedy left-to-right" dependency is the
+  * sequential part, carried by a per-document struct-accumulator fold
+  * (the [[Dialect.lcsLengthHof]] pattern: DuckDB's init-less list_reduce
+  * seeds from a prepended init element). Both engines execute the same
+  * integer md5 decisions and string builds, so input/target are
+  * hash-identical by construction.
+  *
+  * Scale: pure per-row projection — one corpus scan, ZERO exchanges
+  * before the presentation sort; the fold is O(tokens) per document. */
+object SpanCorrupt {
+
+  def spanCorruptSql(dl: Dialect, docsRel: String): String = {
+    val salt = "sc1"
+    def key(iExpr: String) =
+      s"(${dl.str(salt + ":")} || ${dl.castStr("doc_id")} || ':' || ${dl.castStr(iExpr)})"
+    def d1(iExpr: String) = dl.md5HexDigit(key(iExpr), 1)
+    def d2(iExpr: String) = dl.md5HexDigit(key(iExpr), 2)
+    def ci(x: String) = s"CAST($x AS INT)"
+
+    val fold =
+      if (dl.duck) {
+        // ONE unified struct type carries accumulator AND element fields
+        // (list_concat requires identical element types; the
+        // lcsLengthHof prepended-init pattern): init/step leave t NULL,
+        // items leave the acc fields at zero — the step never reads them
+        def g(f: String) = s"struct_extract(a__, '$f')"
+        def u(rem: String, sid: String, nm: String, inp: String,
+              tgt: String): String =
+          s"""{'rem': $rem, 'sid': $sid, 'nm': $nm, 'inp': $inp,
+              'tgt': $tgt, 't': CAST(NULL AS VARCHAR), 'i': CAST(0 AS INT)}"""
+        val init = u("CAST(0 AS INT)", "CAST(0 AS INT)", "CAST(0 AS INT)",
+          "''", "''")
+        val items =
+          s"""list_transform(range(1, len(toks) + 1), i__ ->
+             {'rem': CAST(0 AS INT), 'sid': CAST(0 AS INT),
+              'nm': CAST(0 AS INT), 'inp': '', 'tgt': '',
+              't': toks[i__], 'i': CAST(i__ AS INT)})"""
+        val et = "struct_extract(e__, 't')"
+        val eidx = "struct_extract(e__, 'i')"
+        val sent = s"' <extra_id_' || ${dl.castStr(s"${g("sid")} + 1")} || '>'"
+        val step =
+          s"""CASE WHEN ${g("rem")} > 0 THEN
+                ${u(ci(s"${g("rem")} - 1"), ci(g("sid")),
+                    ci(s"${g("nm")} + 1"), g("inp"),
+                    s"${g("tgt")} || ' ' || $et")}
+              WHEN ${d1(eidx)} = 0 THEN
+                ${u(ci(s"1 + (${d2(eidx)} % 3)"), ci(s"${g("sid")} + 1"),
+                    ci(s"${g("nm")} + 1"), s"${g("inp")} || $sent",
+                    s"${g("tgt")} || $sent || ' ' || $et")}
+              ELSE
+                ${u("CAST(0 AS INT)", ci(g("sid")), ci(g("nm")),
+                    s"${g("inp")} || ' ' || $et", g("tgt"))} END"""
+        s"list_reduce(list_concat([$init], $items), (a__, e__) -> $step)"
+      } else {
+        val init =
+          "named_struct('rem', CAST(0 AS INT), 'sid', CAST(0 AS INT), 'nm', CAST(0 AS INT), 'inp', '', 'tgt', '')"
+        val items =
+          s"transform(sequence(1, size(toks)), i__ -> named_struct('t', element_at(toks, CAST(i__ AS INT)), 'i', CAST(i__ AS INT)))"
+        val sent = s"' <extra_id_' || ${dl.castStr("a__.sid + 1")} || '>'"
+        val step =
+          s"""CASE WHEN a__.rem > 0 THEN
+                named_struct('rem', ${ci("a__.rem - 1")}, 'sid', a__.sid,
+                  'nm', ${ci("a__.nm + 1")}, 'inp', a__.inp,
+                  'tgt', a__.tgt || ' ' || e__.t)
+              WHEN ${d1("e__.i")} = 0 THEN
+                named_struct('rem', ${ci(s"1 + (${d2("e__.i")} % 3)")},
+                  'sid', ${ci("a__.sid + 1")}, 'nm', ${ci("a__.nm + 1")},
+                  'inp', a__.inp || $sent,
+                  'tgt', a__.tgt || $sent || ' ' || e__.t)
+              ELSE
+                named_struct('rem', CAST(0 AS INT), 'sid', a__.sid,
+                  'nm', a__.nm,
+                  'inp', a__.inp || ' ' || e__.t, 'tgt', a__.tgt) END"""
+        s"aggregate($items, $init, (a__, e__) -> $step)"
+      }
+    s"""SELECT doc_id,
+          CAST(${dl.size("toks")} AS BIGINT) AS n_toks,
+          $fold AS acc__
+        FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                ${dl.splitWs("text")} AS toks
+              FROM $docsRel) b__"""
+  }
+
+  /** Stage 2 — unpack the accumulator. The four field reads would each
+    * re-inline the whole fold under CollapseProject (the bind1 lesson),
+    * so Spark callers checkpoint [[spanCorruptSql]]'s result first; the
+    * oracle materializes it as a CTE. */
+  def spanProjectSql(dl: Dialect, foldRel: String): String = {
+    val acc = if (dl.duck) "struct_extract(acc__, '%s')" else "acc__.%s"
+    def a(f: String) = acc.format(f)
+    s"""SELECT doc_id, n_toks,
+          CAST(${a("sid")} AS BIGINT) AS n_spans,
+          CAST(${a("nm")} AS BIGINT) AS n_masked,
+          trim(${a("inp")}) AS input_text,
+          trim(${a("tgt")}) AS target_text
+        FROM $foldRel
+        ORDER BY doc_id"""
+  }
+}
