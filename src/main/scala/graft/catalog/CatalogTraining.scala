@@ -385,6 +385,21 @@ private[graft] trait CatalogTraining extends CatalogCore {
             ${SpanCorrupt.spanProjectSql(D, "f")}"""
         }),
 
+      // Length-bias audit + debias (Singhal et al. 2023: reward/quality
+      // scores correlate with length; regress it out, keep the
+      // residual): per-source exact OLS — integer Σx/Σx², order-pinned
+      // folds for the double sums, slope/intercept one IEEE chain,
+      // fitted/residual raw per-row chains. One dim-keyed aggregation
+      // broadcast back onto the corpus.
+      Q("q_len_debias",
+        (s, dir) => {
+          val tag = System.nanoTime()
+          val docsV = s"graft_ldb_docs_$tag"
+          t(s, dir, "documents").createOrReplaceTempView(docsV)
+          s.sql(graft.ops.LengthBias.lenDebiasSql(Dialect.spark, docsV))
+        },
+        Some(graft.ops.LengthBias.lenDebiasSql(D, "documents"))),
+
       Q("q_seq_pack",
         (s, dir) => {
           import org.apache.spark.sql.expressions.Window

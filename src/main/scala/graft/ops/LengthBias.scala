@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.sqlgen.Dialect
+
+/** Length-bias audit + debiasing for quality/reward scores (Singhal et
+  * al. 2023, "A Long Way to Go: Investigating Length Correlations in
+  * RLHF": reward models and human raters both prefer longer outputs;
+  * the standard hygiene is to regress score on length and work with the
+  * residual). Per source-domain OLS of a deterministic quality proxy
+  * (stopword density — any scorer drops into `yExpr`) on document
+  * length, then every document is emitted with its fitted value and
+  * residual (the length-debiased score).
+  *
+  * Exactness: x = n_chars is an exact BIGINT, so Σx/Σx²/n are exact
+  * integers (cast once to double, well under 2⁵³ at any group size this
+  * fixture reaches — the scaladoc'd overflow guard is the DECIMAL
+  * widening used by the KS/ztest family when counts grow); y and x·y are
+  * derived doubles, so their group sums are
+  * [[Dialect.foldSumOrdered]]-pinned by doc_id. Slope/intercept are one
+  * fixed IEEE chain over those identical inputs; fitted/residual are raw
+  * per-row chains — bit-identical by construction, nothing re-rounded.
+  *
+  * Scale: one source-keyed aggregation (the stats relation is
+  * |sources|-sized), broadcast back onto the corpus; single-candidate
+  * and zero-variance-length groups emit slope 0 deterministically. */
+object LengthBias {
+
+  def lenDebiasSql(dl: Dialect, docsRel: String): String = {
+    val stopPred =
+      "lower(t__) IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+    val nTok = dl.size("toks__")
+    val nStop = dl.size(dl.filter("toks__", "t__", stopPred))
+    val yExpr =
+      s"(CAST($nStop AS DOUBLE) / CAST(greatest($nTok, 1) AS DOUBLE))"
+    def dd(x: String) = s"CAST($x AS DOUBLE)"
+    val den = s"(${dd("g.n__")} * ${dd("g.sxx__")} - ${dd("g.sx__")} * ${dd("g.sx__")})"
+    val slope =
+      s"""CASE WHEN $den = ${dl.d(0.0)} THEN ${dl.d(0.0)}
+          ELSE (${dd("g.n__")} * g.sxy__ - ${dd("g.sx__")} * g.sy__) / $den END"""
+    val icept =
+      s"(g.sy__ - ($slope) * ${dd("g.sx__")}) / ${dd("g.n__")}"
+    s"""SELECT d.doc_id, d.source, d.x AS n_chars, d.y AS quality,
+          ($icept) + ($slope) * ${dd("d.x")} AS fitted,
+          d.y - (($icept) + ($slope) * ${dd("d.x")}) AS residual
+        FROM (SELECT doc_id, source, x, y FROM (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                       CAST(n_chars AS BIGINT) AS x,
+                       $yExpr AS y
+                FROM (SELECT doc_id, source, n_chars,
+                        ${dl.splitWs("text")} AS toks__
+                      FROM $docsRel) t0__) p__) d
+        JOIN (SELECT source,
+                CAST(count(*) AS BIGINT) AS n__,
+                CAST(sum(x) AS BIGINT) AS sx__,
+                CAST(sum(x * x) AS BIGINT) AS sxx__,
+                ${dl.foldSumOrdered("y", "doc_id")} AS sy__,
+                ${dl.foldSumOrdered(s"y * ${dd("x")}", "doc_id")} AS sxy__
+              FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                      CAST(n_chars AS BIGINT) AS x,
+                      $yExpr AS y
+                    FROM (SELECT doc_id, source, n_chars,
+                            ${dl.splitWs("text")} AS toks__
+                          FROM $docsRel) t1__) q__
+              GROUP BY source) g
+          ON g.source = d.source
+        ORDER BY doc_id"""
+  }
+}
