@@ -1178,18 +1178,6 @@ private[graft] trait CatalogCuration extends CatalogCore {
     // both engines; the oracle's counts re-derive from the q_bpe_segment
     // dump (shared provenance with the green segmentation contract).
     Q("q_vocab_coverage", {
-      def coverage(dl: Dialect, countsRel: String): String = {
-        val cum = "sum(freq) OVER (ORDER BY freq DESC, piece ROWS UNBOUNDED PRECEDING)"
-        s"""SELECT CAST(row_number() OVER (ORDER BY freq DESC, piece)
-                     AS BIGINT) AS rnk,
-                   piece, freq,
-                   CAST($cum AS BIGINT) AS cum_freq,
-                   (round(CAST($cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
-                     + CAST(0.0 AS DOUBLE)) AS cum_share
-            FROM (SELECT piece, freq, CAST(sum(freq) OVER () AS BIGINT) AS tot
-                  FROM $countsRel) c__
-            ORDER BY rnk"""
-      }
       (s: SparkSession, dir: String) => {
         val counts = graft.ops.BpeTrainer
           .segment(tk(s, dir, "documents"), "text", "doc_id", bpeMerges(s, dir))
@@ -1197,26 +1185,49 @@ private[graft] trait CatalogCuration extends CatalogCore {
           .groupBy("piece").agg(count(lit(1)).cast("long").as("freq"))
         val v = s"graft_cov_counts_${System.nanoTime()}"
         counts.localCheckpoint(true).createOrReplaceTempView(v)
-        s.sql(coverage(graft.sqlgen.Dialect.spark, v))
+        s.sql(vocabCoverageSql(graft.sqlgen.Dialect.spark, v))
       }
     },
-      Some {
-        val cum = "sum(freq) OVER (ORDER BY freq DESC, piece ROWS UNBOUNDED PRECEDING)"
-        s"""WITH seg AS (SELECT string_split(pieces, chr(31)) AS ps
-                         FROM read_parquet('__GRAFT_OUT__/q_bpe_segment/*.parquet')),
-           counts AS (SELECT g AS piece, CAST(count(*) AS BIGINT) AS freq
-                      FROM (SELECT unnest(ps) AS g FROM seg) e
-                      GROUP BY g)
-           SELECT CAST(row_number() OVER (ORDER BY freq DESC, piece)
-                    AS BIGINT) AS rnk,
-                  piece, freq,
-                  CAST($cum AS BIGINT) AS cum_freq,
-                  (round(CAST($cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
-                    + CAST(0.0 AS DOUBLE)) AS cum_share
-           FROM (SELECT piece, freq, CAST(sum(freq) OVER () AS BIGINT) AS tot
-                 FROM counts) c
-           ORDER BY rnk"""
-      }),
+      Some(vocabCoverageOracle)),
+
+    // 27th streaming/batch equivalence gate — INCREMENTAL VOCABULARY
+    // COVERAGE: the trained (memoized, static) BPE model applies as a
+    // STATELESS per-doc segmentation inside the stream, and the piece
+    // frequency matrix is the complete-mode aggregation state (counts
+    // are the monoid); the dim-sized rank/cumulate window replays over
+    // the live state and hash-equals the batch q_vocab_coverage oracle —
+    // a live vocabulary-drift monitor that never re-segments history.
+    Q("q_stream_vocab_eq",
+      (s, dir0) => {
+        val dir = streamLiteDir(dir0) // bench-only thinning, see helper
+        import s.implicits._
+        val ss = streamSession(s)
+        implicit val sqlCtx = ss.sqlContext
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)].collect().sortBy(_._1)
+        val merges = bpeMerges(s, dir)
+        val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+        val name = s"q_stream_vocab_${System.nanoTime()}"
+        val counts = graft.ops.BpeTrainer
+          .segment(in.toDF().toDF("doc_id", "text"), "text", "doc_id", merges)
+          .select(explode(col("pieces")).as("piece"))
+          .groupBy("piece").agg(count(lit(1)).cast("long").as("freq"))
+        val q = counts.writeStream.format("memory").queryName(name)
+          .outputMode("complete").start()
+        try {
+          docs.grouped(math.max(1, (docs.length + 3) / 4)).foreach { b =>
+            in.addData(b.toSeq); q.processAllAvailable()
+          }
+        } finally {
+          q.stop()
+          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        }
+        val v = s"graft_svc_counts_${System.nanoTime()}"
+        ss.table(name).localCheckpoint(true).createOrReplaceTempView(v)
+        ss.sql(vocabCoverageSql(graft.sqlgen.Dialect.spark, v))
+      },
+      Some(vocabCoverageOracle)),
 
     // Cross-tokenizer vocabulary agreement: the LEARNED merge pieces of
     // the trained BPE and WordPiece vocabularies compared piece-by-piece
@@ -1503,4 +1514,31 @@ private[graft] trait CatalogCuration extends CatalogCore {
         FROM cand
         GROUP BY doc_id, p
         ORDER BY doc_id, p""")))
+
+  /** Rank/cumulate chain of the vocabulary coverage curve — ONE
+    * dialect-rendered text over a (piece, freq) counts view, shared by
+    * batch `q_vocab_coverage` and the 27th gate's live replay. The
+    * SinglePartition window is correct here: the input is vocab-sized. */
+  protected def vocabCoverageSql(dl: Dialect, countsRel: String): String = {
+    val cum = "sum(freq) OVER (ORDER BY freq DESC, piece ROWS UNBOUNDED PRECEDING)"
+    s"""SELECT CAST(row_number() OVER (ORDER BY freq DESC, piece)
+                 AS BIGINT) AS rnk,
+               piece, freq,
+               CAST($cum AS BIGINT) AS cum_freq,
+               (round(CAST($cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+                 + ${dl.d(0.0)}) AS cum_share
+        FROM (SELECT piece, freq, CAST(sum(freq) OVER () AS BIGINT) AS tot
+              FROM $countsRel) c__
+        ORDER BY rnk"""
+  }
+
+  /** Shared oracle for q_vocab_coverage and its incremental twin
+    * q_stream_vocab_eq — counts re-derive from the q_bpe_segment dump. */
+  protected lazy val vocabCoverageOracle: String =
+    s"""WITH counts AS (
+          SELECT g AS piece, CAST(count(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(string_split(pieces, chr(31))) AS g
+                FROM read_parquet('__GRAFT_OUT__/q_bpe_segment/*.parquet')) e
+          GROUP BY g)
+        ${vocabCoverageSql(D, "counts")}"""
 }
