@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.SpanCorrupt
+import graft.sqlgen.Dialect
+
+class SpanCorruptSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+  private val SP = Dialect.spark
+
+  private def corrupt(docs: Seq[(Long, String)]) = {
+    val v = s"spc_docs_${System.nanoTime()}"
+    docs.toDF("doc_id", "text").createOrReplaceTempView(v)
+    val fv = s"spc_fold_${System.nanoTime()}"
+    spark.sql(SpanCorrupt.spanCorruptSql(SP, v))
+      .localCheckpoint(true).createOrReplaceTempView(fv)
+    spark.sql(SpanCorrupt.spanProjectSql(SP, fv)).collect()
+  }
+
+  test("sentinel substitution reconstructs the original token stream") {
+    // the denoising contract: substituting each input sentinel with the
+    // tokens its target section hides yields the original text — any
+    // off-by-one in the fold breaks this for some doc
+    val docs = (0L until 40L).map(i =>
+      (i, (0 until 60).map(j => s"w${(i * 7 + j * 3) % 23}").mkString(" ")))
+    corrupt(docs).foreach { r =>
+      val (id, nToks, nSpans, nMasked) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val inp = r.getString(4); val tgt = r.getString(5)
+      // parse target: <extra_id_k> tok tok ... <extra_id_k+1> ...
+      val sent = "<extra_id_(\\d+)>".r
+      val spans: Map[Int, String] =
+        if (tgt.isEmpty) Map.empty
+        else {
+          val ids = sent.findAllMatchIn(tgt).map(_.group(1).toInt).toList
+          val parts = sent.split(tgt).toList.drop(1) // text after each sentinel
+          ids.zip(parts.map(_.trim)).toMap
+        }
+      assert(spans.size == nSpans, s"doc $id: ${spans.size} != $nSpans")
+      val rebuilt = sent.replaceAllIn(inp, m => spans(m.group(1).toInt))
+        .replaceAll("\\s+", " ").trim
+      val orig = docs.find(_._1 == id).get._2
+      assert(rebuilt == orig, s"doc $id reconstruction failed")
+      val maskedCount = spans.values.map(_.split("\\s+").count(_.nonEmpty)).sum
+      assert(maskedCount == nMasked, s"doc $id: $maskedCount != $nMasked")
+      assert(nToks == 60)
+    }
+    // corruption actually fires somewhere in 40 docs x 60 tokens
+    assert(corrupt(docs).map(_.getLong(2)).sum > 0)
+  }
+
+  test("a doc with no span starts passes through unmasked") {
+    // empty-ish doc: single token, either masked entirely or untouched —
+    // both legal; the invariant is input+target consistency
+    val out = corrupt(Seq((1L, "solo")))
+    val r = out(0)
+    assert(r.getLong(1) == 1)
+    assert((r.getLong(3) == 0 && r.getString(4) == "solo" && r.getString(5).isEmpty)
+      || (r.getLong(3) == 1 && r.getString(4).startsWith("<extra_id_1>")))
+  }
+}
