@@ -454,7 +454,7 @@ object Bench {
           // each, vocab_overlap is one piece-count aggregation over the
           // memoized segmenter
           "q_rouge_dedup", "q_gae_advantage", "q_bon_scaling",
-          "q_vocab_overlap")
+          "q_vocab_overlap", "q_span_corrupt", "q_len_debias")
         val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
         def timed(fn: String => Unit, dir: String, name: String,
                   baseT: Double): Double = {

@@ -404,8 +404,12 @@ object Preference {
     val suffix = dl.arrayReverse(
       dl.sliceLenE("g.arr__", "CAST(e.pos AS INT)",
         "CAST(g.n__ - e.pos + 1 AS INT)"))
-    val centered = dl.transform(suffix, "c__", s"c__ - $mean")
-    val adv = dl.foldDiscount(centered, dl.d(0.5))
+    // the baseline is let-bound ONCE per row: inlining `mean` into the
+    // per-element lambda would re-run its VARCHAR-routed decimal
+    // conversion O(len) times per row — O(len²) strtods per episode
+    val centered = dl.transform(suffix, "c__", "c__ - m__")
+    val adv = graft.sqlgen.Exprs.let(dl, "m__", mean,
+      dl.foldDiscount(centered, dl.d(0.5)))
     s"""SELECT e.ctx AS context, e.pos, e.event_id, e.v AS reward,
           g.n__ AS n_steps,
           ((e.v) - $mean) AS delta,
