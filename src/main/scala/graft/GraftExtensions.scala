@@ -59,5 +59,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("lcs_length"),
       info("lcs_length", "lcs_length(a, b) - longest-common-subsequence length of two ARRAY<STRING> (ROUGE-L numerator)"),
       (es: Seq[Expression]) => graft.functions.LcsLength(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("top_gram"),
+      info("top_gram", "top_gram(a) - (max count, byte-order-lowest tied gram) of an ARRAY<STRING> as struct<top_count, top_ngram>"),
+      (es: Seq[Expression]) => graft.functions.TopGramCount(es(0))))
+    ext.injectFunction((
+      FunctionIdentifier("discount_suffix"),
+      info("discount_suffix", "discount_suffix(x, f) - all discounted suffix folds out(i) = x(i) + f*out(i+1) of an ARRAY<DOUBLE>"),
+      (es: Seq[Expression]) => graft.functions.DiscountSuffix(es(0), es(1))))
   }
 }

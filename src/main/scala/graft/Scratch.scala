@@ -7,6 +7,10 @@ import org.apache.spark.sql.SparkSession
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // reproduce the bench's stream-gate thinning locally (Bench sets the
+    // same property): SCRATCH_STREAM_LITE=1 times gates at the lite SF
+    if (sys.env.get("SCRATCH_STREAM_LITE").contains("1"))
+      System.setProperty("graft.bench.streamLite", "1")
     val names = args.toSeq
     val spark = SparkSession.builder()
       .master("local[32]")

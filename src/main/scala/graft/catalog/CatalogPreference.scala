@@ -418,14 +418,19 @@ private[graft] trait CatalogPreference extends CatalogCore {
       Q("q_gae_advantage",
         (s, dir) => {
           import graft.ops.Preference
+          // r14: grouped O(len)-per-episode rendering (discount_suffix
+          // kernel) — no events-side join, so the positioned view is
+          // referenced once and needs no checkpoint; the window and the
+          // groupBy share the one ctx-keyed exchange
+          graft.functions.VectorNative.register(s)
           val tag = System.nanoTime()
           val evView = s"graft_gae_events_$tag"
           tEvents(s, dir).createOrReplaceTempView(evView)
           val posV = s"graft_gae_pos_$tag"
           s.sql(Preference.gaeEventsSql(SP, evView, "user_id", "ts",
               "event_id", "value"))
-            .localCheckpoint(true).createOrReplaceTempView(posV)
-          s.sql(Preference.gaeAdvantageSql(SP, posV))
+            .createOrReplaceTempView(posV)
+          s.sql(Preference.gaeAdvantageGroupedSql(SP, posV))
         },
         Some {
           import graft.ops.Preference
@@ -757,9 +762,12 @@ private[graft] trait CatalogPreference extends CatalogCore {
           val pV = s"graft_chrfl_pairs_$tag"
           s.sql(PairQuality.longPairsSql(SP, docsV))
             .localCheckpoint(true).createOrReplaceTempView(pV)
+          // r14: union-rendered gram counting (one keyed aggregation, no
+          // gram-table join — longCharMatchesUnionSql) referenced once,
+          // so it stays a lazy view instead of a checkpoint barrier
           val xmV = s"graft_chrfl_xm_$tag"
-          s.sql(PairQuality.longCharMatchesSql(SP, pV))
-            .localCheckpoint(true).createOrReplaceTempView(xmV)
+          s.sql(PairQuality.longCharMatchesUnionSql(SP, pV))
+            .createOrReplaceTempView(xmV)
           val stV = s"graft_chrfl_stats_$tag"
           s.sql(PairQuality.longStatsSql(SP, pV, xmV))
             .createOrReplaceTempView(stV)

@@ -44,8 +44,11 @@ private[graft] trait CatalogTraining extends CatalogCore {
       // (two-stage max-count/min-gram, exact integers end to end).
       Q("q_top_ngram",
         (s, dir) =>
+          // tk, not t (r14): the kernel shape has ZERO exchanges, so
+          // without the rebalance the one-row-group testdata file would
+          // run the whole per-row supremum on a single task
           graft.ops.Curation.topNgramCharFrac(
-              t(s, dir, "documents"), "text", "doc_id", 2)
+              tk(s, dir, "documents"), "text", "doc_id", 2)
             .orderBy("doc_id"),
         Some(s"""
           SELECT * FROM (

@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
+
+/** Native per-row sequence kernels (optimization round r14) — the
+  * clip_overlap/lcs_length pattern ([[GramKernels]]) applied to two more
+  * hot paths the guide's §1.2 "fix the distributed algorithm first" pass
+  * surfaced:
+  *
+  *   - [[TopGramCount]]: the Gopher top-n-gram supremum (max count, min
+  *     gram on ties) of ONE document's gram array, computed as a per-row
+  *     O(n) hash count instead of exploding every gram of every document
+  *     into two corpus-sized shuffles plus a self-join (q_top_ngram's
+  *     previous plan). The DuckDB oracle keeps the explode/groupBy
+  *     rendering — exact integers and a byte-order min, so equality is
+  *     bitwise.
+  *   - [[DiscountSuffix]]: every suffix's discounted left-fold
+  *     (acc ← x + factor·acc, the GAE Â_t chain) of ONE episode's
+  *     centered-reward array in O(n) TOTAL via the backward recurrence
+  *     out(i) = x(i) + factor·out(i+1) — bit-identical to folding each
+  *     suffix separately (unrolling the fold for suffix i gives exactly
+  *     x(i) + factor·(fold of suffix i+1); the seed step x + factor·0.0
+  *     is preserved verbatim at the last element), replacing the
+  *     O(len²)-per-episode per-row fold. The DuckDB oracle keeps the
+  *     per-row [[graft.sqlgen.Dialect.foldDiscount]] HOF.
+  *
+  * Both registered SQL-callable by [[VectorNative.register]] /
+  * [[graft.GraftExtensions]] (`top_gram`, `discount_suffix`).
+  */
+object SeqKernels {
+
+  /** (max count, byte-order-lowest gram among max-count grams) of a string
+    * array — one hash-count pass + one tie scan. Returns null for an empty
+    * array (the explode/groupBy form emits no row). Null elements are
+    * skipped explicitly (the clip_overlap null contract). */
+  def topGram(a: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = a.numElements()
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]](n * 2)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val k = a.getUTF8String(i)
+        val e = m.get(k)
+        if (e == null) m.put(k.clone(), Array(1L)) else e(0) += 1L
+      }
+      i += 1
+    }
+    if (m.isEmpty) return null
+    var bestC = 0L
+    var bestG: org.apache.spark.unsafe.types.UTF8String = null
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue()(0)
+      if (c > bestC || (c == bestC && e.getKey.compareTo(bestG) < 0)) {
+        bestC = c
+        bestG = e.getKey
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestC, bestG))
+  }
+
+  /** Backward discounted-suffix folds: out(i) = x(i) + factor·out(i+1),
+    * out(n) treated as 0.0 — element i is EXACTLY the
+    * aggregate(reverse(slice(x, i+1, n−i)), 0.0, (s, v) -> v + factor·s)
+    * chain, including the x + factor·0.0 seed step. A null element nulls
+    * its own fold and every earlier one (a null anywhere in a suffix
+    * poisons that suffix's fold — the HOF semantics). */
+  def discountSuffix(a: ArrayData, factor: Double): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var acc = 0.0
+    var poisoned = false
+    var i = n - 1
+    while (i >= 0) {
+      if (poisoned || a.isNullAt(i)) {
+        poisoned = true
+        out(i) = null
+      } else {
+        acc = a.getDouble(i) + factor * acc
+        out(i) = acc
+      }
+      i -= 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** top_gram(array<string>) -> struct<top_count: bigint, top_ngram: string>
+  * — see [[SeqKernels.topGram]]. Null for null/empty input. */
+case class TopGramCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_count", LongType, nullable = false),
+    StructField("top_ngram", StringType, nullable = true)))
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"top_gram requires array<string>, got ${other.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    SeqKernels.topGram(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val res = ctx.freshName("tg")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $res =
+         |  graft.functions.SeqKernels.topGram($a);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** discount_suffix(array<double>, factor) -> array<double> — see
+  * [[SeqKernels.discountSuffix]]. The factor operand is evaluated per row
+  * (callers pass a literal). */
+case class DiscountSuffix(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"discount_suffix requires (array<double>, double), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  }
+
+  override def nullSafeEval(a: Any, f: Any): Any =
+    SeqKernels.discountSuffix(
+      a.asInstanceOf[ArrayData], f.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, f) => {
+      s"${ev.value} = graft.functions.SeqKernels.discountSuffix($a, $f);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

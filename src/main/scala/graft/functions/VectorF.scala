@@ -75,6 +75,10 @@ object VectorNative {
       es => ClipOverlapCount(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("lcs_length",
       es => LcsLength(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("top_gram",
+      es => TopGramCount(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("discount_suffix",
+      es => DiscountSuffix(es(0), es(1)), "scala_udf")
   }
 
   def dotNative(a: Column, b: Column): Column =
@@ -85,4 +89,8 @@ object VectorNative {
     toCol(CosineSimilarity(toExpr(a), toExpr(b)))
   def euclideanNative(a: Column, b: Column): Column =
     toCol(EuclideanDistance(toExpr(a), toExpr(b)))
+  def topGramNative(a: Column): Column =
+    toCol(TopGramCount(toExpr(a)))
+  def discountSuffixNative(a: Column, factor: Column): Column =
+    toCol(DiscountSuffix(toExpr(a), toExpr(factor)))
 }

@@ -570,23 +570,33 @@ object Curation {
                        n: Int): DataFrame = {
     require(n >= 2 && n <= 8, s"n out of range: $n")
     val toks = graft.functions.TextF.tokens(col(textCol))
-    val grams = docs
+    // r14 optimization (guide §1.2/§2.4): the supremum is PER-DOCUMENT, so
+    // exploding every gram of every doc into two corpus-sized exchanges
+    // plus a counted-vs-best self-join measured pure shuffle machinery.
+    // The native top_gram kernel (SeqKernels — the clip_overlap pattern)
+    // computes (max count, byte-order-lowest tied gram) in one O(grams)
+    // hash pass per row: ZERO exchanges, same exact integers, same min
+    // tie-break (UTF8String binary order = Spark/DuckDB string min). The
+    // DuckDB oracle keeps the explode/groupBy rendering; SeqKernelSpec
+    // fuzz-pins kernel == explode/groupBy. The null guard replays the
+    // old shape's semantics: explode of a null gram array emitted no row.
+    // The null guard is on the CHEAP input column (pushed to the scan),
+    // not on the kernel output: a Filter over the struct would be pushed
+    // below the Project and re-evaluate the whole kernel+HOF chain per
+    // row (the guide §4.4 duplication, measured 2x here). A non-null text
+    // always yields >= 1 gram, so the kernel never returns null for the
+    // surviving rows — same rows as the old explode shape, which dropped
+    // null-text docs via explode(NULL).
+    val tg = graft.functions.VectorNative.topGramNative(
+      graft.functions.TextF.wordShingles(toks, n))
+    docs
+      .where(col(textCol).isNotNull)
       .select(col(idCol), length(col(textCol)).cast("long").as("__tc"),
-        explode(graft.functions.TextF.wordShingles(toks, n)).as("__g"))
-    val counted = grams.groupBy(col(idCol), col("__tc"), col("__g"))
-      .agg(count(lit(1)).cast("long").as("__c"))
-    // two-stage supremum: max count per doc, then min gram over the
-    // equal-count set — count desc with lexicographically-lowest tie-break
-    counted.groupBy(col(idCol), col("__tc"))
-      .agg(max(col("__c")).as("__bc"))
-      .join(counted, Seq(idCol, "__tc"))
-      .where(col("__c") === col("__bc"))
-      .groupBy(col(idCol), col("__tc"), col("__bc"))
-      .agg(min(col("__g")).as("top_ngram"))
+        tg.as("__tg"))
       .select(col(idCol),
-        col("__bc").as("top_count"),
-        col("top_ngram"),
-        (round((col("__bc") * length(col("top_ngram")).cast("long"))
+        col("__tg.top_count").as("top_count"),
+        col("__tg.top_ngram").as("top_ngram"),
+        (round((col("__tg.top_count") * length(col("__tg.top_ngram")).cast("long"))
             .cast("double") / col("__tc").cast("double"), 6) + lit(0.0))
           .as("top_ngram_char_frac"))
   }

@@ -193,6 +193,35 @@ object PairQuality {
         FROM mm__ GROUP BY pair_id"""
   }
 
+  /** The Spark-side UNION rendering of [[longCharMatchesSql]] (r14
+    * optimization, guide §2.3 "aggregate before you shuffle" / §2.4):
+    * identical xm1/xm2 integers, one fewer corpus-sized exchange and no
+    * gram-table join. Both sides' grams union into ONE relation with a
+    * side tag, ONE keyed aggregation counts c and r together, and
+    * `least(c, r)` with `c > 0 AND r > 0` replays the inner join's
+    * present-on-both-sides clipping exactly. The DuckDB oracle keeps the
+    * two-table join rendering. */
+  def longCharMatchesUnionSql(dl: Dialect, pairsRel: String): String = {
+    def grams(sv: String): String =
+      dl.arrayConcat(charGrams(dl, sv, 1), charGrams(dl, sv, 2))
+    s"""WITH u__ AS (
+          ${dl.explodeRel(pairsRel, "pair_id, 1 AS s__", grams("cs"), "g")}
+          UNION ALL
+          ${dl.explodeRel(pairsRel, "pair_id, 2 AS s__", grams("rs"), "g")}),
+        ct__ AS (SELECT pair_id, length(g) AS n, g,
+                   CAST(sum(CASE WHEN s__ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                   CAST(sum(CASE WHEN s__ = 2 THEN 1 ELSE 0 END) AS BIGINT) AS r
+                 FROM u__ GROUP BY pair_id, length(g), g),
+        mm__ AS (SELECT pair_id, n, least(c, r) AS m
+                 FROM ct__ WHERE c > 0 AND r > 0)
+        SELECT pair_id,
+               CAST(coalesce(sum(CASE WHEN n = 1 THEN m END), 0) AS BIGINT)
+                 AS xm1,
+               CAST(coalesce(sum(CASE WHEN n = 2 THEN m END), 0) AS BIGINT)
+                 AS xm2
+        FROM mm__ GROUP BY pair_id"""
+  }
+
   /** Uncapped chrF stage 3 — assemble the [[pairStatsSql]] stats schema
     * from the pairs and the row-counted matches, so [[scoresSql]] runs
     * UNCHANGED over it (the shared-math guarantee: capped and uncapped

@@ -360,15 +360,21 @@ object Preference {
   }
 
   /** GAE stage 1 — per-episode positions: each context's events ordered
-    * by (ts, id) with a 1-based step index. (ctx, pos, event_id, v). */
+    * by (ts, id) with a 1-based step index. (ctx, pos, event_id, v).
+    * The window partitions by the SAME cast expression the ctx column
+    * aliases (not the raw column) so alias-aware output partitioning lets
+    * a downstream ctx-keyed aggregation reuse the one exchange — the BoN
+    * cast-aliased-key lesson; identical partitions either way. */
   def gaeEventsSql(dl: Dialect, eventsRel: String, userCol: String,
                    tsCol: String, idCol: String, valCol: String): String =
-    s"""SELECT CAST($userCol AS BIGINT) AS ctx,
-          CAST(row_number() OVER (PARTITION BY $userCol
-            ORDER BY $tsCol, $idCol) AS BIGINT) AS pos,
-          CAST($idCol AS BIGINT) AS event_id,
-          $valCol AS v
-        FROM $eventsRel"""
+    s"""SELECT ctx,
+          CAST(row_number() OVER (PARTITION BY ctx
+            ORDER BY ts__, id__) AS BIGINT) AS pos,
+          event_id, v
+        FROM (SELECT CAST($userCol AS BIGINT) AS ctx, $tsCol AS ts__,
+                $idCol AS id__, CAST($idCol AS BIGINT) AS event_id,
+                $valCol AS v
+              FROM $eventsRel) e__"""
 
   /** Generalized Advantage Estimation over per-context event episodes
     * (Schulman et al. 2016, "High-Dimensional Continuous Control Using
@@ -420,6 +426,42 @@ object Preference {
                 ${dl.orderedArrayAgg("v", "pos")} AS arr__
               FROM $evRel GROUP BY ctx) g
           ON g.ctx = e.ctx
+        ORDER BY context, pos"""
+  }
+
+  /** The Spark-side GROUPED rendering of [[gaeAdvantageSql]] (r14
+    * optimization, guide §1.2 "fix the algorithm"): identical output,
+    * O(len) per episode instead of O(len²). One groupBy over the
+    * positioned events builds the ordered reward/id arrays; the
+    * [[graft.functions.DiscountSuffix]] kernel computes EVERY suffix's
+    * discounted fold in one backward O(len) pass (out(i) = x(i) +
+    * factor·out(i+1) — unrolling shows it is the same IEEE chain as the
+    * per-row reversed-suffix fold, seed step included; SeqKernelSpec
+    * fuzz-pins bit equality), and posexplode re-emits the per-step rows —
+    * no events-side join, no per-row O(len) lambda. The baseline is
+    * let-bound once per GROUP row (vs once per event row before). The
+    * DuckDB oracle keeps [[gaeAdvantageSql]]'s per-row HOF rendering.
+    * Requires [[graft.functions.VectorNative.register]]. evRel is
+    * referenced ONCE — callers need no checkpoint. */
+  def gaeAdvantageGroupedSql(dl: Dialect, evRel: String): String = {
+    val s1d = dl.decToDouble("sv__")
+    val nd = "CAST(n__ AS DOUBLE)"
+    val mean = s"(round($s1d / $nd, 6) + ${dl.d(0.0)})"
+    val centered = dl.transform("arr__", "c__", "c__ - m__")
+    val adv = graft.sqlgen.Exprs.let(dl, "m__", mean,
+      s"discount_suffix($centered, ${dl.d(0.5)})")
+    s"""SELECT ctx AS context, CAST(p__ + 1 AS BIGINT) AS pos,
+          element_at(eid__, CAST(p__ + 1 AS INT)) AS event_id,
+          element_at(arr__, CAST(p__ + 1 AS INT)) AS reward,
+          n__ AS n_steps,
+          (element_at(arr__, CAST(p__ + 1 AS INT)) - $mean) AS delta,
+          a__ AS advantage
+        FROM (SELECT ctx, CAST(count(*) AS BIGINT) AS n__,
+                sum(CAST(v AS DECIMAL(18,6))) AS sv__,
+                ${dl.orderedArrayAgg("v", "pos")} AS arr__,
+                ${dl.orderedArrayAgg("event_id", "pos")} AS eid__
+              FROM $evRel GROUP BY ctx) g__
+        LATERAL VIEW posexplode($adv) x__ AS p__, a__
         ORDER BY context, pos"""
   }
 

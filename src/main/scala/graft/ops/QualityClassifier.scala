@@ -117,8 +117,22 @@ object QualityClassifier {
           org.apache.spark.sql.functions.sum(col("__g2")).as("g2"),
           org.apache.spark.sql.functions.sum(col("__g3")).as("g3"),
           org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
-      w = w.crossJoin(broadcast(g))
+      // r14 optimization (guide §1.2/§5): every update arithmetic op stays
+      // IN-ENGINE exactly as before, but the 1-row weight state is
+      // materialized into exact shortest-round-trip double LITERALS after
+      // each step instead of staying a lazy crossJoin-of-broadcasts chain.
+      // The lazy chain nested every previous iteration's subplan inside
+      // the next (a ~300 KB physical plan by iteration 5 — measured:
+      // analyzer+codegen dominated the trainAndScore queries at 2x+ their
+      // execution cost). A 4-double driver hand-off per iteration is the
+      // same k-sized model sync [[trainModel]] already performs; the
+      // literal round-trips are exact (Double.toString), so the learned
+      // scores are bit-identical.
+      val wr = w.crossJoin(broadcast(g))
         .selectExpr((0 to 3).map(j => updateExpr(S, j, lr)): _*)
+        .collect().head
+      w = spark.range(1).selectExpr(
+        (0 to 3).map(j => s"${dlit(wr.getAs[Double](s"w$j"))} AS w$j"): _*)
     }
     (feat, w, stats)
   }

@@ -48,7 +48,13 @@ object Recommend {
       .select(col(userCol).as("u"), col(itemCol).as("i"))
       .distinct()
     // deterministic per-user cap: keep the capPerUser lowest item ids —
-    // a bounded partitioned window (≤ one user's items per task)
+    // a bounded partitioned window (≤ one user's items per task).
+    // r14 note: a single-exchange groupBy(u)+collect_set+slice+explode
+    // rewrite (guide §2.3 "aggregate before you shuffle") was built,
+    // oracle-verified, and MEASURED 5x SLOWER here (29.7 s vs 6.4 s
+    // isolated min-of-3 at sf0.1) — the ObjectHashAggregate set path
+    // loses badly to the codegen'd distinct+window pair on this engine —
+    // so the two-exchange shape below stays on purpose.
     val capped = ui
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("u")).orderBy(col("i"))))

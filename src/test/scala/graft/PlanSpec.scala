@@ -737,6 +737,71 @@ class PlanSpec extends AnyFunSuite {
       s"every exchange must be ctx-keyed:\n$plan")
   }
 
+  test("GAE grouped rendering (r14): one ctx-keyed exchange, kernel explode, no join") {
+    val SP = graft.sqlgen.Dialect.spark
+    graft.functions.VectorNative.register(spark)
+    val tag = System.nanoTime()
+    val evs = Seq((1L, 1L, 1L, 1.0), (1L, 2L, 2L, 2.0), (2L, 1L, 3L, 5.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val v = s"plan_gaeg_$tag"
+    evs.createOrReplaceTempView(v)
+    val plan = formatted(spark.sql(graft.ops.Preference.gaeAdvantageGroupedSql(SP,
+      s"(${graft.ops.Preference.gaeEventsSql(SP, v, "user_id", "ts",
+        "event_id", "value")})")))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"episode state must stay partitioned by context:\n$plan")
+    assert(!plan.contains("MergeJoin") && !plan.contains("HashJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"the grouped rendering must not join back to the events:\n$plan")
+    assert(plan.toLowerCase.contains("discountsuffix"),
+      s"the O(len) suffix kernel must sit in the generator input:\n$plan")
+    val hashes = hashExchangeArgs(plan)
+    assert(hashes.length == 1 && (hashes.head.contains("ctx") ||
+      hashes.head.contains("user_id")),
+      s"window and groupBy must share ONE ctx-keyed exchange:\n$plan")
+  }
+
+  test("uncapped chrF union rendering (r14): one keyed gram aggregation, no gram join") {
+    val SP = graft.sqlgen.Dialect.spark
+    val tag = System.nanoTime()
+    val pairs = Seq((0L, "u", 2L, 3L, 1L, 0L, "abcd", "bcde"))
+      .toDF("pair_id", "pair_kind", "lc", "lr", "m1", "m2", "cs", "rs")
+    val v = s"plan_chrflu_$tag"
+    pairs.createOrReplaceTempView(v)
+    val plan = formatted(spark.sql(
+      graft.ops.PairQuality.longCharMatchesUnionSql(SP, v)))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"gram counting must stay keyed:\n$plan")
+    assert(!plan.toLowerCase.contains("sortmergejoin") &&
+      !plan.toLowerCase.contains("shuffledhashjoin"),
+      s"the side-tagged union must replace the gram-table join:\n$plan")
+    assert(plan.contains("Union"),
+      s"both gram streams must union into one aggregation:\n$plan")
+  }
+
+  test("top-n-gram kernel rendering (r14): zero keyed exchanges, kernel evaluated once") {
+    // repartition(2) blocks ConvertToLocalRelation from constant-folding
+    // the whole operator at optimize time (its round-robin exchange is
+    // the only one allowed in the plan)
+    val docs = Seq((0L, "a b a b c"), (1L, "x y")).toDF("doc_id", "text")
+      .repartition(2)
+    val plan = formatted(
+      graft.ops.Curation.topNgramCharFrac(docs, "text", "doc_id", 2))
+    assert(!plan.contains("hashpartitioning") &&
+      !plan.contains("Exchange SinglePartition"),
+      s"the per-doc supremum must be a pure map pass:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("MergeJoin") &&
+      !plan.contains("HashJoin") && !plan.contains("CartesianProduct"),
+      s"the explode/count/self-join shape must be gone:\n$plan")
+    assert(plan.toLowerCase.contains("topgramcount"),
+      s"the native kernel must sit in the projection:\n$plan")
+    // one kernel evaluation site (tree + detail section = <= 2 mentions):
+    // a struct-null Filter would be pushed below the Project and re-run
+    // the kernel per row (guide §4.4)
+    assert("topgramcount".r.findAllIn(plan.toLowerCase).size <= 2,
+      s"kernel must not be duplicated by a pushed filter:\n$plan")
+  }
+
   test("best-of-n scaling curve: ONE group-keyed exchange, no single partition") {
     val SP = graft.sqlgen.Dialect.spark
     val tag = System.nanoTime()

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The r14 optimization kernels must be value-identical to the portable
+  * forms they replace on the engine hot path:
+  *
+  *   - top_gram == the explode/groupBy/two-stage-supremum rendering the
+  *     DuckDB oracle keeps (exact integers + byte-order min — bitwise).
+  *   - discount_suffix(x, f)[i] == the per-suffix discounted HOF fold
+  *     aggregate(reverse(slice(x, i+1, n-i)), 0.0, (s, v) -> v + f*s) —
+  *     IEEE-bit-identical (the backward recurrence is the same op chain).
+  */
+class SeqKernelSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  test("top_gram == explode/groupBy supremum on 200 fuzzed docs + tie cases") {
+    graft.functions.VectorNative.register(spark)
+    val rnd = new scala.util.Random(29)
+    val fuzz = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(40))(s"w${rnd.nextInt(6)} w${rnd.nextInt(6)}"))
+    }
+    // crafted: all-tied counts (min gram wins), single gram, repeated max
+    val crafted = Seq(
+      (1000L, Seq("b b", "a a", "c c")),        // all count 1 -> "a a"
+      (1001L, Seq("z z")),                      // single
+      (1002L, Seq("m m", "a a", "m m", "a a"))) // tie at 2 -> "a a"
+    val v = s"topgram_fuzz_${System.nanoTime()}"
+    (fuzz ++ crafted).toDF("id", "gs").createOrReplaceTempView(v)
+    val native = spark.sql(
+      s"""SELECT id, tg.top_count AS c, tg.top_ngram AS g
+          FROM (SELECT id, top_gram(gs) AS tg FROM $v) ORDER BY id""").collect()
+    val ref = spark.sql(
+      s"""WITH e AS (SELECT id, explode(gs) AS g FROM $v),
+          counted AS (SELECT id, g, CAST(count(*) AS BIGINT) AS c
+                      FROM e GROUP BY id, g),
+          best AS (SELECT id, max(c) AS bc FROM counted GROUP BY id)
+          SELECT c.id, b.bc AS c, min(c.g) AS g
+          FROM counted c JOIN best b ON b.id = c.id AND c.c = b.bc
+          GROUP BY c.id, b.bc ORDER BY c.id""").collect()
+    assert(native.length == ref.length)
+    native.zip(ref).foreach { case (n, r) =>
+      assert(n.getLong(0) == r.getLong(0), s"id ${n.getLong(0)}")
+      assert(n.getLong(1) == r.getLong(1), s"count at id ${n.getLong(0)}")
+      assert(n.getString(2) == r.getString(2), s"gram at id ${n.getLong(0)}")
+    }
+  }
+
+  test("top_gram: empty array is null; null elements are skipped") {
+    graft.functions.VectorNative.register(spark)
+    val r = spark.sql(
+      """SELECT top_gram(CAST(array() AS ARRAY<STRING>)) AS e,
+                top_gram(array(CAST(NULL AS STRING), 'x', CAST(NULL AS STRING))) AS s""")
+      .collect()(0)
+    assert(r.isNullAt(0), r.toString)
+    assert(r.getStruct(1).getLong(0) == 1L && r.getStruct(1).getString(1) == "x")
+  }
+
+  test("top_gram rejects wrong-typed args at analysis time") {
+    graft.functions.VectorNative.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT top_gram(array(1, 2))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("top_gram"), e.getMessage)
+  }
+
+  test("discount_suffix == per-suffix HOF folds, bit-exact, on 200 fuzzed episodes") {
+    graft.functions.VectorNative.register(spark)
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(24))(
+        math.rint(rnd.nextGaussian() * 1e6) / 1e6))
+    }
+    val v = s"dsuffix_fuzz_${System.nanoTime()}"
+    rows.toDF("id", "xs").createOrReplaceTempView(v)
+    val out = spark.sql(
+      s"""SELECT id, discount_suffix(xs, CAST(0.5 AS DOUBLE)) AS k,
+                 transform(sequence(1, size(xs)), i ->
+                   aggregate(reverse(slice(xs, i, size(xs) - i + 1)),
+                     CAST(0.0 AS DOUBLE),
+                     (s__, x__) -> x__ + CAST(0.5 AS DOUBLE) * s__)) AS h
+          FROM $v ORDER BY id""").collect()
+    out.foreach { r =>
+      val k = r.getSeq[Double](1)
+      val h = r.getSeq[Double](2)
+      assert(k.length == h.length, s"id ${r.getLong(0)}")
+      k.zip(h).zipWithIndex.foreach { case ((a, b), j) =>
+        assert(java.lang.Double.doubleToRawLongBits(a) ==
+          java.lang.Double.doubleToRawLongBits(b),
+          s"id ${r.getLong(0)} pos $j: $a vs $b")
+      }
+    }
+  }
+
+  test("discount_suffix: a null element poisons its own and earlier folds only") {
+    graft.functions.VectorNative.register(spark)
+    val r = spark.sql(
+      """SELECT discount_suffix(
+           array(CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(2.0 AS DOUBLE)),
+           CAST(0.5 AS DOUBLE)) AS k""").collect()(0)
+    val k = r.getSeq[java.lang.Double](0)
+    assert(k(0) == null && k(1) == null && k(2) == 2.0, k.toString)
+  }
+}
