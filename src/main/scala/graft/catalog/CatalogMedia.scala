@@ -31,8 +31,7 @@ private[graft] trait CatalogMedia extends CatalogCore {
             .mkString("concat(", ", ", ")")
         val u = "(((doc_id * 131 + s__ * 17) % 2001 - 1000) + 65536) % 65536"
         val pcmHex = s"array_join(transform(sequence(0, 95), " +
-          s"s__ -> concat(lpad(hex(($u) % 256), 2, '0'), " +
-          s"lpad(hex(($u) div 256), 2, '0'))), '')"
+          s"s__ -> lpad(hex((($u) % 256) * 256 + (($u) div 256)), 4, '0')), '')"
         val withBytes = t(s, dir, "documents")
           .withColumn("wav", unhex(expr(
             s"""concat('52494646', ${le("36 + 192", 4)}, '57415645',
@@ -71,8 +70,7 @@ private[graft] trait CatalogMedia extends CatalogCore {
           "ELSE (doc_id * 7 + s__ * 13) % 41 - 20 END)"
         val u = s"(($v) + 65536) % 65536"
         val pcmHex = s"array_join(transform(sequence(0, 511), " +
-          s"s__ -> concat(lpad(hex(($u) % 256), 2, '0'), " +
-          s"lpad(hex(($u) div 256), 2, '0'))), '')"
+          s"s__ -> lpad(hex((($u) % 256) * 256 + (($u) div 256)), 4, '0')), '')"
         val withBytes = t(s, dir, "documents")
           .withColumn("wav", unhex(expr(
             s"""concat('52494646', ${le("36 + 1024", 4)}, '57415645',
@@ -120,8 +118,7 @@ private[graft] trait CatalogMedia extends CatalogCore {
             .mkString("concat(", ", ", ")")
         val u = "(((doc_id * 131 + s__ * 17) % 2001 - 1000) + 65536) % 65536"
         val pcmHex = s"array_join(transform(sequence(0, 95), " +
-          s"s__ -> concat(lpad(hex(($u) % 256), 2, '0'), " +
-          s"lpad(hex(($u) div 256), 2, '0'))), '')"
+          s"s__ -> lpad(hex((($u) % 256) * 256 + (($u) div 256)), 4, '0')), '')"
         val withBytes = t(s, dir, "documents")
           .withColumn("wav", unhex(expr(
             s"""concat('52494646', ${le("36 + 192", 4)}, '57415645',
@@ -171,8 +168,7 @@ private[graft] trait CatalogMedia extends CatalogCore {
             .mkString("concat(", ", ", ")")
         val u = "((((doc_id % 50) * 131 + s__ * 17) % 2001 - 1000) + 65536) % 65536"
         val pcmHex = s"array_join(transform(sequence(0, 95), " +
-          s"s__ -> concat(lpad(hex(($u) % 256), 2, '0'), " +
-          s"lpad(hex(($u) div 256), 2, '0'))), '')"
+          s"s__ -> lpad(hex((($u) % 256) * 256 + (($u) div 256)), 4, '0')), '')"
         val withBytes = t(s, dir, "documents")
           .withColumn("sr", (lit(8000) + (col("doc_id") % 8) * 1000).cast("long"))
           .withColumn("wav", unhex(expr(
@@ -235,8 +231,7 @@ private[graft] trait CatalogMedia extends CatalogCore {
             .mkString("concat(", ", ", ")")
         val u = "((((doc_id % 50) * 131 + s__ * 17) % 2001 - 1000) + 65536) % 65536"
         val pcmHex = s"array_join(transform(sequence(0, 95), " +
-          s"s__ -> concat(lpad(hex(($u) % 256), 2, '0'), " +
-          s"lpad(hex(($u) div 256), 2, '0'))), '')"
+          s"s__ -> lpad(hex((($u) % 256) * 256 + (($u) div 256)), 4, '0')), '')"
         val withBytes = t(s, dir, "documents")
           .withColumn("sr", (lit(8000) + (col("doc_id") % 8) * 1000).cast("long"))
           .withColumn("wav", unhex(expr(
