@@ -1423,8 +1423,7 @@ object PdfWrite {
   def encryptedObjStmDocument(pages: Seq[String]): Array[Byte] = {
     val pageList = if (pages.isEmpty) Seq("") else pages
     val n = pageList.length
-    val id0 = java.security.MessageDigest.getInstance("MD5")
-      .digest(("eo" + pageList.mkString(" ")).getBytes("UTF-8"))
+    val id0 = PdfCrypt.md5(("eo" + pageList.mkString(" ")).getBytes("UTF-8"))
     val pPerm = -44
     val o = PdfCrypt.computeO(Array.empty, Array.empty, 3, 128)
     val fk = PdfCrypt.fileKey(o, pPerm, id0, 128, 3)
@@ -1532,8 +1531,7 @@ object PdfWrite {
     val pageList = if (pages.isEmpty) Seq("") else pages
     val n = pageList.length
     def dmd5(tag: String): Array[Byte] =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest((tag + pageList.mkString(" ")).getBytes("UTF-8"))
+      PdfCrypt.md5((tag + pageList.mkString(" ")).getBytes("UTF-8"))
     val id0 = dmd5("")
     val pPerm = -44 // print+copy restricted owner perms; any value works
     // R6 (PDF 2.0): the 32-byte file key is free-standing; /U /UE carry
@@ -1553,8 +1551,7 @@ object PdfWrite {
     def crypt(num: Int, data: Array[Byte]): Array[Byte] = {
       val key = if (r == 6) fk else PdfCrypt.objectKey(fk, num, aes)
       if (aes) {
-        val iv = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"iv$num".getBytes(ISO_8859_1) ++ id0).take(16)
+        val iv = PdfCrypt.md5(s"iv$num".getBytes(ISO_8859_1) ++ id0).take(16)
         PdfCrypt.aesEncrypt(key, iv, data)
       } else PdfCrypt.rc4(key, data)
     }
@@ -1593,13 +1590,8 @@ object PdfWrite {
         val (ovS, okS) = (dmd5("ovs").take(8), dmd5("oks").take(8))
         val oHash = PdfCrypt.hash2B(Array.empty, ovS, u.take(48)) ++ ovS ++ okS
         val ikO = PdfCrypt.hash2B(Array.empty, okS, u.take(48))
-        val oe = {
-          val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
-          c.init(javax.crypto.Cipher.ENCRYPT_MODE,
-            new javax.crypto.spec.SecretKeySpec(ikO, "AES"),
-            new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
-          c.doFinal(fk)
-        }
+        val oe = PdfCrypt.aesNoPad(javax.crypto.Cipher.ENCRYPT_MODE, ikO,
+          new Array[Byte](16), fk)
         s"<< /Filter /Standard /V 5 /R 6 /Length 256 " +
           "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> " +
           "/StmF /StdCF /StrF /StdCF " +

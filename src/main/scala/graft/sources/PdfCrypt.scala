@@ -31,8 +31,37 @@ object PdfCrypt {
     0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
     0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
 
-  private def md5(b: Array[Byte]): Array[Byte] =
-    MessageDigest.getInstance("MD5").digest(b)
+  // r15 optimization (guide §1.2 per-task work / §4.5 heavyweight state):
+  // MessageDigest.getInstance / Cipher.getInstance walk the JCA provider
+  // registry on every call, and the encrypted-PDF paths call them in
+  // per-row loops (fileKey = 51 MD5 rounds, hash2B >= 64 AES+SHA rounds,
+  // one object key per PDF object). digest()/init() fully reset the
+  // instances, so one cached instance per thread is semantically
+  // identical — same algorithms, same bytes.
+  private val mdCache = new ThreadLocal[java.util.HashMap[String, MessageDigest]] {
+    override def initialValue() = new java.util.HashMap[String, MessageDigest]()
+  }
+  private[sources] def digester(alg: String): MessageDigest = {
+    val m = mdCache.get()
+    var d = m.get(alg)
+    if (d == null) { d = MessageDigest.getInstance(alg); m.put(alg, d) }
+    d
+  }
+  private val cipherCache = new ThreadLocal[java.util.HashMap[String, javax.crypto.Cipher]] {
+    override def initialValue() = new java.util.HashMap[String, javax.crypto.Cipher]()
+  }
+  private[sources] def cipher(transformation: String): javax.crypto.Cipher = {
+    val m = cipherCache.get()
+    var c = m.get(transformation)
+    if (c == null) {
+      c = javax.crypto.Cipher.getInstance(transformation)
+      m.put(transformation, c)
+    }
+    c
+  }
+
+  private[sources] def md5(b: Array[Byte]): Array[Byte] =
+    digester("MD5").digest(b)
 
   def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
     val s = Array.tabulate(256)(_.toByte)
@@ -120,7 +149,7 @@ object PdfCrypt {
   // ---- V5 / R6 (PDF 2.0, /AESV3, AES-256) --------------------------------
 
   private def sha(alg: String, b: Array[Byte]): Array[Byte] =
-    MessageDigest.getInstance(alg).digest(b)
+    digester(alg).digest(b)
 
   /** ISO 32000-2 Algorithm 2.B — the R6 hardened hash: SHA-256 seed,
     * then rounds of AES-128-CBC over 64 repetitions of (pw ‖ K ‖ udata)
@@ -132,19 +161,22 @@ object PdfCrypt {
     var round = 0
     var done = false
     var e = Array.empty[Byte]
+    // one reusable 64-rep buffer for the whole call: k grows to at most
+    // 64 bytes (SHA-512 round), so size for the max and slice per round
+    val buf = new Array[Byte](64 * (pw.length + 64 + udata.length))
     while (!done) {
-      val k1 = {
-        val unit = pw ++ k ++ udata
-        val b = new java.io.ByteArrayOutputStream(unit.length * 64)
-        var i = 0
-        while (i < 64) { b.write(unit, 0, unit.length); i += 1 }
-        b.toByteArray
+      val unit = pw ++ k ++ udata
+      val k1len = unit.length * 64
+      var i = 0
+      while (i < 64) {
+        System.arraycopy(unit, 0, buf, i * unit.length, unit.length)
+        i += 1
       }
-      val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
-      cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      val c = cipher("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
         new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
         new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
-      e = cipher.doFinal(k1)
+      e = c.doFinal(buf, 0, k1len)
       val mod = e.take(16).foldLeft(0)((a, b) => a + (b & 0xff)) % 3
       k = sha(mod match {
         case 0 => "SHA-256"; case 1 => "SHA-384"; case _ => "SHA-512"
@@ -155,12 +187,12 @@ object PdfCrypt {
     k.take(32)
   }
 
-  private def aesNoPad(mode: Int, key: Array[Byte], iv: Array[Byte],
-                       data: Array[Byte]): Array[Byte] = {
-    val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
-    cipher.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+  private[sources] def aesNoPad(mode: Int, key: Array[Byte], iv: Array[Byte],
+                                data: Array[Byte]): Array[Byte] = {
+    val c = cipher("AES/CBC/NoPadding")
+    c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
       new javax.crypto.spec.IvParameterSpec(iv))
-    cipher.doFinal(data)
+    c.doFinal(data)
   }
 
   /** R6 file key from the EMPTY user password: /U = hash(48) ‖
@@ -189,21 +221,21 @@ object PdfCrypt {
   def aesDecrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
     if (data.length < 32 || data.length % 16 != 0)
       return Array.empty // malformed AES payload: empty, never a throw
-    val cipher = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
-    cipher.init(javax.crypto.Cipher.DECRYPT_MODE,
+    val c = cipher("AES/CBC/PKCS5Padding")
+    c.init(javax.crypto.Cipher.DECRYPT_MODE,
       new javax.crypto.spec.SecretKeySpec(key, "AES"),
       new javax.crypto.spec.IvParameterSpec(data.take(16)))
-    try cipher.doFinal(data, 16, data.length - 16)
+    try c.doFinal(data, 16, data.length - 16)
     catch { case _: java.security.GeneralSecurityException => Array.empty }
   }
 
   def aesEncrypt(key: Array[Byte], iv: Array[Byte],
                  data: Array[Byte]): Array[Byte] = {
-    val cipher = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
-    cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
+    val c = cipher("AES/CBC/PKCS5Padding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
       new javax.crypto.spec.SecretKeySpec(key, "AES"),
       new javax.crypto.spec.IvParameterSpec(iv))
-    iv ++ cipher.doFinal(data)
+    iv ++ c.doFinal(data)
   }
 
   /** The trailer dictionary (last `trailer` keyword), or None. */
