@@ -11,6 +11,12 @@ object Scratch {
     // same property): SCRATCH_STREAM_LITE=1 times gates at the lite SF
     if (sys.env.get("SCRATCH_STREAM_LITE").contains("1"))
       System.setProperty("graft.bench.streamLite", "1")
+    // mirror the bench's measurement policy (r15): tmpfs gate checkpoints
+    // and memo-cold trained models per timed run, so iso numbers here are
+    // comparable to the bench's. SCRATCH_WARM_MEMOS=1 keeps models warm
+    // (to isolate training vs apply cost when profiling).
+    System.setProperty("graft.stream.ckptTmpfs", "1")
+    val warmMemos = sys.env.get("SCRATCH_WARM_MEMOS").contains("1")
     val names = args.toSeq
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -40,6 +46,7 @@ object Scratch {
           () => fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       }
       (1 to 3).foreach { i =>
+        if (!warmMemos) QueryCatalog.clearModelMemos()
         val t0 = System.nanoTime()
         run()
         println(f"[scratch] $n run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")

@@ -57,12 +57,19 @@ private[graft] trait CatalogLsaSketch extends CatalogCore {
       Q("q_cooc_counts",
         (s, dir) => {
           import s.implicits._
-          val m = lsaModel(s, dir)
-          val ids = m.terms.indices.map(i => (i.toLong, m.terms(i)))
+          // r15: this query consumes only the VOCABULARY (the model's
+          // support) — deriving it directly instead of through lsaModel
+          // skips the eigensolve + second corpus pass a full training
+          // pays. Identical terms by construction: Lsa.train's first step
+          // IS this collect (df DESC, term ASC order).
+          val terms = graft.ops.Lsa.vocabulary(
+              tk(s, dir, "documents"), "text", "doc_id", lsaTopV)
+            .orderBy("term_id").collect().map(_.getString(1))
+          val ids = terms.indices.map(i => (i.toLong, terms(i)))
           val lo = ids.toDF("id_lo", "term_lo")
           val hi = ids.toDF("id_hi", "term_hi")
           graft.ops.Lsa.cooccurrence(tk(s, dir, "documents"), "text",
-              m.terms, lsaWindow)
+              terms, lsaWindow)
             .join(broadcast(lo), "id_lo").join(broadcast(hi), "id_hi")
             .select(col("term_lo"), col("term_hi"),
               col("cnt").cast("long").as("cnt"))

@@ -768,8 +768,11 @@ private[graft] trait CatalogPreference extends CatalogCore {
           val xmV = s"graft_chrfl_xm_$tag"
           s.sql(PairQuality.longCharMatchesUnionSql(SP, pV))
             .createOrReplaceTempView(xmV)
+          // r15 (guide §2.3): the narrow rendering projects cs/rs down to
+          // their length BIGINTs BEFORE the pair_id join, so the stats
+          // SMJ no longer shuffles the stripped text payload
           val stV = s"graft_chrfl_stats_$tag"
-          s.sql(PairQuality.longStatsSql(SP, pV, xmV))
+          s.sql(PairQuality.longStatsNarrowSql(SP, pV, xmV))
             .createOrReplaceTempView(stV)
           s.sql(PairQuality.scoresSql(SP, stV))
         },

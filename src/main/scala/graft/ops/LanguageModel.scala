@@ -26,15 +26,52 @@ import org.apache.spark.sql.functions._
   */
 object LanguageModel {
 
+  /** Size-gated broadcast for the n-gram score tables (r15, guide §3.1).
+    *
+    * The count tables (vocab, bigram types, trigram types) grow with the
+    * corpus (Heaps' law), so an unconditional broadcast hint is the
+    * 100 TB anti-pattern — but below a measured input size they are far
+    * under any broadcast limit, and hinting them removes every
+    * corpus-sided exchange from the score joins: the token relation is
+    * partitioned once by the doc-id window and the per-doc fold reuses
+    * that same partitioning, so the whole scorer runs on ONE corpus
+    * exchange instead of 3-6.
+    *
+    * The gate is a MEASURED size, not a blanket hint: the sum of the
+    * scan's input file bytes (driver-side metadata, no job). N-gram type
+    * rows are bounded by corpus tokens < input bytes, so gating at
+    * `SPARK_GRAFT_LM_BCAST_MB` (default 128 MiB) keeps the built
+    * relation orders of magnitude under the 8 GB broadcast cap. Above
+    * the gate — or when the input is not file-backed — nothing changes:
+    * the planner keeps its sort-merge/AQE behavior. */
+  private val bcastGateBytes: Long =
+    sys.env.getOrElse("SPARK_GRAFT_LM_BCAST_MB", "128").toLong * (1L << 20)
+
+  private def underBroadcastGate(df: DataFrame): Boolean =
+    try {
+      def localLen(p: String): Long = {
+        val u = new java.net.URI(p)
+        if (u.getScheme == null || u.getScheme == "file")
+          new java.io.File(u.getPath).length()
+        else -1L // non-local store: stay conservative, no hint
+      }
+      val lens = df.inputFiles.map(localLen)
+      lens.nonEmpty && lens.forall(_ >= 0) && lens.sum <= bcastGateBytes
+    } catch { case _: Exception => false }
+
+  private def gated(gate: Boolean)(t: DataFrame): DataFrame =
+    if (gate) broadcast(t) else t
+
   /** Output: idCol, n_tokens (long), avg_surprisal (double, unrounded —
     * callers round at emission). */
   def unigramSurprisal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val bc = gated(underBroadcastGate(df)) _
     val toks = df.select(col(idCol),
       posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).cast("long").as("n_total"))
     val scored = toks
-      .join(vocab, "tok")
+      .join(bc(vocab), "tok")
       .crossJoin(broadcast(total))
       .withColumn("lp",
         round(-log(col("cnt").cast("double") / col("n_total").cast("double")), 6))
@@ -64,6 +101,7 @@ object LanguageModel {
     * per-doc fold is position-ordered with per-token round-6 — the same
     * cross-engine determinism contract as the unigram form. */
   def trigramSurprisal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val bc = gated(underBroadcastGate(df)) _
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("pos")
     val toks = df.select(col(idCol),
@@ -88,11 +126,11 @@ object LanguageModel {
       lit(0.25) * (col("cb").cast("double") / col("cprev").cast("double")) +
       lit(0.25) * puni
     val scored = ctx
-      .join(uni, "tok")
-      .join(uni.select(col("tok").as("prev"), col("cu").as("cprev")), Seq("prev"), "left")
-      .join(bi, Seq("prev", "tok"), "left")
-      .join(tri, Seq("prev2", "prev", "tok"), "left")
-      .join(biCtx, Seq("prev2", "prev"), "left")
+      .join(bc(uni), "tok")
+      .join(bc(uni.select(col("tok").as("prev"), col("cu").as("cprev"))), Seq("prev"), "left")
+      .join(bc(bi), Seq("prev", "tok"), "left")
+      .join(bc(tri), Seq("prev2", "prev", "tok"), "left")
+      .join(bc(biCtx), Seq("prev2", "prev"), "left")
       .crossJoin(broadcast(total))
       .withColumn("lp", round(-log(
         when(col("prev").isNull, puni)
@@ -133,6 +171,7 @@ object LanguageModel {
     * unigram) instead of five times — at 100 TB that is three fewer
     * full-corpus shuffles for bit-identical output. */
   def kneserNeyBigram(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val bc = gated(underBroadcastGate(df)) _
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("pos")
     val toks = df.select(col(idCol),
@@ -162,8 +201,8 @@ object LanguageModel {
       .withColumn("lp_uni", round(-log(puni), 6))
       .select("tok", "lp_uni")
     val scored = prevs
-      .join(pairScores, Seq("prev", "tok"), "left")
-      .join(uniScores, "tok")
+      .join(bc(pairScores), Seq("prev", "tok"), "left")
+      .join(bc(uniScores), "tok")
       .withColumn("lp",
         when(col("prev").isNull, col("lp_uni")).otherwise(col("lp_pair")))
     scored.groupBy(idCol)
@@ -192,6 +231,7 @@ object LanguageModel {
   def bigramSurprisal(df: DataFrame, textCol: String, idCol: String,
                       lambda: Double = 0.75): DataFrame = {
     require(lambda == 0.75 || lambda + (1.0 - lambda) == 1.0)
+    val bc = gated(underBroadcastGate(df)) _
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("pos")
     val toks = df.select(col(idCol),
@@ -205,9 +245,9 @@ object LanguageModel {
     val pbi = lit(lambda) * (col("cb").cast("double") / col("cprev").cast("double")) +
       lit(1.0 - lambda) * puni
     val scored = prevs
-      .join(uni, "tok")
-      .join(uni.select(col("tok").as("prev"), col("cu").as("cprev")), Seq("prev"), "left")
-      .join(bi, Seq("prev", "tok"), "left")
+      .join(bc(uni), "tok")
+      .join(bc(uni.select(col("tok").as("prev"), col("cu").as("cprev"))), Seq("prev"), "left")
+      .join(bc(bi), Seq("prev", "tok"), "left")
       .crossJoin(broadcast(total))
       .withColumn("lp", round(-log(when(col("prev").isNull, puni).otherwise(pbi)), 6))
     scored.groupBy(idCol)

@@ -134,12 +134,20 @@ object Lsa {
     require(v > 0, "empty vocabulary — no tokens in corpus")
     val d = math.min(dim, v)
 
-    val coocRows = cooccurrence(docs, textCol, terms, window)
-    val nnz = coocRows.count()
-    require(nnz <= nnzCap,
-      s"co-occurrence nnz $nnz exceeds driver cap $nnzCap — lower topV")
-    val triples = coocRows.collect().map(r =>
+    // r15 (guide §1.2): the cap used to be enforced with a count() BEFORE
+    // the collect(), which ran the whole tokenize+pair+aggregate pipeline
+    // TWICE per training. The output is bounded STRUCTURALLY — ids live in
+    // [0, V), canonical pairs are at most V·(V+1)/2 — so the driver-safety
+    // gate can be proven from topV alone before any job runs, and the
+    // exact nnz is checked on the collected array (same failure surface,
+    // one corpus pass instead of two).
+    require(v.toLong * (v.toLong + 1) / 2 <= nnzCap,
+      s"topV=$v implies up to ${v.toLong * (v.toLong + 1) / 2} co-occurrence " +
+        s"nnz, over driver cap $nnzCap — lower topV")
+    val triples = cooccurrence(docs, textCol, terms, window).collect().map(r =>
       (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2)))
+    require(triples.length <= nnzCap,
+      s"co-occurrence nnz ${triples.length} exceeds driver cap $nnzCap — lower topV")
 
     // symmetric CSR-ish build: mirror off-diagonal entries; marginals and
     // total from the mirrored matrix so PPMI is the standard symmetric one
@@ -151,13 +159,21 @@ object Lsa {
       rowsIdx(a) += ((b, cd)); marg(a) += cd; total += cd
       if (a != b) { rowsIdx(b) += ((a, cd)); marg(b) += cd; total += cd }
     }
-    // PPMI transform in place; deterministic StrictMath.log
-    val rows: Array[Array[(Int, Double)]] = rowsIdx.zipWithIndex.map {
-      case (buf, i) =>
-        buf.iterator.map { case (j, c) =>
-          val pmi = StrictMath.log(c * total / (marg(i) * marg(j)))
-          (j, math.max(0.0, pmi))
-        }.filter(_._2 > 0.0).toArray.sortBy(_._1)
+    // PPMI transform in place; deterministic StrictMath.log. r15: the
+    // sparse rows are stored as PARALLEL primitive arrays (column index +
+    // value) instead of Array[(Int, Double)] — identical entries in the
+    // identical order (so every matMul below folds the same IEEE chain),
+    // but the 40-iteration eigensolve walks flat doubles instead of
+    // chasing boxed-tuple pointers.
+    val rowIdx = new Array[Array[Int]](v)
+    val rowVal = new Array[Array[Double]](v)
+    rowsIdx.zipWithIndex.foreach { case (buf, i) =>
+      val kept = buf.iterator.map { case (j, c) =>
+        val pmi = StrictMath.log(c * total / (marg(i) * marg(j)))
+        (j, math.max(0.0, pmi))
+      }.filter(_._2 > 0.0).toArray.sortBy(_._1)
+      rowIdx(i) = kept.map(_._1)
+      rowVal(i) = kept.map(_._2)
     }
 
     // deterministic start: splitmix64 of (i, k) -> [-0.5, 0.5)
@@ -171,17 +187,19 @@ object Lsa {
       (mix(i.toLong * 131071L + k).toDouble / Long.MaxValue.toDouble) * 0.5
     }
 
-    def matMul(m: Array[Array[(Int, Double)]], xs: Array[Array[Double]]): Array[Array[Double]] = {
+    def matMul(xs: Array[Array[Double]]): Array[Array[Double]] = {
       val y = Array.ofDim[Double](v, d)
       var i = 0
       while (i < v) {
-        val r = m(i)
+        val idx = rowIdx(i)
+        val vs = rowVal(i)
+        val yi = y(i)
         var p = 0
-        while (p < r.length) {
-          val (j, a) = r(p)
-          val xj = xs(j)
+        while (p < idx.length) {
+          val a = vs(p)
+          val xj = xs(idx(p))
           var k = 0
-          while (k < d) { y(i)(k) += a * xj(k); k += 1 }
+          while (k < d) { yi(k) += a * xj(k); k += 1 }
           p += 1
         }
         i += 1
@@ -224,7 +242,7 @@ object Lsa {
 
     var it = 0
     while (it < iters) {
-      val y = matMul(rows, x)
+      val y = matMul(x)
       mgs(y)
       x = y
       it += 1
@@ -233,7 +251,7 @@ object Lsa {
     // Rayleigh quotients; then order columns by eigenvalue desc (index
     // tie-break) and fix signs: largest-|component| element positive
     // (first index on ties)
-    val mx = matMul(rows, x)
+    val mx = matMul(x)
     val lam = Array.tabulate(d) { k =>
       var s = 0.0
       var i = 0

@@ -236,6 +236,27 @@ object PairQuality {
                CAST(coalesce(x.xm2, 0) AS BIGINT) AS xm2
         FROM $pairsRel p LEFT JOIN $xmRel x ON x.pair_id = p.pair_id"""
 
+  /** Spark-side NARROW rendering of [[longStatsSql]] (r15, guide §2.3
+    * "project before the exchange"): the stats join only needs the CHAR
+    * LENGTHS of cs/rs, but referencing p.cs/p.rs above the join made the
+    * full stripped text payload flow through the SMJ's exchange+sort.
+    * Computing the four length BIGINTs in a pre-projection is the same
+    * integers (length() before vs after a pair_id-equijoin commutes), so
+    * the join now moves ~8 BIGINTs per pair instead of the corpus text.
+    * The DuckDB oracle keeps the [[longStatsSql]] rendering. */
+  def longStatsNarrowSql(dl: Dialect, pairsRel: String, xmRel: String): String =
+    s"""SELECT p.pair_id, p.pair_kind, p.lc, p.lr, p.m1, p.m2,
+               p.xc1, p.xr1, p.xc2, p.xr2,
+               CAST(coalesce(x.xm1, 0) AS BIGINT) AS xm1,
+               CAST(coalesce(x.xm2, 0) AS BIGINT) AS xm2
+        FROM (SELECT pair_id, pair_kind, lc, lr, m1, m2,
+                     CAST(length(cs) AS BIGINT) AS xc1,
+                     CAST(length(rs) AS BIGINT) AS xr1,
+                     CAST(greatest(length(cs) - 1, 0) AS BIGINT) AS xc2,
+                     CAST(greatest(length(rs) - 1, 0) AS BIGINT) AS xr2
+              FROM $pairsRel) p
+        LEFT JOIN $xmRel x ON x.pair_id = p.pair_id"""
+
   /** ROUGE-L stage 1 — exact per-pair LCS + length counts (Lin 2004),
     * over the SAME deterministic candidate/reference pairing as
     * [[pairStatsSql]] (truncation pairs: LCS = |candidate|, recall reads

@@ -364,7 +364,15 @@ object Preference {
     * The window partitions by the SAME cast expression the ctx column
     * aliases (not the raw column) so alias-aware output partitioning lets
     * a downstream ctx-keyed aggregation reuse the one exchange — the BoN
-    * cast-aliased-key lesson; identical partitions either way. */
+    * cast-aliased-key lesson.
+    *
+    * CONTRACT (r15, advice item 2): `userCol` must be injectively
+    * castable to BIGINT — an episode IS the cast value. Distinct raw ids
+    * that collide after the cast ('7' vs '7.9', or several non-numeric
+    * ids all casting to NULL) would merge into ONE episode with a shared
+    * position sequence. The catalog feeds integer user_id (holds
+    * trivially); a caller with string ids must pre-map them to distinct
+    * integers before this builder. */
   def gaeEventsSql(dl: Dialect, eventsRel: String, userCol: String,
                    tsCol: String, idCol: String, valCol: String): String =
     s"""SELECT ctx,

@@ -131,6 +131,17 @@ object QualityClassifier {
       val wr = w.crossJoin(broadcast(g))
         .selectExpr((0 to 3).map(j => updateExpr(S, j, lr)): _*)
         .collect().head
+      // r15 (advice item 1): a degenerate training input (zero rows, or
+      // an update that under/overflows) would reach getAs[Double] as
+      // NULL — silently unboxed to 0.0 — or as NaN/Infinity, which dlit
+      // cannot render as parseable SQL. Fail loudly instead of training
+      // on silently-corrupted weights.
+      (0 to 3).foreach { j =>
+        val v = wr.get(wr.fieldIndex(s"w$j"))
+        require(v != null && java.lang.Double.isFinite(v.asInstanceOf[Double]),
+          s"classifier weight w$j became ${if (v == null) "NULL" else v} " +
+            "during gradient descent — degenerate training input?")
+      }
       w = spark.range(1).selectExpr(
         (0 to 3).map(j => s"${dlit(wr.getAs[Double](s"w$j"))} AS w$j"): _*)
     }

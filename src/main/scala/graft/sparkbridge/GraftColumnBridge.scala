@@ -46,3 +46,16 @@ object GraftPlanBridge {
       spark: SparkSession): Seq[org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]] =
     ext.buildOptimizerRules(spark.asInstanceOf[classic.SparkSession])
 }
+
+/** Bridge into Spark's private[spark] ShutdownHookManager so library
+  * cleanup hooks can be ORDERED against Spark's own teardown instead of
+  * racing it as raw Runtime hooks (higher priority runs earlier;
+  * SparkContext stops at 50, temp-dir cleanup at 25 — a priority between
+  * them runs after all streaming/state teardown has flushed but before
+  * Spark deletes its temp dirs). */
+object GraftShutdownBridge {
+  def addHook(priority: Int)(body: () => Unit): Unit = {
+    org.apache.spark.util.ShutdownHookManager.addShutdownHook(priority)(body)
+    ()
+  }
+}

@@ -4,6 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** One shared local SparkSession for all Spark-backed specs. */
 object SparkSessionFixture {
+  // test-harness state is a bounded fixture replay — RAM-backed gate
+  // checkpoints (same opt-in the bench makes; production default stays
+  // durable, see CatalogCore.gateCkptRoot)
+  System.setProperty("graft.stream.ckptTmpfs", "1")
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
