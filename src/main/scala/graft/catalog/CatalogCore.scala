@@ -44,8 +44,44 @@ private[graft] trait CatalogCore {
     val key = Map("documents" -> "doc_id", "embeddings" -> "vec_id")
       .getOrElse(name, null)
     val df = t(s, dir, name)
-    if (key == null) df.repartition(s.sparkContext.defaultParallelism)
+    // r15 (guide §2.4 "remove shuffles outright"): the rebalance exists
+    // ONLY for coarse upstream partitioning (the testdata's one-row-group
+    // files scan as a single task). When the scan itself already splits
+    // to at least the cluster's parallelism — the normal case for
+    // production-scale inputs with many files/row groups — the exchange
+    // is pure waste: skip it and let the kernel run on the scan's natural
+    // partitions. Driver-side metadata check, no job.
+    if (df.rdd.getNumPartitions >= s.sparkContext.defaultParallelism) df
+    else if (key == null) df.repartition(s.sparkContext.defaultParallelism)
     else df.repartition(s.sparkContext.defaultParallelism, col(key))
+  }
+
+  /** Literal hand-off for DIM-SIZED iteration frames (r15, guide §1.2 +
+    * §5's bounded-model-on-driver discipline): collect a bounded relation
+    * once and re-expose it as a LocalRelation temp view, so every later
+    * reference is literal data — no re-derivation (the CTE-inlining
+    * hazard the eager `localCheckpoint(true)` views existed to prevent)
+    * and, unlike a checkpoint, no cluster-wide materialization job, no
+    * cached-partition reads, and single-task downstream plans. Values
+    * round-trip as JVM objects (collect -> createDataFrame), never
+    * through strings, so results are bit-identical by construction.
+    *
+    * 100 TB discipline: callers only pass frames bounded by MODEL
+    * dimensions (|event_types|² contest matrices, ≤k!·k ranking-pattern
+    * grains, θ vectors) — never corpus-grain rows. The `cap` guard
+    * (default 2^16 rows) enforces that structurally: an over-cap frame
+    * falls back to the checkpoint path unchanged, so a dimension that
+    * unexpectedly grows with the corpus degrades to the r14 behavior
+    * instead of flooding the driver. */
+  protected def litView(sess: SparkSession, df: DataFrame, view: String,
+                        cap: Int = 1 << 16): String = {
+    val rows = df.limit(cap + 1).collect()
+    if (rows.length > cap)
+      df.localCheckpoint(true).createOrReplaceTempView(view)
+    else
+      sess.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+        .createOrReplaceTempView(view)
+    view
   }
 
   /** OPQ rotation memo: q_opq_rotated and q_opq_ann need the SAME learned

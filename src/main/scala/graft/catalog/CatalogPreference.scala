@@ -58,24 +58,35 @@ private[graft] trait CatalogPreference extends CatalogCore {
     // Bradley-Terry MM steps over a (i, j, w) ordered-pair count frame —
     // SHARED by the batch query and the streaming gate. Spark inlines
     // CTEs, so the one-statement form would re-derive each θ 2^iters
-    // times: run the oracle's own step builders over localCheckpointed
-    // k²-row views instead — identical math, linear work.
+    // times: run the oracle's own step builders over materialized views
+    // instead — identical math, linear work. r15 (guide §1.2): the views
+    // are |types|²-bounded model state, so they materialize as driver
+    // LITERAL relations (litView) rather than eager localCheckpoints —
+    // the 9 per-fit cluster jobs over dozens-of-row frames become local
+    // single-task evaluations; only the counts aggregation touches the
+    // corpus. Bit-identical: same step SQL, values round-trip as JVM
+    // objects.
     def btFromCounts(sess: SparkSession,
                      counts: org.apache.spark.sql.DataFrame,
                      iters: Int): org.apache.spark.sql.DataFrame = {
       import graft.ops.Preference
       val tag = System.nanoTime()
-      def mat(df: org.apache.spark.sql.DataFrame, name: String): String = {
-        val v = s"graft_bt_${name}_$tag"
-        df.localCheckpoint(true).createOrReplaceTempView(v)
-        v
-      }
+      def mat(df: org.apache.spark.sql.DataFrame, name: String): String =
+        litView(sess, df, s"graft_bt_${name}_$tag")
       val cV = mat(counts, "counts")
       val nmV = mat(sess.sql(Preference.btMatrixSql(SP, cV)), "nm")
       val wtV = mat(sess.sql(Preference.btWtotSql(SP, nmV)), "wt")
       var thV = mat(sess.sql(Preference.btTh0Sql(SP, nmV)), "th0")
-      for (it <- 1 to iters)
-        thV = mat(sess.sql(Preference.btIterSql(SP, nmV, wtV, thV)), s"th$it")
+      for (it <- 1 to iters) {
+        // r15: stage each MM step through a materialized raw view —
+        // btIterNormSql references its input twice and Spark inlines
+        // CTEs, which re-derived the whole denominator chain per
+        // reference (the plan ran every iteration's joins TWICE)
+        val rawV = mat(
+          sess.sql(Preference.btIterRawSql(SP, nmV, wtV, thV)), s"raw$it")
+        thV = mat(sess.sql(
+          Preference.btIterNormSql(SP, s"SELECT i, v FROM $rawV")), s"th$it")
+      }
       sess.sql(Preference.btFinalSql(SP, thV, wtV))
     }
     val btOracle = {
@@ -219,12 +230,13 @@ private[graft] trait CatalogPreference extends CatalogCore {
               s"(${Preference.comparisonsCtxSql(SP, evView, "user_id", "ts",
                 "event_id", "event_type", "value")}) cmpc__"))
             .localCheckpoint(true).createOrReplaceTempView(pcV)
-          val btV = s"graft_dpo_bt_$tag"
-          btFromCounts(s, s.sql(
+          // r15: the fitted-strength table is |types|-sized model state —
+          // literal hand-off (litView) instead of an eager checkpoint job
+          val btV = litView(s, btFromCounts(s, s.sql(
             s"""SELECT chosen AS i, rejected AS j,
                   CAST(sum(n_wins) AS BIGINT) AS w FROM $pcV
-                GROUP BY chosen, rejected"""), iters = 5)
-            .localCheckpoint(true).createOrReplaceTempView(btV)
+                GROUP BY chosen, rejected"""), iters = 5),
+            s"graft_dpo_bt_$tag")
           s.sql(Preference.dpoPairsSql(SP, pcV, btV))
         },
         Some(dpoOracle)),
@@ -276,12 +288,12 @@ private[graft] trait CatalogPreference extends CatalogCore {
             .agg(count(lit(1)).cast("long").as("n_wins"))
             .toDF("ctx", "chosen", "rejected", "n_wins")
             .localCheckpoint(true).createOrReplaceTempView(pcV)
-          val btV = s"graft_sdpo_bt_$tag"
-          btFromCounts(ss, ss.sql(
+          // r15: |types|-sized model state — literal hand-off (litView)
+          val btV = litView(ss, btFromCounts(ss, ss.sql(
             s"""SELECT chosen AS i, rejected AS j,
                   CAST(sum(n_wins) AS BIGINT) AS w FROM $pcV
-                GROUP BY chosen, rejected"""), iters = 5)
-            .localCheckpoint(true).createOrReplaceTempView(btV)
+                GROUP BY chosen, rejected"""), iters = 5),
+            s"graft_sdpo_bt_$tag")
           ss.sql(Preference.dpoPairsSql(SP, pcV, btV))
         },
         Some(dpoOracle)),
@@ -582,11 +594,13 @@ private[graft] trait CatalogPreference extends CatalogCore {
             v
           }
           // every relation from the pattern grain down is ≤ k!·k rows
-          // (corpus-independent) — single-partition those so the 5 MM
-          // iterations don't schedule 32-task shuffles over 20-row
-          // frames; the user-sized rankings relation stays partitioned
+          // (corpus-independent) — r15: those are MODEL state, handed
+          // off as driver literal relations (litView), so the 5 MM
+          // iterations run as local single-task evaluations instead of
+          // checkpoint jobs; the user-sized rankings relation stays a
+          // partitioned checkpoint
           def matDim(df: org.apache.spark.sql.DataFrame, n: String): String =
-            mat(df.coalesce(1), n)
+            litView(s, df, s"graft_pl_${n}_$tag")
           // ranks + pattern collapse fuse into one statement (each is
           // referenced once — no inlining hazard); the first checkpoint
           // lands on the user-sized rankings, the second on the ≤k!
@@ -598,8 +612,13 @@ private[graft] trait CatalogPreference extends CatalogCore {
           val exV = matDim(s.sql(PlackettLuce.explodedSql(SP, pcV)), "ex")
           val wV = matDim(s.sql(PlackettLuce.wSql(SP, exV)), "w")
           var thV = matDim(s.sql(PlackettLuce.th0Sql(SP, exV)), "th0")
-          for (it <- 1 to 5)
-            thV = matDim(s.sql(PlackettLuce.iterSql(SP, exV, wV, thV)), s"th$it")
+          for (it <- 1 to 5) {
+            // r15: raw/norm staging — see btFromCounts
+            val rawV = matDim(
+              s.sql(PlackettLuce.iterRawSql(SP, exV, wV, thV)), s"raw$it")
+            thV = matDim(s.sql(
+              PlackettLuce.iterNormSql(SP, s"SELECT t, v FROM $rawV")), s"th$it")
+          }
           s.sql(PlackettLuce.finalSql(SP, thV, wV, exV))
         },
         Some(graft.ops.PlackettLuce.plackettLuceSql(D, "events",
@@ -680,8 +699,9 @@ private[graft] trait CatalogPreference extends CatalogCore {
             df.localCheckpoint(true).createOrReplaceTempView(v)
             v
           }
+          // r15: dim-sized frames hand off as literals (see q_plackett_luce)
           def matDim(df: org.apache.spark.sql.DataFrame, n: String): String =
-            mat(df.coalesce(1), n)
+            litView(ss, df, s"graft_spl_${n}_$tag")
           val rlV = mat(ss.sql(PlackettLuce.rankingsSql(SP,
             s"(${PlackettLuce.typeRanksSql(SP, stV,
               "user_id", "event_type", "v__")}) rk__")), "rl")
@@ -689,8 +709,13 @@ private[graft] trait CatalogPreference extends CatalogCore {
           val exV = matDim(ss.sql(PlackettLuce.explodedSql(SP, pcV)), "ex")
           val wV = matDim(ss.sql(PlackettLuce.wSql(SP, exV)), "w")
           var thV = matDim(ss.sql(PlackettLuce.th0Sql(SP, exV)), "th0")
-          for (it <- 1 to 5)
-            thV = matDim(ss.sql(PlackettLuce.iterSql(SP, exV, wV, thV)), s"th$it")
+          for (it <- 1 to 5) {
+            // r15: raw/norm staging — see btFromCounts
+            val rawV = matDim(
+              ss.sql(PlackettLuce.iterRawSql(SP, exV, wV, thV)), s"raw$it")
+            thV = matDim(ss.sql(
+              PlackettLuce.iterNormSql(SP, s"SELECT t, v FROM $rawV")), s"th$it")
+          }
           ss.sql(PlackettLuce.finalSql(SP, thV, wV, exV))
         },
         Some(graft.ops.PlackettLuce.plackettLuceSql(D, "events",
@@ -852,16 +877,16 @@ private[graft] trait CatalogPreference extends CatalogCore {
           val tag = System.nanoTime()
           val evView = s"graft_cal_events_$tag"
           tEvents(s, dir).createOrReplaceTempView(evView)
-          val cV = s"graft_cal_counts_$tag"
-          s.sql(
+          // r15: the contest-count matrix and the fitted strengths are
+          // |types|²-/|types|-sized model state — literal hand-off
+          // (litView); the counts collect is the one corpus-facing job
+          val cV = litView(s, s.sql(
             s"""SELECT i, j, CAST(count(*) AS BIGINT) AS w FROM (
                 ${Preference.comparisonsSql(SP, evView, "user_id", "ts",
                   "event_id", "event_type", "value")}) c__
-                GROUP BY i, j""")
-            .localCheckpoint(true).createOrReplaceTempView(cV)
-          val btV = s"graft_cal_bt_$tag"
-          btFromCounts(s, s.table(cV), iters = 5)
-            .localCheckpoint(true).createOrReplaceTempView(btV)
+                GROUP BY i, j"""), s"graft_cal_counts_$tag")
+          val btV = litView(s, btFromCounts(s, s.table(cV), iters = 5),
+            s"graft_cal_bt_$tag")
           s.sql(Preference.btCalibrationSql(SP, cV, btV))
         },
         Some {
@@ -918,13 +943,12 @@ private[graft] trait CatalogPreference extends CatalogCore {
           val tag = System.nanoTime()
           val evView = s"graft_cyc_events_$tag"
           tEvents(s, dir).createOrReplaceTempView(evView)
-          val cV = s"graft_cyc_counts_$tag"
-          s.sql(
+          // r15: |types|²-sized count matrix — literal hand-off (litView)
+          val cV = litView(s, s.sql(
             s"""SELECT i, j, CAST(count(*) AS BIGINT) AS w FROM (
                 ${Preference.comparisonsSql(SP, evView, "user_id", "ts",
                   "event_id", "event_type", "value")}) c__
-                GROUP BY i, j""")
-            .localCheckpoint(true).createOrReplaceTempView(cV)
+                GROUP BY i, j"""), s"graft_cyc_counts_$tag")
           s.sql(Preference.prefCyclesSql(SP, cV))
         },
         Some {

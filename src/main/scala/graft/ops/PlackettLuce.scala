@@ -115,12 +115,13 @@ object PlackettLuce {
         SELECT t, ${r6s(dl, s"${dl.d(1.0)} / CAST(k__.k AS DOUBLE)")} AS th
         FROM ty__ CROSS JOIN k__"""
 
-  /** One MM step over the pattern grain. Suffix denominators D_{r,p}
-    * fold the round-6 θs in position order; the per-type denominator
-    * folds cnt/D over a (pattern, zero-padded p) string order — both
-    * duplicate-free, so every double chain replays bit-exactly. */
-  def iterSql(dl: Dialect, expRel: String, wRel: String,
-              thRel: String): String = {
+  /** MM-step stage 1 (r15 split, guide §7.2 "duplicated subtrees"): the
+    * UNnormalized vₜ = Wₜ / Σ cnt/D. Split out so the Spark engine can
+    * materialize it ONCE — [[iterNormSql]] references its input twice
+    * (value + normalizing sum), and an inlining planner re-derives this
+    * whole suffix-denominator chain per reference otherwise. */
+  def iterRawSql(dl: Dialect, expRel: String, wRel: String,
+                 thRel: String): String = {
     val stageOrd = s"(d.pattern || chr(31) || lpad(${dl.castStr("d.p")}, 4, '0'))"
     s"""WITH den__ ${dl.cteAs} (
           SELECT e1.pattern, e1.p, ${dl.foldSumOrdered("t2.th", "e2.p")} AS den
@@ -138,10 +139,24 @@ object PlackettLuce {
           GROUP BY e.t),
         raw__ ${dl.cteAs} (
           SELECT w.t, CAST(w.w AS DOUBLE) / di.di AS v
-          FROM $wRel w JOIN di__ di ON di.t = w.t),
-        s__ ${dl.cteAs} (SELECT ${dl.foldSumOrdered("v", "t")} AS s FROM raw__)
-        SELECT t, ${r6s(dl, "v / s")} AS th FROM raw__ CROSS JOIN s__"""
+          FROM $wRel w JOIN di__ di ON di.t = w.t)
+        SELECT t, v FROM raw__"""
   }
+
+  /** MM-step stage 2: θₜ' = r6(vₜ / Σv) over a (t, v) relation. */
+  def iterNormSql(dl: Dialect, rawSql: String): String =
+    s"""WITH rawn__ ${dl.cteAs} ($rawSql),
+        s__ ${dl.cteAs} (SELECT ${dl.foldSumOrdered("v", "t")} AS s FROM rawn__)
+        SELECT t, ${r6s(dl, "v / s")} AS th FROM rawn__ CROSS JOIN s__"""
+
+  /** One MM step over the pattern grain. Suffix denominators D_{r,p}
+    * fold the round-6 θs in position order; the per-type denominator
+    * folds cnt/D over a (pattern, zero-padded p) string order — both
+    * duplicate-free, so every double chain replays bit-exactly.
+    * Composed from the two stages above — one source of math truth. */
+  def iterSql(dl: Dialect, expRel: String, wRel: String,
+              thRel: String): String =
+    iterNormSql(dl, iterRawSql(dl, expRel, wRel, thRel))
 
   /** Final projection: (event_type, selections, strength) — selections
     * UNsmoothed (the k−1 pseudo-pair picks per type subtract back out). */

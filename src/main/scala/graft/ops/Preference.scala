@@ -141,20 +141,35 @@ object Preference {
         SELECT i, ${r6s(dl, s"${dl.d(1.0)} / CAST(k AS DOUBLE)")} AS th
         FROM t__ CROSS JOIN k__"""
 
-  /** ONE MM step: θᵢ' = r6(normalize(Wᵢ / Σ_j n_ij/(θᵢ+θⱼ))). Both inner
-    * sums fold in pinned order ([[Dialect.foldSumOrdered]]); state is
-    * round-6 at the boundary, so the replay is bit-exact cross-engine. */
-  def btIterSql(dl: Dialect, nmRel: String, wtotRel: String,
-                thRel: String): String =
+  /** MM-step stage 1 (r15 split, guide §7.2 "duplicated subtrees"): the
+    * UNnormalized vᵢ = Wᵢ / Σ_j n_ij/(θᵢ+θⱼ). Split out so the Spark
+    * engine can materialize it ONCE — [[btIterNormSql]] references its
+    * input twice (value + normalizing sum), and an inlining planner
+    * re-derives this whole chain per reference otherwise. */
+  def btIterRawSql(dl: Dialect, nmRel: String, wtotRel: String,
+                   thRel: String): String =
     s"""WITH den__ ${dl.cteAs} (SELECT nm.i,
           ${dl.foldSumOrdered("CAST(nm.nij AS DOUBLE) / (ti.th + tj.th)", "nm.j")} AS den
           FROM $nmRel nm JOIN $thRel ti ON ti.i = nm.i
                          JOIN $thRel tj ON tj.i = nm.j
           GROUP BY nm.i),
         raw__ ${dl.cteAs} (SELECT d.i, CAST(w.wi AS DOUBLE) / d.den AS v
-          FROM den__ d JOIN $wtotRel w ON w.i = d.i),
-        s__ ${dl.cteAs} (SELECT ${dl.foldSumOrdered("v", "i")} AS s FROM raw__)
-        SELECT i, ${r6s(dl, "v / s")} AS th FROM raw__ CROSS JOIN s__"""
+          FROM den__ d JOIN $wtotRel w ON w.i = d.i)
+        SELECT i, v FROM raw__"""
+
+  /** MM-step stage 2: θᵢ' = r6(vᵢ / Σv) over a (i, v) relation. */
+  def btIterNormSql(dl: Dialect, rawSql: String): String =
+    s"""WITH rawn__ ${dl.cteAs} ($rawSql),
+        s__ ${dl.cteAs} (SELECT ${dl.foldSumOrdered("v", "i")} AS s FROM rawn__)
+        SELECT i, ${r6s(dl, "v / s")} AS th FROM rawn__ CROSS JOIN s__"""
+
+  /** ONE MM step: θᵢ' = r6(normalize(Wᵢ / Σ_j n_ij/(θᵢ+θⱼ))). Both inner
+    * sums fold in pinned order ([[Dialect.foldSumOrdered]]); state is
+    * round-6 at the boundary, so the replay is bit-exact cross-engine.
+    * Composed from the two stages above — one source of math truth. */
+  def btIterSql(dl: Dialect, nmRel: String, wtotRel: String,
+                thRel: String): String =
+    btIterNormSql(dl, btIterRawSql(dl, nmRel, wtotRel, thRel))
 
   /** Final projection: (event_type, wins, strength), wins unsmoothed. */
   def btFinalSql(dl: Dialect, thRel: String, wtotRel: String): String =

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** r15 scale hygiene (VERDICT r14 item 8b): `tk` exists to guard
+  * CPU-heavy kernels against coarse upstream partitioning (the testdata's
+  * one-row-group files scan as a single task). When the scan already
+  * splits to at least the cluster's parallelism — the production-scale
+  * case — the rebalance exchange is pure waste and must be skipped. */
+class TkScaleSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+
+  private object probe extends CatalogCore {
+    def tkPub(s: SparkSession, dir: String, name: String): DataFrame =
+      tk(s, dir, name)
+  }
+
+  // the explicit rebalance plans as an Exchange tagged REPARTITION_BY_NUM
+  // (plan lines are indented — startsWith("Exchange") matches nothing)
+  private def hasRebalance(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("REPARTITION_BY_NUM")
+
+  test("tk rebalances a single coarse scan partition (testdata shape)") {
+    val df = probe.tkPub(spark, "/root/testdata/sf0.001", "documents")
+    assert(df.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    assert(hasRebalance(df), "coarse scan must still be rebalanced")
+  }
+
+  test("tk skips the exchange when the scan already splits wide") {
+    val p = spark.sparkContext.defaultParallelism
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tk_scale").toFile
+    dir.deleteOnExit()
+    // many-file input: the scan splits to >= defaultParallelism on its own
+    spark.range(0, 4L * p).toDF("doc_id")
+      .withColumn("text", org.apache.spark.sql.functions.lit("w"))
+      .repartition(4 * p)
+      .write.mode("overwrite")
+      .parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val df = probe.tkPub(spark, dir.getAbsolutePath, "documents")
+    assert(df.rdd.getNumPartitions >= p)
+    assert(!hasRebalance(df),
+      "a scan that already saturates the cluster must not be re-shuffled")
+  }
+}
