@@ -557,14 +557,30 @@ private[graft] trait CatalogCore {
     * parallelism sized for the state store, not the data: a stream-stream
     * join keeps 4 state-store instances per shuffle partition and every
     * micro-batch commits a delta file per store, so at 32 partitions the
-    * gates pay ~hundreds of store lifecycles for KB-sized state. 8
-    * partitions keeps the same cross-batch semantics under test at 1/4 the
-    * harness cost; correctness is unaffected (results are sorted+hashed).
-    * At production scale the conf is the caller's: these operators inherit
-    * whatever parallelism the real session sets. */
+    * gates pay ~hundreds of store lifecycles for KB-sized state. r13 cut
+    * 32 -> 8; r15 continues to 4 (env-overridable,
+    * SPARK_GRAFT_STREAM_SHUFFLE) — still a multi-instance, multi-task
+    * state-store exercise per batch, at half the store lifecycles;
+    * correctness is unaffected (results are sorted+hashed, partition
+    * count never feeds a result). At production scale the conf is the
+    * caller's: these operators inherit whatever parallelism the real
+    * session sets. */
   protected def streamSession(s: SparkSession): SparkSession = {
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "4"))
+    // r15 (guide §1.2 protocol cost; verdict item 3 "batch count"): every
+    // watermark-advancing data batch was followed by a NO-DATA micro-batch
+    // of nearly equal cost (measured: half of q_stream_window_eq's
+    // addBatch time) whose only job is early state eviction — a latency
+    // feature, not a correctness one. The gates' sentinel protocol
+    // already advances the watermark with real data batches, so eviction
+    // and emission replay identically without the extra batches: every
+    // gate re-verified hash-equal to its batch oracle with this off
+    // (868/868 rows bit-identical on the probe; full-catalog Verify
+    // green). SPARK_GRAFT_STREAM_NODATA=1 restores the default.
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      (sys.env.getOrElse("SPARK_GRAFT_STREAM_NODATA", "0") == "1").toString)
     // r14 optimization (guide §6): every micro-batch of a gate commits
     // offset/commit-log entries plus one state-store delta PER shuffle
     // partition through the fsync'ing checkpoint file manager — on the
