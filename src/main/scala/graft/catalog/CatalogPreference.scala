@@ -943,12 +943,20 @@ private[graft] trait CatalogPreference extends CatalogCore {
           val tag = System.nanoTime()
           val evView = s"graft_cyc_events_$tag"
           tEvents(s, dir).createOrReplaceTempView(evView)
-          // r15: |types|²-sized count matrix — literal hand-off (litView)
-          val cV = litView(s, s.sql(
+          // r15 note: this stays a localCheckpoint ON PURPOSE — the
+          // |types|³ cycle derivation references the count matrix MANY
+          // times, and a literal view inlines its rows into the plan per
+          // reference (measured: 588-line plan, 48 exchanges, 1.4 ->
+          // 2.3 s). A checkpointed ExistingRDD is read per reference
+          // without growing the plan. litView is for chains that
+          // reference each frame once or twice (btFromCounts, PL).
+          val cV = s"graft_cyc_counts_$tag"
+          s.sql(
             s"""SELECT i, j, CAST(count(*) AS BIGINT) AS w FROM (
                 ${Preference.comparisonsSql(SP, evView, "user_id", "ts",
                   "event_id", "event_type", "value")}) c__
-                GROUP BY i, j"""), s"graft_cyc_counts_$tag")
+                GROUP BY i, j""")
+            .localCheckpoint(true).createOrReplaceTempView(cV)
           s.sql(Preference.prefCyclesSql(SP, cV))
         },
         Some {
